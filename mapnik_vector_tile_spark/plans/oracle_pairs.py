@@ -1,0 +1,135 @@
+"""Registry of (Spark query, DuckDB oracle SQL) pairs — the driver
+correctness contract (__spark_entry__.queries / oracle_sql).
+
+Every pair shares one SQL template (plans.shared_sql) rendered per
+engine, so arithmetic is bit-identical and the driver's
+order-insensitive value hash matches. Engine-only operators (binary
+encodes, concave PIP, raster) register a query with NO oracle entry →
+driver records a rows-only check, as documented.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapnik_vector_tile_spark.functions.tilemath import W, cell_id_sql_expr
+from mapnik_vector_tile_spark.plans import shared_sql as S
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# --- template builders (shared between engines) ---------------------------
+
+
+def _sql_tile_assign() -> str:
+    tx, ty = S.tile_xy_exprs(14)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')}
+SELECT id, {tx} AS tx, {ty} AS ty
+FROM pts
+"""
+
+
+def _sql_pyramid_counts() -> str:
+    tx, ty = S.tile_xy_exprs(14)
+    ax = S.ancestor_expr("tx", "14 - z")
+    ay = S.ancestor_expr("ty", "14 - z")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
+SELECT z, {ax} AS x, {ay} AS y, COUNT(*) AS n_features
+FROM t14 CROSS JOIN {{ZSEQ}} zs
+GROUP BY 1, 2, 3
+"""
+
+
+def _sql_quantize() -> str:
+    tx, ty = S.tile_xy_exprs(14)
+    px, py = S.quantize_exprs(14, "tx", "ty")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t14 AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts)
+SELECT id, tx, ty, {px} AS px, {py} AS py
+FROM t14
+"""
+
+
+def _sql_zigzag() -> str:
+    zz1 = S.zigzag_expr("l_orderkey - 3 * l_partkey")
+    zz2 = S.zigzag_expr("l_suppkey - l_partkey")
+    return f"""
+SELECT l_orderkey AS id, l_linenumber AS ln,
+       {zz1} AS zz_dx, {zz2} AS zz_dy,
+       CAST(1 + 8 * l_linenumber AS BIGINT) AS cmd_move
+FROM lineitem
+"""
+
+
+def _sql_cell_morton() -> str:
+    z = 10
+    tx, ty = S.tile_xy_exprs(z)
+    cell = cell_id_sql_expr("tx", "ty", z)
+    return f"""
+WITH {S.point_cte('customer', 'c_custkey')},
+t AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
+SELECT id, CAST({cell} AS BIGINT) AS cell
+FROM t
+"""
+
+
+def _sql_bbox_rect_join() -> str:
+    """Range join: order points vs broadcast-size rectangle regions —
+    the SQL-expressible shape of J3 (PIP vs rects)."""
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+{S.rect_regions_cte('nation')}
+SELECT r.region_id, COUNT(*) AS n_pts, MIN(p.id) AS min_id
+FROM pts p
+JOIN rects r
+  ON p.mx >= r.cx - r.hw AND p.mx <= r.cx + r.hw
+ AND p.my >= r.cy - r.hw AND p.my <= r.cy + r.hw
+GROUP BY 1
+"""
+
+
+_W = W  # re-export for f-strings
+
+
+# --- registry ---------------------------------------------------------------
+
+# name -> (template_sql | None, engine_only_fn | None)
+_PAIRS: dict[str, str] = {
+    "q_tile_assign_z14": _sql_tile_assign(),
+    "q_tile_pyramid_counts": _sql_pyramid_counts(),
+    "q_quantize_z14": _sql_quantize(),
+    "q_zigzag_cmd": _sql_zigzag(),
+    "q_cell_morton_z10": _sql_cell_morton(),
+    "q_pip_rect_join": _sql_bbox_rect_join(),
+}
+
+
+def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(S.render(template, "spark"))
+
+    return fn
+
+
+def sql_pairs() -> tuple[
+    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
+]:
+    """(queries, oracles) for the SQL-expressible operator set."""
+    queries = {name: _make_spark_fn(t) for name, t in _PAIRS.items()}
+    oracles = {name: S.render(t, "duckdb") for name, t in _PAIRS.items()}
+    return queries, oracles

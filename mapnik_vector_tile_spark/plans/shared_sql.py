@@ -1,0 +1,124 @@
+"""Shared SQL templates: one arithmetic source of truth rendered for
+BOTH Spark SQL and DuckDB, so the driver's value-hash compare sees
+bit-identical doubles/ints.
+
+Design rules (why these templates look the way they do):
+
+* points are derived from TPC-H keys with pure +,-,*,% integer math and
+  one float division — NO ln/tan in oracle paths, so libm differences
+  between the JVM and DuckDB can never flip a floor() at a tile edge;
+* every floor/round is wrapped in CAST(... AS BIGINT) because Spark's
+  floor() returns BIGINT while DuckDB's returns DOUBLE;
+* engine-specific syntax (sequence-explode, list lambdas, 0- vs 1-based
+  array indexing) goes through the ``_SUBS`` token table.
+
+Reference parity: the tile math here is A.1/A.2/A.3 of SURVEY.md —
+the same formulas vector_tile_projection.hpp / vector_tile_strategy.hpp
+implement natively.
+"""
+
+from __future__ import annotations
+
+from mapnik_vector_tile_spark.functions.tilemath import W
+
+TWO_W = 2.0 * W
+
+
+def flit(v: float) -> str:
+    """Float literal that parses as DOUBLE in BOTH engines. Spark parses
+    bare decimal literals as DECIMAL (different rounding!); scientific
+    notation forces DOUBLE in Spark and DuckDB alike."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+# Engine-specific syntax tokens. Template strings use {tok} markers.
+_SUBS = {
+    "spark": {
+        # cross-joinable single-column relation of z = 0..14
+        "ZSEQ": "(SELECT explode(sequence(0, 14)) AS z)",
+        # integer cast name is shared; these exist for future divergence
+    },
+    "duckdb": {
+        "ZSEQ": "(SELECT unnest(generate_series(0, 14)) AS z)",
+    },
+}
+
+
+def render(template: str, engine: str) -> str:
+    out = template
+    for tok, val in _SUBS[engine].items():
+        out = out.replace("{" + tok + "}", val)
+    return out
+
+
+def point_cte(table: str, key: str, idalias: str = "id") -> str:
+    """Deterministic mercator point from an integer key — a Weyl-style
+    mix with pure integer arithmetic, then one exact float division.
+    Matches synth.footprint semantics in spirit (uniform world cover);
+    bit-exact across engines by construction."""
+    return f"""
+pts AS (
+  SELECT {key} AS {idalias},
+         (((({key}) * 2654435761) % 4294967296) / {flit(2**32)}) * {flit(TWO_W)} - {flit(W)} AS mx,
+         (((({key}) * 1103515245 + 12345) % 4294967296) / {flit(2**32)}) * {flit(TWO_W)} - {flit(W)} AS my
+  FROM {table}
+)"""
+
+
+def tile_xy_exprs(z: int, mx: str = "mx", my: str = "my") -> tuple[str, str]:
+    """floor((mx+W)/span), floor((W-my)/span) — A.2 point assignment.
+    Inputs are strictly inside (-W, W) by point_cte construction, so no
+    clamp branch is needed (keeps the SQL identical and simple)."""
+    span = TWO_W / (1 << z)
+    tx = f"CAST(floor((({mx}) + {flit(W)}) / {flit(span)}) AS BIGINT)"
+    ty = f"CAST(floor(({flit(W)} - ({my})) / {flit(span)}) AS BIGINT)"
+    return tx, ty
+
+
+def quantize_exprs(
+    z: int, tx: str, ty: str, mx: str = "mx", my: str = "my", extent: int = 4096
+) -> tuple[str, str]:
+    """A.3 world->tile-local ints. v >= 0 inside the unbuffered tile, so
+    half-away-from-zero == floor(v + 0.5) here."""
+    span = TWO_W / (1 << z)
+    px = (
+        f"CAST(floor((({mx}) - (-{flit(W)} + CAST({tx} AS DOUBLE) * {flit(span)}))"
+        f" * {flit(extent)} / {flit(span)} + 0.5e0) AS BIGINT)"
+    )
+    py = (
+        f"CAST(floor((({flit(W)} - CAST({ty} AS DOUBLE) * {flit(span)}) - ({my}))"
+        f" * {flit(extent)} / {flit(span)} + 0.5e0) AS BIGINT)"
+    )
+    return px, py
+
+
+def zigzag_expr(n: str) -> str:
+    """Arithmetic zigzag (F4) — no shifts, engine-portable."""
+    return f"CAST(CASE WHEN ({n}) >= 0 THEN ({n}) * 2 ELSE -(({n}) * 2) - 1 END AS BIGINT)"
+
+
+def ancestor_expr(t: str, dz: str) -> str:
+    """tile coord at z-dz levels up: floor(t / 2^dz) via exact integer
+    arithmetic (t - t%p)/p, p from power() (exact for 2^k)."""
+    p = f"CAST(power(2.0, {dz}) AS BIGINT)"
+    return f"CAST((({t}) - (({t}) % {p})) / {p} AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Rect regions derived from the nation table (J3/J4 oracle side):
+# 25 deterministic axis-aligned mercator rectangles.
+# ---------------------------------------------------------------------------
+
+
+def rect_regions_cte(table: str = "nation") -> str:
+    """Rectangles spread over the world, size varying by key — pure
+    arithmetic from n_nationkey so Spark and DuckDB build identical
+    boxes."""
+    return f"""
+rects AS (
+  SELECT n_nationkey AS region_id,
+         ((((n_nationkey * 2654435761) % 4294967296) / {flit(2**32)}) * {flit(TWO_W)} - {flit(W)}) AS cx,
+         ((((n_nationkey * 40503 + 7) % 65536) / {flit(65536)}) * {flit(TWO_W)} - {flit(W)}) AS cy,
+         ({flit(500000)} + (n_nationkey % 7) * {flit(400000)}) AS hw
+  FROM {table}
+)"""
