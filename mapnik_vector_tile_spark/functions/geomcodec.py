@@ -1,0 +1,241 @@
+"""MVT geometry command-stream encode/decode — SURVEY.md F4-F8.
+
+Reference parity: src/vector_tile_geometry_encoder_pbf.hpp /
+src/vector_tile_geometry_decoder.hpp. Semantics (MVT 2.1 §4.3, normative):
+
+* geometry = uint32 stream of CommandIntegers + zigzag-encoded deltas
+  from a cursor that persists ACROSS parts of a multi-geometry within
+  one feature (the reference threads start_x/start_y the same way);
+* POINT: one MoveTo(count=n); LINESTRING: per part MoveTo(1) +
+  LineTo(n-1); POLYGON: per ring MoveTo(1) + LineTo(n-2) + ClosePath
+  (closing vertex implied, never encoded);
+* repeated-point elision (F7): consecutive identical quantized points
+  collapse; degenerate results (line < 2 pts, ring < 3 distinct pts or
+  zero area) are dropped;
+* v2 winding (A.4): exterior ring has positive signed area in y-down
+  tile coords, interiors negative; decoder reassembles multipolygons on
+  that sign.
+
+Geometries here are the canonical flat representation (SURVEY.md §1.2):
+``xs/ys`` int64 vertex arrays + ``offsets`` (len n_parts+1) marking
+part/ring boundaries. Rings are stored WITHOUT the closing vertex.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mapnik_vector_tile_spark.functions.tilemath import (
+    CLOSE_PATH,
+    LINE_TO,
+    MOVE_TO,
+    command_integer_np,
+    zigzag_decode_np,
+    zigzag_encode_np,
+)
+
+GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON = 1, 2, 3
+
+
+def signed_area2(xs: np.ndarray, ys: np.ndarray) -> int:
+    """Twice the shoelace signed area of a ring (closing edge implied),
+    int64-exact in tile coords (A.4). Positive = exterior under MVT's
+    y-down convention."""
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    # 2A = sum(x_i*y_{i+1} - x_{i+1}*y_i): positive for the MVT spec's
+    # own exterior-ring example (3,6)(8,12)(20,34) -> +38.
+    return int(np.sum(xs * y2 - x2 * ys))
+
+
+def _dedup_consecutive(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if len(xs) <= 1:
+        return xs, ys
+    keep = np.empty(len(xs), dtype=bool)
+    keep[0] = True
+    keep[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+    return xs[keep], ys[keep]
+
+
+def encode_geometry(
+    geom_type: int,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    offsets: np.ndarray,
+) -> np.ndarray:
+    """Flat parts -> uint32 command stream (as int64 numpy for easy
+    varint packing later). Returns empty array if everything degenerates.
+    """
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    out: list[np.ndarray] = []
+    cx, cy = 0, 0  # cursor persists across parts (F6)
+
+    if geom_type == GEOM_POINT:
+        pxs, pys = xs, ys
+        if len(pxs) == 0:
+            return np.empty(0, dtype=np.int64)
+        out.append(np.array([command_integer_np(MOVE_TO, len(pxs))], dtype=np.int64))
+        dx = np.diff(np.concatenate(([cx], pxs)))
+        dy = np.diff(np.concatenate(([cy], pys)))
+        inter = np.empty(2 * len(pxs), dtype=np.int64)
+        inter[0::2] = zigzag_encode_np(dx)
+        inter[1::2] = zigzag_encode_np(dy)
+        out.append(inter)
+        return np.concatenate(out)
+
+    for p in range(len(offsets) - 1):
+        pxs = xs[offsets[p] : offsets[p + 1]]
+        pys = ys[offsets[p] : offsets[p + 1]]
+        pxs, pys = _dedup_consecutive(pxs, pys)
+
+        if geom_type == GEOM_LINESTRING:
+            if len(pxs) < 2:
+                continue  # degenerate part dropped (P4)
+            dx = np.diff(np.concatenate(([cx], pxs)))
+            dy = np.diff(np.concatenate(([cy], pys)))
+            inter = np.empty(2 * len(pxs), dtype=np.int64)
+            inter[0::2] = zigzag_encode_np(dx)
+            inter[1::2] = zigzag_encode_np(dy)
+            out.append(
+                np.concatenate(
+                    (
+                        [command_integer_np(MOVE_TO, 1)],
+                        inter[:2],
+                        [command_integer_np(LINE_TO, len(pxs) - 1)],
+                        inter[2:],
+                    )
+                ).astype(np.int64)
+            )
+            cx, cy = int(pxs[-1]), int(pys[-1])
+
+        elif geom_type == GEOM_POLYGON:
+            # drop explicit closing vertex if present
+            if len(pxs) >= 2 and pxs[0] == pxs[-1] and pys[0] == pys[-1]:
+                pxs, pys = pxs[:-1], pys[:-1]
+            if len(pxs) < 3 or signed_area2(pxs, pys) == 0:
+                continue
+            dx = np.diff(np.concatenate(([cx], pxs)))
+            dy = np.diff(np.concatenate(([cy], pys)))
+            inter = np.empty(2 * len(pxs), dtype=np.int64)
+            inter[0::2] = zigzag_encode_np(dx)
+            inter[1::2] = zigzag_encode_np(dy)
+            out.append(
+                np.concatenate(
+                    (
+                        [command_integer_np(MOVE_TO, 1)],
+                        inter[:2],
+                        [command_integer_np(LINE_TO, len(pxs) - 1)],
+                        inter[2:],
+                        [command_integer_np(CLOSE_PATH, 1)],
+                    )
+                ).astype(np.int64)
+            )
+            cx, cy = int(pxs[-1]), int(pys[-1])
+        else:
+            raise ValueError(f"unknown geom_type {geom_type}")
+
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)
+
+
+def decode_geometry(
+    geom_type: int, stream: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Command stream -> (xs, ys, offsets). Enforces v2 validity:
+    MoveTo(1) between parts, LineTo count >= 1, rings closed by
+    ClosePath only. Raises ValueError on malformed streams."""
+    stream = np.asarray(stream, dtype=np.int64)
+    xs: list[int] = []
+    ys: list[int] = []
+    offsets: list[int] = [0]
+    i = 0
+    cx, cy = 0, 0
+    n = len(stream)
+    while i < n:
+        cmd, cnt = int(stream[i]) & 0x7, int(stream[i]) >> 3
+        i += 1
+        if cmd == MOVE_TO:
+            if geom_type != GEOM_POINT and cnt != 1:
+                raise ValueError("v2: MoveTo count must be 1 for line/polygon")
+            if cnt < 1:
+                raise ValueError("MoveTo count < 1")
+            d = stream[i : i + 2 * cnt]
+            if len(d) != 2 * cnt:
+                raise ValueError("truncated MoveTo params")
+            i += 2 * cnt
+            ddx = zigzag_decode_np(d[0::2])
+            ddy = zigzag_decode_np(d[1::2])
+            if geom_type == GEOM_POINT:
+                px = np.cumsum(ddx) + cx
+                py = np.cumsum(ddy) + cy
+                xs.extend(px.tolist())
+                ys.extend(py.tolist())
+                cx, cy = int(px[-1]), int(py[-1])
+                offsets.append(len(xs))
+            else:
+                # new part starts
+                if len(xs) > offsets[-1]:
+                    offsets.append(len(xs))
+                cx += int(ddx[0])
+                cy += int(ddy[0])
+                xs.append(cx)
+                ys.append(cy)
+        elif cmd == LINE_TO:
+            if cnt < 1:
+                raise ValueError("v2: LineTo count must be >= 1")
+            if geom_type == GEOM_POINT:
+                raise ValueError("LineTo in point geometry")
+            d = stream[i : i + 2 * cnt]
+            if len(d) != 2 * cnt:
+                raise ValueError("truncated LineTo params")
+            i += 2 * cnt
+            px = np.cumsum(zigzag_decode_np(d[0::2])) + cx
+            py = np.cumsum(zigzag_decode_np(d[1::2])) + cy
+            xs.extend(px.tolist())
+            ys.extend(py.tolist())
+            cx, cy = int(px[-1]), int(py[-1])
+        elif cmd == CLOSE_PATH:
+            if geom_type != GEOM_POLYGON:
+                raise ValueError("ClosePath outside polygon")
+            if cnt != 1:
+                raise ValueError("ClosePath count must be 1")
+            if len(xs) - offsets[-1] < 3:
+                raise ValueError("ring with < 3 points")
+            offsets.append(len(xs))
+        else:
+            raise ValueError(f"unknown command {cmd}")
+    if geom_type == GEOM_LINESTRING and len(xs) > offsets[-1]:
+        offsets.append(len(xs))
+    if geom_type == GEOM_POLYGON and offsets[-1] != len(xs):
+        raise ValueError("unclosed polygon ring")
+    if geom_type == GEOM_POINT:
+        # points are one logical part
+        offsets = [0, len(xs)]
+    return (
+        np.array(xs, dtype=np.int64),
+        np.array(ys, dtype=np.int64),
+        np.array(offsets, dtype=np.int64),
+    )
+
+
+def assemble_polygons(
+    xs: np.ndarray, ys: np.ndarray, offsets: np.ndarray
+) -> list[list[int]]:
+    """Group ring indices into polygons: each exterior (2A>0) takes the
+    interior rings (2A<0) that follow it — decoder semantics of
+    vector_tile_geometry_decoder.ipp ring assembly."""
+    polys: list[list[int]] = []
+    for r in range(len(offsets) - 1):
+        a2 = signed_area2(
+            xs[offsets[r] : offsets[r + 1]], ys[offsets[r] : offsets[r + 1]]
+        )
+        if a2 > 0 or not polys:
+            polys.append([r])
+        else:
+            polys[-1].append(r)
+    return polys

@@ -1,0 +1,391 @@
+"""Hand-rolled protobuf wire codec for MVT Tile/Layer/Feature/Value —
+SURVEY.md A.5, S5, S6, A1-A4, F14.
+
+Reference parity: proto/vector_tile.proto (message layout, normative)
+and src/vector_tile_layer.hpp (dictionary semantics: key/value indices
+are FIRST-APPEARANCE order; value distinctness is type-sensitive).
+protozero's zero-copy role is played here by numpy-vectorized varint
+packing over whole geometry streams.
+
+Wire facts used (protobuf spec, public):
+* varint: 7 bits little-endian-esque, MSB = continuation;
+* tag = (field_number << 3) | wire_type; wire types: 0 varint,
+  1 64-bit, 2 length-delimited, 5 32-bit;
+* Tile = repeated Layer field 3 → concatenating serialized layer
+  submessages is a valid Tile (the composite fast path).
+
+Layer fields: 1 name, 2 features, 3 keys, 4 values, 5 extent,
+15 version. Feature fields: 1 id, 2 tags(packed), 3 type,
+4 geometry(packed). Value fields: 1 string, 2 float, 3 double,
+4 int, 5 uint, 6 sint, 7 bool.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --- varint ------------------------------------------------------------------
+
+
+def varint_bytes_np(values: np.ndarray) -> bytes:
+    """Vectorized packed-varint encode of a non-negative int64/uint64
+    array (the geometry hot path — no Python loop over vertices)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    # byte length per value: ceil(bitlen/7), min 1 (values < 2^35 here,
+    # but support the full 10-byte range for uint64 ids)
+    lengths = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while np.any(tmp):
+        lengths += (tmp != 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(lengths.sum())
+    out = np.empty(total, dtype=np.uint8)
+    pos = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    rem = v.copy()
+    offset = np.zeros(len(v), dtype=np.int64)
+    active = np.ones(len(v), dtype=bool)
+    while np.any(active):
+        byte = (rem & np.uint64(0x7F)).astype(np.uint8)
+        more = rem >= np.uint64(0x80)
+        byte = np.where(more, byte | np.uint8(0x80), byte)
+        out[(pos + offset)[active]] = byte[active]
+        rem >>= np.uint64(7)
+        offset += 1
+        active = active & more
+    return out.tobytes()
+
+
+def varint_decode_np(buf: bytes, count: int | None = None) -> tuple[np.ndarray, int]:
+    """Decode packed varints from buf; returns (values, bytes_consumed).
+    Vectorized: continuation bits locate value boundaries."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64), 0
+    ends = np.nonzero((arr & 0x80) == 0)[0]
+    if count is not None:
+        ends = ends[:count]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    values = np.zeros(len(ends), dtype=np.uint64)
+    # max varint length 10 bytes
+    maxlen = int((ends - starts).max()) + 1 if len(ends) else 0
+    for b in range(maxlen):
+        idx = starts + b
+        valid = idx <= ends
+        chunk = np.zeros(len(ends), dtype=np.uint64)
+        chunk[valid] = arr[idx[valid]].astype(np.uint64) & np.uint64(0x7F)
+        values |= chunk << np.uint64(7 * b)
+    consumed = int(ends[-1]) + 1 if len(ends) else 0
+    return values, consumed
+
+
+def _varint1(v: int) -> bytes:
+    out = bytearray()
+    v = int(v)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint1((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint1(len(payload)) + payload
+
+
+# --- Value variant (F14) -------------------------------------------------------
+
+
+def encode_value(v) -> bytes:
+    """mapnik value -> Tile.Value oneof. Int python ints -> int_value
+    (field 4, the upstream choice per SURVEY.md F14 [C-med], pinned by
+    our golden decoder); bool -> 7; float -> double field 3; str -> 1."""
+    if isinstance(v, bool):
+        return _tag(7, 0) + _varint1(1 if v else 0)
+    if isinstance(v, (int, np.integer)):
+        i = int(v)
+        # int_value is a varint of the two's-complement — negative would
+        # take 10 bytes; reference emits int_value for int64 regardless
+        return _tag(4, 0) + _varint1(i & 0xFFFFFFFFFFFFFFFF)
+    if isinstance(v, (float, np.floating)):
+        return _tag(3, 1) + struct.pack("<d", float(v))
+    if isinstance(v, bytes):
+        return _tag(1, 2) + _varint1(len(v)) + v
+    s = str(v).encode("utf-8")
+    return _tag(1, 2) + _varint1(len(s)) + s
+
+
+def decode_value(buf: bytes):
+    tag, n = _read_varint(buf, 0)
+    field, wire = tag >> 3, tag & 7
+    if field == 1:
+        ln, n2 = _read_varint(buf, n)
+        return buf[n2 : n2 + ln].decode("utf-8")
+    if field == 2:
+        return struct.unpack_from("<f", buf, n)[0]
+    if field == 3:
+        return struct.unpack_from("<d", buf, n)[0]
+    if field == 4 or field == 5:
+        v, _ = _read_varint(buf, n)
+        if field == 4 and v >= 1 << 63:
+            v -= 1 << 64
+        return int(v)
+    if field == 6:
+        v, _ = _read_varint(buf, n)
+        return int((v >> 1) ^ -(v & 1))
+    if field == 7:
+        v, _ = _read_varint(buf, n)
+        return bool(v)
+    raise ValueError(f"unknown Value field {field}")
+
+
+def _read_varint(buf, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        result |= (b & 0x7F) << shift
+        pos += 1
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+
+
+# --- Feature / Layer / Tile ----------------------------------------------------
+
+
+def encode_feature(
+    feature_id: int | None,
+    geom_type: int,
+    geometry: np.ndarray,
+    tags: np.ndarray,
+) -> bytes:
+    out = bytearray()
+    if feature_id is not None:
+        out += _tag(1, 0) + _varint1(int(feature_id))
+    if len(tags):
+        payload = varint_bytes_np(np.asarray(tags, dtype=np.uint64))
+        out += _tag(2, 2) + _varint1(len(payload)) + payload
+    out += _tag(3, 0) + _varint1(int(geom_type))
+    payload = varint_bytes_np(np.asarray(geometry, dtype=np.uint64))
+    out += _tag(4, 2) + _varint1(len(payload)) + payload
+    return bytes(out)
+
+
+class LayerBuilder:
+    """First-appearance key/value dictionaries (A1/A2) + feature
+    accumulation -> one serialized Layer message (A3 partial fold).
+
+    Value identity is type-sensitive: the dict key is
+    (type_tag, canonical encoding), so int 1 != double 1.0 and
+    -0.0 != 0.0 at bit level — reference `values_` map semantics.
+    """
+
+    def __init__(self, name: str, extent: int = 4096, version: int = 2):
+        self.name = name
+        self.extent = extent
+        self.version = version
+        self._keys: dict[str, int] = {}
+        self._values: dict[bytes, int] = {}
+        self._features: list[bytes] = []
+
+    def key_index(self, k: str) -> int:
+        idx = self._keys.get(k)
+        if idx is None:
+            idx = len(self._keys)
+            self._keys[k] = idx
+        return idx
+
+    def value_index(self, v) -> int:
+        enc = encode_value(v)
+        idx = self._values.get(enc)
+        if idx is None:
+            idx = len(self._values)
+            self._values[enc] = idx
+        return idx
+
+    def add_feature(
+        self,
+        feature_id: int | None,
+        geom_type: int,
+        geometry: np.ndarray,
+        props: dict | None = None,
+    ) -> None:
+        if len(geometry) == 0:
+            return  # not painted (P4)
+        tags: list[int] = []
+        for k, v in (props or {}).items():
+            if v is None:
+                continue
+            tags.append(self.key_index(k))
+            tags.append(self.value_index(v))
+        self._features.append(
+            encode_feature(feature_id, geom_type, geometry, np.array(tags))
+        )
+
+    @property
+    def painted(self) -> bool:
+        return bool(self._features)
+
+    def build(self) -> bytes:
+        out = bytearray()
+        out += _tag(15, 0) + _varint1(self.version)
+        nm = self.name.encode("utf-8")
+        out += _tag(1, 2) + _varint1(len(nm)) + nm
+        for f in self._features:
+            out += _tag(2, 2) + _varint1(len(f)) + f
+        for k in self._keys:
+            kb = k.encode("utf-8")
+            out += _tag(3, 2) + _varint1(len(kb)) + kb
+        for enc in self._values:
+            out += _tag(4, 2) + _varint1(len(enc)) + enc
+        out += _tag(5, 0) + _varint1(self.extent)
+        return bytes(out)
+
+
+def layer_to_tile(layer_msg: bytes) -> bytes:
+    """Wrap one serialized Layer as a Tile submessage (field 3)."""
+    return _len_delim(3, layer_msg)
+
+
+def concat_tile(layer_msgs: list[bytes]) -> bytes:
+    """Tile = concatenation of field-3 Layer submessages (A.5 — the
+    composite/U1 fast path and the A4 final fold)."""
+    return b"".join(layer_to_tile(m) for m in layer_msgs)
+
+
+# --- decode ------------------------------------------------------------------
+
+
+def decode_tile(buf: bytes) -> list[bytes]:
+    """Tile bytes -> list of raw Layer messages."""
+    layers = []
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            if field == 3:
+                layers.append(buf[pos : pos + ln])
+            pos += ln
+        elif wire == 0:
+            _, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            pos += 8
+        elif wire == 5:
+            pos += 4
+        else:
+            raise ValueError(f"bad wire type {wire}")
+    return layers
+
+
+def decode_layer(buf: bytes) -> dict:
+    """Layer message -> dict(name, version, extent, keys, values,
+    features=[{id, type, tags, geometry(np.uint64 array)}]).
+    The S2 'tile as datasource' decode scan."""
+    out = {
+        "name": None,
+        "version": None,
+        "extent": 4096,
+        "keys": [],
+        "values": [],
+        "features": [],
+    }
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            if field == 15:
+                out["version"] = v
+            elif field == 5:
+                out["extent"] = v
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            payload = buf[pos : pos + ln]
+            pos += ln
+            if field == 1:
+                out["name"] = payload.decode("utf-8")
+            elif field == 3:
+                out["keys"].append(payload.decode("utf-8"))
+            elif field == 4:
+                out["values"].append(decode_value(payload))
+            elif field == 2:
+                out["features"].append(_decode_feature(payload))
+        else:
+            raise ValueError(f"unexpected wire type {wire} in layer")
+    return out
+
+
+def _decode_feature(buf: bytes) -> dict:
+    f = {"id": None, "type": 0, "tags": np.empty(0, np.uint64), "geometry": np.empty(0, np.uint64)}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            if field == 1:
+                f["id"] = v
+            elif field == 3:
+                f["type"] = v
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            vals, _ = varint_decode_np(buf[pos : pos + ln])
+            pos += ln
+            if field == 2:
+                f["tags"] = vals
+            elif field == 4:
+                f["geometry"] = vals
+        else:
+            raise ValueError("bad feature wire type")
+    return f
+
+
+def feature_props(layer: dict, feature: dict) -> dict:
+    keys, values = layer["keys"], layer["values"]
+    t = feature["tags"]
+    return {keys[int(t[i])]: values[int(t[i + 1])] for i in range(0, len(t), 2)}
+
+
+# --- compression (S5) ----------------------------------------------------------
+
+
+def is_gzip(buf: bytes) -> bool:
+    return len(buf) > 2 and buf[0] == 0x1F and buf[1] == 0x8B
+
+
+def is_zlib(buf: bytes) -> bool:
+    return (
+        len(buf) > 2
+        and buf[0] == 0x78
+        and buf[1] in (0x01, 0x5E, 0x9C, 0xDA)
+    )
+
+
+def maybe_decompress(buf: bytes) -> bytes:
+    if is_gzip(buf):
+        return zlib.decompress(buf, 16 + zlib.MAX_WBITS)
+    if is_zlib(buf):
+        return zlib.decompress(buf)
+    return buf
+
+
+def compress(buf: bytes, gzip: bool = False, level: int = 6) -> bytes:
+    if gzip:
+        co = zlib.compressobj(level, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        return co.compress(buf) + co.flush()
+    return zlib.compress(buf, level)

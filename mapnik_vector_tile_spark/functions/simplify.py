@@ -1,0 +1,106 @@
+"""Douglas-Peucker simplification — SURVEY.md F9.
+
+Reference parity: src/vector_tile_douglas_peucker.hpp (itself adapted
+from boost::geometry's implementation): squared perpendicular distance
+against a squared tolerance, endpoints always preserved, applied only
+when simplify_distance > 0, operating on quantized integer tile coords.
+
+Iterative explicit-stack form (no recursion limits), numpy distance
+kernel per span.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _seg_dist2(
+    xs: np.ndarray, ys: np.ndarray, ax: float, ay: float, bx: float, by: float
+) -> np.ndarray:
+    """Squared distance of points to segment (a, b) — the 'comparable
+    distance' boost::geometry uses (projection clamped to the segment)."""
+    dx, dy = bx - ax, by - ay
+    l2 = dx * dx + dy * dy
+    if l2 == 0.0:
+        return (xs - ax) ** 2 + (ys - ay) ** 2
+    t = ((xs - ax) * dx + (ys - ay) * dy) / l2
+    t = np.clip(t, 0.0, 1.0)
+    px = ax + t * dx
+    py = ay + t * dy
+    return (xs - px) ** 2 + (ys - py) ** 2
+
+
+def douglas_peucker(
+    xs: np.ndarray, ys: np.ndarray, tolerance: float
+) -> np.ndarray:
+    """Boolean keep-mask for one part. tolerance is in coordinate units
+    (NOT squared); endpoints always kept."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2 or tolerance <= 0:
+        keep[:] = tolerance <= 0
+        keep[0] = keep[-1] = True
+        return keep
+    tol2 = float(tolerance) * float(tolerance)
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        d2 = _seg_dist2(xs[a + 1 : b], ys[a + 1 : b], xs[a], ys[a], xs[b], ys[b])
+        i = int(np.argmax(d2))
+        if d2[i] > tol2:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep
+
+
+def simplify_part(
+    xs: np.ndarray, ys: np.ndarray, tolerance: float
+) -> tuple[np.ndarray, np.ndarray]:
+    mask = douglas_peucker(xs, ys, tolerance)
+    return np.asarray(xs)[mask], np.asarray(ys)[mask]
+
+
+def simplify_rings(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    offsets: np.ndarray,
+    tolerance: float,
+    closed: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Simplify each part/ring independently. For closed rings the
+    closing vertex is appended before DP and stripped after (endpoint
+    preservation then applies to the ring seam, matching the reference's
+    treatment of rings as closed paths). Rings that collapse (<3 pts)
+    are dropped; line parts (<2 pts) are dropped."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    ox: list[np.ndarray] = []
+    oy: list[np.ndarray] = []
+    offs = [0]
+    min_pts = 3 if closed else 2
+    for r in range(len(offsets) - 1):
+        px = np.asarray(xs[offsets[r] : offsets[r + 1]], dtype=np.float64)
+        py = np.asarray(ys[offsets[r] : offsets[r + 1]], dtype=np.float64)
+        if closed and len(px) >= 3:
+            cx = np.concatenate((px, px[:1]))
+            cy = np.concatenate((py, py[:1]))
+            sx, sy = simplify_part(cx, cy, tolerance)
+            sx, sy = sx[:-1], sy[:-1]
+        else:
+            sx, sy = simplify_part(px, py, tolerance)
+        if len(sx) < min_pts:
+            continue
+        ox.append(sx)
+        oy.append(sy)
+        offs.append(offs[-1] + len(sx))
+    if not ox:
+        return np.empty(0), np.empty(0), np.array([0], dtype=np.int64)
+    return np.concatenate(ox), np.concatenate(oy), np.array(offs, dtype=np.int64)

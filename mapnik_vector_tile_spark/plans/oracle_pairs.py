@@ -118,6 +118,53 @@ _PAIRS: dict[str, str] = {
 }
 
 
+def _sql_pyramid_counts_z(z_hi: int) -> str:
+    tx, ty = S.tile_xy_exprs(14)
+    ax = S.ancestor_expr("tx", "14 - z")
+    ay = S.ancestor_expr("ty", "14 - z")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
+SELECT z, {ax} AS x, {ay} AS y, COUNT(*) AS n_features
+FROM t14 CROSS JOIN {{ZSEQ}} zs
+WHERE z <= {z_hi}
+GROUP BY 1, 2, 3
+"""
+
+
+def q_engine_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL EP1 pipeline (assign_tiles -> salted applyInPandas
+    encode -> merge) on orders-derived points, z0..8, buffer=0 — its
+    per-tile feature counts must equal the pure-SQL pyramid oracle.
+    This gates the whole Arrow/UDF encode machinery, not just SQL math.
+    """
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = derive_points(orders, "o_orderkey")
+    feats = pts.select(
+        F.col("id").alias("feature_id"),
+        F.lit(1).alias("geom_type"),
+        F.array("mx").alias("xs"),
+        F.array("my").alias("ys"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+        F.lit("c").alias("caption"),
+    )
+    assigned = T.assign_tiles(feats, 0, 8, buffer_units=0)
+    layers = T.encode_layers(assigned, n_salts=8)
+    return layers.select(
+        "z", "x", "y", F.col("n_features").cast("bigint").alias("n_features")
+    )
+
+
+_ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
+}
+
+
 def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_views(spark, sf_dir)
@@ -132,4 +179,8 @@ def sql_pairs() -> tuple[
     """(queries, oracles) for the SQL-expressible operator set."""
     queries = {name: _make_spark_fn(t) for name, t in _PAIRS.items()}
     oracles = {name: S.render(t, "duckdb") for name, t in _PAIRS.items()}
+    for name, (fn, oracle) in _ENGINE_PAIRS.items():
+        queries[name] = fn
+        if oracle is not None:
+            oracles[name] = S.render(oracle, "duckdb")
     return queries, oracles

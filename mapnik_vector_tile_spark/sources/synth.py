@@ -121,9 +121,9 @@ def gen_images_pdf(n: int, start: int = 0, with_bytes: bool = True) -> pd.DataFr
     h = (16 + (i * 11) % 49).astype(np.int32)
     fmt = np.where(i % 10 == 9, "png-zlib", "raw-rgba8")
     hbits = ph.astype(np.uint64)
-    w1 = np.asarray(_WORDS)[(hbits % np.uint64(64)).astype(int)]
-    w2 = np.asarray(_WORDS)[((hbits >> np.uint64(6)) % np.uint64(64)).astype(int)]
-    w3 = np.asarray(_WORDS)[((hbits >> np.uint64(12)) % np.uint64(64)).astype(int)]
+    w1 = np.asarray(_WORDS)[(hbits % np.uint64(len(_WORDS))).astype(int)]
+    w2 = np.asarray(_WORDS)[((hbits >> np.uint64(6)) % np.uint64(len(_WORDS))).astype(int)]
+    w3 = np.asarray(_WORDS)[((hbits >> np.uint64(12)) % np.uint64(len(_WORDS))).astype(int)]
     caption = [f"caption {int(k)}: {a} {b} {c}" for k, a, b, c in zip(i, w1, w2, w3)]
     if with_bytes:
         blobs = []

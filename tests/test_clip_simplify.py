@@ -1,0 +1,203 @@
+"""Golden + property tests for clip (F10-F12) and Douglas-Peucker (F9)
+— FIXTURES.md §3 cases line_crossing / poly_with_hole / dp_spike etc."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapnik_vector_tile_spark.functions import clip as C
+from mapnik_vector_tile_spark.functions import simplify as S
+from mapnik_vector_tile_spark.functions.geomcodec import signed_area2
+
+BOX = (0.0, 0.0, 100.0, 100.0)
+
+
+def a(*v):
+    return np.array(v, dtype=np.float64)
+
+
+# --- points ------------------------------------------------------------------
+
+
+def test_point_clip():
+    xs, ys = C.clip_points(a(50, -1, 100, 101), a(50, 50, 0, 100), *BOX)
+    np.testing.assert_array_equal(xs, [50, 100])
+    np.testing.assert_array_equal(ys, [50, 0])
+
+
+# --- lines -------------------------------------------------------------------
+
+
+def test_line_inside_untouched():
+    parts = C.clip_line(a(10, 20, 30), a(10, 20, 10), *BOX)
+    assert len(parts) == 1
+    np.testing.assert_array_equal(parts[0][0], [10, 20, 30])
+
+
+def test_line_crossing_clipped():
+    parts = C.clip_line(a(-50, 150), a(50, 50), *BOX)
+    assert len(parts) == 1
+    np.testing.assert_allclose(parts[0][0], [0, 100])
+    np.testing.assert_allclose(parts[0][1], [50, 50])
+
+
+def test_line_multi_exit_splits():
+    # zigzag crossing the box twice -> two parts
+    parts = C.clip_line(a(-10, 50, 150, 50, -10), a(10, 10, 30, 60, 60), *BOX)
+    assert len(parts) == 2
+    for px, py in parts:
+        assert np.all((px >= 0) & (px <= 100) & (py >= 0) & (py <= 100))
+
+
+def test_line_outside_dropped():
+    assert C.clip_line(a(-50, -10), a(50, 50), *BOX) == []
+
+
+def test_line_on_edge_kept():
+    parts = C.clip_line(a(0, 0), a(10, 90), *BOX)
+    assert len(parts) == 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-200, 300, allow_nan=False, width=32),
+            st.floats(-200, 300, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_line_clip_property(pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    eps = 1e-9
+    for px, py in C.clip_line(xs, ys, *BOX):
+        # output strictly within the (closed) box modulo fp rounding
+        assert np.all((px >= -eps) & (px <= 100 + eps))
+        assert np.all((py >= -eps) & (py <= 100 + eps))
+        assert len(px) >= 2
+
+
+# --- polygons ----------------------------------------------------------------
+
+
+def test_poly_inside_untouched():
+    x, y = C.clip_ring(a(10, 90, 90, 10), a(10, 10, 90, 90), *BOX)
+    assert len(x) == 4
+
+
+def test_poly_containing_box_becomes_box():
+    x, y = C.clip_ring(a(-100, 200, 200, -100), a(-100, -100, 200, 200), *BOX)
+    assert len(x) == 4
+    assert set(zip(x, y)) == {(0, 0), (100, 0), (100, 100), (0, 100)}
+
+
+def test_poly_outside_dropped():
+    x, y = C.clip_ring(a(-50, -10, -10, -50), a(10, 10, 50, 50), *BOX)
+    assert len(x) == 0
+
+
+def test_poly_spanning_corner():
+    x, y = C.clip_ring(a(-50, 50, 50, -50), a(-50, -50, 50, 50), *BOX)
+    # quarter square remains
+    assert abs(C.ring_signed_area2_f(x, y)) == 2 * 50 * 50
+
+
+def test_poly_with_hole_clip():
+    # outer 0..80, hole 20..60, box cuts at x>=40
+    xs = a(0, 80, 80, 0, 20, 20, 60, 60)
+    ys = a(0, 0, 80, 80, 20, 60, 60, 20)
+    offs = np.array([0, 4, 8])
+    # verify winding: outer CCW-positive, hole negative
+    assert signed_area2(xs[:4].astype(int), ys[:4].astype(int)) > 0
+    assert signed_area2(xs[4:].astype(int), ys[4:].astype(int)) < 0
+    cx, cy, coffs = C.clip_polygon(xs, ys, offs, 40, -10, 200, 90)
+    assert len(coffs) - 1 == 2  # both rings survive
+    outer = C.ring_signed_area2_f(cx[coffs[0] : coffs[1]], cy[coffs[0] : coffs[1]])
+    hole = C.ring_signed_area2_f(cx[coffs[1] : coffs[2]], cy[coffs[1] : coffs[2]])
+    assert outer > 0 > hole
+    # areas: outer clipped = 40x80, hole clipped = 20x40
+    assert outer == 2 * 40 * 80
+    assert hole == -2 * 20 * 40
+
+
+def test_area_threshold_drops_tiny_ring():
+    xs = a(10, 12, 12, 10)
+    ys = a(10, 10, 12, 12)
+    cx, cy, coffs = C.clip_polygon(xs, ys, np.array([0, 4]), *BOX, area_threshold=5.0)
+    assert len(cx) == 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.floats(-150, 150, allow_nan=False),
+    st.floats(-150, 150, allow_nan=False),
+    st.floats(1, 200, allow_nan=False),
+)
+def test_poly_clip_area_bound_property(x0, y0, s):
+    # clipped rect area == analytic intersection area
+    xs = a(x0, x0 + s, x0 + s, x0)
+    ys = a(y0, y0, y0 + s, y0 + s)
+    cx, cy = C.clip_ring(xs, ys, *BOX)
+    ix = max(0.0, min(x0 + s, 100.0) - max(x0, 0.0))
+    iy = max(0.0, min(y0 + s, 100.0) - max(y0, 0.0))
+    got = abs(C.ring_signed_area2_f(cx, cy)) / 2 if len(cx) else 0.0
+    assert got == np.float64(ix) * np.float64(iy) or abs(got - ix * iy) < 1e-6
+
+
+# --- Douglas-Peucker ---------------------------------------------------------
+
+
+def test_dp_collinear_collapses():
+    xs, ys = S.simplify_part(a(0, 10, 20, 30), a(0, 0, 0, 0), 1.0)
+    np.testing.assert_array_equal(xs, [0, 30])
+
+
+def test_dp_spike_survives():
+    xs, ys = S.simplify_part(a(0, 10, 20), a(0, 50, 0), 1.0)
+    assert len(xs) == 3
+
+
+def test_dp_tolerance_edge():
+    # deviation exactly == tolerance is NOT kept (strict >), matching
+    # boost::geometry's comparable-distance > comparable-tolerance test
+    xs, ys = S.simplify_part(a(0, 10, 20), a(0, 2, 0), 2.0)
+    assert len(xs) == 2
+    xs, ys = S.simplify_part(a(0, 10, 20), a(0, 2.0001, 0), 2.0)
+    assert len(xs) == 3
+
+
+def test_dp_endpoints_always_kept():
+    xs, ys = S.simplify_part(a(5, 6, 7), a(5, 5.1, 5), 100.0)
+    np.testing.assert_array_equal(xs, [5, 7])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4096), st.integers(0, 4096)),
+        min_size=2,
+        max_size=30,
+    ),
+    st.floats(0.1, 50.0),
+)
+def test_dp_property_subset_and_endpoints(pts, tol):
+    xs = np.array([p[0] for p in pts], dtype=np.float64)
+    ys = np.array([p[1] for p in pts], dtype=np.float64)
+    sx, sy = S.simplify_part(xs, ys, tol)
+    assert sx[0] == xs[0] and sx[-1] == xs[-1]
+    assert sy[0] == ys[0] and sy[-1] == ys[-1]
+    # output is a subsequence of input vertices
+    got = set(zip(sx, sy))
+    assert got <= set(zip(xs, ys))
+
+
+def test_simplify_rings_closed_seam():
+    # square with a midpoint on one edge: midpoint removed, ring stays valid
+    xs = a(0, 50, 100, 100, 0)
+    ys = a(0, 0.5, 0, 100, 100)
+    sx, sy, offs = S.simplify_rings(xs, ys, np.array([0, 5]), 2.0, closed=True)
+    assert len(offs) == 2
+    assert len(sx) == 4

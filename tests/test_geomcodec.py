@@ -1,0 +1,179 @@
+"""Round-trip + spec-golden tests for the MVT geometry codec
+(FIXTURES.md §3 mvt_spec_example_* cases + hypothesis properties)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+
+def arr(*v):
+    return np.array(v, dtype=np.int64)
+
+
+# --- MVT 2.1 spec examples (normative command streams) ---------------------
+
+
+def test_spec_example_point():
+    # spec §4.3.5.1: point (25,17) -> [9, 50, 34]
+    stream = gc.encode_geometry(gc.GEOM_POINT, arr(25), arr(17), arr(0, 1))
+    np.testing.assert_array_equal(stream, [9, 50, 34])
+
+
+def test_spec_example_multipoint():
+    # spec: points (5,7),(3,2) -> [17, 10, 14, 3, 9]
+    stream = gc.encode_geometry(gc.GEOM_POINT, arr(5, 3), arr(7, 2), arr(0, 2))
+    np.testing.assert_array_equal(stream, [17, 10, 14, 3, 9])
+
+
+def test_spec_example_linestring():
+    # spec: (2,2)->(2,10)->(10,10) -> [9,4,4,18,0,16,16,0]
+    stream = gc.encode_geometry(
+        gc.GEOM_LINESTRING, arr(2, 2, 10), arr(2, 10, 10), arr(0, 3)
+    )
+    np.testing.assert_array_equal(stream, [9, 4, 4, 18, 0, 16, 16, 0])
+
+
+def test_spec_example_multilinestring():
+    # spec: line1 (2,2)->(2,10)->(10,10); line2 (1,1)->(3,5)
+    # -> [9,4,4,18,0,16,16,0,9,17,17,10,4,8]
+    stream = gc.encode_geometry(
+        gc.GEOM_LINESTRING, arr(2, 2, 10, 1, 3), arr(2, 10, 10, 1, 5), arr(0, 3, 5)
+    )
+    np.testing.assert_array_equal(
+        stream, [9, 4, 4, 18, 0, 16, 16, 0, 9, 17, 17, 10, 4, 8]
+    )
+
+
+def test_spec_example_polygon():
+    # spec: ring (3,6)->(8,12)->(20,34) closed -> [9,6,12,18,10,12,24,44,15]
+    stream = gc.encode_geometry(
+        gc.GEOM_POLYGON, arr(3, 8, 20), arr(6, 12, 34), arr(0, 3)
+    )
+    np.testing.assert_array_equal(stream, [9, 6, 12, 18, 10, 12, 24, 44, 15])
+
+
+def test_spec_example_multipolygon():
+    # spec §4.3.5.6 multipolygon: two polygons, second with a hole
+    xs = arr(0, 10, 10, 0, 11, 20, 20, 11, 13, 13, 17, 17)
+    ys = arr(0, 0, 10, 10, 11, 11, 20, 20, 13, 17, 17, 13)
+    offsets = arr(0, 4, 8, 12)
+    stream = gc.encode_geometry(gc.GEOM_POLYGON, xs, ys, offsets)
+    expected = [
+        9, 0, 0, 26, 20, 0, 0, 20, 19, 0, 15,
+        9, 22, 2, 26, 18, 0, 0, 18, 17, 0, 15,
+        9, 4, 13, 26, 0, 8, 8, 0, 0, 7, 15,
+    ]
+    np.testing.assert_array_equal(stream, expected)
+    # ring winding: rings 0,1 exterior (2A>0), ring 2 interior
+    assert gc.signed_area2(xs[0:4], ys[0:4]) > 0
+    assert gc.signed_area2(xs[8:12], ys[8:12]) < 0
+    polys = gc.assemble_polygons(xs, ys, offsets)
+    assert polys == [[0], [1, 2]]
+
+
+# --- degenerate handling ----------------------------------------------------
+
+
+def test_repeated_points_elided_line():
+    stream = gc.encode_geometry(
+        gc.GEOM_LINESTRING, arr(2, 2, 2, 10), arr(2, 2, 10, 10), arr(0, 4)
+    )
+    np.testing.assert_array_equal(stream, [9, 4, 4, 18, 0, 16, 16, 0])
+
+
+def test_degenerate_line_dropped():
+    stream = gc.encode_geometry(gc.GEOM_LINESTRING, arr(5, 5), arr(7, 7), arr(0, 2))
+    assert len(stream) == 0
+
+
+def test_zero_area_ring_dropped():
+    stream = gc.encode_geometry(
+        gc.GEOM_POLYGON, arr(0, 5, 10), arr(0, 5, 10), arr(0, 3)
+    )
+    assert len(stream) == 0
+
+
+def test_closed_input_ring_closing_vertex_stripped():
+    a = gc.encode_geometry(
+        gc.GEOM_POLYGON, arr(3, 8, 20, 3), arr(6, 12, 34, 6), arr(0, 4)
+    )
+    b = gc.encode_geometry(gc.GEOM_POLYGON, arr(3, 8, 20), arr(6, 12, 34), arr(0, 3))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_decode_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_LINESTRING, arr(17, 0, 0, 0, 0))  # MoveTo(2) in line
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_POINT, arr(10, 2, 2))  # LineTo in point
+
+
+# --- round-trip properties ---------------------------------------------------
+
+coord = st.integers(min_value=-255, max_value=4351)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=1, max_size=20))
+def test_roundtrip_points(pts):
+    xs = np.array([p[0] for p in pts], dtype=np.int64)
+    ys = np.array([p[1] for p in pts], dtype=np.int64)
+    stream = gc.encode_geometry(gc.GEOM_POINT, xs, ys, arr(0, len(pts)))
+    dx, dy, off = gc.decode_geometry(gc.GEOM_POINT, stream)
+    np.testing.assert_array_equal(dx, xs)
+    np.testing.assert_array_equal(dy, ys)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.tuples(coord, coord), min_size=2, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_roundtrip_lines(parts):
+    xs = np.array([p[0] for part in parts for p in part], dtype=np.int64)
+    ys = np.array([p[1] for part in parts for p in part], dtype=np.int64)
+    offs = np.cumsum([0] + [len(p) for p in parts])
+    stream = gc.encode_geometry(gc.GEOM_LINESTRING, xs, ys, offs)
+    if len(stream) == 0:
+        return  # everything degenerated — legal drop
+    dx, dy, doff = gc.decode_geometry(gc.GEOM_LINESTRING, stream)
+    # decode equals the deduped encode input per part, with <2pt parts gone
+    exp_x, exp_y, exp_off = [], [], [0]
+    for part in parts:
+        px, py = gc._dedup_consecutive(
+            np.array([p[0] for p in part], dtype=np.int64),
+            np.array([p[1] for p in part], dtype=np.int64),
+        )
+        if len(px) >= 2:
+            exp_x.extend(px.tolist())
+            exp_y.extend(py.tolist())
+            exp_off.append(len(exp_x))
+    np.testing.assert_array_equal(dx, exp_x)
+    np.testing.assert_array_equal(dy, exp_y)
+    np.testing.assert_array_equal(doff, exp_off)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=1, max_value=90),
+)
+def test_roundtrip_rect_polygon(x0, y0, s):
+    # axis-aligned rectangle wound exterior-positive
+    xs = arr(x0, x0 + s, x0 + s, x0)
+    ys = arr(y0, y0, y0 + s, y0 + s)
+    if gc.signed_area2(xs, ys) < 0:
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    stream = gc.encode_geometry(gc.GEOM_POLYGON, xs, ys, arr(0, 4))
+    dx, dy, doff = gc.decode_geometry(gc.GEOM_POLYGON, stream)
+    assert len(doff) == 2
+    np.testing.assert_array_equal(dx, xs)
+    np.testing.assert_array_equal(dy, ys)

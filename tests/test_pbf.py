@@ -1,0 +1,98 @@
+"""Wire-codec tests: varint vectorization, Value variants, layer
+round-trip, tile concat legality, compression detect (S5/P5 areas)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapnik_vector_tile_spark.functions import geomcodec as gc
+from mapnik_vector_tile_spark.functions import pbf
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**63 - 1), max_size=50))
+def test_varint_roundtrip(vals):
+    buf = pbf.varint_bytes_np(np.array(vals, dtype=np.uint64))
+    out, consumed = pbf.varint_decode_np(buf)
+    assert consumed == len(buf)
+    np.testing.assert_array_equal(out, np.array(vals, dtype=np.uint64))
+
+
+def test_varint_known_bytes():
+    assert pbf.varint_bytes_np(np.array([0])) == b"\x00"
+    assert pbf.varint_bytes_np(np.array([1])) == b"\x01"
+    assert pbf.varint_bytes_np(np.array([127])) == b"\x7f"
+    assert pbf.varint_bytes_np(np.array([128])) == b"\x80\x01"
+    assert pbf.varint_bytes_np(np.array([300])) == b"\xac\x02"  # protobuf doc example
+
+
+def test_value_variants_roundtrip():
+    for v in ["hello", 42, -7, 3.5, True, False, 0, -0.0]:
+        got = pbf.decode_value(pbf.encode_value(v))
+        assert got == v and type(got) is type(v)
+
+
+def test_value_dictionary_type_sensitive():
+    lb = pbf.LayerBuilder("t")
+    i1 = lb.value_index(1)
+    i2 = lb.value_index(1.0)
+    i3 = lb.value_index("1")
+    i4 = lb.value_index(1)
+    assert i1 != i2 != i3 and i1 == i4
+    # -0.0 vs 0.0 bit-distinct
+    assert lb.value_index(-0.0) != lb.value_index(0.0)
+
+
+def test_layer_roundtrip_with_features():
+    lb = pbf.LayerBuilder("roads", extent=4096)
+    g1 = gc.encode_geometry(gc.GEOM_POINT, np.array([25]), np.array([17]), np.array([0, 1]))
+    lb.add_feature(7, gc.GEOM_POINT, g1, {"name": "a", "rank": 3})
+    g2 = gc.encode_geometry(
+        gc.GEOM_LINESTRING, np.array([2, 2, 10]), np.array([2, 10, 10]), np.array([0, 3])
+    )
+    lb.add_feature(8, gc.GEOM_LINESTRING, g2, {"name": "b", "rank": 3})
+    msg = lb.build()
+    dec = pbf.decode_layer(msg)
+    assert dec["name"] == "roads"
+    assert dec["version"] == 2
+    assert dec["extent"] == 4096
+    assert dec["keys"] == ["name", "rank"]  # first-appearance order
+    assert dec["values"] == ["a", 3, "b"]
+    assert len(dec["features"]) == 2
+    f0 = dec["features"][0]
+    assert f0["id"] == 7 and f0["type"] == gc.GEOM_POINT
+    np.testing.assert_array_equal(f0["geometry"], [9, 50, 34])
+    assert pbf.feature_props(dec, f0) == {"name": "a", "rank": 3}
+    assert pbf.feature_props(dec, dec["features"][1]) == {"name": "b", "rank": 3}
+
+
+def test_empty_feature_not_painted():
+    lb = pbf.LayerBuilder("x")
+    lb.add_feature(1, gc.GEOM_LINESTRING, np.empty(0), {})
+    assert not lb.painted
+
+
+def test_tile_concat_is_valid_tile():
+    l1 = pbf.LayerBuilder("a")
+    l1.add_feature(1, 1, np.array([9, 50, 34]), {})
+    l2 = pbf.LayerBuilder("b")
+    l2.add_feature(2, 1, np.array([9, 2, 2]), {})
+    tile = pbf.concat_tile([l1.build(), l2.build()])
+    layers = pbf.decode_tile(tile)
+    assert len(layers) == 2
+    assert pbf.decode_layer(layers[0])["name"] == "a"
+    assert pbf.decode_layer(layers[1])["name"] == "b"
+    # concat of two tiles is also a tile (composite fast path)
+    layers2 = pbf.decode_tile(tile + tile)
+    assert len(layers2) == 4
+
+
+def test_compression_detect_roundtrip():
+    raw = b"mapnik vector tile" * 10
+    z = pbf.compress(raw)
+    g = pbf.compress(raw, gzip=True)
+    assert pbf.is_zlib(z) and not pbf.is_gzip(z)
+    assert pbf.is_gzip(g) and not pbf.is_zlib(g)
+    assert pbf.maybe_decompress(z) == raw
+    assert pbf.maybe_decompress(g) == raw
+    assert pbf.maybe_decompress(raw) == raw

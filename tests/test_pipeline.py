@@ -1,0 +1,106 @@
+"""EP1 end-to-end: images -> features -> covering tiles -> encoded
+layers -> folded tiles -> decode (EP2) with parity invariants:
+tile-assignment parity, caption equality through the whole pipeline,
+quantized coords within the buffered extent (north_star contract)."""
+
+import numpy as np
+import pytest
+
+from mapnik_vector_tile_spark.functions import geomcodec as gc
+from mapnik_vector_tile_spark.functions import tilemath as tm
+from mapnik_vector_tile_spark.operators import tiling as T
+from mapnik_vector_tile_spark.sources import synth
+
+N_IMAGES = 120
+Z_MIN, Z_MAX = 0, 8
+
+
+@pytest.fixture(scope="module")
+def tiles_and_features(spark):
+    images = synth.images_df(spark, N_IMAGES, with_bytes=False, slices=4)
+    feats = T.images_to_features(images)
+    assigned = T.assign_tiles(feats, Z_MIN, Z_MAX)
+    layers = T.encode_layers(assigned, n_salts=4)
+    tiles = T.fold_tiles(layers).cache()
+    decoded = T.decode_tiles_to_features(tiles).cache()
+    return tiles.toPandas(), decoded.toPandas()
+
+
+def test_tile_assignment_parity(tiles_and_features):
+    """Every z in range present; point features land in the tile A.2
+    math predicts (checked independently of the pipeline)."""
+    tiles, decoded = tiles_and_features
+    assert set(tiles["z"].unique()) == set(range(Z_MIN, Z_MAX + 1))
+    i = np.arange(N_IMAGES, dtype=np.int64)
+    ph = synth.phash_for_index(i)
+    lon, lat, _ = synth.footprint_from_phash(ph, i)
+    mx, my = tm.lonlat_to_merc_np(lon, lat)
+    for z in (0, 4, Z_MAX):
+        tx, ty = tm.point_tile_np(mx, my, z)
+        got = decoded[
+            (decoded.z == z) & (decoded.geom_type == gc.GEOM_POINT)
+        ]
+        # each point feature_id 2i must appear in tile (tx[i], ty[i])
+        # (it may ALSO appear in buffer zones of neighbors)
+        by_fid = got.groupby("feature_id")
+        for k in range(N_IMAGES):
+            fid = 2 * k
+            assert fid in by_fid.groups, f"point {fid} missing at z{z}"
+            rows = by_fid.get_group(fid)
+            assert ((rows.x == tx[k]) & (rows.y == ty[k])).any()
+
+
+def test_caption_equality_through_pipeline(tiles_and_features):
+    _, decoded = tiles_and_features
+    images = synth.gen_images_pdf(N_IMAGES, with_bytes=False)
+    cap = dict(zip((np.arange(N_IMAGES) * 2).tolist(), images["caption"]))
+    cap.update(dict(zip((np.arange(N_IMAGES) * 2 + 1).tolist(), images["caption"])))
+    assert len(decoded) > 0
+    for fid, c in zip(decoded.feature_id, decoded.caption):
+        assert cap[int(fid)] == c
+
+
+def test_coords_within_buffered_extent(tiles_and_features):
+    _, decoded = tiles_and_features
+    lo = -tm.DEFAULT_BUFFER
+    hi = tm.DEFAULT_EXTENT + tm.DEFAULT_BUFFER
+    for pxs, pys in zip(decoded.pxs, decoded.pys):
+        assert min(pxs) >= lo and max(pxs) <= hi
+        assert min(pys) >= lo and max(pys) <= hi
+
+
+def test_polygon_winding_valid(tiles_and_features):
+    _, decoded = tiles_and_features
+    polys = decoded[decoded.geom_type == gc.GEOM_POLYGON]
+    assert len(polys) > 0
+    n_checked = 0
+    for pxs, pys, offs in zip(polys.pxs, polys.pys, polys.part_offsets):
+        xs = np.array(pxs, dtype=np.int64)
+        ys = np.array(pys, dtype=np.int64)
+        offs = np.array(offs, dtype=np.int64)
+        # first ring of each feature must be exterior (positive)
+        a2 = gc.signed_area2(xs[offs[0] : offs[1]], ys[offs[0] : offs[1]])
+        assert a2 > 0
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_salted_low_z_equals_unsalted(spark):
+    """Two-phase salted encode must produce byte-identical tiles to the
+    unsalted path (dictionary re-map correctness)."""
+    images = synth.images_df(spark, 40, with_bytes=False, slices=2)
+    feats = T.images_to_features(images)
+    assigned = T.assign_tiles(feats, 0, 3)
+    t_salted = (
+        T.fold_tiles(T.encode_layers(assigned, n_salts=8)).toPandas()
+        .sort_values(["z", "x", "y"]).reset_index(drop=True)
+    )
+    t_plain = (
+        T.fold_tiles(T.encode_layers(assigned, n_salts=1)).toPandas()
+        .sort_values(["z", "x", "y"]).reset_index(drop=True)
+    )
+    assert len(t_salted) == len(t_plain)
+    for a, b in zip(t_salted.itertuples(), t_plain.itertuples()):
+        assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
+        assert a.n_features == b.n_features
+        assert bytes(a.tile) == bytes(b.tile), f"tile {a.z}/{a.x}/{a.y} differs"
