@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark driver (repo contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a noop sink (measures the
+distributed plan; no result transfer to the driver). Extra keys
+(rows, rows_per_sec, cpus) are informational.
+
+Scaling evidence: `python bench.py --cpus 8` vs `--cpus 32` on the
+same input is this sandbox's stand-in for the north_rule's N vs 4N
+executor runs; BENCH/BASELINE.md records both + efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="override local[N] (default: $SPARK_GRAFT_CPUS or *)")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of query names")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="runs per query; min wall time is reported")
+    args = ap.parse_args()
+
+    from mapnik_vector_tile_spark.plans.bench_queries import registry
+    from mapnik_vector_tile_spark.session import get_spark
+
+    spark = get_spark("mvt-spark-bench", cores=args.cpus)
+    reg = registry()
+    if args.queries:
+        want = args.queries.split(",")
+        reg = {k: reg[k] for k in want}
+
+    sf = _sf_of(args.sf_dir)
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in reg.items():
+        best = float("inf")
+        n = -1
+        for _ in range(max(1, args.repeat)):
+            t0 = time.monotonic()
+            df = fn(spark, args.sf_dir)
+            # noop sink: full distributed execution, zero driver collect
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
+        rows[name] = n
+    total = round(sum(times.values()), 3)
+
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,27 @@ def _varint1(v: int) -> bytes:
             return bytes(out)
 
 
+_VARINT_CACHE: list[bytes] = []
+
+
+def varint_of(v: int) -> bytes:
+    """Single-value varint with a small-value cache (0..16383 covers
+    every geometry varint of an extent-4096 tile): the pure-Python fast
+    path for tiny streams where numpy call overhead dominates."""
+    global _VARINT_CACHE
+    if not _VARINT_CACHE:
+        _VARINT_CACHE = [_varint1(i) for i in range(16384)]
+    if 0 <= v < 16384:
+        return _VARINT_CACHE[v]
+    return _varint1(v)
+
+
+def varints_py(vals) -> bytes:
+    """Concatenated varints, pure Python — faster than varint_bytes_np
+    below ~64 values (numpy setup overhead)."""
+    return b"".join(map(varint_of, vals))
+
+
 def _tag(field: int, wire: int) -> bytes:
     return _varint1((field << 3) | wire)
 
@@ -173,13 +194,16 @@ def encode_feature(
 ) -> bytes:
     out = bytearray()
     if feature_id is not None:
-        out += _tag(1, 0) + _varint1(int(feature_id))
+        out += _tag(1, 0) + varint_of(int(feature_id))
     if len(tags):
-        payload = varint_bytes_np(np.asarray(tags, dtype=np.uint64))
-        out += _tag(2, 2) + _varint1(len(payload)) + payload
-    out += _tag(3, 0) + _varint1(int(geom_type))
-    payload = varint_bytes_np(np.asarray(geometry, dtype=np.uint64))
-    out += _tag(4, 2) + _varint1(len(payload)) + payload
+        payload = varints_py(int(t) for t in tags)
+        out += _tag(2, 2) + varint_of(len(payload)) + payload
+    out += _tag(3, 0) + varint_of(int(geom_type))
+    if len(geometry) >= 64:
+        payload = varint_bytes_np(np.asarray(geometry, dtype=np.uint64))
+    else:
+        payload = varints_py(int(g) for g in geometry)
+    out += _tag(4, 2) + varint_of(len(payload)) + payload
     return bytes(out)
 
 

@@ -33,7 +33,10 @@ from mapnik_vector_tile_spark.functions import pbf
 from mapnik_vector_tile_spark.functions import pip as pipmod
 from mapnik_vector_tile_spark.functions import simplify as simp
 from mapnik_vector_tile_spark.functions import tilemath as tm
+from mapnik_vector_tile_spark.operators.grouped import apply_grouped
 from mapnik_vector_tile_spark.sources.synth import footprint_from_phash
+
+TWO_W_ARR = 2.0 * tm.W
 
 FEATURES_SCHEMA = (
     "feature_id long, geom_type int, xs array<double>, ys array<double>, "
@@ -153,6 +156,13 @@ def with_salt(assigned: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
+LAYER_SCHEMA = (
+    "z int, x long, y long, layer string, blob binary, "
+    "n_features long, n_points long"
+)
+LAYER_COLS = ["z", "x", "y", "layer", "blob", "n_features", "n_points"]
+
+
 def encode_layers(
     assigned: DataFrame,
     layer_name: str = "features",
@@ -160,17 +170,64 @@ def encode_layers(
     buffer_units: int = tm.DEFAULT_BUFFER,
     simplify_distance: float = 0.0,
     n_salts: int = 16,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """groupBy(z,x,y,salt).applyInPandas: quantize (A.3) -> clip in
-    world coords (F10-F12) -> simplify (F9, tile units) -> command
-    stream (F4-F8) -> Layer blob (A1-A3 dictionaries).
+    """Per-(z,x,y,salt) fold: quantize (A.3) -> clip in world coords
+    (F10-F12) -> simplify (F9, tile units) -> command stream (F4-F8) ->
+    Layer blob (A1-A3 dictionaries).
 
-    Returns one row per (z,x,y,salt): partial layer blobs + counts.
-    Salted partials are merged by merge_salted_layers.
+    Executed via grouped.apply_grouped (repartition + in-batch group
+    iteration) because tile workloads have ~1 group per tile — per-group
+    applyInPandas overhead would dominate by ~100x. Single-point
+    features (the bulk of an image-footprint table) are quantized for
+    the WHOLE Arrow batch in one numpy pass (`prepare`), so the group
+    loop only assembles bytes.
+
+    Returns one row per (z,x,y): salted partials are merged by
+    merge_salted_layers.
     """
+    buf_frac = buffer_units / extent
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        z, x, y, _salt = (int(k) for k in key)
+    def prepare(cols: dict, n: int) -> dict:
+        xs = cols["xs"]
+        lens = np.fromiter((len(a) for a in xs), dtype=np.int64, count=n)
+        single = (cols["geom_type"] == gc.GEOM_POINT) & (lens == 1)
+        z = cols["z"].astype(np.int64)
+        span = TWO_W_ARR / np.exp2(z.astype(np.float64))
+        minx = -tm.W + cols["x"].astype(np.float64) * span
+        maxy = tm.W - cols["y"].astype(np.float64) * span
+        buf_m = span * buf_frac
+        scale = extent / span
+        mx = np.fromiter(
+            (a[0] if s else 0.0 for a, s in zip(xs, single)),
+            dtype=np.float64,
+            count=n,
+        )
+        my = np.fromiter(
+            (a[0] if s else 0.0 for a, s in zip(cols["ys"], single)),
+            dtype=np.float64,
+            count=n,
+        )
+        ok = (
+            single
+            & (mx >= minx - buf_m)
+            & (mx <= minx + span + buf_m)
+            & (my >= maxy - span - buf_m)
+            & (my <= maxy + buf_m)
+        )
+        px = tm.round_half_away_np((mx - minx) * scale).astype(np.int64)
+        py = tm.round_half_away_np((maxy - my) * scale).astype(np.int64)
+        zzx = np.where(px >= 0, px << 1, (-px << 1) - 1)
+        zzy = np.where(py >= 0, py << 1, (-py << 1) - 1)
+        return {
+            "_single": single,
+            "_ok": ok,
+            "_zzx": zzx,
+            "_zzy": zzy,
+        }
+
+    def encode_group(key, cols: dict, sl: slice) -> list[tuple] | None:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
         span = tm.tile_span(z)
         minx = -tm.W + x * span
         maxy = tm.W - y * span
@@ -181,111 +238,104 @@ def encode_layers(
 
         lb = pbf.LayerBuilder(layer_name, extent=extent)
         n_pts = 0
-        # deterministic encode order (W1): stable sort by feature_id
-        pdf = pdf.sort_values("feature_id", kind="mergesort")
-        for fid, gtype, xs, ys, offs, caption in zip(
-            pdf["feature_id"],
-            pdf["geom_type"],
-            pdf["xs"],
-            pdf["ys"],
-            pdf["part_offsets"],
-            pdf["caption"],
-        ):
-            xs = np.asarray(xs, dtype=np.float64)
-            ys = np.asarray(ys, dtype=np.float64)
-            offs = np.asarray(offs, dtype=np.int64)
-            if gtype == gc.GEOM_POINT:
-                cx, cy = clipmod.clip_points(xs, ys, bx0, by0, bx1, by1)
-                if len(cx) == 0:
+        fids = cols["feature_id"]
+        gts = cols["geom_type"]
+        xss = cols["xs"]
+        yss = cols["ys"]
+        offss = cols["part_offsets"]
+        caps = cols["caption"]
+        oks = cols["_ok"]
+        singles = cols["_single"]
+        zzxs = cols["_zzx"]
+        zzys = cols["_zzy"]
+        for i in range(sl.start, sl.stop):
+            gtype = gts[i]
+            if singles[i]:
+                # vectorized fast path: stream precomputed in `prepare`
+                if not oks[i]:
                     continue
-                px = tm.round_half_away_np((cx - minx) * scale)
-                py = tm.round_half_away_np((maxy - cy) * scale)
-                px, py = _dedup_pairs(px, py)
-                stream = gc.encode_geometry(
-                    gc.GEOM_POINT, px, py, np.array([0, len(px)])
-                )
-            elif gtype == gc.GEOM_LINESTRING:
-                parts = []
-                for p in range(len(offs) - 1):
-                    parts.extend(
-                        clipmod.clip_line(
-                            xs[offs[p] : offs[p + 1]],
-                            ys[offs[p] : offs[p + 1]],
-                            bx0,
-                            by0,
-                            bx1,
-                            by1,
-                        )
-                    )
-                if not parts:
-                    continue
-                fx = np.concatenate([p[0] for p in parts])
-                fy = np.concatenate([p[1] for p in parts])
-                poffs = np.cumsum([0] + [len(p[0]) for p in parts])
-                px = tm.round_half_away_np((fx - minx) * scale)
-                py = tm.round_half_away_np((maxy - fy) * scale)
-                if simplify_distance > 0:
-                    px, py, poffs = simp.simplify_rings(
-                        px, py, poffs, simplify_distance, closed=False
-                    )
-                stream = gc.encode_geometry(gc.GEOM_LINESTRING, px, py, poffs)
-            elif gtype == gc.GEOM_POLYGON:
-                fx, fy, roffs = clipmod.clip_polygon(
-                    xs, ys, offs, bx0, by0, bx1, by1
-                )
-                if len(fx) == 0:
-                    continue
-                px = tm.round_half_away_np((fx - minx) * scale)
-                py = tm.round_half_away_np((maxy - fy) * scale)
-                # wagyu-parity winding repair in tile coords (even-odd
-                # containment depth -> exterior positive, hole negative)
-                px, py = pipmod.normalize_ring_winding(
-                    px, py, roffs, gc.signed_area2
-                )
-                if simplify_distance > 0:
-                    px, py, roffs = simp.simplify_rings(
-                        px, py, roffs, simplify_distance, closed=True
-                    )
-                stream = gc.encode_geometry(gc.GEOM_POLYGON, px, py, roffs)
+                stream = (9, int(zzxs[i]), int(zzys[i]))
+                n_xs = 1
             else:
-                continue
-            if len(stream) == 0:
-                continue
-            lb.add_feature(int(fid), int(gtype), stream, {"caption": caption})
-            n_pts += len(xs)
+                xs = np.asarray(xss[i], dtype=np.float64)
+                ys = np.asarray(yss[i], dtype=np.float64)
+                offs = np.asarray(offss[i], dtype=np.int64)
+                n_xs = len(xs)
+                if gtype == gc.GEOM_POINT:
+                    cx, cy = clipmod.clip_points(xs, ys, bx0, by0, bx1, by1)
+                    if len(cx) == 0:
+                        continue
+                    px = tm.round_half_away_np((cx - minx) * scale)
+                    py = tm.round_half_away_np((maxy - cy) * scale)
+                    px, py = _dedup_pairs(px, py)
+                    stream = gc.encode_geometry(
+                        gc.GEOM_POINT, px, py, np.array([0, len(px)])
+                    )
+                elif gtype == gc.GEOM_LINESTRING:
+                    parts = []
+                    for p in range(len(offs) - 1):
+                        parts.extend(
+                            clipmod.clip_line(
+                                xs[offs[p] : offs[p + 1]],
+                                ys[offs[p] : offs[p + 1]],
+                                bx0,
+                                by0,
+                                bx1,
+                                by1,
+                            )
+                        )
+                    if not parts:
+                        continue
+                    fx = np.concatenate([p[0] for p in parts])
+                    fy = np.concatenate([p[1] for p in parts])
+                    poffs = np.cumsum([0] + [len(p[0]) for p in parts])
+                    px = tm.round_half_away_np((fx - minx) * scale)
+                    py = tm.round_half_away_np((maxy - fy) * scale)
+                    if simplify_distance > 0:
+                        px, py, poffs = simp.simplify_rings(
+                            px, py, poffs, simplify_distance, closed=False
+                        )
+                    stream = gc.encode_geometry(
+                        gc.GEOM_LINESTRING, px, py, poffs
+                    )
+                elif gtype == gc.GEOM_POLYGON:
+                    fx, fy, roffs = clipmod.clip_polygon(
+                        xs, ys, offs, bx0, by0, bx1, by1
+                    )
+                    if len(fx) == 0:
+                        continue
+                    px = tm.round_half_away_np((fx - minx) * scale)
+                    py = tm.round_half_away_np((maxy - fy) * scale)
+                    # wagyu-parity winding repair in tile coords (even-odd
+                    # containment depth -> exterior positive, hole negative)
+                    px, py = pipmod.normalize_ring_winding(
+                        px, py, roffs, gc.signed_area2
+                    )
+                    if simplify_distance > 0:
+                        px, py, roffs = simp.simplify_rings(
+                            px, py, roffs, simplify_distance, closed=True
+                        )
+                    stream = gc.encode_geometry(gc.GEOM_POLYGON, px, py, roffs)
+                else:
+                    continue
+                if len(stream) == 0:
+                    continue
+            lb.add_feature(int(fids[i]), int(gtype), stream, {"caption": caps[i]})
+            n_pts += n_xs
         if not lb.painted:
-            return pd.DataFrame(
-                columns=["z", "x", "y", "layer", "blob", "n_features", "n_points"]
-            ).astype(
-                {
-                    "z": "int32",
-                    "x": "int64",
-                    "y": "int64",
-                    "layer": "object",
-                    "blob": "object",
-                    "n_features": "int64",
-                    "n_points": "int64",
-                }
-            )
-        return pd.DataFrame(
-            {
-                "z": np.array([z], dtype=np.int32),
-                "x": np.array([x], dtype=np.int64),
-                "y": np.array([y], dtype=np.int64),
-                "layer": [layer_name],
-                "blob": [lb.build()],
-                "n_features": np.array([len(lb._features)], dtype=np.int64),
-                "n_points": np.array([n_pts], dtype=np.int64),
-            }
-        )
+            return None
+        return [(z, x, y, layer_name, lb.build(), len(lb._features), n_pts)]
 
     salted = with_salt(assigned, n_salts=n_salts)
-    partials = salted.groupBy("z", "x", "y", "salt").applyInPandas(
-        encode_group,
-        schema=(
-            "z int, x long, y long, layer string, blob binary, "
-            "n_features long, n_points long"
-        ),
+    partials = apply_grouped(
+        salted,
+        keys=["z", "x", "y", "salt"],
+        order_by=["z", "x", "y", "salt", "feature_id"],
+        fn=encode_group,
+        schema=LAYER_SCHEMA,
+        out_columns=LAYER_COLS,
+        num_partitions=num_partitions,
+        prepare=prepare,
     )
     return merge_salted_layers(partials)
 
@@ -309,69 +359,66 @@ def merge_salted_layers(partials: DataFrame) -> DataFrame:
     """Second-phase fold: merge partial layer blobs for the same
     (z,x,y,layer). The merge re-maps tag indices into a fresh combined
     dictionary (the 'genuinely novel kernel' of SURVEY.md §4.3) —
-    features keep encode order by salt then feature order."""
+    features keep global feature_id order. Single-partial groups (the
+    overwhelming majority — only salted low-z tiles split) pass the
+    blob through untouched."""
 
-    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        z, x, y, layer = key
-        blobs = pdf["blob"].tolist()
+    def merge_group(key, cols: dict, sl: slice) -> list[tuple]:
+        z, x, y, layer = int(key[0]), int(key[1]), int(key[2]), str(key[3])
+        blobs = cols["blob"][sl]
+        nf = int(cols["n_features"][sl].sum())
+        npts = int(cols["n_points"][sl].sum())
         if len(blobs) == 1:
-            out_blob = blobs[0]
-        else:
-            decoded = [pbf.decode_layer(b) for b in blobs]
-            lb = pbf.LayerBuilder(str(layer), extent=decoded[0]["extent"])
-            feats = []
-            for d in decoded:
-                for f in d["features"]:
-                    feats.append((f, d))
-            feats.sort(key=lambda fd: fd[0]["id"])
-            for f, d in feats:
-                lb.add_feature(
-                    f["id"], f["type"], f["geometry"], pbf.feature_props(d, f)
-                )
-            out_blob = lb.build()
-        return pd.DataFrame(
-            {
-                "z": np.array([z], dtype=np.int32),
-                "x": np.array([x], dtype=np.int64),
-                "y": np.array([y], dtype=np.int64),
-                "layer": [str(layer)],
-                "blob": [out_blob],
-                "n_features": np.array([int(pdf["n_features"].sum())], dtype=np.int64),
-                "n_points": np.array([int(pdf["n_points"].sum())], dtype=np.int64),
-            }
-        )
+            return [(z, x, y, layer, blobs[0], nf, npts)]
+        decoded = [pbf.decode_layer(b) for b in blobs]
+        lb = pbf.LayerBuilder(layer, extent=decoded[0]["extent"])
+        feats = []
+        for d in decoded:
+            for f in d["features"]:
+                feats.append((f, d))
+        feats.sort(key=lambda fd: fd[0]["id"])
+        for f, d in feats:
+            lb.add_feature(
+                f["id"], f["type"], f["geometry"], pbf.feature_props(d, f)
+            )
+        return [(z, x, y, layer, lb.build(), nf, npts)]
 
-    return partials.groupBy("z", "x", "y", "layer").applyInPandas(
-        merge_group,
-        schema=(
-            "z int, x long, y long, layer string, blob binary, "
-            "n_features long, n_points long"
-        ),
+    return apply_grouped(
+        partials,
+        keys=["z", "x", "y", "layer"],
+        order_by=["z", "x", "y", "layer"],
+        fn=merge_group,
+        schema=LAYER_SCHEMA,
+        out_columns=LAYER_COLS,
     )
 
 
 def fold_tiles(layers: DataFrame) -> DataFrame:
     """A4 final fold: (z,x,y) -> one Tile buffer. Deterministic layer
-    order via sort; Tile message legality per A.5 (field-3 concat)."""
+    order via the partition-local sort; Tile message legality per A.5
+    (field-3 concat)."""
 
-    def concat_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        z, x, y = (int(k) for k in key)
-        pdf = pdf.sort_values("layer", kind="mergesort")
-        tile = pbf.concat_tile(pdf["blob"].tolist())
-        return pd.DataFrame(
-            {
-                "z": np.array([z], dtype=np.int32),
-                "x": np.array([x], dtype=np.int64),
-                "y": np.array([y], dtype=np.int64),
-                "tile": [tile],
-                "n_layers": np.array([len(pdf)], dtype=np.int64),
-                "n_features": np.array([int(pdf["n_features"].sum())], dtype=np.int64),
-            }
-        )
+    def concat_group(key, cols: dict, sl: slice) -> list[tuple]:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        tile = pbf.concat_tile(list(cols["blob"][sl]))
+        return [
+            (
+                z,
+                x,
+                y,
+                tile,
+                sl.stop - sl.start,
+                int(cols["n_features"][sl].sum()),
+            )
+        ]
 
-    return layers.groupBy("z", "x", "y").applyInPandas(
-        concat_group,
+    return apply_grouped(
+        layers,
+        keys=["z", "x", "y"],
+        order_by=["z", "x", "y", "layer"],
+        fn=concat_group,
         schema="z int, x long, y long, tile binary, n_layers long, n_features long",
+        out_columns=["z", "x", "y", "tile", "n_layers", "n_features"],
     )
 
 

@@ -1,0 +1,126 @@
+"""Headline benchmark queries (bench.py registry).
+
+Each entry is (spark, sf_dir) -> DataFrame; bench.py forces full
+execution with a noop sink (no driver collect — measures the
+distributed plan, not result transfer). Queries are chosen to cover
+the engine's hot paths at sf0.1 scale:
+
+  q_pyramid        — flagship z0..14 pyramid aggregation (pure Catalyst,
+                     1 shuffle, whole-stage codegen end-to-end)
+  q_encode_tiles   — EP1: assign -> salted applyInPandas encode ->
+                     merge -> tile fold (the Arrow/UDF hot path)
+  q_decode_rt      — EP2: decode the encoded tiles back to features
+  q_pip_join       — J3 broadcast point-in-polygon join w/ cell prefilter
+  q_knn            — J5 kNN via cell-ring expansion
+  q_minhash_dedup  — MinHash-LSH near-dup candidate pairs on documents
+  q_ann_topk       — brute-force cosine top-k over embeddings
+
+Scale notes: every query here is shuffle-bounded, not driver-bounded;
+row counts grow linearly with sf and the plans contain no collect(),
+no cartesian products beyond broadcast-size dims, and no per-row
+Python. These are the queries whose wall-clock at local[8] vs
+local[32] produces the scaling-efficiency evidence in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.plans.flagship import pyramid_counts
+
+    return pyramid_counts(spark, sf_dir)
+
+
+def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> point features (the bench feature source; deterministic,
+    linear in sf)."""
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = derive_points(orders, "o_orderkey")
+    return pts.select(
+        F.col("id").alias("feature_id"),
+        F.lit(1).alias("geom_type"),
+        F.array("mx").alias("xs"),
+        F.array("my").alias("ys"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+        F.concat(F.lit("cap-"), F.col("id")).alias("caption"),
+    )
+
+
+def q_encode_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _order_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, 0, 10, buffer_units=0)
+    layers = T.encode_layers(assigned, n_salts=16)
+    return T.fold_tiles(layers)
+
+
+def q_decode_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _order_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, 6, 10, buffer_units=0)
+    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=16))
+    return T.decode_tiles_to_features(tiles)
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.operators import joins as J
+
+    return J.bench_pip_join(spark, sf_dir)
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.operators import joins as J
+
+    return J.bench_knn(spark, sf_dir)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_candidate_pairs(docs)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.brute_force_topk(emb, k=5)
+
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = {
+        "q_pyramid": q_pyramid,
+        "q_encode_tiles": q_encode_tiles,
+        "q_decode_rt": q_decode_rt,
+    }
+    # operators added over the build rounds — gate so bench never breaks
+    try:
+        from mapnik_vector_tile_spark.operators import joins  # noqa: F401
+
+        out["q_pip_join"] = q_pip_join
+        out["q_knn"] = q_knn
+    except ImportError:
+        pass
+    try:
+        from mapnik_vector_tile_spark.operators import dedup  # noqa: F401
+
+        out["q_minhash_dedup"] = q_minhash_dedup
+    except ImportError:
+        pass
+    try:
+        from mapnik_vector_tile_spark.operators import similarity  # noqa: F401
+
+        out["q_ann_topk"] = q_ann_topk
+    except ImportError:
+        pass
+    return out
