@@ -109,10 +109,13 @@ def apply_grouped(
             if rows:
                 yield pd.DataFrame(rows, columns=out_columns)
 
-    parts = (
-        df.repartition(num_partitions, *keys)
-        if num_partitions
-        else df.repartition(*keys)
-    )
+    if num_partitions is None:
+        # explicit N: AQE would coalesce by BYTES, but these stages are
+        # Python-CPU-bound with tiny rows (blobs) — byte-based coalescing
+        # would serialize them onto 1-2 cores
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+    parts = df.repartition(num_partitions, *keys)
     parts = parts.sortWithinPartitions(*order_by)
     return parts.mapInPandas(run, schema=schema)

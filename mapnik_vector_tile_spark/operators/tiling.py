@@ -104,7 +104,15 @@ def assign_tiles(
 ) -> DataFrame:
     """1->N covering-tile fan-out (A.2) over the z range — fully
     vectorized (np.repeat cartesian enumeration, no per-feature Python
-    loop): the hot narrow stage before THE shuffle."""
+    loop): the hot narrow stage before THE shuffle.
+
+    Small-file inputs (one parquet row-group -> one partition) would run
+    this CPU-bound stage on one core; widen to cluster parallelism
+    first. At 100TB the scan already has thousands of partitions and the
+    repartition is skipped."""
+    sc = features.sparkSession.sparkContext
+    if features.rdd.getNumPartitions() < sc.defaultParallelism:
+        features = features.repartition(sc.defaultParallelism * 2)
 
     def gen(it):
         for pdf in it:
