@@ -1,0 +1,353 @@
+"""Spatial joins — SURVEY.md §2.3 J3/J4/J5 (north_rule mandated; the
+reference has no relational joins, its one join-shaped computation is
+the per-tile datasource probe this engine inverts in operators.tiling).
+
+Design: candidate generation stays ENTIRELY in Catalyst (explode +
+equi-join on integer cell coordinates — broadcastable / shuffleable /
+AQE-skew-splittable like any relational join); only the exact
+point-in-polygon refine drops into a vectorized Arrow kernel, grouped
+by region inside each batch so the ray-cast runs over thousands of
+points per Python call.
+
+Scale:
+* J3 broadcast: regions << points (the common case — admin polygons vs
+  10^12 image points). Cell cover of the region side is a few thousand
+  rows — broadcast; the point side never shuffles at all.
+* J4 range-partitioned: same candidate algebra but both sides shuffle
+  on the cell key (PBSM/GridJoin); used when regions don't fit in a
+  broadcast. Skewed cells (a metro-area cell with 10^8 points) are
+  handled by AQE skew-join splitting — candidates are a plain equi-join,
+  exactly the shape AQE knows how to split.
+* J5 kNN: expanding Chebyshev cell-block probe. Round r searches the
+  (2r+1)^2 block; a query is FINAL when its kth candidate distance
+  <= r * cell_span (no unsearched cell can contain anything closer).
+  Survivors re-probe at a wider radius; the tiny remainder falls back
+  to a broadcast brute-force. All distance arithmetic is Column math
+  (bit-exact vs the DuckDB oracle); Python never touches a row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark.functions import pip as pipmod
+from mapnik_vector_tile_spark.functions import tilemath as tm
+
+TWO_W = 2.0 * tm.W
+
+
+def _tile_xy_cols(mx, my, z: int):
+    span = TWO_W / (1 << z)
+    tx = F.floor((mx + F.lit(tm.W)) / F.lit(span)).cast("long")
+    ty = F.floor((F.lit(tm.W) - my) / F.lit(span)).cast("long")
+    lim = F.lit((1 << z) - 1)
+    zero = F.lit(0)
+    return (
+        F.greatest(zero, F.least(lim, tx)),
+        F.greatest(zero, F.least(lim, ty)),
+    )
+
+
+def with_point_cell(points: DataFrame, z: int, mx="mx", my="my") -> DataFrame:
+    """Attach integer cell coords (A.2 point assignment) — pure Column
+    math, stays in whole-stage codegen."""
+    tx, ty = _tile_xy_cols(F.col(mx), F.col(my), z)
+    return points.withColumn("ctx", tx).withColumn("cty", ty)
+
+
+def cover_region_cells(regions: DataFrame, z: int) -> DataFrame:
+    """region -> one row per covering cell of its envelope (A.2 range
+    cover). Envelope + floor-range math in Columns; the explode is the
+    only row-amplifying step. Input needs xs/ys array<double> (merc)."""
+    span = TWO_W / (1 << z)
+    lim = (1 << z) - 1
+    env = regions.select(
+        "region_id",
+        F.array_min("xs").alias("minx"),
+        F.array_max("xs").alias("maxx"),
+        F.array_min("ys").alias("miny"),
+        F.array_max("ys").alias("maxy"),
+    )
+    lox, _ = _tile_xy_cols(F.col("minx"), F.col("miny"), z)
+    hix, _ = _tile_xy_cols(F.col("maxx"), F.col("miny"), z)
+    # y grows downward in tile space: maxy -> lo row
+    _, loy = _tile_xy_cols(F.col("minx"), F.col("maxy"), z)
+    _, hiy = _tile_xy_cols(F.col("minx"), F.col("miny"), z)
+    cells = (
+        env.withColumn("lox", lox)
+        .withColumn("hix", hix)
+        .withColumn("loy", loy)
+        .withColumn("hiy", hiy)
+        .select(
+            "region_id",
+            F.explode(F.sequence("lox", "hix")).alias("ctx"),
+            F.sequence("loy", "hiy").alias("_ys"),
+        )
+        .select("region_id", "ctx", F.explode("_ys").alias("cty"))
+        .filter(
+            (F.col("ctx") >= 0)
+            & (F.col("ctx") <= lim)
+            & (F.col("cty") >= 0)
+            & (F.col("cty") <= lim)
+        )
+    )
+    return cells
+
+
+REFINE_SCHEMA = "point_id long, region_id long"
+
+
+def _refine(cands: DataFrame, regions: DataFrame, broadcast_geo: bool) -> DataFrame:
+    """Exact PIP refine over (point, region) candidates: join region
+    geometry back on, then a batch-grouped vectorized ray cast (A.7) —
+    one numpy call per region per batch, not per point."""
+    geo = regions.select("region_id", "xs", "ys", "ring_offsets")
+    if broadcast_geo:
+        geo = F.broadcast(geo)
+    joined = cands.join(geo, "region_id").select(
+        "point_id", "region_id", "mx", "my", "xs", "ys", "ring_offsets"
+    )
+
+    def refine_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("region_id", kind="mergesort")
+            rid = pdf["region_id"].to_numpy()
+            starts = np.concatenate(
+                ([0], np.flatnonzero(rid[1:] != rid[:-1]) + 1, [len(pdf)])
+            )
+            mx = pdf["mx"].to_numpy()
+            my = pdf["my"].to_numpy()
+            xs_col = pdf["xs"].to_numpy()
+            ys_col = pdf["ys"].to_numpy()
+            ro_col = pdf["ring_offsets"].to_numpy()
+            pid = pdf["point_id"].to_numpy()
+            out_p, out_r = [], []
+            for i in range(len(starts) - 1):
+                s, e = int(starts[i]), int(starts[i + 1])
+                inside = pipmod.points_in_polygon(
+                    mx[s:e], my[s:e], xs_col[s], ys_col[s], ro_col[s]
+                )
+                sel = np.flatnonzero(inside) + s
+                out_p.append(pid[sel])
+                out_r.append(rid[sel])
+            yield pd.DataFrame(
+                {
+                    "point_id": np.concatenate(out_p),
+                    "region_id": np.concatenate(out_r),
+                }
+            )
+
+    return joined.mapInPandas(refine_batches, schema=REFINE_SCHEMA)
+
+
+def pip_join_broadcast(
+    points: DataFrame, regions: DataFrame, z: int = 7
+) -> DataFrame:
+    """J3: points(id,mx,my) ⋈ regions(region_id,xs,ys,ring_offsets) ON
+    ST_Contains — broadcast cell prefilter + exact refine. Point side
+    never shuffles; output (point_id, region_id)."""
+    pts = with_point_cell(points, z).select(
+        F.col("id").alias("point_id"), "mx", "my", "ctx", "cty"
+    )
+    cells = F.broadcast(cover_region_cells(regions, z))
+    cands = pts.join(cells, ["ctx", "cty"]).select(
+        "point_id", "region_id", "mx", "my"
+    )
+    return _refine(cands, regions, broadcast_geo=True)
+
+
+def pip_join_partitioned(
+    points: DataFrame, regions: DataFrame, z: int = 7
+) -> DataFrame:
+    """J4: same algebra, both sides shuffled on the cell key (PBSM) —
+    for region tables too large to broadcast. AQE skew-join splits hot
+    cells; candidates stay an equi-join Catalyst understands."""
+    pts = with_point_cell(points, z).select(
+        F.col("id").alias("point_id"), "mx", "my", "ctx", "cty"
+    )
+    cells = cover_region_cells(regions, z)
+    n = int(
+        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    cands = (
+        pts.repartition(n, "ctx", "cty")
+        .join(cells.repartition(n, "ctx", "cty"), ["ctx", "cty"])
+        .select("point_id", "region_id", "mx", "my")
+    )
+    return _refine(cands, regions, broadcast_geo=False)
+
+
+def knn_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    z: int = 7,
+    radii: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """J5: for each query point the k nearest targets, by expanding
+    Chebyshev cell-block probes. Pure DataFrame algebra — explode of a
+    (2r+1)^2 offset grid, equi-join on cell coords, Window top-k;
+    distance math is Column arithmetic (oracle-bit-exact). Queries not
+    provably final at the widest radius fall back to a broadcast
+    brute-force (a vanishing fraction on real data).
+
+    queries: (id, mx, my); targets: (tid, tx, ty).
+    Returns (id, nbr, rank) with deterministic (dist2, nbr) tiebreak.
+    """
+    span = TWO_W / (1 << z)
+    lim = (1 << z) - 1
+    tgt = with_point_cell(targets, z, "tx", "ty").select(
+        "tid", "tx", "ty", "ctx", "cty"
+    )
+    q = with_point_cell(queries, z).select("id", "mx", "my", "ctx", "cty")
+
+    dist2 = (F.col("tx") - F.col("mx")) * (F.col("tx") - F.col("mx")) + (
+        F.col("ty") - F.col("my")
+    ) * (F.col("ty") - F.col("my"))
+    w = Window.partitionBy("id").orderBy("dist2", "nbr")
+
+    results = []
+    remaining = q
+    for r in radii:
+        off = F.sequence(F.lit(-r), F.lit(r))
+        probes = (
+            remaining.withColumn("dx", F.explode(off))
+            .withColumn("dy", F.explode(off))
+            .select(
+                "id",
+                "mx",
+                "my",
+                "ctx",
+                "cty",
+                (F.col("ctx") + F.col("dx")).alias("ptx"),
+                (F.col("cty") + F.col("dy")).alias("pty"),
+            )
+            .filter(
+                (F.col("ptx") >= 0)
+                & (F.col("ptx") <= lim)
+                & (F.col("pty") >= 0)
+                & (F.col("pty") <= lim)
+            )
+        )
+        cands = probes.join(
+            tgt.withColumnRenamed("ctx", "ptx").withColumnRenamed("cty", "pty"),
+            ["ptx", "pty"],
+        ).select(
+            "id",
+            "mx",
+            "my",
+            "ctx",
+            "cty",
+            F.col("tid").alias("nbr"),
+            dist2.alias("dist2"),
+        )
+        ranked = cands.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        bound2 = float(r * span) ** 2
+        stats = ranked.groupBy("id").agg(
+            F.max("rank").alias("n_cand"), F.max("dist2").alias("kth")
+        )
+        final_ids = stats.filter(
+            (F.col("n_cand") == k) & (F.col("kth") <= F.lit(bound2))
+        ).select("id")
+        done = ranked.join(F.broadcast(final_ids), "id").select(
+            "id", "nbr", "rank"
+        )
+        results.append(done)
+        remaining = remaining.join(F.broadcast(final_ids), "id", "left_anti")
+        # materialize the shrinking frontier; loop is driver-side but
+        # each round is one distributed job
+        remaining = remaining.localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            remaining = None
+            break
+
+    if remaining is not None and not remaining.isEmpty():
+        # brute force for the stragglers: broadcast the (small) frontier
+        bf = (
+            F.broadcast(remaining.select("id", "mx", "my"))
+            .crossJoin(targets.select("tid", "tx", "ty"))
+            .select(
+                "id", F.col("tid").alias("nbr"), dist2.alias("dist2")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "nbr", "rank")
+        )
+        results.append(bf)
+
+    out = results[0]
+    for r_df in results[1:]:
+        out = out.unionByName(r_df)
+    return out
+
+
+# --- bench entry points ------------------------------------------------------
+
+
+def _order_points(spark: SparkSession, sf_dir: str, table: str, key: str):
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return derive_points(df, key)
+
+
+def merc_rect_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 deterministic mercator rectangles from nation — the Spark twin
+    of plans.shared_sql.rect_regions_cte, as polygon rows the engine
+    joins against."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    cx = (((k * 2654435761) % 4294967296) / F.lit(float(2**32))) * F.lit(
+        TWO_W
+    ) - F.lit(tm.W)
+    cy = (((k * 40503 + 7) % 65536) / F.lit(65536.0)) * F.lit(TWO_W) - F.lit(
+        tm.W
+    )
+    hw = F.lit(500000.0) + (k % 7).cast("double") * F.lit(400000.0)
+    r = nation.select(
+        k.alias("region_id"), cx.alias("cx"), cy.alias("cy"), hw.alias("hw")
+    )
+    return r.select(
+        "region_id",
+        F.array(
+            F.col("cx") - F.col("hw"),
+            F.col("cx") + F.col("hw"),
+            F.col("cx") + F.col("hw"),
+            F.col("cx") - F.col("hw"),
+            F.col("cx") - F.col("hw"),
+        ).alias("xs"),
+        F.array(
+            F.col("cy") - F.col("hw"),
+            F.col("cy") - F.col("hw"),
+            F.col("cy") + F.col("hw"),
+            F.col("cy") + F.col("hw"),
+            F.col("cy") - F.col("hw"),
+        ).alias("ys"),
+        F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+    )
+
+
+def bench_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _order_points(spark, sf_dir, "orders", "o_orderkey")
+    regions = merc_rect_regions(spark, sf_dir)
+    pairs = pip_join_broadcast(pts, regions, z=6)
+    return pairs.groupBy("region_id").agg(
+        F.count("*").alias("n_pts"), F.min("point_id").alias("min_id")
+    )
+
+
+def bench_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _order_points(spark, sf_dir, "customer", "c_custkey")
+    t = _order_points(spark, sf_dir, "orders", "o_orderkey").select(
+        F.col("id").alias("tid"),
+        F.col("mx").alias("tx"),
+        F.col("my").alias("ty"),
+    )
+    return knn_join(q, t, k=5, z=6)

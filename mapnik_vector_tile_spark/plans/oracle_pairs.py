@@ -160,8 +160,96 @@ def q_engine_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_knn(k: int = 3) -> str:
+    return f"""
+WITH {S.point_cte('customer', 'c_custkey')},
+{S.point_cte('orders', 'o_orderkey', cte='tg')}
+SELECT id, nbr, rnk FROM (
+  SELECT p.id AS id, t.id AS nbr,
+         CAST(row_number() OVER (
+           PARTITION BY p.id
+           ORDER BY (t.mx - p.mx) * (t.mx - p.mx)
+                  + (t.my - p.my) * (t.my - p.my), t.id
+         ) AS BIGINT) AS rnk
+  FROM pts p CROSS JOIN tg t
+) ranked
+WHERE rnk <= {k}
+"""
+
+
+def q_engine_pip_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 through the REAL engine path (cell cover -> broadcast equi-join
+    -> vectorized ray-cast refine) on the 25 mercator rects — counts
+    must equal the pure range-predicate oracle."""
+    from mapnik_vector_tile_spark.operators import joins as J
+
+    return J.bench_pip_join(spark, sf_dir)
+
+
+def q_engine_pip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: same result via the range-partitioned (PBSM) plan."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import joins as J
+
+    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
+    regions = J.merc_rect_regions(spark, sf_dir)
+    pairs = J.pip_join_partitioned(pts, regions, z=6)
+    return pairs.groupBy("region_id").agg(
+        F.count("*").alias("n_pts"), F.min("point_id").alias("min_id")
+    )
+
+
+def q_engine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 kNN (k=3) via cell-block expansion; ranks must equal the
+    brute-force cross-join oracle row-for-row."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import joins as J
+
+    q = J._order_points(spark, sf_dir, "customer", "c_custkey")
+    t = J._order_points(spark, sf_dir, "orders", "o_orderkey").select(
+        F.col("id").alias("tid"),
+        F.col("mx").alias("tx"),
+        F.col("my").alias("ty"),
+    )
+    out = J.knn_join(q, t, k=3, z=6)
+    return out.select(
+        "id", "nbr", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def q_pip_polygon_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 against the synthetic polygon corpus (convex/concave/holed in
+    lon/lat -> merc) — concave ray-casting isn't ANSI-SQL-expressible,
+    so this is a rows-only check (documented in SURVEY.md §5.2)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import merc_x_col, merc_y_col
+    from mapnik_vector_tile_spark.operators import joins as J
+    from mapnik_vector_tile_spark.sources.synth import regions_df
+
+    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
+    reg = regions_df(spark, 200)
+    reg_m = reg.select(
+        "region_id",
+        F.transform("xs", merc_x_col).alias("xs"),
+        F.transform("ys", merc_y_col).alias("ys"),
+        "ring_offsets",
+    )
+    pairs = J.pip_join_broadcast(pts, reg_m, z=6)
+    return pairs.groupBy("region_id").agg(F.count("*").alias("n_pts"))
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
+    "q_engine_pip_broadcast": (q_engine_pip_broadcast, _sql_bbox_rect_join()),
+    "q_engine_pip_partitioned": (
+        q_engine_pip_partitioned,
+        _sql_bbox_rect_join(),
+    ),
+    "q_engine_knn": (q_engine_knn, _sql_knn(3)),
+    "q_pip_polygon_regions": (q_pip_polygon_regions, None),
 }
 
 

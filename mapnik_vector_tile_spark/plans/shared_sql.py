@@ -51,13 +51,15 @@ def render(template: str, engine: str) -> str:
     return out
 
 
-def point_cte(table: str, key: str, idalias: str = "id") -> str:
+def point_cte(
+    table: str, key: str, idalias: str = "id", cte: str = "pts"
+) -> str:
     """Deterministic mercator point from an integer key — a Weyl-style
     mix with pure integer arithmetic, then one exact float division.
     Matches synth.footprint semantics in spirit (uniform world cover);
     bit-exact across engines by construction."""
     return f"""
-pts AS (
+{cte} AS (
   SELECT {key} AS {idalias},
          (((({key}) * 2654435761) % 4294967296) / {flit(2**32)}) * {flit(TWO_W)} - {flit(W)} AS mx,
          (((({key}) * 1103515245 + 12345) % 4294967296) / {flit(2**32)}) * {flit(TWO_W)} - {flit(W)} AS my
