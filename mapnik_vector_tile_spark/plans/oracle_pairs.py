@@ -271,4 +271,10 @@ def sql_pairs() -> tuple[
         queries[name] = fn
         if oracle is not None:
             oracles[name] = S.render(oracle, "duckdb")
+    from mapnik_vector_tile_spark.plans.text_oracles import pairs as text_pairs
+
+    for name, (fn, oracle) in text_pairs().items():
+        queries[name] = fn
+        if oracle is not None:
+            oracles[name] = oracle
     return queries, oracles

@@ -1,0 +1,365 @@
+"""DuckDB oracle SQL for the training-data operators (dedup,
+similarity, text analysis) + the Spark query callables they gate.
+
+The Spark side is the DataFrame implementation in operators/{dedup,
+similarity,textstats}; the oracle is independent ANSI SQL over the
+same parquet views. Parity holds because both sides are built on the
+cross-engine-exact primitives pinned in operators.dedup:
+md5-prefix integer hashes, int/int -> double division, identical
+lambda semantics, and ROUND(…, 9) at every float comparison boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark.operators.dedup import (
+    H_PRIME,
+    N_BANDS,
+    N_HASHES,
+    SIM_BITS,
+)
+from mapnik_vector_tile_spark.operators.textstats import LANG_PROFILES
+
+H7_D = "CAST('0x' || substring(md5({x}), 1, 7) AS BIGINT)"
+H14_D = "CAST('0x' || substring(md5({x}), 1, 14) AS BIGINT)"
+
+SHINGLE_CTE = """
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(words) - {nm1}, 0)),
+           i -> array_to_string(words[i:i + {nm1}], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM {src})
+)"""
+
+
+def _shingle_cte(src: str = "documents", n: int = 3) -> str:
+    return SHINGLE_CTE.format(src=src, nm1=n - 1)
+
+
+SELF_UNION = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)"""
+
+
+def sql_exact_dedup() -> str:
+    h = H7_D.format(x="text")
+    return f"""
+WITH {SELF_UNION}
+SELECT keeper, n_copies, {h} AS text_hash
+FROM (
+  SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+  FROM docs2 GROUP BY text
+) g
+WHERE n_copies > 1
+"""
+
+
+def _minhash_aggs() -> str:
+    terms = []
+    for j in range(N_HASHES):
+        terms.append(
+            f"MIN((hv * {2 * j + 1} + {j * 7919 + 1}) % {H_PRIME}) AS mh{j}"
+        )
+    return ",\n       ".join(terms)
+
+
+def sql_minhash_signatures() -> str:
+    h = H7_D.format(x="shingle")
+    return f"""
+WITH {_shingle_cte('documents')},
+h AS (SELECT doc_id, {h} AS hv FROM sh)
+SELECT doc_id, {_minhash_aggs()}
+FROM h GROUP BY doc_id
+"""
+
+
+def sql_minhash_lsh_pairs() -> str:
+    h = H7_D.format(x="shingle")
+    r = N_HASHES // N_BANDS
+    band_selects = []
+    for b in range(N_BANDS):
+        sig = " || '_' || ".join(
+            f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {sig} AS sig FROM mh"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {SELF_UNION},
+{_shingle_cte('docs2')},
+h AS (SELECT doc_id, {h} AS hv FROM sh),
+mh AS (SELECT doc_id, {_minhash_aggs()} FROM h GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def sql_simhash() -> str:
+    h = H14_D.format(x="word")
+    sums = ",\n       ".join(
+        f"SUM(((hv >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIM_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIM_BITS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+h AS (SELECT doc_id, {h} AS hv FROM w),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {sim} AS simhash FROM s
+"""
+
+
+def sql_simhash_pairs(max_hamming: int = 3) -> str:
+    cw = SIM_BITS // 4
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash >> {c * cw}) & {(1 << cw) - 1} AS cval FROM sims"
+        for c in range(4)
+    )
+    base = sql_simhash().replace("documents", "docs2")
+    return f"""
+WITH {SELF_UNION},
+sims AS ({base}),
+chunks AS ({chunk_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def sql_ngram_jaccard_pairs(threshold: float = 0.15) -> str:
+    return f"""
+WITH {_shingle_cte('documents')},
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM d GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+"""
+
+
+def _stop_count(vocab: tuple[str, ...], words: str = "words") -> str:
+    arr = "[" + ", ".join(f"'{v}'" for v in vocab) + "]"
+    return f"len(list_filter({words}, w -> list_contains({arr}, w)))"
+
+
+def sql_quality_stats() -> str:
+    stop = _stop_count(LANG_PROFILES["en"])
+    return f"""
+SELECT doc_id,
+       length(text) AS len_chars,
+       len(words) AS n_tokens,
+       len(list_distinct(words)) AS n_distinct,
+       length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)
+         AS alpha_ratio,
+       {stop} / len(words) AS stopword_ratio,
+       length(replace(text, ' ', '')) / len(words) AS avg_word_len
+FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def sql_token_counts() -> str:
+    return """
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CAST(list_aggregate(
+         list_transform(words,
+           t -> CAST(floor((length(t) + 3) / 4) AS BIGINT)), 'sum')
+         AS BIGINT) AS n_subtokens
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def sql_langid() -> str:
+    langs = list(LANG_PROFILES)
+    score_cols = ",\n       ".join(
+        f"{_stop_count(LANG_PROFILES[lang])} AS score_{lang}"
+        for lang in langs
+    )
+    # argmax with first-profile-wins tiebreak, exactly as textstats.langid
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = (
+            f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+        )
+    sel = ", ".join(f"CAST(score_{lang} AS BIGINT) AS score_{lang}" for lang in langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+)
+SELECT doc_id, {pred} AS pred_lang, {sel} FROM s
+"""
+
+
+def sql_fingerprints(n: int = 4) -> str:
+    h = H7_D.format(x="shingle")
+    return f"""
+WITH {_shingle_cte('documents', n)}
+SELECT doc_id, MIN({h}) AS fp_min,
+       COUNT(DISTINCT {h}) AS fp_card
+FROM sh GROUP BY doc_id
+"""
+
+
+_COS9_D = (
+    "ROUND(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9)"
+)
+
+
+def sql_ann_topk(k: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, nbr, rnk FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         CAST(row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS9_D} DESC, b.vec_id
+         ) AS BIGINT) AS rnk
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+) r WHERE rnk <= {k}
+"""
+
+
+def sql_embedding_neardup(threshold: float = 0.999) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS9_D} >= {threshold}
+"""
+
+
+# --- Spark query callables ----------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_exact_dedup(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.exact_dup_groups(D.with_self_copies(_docs(spark, sf_dir)))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.minhash_lsh_pairs(D.with_self_copies(_docs(spark, sf_dir)))
+
+
+def q_simhash(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.simhash_pairs(D.with_self_copies(_docs(spark, sf_dir)))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_quality_stats(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    return T.quality_stats(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+def q_langid(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    return T.langid(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    return T.fingerprints(_docs(spark, sf_dir))
+
+
+def q_ann_topk(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    return S.brute_force_topk(_emb(spark, sf_dir), k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    return S.lsh_bucketed_topk(_emb(spark, sf_dir), k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    return S.embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
+def pairs() -> dict[str, tuple[Callable, str | None]]:
+    """name -> (spark_fn, oracle_sql | None). None = rows-only check
+    (approximate/recall-bounded ops, documented)."""
+    return {
+        "q_exact_dedup": (q_exact_dedup, sql_exact_dedup()),
+        "q_minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
+        "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
+        "q_simhash": (q_simhash, sql_simhash()),
+        "q_simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
+        "q_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard_pairs()),
+        "q_quality_stats": (q_quality_stats, sql_quality_stats()),
+        "q_token_counts": (q_token_counts, sql_token_counts()),
+        "q_langid": (q_langid, sql_langid()),
+        "q_fingerprints": (q_fingerprints, sql_fingerprints()),
+        "q_ann_topk": (q_ann_topk, sql_ann_topk()),
+        "q_ann_lsh_bucketed": (q_ann_lsh, None),
+        "q_embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
+    }

@@ -1,0 +1,160 @@
+"""Dedup / similarity / text-analysis operators — semantic unit tests
+(brute-force numpy/python oracles on tiny corpora). Cross-engine
+value-hash parity lives in plans.text_oracles via the driver gate."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark.operators import dedup as D
+from mapnik_vector_tile_spark.operators import similarity as SIM
+from mapnik_vector_tile_spark.operators import textstats as TS
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+    "completely different words entirely here now",
+    "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+    "a b",                                            # shorter than shingle
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(TEXTS)), "text": TEXTS}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _h7(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_shingles_match_python(docs):
+    rows = D.shingles(docs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(r.shingle)
+    for i, t in enumerate(TEXTS):
+        w = t.split(" ")
+        want = [" ".join(w[j : j + 3]) for j in range(len(w) - 2)]
+        assert got.get(i, []) == want or sorted(got.get(i, [])) == sorted(want)
+    assert 4 not in got  # short doc yields no shingles
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dup_groups(docs).collect()
+    assert len(out) == 1
+    assert out[0].keeper == 0 and out[0].n_copies == 2
+
+
+def test_minhash_exact_dups_collide(docs):
+    sig = {r.doc_id: tuple(r[f"mh{j}"] for j in range(16))
+           for r in D.minhash_signatures(docs).collect()}
+    assert sig[0] == sig[3]          # exact dup: identical signature
+    assert sig[0] != sig[2]          # unrelated: different
+    # minhash value definition check against python
+    hv = min((_h7(s) * 1 + 1) % D.H_PRIME for s in _shingles(TEXTS[0]))
+    assert sig[0][0] == hv
+
+
+def test_lsh_pairs_find_exact_dup(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (0, 3) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_near_dup_closer_than_random(docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sh[0] == sh[3]
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+
+
+def test_ngram_jaccard_values(docs):
+    out = {
+        (r.doc_a, r.doc_b): r.n_inter
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    s0, s1 = _shingles(TEXTS[0]), _shingles(TEXTS[1])
+    assert out[(0, 1)] == len(s0 & s1)
+    assert out[(0, 3)] == len(s0)
+
+
+def test_quality_and_tokens(docs):
+    q = {r.doc_id: r for r in TS.quality_stats(docs).collect()}
+    assert q[0].n_tokens == 9
+    assert q[0].len_chars == len(TEXTS[0])
+    assert q[0].stopword_ratio == pytest.approx(2 / 9)  # 'the' x2
+    t = {r.doc_id: r for r in TS.token_counts(docs).collect()}
+    assert t[0].n_tokens == 9
+    want_sub = sum((len(w) + 3) // 4 for w in TEXTS[0].split(" "))
+    assert t[0].n_subtokens == want_sub
+
+
+def test_fingerprint_dups_equal(docs):
+    fp = {r.doc_id: (r.fp_min, r.fp_card) for r in TS.fingerprints(docs).collect()}
+    assert fp[0] == fp[3]
+    assert fp[0] != fp[2]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8))
+    vecs = list(base) + [base[0] + 1e-6]  # vec 6 ~ vec 0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(7),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    ), vecs
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    df, vecs = emb
+    out = {}
+    for r in SIM.brute_force_topk(df, k=3).collect():
+        out.setdefault(r.vec_id, []).append((r.rnk, r.nbr))
+    V = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64) for v in vecs])
+    for qi in range(len(vecs)):
+        cos = []
+        for ti in range(len(vecs)):
+            if ti == qi:
+                continue
+            c = V[qi] @ V[ti] / (np.linalg.norm(V[qi]) * np.linalg.norm(V[ti]))
+            cos.append((round(c, 9), ti))
+        top = sorted(cos, key=lambda x: (-x[0], x[1]))[:3]
+        want_nbrs = [t for _, t in top]
+        got = [n for _, n in sorted(out[qi])]
+        assert got == want_nbrs, (qi, got, want_nbrs)
+
+
+def test_neardup_finds_shifted_copy(emb):
+    df, _ = emb
+    pairs = {(r.vec_a, r.vec_b) for r in SIM.embedding_neardup_pairs(df, 0.999).collect()}
+    assert (0, 6) in pairs
+
+
+def test_lsh_recall_reasonable(emb):
+    df, _ = emb
+    exact = {(r.vec_id, r.nbr) for r in SIM.brute_force_topk(df, k=1).collect()}
+    approx = {(r.vec_id, r.nbr) for r in SIM.lsh_bucketed_topk(df, k=1).collect()}
+    # identical-ish vectors land in the same bucket -> their NN is found
+    assert (0, 6) in approx and (6, 0) in approx
+    assert len(approx & exact) >= 2

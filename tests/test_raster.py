@@ -1,0 +1,172 @@
+"""R1-R4 raster operators + the input_hint per-row invariant:
+decoded-pixel allclose (PSNR ≥ 40 dB for lossy) and caption equality
+through the full distributed pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapnik_vector_tile_spark.functions import tilemath as tm
+from mapnik_vector_tile_spark.operators import raster as R
+from mapnik_vector_tile_spark.sources import synth
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 20 * np.log10(255.0) - 10 * np.log10(mse)
+
+
+def test_codec_roundtrip_lossless():
+    rgba = synth.make_pixels(5, 33, 21)
+    for fmt in ("raw-rgba8", "png-zlib"):
+        buf = R.encode_image(rgba, fmt)
+        back = R.decode_image(buf, fmt, 33, 21)
+        assert np.array_equal(back, rgba)
+
+
+def test_codec_quant6_psnr_gate():
+    rgba = synth.make_pixels(9, 64, 48)
+    buf = R.encode_image(rgba, "quant6")
+    back = R.decode_image(buf, "quant6", 64, 48)
+    p = psnr(back, rgba)
+    assert p >= 40.0, p  # the input_hint lossy gate
+
+
+def test_unsupported_fmt_stubbed():
+    with pytest.raises(NotImplementedError):
+        R.decode_image(b"", "jpeg", 1, 1)
+
+
+def _oracle_resample_nearest(rgba, bbox, z, x, y, size):
+    """Independent scalar-loop oracle (float64) for A.9 nearest."""
+    sx0, sy0, sx1, sy1 = bbox
+    h_src, w_src = rgba.shape[:2]
+    span = tm.tile_span(z)
+    tx0 = -tm.W + x * span
+    ty1 = tm.W - y * span
+    out = np.zeros((size, size, 4))
+    mask = np.zeros((size, size), dtype=bool)
+    for r in range(size):
+        for c in range(size):
+            px = tx0 + (c + 0.5) * span / size
+            py = ty1 - (r + 0.5) * span / size
+            fx = (px - sx0) / (sx1 - sx0) * w_src - 0.5
+            fy = (sy1 - py) / (sy1 - sy0) * h_src - 0.5
+            if -0.5 <= fx <= w_src - 0.5 and -0.5 <= fy <= h_src - 0.5:
+                mask[r, c] = True
+                out[r, c] = rgba[
+                    min(max(int(round(fy)), 0), h_src - 1),
+                    min(max(int(round(fx)), 0), w_src - 1),
+                ]
+    return out, mask
+
+
+def test_resample_nearest_matches_oracle():
+    rgba = synth.make_pixels(3, 20, 14)
+    z, x, y = 3, 4, 2
+    span = tm.tile_span(z)
+    bbox = (
+        -tm.W + 4.3 * span,
+        tm.W - 2.9 * span,
+        -tm.W + 4.9 * span,
+        tm.W - 2.2 * span,
+    )
+    got, gmask = R.resample_to_tile(rgba, bbox, z, x, y, 32, "nearest")
+    want, wmask = _oracle_resample_nearest(rgba, bbox, z, x, y, 32)
+    assert np.array_equal(gmask, wmask)
+    assert np.allclose(got[gmask], want[wmask])
+
+
+def test_resample_bilinear_constant_image_exact():
+    # a constant image resamples to exactly that constant everywhere
+    rgba = np.full((10, 10, 4), 137, dtype=np.uint8)
+    z, x, y = 2, 1, 1
+    span = tm.tile_span(z)
+    bbox = (-tm.W + 1.0 * span, tm.W - 2.0 * span,
+            -tm.W + 2.0 * span, tm.W - 1.0 * span)
+    out, mask = R.resample_to_tile(rgba, bbox, z, x, y, 16, "bilinear")
+    assert mask.all()
+    assert np.allclose(out, 137.0)
+
+
+def test_resample_bilinear_psnr_vs_nearest_on_upscale():
+    # bilinear upscale of a smooth gradient must beat 40 dB vs the
+    # analytically-exact gradient; nearest is the lossier baseline
+    w = h = 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([xx * 8, yy * 8, (xx + yy) * 4, np.full((h, w), 255)],
+                      axis=-1).astype(np.uint8)
+    z, x, y = 4, 7, 5
+    span = tm.tile_span(z)
+    bbox = (-tm.W + 7 * span, tm.W - 6 * span, -tm.W + 8 * span, tm.W - 5 * span)
+    out, mask = R.resample_to_tile(smooth, bbox, z, x, y, 128, "bilinear")
+    # analytic value at pixel centers
+    fx = (np.arange(128) + 0.5) / 128 * w - 0.5
+    FX, FY = np.meshgrid(fx, fx)
+    exact = np.stack(
+        [np.clip(FX, 0, w - 1) * 8, np.clip(FY, 0, h - 1) * 8,
+         (np.clip(FX, 0, w - 1) + np.clip(FY, 0, h - 1)) * 4,
+         np.full_like(FX, 255)], axis=-1)
+    p = psnr(R.quantize_pixels(out), R.quantize_pixels(exact))
+    assert p >= 40.0, p
+
+
+def test_rasterize_images_pipeline_and_captions(spark):
+    images = synth.images_df(spark, 60)
+    tiles = R.rasterize_images(images, z=2, tile_size=32).collect()
+    assert len(tiles) > 0
+    assert sum(t.n_images for t in tiles) >= 60  # every image painted somewhere
+    # caption equality: every caption carried through matches the source
+    src = {r.caption for r in images.select("caption").collect()}
+    for t in tiles:
+        for c in t.captions:
+            assert c in src
+    # decoded tiles are valid images
+    for t in tiles[:3]:
+        rgba = R.decode_image(t.raster, "png-zlib", 32, 32)
+        assert rgba.shape == (32, 32, 4)
+
+
+def test_raster_layer_roundtrip(spark):
+    images = synth.images_df(spark, 30)
+    tiles = R.rasterize_images(images, z=1, tile_size=16)
+    layers = R.raster_tiles_to_layer(tiles)
+    back = R.decode_raster_layer(layers).collect()
+    orig = {(t.z, t.x, t.y): (bytes(t.raster), list(t.captions))
+            for t in tiles.collect()}
+    assert len(back) == len(orig)
+    for r in back:
+        raster, caps = orig[(r.z, r.x, r.y)]
+        assert bytes(r.raster) == raster          # pixel bytes identical
+        assert r.caption == "|".join(caps)        # caption equality
+
+
+def test_vector_rasterization_fill(spark):
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+
+    # a layer with one centered square polygon covering 1/4 of the tile
+    ext = 4096
+    q = ext // 4
+    px = np.array([q, 3 * q, 3 * q, q, q], dtype=np.int64)
+    py = np.array([q, q, 3 * q, 3 * q, q], dtype=np.int64)
+    lb = pbf.LayerBuilder("v", extent=ext)
+    lb.add_feature(
+        1, gc.GEOM_POLYGON,
+        gc.encode_geometry(gc.GEOM_POLYGON, px, py, np.array([0, 5])),
+        {},
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"z": [0], "x": [0], "y": [0], "blob": [lb.build()]}),
+        schema="z int, x long, y long, blob binary",
+    )
+    out = R.rasterize_features(df, tile_size=64, extent=ext).collect()[0]
+    frac = out.n_filled / (64 * 64)
+    assert abs(frac - 0.25) < 0.02
+    mask = np.unpackbits(np.frombuffer(out.bitmap, dtype=np.uint8)).reshape(64, 64)
+    assert mask[32, 32] == 1 and mask[2, 2] == 0
