@@ -1,0 +1,123 @@
+"""Structured Streaming extension (SURVEY.md §2.10) — incremental
+re-tile of only DIRTY tiles as new events/images arrive.
+
+The reference has no streaming (tile servers re-render on demand);
+north_rule requires resumability, which batch lineage already covers —
+this module is the optional streaming leg: ingest a stream of
+geo-events, assign each to its tile (same Column math as the batch
+path — one codepath, A.2), watermark for late data, dedupe replays
+inside the watermark, and maintain per-(window, tile) activity counts
+that drive re-render invalidation.
+
+All stateful pieces are Spark built-ins (withWatermark +
+dropDuplicates + windowed agg) — state store, checkpointing and
+exactly-once come for free; foreachBatch hands dirty tiles to the
+batch encoder (EP1) so streaming and batch share every kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark.functions import tilemath as tm
+
+TWO_W = 2.0 * tm.W
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _event_points(events: DataFrame) -> DataFrame:
+    """Deterministic mercator point per user (same Weyl-mix arithmetic
+    as plans.flagship.derive_points — one source of truth for tests)."""
+    k = F.col("user_id")
+    mx = (((k * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)) * F.lit(
+        TWO_W
+    ) - F.lit(tm.W)
+    my = (
+        ((k * F.lit(1103515245) + F.lit(12345)) % F.lit(4294967296))
+        / F.lit(4294967296.0)
+    ) * F.lit(TWO_W) - F.lit(tm.W)
+    return events.withColumn("mx", mx).withColumn("my", my)
+
+
+def with_tile(df: DataFrame, z: int) -> DataFrame:
+    span = TWO_W / (1 << z)
+    return df.withColumn(
+        "tx", F.floor((F.col("mx") + F.lit(tm.W)) / F.lit(span)).cast("long")
+    ).withColumn(
+        "ty", F.floor((F.lit(tm.W) - F.col("my")) / F.lit(span)).cast("long")
+    )
+
+
+def dirty_tile_counts(
+    events: DataFrame,
+    z: int = 8,
+    watermark: str = "10 minutes",
+    window_len: str = "1 minute",
+) -> DataFrame:
+    """Streaming (or batch — same plan) aggregation: per event-time
+    window and tile, activity count + value sum. Late events beyond the
+    watermark drop; duplicate event_ids inside the watermark dedupe
+    (at-least-once upstream becomes effectively-once here)."""
+    e = events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    pts = with_tile(_event_points(e), z)
+    return pts.groupBy(
+        F.window("ts", window_len).alias("win"),
+        F.lit(z).alias("z"),
+        "tx",
+        "ty",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def batch_oracle_counts(
+    events: DataFrame, z: int = 8, window_len: str = "1 minute"
+) -> DataFrame:
+    """The batch twin of dirty_tile_counts (no watermark/dedup state;
+    dropDuplicates is plain) — what the stream must converge to."""
+    e = events.dropDuplicates(["event_id"])
+    pts = with_tile(_event_points(e), z)
+    return pts.groupBy(
+        F.window("ts", window_len).alias("win"),
+        F.lit(z).alias("z"),
+        "tx",
+        "ty",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    src_dir: str,
+    table_name: str = "dirty_tiles",
+    z: int = 8,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drive the stream over a parquet file source with availableNow
+    (process everything, then stop) into a complete-mode memory sink —
+    the in-sandbox harness for the streaming path; swap the source for
+    Kafka and the sink for foreachBatch(EP1 encode) in production."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = dirty_tile_counts(src, z)
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()

@@ -1,0 +1,93 @@
+"""Structured Streaming incremental re-tile (§2.10): the stream over
+chunked files must converge to the batch oracle, dedupe replays, and
+assign tiles identically to the batch path."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from mapnik_vector_tile_spark.streaming import incremental as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def chunked_events(spark, tmp_path):
+    """Split the events table into 3 parquet chunk files (micro-batch
+    fodder), duplicating one chunk to exercise dedup."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("event_id")
+    n = ev.count()
+    pdf = ev.toPandas()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        # microsecond timestamps: Spark's streaming schema reads
+        # TIMESTAMP, not the raw INT64 nanos pandas writes by default
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            f"{src}/chunk{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    # replay chunk1 verbatim — at-least-once upstream
+    shutil.copy(f"{src}/chunk1.parquet", f"{src}/chunk1_replay.parquet")
+    return src, ev
+
+
+def test_stream_matches_batch_oracle(spark, chunked_events, tmp_path):
+    src, ev = chunked_events
+    S.run_stream_to_memory(
+        spark,
+        src,
+        table_name="dirty_t",
+        z=6,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = spark.sql(
+        "SELECT win.start AS ws, z, tx, ty, n_events, sum_value FROM dirty_t"
+    ).toPandas()
+    from pyspark.sql import functions as F
+
+    want = (
+        S.batch_oracle_counts(ev, z=6)
+        .select(
+            F.col("win.start").alias("ws"),
+            "z",
+            "tx",
+            "ty",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    key = ["ws", "tx", "ty"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
+    assert abs(g["sum_value"].to_numpy() - w["sum_value"].to_numpy()).max() < 1e-9
+    # dedup proof: total events == distinct event ids, not file rows
+    assert g["n_events"].sum() == ev.count()
+
+
+def test_tile_assignment_consistent_with_batch_path(spark):
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+    via_stream_path = S.with_tile(S._event_points(ev), 9).select(
+        "event_id", "tx", "ty"
+    )
+    span = 2 * S.tm.W / (1 << 9)
+    via_batch = derive_points(ev, "user_id").select(
+        F.floor((F.col("mx") + F.lit(S.tm.W)) / F.lit(span)).alias("btx"),
+        F.floor((F.lit(S.tm.W) - F.col("my")) / F.lit(span)).alias("bty"),
+    )
+    a = via_stream_path.toPandas().sort_values(["tx", "ty"]).reset_index(drop=True)
+    b = via_batch.toPandas().sort_values(["btx", "bty"]).reset_index(drop=True)
+    assert (a["tx"].to_numpy() == b["btx"].to_numpy()).all()
+    assert (a["ty"].to_numpy() == b["bty"].to_numpy()).all()
