@@ -99,15 +99,28 @@ def minhash_lsh_pairs(
     a plain shuffle join AQE can skew-split if one signature is hot."""
     r = n_hashes // n_bands
     sig = minhash_signatures(docs, n_hashes, n)
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * r + i}") for i in range(r)]
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # single-pass band explode (NOT a 4-way union: a union would clone
+    # the whole shingle+agg pipeline per band AND per self-join side —
+    # 8 recomputes; this shape computes signatures once and lets the
+    # self-join reuse the exchange)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * r + i}").cast("string")
+                        for i in range(r)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.sig").alias("sig")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -176,17 +189,27 @@ def simhash_pairs(
     n_chunks = 4
     cw = bits // n_chunks
     sh = simhash(docs, bits)
-    chunks = None
-    for c in range(n_chunks):
-        part = sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * cw)
-            .bitwiseAND(F.lit((1 << cw) - 1))
-            .alias("cval"),
-        )
-        chunks = part if chunks is None else chunks.unionByName(part)
+    # single-pass chunk explode (same reuse rationale as
+    # minhash_lsh_pairs: unions would clone the aggregation per chunk)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * cw)
+                .bitwiseAND(F.lit((1 << cw) - 1))
+                .alias("cval"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    chunks = sh.select(
+        "doc_id", "simhash", F.explode(entries).alias("e")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("e.chunk").alias("chunk"),
+        F.col("e.cval").alias("cval"),
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(

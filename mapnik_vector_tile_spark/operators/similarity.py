@@ -42,29 +42,67 @@ def cosine_col(a, b) -> F.Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _topk_rows(
+    qids: np.ndarray,
+    Q: np.ndarray,
+    ids: np.ndarray,
+    M: np.ndarray,
+    mn: np.ndarray,
+    k: int,
+) -> list[tuple]:
+    """cos9 top-k of every row of Q against the index (M, mn) — one
+    matmul per Arrow batch, (−cos9, nbr) lexsort tiebreak (matches the
+    ROUND(cos,9) DESC, id ASC oracle ordering)."""
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    cos9 = np.round((Q @ M.T) / (qn * mn[None, :]), 9)
+    rows: list[tuple] = []
+    for r in range(len(qids)):
+        qid = int(qids[r])
+        self_mask = ids == qid
+        c = cos9[r].copy()
+        c[self_mask] = -np.inf
+        kk = min(k, len(ids) - int(self_mask.sum()))
+        if kk <= 0:
+            continue
+        part = np.argpartition(-c, kk - 1)[:kk]
+        # include ALL ties at the kth value so the nbr-asc tiebreak is
+        # decided over the full tie set (oracle row_number parity)
+        thresh = c[part].min()
+        cand = np.flatnonzero(c >= thresh)
+        order = cand[np.lexsort((ids[cand], -c[cand]))][:kk]
+        for rank, j in enumerate(order, start=1):
+            rows.append((qid, int(ids[j]), rank))
+    return rows
+
+
 def brute_force_topk(emb: DataFrame, k: int = 5) -> DataFrame:
-    """Exact top-k neighbors per vector: (vec_id, nbr, rnk). Self-join
-    candidates; rank by rounded cosine desc, nbr asc."""
-    a = emb.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("nbr"), F.col("embedding").alias("ne")
-    )
-    pairs = a.join(b, F.col("qid") != F.col("nbr")).select(
-        "qid",
-        "nbr",
-        F.round(cosine_col(F.col("qe"), F.col("ne")), 9).alias("cos9"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos9"), F.asc("nbr"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            F.col("qid").alias("vec_id"),
-            "nbr",
-            F.col("rnk").cast("long").alias("rnk"),
-        )
+    """Exact top-k neighbors per vector: (vec_id, nbr, rnk).
+
+    The index matrix is collected once and BROADCAST (n×d doubles —
+    the baseline is for rerank-scale candidate sets, ≤10^6 × 64 =
+    0.5 GB; beyond that the LSH/IVF path is the answer); queries stream
+    through mapInPandas in Arrow batches doing one numpy matmul each —
+    no O(n²) shuffle, no per-pair expression evaluation."""
+    spark = emb.sparkSession
+    idx_pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = idx_pdf["vec_id"].to_numpy().astype(np.int64)
+    M = np.stack(idx_pdf["embedding"].to_numpy()).astype(np.float64)
+    mn = np.linalg.norm(M, axis=1)
+    bc = spark.sparkContext.broadcast((ids, M, mn))
+
+    def gen(batches):
+        bids, bM, bmn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            rows = _topk_rows(
+                pdf["vec_id"].to_numpy().astype(np.int64), Q, bids, bM, bmn, k
+            )
+            yield pd.DataFrame(rows, columns=["vec_id", "nbr", "rnk"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        gen, schema="vec_id long, nbr long, rnk long"
     )
 
 
@@ -104,33 +142,28 @@ def with_lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
 def lsh_bucketed_topk(
     emb: DataFrame, k: int = 5, n_planes: int = N_PLANES
 ) -> DataFrame:
-    """Approximate top-k: exact cosine rank within each LSH bucket.
-    O(n²/B) pair work after ONE shuffle on bucket id."""
-    be = with_lsh_bucket(emb, n_planes)
-    a = be.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
+    """Approximate top-k: exact cosine rank WITHIN each LSH bucket —
+    ONE shuffle on bucket id, then a per-bucket numpy matmul (the
+    O(n²/B) work stays vectorized, never per-pair expressions)."""
+    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
+
+    be = with_lsh_bucket(emb, n_planes).select(
+        "bucket", "vec_id", "embedding"
     )
-    b = be.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("nbr"),
-        F.col("embedding").alias("ne"),
-    )
-    pairs = a.join(b, "bucket").filter(F.col("qid") != F.col("nbr")).select(
-        "qid",
-        "nbr",
-        F.round(cosine_col(F.col("qe"), F.col("ne")), 9).alias("cos9"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos9"), F.asc("nbr"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            F.col("qid").alias("vec_id"),
-            "nbr",
-            F.col("rnk").cast("long").alias("rnk"),
-        )
+
+    def bucket_topk(key, cols, sl) -> list[tuple]:
+        ids = cols["vec_id"][sl.start : sl.stop].astype(np.int64)
+        M = np.stack(cols["embedding"][sl.start : sl.stop]).astype(np.float64)
+        mn = np.linalg.norm(M, axis=1)
+        return _topk_rows(ids, M, ids, M, mn, k)
+
+    return apply_grouped(
+        be,
+        keys=["bucket"],
+        order_by=["bucket", "vec_id"],
+        fn=bucket_topk,
+        schema="vec_id long, nbr long, rnk long",
+        out_columns=["vec_id", "nbr", "rnk"],
     )
 
 

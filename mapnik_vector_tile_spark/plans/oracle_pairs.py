@@ -241,6 +241,170 @@ def q_pip_polygon_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("region_id").agg(F.count("*").alias("n_pts"))
 
 
+def _sql_pyramid_counts_band(z_lo: int, z_hi: int) -> str:
+    tx, ty = S.tile_xy_exprs(14)
+    ax = S.ancestor_expr("tx", "14 - z")
+    ay = S.ancestor_expr("ty", "14 - z")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
+SELECT z, {ax} AS x, {ay} AS y, COUNT(*) AS n_features
+FROM t14 CROSS JOIN {{ZSEQ}} zs
+WHERE z >= {z_lo} AND z <= {z_hi}
+GROUP BY 1, 2, 3
+"""
+
+
+def q_engine_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1∘EP2: encode z6..8 tiles through the FULL pipeline, decode
+    them back (S2 tile-as-datasource scan), count features per tile —
+    must equal the pure-SQL pyramid oracle. Gates the entire wire
+    format both directions."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, 6, 8, buffer_units=0)
+    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8))
+    decoded = T.decode_tiles_to_features(tiles)
+    return decoded.groupBy("z", "x", "y").agg(
+        F.count("*").cast("bigint").alias("n_features")
+    )
+
+
+def _engine_point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = derive_points(orders, "o_orderkey")
+    return pts.select(
+        F.col("id").alias("feature_id"),
+        F.lit(1).alias("geom_type"),
+        F.array("mx").alias("xs"),
+        F.array("my").alias("ys"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+        F.lit("c").alias("caption"),
+    )
+
+
+def q_engine_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 composite: two single-layer tile pyramids (orders points as
+    layer 'orders', customer points as layer 'customer') merged per
+    tile — n_layers per (z,x,y) must equal the SQL union-presence
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as C
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    z = 5
+
+    def layer_of(table, key, name):
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        pts = derive_points(df, key)
+        feats = pts.select(
+            F.col("id").alias("feature_id"),
+            F.lit(1).alias("geom_type"),
+            F.array("mx").alias("xs"),
+            F.array("my").alias("ys"),
+            F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+            F.lit("c").alias("caption"),
+        )
+        assigned = T.assign_tiles(feats, z, z, buffer_units=0)
+        return T.encode_layers(assigned, layer_name=name, n_salts=4)
+
+    lo = layer_of("orders", "o_orderkey", "orders")
+    lc = layer_of("customer", "c_custkey", "customer")
+    tiles = C.composite_tiles([lo, lc])
+    return tiles.select(
+        "z", "x", "y", F.col("n_layers").cast("bigint").alias("n_layers")
+    )
+
+
+def _sql_composite_n_layers(z: int = 5) -> str:
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+{S.point_cte('customer', 'c_custkey', cte='cpts')},
+lo AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM pts),
+lc AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM cpts),
+both_u AS (
+  SELECT x, y, 1 AS has_o, 0 AS has_c FROM lo
+  UNION ALL
+  SELECT x, y, 0 AS has_o, 1 AS has_c FROM lc
+)
+SELECT {z} AS z, x, y,
+       CAST(MAX(has_o) + MAX(has_c) AS BIGINT) AS n_layers
+FROM both_u GROUP BY x, y
+"""
+
+
+def q_events_tile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-twin batch aggregation: per (minute-window, z8 tile)
+    event counts + value sums (the §2.10 plan run as a batch — same
+    code path as the stream)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.streaming import incremental as SI
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = SI.batch_oracle_counts(ev, z=8)
+    return agg.select(
+        F.col("win.start").alias("ws"),
+        "tx",
+        "ty",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("sum_value"), 6).alias("sum_value6"),
+    )
+
+
+def _sql_events_tile_window() -> str:
+    from mapnik_vector_tile_spark.plans.shared_sql import TWO_W, flit
+
+    tx, ty = S.tile_xy_exprs(8)
+    mx = (
+        f"((((user_id) * 2654435761) % 4294967296) / {flit(2**32)})"
+        f" * {flit(TWO_W)} - {flit(W)}"
+    )
+    my = (
+        f"((((user_id) * 1103515245 + 12345) % 4294967296) / {flit(2**32)})"
+        f" * {flit(TWO_W)} - {flit(W)}"
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT ON (event_id) event_id, ts, user_id, value FROM events
+),
+p AS (SELECT ts, value, {mx} AS mx, {my} AS my FROM e)
+SELECT date_trunc('minute', ts) AS ws,
+       {tx} AS tx,
+       {ty} AS ty,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value6
+FROM p
+GROUP BY 1, 2, 3
+"""
+
+
+def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 raster materialization over the deterministic synthetic image
+    table (2000 rows) — binary raster output ⇒ rows-only check; pixel
+    parity is gated by tests/test_raster.py's PSNR + oracle kernels."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import raster as R
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    images = images_df(spark, 2000)
+    tiles = R.rasterize_images(images, z=4, tile_size=64)
+    return tiles.select(
+        "z", "x", "y", "n_images", F.length("raster").alias("raster_bytes")
+    )
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
     "q_engine_pip_broadcast": (q_engine_pip_broadcast, _sql_bbox_rect_join()),
@@ -250,6 +414,13 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     ),
     "q_engine_knn": (q_engine_knn, _sql_knn(3)),
     "q_pip_polygon_regions": (q_pip_polygon_regions, None),
+    "q_engine_decode_roundtrip": (
+        q_engine_decode_roundtrip,
+        _sql_pyramid_counts_band(6, 8),
+    ),
+    "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
+    "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
+    "q_raster_tiles": (q_raster_tiles, None),
 }
 
 
