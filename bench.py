@@ -48,10 +48,8 @@ def main() -> None:
 
     sf = _sf_of(args.sf_dir)
     times: dict[str, float] = {}
-    rows: dict[str, int] = {}
     for name, fn in reg.items():
         best = float("inf")
-        n = -1
         for _ in range(max(1, args.repeat)):
             t0 = time.monotonic()
             df = fn(spark, args.sf_dir)
@@ -59,7 +57,6 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
         times[name] = round(best, 3)
-        rows[name] = n
     total = round(sum(times.values()), 3)
 
     out = {

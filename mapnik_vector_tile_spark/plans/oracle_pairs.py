@@ -405,6 +405,31 @@ def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: windowed RMS/ZCR features over the
+    deterministic pcm16 clip table (binary payload ⇒ rows-only;
+    kernel correctness gated by tests/test_multimodal.py)."""
+    from mapnik_vector_tile_spark.operators import multimodal as mm
+    from mapnik_vector_tile_spark.sources.multimodal import audio_df
+
+    return mm.audio_features(audio_df(spark, 500))
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video: 1→N frame sampling + mean-luma features
+    (binary payload ⇒ rows-only; parity in tests/test_multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import multimodal as mm
+    from mapnik_vector_tile_spark.sources.multimodal import video_df
+
+    frames = mm.sample_frames(video_df(spark, 300), every=4)
+    return frames.select(
+        "video_id", "frame_idx", "mean_luma",
+        F.length("frame").alias("frame_bytes"),
+    )
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
     "q_engine_pip_broadcast": (q_engine_pip_broadcast, _sql_bbox_rect_join()),
@@ -421,6 +446,8 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
+    "q_audio_features": (q_audio_features, None),
+    "q_video_frames": (q_video_frames, None),
 }
 
 

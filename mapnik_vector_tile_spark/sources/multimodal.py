@@ -1,0 +1,131 @@
+"""Deterministic synthetic multimodal tables — opaque ``binary``
+payload + typed metadata, the training-data-pipeline column shape the
+task brief mandates beyond the image path (which operators.raster
+covers with real codecs).
+
+Schemas (metadata typed, payload opaque):
+
+- audio: (audio_id string, bytes binary, sr int, n_samples int,
+  codec string, caption string)
+- video: (video_id string, bytes binary, w int, h int, n_frames int,
+  fps int, codec string, caption string)
+
+Payloads are synthesized from the row index via splitmix64 slices, so
+any executor can regenerate a row bit-exactly — same recipe as
+sources.synth images (FIXTURES.md §1, seed 42). Codecs: ``pcm16le``
+(bare little-endian int16 mono) and ``rawvid8`` (uint8[n_frames,h,w]
+luma planes, frame-major) are real; anything else is a decode STUB
+(NotImplementedError) with the Spark plumbing fully real, because the
+sandbox has no audio/video libraries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mapnik_vector_tile_spark.sources.synth import _WORDS, splitmix64
+
+AUDIO_SCHEMA = (
+    "audio_id string, bytes binary, sr int, n_samples int, "
+    "codec string, caption string"
+)
+VIDEO_SCHEMA = (
+    "video_id string, bytes binary, w int, h int, n_frames int, "
+    "fps int, codec string, caption string"
+)
+
+
+def _caption(h: np.ndarray, prefix: str) -> list[str]:
+    w = len(_WORDS)
+    a = (h % w).astype(np.int64)
+    b = ((h >> np.uint64(16)) % w).astype(np.int64)
+    return [f"{prefix} {_WORDS[x]} {_WORDS[y]}" for x, y in zip(a, b)]
+
+
+def gen_audio_pdf(n: int, start: int = 0) -> pd.DataFrame:
+    """Rows [start, start+n): mono sine mixtures, sr=8000, 0.25-1.0 s."""
+    idx = np.arange(start, start + n, dtype=np.uint64)
+    h = splitmix64(idx)
+    sr = 8000
+    n_samples = (2000 + (h % np.uint64(6001))).astype(np.int64)
+    f0 = 100.0 + (h >> np.uint64(8)) % np.uint64(900)  # 100-999 Hz
+    f1 = 30.0 + (h >> np.uint64(20)) % np.uint64(200)
+    bufs = []
+    for i in range(n):
+        t = np.arange(int(n_samples[i]), dtype=np.float64) / sr
+        wave = 0.6 * np.sin(2 * np.pi * float(f0[i]) * t) + 0.3 * np.sin(
+            2 * np.pi * float(f1[i]) * t
+        )
+        bufs.append((wave * 32000).astype("<i2").tobytes())
+    return pd.DataFrame(
+        {
+            "audio_id": [f"aud_{int(i)}" for i in idx],
+            "bytes": bufs,
+            "sr": np.full(n, sr, dtype=np.int32),
+            "n_samples": n_samples.astype(np.int32),
+            "codec": ["pcm16le" if int(i) % 7 else "mp3-stub" for i in idx],
+            "caption": _caption(h, "audio"),
+        }
+    )
+
+
+def gen_video_pdf(n: int, start: int = 0) -> pd.DataFrame:
+    """Rows [start, start+n): moving-gradient luma planes, 8-32 frames."""
+    idx = np.arange(start, start + n, dtype=np.uint64)
+    h = splitmix64(idx)
+    w = (16 + (h % np.uint64(4)) * np.uint64(8)).astype(np.int64)  # 16..40
+    ht = (16 + ((h >> np.uint64(4)) % np.uint64(4)) * np.uint64(8)).astype(
+        np.int64
+    )
+    n_frames = (8 + (h >> np.uint64(12)) % np.uint64(25)).astype(np.int64)
+    bufs = []
+    for i in range(n):
+        W, H, NF = int(w[i]), int(ht[i]), int(n_frames[i])
+        fy, fx = np.mgrid[0:H, 0:W]
+        phase = int(h[i] % np.uint64(251))
+        frames = (
+            (fx[None] * 3 + fy[None] * 5)
+            + (np.arange(NF)[:, None, None] * 7 + phase)
+        ) % 256
+        bufs.append(frames.astype(np.uint8).tobytes())
+    return pd.DataFrame(
+        {
+            "video_id": [f"vid_{int(i)}" for i in idx],
+            "bytes": bufs,
+            "w": w.astype(np.int32),
+            "h": ht.astype(np.int32),
+            "n_frames": n_frames.astype(np.int32),
+            "fps": np.full(n, 10, dtype=np.int32),
+            "codec": ["rawvid8" if int(i) % 9 else "h264-stub" for i in idx],
+            "caption": _caption(h, "video"),
+        }
+    )
+
+
+def _range_df(spark, n: int, gen_pdf, schema: str, slices: int | None):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    slices = slices or max(8, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n, 1, slices)
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            splits = np.nonzero(np.diff(ids) != 1)[0] + 1
+            for seg in np.split(ids, splits):
+                yield gen_pdf(len(seg), int(seg[0]))
+
+    return base.mapInPandas(gen, schema=schema)
+
+
+def audio_df(spark, n: int, slices: int | None = None):
+    """Distributed deterministic audio table (born partitioned)."""
+    return _range_df(spark, n, gen_audio_pdf, AUDIO_SCHEMA, slices)
+
+
+def video_df(spark, n: int, slices: int | None = None):
+    """Distributed deterministic video table (born partitioned)."""
+    return _range_df(spark, n, gen_video_pdf, VIDEO_SCHEMA, slices)

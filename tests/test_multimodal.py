@@ -1,0 +1,77 @@
+"""Multimodal binary-column plumbing: deterministic synth, decode
+kernels, windowed audio features, 1→N frame sampling, stub policy."""
+
+import numpy as np
+import pytest
+
+from mapnik_vector_tile_spark.operators import multimodal as mm
+from mapnik_vector_tile_spark.sources import multimodal as src
+
+
+def test_gen_audio_deterministic_and_decodable():
+    a = src.gen_audio_pdf(20, 0)
+    b = src.gen_audio_pdf(20, 0)
+    assert list(a["audio_id"]) == list(b["audio_id"])
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))
+    row = a[a["codec"] == "pcm16le"].iloc[0]
+    x = mm.decode_audio(row["bytes"], row["codec"], int(row["n_samples"]))
+    assert x.shape == (int(row["n_samples"]),)
+    assert np.abs(x).max() <= 1.0
+
+
+def test_gen_video_shape_and_decode():
+    v = src.gen_video_pdf(10, 5)
+    row = v[v["codec"] == "rawvid8"].iloc[0]
+    vid = mm.decode_video(
+        row["bytes"], row["codec"], int(row["w"]), int(row["h"]),
+        int(row["n_frames"]),
+    )
+    assert vid.shape == (int(row["n_frames"]), int(row["h"]), int(row["w"]))
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"", "mp3-stub", 0)
+    with pytest.raises(NotImplementedError):
+        mm.decode_video(b"", "h264-stub", 1, 1, 1)
+
+
+def test_audio_features_distributed(spark):
+    df = src.audio_df(spark, 60, slices=4)
+    feats = mm.audio_features(df).toPandas()
+    # codec 'mp3-stub' rows (idx % 7 == 0) are skipped by policy
+    expected = sum(1 for i in range(60) if i % 7)
+    assert len(feats) == expected
+    assert (feats["n_windows"] >= 1).all()
+    assert feats["rms_mean"].between(0, 1).all()
+    # caption preserved bit-exact (input_hint invariant analog)
+    pdf = src.gen_audio_pdf(60, 0)
+    caps = dict(zip(pdf["audio_id"], pdf["caption"]))
+    assert all(caps[r.audio_id] == r.caption for r in feats.itertuples())
+
+
+def test_frame_sample_fanout(spark):
+    df = src.video_df(spark, 30, slices=3)
+    frames = mm.sample_frames(df, every=4).toPandas()
+    pdf = src.gen_video_pdf(30, 0)
+    dec = pdf[pdf["codec"] == "rawvid8"]
+    expected = int(sum((dec["n_frames"] + 3) // 4))
+    assert len(frames) == expected
+    # frame payload round-trips to the exact source plane
+    r = frames.iloc[0]
+    srow = pdf[pdf["video_id"] == r["video_id"]].iloc[0]
+    vid = mm.decode_video(
+        srow["bytes"], srow["codec"], int(srow["w"]), int(srow["h"]),
+        int(srow["n_frames"]),
+    )
+    got = np.frombuffer(r["frame"], dtype=np.uint8).reshape(
+        int(r["h"]), int(r["w"])
+    )
+    assert (got == vid[int(r["frame_idx"])]).all()
+    assert abs(float(r["mean_luma"]) - float(vid[int(r["frame_idx"])].mean())) < 1e-9
+
+
+def test_strict_mode_surfaces_stub(spark):
+    df = src.audio_df(spark, 8, slices=2)
+    with pytest.raises(Exception):  # Py4J wraps the NotImplementedError
+        mm.audio_features(df, skip_undecodable=False).collect()
