@@ -246,24 +246,25 @@ def knn_join(
             F.col("tid").alias("nbr"),
             dist2.alias("dist2"),
         )
-        ranked = cands.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
         bound2 = float(r * span) ** 2
-        stats = ranked.groupBy("id").agg(
-            F.max("rank").alias("n_cand"), F.max("dist2").alias("kth")
+        # ONE materialization of the expensive probe-join+window per
+        # round (localCheckpoint): finality stats, the emitted rows,
+        # and the next frontier all derive from it — without this the
+        # candidate window re-executes once per consumer (~3x).
+        wfull = Window.partitionBy("id")
+        marked = (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("n_cand", F.count("*").over(wfull))
+            .withColumn("kth", F.max("dist2").over(wfull))
+            .localCheckpoint(eager=True)
         )
-        final_ids = stats.filter(
-            (F.col("n_cand") == k) & (F.col("kth") <= F.lit(bound2))
-        ).select("id")
-        done = ranked.join(F.broadcast(final_ids), "id").select(
-            "id", "nbr", "rank"
+        is_final = (F.col("n_cand") == k) & (F.col("kth") <= F.lit(bound2))
+        results.append(
+            marked.filter(is_final).select("id", "nbr", "rank")
         )
-        results.append(done)
+        final_ids = marked.filter(is_final).select("id").distinct()
         remaining = remaining.join(F.broadcast(final_ids), "id", "left_anti")
-        # materialize the shrinking frontier; loop is driver-side but
-        # each round is one distributed job
-        remaining = remaining.localCheckpoint(eager=True)
         if remaining.isEmpty():
             remaining = None
             break
