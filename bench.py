@@ -33,8 +33,12 @@ def main() -> None:
                     help="override local[N] (default: $SPARK_GRAFT_CPUS or *)")
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of query names")
-    ap.add_argument("--repeat", type=int, default=1,
-                    help="runs per query; min wall time is reported")
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="runs per query; min wall time is reported "
+                         "(default 2: this host's run-to-run noise is "
+                         "±30-40%%, see BASELINE.md §4.3)")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the untimed session warm-up job")
     args = ap.parse_args()
 
     from mapnik_vector_tile_spark.plans.bench_queries import registry
@@ -45,6 +49,9 @@ def main() -> None:
     if args.queries:
         want = args.queries.split(",")
         reg = {k: reg[k] for k in want}
+
+    if not args.no_warmup:
+        _warmup(spark)
 
     sf = _sf_of(args.sf_dir)
     times: dict[str, float] = {}
@@ -69,6 +76,22 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _warmup(spark) -> None:
+    """One small untimed end-to-end job so JIT/codegen compilation and
+    Python-worker forks are paid before the first timed query (the
+    first Spark job of a session otherwise carries ~10-15 s of one-off
+    session warm-up that no steady-state executor would see)."""
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, 2000, with_bytes=False)
+    feats = T.assign_tiles(T.images_to_features(imgs), 0, 4)
+    tiles = T.fold_tiles(T.encode_layers(feats))
+    T.decode_tiles_to_features(tiles).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 def _sf_of(sf_dir: str) -> float:

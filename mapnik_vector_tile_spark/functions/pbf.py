@@ -117,8 +117,16 @@ def varints_py(vals) -> bytes:
     return b"".join(map(varint_of, vals))
 
 
+# field ≤ 15 ⇒ tag byte < 128 ⇒ one-byte varint; every MVT field is
+# ≤ 15 so the hot path is a table lookup, not a varint build
+_TAG_CACHE: list[bytes] = [bytes([i]) for i in range(128)]
+
+
 def _tag(field: int, wire: int) -> bytes:
-    return _varint1((field << 3) | wire)
+    t = (field << 3) | wire
+    if t < 128:
+        return _TAG_CACHE[t]
+    return _varint1(t)
 
 
 def _len_delim(field: int, payload: bytes) -> bytes:
@@ -189,26 +197,26 @@ def _read_varint(buf, pos: int) -> tuple[int, int]:
 def encode_feature(
     feature_id: int | None,
     geom_type: int,
-    geometry: np.ndarray,
-    tags: np.ndarray,
+    geometry,
+    tags,
     raster: bytes | None = None,
 ) -> bytes:
-    out = bytearray()
+    parts = []
     if feature_id is not None:
-        out += _tag(1, 0) + varint_of(int(feature_id))
+        parts += (_tag(1, 0), varint_of(int(feature_id)))
     if len(tags):
         payload = varints_py(int(t) for t in tags)
-        out += _tag(2, 2) + varint_of(len(payload)) + payload
-    out += _tag(3, 0) + varint_of(int(geom_type))
+        parts += (_tag(2, 2), varint_of(len(payload)), payload)
+    parts += (_tag(3, 0), varint_of(int(geom_type)))
     if len(geometry) >= 64:
         payload = varint_bytes_np(np.asarray(geometry, dtype=np.uint64))
     else:
         payload = varints_py(int(g) for g in geometry)
-    out += _tag(4, 2) + varint_of(len(payload)) + payload
+    parts += (_tag(4, 2), varint_of(len(payload)), payload)
     if raster is not None:
         # upstream proto extension: optional bytes raster = 5 (R2)
-        out += _tag(5, 2) + varint_of(len(raster)) + raster
-    return bytes(out)
+        parts += (_tag(5, 2), varint_of(len(raster)), raster)
+    return b"".join(parts)
 
 
 class LayerBuilder:
@@ -261,7 +269,7 @@ class LayerBuilder:
             tags.append(self.value_index(v))
         self._features.append(
             encode_feature(
-                feature_id, geom_type, geometry, np.array(tags), raster
+                feature_id, geom_type, geometry, tags, raster
             )
         )
 
@@ -270,19 +278,21 @@ class LayerBuilder:
         return bool(self._features)
 
     def build(self) -> bytes:
-        out = bytearray()
-        out += _tag(15, 0) + _varint1(self.version)
+        parts = [_tag(15, 0), varint_of(self.version)]
         nm = self.name.encode("utf-8")
-        out += _tag(1, 2) + _varint1(len(nm)) + nm
+        parts += (_tag(1, 2), varint_of(len(nm)), nm)
+        t2 = _tag(2, 2)
         for f in self._features:
-            out += _tag(2, 2) + _varint1(len(f)) + f
+            parts += (t2, varint_of(len(f)), f)
+        t3 = _tag(3, 2)
         for k in self._keys:
             kb = k.encode("utf-8")
-            out += _tag(3, 2) + _varint1(len(kb)) + kb
+            parts += (t3, varint_of(len(kb)), kb)
+        t4 = _tag(4, 2)
         for enc in self._values:
-            out += _tag(4, 2) + _varint1(len(enc)) + enc
-        out += _tag(5, 0) + _varint1(self.extent)
-        return bytes(out)
+            parts += (t4, varint_of(len(enc)), enc)
+        parts += (_tag(5, 0), varint_of(self.extent))
+        return b"".join(parts)
 
 
 def layer_to_tile(layer_msg: bytes) -> bytes:
@@ -388,6 +398,150 @@ def _decode_feature(buf: bytes) -> dict:
         else:
             raise ValueError("bad feature wire type")
     return f
+
+
+def split_layer(buf: bytes) -> dict:
+    """Shallow layer parse for splice-merging: features keep their RAW
+    geometry/raster payload bytes (never decoded), values stay raw
+    encoded bytes. ~10x cheaper than decode_layer when only dictionary
+    indices must change (the salted-partial merge)."""
+    out = {
+        "name": None,
+        "version": 2,
+        "extent": 4096,
+        "keys": [],
+        "raw_values": [],
+        "features": [],  # (fid, gtype, tags list[int], raw_geom, raw_raster)
+    }
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            if field == 15:
+                out["version"] = v
+            elif field == 5:
+                out["extent"] = v
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            payload = buf[pos : pos + ln]
+            pos += ln
+            if field == 1:
+                out["name"] = payload.decode("utf-8")
+            elif field == 3:
+                out["keys"].append(payload.decode("utf-8"))
+            elif field == 4:
+                out["raw_values"].append(payload)
+            elif field == 2:
+                out["features"].append(_split_feature(payload))
+        else:
+            raise ValueError(f"unexpected wire type {wire} in layer")
+    return out
+
+
+def _split_feature(buf: bytes):
+    fid = None
+    gtype = 0
+    tags: list[int] = []
+    raw_geom = b""
+    raw_raster = None
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            if field == 1:
+                fid = v
+            elif field == 3:
+                gtype = v
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            payload = buf[pos : pos + ln]
+            pos += ln
+            if field == 2:
+                p = 0
+                while p < len(payload):
+                    t, p = _read_varint(payload, p)
+                    tags.append(t)
+            elif field == 4:
+                raw_geom = payload
+            elif field == 5:
+                raw_raster = payload
+        else:
+            raise ValueError(f"unexpected wire type {wire} in feature")
+    return (fid, gtype, tags, raw_geom, raw_raster)
+
+
+def splice_merge_layers(blobs, name: str) -> bytes:
+    """Merge partial layers of one tile WITHOUT touching geometry
+    bytes: re-build the key/value dictionaries first-appearance in
+    global feature_id order (bit-identical to a single-pass encode —
+    the salted/unsalted byte-equality invariant), remap tag indices,
+    splice raw feature payloads back together."""
+    version = 2
+    extent = 4096
+    feats = []  # (fid, gtype, [(key_str, raw_val)], raw_geom, raw_raster)
+    for b in blobs:
+        d = split_layer(b)
+        version = d["version"]
+        extent = d["extent"]
+        keys = d["keys"]
+        vals = d["raw_values"]
+        for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
+            props = [
+                (keys[tags[i]], vals[tags[i + 1]])
+                for i in range(0, len(tags), 2)
+            ]
+            feats.append((fid, gtype, props, raw_geom, raw_raster))
+    feats.sort(key=lambda f: (f[0] is None, f[0]))
+    key_map: dict[str, int] = {}
+    val_map: dict[bytes, int] = {}
+    t2 = _tag(2, 2)
+    fparts = []
+    for fid, gtype, props, raw_geom, raw_raster in feats:
+        tags = []
+        for k, v in props:
+            ki = key_map.get(k)
+            if ki is None:
+                ki = len(key_map)
+                key_map[k] = ki
+            vi = val_map.get(v)
+            if vi is None:
+                vi = len(val_map)
+                val_map[v] = vi
+            tags.append(ki)
+            tags.append(vi)
+        fp = []
+        if fid is not None:
+            fp += (_tag(1, 0), varint_of(int(fid)))
+        if tags:
+            tp = varints_py(tags)
+            fp += (t2, varint_of(len(tp)), tp)
+        fp += (
+            _tag(3, 0),
+            varint_of(int(gtype)),
+            _tag(4, 2),
+            varint_of(len(raw_geom)),
+            raw_geom,
+        )
+        if raw_raster is not None:
+            fp += (_tag(5, 2), varint_of(len(raw_raster)), raw_raster)
+        fb = b"".join(fp)
+        fparts += (t2, varint_of(len(fb)), fb)
+    nm = name.encode("utf-8")
+    parts = [_tag(15, 0), varint_of(version), _tag(1, 2), varint_of(len(nm)), nm]
+    parts += fparts
+    t3 = _tag(3, 2)
+    for k in key_map:
+        kb = k.encode("utf-8")
+        parts += (t3, varint_of(len(kb)), kb)
+    t4 = _tag(4, 2)
+    for v in val_map:
+        parts += (t4, varint_of(len(v)), v)
+    parts += (_tag(5, 0), varint_of(extent))
+    return b"".join(parts)
 
 
 def feature_props(layer: dict, feature: dict) -> dict:

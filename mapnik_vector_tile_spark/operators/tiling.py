@@ -378,18 +378,11 @@ def merge_salted_layers(partials: DataFrame) -> DataFrame:
         npts = int(cols["n_points"][sl].sum())
         if len(blobs) == 1:
             return [(z, x, y, layer, blobs[0], nf, npts)]
-        decoded = [pbf.decode_layer(b) for b in blobs]
-        lb = pbf.LayerBuilder(layer, extent=decoded[0]["extent"])
-        feats = []
-        for d in decoded:
-            for f in d["features"]:
-                feats.append((f, d))
-        feats.sort(key=lambda fd: fd[0]["id"])
-        for f, d in feats:
-            lb.add_feature(
-                f["id"], f["type"], f["geometry"], pbf.feature_props(d, f)
-            )
-        return [(z, x, y, layer, lb.build(), nf, npts)]
+        # splice: raw geometry bytes untouched, dictionaries rebuilt
+        # first-appearance in global feature order (byte-identical to a
+        # single-pass encode), tag indices remapped
+        merged = pbf.splice_merge_layers(list(blobs), layer)
+        return [(z, x, y, layer, merged, nf, npts)]
 
     return apply_grouped(
         partials,
