@@ -423,9 +423,32 @@ def fold_tiles(layers: DataFrame) -> DataFrame:
     )
 
 
-def decode_tiles_to_features(tiles: DataFrame) -> DataFrame:
+def decode_tiles_to_features(
+    tiles: DataFrame,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
     """S2/EP2: tiles table -> features rows (lazy per-layer decode in a
-    narrow mapInPandas — no shuffle)."""
+    narrow mapInPandas — no shuffle).
+
+    ``bbox`` (merc minx,miny,maxx,maxy) is the tile_datasource_pbf query
+    bbox: applied as a Column predicate on tile ids BEFORE any byte is
+    decoded (each z's covering-tile range is closed-form), so Catalyst
+    pushes it to the tiles scan and non-intersecting tiles never reach
+    Python — the decode-scan analog of predicate pushdown."""
+    if bbox is not None:
+        minx, miny, maxx, maxy = bbox
+        n = F.expr("shiftleft(1L, z)")
+        span = F.lit(TWO_W_ARR) / n
+        lox = F.floor((F.lit(minx) + F.lit(tm.W)) / span)
+        hix = F.floor((F.lit(maxx) + F.lit(tm.W)) / span)
+        loy = F.floor((F.lit(tm.W) - F.lit(maxy)) / span)
+        hiy = F.floor((F.lit(tm.W) - F.lit(miny)) / span)
+        tiles = tiles.filter(
+            (F.col("x") >= F.greatest(lox, F.lit(0)))
+            & (F.col("x") <= F.least(hix, n - 1))
+            & (F.col("y") >= F.greatest(loy, F.lit(0)))
+            & (F.col("y") <= F.least(hiy, n - 1))
+        )
 
     def gen(it):
         for pdf in it:

@@ -405,6 +405,111 @@ def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+S2_LEVEL = 10
+
+
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style spherical cell encoding (functions.cellid): sphere →
+    cube face → quadratic ST → Morton-in-face at level 10, plus the
+    level-5 parent (pure bit shift). Spark side = vectorized numpy
+    pandas UDF; oracle = the same formula chain rendered as DuckDB SQL
+    (glibc trig both sides → bit-exact)."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import cellid as C
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = derive_points(cust, "c_custkey")
+
+    def gen(batches):
+        for pdf in batches:
+            cells = C.s2_cell_np(
+                pdf["mx"].to_numpy(), pdf["my"].to_numpy(), S2_LEVEL
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "s2_cell": cells,
+                    "s2_parent5": C.s2_parent_np(cells, S2_LEVEL, 5),
+                }
+            )
+
+    return pts.mapInPandas(gen, "id long, s2_cell long, s2_parent5 long")
+
+
+def _sql_s2_cells() -> str:
+    from mapnik_vector_tile_spark.functions import cellid as C
+
+    face, i, j = C.s2_cell_sql("mx", "my", S2_LEVEL)
+    morton = C.morton_sql("ii", "jj", S2_LEVEL)
+    return f"""
+WITH {S.point_cte('customer', 'c_custkey')},
+s AS (SELECT id, {face} AS face, {i} AS ii, {j} AS jj FROM pts),
+c AS (SELECT id,
+             CAST(face AS BIGINT) * {1 << (2 * S2_LEVEL)} + ({morton}) AS s2_cell
+      FROM s)
+SELECT id, s2_cell, (s2_cell >> {2 * (S2_LEVEL - 5)}) AS s2_parent5 FROM c
+"""
+
+
+def q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 Douglas-Peucker in the encode path: deterministic 24-vertex
+    polylines (hash-jittered around a base heading) encoded at z5 with
+    simplify_distance=8 tile units, decoded back. DP recursion is not
+    SQL-expressible ⇒ rows-only; golden parity vectors live in
+    tests/test_clip_simplify.py. Output: per-feature decoded vertex
+    count (≥ 2 per part, endpoints preserved; box clipping may split a
+    line and add intersection vertices, so counts are not bounded by
+    the 24 input vertices)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    NPTS = 24
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            h = splitmix64(ids.astype(np.uint64))
+            cx = ((h % np.uint64(1 << 20)) / float(1 << 20)) * 2 - 1
+            cy = (((h >> np.uint64(20)) % np.uint64(1 << 20)) / float(1 << 20)) * 2 - 1
+            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                    "part_offsets": [], "caption": []}
+            for i, fid in enumerate(ids):
+                t = np.arange(NPTS, dtype=np.float64)
+                jx = splitmix64(np.uint64(fid) * np.uint64(NPTS) + t.astype(np.uint64))
+                jit = ((jx % np.uint64(1024)) / 1024.0 - 0.5) * 1e5
+                xs = cx[i] * 0.8 * tm.W + t * 3e4
+                ys = cy[i] * 0.8 * tm.W + jit
+                rows["feature_id"].append(int(fid))
+                rows["geom_type"].append(2)
+                rows["xs"].append(xs.tolist())
+                rows["ys"].append(ys.tolist())
+                rows["part_offsets"].append([0, NPTS])
+                rows["caption"].append(f"line-{int(fid)}")
+            yield pd.DataFrame(rows)
+
+    feats = spark.range(0, 800, 1, 8).mapInPandas(
+        gen, schema=T.FEATURES_SCHEMA
+    )
+    assigned = T.assign_tiles(feats, 5, 5)
+    tiles = T.fold_tiles(
+        T.encode_layers(assigned, simplify_distance=8.0, n_salts=1)
+    )
+    dec = T.decode_tiles_to_features(tiles)
+    return dec.select(
+        "z", "x", "y", "feature_id",
+        F.size("pxs").alias("n_vertices"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio: windowed RMS/ZCR features over the
     deterministic pcm16 clip table (binary payload ⇒ rows-only;
@@ -446,6 +551,8 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
+    "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
+    "q_simplify_lines": (q_simplify_lines, None),
     "q_audio_features": (q_audio_features, None),
     "q_video_frames": (q_video_frames, None),
 }

@@ -104,3 +104,29 @@ def test_salted_low_z_equals_unsalted(spark):
         assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
         assert a.n_features == b.n_features
         assert bytes(a.tile) == bytes(b.tile), f"tile {a.z}/{a.x}/{a.y} differs"
+
+
+def test_decode_bbox_prefilter(spark):
+    """S2 decode-scan bbox: tile-id pruning before decode equals full
+    decode + post-filter on tile intersection."""
+    images = synth.images_df(spark, 80, with_bytes=False, slices=2)
+    feats = T.images_to_features(images)
+    tiles = T.fold_tiles(T.encode_layers(T.assign_tiles(feats, 3, 6))).cache()
+    bbox = (-tm.W, 0.0, 0.0, tm.W)  # NW world quadrant
+    pruned = T.decode_tiles_to_features(tiles, bbox=bbox).toPandas()
+    full = T.decode_tiles_to_features(tiles).toPandas()
+    # oracle: tiles whose merc extent intersects bbox
+    keep = []
+    for r in full.itertuples():
+        span = 2 * tm.W / (1 << r.z)
+        minx = -tm.W + r.x * span
+        maxy = tm.W - r.y * span
+        keep.append(
+            minx <= bbox[2] and minx + span >= bbox[0]
+            and maxy - span <= bbox[3] and maxy >= bbox[1]
+        )
+    expect = full[np.array(keep)]
+    assert len(pruned) == len(expect)
+    assert set(map(tuple, pruned[["z", "x", "y", "feature_id"]].values)) == set(
+        map(tuple, expect[["z", "x", "y", "feature_id"]].values)
+    )
