@@ -60,6 +60,10 @@ def main() -> None:
     ap.add_argument("--z-max", type=int, default=14)
     ap.add_argument("--buffer", type=int, default=128)
     ap.add_argument("--n-salts", type=int, default=16)
+    ap.add_argument("--adaptive-target", type=int, default=None,
+                    help="rows per encode group for adaptive cell "
+                         "splitting (density-driven salts); overrides "
+                         "--n-salts when set")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -81,7 +85,10 @@ def main() -> None:
     feats = T.images_to_features(images)
     assigned = T.assign_tiles(feats, args.z_min, args.z_max, args.buffer)
     layers = T.encode_layers(
-        assigned, buffer_units=args.buffer, n_salts=args.n_salts
+        assigned,
+        buffer_units=args.buffer,
+        n_salts=args.n_salts,
+        adaptive_salt_target=args.adaptive_target,
     )
     tiles = T.fold_tiles(layers).withColumn(
         "cell",

@@ -164,6 +164,52 @@ def with_salt(assigned: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
+def with_adaptive_salt(
+    assigned: DataFrame,
+    target_group_rows: int = 20_000,
+    max_salts: int = 256,
+) -> DataFrame:
+    """Adaptive cell splitting (north_rule): salt count per tile is
+    driven by that tile's MEASURED density, not a zoom heuristic — a
+    z14 tile over a megacity splits, an empty z2 ocean tile doesn't.
+
+    One cheap counting aggregation (bytes-per-key ~16, broadcast-size
+    because only keys above ``target_group_rows`` are kept), then
+    ``salt = feature_id % ceil(count/target)`` via a broadcast join.
+    Deterministic — identical salts on every retry/resume regardless of
+    cluster size, unlike rand()-based salting.
+
+    At 100 TB the count aggregate is map-side-combined to ~one row per
+    hot tile; the broadcast stays tiny because hot tiles are by
+    definition rare (a heavy-hitter sketch would bound it further if
+    the tail were ever fat)."""
+    hot = (
+        assigned.groupBy("z", "x", "y")
+        .count()
+        .filter(F.col("count") > target_group_rows)
+        .select(
+            "z",
+            "x",
+            "y",
+            F.least(
+                F.lit(max_salts),
+                F.ceil(F.col("count") / target_group_rows).cast("int"),
+            ).alias("_n_salts"),
+        )
+    )
+    return (
+        assigned.join(F.broadcast(hot), ["z", "x", "y"], "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_n_salts").isNotNull(),
+                (F.col("feature_id") % F.col("_n_salts")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_n_salts")
+    )
+
+
 LAYER_SCHEMA = (
     "z int, x long, y long, layer string, blob binary, "
     "n_features long, n_points long"
@@ -179,6 +225,7 @@ def encode_layers(
     simplify_distance: float = 0.0,
     n_salts: int = 16,
     num_partitions: int | None = None,
+    adaptive_salt_target: int | None = None,
 ) -> DataFrame:
     """Per-(z,x,y,salt) fold: quantize (A.3) -> clip in world coords
     (F10-F12) -> simplify (F9, tile units) -> command stream (F4-F8) ->
@@ -334,7 +381,12 @@ def encode_layers(
             return None
         return [(z, x, y, layer_name, lb.build(), len(lb._features), n_pts)]
 
-    salted = with_salt(assigned, n_salts=n_salts)
+    if adaptive_salt_target is not None:
+        salted = with_adaptive_salt(
+            assigned, target_group_rows=adaptive_salt_target
+        )
+    else:
+        salted = with_salt(assigned, n_salts=n_salts)
     partials = apply_grouped(
         salted,
         keys=["z", "x", "y", "salt"],

@@ -130,3 +130,36 @@ def test_decode_bbox_prefilter(spark):
     assert set(map(tuple, pruned[["z", "x", "y", "feature_id"]].values)) == set(
         map(tuple, expect[["z", "x", "y", "feature_id"]].values)
     )
+
+
+def test_adaptive_salt_equals_unsalted(spark):
+    """Adaptive cell splitting (density-driven salt counts) must also
+    reproduce byte-identical tiles — same splice-merge invariant as the
+    fixed-salt path, plus: hot tiles actually split."""
+    images = synth.images_df(spark, 300, with_bytes=False, slices=4)
+    feats = T.images_to_features(images)
+    assigned = T.assign_tiles(feats, 0, 4)
+    t_adaptive = (
+        T.fold_tiles(
+            T.encode_layers(assigned, adaptive_salt_target=50)
+        )
+        .toPandas()
+        .sort_values(["z", "x", "y"])
+        .reset_index(drop=True)
+    )
+    t_plain = (
+        T.fold_tiles(T.encode_layers(assigned, n_salts=1))
+        .toPandas()
+        .sort_values(["z", "x", "y"])
+        .reset_index(drop=True)
+    )
+    assert len(t_adaptive) == len(t_plain)
+    for a, b in zip(t_adaptive.itertuples(), t_plain.itertuples()):
+        assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
+        assert bytes(a.tile) == bytes(b.tile)
+    # the z0 tile (600 features > target 50) must have been salted:
+    salted = T.with_adaptive_salt(assigned, target_group_rows=50)
+    z0_salts = (
+        salted.filter("z = 0").select("salt").distinct().count()
+    )
+    assert z0_salts > 1
