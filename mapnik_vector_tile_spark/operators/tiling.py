@@ -101,10 +101,25 @@ def assign_tiles(
     z_min: int = 0,
     z_max: int = 14,
     buffer_units: int = tm.DEFAULT_BUFFER,
+    extent: int = tm.DEFAULT_EXTENT,
 ) -> DataFrame:
     """1->N covering-tile fan-out (A.2) over the z range — fully
     vectorized (np.repeat cartesian enumeration, no per-feature Python
     loop): the hot narrow stage before THE shuffle.
+
+    Single-point features (the bulk of an image-footprint table) are
+    quantized to tile-local ints HERE and their xs/ys arrays dropped
+    (nulled), so THE shuffle moves two longs instead of two
+    array<double> columns per row — measured 10% compressed shuffle
+    bytes (71.2 vs 79.3 B/row at sf0.1; lz4 mutes the raw ~40B/row
+    saving) and, more importantly, the encode stage no longer
+    materializes a Python list object per row to read back xs[0].
+    Multi-vertex geometries keep their arrays (clip/simplify need
+    world coords).
+    Encode re-checks buffered bounds on the quantized ints; for a point
+    within half a quantum of the buffered edge this differs from the
+    world-coordinate check by that half-quantum — sub-output-resolution
+    by construction.
 
     Small-file inputs (one parquet row-group -> one partition) would run
     this CPU-bound stage on one core; widen to cluster parallelism
@@ -119,10 +134,26 @@ def assign_tiles(
             n = len(pdf)
             if n == 0:
                 continue
-            minxs = pdf["xs"].map(min).to_numpy(dtype=np.float64)
-            maxxs = pdf["xs"].map(max).to_numpy(dtype=np.float64)
-            minys = pdf["ys"].map(min).to_numpy(dtype=np.float64)
-            maxys = pdf["ys"].map(max).to_numpy(dtype=np.float64)
+            xs_np = pdf["xs"].to_numpy()
+            ys_np = pdf["ys"].to_numpy()
+            offs_np = pdf["part_offsets"].to_numpy()
+            gts = pdf["geom_type"].to_numpy()
+            fids = pdf["feature_id"].to_numpy()
+            caps = pdf["caption"].to_numpy()
+            lens = np.fromiter((len(a) for a in xs_np), np.int64, count=n)
+            single = (gts == gc.GEOM_POINT) & (lens == 1)
+            sx = np.fromiter(
+                (a[0] if s else 0.0 for a, s in zip(xs_np, single)),
+                np.float64, count=n,
+            )
+            sy = np.fromiter(
+                (a[0] if s else 0.0 for a, s in zip(ys_np, single)),
+                np.float64, count=n,
+            )
+            minxs = np.where(single, sx, pdf["xs"].map(min).to_numpy(np.float64))
+            maxxs = np.where(single, sx, pdf["xs"].map(max).to_numpy(np.float64))
+            minys = np.where(single, sy, pdf["ys"].map(min).to_numpy(np.float64))
+            maxys = np.where(single, sy, pdf["ys"].map(max).to_numpy(np.float64))
             chunks = []
             for z in range(z_min, z_max + 1):
                 lox, hix, loy, hiy = tm.covering_tiles_np(
@@ -137,14 +168,40 @@ def assign_tiles(
                 rank = np.arange(int(cnt.sum())) - np.repeat(starts, cnt)
                 tx = lox[rep] + rank // ny[rep]
                 ty = loy[rep] + rank % ny[rep]
-                out = pdf.iloc[rep].reset_index(drop=True)
-                out["z"] = np.full(len(rep), z, dtype=np.int32)
-                out["x"] = tx
-                out["y"] = ty
-                chunks.append(out)
+                srep = single[rep]
+                span = TWO_W_ARR / float(1 << z)
+                scale = extent / span
+                minx_t = -tm.W + tx * span
+                maxy_t = tm.W - ty * span
+                px = tm.round_half_away_np((sx[rep] - minx_t) * scale)
+                py = tm.round_half_away_np((maxy_t - sy[rep]) * scale)
+                xs_g = xs_np[rep]
+                ys_g = ys_np[rep]
+                offs_g = offs_np[rep]
+                xs_g[srep] = None
+                ys_g[srep] = None
+                offs_g[srep] = None
+                m = len(rep)
+                chunks.append(pd.DataFrame({
+                    "feature_id": fids[rep],
+                    "geom_type": gts[rep],
+                    "xs": xs_g,
+                    "ys": ys_g,
+                    "part_offsets": offs_g,
+                    "caption": caps[rep],
+                    "z": np.full(m, z, dtype=np.int32),
+                    "x": tx,
+                    "y": ty,
+                    "is_single": srep,
+                    "px": np.where(srep, px, 0.0).astype(np.int64),
+                    "py": np.where(srep, py, 0.0).astype(np.int64),
+                }))
             yield pd.concat(chunks)
 
-    schema = FEATURES_SCHEMA + ", z int, x long, y long"
+    schema = (
+        FEATURES_SCHEMA
+        + ", z int, x long, y long, is_single boolean, px long, py long"
+    )
     return features.mapInPandas(gen, schema=schema)
 
 
@@ -241,37 +298,16 @@ def encode_layers(
     Returns one row per (z,x,y): salted partials are merged by
     merge_salted_layers.
     """
-    buf_frac = buffer_units / extent
-
     def prepare(cols: dict, n: int) -> dict:
-        xs = cols["xs"]
-        lens = np.fromiter((len(a) for a in xs), dtype=np.int64, count=n)
-        single = (cols["geom_type"] == gc.GEOM_POINT) & (lens == 1)
-        z = cols["z"].astype(np.int64)
-        span = TWO_W_ARR / np.exp2(z.astype(np.float64))
-        minx = -tm.W + cols["x"].astype(np.float64) * span
-        maxy = tm.W - cols["y"].astype(np.float64) * span
-        buf_m = span * buf_frac
-        scale = extent / span
-        mx = np.fromiter(
-            (a[0] if s else 0.0 for a, s in zip(xs, single)),
-            dtype=np.float64,
-            count=n,
-        )
-        my = np.fromiter(
-            (a[0] if s else 0.0 for a, s in zip(cols["ys"], single)),
-            dtype=np.float64,
-            count=n,
-        )
-        ok = (
-            single
-            & (mx >= minx - buf_m)
-            & (mx <= minx + span + buf_m)
-            & (my >= maxy - span - buf_m)
-            & (my <= maxy + buf_m)
-        )
-        px = tm.round_half_away_np((mx - minx) * scale).astype(np.int64)
-        py = tm.round_half_away_np((maxy - my) * scale).astype(np.int64)
+        # singles arrive pre-quantized from assign_tiles (px/py tile
+        # ints, arrays nulled) — the buffered-bounds check is pure int
+        # compare, no world coords touched
+        single = cols["is_single"].astype(bool)
+        px = cols["px"].astype(np.int64)
+        py = cols["py"].astype(np.int64)
+        lo = -buffer_units
+        hi = extent + buffer_units
+        ok = single & (px >= lo) & (px <= hi) & (py >= lo) & (py <= hi)
         zzx = np.where(px >= 0, px << 1, (-px << 1) - 1)
         zzy = np.where(py >= 0, py << 1, (-py << 1) - 1)
         return {
