@@ -220,25 +220,75 @@ def q_engine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip_polygon_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 against the synthetic polygon corpus (convex/concave/holed in
-    lon/lat -> merc) — concave ray-casting isn't ANSI-SQL-expressible,
-    so this is a rows-only check (documented in SURVEY.md §5.2)."""
+    """J3 against the synthetic polygon corpus (convex/concave/holed),
+    pre-transformed to merc in numpy (sources.synth.regions_merc_df).
+    FULL oracle: the same vertex doubles are inlined as literals into
+    the DuckDB SQL (_sql_pip_polygon), which replicates the A.7
+    half-open even-odd ray cast edge-by-edge — engine cell-cover
+    prefilter and oracle bbox prefilter are both supersets of the
+    inside set, so the exact refine makes the results identical."""
     from pyspark.sql import functions as F
 
-    from mapnik_vector_tile_spark.functions.tilemath import merc_x_col, merc_y_col
     from mapnik_vector_tile_spark.operators import joins as J
-    from mapnik_vector_tile_spark.sources.synth import regions_df
+    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
 
     pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
-    reg = regions_df(spark, 200)
-    reg_m = reg.select(
-        "region_id",
-        F.transform("xs", merc_x_col).alias("xs"),
-        F.transform("ys", merc_y_col).alias("ys"),
-        "ring_offsets",
+    reg_m = regions_merc_df(spark, 200).select(
+        "region_id", "xs", "ys", "ring_offsets"
     )
     pairs = J.pip_join_broadcast(pts, reg_m, z=6)
     return pairs.groupBy("region_id").agg(F.count("*").alias("n_pts"))
+
+
+def _sql_pip_polygon(n_regions: int = 200) -> str:
+    """DuckDB twin of q_pip_polygon_regions: polygon edges inlined as
+    VALUES (bit-identical doubles via shortest-roundtrip repr), then
+    the A.7 crossing test with pip.points_in_ring's exact arithmetic:
+    cond  = (y2 > my) != (y1 > my)            [edge prev=(x1,y1) -> cur=(x2,y2)]
+    xint  = (x1 - x2) * (my - y2) / (y1 - y2) + x2
+    inside = odd crossing count over ALL rings (holes subtract)."""
+    from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
+
+    pdf = gen_regions_merc_pdf(n_regions)
+    rows = []
+    for rid, xs, ys, offs in zip(
+        pdf["region_id"], pdf["xs"], pdf["ys"], pdf["ring_offsets"]
+    ):
+        for r in range(len(offs) - 1):
+            s, e = offs[r], offs[r + 1]
+            for i in range(s + 1, e):
+                # S.flit forces DOUBLE literals (bare decimals parse as
+                # DECIMAL in DuckDB -> wrong arithmetic type)
+                rows.append(
+                    f"({rid},{S.flit(xs[i - 1])},{S.flit(ys[i - 1])},"
+                    f"{S.flit(xs[i])},{S.flit(ys[i])})"
+                )
+    values = ",\n".join(rows)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+edges(region_id, x1, y1, x2, y2) AS (VALUES
+{values}),
+bbox AS (
+  SELECT region_id,
+         MIN(LEAST(x1, x2)) AS xmin, MAX(GREATEST(x1, x2)) AS xmax,
+         MIN(LEAST(y1, y2)) AS ymin, MAX(GREATEST(y1, y2)) AS ymax
+  FROM edges GROUP BY region_id),
+cand AS (
+  SELECT p.id, p.mx, p.my, b.region_id
+  FROM pts p JOIN bbox b
+    ON p.mx >= b.xmin AND p.mx <= b.xmax
+   AND p.my >= b.ymin AND p.my <= b.ymax),
+cr AS (
+  SELECT c.id, c.region_id, COUNT(*) AS ncross
+  FROM cand c JOIN edges e
+    ON e.region_id = c.region_id
+   AND ((e.y2 > c.my) != (e.y1 > c.my))
+   AND c.mx < (e.x1 - e.x2) * (c.my - e.y2) / (e.y1 - e.y2) + e.x2
+  GROUP BY 1, 2)
+SELECT region_id, COUNT(*) AS n_pts
+FROM cr WHERE ncross % 2 = 1
+GROUP BY region_id
+"""
 
 
 def _sql_pyramid_counts_band(z_lo: int, z_hi: int) -> str:
@@ -543,7 +593,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
         _sql_bbox_rect_join(),
     ),
     "q_engine_knn": (q_engine_knn, _sql_knn(3)),
-    "q_pip_polygon_regions": (q_pip_polygon_regions, None),
+    "q_pip_polygon_regions": (q_pip_polygon_regions, _sql_pip_polygon(200)),
     "q_engine_decode_roundtrip": (
         q_engine_decode_roundtrip,
         _sql_pyramid_counts_band(6, 8),

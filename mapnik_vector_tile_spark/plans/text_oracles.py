@@ -247,6 +247,39 @@ SELECT vec_id, nbr, rnk FROM (
 """
 
 
+def sql_ann_lsh(k: int = 5) -> str:
+    """Full oracle for the LSH-bucketed ANN path: the hyperplane matrix
+    is the same integer mix as similarity._hyperplanes rendered in SQL
+    (bit-exact, verified), bucket = sign-bit signature, then exact
+    ROUND(cos,9)+id top-k WITHIN buckets — replicates the engine result
+    row-for-row (recall<1 vs brute force is a property both sides
+    share, not a mismatch). dim=64 pinned by the embeddings generator;
+    sign margin on this corpus is ≥1e-4, far above cross-engine
+    summation drift."""
+    from mapnik_vector_tile_spark.operators.similarity import N_PLANES
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ed AS (SELECT vec_id, UNNEST(v) AS val, generate_subscripts(v, 1) AS d FROM e),
+pl AS (SELECT p, d,
+         ((((p*64 + d - 1) * 2654435761) % 4294967296) / 4294967296.0) - 0.5 AS w
+       FROM generate_series(0,{N_PLANES - 1}) t(p), generate_series(1,64) s(d)),
+dots AS (SELECT ed.vec_id, pl.p, SUM(ed.val * pl.w) AS dot
+         FROM ed JOIN pl ON pl.d = ed.d GROUP BY 1, 2),
+bk AS (SELECT vec_id,
+              CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       FROM dots GROUP BY 1),
+eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))
+SELECT vec_id, nbr, rnk FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         CAST(row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS9_D} DESC, b.vec_id
+         ) AS BIGINT) AS rnk
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+) r WHERE rnk <= {k}
+"""
+
+
 def sql_embedding_neardup(threshold: float = 0.999) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -360,6 +393,6 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_langid": (q_langid, sql_langid()),
         "q_fingerprints": (q_fingerprints, sql_fingerprints()),
         "q_ann_topk": (q_ann_topk, sql_ann_topk()),
-        "q_ann_lsh_bucketed": (q_ann_lsh, None),
+        "q_ann_lsh_bucketed": (q_ann_lsh, sql_ann_lsh()),
         "q_embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
     }

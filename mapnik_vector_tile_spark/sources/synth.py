@@ -235,6 +235,35 @@ def gen_regions_pdf(n_regions: int = 200) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def gen_regions_merc_pdf(n_regions: int = 200) -> pd.DataFrame:
+    """Regions with vertices pre-transformed to EPSG:3857 in numpy.
+    The SAME float64 values are inlined (shortest-roundtrip repr) into
+    the DuckDB oracle SQL, so engine and oracle ray-cast bit-identical
+    polygon geometry — this is what upgrades the concave-PIP check
+    from rows-only to a full value-hash oracle."""
+    from mapnik_vector_tile_spark.functions.tilemath import lonlat_to_merc_np
+
+    pdf = gen_regions_pdf(n_regions)
+    mxs, mys = [], []
+    for xs, ys in zip(pdf["xs"], pdf["ys"]):
+        a, b = lonlat_to_merc_np(np.asarray(xs), np.asarray(ys))
+        mxs.append([float(v) for v in a])
+        mys.append([float(v) for v in b])
+    out = pdf.copy()
+    out["xs"] = mxs
+    out["ys"] = mys
+    return out
+
+
+def regions_merc_df(spark, n_regions: int = 200):
+    pdf = gen_regions_merc_pdf(n_regions)
+    schema = (
+        "region_id long, name string, kind string, xs array<double>, "
+        "ys array<double>, ring_offsets array<int>"
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def regions_df(spark, n_regions: int = 200):
     pdf = gen_regions_pdf(n_regions)
     schema = (
