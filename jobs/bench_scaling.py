@@ -87,8 +87,7 @@ def run_once(spark, images_path: str, z_max: int, n_regions: int) -> dict:
     t0 = time.monotonic()
     images = spark.read.parquet(images_path)
     feats = T.assign_tiles(T.images_to_features(images), 0, z_max)
-    layers = T.encode_layers(feats)
-    tiles = T.fold_tiles(layers)
+    tiles = T.encode_tiles(feats)
     n_tiles = tiles.count()
 
     feats2 = T.images_to_features(spark.read.parquet(images_path))

@@ -84,13 +84,12 @@ def main() -> None:
 
     feats = T.images_to_features(images)
     assigned = T.assign_tiles(feats, args.z_min, args.z_max, args.buffer)
-    layers = T.encode_layers(
+    tiles = T.encode_tiles(
         assigned,
         buffer_units=args.buffer,
         n_salts=args.n_salts,
         adaptive_salt_target=args.adaptive_target,
-    )
-    tiles = T.fold_tiles(layers).withColumn(
+    ).withColumn(
         "cell",
         # packed tile key (z:4 | x:30 | y:30 bits) — the deterministic
         # lineage-bucket key; stable across cluster sizes

@@ -33,7 +33,7 @@ from mapnik_vector_tile_spark.functions import pbf
 from mapnik_vector_tile_spark.functions import pip as pipmod
 from mapnik_vector_tile_spark.functions import simplify as simp
 from mapnik_vector_tile_spark.functions import tilemath as tm
-from mapnik_vector_tile_spark.operators.grouped import apply_grouped
+from mapnik_vector_tile_spark.operators.grouped import apply_grouped, group_starts
 from mapnik_vector_tile_spark.sources.synth import footprint_from_phash
 
 TWO_W_ARR = 2.0 * tm.W
@@ -274,7 +274,7 @@ LAYER_SCHEMA = (
 LAYER_COLS = ["z", "x", "y", "layer", "blob", "n_features", "n_points"]
 
 
-def encode_layers(
+def encode_layer_partials(
     assigned: DataFrame,
     layer_name: str = "features",
     extent: int = tm.DEFAULT_EXTENT,
@@ -286,7 +286,10 @@ def encode_layers(
 ) -> DataFrame:
     """Per-(z,x,y,salt) fold: quantize (A.3) -> clip in world coords
     (F10-F12) -> simplify (F9, tile units) -> command stream (F4-F8) ->
-    Layer blob (A1-A3 dictionaries).
+    Layer blob (A1-A3 dictionaries). Returns PARTIAL layers: one row
+    per (z,x,y,salt-group); callers merge via merge_salted_layers
+    (layer output) or fold_tiles_from_partials (tile output, one fewer
+    shuffle).
 
     Executed via grouped.apply_grouped (repartition + in-batch group
     iteration) because tile workloads have ~1 group per tile — per-group
@@ -423,7 +426,7 @@ def encode_layers(
         )
     else:
         salted = with_salt(assigned, n_salts=n_salts)
-    partials = apply_grouped(
+    return apply_grouped(
         salted,
         keys=["z", "x", "y", "salt"],
         order_by=["z", "x", "y", "salt", "feature_id"],
@@ -433,7 +436,62 @@ def encode_layers(
         num_partitions=num_partitions,
         prepare=prepare,
     )
-    return merge_salted_layers(partials)
+
+
+def encode_layers(
+    assigned: DataFrame,
+    layer_name: str = "features",
+    extent: int = tm.DEFAULT_EXTENT,
+    buffer_units: int = tm.DEFAULT_BUFFER,
+    simplify_distance: float = 0.0,
+    n_salts: int = 16,
+    num_partitions: int | None = None,
+    adaptive_salt_target: int | None = None,
+) -> DataFrame:
+    """encode_layer_partials + salted-partial merge: one row per
+    (z,x,y) layer. Use encode_tiles when the consumer wants whole
+    tiles — it skips this intermediate shuffle."""
+    return merge_salted_layers(
+        encode_layer_partials(
+            assigned,
+            layer_name=layer_name,
+            extent=extent,
+            buffer_units=buffer_units,
+            simplify_distance=simplify_distance,
+            n_salts=n_salts,
+            num_partitions=num_partitions,
+            adaptive_salt_target=adaptive_salt_target,
+        )
+    )
+
+
+def encode_tiles(
+    assigned: DataFrame,
+    layer_name: str = "features",
+    extent: int = tm.DEFAULT_EXTENT,
+    buffer_units: int = tm.DEFAULT_BUFFER,
+    simplify_distance: float = 0.0,
+    n_salts: int = 16,
+    num_partitions: int | None = None,
+    adaptive_salt_target: int | None = None,
+) -> DataFrame:
+    """EP1 fused finish: encode partials, then merge salted partials
+    AND fold layers into Tile buffers in ONE grouped pass keyed on
+    (z,x,y) — byte-identical to fold_tiles(encode_layers(...)) but one
+    whole shuffle + Arrow round-trip cheaper (the merge and the fold
+    shuffled the same rows on nearly the same key)."""
+    return fold_tiles_from_partials(
+        encode_layer_partials(
+            assigned,
+            layer_name=layer_name,
+            extent=extent,
+            buffer_units=buffer_units,
+            simplify_distance=simplify_distance,
+            n_salts=n_salts,
+            num_partitions=num_partitions,
+            adaptive_salt_target=adaptive_salt_target,
+        )
+    )
 
 
 def _dedup_pairs(px: np.ndarray, py: np.ndarray):
@@ -506,6 +564,46 @@ def fold_tiles(layers: DataFrame) -> DataFrame:
         keys=["z", "x", "y"],
         order_by=["z", "x", "y", "layer"],
         fn=concat_group,
+        schema="z int, x long, y long, tile binary, n_layers long, n_features long",
+        out_columns=["z", "x", "y", "tile", "n_layers", "n_features"],
+    )
+
+
+def fold_tiles_from_partials(partials: DataFrame) -> DataFrame:
+    """merge_salted_layers + fold_tiles fused into one grouped pass on
+    (z,x,y): within each tile's slice, layer runs are detected on the
+    sorted layer column; multi-partial layers are splice-merged
+    (splice_merge_layers re-sorts features by id, so partial arrival
+    order is irrelevant), then layer blobs concat in layer-name order
+    (A.5). Output is byte-identical to the two-stage path — asserted
+    by tests/test_pipeline.py — for one fewer shuffle."""
+
+    def tile_group(key, cols: dict, sl: slice) -> list[tuple]:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        layers_arr = cols["layer"]
+        blobs = cols["blob"]
+        nfs = cols["n_features"]
+        runs = group_starts([layers_arr[sl.start : sl.stop]], sl.stop - sl.start)
+        layer_blobs = []
+        n_feats = 0
+        for r in range(len(runs) - 1):
+            s = sl.start + int(runs[r])
+            e = sl.start + int(runs[r + 1])
+            if e - s == 1:
+                layer_blobs.append(blobs[s])
+            else:
+                layer_blobs.append(
+                    pbf.splice_merge_layers(list(blobs[s:e]), str(layers_arr[s]))
+                )
+            n_feats += int(nfs[s:e].sum())
+        tile = pbf.concat_tile(layer_blobs)
+        return [(z, x, y, tile, len(layer_blobs), n_feats)]
+
+    return apply_grouped(
+        partials,
+        keys=["z", "x", "y"],
+        order_by=["z", "x", "y", "layer"],
+        fn=tile_group,
         schema="z int, x long, y long, tile binary, n_layers long, n_features long",
         out_columns=["z", "x", "y", "tile", "n_layers", "n_features"],
     )

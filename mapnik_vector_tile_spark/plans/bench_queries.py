@@ -58,8 +58,7 @@ def q_encode_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = _order_features(spark, sf_dir)
     assigned = T.assign_tiles(feats, 0, 10, buffer_units=0)
-    layers = T.encode_layers(assigned, n_salts=16)
-    return T.fold_tiles(layers)
+    return T.encode_tiles(assigned, n_salts=16)
 
 
 def q_decode_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,7 +66,7 @@ def q_decode_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = _order_features(spark, sf_dir)
     assigned = T.assign_tiles(feats, 6, 10, buffer_units=0)
-    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=16))
+    tiles = T.encode_tiles(assigned, n_salts=16)
     return T.decode_tiles_to_features(tiles)
 
 

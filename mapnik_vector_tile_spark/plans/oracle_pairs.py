@@ -340,6 +340,69 @@ def _engine_point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_load_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5+P5 through the driver surface: encode z4..6 tiles (fused
+    EP1), compress every tile buffer (alternating gzip/zlib by tile x,
+    exercising BOTH magic-byte codec detections), then LOAD them back —
+    maybe_decompress + tile_is_valid + feature counts read from the
+    decoded wire bytes, i.e. the merge_from_compressed_buffer /
+    add_buffer_to_tile path (vector_tile_load_tile.hpp,
+    vector_tile_compression.hpp). Oracle: per-z distinct-tile and
+    feature counts from pure SQL — only matches if every compressed
+    buffer survives the round trip AND validates."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.operators.composite import tile_is_valid
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, 4, 6, buffer_units=0)
+    tiles = T.encode_tiles(assigned, n_salts=8)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            zs, nt, nf = [], [], []
+            for z, x, tile in zip(pdf["z"], pdf["x"], pdf["tile"]):
+                buf = pbf.compress(bytes(tile), gzip=(int(x) % 2 == 0))
+                ok, _ = tile_is_valid(buf)
+                count = 0
+                if ok:
+                    for lmsg in pbf.decode_tile(pbf.maybe_decompress(buf)):
+                        count += len(pbf.decode_layer(lmsg)["features"])
+                zs.append(int(z))
+                nt.append(1 if ok else 0)
+                nf.append(count)
+            yield pd.DataFrame({"z": zs, "ok": nt, "nf": nf})
+
+    loaded = tiles.mapInPandas(gen, schema="z int, ok int, nf long")
+    return loaded.groupBy("z").agg(
+        F.sum("ok").cast("bigint").alias("n_tiles"),
+        F.sum("nf").cast("bigint").alias("n_features"),
+    )
+
+
+def _sql_load_compressed(z_lo: int = 4, z_hi: int = 6) -> str:
+    tx, ty = S.tile_xy_exprs(14)
+    ax = S.ancestor_expr("tx", "14 - z")
+    ay = S.ancestor_expr("ty", "14 - z")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts),
+per_tile AS (
+  SELECT z, {ax} AS x, {ay} AS y, COUNT(*) AS nf
+  FROM t14 CROSS JOIN {{ZSEQ}} zs
+  WHERE z >= {z_lo} AND z <= {z_hi}
+  GROUP BY 1, 2, 3)
+SELECT z, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(nf) AS BIGINT) AS n_features
+FROM per_tile GROUP BY z
+"""
+
+
 def q_engine_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 composite: two single-layer tile pyramids (orders points as
     layer 'orders', customer points as layer 'customer') merged per
@@ -597,6 +660,10 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_decode_roundtrip": (
         q_engine_decode_roundtrip,
         _sql_pyramid_counts_band(6, 8),
+    ),
+    "q_engine_load_compressed": (
+        q_engine_load_compressed,
+        _sql_load_compressed(4, 6),
     ),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),

@@ -106,6 +106,28 @@ def test_salted_low_z_equals_unsalted(spark):
         assert bytes(a.tile) == bytes(b.tile), f"tile {a.z}/{a.x}/{a.y} differs"
 
 
+def test_fused_encode_tiles_byte_identical(spark):
+    """encode_tiles (fused merge+fold, one fewer shuffle) must be
+    byte-identical to the two-stage fold_tiles(encode_layers(...))
+    path, salted and multi-layer alike."""
+    images = synth.images_df(spark, 50, with_bytes=False, slices=2)
+    feats = T.images_to_features(images)
+    assigned = T.assign_tiles(feats, 0, 4)
+    fused = (
+        T.encode_tiles(assigned, n_salts=8).toPandas()
+        .sort_values(["z", "x", "y"]).reset_index(drop=True)
+    )
+    staged = (
+        T.fold_tiles(T.encode_layers(assigned, n_salts=8)).toPandas()
+        .sort_values(["z", "x", "y"]).reset_index(drop=True)
+    )
+    assert len(fused) == len(staged) > 0
+    for a, b in zip(fused.itertuples(), staged.itertuples()):
+        assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
+        assert (a.n_layers, a.n_features) == (b.n_layers, b.n_features)
+        assert bytes(a.tile) == bytes(b.tile), f"tile {a.z}/{a.x}/{a.y} differs"
+
+
 def test_decode_bbox_prefilter(spark):
     """S2 decode-scan bbox: tile-id pruning before decode equals full
     decode + post-filter on tile intersection."""
