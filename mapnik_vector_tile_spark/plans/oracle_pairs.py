@@ -403,6 +403,90 @@ FROM per_tile GROUP BY z
 """
 
 
+def q_geojson_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 GeoJSON source parity: orders keys -> newline-delimited
+    GeoJSON Feature documents (pure-arithmetic lon/lat, repr-exact
+    doubles in the JSON text) -> sources.geojson parse -> lonlat->merc
+    -> EP1 encode at z7 -> per-tile feature counts. Oracle replays the
+    identical arithmetic + the merc trig in DuckDB; libm drift between
+    numpy and DuckDB is ~1 ulp (~1e-9 m), ~14 orders of magnitude
+    below the z7 tile span, so floor() parity holds."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.geojson import geojson_to_features
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+
+    def gen(batches):
+        for pdf in batches:
+            k = pdf["o_orderkey"].to_numpy().astype(np.int64)
+            if not len(k):
+                continue
+            u1 = ((k * 2654435761) % 2**32) / float(2**32)
+            u2 = ((k * 1103515245 + 12345) % 2**32) / float(2**32)
+            lon = u1 * 360.0 - 180.0
+            lat = u2 * 170.0 - 85.0
+            docs = [
+                _json.dumps(
+                    {
+                        "type": "Feature",
+                        "id": int(kk),
+                        "geometry": {
+                            "type": "Point",
+                            "coordinates": [float(lo), float(la)],
+                        },
+                        "properties": {"caption": f"c{int(kk)}"},
+                    },
+                    separators=(",", ":"),
+                )
+                for kk, lo, la in zip(k, lon, lat)
+            ]
+            yield pd.DataFrame({"json": docs})
+
+    docs_df = orders.mapInPandas(gen, schema="json string")
+    feats = geojson_to_features(docs_df)
+    assigned = T.assign_tiles(feats, 7, 7, buffer_units=0)
+    tiles = T.encode_tiles(assigned, n_salts=1)
+    return tiles.select(
+        "z", "x", "y", F.col("n_features").cast("bigint").alias("n_features")
+    )
+
+
+def _sql_geojson_tiles(z: int = 7) -> str:
+    from math import pi
+
+    from mapnik_vector_tile_spark.functions.tilemath import R
+
+    lon = (
+        "((((o_orderkey) * 2654435761) % 4294967296) / "
+        f"{S.flit(2**32)}) * 360e0 - 180e0"
+    )
+    lat = (
+        "((((o_orderkey) * 1103515245 + 12345) % 4294967296) / "
+        f"{S.flit(2**32)}) * 170e0 - 85e0"
+    )
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH ll AS (
+  SELECT o_orderkey AS id, {lon} AS lon, {lat} AS lat FROM orders
+),
+pts AS (
+  SELECT id,
+         {S.flit(R)} * (lon * {S.flit(pi / 180.0)}) AS mx,
+         {S.flit(R)} * ln(tan({S.flit(pi / 4.0)} + (lat * {S.flit(pi / 180.0)}) / 2.0)) AS my
+  FROM ll
+)
+SELECT {z} AS z, {tx} AS x, {ty} AS y,
+       CAST(COUNT(*) AS BIGINT) AS n_features
+FROM pts GROUP BY 2, 3
+"""
+
+
 def q_engine_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 composite: two single-layer tile pyramids (orders points as
     layer 'orders', customer points as layer 'customer') merged per
@@ -665,6 +749,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
         q_engine_load_compressed,
         _sql_load_compressed(4, 6),
     ),
+    "q_geojson_tiles": (q_geojson_tiles, _sql_geojson_tiles(7)),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
