@@ -167,6 +167,86 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame, k: int = 5, n_cells: int = 16, nprobe: int = 2
+) -> DataFrame:
+    """IVF-style ANN (the second scale path named in SURVEY §2.11 T6/T7):
+    deterministic coarse quantizer — the ``n_cells`` lowest-vec_id
+    vectors ARE the centroids (reproducible cluster-wide, no iterative
+    k-means state to checkpoint) — cell = argmax cos9 to a centroid
+    (centroid-id tiebreak), search probes the ``nprobe`` nearest cells
+    and ranks candidates by exact ROUND(cos,9) DESC, id ASC.
+
+    Shape at scale: the centroid matrix is a broadcast (n_cells × d);
+    assignment is one numpy matmul per Arrow batch (narrow); candidate
+    generation is ONE equi-join on the integer cell id (members ⋈
+    probes — broadcastable / AQE-skew-splittable); final ranking is a
+    per-query window. O(nprobe·n²/n_cells) pair work vs brute O(n²).
+    Recall < 1 by construction, but the DuckDB oracle replays the same
+    quantizer so results match row-for-row."""
+    spark = emb.sparkSession
+    cent_pdf = (
+        emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    cids = cent_pdf["vec_id"].to_numpy().astype(np.int64)
+    C = np.stack(cent_pdf["embedding"].to_numpy()).astype(np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    bc = spark.sparkContext.broadcast((cids, C, cn))
+
+    def assign(batches):
+        bcids, bC, bcn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            cos9 = np.round((M @ bC.T) / (mn[:, None] * bcn[None, :]), 9)
+            rows = {"vec_id": [], "embedding": [], "cell": [], "crn": []}
+            vids = pdf["vec_id"].to_numpy()
+            embs = pdf["embedding"].to_numpy()
+            for r in range(len(pdf)):
+                order = np.lexsort((bcids, -cos9[r]))[:nprobe]
+                for rank, ci in enumerate(order, start=1):
+                    rows["vec_id"].append(int(vids[r]))
+                    rows["embedding"].append(embs[r])
+                    rows["cell"].append(int(bcids[ci]))
+                    rows["crn"].append(rank)
+            yield pd.DataFrame(rows)
+
+    etype = dict(emb.dtypes)["embedding"]
+    asg = emb.select("vec_id", "embedding").mapInPandas(
+        assign,
+        schema=f"vec_id long, embedding {etype}, cell long, crn int",
+    )
+    members = asg.filter(F.col("crn") == 1).select(
+        F.col("cell"),
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("eb"),
+    )
+    probes = asg.select(
+        F.col("cell"),
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("eq"),
+    )
+    cand = probes.join(members, "cell").filter(F.col("qid") != F.col("nbr"))
+    ranked = cand.withColumn(
+        "cos9", F.round(cosine_col(F.col("eq"), F.col("eb")), 9)
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("cos9").desc(), F.col("nbr")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        F.col("qid").alias("vec_id"), "nbr", F.col("rnk").cast("long")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.999
 ) -> DataFrame:

@@ -280,6 +280,43 @@ SELECT vec_id, nbr, rnk FROM (
 """
 
 
+_COS9_EC = (
+    "ROUND(list_dot_product(e.v, c.cv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9)"
+)
+
+
+def sql_ann_ivf(k: int = 5, n_cells: int = 16, nprobe: int = 2) -> str:
+    """Full oracle for the IVF path: same deterministic coarse
+    quantizer (lowest-vec_id vectors as centroids), cell = argmax
+    cos9 with centroid-id tiebreak, nprobe-cell candidate union,
+    exact in-candidate top-k."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {_COS9_EC} DESC, c.cid
+         ) AS crn
+  FROM e CROSS JOIN cents c),
+members AS (SELECT vec_id AS nbr, cid AS cell FROM asg WHERE crn = 1),
+probes AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE crn <= {nprobe}),
+cand AS (
+  SELECT p.qid, m.nbr FROM probes p
+  JOIN members m ON m.cell = p.cell AND m.nbr <> p.qid)
+SELECT vec_id, nbr, rnk FROM (
+  SELECT cd.qid AS vec_id, cd.nbr,
+         CAST(row_number() OVER (
+           PARTITION BY cd.qid ORDER BY {_COS9_D} DESC, cd.nbr
+         ) AS BIGINT) AS rnk
+  FROM cand cd
+  JOIN e a ON a.vec_id = cd.qid
+  JOIN e b ON b.vec_id = cd.nbr
+) r WHERE rnk <= {k}
+"""
+
+
 def sql_embedding_neardup(threshold: float = 0.999) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -372,6 +409,12 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_bucketed_topk(_emb(spark, sf_dir), k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    return S.ivf_topk(_emb(spark, sf_dir), k=5)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import similarity as S
 
@@ -394,5 +437,6 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_fingerprints": (q_fingerprints, sql_fingerprints()),
         "q_ann_topk": (q_ann_topk, sql_ann_topk()),
         "q_ann_lsh_bucketed": (q_ann_lsh, sql_ann_lsh()),
+        "q_ann_ivf": (q_ann_ivf, sql_ann_ivf()),
         "q_embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
     }

@@ -158,3 +158,19 @@ def test_lsh_recall_reasonable(emb):
     # identical-ish vectors land in the same bucket -> their NN is found
     assert (0, 6) in approx and (6, 0) in approx
     assert len(approx & exact) >= 2
+
+
+def test_ivf_topk_near_identical_found(emb):
+    """IVF: near-identical vectors (0 and its shifted copy 6) get the
+    same centroid argmax -> each finds the other; every reported rank
+    list is a prefix-correct subset of the in-candidate exact order."""
+    df, _ = emb
+    out = SIM.ivf_topk(df, k=3, n_cells=4, nprobe=2).collect()
+    approx = {(r.vec_id, r.nbr) for r in out}
+    assert (0, 6) in approx and (6, 0) in approx
+    # ranks are 1..m contiguous per query (window correctness)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.vec_id, []).append(r.rnk)
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
