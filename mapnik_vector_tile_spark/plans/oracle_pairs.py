@@ -103,6 +103,7 @@ GROUP BY 1
 
 
 _W = W  # re-export for f-strings
+TWO_W_PAIR = 2.0 * W
 
 
 # --- registry ---------------------------------------------------------------
@@ -400,6 +401,159 @@ per_tile AS (
 SELECT z, CAST(COUNT(*) AS BIGINT) AS n_tiles,
        CAST(SUM(nf) AS BIGINT) AS n_features
 FROM per_tile GROUP BY z
+"""
+
+
+def q_engine_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/A1/A2 at the driver surface: features carry TYPED attributes
+    (int qty, double price, bool rflag from lineitem) through the
+    Layer value-variant encode — dictionaries are type-sensitive and
+    bit-exact — then per-tile stats are read back FROM THE DECODED
+    WIRE BYTES: n_keys/n_values are the dictionary cardinalities,
+    sum/min/max come from the decoded typed values. The SQL oracle
+    recomputes everything relationally; it matches only if the oneof
+    tagging, varint/two's-complement int64, double bits, and
+    first-appearance dedup all round-trip."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
+
+    Z = 8
+    span = TWO_W_PAIR / (1 << Z)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+    )
+
+    def to_points(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = (
+                pdf["l_orderkey"].to_numpy().astype(np.int64) * 8
+                + pdf["l_linenumber"].to_numpy().astype(np.int64)
+            )
+            mx = ((ids * 2654435761) % 2**32) / float(2**32) * TWO_W_PAIR - W
+            my = (
+                ((ids * 1103515245 + 12345) % 2**32) / float(2**32)
+            ) * TWO_W_PAIR - W
+            tx = np.floor((mx + W) / span).astype(np.int64)
+            ty = np.floor((W - my) / span).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "tx": tx,
+                    "ty": ty,
+                    "id": ids,
+                    "qty": pdf["l_quantity"].to_numpy().astype(np.int64),
+                    "price": pdf["l_extendedprice"].to_numpy(),
+                    "rflag": (pdf["l_returnflag"] == "R").to_numpy(),
+                }
+            )
+
+    pts = li.mapInPandas(
+        to_points,
+        schema="tx long, ty long, id long, qty long, price double, rflag boolean",
+    )
+
+    def encode_group(key, cols, sl):
+        tx, ty = int(key[0]), int(key[1])
+        lb = pbf.LayerBuilder("li", extent=4096)
+        for i in range(sl.start, sl.stop):
+            lb.add_feature(
+                int(cols["id"][i]),
+                1,
+                (9, 0, 0),
+                {
+                    "qty": int(cols["qty"][i]),
+                    "price": float(cols["price"][i]),
+                    "rflag": bool(cols["rflag"][i]),
+                },
+            )
+        return [(tx, ty, lb.build())]
+
+    layers = apply_grouped(
+        pts,
+        keys=["tx", "ty"],
+        order_by=["tx", "ty", "id"],
+        fn=encode_group,
+        schema="tx long, ty long, blob binary",
+        out_columns=["tx", "ty", "blob"],
+    )
+
+    def decode_stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for tx, ty, blob in zip(pdf["tx"], pdf["ty"], pdf["blob"]):
+                layer = pbf.decode_layer(bytes(blob))
+                qtys, prices, nflag = [], [], 0
+                for f in layer["features"]:
+                    props = pbf.feature_props(layer, f)
+                    qtys.append(props["qty"])
+                    prices.append(props["price"])
+                    nflag += 1 if props["rflag"] else 0
+                rows.append(
+                    (
+                        int(tx), int(ty), len(layer["features"]),
+                        len(layer["keys"]), len(layer["values"]),
+                        int(sum(qtys)), nflag,
+                        float(min(prices)), float(max(prices)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tx", "ty", "n_features", "n_keys", "n_values",
+                    "sum_qty", "n_rflag", "min_price", "max_price",
+                ],
+            )
+
+    return layers.mapInPandas(
+        decode_stats,
+        schema=(
+            "tx long, ty long, n_features long, n_keys long, n_values long, "
+            "sum_qty long, n_rflag long, min_price double, max_price double"
+        ),
+    )
+
+
+def _sql_typed_values(z: int = 8) -> str:
+    # mx/my inlined per ROW (duplicate (orderkey,linenumber) pairs
+    # exist in the synthetic lineitem — a join back on id would fan out)
+    tx, ty = S.tile_xy_exprs(z)
+    mx = (
+        f"((((id) * 2654435761) % 4294967296) / {S.flit(2**32)})"
+        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
+    )
+    my = (
+        f"((((id) * 1103515245 + 12345) % 4294967296) / {S.flit(2**32)})"
+        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
+    )
+    return f"""
+WITH li AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_extendedprice AS price,
+         (l_returnflag = 'R') AS rflag
+  FROM lineitem
+),
+p AS (SELECT id, qty, price, rflag, {mx} AS mx, {my} AS my FROM li),
+t AS (SELECT id, qty, price, rflag, {tx} AS tx, {ty} AS ty FROM p)
+SELECT tx, ty,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(3 AS BIGINT) AS n_keys,
+       CAST(COUNT(DISTINCT qty) + COUNT(DISTINCT price)
+            + COUNT(DISTINCT rflag) AS BIGINT) AS n_values,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(CASE WHEN rflag THEN 1 ELSE 0 END) AS BIGINT) AS n_rflag,
+       MIN(price) AS min_price, MAX(price) AS max_price
+FROM t GROUP BY 1, 2
 """
 
 
@@ -750,6 +904,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
         _sql_load_compressed(4, 6),
     ),
     "q_geojson_tiles": (q_geojson_tiles, _sql_geojson_tiles(7)),
+    "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
