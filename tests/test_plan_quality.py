@@ -1,0 +1,85 @@
+"""Plan-quality assertions (SURVEY.md §4.1): the properties we rely on
+at 100 TB — filter pushdown into the parquet scan, broadcast on small
+dims, map-side partial aggregation, column pruning — must be visible
+in the physical plan, not just assumed. These tests freeze them."""
+
+import numpy as np
+import pytest
+
+from mapnik_vector_tile_spark.operators import tiling as T
+
+
+def _plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def tiles_parquet(spark, tmp_path_factory):
+    from mapnik_vector_tile_spark.sources import synth
+
+    path = str(tmp_path_factory.mktemp("planq") / "tiles.parquet")
+    images = synth.images_df(spark, 30, with_bytes=False, slices=2)
+    feats = T.images_to_features(images)
+    T.encode_tiles(T.assign_tiles(feats, 3, 5)).write.parquet(path)
+    return path
+
+
+def test_decode_bbox_prunes_at_scan(spark, tiles_parquet):
+    """S2 decode-scan: the bbox tile-id predicate must reach the
+    parquet source as pushed filters — non-intersecting tiles are
+    skipped via row-group stats, never decoded in Python."""
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    tiles = spark.read.parquet(tiles_parquet)
+    dec = T.decode_tiles_to_features(tiles, bbox=(-tm.W, 0.0, 0.0, tm.W))
+    plan = _plan(dec)
+    assert "PushedFilters" in plan
+    # the x/y range conjuncts appear in the pushed filter list
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "x" in pushed and "y" in pushed and "IsNotNull" in pushed
+
+
+def test_pyramid_uses_partial_aggregation(spark):
+    """Flagship pyramid: two HashAggregates (partial before the
+    Exchange, final after) and zero Python evaluation nodes — the
+    whole plan stays in whole-stage codegen."""
+    from mapnik_vector_tile_spark.plans.flagship import pyramid_counts
+
+    df = pyramid_counts(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial" in plan
+    assert "BatchEvalPython" not in plan  # no per-row Python anywhere
+
+
+def test_pip_join_broadcasts_region_side(spark):
+    """J3: the region cell-cover (small dim) must broadcast — the
+    billion-row point side never shuffles for the candidate join."""
+    from mapnik_vector_tile_spark.operators import joins as J
+
+    pts = J._order_points(spark, "/root/testdata/sf0.001", "orders", "o_orderkey")
+    regions = J.merc_rect_regions(spark, "/root/testdata/sf0.001")
+    pairs = J.pip_join_broadcast(pts, regions, z=6)
+    plan = _plan(pairs)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the probe (points) side must not have an Exchange hashpartitioning
+    # before the broadcast join — count exchanges: only the broadcast one
+    assert "BroadcastExchange" in plan
+
+
+def test_feature_scan_prunes_columns(spark):
+    """P1 column pruning: assigning tiles from the orders-derived
+    points must read only the columns the query needs (ReadSchema in
+    the scan excludes unused order columns like o_comment/o_custkey)."""
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    pts = derive_points(orders, "o_orderkey")
+    plan = _plan(pts)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read
+    assert "o_custkey" not in read and "o_comment" not in read
