@@ -804,6 +804,170 @@ SELECT id, s2_cell, (s2_cell >> {2 * (S2_LEVEL - 5)}) AS s2_parent5 FROM c
 """
 
 
+SIMP_TOL = 256.0  # tile units; z0 extent 4096 -> real thinning
+
+
+def q_engine_simplify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 Douglas-Peucker with a FULL vertex-exact oracle: 16-vertex
+    world-spanning polylines (pure-arithmetic mercator coords from
+    orders keys — no trig anywhere) encoded in the z0 tile (everything
+    inside => no clip splits) with simplify_distance=256, decoded back
+    to the surviving vertex sequence. The DuckDB twin replays the
+    whole chain bit-exactly: the Liang-Barsky interior-vertex rewrite
+    a+(b-a) via lag(), the (d*scale) quantize with the precomputed
+    scale constant, recursive-CTE DP (clamped-projection d2, strict
+    >tol2, first-max tiebreak), F7 consecutive dedup, and the <2-point
+    drop. Output: (feature_id, rnk, px, py) per surviving vertex."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    NV = 16
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["o_orderkey"].to_numpy().astype(np.int64)
+            if not len(ids):
+                continue
+            vk = (ids[:, None] * NV + np.arange(NV)[None, :]).reshape(-1)
+            mx = ((vk * 2654435761) % 2**32) / float(2**32) * TWO_W_PAIR - W
+            my = (
+                ((vk * 1103515245 + 12345) % 2**32) / float(2**32)
+            ) * TWO_W_PAIR - W
+            mx = mx.reshape(-1, NV)
+            my = my.reshape(-1, NV)
+            yield pd.DataFrame(
+                {
+                    "feature_id": ids,
+                    "geom_type": 2,
+                    "xs": [r.tolist() for r in mx],
+                    "ys": [r.tolist() for r in my],
+                    "part_offsets": [[0, NV]] * len(ids),
+                    "caption": "l",
+                }
+            )
+
+    feats = orders.mapInPandas(gen, schema=T.FEATURES_SCHEMA)
+    assigned = T.assign_tiles(feats, 0, 0)
+    tiles = T.encode_tiles(assigned, simplify_distance=SIMP_TOL)
+    dec = T.decode_tiles_to_features(tiles)
+    z = dec.select(
+        "feature_id",
+        F.posexplode(F.arrays_zip("pxs", "pys")).alias("rnk", "v"),
+    )
+    return z.select(
+        "feature_id",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("v.pxs").alias("px"),
+        F.col("v.pys").alias("py"),
+    )
+
+
+def _sql_simplify_exact(nv: int = 16, tol: float = SIMP_TOL) -> str:
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    scale = 4096.0 / tm.tile_span(0)  # the engine's precomputed constant
+    f32 = S.flit(2**32)
+    fw = S.flit(W)
+    f2w = S.flit(2.0 * W)
+    fs = S.flit(scale)
+    # clamped-projection squared distance of v to segment (va, vb) on
+    # BIGINT px/py promoted to DOUBLE — pip/simplify._seg_dist2 verbatim
+    d2 = """
+CASE WHEN (CAST(vb.px - va.px AS DOUBLE) * (vb.px - va.px)
+         + CAST(vb.py - va.py AS DOUBLE) * (vb.py - va.py)) = 0.0
+     THEN CAST(v.px - va.px AS DOUBLE) * (v.px - va.px)
+        + CAST(v.py - va.py AS DOUBLE) * (v.py - va.py)
+     ELSE
+       (v.px - (va.px + LEAST(1.0, GREATEST(0.0,
+          ((v.px - va.px) * CAST(vb.px - va.px AS DOUBLE)
+           + (v.py - va.py) * CAST(vb.py - va.py AS DOUBLE))
+          / (CAST(vb.px - va.px AS DOUBLE) * (vb.px - va.px)
+             + CAST(vb.py - va.py AS DOUBLE) * (vb.py - va.py))
+       )) * CAST(vb.px - va.px AS DOUBLE))) ** 2
+     + (v.py - (va.py + LEAST(1.0, GREATEST(0.0,
+          ((v.px - va.px) * CAST(vb.px - va.px AS DOUBLE)
+           + (v.py - va.py) * CAST(vb.py - va.py AS DOUBLE))
+          / (CAST(vb.px - va.px AS DOUBLE) * (vb.px - va.px)
+             + CAST(vb.py - va.py AS DOUBLE) * (vb.py - va.py))
+       )) * CAST(vb.py - va.py AS DOUBLE))) ** 2
+END"""
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT o_orderkey AS fid, i,
+         o_orderkey * {nv} + i AS vk
+  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {nv - 1})) AS i) s
+),
+world AS (
+  SELECT fid, i,
+         (((vk * 2654435761) % 4294967296) / {f32}) * {f2w} - {fw} AS mx,
+         (((vk * 1103515245 + 12345) % 4294967296) / {f32}) * {f2w} - {fw} AS my
+  FROM raw
+),
+adj AS (
+  -- Liang-Barsky rewrites every interior vertex as a + 1*(b - a)
+  SELECT fid, i,
+         CASE WHEN i = 0 THEN mx
+              ELSE lag(mx) OVER w + (mx - lag(mx) OVER w) END AS mx2,
+         CASE WHEN i = 0 THEN my
+              ELSE lag(my) OVER w + (my - lag(my) OVER w) END AS my2
+  FROM world WINDOW w AS (PARTITION BY fid ORDER BY i)
+),
+verts AS (
+  SELECT fid, i AS idx,
+         CAST(floor((mx2 + {fw}) * {fs} + 0.5e0) AS BIGINT) AS px,
+         CAST(floor(({fw} - my2) * {fs} + 0.5e0) AS BIGINT) AS py
+  FROM adj
+),
+splits(fid, a, b) AS (
+  SELECT fid, 0, {nv - 1} FROM (SELECT DISTINCT fid FROM verts) f
+  UNION ALL
+  SELECT s.fid,
+         CASE WHEN ch.side = 0 THEN s.a ELSE s.mid END,
+         CASE WHEN ch.side = 0 THEN s.mid ELSE s.b END
+  FROM (
+    SELECT c.fid, c.a, c.b, c.idx AS mid, c.d2,
+           row_number() OVER (
+             PARTITION BY c.fid, c.a, c.b ORDER BY c.d2 DESC, c.idx
+           ) AS rn
+    FROM (
+      SELECT s.fid, s.a, s.b, v.idx, {d2} AS d2
+      FROM splits s
+      JOIN verts va ON va.fid = s.fid AND va.idx = s.a
+      JOIN verts vb ON vb.fid = s.fid AND vb.idx = s.b
+      JOIN verts v  ON v.fid = s.fid AND v.idx > s.a AND v.idx < s.b
+    ) c
+  ) s
+  CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) ch
+  WHERE s.rn = 1 AND s.d2 > {S.flit(tol * tol)}
+),
+kept AS (
+  SELECT DISTINCT fid, a AS idx FROM splits
+  UNION SELECT DISTINCT fid, b FROM splits
+),
+seq AS (
+  SELECT k.fid, v.px, v.py,
+         row_number() OVER (PARTITION BY k.fid ORDER BY k.idx) AS pos
+  FROM kept k JOIN verts v ON v.fid = k.fid AND v.idx = k.idx
+),
+dedup AS (
+  SELECT fid, px, py, pos,
+         lag(px) OVER wd AS lx, lag(py) OVER wd AS ly
+  FROM seq WINDOW wd AS (PARTITION BY fid ORDER BY pos)
+)
+SELECT fid AS feature_id,
+       CAST(row_number() OVER (PARTITION BY fid ORDER BY pos) - 1
+            AS BIGINT) AS rnk,
+       px, py
+FROM dedup
+WHERE lx IS NULL OR px <> lx OR py <> ly
+QUALIFY COUNT(*) OVER (PARTITION BY fid) >= 2
+"""
+
+
 def q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 Douglas-Peucker in the encode path: deterministic 24-vertex
     polylines (hash-jittered around a base heading) encoded at z5 with
@@ -910,6 +1074,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_raster_tiles": (q_raster_tiles, None),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
     "q_simplify_lines": (q_simplify_lines, None),
+    "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
     "q_audio_features": (q_audio_features, None),
     "q_video_frames": (q_video_frames, None),
 }
