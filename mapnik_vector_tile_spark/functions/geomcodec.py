@@ -149,6 +149,15 @@ def decode_geometry(
     """Command stream -> (xs, ys, offsets). Enforces v2 validity:
     MoveTo(1) between parts, LineTo count >= 1, rings closed by
     ClosePath only. Raises ValueError on malformed streams."""
+    if geom_type == GEOM_POINT and len(stream) == 3 and int(stream[0]) == 9:
+        # single-point fast path (the bulk of an image-footprint decode
+        # scan): pure-int zigzag, no numpy kernels
+        u1, u2 = int(stream[1]), int(stream[2])
+        return (
+            np.array([(u1 >> 1) ^ -(u1 & 1)], dtype=np.int64),
+            np.array([(u2 >> 1) ^ -(u2 & 1)], dtype=np.int64),
+            np.array([0, 1], dtype=np.int64),
+        )
     stream = np.asarray(stream, dtype=np.int64)
     xs: list[int] = []
     ys: list[int] = []

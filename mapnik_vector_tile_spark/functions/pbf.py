@@ -371,6 +371,36 @@ def decode_layer(buf: bytes) -> dict:
     return out
 
 
+def _varints_small(buf: bytes) -> np.ndarray:
+    """Packed-varint decode sized for per-feature payloads: below ~64
+    bytes a pure-Python byte loop beats varint_decode_np's fixed numpy
+    setup cost by ~20x (the decode-scan hot path is millions of 3-to-8
+    varint payloads, not a few big ones)."""
+    if len(buf) >= 64:
+        vals, _ = varint_decode_np(buf)
+        return vals
+    out = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        b = buf[pos]
+        pos += 1
+        if b < 0x80:
+            out.append(b)
+            continue
+        result = b & 0x7F
+        shift = 7
+        while True:
+            b = buf[pos]
+            pos += 1
+            result |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        out.append(result)
+    return np.array(out, dtype=np.uint64)
+
+
 def _decode_feature(buf: bytes) -> dict:
     f = {"id": None, "type": 0, "tags": np.empty(0, np.uint64), "geometry": np.empty(0, np.uint64)}
     pos = 0
@@ -388,9 +418,9 @@ def _decode_feature(buf: bytes) -> dict:
             payload = buf[pos : pos + ln]
             pos += ln
             if field == 2:
-                f["tags"], _ = varint_decode_np(payload)
+                f["tags"] = _varints_small(payload)
             elif field == 4:
-                f["geometry"], _ = varint_decode_np(payload)
+                f["geometry"] = _varints_small(payload)
             elif field == 5:
                 # upstream mapnik-vector-tile proto extension:
                 # optional bytes raster = 5 (R2/R3)
