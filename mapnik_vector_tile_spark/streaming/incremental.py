@@ -94,6 +94,88 @@ def batch_oracle_counts(
     )
 
 
+DIRTY_OUT_SCHEMA = "tx long, ty long, version long"
+DIRTY_STATE_SCHEMA = "cum long"
+
+
+def dirty_tile_versions(
+    events: DataFrame, z: int = 8, dirty_every: int = 5
+) -> DataFrame:
+    """CUSTOM stateful operator (applyInPandasWithState — §2.10's
+    'custom stateful' leg): a per-tile running event counter that
+    emits a (tx, ty, version) re-render ticket every time the
+    cumulative count crosses a multiple of ``dirty_every``. Not
+    expressible as a windowed aggregation in append mode — the state
+    is a monotone counter across ALL batches, and the output is the
+    threshold-crossing events, not the counts.
+
+    The emitted SET is batching-invariant by construction:
+    {(tx,ty,v) : 1 <= v <= total//dirty_every} regardless of how the
+    stream is chunked into micro-batches — which is exactly what the
+    convergence test asserts against the batch oracle. State per key
+    is one int64; at 10^12 events the state store holds one row per
+    ACTIVE tile, not per event."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pts = with_tile(_event_points(events), z)
+
+    def track(key, pdfs, state: GroupState):
+        tx, ty = int(key[0]), int(key[1])
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (prev,) = state.get if state.exists else (0,)
+        cum = prev + n
+        state.update((cum,))
+        lo = prev // dirty_every + 1
+        hi = cum // dirty_every
+        if hi >= lo:
+            yield pd.DataFrame(
+                {
+                    "tx": tx,
+                    "ty": ty,
+                    "version": list(range(lo, hi + 1)),
+                }
+            )
+
+    return pts.groupBy("tx", "ty").applyInPandasWithState(
+        track,
+        outputStructType=DIRTY_OUT_SCHEMA,
+        stateStructType=DIRTY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_stream_to_memory(
+    spark: SparkSession,
+    src_dir: str,
+    table_name: str = "dirty_versions",
+    z: int = 8,
+    dirty_every: int = 5,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drive dirty_tile_versions over a chunked file source, one file
+    per micro-batch, append-mode memory sink."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = dirty_tile_versions(src, z, dirty_every)
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     src_dir: str,

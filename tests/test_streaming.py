@@ -73,6 +73,60 @@ def test_stream_matches_batch_oracle(spark, chunked_events, tmp_path):
     assert g["n_events"].sum() == ev.count()
 
 
+def test_stateful_dirty_versions_batching_invariant(spark, tmp_path):
+    """applyInPandasWithState custom operator: the emitted (tile,
+    version) ticket set must equal {(t, v): v <= total//D} computed
+    from the batch totals, REGARDLESS of micro-batch chunking — proof
+    the counter state survives across batches (a per-batch agg would
+    restart at 0 each file)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stateful_src")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("event_id")
+    pdf = ev.toPandas()
+    n = len(pdf)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            f"{src}/chunk{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    D = 5
+    S.run_stateful_stream_to_memory(
+        spark,
+        src,
+        table_name="dirty_v",
+        z=6,
+        dirty_every=D,
+        checkpoint_dir=str(tmp_path / "ckpt_state"),
+    )
+    got = spark.sql("SELECT tx, ty, version FROM dirty_v").toPandas()
+    assert got.duplicated().sum() == 0
+
+    totals = (
+        S.with_tile(S._event_points(ev), 6)
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("total"))
+        .toPandas()
+    )
+    want = {
+        (r.tx, r.ty, v)
+        for r in totals.itertuples()
+        for v in range(1, int(r.total) // D + 1)
+    }
+    have = {(r.tx, r.ty, r.version) for r in got.itertuples()}
+    assert have == want and len(want) > 0
+    # cross-batch proof: some tile must have crossed a threshold in a
+    # LATER batch than its first event (chunks are 1/4 of the data, so
+    # any tile with total >= 2*D has versions from different batches)
+    assert (totals["total"] >= 2 * D).any()
+
+
 def test_tile_assignment_consistent_with_batch_path(spark):
     from pyspark.sql import functions as F
 
