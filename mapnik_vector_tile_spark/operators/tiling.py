@@ -96,6 +96,34 @@ def images_to_features(images: DataFrame) -> DataFrame:
     return images.select(*cols).mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
+ASSIGNED_SCHEMA = (
+    "feature_id long, geom_type int, coords binary, caption string, "
+    "z int, x long, y long, is_single boolean, px long, py long"
+)
+
+
+def _pack_coords(xs, ys, offs) -> bytes:
+    """Multi-vertex geometry -> one binary blob: [n, m] int64 header +
+    xs/ys float64[n] + offsets int64[m]. A binary column shuffles at
+    string cost; Arrow list columns cost ~5-20x more per row (see
+    assign_tiles docstring)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    offs = np.asarray(offs, dtype=np.int64)
+    head = np.array([len(xs), len(offs)], dtype=np.int64)
+    return head.tobytes() + xs.tobytes() + ys.tobytes() + offs.tobytes()
+
+
+def _unpack_coords(buf) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    b = bytes(buf)
+    head = np.frombuffer(b, np.int64, 2)
+    n, m = int(head[0]), int(head[1])
+    xs = np.frombuffer(b, np.float64, n, 16)
+    ys = np.frombuffer(b, np.float64, n, 16 + 8 * n)
+    offs = np.frombuffer(b, np.int64, m, 16 + 16 * n)
+    return xs, ys, offs
+
+
 def assign_tiles(
     features: DataFrame,
     z_min: int = 0,
@@ -108,14 +136,16 @@ def assign_tiles(
     loop): the hot narrow stage before THE shuffle.
 
     Single-point features (the bulk of an image-footprint table) are
-    quantized to tile-local ints HERE and their xs/ys arrays dropped
-    (nulled), so THE shuffle moves two longs instead of two
-    array<double> columns per row — measured 10% compressed shuffle
-    bytes (71.2 vs 79.3 B/row at sf0.1; lz4 mutes the raw ~40B/row
-    saving) and, more importantly, the encode stage no longer
-    materializes a Python list object per row to read back xs[0].
-    Multi-vertex geometries keep their arrays (clip/simplify need
-    world coords).
+    quantized to tile-local ints HERE and carry NO geometry payload
+    through the shuffle; multi-vertex geometries ship ONE packed
+    binary `coords` column (len-header + xs/ys float64 + offsets
+    int64, `_pack_coords`) instead of three array<double>/array<int>
+    columns. Measured on this host: shuffling 1.65M rows with three
+    (even all-NULL) Arrow list columns costs ~11s beyond the numeric
+    columns (and ~55s at 100k-record Arrow batches); the same rows
+    with a binary column cost the same as numerics — list columns are
+    the single most expensive thing this pipeline can put through
+    exchange+Arrow, so the internal assigned schema never uses them.
     Encode re-checks buffered bounds on the quantized ints; for a point
     within half a quantum of the buffered edge this differs from the
     world-coordinate check by that half-quantum — sub-output-resolution
@@ -154,6 +184,12 @@ def assign_tiles(
             maxxs = np.where(single, sx, pdf["xs"].map(max).to_numpy(np.float64))
             minys = np.where(single, sy, pdf["ys"].map(min).to_numpy(np.float64))
             maxys = np.where(single, sy, pdf["ys"].map(max).to_numpy(np.float64))
+            # one packed-bytes object per MULTI feature, shared across
+            # all its z-level fan-out rows (np fancy-index copies the
+            # reference, not the bytes)
+            packed = np.empty(n, dtype=object)
+            for i in np.flatnonzero(~single):
+                packed[i] = _pack_coords(xs_np[i], ys_np[i], offs_np[i])
             chunks = []
             for z in range(z_min, z_max + 1):
                 lox, hix, loy, hiy = tm.covering_tiles_np(
@@ -175,19 +211,11 @@ def assign_tiles(
                 maxy_t = tm.W - ty * span
                 px = tm.round_half_away_np((sx[rep] - minx_t) * scale)
                 py = tm.round_half_away_np((maxy_t - sy[rep]) * scale)
-                xs_g = xs_np[rep]
-                ys_g = ys_np[rep]
-                offs_g = offs_np[rep]
-                xs_g[srep] = None
-                ys_g[srep] = None
-                offs_g[srep] = None
                 m = len(rep)
                 chunks.append(pd.DataFrame({
                     "feature_id": fids[rep],
                     "geom_type": gts[rep],
-                    "xs": xs_g,
-                    "ys": ys_g,
-                    "part_offsets": offs_g,
+                    "coords": packed[rep],
                     "caption": caps[rep],
                     "z": np.full(m, z, dtype=np.int32),
                     "x": tx,
@@ -198,10 +226,7 @@ def assign_tiles(
                 }))
             yield pd.concat(chunks)
 
-    schema = (
-        FEATURES_SCHEMA
-        + ", z int, x long, y long, is_single boolean, px long, py long"
-    )
+    schema = ASSIGNED_SCHEMA
     return features.mapInPandas(gen, schema=schema)
 
 
@@ -334,9 +359,7 @@ def encode_layer_partials(
         n_pts = 0
         fids = cols["feature_id"]
         gts = cols["geom_type"]
-        xss = cols["xs"]
-        yss = cols["ys"]
-        offss = cols["part_offsets"]
+        coords = cols["coords"]
         caps = cols["caption"]
         oks = cols["_ok"]
         singles = cols["_single"]
@@ -351,9 +374,7 @@ def encode_layer_partials(
                 stream = (9, int(zzxs[i]), int(zzys[i]))
                 n_xs = 1
             else:
-                xs = np.asarray(xss[i], dtype=np.float64)
-                ys = np.asarray(yss[i], dtype=np.float64)
-                offs = np.asarray(offss[i], dtype=np.int64)
+                xs, ys, offs = _unpack_coords(coords[i])
                 n_xs = len(xs)
                 if gtype == gc.GEOM_POINT:
                     cx, cy = clipmod.clip_points(xs, ys, bx0, by0, bx1, by1)
