@@ -103,12 +103,42 @@ REFINE_SCHEMA = "point_id long, region_id long"
 def _refine(cands: DataFrame, regions: DataFrame, broadcast_geo: bool) -> DataFrame:
     """Exact PIP refine over (point, region) candidates: join region
     geometry back on, then a batch-grouped vectorized ray cast (A.7) —
-    one numpy call per region per batch, not per point."""
-    geo = regions.select("region_id", "xs", "ys", "ring_offsets")
+    one numpy call per region per batch, not per point.
+
+    Geometry crosses the join as ONE packed binary column (tiling's
+    _pack_coords), never as Arrow list columns: the join materializes
+    a geometry copy PER CANDIDATE ROW, and list columns through
+    exchange+Arrow cost ~5-20x a binary of the same bytes (measured in
+    operators.tiling) — at 10^9 candidates that is the difference
+    between a working join and a stalled one."""
+    from mapnik_vector_tile_spark.operators.tiling import (
+        _pack_coords,
+        _unpack_coords,
+    )
+
+    def pack_gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "region_id": pdf["region_id"],
+                    "geom": [
+                        _pack_coords(x, y, o)
+                        for x, y, o in zip(
+                            pdf["xs"], pdf["ys"], pdf["ring_offsets"]
+                        )
+                    ],
+                }
+            )
+
+    geo = regions.select("region_id", "xs", "ys", "ring_offsets").mapInPandas(
+        pack_gen, schema="region_id long, geom binary"
+    )
     if broadcast_geo:
         geo = F.broadcast(geo)
     joined = cands.join(geo, "region_id").select(
-        "point_id", "region_id", "mx", "my", "xs", "ys", "ring_offsets"
+        "point_id", "region_id", "mx", "my", "geom"
     )
 
     def refine_batches(batches):
@@ -122,15 +152,14 @@ def _refine(cands: DataFrame, regions: DataFrame, broadcast_geo: bool) -> DataFr
             )
             mx = pdf["mx"].to_numpy()
             my = pdf["my"].to_numpy()
-            xs_col = pdf["xs"].to_numpy()
-            ys_col = pdf["ys"].to_numpy()
-            ro_col = pdf["ring_offsets"].to_numpy()
+            geom_col = pdf["geom"].to_numpy()
             pid = pdf["point_id"].to_numpy()
             out_p, out_r = [], []
             for i in range(len(starts) - 1):
                 s, e = int(starts[i]), int(starts[i + 1])
+                gx, gy, gro = _unpack_coords(geom_col[s])
                 inside = pipmod.points_in_polygon(
-                    mx[s:e], my[s:e], xs_col[s], ys_col[s], ro_col[s]
+                    mx[s:e], my[s:e], gx, gy, gro
                 )
                 sel = np.flatnonzero(inside) + s
                 out_p.append(pid[sel])
