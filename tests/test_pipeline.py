@@ -185,3 +185,23 @@ def test_adaptive_salt_equals_unsalted(spark):
         salted.filter("z = 0").select("salt").distinct().count()
     )
     assert z0_salts > 1
+
+
+def test_pack_coords_roundtrip():
+    """_pack_coords/_unpack_coords: exact float64/int64 round trip for
+    arbitrary part shapes (the shuffle wire format for multi-vertex
+    geometry)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.tiling import (
+        _pack_coords,
+        _unpack_coords,
+    )
+
+    rng = np.random.default_rng(3)
+    for n, m in [(1, 2), (4, 2), (23, 4), (1000, 11)]:
+        xs = rng.uniform(-2e7, 2e7, n)
+        ys = rng.uniform(-2e7, 2e7, n)
+        offs = np.sort(rng.integers(0, n + 1, m))
+        bx, by, bo = _unpack_coords(_pack_coords(xs, ys, offs))
+        assert (bx == xs).all() and (by == ys).all() and (bo == offs).all()
