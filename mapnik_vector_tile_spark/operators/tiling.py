@@ -308,6 +308,7 @@ def encode_layer_partials(
     n_salts: int = 16,
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
+    emit_tiles: bool = False,
 ) -> DataFrame:
     """Per-(z,x,y,salt) fold: quantize (A.3) -> clip in world coords
     (F10-F12) -> simplify (F9, tile units) -> command stream (F4-F8) ->
@@ -315,6 +316,11 @@ def encode_layer_partials(
     per (z,x,y,salt-group); callers merge via merge_salted_layers
     (layer output) or fold_tiles_from_partials (tile output, one fewer
     shuffle).
+
+    ``emit_tiles=True`` (callers guarantee every group is a WHOLE
+    unsalted single-layer tile — encode_tiles' z>SALT_MAX_Z branch):
+    each group folds to its final Tile buffer inline, so the finished
+    output corpus is never shuffled a second time.
 
     Executed via grouped.apply_grouped (repartition + in-batch group
     iteration) because tile workloads have ~1 group per tile — per-group
@@ -439,6 +445,10 @@ def encode_layer_partials(
             n_pts += n_xs
         if not lb.painted:
             return None
+        if emit_tiles:
+            return [
+                (z, x, y, pbf.concat_tile([lb.build()]), 1, len(lb._features))
+            ]
         return [(z, x, y, layer_name, lb.build(), len(lb._features), n_pts)]
 
     if adaptive_salt_target is not None:
@@ -447,13 +457,22 @@ def encode_layer_partials(
         )
     else:
         salted = with_salt(assigned, n_salts=n_salts)
+    if emit_tiles:
+        schema = (
+            "z int, x long, y long, tile binary, n_layers long, "
+            "n_features long"
+        )
+        out_columns = ["z", "x", "y", "tile", "n_layers", "n_features"]
+    else:
+        schema = LAYER_SCHEMA
+        out_columns = LAYER_COLS
     return apply_grouped(
         salted,
         keys=["z", "x", "y", "salt"],
         order_by=["z", "x", "y", "salt", "feature_id"],
         fn=encode_group,
-        schema=LAYER_SCHEMA,
-        out_columns=LAYER_COLS,
+        schema=schema,
+        out_columns=out_columns,
         num_partitions=num_partitions,
         prepare=prepare,
     )
@@ -496,23 +515,44 @@ def encode_tiles(
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
 ) -> DataFrame:
-    """EP1 fused finish: encode partials, then merge salted partials
-    AND fold layers into Tile buffers in ONE grouped pass keyed on
-    (z,x,y) — byte-identical to fold_tiles(encode_layers(...)) but one
-    whole shuffle + Arrow round-trip cheaper (the merge and the fold
-    shuffled the same rows on nearly the same key)."""
-    return fold_tiles_from_partials(
+    """EP1 fused finish, byte-identical to fold_tiles(encode_layers(...)).
+
+    Fixed-salt mode splits on SALT_MAX_Z: z > SALT_MAX_Z groups are
+    whole unsalted tiles, so the encode stage folds them to final Tile
+    buffers INLINE (`emit_tiles`) — the finished output corpus (the
+    overwhelming majority of tiles, and ALL of it at high z where the
+    data lives) is never shuffled a second time. Only the z<=SALT_MAX_Z
+    salted partials take the merge+fold pass. The narrow assign stage
+    is recomputed once per branch — at 100 TB a narrow recompute is
+    strictly cheaper than re-shuffling the entire output.
+
+    Adaptive mode can salt ANY hot tile (a megacity z14), so it keeps
+    the single merge+fold path for every row."""
+    common = dict(
+        layer_name=layer_name,
+        extent=extent,
+        buffer_units=buffer_units,
+        simplify_distance=simplify_distance,
+        n_salts=n_salts,
+        num_partitions=num_partitions,
+    )
+    if adaptive_salt_target is not None:
+        return fold_tiles_from_partials(
+            encode_layer_partials(
+                assigned,
+                adaptive_salt_target=adaptive_salt_target,
+                **common,
+            )
+        )
+    hi = encode_layer_partials(
+        assigned.filter(F.col("z") > SALT_MAX_Z), emit_tiles=True, **common
+    )
+    lo = fold_tiles_from_partials(
         encode_layer_partials(
-            assigned,
-            layer_name=layer_name,
-            extent=extent,
-            buffer_units=buffer_units,
-            simplify_distance=simplify_distance,
-            n_salts=n_salts,
-            num_partitions=num_partitions,
-            adaptive_salt_target=adaptive_salt_target,
+            assigned.filter(F.col("z") <= SALT_MAX_Z), **common
         )
     )
+    return hi.unionByName(lo)
 
 
 def _dedup_pairs(px: np.ndarray, py: np.ndarray):

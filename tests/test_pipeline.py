@@ -107,12 +107,13 @@ def test_salted_low_z_equals_unsalted(spark):
 
 
 def test_fused_encode_tiles_byte_identical(spark):
-    """encode_tiles (fused merge+fold, one fewer shuffle) must be
-    byte-identical to the two-stage fold_tiles(encode_layers(...))
-    path, salted and multi-layer alike."""
+    """encode_tiles (salted low-z merge+fold, inline-folded unsalted
+    high-z) must be byte-identical to the two-stage
+    fold_tiles(encode_layers(...)) path; z range spans BOTH branches
+    of the split."""
     images = synth.images_df(spark, 50, with_bytes=False, slices=2)
     feats = T.images_to_features(images)
-    assigned = T.assign_tiles(feats, 0, 4)
+    assigned = T.assign_tiles(feats, 0, 7)
     fused = (
         T.encode_tiles(assigned, n_salts=8).toPandas()
         .sort_values(["z", "x", "y"]).reset_index(drop=True)
