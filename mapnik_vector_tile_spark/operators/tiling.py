@@ -328,9 +328,6 @@ def encode_layer_partials(
     features (the bulk of an image-footprint table) are quantized for
     the WHOLE Arrow batch in one numpy pass (`prepare`), so the group
     loop only assembles bytes.
-
-    Returns one row per (z,x,y): salted partials are merged by
-    merge_salted_layers.
     """
     def prepare(cols: dict, n: int) -> dict:
         # singles arrive pre-quantized from assign_tiles (px/py tile
