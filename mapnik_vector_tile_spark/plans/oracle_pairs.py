@@ -1027,8 +1027,14 @@ def q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio: windowed RMS/ZCR features over the
-    deterministic pcm16 clip table (binary payload ⇒ rows-only;
-    kernel correctness gated by tests/test_multimodal.py)."""
+    deterministic pcm16 clip table. DELIBERATELY rows-only: the clip
+    samples are sine mixtures, and numpy's SIMD sin differs from
+    DuckDB's libm by ~1 ulp on ~half of inputs (measured), which after
+    int16 truncation and unrounded float64 RMS chains would make a SQL
+    twin fail intermittently (~1e-3/sweep) — a flaky correctness gate
+    is worse than an honest rows-only check (contrast q_video_frames,
+    whose pixels are pure integer math and therefore fully oracled).
+    Kernel correctness is gated by tests/test_multimodal.py."""
     from mapnik_vector_tile_spark.operators import multimodal as mm
     from mapnik_vector_tile_spark.sources.multimodal import audio_df
 
@@ -1036,8 +1042,13 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal video: 1→N frame sampling + mean-luma features
-    (binary payload ⇒ rows-only; parity in tests/test_multimodal.py)."""
+    """Multimodal video: 1→N frame sampling + mean-luma features —
+    FULL oracle: the synthetic corpus derives every pixel from one
+    splitmix64 of the video index via pure integer arithmetic, and
+    splitmix64 is expressible bit-exactly in DuckDB with HUGEINT
+    32-bit-limb multiplies + BIGINT-half xors (_sql_video_frames), so
+    the decode → frame-sample → mean-luma chain is value-hash-gated
+    end-to-end (means of integers are exact in float64 both sides)."""
     from pyspark.sql import functions as F
 
     from mapnik_vector_tile_spark.operators import multimodal as mm
@@ -1045,9 +1056,85 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = mm.sample_frames(video_df(spark, 300), every=4)
     return frames.select(
-        "video_id", "frame_idx", "mean_luma",
-        F.length("frame").alias("frame_bytes"),
+        "video_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "mean_luma",
+        F.length("frame").cast("bigint").alias("frame_bytes"),
     )
+
+
+_M64 = "18446744073709551616"  # 2^64
+_M32 = "4294967296"
+
+
+def _xor64(a: str, b: str) -> str:
+    """XOR of two HUGEINT values < 2^64 via BIGINT halves."""
+    return (
+        f"(CAST(xor(CAST(({a}) // {_M32} AS BIGINT),"
+        f" CAST(({b}) // {_M32} AS BIGINT)) AS HUGEINT) * {_M32}"
+        f" + xor(CAST(({a}) % {_M32} AS BIGINT),"
+        f" CAST(({b}) % {_M32} AS BIGINT)))"
+    )
+
+
+def _mul64(a: str, c: int) -> str:
+    """(a * c) mod 2^64 for HUGEINT a < 2^64, constant c — 32-bit limb
+    split keeps every intermediate < 2^96 (inside HUGEINT)."""
+    cl = c % 2**32
+    ch = c >> 32
+    return (
+        f"((({a}) * {cl} + (((({a}) % {_M32}) * {ch}) % {_M32})"
+        f" * {_M32}) % {_M64})"
+    )
+
+
+def splitmix64_sql(x: str) -> str:
+    """The synth corpus's committed mixing function (synth.splitmix64)
+    rendered as DuckDB SQL — verified bit-exact over [0, 300)."""
+    z0 = f"((CAST({x} AS HUGEINT) + 11400714819323198485) % {_M64})"
+    z1 = _xor64(z0, f"({z0}) // 1073741824")  # >> 30
+    z2 = _mul64(f"({z1})", 0xBF58476D1CE4E5B9)
+    z3 = _xor64(z2, f"({z2}) // 134217728")  # >> 27
+    z4 = _mul64(f"({z3})", 0x94D049BB133111EB)
+    return _xor64(z4, f"({z4}) // 2147483648")  # >> 31
+
+
+def _sql_video_frames(n_videos: int = 300, every: int = 4) -> str:
+    """DuckDB twin of q_video_frames: regenerate per-video params from
+    splitmix64(idx), enumerate sampled frames and the pixel grid, and
+    average the moving-gradient pixel formula
+    ((x*3 + y*5) + (frame*7 + phase)) % 256 — all integer arithmetic,
+    means exact in float64. idx % 9 == 0 videos are h264 stubs the
+    engine skips."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n_videos - 1})) AS idx),
+hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids WHERE idx % 9 <> 0),
+params AS (
+  SELECT idx,
+         16 + (h % 4) * 8 AS w,
+         16 + ((h // 16) % 4) * 8 AS ht,
+         8 + ((h // 4096) % 25) AS nf,
+         h % 251 AS phase
+  FROM hh),
+fr AS (
+  SELECT idx, w, ht, phase,
+         unnest(generate_series(0, CAST(nf AS BIGINT) - 1, {every})) AS fi
+  FROM params),
+fx AS (
+  SELECT idx, fi, w, ht, phase,
+         unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+  FROM fr),
+fxy AS (
+  SELECT idx, fi, w, ht, phase, x,
+         unnest(generate_series(0, CAST(ht AS BIGINT) - 1)) AS y
+  FROM fx)
+SELECT 'vid_' || CAST(idx AS VARCHAR) AS video_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       AVG(CAST((x * 3 + y * 5 + fi * 7 + phase) % 256 AS DOUBLE)) AS mean_luma,
+       CAST(w * ht AS BIGINT) AS frame_bytes
+FROM fxy
+GROUP BY 1, 2, 4
+"""
 
 
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
@@ -1076,7 +1163,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_simplify_lines": (q_simplify_lines, None),
     "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
     "q_audio_features": (q_audio_features, None),
-    "q_video_frames": (q_video_frames, None),
+    "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
 }
 
 
