@@ -84,19 +84,33 @@ def main() -> None:
 
     feats = T.images_to_features(images)
     assigned = T.assign_tiles(feats, args.z_min, args.z_max, args.buffer)
+
+    # packed tile key (z:4 | x:30 | y:30 bits) — the deterministic
+    # lineage-bucket key; stable across cluster sizes
+    def cell_col():
+        return (
+            F.shiftleft(F.col("z").cast("long"), 60)
+            + F.shiftleft(F.col("x"), 30)
+            + F.col("y")
+        )
+
+    # resume prunes COMPUTE, not just writes: the bucket key is pure
+    # (z,x,y) math known at assign time, so completed buckets never
+    # reach the shuffle/encode — a resumed run pays only the narrow
+    # scan+assign over the input, not the expensive stages (run_stage
+    # re-filters defensively; every row of a tile shares one bucket so
+    # the pre-filter is exact)
+    done = L.completed_buckets(args.out, "tiles")
+    if done:
+        b = F.pmod(F.hash(cell_col()), F.lit(L.DEFAULT_N_BUCKETS)).cast("int")
+        assigned = assigned.filter(~b.isin(*[int(x) for x in sorted(done)]))
+
     tiles = T.encode_tiles(
         assigned,
         buffer_units=args.buffer,
         n_salts=args.n_salts,
         adaptive_salt_target=args.adaptive_target,
-    ).withColumn(
-        "cell",
-        # packed tile key (z:4 | x:30 | y:30 bits) — the deterministic
-        # lineage-bucket key; stable across cluster sizes
-        F.shiftleft(F.col("z").cast("long"), 60)
-        + F.shiftleft(F.col("x"), 30)
-        + F.col("y"),
-    )
+    ).withColumn("cell", cell_col())
     lin = L.run_stage(
         tiles.select("z", "x", "y", "cell", "tile", "n_layers", "n_features"),
         args.out,

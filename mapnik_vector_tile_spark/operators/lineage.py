@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 
 from mapnik_vector_tile_spark.operators.grouped import apply_grouped
 
+# one bucket = one atomic commit unit; callers that pre-filter completed
+# buckets upstream (compute pruning) must hash with the SAME modulus
+DEFAULT_N_BUCKETS = 64
+
 LINEAGE_SCHEMA = (
     "stage string, run_id string, bucket int, key_min long, key_max long, "
     "rows_in long, rows_out long, wall_ms double, status string"
@@ -94,7 +98,7 @@ def run_stage(
     stage: str,
     key_col: str,
     run_id: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int = DEFAULT_N_BUCKETS,
     fail_bucket_over: int | None = None,
 ) -> DataFrame:
     """Execute a resumable checkpointed stage: persist `df` bucketed by
