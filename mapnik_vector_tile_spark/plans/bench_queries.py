@@ -96,6 +96,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, k=5)
 
 
+def q_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 raster leg: decode + bilinear warp + painter's composite of
+    4000 synthetic images into z5 tiles (binary-heavy mapInPandas)."""
+    from mapnik_vector_tile_spark.operators import raster as R
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    return R.rasterize_images(images_df(spark, 4000), z=5, tile_size=64)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         "q_pyramid": q_pyramid,
@@ -120,6 +129,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mapnik_vector_tile_spark.operators import similarity  # noqa: F401
 
         out["q_ann_topk"] = q_ann_topk
+    except ImportError:
+        pass
+    try:
+        from mapnik_vector_tile_spark.operators import raster  # noqa: F401
+
+        out["q_raster"] = q_raster
     except ImportError:
         pass
     return out
