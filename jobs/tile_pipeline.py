@@ -102,8 +102,11 @@ def main() -> None:
     # the pre-filter is exact)
     done = L.completed_buckets(args.out, "tiles")
     if done:
-        b = F.pmod(F.hash(cell_col()), F.lit(L.DEFAULT_N_BUCKETS)).cast("int")
-        assigned = assigned.filter(~b.isin(*[int(x) for x in sorted(done)]))
+        assigned = assigned.withColumn("cell", cell_col())
+        b = L.bucket_col("cell")  # MUST be run_stage's own expression
+        assigned = assigned.filter(
+            ~b.isin(*[int(x) for x in sorted(done)])
+        ).drop("cell")
 
     tiles = T.encode_tiles(
         assigned,

@@ -151,11 +151,19 @@ def decode_geometry(
     ClosePath only. Raises ValueError on malformed streams."""
     if geom_type == GEOM_POINT and len(stream) == 3 and int(stream[0]) == 9:
         # single-point fast path (the bulk of an image-footprint decode
-        # scan): pure-int zigzag, no numpy kernels
-        u1, u2 = int(stream[1]), int(stream[2])
+        # scan): pure-int zigzag, no numpy kernels. Mirror
+        # zigzag_decode_np's LOGICAL shift + int64 wrap exactly so
+        # int64-extreme (corrupt/adversarial) encodings decode the
+        # same whichever path handles them — asserted in
+        # tests/test_geomcodec.py.
+        def _zz(v: int) -> int:
+            u = int(v) & 0xFFFFFFFFFFFFFFFF
+            d = (u >> 1) ^ -(u & 1)
+            return ((d + (1 << 63)) & 0xFFFFFFFFFFFFFFFF) - (1 << 63)
+
         return (
-            np.array([(u1 >> 1) ^ -(u1 & 1)], dtype=np.int64),
-            np.array([(u2 >> 1) ^ -(u2 & 1)], dtype=np.int64),
+            np.array([_zz(stream[1])], dtype=np.int64),
+            np.array([_zz(stream[2])], dtype=np.int64),
             np.array([0, 1], dtype=np.int64),
         )
     stream = np.asarray(stream, dtype=np.int64)

@@ -390,14 +390,20 @@ def _varints_small(buf: bytes) -> np.ndarray:
             continue
         result = b & 0x7F
         shift = 7
-        while True:
+        complete = False
+        while pos < n:
             b = buf[pos]
             pos += 1
             result |= (b & 0x7F) << shift
             if not (b & 0x80):
+                complete = True
                 break
             shift += 7
-        out.append(result)
+        if complete:
+            # wrap mod 2^64 like the numpy path (non-canonical >10-byte
+            # varints); a truncated trailing varint is dropped, also
+            # matching varint_decode_np's continuation-bit scan
+            out.append(result & 0xFFFFFFFFFFFFFFFF)
     return np.array(out, dtype=np.uint64)
 
 

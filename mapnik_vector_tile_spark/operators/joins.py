@@ -388,12 +388,14 @@ def bench_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bench_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bench_knn(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     q = _order_points(spark, sf_dir, "customer", "c_custkey")
     t = _order_points(spark, sf_dir, "orders", "o_orderkey").select(
         F.col("id").alias("tid"),
         F.col("mx").alias("tx"),
         F.col("my").alias("ty"),
     )
-    z = knn_auto_z(t.count(), 5)
-    return knn_join(q, t, k=5, z=z, radii=(2, 4, 8, 16))
+    # target count from parquet metadata (count-star pushdown) — the
+    # derived-points pipeline itself is never executed just for sizing
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    return knn_join(q, t, k=k, z=knn_auto_z(n, k), radii=(2, 4, 8, 16))

@@ -35,9 +35,16 @@ from pyspark.sql import functions as F
 
 from mapnik_vector_tile_spark.operators.grouped import apply_grouped
 
-# one bucket = one atomic commit unit; callers that pre-filter completed
-# buckets upstream (compute pruning) must hash with the SAME modulus
+# one bucket = one atomic commit unit
 DEFAULT_N_BUCKETS = 64
+
+
+def bucket_col(key_col: str, n_buckets: int = DEFAULT_N_BUCKETS) -> F.Column:
+    """THE bucket expression — the single definition shared by
+    run_stage's commit path and any upstream compute-pruning filter
+    (jobs/tile_pipeline). Divergent copies of this formula would
+    silently drop un-committed work from a resumed run."""
+    return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 LINEAGE_SCHEMA = (
     "stage string, run_id string, bucket int, key_min long, key_max long, "
@@ -114,9 +121,7 @@ def run_stage(
     os.makedirs(ldir, exist_ok=True)
     done = completed_buckets(out_dir, stage)
 
-    bucketed = df.withColumn(
-        "_bucket", F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
-    )
+    bucketed = df.withColumn("_bucket", bucket_col(key_col, n_buckets))
     if done:
         bucketed = bucketed.filter(
             ~F.col("_bucket").isin(*[int(b) for b in sorted(done)])

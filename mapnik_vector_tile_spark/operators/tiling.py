@@ -675,23 +675,36 @@ def decode_tiles_to_features(
     narrow mapInPandas — no shuffle).
 
     ``bbox`` (merc minx,miny,maxx,maxy) is the tile_datasource_pbf query
-    bbox: applied as a Column predicate on tile ids BEFORE any byte is
-    decoded (each z's covering-tile range is closed-form), so Catalyst
-    pushes it to the tiles scan and non-intersecting tiles never reach
-    Python — the decode-scan analog of predicate pushdown."""
+    bbox, applied BEFORE any byte is decoded as a disjunction of
+    PER-ZOOM LITERAL ranges: ``(z=0 AND x BETWEEN .. AND y BETWEEN ..)
+    OR (z=1 AND ..) OR ..`` over every legal level (z<=30, A.6). All
+    constants are literals — no column-dependent arithmetic — so the
+    predicate reaches the parquet/Iceberg source as pushed filters and
+    non-intersecting ROW GROUPS are skipped via min/max stats, not just
+    rows post-scan (a z-dependent floor() expression cannot be pushed;
+    asserted by tests/test_plan_quality.py)."""
     if bbox is not None:
+        import math
+
         minx, miny, maxx, maxy = bbox
-        n = F.expr("shiftleft(1L, z)")
-        span = F.lit(TWO_W_ARR) / n
-        lox = F.floor((F.lit(minx) + F.lit(tm.W)) / span)
-        hix = F.floor((F.lit(maxx) + F.lit(tm.W)) / span)
-        loy = F.floor((F.lit(tm.W) - F.lit(maxy)) / span)
-        hiy = F.floor((F.lit(tm.W) - F.lit(miny)) / span)
+        disjuncts = None
+        for z in range(0, 31):
+            span = TWO_W_ARR / (1 << z)
+            lim = (1 << z) - 1
+            lox = max(0, int(math.floor((minx + tm.W) / span)))
+            hix = min(lim, int(math.floor((maxx + tm.W) / span)))
+            loy = max(0, int(math.floor((tm.W - maxy) / span)))
+            hiy = min(lim, int(math.floor((tm.W - miny) / span)))
+            if lox > hix or loy > hiy:
+                continue
+            d = (
+                (F.col("z") == z)
+                & F.col("x").between(lox, hix)
+                & F.col("y").between(loy, hiy)
+            )
+            disjuncts = d if disjuncts is None else (disjuncts | d)
         tiles = tiles.filter(
-            (F.col("x") >= F.greatest(lox, F.lit(0)))
-            & (F.col("x") <= F.least(hix, n - 1))
-            & (F.col("y") >= F.greatest(loy, F.lit(0)))
-            & (F.col("y") <= F.least(hiy, n - 1))
+            disjuncts if disjuncts is not None else F.lit(False)
         )
 
     def gen(it):

@@ -6,6 +6,8 @@ in the physical plan, not just assumed. These tests freeze them."""
 import numpy as np
 import pytest
 
+from tests.conftest import SF_DIR
+
 from mapnik_vector_tile_spark.operators import tiling as T
 
 
@@ -29,18 +31,21 @@ def tiles_parquet(spark, tmp_path_factory):
 
 
 def test_decode_bbox_prunes_at_scan(spark, tiles_parquet):
-    """S2 decode-scan: the bbox tile-id predicate must reach the
-    parquet source as pushed filters — non-intersecting tiles are
-    skipped via row-group stats, never decoded in Python."""
+    """S2 decode-scan: the bbox predicate must reach the parquet
+    source as PushedFilters carrying the ACTUAL per-zoom literal
+    ranges (EqualTo(z,..) AND x/y bounds) — an IsNotNull-only pushed
+    list means the range math stayed column-dependent and row groups
+    are NOT skipped (the vacuous state a prior version of this test
+    failed to catch)."""
     from mapnik_vector_tile_spark.functions import tilemath as tm
 
     tiles = spark.read.parquet(tiles_parquet)
     dec = T.decode_tiles_to_features(tiles, bbox=(-tm.W, 0.0, 0.0, tm.W))
     plan = _plan(dec)
-    assert "PushedFilters" in plan
-    # the x/y range conjuncts appear in the pushed filter list
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
-    assert "x" in pushed and "y" in pushed and "IsNotNull" in pushed
+    assert "EqualTo(z," in pushed
+    assert "LessThanOrEqual(x," in pushed and "LessThanOrEqual(y," in pushed
+    assert "GreaterThanOrEqual(x," in pushed or "GreaterThanOrEqual(x,0)" in pushed
 
 
 def test_pyramid_uses_partial_aggregation(spark):
@@ -49,7 +54,7 @@ def test_pyramid_uses_partial_aggregation(spark):
     whole plan stays in whole-stage codegen."""
     from mapnik_vector_tile_spark.plans.flagship import pyramid_counts
 
-    df = pyramid_counts(spark, "/root/testdata/sf0.001")
+    df = pyramid_counts(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan or "partial" in plan
@@ -61,8 +66,8 @@ def test_pip_join_broadcasts_region_side(spark):
     billion-row point side never shuffles for the candidate join."""
     from mapnik_vector_tile_spark.operators import joins as J
 
-    pts = J._order_points(spark, "/root/testdata/sf0.001", "orders", "o_orderkey")
-    regions = J.merc_rect_regions(spark, "/root/testdata/sf0.001")
+    pts = J._order_points(spark, SF_DIR, "orders", "o_orderkey")
+    regions = J.merc_rect_regions(spark, SF_DIR)
     pairs = J.pip_join_broadcast(pts, regions, z=6)
     plan = _plan(pairs)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
