@@ -86,6 +86,11 @@ def varint_decode_np(buf: bytes, count: int | None = None) -> tuple[np.ndarray, 
 def _varint1(v: int) -> bytes:
     out = bytearray()
     v = int(v)
+    if v < 0:
+        # two's-complement 10-byte varint, protobuf semantics — without
+        # the mask the >>= loop on a negative Python int never
+        # terminates (converges to -1, always truthy)
+        v &= 0xFFFFFFFFFFFFFFFF
     while True:
         b = v & 0x7F
         v >>= 7
@@ -140,7 +145,10 @@ def encode_value(v) -> bytes:
     """mapnik value -> Tile.Value oneof. Int python ints -> int_value
     (field 4, the upstream choice per SURVEY.md F14 [C-med], pinned by
     our golden decoder); bool -> 7; float -> double field 3; str -> 1."""
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
+        # np.bool_ is NOT a bool/np.integer subclass — without the
+        # explicit branch a pandas-sourced boolean would fall through
+        # to the string case and change type in the tile
         return _tag(7, 0) + _varint1(1 if v else 0)
     if isinstance(v, (int, np.integer)):
         i = int(v)
@@ -150,7 +158,13 @@ def encode_value(v) -> bytes:
     if isinstance(v, (float, np.floating)):
         return _tag(3, 1) + struct.pack("<d", float(v))
     if isinstance(v, bytes):
-        return _tag(1, 2) + _varint1(len(v)) + v
+        # MVT Value has NO bytes member; string_value must be UTF-8.
+        # Writing raw bytes would produce a tile every conformant
+        # decoder (ours included) crashes on — fail at encode instead.
+        raise TypeError(
+            "MVT attribute values cannot be raw bytes (Tile.Value has "
+            "no bytes field); decode or re-encode the payload first"
+        )
     s = str(v).encode("utf-8")
     return _tag(1, 2) + _varint1(len(s)) + s
 
@@ -309,6 +323,17 @@ def concat_tile(layer_msgs: list[bytes]) -> bytes:
 # --- decode ------------------------------------------------------------------
 
 
+def _skip_unknown(buf: bytes, pos: int, wire: int) -> int:
+    """Skip an unknown field per protobuf wire rules (conformant
+    decoders MUST skip, not reject: fixed64=8 bytes, fixed32=4).
+    Deprecated group wires (3/4) stay errors."""
+    if wire == 1:
+        return pos + 8
+    if wire == 5:
+        return pos + 4
+    raise ValueError(f"bad wire type {wire}")
+
+
 def decode_tile(buf: bytes) -> list[bytes]:
     """Tile bytes -> list of raw Layer messages."""
     layers = []
@@ -367,7 +392,7 @@ def decode_layer(buf: bytes) -> dict:
             elif field == 2:
                 out["features"].append(_decode_feature(payload))
         else:
-            raise ValueError(f"unexpected wire type {wire} in layer")
+            pos = _skip_unknown(buf, pos, wire)
     return out
 
 
@@ -432,7 +457,7 @@ def _decode_feature(buf: bytes) -> dict:
                 # optional bytes raster = 5 (R2/R3)
                 f["raster"] = payload
         else:
-            raise ValueError("bad feature wire type")
+            pos = _skip_unknown(buf, pos, wire)
     return f
 
 
@@ -472,7 +497,7 @@ def split_layer(buf: bytes) -> dict:
             elif field == 2:
                 out["features"].append(_split_feature(payload))
         else:
-            raise ValueError(f"unexpected wire type {wire} in layer")
+            pos = _skip_unknown(buf, pos, wire)
     return out
 
 
@@ -506,7 +531,7 @@ def _split_feature(buf: bytes):
             elif field == 5:
                 raw_raster = payload
         else:
-            raise ValueError(f"unexpected wire type {wire} in feature")
+            pos = _skip_unknown(buf, pos, wire)
     return (fid, gtype, tags, raw_geom, raw_raster)
 
 
@@ -531,7 +556,20 @@ def splice_merge_layers(blobs, name: str) -> bytes:
                 for i in range(0, len(tags), 2)
             ]
             feats.append((fid, gtype, props, raw_geom, raw_raster))
-    feats.sort(key=lambda f: (f[0] is None, f[0]))
+    # full deterministic order: fid first (the single-pass invariant),
+    # then content bytes as tiebreak — duplicate/None fids would
+    # otherwise keep shuffle-arrival order and break run-to-run
+    # byte-identity of the merged layer
+    feats.sort(
+        key=lambda f: (
+            f[0] is None,
+            f[0] if f[0] is not None else 0,
+            f[1],
+            f[3],
+            f[4] or b"",
+            f[2],
+        )
+    )
     key_map: dict[str, int] = {}
     val_map: dict[bytes, int] = {}
     t2 = _tag(2, 2)

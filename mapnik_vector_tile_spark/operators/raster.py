@@ -180,25 +180,13 @@ def rasterize_images(
     if fp.rdd.getNumPartitions() < sc.defaultParallelism:
         fp = fp.repartition(sc.defaultParallelism * 2)
 
-    span_expr = F.lit(2.0 * tm.W / (1 << z))
-    lim = (1 << z) - 1
-
-    def tile_range(col):
-        t = F.floor((col + F.lit(tm.W)) / span_expr).cast("long")
-        return F.greatest(F.lit(0), F.least(F.lit(lim), t))
-
-    ty_of = lambda col: F.greatest(
-        F.lit(0),
-        F.least(
-            F.lit(lim),
-            F.floor((F.lit(tm.W) - col) / span_expr).cast("long"),
-        ),
-    )
+    # the ONE clamped tile-coord expression (tilemath) — a local copy
+    # could drift from the vector fan-out / SQL oracle twin
     fanned = (
-        fp.withColumn("lox", tile_range(F.col("minx")))
-        .withColumn("hix", tile_range(F.col("maxx")))
-        .withColumn("loy", ty_of(F.col("maxy")))
-        .withColumn("hiy", ty_of(F.col("miny")))
+        fp.withColumn("lox", tm.tile_x_col(F.col("minx"), z))
+        .withColumn("hix", tm.tile_x_col(F.col("maxx"), z))
+        .withColumn("loy", tm.tile_y_col(F.col("maxy"), z))
+        .withColumn("hiy", tm.tile_y_col(F.col("miny"), z))
         .withColumn("x", F.explode(F.sequence("lox", "hix")))
         .withColumn("y", F.explode(F.sequence("loy", "hiy")))
         .select(
@@ -241,9 +229,16 @@ def rasterize_images(
             )
             if not mask.any():
                 # sub-pixel source (image smaller than one tile pixel):
-                # splat the mean color into the pixel holding its center
-                c = int((0.5 * (bbox[0] + bbox[2]) - tx0) / span * tile_size)
-                r = int((ty1 - 0.5 * (bbox[1] + bbox[3])) / span * tile_size)
+                # splat the mean color into the pixel holding its
+                # center — floor, NOT int() (truncation toward zero
+                # maps a center slightly LEFT of this tile to column 0
+                # of the wrong tile instead of -1 → out of range)
+                c = int(
+                    np.floor((0.5 * (bbox[0] + bbox[2]) - tx0) / span * tile_size)
+                )
+                r = int(
+                    np.floor((ty1 - 0.5 * (bbox[1] + bbox[3])) / span * tile_size)
+                )
                 if 0 <= c < tile_size and 0 <= r < tile_size:
                     acc[r, c] = rgba.astype(np.float64).mean(axis=(0, 1))
                     covered[r, c] = True
@@ -294,7 +289,9 @@ def raster_tiles_to_layer(
             ):
                 lb = pbf.LayerBuilder(layer_name, extent=extent)
                 lb.add_feature(
-                    int(zz) << 40 | int(xx) << 20 | int(yy),
+                    # z:6 | x:29 | y:29 bits — valid through z=29
+                    # (20-bit fields corrupted ids from z=21 up)
+                    int(zz) << 58 | int(xx) << 29 | int(yy),
                     gc.GEOM_POLYGON,
                     stream,
                     {"caption": "|".join(caps)},
@@ -344,8 +341,13 @@ def fill_polygon_mask(
     pxs: np.ndarray, pys: np.ndarray, ring_offsets: np.ndarray, size: int
 ) -> np.ndarray:
     """Scanline even-odd polygon fill on the tile pixel grid — the
-    rasterizer kernel for R4. Pixel centers (c+0.5, r+0.5)."""
-    mask = np.zeros((size, size), dtype=bool)
+    rasterizer kernel for R4. Pixel centers (c+0.5, r+0.5).
+
+    A suffix-XOR at column c0 toggles every pixel to its right, so the
+    fill is the PARITY of toggle-starts at or left of each column:
+    accumulate per-(row, c0) toggle counts (one vectorized scatter per
+    edge), one cumsum at the end — no per-crossing Python loop."""
+    toggles = np.zeros((size, size), dtype=np.int64)
     yc = np.arange(size, dtype=np.float64) + 0.5
     for r in range(len(ring_offsets) - 1):
         xs = pxs[ring_offsets[r] : ring_offsets[r + 1]].astype(np.float64)
@@ -359,12 +361,17 @@ def fill_polygon_mask(
                 with np.errstate(divide="ignore", invalid="ignore"):
                     xint = (xs[j] - xs[i]) * (yc - y0) / (y1 - y0) + xs[i]
                 rows_idx = np.flatnonzero(cross)
-                for ri in rows_idx:
-                    c0 = int(np.ceil(xint[ri] - 0.5))
-                    if c0 < size:
-                        mask[ri, max(c0, 0) :] ^= True
+                if len(rows_idx):
+                    c0 = np.ceil(xint[rows_idx] - 0.5).astype(np.int64)
+                    keep = c0 < size
+                    if keep.any():
+                        np.add.at(
+                            toggles,
+                            (rows_idx[keep], np.maximum(c0[keep], 0)),
+                            1,
+                        )
             j = i
-    return mask
+    return (np.cumsum(toggles, axis=1) % 2).astype(bool)
 
 
 def rasterize_features(
