@@ -53,21 +53,22 @@ def face_uv_np(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     )
     u = np.empty_like(x)
     v = np.empty_like(x)
-    # full-array divides are masked per face; rows belonging to other
-    # faces may divide by ~0 there — silence those lanes
-    with np.errstate(divide="ignore", invalid="ignore"):
-        for fc, (ue, ve) in {
-            0: (lambda: y / x, lambda: z / x),
-            1: (lambda: -x / y, lambda: z / y),
-            2: (lambda: -x / z, lambda: -y / z),
-            3: (lambda: z / x, lambda: y / x),
-            4: (lambda: z / y, lambda: -x / y),
-            5: (lambda: -y / z, lambda: -x / z),
-        }.items():
-            m = face == fc
-            if m.any():
-                u[m] = ue()[m]
-                v[m] = ve()[m]
+    # divide only the compressed lanes of each face — full-array
+    # divides would do ~6x the FLOPs and hit div-by-zero on rows that
+    # belong to other faces
+    for fc, (ue, ve) in {
+        0: (lambda a, b, c: b / a, lambda a, b, c: c / a),
+        1: (lambda a, b, c: -a / b, lambda a, b, c: c / b),
+        2: (lambda a, b, c: -a / c, lambda a, b, c: -b / c),
+        3: (lambda a, b, c: c / a, lambda a, b, c: b / a),
+        4: (lambda a, b, c: c / b, lambda a, b, c: -a / b),
+        5: (lambda a, b, c: -b / c, lambda a, b, c: -a / c),
+    }.items():
+        m = face == fc
+        if m.any():
+            xm, ym, zm = x[m], y[m], z[m]
+            u[m] = ue(xm, ym, zm)
+            v[m] = ve(xm, ym, zm)
     return face.astype(np.int64), u, v
 
 

@@ -618,6 +618,55 @@ def splice_merge_layers(blobs, name: str) -> bytes:
     return b"".join(parts)
 
 
+def rebuild_layer_raw(
+    name: str,
+    version: int,
+    extent: int,
+    keys: list[str],
+    raw_values: list[bytes],
+    feats,
+) -> bytes:
+    """Assemble a Layer whose key/value dictionaries are copied
+    VERBATIM (raw Value bytes — no decode/encode round trip, which
+    would normalize oneof types: uint_value >= 2^63 re-emitted as
+    int_value flips sign, float_value widens to double_value).
+    ``feats`` = (fid, gtype, tags, raw_geom, raw_raster) as produced
+    by split_layer. Used by the composite extent-rescale slow path,
+    where only geometry bytes change."""
+    t2 = _tag(2, 2)
+    fparts: list[bytes] = []
+    for fid, gtype, tags, raw_geom, raw_raster in feats:
+        fp: list[bytes] = []
+        if fid is not None:
+            fp += (_tag(1, 0), varint_of(int(fid)))
+        if tags:
+            tp = varints_py(int(t) for t in tags)
+            fp += (t2, varint_of(len(tp)), tp)
+        fp += (
+            _tag(3, 0),
+            varint_of(int(gtype)),
+            _tag(4, 2),
+            varint_of(len(raw_geom)),
+            raw_geom,
+        )
+        if raw_raster is not None:
+            fp += (_tag(5, 2), varint_of(len(raw_raster)), raw_raster)
+        fb = b"".join(fp)
+        fparts += (t2, varint_of(len(fb)), fb)
+    nm = name.encode("utf-8")
+    parts = [_tag(15, 0), varint_of(version), _tag(1, 2), varint_of(len(nm)), nm]
+    parts += fparts
+    t3 = _tag(3, 2)
+    for k in keys:
+        kb = k.encode("utf-8")
+        parts += (t3, varint_of(len(kb)), kb)
+    t4 = _tag(4, 2)
+    for v in raw_values:
+        parts += (t4, varint_of(len(v)), v)
+    parts += (_tag(5, 0), varint_of(extent))
+    return b"".join(parts)
+
+
 def feature_props(layer: dict, feature: dict) -> dict:
     keys, values = layer["keys"], layer["values"]
     t = feature["tags"]

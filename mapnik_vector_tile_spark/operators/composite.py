@@ -38,6 +38,8 @@ def composite_layers(
     reference's skip-duplicate policy). Returns a layers table ready
     for fold_tiles. Pass target_extent to force the slow path (decode →
     rescale → re-encode) on blobs whose extent differs."""
+    if not sources:
+        raise ValueError("composite_layers: no source layer tables")
     tagged = None
     for rank, src in enumerate(sources):
         t = src.select(*LAYER_COLS).withColumn("_rank", F.lit(rank))
@@ -80,44 +82,61 @@ def composite_tiles(
 
 
 def rescale_layer_blob(blob: bytes, to_extent: int) -> bytes:
-    """Slow-path re-encode: decode features, scale tile-local ints to
-    the new extent (round-half-away, reference view_strategy parity),
-    rebuild the layer with fresh dictionaries."""
-    d = pbf.decode_layer(blob)
+    """Slow-path re-encode: scale tile-local ints to the new extent
+    with tilemath.round_half_away_np (std::round / view_strategy
+    parity — floor(x+0.5) would round negative buffer halves the
+    wrong way), keeping key/value dictionaries as RAW bytes so value
+    oneof types survive verbatim (a decode/encode round trip would
+    normalize uint_value/float_value/sint_value). Features whose
+    geometry stream fails v2 decoding (v1-tolerated shapes, corrupt
+    bytes) are DROPPED, not raised — one bad foreign feature must not
+    abort the composite job."""
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    d = pbf.split_layer(blob)
     from_extent = d["extent"]
     if from_extent == to_extent:
         return blob
     s = to_extent / from_extent
-    lb = pbf.LayerBuilder(d["name"], extent=to_extent, version=d["version"] or 2)
-    for f in d["features"]:
-        xs, ys, offs = gc.decode_geometry(
-            int(f["type"]), f["geometry"].astype(np.int64)
-        )
-        px = np.floor(xs * s + 0.5).astype(np.int64)
-        py = np.floor(ys * s + 0.5).astype(np.int64)
-        stream = gc.encode_geometry(int(f["type"]), px, py, offs)
-        lb.add_feature(
-            f["id"],
-            int(f["type"]),
-            stream,
-            pbf.feature_props(d, f),
-            raster=f.get("raster"),
-        )
-    return lb.build()
+    feats = []
+    for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
+        try:
+            xs, ys, offs = gc.decode_geometry(
+                int(gtype), pbf._varints_small(raw_geom).astype(np.int64)
+            )
+        except ValueError:
+            continue
+        px = tm.round_half_away_np(xs.astype(np.float64) * s)
+        py = tm.round_half_away_np(ys.astype(np.float64) * s)
+        stream = gc.encode_geometry(int(gtype), px, py, offs)
+        if len(stream) == 0:
+            continue
+        raw2 = pbf.varint_bytes_np(np.asarray(stream, dtype=np.uint64))
+        feats.append((fid, gtype, tags, raw2, raw_raster))
+    return pbf.rebuild_layer_raw(
+        d["name"], d["version"] or 2, to_extent, d["keys"],
+        d["raw_values"], feats,
+    )
 
 
 # --- P5 validity -----------------------------------------------------------------
 
 
 def layer_is_valid(blob: bytes) -> tuple[bool, list[str]]:
+    ok, reasons, _name = _layer_valid_named(blob)
+    return ok, reasons
+
+
+def _layer_valid_named(blob: bytes) -> tuple[bool, list[str], str | None]:
     """src/vector_tile_is_valid.hpp layer rules: version ∈ {1,2},
     non-empty name, extent > 0, known geom types, tag indices inside
-    dictionaries, geometry command streams well-formed."""
+    dictionaries, geometry command streams well-formed. Returns the
+    layer name from the same single parse."""
     reasons: list[str] = []
     try:
         d = pbf.decode_layer(blob)
     except Exception as e:  # malformed protobuf
-        return False, [f"unparseable: {e}"]
+        return False, [f"unparseable: {e}"], None
     if d["version"] not in (1, 2):
         reasons.append("bad version")
     if not d["name"]:
@@ -143,12 +162,13 @@ def layer_is_valid(blob: bytes) -> tuple[bool, list[str]]:
         except Exception:
             reasons.append("bad geometry stream")
             break
-    return (not reasons), reasons
+    return (not reasons), reasons, d["name"]
 
 
 def tile_is_valid(tile: bytes) -> tuple[bool, list[str]]:
     """Tile rules: parseable, ≥1 layer, unique non-empty layer names,
-    every layer valid."""
+    every layer valid. One decode per layer (the name comes from the
+    same parse layer_is_valid already did)."""
     try:
         layers = pbf.decode_tile(pbf.maybe_decompress(tile))
     except Exception as e:
@@ -158,13 +178,11 @@ def tile_is_valid(tile: bytes) -> tuple[bool, list[str]]:
     reasons: list[str] = []
     names = []
     for lmsg in layers:
-        ok, why = layer_is_valid(lmsg)
+        ok, why, name = _layer_valid_named(lmsg)
         if not ok:
             reasons.extend(why)
-        try:
-            names.append(pbf.decode_layer(lmsg)["name"])
-        except Exception:
-            pass
+        if name is not None:
+            names.append(name)
     if len(set(names)) != len(names):
         reasons.append("duplicate layer name")
     return (not reasons), reasons

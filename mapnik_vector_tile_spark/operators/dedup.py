@@ -22,7 +22,7 @@ Scale story (100 TB of documents):
                      combine shrinks to |docs| rows before shuffle);
                      banding self-join shuffles on (band, signature) —
                      the classic O(n·b) candidate join, AQE-skew-safe.
-* SimHash          — NO explode at all: 56 conditional-sum aggregates
+* SimHash          — word explode (narrow), then 56 conditional-sum aggregates
                      per doc in one groupBy; pairs via 4-chunk banding
                      (Hamming ≤ 3 ⇒ at least one 14-bit chunk equal by
                      pigeonhole when 4 chunks / 3 flips).
@@ -158,8 +158,11 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 def simhash(docs: DataFrame, bits: int = SIM_BITS) -> DataFrame:
     """(doc_id, simhash): sign-sum of word-hash bits, weight = token
-    occurrences. NO explode: `bits` conditional sums in one groupBy —
-    at 100 TB this is a single map-side-combining aggregation."""
+    occurrences. One word-explode then `bits` conditional sums in ONE
+    groupBy(doc_id) — the explode amplifies rows per token but the
+    aggregation partial-combines map-side back to |docs| rows before
+    the shuffle (the shuffle, not the narrow explode, is what prices
+    out at 100 TB)."""
     w = docs.select(
         "doc_id", F.explode(words_col()).alias("word")
     ).withColumn("hv", h14(F.col("word")))
