@@ -40,15 +40,9 @@ TWO_W = 2.0 * tm.W
 
 
 def _tile_xy_cols(mx, my, z: int):
-    span = TWO_W / (1 << z)
-    tx = F.floor((mx + F.lit(tm.W)) / F.lit(span)).cast("long")
-    ty = F.floor((F.lit(tm.W) - my) / F.lit(span)).cast("long")
-    lim = F.lit((1 << z) - 1)
-    zero = F.lit(0)
-    return (
-        F.greatest(zero, F.least(lim, tx)),
-        F.greatest(zero, F.least(lim, ty)),
-    )
+    # delegate to THE clamped tile-coord expressions (tilemath) — a
+    # private copy here could drift from the tiling grid / SQL oracle
+    return tm.tile_x_col(mx, z), tm.tile_y_col(my, z)
 
 
 def with_point_cell(points: DataFrame, z: int, mx="mx", my="my") -> DataFrame:
@@ -62,8 +56,6 @@ def cover_region_cells(regions: DataFrame, z: int) -> DataFrame:
     """region -> one row per covering cell of its envelope (A.2 range
     cover). Envelope + floor-range math in Columns; the explode is the
     only row-amplifying step. Input needs xs/ys array<double> (merc)."""
-    span = TWO_W / (1 << z)
-    lim = (1 << z) - 1
     env = regions.select(
         "region_id",
         F.array_min("xs").alias("minx"),
@@ -87,13 +79,11 @@ def cover_region_cells(regions: DataFrame, z: int) -> DataFrame:
             F.sequence("loy", "hiy").alias("_ys"),
         )
         .select("region_id", "ctx", F.explode("_ys").alias("cty"))
-        .filter(
-            (F.col("ctx") >= 0)
-            & (F.col("ctx") <= lim)
-            & (F.col("cty") >= 0)
-            & (F.col("cty") <= lim)
-        )
     )
+    # no range filter needed: _tile_xy_cols clamps lo/hi to [0, lim],
+    # so every exploded cell is in range by construction (fully
+    # off-world regions degrade to edge-cell candidates, removed by
+    # the exact refine)
     return cells
 
 
@@ -309,11 +299,11 @@ def knn_join(
         )
         final_ids = marked.filter(is_final).select("id").distinct()
         remaining = remaining.join(F.broadcast(final_ids), "id", "left_anti")
-        if remaining.isEmpty():
+        if remaining.isEmpty():  # one job; the post-loop check reuses it
             remaining = None
             break
 
-    if remaining is not None and not remaining.isEmpty():
+    if remaining is not None:  # loop exhausted radii with a live frontier
         # brute force for the stragglers: broadcast the (small) frontier
         bf = (
             F.broadcast(remaining.select("id", "mx", "my"))

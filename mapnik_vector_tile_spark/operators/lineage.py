@@ -136,10 +136,23 @@ def run_stage(
         b = int(key[0])
         t0 = time.monotonic()
         n = sl.stop - sl.start
-        arrays = [pa.array(list(cols[c][sl])) for c in data_cols]
+        # from_pandas=True + explicit type: a nullable int column
+        # arrives from Arrow as float64 with NaN — without the target
+        # type pa.array infers double and Table.from_arrays raises
+        arrays = [
+            pa.array(
+                list(cols[c][sl]),
+                type=arrow_schema.field(c).type,
+                from_pandas=True,
+            )
+            for c in data_cols
+        ]
         table = pa.Table.from_arrays(arrays, schema=arrow_schema)
         final = os.path.join(ddir, f"bucket={b}.parquet")
-        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        # dot-prefixed tmp: Spark ignores '.'-files, so a crash between
+        # write and rename cannot leave a readable orphan that a
+        # resumed read_stage would double-count or choke on
+        tmp = os.path.join(ddir, f".tmp-{uuid.uuid4().hex[:8]}-{b}")
         pq.write_table(table, tmp)
         os.replace(tmp, final)  # atomic commit of data ...
         kv = cols[key_col][sl]

@@ -204,23 +204,33 @@ def ivf_topk(
             M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             mn = np.linalg.norm(M, axis=1)
             cos9 = np.round((M @ bC.T) / (mn[:, None] * bcn[None, :]), 9)
-            rows = {"vec_id": [], "embedding": [], "cell": [], "crn": []}
-            vids = pdf["vec_id"].to_numpy()
-            embs = pdf["embedding"].to_numpy()
-            for r in range(len(pdf)):
-                order = np.lexsort((bcids, -cos9[r]))[:nprobe]
-                for rank, ci in enumerate(order, start=1):
-                    rows["vec_id"].append(int(vids[r]))
-                    rows["embedding"].append(embs[r])
-                    rows["cell"].append(int(bcids[ci]))
-                    rows["crn"].append(rank)
-            yield pd.DataFrame(rows)
+            # (cos9 DESC, cid ASC) per row, fully vectorized: the
+            # centroid axis is already in ascending-cid order (lowest
+            # vec_ids), so a STABLE argsort on -cos9 realizes the
+            # tiebreak without any per-row Python loop
+            order = np.argsort(-cos9, axis=1, kind="stable")[:, :nprobe]
+            nr = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), nprobe
+                    ),
+                    "embedding": np.repeat(
+                        pdf["embedding"].to_numpy(), nprobe
+                    ),
+                    "cell": bcids[order].ravel(),
+                    "crn": np.tile(
+                        np.arange(1, nprobe + 1, dtype=np.int32), nr
+                    ),
+                }
+            )
 
     etype = dict(emb.dtypes)["embedding"]
     asg = emb.select("vec_id", "embedding").mapInPandas(
         assign,
         schema=f"vec_id long, embedding {etype}, cell long, crn int",
-    )
+    ).localCheckpoint(eager=True)  # consumed by BOTH join sides —
+    # without it the matmul assign stage executes twice
     members = asg.filter(F.col("crn") == 1).select(
         F.col("cell"),
         F.col("vec_id").alias("nbr"),

@@ -161,16 +161,15 @@ def images_df(spark, n: int, with_bytes: bool = True, slices: int | None = None)
             if len(ids) == 0:
                 continue
             # ids from spark.range are contiguous per batch slice-wise;
-            # generate row-exact regardless of order
-            out = gen_images_pdf(0, 0, with_bytes=False).iloc[:0]
-            chunks = []
-            # group contiguous runs to vectorize
-            start = 0
-            arr = ids
-            splits = np.nonzero(np.diff(arr) != 1)[0] + 1
-            for seg in np.split(arr, splits):
-                chunks.append(gen_images_pdf(len(seg), int(seg[0]), with_bytes))
-            yield pd.concat(chunks) if chunks else out
+            # generate row-exact regardless of order by grouping
+            # contiguous runs (non-empty by the guard above)
+            splits = np.nonzero(np.diff(ids) != 1)[0] + 1
+            yield pd.concat(
+                [
+                    gen_images_pdf(len(seg), int(seg[0]), with_bytes)
+                    for seg in np.split(ids, splits)
+                ]
+            )
 
     schema = (
         "image_id string, bytes binary, w int, h int, fmt string, "
