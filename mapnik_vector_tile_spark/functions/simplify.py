@@ -80,15 +80,29 @@ def simplify_rings(
     closing vertex is appended before DP and stripped after (endpoint
     preservation then applies to the ring seam, matching the reference's
     treatment of rings as closed paths). Rings that collapse (<3 pts)
-    are dropped; line parts (<2 pts) are dropped."""
+    are dropped; line parts (<2 pts) are dropped.
+
+    Hole orphan rule (closed mode): when an EXTERIOR ring (positive
+    shoelace in y-down coords) collapses, its trailing interior rings
+    are dropped with it — the decoder assembles each exterior with the
+    holes that follow, so a surviving orphan hole would be punched
+    into the WRONG polygon (or lead the feature as an invalid first
+    ring)."""
     offsets = np.asarray(offsets, dtype=np.int64)
     ox: list[np.ndarray] = []
     oy: list[np.ndarray] = []
     offs = [0]
     min_pts = 3 if closed else 2
+    exterior_alive = True
     for r in range(len(offsets) - 1):
         px = np.asarray(xs[offsets[r] : offsets[r + 1]], dtype=np.float64)
         py = np.asarray(ys[offsets[r] : offsets[r + 1]], dtype=np.float64)
+        if closed:
+            x2 = np.roll(px, -1)
+            y2 = np.roll(py, -1)
+            is_exterior = float(np.sum(px * y2 - x2 * py)) > 0
+            if not is_exterior and not exterior_alive:
+                continue  # hole of a collapsed exterior
         if closed and len(px) >= 3:
             cx = np.concatenate((px, px[:1]))
             cy = np.concatenate((py, py[:1]))
@@ -97,7 +111,11 @@ def simplify_rings(
         else:
             sx, sy = simplify_part(px, py, tolerance)
         if len(sx) < min_pts:
+            if closed and is_exterior:
+                exterior_alive = False
             continue
+        if closed and is_exterior:
+            exterior_alive = True
         ox.append(sx)
         oy.append(sy)
         offs.append(offs[-1] + len(sx))

@@ -107,8 +107,18 @@ def covering_tiles_np(
 
 
 def round_half_away_np(v: np.ndarray) -> np.ndarray:
-    """std::round parity (A.3): half-away-from-zero, NOT banker's."""
-    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    """std::round parity (A.3): half-away-from-zero, NOT banker's.
+
+    Computed as trunc + exact-fraction compare, NOT floor(|v|+0.5):
+    the addition rounds v=0.49999999999999994 (largest double < 0.5)
+    up to exactly 1.0 before the floor, while std::round returns 0 —
+    the fraction v-trunc(v) is exact in IEEE754, so comparing it
+    reproduces the C++ reference bit-for-bit."""
+    v = np.asarray(v, dtype=np.float64)
+    t = np.trunc(v)
+    frac = v - t  # exact: same-binade subtraction
+    bump = np.where(np.abs(frac) >= 0.5, np.sign(v), 0.0)
+    return (t + bump).astype(np.int64)
 
 
 def quantize_np(
@@ -305,9 +315,12 @@ def quantize_y_col(my: Column, ty: Column, z: int, extent: int = DEFAULT_EXTENT)
 
 
 def _round_half_away_col(v: Column) -> Column:
-    pos = F.floor(v + F.lit(0.5))
-    neg = -F.floor(-v + F.lit(0.5))
-    return F.when(v >= 0, pos).otherwise(neg).cast("bigint")
+    # trunc + exact-fraction compare, matching round_half_away_np's
+    # std::round parity (floor(v+0.5) pre-rounds near-half doubles)
+    t = F.when(v >= 0, F.floor(v)).otherwise(F.ceil(v))
+    frac = v - t  # exact in IEEE754
+    bump = F.when(F.abs(frac) >= 0.5, F.signum(v)).otherwise(F.lit(0.0))
+    return (t + bump).cast("bigint")
 
 
 def zigzag_col(n: Column) -> Column:

@@ -74,7 +74,10 @@ def audio_features(
             for row in pdf.itertuples(index=False):
                 try:
                     x = decode_audio(row.bytes, row.codec, int(row.n_samples))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # NotImplementedError: stub codec; ValueError:
+                    # truncated/corrupt payload (frombuffer short
+                    # read) — one bad row must not abort the corpus
                     if skip_undecodable:
                         continue
                     raise
@@ -114,7 +117,10 @@ def sample_frames(
                         row.bytes, row.codec, int(row.w), int(row.h),
                         int(row.n_frames),
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # NotImplementedError: stub codec; ValueError:
+                    # truncated/corrupt payload (frombuffer short
+                    # read) — one bad row must not abort the corpus
                     if skip_undecodable:
                         continue
                     raise

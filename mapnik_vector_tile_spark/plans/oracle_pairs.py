@@ -716,7 +716,13 @@ def q_events_tile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_events_tile_window() -> str:
     from mapnik_vector_tile_spark.plans.shared_sql import TWO_W, flit
 
-    tx, ty = S.tile_xy_exprs(8)
+    # clamped to [0, 2^z-1] like streaming.with_tile (shared tilemath
+    # expressions): a point exactly on the -W edge must not address
+    # tile row 2^z
+    utx, uty = S.tile_xy_exprs(8)
+    lim = (1 << 8) - 1
+    tx = f"GREATEST(0, LEAST({lim}, {utx}))"
+    ty = f"GREATEST(0, LEAST({lim}, {uty}))"
     mx = (
         f"((((user_id) * 2654435761) % 4294967296) / {flit(2**32)})"
         f" * {flit(TWO_W)} - {flit(W)}"
@@ -918,8 +924,8 @@ adj AS (
 ),
 verts AS (
   SELECT fid, i AS idx,
-         CAST(floor((mx2 + {fw}) * {fs} + 0.5e0) AS BIGINT) AS px,
-         CAST(floor(({fw} - my2) * {fs} + 0.5e0) AS BIGINT) AS py
+         {S.round_half_up_nonneg(f'((mx2 + {fw}) * {fs})')} AS px,
+         {S.round_half_up_nonneg(f'(({fw} - my2) * {fs})')} AS py
   FROM adj
 ),
 splits(fid, a, b) AS (

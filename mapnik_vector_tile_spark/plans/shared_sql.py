@@ -77,21 +77,33 @@ def tile_xy_exprs(z: int, mx: str = "mx", my: str = "my") -> tuple[str, str]:
     return tx, ty
 
 
+def round_half_up_nonneg(q: str) -> str:
+    """Exact std::round for v >= 0: floor + exact-fraction compare.
+    floor(v + 0.5) is NOT std::round — the addition rounds
+    0.49999999999999994 (largest double < 0.5) up to 1.0 before the
+    floor; v - floor(v) is exact in IEEE754, so this form matches the
+    C++ reference (and round_half_away_np) bit-for-bit."""
+    return (
+        f"CAST(floor({q}) + (CASE WHEN ({q}) - floor({q}) >= 0.5e0"
+        f" THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+
+
 def quantize_exprs(
     z: int, tx: str, ty: str, mx: str = "mx", my: str = "my", extent: int = 4096
 ) -> tuple[str, str]:
-    """A.3 world->tile-local ints. v >= 0 inside the unbuffered tile, so
-    half-away-from-zero == floor(v + 0.5) here."""
+    """A.3 world->tile-local ints. v >= 0 inside the unbuffered tile,
+    so half-away-from-zero == round_half_up_nonneg here."""
     span = TWO_W / (1 << z)
-    px = (
-        f"CAST(floor((({mx}) - (-{flit(W)} + CAST({tx} AS DOUBLE) * {flit(span)}))"
-        f" * {flit(extent)} / {flit(span)} + 0.5e0) AS BIGINT)"
+    qx = (
+        f"((({mx}) - (-{flit(W)} + CAST({tx} AS DOUBLE) * {flit(span)}))"
+        f" * {flit(extent)} / {flit(span)})"
     )
-    py = (
-        f"CAST(floor((({flit(W)} - CAST({ty} AS DOUBLE) * {flit(span)}) - ({my}))"
-        f" * {flit(extent)} / {flit(span)} + 0.5e0) AS BIGINT)"
+    qy = (
+        f"((({flit(W)} - CAST({ty} AS DOUBLE) * {flit(span)}) - ({my}))"
+        f" * {flit(extent)} / {flit(span)})"
     )
-    return px, py
+    return round_half_up_nonneg(qx), round_half_up_nonneg(qy)
 
 
 def zigzag_expr(n: str) -> str:

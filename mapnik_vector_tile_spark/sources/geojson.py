@@ -98,29 +98,47 @@ def geojson_to_features(
                     obj = json.loads(doc)
                 except (TypeError, ValueError):
                     continue
+                if not isinstance(obj, dict):
+                    continue  # valid JSON, not a GeoJSON object ('42')
                 feats = (
                     obj.get("features", [])
                     if obj.get("type") == "FeatureCollection"
                     else [obj]
                 )
+                if not isinstance(feats, list):
+                    continue
                 for f in feats:
-                    if f.get("type") != "Feature":
+                    if not isinstance(f, dict) or f.get("type") != "Feature":
                         continue
                     geom = f.get("geometry") or {}
+                    if not isinstance(geom, dict):
+                        continue
                     gt = _TYPE_MAP.get(geom.get("type"))
                     if gt is None:
                         continue
-                    flat = _flatten_geometry(
-                        geom["type"], geom.get("coordinates")
-                    )
+                    try:
+                        flat = _flatten_geometry(
+                            geom["type"], geom.get("coordinates")
+                        )
+                    except (TypeError, ValueError, IndexError):
+                        # null/ragged coordinates — skip the feature,
+                        # never the task (mixed-corpus policy)
+                        continue
                     if flat is None:
                         continue
                     props = f.get("properties") or {}
+                    if not isinstance(props, dict):
+                        props = {}
                     fid = f.get("id", props.get("id"))
-                    if fid is None:
+                    try:
+                        fid = int(fid)
+                    except (TypeError, ValueError):
+                        # RFC 7946 allows string ids, but MVT feature
+                        # ids are uint64 — non-integer ids are dropped
+                        # (documented policy), not crashed on
                         continue
                     xs, ys, offs = flat
-                    rows["feature_id"].append(int(fid))
+                    rows["feature_id"].append(fid)
                     rows["geom_type"].append(int(gt))
                     rows["xs"].append(xs)
                     rows["ys"].append(ys)
@@ -194,7 +212,14 @@ def features_to_geojson(
                     )
                 else:
                     # all rings into one Polygon; hole/exterior roles are
-                    # winding-derived downstream, matching _flatten_geometry
+                    # winding-derived downstream, matching _flatten_geometry.
+                    # RFC 7946 requires closed rings — engine-native
+                    # features store rings OPEN (geomcodec convention),
+                    # so append the closing vertex when absent
+                    parts = [
+                        ring if ring and ring[0] == ring[-1] else ring + ring[:1]
+                        for ring in parts
+                    ]
                     geom = {"type": "Polygon", "coordinates": parts}
                 docs.append(
                     json.dumps(

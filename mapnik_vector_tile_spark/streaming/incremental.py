@@ -45,12 +45,11 @@ def _event_points(events: DataFrame) -> DataFrame:
 
 
 def with_tile(df: DataFrame, z: int) -> DataFrame:
-    span = TWO_W / (1 << z)
+    # the shared CLAMPED tile expressions (a point exactly on the -W
+    # edge would otherwise address row 2^z, outside the pyramid)
     return df.withColumn(
-        "tx", F.floor((F.col("mx") + F.lit(tm.W)) / F.lit(span)).cast("long")
-    ).withColumn(
-        "ty", F.floor((F.lit(tm.W) - F.col("my")) / F.lit(span)).cast("long")
-    )
+        "tx", tm.tile_x_col(F.col("mx"), z)
+    ).withColumn("ty", tm.tile_y_col(F.col("my"), z))
 
 
 def dirty_tile_counts(
@@ -63,7 +62,12 @@ def dirty_tile_counts(
     window and tile, activity count + value sum. Late events beyond the
     watermark drop; duplicate event_ids inside the watermark dedupe
     (at-least-once upstream becomes effectively-once here)."""
-    e = events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    # dropDuplicatesWithinWatermark: plain dropDuplicates(event_id)
+    # would key state WITHOUT the event-time column, so the watermark
+    # never evicts it and dedup state grows one row per event forever
+    e = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     pts = with_tile(_event_points(e), z)
     return pts.groupBy(
         F.window("ts", window_len).alias("win"),
@@ -155,14 +159,23 @@ def run_stateful_stream_to_memory(
     z: int = 8,
     dirty_every: int = 5,
     checkpoint_dir: str | None = None,
+    dedupe_watermark: str | None = "10 minutes",
 ) -> None:
     """Drive dirty_tile_versions over a chunked file source, one file
-    per micro-batch, append-mode memory sink."""
+    per micro-batch, append-mode memory sink. ``dedupe_watermark``
+    chains dropDuplicatesWithinWatermark BEFORE the stateful counter
+    (Spark 4 supports the two-stateful-operator chain — verified), so
+    at-least-once replays cannot inflate version tickets; pass None to
+    count raw deliveries."""
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
+    if dedupe_watermark is not None:
+        src = src.withWatermark(
+            "ts", dedupe_watermark
+        ).dropDuplicatesWithinWatermark(["event_id"])
     out = dirty_tile_versions(src, z, dirty_every)
     writer = (
         out.writeStream.format("memory")

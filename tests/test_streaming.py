@@ -83,6 +83,8 @@ def test_stateful_dirty_versions_batching_invariant(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
+    import shutil
+
     src = str(tmp_path / "stateful_src")
     os.makedirs(src)
     ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("event_id")
@@ -95,6 +97,9 @@ def test_stateful_dirty_versions_batching_invariant(spark, tmp_path):
             coerce_timestamps="us",
             allow_truncated_timestamps=True,
         )
+    # at-least-once replay: the chained dropDuplicatesWithinWatermark
+    # must keep the counter (and the ticket set) replay-invariant
+    shutil.copy(f"{src}/chunk1.parquet", f"{src}/chunk1_replay.parquet")
 
     D = 5
     S.run_stateful_stream_to_memory(

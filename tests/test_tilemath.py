@@ -200,3 +200,20 @@ def test_column_twins_match_numpy(spark):
     np.testing.assert_array_equal(out["ty"].to_numpy(), ty)
     np.testing.assert_array_equal(out["px"].to_numpy(), px)
     np.testing.assert_array_equal(out["py"].to_numpy(), py)
+
+
+def test_round_half_away_std_round_parity():
+    """std::round parity on the doubles floor(v+0.5) gets wrong: the
+    largest double below 0.5 must round to 0, and analogues at larger
+    magnitudes must not be bumped by the +0.5 addition."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    v = np.array(
+        [0.49999999999999994, -0.49999999999999994, 0.5, -0.5,
+         1.5, -1.5, 2.4999999999999996, 0.0, 4095.5, 4095.4999999999995]
+    )
+    want = np.array([0, 0, 1, -1, 2, -2, 2, 0, 4096, 4095])
+    got = tm.round_half_away_np(v)
+    assert (got == want).all(), (got.tolist(), want.tolist())
