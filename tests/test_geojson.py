@@ -145,6 +145,48 @@ def test_geojson_feeds_ep1(spark):
         assert min(pxs) >= lo and max(pxs) <= hi
 
 
+def test_parser_never_crashes_on_arbitrary_json(spark):
+    """Fuzz the skip-malformed policy: arbitrary JSON documents (and
+    non-JSON lines) must never kill the task — every outcome is
+    'parsed rows' or 'dropped rows', never an exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    json_scalars = st.one_of(
+        st.none(), st.booleans(), st.integers(-10**12, 10**12),
+        st.floats(allow_nan=False, allow_infinity=False), st.text(max_size=8),
+    )
+    json_values = st.recursive(
+        json_scalars,
+        lambda children: st.one_of(
+            st.lists(children, max_size=4),
+            st.dictionaries(
+                st.sampled_from(
+                    ["type", "id", "geometry", "coordinates", "properties",
+                     "features", "caption", "Point", "LineString", "Polygon"]
+                ),
+                children,
+                max_size=5,
+            ),
+        ),
+        max_leaves=12,
+    )
+
+    collected = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(json_values, min_size=1, max_size=4))
+    def run(vals):
+        collected.append([json.dumps(v) for v in vals])
+
+    run()
+    docs = [(d,) for batch in collected for d in batch]
+    docs += [("not json at all",), ("{'single': 'quotes'}",), ("",)]
+    df = spark.createDataFrame(docs, schema="json string")
+    out = geojson_to_features(df, to_merc=False).toPandas()  # must not raise
+    assert len(out) >= 0
+
+
 def test_malformed_rows_dropped(spark):
     rows = [
         ("not json",),
