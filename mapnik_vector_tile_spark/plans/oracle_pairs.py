@@ -40,7 +40,9 @@ FROM pts
 """
 
 
-def _sql_pyramid_counts() -> str:
+def _sql_pyramid_counts_band(z_lo: int, z_hi: int) -> str:
+    """THE pyramid-counts oracle template (single source: the other
+    pyramid variants are z-range specializations of this one)."""
     tx, ty = S.tile_xy_exprs(14)
     ax = S.ancestor_expr("tx", "14 - z")
     ay = S.ancestor_expr("ty", "14 - z")
@@ -49,8 +51,13 @@ WITH {S.point_cte('orders', 'o_orderkey')},
 t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
 SELECT z, {ax} AS x, {ay} AS y, COUNT(*) AS n_features
 FROM t14 CROSS JOIN {{ZSEQ}} zs
+WHERE z >= {z_lo} AND z <= {z_hi}
 GROUP BY 1, 2, 3
 """
+
+
+def _sql_pyramid_counts() -> str:
+    return _sql_pyramid_counts_band(0, 14)
 
 
 def _sql_quantize() -> str:
@@ -89,7 +96,15 @@ FROM t
 
 def _sql_bbox_rect_join() -> str:
     """Range join: order points vs broadcast-size rectangle regions —
-    the SQL-expressible shape of J3 (PIP vs rects)."""
+    the SQL-expressible shape of J3 (PIP vs rects).
+
+    Boundary semantics: this oracle is closed (<=/>=) while the engine
+    refine's even-odd ray cast is half-open. They can only disagree
+    for a point EXACTLY on a rect edge, which requires
+    (dh/2^32)*2W == hw in exact double arithmetic — the hash-lattice
+    coordinates and the integer-meter hw values share no such point
+    (checked over the fixtures), so the pair is stable; revisit if
+    either generator changes."""
     return f"""
 WITH {S.point_cte('orders', 'o_orderkey')},
 {S.rect_regions_cte('nation')}
@@ -102,13 +117,11 @@ GROUP BY 1
 """
 
 
-_W = W  # re-export for f-strings
-TWO_W_PAIR = 2.0 * W
 
 
 # --- registry ---------------------------------------------------------------
 
-# name -> (template_sql | None, engine_only_fn | None)
+# name -> shared SQL template (rendered per engine by sql_pairs)
 _PAIRS: dict[str, str] = {
     "q_tile_assign_z14": _sql_tile_assign(),
     "q_tile_pyramid_counts": _sql_pyramid_counts(),
@@ -120,17 +133,7 @@ _PAIRS: dict[str, str] = {
 
 
 def _sql_pyramid_counts_z(z_hi: int) -> str:
-    tx, ty = S.tile_xy_exprs(14)
-    ax = S.ancestor_expr("tx", "14 - z")
-    ay = S.ancestor_expr("ty", "14 - z")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
-SELECT z, {ax} AS x, {ay} AS y, COUNT(*) AS n_features
-FROM t14 CROSS JOIN {{ZSEQ}} zs
-WHERE z <= {z_hi}
-GROUP BY 1, 2, 3
-"""
+    return _sql_pyramid_counts_band(0, z_hi)
 
 
 def q_engine_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,18 +145,8 @@ def q_engine_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from mapnik_vector_tile_spark.operators import tiling as T
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    pts = derive_points(orders, "o_orderkey")
-    feats = pts.select(
-        F.col("id").alias("feature_id"),
-        F.lit(1).alias("geom_type"),
-        F.array("mx").alias("xs"),
-        F.array("my").alias("ys"),
-        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
-        F.lit("c").alias("caption"),
-    )
+    feats = _engine_point_features(spark, sf_dir)
     assigned = T.assign_tiles(feats, 0, 8, buffer_units=0)
     layers = T.encode_layers(assigned, n_salts=8)
     return layers.select(
@@ -292,20 +285,6 @@ GROUP BY region_id
 """
 
 
-def _sql_pyramid_counts_band(z_lo: int, z_hi: int) -> str:
-    tx, ty = S.tile_xy_exprs(14)
-    ax = S.ancestor_expr("tx", "14 - z")
-    ay = S.ancestor_expr("ty", "14 - z")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
-SELECT z, {ax} AS x, {ay} AS y, COUNT(*) AS n_features
-FROM t14 CROSS JOIN {{ZSEQ}} zs
-WHERE z >= {z_lo} AND z <= {z_hi}
-GROUP BY 1, 2, 3
-"""
-
-
 def q_engine_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1∘EP2: encode z6..8 tiles through the FULL pipeline, decode
     them back (S2 tile-as-datasource scan), count features per tile —
@@ -421,7 +400,7 @@ def q_engine_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapnik_vector_tile_spark.operators.grouped import apply_grouped
 
     Z = 8
-    span = TWO_W_PAIR / (1 << Z)
+    span = S.TWO_W / (1 << Z)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
@@ -438,10 +417,10 @@ def q_engine_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["l_orderkey"].to_numpy().astype(np.int64) * 8
                 + pdf["l_linenumber"].to_numpy().astype(np.int64)
             )
-            mx = ((ids * 2654435761) % 2**32) / float(2**32) * TWO_W_PAIR - W
+            mx = ((ids * 2654435761) % 2**32) / float(2**32) * S.TWO_W - W
             my = (
                 ((ids * 1103515245 + 12345) % 2**32) / float(2**32)
-            ) * TWO_W_PAIR - W
+            ) * S.TWO_W - W
             tx = np.floor((mx + W) / span).astype(np.int64)
             ty = np.floor((W - my) / span).astype(np.int64)
             yield pd.DataFrame(
@@ -733,7 +712,13 @@ def _sql_events_tile_window() -> str:
     )
     return f"""
 WITH e AS (
-  SELECT DISTINCT ON (event_id) event_id, ts, user_id, value FROM events
+  -- deterministic dedup (DISTINCT ON picks an arbitrary row): for
+  -- at-least-once replays duplicate ids carry identical payloads, so
+  -- MIN per column equals the replayed row while staying stable if a
+  -- fixture ever contained conflicting duplicates
+  SELECT event_id, MIN(ts) AS ts, MIN(user_id) AS user_id,
+         MIN(value) AS value
+  FROM events GROUP BY event_id
 ),
 p AS (SELECT ts, value, {mx} AS mx, {my} AS my FROM e)
 SELECT date_trunc('minute', ts) AS ws,
@@ -769,8 +754,12 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2-style spherical cell encoding (functions.cellid): sphere →
     cube face → quadratic ST → Morton-in-face at level 10, plus the
     level-5 parent (pure bit shift). Spark side = vectorized numpy
-    pandas UDF; oracle = the same formula chain rendered as DuckDB SQL
-    (glibc trig both sides → bit-exact)."""
+    pandas UDF; oracle = the same formula chain rendered as DuckDB SQL.
+    numpy's SIMD trig and DuckDB's libm differ by ~1 ulp on a quarter
+    of inputs (measured), so the match is drift-TOLERANT rather than
+    bit-exact: a 1-ulp st perturbation flips the level-10 floor only
+    within ~1e-13 of a cell boundary — ~1e-10 odds across this corpus,
+    vs certainty if the formulas diverged structurally."""
     import pandas as pd
 
     from mapnik_vector_tile_spark.functions import cellid as C
@@ -839,10 +828,10 @@ def q_engine_simplify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(ids):
                 continue
             vk = (ids[:, None] * NV + np.arange(NV)[None, :]).reshape(-1)
-            mx = ((vk * 2654435761) % 2**32) / float(2**32) * TWO_W_PAIR - W
+            mx = ((vk * 2654435761) % 2**32) / float(2**32) * S.TWO_W - W
             my = (
                 ((vk * 1103515245 + 12345) % 2**32) / float(2**32)
-            ) * TWO_W_PAIR - W
+            ) * S.TWO_W - W
             mx = mx.reshape(-1, NV)
             my = my.reshape(-1, NV)
             yield pd.DataFrame(

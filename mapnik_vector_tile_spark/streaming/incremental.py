@@ -83,9 +83,17 @@ def dirty_tile_counts(
 def batch_oracle_counts(
     events: DataFrame, z: int = 8, window_len: str = "1 minute"
 ) -> DataFrame:
-    """The batch twin of dirty_tile_counts (no watermark/dedup state;
-    dropDuplicates is plain) — what the stream must converge to."""
-    e = events.dropDuplicates(["event_id"])
+    """The batch twin of dirty_tile_counts — what the stream must
+    converge to. Dedup is DETERMINISTIC (MIN per column, mirroring the
+    DuckDB oracle) rather than dropDuplicates' arbitrary row pick:
+    replay duplicates carry identical payloads so the result is the
+    same, but a fixture with conflicting duplicates could not make the
+    gate flaky."""
+    e = events.groupBy("event_id").agg(
+        F.min("ts").alias("ts"),
+        F.min("user_id").alias("user_id"),
+        F.min("value").alias("value"),
+    )
     pts = with_tile(_event_points(e), z)
     return pts.groupBy(
         F.window("ts", window_len).alias("win"),
