@@ -77,10 +77,14 @@ def face_uv_np(x: np.ndarray, y: np.ndarray, z: np.ndarray):
 
 def uv_to_st_np(u: np.ndarray) -> np.ndarray:
     """S2 quadratic projection: st in [0,1]."""
+    # np.where evaluates BOTH branches; the discarded one goes negative
+    # under the sqrt for |u| > 1/3 and would spray RuntimeWarnings. The
+    # maximum(0, .) clamp only ever touches discarded lanes — on the
+    # selected branch the argument is >= 1 — so results are bit-identical.
     return np.where(
         u >= 0.0,
-        0.5 * np.sqrt(1.0 + 3.0 * u),
-        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
+        0.5 * np.sqrt(np.maximum(0.0, 1.0 + 3.0 * u)),
+        1.0 - 0.5 * np.sqrt(np.maximum(0.0, 1.0 - 3.0 * u)),
     )
 
 

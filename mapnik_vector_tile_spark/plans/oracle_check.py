@@ -3,7 +3,10 @@ queries() entry on Spark and its oracle_sql() on DuckDB over the same
 sf dir; compare row count, schema (sorted column names), and an
 order-insensitive value hash.
 
-Usage:  python -m mapnik_vector_tile_spark.plans.oracle_check [sf_dir]
+Usage:  python -m mapnik_vector_tile_spark.plans.oracle_check [sf_dir] [only...]
+
+Optional ``only`` args restrict the sweep to queries whose name
+contains any of the given substrings (fast iteration on one operator).
 """
 
 from __future__ import annotations
@@ -48,7 +51,7 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
     }
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     import __spark_entry__ as entrymod
 
     from mapnik_vector_tile_spark.session import get_spark
@@ -68,6 +71,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in queries.items():
+        if only and not any(s in name for s in only):
+            continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:30s} rows-only: {len(sdf)} rows")
