@@ -416,9 +416,14 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Threshold 0.45 is corpus-calibrated, NOT the API default (0.999):
+    the driver's synthetic embeddings max out at pairwise cos ~0.51
+    (0.60 at sf0.1), so any realistic near-dup threshold returns the
+    empty set and the oracle match would be vacuous. 0.45 yields
+    7/14/144 pairs at sf0.001/0.01/0.1 — a non-trivial value-hash."""
     from mapnik_vector_tile_spark.operators import similarity as S
 
-    return S.embedding_neardup_pairs(_emb(spark, sf_dir))
+    return S.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
 def pairs() -> dict[str, tuple[Callable, str | None]]:
@@ -438,5 +443,8 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_ann_topk": (q_ann_topk, sql_ann_topk()),
         "q_ann_lsh_bucketed": (q_ann_lsh, sql_ann_lsh()),
         "q_ann_ivf": (q_ann_ivf, sql_ann_ivf()),
-        "q_embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
+        "q_embedding_neardup": (
+            q_embedding_neardup,
+            sql_embedding_neardup(0.45),  # corpus-calibrated, see query doc
+        ),
     }
