@@ -29,6 +29,9 @@ FRAME_SAMPLE_SCHEMA = (
     "video_id string, frame_idx int, w int, h int, mean_luma double, "
     "frame binary, caption string"
 )
+AUDIO_WINDOWS_SCHEMA = (
+    "audio_id string, win bigint, sum_sq bigint, n_zc bigint"
+)
 
 
 def decode_audio(buf: bytes, codec: str, n_samples: int) -> np.ndarray:
@@ -96,6 +99,57 @@ def audio_features(
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def audio_window_features(
+    audio: DataFrame, window: int = 1024, skip_undecodable: bool = True
+) -> DataFrame:
+    """Per-window INTEGER-EXACT features: energy = Σ s² over the raw
+    int16 samples of each full ``window``-sample block, and zero
+    crossings = count of (s<0) sign transitions inside the block.
+
+    This is the full-oracle counterpart of the float clip-level
+    ``audio_features``: integer outputs mean no float summation
+    anywhere, so the DuckDB twin (plans.oracle_pairs.q_audio_windows)
+    value-hashes bit-exactly. The clip-level query stays rows-only
+    because its rms_mean/zcr_mean average unrounded float64 across
+    windows, where SQL aggregation order is unspecified."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[str] = []
+            wins: list[np.ndarray] = []
+            sums: list[np.ndarray] = []
+            zcs: list[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    x = decode_audio(row.bytes, row.codec, int(row.n_samples))
+                except (NotImplementedError, ValueError):
+                    if skip_undecodable:
+                        continue
+                    raise
+                # decode_audio yields s/32768 with s int16 — the scale
+                # is a power of two, so multiplying back is exact
+                s = (x * 32768.0).astype(np.int64)
+                n_w = len(s) // window
+                if n_w == 0:
+                    continue
+                xw = s[: n_w * window].reshape(n_w, window)
+                neg = xw < 0
+                ids.extend([row.audio_id] * n_w)
+                wins.append(np.arange(n_w, dtype=np.int64))
+                sums.append((xw * xw).sum(axis=1))
+                zcs.append((neg[:, 1:] != neg[:, :-1]).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "audio_id": ids,
+                    "win": np.concatenate(wins) if wins else [],
+                    "sum_sq": np.concatenate(sums) if sums else [],
+                    "n_zc": np.concatenate(zcs) if zcs else [],
+                }
+            )
+
+    return audio.mapInPandas(gen, schema=AUDIO_WINDOWS_SCHEMA)
 
 
 def sample_frames(

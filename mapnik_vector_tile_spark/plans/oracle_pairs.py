@@ -1021,19 +1021,31 @@ def q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio: windowed RMS/ZCR features over the
-    deterministic pcm16 clip table. DELIBERATELY rows-only: the clip
-    samples are sine mixtures, and numpy's SIMD sin differs from
-    DuckDB's libm by ~1 ulp on ~half of inputs (measured), which after
-    int16 truncation and unrounded float64 RMS chains would make a SQL
-    twin fail intermittently (~1e-3/sweep) — a flaky correctness gate
-    is worse than an honest rows-only check (contrast q_video_frames,
-    whose pixels are pure integer math and therefore fully oracled).
-    Kernel correctness is gated by tests/test_multimodal.py."""
+    """Multimodal audio: clip-level windowed RMS/ZCR summary over the
+    deterministic pcm16 table. DELIBERATELY rows-only: rms_mean /
+    zcr_mean average unrounded float64 across windows, and SQL
+    aggregation order is unspecified — a different summation order can
+    flip the last ulp and fail the value-hash intermittently. The
+    integer-exact per-window variant q_audio_windows is the full
+    oracle gate for this decode path; clip-level kernel correctness is
+    additionally pinned by tests/test_multimodal.py."""
     from mapnik_vector_tile_spark.operators import multimodal as mm
     from mapnik_vector_tile_spark.sources.multimodal import audio_df
 
     return mm.audio_features(audio_df(spark, 500))
+
+
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio, FULL oracle: per-window integer features
+    (energy Σs², zero-crossing count) over the sawtooth pcm16 corpus.
+    Every on-wire int16 is pure integer arithmetic from
+    splitmix64(clip idx), so the DuckDB twin regenerates the samples
+    closed-form (no LAG even — the predecessor sample is the same
+    formula at k−1) and the value-hash is bit-exact."""
+    from mapnik_vector_tile_spark.operators import multimodal as mm
+    from mapnik_vector_tile_spark.sources.multimodal import audio_df
+
+    return mm.audio_window_features(audio_df(spark, 500))
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,6 +1144,44 @@ GROUP BY 1, 2, 4
 """
 
 
+def _sql_audio_windows(n_clips: int = 500, window: int = 1024) -> str:
+    """DuckDB twin of q_audio_windows: regenerate per-clip params from
+    splitmix64(idx) (idx % 7 == 0 clips are mp3 stubs the engine
+    skips), enumerate the samples of every FULL window closed-form —
+    s(k) = ((k mod p)·a) mod 2·amp − amp — and aggregate Σs² and the
+    (s<0) sign-transition count. The predecessor sample is s(k−1) by
+    the same formula, so no window function is needed; kin=0 rows are
+    excluded from the transition count exactly like the numpy kernel's
+    within-window diff."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n_clips - 1})) AS idx),
+hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids WHERE idx % 7 <> 0),
+params AS (
+  SELECT idx,
+         CAST(2000 + (h % 6001) AS BIGINT) AS ns,
+         CAST(6000 + ((h // 65536) % 26000) AS BIGINT) AS amp,
+         CAST(16 + ((h // 1099511627776) % 480) AS BIGINT) AS p,
+         CAST(1 + 2 * ((h // 256) % 128) AS BIGINT) AS a
+  FROM hh),
+samp AS (
+  SELECT idx, amp, p, a,
+         unnest(generate_series(0, (ns // {window}) * {window} - 1)) AS k
+  FROM params),
+vals AS (
+  SELECT idx, k // {window} AS win, k % {window} AS kin,
+         ((k % p) * a) % (2 * amp) - amp AS s,
+         (((k - 1) % p) * a) % (2 * amp) - amp AS sp
+  FROM samp)
+SELECT 'aud_' || CAST(idx AS VARCHAR) AS audio_id,
+       CAST(win AS BIGINT) AS win,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN kin > 0 AND ((s < 0) <> (sp < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
+FROM vals
+GROUP BY 1, 2
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
     "q_engine_pip_broadcast": (q_engine_pip_broadcast, _sql_bbox_rect_join()),
@@ -1158,6 +1208,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_simplify_lines": (q_simplify_lines, None),
     "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
     "q_audio_features": (q_audio_features, None),
+    "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
     "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
 }
 

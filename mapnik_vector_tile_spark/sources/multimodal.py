@@ -44,20 +44,30 @@ def _caption(h: np.ndarray, prefix: str) -> list[str]:
 
 
 def gen_audio_pdf(n: int, start: int = 0) -> pd.DataFrame:
-    """Rows [start, start+n): mono sine mixtures, sr=8000, 0.25-1.0 s."""
+    """Rows [start, start+n): mono sawtooth-with-wraparound clips,
+    sr=8000, 0.25-1.0 s.
+
+    The waveform is PURE INTEGER arithmetic on purpose (it replaced an
+    earlier sine mixture): sample_k = ((k mod p)·a) mod 2·amp − amp
+    with per-clip (amp, p, a) drawn from splitmix64(idx). That makes
+    every on-wire int16 reproducible bit-exactly in DuckDB SQL — the
+    same trick as the video corpus — so the windowed-feature query can
+    be value-hash-gated instead of rows-only (a sine corpus drifts:
+    numpy SIMD sin vs DuckDB libm differ ~1 ulp, flipping int16
+    truncation near boundaries)."""
     idx = np.arange(start, start + n, dtype=np.uint64)
     h = splitmix64(idx)
     sr = 8000
     n_samples = (2000 + (h % np.uint64(6001))).astype(np.int64)
-    f0 = 100.0 + (h >> np.uint64(8)) % np.uint64(900)  # 100-999 Hz
-    f1 = 30.0 + (h >> np.uint64(20)) % np.uint64(200)
     bufs = []
     for i in range(n):
-        t = np.arange(int(n_samples[i]), dtype=np.float64) / sr
-        wave = 0.6 * np.sin(2 * np.pi * float(f0[i]) * t) + 0.3 * np.sin(
-            2 * np.pi * float(f1[i]) * t
-        )
-        bufs.append((wave * 32000).astype("<i2").tobytes())
+        hp = int(h[i])
+        amp = 6000 + ((hp >> 16) % 26000)  # [6000, 31999] ⊂ int16
+        p = 16 + ((hp >> 40) % 480)  # samples per ramp period
+        a = 1 + 2 * ((hp >> 8) % 128)  # odd step ⇒ varied wraparound
+        k = np.arange(int(n_samples[i]), dtype=np.int64)
+        s = ((k % p) * a) % (2 * amp) - amp
+        bufs.append(s.astype("<i2").tobytes())
     return pd.DataFrame(
         {
             "audio_id": [f"aud_{int(i)}" for i in idx],
