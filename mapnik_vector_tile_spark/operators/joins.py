@@ -201,6 +201,39 @@ def pip_join_partitioned(
     return _refine(cands, regions, broadcast_geo=False)
 
 
+def pip_join_anti(
+    points: DataFrame, regions: DataFrame, z: int = 7
+) -> DataFrame:
+    """J3 anti variant: the points contained in NO region (keeps the
+    point side's columns). At scale the broadcast cell prefilter does
+    the heavy lifting — a point whose cell touches no region cover is
+    proven outside without ever reaching the geometry test — so the
+    anti join only has to subtract the refined hit set. No explicit
+    broadcast hint on that set: its size is data-dependent (dense
+    region covers can make it ~|points|), so AQE's runtime size check
+    picks broadcast-anti vs shuffle-anti. Semi is the same shape with
+    ``left_semi`` (pip_join_semi)."""
+    return _pip_join_membership(points, regions, z, "left_anti")
+
+
+def pip_join_semi(
+    points: DataFrame, regions: DataFrame, z: int = 7
+) -> DataFrame:
+    """J3 semi variant: the points contained in at least one region,
+    each emitted once regardless of how many regions contain it (the
+    `dropDuplicates`-on-surviving-keys shape from SURVEY §2.3 J3,
+    expressed as a proper left_semi so Catalyst can pick the
+    build side)."""
+    return _pip_join_membership(points, regions, z, "left_semi")
+
+
+def _pip_join_membership(
+    points: DataFrame, regions: DataFrame, z: int, how: str
+) -> DataFrame:
+    hits = pip_join_broadcast(points, regions, z).select("point_id")
+    return points.join(hits, points["id"] == hits["point_id"], how)
+
+
 def knn_auto_z(n_targets: int, k: int, r0: int = 2) -> int:
     """Pick the probe-grid level from target density: aim for ~8k
     expected candidates inside the FIRST (2·r0+1)² probe block, so

@@ -194,6 +194,46 @@ def q_engine_pip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 semi variant: order points inside >=1 mercator rect, once
+    each — engine path is the broadcast PIP join folded to a left_semi
+    on the surviving point ids."""
+    from mapnik_vector_tile_spark.operators import joins as J
+
+    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
+    regions = J.merc_rect_regions(spark, sf_dir)
+    return J.pip_join_semi(pts, regions, z=6).select("id")
+
+
+def q_engine_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 anti variant: order points inside NO mercator rect. The cell
+    prefilter proves most points outside without a geometry test; the
+    left_anti subtracts only the refined hit set."""
+    from mapnik_vector_tile_spark.operators import joins as J
+
+    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
+    regions = J.merc_rect_regions(spark, sf_dir)
+    return J.pip_join_anti(pts, regions, z=6).select("id")
+
+
+def _sql_pip_membership(exists: bool) -> str:
+    """EXISTS / NOT EXISTS twin of the semi/anti PIP joins over the 25
+    rects — same closed-boundary caveat as _sql_bbox_rect_join (no
+    lattice point sits exactly on a rect edge)."""
+    neg = "" if exists else "NOT "
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+{S.rect_regions_cte('nation')}
+SELECT p.id AS id
+FROM pts p
+WHERE {neg}EXISTS (
+  SELECT 1 FROM rects r
+  WHERE p.mx >= r.cx - r.hw AND p.mx <= r.cx + r.hw
+    AND p.my >= r.cy - r.hw AND p.my <= r.cy + r.hw
+)
+"""
+
+
 def q_engine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 kNN (k=3) via cell-block expansion; ranks must equal the
     brute-force cross-join oracle row-for-row."""
@@ -1189,6 +1229,8 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
         q_engine_pip_partitioned,
         _sql_bbox_rect_join(),
     ),
+    "q_engine_pip_semi": (q_engine_pip_semi, _sql_pip_membership(True)),
+    "q_engine_pip_anti": (q_engine_pip_anti, _sql_pip_membership(False)),
     "q_engine_knn": (q_engine_knn, _sql_knn(3)),
     "q_pip_polygon_regions": (q_pip_polygon_regions, _sql_pip_polygon(200)),
     "q_engine_decode_roundtrip": (

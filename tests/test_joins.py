@@ -85,6 +85,20 @@ def test_pip_broadcast_matches_bruteforce(spark, points, tri_regions):
     assert len(got) > 100  # sanity: the fixture actually covers points
 
 
+def test_pip_semi_anti_partition_points(spark, points, tri_regions):
+    """semi ∪ anti = all points, disjoint; semi = ids with >=1 oracle
+    pair (once each, even for points inside several regions)."""
+    pts_df, pts_pdf = points
+    reg_df, reg_pdf = tri_regions
+    inside_ids = {p for p, _ in _oracle_pairs(pts_pdf, reg_pdf)}
+    semi = {r.id for r in J.pip_join_semi(pts_df, reg_df, z=5).collect()}
+    anti = {r.id for r in J.pip_join_anti(pts_df, reg_df, z=5).collect()}
+    assert semi == inside_ids
+    assert anti == set(pts_pdf["id"].tolist()) - inside_ids
+    # row-level: semi emits each id exactly once
+    assert J.pip_join_semi(pts_df, reg_df, z=5).count() == len(semi)
+
+
 def test_pip_partitioned_equals_broadcast(spark, points, tri_regions):
     pts_df, pts_pdf = points
     reg_df, _ = tri_regions
