@@ -1,0 +1,164 @@
+"""Temporal joins — SURVEY.md §2.3 J6/J7 (no reference counterpart:
+mapnik-vector-tile has no relational joins at all; these are the
+interval/as-of shapes a training-data pipeline needs over event logs,
+built on the same grid-bucket algebra as the spatial joins).
+
+Scale design:
+
+* As-of join: the classic union+merge plan — tag both sides, ONE
+  shuffle on the equi key, then a running `last(..., ignorenulls)`
+  over the per-key time order. No range predicate ever reaches a join
+  operator, so there is no candidate blow-up to prune; cost is one
+  sort per key group. Skew is bounded by the per-key event count (a
+  hot user with 10^7 events is one sorted run, not a cross product).
+* Interval overlap join: explode each interval to the 1-D grid
+  buckets it touches (bucket width >= max duration => <= 2 rows per
+  interval), equi-join on bucket — broadcastable / AQE-skew-splittable
+  like any relational join — then the exact overlap filter. A pair
+  overlapping k shared buckets is emitted ONCE by keeping it only in
+  the bucket of max(start_a, start_b) (the later start lies inside
+  both intervals, so that bucket is always shared): dedup costs a
+  comparison, not a distinct shuffle.
+
+All arithmetic is int64 epoch-microseconds — the oracles compare
+bit-exactly, no float time. The events parquet stores TIMESTAMP_NTZ,
+so the Spark side uses `timestampdiff(MICROSECOND, epoch_ntz, ts)`
+(timezone-independent, unlike unix_micros which rejects NTZ) and the
+DuckDB side `epoch_us(ts)` — verified equal to the microsecond.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+US_PER_HOUR = 3_600_000_000
+US_PER_DAY = 24 * US_PER_HOUR
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, key: str = "key"
+) -> DataFrame:
+    """For each left row, the right row of the same ``key`` with the
+    greatest ``(t, id)`` such that ``right.t <= left.t`` (ties at equal
+    t: the right row counts, and the max ``id`` among them wins —
+    deterministic). Inputs: (id long, key, t long). Output:
+    (left_id, right_id, gap_us) with -1/-1 for unmatched left rows.
+
+    Plan: union the tagged sides, shuffle once on ``key``, and carry
+    the latest right id/t through a running window — right rows sort
+    before left rows at equal t so `<=` semantics fall out of the
+    order, not a predicate.
+    """
+    r = right.select(
+        F.col(key).alias("k"),
+        F.col("t"),
+        F.lit(0).alias("side"),
+        F.col("id"),
+    )
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col("t"),
+        F.lit(1).alias("side"),
+        F.col("id"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_r = F.col("side") == 0
+    # one struct-valued last() => a single Window pass over the merged
+    # run (two scalar last() calls cost two Window operators)
+    merged = r.unionByName(l).withColumn(
+        "rr",
+        F.last(
+            F.when(is_r, F.struct("id", "t")), ignorenulls=True
+        ).over(w),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        F.col("id").alias("left_id"),
+        F.coalesce("rr.id", F.lit(-1)).alias("right_id"),
+        F.coalesce(F.col("t") - F.col("rr.t"), F.lit(-1)).alias("gap_us"),
+    )
+
+
+def interval_overlap_join(
+    a: DataFrame, b: DataFrame, bucket_us: int = US_PER_DAY
+) -> DataFrame:
+    """All (a, b) pairs of closed intervals with ``a.s <= b.e AND
+    b.s <= a.e``. Inputs: (id long, s long, e long) in epoch-µs.
+    Output: (a_id, b_id, overlap_us). ``bucket_us`` should be >= the
+    typical interval length so bucket explosion stays ~2 rows per
+    interval; correctness never depends on it."""
+
+    def bucketed(df: DataFrame, p: str) -> DataFrame:
+        lo = F.expr(f"s DIV {bucket_us}")
+        hi = F.expr(f"e DIV {bucket_us}")
+        return df.select(
+            F.col("id").alias(f"{p}_id"),
+            F.col("s").alias(f"{p}_s"),
+            F.col("e").alias(f"{p}_e"),
+            F.explode(F.sequence(lo, hi)).alias("bucket"),
+        )
+
+    pairs = bucketed(a, "a").join(bucketed(b, "b"), "bucket")
+    later_start = F.greatest("a_s", "b_s")
+    return pairs.filter(
+        (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        # first-common-bucket dedup: emit only where the later start
+        # lands — that bucket is shared by construction of overlap
+        & (F.col("bucket") == F.expr(f"greatest(a_s, b_s) DIV {bucket_us}"))
+    ).select(
+        "a_id",
+        "b_id",
+        (F.least("a_e", "b_e") - later_start).alias("overlap_us"),
+    )
+
+
+# --- events-table derivations (query/bench entry points) --------------------
+
+
+def _typed_events(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.filter(F.col("event_type") == etype).select(
+        F.col("event_id").alias("id"),
+        F.col("user_id"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("t"),
+    )
+
+
+def clicks_asof_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per click, the same user's latest prior-or-equal view."""
+    return asof_join(
+        _typed_events(spark, sf_dir, "click"),
+        _typed_events(spark, sf_dir, "view"),
+        key="user_id",
+    ).select(
+        F.col("left_id").alias("click_id"),
+        F.col("right_id").alias("view_id"),
+        "gap_us",
+    )
+
+
+def _event_intervals(
+    spark: SparkSession, sf_dir: str, etype: str, mod_hours: int
+) -> DataFrame:
+    """Deterministic interval per event: [t, t + (1 + id % m) hours]
+    — pure integer µs arithmetic, regenerable verbatim in SQL."""
+    ev = _typed_events(spark, sf_dir, etype)
+    dur = (F.lit(1) + F.col("id") % mod_hours) * F.lit(US_PER_HOUR)
+    return ev.select("id", F.col("t").alias("s"), (F.col("t") + dur).alias("e"))
+
+
+def incidents_overlap_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """error-event windows (<=23 h) x purchase-event windows (<=17 h)
+    that overlap in time, with the shared duration."""
+    return interval_overlap_join(
+        _event_intervals(spark, sf_dir, "error", 23),
+        _event_intervals(spark, sf_dir, "purchase", 17),
+        bucket_us=US_PER_DAY,
+    )

@@ -234,6 +234,54 @@ WHERE {neg}EXISTS (
 """
 
 
+def q_asof_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of join: per click event, the same user's latest
+    prior-or-equal view — engine path is the union+merge plan (one
+    shuffle, running-last window), oracle the quadratic
+    row_number-over-candidates form."""
+    from mapnik_vector_tile_spark.operators import temporal as T
+
+    return T.clicks_asof_views(spark, sf_dir)
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 interval overlap join: error-event windows x purchase-event
+    windows, engine path = 1-D grid-bucket equi-join with
+    first-common-bucket dedup; oracle a plain range-predicate join."""
+    from mapnik_vector_tile_spark.operators import temporal as T
+
+    return T.incidents_overlap_promos(spark, sf_dir)
+
+
+_SQL_ASOF = """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+            FROM events),
+c AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'click'),
+v AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'view')
+SELECT click_id, view_id, gap_us FROM (
+  SELECT c.event_id AS click_id,
+         COALESCE(v.event_id, -1) AS view_id,
+         COALESCE(c.t - v.t, -1) AS gap_us,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.t DESC, v.event_id DESC) AS rn
+  FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.t <= c.t
+) ranked
+WHERE rn = 1
+"""
+
+_SQL_INTERVAL_OVERLAP = """
+WITH ev AS (SELECT event_id AS id, event_type, epoch_us(ts) AS t
+            FROM events),
+a AS (SELECT id, t AS s, t + (1 + id % 23) * 3600000000 AS e
+      FROM ev WHERE event_type = 'error'),
+b AS (SELECT id, t AS s, t + (1 + id % 17) * 3600000000 AS e
+      FROM ev WHERE event_type = 'purchase')
+SELECT a.id AS a_id, b.id AS b_id,
+       LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+"""
+
+
 def q_engine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 kNN (k=3) via cell-block expansion; ranks must equal the
     brute-force cross-join oracle row-for-row."""
@@ -1232,6 +1280,8 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_pip_semi": (q_engine_pip_semi, _sql_pip_membership(True)),
     "q_engine_pip_anti": (q_engine_pip_anti, _sql_pip_membership(False)),
     "q_engine_knn": (q_engine_knn, _sql_knn(3)),
+    "q_asof_clicks_views": (q_asof_clicks_views, _SQL_ASOF),
+    "q_interval_overlap": (q_interval_overlap, _SQL_INTERVAL_OVERLAP),
     "q_pip_polygon_regions": (q_pip_polygon_regions, _sql_pip_polygon(200)),
     "q_engine_decode_roundtrip": (
         q_engine_decode_roundtrip,

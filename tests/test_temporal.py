@@ -1,0 +1,78 @@
+"""J6/J7 temporal joins — brute-force oracles on small random inputs;
+the sf0.01 value-hash gate lives in plans.oracle_pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mapnik_vector_tile_spark.operators import temporal as T
+
+
+def _mk(spark, n, keys, t_range, seed):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, keys, n),
+            "t": rng.integers(0, t_range, n),
+        }
+    )
+    return spark.createDataFrame(pdf, schema="id long, key long, t long"), pdf
+
+
+def _asof_oracle(lp, rp):
+    out = {}
+    for lid, k, t in lp.itertuples(index=False):
+        cand = rp[(rp["key"] == k) & (rp["t"] <= t)]
+        if len(cand):
+            best = cand.sort_values(["t", "id"]).iloc[-1]
+            out[int(lid)] = (int(best["id"]), int(t - best["t"]))
+        else:
+            out[int(lid)] = (-1, -1)
+    return out
+
+
+def test_asof_matches_bruteforce(spark):
+    # small t_range + few keys => plenty of exact-tie collisions, which
+    # is exactly where the (t, side, id) ordering must be deterministic
+    l_df, lp = _mk(spark, 300, keys=7, t_range=50, seed=1)
+    r_df, rp = _mk(spark, 300, keys=7, t_range=50, seed=2)
+    got = {
+        r.left_id: (r.right_id, r.gap_us)
+        for r in T.asof_join(l_df, r_df, key="key").collect()
+    }
+    assert got == _asof_oracle(lp, rp)
+    assert sum(1 for v in got.values() if v[0] >= 0) > 200
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    rng = np.random.default_rng(3)
+
+    def intervals(n, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(0, 1000, n)
+        # durations straddle the bucket width (100): some intervals
+        # span 1 bucket, some many — both dedup branches exercised
+        e = s + rng.integers(0, 250, n)
+        pdf = pd.DataFrame(
+            {"id": np.arange(n, dtype=np.int64), "s": s, "e": e}
+        )
+        return (
+            spark.createDataFrame(pdf, schema="id long, s long, e long"),
+            pdf,
+        )
+
+    a_df, ap = intervals(120, 4)
+    b_df, bp = intervals(130, 5)
+    got = {
+        (r.a_id, r.b_id): r.overlap_us
+        for r in T.interval_overlap_join(a_df, b_df, bucket_us=100).collect()
+    }
+    want = {}
+    for aid, as_, ae in ap.itertuples(index=False):
+        hit = bp[(bp["s"] <= ae) & (as_ <= bp["e"])]
+        for bid, bs, be in hit.itertuples(index=False):
+            want[(int(aid), int(bid))] = int(min(ae, be) - max(as_, bs))
+    assert got == want
+    assert len(got) > 500  # dense fixture: dedup actually has work to do
