@@ -117,6 +117,34 @@ def interval_overlap_join(
     )
 
 
+def sessionize(
+    events: DataFrame, gap_us: int, key: str = "key"
+) -> DataFrame:
+    """Gap-based sessionization: rows of the same ``key`` belong to one
+    session while consecutive gaps are <= ``gap_us``. Inputs:
+    (id long, key, t long). Output one row per session:
+    (key, session_idx, n_events, dur_us, min_id).
+
+    Plan: one shuffle on ``key``; session boundaries are a lag-compare
+    + running sum inside that sort, so the expensive part is a single
+    per-key ordered pass. The per-session fold then groups on
+    (key, session_idx) — a second, much smaller exchange (session
+    count << event count). Skew = per-key event count, same bound as
+    the as-of join.
+    """
+    w = Window.partitionBy(key).orderBy("t", "id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # first row per key has a NULL lag => comparison false => 0, so
+    # session indices start at 0 without a special case
+    is_new = F.when(F.col("t") - F.lag("t").over(w) > gap_us, 1).otherwise(0)
+    marked = events.withColumn("session_idx", F.sum(is_new).over(run))
+    return marked.groupBy(key, "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max("t") - F.min("t")).alias("dur_us"),
+        F.min("id").alias("min_id"),
+    )
+
+
 # --- events-table derivations (query/bench entry points) --------------------
 
 
@@ -152,6 +180,27 @@ def _event_intervals(
     ev = _typed_events(spark, sf_dir, etype)
     dur = (F.lit(1) + F.col("id") % mod_hours) * F.lit(US_PER_HOUR)
     return ev.select("id", F.col("t").alias("s"), (F.col("t") + dur).alias("e"))
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 4-hour-gap sessions over ALL event types (the events
+    table has ~6.5 h mean per-user gap, so a 4 h rule yields a healthy
+    mix of singleton and multi-event sessions)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("key"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("t"),
+    )
+    out = sessionize(ev, gap_us=4 * US_PER_HOUR, key="key")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        "dur_us",
+        "min_id",
+    )
 
 
 def incidents_overlap_promos(spark: SparkSession, sf_dir: str) -> DataFrame:

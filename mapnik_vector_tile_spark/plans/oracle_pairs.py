@@ -119,6 +119,23 @@ GROUP BY 1
 
 
 
+def _sql_tile_setop(op: str, z: int = 8) -> str:
+    """U3 set ops via pure built-ins: the z8 tiles containing an order
+    point EXCEPT/INTERSECT those containing a customer point. One
+    shared ANSI template runs on BOTH engines (Spark EXCEPT ==
+    EXCEPT DISTINCT == DuckDB's)."""
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+{S.point_cte('customer', 'c_custkey', cte='cpts')},
+ot AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM pts),
+ct AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM cpts)
+SELECT x, y FROM ot
+{op}
+SELECT x, y FROM ct
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 # name -> shared SQL template (rendered per engine by sql_pairs)
@@ -129,6 +146,8 @@ _PAIRS: dict[str, str] = {
     "q_zigzag_cmd": _sql_zigzag(),
     "q_cell_morton_z10": _sql_cell_morton(),
     "q_pip_rect_join": _sql_bbox_rect_join(),
+    "q_tile_except": _sql_tile_setop("EXCEPT"),
+    "q_tile_intersect": _sql_tile_setop("INTERSECT"),
 }
 
 
@@ -279,6 +298,39 @@ b AS (SELECT id, t AS s, t + (1 + id % 17) * 3600000000 AS e
 SELECT a.id AS a_id, b.id AS b_id,
        LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
 FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (4 h rule) per user — lag-compare +
+    running-sum boundary assignment, then a per-session fold."""
+    from mapnik_vector_tile_spark.operators import temporal as T
+
+    return T.user_sessions(spark, sf_dir)
+
+
+_SQL_SESSIONIZE = """
+WITH ev AS (SELECT event_id AS id, user_id, epoch_us(ts) AS t
+            FROM events),
+marked AS (
+  SELECT id, user_id, t,
+         CASE WHEN t - lag(t) OVER w > 14400000000 THEN 1 ELSE 0 END
+           AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, id)
+),
+sess AS (
+  SELECT id, user_id, t,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MAX(t) - MIN(t) AS dur_us,
+       MIN(id) AS min_id
+FROM sess
+GROUP BY 1, 2
 """
 
 
@@ -1281,6 +1333,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_pip_anti": (q_engine_pip_anti, _sql_pip_membership(False)),
     "q_engine_knn": (q_engine_knn, _sql_knn(3)),
     "q_asof_clicks_views": (q_asof_clicks_views, _SQL_ASOF),
+    "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "q_interval_overlap": (q_interval_overlap, _SQL_INTERVAL_OVERLAP),
     "q_pip_polygon_regions": (q_pip_polygon_regions, _sql_pip_polygon(200)),
     "q_engine_decode_roundtrip": (

@@ -46,6 +46,33 @@ def test_asof_matches_bruteforce(spark):
     assert sum(1 for v in got.values() if v[0] >= 0) > 200
 
 
+def test_sessionize_matches_bruteforce(spark):
+    df, pdf = _mk(spark, 400, keys=9, t_range=200, seed=6)
+    gap = 10
+    got = {
+        (r.key, r.session_idx): (r.n_events, r.dur_us, r.min_id)
+        for r in T.sessionize(df, gap_us=gap, key="key").collect()
+    }
+    want = {}
+    for k, grp in pdf.sort_values(["key", "t", "id"]).groupby("key"):
+        idx, members = 0, []
+        rows = list(grp.itertuples(index=False))
+        for i, r in enumerate(rows):
+            if members and r.t - rows[i - 1].t > gap:
+                want[(int(k), idx)] = _sess_agg(members)
+                idx, members = idx + 1, []
+            members.append(r)
+        want[(int(k), idx)] = _sess_agg(members)
+    assert got == want
+    assert any(v[0] > 1 for v in got.values())  # multi-event sessions exist
+    assert len(got) > 9  # and more than one session per key overall
+
+
+def _sess_agg(members):
+    ts = [m.t for m in members]
+    return (len(members), int(max(ts) - min(ts)), int(min(m.id for m in members)))
+
+
 def test_interval_overlap_matches_bruteforce(spark):
     rng = np.random.default_rng(3)
 
