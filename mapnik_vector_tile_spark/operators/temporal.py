@@ -148,14 +148,23 @@ def sessionize(
 # --- events-table derivations (query/bench entry points) --------------------
 
 
-def _typed_events(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+# the ONE NTZ -> epoch-µs conversion (matches DuckDB epoch_us exactly;
+# see module docstring) — every events derivation must go through it
+_EPOCH_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+
+
+def _typed_events(
+    spark: SparkSession, sf_dir: str, etype: str | None = None
+) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.filter(F.col("event_type") == etype).select(
+    if etype is not None:
+        ev = ev.filter(F.col("event_type") == etype)
+    return ev.select(
         F.col("event_id").alias("id"),
         F.col("user_id"),
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).alias("t"),
+        F.expr(_EPOCH_US).alias("t"),
     )
 
 
@@ -186,13 +195,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 4-hour-gap sessions over ALL event types (the events
     table has ~6.5 h mean per-user gap, so a 4 h rule yields a healthy
     mix of singleton and multi-event sessions)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.col("event_id").alias("id"),
-        F.col("user_id").alias("key"),
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).alias("t"),
-    )
+    ev = _typed_events(spark, sf_dir).withColumnRenamed("user_id", "key")
     out = sessionize(ev, gap_us=4 * US_PER_HOUR, key="key")
     return out.select(
         F.col("key").alias("user_id"),

@@ -74,8 +74,6 @@ def _sess_agg(members):
 
 
 def test_interval_overlap_matches_bruteforce(spark):
-    rng = np.random.default_rng(3)
-
     def intervals(n, seed):
         rng = np.random.default_rng(seed)
         s = rng.integers(0, 1000, n)
