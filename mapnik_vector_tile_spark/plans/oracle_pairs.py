@@ -334,6 +334,40 @@ GROUP BY 1, 2
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (batch mode — identical plan to the
+    streaming leg in streaming/sessions.py) must reproduce the custom
+    sessionize oracle row-for-row (minus the session index, which
+    session_window does not expose)."""
+    from mapnik_vector_tile_spark.streaming import sessions as SS
+
+    return SS.batch_session_counts(spark, sf_dir)
+
+
+_SQL_SESSION_WINDOW = """
+WITH ev AS (SELECT event_id AS id, user_id, epoch_us(ts) AS t
+            FROM events),
+marked AS (
+  SELECT id, user_id, t,
+         CASE WHEN t - lag(t) OVER w > 14400000000 THEN 1 ELSE 0 END
+           AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, id)
+),
+sess AS (
+  SELECT id, user_id, t,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MAX(t) - MIN(t) AS dur_us,
+       MIN(id) AS min_id
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
+
 def q_engine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 kNN (k=3) via cell-block expansion; ranks must equal the
     brute-force cross-join oracle row-for-row."""
@@ -1334,6 +1368,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_knn": (q_engine_knn, _sql_knn(3)),
     "q_asof_clicks_views": (q_asof_clicks_views, _SQL_ASOF),
     "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "q_session_window": (q_session_window, _SQL_SESSION_WINDOW),
     "q_interval_overlap": (q_interval_overlap, _SQL_INTERVAL_OVERLAP),
     "q_pip_polygon_regions": (q_pip_polygon_regions, _sql_pip_polygon(200)),
     "q_engine_decode_roundtrip": (
