@@ -119,6 +119,41 @@ GROUP BY 1
 
 
 
+def _sql_tile_cube(z: int = 5) -> str:
+    """A6 grouping sets via built-ins: per-tile counts with CUBE over
+    (x, y) — subtotal rows tagged by GROUPING() and NULL-coalesced to
+    -1 so the driver's value hash is NULL-free. One ANSI template for
+    both engines."""
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT {tx} AS x, {ty} AS y FROM pts)
+SELECT COALESCE(x, -1) AS x, COALESCE(y, -1) AS y,
+       CAST(GROUPING(x) AS BIGINT) AS gx,
+       CAST(GROUPING(y) AS BIGINT) AS gy,
+       COUNT(*) AS n
+FROM t
+GROUP BY CUBE(x, y)
+"""
+
+
+def _sql_json_props() -> str:
+    """F15 JSON scalar path: extract $.k from the events props JSON
+    string (engine-specific function via the {{JSONK}} token), then an
+    integer-exact fold per k-bucket. The money-ish sum uses
+    FLOOR(value*100) before the BIGINT cast because CAST(double)
+    truncates in Spark but ROUNDS in DuckDB — floor makes them agree."""
+    return """
+WITH ex AS (SELECT event_id, {JSONK} AS k, value FROM events)
+SELECT k % 10 AS kb,
+       COUNT(*) AS n,
+       MIN(event_id) AS min_id,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM ex
+GROUP BY 1
+"""
+
+
 def _sql_tile_setop(op: str, z: int = 8) -> str:
     """U3 set ops via pure built-ins: the z8 tiles containing an order
     point EXCEPT/INTERSECT those containing a customer point. One
@@ -148,6 +183,8 @@ _PAIRS: dict[str, str] = {
     "q_pip_rect_join": _sql_bbox_rect_join(),
     "q_tile_except": _sql_tile_setop("EXCEPT"),
     "q_tile_intersect": _sql_tile_setop("INTERSECT"),
+    "q_tile_cube": _sql_tile_cube(),
+    "q_json_props": _sql_json_props(),
 }
 
 

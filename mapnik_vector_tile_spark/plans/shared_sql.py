@@ -36,10 +36,12 @@ _SUBS = {
     "spark": {
         # cross-joinable single-column relation of z = 0..14
         "ZSEQ": "(SELECT explode(sequence(0, 14)) AS z)",
-        # integer cast name is shared; these exist for future divergence
+        # JSON path extraction of $.k as BIGINT (function names differ)
+        "JSONK": "CAST(get_json_object(props, '$.k') AS BIGINT)",
     },
     "duckdb": {
         "ZSEQ": "(SELECT unnest(generate_series(0, 14)) AS z)",
+        "JSONK": "CAST(json_extract_string(props, '$.k') AS BIGINT)",
     },
 }
 
