@@ -46,6 +46,41 @@ def test_asof_matches_bruteforce(spark):
     assert sum(1 for v in got.values() if v[0] >= 0) > 200
 
 
+def test_interval_overlap_negative_times(spark):
+    """Epochs before 1970: Spark's DIV truncates toward zero rather
+    than flooring, which is still a monotone bucket map — sequence()
+    over [f(s), f(e)] covers every point's bucket and the later-start
+    dedup bucket is shared by both ranges. This pins that reasoning so
+    a future 'fix' to floor-division semantics can't silently regress
+    pair emission around t=0."""
+
+    def intervals(n, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-500, 500, n)
+        e = s + rng.integers(0, 250, n)
+        pdf = pd.DataFrame(
+            {"id": np.arange(n, dtype=np.int64), "s": s, "e": e}
+        )
+        return (
+            spark.createDataFrame(pdf, schema="id long, s long, e long"),
+            pdf,
+        )
+
+    a_df, ap = intervals(80, 8)
+    b_df, bp = intervals(90, 9)
+    got = {
+        (r.a_id, r.b_id)
+        for r in T.interval_overlap_join(a_df, b_df, bucket_us=100).collect()
+    }
+    want = set()
+    for aid, as_, ae in ap.itertuples(index=False):
+        hit = bp[(bp["s"] <= ae) & (as_ <= bp["e"])]
+        want |= {(int(aid), int(b)) for b in hit["id"]}
+    assert got == want
+    # the fixture genuinely straddles zero on both sides
+    assert (ap["s"] < 0).any() and (ap["e"] > 0).any()
+
+
 def test_sessionize_matches_bruteforce(spark):
     df, pdf = _mk(spark, 400, keys=9, t_range=200, seed=6)
     gap = 10
