@@ -88,3 +88,36 @@ def test_feature_scan_prunes_columns(spark):
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "o_orderkey" in read
     assert "o_custkey" not in read and "o_comment" not in read
+
+
+def test_asof_join_single_exchange_pushed_filters(spark):
+    """J7 as-of: the union+merge plan must show exactly ONE Exchange
+    (the key shuffle — no join operator, no second shuffle) and the
+    event-type equality pushed into both parquet scans."""
+    from mapnik_vector_tile_spark.operators import temporal as TP
+
+    df = TP.clicks_asof_views(spark, SF_DIR)
+    plan = _plan(df)
+    # count tree nodes, not mentions: the formatted detail section
+    # repeats each operator name once ("(9) Exchange")
+    n_exchange = sum(
+        1 for ln in plan.splitlines() if ln.lstrip("+-: ").startswith("Exchange (")
+    )
+    assert n_exchange == 1, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert len(pushed) == 2
+    assert all("EqualTo(event_type," in ln for ln in pushed)
+    assert "Join" not in plan  # merge semantics, not a range join
+
+
+def test_sessionize_partial_aggregation_after_window(spark):
+    """Sessionization: the per-session fold must partial-aggregate
+    before its exchange, and the whole plan stays JVM-side (no Python
+    evaluation nodes)."""
+    from mapnik_vector_tile_spark.operators import temporal as TP
+
+    df = TP.user_sessions(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan
+    assert "Python" not in plan
