@@ -274,6 +274,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair list
+    (doc_a < doc_b) via iterative min-label propagation: each round
+    every node takes the min of its own label and its neighbors'
+    labels. Converges in O(cluster diameter) rounds — near-dup
+    clusters are shallow (diameter ≤ a few hops), so this is 2-4
+    shuffle rounds in practice, each a plain equi-join + groupBy-min
+    that partial-aggregates map-side.
+
+    Scale note (100 TB corpus): label propagation keeps per-round
+    shuffle volume at |edges| rows of two longs; for adversarial
+    long-chain graphs the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") bounds the
+    round count at O(log n) — near-dup graphs never need it, so we
+    keep the simpler plan. Each round materializes via
+    localCheckpoint to truncate lineage (an iterative plan would
+    otherwise grow by two joins per round and recompute from round 0
+    at every action).
+
+    Returns (doc_id, cluster_rep, cluster_size) for every node that
+    appears in at least one pair; cluster_rep = min doc_id reachable.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr")
+        )
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select("node").distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr_labels = sym.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        new = (
+            labels.unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new = new.localCheckpoint(eager=True)
+        # labels only ever decrease → the integer sum is a monotone
+        # convergence witness (one cheap agg action per round)
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
+        labels = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs over
+    docs ∪ shifted-copy, then connected components. The cluster_rep is
+    the canonical keeper (min doc_id) a training pipeline would retain;
+    every other member is a drop."""
+    return connected_components(minhash_lsh_pairs(with_self_copies(docs)))
+
+
 def with_self_copies(docs: DataFrame, offset: int = 1_000_000) -> DataFrame:
     """Test/demo harness: union the table with an id-shifted copy so
     every doc has one exact duplicate — makes dedup outputs non-trivial

@@ -81,7 +81,10 @@ FROM h GROUP BY doc_id
 """
 
 
-def sql_minhash_lsh_pairs() -> str:
+def _lsh_pair_ctes() -> str:
+    """CTE chain ending in `lsh_pairs` (the distinct doc_a<doc_b
+    candidate pairs over docs2) — shared by the pair query and the
+    clustering oracle."""
     h = H7_D.format(x="shingle")
     r = N_HASHES // N_BANDS
     band_selects = []
@@ -93,15 +96,52 @@ def sql_minhash_lsh_pairs() -> str:
             f"SELECT doc_id, {b} AS band, {sig} AS sig FROM mh"
         )
     bands = "\nUNION ALL\n".join(band_selects)
-    return f"""
-WITH {SELF_UNION},
+    return f"""{SELF_UNION},
 {_shingle_cte('docs2')},
 h AS (SELECT doc_id, {h} AS hv FROM sh),
 mh AS (SELECT doc_id, {_minhash_aggs()} FROM h GROUP BY doc_id),
-bands AS ({bands})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+bands AS ({bands}),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+def sql_minhash_lsh_pairs() -> str:
+    return f"""
+WITH {_lsh_pair_ctes()}
+SELECT doc_a, doc_b FROM lsh_pairs
+"""
+
+
+def sql_dedup_clusters() -> str:
+    """Clustering oracle: transitive closure of the LSH pair graph via
+    a recursive CTE (node reaches r if a neighbor reaches r; UNION
+    dedup terminates the fixpoint), then min reachable id per node =
+    cluster_rep — the exact semantics of the engine's min-label
+    propagation, computed by a completely different algorithm."""
+    return f"""
+WITH RECURSIVE {_lsh_pair_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM lsh_pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s AS node, reach.r
+  FROM edges e JOIN reach ON reach.node = e.d
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_rep, COUNT(*) AS cluster_size FROM labels GROUP BY 1
+)
+SELECT l.doc_id, l.cluster_rep, s.cluster_size
+FROM labels l JOIN sizes s USING (cluster_rep)
 """
 
 
@@ -355,6 +395,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(D.with_self_copies(_docs(spark, sf_dir)))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.dedup_clusters(_docs(spark, sf_dir))
+
+
 def q_simhash(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import dedup as D
 
@@ -433,6 +479,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_exact_dedup": (q_exact_dedup, sql_exact_dedup()),
         "q_minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
         "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
+        "q_dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
         "q_simhash": (q_simhash, sql_simhash()),
         "q_simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
         "q_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard_pairs()),

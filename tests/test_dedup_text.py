@@ -174,3 +174,36 @@ def test_ivf_topk_near_identical_found(emb):
         by_q.setdefault(r.vec_id, []).append(r.rnk)
     for q, rnks in by_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_connected_components_chain_and_triangle(spark):
+    # chain 1-2-3-4-5 (diameter 4 > one propagation round), triangle
+    # 10-11-12, isolated pair (20, 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r.doc_id: (r.cluster_rep, r.cluster_size)
+        for r in D.connected_components(pairs).collect()
+    }
+    assert {k for k, v in out.items() if v[0] == 1} == {1, 2, 3, 4, 5}
+    assert all(out[k] == (1, 5) for k in (1, 2, 3, 4, 5))
+    assert all(out[k] == (10, 3) for k in (10, 11, 12))
+    assert all(out[k] == (20, 2) for k in (20, 21))
+    assert len(out) == 10
+
+
+def test_dedup_clusters_pair_every_doc_with_copy(docs):
+    # every doc's shifted copy shares all shingles -> same cluster;
+    # rep is always the original (min) id
+    out = D.dedup_clusters(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    for r in out:
+        assert r.cluster_rep <= r.doc_id
+        assert r.cluster_size >= 2
+    # each original doc and its +1M copy carry the same rep
+    for did in {r.doc_id for r in out if r.doc_id < 1_000_000}:
+        assert by_id[did].cluster_rep == by_id[did + 1_000_000].cluster_rep
