@@ -958,6 +958,134 @@ def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RASTERIZE_SIZE = 64
+RASTERIZE_POLYS = 120
+
+
+def q_rasterize_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 vector→raster materialization with a FULL oracle: the
+    deterministic concave/holed polygons (integer tile coords,
+    sources.synth.gen_raster_polys) are wire-encoded
+    (encode_geometry → LayerBuilder), decoded back, and scanline-filled
+    at tile_size=64 by raster.fill_polygon_mask; output is the
+    per-scanline filled-pixel count. The DuckDB twin inlines the same
+    integer vertices and replays the fill kernel's exact arithmetic —
+    crossing test (y_cur>yc)!=(y_prev>yc), the xint interpolation in
+    the same operation order over dyadic-exact scaled coords (ints ×
+    2^-6), c0 = ceil(xint − 0.5), per-pixel parity of #(c0 ≤ c) — so
+    every row count matches bit-exactly, not statistically. sf_dir is
+    unused: the subject is the rasterizer kernel, not the scan."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.raster import rasterize_features
+    from mapnik_vector_tile_spark.sources.synth import gen_raster_polys
+
+    size = RASTERIZE_SIZE
+    rows = []
+    for p in gen_raster_polys(RASTERIZE_POLYS):
+        xs: list[int] = []
+        ys: list[int] = []
+        offs = [0]
+        for ring in p["rings"]:
+            xs += [v[0] for v in ring]
+            ys += [v[1] for v in ring]
+            offs.append(len(xs))
+        rows.append((p["poly_id"], xs, ys, offs))
+    src = spark.createDataFrame(
+        rows,
+        schema="poly_id long, xs array<int>, ys array<int>, offs array<int>",
+    ).repartition(8, "poly_id")
+
+    def enc(batches):
+        for b in batches:
+            out = {"z": [], "x": [], "y": [], "blob": []}
+            for pid, pxs, pys, poffs in zip(
+                b["poly_id"], b["xs"], b["ys"], b["offs"]
+            ):
+                stream = gc.encode_geometry(
+                    gc.GEOM_POLYGON,
+                    np.asarray(pxs, dtype=np.int64),
+                    np.asarray(pys, dtype=np.int64),
+                    np.asarray(poffs, dtype=np.int64),
+                )
+                lb = pbf.LayerBuilder("poly", extent=4096)
+                lb.add_feature(int(pid), gc.GEOM_POLYGON, stream, {})
+                out["z"].append(9)
+                out["x"].append(int(pid))
+                out["y"].append(int(pid))
+                out["blob"].append(lb.build())
+            yield pd.DataFrame(out)
+
+    layers = src.mapInPandas(enc, schema="z int, x long, y long, blob binary")
+    bitmaps = rasterize_features(layers, tile_size=size)
+
+    def rowcounts(batches):
+        for b in batches:
+            out = {"poly_id": [], "prow": [], "n_row": []}
+            for x, bm in zip(b["x"], b["bitmap"]):
+                mask = np.unpackbits(
+                    np.frombuffer(bytes(bm), dtype=np.uint8)
+                ).reshape(size, size)
+                out["poly_id"] += [int(x)] * size
+                out["prow"] += list(range(size))
+                out["n_row"] += [int(v) for v in mask.sum(axis=1)]
+            yield pd.DataFrame(out)
+
+    return bitmaps.mapInPandas(
+        rowcounts, schema="poly_id long, prow int, n_row long"
+    )
+
+
+def _sql_rasterize_coverage(
+    n_polys: int = RASTERIZE_POLYS, size: int = RASTERIZE_SIZE
+) -> str:
+    """DuckDB twin of q_rasterize_coverage — see its docstring for the
+    bit-exactness argument. Edges are (prev → cur) with ring wraparound,
+    exactly the fill kernel's j/i iteration."""
+    from mapnik_vector_tile_spark.sources.synth import gen_raster_polys
+
+    rows = []
+    for p in gen_raster_polys(n_polys):
+        pid = p["poly_id"]
+        for ring in p["rings"]:
+            for i in range(len(ring)):
+                x1, y1 = ring[i - 1]  # prev (i=0 wraps to last)
+                x2, y2 = ring[i]  # cur
+                rows.append(f"({pid},{x1},{y1},{x2},{y2})")
+    values = ",\n".join(rows)
+    sc = S.flit(size / 4096.0)  # dyadic: int * sc is exact in f64
+    half = S.flit(0.5)
+    return f"""
+WITH edges(poly_id, x1, y1, x2, y2) AS (VALUES
+{values}),
+se AS (
+  SELECT poly_id, x1 * {sc} AS x1, y1 * {sc} AS y1,
+         x2 * {sc} AS x2, y2 * {sc} AS y2
+  FROM edges),
+rg AS (SELECT unnest(generate_series(0, {size - 1})) AS r),
+cg AS (SELECT unnest(generate_series(0, {size - 1})) AS c),
+cr AS (
+  SELECT e.poly_id, g.r,
+         CAST(ceil((e.x1 - e.x2) * ((g.r + {half}) - e.y2)
+              / (e.y1 - e.y2) + e.x2 - {half}) AS BIGINT) AS c0
+  FROM se e JOIN rg g
+    ON ((e.y2 > g.r + {half}) != (e.y1 > g.r + {half}))),
+pg AS (SELECT DISTINCT poly_id FROM edges),
+grid AS (SELECT p.poly_id, g.r, c.c FROM pg p CROSS JOIN rg g CROSS JOIN cg c),
+cnt AS (
+  SELECT gr.poly_id, gr.r, gr.c, COUNT(cr.c0) AS n
+  FROM grid gr LEFT JOIN cr
+    ON cr.poly_id = gr.poly_id AND cr.r = gr.r AND cr.c0 <= gr.c
+  GROUP BY 1, 2, 3)
+SELECT poly_id, CAST(r AS INTEGER) AS prow,
+       CAST(SUM(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_row
+FROM cnt GROUP BY 1, 2
+"""
+
+
 S2_LEVEL = 10
 
 
@@ -1421,6 +1549,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
+    "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
     "q_simplify_lines": (q_simplify_lines, None),
     "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),

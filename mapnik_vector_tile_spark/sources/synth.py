@@ -270,3 +270,34 @@ def regions_df(spark, n_regions: int = 200):
         "ys array<double>, ring_offsets array<int>"
     )
     return spark.createDataFrame(pdf, schema=schema)
+
+
+def gen_raster_polys(n_polys: int = 120) -> list[dict]:
+    """Deterministic concave 'staircase' polygons in tile-local INTEGER
+    coords (extent 4096) for the R4 rasterize oracle — every 3rd poly
+    carries an interior hole ring. Integer vertices mean the scaled
+    pixel-space coords (v * tile_size/extent with a power-of-two scale)
+    are exact dyadic float64s on both engines, so the scanline crossing
+    arithmetic is bit-identical between numpy and the DuckDB SQL that
+    inlines these same integers."""
+    out = []
+    for p in range(n_polys):
+        x0 = 128 + (p * 389) % 1200
+        y0 = 128 + (p * 607) % 1200
+        w = 1200 + (p * 211) % 1500
+        h = 1200 + (p * 97) % 1500
+        nx, ny = w // 3, h // 3
+        outer = [
+            (x0, y0), (x0 + w, y0), (x0 + w, y0 + ny),
+            (x0 + w - nx, y0 + ny), (x0 + w - nx, y0 + 2 * ny),
+            (x0 + w, y0 + 2 * ny), (x0 + w, y0 + h), (x0, y0 + h),
+        ]
+        rings = [outer]
+        if p % 3 == 0:
+            hx, hy = x0 + w // 4, y0 + h // 4
+            hw, hh = max(w // 4, 8), max(h // 4, 8)
+            rings.append(
+                [(hx, hy), (hx, hy + hh), (hx + hw, hy + hh), (hx + hw, hy)]
+            )
+        out.append({"poly_id": p, "rings": rings})
+    return out
