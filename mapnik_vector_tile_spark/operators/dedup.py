@@ -285,15 +285,15 @@ def connected_components(
     shuffle rounds in practice, each a plain equi-join + groupBy-min
     that partial-aggregates map-side.
 
-    Scale note (100 TB corpus): label propagation keeps per-round
-    shuffle volume at |edges| rows of two longs; for adversarial
-    long-chain graphs the alternating large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce") bounds the
-    round count at O(log n) — near-dup graphs never need it, so we
-    keep the simpler plan. Each round materializes via
-    localCheckpoint to truncate lineage (an iterative plan would
-    otherwise grow by two joins per round and recompute from round 0
-    at every action).
+    Each round also shortcuts label chains (label := label of label —
+    pointer doubling), so convergence is O(log diameter) rounds even
+    on adversarial path graphs, the same bound the alternating
+    large-star/small-star formulation gives (Kiveris et al.,
+    "Connected Components in MapReduce") while staying two equi-joins
+    per round at |edges| + |nodes| shuffle rows of two longs. Each
+    round materializes via localCheckpoint to truncate lineage (an
+    iterative plan would otherwise grow by joins per round and
+    recompute from round 0 at every action).
 
     Returns (doc_id, cluster_rep, cluster_size) for every node that
     appears in at least one pair; cluster_rep = min doc_id reachable.
@@ -319,6 +319,20 @@ def connected_components(
             labels.unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: label := min(label, label(label)) — halves
+        # the remaining chain depth every round
+        lmap = new.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        new = (
+            new.join(lmap, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("label2", "label")
+                ).alias("label"),
+            )
         )
         new = new.localCheckpoint(eager=True)
         # labels only ever decrease → the integer sum is a monotone

@@ -207,3 +207,48 @@ def test_dedup_clusters_pair_every_doc_with_copy(docs):
     # each original doc and its +1M copy carry the same rep
     for did in {r.doc_id for r in out if r.doc_id < 1_000_000}:
         assert by_id[did].cluster_rep == by_id[did + 1_000_000].cluster_rep
+
+
+def test_connected_components_random_graphs(spark):
+    """Property check vs an independent union-find: random edge lists
+    (seeded, bounded) must produce identical (rep, size) labelings."""
+    import random
+
+    rng = random.Random(4242)
+    for trial in range(5):
+        n_nodes = rng.randint(4, 40)
+        n_edges = min(rng.randint(1, 60), n_nodes * (n_nodes - 1) // 2)
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        parent = list(range(n_nodes))
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expect = {}
+        sizes = {}
+        for v in touched:
+            sizes.setdefault(find(v), 0)
+            sizes[find(v)] += 1
+        for v in touched:
+            expect[v] = (find(v), sizes[find(v)])
+
+        pairs = spark.createDataFrame(
+            sorted(edges), "doc_a long, doc_b long"
+        )
+        got = {
+            r.doc_id: (r.cluster_rep, r.cluster_size)
+            for r in D.connected_components(pairs).collect()
+        }
+        assert got == expect, f"trial {trial}"
