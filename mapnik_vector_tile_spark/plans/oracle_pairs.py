@@ -594,6 +594,81 @@ FROM per_tile GROUP BY z
 """
 
 
+VALIDITY_Z = 6
+
+
+def q_engine_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 at the driver surface: encode z6 tiles (fused EP1), then
+    deterministically corrupt a subset keyed on (x*3+y)%5 —
+    0: whole-tile self-concat (duplicate layer name), 1: append a
+    version-3 layer, 2: append a version-3 AND empty-name layer,
+    3/4: untouched — and run tile_is_valid over everything. Output
+    (x, y, valid, n_reasons). The oracle regenerates the tile set
+    relationally and predicts the verdicts closed-form; it matches
+    only if every engine-encoded tile validates clean AND the
+    validator flags each corruption class with exactly the expected
+    reasons (vector_tile_is_valid.hpp semantics)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.operators.composite import validate_tiles
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, VALIDITY_Z, VALIDITY_Z, buffer_units=0)
+    tiles = T.encode_tiles(assigned, n_salts=8)
+
+    bad_version = pbf.layer_to_tile(pbf.LayerBuilder("v3", version=3).build())
+    bad_both = pbf.layer_to_tile(pbf.LayerBuilder("", version=3).build())
+
+    def corrupt(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"z": [], "x": [], "y": [], "tile": []}
+            for z, x, y, tile in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["tile"]
+            ):
+                t = bytes(tile)
+                cls = (int(x) * 3 + int(y)) % 5
+                if cls == 0:
+                    t = t + t
+                elif cls == 1:
+                    t = t + bad_version
+                elif cls == 2:
+                    t = t + bad_both
+                out["z"].append(int(z))
+                out["x"].append(int(x))
+                out["y"].append(int(y))
+                out["tile"].append(t)
+            yield pd.DataFrame(out)
+
+    corrupted = tiles.mapInPandas(
+        corrupt, schema="z int, x long, y long, tile binary"
+    )
+    return validate_tiles(corrupted).select(
+        "x", "y", "valid", F.size("reasons").alias("n_reasons")
+    )
+
+
+def _sql_validity(z: int = VALIDITY_Z) -> str:
+    tx, ty = S.tile_xy_exprs(14)
+    ax = S.ancestor_expr("tx", str(14 - z))
+    ay = S.ancestor_expr("ty", str(14 - z))
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts),
+tiles AS (SELECT DISTINCT {ax} AS x, {ay} AS y FROM t14)
+SELECT x, y,
+       ((x * 3 + y) % 5) >= 3 AS valid,
+       CAST(CASE (x * 3 + y) % 5
+            WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0
+            END AS INTEGER) AS n_reasons
+FROM tiles
+"""
+
+
 def q_engine_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14/A1/A2 at the driver surface: features carry TYPED attributes
     (int qty, double price, bool rflag from lineitem) through the
@@ -1546,6 +1621,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     ),
     "q_geojson_tiles": (q_geojson_tiles, _sql_geojson_tiles(7)),
     "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
+    "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
