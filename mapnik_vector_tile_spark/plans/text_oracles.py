@@ -357,6 +357,34 @@ SELECT vec_id, nbr, rnk FROM (
 """
 
 
+def sql_corpus_filter() -> str:
+    """Oracle for the composed corpus filter: keeper semi-join +
+    quality/langid subqueries + the same gate constants."""
+    from mapnik_vector_tile_spark.operators.corpus import (
+        MIN_ALPHA,
+        MIN_TOKENS,
+        TOKEN_BAND,
+    )
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    return f"""
+WITH {SELF_UNION},
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM docs2 GROUP BY text),
+q AS ({sql_quality_stats()}),
+l AS ({sql_langid()})
+SELECT l.pred_lang,
+       CAST(floor(q.n_tokens / {TOKEN_BAND}) AS BIGINT) AS tok_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(q.len_chars) AS BIGINT) AS sum_chars
+FROM q
+JOIN l USING (doc_id)
+JOIN keepers USING (doc_id)
+WHERE q.n_tokens >= {MIN_TOKENS} AND q.alpha_ratio >= {flit(MIN_ALPHA)}
+GROUP BY 1, 2
+"""
+
+
 def sql_embedding_neardup(threshold: float = 0.999) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -417,6 +445,12 @@ def q_ngram_jaccard(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import dedup as D
 
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_corpus_filter(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators.corpus import corpus_filter_stats
+
+    return corpus_filter_stats(_docs(spark, sf_dir))
 
 
 def q_quality_stats(spark, sf_dir):
@@ -484,6 +518,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
         "q_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard_pairs()),
         "q_quality_stats": (q_quality_stats, sql_quality_stats()),
+        "q_corpus_filter": (q_corpus_filter, sql_corpus_filter()),
         "q_token_counts": (q_token_counts, sql_token_counts()),
         "q_langid": (q_langid, sql_langid()),
         "q_fingerprints": (q_fingerprints, sql_fingerprints()),
