@@ -200,3 +200,39 @@ def test_point_fast_path_matches_slow_path_extremes():
             )
             sx, sy, so = gc.decode_geometry(gc.GEOM_POINT, enc2)
             assert fx[0] == sx[0] and fy[0] == sy[0], (u1, u2)
+
+
+def test_small_fast_path_matches_generic():
+    """The pure-int small-geometry encode must be byte-identical to the
+    generic numpy branch on every small single-part shape, including
+    degenerate ones (consecutive dups, explicit closing vertex, zero
+    area, 2^31-boundary coords that must fall back)."""
+    import itertools
+
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for n in (1, 2, 3, 4, 5, 8, 16):
+        for _ in range(40):
+            xs = rng.integers(-300, 4400, n).astype(np.int64)
+            ys = rng.integers(-300, 4400, n).astype(np.int64)
+            cases.append((xs, ys))
+    # hand-built degenerates
+    cases += [
+        (np.array([5, 5, 5], dtype=np.int64), np.array([7, 7, 7], dtype=np.int64)),
+        (np.array([0, 10, 10, 0], dtype=np.int64), np.array([0, 0, 10, 10], dtype=np.int64)),
+        (np.array([0, 10, 10, 0, 0], dtype=np.int64), np.array([0, 0, 10, 10, 0], dtype=np.int64)),
+        (np.array([1, 2, 3], dtype=np.int64), np.array([1, 2, 3], dtype=np.int64)),  # zero area
+        (np.array([0, 2**31 - 1, 5], dtype=np.int64), np.array([0, 1, 2], dtype=np.int64)),
+        (np.array([0, 2**31, 5], dtype=np.int64), np.array([0, 1, 2], dtype=np.int64)),  # fallback
+        (np.array([-(2**62), 2**62, 5], dtype=np.int64), np.array([0, 1, 2], dtype=np.int64)),
+    ]
+    for gt in (gc.GEOM_POINT, gc.GEOM_LINESTRING, gc.GEOM_POLYGON):
+        for xs, ys in cases:
+            offs = np.array([0, len(xs)], dtype=np.int64)
+            fast = gc.encode_geometry(gt, xs, ys, offs)
+            gen = gc._encode_geometry_generic(gt, xs, ys, offs)
+            assert np.array_equal(fast, gen), (gt, xs, ys, fast, gen)
