@@ -224,3 +224,78 @@ def run_stream_to_memory(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.awaitTermination()
+
+
+def run_incremental_retile(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    z: int = 8,
+    dirty_every: int = 5,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """The production-shaped leg the module docstring promises: dirty
+    tickets from the stateful counter drive foreachBatch, which
+    re-encodes ONLY the ticketed tiles through the batch EP1 encoder
+    against the current event store and appends the re-rendered Tile
+    buffers (stamped with ticket version + micro-batch id) to
+    ``out_dir``. Streaming and batch share every kernel; the final
+    version of any tile is byte-identical to a cold batch encode of
+    the same tiles (asserted in tests/test_streaming.py).
+
+    Scale shape: the ticket set per micro-batch is bounded by ACTIVE
+    tiles (not events), so the broadcast join against the fan-out is
+    small; the re-encode reads the feature store pruned to those tile
+    keys — at 10^12 images that scan is pruned by the tile-bucketed
+    layout (README sizing note), not a full pass."""
+    from pyspark.sql import functions as SF
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    src = src.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    tickets = dirty_tile_versions(src, z, dirty_every)
+
+    def retile(batch_df: DataFrame, batch_id: int) -> None:
+        keys = (
+            batch_df.groupBy(
+                SF.col("tx").alias("x"), SF.col("ty").alias("y")
+            )
+            .agg(SF.max("version").alias("version"))
+        )
+        if not keys.take(1):
+            return
+        events = spark.read.schema(EVENTS_SCHEMA).parquet(src_dir)
+        feats = _event_points(events).select(
+            SF.col("event_id").alias("feature_id"),
+            SF.lit(1).alias("geom_type"),
+            SF.array("mx").alias("xs"),
+            SF.array("my").alias("ys"),
+            SF.array(SF.lit(0), SF.lit(1)).alias("part_offsets"),
+            SF.lit("c").alias("caption"),
+        )
+        assigned = T.assign_tiles(feats, z, z, buffer_units=0)
+        todo = assigned.join(SF.broadcast(keys.select("x", "y")), ["x", "y"])
+        tiles = T.encode_tiles(todo, n_salts=4)
+        (
+            tiles.join(SF.broadcast(keys), ["x", "y"])
+            .withColumn("batch_id", SF.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        tickets.writeStream.foreachBatch(retile)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()

@@ -213,3 +213,61 @@ def test_session_stream_emits_closed_sessions(spark, chunked_events_nodup, tmp_p
     assert got <= want
     # everything except sessions still open at end-of-replay has closed
     assert len(got) >= 0.8 * len(want)
+
+
+def test_incremental_retile_matches_batch_encode(spark, chunked_events, tmp_path):
+    """foreachBatch re-tile leg: the latest re-rendered Tile buffer for
+    every ticketed tile must be byte-identical to a cold batch encode
+    of the same tiles over the full event store."""
+    import pyspark.sql.functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    src, _ev = chunked_events
+    out = str(tmp_path / "retile_out")
+    ckpt = str(tmp_path / "retile_ckpt")
+    Z, D = 6, 5
+    S.run_incremental_retile(
+        spark, src, out, z=Z, dirty_every=D, checkpoint_dir=ckpt
+    )
+    got = spark.read.parquet(out)
+    # latest batch wins per tile
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("x", "y").orderBy(
+        F.col("batch_id").desc(), F.col("version").desc()
+    )
+    latest = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("x", "y", "tile")
+    )
+    rows = {(r.x, r.y): bytes(r.tile) for r in latest.collect()}
+    assert rows, "no tiles re-rendered"
+
+    # cold batch encode of the same tiles over the full store
+    events = spark.read.schema(S.EVENTS_SCHEMA).parquet(src)
+    feats = S._event_points(events).select(
+        F.col("event_id").alias("feature_id"),
+        F.lit(1).alias("geom_type"),
+        F.array("mx").alias("xs"),
+        F.array("my").alias("ys"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+        F.lit("c").alias("caption"),
+    )
+    assigned = T.assign_tiles(feats, Z, Z, buffer_units=0)
+    batch = {
+        (r.x, r.y): bytes(r.tile)
+        for r in T.encode_tiles(assigned, n_salts=4).collect()
+        if (r.x, r.y) in rows
+    }
+    assert set(rows) == set(batch)
+    for k in rows:
+        assert rows[k] == batch[k], f"tile {k} differs from batch encode"
+
+    # resume: re-running with the same checkpoint is a no-op
+    n_before = spark.read.parquet(out).count()
+    S.run_incremental_retile(
+        spark, src, out, z=Z, dirty_every=D, checkpoint_dir=ckpt
+    )
+    assert spark.read.parquet(out).count() == n_before
