@@ -242,6 +242,26 @@ def _encode_geometry_generic(
     return np.concatenate(out)
 
 
+_I64_MASK = 0xFFFFFFFFFFFFFFFF
+_I64_BIAS = 1 << 63
+
+
+def _zigzag_dec_int(v: int) -> int:
+    """Scalar zigzag decode with zigzag_decode_np's exact LOGICAL-shift
+    + int64-wrap semantics (adversarial extremes decode identically on
+    scalar and vector paths — asserted in tests)."""
+    u = int(v) & _I64_MASK
+    d = (u >> 1) ^ -(u & 1)
+    return ((d + _I64_BIAS) & _I64_MASK) - _I64_BIAS
+
+
+def _wrap_i64(v: int) -> int:
+    return ((v + _I64_BIAS) & _I64_MASK) - _I64_BIAS
+
+
+_SMALL_CNT = 16
+
+
 def decode_geometry(
     geom_type: int, stream: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -255,11 +275,7 @@ def decode_geometry(
         # int64-extreme (corrupt/adversarial) encodings decode the
         # same whichever path handles them — asserted in
         # tests/test_geomcodec.py.
-        def _zz(v: int) -> int:
-            u = int(v) & 0xFFFFFFFFFFFFFFFF
-            d = (u >> 1) ^ -(u & 1)
-            return ((d + (1 << 63)) & 0xFFFFFFFFFFFFFFFF) - (1 << 63)
-
+        _zz = _zigzag_dec_int
         return (
             np.array([_zz(stream[1])], dtype=np.int64),
             np.array([_zz(stream[2])], dtype=np.int64),
@@ -280,25 +296,38 @@ def decode_geometry(
                 raise ValueError("v2: MoveTo count must be 1 for line/polygon")
             if cnt < 1:
                 raise ValueError("MoveTo count < 1")
-            d = stream[i : i + 2 * cnt]
-            if len(d) != 2 * cnt:
+            if i + 2 * cnt > n:
                 raise ValueError("truncated MoveTo params")
-            i += 2 * cnt
-            ddx = zigzag_decode_np(d[0::2])
-            ddy = zigzag_decode_np(d[1::2])
             if geom_type == GEOM_POINT:
-                px = np.cumsum(ddx) + cx
-                py = np.cumsum(ddy) + cy
-                xs.extend(px.tolist())
-                ys.extend(py.tolist())
-                cx, cy = int(px[-1]), int(py[-1])
+                if cnt <= _SMALL_CNT:
+                    # scalar path: wrap-exact accumulation (see _zigzag_dec_int)
+                    for _ in range(cnt):
+                        cx = _wrap_i64(cx + _zigzag_dec_int(int(stream[i])))
+                        cy = _wrap_i64(
+                            cy + _zigzag_dec_int(int(stream[i + 1]))
+                        )
+                        xs.append(cx)
+                        ys.append(cy)
+                        i += 2
+                else:
+                    d = stream[i : i + 2 * cnt]
+                    i += 2 * cnt
+                    px = np.cumsum(zigzag_decode_np(d[0::2])) + cx
+                    py = np.cumsum(zigzag_decode_np(d[1::2])) + cy
+                    xs.extend(px.tolist())
+                    ys.extend(py.tolist())
+                    cx, cy = int(px[-1]), int(py[-1])
                 offsets.append(len(xs))
             else:
-                # new part starts
+                # new part starts (cnt == 1 enforced above). NB: this
+                # cursor add is deliberately UNWRAPPED — the original
+                # numpy branch did `cx += int(ddx[0])` in plain Python,
+                # and extreme-value parity pins that behavior.
                 if len(xs) > offsets[-1]:
                     offsets.append(len(xs))
-                cx += int(ddx[0])
-                cy += int(ddy[0])
+                cx += _zigzag_dec_int(int(stream[i]))
+                cy += _zigzag_dec_int(int(stream[i + 1]))
+                i += 2
                 xs.append(cx)
                 ys.append(cy)
         elif cmd == LINE_TO:
@@ -306,15 +335,26 @@ def decode_geometry(
                 raise ValueError("v2: LineTo count must be >= 1")
             if geom_type == GEOM_POINT:
                 raise ValueError("LineTo in point geometry")
-            d = stream[i : i + 2 * cnt]
-            if len(d) != 2 * cnt:
+            if i + 2 * cnt > n:
                 raise ValueError("truncated LineTo params")
-            i += 2 * cnt
-            px = np.cumsum(zigzag_decode_np(d[0::2])) + cx
-            py = np.cumsum(zigzag_decode_np(d[1::2])) + cy
-            xs.extend(px.tolist())
-            ys.extend(py.tolist())
-            cx, cy = int(px[-1]), int(py[-1])
+            if cnt <= _SMALL_CNT:
+                # scalar path — modular accumulation is associative, so
+                # sequential _wrap_i64 equals the numpy cumsum-with-wrap
+                # exactly (incl. int64-extreme inputs; asserted in tests)
+                for _ in range(cnt):
+                    cx = _wrap_i64(cx + _zigzag_dec_int(int(stream[i])))
+                    cy = _wrap_i64(cy + _zigzag_dec_int(int(stream[i + 1])))
+                    xs.append(cx)
+                    ys.append(cy)
+                    i += 2
+            else:
+                d = stream[i : i + 2 * cnt]
+                i += 2 * cnt
+                px = np.cumsum(zigzag_decode_np(d[0::2])) + cx
+                py = np.cumsum(zigzag_decode_np(d[1::2])) + cy
+                xs.extend(px.tolist())
+                ys.extend(py.tolist())
+                cx, cy = int(px[-1]), int(py[-1])
         elif cmd == CLOSE_PATH:
             if geom_type != GEOM_POLYGON:
                 raise ValueError("ClosePath outside polygon")
