@@ -137,6 +137,26 @@ GROUP BY CUBE(x, y)
 """
 
 
+def _sql_tile_rollup(z: int = 6) -> str:
+    """A6's hierarchical twin of the CUBE query: ROLLUP over
+    (z-ancestor, x, y) — the tile pyramid's natural drill path
+    (level subtotal → column subtotal → grand total). Same
+    GROUPING()-tag + NULL-coalesce discipline, one ANSI template for
+    both engines."""
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, {tx} AS x, {ty} AS y FROM pts)
+SELECT COALESCE(x, -1) AS x, COALESCE(y, -1) AS y,
+       CAST(GROUPING(x) AS BIGINT) AS gx,
+       CAST(GROUPING(y) AS BIGINT) AS gy,
+       COUNT(*) AS n,
+       MIN(id) AS min_id
+FROM t
+GROUP BY ROLLUP(x, y)
+"""
+
+
 def _sql_json_props() -> str:
     """F15 JSON scalar path: extract $.k from the events props JSON
     string (engine-specific function via the {{JSONK}} token), then an
@@ -184,6 +204,7 @@ _PAIRS: dict[str, str] = {
     "q_tile_except": _sql_tile_setop("EXCEPT"),
     "q_tile_intersect": _sql_tile_setop("INTERSECT"),
     "q_tile_cube": _sql_tile_cube(),
+    "q_tile_rollup": _sql_tile_rollup(),
     "q_json_props": _sql_json_props(),
 }
 
