@@ -1,0 +1,127 @@
+"""Deterministic corpus sampling / split assignment (T17 family).
+
+Training-data curation operators over the ``documents`` table — the
+missing third leg next to dedup (T1-T5) and quality gating (T9):
+
+* ``with_sample_hash`` — a stable per-row coin: ``splitmix64(doc_id)``
+  truncated to its top 53 bits, so the SAME value is representable
+  exactly as an int64 (Spark), a DuckDB BIGINT, and (if it ever
+  transits a DOUBLE) an IEEE float. Sampling decisions are pure
+  functions of the row key: re-runs, resumes, and both engines agree
+  row-for-row, which is what makes holdout splits trustworthy across
+  pipeline versions.
+* ``assign_split`` — train/val/test assignment by hash bucket
+  (80/10/10 of ``hord % 10000``). Map-side only; the split column
+  costs no shuffle and any downstream filter on it is
+  pushdown-friendly.
+* ``stratified_sample`` — per-stratum (language) keep-rates applied as
+  a single CASE threshold on the same bucket. Down-samples
+  over-represented strata (the classic corpus-balancing op) without a
+  shuffle: filter is map-side, the only exchange is the final stats
+  aggregate (partial-agg'd).
+* ``balanced_topk`` — EXACTLY k rows per stratum, chosen by hash
+  order (deterministic "random" without replacement). Declared as
+  ``row_number() OVER (PARTITION BY lang ORDER BY hord, doc_id) <= k``
+  — Spark's WindowGroupLimit rule (asserted in
+  tests/test_plan_quality.py) rewrites this to a per-map-partition
+  top-k BEFORE the shuffle, so the exchange carries at most
+  ``k × n_partitions`` rows per stratum, not the stratum. That is the
+  100 TB plan: the full-sort-per-stratum a naive window implies never
+  materializes.
+
+No reference counterpart (mapnik-vector-tile renders tiles; it has no
+corpus curation) — mandated by the task brief's training-pipeline
+list, same standing as operators/dedup.py. All three are gated by
+full DuckDB oracles (oracle_pairs re-derives the hash via
+splitmix64_sql HUGEINT arithmetic, bit-exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+# Top 53 bits of the 64-bit hash: exactly representable everywhere.
+_HSHIFT = 11
+# Bucket space for rate thresholds: rates are "per ten-thousand".
+BUCKETS = 10_000
+
+# Per-language keep-rates (per BUCKETS). en is down-sampled hardest —
+# it dominates the corpus — zh kept nearly whole; the point is the
+# rates are non-uniform so the oracle is non-vacuous.
+STRATA_RATES: dict[str, int] = {
+    "en": 2000,
+    "de": 5000,
+    "es": 5000,
+    "fr": 5000,
+    "zh": 8000,
+}
+
+# train/val/test thresholds on hord % BUCKETS.
+SPLIT_TRAIN = 8000
+SPLIT_VAL = 9000
+
+
+def _sample_hash_kernel(ids: pd.Series) -> pd.Series:
+    """splitmix64(id) >> 11 — vectorized, uint64-exact, 53-bit result."""
+    h = splitmix64(ids.to_numpy(dtype=np.uint64))
+    return pd.Series((h >> np.uint64(_HSHIFT)).astype(np.int64))
+
+
+# DataType instance (not a DDL string) so the decorator needs no active
+# SparkSession at import time.
+sample_hash = F.pandas_udf(_sample_hash_kernel, LongType())
+
+
+def with_sample_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return df.withColumn("hord", sample_hash(F.col(id_col)))
+
+
+def _bucket() -> Column:
+    return F.col("hord") % F.lit(BUCKETS)
+
+
+def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Add ``split ∈ {train, val, test}`` by hash bucket (80/10/10)."""
+    b = _bucket()
+    return with_sample_hash(df, id_col).withColumn(
+        "split",
+        F.when(b < SPLIT_TRAIN, F.lit("train"))
+        .when(b < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int] | None = None,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a row iff ``hord % BUCKETS < rate(stratum)``; unknown
+    strata are dropped (rate 0)."""
+    rates = STRATA_RATES if rates is None else rates
+    thr: Column = F.lit(0)
+    for lang, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == lang, F.lit(rate)).otherwise(thr)
+    return with_sample_hash(df, id_col).filter(_bucket() < thr)
+
+
+def balanced_topk(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum in hash order."""
+    w = Window.partitionBy(stratum_col).orderBy("hord", id_col)
+    return (
+        with_sample_hash(df, id_col)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

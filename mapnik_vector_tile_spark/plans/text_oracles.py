@@ -506,6 +506,109 @@ def q_embedding_neardup(spark, sf_dir):
     return S.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
+# --- deterministic sampling / split assignment (operators.sampling) -------
+
+
+def _hord_cte(src: str = "documents") -> str:
+    """DuckDB twin of sampling.sample_hash: splitmix64(doc_id) >> 11
+    via HUGEINT arithmetic (bit-exact, verified by the pair hashes)."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import splitmix64_sql
+
+    return f"""
+h AS (SELECT doc_id, lang, source, n_chars,
+             CAST(({splitmix64_sql('doc_id')}) // 2048 AS BIGINT) AS hord
+      FROM {src})"""
+
+
+def sql_train_split() -> str:
+    from mapnik_vector_tile_spark.operators.sampling import (
+        BUCKETS,
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+    )
+
+    return f"""
+WITH {_hord_cte()}
+SELECT lang,
+       CASE WHEN hord % {BUCKETS} < {SPLIT_TRAIN} THEN 'train'
+            WHEN hord % {BUCKETS} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n,
+       MIN(doc_id) AS min_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM h
+GROUP BY 1, 2
+"""
+
+
+def sql_stratified_sample() -> str:
+    from mapnik_vector_tile_spark.operators.sampling import (
+        BUCKETS,
+        STRATA_RATES,
+    )
+
+    case = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(STRATA_RATES.items())
+    )
+    return f"""
+WITH {_hord_cte()}
+SELECT lang, source,
+       COUNT(*) AS n,
+       MIN(doc_id) AS min_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM h
+WHERE hord % {BUCKETS} < CASE lang {case} ELSE 0 END
+GROUP BY 1, 2
+"""
+
+
+def sql_balanced_sample(k: int = 20) -> str:
+    return f"""
+WITH {_hord_cte()}
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hord, doc_id) AS rnk
+      FROM h) r
+WHERE rnk <= {k}
+"""
+
+
+def q_train_split(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import sampling as SMP
+
+    return (
+        SMP.assign_split(_docs(spark, sf_dir))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import sampling as SMP
+
+    return (
+        SMP.stratified_sample(_docs(spark, sf_dir))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+def q_balanced_sample(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import sampling as SMP
+
+    return SMP.balanced_topk(_docs(spark, sf_dir), k=20).select(
+        "lang", F.col("rnk").cast("bigint").alias("rnk"), "doc_id"
+    )
+
+
 def pairs() -> dict[str, tuple[Callable, str | None]]:
     """name -> (spark_fn, oracle_sql | None). None = rows-only check
     (approximate/recall-bounded ops, documented)."""
@@ -529,4 +632,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
             q_embedding_neardup,
             sql_embedding_neardup(0.45),  # corpus-calibrated, see query doc
         ),
+        "q_train_split": (q_train_split, sql_train_split()),
+        "q_stratified_sample": (q_stratified_sample, sql_stratified_sample()),
+        "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
     }

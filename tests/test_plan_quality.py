@@ -121,3 +121,20 @@ def test_sessionize_partial_aggregation_after_window(spark):
     assert plan.count("HashAggregate") >= 2
     assert "partial" in plan
     assert "Python" not in plan
+
+
+def test_balanced_topk_group_limit_before_shuffle(spark):
+    """balanced_topk's rank<=k predicate must be rewritten to
+    WindowGroupLimit on BOTH sides of the exchange — the map-side one
+    bounds shuffle volume to k rows per stratum per input partition,
+    which is what makes exact per-stratum sampling viable at 100 TB."""
+    from mapnik_vector_tile_spark.operators import sampling as SMP
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(SMP.balanced_topk(docs, k=20))
+    assert plan.count("WindowGroupLimit") >= 2
+    # map-side partial = a WindowGroupLimit deeper in the tree than the
+    # exchange (printed after it in formatted mode)
+    exch = plan.index("Exchange")
+    assert "WindowGroupLimit" in plan[exch:]
+    assert "WindowGroupLimit" in plan[:exch]  # final limit above it too

@@ -1,0 +1,75 @@
+"""operators.sampling — deterministic split / stratified / balanced-k.
+
+The oracle pairs (q_train_split, q_stratified_sample,
+q_balanced_sample) gate cross-engine bit-parity; these tests pin the
+operator-level CONTRACTS: partition totality, per-stratum exactness,
+and rerun determinism.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+
+from mapnik_vector_tile_spark.operators import sampling as SMP
+from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_sample_hash_matches_numpy(spark, docs):
+    rows = SMP.with_sample_hash(docs).select("doc_id", "hord").collect()
+    ids = np.array([r.doc_id for r in rows], dtype=np.uint64)
+    expect = (splitmix64(ids) >> np.uint64(11)).astype(np.int64)
+    got = np.array([r.hord for r in rows], dtype=np.int64)
+    assert (got == expect).all()
+    assert (got >= 0).all()  # 53-bit: sign-safe in every engine
+
+
+def test_split_is_total_and_deterministic(spark, docs):
+    out = SMP.assign_split(docs).select("doc_id", "split")
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in out.collect()}
+    assert a == b
+    assert len(a) == docs.count()  # every row gets exactly one split
+    assert set(a.values()) <= {"train", "val", "test"}
+    # 80/10/10 thresholds: train must dominate on any non-tiny corpus
+    n = len(a)
+    n_train = sum(1 for s in a.values() if s == "train")
+    assert 0.6 * n < n_train < 0.95 * n
+
+
+def test_stratified_sample_is_a_subset_with_per_stratum_rates(spark, docs):
+    kept = SMP.stratified_sample(docs).select("doc_id", "lang", "hord").collect()
+    base = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    for r in kept:
+        assert base[r.doc_id] == r.lang
+        rate = SMP.STRATA_RATES[r.lang]
+        assert r.hord % SMP.BUCKETS < rate
+    # and nothing below-threshold was dropped: recompute keep-set locally
+    ids = np.array(sorted(base), dtype=np.uint64)
+    hord = (splitmix64(ids) >> np.uint64(11)).astype(np.int64)
+    expect = {
+        int(i)
+        for i, h in zip(ids, hord)
+        if h % SMP.BUCKETS < SMP.STRATA_RATES[base[int(i)]]
+    }
+    assert {r.doc_id for r in kept} == expect
+
+
+def test_balanced_topk_exact_k_per_stratum(spark, docs):
+    k = 7
+    out = SMP.balanced_topk(docs, k=k).select("lang", "doc_id", "rnk").collect()
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append(r.rnk)
+    assert set(per) == set(sizes)
+    for lang, rnks in per.items():
+        assert sorted(rnks) == list(range(1, min(k, sizes[lang]) + 1))
+    # deterministic across runs
+    again = {(r.lang, r.doc_id, r.rnk) for r in SMP.balanced_topk(docs, k=k).select("lang", "doc_id", "rnk").collect()}
+    assert {(r.lang, r.doc_id, r.rnk) for r in out} == again
