@@ -157,6 +157,36 @@ GROUP BY ROLLUP(x, y)
 """
 
 
+def _sql_hex_assign(size: float = W / 64.0) -> str:
+    """T18/H3-analog: axial hex cell assignment of customer points —
+    shared cube-round template (shared_sql.hex_cell_cte), numpy twin
+    in functions/hexcell.py."""
+    return f"""
+WITH {S.point_cte('customer', 'c_custkey')},
+{S.hex_cell_cte(size, src='pts')}
+SELECT id, hq, hr FROM hex
+"""
+
+
+def _sql_hex_density(size: float = W / 64.0) -> str:
+    """Hex-binned density + ring-1 disk smoothing: per-cell count,
+    then each cell's 7-cell neighborhood sum via the axial unit
+    offsets — the H3 kRing/gridDisk aggregation pattern. The neighbor
+    lookup is an equi-join on (hq+dq, hr+dr): broadcast-size offset
+    relation, no range predicate, shuffle only on the final groupBy."""
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+{S.hex_cell_cte(size, src='pts')},
+d AS (SELECT hq, hr, COUNT(*) AS n, MIN(id) AS min_id FROM hex GROUP BY 1, 2),
+{S.HEX_RING1}
+SELECT d.hq AS hq, d.hr AS hr, d.n AS n, d.min_id AS min_id,
+       CAST(SUM(d2.n) AS BIGINT) AS n_disk
+FROM d CROSS JOIN nb
+JOIN d AS d2 ON d2.hq = d.hq + nb.dq AND d2.hr = d.hr + nb.dr
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def _sql_json_props() -> str:
     """F15 JSON scalar path: extract $.k from the events props JSON
     string (engine-specific function via the {{JSONK}} token), then an
@@ -205,6 +235,8 @@ _PAIRS: dict[str, str] = {
     "q_tile_intersect": _sql_tile_setop("INTERSECT"),
     "q_tile_cube": _sql_tile_cube(),
     "q_tile_rollup": _sql_tile_rollup(),
+    "q_hex_assign": _sql_hex_assign(),
+    "q_hex_density": _sql_hex_density(),
     "q_json_props": _sql_json_props(),
 }
 

@@ -108,6 +108,63 @@ def quantize_exprs(
     return round_half_up_nonneg(qx), round_half_up_nonneg(qy)
 
 
+def hex_cell_cte(
+    size: float, src: str = "pts", cte: str = "hex", idcol: str = "id"
+) -> str:
+    """Axial hex binning (pointy-top, circumradius ``size`` meters in
+    mercator space) with cube rounding — the planar analog of an H3
+    gridCell assignment (the north_star's "H3" half; our spherical
+    half is functions/cellid.py). One shared template for both
+    engines, so the fractional math and every tie-breaking CASE branch
+    evaluate on identical doubles → identical cells by construction
+    (same argument as the rest of this module; no libm calls — sqrt(3)
+    is a compile-time Python literal).
+
+    Cube-round reference: the standard axial/cube hex-grid algorithm
+    (Red Blob Games formulation, public): round each cube coordinate,
+    then repair the one with the largest rounding error so
+    rx+ry+rz == 0. round() here is floor(v+0.5) — engine-identical,
+    half-toward-+inf; this is a NEW operator (no reference
+    counterpart), so no external rounding convention to match.
+    """
+    sqrt3_3 = flit(3.0**0.5 / 3.0)
+    third = flit(1.0 / 3.0)
+    two_thirds = flit(2.0 / 3.0)
+    s = flit(size)
+    rnd = "CAST(floor(({v}) + 0.5e0) AS BIGINT)"
+    return f"""
+hxf AS (
+  SELECT {idcol},
+         ({sqrt3_3} * mx - {third} * my) / {s} AS qf,
+         ({two_thirds} * my) / {s} AS rf
+  FROM {src}
+),
+hxr AS (
+  SELECT {idcol}, qf, rf, -qf - rf AS yf,
+         {rnd.format(v='qf')} AS rx,
+         {rnd.format(v='-qf - rf')} AS ry,
+         {rnd.format(v='rf')} AS rz
+  FROM hxf
+),
+{cte} AS (
+  SELECT {idcol},
+         CASE WHEN abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf)
+              THEN -ry - rz ELSE rx END AS hq,
+         CASE WHEN (abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf))
+                OR abs(ry - yf) > abs(rz - rf)
+              THEN rz ELSE -rx - ry END AS hr
+  FROM hxr
+)"""
+
+
+HEX_RING1 = """
+nb AS (
+  SELECT 0 AS dq, 0 AS dr UNION ALL SELECT 1, 0 UNION ALL
+  SELECT 1, -1 UNION ALL SELECT 0, -1 UNION ALL SELECT -1, 0 UNION ALL
+  SELECT -1, 1 UNION ALL SELECT 0, 1
+)"""
+
+
 def zigzag_expr(n: str) -> str:
     """Arithmetic zigzag (F4) — no shifts, engine-portable."""
     return f"CAST(CASE WHEN ({n}) >= 0 THEN ({n}) * 2 ELSE -(({n}) * 2) - 1 END AS BIGINT)"

@@ -68,3 +68,52 @@ def test_sql_twin_bit_exact():
     ).fetchnumpy()
     got = next(iter(got.values())).astype(np.int64)
     assert (got == want).all()
+
+
+# --- planar hex cells (functions/hexcell.py) -------------------------------
+
+
+def test_hex_cell_is_nearest_center():
+    """Definitive hex property: the assigned cell's center is the
+    nearest center among the cell and its ring-1 neighbors."""
+    from mapnik_vector_tile_spark.functions import hexcell as HX
+
+    rng = np.random.default_rng(11)
+    size = 1000.0
+    mx = rng.uniform(-2e7, 2e7, 4000)
+    my = rng.uniform(-2e7, 2e7, 4000)
+    hq, hr = HX.hex_cell(mx, my, size)
+    cx, cy = HX.hex_center(hq, hr, size)
+    d0 = (mx - cx) ** 2 + (my - cy) ** 2
+    for dq, dr in HX.RING1[1:]:
+        nx, ny = HX.hex_center(hq + dq, hr + dr, size)
+        dn = (mx - nx) ** 2 + (my - ny) ** 2
+        # strict inequality up to fp wobble exactly on an edge
+        assert (d0 <= dn * (1 + 1e-12)).all()
+
+
+def test_hex_sql_twin_bit_exact():
+    """numpy kernel == the shared SQL template (DuckDB side), incl.
+    the cube-round repair branches."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import hexcell as HX
+    from mapnik_vector_tile_spark.plans import shared_sql as S
+
+    rng = np.random.default_rng(13)
+    size = 313086.067
+    mx = rng.uniform(-2e7, 2e7, 5000)
+    my = rng.uniform(-2e7, 2e7, 5000)
+    # adversarial: points ON cell-center rows/edges hit the repair ties
+    mx[:100] = np.linspace(-1e6, 1e6, 100)
+    my[:100] = 0.0
+    hq, hr = HX.hex_cell(mx, my, size)
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame({"id": np.arange(mx.size), "mx": mx, "my": my}))
+    got = con.execute(
+        f"WITH src AS (SELECT id, mx, my FROM p),\n"
+        f"{S.hex_cell_cte(size, src='src')}\n"
+        f"SELECT hq, hr FROM hex ORDER BY id"
+    ).fetchnumpy()
+    assert (got["hq"].astype(np.int64) == hq).all()
+    assert (got["hr"].astype(np.int64) == hr).all()
