@@ -16,6 +16,11 @@ the engine's hot paths at sf0.1 scale:
   q_ann_topk       — brute-force cosine top-k over embeddings
   q_raster         — R1 decode + bilinear warp + painter's composite
                      (the binary-heavy mapInPandas leg)
+  q_asof           — J7 as-of join (union + one shuffle + running-last)
+  q_sessionize     — W3 gap sessionization (lag + running-sum fold)
+  q_interval       — J6 interval-overlap join (grid buckets, ~11.5M pairs)
+  q_hex_density    — T18 hex binning + ring-1 disk smoothing (Catalyst)
+  q_balanced_sample— T17 exact-k/stratum sample (WindowGroupLimit)
 
 Scale notes: every query here is shuffle-bounded, not driver-bounded;
 row counts grow linearly with sf and the plans contain no collect(),
@@ -107,6 +112,42 @@ def q_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rasterize_images(images_df(spark, 4000), z=5, tile_size=64)
 
 
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of join over the events log (one shuffle, running-last
+    window)."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_asof_clicks_views
+
+    return q_asof_clicks_views(spark, sf_dir)
+
+
+def q_sessionize_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running-sum boundary fold)."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_sessionize
+
+    return q_sessionize(spark, sf_dir)
+
+
+def q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 interval-overlap join (grid buckets; ~11.5M pairs at sf0.1)."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_interval_overlap
+
+    return q_interval_overlap(spark, sf_dir)
+
+
+def q_hex_density_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 hex binning + ring-1 disk smoothing (pure Catalyst)."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import sql_pairs
+
+    return sql_pairs()[0]["q_hex_density"](spark, sf_dir)
+
+
+def q_balanced_sample_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 exact-k-per-stratum sample (map-side WindowGroupLimit)."""
+    from mapnik_vector_tile_spark.plans.text_oracles import q_balanced_sample
+
+    return q_balanced_sample(spark, sf_dir)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         "q_pyramid": q_pyramid,
@@ -137,6 +178,21 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mapnik_vector_tile_spark.operators import raster  # noqa: F401
 
         out["q_raster"] = q_raster
+    except ImportError:
+        pass
+    try:
+        from mapnik_vector_tile_spark.operators import temporal  # noqa: F401
+
+        out["q_asof"] = q_asof
+        out["q_sessionize"] = q_sessionize_b
+        out["q_interval"] = q_interval
+    except ImportError:
+        pass
+    try:
+        from mapnik_vector_tile_spark.operators import sampling  # noqa: F401
+
+        out["q_hex_density"] = q_hex_density_b
+        out["q_balanced_sample"] = q_balanced_sample_b
     except ImportError:
         pass
     return out
