@@ -232,3 +232,46 @@ def clip_polygon(
         np.concatenate(out_y),
         np.array(offs, dtype=np.int64),
     )
+
+
+def drop_small_rings(
+    px: np.ndarray,
+    py: np.ndarray,
+    ring_offsets: np.ndarray,
+    area_threshold: float,
+    area2_fn,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference ``area_threshold`` semantics (processor option, applied
+    inside the wagyu clip in src/vector_tile_geometry_clipper.hpp):
+    drop any ring whose |area| in TILE units is < area_threshold.
+    Rings are judged individually — holes of a dropped exterior survive
+    if big enough, matching the reference's process_all_rings=true
+    behavior (our documented default; the false variant would need
+    ring-nesting bookkeeping the box-clip narrowing removed).
+
+    ``area2_fn(xs, ys) -> 2A`` signed shoelace (int tile coords), so
+    the compare is |2A| < 2*threshold — exact in int64, no float area.
+    """
+    ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+    out_x: list[np.ndarray] = []
+    out_y: list[np.ndarray] = []
+    offs = [0]
+    for r in range(len(ring_offsets) - 1):
+        rx = px[ring_offsets[r] : ring_offsets[r + 1]]
+        ry = py[ring_offsets[r] : ring_offsets[r + 1]]
+        if abs(area2_fn(rx, ry)) < 2.0 * area_threshold:
+            continue
+        out_x.append(rx)
+        out_y.append(ry)
+        offs.append(offs[-1] + len(rx))
+    if not out_x:
+        return (
+            np.empty(0, dtype=px.dtype),
+            np.empty(0, dtype=py.dtype),
+            np.array([0], dtype=np.int64),
+        )
+    return (
+        np.concatenate(out_x),
+        np.concatenate(out_y),
+        np.array(offs, dtype=np.int64),
+    )

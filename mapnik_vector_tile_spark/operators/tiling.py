@@ -305,6 +305,7 @@ def encode_layer_partials(
     extent: int = tm.DEFAULT_EXTENT,
     buffer_units: int = tm.DEFAULT_BUFFER,
     simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
     n_salts: int = 16,
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
@@ -429,6 +430,14 @@ def encode_layer_partials(
                     px, py = pipmod.normalize_ring_winding(
                         px, py, roffs, gc.signed_area2
                     )
+                    if area_threshold > 0:
+                        # reference processor option: drop tiny rings in
+                        # tile units (clipper.hpp area_threshold)
+                        px, py, roffs = clipmod.drop_small_rings(
+                            px, py, roffs, area_threshold, gc.signed_area2
+                        )
+                        if len(px) == 0:
+                            continue
                     if simplify_distance > 0:
                         px, py, roffs = simp.simplify_rings(
                             px, py, roffs, simplify_distance, closed=True
@@ -481,6 +490,7 @@ def encode_layers(
     extent: int = tm.DEFAULT_EXTENT,
     buffer_units: int = tm.DEFAULT_BUFFER,
     simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
     n_salts: int = 16,
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
@@ -495,6 +505,7 @@ def encode_layers(
             extent=extent,
             buffer_units=buffer_units,
             simplify_distance=simplify_distance,
+            area_threshold=area_threshold,
             n_salts=n_salts,
             num_partitions=num_partitions,
             adaptive_salt_target=adaptive_salt_target,
@@ -508,6 +519,7 @@ def encode_tiles(
     extent: int = tm.DEFAULT_EXTENT,
     buffer_units: int = tm.DEFAULT_BUFFER,
     simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
     n_salts: int = 16,
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
@@ -530,6 +542,7 @@ def encode_tiles(
         extent=extent,
         buffer_units=buffer_units,
         simplify_distance=simplify_distance,
+        area_threshold=area_threshold,
         n_salts=n_salts,
         num_partitions=num_partitions,
     )

@@ -206,3 +206,37 @@ def test_pack_coords_roundtrip():
         offs = np.sort(rng.integers(0, n + 1, m))
         bx, by, bo = _unpack_coords(_pack_coords(xs, ys, offs))
         assert (bx == xs).all() and (by == ys).all() and (bo == offs).all()
+
+
+def test_area_threshold_drops_small_rings(spark):
+    """Reference processor option area_threshold (tile-unit ring area,
+    src/vector_tile_geometry_clipper.hpp): a tiny interior ring is
+    dropped at threshold>area while the exterior survives; threshold=0
+    keeps both."""
+    z = 2
+    span = tm.tile_span(z)
+    minx = -tm.W + 1 * span
+    maxy = tm.W - 1 * span
+    bx = minx + span * 0.25
+    by = maxy - span * 0.75
+    big_x = [bx, bx + span * 0.5, bx + span * 0.5, bx, bx]
+    big_y = [by, by, by + span * 0.5, by + span * 0.5, by]
+    tiny = span * 2 / 4096  # ~2 tile units => area ~4 units^2
+    tx0, ty0 = bx + span * 0.1, by + span * 0.1
+    tiny_x = [tx0, tx0 + tiny, tx0 + tiny, tx0, tx0]
+    tiny_y = [ty0, ty0, ty0 + tiny, ty0 + tiny, ty0]
+    feats = spark.createDataFrame(
+        [(1, gc.GEOM_POLYGON, big_x + tiny_x, big_y + tiny_y, [0, 5, 10], "c")],
+        "feature_id long, geom_type int, xs array<double>, "
+        "ys array<double>, part_offsets array<long>, caption string",
+    )
+    assigned = T.assign_tiles(feats, z, z, buffer_units=0)
+    rings = {}
+    for thr in (0.0, 25.0):
+        dec = T.decode_tiles_to_features(
+            T.encode_tiles(assigned, n_salts=2, area_threshold=thr)
+        ).toPandas()
+        assert len(dec) == 1
+        rings[thr] = len(dec.part_offsets.iloc[0]) - 1
+    assert rings[0.0] == 2
+    assert rings[25.0] == 1
