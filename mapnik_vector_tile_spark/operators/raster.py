@@ -2,7 +2,7 @@
 into tile pixel grids, raster feature encode/decode, and vector→raster
 materialization. Reference parity target: raster_clipper semantics
 (src/vector_tile_raster_clipper.hpp — warp into tile px grid, scaling
-method nearest/bilinear) re-expressed as Arrow-batch numpy kernels.
+method nearest/bilinear/bicubic) re-expressed as Arrow-batch numpy kernels.
 
 input_hint invariant: decoded-pixel allclose (PSNR ≥ 40 dB for lossy
 paths) + caption equality carried through every stage — gated in
@@ -116,6 +116,34 @@ def resample_to_tile(
             + img[y1, x0] * (1 - wx) * wy
             + img[y1, x1] * wx * wy
         )
+    elif method == "bicubic":
+        # Catmull-Rom cubic (a = -0.5), the classic AGG/mapnik bicubic
+        # scaling_method kernel: 16-tap separable, edge-clamped taps,
+        # weights sum to 1 (constant images reproduce exactly).
+        a = -0.5
+
+        def _cub(t: np.ndarray) -> np.ndarray:
+            at = np.abs(t)
+            return np.where(
+                at <= 1.0,
+                (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0,
+                np.where(
+                    at < 2.0,
+                    a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a,
+                    0.0,
+                ),
+            )
+
+        x0 = np.floor(FX).astype(np.int64)
+        y0 = np.floor(FY).astype(np.int64)
+        out = np.zeros((tile_size, tile_size, 4), dtype=np.float64)
+        for j in (-1, 0, 1, 2):
+            wy = _cub(FY - (y0 + j))[..., None]
+            iy = np.clip(y0 + j, 0, h_src - 1)
+            for i in (-1, 0, 1, 2):
+                wx = _cub(FX - (x0 + i))[..., None]
+                ix = np.clip(x0 + i, 0, w_src - 1)
+                out += img[iy, ix] * wx * wy
     else:
         raise ValueError(f"unknown method {method!r}")
     return out, mask
