@@ -112,6 +112,50 @@ def stratified_sample(
     return with_sample_hash(df, id_col).filter(_bucket() < thr)
 
 
+# sequence-packing defaults: calibrated so the sf0.01 corpus produces
+# several bins per (stratum, shard) — a non-vacuous oracle.
+PACK_BUDGET = 2048
+N_PACK_SHARDS = 4
+
+
+def pack_contiguous(
+    df: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = N_PACK_SHARDS,
+    stratum_col: str = "lang",
+    cost_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing (the pretraining sample-packing
+    op): assign each document to a fixed-budget bin by cumulative cost
+    in id order, within (stratum, hash-shard).
+
+    bin = floor(exclusive-prefix-sum(cost) / budget) — contiguous
+    packing with spillover: a doc that crosses a budget boundary opens
+    the next bin (greedy-reset packing, where the remainder resets at
+    each boundary, is NOT prefix-sum expressible and would serialize;
+    this variant is the distributed-friendly one and is exactly
+    SQL-oracle-able). The hash shard bounds every window to
+    |stratum|/n_shards rows — the 100 TB story: packing state never
+    exceeds a shard, shards never mix, and adding shards is the knob
+    that keeps per-partition sort + running-sum memory flat as the
+    corpus grows. Prefix sums stay < 2^53 per shard so the
+    floor-divide is exact in both engines.
+    """
+    d = with_sample_hash(df, id_col).withColumn(
+        "shard", F.col("hord") % F.lit(n_shards)
+    )
+    w = (
+        Window.partitionBy(stratum_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(cost_col).over(w), F.lit(0))
+    return d.withColumn(
+        "bin", F.floor(cum / F.lit(float(budget))).cast("long")
+    )
+
+
 def balanced_topk(
     df: DataFrame,
     k: int,

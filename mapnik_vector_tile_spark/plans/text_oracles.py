@@ -573,6 +573,31 @@ WHERE rnk <= {k}
 """
 
 
+def sql_seq_packing() -> str:
+    from mapnik_vector_tile_spark.operators.sampling import (
+        N_PACK_SHARDS,
+        PACK_BUDGET,
+    )
+
+    return f"""
+WITH {_hord_cte()},
+sh AS (SELECT doc_id, lang, n_chars, hord % {N_PACK_SHARDS} AS shard FROM h),
+b AS (
+  SELECT lang, shard, doc_id, n_chars,
+         CAST(floor(COALESCE(SUM(n_chars) OVER (
+             PARTITION BY lang, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {float(PACK_BUDGET)!r}e0) AS BIGINT) AS bin
+  FROM sh)
+SELECT lang, shard, bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id
+FROM b
+GROUP BY 1, 2, 3
+"""
+
+
 def q_train_split(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import sampling as SMP
 
@@ -609,6 +634,20 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def q_seq_packing(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import sampling as SMP
+
+    return (
+        SMP.pack_contiguous(_docs(spark, sf_dir))
+        .groupBy("lang", "shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
+
+
 def pairs() -> dict[str, tuple[Callable, str | None]]:
     """name -> (spark_fn, oracle_sql | None). None = rows-only check
     (approximate/recall-bounded ops, documented)."""
@@ -635,4 +674,5 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_train_split": (q_train_split, sql_train_split()),
         "q_stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
+        "q_seq_packing": (q_seq_packing, sql_seq_packing()),
     }

@@ -73,3 +73,24 @@ def test_balanced_topk_exact_k_per_stratum(spark, docs):
     # deterministic across runs
     again = {(r.lang, r.doc_id, r.rnk) for r in SMP.balanced_topk(docs, k=k).select("lang", "doc_id", "rnk").collect()}
     assert {(r.lang, r.doc_id, r.rnk) for r in out} == again
+
+
+def test_pack_contiguous_invariants(spark, docs):
+    out = SMP.pack_contiguous(docs).select(
+        "lang", "shard", "doc_id", "n_chars", "bin"
+    ).collect()
+    assert len(out) == docs.count()  # packing is total
+    groups = {}
+    for r in out:
+        groups.setdefault((r.lang, r.shard), []).append(r)
+    budget = SMP.PACK_BUDGET
+    for rows in groups.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            # bin == floor(exclusive prefix / budget), recomputed locally
+            assert r.bin == cum // budget
+            cum += r.n_chars
+        # bins appear in nondecreasing order starting at 0
+        bins = [r.bin for r in rows]
+        assert bins[0] == 0 and bins == sorted(bins)
