@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Fixed-batch encode-kernel benchmark — the host-noise-proof number.
+
+Per BASELINE.md §4.3/§4.4, single invocations of the end-to-end suite
+on this VM carry a ±30-40% error bar, so kernel regressions can only be
+judged on a FIXED in-process batch: deterministic input, no Spark jobs
+in the timed region, no shuffle, no Arrow transport. This harness is
+the committed, reproducible form of the measurement that drove the
+10.2 s → 2.2 s encode-kernel iteration.
+
+Protocol:
+  1. (untimed, cached) materialize the assigned-features batch with
+     Spark once: synth images → features → assign_tiles(z,z) →
+     with_salt — byte-for-byte what the real encode stage shuffles.
+  2. (timed) sort by the group keys and run prepare + the group loop
+     exactly as operators.grouped.apply_grouped does, using the REAL
+     kernel from tiling.make_encode_kernel.
+  3. print ONE JSON line: rows, groups, wall seconds (min of repeats),
+     output blob bytes (determinism check: must be identical across
+     runs and code changes that claim value-neutrality).
+
+Usage: python jobs/kernel_bench.py [--n-images 15000] [--z 8] [--repeat 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def materialize(path: str, n_images: int, z: int) -> None:
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.session import get_spark
+    from mapnik_vector_tile_spark.sources import synth
+
+    spark = get_spark("kernel-bench-prep", cores=4, shuffle_partitions=8)
+    images = synth.images_df(spark, n_images, with_bytes=False, slices=4)
+    feats = T.images_to_features(images)
+    assigned = T.with_salt(T.assign_tiles(feats, z, z), n_salts=16)
+    assigned.coalesce(1).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-images", type=int, default=15000)
+    ap.add_argument("--z", type=int, default=8)
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--cache", default="/tmp/kernel_bench_batch")
+    args = ap.parse_args()
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.operators.grouped import group_starts
+
+    cache = f"{args.cache}_n{args.n_images}_z{args.z}.parquet"
+    if not os.path.exists(cache):
+        materialize(cache, args.n_images, args.z)
+
+    import pyarrow.parquet as pq
+
+    pdf: pd.DataFrame = pq.read_table(cache).to_pandas()
+    keys = ["z", "x", "y", "salt"]
+    pdf = pdf.sort_values([*keys, "feature_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    n = len(pdf)
+
+    prepare, encode_group = T.make_encode_kernel(
+        "features", 4096, 128, emit_tiles=False
+    )
+
+    best = float("inf")
+    out_bytes = out_rows = n_groups = 0
+    for _ in range(max(1, args.repeat)):
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        t0 = time.monotonic()
+        cols.update(prepare(cols, n))
+        keycols = [cols[k] for k in keys]
+        starts = group_starts(keycols, n)
+        tot_b = tot_r = 0
+        for i in range(len(starts) - 1):
+            s = int(starts[i])
+            sl = slice(s, int(starts[i + 1]))
+            r = encode_group(tuple(c[s] for c in keycols), cols, sl)
+            if r:
+                tot_r += len(r)
+                tot_b += sum(len(row[4]) for row in r)
+        wall = time.monotonic() - t0
+        best = min(best, wall)
+        out_bytes, out_rows, n_groups = tot_b, tot_r, len(starts) - 1
+
+    print(
+        json.dumps(
+            {
+                "metric": "encode_kernel_fixed_batch_seconds",
+                "value": round(best, 3),
+                "unit": "sec",
+                "rows": n,
+                "groups": n_groups,
+                "out_rows": out_rows,
+                "out_bytes": out_bytes,
+                "rows_per_sec": round(n / best),
+                "z": args.z,
+                "n_images": args.n_images,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

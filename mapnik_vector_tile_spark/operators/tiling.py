@@ -299,37 +299,18 @@ LAYER_SCHEMA = (
 LAYER_COLS = ["z", "x", "y", "layer", "blob", "n_features", "n_points"]
 
 
-def encode_layer_partials(
-    assigned: DataFrame,
-    layer_name: str = "features",
-    extent: int = tm.DEFAULT_EXTENT,
-    buffer_units: int = tm.DEFAULT_BUFFER,
+def make_encode_kernel(
+    layer_name: str,
+    extent: int,
+    buffer_units: int,
     simplify_distance: float = 0.0,
     area_threshold: float = 0.0,
-    n_salts: int = 16,
-    num_partitions: int | None = None,
-    adaptive_salt_target: int | None = None,
     emit_tiles: bool = False,
-) -> DataFrame:
-    """Per-(z,x,y,salt) fold: quantize (A.3) -> clip in world coords
-    (F10-F12) -> simplify (F9, tile units) -> command stream (F4-F8) ->
-    Layer blob (A1-A3 dictionaries). Returns PARTIAL layers: one row
-    per (z,x,y,salt-group); callers merge via merge_salted_layers
-    (layer output) or fold_tiles_from_partials (tile output, one fewer
-    shuffle).
-
-    ``emit_tiles=True`` (callers guarantee every group is a WHOLE
-    unsalted single-layer tile — encode_tiles' z>SALT_MAX_Z branch):
-    each group folds to its final Tile buffer inline, so the finished
-    output corpus is never shuffled a second time.
-
-    Executed via grouped.apply_grouped (repartition + in-batch group
-    iteration) because tile workloads have ~1 group per tile — per-group
-    applyInPandas overhead would dominate by ~100x. Single-point
-    features (the bulk of an image-footprint table) are quantized for
-    the WHOLE Arrow batch in one numpy pass (`prepare`), so the group
-    loop only assembles bytes.
-    """
+):
+    """The per-group encode kernel (prepare, encode_group) used by
+    encode_layer_partials — exposed at module level so
+    jobs/kernel_bench.py can time it on a fixed in-process batch
+    with no Spark/host-noise confound (BASELINE.md §4.4)."""
     def prepare(cols: dict, n: int) -> dict:
         # singles arrive pre-quantized from assign_tiles (px/py tile
         # ints, arrays nulled) — the buffered-bounds check is pure int
@@ -456,6 +437,49 @@ def encode_layer_partials(
                 (z, x, y, pbf.concat_tile([lb.build()]), 1, len(lb._features))
             ]
         return [(z, x, y, layer_name, lb.build(), len(lb._features), n_pts)]
+
+    return prepare, encode_group
+
+
+def encode_layer_partials(
+    assigned: DataFrame,
+    layer_name: str = "features",
+    extent: int = tm.DEFAULT_EXTENT,
+    buffer_units: int = tm.DEFAULT_BUFFER,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
+    n_salts: int = 16,
+    num_partitions: int | None = None,
+    adaptive_salt_target: int | None = None,
+    emit_tiles: bool = False,
+) -> DataFrame:
+    """Per-(z,x,y,salt) fold: quantize (A.3) -> clip in world coords
+    (F10-F12) -> simplify (F9, tile units) -> command stream (F4-F8) ->
+    Layer blob (A1-A3 dictionaries). Returns PARTIAL layers: one row
+    per (z,x,y,salt-group); callers merge via merge_salted_layers
+    (layer output) or fold_tiles_from_partials (tile output, one fewer
+    shuffle).
+
+    ``emit_tiles=True`` (callers guarantee every group is a WHOLE
+    unsalted single-layer tile — encode_tiles' z>SALT_MAX_Z branch):
+    each group folds to its final Tile buffer inline, so the finished
+    output corpus is never shuffled a second time.
+
+    Executed via grouped.apply_grouped (repartition + in-batch group
+    iteration) because tile workloads have ~1 group per tile — per-group
+    applyInPandas overhead would dominate by ~100x. Single-point
+    features (the bulk of an image-footprint table) are quantized for
+    the WHOLE Arrow batch in one numpy pass (`prepare`), so the group
+    loop only assembles bytes.
+    """
+    prepare, encode_group = make_encode_kernel(
+        layer_name,
+        extent,
+        buffer_units,
+        simplify_distance=simplify_distance,
+        area_threshold=area_threshold,
+        emit_tiles=emit_tiles,
+    )
 
     if adaptive_salt_target is not None:
         salted = with_adaptive_salt(
