@@ -190,9 +190,22 @@ def _finish_ring(
 
 def ring_signed_area2_f(xs: np.ndarray, ys: np.ndarray) -> float:
     """Float shoelace (world coords) for pre-quantize area thresholding;
-    same orientation convention as geomcodec.signed_area2."""
-    if len(xs) < 3:
+    same orientation convention as geomcodec.signed_area2.
+
+    Small-ring path sums terms SEQUENTIALLY; numpy's pairwise/unrolled
+    np.sum can differ in the last ulp for n in (2, 128). That only
+    matters when |2A| sits within an ulp of 2*area_threshold — not a
+    pinned behavior (thresholds are user coarse knobs); kernel-bench
+    byte-identity over the corpus confirms no actual output change."""
+    n = len(xs)
+    if n < 3:
         return 0.0
+    if n <= 16:
+        s = 0.0
+        for i in range(n):
+            j = i + 1 if i + 1 < n else 0
+            s += float(xs[i]) * float(ys[j]) - float(xs[j]) * float(ys[i])
+        return s
     x2 = _rot1(xs)
     y2 = _rot1(ys)
     return float(np.sum(xs * y2 - x2 * ys))

@@ -41,6 +41,16 @@ def signed_area2(xs: np.ndarray, ys: np.ndarray) -> int:
     """Twice the shoelace signed area of a ring (closing edge implied),
     int64-exact in tile coords (A.4). Positive = exterior under MVT's
     y-down convention."""
+    n = len(xs)
+    if n <= 16:
+        # pure-int small-ring path (~2 µs vs ~17 µs of tiny-array numpy
+        # overhead); python ints are exact, so any summation order gives
+        # the identical value — zero parity risk
+        s = 0
+        for i in range(n):
+            j = i + 1 if i + 1 < n else 0
+            s += int(xs[i]) * int(ys[j]) - int(xs[j]) * int(ys[i])
+        return s
     xs = np.asarray(xs, dtype=np.int64)
     ys = np.asarray(ys, dtype=np.int64)
     # manual left-rotate: np.roll costs ~8µs/call in axis bookkeeping,

@@ -66,6 +66,17 @@ def normalize_ring_winding(
     order is preserved; only vertex direction flips in place."""
     offsets = np.asarray(offsets, dtype=np.int64)
     nr = len(offsets) - 1
+    if nr == 1:
+        # single-ring fast path (the overwhelming footprint shape):
+        # depth is 0 by definition -> want positive area; no copy when
+        # already correct, a reversed VIEW when flipped (downstream
+        # encode only reads)
+        xs = np.asarray(xs)
+        ys = np.asarray(ys)
+        a2 = area2_fn(xs, ys)
+        if a2 >= 0:
+            return xs, ys
+        return xs[::-1], ys[::-1]
     xs = np.asarray(xs).copy()
     ys = np.asarray(ys).copy()
     if nr == 0:
