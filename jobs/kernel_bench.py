@@ -55,13 +55,27 @@ def main() -> None:
     ap.add_argument("--z", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--cache", default="/tmp/kernel_bench_batch")
+    ap.add_argument("--refresh", action="store_true",
+                    help="force re-materialization of the cached batch")
     args = ap.parse_args()
 
     from mapnik_vector_tile_spark.operators import tiling as T
     from mapnik_vector_tile_spark.operators.grouped import group_starts
 
-    cache = f"{args.cache}_n{args.n_images}_z{args.z}.parquet"
-    if not os.path.exists(cache):
+    # cache key includes a fingerprint of the batch-producing sources, so
+    # upstream changes to synth/assign_tiles can never be timed (or
+    # byte-compared) against a stale materialization
+    import hashlib
+
+    import mapnik_vector_tile_spark.sources.synth as _synth
+
+    fp = hashlib.md5()
+    for mod in (T, _synth):
+        with open(mod.__file__, "rb") as f:
+            fp.update(f.read())
+    tag = fp.hexdigest()[:10]
+    cache = f"{args.cache}_n{args.n_images}_z{args.z}_{tag}.parquet"
+    if args.refresh or not os.path.exists(cache):
         materialize(cache, args.n_images, args.z)
 
     import pyarrow.parquet as pq

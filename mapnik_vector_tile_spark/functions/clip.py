@@ -257,22 +257,34 @@ def drop_small_rings(
     """Reference ``area_threshold`` semantics (processor option, applied
     inside the wagyu clip in src/vector_tile_geometry_clipper.hpp):
     drop any ring whose |area| in TILE units is < area_threshold.
-    Rings are judged individually — holes of a dropped exterior survive
-    if big enough, matching the reference's process_all_rings=true
-    behavior (our documented default; the false variant would need
-    ring-nesting bookkeeping the box-clip narrowing removed).
+    Hole orphan rule (same as simplify.simplify_rings): when an
+    EXTERIOR ring (positive area post-winding-normalize) is dropped,
+    its trailing interior rings go with it — the decoder assembles
+    each exterior with the holes that FOLLOW it, so a surviving orphan
+    hole would lead the feature as an invalid first ring or be punched
+    into the preceding, unrelated polygon.
 
     ``area2_fn(xs, ys) -> 2A`` signed shoelace (int tile coords), so
     the compare is |2A| < 2*threshold — exact in int64, no float area.
+    (Units note: clip_polygon's same-named parameter is a WORLD-coord
+    float ``<=`` compare at clip time; THIS one is the reference
+    processor's tile-unit knob. Don't unify them.)
     """
     ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
     out_x: list[np.ndarray] = []
     out_y: list[np.ndarray] = []
     offs = [0]
+    exterior_alive = True
     for r in range(len(ring_offsets) - 1):
         rx = px[ring_offsets[r] : ring_offsets[r + 1]]
         ry = py[ring_offsets[r] : ring_offsets[r + 1]]
-        if abs(area2_fn(rx, ry)) < 2.0 * area_threshold:
+        a2 = area2_fn(rx, ry)
+        is_exterior = a2 > 0
+        if is_exterior:
+            exterior_alive = abs(a2) >= 2.0 * area_threshold
+            if not exterior_alive:
+                continue
+        elif not exterior_alive or abs(a2) < 2.0 * area_threshold:
             continue
         out_x.append(rx)
         out_y.append(ry)

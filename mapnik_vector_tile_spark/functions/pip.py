@@ -62,8 +62,14 @@ def normalize_ring_winding(
     """Assign winding by even-odd containment depth (wagyu-parity
     semantics, SURVEY.md F12): a ring contained in an even number of
     other rings is an exterior (2A > 0 under ``area2_fn``'s
-    convention), odd -> hole (2A < 0). Rings are re-ordered? No —
-    order is preserved; only vertex direction flips in place."""
+    convention), odd -> hole (2A < 0). Ring ORDER is preserved; only
+    vertex direction flips.
+
+    Aliasing contract: the returned arrays may ALIAS the inputs (the
+    single-ring fast path returns the originals, or reversed VIEWS of
+    them) — callers must treat both inputs and outputs as read-only
+    after the call. The encode pipeline (the sole caller) only reads.
+    """
     offsets = np.asarray(offsets, dtype=np.int64)
     nr = len(offsets) - 1
     if nr == 1:

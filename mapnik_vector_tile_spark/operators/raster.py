@@ -136,7 +136,7 @@ def resample_to_tile(
 
         x0 = np.floor(FX).astype(np.int64)
         y0 = np.floor(FY).astype(np.int64)
-        out = np.zeros((tile_size, tile_size, 4), dtype=np.float64)
+        out = np.zeros((tile_size, tile_size, img.shape[-1]), dtype=np.float64)
         for j in (-1, 0, 1, 2):
             wy = _cub(FY - (y0 + j))[..., None]
             iy = np.clip(y0 + j, 0, h_src - 1)

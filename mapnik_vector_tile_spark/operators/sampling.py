@@ -139,8 +139,10 @@ def pack_contiguous(
     |stratum|/n_shards rows — the 100 TB story: packing state never
     exceeds a shard, shards never mix, and adding shards is the knob
     that keeps per-partition sort + running-sum memory flat as the
-    corpus grows. Prefix sums stay < 2^53 per shard so the
-    floor-divide is exact in both engines.
+    corpus grows. The bin divide is INTEGER division (Spark ``DIV``,
+    DuckDB ``//`` — identical on nonnegative bigints), exact at any
+    prefix-sum magnitude and any budget; a float floor(cum/budget)
+    would round across a bin boundary for cum near 2^53.
     """
     d = with_sample_hash(df, id_col).withColumn(
         "shard", F.col("hord") % F.lit(n_shards)
@@ -151,8 +153,10 @@ def pack_contiguous(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum(cost_col).over(w), F.lit(0))
-    return d.withColumn(
-        "bin", F.floor(cum / F.lit(float(budget))).cast("long")
+    return (
+        d.withColumn("_cum", cum)
+        .withColumn("bin", F.expr(f"_cum DIV {int(budget)}"))
+        .drop("_cum")
     )
 
 

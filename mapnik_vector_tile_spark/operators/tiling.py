@@ -411,18 +411,22 @@ def make_encode_kernel(
                     px, py = pipmod.normalize_ring_winding(
                         px, py, roffs, gc.signed_area2
                     )
+                    if simplify_distance > 0:
+                        px, py, roffs = simp.simplify_rings(
+                            px, py, roffs, simplify_distance, closed=True
+                        )
                     if area_threshold > 0:
                         # reference processor option: drop tiny rings in
-                        # tile units (clipper.hpp area_threshold)
+                        # tile units (clipper.hpp area_threshold). AFTER
+                        # simplify, matching the reference chain
+                        # (geometry_simplifier feeds the clipper that
+                        # applies area_threshold) — simplification-created
+                        # slivers must not survive.
                         px, py, roffs = clipmod.drop_small_rings(
                             px, py, roffs, area_threshold, gc.signed_area2
                         )
                         if len(px) == 0:
                             continue
-                    if simplify_distance > 0:
-                        px, py, roffs = simp.simplify_rings(
-                            px, py, roffs, simplify_distance, closed=True
-                        )
                     stream = gc.encode_geometry(gc.GEOM_POLYGON, px, py, roffs)
                 else:
                     continue

@@ -136,9 +136,14 @@ def q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hex_density_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T18 hex binning + ring-1 disk smoothing (pure Catalyst)."""
-    from mapnik_vector_tile_spark.plans.oracle_pairs import sql_pairs
+    from mapnik_vector_tile_spark.plans import shared_sql as S
+    from mapnik_vector_tile_spark.plans.oracle_pairs import (
+        _sql_hex_density,
+        load_views,
+    )
 
-    return sql_pairs()[0]["q_hex_density"](spark, sf_dir)
+    load_views(spark, sf_dir)
+    return spark.sql(S.render(_sql_hex_density(), "spark"))
 
 
 def q_balanced_sample_b(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,10 +193,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out["q_interval"] = q_interval
     except ImportError:
         pass
+    out["q_hex_density"] = q_hex_density_b  # pure Catalyst, no extra deps
     try:
         from mapnik_vector_tile_spark.operators import sampling  # noqa: F401
 
-        out["q_hex_density"] = q_hex_density_b
         out["q_balanced_sample"] = q_balanced_sample_b
     except ImportError:
         pass

@@ -584,10 +584,10 @@ WITH {_hord_cte()},
 sh AS (SELECT doc_id, lang, n_chars, hord % {N_PACK_SHARDS} AS shard FROM h),
 b AS (
   SELECT lang, shard, doc_id, n_chars,
-         CAST(floor(COALESCE(SUM(n_chars) OVER (
+         CAST(COALESCE(SUM(n_chars) OVER (
              PARTITION BY lang, shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ), 0) / {float(PACK_BUDGET)!r}e0) AS BIGINT) AS bin
+           ), 0) // {int(PACK_BUDGET)} AS BIGINT) AS bin
   FROM sh)
 SELECT lang, shard, bin,
        COUNT(*) AS n_docs,

@@ -201,3 +201,35 @@ def test_simplify_rings_closed_seam():
     sx, sy, offs = S.simplify_rings(xs, ys, np.array([0, 5]), 2.0, closed=True)
     assert len(offs) == 2
     assert len(sx) == 4
+
+
+def test_drop_small_rings_orphan_hole_rule():
+    """A dropped exterior takes its trailing holes with it (same rule
+    as simplify_rings), even when a hole's own area clears the
+    threshold; holes under threshold drop individually."""
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions.clip import drop_small_rings
+
+    sq = lambda s: (np.array([0, s, s, 0]), np.array([0, 0, s, s]))
+
+    # exterior 2A=8 below 2*thr=20 -> dropped; its hole 2A=-32 clears
+    # the threshold but is orphaned -> dropped too
+    ex, ey = sq(2)
+    hx, hy = sq(4)[0][::-1], sq(4)[1][::-1]
+    px = np.concatenate([ex, hx])
+    py = np.concatenate([ey, hy])
+    ox, oy, offs = drop_small_rings(
+        px, py, np.array([0, 4, 8]), 10.0, gc.signed_area2
+    )
+    assert len(ox) == 0
+
+    # big exterior keeps itself, small hole drops individually
+    ex, ey = sq(4)
+    hx, hy = sq(1)[0][::-1], sq(1)[1][::-1]
+    px = np.concatenate([ex, hx])
+    py = np.concatenate([ey, hy])
+    ox, oy, offs = drop_small_rings(
+        px, py, np.array([0, 4, 8]), 10.0, gc.signed_area2
+    )
+    assert list(offs) == [0, 4]
+    assert gc.signed_area2(ox, oy) == 32
