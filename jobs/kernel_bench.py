@@ -57,6 +57,9 @@ def main() -> None:
     ap.add_argument("--cache", default="/tmp/kernel_bench_batch")
     ap.add_argument("--refresh", action="store_true",
                     help="force re-materialization of the cached batch")
+    ap.add_argument("--mode", choices=("encode", "decode"), default="encode",
+                    help="decode: time the tile->features kernel on the "
+                         "tiles produced (in-process) from the same batch")
     args = ap.parse_args()
 
     from mapnik_vector_tile_spark.operators import tiling as T
@@ -91,6 +94,10 @@ def main() -> None:
         "features", 4096, 128, emit_tiles=False
     )
 
+    if args.mode == "decode":
+        _decode_bench(pdf, keys, prepare, encode_group, args)
+        return
+
     best = float("inf")
     out_bytes = out_rows = n_groups = 0
     for _ in range(max(1, args.repeat)):
@@ -122,6 +129,67 @@ def main() -> None:
                 "out_rows": out_rows,
                 "out_bytes": out_bytes,
                 "rows_per_sec": round(n / best),
+                "z": args.z,
+                "n_images": args.n_images,
+            }
+        )
+    )
+
+
+def _decode_bench(pdf, keys, prepare, encode_group, args) -> None:
+    """Time the tile->features decode kernel (pbf.decode_tile +
+    decode_layer + geomcodec.decode_geometry — the inner loop of
+    tiling.decode_tiles_to_features) on tiles folded in-process from
+    the SAME deterministic batch. Determinism check: total decoded
+    feature count and coordinate checksum."""
+    import json
+    import time
+
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.grouped import group_starts
+
+    n = len(pdf)
+    cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+    cols.update(prepare(cols, n))
+    keycols = [cols[k] for k in keys]
+    starts = group_starts(keycols, n)
+    tiles: list[bytes] = []
+    for i in range(len(starts) - 1):
+        s = int(starts[i])
+        r = encode_group(
+            tuple(c[s] for c in keycols), cols, slice(s, int(starts[i + 1]))
+        )
+        if r:
+            tiles.extend(pbf.concat_tile([row[4]]) for row in r)
+
+    best = float("inf")
+    n_feats = checksum = 0
+    for _ in range(max(1, args.repeat)):
+        t0 = time.monotonic()
+        nf = ck = 0
+        for t in tiles:
+            for lmsg in pbf.decode_tile(t):
+                layer = pbf.decode_layer(lmsg)
+                for f in layer["features"]:
+                    xs, ys, _ = gc.decode_geometry(
+                        int(f["type"]), f["geometry"].astype(np.int64)
+                    )
+                    nf += 1
+                    ck += int(xs.sum()) + int(ys.sum())
+        best = min(best, time.monotonic() - t0)
+        n_feats, checksum = nf, ck
+    print(
+        json.dumps(
+            {
+                "metric": "decode_kernel_fixed_batch_seconds",
+                "value": round(best, 3),
+                "unit": "sec",
+                "tiles": len(tiles),
+                "features": n_feats,
+                "coord_checksum": checksum,
                 "z": args.z,
                 "n_images": args.n_images,
             }
