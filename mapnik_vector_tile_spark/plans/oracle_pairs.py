@@ -378,6 +378,40 @@ SELECT click_id, view_id, gap_us FROM (
 WHERE rn = 1
 """
 
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the §2.10 stream-stream watermarked join
+    (streaming/joins.py): every same-user (view, click) pair with the
+    click inside the view's 24 h attribution window. The STREAMING
+    execution of this exact plan is asserted equal to this batch result
+    in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.streaming.joins import attribution_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.col("gap_us").cast("bigint").alias("gap_us"),
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+            FROM events),
+v AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'view'),
+c AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'click')
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       v.user_id AS user_id, c.t - v.t AS gap_us
+FROM v JOIN c ON c.user_id = v.user_id
+             AND c.t >= v.t AND c.t <= v.t + 86400000000
+"""
+
+
 _SQL_INTERVAL_OVERLAP = """
 WITH ev AS (SELECT event_id AS id, event_type, epoch_us(ts) AS t
             FROM events),
@@ -1660,6 +1694,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_pip_anti": (q_engine_pip_anti, _sql_pip_membership(False)),
     "q_engine_knn": (q_engine_knn, _sql_knn(3)),
     "q_asof_clicks_views": (q_asof_clicks_views, _SQL_ASOF),
+    "q_click_attribution": (q_click_attribution, _SQL_ATTRIBUTION),
     "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "q_session_window": (q_session_window, _SQL_SESSION_WINDOW),
     "q_interval_overlap": (q_interval_overlap, _SQL_INTERVAL_OVERLAP),

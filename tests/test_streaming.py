@@ -271,3 +271,38 @@ def test_incremental_retile_matches_batch_encode(spark, chunked_events, tmp_path
         spark, src, out, z=Z, dirty_every=D, checkpoint_dir=ckpt
     )
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_stream_attribution_join_matches_batch(
+    spark, chunked_events_nodup, tmp_path
+):
+    """§2.10 stream-stream watermarked interval join: with an
+    effectively-infinite watermark, a bounded availableNow replay must
+    emit EXACTLY the batch attribution join — every pair once, in any
+    order."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.streaming import joins as SJ
+
+    SJ.run_attribution_stream(
+        spark,
+        chunked_events_nodup,
+        table_name="attrib_t",
+        checkpoint_dir=str(tmp_path / "attr_ckpt"),
+    )
+    got = {
+        (r.view_id, r.click_id, r.gap_us)
+        for r in spark.sql(
+            "SELECT view_id, click_id, gap_us FROM attrib_t"
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        (r.view_id, r.click_id, r.gap_us)
+        for r in SJ.attribution_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
