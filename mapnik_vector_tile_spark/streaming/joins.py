@@ -35,10 +35,17 @@ def attribution_join(
     views: DataFrame,
     clicks: DataFrame,
     bound_seconds: int = ATTRIB_BOUND_SECONDS,
+    how: str = "inner",
 ) -> DataFrame:
-    """All same-user (view, click) pairs with the click inside the
-    view's attribution window. Batch and streaming frames alike (for
-    streaming, callers watermark ``ts`` on BOTH inputs first)."""
+    """Same-user (view, click) pairs with the click inside the view's
+    attribution window. Batch and streaming frames alike (for
+    streaming, callers watermark ``ts`` on BOTH inputs first).
+
+    ``how="left_outer"``: unmatched views also emit, with NULL click
+    columns — in streaming this is the null-on-window-close semantics
+    (the row emits only once the watermark proves no click can still
+    arrive), the state-eviction behavior an inner join never
+    exercises."""
     v = views.select(
         F.col("event_id").alias("view_id"),
         F.col("user_id"),
@@ -57,7 +64,7 @@ def attribution_join(
             <= v["view_ts"] + F.expr(f"INTERVAL {bound_seconds} SECONDS")
         )
     )
-    joined = v.join(c, cond, "inner")
+    joined = v.join(c, cond, how)
     return joined.select(
         "view_id",
         "click_id",
@@ -75,6 +82,7 @@ def run_attribution_stream(
     bound_seconds: int = ATTRIB_BOUND_SECONDS,
     watermark: str = "36500 days",
     checkpoint_dir: str | None = None,
+    how: str = "inner",
 ) -> None:
     """Drive the stream-stream join over a chunked parquet source with
     availableNow into an append-mode memory sink (the in-sandbox
@@ -94,6 +102,7 @@ def run_attribution_stream(
         wm.filter(F.col("event_type") == "view"),
         wm.filter(F.col("event_type") == "click"),
         bound_seconds=bound_seconds,
+        how=how,
     )
     writer = (
         out.writeStream.format("memory")

@@ -306,3 +306,60 @@ def test_stream_stream_attribution_join_matches_batch(
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_stream_left_outer_emits_nulls_on_window_close(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: matched pairs equal the batch
+    inner join; unmatched views emit NULL-click rows once the watermark
+    closes their window — never both for one view, and every null row
+    is truly unmatched in batch."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.streaming import joins as SJ
+
+    # ts-ORDERED chunks (event-id order would scramble event time and
+    # evict live state mid-stream under a tight watermark)
+    src = str(tmp_path / "attr_src")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pdf = ev.orderBy("ts").toPandas()
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            f"{src}/chunk{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    SJ.run_attribution_stream(
+        spark,
+        src,
+        table_name="attrib_lo",
+        watermark="1 minutes",
+        checkpoint_dir=str(tmp_path / "attr_lo_ckpt"),
+        how="left_outer",
+    )
+    got = spark.sql(
+        "SELECT view_id, click_id, gap_us FROM attrib_lo"
+    ).collect()
+    inner = {
+        (r.view_id, r.click_id, r.gap_us)
+        for r in SJ.attribution_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    matched_views = {v for v, _, _ in inner}
+    got_pairs = {
+        (r.view_id, r.click_id, r.gap_us) for r in got if r.click_id is not None
+    }
+    got_nulls = {r.view_id for r in got if r.click_id is None}
+    # matched part == batch inner join exactly (ts-ordered stream: a
+    # view is never evicted before any click in its window arrives)
+    assert got_pairs == inner
+    # null rows: non-vacuous, disjoint from matches, truly unmatched
+    assert got_nulls
+    assert not (got_nulls & matched_views)
