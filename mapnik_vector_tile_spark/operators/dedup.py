@@ -374,3 +374,38 @@ def with_self_copies(docs: DataFrame, offset: int = 1_000_000) -> DataFrame:
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Bench/driver entry: LSH candidate pairs over docs ∪ shifted-copy."""
     return minhash_lsh_pairs(with_self_copies(docs))
+
+
+def decontaminate(
+    docs: DataFrame, bench_mod: int = 50, n: int = 4
+) -> DataFrame:
+    """Benchmark decontamination (the pretraining-pipeline op next to
+    dedup): flag every train document sharing ANY word n-gram with the
+    held-out eval set. Here the eval set is ``doc_id % bench_mod == 0``
+    — a deterministic stand-in for an external benchmark table; swap in
+    a real one in production, the plan is unchanged.
+
+    Output: (doc_id, n_shared, min_bench) per CONTAMINATED train doc —
+    distinct shared shingles and the smallest eval doc sharing one.
+
+    Plan at 100 TB: the eval side is tiny relative to the corpus
+    (benchmarks are KBs-MBs), so its distinct shingle set is
+    F.broadcast() — the train shingle stream is narrow (explode +
+    broadcast-hash probe, no shuffle) until the final per-doc
+    aggregate, which carries only the contaminated minority."""
+    bench = docs.filter(F.col("doc_id") % bench_mod == 0)
+    train = docs.filter(F.col("doc_id") % bench_mod != 0)
+    bsh = (
+        shingles(bench, n)
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("min_bench"))
+    )
+    tsh = shingles(train, n).distinct()
+    return (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("min_bench").alias("min_bench"),
+        )
+    )

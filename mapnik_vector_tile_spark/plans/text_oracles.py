@@ -634,6 +634,26 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def sql_decontaminate(bench_mod: int = 50, n: int = 4) -> str:
+    return f"""
+WITH {_shingle_cte('documents', n)},
+b AS (SELECT shingle, MIN(doc_id) AS min_bench FROM sh
+      WHERE doc_id % {bench_mod} = 0 GROUP BY 1),
+t AS (SELECT DISTINCT doc_id, shingle FROM sh
+      WHERE doc_id % {bench_mod} <> 0)
+SELECT t.doc_id AS doc_id, COUNT(*) AS n_shared,
+       MIN(b.min_bench) AS min_bench
+FROM t JOIN b ON t.shingle = b.shingle
+GROUP BY 1
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.decontaminate(_docs(spark, sf_dir))
+
+
 def q_seq_packing(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import sampling as SMP
 
@@ -675,4 +695,5 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
         "q_seq_packing": (q_seq_packing, sql_seq_packing()),
+        "q_decontaminate": (q_decontaminate, sql_decontaminate()),
     }
