@@ -334,6 +334,15 @@ def decode_geometry(
                 # numpy branch did `cx += int(ddx[0])` in plain Python,
                 # and extreme-value parity pins that behavior.
                 if len(xs) > offsets[-1]:
+                    if geom_type == GEOM_POLYGON:
+                        # v2: rings end ONLY via ClosePath — fabricating
+                        # a ring boundary here would let unclosed (and
+                        # <3-point) rings through unvalidated
+                        raise ValueError(
+                            "MoveTo before ClosePath in polygon"
+                        )
+                    if len(xs) - offsets[-1] < 2:
+                        raise ValueError("linestring part with < 2 points")
                     offsets.append(len(xs))
                 cx += _zigzag_dec_int(int(stream[i]))
                 cy += _zigzag_dec_int(int(stream[i + 1]))
@@ -345,6 +354,10 @@ def decode_geometry(
                 raise ValueError("v2: LineTo count must be >= 1")
             if geom_type == GEOM_POINT:
                 raise ValueError("LineTo in point geometry")
+            if len(xs) == offsets[-1]:
+                # no open part: LineTo at stream start or right after
+                # ClosePath would silently anchor at the stale cursor
+                raise ValueError("LineTo with no preceding MoveTo")
             if i + 2 * cnt > n:
                 raise ValueError("truncated LineTo params")
             if cnt <= _SMALL_CNT:
@@ -376,6 +389,8 @@ def decode_geometry(
         else:
             raise ValueError(f"unknown command {cmd}")
     if geom_type == GEOM_LINESTRING and len(xs) > offsets[-1]:
+        if len(xs) - offsets[-1] < 2:
+            raise ValueError("linestring part with < 2 points")
         offsets.append(len(xs))
     if geom_type == GEOM_POLYGON and offsets[-1] != len(xs):
         raise ValueError("unclosed polygon ring")

@@ -71,9 +71,12 @@ def varint_decode_np(buf: bytes, count: int | None = None) -> tuple[np.ndarray, 
         ends = ends[:count]
     starts = np.concatenate(([0], ends[:-1] + 1))
     values = np.zeros(len(ends), dtype=np.uint64)
-    # max varint length 10 bytes
+    # bytes beyond the 10th contribute nothing mod 2^64 (their bits all
+    # land >= bit 70); capping the loop both skips that dead work and
+    # avoids numpy uint64 shifts >= 64, which are platform-defined and
+    # would DIVERGE from the scalar path's documented mod-2^64 wrap
     maxlen = int((ends - starts).max()) + 1 if len(ends) else 0
-    for b in range(maxlen):
+    for b in range(min(maxlen, 10)):
         idx = starts + b
         valid = idx <= ends
         chunk = np.zeros(len(ends), dtype=np.uint64)
@@ -170,39 +173,58 @@ def encode_value(v) -> bytes:
 
 
 def decode_value(buf: bytes):
-    tag, n = _read_varint(buf, 0)
-    field, wire = tag >> 3, tag & 7
-    if field == 1:
-        ln, n2 = _read_varint(buf, n)
-        return buf[n2 : n2 + ln].decode("utf-8")
-    if field == 2:
-        return struct.unpack_from("<f", buf, n)[0]
-    if field == 3:
-        return struct.unpack_from("<d", buf, n)[0]
-    if field == 4 or field == 5:
-        v, _ = _read_varint(buf, n)
-        if field == 4 and v >= 1 << 63:
-            v -= 1 << 64
-        return int(v)
-    if field == 6:
-        v, _ = _read_varint(buf, n)
-        return int((v >> 1) ^ -(v & 1))
-    if field == 7:
-        v, _ = _read_varint(buf, n)
-        return bool(v)
-    raise ValueError(f"unknown Value field {field}")
+    """First KNOWN oneof member wins; unknown/extension fields are
+    skipped per the _skip_unknown conformance stance (decoders MUST
+    skip, not reject). A Value with no known member — including the
+    zero-byte message, which is valid protobuf — raises ValueError
+    (P5 validity: 'Value must contain exactly one member'), never
+    IndexError."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:
+            ln, n2 = _read_varint(buf, pos)
+            return buf[n2 : n2 + ln].decode("utf-8")
+        if field == 2 and wire == 5:
+            return struct.unpack_from("<f", buf, pos)[0]
+        if field == 3 and wire == 1:
+            return struct.unpack_from("<d", buf, pos)[0]
+        if field == 4 or field == 5:
+            v, _ = _read_varint(buf, pos)
+            if field == 4 and v >= 1 << 63:
+                v -= 1 << 64
+            return int(v)
+        if field == 6:
+            v, _ = _read_varint(buf, pos)
+            return int((v >> 1) ^ -(v & 1))
+        if field == 7:
+            v, _ = _read_varint(buf, pos)
+            return bool(v)
+        pos = _skip_unknown(buf, pos, wire)
+    raise ValueError("Value message contains no known member")
 
 
 def _read_varint(buf, pos: int) -> tuple[int, int]:
+    """Bounds-checked scalar varint: truncation and >10-byte runs raise
+    ValueError (the documented malformed-stream contract — never
+    IndexError or an unbounded int); values wrap mod 2^64 like every
+    other decode path."""
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varint")
         b = buf[pos]
         result |= (b & 0x7F) << shift
         pos += 1
         if not (b & 0x80):
-            return result, pos
+            return result & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
+        if shift > 63:
+            raise ValueError("varint longer than 10 bytes")
 
 
 # --- Feature / Layer / Tile ----------------------------------------------------
@@ -325,10 +347,17 @@ def concat_tile(layer_msgs: list[bytes]) -> bytes:
 
 def _skip_unknown(buf: bytes, pos: int, wire: int) -> int:
     """Skip an unknown field per protobuf wire rules (conformant
-    decoders MUST skip, not reject: fixed64=8 bytes, fixed32=4).
-    Deprecated group wires (3/4) stay errors."""
+    decoders MUST skip, not reject): varint, fixed64=8 bytes,
+    length-delimited, fixed32=4. Deprecated group wires (3/4) stay
+    errors."""
+    if wire == 0:
+        _, pos = _read_varint(buf, pos)
+        return pos
     if wire == 1:
         return pos + 8
+    if wire == 2:
+        ln, pos = _read_varint(buf, pos)
+        return pos + ln
     if wire == 5:
         return pos + 4
     raise ValueError(f"bad wire type {wire}")
@@ -543,11 +572,18 @@ def splice_merge_layers(blobs, name: str) -> bytes:
     splice raw feature payloads back together."""
     version = 2
     extent = 4096
+    seen_ve: set[tuple[int, int]] = set()
     feats = []  # (fid, gtype, [(key_str, raw_val)], raw_geom, raw_raster)
     for b in blobs:
         d = split_layer(b)
-        version = d["version"]
-        extent = d["extent"]
+        # order-INDEPENDENT choice: partials of one tile must agree on
+        # (version, extent); max() keeps the merge deterministic under
+        # shuffle arrival order even if a mixed-config backfill slips
+        # disagreeing blobs in (the byte-equality invariant this
+        # function pins is per-run-deterministic either way)
+        seen_ve.add((d["version"], d["extent"]))
+        version = max(v for v, _ in seen_ve)
+        extent = max(e for _, e in seen_ve)
         keys = d["keys"]
         vals = d["raw_values"]
         for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
@@ -681,10 +717,15 @@ def is_gzip(buf: bytes) -> bool:
 
 
 def is_zlib(buf: bytes) -> bool:
+    """Full RFC-1950 header check (a superset of the reference's
+    0x78-only sniff): deflate method, window <= 32K, and the FCHECK
+    checksum — recognizes small-window streams (CMF 0x08..0x68) the
+    byte-literal sniff would pass through as garbage."""
     return (
         len(buf) > 2
-        and buf[0] == 0x78
-        and buf[1] in (0x01, 0x5E, 0x9C, 0xDA)
+        and (buf[0] & 0x0F) == 8
+        and (buf[0] >> 4) <= 7
+        and (buf[0] * 256 + buf[1]) % 31 == 0
     )
 
 

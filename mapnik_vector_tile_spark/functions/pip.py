@@ -89,17 +89,25 @@ def normalize_ring_winding(
         return xs, ys
     depths = np.zeros(nr, dtype=np.int64)
     for r in range(nr):
-        px = xs[offsets[r]]
-        py = ys[offsets[r]]
+        # MAJORITY vote over ALL of ring r's vertices, not just the
+        # first: after box clipping, a ring's first vertex frequently
+        # lies exactly ON another ring's boundary (both run collinearly
+        # along the clip line), where the half-open ray test is
+        # arbitrary. Interior vertices dominate for any genuine
+        # containment, so the vote is robust; exact ties (degenerate
+        # overlap) keep the strict-majority=outside default.
+        rx = xs[offsets[r] : offsets[r + 1]]
+        ry = ys[offsets[r] : offsets[r + 1]]
         for s in range(nr):
             if s == r:
                 continue
-            if points_in_ring(
-                np.array([px]),
-                np.array([py]),
+            inside = points_in_ring(
+                rx,
+                ry,
                 xs[offsets[s] : offsets[s + 1]],
                 ys[offsets[s] : offsets[s + 1]],
-            )[0]:
+            )
+            if int(inside.sum()) * 2 > len(rx):
                 depths[r] += 1
     for r in range(nr):
         a2 = area2_fn(xs[offsets[r] : offsets[r + 1]], ys[offsets[r] : offsets[r + 1]])

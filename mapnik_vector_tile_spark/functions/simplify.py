@@ -98,11 +98,11 @@ def simplify_rings(
         px = np.asarray(xs[offsets[r] : offsets[r + 1]], dtype=np.float64)
         py = np.asarray(ys[offsets[r] : offsets[r + 1]], dtype=np.float64)
         if closed:
-            from mapnik_vector_tile_spark.functions.clip import _rot1
+            from mapnik_vector_tile_spark.functions.clip import (
+                ring_signed_area2_f,
+            )
 
-            x2 = _rot1(px)
-            y2 = _rot1(py)
-            is_exterior = float(np.sum(px * y2 - x2 * py)) > 0
+            is_exterior = ring_signed_area2_f(px, py) > 0
             if not is_exterior and not exterior_alive:
                 continue  # hole of a collapsed exterior
         if closed and len(px) >= 3:

@@ -236,3 +236,45 @@ def test_small_fast_path_matches_generic():
             fast = gc.encode_geometry(gt, xs, ys, offs)
             gen = gc._encode_geometry_generic(gt, xs, ys, offs)
             assert np.array_equal(fast, gen), (gt, xs, ys, fast, gen)
+
+
+def test_decoder_rejects_structurally_invalid_streams():
+    """Review-hardening pins: unclosed ring before MoveTo, LineTo with
+    no open part, and 1-point linestring parts all raise ValueError
+    (v2 strictness) instead of decoding to degenerate geometry."""
+    import pytest
+
+    # polygon: MoveTo starts ring 2 while ring 1 was never ClosePath'd
+    bad_poly = [9, 2, 2, 10, 2, 2, 9, 2, 2, 18, 2, 2, 4, 4, 15]
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_POLYGON, np.array(bad_poly, dtype=np.int64))
+    # linestring: LineTo at stream start (no MoveTo)
+    with pytest.raises(ValueError):
+        gc.decode_geometry(
+            gc.GEOM_LINESTRING, np.array([18, 2, 2, 4, 4], dtype=np.int64)
+        )
+    # linestring: MoveTo-only part (1 point)
+    with pytest.raises(ValueError):
+        gc.decode_geometry(
+            gc.GEOM_LINESTRING, np.array([9, 2, 2], dtype=np.int64)
+        )
+
+
+def test_pbf_malformed_varints_raise_valueerror():
+    from mapnik_vector_tile_spark.functions import pbf
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pbf._read_varint(b"\x80\x80", 0)  # truncated
+    with pytest.raises(ValueError):
+        pbf._read_varint(b"\x80" * 11 + b"\x01", 0)  # > 10 bytes
+    # empty Value message: ValueError, not IndexError
+    with pytest.raises(ValueError):
+        pbf.decode_value(b"")
+    # unknown Value field is SKIPPED, known member still decodes
+    known = pbf._tag(1, 2) + pbf._varint1(2) + b"ok"
+    # unknown varint field skipped
+    assert pbf.decode_value(bytes([(8 << 3) | 0, 5]) + known) == "ok"
+    # unknown length-delimited field skipped
+    assert pbf.decode_value(bytes([(9 << 3) | 2, 3]) + b"xyz" + known) == "ok"
