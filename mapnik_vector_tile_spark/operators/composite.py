@@ -208,3 +208,200 @@ def validate_tiles(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(
         gen, schema="z int, x long, y long, valid boolean, reasons array<string>"
     )
+
+
+# --- EP3 slow path across zoom levels: overzoom ----------------------------------
+
+
+def overzoom_children(
+    blob: bytes,
+    dz: int,
+    buffer_units: int = 128,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
+) -> list[tuple[int, int, bytes, int, int]]:
+    """Reference composite slow path when source and target tile
+    addresses differ (src/vector_tile_composite.hpp: each source layer
+    is wrapped in tile_datasource_pbf and re-rendered by the processor
+    against the TARGET tile — an arbitrary scale+offset re-transform,
+    re-clip, re-encode). The tile-server use is overzooming: serving
+    z>max_stored tiles from the deepest stored ancestor.
+
+    One parent layer blob -> its (2^dz)^2 children at z+dz. The
+    transform is exact integer math (X = px*2^dz - cx*extent); clip
+    runs in child tile units against [-buffer, extent+buffer] with the
+    SAME kernels and stage order as the forward encode path
+    (make_encode_kernel: clip -> quantize -> winding -> simplify ->
+    area_threshold -> encode), so overzoom output obeys every invariant
+    the forward path does. Dictionaries are carried as RAW bytes
+    (rescale_layer_blob rationale: no oneof normalization).
+
+    Returns [(cx, cy, child_blob, n_features, n_points)] for painted
+    children only (P4 empty-drop). The parent is decoded ONCE for all
+    children; per-(feature, child) work starts with an envelope
+    reject, so planet-spanning parents don't cost 4^dz full clips per
+    feature."""
+    from mapnik_vector_tile_spark.functions import pip as pipmod
+    from mapnik_vector_tile_spark.functions import simplify as simp
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.functions import clip as clipmod
+
+    d = pbf.split_layer(blob)
+    extent = int(d["extent"])
+    s = 1 << dz
+    decoded = []
+    for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
+        try:
+            xs, ys, offs = gc.decode_geometry(
+                int(gtype), pbf._varints_small(raw_geom).astype(np.int64)
+            )
+        except ValueError:
+            continue  # foreign v1/corrupt feature: drop, don't abort
+        if not len(xs):
+            continue
+        fx = xs.astype(np.float64) * s
+        fy = ys.astype(np.float64) * s
+        decoded.append(
+            (fid, int(gtype), tags, raw_raster, fx, fy, offs,
+             fx.min(), fx.max(), fy.min(), fy.max())
+        )
+
+    out: list[tuple[int, int, bytes, int, int]] = []
+    lo = float(-buffer_units)
+    hi = float(extent + buffer_units)
+    for cy in range(s):
+        oy = cy * extent
+        for cx in range(s):
+            ox = cx * extent
+            feats = []
+            n_pts = 0
+            for (fid, gtype, tags, raw_raster, fx, fy, offs,
+                 exl, exh, eyl, eyh) in decoded:
+                # envelope reject in child units
+                if exh - ox < lo or exl - ox > hi or eyh - oy < lo or eyl - oy > hi:
+                    continue
+                tx = fx - ox
+                ty = fy - oy
+                if gtype == gc.GEOM_POINT:
+                    px, py = clipmod.clip_points(tx, ty, lo, lo, hi, hi)
+                    if not len(px):
+                        continue
+                    px = px.astype(np.int64)  # exact: ints scaled by 2^dz
+                    py = py.astype(np.int64)
+                    px, py = _dedup_pairs_oz(px, py)
+                    stream = gc.encode_geometry(
+                        gc.GEOM_POINT, px, py, np.array([0, len(px)])
+                    )
+                elif gtype == gc.GEOM_LINESTRING:
+                    parts = []
+                    for p in range(len(offs) - 1):
+                        parts.extend(
+                            clipmod.clip_line(
+                                tx[offs[p]: offs[p + 1]],
+                                ty[offs[p]: offs[p + 1]],
+                                lo, lo, hi, hi,
+                            )
+                        )
+                    if not parts:
+                        continue
+                    px = tm.round_half_away_np(
+                        np.concatenate([p[0] for p in parts])
+                    )
+                    py = tm.round_half_away_np(
+                        np.concatenate([p[1] for p in parts])
+                    )
+                    poffs = np.cumsum([0] + [len(p[0]) for p in parts])
+                    if simplify_distance > 0:
+                        px, py, poffs = simp.simplify_rings(
+                            px, py, poffs, simplify_distance, closed=False
+                        )
+                    stream = gc.encode_geometry(
+                        gc.GEOM_LINESTRING, px, py, poffs
+                    )
+                elif gtype == gc.GEOM_POLYGON:
+                    cfx, cfy, roffs = clipmod.clip_polygon(
+                        tx, ty, offs, lo, lo, hi, hi
+                    )
+                    if not len(cfx):
+                        continue
+                    px = tm.round_half_away_np(cfx)
+                    py = tm.round_half_away_np(cfy)
+                    px, py = pipmod.normalize_ring_winding(
+                        px, py, roffs, gc.signed_area2
+                    )
+                    if simplify_distance > 0:
+                        px, py, roffs = simp.simplify_rings(
+                            px, py, roffs, simplify_distance, closed=True
+                        )
+                    if area_threshold > 0:
+                        px, py, roffs = clipmod.drop_small_rings(
+                            px, py, roffs, area_threshold, gc.signed_area2
+                        )
+                        if not len(px):
+                            continue
+                    stream = gc.encode_geometry(gc.GEOM_POLYGON, px, py, roffs)
+                else:
+                    continue
+                if len(stream) == 0:
+                    continue
+                raw2 = pbf.varint_bytes_np(np.asarray(stream, dtype=np.uint64))
+                feats.append((fid, gtype, tags, raw2, raw_raster))
+                n_pts += len(px)
+            if feats:
+                child = pbf.rebuild_layer_raw(
+                    d["name"], d["version"] or 2, extent, d["keys"],
+                    d["raw_values"], feats,
+                )
+                out.append((cx, cy, child, len(feats), n_pts))
+    return out
+
+
+def _dedup_pairs_oz(px: np.ndarray, py: np.ndarray):
+    """F7 consecutive-duplicate elision (tiling._dedup_pairs twin,
+    local to avoid a circular import)."""
+    if len(px) < 2:
+        return px, py
+    keep = np.empty(len(px), dtype=bool)
+    keep[0] = True
+    keep[1:] = (px[1:] != px[:-1]) | (py[1:] != py[:-1])
+    return px[keep], py[keep]
+
+
+def overzoom_layers(
+    layers: DataFrame,
+    dz: int,
+    buffer_units: int = 128,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
+) -> DataFrame:
+    """Overzoom a whole layers table by dz levels: every (z,x,y,layer)
+    parent row fans out to its painted children at z+dz. A NARROW
+    1->4^dz flatMap (mapInPandas) — no shuffle, no driver collect; at
+    100 TB each task streams its parent blobs and emits children
+    in-place, so the stage scales with input splits."""
+    import pandas as pd
+
+    if dz < 1:
+        raise ValueError("overzoom_layers: dz must be >= 1")
+    s = 1 << dz
+
+    def gen(it):
+        for pdf in it:
+            rows = {c: [] for c in LAYER_COLS}
+            for z, x, y, layer, blob in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["layer"], pdf["blob"]
+            ):
+                for cx, cy, child, nf, npts in overzoom_children(
+                    bytes(blob), dz, buffer_units,
+                    simplify_distance, area_threshold,
+                ):
+                    rows["z"].append(int(z) + dz)
+                    rows["x"].append(int(x) * s + cx)
+                    rows["y"].append(int(y) * s + cy)
+                    rows["layer"].append(layer)
+                    rows["blob"].append(child)
+                    rows["n_features"].append(nf)
+                    rows["n_points"].append(npts)
+            yield pd.DataFrame(rows)
+
+    return layers.mapInPandas(gen, schema=LAYER_SCHEMA)

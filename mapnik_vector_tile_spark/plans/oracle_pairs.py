@@ -618,6 +618,66 @@ def _engine_point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OZ_PARENT_Z = 3
+OZ_BUF = 64
+
+
+def q_engine_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 slow path across zoom levels (overzoom) with a FULL
+    bit-exact oracle: encode z3 parent tiles from deterministic order
+    points (buffer 0 so assignment == membership), overzoom every
+    parent layer to its 4 children at z4 with buffer 64 via
+    composite.overzoom_children (integer scale+offset, re-clip,
+    re-encode — src/vector_tile_composite.hpp's re-render path), fold
+    and DECODE the children, and report per-child feature counts plus
+    the sums of tile-local coordinates. Every child coordinate is
+    px*2 - cx*4096 exactly (power-of-two scale on ints), so the DuckDB
+    twin replays assignment, quantization, child membership
+    (closed-interval buffered clip) and local coords with pure integer
+    math — any off-by-one in the clip bounds, the fan-out addressing,
+    or the wire round-trip breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, OZ_PARENT_Z, OZ_PARENT_Z, buffer_units=0)
+    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
+    kids = comp.overzoom_layers(layers, 1, buffer_units=OZ_BUF)
+    dec = T.decode_tiles_to_features(T.fold_tiles(kids))
+    return dec.groupBy("z", "x", "y").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
+        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
+    )
+
+
+def _sql_overzoom(pz: int = OZ_PARENT_Z, buf: int = OZ_BUF) -> str:
+    tx, ty = S.tile_xy_exprs(pz)
+    px, py = S.quantize_exprs(pz, "tx", "ty")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
+q AS (SELECT id, tx, ty, {px} AS px, {py} AS py FROM t),
+c AS (
+  SELECT tx * 2 + cx.v AS x, ty * 2 + cy.v AS y,
+         px * 2 - cx.v * 4096 AS lpx,
+         py * 2 - cy.v * 4096 AS lpy
+  FROM q
+  CROSS JOIN (SELECT 0 AS v UNION ALL SELECT 1) cx
+  CROSS JOIN (SELECT 0 AS v UNION ALL SELECT 1) cy
+  WHERE px * 2 - cx.v * 4096 BETWEEN -{buf} AND {4096 + buf}
+    AND py * 2 - cy.v * 4096 BETWEEN -{buf} AND {4096 + buf}
+)
+SELECT CAST({pz + 1} AS INT) AS z, x, y,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(lpx) AS BIGINT) AS sum_px,
+       CAST(SUM(lpy) AS BIGINT) AS sum_py
+FROM c GROUP BY 1, 2, 3
+"""
+
+
 def q_engine_load_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+S5+P5 through the driver surface: encode z4..6 tiles (fused
     EP1), compress every tile buffer (alternating gzip/zlib by tile x,
@@ -1711,6 +1771,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
+    "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),

@@ -103,3 +103,184 @@ def test_composite_rescale_path(spark):
     assert d["extent"] == 512
     xs, ys, _ = gc.decode_geometry(1, d["features"][0]["geometry"].astype(np.int64))
     assert xs[0] == 256 and ys[0] == 256
+
+
+# --- overzoom (EP3 slow path across zoom levels) ---------------------------------
+
+
+def _mixed_parent_blob() -> bytes:
+    """Point in the NW quadrant, seam-crossing horizontal line, square
+    polygon spanning all four child quadrants."""
+    lb = pbf.LayerBuilder("features", extent=4096)
+    lb.add_feature(
+        1,
+        gc.GEOM_POINT,
+        gc.encode_geometry(
+            gc.GEOM_POINT,
+            np.array([100]),
+            np.array([200]),
+            np.array([0, 1]),
+        ),
+        {"caption": "p"},
+    )
+    lb.add_feature(
+        2,
+        gc.GEOM_LINESTRING,
+        gc.encode_geometry(
+            gc.GEOM_LINESTRING,
+            np.array([1000, 3000]),
+            np.array([1000, 1000]),
+            np.array([0, 2]),
+        ),
+        {"caption": "l"},
+    )
+    lb.add_feature(
+        3,
+        gc.GEOM_POLYGON,
+        gc.encode_geometry(
+            gc.GEOM_POLYGON,
+            np.array([1500, 2500, 2500, 1500]),
+            np.array([1500, 1500, 2500, 2500]),
+            np.array([0, 4]),
+        ),
+        {"caption": "g"},
+    )
+    return lb.build()
+
+
+def _decode_feat(child: bytes, fid: int):
+    d = pbf.decode_layer(child)
+    for f in d["features"]:
+        if f["id"] == fid:
+            return gc.decode_geometry(int(f["type"]), f["geometry"].astype(np.int64))
+    return None
+
+
+def test_overzoom_children_seam_split():
+    kids = {
+        (cx, cy): (blob, nf, npts)
+        for cx, cy, blob, nf, npts in C.overzoom_children(
+            _mixed_parent_blob(), 1, buffer_units=64
+        )
+    }
+    assert set(kids) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    # point only lands in (0,0), doubled coords
+    assert kids[(0, 0)][1] == 3
+    xs, ys, _ = _decode_feat(kids[(0, 0)][0], 1)
+    assert (xs.tolist(), ys.tolist()) == ([200], [400])
+    # line clipped at the buffered seam: west part ends at 4096+64
+    xs, ys, _ = _decode_feat(kids[(0, 0)][0], 2)
+    assert xs.tolist() == [2000, 4160] and ys.tolist() == [2000, 2000]
+    xs, ys, _ = _decode_feat(kids[(1, 0)][0], 2)
+    assert xs.tolist() == [-64, 1904] and ys.tolist() == [2000, 2000]
+    # polygon present in every child, each a buffered quad with
+    # positive (exterior) winding and no line/point leakage
+    for (cx, cy), (blob, nf, _np) in kids.items():
+        got = _decode_feat(blob, 3)
+        assert got is not None
+        xs, ys, offs = got
+        assert len(offs) == 2 and len(xs) == 4
+        assert gc.signed_area2(xs, ys) > 0
+    assert kids[(0, 1)][1] == 1 and kids[(1, 1)][1] == 1
+
+
+def test_overzoom_points_match_closed_form():
+    """Child membership and local coords of point features replay the
+    closed-interval buffered clip exactly (the q_engine_overzoom oracle
+    relation, asserted here without Spark)."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 4097, size=500)
+    py = rng.integers(0, 4097, size=500)
+    lb = pbf.LayerBuilder("features", extent=4096)
+    for i in range(len(px)):
+        lb.add_feature(
+            i,
+            gc.GEOM_POINT,
+            gc.encode_geometry(
+                gc.GEOM_POINT,
+                np.array([px[i]]),
+                np.array([py[i]]),
+                np.array([0, 1]),
+            ),
+            {"caption": "c"},
+        )
+    buf = 64
+    kids = C.overzoom_children(lb.build(), 1, buffer_units=buf)
+    got = {}
+    for cx, cy, blob, nf, npts in kids:
+        d = pbf.decode_layer(blob)
+        for f in d["features"]:
+            xs, ys, _ = gc.decode_geometry(
+                int(f["type"]), f["geometry"].astype(np.int64)
+            )
+            got[(int(f["id"]), cx, cy)] = (int(xs[0]), int(ys[0]))
+    want = {}
+    for i in range(len(px)):
+        for cx in (0, 1):
+            for cy in (0, 1):
+                lx = int(px[i]) * 2 - cx * 4096
+                ly = int(py[i]) * 2 - cy * 4096
+                if -buf <= lx <= 4096 + buf and -buf <= ly <= 4096 + buf:
+                    want[(i, cx, cy)] = (lx, ly)
+    assert got == want
+
+
+def test_overzoom_layers_spark_matches_kernel(spark):
+    """overzoom_layers (narrow mapInPandas fan-out) emits exactly the
+    kernel's children with shifted addresses, and the folded child
+    tiles validate (P5)."""
+    parent = _mixed_parent_blob()
+    pdf = pd.DataFrame(
+        {
+            "z": [5],
+            "x": [11],
+            "y": [6],
+            "layer": ["features"],
+            "blob": [parent],
+            "n_features": [3],
+            "n_points": [7],
+        }
+    )
+    layers = spark.createDataFrame(
+        pdf,
+        schema=(
+            "z int, x long, y long, layer string, blob binary, "
+            "n_features long, n_points long"
+        ),
+    )
+    out = C.overzoom_layers(layers, 2, buffer_units=64).collect()
+    want = {
+        (5 + 2, 11 * 4 + cx, 6 * 4 + cy): (bytes(blob), nf, npts)
+        for cx, cy, blob, nf, npts in C.overzoom_children(
+            parent, 2, buffer_units=64
+        )
+    }
+    got = {
+        (r.z, r.x, r.y): (bytes(r.blob), r.n_features, r.n_points)
+        for r in out
+    }
+    assert got == want
+    from mapnik_vector_tile_spark.operators.tiling import fold_tiles
+
+    tiles = fold_tiles(C.overzoom_layers(layers, 2, buffer_units=64))
+    flags = C.validate_tiles(tiles).collect()
+    assert flags and all(r.valid for r in flags)
+
+
+def test_overzoom_preserves_raw_dictionaries():
+    """Tags and value oneof bytes survive overzoom verbatim (the
+    rescale_layer_blob raw-dictionary contract)."""
+    lb = pbf.LayerBuilder("features", extent=4096)
+    lb.add_feature(
+        9,
+        gc.GEOM_POINT,
+        gc.encode_geometry(
+            gc.GEOM_POINT, np.array([10]), np.array([10]), np.array([0, 1])
+        ),
+        {"caption": "keep", "k2": 7, "k3": 1.5},
+    )
+    kids = C.overzoom_children(lb.build(), 1, buffer_units=64)
+    assert len(kids) == 1 and kids[0][:2] == (0, 0)
+    d = pbf.decode_layer(kids[0][2])
+    props = pbf.feature_props(d, d["features"][0])
+    assert props == {"caption": "keep", "k2": 7, "k3": 1.5}
