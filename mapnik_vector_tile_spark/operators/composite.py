@@ -213,34 +213,18 @@ def validate_tiles(tiles: DataFrame) -> DataFrame:
 # --- EP3 slow path across zoom levels: overzoom ----------------------------------
 
 
-def overzoom_children(
+def _overzoom_children_ref(
     blob: bytes,
     dz: int,
     buffer_units: int = 128,
     simplify_distance: float = 0.0,
     area_threshold: float = 0.0,
 ) -> list[tuple[int, int, bytes, int, int]]:
-    """Reference composite slow path when source and target tile
-    addresses differ (src/vector_tile_composite.hpp: each source layer
-    is wrapped in tile_datasource_pbf and re-rendered by the processor
-    against the TARGET tile — an arbitrary scale+offset re-transform,
-    re-clip, re-encode). The tile-server use is overzooming: serving
-    z>max_stored tiles from the deepest stored ancestor.
-
-    One parent layer blob -> its (2^dz)^2 children at z+dz. The
-    transform is exact integer math (X = px*2^dz - cx*extent); clip
-    runs in child tile units against [-buffer, extent+buffer] with the
-    SAME kernels and stage order as the forward encode path
-    (make_encode_kernel: clip -> quantize -> winding -> simplify ->
-    area_threshold -> encode), so overzoom output obeys every invariant
-    the forward path does. Dictionaries are carried as RAW bytes
-    (rescale_layer_blob rationale: no oneof normalization).
-
-    Returns [(cx, cy, child_blob, n_features, n_points)] for painted
-    children only (P4 empty-drop). The parent is decoded ONCE for all
-    children; per-(feature, child) work starts with an envelope
-    reject, so planet-spanning parents don't cost 4^dz full clips per
-    feature."""
+    """Naive reference twin of overzoom_children: full per-(child,
+    feature) envelope scan over all 4^dz children. Kept ONLY as the
+    byte-identity pin for the candidate-range fast path (same
+    fast-vs-generic discipline as the geometry codec); production
+    callers use overzoom_children."""
     from mapnik_vector_tile_spark.functions import pip as pipmod
     from mapnik_vector_tile_spark.functions import simplify as simp
     from mapnik_vector_tile_spark.functions import tilemath as tm
@@ -405,3 +389,195 @@ def overzoom_layers(
             yield pd.DataFrame(rows)
 
     return layers.mapInPandas(gen, schema=LAYER_SCHEMA)
+
+
+def _oz_clip_encode(
+    gtype: int,
+    tx: np.ndarray,
+    ty: np.ndarray,
+    offs: np.ndarray,
+    flo: float,
+    fhi: float,
+    simplify_distance: float,
+    area_threshold: float,
+):
+    """Per-(feature, child) clip->quantize->winding->simplify->encode
+    chain in child tile units (forward encode path order). Returns
+    (stream, n_points) or None when the feature degenerates."""
+    from mapnik_vector_tile_spark.functions import clip as clipmod
+    from mapnik_vector_tile_spark.functions import pip as pipmod
+    from mapnik_vector_tile_spark.functions import simplify as simp
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    if gtype == gc.GEOM_POINT:
+        px, py = clipmod.clip_points(tx, ty, flo, flo, fhi, fhi)
+        if not len(px):
+            return None
+        px = px.astype(np.int64)  # exact: ints scaled by 2^dz
+        py = py.astype(np.int64)
+        px, py = _dedup_pairs_oz(px, py)
+        stream = gc.encode_geometry(
+            gc.GEOM_POINT, px, py, np.array([0, len(px)])
+        )
+    elif gtype == gc.GEOM_LINESTRING:
+        parts = []
+        for p in range(len(offs) - 1):
+            parts.extend(
+                clipmod.clip_line(
+                    tx[offs[p]: offs[p + 1]],
+                    ty[offs[p]: offs[p + 1]],
+                    flo, flo, fhi, fhi,
+                )
+            )
+        if not parts:
+            return None
+        px = tm.round_half_away_np(np.concatenate([p[0] for p in parts]))
+        py = tm.round_half_away_np(np.concatenate([p[1] for p in parts]))
+        poffs = np.cumsum([0] + [len(p[0]) for p in parts])
+        if simplify_distance > 0:
+            px, py, poffs = simp.simplify_rings(
+                px, py, poffs, simplify_distance, closed=False
+            )
+        stream = gc.encode_geometry(gc.GEOM_LINESTRING, px, py, poffs)
+    elif gtype == gc.GEOM_POLYGON:
+        cfx, cfy, roffs = clipmod.clip_polygon(
+            tx, ty, offs, flo, flo, fhi, fhi
+        )
+        if not len(cfx):
+            return None
+        px = tm.round_half_away_np(cfx)
+        py = tm.round_half_away_np(cfy)
+        px, py = pipmod.normalize_ring_winding(px, py, roffs, gc.signed_area2)
+        if simplify_distance > 0:
+            px, py, roffs = simp.simplify_rings(
+                px, py, roffs, simplify_distance, closed=True
+            )
+        if area_threshold > 0:
+            px, py, roffs = clipmod.drop_small_rings(
+                px, py, roffs, area_threshold, gc.signed_area2
+            )
+            if not len(px):
+                return None
+        stream = gc.encode_geometry(gc.GEOM_POLYGON, px, py, roffs)
+    else:
+        return None
+    if len(stream) == 0:
+        return None
+    return stream, len(px)
+
+
+def overzoom_children(
+    blob: bytes,
+    dz: int,
+    buffer_units: int = 128,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
+) -> list[tuple[int, int, bytes, int, int]]:
+    """Reference composite slow path when source and target tile
+    addresses differ (src/vector_tile_composite.hpp: each source layer
+    is wrapped in tile_datasource_pbf and re-rendered by the processor
+    against the TARGET tile — an arbitrary scale+offset re-transform,
+    re-clip, re-encode). The tile-server use is overzooming: serving
+    z>max_stored tiles from the deepest stored ancestor.
+
+    One parent layer blob -> its (2^dz)^2 children at z+dz. The
+    transform is exact integer math (X = px*2^dz - cx*extent); clip
+    runs in child tile units against [-buffer, extent+buffer] with the
+    SAME kernels and stage order as the forward encode path
+    (make_encode_kernel: clip -> quantize -> winding -> simplify ->
+    area_threshold -> encode), so overzoom output obeys every invariant
+    the forward path does. Dictionaries are carried as RAW bytes
+    (rescale_layer_blob rationale: no oneof normalization).
+
+    Each feature is routed ONLY to its candidate children via exact
+    integer range math on the transformed envelope (ceil/floor
+    divisions — at most ceil(env/extent)+1 children per axis), so cost
+    scales with output size, not with 4^dz; single-point features (the
+    bulk of an image-footprint corpus) skip numpy and the clip chain
+    entirely — membership, zigzag and varint bytes are computed with
+    pure ints, byte-identical to the generic chain (pinned against
+    _overzoom_children_ref in tests).
+
+    Returns [(cx, cy, child_blob, n_features, n_points)] for painted
+    children only (P4 empty-drop), in (cy, cx) row-major order."""
+    d = pbf.split_layer(blob)
+    extent = int(d["extent"])
+    s = 1 << dz
+    lo = -int(buffer_units)
+    hi = extent + int(buffer_units)
+    flo, fhi = float(lo), float(hi)
+
+    per_child: dict[tuple[int, int], list] = {}
+    idx = 0
+    for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
+        try:
+            xs, ys, offs = gc.decode_geometry(
+                int(gtype), pbf._varints_small(raw_geom).astype(np.int64)
+            )
+        except ValueError:
+            continue  # foreign v1/corrupt feature: drop, don't abort
+        if not len(xs):
+            continue
+        idx += 1
+        gtype = int(gtype)
+        if gtype == gc.GEOM_POINT and len(xs) == 1:
+            vx = int(xs[0]) * s
+            vy = int(ys[0]) * s
+            cx0 = max(0, -((hi - vx) // extent))
+            cx1 = min(s - 1, (vx - lo) // extent)
+            cy0 = max(0, -((hi - vy) // extent))
+            cy1 = min(s - 1, (vy - lo) // extent)
+            for cy in range(cy0, cy1 + 1):
+                ly = vy - cy * extent
+                zzy = ly << 1 if ly >= 0 else ((-ly) << 1) - 1
+                for cx in range(cx0, cx1 + 1):
+                    lx = vx - cx * extent
+                    zzx = lx << 1 if lx >= 0 else ((-lx) << 1) - 1
+                    per_child.setdefault((cx, cy), []).append(
+                        (idx, fid, gtype, tags, raw_raster,
+                         pbf.varints_py((9, zzx, zzy)), 1, None)
+                    )
+            continue
+        fx = xs.astype(np.float64) * s
+        fy = ys.astype(np.float64) * s
+        exl, exh = int(fx.min()), int(fx.max())  # exact int-valued floats
+        eyl, eyh = int(fy.min()), int(fy.max())
+        cx0 = max(0, -((hi - exl) // extent))
+        cx1 = min(s - 1, (exh - lo) // extent)
+        cy0 = max(0, -((hi - eyl) // extent))
+        cy1 = min(s - 1, (eyh - lo) // extent)
+        for cy in range(cy0, cy1 + 1):
+            for cx in range(cx0, cx1 + 1):
+                per_child.setdefault((cx, cy), []).append(
+                    (idx, fid, gtype, tags, raw_raster,
+                     None, 0, (fx, fy, offs))
+                )
+
+    out: list[tuple[int, int, bytes, int, int]] = []
+    for cx, cy in sorted(per_child, key=lambda k: (k[1], k[0])):
+        ox = cx * extent
+        oy = cy * extent
+        feats = []
+        n_pts = 0
+        for (_i, fid, gtype, tags, raw_raster, raw2, npts, todo) in per_child[
+            (cx, cy)
+        ]:
+            if todo is not None:
+                fx, fy, offs = todo
+                r = _oz_clip_encode(
+                    gtype, fx - ox, fy - oy, offs, flo, fhi,
+                    simplify_distance, area_threshold,
+                )
+                if r is None:
+                    continue
+                stream, npts = r
+                raw2 = pbf.varint_bytes_np(np.asarray(stream, dtype=np.uint64))
+            feats.append((fid, gtype, tags, raw2, raw_raster))
+            n_pts += npts
+        if feats:
+            child = pbf.rebuild_layer_raw(
+                d["name"], d["version"] or 2, extent, d["keys"],
+                d["raw_values"], feats,
+            )
+            out.append((cx, cy, child, len(feats), n_pts))
+    return out

@@ -77,6 +77,21 @@ def q_decode_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.decode_tiles_to_features(tiles)
 
 
+def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 cross-zoom slow path at bench scale: encode z8 parents,
+    re-render every parent into its 16 z10 children (decode ->
+    integer scale/offset -> re-clip -> re-encode), fold child tiles.
+    The overzoom stage itself is a narrow flatMap — the measured cost
+    beyond q_encode_tiles' machinery is pure kernel throughput."""
+    from mapnik_vector_tile_spark.operators import composite as C
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _order_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, 8, 8, buffer_units=0)
+    layers = T.encode_layers(assigned, n_salts=16)
+    return T.fold_tiles(C.overzoom_layers(layers, 2, buffer_units=64))
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapnik_vector_tile_spark.operators import joins as J
 
@@ -158,6 +173,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pyramid": q_pyramid,
         "q_encode_tiles": q_encode_tiles,
         "q_decode_rt": q_decode_rt,
+        "q_overzoom": q_overzoom,
     }
     # operators added over the build rounds — gate so bench never breaks
     try:

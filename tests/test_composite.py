@@ -284,3 +284,66 @@ def test_overzoom_preserves_raw_dictionaries():
     d = pbf.decode_layer(kids[0][2])
     props = pbf.feature_props(d, d["features"][0])
     assert props == {"caption": "keep", "k2": 7, "k3": 1.5}
+
+
+def test_overzoom_fast_matches_ref_bytes():
+    """Candidate-range fast path == naive all-children scan, byte for
+    byte, on a randomized mixed corpus (single points incl. buffer
+    negatives, multipoints, seam-crossing lines, polygons), across dz
+    and buffer settings."""
+    rng = np.random.default_rng(42)
+    lb = pbf.LayerBuilder("features", extent=4096)
+    fid = 0
+    for _ in range(40):
+        fid += 1
+        kind = rng.integers(0, 4)
+        if kind == 0:  # single point, can sit in the parent buffer
+            x = int(rng.integers(-128, 4225))
+            y = int(rng.integers(-128, 4225))
+            lb.add_feature(
+                fid, gc.GEOM_POINT,
+                gc.encode_geometry(
+                    gc.GEOM_POINT, np.array([x]), np.array([y]),
+                    np.array([0, 1]),
+                ),
+                {"caption": "s"},
+            )
+        elif kind == 1:  # multipoint
+            n = int(rng.integers(2, 6))
+            xs = rng.integers(-128, 4225, size=n)
+            ys = rng.integers(-128, 4225, size=n)
+            lb.add_feature(
+                fid, gc.GEOM_POINT,
+                gc.encode_geometry(gc.GEOM_POINT, xs, ys, np.array([0, n])),
+                {"caption": "m"},
+            )
+        elif kind == 2:  # polyline
+            n = int(rng.integers(2, 8))
+            xs = np.cumsum(rng.integers(-900, 900, size=n)) + 2048
+            ys = np.cumsum(rng.integers(-900, 900, size=n)) + 2048
+            stream = gc.encode_geometry(
+                gc.GEOM_LINESTRING, xs, ys, np.array([0, n])
+            )
+            if len(stream):
+                lb.add_feature(fid, gc.GEOM_LINESTRING, stream, {"caption": "l"})
+        else:  # axis-aligned box polygon (valid ring by construction)
+            x0 = int(rng.integers(-128, 3800))
+            y0 = int(rng.integers(-128, 3800))
+            w = int(rng.integers(32, 2048))
+            h = int(rng.integers(32, 2048))
+            lb.add_feature(
+                fid, gc.GEOM_POLYGON,
+                gc.encode_geometry(
+                    gc.GEOM_POLYGON,
+                    np.array([x0, x0 + w, x0 + w, x0]),
+                    np.array([y0, y0, y0 + h, y0 + h]),
+                    np.array([0, 4]),
+                ),
+                {"caption": "g"},
+            )
+    blob = lb.build()
+    for dz in (1, 2):
+        for buf in (0, 64, 128):
+            fast = C.overzoom_children(blob, dz, buffer_units=buf)
+            ref = C._overzoom_children_ref(blob, dz, buffer_units=buf)
+            assert fast == ref, (dz, buf)
