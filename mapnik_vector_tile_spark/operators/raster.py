@@ -441,3 +441,69 @@ def rasterize_features(
         gen,
         schema="z int, x long, y long, bitmap binary, n_filled long",
     )
+
+
+def overzoom_raster_tiles(
+    tiles: DataFrame,
+    dz: int,
+    tile_size: int = TILE_SIZE,
+    method: str = "bilinear",
+    fmt: str = "png-zlib",
+) -> DataFrame:
+    """R1 overzoom: serve z+dz raster tiles from stored parents — the
+    raster twin of composite.overzoom_layers. The reference raster
+    path (src/vector_tile_raster_clipper.hpp) warps a source image
+    into ANY target tile; here the source is the parent raster tile
+    itself (bbox = parent tile bbox), so each child is one A.9
+    resample of the decoded parent onto the child's pixel grid.
+    Narrow 1->4^dz mapInPandas fan-out, no shuffle.
+
+    method='nearest' at dz=1 reduces to exact pixel replication
+    child[r,c] = parent[(cy*T+r)//2, (cx*T+c)//2] (the fractional
+    source index is m±0.25, ulp-safe from the rint boundary) — pinned
+    in tests and value-hash-gated by q_raster_overzoom."""
+    import pandas as pd
+
+    if dz < 1:
+        raise ValueError("overzoom_raster_tiles: dz must be >= 1")
+    s = 1 << dz
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {
+                "z": [], "x": [], "y": [], "raster": [],
+                "n_images": [], "captions": [],
+            }
+            for zz, xx, yy, raster, n_img, caps in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["raster"],
+                pdf["n_images"], pdf["captions"],
+            ):
+                zz, xx, yy = int(zz), int(xx), int(yy)
+                rgba = decode_image(bytes(raster), fmt, tile_size, tile_size)
+                span = tm.tile_span(zz)
+                tx0 = -tm.W + xx * span
+                ty1 = tm.W - yy * span
+                bbox = (tx0, ty1 - span, tx0 + span, ty1)
+                for cy in range(s):
+                    for cx in range(s):
+                        out, _mask = resample_to_tile(
+                            rgba, bbox, zz + dz, xx * s + cx, yy * s + cy,
+                            tile_size, method,
+                        )
+                        rows["z"].append(zz + dz)
+                        rows["x"].append(xx * s + cx)
+                        rows["y"].append(yy * s + cy)
+                        rows["raster"].append(
+                            encode_image(quantize_pixels(out), fmt)
+                        )
+                        rows["n_images"].append(int(n_img))
+                        rows["captions"].append(list(caps))
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        gen,
+        schema=(
+            "z int, x long, y long, raster binary, n_images long, "
+            "captions array<string>"
+        ),
+    )

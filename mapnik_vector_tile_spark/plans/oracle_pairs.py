@@ -1631,6 +1631,96 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RZO_N = 24  # raster-overzoom oracle corpus: parent tiles
+RZO_T = 64  # and their pixel grid
+
+
+def q_raster_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 overzoom (child raster tiles served from stored parents) with
+    a FULL integer-exact oracle: 24 synthetic z6 parent tiles whose
+    pixels are the ramp (r*3 + c*5 + phase) % 256 with
+    phase = splitmix64(idx) % 251, overzoomed dz=1 with
+    method='nearest' (raw-rgba8, lossless). Nearest at dz=1 is exact
+    pixel replication child[r,c] = parent[(cy*T+r)//2, (cx*T+c)//2],
+    so the per-child channel-0 pixel sums are pure integer arithmetic
+    DuckDB regenerates closed-form — gating the decode → A.9 resample
+    → quantize → codec round trip and the fan-out addressing."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators import raster as R
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    ids = spark.range(RZO_N)
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {
+                "z": [], "x": [], "y": [], "raster": [],
+                "n_images": [], "captions": [],
+            }
+            for i in pdf["id"]:
+                i = int(i)
+                phase = int(splitmix64(np.array([i], dtype=np.uint64))[0]
+                            % np.uint64(251))
+                r = np.arange(RZO_T, dtype=np.int64)
+                v = ((r[:, None] * 3 + r[None, :] * 5 + phase) % 256).astype(
+                    np.uint8
+                )
+                rgba = np.repeat(v[..., None], 4, axis=2)
+                rows["z"].append(6)
+                rows["x"].append(i * 2)
+                rows["y"].append(i)
+                rows["raster"].append(R.encode_image(rgba, "raw-rgba8"))
+                rows["n_images"].append(1)
+                rows["captions"].append(["cap"])
+            yield pd.DataFrame(rows)
+
+    parents = ids.mapInPandas(
+        gen,
+        schema=(
+            "z int, x long, y long, raster binary, n_images long, "
+            "captions array<string>"
+        ),
+    )
+    kids = R.overzoom_raster_tiles(
+        parents, 1, tile_size=RZO_T, method="nearest", fmt="raw-rgba8"
+    )
+
+    def summarize(it):
+        for pdf in it:
+            out: dict[str, list] = {"x": [], "y": [], "px_sum": []}
+            for xx, yy, raster in zip(pdf["x"], pdf["y"], pdf["raster"]):
+                img = R.decode_image(bytes(raster), "raw-rgba8", RZO_T, RZO_T)
+                out["x"].append(int(xx))
+                out["y"].append(int(yy))
+                out["px_sum"].append(int(img[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return kids.mapInPandas(summarize, schema="x long, y long, px_sum long")
+
+
+def _sql_raster_overzoom(n: int = RZO_N, t: int = RZO_T) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
+hh AS (SELECT idx, ({splitmix64_sql('idx')}) % 251 AS phase FROM ids),
+cells AS (SELECT 0 AS v UNION ALL SELECT 1),
+px AS (
+  SELECT h.idx, h.phase, cx.v AS cx, cy.v AS cy, g1.r, g2.c,
+         (((cy.v * {t} + g1.r) // 2) * 3
+          + ((cx.v * {t} + g2.c) // 2) * 5 + h.phase) % 256 AS val
+  FROM hh h
+  CROSS JOIN cells cx CROSS JOIN cells cy
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS r) g1
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS c) g2
+)
+SELECT CAST(idx * 4 + cx AS BIGINT) AS x,
+       CAST(idx * 2 + cy AS BIGINT) AS y,
+       CAST(SUM(val) AS BIGINT) AS px_sum
+FROM px GROUP BY 1, 2
+"""
+
+
 _M64 = "18446744073709551616"  # 2^64
 _M32 = "4294967296"
 
@@ -1774,6 +1864,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
+    "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
     "q_simplify_lines": (q_simplify_lines, None),

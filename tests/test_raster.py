@@ -205,3 +205,72 @@ def test_resample_bicubic_beats_psnr_gate_and_bilinear_on_upscale():
     out_c, _ = R.resample_to_tile(smooth, bbox, z, x, y, 128, "bicubic")
     p_c = psnr(R.quantize_pixels(out_c), R.quantize_pixels(exact))
     assert p_c >= 40.0, p_c
+
+
+# --- raster overzoom (R1 child tiles from stored parents) ------------------------
+
+
+def test_overzoom_raster_nearest_is_pixel_replication(spark):
+    """dz=1 nearest-neighbor overzoom replicates parent pixels exactly:
+    child[r,c] == parent[(cy*T+r)//2, (cx*T+c)//2] — through the full
+    DataFrame op including the image codec round trip."""
+    import pandas as pd
+
+    T = 64
+    rng = np.random.default_rng(11)
+    parent = rng.integers(0, 256, size=(T, T, 4)).astype(np.uint8)
+    pdf = pd.DataFrame(
+        {
+            "z": [6], "x": [11], "y": [23],
+            "raster": [R.encode_image(parent, "raw-rgba8")],
+            "n_images": [1], "captions": [["a", "b"]],
+        }
+    )
+    tiles = spark.createDataFrame(
+        pdf,
+        schema=(
+            "z int, x long, y long, raster binary, n_images long, "
+            "captions array<string>"
+        ),
+    )
+    kids = R.overzoom_raster_tiles(
+        tiles, 1, tile_size=T, method="nearest", fmt="raw-rgba8"
+    ).collect()
+    assert len(kids) == 4
+    for row in kids:
+        assert row.z == 7 and row.captions == ["a", "b"]
+        cx, cy = row.x - 22, row.y - 46
+        assert cx in (0, 1) and cy in (0, 1)
+        img = R.decode_image(bytes(row.raster), "raw-rgba8", T, T)
+        rr = (cy * T + np.arange(T)) // 2
+        cc = (cx * T + np.arange(T)) // 2
+        assert np.array_equal(img, parent[np.ix_(rr, cc)])
+
+
+def test_overzoom_raster_bilinear_gradient_exact():
+    """Bilinear overzoom of a linear ramp is exact away from the
+    clamped 1px border (child samples sit at parent index m±0.25)."""
+    T = 64
+    grad = (
+        (np.arange(T)[:, None] * 1 + np.arange(T)[None, :] * 2)[..., None]
+        .repeat(4, axis=2)
+    )
+    g8 = grad.astype(np.uint8)  # max 63*1 + 63*2 = 189: no saturation
+    span = tm.tile_span(6)
+    tx0 = -tm.W + 11 * span
+    ty1 = tm.W - 23 * span
+    bbox = (tx0, ty1 - span, tx0 + span, ty1)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            out, mask = R.resample_to_tile(
+                g8, bbox, 7, 22 + cx, 46 + cy, T, "bilinear"
+            )
+            assert mask.all()
+            q = R.quantize_pixels(out)[1:-1, 1:-1, 0].astype(np.float64)
+            rr = (cy * T + np.arange(T)) / 2 - 0.25
+            cc = (cx * T + np.arange(T)) / 2 - 0.25
+            want = np.clip(
+                np.floor(rr[1:-1, None] * 1 + cc[None, 1:-1] * 2 + 0.5),
+                0, 255,
+            )
+            assert np.abs(q - want).max() == 0.0
