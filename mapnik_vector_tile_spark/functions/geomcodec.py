@@ -273,11 +273,25 @@ _SMALL_CNT = 16
 
 
 def decode_geometry(
-    geom_type: int, stream: np.ndarray
+    geom_type: int, stream: np.ndarray, version: int = 2
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Command stream -> (xs, ys, offsets). Enforces v2 validity:
     MoveTo(1) between parts, LineTo count >= 1, rings closed by
-    ClosePath only. Raises ValueError on malformed streams."""
+    ClosePath only. Raises ValueError on malformed streams.
+
+    ``version=1`` is the tolerant mode of the reference decoder
+    (src/vector_tile_geometry_decoder.hpp takes the layer version and
+    only throws the v2 "MUST" rules when version >= 2 [C-med — exact
+    upstream tolerances unverifiable with the empty reference mount;
+    our pinned narrowing]): degenerate pieces are DROPPED instead of
+    raising — a <2-point linestring part, a <3-point ring (at
+    ClosePath, at a following MoveTo, or at end-of-stream), an
+    unclosed trailing ring, and a zero-count LineTo. Structural
+    ambiguities (unknown command, LineTo before any MoveTo, truncated
+    params, MoveTo count != 1 on line/polygon) still raise in both
+    versions. A feature whose every part degenerates decodes to empty
+    arrays — callers drop it as unpainted (P4)."""
+    lax = version == 1
     if geom_type == GEOM_POINT and len(stream) == 3 and int(stream[0]) == 9:
         # single-point fast path (the bulk of an image-footprint decode
         # scan): pure-int zigzag, no numpy kernels. Mirror
@@ -335,15 +349,24 @@ def decode_geometry(
                 # and extreme-value parity pins that behavior.
                 if len(xs) > offsets[-1]:
                     if geom_type == GEOM_POLYGON:
-                        # v2: rings end ONLY via ClosePath — fabricating
-                        # a ring boundary here would let unclosed (and
-                        # <3-point) rings through unvalidated
-                        raise ValueError(
-                            "MoveTo before ClosePath in polygon"
-                        )
-                    if len(xs) - offsets[-1] < 2:
-                        raise ValueError("linestring part with < 2 points")
-                    offsets.append(len(xs))
+                        if not lax:
+                            # v2: rings end ONLY via ClosePath —
+                            # fabricating a ring boundary here would let
+                            # unclosed (and <3-point) rings through
+                            # unvalidated
+                            raise ValueError(
+                                "MoveTo before ClosePath in polygon"
+                            )
+                        # v1: drop the unclosed ring's points
+                        del xs[offsets[-1]:], ys[offsets[-1]:]
+                    elif len(xs) - offsets[-1] < 2:
+                        if not lax:
+                            raise ValueError(
+                                "linestring part with < 2 points"
+                            )
+                        del xs[offsets[-1]:], ys[offsets[-1]:]
+                    else:
+                        offsets.append(len(xs))
                 cx += _zigzag_dec_int(int(stream[i]))
                 cy += _zigzag_dec_int(int(stream[i + 1]))
                 i += 2
@@ -351,6 +374,8 @@ def decode_geometry(
                 ys.append(cy)
         elif cmd == LINE_TO:
             if cnt < 1:
+                if lax:
+                    continue  # v1: zero-count LineTo is a no-op
                 raise ValueError("v2: LineTo count must be >= 1")
             if geom_type == GEOM_POINT:
                 raise ValueError("LineTo in point geometry")
@@ -384,16 +409,24 @@ def decode_geometry(
             if cnt != 1:
                 raise ValueError("ClosePath count must be 1")
             if len(xs) - offsets[-1] < 3:
-                raise ValueError("ring with < 3 points")
-            offsets.append(len(xs))
+                if not lax:
+                    raise ValueError("ring with < 3 points")
+                del xs[offsets[-1]:], ys[offsets[-1]:]  # v1: drop ring
+            else:
+                offsets.append(len(xs))
         else:
             raise ValueError(f"unknown command {cmd}")
     if geom_type == GEOM_LINESTRING and len(xs) > offsets[-1]:
         if len(xs) - offsets[-1] < 2:
-            raise ValueError("linestring part with < 2 points")
-        offsets.append(len(xs))
+            if not lax:
+                raise ValueError("linestring part with < 2 points")
+            del xs[offsets[-1]:], ys[offsets[-1]:]
+        else:
+            offsets.append(len(xs))
     if geom_type == GEOM_POLYGON and offsets[-1] != len(xs):
-        raise ValueError("unclosed polygon ring")
+        if not lax:
+            raise ValueError("unclosed polygon ring")
+        del xs[offsets[-1]:], ys[offsets[-1]:]  # v1: drop trailing ring
     if geom_type == GEOM_POINT:
         # points are one logical part
         offsets = [0, len(xs)]

@@ -87,10 +87,12 @@ def rescale_layer_blob(blob: bytes, to_extent: int) -> bytes:
     parity — floor(x+0.5) would round negative buffer halves the
     wrong way), keeping key/value dictionaries as RAW bytes so value
     oneof types survive verbatim (a decode/encode round trip would
-    normalize uint_value/float_value/sint_value). Features whose
-    geometry stream fails v2 decoding (v1-tolerated shapes, corrupt
-    bytes) are DROPPED, not raised — one bad foreign feature must not
-    abort the composite job."""
+    normalize uint_value/float_value/sint_value). Geometry decodes
+    under the LAYER'S version (v1 layers get the reference decoder's
+    tolerant mode — degenerate parts dropped, see
+    geomcodec.decode_geometry); features that still fail structurally
+    are DROPPED, not raised — one bad foreign feature must not abort
+    the composite job."""
     from mapnik_vector_tile_spark.functions import tilemath as tm
 
     d = pbf.split_layer(blob)
@@ -102,7 +104,9 @@ def rescale_layer_blob(blob: bytes, to_extent: int) -> bytes:
     for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
         try:
             xs, ys, offs = gc.decode_geometry(
-                int(gtype), pbf._varints_small(raw_geom).astype(np.int64)
+                int(gtype),
+                pbf._varints_small(raw_geom).astype(np.int64),
+                version=int(d["version"] or 2),
             )
         except ValueError:
             continue
@@ -158,7 +162,11 @@ def _layer_valid_named(blob: bytes) -> tuple[bool, list[str], str | None]:
             reasons.append("tag index out of range")
             break
         try:
-            gc.decode_geometry(int(f["type"]), f["geometry"].astype(np.int64))
+            gc.decode_geometry(
+                int(f["type"]),
+                f["geometry"].astype(np.int64),
+                version=d["version"] if d["version"] in (1, 2) else 2,
+            )
         except Exception:
             reasons.append("bad geometry stream")
             break
@@ -237,10 +245,12 @@ def _overzoom_children_ref(
     for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
         try:
             xs, ys, offs = gc.decode_geometry(
-                int(gtype), pbf._varints_small(raw_geom).astype(np.int64)
+                int(gtype),
+                pbf._varints_small(raw_geom).astype(np.int64),
+                version=int(d["version"] or 2),
             )
         except ValueError:
-            continue  # foreign v1/corrupt feature: drop, don't abort
+            continue  # structurally corrupt feature: drop, don't abort
         if not len(xs):
             continue
         fx = xs.astype(np.float64) * s
@@ -512,10 +522,12 @@ def overzoom_children(
     for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
         try:
             xs, ys, offs = gc.decode_geometry(
-                int(gtype), pbf._varints_small(raw_geom).astype(np.int64)
+                int(gtype),
+                pbf._varints_small(raw_geom).astype(np.int64),
+                version=int(d["version"] or 2),
             )
         except ValueError:
-            continue  # foreign v1/corrupt feature: drop, don't abort
+            continue  # structurally corrupt feature: drop, don't abort
         if not len(xs):
             continue
         idx += 1

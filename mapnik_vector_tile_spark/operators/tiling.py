@@ -767,8 +767,12 @@ def decode_tiles_to_features(
                     layer = pbf.decode_layer(lmsg)
                     for f in layer["features"]:
                         xs, ys, offs = gc.decode_geometry(
-                            int(f["type"]), f["geometry"].astype(np.int64)
+                            int(f["type"]),
+                            f["geometry"].astype(np.int64),
+                            version=int(layer["version"] or 2),
                         )
+                        if not len(xs):
+                            continue  # v1 feature degenerated entirely
                         props = pbf.feature_props(layer, f)
                         rows["z"].append(int(z))
                         rows["x"].append(int(x))

@@ -2,6 +2,7 @@
 (FIXTURES.md §3 mvt_spec_example_* cases + hypothesis properties)."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -278,3 +279,73 @@ def test_pbf_malformed_varints_raise_valueerror():
     assert pbf.decode_value(bytes([(8 << 3) | 0, 5]) + known) == "ok"
     # unknown length-delimited field skipped
     assert pbf.decode_value(bytes([(9 << 3) | 2, 3]) + b"xyz" + known) == "ok"
+
+
+# --- v1 tolerant decode mode ------------------------------------------------------
+
+
+def _cmds(*vals):
+    return np.array(vals, dtype=np.int64)
+
+
+def _zz(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def test_v1_decode_drops_short_linestring_part():
+    # MoveTo(0,0) LineTo(10,0) ; MoveTo(5,5) <stream ends: 1-pt part>
+    stream = _cmds(
+        9, _zz(0), _zz(0), 10, _zz(10), _zz(0), 9, _zz(-5), _zz(5)
+    )
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_LINESTRING, stream, version=2)
+    xs, ys, offs = gc.decode_geometry(gc.GEOM_LINESTRING, stream, version=1)
+    assert xs.tolist() == [0, 10] and offs.tolist() == [0, 2]
+
+
+def test_v1_decode_drops_small_ring_keeps_valid_one():
+    # ring A: 2 points then ClosePath (invalid); ring B: valid triangle
+    stream = _cmds(
+        9, _zz(0), _zz(0), 10, _zz(4), _zz(0), 15,
+        9, _zz(10), _zz(10), 18, _zz(8), _zz(0), _zz(0), _zz(8), 15,
+    )
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_POLYGON, stream, version=2)
+    xs, ys, offs = gc.decode_geometry(gc.GEOM_POLYGON, stream, version=1)
+    assert len(offs) == 2 and len(xs) == 3
+    assert xs.tolist() == [14, 22, 22] and ys.tolist() == [10, 10, 18]
+
+
+def test_v1_decode_zero_count_lineto_is_noop():
+    stream = _cmds(9, _zz(1), _zz(1), 2, 18, _zz(3), _zz(0), _zz(0), _zz(3))
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_LINESTRING, stream, version=2)
+    xs, ys, offs = gc.decode_geometry(gc.GEOM_LINESTRING, stream, version=1)
+    assert xs.tolist() == [1, 4, 4] and ys.tolist() == [1, 1, 4]
+
+
+def test_v1_decode_unclosed_trailing_ring_dropped():
+    stream = _cmds(9, _zz(0), _zz(0), 18, _zz(5), _zz(0), _zz(0), _zz(5))
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_POLYGON, stream, version=2)
+    xs, ys, offs = gc.decode_geometry(gc.GEOM_POLYGON, stream, version=1)
+    assert len(xs) == 0 and offs.tolist() == [0]
+
+
+def test_v1_decode_fully_degenerate_feature_is_empty_not_error():
+    stream = _cmds(9, _zz(7), _zz(7))  # 1-point linestring
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_LINESTRING, stream, version=2)
+    xs, _ys, offs = gc.decode_geometry(gc.GEOM_LINESTRING, stream, version=1)
+    assert len(xs) == 0
+
+
+def test_v1_structural_errors_still_raise():
+    # LineTo before any MoveTo is ambiguous in both versions
+    with pytest.raises(ValueError):
+        gc.decode_geometry(
+            gc.GEOM_LINESTRING, _cmds(18, 2, 2, 2, 2), version=1
+        )
+    # unknown command
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_LINESTRING, _cmds(11, 2, 2), version=1)
