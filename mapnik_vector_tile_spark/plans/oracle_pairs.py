@@ -653,6 +653,56 @@ def q_engine_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RSC_Z = 5
+RSC_TO_EXTENT = 512
+
+
+def q_engine_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 extent-rescale slow path with a FULL oracle: encode z5 point
+    layers at extent 4096 (buffer 0), push them through
+    composite_layers(target_extent=512) — the decode → scale by
+    512/4096 (an exact dyadic multiply) → round-half-away → re-encode
+    kernel (rescale_layer_blob) — fold, decode, and report per-tile
+    counts plus sums of the rescaled local ints. DuckDB replays
+    assignment, the 4096-extent quantize, and round(px * 0.125)
+    closed-form; coordinates are nonnegative (buffer 0) so
+    round-half-away == round-half-up exactly."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, RSC_Z, RSC_Z, buffer_units=0)
+    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
+    rescaled = comp.composite_layers([layers], target_extent=RSC_TO_EXTENT)
+    dec = T.decode_tiles_to_features(T.fold_tiles(rescaled))
+    return dec.groupBy("z", "x", "y").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
+        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
+    )
+
+
+def _sql_rescale(z: int = RSC_Z, to_extent: int = RSC_TO_EXTENT) -> str:
+    tx, ty = S.tile_xy_exprs(z)
+    px, py = S.quantize_exprs(z, "tx", "ty")
+    ratio = S.flit(to_extent / 4096.0)
+    rx = S.round_half_up_nonneg(f"CAST(px AS DOUBLE) * {ratio}")
+    ry = S.round_half_up_nonneg(f"CAST(py AS DOUBLE) * {ratio}")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
+q AS (SELECT id, tx, ty, {px} AS px, {py} AS py FROM t),
+r AS (SELECT tx, ty, {rx} AS rpx, {ry} AS rpy FROM q)
+SELECT CAST({z} AS INT) AS z, tx AS x, ty AS y,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(rpx) AS BIGINT) AS sum_px,
+       CAST(SUM(rpy) AS BIGINT) AS sum_py
+FROM r GROUP BY 1, 2, 3
+"""
+
+
 def _sql_overzoom(pz: int = OZ_PARENT_Z, buf: int = OZ_BUF) -> str:
     tx, ty = S.tile_xy_exprs(pz)
     px, py = S.quantize_exprs(pz, "tx", "ty")
@@ -1862,6 +1912,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
+    "q_engine_rescale": (q_engine_rescale, _sql_rescale()),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
     "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
