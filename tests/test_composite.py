@@ -347,3 +347,46 @@ def test_overzoom_fast_matches_ref_bytes():
             fast = C.overzoom_children(blob, dz, buffer_units=buf)
             ref = C._overzoom_children_ref(blob, dz, buffer_units=buf)
             assert fast == ref, (dz, buf)
+
+
+def test_overzoom_multilayer_tile_folds_and_validates(spark):
+    """Two layer names on the same parent address overzoom
+    independently and re-fold into one multi-layer child tile."""
+    import pandas as pd
+
+    rows = []
+    for name, px in (("roads", 1000), ("pois", 3000)):
+        lb = pbf.LayerBuilder(name, extent=4096)
+        lb.add_feature(
+            1,
+            gc.GEOM_POINT,
+            gc.encode_geometry(
+                gc.GEOM_POINT, np.array([px]), np.array([px]),
+                np.array([0, 1]),
+            ),
+            {"caption": name},
+        )
+        rows.append((4, 3, 2, name, lb.build(), 1, 1))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["z", "x", "y", "layer", "blob", "n_features", "n_points"],
+    )
+    layers = spark.createDataFrame(
+        pdf,
+        schema=(
+            "z int, x long, y long, layer string, blob binary, "
+            "n_features long, n_points long"
+        ),
+    )
+    from mapnik_vector_tile_spark.operators.tiling import fold_tiles
+
+    tiles = fold_tiles(C.overzoom_layers(layers, 1, buffer_units=64))
+    got = {(r.z, r.x, r.y): r for r in tiles.collect()}
+    # px=1000 -> child (0,0); px=3000 -> child (1,1): separate tiles
+    assert set(got) == {(5, 6, 4), (5, 7, 5)}
+    for key, r in got.items():
+        names = [pbf.decode_layer(m)["name"]
+                 for m in pbf.decode_tile(bytes(r.tile))]
+        assert names in (["roads"], ["pois"])
+    flags = C.validate_tiles(tiles).collect()
+    assert all(r.valid for r in flags)

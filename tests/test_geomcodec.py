@@ -349,3 +349,28 @@ def test_v1_structural_errors_still_raise():
     # unknown command
     with pytest.raises(ValueError):
         gc.decode_geometry(gc.GEOM_LINESTRING, _cmds(11, 2, 2), version=1)
+
+
+def test_v1_mode_identical_on_valid_streams():
+    """Tolerant mode is a strict superset: on v2-VALID streams the two
+    versions decode identically (randomized encode round trips)."""
+    rng = np.random.default_rng(99)
+    for _ in range(60):
+        gtype = int(rng.integers(1, 4))
+        nparts = int(rng.integers(1, 4))
+        xs_l, ys_l, offs = [], [], [0]
+        for _p in range(nparts):
+            n = int(rng.integers(3 if gtype == 3 else 2, 8))
+            xs_l.extend(rng.integers(-5000, 5000, size=n).tolist())
+            ys_l.extend(rng.integers(-5000, 5000, size=n).tolist())
+            offs.append(len(xs_l))
+        xs = np.array(xs_l, dtype=np.int64)
+        ys = np.array(ys_l, dtype=np.int64)
+        stream = gc.encode_geometry(gtype, xs, ys, np.array(offs))
+        if len(stream) == 0:
+            continue
+        a = gc.decode_geometry(gtype, stream, version=2)
+        b = gc.decode_geometry(gtype, stream, version=1)
+        assert np.array_equal(a[0], b[0])
+        assert np.array_equal(a[1], b[1])
+        assert np.array_equal(a[2], b[2])
