@@ -277,3 +277,56 @@ def embedding_neardup_pairs(
         )
         .select("vec_a", "vec_b")
     )
+
+
+# --- T20: int8 scalar quantization ------------------------------------------------
+
+
+def _round_half_away_col(x: F.Column) -> F.Column:
+    """std::round parity as Column math: floor + exact-fraction carry
+    on |x|, sign restored (same argument as shared_sql.
+    round_half_up_nonneg — floor(x+0.5) mis-rounds the largest double
+    below 0.5)."""
+    ax = F.abs(x)
+    r = F.floor(ax) + F.when(ax - F.floor(ax) >= F.lit(0.5), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return F.when(x < 0, -r).otherwise(r)
+
+
+def quantize_embeddings(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Int8 scalar quantization with a per-row absmax scale (the
+    FAISS-ScalarQuantizer / block-Q8 shape every large vector index
+    ships): scale = absmax/127, q_i = round_half_away(v_i*127/absmax)
+    ∈ [-127, 127], dequant error ≤ scale/2 per dimension.
+
+    Pure Column math — `transform`/`aggregate` lambda expressions run
+    JVM-side inside whole-stage codegen: NO Python UDF, NO shuffle, a
+    narrow projection that scales linearly with input splits at
+    100 TB (4x smaller vectors into every downstream ANN/near-dup
+    stage). Zero vectors quantize to all-zero with scale 0.
+
+    Adds `q array<int>` and `scale double` columns."""
+    v = F.col(col)
+    absmax = F.aggregate(
+        v,
+        F.lit(0.0).cast("double"),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    emb = emb.withColumn("_am", absmax)
+    q = F.when(
+        F.col("_am") == 0.0,
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: _round_half_away_col(
+                (x.cast("double") * F.lit(127.0)) / F.col("_am")
+            ).cast("int"),
+        )
+    )
+    return (
+        emb.withColumn("q", q)
+        .withColumn("scale", F.col("_am") / F.lit(127.0))
+        .drop("_am")
+    )

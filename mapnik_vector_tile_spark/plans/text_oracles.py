@@ -495,6 +495,56 @@ def q_ann_ivf(spark, sf_dir):
     return S.ivf_topk(_emb(spark, sf_dir), k=5)
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """T20 int8 scalar quantization with a FULL oracle: per-row absmax
+    scale, q_i = round_half_away(v_i*127/absmax). Engine runs pure
+    Column math (transform/aggregate lambdas, whole-stage codegen, no
+    UDF/shuffle); DuckDB unnests and replays the identical float64
+    chain — float32→double casts are exact, (v*127)/absmax uses one
+    operation order on both engines, and the floor-based rounding is
+    the shared std::round form, so per-vector integer sums hash-match
+    bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    qd = S.quantize_embeddings(_emb(spark, sf_dir))
+    zero = F.lit(0).cast("long")
+    return qd.select(
+        "vec_id",
+        F.size("q").cast("bigint").alias("n_dims"),
+        F.aggregate("q", zero, lambda a, v: a + v).alias("sum_q"),
+        F.aggregate("q", zero, lambda a, v: a + F.abs(v)).alias("sum_abs_q"),
+    )
+
+
+def sql_embedding_quantize() -> str:
+    def rha(x: str) -> str:
+        from mapnik_vector_tile_spark.plans.shared_sql import (
+            round_half_up_nonneg as rhu,
+        )
+
+        return (
+            f"CASE WHEN ({x}) < 0 THEN -({rhu(f'-({x})')})"
+            f" ELSE {rhu(x)} END"
+        )
+
+    qv = rha("(CAST(v AS DOUBLE) * 127.0e0) / am")
+    return f"""
+WITH u AS (SELECT vec_id, unnest(embedding) AS v FROM embeddings),
+m AS (SELECT vec_id, MAX(ABS(CAST(v AS DOUBLE))) AS am FROM u GROUP BY 1),
+q AS (
+  SELECT u.vec_id,
+         CASE WHEN m.am = 0 THEN 0 ELSE {qv} END AS qv
+  FROM u JOIN m ON u.vec_id = m.vec_id
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(SUM(qv) AS BIGINT) AS sum_q,
+       CAST(SUM(ABS(qv)) AS BIGINT) AS sum_abs_q
+FROM q GROUP BY 1
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Threshold 0.45 is corpus-calibrated, NOT the API default (0.999):
     the driver's synthetic embeddings max out at pairwise cos ~0.51
@@ -691,6 +741,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
             q_embedding_neardup,
             sql_embedding_neardup(0.45),  # corpus-calibrated, see query doc
         ),
+        "q_embedding_quantize": (q_embedding_quantize, sql_embedding_quantize()),
         "q_train_split": (q_train_split, sql_train_split()),
         "q_stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),

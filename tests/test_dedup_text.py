@@ -252,3 +252,41 @@ def test_connected_components_random_graphs(spark):
             for r in D.connected_components(pairs).collect()
         }
         assert got == expect, f"trial {trial}"
+
+
+# --- T20 embedding int8 scalar quantization ---------------------------------------
+
+
+def test_quantize_embeddings_bounds_and_plan(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = [rng.normal(size=16).astype(np.float32).tolist() for _ in range(50)]
+    vecs.append([0.0] * 16)  # zero vector: scale 0, all-zero q
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    emb = spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    )
+    out = quantize_embeddings(emb).collect()
+    for r in out:
+        q = np.array(r.q)
+        v = np.array(r.embedding, dtype=np.float64)
+        assert q.min() >= -127 and q.max() <= 127
+        if r.vec_id == len(vecs) - 1:
+            assert r.scale == 0.0 and not q.any()
+            continue
+        # dequant error bound: |v - q*scale| <= scale/2 (+1ulp slack)
+        err = np.abs(v - q * r.scale)
+        assert err.max() <= r.scale / 2 * (1 + 1e-12)
+        # the absmax dimension hits +-127 exactly
+        assert 127 in np.abs(q)
+    # scale story: pure Column math — no Python UDF eval, no exchange
+    plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
