@@ -373,16 +373,19 @@ def decode_geometry(
                 xs.append(cx)
                 ys.append(cy)
         elif cmd == LINE_TO:
-            if cnt < 1:
-                if lax:
-                    continue  # v1: zero-count LineTo is a no-op
-                raise ValueError("v2: LineTo count must be >= 1")
+            # structural checks FIRST — these raise in BOTH versions
+            # (a zero-count LineTo in a point geometry or before any
+            # MoveTo is still structurally wrong, not v1-degenerate)
             if geom_type == GEOM_POINT:
                 raise ValueError("LineTo in point geometry")
             if len(xs) == offsets[-1]:
                 # no open part: LineTo at stream start or right after
                 # ClosePath would silently anchor at the stale cursor
                 raise ValueError("LineTo with no preceding MoveTo")
+            if cnt < 1:
+                if lax:
+                    continue  # v1: zero-count LineTo is a no-op
+                raise ValueError("v2: LineTo count must be >= 1")
             if i + 2 * cnt > n:
                 raise ValueError("truncated LineTo params")
             if cnt <= _SMALL_CNT:

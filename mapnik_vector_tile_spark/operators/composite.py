@@ -20,12 +20,17 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapnik_vector_tile_spark.functions import clip as clipmod
 from mapnik_vector_tile_spark.functions import geomcodec as gc
 from mapnik_vector_tile_spark.functions import pbf
+from mapnik_vector_tile_spark.functions import pip as pipmod
+from mapnik_vector_tile_spark.functions import simplify as simp
+from mapnik_vector_tile_spark.functions import tilemath as tm
 from mapnik_vector_tile_spark.operators.grouped import apply_grouped
 from mapnik_vector_tile_spark.operators.tiling import (
     LAYER_COLS,
     LAYER_SCHEMA,
+    _dedup_pairs,
     fold_tiles,
 )
 
@@ -93,8 +98,6 @@ def rescale_layer_blob(blob: bytes, to_extent: int) -> bytes:
     geomcodec.decode_geometry); features that still fail structurally
     are DROPPED, not raised — one bad foreign feature must not abort
     the composite job."""
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
     d = pbf.split_layer(blob)
     from_extent = d["extent"]
     if from_extent == to_extent:
@@ -233,11 +236,6 @@ def _overzoom_children_ref(
     byte-identity pin for the candidate-range fast path (same
     fast-vs-generic discipline as the geometry codec); production
     callers use overzoom_children."""
-    from mapnik_vector_tile_spark.functions import pip as pipmod
-    from mapnik_vector_tile_spark.functions import simplify as simp
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.functions import clip as clipmod
-
     d = pbf.split_layer(blob)
     extent = int(d["extent"])
     s = 1 << dz
@@ -282,7 +280,7 @@ def _overzoom_children_ref(
                         continue
                     px = px.astype(np.int64)  # exact: ints scaled by 2^dz
                     py = py.astype(np.int64)
-                    px, py = _dedup_pairs_oz(px, py)
+                    px, py = _dedup_pairs(px, py)
                     stream = gc.encode_geometry(
                         gc.GEOM_POINT, px, py, np.array([0, len(px)])
                     )
@@ -350,16 +348,6 @@ def _overzoom_children_ref(
     return out
 
 
-def _dedup_pairs_oz(px: np.ndarray, py: np.ndarray):
-    """F7 consecutive-duplicate elision (tiling._dedup_pairs twin,
-    local to avoid a circular import)."""
-    if len(px) < 2:
-        return px, py
-    keep = np.empty(len(px), dtype=bool)
-    keep[0] = True
-    keep[1:] = (px[1:] != px[:-1]) | (py[1:] != py[:-1])
-    return px[keep], py[keep]
-
 
 def overzoom_layers(
     layers: DataFrame,
@@ -414,18 +402,13 @@ def _oz_clip_encode(
     """Per-(feature, child) clip->quantize->winding->simplify->encode
     chain in child tile units (forward encode path order). Returns
     (stream, n_points) or None when the feature degenerates."""
-    from mapnik_vector_tile_spark.functions import clip as clipmod
-    from mapnik_vector_tile_spark.functions import pip as pipmod
-    from mapnik_vector_tile_spark.functions import simplify as simp
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
     if gtype == gc.GEOM_POINT:
         px, py = clipmod.clip_points(tx, ty, flo, flo, fhi, fhi)
         if not len(px):
             return None
         px = px.astype(np.int64)  # exact: ints scaled by 2^dz
         py = py.astype(np.int64)
-        px, py = _dedup_pairs_oz(px, py)
+        px, py = _dedup_pairs(px, py)
         stream = gc.encode_geometry(
             gc.GEOM_POINT, px, py, np.array([0, len(px)])
         )
@@ -518,7 +501,6 @@ def overzoom_children(
     flo, fhi = float(lo), float(hi)
 
     per_child: dict[tuple[int, int], list] = {}
-    idx = 0
     for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
         try:
             xs, ys, offs = gc.decode_geometry(
@@ -530,7 +512,6 @@ def overzoom_children(
             continue  # structurally corrupt feature: drop, don't abort
         if not len(xs):
             continue
-        idx += 1
         gtype = int(gtype)
         if gtype == gc.GEOM_POINT and len(xs) == 1:
             vx = int(xs[0]) * s
@@ -546,7 +527,7 @@ def overzoom_children(
                     lx = vx - cx * extent
                     zzx = lx << 1 if lx >= 0 else ((-lx) << 1) - 1
                     per_child.setdefault((cx, cy), []).append(
-                        (idx, fid, gtype, tags, raw_raster,
+                        (fid, gtype, tags, raw_raster,
                          pbf.varints_py((9, zzx, zzy)), 1, None)
                     )
             continue
@@ -561,7 +542,7 @@ def overzoom_children(
         for cy in range(cy0, cy1 + 1):
             for cx in range(cx0, cx1 + 1):
                 per_child.setdefault((cx, cy), []).append(
-                    (idx, fid, gtype, tags, raw_raster,
+                    (fid, gtype, tags, raw_raster,
                      None, 0, (fx, fy, offs))
                 )
 
@@ -571,7 +552,7 @@ def overzoom_children(
         oy = cy * extent
         feats = []
         n_pts = 0
-        for (_i, fid, gtype, tags, raw_raster, raw2, npts, todo) in per_child[
+        for (fid, gtype, tags, raw_raster, raw2, npts, todo) in per_child[
             (cx, cy)
         ]:
             if todo is not None:

@@ -424,9 +424,16 @@ def rasterize_features(
                 for f in layer["features"]:
                     if int(f["type"]) != gc.GEOM_POLYGON:
                         continue
-                    xs, ys, offs = gc.decode_geometry(
-                        int(f["type"]), f["geometry"].astype(np.int64)
-                    )
+                    try:
+                        xs, ys, offs = gc.decode_geometry(
+                            int(f["type"]),
+                            f["geometry"].astype(np.int64),
+                            version=layer["version"]
+                            if layer["version"] in (1, 2)
+                            else 2,
+                        )
+                    except ValueError:
+                        continue  # one bad foreign feature: skip, not abort
                     mask |= fill_polygon_mask(
                         xs * scale, ys * scale, offs, tile_size
                     )

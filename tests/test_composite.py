@@ -390,3 +390,24 @@ def test_overzoom_multilayer_tile_folds_and_validates(spark):
         assert names in (["roads"], ["pois"])
     flags = C.validate_tiles(tiles).collect()
     assert all(r.valid for r in flags)
+
+
+def test_overzoom_multipoint_full_distinct_like_forward_path():
+    """Non-adjacent duplicate quantized points in a multipoint dedup to
+    DISTINCT order-preserving points, matching the forward encode
+    kernel's F7 semantics (review regression: consecutive-only elision
+    let [A,B,A] survive)."""
+    lb = pbf.LayerBuilder("features", extent=4096)
+    xs = np.array([100, 200, 100])
+    ys = np.array([100, 200, 100])
+    lb.add_feature(
+        1, gc.GEOM_POINT,
+        gc.encode_geometry(gc.GEOM_POINT, xs, ys, np.array([0, 3])),
+        {"caption": "m"},
+    )
+    kids = C.overzoom_children(lb.build(), 1, buffer_units=64)
+    assert len(kids) == 1
+    gx, gy, _ = _decode_feat(kids[0][2], 1)
+    assert gx.tolist() == [200, 400] and gy.tolist() == [200, 400]
+    ref = C._overzoom_children_ref(lb.build(), 1, buffer_units=64)
+    assert kids == ref

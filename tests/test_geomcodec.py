@@ -374,3 +374,15 @@ def test_v1_mode_identical_on_valid_streams():
         assert np.array_equal(a[0], b[0])
         assert np.array_equal(a[1], b[1])
         assert np.array_equal(a[2], b[2])
+
+
+def test_v1_structural_lineto_checks_precede_lax_skip():
+    """Zero-count LineTo must NOT mask structural errors in v1 mode:
+    LineTo in a point geometry and LineTo before any MoveTo still
+    raise (review regression)."""
+    with pytest.raises(ValueError):
+        gc.decode_geometry(
+            gc.GEOM_POINT, _cmds(9, _zz(1), _zz(1), 2), version=1
+        )
+    with pytest.raises(ValueError):
+        gc.decode_geometry(gc.GEOM_LINESTRING, _cmds(2), version=1)
