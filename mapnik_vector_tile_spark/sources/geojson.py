@@ -41,6 +41,29 @@ _TYPE_MAP = {
 }
 
 
+def _expand_geoms(geom: dict, depth: int = 0) -> list[dict]:
+    """Flatten a geometry to its non-collection leaves. The reference
+    encodes a mapnik geometry_collection by recursing and emitting one
+    feature submessage per element with the same id/attributes
+    (processor visitor over geometry<double> variants [C-med]); we
+    mirror that by expanding each leaf to its own features-row. Depth
+    capped (hostile inputs: a 10k-deep nested collection must not blow
+    the stack)."""
+    if not isinstance(geom, dict):
+        return []
+    if geom.get("type") != "GeometryCollection":
+        return [geom]
+    if depth >= 8:
+        return []
+    gs = geom.get("geometries")
+    if not isinstance(gs, list):
+        return []
+    out: list[dict] = []
+    for g in gs:
+        out.extend(_expand_geoms(g, depth + 1))
+    return out
+
+
 def _flatten_geometry(gtype: str, coords) -> tuple[list, list, list] | None:
     """GeoJSON coordinates -> (xs, ys, part_offsets). Parts are line
     parts for (Multi)LineString and rings (exterior + holes, all
@@ -113,19 +136,6 @@ def geojson_to_features(
                     geom = f.get("geometry") or {}
                     if not isinstance(geom, dict):
                         continue
-                    gt = _TYPE_MAP.get(geom.get("type"))
-                    if gt is None:
-                        continue
-                    try:
-                        flat = _flatten_geometry(
-                            geom["type"], geom.get("coordinates")
-                        )
-                    except (TypeError, ValueError, IndexError):
-                        # null/ragged coordinates — skip the feature,
-                        # never the task (mixed-corpus policy)
-                        continue
-                    if flat is None:
-                        continue
                     props = f.get("properties") or {}
                     if not isinstance(props, dict):
                         props = {}
@@ -137,13 +147,30 @@ def geojson_to_features(
                         # ids are uint64 — non-integer ids are dropped
                         # (documented policy), not crashed on
                         continue
-                    xs, ys, offs = flat
-                    rows["feature_id"].append(fid)
-                    rows["geom_type"].append(int(gt))
-                    rows["xs"].append(xs)
-                    rows["ys"].append(ys)
-                    rows["part_offsets"].append(offs)
-                    rows["caption"].append(str(props.get("caption", "")))
+                    # GeometryCollection expands to one row per leaf
+                    # (same fid/props — reference collection semantics)
+                    for leaf in _expand_geoms(geom):
+                        gt = _TYPE_MAP.get(leaf.get("type"))
+                        if gt is None:
+                            continue
+                        try:
+                            flat = _flatten_geometry(
+                                leaf["type"], leaf.get("coordinates")
+                            )
+                        except (TypeError, ValueError, IndexError):
+                            # null/ragged coordinates — skip the
+                            # feature, never the task (mixed-corpus
+                            # policy)
+                            continue
+                        if flat is None:
+                            continue
+                        xs, ys, offs = flat
+                        rows["feature_id"].append(fid)
+                        rows["geom_type"].append(int(gt))
+                        rows["xs"].append(xs)
+                        rows["ys"].append(ys)
+                        rows["part_offsets"].append(offs)
+                        rows["caption"].append(str(props.get("caption", "")))
             if not rows["feature_id"]:
                 # empty frames default to float64 columns, which Arrow
                 # can't coerce to list<double> — skip instead

@@ -199,3 +199,61 @@ def test_malformed_rows_dropped(spark):
     out = geojson_to_features(docs_df, to_merc=False).toPandas()
     # only the one well-formed Feature WITH an id survives
     assert out["feature_id"].tolist() == [1]
+
+
+def test_geometry_collection_expands_to_leaf_rows(spark):
+    """GeometryCollection emits one features-row per non-collection
+    leaf (same feature id, same props), nested collections recurse,
+    and a depth bomb is dropped rather than recursed."""
+    import json as _json
+
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.sources.geojson import geojson_to_features
+
+    doc = {
+        "type": "Feature",
+        "id": 7,
+        "properties": {"caption": "gc"},
+        "geometry": {
+            "type": "GeometryCollection",
+            "geometries": [
+                {"type": "Point", "coordinates": [10.0, 20.0]},
+                {
+                    "type": "GeometryCollection",
+                    "geometries": [
+                        {
+                            "type": "LineString",
+                            "coordinates": [[0.0, 0.0], [1.0, 1.0]],
+                        }
+                    ],
+                },
+            ],
+        },
+    }
+    bomb = {"type": "GeometryCollection", "geometries": []}
+    for _ in range(50):
+        bomb = {"type": "GeometryCollection", "geometries": [bomb]}
+    docs = [
+        _json.dumps(doc),
+        _json.dumps(
+            {
+                "type": "Feature",
+                "id": 8,
+                "properties": {},
+                "geometry": bomb,
+            }
+        ),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"json": docs}), schema="json string"
+    )
+    rows = sorted(
+        geojson_to_features(df, to_merc=False).collect(),
+        key=lambda r: r.geom_type,
+    )
+    assert len(rows) == 2  # bomb dropped, collection expands to 2 leaves
+    assert [r.feature_id for r in rows] == [7, 7]
+    assert [r.caption for r in rows] == ["gc", "gc"]
+    assert rows[0].geom_type == 1 and rows[0].xs == [10.0]
+    assert rows[1].geom_type == 2 and len(rows[1].xs) == 2
