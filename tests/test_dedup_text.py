@@ -290,3 +290,31 @@ def test_quantize_embeddings_bounds_and_plan(spark):
     plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """Cosine is invariant to the per-vector scale, so int8-quantized
+    brute-force top-k should recover nearly all float top-k neighbors
+    — recall@5 >= 0.9 on the driver corpus (the practical contract of
+    serving ANN from quantized vectors)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qd = quantize_embeddings(emb).select(
+        "vec_id",
+        F.transform("q", lambda v: v.cast("float")).alias("embedding"),
+        "label",
+    )
+    gold = {
+        (r.vec_id, r.nbr) for r in brute_force_topk(emb, k=5).collect()
+    }
+    got = {
+        (r.vec_id, r.nbr) for r in brute_force_topk(qd, k=5).collect()
+    }
+    recall = len(gold & got) / len(gold)
+    assert recall >= 0.9, recall
