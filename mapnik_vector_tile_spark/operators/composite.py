@@ -355,17 +355,57 @@ def overzoom_layers(
     buffer_units: int = 128,
     simplify_distance: float = 0.0,
     area_threshold: float = 0.0,
+    redistribute: bool = False,
 ) -> DataFrame:
     """Overzoom a whole layers table by dz levels: every (z,x,y,layer)
     parent row fans out to its painted children at z+dz. A NARROW
     1->4^dz flatMap (mapInPandas) — no shuffle, no driver collect; at
     100 TB each task streams its parent blobs and emits children
-    in-place, so the stage scales with input splits."""
+    in-place, so the stage scales with input splits.
+
+    ``redistribute=True`` is the FEW-PARENTS/DEEP-dz shape (e.g. one
+    z0 world tile -> 4096 z6 children): the narrow path's parallelism
+    is bounded by the PARENT count, so instead the (parent, child)
+    pairs are exploded FIRST and hash-repartitioned, and each task
+    renders exactly one child (overzoom_children's single-child
+    clamp). Costs one shuffle of the parent blobs x 4^dz and a parent
+    re-decode per child — worth it only when parents are few and hot;
+    the default narrow path is right for bulk corpora. Output rows are
+    identical either way (asserted in tests)."""
     import pandas as pd
 
     if dz < 1:
         raise ValueError("overzoom_layers: dz must be >= 1")
     s = 1 << dz
+
+    if redistribute:
+        exploded = layers.withColumn(
+            "cq", F.explode(F.sequence(F.lit(0), F.lit(s * s - 1)))
+        ).repartition("z", "x", "y", "layer", "cq")
+
+        def gen_one(it):
+            for pdf in it:
+                rows = {c: [] for c in LAYER_COLS}
+                for z, x, y, layer, blob, cq in zip(
+                    pdf["z"], pdf["x"], pdf["y"], pdf["layer"],
+                    pdf["blob"], pdf["cq"],
+                ):
+                    cx, cy = int(cq) % s, int(cq) // s
+                    for _cx, _cy, child, nf, npts in overzoom_children(
+                        bytes(blob), dz, buffer_units,
+                        simplify_distance, area_threshold,
+                        child=(cx, cy),
+                    ):
+                        rows["z"].append(int(z) + dz)
+                        rows["x"].append(int(x) * s + cx)
+                        rows["y"].append(int(y) * s + cy)
+                        rows["layer"].append(layer)
+                        rows["blob"].append(child)
+                        rows["n_features"].append(nf)
+                        rows["n_points"].append(npts)
+                yield pd.DataFrame(rows)
+
+        return exploded.mapInPandas(gen_one, schema=LAYER_SCHEMA)
 
     def gen(it):
         for pdf in it:
@@ -465,6 +505,7 @@ def overzoom_children(
     buffer_units: int = 128,
     simplify_distance: float = 0.0,
     area_threshold: float = 0.0,
+    child: tuple[int, int] | None = None,
 ) -> list[tuple[int, int, bytes, int, int]]:
     """Reference composite slow path when source and target tile
     addresses differ (src/vector_tile_composite.hpp: each source layer
@@ -499,6 +540,12 @@ def overzoom_children(
     lo = -int(buffer_units)
     hi = extent + int(buffer_units)
     flo, fhi = float(lo), float(hi)
+    # child=(cx,cy) restricts routing to ONE child (the redistribute
+    # path: one task renders one child, so a z0->z6 overzoom of a
+    # single parent parallelizes across 4^6 tasks instead of 1)
+    ccx = ccy = None
+    if child is not None:
+        ccx, ccy = int(child[0]), int(child[1])
 
     per_child: dict[tuple[int, int], list] = {}
     for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
@@ -520,6 +567,9 @@ def overzoom_children(
             cx1 = min(s - 1, (vx - lo) // extent)
             cy0 = max(0, -((hi - vy) // extent))
             cy1 = min(s - 1, (vy - lo) // extent)
+            if ccx is not None:
+                cx0, cx1 = max(cx0, ccx), min(cx1, ccx)
+                cy0, cy1 = max(cy0, ccy), min(cy1, ccy)
             for cy in range(cy0, cy1 + 1):
                 ly = vy - cy * extent
                 zzy = ly << 1 if ly >= 0 else ((-ly) << 1) - 1
@@ -539,6 +589,9 @@ def overzoom_children(
         cx1 = min(s - 1, (exh - lo) // extent)
         cy0 = max(0, -((hi - eyl) // extent))
         cy1 = min(s - 1, (eyh - lo) // extent)
+        if ccx is not None:
+            cx0, cx1 = max(cx0, ccx), min(cx1, ccx)
+            cy0, cy1 = max(cy0, ccy), min(cy1, ccy)
         for cy in range(cy0, cy1 + 1):
             for cx in range(cx0, cx1 + 1):
                 per_child.setdefault((cx, cy), []).append(

@@ -456,6 +456,7 @@ def overzoom_raster_tiles(
     tile_size: int = TILE_SIZE,
     method: str = "bilinear",
     fmt: str = "png-zlib",
+    redistribute: bool = False,
 ) -> DataFrame:
     """R1 overzoom: serve z+dz raster tiles from stored parents — the
     raster twin of composite.overzoom_layers. The reference raster
@@ -468,12 +469,70 @@ def overzoom_raster_tiles(
     method='nearest' at dz=1 reduces to exact pixel replication
     child[r,c] = parent[(cy*T+r)//2, (cx*T+c)//2] (the fractional
     source index is m±0.25, ulp-safe from the rint boundary) — pinned
-    in tests and value-hash-gated by q_raster_overzoom."""
+    in tests and value-hash-gated by q_raster_overzoom.
+
+    ``redistribute=True`` (few parents, deep dz — e.g. one z0 basemap
+    image -> 4096 z6 tiles): explode the (parent, child-index) pairs
+    and hash-repartition BEFORE warping, one child per task, so
+    parallelism is 4^dz instead of #parents. Costs one shuffle of
+    parent bytes x 4^dz + a parent decode per child; identical output
+    rows (asserted in tests)."""
     import pandas as pd
 
     if dz < 1:
         raise ValueError("overzoom_raster_tiles: dz must be >= 1")
     s = 1 << dz
+
+    def _child(rgba, zz, xx, yy, bbox, cx, cy):
+        out, _mask = resample_to_tile(
+            rgba, bbox, zz + dz, xx * s + cx, yy * s + cy,
+            tile_size, method,
+        )
+        return encode_image(quantize_pixels(out), fmt)
+
+    if redistribute:
+        from pyspark.sql import functions as F
+
+        exploded = tiles.withColumn(
+            "cq", F.explode(F.sequence(F.lit(0), F.lit(s * s - 1)))
+        ).repartition("z", "x", "y", "cq")
+
+        def gen_one(it):
+            for pdf in it:
+                rows: dict[str, list] = {
+                    "z": [], "x": [], "y": [], "raster": [],
+                    "n_images": [], "captions": [],
+                }
+                for zz, xx, yy, raster, n_img, caps, cq in zip(
+                    pdf["z"], pdf["x"], pdf["y"], pdf["raster"],
+                    pdf["n_images"], pdf["captions"], pdf["cq"],
+                ):
+                    zz, xx, yy, cq = int(zz), int(xx), int(yy), int(cq)
+                    cx, cy = cq % s, cq // s
+                    rgba = decode_image(
+                        bytes(raster), fmt, tile_size, tile_size
+                    )
+                    span = tm.tile_span(zz)
+                    tx0 = -tm.W + xx * span
+                    ty1 = tm.W - yy * span
+                    bbox = (tx0, ty1 - span, tx0 + span, ty1)
+                    rows["z"].append(zz + dz)
+                    rows["x"].append(xx * s + cx)
+                    rows["y"].append(yy * s + cy)
+                    rows["raster"].append(
+                        _child(rgba, zz, xx, yy, bbox, cx, cy)
+                    )
+                    rows["n_images"].append(int(n_img))
+                    rows["captions"].append(list(caps))
+                yield pd.DataFrame(rows)
+
+        return exploded.mapInPandas(
+            gen_one,
+            schema=(
+                "z int, x long, y long, raster binary, n_images long, "
+                "captions array<string>"
+            ),
+        )
 
     def gen(it):
         for pdf in it:

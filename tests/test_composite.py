@@ -411,3 +411,50 @@ def test_overzoom_multipoint_full_distinct_like_forward_path():
     assert gx.tolist() == [200, 400] and gy.tolist() == [200, 400]
     ref = C._overzoom_children_ref(lb.build(), 1, buffer_units=64)
     assert kids == ref
+
+
+def test_overzoom_redistribute_identical_output(spark):
+    """redistribute=True (explode (parent, child) pairs, one child per
+    task) emits exactly the narrow path's rows; the kernel's
+    single-child clamp equals the filtered full fan-out."""
+    import pandas as pd
+
+    parent = _mixed_parent_blob()
+    full = C.overzoom_children(parent, 2, buffer_units=64)
+    for cx, cy, blob, nf, npts in full:
+        assert C.overzoom_children(
+            parent, 2, buffer_units=64, child=(cx, cy)
+        ) == [(cx, cy, blob, nf, npts)]
+    # a child with no content comes back empty under the clamp too
+    painted = {(cx, cy) for cx, cy, *_ in full}
+    for cq in range(16):
+        cx, cy = cq % 4, cq // 4
+        if (cx, cy) not in painted:
+            assert (
+                C.overzoom_children(parent, 2, buffer_units=64, child=(cx, cy))
+                == []
+            )
+    pdf = pd.DataFrame(
+        {
+            "z": [5], "x": [11], "y": [6], "layer": ["features"],
+            "blob": [parent], "n_features": [3], "n_points": [7],
+        }
+    )
+    layers = spark.createDataFrame(
+        pdf,
+        schema=(
+            "z int, x long, y long, layer string, blob binary, "
+            "n_features long, n_points long"
+        ),
+    )
+    narrow = {
+        (r.z, r.x, r.y): (bytes(r.blob), r.n_features, r.n_points)
+        for r in C.overzoom_layers(layers, 2, buffer_units=64).collect()
+    }
+    redist = {
+        (r.z, r.x, r.y): (bytes(r.blob), r.n_features, r.n_points)
+        for r in C.overzoom_layers(
+            layers, 2, buffer_units=64, redistribute=True
+        ).collect()
+    }
+    assert narrow == redist

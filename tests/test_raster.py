@@ -274,3 +274,37 @@ def test_overzoom_raster_bilinear_gradient_exact():
                 0, 255,
             )
             assert np.abs(q - want).max() == 0.0
+
+
+def test_overzoom_raster_redistribute_identical(spark):
+    import pandas as pd
+
+    T = 64
+    rng = np.random.default_rng(21)
+    parent = rng.integers(0, 256, size=(T, T, 4)).astype(np.uint8)
+    pdf = pd.DataFrame(
+        {
+            "z": [6], "x": [11], "y": [23],
+            "raster": [R.encode_image(parent, "raw-rgba8")],
+            "n_images": [1], "captions": [["a"]],
+        }
+    )
+    tiles = spark.createDataFrame(
+        pdf,
+        schema=(
+            "z int, x long, y long, raster binary, n_images long, "
+            "captions array<string>"
+        ),
+    )
+    kw = dict(tile_size=T, method="bilinear", fmt="raw-rgba8")
+    narrow = {
+        (r.z, r.x, r.y): bytes(r.raster)
+        for r in R.overzoom_raster_tiles(tiles, 1, **kw).collect()
+    }
+    redist = {
+        (r.z, r.x, r.y): bytes(r.raster)
+        for r in R.overzoom_raster_tiles(
+            tiles, 1, redistribute=True, **kw
+        ).collect()
+    }
+    assert narrow == redist and len(narrow) == 4
