@@ -115,6 +115,22 @@ def round_half_away_np(v: np.ndarray) -> np.ndarray:
     the fraction v-trunc(v) is exact in IEEE754, so comparing it
     reproduces the C++ reference bit-for-bit."""
     v = np.asarray(v, dtype=np.float64)
+    if v.ndim == 1 and len(v) <= 8:
+        # scalar path for the encode kernel's tiny rings/lines —
+        # value-identical per-element arithmetic (trunc/abs/compare
+        # are exact scalar float64 ops), ~5x less numpy call overhead
+        # at n<=8 (kernel-bench byte pin asserts no output change)
+        out = np.empty(len(v), dtype=np.int64)
+        for i in range(len(v)):
+            x = v[i]
+            t = float(int(x))  # trunc toward zero, exact for |x|<2^53
+            frac = x - t
+            if frac >= 0.5:
+                t += 1.0
+            elif frac <= -0.5:
+                t -= 1.0
+            out[i] = int(t)
+        return out
     t = np.trunc(v)
     frac = v - t  # exact: same-binade subtraction
     bump = np.where(np.abs(frac) >= 0.5, np.sign(v), 0.0)
