@@ -65,6 +65,14 @@ def main() -> None:
                          "splitting (density-driven salts); overrides "
                          "--n-salts when set")
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--overzoom-dz", type=int, default=0,
+                    help="after the base pyramid commits, serve "
+                         "z-max+1..z-max+dz from the STORED z-max "
+                         "tiles (EP3 slow path) as a second "
+                         "checkpointed stage")
+    ap.add_argument("--overzoom-redistribute", action="store_true",
+                    help="one child per task (few hot parents, deep "
+                         "dz) instead of the narrow 1->4^dz flatMap")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -127,6 +135,44 @@ def main() -> None:
         f"committed {len(rows)} buckets, {done} tiles this run; "
         f"total buckets done: {len(L.completed_buckets(args.out, 'tiles'))}"
     )
+
+    if args.overzoom_dz > 0:
+        # second checkpointed stage, sourced from the COMMITTED store
+        # (the tile-server shape: overzoom reads what was written, so
+        # a resumed run never recomputes the base pyramid)
+        from mapnik_vector_tile_spark.operators import composite as C
+
+        stored = L.read_stage(spark, args.out, "tiles").filter(
+            F.col("z") == args.z_max
+        )
+        parents = C.tiles_to_layers(stored.select("z", "x", "y", "tile"))
+        band = None
+        for dz in range(1, args.overzoom_dz + 1):
+            lvl = C.overzoom_layers(
+                parents,
+                dz,
+                buffer_units=args.buffer,
+                redistribute=args.overzoom_redistribute,
+            )
+            band = lvl if band is None else band.unionByName(lvl)
+        kids = T.fold_tiles(band).withColumn("cell", cell_col())
+        lin2 = L.run_stage(
+            kids.select(
+                "z", "x", "y", "cell", "tile", "n_layers", "n_features"
+            ),
+            args.out,
+            stage="overzoom",
+            key_col="cell",
+            run_id=args.run_id,
+        )
+        rows2 = lin2.collect()
+        print(
+            f"overzoom: committed {len(rows2)} buckets, "
+            f"{sum(r.rows_out for r in rows2)} child tiles "
+            f"(z{args.z_max + 1}..z{args.z_max + args.overzoom_dz}); "
+            f"total buckets done: "
+            f"{len(L.completed_buckets(args.out, 'overzoom'))}"
+        )
     spark.stop()
 
 

@@ -627,3 +627,38 @@ def overzoom_children(
             )
             out.append((cx, cy, child, len(feats), n_pts))
     return out
+
+
+def tiles_to_layers(tiles: DataFrame) -> DataFrame:
+    """EP3 source adapter: split stored Tile buffers back into layer
+    rows (z, x, y, layer, blob, n_features, n_points) — what a tile
+    server does before compositing or overzooming from its store. One
+    narrow decode scan (maybe_decompress + length-delimited split +
+    per-layer header parse); NO geometry decode, so it costs bytes,
+    not features. fold_tiles ∘ tiles_to_layers == identity on the
+    Tile buffer (layer order is preserved by the wire format and
+    re-sorted deterministically by fold_tiles)."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = {c: [] for c in LAYER_COLS}
+            for z, x, y, tile in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["tile"]
+            ):
+                for lmsg in pbf.decode_tile(pbf.maybe_decompress(bytes(tile))):
+                    d = pbf.split_layer(lmsg)
+                    n_feats = len(d["features"])
+                    rows["z"].append(int(z))
+                    rows["x"].append(int(x))
+                    rows["y"].append(int(y))
+                    rows["layer"].append(d["name"])
+                    rows["blob"].append(lmsg)
+                    rows["n_features"].append(n_feats)
+                    # n_points unknown without geometry decode; carry
+                    # the feature count (callers needing exact point
+                    # counts decode downstream)
+                    rows["n_points"].append(n_feats)
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(gen, schema=LAYER_SCHEMA)

@@ -458,3 +458,51 @@ def test_overzoom_redistribute_identical_output(spark):
         ).collect()
     }
     assert narrow == redist
+
+
+def test_tiles_to_layers_roundtrip(spark):
+    """fold_tiles ∘ tiles_to_layers reproduces the Tile buffer exactly
+    (multi-layer order preserved); feature counts come from the layer
+    header parse, no geometry decode."""
+    import pandas as pd
+
+    rows = []
+    for name, px in (("a_roads", 100), ("b_pois", 300)):
+        lb = pbf.LayerBuilder(name, extent=4096)
+        for i in range(3):
+            lb.add_feature(
+                i, gc.GEOM_POINT,
+                gc.encode_geometry(
+                    gc.GEOM_POINT, np.array([px + i]), np.array([px]),
+                    np.array([0, 1]),
+                ),
+                {"caption": name},
+            )
+        rows.append((4, 3, 2, name, lb.build(), 3, 3))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["z", "x", "y", "layer", "blob", "n_features", "n_points"],
+    )
+    layers = spark.createDataFrame(
+        pdf,
+        schema=(
+            "z int, x long, y long, layer string, blob binary, "
+            "n_features long, n_points long"
+        ),
+    )
+    from mapnik_vector_tile_spark.operators.tiling import fold_tiles
+
+    tiles = fold_tiles(layers)
+    back = C.tiles_to_layers(tiles)
+    got = {
+        (r.z, r.x, r.y, r.layer): (bytes(r.blob), r.n_features)
+        for r in back.collect()
+    }
+    want = {
+        (4, 3, 2, name): (blob, 3)
+        for _, _, _, name, blob, _, _ in rows
+    }
+    assert got == want
+    refold = fold_tiles(back).collect()
+    orig = tiles.collect()
+    assert bytes(refold[0].tile) == bytes(orig[0].tile)
