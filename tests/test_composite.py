@@ -506,3 +506,65 @@ def test_tiles_to_layers_roundtrip(spark):
     refold = fold_tiles(back).collect()
     orig = tiles.collect()
     assert bytes(refold[0].tile) == bytes(orig[0].tile)
+
+
+def test_overzoom_fast_matches_ref_fuzz():
+    """Property fuzz of the candidate-range fast path vs the naive
+    all-children scan: random geometry soups (incl. far-outside and
+    buffer-straddling coords), random dz/buffer — byte identity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.integers(min_value=-6000, max_value=10096)
+
+    @st.composite
+    def layer_blob(draw):
+        lb = pbf.LayerBuilder("features", extent=4096)
+        n = draw(st.integers(min_value=1, max_value=8))
+        for fid in range(n):
+            kind = draw(st.integers(min_value=0, max_value=2))
+            if kind == 0:
+                m = draw(st.integers(min_value=1, max_value=4))
+                xs = np.array([draw(coord) for _ in range(m)])
+                ys = np.array([draw(coord) for _ in range(m)])
+                stream = gc.encode_geometry(
+                    gc.GEOM_POINT, xs, ys, np.array([0, m])
+                )
+                gt = gc.GEOM_POINT
+            elif kind == 1:
+                m = draw(st.integers(min_value=2, max_value=6))
+                xs = np.array([draw(coord) for _ in range(m)])
+                ys = np.array([draw(coord) for _ in range(m)])
+                stream = gc.encode_geometry(
+                    gc.GEOM_LINESTRING, xs, ys, np.array([0, m])
+                )
+                gt = gc.GEOM_LINESTRING
+            else:
+                x0, y0 = draw(coord), draw(coord)
+                w = draw(st.integers(min_value=1, max_value=4096))
+                h = draw(st.integers(min_value=1, max_value=4096))
+                stream = gc.encode_geometry(
+                    gc.GEOM_POLYGON,
+                    np.array([x0, x0 + w, x0 + w, x0]),
+                    np.array([y0, y0, y0 + h, y0 + h]),
+                    np.array([0, 4]),
+                )
+                gt = gc.GEOM_POLYGON
+            if len(stream):
+                lb.add_feature(fid, gt, stream, {"caption": str(fid)})
+        return lb.build() if lb.painted else None
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        blob=layer_blob(),
+        dz=st.integers(min_value=1, max_value=3),
+        buf=st.sampled_from([0, 64, 128, 2048]),
+    )
+    def check(blob, dz, buf):
+        if blob is None:
+            return
+        assert C.overzoom_children(
+            blob, dz, buffer_units=buf
+        ) == C._overzoom_children_ref(blob, dz, buffer_units=buf)
+
+    check()
