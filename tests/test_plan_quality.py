@@ -138,3 +138,37 @@ def test_balanced_topk_group_limit_before_shuffle(spark):
     exch = plan.index("Exchange")
     assert "WindowGroupLimit" in plan[exch:]
     assert "WindowGroupLimit" in plan[:exch]  # final limit above it too
+
+
+def test_overzoom_narrow_no_exchange(spark, tiles_parquet):
+    """The default overzoom path must stay a narrow fan-out: reading a
+    tiles store, splitting to layers, and overzooming adds NO Exchange
+    — one pipelined stage from scan to children. redistribute=True
+    adds exactly the one hash Exchange it promises."""
+    from mapnik_vector_tile_spark.operators import composite as C
+
+    tiles = spark.read.parquet(tiles_parquet).select("z", "x", "y", "tile")
+    layers = C.tiles_to_layers(tiles)
+    plan = _plan(C.overzoom_layers(layers, 1, buffer_units=64))
+    assert "Exchange" not in plan
+    plan_r = _plan(
+        C.overzoom_layers(layers, 1, buffer_units=64, redistribute=True)
+    )
+    import re
+
+    # formatted mode prints each node once in the tree and once as a
+    # "(n) Exchange" detail header — count distinct nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan_r)) == 1
+
+
+def test_quantize_embeddings_codegen_no_python(spark):
+    """T20 stays JVM-side: no Python UDF eval and no Exchange in the
+    quantization projection."""
+    from mapnik_vector_tile_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(quantize_embeddings(emb))
+    assert "Python" not in plan
+    assert "Exchange" not in plan
