@@ -433,17 +433,32 @@ def decode_layer(buf: bytes) -> dict:
         "features": [],
     }
     pos = 0
-    while pos < len(buf):
-        tag, pos = _read_varint(buf, pos)
+    n = len(buf)
+    rv = _read_varint
+    # same inline single-byte-varint fast path as _decode_feature
+    while pos < n:
+        tag = buf[pos]
+        if tag < 0x80:
+            pos += 1
+        else:
+            tag, pos = rv(buf, pos)
         field, wire = tag >> 3, tag & 7
         if wire == 0:
-            v, pos = _read_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:
+                v = buf[pos]
+                pos += 1
+            else:
+                v, pos = rv(buf, pos)
             if field == 15:
                 out["version"] = v
             elif field == 5:
                 out["extent"] = v
         elif wire == 2:
-            ln, pos = _read_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:
+                ln = buf[pos]
+                pos += 1
+            else:
+                ln, pos = rv(buf, pos)
             payload = buf[pos : pos + ln]
             pos += ln
             if field == 1:
@@ -496,19 +511,39 @@ def _varints_small(buf: bytes) -> np.ndarray:
 
 
 def _decode_feature(buf: bytes) -> dict:
+    """Hot decode-scan parser. Single-byte varints (every Feature tag —
+    field < 16 — and almost every id/type/length of a real tile) are
+    read inline; only multi-byte runs fall back to the bounds-checked
+    _read_varint, same truncation/wrap contract (a continuation bit on
+    the last buffer byte reaches _read_varint at pos == n and raises
+    "truncated varint" exactly as before)."""
     f = {"id": None, "type": 0, "tags": np.empty(0, np.uint64), "geometry": np.empty(0, np.uint64)}
     pos = 0
-    while pos < len(buf):
-        tag, pos = _read_varint(buf, pos)
+    n = len(buf)
+    rv = _read_varint
+    while pos < n:
+        tag = buf[pos]
+        if tag < 0x80:
+            pos += 1
+        else:
+            tag, pos = rv(buf, pos)
         field, wire = tag >> 3, tag & 7
         if wire == 0:
-            v, pos = _read_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:
+                v = buf[pos]
+                pos += 1
+            else:
+                v, pos = rv(buf, pos)
             if field == 1:
                 f["id"] = v
             elif field == 3:
                 f["type"] = v
         elif wire == 2:
-            ln, pos = _read_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:
+                ln = buf[pos]
+                pos += 1
+            else:
+                ln, pos = rv(buf, pos)
             payload = buf[pos : pos + ln]
             pos += ln
             if field == 2:
