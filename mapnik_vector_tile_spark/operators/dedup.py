@@ -409,3 +409,71 @@ def decontaminate(
             F.min("min_bench").alias("min_bench"),
         )
     )
+
+
+# --- T21: perceptual-hash image near-dup ------------------------------------------
+
+
+def phash_neardup_pairs(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    n_bands: int = 8,
+    max_hamming: int = 6,
+    bits: int = 64,
+) -> DataFrame:
+    """Image near-duplicate pairs over the input_hint's `phash:int64`
+    column — the canonical image-dedup shape at 10^12 scale: band the
+    64-bit perceptual hash into ``n_bands`` equal chunks, equi-join on
+    (band_idx, band_value), refine with the exact bit_count(xor)
+    Hamming distance. Pigeonhole guarantee: max_hamming <= n_bands - 1
+    flips cannot touch every band, so the candidate join is LOSSLESS
+    and the refined output is EXACT — same argument as simhash_pairs,
+    but over a caller-supplied hash column (no text pipeline).
+
+    Pure Column math end-to-end (shift/mask/xor/bit_count — no UDF);
+    one self-equi-join on the band key. At skewed band values (e.g. a
+    black-image phash cluster) the join inherits AQE skew splitting;
+    output is (img_a, img_b, hamming) with img_a < img_b, distinct."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "losslessness needs max_hamming <= n_bands - 1 (pigeonhole)"
+        )
+    bw = bits // n_bands
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftrightunsigned(F.col("h"), c * bw)
+                .bitwiseAND(F.lit((1 << bw) - 1))
+                .alias("bval"),
+            )
+            for c in range(n_bands)
+        ]
+    )
+    banded = imgs.select(
+        F.col(id_col).alias("img"), F.col(hash_col).alias("h")
+    ).select("img", "h", F.explode(entries).alias("e")).select(
+        "img",
+        "h",
+        F.col("e.band").alias("band"),
+        F.col("e.bval").alias("bval"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.img") < F.col("b.img")),
+        )
+        .select(
+            F.col("a.img").alias("img_a"),
+            F.col("b.img").alias("img_b"),
+            F.bit_count(
+                F.col("a.h").bitwiseXOR(F.col("b.h"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

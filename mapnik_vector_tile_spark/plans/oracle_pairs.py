@@ -1681,6 +1681,75 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 perceptual-hash image near-dup with a FULL independent
+    oracle: deterministic clustered 63-bit phashes from customer keys
+    (clusters of 3 — base splitmix64, one-bit flip, two-bit flip), the
+    ENGINE finds pairs via the lossless 8-band Hamming-LSH self-join
+    (dedup.phash_neardup_pairs, pigeonhole guarantee for Hamming<=6),
+    and DuckDB finds the same pairs by BRUTE-FORCE all-pairs
+    bit_count(xor) — algorithm-independent, so a banding bug (lossy
+    candidate set) or a refine bug both break the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators import dedup as D
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+
+    def gen(it):
+        for pdf in it:
+            k = pdf["c_custkey"].to_numpy().astype(np.int64)
+            if not len(k):
+                continue
+            cl = k // 3
+            m = k % 3
+            base = (
+                splitmix64((cl * 1000003).astype(np.uint64))
+                >> np.uint64(1)
+            ).astype(np.int64)
+            one = np.int64(1)
+            f1 = base ^ (one << (cl % 63))
+            f2 = (
+                base
+                ^ (one << ((cl * 7 + 13) % 63))
+                ^ (one << ((cl * 11 + 29) % 63))
+            )
+            h = np.where(m == 1, f1, np.where(m == 2, f2, base))
+            yield pd.DataFrame({"image_id": k, "phash": h})
+
+    imgs = cust.mapInPandas(gen, schema="image_id long, phash long")
+    pairs = D.phash_neardup_pairs(imgs, max_hamming=6)
+    from pyspark.sql import functions as F
+
+    return pairs.select(
+        "img_a", "img_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_phash_neardup() -> str:
+    base = f"CAST(({splitmix64_sql('cl * 1000003')}) // 2 AS BIGINT)"
+    return f"""
+WITH ks AS (SELECT c_custkey AS k, c_custkey // 3 AS cl, c_custkey % 3 AS m
+            FROM customer),
+hb AS (SELECT k, cl, m, {base} AS base FROM ks),
+ph AS (SELECT k AS img,
+              CASE WHEN m = 1
+                   THEN xor(base, CAST(1 AS BIGINT) << (cl % 63))
+                   WHEN m = 2
+                   THEN xor(xor(base,
+                                CAST(1 AS BIGINT) << ((cl * 7 + 13) % 63)),
+                            CAST(1 AS BIGINT) << ((cl * 11 + 29) % 63))
+                   ELSE base END AS h
+       FROM hb)
+SELECT a.img AS img_a, b.img AS img_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.img < b.img
+WHERE bit_count(xor(a.h, b.h)) <= 6
+"""
+
+
 RZO_N = 24  # raster-overzoom oracle corpus: parent tiles
 RZO_T = 64  # and their pixel grid
 
@@ -1916,6 +1985,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
     "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
+    "q_phash_neardup": (q_phash_neardup, _sql_phash_neardup()),
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
     "q_simplify_lines": (q_simplify_lines, None),

@@ -318,3 +318,40 @@ def test_quantized_topk_recall_vs_float(spark):
     }
     recall = len(gold & got) / len(gold)
     assert recall >= 0.9, recall
+
+
+def test_phash_neardup_lossless_vs_bruteforce(spark):
+    """Banded Hamming-LSH == brute force on a random corpus including
+    NEGATIVE int64 hashes (shiftrightunsigned banding must treat the
+    sign bit as data) and planted near-dup pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.dedup import phash_neardup_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(-(2**63), 2**63, size=120, dtype=np.int64)
+    rows = [(i, int(base[i])) for i in range(len(base))]
+    # planted near-dups: flip 1..6 bits of some bases
+    nid = len(base)
+    for i in range(0, 40, 4):
+        h = int(base[i])
+        for b in range(1 + i % 6):
+            h ^= 1 << ((i * 13 + b * 7) % 64)
+        rows.append((nid, h))
+        nid += 1
+    pdf = pd.DataFrame(rows, columns=["image_id", "phash"])
+    imgs = spark.createDataFrame(pdf, schema="image_id long, phash long")
+    got = {
+        (r.img_a, r.img_b, r.hamming)
+        for r in phash_neardup_pairs(imgs, max_hamming=6).collect()
+    }
+    want = set()
+    hs = {i: h for i, h in rows}
+    ids = sorted(hs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin((hs[ids[i]] ^ hs[ids[j]]) & (2**64 - 1)).count("1")
+            if d <= 6:
+                want.add((ids[i], ids[j], d))
+    assert got == want and len(want) >= 10
