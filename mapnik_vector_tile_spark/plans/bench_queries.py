@@ -104,6 +104,14 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.bench_knn(spark, sf_dir)
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 Hamming-band LSH over clustered 63-bit phashes (the
+    q_phash_neardup corpus at bench scale) — pure JVM band join."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_phash_neardup
+
+    return q_phash_neardup(spark, sf_dir)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapnik_vector_tile_spark.operators import dedup as D
 
@@ -187,6 +195,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mapnik_vector_tile_spark.operators import dedup  # noqa: F401
 
         out["q_minhash_dedup"] = q_minhash_dedup
+        out["q_phash_dedup"] = q_phash_dedup
     except ImportError:
         pass
     try:
