@@ -10,9 +10,12 @@ the engine's hot paths at sf0.1 scale:
   q_encode_tiles   — EP1: assign -> salted applyInPandas encode ->
                      merge -> tile fold (the Arrow/UDF hot path)
   q_decode_rt      — EP2: decode the encoded tiles back to features
+  q_overzoom       — EP3 cross-zoom slow path: z8 parents re-rendered
+                     into z10 children (candidate-range kernel)
   q_pip_join       — J3 broadcast point-in-polygon join w/ cell prefilter
   q_knn            — J5 kNN via cell-ring expansion
   q_minhash_dedup  — MinHash-LSH near-dup candidate pairs on documents
+  q_phash_dedup    — T21 Hamming-band LSH image near-dup (pure JVM join)
   q_ann_topk       — brute-force cosine top-k over embeddings
   q_raster         — R1 decode + bilinear warp + painter's composite
                      (the binary-heavy mapInPandas leg)
