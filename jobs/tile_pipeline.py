@@ -145,7 +145,20 @@ def main() -> None:
         stored = L.read_stage(spark, args.out, "tiles").filter(
             F.col("z") == args.z_max
         )
-        parents = C.tiles_to_layers(stored.select("z", "x", "y", "tile"))
+        # the overzoom bucket key is the PARENT tile cell — every child
+        # of one parent shares a bucket, so a resumed run prunes the
+        # parents of completed buckets BEFORE any decode/render (the
+        # same compute-prune the base stage does), not just the writes
+        done_oz = L.completed_buckets(args.out, "overzoom")
+        if done_oz:
+            stored = stored.withColumn("cell", cell_col())
+            b = L.bucket_col("cell")
+            stored = stored.filter(
+                ~b.isin(*[int(x) for x in sorted(done_oz)])
+            ).drop("cell")
+        parents = C.tiles_to_layers(
+            stored.select("z", "x", "y", "tile")
+        ).persist()  # each dz level re-reads the split parents, not the store
         band = None
         for dz in range(1, args.overzoom_dz + 1):
             lvl = C.overzoom_layers(
@@ -155,7 +168,15 @@ def main() -> None:
                 redistribute=args.overzoom_redistribute,
             )
             band = lvl if band is None else band.unionByName(lvl)
-        kids = T.fold_tiles(band).withColumn("cell", cell_col())
+        # parent cell reconstructed from the child address (x >> (z -
+        # z_max) is exact) — stays valid across the fold shuffle
+        zm = args.z_max
+        pcell = F.expr(
+            f"shiftleft(CAST({zm} AS BIGINT), 60)"
+            f" + shiftleft(shiftrightunsigned(x, z - {zm}), 30)"
+            f" + shiftrightunsigned(y, z - {zm})"
+        )
+        kids = T.fold_tiles(band).withColumn("cell", pcell)
         lin2 = L.run_stage(
             kids.select(
                 "z", "x", "y", "cell", "tile", "n_layers", "n_features"
@@ -165,6 +186,7 @@ def main() -> None:
             key_col="cell",
             run_id=args.run_id,
         )
+        parents.unpersist()
         rows2 = lin2.collect()
         print(
             f"overzoom: committed {len(rows2)} buckets, "

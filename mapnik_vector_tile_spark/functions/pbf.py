@@ -426,7 +426,9 @@ def decode_layer(buf: bytes) -> dict:
     The S2 'tile as datasource' decode scan."""
     out = {
         "name": None,
-        "version": None,
+        # proto2 default: `version = 15 [default = 1]` — a layer that
+        # OMITS the field reads as v1 (reference decoder parity)
+        "version": 1,
         "extent": 4096,
         "keys": [],
         "values": [],
@@ -566,7 +568,7 @@ def split_layer(buf: bytes) -> dict:
     indices must change (the salted-partial merge)."""
     out = {
         "name": None,
-        "version": 2,
+        "version": 1,  # proto2 default (see decode_layer)
         "extent": 4096,
         "keys": [],
         "raw_values": [],

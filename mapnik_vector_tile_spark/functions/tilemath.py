@@ -119,18 +119,24 @@ def round_half_away_np(v: np.ndarray) -> np.ndarray:
         # scalar path for the encode kernel's tiny rings/lines —
         # value-identical per-element arithmetic (trunc/abs/compare
         # are exact scalar float64 ops), ~5x less numpy call overhead
-        # at n<=8 (kernel-bench byte pin asserts no output change)
-        out = np.empty(len(v), dtype=np.int64)
-        for i in range(len(v)):
-            x = v[i]
-            t = float(int(x))  # trunc toward zero, exact for |x|<2^53
-            frac = x - t
-            if frac >= 0.5:
-                t += 1.0
-            elif frac <= -0.5:
-                t -= 1.0
-            out[i] = int(t)
-        return out
+        # at n<=8 (kernel-bench byte pin asserts no output change).
+        # NaN/inf/|x|>=2^63 fall back to the vectorized path so the
+        # adversarial-input behavior (silent int64 wrap, never an
+        # OverflowError aborting a composite task) stays identical.
+        try:
+            out = np.empty(len(v), dtype=np.int64)
+            for i in range(len(v)):
+                x = v[i]
+                t = float(int(x))  # trunc toward zero, exact for |x|<2^53
+                frac = x - t
+                if frac >= 0.5:
+                    t += 1.0
+                elif frac <= -0.5:
+                    t -= 1.0
+                out[i] = int(t)
+            return out
+        except (OverflowError, ValueError):
+            pass
     t = np.trunc(v)
     frac = v - t  # exact: same-binade subtraction
     bump = np.where(np.abs(frac) >= 0.5, np.sign(v), 0.0)

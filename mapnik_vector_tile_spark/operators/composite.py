@@ -109,7 +109,7 @@ def rescale_layer_blob(blob: bytes, to_extent: int) -> bytes:
             xs, ys, offs = gc.decode_geometry(
                 int(gtype),
                 pbf._varints_small(raw_geom).astype(np.int64),
-                version=int(d["version"] or 2),
+                version=int(d["version"]),
             )
         except ValueError:
             continue
@@ -121,7 +121,7 @@ def rescale_layer_blob(blob: bytes, to_extent: int) -> bytes:
         raw2 = pbf.varint_bytes_np(np.asarray(stream, dtype=np.uint64))
         feats.append((fid, gtype, tags, raw2, raw_raster))
     return pbf.rebuild_layer_raw(
-        d["name"], d["version"] or 2, to_extent, d["keys"],
+        d["name"], d["version"], to_extent, d["keys"],
         d["raw_values"], feats,
     )
 
@@ -245,7 +245,7 @@ def _overzoom_children_ref(
             xs, ys, offs = gc.decode_geometry(
                 int(gtype),
                 pbf._varints_small(raw_geom).astype(np.int64),
-                version=int(d["version"] or 2),
+                version=int(d["version"]),
             )
         except ValueError:
             continue  # structurally corrupt feature: drop, don't abort
@@ -341,7 +341,7 @@ def _overzoom_children_ref(
                 n_pts += len(px)
             if feats:
                 child = pbf.rebuild_layer_raw(
-                    d["name"], d["version"] or 2, extent, d["keys"],
+                    d["name"], d["version"], extent, d["keys"],
                     d["raw_values"], feats,
                 )
                 out.append((cx, cy, child, len(feats), n_pts))
@@ -553,7 +553,7 @@ def overzoom_children(
             xs, ys, offs = gc.decode_geometry(
                 int(gtype),
                 pbf._varints_small(raw_geom).astype(np.int64),
-                version=int(d["version"] or 2),
+                version=int(d["version"]),
             )
         except ValueError:
             continue  # structurally corrupt feature: drop, don't abort
@@ -622,7 +622,7 @@ def overzoom_children(
             n_pts += npts
         if feats:
             child = pbf.rebuild_layer_raw(
-                d["name"], d["version"] or 2, extent, d["keys"],
+                d["name"], d["version"], extent, d["keys"],
                 d["raw_values"], feats,
             )
             out.append((cx, cy, child, len(feats), n_pts))

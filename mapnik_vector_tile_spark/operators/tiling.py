@@ -769,7 +769,7 @@ def decode_tiles_to_features(
                         xs, ys, offs = gc.decode_geometry(
                             int(f["type"]),
                             f["geometry"].astype(np.int64),
-                            version=int(layer["version"] or 2),
+                            version=int(layer["version"]),
                         )
                         if not len(xs):
                             continue  # v1 feature degenerated entirely

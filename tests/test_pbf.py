@@ -96,3 +96,30 @@ def test_compression_detect_roundtrip():
     assert pbf.maybe_decompress(z) == raw
     assert pbf.maybe_decompress(g) == raw
     assert pbf.maybe_decompress(raw) == raw
+
+
+def test_absent_version_defaults_to_v1():
+    """proto2 `version = 15 [default = 1]`: a layer that omits the
+    field reads as v1 everywhere — valid per is_valid rules, and its
+    geometry decodes under the TOLERANT mode (review regression: the
+    old default of 2 made version-less legacy layers strict)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.operators.composite import layer_is_valid
+
+    # name + one degenerate 1-point linestring feature + extent, NO version
+    stream = gc.encode_geometry(
+        gc.GEOM_POINT, np.array([5]), np.array([5]), np.array([0, 1])
+    )
+    feat = pbf.encode_feature(1, gc.GEOM_LINESTRING, stream[:3], [])
+    buf = (
+        pbf._len_delim(1, b"legacy")
+        + pbf._len_delim(2, feat)
+        + pbf._tag(5, 0)
+        + pbf.varint_of(4096)
+    )
+    assert pbf.decode_layer(buf)["version"] == 1
+    assert pbf.split_layer(buf)["version"] == 1
+    ok, reasons = layer_is_valid(buf)
+    assert ok, reasons

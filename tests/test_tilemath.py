@@ -217,3 +217,18 @@ def test_round_half_away_std_round_parity():
     want = np.array([0, 0, 1, -1, 2, -2, 2, 0, 4096, 4095])
     got = tm.round_half_away_np(v)
     assert (got == want).all(), (got.tolist(), want.tolist())
+
+
+def test_round_half_away_scalar_path_extreme_fallback():
+    """Small arrays with |v| >= 2^63 or non-finite values take the
+    vectorized fallback: silent int64 wrap, never OverflowError
+    (review regression — a foreign blob rescaled by a huge factor must
+    not abort the composite task)."""
+    v = np.array([2.0**70, -(2.0**70), 1.5])
+    got = tm.round_half_away_np(v)
+    t = np.trunc(v)
+    want = (
+        t + np.where(np.abs(v - t) >= 0.5, np.sign(v), 0.0)
+    ).astype(np.int64)
+    assert np.array_equal(got, want)
+    assert tm.round_half_away_np(np.array([2.5, -2.5])).tolist() == [3, -3]
