@@ -1681,6 +1681,87 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_v1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 v1-tolerant decode under the driver gate: per order key,
+    build a VERSION-1 layer whose single linestring stream is a valid
+    2-point part followed by a trailing 1-point part (legal v1 wire,
+    rejected by v2 rules). The tolerant decoder must DROP the
+    degenerate trailing part and keep the valid one — the decode scan
+    returns exactly 2 vertices per feature, whose deterministic
+    integer coordinates DuckDB regenerates closed-form. A decoder that
+    errors (strict-v2 regression) loses the row; one that keeps the
+    1-point part breaks the sums."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+
+    def zz(v: int) -> int:
+        return (v << 1) ^ (v >> 63)
+
+    def gen(it):
+        for pdf in it:
+            rows = {"z": [], "x": [], "y": [], "tile": []}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                p = [
+                    (
+                        (k * (i + 1) * 2654435761) % 4096,
+                        (k * (i + 3) * 1103515245 + 12345) % 4096,
+                    )
+                    for i in range(3)
+                ]
+                stream = [
+                    9, zz(p[0][0]), zz(p[0][1]),
+                    10, zz(p[1][0] - p[0][0]), zz(p[1][1] - p[0][1]),
+                    9, zz(p[2][0] - p[1][0]), zz(p[2][1] - p[1][1]),
+                ]
+                lb = pbf.LayerBuilder("features", extent=4096, version=1)
+                lb.add_feature(
+                    k, gc.GEOM_LINESTRING,
+                    np.array(stream, dtype=np.int64), {"caption": "v1"},
+                )
+                rows["z"].append(9)
+                rows["x"].append(k % 512)
+                rows["y"].append((k * 7) % 512)
+                rows["tile"].append(pbf.concat_tile([lb.build()]))
+            yield pd.DataFrame(rows)
+
+    tiles = orders.mapInPandas(gen, schema="z int, x long, y long, tile binary")
+    dec = T.decode_tiles_to_features(tiles)
+    return dec.select(
+        F.col("feature_id"),
+        F.size("pxs").cast("bigint").alias("n_pts"),
+        F.aggregate(
+            "pxs", F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("sum_px"),
+        F.aggregate(
+            "pys", F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("sum_py"),
+    )
+
+
+def _sql_v1_decode() -> str:
+    def px(i: int) -> str:
+        return f"((k * {i + 1} * 2654435761) % 4096)"
+
+    def py(i: int) -> str:
+        return f"((k * {i + 3} * 1103515245 + 12345) % 4096)"
+
+    return f"""
+SELECT o_orderkey AS feature_id,
+       CAST(2 AS BIGINT) AS n_pts,
+       CAST({px(0)} + {px(1)} AS BIGINT) AS sum_px,
+       CAST({py(0)} + {py(1)} AS BIGINT) AS sum_py
+FROM (SELECT o_orderkey, o_orderkey AS k FROM orders) t
+"""
+
+
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T21 perceptual-hash image near-dup with a FULL independent
     oracle: deterministic clustered 63-bit phashes from customer keys
@@ -1986,6 +2067,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_raster_tiles": (q_raster_tiles, None),
     "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
     "q_phash_neardup": (q_phash_neardup, _sql_phash_neardup()),
+    "q_engine_v1_decode": (q_engine_v1_decode, _sql_v1_decode()),
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
     "q_simplify_lines": (q_simplify_lines, None),
