@@ -662,3 +662,32 @@ def tiles_to_layers(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return tiles.mapInPandas(gen, schema=LAYER_SCHEMA)
+
+
+def diff_tiles(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Content diff of two tile stores (the delta-update shape a tile
+    server ships to CDNs): full outer join on the address, byte-hash
+    compare of the Tile buffers. Returns only differing addresses with
+    status 'removed' (in a only), 'added' (in b only) or 'changed'
+    (both, different bytes). Because the encode pipeline is
+    byte-deterministic (W1 ordering + dictionary determinism, pinned
+    by the salted/unsalted byte-equality tests), equal content always
+    hashes equal — the diff never reports spurious changes. One
+    shuffle (the join); hashes computed pre-join so tile bytes never
+    cross the exchange twice."""
+    ha = a.select("z", "x", "y", F.xxhash64("tile").alias("ha"))
+    hb = b.select("z", "x", "y", F.xxhash64("tile").alias("hb"))
+    j = ha.join(hb, ["z", "x", "y"], "full_outer")
+    return j.select(
+        "z",
+        "x",
+        "y",
+        F.when(F.col("hb").isNull(), F.lit("removed"))
+        .when(F.col("ha").isNull(), F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    ).filter(
+        F.col("ha").isNull()
+        | F.col("hb").isNull()
+        | (F.col("ha") != F.col("hb"))
+    )

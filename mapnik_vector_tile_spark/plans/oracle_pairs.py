@@ -1681,6 +1681,60 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIFF_Z = 6
+
+
+def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-store content diff (delta updates) with a FULL oracle:
+    store A = z6 tiles of order points with key % 5 != 0, store B =
+    key % 7 != 0 — the engine diffs ACTUAL TILE BYTES (xxhash64 over
+    the encoded buffers, composite.diff_tiles), while DuckDB derives
+    added/removed/changed purely from per-tile membership set algebra
+    (a tile changed iff the two key sets differ). The hash only
+    matches if the encode pipeline is byte-deterministic AND injective
+    on feature sets — a nondeterministic dictionary order or a
+    dropped/duplicated feature shows up as a spurious or missing diff
+    row."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+
+    def store(mod: int):
+        sub = feats.filter(F.col("feature_id") % mod != 0)
+        return T.encode_tiles(
+            T.assign_tiles(sub, DIFF_Z, DIFF_Z, buffer_units=0),
+            buffer_units=0,
+            n_salts=4,
+        )
+
+    return comp.diff_tiles(store(5), store(7))
+
+
+def _sql_tile_diff(z: int = DIFF_Z) -> str:
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, {tx} AS x, {ty} AS y FROM pts),
+m AS (
+  SELECT x, y,
+         SUM(CASE WHEN id % 5 <> 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN id % 7 <> 0 THEN 1 ELSE 0 END) AS nb,
+         SUM(CASE WHEN (id % 5 <> 0) <> (id % 7 <> 0) THEN 1 ELSE 0 END)
+           AS nsym
+  FROM t GROUP BY 1, 2
+)
+SELECT CAST({z} AS INT) AS z, x, y,
+       CASE WHEN nb = 0 THEN 'removed'
+            WHEN na = 0 THEN 'added'
+            ELSE 'changed' END AS status
+FROM m
+WHERE (na > 0 OR nb > 0) AND (na = 0 OR nb = 0 OR nsym > 0)
+"""
+
+
 def q_engine_v1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 v1-tolerant decode under the driver gate: per order key,
     build a VERSION-1 layer whose single linestring stream is a valid
@@ -2068,6 +2122,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
     "q_phash_neardup": (q_phash_neardup, _sql_phash_neardup()),
     "q_engine_v1_decode": (q_engine_v1_decode, _sql_v1_decode()),
+    "q_tile_diff": (q_tile_diff, _sql_tile_diff()),
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
     "q_simplify_lines": (q_simplify_lines, None),
