@@ -666,28 +666,40 @@ def tiles_to_layers(tiles: DataFrame) -> DataFrame:
 
 def diff_tiles(a: DataFrame, b: DataFrame) -> DataFrame:
     """Content diff of two tile stores (the delta-update shape a tile
-    server ships to CDNs): full outer join on the address, byte-hash
-    compare of the Tile buffers. Returns only differing addresses with
-    status 'removed' (in a only), 'added' (in b only) or 'changed'
-    (both, different bytes). Because the encode pipeline is
-    byte-deterministic (W1 ordering + dictionary determinism, pinned
-    by the salted/unsalted byte-equality tests), equal content always
-    hashes equal — the diff never reports spurious changes. One
-    shuffle (the join); hashes computed pre-join so tile bytes never
-    cross the exchange twice."""
-    ha = a.select("z", "x", "y", F.xxhash64("tile").alias("ha"))
-    hb = b.select("z", "x", "y", F.xxhash64("tile").alias("hb"))
-    j = ha.join(hb, ["z", "x", "y"], "full_outer")
-    return j.select(
+    server ships to CDNs): per-address content signature, full outer
+    join on the address, signature compare. Returns only differing
+    addresses with status 'removed' (in a only), 'added' (in b only)
+    or 'changed' (both, different content). Because the encode
+    pipeline is byte-deterministic (W1 ordering + dictionary
+    determinism, pinned by the salted/unsalted byte-equality tests),
+    equal content always signs equal — the diff never reports
+    spurious changes.
+
+    The signature is the SORTED SET of tile-byte hashes per address,
+    so a store holding duplicate rows for one (z,x,y) (append-written
+    tables) still diffs deterministically — duplicate-vs-single of
+    the same bytes compares equal, and exactly one row per differing
+    address is emitted. Hashes are computed before any exchange, so
+    tile bytes never cross a shuffle; the join is co-partitioned with
+    the two aggregations (one shuffle per side)."""
+    def sig(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select("z", "x", "y", F.xxhash64("tile").alias("h"))
+            .groupBy("z", "x", "y")
+            .agg(F.sort_array(F.collect_set("h")).alias(name))
+        )
+
+    j = sig(a, "sa").join(sig(b, "sb"), ["z", "x", "y"], "full_outer")
+    return j.filter(
+        F.col("sa").isNull()
+        | F.col("sb").isNull()
+        | (F.col("sa") != F.col("sb"))
+    ).select(
         "z",
         "x",
         "y",
-        F.when(F.col("hb").isNull(), F.lit("removed"))
-        .when(F.col("ha").isNull(), F.lit("added"))
+        F.when(F.col("sb").isNull(), F.lit("removed"))
+        .when(F.col("sa").isNull(), F.lit("added"))
         .otherwise(F.lit("changed"))
         .alias("status"),
-    ).filter(
-        F.col("ha").isNull()
-        | F.col("hb").isNull()
-        | (F.col("ha") != F.col("hb"))
     )

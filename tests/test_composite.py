@@ -568,3 +568,28 @@ def test_overzoom_fast_matches_ref_fuzz():
         ) == C._overzoom_children_ref(blob, dz, buffer_units=buf)
 
     check()
+
+
+def test_diff_tiles_duplicate_rows_and_statuses(spark):
+    """diff_tiles is duplicate-safe: a store with two identical rows
+    for one address diffs equal against a single-row store; changed /
+    added / removed all classify; unchanged addresses are absent."""
+    import pandas as pd
+
+    def store(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["z", "x", "y", "tile"]
+        )
+        return spark.createDataFrame(
+            pdf, schema="z int, x long, y long, tile binary"
+        )
+
+    t1, t2, t3 = b"tile-one", b"tile-two", b"tile-three"
+    a = store([(6, 1, 1, t1), (6, 1, 1, t1), (6, 2, 2, t2), (6, 3, 3, t3)])
+    b = store([(6, 1, 1, t1), (6, 2, 2, b"tile-two-v2"), (6, 4, 4, t3)])
+    got = {(r.z, r.x, r.y): r.status for r in C.diff_tiles(a, b).collect()}
+    assert got == {
+        (6, 2, 2): "changed",
+        (6, 3, 3): "removed",
+        (6, 4, 4): "added",
+    }
