@@ -47,3 +47,18 @@ def test_oracle_pair(spark, duck, name):
     assert res["rows"][2], res
     assert res["cols"][2], res
     assert res["hash_match"], f"value hash mismatch for {name}"
+
+
+def test_rows_only_set_is_pinned():
+    """Every queries() key carries a full DuckDB oracle except the
+    three documented rows-only cases (SURVEY §2.12) — a new query
+    landing without its oracle fails here instead of silently
+    weakening the correctness gate."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q
+    assert q - o == {
+        "q_raster_tiles",      # binary image output
+        "q_audio_features",    # float-agg order unspecified in SQL
+        "q_simplify_lines",    # superseded by q_engine_simplify_exact
+    }
