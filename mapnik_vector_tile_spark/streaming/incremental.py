@@ -233,6 +233,7 @@ def run_incremental_retile(
     z: int = 8,
     dirty_every: int = 5,
     checkpoint_dir: str | None = None,
+    overzoom_dz: int = 0,
 ) -> None:
     """The production-shaped leg the module docstring promises: dirty
     tickets from the stateful counter drive foreachBatch, which
@@ -247,7 +248,15 @@ def run_incremental_retile(
     tiles (not events), so the broadcast join against the fan-out is
     small; the re-encode reads the feature store pruned to those tile
     keys — at 10^12 images that scan is pruned by the tile-bucketed
-    layout (README sizing note), not a full pass."""
+    layout (README sizing note), not a full pass.
+
+    ``overzoom_dz > 0``: a dirty parent's SERVED CHILDREN (z+1 ..
+    z+dz, rendered via the EP3 overzoom slow path) are stale the
+    moment the parent re-renders, so each micro-batch also re-derives
+    them from the freshly encoded parents (tiles_to_layers →
+    overzoom_layers → fold) and appends them with the same version +
+    batch stamp — byte-identical to a cold batch overzoom of the
+    final parents (asserted in tests/test_streaming.py)."""
     from pyspark.sql import functions as SF
 
     from mapnik_vector_tile_spark.operators import tiling as T
@@ -283,12 +292,36 @@ def run_incremental_retile(
         assigned = T.assign_tiles(feats, z, z, buffer_units=0)
         todo = assigned.join(SF.broadcast(keys.select("x", "y")), ["x", "y"])
         tiles = T.encode_tiles(todo, n_salts=4)
-        (
-            tiles.join(SF.broadcast(keys), ["x", "y"])
-            .withColumn("batch_id", SF.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+        stamped = tiles.join(SF.broadcast(keys), ["x", "y"]).withColumn(
+            "batch_id", SF.lit(batch_id)
         )
+        stamped.write.mode("append").parquet(out_dir)
+        if overzoom_dz > 0:
+            from mapnik_vector_tile_spark.operators import composite as C
+
+            parents = C.tiles_to_layers(
+                stamped.select("z", "x", "y", "tile")
+            )
+            band = None
+            for dz in range(1, overzoom_dz + 1):
+                lvl = C.overzoom_layers(parents, dz, buffer_units=64)
+                band = lvl if band is None else band.unionByName(lvl)
+            kids = T.fold_tiles(band)
+            # version stamp travels via the PARENT address (x >> (z' - z))
+            pk = keys.select(
+                SF.col("x").alias("px"), SF.col("y").alias("py"), "version"
+            )
+            (
+                kids.withColumn(
+                    "px", SF.expr(f"shiftrightunsigned(x, z - {z})")
+                )
+                .withColumn("py", SF.expr(f"shiftrightunsigned(y, z - {z})"))
+                .join(SF.broadcast(pk), ["px", "py"])
+                .drop("px", "py")
+                .withColumn("batch_id", SF.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir + "_overzoom")
+            )
 
     writer = (
         tickets.writeStream.foreachBatch(retile)

@@ -363,3 +363,59 @@ def test_stream_stream_left_outer_emits_nulls_on_window_close(
     # null rows: non-vacuous, disjoint from matches, truly unmatched
     assert got_nulls
     assert not (got_nulls & matched_views)
+
+
+def test_incremental_retile_overzoom_children(spark, chunked_events, tmp_path):
+    """overzoom_dz: each dirty parent's served children are re-derived
+    per micro-batch; the LATEST child bytes equal a cold overzoom of
+    the final batch-encoded parents — streaming and batch share the
+    whole EP3 slow path."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from mapnik_vector_tile_spark.operators import composite as C
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    src, _ev = chunked_events
+    out = str(tmp_path / "oz_out")
+    ckpt = str(tmp_path / "oz_ckpt")
+    Z, D = 6, 5
+    S.run_incremental_retile(
+        spark, src, out, z=Z, dirty_every=D, checkpoint_dir=ckpt,
+        overzoom_dz=1,
+    )
+    kids = spark.read.parquet(out + "_overzoom")
+    w = Window.partitionBy("z", "x", "y").orderBy(
+        F.col("batch_id").desc(), F.col("version").desc()
+    )
+    latest = {
+        (r.z, r.x, r.y): bytes(r.tile)
+        for r in kids.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("z", "x", "y", "tile")
+        .collect()
+    }
+    assert latest, "no children re-rendered"
+
+    # cold path: batch-encode the parents that streaming re-rendered
+    # last, overzoom them once, compare bytes
+    base = spark.read.parquet(out)
+    wb = Window.partitionBy("x", "y").orderBy(
+        F.col("batch_id").desc(), F.col("version").desc()
+    )
+    parents_latest = (
+        base.withColumn("rn", F.row_number().over(wb))
+        .filter("rn = 1")
+        .select("z", "x", "y", "tile")
+    )
+    cold = {
+        (r.z, r.x, r.y): bytes(r.tile)
+        for r in T.fold_tiles(
+            C.overzoom_layers(
+                C.tiles_to_layers(parents_latest), 1, buffer_units=64
+            )
+        ).collect()
+    }
+    assert set(latest) == set(cold)
+    for k in latest:
+        assert latest[k] == cold[k], f"child {k} differs from cold overzoom"
