@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--z", type=int, default=8)
     ap.add_argument("--dirty-every", type=int, default=5)
+    ap.add_argument("--overzoom-dz", type=int, default=0,
+                    help="also refresh each dirty parent's served "
+                         "z+1..z+dz children per micro-batch "
+                         "(appended to <out>_overzoom)")
     args = ap.parse_args()
 
     from mapnik_vector_tile_spark.session import get_spark
@@ -62,9 +66,13 @@ def main() -> None:
         spark, src, args.out,
         z=args.z, dirty_every=args.dirty_every,
         checkpoint_dir=args.checkpoint,
+        overzoom_dz=args.overzoom_dz,
     )
     n_tiles = spark.read.parquet(args.out).count()
     print(f"re-rendered tile rows in {args.out}: {n_tiles}")
+    if args.overzoom_dz > 0:
+        n_kids = spark.read.parquet(args.out + "_overzoom").count()
+        print(f"re-rendered child rows in {args.out}_overzoom: {n_kids}")
     spark.stop()
 
 
