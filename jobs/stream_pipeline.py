@@ -68,11 +68,20 @@ def main() -> None:
         checkpoint_dir=args.checkpoint,
         overzoom_dz=args.overzoom_dz,
     )
-    n_tiles = spark.read.parquet(args.out).count()
-    print(f"re-rendered tile rows in {args.out}: {n_tiles}")
+    if os.path.isdir(args.out):
+        n_tiles = spark.read.parquet(args.out).count()
+        print(f"re-rendered tile rows in {args.out}: {n_tiles}")
+    else:
+        print(f"no tiles re-rendered this run ({args.out} absent)")
     if args.overzoom_dz > 0:
-        n_kids = spark.read.parquet(args.out + "_overzoom").count()
-        print(f"re-rendered child rows in {args.out}_overzoom: {n_kids}")
+        # a fully-committed checkpoint (resume no-op) or a run whose
+        # tiles never crossed dirty_every produces NO children dir
+        oz = args.out + "_overzoom"
+        if os.path.isdir(oz):
+            n_kids = spark.read.parquet(oz).count()
+            print(f"re-rendered child rows in {oz}: {n_kids}")
+        else:
+            print(f"no child refreshes this run ({oz} absent)")
     spark.stop()
 
 

@@ -159,24 +159,20 @@ def main() -> None:
         parents = C.tiles_to_layers(
             stored.select("z", "x", "y", "tile")
         ).persist()  # each dz level re-reads the split parents, not the store
-        band = None
-        for dz in range(1, args.overzoom_dz + 1):
-            lvl = C.overzoom_layers(
-                parents,
-                dz,
-                buffer_units=args.buffer,
-                redistribute=args.overzoom_redistribute,
-            )
-            band = lvl if band is None else band.unionByName(lvl)
-        # parent cell reconstructed from the child address (x >> (z -
-        # z_max) is exact) — stays valid across the fold shuffle
-        zm = args.z_max
-        pcell = F.expr(
-            f"shiftleft(CAST({zm} AS BIGINT), 60)"
-            f" + shiftleft(shiftrightunsigned(x, z - {zm}), 30)"
-            f" + shiftrightunsigned(y, z - {zm})"
+        kids = C.overzoom_band(
+            parents,
+            args.z_max,
+            args.overzoom_dz,
+            buffer_units=args.buffer,
+            redistribute=args.overzoom_redistribute,
         )
-        kids = T.fold_tiles(band).withColumn("cell", pcell)
+        # bucket by the PARENT address (px/py from overzoom_band)
+        kids = kids.withColumn(
+            "cell",
+            F.shiftleft(F.lit(args.z_max).cast("long"), 60)
+            + F.shiftleft(F.col("px"), 30)
+            + F.col("py"),
+        ).drop("px", "py")
         lin2 = L.run_stage(
             kids.select(
                 "z", "x", "y", "cell", "tile", "n_layers", "n_features"
@@ -186,8 +182,8 @@ def main() -> None:
             key_col="cell",
             run_id=args.run_id,
         )
+        rows2 = lin2.collect()  # triggers the bucket writes
         parents.unpersist()
-        rows2 = lin2.collect()
         print(
             f"overzoom: committed {len(rows2)} buckets, "
             f"{sum(r.rows_out for r in rows2)} child tiles "

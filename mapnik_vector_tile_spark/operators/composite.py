@@ -703,3 +703,33 @@ def diff_tiles(a: DataFrame, b: DataFrame) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def overzoom_band(
+    parents: DataFrame,
+    base_z: int,
+    dz_max: int,
+    buffer_units: int = 128,
+    redistribute: bool = False,
+) -> DataFrame:
+    """Children z+1 .. z+dz_max of a parents LAYER table, folded to
+    Tile buffers, plus the reconstructed PARENT address columns
+    (px, py — `x >> (z - base_z)` is exact) that both serving paths
+    key on (the batch job's resume bucket, the streaming refresh's
+    version stamp). ONE shared derivation so the two paths cannot
+    drift on buffer or address math (they briefly did: 64 vs 128).
+
+    Callers iterating multiple dz levels should persist `parents`
+    first — each level is an independent narrow branch over it."""
+    if dz_max < 1:
+        raise ValueError("overzoom_band: dz_max must be >= 1")
+    band = None
+    for dz in range(1, dz_max + 1):
+        lvl = overzoom_layers(
+            parents, dz, buffer_units=buffer_units, redistribute=redistribute
+        )
+        band = lvl if band is None else band.unionByName(lvl)
+    kids = fold_tiles(band)
+    return kids.withColumn(
+        "px", F.expr(f"shiftrightunsigned(x, z - {base_z})")
+    ).withColumn("py", F.expr(f"shiftrightunsigned(y, z - {base_z})"))

@@ -234,6 +234,7 @@ def run_incremental_retile(
     dirty_every: int = 5,
     checkpoint_dir: str | None = None,
     overzoom_dz: int = 0,
+    overzoom_buffer: int = 128,
 ) -> None:
     """The production-shaped leg the module docstring promises: dirty
     tickets from the stateful counter drive foreachBatch, which
@@ -253,10 +254,12 @@ def run_incremental_retile(
     ``overzoom_dz > 0``: a dirty parent's SERVED CHILDREN (z+1 ..
     z+dz, rendered via the EP3 overzoom slow path) are stale the
     moment the parent re-renders, so each micro-batch also re-derives
-    them from the freshly encoded parents (tiles_to_layers →
-    overzoom_layers → fold) and appends them with the same version +
-    batch stamp — byte-identical to a cold batch overzoom of the
-    final parents (asserted in tests/test_streaming.py)."""
+    them from the freshly encoded parents (composite.overzoom_band —
+    the SAME helper the batch job serves from, so buffers and address
+    math cannot drift) and appends them with the same version + batch
+    stamp — byte-identical to a cold batch overzoom of the final
+    parents (asserted in tests/test_streaming.py). ``overzoom_buffer``
+    must match the buffer the serving store was built with."""
     from pyspark.sql import functions as SF
 
     from mapnik_vector_tile_spark.operators import tiling as T
@@ -295,33 +298,39 @@ def run_incremental_retile(
         stamped = tiles.join(SF.broadcast(keys), ["x", "y"]).withColumn(
             "batch_id", SF.lit(batch_id)
         )
+        if overzoom_dz > 0:
+            # persist: the parent write AND each dz branch re-execute
+            # the encode pipeline otherwise (union branches share no
+            # un-cached mapInPandas subplans)
+            stamped = stamped.persist()
         stamped.write.mode("append").parquet(out_dir)
         if overzoom_dz > 0:
             from mapnik_vector_tile_spark.operators import composite as C
 
+            # NOTE: the two appends (parents, then children) are not
+            # jointly atomic — a retry of this batch_id can duplicate
+            # rows, which is safe because encodes are byte-
+            # deterministic and consumers pick latest by
+            # (batch_id, version); same caveat as any foreachBatch
+            # parquet append.
             parents = C.tiles_to_layers(
                 stamped.select("z", "x", "y", "tile")
             )
-            band = None
-            for dz in range(1, overzoom_dz + 1):
-                lvl = C.overzoom_layers(parents, dz, buffer_units=64)
-                band = lvl if band is None else band.unionByName(lvl)
-            kids = T.fold_tiles(band)
-            # version stamp travels via the PARENT address (x >> (z' - z))
+            kids = C.overzoom_band(
+                parents, z, overzoom_dz, buffer_units=overzoom_buffer
+            )
+            # version stamp travels via the PARENT address columns
             pk = keys.select(
                 SF.col("x").alias("px"), SF.col("y").alias("py"), "version"
             )
             (
-                kids.withColumn(
-                    "px", SF.expr(f"shiftrightunsigned(x, z - {z})")
-                )
-                .withColumn("py", SF.expr(f"shiftrightunsigned(y, z - {z})"))
-                .join(SF.broadcast(pk), ["px", "py"])
+                kids.join(SF.broadcast(pk), ["px", "py"])
                 .drop("px", "py")
                 .withColumn("batch_id", SF.lit(batch_id))
                 .write.mode("append")
                 .parquet(out_dir + "_overzoom")
             )
+            stamped.unpersist()
 
     writer = (
         tickets.writeStream.foreachBatch(retile)

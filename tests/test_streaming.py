@@ -410,11 +410,9 @@ def test_incremental_retile_overzoom_children(spark, chunked_events, tmp_path):
     )
     cold = {
         (r.z, r.x, r.y): bytes(r.tile)
-        for r in T.fold_tiles(
-            C.overzoom_layers(
-                C.tiles_to_layers(parents_latest), 1, buffer_units=64
-            )
-        ).collect()
+        for r in C.overzoom_band(
+            C.tiles_to_layers(parents_latest), Z, 1
+        ).drop("px", "py").collect()
     }
     assert set(latest) == set(cold)
     for k in latest:
