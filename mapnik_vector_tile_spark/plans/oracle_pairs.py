@@ -703,6 +703,33 @@ FROM r GROUP BY 1, 2, 3
 """
 
 
+def q_engine_overzoom_redistribute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The redistribute overzoom plan (explode (parent, child) pairs,
+    hash-repartition, one child per task — the few-parents/deep-dz
+    skew shape) against the SAME integer-exact oracle as
+    q_engine_overzoom: both paths must produce identical children, so
+    they share one DuckDB twin."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, OZ_PARENT_Z, OZ_PARENT_Z, buffer_units=0)
+    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
+    kids = comp.overzoom_layers(
+        layers, 1, buffer_units=OZ_BUF, redistribute=True
+    )
+    dec = T.decode_tiles_to_features(T.fold_tiles(kids))
+    return dec.groupBy("z", "x", "y").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
+        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
+    )
+
+
 def _sql_overzoom(pz: int = OZ_PARENT_Z, buf: int = OZ_BUF) -> str:
     tx, ty = S.tile_xy_exprs(pz)
     px, py = S.quantize_exprs(pz, "tx", "ty")
@@ -2116,6 +2143,10 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
+    "q_engine_overzoom_redistribute": (
+        q_engine_overzoom_redistribute,
+        _sql_overzoom(),
+    ),
     "q_engine_rescale": (q_engine_rescale, _sql_rescale()),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, None),
