@@ -74,6 +74,16 @@ def main() -> None:
                     help="one child per task (few hot parents, deep "
                          "dz) instead of the narrow 1->4^dz flatMap")
     args = ap.parse_args()
+    if not 0 <= args.z_min <= args.z_max:
+        ap.error(f"need 0 <= z-min <= z-max, got {args.z_min}..{args.z_max}")
+    if args.z_max + args.overzoom_dz > 15:
+        # the packed lineage-bucket key gives z 4 bits (z<<60); z>=16
+        # would alias mod 16 and silently prune WRONG tiles on resume
+        ap.error(
+            "z-max + overzoom-dz must be <= 15 (4-bit z field in the "
+            f"packed lineage bucket key), got {args.z_max} + "
+            f"{args.overzoom_dz}"
+        )
 
     from pyspark.sql import functions as F
 

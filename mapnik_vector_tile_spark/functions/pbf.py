@@ -203,15 +203,15 @@ def decode_value(buf: bytes):
             return struct.unpack_from("<f", buf, pos)[0]
         if field == 3 and wire == 1:
             return struct.unpack_from("<d", buf, pos)[0]
-        if field == 4 or field == 5:
+        if (field == 4 or field == 5) and wire == 0:
             v, _ = _read_varint(buf, pos)
             if field == 4 and v >= 1 << 63:
                 v -= 1 << 64
             return int(v)
-        if field == 6:
+        if field == 6 and wire == 0:
             v, _ = _read_varint(buf, pos)
             return int((v >> 1) ^ -(v & 1))
-        if field == 7:
+        if field == 7 and wire == 0:
             v, _ = _read_varint(buf, pos)
             return bool(v)
         pos = _skip_unknown(buf, pos, wire)
@@ -647,14 +647,20 @@ def splice_merge_layers(blobs, name: str) -> bytes:
     feats = []  # (fid, gtype, [(key_str, raw_val)], raw_geom, raw_raster)
     for b in blobs:
         d = split_layer(b)
-        # order-INDEPENDENT choice: partials of one tile must agree on
-        # (version, extent); max() keeps the merge deterministic under
-        # shuffle arrival order even if a mixed-config backfill slips
-        # disagreeing blobs in (the byte-equality invariant this
-        # function pins is per-run-deterministic either way)
+        # partials of one tile MUST agree on (version, extent): raw
+        # feature geometry bytes are spliced unrescaled, so accepting a
+        # smaller-extent blob here would silently change that feature's
+        # rendered scale. Disagreement means a mixed-config backfill
+        # slipped in — reject loudly; callers route such blobs through
+        # rescale_layer_blob first (composite's slow path).
         seen_ve.add((d["version"], d["extent"]))
-        version = max(v for v, _ in seen_ve)
-        extent = max(e for _, e in seen_ve)
+        if len(seen_ve) > 1:
+            raise ValueError(
+                f"splice_merge_layers({name!r}): partial blobs disagree "
+                f"on (version, extent): {sorted(seen_ve)} — rescale "
+                "mismatched blobs before merging"
+            )
+        version, extent = next(iter(seen_ve))
         keys = d["keys"]
         vals = d["raw_values"]
         for fid, gtype, tags, raw_geom, raw_raster in d["features"]:

@@ -94,20 +94,27 @@ def normalize_ring_winding(
         # lies exactly ON another ring's boundary (both run collinearly
         # along the clip line), where the half-open ray test is
         # arbitrary. Interior vertices dominate for any genuine
-        # containment, so the vote is robust; exact ties (degenerate
-        # overlap) keep the strict-majority=outside default.
+        # containment, so the vote is robust; an EXACT tie (degenerate
+        # clipped hole with half its vertices on the other ring's
+        # boundary) is broken by a centroid probe — defaulting a tied
+        # hole to "outside" would flip its winding and invert it.
         rx = xs[offsets[r] : offsets[r + 1]]
         ry = ys[offsets[r] : offsets[r + 1]]
         for s in range(nr):
             if s == r:
                 continue
-            inside = points_in_ring(
-                rx,
-                ry,
-                xs[offsets[s] : offsets[s + 1]],
-                ys[offsets[s] : offsets[s + 1]],
-            )
-            if int(inside.sum()) * 2 > len(rx):
+            sx = xs[offsets[s] : offsets[s + 1]]
+            sy = ys[offsets[s] : offsets[s + 1]]
+            inside = points_in_ring(rx, ry, sx, sy)
+            vote = int(inside.sum()) * 2
+            if vote > len(rx) or (
+                vote == len(rx)
+                and bool(
+                    points_in_ring(
+                        np.array([rx.mean()]), np.array([ry.mean()]), sx, sy
+                    )[0]
+                )
+            ):
                 depths[r] += 1
     for r in range(nr):
         a2 = area2_fn(xs[offsets[r] : offsets[r + 1]], ys[offsets[r] : offsets[r + 1]])

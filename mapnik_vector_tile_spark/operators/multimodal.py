@@ -59,14 +59,29 @@ def decode_video(
     )
 
 
+# rms_mean is defined on a 1e-12 grid (per-window rms quantized to an
+# int64 before the cross-window average) so the clip-level aggregate
+# is a sum of integers — order-free under any partitioning / shuffle /
+# SQL engine, the standard determinism trick for distributed float
+# reductions.  Per-window rms itself is bit-exact everywhere: Σs² is
+# an exact int64 and the divisor window·32768² is a power of two.
+RMS_GRID = 1e12
+
+
 def audio_features(
     audio: DataFrame, window: int = 1024, skip_undecodable: bool = True
 ) -> DataFrame:
     """Per-clip windowed RMS + zero-crossing-rate features.
 
-    Undecodable codecs are skipped (the standard pipeline policy for a
-    corpus with mixed codecs) unless ``skip_undecodable=False``, which
-    surfaces the stub's NotImplementedError."""
+    Every output is order-free and engine-exact (full DuckDB oracle
+    q_audio_features): rms_max is a max over deterministic doubles,
+    zcr_mean is an exact integer ratio Σzc / (n_w·(window−1)), and
+    rms_mean averages 1e-12-grid-quantized per-window rms values
+    (see RMS_GRID).  Undecodable codecs are skipped (the standard
+    pipeline policy for a corpus with mixed codecs) unless
+    ``skip_undecodable=False``, which surfaces the stub's
+    NotImplementedError."""
+    denom = float(window) * 32768.0 * 32768.0
 
     def gen(batches):
         for pdf in batches:
@@ -87,14 +102,20 @@ def audio_features(
                 n_w = len(x) // window
                 if n_w == 0:
                     continue
-                xw = x[: n_w * window].reshape(n_w, window)
-                rms = np.sqrt(np.mean(xw * xw, axis=1))
-                zc = np.mean(np.abs(np.diff(np.signbit(xw), axis=1)), axis=1)
+                s = (x[: n_w * window] * 32768.0).astype(np.int64)
+                xw = s.reshape(n_w, window)
+                sum_sq = (xw * xw).sum(axis=1)
+                neg = xw < 0
+                n_zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                rms = np.sqrt(sum_sq / denom)
+                rms_q = np.floor(rms * RMS_GRID + 0.5)
                 out["audio_id"].append(row.audio_id)
                 out["n_windows"].append(n_w)
-                out["rms_mean"].append(float(rms.mean()))
+                out["rms_mean"].append(float(rms_q.sum() / (n_w * RMS_GRID)))
                 out["rms_max"].append(float(rms.max()))
-                out["zcr_mean"].append(float(zc.mean()))
+                out["zcr_mean"].append(
+                    float(int(n_zc.sum()) / (n_w * (window - 1.0)))
+                )
                 out["caption"].append(row.caption)
             yield pd.DataFrame(out)
 

@@ -202,8 +202,14 @@ def rasterize_images(
     where they cover) -> encoded raster tile + caption list.
 
     Same two-stage shape as the vector pipeline: narrow fan-out, ONE
-    grouped shuffle on the tile key."""
-    fp = image_footprints(images)
+    grouped shuffle on the tile key.
+
+    ``images`` is either the raw input_hint table (footprints derived
+    from phash via image_footprints) or an already-footprinted frame
+    carrying explicit (idx, minx, maxx, miny, maxy) columns — the
+    oracle corpus of q_raster_tiles uses the latter to pin the warp
+    path against tile-aligned closed-form pixels."""
+    fp = images if "minx" in images.columns else image_footprints(images)
     sc = images.sparkSession.sparkContext
     if fp.rdd.getNumPartitions() < sc.defaultParallelism:
         fp = fp.repartition(sc.defaultParallelism * 2)
@@ -311,6 +317,14 @@ def raster_tiles_to_layer(
 
     def gen(batches):
         for pdf in batches:
+            if len(pdf) and int(pdf["z"].max()) > 29:
+                # z:6|x:29|y:29 packing saturates at z=29; z=30 (the
+                # decode pyramid's legal max) would alias x/y bits into
+                # colliding feature ids — reject instead of corrupting
+                raise ValueError(
+                    "raster_tiles_to_layer: packed feature ids support "
+                    f"z<=29, got z={int(pdf['z'].max())}"
+                )
             blobs = []
             for zz, xx, yy, raster, caps in zip(
                 pdf["z"], pdf["x"], pdf["y"], pdf["raster"], pdf["captions"]

@@ -50,15 +50,13 @@ def test_oracle_pair(spark, duck, name):
 
 
 def test_rows_only_set_is_pinned():
-    """Every queries() key carries a full DuckDB oracle except the
-    three documented rows-only cases (SURVEY §2.12) — a new query
+    """Every queries() key carries a full DuckDB oracle — a new query
     landing without its oracle fails here instead of silently
-    weakening the correctness gate."""
+    weakening the correctness gate. (Round 1 had three documented
+    rows-only keys; round 2 gave q_raster_tiles and q_audio_features
+    full oracles and deleted q_simplify_lines, superseded by
+    q_engine_simplify_exact.)"""
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q
-    assert q - o == {
-        "q_raster_tiles",      # binary image output
-        "q_audio_features",    # float-agg order unspecified in SQL
-        "q_simplify_lines",    # superseded by q_engine_simplify_exact
-    }
+    assert q - o == set()

@@ -386,3 +386,35 @@ def test_v1_structural_lineto_checks_precede_lax_skip():
         )
     with pytest.raises(ValueError):
         gc.decode_geometry(gc.GEOM_LINESTRING, _cmds(2), version=1)
+
+
+def test_winding_tie_breaks_with_centroid_probe():
+    """A ring whose vertex containment vote is an EXACT tie (half its
+    vertices inside the other ring) is classified by a centroid probe
+    instead of defaulting to outside — a tied hole must stay a hole
+    (flipping it would invert the cut)."""
+    from mapnik_vector_tile_spark.functions import pip
+
+    # ring 0: CCW square (0..10)^2, positive area (exterior)
+    ex = np.array([0, 10, 10, 0], dtype=np.float64)
+    ey = np.array([0, 0, 10, 10], dtype=np.float64)
+    # ring 1: 2 of 4 vertices strictly inside ring 0, centroid (9, 6.5)
+    # strictly inside -> probe says contained -> depth 1 -> hole
+    rx = np.array([5, 13, 13, 5], dtype=np.float64)
+    ry = np.array([5, 5, 8, 8], dtype=np.float64)
+    assert pip.points_in_ring(rx, ry, ex, ey).sum() * 2 == len(rx)
+    xs = np.concatenate([ex, rx])
+    ys = np.concatenate([ey, ry])
+    offs = np.array([0, 4, 8], dtype=np.int64)
+    ox, oy = pip.normalize_ring_winding(xs, ys, offs, gc.signed_area2)
+    assert gc.signed_area2(ox[0:4], oy[0:4]) > 0  # exterior kept
+    assert gc.signed_area2(ox[4:8], oy[4:8]) < 0  # tied ring -> hole
+    # a tied ring whose centroid is OUTSIDE stays an exterior
+    rx2 = np.array([5, 25, 25, 5], dtype=np.float64)
+    ry2 = np.array([5, 5, 8, 8], dtype=np.float64)
+    inside2 = pip.points_in_ring(rx2, ry2, ex, ey)
+    assert inside2.sum() * 2 == len(rx2)
+    xs2 = np.concatenate([ex, rx2])
+    ys2 = np.concatenate([ey, ry2])
+    ox2, oy2 = pip.normalize_ring_winding(xs2, ys2, offs, gc.signed_area2)
+    assert gc.signed_area2(ox2[4:8], oy2[4:8]) > 0

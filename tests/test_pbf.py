@@ -123,3 +123,48 @@ def test_absent_version_defaults_to_v1():
     assert pbf.split_layer(buf)["version"] == 1
     ok, reasons = layer_is_valid(buf)
     assert ok, reasons
+
+
+def test_decode_value_skips_wrong_wire_type_fields_4_7():
+    """A field numbered 4-7 carried with a NON-varint wire type is an
+    unknown/extension shape and must be skipped (decoders-MUST-skip),
+    not misparsed as the int/bool member — the known member later in
+    the message must win."""
+    # field 4 (int_value) with wire 2 (length-delimited): bogus payload
+    bogus = pbf._tag(4, 2) + pbf._varint1(3) + b"abc"
+    real = pbf._tag(5, 0) + pbf._varint1(99)  # uint_value = 99
+    assert pbf.decode_value(bogus + real) == 99
+    # same for sint (6) and bool (7) with a fixed64 wire type
+    bogus6 = pbf._tag(6, 1) + b"\x00" * 8
+    bogus7 = pbf._tag(7, 5) + b"\x00" * 4
+    assert pbf.decode_value(bogus6 + bogus7 + real) == 99
+    # a Value holding ONLY wrong-wire members has no known member
+    import pytest
+
+    with pytest.raises(ValueError):
+        pbf.decode_value(bogus)
+
+
+def test_splice_merge_rejects_mixed_version_extent():
+    """Partial blobs of one tile disagreeing on (version, extent) must
+    be rejected: raw geometry bytes are spliced unrescaled, so a
+    silent max() merge would change a feature's rendered scale."""
+    import pytest
+
+    stream = gc.encode_geometry(
+        gc.GEOM_POINT,
+        np.array([10], dtype=np.int64),
+        np.array([20], dtype=np.int64),
+        np.array([0, 1], dtype=np.int64),
+    )
+    a = pbf.LayerBuilder("l", extent=4096)
+    a.add_feature(1, gc.GEOM_POINT, stream, {})
+    b = pbf.LayerBuilder("l", extent=512)
+    b.add_feature(2, gc.GEOM_POINT, stream, {})
+    with pytest.raises(ValueError, match="disagree"):
+        pbf.splice_merge_layers([a.build(), b.build()], "l")
+    # agreeing blobs still merge fine
+    c = pbf.LayerBuilder("l", extent=4096)
+    c.add_feature(3, gc.GEOM_POINT, stream, {})
+    merged = pbf.splice_merge_layers([a.build(), c.build()], "l")
+    assert len(pbf.split_layer(merged)["features"]) == 2

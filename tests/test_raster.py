@@ -308,3 +308,20 @@ def test_overzoom_raster_redistribute_identical(spark):
         ).collect()
     }
     assert narrow == redist and len(narrow) == 4
+
+
+def test_raster_layer_rejects_z30(spark):
+    """The packed feature id (z:6|x:29|y:29) saturates at z=29; z=30
+    tiles must be rejected loudly instead of silently aliasing ids."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    tiles = spark.createDataFrame(
+        [(30, 1, 2, b"\x00" * (4 * 4 * 4), 1, ["c"])],
+        schema=(
+            "z int, x long, y long, raster binary, n_images long, "
+            "captions array<string>"
+        ),
+    )
+    with pytest.raises(PythonException, match="z<=29"):
+        R.raster_tiles_to_layer(tiles).collect()
