@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapnik_vector_tile_spark.functions import clip as clipmod
+from mapnik_vector_tile_spark.functions import repair as repairmod
 from mapnik_vector_tile_spark.functions import geomcodec as gc
 from mapnik_vector_tile_spark.functions import pbf
 from mapnik_vector_tile_spark.functions import pip as pipmod
@@ -42,6 +43,43 @@ FEATURES_SCHEMA = (
     "feature_id long, geom_type int, xs array<double>, ys array<double>, "
     "part_offsets array<int>, caption string"
 )
+
+
+def flag_invalid_polygons(features: DataFrame) -> DataFrame:
+    """F12 quarantine path: append ``is_simple boolean`` — True for
+    non-polygons and for polygons whose every ring is simple (no
+    repeated vertex, no proper self-crossing; functions.repair
+    .ring_is_simple). Lets a pipeline route invalid geometry to a
+    side table (`.filter(~col("is_simple"))`) instead of — or before —
+    in-kernel repair. Narrow vectorized stage, no shuffle.
+    Ref parity: the reference's wagyu clip repairs implicitly; this is
+    the explicit-audit alternative (SURVEY §2.7 F12)."""
+
+    def gen(it):
+        for pdf in it:
+            flags = []
+            for gt, xs, ys, offs in zip(
+                pdf["geom_type"], pdf["xs"], pdf["ys"], pdf["part_offsets"]
+            ):
+                if int(gt) != gc.GEOM_POLYGON:
+                    flags.append(True)
+                    continue
+                xs = np.asarray(xs, dtype=np.float64)
+                ys = np.asarray(ys, dtype=np.float64)
+                offs = np.asarray(offs, dtype=np.int64)
+                flags.append(all(
+                    repairmod.ring_is_simple(
+                        xs[offs[r]:offs[r + 1]], ys[offs[r]:offs[r + 1]]
+                    )
+                    for r in range(len(offs) - 1)
+                ))
+            out = pdf.copy()
+            out["is_simple"] = flags
+            yield out
+
+    return features.mapInPandas(
+        gen, schema=FEATURES_SCHEMA + ", is_simple boolean"
+    )
 
 
 def images_to_features(images: DataFrame) -> DataFrame:
@@ -306,6 +344,7 @@ def make_encode_kernel(
     simplify_distance: float = 0.0,
     area_threshold: float = 0.0,
     emit_tiles: bool = False,
+    repair: bool = False,
 ):
     """The per-group encode kernel (prepare, encode_group) used by
     encode_layer_partials — exposed at module level so
@@ -399,6 +438,12 @@ def make_encode_kernel(
                         gc.GEOM_LINESTRING, px, py, poffs
                     )
                 elif gtype == gc.GEOM_POLYGON:
+                    if repair:
+                        # F12 wagyu-parity repair: decompose invalid
+                        # (self-crossing / self-touching) rings into
+                        # simple lobes BEFORE box clipping — S-H clip
+                        # is only sound on simple rings
+                        xs, ys, offs = repairmod.repair_rings(xs, ys, offs)
                     fx, fy, roffs = clipmod.clip_polygon(
                         xs, ys, offs, bx0, by0, bx1, by1
                     )
@@ -456,6 +501,7 @@ def encode_layer_partials(
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
     emit_tiles: bool = False,
+    repair: bool = False,
 ) -> DataFrame:
     """Per-(z,x,y,salt) fold: quantize (A.3) -> clip in world coords
     (F10-F12) -> simplify (F9, tile units) -> command stream (F4-F8) ->
@@ -483,6 +529,7 @@ def encode_layer_partials(
         simplify_distance=simplify_distance,
         area_threshold=area_threshold,
         emit_tiles=emit_tiles,
+        repair=repair,
     )
 
     if adaptive_salt_target is not None:
@@ -522,6 +569,7 @@ def encode_layers(
     n_salts: int = 16,
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
+    repair: bool = False,
 ) -> DataFrame:
     """encode_layer_partials + salted-partial merge: one row per
     (z,x,y) layer. Use encode_tiles when the consumer wants whole
@@ -537,6 +585,7 @@ def encode_layers(
             n_salts=n_salts,
             num_partitions=num_partitions,
             adaptive_salt_target=adaptive_salt_target,
+            repair=repair,
         )
     )
 
@@ -551,6 +600,7 @@ def encode_tiles(
     n_salts: int = 16,
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
+    repair: bool = False,
 ) -> DataFrame:
     """EP1 fused finish, byte-identical to fold_tiles(encode_layers(...)).
 
@@ -573,6 +623,7 @@ def encode_tiles(
         area_threshold=area_threshold,
         n_salts=n_salts,
         num_partitions=num_partitions,
+        repair=repair,
     )
     if adaptive_salt_target is not None:
         return fold_tiles_from_partials(

@@ -2208,6 +2208,188 @@ GROUP BY 1, 2
 """
 
 
+REPAIR_N = 450  # q_engine_clip_repair corpus size
+
+
+def q_engine_clip_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 polygon repair through the REAL encode path with a FULL
+    oracle. Corpus: 450 polygons, idx%3 picks the shape — 0: valid
+    rectangle (repair no-op pinned), 1: bowtie quad (edges AB×CD cross;
+    repair splits it into triangles (X,B,C)+(A,X,D)), 2: figure-8
+    touching at a shared vertex (splits there directly). Geometry
+    params are exact integers in mercator meters and the crossing
+    point X = (x0+w/2, y0+h/2) is exactly representable, so the repair
+    kernel's parametric solve and the closed-form both yield identical
+    doubles regardless of op order. The chain is assign(z0) →
+    encode_tiles(repair=True) → decode; output is ORDER-FREE per
+    feature (ring/vertex counts, coordinate sums, Σ|2A|), so winding
+    normalization and lobe extraction order need no pinning. The
+    DuckDB twin regenerates the lobes closed-form and replays the
+    quantize (round-half-away at z0 scale) op-for-op.
+    sf_dir is unused: the subject is the repair kernel, not the scan.
+    Ref parity: src/vector_tile_geometry_clipper.hpp polygon overloads
+    (wagyu even-odd repair), SURVEY §2.7 F12."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            h = splitmix64(ids.astype(np.uint64))
+            x0 = (h % np.uint64(3000001)).astype(np.float64) * 10.0 - 1.5e7
+            y0 = ((h >> np.uint64(8)) % np.uint64(3000001)).astype(
+                np.float64
+            ) * 10.0 - 1.5e7
+            w = 300000.0 + ((h >> np.uint64(16)) % np.uint64(1000001)).astype(
+                np.float64
+            )
+            hh = 300000.0 + ((h >> np.uint64(32)) % np.uint64(1000001)).astype(
+                np.float64
+            )
+            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                    "part_offsets": [], "caption": []}
+            for i, fid in enumerate(ids):
+                cs = int(fid) % 3
+                a, b = float(x0[i]), float(y0[i])
+                ww, hhh = float(w[i]), float(hh[i])
+                if cs == 0:  # valid rectangle
+                    xs = [a, a + ww, a + ww, a]
+                    ys = [b, b, b + hhh, b + hhh]
+                elif cs == 1:  # bowtie: edges AB and CD cross
+                    xs = [a, a + ww, a + ww, a]
+                    ys = [b, b + hhh, b, b + hhh]
+                else:  # figure-8 sharing vertex P
+                    xs = [a, a + ww, a + ww, a, a - ww, a - ww]
+                    ys = [b, b, b + hhh, b, b, b - hhh]
+                rows["feature_id"].append(int(fid))
+                rows["geom_type"].append(3)
+                rows["xs"].append(xs)
+                rows["ys"].append(ys)
+                rows["part_offsets"].append([0, len(xs)])
+                rows["caption"].append("p")
+            yield pd.DataFrame(rows)
+
+    feats = spark.range(0, REPAIR_N, 1, 8).mapInPandas(
+        gen, schema=T.FEATURES_SCHEMA
+    )
+    assigned = T.assign_tiles(feats, 0, 0)
+    tiles = T.encode_tiles(assigned, repair=True)
+    dec = T.decode_tiles_to_features(tiles)
+
+    def summarize(it):
+        for pdf in it:
+            out = {"feature_id": [], "n_rings": [], "n_vertices": [],
+                   "sum_px": [], "sum_py": [], "sum_abs_area2": []}
+            for fid, pxs, pys, offs in zip(
+                pdf["feature_id"], pdf["pxs"], pdf["pys"],
+                pdf["part_offsets"],
+            ):
+                px = np.asarray(pxs, dtype=np.int64)
+                py = np.asarray(pys, dtype=np.int64)
+                offs = np.asarray(offs, dtype=np.int64)
+                sa = 0
+                for r in range(len(offs) - 1):
+                    sa += abs(gc.signed_area2(px[offs[r]:offs[r + 1]],
+                                              py[offs[r]:offs[r + 1]]))
+                out["feature_id"].append(int(fid))
+                out["n_rings"].append(len(offs) - 1)
+                out["n_vertices"].append(len(px))
+                out["sum_px"].append(int(px.sum()))
+                out["sum_py"].append(int(py.sum()))
+                out["sum_abs_area2"].append(int(sa))
+            yield pd.DataFrame(out)
+
+    return dec.mapInPandas(
+        summarize,
+        schema=("feature_id long, n_rings int, n_vertices int, "
+                "sum_px long, sum_py long, sum_abs_area2 long"),
+    )
+
+
+def _sql_clip_repair(n: int = REPAIR_N) -> str:
+    """DuckDB twin of q_engine_clip_repair: regenerate the lobes the
+    repair kernel produces (closed form — see the query docstring for
+    why X is exactly representable), quantize each vertex with the
+    engine's round-half-away at the z0 scale, and aggregate the same
+    order-free per-feature stats (shoelace via lead() per ring)."""
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    w = repr(tm.W)
+    scale = repr(4096.0 / tm.tile_span(0))
+    half = "5e-1"
+    pts = []
+
+    def p(cs: int, ring: int, order: int, mx: str, my: str) -> None:
+        pts.append(
+            f"SELECT idx, {ring} AS ring, {order} AS o, {mx} AS mx, "
+            f"{my} AS my FROM par WHERE cs = {cs}"
+        )
+
+    # case 0: valid rectangle, 1 ring
+    p(0, 1, 0, "x0", "y0")
+    p(0, 1, 1, "x0 + w", "y0")
+    p(0, 1, 2, "x0 + w", "y0 + hh")
+    p(0, 1, 3, "x0", "y0 + hh")
+    # case 1: bowtie -> lobes (X,B,C) and (A,X,D)
+    p(1, 1, 0, f"x0 + {half} * w", f"y0 + {half} * hh")
+    p(1, 1, 1, "x0 + w", "y0 + hh")
+    p(1, 1, 2, "x0 + w", "y0")
+    p(1, 2, 0, "x0", "y0")
+    p(1, 2, 1, f"x0 + {half} * w", f"y0 + {half} * hh")
+    p(1, 2, 2, "x0", "y0 + hh")
+    # case 2: figure-8 -> lobes (P,Q,R) and (P,S,T)
+    p(2, 1, 0, "x0", "y0")
+    p(2, 1, 1, "x0 + w", "y0")
+    p(2, 1, 2, "x0 + w", "y0 + hh")
+    p(2, 2, 0, "x0", "y0")
+    p(2, 2, 1, "x0 - w", "y0")
+    p(2, 2, 2, "x0 - w", "y0 - hh")
+    union = "\n  UNION ALL ".join(pts)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
+hsrc AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids),
+par AS (
+  SELECT idx, idx % 3 AS cs,
+         CAST(h % 3000001 AS DOUBLE) * 1e1 - 1.5e7 AS x0,
+         CAST((h // 256) % 3000001 AS DOUBLE) * 1e1 - 1.5e7 AS y0,
+         3e5 + CAST((h // 65536) % 1000001 AS DOUBLE) AS w,
+         3e5 + CAST((h // 4294967296) % 1000001 AS DOUBLE) AS hh
+  FROM hsrc),
+pw AS (
+  {union}
+),
+q AS (
+  SELECT idx, ring, o,
+         CAST(floor((mx + {w}) * {scale} + {half}) AS BIGINT) AS px,
+         CAST(floor(({w} - my) * {scale} + {half}) AS BIGINT) AS py
+  FROM pw),
+sh AS (
+  SELECT idx, ring, px, py,
+         COALESCE(lead(px) OVER wo, first_value(px) OVER wo) AS nx,
+         COALESCE(lead(py) OVER wo, first_value(py) OVER wo) AS ny
+  FROM q
+  WINDOW wo AS (PARTITION BY idx, ring ORDER BY o)),
+ra AS (
+  SELECT idx, ring, ABS(SUM(px * ny - nx * py)) AS a2,
+         COUNT(*) AS nv, SUM(px) AS spx, SUM(py) AS spy
+  FROM sh GROUP BY 1, 2)
+SELECT CAST(idx AS BIGINT) AS feature_id,
+       CAST(COUNT(*) AS INT) AS n_rings,
+       CAST(SUM(nv) AS INT) AS n_vertices,
+       CAST(SUM(spx) AS BIGINT) AS sum_px,
+       CAST(SUM(spy) AS BIGINT) AS sum_py,
+       CAST(SUM(a2) AS BIGINT) AS sum_abs_area2
+FROM ra GROUP BY 1
+"""
+
+
 def _sql_audio_features(n_clips: int = 500, window: int = 1024) -> str:
     """DuckDB twin of q_audio_features (clip-level). Regenerates the
     per-window integer aggregates exactly like _sql_audio_windows,
@@ -2309,6 +2491,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
     "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
+    "q_engine_clip_repair": (q_engine_clip_repair, _sql_clip_repair()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
     "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
@@ -2330,7 +2513,8 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 # dict so round 2 records them first (cross-round union then covers
 # every key even if the driver budget is key-count-based).
 _RECORD_FIRST = (
-    # round-2 upgraded oracles (were rows-only in r01) — record fresh
+    # round-2 new/upgraded oracles — record fresh
+    "q_engine_clip_repair",
     "q_raster_tiles",
     "q_audio_features",
     "q_dedup_clusters",
