@@ -33,7 +33,7 @@ Scale story (100 TB of documents):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 H_PRIME = 2147483647  # 2^31 - 1 — (a*h+b) % P stays < 2^59, no overflow
@@ -87,16 +87,74 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+# Star-cap threshold for degenerate LSH buckets: a (band, value) bucket
+# with m members generates O(m²) join pairs — one boilerplate-text or
+# black-image cluster at 100 TB scale can emit trillions of candidates.
+# AQE skew-splitting spreads the SHUFFLE but cannot shrink the pair
+# COUNT; above this limit a bucket emits a hub star (min-id member
+# paired with every other) instead of the clique — m−1 pairs with the
+# SAME connected components for downstream dedup clustering. Normal
+# corpora never approach the limit, so sub-limit output is unchanged.
+HOT_BUCKET_LIMIT = 4096
+
+
+def _banded_pairs(
+    bands: DataFrame,
+    keys: list[str],
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    hot_bucket_limit: int | None,
+) -> DataFrame:
+    """Self-equi-join on the band key with the hot-bucket star guard.
+    The per-bucket count/min window shuffles on the SAME key as the
+    join, so Catalyst reuses one exchange; sub-limit buckets take the
+    exact clique join, over-limit buckets emit the hub star."""
+    if hot_bucket_limit is None:
+        src = bands
+        hot = None
+    else:
+        w = Window.partitionBy(*keys)
+        stats = bands.withColumn("_m", F.count("*").over(w)).withColumn(
+            "_hub", F.min(id_col).over(w)
+        )
+        src = stats.filter(F.col("_m") <= hot_bucket_limit)
+        hot = (
+            stats.filter(
+                (F.col("_m") > hot_bucket_limit)
+                & (F.col(id_col) != F.col("_hub"))
+            )
+            .select(
+                F.col("_hub").alias(out_a), F.col(id_col).alias(out_b)
+            )
+        )
+    a = src.alias("a")
+    b = src.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for k in keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b)
+    )
+    if hot is not None:
+        pairs = pairs.unionByName(hot)
+    return pairs.distinct()
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     n: int = 3,
+    hot_bucket_limit: int | None = HOT_BUCKET_LIMIT,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b): docs agreeing on ALL
     rows of at least one band. Banding turns O(n^2) similarity into an
-    equi-join on (band, signature) — the standard LSH plan; the join is
-    a plain shuffle join AQE can skew-split if one signature is hot."""
+    equi-join on (band, signature) — the standard LSH plan; AQE
+    skew-splits a hot signature's shuffle, and buckets larger than
+    ``hot_bucket_limit`` emit a hub star instead of the O(m²) clique
+    (see HOT_BUCKET_LIMIT — connected-component-equivalent for dedup
+    clustering; pass None for the unguarded exact clique)."""
     r = n_hashes // n_bands
     sig = minhash_signatures(docs, n_hashes, n)
     # single-pass band explode (NOT a 4-way union: a union would clone
@@ -121,21 +179,9 @@ def minhash_lsh_pairs(
     bands = sig.select("doc_id", F.explode(entries).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.sig").alias("sig")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    return _banded_pairs(
+        bands, ["band", "sig"], "doc_id", "doc_a", "doc_b", hot_bucket_limit
     )
-    return pairs
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -421,6 +467,7 @@ def phash_neardup_pairs(
     n_bands: int = 8,
     max_hamming: int = 6,
     bits: int = 64,
+    hot_bucket_limit: int | None = HOT_BUCKET_LIMIT,
 ) -> DataFrame:
     """Image near-duplicate pairs over the input_hint's `phash:int64`
     column — the canonical image-dedup shape at 10^12 scale: band the
@@ -433,8 +480,15 @@ def phash_neardup_pairs(
 
     Pure Column math end-to-end (shift/mask/xor/bit_count — no UDF);
     one self-equi-join on the band key. At skewed band values (e.g. a
-    black-image phash cluster) the join inherits AQE skew splitting;
-    output is (img_a, img_b, hamming) with img_a < img_b, distinct."""
+    black-image phash cluster) the join inherits AQE skew splitting,
+    and buckets larger than ``hot_bucket_limit`` emit a hub star
+    instead of the O(m²) clique (HOT_BUCKET_LIMIT): the bucket's
+    min-id image pairs with every member within max_hamming.
+    Sub-limit output is the exact lossless set; over-limit buckets
+    trade completeness for a linear pair count (the common degenerate
+    — an identical-phash cluster — stays exact: every star pair has
+    hamming 0 and the components match the clique's). Output is
+    (img_a, img_b, hamming) with img_a < img_b, distinct."""
     if max_hamming >= n_bands:
         raise ValueError(
             "losslessness needs max_hamming <= n_bands - 1 (pigeonhole)"
@@ -459,8 +513,38 @@ def phash_neardup_pairs(
         F.col("e.band").alias("band"),
         F.col("e.bval").alias("bval"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    if hot_bucket_limit is None:
+        src = banded
+        hot = None
+    else:
+        w = Window.partitionBy("band", "bval")
+        wo = (
+            Window.partitionBy("band", "bval")
+            .orderBy("img")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        stats = (
+            banded.withColumn("_m", F.count("*").over(w))
+            .withColumn("_hub", F.first("img").over(wo))
+            .withColumn("_hub_h", F.first("h").over(wo))
+        )
+        src = stats.filter(F.col("_m") <= hot_bucket_limit)
+        hot = (
+            stats.filter(
+                (F.col("_m") > hot_bucket_limit)
+                & (F.col("img") != F.col("_hub"))
+            )
+            .select(
+                F.col("_hub").alias("img_a"),
+                F.col("img").alias("img_b"),
+                F.bit_count(
+                    F.col("_hub_h").bitwiseXOR(F.col("h"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    a, b = src.alias("a"), src.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -475,5 +559,7 @@ def phash_neardup_pairs(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if hot is not None:
+        pairs = pairs.unionByName(hot)
+    return pairs.distinct()

@@ -68,6 +68,63 @@ def decode_video(
 RMS_GRID = 1e12
 
 
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] without a per-group Python loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _batch_decode_pcm16(pdf: pd.DataFrame, skip_undecodable: bool):
+    """Fixed-stride batch decode of every decodable pcm16le row in one
+    Arrow batch: ONE buffer join + ONE np.frombuffer — no per-row
+    Python decode (the round-1 itertuples loop this replaces).
+
+    Returns (valid_positions, samples int32 concat, row_offsets,
+    n_samples int64) over the valid rows; strict mode replays the
+    scalar decoder on the first bad row to surface its exact error."""
+    codecs = pdf["codec"].to_numpy()
+    ns = pdf["n_samples"].to_numpy().astype(np.int64)
+    blens = np.fromiter(
+        (len(b) for b in pdf["bytes"]), dtype=np.int64, count=len(pdf)
+    )
+    ok = (codecs == "pcm16le") & (blens >= 2 * ns)
+    if not ok.all() and not skip_undecodable:
+        bad = int(np.nonzero(~ok)[0][0])
+        decode_audio(
+            pdf["bytes"].iloc[bad], str(codecs[bad]), int(ns[bad])
+        )  # raises NotImplementedError (stub) or ValueError (truncated)
+    pos = np.nonzero(ok)[0]
+    if not len(pos):
+        return pos, np.empty(0, dtype=np.int32), np.array([0]), ns[pos]
+    nsv = ns[pos]
+    buf = b"".join(pdf["bytes"].iloc[i][: 2 * int(nsv[k])]
+                   for k, i in enumerate(pos))
+    samples = np.frombuffer(buf, dtype="<i2").astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(nsv)])
+    return pos, samples, offs, nsv
+
+
+def _window_stats(
+    samples: np.ndarray, offs: np.ndarray, nsv: np.ndarray, window: int
+):
+    """(row_id, sum_sq int64, n_zc int64) per full window across all
+    rows of the batch — one fancy-index gather, no Python loop."""
+    n_w = nsv // window
+    row_id = np.repeat(np.arange(len(nsv), dtype=np.int64), n_w)
+    intra = _grouped_arange(n_w)
+    win_start = offs[:-1][row_id] + intra * window
+    xw = samples[win_start[:, None] + np.arange(window)[None, :]].astype(
+        np.int64
+    )
+    sum_sq = (xw * xw).sum(axis=1)
+    neg = xw < 0
+    n_zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+    return n_w, row_id, intra, sum_sq, n_zc
+
+
 def audio_features(
     audio: DataFrame, window: int = 1024, skip_undecodable: bool = True
 ) -> DataFrame:
@@ -77,47 +134,45 @@ def audio_features(
     q_audio_features): rms_max is a max over deterministic doubles,
     zcr_mean is an exact integer ratio Σzc / (n_w·(window−1)), and
     rms_mean averages 1e-12-grid-quantized per-window rms values
-    (see RMS_GRID).  Undecodable codecs are skipped (the standard
-    pipeline policy for a corpus with mixed codecs) unless
-    ``skip_undecodable=False``, which surfaces the stub's
-    NotImplementedError."""
+    (see RMS_GRID). Decode + windowing are batch-vectorized
+    (_batch_decode_pcm16/_window_stats); per-clip reduction is
+    np.*.reduceat over window-group boundaries. Undecodable codecs are
+    skipped (the standard pipeline policy for a corpus with mixed
+    codecs) unless ``skip_undecodable=False``, which surfaces the
+    stub's NotImplementedError."""
     denom = float(window) * 32768.0 * 32768.0
 
     def gen(batches):
         for pdf in batches:
-            out = {k: [] for k in (
-                "audio_id", "n_windows", "rms_mean", "rms_max", "zcr_mean",
-                "caption",
-            )}
-            for row in pdf.itertuples(index=False):
-                try:
-                    x = decode_audio(row.bytes, row.codec, int(row.n_samples))
-                except (NotImplementedError, ValueError):
-                    # NotImplementedError: stub codec; ValueError:
-                    # truncated/corrupt payload (frombuffer short
-                    # read) — one bad row must not abort the corpus
-                    if skip_undecodable:
-                        continue
-                    raise
-                n_w = len(x) // window
-                if n_w == 0:
-                    continue
-                s = (x[: n_w * window] * 32768.0).astype(np.int64)
-                xw = s.reshape(n_w, window)
-                sum_sq = (xw * xw).sum(axis=1)
-                neg = xw < 0
-                n_zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
-                rms = np.sqrt(sum_sq / denom)
-                rms_q = np.floor(rms * RMS_GRID + 0.5)
-                out["audio_id"].append(row.audio_id)
-                out["n_windows"].append(n_w)
-                out["rms_mean"].append(float(rms_q.sum() / (n_w * RMS_GRID)))
-                out["rms_max"].append(float(rms.max()))
-                out["zcr_mean"].append(
-                    float(int(n_zc.sum()) / (n_w * (window - 1.0)))
-                )
-                out["caption"].append(row.caption)
-            yield pd.DataFrame(out)
+            pos, samples, offs, nsv = _batch_decode_pcm16(
+                pdf, skip_undecodable
+            )
+            if not len(pos):
+                continue
+            n_w, _, _, sum_sq, n_zc = _window_stats(
+                samples, offs, nsv, window
+            )
+            has = n_w > 0
+            if not has.any():
+                continue
+            rms = np.sqrt(sum_sq / denom)
+            rms_q = np.floor(rms * RMS_GRID + 0.5)
+            bounds = np.concatenate([[0], np.cumsum(n_w)])[:-1][has]
+            nw_v = n_w[has]
+            rq_sum = np.add.reduceat(rms_q, bounds)
+            rms_max = np.maximum.reduceat(rms, bounds)
+            zc_sum = np.add.reduceat(n_zc, bounds)
+            keep = pos[has]
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"].iloc[keep].to_numpy(),
+                    "n_windows": nw_v.astype(np.int32),
+                    "rms_mean": rq_sum / (nw_v * RMS_GRID),
+                    "rms_max": rms_max,
+                    "zcr_mean": zc_sum / (nw_v * (window - 1.0)),
+                    "caption": pdf["caption"].iloc[keep].to_numpy(),
+                }
+            )
 
     return audio.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
 
@@ -128,45 +183,29 @@ def audio_window_features(
     """Per-window INTEGER-EXACT features: energy = Σ s² over the raw
     int16 samples of each full ``window``-sample block, and zero
     crossings = count of (s<0) sign transitions inside the block.
-
-    This is the full-oracle counterpart of the float clip-level
-    ``audio_features``: integer outputs mean no float summation
-    anywhere, so the DuckDB twin (plans.oracle_pairs.q_audio_windows)
-    value-hashes bit-exactly. The clip-level query stays rows-only
-    because its rms_mean/zcr_mean average unrounded float64 across
-    windows, where SQL aggregation order is unspecified."""
+    Integer outputs mean no float summation anywhere, so the DuckDB
+    twin (plans.oracle_pairs.q_audio_windows) value-hashes bit-exactly.
+    Batch-vectorized like audio_features."""
 
     def gen(batches):
         for pdf in batches:
-            ids: list[str] = []
-            wins: list[np.ndarray] = []
-            sums: list[np.ndarray] = []
-            zcs: list[np.ndarray] = []
-            for row in pdf.itertuples(index=False):
-                try:
-                    x = decode_audio(row.bytes, row.codec, int(row.n_samples))
-                except (NotImplementedError, ValueError):
-                    if skip_undecodable:
-                        continue
-                    raise
-                # decode_audio yields s/32768 with s int16 — the scale
-                # is a power of two, so multiplying back is exact
-                s = (x * 32768.0).astype(np.int64)
-                n_w = len(s) // window
-                if n_w == 0:
-                    continue
-                xw = s[: n_w * window].reshape(n_w, window)
-                neg = xw < 0
-                ids.extend([row.audio_id] * n_w)
-                wins.append(np.arange(n_w, dtype=np.int64))
-                sums.append((xw * xw).sum(axis=1))
-                zcs.append((neg[:, 1:] != neg[:, :-1]).sum(axis=1))
+            pos, samples, offs, nsv = _batch_decode_pcm16(
+                pdf, skip_undecodable
+            )
+            if not len(pos):
+                continue
+            n_w, row_id, intra, sum_sq, n_zc = _window_stats(
+                samples, offs, nsv, window
+            )
+            if not len(row_id):
+                continue
+            ids = pdf["audio_id"].iloc[pos].to_numpy()
             yield pd.DataFrame(
                 {
-                    "audio_id": ids,
-                    "win": np.concatenate(wins) if wins else [],
-                    "sum_sq": np.concatenate(sums) if sums else [],
-                    "n_zc": np.concatenate(zcs) if zcs else [],
+                    "audio_id": ids[row_id],
+                    "win": intra,
+                    "sum_sq": sum_sq,
+                    "n_zc": n_zc,
                 }
             )
 
@@ -178,38 +217,82 @@ def sample_frames(
 ) -> DataFrame:
     """1→N frame sampling: every ``every``-th frame as its own row with
     mean-luma feature + raw frame bytes (downstream encoders attach
-    here). Fan-out happens inside the Arrow batch — no driver loop."""
+    here). Fan-out happens inside the Arrow batch — no driver loop.
+
+    rawvid8 is fixed-stride, so the batch decodes with ONE buffer join
+    + np.frombuffer; per-frame luma sums come from one np.add.reduceat
+    over interleaved frame boundaries (sum ≤ 255·w·h is integer-exact
+    in float64, so the mean equals the round-1 per-frame np.mean
+    bit-for-bit). The only remaining per-row work is slicing the
+    output frame bytes — unavoidable for a binary column."""
 
     def gen(batches):
         for pdf in batches:
-            out = {k: [] for k in (
-                "video_id", "frame_idx", "w", "h", "mean_luma", "frame",
-                "caption",
-            )}
-            for row in pdf.itertuples(index=False):
-                try:
-                    vid = decode_video(
-                        row.bytes, row.codec, int(row.w), int(row.h),
-                        int(row.n_frames),
-                    )
-                except (NotImplementedError, ValueError):
-                    # NotImplementedError: stub codec; ValueError:
-                    # truncated/corrupt payload (frombuffer short
-                    # read) — one bad row must not abort the corpus
-                    if skip_undecodable:
-                        continue
-                    raise
-                sel = np.arange(0, vid.shape[0], every)
-                frames = vid[sel]
-                lumas = frames.mean(axis=(1, 2))
-                for j, fi in enumerate(sel):
-                    out["video_id"].append(row.video_id)
-                    out["frame_idx"].append(int(fi))
-                    out["w"].append(int(row.w))
-                    out["h"].append(int(row.h))
-                    out["mean_luma"].append(float(lumas[j]))
-                    out["frame"].append(frames[j].tobytes())
-                    out["caption"].append(row.caption)
-            yield pd.DataFrame(out)
+            out = frame_sample_batch(pdf, every, skip_undecodable)
+            if out is not None:
+                yield out
 
     return video.mapInPandas(gen, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def frame_sample_batch(
+    pdf: pd.DataFrame, every: int, skip_undecodable: bool
+) -> pd.DataFrame | None:
+    """The batch kernel behind sample_frames — module-level so
+    jobs/kernel_bench.py can time it on a fixed in-process batch."""
+    codecs = pdf["codec"].to_numpy()
+    w = pdf["w"].to_numpy().astype(np.int64)
+    h = pdf["h"].to_numpy().astype(np.int64)
+    nf = pdf["n_frames"].to_numpy().astype(np.int64)
+    need = w * h * nf
+    blens = np.fromiter(
+        (len(b) for b in pdf["bytes"]), dtype=np.int64, count=len(pdf)
+    )
+    ok = (codecs == "rawvid8") & (blens >= need)
+    if not ok.all() and not skip_undecodable:
+        bad = int(np.nonzero(~ok)[0][0])
+        decode_video(
+            pdf["bytes"].iloc[bad], str(codecs[bad]),
+            int(w[bad]), int(h[bad]), int(nf[bad]),
+        )
+    pos = np.nonzero(ok)[0]
+    if not len(pos):
+        return None
+    wv, hv, nfv = w[pos], h[pos], nf[pos]
+    needv = need[pos]
+    buf = b"".join(
+        pdf["bytes"].iloc[i][: int(needv[k])] for k, i in enumerate(pos)
+    )
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    row_off = np.concatenate([[0], np.cumsum(needv)])[:-1]
+    # selected frames per row: 0, every, 2*every, ...
+    n_sel = (nfv + every - 1) // every
+    rid = np.repeat(np.arange(len(pos), dtype=np.int64), n_sel)
+    fidx = _grouped_arange(n_sel) * every
+    fsize = (wv * hv)[rid]
+    fstart = row_off[rid] + fidx * fsize
+    fend = fstart + fsize
+    # interleaved reduceat: sums of [s,e) land at even slots; pad one
+    # element so a final e == len(arr) stays a legal reduceat index
+    inter = np.empty(2 * len(fstart), dtype=np.int64)
+    inter[0::2] = fstart
+    inter[1::2] = fend
+    padded = np.concatenate([arr.astype(np.int64), [0]])
+    sums = np.add.reduceat(padded, inter)[0::2]
+    lumas = sums / fsize
+    vids = pdf["video_id"].iloc[pos].to_numpy()
+    caps = pdf["caption"].iloc[pos].to_numpy()
+    mv = memoryview(buf)
+    return pd.DataFrame(
+        {
+            "video_id": vids[rid],
+            "frame_idx": fidx.astype(np.int32),
+            "w": wv[rid].astype(np.int32),
+            "h": hv[rid].astype(np.int32),
+            "mean_luma": lumas,
+            "frame": [
+                bytes(mv[int(s):int(e)]) for s, e in zip(fstart, fend)
+            ],
+            "caption": caps[rid],
+        }
+    )

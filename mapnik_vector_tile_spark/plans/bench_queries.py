@@ -16,7 +16,8 @@ the engine's hot paths at sf0.1 scale:
   q_knn            — J5 kNN via cell-ring expansion
   q_minhash_dedup  — MinHash-LSH near-dup candidate pairs on documents
   q_phash_dedup    — T21 Hamming-band LSH image near-dup (pure JVM join)
-  q_ann_topk       — brute-force cosine top-k over embeddings
+  q_ann_topk       — LSH-bucketed cosine top-k over embeddings (the
+                     scale path; brute force is oracle-only)
   q_raster         — R1 decode + bilinear warp + painter's composite
                      (the binary-heavy mapInPandas leg)
   q_asof           — J7 as-of join (union + one shuffle + running-last)
@@ -123,10 +124,17 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN bench headline = the SCALE path (LSH-bucketed per-bucket
+    top-k: one shuffle on bucket id, per-bucket numpy matmul, no
+    driver-side index collect). brute_force_topk stays oracle-only —
+    its toPandas() of the whole index is the documented ≤10⁶-row
+    rerank baseline and would be the one scale-killer plan in the
+    bench suite. Recall vs the brute float top-k is pinned by
+    tests/test_dedup_text.py's ANN recall gates, not re-measured here."""
     from mapnik_vector_tile_spark.operators import similarity as SIM
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.brute_force_topk(emb, k=5)
+    return SIM.lsh_bucketed_topk(emb, k=5)
 
 
 def q_raster(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -355,3 +355,53 @@ def test_phash_neardup_lossless_vs_bruteforce(spark):
             if d <= 6:
                 want.add((ids[i], ids[j], d))
     assert got == want and len(want) >= 10
+
+
+def test_hot_bucket_star_guard_phash(spark):
+    """Adversarial constant-phash corpus: every image lands in the same
+    8 band buckets, so the unguarded join is O(m²). With the guard the
+    output is the hub star — m-1 pairs, hamming 0, one connected
+    component — instead of m(m-1)/2."""
+    from mapnik_vector_tile_spark.operators.dedup import phash_neardup_pairs
+
+    n = 60
+    imgs = spark.createDataFrame(
+        [(i, 0x0F0F0F0F0F0F0F0F) for i in range(n)],
+        schema="image_id long, phash long",
+    )
+    star = phash_neardup_pairs(imgs, hot_bucket_limit=16).collect()
+    assert len(star) == n - 1
+    assert all(r.img_a == 0 and r.hamming == 0 for r in star)
+    # unguarded clique for comparison
+    clique = phash_neardup_pairs(imgs, hot_bucket_limit=None).collect()
+    assert len(clique) == n * (n - 1) // 2
+    # same connected components: the star spans every node
+    assert {r.img_b for r in star} == set(range(1, n))
+
+
+def test_hot_bucket_guard_preserves_normal_output(spark, docs):
+    """On the normal corpus no bucket reaches the limit, so guarded and
+    unguarded minhash LSH output are identical (the oracle contract)."""
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    guarded = {(r.doc_a, r.doc_b)
+               for r in D.minhash_lsh_pairs(docs).collect()}
+    unguarded = {(r.doc_a, r.doc_b)
+                 for r in D.minhash_lsh_pairs(docs,
+                                              hot_bucket_limit=None).collect()}
+    assert guarded == unguarded
+
+
+def test_hot_bucket_star_guard_minhash(spark):
+    """Adversarial identical-text corpus under a tiny limit: star output
+    connects every doc to the min id with m-1 pairs."""
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(n)],
+        schema="doc_id long, text string",
+    )
+    star = D.minhash_lsh_pairs(docs, hot_bucket_limit=8).collect()
+    assert len(star) == n - 1
+    assert all(r.doc_a == 0 for r in star)
