@@ -74,8 +74,32 @@ def main() -> None:
         "sf": sf,
         "cpus": spark.sparkContext.defaultParallelism,
     }
+    out.update(_scaling_evidence())
     print(json.dumps(out))
     spark.stop()
+
+
+def _scaling_evidence() -> dict:
+    """Attach the committed N→4N scaling witness (jobs/bench_scaling.py
+    pinned-median protocol, BASELINE.md §4.0) so every BENCH record
+    carries the north_rule two-cluster-size evidence alongside the
+    single-invocation suite numbers."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_results", "scaling_1v4_r2.json",
+    )
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return {
+            "scaling_pair_cores": [lv["cores"] for lv in d["levels"]],
+            "scaling_throughput_per_s": [
+                lv["throughput_per_s"] for lv in d["levels"]
+            ],
+            "scaling_efficiency": d["scaling_efficiency"],
+        }
+    except (OSError, KeyError, ValueError):
+        return {}
 
 
 def _warmup(spark) -> None:

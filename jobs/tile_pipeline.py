@@ -70,6 +70,10 @@ def main() -> None:
                          "z-max+1..z-max+dz from the STORED z-max "
                          "tiles (EP3 slow path) as a second "
                          "checkpointed stage")
+    ap.add_argument("--repair", action="store_true",
+                    help="decompose invalid (self-crossing/self-touching) "
+                         "polygon rings into simple lobes before clipping "
+                         "(F12 wagyu-parity repair)")
     ap.add_argument("--overzoom-redistribute", action="store_true",
                     help="one child per task (few hot parents, deep "
                          "dz) instead of the narrow 1->4^dz flatMap")
@@ -131,6 +135,7 @@ def main() -> None:
         buffer_units=args.buffer,
         n_salts=args.n_salts,
         adaptive_salt_target=args.adaptive_target,
+        repair=args.repair,
     ).withColumn("cell", cell_col())
     lin = L.run_stage(
         tiles.select("z", "x", "y", "cell", "tile", "n_layers", "n_features"),

@@ -48,7 +48,14 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "quant6":
         q = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 4)
         return (q.astype(np.uint16) << 2).astype(np.uint8)
-    if fmt in ("jpeg", "webp", "avif"):
+    if fmt == "jpeg":
+        # real baseline JPEG, pure numpy (functions.jpeg) — the lossy
+        # path; alpha comes back opaque (w/h args ignored: the stream
+        # carries its own dimensions)
+        from mapnik_vector_tile_spark.functions import jpeg as jpegmod
+
+        return jpegmod.decode_jpeg(bytes(buf))
+    if fmt in ("webp", "avif"):
         raise NotImplementedError(
             f"{fmt} decode requires an image library not present in this "
             "sandbox; plug a decoder into decode_image()"
@@ -65,6 +72,14 @@ def encode_image(rgba: np.ndarray, fmt: str) -> bytes:
         # lossy: drop 2 LSBs per channel — bounded error (≤3/255) keeps
         # PSNR ≈ 43 dB, above the 40 dB input_hint gate
         return (rgba >> 2).astype(np.uint8).tobytes()
+    if fmt == "jpeg":
+        # q=98: the synthetic corpus has mod-256 sawtooth wraps (the
+        # hardest JPEG content); 98 keeps even that above the 40 dB
+        # input_hint gate (smooth content sits >50 dB) — see
+        # tests/test_raster.py::test_jpeg_codec_psnr_gate
+        from mapnik_vector_tile_spark.functions import jpeg as jpegmod
+
+        return jpegmod.encode_jpeg(rgba, quality=98)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

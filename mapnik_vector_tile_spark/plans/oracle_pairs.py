@@ -2208,6 +2208,74 @@ GROUP BY 1, 2
 """
 
 
+JPEG_N = 300  # q_raster_jpeg corpus size
+
+
+def q_raster_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 lossy codec gate with a FULL contract oracle: every image of
+    the committed synthetic corpus (gradient+noise — mod-256 sawtooth
+    wraps, the hardest JPEG content) is round-tripped through the real
+    pure-numpy baseline JPEG codec (functions.jpeg via the raster
+    codec registry) and must satisfy the input_hint invariants:
+    PSNR ≥ 40 dB on RGB, opaque alpha, non-empty stream. The DuckDB
+    twin regenerates (image_id, w, h) closed-form and asserts the
+    booleans TRUE — a hash mismatch means the engine failed the lossy
+    contract on some image. Pixel-level JPEG behavior is additionally
+    pinned by tests/test_raster.py. sf_dir is unused: the corpus is
+    the committed synth recipe (no images table exists in testdata)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators import raster as R
+
+    def gen(it):
+        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            src = gen_images_pdf(
+                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
+            )
+            out = {"image_id": [], "w": [], "h": [], "jpeg_ok": [],
+                   "alpha_ok": [], "nonempty": []}
+            for row in src.itertuples(index=False):
+                rgba = R.decode_image(
+                    row.bytes, row.fmt, int(row.w), int(row.h)
+                )
+                buf = R.encode_image(rgba, "jpeg")
+                back = R.decode_image(buf, "jpeg", int(row.w), int(row.h))
+                a = rgba[..., :3].astype(np.float64)
+                b = back[..., :3].astype(np.float64)
+                mse = float(np.mean((a - b) ** 2))
+                p = 10.0 * np.log10(255.0**2 / mse) if mse else np.inf
+                out["image_id"].append(row.image_id)
+                out["w"].append(int(row.w))
+                out["h"].append(int(row.h))
+                out["jpeg_ok"].append(bool(p >= 40.0))
+                out["alpha_ok"].append(bool((back[..., 3] == 255).all()))
+                out["nonempty"].append(len(buf) > 0)
+            yield pd.DataFrame(out)
+
+    return spark.range(0, JPEG_N, 1, 8).mapInPandas(
+        gen,
+        schema=("image_id string, w int, h int, jpeg_ok boolean, "
+                "alpha_ok boolean, nonempty boolean"),
+    )
+
+
+def _sql_raster_jpeg(n: int = JPEG_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(16 + (i * 7) % 49 AS INT) AS w,
+       CAST(16 + (i * 11) % 49 AS INT) AS h,
+       TRUE AS jpeg_ok, TRUE AS alpha_ok, TRUE AS nonempty
+FROM ids
+"""
+
+
 REPAIR_N = 450  # q_engine_clip_repair corpus size
 
 
@@ -2492,6 +2560,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
     "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
     "q_engine_clip_repair": (q_engine_clip_repair, _sql_clip_repair()),
+    "q_raster_jpeg": (q_raster_jpeg, _sql_raster_jpeg()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
     "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
@@ -2515,6 +2584,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # round-2 new/upgraded oracles — record fresh
     "q_engine_clip_repair",
+    "q_raster_jpeg",
     "q_raster_tiles",
     "q_audio_features",
     "q_dedup_clusters",

@@ -37,7 +37,41 @@ def test_codec_quant6_psnr_gate():
 
 def test_unsupported_fmt_stubbed():
     with pytest.raises(NotImplementedError):
-        R.decode_image(b"", "jpeg", 1, 1)
+        R.decode_image(b"", "webp", 1, 1)
+
+
+def test_jpeg_codec_psnr_gate():
+    """Real baseline JPEG (pure numpy, functions.jpeg) through the
+    codec registry: the synthetic mod-256 sawtooth pixels are the
+    hardest JPEG content (wrap discontinuities everywhere) and must
+    still clear the 40 dB input_hint gate at the registry's q=98;
+    a constant tile must round-trip exactly."""
+    rgba = synth.make_pixels(9, 64, 48)
+    buf = R.encode_image(rgba, "jpeg")
+    back = R.decode_image(buf, "jpeg", 64, 48)
+    assert back.shape == rgba.shape
+    assert (back[..., 3] == 255).all()  # alpha not representable: opaque
+    p = psnr(back[..., :3], rgba[..., :3])
+    assert p >= 40.0, p
+    flat = np.full((33, 41, 4), 201, dtype=np.uint8)
+    rt = R.decode_image(R.encode_image(flat, "jpeg"), "jpeg", 41, 33)
+    assert (rt[..., :3] == 201).all()
+
+
+def test_jpeg_stream_is_standard_jfif():
+    """Marker-level sanity so any standard decoder can read the
+    stream: SOI/APP0-JFIF/DQT/DHT/SOF0/SOS/EOI all present, baseline
+    (SOF0, not SOF2), 3 components, 8-bit precision."""
+    rgba = synth.make_pixels(3, 32, 32)
+    buf = R.encode_image(rgba, "jpeg")
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in buf[:32]
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda"):
+        assert marker in buf
+    assert b"\xff\xc2" not in buf[:200]  # not progressive
+    sof = buf.index(b"\xff\xc0")
+    assert buf[sof + 4] == 8  # precision
+    assert buf[sof + 9] == 3  # components
 
 
 def _oracle_resample_nearest(rgba, bbox, z, x, y, size):
