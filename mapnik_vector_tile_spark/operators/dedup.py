@@ -98,6 +98,24 @@ def minhash_signatures(
 HOT_BUCKET_LIMIT = 4096
 
 
+def _hot_buckets(
+    bands: DataFrame, keys: list[str], aggs: list, limit: int
+) -> DataFrame:
+    """The tiny over-limit bucket table: groupBy(band key) with
+    map-side partial counts, filtered to count > limit. By
+    construction it holds at most N/limit rows (each hot bucket has
+    >limit members), so broadcasting it back as a row tag is safe —
+    this is the scale-correct guard shape (one extra combiner shuffle
+    + a broadcast probe), NOT a window over the full table, which
+    would re-derive the whole upstream pipeline per consumer branch."""
+    return (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("_m"), *aggs)
+        .filter(F.col("_m") > limit)
+        .drop("_m")
+    )
+
+
 def _banded_pairs(
     bands: DataFrame,
     keys: list[str],
@@ -106,27 +124,29 @@ def _banded_pairs(
     out_b: str,
     hot_bucket_limit: int | None,
 ) -> DataFrame:
-    """Self-equi-join on the band key with the hot-bucket star guard.
-    The per-bucket count/min window shuffles on the SAME key as the
-    join, so Catalyst reuses one exchange; sub-limit buckets take the
-    exact clique join, over-limit buckets emit the hub star."""
+    """Self-equi-join on the band key with the hot-bucket star guard:
+    sub-limit buckets take the exact clique join, over-limit buckets
+    emit the hub star (min-id member × every other)."""
     if hot_bucket_limit is None:
         src = bands
         hot = None
     else:
-        w = Window.partitionBy(*keys)
-        stats = bands.withColumn("_m", F.count("*").over(w)).withColumn(
-            "_hub", F.min(id_col).over(w)
+        # the banded table feeds FOUR consumers (hot-stats agg, tag
+        # join, both self-join sides); without a checkpoint Catalyst
+        # re-derives the whole upstream pipeline (shingles + minhash
+        # agg — the expensive part) once per consumer. Same pattern as
+        # similarity.ivf_topk / joins.knn.
+        bands = bands.localCheckpoint(eager=True)
+        hotstats = _hot_buckets(
+            bands, keys, [F.min(id_col).alias("_hub")], hot_bucket_limit
         )
-        src = stats.filter(F.col("_m") <= hot_bucket_limit)
+        tagged = bands.join(F.broadcast(hotstats), on=keys, how="left")
+        src = tagged.filter(F.col("_hub").isNull()).drop("_hub")
         hot = (
-            stats.filter(
-                (F.col("_m") > hot_bucket_limit)
-                & (F.col(id_col) != F.col("_hub"))
+            tagged.filter(
+                F.col("_hub").isNotNull() & (F.col(id_col) != F.col("_hub"))
             )
-            .select(
-                F.col("_hub").alias(out_a), F.col(id_col).alias(out_b)
-            )
+            .select(F.col("_hub").alias(out_a), F.col(id_col).alias(out_b))
         )
     a = src.alias("a")
     b = src.alias("b")
@@ -517,22 +537,22 @@ def phash_neardup_pairs(
         src = banded
         hot = None
     else:
-        w = Window.partitionBy("band", "bval")
-        wo = (
-            Window.partitionBy("band", "bval")
-            .orderBy("img")
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        hotstats = _hot_buckets(
+            banded,
+            ["band", "bval"],
+            [
+                F.min("img").alias("_hub"),
+                F.min_by("h", "img").alias("_hub_h"),
+            ],
+            hot_bucket_limit,
         )
-        stats = (
-            banded.withColumn("_m", F.count("*").over(w))
-            .withColumn("_hub", F.first("img").over(wo))
-            .withColumn("_hub_h", F.first("h").over(wo))
+        tagged = banded.join(
+            F.broadcast(hotstats), on=["band", "bval"], how="left"
         )
-        src = stats.filter(F.col("_m") <= hot_bucket_limit)
+        src = tagged.filter(F.col("_hub").isNull()).drop("_hub", "_hub_h")
         hot = (
-            stats.filter(
-                (F.col("_m") > hot_bucket_limit)
-                & (F.col("img") != F.col("_hub"))
+            tagged.filter(
+                F.col("_hub").isNotNull() & (F.col("img") != F.col("_hub"))
             )
             .select(
                 F.col("_hub").alias("img_a"),

@@ -172,3 +172,41 @@ def test_quantize_embeddings_codegen_no_python(spark):
     plan = _plan(quantize_embeddings(emb))
     assert "Python" not in plan
     assert "Exchange" not in plan
+
+
+def test_hot_bucket_guard_broadcasts_tiny_stats(spark):
+    """The banded-join hot-bucket guard must tag rows via a BROADCAST
+    of the over-limit bucket table (≤ N/limit rows by construction) —
+    a shuffle join on the tag, or a window over the full banded table,
+    would add full-table exchanges per consumer at 100 TB."""
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(D.minhash_lsh_pairs(docs))
+    assert "BroadcastExchange" in plan
+    # expensive upstream (shingles + minhash agg) runs once behind a
+    # checkpoint; consumers re-scan the checkpoint, not the pipeline
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+
+
+def test_bench_ann_path_has_no_driver_collect(spark):
+    """q_ann_topk (bench) must be the LSH-bucketed plan: one shuffle
+    on the bucket id and zero driver-side index materialization. The
+    brute path collects the whole embedding table at plan-BUILD time —
+    so building this plan must schedule no Spark job at all."""
+    from mapnik_vector_tile_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb.schema  # pay the parquet listing/schema job OUTSIDE the count
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = lsh_bucketed_topk(emb, k=5)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "building the ANN bench plan ran a driver job"
+    plan = _plan(df)
+    ex = [ln for ln in plan.splitlines()
+          if ln.strip().startswith("(") and "Exchange" in ln]
+    assert len(ex) == 1, ex  # ONE bucket-id shuffle, nothing else

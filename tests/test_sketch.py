@@ -1,0 +1,62 @@
+"""KMV distinct-count sketch (operators.sketch): estimator accuracy,
+graceful small-cardinality behavior, shard mergeability, and the
+scale-critical plan shape (TakeOrdered, not a full sort shuffle)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark.operators import sketch
+
+
+def _plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+def test_kmv_estimate_within_bound(spark):
+    """n=20000 distinct, k=256: KMV standard error is ~1/sqrt(k-2)
+    ≈ 6.3%; assert within 4 sigma (deterministic corpus — this pins
+    the realized error, it cannot flake)."""
+    df = spark.range(20000).select(F.col("id").alias("v"))
+    row = sketch.kmv_distinct(df, "v", k=256).collect()[0]
+    assert row.k == 256 and row.n_used == 256
+    assert abs(row.est_distinct - 20000) / 20000 < 0.25
+
+
+def test_kmv_small_cardinality_degrades_to_near_exact(spark):
+    df = spark.range(1000).select((F.col("id") % 50).alias("v"))
+    row = sketch.kmv_distinct(df, "v", k=256).collect()[0]
+    assert row.n_used == 50  # fewer distinct than k: all hashes kept
+
+
+def test_kmv_shards_merge_associatively(spark):
+    """Union of two shard sketches re-limited to k equals the sketch
+    of the union — the property that makes KMV incremental."""
+    a = spark.range(0, 6000).select(F.col("id").alias("v"))
+    b = spark.range(4000, 12000).select(F.col("id").alias("v"))
+    k = 128
+    merged = (
+        sketch.kmv_hashes(a, "v", k)
+        .unionByName(sketch.kmv_hashes(b, "v", k))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+    direct = sketch.kmv_hashes(a.unionByName(b), "v", k)
+    assert [r.hv for r in merged.collect()] == [
+        r.hv for r in direct.collect()
+    ]
+
+
+def test_kmv_plan_uses_takeordered_not_full_sort(spark):
+    """The global k-smallest must compile to TakeOrderedAndProject
+    (per-partition top-k, k rows to the driver) — a full Sort+Exchange
+    would shuffle the entire distinct hash set at 100 TB."""
+    df = spark.range(100000).select(F.col("id").alias("v"))
+    plan = _plan(sketch.kmv_hashes(df, "v", k=256))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
