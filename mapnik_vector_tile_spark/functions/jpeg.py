@@ -24,6 +24,8 @@ png-zlib/raw-rgba8.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 # --- constants (ITU-T T.81 Annex K) ----------------------------------------
@@ -347,7 +349,22 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline 4:4:4 JFIF bytes -> uint8[h, w, 4] (opaque alpha)."""
+    """Baseline 4:4:4 JFIF bytes -> uint8[h, w, 4] (opaque alpha).
+
+    Contract: EVERY malformed input raises ValueError — the error type
+    the pipeline's skip-undecodable policy catches — never a raw
+    IndexError/KeyError/StopIteration escaping from segment parsing
+    (fuzz-pinned by tests/test_raster.py)."""
+    try:
+        return _decode_jpeg_inner(bytes(buf))
+    except ValueError:
+        raise
+    except (IndexError, KeyError, StopIteration, OverflowError,
+            MemoryError, struct.error) as e:
+        raise ValueError(f"jpeg: malformed stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_inner(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2

@@ -425,8 +425,12 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidate pairs over
     docs ∪ shifted-copy, then connected components. The cluster_rep is
     the canonical keeper (min doc_id) a training pipeline would retain;
-    every other member is a drop."""
-    return connected_components(minhash_lsh_pairs(with_self_copies(docs)))
+    every other member is a drop. The clique/star guard choice does
+    not change components, but the shared oracle replays the clique —
+    keep the exact path here (see q_minhash_lsh_pairs)."""
+    return connected_components(
+        minhash_lsh_pairs(with_self_copies(docs), hot_bucket_limit=None)
+    )
 
 
 def with_self_copies(docs: DataFrame, offset: int = 1_000_000) -> DataFrame:
@@ -537,6 +541,12 @@ def phash_neardup_pairs(
         src = banded
         hot = None
     else:
+        # same 4-consumer checkpoint rationale as _banded_pairs (the
+        # upstream here is only a narrow scan + band explode, but 4
+        # re-scans of a 10^12-row table is still 4x the IO); the guard
+        # stays inline rather than shared because the Hamming refine
+        # needs the hash column carried through both branches
+        banded = banded.localCheckpoint(eager=True)
         hotstats = _hot_buckets(
             banded,
             ["band", "bval"],

@@ -96,6 +96,13 @@ def _batch_decode_pcm16(pdf: pd.DataFrame, skip_undecodable: bool):
         decode_audio(
             pdf["bytes"].iloc[bad], str(codecs[bad]), int(ns[bad])
         )  # raises NotImplementedError (stub) or ValueError (truncated)
+        # a scalar decoder that SUCCEEDS here means the batch kernel's
+        # codec predicate fell behind decode_audio's dispatch — strict
+        # mode must never silently drop a decodable row
+        raise ValueError(
+            f"batch pcm16 predicate rejected a row decode_audio accepts "
+            f"(codec={codecs[bad]!r}) — update _batch_decode_pcm16"
+        )
     pos = np.nonzero(ok)[0]
     if not len(pos):
         return pos, np.empty(0, dtype=np.int32), np.array([0]), ns[pos]
@@ -110,18 +117,33 @@ def _batch_decode_pcm16(pdf: pd.DataFrame, skip_undecodable: bool):
 def _window_stats(
     samples: np.ndarray, offs: np.ndarray, nsv: np.ndarray, window: int
 ):
-    """(row_id, sum_sq int64, n_zc int64) per full window across all
-    rows of the batch — one fancy-index gather, no Python loop."""
+    """(n_w, row_id, intra, sum_sq int64, n_zc int64) per full window
+    across all rows of the batch — reduceat over interleaved window
+    boundaries (windows are contiguous per row, so no gather matrix:
+    peak temp is ONE int64 squares array instead of the ~3× windowed
+    copies a fancy-index gather would allocate)."""
     n_w = nsv // window
+    total_w = int(n_w.sum())
     row_id = np.repeat(np.arange(len(nsv), dtype=np.int64), n_w)
     intra = _grouped_arange(n_w)
+    empty = np.empty(0, dtype=np.int64)
+    if total_w == 0:
+        return n_w, row_id, intra, empty, empty
     win_start = offs[:-1][row_id] + intra * window
-    xw = samples[win_start[:, None] + np.arange(window)[None, :]].astype(
-        np.int64
-    )
-    sum_sq = (xw * xw).sum(axis=1)
-    neg = xw < 0
-    n_zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+    inter = np.empty(2 * total_w, dtype=np.int64)
+    inter[0::2] = win_start
+    inter[1::2] = win_start + window
+    s64 = samples.astype(np.int64)
+    # one pad element keeps a final end == len(samples) a legal index
+    sq = np.concatenate([s64 * s64, [0]])
+    sum_sq = np.add.reduceat(sq, inter)[0::2]
+    neg = samples < 0
+    trans = np.zeros(len(samples) + 1, dtype=np.int64)
+    trans[1:len(samples)] = neg[1:] != neg[:-1]
+    # a transition at index i compares (i-1, i): not defined at a
+    # window start (cross-window/cross-row pairs never count)
+    trans[win_start] = 0
+    n_zc = np.add.reduceat(trans, inter)[0::2]
     return n_w, row_id, intra, sum_sq, n_zc
 
 
@@ -255,6 +277,10 @@ def frame_sample_batch(
             pdf["bytes"].iloc[bad], str(codecs[bad]),
             int(w[bad]), int(h[bad]), int(nf[bad]),
         )
+        raise ValueError(
+            f"batch rawvid8 predicate rejected a row decode_video accepts "
+            f"(codec={codecs[bad]!r}) — update frame_sample_batch"
+        )
     pos = np.nonzero(ok)[0]
     if not len(pos):
         return None
@@ -277,7 +303,11 @@ def frame_sample_batch(
     inter = np.empty(2 * len(fstart), dtype=np.int64)
     inter[0::2] = fstart
     inter[1::2] = fend
-    padded = np.concatenate([arr.astype(np.int64), [0]])
+    # int32 accumulator when every frame sum fits (255·w·h < 2^31,
+    # true up to ~2900² frames) — half the temp of int64; fall back to
+    # int64 for pathological frame sizes rather than overflow
+    acc = np.int32 if int(fsize.max()) * 255 < 2**31 else np.int64
+    padded = np.concatenate([arr.astype(acc), np.zeros(1, acc)])
     sums = np.add.reduceat(padded, inter)[0::2]
     lumas = sums / fsize
     vids = pdf["video_id"].iloc[pos].to_numpy()

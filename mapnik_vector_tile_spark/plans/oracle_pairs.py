@@ -1903,7 +1903,9 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"image_id": k, "phash": h})
 
     imgs = cust.mapInPandas(gen, schema="image_id long, phash long")
-    pairs = D.phash_neardup_pairs(imgs, max_hamming=6)
+    # exact clique path: the brute-force oracle enumerates all pairs
+    # (star-guard behavior is pytest-gated, not oracle-gated)
+    pairs = D.phash_neardup_pairs(imgs, max_hamming=6, hot_bucket_limit=None)
     from pyspark.sql import functions as F
 
     return pairs.select(

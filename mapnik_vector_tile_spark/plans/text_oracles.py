@@ -420,7 +420,13 @@ def q_minhash_signatures(spark, sf_dir):
 def q_minhash_lsh_pairs(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import dedup as D
 
-    return D.minhash_lsh_pairs(D.with_self_copies(_docs(spark, sf_dir)))
+    # hot_bucket_limit=None: the oracle's SQL twin replays the EXACT
+    # clique, so the gate must not couple to "no oracle-corpus bucket
+    # ever crosses the guard limit" at a bigger sf; the star-guard
+    # path has its own adversarial pytest gates (test_dedup_text.py)
+    return D.minhash_lsh_pairs(
+        D.with_self_copies(_docs(spark, sf_dir)), hot_bucket_limit=None
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):

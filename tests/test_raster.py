@@ -359,3 +359,18 @@ def test_raster_layer_rejects_z30(spark):
     )
     with pytest.raises(PythonException, match="z<=29"):
         R.raster_tiles_to_layer(tiles).collect()
+
+
+def test_jpeg_decoder_rejects_malformed_streams():
+    """Malformed input must raise ValueError (never hang or crash):
+    truncated entropy data, missing SOI, progressive streams."""
+    rgba = synth.make_pixels(5, 24, 24)
+    buf = R.encode_image(rgba, "jpeg")
+    with pytest.raises(ValueError):
+        R.decode_image(b"not a jpeg", "jpeg", 1, 1)
+    with pytest.raises(ValueError):
+        R.decode_image(buf[: len(buf) // 2], "jpeg", 24, 24)
+    # flip SOF0 -> SOF2 (progressive): must be rejected, not misparsed
+    prog = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        R.decode_image(prog, "jpeg", 24, 24)

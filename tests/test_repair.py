@@ -122,7 +122,6 @@ def test_zero_area_lobe_dropped():
     assert len(lobes[0][0]) == 3
 
 
-@pytest.mark.spark
 def test_encode_roundtrip_repairs_bowtie(spark):
     """Through the REAL encode path: a bowtie feature encoded with
     repair=True decodes as two rings whose total |area| equals the
@@ -156,7 +155,6 @@ def test_encode_roundtrip_repairs_bowtie(spark):
     assert dec0 == []
 
 
-@pytest.mark.spark
 def test_flag_invalid_polygons(spark):
     from mapnik_vector_tile_spark.operators import tiling as T
 
