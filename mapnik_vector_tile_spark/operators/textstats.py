@@ -103,3 +103,27 @@ def fingerprints(docs: DataFrame, n: int = 4) -> DataFrame:
         F.min("wh").alias("fp_min"),
         F.count_distinct("wh").alias("fp_card"),
     )
+
+
+def topk_tokens(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Exact corpus heavy hitters: (rnk, token, n) — top-k tokens by
+    total occurrences, deterministic tiebreak (count DESC, token ASC).
+
+    Scale shape: the explode is narrow; the count partial-aggregates
+    map-side so the shuffle carries distinct tokens, not occurrences;
+    the global top-k compiles to TakeOrderedAndProject (per-partition
+    top-k, k rows to the driver merge) — no full sort shuffle. The
+    window rank runs on k rows only."""
+    from pyspark.sql import Window
+
+    w = docs.select(F.explode(words_col()).alias("token"))
+    counts = w.groupBy("token").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("n"), F.asc("token"))
+    )
+    return top.select(
+        rnk.cast("long").alias("rnk"),
+        "token",
+        F.col("n").cast("long").alias("n"),
+    )

@@ -2621,6 +2621,7 @@ _RECORD_FIRST = (
     "q_engine_clip_repair",
     "q_raster_jpeg",
     "q_distinct_kmv",
+    "q_topk_tokens",
     "q_raster_tiles",
     "q_audio_features",
     "q_dedup_clusters",

@@ -471,6 +471,24 @@ def q_token_counts(spark, sf_dir):
     return T.token_counts(_docs(spark, sf_dir))
 
 
+def q_topk_tokens(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    return T.topk_tokens(_docs(spark, sf_dir), k=100)
+
+
+def sql_topk_tokens(k: int = 100) -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS n FROM w GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rnk,
+       token,
+       CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, token ASC LIMIT {k}
+"""
+
+
 def q_langid(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import textstats as T
 
@@ -738,6 +756,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_quality_stats": (q_quality_stats, sql_quality_stats()),
         "q_corpus_filter": (q_corpus_filter, sql_corpus_filter()),
         "q_token_counts": (q_token_counts, sql_token_counts()),
+        "q_topk_tokens": (q_topk_tokens, sql_topk_tokens()),
         "q_langid": (q_langid, sql_langid()),
         "q_fingerprints": (q_fingerprints, sql_fingerprints()),
         "q_ann_topk": (q_ann_topk, sql_ann_topk()),
