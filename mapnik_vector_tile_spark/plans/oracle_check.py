@@ -58,6 +58,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # big-sf sweeps: the heaviest twins (quadratic kNN candidates,
+    # recursive-CTE DP) exceed DuckDB's default ~80%-of-RAM budget
+    # when Spark's 48g JVM already holds half the host — cap the
+    # budget explicitly and spill to /tmp instead of dying with
+    # OutOfMemoryException mid-sweep (observed at sf0.1).
+    con.sql("SET memory_limit='40GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.sql("SET preserve_insertion_order=false")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
