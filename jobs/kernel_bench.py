@@ -164,7 +164,7 @@ def _multimodal_bench(args) -> None:
     pins: dict[str, int] = {}
     for _ in range(max(1, args.repeat)):
         t0 = time.monotonic()
-        _, samples, offs, nsv = mm._batch_decode_pcm16(apdf, True)
+        _, samples, offs, nsv = mm._batch_decode_audio(apdf, True)
         _, _, _, sum_sq, n_zc = mm._window_stats(samples, offs, nsv, 1024)
         frames = mm.frame_sample_batch(vpdf, 4, True)
         wall = time.monotonic() - t0

@@ -3,10 +3,12 @@ training-data-pipeline surface for audio/video payloads (images are
 handled for real in operators.raster).
 
 Everything is Arrow-batched ``mapInPandas`` over the typed-metadata
-tables of sources.multimodal: decode is a per-codec kernel (real for
-the sandbox codecs ``pcm16le``/``rawvid8``, NotImplementedError stubs
-for compressed codecs — no audio/video libs in this container), and
-the Spark-side plumbing (schema, batch shape, partitioning, 1→N frame
+tables of sources.multimodal: decode is a per-codec kernel — REAL for
+``pcm16le``/``rawvid8`` (bare fixed-stride planes), ``mulaw`` (G.711,
+functions.g711) and ``dvid8-rle`` (delta+RLE video, functions.dvid8);
+codecs whose decoders genuinely need external libraries absent from
+this container (mp3, h264) remain NotImplementedError stubs — and the
+Spark-side plumbing (schema, batch shape, partitioning, 1→N frame
 explode) is fully real and tested.
 
 Scale posture: per-row decode is embarrassingly parallel — one narrow
@@ -20,6 +22,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from mapnik_vector_tile_spark.functions import dvid8
+from mapnik_vector_tile_spark.functions.g711 import MULAW_TABLE
 
 AUDIO_FEATURES_SCHEMA = (
     "audio_id string, n_windows int, rms_mean double, rms_max double, "
@@ -35,12 +40,16 @@ AUDIO_WINDOWS_SCHEMA = (
 
 
 def decode_audio(buf: bytes, codec: str, n_samples: int) -> np.ndarray:
-    """bytes -> float64[n_samples] in [-1, 1). Stub for compressed."""
+    """bytes -> float64[n_samples] in [-1, 1). Real: pcm16le, mulaw
+    (G.711). Stub for codecs with no sandbox decoder (mp3 etc.)."""
     if codec == "pcm16le":
         return (
             np.frombuffer(buf, dtype="<i2", count=n_samples).astype(np.float64)
             / 32768.0
         )
+    if codec == "mulaw":
+        codes = np.frombuffer(buf, dtype=np.uint8, count=n_samples)
+        return MULAW_TABLE[codes].astype(np.float64) / 32768.0
     raise NotImplementedError(
         f"audio codec {codec!r}: no decoder in this sandbox (stub)"
     )
@@ -49,11 +58,14 @@ def decode_audio(buf: bytes, codec: str, n_samples: int) -> np.ndarray:
 def decode_video(
     buf: bytes, codec: str, w: int, h: int, n_frames: int
 ) -> np.ndarray:
-    """bytes -> uint8[n_frames, h, w] luma. Stub for compressed."""
+    """bytes -> uint8[n_frames, h, w] luma. Real: rawvid8, dvid8-rle
+    (delta+RLE). Stub for codecs with no sandbox decoder (h264 etc.)."""
     if codec == "rawvid8":
         return np.frombuffer(buf, dtype=np.uint8, count=w * h * n_frames).reshape(
             n_frames, h, w
         )
+    if codec == "dvid8-rle":
+        return dvid8.decode(buf, w, h, n_frames)
     raise NotImplementedError(
         f"video codec {codec!r}: no decoder in this sandbox (stub)"
     )
@@ -77,10 +89,12 @@ def _grouped_arange(counts: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
-def _batch_decode_pcm16(pdf: pd.DataFrame, skip_undecodable: bool):
-    """Fixed-stride batch decode of every decodable pcm16le row in one
-    Arrow batch: ONE buffer join + ONE np.frombuffer — no per-row
-    Python decode (the round-1 itertuples loop this replaces).
+def _batch_decode_audio(pdf: pd.DataFrame, skip_undecodable: bool):
+    """Batch decode of every decodable audio row in one Arrow batch:
+    per codec ONE buffer join + ONE np.frombuffer (pcm16le) or a
+    256-entry table gather (mulaw, functions.g711), stitched back into
+    row order with two boolean scatters — no per-row Python decode
+    (the round-1 itertuples loop this replaced).
 
     Returns (valid_positions, samples int32 concat, row_offsets,
     n_samples int64) over the valid rows; strict mode replays the
@@ -90,7 +104,9 @@ def _batch_decode_pcm16(pdf: pd.DataFrame, skip_undecodable: bool):
     blens = np.fromiter(
         (len(b) for b in pdf["bytes"]), dtype=np.int64, count=len(pdf)
     )
-    ok = (codecs == "pcm16le") & (blens >= 2 * ns)
+    ok_pcm = (codecs == "pcm16le") & (blens >= 2 * ns)
+    ok_mu = (codecs == "mulaw") & (blens >= ns)
+    ok = ok_pcm | ok_mu
     if not ok.all() and not skip_undecodable:
         bad = int(np.nonzero(~ok)[0][0])
         decode_audio(
@@ -100,16 +116,31 @@ def _batch_decode_pcm16(pdf: pd.DataFrame, skip_undecodable: bool):
         # codec predicate fell behind decode_audio's dispatch — strict
         # mode must never silently drop a decodable row
         raise ValueError(
-            f"batch pcm16 predicate rejected a row decode_audio accepts "
-            f"(codec={codecs[bad]!r}) — update _batch_decode_pcm16"
+            f"batch audio predicate rejected a row decode_audio accepts "
+            f"(codec={codecs[bad]!r}) — update _batch_decode_audio"
         )
     pos = np.nonzero(ok)[0]
     if not len(pos):
         return pos, np.empty(0, dtype=np.int32), np.array([0]), ns[pos]
     nsv = ns[pos]
-    buf = b"".join(pdf["bytes"].iloc[i][: 2 * int(nsv[k])]
-                   for k, i in enumerate(pos))
-    samples = np.frombuffer(buf, dtype="<i2").astype(np.int32)
+    is_pcm = ok_pcm[pos]
+    bcol = pdf["bytes"]
+    buf_p = b"".join(
+        bcol.iloc[int(i)][: 2 * int(n)]
+        for i, n in zip(pos[is_pcm], nsv[is_pcm])
+    )
+    buf_m = b"".join(
+        bcol.iloc[int(i)][: int(n)]
+        for i, n in zip(pos[~is_pcm], nsv[~is_pcm])
+    )
+    samples = np.empty(int(nsv.sum()), dtype=np.int32)
+    # np.repeat preserves row order, so each codec's concatenated
+    # samples align exactly with its mask positions
+    mask = np.repeat(is_pcm, nsv)
+    samples[mask] = np.frombuffer(buf_p, dtype="<i2").astype(np.int32)
+    samples[~mask] = MULAW_TABLE[
+        np.frombuffer(buf_m, dtype=np.uint8)
+    ].astype(np.int32)
     offs = np.concatenate([[0], np.cumsum(nsv)])
     return pos, samples, offs, nsv
 
@@ -157,7 +188,7 @@ def audio_features(
     zcr_mean is an exact integer ratio Σzc / (n_w·(window−1)), and
     rms_mean averages 1e-12-grid-quantized per-window rms values
     (see RMS_GRID). Decode + windowing are batch-vectorized
-    (_batch_decode_pcm16/_window_stats); per-clip reduction is
+    (_batch_decode_audio/_window_stats); per-clip reduction is
     np.*.reduceat over window-group boundaries. Undecodable codecs are
     skipped (the standard pipeline policy for a corpus with mixed
     codecs) unless ``skip_undecodable=False``, which surfaces the
@@ -166,7 +197,7 @@ def audio_features(
 
     def gen(batches):
         for pdf in batches:
-            pos, samples, offs, nsv = _batch_decode_pcm16(
+            pos, samples, offs, nsv = _batch_decode_audio(
                 pdf, skip_undecodable
             )
             if not len(pos):
@@ -211,7 +242,7 @@ def audio_window_features(
 
     def gen(batches):
         for pdf in batches:
-            pos, samples, offs, nsv = _batch_decode_pcm16(
+            pos, samples, offs, nsv = _batch_decode_audio(
                 pdf, skip_undecodable
             )
             if not len(pos):
@@ -261,7 +292,15 @@ def frame_sample_batch(
     pdf: pd.DataFrame, every: int, skip_undecodable: bool
 ) -> pd.DataFrame | None:
     """The batch kernel behind sample_frames — module-level so
-    jobs/kernel_bench.py can time it on a fixed in-process batch."""
+    jobs/kernel_bench.py can time it on a fixed in-process batch.
+
+    Two real codecs, both decoded batch-wide with no per-row Python:
+    rawvid8 is ONE buffer join + np.frombuffer; dvid8-rle expands ALL
+    selected rows' RLE pairs in one np.repeat, then undoes the delta
+    transform with a single cumsum re-based per row (subtract the
+    running total at each row start — exact under mod-256). The two
+    decoded streams are stitched back into row order with boolean
+    scatters, exactly like _batch_decode_audio."""
     codecs = pdf["codec"].to_numpy()
     w = pdf["w"].to_numpy().astype(np.int64)
     h = pdf["h"].to_numpy().astype(np.int64)
@@ -270,7 +309,20 @@ def frame_sample_batch(
     blens = np.fromiter(
         (len(b) for b in pdf["bytes"]), dtype=np.int64, count=len(pdf)
     )
+    is_dv = codecs == "dvid8-rle"
     ok = (codecs == "rawvid8") & (blens >= need)
+    # a dvid8 row is decodable iff pairs are whole AND they expand to
+    # exactly w*h*nf samples — mirror of dvid8.decode's ValueError
+    # contract, computed batch-wide (bincount over per-row pair slots)
+    dvi = np.nonzero(is_dv & (blens % 2 == 0))[0]
+    if len(dvi):
+        dbuf = b"".join(pdf["bytes"].iloc[int(i)] for i in dvi)
+        dlens = np.frombuffer(dbuf, dtype=np.uint8)[0::2].astype(np.int64) + 1
+        pair_counts = blens[dvi] // 2
+        seg = np.repeat(np.arange(len(dvi), dtype=np.int64), pair_counts)
+        exp = np.zeros(len(dvi), dtype=np.int64)
+        np.add.at(exp, seg, dlens)
+        ok[dvi[exp == need[dvi]]] = True
     if not ok.all() and not skip_undecodable:
         bad = int(np.nonzero(~ok)[0][0])
         decode_video(
@@ -278,7 +330,7 @@ def frame_sample_batch(
             int(w[bad]), int(h[bad]), int(nf[bad]),
         )
         raise ValueError(
-            f"batch rawvid8 predicate rejected a row decode_video accepts "
+            f"batch video predicate rejected a row decode_video accepts "
             f"(codec={codecs[bad]!r}) — update frame_sample_batch"
         )
     pos = np.nonzero(ok)[0]
@@ -286,10 +338,27 @@ def frame_sample_batch(
         return None
     wv, hv, nfv = w[pos], h[pos], nf[pos]
     needv = need[pos]
-    buf = b"".join(
-        pdf["bytes"].iloc[i][: int(needv[k])] for k, i in enumerate(pos)
+    dv_sel = is_dv[pos]
+    raw_buf = b"".join(
+        pdf["bytes"].iloc[int(i)][: int(n)]
+        for i, n in zip(pos[~dv_sel], needv[~dv_sel])
     )
-    arr = np.frombuffer(buf, dtype=np.uint8)
+    if dv_sel.any():
+        dbuf2 = b"".join(pdf["bytes"].iloc[int(i)] for i in pos[dv_sel])
+        darr = np.frombuffer(dbuf2, dtype=np.uint8)
+        rlens = darr[0::2].astype(np.int64) + 1
+        rvals = darr[1::2]
+        need_dv = needv[dv_sel]
+        cum = np.cumsum(np.repeat(rvals, rlens).astype(np.int64))
+        row_starts = np.concatenate([[0], np.cumsum(need_dv)[:-1]])
+        bases = np.where(row_starts > 0, cum[row_starts - 1], 0)
+        dv_arr = ((cum - np.repeat(bases, need_dv)) % 256).astype(np.uint8)
+    else:
+        dv_arr = np.empty(0, dtype=np.uint8)
+    arr = np.empty(int(needv.sum()), dtype=np.uint8)
+    vmask = np.repeat(dv_sel, needv)
+    arr[vmask] = dv_arr
+    arr[~vmask] = np.frombuffer(raw_buf, dtype=np.uint8)
     row_off = np.concatenate([[0], np.cumsum(needv)])[:-1]
     # selected frames per row: 0, every, 2*every, ...
     n_sel = (nfv + every - 1) // every
@@ -312,7 +381,7 @@ def frame_sample_batch(
     lumas = sums / fsize
     vids = pdf["video_id"].iloc[pos].to_numpy()
     caps = pdf["caption"].iloc[pos].to_numpy()
-    mv = memoryview(buf)
+    mv = memoryview(arr)
     return pd.DataFrame(
         {
             "video_id": vids[rid],

@@ -2139,11 +2139,13 @@ def _sql_video_frames(n_videos: int = 300, every: int = 4) -> str:
     splitmix64(idx), enumerate sampled frames and the pixel grid, and
     average the moving-gradient pixel formula
     ((x*3 + y*5) + (frame*7 + phase)) % 256 — all integer arithmetic,
-    means exact in float64. idx % 9 == 0 videos are h264 stubs the
-    engine skips."""
+    means exact in float64. dvid8-rle rows decode losslessly to the
+    same planes, so one pixel formula covers both real codecs; only
+    idx % 27 == 0 h264-stub videos are skipped."""
     return f"""
 WITH ids AS (SELECT unnest(generate_series(0, {n_videos - 1})) AS idx),
-hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids WHERE idx % 9 <> 0),
+hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids
+       WHERE idx % 27 <> 0),
 params AS (
   SELECT idx,
          16 + (h % 4) * 8 AS w,
@@ -2172,34 +2174,90 @@ GROUP BY 1, 2, 4
 """
 
 
-def _sql_audio_windows(n_clips: int = 500, window: int = 1024) -> str:
-    """DuckDB twin of q_audio_windows: regenerate per-clip params from
-    splitmix64(idx) (idx % 7 == 0 clips are mp3 stubs the engine
-    skips), enumerate the samples of every FULL window closed-form —
-    s(k) = ((k mod p)·a) mod 2·amp − amp — and aggregate Σs² and the
-    (s<0) sign-transition count. The predecessor sample is s(k−1) by
-    the same formula, so no window function is needed; kin=0 rows are
-    excluded from the transition count exactly like the numpy kernel's
-    within-window diff."""
+def _mulaw_seg_sql(v: str) -> str:
+    """G.711 segment index (0-7) of a biased magnitude column — the
+    vectorized comparison-sum twin of functions.g711.mulaw_encode."""
+    return (
+        f"(CAST({v} > 63 AS INT) + CAST({v} > 127 AS INT) + "
+        f"CAST({v} > 255 AS INT) + CAST({v} > 511 AS INT) + "
+        f"CAST({v} > 1023 AS INT) + CAST({v} > 2047 AS INT) + "
+        f"CAST({v} > 4095 AS INT))"
+    )
+
+
+def _pow2_case_sql(g: str, plus: int) -> str:
+    """CASE mapping segment g to 2**(g+plus) — branch-free shifts are
+    numpy-only, so the SQL twin spells the 8 segment scales out."""
+    arms = " ".join(
+        f"WHEN {k} THEN {2 ** (k + plus)}" for k in range(8)
+    )
+    return f"(CASE {g} {arms} END)"
+
+
+def _audio_vals_cte(n_clips: int, window: int) -> str:
+    """Shared CTE prefix for the audio twins: regenerate the sawtooth
+    samples closed-form, then replay functions.g711 encode-then-decode
+    IN SQL for mulaw rows (idx % 7 == 0, idx % 21 != 0) — exact
+    integer arithmetic end-to-end. DuckDB's // and % truncate toward
+    zero while numpy floors, so the 14-bit shift is floor(s/4.0) and
+    every other % operand is kept non-negative by construction.
+    idx % 21 == 0 clips are mp3 stubs the engine skips."""
     return f"""
 WITH ids AS (SELECT unnest(generate_series(0, {n_clips - 1})) AS idx),
-hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids WHERE idx % 7 <> 0),
+hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids
+       WHERE idx % 21 <> 0),
 params AS (
-  SELECT idx,
+  SELECT idx, h, (idx % 7 = 0) AS is_mu,
          CAST(2000 + (h % 6001) AS BIGINT) AS ns,
          CAST(6000 + ((h // 65536) % 26000) AS BIGINT) AS amp,
          CAST(16 + ((h // 1099511627776) % 480) AS BIGINT) AS p,
          CAST(1 + 2 * ((h // 256) % 128) AS BIGINT) AS a
   FROM hh),
 samp AS (
-  SELECT idx, amp, p, a,
+  SELECT idx, amp, p, a, is_mu,
          unnest(generate_series(0, (ns // {window}) * {window} - 1)) AS k
   FROM params),
+vals0 AS (
+  SELECT idx, k // {window} AS win, k % {window} AS kin, is_mu,
+         ((k % p) * a) % (2 * amp) - amp AS s0,
+         (((k - 1) % p) * a) % (2 * amp) - amp AS sp0
+  FROM samp),
+mux AS (
+  SELECT *, CAST(floor(s0 / 4.0) AS BIGINT) AS xs,
+            CAST(floor(sp0 / 4.0) AS BIGINT) AS xp
+  FROM vals0),
+muv AS (
+  SELECT *, LEAST(CASE WHEN xs < 0 THEN -xs ELSE xs END + 33, 8191) AS vs,
+            LEAST(CASE WHEN xp < 0 THEN -xp ELSE xp END + 33, 8191) AS vp
+  FROM mux),
+mug AS (
+  SELECT *, {_mulaw_seg_sql('vs')} AS gs, {_mulaw_seg_sql('vp')} AS gp
+  FROM muv),
+mut AS (
+  SELECT *,
+    ((vs // {_pow2_case_sql('gs', 1)}) % 16 * 8 + 132)
+      * {_pow2_case_sql('gs', 0)} AS ts,
+    ((vp // {_pow2_case_sql('gp', 1)}) % 16 * 8 + 132)
+      * {_pow2_case_sql('gp', 0)} AS tp
+  FROM mug),
 vals AS (
-  SELECT idx, k // {window} AS win, k % {window} AS kin,
-         ((k % p) * a) % (2 * amp) - amp AS s,
-         (((k - 1) % p) * a) % (2 * amp) - amp AS sp
-  FROM samp)
+  SELECT idx, win, kin,
+    CASE WHEN NOT is_mu THEN s0
+         WHEN xs < 0 THEN 132 - ts ELSE ts - 132 END AS s,
+    CASE WHEN NOT is_mu THEN sp0
+         WHEN xp < 0 THEN 132 - tp ELSE tp - 132 END AS sp
+  FROM mut)"""
+
+
+def _sql_audio_windows(n_clips: int = 500, window: int = 1024) -> str:
+    """DuckDB twin of q_audio_windows: regenerate per-clip samples
+    closed-form (s(k) = ((k mod p)·a) mod 2·amp − amp, predecessor by
+    the same formula at k−1 — no window function), replay the G.711
+    mulaw encode∘decode in exact integer SQL for mulaw rows
+    (_audio_vals_cte), and aggregate Σs² and the (s<0) sign-transition
+    count; kin=0 rows are excluded from the transition count exactly
+    like the numpy kernel's within-window diff."""
+    return f"""{_audio_vals_cte(n_clips, window)}
 SELECT 'aud_' || CAST(idx AS VARCHAR) AS audio_id,
        CAST(win AS BIGINT) AS win,
        CAST(SUM(s * s) AS BIGINT) AS sum_sq,
@@ -2506,25 +2564,7 @@ def _sql_audio_features(n_clips: int = 500, window: int = 1024) -> str:
     words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
     nw = len(_WORDS)
     denom = float(window) * 32768.0 * 32768.0
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n_clips - 1})) AS idx),
-hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids WHERE idx % 7 <> 0),
-params AS (
-  SELECT idx, h,
-         CAST(2000 + (h % 6001) AS BIGINT) AS ns,
-         CAST(6000 + ((h // 65536) % 26000) AS BIGINT) AS amp,
-         CAST(16 + ((h // 1099511627776) % 480) AS BIGINT) AS p,
-         CAST(1 + 2 * ((h // 256) % 128) AS BIGINT) AS a
-  FROM hh),
-samp AS (
-  SELECT idx, amp, p, a,
-         unnest(generate_series(0, (ns // {window}) * {window} - 1)) AS k
-  FROM params),
-vals AS (
-  SELECT idx, k // {window} AS win, k % {window} AS kin,
-         ((k % p) * a) % (2 * amp) - amp AS s,
-         (((k - 1) % p) * a) % (2 * amp) - amp AS sp
-  FROM samp),
+    return f"""{_audio_vals_cte(n_clips, window)},
 wins AS (
   SELECT idx, win,
          sqrt(CAST(SUM(s * s) AS DOUBLE) / {denom!r}) AS rms,

@@ -13,10 +13,14 @@ Schemas (metadata typed, payload opaque):
 Payloads are synthesized from the row index via splitmix64 slices, so
 any executor can regenerate a row bit-exactly — same recipe as
 sources.synth images (FIXTURES.md §1, seed 42). Codecs: ``pcm16le``
-(bare little-endian int16 mono) and ``rawvid8`` (uint8[n_frames,h,w]
-luma planes, frame-major) are real; anything else is a decode STUB
-(NotImplementedError) with the Spark plumbing fully real, because the
-sandbox has no audio/video libraries.
+(bare little-endian int16 mono), ``mulaw`` (G.711 compressed audio,
+functions.g711 — the same waveform mu-law-encoded on the wire),
+``rawvid8`` (uint8[n_frames,h,w] luma planes, frame-major) and
+``dvid8-rle`` (delta+RLE compressed video, functions.dvid8) are REAL;
+``mp3-stub``/``h264-stub`` rows (1 in 21 / 1 in 27) remain decode
+STUBS (NotImplementedError) with the Spark plumbing fully real,
+because the sandbox genuinely lacks those libraries — they keep the
+skip/strict policy paths exercised by a mixed-codec corpus.
 """
 
 from __future__ import annotations
@@ -24,6 +28,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from mapnik_vector_tile_spark.functions import dvid8
+from mapnik_vector_tile_spark.functions.g711 import mulaw_encode
 from mapnik_vector_tile_spark.sources.synth import _WORDS, splitmix64
 
 AUDIO_SCHEMA = (
@@ -59,6 +65,16 @@ def gen_audio_pdf(n: int, start: int = 0) -> pd.DataFrame:
     h = splitmix64(idx)
     sr = 8000
     n_samples = (2000 + (h % np.uint64(6001))).astype(np.int64)
+    # codec mix: 6/7 pcm16le, ~2/21 mulaw (REAL G.711 compressed),
+    # 1/21 mp3-stub (genuinely undecodable — keeps skip/strict paths
+    # exercised). The WAVEFORM is identical across codecs; only the
+    # wire encoding differs, so the DuckDB twins regenerate samples
+    # closed-form and apply encode∘decode for mulaw rows.
+    codecs = [
+        "pcm16le" if int(i) % 7
+        else ("mp3-stub" if int(i) % 21 == 0 else "mulaw")
+        for i in idx
+    ]
     bufs = []
     for i in range(n):
         hp = int(h[i])
@@ -67,14 +83,17 @@ def gen_audio_pdf(n: int, start: int = 0) -> pd.DataFrame:
         a = 1 + 2 * ((hp >> 8) % 128)  # odd step ⇒ varied wraparound
         k = np.arange(int(n_samples[i]), dtype=np.int64)
         s = ((k % p) * a) % (2 * amp) - amp
-        bufs.append(s.astype("<i2").tobytes())
+        if codecs[i] == "mulaw":
+            bufs.append(mulaw_encode(s).tobytes())
+        else:
+            bufs.append(s.astype("<i2").tobytes())
     return pd.DataFrame(
         {
             "audio_id": [f"aud_{int(i)}" for i in idx],
             "bytes": bufs,
             "sr": np.full(n, sr, dtype=np.int32),
             "n_samples": n_samples.astype(np.int32),
-            "codec": ["pcm16le" if int(i) % 7 else "mp3-stub" for i in idx],
+            "codec": codecs,
             "caption": _caption(h, "audio"),
         }
     )
@@ -89,6 +108,15 @@ def gen_video_pdf(n: int, start: int = 0) -> pd.DataFrame:
         np.int64
     )
     n_frames = (8 + (h >> np.uint64(12)) % np.uint64(25)).astype(np.int64)
+    # codec mix: 8/9 rawvid8, ~2/27 dvid8-rle (REAL lossless delta+RLE
+    # compression — decoded frames are bit-identical to the raw
+    # planes, so the DuckDB twins' closed-form pixel formula covers
+    # both), 1/27 h264-stub (genuinely undecodable).
+    codecs = [
+        "rawvid8" if int(i) % 9
+        else ("h264-stub" if int(i) % 27 == 0 else "dvid8-rle")
+        for i in idx
+    ]
     bufs = []
     for i in range(n):
         W, H, NF = int(w[i]), int(ht[i]), int(n_frames[i])
@@ -98,7 +126,11 @@ def gen_video_pdf(n: int, start: int = 0) -> pd.DataFrame:
             (fx[None] * 3 + fy[None] * 5)
             + (np.arange(NF)[:, None, None] * 7 + phase)
         ) % 256
-        bufs.append(frames.astype(np.uint8).tobytes())
+        planes = frames.astype(np.uint8)
+        if codecs[i] == "dvid8-rle":
+            bufs.append(dvid8.encode(planes))
+        else:
+            bufs.append(planes.tobytes())
     return pd.DataFrame(
         {
             "video_id": [f"vid_{int(i)}" for i in idx],
@@ -107,7 +139,7 @@ def gen_video_pdf(n: int, start: int = 0) -> pd.DataFrame:
             "h": ht.astype(np.int32),
             "n_frames": n_frames.astype(np.int32),
             "fps": np.full(n, 10, dtype=np.int32),
-            "codec": ["rawvid8" if int(i) % 9 else "h264-stub" for i in idx],
+            "codec": codecs,
             "caption": _caption(h, "video"),
         }
     )

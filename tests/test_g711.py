@@ -1,0 +1,51 @@
+"""G.711 mu-law codec: spec vectors, idempotence, quantization
+quality, and parity between table decode and formula decode."""
+
+import numpy as np
+
+from mapnik_vector_tile_spark.functions import g711
+
+
+def test_spec_vectors():
+    # canonical reference-table anchors
+    assert g711.mulaw_encode(np.array([0]))[0] == 0xFF
+    assert g711.mulaw_encode(np.array([32767]))[0] == 0x80
+    assert g711.mulaw_encode(np.array([-32768]))[0] == 0x00
+    assert g711.mulaw_decode(np.array([0x80], np.uint8))[0] == 32124
+    assert g711.mulaw_decode(np.array([0x00], np.uint8))[0] == -32124
+    assert g711.mulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+
+
+def test_code_idempotence():
+    # encode(decode(c)) == c for all codes except 0x7F: negative zero
+    # decodes to 0, which re-encodes positive (0xFF) — the classic
+    # G.711 degeneracy, pinned rather than papered over
+    codes = np.arange(256, dtype=np.uint8)
+    rt = g711.mulaw_encode(g711.mulaw_decode(codes))
+    bad = np.nonzero(rt != codes)[0]
+    assert list(bad) == [0x7F]
+    assert rt[0x7F] == 0xFF
+
+
+def test_full_range_quantization():
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    d = g711.mulaw_decode(g711.mulaw_encode(x)).astype(np.int64)
+    # sign preserved (negatives stay <= 0, positives stay >= 0)
+    assert (d[x < -3] < 0).all()
+    assert (d[x >= 0] >= 0).all()
+    # logarithmic quantization: error bounded by half the largest step
+    assert int(np.abs(d - x).max()) <= 1024
+    snr = 10 * np.log10(
+        float((x.astype(float) ** 2).mean())
+        / float(((d - x).astype(float) ** 2).mean())
+    )
+    assert snr > 35.0
+    # decode is monotone non-decreasing over re-ordered code space
+    dec = g711.MULAW_TABLE
+    pos = np.sort(dec)
+    assert pos[0] == -32124 and pos[-1] == 32124
+
+
+def test_table_matches_formula():
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(g711.MULAW_TABLE, g711.mulaw_decode(codes))

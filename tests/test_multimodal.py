@@ -39,8 +39,9 @@ def test_decode_stubs_raise():
 def test_audio_features_distributed(spark):
     df = src.audio_df(spark, 60, slices=4)
     feats = mm.audio_features(df).toPandas()
-    # codec 'mp3-stub' rows (idx % 7 == 0) are skipped by policy
-    expected = sum(1 for i in range(60) if i % 7)
+    # codec 'mp3-stub' rows (idx % 21 == 0) are skipped by policy;
+    # pcm16le AND mulaw rows both decode for real
+    expected = sum(1 for i in range(60) if i % 21)
     assert len(feats) == expected
     assert (feats["n_windows"] >= 1).all()
     assert feats["rms_mean"].between(0, 1).all()
@@ -54,7 +55,7 @@ def test_frame_sample_fanout(spark):
     df = src.video_df(spark, 30, slices=3)
     frames = mm.sample_frames(df, every=4).toPandas()
     pdf = src.gen_video_pdf(30, 0)
-    dec = pdf[pdf["codec"] == "rawvid8"]
+    dec = pdf[pdf["codec"].isin(["rawvid8", "dvid8-rle"])]
     expected = int(sum((dec["n_frames"] + 3) // 4))
     assert len(frames) == expected
     # frame payload round-trips to the exact source plane
@@ -75,3 +76,51 @@ def test_strict_mode_surfaces_stub(spark):
     df = src.audio_df(spark, 8, slices=2)
     with pytest.raises(Exception):  # Py4J wraps the NotImplementedError
         mm.audio_features(df, skip_undecodable=False).collect()
+
+
+def test_batch_audio_decode_matches_scalar_all_codecs():
+    a = src.gen_audio_pdf(63, 0)
+    pos, samples, offs, nsv = mm._batch_decode_audio(a, True)
+    assert set(a.iloc[list(pos)]["codec"]) == {"pcm16le", "mulaw"}
+    for k, i in enumerate(pos):
+        row = a.iloc[int(i)]
+        ref = mm.decode_audio(
+            row["bytes"], row["codec"], int(row["n_samples"])
+        )
+        got = samples[offs[k]:offs[k + 1]].astype(np.float64) / 32768.0
+        assert np.array_equal(ref, got), row["codec"]
+
+
+def test_batch_video_decodes_compressed_rows():
+    v = src.gen_video_pdf(60, 0)
+    out = mm.frame_sample_batch(v, 4, True)
+    dv_ids = set(v[v["codec"] == "dvid8-rle"]["video_id"])
+    assert dv_ids and dv_ids <= set(out["video_id"])
+    sub = out[out["video_id"].isin(dv_ids)]
+    for _, r in sub.iterrows():
+        srow = v[v["video_id"] == r["video_id"]].iloc[0]
+        vid = mm.decode_video(
+            srow["bytes"], srow["codec"], int(srow["w"]), int(srow["h"]),
+            int(srow["n_frames"]),
+        )
+        got = np.frombuffer(r["frame"], np.uint8).reshape(
+            int(r["h"]), int(r["w"])
+        )
+        assert (got == vid[int(r["frame_idx"])]).all()
+        assert (
+            abs(float(r["mean_luma"]) - float(vid[int(r["frame_idx"])].mean()))
+            < 1e-9
+        )
+
+
+def test_batch_video_skips_malformed_dvid8():
+    v = src.gen_video_pdf(30, 0).copy()
+    # isolate the malformed-dvid8 contract from the stub path: keep
+    # only decodable-codec rows, then truncate one dvid8 payload
+    v = v[v["codec"] != "h264-stub"].reset_index(drop=True)
+    dvpos = v.index[v["codec"] == "dvid8-rle"][0]
+    v.loc[dvpos, "bytes"] = v.loc[dvpos, "bytes"][:-1]  # odd length
+    out = mm.frame_sample_batch(v, 4, True)
+    assert v.loc[dvpos, "video_id"] not in set(out["video_id"])
+    with pytest.raises(ValueError):
+        mm.frame_sample_batch(v, 4, False)
