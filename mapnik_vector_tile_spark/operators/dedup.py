@@ -593,3 +593,37 @@ def phash_neardup_pairs(
     if hot is not None:
         pairs = pairs.unionByName(hot)
     return pairs.distinct()
+
+
+def dup_ngram_spans(
+    docs: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Substring-level duplicate-span detection — the exact-substring
+    dedup primitive (find word n-grams shared verbatim across >=
+    min_docs distinct documents, the signal used to cut repeated
+    boilerplate/quotes out of LLM training corpora).
+
+    Output: (ngram, n_docs, n_occ, first_doc) per duplicated span —
+    distinct documents containing it, total occurrences, and the
+    lowest doc_id as the canonical witness.
+
+    Scale shape: the n-gram explode is a narrow in-partition fan-out
+    (same shape as tile assignment); then TWO hash aggregations, each
+    with map-side partial combine — first on (ngram, doc_id) so a doc
+    repeating its own span collapses locally before the wire, then on
+    ngram for the cross-doc counts. No distinct-aggregate Expand, no
+    join, no driver collect. At 100 TB the string keys dominate
+    shuffle bytes; swap the first groupBy key for h14(ngram) (2^56
+    md5-prefix space) when approximate span identity is acceptable —
+    kept exact-string here because the oracle gates exactness."""
+    ng = shingles(docs, n).withColumnRenamed("shingle", "ngram")
+    per_doc = ng.groupBy("ngram", "doc_id").agg(F.count("*").alias("occ"))
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("occ").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -2658,6 +2658,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 # every key even if the driver budget is key-count-based).
 _RECORD_FIRST = (
     # round-2 new/upgraded oracles — record fresh
+    "q_dup_ngram_spans",
     "q_engine_clip_repair",
     "q_raster_jpeg",
     "q_distinct_kmv",

@@ -742,11 +742,55 @@ def q_seq_packing(spark, sf_dir):
     )
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    """Exact duplicate n-gram spans over documents ∪ a shifted copy of
+    every 5th doc (partial duplication, so the min_docs filter is
+    load-bearing: spans of copied docs pass, spans unique to one doc
+    are dropped). Full oracle: the DuckDB twin regenerates the same
+    8-gram explode with list_transform + the same two-stage count."""
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir)
+    part = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return D.dup_ngram_spans(docs.unionByName(part), n=8, min_docs=2)
+
+
+def sql_dup_ngram_spans(n: int = 8) -> str:
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+),
+ng AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(words) - {n - 1}, 0)),
+           i -> array_to_string(words[i:i + {n - 1}], ' '))) AS ngram
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs2)
+),
+per_doc AS (
+  SELECT ngram, doc_id, COUNT(*) AS occ FROM ng GROUP BY 1, 2
+)
+SELECT ngram,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(occ) AS BIGINT) AS n_occ,
+       MIN(doc_id) AS first_doc
+FROM per_doc
+GROUP BY 1
+HAVING COUNT(*) >= 2
+"""
+
+
 def pairs() -> dict[str, tuple[Callable, str | None]]:
     """name -> (spark_fn, oracle_sql | None). None = rows-only check
     (approximate/recall-bounded ops, documented)."""
     return {
         "q_exact_dedup": (q_exact_dedup, sql_exact_dedup()),
+        "q_dup_ngram_spans": (q_dup_ngram_spans, sql_dup_ngram_spans()),
         "q_minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
         "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
         "q_dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),

@@ -405,3 +405,51 @@ def test_hot_bucket_star_guard_minhash(spark):
     star = D.minhash_lsh_pairs(docs, hot_bucket_limit=8).collect()
     assert len(star) == n - 1
     assert all(r.doc_a == 0 for r in star)
+
+
+def test_dup_ngram_spans_values(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.dedup import dup_ngram_spans
+
+    rows = [
+        (1, "a b c d e f"),      # shares 'a b c d' with doc 2
+        (2, "a b c d x y"),
+        (3, "a b c d x y"),      # exact dup of 2
+        (4, "q r s t"),          # unique + too short for repeats
+        (5, "p p p p p p p p"),  # self-repeats only — must NOT pass
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        dup_ngram_spans(docs, n=4, min_docs=2)
+        .orderBy("ngram")
+        .collect()
+    )
+    got = {(r.ngram): (r.n_docs, r.n_occ, r.first_doc) for r in out}
+    assert got == {
+        "a b c d": (3, 3, 1),
+        "b c d x": (2, 2, 2),
+        "c d x y": (2, 2, 2),
+    }
+    # doc 5's 5 within-doc occurrences of 'p p p p' stay out: one doc
+    single = dup_ngram_spans(docs, n=4, min_docs=1).filter(
+        F.col("ngram") == "p p p p"
+    ).collect()
+    assert single[0].n_docs == 1 and single[0].n_occ == 5
+
+
+def test_dup_ngram_spans_plan(spark):
+    from mapnik_vector_tile_spark.operators.dedup import dup_ngram_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        dup_ngram_spans(docs, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # two shuffles, each fed by a map-side partial aggregate; no
+    # distinct-aggregate Expand; scan pruned to (doc_id, text)
+    assert plan.count("Exchange") == 2
+    assert plan.count("partial_") >= 2
+    assert "Expand" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
