@@ -4,10 +4,13 @@ SURVEY §2.8 R2) without any imaging library, which this sandbox lacks.
 
 Scope: baseline sequential DCT, 8-bit, YCbCr 4:4:4 (no chroma
 subsampling — simplest layout that keeps PSNR comfortably ≥ 40 dB at
-q=90 for the engine's raster tiles), standard Annex K quantization
-and Huffman tables. Encoder emits a JFIF stream any standard decoder
-reads; decoder handles the streams this encoder emits plus any
-baseline 4:4:4 stream with one Huffman table pair per destination.
+q=90 for the engine's raster tiles) plus 1-component grayscale
+streams (the mode functions.mjpeg encodes video luma planes with —
+1/3 the block work, no color transform), standard Annex K
+quantization and Huffman tables. Encoder emits a JFIF stream any
+standard decoder reads; decoder handles the streams this encoder
+emits plus any baseline 4:4:4 or grayscale stream with one Huffman
+table pair per destination.
 
 Performance posture: the DCT/IDCT, quantization, zigzag, and color
 transforms are whole-image numpy (matrix form, no per-pixel Python);
@@ -269,17 +272,25 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
-    """uint8[h, w, 3|4] -> baseline JFIF bytes (alpha dropped)."""
-    if rgb.ndim != 3 or rgb.shape[2] not in (3, 4):
-        raise ValueError("encode_jpeg expects HxWx3 or HxWx4 uint8")
+    """uint8[h, w, 3|4] -> color baseline JFIF bytes (alpha dropped);
+    uint8[h, w] -> single-component (grayscale) baseline JFIF — the
+    shape video luma planes arrive in (functions.mjpeg), 1/3 the block
+    work and no color transform."""
+    gray = rgb.ndim == 2
+    if not gray and (rgb.ndim != 3 or rgb.shape[2] not in (3, 4)):
+        raise ValueError("encode_jpeg expects HxW, HxWx3 or HxWx4 uint8")
     h, w = rgb.shape[:2]
-    ycc = _rgb_to_ycbcr(rgb[..., :3])
+    if gray:
+        chans = [np.asarray(rgb, dtype=np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(rgb[..., :3])
+        chans = [ycc[..., c] for c in range(3)]
     ql = _scaled_q(_QL, quality)
     qc = _scaled_q(_QC, quality)
     # vectorized DCT + quantize per component: D B Dᵀ over all blocks
     comp_zz = []
-    for c in range(3):
-        blocks = _to_blocks(ycc[..., c]) - 128.0
+    for c, chan in enumerate(chans):
+        blocks = _to_blocks(chan) - 128.0
         coef = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
         q = ql if c == 0 else qc
         qz = np.rint(coef / q).astype(np.int64)
@@ -292,7 +303,7 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
     n_blocks = comp_zz[0].shape[0]
     prev = [0, 0, 0]
     for bi in range(n_blocks):
-        for c in range(3):
+        for c in range(len(chans)):
             zz = comp_zz[c][bi]
             dct_, act_ = (dc_l, ac_l) if c == 0 else (dc_c, ac_c)
             size, bits = _magnitude(int(zz[0]) - prev[c])
@@ -332,18 +343,29 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
         bits, values = ht
         return _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
 
+    comp_sof = (
+        [1, 0x11, 0] if gray else [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
     sof = _seg(
         0xC0,
-        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
-            [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
-        ),
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([len(chans)]) + bytes(comp_sof),
     )
-    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    comp_sos = [1, 0x00] if gray else [1, 0x00, 2, 0x11, 3, 0x11]
+    sos = _seg(
+        0xDA, bytes([len(chans)]) + bytes(comp_sos) + bytes([0, 63, 0])
+    )
     app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if gray:
+        tables = _dqt(0, ql) + _dht(0, 0, _HT_DC_L) + _dht(1, 0, _HT_AC_L)
+    else:
+        tables = (
+            _dqt(0, ql) + _dqt(1, qc)
+            + _dht(0, 0, _HT_DC_L) + _dht(1, 0, _HT_AC_L)
+            + _dht(0, 1, _HT_DC_C) + _dht(1, 1, _HT_AC_C)
+        )
     return (
-        b"\xff\xd8" + app0 + _dqt(0, ql) + _dqt(1, qc)
-        + _dht(0, 0, _HT_DC_L) + _dht(1, 0, _HT_AC_L)
-        + _dht(0, 1, _HT_DC_C) + _dht(1, 1, _HT_AC_C)
+        b"\xff\xd8" + app0 + tables
         + sof + sos + bytes(bw_.out) + b"\xff\xd9"
     )
 
@@ -406,8 +428,10 @@ def _decode_jpeg_inner(buf: bytes) -> np.ndarray:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
-            if nc != 3:
-                raise ValueError("jpeg: only 3-component streams supported")
+            if nc not in (1, 3):
+                raise ValueError(
+                    "jpeg: only 1- or 3-component streams supported"
+                )
             for c in range(nc):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
                 if samp != 0x11:
@@ -473,13 +497,18 @@ def _decode_jpeg_inner(buf: bytes) -> np.ndarray:
                 zz[k] = extend(br.read(size), size)
                 k += 1
             coefs[ci][bi][_ZZ] = zz
-    out = np.zeros((h, w, 3), dtype=np.float64)
+    out = np.zeros((h, w, len(comps)), dtype=np.float64)
     for ci, (_, _, qid) in enumerate(comps):
         blocks = coefs[ci].reshape(-1, 8, 8) * qt[qid]
         pix = np.einsum("ji,njk,kl->nil", _D, blocks, _D) + 128.0
         out[..., ci] = _from_blocks(pix, h, w)
-    rgb = _ycbcr_to_rgb(out)
     rgba = np.empty((h, w, 4), dtype=np.uint8)
-    rgba[..., :3] = rgb
+    if len(comps) == 1:
+        # grayscale stream: the single component IS the sample value
+        # (no color transform in T.81 for 1-component scans)
+        gray = np.clip(out[..., 0] + 0.5, 0, 255).astype(np.uint8)
+        rgba[..., 0] = rgba[..., 1] = rgba[..., 2] = gray
+    else:
+        rgba[..., :3] = _ycbcr_to_rgb(out)
     rgba[..., 3] = 255
     return rgba

@@ -5,9 +5,11 @@ handled for real in operators.raster).
 Everything is Arrow-batched ``mapInPandas`` over the typed-metadata
 tables of sources.multimodal: decode is a per-codec kernel — REAL for
 ``pcm16le``/``rawvid8`` (bare fixed-stride planes), ``mulaw`` (G.711,
-functions.g711) and ``dvid8-rle`` (delta+RLE video, functions.dvid8);
-codecs whose decoders genuinely need external libraries absent from
-this container (mp3, h264) remain NotImplementedError stubs — and the
+functions.g711), ``dvid8-rle`` (delta+RLE video, functions.dvid8) and
+``mjpeg`` (lossy intraframe video, functions.mjpeg — per-frame
+grayscale baseline JPEG with random-access frame decode); codecs
+whose decoders genuinely need external libraries absent from this
+container (mp3, h264) remain NotImplementedError stubs — and the
 Spark-side plumbing (schema, batch shape, partitioning, 1→N frame
 explode) is fully real and tested.
 
@@ -23,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from mapnik_vector_tile_spark.functions import dvid8
+from mapnik_vector_tile_spark.functions import dvid8, mjpeg
 from mapnik_vector_tile_spark.functions.g711 import MULAW_TABLE
 
 AUDIO_FEATURES_SCHEMA = (
@@ -66,6 +68,8 @@ def decode_video(
         )
     if codec == "dvid8-rle":
         return dvid8.decode(buf, w, h, n_frames)
+    if codec == "mjpeg":
+        return mjpeg.decode(buf, w, h, n_frames)
     raise NotImplementedError(
         f"video codec {codec!r}: no decoder in this sandbox (stub)"
     )
@@ -323,8 +327,14 @@ def frame_sample_batch(
         exp = np.zeros(len(dvi), dtype=np.int64)
         np.add.at(exp, seg, dlens)
         ok[dvi[exp == need[dvi]]] = True
-    if not ok.all() and not skip_undecodable:
-        bad = int(np.nonzero(~ok)[0][0])
+    # mjpeg rows take their own sub-path (per-frame entropy decode is
+    # inherently sequential within a frame; decode cost there is
+    # proportional to SAMPLED frames) — exclude them from the
+    # fixed-stride predicate/strict scan
+    is_mj = codecs == "mjpeg"
+    unhandled = ~ok & ~is_mj
+    if unhandled.any() and not skip_undecodable:
+        bad = int(np.nonzero(unhandled)[0][0])
         decode_video(
             pdf["bytes"].iloc[bad], str(codecs[bad]),
             int(w[bad]), int(h[bad]), int(nf[bad]),
@@ -333,9 +343,12 @@ def frame_sample_batch(
             f"batch video predicate rejected a row decode_video accepts "
             f"(codec={codecs[bad]!r}) — update frame_sample_batch"
         )
+    mj_out = _mjpeg_sample_rows(
+        pdf, np.nonzero(is_mj)[0], every, skip_undecodable
+    )
     pos = np.nonzero(ok)[0]
     if not len(pos):
-        return None
+        return mj_out
     wv, hv, nfv = w[pos], h[pos], nf[pos]
     needv = need[pos]
     dv_sel = is_dv[pos]
@@ -382,7 +395,7 @@ def frame_sample_batch(
     vids = pdf["video_id"].iloc[pos].to_numpy()
     caps = pdf["caption"].iloc[pos].to_numpy()
     mv = memoryview(arr)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "video_id": vids[rid],
             "frame_idx": fidx.astype(np.int32),
@@ -393,5 +406,91 @@ def frame_sample_batch(
                 bytes(mv[int(s):int(e)]) for s, e in zip(fstart, fend)
             ],
             "caption": caps[rid],
+        }
+    )
+    if mj_out is not None:
+        out = pd.concat([out, mj_out], ignore_index=True)
+    return out
+
+
+def _mjpeg_sample_rows(
+    pdf: pd.DataFrame, mj_pos: np.ndarray, every: int,
+    skip_undecodable: bool,
+) -> pd.DataFrame | None:
+    """MJPEG rows of a frame-sampling batch. Every MJPEG frame is an
+    independent JPEG, so the sampler walks the length-prefixed
+    container ONCE per row and entropy-decodes ONLY the selected
+    frames — decode cost proportional to sampled frames, the
+    random-access property intraframe codecs exist for. The per-frame
+    DCT/dequant work is whole-frame numpy (functions.jpeg); the loop
+    here is per SAMPLED FRAME, the same bounded budget class as the
+    raster JPEG codec (operators.raster), not per pixel.
+
+    Honors the batch policy contract: a malformed row is skipped under
+    skip_undecodable, else its ValueError propagates (same error type
+    the scalar decode_video path raises)."""
+    if not len(mj_pos):
+        return None
+    rows: dict[str, list] = {
+        k: []
+        for k in ("video_id", "frame_idx", "w", "h", "mean_luma",
+                  "frame", "caption")
+    }
+    for i in mj_pos:
+        i = int(i)
+        W = int(pdf["w"].iloc[i])
+        H = int(pdf["h"].iloc[i])
+        NF = int(pdf["n_frames"].iloc[i])
+        buf = bytes(pdf["bytes"].iloc[i])
+        try:
+            if buf[:4] != mjpeg.MAGIC:
+                raise ValueError("mjpeg: missing MJPG magic")
+            pos_b = 4
+            planes: dict[int, np.ndarray] = {}
+            for fi in range(NF):
+                if pos_b + 4 > len(buf):
+                    raise ValueError("mjpeg: truncated frame header")
+                ln = int.from_bytes(buf[pos_b : pos_b + 4], "big")
+                pos_b += 4
+                if pos_b + ln > len(buf):
+                    raise ValueError("mjpeg: truncated frame payload")
+                if fi % every == 0:
+                    rgba = mjpeg.decode_jpeg(buf[pos_b : pos_b + ln])
+                    if rgba.shape[0] != H or rgba.shape[1] != W:
+                        raise ValueError(
+                            "mjpeg: frame dims mismatch metadata"
+                        )
+                    planes[fi] = np.ascontiguousarray(rgba[..., 0])
+                pos_b += ln
+            if pos_b != len(buf):
+                raise ValueError("mjpeg: trailing bytes after final frame")
+        except ValueError:
+            if skip_undecodable:
+                continue
+            raise
+        vid = pdf["video_id"].iloc[i]
+        cap = pdf["caption"].iloc[i]
+        for fi in sorted(planes):
+            pl = planes[fi]
+            rows["video_id"].append(vid)
+            rows["frame_idx"].append(fi)
+            rows["w"].append(W)
+            rows["h"].append(H)
+            rows["mean_luma"].append(
+                float(pl.sum(dtype=np.int64)) / (W * H)
+            )
+            rows["frame"].append(pl.tobytes())
+            rows["caption"].append(cap)
+    if not rows["video_id"]:
+        return None
+    return pd.DataFrame(
+        {
+            "video_id": rows["video_id"],
+            "frame_idx": np.asarray(rows["frame_idx"], dtype=np.int32),
+            "w": np.asarray(rows["w"], dtype=np.int32),
+            "h": np.asarray(rows["h"], dtype=np.int32),
+            "mean_luma": np.asarray(rows["mean_luma"], dtype=np.float64),
+            "frame": rows["frame"],
+            "caption": rows["caption"],
         }
     )

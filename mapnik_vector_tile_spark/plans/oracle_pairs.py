@@ -2368,6 +2368,105 @@ FROM ids
 """
 
 
+MJPEG_N = 120  # q_video_mjpeg corpus size
+
+
+def q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 LOSSY video codec gate with a FULL contract oracle: the
+    MJPEG corpus (sources.multimodal.gen_mjpeg_video_pdf — the same
+    mod-256 moving-gradient luma recipe as the lossless corpus, the
+    hardest content for a DCT codec) flows through the REAL engine
+    path ``sample_frames`` (operators.multimodal's mjpeg branch:
+    container walk + per-sampled-frame grayscale JPEG decode), and
+    each clip must satisfy the input_hint lossy invariant PSNR ≥ 40 dB
+    plus actual compression (bytes < raw planes). The PSNR gate is a
+    PURE-INTEGER comparison — PSNR ≥ 40 ⇔ sse·10⁴ ≤ 255²·n_pix with
+    sse an exact int64 sum of squared pixel deltas vs the closed-form
+    reference — so the booleans are deterministic, not float-fragile.
+    The DuckDB twin regenerates (w, h, n_sampled) from the committed
+    splitmix64 recipe and asserts the contract booleans TRUE.
+    sf_dir is unused: the corpus is the committed synth recipe.
+    Ref parity: per-frame intraframe coding is the random-access
+    property RFC 2435-style MJPEG exists for; SURVEY §2.11 T14."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import multimodal as mm
+    from mapnik_vector_tile_spark.sources.multimodal import mjpeg_video_df
+
+    vids = mjpeg_video_df(spark, MJPEG_N)
+    smaller = vids.select(
+        "video_id",
+        (
+            F.length("bytes")
+            < F.col("w").cast("long") * F.col("h") * F.col("n_frames")
+        ).alias("smaller"),
+    )
+    sampled = mm.sample_frames(vids, every=2)
+
+    def check(it):
+        import numpy as np
+        import pandas as pd
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            idx = pdf["video_id"].str.slice(4).astype(np.int64).to_numpy()
+            hh = splitmix64(idx.astype(np.uint64))
+            phase = (hh % np.uint64(251)).astype(np.int64)
+            sse = np.empty(len(pdf), np.int64)
+            for j, r in enumerate(pdf.itertuples(index=False)):
+                fy, fx = np.mgrid[0 : int(r.h), 0 : int(r.w)]
+                ref = (
+                    fx * 3 + fy * 5 + int(r.frame_idx) * 7 + int(phase[j])
+                ) % 256
+                got = (
+                    np.frombuffer(r.frame, dtype=np.uint8)
+                    .reshape(int(r.h), int(r.w))
+                    .astype(np.int64)
+                )
+                d = got - ref
+                sse[j] = int((d * d).sum())
+            yield pd.DataFrame(
+                {
+                    "video_id": pdf["video_id"],
+                    "w": pdf["w"].astype("int32"),
+                    "h": pdf["h"].astype("int32"),
+                    "sse": sse,
+                    "n_pix": (
+                        pdf["w"].astype("int64") * pdf["h"].astype("int64")
+                    ),
+                }
+            )
+
+    per_frame = sampled.mapInPandas(
+        check, schema="video_id string, w int, h int, sse bigint, n_pix bigint"
+    )
+    agg = per_frame.groupBy("video_id", "w", "h").agg(
+        F.count("*").cast("int").alias("n_sampled"),
+        (
+            F.sum("sse") * F.lit(10000) <= F.sum("n_pix") * F.lit(255 * 255)
+        ).alias("psnr_ok"),
+    )
+    return agg.join(smaller, "video_id").select(
+        "video_id", "w", "h", "n_sampled", "psnr_ok", "smaller"
+    )
+
+
+def _sql_video_mjpeg(n: int = MJPEG_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
+hh AS (SELECT idx, {splitmix64_sql('idx')} AS hv FROM ids)
+SELECT 'mjv_' || CAST(idx AS VARCHAR) AS video_id,
+       CAST(40 + (hv % 3) * 24 AS INT) AS w,
+       CAST(40 + ((hv // 16) % 3) * 16 AS INT) AS h,
+       CAST((4 + (hv // 4096) % 5 + 1) // 2 AS INT) AS n_sampled,
+       TRUE AS psnr_ok, TRUE AS smaller
+FROM hh
+"""
+
+
 REPAIR_N = 450  # q_engine_clip_repair corpus size
 
 
@@ -2639,6 +2738,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
     "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
+    "q_video_mjpeg": (q_video_mjpeg, _sql_video_mjpeg()),
 }
 
 
@@ -2658,6 +2758,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 # every key even if the driver budget is key-count-based).
 _RECORD_FIRST = (
     # round-2 new/upgraded oracles — record fresh
+    "q_video_mjpeg",
     "q_dup_ngram_spans",
     "q_engine_clip_repair",
     "q_raster_jpeg",

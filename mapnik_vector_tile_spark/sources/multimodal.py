@@ -145,6 +145,48 @@ def gen_video_pdf(n: int, start: int = 0) -> pd.DataFrame:
     )
 
 
+def gen_mjpeg_video_pdf(n: int, start: int = 0) -> pd.DataFrame:
+    """Rows [start, start+n): the LOSSY-video corpus — same
+    moving-gradient luma recipe as gen_video_pdf (mod-256 wraps give
+    JPEG its hardest edges) but larger frames (40-88 px, where JPEG
+    headers amortize) and every row ``mjpeg``-encoded (functions.mjpeg,
+    q=98). Frame pixels are closed-form in (idx, x, y, frame): the
+    q_video_mjpeg oracle regenerates them to compute the PSNR contract,
+    and its DuckDB twin regenerates the METADATA (w, h, n_frames)
+    from the same splitmix64 slices."""
+    from mapnik_vector_tile_spark.functions import mjpeg
+
+    idx = np.arange(start, start + n, dtype=np.uint64)
+    h = splitmix64(idx)
+    w = (40 + (h % np.uint64(3)) * np.uint64(24)).astype(np.int64)  # 40/64/88
+    ht = (40 + ((h >> np.uint64(4)) % np.uint64(3)) * np.uint64(16)).astype(
+        np.int64
+    )  # 40/56/72
+    n_frames = (4 + (h >> np.uint64(12)) % np.uint64(5)).astype(np.int64)
+    bufs = []
+    for i in range(n):
+        W, H, NF = int(w[i]), int(ht[i]), int(n_frames[i])
+        fy, fx = np.mgrid[0:H, 0:W]
+        phase = int(h[i] % np.uint64(251))
+        frames = (
+            (fx[None] * 3 + fy[None] * 5)
+            + (np.arange(NF)[:, None, None] * 7 + phase)
+        ) % 256
+        bufs.append(mjpeg.encode(frames.astype(np.uint8), quality=98))
+    return pd.DataFrame(
+        {
+            "video_id": [f"mjv_{int(i)}" for i in idx],
+            "bytes": bufs,
+            "w": w.astype(np.int32),
+            "h": ht.astype(np.int32),
+            "n_frames": n_frames.astype(np.int32),
+            "fps": np.full(n, 10, dtype=np.int32),
+            "codec": ["mjpeg"] * n,
+            "caption": _caption(h, "video"),
+        }
+    )
+
+
 def _range_df(spark, n: int, gen_pdf, schema: str, slices: int | None):
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -171,3 +213,8 @@ def audio_df(spark, n: int, slices: int | None = None):
 def video_df(spark, n: int, slices: int | None = None):
     """Distributed deterministic video table (born partitioned)."""
     return _range_df(spark, n, gen_video_pdf, VIDEO_SCHEMA, slices)
+
+
+def mjpeg_video_df(spark, n: int, slices: int | None = None):
+    """Distributed deterministic MJPEG (lossy) video table."""
+    return _range_df(spark, n, gen_mjpeg_video_pdf, VIDEO_SCHEMA, slices)
