@@ -63,3 +63,44 @@ def mulaw_decode(code: np.ndarray) -> np.ndarray:
 # 256-entry decode table — the fast path operators.multimodal uses:
 # decoding a batch is one fancy-index gather, no arithmetic at all.
 MULAW_TABLE: np.ndarray = mulaw_decode(np.arange(256, dtype=np.uint8))
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM -> uint8 A-law codes, vectorized (the G.711 European
+    companding variant — 13-bit, segment thresholds at powers of two,
+    alternate-bit inversion 0x55 instead of mu-law's complement).
+
+    Reference form (Sun g711.c linear2alaw): x = pcm >> 3 (arithmetic
+    shift, 16->13 bit), negatives fold as v = -x - 1 (one's
+    complement), segment = count of thresholds 0x1F..0x7FF exceeded,
+    mantissa = (v >> max(seg, 1)) & 0xF, code = (seg<<4 | mantissa)
+    XOR (0xD5 positive / 0x55 negative). v <= 4095 always, so the
+    reference's seg-8 overflow branch is unreachable for int16 input.
+    """
+    x = np.asarray(pcm).astype(np.int64) >> 3
+    neg = x < 0
+    v = np.where(neg, -x - 1, x)
+    seg = (
+        (v > 0x1F).astype(np.int64)
+        + (v > 0x3F)
+        + (v > 0x7F)
+        + (v > 0xFF)
+        + (v > 0x1FF)
+        + (v > 0x3FF)
+        + (v > 0x7FF)
+    )
+    mant = (v >> np.maximum(seg, 1)) & 0xF
+    code = (seg << 4) | mant
+    return np.where(neg, code ^ 0x55, code ^ 0xD5).astype(np.uint8)
+
+
+def alaw_decode(code: np.ndarray) -> np.ndarray:
+    """uint8 A-law codes -> int16 PCM, vectorized exact inverse."""
+    a = np.asarray(code).astype(np.int64) ^ 0x55
+    t0 = (a & 0xF) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t0 + 8, (t0 + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+ALAW_TABLE: np.ndarray = alaw_decode(np.arange(256, dtype=np.uint8))

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from mapnik_vector_tile_spark.functions import dvid8, mjpeg
-from mapnik_vector_tile_spark.functions.g711 import MULAW_TABLE
+from mapnik_vector_tile_spark.functions.g711 import ALAW_TABLE, MULAW_TABLE
 
 AUDIO_FEATURES_SCHEMA = (
     "audio_id string, n_windows int, rms_mean double, rms_max double, "
@@ -43,15 +43,17 @@ AUDIO_WINDOWS_SCHEMA = (
 
 def decode_audio(buf: bytes, codec: str, n_samples: int) -> np.ndarray:
     """bytes -> float64[n_samples] in [-1, 1). Real: pcm16le, mulaw
-    (G.711). Stub for codecs with no sandbox decoder (mp3 etc.)."""
+    and alaw (G.711). Stub for codecs with no sandbox decoder (mp3
+    etc.)."""
     if codec == "pcm16le":
         return (
             np.frombuffer(buf, dtype="<i2", count=n_samples).astype(np.float64)
             / 32768.0
         )
-    if codec == "mulaw":
+    if codec in ("mulaw", "alaw"):
+        table = MULAW_TABLE if codec == "mulaw" else ALAW_TABLE
         codes = np.frombuffer(buf, dtype=np.uint8, count=n_samples)
-        return MULAW_TABLE[codes].astype(np.float64) / 32768.0
+        return table[codes].astype(np.float64) / 32768.0
     raise NotImplementedError(
         f"audio codec {codec!r}: no decoder in this sandbox (stub)"
     )
@@ -110,7 +112,8 @@ def _batch_decode_audio(pdf: pd.DataFrame, skip_undecodable: bool):
     )
     ok_pcm = (codecs == "pcm16le") & (blens >= 2 * ns)
     ok_mu = (codecs == "mulaw") & (blens >= ns)
-    ok = ok_pcm | ok_mu
+    ok_al = (codecs == "alaw") & (blens >= ns)
+    ok = ok_pcm | ok_mu | ok_al
     if not ok.all() and not skip_undecodable:
         bad = int(np.nonzero(~ok)[0][0])
         decode_audio(
@@ -127,24 +130,31 @@ def _batch_decode_audio(pdf: pd.DataFrame, skip_undecodable: bool):
     if not len(pos):
         return pos, np.empty(0, dtype=np.int32), np.array([0]), ns[pos]
     nsv = ns[pos]
-    is_pcm = ok_pcm[pos]
     bcol = pdf["bytes"]
-    buf_p = b"".join(
-        bcol.iloc[int(i)][: 2 * int(n)]
-        for i, n in zip(pos[is_pcm], nsv[is_pcm])
-    )
-    buf_m = b"".join(
-        bcol.iloc[int(i)][: int(n)]
-        for i, n in zip(pos[~is_pcm], nsv[~is_pcm])
-    )
     samples = np.empty(int(nsv.sum()), dtype=np.int32)
     # np.repeat preserves row order, so each codec's concatenated
-    # samples align exactly with its mask positions
-    mask = np.repeat(is_pcm, nsv)
-    samples[mask] = np.frombuffer(buf_p, dtype="<i2").astype(np.int32)
-    samples[~mask] = MULAW_TABLE[
-        np.frombuffer(buf_m, dtype=np.uint8)
-    ].astype(np.int32)
+    # samples align exactly with its mask positions; one buffer join +
+    # one frombuffer (+ a 256-entry table gather for the G.711
+    # variants) per codec class
+    sel_pcm = ok_pcm[pos]
+    mask_pcm = np.repeat(sel_pcm, nsv)
+    buf_p = b"".join(
+        bcol.iloc[int(i)][: 2 * int(n)]
+        for i, n in zip(pos[sel_pcm], nsv[sel_pcm])
+    )
+    samples[mask_pcm] = np.frombuffer(buf_p, dtype="<i2").astype(np.int32)
+    for sel, table in (
+        (ok_mu[pos], MULAW_TABLE),
+        (ok_al[pos], ALAW_TABLE),
+    ):
+        if not sel.any():
+            continue
+        buf_t = b"".join(
+            bcol.iloc[int(i)][: int(n)] for i, n in zip(pos[sel], nsv[sel])
+        )
+        samples[np.repeat(sel, nsv)] = table[
+            np.frombuffer(buf_t, dtype=np.uint8)
+        ].astype(np.int32)
     offs = np.concatenate([[0], np.cumsum(nsv)])
     return pos, samples, offs, nsv
 

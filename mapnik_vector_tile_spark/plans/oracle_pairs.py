@@ -2194,37 +2194,77 @@ def _pow2_case_sql(g: str, plus: int) -> str:
     return f"(CASE {g} {arms} END)"
 
 
+def _alaw_seg_sql(v: str) -> str:
+    """G.711 A-law segment index (0-7) of a 13-bit magnitude column —
+    the vectorized comparison-sum twin of functions.g711.alaw_encode
+    (thresholds 0x1F..0x7FF; no bias, unlike mu-law)."""
+    return (
+        f"(CAST({v} > 31 AS INT) + CAST({v} > 63 AS INT) + "
+        f"CAST({v} > 127 AS INT) + CAST({v} > 255 AS INT) + "
+        f"CAST({v} > 511 AS INT) + CAST({v} > 1023 AS INT) + "
+        f"CAST({v} > 2047 AS INT))"
+    )
+
+
+def _alaw_mant_div_sql(g: str) -> str:
+    """A-law mantissa shift divisor 2^max(g, 1) as a CASE (segments
+    0 and 1 both shift by 1 in the reference encoder)."""
+    arms = " ".join(
+        f"WHEN {k} THEN {2 ** max(k, 1)}" for k in range(8)
+    )
+    return f"(CASE {g} {arms} END)"
+
+
+def _alaw_rt_sql(x: str) -> str:
+    """A-law encode∘decode of a 13-bit column {x} = floor(s/8), as one
+    closed-form SQL expression (functions.g711 alaw_encode then
+    alaw_decode, magnitude part — caller applies the sign)."""
+    v = f"(CASE WHEN {x} < 0 THEN -({x}) - 1 ELSE {x} END)"
+    g = _alaw_seg_sql(v)
+    mant = f"(({v} // {_alaw_mant_div_sql(g)}) % 16)"
+    return (
+        f"(CASE WHEN {g} = 0 THEN {mant} * 16 + 8 "
+        f"ELSE ({mant} * 16 + 264) * {_pow2_case_sql(f'({g} - 1)', 0)} END)"
+    )
+
+
 def _audio_vals_cte(n_clips: int, window: int) -> str:
     """Shared CTE prefix for the audio twins: regenerate the sawtooth
     samples closed-form, then replay functions.g711 encode-then-decode
-    IN SQL for mulaw rows (idx % 7 == 0, idx % 21 != 0) — exact
-    integer arithmetic end-to-end. DuckDB's // and % truncate toward
-    zero while numpy floors, so the 14-bit shift is floor(s/4.0) and
+    IN SQL for mulaw rows (idx % 7 == 0, % 14 != 0, % 21 != 0) and
+    alaw rows (idx % 14 == 0, % 21 != 0) — exact integer arithmetic
+    end-to-end. DuckDB's // and % truncate toward zero while numpy
+    floors, so the bit shifts are floor(s/4.0) / floor(s/8.0) and
     every other % operand is kept non-negative by construction.
     idx % 21 == 0 clips are mp3 stubs the engine skips."""
+    ats = _alaw_rt_sql("axs")
+    atp = _alaw_rt_sql("axp")
     return f"""
 WITH ids AS (SELECT unnest(generate_series(0, {n_clips - 1})) AS idx),
 hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids
        WHERE idx % 21 <> 0),
 params AS (
-  SELECT idx, h, (idx % 7 = 0) AS is_mu,
+  SELECT idx, h, (idx % 7 = 0 AND idx % 14 <> 0) AS is_mu,
+         (idx % 14 = 0) AS is_al,
          CAST(2000 + (h % 6001) AS BIGINT) AS ns,
          CAST(6000 + ((h // 65536) % 26000) AS BIGINT) AS amp,
          CAST(16 + ((h // 1099511627776) % 480) AS BIGINT) AS p,
          CAST(1 + 2 * ((h // 256) % 128) AS BIGINT) AS a
   FROM hh),
 samp AS (
-  SELECT idx, amp, p, a, is_mu,
+  SELECT idx, amp, p, a, is_mu, is_al,
          unnest(generate_series(0, (ns // {window}) * {window} - 1)) AS k
   FROM params),
 vals0 AS (
-  SELECT idx, k // {window} AS win, k % {window} AS kin, is_mu,
+  SELECT idx, k // {window} AS win, k % {window} AS kin, is_mu, is_al,
          ((k % p) * a) % (2 * amp) - amp AS s0,
          (((k - 1) % p) * a) % (2 * amp) - amp AS sp0
   FROM samp),
 mux AS (
   SELECT *, CAST(floor(s0 / 4.0) AS BIGINT) AS xs,
-            CAST(floor(sp0 / 4.0) AS BIGINT) AS xp
+            CAST(floor(sp0 / 4.0) AS BIGINT) AS xp,
+            CAST(floor(s0 / 8.0) AS BIGINT) AS axs,
+            CAST(floor(sp0 / 8.0) AS BIGINT) AS axp
   FROM vals0),
 muv AS (
   SELECT *, LEAST(CASE WHEN xs < 0 THEN -xs ELSE xs END + 33, 8191) AS vs,
@@ -2238,14 +2278,18 @@ mut AS (
     ((vs // {_pow2_case_sql('gs', 1)}) % 16 * 8 + 132)
       * {_pow2_case_sql('gs', 0)} AS ts,
     ((vp // {_pow2_case_sql('gp', 1)}) % 16 * 8 + 132)
-      * {_pow2_case_sql('gp', 0)} AS tp
+      * {_pow2_case_sql('gp', 0)} AS tp,
+    {ats} AS ats,
+    {atp} AS atp
   FROM mug),
 vals AS (
   SELECT idx, win, kin,
-    CASE WHEN NOT is_mu THEN s0
-         WHEN xs < 0 THEN 132 - ts ELSE ts - 132 END AS s,
-    CASE WHEN NOT is_mu THEN sp0
-         WHEN xp < 0 THEN 132 - tp ELSE tp - 132 END AS sp
+    CASE WHEN is_mu THEN (CASE WHEN xs < 0 THEN 132 - ts ELSE ts - 132 END)
+         WHEN is_al THEN (CASE WHEN axs < 0 THEN -ats ELSE ats END)
+         ELSE s0 END AS s,
+    CASE WHEN is_mu THEN (CASE WHEN xp < 0 THEN 132 - tp ELSE tp - 132 END)
+         WHEN is_al THEN (CASE WHEN axp < 0 THEN -atp ELSE atp END)
+         ELSE sp0 END AS sp
   FROM mut)"""
 
 

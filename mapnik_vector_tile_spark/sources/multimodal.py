@@ -13,8 +13,9 @@ Schemas (metadata typed, payload opaque):
 Payloads are synthesized from the row index via splitmix64 slices, so
 any executor can regenerate a row bit-exactly — same recipe as
 sources.synth images (FIXTURES.md §1, seed 42). Codecs: ``pcm16le``
-(bare little-endian int16 mono), ``mulaw`` (G.711 compressed audio,
-functions.g711 — the same waveform mu-law-encoded on the wire),
+(bare little-endian int16 mono), ``mulaw`` and ``alaw`` (both G.711
+companding variants, functions.g711 — the same waveform compressed
+on the wire),
 ``rawvid8`` (uint8[n_frames,h,w] luma planes, frame-major) and
 ``dvid8-rle`` (delta+RLE compressed video, functions.dvid8) are REAL;
 ``mp3-stub``/``h264-stub`` rows (1 in 21 / 1 in 27) remain decode
@@ -29,7 +30,7 @@ import numpy as np
 import pandas as pd
 
 from mapnik_vector_tile_spark.functions import dvid8
-from mapnik_vector_tile_spark.functions.g711 import mulaw_encode
+from mapnik_vector_tile_spark.functions.g711 import alaw_encode, mulaw_encode
 from mapnik_vector_tile_spark.sources.synth import _WORDS, splitmix64
 
 AUDIO_SCHEMA = (
@@ -65,16 +66,20 @@ def gen_audio_pdf(n: int, start: int = 0) -> pd.DataFrame:
     h = splitmix64(idx)
     sr = 8000
     n_samples = (2000 + (h % np.uint64(6001))).astype(np.int64)
-    # codec mix: 6/7 pcm16le, ~2/21 mulaw (REAL G.711 compressed),
-    # 1/21 mp3-stub (genuinely undecodable — keeps skip/strict paths
-    # exercised). The WAVEFORM is identical across codecs; only the
-    # wire encoding differs, so the DuckDB twins regenerate samples
-    # closed-form and apply encode∘decode for mulaw rows.
-    codecs = [
-        "pcm16le" if int(i) % 7
-        else ("mp3-stub" if int(i) % 21 == 0 else "mulaw")
-        for i in idx
-    ]
+    # codec mix: 6/7 pcm16le, 1/21 mulaw + 1/21 alaw (both REAL G.711
+    # companding variants), 1/21 mp3-stub (genuinely undecodable —
+    # keeps skip/strict paths exercised). The WAVEFORM is identical
+    # across codecs; only the wire encoding differs, so the DuckDB
+    # twins regenerate samples closed-form and apply encode∘decode
+    # for mulaw/alaw rows.
+    def _codec(i: int) -> str:
+        if i % 7:
+            return "pcm16le"
+        if i % 21 == 0:
+            return "mp3-stub"
+        return "alaw" if i % 14 == 0 else "mulaw"
+
+    codecs = [_codec(int(i)) for i in idx]
     bufs = []
     for i in range(n):
         hp = int(h[i])
@@ -85,6 +90,8 @@ def gen_audio_pdf(n: int, start: int = 0) -> pd.DataFrame:
         s = ((k % p) * a) % (2 * amp) - amp
         if codecs[i] == "mulaw":
             bufs.append(mulaw_encode(s).tobytes())
+        elif codecs[i] == "alaw":
+            bufs.append(alaw_encode(s).tobytes())
         else:
             bufs.append(s.astype("<i2").tobytes())
     return pd.DataFrame(

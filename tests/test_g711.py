@@ -49,3 +49,40 @@ def test_full_range_quantization():
 def test_table_matches_formula():
     codes = np.arange(256, dtype=np.uint8)
     assert np.array_equal(g711.MULAW_TABLE, g711.mulaw_decode(codes))
+
+
+def test_alaw_spec_pins():
+    # Sun g711.c linear2alaw/alaw2linear parity points
+    assert g711.alaw_encode(np.array([0]))[0] == 0xD5  # positive zero
+    assert g711.alaw_encode(np.array([32767]))[0] == 0xAA
+    assert g711.alaw_encode(np.array([-32768]))[0] == 0x2A
+    assert g711.alaw_decode(np.array([0xD5], np.uint8))[0] == 8
+    assert g711.alaw_decode(np.array([0x55], np.uint8))[0] == -8
+    assert g711.alaw_decode(np.array([0xAA], np.uint8))[0] == 32256
+    assert g711.alaw_decode(np.array([0x2A], np.uint8))[0] == -32256
+
+
+def test_alaw_code_idempotence():
+    codes = np.arange(256, dtype=np.uint8)
+    rt = g711.alaw_encode(g711.alaw_decode(codes))
+    assert (rt == codes).all()  # every code is a fixed point
+
+
+def test_alaw_full_range_error_bound():
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    d = g711.alaw_decode(g711.alaw_encode(x)).astype(np.int64)
+    err = np.abs(d - x)
+    # top segment (seg 7) quantizes in steps of 1024: |err| <= 512 + 8
+    assert err.max() <= 520
+    # small amplitudes quantize to step 16 (seg 0 step 16 on the
+    # 16-bit scale): fine resolution where the ear needs it
+    small = np.abs(x) < 256
+    assert err[small].max() <= 8
+
+
+def test_alaw_table_matches_decode():
+    dec = g711.ALAW_TABLE
+    assert dec.shape == (256,)
+    assert np.array_equal(
+        dec, g711.alaw_decode(np.arange(256, dtype=np.uint8))
+    )

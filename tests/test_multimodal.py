@@ -40,7 +40,7 @@ def test_audio_features_distributed(spark):
     df = src.audio_df(spark, 60, slices=4)
     feats = mm.audio_features(df).toPandas()
     # codec 'mp3-stub' rows (idx % 21 == 0) are skipped by policy;
-    # pcm16le AND mulaw rows both decode for real
+    # pcm16le, mulaw AND alaw rows all decode for real
     expected = sum(1 for i in range(60) if i % 21)
     assert len(feats) == expected
     assert (feats["n_windows"] >= 1).all()
@@ -81,7 +81,7 @@ def test_strict_mode_surfaces_stub(spark):
 def test_batch_audio_decode_matches_scalar_all_codecs():
     a = src.gen_audio_pdf(63, 0)
     pos, samples, offs, nsv = mm._batch_decode_audio(a, True)
-    assert set(a.iloc[list(pos)]["codec"]) == {"pcm16le", "mulaw"}
+    assert set(a.iloc[list(pos)]["codec"]) == {"pcm16le", "mulaw", "alaw"}
     for k, i in enumerate(pos):
         row = a.iloc[int(i)]
         ref = mm.decode_audio(
