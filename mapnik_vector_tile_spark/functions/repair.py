@@ -19,11 +19,19 @@ module closes the common-invalid gap:
   exterior/hole roles to the now-simple rings, which is exactly
   wagyu's even-odd fill semantics for non-overlapping lobes.
 
-Documented residual narrowing (SURVEY §2.7 F12): collinear-overlap
-self-intersections (a ring doubling back over its own edge) are not
-split — the crossing test requires a proper transversal intersection.
-Such rings pass through unchanged and are the quarantine path's job
-(``ring_is_simple`` gives the predicate).
+- ``_collinear_insertions`` (round 2, closing the former residual
+  narrowing) handles collinear-overlap self-intersections — a ring
+  doubling back over its own edge, the spike/retrace family proper
+  crossings can't see: for every EXACTLY collinear overlapping edge
+  pair (adjacent pairs included — a spike is adjacent by
+  construction) it inserts each edge's endpoints that lie strictly
+  inside the other edge. Inserted coordinates are exact copies of
+  existing vertices, so the split-at-repeats walk sees exact repeats,
+  pops the doubled-back region as its own lobe, and the zero-area
+  filter drops degenerate spikes — wagyu even-odd semantics again.
+  Exact-equality collinearity (no epsilon) is deliberate: retraces in
+  real data duplicate coordinates bit-for-bit, and a tolerance would
+  split valid near-collinear rings.
 
 Everything is per-ring numpy on tiny arrays inside the Arrow-batched
 encode kernel — no per-row Python at the DataFrame layer, no shuffle
@@ -100,18 +108,82 @@ def _proper_crossings(
     return out
 
 
+def _collinear_insertions(
+    xs: np.ndarray, ys: np.ndarray
+) -> list[tuple[int, float, float, float]]:
+    """Insertion points [(edge, t, X, Y)] that resolve collinear
+    partial overlaps: for every pair of EXACTLY collinear edges whose
+    spans overlap (adjacent pairs included — a spike doubles back over
+    its predecessor), each edge's endpoints strictly interior to the
+    other edge are inserted into that edge. (X, Y) are exact copies of
+    existing ring vertices, so downstream repeat detection is exact;
+    t is float only for insertion ordering along the edge."""
+    n = len(xs)
+    if n < 3:
+        return []
+    ax, ay = xs, ys
+    bx = np.empty(n)
+    by = np.empty(n)
+    bx[:-1], bx[-1] = xs[1:], xs[0]
+    by[:-1], by[-1] = ys[1:], ys[0]
+    ii, jj = np.triu_indices(n, k=1)  # adjacent pairs stay IN
+    lo_xi = np.minimum(ax[ii], bx[ii])
+    hi_xi = np.maximum(ax[ii], bx[ii])
+    lo_yi = np.minimum(ay[ii], by[ii])
+    hi_yi = np.maximum(ay[ii], by[ii])
+    lo_xj = np.minimum(ax[jj], bx[jj])
+    hi_xj = np.maximum(ax[jj], bx[jj])
+    lo_yj = np.minimum(ay[jj], by[jj])
+    hi_yj = np.maximum(ay[jj], by[jj])
+    cand = (
+        (lo_xi <= hi_xj)
+        & (lo_xj <= hi_xi)
+        & (lo_yi <= hi_yj)
+        & (lo_yj <= hi_yi)
+    )
+    ii, jj = ii[cand], jj[cand]
+    if len(ii) == 0:
+        return []
+    d1x, d1y = bx[ii] - ax[ii], by[ii] - ay[ii]
+    d2x, d2y = bx[jj] - ax[jj], by[jj] - ay[jj]
+    cx, cy = ax[jj] - ax[ii], ay[jj] - ay[ii]
+    # same line: parallel AND the connecting vector is parallel too
+    col = (d1x * d2y - d1y * d2x == 0.0) & (cx * d1y - cy * d1x == 0.0)
+    out: list[tuple[int, float, float, float]] = []
+    for k in np.nonzero(col)[0]:
+        for e_into, e_from in ((int(ii[k]), int(jj[k])),
+                               (int(jj[k]), int(ii[k]))):
+            ex0, ey0 = float(ax[e_into]), float(ay[e_into])
+            dx, dy = float(bx[e_into] - ex0), float(by[e_into] - ey0)
+            dd = dx * dx + dy * dy
+            if dd == 0.0:
+                continue
+            for px, py in (
+                (float(ax[e_from]), float(ay[e_from])),
+                (float(bx[e_from]), float(by[e_from])),
+            ):
+                t = ((px - ex0) * dx + (py - ey0) * dy) / dd
+                if 0.0 < t < 1.0:
+                    out.append((e_into, t, px, py))
+    return out
+
+
 def _insert_crossings(
     xs: np.ndarray, ys: np.ndarray,
     crossings: list[tuple[int, int, float, float, float, float]],
+    extra_points: list[tuple[int, float, float, float]] = (),
 ) -> tuple[np.ndarray, np.ndarray]:
     """Rebuild the ring with every crossing point inserted on BOTH of
-    its edges, ordered along each edge by parametric t (deterministic
-    ties by point value)."""
+    its edges (plus any single-edge extra points, e.g. collinear
+    overlap endpoints), ordered along each edge by parametric t
+    (deterministic ties by point value)."""
     n = len(xs)
     per_edge: dict[int, list[tuple[float, float, float]]] = {}
     for i, j, ti, tj, X, Y in crossings:
         per_edge.setdefault(i, []).append((ti, X, Y))
         per_edge.setdefault(j, []).append((tj, X, Y))
+    for e, t, X, Y in extra_points:
+        per_edge.setdefault(e, []).append((t, X, Y))
     nx: list[float] = []
     ny: list[float] = []
     for e in range(n):
@@ -178,13 +250,16 @@ def _dedupe_ring(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray
 
 def ring_is_simple(xs: np.ndarray, ys: np.ndarray) -> bool:
     """Validity predicate for the quarantine path: True iff the (open)
-    ring has no repeated vertex and no proper edge crossing."""
+    ring has no repeated vertex, no proper edge crossing, and no
+    collinear edge overlap."""
     xs, ys = _dedupe_ring(xs, ys)
     if len(xs) < 3:
         return False
     if len({(float(x), float(y)) for x, y in zip(xs, ys)}) != len(xs):
         return False
-    return not _proper_crossings(xs, ys)
+    return not _proper_crossings(xs, ys) and not _collinear_insertions(
+        xs, ys
+    )
 
 
 def decompose_ring(
@@ -198,11 +273,12 @@ def decompose_ring(
     if len(dx) < 3:
         return []
     crossings = _proper_crossings(dx, dy)
+    col_pts = _collinear_insertions(dx, dy)
     has_repeat = len({(float(x), float(y)) for x, y in zip(dx, dy)}) != len(dx)
-    if not crossings and not has_repeat:
+    if not crossings and not col_pts and not has_repeat:
         return [(dx, dy)]
-    if crossings:
-        dx, dy = _insert_crossings(dx, dy, crossings)
+    if crossings or col_pts:
+        dx, dy = _insert_crossings(dx, dy, crossings, col_pts)
     loops = _split_at_repeats(dx, dy)
     out = []
     for lx, ly in loops:

@@ -2562,7 +2562,15 @@ def q_engine_clip_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cs = int(fid) % 3
                 a, b = float(x0[i]), float(y0[i])
                 ww, hhh = float(w[i]), float(hh[i])
-                if cs == 0:  # valid rectangle
+                if cs == 0 and int(fid) % 6 == 3:
+                    # spike quad: edge B->M doubles back COLLINEARLY
+                    # over A->B (the former residual narrowing);
+                    # repair drops the zero-area spike, leaving the
+                    # triangle (A, M, C). M = a + w/2 is exactly
+                    # representable (w has 0.5 granularity, |a| ~1.5e7)
+                    xs = [a, a + ww, a + 0.5 * ww, a + 0.5 * ww]
+                    ys = [b, b, b, b + hhh]
+                elif cs == 0:  # valid rectangle
                     xs = [a, a + ww, a + ww, a]
                     ys = [b, b, b + hhh, b + hhh]
                 elif cs == 1:  # bowtie: edges AB and CD cross
@@ -2629,17 +2637,22 @@ def _sql_clip_repair(n: int = REPAIR_N) -> str:
     half = "5e-1"
     pts = []
 
-    def p(cs: int, ring: int, order: int, mx: str, my: str) -> None:
+    def p(cs, ring: int, order: int, mx: str, my: str) -> None:
+        cond = cs if isinstance(cs, str) else f"cs = {cs}"
         pts.append(
             f"SELECT idx, {ring} AS ring, {order} AS o, {mx} AS mx, "
-            f"{my} AS my FROM par WHERE cs = {cs}"
+            f"{my} AS my FROM par WHERE {cond}"
         )
 
-    # case 0: valid rectangle, 1 ring
-    p(0, 1, 0, "x0", "y0")
-    p(0, 1, 1, "x0 + w", "y0")
-    p(0, 1, 2, "x0 + w", "y0 + hh")
-    p(0, 1, 3, "x0", "y0 + hh")
+    # case 0a: valid rectangle, 1 ring
+    p("cs = 0 AND idx % 6 = 0", 1, 0, "x0", "y0")
+    p("cs = 0 AND idx % 6 = 0", 1, 1, "x0 + w", "y0")
+    p("cs = 0 AND idx % 6 = 0", 1, 2, "x0 + w", "y0 + hh")
+    p("cs = 0 AND idx % 6 = 0", 1, 3, "x0", "y0 + hh")
+    # case 0b: collinear spike quad -> spike dropped, triangle (A,M,C)
+    p("cs = 0 AND idx % 6 = 3", 1, 0, "x0", "y0")
+    p("cs = 0 AND idx % 6 = 3", 1, 1, f"x0 + {half} * w", "y0")
+    p("cs = 0 AND idx % 6 = 3", 1, 2, f"x0 + {half} * w", "y0 + hh")
     # case 1: bowtie -> lobes (X,B,C) and (A,X,D)
     p(1, 1, 0, f"x0 + {half} * w", f"y0 + {half} * hh")
     p(1, 1, 1, "x0 + w", "y0 + hh")
