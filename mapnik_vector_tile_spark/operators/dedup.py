@@ -481,6 +481,62 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame, bench_mod: int = 50, n: int = 4,
+    m_hex: int = 4, k: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination — the fixed-memory scale variant
+    of ``decontaminate``: instead of broadcasting the eval set's
+    DISTINCT SHINGLE STRINGS (which grows with benchmark size × n-gram
+    fan-out), broadcast only the bloom bitset they populate,
+    materialized as the distinct SET-BIT POSITIONS table (≤ 2^(4·m_hex)
+    rows — 65 536 at the default — a bounded summary independent of
+    corpus and benchmark scale). The probe is then one broadcast-hash
+    equi-join on an int key: no bitmap UDF, Catalyst/AQE see a plain
+    join, the train stream stays narrow.
+
+    Bit positions: slot i of a shingle = hex digits [4i, 4i+4) of
+    md5(shingle) — k disjoint 16-bit slices of ONE strong hash (the
+    standard k-hashes-from-one construction), cross-engine exact
+    because DuckDB's md5 produces the identical hex, so the oracle
+    twin replays membership INCLUDING the bloom's false positives:
+    the approximation is deterministic and auditable, like the KMV
+    sketch (operators.sketch).
+
+    A train doc is flagged iff ANY of its shingles has ALL k slots'
+    bits set (classic bloom may-contain): output (doc_id, n_hits),
+    a deterministic SUPERSET of ``decontaminate``'s exact output
+    (expected FP rate ≈ fill_ratio^k; ~1e-4 at the defaults on the
+    sf0.01 corpus — tests pin the superset relation)."""
+    bench = docs.filter(F.col("doc_id") % bench_mod == 0)
+    train = docs.filter(F.col("doc_id") % bench_mod != 0)
+
+    def pos(i: int):
+        return F.conv(
+            F.substring(F.md5(F.col("shingle")), 1 + m_hex * i, m_hex),
+            16, 10,
+        ).cast("long")
+
+    slots = F.array(*[pos(i) for i in range(k)])
+    eval_bits = (
+        shingles(bench, n).select(F.explode(slots).alias("pos")).distinct()
+    )
+    tpos = (
+        shingles(train, n)
+        .distinct()
+        .select(
+            "doc_id", "shingle", F.posexplode(slots).alias("slot", "pos")
+        )
+    )
+    may = (
+        tpos.join(F.broadcast(eval_bits), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count_distinct("slot").alias("ns"))
+        .filter(F.col("ns") == k)
+    )
+    return may.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+
+
 # --- T21: perceptual-hash image near-dup ------------------------------------------
 
 

@@ -2816,6 +2816,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # round-2 new/upgraded oracles — record fresh
     "q_video_mjpeg",
+    "q_bloom_decontaminate",
     "q_dup_ngram_spans",
     "q_engine_clip_repair",
     "q_raster_jpeg",

@@ -728,6 +728,40 @@ def q_decontaminate(spark, sf_dir):
     return D.decontaminate(_docs(spark, sf_dir))
 
 
+def sql_bloom_decontaminate(
+    bench_mod: int = 50, n: int = 4, m_hex: int = 4, k: int = 4
+) -> str:
+    """Twin of dedup.bloom_decontaminate: the bloom's k bit positions
+    per shingle are disjoint md5 hex slices — identical hex in DuckDB,
+    so the twin replays may-contain membership INCLUDING deterministic
+    false positives."""
+    p = (
+        f"CAST('0x' || substring(md5(shingle), 1 + {m_hex} * i, {m_hex}) "
+        f"AS BIGINT)"
+    )
+    return f"""
+WITH {_shingle_cte('documents', n)},
+slots AS (SELECT unnest(generate_series(0, {k - 1})) AS i),
+b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = 0),
+bp AS (SELECT DISTINCT {p} AS pos FROM b, slots),
+t AS (SELECT DISTINCT doc_id, shingle FROM sh
+      WHERE doc_id % {bench_mod} <> 0),
+tp AS (SELECT doc_id, shingle, i, {p} AS pos FROM t, slots),
+hit AS (
+  SELECT doc_id, shingle
+  FROM tp JOIN bp USING (pos)
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT i) = {k})
+SELECT doc_id, COUNT(*) AS n_hits FROM hit GROUP BY 1
+"""
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.bloom_decontaminate(_docs(spark, sf_dir))
+
+
 def q_seq_packing(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import sampling as SMP
 
@@ -816,4 +850,8 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
         "q_seq_packing": (q_seq_packing, sql_seq_packing()),
         "q_decontaminate": (q_decontaminate, sql_decontaminate()),
+        "q_bloom_decontaminate": (
+            q_bloom_decontaminate,
+            sql_bloom_decontaminate(),
+        ),
     }

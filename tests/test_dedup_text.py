@@ -453,3 +453,55 @@ def test_dup_ngram_spans_plan(spark):
     assert plan.count("partial_") >= 2
     assert "Expand" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def _bloom_docs(spark):
+    rng = np.random.RandomState(7)
+    words = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(words, size=12)) for _ in range(120)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    return spark.createDataFrame(pdf)
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom may-contain is a SUPERSET of the exact shingle join:
+    every exactly-contaminated doc is flagged, and any extra flags are
+    bloom false positives (possible by design, deterministic)."""
+    docs = _bloom_docs(spark)
+    exact = {
+        r.doc_id for r in D.decontaminate(docs, bench_mod=10, n=4).collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in D.bloom_decontaminate(docs, bench_mod=10, n=4).collect()
+    }
+    assert exact <= bloom
+
+
+def test_bloom_decontaminate_small_m_forces_false_positives(spark):
+    """With a deliberately tiny bitset (m_hex=1 → 16 slots) the filter
+    saturates: everything may-contain — the degenerate end of the
+    fill-ratio^k curve, proving the FP path is exercised and exact."""
+    docs = _bloom_docs(spark)
+    n_train = docs.filter(F.col("doc_id") % 10 != 0).count()
+    flagged = D.bloom_decontaminate(
+        docs, bench_mod=10, n=4, m_hex=1, k=2
+    ).count()
+    exact = D.decontaminate(docs, bench_mod=10, n=4).count()
+    assert flagged > exact  # false positives present
+    assert flagged <= n_train
+
+
+def test_bloom_decontaminate_deterministic_and_broadcast(spark):
+    docs = _bloom_docs(spark)
+    df = D.bloom_decontaminate(docs, bench_mod=10, n=4)
+    a = sorted((r.doc_id, r.n_hits) for r in df.collect())
+    b = sorted(
+        (r.doc_id, r.n_hits)
+        for r in D.bloom_decontaminate(docs, bench_mod=10, n=4).collect()
+    )
+    assert a == b
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bitset side broadcast, not shuffled
