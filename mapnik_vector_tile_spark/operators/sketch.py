@@ -1,8 +1,8 @@
-"""Distinct-count sketching (KMV / k-minimum-values) — the
-training-pipeline cardinality primitive (corpus audits: distinct
-documents, users, urls) built so the sketch itself is CROSS-ENGINE
-EXACT, unlike approx_count_distinct whose HLL register layout is
-implementation-private and cannot be oracle-checked.
+"""Cardinality and quantile summaries — the training-pipeline corpus
+audit primitives (distinct documents/users/urls, token-length
+distribution tails) built so every summary is CROSS-ENGINE EXACT,
+unlike approx_count_distinct / approx_percentile whose sketch layouts
+are implementation-private and cannot be oracle-checked.
 
 KMV: hash every value with the committed md5-prefix integer hash
 (operators.dedup.h14, 56-bit — the same cross-engine-exact primitive
@@ -55,4 +55,59 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         F.floor(
             (F.count("*") - F.lit(1)) * F.lit(KMV_SPACE) / F.max("hv")
         ).cast("long").alias("est_distinct"),
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    names: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """EXACT per-group quantiles by rank selection — percentile_disc
+    (lower) semantics: the group's sorted value at 0-based rank
+    floor((n−1)·q). One row per group: (group, n_rows, <one column per
+    q>).
+
+    Exactness stance: approx_percentile's GK/KLL sketch is
+    implementation-private and engine-specific; rank selection is a
+    definition both engines share, so the DuckDB twin value-hashes the
+    quantiles themselves (q_token_quantiles). The float product
+    (n−1)·q is computed identically (IEEE double) on both sides —
+    deterministic even at floor boundaries.
+
+    Plan: ONE hash shuffle on the group key feeds both the sort-rank
+    window and the count window; rank selection is a per-row
+    predicate; the final groupBy partial-aggregates map-side. Ties in
+    ``value_col`` are harmless — any stable order among equal values
+    selects the same value at a given rank. This is the per-group
+    shape (bounded group sizes, high group cardinality); GLOBAL
+    quantiles over 100 TB should bucket first (fixed-grid histogram,
+    then rank-select inside the one candidate bucket) rather than
+    sort-window a single partition."""
+    from pyspark.sql.window import Window
+
+    names = names or tuple(
+        f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in qs
+    )
+    w_ord = Window.partitionBy(group_col).orderBy(value_col)
+    w_all = Window.partitionBy(group_col)
+    r = (
+        df.select(group_col, value_col)
+        .withColumn("rn", F.row_number().over(w_ord) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n") - 1) * F.lit(float(q))).cast("long"),
+                F.col(value_col),
+            )
+        ).alias(nm)
+        for q, nm in zip(qs, names)
+    ]
+    return r.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n_rows"), *aggs
     )

@@ -2817,6 +2817,7 @@ _RECORD_FIRST = (
     # round-2 new/upgraded oracles — record fresh
     "q_video_mjpeg",
     "q_bloom_decontaminate",
+    "q_token_quantiles",
     "q_dup_ngram_spans",
     "q_engine_clip_repair",
     "q_raster_jpeg",

@@ -728,6 +728,41 @@ def q_decontaminate(spark, sf_dir):
     return D.decontaminate(_docs(spark, sf_dir))
 
 
+def q_token_quantiles(spark, sf_dir):
+    """EXACT per-lang token-count quantiles (p50/p90/p99) via rank
+    selection (operators.sketch.group_quantiles) — the corpus-audit
+    distribution summary next to the KMV cardinality sketch, exact and
+    value-hash-gated where approx_percentile would be sketch-private."""
+    from mapnik_vector_tile_spark.operators.sketch import group_quantiles
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", F.size(F.split("text", " ")).cast("long").alias("v")
+    )
+    return group_quantiles(
+        docs, "lang", "v", qs=(0.5, 0.9, 0.99), names=("p50", "p90", "p99")
+    )
+
+
+def sql_token_quantiles() -> str:
+    return """
+WITH t AS (SELECT lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+           FROM documents),
+r AS (SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM t)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_rows,
+       MAX(CASE WHEN rn = CAST(floor((n - 1) * 5e-1) AS BIGINT)
+                THEN v END) AS p50,
+       MAX(CASE WHEN rn = CAST(floor((n - 1) * 9e-1) AS BIGINT)
+                THEN v END) AS p90,
+       MAX(CASE WHEN rn = CAST(floor((n - 1) * 99e-2) AS BIGINT)
+                THEN v END) AS p99
+FROM r GROUP BY 1
+"""
+
+
 def sql_bloom_decontaminate(
     bench_mod: int = 50, n: int = 4, m_hex: int = 4, k: int = 4
 ) -> str:
@@ -854,4 +889,5 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
             q_bloom_decontaminate,
             sql_bloom_decontaminate(),
         ),
+        "q_token_quantiles": (q_token_quantiles, sql_token_quantiles()),
     }

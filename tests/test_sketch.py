@@ -79,3 +79,42 @@ def test_topk_tokens_exact_and_takeordered(spark):
     assert [r.rnk for r in got] == [1, 2, 3, 4, 5]
     plan = _plan(topk_tokens(docs, k=5))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_group_quantiles_match_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.sketch import group_quantiles
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=500),
+            "v": rng.randint(0, 10_000, size=500).astype("int64"),
+        }
+    )
+    out = {
+        r.g: r
+        for r in group_quantiles(
+            spark.createDataFrame(pdf), "g", "v",
+            qs=(0.5, 0.9, 0.99), names=("p50", "p90", "p99"),
+        ).collect()
+    }
+    for g, sub in pdf.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        n = len(v)
+        row = out[g]
+        assert row.n_rows == n
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert getattr(row, col) == v[int(np.floor((n - 1) * q))], (g, q)
+
+
+def test_group_quantiles_single_row_group(spark):
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.sketch import group_quantiles
+
+    df = spark.createDataFrame(pd.DataFrame({"g": ["x"], "v": [42]}))
+    row = group_quantiles(df, "g", "v").collect()[0]
+    assert (row.n_rows, row.p50, row.p90, row.p99) == (1, 42, 42, 42)
