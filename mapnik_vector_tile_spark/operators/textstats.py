@@ -127,3 +127,67 @@ def topk_tokens(docs: DataFrame, k: int = 100) -> DataFrame:
         "token",
         F.col("n").cast("long").alias("n"),
     )
+
+
+def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Intra-document repetition features — the Gopher/MassiveText
+    quality-gate family (Rae et al. 2021 §A1.1: "fraction of duplicate
+    n-grams" and "fraction occupied by the most frequent n-gram"):
+    LONG format, one row per (doc_id, n) with
+
+      total      — n-gram occurrences in the doc
+      n_distinct — distinct n-grams
+      dup_frac   — 1 − distinct/total (0 ⇔ no internal repetition)
+      top_frac   — most frequent n-gram's share of all occurrences
+
+    Docs shorter than n words emit no row for that n (no n-grams
+    exist — same convention as dedup.shingles).
+
+    Plan at 100 TB: explode → two hash aggregates, BOTH map-side
+    partial (no distinct-Expand, same shape as dup_ngram_spans); the
+    per-(doc, n, gram) key is high-cardinality but uniform, and the
+    second agg carries one row per (doc, n). Fractions are int/int →
+    double, the cross-engine-exact division this module pins."""
+    w = words_col()
+
+    def _gram_fn(n: int):
+        # NB: a factory, not a default arg — F.transform passes the
+        # ARRAY INDEX to a second lambda parameter, so `lambda i, _n=n`
+        # would silently bind _n to the position
+        return lambda i: F.concat_ws(" ", F.slice(w, i, n))
+
+    legs = []
+    for n in ns:
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        arr = F.when(
+            F.size(w) >= n, F.transform(idx, _gram_fn(n))
+        ).otherwise(F.array().cast("array<string>"))
+        legs.append(
+            docs.select(
+                "doc_id",
+                F.lit(n).cast("int").alias("n"),
+                F.explode(arr).alias("gram"),
+            )
+        )
+    g = legs[0]
+    for leg in legs[1:]:
+        g = g.unionByName(leg)
+    c = g.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    return (
+        c.groupBy("doc_id", "n")
+        .agg(
+            F.sum("c").cast("long").alias("total"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "total",
+            "n_distinct",
+            (F.lit(1.0) - F.col("n_distinct") / F.col("total")).alias(
+                "dup_frac"
+            ),
+            (F.col("top") / F.col("total")).alias("top_frac"),
+        )
+    )

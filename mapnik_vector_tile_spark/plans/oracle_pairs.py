@@ -2818,6 +2818,7 @@ _RECORD_FIRST = (
     "q_video_mjpeg",
     "q_bloom_decontaminate",
     "q_token_quantiles",
+    "q_repetition",
     "q_dup_ngram_spans",
     "q_engine_clip_repair",
     "q_raster_jpeg",

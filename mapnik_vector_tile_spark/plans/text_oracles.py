@@ -728,6 +728,52 @@ def q_decontaminate(spark, sf_dir):
     return D.decontaminate(_docs(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition gate (textstats.repetition
+    _stats) over documents ∪ a self-concatenated copy of every 4th doc
+    (text || ' ' || text — guaranteed heavy repetition, so the dup/top
+    fractions are exercised away from zero)."""
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    docs = _docs(spark, sf_dir)
+    rep = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return T.repetition_stats(
+        docs.select("doc_id", "text").unionByName(rep)
+    )
+
+
+def sql_repetition() -> str:
+    return """
+WITH docs3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' ' || text AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs3),
+g AS (
+  SELECT doc_id, n,
+         unnest(list_transform(
+           generate_series(1, greatest(len(words) - n + 1, 0)),
+           i -> array_to_string(words[i:i + n - 1], ' '))) AS gram
+  FROM w, (SELECT unnest([1, 2, 3]) AS n)
+),
+c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+s AS (SELECT doc_id, n, SUM(c) AS total, COUNT(*) AS n_distinct,
+             MAX(c) AS top
+      FROM c GROUP BY 1, 2)
+SELECT doc_id, CAST(n AS INT) AS n,
+       CAST(total AS BIGINT) AS total,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       1.0 - n_distinct / total AS dup_frac,
+       top / total AS top_frac
+FROM s
+"""
+
+
 def q_token_quantiles(spark, sf_dir):
     """EXACT per-lang token-count quantiles (p50/p90/p99) via rank
     selection (operators.sketch.group_quantiles) — the corpus-audit
@@ -890,4 +936,5 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
             sql_bloom_decontaminate(),
         ),
         "q_token_quantiles": (q_token_quantiles, sql_token_quantiles()),
+        "q_repetition": (q_repetition, sql_repetition()),
     }

@@ -505,3 +505,27 @@ def test_bloom_decontaminate_deterministic_and_broadcast(spark):
     assert a == b
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # bitset side broadcast, not shuffled
+
+
+def test_repetition_stats_tiny_doc(spark):
+    """Hand-checked: 'a b a b c' → n=1: 5 grams 3 distinct, top 'a'/'b'
+    share 2/5; n=2: 4 grams 3 distinct ('a b' twice); n=3: 3 unique."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b a b c"]})
+    )
+    out = {
+        r.n: r for r in TS.repetition_stats(df).collect()
+    }
+    assert (out[1].total, out[1].n_distinct) == (5, 3)
+    assert out[1].dup_frac == pytest.approx(1 - 3 / 5)
+    assert out[1].top_frac == pytest.approx(2 / 5)
+    assert (out[2].total, out[2].n_distinct) == (4, 3)
+    assert out[2].top_frac == pytest.approx(2 / 4)
+    assert (out[3].total, out[3].n_distinct) == (3, 3)
+    assert out[3].dup_frac == 0.0
+    # doc shorter than n emits no row for that n
+    short = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["xy"]})
+    )
+    got = {r.n for r in TS.repetition_stats(short).collect()}
+    assert got == {1}
