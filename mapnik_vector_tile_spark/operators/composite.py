@@ -230,6 +230,7 @@ def _overzoom_children_ref(
     buffer_units: int = 128,
     simplify_distance: float = 0.0,
     area_threshold: float = 0.0,
+    child_extent: int | None = None,
 ) -> list[tuple[int, int, bytes, int, int]]:
     """Naive reference twin of overzoom_children: full per-(child,
     feature) envelope scan over all 4^dz children. Kept ONLY as the
@@ -237,8 +238,12 @@ def _overzoom_children_ref(
     fast-vs-generic discipline as the geometry codec); production
     callers use overzoom_children."""
     d = pbf.split_layer(blob)
-    extent = int(d["extent"])
+    pe = int(d["extent"])
+    extent = int(child_extent) if child_extent is not None else pe
     s = 1 << dz
+    if (extent << dz) % pe:
+        raise ValueError("child_extent*2^dz must divide the parent extent")
+    f = (extent << dz) // pe
     decoded = []
     for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
         try:
@@ -251,8 +256,8 @@ def _overzoom_children_ref(
             continue  # structurally corrupt feature: drop, don't abort
         if not len(xs):
             continue
-        fx = xs.astype(np.float64) * s
-        fy = ys.astype(np.float64) * s
+        fx = xs.astype(np.float64) * f
+        fy = ys.astype(np.float64) * f
         decoded.append(
             (fid, int(gtype), tags, raw_raster, fx, fy, offs,
              fx.min(), fx.max(), fy.min(), fy.max())
@@ -356,6 +361,7 @@ def overzoom_layers(
     simplify_distance: float = 0.0,
     area_threshold: float = 0.0,
     redistribute: bool = False,
+    child_extent: int | None = None,
 ) -> DataFrame:
     """Overzoom a whole layers table by dz levels: every (z,x,y,layer)
     parent row fans out to its painted children at z+dz. A NARROW
@@ -394,7 +400,7 @@ def overzoom_layers(
                     for _cx, _cy, child, nf, npts in overzoom_children(
                         bytes(blob), dz, buffer_units,
                         simplify_distance, area_threshold,
-                        child=(cx, cy),
+                        child=(cx, cy), child_extent=child_extent,
                     ):
                         rows["z"].append(int(z) + dz)
                         rows["x"].append(int(x) * s + cx)
@@ -416,6 +422,7 @@ def overzoom_layers(
                 for cx, cy, child, nf, npts in overzoom_children(
                     bytes(blob), dz, buffer_units,
                     simplify_distance, area_threshold,
+                    child_extent=child_extent,
                 ):
                     rows["z"].append(int(z) + dz)
                     rows["x"].append(int(x) * s + cx)
@@ -506,6 +513,7 @@ def overzoom_children(
     simplify_distance: float = 0.0,
     area_threshold: float = 0.0,
     child: tuple[int, int] | None = None,
+    child_extent: int | None = None,
 ) -> list[tuple[int, int, bytes, int, int]]:
     """Reference composite slow path when source and target tile
     addresses differ (src/vector_tile_composite.hpp: each source layer
@@ -532,11 +540,27 @@ def overzoom_children(
     pure ints, byte-identical to the generic chain (pinned against
     _overzoom_children_ref in tests).
 
+    ``child_extent`` sets the CHILDREN's extent (default: inherit the
+    parent's). The coordinate transform generalizes to the integer
+    factor f = child_extent·2^dz / parent_extent (must divide evenly):
+    X = px·f − cx·child_extent. The wafer path (encode_wafer_tiles)
+    encodes a parent at extent 4096·2^dz so f = 1 — child derivation
+    is then a PURE INTEGER TRANSLATION of the shared grid, no
+    precision change at all; the classic overzoom keeps f = 2^dz.
+
     Returns [(cx, cy, child_blob, n_features, n_points)] for painted
     children only (P4 empty-drop), in (cy, cx) row-major order."""
     d = pbf.split_layer(blob)
-    extent = int(d["extent"])
+    pe = int(d["extent"])
+    extent = int(child_extent) if child_extent is not None else pe
     s = 1 << dz
+    if (extent << dz) % pe:
+        raise ValueError(
+            f"overzoom_children: child_extent*2^dz ({extent << dz}) must "
+            f"be a multiple of the parent extent ({pe}) for exact "
+            f"integer coordinates"
+        )
+    f = (extent << dz) // pe  # exact integer coordinate scale
     lo = -int(buffer_units)
     hi = extent + int(buffer_units)
     flo, fhi = float(lo), float(hi)
@@ -561,8 +585,8 @@ def overzoom_children(
             continue
         gtype = int(gtype)
         if gtype == gc.GEOM_POINT and len(xs) == 1:
-            vx = int(xs[0]) * s
-            vy = int(ys[0]) * s
+            vx = int(xs[0]) * f
+            vy = int(ys[0]) * f
             cx0 = max(0, -((hi - vx) // extent))
             cx1 = min(s - 1, (vx - lo) // extent)
             cy0 = max(0, -((hi - vy) // extent))
@@ -581,8 +605,8 @@ def overzoom_children(
                          pbf.varints_py((9, zzx, zzy)), 1, None)
                     )
             continue
-        fx = xs.astype(np.float64) * s
-        fy = ys.astype(np.float64) * s
+        fx = xs.astype(np.float64) * f
+        fy = ys.astype(np.float64) * f
         exl, exh = int(fx.min()), int(fx.max())  # exact int-valued floats
         eyl, eyh = int(fy.min()), int(fy.max())
         cx0 = max(0, -((hi - exl) // extent))

@@ -644,6 +644,89 @@ def encode_tiles(
     return hi.unionByName(lo)
 
 
+def encode_wafer_tiles(
+    features: DataFrame,
+    z: int,
+    k: int = 3,
+    layer_name: str = "features",
+    buffer_units: int = tm.DEFAULT_BUFFER,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
+    n_salts: int = 16,
+    repair: bool = False,
+) -> DataFrame:
+    """Wafer rendering — the mapycz fork's multi-tile strategy
+    (SURVEY §0: render a 2^k × 2^k block of tiles in ONE pass, then
+    split — the fork added it so one datasource query and one render
+    pass serve a whole block instead of 4^k separate tiles).
+
+    Spark shape: features are assigned and encoded ONCE per WAFER — a
+    tile at z−k with extent 4096·2^k, which is EXACTLY the z-level
+    integer grid, so the split into children is a pure integer
+    translation (overzoom_children with child_extent=4096 → coordinate
+    factor f = 1: no rescale, no precision change). The split is a
+    NARROW 1→4^k mapInPandas; the only shuffle is the wafer-level
+    group-by, with 4^k FEWER keys than direct per-tile encode.
+
+    When it wins at 100 TB: the per-group costs of EP1 (dictionary
+    build, group dispatch, shuffle key overhead) amortize over the
+    block — point-heavy corpora (the input_hint shape) split on the
+    pure-int fast path, so wafers trade almost nothing back. The
+    trade for large polygons: clipped once per wafer, re-clipped per
+    child, and each child rebuilds its tag dictionary.
+
+    Equivalence to direct encode_tiles: feature→tile membership and
+    geometry are exact for single points (integer end-to-end on the
+    shared grid — driver-gated by q_engine_wafer against closed-form
+    SQL); multi-vertex geometry matches up to the half-quantum
+    anchoring jitter every overzoom path has (quantization happens at
+    the wafer origin instead of the child origin — sub-output-
+    resolution by construction, same class as assign_tiles' documented
+    bounds-check note).
+
+    simplify/area_threshold apply at the CHILD stage (tile units),
+    matching direct-encode semantics; the wafer encode itself never
+    simplifies."""
+    from mapnik_vector_tile_spark.operators import composite as comp
+
+    if not 0 <= k <= z:
+        raise ValueError("encode_wafer_tiles: need 0 <= k <= z")
+    if k == 0:
+        return encode_tiles(
+            features if "z" in features.columns else assign_tiles(
+                features, z, z, buffer_units=buffer_units
+            ),
+            layer_name=layer_name,
+            buffer_units=buffer_units,
+            simplify_distance=simplify_distance,
+            area_threshold=area_threshold,
+            n_salts=n_salts,
+            repair=repair,
+        )
+    zw = z - k
+    wext = tm.DEFAULT_EXTENT << k
+    assigned = assign_tiles(
+        features, zw, zw, buffer_units=buffer_units, extent=wext
+    )
+    wafers = encode_layers(
+        assigned,
+        layer_name=layer_name,
+        extent=wext,
+        buffer_units=buffer_units,
+        n_salts=n_salts,
+        repair=repair,
+    )
+    children = comp.overzoom_layers(
+        wafers,
+        dz=k,
+        buffer_units=buffer_units,
+        simplify_distance=simplify_distance,
+        area_threshold=area_threshold,
+        child_extent=tm.DEFAULT_EXTENT,
+    )
+    return fold_tiles(children)
+
+
 def _dedup_pairs(px: np.ndarray, py: np.ndarray):
     """Distinct quantized points for multipoint encode, order-preserving."""
     if len(px) <= 1:

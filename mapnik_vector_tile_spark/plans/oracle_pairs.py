@@ -2412,6 +2412,74 @@ FROM ids
 """
 
 
+WAFER_Z, WAFER_K = 8, 3  # q_engine_wafer: z8 tiles rendered as z5 wafers
+
+
+def q_engine_wafer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wafer rendering (the mapycz fork's multi-tile render strategy,
+    SURVEY §0) through the REAL pipeline with a FULL oracle: orders
+    points are encoded as 2^k×2^k tile BLOCKS — one wafer tile at z−k
+    with extent 4096·2^k (the exact z-level grid) — then split into
+    children by pure integer translation (overzoom_children with
+    child_extent=4096, coordinate factor f=1). The DuckDB twin replays
+    the whole chain closed-form: wafer assignment, the wafer-anchored
+    quantize (round-half-away on (mx−minx_w)·scale_w, op-for-op), the
+    inclusive [0, extent] bounds check, and the child-range floor
+    division — INCLUDING the duplication of points that quantize onto
+    an internal child boundary (px ≡ 0 mod 4096), which buffer-0 wafer
+    splitting shares with every buffered-tile semantic.
+    Ref parity: mapycz wafer rendering (merc wafer blocks); SURVEY §0
+    fork-specific table."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    tiles = T.encode_wafer_tiles(
+        feats, z=WAFER_Z, k=WAFER_K, buffer_units=0, n_salts=8
+    )
+    return tiles.select(
+        "z", "x", "y", F.col("n_features").cast("bigint").alias("n_features")
+    )
+
+
+def _sql_wafer(z: int = WAFER_Z, k: int = WAFER_K) -> str:
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    zw = z - k
+    s = 1 << k
+    ce = 4096
+    wext = ce << k
+    span_w = (2.0 * tm.W) / float(1 << zw)
+    scale_w = float(wext) / span_w
+    txw, tyw = S.tile_xy_exprs(zw)
+    rawx = f"((mx - (-{S.flit(tm.W)} + txw * {S.flit(span_w)})) * {S.flit(scale_w)})"
+    rawy = f"((({S.flit(tm.W)} - tyw * {S.flit(span_w)}) - my) * {S.flit(scale_w)})"
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+w AS (SELECT id, mx, my, {txw} AS txw, {tyw} AS tyw FROM pts),
+q AS (SELECT id, txw, tyw,
+             {S.round_half_up_nonneg(rawx)} AS px,
+             {S.round_half_up_nonneg(rawy)} AS py
+      FROM w),
+m AS (SELECT * FROM q
+      WHERE px BETWEEN 0 AND {wext} AND py BETWEEN 0 AND {wext}),
+cx AS (SELECT *, unnest(generate_series(
+         GREATEST(0, -CAST(floor(({ce} - px) / {S.flit(ce)}) AS BIGINT)),
+         LEAST({s - 1}, CAST(floor(px / {S.flit(ce)}) AS BIGINT)))) AS cxi
+       FROM m),
+cxy AS (SELECT *, unnest(generate_series(
+          GREATEST(0, -CAST(floor(({ce} - py) / {S.flit(ce)}) AS BIGINT)),
+          LEAST({s - 1}, CAST(floor(py / {S.flit(ce)}) AS BIGINT)))) AS cyi
+        FROM cx)
+SELECT CAST({z} AS INT) AS z,
+       txw * {s} + cxi AS x,
+       tyw * {s} + cyi AS y,
+       COUNT(*) AS n_features
+FROM cxy GROUP BY 1, 2, 3
+"""
+
+
 MJPEG_N = 120  # q_video_mjpeg corpus size
 
 
@@ -2796,6 +2864,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
     "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
     "q_video_mjpeg": (q_video_mjpeg, _sql_video_mjpeg()),
+    "q_engine_wafer": (q_engine_wafer, _sql_wafer()),
 }
 
 
@@ -2816,6 +2885,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # round-2 new/upgraded oracles — record fresh
     "q_video_mjpeg",
+    "q_engine_wafer",
     "q_bloom_decontaminate",
     "q_token_quantiles",
     "q_repetition",

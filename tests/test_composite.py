@@ -9,6 +9,7 @@ import pytest
 from mapnik_vector_tile_spark.functions import geomcodec as gc
 from mapnik_vector_tile_spark.functions import pbf
 from mapnik_vector_tile_spark.operators import composite as C
+from mapnik_vector_tile_spark.operators import tiling as T
 
 
 def _layer_row(spark, z, x, y, name, fid, px, py, nf=1):
@@ -593,3 +594,97 @@ def test_diff_tiles_duplicate_rows_and_statuses(spark):
         (6, 3, 3): "removed",
         (6, 4, 4): "added",
     }
+
+
+def test_overzoom_child_extent_wafer_mode_ab(spark):
+    """child_extent mode (f = 1 pure translation) pinned against the
+    naive reference twin, mixed geometry."""
+    from mapnik_vector_tile_spark.functions import pbf
+
+    lb = pbf.LayerBuilder("l", extent=4096 << 2)
+    # points spread over the wafer incl. exact child boundaries
+    for i, (x, y) in enumerate(
+        [(0, 0), (4096, 4096), (8191, 10), (12288, 12288), (16384, 16384),
+         (5000, 7000), (4095, 4097)]
+    ):
+        lb.add_feature(i, 1, (9, x << 1, y << 1), {"k": "v"})
+    blob = lb.build()
+    fast = C.overzoom_children(blob, 2, buffer_units=8, child_extent=4096)
+    ref = C._overzoom_children_ref(blob, 2, buffer_units=8, child_extent=4096)
+    assert fast == ref
+    assert fast  # nonempty
+    # children declare the child extent
+    from mapnik_vector_tile_spark.functions import pbf as P
+    for _, _, child, _, _ in fast:
+        assert P.split_layer(child)["extent"] == 4096
+
+
+def test_overzoom_child_extent_divisibility_guard():
+    from mapnik_vector_tile_spark.functions import pbf
+
+    lb = pbf.LayerBuilder("l", extent=4096)
+    lb.add_feature(0, 1, (9, 2, 2), {})
+    with pytest.raises(ValueError):
+        C.overzoom_children(lb.build(), 1, child_extent=1000)
+
+
+def test_encode_wafer_tiles_matches_direct_on_points(spark):
+    """Wafer-rendered z-tiles equal direct encode for point corpora up
+    to the documented half-quantum class at buffered edges: with
+    buffer 0 the only legal difference is points quantizing EXACTLY
+    onto an internal child boundary (duplicated by the wafer split,
+    single-assigned by direct covering)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    pdf = pd.DataFrame({
+        "feature_id": np.arange(n),
+        "geom_type": np.full(n, 1, dtype=np.int32),
+        "xs": [[float(v)] for v in rng.uniform(-1.9e7, 1.9e7, n)],
+        "ys": [[float(v)] for v in rng.uniform(-1.9e7, 1.9e7, n)],
+        "part_offsets": [[0, 1]] * n,
+        "caption": ["c"] * n,
+    })
+    feats = spark.createDataFrame(pdf, schema=T.FEATURES_SCHEMA)
+    z, k = 7, 2
+    direct = T.decode_tiles_to_features(
+        T.encode_tiles(T.assign_tiles(feats, z, z, buffer_units=0),
+                       buffer_units=0)
+    ).select("z", "x", "y", "feature_id", "pxs", "pys").toPandas()
+    wafer = T.decode_tiles_to_features(
+        T.encode_wafer_tiles(feats, z, k=k, buffer_units=0)
+    ).select("z", "x", "y", "feature_id", "pxs", "pys").toPandas()
+    d = {(r.z, r.x, r.y, r.feature_id): (list(r.pxs), list(r.pys))
+         for r in direct.itertuples(index=False)}
+    w = {(r.z, r.x, r.y, r.feature_id): (list(r.pxs), list(r.pys))
+         for r in wafer.itertuples(index=False)}
+    assert set(d) <= set(w)
+    # shared rows: identical quantized coordinates (shared grid, f=1)
+    for key in d:
+        assert d[key] == w[key], key
+    # extras are exactly the boundary-duplicated memberships
+    for key in set(w) - set(d):
+        pxs, pys = w[key]
+        assert any(p in (0, 4096) for p in pxs + pys), (key, w[key])
+
+
+def test_encode_wafer_tiles_k0_is_direct(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "feature_id": [0, 1],
+        "geom_type": [1, 1],
+        "xs": [[1.0e6], [-2.0e6]],
+        "ys": [[2.0e6], [1.0e6]],
+        "part_offsets": [[0, 1]] * 2,
+        "caption": ["a", "b"],
+    })
+    feats = spark.createDataFrame(pdf, schema=T.FEATURES_SCHEMA)
+    a = T.encode_wafer_tiles(feats, 4, k=0, buffer_units=0).collect()
+    b = T.encode_tiles(
+        T.assign_tiles(feats, 4, 4, buffer_units=0), buffer_units=0
+    ).collect()
+    assert sorted((r.z, r.x, r.y, bytes(r.tile)) for r in a) == sorted(
+        (r.z, r.x, r.y, bytes(r.tile)) for r in b
+    )
