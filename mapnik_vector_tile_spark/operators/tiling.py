@@ -708,14 +708,21 @@ def encode_wafer_tiles(
     assigned = assign_tiles(
         features, zw, zw, buffer_units=buffer_units, extent=wext
     )
-    wafers = encode_layers(
-        assigned,
+    common = dict(
         layer_name=layer_name,
         extent=wext,
         buffer_units=buffer_units,
         n_salts=n_salts,
         repair=repair,
     )
+    if zw > SALT_MAX_Z:
+        # fixed-salt mode never salts above SALT_MAX_Z: every partial
+        # IS the whole (z,x,y) layer, so the salted-merge shuffle is
+        # pure overhead — same reasoning as encode_tiles' emit_tiles
+        # branch, kept as layer rows because the split consumes layers
+        wafers = encode_layer_partials(assigned, **common)
+    else:
+        wafers = encode_layers(assigned, **common)
     children = comp.overzoom_layers(
         wafers,
         dz=k,
@@ -724,7 +731,37 @@ def encode_wafer_tiles(
         area_threshold=area_threshold,
         child_extent=tm.DEFAULT_EXTENT,
     )
-    return fold_tiles(children)
+
+    # every child is a complete single-layer tile already (one wafer
+    # owns each child address, one layer per pipeline), so the tile
+    # wrap is a NARROW map — folding through a second (z,x,y) shuffle
+    # would re-shuffle the entire output corpus for nothing
+    def wrap(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "z": pdf["z"].astype("int32"),
+                    "x": pdf["x"].astype("int64"),
+                    "y": pdf["y"].astype("int64"),
+                    "tile": [
+                        pbf.concat_tile([bytes(b)]) for b in pdf["blob"]
+                    ],
+                    "n_layers": np.ones(len(pdf), dtype=np.int64),
+                    "n_features": pdf["n_features"].astype("int64"),
+                }
+            )
+
+    return children.mapInPandas(
+        wrap,
+        schema=(
+            "z int, x long, y long, tile binary, n_layers long, "
+            "n_features long"
+        ),
+    )
 
 
 def _dedup_pairs(px: np.ndarray, py: np.ndarray):

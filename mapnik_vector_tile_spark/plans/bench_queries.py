@@ -96,6 +96,28 @@ def q_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fold_tiles(C.overzoom_layers(layers, 2, buffer_units=64))
 
 
+def q_wafer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wafer-rendered z10 (k=3: one z7 wafer per 8x8 tile block, then
+    an exact integer-translation split) over the bench point corpus —
+    the mapycz multi-tile render strategy. Direct comparison: the z10
+    level alone through the classic per-tile encode is the same work
+    with 4^3 = 64x more shuffle groups."""
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _order_features(spark, sf_dir)
+    return T.encode_wafer_tiles(feats, z=10, k=3, buffer_units=0, n_salts=16)
+
+
+def q_encode_z10_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-tile twin of q_wafer (z10 only, direct encode) so the
+    bench JSON carries both sides of the wafer comparison."""
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _order_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, 10, 10, buffer_units=0)
+    return T.encode_tiles(assigned, n_salts=16)
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapnik_vector_tile_spark.operators import joins as J
 
@@ -193,6 +215,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_tiles": q_encode_tiles,
         "q_decode_rt": q_decode_rt,
         "q_overzoom": q_overzoom,
+        "q_wafer": q_wafer,
+        "q_encode_z10_direct": q_encode_z10_direct,
     }
     # operators added over the build rounds — gate so bench never breaks
     try:
