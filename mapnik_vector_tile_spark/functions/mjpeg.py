@@ -56,13 +56,18 @@ def decode(buf: bytes, w: int, h: int, n_frames: int) -> np.ndarray:
 
     Validates the magic, every frame's dimensions against the typed
     metadata, and that the container holds exactly ``n_frames`` frames
-    with no trailing bytes (the dvid8 exact-expansion stance)."""
+    with no trailing bytes (the dvid8 exact-expansion stance).
+
+    Allocation is per DECODED frame, never from the raw metadata — a
+    corrupt (n_frames, w, h) row must fold to ValueError (the
+    skip-undecodable contract), not a MemoryError from preallocating
+    n_frames·h·w before any byte was validated."""
     buf = bytes(buf)
     if buf[:4] != MAGIC:
         raise ValueError("mjpeg: missing MJPG magic")
-    out = np.empty((n_frames, h, w), dtype=np.uint8)
+    planes: list[np.ndarray] = []
     pos = 4
-    for i in range(n_frames):
+    for i in range(max(0, n_frames)):
         if pos + 4 > len(buf):
             raise ValueError("mjpeg: truncated frame header")
         ln = int.from_bytes(buf[pos : pos + 4], "big")
@@ -75,11 +80,42 @@ def decode(buf: bytes, w: int, h: int, n_frames: int) -> np.ndarray:
                 f"mjpeg: frame {i} is {rgba.shape[1]}x{rgba.shape[0]}, "
                 f"metadata says {w}x{h}"
             )
-        out[i] = rgba[..., 0]
+        planes.append(np.ascontiguousarray(rgba[..., 0]))
         pos += ln
     if pos != len(buf):
         raise ValueError("mjpeg: trailing bytes after final frame")
-    return out
+    if n_frames <= 0:
+        raise ValueError("mjpeg: n_frames must be positive")
+    return np.stack(planes)
+
+
+def frame_dims(jpeg: bytes) -> tuple[int, int]:
+    """(w, h) from a baseline JPEG's SOF0 header — a marker walk with
+    ZERO entropy decode, so the frame sampler can validate EVERY
+    frame's dimensions against the typed metadata at header cost while
+    only paying full decode for sampled frames. ValueError contract."""
+    jpeg = bytes(jpeg)
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = jpeg[pos + 1]
+        if marker == 0xC0:
+            if pos + 9 > len(jpeg):
+                raise ValueError("jpeg: truncated SOF")
+            h = int.from_bytes(jpeg[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(jpeg[pos + 7 : pos + 9], "big")
+            return w, h
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        ln = int.from_bytes(jpeg[pos + 2 : pos + 4], "big")
+        if ln < 2:
+            raise ValueError("jpeg: bad segment length")
+        pos += 2 + ln
+    raise ValueError("jpeg: no SOF0 before end of stream")
 
 
 def decode_frame(buf: bytes, w: int, h: int, n_frames: int,

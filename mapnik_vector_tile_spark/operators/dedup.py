@@ -55,19 +55,26 @@ def words_col(text="text") -> F.Column:
     return F.split(F.col(text), " ")
 
 
+def shingle_array_col(n: int, text: str = "text") -> F.Column:
+    """array<string> of word n-grams of one doc — the Column form
+    shared by shingles() and textstats.repetition_stats. Docs shorter
+    than n words yield an EMPTY array: Spark's sequence(1, stop)
+    DESCENDS when stop < 1, so the size guard is load-bearing."""
+    w = words_col(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.when(
+        F.size(w) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): word n-grams via transform over an index
     sequence — one narrow generate, no UDF. Docs shorter than n words
     produce no shingles (dedup-noise; dropped)."""
-    w = words_col()
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    sh = F.when(
-        F.size(w) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    # NB: Spark's sequence(1, stop) DESCENDS when stop < 1 — the guard
-    # above is load-bearing for docs shorter than n words
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return docs.select(
+        "doc_id", F.explode(shingle_array_col(n)).alias("shingle")
+    )
 
 
 def minhash_signatures(
@@ -508,6 +515,11 @@ def bloom_decontaminate(
     a deterministic SUPERSET of ``decontaminate``'s exact output
     (expected FP rate ≈ fill_ratio^k; ~1e-4 at the defaults on the
     sf0.01 corpus — tests pin the superset relation)."""
+    if m_hex * k > 32:
+        raise ValueError(
+            "bloom_decontaminate: m_hex*k slices must fit md5's 32 hex "
+            "chars (disjoint-slice hash family)"
+        )
     bench = docs.filter(F.col("doc_id") % bench_mod == 0)
     train = docs.filter(F.col("doc_id") % bench_mod != 0)
 

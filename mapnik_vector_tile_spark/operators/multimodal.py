@@ -464,13 +464,26 @@ def _mjpeg_sample_rows(
                 pos_b += 4
                 if pos_b + ln > len(buf):
                     raise ValueError("mjpeg: truncated frame payload")
+                frame = buf[pos_b : pos_b + ln]
                 if fi % every == 0:
-                    rgba = mjpeg.decode_jpeg(buf[pos_b : pos_b + ln])
+                    rgba = mjpeg.decode_jpeg(frame)
                     if rgba.shape[0] != H or rgba.shape[1] != W:
                         raise ValueError(
                             "mjpeg: frame dims mismatch metadata"
                         )
                     planes[fi] = np.ascontiguousarray(rgba[..., 0])
+                else:
+                    # skipped frames: validate dims from the SOF header
+                    # (zero entropy decode) so a mixed-dimension
+                    # container is rejected whole, matching the scalar
+                    # decode_video contract; entropy-level corruption
+                    # in an unsampled frame stays undetected by design
+                    # (decode cost ∝ sampled frames is the point)
+                    fw, fh = mjpeg.frame_dims(frame)
+                    if fh != H or fw != W:
+                        raise ValueError(
+                            "mjpeg: frame dims mismatch metadata"
+                        )
                 pos_b += ln
             if pos_b != len(buf):
                 raise ValueError("mjpeg: trailing bytes after final frame")

@@ -88,8 +88,11 @@ def group_quantiles(
     sort-window a single partition."""
     from pyspark.sql.window import Window
 
+    # p50 / p90 / p99 / p05 / p99_9 — format(q*100, 'g') avoids the
+    # string-munging failure modes of manipulating str(q) directly
+    # (q=1.0 must not yield a dotted column name)
     names = names or tuple(
-        f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in qs
+        "p" + format(q * 100, "g").replace(".", "_").zfill(2) for q in qs
     )
     w_ord = Window.partitionBy(group_col).orderBy(value_col)
     w_all = Window.partitionBy(group_col)

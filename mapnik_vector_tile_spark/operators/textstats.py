@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapnik_vector_tile_spark.operators.dedup import h7, shingles, words_col
+from mapnik_vector_tile_spark.operators.dedup import (
+    h7,
+    shingle_array_col,
+    shingles,
+    words_col,
+)
 
 # Tiny deterministic stopword profiles — the language-ID heuristic.
 # (The synthetic corpus is vocabulary-uniform; what the oracle gates is
@@ -143,35 +148,31 @@ def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)) -> DataFr
     Docs shorter than n words emit no row for that n (no n-grams
     exist — same convention as dedup.shingles).
 
-    Plan at 100 TB: explode → two hash aggregates, BOTH map-side
-    partial (no distinct-Expand, same shape as dup_ngram_spans); the
-    per-(doc, n, gram) key is high-cardinality but uniform, and the
-    second agg carries one row per (doc, n). Fractions are int/int →
-    double, the cross-engine-exact division this module pins."""
-    w = words_col()
+    Plan at 100 TB: ONE scan of the corpus — the per-n gram arrays
+    (dedup.shingle_array_col, the same Column the dedup pipeline uses)
+    are tagged with n and flattened inside the projection, so the
+    three n legs do NOT become three scans — then explode → two hash
+    aggregates, BOTH map-side partial (no distinct-Expand, same shape
+    as dup_ngram_spans); the per-(doc, n, gram) key is
+    high-cardinality but uniform, and the second agg carries one row
+    per (doc, n). Fractions are int/int → double, the
+    cross-engine-exact division this module pins."""
 
-    def _gram_fn(n: int):
-        # NB: a factory, not a default arg — F.transform passes the
-        # ARRAY INDEX to a second lambda parameter, so `lambda i, _n=n`
-        # would silently bind _n to the position
-        return lambda i: F.concat_ws(" ", F.slice(w, i, n))
-
-    legs = []
-    for n in ns:
-        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-        arr = F.when(
-            F.size(w) >= n, F.transform(idx, _gram_fn(n))
-        ).otherwise(F.array().cast("array<string>"))
-        legs.append(
-            docs.select(
-                "doc_id",
-                F.lit(n).cast("int").alias("n"),
-                F.explode(arr).alias("gram"),
-            )
+    def tagged(n: int) -> F.Column:
+        # factory, not a loop-captured lambda: F.transform feeds the
+        # array INDEX to a second lambda parameter, so default-arg
+        # binding of n would silently receive the position
+        return F.transform(
+            shingle_array_col(n),
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("gram")
+            ),
         )
-    g = legs[0]
-    for leg in legs[1:]:
-        g = g.unionByName(leg)
+
+    pairs = F.flatten(F.array(*[tagged(n) for n in ns]))
+    g = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.n").alias("n"), F.col("p.gram").alias("gram")
+    )
     c = g.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
     return (
         c.groupBy("doc_id", "n")

@@ -231,7 +231,7 @@ def assign_tiles(
             chunks = []
             for z in range(z_min, z_max + 1):
                 lox, hix, loy, hiy = tm.covering_tiles_np(
-                    minxs, minys, maxxs, maxys, z, buffer_units
+                    minxs, minys, maxxs, maxys, z, buffer_units, extent
                 )
                 nx = hix - lox + 1
                 ny = hiy - loy + 1
@@ -693,9 +693,7 @@ def encode_wafer_tiles(
         raise ValueError("encode_wafer_tiles: need 0 <= k <= z")
     if k == 0:
         return encode_tiles(
-            features if "z" in features.columns else assign_tiles(
-                features, z, z, buffer_units=buffer_units
-            ),
+            assign_tiles(features, z, z, buffer_units=buffer_units),
             layer_name=layer_name,
             buffer_units=buffer_units,
             simplify_distance=simplify_distance,

@@ -162,3 +162,63 @@ def test_mjpeg_corpus_psnr_and_compression_contract():
         ref = _planes(i, int(r.w), int(r.h), int(r.n_frames))
         back = mjpeg.decode(r.bytes, int(r.w), int(r.h), int(r.n_frames))
         assert _psnr(back, ref) >= 40.0
+
+
+def test_corrupt_metadata_folds_to_valueerror_not_memoryerror():
+    """A row whose typed metadata is garbage (huge n_frames/dims, tiny
+    buffer) must fold to ValueError — allocation happens per DECODED
+    frame, never from raw metadata."""
+    frames = _planes(1, 40, 40, 2).astype(np.uint8)
+    buf = mjpeg.encode(frames)
+    with pytest.raises(ValueError):
+        mjpeg.decode(buf, 1 << 20, 1 << 20, 1 << 20)
+    with pytest.raises(ValueError):
+        mjpeg.decode(buf, 40, 40, 0)  # non-positive frame count
+    with pytest.raises(ValueError):
+        mjpeg.decode(buf, 40, 40, -3)
+
+
+def test_frame_dims_header_parse():
+    frames = _planes(2, 56, 40, 1).astype(np.uint8)
+    buf = mjpeg.encode(frames)
+    ln = int.from_bytes(buf[4:8], "big")
+    w, h = mjpeg.frame_dims(buf[8 : 8 + ln])
+    assert (w, h) == (56, 40)
+    with pytest.raises(ValueError):
+        mjpeg.frame_dims(b"\x00\x01")
+
+
+def test_sampler_rejects_mixed_dims_container_whole():
+    """Frame 1 has different dims than metadata: even when only frame 0
+    is sampled (every=2), the batch sampler must reject the row WHOLE
+    (header-level dims validation of skipped frames), matching the
+    scalar decode_video contract."""
+    from mapnik_vector_tile_spark.functions.jpeg import encode_jpeg
+
+    f0 = _planes(1, 40, 40, 1).astype(np.uint8)[0]
+    f1 = np.zeros((64, 64), dtype=np.uint8)
+    parts = [mjpeg.MAGIC]
+    for fr in (f0, f1):
+        j = encode_jpeg(fr, 95)
+        parts += [len(j).to_bytes(4, "big"), j]
+    buf = b"".join(parts)
+    pdf = pd.DataFrame(
+        {
+            "video_id": ["bad"],
+            "bytes": [buf],
+            "w": np.array([40], dtype=np.int32),
+            "h": np.array([40], dtype=np.int32),
+            "n_frames": np.array([2], dtype=np.int32),
+            "fps": np.array([10], dtype=np.int32),
+            "codec": ["mjpeg"],
+            "caption": ["c"],
+        }
+    )
+    # scalar decode rejects
+    with pytest.raises(ValueError):
+        mm.decode_video(buf, "mjpeg", 40, 40, 2)
+    # batch sampler: skip policy drops the row whole, strict raises
+    out = mm.frame_sample_batch(pdf, every=2, skip_undecodable=True)
+    assert out is None or "bad" not in set(out["video_id"])
+    with pytest.raises(ValueError):
+        mm.frame_sample_batch(pdf, every=2, skip_undecodable=False)
