@@ -25,6 +25,7 @@ so the operator composes with incremental corpus builds.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -113,4 +114,100 @@ def group_quantiles(
     ]
     return r.groupBy(group_col).agg(
         F.max("n").cast("long").alias("n_rows"), *aggs
+    )
+
+
+def global_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    names: tuple[str, ...] | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """EXACT GLOBAL quantiles WITHOUT a global sort — the 100 TB shape
+    group_quantiles' docstring prescribes, implemented: two passes.
+
+    Pass 1: (count, min, max) + a fixed-grid histogram — ONE map-side-
+    combining aggregate; the driver receives ≤ n_buckets rows (a
+    bounded summary, like collecting a bloom filter or a KMV sketch —
+    NOT data) and walks the cumulative counts to locate, for each
+    target rank floor((n−1)·q), its bucket and within-bucket rank.
+    Pass 2: filter to the ≤len(qs) candidate buckets (narrow, pushed
+    to the scan), rank ONLY those rows with a per-bucket sort window,
+    and select the target offsets. Wall-clock: two scans, zero global
+    sort, shuffle bounded by candidate-bucket volume (~n/n_buckets
+    rows per quantile; heavy ties concentrate a bucket — recurse
+    manually with a tighter range if a corpus is that degenerate).
+
+    Result is EXACTLY the rank-selection definition (the value at
+    0-based rank floor((n−1)·q) in the full sorted order): bucketing
+    by value preserves rank order across buckets, so within-bucket
+    rank + cumulative offset = global rank. The DuckDB twin
+    (q_global_quantiles) computes the same definition by a FULL SORT
+    — an algorithm-independent oracle. Returns ONE row:
+    (n_rows, <one column per q>)."""
+    names = names or tuple(
+        "p" + format(q * 100, "g").replace(".", "_").zfill(2) for q in qs
+    )
+    v = F.col(value_col)
+    first = df.agg(
+        F.count(v).alias("n"), F.min(v).alias("lo"), F.max(v).alias("hi")
+    ).collect()[0]
+    n, lo, hi = int(first["n"]), first["lo"], first["hi"]
+    spark = df.sparkSession
+    if n == 0:
+        raise ValueError("global_quantiles: empty input")
+    # float multiply matches the oracle's floor((n-1)*q) double math
+    ranks = [int(np.floor((n - 1) * float(q))) for q in qs]
+    out_schema = "n_rows long, " + ", ".join(f"{nm} double" for nm in names)
+    if lo == hi:
+        return spark.createDataFrame(
+            [tuple([n] + [float(lo)] * len(qs))], schema=out_schema
+        )
+    width = (float(hi) - float(lo)) / float(n_buckets)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((v.cast("double") - F.lit(float(lo))) / F.lit(width)).cast(
+            "long"
+        ),
+    )
+    hist = {
+        int(r["b"]): int(r["c"])
+        for r in df.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    targets: list[tuple[int, int, str]] = []  # (bucket, local_rank, name)
+    cum = 0
+    ordered = sorted(hist)
+    bi = 0
+    for rank, nm in sorted(zip(ranks, names)):
+        while bi < len(ordered) and cum + hist[ordered[bi]] <= rank:
+            cum += hist[ordered[bi]]
+            bi += 1
+        targets.append((ordered[bi], rank - cum, nm))
+    cand = sorted({b for b, _, _ in targets})
+    from pyspark.sql.window import Window
+
+    ranked = (
+        df.select(v.alias("_v"), bucket.alias("_b"))
+        .filter(F.col("_b").isin(cand))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("_b").orderBy("_v")
+            )
+            - 1,
+        )
+    )
+    want = spark.createDataFrame(
+        [(b, r, nm) for b, r, nm in targets], "_b long, _r int, _nm string"
+    )
+    got = {
+        r["_nm"]: float(r["_v"])
+        for r in ranked.join(F.broadcast(want), ["_b", "_r"]).collect()
+    }
+    return spark.createDataFrame(
+        [tuple([n] + [got[nm] for nm in names])], schema=out_schema
     )

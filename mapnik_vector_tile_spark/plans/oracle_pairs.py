@@ -2412,6 +2412,40 @@ FROM ids
 """
 
 
+def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles by the two-pass histogram+rank-select
+    strategy (operators.sketch.global_quantiles — no global sort; the
+    driver only ever receives a bounded histogram summary). The DuckDB
+    twin computes the SAME rank-selection definition by a full sort —
+    an algorithm-independent oracle: if bucket routing, cumulative
+    offsets, or the within-bucket ranking were off by one row, the
+    hash breaks."""
+    from mapnik_vector_tile_spark.operators.sketch import global_quantiles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return global_quantiles(
+        orders, "o_totalprice", qs=(0.5, 0.95, 0.99),
+        names=("p50", "p95", "p99"),
+    )
+
+
+def _sql_global_quantiles() -> str:
+    return """
+WITH r AS (SELECT o_totalprice AS v,
+                  row_number() OVER (ORDER BY o_totalprice) - 1 AS rn,
+                  COUNT(*) OVER () AS n
+           FROM orders)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       MAX(CASE WHEN rn = CAST(floor((n - 1) * 5e-1) AS BIGINT)
+                THEN v END) AS p50,
+       MAX(CASE WHEN rn = CAST(floor((n - 1) * 95e-2) AS BIGINT)
+                THEN v END) AS p95,
+       MAX(CASE WHEN rn = CAST(floor((n - 1) * 99e-2) AS BIGINT)
+                THEN v END) AS p99
+FROM r
+"""
+
+
 WAFER_Z, WAFER_K = 8, 3  # q_engine_wafer: z8 tiles rendered as z5 wafers
 
 
@@ -2865,6 +2899,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
     "q_video_mjpeg": (q_video_mjpeg, _sql_video_mjpeg()),
     "q_engine_wafer": (q_engine_wafer, _sql_wafer()),
+    "q_global_quantiles": (q_global_quantiles, _sql_global_quantiles()),
 }
 
 
@@ -2886,6 +2921,7 @@ _RECORD_FIRST = (
     # round-2 new/upgraded oracles — record fresh
     "q_video_mjpeg",
     "q_engine_wafer",
+    "q_global_quantiles",
     "q_bloom_decontaminate",
     "q_token_quantiles",
     "q_repetition",

@@ -118,3 +118,41 @@ def test_group_quantiles_single_row_group(spark):
     df = spark.createDataFrame(pd.DataFrame({"g": ["x"], "v": [42]}))
     row = group_quantiles(df, "g", "v").collect()[0]
     assert (row.n_rows, row.p50, row.p90, row.p99) == (1, 42, 42, 42)
+
+
+def test_global_quantiles_match_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.sketch import global_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate(
+        [rng.uniform(0, 100, 4000), rng.uniform(5000, 5001, 25)]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    row = global_quantiles(df, "v", qs=(0.5, 0.9, 0.999)).collect()[0]
+    sv = np.sort(vals)
+    n = len(sv)
+    assert row.n_rows == n
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.999, "p99_9")):
+        assert getattr(row, col) == sv[int(np.floor((n - 1) * q))], q
+
+
+def test_global_quantiles_heavy_ties_and_constant(spark):
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.sketch import global_quantiles
+
+    # 90% one value: the median bucket is a heavy-ties bucket
+    vals = [3.0] * 900 + [float(i) for i in range(100)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    row = global_quantiles(df, "v", qs=(0.5, 0.99)).collect()[0]
+    import numpy as np
+
+    sv = np.sort(np.array(vals))
+    assert row.p50 == sv[int(np.floor(999 * 0.5))]
+    assert row.p99 == sv[int(np.floor(999 * 0.99))]
+    const = spark.createDataFrame(pd.DataFrame({"v": [7] * 10}))
+    r2 = global_quantiles(const, "v").collect()[0]
+    assert (r2.p50, r2.p99) == (7.0, 7.0)
