@@ -36,12 +36,20 @@ def corpus_filter_stats(
     docs: DataFrame,
     min_tokens: int = MIN_TOKENS,
     min_alpha: float = MIN_ALPHA,
+    max_dup2_frac: float | None = None,
 ) -> DataFrame:
     """Stats of the retained corpus per (predicted language,
     token-count band): drop exact dups (keeper = min doc_id per text
     over docs ∪ shifted-copy — the same harness the dedup queries
     use), drop low-quality docs (token and alpha-ratio floors), group
-    what survives."""
+    what survives.
+
+    ``max_dup2_frac`` adds the Gopher-style intra-doc repetition gate
+    (textstats.repetition_stats): docs whose duplicate-2-gram fraction
+    exceeds the cap are cut — the filter that removes boilerplate/
+    self-concatenated pages a corpus crawl always contains. Off by
+    default (the base oracle pins the 3-gate composition; the
+    repetition-gated composition is pinned by q_corpus_filter_rep)."""
     keepers = (
         with_self_copies(docs)
         .groupBy("text")
@@ -60,6 +68,20 @@ def corpus_filter_stats(
             & (F.col("alpha_ratio") >= F.lit(min_alpha))
         )
     )
+    if max_dup2_frac is not None:
+        from mapnik_vector_tile_spark.operators.textstats import (
+            repetition_stats,
+        )
+
+        rep = (
+            repetition_stats(docs, ns=(2,))
+            .select("doc_id", "dup_frac")
+        )
+        kept = (
+            kept.join(rep, "doc_id")
+            .filter(F.col("dup_frac") <= F.lit(float(max_dup2_frac)))
+            .drop("dup_frac")
+        )
     return kept.withColumn(
         "tok_band",
         F.floor(F.col("n_tokens") / F.lit(TOKEN_BAND)).cast("bigint"),

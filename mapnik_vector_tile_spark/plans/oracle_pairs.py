@@ -2922,6 +2922,7 @@ _RECORD_FIRST = (
     "q_video_mjpeg",
     "q_engine_wafer",
     "q_global_quantiles",
+    "q_corpus_filter_rep",
     "q_bloom_decontaminate",
     "q_token_quantiles",
     "q_repetition",

@@ -385,6 +385,59 @@ GROUP BY 1, 2
 """
 
 
+def sql_corpus_filter_rep(max_dup2: float = 0.2) -> str:
+    """Oracle for the repetition-gated corpus filter over documents ∪
+    self-concatenated copies of every 4th doc ('text text' — dup2_frac
+    ≈ 0.5, so the gate actually cuts them while base docs survive)."""
+    from mapnik_vector_tile_spark.operators.corpus import (
+        MIN_ALPHA,
+        MIN_TOKENS,
+        TOKEN_BAND,
+    )
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    q_sub = sql_quality_stats().replace("FROM documents", "FROM docs3")
+    l_sub = sql_langid().replace("FROM documents", "FROM docs3")
+    return f"""
+WITH docs3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' ' || text AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+docs2 AS (
+  SELECT doc_id, text FROM docs3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM docs3
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM docs2 GROUP BY text),
+q AS ({q_sub}),
+l AS ({l_sub}),
+w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs3),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(words) - 1, 0)),
+           i -> array_to_string(words[i:i + 1], ' '))) AS gram
+  FROM w2),
+d2 AS (SELECT doc_id, COUNT(*) AS total,
+              COUNT(DISTINCT gram) AS nd
+       FROM g2 GROUP BY 1)
+SELECT l.pred_lang,
+       CAST(floor(q.n_tokens / {TOKEN_BAND}) AS BIGINT) AS tok_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(q.len_chars) AS BIGINT) AS sum_chars
+FROM q
+JOIN l USING (doc_id)
+JOIN keepers USING (doc_id)
+JOIN d2 USING (doc_id)
+WHERE q.n_tokens >= {MIN_TOKENS} AND q.alpha_ratio >= {flit(MIN_ALPHA)}
+  AND 1.0 - d2.nd / d2.total <= {flit(max_dup2)}
+GROUP BY 1, 2
+"""
+
+
 def sql_embedding_neardup(threshold: float = 0.999) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -837,6 +890,19 @@ SELECT doc_id, COUNT(*) AS n_hits FROM hit GROUP BY 1
 """
 
 
+def q_corpus_filter_rep(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators.corpus import corpus_filter_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    rep = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return corpus_filter_stats(
+        docs.unionByName(rep), max_dup2_frac=0.2
+    )
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import dedup as D
 
@@ -936,5 +1002,9 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
             sql_bloom_decontaminate(),
         ),
         "q_token_quantiles": (q_token_quantiles, sql_token_quantiles()),
+        "q_corpus_filter_rep": (
+            q_corpus_filter_rep,
+            sql_corpus_filter_rep(),
+        ),
         "q_repetition": (q_repetition, sql_repetition()),
     }
