@@ -45,6 +45,12 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 4)
     if fmt == "png-zlib":
         return synth.png_zlib_decode(bytes(buf))
+    if fmt == "png":
+        # REAL PNG (ISO/IEC 15948) — files any viewer opens; lossless
+        # (w/h args ignored: IHDR carries dimensions)
+        from mapnik_vector_tile_spark.functions import png as pngmod
+
+        return pngmod.decode_png(bytes(buf))
     if fmt == "quant6":
         q = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 4)
         return (q.astype(np.uint16) << 2).astype(np.uint8)
@@ -68,6 +74,10 @@ def encode_image(rgba: np.ndarray, fmt: str) -> bytes:
         return rgba.tobytes()
     if fmt == "png-zlib":
         return synth._png_zlib_encode(rgba)
+    if fmt == "png":
+        from mapnik_vector_tile_spark.functions import png as pngmod
+
+        return pngmod.encode_png(rgba)
     if fmt == "quant6":
         # lossy: drop 2 LSBs per channel — bounded error (≤3/255) keeps
         # PSNR ≈ 43 dB, above the 40 dB input_hint gate

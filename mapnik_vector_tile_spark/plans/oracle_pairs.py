@@ -2613,6 +2613,69 @@ FROM hh
 """
 
 
+PNG_N = 300  # q_raster_png corpus size
+
+
+def q_raster_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 LOSSLESS codec gate with a FULL contract oracle: every image
+    of the committed synthetic corpus round-trips through the REAL PNG
+    codec (functions.png — signature/IHDR/IDAT/IEND with CRCs, all 5
+    scanline filters, min-SAD heuristic) and must come back BIT-EXACT
+    (stronger than the JPEG path's PSNR gate), carry the real PNG
+    signature, and compress the gradient+noise corpus below raw size.
+    The DuckDB twin regenerates (image_id, w, h) closed-form and
+    asserts the contract booleans TRUE. sf_dir unused (committed synth
+    recipe). Ref parity: mapnik save_to_string(image, "png");
+    SURVEY §2.8 R2."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators import raster as R
+
+    def gen(it):
+        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            src = gen_images_pdf(
+                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
+            )
+            out = {"image_id": [], "w": [], "h": [], "exact": [],
+                   "is_png": [], "smaller": []}
+            for row in src.itertuples(index=False):
+                rgba = R.decode_image(
+                    row.bytes, row.fmt, int(row.w), int(row.h)
+                )
+                buf = R.encode_image(rgba, "png")
+                back = R.decode_image(buf, "png", int(row.w), int(row.h))
+                out["image_id"].append(row.image_id)
+                out["w"].append(int(row.w))
+                out["h"].append(int(row.h))
+                out["exact"].append(bool(np.array_equal(back, rgba)))
+                out["is_png"].append(buf[:8] == b"\x89PNG\r\n\x1a\n")
+                out["smaller"].append(len(buf) < rgba.size)
+            yield pd.DataFrame(out)
+
+    return spark.range(0, PNG_N, 1, 8).mapInPandas(
+        gen,
+        schema=("image_id string, w int, h int, exact boolean, "
+                "is_png boolean, smaller boolean"),
+    )
+
+
+def _sql_raster_png(n: int = PNG_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(16 + (i * 7) % 49 AS INT) AS w,
+       CAST(16 + (i * 11) % 49 AS INT) AS h,
+       TRUE AS exact, TRUE AS is_png, TRUE AS smaller
+FROM ids
+"""
+
+
 REPAIR_N = 450  # q_engine_clip_repair corpus size
 
 
@@ -2893,6 +2956,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
     "q_engine_clip_repair": (q_engine_clip_repair, _sql_clip_repair()),
     "q_raster_jpeg": (q_raster_jpeg, _sql_raster_jpeg()),
+    "q_raster_png": (q_raster_png, _sql_raster_png()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -2923,6 +2987,7 @@ _RECORD_FIRST = (
     "q_engine_wafer",
     "q_global_quantiles",
     "q_corpus_filter_rep",
+    "q_raster_png",
     "q_bloom_decontaminate",
     "q_token_quantiles",
     "q_repetition",
