@@ -210,3 +210,42 @@ def test_bench_ann_path_has_no_driver_collect(spark):
     ex = [ln for ln in plan.splitlines()
           if ln.strip().startswith("(") and "Exchange" in ln]
     assert len(ex) == 1, ex  # ONE bucket-id shuffle, nothing else
+
+
+def test_repetition_stats_single_scan_partial_aggs(spark):
+    """T25: the tagged-flatten projection must keep ONE scan of the
+    docs source (three union legs would read the corpus three times),
+    and both hash aggregates must partial-aggregate map-side (no
+    distinct-Expand)."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(repetition_stats(docs))
+    import re
+
+    # formatted explain shows each node in the tree AND the details
+    # section: count numbered detail entries = physical scan nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" not in plan
+    # two-phase agg pairs: partial + final for both groupBys
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_group_quantiles_single_shuffle(spark):
+    """T23: one hash-partition exchange feeds the rank window, the
+    count window, and the final agg (plus AQE reads) — no second
+    repartitioning of the data."""
+    from mapnik_vector_tile_spark.operators.sketch import group_quantiles
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    df = docs.select("lang", F.length("text").alias("v"))
+    import re
+
+    plan = _plan(group_quantiles(df, "lang", "v"))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, plan
+    assert "hashpartitioning(lang" in plan
