@@ -61,9 +61,15 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from mapnik_vector_tile_spark.functions import jpeg as jpegmod
 
         return jpegmod.decode_jpeg(bytes(buf))
-    if fmt in ("webp", "avif"):
+    if fmt == "webp":
+        # REAL WebP-lossless (VP8L, functions.webp) — RIFF container
+        # any standard decoder reads; w/h args ignored (header-carried)
+        from mapnik_vector_tile_spark.functions import webp as webpmod
+
+        return webpmod.decode_webp(bytes(buf))
+    if fmt == "avif":
         raise NotImplementedError(
-            f"{fmt} decode requires an image library not present in this "
+            "avif decode requires an image library not present in this "
             "sandbox; plug a decoder into decode_image()"
         )
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -82,6 +88,10 @@ def encode_image(rgba: np.ndarray, fmt: str) -> bytes:
         # lossy: drop 2 LSBs per channel — bounded error (≤3/255) keeps
         # PSNR ≈ 43 dB, above the 40 dB input_hint gate
         return (rgba >> 2).astype(np.uint8).tobytes()
+    if fmt == "webp":
+        from mapnik_vector_tile_spark.functions import webp as webpmod
+
+        return webpmod.encode_webp(rgba)
     if fmt == "jpeg":
         # q=98: the synthetic corpus has mod-256 sawtooth wraps (the
         # hardest JPEG content); 98 keeps even that above the 40 dB

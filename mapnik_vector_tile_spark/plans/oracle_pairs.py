@@ -2676,6 +2676,69 @@ FROM ids
 """
 
 
+WEBP_N = 200  # q_raster_webp corpus size
+
+
+def q_raster_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 WebP-lossless codec gate with a FULL contract oracle: the
+    synthetic corpus round-trips through the REAL VP8L codec
+    (functions.webp — RIFF/WEBP/VP8L container, canonical prefix codes
+    via the 19-symbol code-length code, SUBTRACT_GREEN transform) and
+    must come back BIT-EXACT with a real RIFF/VP8L header. The DuckDB
+    twin regenerates (image_id, w, h) closed-form and asserts the
+    booleans TRUE. sf_dir unused (committed synth recipe). Ref parity:
+    mapnik save_to_string(image, "webp"); SURVEY §2.8 R2."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators import raster as R
+
+    def gen(it):
+        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            src = gen_images_pdf(
+                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
+            )
+            out = {"image_id": [], "w": [], "h": [], "exact": [],
+                   "is_webp": [], "nonempty": []}
+            for row in src.itertuples(index=False):
+                rgba = R.decode_image(
+                    row.bytes, row.fmt, int(row.w), int(row.h)
+                )
+                buf = R.encode_image(rgba, "webp")
+                back = R.decode_image(buf, "webp", int(row.w), int(row.h))
+                out["image_id"].append(row.image_id)
+                out["w"].append(int(row.w))
+                out["h"].append(int(row.h))
+                out["exact"].append(bool(np.array_equal(back, rgba)))
+                out["is_webp"].append(
+                    buf[:4] == b"RIFF" and buf[8:16] == b"WEBPVP8L"
+                )
+                out["nonempty"].append(len(buf) > 0)
+            yield pd.DataFrame(out)
+
+    return spark.range(0, WEBP_N, 1, 8).mapInPandas(
+        gen,
+        schema=("image_id string, w int, h int, exact boolean, "
+                "is_webp boolean, nonempty boolean"),
+    )
+
+
+def _sql_raster_webp(n: int = WEBP_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(16 + (i * 7) % 49 AS INT) AS w,
+       CAST(16 + (i * 11) % 49 AS INT) AS h,
+       TRUE AS exact, TRUE AS is_webp, TRUE AS nonempty
+FROM ids
+"""
+
+
 REPAIR_N = 450  # q_engine_clip_repair corpus size
 
 
@@ -2957,6 +3020,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_clip_repair": (q_engine_clip_repair, _sql_clip_repair()),
     "q_raster_jpeg": (q_raster_jpeg, _sql_raster_jpeg()),
     "q_raster_png": (q_raster_png, _sql_raster_png()),
+    "q_raster_webp": (q_raster_webp, _sql_raster_webp()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -2988,6 +3052,7 @@ _RECORD_FIRST = (
     "q_global_quantiles",
     "q_corpus_filter_rep",
     "q_raster_png",
+    "q_raster_webp",
     "q_bloom_decontaminate",
     "q_token_quantiles",
     "q_repetition",

@@ -36,8 +36,9 @@ def test_codec_quant6_psnr_gate():
 
 
 def test_unsupported_fmt_stubbed():
+    # webp became a REAL codec late r2; avif is the remaining stub
     with pytest.raises(NotImplementedError):
-        R.decode_image(b"", "webp", 1, 1)
+        R.decode_image(b"", "avif", 1, 1)
 
 
 def test_jpeg_codec_psnr_gate():
