@@ -1,9 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry()      — flagship z0..z14 tile-pyramid job on sf0.001.
-queries()    — one entry per implemented operator (SURVEY.md §2).
-oracle_sql() — DuckDB ANSI-SQL twins (omitted for engine-only binary /
-               concave-geometry / raster ops → rows-only checks).
+queries()    — one entry per implemented operator (SURVEY.md §2;
+               §2.12 indexes every key to the rows it gates).
+oracle_sql() — DuckDB ANSI-SQL twins: since round 2 EVERY key has one
+               (0 rows-only).
 """
 
 from __future__ import annotations
