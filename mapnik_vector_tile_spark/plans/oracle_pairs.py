@@ -264,18 +264,42 @@ def q_engine_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_knn(k: int = 3) -> str:
+    """kNN oracle as bounded streaming passes, not a materialized
+    window: the naive form (row_number over the full cross join) is
+    O(|pts|·|tg|) MEMORY — at sf0.1 that is 2.25e9 rows, which blew
+    straight through the sweep's 40 GB DuckDB cap and then the disk
+    spill. Instead: three plain min() passes compute d_i = the i-th
+    smallest DISTINCT squared distance per point (each pass is a
+    streaming hash aggregate — state is one double per point), then
+    only pairs with dist <= d3 are window-ranked. Correctness: the
+    top-k by (dist, id) all have dist <= (k-th smallest distinct
+    distance), so the candidate set is a provable superset; duplicate
+    distances only ENLARGE it. Verified row-identical to the window
+    form at sf0.01; sf0.1 runs in ~210 s inside the 40 GB cap."""
+    assert k == 3, "oracle is written for k=3 (three min passes)"
+    dist = (
+        "(t.mx - p.mx) * (t.mx - p.mx) + (t.my - p.my) * (t.my - p.my)"
+    )
     return f"""
 WITH {S.point_cte('customer', 'c_custkey')},
-{S.point_cte('orders', 'o_orderkey', cte='tg')}
+{S.point_cte('orders', 'o_orderkey', cte='tg')},
+d1 AS (SELECT p.id AS id, min({dist}) AS d
+       FROM pts p CROSS JOIN tg t GROUP BY p.id),
+d2 AS (SELECT p.id AS id, min({dist}) AS d
+       FROM pts p JOIN d1 ON d1.id = p.id CROSS JOIN tg t
+       WHERE {dist} > d1.d GROUP BY p.id),
+d3 AS (SELECT p.id AS id, min({dist}) AS d
+       FROM pts p JOIN d2 ON d2.id = p.id CROSS JOIN tg t
+       WHERE {dist} > d2.d GROUP BY p.id),
+cand AS (
+  SELECT p.id AS id, t.id AS nbr, {dist} AS dist
+  FROM pts p JOIN d3 ON d3.id = p.id CROSS JOIN tg t
+  WHERE {dist} <= d3.d)
 SELECT id, nbr, rnk FROM (
-  SELECT p.id AS id, t.id AS nbr,
+  SELECT id, nbr,
          CAST(row_number() OVER (
-           PARTITION BY p.id
-           ORDER BY (t.mx - p.mx) * (t.mx - p.mx)
-                  + (t.my - p.my) * (t.my - p.my), t.id
-         ) AS BIGINT) AS rnk
-  FROM pts p CROSS JOIN tg t
-) ranked
+           PARTITION BY id ORDER BY dist, nbr) AS BIGINT) AS rnk
+  FROM cand) r
 WHERE rnk <= {k}
 """
 
