@@ -192,3 +192,81 @@ def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)) -> DataFr
             (F.col("top") / F.col("total")).alias("top_frac"),
         )
     )
+
+
+# Okapi BM25 defaults (Robertson & Walker; the universal k1/b choice).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = ("spark", "merge", "window"),
+    k: int = 100,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 retrieval: rank documents against a constant query
+    term set; return the top-k with per-term tf and the score.
+
+      idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+      score   = Σ_t idf(t) · tf_t·(k1+1) / (tf_t + k1·(1-b + b·dl/avgdl))
+
+    Plan at 100 TB: per-doc tf for the (small, constant) query term set
+    is array-lambda Column algebra inside the scan projection — NO
+    explode, NO per-token shuffle. Corpus stats (N, Σdl, df_t) are ONE
+    map-side-combining global aggregate producing a single row, joined
+    back via broadcast nested loop (1-row build side). The final top-k
+    compiles to TakeOrderedAndProject — per-partition heap, k rows to
+    the driver merge, no global sort shuffle.
+
+    Cross-engine determinism: score is a fixed-order sum of terms whose
+    factors are int-derived doubles plus one ln() — the same ln the
+    mercator oracle (plans/oracle_pairs.py q_tile_assign_z14) already
+    proves bit-identical between the JVM and DuckDB on this host. Ties
+    break on doc_id, so the LIMIT frontier is a total order."""
+    words = words_col()
+
+    def eq(term: str):
+        # closure factory, NOT a default-arg lambda: a second lambda
+        # param would make F.filter pass the array INDEX into it (the
+        # same trap repetition_stats documents for F.transform)
+        return lambda w: w == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(words, eq(t))).cast("long").alias(f"tf_{t}")
+        for t in terms
+    ]
+    per = docs.select(
+        "doc_id", F.size(words).cast("long").alias("dl"), *tf_cols
+    )
+    stats = per.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    j = per.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    score = F.lit(0.0)
+    for t in terms:
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log(
+            F.lit(1.0) + ((F.col("n_docs") - df) + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+    scored = j.select("doc_id", "dl", *[f"tf_{t}" for t in terms],
+                      score.alias("score"))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return top.select(rnk.cast("long").alias("rnk"), "doc_id", "dl",
+                      *[f"tf_{t}" for t in terms], "score")

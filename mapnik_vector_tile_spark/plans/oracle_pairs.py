@@ -1523,6 +1523,58 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.mapInPandas(gen, "id long, s2_cell long, s2_parent5 long")
 
 
+GEOHASH_P = 8
+
+
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-32 geohash encoding (functions/geohash.py) at precision 8
+    plus the precision-4 prefix — the cell-index family's third member
+    (public standard; prefix = containment). Pure Column algebra: the
+    whole encode is one codegen projection, no shuffle, no Python, and
+    unlike the S2 twin there is NO trig — every step is IEEE-exact in
+    both engines, so this pair is bit-exact, not drift-tolerant.
+
+    lon/lat are derived from the shared deterministic mercator points
+    by exact axis rescale ((mx/W)·180, (my/W)·85 — synthetic world
+    cover; the oracle gates the ENCODE semantics)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import geohash as GH
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = derive_points(cust, "c_custkey")
+    lon = (F.col("mx") / F.lit(W)) * F.lit(180.0)
+    lat = (F.col("my") / F.lit(W)) * F.lit(85.0)
+    coded = pts.select(
+        "id", GH.geohash_code_col(lon, lat, GEOHASH_P).alias("code")
+    )
+    gh8 = GH.geohash_str_col(F.col("code"), GEOHASH_P)
+    return coded.select(
+        "id",
+        "code",
+        gh8.alias("gh8"),
+        F.substring(gh8, 1, 4).alias("gh4"),
+    )
+
+
+def _sql_geohash() -> str:
+    from mapnik_vector_tile_spark.functions import geohash as GH
+
+    ix, iy = GH.lonlat_index_sql("lon", "lat", GEOHASH_P)
+    code = GH.interleave_sql("gx", "gy", GEOHASH_P)
+    gh8 = GH.geohash_sql("code", GEOHASH_P)
+    return f"""
+WITH {S.point_cte('customer', 'c_custkey')},
+ll AS (SELECT id, (mx / {S.flit(W)}) * 180e0 AS lon,
+              (my / {S.flit(W)}) * 85e0 AS lat FROM pts),
+g AS (SELECT id, {ix} AS gx, {iy} AS gy FROM ll),
+c AS (SELECT id, CAST({code} AS BIGINT) AS code FROM g),
+h AS (SELECT id, code, {gh8} AS gh8 FROM c)
+SELECT id, code, gh8, substr(gh8, 1, 4) AS gh4 FROM h
+"""
+
+
 def _sql_s2_cells() -> str:
     from mapnik_vector_tile_spark.functions import cellid as C
 
@@ -3040,6 +3092,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_tile_diff": (q_tile_diff, _sql_tile_diff()),
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
+    "q_geohash": (q_geohash, _sql_geohash()),
     "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
     "q_engine_clip_repair": (q_engine_clip_repair, _sql_clip_repair()),
     "q_raster_jpeg": (q_raster_jpeg, _sql_raster_jpeg()),

@@ -542,6 +542,61 @@ FROM c ORDER BY n DESC, token ASC LIMIT {k}
 """
 
 
+BM25_TERMS = ("spark", "merge", "window")
+
+
+def q_bm25(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    return T.bm25_topk(_docs(spark, sf_dir), terms=BM25_TERMS, k=100)
+
+
+def sql_bm25(k: int = 100) -> str:
+    """DuckDB twin of textstats.bm25_topk — the SAME constants (via
+    flit so literals parse as DOUBLE in both engines), the SAME
+    operation order (score = 0.0 + c_t1 + c_t2 + ..., left-assoc), the
+    SAME ln(); see bm25_topk's docstring for why ln is bit-safe here."""
+    from mapnik_vector_tile_spark.operators.textstats import BM25_B, BM25_K1
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    k1, b = BM25_K1, BM25_B
+    tf_sel = ",\n       ".join(
+        f"CAST(len(list_filter(words, w -> w = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_sel = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    norm = f"{flit(k1)} * ({flit(1.0 - b)} + {flit(b)} * (dl / {avgdl}))"
+    score = flit(0.0)
+    for t in BM25_TERMS:
+        idf = (
+            f"ln({flit(1.0)} + ((n_docs - df_{t}) + {flit(0.5)})"
+            f" / (df_{t} + {flit(0.5)}))"
+        )
+        score += (
+            f" + {idf} * (tf_{t} * {flit(k1 + 1.0)}) / (tf_{t} + {norm})"
+        )
+    tf_names = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl,
+       {tf_sel}
+      FROM d),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       {df_sel}
+      FROM t),
+s AS (SELECT doc_id, dl, {tf_names}, {score} AS score FROM t, g)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+         AS rnk,
+       doc_id, dl, {tf_names}, score
+FROM s ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def q_langid(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import textstats as T
 
@@ -982,6 +1037,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_corpus_filter": (q_corpus_filter, sql_corpus_filter()),
         "q_token_counts": (q_token_counts, sql_token_counts()),
         "q_topk_tokens": (q_topk_tokens, sql_topk_tokens()),
+        "q_bm25": (q_bm25, sql_bm25()),
         "q_langid": (q_langid, sql_langid()),
         "q_fingerprints": (q_fingerprints, sql_fingerprints()),
         "q_ann_topk": (q_ann_topk, sql_ann_topk()),
