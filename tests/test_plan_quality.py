@@ -249,3 +249,39 @@ def test_group_quantiles_single_shuffle(spark):
     n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchange == 1, plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_geohash_is_single_scan_projection(spark):
+    """T15b: the whole geohash encode (code + string + prefix) is ONE
+    parquet scan with zero exchanges and zero Python nodes — it must
+    stay a codegen projection at 100 TB."""
+    import re
+
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_geohash
+
+    plan = _plan(q_geohash(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # only the two point columns should be read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "c_custkey" in read and "text" not in read
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark):
+    """T26: corpus stats join is a 1-row broadcast (no shuffle of the
+    doc side) and the top-k compiles to TakeOrderedAndProject (no
+    global sort exchange). The only Exchange is the 1-row stats
+    partial->final aggregate."""
+    import re
+
+    from mapnik_vector_tile_spark.plans.text_oracles import q_bm25
+
+    plan = _plan(q_bm25(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # no Sort node outside the TakeOrdered operator
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
+    # exchanges: the stats aggregate's singlepartition + its broadcast;
+    # the full documents side must NOT be exchanged
+    assert "hashpartitioning(doc_id" not in plan
