@@ -1,0 +1,237 @@
+"""Polygon→cell covering ("polyfill") on the engine's quadkey grid —
+the H3/S2 ``polyfill`` analogue over the same z-cell space the tiling
+pipeline shuffles on (SURVEY §2 T15 family). The reference's spatial
+filter asks "which tiles does this geometry touch" per zoom
+(processor's tile loop over the layer envelope); this operator answers
+it EXACTLY — bbox fan-out (assign_tiles' A.2 ranges) pruned to the
+cells whose closed box truly intersects the filled polygon — which is
+what a region-indexing equi-join needs at 100 TB: join images to
+regions on cell_id instead of running PIP against every region.
+
+Exact closed-set intersection test, fully vectorized per Arrow batch
+(no per-cell Python):
+  cell ∩ polygon ≠ ∅  ⇔  a polygon vertex lies in the cell box
+                       ∨ a polygon edge crosses the cell box
+                       ∨ the cell center is inside the polygon
+(first two catch every boundary overlap; if neither holds the cell is
+entirely inside or outside, decided by its center — even-odd fill over
+all rings, so holes subtract). Vertex containment is O(V) binning;
+edge crossing enumerates (edge, cell) pairs by per-edge bbox ranges —
+the repeat/rank trick from assign_tiles — and accepts with a
+vectorized Liang–Barsky interval test; center PIP runs points_in_ring
+per ring XOR-folded (even-odd).
+
+Cell boundaries are dyadic fractions of the mercator world width, so
+every comparison is exact in float64; boundary touches count as
+intersecting (closed semantics, pinned by the q_cell_cover oracle).
+
+Scale: candidates per feature = its bbox cell count at z — bounded by
+(size/span)^2. A continent-sized polygon at z=14 would fan out
+millions of candidates; ``max_cells_per_feature`` guards that (raise,
+don't OOM) — the 100 TB path for huge regions is hierarchical descent
+(coarse cover at z-k, refine only boundary cells), which composes from
+this same kernel and is left as the documented scale-out, mirroring
+S2's RegionCoverer design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from mapnik_vector_tile_spark.functions import pip as pipmod
+from mapnik_vector_tile_spark.functions import tilemath as tm
+
+COVER_SCHEMA = "feature_id long, z int, cx long, cy long"
+
+
+def _closed_cell_ranges(minx, miny, maxx, maxy, z):
+    """Inclusive candidate cell ranges under CLOSED-box semantics:
+    floor ranges, extended one cell on the LO side when the envelope's
+    min edge lies exactly ON a cell boundary (the touching cell also
+    intersects; the hi side needs no extension because floor of an
+    exact boundary already names the right/lower cell and the interior
+    one is inside the range). Vectorized; clamped to the world grid."""
+    span = tm.tile_span(z)
+    n = (1 << z) - 1
+    fx_lo = (np.asarray(minx) + tm.W) / span
+    fx_hi = (np.asarray(maxx) + tm.W) / span
+    fy_lo = (tm.W - np.asarray(maxy)) / span  # cy grows downward
+    fy_hi = (tm.W - np.asarray(miny)) / span
+    lox = np.floor(fx_lo).astype(np.int64) - (fx_lo == np.floor(fx_lo))
+    loy = np.floor(fy_lo).astype(np.int64) - (fy_lo == np.floor(fy_lo))
+    hix = np.floor(fx_hi).astype(np.int64)
+    hiy = np.floor(fy_hi).astype(np.int64)
+    return (
+        np.clip(lox, 0, n), np.clip(hix, 0, n),
+        np.clip(loy, 0, n), np.clip(hiy, 0, n),
+    )
+
+
+def _edge_box_cross(
+    ex0, ey0, ex1, ey1, bx0, by0, bx1, by1
+) -> np.ndarray:
+    """Vectorized Liang–Barsky ACCEPT test: does segment i intersect
+    closed box i? All arrays same length; returns bool mask."""
+    dx = ex1 - ex0
+    dy = ey1 - ey0
+    t0 = np.zeros_like(ex0)
+    t1 = np.ones_like(ex0)
+    ok = np.ones(len(ex0), dtype=bool)
+    for p, q in (
+        (-dx, ex0 - bx0),
+        (dx, bx1 - ex0),
+        (-dy, ey0 - by0),
+        (dy, by1 - ey0),
+    ):
+        # p == 0: parallel — reject iff outside this slab (q < 0)
+        par = p == 0
+        ok &= ~(par & (q < 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        enter = p < 0  # entering the slab
+        t0 = np.where(~par & enter, np.maximum(t0, r), t0)
+        t1 = np.where(~par & ~enter & (p != 0), np.minimum(t1, r), t1)
+    return ok & (t0 <= t1)
+
+
+def _cover_one(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    offs: np.ndarray,
+    z: int,
+    max_cells: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact covering cells (cx, cy arrays) of one polygon at zoom z."""
+    span = tm.tile_span(z)
+    n_cells_axis = 1 << z
+    lox, hix, loy, hiy = _closed_cell_ranges(
+        np.array([xs.min()]), np.array([ys.min()]),
+        np.array([xs.max()]), np.array([ys.max()]), z,
+    )
+    lox, hix, loy, hiy = int(lox[0]), int(hix[0]), int(loy[0]), int(hiy[0])
+    nx, ny = hix - lox + 1, hiy - loy + 1
+    if nx * ny > max_cells:
+        raise ValueError(
+            f"cover_polygon_cells: feature fans out to {nx * ny} candidate "
+            f"cells at z={z} (> max_cells_per_feature={max_cells}); cover "
+            "at a coarser zoom and refine hierarchically"
+        )
+    # candidate grid
+    cand_cx = (lox + np.arange(nx * ny) // ny).astype(np.int64)
+    cand_cy = (loy + np.arange(nx * ny) % ny).astype(np.int64)
+    hit = np.zeros(nx * ny, dtype=bool)
+
+    def key_of(cx, cy):
+        return (cx - lox) * ny + (cy - loy)
+
+    # 1) vertex-in-box: bin each vertex to its cell (closed boxes: a
+    # vertex ON a boundary is in BOTH adjacent cells — mark the four
+    # floor/ceil combinations when exactly on a line)
+    vfx = (xs + tm.W) / span
+    vfy = (tm.W - ys) / span
+    for ox in (0, 1):
+        for oy in (0, 1):
+            cx = np.floor(vfx).astype(np.int64) - ox * (vfx == np.floor(vfx))
+            cy = np.floor(vfy).astype(np.int64) - oy * (vfy == np.floor(vfy))
+            m = (cx >= lox) & (cx <= hix) & (cy >= loy) & (cy <= hiy)
+            m &= (cx >= 0) & (cx < n_cells_axis) & (cy >= 0) & (cy < n_cells_axis)
+            hit[key_of(cx[m], cy[m])] = True
+
+    # 2) edge-crossing: per-ring consecutive pairs (+ closing edge when
+    # the ring isn't explicitly closed), candidates by per-edge bbox
+    e0x, e0y, e1x, e1y = [], [], [], []
+    for r in range(len(offs) - 1):
+        a, b = offs[r], offs[r + 1]
+        if b - a < 2:
+            continue
+        rx, ry = xs[a:b], ys[a:b]
+        x0, y0 = rx[:-1], ry[:-1]
+        x1, y1 = rx[1:], ry[1:]
+        if rx[0] != rx[-1] or ry[0] != ry[-1]:
+            x0 = np.append(x0, rx[-1]); y0 = np.append(y0, ry[-1])
+            x1 = np.append(x1, rx[0]); y1 = np.append(y1, ry[0])
+        e0x.append(x0); e0y.append(y0); e1x.append(x1); e1y.append(y1)
+    if e0x:
+        e0x = np.concatenate(e0x); e0y = np.concatenate(e0y)
+        e1x = np.concatenate(e1x); e1y = np.concatenate(e1y)
+        elox, ehix, eloy, ehiy = _closed_cell_ranges(
+            np.minimum(e0x, e1x), np.minimum(e0y, e1y),
+            np.maximum(e0x, e1x), np.maximum(e0y, e1y), z,
+        )
+        elox = np.maximum(elox, lox); ehix = np.minimum(ehix, hix)
+        eloy = np.maximum(eloy, loy); ehiy = np.minimum(ehiy, hiy)
+        enx = np.maximum(ehix - elox + 1, 0)
+        eny = np.maximum(ehiy - eloy + 1, 0)
+        cnt = enx * eny
+        tot = int(cnt.sum())
+        if tot:
+            rep = np.repeat(np.arange(len(cnt)), cnt)
+            starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            rank = np.arange(tot) - np.repeat(starts, cnt)
+            pcx = elox[rep] + rank // eny[rep]
+            pcy = eloy[rep] + rank % eny[rep]
+            bx0 = -tm.W + pcx * span
+            by1 = tm.W - pcy * span  # cell top (merc y decreases with cy)
+            cross = _edge_box_cross(
+                e0x[rep], e0y[rep], e1x[rep], e1y[rep],
+                bx0, by1 - span, bx0 + span, by1,
+            )
+            hit[key_of(pcx[cross], pcy[cross])] = True
+
+    # 3) undecided cells: even-odd PIP of the center over all rings
+    rest = np.flatnonzero(~hit)
+    if len(rest):
+        ccx = -tm.W + (cand_cx[rest] + 0.5) * span
+        ccy = tm.W - (cand_cy[rest] + 0.5) * span
+        inside = np.zeros(len(rest), dtype=bool)
+        for r in range(len(offs) - 1):
+            a, b = offs[r], offs[r + 1]
+            if b - a < 3:
+                continue
+            inside ^= pipmod.points_in_ring(ccx, ccy, xs[a:b], ys[a:b])
+        hit[rest[inside]] = True
+
+    sel = np.flatnonzero(hit)
+    return cand_cx[sel], cand_cy[sel]
+
+
+def cover_polygon_cells(
+    features: DataFrame,
+    z: int,
+    max_cells_per_feature: int = 65536,
+) -> DataFrame:
+    """features (canonical FEATURES_SCHEMA, polygon geom) → one row per
+    (feature_id, z, cx, cy) covering cell. Non-polygon rows pass
+    through the same kernel (a point covers the cell(s) containing it;
+    a line covers the cells it crosses) — the test degenerates
+    correctly because stages 1–2 are geometry-type-agnostic and stage 3
+    never fires for zero-area geometry."""
+
+    def gen(batches):
+        for pdf in batches:
+            out_fid, out_cx, out_cy = [], [], []
+            for fid, xs, ys, offs in zip(
+                pdf["feature_id"], pdf["xs"], pdf["ys"], pdf["part_offsets"]
+            ):
+                cx, cy = _cover_one(
+                    np.asarray(xs, dtype=np.float64),
+                    np.asarray(ys, dtype=np.float64),
+                    np.asarray(offs, dtype=np.int64),
+                    z, max_cells_per_feature,
+                )
+                out_fid.append(np.full(len(cx), int(fid), dtype=np.int64))
+                out_cx.append(cx)
+                out_cy.append(cy)
+            if not out_fid:
+                continue
+            fid = np.concatenate(out_fid)
+            yield pd.DataFrame({
+                "feature_id": fid,
+                "z": np.full(len(fid), z, dtype=np.int32),
+                "cx": np.concatenate(out_cx),
+                "cy": np.concatenate(out_cy),
+            })
+
+    return features.mapInPandas(gen, schema=COVER_SCHEMA)

@@ -201,6 +201,50 @@ def pip_join_partitioned(
     return _refine(cands, regions, broadcast_geo=False)
 
 
+def pip_join_cover(
+    points: DataFrame, regions: DataFrame, z: int = 7
+) -> DataFrame:
+    """J4 upgrade: partitioned PIP whose candidate cells come from the
+    EXACT polygon covering (operators/cellcover.py) instead of the
+    envelope range — for concave or diagonal regions the envelope
+    cover manufactures candidates the refine must discard (a thin
+    diagonal region of D cells has a D² envelope), while the exact
+    cover's candidate count is proportional to the region's true cell
+    footprint. Same algebra downstream: cell equi-join, packed-binary
+    geometry refine. Closed-boundary covering guarantees no false
+    negatives: a point's floor-cell always intersects any region
+    containing the point, so the covered-cell equi-join can't miss."""
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        cover_polygon_cells,
+    )
+
+    pts = with_point_cell(points, z).select(
+        F.col("id").alias("point_id"), "mx", "my", "ctx", "cty"
+    )
+    feats = regions.select(
+        F.col("region_id").alias("feature_id"),
+        F.lit(3).alias("geom_type"),
+        "xs",
+        "ys",
+        F.col("ring_offsets").alias("part_offsets"),
+        F.lit("").alias("caption"),
+    )
+    cells = cover_polygon_cells(feats, z).select(
+        F.col("feature_id").alias("region_id"),
+        F.col("cx").alias("ctx"),
+        F.col("cy").alias("cty"),
+    )
+    n = int(
+        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    cands = (
+        pts.repartition(n, "ctx", "cty")
+        .join(cells.repartition(n, "ctx", "cty"), ["ctx", "cty"])
+        .select("point_id", "region_id", "mx", "my")
+    )
+    return _refine(cands, regions, broadcast_geo=False)
+
+
 def pip_join_anti(
     points: DataFrame, regions: DataFrame, z: int = 7
 ) -> DataFrame:

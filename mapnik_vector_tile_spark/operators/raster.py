@@ -67,6 +67,12 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from mapnik_vector_tile_spark.functions import webp as webpmod
 
         return webpmod.decode_webp(bytes(buf))
+    if fmt == "tiff":
+        # REAL baseline TIFF 6.0 (functions.tiff) — II/MM, PackBits or
+        # uncompressed strips; lossless (w/h args ignored: IFD-carried)
+        from mapnik_vector_tile_spark.functions import tiff as tiffmod
+
+        return tiffmod.decode_tiff(bytes(buf))
     if fmt == "avif":
         raise NotImplementedError(
             "avif decode requires an image library not present in this "
@@ -100,6 +106,10 @@ def encode_image(rgba: np.ndarray, fmt: str) -> bytes:
         from mapnik_vector_tile_spark.functions import jpeg as jpegmod
 
         return jpegmod.encode_jpeg(rgba, quality=98)
+    if fmt == "tiff":
+        from mapnik_vector_tile_spark.functions import tiff as tiffmod
+
+        return tiffmod.encode_tiff(rgba)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -75,20 +75,24 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import time as _time
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in queries.items():
         if only and not any(s in name for s in only):
             continue
+        t0 = _time.perf_counter()
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:30s} rows-only: {len(sdf)} rows")
             continue
         ddf = con.sql(oracles[name]).df()
         res = compare(sdf, ddf)
+        dt = _time.perf_counter() - t0
         ok = res["rows"][2] and res["cols"][2] and res["hash_match"]
-        print(f"{name:30s} {'OK ' if ok else 'FAIL'} {res}")
+        print(f"{name:30s} {'OK ' if ok else 'FAIL'} [{dt:6.1f}s] {res}")
         if not ok:
             failures += 1
             # dump a small diff for debugging

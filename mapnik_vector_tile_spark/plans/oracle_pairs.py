@@ -2815,6 +2815,447 @@ FROM ids
 """
 
 
+TIFF_N = 240  # q_raster_tiff corpus size
+
+
+def q_raster_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 TIFF codec gate with a FULL contract oracle: the synthetic
+    corpus round-trips through the REAL baseline TIFF 6.0 codec
+    (functions.tiff — little-endian IFD, PackBits strips with the §9
+    per-row restart rule, plus the uncompressed variant) and must come
+    back BIT-EXACT on BOTH compressions with a real ``II*\\0`` header.
+    With png/jpeg/webp this completes the reference's mapnik raster
+    format surface (only avif stays a stub). The DuckDB twin
+    regenerates (image_id, w, h) closed-form and asserts the contract
+    booleans TRUE. sf_dir unused (committed synth recipe). Ref parity:
+    mapnik save_to_string(image, "tiff"); SURVEY §2.8 R2."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import tiff as tiffmod
+    from mapnik_vector_tile_spark.operators import raster as R
+
+    def gen(it):
+        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            src = gen_images_pdf(
+                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
+            )
+            out = {"image_id": [], "w": [], "h": [], "exact": [],
+                   "exact_raw": [], "is_tiff": []}
+            for row in src.itertuples(index=False):
+                rgba = R.decode_image(
+                    row.bytes, row.fmt, int(row.w), int(row.h)
+                )
+                buf = R.encode_image(rgba, "tiff")
+                back = R.decode_image(buf, "tiff", int(row.w), int(row.h))
+                raw = tiffmod.encode_tiff(rgba, compress=False)
+                back_raw = tiffmod.decode_tiff(raw)
+                out["image_id"].append(row.image_id)
+                out["w"].append(int(row.w))
+                out["h"].append(int(row.h))
+                out["exact"].append(bool(np.array_equal(back, rgba)))
+                out["exact_raw"].append(bool(np.array_equal(back_raw, rgba)))
+                out["is_tiff"].append(buf[:4] == b"II*\x00")
+            yield pd.DataFrame(out)
+
+    return spark.range(0, TIFF_N, 1, 8).mapInPandas(
+        gen,
+        schema=("image_id string, w int, h int, exact boolean, "
+                "exact_raw boolean, is_tiff boolean"),
+    )
+
+
+def _sql_raster_tiff(n: int = TIFF_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(16 + (i * 7) % 49 AS INT) AS w,
+       CAST(16 + (i * 11) % 49 AS INT) AS h,
+       TRUE AS exact, TRUE AS exact_raw, TRUE AS is_tiff
+FROM ids
+"""
+
+
+WKT_N = 600  # q_wkt_ingest / q_wkb_ingest corpus size
+
+
+def _wkt_corpus_geoms(ids) -> list[tuple[int, int, list, list, list]]:
+    """Deterministic 6-shape ingest corpus, closed-form per id so the
+    DuckDB twin replays it without parsing: i%6 picks POINT /
+    LINESTRING / POLYGON / MULTIPOINT / MULTILINESTRING(2 parts) /
+    MULTIPOLYGON(2 rects). All coordinates are dyadic (.25/.5 offsets,
+    integer steps, |v| < 2^12) so every vertex sum is exact in float64
+    regardless of summation order. Returns (id, gtype, xs, ys, offs)."""
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+    out = []
+    for i in ids:
+        i = int(i)
+        x0 = -170.0 + (i * 7) % 340 + 0.25
+        y0 = -80.0 + (i * 11) % 160 + 0.5
+        m = i % 6
+        if m == 0:
+            g, xs, ys, offs = gc.GEOM_POINT, [x0], [y0], [0, 1]
+        elif m == 1:
+            k = 3 + i % 5
+            xs = [x0 + 3.0 * j for j in range(k)]
+            ys = [y0 - 2.0 * j for j in range(k)]
+            g, offs = gc.GEOM_LINESTRING, [0, k]
+        elif m == 2:
+            w, h = 1.0 + i % 9, 2.0 + i % 7
+            xs = [x0, x0 + w, x0 + w, x0, x0]
+            ys = [y0, y0, y0 + h, y0 + h, y0]
+            g, offs = gc.GEOM_POLYGON, [0, 5]
+        elif m == 3:
+            k = 2 + i % 4
+            xs = [x0 + 5.0 * j for j in range(k)]
+            ys = [y0 + 4.0 * j for j in range(k)]
+            g, offs = gc.GEOM_POINT, [0, k]
+        elif m == 4:
+            xs, ys = [], []
+            for p in range(2):
+                xs += [x0 + 10.0 * p + j for j in range(3)]
+                ys += [y0 - 10.0 * p + 2.0 * j for j in range(3)]
+            g, offs = gc.GEOM_LINESTRING, [0, 3, 6]
+        else:
+            xs, ys = [], []
+            for r in range(2):
+                rx = x0 + 20.0 * r
+                xs += [rx, rx + 2.0, rx + 2.0, rx, rx]
+                ys += [y0, y0, y0 + 3.0, y0 + 3.0, y0]
+            g, offs = gc.GEOM_POLYGON, [0, 5, 10]
+        out.append((i, g, xs, ys, offs))
+    return out
+
+
+def _ingest_summary(parsed: DataFrame) -> DataFrame:
+    """Shared tail of the WKT/WKB ingest gates: per-feature structural
+    summary over the canonical features schema."""
+    from pyspark.sql import functions as F
+
+    return parsed.select(
+        F.col("feature_id"),
+        F.col("geom_type"),
+        (F.size("part_offsets") - F.lit(1)).alias("n_parts"),
+        F.size("xs").alias("n_vertices"),
+        F.aggregate("xs", F.lit(0.0), lambda a, x: a + x).alias("sum_x"),
+        F.aggregate("ys", F.lit(0.0), lambda a, x: a + x).alias("sum_y"),
+        F.col("caption"),
+    )
+
+
+def q_wkt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 WKT source gate with a FULL oracle: the deterministic
+    6-shape corpus is rendered to WKT TEXT (via the engine's
+    geometry_to_wkt writer — so the writer is under the same gate),
+    parsed back through the REAL wkt_to_features ingest stage
+    (sources/wkt.py, to_merc=False: the subject is the parser), and
+    summarized per feature (type, part/vertex counts, coordinate
+    sums — all dyadic-exact). The DuckDB twin replays the corpus
+    closed-form, no WKT involved. sf_dir unused (committed synth
+    recipe). Ref parity: mapnik::from_wkt / util::to_wkt
+    (include/mapnik/wkt/wkt_factory.hpp) feeding the reference's
+    processor; SURVEY §2.1 S1."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.sources import wkt as WK
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"feature_id": [], "wkt": [], "caption": []}
+            for i, g, xs, ys, offs in _wkt_corpus_geoms(ids):
+                rows["feature_id"].append(i)
+                rows["wkt"].append(WK.geometry_to_wkt(g, xs, ys, offs))
+                rows["caption"].append(f"c{i}")
+            yield pd.DataFrame(rows)
+
+    corpus = spark.range(0, WKT_N, 1, 8).mapInPandas(
+        gen, schema="feature_id long, wkt string, caption string"
+    )
+    return _ingest_summary(WK.wkt_to_features(corpus, to_merc=False))
+
+
+def q_wkb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 WKB source gate with a FULL oracle: same corpus as
+    q_wkt_ingest but serialized to WKB BYTES (geometry_to_wkb,
+    alternating little/big endian by id so both byte orders stay
+    gated) and parsed through the REAL wkb_to_features stage
+    (np.frombuffer coordinate decode). Same closed-form DuckDB twin.
+    Ref parity: mapnik geometry_utils::from_wkb; SURVEY §2.1 S1."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.sources import wkt as WK
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"feature_id": [], "wkb": [], "caption": []}
+            for i, g, xs, ys, offs in _wkt_corpus_geoms(ids):
+                rows["feature_id"].append(i)
+                rows["wkb"].append(
+                    WK.geometry_to_wkb(g, xs, ys, offs, little=bool(i % 2))
+                )
+                rows["caption"].append(f"c{i}")
+            yield pd.DataFrame(rows)
+
+    corpus = spark.range(0, WKT_N, 1, 8).mapInPandas(
+        gen, schema="feature_id long, wkb binary, caption string"
+    )
+    return _ingest_summary(WK.wkb_to_features(corpus, to_merc=False))
+
+
+def _sql_wkt_ingest(n: int = WKT_N) -> str:
+    """Closed-form twin of _wkt_corpus_geoms + _ingest_summary."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i,
+         CAST(-170 + (i * 7) % 340 AS DOUBLE) + 0.25 AS x0,
+         CAST(-80 + (i * 11) % 160 AS DOUBLE) + 0.5 AS y0,
+         i % 6 AS m,
+         3 + i % 5 AS lk,          -- LINESTRING vertex count
+         2 + i % 4 AS pk,          -- MULTIPOINT count
+         CAST(1 + i % 9 AS DOUBLE) AS w,
+         CAST(2 + i % 7 AS DOUBLE) AS h
+  FROM ids
+)
+SELECT i AS feature_id,
+       CASE m WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+              WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 3 END AS geom_type,
+       CASE m WHEN 4 THEN 2 WHEN 5 THEN 2 ELSE 1 END AS n_parts,
+       CASE m WHEN 0 THEN 1 WHEN 1 THEN lk WHEN 2 THEN 5
+              WHEN 3 THEN pk WHEN 4 THEN 6 ELSE 10 END AS n_vertices,
+       CASE m WHEN 0 THEN x0
+              WHEN 1 THEN lk * x0 + 3.0 * (lk * (lk - 1) / 2)
+              WHEN 2 THEN 5 * x0 + 2 * w
+              WHEN 3 THEN pk * x0 + 5.0 * (pk * (pk - 1) / 2)
+              WHEN 4 THEN 6 * x0 + 36.0
+              ELSE 10 * x0 + 108.0 END AS sum_x,
+       CASE m WHEN 0 THEN y0
+              WHEN 1 THEN lk * y0 - 2.0 * (lk * (lk - 1) / 2)
+              WHEN 2 THEN 5 * y0 + 2 * h
+              WHEN 3 THEN pk * y0 + 4.0 * (pk * (pk - 1) / 2)
+              WHEN 4 THEN 6 * y0 - 18.0
+              ELSE 10 * y0 + 12.0 END AS sum_y,
+       'c' || CAST(i AS VARCHAR) AS caption
+FROM base
+"""
+
+
+COVER_N = 400  # q_cell_cover corpus size
+COVER_Z = 10
+
+
+def q_cell_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15-family polygon→cell covering ("polyfill") with a FULL
+    oracle. Corpus: 400 polygons at z=10, i%2 picks the shape —
+    0: axis-aligned rectangle (w,h = cell-multiples + span/2, anchored
+    at cell-fraction +0.25 so no edge ever lies ON a cell boundary),
+    1: right triangle with axis-aligned legs (hypotenuse x+y = T with
+    T at cell-corner-sum + span/2, so no corner ever lies ON it) —
+    the triangle exercises the edge-crossing + center-PIP paths, not
+    just bbox ranges. The engine runs the real vectorized kernel
+    (operators/cellcover.py: vertex binning, Liang–Barsky edge×cell
+    pairs, even-odd center PIP); the DuckDB twin enumerates cells by
+    INTEGER arithmetic only (lateral generate_series + the halfplane
+    inequality reduced to ints), a fully independent derivation.
+    Output is the raw covering relation (feature_id, z, cx, cy).
+    sf_dir unused (committed synth recipe). Ref parity: the
+    processor's per-zoom tile loop over the layer envelope
+    (tile-intersects-geometry decisions); S2 RegionCoverer semantics
+    at fixed level; SURVEY §2 T15."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.cellcover import cover_polygon_cells
+
+    span = tm.tile_span(COVER_Z)
+
+    def gen(it):
+        from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                    "part_offsets": [], "caption": []}
+            for i in ids:
+                i = int(i)
+                k = (i * 7) % 900
+                m = (i * 11) % 900
+                a = -tm.W + k * span + span / 4
+                c = -tm.W + m * span + span / 4
+                if i % 2 == 0:
+                    w = (1 + i % 5) * span + span / 2
+                    h = (2 + i % 4) * span + span / 2
+                    xs = [a, a + w, a + w, a, a]
+                    ys = [c, c, c + h, c + h, c]
+                else:
+                    L = (2 + i % 5) * span
+                    xs = [a, a + L, a, a]
+                    ys = [c, c, c + L, c]
+                rows["feature_id"].append(i)
+                rows["geom_type"].append(int(gc.GEOM_POLYGON))
+                rows["xs"].append(xs)
+                rows["ys"].append(ys)
+                rows["part_offsets"].append([0, len(xs)])
+                rows["caption"].append("")
+            yield pd.DataFrame(rows)
+
+    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
+
+    corpus = spark.range(0, COVER_N, 1, 8).mapInPandas(gen, schema=FEATURES_SCHEMA)
+    return cover_polygon_cells(corpus, COVER_Z)
+
+
+def _sql_cell_cover(n: int = COVER_N) -> str:
+    """Integer-only twin of q_cell_cover: rect covers the closed
+    floor-ranges; the triangle adds the halfplane cut reduced to
+    cx - cy <= k + m + tl - 1023 (derivation in the query docstring's
+    design: T sits at corner-sum + span/2, so the float inequality is
+    equivalent to this integer one)."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i, (i * 7) % 900 AS k, (i * 11) % 900 AS m, i % 2 AS kind,
+         1 + i % 5 AS rw, 2 + i % 4 AS rh, 2 + i % 5 AS tl
+  FROM ids
+),
+rect AS (
+  SELECT b.i AS feature_id, gx.cx AS cx, gy.cy AS cy
+  FROM base b,
+       LATERAL (SELECT unnest(generate_series(b.k, b.k + b.rw)) AS cx) gx,
+       LATERAL (SELECT unnest(generate_series(1023 - b.m - b.rh, 1023 - b.m)) AS cy) gy
+  WHERE b.kind = 0
+),
+tri AS (
+  SELECT b.i AS feature_id, gx.cx AS cx, gy.cy AS cy
+  FROM base b,
+       LATERAL (SELECT unnest(generate_series(b.k, b.k + b.tl)) AS cx) gx,
+       LATERAL (SELECT unnest(generate_series(1023 - b.m - b.tl, 1023 - b.m)) AS cy) gy
+  WHERE b.kind = 1 AND gx.cx - gy.cy <= b.k + b.m + b.tl - 1023
+)
+SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM rect
+UNION ALL
+SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM tri
+"""
+
+
+COVER_JOIN_NR = 150  # q_pip_cover_join regions
+COVER_JOIN_NP = 4000  # q_pip_cover_join points
+COVER_JOIN_Z = 8
+
+
+def q_pip_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4-upgrade gate with a FULL oracle: partitioned PIP join whose
+    candidates come from the EXACT polygon covering
+    (joins.pip_join_cover ∘ cellcover.cover_polygon_cells) instead of
+    the envelope range. Corpus: 150 regions (rect/right-triangle mix,
+    anchored at cell-fraction +1/4 so edges never lie ON cell
+    boundaries) × 4000 points (at cell-fractions +3/8, +5/8 — margins
+    ≥ span/8 from every region edge and from the hypotenuse, so both
+    engines' float comparisons agree despite different expression
+    trees). The DuckDB twin is a direct cross-join with closed-form
+    containment (BETWEEN + one halfplane inequality) — it never sees
+    cells, so the covering+equi-join+refine pipeline is gated end to
+    end against pure geometry. Output (point_id, region_id).
+    sf_dir unused (committed synth recipe). Ref parity: the spatial
+    probe the reference runs per tile, re-expressed as the PBSM
+    shuffle join; SURVEY §2.3 J4 + T15."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.joins import pip_join_cover
+
+    span = tm.tile_span(COVER_JOIN_Z)
+
+    def gen_regions(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"region_id": [], "xs": [], "ys": [], "ring_offsets": []}
+            for i in ids:
+                i = int(i)
+                a = -tm.W + ((i * 7) % 240) * span + span / 4
+                c = -tm.W + ((i * 11) % 240) * span + span / 4
+                if i % 2 == 0:
+                    w = (1 + i % 4) * span + span / 2
+                    h = (2 + i % 3) * span + span / 2
+                    xs = [a, a + w, a + w, a, a]
+                    ys = [c, c, c + h, c + h, c]
+                else:
+                    L = (2 + i % 4) * span
+                    xs = [a, a + L, a, a]
+                    ys = [c, c, c + L, c]
+                rows["region_id"].append(i)
+                rows["xs"].append(xs)
+                rows["ys"].append(ys)
+                rows["ring_offsets"].append([0, len(xs)])
+            yield pd.DataFrame(rows)
+
+    regions = spark.range(0, COVER_JOIN_NR, 1, 4).mapInPandas(
+        gen_regions,
+        schema=("region_id long, xs array<double>, ys array<double>, "
+                "ring_offsets array<int>"),
+    )
+    points = spark.range(0, COVER_JOIN_NP, 1, 8).select(
+        F.col("id"),
+        (F.lit(-tm.W) + ((F.col("id") * 13) % 250) * F.lit(span)
+         + F.lit(0.375 * span)).alias("mx"),
+        (F.lit(-tm.W) + ((F.col("id") * 17) % 250) * F.lit(span)
+         + F.lit(0.625 * span)).alias("my"),
+    )
+    return pip_join_cover(points, regions, z=COVER_JOIN_Z)
+
+
+def _sql_pip_cover_join(
+    nr: int = COVER_JOIN_NR, np_: int = COVER_JOIN_NP
+) -> str:
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    span = tm.tile_span(COVER_JOIN_Z)
+    return f"""
+WITH rids AS (SELECT unnest(generate_series(0, {nr - 1})) AS i),
+pids AS (SELECT unnest(generate_series(0, {np_ - 1})) AS j),
+regions AS (
+  SELECT i,
+         {-tm.W!r} + ((i * 7) % 240) * {span!r} + {span / 4!r} AS a,
+         {-tm.W!r} + ((i * 11) % 240) * {span!r} + {span / 4!r} AS c,
+         i % 2 AS kind,
+         (1 + i % 4) * {span!r} + {span / 2!r} AS w,
+         (2 + i % 3) * {span!r} + {span / 2!r} AS h,
+         (2 + i % 4) * {span!r} AS L
+  FROM rids
+),
+points AS (
+  SELECT j,
+         {-tm.W!r} + ((j * 13) % 250) * {span!r} + {0.375 * span!r} AS px,
+         {-tm.W!r} + ((j * 17) % 250) * {span!r} + {0.625 * span!r} AS py
+  FROM pids
+)
+SELECT p.j AS point_id, r.i AS region_id
+FROM points p, regions r
+WHERE (r.kind = 0 AND p.px BETWEEN r.a AND r.a + r.w
+                  AND p.py BETWEEN r.c AND r.c + r.h)
+   OR (r.kind = 1 AND p.px >= r.a AND p.py >= r.c
+                  AND p.px + p.py <= r.a + r.c + r.L)
+"""
+
+
 REPAIR_N = 450  # q_engine_clip_repair corpus size
 
 
@@ -3098,6 +3539,11 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_raster_jpeg": (q_raster_jpeg, _sql_raster_jpeg()),
     "q_raster_png": (q_raster_png, _sql_raster_png()),
     "q_raster_webp": (q_raster_webp, _sql_raster_webp()),
+    "q_raster_tiff": (q_raster_tiff, _sql_raster_tiff()),
+    "q_wkt_ingest": (q_wkt_ingest, _sql_wkt_ingest()),
+    "q_wkb_ingest": (q_wkb_ingest, _sql_wkt_ingest()),
+    "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
+    "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -3124,6 +3570,11 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 # every key even if the driver budget is key-count-based).
 _RECORD_FIRST = (
     # round-2 new/upgraded oracles — record fresh
+    "q_raster_tiff",
+    "q_wkt_ingest",
+    "q_wkb_ingest",
+    "q_cell_cover",
+    "q_pip_cover_join",
     "q_video_mjpeg",
     "q_engine_wafer",
     "q_global_quantiles",

@@ -1,0 +1,189 @@
+"""Polygon→cell covering (operators/cellcover.py): randomized
+brute-force parity, hole subtraction, closed-boundary semantics,
+guard-rail, DataFrame stage."""
+
+import numpy as np
+import pytest
+
+from mapnik_vector_tile_spark.functions import pip as pipmod
+from mapnik_vector_tile_spark.functions import tilemath as tm
+from mapnik_vector_tile_spark.operators.cellcover import (
+    _cover_one,
+    _edge_box_cross,
+    cover_polygon_cells,
+)
+
+
+def brute_cover(xs, ys, offs, z):
+    """Scalar-loop reference: same decomposition (vertex-in-box /
+    edge-cross / center-PIP) but cell-at-a-time — an independent code
+    path from the vectorized kernel."""
+    span = tm.tile_span(z)
+    lox = int(np.floor((xs.min() + tm.W) / span))
+    hix = int(np.floor((xs.max() + tm.W) / span))
+    loy = int(np.floor((tm.W - ys.max()) / span))
+    hiy = int(np.floor((tm.W - ys.min()) / span))
+    out = set()
+    for cx in range(lox - 1, hix + 2):
+        for cy in range(loy - 1, hiy + 2):
+            bx0 = -tm.W + cx * span
+            bx1 = bx0 + span
+            by1 = tm.W - cy * span
+            by0 = by1 - span
+            found = any(
+                bx0 <= xs[k] <= bx1 and by0 <= ys[k] <= by1
+                for k in range(len(xs))
+            )
+            if not found:
+                for r in range(len(offs) - 1):
+                    a, b = offs[r], offs[r + 1]
+                    rx, ry = list(xs[a:b]), list(ys[a:b])
+                    if rx[0] != rx[-1] or ry[0] != ry[-1]:
+                        rx.append(rx[0])
+                        ry.append(ry[0])
+                    for k in range(len(rx) - 1):
+                        if _edge_box_cross(
+                            np.array([rx[k]]), np.array([ry[k]]),
+                            np.array([rx[k + 1]]), np.array([ry[k + 1]]),
+                            np.array([bx0]), np.array([by0]),
+                            np.array([bx1]), np.array([by1]),
+                        )[0]:
+                            found = True
+                            break
+                    if found:
+                        break
+            if not found:
+                c = np.zeros(1, bool)
+                for r in range(len(offs) - 1):
+                    a, b = offs[r], offs[r + 1]
+                    if b - a < 3:
+                        continue
+                    c ^= pipmod.points_in_ring(
+                        np.array([(bx0 + bx1) / 2]),
+                        np.array([(by0 + by1) / 2]),
+                        xs[a:b], ys[a:b],
+                    )
+                found = bool(c[0])
+            if found:
+                out.add((cx, cy))
+    return out
+
+
+def _kernel_cover(xs, ys, offs, z):
+    cx, cy = _cover_one(
+        np.asarray(xs, np.float64), np.asarray(ys, np.float64),
+        np.asarray(offs, np.int64), z, 100_000,
+    )
+    return set(zip(cx.tolist(), cy.tolist()))
+
+
+def test_randomized_brute_force_parity():
+    rng = np.random.default_rng(11)
+    z = 8
+    span = tm.tile_span(z)
+    for trial in range(40):
+        kind = trial % 4
+        a = -tm.W + int(rng.integers(10, 200)) * span + span / 4
+        c = -tm.W + int(rng.integers(10, 200)) * span + span / 4
+        if kind == 0:  # triangle
+            L = int(rng.integers(1, 6)) * span
+            xs = np.array([a, a + L, a, a])
+            ys = np.array([c, c, c + L, c])
+            offs = np.array([0, 4])
+        elif kind == 1:  # rect
+            w = int(rng.integers(1, 5)) * span + span / 2
+            h = int(rng.integers(1, 4)) * span + span / 2
+            xs = np.array([a, a + w, a + w, a, a])
+            ys = np.array([c, c, c + h, c + h, c])
+            offs = np.array([0, 5])
+        elif kind == 2:  # square with a hole
+            w = 6 * span
+            xs = np.array([a, a + w, a + w, a, a,
+                           a + 2 * span, a + 4 * span, a + 4 * span,
+                           a + 2 * span, a + 2 * span])
+            ys = np.array([c, c, c + w, c + w, c,
+                           c + 2 * span, c + 2 * span, c + 4 * span,
+                           c + 4 * span, c + 2 * span])
+            offs = np.array([0, 5, 10])
+        else:  # irregular (often self-intersecting) pentagon — random
+            # dyadic vertices offset by span/8 so none lands exactly ON
+            # a cell boundary (exact-boundary vertices are covered by
+            # test_boundary_touch_counts_closed; here an on-boundary
+            # vertex would make the two codepaths' different float
+            # expression trees disagree by 1 ulp, a non-signal)
+            px = a + rng.integers(0, 16, 5) * (span / 4) + span / 8
+            py = c + rng.integers(0, 16, 5) * (span / 4) + span / 8
+            xs = np.append(px, px[0])
+            ys = np.append(py, py[0])
+            offs = np.array([0, 6])
+        assert _kernel_cover(xs, ys, offs, z) == brute_cover(xs, ys, offs, z), (
+            trial, kind,
+        )
+
+
+def test_hole_cells_excluded():
+    z = 6
+    span = tm.tile_span(z)
+    a = -tm.W + 10 * span + span / 4
+    # 8x8-cell square with a 4x4-cell hole centered inside
+    xs = np.array([a, a + 8 * span, a + 8 * span, a, a,
+                   a + 2 * span, a + 6 * span, a + 6 * span,
+                   a + 2 * span, a + 2 * span])
+    ys = np.array([a, a, a + 8 * span, a + 8 * span, a,
+                   a + 2 * span, a + 2 * span, a + 6 * span,
+                   a + 6 * span, a + 2 * span])
+    # reuse a as merc-y anchor too (valid: |a| < W)
+    offs = np.array([0, 5, 10])
+    got = _kernel_cover(xs, ys, offs, z)
+    # a cell strictly inside the hole, not touching its ring
+    hole_cx = int(np.floor((a + 4 * span + tm.W) / span))
+    hole_cy = int(np.floor((tm.W - (a + 4 * span)) / span)) - 1
+    inside_hole = (hole_cx, hole_cy)
+    assert inside_hole not in got
+    # the outer shell cells are present
+    assert len(got) > 0
+    assert got == brute_cover(xs, ys, offs, z)
+
+
+def test_boundary_touch_counts_closed():
+    # polygon edge exactly ON a cell boundary: both adjacent cells
+    # intersect under closed semantics
+    z = 4
+    span = tm.tile_span(z)
+    x_edge = -tm.W + 5 * span  # exactly a cell boundary
+    y0 = -tm.W + 3 * span + span / 4
+    xs = np.array([x_edge, x_edge + span / 2, x_edge + span / 2, x_edge, x_edge])
+    ys = np.array([y0, y0, y0 + span / 2, y0 + span / 2, y0])
+    got = _kernel_cover(xs, ys, np.array([0, 5]), z)
+    cy = int(np.floor((tm.W - y0) / span))
+    assert (5, cy) in got  # right of the boundary
+    assert (4, cy) in got  # touching cell left of the boundary
+
+
+def test_max_cells_guard():
+    z = 14
+    xs = np.array([-tm.W / 2, tm.W / 2, tm.W / 2, -tm.W / 2, -tm.W / 2])
+    ys = np.array([-tm.W / 2, -tm.W / 2, tm.W / 2, tm.W / 2, -tm.W / 2])
+    with pytest.raises(ValueError, match="candidate"):
+        _cover_one(xs, ys, np.array([0, 5]), z, max_cells=1000)
+
+
+def test_dataframe_stage(spark):
+    z = 7
+    span = tm.tile_span(z)
+    a = -tm.W + 40 * span + span / 4
+    df = spark.createDataFrame(
+        [(1, 3, [a, a + 2 * span, a + 2 * span, a, a],
+          [a, a, a + 2 * span, a + 2 * span, a], [0, 5], "r")],
+        "feature_id long, geom_type int, xs array<double>, "
+        "ys array<double>, part_offsets array<int>, caption string",
+    )
+    rows = cover_polygon_cells(df, z).collect()
+    got = {(r.cx, r.cy) for r in rows}
+    want = brute_cover(
+        np.array([a, a + 2 * span, a + 2 * span, a, a]),
+        np.array([a, a, a + 2 * span, a + 2 * span, a]),
+        np.array([0, 5]), z,
+    )
+    assert got == want
+    assert all(r.z == z and r.feature_id == 1 for r in rows)

@@ -113,6 +113,21 @@ def test_pip_partitioned_equals_broadcast(spark, points, tri_regions):
     assert a == b
 
 
+def test_pip_cover_equals_broadcast(spark, points, tri_regions):
+    """Exact-cover candidates (pip_join_cover) produce the same pairs
+    as the envelope-cover broadcast join — the fixture's triangles and
+    holed square exercise cells the envelope includes but the exact
+    cover prunes."""
+    pts_df, pts_pdf = points
+    reg_df, reg_pdf = tri_regions
+    a = _oracle_pairs(pts_pdf, reg_pdf)
+    b = {
+        (r.point_id, r.region_id)
+        for r in J.pip_join_cover(pts_df, reg_df, z=5).collect()
+    }
+    assert a == b
+
+
 def test_pip_hole_excluded(spark, tri_regions):
     reg_df, _ = tri_regions
     s = W / 4
