@@ -632,3 +632,127 @@ def overzoom_raster_tiles(
             "captions array<string>"
         ),
     )
+
+
+# --- zonal statistics (R4 companion: raster aggregated by vector zones) --------
+
+
+def zonal_stats(
+    tiles: DataFrame,
+    zones: DataFrame,
+    z: int,
+    tile_size: int = TILE_SIZE,
+    channel: int = 0,
+) -> DataFrame:
+    """Per-zone pixel statistics over a raster tile table — the
+    classic zonal-statistics operator (aggregate every pixel whose
+    CENTER falls inside the zone polygon, even-odd fill so holes
+    subtract). Returns (region_id, n_px, sum_px) with INTEGER sums
+    (uint8 channel), so results are bit-exact and order-free.
+
+    Plan shape (the 100 TB story): zones → EXACT covering cells
+    (operators/cellcover.py) → cell equi-join against the tile table
+    (tiles never scan outside the covered cells) → one narrow
+    mapInPandas that decodes each joined tile once and masks pixel
+    centers via the vectorized even-odd ray cast → a final partial→
+    total aggregation on region_id. Zone geometry crosses the join as
+    ONE packed binary column (tiling._pack_coords), never Arrow lists
+    — the same exchange-cost rule as joins._refine.
+
+    tiles: (z int, x long, y long, raster binary, fmt string).
+    zones: (region_id long, xs array<double>, ys array<double>,
+    ring_offsets array<int>).
+    """
+    from mapnik_vector_tile_spark.functions import pip as pipmod
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        cover_polygon_cells,
+    )
+    from mapnik_vector_tile_spark.operators.tiling import (
+        _pack_coords,
+        _unpack_coords,
+    )
+
+    feats = zones.select(
+        F.col("region_id").alias("feature_id"),
+        F.lit(3).alias("geom_type"),
+        "xs",
+        "ys",
+        F.col("ring_offsets").alias("part_offsets"),
+        F.lit("").alias("caption"),
+    )
+    cells = cover_polygon_cells(feats, z).select(
+        F.col("feature_id").alias("region_id"),
+        F.col("cx").alias("x"),
+        F.col("cy").alias("y"),
+    )
+
+    def pack_gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "region_id": pdf["region_id"],
+                    "geom": [
+                        _pack_coords(gx, gy, o)
+                        for gx, gy, o in zip(
+                            pdf["xs"], pdf["ys"], pdf["ring_offsets"]
+                        )
+                    ],
+                }
+            )
+
+    geo = zones.select("region_id", "xs", "ys", "ring_offsets").mapInPandas(
+        pack_gen, schema="region_id long, geom binary"
+    )
+    cand = (
+        tiles.withColumnRenamed("z", "tz")
+        .filter(F.col("tz") == z)
+        .join(cells, ["x", "y"])
+        .join(geo, "region_id")
+        .select("region_id", "x", "y", "raster", "fmt", "geom")
+    )
+
+    span = tm.tile_span(z)
+    pspan = span / tile_size
+
+    def agg_gen(batches):
+        # pixel-center offsets within a tile, reused across rows
+        base = (np.arange(tile_size, dtype=np.float64) + 0.5) * pspan
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rid_out, n_out, s_out = [], [], []
+            for rid, x, y, raster, fmt, geom in zip(
+                pdf["region_id"], pdf["x"], pdf["y"],
+                pdf["raster"], pdf["fmt"], pdf["geom"],
+            ):
+                rgba = decode_image(
+                    bytes(raster), str(fmt), tile_size, tile_size
+                )
+                tx0 = -tm.W + float(x) * span
+                ty1 = tm.W - float(y) * span  # tile top edge
+                cxs = tx0 + base  # columns left→right
+                cys = ty1 - base  # rows top→bottom
+                qx = np.repeat(cxs[None, :], tile_size, axis=0).ravel()
+                qy = np.repeat(cys[:, None], tile_size, axis=1).ravel()
+                gx, gy, go = _unpack_coords(geom)
+                mask = pipmod.points_in_polygon(qx, qy, gx, gy, go)
+                if not mask.any():
+                    continue
+                vals = rgba[..., channel].ravel()[mask]
+                rid_out.append(int(rid))
+                n_out.append(int(mask.sum()))
+                s_out.append(int(vals.sum(dtype=np.int64)))
+            if not rid_out:
+                continue
+            yield pd.DataFrame(
+                {"region_id": rid_out, "n_px": n_out, "sum_px": s_out}
+            )
+
+    partial = cand.mapInPandas(
+        agg_gen, schema="region_id long, n_px long, sum_px long"
+    )
+    return partial.groupBy("region_id").agg(
+        F.sum("n_px").alias("n_px"), F.sum("sum_px").alias("sum_px")
+    )

@@ -3153,6 +3153,192 @@ SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM tri
 """
 
 
+ZONAL_N = 120  # q_zonal_stats zones
+ZONAL_Z = 4  # 16×16 tile grid
+ZONAL_T = 32  # pixels per tile side
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4-companion zonal statistics with a FULL integer oracle:
+    120 rectangular zones (anchored at pixel-fraction +1/4 with
+    half-pixel widths, so pixel CENTERS are never on a zone edge) over
+    a full 16×16 z=4 raster tile grid whose channel-0 pixels are the
+    closed-form ramp v = (3·row + 5·col + (tx·37+ty·91)%251) % 256.
+    The engine runs the real pipeline — exact zone covering → cell
+    equi-join against the tile table → decode → even-odd center mask →
+    partial+final integer aggregation (operators/raster.zonal_stats);
+    the DuckDB twin enumerates zone pixels in GLOBAL pixel coordinates
+    and sums the same ramp, integers only, never touching tiles or
+    rasters. Output (region_id, n_px, sum_px) — integer-exact, order-
+    free. sf_dir unused (committed synth recipe). Ref parity: raster
+    band statistics under vector masks (the raster analogue of the
+    reference's per-tile spatial aggregation); SURVEY §2.8 R4."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.raster import zonal_stats
+
+    span = tm.tile_span(ZONAL_Z)
+    pspan = span / ZONAL_T
+
+    def gen_tiles(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"z": [], "x": [], "y": [], "raster": [], "fmt": []}
+            rr, cc = np.mgrid[0:ZONAL_T, 0:ZONAL_T]
+            for t in ids:
+                t = int(t)
+                tx, ty = t % 16, t // 16
+                phase = (tx * 37 + ty * 91) % 251
+                v = ((3 * rr + 5 * cc + phase) % 256).astype(np.uint8)
+                rgba = np.repeat(v[..., None], 4, axis=2)
+                rgba[..., 3] = 255
+                rows["z"].append(ZONAL_Z)
+                rows["x"].append(tx)
+                rows["y"].append(ty)
+                rows["raster"].append(rgba.tobytes())
+                rows["fmt"].append("raw-rgba8")
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(0, 256, 1, 8).mapInPandas(
+        gen_tiles, schema="z int, x long, y long, raster binary, fmt string"
+    )
+
+    def gen_zones(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"region_id": [], "xs": [], "ys": [], "ring_offsets": []}
+            for i in ids:
+                i = int(i)
+                gx, gy = (i * 3) % 12, (i * 5) % 12
+                px0, py0 = (i * 13) % 28, (i * 17) % 28
+                wpx, hpx = 10 + (i * 7) % 45, 8 + (i * 11) % 40
+                zx0 = -tm.W + (gx * ZONAL_T + px0 + 0.25) * pspan
+                zx1 = zx0 + (wpx + 0.5) * pspan
+                ztop = tm.W - (gy * ZONAL_T + py0 + 0.25) * pspan
+                zbot = tm.W - (gy * ZONAL_T + py0 + hpx + 0.75) * pspan
+                rows["region_id"].append(i)
+                rows["xs"].append([zx0, zx1, zx1, zx0, zx0])
+                rows["ys"].append([zbot, zbot, ztop, ztop, zbot])
+                rows["ring_offsets"].append([0, 5])
+            yield pd.DataFrame(rows)
+
+    zones = spark.range(0, ZONAL_N, 1, 4).mapInPandas(
+        gen_zones,
+        schema=("region_id long, xs array<double>, ys array<double>, "
+                "ring_offsets array<int>"),
+    )
+    return zonal_stats(tiles, zones, z=ZONAL_Z, tile_size=ZONAL_T)
+
+
+def _sql_zonal_stats(n: int = ZONAL_N, t: int = ZONAL_T) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+zn AS (
+  SELECT i, (i * 3) % 12 AS gx, (i * 5) % 12 AS gy,
+         (i * 13) % 28 AS px0, (i * 17) % 28 AS py0,
+         10 + (i * 7) % 45 AS wpx, 8 + (i * 11) % 40 AS hpx
+  FROM ids
+),
+px AS (
+  SELECT z.i, gp.p, gq.q
+  FROM zn z,
+       LATERAL (SELECT unnest(generate_series(
+           z.gx * {t} + z.px0, z.gx * {t} + z.px0 + z.wpx)) AS p) gp,
+       LATERAL (SELECT unnest(generate_series(
+           z.gy * {t} + z.py0, z.gy * {t} + z.py0 + z.hpx)) AS q) gq
+)
+SELECT i AS region_id,
+       COUNT(*) AS n_px,
+       CAST(SUM((3 * (q % {t}) + 5 * (p % {t})
+                 + ((p // {t}) * 37 + (q // {t}) * 91) % 251) % 256)
+            AS BIGINT) AS sum_px
+FROM px
+GROUP BY i
+"""
+
+
+LINE_COVER_N = 300  # q_line_cover corpus size
+
+
+def q_line_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 trajectory covering gate with a FULL oracle: the SAME
+    covering kernel (cover_polygon_cells degenerates correctly for
+    lines — vertex binning + edge crossing; the zero-area center-PIP
+    stage never fires) over 45° diagonal segments, the adversarial
+    case for cell walks. Each segment starts at cell fractions
+    (+3/8, +5/8) with integer cell length l = 1 + i%6, so it crosses
+    vertical boundaries at u = 5/8+j and horizontal ones at u = 3/8+j
+    — never a corner, and the exact staircase is closed-form:
+    {(k+i, cy0−i)} ∪ {(k+i, cy0−i−1)} = 2l+1 cells. The DuckDB twin
+    enumerates exactly that, integers only. sf_dir unused. Ref parity:
+    line features through the reference's per-tile spatial filter;
+    SURVEY §2 T15."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.cellcover import cover_polygon_cells
+
+    span = tm.tile_span(COVER_Z)
+
+    def gen(it):
+        from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                    "part_offsets": [], "caption": []}
+            for i in ids:
+                i = int(i)
+                k = (i * 7) % 900
+                m = (i * 11) % 900
+                a = -tm.W + k * span + 0.375 * span
+                c = -tm.W + m * span + 0.625 * span
+                L = (1 + i % 6) * span
+                rows["feature_id"].append(i)
+                rows["geom_type"].append(int(gc.GEOM_LINESTRING))
+                rows["xs"].append([a, a + L])
+                rows["ys"].append([c, c + L])
+                rows["part_offsets"].append([0, 2])
+                rows["caption"].append("")
+            yield pd.DataFrame(rows)
+
+    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
+
+    corpus = spark.range(0, LINE_COVER_N, 1, 8).mapInPandas(
+        gen, schema=FEATURES_SCHEMA
+    )
+    return cover_polygon_cells(corpus, COVER_Z)
+
+
+def _sql_line_cover(n: int = LINE_COVER_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i, (i * 7) % 900 AS k, (i * 11) % 900 AS m, 1 + i % 6 AS l
+  FROM ids
+),
+diag AS (  -- the (k+t, cy0-t) cells, t = 0..l
+  SELECT b.i AS feature_id, b.k + g.t AS cx, 1023 - b.m - g.t AS cy
+  FROM base b, LATERAL (SELECT unnest(generate_series(0, b.l)) AS t) g
+),
+steps AS (  -- the (k+t, cy0-t-1) step cells, t = 0..l-1
+  SELECT b.i AS feature_id, b.k + g.t AS cx, 1023 - b.m - g.t - 1 AS cy
+  FROM base b, LATERAL (SELECT unnest(generate_series(0, b.l - 1)) AS t) g
+)
+SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM diag
+UNION ALL
+SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM steps
+"""
+
+
 COVER_JOIN_NR = 150  # q_pip_cover_join regions
 COVER_JOIN_NP = 4000  # q_pip_cover_join points
 COVER_JOIN_Z = 8
@@ -3544,6 +3730,8 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_wkb_ingest": (q_wkb_ingest, _sql_wkt_ingest()),
     "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
     "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
+    "q_line_cover": (q_line_cover, _sql_line_cover()),
+    "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -3575,6 +3763,8 @@ _RECORD_FIRST = (
     "q_wkb_ingest",
     "q_cell_cover",
     "q_pip_cover_join",
+    "q_line_cover",
+    "q_zonal_stats",
     "q_video_mjpeg",
     "q_engine_wafer",
     "q_global_quantiles",

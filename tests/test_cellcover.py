@@ -187,3 +187,56 @@ def test_dataframe_stage(spark):
     )
     assert got == want
     assert all(r.z == z and r.feature_id == 1 for r in rows)
+
+
+def test_zonal_stats_with_hole(spark):
+    """zonal_stats over a 2x2 tile grid: a square zone with a hole —
+    pixel count/sum must match a dense numpy reference computed
+    without any tiling (global raster + global mask)."""
+    from mapnik_vector_tile_spark.operators.raster import zonal_stats
+
+    z, T = 2, 16
+    span = tm.tile_span(z)
+    pspan = span / T
+    # tiles (0..1, 0..1): v = (3r + 5c + 7*(tx + 2*ty)) % 256
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            rr, cc = np.mgrid[0:T, 0:T]
+            v = ((3 * rr + 5 * cc + 7 * (tx + 2 * ty)) % 256).astype(np.uint8)
+            rgba = np.repeat(v[..., None], 4, axis=2)
+            rows.append((z, tx, ty, bytearray(rgba.tobytes()), "raw-rgba8"))
+    tiles = spark.createDataFrame(
+        rows, "z int, x long, y long, raster binary, fmt string"
+    )
+    # zone: outer square spanning the tile seam, hole inside
+    gx0, gy0 = 10, 6      # global pixel coords (0..31)
+    w = 15                # crosses into tile x=1 / y=0..1
+    zx0 = -tm.W + (gx0 + 0.25) * pspan
+    zx1 = -tm.W + (gx0 + w + 0.75) * pspan
+    zt = tm.W - (gy0 + 0.25) * pspan
+    zb = tm.W - (gy0 + w + 0.75) * pspan
+    hx0 = -tm.W + (gx0 + 4 + 0.25) * pspan
+    hx1 = -tm.W + (gx0 + 8 + 0.75) * pspan
+    ht = tm.W - (gy0 + 4 + 0.25) * pspan
+    hb = tm.W - (gy0 + 8 + 0.75) * pspan
+    zones = spark.createDataFrame(
+        [(7,
+          [zx0, zx1, zx1, zx0, zx0, hx0, hx1, hx1, hx0, hx0],
+          [zb, zb, zt, zt, zb, hb, hb, ht, ht, hb],
+          [0, 5, 10])],
+        "region_id long, xs array<double>, ys array<double>, "
+        "ring_offsets array<int>",
+    )
+    got = zonal_stats(tiles, zones, z=z, tile_size=T).collect()
+    assert len(got) == 1
+    # dense reference: global 32x32 raster, global boolean mask
+    G = 2 * T
+    rr, cc = np.mgrid[0:G, 0:G]
+    v = ((3 * (rr % T) + 5 * (cc % T)
+          + 7 * ((cc // T) + 2 * (rr // T))) % 256)
+    outer = (cc >= gx0) & (cc <= gx0 + w) & (rr >= gy0) & (rr <= gy0 + w)
+    hole = (cc >= gx0 + 4) & (cc <= gx0 + 8) & (rr >= gy0 + 4) & (rr <= gy0 + 8)
+    mask = outer & ~hole
+    assert got[0].n_px == int(mask.sum())
+    assert got[0].sum_px == int(v[mask].sum())

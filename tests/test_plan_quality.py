@@ -285,3 +285,26 @@ def test_bm25_broadcasts_stats_and_takes_ordered(spark):
     # exchanges: the stats aggregate's singlepartition + its broadcast;
     # the full documents side must NOT be exchanged
     assert "hashpartitioning(doc_id" not in plan
+
+
+def test_cell_cover_is_narrow_no_exchange(spark):
+    """T15 polyfill: corpus synth + covering kernel are two chained
+    mapInPandas stages over spark.range — NO Exchange anywhere (the
+    covering fan-out is a narrow flatMap, exactly like overzoom), so
+    at 100 TB the stage scales with input splits."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_cell_cover
+
+    plan = _plan(q_cell_cover(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_pip_cover_join_shape(spark):
+    """J4-cover: exactly the intended exchanges — both sides
+    hash-repartitioned on (ctx, cty) for the cell equi-join plus the
+    geometry join's distribution — and NO broadcast of the big point
+    side, no cartesian product."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_pip_cover_join
+
+    plan = _plan(q_pip_cover_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(ctx" in plan, plan
