@@ -39,6 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from mapnik_vector_tile_spark.functions import pip as pipmod
 from mapnik_vector_tile_spark.functions import tilemath as tm
@@ -235,3 +236,76 @@ def cover_polygon_cells(
             })
 
     return features.mapInPandas(gen, schema=COVER_SCHEMA)
+
+
+# --- compaction (S2 CellUnion::Normalize analogue on the quad grid) -------------
+
+
+def compact_cells(cells: DataFrame, levels: int = 8) -> DataFrame:
+    """Normalize a single-zoom cell set into its minimal quadtree
+    cover: wherever all 4 children of a parent are present, the parent
+    replaces them, cascading up to ``levels`` rounds — the S2
+    ``CellUnion::Normalize`` analogue on the engine's quad grid. A
+    polyfill at z=14 over a large region is mostly solid interior;
+    compaction shrinks it geometrically (a filled 2^k×2^k block
+    becomes ONE cell), which is what you ship to a broadcast join.
+
+    Input (feature_id, z, cx, cy) with one z per feature (the
+    cover_polygon_cells output). Output is the mixed-z minimal cover.
+
+    Plan: per round, ONE partial+final count aggregation on the parent
+    key and one anti join of the children against the full-parent set
+    — both shuffle on (feature_id, parent) so rounds stay balanced;
+    the loop is driver-side plan construction only (no data motion
+    beyond the per-round shuffles, no collect). levels bounds plan
+    depth the way the kNN ring loop does."""
+    out_parts: list[DataFrame] = []
+    cur = cells
+    for _ in range(max(0, levels)):
+        tagged = cur.withColumn("_px", F.shiftright("cx", 1)).withColumn(
+            "_py", F.shiftright("cy", 1)
+        )
+        full = (
+            tagged.groupBy("feature_id", "_px", "_py")
+            .agg(F.count(F.lit(1)).alias("_n"), F.max("z").alias("_z"))
+            .filter(F.col("_n") == 4)
+        )
+        out_parts.append(
+            tagged.join(
+                full.select("feature_id", "_px", "_py"),
+                ["feature_id", "_px", "_py"],
+                "left_anti",
+            ).drop("_px", "_py")
+        )
+        cur = full.select(
+            "feature_id",
+            (F.col("_z") - 1).cast("int").alias("z"),
+            F.col("_px").alias("cx"),
+            F.col("_py").alias("cy"),
+        )
+    out_parts.append(cur)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out.select("feature_id", "z", "cx", "cy")
+
+
+def uncompact_cells(cells: DataFrame, to_z: int) -> DataFrame:
+    """Inverse of compact_cells: expand every cell to its 4^(to_z−z)
+    descendants at ``to_z`` — pure Column algebra (sequence explode),
+    no Python. Cells already at to_z pass through."""
+    s = F.expr(f"shiftleft(1L, {int(to_z)} - z)")
+    return (
+        cells.withColumn("_s", s)
+        .withColumn(
+            "_q", F.explode(F.sequence(F.lit(0).cast("long"),
+                                       F.col("_s") * F.col("_s") - 1))
+        )
+        .select(
+            "feature_id",
+            F.lit(int(to_z)).alias("z"),
+            (F.col("cx") * F.col("_s") + F.col("_q") % F.col("_s")).alias("cx"),
+            (F.col("cy") * F.col("_s")
+             + F.floor(F.col("_q") / F.col("_s")).cast("long")).alias("cy"),
+        )
+    )

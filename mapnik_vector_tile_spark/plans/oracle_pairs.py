@@ -3153,6 +3153,106 @@ SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM tri
 """
 
 
+COMPACT_N = 600  # q_cell_compact corpus size
+
+
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 cell-union normalization gate with a FULL oracle
+    (cellcover.compact_cells — the S2 CellUnion::Normalize analogue):
+    three closed-form shapes at z=10, i%3 picks — 0: a 4×4 block
+    aligned to a 4-grid (must CASCADE two rounds to one z=8 cell),
+    1: an aligned 2×2 (one z=9 cell), 2: a 3×3 at an even corner (one
+    z=9 cell + exactly 5 z=10 leaves). Input cells are generated with
+    pure Column algebra (sequence/explode — no Python anywhere in the
+    query); the engine runs the real per-round count-aggregate +
+    anti-join plan; the DuckDB twin emits the minimal covers directly
+    from the shape parameters. The uncompact inverse is pinned by
+    round-trip unit tests. sf_dir unused (committed synth recipe).
+    Ref parity: quadtree pyramid normalization (the tile-tree algebra
+    under the reference's overzoom/composite); SURVEY §2 T15."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.cellcover import compact_cells
+
+    base = spark.range(0, COMPACT_N, 1, 8).select(
+        F.col("id").alias("feature_id"),
+        (F.col("id") % 3).alias("kind"),
+        ((F.col("id") * 3) % 250).alias("k4"),
+        ((F.col("id") * 5) % 250).alias("m4"),
+        ((F.col("id") * 3) % 500).alias("p"),
+        ((F.col("id") * 5) % 500).alias("q"),
+    )
+    k0 = (
+        base.filter(F.col("kind") == 0)
+        .select(
+            "feature_id", "k4", "m4",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("t"),
+        )
+        .select(
+            "feature_id",
+            F.lit(10).alias("z"),
+            (F.col("k4") * 4 + F.col("t") % 4).cast("long").alias("cx"),
+            (F.col("m4") * 4 + F.floor(F.col("t") / 4)).cast("long").alias("cy"),
+        )
+    )
+    k1 = (
+        base.filter(F.col("kind") == 1)
+        .select(
+            "feature_id", "p", "q",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("t"),
+        )
+        .select(
+            "feature_id",
+            F.lit(10).alias("z"),
+            (F.col("p") * 2 + F.col("t") % 2).cast("long").alias("cx"),
+            (F.col("q") * 2 + F.floor(F.col("t") / 2)).cast("long").alias("cy"),
+        )
+    )
+    k2 = (
+        base.filter(F.col("kind") == 2)
+        .select(
+            "feature_id", "p", "q",
+            F.explode(F.sequence(F.lit(0), F.lit(8))).alias("t"),
+        )
+        .select(
+            "feature_id",
+            F.lit(10).alias("z"),
+            (F.col("p") * 2 + F.col("t") % 3).cast("long").alias("cx"),
+            (F.col("q") * 2 + F.floor(F.col("t") / 3)).cast("long").alias("cy"),
+        )
+    )
+    return compact_cells(k0.unionByName(k1).unionByName(k2), levels=3)
+
+
+def _sql_cell_compact(n: int = COMPACT_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i, i % 3 AS kind, (i * 3) % 250 AS k4, (i * 5) % 250 AS m4,
+         (i * 3) % 500 AS p, (i * 5) % 500 AS q
+  FROM ids
+),
+k0 AS (  -- aligned 4x4 cascades to one z=8 cell
+  SELECT i AS feature_id, 8 AS z, k4 AS cx, m4 AS cy FROM base WHERE kind = 0
+),
+k1 AS (  -- aligned 2x2 -> one z=9 cell
+  SELECT i AS feature_id, 9 AS z, p AS cx, q AS cy FROM base WHERE kind = 1
+),
+k2p AS (  -- 3x3 at even corner -> one z=9 cell ...
+  SELECT i AS feature_id, 9 AS z, p AS cx, q AS cy FROM base WHERE kind = 2
+),
+k2l AS (  -- ... plus the 5 uncovered z=10 leaves
+  SELECT b.i AS feature_id, 10 AS z,
+         CASE WHEN l.t < 3 THEN b.p * 2 + 2 ELSE b.p * 2 + (l.t - 3) END AS cx,
+         CASE WHEN l.t < 3 THEN b.q * 2 + l.t ELSE b.q * 2 + 2 END AS cy
+  FROM base b, LATERAL (SELECT unnest(generate_series(0, 4)) AS t) l
+  WHERE b.kind = 2
+)
+SELECT * FROM k0 UNION ALL SELECT * FROM k1
+UNION ALL SELECT * FROM k2p UNION ALL SELECT * FROM k2l
+"""
+
+
 ZONAL_N = 120  # q_zonal_stats zones
 ZONAL_Z = 4  # 16×16 tile grid
 ZONAL_T = 32  # pixels per tile side
@@ -3732,6 +3832,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
     "q_line_cover": (q_line_cover, _sql_line_cover()),
     "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
+    "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -3765,6 +3866,7 @@ _RECORD_FIRST = (
     "q_pip_cover_join",
     "q_line_cover",
     "q_zonal_stats",
+    "q_cell_compact",
     "q_video_mjpeg",
     "q_engine_wafer",
     "q_global_quantiles",

@@ -240,3 +240,46 @@ def test_zonal_stats_with_hole(spark):
     mask = outer & ~hole
     assert got[0].n_px == int(mask.sum())
     assert got[0].sum_px == int(v[mask].sum())
+
+
+def test_compact_uncompact_random_roundtrip(spark):
+    """Invariants on a random cell set: (1) uncompact(compact(S)) == S,
+    (2) the compacted cover is MINIMAL — no parent has all 4 children
+    present at any level."""
+    rng = np.random.RandomState(9)
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        compact_cells,
+        uncompact_cells,
+    )
+
+    cells = set()
+    # seed random blobs: a few solid blocks + scattered singles
+    for _ in range(6):
+        x0, y0 = rng.randint(0, 200, 2) * 4
+        w, h = rng.randint(1, 9, 2)
+        for i in range(int(w)):
+            for j in range(int(h)):
+                cells.add((int(x0) + i, int(y0) + j))
+    for _ in range(40):
+        cells.add((int(rng.randint(0, 1000)), int(rng.randint(0, 1000))))
+    df = spark.createDataFrame(
+        [(1, 12, x, y) for x, y in cells],
+        "feature_id long, z int, cx long, cy long",
+    )
+    comp = compact_cells(df, levels=4).collect()
+    back = {
+        (r.cx, r.cy)
+        for r in uncompact_cells(
+            spark.createDataFrame(comp), 12
+        ).collect()
+    }
+    assert back == cells
+    # minimality: group by (z, parent) — never 4 siblings
+    from collections import Counter
+
+    for lvl in range(4):
+        cnt = Counter(
+            (r.z, r.cx >> 1, r.cy >> 1) for r in comp
+        )
+        assert all(v < 4 for v in cnt.values())
+        break  # sibling check at native z suffices with mixed-z keys
