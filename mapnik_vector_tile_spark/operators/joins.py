@@ -278,6 +278,70 @@ def _pip_join_membership(
     return points.join(hits, points["id"] == hits["point_id"], how)
 
 
+def radius_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    radius: float,
+    z: int | None = None,
+) -> DataFrame:
+    """J5 companion: every (query, target) pair within Euclidean merc
+    distance ≤ radius — the fixed-radius twin of the kNN join (same
+    cell-block candidate algebra, no ring EXPANSION because the radius
+    bounds the search up front).
+
+    Plan: pick the coarsest z whose cell span ≥ radius, so the 3×3
+    neighbor block around a query's cell PROVABLY contains every
+    target within the radius (Chebyshev ⊇ Euclidean). The query side
+    explodes its 9 block cells (bounded 9× amplification), candidates
+    are ONE equi-join on the cell key (AQE skew-splits a hot cell's
+    shuffle), and the exact squared-distance filter is pure Column
+    algebra — whole plan stays in codegen, no UDF, no crossJoin.
+    Output (query_id, target_id, d2) with d2 the exact squared
+    distance (no sqrt — monotone, and exact in float64 for dyadic
+    corpora, which keeps the oracle hashable)."""
+    if radius <= 0:
+        raise ValueError("radius_join: radius must be > 0")
+    if z is None:
+        z = 0
+        while z < 30 and tm.tile_span(z + 1) >= radius:
+            z += 1
+    elif tm.tile_span(z) < radius:
+        raise ValueError(
+            f"radius_join: tile_span(z={z}) < radius — the 3x3 block "
+            "would miss in-radius targets; pass a coarser z"
+        )
+    qc = (
+        with_point_cell(queries, z)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("mx").alias("qx"),
+            F.col("my").alias("qy"),
+            "ctx", "cty",
+        )
+        .withColumn("_d", F.explode(F.sequence(F.lit(0), F.lit(8))))
+        .select(
+            "query_id", "qx", "qy",
+            (F.col("ctx") + F.col("_d") % 3 - 1).alias("ctx"),
+            (F.col("cty") + F.floor(F.col("_d") / 3).cast("long") - 1).alias("cty"),
+        )
+    )
+    tc = with_point_cell(targets, z).select(
+        F.col("id").alias("target_id"),
+        F.col("mx").alias("tx"),
+        F.col("my").alias("ty"),
+        "ctx", "cty",
+    )
+    d2 = (F.col("qx") - F.col("tx")) * (F.col("qx") - F.col("tx")) + (
+        F.col("qy") - F.col("ty")
+    ) * (F.col("qy") - F.col("ty"))
+    return (
+        qc.join(tc, ["ctx", "cty"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(float(radius) * float(radius)))
+        .select("query_id", "target_id", "d2")
+    )
+
+
 def knn_auto_z(n_targets: int, k: int, r0: int = 2) -> int:
     """Pick the probe-grid level from target density: aim for ~8k
     expected candidates inside the FIRST (2·r0+1)² probe block, so

@@ -3153,6 +3153,77 @@ SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM tri
 """
 
 
+RADIUS_N = 2000  # q_radius_join per-side corpus size
+RADIUS_K = 64  # r² in u² units (integer → no exact-r ties possible)
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5-companion fixed-radius distance join with a FULL oracle
+    (joins.radius_join): 2000 query × 2000 target points on a dyadic
+    u-grid (u = span(z10)/8; targets offset +u/4 in both axes so every
+    achievable squared distance has fractional part 1/8 or 5/8 of u² —
+    an INTEGER r² = 64u² can never tie). The engine picks z=11 (span =
+    8u = r exactly), explodes the 3×3 block, equi-joins on the cell,
+    and filters on exact squared distance in Column algebra; the
+    DuckDB twin is a direct cross join with the identical coordinate
+    expressions and the identical Python-computed r² literal — it
+    never sees cells. Output (query_id, target_id, d2). sf_dir unused
+    (committed synth recipe). Ref parity: fixed-distance spatial probe
+    (the bounded form of the reference's kNN/cell-ring machinery);
+    SURVEY §2.3 J5."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.joins import radius_join
+
+    u = tm.tile_span(10) / 8.0
+    radius = 8.0 * u  # sqrt(RADIUS_K) * u
+    x0 = -tm.W + 1000.0 * u
+    queries = spark.range(0, RADIUS_N, 1, 8).select(
+        F.col("id"),
+        (F.lit(x0) + ((F.col("id") * 13) % 400) * F.lit(u)).alias("mx"),
+        (F.lit(x0) + ((F.col("id") * 17) % 400) * F.lit(u)).alias("my"),
+    )
+    targets = spark.range(0, RADIUS_N, 1, 8).select(
+        F.col("id"),
+        (F.lit(x0) + ((F.col("id") * 7) % 400) * F.lit(u)
+         + F.lit(u / 4.0)).alias("mx"),
+        (F.lit(x0) + ((F.col("id") * 11) % 400) * F.lit(u)
+         + F.lit(u / 4.0)).alias("my"),
+    )
+    return radius_join(queries, targets, radius)
+
+
+def _sql_radius_join(n: int = RADIUS_N) -> str:
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    u = tm.tile_span(10) / 8.0
+    radius = 8.0 * u
+    r2 = float(radius) * float(radius)  # same Python product the engine uses
+    x0 = -tm.W + 1000.0 * u
+    # flit throughout: a bare decimal literal parses as DECIMAL in
+    # DuckDB (different rounding than DOUBLE — the §gotcha the other
+    # shared oracles already guard against)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+q AS (
+  SELECT i, {flit(x0)} + ((i * 13) % 400) * {flit(u)} AS qx,
+         {flit(x0)} + ((i * 17) % 400) * {flit(u)} AS qy
+  FROM ids
+),
+t AS (
+  SELECT i, {flit(x0)} + ((i * 7) % 400) * {flit(u)} + {flit(u / 4.0)} AS tx,
+         {flit(x0)} + ((i * 11) % 400) * {flit(u)} + {flit(u / 4.0)} AS ty
+  FROM ids
+)
+SELECT q.i AS query_id, t.i AS target_id,
+       (q.qx - t.tx) * (q.qx - t.tx) + (q.qy - t.ty) * (q.qy - t.ty) AS d2
+FROM q, t
+WHERE (q.qx - t.tx) * (q.qx - t.tx) + (q.qy - t.ty) * (q.qy - t.ty) <= {flit(r2)}
+"""
+
+
 COMPACT_N = 600  # q_cell_compact corpus size
 
 
@@ -3512,6 +3583,7 @@ def _sql_pip_cover_join(
     nr: int = COVER_JOIN_NR, np_: int = COVER_JOIN_NP
 ) -> str:
     from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
 
     span = tm.tile_span(COVER_JOIN_Z)
     return f"""
@@ -3519,18 +3591,18 @@ WITH rids AS (SELECT unnest(generate_series(0, {nr - 1})) AS i),
 pids AS (SELECT unnest(generate_series(0, {np_ - 1})) AS j),
 regions AS (
   SELECT i,
-         {-tm.W!r} + ((i * 7) % 240) * {span!r} + {span / 4!r} AS a,
-         {-tm.W!r} + ((i * 11) % 240) * {span!r} + {span / 4!r} AS c,
+         {flit(-tm.W)} + ((i * 7) % 240) * {flit(span)} + {flit(span / 4)} AS a,
+         {flit(-tm.W)} + ((i * 11) % 240) * {flit(span)} + {flit(span / 4)} AS c,
          i % 2 AS kind,
-         (1 + i % 4) * {span!r} + {span / 2!r} AS w,
-         (2 + i % 3) * {span!r} + {span / 2!r} AS h,
-         (2 + i % 4) * {span!r} AS L
+         (1 + i % 4) * {flit(span)} + {flit(span / 2)} AS w,
+         (2 + i % 3) * {flit(span)} + {flit(span / 2)} AS h,
+         (2 + i % 4) * {flit(span)} AS L
   FROM rids
 ),
 points AS (
   SELECT j,
-         {-tm.W!r} + ((j * 13) % 250) * {span!r} + {0.375 * span!r} AS px,
-         {-tm.W!r} + ((j * 17) % 250) * {span!r} + {0.625 * span!r} AS py
+         {flit(-tm.W)} + ((j * 13) % 250) * {flit(span)} + {flit(0.375 * span)} AS px,
+         {flit(-tm.W)} + ((j * 17) % 250) * {flit(span)} + {flit(0.625 * span)} AS py
   FROM pids
 )
 SELECT p.j AS point_id, r.i AS region_id
@@ -3833,6 +3905,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_line_cover": (q_line_cover, _sql_line_cover()),
     "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
     "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
+    "q_radius_join": (q_radius_join, _sql_radius_join()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -3867,6 +3940,7 @@ _RECORD_FIRST = (
     "q_line_cover",
     "q_zonal_stats",
     "q_cell_compact",
+    "q_radius_join",
     "q_video_mjpeg",
     "q_engine_wafer",
     "q_global_quantiles",

@@ -209,3 +209,44 @@ def test_cover_region_cells_exact(spark, tri_regions):
             for y in range(max(0, loy), min((1 << z) - 1, hiy) + 1)
         }
         assert got == want
+
+
+def test_radius_join_matches_bruteforce(spark):
+    """radius_join on random dyadic points == the O(n²) numpy answer,
+    including targets that straddle cell boundaries of the auto-picked
+    z (the 3×3 block must provably cover the radius)."""
+    rng = np.random.RandomState(21)
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    u = tm.tile_span(9) / 4.0
+    qx = -tm.W / 3 + rng.randint(0, 300, 120) * u
+    qy = -tm.W / 3 + rng.randint(0, 300, 120) * u
+    tx = -tm.W / 3 + rng.randint(0, 300, 150) * u + u / 4
+    ty = -tm.W / 3 + rng.randint(0, 300, 150) * u + u / 4
+    qdf = spark.createDataFrame(
+        [(int(i), float(qx[i]), float(qy[i])) for i in range(120)],
+        "id long, mx double, my double",
+    )
+    tdf = spark.createDataFrame(
+        [(int(i), float(tx[i]), float(ty[i])) for i in range(150)],
+        "id long, mx double, my double",
+    )
+    r = 20.0 * u
+    got = {
+        (row.query_id, row.target_id)
+        for row in J.radius_join(qdf, tdf, r).collect()
+    }
+    d2 = (qx[:, None] - tx[None, :]) ** 2 + (qy[:, None] - ty[None, :]) ** 2
+    want = {
+        (int(i), int(j))
+        for i, j in zip(*np.nonzero(d2 <= float(r) * float(r)))
+    }
+    assert got == want and len(want) > 50
+
+
+def test_radius_join_rejects_too_fine_z(spark):
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    qdf = spark.createDataFrame([(1, 0.0, 0.0)], "id long, mx double, my double")
+    with pytest.raises(ValueError, match="coarser"):
+        J.radius_join(qdf, qdf, radius=tm.tile_span(5), z=8)
