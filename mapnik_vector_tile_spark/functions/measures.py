@@ -1,0 +1,105 @@
+"""Geometry measures as PURE Column algebra — signed shoelace area,
+boundary length, vertex centroid — over the canonical features schema
+(xs/ys array<double>, part_offsets array<int>). No UDF, no explode:
+per-part slicing via ``transform`` over the part-index sequence, the
+shoelace/length folds via ``zip_with`` against the rotated/shifted
+slice, and the outer per-feature sum via ``aggregate`` — the whole
+expression stays inside whole-stage codegen (asserted in
+tests/test_plan_quality.py), so measures cost a projection, not a
+shuffle. Reference parity: mapnik geometry utils
+(``mapnik::util::area``/``length``/``centroid`` over
+geometry<double>), re-expressed for columnar batches. SURVEY §2.9.
+
+Determinism note (the oracle contract): the folds run left-to-right
+in vertex order in BOTH engines' evaluation of these expressions;
+the q_geom_measures corpus keeps every product dyadic-exact so the
+sums are order-free anyway and the DuckDB twin can use closed forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _part_slices(col: str):
+    """array of per-part coordinate slices: parts[p] =
+    slice(col, part_offsets[p]+1, part_offsets[p+1]-part_offsets[p])
+    (Spark slice() is 1-based)."""
+    return F.transform(
+        F.expr("sequence(0, size(part_offsets) - 2)"),
+        lambda p: F.slice(
+            F.col(col),
+            F.element_at(F.col("part_offsets"), p + 1) + 1,
+            F.element_at(F.col("part_offsets"), p + 2)
+            - F.element_at(F.col("part_offsets"), p + 1),
+        ),
+    )
+
+
+def _rot1(arr: Column) -> Column:
+    """arr rotated left by one: [a1..an-1, a0] (the shoelace pairing;
+    for an explicitly closed ring the wrap term is a zero-area no-op)."""
+    return F.concat(
+        F.slice(arr, 2, F.size(arr) - 1), F.slice(arr, 1, 1)
+    )
+
+
+def signed_area2() -> Column:
+    """Σ over parts of the shoelace fold Σ_i (x_i·y_{i+1} − x_{i+1}·y_i)
+    — twice the signed area; positive for counter-clockwise rings in
+    the engine's merc frame. Non-polygon parts contribute their
+    degenerate (usually 0) terms, matching the reference's area()
+    returning 0 for lines."""
+    xs_parts = _part_slices("xs")
+    ys_parts = _part_slices("ys")
+    per_part = F.zip_with(
+        xs_parts,
+        ys_parts,
+        lambda xp, yp: F.aggregate(
+            F.zip_with(
+                F.zip_with(xp, _rot1(yp), lambda a, b: a * b),
+                F.zip_with(_rot1(xp), yp, lambda a, b: a * b),
+                lambda s, t: s - t,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.aggregate(per_part, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def boundary_length() -> Column:
+    """Σ over parts of Σ_i sqrt(dx²+dy²) over CONSECUTIVE vertex pairs
+    (no wrap: closed rings carry the closing vertex explicitly, open
+    lines measure their polyline length)."""
+    xs_parts = _part_slices("xs")
+    ys_parts = _part_slices("ys")
+
+    def part_len(xp: Column, yp: Column) -> Column:
+        dx = F.zip_with(
+            F.slice(xp, 2, F.size(xp) - 1),
+            F.slice(xp, 1, F.size(xp) - 1),
+            lambda a, b: a - b,
+        )
+        dy = F.zip_with(
+            F.slice(yp, 2, F.size(yp) - 1),
+            F.slice(yp, 1, F.size(yp) - 1),
+            lambda a, b: a - b,
+        )
+        return F.aggregate(
+            F.zip_with(dx, dy, lambda a, b: F.sqrt(a * a + b * b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    per_part = F.zip_with(xs_parts, ys_parts, part_len)
+    return F.aggregate(per_part, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def vertex_mean(col: str) -> Column:
+    """Mean of all vertices of one axis (the vertex centroid — the
+    label-placement heuristic; NOT the area centroid)."""
+    return F.aggregate(
+        F.col(col), F.lit(0.0), lambda acc, v: acc + v
+    ) / F.size(F.col(col)).cast("double")

@@ -3153,6 +3153,108 @@ SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM tri
 """
 
 
+MEASURES_N = 500  # q_geom_measures corpus size
+
+
+def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 geometry measures as PURE Column algebra with a FULL
+    oracle (functions/measures.py — shoelace signed area, boundary
+    length, vertex centroid; transform/zip_with/aggregate only, no
+    UDF, no shuffle). Corpus: i%2 picks — 0: closed CCW rectangle
+    (a2 = 2wh, length = 2(w+h)), 1: axis-aligned staircase polyline of
+    k (right r, up u) steps (a2 = k·r·u via the wrap edge, length =
+    k·(r+u), vertex means = x0 + rk(k+1)/(2k+1), y0 + uk²/(2k+1)).
+    Every coordinate/dimension is dyadic and small, so every product
+    and partial sum is EXACT in float64 — the engine's fold order and
+    the twin's closed forms land on identical doubles, and the final
+    divisions see identical operands. Ref parity: mapnik
+    util::area/length/centroid over geometry<double>; SURVEY §2.9."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import measures as M
+
+    def gen(it):
+        from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                    "part_offsets": [], "caption": []}
+            for i in ids:
+                i = int(i)
+                x0 = -200.0 + (i * 3) % 400 + 0.125
+                y0 = -100.0 + (i * 7) % 200 + 0.0625
+                if i % 2 == 0:
+                    w = 1 + i % 9 + 0.25
+                    h = 2 + i % 7 + 0.5
+                    xs = [x0, x0 + w, x0 + w, x0, x0]
+                    ys = [y0, y0, y0 + h, y0 + h, y0]
+                    gt = gc.GEOM_POLYGON
+                else:
+                    r = 1 + i % 5 + 0.5
+                    u = 2 + i % 3 + 0.25
+                    k = 2 + i % 4
+                    xs, ys = [x0], [y0]
+                    for j in range(1, k + 1):
+                        xs.append(x0 + j * r); ys.append(y0 + (j - 1) * u)
+                        xs.append(x0 + j * r); ys.append(y0 + j * u)
+                    gt = gc.GEOM_LINESTRING
+                rows["feature_id"].append(i)
+                rows["geom_type"].append(int(gt))
+                rows["xs"].append(xs)
+                rows["ys"].append(ys)
+                rows["part_offsets"].append([0, len(xs)])
+                rows["caption"].append("")
+            yield pd.DataFrame(rows)
+
+    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
+
+    corpus = spark.range(0, MEASURES_N, 1, 8).mapInPandas(
+        gen, schema=FEATURES_SCHEMA
+    )
+    return corpus.select(
+        "feature_id",
+        M.signed_area2().alias("a2"),
+        M.boundary_length().alias("length"),
+        M.vertex_mean("xs").alias("vx"),
+        M.vertex_mean("ys").alias("vy"),
+    )
+
+
+def _sql_geom_measures(n: int = MEASURES_N) -> str:
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i,
+         {flit(-200.0)} + (i * 3) % 400 + {flit(0.125)} AS x0,
+         {flit(-100.0)} + (i * 7) % 200 + {flit(0.0625)} AS y0,
+         1 + i % 9 + {flit(0.25)} AS w,
+         2 + i % 7 + {flit(0.5)} AS h,
+         1 + i % 5 + {flit(0.5)} AS r,
+         2 + i % 3 + {flit(0.25)} AS u,
+         2 + i % 4 AS k
+  FROM ids
+)
+SELECT i AS feature_id,
+       CASE WHEN i % 2 = 0 THEN {flit(2.0)} * w * h
+            ELSE k * r * u END AS a2,
+       CASE WHEN i % 2 = 0 THEN {flit(2.0)} * (w + h)
+            ELSE k * (r + u) END AS length,
+       CASE WHEN i % 2 = 0 THEN ({flit(5.0)} * x0 + {flit(2.0)} * w) / {flit(5.0)}
+            ELSE ((2 * k + 1) * x0 + r * k * (k + 1))
+                 / CAST(2 * k + 1 AS DOUBLE) END AS vx,
+       CASE WHEN i % 2 = 0 THEN ({flit(5.0)} * y0 + {flit(2.0)} * h) / {flit(5.0)}
+            ELSE ((2 * k + 1) * y0 + u * k * k)
+                 / CAST(2 * k + 1 AS DOUBLE) END AS vy
+FROM base
+"""
+
+
 RADIUS_N = 2000  # q_radius_join per-side corpus size
 RADIUS_K = 64  # r² in u² units (integer → no exact-r ties possible)
 
@@ -3906,6 +4008,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
     "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
     "q_radius_join": (q_radius_join, _sql_radius_join()),
+    "q_geom_measures": (q_geom_measures, _sql_geom_measures()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -3941,6 +4044,7 @@ _RECORD_FIRST = (
     "q_zonal_stats",
     "q_cell_compact",
     "q_radius_join",
+    "q_geom_measures",
     "q_video_mjpeg",
     "q_engine_wafer",
     "q_global_quantiles",

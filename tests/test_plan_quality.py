@@ -308,3 +308,28 @@ def test_pip_cover_join_shape(spark):
     plan = _plan(q_pip_cover_join(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(ctx" in plan, plan
+
+
+def test_geom_measures_pure_column_no_exchange(spark):
+    """§2.9 measures: the shoelace/length/centroid expressions over a
+    Column-built features frame compile to a single projection — no
+    Exchange, no Python evaluation nodes."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import measures as M
+
+    feats = spark.range(0, 100).select(
+        F.col("id").alias("feature_id"),
+        F.array(F.lit(0.0), F.lit(4.0), F.lit(4.0), F.lit(0.0), F.lit(0.0)).alias("xs"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(2.0), F.lit(2.0), F.lit(0.0)).alias("ys"),
+        F.array(F.lit(0), F.lit(5)).alias("part_offsets"),
+    )
+    df = feats.select(
+        "feature_id",
+        M.signed_area2().alias("a2"),
+        M.boundary_length().alias("ln"),
+        M.vertex_mean("xs").alias("vx"),
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan

@@ -150,3 +150,39 @@ def test_wkb_dataframe_stage(spark):
     rows = W.wkb_to_features(df, to_merc=False).collect()
     assert len(rows) == 1 and rows[0].feature_id == 7
     assert list(rows[0].part_offsets) == [0, 5]
+
+
+def test_geom_measures_values(spark):
+    """Shoelace/length/vertex-mean on known shapes, incl. a holed
+    polygon (hole ring wound CW subtracts from a2) and a multi-part
+    line."""
+    from mapnik_vector_tile_spark.functions import measures as M
+
+    rows = [
+        # 4x2 CCW rect: a2=16, len=12
+        (1, 3, [1.0, 5.0, 5.0, 1.0, 1.0], [1.0, 1.0, 3.0, 3.0, 1.0],
+         [0, 5], ""),
+        # same rect + 1x1 CW hole: a2 = 16 - 2 = 14, len = 12 + 4
+        (2, 3, [1.0, 5.0, 5.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 2.0],
+         [1.0, 1.0, 3.0, 3.0, 1.0, 1.5, 2.5, 2.5, 1.5, 1.5],
+         [0, 5, 10], ""),
+        # two-part open line: lengths 7 and 2.5
+        (3, 2, [0.0, 3.0, 3.0, 10.0, 10.0], [0.0, 0.0, 4.0, 0.0, 2.5],
+         [0, 3, 5], ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "feature_id long, geom_type int, xs array<double>, "
+        "ys array<double>, part_offsets array<int>, caption string",
+    )
+    got = {
+        r.feature_id: (r.a2, r.ln)
+        for r in df.select(
+            "feature_id",
+            M.signed_area2().alias("a2"),
+            M.boundary_length().alias("ln"),
+        ).collect()
+    }
+    assert got[1] == (16.0, 12.0)
+    assert got[2] == (14.0, 16.0)
+    assert got[3][1] == 9.5
