@@ -103,8 +103,11 @@ def _cover_one(
     offs: np.ndarray,
     z: int,
     max_cells: int,
+    fill: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact covering cells (cx, cy arrays) of one polygon at zoom z."""
+    """Exact covering cells (cx, cy arrays) of one geometry at zoom z.
+    ``fill`` enables the interior stage (center PIP) — polygons only;
+    points/lines cover exactly the cells their vertices/segments touch."""
     span = tm.tile_span(z)
     n_cells_axis = 1 << z
     lox, hix, loy, hiy = _closed_cell_ranges(
@@ -140,8 +143,10 @@ def _cover_one(
             m &= (cx >= 0) & (cx < n_cells_axis) & (cy >= 0) & (cy < n_cells_axis)
             hit[key_of(cx[m], cy[m])] = True
 
-    # 2) edge-crossing: per-ring consecutive pairs (+ closing edge when
-    # the ring isn't explicitly closed), candidates by per-edge bbox
+    # 2) edge-crossing: per-part consecutive pairs; polygon rings that
+    # aren't explicitly closed also get the closing edge (open
+    # polylines must NOT — a wrap edge would cover cells the line
+    # never touches), candidates by per-edge bbox
     e0x, e0y, e1x, e1y = [], [], [], []
     for r in range(len(offs) - 1):
         a, b = offs[r], offs[r + 1]
@@ -150,7 +155,7 @@ def _cover_one(
         rx, ry = xs[a:b], ys[a:b]
         x0, y0 = rx[:-1], ry[:-1]
         x1, y1 = rx[1:], ry[1:]
-        if rx[0] != rx[-1] or ry[0] != ry[-1]:
+        if fill and (rx[0] != rx[-1] or ry[0] != ry[-1]):
             x0 = np.append(x0, rx[-1]); y0 = np.append(y0, ry[-1])
             x1 = np.append(x1, rx[0]); y1 = np.append(y1, ry[0])
         e0x.append(x0); e0y.append(y0); e1x.append(x1); e1y.append(y1)
@@ -182,7 +187,7 @@ def _cover_one(
             hit[key_of(pcx[cross], pcy[cross])] = True
 
     # 3) undecided cells: even-odd PIP of the center over all rings
-    rest = np.flatnonzero(~hit)
+    rest = np.flatnonzero(~hit) if fill else np.empty(0, dtype=np.int64)
     if len(rest):
         ccx = -tm.W + (cand_cx[rest] + 0.5) * span
         ccy = tm.W - (cand_cy[rest] + 0.5) * span
@@ -203,24 +208,28 @@ def cover_polygon_cells(
     z: int,
     max_cells_per_feature: int = 65536,
 ) -> DataFrame:
-    """features (canonical FEATURES_SCHEMA, polygon geom) → one row per
-    (feature_id, z, cx, cy) covering cell. Non-polygon rows pass
-    through the same kernel (a point covers the cell(s) containing it;
-    a line covers the cells it crosses) — the test degenerates
-    correctly because stages 1–2 are geometry-type-agnostic and stage 3
-    never fires for zero-area geometry."""
+    """features (canonical FEATURES_SCHEMA) → one row per
+    (feature_id, z, cx, cy) covering cell. Non-polygon rows use the
+    same vertex/edge stages but SKIP the interior-fill stage (a point
+    covers the cell(s) containing it; a line covers exactly the cells
+    its segments touch — the center-PIP stage would otherwise
+    implicitly close an open polyline into a ring and cover its
+    interior, which is wrong for trajectories)."""
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
 
     def gen(batches):
         for pdf in batches:
             out_fid, out_cx, out_cy = [], [], []
-            for fid, xs, ys, offs in zip(
-                pdf["feature_id"], pdf["xs"], pdf["ys"], pdf["part_offsets"]
+            for fid, gt, xs, ys, offs in zip(
+                pdf["feature_id"], pdf["geom_type"],
+                pdf["xs"], pdf["ys"], pdf["part_offsets"],
             ):
                 cx, cy = _cover_one(
                     np.asarray(xs, dtype=np.float64),
                     np.asarray(ys, dtype=np.float64),
                     np.asarray(offs, dtype=np.int64),
                     z, max_cells_per_feature,
+                    fill=(int(gt) == gc.GEOM_POLYGON),
                 )
                 out_fid.append(np.full(len(cx), int(fid), dtype=np.int64))
                 out_cx.append(cx)
@@ -293,7 +302,16 @@ def compact_cells(cells: DataFrame, levels: int = 8) -> DataFrame:
 def uncompact_cells(cells: DataFrame, to_z: int) -> DataFrame:
     """Inverse of compact_cells: expand every cell to its 4^(to_z−z)
     descendants at ``to_z`` — pure Column algebra (sequence explode),
-    no Python. Cells already at to_z pass through."""
+    no Python. Cells already at to_z pass through; a cell FINER than
+    to_z fails the run with an assert (Java shiftleft takes the count
+    mod 64, so a negative dz would otherwise silently emit garbage
+    rows instead of erroring)."""
+    cells = cells.filter(
+        F.assert_true(
+            F.col("z") <= F.lit(int(to_z)),
+            F.concat(F.lit(f"uncompact_cells: input z > to_z={int(to_z)}")),
+        ).isNull()
+    )
     s = F.expr(f"shiftleft(1L, {int(to_z)} - z)")
     return (
         cells.withColumn("_s", s)

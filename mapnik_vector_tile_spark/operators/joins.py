@@ -90,21 +90,16 @@ def cover_region_cells(regions: DataFrame, z: int) -> DataFrame:
 REFINE_SCHEMA = "point_id long, region_id long"
 
 
-def _refine(cands: DataFrame, regions: DataFrame, broadcast_geo: bool) -> DataFrame:
-    """Exact PIP refine over (point, region) candidates: join region
-    geometry back on, then a batch-grouped vectorized ray cast (A.7) —
-    one numpy call per region per batch, not per point.
-
-    Geometry crosses the join as ONE packed binary column (tiling's
-    _pack_coords), never as Arrow list columns: the join materializes
-    a geometry copy PER CANDIDATE ROW, and list columns through
-    exchange+Arrow cost ~5-20x a binary of the same bytes (measured in
-    operators.tiling) — at 10^9 candidates that is the difference
-    between a working join and a stalled one."""
-    from mapnik_vector_tile_spark.operators.tiling import (
-        _pack_coords,
-        _unpack_coords,
-    )
+def packed_geometry(regions: DataFrame) -> DataFrame:
+    """(region_id, xs, ys, ring_offsets) → (region_id, geom binary):
+    region geometry packed to ONE binary column (tiling._pack_coords)
+    for transport through joins. Geometry must never cross an exchange
+    as Arrow list columns: a join materializes a geometry copy PER
+    CANDIDATE ROW, and list columns through exchange+Arrow cost ~5-20x
+    a binary of the same bytes (measured in operators.tiling) — at
+    10^9 candidates that is the difference between a working join and
+    a stalled one. Shared by _refine and raster.zonal_stats."""
+    from mapnik_vector_tile_spark.operators.tiling import _pack_coords
 
     def pack_gen(batches):
         for pdf in batches:
@@ -122,9 +117,19 @@ def _refine(cands: DataFrame, regions: DataFrame, broadcast_geo: bool) -> DataFr
                 }
             )
 
-    geo = regions.select("region_id", "xs", "ys", "ring_offsets").mapInPandas(
-        pack_gen, schema="region_id long, geom binary"
-    )
+    return regions.select(
+        "region_id", "xs", "ys", "ring_offsets"
+    ).mapInPandas(pack_gen, schema="region_id long, geom binary")
+
+
+def _refine(cands: DataFrame, regions: DataFrame, broadcast_geo: bool) -> DataFrame:
+    """Exact PIP refine over (point, region) candidates: join region
+    geometry back on (packed binary — see packed_geometry), then a
+    batch-grouped vectorized ray cast (A.7) — one numpy call per
+    region per batch, not per point."""
+    from mapnik_vector_tile_spark.operators.tiling import _unpack_coords
+
+    geo = packed_geometry(regions)
     if broadcast_geo:
         geo = F.broadcast(geo)
     joined = cands.join(geo, "region_id").select(
@@ -289,9 +294,11 @@ def radius_join(
     cell-block candidate algebra, no ring EXPANSION because the radius
     bounds the search up front).
 
-    Plan: pick the coarsest z whose cell span ≥ radius, so the 3×3
-    neighbor block around a query's cell PROVABLY contains every
-    target within the radius (Chebyshev ⊇ Euclidean). The query side
+    Plan: pick the FINEST z whose cell span is still ≥ radius (the
+    tightest grid where the 3×3 neighbor block around a query's cell
+    PROVABLY contains every target within the radius — Chebyshev ⊇
+    Euclidean; finer would miss, coarser wastes candidates). The query
+    side
     explodes its 9 block cells (bounded 9× amplification), candidates
     are ONE equi-join on the cell key (AQE skew-splits a hot cell's
     shuffle), and the exact squared-distance filter is pure Column

@@ -667,10 +667,8 @@ def zonal_stats(
     from mapnik_vector_tile_spark.operators.cellcover import (
         cover_polygon_cells,
     )
-    from mapnik_vector_tile_spark.operators.tiling import (
-        _pack_coords,
-        _unpack_coords,
-    )
+    from mapnik_vector_tile_spark.operators.joins import packed_geometry
+    from mapnik_vector_tile_spark.operators.tiling import _unpack_coords
 
     feats = zones.select(
         F.col("region_id").alias("feature_id"),
@@ -686,25 +684,7 @@ def zonal_stats(
         F.col("cy").alias("y"),
     )
 
-    def pack_gen(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame(
-                {
-                    "region_id": pdf["region_id"],
-                    "geom": [
-                        _pack_coords(gx, gy, o)
-                        for gx, gy, o in zip(
-                            pdf["xs"], pdf["ys"], pdf["ring_offsets"]
-                        )
-                    ],
-                }
-            )
-
-    geo = zones.select("region_id", "xs", "ys", "ring_offsets").mapInPandas(
-        pack_gen, schema="region_id long, geom binary"
-    )
+    geo = packed_geometry(zones)
     cand = (
         tiles.withColumnRenamed("z", "tz")
         .filter(F.col("tz") == z)

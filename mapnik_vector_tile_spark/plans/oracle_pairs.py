@@ -3264,8 +3264,9 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (joins.radius_join): 2000 query × 2000 target points on a dyadic
     u-grid (u = span(z10)/8; targets offset +u/4 in both axes so every
     achievable squared distance has fractional part 1/8 or 5/8 of u² —
-    an INTEGER r² = 64u² can never tie). The engine picks z=11 (span =
-    8u = r exactly), explodes the 3×3 block, equi-joins on the cell,
+    an INTEGER r² = 64u² can never tie). The engine picks z=10 — the
+    finest level whose span (= 8u) still covers r exactly — explodes
+    the 3×3 block, equi-joins on the cell,
     and filters on exact squared distance in Column algebra; the
     DuckDB twin is a direct cross join with the identical coordinate
     expressions and the identical Python-computed r² literal — it

@@ -67,26 +67,22 @@ def _parse_group(s: str, i: int):
     out: list = []
     i += 1
     start = i
-    depth = 0
     n = len(s)
+    # nested groups are consumed wholly by the recursive call, so this
+    # loop only ever sees tokens at ITS OWN nesting level
     while i < n:
         c = s[i]
         if c == "(":
-            if depth == 0:
-                child, i = _parse_group(s, i)
-                out.append(child)
-                start = i
-                depth = 0
-                continue
-            depth += 1
-        elif c == ")":
-            if depth == 0:
-                leaf = s[start:i].strip()
-                if leaf:
-                    out.append(leaf)
-                return out, i + 1
-            depth -= 1
-        elif c == "," and depth == 0:
+            child, i = _parse_group(s, i)
+            out.append(child)
+            start = i
+            continue
+        if c == ")":
+            leaf = s[start:i].strip()
+            if leaf:
+                out.append(leaf)
+            return out, i + 1
+        if c == ",":
             leaf = s[start:i].strip()
             if leaf:
                 out.append(leaf)
@@ -118,8 +114,20 @@ def _leaf_list(children: list) -> list[tuple[float, float]]:
 
 def parse_wkt(s: str):
     """WKT string -> (engine_geom_type, xs, ys, part_offsets) or None
-    for EMPTY. Raises ValueError on malformed/unsupported input
-    (Z/M/ZM dimensions, unknown types)."""
+    for EMPTY. Contract: EVERY malformed/unsupported input (Z/M/ZM
+    dimensions, unknown types, truncated/ragged bodies) raises
+    ValueError — generic Index/Attribute errors from hostile text are
+    folded so a corpus task can apply the drop-the-feature policy with
+    one except clause (same contract as parse_wkb)."""
+    try:
+        return _parse_wkt_inner(s)
+    except ValueError:
+        raise
+    except Exception as e:  # index/attribute errors on hostile text
+        raise ValueError(f"wkt: malformed text ({type(e).__name__})") from e
+
+
+def _parse_wkt_inner(s: str):
     if not isinstance(s, str):
         raise ValueError("wkt: not a string")
     t = s.strip()
@@ -203,7 +211,8 @@ def _split_collection(rest: str) -> list[str]:
 
 def parse_wkt_any(s: str) -> list:
     """WKT (incl. GEOMETRYCOLLECTION, recursion depth ≤ 8 like the
-    GeoJSON source) -> list of (gtype, xs, ys, offs) leaves."""
+    GeoJSON source) -> list of (gtype, xs, ys, offs) leaves. Same
+    fold-to-ValueError contract as parse_wkt."""
 
     def rec(txt: str, depth: int) -> list:
         t = txt.strip()
@@ -219,7 +228,12 @@ def parse_wkt_any(s: str) -> list:
         leaf = parse_wkt(t)
         return [leaf] if leaf is not None else []
 
-    return rec(s, 0)
+    try:
+        return rec(s, 0)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"wkt: malformed text ({type(e).__name__})") from e
 
 
 # --- WKT writer (mapnik util::to_wkt parity) ------------------------------------
@@ -442,6 +456,53 @@ def _features_frame(rows: dict, to_merc: bool) -> pd.DataFrame | None:
     return out
 
 
+def _ingest_stage(
+    df: DataFrame,
+    payload_col: str,
+    parse_one,
+    id_col: str,
+    caption_col: str | None,
+    to_merc: bool,
+) -> DataFrame:
+    """Shared WKT/WKB ingest generator: one body, parameterized by the
+    parse function (so the drop-the-feature policy and the id/caption
+    handling cannot drift between the two formats). A row is dropped
+    when the payload fails to parse OR its id fails integer coercion
+    (null/NaN ids) — never the task."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {
+                "feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                "part_offsets": [], "caption": [],
+            }
+            caps = pdf[caption_col] if caption_col in pdf else None
+            for k, (fid, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
+                try:
+                    fid = int(fid)  # inside the policy: NULL/NaN ids drop
+                    leaves = parse_one(payload)
+                except (ValueError, TypeError):
+                    continue
+                for gtype, xs, ys, offs in leaves:
+                    rows["feature_id"].append(fid)
+                    rows["geom_type"].append(int(gtype))
+                    rows["xs"].append(xs)
+                    rows["ys"].append(ys)
+                    rows["part_offsets"].append(offs)
+                    rows["caption"].append(
+                        str(caps.iloc[k]) if caps is not None else ""
+                    )
+            out = _features_frame(rows, to_merc)
+            if out is not None:
+                yield out
+
+    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
+
+    return df.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
 def wkt_to_features(
     df: DataFrame,
     wkt_col: str = "wkt",
@@ -454,33 +515,9 @@ def wkt_to_features(
     same as the GeoJSON source); GEOMETRYCOLLECTION expands to one row
     per leaf with the same id/caption (reference collection
     semantics)."""
-
-    def gen(batches):
-        for pdf in batches:
-            rows = {
-                "feature_id": [], "geom_type": [], "xs": [], "ys": [],
-                "part_offsets": [], "caption": [],
-            }
-            caps = pdf[caption_col] if caption_col in pdf else None
-            for k, (fid, txt) in enumerate(zip(pdf[id_col], pdf[wkt_col])):
-                try:
-                    leaves = parse_wkt_any(txt)
-                except (ValueError, TypeError):
-                    continue
-                for gtype, xs, ys, offs in leaves:
-                    rows["feature_id"].append(int(fid))
-                    rows["geom_type"].append(int(gtype))
-                    rows["xs"].append(xs)
-                    rows["ys"].append(ys)
-                    rows["part_offsets"].append(offs)
-                    rows["caption"].append(str(caps.iloc[k]) if caps is not None else "")
-            out = _features_frame(rows, to_merc)
-            if out is not None:
-                yield out
-
-    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
-
-    return df.mapInPandas(gen, schema=FEATURES_SCHEMA)
+    return _ingest_stage(
+        df, wkt_col, parse_wkt_any, id_col, caption_col, to_merc
+    )
 
 
 def wkb_to_features(
@@ -493,30 +530,7 @@ def wkb_to_features(
     """Parse a WKB binary column into the canonical features schema.
     Same drop-the-feature error policy; coordinate payloads decode via
     np.frombuffer (no per-vertex Python)."""
-
-    def gen(batches):
-        for pdf in batches:
-            rows = {
-                "feature_id": [], "geom_type": [], "xs": [], "ys": [],
-                "part_offsets": [], "caption": [],
-            }
-            caps = pdf[caption_col] if caption_col in pdf else None
-            for k, (fid, buf) in enumerate(zip(pdf[id_col], pdf[wkb_col])):
-                try:
-                    leaves = parse_wkb(bytes(buf))
-                except (ValueError, TypeError):
-                    continue
-                for gtype, xs, ys, offs in leaves:
-                    rows["feature_id"].append(int(fid))
-                    rows["geom_type"].append(int(gtype))
-                    rows["xs"].append(xs)
-                    rows["ys"].append(ys)
-                    rows["part_offsets"].append(offs)
-                    rows["caption"].append(str(caps.iloc[k]) if caps is not None else "")
-            out = _features_frame(rows, to_merc)
-            if out is not None:
-                yield out
-
-    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
-
-    return df.mapInPandas(gen, schema=FEATURES_SCHEMA)
+    return _ingest_stage(
+        df, wkb_col, lambda b: parse_wkb(bytes(b)), id_col, caption_col,
+        to_merc,
+    )

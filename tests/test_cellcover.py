@@ -283,3 +283,58 @@ def test_compact_uncompact_random_roundtrip(spark):
         )
         assert all(v < 4 for v in cnt.values())
         break  # sibling check at native z suffices with mixed-z keys
+
+
+def test_open_polyline_interior_not_filled():
+    """An open L-shaped polyline covers exactly the cells its segments
+    touch — the interior-fill stage must NOT implicitly close it into
+    a ring (regression: review finding)."""
+    z = 10
+    span = tm.tile_span(z)
+    a = -tm.W + 100 * span + span / 2
+    # L shape: right 4 cells, then up 4 cells (3 vertices, open)
+    xs = np.array([a, a + 4 * span, a + 4 * span])
+    ys = np.array([a, a, a + 4 * span])
+    offs = np.array([0, 3])
+    no_fill = _cover_one(xs, ys, offs, z, 100_000, fill=False)
+    cells = set(zip(no_fill[0].tolist(), no_fill[1].tolist()))
+    # 5 cells along the horizontal leg + 4 more up the vertical leg
+    assert len(cells) == 9, sorted(cells)
+    # the implied-triangle interior cell must be absent
+    interior = (
+        int(np.floor((a + 2.5 * span + tm.W) / span)),
+        int(np.floor((tm.W - (a + 1.5 * span)) / span)),
+    )
+    assert interior not in cells
+
+
+def test_cover_dataframe_line_vs_polygon_fill(spark):
+    """The DataFrame stage dispatches fill by geom_type: the same
+    square ring as polygon covers its interior, as a linestring only
+    its boundary cells."""
+    z = 8
+    span = tm.tile_span(z)
+    a = -tm.W + 50 * span + span / 2
+    ring_x = [a, a + 5 * span, a + 5 * span, a, a]
+    ring_y = [a, a, a + 5 * span, a + 5 * span, a]
+    df = spark.createDataFrame(
+        [(1, 3, ring_x, ring_y, [0, 5], ""),
+         (2, 2, ring_x, ring_y, [0, 5], "")],
+        "feature_id long, geom_type int, xs array<double>, "
+        "ys array<double>, part_offsets array<int>, caption string",
+    )
+    rows = cover_polygon_cells(df, z).collect()
+    poly = {(r.cx, r.cy) for r in rows if r.feature_id == 1}
+    line = {(r.cx, r.cy) for r in rows if r.feature_id == 2}
+    assert line < poly  # strict subset: interior cells only in poly
+    assert len(poly) - len(line) == 16  # 4x4 interior block
+
+
+def test_uncompact_rejects_finer_input(spark):
+    from mapnik_vector_tile_spark.operators.cellcover import uncompact_cells
+
+    df = spark.createDataFrame(
+        [(1, 11, 5, 5)], "feature_id long, z int, cx long, cy long"
+    )
+    with pytest.raises(Exception, match="uncompact_cells"):
+        uncompact_cells(df, 10).collect()

@@ -186,3 +186,20 @@ def test_geom_measures_values(spark):
     assert got[1] == (16.0, 12.0)
     assert got[2] == (14.0, 16.0)
     assert got[3][1] == 9.5
+
+
+def test_hostile_rows_never_kill_the_task(spark):
+    """Regression (review finding): truncated/ragged WKT and NULL ids
+    must DROP the feature, not crash the mapInPandas task."""
+    for bad in ("POINT", "POINT ((1 2))", "MULTIPOLYGON ((1 2))"):
+        with pytest.raises(ValueError):
+            W.parse_wkt_any(bad)
+    df = spark.createDataFrame(
+        [(1, "POINT (1 2)", "ok"),
+         (2, "POINT", "ragged"),
+         (3, "POINT ((1 2))", "nested-pt"),
+         (None, "POINT (3 4)", "null-id")],
+        "feature_id long, wkt string, caption string",
+    )
+    rows = W.wkt_to_features(df, to_merc=False).collect()
+    assert [r.feature_id for r in rows] == [1]
