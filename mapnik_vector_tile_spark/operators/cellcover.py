@@ -104,10 +104,17 @@ def _cover_one(
     z: int,
     max_cells: int,
     fill: bool = True,
-) -> tuple[np.ndarray, np.ndarray]:
+    window: tuple[int, int, int, int] | None = None,
+    classify: bool = False,
+):
     """Exact covering cells (cx, cy arrays) of one geometry at zoom z.
     ``fill`` enables the interior stage (center PIP) — polygons only;
-    points/lines cover exactly the cells their vertices/segments touch."""
+    points/lines cover exactly the cells their vertices/segments touch.
+    ``window`` (lox, hix, loy, hiy inclusive) restricts candidates to a
+    sub-grid — the hierarchical-refine hook. ``classify=True``
+    additionally returns a boolean array: True where the cell touches
+    the geometry's BOUNDARY (vertex/edge stages), False where it was
+    decided interior by the fill stage."""
     span = tm.tile_span(z)
     n_cells_axis = 1 << z
     lox, hix, loy, hiy = _closed_cell_ranges(
@@ -115,6 +122,12 @@ def _cover_one(
         np.array([xs.max()]), np.array([ys.max()]), z,
     )
     lox, hix, loy, hiy = int(lox[0]), int(hix[0]), int(loy[0]), int(hiy[0])
+    if window is not None:
+        lox = max(lox, window[0]); hix = min(hix, window[1])
+        loy = max(loy, window[2]); hiy = min(hiy, window[3])
+        if lox > hix or loy > hiy:
+            empty = np.empty(0, dtype=np.int64)
+            return (empty, empty, np.empty(0, bool)) if classify else (empty, empty)
     nx, ny = hix - lox + 1, hiy - loy + 1
     if nx * ny > max_cells:
         raise ValueError(
@@ -186,6 +199,8 @@ def _cover_one(
             )
             hit[key_of(pcx[cross], pcy[cross])] = True
 
+    boundary = hit.copy()  # stages 1-2 = boundary-touching cells
+
     # 3) undecided cells: even-odd PIP of the center over all rings
     rest = np.flatnonzero(~hit) if fill else np.empty(0, dtype=np.int64)
     if len(rest):
@@ -200,7 +215,97 @@ def _cover_one(
         hit[rest[inside]] = True
 
     sel = np.flatnonzero(hit)
+    if classify:
+        return cand_cx[sel], cand_cy[sel], boundary[sel]
     return cand_cx[sel], cand_cy[sel]
+
+
+def _cover_one_hier(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    offs: np.ndarray,
+    z: int,
+    coarse_dz: int,
+    max_cells: int,
+    fill: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """S2-RegionCoverer-style hierarchical covering: cover at the
+    coarse level z−coarse_dz, expand INTERIOR coarse cells to all
+    4^dz children directly (a fill-decided cell has no boundary
+    crossing, so every child intersects), and run the exact kernel
+    only inside each BOUNDARY coarse cell's child window. Work is
+    O(interior) + O(boundary · 4^dz) instead of O(bbox · 4^dz) — the
+    scale path for continent-sized regions the flat kernel's
+    max_cells guard points at. Output set is IDENTICAL to the flat
+    cover (gated by q_cell_cover_hier against the same twin)."""
+    zc = max(0, z - coarse_dz)
+    if zc >= z:
+        return _cover_one(xs, ys, offs, z, max_cells, fill)
+    ccx, ccy, is_bnd = _cover_one(
+        xs, ys, offs, zc, max_cells, fill, classify=True
+    )
+    s = 1 << (z - zc)
+    out_x: list[np.ndarray] = []
+    out_y: list[np.ndarray] = []
+    icx, icy = ccx[~is_bnd], ccy[~is_bnd]
+    if len(icx):
+        q = np.arange(s * s, dtype=np.int64)
+        out_x.append((icx[:, None] * s + (q % s)[None, :]).ravel())
+        out_y.append((icy[:, None] * s + (q // s)[None, :]).ravel())
+    for bx, by in zip(ccx[is_bnd], ccy[is_bnd]):
+        w = (int(bx) * s, int(bx) * s + s - 1,
+             int(by) * s, int(by) * s + s - 1)
+        rx, ry = _cover_one(xs, ys, offs, z, max_cells, fill, window=w)
+        out_x.append(rx)
+        out_y.append(ry)
+    if not out_x:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
+    # interior windows and boundary windows are disjoint coarse cells,
+    # so the concatenation is duplicate-free by construction
+    return np.concatenate(out_x), np.concatenate(out_y)
+
+
+def cover_polygon_cells_hier(
+    features: DataFrame,
+    z: int,
+    coarse_dz: int = 4,
+    max_cells_per_feature: int = 65536,
+) -> DataFrame:
+    """Hierarchical twin of cover_polygon_cells (same output relation,
+    same schema): coarse cover → interior expand + boundary refine.
+    Use when features span many cells at z (the flat kernel's
+    candidate guard); same narrow no-shuffle plan shape."""
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+    def gen(batches):
+        for pdf in batches:
+            out_fid, out_cx, out_cy = [], [], []
+            for fid, gt, xs, ys, offs in zip(
+                pdf["feature_id"], pdf["geom_type"],
+                pdf["xs"], pdf["ys"], pdf["part_offsets"],
+            ):
+                cx, cy = _cover_one_hier(
+                    np.asarray(xs, dtype=np.float64),
+                    np.asarray(ys, dtype=np.float64),
+                    np.asarray(offs, dtype=np.int64),
+                    z, coarse_dz, max_cells_per_feature,
+                    fill=(int(gt) == gc.GEOM_POLYGON),
+                )
+                out_fid.append(np.full(len(cx), int(fid), dtype=np.int64))
+                out_cx.append(cx)
+                out_cy.append(cy)
+            if not out_fid:
+                continue
+            fid = np.concatenate(out_fid)
+            yield pd.DataFrame({
+                "feature_id": fid,
+                "z": np.full(len(fid), z, dtype=np.int32),
+                "cx": np.concatenate(out_cx),
+                "cy": np.concatenate(out_cy),
+            })
+
+    return features.mapInPandas(gen, schema=COVER_SCHEMA)
 
 
 def cover_polygon_cells(

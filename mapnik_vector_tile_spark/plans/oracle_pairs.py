@@ -3074,11 +3074,17 @@ def q_cell_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     processor's per-zoom tile loop over the layer envelope
     (tile-intersects-geometry decisions); S2 RegionCoverer semantics
     at fixed level; SURVEY §2 T15."""
-    import numpy as np
+    from mapnik_vector_tile_spark.operators.cellcover import cover_polygon_cells
+
+    return cover_polygon_cells(_cell_cover_corpus(spark), COVER_Z)
+
+
+def _cell_cover_corpus(spark: SparkSession) -> DataFrame:
+    """The q_cell_cover rect/right-triangle corpus (shared with
+    q_cell_cover_hier so both kernels are gated on identical input)."""
     import pandas as pd
 
     from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.operators.cellcover import cover_polygon_cells
 
     span = tm.tile_span(COVER_Z)
 
@@ -3116,8 +3122,26 @@ def q_cell_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
 
-    corpus = spark.range(0, COVER_N, 1, 8).mapInPandas(gen, schema=FEATURES_SCHEMA)
-    return cover_polygon_cells(corpus, COVER_Z)
+    return spark.range(0, COVER_N, 1, 8).mapInPandas(
+        gen, schema=FEATURES_SCHEMA
+    )
+
+
+def q_cell_cover_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical covering gate (cellcover.cover_polygon_cells_hier —
+    the S2-RegionCoverer-style scale path: coarse cover at z−3,
+    interior coarse cells expand to all children directly, boundary
+    coarse cells refine through the exact kernel inside their child
+    window). Same corpus and same SQL twin as q_cell_cover, so the
+    gate proves the hierarchical path emits the IDENTICAL relation to
+    the flat kernel while doing O(boundary·4^dz) work instead of
+    O(bbox·4^dz). SURVEY §2 T15."""
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        cover_polygon_cells_hier,
+    )
+
+    corpus = _cell_cover_corpus(spark)
+    return cover_polygon_cells_hier(corpus, COVER_Z, coarse_dz=3)
 
 
 def _sql_cell_cover(n: int = COVER_N) -> str:
@@ -4004,6 +4028,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_wkt_ingest": (q_wkt_ingest, _sql_wkt_ingest()),
     "q_wkb_ingest": (q_wkb_ingest, _sql_wkt_ingest()),
     "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
+    "q_cell_cover_hier": (q_cell_cover_hier, _sql_cell_cover()),
     "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
     "q_line_cover": (q_line_cover, _sql_line_cover()),
     "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
@@ -4040,6 +4065,7 @@ _RECORD_FIRST = (
     "q_wkt_ingest",
     "q_wkb_ingest",
     "q_cell_cover",
+    "q_cell_cover_hier",
     "q_pip_cover_join",
     "q_line_cover",
     "q_zonal_stats",

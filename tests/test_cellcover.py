@@ -338,3 +338,45 @@ def test_uncompact_rejects_finer_input(spark):
     )
     with pytest.raises(Exception, match="uncompact_cells"):
         uncompact_cells(df, 10).collect()
+
+
+def test_hier_cover_equals_flat():
+    """Hierarchical covering (coarse + interior-expand + boundary
+    refine) emits the identical cell set to the flat kernel, for
+    polygons with holes and for open polylines, across coarse_dz
+    choices."""
+    from mapnik_vector_tile_spark.operators.cellcover import _cover_one_hier
+
+    rng = np.random.default_rng(17)
+    z = 10
+    span = tm.tile_span(z)
+    for trial in range(12):
+        kind = trial % 3
+        a = -tm.W + int(rng.integers(10, 800)) * span + span / 4
+        c = -tm.W + int(rng.integers(10, 800)) * span + span / 4
+        if kind == 0:  # big rect
+            w = int(rng.integers(8, 30)) * span + span / 2
+            h = int(rng.integers(8, 25)) * span + span / 2
+            xs = np.array([a, a + w, a + w, a, a])
+            ys = np.array([c, c, c + h, c + h, c])
+            offs, fill = np.array([0, 5]), True
+        elif kind == 1:  # holed square
+            w = 20 * span
+            xs = np.array([a, a + w, a + w, a, a,
+                           a + 5 * span, a + 15 * span, a + 15 * span,
+                           a + 5 * span, a + 5 * span])
+            ys = np.array([c, c, c + w, c + w, c,
+                           c + 5 * span, c + 5 * span, c + 15 * span,
+                           c + 15 * span, c + 5 * span])
+            offs, fill = np.array([0, 5, 10]), True
+        else:  # open L polyline
+            xs = np.array([a, a + 12 * span, a + 12 * span])
+            ys = np.array([c, c, c + 12 * span])
+            offs, fill = np.array([0, 3]), False
+        flat = set(zip(*[
+            arr.tolist()
+            for arr in _cover_one(xs, ys, offs, z, 10**7, fill)
+        ]))
+        for dz in (2, 4):
+            hx, hy = _cover_one_hier(xs, ys, offs, z, dz, 10**7, fill)
+            assert set(zip(hx.tolist(), hy.tolist())) == flat, (trial, dz)
