@@ -695,3 +695,38 @@ def dup_ngram_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def cluster_canonical(docs: DataFrame) -> DataFrame:
+    """Keep-one-per-cluster — the step a training pipeline runs AFTER
+    near-dup clustering: retain the highest-quality member of each
+    cluster (quality proxy: distinct-token count, an INTEGER so the
+    pick is float-free; ties break to the smallest doc_id, so an exact
+    duplicate pair keeps the original and drops the copy). Returns
+    (cluster_rep, cluster_size, kept_doc_id, kept_n_distinct).
+
+    Plan: clusters (connected components) equi-join the per-doc
+    quality projection, then ONE groupBy with a struct-max argmax —
+    no window function over the full table (a window would re-sort
+    every cluster's members; max(struct) partial-aggregates map-side
+    like any other agg)."""
+    from mapnik_vector_tile_spark.operators.textstats import quality_stats
+
+    clusters = dedup_clusters(docs)  # doc_id, cluster_rep, cluster_size
+    quality = quality_stats(with_self_copies(docs)).select(
+        "doc_id", F.col("n_distinct").cast("long").alias("nd")
+    )
+    j = clusters.join(quality, "doc_id")
+    best = F.max(
+        F.struct(F.col("nd"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("_best")
+    return (
+        j.groupBy("cluster_rep")
+        .agg(F.max("cluster_size").alias("cluster_size"), best)
+        .select(
+            "cluster_rep",
+            "cluster_size",
+            (-F.col("_best.neg_id")).alias("kept_doc_id"),
+            F.col("_best.nd").alias("kept_n_distinct"),
+        )
+    )

@@ -4072,6 +4072,7 @@ _RECORD_FIRST = (
     "q_cell_compact",
     "q_radius_join",
     "q_geom_measures",
+    "q_cluster_canonical",
     "q_video_mjpeg",
     "q_engine_wafer",
     "q_global_quantiles",

@@ -145,6 +145,55 @@ FROM labels l JOIN sizes s USING (cluster_rep)
 """
 
 
+def q_cluster_canonical(spark, sf_dir):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.cluster_canonical(_docs(spark, sf_dir))
+
+
+def sql_cluster_canonical() -> str:
+    """Keep-one-per-cluster twin: the clustering CTE chain (transitive
+    closure, as sql_dedup_clusters) joined to the distinct-token
+    quality proxy over docs2, argmax by (nd DESC, doc_id ASC) via a
+    window — a deliberately DIFFERENT argmax mechanism than the
+    engine's struct-max aggregate."""
+    return f"""
+WITH RECURSIVE {_lsh_pair_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM lsh_pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s AS node, reach.r
+  FROM edges e JOIN reach ON reach.node = e.d
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_rep, COUNT(*) AS cluster_size FROM labels GROUP BY 1
+),
+q AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+  FROM docs2
+),
+ranked AS (
+  SELECT l.cluster_rep, s.cluster_size, l.doc_id, q.nd,
+         row_number() OVER (
+           PARTITION BY l.cluster_rep ORDER BY q.nd DESC, l.doc_id ASC
+         ) AS rn
+  FROM labels l JOIN sizes s USING (cluster_rep) JOIN q USING (doc_id)
+)
+SELECT cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size,
+       doc_id AS kept_doc_id, nd AS kept_n_distinct
+FROM ranked WHERE rn = 1
+"""
+
+
 def sql_simhash() -> str:
     h = H14_D.format(x="word")
     sums = ",\n       ".join(
@@ -1030,6 +1079,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
         "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
         "q_dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
+        "q_cluster_canonical": (q_cluster_canonical, sql_cluster_canonical()),
         "q_simhash": (q_simhash, sql_simhash()),
         "q_simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
         "q_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard_pairs()),

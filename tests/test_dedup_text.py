@@ -529,3 +529,28 @@ def test_repetition_stats_tiny_doc(spark):
     )
     got = {r.n for r in TS.repetition_stats(short).collect()}
     assert got == {1}
+
+
+def test_cluster_canonical_keeps_original_over_copy(spark):
+    """with_self_copies gives every doc an exact duplicate at
+    id+1000000; equal quality ties break to the smaller id, so the
+    canonical keeper is always the ORIGINAL and the copy is the drop."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.dedup import cluster_canonical
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs",
+                "sphinx of black quartz judge my vow now and then",
+            ],
+        })
+    )
+    rows = cluster_canonical(docs).collect()
+    for r in rows:
+        assert r.kept_doc_id < 1_000_000, r  # the original, never the copy
+        assert r.cluster_size >= 2  # original + copy at least
+        assert r.kept_doc_id == r.cluster_rep or r.kept_n_distinct > 0
