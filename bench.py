@@ -33,10 +33,11 @@ def main() -> None:
                     help="override local[N] (default: $SPARK_GRAFT_CPUS or *)")
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of query names")
-    ap.add_argument("--repeat", type=int, default=2,
-                    help="runs per query; min wall time is reported "
-                         "(default 2: this host's run-to-run noise is "
-                         "±30-40%%, see BASELINE.md §4.3)")
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="suite passes; per-query min across passes is "
+                         "reported (default 3, repeat-major: this "
+                         "host's noise arrives in multi-minute bursts, "
+                         "see BASELINE.md §4.3/§4.0d)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the untimed session warm-up job")
     args = ap.parse_args()
@@ -54,16 +55,22 @@ def main() -> None:
         _warmup(spark)
 
     sf = _sf_of(args.sf_dir)
+    # REPEAT-MAJOR ordering: run the whole suite as full passes and
+    # take each query's min ACROSS passes. This host's noise arrives
+    # in multi-minute bursts (BASELINE §4.3/§4.0d: same-code spreads
+    # up to 7×); back-to-back repeats of one query sit inside the same
+    # burst and both readings are poisoned, while pass-interleaved
+    # repeats give every query a sample from each weather window.
     times: dict[str, float] = {}
-    for name, fn in reg.items():
-        best = float("inf")
-        for _ in range(max(1, args.repeat)):
+    for _ in range(max(1, args.repeat)):
+        for name, fn in reg.items():
             t0 = time.monotonic()
             df = fn(spark, args.sf_dir)
             # noop sink: full distributed execution, zero driver collect
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        times[name] = round(best, 3)
+            dt = time.monotonic() - t0
+            times[name] = min(times.get(name, float("inf")), dt)
+    times = {k: round(v, 3) for k, v in times.items()}
     total = round(sum(times.values()), 3)
 
     out = {
