@@ -3177,6 +3177,78 @@ SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM tri
 """
 
 
+MBT_Z_LO, MBT_Z_HI = 3, 6  # q_mbtiles_roundtrip pyramid band
+
+
+def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-companion MBTiles sink/source gate with a FULL oracle: the
+    real pipeline encodes the orders-point pyramid z3..z6, writes it
+    through the SHARDED MBTiles sink (sources/mbtiles.py — one
+    spec-compliant SQLite file per partition, executor-side, TMS row
+    flip per the MBTiles 1.3 spec), reads the shards back through the
+    source, and FULL-joins against the pre-write tiles: per zoom the
+    output carries tile count, coordinate sums, and a blobs_match
+    boolean that is TRUE only if every tile came back BYTE-IDENTICAL
+    with no extras/missing (full join turns any asymmetry into a
+    null → false). The DuckDB twin replays painted-tile counts/sums
+    closed-form from the point corpus — it never sees SQLite. Ref
+    parity: the mapnik/tilelive ecosystem's standard serving artifact
+    (MBTiles 1.3); SURVEY §2.1 S6."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.mbtiles import (
+        read_mbtiles,
+        write_mbtiles_shards,
+    )
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
+    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8)).select(
+        "z", "x", "y", "tile"
+    )
+    out_dir = "/tmp/mvt_mbtiles_gate"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_mbtiles_shards(
+        tiles, out_dir, metadata={"name": "mbtiles-gate"}, num_shards=8
+    )
+    back = read_mbtiles(spark, out_dir).withColumnRenamed("tile", "rt")
+    j = tiles.withColumnRenamed("tile", "orig").join(
+        back, ["z", "x", "y"], "full"
+    )
+    return j.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.min(
+            F.coalesce(F.col("orig") == F.col("rt"), F.lit(False))
+        ).alias("blobs_match"),
+    )
+
+
+def _sql_mbtiles(z_lo: int = MBT_Z_LO, z_hi: int = MBT_Z_HI) -> str:
+    tx, ty = S.tile_xy_exprs(z_hi)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+base AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM pts),
+zs AS (SELECT unnest(generate_series({z_lo}, {z_hi})) AS z),
+lv AS (
+  SELECT DISTINCT zz.z AS z,
+         b.tx >> ({z_hi} - zz.z) AS x,
+         b.ty >> ({z_hi} - zz.z) AS y
+  FROM base b, zs zz
+)
+SELECT CAST(z AS INT) AS z,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       TRUE AS blobs_match
+FROM lv GROUP BY z
+"""
+
+
 MEASURES_N = 500  # q_geom_measures corpus size
 
 
@@ -4035,6 +4107,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
     "q_radius_join": (q_radius_join, _sql_radius_join()),
     "q_geom_measures": (q_geom_measures, _sql_geom_measures()),
+    "q_mbtiles_roundtrip": (q_mbtiles_roundtrip, _sql_mbtiles()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -4073,6 +4146,7 @@ _RECORD_FIRST = (
     "q_radius_join",
     "q_geom_measures",
     "q_cluster_canonical",
+    "q_mbtiles_roundtrip",
     "q_video_mjpeg",
     "q_engine_wafer",
     "q_global_quantiles",
