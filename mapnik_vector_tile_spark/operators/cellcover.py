@@ -233,11 +233,15 @@ def _cover_one_hier(
     coarse level z−coarse_dz, expand INTERIOR coarse cells to all
     4^dz children directly (a fill-decided cell has no boundary
     crossing, so every child intersects), and run the exact kernel
-    only inside each BOUNDARY coarse cell's child window. Work is
-    O(interior) + O(boundary · 4^dz) instead of O(bbox · 4^dz) — the
-    scale path for continent-sized regions the flat kernel's
-    max_cells guard points at. Output set is IDENTICAL to the flat
-    cover (gated by q_cell_cover_hier against the same twin)."""
+    only inside each boundary coarse cell's child window (plus its
+    8-neighbor halo — see inline comment — for float robustness on
+    boundary-grazing geometry). CANDIDATE work drops from
+    O(bbox · 4^dz) to O(interior + boundary · 4^dz); each refine
+    window still re-scans the geometry's vertices/edges
+    (O(boundary · (V + E)) in that term — bucketing edges by coarse
+    cell before the loop is the next optimization for very-high-E
+    continent polygons). Output set is IDENTICAL to the flat cover
+    (gated by q_cell_cover_hier against the same twin)."""
     zc = max(0, z - coarse_dz)
     if zc >= z:
         return _cover_one(xs, ys, offs, z, max_cells, fill)
@@ -252,30 +256,46 @@ def _cover_one_hier(
         q = np.arange(s * s, dtype=np.int64)
         out_x.append((icx[:, None] * s + (q % s)[None, :]).ravel())
         out_y.append((icy[:, None] * s + (q // s)[None, :]).ravel())
-    for bx, by in zip(ccx[is_bnd], ccy[is_bnd]):
-        w = (int(bx) * s, int(bx) * s + s - 1,
-             int(by) * s, int(by) * s + s - 1)
+    # refine every boundary coarse cell PLUS its 8-neighbor HALO
+    # (minus interior cells, already expanded). The halo is the
+    # float-robustness guarantee: boundary detection at zc and z are
+    # DIFFERENT float expressions, so a geometry grazing a coarse-cell
+    # edge can be binned one ulp into the neighbor at zc while a child
+    # on this side is flat-covered at z — wherever the float test DID
+    # bin the graze, that coarse cell is boundary, and the missed
+    # parent is one of its neighbors, so halo refinement recovers its
+    # children exactly (regression-pinned on a corner-vertex corpus).
+    interior_keys = set(zip(icx.tolist(), icy.tolist()))
+    n_axis_c = 1 << zc
+    refine: set[tuple[int, int]] = set()
+    for bx, by in zip(ccx[is_bnd].tolist(), ccy[is_bnd].tolist()):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx_, ny_ = bx + dx, by + dy
+                if (
+                    0 <= nx_ < n_axis_c
+                    and 0 <= ny_ < n_axis_c
+                    and (nx_, ny_) not in interior_keys
+                ):
+                    refine.add((nx_, ny_))
+    for bx, by in sorted(refine):
+        w = (bx * s, bx * s + s - 1, by * s, by * s + s - 1)
         rx, ry = _cover_one(xs, ys, offs, z, max_cells, fill, window=w)
         out_x.append(rx)
         out_y.append(ry)
     if not out_x:
         empty = np.empty(0, dtype=np.int64)
         return empty, empty
-    # interior windows and boundary windows are disjoint coarse cells,
-    # so the concatenation is duplicate-free by construction
+    # interior cells and refine windows are disjoint coarse cells, so
+    # the concatenation is duplicate-free by construction
     return np.concatenate(out_x), np.concatenate(out_y)
 
 
-def cover_polygon_cells_hier(
-    features: DataFrame,
-    z: int,
-    coarse_dz: int = 4,
-    max_cells_per_feature: int = 65536,
-) -> DataFrame:
-    """Hierarchical twin of cover_polygon_cells (same output relation,
-    same schema): coarse cover → interior expand + boundary refine.
-    Use when features span many cells at z (the flat kernel's
-    candidate guard); same narrow no-shuffle plan shape."""
+def _cover_stage(features: DataFrame, z: int, kernel) -> DataFrame:
+    """Shared mapInPandas body of the flat and hierarchical covering
+    stages: one generator, parameterized by the per-feature kernel
+    (kernel(xs, ys, offs, fill) -> (cx, cy)), so the geom_type fill
+    dispatch and output assembly cannot drift between the two paths."""
     from mapnik_vector_tile_spark.functions import geomcodec as gc
 
     def gen(batches):
@@ -285,12 +305,11 @@ def cover_polygon_cells_hier(
                 pdf["feature_id"], pdf["geom_type"],
                 pdf["xs"], pdf["ys"], pdf["part_offsets"],
             ):
-                cx, cy = _cover_one_hier(
+                cx, cy = kernel(
                     np.asarray(xs, dtype=np.float64),
                     np.asarray(ys, dtype=np.float64),
                     np.asarray(offs, dtype=np.int64),
-                    z, coarse_dz, max_cells_per_feature,
-                    fill=(int(gt) == gc.GEOM_POLYGON),
+                    int(gt) == gc.GEOM_POLYGON,
                 )
                 out_fid.append(np.full(len(cx), int(fid), dtype=np.int64))
                 out_cx.append(cx)
@@ -306,6 +325,25 @@ def cover_polygon_cells_hier(
             })
 
     return features.mapInPandas(gen, schema=COVER_SCHEMA)
+
+
+def cover_polygon_cells_hier(
+    features: DataFrame,
+    z: int,
+    coarse_dz: int = 4,
+    max_cells_per_feature: int = 65536,
+) -> DataFrame:
+    """Hierarchical twin of cover_polygon_cells (same output relation,
+    same schema): coarse cover → interior expand + boundary refine.
+    Use when features span many cells at z (the flat kernel's
+    candidate guard); same narrow no-shuffle plan shape."""
+    return _cover_stage(
+        features,
+        z,
+        lambda xs, ys, offs, fill: _cover_one_hier(
+            xs, ys, offs, z, coarse_dz, max_cells_per_feature, fill
+        ),
+    )
 
 
 def cover_polygon_cells(
@@ -320,36 +358,13 @@ def cover_polygon_cells(
     its segments touch — the center-PIP stage would otherwise
     implicitly close an open polyline into a ring and cover its
     interior, which is wrong for trajectories)."""
-    from mapnik_vector_tile_spark.functions import geomcodec as gc
-
-    def gen(batches):
-        for pdf in batches:
-            out_fid, out_cx, out_cy = [], [], []
-            for fid, gt, xs, ys, offs in zip(
-                pdf["feature_id"], pdf["geom_type"],
-                pdf["xs"], pdf["ys"], pdf["part_offsets"],
-            ):
-                cx, cy = _cover_one(
-                    np.asarray(xs, dtype=np.float64),
-                    np.asarray(ys, dtype=np.float64),
-                    np.asarray(offs, dtype=np.int64),
-                    z, max_cells_per_feature,
-                    fill=(int(gt) == gc.GEOM_POLYGON),
-                )
-                out_fid.append(np.full(len(cx), int(fid), dtype=np.int64))
-                out_cx.append(cx)
-                out_cy.append(cy)
-            if not out_fid:
-                continue
-            fid = np.concatenate(out_fid)
-            yield pd.DataFrame({
-                "feature_id": fid,
-                "z": np.full(len(fid), z, dtype=np.int32),
-                "cx": np.concatenate(out_cx),
-                "cy": np.concatenate(out_cy),
-            })
-
-    return features.mapInPandas(gen, schema=COVER_SCHEMA)
+    return _cover_stage(
+        features,
+        z,
+        lambda xs, ys, offs, fill: _cover_one(
+            xs, ys, offs, z, max_cells_per_feature, fill
+        ),
+    )
 
 
 # --- compaction (S2 CellUnion::Normalize analogue on the quad grid) -------------

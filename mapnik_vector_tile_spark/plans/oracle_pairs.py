@@ -3194,6 +3194,7 @@ def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form from the point corpus — it never sees SQLite. Ref
     parity: the mapnik/tilelive ecosystem's standard serving artifact
     (MBTiles 1.3); SURVEY §2.1 S6."""
+    import os
     import shutil
 
     from pyspark.sql import functions as F
@@ -3209,7 +3210,10 @@ def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8)).select(
         "z", "x", "y", "tile"
     )
-    out_dir = "/tmp/mvt_mbtiles_gate"
+    # pid-suffixed dir: concurrent sweeps/benches on one host must not
+    # rmtree each other's shards mid-read (within one process, repeat
+    # executions re-read the same still-present shards)
+    out_dir = f"/tmp/mvt_mbtiles_gate_{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     write_mbtiles_shards(
         tiles, out_dir, metadata={"name": "mbtiles-gate"}, num_shards=8

@@ -41,9 +41,14 @@ _SCHEMA_SQL = (
 )
 
 
-def _write_one_shard(path: str, rows, metadata: dict) -> int:
-    """Write one spec-compliant .mbtiles file; returns tile count."""
-    tmp = path + ".tmp"
+def _write_one_shard(path: str, rows, metadata: dict, attempt: str = "") -> int:
+    """Write one spec-compliant .mbtiles file; returns tile count.
+    The tmp name carries the task ATTEMPT id: under speculative
+    execution / zombie retries two attempts of the same partition may
+    run concurrently, and a shared tmp path would let one attempt
+    publish the other's half-written file — per-attempt tmps make the
+    os.replace race-free (last completed attempt wins atomically)."""
+    tmp = f"{path}.{attempt or os.getpid()}.tmp"
     if os.path.exists(tmp):
         os.remove(tmp)
     con = sqlite3.connect(tmp)
@@ -87,6 +92,12 @@ def write_mbtiles_shards(
     meta.update(metadata or {})
     meta_json = json.dumps(meta, sort_keys=True)
     os.makedirs(out_dir, exist_ok=True)
+    # clear STALE shards up front: a re-run whose data leaves some hash
+    # partition empty (or that uses fewer shards) would otherwise leave
+    # the old file behind and readers would merge deleted tiles back in
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".mbtiles"):
+            os.remove(os.path.join(out_dir, f))
     df = tiles.select(
         F.col("z").cast("int"),
         F.col("x").cast("long"),
@@ -99,7 +110,8 @@ def write_mbtiles_shards(
     def write_partition(it):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         rows = [(r.z, r.x, r.y, r.tile) for r in it]
         if not rows:
             return
@@ -109,6 +121,7 @@ def write_mbtiles_shards(
             os.path.join(out_dir, f"part-{pid:05d}.mbtiles"),
             rows,
             json.loads(meta_json),
+            attempt=str(ctx.taskAttemptId()),
         )
 
     df.foreachPartition(write_partition)
@@ -131,6 +144,9 @@ def read_mbtiles(spark: SparkSession, path: str) -> DataFrame:
     if not files:
         raise ValueError(f"read_mbtiles: no .mbtiles files under {path!r}")
 
+    BATCH = 2048  # rows per Arrow batch: stream big shards, never
+    # fetchall() a multi-GB tile table into one Python list
+
     def gen(it):
         for pdf in it:
             for fpath in pdf["path"]:
@@ -140,19 +156,23 @@ def read_mbtiles(spark: SparkSession, path: str) -> DataFrame:
                         "SELECT zoom_level, tile_column, tile_row, tile_data "
                         "FROM tiles ORDER BY zoom_level, tile_column, tile_row"
                     )
-                    rows = cur.fetchall()
+                    while True:
+                        rows = cur.fetchmany(BATCH)
+                        if not rows:
+                            break
+                        yield pd.DataFrame(
+                            {
+                                "z": [int(r[0]) for r in rows],
+                                "x": [int(r[1]) for r in rows],
+                                "y": [
+                                    (1 << int(r[0])) - 1 - int(r[2])
+                                    for r in rows
+                                ],
+                                "tile": [bytes(r[3]) for r in rows],
+                            }
+                        )
                 finally:
                     con.close()
-                if not rows:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "z": [int(r[0]) for r in rows],
-                        "x": [int(r[1]) for r in rows],
-                        "y": [(1 << int(r[0])) - 1 - int(r[2]) for r in rows],
-                        "tile": [bytes(r[3]) for r in rows],
-                    }
-                )
 
     paths = spark.createDataFrame(
         [(f,) for f in files], "path string"

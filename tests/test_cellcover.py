@@ -380,3 +380,44 @@ def test_hier_cover_equals_flat():
         for dz in (2, 4):
             hx, hy = _cover_one_hier(xs, ys, offs, z, dz, 10**7, fill)
             assert set(zip(hx.tolist(), hy.tolist())) == flat, (trial, dz)
+
+
+def test_hier_cover_boundary_graze_regression():
+    """Regression (review finding): boundary detection at the coarse
+    and fine zooms are DIFFERENT float expressions, so a grid-snapped
+    geometry (vertices exactly ON cell corners) could be binned one
+    ulp into a neighbor at the coarse level, dropping a flat-covered
+    child's parent from refinement. The 8-neighbor halo recovers it —
+    hier must equal flat on fully grid-snapped shapes."""
+    from mapnik_vector_tile_spark.operators.cellcover import _cover_one_hier
+
+    z = 8
+    span = tm.tile_span(z)
+    # the reviewer's confirmed repro: corner-anchored big triangle
+    a = -tm.W + 16 * span
+    c = -tm.W + 24 * span
+    xs = np.array([a, a + 32 * span, a, a])
+    ys = np.array([c, c, c + 32 * span, c])
+    offs = np.array([0, 4])
+    flat = set(zip(*[
+        v.tolist() for v in _cover_one(xs, ys, offs, z, 10**7, True)
+    ]))
+    for dz in (1, 2, 3):
+        hx, hy = _cover_one_hier(xs, ys, offs, z, dz, 10**7, True)
+        assert set(zip(hx.tolist(), hy.tolist())) == flat, dz
+    # randomized grid-snapped rectangles
+    rng = np.random.default_rng(5)
+    for t in range(10):
+        a = -tm.W + int(rng.integers(8, 200)) * span
+        c = -tm.W + int(rng.integers(8, 200)) * span
+        w = int(rng.integers(2, 40)) * span
+        h = int(rng.integers(2, 30)) * span
+        xs = np.array([a, a + w, a + w, a, a])
+        ys = np.array([c, c, c + h, c + h, c])
+        offs = np.array([0, 5])
+        flat = set(zip(*[
+            v.tolist() for v in _cover_one(xs, ys, offs, z, 10**7, True)
+        ]))
+        for dz in (2, 4):
+            hx, hy = _cover_one_hier(xs, ys, offs, z, dz, 10**7, True)
+            assert set(zip(hx.tolist(), hy.tolist())) == flat, (t, dz)

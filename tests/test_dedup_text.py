@@ -550,7 +550,11 @@ def test_cluster_canonical_keeps_original_over_copy(spark):
         })
     )
     rows = cluster_canonical(docs).collect()
+    n_distinct = {1: 8, 2: 8, 3: 10}  # distinct whitespace tokens per doc
     for r in rows:
         assert r.kept_doc_id < 1_000_000, r  # the original, never the copy
         assert r.cluster_size >= 2  # original + copy at least
-        assert r.kept_doc_id == r.cluster_rep or r.kept_n_distinct > 0
+        # exact-duplicate clusters: the keeper IS the representative
+        # (min id) and its quality equals the doc's true distinct count
+        assert r.kept_doc_id == r.cluster_rep, r
+        assert r.kept_n_distinct == n_distinct[r.kept_doc_id], r

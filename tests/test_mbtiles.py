@@ -83,13 +83,9 @@ def test_rerun_is_idempotent(spark, tmp_path, tile_rows):
         f: open(os.path.join(out, f), "rb").read()
         for f in sorted(os.listdir(out))
     }
-    assert set(first) == set(second)
-    # same tiles land in the same shard (hash partitioning on z,x,y)
-    for f in first:
-        con1 = sqlite3.connect(os.path.join(out, f))
-        n = con1.execute("SELECT COUNT(*) FROM tiles").fetchone()[0]
-        con1.close()
-        assert n >= 0  # file opens and parses after the overwrite
+    # byte-identical shard files across re-runs: same partitioning,
+    # same in-shard row order, same metadata — full determinism
+    assert first == second
 
 
 def test_read_missing_raises(spark, tmp_path):
