@@ -220,6 +220,105 @@ def _cover_one(
     return cand_cx[sel], cand_cy[sel]
 
 
+def _cover_candidates(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    offs: np.ndarray,
+    z: int,
+    cand_cx: np.ndarray,
+    cand_cy: np.ndarray,
+    fill: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact covering decision restricted to an EXPLICIT candidate
+    cell set (the hierarchical refine path): the vertex/edge/center
+    stages run ONCE over the whole geometry — O(V + E + |cand|) — and
+    hits are matched into the candidate set by sorted-key search, so
+    per-window geometry rescans disappear. Same closed-set semantics
+    as _cover_one (shared _edge_box_cross / points_in_ring kernels)."""
+    span = tm.tile_span(z)
+    n = len(cand_cx)
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
+    keys = (cand_cx.astype(np.int64) << 32) | cand_cy.astype(np.int64)
+    order = np.argsort(keys, kind="mergesort")
+    skeys = keys[order]
+    hit = np.zeros(n, dtype=bool)
+
+    def mark(cx: np.ndarray, cy: np.ndarray) -> None:
+        if not len(cx):
+            return
+        k = (cx.astype(np.int64) << 32) | cy.astype(np.int64)
+        pos = np.searchsorted(skeys, k)
+        ok = (pos < n) & (skeys[np.minimum(pos, n - 1)] == k)
+        hit[order[pos[ok]]] = True
+
+    # stage 1: vertex binning with closed-boundary combos
+    vfx = (xs + tm.W) / span
+    vfy = (tm.W - ys) / span
+    for ox in (0, 1):
+        for oy in (0, 1):
+            cx = np.floor(vfx).astype(np.int64) - ox * (vfx == np.floor(vfx))
+            cy = np.floor(vfy).astype(np.int64) - oy * (vfy == np.floor(vfy))
+            mark(cx, cy)
+
+    # stage 2: per-edge bbox enumeration (bounded by the geometry's
+    # own boundary length at z), Liang-Barsky accept, then candidate
+    # membership
+    e0x, e0y, e1x, e1y = [], [], [], []
+    for r in range(len(offs) - 1):
+        a, b = offs[r], offs[r + 1]
+        if b - a < 2:
+            continue
+        rx, ry = xs[a:b], ys[a:b]
+        x0, y0 = rx[:-1], ry[:-1]
+        x1, y1 = rx[1:], ry[1:]
+        if fill and (rx[0] != rx[-1] or ry[0] != ry[-1]):
+            x0 = np.append(x0, rx[-1]); y0 = np.append(y0, ry[-1])
+            x1 = np.append(x1, rx[0]); y1 = np.append(y1, ry[0])
+        e0x.append(x0); e0y.append(y0); e1x.append(x1); e1y.append(y1)
+    if e0x:
+        e0x = np.concatenate(e0x); e0y = np.concatenate(e0y)
+        e1x = np.concatenate(e1x); e1y = np.concatenate(e1y)
+        elox, ehix, eloy, ehiy = _closed_cell_ranges(
+            np.minimum(e0x, e1x), np.minimum(e0y, e1y),
+            np.maximum(e0x, e1x), np.maximum(e0y, e1y), z,
+        )
+        enx = np.maximum(ehix - elox + 1, 0)
+        eny = np.maximum(ehiy - eloy + 1, 0)
+        cnt = enx * eny
+        tot = int(cnt.sum())
+        if tot:
+            rep = np.repeat(np.arange(len(cnt)), cnt)
+            starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            rank = np.arange(tot) - np.repeat(starts, cnt)
+            pcx = elox[rep] + rank // eny[rep]
+            pcy = eloy[rep] + rank % eny[rep]
+            bx0 = -tm.W + pcx * span
+            by1 = tm.W - pcy * span
+            cross = _edge_box_cross(
+                e0x[rep], e0y[rep], e1x[rep], e1y[rep],
+                bx0, by1 - span, bx0 + span, by1,
+            )
+            mark(pcx[cross], pcy[cross])
+
+    # stage 3: undecided candidates -> even-odd center PIP
+    rest = np.flatnonzero(~hit) if fill else np.empty(0, dtype=np.int64)
+    if len(rest):
+        ccx = -tm.W + (cand_cx[rest] + 0.5) * span
+        ccy = tm.W - (cand_cy[rest] + 0.5) * span
+        inside = np.zeros(len(rest), dtype=bool)
+        for r in range(len(offs) - 1):
+            a, b = offs[r], offs[r + 1]
+            if b - a < 3:
+                continue
+            inside ^= pipmod.points_in_ring(ccx, ccy, xs[a:b], ys[a:b])
+        hit[rest[inside]] = True
+
+    sel = np.flatnonzero(hit)
+    return cand_cx[sel], cand_cy[sel]
+
+
 def _cover_one_hier(
     xs: np.ndarray,
     ys: np.ndarray,
@@ -235,13 +334,12 @@ def _cover_one_hier(
     crossing, so every child intersects), and run the exact kernel
     only inside each boundary coarse cell's child window (plus its
     8-neighbor halo — see inline comment — for float robustness on
-    boundary-grazing geometry). CANDIDATE work drops from
-    O(bbox · 4^dz) to O(interior + boundary · 4^dz); each refine
-    window still re-scans the geometry's vertices/edges
-    (O(boundary · (V + E)) in that term — bucketing edges by coarse
-    cell before the loop is the next optimization for very-high-E
-    continent polygons). Output set is IDENTICAL to the flat cover
-    (gated by q_cell_cover_hier against the same twin)."""
+    boundary-grazing geometry). Total work is
+    O(V + E + interior + boundary · 4^dz): the refine runs as ONE
+    candidate-set pass (_cover_candidates) over the union of all
+    halo windows' children, so the geometry's vertex/edge stages are
+    scanned once, never per window. Output set is IDENTICAL to the
+    flat cover (gated by q_cell_cover_hier against the same twin)."""
     zc = max(0, z - coarse_dz)
     if zc >= z:
         return _cover_one(xs, ys, offs, z, max_cells, fill)
@@ -278,9 +376,22 @@ def _cover_one_hier(
                     and (nx_, ny_) not in interior_keys
                 ):
                     refine.add((nx_, ny_))
-    for bx, by in sorted(refine):
-        w = (bx * s, bx * s + s - 1, by * s, by * s + s - 1)
-        rx, ry = _cover_one(xs, ys, offs, z, max_cells, fill, window=w)
+    if refine:
+        # ONE exact pass over the union of all refine windows' children:
+        # the geometry's vertex/edge stages run once (O(V+E)), not once
+        # per window, and the candidate array is exactly the refine
+        # footprint (boundary-halo cells × 4^dz children)
+        rxs = np.array(sorted(refine), dtype=np.int64)
+        if len(rxs) * s * s > max_cells:
+            raise ValueError(
+                f"cover_polygon_cells_hier: refine footprint "
+                f"{len(rxs) * s * s} child cells exceeds "
+                f"max_cells_per_feature={max_cells}"
+            )
+        q = np.arange(s * s, dtype=np.int64)
+        cand_cx = (rxs[:, 0][:, None] * s + (q % s)[None, :]).ravel()
+        cand_cy = (rxs[:, 1][:, None] * s + (q // s)[None, :]).ravel()
+        rx, ry = _cover_candidates(xs, ys, offs, z, cand_cx, cand_cy, fill)
         out_x.append(rx)
         out_y.append(ry)
     if not out_x:
