@@ -333,3 +333,27 @@ def test_geom_measures_pure_column_no_exchange(spark):
     plan = _plan(df)
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_radius_join_single_equi_join_no_cartesian(spark):
+    """J5-companion: the distance join compiles to ONE cell equi-join
+    (SortMerge or ShuffledHash) — never a cartesian/BNL product — and
+    the d2 filter stays Column algebra (no Python nodes)."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_radius_join
+
+    plan = _plan(q_radius_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_zonal_stats_partial_then_final_agg(spark):
+    """R4-companion: the per-tile mask pass partial-aggregates before
+    the final region_id aggregation (two HashAggregates around one
+    Exchange on region_id) and no cartesian product appears."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_zonal_stats
+
+    plan = _plan(q_zonal_stats(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial" in plan, plan
