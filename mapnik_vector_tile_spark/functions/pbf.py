@@ -683,6 +683,21 @@ def splice_merge_layers(blobs, name: str) -> bytes:
             f[2],
         )
     )
+    return build_layer_merged(name, version, extent, feats)
+
+
+def build_layer_merged(
+    name: str, version: int, extent: int, feats
+) -> bytes:
+    """Assemble a Layer rebuilding the key/value dictionaries in
+    FIRST-APPEARANCE order over ``feats`` = (fid, gtype,
+    [(key_str, raw_value_bytes)], raw_geom, raw_raster). Raw Value
+    bytes are copied verbatim (no oneof normalization); tag indices
+    are re-derived against the merged dictionaries. The builder for
+    every path that merges features from MULTIPLE source layers
+    (splice_merge_layers, downzoom rollup) — callers fix the feature
+    order first, because dictionary order (hence layer bytes) follows
+    it."""
     key_map: dict[str, int] = {}
     val_map: dict[bytes, int] = {}
     t2 = _tag(2, 2)

@@ -757,3 +757,207 @@ def overzoom_band(
     return kids.withColumn(
         "px", F.expr(f"shiftrightunsigned(x, z - {base_z})")
     ).withColumn("py", F.expr(f"shiftrightunsigned(y, z - {base_z})"))
+
+
+def downzoom_parent_layer(
+    children,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
+    dedupe_fids: bool = False,
+) -> tuple[bytes, int, int] | None:
+    """U5 rollup kernel: up to four sibling layer blobs at z+1 -> ONE
+    parent layer blob at z (the inverse of overzoom_children — the
+    bottom-up pyramid build a tile pipeline uses to derive every
+    ancestor level from the base zoom instead of re-scanning source).
+
+    ``children`` = [(cx, cy, blob)] with quadrant cx, cy in {0, 1}
+    (child address = parent*2 + quadrant). The coordinate transform is
+    the exact integer floor-shift X = (px + cx*extent) >> 1 (arithmetic
+    shift: floor semantics for buffered negatives, so the DuckDB twin's
+    FLOOR((px + cx*E)/2) replays it bit-for-bit). It is the exact
+    inverse of overzoom's X = px*2^dz - cx*extent, so
+    downzoom ∘ overzoom is the identity on coordinates; versus a direct
+    encode at z it can differ by <= 1 integer unit (the quantizer
+    rounds half-away, the rollup floors) — the standard derived-tile
+    tradeoff, pinned in tests.
+
+    Quadrants are processed in (cy, cx) row-major order and features
+    keep their within-child wire order, so the output bytes are
+    deterministic. Key/value dictionaries are merged first-appearance
+    with RAW value bytes (build_layer_merged — no oneof
+    normalization). ``dedupe_fids`` keeps only the first occurrence of
+    each non-None feature id — for children encoded WITH buffers,
+    where a seam-straddling feature legitimately appears in more than
+    one sibling; the halved coordinates of such duplicates agree, so
+    first-wins is content-stable. Mixed (version, extent) quadrants
+    raise (splice_merge_layers precedent: splicing unrescaled bytes
+    across extents silently changes scale).
+
+    Returns (parent_blob, n_features, n_points) or None when every
+    feature degenerates (P4 empty-drop)."""
+    kids = sorted(children, key=lambda c: (c[1], c[0]))
+    seen_ve: set[tuple[int, int]] = set()
+    feats = []
+    n_pts = 0
+    name = None
+    seen_fids: set[int] = set()
+    wide = float(1 << 40)
+    for cx, cy, blob in kids:
+        d = pbf.split_layer(bytes(blob))
+        seen_ve.add((d["version"], d["extent"]))
+        if len(seen_ve) > 1:
+            raise ValueError(
+                f"downzoom_parent_layer: sibling blobs disagree on "
+                f"(version, extent): {sorted(seen_ve)}"
+            )
+        name = d["name"]
+        extent = int(d["extent"])
+        ox = int(cx) * extent
+        oy = int(cy) * extent
+        keys = d["keys"]
+        vals = d["raw_values"]
+        for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
+            if dedupe_fids and fid is not None:
+                if fid in seen_fids:
+                    continue
+            gtype = int(gtype)
+            try:
+                xs, ys, offs = gc.decode_geometry(
+                    gtype,
+                    pbf._varints_small(raw_geom).astype(np.int64),
+                    version=int(d["version"]),
+                )
+            except ValueError:
+                continue  # structurally corrupt feature: drop
+            if not len(xs):
+                continue
+            if gtype == gc.GEOM_POINT and len(xs) == 1:
+                vx = (int(xs[0]) + ox) >> 1
+                vy = (int(ys[0]) + oy) >> 1
+                zzx = vx << 1 if vx >= 0 else ((-vx) << 1) - 1
+                zzy = vy << 1 if vy >= 0 else ((-vy) << 1) - 1
+                stream_b = pbf.varints_py((9, zzx, zzy))
+                npts = 1
+            else:
+                tx = np.right_shift(xs + ox, 1).astype(np.float64)
+                ty = np.right_shift(ys + oy, 1).astype(np.float64)
+                r = _oz_clip_encode(
+                    gtype, tx, ty, offs, -wide, wide,
+                    simplify_distance, area_threshold,
+                )
+                if r is None:
+                    continue
+                stream, npts = r
+                stream_b = pbf.varint_bytes_np(
+                    np.asarray(stream, dtype=np.uint64)
+                )
+            props = [
+                (keys[tags[i]], vals[tags[i + 1]])
+                for i in range(0, len(tags), 2)
+            ]
+            feats.append((fid, gtype, props, stream_b, raw_raster))
+            n_pts += npts
+            if dedupe_fids and fid is not None:
+                seen_fids.add(fid)
+    if not feats:
+        return None
+    blob = pbf.build_layer_merged(
+        name, next(iter(seen_ve))[0], next(iter(seen_ve))[1], feats
+    )
+    return blob, len(feats), n_pts
+
+
+def downzoom_layers(
+    layers: DataFrame,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
+    dedupe_fids: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """U5: one pyramid level of child->parent rollup over a LAYER
+    table — every (z, x, y, layer) at the input zoom contributes to
+    parent (z-1, x>>1, y>>1, layer).
+
+    Scale shape: ONE shuffle keyed on (parent address, layer) with a
+    hard 4-row fan-in bound per group — no skew is possible (the
+    hottest parent sees exactly its four quadrants), so no salting is
+    needed, unlike the forward encode. At 100 TB this is the cheap
+    direction: each level reads the (much smaller) tile table of the
+    level below, never the source."""
+    pre = layers.select(
+        (F.col("z") - F.lit(1)).cast("int").alias("z"),
+        F.shiftright("x", 1).alias("x"),
+        F.shiftright("y", 1).alias("y"),
+        F.col("layer"),
+        F.expr("CAST(x & 1 AS INT)").alias("cx"),
+        F.expr("CAST(y & 1 AS INT)").alias("cy"),
+        F.col("blob"),
+    )
+
+    def roll(key, cols, sl):
+        r = downzoom_parent_layer(
+            list(zip(cols["cx"][sl], cols["cy"][sl], cols["blob"][sl])),
+            simplify_distance=simplify_distance,
+            area_threshold=area_threshold,
+            dedupe_fids=dedupe_fids,
+        )
+        if r is None:
+            return None
+        blob, nf, npts = r
+        z, x, y, layer = key
+        return [(int(z), int(x), int(y), layer, blob, nf, npts)]
+
+    return apply_grouped(
+        pre,
+        keys=["z", "x", "y", "layer"],
+        order_by=["z", "x", "y", "layer", "cy", "cx"],
+        fn=roll,
+        schema=LAYER_SCHEMA,
+        out_columns=LAYER_COLS,
+        num_partitions=num_partitions,
+    )
+
+
+def downzoom_band(
+    layers: DataFrame,
+    to_z: int,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.0,
+    dedupe_fids: bool = False,
+) -> DataFrame:
+    """Bottom-up pyramid build: derive every level from the input zoom
+    down to ``to_z`` by successive 4->1 rollups, returning the UNION
+    of all derived levels as one layer table (fold_tiles-ready).
+
+    Each level is persisted before the next consumes it: level k is
+    both an output branch and the input of level k-1, and without the
+    persist Spark would replay the whole chain per branch (O(L^2)
+    shuffles for L levels instead of O(L)). The caller owns the
+    returned plan's lifetime; unpersist happens at session end.
+
+    The input zoom is inferred per-row from the z column, so a mixed-z
+    input is rejected loudly rather than silently rolled into
+    overlapping addresses."""
+    zs = [r[0] for r in layers.select("z").distinct().limit(2).collect()]
+    if len(zs) != 1:
+        raise ValueError(
+            f"downzoom_band: input must hold exactly one zoom level, "
+            f"saw {sorted(zs)}"
+        )
+    base_z = int(zs[0])
+    if not 0 <= to_z < base_z:
+        raise ValueError(
+            f"downzoom_band: need 0 <= to_z < base z, got to_z={to_z} "
+            f"base={base_z}"
+        )
+    band = None
+    cur = layers
+    for _ in range(base_z - to_z):
+        cur = downzoom_layers(
+            cur,
+            simplify_distance=simplify_distance,
+            area_threshold=area_threshold,
+            dedupe_fids=dedupe_fids,
+        ).persist()
+        band = cur if band is None else band.unionByName(cur)
+    return band

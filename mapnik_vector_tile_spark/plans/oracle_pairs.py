@@ -779,6 +779,117 @@ FROM c GROUP BY 1, 2, 3
 """
 
 
+DZ_CHILD_Z = 4
+
+
+def q_engine_downzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 child->parent pyramid rollup (downzoom — the inverse of
+    overzoom, and the bottom-up build direction: derive z-1 from z
+    without re-scanning source) with a FULL bit-exact oracle: encode
+    z4 point layers from deterministic order points (buffer 0 so
+    assignment == membership and each feature lives in exactly one
+    child), roll the 4 quadrants of every parent into one z3 layer via
+    composite.downzoom_layers (exact integer floor-shift
+    X = (px + cx*4096) >> 1, dictionary re-merge, deterministic
+    (cy, cx) quadrant order), fold, DECODE, and report per-parent
+    feature counts plus sums of parent-local coordinates. The DuckDB
+    twin replays z4 assignment + quantization closed-form and the
+    floor-shift as FLOOR((px + (tx%2)*4096)/2) — any off-by-one in the
+    quadrant addressing, the shift's negative-floor semantics, or the
+    dictionary splice breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, DZ_CHILD_Z, DZ_CHILD_Z, buffer_units=0)
+    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
+    parents = comp.downzoom_layers(layers)
+    dec = T.decode_tiles_to_features(T.fold_tiles(parents))
+    return dec.groupBy("z", "x", "y").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
+        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
+    )
+
+
+def _sql_downzoom(cz: int = DZ_CHILD_Z) -> str:
+    tx, ty = S.tile_xy_exprs(cz)
+    px, py = S.quantize_exprs(cz, "tx", "ty")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
+q AS (SELECT id, tx, ty, {px} AS px, {py} AS py FROM t),
+p AS (
+  SELECT tx // 2 AS x, ty // 2 AS y,
+         CAST(FLOOR((px + (tx % 2) * 4096) / 2.0e0) AS BIGINT) AS ppx,
+         CAST(FLOOR((py + (ty % 2) * 4096) / 2.0e0) AS BIGINT) AS ppy
+  FROM q
+)
+SELECT CAST({cz - 1} AS INT) AS z, x, y,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(ppx) AS BIGINT) AS sum_px,
+       CAST(SUM(ppy) AS BIGINT) AS sum_py
+FROM p GROUP BY 1, 2, 3
+"""
+
+
+def q_engine_downzoom_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterated rollup (downzoom_band z4 -> z2: each level derived
+    from the one below, levels persisted so the union costs O(L) not
+    O(L^2) shuffles) against a twin that composes the floor-shift
+    twice — floors do NOT commute with composition unless replayed
+    level-by-level, so this pins the per-level (not shortcut) math."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, DZ_CHILD_Z, DZ_CHILD_Z, buffer_units=0)
+    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
+    band = comp.downzoom_band(layers, DZ_CHILD_Z - 2)
+    dec = T.decode_tiles_to_features(T.fold_tiles(band))
+    return dec.groupBy("z", "x", "y").agg(
+        F.count("*").cast("bigint").alias("n_features"),
+        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
+        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
+    )
+
+
+def _sql_downzoom_band(cz: int = DZ_CHILD_Z) -> str:
+    tx, ty = S.tile_xy_exprs(cz)
+    px, py = S.quantize_exprs(cz, "tx", "ty")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
+q AS (SELECT id, tx, ty, {px} AS px, {py} AS py FROM t),
+l1 AS (
+  SELECT tx // 2 AS tx, ty // 2 AS ty,
+         CAST(FLOOR((px + (tx % 2) * 4096) / 2.0e0) AS BIGINT) AS px,
+         CAST(FLOOR((py + (ty % 2) * 4096) / 2.0e0) AS BIGINT) AS py
+  FROM q
+),
+l2 AS (
+  SELECT tx // 2 AS tx, ty // 2 AS ty,
+         CAST(FLOOR((px + (tx % 2) * 4096) / 2.0e0) AS BIGINT) AS px,
+         CAST(FLOOR((py + (ty % 2) * 4096) / 2.0e0) AS BIGINT) AS py
+  FROM l1
+),
+u AS (
+  SELECT CAST({cz - 1} AS INT) AS z, tx, ty, px, py FROM l1
+  UNION ALL
+  SELECT CAST({cz - 2} AS INT) AS z, tx, ty, px, py FROM l2
+)
+SELECT z, tx AS x, ty AS y,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(px) AS BIGINT) AS sum_px,
+       CAST(SUM(py) AS BIGINT) AS sum_py
+FROM u GROUP BY 1, 2, 3
+"""
+
+
 def q_engine_load_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+S5+P5 through the driver surface: encode z4..6 tiles (fused
     EP1), compress every tile buffer (alternating gzip/zlib by tile x,
@@ -4086,6 +4197,8 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
         _sql_overzoom(),
     ),
     "q_engine_rescale": (q_engine_rescale, _sql_rescale()),
+    "q_engine_downzoom": (q_engine_downzoom, _sql_downzoom()),
+    "q_engine_downzoom_band": (q_engine_downzoom_band, _sql_downzoom_band()),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, _sql_raster_tiles()),
     "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
@@ -4137,6 +4250,9 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 # dict so round 2 records them first (cross-round union then covers
 # every key even if the driver budget is key-count-based).
 _RECORD_FIRST = (
+    # round-2 session-2 new keys — record freshest first
+    "q_engine_downzoom",
+    "q_engine_downzoom_band",
     # round-2 new/upgraded oracles — record fresh
     "q_raster_tiff",
     "q_wkt_ingest",
@@ -4186,6 +4302,8 @@ _RECORD_FIRST = (
     "q_balanced_sample",
     "q_seq_packing",
     "q_decontaminate",
+    "q_geohash",
+    "q_bm25",
 )
 
 
