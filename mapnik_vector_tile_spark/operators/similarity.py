@@ -330,3 +330,107 @@ def quantize_embeddings(emb: DataFrame, col: str = "embedding") -> DataFrame:
         .withColumn("scale", F.col("_am") / F.lit(127.0))
         .drop("_am")
     )
+
+
+KM_SCALE = 1 << 20
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """T22: distributed Lloyd k-means over an embedding column — the
+    diversity-clustering / coreset-selection stage of a training-data
+    pipeline (cluster-then-sample), built so every round is bit-exact
+    reproducible across engines AND across partitionings:
+
+    - vectors are quantized ONCE to a fixed 2^20 integer grid
+      (round-half-away, the shared std::round form), so all distances
+      are exact BIGINT sums — no float summation order anywhere in the
+      hot path;
+    - init is deterministic: the k lowest-id vectors are the round-0
+      centroids (no RNG state to checkpoint);
+    - assignment is pure Column math: per-centroid squared distance
+      via zip_with/aggregate lambdas against BROADCAST literal
+      centroids (whole-stage codegen, no UDF, no shuffle), argmin with
+      centroid-id tiebreak via least() over (d2, cid) structs;
+    - the update is ONE partial-agg shuffle per round (64 SUM columns
+      + COUNT, map-side combined), collecting only k×(dims+1) scalars
+      to the driver — the scalar convergence-witness pattern, fine at
+      any scale; new centroids re-enter as literals (re-broadcast);
+    - centroid update rounds the exact rational mean back to the grid
+      with the same IEEE double division + round-half-away in both
+      engines; empty clusters keep their previous centroid.
+
+    At 100 TB: iters × (one narrow scan + one k-row shuffle) — the
+    canonical distributed k-means shape. Returns
+    (id_col, cluster int, d2 bigint) for the FINAL assignment."""
+    import math
+
+    spark = emb.sparkSession
+    v = F.col(col)
+    q = F.transform(
+        v,
+        lambda x: _round_half_away_col(
+            x.cast("double") * F.lit(float(KM_SCALE))
+        ).cast("long"),
+    )
+    qd = emb.select(F.col(id_col), q.alias("qv"))
+    dims = len(emb.select(col).first()[0])
+
+    cent_rows = (
+        qd.orderBy(id_col).limit(k).select("qv").collect()
+    )
+    cents = [[int(x) for x in r[0]] for r in cent_rows]
+
+    def assign(df: DataFrame) -> DataFrame:
+        structs = []
+        for cid, c in enumerate(cents):
+            carr = F.array(*[F.lit(ci).cast("long") for ci in c])
+            d2 = F.aggregate(
+                F.zip_with(F.col("qv"), carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(
+                F.struct(d2.alias("d2"), F.lit(cid).alias("cid"))
+            )
+        best = F.least(*structs)
+        return df.withColumn("cluster", best["cid"]).withColumn(
+            "d2", best["d2"]
+        )
+
+    def _rha(x: float) -> int:
+        ax = abs(x)
+        r = math.floor(ax) + (1 if ax - math.floor(ax) >= 0.5 else 0)
+        return -int(r) if x < 0 else int(r)
+
+    for _ in range(max(1, iters) - 1):
+        sums = (
+            assign(qd)
+            .groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.col("qv")[i]).alias(f"s{i}")
+                    for i in range(dims)
+                ],
+            )
+            .collect()
+        )
+        by_cid = {int(r["cluster"]): r for r in sums}
+        for cid in range(k):
+            r = by_cid.get(cid)
+            if r is None:
+                continue  # empty cluster: keep previous centroid
+            n = float(r["n"])
+            cents[cid] = [_rha(float(r[f"s{i}"]) / n) for i in range(dims)]
+
+    return assign(qd).select(
+        F.col(id_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("d2").cast("bigint").alias("d2"),
+    )

@@ -4253,6 +4253,7 @@ _RECORD_FIRST = (
     # round-2 session-2 new keys — record freshest first
     "q_engine_downzoom",
     "q_engine_downzoom_band",
+    "q_kmeans",
     # round-2 new/upgraded oracles — record fresh
     "q_raster_tiff",
     "q_wkt_ingest",

@@ -1098,6 +1098,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
             sql_embedding_neardup(0.45),  # corpus-calibrated, see query doc
         ),
         "q_embedding_quantize": (q_embedding_quantize, sql_embedding_quantize()),
+        "q_kmeans": (q_kmeans, sql_kmeans()),
         "q_train_split": (q_train_split, sql_train_split()),
         "q_stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
@@ -1114,3 +1115,81 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         ),
         "q_repetition": (q_repetition, sql_repetition()),
     }
+
+
+# --- k-means clustering (operators.similarity.kmeans_clusters) ------------
+
+
+def q_kmeans(spark, sf_dir):
+    """T22 distributed Lloyd k-means with a FULL oracle: fixed 2^20
+    integer-grid quantization makes every distance an exact BIGINT, so
+    assignment (argmin with cid tiebreak), the one-shuffle centroid
+    update (exact integer sums -> IEEE double mean -> shared
+    round-half-away back to the grid) and the final assignment replay
+    bit-exactly in DuckDB as two unrolled Lloyd rounds. Any divergence
+    in quantization, tie-breaks, the empty-cluster carry, or float
+    summation order breaks the hash."""
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    return S.kmeans_clusters(_emb(spark, sf_dir), k=8, iters=2)
+
+
+def sql_kmeans(k: int = 8, dims: int = 64) -> str:
+    from mapnik_vector_tile_spark.plans.shared_sql import (
+        round_half_up_nonneg as rhu,
+    )
+
+    def rha(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) < 0 THEN -({rhu(f'-({x})')})"
+            f" ELSE {rhu(x)} END"
+        )
+
+    qv = rha(f"CAST(v AS DOUBLE) * {float(1 << 20)!r}")
+    cmean = rha("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, v -> {qv}) AS qv
+  FROM embeddings
+),
+dim AS (SELECT unnest(range(1, {dims + 1})) AS di),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+),
+d1 AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.qv[dim.di] - c.cv[dim.di]) * (v.qv[dim.di] - c.cv[dim.di])) AS d2
+  FROM q v, c0 c, dim GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+s1 AS (
+  SELECT a.cid, dim.di, SUM(v.qv[dim.di]) AS s, COUNT(*) AS n
+  FROM a1 a JOIN q v USING (vec_id), dim GROUP BY 1, 2
+),
+c1new AS (
+  SELECT cid, list(CAST({cmean} AS BIGINT) ORDER BY di) AS cv
+  FROM s1 GROUP BY cid
+),
+c1 AS (
+  SELECT c0.cid, COALESCE(c1new.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN c1new USING (cid)
+),
+d2_ AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.qv[dim.di] - c.cv[dim.di]) * (v.qv[dim.di] - c.cv[dim.di])) AS d2
+  FROM q v, c1 c, dim GROUP BY 1, 2
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(d2 AS BIGINT) AS d2
+FROM (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d2_
+) WHERE rn = 1
+"""

@@ -1,0 +1,89 @@
+"""T22 k-means: deterministic init, partitioning invariance, exact
+integer distances, empty-cluster carry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mapnik_vector_tile_spark.operators import similarity as S
+
+
+def _emb_df(spark, vecs):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_init_points_have_zero_distance(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(20, 8).astype(np.float32) * 0.3
+    out = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in S.kmeans_clusters(_emb_df(spark, vecs), k=4, iters=1).collect()
+    }
+    # round 0 centroids ARE the k lowest-id vectors: self-distance 0
+    for cid in range(4):
+        assert out[cid] == (cid, 0)
+    assert len(out) == 20
+
+
+def test_partitioning_invariance(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(50, 6).astype(np.float32) * 0.4
+    df = _emb_df(spark, vecs)
+    a = sorted(
+        map(tuple, S.kmeans_clusters(df, k=5, iters=3).collect())
+    )
+    b = sorted(
+        map(tuple, S.kmeans_clusters(df.repartition(7), k=5, iters=3).collect())
+    )
+    assert a == b
+
+
+def test_two_blobs_separate(spark):
+    # two tight blobs far apart: after 2 rounds every point lands with
+    # its blob regardless of which blob the init centroids came from
+    rng = np.random.RandomState(5)
+    a = rng.randn(12, 4).astype(np.float32) * 0.01 + 1.0
+    b = rng.randn(12, 4).astype(np.float32) * 0.01 - 1.0
+    vecs = np.vstack([a, b])
+    out = S.kmeans_clusters(_emb_df(spark, vecs), k=2, iters=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    groups = sorted(by_cluster.values(), key=min)
+    assert groups == [set(range(12)), set(range(12, 24))]
+
+
+def test_duplicate_init_vectors_keep_empty_centroid(spark):
+    # vec 0 and 1 identical: in round 1 cluster 1 never wins the
+    # tiebreak and stays EMPTY — the update must carry its centroid
+    # over (not crash, not NaN); the carried centroid stays at
+    # (0.5, 0.5) and may legitimately re-win points later once
+    # cluster 0's centroid has drifted to the global mean
+    vecs = [[0.5, 0.5], [0.5, 0.5], [0.4, 0.6], [-0.5, -0.5], [-0.4, -0.6]]
+    df = _emb_df(spark, vecs)
+    r1 = S.kmeans_clusters(df, k=2, iters=1).collect()
+    assert {r["cluster"] for r in r1} == {0}  # tie -> lowest cid
+    # iters=2 -> exactly ONE update: cluster 1 was empty, so its
+    # centroid must still be the quantized (0.5, 0.5) in the final
+    # assignment — its members' d2 prove the carry happened
+    r3 = S.kmeans_clusters(df, k=2, iters=2).collect()
+    assert len(r3) == 5 and {r["cluster"] for r in r3} == {0, 1}
+    for r in r3:
+        if r["cluster"] == 1:
+            q = np.round(np.float64(vecs[r["vec_id"]]) * (1 << 20))
+            c = np.round(np.float64([0.5, 0.5]) * (1 << 20))
+            assert r["d2"] == int(((q - c) ** 2).sum())
+
+
+def test_assignment_plan_is_udf_free(spark):
+    vecs = np.eye(4, dtype=np.float32).tolist()
+    df = S.kmeans_clusters(_emb_df(spark, vecs), k=2, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
