@@ -730,3 +730,59 @@ def cluster_canonical(docs: DataFrame) -> DataFrame:
             F.col("_best.nd").alias("kept_n_distinct"),
         )
     )
+
+
+def chunk_dedup(
+    docs: DataFrame, chunk_words: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """T24: chunk-level exact dedup — the RefinedWeb/CCNet line-dedup
+    shape: split each document into fixed-size word chunks (the
+    paragraph proxy for corpora without line structure), keep only the
+    corpus-wide FIRST occurrence of every distinct chunk (lowest
+    (doc_id, chunk_idx)), and rebuild the cleaned text from surviving
+    chunks in order.
+
+    Scale shape: chunking is a pure-Column narrow projection
+    (split/sequence/slice lambdas in codegen); the first-occurrence
+    table is a groupBy(chunk).min — MAP-SIDE partial aggregation, so a
+    boilerplate chunk duplicated a billion times combines locally
+    instead of flooding one window partition — joined back on the
+    chunk equi-key (AQE skew-splittable); reassembly is one
+    groupBy(doc_id). Two shuffles total, both partial-agg'd; no UDF.
+
+    Returns (doc_id, n_chunks, n_kept, cleaned)."""
+    wc = int(chunk_words)
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(wc)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * F.lit(wc) + F.lit(1), wc), " "
+        ),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(chunks).alias("cidx", "chunk")
+    )
+    firsts = ex.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "cidx")).alias("first")
+    )
+    kept = ex.join(firsts, "chunk").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("cidx") == F.col("first.cidx")),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("cidx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )

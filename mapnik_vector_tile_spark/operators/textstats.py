@@ -270,3 +270,37 @@ def bm25_topk(
     rnk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
     return top.select(rnk.cast("long").alias("rnk"), "doc_id", "dl",
                       *[f"tf_{t}" for t in terms], "score")
+
+
+# (pattern, placeholder) in FIXED application order: emails first,
+# then IPv4 (digit-and-dot shaped), then phones (digit-and-dash) —
+# each later pattern runs on text where earlier matches are already
+# placeholders, so patterns can never partially consume each other's
+# matches. Constructs are restricted to the Java-regex/RE2 common
+# subset (char classes, \d, \b, bounded repeats) so the Spark and
+# DuckDB engines match identically.
+PII_RULES = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phones", r"\+?\d{1,3}[- ]\d{3}[- ]\d{4}", "[PHONE]"),
+)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """T23: PII detection + redaction — the scrubbing pass every
+    training-data pipeline runs before text leaves the trust boundary.
+    Counts per category are measured on the ORIGINAL text; the
+    redacted column applies the placeholder rewrites in PII_RULES
+    order. Pure Column regexp math (regexp_count/regexp_replace run
+    JVM-side inside codegen): a narrow projection, no UDF, no shuffle,
+    linear at 100 TB. Adds n_emails / n_ipv4 / n_phones (int) and
+    `redacted` (string)."""
+    c = F.col(text_col)
+    out = docs
+    red = c
+    for name, pat, tag in PII_RULES:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(c, F.lit(pat)).cast("int")
+        )
+        red = F.regexp_replace(red, pat, tag)
+    return out.withColumn("redacted", red)

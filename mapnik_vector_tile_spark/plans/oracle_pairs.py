@@ -4254,6 +4254,8 @@ _RECORD_FIRST = (
     "q_engine_downzoom",
     "q_engine_downzoom_band",
     "q_kmeans",
+    "q_pii_redact",
+    "q_chunk_dedup",
     # round-2 new/upgraded oracles — record fresh
     "q_raster_tiff",
     "q_wkt_ingest",

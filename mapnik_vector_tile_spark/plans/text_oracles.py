@@ -1099,6 +1099,8 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         ),
         "q_embedding_quantize": (q_embedding_quantize, sql_embedding_quantize()),
         "q_kmeans": (q_kmeans, sql_kmeans()),
+        "q_pii_redact": (q_pii_redact, sql_pii_redact()),
+        "q_chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
         "q_train_split": (q_train_split, sql_train_split()),
         "q_stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
@@ -1192,4 +1194,122 @@ FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
   FROM d2_
 ) WHERE rn = 1
+"""
+
+
+# --- PII redaction (operators.textstats.pii_redact) -----------------------
+
+
+def q_pii_redact(spark, sf_dir):
+    """T23 PII scrub with a FULL oracle: deterministic synthetic PII
+    (emails / E.164-ish phones / IPv4, keyed on doc_id so both engines
+    synthesize identical text) is appended to the corpus, then the
+    real operator counts and redacts. The value hash covers the entire
+    redacted string of every document, so a single mis-ordered rule,
+    engine regex divergence, or partial-match difference breaks it."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.textstats import pii_redact
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit("user"), did.cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit("+1 555-"), F.lpad((did % 10000).cast("string"), 4, "0")
+    )
+    ip = F.concat(
+        F.lit("10."), (did % 256).cast("string"),
+        F.lit(".0."), ((did * 7) % 256).cast("string"),
+    )
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(did % 3 == 0, email),
+            F.when(did % 4 == 0, phone),
+            F.when(did % 5 == 0, ip),
+        ).alias("text"),
+    )
+    return pii_redact(aug).select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones", "redacted"
+    )
+
+
+def sql_pii_redact() -> str:
+    from mapnik_vector_tile_spark.operators.textstats import PII_RULES
+
+    (_, em, emt), (_, ip, ipt), (_, ph, pht) = PII_RULES
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{em}', "
+        f"'{emt}', 'g'), '{ip}', '{ipt}', 'g'), '{ph}', '{pht}', 'g')"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           CASE WHEN doc_id % 3 = 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com' END,
+           CASE WHEN doc_id % 4 = 0 THEN '+1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+           CASE WHEN doc_id % 5 = 0 THEN '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) END
+         ) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{em}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{ph}')) AS INT) AS n_phones,
+       {red} AS redacted
+FROM aug
+"""
+
+
+# --- chunk-level dedup (operators.dedup.chunk_dedup) ----------------------
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """T24 chunk dedup with a FULL oracle covering the rebuilt text of
+    every document: the synthetic corpus repeats words heavily, so
+    12-word chunks collide across documents and the first-occurrence
+    rule does real corpus-wide work (n_kept < n_chunks for many docs).
+    DuckDB replays chunking via generate_subscripts + ordered
+    string_agg, first-occurrence via a window, reassembly via ordered
+    string_agg — any divergence in chunk boundaries, tie order, or
+    reassembly order breaks the hash."""
+    from mapnik_vector_tile_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), chunk_words=12
+    )
+
+
+def sql_chunk_dedup(wc: int = 12) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST((i - 1) // {wc} AS INT) AS cidx,
+         string_agg(w, ' ' ORDER BY i) AS chunk
+  FROM w GROUP BY 1, 2
+),
+firsts AS (
+  SELECT doc_id, cidx, chunk,
+         row_number() OVER (
+           PARTITION BY chunk ORDER BY doc_id, cidx
+         ) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY cidx),
+         ''
+       ) AS cleaned
+FROM firsts GROUP BY doc_id
 """

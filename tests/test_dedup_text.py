@@ -558,3 +558,59 @@ def test_cluster_canonical_keeps_original_over_copy(spark):
         # (min id) and its quality equals the doc's true distinct count
         assert r.kept_doc_id == r.cluster_rep, r
         assert r.kept_n_distinct == n_distinct[r.kept_doc_id], r
+
+
+def test_pii_redact_counts_and_order(spark):
+    from mapnik_vector_tile_spark.operators.textstats import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org end"),
+            (2, "ip 10.1.2.3 phone +1 555-0042 done"),
+            (3, "plain words only"),
+            (4, "overlap 1.2.3.4 then 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (2, 0, 0)
+    assert out[1]["redacted"] == "mail [EMAIL] and [EMAIL] end"
+    assert (out[2]["n_ipv4"], out[2]["n_phones"]) == (1, 1)
+    assert out[2]["redacted"] == "ip [IP] phone [PHONE] done"
+    assert out[3]["redacted"] == "plain words only"
+    # IP rule runs before phone, so dotted quads never half-match as
+    # phones; dashed numbers still do
+    assert out[4]["redacted"] == "overlap [IP] then [PHONE]"
+
+
+def test_chunk_dedup_first_occurrence_and_rebuild(spark):
+    from mapnik_vector_tile_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # chunks: "a b", "c d"
+            (2, "c d a b"),   # both chunks already seen in doc 1
+            (3, "a b x y"),   # "a b" seen; "x y" fresh
+            (4, "a b"),       # whole doc duplicate chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["cleaned"])
+        for r in chunk_dedup(df, chunk_words=2).collect()
+    }
+    assert out[1] == (2, 2, "a b c d")
+    assert out[2] == (2, 0, "")
+    assert out[3] == (2, 1, "x y")
+    assert out[4] == (1, 0, "")
+
+
+def test_chunk_dedup_within_doc_duplicates(spark):
+    from mapnik_vector_tile_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, "p q p q p")], "doc_id long, text string"
+    )
+    out = chunk_dedup(df, chunk_words=2).collect()[0]
+    # chunks "p q", "p q", "p" -> second drops, trailing short kept
+    assert (out["n_chunks"], out["n_kept"], out["cleaned"]) == (3, 2, "p q p")
