@@ -3364,6 +3364,57 @@ FROM lv GROUP BY z
 """
 
 
+def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-companion PMTiles v3 sink/source gate with a FULL oracle —
+    same contract as q_mbtiles_roundtrip but through the modern
+    cloud-native archive (sources/pmtiles.py: 127-byte header, gzip'd
+    Hilbert-ordered varint directories, content-deduplicated data
+    section, one valid archive per partition): encode the orders-point
+    pyramid z3..z6, write sharded, read back, full-join against the
+    pre-write tiles; blobs_match is TRUE only if every tile returned
+    BYTE-IDENTICAL with no extras/missing. The DuckDB twin replays
+    painted-tile counts/sums closed-form and never sees the archive.
+    A small max_root_entries forces the LEAF-directory path in the
+    same gate."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.pmtiles import (
+        read_pmtiles,
+        write_pmtiles_shards,
+    )
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
+    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8)).select(
+        "z", "x", "y", "tile"
+    )
+    out_dir = f"/tmp/mvt_pmtiles_gate_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_pmtiles_shards(
+        tiles,
+        out_dir,
+        metadata={"name": "pmtiles-gate"},
+        num_shards=8,
+        max_root_entries=64,  # exercise leaf directories in the gate
+    )
+    back = read_pmtiles(spark, out_dir).withColumnRenamed("tile", "rt")
+    j = tiles.withColumnRenamed("tile", "orig").join(
+        back, ["z", "x", "y"], "full"
+    )
+    return j.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.min(
+            F.coalesce(F.col("orig") == F.col("rt"), F.lit(False))
+        ).alias("blobs_match"),
+    )
+
+
 MEASURES_N = 500  # q_geom_measures corpus size
 
 
@@ -4225,6 +4276,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_radius_join": (q_radius_join, _sql_radius_join()),
     "q_geom_measures": (q_geom_measures, _sql_geom_measures()),
     "q_mbtiles_roundtrip": (q_mbtiles_roundtrip, _sql_mbtiles()),
+    "q_pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mbtiles()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -4256,6 +4308,7 @@ _RECORD_FIRST = (
     "q_kmeans",
     "q_pii_redact",
     "q_chunk_dedup",
+    "q_pmtiles_roundtrip",
     # round-2 new/upgraded oracles — record fresh
     "q_raster_tiff",
     "q_wkt_ingest",
