@@ -961,3 +961,104 @@ def downzoom_band(
         ).persist()
         band = cur if band is None else band.unionByName(cur)
     return band
+
+
+def tilejson_layers(layers: DataFrame) -> DataFrame:
+    """TileJSON 3.0 ``vector_layers`` summary per layer over a LAYER
+    table — the metadata block every tile server publishes next to its
+    store: per-layer min/max zoom, tile and feature counts, and the
+    EXACT mercator bounding box of painted tiles at the layer's max
+    zoom (west/south/east/north; tile->mercator is the dyadic
+    (x·2W)/2^z − W, bit-identical across engines, so the whole row
+    value-hashes).
+
+    Scale shape: groupBy (layer, z) FIRST — the map-side partial
+    absorbs the billions-of-tiles dimension locally — then a k-row
+    groupBy(layer) with arg-max selection of the max-zoom extent. Two
+    shuffles, the second over |layers|·|zooms| rows only."""
+    from mapnik_vector_tile_spark.functions.tilemath import W
+
+    per_z = layers.groupBy("layer", "z").agg(
+        F.count("*").alias("nt"),
+        F.sum("n_features").alias("nf"),
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    agg = per_z.groupBy("layer").agg(
+        F.min("z").cast("int").alias("minzoom"),
+        F.max("z").cast("int").alias("maxzoom"),
+        F.sum("nt").cast("bigint").alias("n_tiles"),
+        F.sum("nf").cast("bigint").alias("n_features"),
+        F.max_by("xmin", "z").alias("bxmin"),
+        F.max_by("xmax", "z").alias("bxmax"),
+        F.max_by("ymin", "z").alias("bymin"),
+        F.max_by("ymax", "z").alias("bymax"),
+    )
+    two_w = F.lit(2.0 * W)
+    p2 = F.pow(F.lit(2.0), F.col("maxzoom").cast("double"))
+    return agg.select(
+        "layer",
+        "minzoom",
+        "maxzoom",
+        "n_tiles",
+        "n_features",
+        ((F.col("bxmin") * two_w) / p2 - F.lit(W)).alias("west_merc"),
+        (F.lit(W) - ((F.col("bymax") + F.lit(1)) * two_w) / p2).alias(
+            "south_merc"
+        ),
+        (((F.col("bxmax") + F.lit(1)) * two_w) / p2 - F.lit(W)).alias(
+            "east_merc"
+        ),
+        (F.lit(W) - (F.col("bymin") * two_w) / p2).alias("north_merc"),
+    )
+
+
+def tilejson(layers: DataFrame, tiles_url: str, name: str = "mvt-spark") -> dict:
+    """Assemble the actual TileJSON 3.0 document (driver-side; the
+    aggregate is k rows). ``bounds`` converts the mercator box to
+    lon/lat (inverse Web-Mercator; only this presentation step is
+    transcendental — the oracled DataFrame stays exact)."""
+    import math
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+
+    rows = tilejson_layers(layers).collect()
+    if not rows:
+        raise ValueError("tilejson: empty layer table")
+
+    def lon(mx):
+        return mx / W * 180.0
+
+    def lat(my):
+        return math.degrees(
+            2.0 * math.atan(math.exp(my / W * math.pi)) - math.pi / 2.0
+        )
+
+    west = min(r["west_merc"] for r in rows)
+    south = min(r["south_merc"] for r in rows)
+    east = max(r["east_merc"] for r in rows)
+    north = max(r["north_merc"] for r in rows)
+    return {
+        "tilejson": "3.0.0",
+        "name": name,
+        "tiles": [tiles_url],
+        "minzoom": min(r["minzoom"] for r in rows),
+        "maxzoom": max(r["maxzoom"] for r in rows),
+        "bounds": [lon(west), lat(south), lon(east), lat(north)],
+        "center": [
+            lon((west + east) / 2.0),
+            lat((south + north) / 2.0),
+            min(r["minzoom"] for r in rows),
+        ],
+        "vector_layers": [
+            {
+                "id": r["layer"],
+                "minzoom": r["minzoom"],
+                "maxzoom": r["maxzoom"],
+                "fields": {},
+            }
+            for r in sorted(rows, key=lambda r: r["layer"])
+        ],
+    }

@@ -3415,6 +3415,74 @@ def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tilejson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TileJSON 3.0 vector_layers summary with a FULL oracle: split
+    the orders points into two real layers by id parity, encode the
+    z3..z6 pyramid per layer (buffer 0), and run
+    composite.tilejson_layers — per-layer zoom range, tile/feature
+    counts, and the EXACT dyadic mercator bounds of painted max-zoom
+    tiles. DuckDB replays assignment, per-zoom distinct-tile sets, the
+    arg-max extent selection and the (x·2W)/2^z − W bounds math
+    closed-form; any drift in the pyramid, the painted set, or the
+    double expression order breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    parts = []
+    for name, par in (("even", 0), ("odd", 1)):
+        sub = feats.filter(F.col("feature_id") % 2 == par)
+        assigned = T.assign_tiles(sub, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
+        parts.append(
+            T.encode_layers(assigned, layer_name=name, n_salts=4)
+        )
+    layers = parts[0].unionByName(parts[1])
+    return comp.tilejson_layers(layers)
+
+
+def _sql_tilejson(z_lo: int = MBT_Z_LO, z_hi: int = MBT_Z_HI) -> str:
+    from mapnik_vector_tile_spark.functions.tilemath import W
+
+    tx, ty = S.tile_xy_exprs(z_hi)
+    two_w = S.flit(2.0 * W)
+    w = S.flit(W)
+    p2 = S.flit(float(1 << z_hi))
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id % 2 AS par, {tx} AS tx, {ty} AS ty FROM pts),
+zs AS (SELECT unnest(generate_series({z_lo}, {z_hi})) AS z),
+lv AS (
+  SELECT par, zz.z AS z, tx >> ({z_hi} - zz.z) AS x,
+         ty >> ({z_hi} - zz.z) AS y, COUNT(*) AS nf
+  FROM t, zs zz GROUP BY 1, 2, 3, 4
+),
+perz AS (
+  SELECT par, z, COUNT(*) AS nt, SUM(nf) AS nf,
+         MIN(x) AS xmin, MAX(x) AS xmax,
+         MIN(y) AS ymin, MAX(y) AS ymax
+  FROM lv GROUP BY 1, 2
+),
+agg AS (
+  SELECT par, MIN(z) AS minzoom, MAX(z) AS maxzoom,
+         SUM(nt) AS n_tiles, SUM(nf) AS n_features,
+         arg_max(xmin, z) AS bxmin, arg_max(xmax, z) AS bxmax,
+         arg_max(ymin, z) AS bymin, arg_max(ymax, z) AS bymax
+  FROM perz GROUP BY par
+)
+SELECT CASE par WHEN 0 THEN 'even' ELSE 'odd' END AS layer,
+       CAST(minzoom AS INT) AS minzoom, CAST(maxzoom AS INT) AS maxzoom,
+       CAST(n_tiles AS BIGINT) AS n_tiles,
+       CAST(n_features AS BIGINT) AS n_features,
+       (CAST(bxmin AS DOUBLE) * {two_w}) / {p2} - {w} AS west_merc,
+       {w} - (CAST(bymax + 1 AS DOUBLE) * {two_w}) / {p2} AS south_merc,
+       (CAST(bxmax + 1 AS DOUBLE) * {two_w}) / {p2} - {w} AS east_merc,
+       {w} - (CAST(bymin AS DOUBLE) * {two_w}) / {p2} AS north_merc
+FROM agg
+"""
+
+
 MEASURES_N = 500  # q_geom_measures corpus size
 
 
@@ -4277,6 +4345,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_geom_measures": (q_geom_measures, _sql_geom_measures()),
     "q_mbtiles_roundtrip": (q_mbtiles_roundtrip, _sql_mbtiles()),
     "q_pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mbtiles()),
+    "q_tilejson": (q_tilejson, _sql_tilejson()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -4309,6 +4378,7 @@ _RECORD_FIRST = (
     "q_pii_redact",
     "q_chunk_dedup",
     "q_pmtiles_roundtrip",
+    "q_tilejson",
     # round-2 new/upgraded oracles — record fresh
     "q_raster_tiff",
     "q_wkt_ingest",

@@ -688,3 +688,45 @@ def test_encode_wafer_tiles_k0_is_direct(spark):
     assert sorted((r.z, r.x, r.y, bytes(r.tile)) for r in a) == sorted(
         (r.z, r.x, r.y, bytes(r.tile)) for r in b
     )
+
+
+def test_tilejson_layers_and_document(spark):
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+
+    rows = [
+        # layer a: z2 one tile, z3 two tiles
+        (2, 1, 1, "a", b"x", 5, 5),
+        (3, 2, 2, "a", b"x", 3, 3),
+        (3, 5, 6, "a", b"x", 2, 2),
+        # layer b: single zoom
+        (4, 0, 15, "b", b"x", 7, 7),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "z", "x", "y", "layer", "blob", "n_features", "n_points",
+            ],
+        )
+    )
+    out = {r["layer"]: r for r in C.tilejson_layers(df).collect()}
+    a = out["a"]
+    assert (a["minzoom"], a["maxzoom"], a["n_tiles"], a["n_features"]) == (
+        2, 3, 3, 10,
+    )
+    # bounds from z3 (max zoom) tiles x in [2,5], y in [2,6]
+    assert a["west_merc"] == 2 * (2 * W) / 8 - W
+    assert a["east_merc"] == 6 * (2 * W) / 8 - W
+    assert a["north_merc"] == W - 2 * (2 * W) / 8
+    assert a["south_merc"] == W - 7 * (2 * W) / 8
+    b = out["b"]
+    assert (b["minzoom"], b["maxzoom"], b["n_tiles"]) == (4, 4, 1)
+
+    doc = C.tilejson(df, "https://tiles.example/{z}/{x}/{y}.pbf")
+    assert doc["tilejson"] == "3.0.0"
+    assert doc["minzoom"] == 2 and doc["maxzoom"] == 4
+    assert [v["id"] for v in doc["vector_layers"]] == ["a", "b"]
+    assert doc["bounds"][0] <= doc["bounds"][2]
+    assert -85.06 < doc["bounds"][1] < doc["bounds"][3] < 85.06
