@@ -103,3 +103,67 @@ def vertex_mean(col: str) -> Column:
     return F.aggregate(
         F.col(col), F.lit(0.0), lambda acc, v: acc + v
     ) / F.size(F.col(col)).cast("double")
+
+
+def line_interpolate(t: float) -> tuple[Column, Column]:
+    """Point at fraction ``t`` (0..1) of the feature's total vertex-
+    chain length — mapnik's along-line marker/label placement
+    (markers_placement line mode), as pure Column algebra: one
+    ``aggregate`` computes the total, a second walks the segments with
+    a (cum, px, py, found) struct accumulator and linearly
+    interpolates inside the first segment where the running length
+    reaches t·total. Zero-length chains and fp-starved tails fall back
+    to the last vertex. Parts are treated as one concatenated chain.
+    No UDF, no shuffle; left-to-right fold order is the determinism
+    contract the oracle replays."""
+    xs, ys = F.col("xs"), F.col("ys")
+    n = F.size(xs)
+    idx = F.when(n > 1, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        idx,
+        lambda i: F.struct(
+            xs[i - 1].alias("x0"),
+            ys[i - 1].alias("y0"),
+            xs[i].alias("x1"),
+            ys[i].alias("y1"),
+            F.sqrt(
+                (xs[i] - xs[i - 1]) * (xs[i] - xs[i - 1])
+                + (ys[i] - ys[i - 1]) * (ys[i] - ys[i - 1])
+            ).alias("ln"),
+        ),
+    )
+    total = F.aggregate(
+        segs, F.lit(0.0).cast("double"), lambda a, s: a + s["ln"]
+    )
+    target = F.lit(float(t)) * total
+    init = F.struct(
+        F.lit(0.0).cast("double").alias("cum"),
+        xs[0].cast("double").alias("px"),
+        ys[0].cast("double").alias("py"),
+        F.lit(False).alias("found"),
+    )
+
+    def step(a, s):
+        hit = (
+            (~a["found"])
+            & (a["cum"] + s["ln"] >= target)
+            & (s["ln"] > F.lit(0.0))
+        )
+        frac = (target - a["cum"]) / s["ln"]
+        return F.struct(
+            (a["cum"] + s["ln"]).alias("cum"),
+            F.when(a["found"], a["px"])
+            .when(hit, s["x0"] + frac * (s["x1"] - s["x0"]))
+            .otherwise(s["x1"])
+            .alias("px"),
+            F.when(a["found"], a["py"])
+            .when(hit, s["y0"] + frac * (s["y1"] - s["y0"]))
+            .otherwise(s["y1"])
+            .alias("py"),
+            (a["found"] | hit).alias("found"),
+        )
+
+    fin = F.aggregate(segs, init, step)
+    return fin["px"], fin["py"]

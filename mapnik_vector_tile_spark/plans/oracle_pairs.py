@@ -3483,6 +3483,74 @@ FROM agg
 """
 
 
+LI_T = 0.35  # q_line_interpolate fraction
+
+
+def q_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Along-line point placement (measures.line_interpolate — mapnik
+    markers_placement line mode) with a FULL oracle on the staircase
+    polylines of the measures corpus: every vertex/segment value is
+    dyadic-exact, axis-aligned segment lengths come out of sqrt
+    bit-exact (sqrt of an exact square), and the twin replays the
+    engine's exact expression tree — rem = t·total − m(r+u), then
+    x0m + (rem/len)·len on the hit segment — via the closed-form
+    segment index m = floor(target/(r+u)) and the rem ≤ r
+    horizontal/vertical branch. Identical doubles in, identical
+    doubles out; hash-exact."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import measures as M
+
+    corpus = _measures_corpus(spark).filter(
+        F.col("geom_type") == gc.GEOM_LINESTRING
+    )
+    px, py = M.line_interpolate(LI_T)
+    return corpus.select(
+        "feature_id",
+        px.alias("px"),
+        py.alias("py"),
+        M.boundary_length().alias("length"),
+    )
+
+
+def _sql_line_interpolate(n: int = 500, t: float = LI_T) -> str:
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    # engine-exact replay (see q_line_interpolate): target/rem/frac use
+    # the same operations on the same exact doubles; m stays < k for
+    # any t < 1 because target < total strictly
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i,
+         {flit(-200.0)} + (i * 3) % 400 + {flit(0.125)} AS x0,
+         {flit(-100.0)} + (i * 7) % 200 + {flit(0.0625)} AS y0,
+         1 + i % 5 + {flit(0.5)} AS r,
+         2 + i % 3 + {flit(0.25)} AS u,
+         2 + i % 4 AS k
+  FROM ids WHERE i % 2 = 1
+),
+tgt AS (
+  SELECT *, {flit(t)} * (k * (r + u)) AS target FROM base
+),
+seg AS (
+  SELECT *, CAST(FLOOR(target / (r + u)) AS BIGINT) AS m,
+         target - CAST(FLOOR(target / (r + u)) AS BIGINT) * (r + u) AS rem
+  FROM tgt
+)
+SELECT i AS feature_id,
+       CASE WHEN rem <= r
+            THEN (x0 + m * r) + (rem / r) * r
+            ELSE x0 + (m + 1) * r END AS px,
+       CASE WHEN rem <= r
+            THEN y0 + m * u
+            ELSE (y0 + m * u) + ((rem - r) / u) * u END AS py,
+       k * (r + u) AS length
+FROM seg
+"""
+
+
 MEASURES_N = 500  # q_geom_measures corpus size
 
 
@@ -3499,10 +3567,28 @@ def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the twin's closed forms land on identical doubles, and the final
     divisions see identical operands. Ref parity: mapnik
     util::area/length/centroid over geometry<double>; SURVEY §2.9."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from mapnik_vector_tile_spark.functions import measures as M
+
+    corpus = _measures_corpus(spark)
+    return corpus.select(
+        "feature_id",
+        M.signed_area2().alias("a2"),
+        M.boundary_length().alias("length"),
+        M.vertex_mean("xs").alias("vx"),
+        M.vertex_mean("ys").alias("vy"),
+    )
+
+
+def _measures_corpus(spark: SparkSession, n: int = None) -> DataFrame:
+    """The shared dyadic-exact measures corpus (see q_geom_measures
+    doc): even i -> closed CCW rectangle, odd i -> axis-aligned
+    staircase polyline; every coordinate exact in float64."""
+    import pandas as pd
+
+    if n is None:
+        n = MEASURES_N
 
     def gen(it):
         from mapnik_vector_tile_spark.functions import geomcodec as gc
@@ -3542,16 +3628,7 @@ def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
 
-    corpus = spark.range(0, MEASURES_N, 1, 8).mapInPandas(
-        gen, schema=FEATURES_SCHEMA
-    )
-    return corpus.select(
-        "feature_id",
-        M.signed_area2().alias("a2"),
-        M.boundary_length().alias("length"),
-        M.vertex_mean("xs").alias("vx"),
-        M.vertex_mean("ys").alias("vy"),
-    )
+    return spark.range(0, n, 1, 8).mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
 def _sql_geom_measures(n: int = MEASURES_N) -> str:
@@ -4346,6 +4423,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_mbtiles_roundtrip": (q_mbtiles_roundtrip, _sql_mbtiles()),
     "q_pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mbtiles()),
     "q_tilejson": (q_tilejson, _sql_tilejson()),
+    "q_line_interpolate": (q_line_interpolate, _sql_line_interpolate()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -4379,6 +4457,7 @@ _RECORD_FIRST = (
     "q_chunk_dedup",
     "q_pmtiles_roundtrip",
     "q_tilejson",
+    "q_line_interpolate",
     # round-2 new/upgraded oracles — record fresh
     "q_raster_tiff",
     "q_wkt_ingest",

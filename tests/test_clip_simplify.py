@@ -233,3 +233,40 @@ def test_drop_small_rings_orphan_hole_rule():
     )
     assert list(offs) == [0, 4]
     assert gc.signed_area2(ox, oy) == 32
+
+
+def test_line_interpolate_edges(spark):
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import measures as M
+
+    rows = [
+        (1, 2, [0.0, 10.0], [0.0, 0.0], [0, 2], ""),        # simple
+        (2, 2, [0.0, 4.0, 4.0], [0.0, 0.0, 4.0], [0, 3], ""),  # corner
+        (3, 1, [5.0], [7.0], [0, 1], ""),                    # single pt
+        (4, 2, [3.0, 3.0], [1.0, 1.0], [0, 2], ""),          # zero len
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "feature_id", "geom_type", "xs", "ys", "part_offsets",
+                "caption",
+            ],
+        )
+    )
+    px, py = M.line_interpolate(0.5)
+    out = {
+        r["feature_id"]: (r["px"], r["py"])
+        for r in df.select("feature_id", px.alias("px"), py.alias("py"))
+        .collect()
+    }
+    assert out[1] == (5.0, 0.0)
+    assert out[2] == (4.0, 0.0)  # t=0.5 of len 8 lands on the corner
+    assert out[3] == (5.0, 7.0)  # degenerate: the vertex itself
+    assert out[4] == (3.0, 1.0)  # zero-length chain: last vertex
+    px1, py1 = M.line_interpolate(1.0)
+    out1 = df.filter("feature_id = 2").select(
+        px1.alias("px"), py1.alias("py")
+    ).collect()[0]
+    assert (out1["px"], out1["py"]) == (4.0, 4.0)
