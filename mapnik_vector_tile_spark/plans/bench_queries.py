@@ -209,6 +209,28 @@ def q_balanced_sample_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_balanced_sample(spark, sf_dir)
 
 
+def q_downzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 bottom-up pyramid: encode z8 once, derive z7..z4 by 4->1
+    rollups (downzoom_band) — the derive-ancestors-from-base strategy
+    whose cost beyond q_encode_tiles' machinery is one bounded-fan-in
+    shuffle per level over the (much smaller) tile tables."""
+    from mapnik_vector_tile_spark.operators import composite as C
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _order_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, 8, 8, buffer_units=0)
+    layers = T.encode_layers(assigned, n_salts=16)
+    return T.fold_tiles(C.downzoom_band(layers, 4))
+
+
+def q_kmeans_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 two-round Lloyd k-means over the embeddings table."""
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.kmeans_clusters(emb, k=8, iters=2)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         "q_pyramid": q_pyramid,
@@ -217,6 +239,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overzoom": q_overzoom,
         "q_wafer": q_wafer,
         "q_encode_z10_direct": q_encode_z10_direct,
+        "q_downzoom": q_downzoom,
     }
     # operators added over the build rounds — gate so bench never breaks
     try:
@@ -237,6 +260,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mapnik_vector_tile_spark.operators import similarity  # noqa: F401
 
         out["q_ann_topk"] = q_ann_topk
+        out["q_kmeans"] = q_kmeans_b
     except ImportError:
         pass
     try:

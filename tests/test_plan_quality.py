@@ -357,3 +357,64 @@ def test_zonal_stats_partial_then_final_agg(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial" in plan, plan
+
+
+def test_downzoom_single_bounded_shuffle(spark, tiles_parquet):
+    """U5: one rollup level over a layer table adds exactly ONE
+    Exchange (the parent-key shuffle with its hard 4-row fan-in bound)
+    and no cartesian/driver-side structure."""
+    from mapnik_vector_tile_spark.operators import composite as C
+
+    tiles = spark.read.parquet(tiles_parquet)
+    layers = C.tiles_to_layers(tiles)
+    plan = _plan(C.downzoom_layers(layers))
+    # formatted mode lists every node twice (tree + detail section):
+    # count the tree edge form
+    assert plan.count("+- Exchange") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_dedup_mapside_partial_on_chunk(spark):
+    """T24: the first-occurrence table must partial-aggregate map-side
+    (hot boilerplate chunks combine locally) and the chunk match is an
+    equi-join, never a window over one giant partition."""
+    from mapnik_vector_tile_spark.operators.dedup import chunk_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(chunk_dedup(docs))
+    assert "partial_min" in plan or "partial" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_pii_redact_narrow_no_exchange_no_python(spark):
+    """T23: redaction is a pure narrow projection."""
+    from mapnik_vector_tile_spark.operators.textstats import pii_redact
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(pii_redact(docs))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_kmeans_assignment_no_python_one_shuffle_per_round(spark):
+    """T22: the final assignment plan is Column-only (broadcast
+    literal centroids, no Python nodes) and carries no join."""
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(S.kmeans_clusters(emb, k=4, iters=1))
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_tilejson_two_level_partial_aggregation(spark, tiles_parquet):
+    """groupBy(layer,z) first with map-side partials, then the k-row
+    layer aggregate."""
+    from mapnik_vector_tile_spark.operators import composite as C
+
+    tiles = spark.read.parquet(tiles_parquet)
+    plan = _plan(C.tilejson_layers(C.tiles_to_layers(tiles)))
+    assert plan.count("HashAggregate") >= 3, plan
+    assert "partial" in plan, plan
