@@ -167,3 +167,60 @@ def line_interpolate(t: float) -> tuple[Column, Column]:
 
     fin = F.aggregate(segs, init, step)
     return fin["px"], fin["py"]
+
+
+def area_centroid() -> tuple[Column, Column]:
+    """True area-weighted centroid (mapnik util::centroid over
+    polygon geometry): C = Σ(v_i + v_{i+1})·cross_i / (3·Σcross_i),
+    folded per part with the same shoelace pairing as signed_area2 —
+    holes (negative cross sums) subtract automatically. NULL when the
+    total signed area is zero (degenerate/line input); callers wanting
+    the label-placement fallback chain can coalesce with
+    vertex_mean."""
+    xs_parts = _part_slices("xs")
+    ys_parts = _part_slices("ys")
+
+    def part_sums(xp: Column, yp: Column) -> Column:
+        cross = F.zip_with(
+            F.zip_with(xp, _rot1(yp), lambda a, b: a * b),
+            F.zip_with(_rot1(xp), yp, lambda a, b: a * b),
+            lambda s, t: s - t,
+        )
+        sx = F.aggregate(
+            F.zip_with(
+                F.zip_with(xp, _rot1(xp), lambda a, b: a + b),
+                cross,
+                lambda s, c: s * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sy = F.aggregate(
+            F.zip_with(
+                F.zip_with(yp, _rot1(yp), lambda a, b: a + b),
+                cross,
+                lambda s, c: s * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        a = F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)
+        return F.struct(sx.alias("sx"), sy.alias("sy"), a.alias("a"))
+
+    per_part = F.zip_with(xs_parts, ys_parts, part_sums)
+    tot = F.aggregate(
+        per_part,
+        F.struct(
+            F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy"),
+            F.lit(0.0).alias("a"),
+        ),
+        lambda acc, p: F.struct(
+            (acc["sx"] + p["sx"]).alias("sx"),
+            (acc["sy"] + p["sy"]).alias("sy"),
+            (acc["a"] + p["a"]).alias("a"),
+        ),
+    )
+    denom = F.lit(3.0) * tot["a"]
+    cx = F.when(tot["a"] != 0.0, tot["sx"] / denom)
+    cy = F.when(tot["a"] != 0.0, tot["sy"] / denom)
+    return cx, cy

@@ -3551,6 +3551,92 @@ FROM seg
 """
 
 
+def q_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True area-weighted centroid (measures.area_centroid — mapnik
+    util::centroid, NOT the vertex mean) with a FULL oracle on the
+    rectangle half of the measures corpus plus a holed variant: for a
+    CCW rectangle the exact fold lands on x0 + w/2 bit-for-bit (all
+    intermediates dyadic-exact); a second output row class punches a
+    concentric half-size hole (CW ring appended as a second part) —
+    the hole's negative cross sums shift nothing for the concentric
+    case, pinning the holes-subtract path against the SAME closed
+    form."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import measures as M
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                    "part_offsets": [], "caption": []}
+            for i in ids:
+                i = int(i)
+                x0 = -200.0 + (i * 3) % 400 + 0.125
+                y0 = -100.0 + (i * 7) % 200 + 0.0625
+                w = 1 + i % 9 + 0.25
+                h = 2 + i % 7 + 0.5
+                xs = [x0, x0 + w, x0 + w, x0, x0]
+                ys = [y0, y0, y0 + h, y0 + h, y0]
+                offs = [0, 5]
+                if i % 2 == 1:
+                    # concentric CW hole at half size (quarter margins)
+                    hx0, hy0 = x0 + w / 4.0, y0 + h / 4.0
+                    hw, hh = w / 2.0, h / 2.0
+                    xs += [hx0, hx0, hx0 + hw, hx0 + hw, hx0]
+                    ys += [hy0, hy0 + hh, hy0 + hh, hy0, hy0]
+                    offs.append(10)
+                rows["feature_id"].append(i)
+                rows["geom_type"].append(int(gc.GEOM_POLYGON))
+                rows["xs"].append(xs)
+                rows["ys"].append(ys)
+                rows["part_offsets"].append(offs)
+                rows["caption"].append("")
+            yield pd.DataFrame(rows)
+
+    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
+
+    corpus = spark.range(0, MEASURES_N, 1, 8).mapInPandas(
+        gen, schema=FEATURES_SCHEMA
+    )
+    cx, cy = M.area_centroid()
+    return corpus.select(
+        "feature_id",
+        cx.alias("cx"),
+        cy.alias("cy"),
+        M.signed_area2().alias("a2"),
+    )
+
+
+def _sql_area_centroid(n: int = 500) -> str:
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    # outer 2wh minus (for odd i) the CW half-size hole's 2*(w/2)(h/2)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i,
+         {flit(-200.0)} + (i * 3) % 400 + {flit(0.125)} AS x0,
+         {flit(-100.0)} + (i * 7) % 200 + {flit(0.0625)} AS y0,
+         1 + i % 9 + {flit(0.25)} AS w,
+         2 + i % 7 + {flit(0.5)} AS h
+  FROM ids
+)
+SELECT i AS feature_id,
+       x0 + w / {flit(2.0)} AS cx,
+       y0 + h / {flit(2.0)} AS cy,
+       CASE WHEN i % 2 = 0 THEN {flit(2.0)} * w * h
+            ELSE {flit(2.0)} * w * h
+                 - {flit(2.0)} * (w / {flit(2.0)}) * (h / {flit(2.0)})
+       END AS a2
+FROM base
+"""
+
+
 MEASURES_N = 500  # q_geom_measures corpus size
 
 
@@ -4424,6 +4510,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mbtiles()),
     "q_tilejson": (q_tilejson, _sql_tilejson()),
     "q_line_interpolate": (q_line_interpolate, _sql_line_interpolate()),
+    "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -4458,6 +4545,7 @@ _RECORD_FIRST = (
     "q_pmtiles_roundtrip",
     "q_tilejson",
     "q_line_interpolate",
+    "q_area_centroid",
     # round-2 new/upgraded oracles — record fresh
     "q_raster_tiff",
     "q_wkt_ingest",

@@ -270,3 +270,40 @@ def test_line_interpolate_edges(spark):
         px1.alias("px"), py1.alias("py")
     ).collect()[0]
     assert (out1["px"], out1["py"]) == (4.0, 4.0)
+
+
+def test_area_centroid_hole_and_null(spark):
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import measures as M
+
+    rows = [
+        # unit square
+        (1, 3, [0.0, 4.0, 4.0, 0.0, 0.0], [0.0, 0.0, 4.0, 4.0, 0.0],
+         [0, 5], ""),
+        # square with OFF-CENTER CW hole: centroid shifts away from it
+        (2, 3,
+         [0.0, 4.0, 4.0, 0.0, 0.0, 0.5, 0.5, 1.5, 1.5, 0.5],
+         [0.0, 0.0, 4.0, 4.0, 0.0, 0.5, 1.5, 1.5, 0.5, 0.5],
+         [0, 5, 10], ""),
+        # degenerate zero-area ring -> NULL
+        (3, 3, [1.0, 1.0, 1.0], [2.0, 2.0, 2.0], [0, 3], ""),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["feature_id", "geom_type", "xs", "ys",
+                     "part_offsets", "caption"],
+        )
+    )
+    cx, cy = M.area_centroid()
+    out = {
+        r["feature_id"]: (r["cx"], r["cy"])
+        for r in df.select("feature_id", cx.alias("cx"), cy.alias("cy"))
+        .collect()
+    }
+    assert out[1] == (2.0, 2.0)
+    # hole area 1 centered at (1,1): C = (16*2 - 1*1)/(16-1) = 31/15
+    assert abs(out[2][0] - 31.0 / 15.0) < 1e-12
+    assert abs(out[2][1] - 31.0 / 15.0) < 1e-12
+    assert out[3] == (None, None)
