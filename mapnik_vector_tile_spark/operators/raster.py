@@ -736,3 +736,61 @@ def zonal_stats(
     return partial.groupBy("region_id").agg(
         F.sum("n_px").alias("n_px"), F.sum("sum_px").alias("sum_px")
     )
+
+
+def box_thumbnail(rgba: np.ndarray, size: int) -> np.ndarray:
+    """Exact integer area-average downsample to size x size: cell
+    (ty, tx) averages the half-open source box
+    [floor(ty*h/size), floor((ty+1)*h/size)) x [same in x] with
+    FLOOR division of the integer channel sums — the fully
+    deterministic resize contract (no float accumulation, so the
+    DuckDB twin replays it bit-exactly). Requires h, w >= size."""
+    h, w = rgba.shape[0], rgba.shape[1]
+    if h < size or w < size:
+        raise ValueError(f"box_thumbnail: image {w}x{h} smaller than {size}")
+    acc = rgba.astype(np.int64)
+    # 2D prefix sums per channel -> O(1) box sums
+    ps = acc.cumsum(axis=0).cumsum(axis=1)
+    ps = np.pad(ps, ((1, 0), (1, 0), (0, 0)))
+    ye = (np.arange(size + 1) * h) // size
+    xe = (np.arange(size + 1) * w) // size
+    y0, y1 = ye[:-1], ye[1:]
+    x0, x1 = xe[:-1], xe[1:]
+    sums = (
+        ps[y1][:, x1] - ps[y0][:, x1] - ps[y1][:, x0] + ps[y0][:, x0]
+    )
+    counts = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[..., None]
+    return (sums // counts).astype(np.uint8)
+
+
+def image_thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
+    """Vision-pipeline thumbnailing over the canonical images table
+    (image_id, bytes, w, h, fmt, caption, ...): decode (raw-rgba8 /
+    png-zlib), exact integer box-average to size x size, re-emit as
+    raw bytes with caption preserved (the per-row invariant of the
+    north rule). One narrow mapInPandas scan — prefix-sum box sums are
+    O(pixels) per image regardless of size; no shuffle; scales
+    linearly with input splits at 100 TB."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            out = {
+                "image_id": [], "thumb": [], "tw": [], "th": [],
+                "caption": [],
+            }
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                th = box_thumbnail(rgba, size)
+                out["image_id"].append(r.image_id)
+                out["thumb"].append(th.tobytes())
+                out["tw"].append(size)
+                out["th"].append(size)
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        schema="image_id string, thumb binary, tw int, th int, "
+        "caption string",
+    )

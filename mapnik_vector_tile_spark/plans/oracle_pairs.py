@@ -3637,6 +3637,111 @@ FROM base
 """
 
 
+IMG_TH_N = 400  # q_image_thumbs corpus size
+IMG_TH_S = 8  # thumbnail size
+
+
+def q_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-pipeline thumbnailing (raster.image_thumbnails) over the
+    canonical images table with a FULL oracle: decode (raw-rgba8 AND
+    png-zlib rows), exact integer box-average to 8x8 (prefix-sum box
+    sums, floor-divided — zero float accumulation), caption preserved
+    per the north rule's per-row invariant. The result hashes the
+    per-image channel sums OF THE EMITTED THUMB BYTES plus the caption
+    string; DuckDB regenerates every source pixel (gradient + wrapped
+    splitmix64 noise), replays the cell partition via the closed-form
+    inverse ((y+1)·s − 1)//h, the floor-divided cell means, and the
+    caption words from the phash bits."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import image_thumbnails
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_TH_N)
+    th = image_thumbnails(imgs, size=IMG_TH_S)
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "caption": [], "sum_r": [],
+                   "sum_g": [], "sum_b": []}
+            for r in pdf.itertuples():
+                a = (
+                    np.frombuffer(r.thumb, np.uint8)
+                    .reshape(IMG_TH_S, IMG_TH_S, 4)
+                    .astype(np.int64)
+                )
+                out["image_id"].append(r.image_id)
+                out["caption"].append(r.caption)
+                out["sum_r"].append(int(a[..., 0].sum()))
+                out["sum_g"].append(int(a[..., 1].sum()))
+                out["sum_b"].append(int(a[..., 2].sum()))
+            yield pd.DataFrame(out)
+
+    return th.mapInPandas(
+        gen,
+        schema="image_id string, caption string, sum_r long, "
+        "sum_g long, sum_b long",
+    )
+
+
+def _sql_image_thumbs(n: int = IMG_TH_N, s: int = IMG_TH_S) -> str:
+    from mapnik_vector_tile_spark.sources.synth import _WORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    nw = len(_WORDS)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+dims AS (
+  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
+         {splitmix64_sql('i')} AS ph
+  FROM ids
+),
+ys AS (SELECT i, w, h, ph, unnest(generate_series(0, h - 1)) AS y FROM dims),
+pix AS (
+  SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x
+  FROM ys
+),
+chan AS (
+  SELECT i, w, h, y, x,
+         CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64 AS BIGINT)
+           AS noise
+  FROM pix
+),
+vals AS (
+  SELECT i,
+         ((((y + 1) * {s}) - 1) // h) AS ty,
+         ((((x + 1) * {s}) - 1) // w) AS tx,
+         ((x * 255) // (w - 1) + noise) % 256 AS r,
+         ((y * 255) // (h - 1) + noise) % 256 AS g,
+         (((x + y) * 255) // (w + h - 2) + noise) % 256 AS b
+  FROM chan
+),
+cells AS (
+  SELECT i, ty, tx,
+         SUM(r) // COUNT(*) AS cr,
+         SUM(g) // COUNT(*) AS cg,
+         SUM(b) // COUNT(*) AS cb
+  FROM vals GROUP BY 1, 2, 3
+),
+caps AS (
+  SELECT i,
+         'caption ' || CAST(i AS VARCHAR) || ': '
+           || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption
+  FROM dims
+)
+SELECT 'img_' || lpad(CAST(c.i AS VARCHAR), 12, '0') AS image_id,
+       caps.caption AS caption,
+       CAST(SUM(cr) AS BIGINT) AS sum_r,
+       CAST(SUM(cg) AS BIGINT) AS sum_g,
+       CAST(SUM(cb) AS BIGINT) AS sum_b
+FROM cells c JOIN caps ON c.i = caps.i
+GROUP BY 1, 2
+"""
+
+
 MEASURES_N = 500  # q_geom_measures corpus size
 
 
@@ -4511,6 +4616,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_tilejson": (q_tilejson, _sql_tilejson()),
     "q_line_interpolate": (q_line_interpolate, _sql_line_interpolate()),
     "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
+    "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -4546,6 +4652,7 @@ _RECORD_FIRST = (
     "q_tilejson",
     "q_line_interpolate",
     "q_area_centroid",
+    "q_image_thumbs",
     # round-2 new/upgraded oracles — record fresh
     "q_raster_tiff",
     "q_wkt_ingest",

@@ -397,3 +397,41 @@ def test_jpeg_decoder_fuzz_error_contract():
             R.decode_image(bytes(b), "jpeg", 24, 16)
         except ValueError:
             pass
+
+
+def test_box_thumbnail_exact_and_guards():
+    import numpy as np
+    import pytest
+
+    from mapnik_vector_tile_spark.operators.raster import box_thumbnail
+    from mapnik_vector_tile_spark.sources.synth import make_pixels
+
+    rgba = make_pixels(5, 23, 17)
+    t = box_thumbnail(rgba, 8)
+    assert t.shape == (8, 8, 4) and t.dtype == np.uint8
+    ye = [(k * 17) // 8 for k in range(9)]
+    xe = [(k * 23) // 8 for k in range(9)]
+    for ty in (0, 3, 7):
+        for tx in (0, 4, 7):
+            box = rgba[ye[ty]:ye[ty + 1], xe[tx]:xe[tx + 1]].astype(
+                np.int64
+            )
+            exp = box.sum(axis=(0, 1)) // (box.shape[0] * box.shape[1])
+            assert (t[ty, tx] == exp).all()
+    # identity when source == target size
+    src = make_pixels(1, 8, 8)
+    assert (box_thumbnail(src, 8) == src).all()
+    with pytest.raises(ValueError, match="smaller"):
+        box_thumbnail(make_pixels(0, 4, 4), 8)
+
+
+def test_image_thumbnails_caption_preserved(spark):
+    from mapnik_vector_tile_spark.operators.raster import image_thumbnails
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, 20)
+    out = image_thumbnails(imgs, size=8).collect()
+    caps = {r["image_id"]: r["caption"] for r in out}
+    orig = {r["image_id"]: r["caption"] for r in imgs.collect()}
+    assert caps == orig
+    assert all(len(r["thumb"]) == 8 * 8 * 4 for r in out)
