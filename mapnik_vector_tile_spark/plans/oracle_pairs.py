@@ -4642,7 +4642,8 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 # dict so round 2 records them first (cross-round union then covers
 # every key even if the driver budget is key-count-based).
 _RECORD_FIRST = (
-    # round-2 session-2 new keys — record freshest first
+    # every key the driver has never recorded, newest work first;
+    # the two formerly rows-only keys (now full-oracle) re-record after
     "q_engine_downzoom",
     "q_engine_downzoom_band",
     "q_kmeans",
@@ -4653,7 +4654,6 @@ _RECORD_FIRST = (
     "q_line_interpolate",
     "q_area_centroid",
     "q_image_thumbs",
-    # round-2 new/upgraded oracles — record fresh
     "q_raster_tiff",
     "q_wkt_ingest",
     "q_wkb_ingest",
@@ -4681,8 +4681,6 @@ _RECORD_FIRST = (
     "q_raster_jpeg",
     "q_distinct_kmv",
     "q_topk_tokens",
-    "q_raster_tiles",
-    "q_audio_features",
     "q_dedup_clusters",
     "q_simhash",
     "q_simhash_pairs",
@@ -4704,6 +4702,8 @@ _RECORD_FIRST = (
     "q_decontaminate",
     "q_geohash",
     "q_bm25",
+    "q_raster_tiles",
+    "q_audio_features",
 )
 
 
