@@ -4654,6 +4654,7 @@ _RECORD_FIRST = (
     "q_line_interpolate",
     "q_area_centroid",
     "q_image_thumbs",
+    "q_event_dedup",
     "q_raster_tiff",
     "q_wkt_ingest",
     "q_wkb_ingest",

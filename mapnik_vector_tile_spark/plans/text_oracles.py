@@ -1101,6 +1101,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_kmeans": (q_kmeans, sql_kmeans()),
         "q_pii_redact": (q_pii_redact, sql_pii_redact()),
         "q_chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
+        "q_event_dedup": (q_event_dedup, sql_event_dedup()),
         "q_train_split": (q_train_split, sql_train_split()),
         "q_stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
@@ -1312,4 +1313,48 @@ SELECT doc_id,
          ''
        ) AS cleaned
 FROM firsts GROUP BY doc_id
+"""
+
+
+# --- event dedup (streaming/dedup.py batch twin) --------------------------
+
+
+def q_event_dedup(spark, sf_dir):
+    """§2.10 companion: the batch twin of the watermarked streaming
+    dedup (streaming.dedup.batch_first_occurrence), made non-vacuous
+    by unioning a synthetic at-least-once replay (every 5th event
+    re-emitted one hour later with a poisoned value) — the operator
+    must keep the ORIGINAL row of every key; picking the replay (max,
+    arbitrary, or last-wins) flips value/ts and breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.streaming.dedup import (
+        batch_first_occurrence,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    replay = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+    )
+    out = batch_first_occurrence(ev.unionByName(replay))
+    return out.select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def sql_event_dedup() -> str:
+    return """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
 """

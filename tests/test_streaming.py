@@ -482,3 +482,35 @@ def test_streaming_media_equals_batch_kernels(spark, tmp_path):
         ).collect()
     }
     assert got_a == want_a and got_a
+
+
+def test_streaming_dedup_matches_batch_first_occurrence(
+    spark, chunked_events, tmp_path
+):
+    """§2.10 watermarked exact dedup: the replayed chunk must be
+    dropped inside the horizon and the emitted rows must equal the
+    batch first-occurrence twin row-for-row."""
+    from mapnik_vector_tile_spark.streaming import dedup as D
+
+    src, ev = chunked_events
+    D.run_dedup_stream_to_memory(
+        spark,
+        src,
+        table_name="dedup_t",
+        watermark="2 days",  # the corpus spans days; replays are verbatim
+        checkpoint_dir=str(tmp_path / "ckpt_dedup"),
+    )
+    got = spark.sql(
+        "SELECT event_id, user_id, event_type, value FROM dedup_t"
+    ).toPandas()
+    want = (
+        D.batch_first_occurrence(ev)
+        .select("event_id", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    assert len(got) == ev.count()  # one row per distinct id, not per file row
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    assert (g["event_id"].to_numpy() == w["event_id"].to_numpy()).all()
+    assert (g["user_id"].to_numpy() == w["user_id"].to_numpy()).all()
+    assert (g["event_type"].to_numpy() == w["event_type"].to_numpy()).all()
