@@ -77,6 +77,15 @@ def main() -> None:
     ap.add_argument("--overzoom-redistribute", action="store_true",
                     help="one child per task (few hot parents, deep "
                          "dz) instead of the narrow 1->4^dz flatMap")
+    ap.add_argument("--rollup", action="store_true",
+                    help="encode ONLY z-max from source (one source "
+                         "scan instead of one fan-out per level) and "
+                         "derive z-min..z-max-1 bottom-up from the "
+                         "COMMITTED store by 4->1 downzoom rollups — "
+                         "at 100 TB the source scan dominates, so the "
+                         "rollup build reads it once and each derived "
+                         "level costs one bounded-fan-in shuffle over "
+                         "the much smaller tile table")
     args = ap.parse_args()
     if not 0 <= args.z_min <= args.z_max:
         ap.error(f"need 0 <= z-min <= z-max, got {args.z_min}..{args.z_max}")
@@ -105,7 +114,8 @@ def main() -> None:
         images = images_df(spark, args.n_images)
 
     feats = T.images_to_features(images)
-    assigned = T.assign_tiles(feats, args.z_min, args.z_max, args.buffer)
+    base_z_min = args.z_max if args.rollup else args.z_min
+    assigned = T.assign_tiles(feats, base_z_min, args.z_max, args.buffer)
 
     # packed tile key (z:4 | x:30 | y:30 bits) — the deterministic
     # lineage-bucket key; stable across cluster sizes
@@ -150,6 +160,41 @@ def main() -> None:
         f"committed {len(rows)} buckets, {done} tiles this run; "
         f"total buckets done: {len(L.completed_buckets(args.out, 'tiles'))}"
     )
+
+    if args.rollup and args.z_min < args.z_max:
+        # third checkpointed stage: derive the lower pyramid from the
+        # COMMITTED z-max store (reads tiles, never the source).
+        # Buffered children legitimately duplicate seam-straddling
+        # features whole across siblings -> content-exact dedupe keeps
+        # one copy; clipped fragments differ and are all kept.
+        from mapnik_vector_tile_spark.operators import composite as C
+
+        stored = L.read_stage(spark, args.out, "tiles").filter(
+            F.col("z") == args.z_max
+        )
+        base_layers = C.tiles_to_layers(
+            stored.select("z", "x", "y", "tile")
+        )
+        band = C.downzoom_band(
+            base_layers, args.z_min, dedupe_fids=True
+        )
+        rolled = T.fold_tiles(band).withColumn("cell", cell_col())
+        lin_r = L.run_stage(
+            rolled.select(
+                "z", "x", "y", "cell", "tile", "n_layers", "n_features"
+            ),
+            args.out,
+            stage="rollup",
+            key_col="cell",
+            run_id=args.run_id,
+        )
+        rows_r = lin_r.collect()
+        print(
+            f"rollup: committed {len(rows_r)} buckets, "
+            f"{sum(r.rows_out for r in rows_r)} derived tiles "
+            f"(z{args.z_min}..z{args.z_max - 1}); total buckets done: "
+            f"{len(L.completed_buckets(args.out, 'rollup'))}"
+        )
 
     if args.overzoom_dz > 0:
         # second checkpointed stage, sourced from the COMMITTED store

@@ -785,11 +785,14 @@ def downzoom_parent_layer(
     keep their within-child wire order, so the output bytes are
     deterministic. Key/value dictionaries are merged first-appearance
     with RAW value bytes (build_layer_merged — no oneof
-    normalization). ``dedupe_fids`` keeps only the first occurrence of
-    each non-None feature id — for children encoded WITH buffers,
-    where a seam-straddling feature legitimately appears in more than
-    one sibling; the halved coordinates of such duplicates agree, so
-    first-wins is content-stable. Mixed (version, extent) quadrants
+    normalization). ``dedupe_fids`` drops EXACT duplicate features —
+    same id, same transformed geometry bytes, same properties/raster —
+    the shape buffered children produce when a seam-straddling feature
+    appears whole in more than one sibling (halved coordinates agree,
+    so the copies collapse). CLIPPED fragments of one feature are NOT
+    duplicates (their geometries differ) and are all kept: the parent
+    renders the union of the fragments, which is the correct derived
+    content. Mixed (version, extent) quadrants
     raise (splice_merge_layers precedent: splicing unrescaled bytes
     across extents silently changes scale).
 
@@ -800,7 +803,7 @@ def downzoom_parent_layer(
     feats = []
     n_pts = 0
     name = None
-    seen_fids: set[int] = set()
+    seen: set[tuple] = set()
     wide = float(1 << 40)
     for cx, cy, blob in kids:
         d = pbf.split_layer(bytes(blob))
@@ -817,9 +820,6 @@ def downzoom_parent_layer(
         keys = d["keys"]
         vals = d["raw_values"]
         for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
-            if dedupe_fids and fid is not None:
-                if fid in seen_fids:
-                    continue
             gtype = int(gtype)
             try:
                 xs, ys, offs = gc.decode_geometry(
@@ -855,10 +855,13 @@ def downzoom_parent_layer(
                 (keys[tags[i]], vals[tags[i + 1]])
                 for i in range(0, len(tags), 2)
             ]
+            if dedupe_fids:
+                key = (fid, gtype, stream_b, tuple(props), raw_raster)
+                if key in seen:
+                    continue
+                seen.add(key)
             feats.append((fid, gtype, props, stream_b, raw_raster))
             n_pts += npts
-            if dedupe_fids and fid is not None:
-                seen_fids.add(fid)
     if not feats:
         return None
     blob = pbf.build_layer_merged(

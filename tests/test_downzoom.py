@@ -203,3 +203,45 @@ def test_downzoom_band_rejects_mixed_z(spark):
     )
     with pytest.raises(ValueError, match="one zoom"):
         C.downzoom_band(spark.createDataFrame(pdf), 2)
+
+
+def test_rollup_band_matches_direct_assignment(spark):
+    """--rollup equivalence contract, POINT features (buffer 0):
+    deriving z3..z4 from the z5 encode paints exactly the direct
+    pyramid's tile addresses with the same distinct feature set per
+    tile. Polygons are excluded BY CONTRACT: their z5-quantized
+    geometry can round outward to a child boundary and legitimately
+    spill one derived fragment into the adjacent parent (the
+    documented 1-unit derived-tile tradeoff, measured as extra-only
+    never lost); the kernel tests and q_engine_downzoom pin their
+    exact per-level math."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as C
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    feats = T.images_to_features(images_df(spark, 800)).filter(
+        F.col("geom_type") == 1
+    )
+    direct = T.assign_tiles(feats, 3, 4, buffer_units=0)
+    want = {
+        (r["z"], r["x"], r["y"]): r["n"]
+        for r in direct.groupBy("z", "x", "y")
+        .agg(F.countDistinct("feature_id").alias("n"))
+        .collect()
+    }
+    base = T.encode_layers(
+        T.assign_tiles(feats, 5, 5, buffer_units=0),
+        buffer_units=0,
+        n_salts=4,
+    )
+    band = C.downzoom_band(base, 3, dedupe_fids=True)
+    dec = T.decode_tiles_to_features(T.fold_tiles(band))
+    got = {
+        (r["z"], r["x"], r["y"]): r["n"]
+        for r in dec.groupBy("z", "x", "y")
+        .agg(F.countDistinct("feature_id").alias("n"))
+        .collect()
+    }
+    assert got == want
