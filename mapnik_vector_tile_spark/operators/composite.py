@@ -1065,3 +1065,91 @@ def tilejson(layers: DataFrame, tiles_url: str, name: str = "mvt-spark") -> dict
             for r in sorted(rows, key=lambda r: r["layer"])
         ],
     }
+
+
+_FILTER_OPS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "has": lambda a, b: True,
+}
+
+
+def filter_layer_features(
+    layers: DataFrame,
+    key: str,
+    op: str = "has",
+    value=None,
+    keep_keys: list[str] | None = None,
+    rename: str | None = None,
+) -> DataFrame:
+    """Tile-transform (the tilelive/tile-join server-side reshape a
+    mapnik-vector-tile store goes through before re-serving): keep
+    only features whose decoded attribute ``key`` satisfies
+    ``op value``, optionally project properties to ``keep_keys`` and
+    rename the layer. The predicate is a declarative (key, op, value)
+    triple — comparable relationally, so the oracle replays it in SQL.
+
+    Geometry bytes pass through VERBATIM; surviving properties keep
+    their RAW Value bytes (no oneof normalization) with dictionaries
+    rebuilt first-appearance, so output layers are byte-deterministic.
+    Features missing the key, or with a value type incomparable to the
+    operand, do not match (SQL NULL-comparison semantics). Layers left
+    empty are dropped (P4). One narrow blob→blob scan: no shuffle,
+    decode cost ∝ tag indices + the per-layer value dictionary (never
+    geometry)."""
+    import pandas as pd
+
+    if op not in _FILTER_OPS:
+        raise ValueError(
+            f"filter_layer_features: op must be one of "
+            f"{sorted(_FILTER_OPS)}, got {op!r}"
+        )
+    opf = _FILTER_OPS[op]
+
+    def gen(it):
+        for pdf in it:
+            rows = {c: [] for c in LAYER_COLS}
+            for z, x, y, lname, blob in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["layer"], pdf["blob"]
+            ):
+                d = pbf.split_layer(bytes(blob))
+                keys = d["keys"]
+                vals = d["raw_values"]
+                dec = [pbf.decode_value(v) for v in vals]
+                feats = []
+                for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
+                    match = False
+                    props = []
+                    for i in range(0, len(tags), 2):
+                        k = keys[tags[i]]
+                        if k == key:
+                            try:
+                                match = opf(dec[tags[i + 1]], value)
+                            except TypeError:
+                                match = False
+                        if keep_keys is None or k in keep_keys:
+                            props.append((k, vals[tags[i + 1]]))
+                    if match:
+                        feats.append(
+                            (fid, int(gtype), props, raw_geom, raw_raster)
+                        )
+                if not feats:
+                    continue  # P4: not painted after the filter
+                out_name = rename if rename is not None else d["name"]
+                nb = pbf.build_layer_merged(
+                    out_name, d["version"], d["extent"], feats
+                )
+                rows["z"].append(int(z))
+                rows["x"].append(int(x))
+                rows["y"].append(int(y))
+                rows["layer"].append(out_name)
+                rows["blob"].append(nb)
+                rows["n_features"].append(len(feats))
+                rows["n_points"].append(len(feats))
+            yield pd.DataFrame(rows)
+
+    return layers.mapInPandas(gen, schema=LAYER_SCHEMA)

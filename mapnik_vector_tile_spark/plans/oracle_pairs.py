@@ -1028,18 +1028,12 @@ FROM tiles
 """
 
 
-def q_engine_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F14/A1/A2 at the driver surface: features carry TYPED attributes
-    (int qty, double price, bool rflag from lineitem) through the
-    Layer value-variant encode — dictionaries are type-sensitive and
-    bit-exact — then per-tile stats are read back FROM THE DECODED
-    WIRE BYTES: n_keys/n_values are the dictionary cardinalities,
-    sum/min/max come from the decoded typed values. The SQL oracle
-    recomputes everything relationally; it matches only if the oneof
-    tagging, varint/two's-complement int64, double bits, and
-    first-appearance dedup all round-trip."""
+def _typed_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared typed-attribute layer fixture (see q_engine_typed_values
+    doc): lineitem rows as z8 point features carrying (int qty, double
+    price, bool rflag) through the value-variant encode; returns
+    (tx, ty, blob)."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from mapnik_vector_tile_spark.functions import pbf
     from mapnik_vector_tile_spark.operators.grouped import apply_grouped
@@ -1108,6 +1102,24 @@ def q_engine_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="tx long, ty long, blob binary",
         out_columns=["tx", "ty", "blob"],
     )
+    return layers
+
+
+def q_engine_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/A1/A2 at the driver surface: features carry TYPED attributes
+    (int qty, double price, bool rflag from lineitem) through the
+    Layer value-variant encode — dictionaries are type-sensitive and
+    bit-exact — then per-tile stats are read back FROM THE DECODED
+    WIRE BYTES: n_keys/n_values are the dictionary cardinalities,
+    sum/min/max come from the decoded typed values. The SQL oracle
+    recomputes everything relationally; it matches only if the oneof
+    tagging, varint/two's-complement int64, double bits, and
+    first-appearance dedup all round-trip."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import pbf
+
+    layers = _typed_layers(spark, sf_dir)
 
     def decode_stats(batches):
         for pdf in batches:
@@ -1145,6 +1157,106 @@ def q_engine_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty long, n_rflag long, min_price double, max_price double"
         ),
     )
+
+
+def q_engine_layer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-transform at the driver surface (composite.
+    filter_layer_features — the tilelive/tile-join server-side
+    reshape): build the typed-values layer store (int qty, double
+    price, bool rflag through the bit-exact value-variant encode),
+    filter features to qty >= 30 with a property projection to
+    (qty, price) and a layer rename, then read the stats back FROM THE
+    FILTERED WIRE BYTES: per-tile feature count, qty sum, min price,
+    and the projected dictionary cardinality (n_keys == 2 proves the
+    projection rebuilt the dictionaries, not just the tag list). The
+    SQL twin replays the predicate relationally — a wrong typed
+    decode, a mis-projected dictionary, or a dropped/extra feature
+    breaks the hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import (
+        filter_layer_features,
+    )
+
+    layers = _typed_layers(spark, sf_dir).select(
+        F.lit(8).alias("z"),
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        F.lit("li").alias("layer"),
+        F.col("blob"),
+        F.lit(0).cast("long").alias("n_features"),
+        F.lit(0).cast("long").alias("n_points"),
+    )
+    filtered = filter_layer_features(
+        layers, key="qty", op=">=", value=30,
+        keep_keys=["qty", "price"], rename="li30",
+    )
+
+    def decode_stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf["blob"]):
+                layer = pbf.decode_layer(bytes(blob))
+                qtys, prices = [], []
+                for f in layer["features"]:
+                    props = pbf.feature_props(layer, f)
+                    qtys.append(props["qty"])
+                    prices.append(props["price"])
+                rows.append(
+                    (
+                        int(x), int(y), layer["name"],
+                        len(layer["features"]), len(layer["keys"]),
+                        int(sum(qtys)), float(min(prices)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "x", "y", "layer", "n_features", "n_keys",
+                    "sum_qty", "min_price",
+                ],
+            )
+
+    return filtered.mapInPandas(
+        decode_stats,
+        schema=(
+            "x long, y long, layer string, n_features long, "
+            "n_keys long, sum_qty long, min_price double"
+        ),
+    )
+
+
+def _sql_layer_filter(z: int = 8) -> str:
+    tx, ty = S.tile_xy_exprs(z)
+    mx = (
+        f"((((id) * 2654435761) % 4294967296) / {S.flit(2**32)})"
+        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
+    )
+    my = (
+        f"((((id) * 1103515245 + 12345) % 4294967296) / {S.flit(2**32)})"
+        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
+    )
+    return f"""
+WITH li AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_extendedprice AS price
+  FROM lineitem
+),
+pts AS (SELECT id, qty, price, {mx} AS mx, {my} AS my FROM li),
+t AS (SELECT qty, price, {tx} AS tx, {ty} AS ty FROM pts)
+SELECT tx AS x, ty AS y, 'li30' AS layer,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(2 AS BIGINT) AS n_keys,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       MIN(price) AS min_price
+FROM t WHERE qty >= 30
+GROUP BY 1, 2
+"""
 
 
 def _sql_typed_values(z: int = 8) -> str:
@@ -4576,6 +4688,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     ),
     "q_geojson_tiles": (q_geojson_tiles, _sql_geojson_tiles(7)),
     "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
+    "q_engine_layer_filter": (q_engine_layer_filter, _sql_layer_filter()),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
@@ -4655,6 +4768,7 @@ _RECORD_FIRST = (
     "q_area_centroid",
     "q_image_thumbs",
     "q_event_dedup",
+    "q_engine_layer_filter",
     "q_raster_tiff",
     "q_wkt_ingest",
     "q_wkb_ingest",

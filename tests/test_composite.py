@@ -730,3 +730,44 @@ def test_tilejson_layers_and_document(spark):
     assert [v["id"] for v in doc["vector_layers"]] == ["a", "b"]
     assert doc["bounds"][0] <= doc["bounds"][2]
     assert -85.06 < doc["bounds"][1] < doc["bounds"][3] < 85.06
+
+
+def test_filter_layer_features_semantics(spark):
+    import pandas as pd
+
+    zz = lambda v: v << 1 if v >= 0 else ((-v) << 1) - 1
+    lb = pbf.LayerBuilder("pts", extent=4096)
+    for fid, q, name in [(1, 10, "a"), (2, 30, "b"), (3, 50, "c")]:
+        lb.add_feature(
+            fid, gc.GEOM_POINT,
+            np.array([9, zz(fid), zz(fid)], dtype=np.uint64),
+            {"qty": q, "name": name},
+        )
+    pdf = pd.DataFrame(
+        [(5, 1, 1, "pts", lb.build(), 3, 3)],
+        columns=["z", "x", "y", "layer", "blob", "n_features", "n_points"],
+    )
+    df = spark.createDataFrame(pdf)
+    out = C.filter_layer_features(
+        df, key="qty", op=">=", value=30,
+        keep_keys=["qty"], rename="big",
+    ).collect()
+    assert len(out) == 1 and out[0]["layer"] == "big"
+    d = pbf.split_layer(bytes(out[0]["blob"]))
+    assert d["name"] == "big" and d["keys"] == ["qty"]
+    fids = [f[0] for f in d["features"]]
+    assert fids == [2, 3]
+    # projection rebuilt the value dictionary too (no orphan values)
+    assert len(d["raw_values"]) == 2
+    # empty result -> layer dropped entirely
+    none = C.filter_layer_features(df, key="qty", op=">", value=99)
+    assert none.count() == 0
+    # type-incomparable operand: never matches, never raises
+    mixed = C.filter_layer_features(df, key="name", op="<", value=5)
+    assert mixed.count() == 0
+    # has: key presence
+    assert C.filter_layer_features(df, key="name").count() == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="op must be"):
+        C.filter_layer_features(df, key="qty", op="~")
