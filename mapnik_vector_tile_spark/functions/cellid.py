@@ -186,3 +186,65 @@ def morton_sql(i: str, j: str, level: int) -> str:
         f"((({j} >> {b}) & 1) << {2 * b})"
         for b in range(level)
     )
+
+
+def quadkey_col(z: int):
+    """Bing/Azure quadkey string of the tile address columns (x, y) at
+    fixed zoom ``z`` — the third standard tile-addressing interchange
+    beside XYZ and TMS (digit i = x-bit | y-bit<<1, MSB first; string
+    length == z). Pure Column math inside codegen (shifts expressed as
+    exact power-of-two divisions — Spark's shiftright builtin only
+    takes literal bit counts); no UDF."""
+    from pyspark.sql import functions as F
+
+    if z < 1:
+        raise ValueError("quadkey_col: z must be >= 1")
+
+    def bit(col, i):
+        # (col >> (i-1)) & 1 for nonneg col, with a lambda-Column i
+        p = F.pow(F.lit(2.0), (i - F.lit(1)).cast("double"))
+        return (F.col(col).cast("double") / p).cast("long") % F.lit(2)
+
+    digits = F.transform(
+        F.sequence(F.lit(z), F.lit(1), F.lit(-1)),
+        lambda i: F.chr(
+            (F.lit(48) + bit("x", i) + F.lit(2) * bit("y", i)).cast("long")
+        ),
+    )
+    return F.array_join(digits, "")
+
+
+def quadkey_parse_cols(col: str, z: int):
+    """(x, y) Columns parsed back from a quadkey string column —
+    inverse of quadkey_col for fixed z (sum of digit bits scaled to
+    their levels)."""
+    from pyspark.sql import functions as F
+
+    zero = F.lit(0).cast("long")
+
+    def term(i, which):
+        d = F.ascii(F.substring(F.col(col), i.cast("int"), 1)) - F.lit(48)
+        b = d % 2 if which == "x" else (d.cast("double") / F.lit(2.0)).cast("long") % 2
+        scale = F.pow(F.lit(2.0), (F.lit(z) - i).cast("double")).cast("long")
+        return b.cast("long") * scale
+
+    x = F.aggregate(
+        F.sequence(F.lit(1), F.lit(z)), zero,
+        lambda acc, i: acc + term(i, "x"),
+    )
+    y = F.aggregate(
+        F.sequence(F.lit(1), F.lit(z)), zero,
+        lambda acc, i: acc + term(i, "y"),
+    )
+    return x, y
+
+
+def quadkey_sql(x: str, y: str, z: int) -> str:
+    """DuckDB twin of quadkey_col."""
+    parts = []
+    for i in range(z, 0, -1):
+        parts.append(
+            f"chr(CAST(48 + ((({x}) >> {i - 1}) & 1) "
+            f"+ 2 * ((({y}) >> {i - 1}) & 1) AS INT))"
+        )
+    return " || ".join(parts)

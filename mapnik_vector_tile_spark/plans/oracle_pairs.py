@@ -3749,6 +3749,60 @@ FROM base
 """
 
 
+QK_Z = 12  # q_quadkey zoom
+
+
+def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing/Azure quadkey strings (functions/cellid.quadkey_col — the
+    third standard tile addressing beside XYZ/TMS, used by every
+    Bing-schema tile store) with a FULL oracle: assign orders points
+    at z12, emit the quadkey, and PARSE IT BACK with
+    quadkey_parse_cols — the output carries the parsed (px, py), and
+    the twin emits the assigned (tx, ty) in those columns, so any
+    encode/parse asymmetry hash-mismatches. Pure Column bit math both
+    ways; zero shuffle beyond the scan."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.cellid import (
+        quadkey_col,
+        quadkey_parse_cols,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tx, ty = S.tile_xy_exprs(QK_Z)
+    # the point_cte mercator mix, rendered as Spark SQL (dialect-
+    # common subset: %, /, CAST, floor)
+    mxe = (
+        "((((o_orderkey) * 2654435761) % 4294967296) / "
+        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
+    )
+    mye = (
+        "((((o_orderkey) * 1103515245 + 12345) % 4294967296) / "
+        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
+    )
+    pts = orders.selectExpr(
+        "o_orderkey AS id", f"{mxe} AS mx", f"{mye} AS my"
+    ).selectExpr("id", f"{tx} AS x", f"{ty} AS y")
+    qk = pts.withColumn("quadkey", quadkey_col(QK_Z))
+    px, py = quadkey_parse_cols("quadkey", QK_Z)
+    return qk.select(
+        "id", "quadkey", px.alias("px"), py.alias("py")
+    )
+
+
+def _sql_quadkey(z: int = QK_Z) -> str:
+    from mapnik_vector_tile_spark.functions.cellid import quadkey_sql
+
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
+SELECT id, {quadkey_sql('tx', 'ty', z)} AS quadkey,
+       tx AS px, ty AS py
+FROM t
+"""
+
+
 IMG_TH_N = 400  # q_image_thumbs corpus size
 IMG_TH_S = 8  # thumbnail size
 
@@ -4689,6 +4743,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_geojson_tiles": (q_geojson_tiles, _sql_geojson_tiles(7)),
     "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
     "q_engine_layer_filter": (q_engine_layer_filter, _sql_layer_filter()),
+    "q_quadkey": (q_quadkey, _sql_quadkey()),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
@@ -4769,6 +4824,7 @@ _RECORD_FIRST = (
     "q_image_thumbs",
     "q_event_dedup",
     "q_engine_layer_filter",
+    "q_quadkey",
     "q_raster_tiff",
     "q_wkt_ingest",
     "q_wkb_ingest",

@@ -117,3 +117,28 @@ def test_hex_sql_twin_bit_exact():
     ).fetchnumpy()
     assert (got["hq"].astype(np.int64) == hq).all()
     assert (got["hr"].astype(np.int64) == hr).all()
+
+
+def test_quadkey_known_vectors_and_roundtrip(spark):
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions.cellid import (
+        quadkey_col,
+        quadkey_parse_cols,
+    )
+
+    # Bing documentation example: tile (3, 5) at level 3 -> "213"
+    rows = [(3, 5), (0, 0), (7, 7), (1, 0), (0, 1)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["x", "y"])
+    ).withColumn("quadkey", quadkey_col(3))
+    got = {(r["x"], r["y"]): r["quadkey"] for r in df.collect()}
+    assert got[(3, 5)] == "213"
+    assert got[(0, 0)] == "000"
+    assert got[(7, 7)] == "333"
+    assert got[(1, 0)] == "001"
+    assert got[(0, 1)] == "002"
+    px, py = quadkey_parse_cols("quadkey", 3)
+    back = df.select("x", "y", px.alias("px"), py.alias("py")).collect()
+    for r in back:
+        assert (r["px"], r["py"]) == (r["x"], r["y"])
