@@ -1153,3 +1153,37 @@ def filter_layer_features(
             yield pd.DataFrame(rows)
 
     return layers.mapInPandas(gen, schema=LAYER_SCHEMA)
+
+
+def pyramid_orphans(tiles: DataFrame, z_min: int | None = None) -> DataFrame:
+    """Tile-store integrity audit: addresses at z > z_min whose PARENT
+    address (z-1, x>>1, y>>1) is absent from the store — the broken-
+    zoom-chain defect a partially failed/pruned pyramid build leaves
+    behind (serving then 404s mid-zoom). ``z_min`` defaults to the
+    store's minimum zoom. Returns (z, x, y, parent_x, parent_y).
+
+    Shape: one DISTINCT address projection and one left-anti equi-join
+    on the parent address — partial-agg'd and AQE-splittable; tile
+    BYTES never enter the plan (address columns only), so the audit
+    costs metadata, not content."""
+    addrs = tiles.select("z", "x", "y").distinct()
+    if z_min is None:
+        z_min = addrs.agg(F.min("z")).collect()[0][0]
+        if z_min is None:
+            raise ValueError("pyramid_orphans: empty tile store")
+    kids = addrs.filter(F.col("z") > int(z_min)).select(
+        "z",
+        "x",
+        "y",
+        F.shiftright("x", 1).alias("parent_x"),
+        F.shiftright("y", 1).alias("parent_y"),
+        (F.col("z") - 1).alias("parent_z"),
+    )
+    parents = addrs.select(
+        F.col("z").alias("parent_z"),
+        F.col("x").alias("parent_x"),
+        F.col("y").alias("parent_y"),
+    )
+    return kids.join(
+        parents, ["parent_z", "parent_x", "parent_y"], "left_anti"
+    ).select("z", "x", "y", "parent_x", "parent_y")

@@ -3749,6 +3749,54 @@ FROM base
 """
 
 
+def q_pyramid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-integrity audit (composite.pyramid_orphans) with a FULL
+    oracle: build the z3..z6 painted pyramid from orders points, DROP
+    a deterministic subset of z5 tiles ((x + y) % 7 == 0 — a partial
+    build failure), and report every z6 tile whose parent vanished.
+    The twin replays the painted sets and the anti-join closed-form;
+    an audit that misses an orphan (or invents one) hash-mismatches.
+    Address-only plan: tile bytes never enter it."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
+    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8))
+    broken = tiles.filter(
+        ~((F.col("z") == 5) & ((F.col("x") + F.col("y")) % 7 == 0))
+    )
+    return comp.pyramid_orphans(broken)
+
+
+def _sql_pyramid_audit(z_lo: int = MBT_Z_LO, z_hi: int = MBT_Z_HI) -> str:
+    tx, ty = S.tile_xy_exprs(z_hi)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+base AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM pts),
+zs AS (SELECT unnest(generate_series({z_lo}, {z_hi})) AS z),
+lv AS (
+  SELECT DISTINCT zz.z AS z,
+         b.tx >> ({z_hi} - zz.z) AS x,
+         b.ty >> ({z_hi} - zz.z) AS y
+  FROM base b, zs zz
+),
+kept AS (
+  SELECT * FROM lv WHERE NOT (z = 5 AND (x + y) % 7 = 0)
+)
+SELECT CAST(k.z AS INT) AS z, k.x, k.y,
+       k.x >> 1 AS parent_x, k.y >> 1 AS parent_y
+FROM kept k
+WHERE k.z > {z_lo}
+  AND NOT EXISTS (
+    SELECT 1 FROM kept p
+    WHERE p.z = k.z - 1 AND p.x = k.x >> 1 AND p.y = k.y >> 1
+  )
+"""
+
+
 QK_Z = 12  # q_quadkey zoom
 
 
@@ -4744,6 +4792,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
     "q_engine_layer_filter": (q_engine_layer_filter, _sql_layer_filter()),
     "q_quadkey": (q_quadkey, _sql_quadkey()),
+    "q_pyramid_audit": (q_pyramid_audit, _sql_pyramid_audit()),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
@@ -4825,6 +4874,7 @@ _RECORD_FIRST = (
     "q_event_dedup",
     "q_engine_layer_filter",
     "q_quadkey",
+    "q_pyramid_audit",
     "q_raster_tiff",
     "q_wkt_ingest",
     "q_wkb_ingest",

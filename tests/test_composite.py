@@ -771,3 +771,33 @@ def test_filter_layer_features_semantics(spark):
 
     with pytest.raises(ValueError, match="op must be"):
         C.filter_layer_features(df, key="qty", op="~")
+
+
+def test_pyramid_orphans_detects_missing_parent(spark):
+    import pandas as pd
+
+    rows = [
+        (3, 1, 1, b"t"),
+        (4, 2, 2, b"t"),   # parent (3,1,1) present
+        (4, 6, 6, b"t"),   # parent (3,3,3) MISSING -> orphan
+        (5, 5, 5, b"t"),   # parent (4,2,2) present
+        (5, 12, 13, b"t"), # parent (4,6,6) present (itself an orphan)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "x", "y", "tile"])
+    )
+    got = sorted(
+        (r["z"], r["x"], r["y"], r["parent_x"], r["parent_y"])
+        for r in C.pyramid_orphans(df).collect()
+    )
+    assert got == [(4, 6, 6, 3, 3)]
+    # explicit z_min below the store's min adds the base level's check
+    got2 = sorted(
+        (r["z"], r["x"], r["y"])
+        for r in C.pyramid_orphans(df, z_min=2).collect()
+    )
+    assert (3, 1, 1) in got2  # z3's parent at z2 is absent
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        C.pyramid_orphans(df.filter("z > 99"))
