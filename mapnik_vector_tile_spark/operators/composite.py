@@ -1187,3 +1187,103 @@ def pyramid_orphans(tiles: DataFrame, z_min: int | None = None) -> DataFrame:
     return kids.join(
         parents, ["parent_z", "parent_x", "parent_y"], "left_anti"
     ).select("z", "x", "y", "parent_x", "parent_y")
+
+
+def layer_attribute_stats(layers: DataFrame) -> DataFrame:
+    """Mapbox-tilestats-shape attribute statistics over a LAYER table
+    (the ``tilestats`` block tippecanoe/tileserver publish beside
+    TileJSON): per (layer, attribute) — the tilestats type class,
+    feature count, exact distinct-value count, numeric min/max, and
+    the most frequent discrete value (count-desc, repr-asc tiebreak).
+
+    Kernel stage: one narrow blob scan pre-aggregates value counts
+    WITHIN each blob against its own (already deduplicated) key/value
+    dictionaries — rows leaving the scan are bounded by dictionary
+    sizes, not feature counts. Then two partial-agg'd shuffles on
+    (layer, attr[, value]) plus a tiny top-value join. Double values
+    contribute min/max but never a repr (cross-engine float formatting
+    is not part of the contract); ints, bools and strings carry
+    deterministic reprs."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            out = {
+                "layer": [], "attr": [], "vtype": [], "value_key": [],
+                "value_repr": [], "value_num": [], "cnt": [],
+            }
+            for lname, blob in zip(pdf["layer"], pdf["blob"]):
+                d = pbf.split_layer(bytes(blob))
+                keys = d["keys"]
+                dec = [pbf.decode_value(v) for v in d["raw_values"]]
+                counts: dict[tuple[int, int], int] = {}
+                for _fid, _gt, tags, _rg, _rr in d["features"]:
+                    for i in range(0, len(tags), 2):
+                        k = (tags[i], tags[i + 1])
+                        counts[k] = counts.get(k, 0) + 1
+                for (ki, vi), c in counts.items():
+                    v = dec[vi]
+                    vk = d["raw_values"][vi].hex()
+                    if isinstance(v, bool):
+                        vt, vr, vn = "boolean", ("true" if v else "false"), None
+                    elif isinstance(v, int):
+                        vt, vr, vn = "number", str(v), float(v)
+                    elif isinstance(v, float):
+                        vt, vr, vn = "number", None, v
+                    else:
+                        vt, vr, vn = "string", str(v), None
+                    out["layer"].append(lname)
+                    out["attr"].append(keys[ki])
+                    out["vtype"].append(vt)
+                    out["value_key"].append(vk)
+                    out["value_repr"].append(vr)
+                    out["value_num"].append(vn)
+                    out["cnt"].append(c)
+            yield pd.DataFrame(out)
+
+    vals = layers.mapInPandas(
+        gen,
+        schema=(
+            "layer string, attr string, vtype string, "
+            "value_key string, value_repr string, value_num double, "
+            "cnt long"
+        ),
+    )
+    # identity for distinct-counting is the RAW Value encoding (bit-
+    # exact, engine-internal) — doubles never need a cross-engine repr
+    per_value = vals.groupBy(
+        "layer", "attr", "vtype", "value_key", "value_repr"
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("value_num").alias("vmin"),
+        F.max("value_num").alias("vmax"),
+    )
+    stats = per_value.groupBy("layer", "attr").agg(
+        F.max("vtype").alias("vtype"),
+        F.sum("cnt").cast("bigint").alias("n_features"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.min("vmin").alias("min_num"),
+        F.max("vmax").alias("max_num"),
+        F.max(
+            F.when(F.col("value_repr").isNotNull(), F.col("cnt"))
+        ).alias("_topcnt"),
+    )
+    top = (
+        per_value.alias("v")
+        .join(
+            stats.select("layer", "attr", "_topcnt").alias("s"),
+            (F.col("v.layer") == F.col("s.layer"))
+            & (F.col("v.attr") == F.col("s.attr"))
+            & (F.col("v.cnt") == F.col("s._topcnt"))
+            & F.col("v.value_repr").isNotNull(),
+        )
+        .groupBy(F.col("v.layer").alias("layer"), F.col("v.attr").alias("attr"))
+        .agg(F.min("v.value_repr").alias("top_value"))
+    )
+    return (
+        stats.join(top, ["layer", "attr"], "left")
+        .select(
+            "layer", "attr", "vtype", "n_features", "n_distinct",
+            "min_num", "max_num", "top_value",
+        )
+    )

@@ -3797,6 +3797,74 @@ WHERE k.z > {z_lo}
 """
 
 
+def q_tilestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapbox-tilestats attribute statistics (composite.
+    layer_attribute_stats) over the typed-values layer store, FULL
+    oracle: per attribute — type class, feature count, EXACT distinct
+    count (identity = raw Value encoding bits, so doubles never need a
+    cross-engine repr), numeric min/max, and the most frequent
+    discrete value (count-desc, repr-asc). The DuckDB twin recomputes
+    all of it relationally from lineitem; a wrong dictionary decode,
+    a collapsed double, or a nondeterministic top-value tiebreak
+    breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.composite import (
+        layer_attribute_stats,
+    )
+
+    layers = _typed_layers(spark, sf_dir).select(
+        F.lit(8).alias("z"),
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        F.lit("li").alias("layer"),
+        F.col("blob"),
+        F.lit(0).cast("long").alias("n_features"),
+        F.lit(0).cast("long").alias("n_points"),
+    )
+    return layer_attribute_stats(layers)
+
+
+def _sql_tilestats() -> str:
+    return """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         l_extendedprice AS price,
+         (l_returnflag = 'R') AS rflag
+  FROM lineitem
+),
+qty_top AS (
+  SELECT CAST(qty AS VARCHAR) AS r, COUNT(*) AS c FROM li GROUP BY 1
+),
+rflag_top AS (
+  SELECT CASE WHEN rflag THEN 'true' ELSE 'false' END AS r,
+         COUNT(*) AS c
+  FROM li GROUP BY 1
+)
+SELECT 'li' AS layer, 'qty' AS attr, 'number' AS vtype,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(COUNT(DISTINCT qty) AS BIGINT) AS n_distinct,
+       CAST(MIN(qty) AS DOUBLE) AS min_num,
+       CAST(MAX(qty) AS DOUBLE) AS max_num,
+       (SELECT r FROM qty_top ORDER BY c DESC, r ASC LIMIT 1)
+         AS top_value
+FROM li
+UNION ALL
+SELECT 'li', 'price', 'number',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT price) AS BIGINT),
+       MIN(price), MAX(price), NULL
+FROM li
+UNION ALL
+SELECT 'li', 'rflag', 'boolean',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT rflag) AS BIGINT),
+       NULL, NULL,
+       (SELECT r FROM rflag_top ORDER BY c DESC, r ASC LIMIT 1)
+FROM li
+"""
+
+
 QK_Z = 12  # q_quadkey zoom
 
 
@@ -4793,6 +4861,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_layer_filter": (q_engine_layer_filter, _sql_layer_filter()),
     "q_quadkey": (q_quadkey, _sql_quadkey()),
     "q_pyramid_audit": (q_pyramid_audit, _sql_pyramid_audit()),
+    "q_tilestats": (q_tilestats, _sql_tilestats()),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
@@ -4875,6 +4944,7 @@ _RECORD_FIRST = (
     "q_engine_layer_filter",
     "q_quadkey",
     "q_pyramid_audit",
+    "q_tilestats",
     "q_raster_tiff",
     "q_wkt_ingest",
     "q_wkb_ingest",

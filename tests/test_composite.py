@@ -801,3 +801,49 @@ def test_pyramid_orphans_detects_missing_parent(spark):
 
     with pytest.raises(ValueError, match="empty"):
         C.pyramid_orphans(df.filter("z > 99"))
+
+
+def test_layer_attribute_stats(spark):
+    import pandas as pd
+
+    zz = lambda v: v << 1 if v >= 0 else ((-v) << 1) - 1
+    lb = pbf.LayerBuilder("a", extent=4096)
+    for fid, props in [
+        (1, {"n": 5, "s": "x", "f": True}),
+        (2, {"n": 5, "s": "y"}),
+        (3, {"n": 7, "d": 1.25}),
+    ]:
+        lb.add_feature(
+            fid, gc.GEOM_POINT,
+            np.array([9, zz(fid), zz(fid)], dtype=np.uint64), props,
+        )
+    lb2 = pbf.LayerBuilder("a", extent=4096)
+    lb2.add_feature(
+        9, gc.GEOM_POINT, np.array([9, 2, 2], dtype=np.uint64),
+        {"n": 9, "d": -0.5},
+    )
+    pdf = pd.DataFrame(
+        [
+            (5, 1, 1, "a", lb.build(), 3, 3),
+            (5, 2, 1, "a", lb2.build(), 1, 1),
+        ],
+        columns=["z", "x", "y", "layer", "blob", "n_features", "n_points"],
+    )
+    out = {
+        (r["layer"], r["attr"]): r
+        for r in C.layer_attribute_stats(
+            spark.createDataFrame(pdf)
+        ).collect()
+    }
+    n = out[("a", "n")]
+    assert (n["vtype"], n["n_features"], n["n_distinct"]) == ("number", 4, 3)
+    assert (n["min_num"], n["max_num"]) == (5.0, 9.0)
+    assert n["top_value"] == "5"  # count 2 beats 7/9's count 1
+    d = out[("a", "d")]
+    assert (d["n_features"], d["n_distinct"]) == (2, 2)
+    assert (d["min_num"], d["max_num"]) == (-0.5, 1.25)
+    assert d["top_value"] is None  # doubles carry no repr by contract
+    s = out[("a", "s")]
+    assert (s["vtype"], s["n_distinct"], s["top_value"]) == ("string", 2, "x")
+    f = out[("a", "f")]
+    assert (f["vtype"], f["top_value"]) == ("boolean", "true")
