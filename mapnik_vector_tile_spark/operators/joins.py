@@ -537,3 +537,159 @@ def bench_knn(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     # derived-points pipeline itself is never executed just for sizing
     n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     return knn_join(q, t, k=k, z=knn_auto_z(n, k), radii=(2, 4, 8, 16))
+
+
+def rect_cover_cells(rects: DataFrame, z: int) -> DataFrame:
+    """(rect_id, ctx, cty) — every z-level cell a rectangle's CLOSED
+    envelope touches (a rect IS its envelope, so the range explode is
+    exact). Pure Column: sequence() over the integer cell ranges."""
+    span = TWO_W / (1 << z)
+    nmax = (1 << z) - 1
+
+    def clamp(c):
+        return F.least(F.lit(nmax), F.greatest(F.lit(0), c))
+
+    cx0 = clamp(F.floor((F.col("x0") + F.lit(tm.W)) / F.lit(span)).cast("long"))
+    cx1 = clamp(F.floor((F.col("x1") + F.lit(tm.W)) / F.lit(span)).cast("long"))
+    cy0 = clamp(F.floor((F.lit(tm.W) - F.col("y1")) / F.lit(span)).cast("long"))
+    cy1 = clamp(F.floor((F.lit(tm.W) - F.col("y0")) / F.lit(span)).cast("long"))
+    return (
+        rects.withColumn("ctx", F.explode(F.sequence(cx0, cx1)))
+        .withColumn("cty", F.explode(F.sequence(cy0, cy1)))
+        .select("rect_id", "ctx", "cty")
+    )
+
+
+def _rect_poly_intersects(x0, y0, x1, y1, xs, ys, offs) -> bool:
+    """Exact closed-set intersects test: rectangle [x0,x1]x[y0,y1] vs
+    an even-odd polygon (holes subtract). True iff
+      (a) any ring vertex lies in the closed rect, or
+      (b) any rect corner is inside the polygon (the house half-open
+          even-odd ray cast — the SAME arithmetic the SQL twin runs), or
+      (c) any ring edge overlaps the rect (separating-axis test: the
+          only candidate axes for segment-vs-AABB are x, y, the edge
+          normal and the edge direction; every product is a plain
+          double op replayed verbatim by the twin).
+    If none hold the shapes are disjoint (or the rect sits strictly
+    inside a hole, which even-odd correctly reports as outside)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import pip as pipmod
+
+    # (a) vertex in closed rect
+    if bool(
+        ((xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)).any()
+    ):
+        return True
+    # (b) rect corner in polygon
+    cxs = np.array([x0, x1, x1, x0])
+    cys = np.array([y0, y0, y1, y1])
+    if bool(
+        pipmod.points_in_polygon(cxs, cys, xs, ys, offs).any()
+    ):
+        return True
+    # (c) SAT per ring edge
+    for r in range(len(offs) - 1):
+        s, e = int(offs[r]), int(offs[r + 1])
+        px, py = xs[s:e - 1], ys[s:e - 1]
+        qx, qy = xs[s + 1:e], ys[s + 1:e]
+        bb = (
+            (np.maximum(px, qx) >= x0)
+            & (np.minimum(px, qx) <= x1)
+            & (np.maximum(py, qy) >= y0)
+            & (np.minimum(py, qy) <= y1)
+        )
+        if not bb.any():
+            continue
+        dx, dy = qx - px, qy - py
+        # normal axis: corners must straddle (or touch) the edge line
+        cr = [
+            dx * (cy - py) - dy * (cx - px)
+            for cx, cy in zip(cxs, cys)
+        ]
+        cmin = np.minimum.reduce(cr)
+        cmax = np.maximum.reduce(cr)
+        straddle = (cmin <= 0.0) & (cmax >= 0.0)
+        # direction axis: rect projection must overlap [0, |d|^2]
+        dots = [
+            dx * (cx - px) + dy * (cy - py)
+            for cx, cy in zip(cxs, cys)
+        ]
+        dmin = np.minimum.reduce(dots)
+        dmax = np.maximum.reduce(dots)
+        dir_ok = (dmax >= 0.0) & (dmin <= dx * dx + dy * dy)
+        if bool((bb & straddle & dir_ok).any()):
+            return True
+    return False
+
+
+def polygon_rect_join(
+    rects: DataFrame, regions: DataFrame, z: int = 6
+) -> DataFrame:
+    """J8: polygon x rectangle INTERSECTS overlay join. Candidates =
+    EXACT polygon cell cover (operators/cellcover.py) equi-joined with
+    the rect envelope cell range at level z, deduplicated — a thin
+    diagonal region contributes its true cell footprint, not its
+    envelope square. Refine = the exact closed-set test above, run in
+    one Arrow kernel over the candidate pairs with the (small) region
+    table broadcast-joined in. Returns (rect_id, region_id).
+
+    Scale: candidates are one integer equi-join (broadcastable /
+    AQE-skew-splittable); the refine is O(edges) per candidate pair
+    and never sees a non-candidate. With both sides large, swap the
+    broadcast for the range-partitioned shape — the algebra is
+    unchanged."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        cover_polygon_cells,
+    )
+
+    feats = regions.select(
+        F.col("region_id").alias("feature_id"),
+        F.lit(3).alias("geom_type"),
+        "xs",
+        "ys",
+        F.col("ring_offsets").alias("part_offsets"),
+        F.lit("").alias("caption"),
+    )
+    pcells = cover_polygon_cells(feats, z).select(
+        F.col("feature_id").alias("region_id"),
+        F.col("cx").alias("ctx"),
+        F.col("cy").alias("cty"),
+    )
+    rcells = rect_cover_cells(rects, z)
+    cands = (
+        rcells.join(pcells, ["ctx", "cty"])
+        .select("rect_id", "region_id")
+        .distinct()
+    )
+    paired = (
+        cands.join(F.broadcast(regions), "region_id")
+        .join(
+            rects.select("rect_id", "x0", "y0", "x1", "y1"), "rect_id"
+        )
+    )
+
+    def refine(it):
+        import numpy as np
+
+        for pdf in it:
+            keep_r, keep_g = [], []
+            for row in pdf.itertuples():
+                if _rect_poly_intersects(
+                    float(row.x0), float(row.y0),
+                    float(row.x1), float(row.y1),
+                    np.asarray(row.xs, dtype=np.float64),
+                    np.asarray(row.ys, dtype=np.float64),
+                    np.asarray(row.ring_offsets, dtype=np.int64),
+                ):
+                    keep_r.append(row.rect_id)
+                    keep_g.append(row.region_id)
+            yield pd.DataFrame(
+                {"rect_id": keep_r, "region_id": keep_g}
+            )
+
+    return paired.mapInPandas(
+        refine, schema="rect_id long, region_id long"
+    )

@@ -3865,6 +3865,145 @@ FROM li
 """
 
 
+PRJ_N_RECTS = 64  # q_polygon_rect_join rect corpus size
+
+
+def _rect_exprs() -> tuple[str, str, str, str]:
+    """(x0, y0, x1, y1) SQL expressions over a rect id column ``i`` —
+    the house point mix for the top-left corner plus dyadic sizes;
+    rendered identically into Spark SQL and DuckDB so every rect bound
+    is the same double in both engines."""
+    cx = (
+        "((((i) * 2654435761) % 4294967296) / "
+        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
+    )
+    cy = (
+        "((((i) * 1103515245 + 12345) % 4294967296) / "
+        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
+    )
+    wexp = f"((i % 7) + 1) * {S.flit(2.0 * W / 256)}"
+    hexp = f"((i % 5) + 1) * {S.flit(2.0 * W / 256)}"
+    return (
+        f"({cx})",
+        f"(({cy}) - ({hexp}))",
+        f"(({cx}) + ({wexp}))",
+        f"({cy})",
+    )
+
+
+def q_polygon_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 polygon x rectangle INTERSECTS overlay join
+    (joins.polygon_rect_join) with a FULL oracle: 64 deterministic
+    mercator rectangles against the 200-region corpus
+    (convex/concave/holed). Engine candidates come from the EXACT
+    polygon cell cover ⋈ rect envelope range (closed covers both
+    sides — provably no false negatives); the refine is the
+    three-clause closed-set test (vertex-in-rect, corner-in-polygon
+    via the house even-odd ray cast, segment-vs-AABB separating-axis).
+    The DuckDB twin computes the SAME three clauses over inlined
+    vertex/edge VALUES — identical double expressions, identical
+    boundary semantics — with NO cell machinery, so candidates and
+    refine are both gated."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import joins as J
+    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
+
+    x0, y0, x1, y1 = _rect_exprs()
+    rects = (
+        spark.range(PRJ_N_RECTS)
+        .selectExpr("id AS i")
+        .selectExpr(
+            "i AS rect_id",
+            f"{x0} AS x0",
+            f"{y0} AS y0",
+            f"{x1} AS x1",
+            f"{y1} AS y1",
+        )
+    )
+    regions = regions_merc_df(spark, 200).select(
+        "region_id", "xs", "ys", "ring_offsets"
+    )
+    return J.polygon_rect_join(rects, regions, z=6)
+
+
+def _sql_polygon_rect_join(n_regions: int = 200) -> str:
+    from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
+
+    pdf = gen_regions_merc_pdf(n_regions)
+    vrows, erows = [], []
+    for rid, xs, ys, offs in zip(
+        pdf["region_id"], pdf["xs"], pdf["ys"], pdf["ring_offsets"]
+    ):
+        for r in range(len(offs) - 1):
+            s, e = offs[r], offs[r + 1]
+            for i in range(s, e):
+                vrows.append(f"({rid},{S.flit(xs[i])},{S.flit(ys[i])})")
+            for i in range(s + 1, e):
+                erows.append(
+                    f"({rid},{S.flit(xs[i - 1])},{S.flit(ys[i - 1])},"
+                    f"{S.flit(xs[i])},{S.flit(ys[i])})"
+                )
+    x0, y0, x1, y1 = _rect_exprs()
+    cross = "(e.x2e - e.x1e) * ({cy} - e.y1e) - (e.y2e - e.y1e) * ({cx} - e.x1e)"
+    dot = "(e.x2e - e.x1e) * ({cx} - e.x1e) + (e.y2e - e.y1e) * ({cy} - e.y1e)"
+    corners = [
+        ("r.x0", "r.y0"), ("r.x1", "r.y0"), ("r.x1", "r.y1"), ("r.x0", "r.y1")
+    ]
+    crs = [cross.format(cx=cx, cy=cy) for cx, cy in corners]
+    dts = [dot.format(cx=cx, cy=cy) for cx, cy in corners]
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {PRJ_N_RECTS - 1})) AS i),
+rects AS (
+  SELECT i AS rect_id, {x0} AS x0, {y0} AS y0, {x1} AS x1, {y1} AS y1
+  FROM ids
+),
+verts(region_id, vx, vy) AS (VALUES
+{",".join(vrows)}),
+edges(region_id, x1e, y1e, x2e, y2e) AS (VALUES
+{",".join(erows)}),
+a AS (
+  SELECT DISTINCT r.rect_id, v.region_id
+  FROM rects r JOIN verts v
+    ON v.vx >= r.x0 AND v.vx <= r.x1
+   AND v.vy >= r.y0 AND v.vy <= r.y1
+),
+corners AS (
+  SELECT rect_id, x0 AS px, y0 AS py FROM rects
+  UNION ALL SELECT rect_id, x1, y0 FROM rects
+  UNION ALL SELECT rect_id, x1, y1 FROM rects
+  UNION ALL SELECT rect_id, x0, y1 FROM rects
+),
+cr AS (
+  SELECT c.rect_id, e.region_id, c.px, c.py, COUNT(*) AS ncross
+  FROM corners c JOIN edges e
+    ON ((e.y2e > c.py) != (e.y1e > c.py))
+   AND c.px < (e.x1e - e.x2e) * (c.py - e.y2e) / (e.y1e - e.y2e) + e.x2e
+  GROUP BY 1, 2, 3, 4
+),
+b AS (
+  SELECT DISTINCT rect_id, region_id FROM cr WHERE ncross % 2 = 1
+),
+sat AS (
+  SELECT DISTINCT r.rect_id, e.region_id
+  FROM rects r JOIN edges e
+    ON GREATEST(e.x1e, e.x2e) >= r.x0 AND LEAST(e.x1e, e.x2e) <= r.x1
+   AND GREATEST(e.y1e, e.y2e) >= r.y0 AND LEAST(e.y1e, e.y2e) <= r.y1
+   AND LEAST({crs[0]}, {crs[1]}, {crs[2]}, {crs[3]}) <= 0.0e0
+   AND GREATEST({crs[0]}, {crs[1]}, {crs[2]}, {crs[3]}) >= 0.0e0
+   AND GREATEST({dts[0]}, {dts[1]}, {dts[2]}, {dts[3]}) >= 0.0e0
+   AND LEAST({dts[0]}, {dts[1]}, {dts[2]}, {dts[3]})
+       <= (e.x2e - e.x1e) * (e.x2e - e.x1e)
+        + (e.y2e - e.y1e) * (e.y2e - e.y1e)
+)
+SELECT rect_id, region_id FROM a
+UNION
+SELECT rect_id, region_id FROM b
+UNION
+SELECT rect_id, region_id FROM sat
+"""
+
+
 QK_Z = 12  # q_quadkey zoom
 
 
@@ -4862,6 +5001,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_quadkey": (q_quadkey, _sql_quadkey()),
     "q_pyramid_audit": (q_pyramid_audit, _sql_pyramid_audit()),
     "q_tilestats": (q_tilestats, _sql_tilestats()),
+    "q_polygon_rect_join": (q_polygon_rect_join, _sql_polygon_rect_join()),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
@@ -4945,6 +5085,7 @@ _RECORD_FIRST = (
     "q_quadkey",
     "q_pyramid_audit",
     "q_tilestats",
+    "q_polygon_rect_join",
     "q_raster_tiff",
     "q_wkt_ingest",
     "q_wkb_ingest",

@@ -250,3 +250,73 @@ def test_radius_join_rejects_too_fine_z(spark):
     qdf = spark.createDataFrame([(1, 0.0, 0.0)], "id long, mx double, my double")
     with pytest.raises(ValueError, match="coarser"):
         J.radius_join(qdf, qdf, radius=tm.tile_span(5), z=8)
+
+
+def test_polygon_rect_join_matches_bruteforce(spark):
+    """J8 candidate completeness: the cover-cell candidate join +
+    refine must equal applying the exact test to EVERY pair."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators import joins as J
+    from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
+
+    reg_pdf = gen_regions_merc_pdf(40)
+    rng = np.random.RandomState(3)
+    W = 20037508.342789244
+    rows = []
+    for i in range(30):
+        cx = float(rng.uniform(-W, W * 0.9))
+        cy = float(rng.uniform(-W * 0.9, W))
+        w = float(rng.uniform(W / 400, W / 20))
+        h = float(rng.uniform(W / 400, W / 20))
+        rows.append((i, cx, cy - h, cx + w, cy))
+    rects_pdf = pd.DataFrame(
+        rows, columns=["rect_id", "x0", "y0", "x1", "y1"]
+    )
+    got = sorted(
+        (r["rect_id"], r["region_id"])
+        for r in J.polygon_rect_join(
+            spark.createDataFrame(rects_pdf),
+            spark.createDataFrame(reg_pdf),
+            z=5,
+        ).collect()
+    )
+    want = []
+    for rr in rects_pdf.itertuples():
+        for gg in reg_pdf.itertuples():
+            if J._rect_poly_intersects(
+                rr.x0, rr.y0, rr.x1, rr.y1,
+                np.asarray(gg.xs), np.asarray(gg.ys),
+                np.asarray(gg.ring_offsets),
+            ):
+                want.append((rr.rect_id, gg.region_id))
+    assert got == sorted(want)
+    assert len(want) > 0  # corpus actually produces intersections
+
+
+def test_rect_poly_intersects_cases():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.joins import (
+        _rect_poly_intersects,
+    )
+
+    tri_x = np.array([0.0, 10.0, 0.0, 0.0])
+    tri_y = np.array([0.0, 0.0, 10.0, 0.0])
+    offs = np.array([0, 4])
+    f = lambda x0, y0, x1, y1: _rect_poly_intersects(
+        x0, y0, x1, y1, tri_x, tri_y, offs
+    )
+    assert f(-1, -1, 11, 11)          # polygon inside rect
+    assert f(2, 2, 3, 3)              # rect inside polygon
+    assert f(4, 4, 12, 12)            # hypotenuse slices through
+    assert not f(8, 8, 12, 12)        # beyond the hypotenuse
+    assert f(10.0, 0.0, 12.0, 2.0)    # touching at one vertex (closed)
+    assert not f(10.1, 0.1, 12.0, 2.0)
+    # rect strictly inside a hole -> outside
+    sq_x = np.array([0.0, 10, 10, 0, 0, 2, 2, 8, 8, 2])
+    sq_y = np.array([0.0, 0, 10, 10, 0, 2, 8, 8, 2, 2])
+    offs2 = np.array([0, 5, 10])
+    assert not _rect_poly_intersects(4, 4, 6, 6, sq_x, sq_y, offs2)
+    assert _rect_poly_intersects(1, 1, 3, 3, sq_x, sq_y, offs2)
