@@ -693,3 +693,145 @@ def polygon_rect_join(
     return paired.mapInPandas(
         refine, schema="rect_id long, region_id long"
     )
+
+
+def _segments_of(xs, ys, offs):
+    """Concatenated per-ring consecutive vertex pairs (explicitly
+    closed rings: no wrap edge)."""
+    import numpy as np
+
+    pxs, pys, qxs, qys = [], [], [], []
+    for r in range(len(offs) - 1):
+        s, e = int(offs[r]), int(offs[r + 1])
+        pxs.append(xs[s:e - 1])
+        pys.append(ys[s:e - 1])
+        qxs.append(xs[s + 1:e])
+        qys.append(ys[s + 1:e])
+    return (
+        np.concatenate(pxs), np.concatenate(pys),
+        np.concatenate(qxs), np.concatenate(qys),
+    )
+
+
+def _poly_poly_intersects(axs, ays, aoffs, bxs, bys, boffs) -> bool:
+    """Exact closed-set polygon/polygon intersects (even-odd, holes
+    subtract): (a) any A-vertex inside B, (b) any B-vertex inside A
+    (both via the house half-open ray cast), or (c) any A-edge meets
+    any B-edge — the orientation test o1·o2 <= 0 AND o3·o4 <= 0, with
+    the all-collinear case falling back to 1D bbox overlap. Every
+    product is a single double op replayed verbatim by the SQL twin.
+    If none hold, either disjoint or one sits in the other's hole
+    (which even-odd correctly reports as outside)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import pip as pipmod
+
+    if bool(pipmod.points_in_polygon(axs, ays, bxs, bys, boffs).any()):
+        return True
+    if bool(pipmod.points_in_polygon(bxs, bys, axs, ays, aoffs).any()):
+        return True
+    p1x, p1y, q1x, q1y = _segments_of(axs, ays, aoffs)
+    p2x, p2y, q2x, q2y = _segments_of(bxs, bys, boffs)
+    # all A-edges x all B-edges, vectorized (na x nb)
+    P1x, P1y = p1x[:, None], p1y[:, None]
+    Q1x, Q1y = q1x[:, None], q1y[:, None]
+    P2x, P2y = p2x[None, :], p2y[None, :]
+    Q2x, Q2y = q2x[None, :], q2y[None, :]
+    d1x, d1y = Q1x - P1x, Q1y - P1y
+    d2x, d2y = Q2x - P2x, Q2y - P2y
+    o1 = d1x * (P2y - P1y) - d1y * (P2x - P1x)
+    o2 = d1x * (Q2y - P1y) - d1y * (Q2x - P1x)
+    o3 = d2x * (P1y - P2y) - d2y * (P1x - P2x)
+    o4 = d2x * (Q1y - P2y) - d2y * (Q1x - P2x)
+    proper = (o1 * o2 <= 0.0) & (o3 * o4 <= 0.0)
+    noncol = (o1 != 0.0) | (o2 != 0.0) | (o3 != 0.0) | (o4 != 0.0)
+    bbox = (
+        (np.maximum(P1x, Q1x) >= np.minimum(P2x, Q2x))
+        & (np.minimum(P1x, Q1x) <= np.maximum(P2x, Q2x))
+        & (np.maximum(P1y, Q1y) >= np.minimum(P2y, Q2y))
+        & (np.minimum(P1y, Q1y) <= np.maximum(P2y, Q2y))
+    )
+    hit = bbox & ((proper & noncol) | (~noncol))
+    return bool(hit.any())
+
+
+def polygon_polygon_join(
+    a: DataFrame, b: DataFrame, z: int = 6
+) -> DataFrame:
+    """J9: polygon x polygon INTERSECTS overlay join — the general GIS
+    overlay shape (admin x landuse, footprint x zone). Candidates =
+    EXACT cell cover of BOTH sides equi-joined on the cell id (closed
+    covers: a shared intersection point's cell is in both covers, so
+    no false negatives), deduplicated; refine = the exact closed-set
+    test above in one Arrow kernel, with side b broadcast-joined (swap
+    to the range-partitioned shape when both sides are large — the
+    candidate algebra is unchanged). Inputs both carry
+    (region_id, xs, ys, ring_offsets); returns (a_id, b_id)."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        cover_polygon_cells,
+    )
+
+    def cells_of(df, alias):
+        feats = df.select(
+            F.col("region_id").alias("feature_id"),
+            F.lit(3).alias("geom_type"),
+            "xs",
+            "ys",
+            F.col("ring_offsets").alias("part_offsets"),
+            F.lit("").alias("caption"),
+        )
+        return cover_polygon_cells(feats, z).select(
+            F.col("feature_id").alias(alias),
+            F.col("cx").alias("ctx"),
+            F.col("cy").alias("cty"),
+        )
+
+    cands = (
+        cells_of(a, "a_id")
+        .join(cells_of(b, "b_id"), ["ctx", "cty"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    paired = cands.join(
+        F.broadcast(
+            a.select(
+                F.col("region_id").alias("a_id"),
+                F.col("xs").alias("axs"),
+                F.col("ys").alias("ays"),
+                F.col("ring_offsets").alias("aoffs"),
+            )
+        ),
+        "a_id",
+    ).join(
+        F.broadcast(
+            b.select(
+                F.col("region_id").alias("b_id"),
+                F.col("xs").alias("bxs"),
+                F.col("ys").alias("bys"),
+                F.col("ring_offsets").alias("boffs"),
+            )
+        ),
+        "b_id",
+    )
+
+    def refine(it):
+        import numpy as np
+
+        for pdf in it:
+            ka, kb = [], []
+            for row in pdf.itertuples():
+                if _poly_poly_intersects(
+                    np.asarray(row.axs, dtype=np.float64),
+                    np.asarray(row.ays, dtype=np.float64),
+                    np.asarray(row.aoffs, dtype=np.int64),
+                    np.asarray(row.bxs, dtype=np.float64),
+                    np.asarray(row.bys, dtype=np.float64),
+                    np.asarray(row.boffs, dtype=np.int64),
+                ):
+                    ka.append(row.a_id)
+                    kb.append(row.b_id)
+            yield pd.DataFrame({"a_id": ka, "b_id": kb})
+
+    return paired.mapInPandas(refine, schema="a_id long, b_id long")

@@ -4004,6 +4004,117 @@ SELECT rect_id, region_id FROM sat
 """
 
 
+def q_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 polygon x polygon INTERSECTS overlay join
+    (joins.polygon_polygon_join — the general GIS overlay) with a FULL
+    oracle: regions 0..99 of the 200-region corpus against regions
+    100..199 (disjoint id ranges, distinct shapes, convex/concave/
+    holed on both sides). Engine candidates come from the exact cell
+    covers of BOTH sides; the refine is vertex-in-B ∪ vertex-in-A
+    (house even-odd) ∪ edge-meets-edge (orientation products with the
+    all-collinear 1D-bbox fallback). The twin replays all three
+    clauses over inlined VALUES with no cell machinery — identical
+    double expressions — gating candidates and refine."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import joins as J
+    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
+
+    regions = regions_merc_df(spark, 200).select(
+        "region_id", "xs", "ys", "ring_offsets"
+    )
+    a = regions.filter(F.col("region_id") < 100)
+    b = regions.filter(F.col("region_id") >= 100)
+    return J.polygon_polygon_join(a, b, z=6)
+
+
+def _sql_polygon_polygon_join(n_regions: int = 200) -> str:
+    from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
+
+    pdf = gen_regions_merc_pdf(n_regions)
+    va, vb, ea, eb = [], [], [], []
+    for rid, xs, ys, offs in zip(
+        pdf["region_id"], pdf["xs"], pdf["ys"], pdf["ring_offsets"]
+    ):
+        vt = va if rid < 100 else vb
+        et = ea if rid < 100 else eb
+        for r in range(len(offs) - 1):
+            s_, e_ = offs[r], offs[r + 1]
+            for i in range(s_, e_):
+                vt.append(f"({rid},{S.flit(xs[i])},{S.flit(ys[i])})")
+            for i in range(s_ + 1, e_):
+                et.append(
+                    f"({rid},{S.flit(xs[i - 1])},{S.flit(ys[i - 1])},"
+                    f"{S.flit(xs[i])},{S.flit(ys[i])})"
+                )
+    o1 = "(ea.qx - ea.px) * (eb.py - ea.py) - (ea.qy - ea.py) * (eb.px - ea.px)"
+    o2 = "(ea.qx - ea.px) * (eb.qy - ea.py) - (ea.qy - ea.py) * (eb.qx - ea.px)"
+    o3 = "(eb.qx - eb.px) * (ea.py - eb.py) - (eb.qy - eb.py) * (ea.px - eb.px)"
+    o4 = "(eb.qx - eb.px) * (ea.qy - eb.py) - (eb.qy - eb.py) * (ea.qx - eb.px)"
+    return f"""
+WITH va(region_id, vx, vy) AS (VALUES
+{",".join(va)}),
+vb(region_id, vx, vy) AS (VALUES
+{",".join(vb)}),
+ea(region_id, px, py, qx, qy) AS (VALUES
+{",".join(ea)}),
+eb(region_id, px, py, qx, qy) AS (VALUES
+{",".join(eb)}),
+cr_ab AS (
+  SELECT v.region_id AS a_id, e.region_id AS b_id, v.vx, v.vy,
+         COUNT(*) AS ncross
+  FROM va v JOIN eb e
+    ON ((e.qy > v.vy) != (e.py > v.vy))
+   AND v.vx < (e.px - e.qx) * (v.vy - e.qy) / (e.py - e.qy) + e.qx
+  GROUP BY 1, 2, 3, 4
+),
+cl_a AS (SELECT DISTINCT a_id, b_id FROM cr_ab WHERE ncross % 2 = 1),
+cr_ba AS (
+  SELECT e.region_id AS a_id, v.region_id AS b_id, v.vx, v.vy,
+         COUNT(*) AS ncross
+  FROM vb v JOIN ea e
+    ON ((e.qy > v.vy) != (e.py > v.vy))
+   AND v.vx < (e.px - e.qx) * (v.vy - e.qy) / (e.py - e.qy) + e.qx
+  GROUP BY 1, 2, 3, 4
+),
+cl_b AS (SELECT DISTINCT a_id, b_id FROM cr_ba WHERE ncross % 2 = 1),
+ea2 AS (
+  SELECT region_id, px, py, qx, qy,
+         GREATEST(px, qx) AS bxmax, LEAST(px, qx) AS bxmin,
+         GREATEST(py, qy) AS bymax, LEAST(py, qy) AS bymin
+  FROM ea
+),
+eb2 AS (
+  SELECT region_id, px, py, qx, qy,
+         GREATEST(px, qx) AS bxmax, LEAST(px, qx) AS bxmin,
+         GREATEST(py, qy) AS bymax, LEAST(py, qy) AS bymin
+  FROM eb
+),
+segp AS (
+  SELECT ea.region_id AS a_id, eb.region_id AS b_id,
+         ((ea.qx - ea.px) * (eb.py - ea.py) - (ea.qy - ea.py) * (eb.px - ea.px)) AS o1,
+         ((ea.qx - ea.px) * (eb.qy - ea.py) - (ea.qy - ea.py) * (eb.qx - ea.px)) AS o2,
+         ((eb.qx - eb.px) * (ea.py - eb.py) - (eb.qy - eb.py) * (ea.px - eb.px)) AS o3,
+         ((eb.qx - eb.px) * (ea.qy - eb.py) - (eb.qy - eb.py) * (ea.qx - eb.px)) AS o4
+  FROM ea2 ea JOIN eb2 eb
+    ON ea.bxmax >= eb.bxmin AND ea.bxmin <= eb.bxmax
+   AND ea.bymax >= eb.bymin AND ea.bymin <= eb.bymax
+),
+seg AS (
+  SELECT DISTINCT a_id, b_id FROM segp
+  WHERE (o1 * o2 <= 0.0e0 AND o3 * o4 <= 0.0e0
+         AND NOT (o1 = 0.0e0 AND o2 = 0.0e0
+              AND o3 = 0.0e0 AND o4 = 0.0e0))
+     OR (o1 = 0.0e0 AND o2 = 0.0e0 AND o3 = 0.0e0 AND o4 = 0.0e0)
+)
+SELECT a_id, b_id FROM cl_a
+UNION
+SELECT a_id, b_id FROM cl_b
+UNION
+SELECT a_id, b_id FROM seg
+"""
+
+
 QK_Z = 12  # q_quadkey zoom
 
 
@@ -5002,6 +5113,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_pyramid_audit": (q_pyramid_audit, _sql_pyramid_audit()),
     "q_tilestats": (q_tilestats, _sql_tilestats()),
     "q_polygon_rect_join": (q_polygon_rect_join, _sql_polygon_rect_join()),
+    "q_polygon_polygon_join": (q_polygon_polygon_join, _sql_polygon_polygon_join()),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
@@ -5086,6 +5198,7 @@ _RECORD_FIRST = (
     "q_pyramid_audit",
     "q_tilestats",
     "q_polygon_rect_join",
+    "q_polygon_polygon_join",
     "q_raster_tiff",
     "q_wkt_ingest",
     "q_wkb_ingest",

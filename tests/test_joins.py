@@ -320,3 +320,85 @@ def test_rect_poly_intersects_cases():
     offs2 = np.array([0, 5, 10])
     assert not _rect_poly_intersects(4, 4, 6, 6, sq_x, sq_y, offs2)
     assert _rect_poly_intersects(1, 1, 3, 3, sq_x, sq_y, offs2)
+
+
+def test_polygon_polygon_join_matches_bruteforce(spark):
+    """J9 candidate completeness: cover-cell candidates + refine must
+    equal the exact test over EVERY cross pair."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import joins as J
+    from mapnik_vector_tile_spark.sources.synth import (
+        gen_regions_merc_pdf,
+        regions_merc_df,
+    )
+
+    regions = regions_merc_df(spark, 60).select(
+        "region_id", "xs", "ys", "ring_offsets"
+    )
+    a = regions.filter(F.col("region_id") < 30)
+    b = regions.filter(F.col("region_id") >= 30)
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in J.polygon_polygon_join(a, b, z=5).collect()
+    )
+    pdf = gen_regions_merc_pdf(60)
+    want = []
+    for ra in pdf.itertuples():
+        if ra.region_id >= 30:
+            continue
+        for rb in pdf.itertuples():
+            if rb.region_id < 30:
+                continue
+            if J._poly_poly_intersects(
+                np.asarray(ra.xs), np.asarray(ra.ys),
+                np.asarray(ra.ring_offsets),
+                np.asarray(rb.xs), np.asarray(rb.ys),
+                np.asarray(rb.ring_offsets),
+            ):
+                want.append((ra.region_id, rb.region_id))
+    assert got == sorted(want) and len(want) > 0
+
+
+def test_poly_poly_intersects_cases():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.joins import (
+        _poly_poly_intersects,
+    )
+
+    sq = lambda x0, y0, s_: (
+        np.array([x0, x0 + s_, x0 + s_, x0, x0]),
+        np.array([y0, y0, y0 + s_, y0 + s_, y0]),
+        np.array([0, 5]),
+    )
+    a = sq(0, 0, 10)
+    assert _poly_poly_intersects(*a, *sq(5, 5, 10))      # overlap
+    assert _poly_poly_intersects(*a, *sq(2, 2, 2))       # containment
+    assert _poly_poly_intersects(*a, *sq(10, 10, 3))     # corner touch
+    assert _poly_poly_intersects(*a, *sq(10, 2, 3))      # edge touch
+    assert not _poly_poly_intersects(*a, *sq(11, 0, 3))  # disjoint
+    # crossing without any vertex inside the other (plus shape)
+    wide = (
+        np.array([-1.0, 11, 11, -1, -1]),
+        np.array([4.0, 4, 6, 6, 4]),
+        np.array([0, 5]),
+    )
+    tall = (
+        np.array([4.0, 6, 6, 4, 4]),
+        np.array([-1.0, -1, 11, 11, -1]),
+        np.array([0, 5]),
+    )
+    assert _poly_poly_intersects(*wide, *tall)
+    # square inside the other's hole -> no intersection
+    holed_x = np.array([0.0, 20, 20, 0, 0, 4, 4, 16, 16, 4])
+    holed_y = np.array([0.0, 0, 20, 20, 0, 4, 16, 16, 4, 4])
+    hoffs = np.array([0, 5, 10])
+    assert not _poly_poly_intersects(
+        holed_x, holed_y, hoffs, *sq(8, 8, 4)
+    )
+    assert _poly_poly_intersects(
+        holed_x, holed_y, hoffs, *sq(1, 1, 2)
+    )
