@@ -57,7 +57,8 @@ def main() -> None:
     ap.add_argument("--cache", default="/tmp/kernel_bench_batch")
     ap.add_argument("--refresh", action="store_true",
                     help="force re-materialization of the cached batch")
-    ap.add_argument("--mode", choices=("encode", "decode", "multimodal"),
+    ap.add_argument("--mode",
+                    choices=("encode", "decode", "multimodal", "downzoom"),
                     default="encode",
                     help="decode: time the tile->features kernel on the "
                          "tiles produced (in-process) from the same batch; "
@@ -105,6 +106,10 @@ def main() -> None:
         _decode_bench(pdf, keys, prepare, encode_group, args)
         return
 
+    if args.mode == "downzoom":
+        _downzoom_bench(pdf, keys, prepare, encode_group, args)
+        return
+
     best = float("inf")
     out_bytes = out_rows = n_groups = 0
     for _ in range(max(1, args.repeat)):
@@ -136,6 +141,70 @@ def main() -> None:
                 "out_rows": out_rows,
                 "out_bytes": out_bytes,
                 "rows_per_sec": round(n / best),
+                "z": args.z,
+                "n_images": args.n_images,
+            }
+        )
+    )
+
+
+def _downzoom_bench(pdf, keys, prepare, encode_group, args) -> None:
+    """Time ONE 4->1 rollup level over the layers produced (untimed,
+    in-process) from the fixed batch: encode partials, splice-merge
+    per tile, then run composite.downzoom_parent_layer over every
+    parent group. out_bytes is the determinism pin for the rollup
+    kernel (floor-shift + dictionary re-merge)."""
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import (
+        downzoom_parent_layer,
+    )
+    from mapnik_vector_tile_spark.operators.grouped import group_starts
+
+    n = len(pdf)
+    cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+    cols.update(prepare(cols, n))
+    keycols = [cols[k] for k in keys]
+    starts = group_starts(keycols, n)
+    partials: dict[tuple, list] = {}
+    for i in range(len(starts) - 1):
+        s0 = int(starts[i])
+        sl = slice(s0, int(starts[i + 1]))
+        for row in encode_group(tuple(c[s0] for c in keycols), cols, sl) or []:
+            partials.setdefault((row[0], row[1], row[2]), []).append(row[4])
+    tiles = [
+        (z, x, y, pbf.splice_merge_layers(blobs, "features"))
+        for (z, x, y), blobs in sorted(partials.items())
+    ]
+    parents: dict[tuple, list] = {}
+    for z, x, y, blob in tiles:
+        parents.setdefault((z - 1, x >> 1, y >> 1), []).append(
+            (x & 1, y & 1, blob)
+        )
+
+    best = float("inf")
+    out_bytes = out_feats = 0
+    for _ in range(max(1, args.repeat)):
+        t0 = time.monotonic()
+        tb = tf = 0
+        for _k, kids in sorted(parents.items()):
+            r = downzoom_parent_layer(kids)
+            if r is not None:
+                tb += len(r[0])
+                tf += r[1]
+        wall = time.monotonic() - t0
+        best = min(best, wall)
+        out_bytes, out_feats = tb, tf
+
+    print(
+        json.dumps(
+            {
+                "metric": "downzoom_kernel_fixed_batch_seconds",
+                "value": round(best, 3),
+                "unit": "sec",
+                "tiles_in": len(tiles),
+                "parents": len(parents),
+                "out_features": out_feats,
+                "out_bytes": out_bytes,
                 "z": args.z,
                 "n_images": args.n_images,
             }
