@@ -235,6 +235,7 @@ def run_incremental_retile(
     checkpoint_dir: str | None = None,
     overzoom_dz: int = 0,
     overzoom_buffer: int = 128,
+    rollup_to_z: int | None = None,
 ) -> None:
     """The production-shaped leg the module docstring promises: dirty
     tickets from the stateful counter drive foreachBatch, which
@@ -259,7 +260,21 @@ def run_incremental_retile(
     math cannot drift) and appends them with the same version + batch
     stamp — byte-identical to a cold batch overzoom of the final
     parents (asserted in tests/test_streaming.py). ``overzoom_buffer``
-    must match the buffer the serving store was built with."""
+    must match the buffer the serving store was built with.
+
+    ``rollup_to_z``: the ANCESTOR direction — a dirty base tile makes
+    every ancestor up to rollup_to_z stale, and an ancestor needs ALL
+    its base descendants (clean siblings included), so each
+    micro-batch rebuilds the full subtree under every dirty top-level
+    ancestor: latest-version base tiles from the store (this batch's
+    append included), downzoom_band to rollup_to_z
+    (composite.downzoom_layers — the SAME rollup the batch --rollup
+    pipeline serves from), appended to ``out_dir + "_rollup"`` with
+    the max dirty version under each top ancestor. Byte-identical to
+    a cold batch rollup of the final base tiles (asserted in tests).
+    Intended for small z - rollup_to_z (1..3 levels), like
+    overzoom_dz — the subtree read is 4^(z-to_z) base tiles per dirty
+    top ancestor."""
     from pyspark.sql import functions as SF
 
     from mapnik_vector_tile_spark.operators import tiling as T
@@ -331,6 +346,52 @@ def run_incremental_retile(
                 .parquet(out_dir + "_overzoom")
             )
             stamped.unpersist()
+
+        if rollup_to_z is not None and rollup_to_z < z:
+            from mapnik_vector_tile_spark.operators import composite as C
+
+            dz = z - rollup_to_z
+            store = spark.read.parquet(out_dir)
+            latest = (
+                store.groupBy("z", "x", "y")
+                .agg(
+                    SF.max(
+                        SF.struct("batch_id", "version", "tile")
+                    ).alias("r")
+                )
+                .select("z", "x", "y", SF.col("r.tile").alias("tile"))
+            )
+            tops = keys.select(
+                SF.shiftright("x", dz).alias("ax"),
+                SF.shiftright("y", dz).alias("ay"),
+                "version",
+            ).groupBy("ax", "ay").agg(SF.max("version").alias("version"))
+            sub = latest.withColumn(
+                "ax", SF.shiftright("x", dz)
+            ).withColumn("ay", SF.shiftright("y", dz)).join(
+                SF.broadcast(tops.select("ax", "ay")), ["ax", "ay"]
+            )
+            band = C.downzoom_band(
+                C.tiles_to_layers(sub.select("z", "x", "y", "tile")),
+                rollup_to_z,
+                dedupe_fids=True,
+            )
+            from mapnik_vector_tile_spark.operators.tiling import (
+                fold_tiles,
+            )
+
+            rolled = fold_tiles(band).withColumn(
+                "ax", SF.expr(f"shiftright(x, z - {rollup_to_z})")
+            ).withColumn(
+                "ay", SF.expr(f"shiftright(y, z - {rollup_to_z})")
+            )
+            (
+                rolled.join(SF.broadcast(tops), ["ax", "ay"])
+                .drop("ax", "ay")
+                .withColumn("batch_id", SF.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir + "_rollup")
+            )
 
     writer = (
         tickets.writeStream.foreachBatch(retile)

@@ -514,3 +514,51 @@ def test_streaming_dedup_matches_batch_first_occurrence(
     assert (g["event_id"].to_numpy() == w["event_id"].to_numpy()).all()
     assert (g["user_id"].to_numpy() == w["user_id"].to_numpy()).all()
     assert (g["event_type"].to_numpy() == w["event_type"].to_numpy()).all()
+
+
+def test_incremental_retile_rollup_ancestors(spark, chunked_events, tmp_path):
+    """§2.10 ancestor refresh: after the stream completes, the latest
+    version of every rolled-up ancestor must be byte-identical to a
+    cold batch rollup of the final base tiles."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as C
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    src, ev = chunked_events
+    out = str(tmp_path / "tiles_r")
+    S.run_incremental_retile(
+        spark,
+        src,
+        out,
+        z=6,
+        dirty_every=3,
+        checkpoint_dir=str(tmp_path / "ckpt_r"),
+        rollup_to_z=4,
+    )
+    store = spark.read.parquet(out)
+    latest_base = (
+        store.groupBy("z", "x", "y")
+        .agg(F.max(F.struct("batch_id", "version", "tile")).alias("r"))
+        .select("z", "x", "y", F.col("r.tile").alias("tile"))
+    )
+    want = {
+        (r["z"], r["x"], r["y"]): bytes(r["tile"])
+        for r in T.fold_tiles(
+            C.downzoom_band(
+                C.tiles_to_layers(latest_base), 4, dedupe_fids=True
+            )
+        ).collect()
+    }
+    rolled = spark.read.parquet(out + "_rollup")
+    got = {
+        (r["z"], r["x"], r["y"]): bytes(r["r"]["tile"])
+        for r in rolled.groupBy("z", "x", "y")
+        .agg(F.max(F.struct("batch_id", "version", "tile")).alias("r"))
+        .collect()
+    }
+    # every cold-batch ancestor exists in the stream's rollup store
+    # with identical bytes (the stream may hold superseded versions
+    # of intermediate batches underneath — consumers take latest)
+    assert set(want) == set(got)
+    assert all(got[k] == want[k] for k in want)
