@@ -188,7 +188,7 @@ def morton_sql(i: str, j: str, level: int) -> str:
     )
 
 
-def quadkey_col(z: int):
+def quadkey_col(z: int, x: str = "x", y: str = "y"):
     """Bing/Azure quadkey string of the tile address columns (x, y) at
     fixed zoom ``z`` — the third standard tile-addressing interchange
     beside XYZ and TMS (digit i = x-bit | y-bit<<1, MSB first; string
@@ -208,7 +208,7 @@ def quadkey_col(z: int):
     digits = F.transform(
         F.sequence(F.lit(z), F.lit(1), F.lit(-1)),
         lambda i: F.chr(
-            (F.lit(48) + bit("x", i) + F.lit(2) * bit("y", i)).cast("long")
+            (F.lit(48) + bit(x, i) + F.lit(2) * bit(y, i)).cast("long")
         ),
     )
     return F.array_join(digits, "")

@@ -965,6 +965,7 @@ def downzoom_band(
     simplify_distance: float = 0.0,
     area_threshold: float = 0.0,
     dedupe_fids: bool = False,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Bottom-up pyramid build: derive every level from the input zoom
     down to ``to_z`` by successive 4->1 rollups, returning the UNION
@@ -973,8 +974,11 @@ def downzoom_band(
     Each level is persisted before the next consumes it: level k is
     both an output branch and the input of level k-1, and without the
     persist Spark would replay the whole chain per branch (O(L^2)
-    shuffles for L levels instead of O(L)). The caller owns the
-    returned plan's lifetime; unpersist happens at session end.
+    shuffles for L levels instead of O(L)). Short-lived batch callers
+    can let session teardown reclaim the cache; LONG-LIVED callers
+    (the streaming ancestor refresh runs this every micro-batch) must
+    pass ``persisted_out`` — the per-level handles are appended to it
+    so the caller can unpersist after consuming the band.
 
     The input zoom is inferred per-row from the z column, so a mixed-z
     input is rejected loudly rather than silently rolled into
@@ -1000,6 +1004,8 @@ def downzoom_band(
             area_threshold=area_threshold,
             dedupe_fids=dedupe_fids,
         ).persist()
+        if persisted_out is not None:
+            persisted_out.append(cur)
         band = cur if band is None else band.unionByName(cur)
     return band
 
@@ -1297,7 +1303,11 @@ def layer_attribute_stats(layers: DataFrame) -> DataFrame:
         F.max("value_num").alias("vmax"),
     )
     stats = per_value.groupBy("layer", "attr").agg(
-        F.max("vtype").alias("vtype"),
+        # tilestats convention: an attribute seen with more than one
+        # type class reports 'mixed', never a lexicographic winner
+        F.when(
+            F.count_distinct("vtype") > 1, F.lit("mixed")
+        ).otherwise(F.max("vtype")).alias("vtype"),
         F.sum("cnt").cast("bigint").alias("n_features"),
         F.count("*").cast("bigint").alias("n_distinct"),
         F.min("vmin").alias("min_num"),

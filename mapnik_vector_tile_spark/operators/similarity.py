@@ -379,7 +379,10 @@ def kmeans_clusters(
         ).cast("long"),
     )
     qd = emb.select(F.col(id_col), q.alias("qv"))
-    dims = len(emb.select(col).first()[0])
+    first = emb.select(col).first()
+    if first is None:
+        raise ValueError("kmeans_clusters: empty embedding table")
+    dims = len(first[0])
 
     cent_rows = (
         qd.orderBy(id_col).limit(k).select("qv").collect()
@@ -398,7 +401,9 @@ def kmeans_clusters(
             structs.append(
                 F.struct(d2.alias("d2"), F.lit(cid).alias("cid"))
             )
-        best = F.least(*structs)
+        # least() needs >= 2 columns; k=1 degenerates to the single
+        # centroid's struct
+        best = structs[0] if len(structs) == 1 else F.least(*structs)
         return df.withColumn("cluster", best["cid"]).withColumn(
             "d2", best["d2"]
         )

@@ -72,7 +72,10 @@ def run_dedup_stream_to_memory(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            checkpoint_dir or f"/tmp/mvt_dedup_ckpt_{id(stream)}",
+            # uuid, not id(): CPython reuses addresses across processes
+            # and a recycled path would silently resume STALE offsets
+            # and skip this run's input
+            checkpoint_dir or f"/tmp/mvt_dedup_ckpt_{__import__('uuid').uuid4().hex}",
         )
         .trigger(availableNow=True)
         .start()

@@ -351,8 +351,22 @@ def run_incremental_retile(
             from mapnik_vector_tile_spark.operators import composite as C
 
             dz = z - rollup_to_z
-            store = spark.read.parquet(out_dir)
-            latest = (
+            tops = keys.select(
+                SF.shiftright("x", dz).alias("ax"),
+                SF.shiftright("y", dz).alias("ay"),
+                "version",
+            ).groupBy("ax", "ay").agg(SF.max("version").alias("version"))
+            # prune to the dirty subtrees BEFORE the latest-version
+            # aggregation: ax/ay are functions of the group keys, so
+            # the semi-join commutes with the groupBy — without this
+            # the per-batch cost would grow with TOTAL store size, not
+            # with the dirty footprint
+            store = spark.read.parquet(out_dir).withColumn(
+                "ax", SF.shiftright("x", dz)
+            ).withColumn("ay", SF.shiftright("y", dz)).join(
+                SF.broadcast(tops.select("ax", "ay")), ["ax", "ay"]
+            )
+            sub = (
                 store.groupBy("z", "x", "y")
                 .agg(
                     SF.max(
@@ -361,20 +375,12 @@ def run_incremental_retile(
                 )
                 .select("z", "x", "y", SF.col("r.tile").alias("tile"))
             )
-            tops = keys.select(
-                SF.shiftright("x", dz).alias("ax"),
-                SF.shiftright("y", dz).alias("ay"),
-                "version",
-            ).groupBy("ax", "ay").agg(SF.max("version").alias("version"))
-            sub = latest.withColumn(
-                "ax", SF.shiftright("x", dz)
-            ).withColumn("ay", SF.shiftright("y", dz)).join(
-                SF.broadcast(tops.select("ax", "ay")), ["ax", "ay"]
-            )
+            band_levels: list = []
             band = C.downzoom_band(
                 C.tiles_to_layers(sub.select("z", "x", "y", "tile")),
                 rollup_to_z,
                 dedupe_fids=True,
+                persisted_out=band_levels,
             )
             from mapnik_vector_tile_spark.operators.tiling import (
                 fold_tiles,
@@ -392,6 +398,10 @@ def run_incremental_retile(
                 .write.mode("append")
                 .parquet(out_dir + "_rollup")
             )
+            for lvl in band_levels:
+                lvl.unpersist()  # foreachBatch runs per micro-batch:
+                # leaked cache entries would accumulate for the
+                # stream's lifetime
 
     writer = (
         tickets.writeStream.foreachBatch(retile)
