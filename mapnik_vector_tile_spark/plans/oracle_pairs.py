@@ -4274,6 +4274,97 @@ GROUP BY 1, 2
 """
 
 
+WDS_N = 400  # q_wds_roundtrip corpus size
+
+
+def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shard sink/source gate with a FULL oracle — the
+    training-corpus interchange leg of the north rule: the
+    input_hint-shaped images table (image_id, bytes, w, h, fmt,
+    caption, phash) is written through the SHARDED tar sink
+    (sources/wds.py — one POSIX tar per partition, executor-side,
+    pinned headers, {key}.{fmt}/{key}.json/{key}.txt members per the
+    webdataset basename-grouping convention), read back through the
+    source, and FULL-joined against the pre-write rows. Per image the
+    output carries the read-back metadata (w, h, fmt, phash) and
+    caption plus roundtrip_ok, TRUE only if payload bytes, caption,
+    and every metadata field came back IDENTICAL with no
+    extras/missing (full join turns asymmetry into nulls → false).
+    The DuckDB twin replays dims, fmt, phash (signed), and the caption
+    words closed-form from the synth corpus — it never sees a tar."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.sources.synth import images_df
+    from mapnik_vector_tile_spark.sources.wds import (
+        read_wds,
+        write_wds_shards,
+    )
+
+    imgs = images_df(spark, WDS_N)
+    out_dir = f"/tmp/mvt_wds_gate_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_wds_shards(imgs, out_dir, num_shards=8)
+    back = read_wds(spark, out_dir)
+    orig = imgs.select(
+        "image_id",
+        F.col("bytes").alias("o_bytes"),
+        F.col("w").alias("o_w"),
+        F.col("h").alias("o_h"),
+        F.col("fmt").alias("o_fmt"),
+        F.col("caption").alias("o_caption"),
+        F.col("phash").alias("o_phash"),
+    )
+    j = orig.join(back, ["image_id"], "full")
+    ok = (
+        (F.col("bytes") == F.col("o_bytes"))
+        & (F.col("caption") == F.col("o_caption"))
+        & (F.col("w") == F.col("o_w"))
+        & (F.col("h") == F.col("o_h"))
+        & (F.col("fmt") == F.col("o_fmt"))
+        & (F.col("phash") == F.col("o_phash"))
+    )
+    return j.select(
+        "image_id",
+        "caption",
+        "w",
+        "h",
+        "fmt",
+        "phash",
+        F.coalesce(ok, F.lit(False)).alias("roundtrip_ok"),
+    )
+
+
+def _sql_wds_roundtrip(n: int = WDS_N) -> str:
+    from mapnik_vector_tile_spark.sources.synth import _WORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    nw = len(_WORDS)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+dims AS (
+  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
+         {splitmix64_sql('i')} AS ph
+  FROM ids
+)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       'caption ' || CAST(i AS VARCHAR) || ': '
+         || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
+         || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
+         || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption,
+       CAST(w AS INT) AS w,
+       CAST(h AS INT) AS h,
+       CASE WHEN i % 10 = 9 THEN 'png-zlib' ELSE 'raw-rgba8' END AS fmt,
+       CAST(CASE WHEN ph >= 9223372036854775808
+                 THEN ph - 18446744073709551616 ELSE ph END
+            AS BIGINT) AS phash,
+       TRUE AS roundtrip_ok
+FROM dims
+"""
+
+
 MEASURES_N = 500  # q_geom_measures corpus size
 
 
@@ -5155,6 +5246,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_line_interpolate": (q_line_interpolate, _sql_line_interpolate()),
     "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
     "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
+    "q_wds_roundtrip": (q_wds_roundtrip, _sql_wds_roundtrip()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -5182,6 +5274,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_wds_roundtrip",
     "q_engine_downzoom",
     "q_engine_downzoom_band",
     "q_kmeans",
