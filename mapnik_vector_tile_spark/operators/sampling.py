@@ -173,3 +173,95 @@ def balanced_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+# --- aspect-ratio bucketing (T28) -------------------------------------------
+
+# Canonical training aspect-ratio buckets as REDUCED fractions
+# (num, den) spanning the 1:4 .. 4:1 range image models bucket over
+# (the SDXL/NovelAI bucketing families reduce to these ratios).
+AR_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1, 4), (1, 3), (1, 2), (2, 3), (3, 4), (1, 1),
+    (4, 3), (3, 2), (2, 1), (3, 1), (4, 1),
+)
+
+
+def _ar_lcm_den() -> int:
+    import math
+
+    d = 1
+    for _, den in AR_BUCKETS:
+        d = d * den // math.gcd(d, den)
+    return d
+
+
+def ar_bucket_batches(
+    images: DataFrame,
+    batch_size: int = 8,
+    n_shards: int = 4,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Aspect-ratio bucketing + fixed-size batch packing — the batch
+    former of every image-model training pipeline (variable-AR corpora
+    train on same-AR batches; NovelAI/SDXL bucketing): each image
+    snaps to the NEAREST ratio bucket, then same-bucket images pack
+    into batches of ``batch_size``.
+
+    Nearest is EXACT integer arithmetic (both engines bit-agree, no FP
+    tie risk): for bucket i = n_i/d_i the true error |w/h − n_i/d_i|
+    equals |w·d_i − h·n_i| / (h·d_i); multiplying by the constant
+    h·lcm(d) gives the cross-bucket-comparable integer metric
+    |w·d_i − h·n_i| · (lcm/d_i). Ties break to the smaller bucket
+    index via struct ordering — F.least over (metric, idx) structs,
+    pure Column math, no UDF, no shuffle for the assignment itself.
+
+    Batch packing at 10^12 rows cannot be one row_number per bucket —
+    that puts a whole bucket on one task. Rows are therefore sharded
+    by ``pmod(phash, n_shards)`` and ranked within (bucket, shard)
+    ordered by id: parallelism is |buckets|·n_shards (pick n_shards ≈
+    cluster cores / |buckets|), ONE exchange computes both the rank
+    and the group count, and batches stay same-bucket by
+    construction. ``is_full`` marks complete batches (training drops
+    or pads the per-shard remainder). Deterministic: a pure function
+    of (w, h, phash, id) — re-runs and resumes agree row-for-row."""
+    lcm = _ar_lcm_den()
+    structs = [
+        F.struct(
+            (
+                F.abs(
+                    F.col("w").cast("long") * F.lit(d)
+                    - F.col("h").cast("long") * F.lit(n)
+                )
+                * F.lit(lcm // d)
+            ).alias("metric"),
+            F.lit(i).alias("idx"),
+        )
+        for i, (n, d) in enumerate(AR_BUCKETS)
+    ]
+    best = F.least(*structs)
+    df = images.withColumn("bucket", best["idx"]).withColumn(
+        "shard", F.pmod(F.col("phash"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(id_col)
+    wc = Window.partitionBy("bucket", "shard")
+    ratio_n = F.element_at(
+        F.array(*[F.lit(n) for n, _ in AR_BUCKETS]), F.col("bucket") + 1
+    )
+    ratio_d = F.element_at(
+        F.array(*[F.lit(d) for _, d in AR_BUCKETS]), F.col("bucket") + 1
+    )
+    batch = F.floor((F.row_number().over(w) - 1) / batch_size).cast(
+        "long"
+    )
+    n_full = F.floor(F.count(F.lit(1)).over(wc) / batch_size)
+    return df.select(
+        id_col,
+        "w",
+        "h",
+        "bucket",
+        ratio_n.alias("ratio_n"),
+        ratio_d.alias("ratio_d"),
+        "shard",
+        batch.alias("batch_id"),
+        (batch < n_full).alias("is_full"),
+    )

@@ -4365,6 +4365,86 @@ FROM dims
 """
 
 
+AR_N = 600  # q_ar_bucket_batches corpus size
+
+
+def q_ar_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing + fixed-size batch packing
+    (sampling.ar_bucket_batches) over the input_hint images table with
+    a FULL oracle — the batch former of image-model training
+    (same-AR batches from a variable-AR corpus). Nearest-bucket choice
+    is exact integer cross-multiplication (|w·d−h·n|·lcm/d, tie → the
+    smaller index) so both engines bit-agree; packing ranks within
+    (bucket, pmod(phash, shards)) so no single bucket ever serializes
+    onto one task. The DuckDB twin replays dims and phash closed-form,
+    re-derives the argmin over a VALUES bucket table, and repacks with
+    the same window."""
+    from mapnik_vector_tile_spark.operators.sampling import (
+        ar_bucket_batches,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    return ar_bucket_batches(
+        images_df(spark, AR_N, with_bytes=False),
+        batch_size=8,
+        n_shards=4,
+    )
+
+
+def _sql_ar_bucket_batches(n: int = AR_N, b: int = 8) -> str:
+    from mapnik_vector_tile_spark.operators.sampling import (
+        AR_BUCKETS,
+        _ar_lcm_den,
+    )
+
+    lcm = _ar_lcm_den()
+    vals = ", ".join(
+        f"({i}, {num}, {den}, {lcm // den})"
+        for i, (num, den) in enumerate(AR_BUCKETS)
+    )
+    # n_shards = 4 divides 2^64, so pmod(signed phash, 4) equals the
+    # UNSIGNED hash mod 4 — no signed reinterpretation needed here
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+dims AS (
+  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
+         {splitmix64_sql('i')} AS ph
+  FROM ids
+),
+bk(idx, num, den, k) AS (VALUES {vals}),
+scored AS (
+  SELECT i, w, h, ph, idx, num, den,
+         row_number() OVER (
+           PARTITION BY i
+           ORDER BY abs(w * den - h * num) * k, idx
+         ) AS rk
+  FROM dims CROSS JOIN bk
+),
+assigned AS (
+  SELECT i, w, h, idx, num, den,
+         CAST(ph % 4 AS INT) AS shard
+  FROM scored WHERE rk = 1
+),
+packed AS (
+  SELECT i, w, h, idx, num, den, shard,
+         (row_number() OVER (
+            PARTITION BY idx, shard
+            ORDER BY i
+          ) - 1) // {b} AS batch_id,
+         COUNT(*) OVER (PARTITION BY idx, shard) // {b} AS n_full
+  FROM assigned
+)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(idx AS INT) AS bucket,
+       CAST(num AS INT) AS ratio_n, CAST(den AS INT) AS ratio_d,
+       shard,
+       CAST(batch_id AS BIGINT) AS batch_id,
+       batch_id < n_full AS is_full
+FROM packed
+"""
+
+
 MEASURES_N = 500  # q_geom_measures corpus size
 
 
@@ -5247,6 +5327,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
     "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
     "q_wds_roundtrip": (q_wds_roundtrip, _sql_wds_roundtrip()),
+    "q_ar_bucket_batches": (q_ar_bucket_batches, _sql_ar_bucket_batches()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
@@ -5275,6 +5356,7 @@ _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
     "q_wds_roundtrip",
+    "q_ar_bucket_batches",
     "q_engine_downzoom",
     "q_engine_downzoom_band",
     "q_kmeans",

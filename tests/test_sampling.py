@@ -94,3 +94,46 @@ def test_pack_contiguous_invariants(spark, docs):
         # bins appear in nondecreasing order starting at 0
         bins = [r.bin for r in rows]
         assert bins[0] == 0 and bins == sorted(bins)
+
+
+def test_ar_bucket_batches_invariants(spark):
+    """Nearest-bucket vs a Fraction-exact brute force, fixed batch
+    sizes for full batches, and shard-bounded packing."""
+    from fractions import Fraction
+
+    from mapnik_vector_tile_spark.operators.sampling import (
+        AR_BUCKETS,
+        ar_bucket_batches,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    B, S = 8, 4
+    rows = ar_bucket_batches(
+        images_df(spark, 300, with_bytes=False), batch_size=B, n_shards=S
+    ).collect()
+    assert len(rows) == 300
+    groups = {}
+    for r in rows:
+        ar = Fraction(r.w, r.h)
+        errs = [
+            (abs(ar - Fraction(n, d)), i)
+            for i, (n, d) in enumerate(AR_BUCKETS)
+        ]
+        best = min(errs)[1]
+        assert r.bucket == best, (r.w, r.h, r.bucket, best)
+        assert (r.ratio_n, r.ratio_d) == AR_BUCKETS[r.bucket]
+        assert 0 <= r.shard < S
+        groups.setdefault((r.bucket, r.shard), []).append(r)
+    for rs in groups.values():
+        rs.sort(key=lambda r: r.image_id)
+        by_batch = {}
+        for r in rs:
+            by_batch.setdefault(r.batch_id, []).append(r)
+        n_full = len(rs) // B
+        for bid, members in by_batch.items():
+            if bid < n_full:
+                assert len(members) == B
+                assert all(m.is_full for m in members)
+            else:
+                assert len(members) == len(rs) % B
+                assert not any(m.is_full for m in members)
