@@ -439,3 +439,93 @@ def kmeans_clusters(
         F.col("cluster").cast("int").alias("cluster"),
         F.col("d2").cast("bigint").alias("d2"),
     )
+
+
+SD_SCALE = 1 << 12  # semdedup cosine grid: with unit-norm 64-dim
+# vectors, Σq² ≈ 2^24, so dot²·10⁴ ≤ ~2^61 and τ²-cross-multiplied
+# comparisons stay EXACT in int64 in both engines
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau_num: int = 95,
+    tau_den: int = 100,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """T29 SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means cluster the embedding space, then drop
+    every vector that has a SEMANTICALLY NEAR-IDENTICAL predecessor
+    within its cluster. The pairwise work is confined to clusters —
+    the paper's trick for making near-dup detection tractable at
+    corpus scale (within-cluster candidate sets instead of all-pairs).
+
+    Determinism/exactness posture (what makes this oracle-able where
+    the paper's float cosines are not): clustering reuses
+    kmeans_clusters (bit-exact integer grid, broadcast centroids);
+    the duplicate test quantizes to the SD_SCALE grid and compares
+    cos ≥ τ by integer cross-multiplication — dot > 0 AND
+    dot²·τ_den² ≥ τ_num²·‖u‖²·‖v‖² — all BIGINT, no FP tie risk.
+    Keep rule is first-occurrence by id within cluster (drop v iff
+    some u with u.id < v.id in v's cluster passes the test), the
+    greedy scan-order rule — deterministic without a connected-
+    components pass.
+
+    Scale shape: one kmeans (iters narrow scans + k-row shuffles), one
+    self-equi-join ON CLUSTER (candidate pairs bounded by cluster
+    sizes, the SemDeDup contract; pick k so n/k fits the pair budget —
+    same posture as the LSH band joins), one broadcast-able anti-join
+    back. Returns (id_col, cluster int, keep boolean) for EVERY input
+    row."""
+    qs = F.transform(
+        F.col(col),
+        lambda x: _round_half_away_col(
+            x.cast("double") * F.lit(float(SD_SCALE))
+        ).cast("long"),
+    )
+    assigned = kmeans_clusters(emb, k=k, iters=iters, col=col, id_col=id_col)
+    qe = emb.select(F.col(id_col), qs.alias("sv"))
+    t = assigned.select(id_col, "cluster").join(qe, [id_col])
+    a = t.select(
+        F.col(id_col).alias("a_id"),
+        "cluster",
+        F.col("sv").alias("a_sv"),
+    )
+    b = t.select(
+        F.col(id_col).alias("b_id"),
+        "cluster",
+        F.col("sv").alias("b_sv"),
+    )
+
+    def _dot(x: str, y: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda u, v: u * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = a.join(b, ["cluster"]).filter(F.col("a_id") < F.col("b_id"))
+    dot = _dot("a_sv", "b_sv")
+    nu = _dot("a_sv", "a_sv")
+    nv = _dot("b_sv", "b_sv")
+    dup = (
+        pairs.filter(
+            (dot > 0)
+            & (
+                dot * dot * F.lit(tau_den * tau_den)
+                >= F.lit(tau_num * tau_num) * nu * nv
+            )
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        t.join(dup.withColumn("_dup", F.lit(True)), [id_col], "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -5357,6 +5357,7 @@ _RECORD_FIRST = (
     # the two formerly rows-only keys (now full-oracle) re-record after
     "q_wds_roundtrip",
     "q_ar_bucket_batches",
+    "q_semdedup",
     "q_engine_downzoom",
     "q_engine_downzoom_band",
     "q_kmeans",

@@ -1117,6 +1117,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
             sql_corpus_filter_rep(),
         ),
         "q_repetition": (q_repetition, sql_repetition()),
+        "q_semdedup": (q_semdedup, sql_semdedup()),
     }
 
 
@@ -1357,4 +1358,66 @@ def sql_event_dedup() -> str:
     return """
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
 FROM events
+"""
+
+
+# --- SemDeDup (operators.similarity.semdedup) ------------------------------
+
+
+def q_semdedup(spark, sf_dir):
+    """T29 SemDeDup with a FULL oracle: k-means cluster (the bit-exact
+    integer-grid Lloyd twin, two unrolled rounds), then within-cluster
+    first-occurrence semantic dedup where cos >= 0.95 is decided by
+    integer cross-multiplication on the 2^12 grid — dot > 0 AND
+    dot^2*den^2 >= num^2*|u|^2*|v|^2, exact BIGINTs in both engines.
+    tau 0.40 is corpus-calibrated like q_embedding_neardup (the synth
+    embeddings max out at pairwise cos ~0.51, so the API default 0.95
+    would gate vacuously); 21 of 500 vectors drop at sf0.01.
+    The hash covers every row's (cluster, keep), so a divergence in
+    clustering, quantization, the pair predicate, or the keep rule
+    breaks it."""
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    return S.semdedup(_emb(spark, sf_dir), k=8, iters=2, tau_num=40)
+
+
+def sql_semdedup(dims: int = 64, tau_num: int = 40, tau_den: int = 100) -> str:
+    from mapnik_vector_tile_spark.operators.similarity import SD_SCALE
+    from mapnik_vector_tile_spark.plans.shared_sql import (
+        round_half_up_nonneg as rhu,
+    )
+
+    def rha(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) < 0 THEN -({rhu(f'-({x})')})"
+            f" ELSE {rhu(x)} END"
+        )
+
+    sv = rha(f"CAST(v AS DOUBLE) * {float(SD_SCALE)!r}")
+    return f"""
+WITH asg AS ({sql_kmeans()}),
+q2 AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST({sv} AS BIGINT)) AS sv
+  FROM embeddings
+),
+t AS (
+  SELECT a.vec_id, a.cluster, q2.sv FROM asg a JOIN q2 USING (vec_id)
+),
+dim AS (SELECT unnest(range(1, {dims + 1})) AS di),
+pr AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         SUM(x.sv[dim.di] * y.sv[dim.di]) AS dot,
+         SUM(x.sv[dim.di] * x.sv[dim.di]) AS nu,
+         SUM(y.sv[dim.di] * y.sv[dim.di]) AS nv
+  FROM t x JOIN t y ON x.cluster = y.cluster AND x.vec_id < y.vec_id, dim
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT DISTINCT b_id AS vec_id FROM pr
+  WHERE dot > 0 AND dot * dot * {tau_den * tau_den} >= {tau_num * tau_num} * nu * nv
+)
+SELECT t.vec_id, CAST(t.cluster AS INT) AS cluster,
+       dup.vec_id IS NULL AS keep
+FROM t LEFT JOIN dup USING (vec_id)
 """

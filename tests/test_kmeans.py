@@ -87,3 +87,41 @@ def test_assignment_plan_is_udf_free(spark):
     df = S.kmeans_clusters(_emb_df(spark, vecs), k=2, iters=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Planted near-identical vectors drop (keep=False) under
+    first-occurrence-by-id; the earliest copy and all dissimilar
+    vectors survive; everything co-clusters sanely."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]     # cos ~0.9999 vs base
+    far = [0.0, 1.0, 0.0, 0.0]         # orthogonal
+    near_far = [0.01, 0.999, 0.0, 0.0]  # near-dup of far
+    vecs = [base, near, far, near_far]
+    out = {
+        r.vec_id: r
+        for r in S.semdedup(
+            _emb_df(spark, vecs), k=2, iters=2, tau_num=95
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[0].keep and not out[1].keep          # 1 dups 0
+    assert out[2].keep and not out[3].keep          # 3 dups 2
+    assert out[0].cluster == out[1].cluster
+    assert out[2].cluster == out[3].cluster
+    assert out[0].cluster != out[2].cluster
+
+
+def test_semdedup_chain_is_greedy_not_transitive(spark):
+    """The scan-order rule: v drops iff an EARLIER-id vector passes
+    the test, even if that earlier vector itself dropped."""
+    a = [1.0, 0.0]
+    b = [0.999, 0.02]   # dups a
+    c = [0.998, 0.04]   # dups both a and b
+    out = {
+        r.vec_id: r.keep
+        for r in S.semdedup(
+            _emb_df(spark, [a, b, c]), k=1, iters=1, tau_num=95
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: False}
