@@ -265,3 +265,63 @@ def ar_bucket_batches(
         batch.alias("batch_id"),
         (batch < n_full).alias("is_full"),
     )
+
+
+# --- temperature-based domain mixture (T30) ---------------------------------
+
+
+def temperature_resample(
+    df: DataFrame,
+    budget_rows: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-LM sampling
+    rule, XLM-R/mT5 lineage, at T = 2): domain i's target share is
+    proportional to n_i^(1/2), which up-weights tail domains and
+    down-weights the head relative to natural frequency. Given a row
+    budget M, the expected take is m_i = M·√n_i / Σ√n_j capped at
+    n_i, applied as a deterministic per-row hash coin (same splitmix64
+    bucket as assign_split — resumable, engine-agnostic).
+
+    EXACT arithmetic: weights use integer isqrt(n_i) (not float sqrt),
+    so the per-domain keep threshold
+    min(BUCKETS, BUCKETS·M·isqrt(n_i) // (Σ isqrt · n_i)) is a pure
+    BIGINT expression both engines replay bit-for-bit — no FP sum
+    order anywhere.
+
+    Scale shape: ONE tiny partial-agg'd count per domain collected to
+    the driver (|domains| scalars — the convergence-witness pattern),
+    thresholds re-enter as a broadcast CASE literal, the coin filter
+    is map-side; no shuffle touches the corpus. Returns the kept rows
+    with their domain threshold attached (rate_bp, per BUCKETS)."""
+    import math
+
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(stratum_col).count().collect()
+    }
+    if not counts:
+        raise ValueError("temperature_resample: empty input")
+    s = sum(math.isqrt(n) for n in counts.values())
+    rates = {
+        k: min(
+            BUCKETS,
+            BUCKETS * budget_rows * math.isqrt(n) // (s * n),
+        )
+        for k, n in counts.items()
+    }
+    rate = F.lit(None).cast("long")
+    expr = None
+    for k in sorted(rates):
+        cond = F.col(stratum_col) == k
+        expr = (
+            F.when(cond, F.lit(rates[k]))
+            if expr is None
+            else expr.when(cond, F.lit(rates[k]))
+        )
+    rate = expr.otherwise(F.lit(0))
+    out = with_sample_hash(df, id_col).withColumn("rate_bp", rate)
+    return out.filter(
+        F.pmod(F.col("hord"), F.lit(BUCKETS)) < F.col("rate_bp")
+    ).drop("hord")

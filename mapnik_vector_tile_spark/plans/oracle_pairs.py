@@ -5355,6 +5355,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_temperature_resample",
     "q_wds_roundtrip",
     "q_ar_bucket_batches",
     "q_semdedup",

@@ -865,6 +865,60 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def sql_temperature_resample() -> str:
+    """DuckDB twin of sampling.temperature_resample (T = 2): per-domain
+    keep rate = min(BUCKETS, BUCKETS·M·isqrt(n_i) // (Σ isqrt(n_j) · n_i))
+    with M = total_rows // 2.  DuckDB has no integer sqrt, so floor(sqrt)
+    over DOUBLE is corrected by one exactness step (±1 fixup against the
+    true square) — bit-identical to Python math.isqrt for any BIGINT n."""
+    from mapnik_vector_tile_spark.operators.sampling import BUCKETS
+
+    return f"""
+WITH {_hord_cte()},
+c AS (SELECT lang, COUNT(*) AS n FROM h GROUP BY 1),
+s0 AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS s FROM c),
+isq AS (SELECT lang, n,
+               CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                    WHEN s * s > n THEN s - 1
+                    ELSE s END AS isq
+        FROM s0),
+tot AS (SELECT SUM(isq) AS ssum, CAST(SUM(n) // 2 AS BIGINT) AS budget
+        FROM isq),
+rt AS (SELECT lang, n,
+              LEAST({BUCKETS},
+                    {BUCKETS} * tot.budget * isq // (tot.ssum * n)
+              ) AS rate_bp
+       FROM isq, tot)
+SELECT h.lang AS lang,
+       CAST(rt.rate_bp AS BIGINT) AS rate_bp,
+       COUNT(*) AS n_kept,
+       MIN(h.doc_id) AS min_id,
+       CAST(SUM(h.n_chars) AS BIGINT) AS sum_chars
+FROM h JOIN rt ON h.lang = rt.lang
+WHERE h.hord % {BUCKETS} < rt.rate_bp
+GROUP BY 1, 2
+"""
+
+
+def q_temperature_resample(spark, sf_dir):
+    """T30 temperature-based domain mixture (XLM-R/mT5 T=2 sampling rule)
+    — up-weights tail languages, down-weights the head, exact integer
+    thresholds so both engines replay the keep-set bit-for-bit."""
+    from mapnik_vector_tile_spark.operators import sampling as SMP
+
+    docs = _docs(spark, sf_dir)
+    budget = docs.count() // 2
+    return (
+        SMP.temperature_resample(docs, budget_rows=budget)
+        .groupBy("lang", "rate_bp")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
 def sql_decontaminate(bench_mod: int = 50, n: int = 4) -> str:
     return f"""
 WITH {_shingle_cte('documents', n)},
@@ -1106,6 +1160,10 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
         "q_seq_packing": (q_seq_packing, sql_seq_packing()),
+        "q_temperature_resample": (
+            q_temperature_resample,
+            sql_temperature_resample(),
+        ),
         "q_decontaminate": (q_decontaminate, sql_decontaminate()),
         "q_bloom_decontaminate": (
             q_bloom_decontaminate,

@@ -137,3 +137,53 @@ def test_ar_bucket_batches_invariants(spark):
             else:
                 assert len(members) == len(rs) % B
                 assert not any(m.is_full for m in members)
+
+
+def test_temperature_resample_exact_keep_set(spark, docs):
+    """T30: the kept set is exactly {rows with hord%BUCKETS < rate_lang}
+    where rate_lang follows the T=2 (sqrt) temperature rule on integer
+    arithmetic — recomputed locally from scratch."""
+    import math
+
+    budget = docs.count() // 2
+    out = SMP.temperature_resample(docs, budget_rows=budget).select(
+        "doc_id", "lang", "rate_bp"
+    )
+    got = {(r.doc_id, r.lang, r.rate_bp) for r in out.collect()}
+    assert got == {(r.doc_id, r.lang, r.rate_bp) for r in out.collect()}
+
+    base = {
+        r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()
+    }
+    counts: dict[str, int] = {}
+    for lang in base.values():
+        counts[lang] = counts.get(lang, 0) + 1
+    s = sum(math.isqrt(n) for n in counts.values())
+    rates = {
+        k: min(
+            SMP.BUCKETS,
+            SMP.BUCKETS * budget * math.isqrt(n) // (s * n),
+        )
+        for k, n in counts.items()
+    }
+    ids = np.array(sorted(base), dtype=np.uint64)
+    hord = (splitmix64(ids) >> np.uint64(11)).astype(np.int64)
+    expect = {
+        (int(i), base[int(i)], rates[base[int(i)]])
+        for i, h in zip(ids, hord)
+        if h % SMP.BUCKETS < rates[base[int(i)]]
+    }
+    assert got == expect
+    # temperature flattening: the head stratum's keep RATE must be
+    # strictly below a tail stratum's (en dominates the synth corpus)
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+    assert counts[head] > counts[tail]
+    assert rates[head] < rates[tail]
+
+
+def test_temperature_resample_budget_cap(spark, docs):
+    """A budget >= corpus size caps every stratum at BUCKETS (keep all)."""
+    n = docs.count()
+    out = SMP.temperature_resample(docs, budget_rows=n * SMP.BUCKETS)
+    assert out.count() == n
