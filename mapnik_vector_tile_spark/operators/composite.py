@@ -1335,3 +1335,104 @@ def layer_attribute_stats(layers: DataFrame) -> DataFrame:
             "min_num", "max_num", "top_value",
         )
     )
+
+
+# --- U9: solid-tile detection (is_solid_extent) -----------------------------
+
+
+def is_solid_extent(buf: bytes) -> tuple[bool, bool, str, int]:
+    """mapnik-vector-tile's solid-tile heuristic (ref:
+    src/vector_tile_util.hpp — is_solid_extent(tile, key)), the test
+    tilelive-bridge used to store one shared blob for ocean/landmass
+    tiles and prune identical descendants.
+
+    Returns (solid, covers, key, n_features):
+
+    * ``solid`` — the faithful reference heuristic: the tile has >= 1
+      feature, EVERY feature is a polygon, and NO decoded vertex lies
+      strictly inside the layer extent's interior (0 < x < extent AND
+      0 < y < extent — both axes simultaneously, matching the
+      reference's per-coordinate early-out). A fully-clipped solid
+      fill has vertices only on/outside the extent box, so it passes;
+      any real detail inside the tile fails. Empty tiles are NOT
+      solid (the store wants them dropped, not deduped).
+    * ``covers`` — the semantic check the heuristic approximates:
+      every extent corner is even-odd inside >= 1 polygon feature.
+      The known false-positive class (a polygon overlapping only a
+      corner, all vertices beyond the clip box) has solid=True,
+      covers=False — kept as two columns precisely so stores can
+      choose the cheap heuristic or the exact gate. Corner-on-edge
+      geometry is boundary-ambiguous under the half-open crossing
+      rule (functions/pip.py) and is pinned by tests, not promised.
+    * ``key`` — layer names joined with '-' in tile order (the
+      reference fills its out-param `key` this way for blob dedup).
+    * ``n_features`` — total decoded features (0 for empty tiles).
+    """
+    corners_known = False
+    corner_cov = np.zeros(4, dtype=bool)
+    names: list[str] = []
+    n_features = 0
+    all_polys = True
+    any_interior = False
+    for lblob in pbf.decode_tile(buf):
+        d = pbf.split_layer(lblob)
+        names.append(d["name"] or "")
+        extent = int(d["extent"])
+        version = int(d["version"])
+        qx = np.array([0.0, float(extent), float(extent), 0.0])
+        qy = np.array([0.0, 0.0, float(extent), float(extent)])
+        corners_known = True
+        for _fid, gtype, _tags, raw_geom, _raster in d["features"]:
+            n_features += 1
+            if int(gtype) != gc.GEOM_POLYGON:
+                all_polys = False
+                continue
+            try:
+                xs, ys, offs = gc.decode_geometry(
+                    int(gtype),
+                    pbf._varints_small(raw_geom).astype(np.int64),
+                    version=version,
+                )
+            except ValueError:
+                all_polys = False  # undecodable: certainly not a clean fill
+                continue
+            if ((xs > 0) & (xs < extent) & (ys > 0) & (ys < extent)).any():
+                any_interior = True
+            corner_cov |= pipmod.points_in_polygon(
+                qx, qy, xs.astype(np.float64), ys.astype(np.float64),
+                np.asarray(offs, dtype=np.int64),
+            )
+    solid = n_features > 0 and all_polys and not any_interior
+    covers = bool(corners_known and corner_cov.all())
+    return solid, covers, "-".join(names), n_features
+
+
+def solid_tiles(tiles: DataFrame) -> DataFrame:
+    """U9 as a DataFrame operator over a (z,x,y,tile) store:
+    (z, x, y, solid, covers, key, n_features). Narrow blob scan — no
+    shuffle, no geometry leaves the kernel; at 100 TB this is a
+    map-only pass whose output is 4 scalars/tile, the shape a
+    store-dedup or mask-level job wants to groupBy afterwards."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            solid, covers, key, nf = [], [], [], []
+            for t in pdf["tile"]:
+                s, c, k, n = is_solid_extent(bytes(t))
+                solid.append(s)
+                covers.append(c)
+                key.append(k)
+                nf.append(n)
+            out = pdf[["z", "x", "y"]].copy()
+            out["solid"] = solid
+            out["covers"] = covers
+            out["key"] = key
+            out["n_features"] = np.asarray(nf, dtype=np.int64)
+            yield out
+
+    return tiles.mapInPandas(
+        gen,
+        schema="z int, x long, y long, solid boolean, covers boolean, "
+        "key string, n_features long",
+    )

@@ -1028,6 +1028,113 @@ FROM tiles
 """
 
 
+SOLID_Z = 3  # 8x8 grid — one tile per (class x position) combination
+
+
+def q_engine_solid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9 solid-tile detection (composite.is_solid_extent; ref:
+    src/vector_tile_util.hpp — is_solid_extent, tilelive's solid-blob
+    dedup gate). The corpus is built through the REAL wire encoder
+    (LayerBuilder + encode_geometry) in five deterministic classes on
+    (x*3+y)%5 at z3 — this is a decode-side store operator, so the
+    gate drives blobs directly, like q_engine_validity:
+
+      0: two layers, each one clip-box fill   -> solid T, covers T
+      1: fill + a point feature               -> solid F (non-polygon),
+                                                 covers T
+      2: fill + a small interior polygon      -> solid F (interior
+                                                 vertex), covers T
+      3: corner triangle, vertices beyond the
+         clip box, hypotenuse crossing inside -> solid T, covers F
+         (the reference heuristic's documented false-positive class —
+         the reason both columns exist)
+      4: a named layer with zero features     -> solid F, covers F
+
+    The oracle predicts all four output columns closed-form from the
+    class; the engine must decode the real wire bytes, apply the
+    both-axes strict-interior vertex test and the even-odd corner
+    test, and land exactly on the prediction. sf_dir unused
+    (committed synth recipe)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import solid_tiles
+
+    n = 1 << SOLID_Z
+
+    def build(batches):
+        fill = gc.encode_geometry(
+            gc.GEOM_POLYGON,
+            np.array([-64, 4160, 4160, -64]),
+            np.array([-64, -64, 4160, 4160]),
+            np.array([0, 4]),
+        )
+        pt = gc.encode_geometry(
+            gc.GEOM_POINT, np.array([2048]), np.array([2048]), np.array([0, 1])
+        )
+        inner = gc.encode_geometry(
+            gc.GEOM_POLYGON,
+            np.array([1000, 1500, 1500, 1000]),
+            np.array([1000, 1000, 1500, 1500]),
+            np.array([0, 4]),
+        )
+        tri = gc.encode_geometry(
+            gc.GEOM_POLYGON,
+            np.array([-64, 6000, -64]),
+            np.array([-64, -64, 6000]),
+            np.array([0, 3]),
+        )
+        for pdf in batches:
+            out = {"z": [], "x": [], "y": [], "tile": []}
+            for i in pdf["id"]:
+                x, y = int(i) // n, int(i) % n
+                cls = (x * 3 + y) % 5
+                lb = pbf.LayerBuilder("water")
+                if cls != 4:
+                    lb.add_feature(1, gc.GEOM_POLYGON, fill if cls != 3 else tri)
+                if cls == 1:
+                    lb.add_feature(2, gc.GEOM_POINT, pt)
+                elif cls == 2:
+                    lb.add_feature(2, gc.GEOM_POLYGON, inner)
+                layers = [lb.build()]
+                if cls == 0:
+                    lb2 = pbf.LayerBuilder("land")
+                    lb2.add_feature(1, gc.GEOM_POLYGON, fill)
+                    layers.append(lb2.build())
+                out["z"].append(SOLID_Z)
+                out["x"].append(x)
+                out["y"].append(y)
+                out["tile"].append(pbf.concat_tile(layers))
+            yield pd.DataFrame(out)
+
+    tiles = spark.range(0, n * n, 1, 8).mapInPandas(
+        build, schema="z int, x long, y long, tile binary"
+    )
+    return solid_tiles(tiles).select(
+        "x", "y", "solid", "covers", "key", "n_features"
+    )
+
+
+def _sql_solid() -> str:
+    n = 1 << SOLID_Z
+    return f"""
+WITH g AS (SELECT CAST(v.generate_series // {n} AS BIGINT) AS x,
+                  CAST(v.generate_series % {n} AS BIGINT) AS y,
+                  (v.generate_series // {n} * 3
+                   + v.generate_series % {n}) % 5 AS cls
+           FROM generate_series(0, {n * n - 1}) v)
+SELECT x, y,
+       cls IN (0, 3) AS solid,
+       cls IN (0, 1, 2) AS covers,
+       CASE WHEN cls = 0 THEN 'water-land' ELSE 'water' END AS key,
+       CAST(CASE cls WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2
+                     WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS n_features
+FROM g
+"""
+
+
 def _typed_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared typed-attribute layer fixture (see q_engine_typed_values
     doc): lineitem rows as z8 point features carrying (int qty, double
@@ -5300,6 +5407,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
     "q_phash_neardup": (q_phash_neardup, _sql_phash_neardup()),
     "q_engine_v1_decode": (q_engine_v1_decode, _sql_v1_decode()),
+    "q_engine_solid": (q_engine_solid, _sql_solid()),
     "q_tile_diff": (q_tile_diff, _sql_tile_diff()),
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
@@ -5355,6 +5463,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_engine_solid",
     "q_temperature_resample",
     "q_wds_roundtrip",
     "q_ar_bucket_batches",

@@ -847,3 +847,92 @@ def test_layer_attribute_stats(spark):
     assert (s["vtype"], s["n_distinct"], s["top_value"]) == ("string", 2, "x")
     f = out[("a", "f")]
     assert (f["vtype"], f["top_value"]) == ("boolean", "true")
+
+
+# --- U9 is_solid_extent ------------------------------------------------------
+
+
+def _poly_layer(name, rings, extent=4096):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+
+    lb = pbf.LayerBuilder(name, extent=extent)
+    for i, (xs, ys) in enumerate(rings):
+        stream = gc.encode_geometry(
+            gc.GEOM_POLYGON,
+            np.array(xs),
+            np.array(ys),
+            np.array([0, len(xs)]),
+        )
+        lb.add_feature(i + 1, gc.GEOM_POLYGON, stream)
+    return lb.build()
+
+
+def test_is_solid_extent_semantics():
+    """Kernel-level pins for the cases the oracle corpus can't reach:
+    on-edge vertices, linestrings, non-4096 extents, empty bytes."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import is_solid_extent
+
+    box = lambda lo, hi: ([lo, hi, hi, lo], [lo, lo, hi, hi])
+
+    # exact-extent box: vertices ON the border are not strictly inside
+    t = pbf.layer_to_tile(_poly_layer("water", [box(0, 4096)]))
+    solid, covers, key, nf = is_solid_extent(t)
+    assert (solid, key, nf) == (True, "water", 1)
+
+    # clip-box fill beyond the border: solid and covers
+    t = pbf.layer_to_tile(_poly_layer("water", [box(-64, 4160)]))
+    assert is_solid_extent(t) == (True, True, "water", 1)
+
+    # one vertex strictly inside on BOTH axes: not solid; x-only inside
+    # with y outside must NOT disqualify (the both-axes reference rule)
+    t = pbf.layer_to_tile(
+        _poly_layer("water", [([-64, 2048, 4160, -64], [-64, 1, 4160, 4160])])
+    )
+    assert is_solid_extent(t)[0] is False
+    t = pbf.layer_to_tile(
+        _poly_layer("water", [([-64, 2048, 4160, -64], [-64, -64, 4160, 4160])])
+    )
+    assert is_solid_extent(t)[0] is True
+
+    # a linestring feature disqualifies even with outside-only vertices
+    lb = pbf.LayerBuilder("roads")
+    lb.add_feature(
+        1,
+        gc.GEOM_LINESTRING,
+        gc.encode_geometry(
+            gc.GEOM_LINESTRING,
+            np.array([-64, 4160]),
+            np.array([-64, 4160]),
+            np.array([0, 2]),
+        ),
+    )
+    assert is_solid_extent(pbf.layer_to_tile(lb.build()))[0] is False
+
+    # non-default extent: interior is judged against THAT extent
+    t = pbf.layer_to_tile(_poly_layer("w", [box(-8, 520)], extent=512))
+    assert is_solid_extent(t)[:2] == (True, True)
+    t = pbf.layer_to_tile(_poly_layer("w", [([-8, 256, 520, -8], [-8, 8, 520, 520])], extent=512))
+    assert is_solid_extent(t)[0] is False
+
+    # donut fill: hole ring flips the extent corners to uncovered but
+    # its vertices (strictly inside) already kill solidity
+    t = pbf.layer_to_tile(
+        _poly_layer("water", [box(-64, 4160), box(1000, 1500)])
+    )
+    assert is_solid_extent(t)[:2] == (False, True)
+
+    # empty tile bytes: nothing known, nothing solid
+    assert is_solid_extent(b"") == (False, False, "", 0)
+
+    # two layers: key joins in tile order
+    t = pbf.concat_tile(
+        [_poly_layer("a", [box(-64, 4160)]), _poly_layer("b", [box(-64, 4160)])]
+    )
+    assert is_solid_extent(t) == (True, True, "a-b", 2)
