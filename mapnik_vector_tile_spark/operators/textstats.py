@@ -304,3 +304,75 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         red = F.regexp_replace(red, pat, tag)
     return out.withColumn("redacted", red)
+
+
+# --- T31: count-based bigram LM scoring --------------------------------------
+
+
+def bigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count-based bigram language-model quality scoring (the CCNet /
+    Wenzek et al. 2020 signal shape: score each document under an
+    n-gram LM and gate on the score distribution). The LM is the MLE
+    bigram model of the corpus itself: p(w2 | w1) = c(w1 w2) / c(w1 ·),
+    both counts from one pass over the corpus, so every observed
+    bigram has p > 0 and no smoothing is needed for self-scoring.
+
+    BIT-EXACT across engines by construction — no transcendentals
+    (libm log/exp differ by ulps between JVM and C; a perplexity
+    would not hash). Instead the per-doc summary is built from IEEE
+    correctly-rounded ops only, which ARE cross-engine deterministic:
+
+    * terms are grouped by the (integer) denominator first —
+      sum_prob = Σ_{distinct c1f} (Σ c2) / c1f — the numerator sum is
+      exact BIGINT math, each division is one correctly-rounded op,
+      and the outer sum folds in ascending-c1f order via
+      F.aggregate / list_reduce (identical association order);
+    * min_prob is a MIN over identically-rounded divisions
+      (order-free);
+    * n_rare counts bigrams with p < 1/8 by the INTEGER predicate
+      8·c2 < c1f (no float compare at all).
+
+    A production gate applies log driver-side to sum_prob/mean_prob;
+    the distributed part stays transcendental-free.
+
+    Scale shape: explode → two count aggs (map-side combined) → two
+    equi-joins back (gram/prefix keys; broadcast when the vocabulary
+    fits, AQE shuffle join otherwise) → one per-(doc, c1f) partial agg
+    → one per-doc agg whose collect_list is bounded by the number of
+    DISTINCT denominators in the doc (≤ distinct prefixes, not
+    bigrams). Docs with < 2 tokens have no bigrams and are absent."""
+    w = F.split(F.col(text_col), " ")
+    toks = docs.select(F.col(id_col), w.alias("w")).filter(F.size("w") >= 2)
+    grams = F.zip_with(
+        F.slice(F.col("w"), 1, F.size("w") - 1),
+        F.slice(F.col("w"), 2, F.size("w") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = toks.select(id_col, F.explode(grams).alias("gram")).withColumn(
+        "prefix", F.split(F.col("gram"), " ").getItem(0)
+    )
+    c2 = bi.groupBy("gram").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("prefix").agg(F.count("*").alias("c1f"))
+    inst = bi.join(c2, "gram").join(c1, "prefix")
+    grp = inst.groupBy(id_col, "c1f").agg(
+        F.sum("c2").alias("sc2"),
+        F.count("*").alias("n"),
+        F.min(F.col("c2").cast("double") / F.col("c1f")).alias("minp"),
+        F.sum((F.lit(8) * F.col("c2") < F.col("c1f")).cast("long")).alias(
+            "rare"
+        ),
+    )
+    terms = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("c1f", "sc2"))),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s.getField("sc2").cast("double") / s.getField("c1f"),
+    )
+    return grp.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        terms.alias("sum_prob"),
+        F.min("minp").alias("min_prob"),
+        F.sum("rare").cast("long").alias("n_rare"),
+    ).withColumn("mean_prob", F.col("sum_prob") / F.col("n_bigrams"))

@@ -5463,6 +5463,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_bigram_lm",
     "q_engine_solid",
     "q_temperature_resample",
     "q_wds_roundtrip",

@@ -919,6 +919,53 @@ def q_temperature_resample(spark, sf_dir):
     )
 
 
+def sql_bigram_lm() -> str:
+    """Twin of textstats.bigram_lm_score. The fold replays Spark's
+    F.aggregate(init=0.0, +) exactly: list_prepend(0.0) then
+    list_reduce(+) over terms in ascending-c1f order — identical IEEE
+    association order, and every element is one correctly-rounded
+    division of exact integers, so the doubles hash bit-for-bit."""
+    return """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+bi0 AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM t),
+bi AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS prefix FROM bi0),
+c2 AS (SELECT gram, COUNT(*) AS c2 FROM bi GROUP BY 1),
+c1 AS (SELECT prefix, COUNT(*) AS c1f FROM bi GROUP BY 1),
+inst AS (SELECT bi.doc_id, c2.c2, c1.c1f
+         FROM bi JOIN c2 USING (gram) JOIN c1 USING (prefix)),
+grp AS (SELECT doc_id, c1f,
+               CAST(SUM(c2) AS BIGINT) AS sc2,
+               COUNT(*) AS n,
+               MIN(CAST(c2 AS DOUBLE) / c1f) AS minp,
+               SUM(CASE WHEN 8 * c2 < c1f THEN 1 ELSE 0 END) AS rare
+        FROM inst GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list(CAST(sc2 AS DOUBLE) / c1f ORDER BY c1f)),
+                 (a, b) -> a + b) AS sum_prob,
+               MIN(minp) AS min_prob,
+               CAST(SUM(rare) AS BIGINT) AS n_rare
+        FROM grp GROUP BY 1)
+SELECT doc_id, n_bigrams, sum_prob, min_prob, n_rare,
+       sum_prob / n_bigrams AS mean_prob
+FROM agg
+"""
+
+
+def q_bigram_lm(spark, sf_dir):
+    """T31 count-based bigram LM quality scoring (CCNet-shaped signal,
+    transcendental-free so it hash-gates; see operator doc)."""
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    return T.bigram_lm_score(_docs(spark, sf_dir))
+
+
 def sql_decontaminate(bench_mod: int = 50, n: int = 4) -> str:
     return f"""
 WITH {_shingle_cte('documents', n)},
@@ -1160,6 +1207,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
         "q_seq_packing": (q_seq_packing, sql_seq_packing()),
+        "q_bigram_lm": (q_bigram_lm, sql_bigram_lm()),
         "q_temperature_resample": (
             q_temperature_resample,
             sql_temperature_resample(),

@@ -614,3 +614,52 @@ def test_chunk_dedup_within_doc_duplicates(spark):
     out = chunk_dedup(df, chunk_words=2).collect()[0]
     # chunks "p q", "p q", "p" -> second drops, trailing short kept
     assert (out["n_chunks"], out["n_kept"], out["cleaned"]) == (3, 2, "p q p")
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """T31 on a 3-doc corpus small enough to verify by hand.
+
+    Corpus bigrams (prefix -> c1f):
+      d1 'a b a b'  : (a b) x2, (b a) x1
+      d2 'a b c'    : (a b), (b c)
+      d3 'c'        : no bigram (absent from output)
+    c2: (a b)=3, (b a)=1, (b c)=1 ; c1f: a=3, b=2.
+    """
+    from mapnik_vector_tile_spark.operators.textstats import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert set(out) == {1, 2}
+
+    # d1: instances (a b: c2=3, c1f=3) x2, (b a: c2=1, c1f=2)
+    #   grp c1f=3: sc2=6 -> 2.0 ; c1f=2: sc2=1 -> 0.5 ; fold 0.5 then 2.0
+    r = out[1]
+    assert r.n_bigrams == 3
+    assert r.sum_prob == (0.0 + 1 / 2) + 6 / 3
+    assert r.min_prob == 0.5
+    assert r.n_rare == 0  # 8*1 >= 2, 8*3 >= 3
+    assert r.mean_prob == r.sum_prob / 3
+
+    # d2: (a b: 3/3) + (b c: 1/2)
+    r = out[2]
+    assert r.n_bigrams == 2
+    assert r.sum_prob == (0.0 + 1 / 2) + 3 / 3
+    assert r.min_prob == 0.5
+    assert r.n_rare == 0
+
+
+def test_bigram_lm_rare_flag(spark):
+    """8*c2 < c1f integer rare-gate: a prefix with 9 distinct successors
+    makes each bigram rare (c2=1, c1f=9)."""
+    from mapnik_vector_tile_spark.operators.textstats import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, f"x s{i}") for i in range(9)], ["doc_id", "text"]
+    )
+    rows = bigram_lm_score(docs).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert (r.n_bigrams, r.n_rare) == (1, 1)
+        assert r.sum_prob == 1 / 9
