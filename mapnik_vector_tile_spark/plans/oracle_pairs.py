@@ -1400,6 +1400,133 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q_engine_attr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10 attribute-enrichment join (composite.join_attributes — the
+    tippecanoe tile-join CSV semantic over a distributed store): build
+    the typed-values layer store, join a 33-row attribute dimension on
+    the decoded int property ``qty`` (rows exist only for qty%3 != 0,
+    so ~1/3 of features stay unmatched under how='left'), appending
+    (grade string, bonus double) — bonus = qty/4 is exact-dyadic so
+    every float in the gate is order-free exact — then read the stats
+    back FROM THE ENRICHED WIRE BYTES: per-tile feature count, the
+    rebuilt dictionary cardinalities (n_keys = 3 + 2·[any match in
+    tile] proves new keys enter the dictionary only when used;
+    n_values adds the matched grades/bonuses to the typed distincts),
+    match count, exact bonus sum and lexicographic min grade. The SQL
+    twin replays the join relationally; a wrong decoded join key, a
+    value-dictionary dedup miss, or an unmatched feature mutated in
+    any way breaks the hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import join_attributes
+
+    layers = _typed_layers(spark, sf_dir).select(
+        F.lit(8).alias("z"),
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        F.lit("li").alias("layer"),
+        F.col("blob"),
+        F.lit(0).cast("long").alias("n_features"),
+        F.lit(0).cast("long").alias("n_points"),
+    )
+    attrs = (
+        spark.range(1, 51)
+        .filter(F.col("id") % 3 != 0)
+        .select(
+            F.col("id").cast("long").alias("qty"),
+            F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias(
+                "grade"
+            ),
+            (F.col("id").cast("double") / 4).alias("bonus"),
+        )
+    )
+    enriched = join_attributes(layers, attrs, on="qty", how="left")
+
+    def decode_stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf["blob"]):
+                layer = pbf.decode_layer(bytes(blob))
+                qty_sum, n_match, bonus_sum = 0, 0, 0.0
+                min_grade = None
+                for f in layer["features"]:
+                    props = pbf.feature_props(layer, f)
+                    qty_sum += props["qty"]
+                    if "grade" in props:
+                        n_match += 1
+                        bonus_sum += props["bonus"]
+                        g = props["grade"]
+                        if min_grade is None or g < min_grade:
+                            min_grade = g
+                rows.append(
+                    (
+                        int(x), int(y), len(layer["features"]),
+                        len(layer["keys"]), len(layer["values"]),
+                        qty_sum, n_match, bonus_sum, min_grade,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "x", "y", "n_features", "n_keys", "n_values",
+                    "sum_qty", "n_matched", "sum_bonus", "min_grade",
+                ],
+            )
+
+    return enriched.mapInPandas(
+        decode_stats,
+        schema=(
+            "x long, y long, n_features long, n_keys long, n_values long, "
+            "sum_qty long, n_matched long, sum_bonus double, "
+            "min_grade string"
+        ),
+    )
+
+
+def _sql_attr_join(z: int = 8) -> str:
+    tx, ty = S.tile_xy_exprs(z)
+    mx = (
+        f"((((id) * 2654435761) % 4294967296) / {S.flit(2**32)})"
+        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
+    )
+    my = (
+        f"((((id) * 1103515245 + 12345) % 4294967296) / {S.flit(2**32)})"
+        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
+    )
+    return f"""
+WITH li AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_extendedprice AS price,
+         (l_returnflag = 'R') AS rflag
+  FROM lineitem
+),
+p AS (SELECT id, qty, price, rflag, {mx} AS mx, {my} AS my FROM li),
+t AS (SELECT id, qty, price, rflag, (qty % 3 <> 0) AS m,
+             {tx} AS tx, {ty} AS ty
+      FROM p)
+SELECT tx AS x, ty AS y,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(3 + CASE WHEN SUM(CASE WHEN m THEN 1 ELSE 0 END) > 0
+                THEN 2 ELSE 0 END AS BIGINT) AS n_keys,
+       CAST(COUNT(DISTINCT qty) + COUNT(DISTINCT price)
+            + COUNT(DISTINCT rflag)
+            + COUNT(DISTINCT CASE WHEN m THEN qty % 7 END)
+            + COUNT(DISTINCT CASE WHEN m THEN qty END)
+            AS BIGINT) AS n_values,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       SUM(CASE WHEN m THEN qty ELSE 0 END) * {S.flit(0.25)} AS sum_bonus,
+       MIN(CASE WHEN m THEN 'g' || CAST(qty % 7 AS VARCHAR) END)
+         AS min_grade
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_geojson_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 GeoJSON source parity: orders keys -> newline-delimited
     GeoJSON Feature documents (pure-arithmetic lon/lat, repr-exact
@@ -5387,6 +5514,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_geojson_tiles": (q_geojson_tiles, _sql_geojson_tiles(7)),
     "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
     "q_engine_layer_filter": (q_engine_layer_filter, _sql_layer_filter()),
+    "q_engine_attr_join": (q_engine_attr_join, _sql_attr_join()),
     "q_quadkey": (q_quadkey, _sql_quadkey()),
     "q_pyramid_audit": (q_pyramid_audit, _sql_pyramid_audit()),
     "q_tilestats": (q_tilestats, _sql_tilestats()),
@@ -5463,6 +5591,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_engine_attr_join",
     "q_bigram_lm",
     "q_engine_solid",
     "q_temperature_resample",

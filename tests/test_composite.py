@@ -936,3 +936,70 @@ def test_is_solid_extent_semantics():
         [_poly_layer("a", [box(-64, 4160)]), _poly_layer("b", [box(-64, 4160)])]
     )
     assert is_solid_extent(t) == (True, True, "a-b", 2)
+
+
+# --- U10 join_attributes -----------------------------------------------------
+
+
+def test_join_attributes_contracts(spark):
+    """tile-join semantics: left keeps unmatched verbatim, inner drops,
+    $id joins on feature id, a feature MISSING the join property never
+    matches, None attr cells write no property, and new keys enter the
+    rebuilt dictionary only when used."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import join_attributes
+
+    pt = gc.encode_geometry(
+        gc.GEOM_POINT, np.array([10]), np.array([10]), np.array([0, 1])
+    )
+    lb = pbf.LayerBuilder("poi")
+    lb.add_feature(1, gc.GEOM_POINT, pt, {"code": 7})
+    lb.add_feature(2, gc.GEOM_POINT, pt, {"code": 8})
+    lb.add_feature(3, gc.GEOM_POINT, pt, {})  # missing join property
+    layers = spark.createDataFrame(
+        [(0, 0, 0, "poi", bytearray(lb.build()), 3, 3)],
+        "z int, x long, y long, layer string, blob binary, "
+        "n_features long, n_points long",
+    )
+    attrs = spark.createDataFrame(
+        [(7, "seven", 1.5), (9, "nine", None)],
+        "code long, name string, score double",
+    )
+
+    def decode(df):
+        blob = bytes(df.collect()[0].blob)
+        layer = pbf.decode_layer(blob)
+        return layer, {
+            f["id"]: pbf.feature_props(layer, f) for f in layer["features"]
+        }
+
+    layer, props = decode(join_attributes(layers, attrs, on="code"))
+    assert set(props) == {1, 2, 3}
+    assert props[1] == {"code": 7, "name": "seven", "score": 1.5}
+    assert props[2] == {"code": 8}          # unmatched: untouched
+    assert props[3] == {}                   # no join key: no match
+    assert set(layer["keys"]) == {"code", "name", "score"}
+
+    layer, props = decode(join_attributes(layers, attrs, on="code", how="inner"))
+    assert set(props) == {1}
+
+    # $id join: feature ids 1..3; attr keys 7/9 -> no match anywhere,
+    # dictionary must NOT grow
+    layer, props = decode(join_attributes(layers, attrs, on="$id"))
+    assert set(props) == {1, 2, 3}
+    assert set(layer["keys"]) == {"code"}
+
+    # None cell: key 9 under $id on a matching id writes only 'name'
+    attrs2 = spark.createDataFrame(
+        [(2, "two", None)], "fid long, name string, score double"
+    )
+    layer, props = decode(join_attributes(layers, attrs2, on="$id"))
+    assert props[2] == {"code": 8, "name": "two"}
+    assert "score" not in layer["keys"]
+
+    # inner with zero survivors: tile dropped entirely (P4)
+    attrs3 = spark.createDataFrame([(99, "x")], "code long, name string")
+    assert join_attributes(layers, attrs3, on="code", how="inner").count() == 0
