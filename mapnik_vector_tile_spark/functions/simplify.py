@@ -62,10 +62,53 @@ def douglas_peucker(
     return keep
 
 
-def simplify_part(
+def radial_distance(
     xs: np.ndarray, ys: np.ndarray, tolerance: float
+) -> np.ndarray:
+    """Boolean keep-mask for one part — the reference's cheap
+    simplify strategy (include/mapnik/simplify_converter.hpp,
+    radial_distance): keep the first vertex, then keep each vertex
+    whose squared distance from the LAST KEPT vertex exceeds
+    tolerance²; the final vertex is always emitted. Pure integer
+    compares when fed quantized tile coords, so cross-engine
+    bit-exact. Sequential by definition (each decision depends on the
+    previous kept vertex) — a per-vertex Python loop like the
+    reference's; parts are tile-local (already clipped), so the loop
+    is bounded by per-tile vertex counts, not the feature."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = True
+    if n <= 2 or tolerance <= 0:
+        keep[:] = tolerance <= 0
+        keep[0] = keep[-1] = True
+        return keep
+    tol2 = float(tolerance) * float(tolerance)
+    lx, ly = float(xs[0]), float(ys[0])
+    for i in range(1, n):
+        dx = float(xs[i]) - lx
+        dy = float(ys[i]) - ly
+        if dx * dx + dy * dy > tol2:
+            keep[i] = True
+            lx, ly = float(xs[i]), float(ys[i])
+    keep[-1] = True
+    return keep
+
+
+STRATEGIES = {
+    "douglas-peucker": douglas_peucker,
+    "radial-distance": radial_distance,
+}
+
+
+def simplify_part(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    tolerance: float,
+    strategy: str = "douglas-peucker",
 ) -> tuple[np.ndarray, np.ndarray]:
-    mask = douglas_peucker(xs, ys, tolerance)
+    mask = STRATEGIES[strategy](xs, ys, tolerance)
     return np.asarray(xs)[mask], np.asarray(ys)[mask]
 
 
@@ -75,6 +118,7 @@ def simplify_rings(
     offsets: np.ndarray,
     tolerance: float,
     closed: bool,
+    strategy: str = "douglas-peucker",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Simplify each part/ring independently. For closed rings the
     closing vertex is appended before DP and stripped after (endpoint
@@ -108,10 +152,10 @@ def simplify_rings(
         if closed and len(px) >= 3:
             cx = np.concatenate((px, px[:1]))
             cy = np.concatenate((py, py[:1]))
-            sx, sy = simplify_part(cx, cy, tolerance)
+            sx, sy = simplify_part(cx, cy, tolerance, strategy)
             sx, sy = sx[:-1], sy[:-1]
         else:
-            sx, sy = simplify_part(px, py, tolerance)
+            sx, sy = simplify_part(px, py, tolerance, strategy)
         if len(sx) < min_pts:
             if closed and is_exterior:
                 exterior_alive = False

@@ -345,6 +345,7 @@ def make_encode_kernel(
     area_threshold: float = 0.0,
     emit_tiles: bool = False,
     repair: bool = False,
+    simplify_strategy: str = "douglas-peucker",
 ):
     """The per-group encode kernel (prepare, encode_group) used by
     encode_layer_partials — exposed at module level so
@@ -432,7 +433,8 @@ def make_encode_kernel(
                     py = tm.round_half_away_np((maxy - fy) * scale)
                     if simplify_distance > 0:
                         px, py, poffs = simp.simplify_rings(
-                            px, py, poffs, simplify_distance, closed=False
+                            px, py, poffs, simplify_distance, closed=False,
+                            strategy=simplify_strategy,
                         )
                     stream = gc.encode_geometry(
                         gc.GEOM_LINESTRING, px, py, poffs
@@ -458,7 +460,8 @@ def make_encode_kernel(
                     )
                     if simplify_distance > 0:
                         px, py, roffs = simp.simplify_rings(
-                            px, py, roffs, simplify_distance, closed=True
+                            px, py, roffs, simplify_distance, closed=True,
+                            strategy=simplify_strategy,
                         )
                     if area_threshold > 0:
                         # reference processor option: drop tiny rings in
@@ -502,6 +505,7 @@ def encode_layer_partials(
     adaptive_salt_target: int | None = None,
     emit_tiles: bool = False,
     repair: bool = False,
+    simplify_strategy: str = "douglas-peucker",
 ) -> DataFrame:
     """Per-(z,x,y,salt) fold: quantize (A.3) -> clip in world coords
     (F10-F12) -> simplify (F9, tile units) -> command stream (F4-F8) ->
@@ -530,6 +534,7 @@ def encode_layer_partials(
         area_threshold=area_threshold,
         emit_tiles=emit_tiles,
         repair=repair,
+        simplify_strategy=simplify_strategy,
     )
 
     if adaptive_salt_target is not None:
@@ -570,6 +575,7 @@ def encode_layers(
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
     repair: bool = False,
+    simplify_strategy: str = "douglas-peucker",
 ) -> DataFrame:
     """encode_layer_partials + salted-partial merge: one row per
     (z,x,y) layer. Use encode_tiles when the consumer wants whole
@@ -586,6 +592,7 @@ def encode_layers(
             num_partitions=num_partitions,
             adaptive_salt_target=adaptive_salt_target,
             repair=repair,
+            simplify_strategy=simplify_strategy,
         )
     )
 
@@ -601,6 +608,7 @@ def encode_tiles(
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
     repair: bool = False,
+    simplify_strategy: str = "douglas-peucker",
 ) -> DataFrame:
     """EP1 fused finish, byte-identical to fold_tiles(encode_layers(...)).
 
@@ -624,6 +632,7 @@ def encode_tiles(
         n_salts=n_salts,
         num_partitions=num_partitions,
         repair=repair,
+        simplify_strategy=simplify_strategy,
     )
     if adaptive_salt_target is not None:
         return fold_tiles_from_partials(

@@ -2109,6 +2109,154 @@ def q_engine_simplify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9b radial-distance simplification (simplify.radial_distance;
+    ref: include/mapnik/simplify_converter.hpp — the reference's cheap
+    strategy next to Douglas-Peucker), vertex-exact like
+    q_engine_simplify_exact but on a corpus built to be NON-VACUOUS
+    for this strategy: even vertices are far-apart hash points (kept
+    always), each odd vertex is its predecessor plus a small
+    deterministic offset of ±0..283 tile units straddling the 256
+    tolerance — so roughly half the odd vertices drop and half
+    survive, and the forced-emit-last rule (final vertex always
+    output, elided only when byte-identical to the last kept) is
+    exercised on the odd tail vertex. Geometry stays ≥0.05·W inside
+    the world so the clip stage never splits. The DuckDB twin replays
+    quantization then the sequential keep-last-kept chain as a
+    16-step RECURSIVE CTE carrying (last-kept px, py) — exact BIGINT
+    compares throughout. Output: (feature_id, rnk, px, py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    NV = 16
+    TU = S.TWO_W / 4096.0  # one z0 tile unit in mercator meters
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["o_orderkey"].to_numpy().astype(np.int64)
+            if not len(ids):
+                continue
+            vk = (ids[:, None] * NV + np.arange(NV)[None, :]).reshape(-1)
+            vkb = vk - (vk % 2)  # each odd vertex shares its even base
+            fr_x = ((vkb * 2654435761) % 2**32) / float(2**32)
+            fr_y = ((vkb * 1103515245 + 12345) % 2**32) / float(2**32)
+            mx = fr_x * (1.7 * W) - 0.85 * W
+            my = fr_y * (1.7 * W) - 0.85 * W
+            odd = (vk % 2).astype(np.float64)
+            dx = ((vk % 667) - 333) * 0.6 * TU * odd
+            dy = (((vk * 31) % 667) - 333) * 0.6 * TU * odd
+            mx = (mx + dx).reshape(-1, NV)
+            my = (my + dy).reshape(-1, NV)
+            yield pd.DataFrame(
+                {
+                    "feature_id": ids,
+                    "geom_type": 2,
+                    "xs": [r.tolist() for r in mx],
+                    "ys": [r.tolist() for r in my],
+                    "part_offsets": [[0, NV]] * len(ids),
+                    "caption": "l",
+                }
+            )
+
+    feats = orders.mapInPandas(gen, schema=T.FEATURES_SCHEMA)
+    assigned = T.assign_tiles(feats, 0, 0)
+    tiles = T.encode_tiles(
+        assigned,
+        simplify_distance=SIMP_TOL,
+        simplify_strategy="radial-distance",
+    )
+    dec = T.decode_tiles_to_features(tiles)
+    z = dec.select(
+        "feature_id",
+        F.posexplode(F.arrays_zip("pxs", "pys")).alias("rnk", "v"),
+    )
+    return z.select(
+        "feature_id",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("v.pxs").alias("px"),
+        F.col("v.pys").alias("py"),
+    )
+
+
+def _sql_simplify_radial(nv: int = 16, tol: float = SIMP_TOL) -> str:
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    scale = 4096.0 / tm.tile_span(0)
+    f32 = S.flit(2**32)
+    fw = S.flit(W)
+    fs = S.flit(scale)
+    f17w = S.flit(1.7 * W)
+    f085w = S.flit(0.85 * W)
+    ftu = S.flit(S.TWO_W / 4096.0)
+    f06 = S.flit(0.6)
+    tol2 = (
+        str(int(tol * tol))
+        if float(tol * tol).is_integer()
+        else S.flit(tol * tol)
+    )
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT o_orderkey AS fid, i,
+         o_orderkey * {nv} + i AS vk,
+         o_orderkey * {nv} + i - (o_orderkey * {nv} + i) % 2 AS vkb
+  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {nv - 1})) AS i) s
+),
+world AS (
+  SELECT fid, i,
+         (((vkb * 2654435761) % 4294967296) / {f32}) * {f17w} - {f085w}
+           + ((vk % 667) - 333) * {f06} * {ftu} * (vk % 2) AS mx,
+         (((vkb * 1103515245 + 12345) % 4294967296) / {f32}) * {f17w}
+           - {f085w}
+           + (((vk * 31) % 667) - 333) * {f06} * {ftu} * (vk % 2) AS my
+  FROM raw
+),
+verts AS (
+  SELECT fid, i AS idx,
+         {S.round_half_up_nonneg(f'((mx + {fw}) * {fs})')} AS px,
+         {S.round_half_up_nonneg(f'(({fw} - my) * {fs})')} AS py
+  FROM world
+),
+rad(fid, idx, lx, ly, kept) AS (
+  SELECT fid, 0, px, py, TRUE FROM verts WHERE idx = 0
+  UNION ALL
+  SELECT v.fid, v.idx,
+         CASE WHEN (v.px - r.lx) * (v.px - r.lx)
+                 + (v.py - r.ly) * (v.py - r.ly) > {tol2}
+              THEN v.px ELSE r.lx END,
+         CASE WHEN (v.px - r.lx) * (v.px - r.lx)
+                 + (v.py - r.ly) * (v.py - r.ly) > {tol2}
+              THEN v.py ELSE r.ly END,
+         (v.px - r.lx) * (v.px - r.lx)
+           + (v.py - r.ly) * (v.py - r.ly) > {tol2}
+  FROM rad r JOIN verts v ON v.fid = r.fid AND v.idx = r.idx + 1
+),
+k0 AS (SELECT fid, idx FROM rad WHERE kept),
+fin AS (
+  SELECT r.fid, v.px, v.py, r.lx, r.ly, r.kept
+  FROM rad r JOIN verts v ON v.fid = r.fid AND v.idx = {nv - 1}
+  WHERE r.idx = {nv - 1}
+),
+extra AS (
+  SELECT fid, {nv - 1} AS idx FROM fin
+  WHERE NOT kept AND (px <> lx OR py <> ly)
+),
+kept_all AS (SELECT * FROM k0 UNION ALL SELECT * FROM extra),
+seq AS (
+  SELECT k.fid, v.px, v.py,
+         row_number() OVER (PARTITION BY k.fid ORDER BY k.idx) AS pos
+  FROM kept_all k JOIN verts v ON v.fid = k.fid AND v.idx = k.idx
+)
+SELECT fid AS feature_id,
+       CAST(pos - 1 AS BIGINT) AS rnk, px, py
+FROM seq
+QUALIFY COUNT(*) OVER (PARTITION BY fid) >= 2
+"""
+
+
 def _sql_simplify_exact(nv: int = 16, tol: float = SIMP_TOL) -> str:
     from mapnik_vector_tile_spark.functions import tilemath as tm
 
@@ -5541,6 +5689,10 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
     "q_geohash": (q_geohash, _sql_geohash()),
     "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
+    "q_engine_simplify_radial": (
+        q_engine_simplify_radial,
+        _sql_simplify_radial(),
+    ),
     "q_engine_clip_repair": (q_engine_clip_repair, _sql_clip_repair()),
     "q_raster_jpeg": (q_raster_jpeg, _sql_raster_jpeg()),
     "q_raster_png": (q_raster_png, _sql_raster_png()),
@@ -5591,6 +5743,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_engine_simplify_radial",
     "q_engine_attr_join",
     "q_bigram_lm",
     "q_engine_solid",

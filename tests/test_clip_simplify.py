@@ -307,3 +307,41 @@ def test_area_centroid_hole_and_null(spark):
     assert abs(out[2][0] - 31.0 / 15.0) < 1e-12
     assert abs(out[2][1] - 31.0 / 15.0) < 1e-12
     assert out[3] == (None, None)
+
+
+def test_radial_distance_mask():
+    """F9b kernel pins: keep-first, keep-last (forced), sequential
+    last-kept chaining, and the strategy dispatch in simplify_rings."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.simplify import (
+        radial_distance,
+        simplify_rings,
+    )
+
+    # chain: v1 within tol of v0 (drop), v2 beyond (keep), v3 within
+    # tol of v2 (drop) but forced as last
+    xs = np.array([0, 100, 500, 600])
+    ys = np.array([0, 0, 0, 0])
+    m = radial_distance(xs, ys, 256.0)
+    assert m.tolist() == [True, False, True, True]
+
+    # all within tolerance: first + forced last survive
+    m = radial_distance(np.array([0, 10, 20, 30]), np.zeros(4), 256.0)
+    assert m.tolist() == [True, False, False, True]
+
+    # measured from LAST KEPT, not from the previous vertex: three
+    # 200-steps each under tol individually, cumulative 400 > 256
+    m = radial_distance(np.array([0, 200, 400, 600]), np.zeros(4), 256.0)
+    assert m.tolist() == [True, False, True, True]
+
+    # tolerance <= 0 keeps everything
+    assert radial_distance(xs, ys, 0.0).all()
+
+    # dispatch through simplify_rings (open part)
+    sx, sy, offs = simplify_rings(
+        xs.astype(float), ys.astype(float), np.array([0, 4]), 256.0,
+        closed=False, strategy="radial-distance",
+    )
+    assert sx.tolist() == [0.0, 500.0, 600.0]
+    assert offs.tolist() == [0, 3]
