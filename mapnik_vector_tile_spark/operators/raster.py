@@ -794,3 +794,63 @@ def image_thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
         schema="image_id string, thumb binary, tw int, th int, "
         "caption string",
     )
+
+
+def gray_grid(rgba: np.ndarray, sw: int, sh: int) -> np.ndarray:
+    """Exact integer luma grid: per-pixel gray = r*299 + g*587 + b*114
+    (the ITU-R 601 weights scaled by 1000 — kept INTEGER; comparisons
+    downstream are scale-invariant so no division ever happens), then
+    the same half-open box partition as box_thumbnail with FLOOR-div
+    means, generalized to a rectangular sw x sh grid. Returns int64
+    (sh, sw)."""
+    h, w = rgba.shape[0], rgba.shape[1]
+    if h < sh or w < sw:
+        raise ValueError(f"gray_grid: image {w}x{h} smaller than {sw}x{sh}")
+    a = rgba.astype(np.int64)
+    gray = a[..., 0] * 299 + a[..., 1] * 587 + a[..., 2] * 114
+    ps = gray.cumsum(axis=0).cumsum(axis=1)
+    ps = np.pad(ps, ((1, 0), (1, 0)))
+    ye = (np.arange(sh + 1) * h) // sh
+    xe = (np.arange(sw + 1) * w) // sw
+    sums = (
+        ps[ye[1:]][:, xe[1:]]
+        - ps[ye[:-1]][:, xe[1:]]
+        - ps[ye[1:]][:, xe[:-1]]
+        + ps[ye[:-1]][:, xe[:-1]]
+    )
+    counts = (ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :]
+    return sums // counts
+
+
+def image_dhash(images: DataFrame) -> DataFrame:
+    """T21b difference hash (the `imagehash.dhash` algorithm — the
+    other standard perceptual fingerprint next to pHash): decode,
+    integer luma, exact box-average to a 9x8 grid, bit (y, x) set iff
+    grid[y][x] > grid[y][x+1], packed row-major into a signed int64
+    (bit k = y*8 + x; bit 63 wraps to the sign, matching the table's
+    phash convention). Fully integer end-to-end, so the DuckDB twin
+    replays every bit. Robust to brightness/contrast shifts the way
+    dHash is (gradient signs, not magnitudes).
+
+    One narrow mapInPandas scan — no shuffle; pairs-finding composes
+    with the existing banded Hamming LSH (dedup.phash_neardup_pairs
+    machinery) downstream. Output: (image_id, dhash, caption)."""
+    import pandas as pd
+
+    def gen(it):
+        shifts = np.arange(64, dtype=np.uint64).reshape(8, 8)
+        for pdf in it:
+            out = {"image_id": [], "dhash": [], "caption": []}
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                g = gray_grid(rgba, 9, 8)
+                bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64)
+                hv = (bits << shifts).sum(dtype=np.uint64)
+                out["image_id"].append(r.image_id)
+                out["dhash"].append(int(hv.astype(np.int64)))
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen, schema="image_id string, dhash long, caption string"
+    )

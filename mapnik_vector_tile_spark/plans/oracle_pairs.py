@@ -4656,6 +4656,94 @@ GROUP BY 1, 2
 """
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21b dHash fingerprinting (raster.image_dhash — imagehash.dhash
+    semantics) over the canonical images table, bit-exact: decode
+    (raw-rgba8 AND png-zlib rows), integer ITU-601 luma, exact 9x8
+    box-average, horizontal-gradient sign bits packed row-major into a
+    signed int64. The DuckDB twin regenerates every pixel
+    closed-form, replays the luma, the floor-div cell means, the
+    neighbor compares and the HUGEINT bit packing with a signed wrap —
+    a single wrong pixel, cell boundary, or bit position breaks the
+    hash. sf_dir unused (committed synth recipe)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.raster import image_dhash
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_TH_N)
+    return image_dhash(imgs).select(
+        "image_id", "dhash", F.length("caption").cast("long").alias("cap_len")
+    )
+
+
+def _sql_image_dhash(n: int = IMG_TH_N) -> str:
+    from mapnik_vector_tile_spark.sources.synth import _WORDS
+
+    nw = len(_WORDS)
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+dims AS (
+  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
+         {splitmix64_sql('i')} AS ph
+  FROM ids
+),
+ys AS (SELECT i, w, h, ph, unnest(generate_series(0, h - 1)) AS y FROM dims),
+pix AS (
+  SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x
+  FROM ys
+),
+chan AS (
+  SELECT i, w, h, y, x,
+         CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64 AS BIGINT)
+           AS noise
+  FROM pix
+),
+vals AS (
+  SELECT i,
+         ((((y + 1) * 8) - 1) // h) AS ty,
+         ((((x + 1) * 9) - 1) // w) AS tx,
+         (((x * 255) // (w - 1) + noise) % 256) * 299
+           + (((y * 255) // (h - 1) + noise) % 256) * 587
+           + ((((x + y) * 255) // (w + h - 2) + noise) % 256) * 114
+           AS gray
+  FROM chan
+),
+cells AS (
+  SELECT i, ty, tx, SUM(gray) // COUNT(*) AS cg
+  FROM vals GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT a.i, a.ty, a.tx,
+         CASE WHEN a.cg > b.cg THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b
+    ON a.i = b.i AND a.ty = b.ty AND b.tx = a.tx + 1
+  WHERE a.tx < 8
+),
+packed AS (
+  -- HUGEINT shifts, never ** (that returns DOUBLE and loses bits >53)
+  SELECT i,
+         SUM(CAST(bit AS HUGEINT) << CAST(ty * 8 + tx AS INT)) AS raw
+  FROM bits GROUP BY 1
+),
+caps AS (
+  SELECT i,
+         'caption ' || CAST(i AS VARCHAR) || ': '
+           || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption
+  FROM dims
+)
+SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(CASE WHEN raw >= (CAST(1 AS HUGEINT) << 63)
+                 THEN raw - (CAST(1 AS HUGEINT) << 64)
+                 ELSE raw END AS BIGINT) AS dhash,
+       CAST(length(caps.caption) AS BIGINT) AS cap_len
+FROM packed p JOIN caps ON p.i = caps.i
+"""
+
+
 WDS_N = 400  # q_wds_roundtrip corpus size
 
 
@@ -5714,6 +5802,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_line_interpolate": (q_line_interpolate, _sql_line_interpolate()),
     "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
     "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
+    "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_wds_roundtrip": (q_wds_roundtrip, _sql_wds_roundtrip()),
     "q_ar_bucket_batches": (q_ar_bucket_batches, _sql_ar_bucket_batches()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
@@ -5743,6 +5832,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_image_dhash",
     "q_engine_simplify_radial",
     "q_engine_attr_join",
     "q_bigram_lm",

@@ -435,3 +435,53 @@ def test_image_thumbnails_caption_preserved(spark):
     orig = {r["image_id"]: r["caption"] for r in imgs.collect()}
     assert caps == orig
     assert all(len(r["thumb"]) == 8 * 8 * 4 for r in out)
+
+
+def test_gray_grid_and_dhash_semantics(spark):
+    """T21b pins: exact luma grid means, gradient-sign bits, row-major
+    packing, and brightness invariance (dHash's defining property)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        gray_grid,
+        image_dhash,
+    )
+
+    # 9x8 image == grid: means are the pixels themselves
+    w, h = 9, 8
+    rgba = np.zeros((h, w, 4), np.uint8)
+    ramp = np.arange(w, dtype=np.uint8)[None, :] * 10
+    rgba[..., 0] = ramp  # r increases left->right
+    g = gray_grid(rgba, 9, 8)
+    assert g.shape == (8, 9)
+    assert (g == ramp.astype(np.int64) * 299).all()
+
+    # strictly increasing rows -> every bit g[x] > g[x+1] is FALSE -> 0
+    df = spark.createDataFrame(
+        [("a", bytearray(rgba.tobytes()), w, h, "raw-rgba8", "c")],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string",
+    )
+    rows = image_dhash(df).collect()
+    assert rows[0].dhash == 0
+
+    # strictly decreasing -> all 64 bits set -> signed -1
+    rgba2 = rgba[:, ::-1].copy()
+    df2 = spark.createDataFrame(
+        [("b", bytearray(rgba2.tobytes()), w, h, "raw-rgba8", "c")],
+        df.schema,
+    )
+    assert image_dhash(df2).collect()[0].dhash == -1
+
+    # brightness shift (no uint8 overflow) leaves the hash unchanged
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, (20, 24, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    bright = img.copy()
+    bright[..., :3] += 40
+    mk = lambda name, a: spark.createDataFrame(
+        [(name, bytearray(a.tobytes()), 24, 20, "raw-rgba8", "c")], df.schema
+    )
+    h1 = image_dhash(mk("x", img)).collect()[0].dhash
+    h2 = image_dhash(mk("y", bright)).collect()[0].dhash
+    assert h1 == h2
