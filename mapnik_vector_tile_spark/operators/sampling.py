@@ -325,3 +325,82 @@ def temperature_resample(
     return out.filter(
         F.pmod(F.col("hord"), F.lit(BUCKETS)) < F.col("rate_bp")
     ).drop("hord")
+
+
+# --- UniMax epoch-capped mixture (T30b) --------------------------------------
+
+
+def unimax_resample(
+    df: DataFrame,
+    budget_rows: int,
+    max_epochs: int = 3,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax corpus mixing (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling"): allocate a row budget as
+    uniformly as possible across domains, capping each domain at
+    ``max_epochs`` passes over its data. Ascending-size greedy: for
+    each domain (smallest first), take
+    m = min(n·E, remaining // domains_left) — small domains get their
+    full epoch cap, large ones split the leftover evenly. Pure
+    integer arithmetic, replayed by the oracle as a recursive CTE.
+
+    Unlike temperature_resample (subsampling only), UniMax UPSAMPLES:
+    a domain with m > n emits each row floor(m/n) times plus one more
+    on a deterministic hash coin with rate (m mod n)/n — so the
+    expected take is exactly m and re-runs are bit-identical. Output
+    rows carry ``copy`` (0-based repetition index), ``base_copies``
+    and ``rate_bp``.
+
+    Scale shape: one tiny per-domain count to the driver (the
+    convergence-witness pattern), the greedy loop is O(|domains|)
+    driver-side scalars, thresholds re-enter as broadcast CASE
+    literals, and the explode is map-side (sequence length ≤ E+1) —
+    no shuffle touches the corpus."""
+    if max_epochs < 1:
+        raise ValueError("unimax_resample: max_epochs must be >= 1")
+    counts = {
+        r[0]: int(r[1]) for r in df.groupBy(stratum_col).count().collect()
+    }
+    if not counts:
+        raise ValueError("unimax_resample: empty input")
+    remaining = int(budget_rows)
+    alloc: dict[str, int] = {}
+    order = sorted(counts, key=lambda k: (counts[k], k))
+    for pos, k in enumerate(order):
+        quota = max(remaining, 0) // (len(order) - pos)
+        m = min(counts[k] * max_epochs, quota)
+        alloc[k] = m
+        remaining -= m
+    base, rate = None, None
+    for k in sorted(alloc):
+        n = counts[k]
+        b = alloc[k] // n
+        rbp = BUCKETS * (alloc[k] % n) // n
+        cond = F.col(stratum_col) == k
+        base = (
+            F.when(cond, F.lit(b))
+            if base is None
+            else base.when(cond, F.lit(b))
+        )
+        rate = (
+            F.when(cond, F.lit(rbp))
+            if rate is None
+            else rate.when(cond, F.lit(rbp))
+        )
+    out = (
+        with_sample_hash(df, id_col)
+        .withColumn("base_copies", base.otherwise(F.lit(0)))
+        .withColumn("rate_bp", rate.otherwise(F.lit(0)))
+        .withColumn(
+            "n_copies",
+            F.col("base_copies")
+            + (F.pmod(F.col("hord"), F.lit(BUCKETS)) < F.col("rate_bp"))
+            .cast("long"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+    return out.withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
+    ).drop("hord", "n_copies")

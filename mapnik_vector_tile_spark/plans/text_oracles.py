@@ -919,6 +919,76 @@ def q_temperature_resample(spark, sf_dir):
     )
 
 
+def sql_unimax() -> str:
+    """Twin of sampling.unimax_resample (budget = 2·total, E = 3):
+    the ascending-size greedy allocation is replayed as a recursive
+    CTE carrying (position, remaining budget) — all BIGINT — then the
+    per-row copy count is base + the hash coin, aggregated per lang."""
+    from mapnik_vector_tile_spark.operators.sampling import BUCKETS
+
+    return f"""
+WITH RECURSIVE {_hord_cte()},
+c AS (SELECT lang, COUNT(*) AS n FROM h GROUP BY 1),
+o AS (SELECT lang, n,
+             row_number() OVER (ORDER BY n, lang) AS pos,
+             COUNT(*) OVER () AS k
+      FROM c),
+tot AS (SELECT CAST(SUM(n) * 2 AS BIGINT) AS budget FROM c),
+g(pos, lang, n, m, remaining) AS (
+  SELECT o.pos, o.lang, o.n,
+         LEAST(o.n * 3, (SELECT budget FROM tot) // o.k),
+         (SELECT budget FROM tot)
+           - LEAST(o.n * 3, (SELECT budget FROM tot) // o.k)
+  FROM o WHERE o.pos = 1
+  UNION ALL
+  SELECT o.pos, o.lang, o.n,
+         LEAST(o.n * 3, GREATEST(g.remaining, 0) // (o.k - g.pos)),
+         g.remaining
+           - LEAST(o.n * 3, GREATEST(g.remaining, 0) // (o.k - g.pos))
+  FROM g JOIN o ON o.pos = g.pos + 1
+),
+rates AS (
+  SELECT lang, n, m // n AS base_copies,
+         {BUCKETS} * (m % n) // n AS rate_bp
+  FROM g
+),
+cp AS (
+  SELECT h.lang, h.doc_id, h.n_chars, r.base_copies, r.rate_bp,
+         r.base_copies
+           + CASE WHEN h.hord % {BUCKETS} < r.rate_bp THEN 1 ELSE 0 END
+           AS copies
+  FROM h JOIN rates r USING (lang)
+)
+SELECT lang,
+       CAST(base_copies AS BIGINT) AS base_copies,
+       CAST(rate_bp AS BIGINT) AS rate_bp,
+       CAST(SUM(copies) AS BIGINT) AS n_out,
+       CAST(SUM(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_src,
+       MIN(CASE WHEN copies > 0 THEN doc_id END) AS min_id,
+       CAST(SUM(n_chars * copies) AS BIGINT) AS sum_chars
+FROM cp
+GROUP BY 1, 2, 3
+HAVING SUM(copies) > 0
+"""
+
+
+def q_unimax_resample(spark, sf_dir):
+    """T30b UniMax epoch-capped mixture (see operator doc): budget =
+    2·corpus, epoch cap 3 — the smallest language hits its epoch cap,
+    the rest split the leftover with fractional-epoch hash coins."""
+    from mapnik_vector_tile_spark.operators import sampling as SMP
+
+    docs = _docs(spark, sf_dir)
+    out = SMP.unimax_resample(docs, budget_rows=docs.count() * 2)
+    return out.groupBy("lang", "base_copies", "rate_bp").agg(
+        F.count("*").alias("n_out"),
+        F.countDistinct("doc_id").alias("n_src"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
 def sql_bigram_lm() -> str:
     """Twin of textstats.bigram_lm_score. The fold replays Spark's
     F.aggregate(init=0.0, +) exactly: list_prepend(0.0) then
@@ -1208,6 +1278,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_balanced_sample": (q_balanced_sample, sql_balanced_sample(20)),
         "q_seq_packing": (q_seq_packing, sql_seq_packing()),
         "q_bigram_lm": (q_bigram_lm, sql_bigram_lm()),
+        "q_unimax_resample": (q_unimax_resample, sql_unimax()),
         "q_temperature_resample": (
             q_temperature_resample,
             sql_temperature_resample(),

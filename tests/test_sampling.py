@@ -187,3 +187,49 @@ def test_temperature_resample_budget_cap(spark, docs):
     n = docs.count()
     out = SMP.temperature_resample(docs, budget_rows=n * SMP.BUCKETS)
     assert out.count() == n
+
+
+def test_unimax_allocation_and_copies(spark, docs):
+    """T30b: greedy allocation exactness + deterministic repetition.
+    Recomputes the ascending-size greedy locally, then checks every
+    exploded row count, copy index range, and that the smallest
+    language is epoch-capped while larger ones are budget-capped."""
+    E = 2
+    budget = docs.count() * 2
+    out = SMP.unimax_resample(docs, budget_rows=budget, max_epochs=E)
+    rows = out.select("doc_id", "lang", "copy", "base_copies", "rate_bp").collect()
+
+    base = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    counts: dict[str, int] = {}
+    for lang in base.values():
+        counts[lang] = counts.get(lang, 0) + 1
+    remaining = budget
+    alloc = {}
+    order = sorted(counts, key=lambda k: (counts[k], k))
+    for pos, k in enumerate(order):
+        m = min(counts[k] * E, max(remaining, 0) // (len(order) - pos))
+        alloc[k] = m
+        remaining -= m
+    smallest = order[0]
+    assert alloc[smallest] == counts[smallest] * E  # epoch-capped
+    assert sum(alloc.values()) <= budget  # never over-allocates
+
+    ids = np.array(sorted(base), dtype=np.uint64)
+    hord = (splitmix64(ids) >> np.uint64(11)).astype(np.int64)
+    expect: dict[int, int] = {}
+    for i, h in zip(ids, hord):
+        lang = base[int(i)]
+        n, m = counts[lang], alloc[lang]
+        cp = m // n + (1 if h % SMP.BUCKETS < SMP.BUCKETS * (m % n) // n else 0)
+        if cp:
+            expect[int(i)] = cp
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add(r.copy)
+    assert {d: len(c) for d, c in got.items()} == expect
+    for d, c in got.items():
+        assert c == set(range(len(c)))  # copy indices are 0..k-1
+    # expected take tracks the allocation within coin variance
+    for k in order:
+        n_out = sum(cp for d, cp in expect.items() if base[d] == k)
+        assert abs(n_out - alloc[k]) <= max(3, alloc[k] // 10)
