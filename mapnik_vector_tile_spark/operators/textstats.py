@@ -376,3 +376,71 @@ def bigram_lm_score(
         F.min("minp").alias("min_prob"),
         F.sum("rare").cast("long").alias("n_rare"),
     ).withColumn("mean_prob", F.col("sum_prob") / F.col("n_bigrams"))
+
+
+# --- T32: boilerplate line removal (CCNet paragraph dedup) -------------------
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 10,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020 paragraph
+    dedup): a line/paragraph that appears VERBATIM in >= min_docs
+    DISTINCT documents is boilerplate (footers, cookie banners,
+    navigation) and is deleted from every document; surviving lines
+    are re-joined in their original order. Documents whose every line
+    is boilerplate vanish (CCNet drops them).
+
+    This is frequency-based removal across the corpus — the
+    complement of chunk_dedup (first-occurrence within-corpus dedup):
+    chunk_dedup keeps one copy somewhere; boilerplate removal keeps
+    ZERO copies of the over-represented line.
+
+    Scale shape: one explode, one map-side-combined
+    (line -> distinct-doc count) aggregation, then the boilerplate
+    set — which is SMALL by construction (only lines crossing the
+    threshold) — broadcasts back as a left-anti join, and one per-doc
+    rebuild agg whose collect_list is the doc's own lines. The big
+    table is never joined to itself. Output: (doc_id, clean_text,
+    n_kept, n_removed)."""
+    import re
+
+    # F.split takes a REGEX; the separator contract here is a literal
+    # (DuckDB's string_split is literal too), so escape it
+    pat = re.escape(sep)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("pos", "line"),
+    )
+    bp = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(bp), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pat, -1)).cast("long").alias(
+            "_n_total"
+        ),
+    )
+    return (
+        rebuilt.join(totals, id_col)
+        .withColumn("n_removed", F.col("_n_total") - F.col("n_kept"))
+        .drop("_n_total")
+    )

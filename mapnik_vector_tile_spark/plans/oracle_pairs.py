@@ -5832,6 +5832,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_boilerplate",
     "q_unimax_resample",
     "q_image_dhash",
     "q_engine_simplify_radial",

@@ -919,6 +919,76 @@ def q_temperature_resample(spark, sf_dir):
     )
 
 
+def sql_boilerplate(min_docs: int = 10) -> str:
+    """Twin of textstats.remove_boilerplate over the planted corpus
+    (see q_boilerplate): literal line split, distinct-doc frequency
+    gate, anti-join, order-preserving string_agg rebuild."""
+    return f"""
+WITH docs3 AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER'
+           WHEN 1 THEN chr(10) || 'COPYRIGHT 2026 EXAMPLE CORP'
+           WHEN 2 THEN chr(10) || 'UNIQUE-' || CAST(doc_id AS VARCHAR)
+           ELSE '' END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         'SUBSCRIBE TO OUR NEWSLETTER' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+l AS (
+  SELECT doc_id, u.i AS pos, ls[u.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs3),
+       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) u
+),
+bp AS (SELECT line FROM l GROUP BY 1
+       HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+k AS (SELECT l.* FROM l ANTI JOIN bp USING (line)),
+tot AS (SELECT doc_id,
+               len(string_split(text, chr(10))) AS n_total
+        FROM docs3)
+SELECT k.doc_id AS doc_id,
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(ANY_VALUE(t.n_total) - COUNT(*) AS BIGINT) AS n_removed
+FROM k JOIN tot t ON k.doc_id = t.doc_id
+GROUP BY 1
+"""
+
+
+def q_boilerplate(spark, sf_dir):
+    """T32 CCNet-style boilerplate removal over a planted corpus:
+    two footer lines shared by ~125 docs each (removed everywhere), a
+    per-doc UNIQUE line (must survive), bare docs (untouched), and
+    pure-boilerplate docs (doc_id+3M copies of one footer — must
+    VANISH). The clean_text hash gates the order-preserving rebuild."""
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    docs = _docs(spark, sf_dir)
+    nl = "\n"
+    footer = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(nl + "SUBSCRIBE TO OUR NEWSLETTER"))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit(nl + "COPYRIGHT 2026 EXAMPLE CORP"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit(nl + "UNIQUE-"),
+                       F.col("doc_id").cast("string")))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), footer).alias("text")
+    )
+    pure = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.lit("SUBSCRIBE TO OUR NEWSLETTER").alias("text"),
+    )
+    return T.remove_boilerplate(
+        planted.unionByName(pure), min_docs=10, sep=nl
+    )
+
+
 def sql_unimax() -> str:
     """Twin of sampling.unimax_resample (budget = 2·total, E = 3):
     the ascending-size greedy allocation is replayed as a recursive
@@ -1279,6 +1349,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_seq_packing": (q_seq_packing, sql_seq_packing()),
         "q_bigram_lm": (q_bigram_lm, sql_bigram_lm()),
         "q_unimax_resample": (q_unimax_resample, sql_unimax()),
+        "q_boilerplate": (q_boilerplate, sql_boilerplate()),
         "q_temperature_resample": (
             q_temperature_resample,
             sql_temperature_resample(),

@@ -663,3 +663,46 @@ def test_bigram_lm_rare_flag(spark):
     for r in rows:
         assert (r.n_bigrams, r.n_rare) == (1, 1)
         assert r.sum_prob == 1 / 9
+
+
+def test_remove_boilerplate_contracts(spark):
+    """T32: threshold boundary (>= min_docs removes, below keeps),
+    original line order preserved, pure-boilerplate docs vanish,
+    regex-special separators are treated literally."""
+    from mapnik_vector_tile_spark.operators.textstats import (
+        remove_boilerplate,
+    )
+
+    rows = [(i, f"body {i}\nFOOT\ntail {i}") for i in range(3)]
+    rows.append((3, "solo\nRARE"))
+    rows.append((4, "RARE\nother"))
+    rows.append((5, "FOOT"))  # pure boilerplate -> vanishes
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # FOOT in 4 distinct docs, RARE in 2: threshold 3 removes only FOOT
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate(docs, min_docs=3, sep="\n").collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[1].clean_text == "body 1\ntail 1"  # order kept, FOOT gone
+    assert (out[1].n_kept, out[1].n_removed) == (2, 1)
+    assert out[3].clean_text == "solo\nRARE"  # below threshold: intact
+    assert out[4].clean_text == "RARE\nother"
+
+    # threshold exactly at the count removes
+    out4 = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate(docs, min_docs=4, sep="\n").collect()
+    }
+    assert out4[1] == "body 1\ntail 1"
+
+    # regex-special separator used literally
+    docs2 = spark.createDataFrame(
+        [(1, "a|b|C"), (2, "x|C"), (3, "y|C")], ["doc_id", "text"]
+    )
+    out2 = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate(docs2, min_docs=3, sep="|").collect()
+    }
+    assert out2 == {1: "a|b", 2: "x", 3: "y"}
