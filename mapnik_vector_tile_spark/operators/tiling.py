@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapnik_vector_tile_spark.functions import clip as clipmod
@@ -969,3 +969,41 @@ def decode_tiles_to_features(
         "pxs array<long>, pys array<long>, part_offsets array<long>, caption string"
     )
     return tiles.mapInPandas(gen, schema=schema)
+
+
+def label_grid_top1(
+    assigned: DataFrame,
+    cell_shift: int = 8,
+    priority: Column | None = None,
+) -> DataFrame:
+    """Label/marker collision placement (W4) — the grid rule every
+    tile server applies before rendering text (mapbox collision grid /
+    supercluster at fixed zoom): within each tile, partition the
+    extent into 2^cell_shift-pixel cells and keep exactly ONE feature
+    per cell — the highest ``priority`` (descending), feature_id
+    ascending as the deterministic tiebreak. Single-point rows only
+    (labels are anchored at points; callers centroid polygons first).
+
+    Plan shape: declared as row_number over (z, x, y, gx, gy) <= 1, so
+    Spark's WindowGroupLimit rewrites it to a per-map-partition top-1
+    BEFORE the exchange — the shuffle carries at most one row per
+    (cell × input partition), not the corpus (the same 100 TB shape as
+    balanced_topk, asserted in tests/test_plan_quality.py). Arithmetic
+    shift-right == floor division, so buffered negative pixels land in
+    the -1 cell in both engines."""
+    pr = priority if priority is not None else F.col("feature_id")
+    gx = F.shiftright(F.col("px"), cell_shift).alias("gx")
+    gy = F.shiftright(F.col("py"), cell_shift).alias("gy")
+    base = assigned.filter(F.col("is_single")).select(
+        "z", "x", "y", "feature_id", "px", "py", gx, gy,
+        pr.cast("long").alias("label_priority"),
+    )
+    w = (
+        Window.partitionBy("z", "x", "y", "gx", "gy")
+        .orderBy(F.col("label_priority").desc(), F.col("feature_id"))
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1028,6 +1028,58 @@ FROM tiles
 """
 
 
+LABEL_Z = 3
+LABEL_SHIFT = 8  # 256-pixel collision cells (16x16 grid per tile)
+
+
+def q_label_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 label collision placement (tiling.label_grid_top1): assign
+    order-key points at z3 buffer 0 — 64 tiles x 256 cells for
+    15k points, so cells collide constantly and the priority/tiebreak
+    rule decides thousands of discards — then keep the top-priority
+    feature per 256-pixel grid cell (priority = (id·2654435761) mod
+    1000, descending; id ascending tiebreak). The twin replays
+    assignment, the exact quantize, arithmetic-shift cell addressing
+    and the window rule relationally — a wrong pixel, cell boundary,
+    or tiebreak order breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, LABEL_Z, LABEL_Z, buffer_units=0)
+    pr = (F.col("feature_id") * 2654435761) % 1000
+    out = T.label_grid_top1(assigned, cell_shift=LABEL_SHIFT, priority=pr)
+    return out.select(
+        "x", "y", "gx", "gy", "feature_id", "label_priority",
+        F.col("px").cast("bigint").alias("px"),
+        F.col("py").cast("bigint").alias("py"),
+    )
+
+
+def _sql_label_grid(z: int = LABEL_Z) -> str:
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
+q AS (SELECT id, tx, ty,
+             {S.quantize_exprs(z, 'tx', 'ty')[0]} AS px,
+             {S.quantize_exprs(z, 'tx', 'ty')[1]} AS py,
+             (id * 2654435761) % 1000 AS pr
+      FROM t),
+g AS (SELECT id, tx, ty, px, py, pr,
+             px // {1 << LABEL_SHIFT} AS gx,
+             py // {1 << LABEL_SHIFT} AS gy
+      FROM q),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY tx, ty, gx, gy ORDER BY pr DESC, id) AS rn
+      FROM g)
+SELECT tx AS x, ty AS y, gx, gy, id AS feature_id,
+       CAST(pr AS BIGINT) AS label_priority, px, py
+FROM r WHERE rn = 1
+"""
+
+
 SOLID_Z = 3  # 8x8 grid — one tile per (class x position) combination
 
 
@@ -5772,6 +5824,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_phash_neardup": (q_phash_neardup, _sql_phash_neardup()),
     "q_engine_v1_decode": (q_engine_v1_decode, _sql_v1_decode()),
     "q_engine_solid": (q_engine_solid, _sql_solid()),
+    "q_label_grid": (q_label_grid, _sql_label_grid()),
     "q_tile_diff": (q_tile_diff, _sql_tile_diff()),
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
@@ -5832,6 +5885,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_label_grid",
     "q_boilerplate",
     "q_unimax_resample",
     "q_image_dhash",

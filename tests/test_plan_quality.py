@@ -418,3 +418,24 @@ def test_tilejson_two_level_partial_aggregation(spark, tiles_parquet):
     plan = _plan(C.tilejson_layers(C.tiles_to_layers(tiles)))
     assert plan.count("HashAggregate") >= 3, plan
     assert "partial" in plan, plan
+
+
+def test_label_grid_map_side_top1(spark):
+    """W4 label collision: the per-cell top-1 must be rewritten by
+    WindowGroupLimit on both sides of the exchange (map-side partial
+    limit before the shuffle), same 100 TB shape as balanced_topk."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    feats = T.images_to_features(images_df(spark, 500, with_bytes=False))
+    assigned = T.assign_tiles(feats, 3, 3, buffer_units=0)
+    out = T.label_grid_top1(
+        assigned, priority=(F.col("feature_id") * 7) % 100
+    )
+    plan = _plan(out)
+    assert plan.count("WindowGroupLimit") >= 2
+    exch = plan.index("Exchange")
+    assert "WindowGroupLimit" in plan[exch:]
+    assert "WindowGroupLimit" in plan[:exch]
