@@ -854,3 +854,67 @@ def image_dhash(images: DataFrame) -> DataFrame:
     return images.mapInPandas(
         gen, schema="image_id string, dhash long, caption string"
     )
+
+
+def letterbox(
+    rgba: np.ndarray, target: int, fill: tuple[int, int, int, int] = (0, 0, 0, 255)
+) -> tuple[np.ndarray, int, int, int, int]:
+    """Aspect-preserving fit + center pad to a target x target canvas —
+    the vision-batch preprocessing step (every fixed-shape image model
+    front-end): scale so the LONG side equals target (floor division,
+    min 1), resample by exact integer nearest-neighbor (src index =
+    dst·src_dim // new_dim — deterministic both up and down, unlike
+    box-average which can only shrink), paste at the centered offset
+    ((target-nw)//2, (target-nh)//2), fill elsewhere. Returns
+    (canvas, ox, oy, nw, nh)."""
+    h, w = rgba.shape[0], rgba.shape[1]
+    if w >= h:
+        nw, nh = target, max(1, (h * target) // w)
+    else:
+        nh, nw = target, max(1, (w * target) // h)
+    sy = (np.arange(nh, dtype=np.int64) * h) // nh
+    sx = (np.arange(nw, dtype=np.int64) * w) // nw
+    resized = rgba[sy][:, sx]
+    canvas = np.empty((target, target, 4), np.uint8)
+    canvas[:, :] = np.asarray(fill, np.uint8)
+    oy, ox = (target - nh) // 2, (target - nw) // 2
+    canvas[oy : oy + nh, ox : ox + nw] = resized
+    return canvas, ox, oy, nw, nh
+
+
+def letterbox_images(
+    images: DataFrame,
+    target: int = 64,
+    fill: tuple[int, int, int, int] = (0, 0, 0, 255),
+) -> DataFrame:
+    """T12c letterbox over the canonical images table: decode, fit,
+    center-pad, re-emit raw bytes with caption preserved (the per-row
+    invariant). Pairs with ar_bucket_batches: buckets group
+    near-ratio images, letterbox snaps each batch to one shape. One
+    narrow mapInPandas scan — no shuffle. Output: (image_id, canvas,
+    ox, oy, nw, nh, caption)."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            out = {
+                "image_id": [], "canvas": [], "ox": [], "oy": [],
+                "nw": [], "nh": [], "caption": [],
+            }
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                cv, ox, oy, nw, nh = letterbox(rgba, target, fill)
+                out["image_id"].append(r.image_id)
+                out["canvas"].append(cv.tobytes())
+                out["ox"].append(ox)
+                out["oy"].append(oy)
+                out["nw"].append(nw)
+                out["nh"].append(nh)
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        schema="image_id string, canvas binary, ox int, oy int, "
+        "nw int, nh int, caption string",
+    )

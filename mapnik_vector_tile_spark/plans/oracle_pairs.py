@@ -4796,6 +4796,139 @@ FROM packed p JOIN caps ON p.i = caps.i
 """
 
 
+LBOX_N = 200  # q_letterbox corpus size (twin regenerates 200*64*64 px)
+LBOX_T = 64  # q_letterbox canvas side
+LBOX_FILL = (7, 9, 11, 255)  # non-zero so the twin pins the padding too
+
+
+def q_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12c letterbox preprocessing (raster.letterbox_images): decode,
+    aspect-fit nearest-neighbor resample to the long side, center-pad
+    to 64x64 with a NON-ZERO fill. The gate hashes position-weighted
+    channel sums of the EMITTED canvas bytes (weight = ty·64+tx+1), so
+    a wrong source index, a one-pixel paste offset, or any stray
+    padding byte breaks the hash; the twin regenerates every source
+    pixel and replays the floor-mapped resample + centered paste +
+    fill closed-form. sf_dir unused (committed synth recipe)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import letterbox_images
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    lb = letterbox_images(images_df(spark, LBOX_N), target=LBOX_T,
+                          fill=LBOX_FILL)
+
+    def gen(it):
+        wgt = (np.arange(LBOX_T * LBOX_T, dtype=np.int64) + 1).reshape(
+            LBOX_T, LBOX_T
+        )
+        for pdf in it:
+            out = {"image_id": [], "ox": [], "oy": [], "nw": [], "nh": [],
+                   "wr": [], "wg": [], "wb": [], "caption": []}
+            for r in pdf.itertuples():
+                a = (
+                    np.frombuffer(r.canvas, np.uint8)
+                    .reshape(LBOX_T, LBOX_T, 4)
+                    .astype(np.int64)
+                )
+                out["image_id"].append(r.image_id)
+                out["ox"].append(int(r.ox))
+                out["oy"].append(int(r.oy))
+                out["nw"].append(int(r.nw))
+                out["nh"].append(int(r.nh))
+                out["wr"].append(int((wgt * a[..., 0]).sum()))
+                out["wg"].append(int((wgt * a[..., 1]).sum()))
+                out["wb"].append(int((wgt * a[..., 2]).sum()))
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return lb.mapInPandas(
+        gen,
+        schema="image_id string, ox int, oy int, nw int, nh int, "
+        "wr long, wg long, wb long, caption string",
+    )
+
+
+def _sql_letterbox(n: int = LBOX_N, t: int = LBOX_T) -> str:
+    from mapnik_vector_tile_spark.sources.synth import _WORDS
+
+    nw_words = len(_WORDS)
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    s_all = t * t * (t * t + 1) // 2  # sum of all weights
+    fr, fg, fb = LBOX_FILL[0], LBOX_FILL[1], LBOX_FILL[2]
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+dims AS (
+  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
+         {splitmix64_sql('i')} AS ph
+  FROM ids
+),
+fit AS (
+  SELECT i, w, h, ph,
+         CASE WHEN w >= h THEN {t} ELSE GREATEST(1, (w * {t}) // h) END
+           AS nw,
+         CASE WHEN w >= h THEN GREATEST(1, (h * {t}) // w) ELSE {t} END
+           AS nh
+  FROM dims
+),
+off AS (
+  SELECT *, ({t} - nw) // 2 AS ox, ({t} - nh) // 2 AS oy FROM fit
+),
+tys AS (SELECT o.*, unnest(generate_series(o.oy, o.oy + o.nh - 1)) AS ty
+        FROM off o),
+tpix AS (
+  SELECT i, w, h, nw, nh, ox, oy, ty,
+         unnest(generate_series(ox, ox + nw - 1)) AS tx
+  FROM tys
+),
+src AS (
+  SELECT i, w, h, ty, tx,
+         ((ty - oy) * h) // nh AS sy,
+         ((tx - ox) * w) // nw AS sx
+  FROM tpix
+),
+chan AS (
+  SELECT i, ty, tx, sx, sy, w, h,
+         CAST(({splitmix64_sql('(sy * w + sx + i * 65537)')}) % 64
+              AS BIGINT) AS noise
+  FROM src
+),
+vals AS (
+  SELECT i, (ty * {t} + tx + 1) AS wgt,
+         ((sx * 255) // (w - 1) + noise) % 256 AS r,
+         ((sy * 255) // (h - 1) + noise) % 256 AS g,
+         (((sx + sy) * 255) // (w + h - 2) + noise) % 256 AS b
+  FROM chan
+),
+inner_w AS (
+  SELECT i,
+         CAST(SUM(wgt * r) AS BIGINT) AS ir,
+         CAST(SUM(wgt * g) AS BIGINT) AS ig,
+         CAST(SUM(wgt * b) AS BIGINT) AS ib,
+         CAST(SUM(wgt) AS BIGINT) AS iw
+  FROM vals GROUP BY 1
+),
+caps AS (
+  SELECT i,
+         'caption ' || CAST(i AS VARCHAR) || ': '
+           || {words}[CAST(ph % {nw_words} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 64) % {nw_words} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 4096) % {nw_words} AS INT) + 1]
+           AS caption
+  FROM dims
+)
+SELECT 'img_' || lpad(CAST(o.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(o.ox AS INT) AS ox, CAST(o.oy AS INT) AS oy,
+       CAST(o.nw AS INT) AS nw, CAST(o.nh AS INT) AS nh,
+       iw0.ir + {fr} * ({s_all} - iw0.iw) AS wr,
+       iw0.ig + {fg} * ({s_all} - iw0.iw) AS wg,
+       iw0.ib + {fb} * ({s_all} - iw0.iw) AS wb,
+       caps.caption AS caption
+FROM off o JOIN inner_w iw0 ON o.i = iw0.i JOIN caps ON o.i = caps.i
+"""
+
+
 WDS_N = 400  # q_wds_roundtrip corpus size
 
 
@@ -5856,6 +5989,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
     "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
+    "q_letterbox": (q_letterbox, _sql_letterbox()),
     "q_wds_roundtrip": (q_wds_roundtrip, _sql_wds_roundtrip()),
     "q_ar_bucket_batches": (q_ar_bucket_batches, _sql_ar_bucket_batches()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
@@ -5885,6 +6019,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_letterbox",
     "q_label_grid",
     "q_boilerplate",
     "q_unimax_resample",

@@ -485,3 +485,34 @@ def test_gray_grid_and_dhash_semantics(spark):
     h1 = image_dhash(mk("x", img)).collect()[0].dhash
     h2 = image_dhash(mk("y", bright)).collect()[0].dhash
     assert h1 == h2
+
+
+def test_letterbox_semantics(spark):
+    """T12c pins: aspect fit, centered offsets, nearest mapping,
+    fill bytes outside the paste box, caption passthrough."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import letterbox
+
+    # 32x16 (w>h): nw=8, nh=4, ox=0, oy=2 at target 8
+    rgba = np.zeros((16, 32, 4), np.uint8)
+    rgba[..., 0] = np.arange(32, dtype=np.uint8)[None, :] * 8
+    cv, ox, oy, nw, nh = letterbox(rgba, 8, fill=(7, 9, 11, 255))
+    assert (nw, nh, ox, oy) == (8, 4, 0, 2)
+    # nearest source column for dst x: (x*32)//8 = 4x
+    expect_r = (np.arange(8) * 4 * 8).astype(np.uint8)
+    assert (cv[2, :, 0] == expect_r).all()
+    # padding rows above/below are exactly the fill
+    assert (cv[0] == np.array([7, 9, 11, 255], np.uint8)).all()
+    assert (cv[7] == np.array([7, 9, 11, 255], np.uint8)).all()
+
+    # tall image: 16x32 (h>w): nh=8, nw=4, ox=2
+    cv, ox, oy, nw, nh = letterbox(np.full((32, 16, 4), 50, np.uint8), 8)
+    assert (nw, nh, ox, oy) == (4, 8, 2, 0)
+    assert (cv[:, 2:6, 0] == 50).all()
+    assert (cv[:, 0, 0] == 0).all()  # default fill
+
+    # square upscales edge-to-edge
+    cv, ox, oy, nw, nh = letterbox(np.full((16, 16, 4), 9, np.uint8), 64)
+    assert (nw, nh, ox, oy) == (64, 64, 0, 0)
+    assert (cv[..., 0] == 9).all()
