@@ -558,3 +558,56 @@ def uncompact_cells(cells: DataFrame, to_z: int) -> DataFrame:
              + F.floor(F.col("_q") / F.col("_s")).cast("long")).alias("cy"),
         )
     )
+
+
+def cover_polygon_cells_classified(
+    features: DataFrame,
+    z: int,
+    max_cells_per_feature: int = 65536,
+) -> DataFrame:
+    """cover_polygon_cells + the Raster-Intervals classification
+    (Georgiadis & Mamoulis, SIGMOD 2023 'Raster Intervals'): each
+    covering cell is flagged ``boundary`` (PARTIAL — touched by a
+    vertex/edge stage) or not (FULL — decided by the interior fill, so
+    the cell lies ENTIRELY inside the polygon: no edge crosses it and
+    its center is inside). FULL cells are what make intersection
+    joins cheap: any pair sharing a cell where either side is FULL
+    intersects DEFINITIVELY — only PARTIAL x PARTIAL cells ever need
+    exact geometry. Non-polygon features have no fill stage, so every
+    cell is boundary=True (correct: nothing is 'full' for a line)."""
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+    def gen(batches):
+        for pdf in batches:
+            out_fid, out_cx, out_cy, out_b = [], [], [], []
+            for fid, gt, xs, ys, offs in zip(
+                pdf["feature_id"], pdf["geom_type"],
+                pdf["xs"], pdf["ys"], pdf["part_offsets"],
+            ):
+                cx, cy, bnd = _cover_one(
+                    np.asarray(xs, dtype=np.float64),
+                    np.asarray(ys, dtype=np.float64),
+                    np.asarray(offs, dtype=np.int64),
+                    z,
+                    max_cells_per_feature,
+                    int(gt) == gc.GEOM_POLYGON,
+                    classify=True,
+                )
+                out_fid.append(np.full(len(cx), int(fid), dtype=np.int64))
+                out_cx.append(cx)
+                out_cy.append(cy)
+                out_b.append(bnd)
+            if not out_fid:
+                continue
+            fid = np.concatenate(out_fid)
+            yield pd.DataFrame({
+                "feature_id": fid,
+                "z": np.full(len(fid), z, dtype=np.int32),
+                "cx": np.concatenate(out_cx),
+                "cy": np.concatenate(out_cy),
+                "boundary": np.concatenate(out_b),
+            })
+
+    return features.mapInPandas(
+        gen, schema=COVER_SCHEMA + ", boundary boolean"
+    )

@@ -1536,3 +1536,72 @@ def join_attributes(
             yield pd.DataFrame(rows)
 
     return layers.mapInPandas(gen, schema=LAYER_SCHEMA)
+
+
+# --- U11: tile byte-budget enforcement ---------------------------------------
+
+
+def trim_tile_to_budget(layers: DataFrame, budget_bytes: int) -> DataFrame:
+    """Tile size-budget enforcement — the tippecanoe contract (tiles
+    over ~500 KB are rejected by renderers; tippecanoe drops features
+    until the tile fits): keep the longest PREFIX of each layer's
+    features, in stored order (W1 feature order == producer priority
+    order), whose cumulative wire size fits ``budget_bytes``; rebuild
+    the layer (dictionaries re-derived from the survivors, so dropped
+    features' keys/values don't linger); drop layers left empty (P4).
+
+    The size of a feature is its EXACT wire footprint inside the
+    layer: the re-encoded Feature message plus its field-2 tag and
+    length varint — measured from real bytes, never estimated, so the
+    oracle's closed-form varint arithmetic gates the codec's size
+    math. Budget covers the feature stream only (the layer
+    name/version/extent/dictionary framing is the store's fixed
+    overhead and is reported, not budgeted). Narrow blob→blob scan,
+    no shuffle. Output: LAYER_SCHEMA with trimmed blobs."""
+    import pandas as pd
+
+    if budget_bytes <= 0:
+        raise ValueError("trim_tile_to_budget: budget_bytes must be > 0")
+
+    def gen(it):
+        for pdf in it:
+            rows = {c: [] for c in LAYER_COLS}
+            for z, x, y, lname, blob in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["layer"], pdf["blob"]
+            ):
+                d = pbf.split_layer(bytes(blob))
+                keys = d["keys"]
+                vals = d["raw_values"]
+                kept = []
+                used = 0
+                for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
+                    geom = pbf._varints_small(raw_geom).astype(np.int64)
+                    msg = pbf.encode_feature(
+                        fid, int(gtype), geom, list(tags), raw_raster
+                    )
+                    sz = 1 + len(pbf.varint_of(len(msg))) + len(msg)
+                    if used + sz > budget_bytes:
+                        break  # prefix contract: stop at first overflow
+                    used += sz
+                    props = [
+                        (keys[tags[i]], vals[tags[i + 1]])
+                        for i in range(0, len(tags), 2)
+                    ]
+                    kept.append(
+                        (fid, int(gtype), props, raw_geom, raw_raster)
+                    )
+                if not kept:
+                    continue
+                nb = pbf.build_layer_merged(
+                    d["name"], d["version"], d["extent"], kept
+                )
+                rows["z"].append(int(z))
+                rows["x"].append(int(x))
+                rows["y"].append(int(y))
+                rows["layer"].append(d["name"])
+                rows["blob"].append(nb)
+                rows["n_features"].append(len(kept))
+                rows["n_points"].append(len(kept))
+            yield pd.DataFrame(rows)
+
+    return layers.mapInPandas(gen, schema=LAYER_SCHEMA)

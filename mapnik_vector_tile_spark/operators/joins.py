@@ -835,3 +835,161 @@ def polygon_polygon_join(
             yield pd.DataFrame({"a_id": ka, "b_id": kb})
 
     return paired.mapInPandas(refine, schema="a_id long, b_id long")
+
+
+def polygon_polygon_join_ri(
+    a: DataFrame, b: DataFrame, z: int = 6
+) -> DataFrame:
+    """J9b: polygon x polygon intersects with the Raster-Intervals
+    shortcut (SIGMOD 2023 — full/partial cell classification): both
+    sides take the CLASSIFIED exact cover
+    (cellcover.cover_polygon_cells_classified); candidate pairs
+    equi-join on the cell as in polygon_polygon_join, but a pair
+    sharing ANY cell where either side is FULL (cell entirely inside
+    that polygon) intersects definitively — the other side's closed
+    cover guarantees it meets that cell, which lies inside the first.
+    Only pairs whose every shared cell is PARTIAL x PARTIAL reach the
+    exact edge/containment kernel. Identical output relation to
+    polygon_polygon_join (gated on the same oracle); the win is that
+    the Arrow refine kernel now runs on boundary-only pairs — for
+    large overlapping admin/landuse polygons the decided fraction
+    dominates, which is the paper's point.
+
+    Plan shape: same one cell equi-join; the decide/refine split is a
+    groupBy(pair).agg(max(full-flag)) — partial-agg'd, no extra pass
+    over geometry."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        cover_polygon_cells_classified,
+    )
+
+    def cells_of(df, alias, bflag):
+        feats = df.select(
+            F.col("region_id").alias("feature_id"),
+            F.lit(3).alias("geom_type"),
+            "xs",
+            "ys",
+            F.col("ring_offsets").alias("part_offsets"),
+            F.lit("").alias("caption"),
+        )
+        return cover_polygon_cells_classified(feats, z).select(
+            F.col("feature_id").alias(alias),
+            F.col("cx").alias("ctx"),
+            F.col("cy").alias("cty"),
+            F.col("boundary").alias(bflag),
+        )
+
+    pairs = (
+        cells_of(a, "a_id", "a_bnd")
+        .join(cells_of(b, "b_id", "b_bnd"), ["ctx", "cty"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.max(
+                (~F.col("a_bnd") | ~F.col("b_bnd")).cast("int")
+            ).alias("_decided")
+        )
+    )
+    decided = pairs.filter(F.col("_decided") == 1).select("a_id", "b_id")
+    undecided = pairs.filter(F.col("_decided") == 0).select("a_id", "b_id")
+
+    paired = undecided.join(
+        F.broadcast(
+            a.select(
+                F.col("region_id").alias("a_id"),
+                F.col("xs").alias("axs"),
+                F.col("ys").alias("ays"),
+                F.col("ring_offsets").alias("aoffs"),
+            )
+        ),
+        "a_id",
+    ).join(
+        F.broadcast(
+            b.select(
+                F.col("region_id").alias("b_id"),
+                F.col("xs").alias("bxs"),
+                F.col("ys").alias("bys"),
+                F.col("ring_offsets").alias("boffs"),
+            )
+        ),
+        "b_id",
+    )
+
+    def refine(it):
+        import numpy as np
+
+        for pdf in it:
+            ka, kb = [], []
+            for row in pdf.itertuples():
+                if _poly_poly_intersects(
+                    np.asarray(row.axs, dtype=np.float64),
+                    np.asarray(row.ays, dtype=np.float64),
+                    np.asarray(row.aoffs, dtype=np.int64),
+                    np.asarray(row.bxs, dtype=np.float64),
+                    np.asarray(row.bys, dtype=np.float64),
+                    np.asarray(row.boffs, dtype=np.int64),
+                ):
+                    ka.append(row.a_id)
+                    kb.append(row.b_id)
+            yield pd.DataFrame({"a_id": ka, "b_id": kb})
+
+    refined = paired.mapInPandas(refine, schema="a_id long, b_id long")
+    return decided.unionByName(refined)
+
+
+def pip_join_sampled(
+    points: DataFrame,
+    regions: DataFrame,
+    rate_bp: int,
+    z: int = 7,
+) -> DataFrame:
+    """J4c: uniform sampling OVER the spatial join, pushed BELOW the
+    refine (the 'Random Sampling over Spatial Range Joins' shape,
+    ICDE 2025): the deterministic pair coin
+    splitmix64(point_id·1000003 + region_id) fires on the CANDIDATE
+    pairs from the exact-cover equi-join, so the geometry refine runs
+    on only ~rate_bp/10000 of the candidates — yet because the coin
+    is a pure function of the output pair key and independent of the
+    geometry predicate, the result is EXACTLY the same row set as
+    sampling the full join output afterwards (bit-identical, gated by
+    the oracle). At 100 TB this is the difference between refining
+    10^12 candidate pairs and refining the 1% you keep.
+
+    rate_bp is per-10000 (the sampling-module bucket convention)."""
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        cover_polygon_cells,
+    )
+    from mapnik_vector_tile_spark.operators.sampling import (
+        BUCKETS,
+        sample_hash,
+    )
+
+    pts = with_point_cell(points, z).select(
+        F.col("id").alias("point_id"), "mx", "my", "ctx", "cty"
+    )
+    feats = regions.select(
+        F.col("region_id").alias("feature_id"),
+        F.lit(3).alias("geom_type"),
+        "xs",
+        "ys",
+        F.col("ring_offsets").alias("part_offsets"),
+        F.lit("").alias("caption"),
+    )
+    cells = cover_polygon_cells(feats, z).select(
+        F.col("feature_id").alias("region_id"),
+        F.col("cx").alias("ctx"),
+        F.col("cy").alias("cty"),
+    )
+    n = int(
+        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    cands = (
+        pts.repartition(n, "ctx", "cty")
+        .join(cells.repartition(n, "ctx", "cty"), ["ctx", "cty"])
+        .select("point_id", "region_id", "mx", "my")
+    )
+    coin = sample_hash(
+        F.col("point_id") * F.lit(1000003) + F.col("region_id")
+    )
+    cands = cands.filter(F.pmod(coin, F.lit(BUCKETS)) < F.lit(rate_bp))
+    return _refine(cands, regions, broadcast_geo=False)

@@ -4462,6 +4462,26 @@ def q_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.polygon_polygon_join(a, b, z=6)
 
 
+def q_polygon_polygon_ri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9b Raster-Intervals variant (joins.polygon_polygon_join_ri —
+    SIGMOD 2023 full/partial cell classification): SAME corpus, SAME
+    expected relation and SAME twin as q_polygon_polygon_join, so the
+    gate proves the FULL-cell shortcut decides pairs without ever
+    disagreeing with the exact kernel — the decided ∪ refined union
+    must land on the identical (a_id, b_id) set."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import joins as J
+    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
+
+    regions = regions_merc_df(spark, 200).select(
+        "region_id", "xs", "ys", "ring_offsets"
+    )
+    a = regions.filter(F.col("region_id") < 100)
+    b = regions.filter(F.col("region_id") >= 100)
+    return J.polygon_polygon_join_ri(a, b, z=6)
+
+
 def _sql_polygon_polygon_join(n_regions: int = 200) -> str:
     from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
 
@@ -5673,6 +5693,229 @@ WHERE (r.kind = 0 AND p.px BETWEEN r.a AND r.a + r.w
 """
 
 
+PIP_SAMPLE_BP = 2500  # q_pip_join_sampled keep rate (25% per 10k)
+
+
+def q_pip_join_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4c sample-pushdown gate (joins.pip_join_sampled): SAME corpus
+    as q_pip_cover_join; the twin is the full cross-join PIP relation
+    with the identical pair coin applied AFTER the join — the engine
+    applies it BEFORE the refine, and the oracle proves the two are
+    the same exact row set (the coin commutes with the geometry
+    predicate because it is a pure function of the pair key)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.joins import pip_join_sampled
+
+    span = tm.tile_span(COVER_JOIN_Z)
+    import pandas as pd
+
+    def gen_regions(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"region_id": [], "xs": [], "ys": [], "ring_offsets": []}
+            for i in ids:
+                i = int(i)
+                a = -tm.W + ((i * 7) % 240) * span + span / 4
+                c = -tm.W + ((i * 11) % 240) * span + span / 4
+                if i % 2 == 0:
+                    w = (1 + i % 4) * span + span / 2
+                    h = (2 + i % 3) * span + span / 2
+                    xs = [a, a + w, a + w, a, a]
+                    ys = [c, c, c + h, c + h, c]
+                else:
+                    L = (2 + i % 4) * span
+                    xs = [a, a + L, a, a]
+                    ys = [c, c, c + L, c]
+                rows["region_id"].append(i)
+                rows["xs"].append(xs)
+                rows["ys"].append(ys)
+                rows["ring_offsets"].append([0, len(xs)])
+            yield pd.DataFrame(rows)
+
+    regions = spark.range(0, COVER_JOIN_NR, 1, 4).mapInPandas(
+        gen_regions,
+        schema=("region_id long, xs array<double>, ys array<double>, "
+                "ring_offsets array<int>"),
+    )
+    points = spark.range(0, COVER_JOIN_NP, 1, 8).select(
+        F.col("id"),
+        (F.lit(-tm.W) + ((F.col("id") * 13) % 250) * F.lit(span)
+         + F.lit(0.375 * span)).alias("mx"),
+        (F.lit(-tm.W) + ((F.col("id") * 17) % 250) * F.lit(span)
+         + F.lit(0.625 * span)).alias("my"),
+    )
+    return pip_join_sampled(
+        points, regions, rate_bp=PIP_SAMPLE_BP, z=COVER_JOIN_Z
+    )
+
+
+def _sql_pip_join_sampled() -> str:
+    coin = splitmix64_sql("(point_id * 1000003 + region_id)")
+    # MATERIALIZED fence: without it DuckDB pushes the (expensive
+    # per-row HUGEINT) coin below the PIP predicate and evaluates it
+    # on the full 600k-row cross join (measured 53 s vs <2 s fenced)
+    return f"""
+WITH j AS MATERIALIZED ({_sql_pip_cover_join()})
+SELECT point_id, region_id FROM j
+WHERE (({coin}) // 2048) % 10000 < {PIP_SAMPLE_BP}
+"""
+
+
+BUDGET_Z = 5
+BUDGET_BYTES = 200  # trims most z5 tiles (~60 features) to ~14
+
+
+def q_tile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U11 tile byte-budget enforcement (composite.trim_tile_to_budget
+    — the tippecanoe tile-size contract): encode lineitem-keyed
+    prop-less point layers at z5 (~60 features/tile, id-ordered), trim
+    each layer to a 200-byte feature stream, and read the SURVIVOR ids
+    back from the trimmed wire bytes. The twin recomputes every
+    feature's exact wire footprint with closed-form varint-length
+    arithmetic (8 + vs(id) + vs(2·px) + vs(2·py)) and the running-sum
+    prefix rule — any drift in the codec's byte accounting, the
+    zigzag, or the prefix cut breaks the hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import (
+        trim_tile_to_budget,
+    )
+    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
+
+    span = S.TWO_W / (1 << BUDGET_Z)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+    def to_points(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = (
+                pdf["l_orderkey"].to_numpy().astype(np.int64) * 8
+                + pdf["l_linenumber"].to_numpy().astype(np.int64)
+            )
+            mx = ((ids * 2654435761) % 2**32) / float(2**32) * S.TWO_W - W
+            my = (
+                ((ids * 1103515245 + 12345) % 2**32) / float(2**32)
+            ) * S.TWO_W - W
+            tx = np.floor((mx + W) / span).astype(np.int64)
+            ty = np.floor((W - my) / span).astype(np.int64)
+            yield pd.DataFrame(
+                {"tx": tx, "ty": ty, "id": ids, "mx": mx, "my": my}
+            )
+
+    pts = li.mapInPandas(
+        to_points, schema="tx long, ty long, id long, mx double, my double"
+    )
+
+    def encode_group(key, cols, sl):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.functions import tilemath as tm
+
+        tx, ty = int(key[0]), int(key[1])
+        lb = pbf.LayerBuilder("pts", extent=4096)
+        ox = -tm.W + tx * span
+        oy = tm.W - ty * span
+        for i in range(sl.start, sl.stop):
+            px = tm.round_half_away_np(
+                np.array([(cols["mx"][i] - ox) * 4096.0 / span])
+            )[0]
+            py = tm.round_half_away_np(
+                np.array([(oy - cols["my"][i]) * 4096.0 / span])
+            )[0]
+            lb.add_feature(
+                int(cols["id"][i]), 1,
+                np.array([9, int(px) * 2, int(py) * 2]), {},
+            )
+        return [(tx, ty, lb.build())]
+
+    layers = apply_grouped(
+        pts,
+        keys=["tx", "ty"],
+        order_by=["tx", "ty", "id"],
+        fn=encode_group,
+        schema="tx long, ty long, blob binary",
+        out_columns=["tx", "ty", "blob"],
+    ).select(
+        F.lit(BUDGET_Z).alias("z"),
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        F.lit("pts").alias("layer"),
+        F.col("blob"),
+        F.lit(0).cast("long").alias("n_features"),
+        F.lit(0).cast("long").alias("n_points"),
+    )
+    trimmed = trim_tile_to_budget(layers, BUDGET_BYTES)
+
+    def readback(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf["blob"]):
+                layer = pbf.decode_layer(bytes(blob))
+                ids = [f["id"] for f in layer["features"]]
+                rows.append(
+                    (int(x), int(y), len(ids), int(sum(ids)), int(max(ids)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["x", "y", "n_kept", "sum_id", "max_id"]
+            )
+
+    return trimmed.mapInPandas(
+        readback,
+        schema="x long, y long, n_kept long, sum_id long, max_id long",
+    )
+
+
+def _sql_tile_budget() -> str:
+    tx, ty = S.tile_xy_exprs(BUDGET_Z)
+    qx, qy = S.quantize_exprs(BUDGET_Z, "tx", "ty")
+
+    def vs(e: str) -> str:
+        return (
+            f"CASE WHEN {e} < 128 THEN 1 WHEN {e} < 16384 THEN 2"
+            f" WHEN {e} < 2097152 THEN 3 WHEN {e} < 268435456 THEN 4"
+            f" ELSE 5 END"
+        )
+
+    return f"""
+WITH li AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id FROM lineitem
+),
+{S.point_cte('li', 'id')},
+t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
+q AS (SELECT id, tx, ty, {qx} AS px, {qy} AS py FROM t),
+sz AS (
+  SELECT id, tx, ty,
+         8 + {vs('id')} + {vs('(px * 2)')} + {vs('(py * 2)')} AS sz
+  FROM q
+),
+run AS (
+  SELECT id, tx, ty,
+         SUM(sz) OVER (PARTITION BY tx, ty ORDER BY id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sz
+)
+SELECT tx AS x, ty AS y,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(id) AS BIGINT) AS sum_id,
+       CAST(MAX(id) AS BIGINT) AS max_id
+FROM run WHERE cum <= {BUDGET_BYTES}
+GROUP BY 1, 2
+"""
+
+
 REPAIR_N = 450  # q_engine_clip_repair corpus size
 
 
@@ -5941,6 +6184,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_tilestats": (q_tilestats, _sql_tilestats()),
     "q_polygon_rect_join": (q_polygon_rect_join, _sql_polygon_rect_join()),
     "q_polygon_polygon_join": (q_polygon_polygon_join, _sql_polygon_polygon_join()),
+    "q_polygon_polygon_ri": (q_polygon_polygon_ri, _sql_polygon_polygon_join()),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
     "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
@@ -5977,6 +6221,8 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
     "q_cell_cover_hier": (q_cell_cover_hier, _sql_cell_cover()),
     "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
+    "q_pip_join_sampled": (q_pip_join_sampled, _sql_pip_join_sampled()),
+    "q_tile_budget": (q_tile_budget, _sql_tile_budget()),
     "q_line_cover": (q_line_cover, _sql_line_cover()),
     "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
     "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
@@ -6019,6 +6265,9 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_tile_budget",
+    "q_pip_join_sampled",
+    "q_polygon_polygon_ri",
     "q_letterbox",
     "q_label_grid",
     "q_boilerplate",

@@ -1003,3 +1003,60 @@ def test_join_attributes_contracts(spark):
     # inner with zero survivors: tile dropped entirely (P4)
     attrs3 = spark.createDataFrame([(99, "x")], "code long, name string")
     assert join_attributes(layers, attrs3, on="code", how="inner").count() == 0
+
+
+def test_trim_tile_to_budget_prefix(spark):
+    """U11: exact wire-size prefix rule — kept set grows monotonically
+    with the budget, the cut lands exactly where cumulative wrapped
+    feature bytes cross it, and dictionaries shrink to the survivors."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import (
+        trim_tile_to_budget,
+    )
+
+    lb = pbf.LayerBuilder("t")
+    sizes = []
+    for i in range(6):
+        stream = gc.encode_geometry(
+            gc.GEOM_POINT, np.array([i * 100]), np.array([i * 50]),
+            np.array([0, 1]),
+        )
+        props = {"tag": f"v{i}"} if i >= 4 else {}
+        lb.add_feature(i + 1, gc.GEOM_POINT, stream, props)
+        msg = pbf.encode_feature(
+            i + 1, gc.GEOM_POINT, stream,
+            [] if i < 4 else [0, i - 4], None,
+        )
+        sizes.append(1 + len(pbf.varint_of(len(msg))) + len(msg))
+    layers = spark.createDataFrame(
+        [(0, 0, 0, "t", bytearray(lb.build()), 6, 6)],
+        "z int, x long, y long, layer string, blob binary, "
+        "n_features long, n_points long",
+    )
+
+    def ids_of(budget):
+        rows = trim_tile_to_budget(layers, budget).collect()
+        if not rows:
+            return [], None
+        d = pbf.decode_layer(bytes(rows[0].blob))
+        return [f["id"] for f in d["features"]], d
+
+    import itertools
+
+    cum = list(itertools.accumulate(sizes))
+    # a budget exactly at the k-th cumulative size keeps exactly k
+    for k in range(1, 7):
+        ids, _ = ids_of(cum[k - 1])
+        assert ids == list(range(1, k + 1)), (k, ids)
+    # one byte below the first feature: whole tile dropped
+    assert ids_of(sizes[0] - 1)[0] == []
+    # trimming below feature 5 drops the only tagged features ->
+    # dictionaries rebuilt EMPTY, not lingering
+    _, d = ids_of(cum[3])
+    assert d["keys"] == [] and d["values"] == []
+    # keeping feature 5 brings exactly its key/value
+    _, d = ids_of(cum[4])
+    assert d["keys"] == ["tag"]
