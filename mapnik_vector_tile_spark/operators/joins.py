@@ -993,3 +993,74 @@ def pip_join_sampled(
     )
     cands = cands.filter(F.pmod(coin, F.lit(BUCKETS)) < F.lit(rate_bp))
     return _refine(cands, regions, broadcast_geo=False)
+
+
+EARTH_R_M = 6371008.8  # IUGG mean radius
+
+
+def haversine_radius_join(
+    a: DataFrame, b: DataFrame, radius_m: float, cell_deg: float
+) -> DataFrame:
+    """J5b geodesic fixed-radius join: pairs within ``radius_m``
+    GREAT-CIRCLE meters (the radius_join sibling for lon/lat data —
+    planar mercator distance is wrong by 2x at 60° latitude). Both
+    sides carry (id, lon, lat) in degrees.
+
+    Candidates: a uniform lon/lat grid of ``cell_deg`` degrees with a
+    3x3 ring explode on the a-side — sound (no false negatives) iff
+    cell_deg >= the radius in LONGITUDE degrees at the corpus's
+    highest |lat| (callers size it; e.g. 300 km at |lat|<=55° needs
+    >= 4.71°). Refine: PURE Column trig — the predicate compares the
+    haversine term h = sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2) against
+    the constant sin²(R / 2·earth_R), so no asin/acos in the
+    distributed plan and no Python anywhere. Cross-engine float note:
+    JVM and DuckDB libm sin/cos may differ by ~1 ulp; the oracle
+    corpus keeps every pair's |h - τ| margin >> that drift (same
+    discipline as the GeoJSON trig oracle). Returns (a_id, b_id)."""
+    tau = float(np.sin(radius_m / (2.0 * EARTH_R_M)) ** 2)
+    rad = float(np.pi / 180.0)
+
+    def cells(df, pid, ring):
+        cx = F.floor(F.col("lon") / cell_deg).cast("long")
+        cy = F.floor(F.col("lat") / cell_deg).cast("long")
+        out = df.select(
+            F.col("id").alias(pid),
+            F.col("lon").alias(pid + "_lon"),
+            F.col("lat").alias(pid + "_lat"),
+            cx.alias("_cx"),
+            cy.alias("_cy"),
+        )
+        if not ring:
+            return out.withColumnRenamed("_cx", "jx").withColumnRenamed(
+                "_cy", "jy"
+            )
+        offs = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+        return (
+            out.withColumn("_o", F.explode(offs))
+            .select(
+                pid,
+                pid + "_lon",
+                pid + "_lat",
+                (F.col("_cx") + F.col("_o.dx")).alias("jx"),
+                (F.col("_cy") + F.col("_o.dy")).alias("jy"),
+            )
+        )
+
+    ca = cells(a, "a_id", ring=True)
+    cb = cells(b, "b_id", ring=False)
+    j = ca.join(cb, ["jx", "jy"])
+    p1 = F.col("a_id_lat") * rad
+    p2 = F.col("b_id_lat") * rad
+    dphi = (F.col("b_id_lat") - F.col("a_id_lat")) * rad
+    dlam = (F.col("b_id_lon") - F.col("a_id_lon")) * rad
+    h = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dlam / 2), 2)
+    )
+    return j.filter(h <= tau).select("a_id", "b_id")

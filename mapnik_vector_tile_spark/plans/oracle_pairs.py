@@ -5693,6 +5693,73 @@ WHERE (r.kind = 0 AND p.px BETWEEN r.a AND r.a + r.w
 """
 
 
+HAV_R_M = 300_000.0  # q_haversine_join radius (300 km)
+HAV_CELL = 4.8  # grid degrees: >= 300km in lon-degrees at |lat|<=55
+HAV_NA, HAV_NB = 3000, 150
+
+
+def q_haversine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5b geodesic radius join gate (joins.haversine_radius_join):
+    3000 hash-scattered points x 150 stations, |lat| <= 55°, pairs
+    within 300 great-circle km. The twin is a direct cross join with
+    the identical haversine-term predicate (no grid), so the
+    cell-ring candidate generation is gated against pure geometry.
+    Engine refine is Column-only trig (no Python); margin audited at
+    corpus build (min |h-τ| across all cross pairs ~1e-6 >> the ~1ulp
+    JVM/DuckDB libm drift)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.joins import (
+        haversine_radius_join,
+    )
+
+    def pts(n, base):
+        k = F.col("id") + base
+        return spark.range(0, n).select(
+            F.col("id"),
+            ((((k * 2654435761) % 4294967296) / F.lit(float(2**32)))
+             * 340.0 - 170.0).alias("lon"),
+            ((((k * 1103515245 + 12345) % 4294967296)
+              / F.lit(float(2**32))) * 110.0 - 55.0).alias("lat"),
+        )
+
+    a = pts(HAV_NA, 0)
+    b = pts(HAV_NB, 7_000_000)
+    return haversine_radius_join(a, b, HAV_R_M, HAV_CELL)
+
+
+def _sql_haversine_join() -> str:
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.joins import EARTH_R_M
+
+    tau = float(np.sin(HAV_R_M / (2.0 * EARTH_R_M)) ** 2)
+    rad = float(np.pi / 180.0)
+    f32 = S.flit(2**32)
+
+    def pts(n, base, name):
+        return f"""
+{name} AS (
+  SELECT i AS id,
+         ((((i + {base}) * 2654435761) % 4294967296) / {f32})
+           * {S.flit(340.0)} - {S.flit(170.0)} AS lon,
+         ((((i + {base}) * 1103515245 + 12345) % 4294967296) / {f32})
+           * {S.flit(110.0)} - {S.flit(55.0)} AS lat
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)
+)"""
+
+    return f"""
+WITH {pts(HAV_NA, 0, 'pa')},
+{pts(HAV_NB, 7_000_000, 'pb')}
+SELECT pa.id AS a_id, pb.id AS b_id
+FROM pa, pb
+WHERE pow(sin((pb.lat - pa.lat) * {S.flit(rad)} / 2), 2)
+      + cos(pa.lat * {S.flit(rad)}) * cos(pb.lat * {S.flit(rad)})
+        * pow(sin((pb.lon - pa.lon) * {S.flit(rad)} / 2), 2)
+      <= {S.flit(tau)}
+"""
+
+
 PIP_SAMPLE_BP = 2500  # q_pip_join_sampled keep rate (25% per 10k)
 
 
@@ -6223,6 +6290,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
     "q_pip_join_sampled": (q_pip_join_sampled, _sql_pip_join_sampled()),
     "q_tile_budget": (q_tile_budget, _sql_tile_budget()),
+    "q_haversine_join": (q_haversine_join, _sql_haversine_join()),
     "q_line_cover": (q_line_cover, _sql_line_cover()),
     "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
     "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
@@ -6265,6 +6333,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_haversine_join",
     "q_tile_budget",
     "q_pip_join_sampled",
     "q_polygon_polygon_ri",

@@ -448,3 +448,32 @@ def test_polygon_polygon_ri_matches_exact(spark):
         F.sum((~F.col("boundary")).cast("long")).alias("nf"),
     ).collect()[0]
     assert agg.nb > 0 and agg.nf > 0
+
+
+def test_haversine_join_known_distances(spark):
+    """J5b hand-checked geodesics: equator degree ≈ 111.19 km, a
+    meridian pair at 60° behaves identically, but a LONGITUDE pair at
+    60° is foreshortened by cos(60) = 0.5 — the planar-mercator error
+    the geodesic join exists to avoid."""
+    from mapnik_vector_tile_spark.operators.joins import (
+        haversine_radius_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 60.0)], ["id", "lon", "lat"]
+    )
+    b = spark.createDataFrame(
+        [
+            (10, 2.5, 0.0),    # 278 km along the equator: in at 300km
+            (11, 3.0, 0.0),    # 333.6 km: out
+            (12, 0.0, 62.5),   # 278 km along a meridian: in
+            (13, 5.0, 60.0),   # 5° lon at 60° lat ≈ 278 km: in
+            (14, 5.0, 0.0),    # 556 km: out
+        ],
+        ["id", "lon", "lat"],
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in haversine_radius_join(a, b, 300_000.0, 4.8).collect()
+    }
+    assert got == {(1, 10), (2, 12), (2, 13)}
