@@ -2462,6 +2462,96 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUT_N = 150  # q_scene_cuts corpus size
+CUT_THR = 40  # per-pixel SAD threshold
+
+
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14b shot-boundary detection gate (multimodal.scene_cuts): the
+    rawvid8 rows of the synthetic video table, with a HARD CUT planted
+    in every third video (luma inverted from frame n_frames//2 on —
+    re-encoded through the real codec path). The base corpus's
+    moving-gradient diffs sit at ~13.6 SAD/pixel, the planted
+    inversion at ~150: threshold 40 must flag EXACTLY the planted
+    boundaries with their exact integer SAD values. The twin
+    regenerates every pixel of every consecutive frame pair
+    closed-form (splitmix64 dims/phase, the %256 gradient, the
+    conditional inversion) and replays the integer threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.multimodal import scene_cuts
+    from mapnik_vector_tile_spark.sources.multimodal import video_df
+
+    vids = video_df(spark, CUT_N).filter(F_col_codec_rawvid())
+
+    def plant(batches):
+        for pdf in batches:
+            bufs = []
+            for r in pdf.itertuples():
+                i = int(r.video_id[4:])
+                buf = bytes(r.bytes)
+                if i % 3 == 0:
+                    fr = (
+                        np.frombuffer(buf, np.uint8)
+                        .reshape(int(r.n_frames), int(r.h), int(r.w))
+                        .copy()
+                    )
+                    half = int(r.n_frames) // 2
+                    fr[half:] = 255 - fr[half:]
+                    buf = fr.tobytes()
+                bufs.append(buf)
+            out = pdf.copy()
+            out["bytes"] = bufs
+            yield out
+
+    planted = vids.mapInPandas(plant, schema=vids.schema)
+    return scene_cuts(planted, thr_per_px=CUT_THR)
+
+
+def F_col_codec_rawvid():
+    from pyspark.sql import functions as F
+
+    return F.col("codec") == "rawvid8"
+
+
+def _sql_scene_cuts(n: int = CUT_N, thr: int = CUT_THR) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+raw AS (SELECT i, {splitmix64_sql('i')} AS h FROM ids
+        WHERE i % 9 <> 0),
+dims AS (
+  SELECT i,
+         CAST(16 + (h % 4) * 8 AS BIGINT) AS w,
+         CAST(16 + ((h // 16) % 4) * 8 AS BIGINT) AS ht,
+         CAST(8 + (h // 4096) % 25 AS BIGINT) AS nf,
+         CAST(h % 251 AS BIGINT) AS phase
+  FROM raw
+),
+fs AS (SELECT d.*, unnest(generate_series(1, nf - 1)) AS f FROM dims d),
+ys AS (SELECT fs.*, unnest(generate_series(0, ht - 1)) AS y FROM fs),
+px AS (SELECT ys.*, unnest(generate_series(0, w - 1)) AS x FROM ys),
+v AS (
+  SELECT i, w, ht, nf, f, x, y,
+         CASE WHEN i % 3 = 0 AND f >= nf // 2
+              THEN 255 - (x * 3 + y * 5 + f * 7 + phase) % 256
+              ELSE (x * 3 + y * 5 + f * 7 + phase) % 256 END AS cur,
+         CASE WHEN i % 3 = 0 AND f - 1 >= nf // 2
+              THEN 255 - (x * 3 + y * 5 + (f - 1) * 7 + phase) % 256
+              ELSE (x * 3 + y * 5 + (f - 1) * 7 + phase) % 256 END
+           AS prev
+  FROM px
+),
+sad AS (
+  SELECT i, w, ht, f, CAST(SUM(ABS(cur - prev)) AS BIGINT) AS sad
+  FROM v GROUP BY 1, 2, 3, 4
+)
+SELECT 'vid_' || CAST(i AS VARCHAR) AS video_id,
+       CAST(f AS BIGINT) AS frame_idx, sad
+FROM sad WHERE sad > {thr} * w * ht
+"""
+
+
 DIFF_Z = 6
 
 
@@ -6291,6 +6381,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_pip_join_sampled": (q_pip_join_sampled, _sql_pip_join_sampled()),
     "q_tile_budget": (q_tile_budget, _sql_tile_budget()),
     "q_haversine_join": (q_haversine_join, _sql_haversine_join()),
+    "q_scene_cuts": (q_scene_cuts, _sql_scene_cuts()),
     "q_line_cover": (q_line_cover, _sql_line_cover()),
     "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
     "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
@@ -6333,6 +6424,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_scene_cuts",
     "q_haversine_join",
     "q_tile_budget",
     "q_pip_join_sampled",

@@ -124,3 +124,39 @@ def test_batch_video_skips_malformed_dvid8():
     assert v.loc[dvpos, "video_id"] not in set(out["video_id"])
     with pytest.raises(ValueError):
         mm.frame_sample_batch(v, 4, False)
+
+
+def test_scene_cuts_threshold_and_codecs(spark):
+    """T14b: smooth motion below threshold emits nothing, a hard cut
+    emits exactly its boundary with the exact integer SAD, dvid8-rle
+    decodes through the same path, undecodable codecs are skipped."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import dvid8
+    from mapnik_vector_tile_spark.operators.multimodal import scene_cuts
+
+    w = h = 8
+    smooth = np.stack(
+        [np.full((h, w), 10 + 2 * f, np.uint8) for f in range(5)]
+    )
+    cutv = smooth.copy()
+    cutv[3:] = 200  # hard cut at frame 3: SAD = |200-14|*64 = 11904
+    rows = [
+        ("smooth", smooth.tobytes(), w, h, 5, 10, "rawvid8", "c"),
+        ("cut", cutv.tobytes(), w, h, 5, 10, "rawvid8", "c"),
+        ("cut_rle", dvid8.encode(cutv), w, h, 5, 10, "dvid8-rle", "c"),
+        ("stub", b"\x00" * 16, 2, 2, 4, 10, "h264-stub", "c"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "video_id string, bytes binary, w int, h int, n_frames int, "
+        "fps int, codec string, caption string",
+    )
+    got = {
+        r.video_id: (r.frame_idx, r.sad)
+        for r in scene_cuts(df, thr_per_px=40).collect()
+    }
+    assert got == {
+        "cut": (3, (200 - 14) * 64),
+        "cut_rle": (3, (200 - 14) * 64),
+    }
