@@ -559,3 +559,60 @@ def scene_cuts(videos: DataFrame, thr_per_px: int = 40) -> DataFrame:
     return videos.mapInPandas(
         gen, schema="video_id string, frame_idx long, sad long"
     )
+
+
+def silence_trim(
+    audio: DataFrame, window: int = 256, thr_per_sample: int = 10_000
+) -> DataFrame:
+    """T13c leading/trailing-silence detection — the audio-pipeline
+    trim step (strip dead air before training-clip extraction): split
+    each clip into FULL non-overlapping ``window``-sample frames, call
+    a frame silent iff its exact integer energy Σs² <= thr_per_sample
+    · window (pure BIGINT compare, cross-engine exact), and report
+    per clip: total/silent frame counts and the LEADING and TRAILING
+    consecutive-silent runs (the trim offsets, in frames). The tail
+    partial frame is ignored by contract (both engines drop it
+    identically). Undecodable codecs are skipped. One narrow
+    mapInPandas scan, no shuffle. Output: (audio_id, n_win, n_silent,
+    lead, trail)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"audio_id": [], "n_win": [], "n_silent": [],
+                   "lead": [], "trail": []}
+            for r in pdf.itertuples():
+                try:
+                    s = decode_audio(r.bytes, r.codec, int(r.n_samples))
+                except NotImplementedError:
+                    continue
+                n_win = len(s) // window
+                if n_win == 0:
+                    continue
+                # decode_audio normalizes by /32768 — undo it EXACTLY
+                # (int16/32768 is dyadic, the product is the original
+                # integer) so the energy compare stays pure BIGINT
+                w = (
+                    (s[: n_win * window] * 32768.0)
+                    .astype(np.int64)
+                    .reshape(n_win, window)
+                )
+                silent = (w * w).sum(axis=1) <= thr_per_sample * window
+                active = np.flatnonzero(~silent)
+                if len(active):
+                    lead = int(active[0])
+                    trail = int(n_win - 1 - active[-1])
+                else:
+                    lead = trail = n_win
+                out["audio_id"].append(r.audio_id)
+                out["n_win"].append(n_win)
+                out["n_silent"].append(int(silent.sum()))
+                out["lead"].append(lead)
+                out["trail"].append(trail)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(
+        gen,
+        schema="audio_id string, n_win long, n_silent long, "
+        "lead long, trail long",
+    )

@@ -2462,6 +2462,95 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIL_N = 150  # q_silence_trim corpus size
+SIL_W = 256  # frame size (samples)
+SIL_THR = 10_000  # per-sample energy threshold
+
+
+def q_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13c silence-trim gate (multimodal.silence_trim): pcm16 rows of
+    the synthetic audio table with SILENCE PLANTED in every third clip
+    (first and last n_samples//5 samples zeroed — re-encoded through
+    the real int16 wire path). The sawtooth corpus's frame energy is
+    ~amp²/3 >= 1.2e7 per sample-window while the threshold is 1e4, so
+    exactly the planted zero spans read silent; the twin regenerates
+    every sample closed-form (splitmix64 params, the %-sawtooth, the
+    conditional zeroing), replays the full-frame partition, the BIGINT
+    energy compare, and the leading/trailing run arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.multimodal import silence_trim
+    from mapnik_vector_tile_spark.sources.multimodal import audio_df
+
+    clips = audio_df(spark, SIL_N).filter(F.col("codec") == "pcm16le")
+
+    def plant(batches):
+        for pdf in batches:
+            bufs = []
+            for r in pdf.itertuples():
+                i = int(r.audio_id[4:])
+                buf = bytes(r.bytes)
+                if i % 3 == 0:
+                    s = np.frombuffer(buf, dtype="<i2").copy()
+                    L = int(r.n_samples) // 5
+                    s[:L] = 0
+                    s[len(s) - L :] = 0
+                    buf = s.astype("<i2").tobytes()
+                bufs.append(buf)
+            out = pdf.copy()
+            out["bytes"] = bufs
+            yield out
+
+    planted = clips.mapInPandas(plant, schema=clips.schema)
+    return silence_trim(planted, window=SIL_W, thr_per_sample=SIL_THR)
+
+
+def _sql_silence_trim(n: int = SIL_N, w: int = SIL_W,
+                      thr: int = SIL_THR) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+raw AS (SELECT i, {splitmix64_sql('i')} AS h FROM ids WHERE i % 7 <> 0),
+dims AS (
+  SELECT i,
+         CAST(2000 + h % 6001 AS BIGINT) AS ns,
+         CAST(6000 + ((h // 65536) % 26000) AS BIGINT) AS amp,
+         CAST(16 + ((h // 1099511627776) % 480) AS BIGINT) AS p,
+         CAST(1 + 2 * ((h // 256) % 128) AS BIGINT) AS a
+  FROM raw
+),
+ks AS (
+  SELECT d.*, ns // {w} AS n_win,
+         unnest(generate_series(0, (ns // {w}) * {w} - 1)) AS k
+  FROM dims d
+),
+vals AS (
+  SELECT i, n_win, k // {w} AS win,
+         CASE WHEN i % 3 = 0 AND (k < ns // 5 OR k >= ns - ns // 5)
+              THEN 0
+              ELSE ((k % p) * a) % (2 * amp) - amp END AS s
+  FROM ks
+),
+wins AS (
+  SELECT i, n_win, win,
+         (SUM(s * s) <= {thr} * {w}) AS silent
+  FROM vals GROUP BY 1, 2, 3
+)
+SELECT 'aud_' || CAST(i AS VARCHAR) AS audio_id,
+       CAST(n_win AS BIGINT) AS n_win,
+       CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_silent,
+       CAST(COALESCE(MIN(CASE WHEN NOT silent THEN win END), n_win)
+            AS BIGINT) AS lead,
+       CAST(n_win - 1 - COALESCE(MAX(CASE WHEN NOT silent THEN win END),
+                                 -1) AS BIGINT) AS trail
+FROM wins
+GROUP BY i, n_win
+"""
+
+
 CUT_N = 150  # q_scene_cuts corpus size
 CUT_THR = 40  # per-pixel SAD threshold
 
@@ -6382,6 +6471,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_tile_budget": (q_tile_budget, _sql_tile_budget()),
     "q_haversine_join": (q_haversine_join, _sql_haversine_join()),
     "q_scene_cuts": (q_scene_cuts, _sql_scene_cuts()),
+    "q_silence_trim": (q_silence_trim, _sql_silence_trim()),
     "q_line_cover": (q_line_cover, _sql_line_cover()),
     "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
     "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
@@ -6424,6 +6514,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_silence_trim",
     "q_scene_cuts",
     "q_haversine_join",
     "q_tile_budget",

@@ -160,3 +160,39 @@ def test_scene_cuts_threshold_and_codecs(spark):
         "cut": (3, (200 - 14) * 64),
         "cut_rle": (3, (200 - 14) * 64),
     }
+
+
+def test_silence_trim_runs_and_codecs(spark):
+    """T13c: leading/trailing runs counted in full frames, interior
+    silence counted but not trimmed, all-silent clip reports
+    lead == trail == n_win, mulaw decodes through the same path."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.g711 import mulaw_encode
+    from mapnik_vector_tile_spark.operators.multimodal import silence_trim
+
+    W = 256
+    tone = np.full(W, 5000, dtype=np.int64)
+    zero = np.zeros(W, dtype=np.int64)
+    # lead 2 frames, active 3, interior silent 1, active 1, trail 1
+    sig = np.concatenate([zero, zero, tone, tone, tone, zero, tone, zero])
+    rows = [
+        ("a", sig.astype("<i2").tobytes(), 8000, len(sig), "pcm16le", "c"),
+        ("b", np.zeros(3 * W, "<i2").tobytes(), 8000, 3 * W, "pcm16le", "c"),
+        ("c", mulaw_encode(sig).tobytes(), 8000, len(sig), "mulaw", "c"),
+        ("d", b"\x00" * 32, 8000, 512, "mp3-stub", "c"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "audio_id string, bytes binary, sr int, n_samples int, "
+        "codec string, caption string",
+    )
+    got = {
+        r.audio_id: (r.n_win, r.n_silent, r.lead, r.trail)
+        for r in silence_trim(df, window=W, thr_per_sample=10_000).collect()
+    }
+    assert got["a"] == (8, 4, 2, 1)
+    assert got["b"] == (3, 3, 3, 3)
+    # mulaw is lossy but 5000 -> companded value stays >> threshold
+    assert got["c"] == (8, 4, 2, 1)
+    assert "d" not in got
