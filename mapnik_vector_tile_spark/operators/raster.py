@@ -918,3 +918,62 @@ def letterbox_images(
         schema="image_id string, canvas binary, ox int, oy int, "
         "nw int, nh int, caption string",
     )
+
+
+AUG_NAMES = ("identity", "flip_h", "flip_v", "rot90", "rot180", "rot270")
+
+
+def augment_images(images: DataFrame, epochs: int = 2) -> DataFrame:
+    """T12d deterministic augmentation — the per-epoch random
+    flip/rotate every vision training loop applies, made a pure
+    function of (image, epoch) so shards, re-runs and resumes all see
+    the SAME augmented pixels (the reproducibility property ad-hoc
+    RNG-per-worker augmentation loses): aug = splitmix64(idx + epoch
+    · 2^32) mod 6 over {identity, flip_h, flip_v, rot90cw, rot180,
+    rot270}. The 1→epochs fan-out happens inside the Arrow batch (no
+    shuffle, no driver loop — the tile-assignment shape); rotations
+    swap the emitted dims. Output: (image_id, epoch, aug, out_w,
+    out_h, pixels, caption)."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "epoch": [], "aug": [], "out_w": [],
+                   "out_h": [], "pixels": [], "caption": []}
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                idx = int(r.image_id[4:])
+                for ep in range(epochs):
+                    k = np.uint64(idx) + np.uint64(ep) * np.uint64(1 << 32)
+                    # int() BEFORE the modulo: a scalar np.uint64 %
+                    # python-int silently promotes to float64 and
+                    # rounds the 64-bit hash (array % int does not)
+                    a = int(splitmix64(np.array([k], np.uint64))[0]) % 6
+                    if a == 0:
+                        t = rgba
+                    elif a == 1:
+                        t = rgba[:, ::-1]
+                    elif a == 2:
+                        t = rgba[::-1, :]
+                    elif a == 3:
+                        t = np.rot90(rgba, k=-1)
+                    elif a == 4:
+                        t = rgba[::-1, ::-1]
+                    else:
+                        t = np.rot90(rgba, k=1)
+                    out["image_id"].append(r.image_id)
+                    out["epoch"].append(ep)
+                    out["aug"].append(AUG_NAMES[a])
+                    out["out_w"].append(t.shape[1])
+                    out["out_h"].append(t.shape[0])
+                    out["pixels"].append(np.ascontiguousarray(t).tobytes())
+                    out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        schema="image_id string, epoch int, aug string, out_w int, "
+        "out_h int, pixels binary, caption string",
+    )

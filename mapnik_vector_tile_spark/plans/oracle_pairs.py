@@ -5128,6 +5128,111 @@ FROM off o JOIN inner_w iw0 ON o.i = iw0.i JOIN caps ON o.i = caps.i
 """
 
 
+AUG_N = 120  # q_augment corpus size
+AUG_EPOCHS = 2
+
+
+def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12d deterministic augmentation gate (raster.augment_images):
+    decode, hash-assign one of six flip/rotate ops per (image, epoch),
+    and hash position-weighted channel sums of the EMITTED transformed
+    bytes — the weights make orientation load-bearing, so a wrong
+    rotation direction, a flipped axis, or a dims swap breaks the
+    hash. The twin regenerates source pixels closed-form and maps
+    each to its destination index per the assigned op (inverse-free:
+    weight computed at the mapped position)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import augment_images
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    aug = augment_images(images_df(spark, AUG_N), epochs=AUG_EPOCHS)
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "epoch": [], "aug": [], "out_w": [],
+                   "out_h": [], "wr": [], "wg": [], "wb": []}
+            for r in pdf.itertuples():
+                a = (
+                    np.frombuffer(r.pixels, np.uint8)
+                    .reshape(int(r.out_h), int(r.out_w), 4)
+                    .astype(np.int64)
+                )
+                wgt = (
+                    np.arange(int(r.out_h) * int(r.out_w), dtype=np.int64)
+                    + 1
+                ).reshape(int(r.out_h), int(r.out_w))
+                out["image_id"].append(r.image_id)
+                out["epoch"].append(int(r.epoch))
+                out["aug"].append(r.aug)
+                out["out_w"].append(int(r.out_w))
+                out["out_h"].append(int(r.out_h))
+                out["wr"].append(int((wgt * a[..., 0]).sum()))
+                out["wg"].append(int((wgt * a[..., 1]).sum()))
+                out["wb"].append(int((wgt * a[..., 2]).sum()))
+            yield pd.DataFrame(out)
+
+    return aug.mapInPandas(
+        gen,
+        schema="image_id string, epoch int, aug string, out_w int, "
+        "out_h int, wr long, wg long, wb long",
+    )
+
+
+def _sql_augment(n: int = AUG_N, epochs: int = AUG_EPOCHS) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+eps AS (SELECT i, unnest(generate_series(0, {epochs - 1})) AS ep FROM ids),
+pick AS (
+  SELECT i, ep,
+         CAST(({splitmix64_sql('(i + ep * 4294967296)')}) % 6 AS BIGINT)
+           AS a
+  FROM eps
+),
+dims AS (
+  SELECT p.i, p.ep, p.a,
+         16 + (p.i * 7) % 49 AS w, 16 + (p.i * 11) % 49 AS h
+  FROM pick p
+),
+ys AS (SELECT d.*, unnest(generate_series(0, h - 1)) AS y FROM dims d),
+pix AS (SELECT ys.*, unnest(generate_series(0, w - 1)) AS x FROM ys),
+chan AS (
+  SELECT i, ep, a, w, h, x, y,
+         CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64
+              AS BIGINT) AS noise
+  FROM pix
+),
+mapped AS (
+  SELECT i, ep, a, w, h,
+         CASE a WHEN 0 THEN x WHEN 1 THEN w - 1 - x WHEN 2 THEN x
+                WHEN 3 THEN h - 1 - y WHEN 4 THEN w - 1 - x
+                ELSE y END AS tx,
+         CASE a WHEN 0 THEN y WHEN 1 THEN y WHEN 2 THEN h - 1 - y
+                WHEN 3 THEN x WHEN 4 THEN h - 1 - y
+                ELSE w - 1 - x END AS ty,
+         CASE WHEN a IN (3, 5) THEN h ELSE w END AS ow,
+         ((x * 255) // (w - 1) + noise) % 256 AS r,
+         ((y * 255) // (h - 1) + noise) % 256 AS g,
+         (((x + y) * 255) // (w + h - 2) + noise) % 256 AS b
+  FROM chan
+)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(ep AS INT) AS epoch,
+       CASE a WHEN 0 THEN 'identity' WHEN 1 THEN 'flip_h'
+              WHEN 2 THEN 'flip_v' WHEN 3 THEN 'rot90'
+              WHEN 4 THEN 'rot180' ELSE 'rot270' END AS aug,
+       CAST(ANY_VALUE(ow) AS INT) AS out_w,
+       CAST(CASE WHEN ANY_VALUE(a) IN (3, 5) THEN ANY_VALUE(w)
+                 ELSE ANY_VALUE(h) END AS INT) AS out_h,
+       CAST(SUM((ty * ow + tx + 1) * r) AS BIGINT) AS wr,
+       CAST(SUM((ty * ow + tx + 1) * g) AS BIGINT) AS wg,
+       CAST(SUM((ty * ow + tx + 1) * b) AS BIGINT) AS wb
+FROM mapped
+GROUP BY i, ep, a
+"""
+
+
 WDS_N = 400  # q_wds_roundtrip corpus size
 
 
@@ -6485,6 +6590,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
+    "q_augment": (q_augment, _sql_augment()),
     "q_wds_roundtrip": (q_wds_roundtrip, _sql_wds_roundtrip()),
     "q_ar_bucket_batches": (q_ar_bucket_batches, _sql_ar_bucket_batches()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
@@ -6514,6 +6620,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_augment",
     "q_silence_trim",
     "q_scene_cuts",
     "q_haversine_join",

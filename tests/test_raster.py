@@ -516,3 +516,42 @@ def test_letterbox_semantics(spark):
     cv, ox, oy, nw, nh = letterbox(np.full((16, 16, 4), 9, np.uint8), 64)
     assert (nw, nh, ox, oy) == (64, 64, 0, 0)
     assert (cv[..., 0] == 9).all()
+
+
+def test_augment_images_orientations(spark):
+    """T12d: each op lands pixels exactly where numpy says, dims swap
+    on quarter-rotations, assignment is (image, epoch)-deterministic."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import augment_images
+
+    h, w = 3, 5
+    rgba = np.zeros((h, w, 4), np.uint8)
+    rgba[..., 0] = np.arange(h * w, dtype=np.uint8).reshape(h, w) * 3
+    df = spark.createDataFrame(
+        [("img_000000000042", bytearray(rgba.tobytes()), w, h,
+          "raw-rgba8", "cap", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    rows = augment_images(df, epochs=6).collect()
+    assert len(rows) == 6
+    expect = {
+        "identity": rgba, "flip_h": rgba[:, ::-1], "flip_v": rgba[::-1],
+        "rot90": np.rot90(rgba, -1), "rot180": rgba[::-1, ::-1],
+        "rot270": np.rot90(rgba, 1),
+    }
+    seen_rot = False
+    again = {
+        (r.epoch): r.aug for r in augment_images(df, epochs=6).collect()
+    }
+    for r in rows:
+        t = expect[r.aug]
+        assert (r.out_h, r.out_w) == t.shape[:2]
+        got = np.frombuffer(r.pixels, np.uint8).reshape(
+            r.out_h, r.out_w, 4
+        )
+        assert (got == t).all(), r.aug
+        assert again[r.epoch] == r.aug  # deterministic re-run
+        seen_rot |= r.aug in ("rot90", "rot270")
+    assert seen_rot  # six epochs on one image hit a dims-swapping op
