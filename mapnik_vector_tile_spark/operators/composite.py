@@ -1605,3 +1605,44 @@ def trim_tile_to_budget(layers: DataFrame, budget_bytes: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return layers.mapInPandas(gen, schema=LAYER_SCHEMA)
+
+
+def prunable_solid_children(solid: DataFrame) -> DataFrame:
+    """U9b mask-level pruning (the tilelive/tessera 'maskLevel'
+    optimization built on is_solid_extent): given solid_tiles output
+    for ONE zoom level, find the children a store can DROP because
+    their parent quad is uniformly solid — all four siblings exist,
+    all are solid, and all share the same layer ``key`` (so serving
+    the parent's blob overzoomed is byte-equivalent for any renderer).
+    Returns the prunable child addresses with their parent:
+    (z, x, y, parent_x, parent_y, key).
+
+    Shape: one partial-agg'd groupBy on the parent address + an
+    equi-join back — address-only columns, tile bytes never move.
+    Composes with downzoom (build parents) and overzoom (re-serve
+    pruned children) for the full storage loop."""
+    kids = solid.select(
+        "z", "x", "y", "solid", "key",
+        F.shiftright("x", 1).alias("px"),
+        F.shiftright("y", 1).alias("py"),
+    )
+    quads = (
+        kids.groupBy("z", "px", "py")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("solid").cast("int")).alias("n_solid"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+        .filter(
+            (F.col("n") == 4)
+            & (F.col("n_solid") == 4)
+            & (F.col("n_keys") == 1)
+        )
+        .select("z", "px", "py")
+    )
+    return kids.join(quads, ["z", "px", "py"]).select(
+        "z", "x", "y",
+        F.col("px").alias("parent_x"),
+        F.col("py").alias("parent_y"),
+        "key",
+    )

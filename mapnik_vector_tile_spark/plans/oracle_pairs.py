@@ -1187,6 +1187,84 @@ FROM g
 """
 
 
+SPRUNE_Z = 4  # 16x16 grid of 2x2 parent quads
+
+
+def q_solid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9b mask-level pruning gate (composite.prunable_solid_children
+    ∘ solid_tiles): a 16x16 z4 store built through the real wire
+    encoder where entire 2x2 quads are solid iff (bx·3+by)%4==0,
+    scattered extra solids ((x·3+y)%7==0) make PARTIAL quads that must
+    NOT prune, and every fifth solid quad mixes two layer keys inside
+    the quad ('land' on even x) so the same-key rule is load-bearing.
+    The oracle derives the prunable set closed-form: exactly the
+    uniform-key fully-solid quads' children."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import (
+        prunable_solid_children,
+        solid_tiles,
+    )
+
+    n = 1 << SPRUNE_Z
+
+    def build(batches):
+        fill = gc.encode_geometry(
+            gc.GEOM_POLYGON,
+            np.array([-64, 4160, 4160, -64]),
+            np.array([-64, -64, 4160, 4160]),
+            np.array([0, 4]),
+        )
+        pt = gc.encode_geometry(
+            gc.GEOM_POINT, np.array([2048]), np.array([2048]),
+            np.array([0, 1]),
+        )
+        for pdf in batches:
+            out = {"z": [], "x": [], "y": [], "tile": []}
+            for i in pdf["id"]:
+                x, y = int(i) // n, int(i) % n
+                bx, by = x // 2, y // 2
+                block_solid = (bx * 3 + by) % 4 == 0
+                solid = block_solid or (x * 3 + y) % 7 == 0
+                mixed = block_solid and (bx + by) % 5 == 0
+                name = "land" if (mixed and x % 2 == 0) else "water"
+                lb = pbf.LayerBuilder(name)
+                lb.add_feature(1, gc.GEOM_POLYGON, fill)
+                if not solid:
+                    lb.add_feature(2, gc.GEOM_POINT, pt)
+                out["z"].append(SPRUNE_Z)
+                out["x"].append(x)
+                out["y"].append(y)
+                out["tile"].append(pbf.concat_tile([lb.build()]))
+            yield pd.DataFrame(out)
+
+    tiles = spark.range(0, n * n, 1, 8).mapInPandas(
+        build, schema="z int, x long, y long, tile binary"
+    )
+    return prunable_solid_children(solid_tiles(tiles)).select(
+        "x", "y", "parent_x", "parent_y", "key"
+    )
+
+
+def _sql_solid_prune() -> str:
+    n = 1 << SPRUNE_Z
+    return f"""
+WITH g AS (SELECT CAST(v.generate_series // {n} AS BIGINT) AS x,
+                  CAST(v.generate_series % {n} AS BIGINT) AS y
+           FROM generate_series(0, {n * n - 1}) v),
+c AS (SELECT x, y, x // 2 AS px, y // 2 AS py,
+             ((x // 2) * 3 + (y // 2)) % 4 = 0 AS block_solid,
+             ((x // 2) + (y // 2)) % 5 = 0 AS fifth
+      FROM g)
+SELECT x, y, px AS parent_x, py AS parent_y, 'water' AS key
+FROM c
+WHERE block_solid AND NOT (block_solid AND fifth)
+"""
+
+
 def _typed_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared typed-attribute layer fixture (see q_engine_typed_values
     doc): lineitem rows as z8 point features carrying (int qty, double
@@ -6553,6 +6631,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_v1_decode": (q_engine_v1_decode, _sql_v1_decode()),
     "q_engine_solid": (q_engine_solid, _sql_solid()),
     "q_label_grid": (q_label_grid, _sql_label_grid()),
+    "q_solid_prune": (q_solid_prune, _sql_solid_prune()),
     "q_tile_diff": (q_tile_diff, _sql_tile_diff()),
     "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
     "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
@@ -6620,6 +6699,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_solid_prune",
     "q_augment",
     "q_silence_trim",
     "q_scene_cuts",
