@@ -90,3 +90,54 @@ def corpus_filter_stats(
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.sum("len_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T33 sliding-window chunking — the retrieval/RAG indexing cut
+    (fixed-size windows with overlap so no answer span straddles a
+    boundary unseen), distinct from chunk_dedup's disjoint paragraph
+    proxy: chunk i covers words [i·stride, i·stride + chunk_words)
+    with stride = chunk_words − overlap; the last window is allowed
+    short, and a doc shorter than one window yields exactly one chunk.
+    n_chunks = max(1, ceil((n_words − overlap) / stride)) — the unique
+    count that covers every word with the final window still holding
+    ≥ overlap words of context.
+
+    Pure Column math (split / sequence / slice / array_join inside
+    codegen) — a narrow projection with NO shuffle and no Python;
+    the 1→N fan-out happens in the explode. Output:
+    (doc_id, chunk_idx, chunk_text, n_words)."""
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("chunk_sliding: need 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(w, i * stride + 1, chunk_words), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_words), n - i * stride
+            ).cast("long").alias("n_words"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_words").alias("n_words"),
+    )

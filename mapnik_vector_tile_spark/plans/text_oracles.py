@@ -989,6 +989,35 @@ def q_boilerplate(spark, sf_dir):
     )
 
 
+def sql_chunk_sliding(chunk: int = 24, overlap: int = 8) -> str:
+    stride = chunk - overlap
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d AS (SELECT doc_id, ws, len(ws) AS n,
+             GREATEST(1, CAST(ceil((len(ws) - {overlap}) / {stride}.0)
+                              AS INT)) AS nc
+      FROM w),
+c AS (SELECT doc_id, ws, n, unnest(generate_series(0, nc - 1)) AS i
+      FROM d)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(ws[i * {stride} + 1 : i * {stride} + {chunk}], ' ')
+         AS chunk_text,
+       CAST(LEAST({chunk}, n - i * {stride}) AS BIGINT) AS n_words
+FROM c
+"""
+
+
+def q_chunk_sliding(spark, sf_dir):
+    """T33 sliding-window RAG chunking (corpus.chunk_sliding — 24-word
+    windows, 8-word overlap; stride 16 is a power of two so the ceil
+    division is float-exact in both engines). Hashes every chunk's
+    exact text, index and word count."""
+    from mapnik_vector_tile_spark.operators import corpus as CO
+
+    return CO.chunk_sliding(_docs(spark, sf_dir), chunk_words=24, overlap=8)
+
+
 def sql_unimax() -> str:
     """Twin of sampling.unimax_resample (budget = 2·total, E = 3):
     the ascending-size greedy allocation is replayed as a recursive
@@ -1350,6 +1379,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_bigram_lm": (q_bigram_lm, sql_bigram_lm()),
         "q_unimax_resample": (q_unimax_resample, sql_unimax()),
         "q_boilerplate": (q_boilerplate, sql_boilerplate()),
+        "q_chunk_sliding": (q_chunk_sliding, sql_chunk_sliding()),
         "q_temperature_resample": (
             q_temperature_resample,
             sql_temperature_resample(),

@@ -706,3 +706,30 @@ def test_remove_boilerplate_contracts(spark):
         for r in remove_boilerplate(docs2, min_docs=3, sep="|").collect()
     }
     assert out2 == {1: "a|b", 2: "x", 3: "y"}
+
+
+def test_chunk_sliding_windows(spark):
+    """T33: window coverage/overlap invariants on a doc where every
+    boundary case fires — plus the one-chunk short-doc rule."""
+    from mapnik_vector_tile_spark.operators.corpus import chunk_sliding
+
+    words = [f"w{i}" for i in range(23)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {}
+    for r in chunk_sliding(docs, chunk_words=8, overlap=3).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_idx] = (r.chunk_text, r.n_words)
+    # doc 1: n=23, stride=5, n_chunks = ceil(20/5) = 4
+    assert sorted(out[1]) == [0, 1, 2, 3]
+    assert out[1][0] == (" ".join(words[0:8]), 8)
+    assert out[1][1] == (" ".join(words[5:13]), 8)
+    assert out[1][3] == (" ".join(words[15:23]), 8)
+    # consecutive chunks share exactly `overlap` words
+    for i in range(3):
+        a = out[1][i][0].split()
+        b = out[1][i + 1][0].split()
+        assert a[-3:] == b[:3]
+    # short docs: exactly one (possibly short) chunk
+    assert out[2] == {0: ("a b", 2)}
+    assert out[3] == {0: ("solo", 1)}
