@@ -4167,6 +4167,55 @@ FROM lv GROUP BY z
 """
 
 
+def q_store_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-companion z-partitioned parquet store gate (sources/store.py
+    — the cluster-native layout next to MBTiles/PMTiles): same
+    corpus and contract as q_mbtiles_roundtrip (full-join byte
+    round-trip per zoom, same twin), through
+    write_tile_store/read_tile_store. Partition pruning on z and
+    row-group pruning on the sorted (x, y) are asserted separately in
+    tests/test_plan_quality.py — this gate proves the LAYOUT loses no
+    bytes; z must survive the partition-column round-trip as a
+    readable int."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.store import (
+        read_tile_store,
+        write_tile_store,
+    )
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
+    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8)).select(
+        "z", "x", "y", "tile"
+    )
+    out_dir = f"/tmp/mvt_store_gate_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_tile_store(tiles, out_dir)
+    back = (
+        read_tile_store(spark, out_dir)
+        .select(
+            F.col("z").cast("int").alias("z"), "x", "y",
+            F.col("tile").alias("rt"),
+        )
+    )
+    j = tiles.withColumnRenamed("tile", "orig").join(
+        back, ["z", "x", "y"], "full"
+    )
+    return j.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.min(
+            F.coalesce(F.col("orig") == F.col("rt"), F.lit(False))
+        ).alias("blobs_match"),
+    )
+
+
 def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6-companion PMTiles v3 sink/source gate with a FULL oracle —
     same contract as q_mbtiles_roundtrip but through the modern
@@ -6663,6 +6712,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_geom_measures": (q_geom_measures, _sql_geom_measures()),
     "q_mbtiles_roundtrip": (q_mbtiles_roundtrip, _sql_mbtiles()),
     "q_pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mbtiles()),
+    "q_store_partitioned": (q_store_partitioned, _sql_mbtiles()),
     "q_tilejson": (q_tilejson, _sql_tilejson()),
     "q_line_interpolate": (q_line_interpolate, _sql_line_interpolate()),
     "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
@@ -6699,6 +6749,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_store_partitioned",
     "q_chunk_sliding",
     "q_solid_prune",
     "q_augment",

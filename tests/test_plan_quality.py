@@ -439,3 +439,46 @@ def test_label_grid_map_side_top1(spark):
     exch = plan.index("Exchange")
     assert "WindowGroupLimit" in plan[exch:]
     assert "WindowGroupLimit" in plan[:exch]
+
+
+def test_tile_store_partition_and_rowgroup_pruning(spark, tmp_path):
+    """S6 store layout: a z filter must reach PartitionFilters
+    (directory pruning — low-zoom files never open) and an x filter
+    must reach PushedFilters (sorted row-group stats pruning)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.sources.store import (
+        read_tile_store,
+        write_tile_store,
+    )
+
+    rows = []
+    for z in (3, 4, 5):
+        for x in range(1 << z):
+            rows.append((z, x, x % (1 << z), b"\x1a\x00"))
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "x", "y", "tile"]),
+        "z int, x long, y long, tile binary",
+    )
+    path = str(tmp_path / "store")
+    write_tile_store(tiles, path)
+
+    back = read_tile_store(spark, path)
+    plan = back.filter((F.col("z") == 5) & (F.col("x") >= 12))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "z" in plan.split("PartitionFilters")[1][:120]
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:160]
+    assert "GreaterThanOrEqual(x,12)" in pushed
+
+    # layout: one directory per z
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("z=")
+    ) == ["z=3", "z=4", "z=5"]
+    # round-trip row counts per z
+    got = {r.z: r.cnt for r in back.groupBy("z").count().withColumnRenamed("count", "cnt").collect()}
+    assert got == {3: 8, 4: 16, 5: 32}
