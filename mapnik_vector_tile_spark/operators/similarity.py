@@ -529,3 +529,59 @@ def semdedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame, k: int = 3, n_planes: int = N_PLANES
+) -> DataFrame:
+    """T34 hard-negative mining — the contrastive-training sampler
+    (pick, for each anchor, the most similar vectors of a DIFFERENT
+    label: the negatives that actually move the loss): LSH buckets
+    confine the candidate set exactly like lsh_bucketed_topk, then the
+    per-bucket exact cos9 rank runs with SAME-LABEL rows masked out
+    (self included). High-cosine same-label rows are positives, not
+    negatives — the mask is the semantic difference from ANN top-k.
+    Same one-shuffle plan shape; same (−cos9, nbr) tiebreak so the
+    DuckDB twin replays row-for-row. Output: (vec_id, nbr, rnk,
+    nbr_label)."""
+    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
+
+    be = with_lsh_bucket(emb, n_planes).select(
+        "bucket", "vec_id", "embedding", "label"
+    )
+
+    def bucket_negk(key, cols, sl) -> list[tuple]:
+        ids = cols["vec_id"][sl.start : sl.stop].astype(np.int64)
+        labels = cols["label"][sl.start : sl.stop].astype(np.int64)
+        M = np.stack(cols["embedding"][sl.start : sl.stop]).astype(
+            np.float64
+        )
+        mn = np.linalg.norm(M, axis=1)
+        qn = np.linalg.norm(M, axis=1, keepdims=True)
+        cos9 = np.round((M @ M.T) / (qn * mn[None, :]), 9)
+        rows: list[tuple] = []
+        for r in range(len(ids)):
+            mask = labels == labels[r]  # positives AND self
+            c = cos9[r].copy()
+            c[mask] = -np.inf
+            kk = min(k, int((~mask).sum()))
+            if kk <= 0:
+                continue
+            part = np.argpartition(-c, kk - 1)[:kk]
+            thresh = c[part].min()
+            tie = np.flatnonzero(c >= thresh)
+            order = np.lexsort((ids[tie], -c[tie]))
+            for rnk, t in enumerate(tie[order][:kk], start=1):
+                rows.append(
+                    (int(ids[r]), int(ids[t]), rnk, int(labels[t]))
+                )
+        return rows
+
+    return apply_grouped(
+        be,
+        keys=["bucket"],
+        order_by=["bucket", "vec_id"],
+        fn=bucket_negk,
+        schema="vec_id long, nbr long, rnk long, nbr_label long",
+        out_columns=["vec_id", "nbr", "rnk", "nbr_label"],
+    )

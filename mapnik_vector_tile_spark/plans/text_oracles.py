@@ -369,6 +369,50 @@ SELECT vec_id, nbr, rnk FROM (
 """
 
 
+def sql_hard_negatives(k: int = 3) -> str:
+    """Twin of similarity.hard_negatives: the sql_ann_lsh bucket
+    machinery with the same-label mask — candidates join on the
+    bucket AND a.label <> b.label, exact ROUND(cos,9)+id rank."""
+    from mapnik_vector_tile_spark.operators.similarity import N_PLANES
+
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ed AS (SELECT vec_id, UNNEST(v) AS val, generate_subscripts(v, 1) AS d
+       FROM e),
+pl AS (SELECT p, d,
+         ((((p*64 + d - 1) * 2654435761) % 4294967296) / 4294967296.0)
+           - 0.5 AS w
+       FROM generate_series(0,{N_PLANES - 1}) t(p),
+            generate_series(1,64) s(d)),
+dots AS (SELECT ed.vec_id, pl.p, SUM(ed.val * pl.w) AS dot
+         FROM ed JOIN pl ON pl.d = ed.d GROUP BY 1, 2),
+bk AS (SELECT vec_id,
+              CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END)
+                   AS BIGINT) AS bucket
+       FROM dots GROUP BY 1),
+eb AS (SELECT e.vec_id, e.label, e.v, bk.bucket
+       FROM e JOIN bk USING (vec_id))
+SELECT vec_id, nbr, rnk, nbr_label FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         CAST(b.label AS BIGINT) AS nbr_label,
+         CAST(row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY {_COS9_D} DESC, b.vec_id
+         ) AS BIGINT) AS rnk
+  FROM eb a JOIN eb b
+    ON a.bucket = b.bucket AND a.label <> b.label
+) r WHERE rnk <= {k}
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """T34 hard-negative mining for contrastive training (see operator
+    doc): LSH-confined exact cosine rank over different-label rows."""
+    from mapnik_vector_tile_spark.operators import similarity as SIM
+
+    return SIM.hard_negatives(_emb(spark, sf_dir), k=3)
+
+
 _COS9_EC = (
     "ROUND(list_dot_product(e.v, c.cv) / "
     "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9)"
@@ -1380,6 +1424,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_unimax_resample": (q_unimax_resample, sql_unimax()),
         "q_boilerplate": (q_boilerplate, sql_boilerplate()),
         "q_chunk_sliding": (q_chunk_sliding, sql_chunk_sliding()),
+        "q_hard_negatives": (q_hard_negatives, sql_hard_negatives()),
         "q_temperature_resample": (
             q_temperature_resample,
             sql_temperature_resample(),

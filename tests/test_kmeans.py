@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from tests.conftest import SF_DIR
 from mapnik_vector_tile_spark.operators import similarity as S
 
 
@@ -125,3 +126,47 @@ def test_semdedup_chain_is_greedy_not_transitive(spark):
         ).collect()
     }
     assert out == {0: True, 1: False, 2: False}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """T34: every mined negative has a different label than its
+    anchor, ranks are contiguous from 1, and the top negative is the
+    max-cosine different-label row within the anchor's bucket."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.similarity import (
+        hard_negatives,
+        with_lsh_bucket,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negatives(emb, k=3).collect()
+    assert len(out) > 0
+    by_anchor = {}
+    for r in out:
+        assert labels[r.nbr] != labels[r.vec_id]
+        assert labels[r.nbr] == r.nbr_label
+        by_anchor.setdefault(r.vec_id, []).append(r.rnk)
+    for rnks in by_anchor.values():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+    # spot-verify one anchor against a local recomputation
+    be = {
+        r.vec_id: (r.bucket, np.array(r.embedding, dtype=np.float64))
+        for r in with_lsh_bucket(emb).collect()
+    }
+    anchor = next(iter(by_anchor))
+    ab, av = be[anchor]
+    cands = [
+        (vid, np.round(
+            float(v @ av)
+            / (np.linalg.norm(v) * np.linalg.norm(av)), 9))
+        for vid, (b, v) in be.items()
+        if b == ab and labels[vid] != labels[anchor]
+    ]
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    got_first = min(
+        (r for r in out if r.vec_id == anchor), key=lambda r: r.rnk
+    )
+    assert got_first.nbr == cands[0][0]
