@@ -211,3 +211,68 @@ def global_quantiles(
     return spark.createDataFrame(
         [tuple([n] + [got[nm] for nm in names])], schema=out_schema
     )
+
+
+def count_min_estimates(
+    docs: DataFrame,
+    d: int = 4,
+    width: int = 1024,
+    top: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """T35 Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimates, cross-engine EXACT like the KMV sketch: d hash rows of
+    ``width`` counters keyed by the committed md5-prefix hash with a
+    per-row salt ('cms<i>|' prefix), estimate(v) = min over rows of
+    counter[i][h_i(v)]. The output pairs each of the ``top`` exact
+    heavy hitters with its CMS estimate — estimate >= exact always
+    (one-sided error, ε ≈ e/width over the token mass), and both the
+    counters and the min are pure integer relational algebra, so the
+    DuckDB twin replays the sketch bit-for-bit rather than
+    'approximately agreeing'.
+
+    Scale shape: counters are ONE map-side-combined groupBy over a
+    d-way in-row explode (d·width cells total — broadcastable); the
+    exact top-k compiles to TakeOrderedAndProject; the estimate join
+    touches top·d rows. Merging shards = summing counters
+    (associative), same incremental story as KMV. Output:
+    (token, exact_n, est_n)."""
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    h14(F.concat(F.lit(f"cms{i}|"), F.col("tok"))),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(rows).alias("rb"))
+        .groupBy("rb.row", "rb.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(top)
+    )
+    probes = exact.select(
+        "tok", "exact_n", F.explode(rows).alias("rb")
+    ).select("tok", "exact_n", "rb.row", "rb.bucket")
+    return (
+        probes.join(cells, ["row", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("est_n"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            "est_n",
+        )
+    )

@@ -6749,6 +6749,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_count_min",
     "q_hard_negatives",
     "q_store_partitioned",
     "q_chunk_sliding",

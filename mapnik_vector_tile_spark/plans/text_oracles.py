@@ -369,6 +369,52 @@ SELECT vec_id, nbr, rnk FROM (
 """
 
 
+def sql_count_min(d: int = 4, width: int = 16, top: int = 50) -> str:
+    """Twin of sketch.count_min_estimates: identical md5-prefix row
+    hashes ('cms<i>|' salts), counter sums, exact top-k with the
+    (count DESC, token) tiebreak, min-over-rows estimate."""
+    h = (
+        "CAST('0x' || substring(md5('cms' || CAST(r.i AS VARCHAR) "
+        "|| '|' || tok), 1, 14) AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+rows_ AS (SELECT unnest(generate_series(0, {d - 1})) AS i),
+cells AS (
+  SELECT r.i AS row_, ({h}) % {width} AS bucket,
+         COUNT(*) AS cnt
+  FROM toks, rows_ r GROUP BY 1, 2
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY 1
+  ORDER BY exact_n DESC, tok LIMIT {top}
+),
+probes AS (
+  SELECT e.tok, e.exact_n, r.i AS row_, ({h.replace('tok', 'e.tok')}) % {width} AS bucket
+  FROM exact e, rows_ r
+)
+SELECT p.tok AS token,
+       CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(c.cnt) AS BIGINT) AS est_n
+FROM probes p JOIN cells c ON c.row_ = p.row_ AND c.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
+
+def q_count_min(spark, sf_dir):
+    """T35 Count-Min heavy-hitter estimates (see operator doc):
+    bit-exact sketch replication, not statistical agreement."""
+    from mapnik_vector_tile_spark.operators.sketch import (
+        count_min_estimates,
+    )
+
+    # width 16 on the 31-token corpus FORCES collisions, so the
+    # one-sided overestimate and the min-over-rows are load-bearing
+    # (width 1024 would read est == exact everywhere — vacuous)
+    return count_min_estimates(_docs(spark, sf_dir), width=16)
+
+
 def sql_hard_negatives(k: int = 3) -> str:
     """Twin of similarity.hard_negatives: the sql_ann_lsh bucket
     machinery with the same-label mask — candidates join on the
@@ -1425,6 +1471,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_boilerplate": (q_boilerplate, sql_boilerplate()),
         "q_chunk_sliding": (q_chunk_sliding, sql_chunk_sliding()),
         "q_hard_negatives": (q_hard_negatives, sql_hard_negatives()),
+        "q_count_min": (q_count_min, sql_count_min()),
         "q_temperature_resample": (
             q_temperature_resample,
             sql_temperature_resample(),

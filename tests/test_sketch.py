@@ -156,3 +156,29 @@ def test_global_quantiles_heavy_ties_and_constant(spark):
     const = spark.createDataFrame(pd.DataFrame({"v": [7] * 10}))
     r2 = global_quantiles(const, "v").collect()[0]
     assert (r2.p50, r2.p99) == (7.0, 7.0)
+
+
+def test_count_min_one_sided_and_exact_structure(spark):
+    """T35: estimates never undercount, equal counts in a collision
+    bucket sum, and a vocabulary smaller than the width with d rows
+    reproduces exact counts (no spurious collisions on 3 tokens)."""
+    from mapnik_vector_tile_spark.operators.sketch import (
+        count_min_estimates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c"), (3, "a c c")], ["doc_id", "text"]
+    )
+    out = {
+        r.token: (r.exact_n, r.est_n)
+        for r in count_min_estimates(docs, d=4, width=1024, top=10).collect()
+    }
+    assert out == {"a": (4, 4), "b": (2, 2), "c": (3, 3)}
+
+    # width 1 (degenerate): every row's single counter is the total
+    # token mass -> est = 9 for every token, still one-sided
+    out1 = {
+        r.token: r.est_n
+        for r in count_min_estimates(docs, d=2, width=1, top=10).collect()
+    }
+    assert out1 == {"a": 9, "b": 9, "c": 9}
