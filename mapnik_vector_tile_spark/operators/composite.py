@@ -1646,3 +1646,142 @@ def prunable_solid_children(solid: DataFrame) -> DataFrame:
         F.col("py").alias("parent_y"),
         "key",
     )
+
+
+def join_attributes_relational(
+    layers: DataFrame,
+    attrs: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """The FACT-SCALE path of join_attributes — for attribute tables
+    too large to broadcast (a per-image metadata table the size of the
+    corpus): instead of shipping the dimension to every executor, the
+    join key of every encoded feature is EXTRACTED in one narrow scan
+    (tile address + feature index + decoded key — geometry bytes never
+    leave the blob), shuffled through a plain equi-join against the
+    attribute table (AQE-sized, skew-splittable), regrouped per tile
+    as a (feature_idx → attrs) list, and applied in a final blob→blob
+    kernel that rebuilds dictionaries exactly like the broadcast path.
+
+    Output contract is IDENTICAL to join_attributes — gated by running
+    both paths on the same corpus against one oracle (the hier-cover
+    discipline). Three narrow kernels + one shuffle on the join key +
+    one address-grouped shuffle; the blob table is read twice (narrow
+    recompute beats re-shuffling blobs at 100 TB, same trade as
+    encode_tiles' branch recompute)."""
+    import pandas as pd
+
+    if how not in ("left", "inner"):
+        raise ValueError(
+            f"join_attributes_relational: how must be left|inner, got {how!r}"
+        )
+    cols = attrs.columns
+    if len(cols) < 2:
+        raise ValueError("join_attributes_relational: attrs needs key + cols")
+    by_id = on == "$id"
+
+    def extract(it):
+        for pdf in it:
+            rows = {"z": [], "x": [], "y": [], "layer": [], "fidx": [],
+                    "_jk": []}
+            for z, x, y, lname, blob in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["layer"], pdf["blob"]
+            ):
+                d = pbf.split_layer(bytes(blob))
+                keys = d["keys"]
+                vals = d["raw_values"]
+                dec = None if by_id else [
+                    pbf.decode_value(v) for v in vals
+                ]
+                for fi, (fid, gtype, tags, _g, _r) in enumerate(
+                    d["features"]
+                ):
+                    jk = fid if by_id else None
+                    if not by_id:
+                        for i in range(0, len(tags), 2):
+                            if keys[tags[i]] == on:
+                                jk = dec[tags[i + 1]]
+                    if jk is None:
+                        continue  # no key: can never match
+                    rows["z"].append(int(z))
+                    rows["x"].append(int(x))
+                    rows["y"].append(int(y))
+                    rows["layer"].append(lname)
+                    rows["fidx"].append(fi)
+                    rows["_jk"].append(jk)
+            yield pd.DataFrame(rows)
+
+    kdf = layers.mapInPandas(
+        extract,
+        schema="z int, x long, y long, layer string, fidx int, _jk long"
+        if _attrs_key_is_integral(attrs)
+        else "z int, x long, y long, layer string, fidx int, _jk string",
+    )
+    adf = attrs.select(
+        F.col(cols[0]).alias("_jk"),
+        F.struct(*[F.col(c) for c in cols[1:]]).alias("_attrs"),
+    )
+    m = kdf.join(adf, "_jk")
+    grouped = m.groupBy("z", "x", "y", "layer").agg(
+        F.sort_array(F.collect_list(F.struct("fidx", "_attrs"))).alias("_m")
+    )
+    enriched = layers.join(grouped, ["z", "x", "y", "layer"], "left")
+    names = cols[1:]
+
+    def apply(it):
+        for pdf in it:
+            rows = {c: [] for c in LAYER_COLS}
+            for z, x, y, lname, blob, matches in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["layer"], pdf["blob"],
+                pdf["_m"],
+            ):
+                mmap = {}
+                if matches is not None:
+                    for s in matches:
+                        a = s["_attrs"]
+                        mmap[int(s["fidx"])] = [
+                            (n, pbf.encode_value(a[n]))
+                            for n in names
+                            if a[n] is not None
+                        ]
+                d = pbf.split_layer(bytes(blob))
+                keys = d["keys"]
+                vals = d["raw_values"]
+                feats = []
+                for fi, (fid, gtype, tags, raw_geom, raw_raster) in (
+                    enumerate(d["features"])
+                ):
+                    props = [
+                        (keys[tags[i]], vals[tags[i + 1]])
+                        for i in range(0, len(tags), 2)
+                    ]
+                    new = mmap.get(fi)
+                    if new is not None:
+                        props.extend(new)
+                    elif how == "inner":
+                        continue
+                    feats.append(
+                        (fid, int(gtype), props, raw_geom, raw_raster)
+                    )
+                if not feats:
+                    continue
+                nb = pbf.build_layer_merged(
+                    d["name"], d["version"], d["extent"], feats
+                )
+                rows["z"].append(int(z))
+                rows["x"].append(int(x))
+                rows["y"].append(int(y))
+                rows["layer"].append(d["name"])
+                rows["blob"].append(nb)
+                rows["n_features"].append(len(feats))
+                rows["n_points"].append(len(feats))
+            yield pd.DataFrame(rows)
+
+    return enriched.mapInPandas(apply, schema=LAYER_SCHEMA)
+
+
+def _attrs_key_is_integral(attrs: DataFrame) -> bool:
+    return attrs.schema[0].dataType.simpleString() in (
+        "bigint", "int", "smallint", "tinyint",
+    )

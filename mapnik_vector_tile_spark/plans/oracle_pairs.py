@@ -1617,6 +1617,89 @@ def q_engine_attr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_attr_join_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U10b fact-scale attribute join gate
+    (composite.join_attributes_relational): the SAME corpus, join
+    spec, readback and SQL twin as q_engine_attr_join, but through the
+    extract → shuffle equi-join → regroup → rebuild path instead of
+    the broadcast kernel — the hier-cover discipline: both paths must
+    land on the identical enriched wire bytes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import (
+        join_attributes_relational,
+    )
+
+    layers = _typed_layers(spark, sf_dir).select(
+        F.lit(8).alias("z"),
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        F.lit("li").alias("layer"),
+        F.col("blob"),
+        F.lit(0).cast("long").alias("n_features"),
+        F.lit(0).cast("long").alias("n_points"),
+    )
+    attrs = (
+        spark.range(1, 51)
+        .filter(F.col("id") % 3 != 0)
+        .select(
+            F.col("id").cast("long").alias("qty"),
+            F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias(
+                "grade"
+            ),
+            (F.col("id").cast("double") / 4).alias("bonus"),
+        )
+    )
+    enriched = join_attributes_relational(layers, attrs, on="qty",
+                                          how="left")
+
+    def decode_stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf["blob"]):
+                layer = pbf.decode_layer(bytes(blob))
+                qty_sum, n_match, bonus_sum = 0, 0, 0.0
+                min_grade = None
+                for f in layer["features"]:
+                    props = pbf.feature_props(layer, f)
+                    qty_sum += props["qty"]
+                    if "grade" in props:
+                        n_match += 1
+                        bonus_sum += props["bonus"]
+                        g = props["grade"]
+                        if min_grade is None or g < min_grade:
+                            min_grade = g
+                rows.append(
+                    (
+                        int(x), int(y), len(layer["features"]),
+                        len(layer["keys"]), len(layer["values"]),
+                        qty_sum, n_match, bonus_sum, min_grade,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "x", "y", "n_features", "n_keys", "n_values",
+                    "sum_qty", "n_matched", "sum_bonus", "min_grade",
+                ],
+            )
+
+    return enriched.mapInPandas(
+        decode_stats,
+        schema=(
+            "x long, y long, n_features long, n_keys long, n_values long, "
+            "sum_qty long, n_matched long, sum_bonus double, "
+            "min_grade string"
+        ),
+    )
+
+
 def _sql_attr_join(z: int = 8) -> str:
     tx, ty = S.tile_xy_exprs(z)
     mx = (
@@ -6657,6 +6740,10 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
     "q_engine_layer_filter": (q_engine_layer_filter, _sql_layer_filter()),
     "q_engine_attr_join": (q_engine_attr_join, _sql_attr_join()),
+    "q_engine_attr_join_shuffle": (
+        q_engine_attr_join_shuffle,
+        _sql_attr_join(),
+    ),
     "q_quadkey": (q_quadkey, _sql_quadkey()),
     "q_pyramid_audit": (q_pyramid_audit, _sql_pyramid_audit()),
     "q_tilestats": (q_tilestats, _sql_tilestats()),
@@ -6749,6 +6836,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_engine_attr_join_shuffle",
     "q_count_min",
     "q_hard_negatives",
     "q_store_partitioned",

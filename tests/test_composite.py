@@ -1060,3 +1060,57 @@ def test_trim_tile_to_budget_prefix(spark):
     # keeping feature 5 brings exactly its key/value
     _, d = ids_of(cum[4])
     assert d["keys"] == ["tag"]
+
+
+def test_join_attributes_relational_matches_broadcast(spark):
+    """U10b: the fact-scale shuffle path emits byte-identical blobs to
+    the broadcast path for left AND inner, on property and $id keys,
+    including None-cell skipping."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.operators.composite import (
+        join_attributes,
+        join_attributes_relational,
+    )
+
+    pt = gc.encode_geometry(
+        gc.GEOM_POINT, np.array([10]), np.array([10]), np.array([0, 1])
+    )
+    lb = pbf.LayerBuilder("poi")
+    lb.add_feature(1, gc.GEOM_POINT, pt, {"code": 7})
+    lb.add_feature(2, gc.GEOM_POINT, pt, {"code": 8})
+    lb.add_feature(3, gc.GEOM_POINT, pt, {})
+    lb2 = pbf.LayerBuilder("poi")
+    lb2.add_feature(4, gc.GEOM_POINT, pt, {"code": 7})
+    layers = spark.createDataFrame(
+        [
+            (0, 0, 0, "poi", bytearray(lb.build()), 3, 3),
+            (0, 1, 0, "poi", bytearray(lb2.build()), 1, 1),
+        ],
+        "z int, x long, y long, layer string, blob binary, "
+        "n_features long, n_points long",
+    )
+    attrs = spark.createDataFrame(
+        [(7, "seven", 1.5), (9, "nine", None)],
+        "code long, name string, score double",
+    )
+
+    def blobs(df):
+        return {
+            (r.x, r.layer): bytes(r.blob) for r in df.collect()
+        }
+
+    for how in ("left", "inner"):
+        a = blobs(join_attributes(layers, attrs, on="code", how=how))
+        b = blobs(
+            join_attributes_relational(layers, attrs, on="code", how=how)
+        )
+        assert a == b, how
+
+    attrs_id = spark.createDataFrame(
+        [(2, "two", None)], "fid long, name string, score double"
+    )
+    a = blobs(join_attributes(layers, attrs_id, on="$id"))
+    b = blobs(join_attributes_relational(layers, attrs_id, on="$id"))
+    assert a == b
