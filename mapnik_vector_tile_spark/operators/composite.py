@@ -1554,7 +1554,13 @@ def trim_tile_to_budget(layers: DataFrame, budget_bytes: int) -> DataFrame:
     layer: the re-encoded Feature message plus its field-2 tag and
     length varint — measured from real bytes, never estimated, so the
     oracle's closed-form varint arithmetic gates the codec's size
-    math. Budget covers the feature stream only (the layer
+    math. Measurement simulates the rebuild's FIRST-APPEARANCE
+    dictionary assignment (tag indices are re-derived before sizing,
+    tentative dict entries committed only for kept features), so the
+    measured prefix size equals the emitted stream size even when the
+    stored layer's dictionaries are not first-appearance ordered —
+    original indices can be shorter varints than the re-derived ones,
+    and sizing with them could emit an over-budget stream. Budget covers the feature stream only (the layer
     name/version/extent/dictionary framing is the store's fixed
     overhead and is reported, not budgeted). Narrow blob→blob scan,
     no shuffle. Output: LAYER_SCHEMA with trimmed blobs."""
@@ -1574,15 +1580,37 @@ def trim_tile_to_budget(layers: DataFrame, budget_bytes: int) -> DataFrame:
                 vals = d["raw_values"]
                 kept = []
                 used = 0
+                key_map: dict = {}  # mirrors build_layer_merged's
+                val_map: dict = {}  # first-appearance assignment
                 for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
+                    # Tentative re-derived tag indices for THIS feature;
+                    # committed to the maps only if the feature is kept,
+                    # so the kept prefix's dictionaries match the
+                    # rebuild's exactly.
+                    tk: dict = {}
+                    tv: dict = {}
+                    new_tags = []
+                    for i in range(0, len(tags), 2):
+                        k = keys[tags[i]]
+                        v = vals[tags[i + 1]]
+                        ki = key_map.get(k)
+                        if ki is None:
+                            ki = tk.setdefault(k, len(key_map) + len(tk))
+                        vi = val_map.get(v)
+                        if vi is None:
+                            vi = tv.setdefault(v, len(val_map) + len(tv))
+                        new_tags.append(ki)
+                        new_tags.append(vi)
                     geom = pbf._varints_small(raw_geom).astype(np.int64)
                     msg = pbf.encode_feature(
-                        fid, int(gtype), geom, list(tags), raw_raster
+                        fid, int(gtype), geom, new_tags, raw_raster
                     )
                     sz = 1 + len(pbf.varint_of(len(msg))) + len(msg)
                     if used + sz > budget_bytes:
                         break  # prefix contract: stop at first overflow
                     used += sz
+                    key_map.update(tk)
+                    val_map.update(tv)
                     props = [
                         (keys[tags[i]], vals[tags[i + 1]])
                         for i in range(0, len(tags), 2)
@@ -1680,6 +1708,8 @@ def join_attributes_relational(
     if len(cols) < 2:
         raise ValueError("join_attributes_relational: attrs needs key + cols")
     by_id = on == "$id"
+    jk_type = _attrs_jk_type(attrs)
+    attrs = _dedup_attrs(attrs)
 
     def extract(it):
         for pdf in it:
@@ -1702,6 +1732,12 @@ def join_attributes_relational(
                         for i in range(0, len(tags), 2):
                             if keys[tags[i]] == on:
                                 jk = dec[tags[i + 1]]
+                    # coerce the decoded wire value to the attrs key
+                    # type under Python-dict equality (the broadcast
+                    # path's semantics: True==1, 7.0==7, "7"!=7); a
+                    # type that can never equal the key → no candidate
+                    # row (SQL null-join), never an Arrow type crash
+                    jk = _coerce_jk(jk, jk_type)
                     if jk is None:
                         continue  # no key: can never match
                     rows["z"].append(int(z))
@@ -1714,12 +1750,10 @@ def join_attributes_relational(
 
     kdf = layers.mapInPandas(
         extract,
-        schema="z int, x long, y long, layer string, fidx int, _jk long"
-        if _attrs_key_is_integral(attrs)
-        else "z int, x long, y long, layer string, fidx int, _jk string",
+        schema=f"z int, x long, y long, layer string, fidx int, _jk {jk_type}",
     )
     adf = attrs.select(
-        F.col(cols[0]).alias("_jk"),
+        F.col(cols[0]).cast(jk_type).alias("_jk"),
         F.struct(*[F.col(c) for c in cols[1:]]).alias("_attrs"),
     )
     m = kdf.join(adf, "_jk")
@@ -1781,7 +1815,57 @@ def join_attributes_relational(
     return enriched.mapInPandas(apply, schema=LAYER_SCHEMA)
 
 
-def _attrs_key_is_integral(attrs: DataFrame) -> bool:
-    return attrs.schema[0].dataType.simpleString() in (
-        "bigint", "int", "smallint", "tinyint",
+def _attrs_jk_type(attrs: DataFrame) -> str:
+    """Canonical join-key column type for the relational path's
+    extract kernel: integral + boolean keys join as ``long``, float
+    keys as ``double``, text as ``string`` — mirroring Python-dict
+    equality (True==1, 7.0==7) used by the broadcast path."""
+    kt = attrs.schema[0].dataType.simpleString()
+    if kt in ("bigint", "int", "smallint", "tinyint", "boolean"):
+        return "long"
+    if kt in ("double", "float"):
+        return "double"
+    if kt == "string":
+        return "string"
+    raise ValueError(
+        f"join_attributes: unsupported attrs key type {kt!r} "
+        "(int/boolean/float/double/string only — the MVT wire has no "
+        "other value types to match against)"
     )
+
+
+def _coerce_jk(jk, jk_type: str):
+    """Coerce a DECODED wire value to the attrs key type under
+    Python-dict equality; None = the value can never equal any key of
+    that type (string "7" never matches bigint 7, exactly as the
+    broadcast path's ``dict.get`` behaves)."""
+    if jk is None:
+        return None
+    if jk_type == "long":
+        if isinstance(jk, bool):
+            return int(jk)
+        if isinstance(jk, int):
+            return jk if -(2**63) <= jk < 2**63 else None
+        if isinstance(jk, float) and jk.is_integer():
+            return int(jk) if -(2**63) <= jk < 2**63 else None
+        return None
+    if jk_type == "double":
+        if isinstance(jk, (bool, int, float)):
+            return float(jk)
+        return None
+    return jk if isinstance(jk, str) else None
+
+
+def _dedup_attrs(attrs: DataFrame) -> DataFrame:
+    """Deterministic duplicate-key resolution SHARED by both attribute
+    join paths: per key, the row whose value-column struct is the MAX
+    under Spark struct ordering wins (field-by-field, nulls smallest).
+    The relational path's sort_array + last-assignment regroup already
+    implements exactly this rule; running the same Spark aggregate on
+    the dimension before the broadcast collect makes the two paths
+    byte-identical on duplicate-key inputs instead of the broadcast
+    side keeping a partition-order-dependent winner."""
+    cols = attrs.columns
+    return attrs.groupBy(cols[0]).agg(
+        F.max(F.struct(*[F.col(c) for c in cols[1:]])).alias("_v")
+    ).select(cols[0], *[F.col(f"_v.{c}").alias(c) for c in cols[1:]])

@@ -28,6 +28,8 @@ Scale:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1010,7 +1012,11 @@ def haversine_radius_join(
     3x3 ring explode on the a-side — sound (no false negatives) iff
     cell_deg >= the radius in LONGITUDE degrees at the corpus's
     highest |lat| (callers size it; e.g. 300 km at |lat|<=55° needs
-    >= 4.71°). Refine: PURE Column trig — the predicate compares the
+    >= 4.71°). Longitude cells WRAP modulo the pyramid of 360°/cell
+    columns, so pairs straddling the antimeridian (lon +179.9 vs
+    -179.9) still meet in adjacent cells; the refine needs no wrap
+    handling because sin²(Δλ/2) is already 360°-periodic
+    (sin(π−x)=sin x). Refine: PURE Column trig — the predicate compares the
     haversine term h = sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2) against
     the constant sin²(R / 2·earth_R), so no asin/acos in the
     distributed plan and no Python anywhere. Cross-engine float note:
@@ -1019,9 +1025,18 @@ def haversine_radius_join(
     discipline as the GeoJSON trig oracle). Returns (a_id, b_id)."""
     tau = float(np.sin(radius_m / (2.0 * EARTH_R_M)) ** 2)
     rad = float(np.pi / 180.0)
+    # Distinct lon-cell count for lon in [-180, 180): cells cx_min..cx_max.
+    # pmod(cx - cx_min, n_lon) makes the seam cells (cx_max, cx_min)
+    # numerically adjacent mod n_lon, so the 3x3 ring crosses the
+    # antimeridian for free.
+    cx_min = math.floor(-180.0 / cell_deg)
+    n_lon = math.floor(math.nextafter(180.0, 0.0) / cell_deg) - cx_min + 1
 
     def cells(df, pid, ring):
-        cx = F.floor(F.col("lon") / cell_deg).cast("long")
+        cx = F.pmod(
+            F.floor(F.col("lon") / cell_deg).cast("long") - F.lit(cx_min),
+            F.lit(n_lon),
+        )
         cy = F.floor(F.col("lat") / cell_deg).cast("long")
         out = df.select(
             F.col("id").alias(pid),
@@ -1034,10 +1049,14 @@ def haversine_radius_join(
             return out.withColumnRenamed("_cx", "jx").withColumnRenamed(
                 "_cy", "jy"
             )
+        # Dedup dx offsets mod n_lon: with <=3 lon columns the ring
+        # wraps onto itself and would emit duplicate candidate rows
+        # (hence duplicate output pairs).
+        dxs = sorted({dx % n_lon for dx in (-1, 0, 1)})
         offs = F.array(
             *[
                 F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
+                for dx in dxs
                 for dy in (-1, 0, 1)
             ]
         )
@@ -1047,7 +1066,9 @@ def haversine_radius_join(
                 pid,
                 pid + "_lon",
                 pid + "_lat",
-                (F.col("_cx") + F.col("_o.dx")).alias("jx"),
+                F.pmod(F.col("_cx") + F.col("_o.dx"), F.lit(n_lon)).alias(
+                    "jx"
+                ),
                 (F.col("_cy") + F.col("_o.dy")).alias("jy"),
             )
         )

@@ -311,7 +311,6 @@ def temperature_resample(
         )
         for k, n in counts.items()
     }
-    rate = F.lit(None).cast("long")
     expr = None
     for k in sorted(rates):
         cond = F.col(stratum_col) == k

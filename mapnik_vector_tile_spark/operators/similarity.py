@@ -22,6 +22,8 @@ library-free) so buckets are reproducible cluster-wide.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -468,6 +470,13 @@ def semdedup(
     the duplicate test quantizes to the SD_SCALE grid and compares
     cos ≥ τ by integer cross-multiplication — dot > 0 AND
     dot²·τ_den² ≥ τ_num²·‖u‖²·‖v‖² — all BIGINT, no FP tie risk.
+    The int64 headroom is a PRECONDITION, not an assumption: by
+    Cauchy–Schwarz (exact over the integers) dot² ≤ ‖u‖²·‖v‖², so the
+    gate cannot overflow iff every quantized norm² ≤ isqrt(2^63−1)/τ_den
+    — enforced per row with raise_error, so a non-unit-norm corpus
+    fails loudly instead of wrapping the compare and silently keeping
+    true duplicates (norms up to ~1.34 at SD_SCALE=2^12, τ_den=100
+    pass; renormalize or lower SD_SCALE beyond that).
     Keep rule is first-occurrence by id within cluster (drop v iff
     some u with u.id < v.id in v's cluster passes the test), the
     greedy scan-order rule — deterministic without a connected-
@@ -479,6 +488,11 @@ def semdedup(
     same posture as the LSH band joins), one broadcast-able anti-join
     back. Returns (id_col, cluster int, keep boolean) for EVERY input
     row."""
+    if tau_num > tau_den:
+        raise ValueError("semdedup: cosine threshold tau must be <= 1")
+    # Largest norm² for which dot²·τ_den² provably fits int64
+    # (Cauchy–Schwarz: dot² ≤ nu·nv ≤ norm_lim², exact over ints).
+    norm_lim = math.isqrt(2**63 - 1) // tau_den
     qs = F.transform(
         F.col(col),
         lambda x: _round_half_away_col(
@@ -486,18 +500,6 @@ def semdedup(
         ).cast("long"),
     )
     assigned = kmeans_clusters(emb, k=k, iters=iters, col=col, id_col=id_col)
-    qe = emb.select(F.col(id_col), qs.alias("sv"))
-    t = assigned.select(id_col, "cluster").join(qe, [id_col])
-    a = t.select(
-        F.col(id_col).alias("a_id"),
-        "cluster",
-        F.col("sv").alias("a_sv"),
-    )
-    b = t.select(
-        F.col(id_col).alias("b_id"),
-        "cluster",
-        F.col("sv").alias("b_sv"),
-    )
 
     def _dot(x: str, y: str) -> F.Column:
         return F.aggregate(
@@ -506,10 +508,40 @@ def semdedup(
             lambda acc, v: acc + v,
         )
 
+    n2 = _dot("sv", "sv")
+    qe = emb.select(F.col(id_col), qs.alias("sv")).withColumn(
+        "n2",
+        F.when(
+            n2 > F.lit(norm_lim),
+            F.raise_error(
+                F.format_string(
+                    "semdedup: quantized norm^2 %d exceeds the exact-int64 "
+                    "gate limit %d — renormalize embeddings or lower "
+                    "SD_SCALE",
+                    n2,
+                    F.lit(norm_lim),
+                )
+            ).cast("long"),
+        ).otherwise(n2),
+    )
+    t = assigned.select(id_col, "cluster").join(qe, [id_col])
+    a = t.select(
+        F.col(id_col).alias("a_id"),
+        "cluster",
+        F.col("sv").alias("a_sv"),
+        F.col("n2").alias("nu"),
+    )
+    b = t.select(
+        F.col(id_col).alias("b_id"),
+        "cluster",
+        F.col("sv").alias("b_sv"),
+        F.col("n2").alias("nv"),
+    )
+
     pairs = a.join(b, ["cluster"]).filter(F.col("a_id") < F.col("b_id"))
     dot = _dot("a_sv", "b_sv")
-    nu = _dot("a_sv", "a_sv")
-    nv = _dot("b_sv", "b_sv")
+    nu = F.col("nu")
+    nv = F.col("nv")
     dup = (
         pairs.filter(
             (dot > 0)

@@ -101,7 +101,10 @@ def write_wds_shards(
     part-NNNNN.tar shards, one per partition, written executor-side
     (foreachPartition — no driver collect). The payload extension is
     the fmt string (WebDataset's convention: the extension names the
-    codec). Returns the shard count."""
+    codec). Returns the number of shard files actually written —
+    empty hash partitions produce no file, so this can be less than
+    ``num_shards`` and part-NNNNN numbering may have holes; readers
+    must list the directory, never enumerate a range."""
     os.makedirs(out_dir, exist_ok=True)
     # clear stale shards: a re-run that hashes some partition empty or
     # uses fewer shards must not leave old samples behind for readers
@@ -146,7 +149,15 @@ def write_wds_shards(
         )
 
     df.foreachPartition(write_partition)
-    return n
+    # count the files actually written: empty hash partitions produce
+    # no part file, so the shard numbering may have holes and the
+    # written count can be < n — callers must enumerate by listing,
+    # not by range(return value)
+    return sum(
+        1
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".tar")
+    )
 
 
 def read_wds(spark: SparkSession, path: str) -> DataFrame:

@@ -477,3 +477,27 @@ def test_haversine_join_known_distances(spark):
         for r in haversine_radius_join(a, b, 300_000.0, 4.8).collect()
     }
     assert got == {(1, 10), (2, 12), (2, 13)}
+
+
+def test_haversine_join_antimeridian(spark):
+    """J5b seam regression: a pair straddling lon=±180 (Fiji region,
+    ~22 km apart) must be found — the lon cell grid wraps mod 360°,
+    so floor(179.9/c) and floor(-179.9/c) become adjacent cells. Also
+    pins the no-duplicate contract when the wrap makes ring cells
+    coincide (huge cell_deg => n_lon small)."""
+    from mapnik_vector_tile_spark.operators.joins import (
+        haversine_radius_join,
+    )
+
+    a = spark.createDataFrame([(1, 179.9, -17.0)], ["id", "lon", "lat"])
+    b = spark.createDataFrame(
+        [(10, -179.9, -17.0), (11, -170.0, -17.0)], ["id", "lon", "lat"]
+    )
+    rows = haversine_radius_join(a, b, 300_000.0, 4.8).collect()
+    assert {(r.a_id, r.b_id) for r in rows} == {(1, 10)}
+    assert len(rows) == 1  # no duplicate candidates from the wrap
+
+    # Degenerate wrap: cell_deg=120 => 3 lon cells, ring covers the
+    # whole globe in lon; the pair is found exactly once.
+    rows = haversine_radius_join(a, b, 300_000.0, 120.0).collect()
+    assert [(r.a_id, r.b_id) for r in rows] == [(1, 10)]

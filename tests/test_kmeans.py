@@ -128,6 +128,23 @@ def test_semdedup_chain_is_greedy_not_transitive(spark):
     assert out == {0: True, 1: False, 2: False}
 
 
+def test_semdedup_overflow_guard(spark):
+    """Non-unit-norm embeddings that would overflow the int64 cosine
+    gate must fail LOUDLY (raise_error), not wrap and silently keep
+    true duplicates. Norm ~2 at SD_SCALE=2^12 exceeds the
+    Cauchy-Schwarz-derived limit isqrt(2^63-1)//tau_den."""
+    import pytest
+
+    big = [2.0] * 64  # norm^2 = 256, quantized n2 ~ 256*2^24 >> limit
+    with pytest.raises(Exception, match="exact-int64 gate limit"):
+        S.semdedup(_emb_df(spark, [big, big]), k=1, iters=1).collect()
+
+    # Slightly-over-unit norms (~1.2) still pass the guard.
+    ok = [0.6, 0.6, 0.6, 0.6]
+    rows = S.semdedup(_emb_df(spark, [ok, ok]), k=1, iters=1).collect()
+    assert {r.vec_id: r.keep for r in rows} == {0: True, 1: False}
+
+
 def test_hard_negatives_excludes_same_label(spark):
     """T34: every mined negative has a different label than its
     anchor, ranks are contiguous from 1, and the top negative is the
