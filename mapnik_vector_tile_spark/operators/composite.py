@@ -1481,6 +1481,11 @@ def join_attributes(
     cols = attrs.columns
     if len(cols) < 2:
         raise ValueError("join_attributes: attrs needs key + >=1 value column")
+    # Deterministic duplicate-key resolution SHARED with the
+    # relational path (max value-struct wins) — without this the
+    # collect() below keeps whichever duplicate arrives last, a
+    # partition-order accident that diverges between the two paths.
+    attrs = _dedup_attrs(attrs)
     amap: dict = {}
     for r in attrs.collect():
         amap[r[0]] = [

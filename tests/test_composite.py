@@ -1114,3 +1114,31 @@ def test_join_attributes_relational_matches_broadcast(spark):
     a = blobs(join_attributes(layers, attrs_id, on="$id"))
     b = blobs(join_attributes_relational(layers, attrs_id, on="$id"))
     assert a == b
+
+    # Duplicate attr keys: both paths must pick the SAME winner (max
+    # value-struct), not a partition-order accident — repartition(5)
+    # scrambles collect order to expose a last-wins broadcast bug.
+    dup = spark.createDataFrame(
+        [(7, "alpha", 1.0), (7, "zeta", 0.5), (7, "zeta", 2.0)],
+        "code long, name string, score double",
+    ).repartition(5)
+    a = blobs(join_attributes(layers, dup, on="code"))
+    b = blobs(join_attributes_relational(layers, dup, on="code"))
+    assert a == b
+    # pinned winner: ("zeta", 2.0) — max struct field-by-field
+    layer_blob = a[(0, "poi")]
+    d = pbf.split_layer(layer_blob)
+    assert "zeta" in d["keys"] or any(
+        pbf.decode_value(v) == "zeta" for v in d["raw_values"]
+    )
+
+    # Double-typed attrs key joining int wire values: 7.0 == 7 under
+    # the shared Python-dict equality; both paths must enrich fid 1.
+    fattrs = spark.createDataFrame(
+        [(7.0, "seven-f")], "code double, name string"
+    )
+    a = blobs(join_attributes(layers, fattrs, on="code", how="inner"))
+    b = blobs(
+        join_attributes_relational(layers, fattrs, on="code", how="inner")
+    )
+    assert a == b and len(a) == 2  # fid 1 (x=0) and fid 4 (x=1) match
