@@ -213,6 +213,79 @@ def global_quantiles(
     )
 
 
+def hll_registers(df: DataFrame, col: str, p: int = 10) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) over ``col``,
+    built on the same committed 56-bit md5-prefix hash as KMV/CMS so
+    the whole sketch is CROSS-ENGINE EXACT: bucket = top ``p`` hash
+    bits, rho = leading-zero run of the remaining w = 56−p bits + 1
+    (computed as w+1 − bitlength via ``bin()``, which both engines
+    define identically for non-negative ints, '0'→length 1 handled by
+    the rem=0 branch), register = MAX rho per bucket. ONE map-side-
+    combining aggregate; ≤2^p rows out. Registers merge across shards
+    by element-wise MAX (associative) — the same incremental story as
+    the other sketches. Output: (b long, reg int)."""
+    w = 56 - p
+    hv = h14(F.col(col).cast("string"))
+    rem = hv.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(
+            F.shiftright(hv, w).alias("b"), rho.cast("int").alias("r")
+        )
+        .groupBy("b")
+        .agg(F.max("r").alias("reg"))
+    )
+
+
+def hll_scale_const(p: int) -> float:
+    """α_m·m²·2^(w+1) as ONE Python double — both engines embed this
+    same literal so the estimate's sole rounding is the final divide."""
+    m = 1 << p
+    w = 56 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << (w + 1))
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 10) -> DataFrame:
+    """One-row HLL cardinality estimate, transcendental-free and
+    value-hash gated (q_distinct_hll): the raw-estimate denominator
+    Z = Σ_j 2^−M_j is kept EXACT by integer scaling — s_scaled =
+    Σ_j 2^(w+1−M_j) as BIGINT (≤ 2^p·2^(w+1) = 2^57, fits; empty
+    buckets contribute the full 2^(w+1) term) — so the only float ops
+    are one literal product and one division, replicated op-for-op in
+    the twin. est_raw = floor(α_m·m²·2^(w+1) / s_scaled) with the
+    standard α_m = 0.7213/(1 + 1.079/m); the small-range linear-
+    counting and large-range corrections need ln() (transcendental,
+    engine-private rounding) and are CALLER policy — v_zero is
+    reported so a caller can apply m·ln(m/v_zero) when est ≤ 2.5m.
+    Output: (m, v_zero, s_scaled, est_raw)."""
+    m = 1 << p
+    w = 56 - p
+    regs = hll_registers(df, col, p)
+    return regs.agg(
+        F.lit(m).cast("int").alias("m"),
+        (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),
+        (
+            # shiftleft's Python wrapper takes a literal bit count;
+            # the per-row shift by (w+1 − reg) needs the SQL form
+            F.coalesce(  # SUM over zero registers is NULL, not 0
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - reg)")),
+                F.lit(0).cast("long"),
+            )
+            + (F.lit(m) - F.count("*")) * F.lit(1 << (w + 1)).cast("long")
+        ).cast("long").alias("s_scaled"),
+    ).select(
+        "m",
+        "v_zero",
+        "s_scaled",
+        F.floor(
+            F.lit(hll_scale_const(p)) / F.col("s_scaled").cast("double")
+        ).cast("long").alias("est_raw"),
+    )
+
+
 def count_min_estimates(
     docs: DataFrame,
     d: int = 4,

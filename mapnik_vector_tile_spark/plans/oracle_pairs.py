@@ -3417,6 +3417,55 @@ FROM m
 """
 
 
+def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-class cardinality sketch #2, completing the sketch family
+    (KMV bottom-k, Count-Min heavy hitters, HLL): HyperLogLog distinct
+    estimate of events.event_id (operators.sketch.hll_distinct). The
+    bucket/rho register math is pure integer bit algebra on the shared
+    md5-prefix hash, the harmonic-mean denominator is an EXACT BIGINT
+    (2^(w+1)-scaled), and the single float divide uses one shared
+    literal — so the DuckDB twin value-hashes the raw estimate itself.
+    Estimator quality (≈3.25% @ m=1024) pinned by tests/test_sketch.py."""
+    from mapnik_vector_tile_spark.operators.sketch import hll_distinct
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(events, "event_id", p=10)
+
+
+def _sql_distinct_hll(p: int = 10) -> str:
+    from mapnik_vector_tile_spark.operators.sketch import hll_scale_const
+
+    m = 1 << p
+    w = 56 - p
+    mask = (1 << w) - 1
+    scale = S.flit(hll_scale_const(p))
+    return f"""
+WITH h AS (
+  SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 14)
+              AS BIGINT) AS hv
+  FROM events),
+br AS (
+  SELECT hv >> {w} AS b,
+         CASE WHEN (hv & {mask}) = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin(hv & {mask})) END AS r
+  FROM h),
+regs AS (SELECT b, MAX(r) AS reg FROM br GROUP BY b),
+agg AS (SELECT COUNT(*) AS n_present,
+               COALESCE(SUM(CAST(1 AS BIGINT) << ({w + 1} - reg)), 0)
+                 AS s_present
+        FROM regs)
+SELECT CAST({m} AS INT) AS m,
+       CAST({m} - n_present AS BIGINT) AS v_zero,
+       CAST(s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {w + 1})
+            AS BIGINT) AS s_scaled,
+       CAST(floor({scale} /
+            CAST(s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {w + 1})
+                 AS DOUBLE))
+            AS BIGINT) AS est_raw
+FROM agg
+"""
+
+
 JPEG_N = 300  # q_raster_jpeg corpus size
 
 
@@ -6810,6 +6859,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_wds_roundtrip": (q_wds_roundtrip, _sql_wds_roundtrip()),
     "q_ar_bucket_batches": (q_ar_bucket_batches, _sql_ar_bucket_batches()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
+    "q_distinct_hll": (q_distinct_hll, _sql_distinct_hll()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
     "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
@@ -6836,6 +6886,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_distinct_hll",
     "q_engine_attr_join_shuffle",
     "q_count_min",
     "q_hard_negatives",

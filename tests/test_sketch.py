@@ -182,3 +182,45 @@ def test_count_min_one_sided_and_exact_structure(spark):
         for r in count_min_estimates(docs, d=2, width=1, top=10).collect()
     }
     assert out1 == {"a": 9, "b": 9, "c": 9}
+
+
+def test_hll_estimate_within_bound(spark):
+    """n=20000 distinct, m=1024 registers: HLL standard error is
+    ~1.04/sqrt(m) ≈ 3.25%; assert the realized error within 4 sigma
+    (deterministic corpus — pins the value, cannot flake)."""
+    df = spark.range(20000).select(F.col("id").alias("v"))
+    row = sketch.hll_distinct(df, "v", p=10).collect()[0]
+    assert row.m == 1024
+    assert abs(row.est_raw - 20000) / 20000 < 0.13
+    # denominator stayed within the int64 scaling budget
+    assert 0 < row.s_scaled <= 1024 * (1 << 47)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Element-wise MAX of two shard register tables equals the
+    register table of the union — the merge law that makes HLL
+    incremental across corpus builds."""
+    a = spark.range(0, 6000).select(F.col("id").alias("v"))
+    b = spark.range(4000, 12000).select(F.col("id").alias("v"))
+    merged = (
+        sketch.hll_registers(a, "v")
+        .unionByName(sketch.hll_registers(b, "v"))
+        .groupBy("b")
+        .agg(F.max("reg").alias("reg"))
+    )
+    direct = sketch.hll_registers(a.unionByName(b), "v")
+    assert {(r.b, r.reg) for r in merged.collect()} == {
+        (r.b, r.reg) for r in direct.collect()
+    }
+
+
+def test_hll_empty_and_tiny(spark):
+    """Empty input: all m registers empty, s_scaled = m * 2^(w+1),
+    est 0-ish (the raw estimate's known small-range bias — v_zero is
+    reported for caller-side linear counting). One value: v_zero=m-1."""
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    r = sketch.hll_distinct(empty, "v").collect()[0]
+    assert r.v_zero == 1024 and r.s_scaled == 1024 * (1 << 47)
+    one = spark.range(1).select(F.col("id").alias("v"))
+    r1 = sketch.hll_distinct(one, "v").collect()[0]
+    assert r1.v_zero == 1023
