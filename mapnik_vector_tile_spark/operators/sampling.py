@@ -97,6 +97,43 @@ def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def spatial_block_split(
+    df: DataFrame, z: int = 6, mx_col: str = "mx", my_col: str = "my"
+) -> DataFrame:
+    """Leakage-safe GEOGRAPHIC train/val/test split — the geo-ML
+    evaluation discipline: spatial autocorrelation makes a random row
+    split leak (a test point meters from a train point is trivially
+    predictable), so whole spatial BLOCKS are assigned to one side
+    (block cross-validation, Roberts et al. 2017, Ecography 40).
+
+    Block = the z-level Web-Mercator tile cell containing the row's
+    mercator point — the engine's own pyramid grid, so blocks align
+    with every other operator's partitioning and the block id is the
+    standard Morton cell key. The split coin is splitmix64(block)
+    (the corpus's committed row-coin, here keyed by CELL), so every
+    row of a block draws the SAME coin and train/test never share a
+    block; thresholds are the assign_split 80/10/10 — of BLOCKS, not
+    rows, which is what the discipline requires (row shares then
+    follow block occupancy). Zero shuffle: pure Column tile math plus
+    one Arrow-batched hash projection; adds (block long, split
+    string). Lon/lat callers wrap with tilemath.merc_{x,y}_col."""
+    from mapnik_vector_tile_spark.functions import tilemath as T
+
+    out = (
+        df.withColumn("_tx", T.tile_x_col(F.col(mx_col), z))
+        .withColumn("_ty", T.tile_y_col(F.col(my_col), z))
+        .withColumn("block", F.expr(T.cell_id_sql_expr("_tx", "_ty", z)))
+        .drop("_tx", "_ty")
+    )
+    b = sample_hash(F.col("block")) % F.lit(BUCKETS)
+    return out.withColumn(
+        "split",
+        F.when(b < SPLIT_TRAIN, F.lit("train"))
+        .when(b < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, int] | None = None,

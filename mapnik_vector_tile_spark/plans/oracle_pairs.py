@@ -3466,6 +3466,63 @@ FROM agg
 """
 
 
+def q_spatial_block_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-class × spatial: leakage-safe geographic train/val/test split
+    (operators.sampling.spatial_block_split — block cross-validation:
+    whole z6 tile cells assigned to one side by the committed
+    splitmix64 cell coin, so spatial autocorrelation cannot leak
+    between train and test). Full oracle: the twin recomputes tile
+    cells, Morton blocks, the 64-bit mix, and the 80/10/10 threshold
+    walk in pure SQL; n_blocks per split certifies block-level (not
+    row-level) assignment."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import joins as J
+    from mapnik_vector_tile_spark.operators import sampling as SMP
+
+    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
+    out = SMP.spatial_block_split(pts, z=6)
+    return out.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("block").cast("bigint").alias("n_blocks"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+        F.min("id").cast("bigint").alias("min_id"),
+    )
+
+
+def _sql_spatial_block_split(z: int = 6) -> str:
+    from mapnik_vector_tile_spark.functions.tilemath import cell_id_sql_expr
+    from mapnik_vector_tile_spark.operators.sampling import (
+        BUCKETS,
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+        _HSHIFT,
+    )
+
+    tx, ty = S.tile_xy_exprs(z)
+    cell = cell_id_sql_expr("tx", "ty", z)
+    sm = splitmix64_sql("block")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts),
+bl AS (SELECT id, {cell} AS block FROM t),
+h AS (SELECT id, block,
+             CAST((({sm}) // {1 << _HSHIFT}) % {BUCKETS} AS BIGINT) AS bkt
+      FROM bl),
+s AS (SELECT id, block,
+             CASE WHEN bkt < {SPLIT_TRAIN} THEN 'train'
+                  WHEN bkt < {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks,
+       CAST(SUM(id) AS BIGINT) AS sum_id,
+       CAST(MIN(id) AS BIGINT) AS min_id
+FROM s GROUP BY 1
+"""
+
+
 JPEG_N = 300  # q_raster_jpeg corpus size
 
 
@@ -6860,6 +6917,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_ar_bucket_batches": (q_ar_bucket_batches, _sql_ar_bucket_batches()),
     "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
     "q_distinct_hll": (q_distinct_hll, _sql_distinct_hll()),
+    "q_spatial_block_split": (q_spatial_block_split, _sql_spatial_block_split()),
     "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
     "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
     "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
@@ -6887,6 +6945,7 @@ _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
     "q_distinct_hll",
+    "q_spatial_block_split",
     "q_engine_attr_join_shuffle",
     "q_count_min",
     "q_hard_negatives",

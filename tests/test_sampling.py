@@ -233,3 +233,45 @@ def test_unimax_allocation_and_copies(spark, docs):
     for k in order:
         n_out = sum(cp for d, cp in expect.items() if base[d] == k)
         assert abs(n_out - alloc[k]) <= max(3, alloc[k] // 10)
+
+
+def test_spatial_block_split_no_leakage(spark):
+    """T17d block split: (1) every row of a block gets ONE split —
+    train/test never share a cell; (2) the block coin matches
+    splitmix64(cell_id) exactly; (3) nearby points (same z6 cell)
+    always co-assign, the anti-leak property a row-level split lacks."""
+    import pyspark.sql.functions as F
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    n = 5000
+    ids = spark.range(n).select(F.col("id"))
+    # deterministic world-spread mercator points (point_cte arithmetic)
+    k = F.col("id")
+    mx = (((k * 2654435761) % 4294967296) / F.lit(float(2**32))) * F.lit(
+        2 * tm.W
+    ) - F.lit(tm.W)
+    my = (
+        ((k * 1103515245 + 12345) % 4294967296) / F.lit(float(2**32))
+    ) * F.lit(2 * tm.W) - F.lit(tm.W)
+    pts = ids.select("id", mx.alias("mx"), my.alias("my"))
+    out = SMP.spatial_block_split(pts, z=6).collect()
+
+    by_block: dict = {}
+    for r in out:
+        by_block.setdefault(r.block, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_block.values())  # no leakage
+
+    # coin replay: splitmix64(block) >> 11 mod 10000 vs thresholds
+    blocks = np.array(sorted(by_block), dtype=np.uint64)
+    coin = (splitmix64(blocks) >> np.uint64(11)).astype(np.int64) % 10000
+    want = np.where(
+        coin < SMP.SPLIT_TRAIN, "train",
+        np.where(coin < SMP.SPLIT_VAL, "val", "test"),
+    )
+    got = [next(iter(by_block[int(b)])) for b in blocks]
+    assert got == list(want)
+
+    # split shares are block-hash-driven: all three present at n=5000
+    shares = {s for r in out for s in [r.split]}
+    assert shares == {"train", "val", "test"}
