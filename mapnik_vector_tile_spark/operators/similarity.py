@@ -563,6 +563,92 @@ def semdedup(
     )
 
 
+def alignment_filter(
+    pairs: DataFrame,
+    img_col: str = "img_vec",
+    txt_col: str = "txt_vec",
+    tau_num: int = 28,
+    tau_den: int = 100,
+) -> DataFrame:
+    """T36 cross-modal alignment gate — CLIP-score filtering
+    (Schuhmann et al. 2021: LAION keeps an (image, caption) pair iff
+    cosine(image_emb, caption_emb) ≥ τ, the single most load-bearing
+    filter in web-scale image+caption curation; their τ = 0.28 is the
+    default as 28/100). The north-rule table IS this shape — paired
+    image bytes + caption per row — so the towers arrive as two
+    embedding columns of the SAME row and the gate is ONE codegen
+    projection: zero shuffle, zero Python.
+
+    Exactness posture (shared with semdedup): both towers quantize to
+    the SD_SCALE integer grid (round-half-away, the committed
+    cross-engine rounding); keep iff dot > 0 AND dot²·τ_den² ≥
+    τ_num²·‖u‖²·‖v‖² — pure BIGINT, no FP tie risk; the same
+    Cauchy–Schwarz norm² precondition raises loudly on non-unit-norm
+    corpora instead of wrapping int64 and silently mis-gating. A zero
+    vector on either side fails dot > 0 → keep=false, cos9=0.0 by
+    convention (no NaN reaches the output). Adds (align_keep boolean,
+    cos9 double — ROUND(cos,9) on the quantized grid, the audit
+    column every similarity op here exposes)."""
+    if tau_num > tau_den:
+        raise ValueError("alignment_filter: cosine threshold tau must be <= 1")
+    norm_lim = math.isqrt(2**63 - 1) // tau_den
+
+    def qz(c: str) -> F.Column:
+        return F.transform(
+            F.col(c),
+            lambda x: _round_half_away_col(
+                x.cast("double") * F.lit(float(SD_SCALE))
+            ).cast("long"),
+        )
+
+    def dot(x: F.Column, y: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def guarded_n2(x: F.Column) -> F.Column:
+        n2 = dot(x, x)
+        return F.when(
+            n2 > F.lit(norm_lim),
+            F.raise_error(
+                F.format_string(
+                    "alignment_filter: quantized norm^2 %d exceeds the "
+                    "exact-int64 gate limit %d — renormalize embeddings "
+                    "or lower SD_SCALE",
+                    n2,
+                    F.lit(norm_lim),
+                )
+            ).cast("long"),
+        ).otherwise(n2)
+
+    with_q = pairs.withColumn("_qu", qz(img_col)).withColumn(
+        "_qv", qz(txt_col)
+    )
+    d = dot(F.col("_qu"), F.col("_qv"))
+    nu = guarded_n2(F.col("_qu"))
+    nv = guarded_n2(F.col("_qv"))
+    keep = (d > 0) & (
+        d * d * F.lit(tau_den * tau_den)
+        >= F.lit(tau_num * tau_num) * nu * nv
+    )
+    cos9 = F.when(
+        (nu == 0) | (nv == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            d.cast("double")
+            / (F.sqrt(nu.cast("double")) * F.sqrt(nv.cast("double"))),
+            9,
+        )
+    )
+    return (
+        with_q.withColumn("align_keep", keep)
+        .withColumn("cos9", cos9)
+        .drop("_qu", "_qv")
+    )
+
+
 def hard_negatives(
     emb: DataFrame, k: int = 3, n_planes: int = N_PLANES
 ) -> DataFrame:

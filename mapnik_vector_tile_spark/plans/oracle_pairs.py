@@ -6946,6 +6946,7 @@ _RECORD_FIRST = (
     # the two formerly rows-only keys (now full-oracle) re-record after
     "q_distinct_hll",
     "q_spatial_block_split",
+    "q_alignment_filter",
     "q_engine_attr_join_shuffle",
     "q_count_min",
     "q_hard_negatives",

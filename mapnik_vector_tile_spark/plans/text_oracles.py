@@ -415,6 +415,78 @@ def q_count_min(spark, sf_dir):
     return count_min_estimates(_docs(spark, sf_dir), width=16)
 
 
+def sql_alignment_filter(
+    dims: int = 64, tau_num: int = 5, tau_den: int = 100
+) -> str:
+    """Twin of similarity.alignment_filter on xor-neighbor pairs:
+    same SD_SCALE round-half-away quantization, same pure-BIGINT
+    τ²-cross-multiplied keep gate, same ROUND(cos,9) audit column."""
+    from mapnik_vector_tile_spark.operators.similarity import SD_SCALE
+    from mapnik_vector_tile_spark.plans.shared_sql import (
+        round_half_up_nonneg as rhu,
+    )
+
+    def rha(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) < 0 THEN -({rhu(f'-({x})')})"
+            f" ELSE {rhu(x)} END"
+        )
+
+    sv = rha(f"CAST(v AS DOUBLE) * {float(SD_SCALE)!r}")
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST({sv} AS BIGINT)) AS qv
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS pair_id, a.qv AS qu, b.qv AS qw
+  FROM q a JOIN q b ON xor(b.vec_id, 1) = a.vec_id
+),
+dim AS (SELECT unnest(range(1, {dims + 1})) AS di),
+pr AS (
+  SELECT pair_id,
+         SUM(qu[di] * qw[di]) AS dot,
+         SUM(qu[di] * qu[di]) AS nu,
+         SUM(qw[di] * qw[di]) AS nv
+  FROM p, dim GROUP BY 1
+)
+SELECT pair_id,
+       (dot > 0 AND dot * dot * {tau_den * tau_den}
+          >= {tau_num * tau_num} * nu * nv) AS align_keep,
+       CASE WHEN nu = 0 OR nv = 0 THEN 0.0e0
+            ELSE round(CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(nu AS DOUBLE)) * sqrt(CAST(nv AS DOUBLE))), 9)
+       END AS cos9
+FROM pr
+"""
+
+
+def q_alignment_filter(spark, sf_dir):
+    """T36 CLIP-score alignment gate (see operator doc). The caption
+    tower is stood in by the xor-1 neighbor's embedding — a
+    deterministic total pairing both engines derive identically — and
+    τ = 5/100 sits inside the synthetic corpus's cross-pair cosine
+    spread (median ≈ 0.01, max ≈ 0.36), so BOTH branches of the keep
+    gate carry rows (LAION's production 28/100 stays the operator
+    default)."""
+    from mapnik_vector_tile_spark.operators import similarity as SIM
+
+    emb = _emb(spark, sf_dir)
+    img = emb.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("img_vec"),
+    )
+    txt = emb.select(
+        F.col("vec_id").bitwiseXOR(F.lit(1)).alias("pair_id"),
+        F.col("embedding").alias("txt_vec"),
+    )
+    pairs = img.join(txt, "pair_id")
+    out = SIM.alignment_filter(pairs, tau_num=5)
+    return out.select("pair_id", "align_keep", "cos9")
+
+
 def sql_hard_negatives(k: int = 3) -> str:
     """Twin of similarity.hard_negatives: the sql_ann_lsh bucket
     machinery with the same-label mask — candidates join on the
@@ -1488,6 +1560,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         ),
         "q_repetition": (q_repetition, sql_repetition()),
         "q_semdedup": (q_semdedup, sql_semdedup()),
+        "q_alignment_filter": (q_alignment_filter, sql_alignment_filter()),
     }
 
 

@@ -187,3 +187,34 @@ def test_hard_negatives_excludes_same_label(spark):
         (r for r in out if r.vec_id == anchor), key=lambda r: r.rnk
     )
     assert got_first.nbr == cands[0][0]
+
+
+def test_alignment_filter_gate_and_guard(spark):
+    """T36: keep iff integer-exact cosine >= tau; zero vector ->
+    keep=false, cos9=0.0 (no NaN); overflow guard raises loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    u = [1.0, 0.0, 0.0, 0.0]
+    close = [0.9, 0.1, 0.0, 0.0]   # cos ~ 0.994
+    ortho = [0.0, 1.0, 0.0, 0.0]   # cos = 0
+    zero = [0.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, u, close), (1, u, ortho), (2, u, zero)],
+        "pair_id long, img_vec array<double>, txt_vec array<double>",
+    )
+    out = {
+        r.pair_id: (r.align_keep, r.cos9)
+        for r in S.alignment_filter(df, tau_num=28).collect()
+    }
+    # cos9 is the QUANTIZED-grid cosine: within ~2/SD_SCALE of float
+    assert out[0][0] is True and abs(out[0][1] - 0.99388373) < 5e-4
+    assert out[1] == (False, 0.0)
+    assert out[2] == (False, 0.0)
+
+    big = spark.createDataFrame(
+        [(0, [3.0] * 4, [3.0] * 4)],
+        "pair_id long, img_vec array<double>, txt_vec array<double>",
+    )
+    with pytest.raises(Exception, match="exact-int64 gate limit"):
+        S.alignment_filter(big).collect()
