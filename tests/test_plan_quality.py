@@ -482,3 +482,58 @@ def test_tile_store_partition_and_rowgroup_pruning(spark, tmp_path):
     # round-trip row counts per z
     got = {r.z: r.cnt for r in back.groupBy("z").count().withColumnRenamed("count", "cnt").collect()}
     assert got == {3: 8, 4: 16, 5: 32}
+
+
+def test_alignment_filter_single_projection_no_shuffle(spark):
+    """T36: the cross-modal gate on same-row tower columns must be ONE
+    projection — zero Exchange, zero Python — so it stays a codegen
+    map stage over the pair table at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.similarity import (
+        alignment_filter,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("pair_id"),
+        F.array(*[F.rand(1) for _ in range(8)]).alias("img_vec"),
+        F.array(*[F.rand(2) for _ in range(8)]).alias("txt_vec"),
+    )
+    plan = _plan(alignment_filter(df).select("pair_id", "align_keep"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_spatial_block_split_no_exchange(spark):
+    """T17d: block assignment + split coin is a narrow projection (one
+    Arrow-batched hash, no shuffle) — a split that shuffled the fact
+    table would be a 100 TB anti-pattern."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.sampling import (
+        spatial_block_split,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.rand(3) * 2e7 - 1e7).alias("mx"),
+        (F.rand(4) * 2e7 - 1e7).alias("my"),
+    )
+    plan = _plan(spatial_block_split(df))
+    assert "Exchange" not in plan, plan
+
+
+def test_hll_registers_partial_aggregation(spark):
+    """HLL register build must partial-aggregate map-side (a
+    HashAggregate on each side of the ONE exchange) — the shuffle
+    carries <=2^p register rows per partition, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.sketch import hll_registers
+
+    import re
+
+    df = spark.range(10000).select(F.col("id").alias("v"))
+    plan = _plan(hll_registers(df, "v"))
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
