@@ -856,6 +856,61 @@ def image_dhash(images: DataFrame) -> DataFrame:
     )
 
 
+def laplacian_stats(images: DataFrame, blur_thr: int = 100) -> DataFrame:
+    """T12e blur / sharpness gate — variance of the 3×3 Laplacian, the
+    standard `cv2.Laplacian(gray).var()` filter vision corpora use to
+    drop out-of-focus and near-flat images before training — rebuilt
+    integer-exact so the DuckDB twin replays the decision bit-for-bit:
+    luma8 = (r·77 + g·151 + b·28) >> 8 (the classic 8-bit ITU-601
+    approximation — bounded so every moment below fits int64: |L| ≤
+    4·255, Σl² ≤ 4e9, n·Σl² ≤ 1.6e13 at 64×64), L(x,y) = 4p − W − E −
+    N − S over INTERIOR pixels only, and the variance compare is
+    cross-multiplied — is_blurry iff n·Σl² − (Σl)² < thr·n² (variance
+    < thr in luma8² units) — so no float ever forms. Images smaller
+    than 3×3 have no interior: n_int=0, flagged blurry by convention
+    (nothing to be sharp about). One narrow mapInPandas scan, no
+    shuffle; caption rides through per the north-rule row invariant.
+    Output: (image_id, n_int, sum_l, sum_l2, is_blurry, caption)."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "n_int": [], "sum_l": [],
+                   "sum_l2": [], "is_blurry": [], "caption": []}
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                a = rgba.astype(np.int64)
+                g = (a[..., 0] * 77 + a[..., 1] * 151 + a[..., 2] * 28) >> 8
+                if g.shape[0] < 3 or g.shape[1] < 3:
+                    n = 0
+                    sl = sl2 = 0
+                else:
+                    p = g[1:-1, 1:-1]
+                    lap = (
+                        4 * p
+                        - g[1:-1, :-2] - g[1:-1, 2:]
+                        - g[:-2, 1:-1] - g[2:, 1:-1]
+                    )
+                    n = lap.size
+                    sl = int(lap.sum())
+                    sl2 = int((lap * lap).sum())
+                out["image_id"].append(r.image_id)
+                out["n_int"].append(n)
+                out["sum_l"].append(sl)
+                out["sum_l2"].append(sl2)
+                out["is_blurry"].append(
+                    n == 0 or n * sl2 - sl * sl < blur_thr * n * n
+                )
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        schema="image_id string, n_int long, sum_l long, sum_l2 long, "
+        "is_blurry boolean, caption string",
+    )
+
+
 def letterbox(
     rgba: np.ndarray, target: int, fill: tuple[int, int, int, int] = (0, 0, 0, 255)
 ) -> tuple[np.ndarray, int, int, int, int]:

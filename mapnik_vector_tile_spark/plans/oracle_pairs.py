@@ -5223,6 +5223,89 @@ GROUP BY 1, 2
 """
 
 
+LAP_BLUR_THR = 23000  # splits the synth corpus's 17k-29k variance spread
+
+
+def q_image_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12e blur gate (raster.laplacian_stats — cv2 variance-of-
+    Laplacian semantics, integer-exact) over the canonical images
+    table with a FULL oracle: DuckDB regenerates every source pixel,
+    replays the 8-bit luma, the interior 3×3 Laplacian via lag/lead
+    windows, and the cross-multiplied variance decision. thr=23000
+    sits mid-distribution so BOTH branches of is_blurry carry rows
+    (the OpenCV-convention default 100 stays on the operator)."""
+    from mapnik_vector_tile_spark.operators.raster import laplacian_stats
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_TH_N)
+    return laplacian_stats(imgs, blur_thr=LAP_BLUR_THR)
+
+
+def _sql_image_blur(n: int = IMG_TH_N, thr: int = LAP_BLUR_THR) -> str:
+    from mapnik_vector_tile_spark.sources.synth import _WORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    nw = len(_WORDS)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+dims AS (
+  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
+         {splitmix64_sql('i')} AS ph
+  FROM ids
+),
+ys AS (SELECT i, w, h, ph, unnest(generate_series(0, h - 1)) AS y FROM dims),
+pix AS (
+  SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x
+  FROM ys
+),
+chan AS (
+  SELECT i, w, h, y, x,
+         CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64 AS BIGINT)
+           AS noise
+  FROM pix
+),
+lum AS (
+  SELECT i, w, h, y, x,
+         ((((x * 255) // (w - 1) + noise) % 256) * 77
+          + (((y * 255) // (h - 1) + noise) % 256) * 151
+          + ((((x + y) * 255) // (w + h - 2) + noise) % 256) * 28) // 256
+           AS g
+  FROM chan
+),
+lap AS (
+  SELECT i, w, h, y, x,
+         4 * g
+           - lag(g)  OVER (PARTITION BY i, y ORDER BY x)
+           - lead(g) OVER (PARTITION BY i, y ORDER BY x)
+           - lag(g)  OVER (PARTITION BY i, x ORDER BY y)
+           - lead(g) OVER (PARTITION BY i, x ORDER BY y) AS l
+  FROM lum
+),
+agg AS (
+  SELECT i, COUNT(*) AS n_int,
+         CAST(SUM(l) AS BIGINT) AS sum_l,
+         CAST(SUM(l * l) AS BIGINT) AS sum_l2
+  FROM lap
+  WHERE x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2
+  GROUP BY i
+),
+caps AS (
+  SELECT i,
+         'caption ' || CAST(i AS VARCHAR) || ': '
+           || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption
+  FROM dims
+)
+SELECT 'img_' || lpad(CAST(a.i AS VARCHAR), 12, '0') AS image_id,
+       n_int, sum_l, sum_l2,
+       (n_int = 0 OR n_int * sum_l2 - sum_l * sum_l < {thr} * n_int * n_int)
+         AS is_blurry,
+       caps.caption AS caption
+FROM agg a JOIN caps ON a.i = caps.i
+"""
+
+
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T21b dHash fingerprinting (raster.image_dhash — imagehash.dhash
     semantics) over the canonical images table, bit-exact: decode
@@ -6910,6 +6993,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_line_interpolate": (q_line_interpolate, _sql_line_interpolate()),
     "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
     "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
+    "q_image_blur": (q_image_blur, _sql_image_blur()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
     "q_augment": (q_augment, _sql_augment()),
@@ -6947,6 +7031,7 @@ _RECORD_FIRST = (
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",
+    "q_image_blur",
     "q_engine_attr_join_shuffle",
     "q_count_min",
     "q_hard_negatives",

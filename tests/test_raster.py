@@ -555,3 +555,40 @@ def test_augment_images_orientations(spark):
         assert again[r.epoch] == r.aug  # deterministic re-run
         seen_rot |= r.aug in ("rot90", "rot270")
     assert seen_rot  # six epochs on one image hit a dims-swapping op
+
+
+def test_laplacian_blur_gate(spark):
+    """T12e: flat image -> variance 0 -> blurry; checkerboard ->
+    maximal Laplacian variance -> sharp; 2x2 (no interior) -> n_int=0,
+    blurry by convention; caption rides through."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import laplacian_stats
+
+    def rgba_bytes(g):
+        h, w = g.shape
+        a = np.zeros((h, w, 4), np.uint8)
+        a[..., 0] = a[..., 1] = a[..., 2] = g
+        a[..., 3] = 255
+        return bytearray(a.tobytes())
+
+    flat = np.full((8, 8), 128, np.uint8)
+    checker = (np.indices((8, 8)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    tiny = np.full((2, 2), 77, np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("flat", rgba_bytes(flat), 8, 8, "raw-rgba8", "cap flat"),
+            ("chk", rgba_bytes(checker), 8, 8, "raw-rgba8", "cap chk"),
+            ("tiny", rgba_bytes(tiny), 2, 2, "raw-rgba8", "cap tiny"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string",
+    )
+    out = {r.image_id: r for r in laplacian_stats(df, blur_thr=100).collect()}
+    assert out["flat"].is_blurry and out["flat"].sum_l2 == 0
+    assert not out["chk"].is_blurry
+    # checkerboard at luma8: weights 77+151+28 = 256, so g in {0, 255}
+    # exactly; interior |L| = 4*255
+    assert out["chk"].n_int == 36 and out["chk"].sum_l2 == 36 * (4 * 255) ** 2
+    assert out["tiny"].is_blurry and out["tiny"].n_int == 0
+    assert out["chk"].caption == "cap chk"
