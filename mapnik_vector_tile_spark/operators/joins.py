@@ -839,6 +839,57 @@ def polygon_polygon_join(
     return paired.mapInPandas(refine, schema="a_id long, b_id long")
 
 
+def dissolve_polygons(polys: DataFrame, z: int = 6) -> DataFrame:
+    """U12 dissolve — merge every set of transitively touching or
+    overlapping polygons into one group (the GIS dissolve operation;
+    the grouping half of wagyu's multi_polygon_union, whose
+    constructive boundary extraction remains the documented F12
+    narrowing — the relational layer needs the GROUPS, and those are
+    exact here):
+
+    pairs   = the exact J9 overlay self-join (cell-cover candidates,
+              closed-set refine) filtered to a_id < b_id — INTERSECTS
+              includes touching, matching dissolve's merge-adjacent
+              semantics;
+    groups  = pointer-doubling min-label connected components over the
+              pair graph (O(log diameter) shuffle rounds);
+    singletons (no intersecting partner) keep their own id via a left
+    join + coalesce — every input polygon appears exactly once.
+
+    Scale shape: self-join candidates come from ONE cell-cover
+    equi-join (never all-pairs); CC shuffles |edges|+|nodes| rows of
+    two longs per round. Returns (region_id, group) with group = min
+    region_id of the component."""
+    from mapnik_vector_tile_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = polygon_polygon_join(polys, polys, z).filter(
+        F.col("a_id") < F.col("b_id")
+    )
+    cc = connected_components(
+        pairs.select(
+            F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+        )
+    )
+    return (
+        polys.select("region_id")
+        .join(
+            cc.select(
+                F.col("doc_id").alias("region_id"), "cluster_rep"
+            ),
+            "region_id",
+            "left",
+        )
+        .select(
+            "region_id",
+            F.coalesce(F.col("cluster_rep"), F.col("region_id")).alias(
+                "group"
+            ),
+        )
+    )
+
+
 def polygon_polygon_join_ri(
     a: DataFrame, b: DataFrame, z: int = 6
 ) -> DataFrame:

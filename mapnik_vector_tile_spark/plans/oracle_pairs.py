@@ -4977,6 +4977,125 @@ def q_polygon_polygon_ri(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.polygon_polygon_join_ri(a, b, z=6)
 
 
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U12 dissolve (joins.dissolve_polygons — transitive merge of
+    touching/overlapping polygons, the grouping half of wagyu's
+    multi_polygon_union) with a FULL oracle: the 200-region corpus
+    self-joined through the exact J9 overlay (129 groups, clusters up
+    to 7 members, 94 singletons — every code path carries rows). The
+    twin replays the intersects clauses over inlined VALUES, takes the
+    transitive closure by recursive CTE (a different algorithm than
+    the engine's pointer-doubling min-label), and coalesces
+    singletons; per-group member/vertex counts hash the grouping."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import joins as J
+    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
+
+    regions = regions_merc_df(spark, 200).select(
+        "region_id", "xs", "ys", "ring_offsets"
+    )
+    out = J.dissolve_polygons(regions, z=6)
+    nv = regions.select("region_id", F.size("xs").alias("nv"))
+    return (
+        out.join(nv, "region_id")
+        .groupBy("group")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("nv").cast("bigint").alias("sum_vertices"),
+            F.max("region_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+def _sql_dissolve(n_regions: int = 200) -> str:
+    from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
+
+    pdf = gen_regions_merc_pdf(n_regions)
+    vv, ee, nvs = [], [], []
+    for rid, xs, ys, offs in zip(
+        pdf["region_id"], pdf["xs"], pdf["ys"], pdf["ring_offsets"]
+    ):
+        nvs.append(f"({rid},{len(xs)})")
+        for r in range(len(offs) - 1):
+            s_, e_ = offs[r], offs[r + 1]
+            for i in range(s_, e_):
+                vv.append(f"({rid},{S.flit(xs[i])},{S.flit(ys[i])})")
+            for i in range(s_ + 1, e_):
+                ee.append(
+                    f"({rid},{S.flit(xs[i - 1])},{S.flit(ys[i - 1])},"
+                    f"{S.flit(xs[i])},{S.flit(ys[i])})"
+                )
+    return f"""
+WITH RECURSIVE vv(region_id, vx, vy) AS (VALUES
+{",".join(vv)}),
+ee(region_id, px, py, qx, qy) AS (VALUES
+{",".join(ee)}),
+nv(region_id, n) AS (VALUES
+{",".join(nvs)}),
+cr AS (
+  SELECT v.region_id AS a_id, e.region_id AS b_id, v.vx, v.vy,
+         COUNT(*) AS ncross
+  FROM vv v JOIN ee e
+    ON v.region_id <> e.region_id
+   AND ((e.qy > v.vy) != (e.py > v.vy))
+   AND v.vx < (e.px - e.qx) * (v.vy - e.qy) / (e.py - e.qy) + e.qx
+  GROUP BY 1, 2, 3, 4
+),
+cl AS (SELECT DISTINCT a_id, b_id FROM cr WHERE ncross % 2 = 1),
+e2 AS (
+  SELECT region_id, px, py, qx, qy,
+         GREATEST(px, qx) AS bxmax, LEAST(px, qx) AS bxmin,
+         GREATEST(py, qy) AS bymax, LEAST(py, qy) AS bymin
+  FROM ee
+),
+segp AS (
+  SELECT ea.region_id AS a_id, eb.region_id AS b_id,
+         ((ea.qx - ea.px) * (eb.py - ea.py) - (ea.qy - ea.py) * (eb.px - ea.px)) AS o1,
+         ((ea.qx - ea.px) * (eb.qy - ea.py) - (ea.qy - ea.py) * (eb.qx - ea.px)) AS o2,
+         ((eb.qx - eb.px) * (ea.py - eb.py) - (eb.qy - eb.py) * (ea.px - eb.px)) AS o3,
+         ((eb.qx - eb.px) * (ea.qy - eb.py) - (eb.qy - eb.py) * (ea.qx - eb.px)) AS o4
+  FROM e2 ea JOIN e2 eb
+    ON ea.region_id < eb.region_id
+   AND ea.bxmax >= eb.bxmin AND ea.bxmin <= eb.bxmax
+   AND ea.bymax >= eb.bymin AND ea.bymin <= eb.bymax
+),
+seg AS (
+  SELECT DISTINCT a_id, b_id FROM segp
+  WHERE (o1 * o2 <= 0.0e0 AND o3 * o4 <= 0.0e0
+         AND NOT (o1 = 0.0e0 AND o2 = 0.0e0
+              AND o3 = 0.0e0 AND o4 = 0.0e0))
+     OR (o1 = 0.0e0 AND o2 = 0.0e0 AND o3 = 0.0e0 AND o4 = 0.0e0)
+),
+pr AS (
+  SELECT DISTINCT LEAST(a_id, b_id) AS a_id, GREATEST(a_id, b_id) AS b_id
+  FROM (SELECT a_id, b_id FROM cl
+        UNION ALL SELECT a_id, b_id FROM seg)
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pr
+  UNION ALL
+  SELECT b_id AS s, a_id AS d FROM pr
+),
+reach(node, r) AS (
+  SELECT DISTINCT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s AS node, reach.r
+  FROM edges e JOIN reach ON reach.node = e.d
+),
+labels AS (SELECT node AS region_id, MIN(r) AS grp FROM reach GROUP BY node),
+assign AS (
+  SELECT nv.region_id, COALESCE(l.grp, nv.region_id) AS grp, nv.n
+  FROM nv LEFT JOIN labels l USING (region_id)
+)
+SELECT grp AS "group",
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(n) AS BIGINT) AS sum_vertices,
+       CAST(MAX(region_id) AS BIGINT) AS max_id
+FROM assign GROUP BY 1
+"""
+
+
 def _sql_polygon_polygon_join(n_regions: int = 200) -> str:
     from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
 
@@ -6938,6 +7057,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_tilestats": (q_tilestats, _sql_tilestats()),
     "q_polygon_rect_join": (q_polygon_rect_join, _sql_polygon_rect_join()),
     "q_polygon_polygon_join": (q_polygon_polygon_join, _sql_polygon_polygon_join()),
+    "q_dissolve": (q_dissolve, _sql_dissolve()),
     "q_polygon_polygon_ri": (q_polygon_polygon_ri, _sql_polygon_polygon_join()),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
@@ -7032,6 +7152,7 @@ _RECORD_FIRST = (
     "q_spatial_block_split",
     "q_alignment_filter",
     "q_image_blur",
+    "q_dissolve",
     "q_engine_attr_join_shuffle",
     "q_count_min",
     "q_hard_negatives",

@@ -501,3 +501,34 @@ def test_haversine_join_antimeridian(spark):
     # whole globe in lon; the pair is found exactly once.
     rows = haversine_radius_join(a, b, 300_000.0, 120.0).collect()
     assert [(r.a_id, r.b_id) for r in rows] == [(1, 10)]
+
+
+def test_dissolve_polygons_groups_and_singletons(spark):
+    """U12: chained overlaps merge transitively (A∩B, B∩C, A∌C → one
+    group), corner-TOUCHING squares merge (intersects includes touch),
+    disjoint squares stay singletons under their own id."""
+    from mapnik_vector_tile_spark.operators.joins import dissolve_polygons
+
+    def sq(rid, x0, y0, s=10.0):
+        xs = [x0, x0 + s, x0 + s, x0, x0]
+        ys = [y0, y0, y0 + s, y0 + s, y0]
+        return (rid, xs, ys, [0, 5])
+
+    rows = [
+        sq(1, 0.0, 0.0),        # chain: 1-2 overlap, 2-3 overlap
+        sq(2, 5.0, 0.0),
+        sq(3, 12.0, 0.0),       # overlaps 2 only (12 < 15)
+        sq(4, 100.0, 100.0),    # corner-touches 5 at (110, 110)
+        sq(5, 110.0, 110.0),
+        sq(6, -500.0, -500.0),  # disjoint singleton
+    ]
+    polys = spark.createDataFrame(
+        rows,
+        "region_id long, xs array<double>, ys array<double>, "
+        "ring_offsets array<int>",
+    )
+    got = {
+        r.region_id: r.group
+        for r in dissolve_polygons(polys, z=10).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
