@@ -5425,6 +5425,147 @@ FROM agg a JOIN caps ON a.i = caps.i
 """
 
 
+def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12f the IMAGE-side curation pipeline COMPOSED end-to-end (the
+    visual twin of q_corpus_filter's text pipeline): blur gate
+    (laplacian_stats, thr=23000) → perceptual exact-dedup
+    (image_dhash first-occurrence keep among the sharp survivors — the
+    synthetic corpus has 7 colliding dhash values, so the dup branch
+    carries rows) → per-image stage ∈ {{blurry, dup, kept}}. Captions
+    ride through per the north-rule invariant. FULL oracle: DuckDB
+    regenerates both pixel pipelines (8-bit luma Laplacian AND the
+    ×1000 ITU-601 9×8 dHash grid) from one shared pixel CTE and
+    replays the stage decision."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        image_dhash,
+        laplacian_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_TH_N)
+    bl = laplacian_stats(imgs, blur_thr=LAP_BLUR_THR).select(
+        "image_id", "is_blurry"
+    )
+    dh = image_dhash(imgs).select("image_id", "dhash", "caption")
+    j = dh.join(bl, "image_id")
+    # first sharp occurrence per dhash (ids are zero-padded: lexical
+    # MIN == numeric MIN in both engines)
+    first_sharp = F.min(
+        F.when(~F.col("is_blurry"), F.col("image_id"))
+    ).over(Window.partitionBy("dhash"))
+    stage = (
+        F.when(F.col("is_blurry"), F.lit("blurry"))
+        .when(F.col("image_id") != first_sharp, F.lit("dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select("image_id", stage.alias("stage"), "caption")
+
+
+def _sql_image_curation(n: int = IMG_TH_N, thr: int = LAP_BLUR_THR) -> str:
+    from mapnik_vector_tile_spark.sources.synth import _WORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    nw = len(_WORDS)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+dims AS (
+  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
+         {splitmix64_sql('i')} AS ph
+  FROM ids
+),
+ys AS (SELECT i, w, h, ph, unnest(generate_series(0, h - 1)) AS y FROM dims),
+pix AS (
+  SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x
+  FROM ys
+),
+chan AS (
+  SELECT i, w, h, y, x,
+         (((x * 255) // (w - 1)
+           + CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64
+                  AS BIGINT)) % 256) AS r,
+         (((y * 255) // (h - 1)
+           + CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64
+                  AS BIGINT)) % 256) AS g,
+         ((((x + y) * 255) // (w + h - 2)
+           + CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64
+                  AS BIGINT)) % 256) AS b
+  FROM pix
+),
+lum AS (
+  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+lap AS (
+  SELECT i, w, h, y, x,
+         4 * g8
+           - lag(g8)  OVER (PARTITION BY i, y ORDER BY x)
+           - lead(g8) OVER (PARTITION BY i, y ORDER BY x)
+           - lag(g8)  OVER (PARTITION BY i, x ORDER BY y)
+           - lead(g8) OVER (PARTITION BY i, x ORDER BY y) AS l
+  FROM lum
+),
+blur AS (
+  SELECT i,
+         (COUNT(*) = 0 OR COUNT(*) * SUM(l * l) - SUM(l) * SUM(l)
+            < {thr} * COUNT(*) * COUNT(*)) AS is_blurry
+  FROM lap
+  WHERE x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2
+  GROUP BY i
+),
+gvals AS (
+  SELECT i,
+         ((((y + 1) * 8) - 1) // h) AS ty,
+         ((((x + 1) * 9) - 1) // w) AS tx,
+         r * 299 + g * 587 + b * 114 AS gray
+  FROM chan
+),
+gcells AS (
+  SELECT i, ty, tx, SUM(gray) // COUNT(*) AS cg
+  FROM gvals GROUP BY 1, 2, 3
+),
+gbits AS (
+  SELECT a.i, a.ty, a.tx,
+         CASE WHEN a.cg > b.cg THEN 1 ELSE 0 END AS bit
+  FROM gcells a JOIN gcells b
+    ON a.i = b.i AND a.ty = b.ty AND b.tx = a.tx + 1
+  WHERE a.tx < 8
+),
+packed AS (
+  SELECT i,
+         SUM(CAST(bit AS HUGEINT) << CAST(ty * 8 + tx AS INT)) AS raw
+  FROM gbits GROUP BY 1
+),
+caps AS (
+  SELECT i,
+         'caption ' || CAST(i AS VARCHAR) || ': '
+           || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
+           || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption
+  FROM dims
+),
+rows_ AS (
+  SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
+         p.raw AS dhash, b.is_blurry, caps.caption
+  FROM packed p JOIN blur b ON p.i = b.i JOIN caps ON p.i = caps.i
+),
+staged AS (
+  SELECT image_id, caption, is_blurry,
+         MIN(CASE WHEN NOT is_blurry THEN image_id END)
+           OVER (PARTITION BY dhash) AS first_sharp
+  FROM rows_
+)
+SELECT image_id,
+       CASE WHEN is_blurry THEN 'blurry'
+            WHEN image_id <> first_sharp THEN 'dup'
+            ELSE 'kept' END AS stage,
+       caption
+FROM staged
+"""
+
+
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T21b dHash fingerprinting (raster.image_dhash — imagehash.dhash
     semantics) over the canonical images table, bit-exact: decode
@@ -7114,6 +7255,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
     "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
     "q_image_blur": (q_image_blur, _sql_image_blur()),
+    "q_image_curation": (q_image_curation, _sql_image_curation()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
     "q_augment": (q_augment, _sql_augment()),
@@ -7153,6 +7295,7 @@ _RECORD_FIRST = (
     "q_alignment_filter",
     "q_image_blur",
     "q_dissolve",
+    "q_image_curation",
     "q_engine_attr_join_shuffle",
     "q_count_min",
     "q_hard_negatives",
