@@ -96,9 +96,74 @@ def radial_distance(
     return keep
 
 
+def visvalingam_whyatt(
+    xs: np.ndarray, ys: np.ndarray, tolerance: float
+) -> np.ndarray:
+    """Boolean keep-mask — the reference's THIRD strategy
+    (include/mapnik/simplify_converter.hpp, visvalingam_whyatt):
+    repeatedly drop the interior vertex whose effective triangle area
+    is the smallest, while that area is below ``tolerance``
+    (interpreted as an AREA in coordinate-unit² — mapnik's one-knob
+    convention: each strategy reads simplify_tolerance in its own
+    units), recomputing the two neighbors' areas after each drop.
+
+    Exactness: compares DOUBLED areas (|cross product|) against
+    2·tolerance, so quantized integer tile coords never divide and the
+    decision chain is bit-exact cross-engine. Ties (equal minimal
+    doubled area) drop the LOWEST index first — np.argmin's
+    first-minimum rule, replayed by the twin's list_position (both
+    return the first occurrence). Endpoints always kept. O(n²) scan
+    per part — parts are tile-local (already clipped), so n is
+    bounded by per-tile vertex counts and the scan beats heap
+    bookkeeping at these sizes."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2 or tolerance <= 0:
+        keep[:] = tolerance <= 0
+        keep[0] = keep[-1] = True
+        return keep
+    thr2 = 2.0 * float(tolerance)
+    prev = np.arange(n) - 1
+    nxt = np.arange(n) + 1
+    alive = np.ones(n, dtype=bool)
+
+    def area2(i: int) -> float:
+        a, b = prev[i], nxt[i]
+        return abs(
+            (xs[i] - xs[a]) * (ys[b] - ys[a])
+            - (ys[i] - ys[a]) * (xs[b] - xs[a])
+        )
+
+    areas = np.full(n, np.inf)
+    for i in range(1, n - 1):
+        areas[i] = area2(i)
+    while True:
+        cand = np.where(alive)[0][1:-1]  # interior survivors
+        if not len(cand):
+            break
+        k = int(cand[np.argmin(areas[cand])])  # first min = lowest idx
+        if areas[k] >= thr2:
+            break
+        alive[k] = False
+        a, b = int(prev[k]), int(nxt[k])
+        nxt[a] = b
+        prev[b] = a
+        if a != 0:
+            areas[a] = area2(a)
+        if b != n - 1:
+            areas[b] = area2(b)
+    return alive
+
+
 STRATEGIES = {
     "douglas-peucker": douglas_peucker,
     "radial-distance": radial_distance,
+    "visvalingam-whyatt": visvalingam_whyatt,
 }
 
 

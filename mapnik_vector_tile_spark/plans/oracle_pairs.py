@@ -2322,6 +2322,173 @@ def q_engine_simplify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simplify_line_feats(spark: SparkSession, sf_dir: str, nv: int = 16):
+    """The shared simplify-strategy corpus (see q_engine_simplify_radial
+    for the construction rationale): one nv-vertex line per order, even
+    vertices far-apart hash points, odd vertices small deterministic
+    offsets off their even base — distances straddle the radial
+    tolerance AND triangle areas straddle the VW tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    TU = S.TWO_W / 4096.0  # one z0 tile unit in mercator meters
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["o_orderkey"].to_numpy().astype(np.int64)
+            if not len(ids):
+                continue
+            vk = (ids[:, None] * nv + np.arange(nv)[None, :]).reshape(-1)
+            vkb = vk - (vk % 2)  # each odd vertex shares its even base
+            fr_x = ((vkb * 2654435761) % 2**32) / float(2**32)
+            fr_y = ((vkb * 1103515245 + 12345) % 2**32) / float(2**32)
+            mx = fr_x * (1.7 * W) - 0.85 * W
+            my = fr_y * (1.7 * W) - 0.85 * W
+            odd = (vk % 2).astype(np.float64)
+            dx = ((vk % 667) - 333) * 0.6 * TU * odd
+            dy = (((vk * 31) % 667) - 333) * 0.6 * TU * odd
+            mx = (mx + dx).reshape(-1, nv)
+            my = (my + dy).reshape(-1, nv)
+            yield pd.DataFrame(
+                {
+                    "feature_id": ids,
+                    "geom_type": 2,
+                    "xs": [r.tolist() for r in mx],
+                    "ys": [r.tolist() for r in my],
+                    "part_offsets": [[0, nv]] * len(ids),
+                    "caption": "l",
+                }
+            )
+
+    return orders.mapInPandas(gen, schema=T.FEATURES_SCHEMA)
+
+
+VW_TOL = 300000.0  # doubled-area threshold 6e5 in z0 tile units² —
+# drops ~50% of the shared corpus's vertices (probed), so keep AND
+# drop branches both carry rows
+
+
+def q_engine_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9c Visvalingam–Whyatt simplification (simplify.
+    visvalingam_whyatt; ref: include/mapnik/simplify_converter.hpp —
+    the reference's third strategy, completing its strategy set next
+    to Douglas-Peucker and radial-distance), vertex-exact on the
+    SHARED simplify corpus: iteratively drop the smallest-effective-
+    area interior vertex while its DOUBLED area < 2·tol, lowest index
+    on ties, neighbors recomputed after each drop — all integer
+    arithmetic on quantized coords. The DuckDB twin replays the exact
+    removal SEQUENCE as a recursive CTE carrying the surviving
+    coordinate LISTS (list_min + list_position = the same
+    first-minimum tie rule as np.argmin). Output: (feature_id, rnk,
+    px, py)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _simplify_line_feats(spark, sf_dir)
+    assigned = T.assign_tiles(feats, 0, 0)
+    tiles = T.encode_tiles(
+        assigned,
+        simplify_distance=VW_TOL,
+        simplify_strategy="visvalingam-whyatt",
+    )
+    dec = T.decode_tiles_to_features(tiles)
+    z = dec.select(
+        "feature_id",
+        F.posexplode(F.arrays_zip("pxs", "pys")).alias("rnk", "v"),
+    )
+    return z.select(
+        "feature_id",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("v.pxs").alias("px"),
+        F.col("v.pys").alias("py"),
+    )
+
+
+def _sql_simplify_vw(nv: int = 16, tol: float = VW_TOL) -> str:
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    scale = 4096.0 / tm.tile_span(0)
+    f32 = S.flit(2**32)
+    fw = S.flit(W)
+    fs = S.flit(scale)
+    f17w = S.flit(1.7 * W)
+    f085w = S.flit(0.85 * W)
+    ftu = S.flit(S.TWO_W / 4096.0)
+    f06 = S.flit(0.6)
+    thr2 = (
+        str(int(2 * tol)) if float(2 * tol).is_integer() else S.flit(2 * tol)
+    )
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT o_orderkey AS fid, i,
+         o_orderkey * {nv} + i AS vk,
+         o_orderkey * {nv} + i - (o_orderkey * {nv} + i) % 2 AS vkb
+  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {nv - 1})) AS i) s
+),
+world AS (
+  SELECT fid, i,
+         (((vkb * 2654435761) % 4294967296) / {f32}) * {f17w} - {f085w}
+           + ((vk % 667) - 333) * {f06} * {ftu} * (vk % 2) AS mx,
+         (((vkb * 1103515245 + 12345) % 4294967296) / {f32}) * {f17w}
+           - {f085w}
+           + (((vk * 31) % 667) - 333) * {f06} * {ftu} * (vk % 2) AS my
+  FROM raw
+),
+verts AS (
+  SELECT fid, i AS idx,
+         {S.round_half_up_nonneg(f'((mx + {fw}) * {fs})')} AS px,
+         {S.round_half_up_nonneg(f'(({fw} - my) * {fs})')} AS py
+  FROM world
+),
+lines_ AS (
+  SELECT fid, list(px ORDER BY idx) AS xs, list(py ORDER BY idx) AS ys
+  FROM verts GROUP BY fid
+),
+vw(fid, step, xs, ys, done) AS (
+  SELECT fid, 0, xs, ys, len(xs) <= 2 FROM lines_
+  UNION ALL
+  SELECT fid, step + 1,
+         CASE WHEN rm > 0
+              THEN xs[1:rm - 1] || xs[rm + 1:len(xs)] ELSE xs END,
+         CASE WHEN rm > 0
+              THEN ys[1:rm - 1] || ys[rm + 1:len(ys)] ELSE ys END,
+         rm = 0 OR len(xs) - 1 <= 2
+  FROM (
+    SELECT fid, step, xs, ys,
+           CASE WHEN list_min(areas) < {thr2}
+                THEN list_position(areas, list_min(areas)) + 1
+                ELSE 0 END AS rm
+    FROM (
+      SELECT fid, step, xs, ys,
+             list_transform(generate_series(2, len(xs) - 1), i ->
+               abs((xs[i] - xs[i - 1]) * (ys[i + 1] - ys[i - 1])
+                   - (ys[i] - ys[i - 1]) * (xs[i + 1] - xs[i - 1])))
+               AS areas
+      FROM vw WHERE NOT done
+    )
+  )
+),
+fin AS (
+  SELECT fid, xs, ys,
+         row_number() OVER (PARTITION BY fid ORDER BY step DESC) AS rn
+  FROM vw
+),
+seq AS (
+  SELECT fid, unnest(xs) AS px, unnest(ys) AS py,
+         generate_subscripts(xs, 1) AS pos
+  FROM fin WHERE rn = 1
+)
+SELECT fid AS feature_id, CAST(pos - 1 AS BIGINT) AS rnk, px, py
+FROM seq
+"""
+
+
 def q_engine_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9b radial-distance simplification (simplify.radial_distance;
     ref: include/mapnik/simplify_converter.hpp — the reference's cheap
@@ -2338,44 +2505,11 @@ def q_engine_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization then the sequential keep-last-kept chain as a
     16-step RECURSIVE CTE carrying (last-kept px, py) — exact BIGINT
     compares throughout. Output: (feature_id, rnk, px, py)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from mapnik_vector_tile_spark.operators import tiling as T
 
-    NV = 16
-    TU = S.TWO_W / 4096.0  # one z0 tile unit in mercator meters
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
-
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["o_orderkey"].to_numpy().astype(np.int64)
-            if not len(ids):
-                continue
-            vk = (ids[:, None] * NV + np.arange(NV)[None, :]).reshape(-1)
-            vkb = vk - (vk % 2)  # each odd vertex shares its even base
-            fr_x = ((vkb * 2654435761) % 2**32) / float(2**32)
-            fr_y = ((vkb * 1103515245 + 12345) % 2**32) / float(2**32)
-            mx = fr_x * (1.7 * W) - 0.85 * W
-            my = fr_y * (1.7 * W) - 0.85 * W
-            odd = (vk % 2).astype(np.float64)
-            dx = ((vk % 667) - 333) * 0.6 * TU * odd
-            dy = (((vk * 31) % 667) - 333) * 0.6 * TU * odd
-            mx = (mx + dx).reshape(-1, NV)
-            my = (my + dy).reshape(-1, NV)
-            yield pd.DataFrame(
-                {
-                    "feature_id": ids,
-                    "geom_type": 2,
-                    "xs": [r.tolist() for r in mx],
-                    "ys": [r.tolist() for r in my],
-                    "part_offsets": [[0, NV]] * len(ids),
-                    "caption": "l",
-                }
-            )
-
-    feats = orders.mapInPandas(gen, schema=T.FEATURES_SCHEMA)
+    feats = _simplify_line_feats(spark, sf_dir)
     assigned = T.assign_tiles(feats, 0, 0)
     tiles = T.encode_tiles(
         assigned,
@@ -7199,6 +7333,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_polygon_rect_join": (q_polygon_rect_join, _sql_polygon_rect_join()),
     "q_polygon_polygon_join": (q_polygon_polygon_join, _sql_polygon_polygon_join()),
     "q_dissolve": (q_dissolve, _sql_dissolve()),
+    "q_engine_simplify_vw": (q_engine_simplify_vw, _sql_simplify_vw()),
     "q_polygon_polygon_ri": (q_polygon_polygon_ri, _sql_polygon_polygon_join()),
     "q_engine_validity": (q_engine_validity, _sql_validity()),
     "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
@@ -7296,6 +7431,7 @@ _RECORD_FIRST = (
     "q_image_blur",
     "q_dissolve",
     "q_image_curation",
+    "q_engine_simplify_vw",
     "q_engine_attr_join_shuffle",
     "q_count_min",
     "q_hard_negatives",

@@ -345,3 +345,36 @@ def test_radial_distance_mask():
     )
     assert sx.tolist() == [0.0, 500.0, 600.0]
     assert offs.tolist() == [0, 3]
+
+
+def test_visvalingam_whyatt_known_masks():
+    """F9c: effective-area removal order, neighbor recompute, and the
+    lowest-index tie-break — hand-computed doubled areas."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.simplify import (
+        visvalingam_whyatt,
+    )
+
+    xs = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    ys = np.array([0.0, 0.1, 0.0, 5.0, 0.0])
+    # doubled areas: v1=0.2, v2=5.1, v3=10
+    # tol=0.5 (thr2=1): drop v1 only; v2 recomputes to 10, stops
+    assert visvalingam_whyatt(xs, ys, 0.5).tolist() == [
+        True, False, True, True, True,
+    ]
+    # tol=6 (thr2=12): v1 drops, v2 recomputes to 10 < 12 -> drops,
+    # v3 recomputes to 20 >= 12 -> survives
+    assert visvalingam_whyatt(xs, ys, 6.0).tolist() == [
+        True, False, False, True, True,
+    ]
+    # tie-break: two interior vertices with IDENTICAL doubled area 1.0
+    # -> the lower index (v1) drops first; v2 recomputes to 3, which
+    # survives >= thr2=3
+    xs2 = np.array([0.0, 1.0, 2.0, 3.0])
+    ys2 = np.array([0.0, 1.0, 1.0, 0.0])  # v1: 2A=2, v2: 2A=2
+    m = visvalingam_whyatt(xs2, ys2, 1.5)
+    assert m.tolist() == [True, False, True, True]
+    # endpoints always kept; tolerance<=0 keeps everything
+    assert visvalingam_whyatt(xs, ys, 0.0).tolist() == [True] * 5
+    assert visvalingam_whyatt(xs[:2], ys[:2], 9.0).tolist() == [True, True]
