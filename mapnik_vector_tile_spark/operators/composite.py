@@ -982,21 +982,33 @@ def downzoom_band(
 
     The input zoom is inferred per-row from the z column, so a mixed-z
     input is rejected loudly rather than silently rolled into
-    overlapping addresses."""
-    zs = [r[0] for r in layers.select("z").distinct().limit(2).collect()]
+    overlapping addresses. The INPUT is persisted too (appended to
+    ``persisted_out`` like the derived levels): the zoom check's
+    distinct-z job evaluates every input partition anyway — caching
+    there means the (expensive) upstream that produced the base level
+    runs ONCE instead of once for the check plus once for the first
+    rollup; default MEMORY_AND_DISK spills, so this is safe at the
+    base level's full size."""
+    src = layers.persist()
+    if persisted_out is not None:
+        persisted_out.append(src)
+    # the distinct's map stage touches every partition -> full cache
+    zs = [r[0] for r in src.select("z").distinct().limit(2).collect()]
     if len(zs) != 1:
+        src.unpersist()
         raise ValueError(
             f"downzoom_band: input must hold exactly one zoom level, "
             f"saw {sorted(zs)}"
         )
     base_z = int(zs[0])
     if not 0 <= to_z < base_z:
+        src.unpersist()
         raise ValueError(
             f"downzoom_band: need 0 <= to_z < base z, got to_z={to_z} "
             f"base={base_z}"
         )
     band = None
-    cur = layers
+    cur = src
     for _ in range(base_z - to_z):
         cur = downzoom_layers(
             cur,
