@@ -378,3 +378,42 @@ def test_visvalingam_whyatt_known_masks():
     # endpoints always kept; tolerance<=0 keeps everything
     assert visvalingam_whyatt(xs, ys, 0.0).tolist() == [True] * 5
     assert visvalingam_whyatt(xs[:2], ys[:2], 9.0).tolist() == [True, True]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4096),
+            st.integers(min_value=0, max_value=4096),
+        ),
+        min_size=3,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=2_000_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_visvalingam_invariants(pts, tol):
+    """F9c properties on random integer polylines: (1) termination
+    invariant — every SURVIVING interior vertex's effective doubled
+    area on the simplified chain is >= 2*tol; (2) idempotence — a
+    second pass removes nothing; (3) endpoints always survive."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.simplify import (
+        visvalingam_whyatt,
+    )
+
+    xs = np.array([p[0] for p in pts], dtype=np.float64)
+    ys = np.array([p[1] for p in pts], dtype=np.float64)
+    mask = visvalingam_whyatt(xs, ys, float(tol))
+    assert mask[0] and mask[-1]
+    sx, sy = xs[mask], ys[mask]
+    thr2 = 2.0 * tol
+    for i in range(1, len(sx) - 1):
+        a2 = abs(
+            (sx[i] - sx[i - 1]) * (sy[i + 1] - sy[i - 1])
+            - (sy[i] - sy[i - 1]) * (sx[i + 1] - sx[i - 1])
+        )
+        assert a2 >= thr2
+    again = visvalingam_whyatt(sx, sy, float(tol))
+    assert again.all()
