@@ -119,12 +119,10 @@ def visvalingam_whyatt(
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     n = len(xs)
-    keep = np.zeros(n, dtype=bool)
     if n == 0:
-        return keep
-    keep[0] = keep[-1] = True
+        return np.zeros(0, dtype=bool)
     if n <= 2 or tolerance <= 0:
-        keep[:] = tolerance <= 0
+        keep = np.full(n, tolerance <= 0)
         keep[0] = keep[-1] = True
         return keep
     thr2 = 2.0 * float(tolerance)

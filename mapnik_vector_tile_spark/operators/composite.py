@@ -1867,8 +1867,16 @@ def _coerce_jk(jk, jk_type: str):
             return int(jk) if -(2**63) <= jk < 2**63 else None
         return None
     if jk_type == "double":
-        if isinstance(jk, (bool, int, float)):
-            return float(jk)
+        if isinstance(jk, (bool, int)):
+            f = float(jk)
+            # exact round-trip only: dict equality is EXACT, so an
+            # int64 beyond 2^53 must not match the double it rounds to
+            return f if f == jk else None
+        if isinstance(jk, float):
+            # NaN never matches under dict probing (fresh NaN object,
+            # NaN != NaN); Spark's join would treat NaN = NaN as true,
+            # so map it to the never-matching null instead
+            return None if jk != jk else jk
         return None
     return jk if isinstance(jk, str) else None
 
@@ -1881,8 +1889,15 @@ def _dedup_attrs(attrs: DataFrame) -> DataFrame:
     implements exactly this rule; running the same Spark aggregate on
     the dimension before the broadcast collect makes the two paths
     byte-identical on duplicate-key inputs instead of the broadcast
-    side keeping a partition-order-dependent winner."""
+    side keeping a partition-order-dependent winner. NULL keys are
+    dropped here for BOTH paths: the relational equi-join can never
+    match them (SQL null-join), so the broadcast map must not hold a
+    None entry that a fid-less feature's jk=None could accidentally
+    hit."""
     cols = attrs.columns
-    return attrs.groupBy(cols[0]).agg(
-        F.max(F.struct(*[F.col(c) for c in cols[1:]])).alias("_v")
-    ).select(cols[0], *[F.col(f"_v.{c}").alias(c) for c in cols[1:]])
+    return (
+        attrs.filter(F.col(cols[0]).isNotNull())
+        .groupBy(cols[0])
+        .agg(F.max(F.struct(*[F.col(c) for c in cols[1:]])).alias("_v"))
+        .select(cols[0], *[F.col(f"_v.{c}").alias(c) for c in cols[1:]])
+    )

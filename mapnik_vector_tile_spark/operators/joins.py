@@ -1063,11 +1063,21 @@ def haversine_radius_join(
     3x3 ring explode on the a-side — sound (no false negatives) iff
     cell_deg >= the radius in LONGITUDE degrees at the corpus's
     highest |lat| (callers size it; e.g. 300 km at |lat|<=55° needs
-    >= 4.71°). Longitude cells WRAP modulo the pyramid of 360°/cell
-    columns, so pairs straddling the antimeridian (lon +179.9 vs
-    -179.9) still meet in adjacent cells; the refine needs no wrap
+    >= 4.71°). Antimeridian: index-space wrapping (pmod into
+    360°/cell columns) is UNSOUND whenever 360 is not an integer
+    multiple of cell_deg — the seam column comes out narrower than
+    cell_deg, so within-radius pairs can sit two index steps apart
+    and never meet. Instead the grid stays UNWRAPPED (every cell full
+    width) and a-side points within cell_deg of the seam are
+    DUPLICATED at lon ± 360 before cell assignment, which lands the
+    copy next to the other side's cells; the refine needs no wrap
     handling because sin²(Δλ/2) is already 360°-periodic
-    (sin(π−x)=sin x). Refine: PURE Column trig — the predicate compares the
+    (sin(π−x)=sin x), so the copy passes the exact test iff the
+    original pair is in radius. Copies can only produce duplicate
+    output pairs when the whole grid is ≤ 4 columns wide (both the
+    original's and the copy's rings can then reach the same cell) —
+    only that degenerate configuration pays a distinct().
+    Refine: PURE Column trig — the predicate compares the
     haversine term h = sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2) against
     the constant sin²(R / 2·earth_R), so no asin/acos in the
     distributed plan and no Python anywhere. Cross-engine float note:
@@ -1076,18 +1086,9 @@ def haversine_radius_join(
     discipline as the GeoJSON trig oracle). Returns (a_id, b_id)."""
     tau = float(np.sin(radius_m / (2.0 * EARTH_R_M)) ** 2)
     rad = float(np.pi / 180.0)
-    # Distinct lon-cell count for lon in [-180, 180): cells cx_min..cx_max.
-    # pmod(cx - cx_min, n_lon) makes the seam cells (cx_max, cx_min)
-    # numerically adjacent mod n_lon, so the 3x3 ring crosses the
-    # antimeridian for free.
-    cx_min = math.floor(-180.0 / cell_deg)
-    n_lon = math.floor(math.nextafter(180.0, 0.0) / cell_deg) - cx_min + 1
 
     def cells(df, pid, ring):
-        cx = F.pmod(
-            F.floor(F.col("lon") / cell_deg).cast("long") - F.lit(cx_min),
-            F.lit(n_lon),
-        )
+        cx = F.floor(F.col("lon") / cell_deg).cast("long")
         cy = F.floor(F.col("lat") / cell_deg).cast("long")
         out = df.select(
             F.col("id").alias(pid),
@@ -1100,14 +1101,10 @@ def haversine_radius_join(
             return out.withColumnRenamed("_cx", "jx").withColumnRenamed(
                 "_cy", "jy"
             )
-        # Dedup dx offsets mod n_lon: with <=3 lon columns the ring
-        # wraps onto itself and would emit duplicate candidate rows
-        # (hence duplicate output pairs).
-        dxs = sorted({dx % n_lon for dx in (-1, 0, 1)})
         offs = F.array(
             *[
                 F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in dxs
+                for dx in (-1, 0, 1)
                 for dy in (-1, 0, 1)
             ]
         )
@@ -1117,14 +1114,21 @@ def haversine_radius_join(
                 pid,
                 pid + "_lon",
                 pid + "_lat",
-                F.pmod(F.col("_cx") + F.col("_o.dx"), F.lit(n_lon)).alias(
-                    "jx"
-                ),
+                (F.col("_cx") + F.col("_o.dx")).alias("jx"),
                 (F.col("_cy") + F.col("_o.dy")).alias("jy"),
             )
         )
 
-    ca = cells(a, "a_id", ring=True)
+    # seam copies: a-side points within one cell of ±180 reappear on
+    # the other side of the unwrapped axis (lon ± 360); original rows
+    # keep their lon so the refine's Δλ stays in-range for non-seam
+    # partners, and the copy's Δλ differs by exactly 360° (periodic)
+    lon = F.col("lon")
+    east = a.filter(lon >= 180.0 - cell_deg).withColumn("lon", lon - 360.0)
+    west = a.filter(lon < -180.0 + cell_deg).withColumn("lon", lon + 360.0)
+    a_all = a.unionByName(east).unionByName(west)
+
+    ca = cells(a_all, "a_id", ring=True)
     cb = cells(b, "b_id", ring=False)
     j = ca.join(cb, ["jx", "jy"])
     p1 = F.col("a_id_lat") * rad
@@ -1135,4 +1139,9 @@ def haversine_radius_join(
         F.pow(F.sin(dphi / 2), 2)
         + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dlam / 2), 2)
     )
-    return j.filter(h <= tau).select("a_id", "b_id")
+    pairs = j.filter(h <= tau).select("a_id", "b_id")
+    if 360.0 / cell_deg <= 4.0:
+        # degenerate wide-cell grid: an original's ring and its seam
+        # copy's ring can reach the same b cell -> dedupe output pairs
+        pairs = pairs.distinct()
+    return pairs

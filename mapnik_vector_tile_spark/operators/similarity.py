@@ -448,6 +448,47 @@ SD_SCALE = 1 << 12  # semdedup cosine grid: with unit-norm 64-dim
 # comparisons stay EXACT in int64 in both engines
 
 
+def _int_dot(x: F.Column, y: F.Column) -> F.Column:
+    """Exact BIGINT dot product of two quantized integer vectors —
+    the ONE fold shared by every integer-cosine gate here."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sd_quantize(col: str) -> F.Column:
+    """Embedding → SD_SCALE integer grid (round-half-away, the
+    committed cross-engine rounding)."""
+    return F.transform(
+        F.col(col),
+        lambda x: _round_half_away_col(
+            x.cast("double") * F.lit(float(SD_SCALE))
+        ).cast("long"),
+    )
+
+
+def _guard_norm2(n2: F.Column, norm_lim: int, op: str) -> F.Column:
+    """ONE source of the Cauchy–Schwarz int64 precondition (shared by
+    semdedup and alignment_filter — the gate semantics must never
+    fork): pass the exact norm² through, or raise loudly when a
+    non-unit-norm corpus would overflow the cross-multiplied cosine
+    compare."""
+    return F.when(
+        n2 > F.lit(norm_lim),
+        F.raise_error(
+            F.format_string(
+                f"{op}: quantized norm^2 %d exceeds the exact-int64 "
+                "gate limit %d — renormalize embeddings or lower "
+                "SD_SCALE",
+                n2,
+                F.lit(norm_lim),
+            )
+        ).cast("long"),
+    ).otherwise(n2)
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,
@@ -493,36 +534,10 @@ def semdedup(
     # Largest norm² for which dot²·τ_den² provably fits int64
     # (Cauchy–Schwarz: dot² ≤ nu·nv ≤ norm_lim², exact over ints).
     norm_lim = math.isqrt(2**63 - 1) // tau_den
-    qs = F.transform(
-        F.col(col),
-        lambda x: _round_half_away_col(
-            x.cast("double") * F.lit(float(SD_SCALE))
-        ).cast("long"),
-    )
     assigned = kmeans_clusters(emb, k=k, iters=iters, col=col, id_col=id_col)
-
-    def _dot(x: str, y: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(x), F.col(y), lambda u, v: u * v),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    n2 = _dot("sv", "sv")
-    qe = emb.select(F.col(id_col), qs.alias("sv")).withColumn(
-        "n2",
-        F.when(
-            n2 > F.lit(norm_lim),
-            F.raise_error(
-                F.format_string(
-                    "semdedup: quantized norm^2 %d exceeds the exact-int64 "
-                    "gate limit %d — renormalize embeddings or lower "
-                    "SD_SCALE",
-                    n2,
-                    F.lit(norm_lim),
-                )
-            ).cast("long"),
-        ).otherwise(n2),
+    n2 = _int_dot(F.col("sv"), F.col("sv"))
+    qe = emb.select(F.col(id_col), _sd_quantize(col).alias("sv")).withColumn(
+        "n2", _guard_norm2(n2, norm_lim, "semdedup")
     )
     t = assigned.select(id_col, "cluster").join(qe, [id_col])
     a = t.select(
@@ -539,7 +554,7 @@ def semdedup(
     )
 
     pairs = a.join(b, ["cluster"]).filter(F.col("a_id") < F.col("b_id"))
-    dot = _dot("a_sv", "b_sv")
+    dot = _int_dot(F.col("a_sv"), F.col("b_sv"))
     nu = F.col("nu")
     nv = F.col("nv")
     dup = (
@@ -593,49 +608,37 @@ def alignment_filter(
         raise ValueError("alignment_filter: cosine threshold tau must be <= 1")
     norm_lim = math.isqrt(2**63 - 1) // tau_den
 
-    def qz(c: str) -> F.Column:
-        return F.transform(
-            F.col(c),
-            lambda x: _round_half_away_col(
-                x.cast("double") * F.lit(float(SD_SCALE))
-            ).cast("long"),
+    # materialize each O(dims) fold ONCE as a column — the gate reuses
+    # d/nu/nv across keep, cos9, and the guard, and repeating the
+    # higher-order-function expression would rely on Catalyst
+    # canonicalizing lambda-variable ids to dedupe it
+    with_q = (
+        pairs.withColumn("_qu", _sd_quantize(img_col))
+        .withColumn("_qv", _sd_quantize(txt_col))
+        .withColumn("_d", _int_dot(F.col("_qu"), F.col("_qv")))
+        .withColumn(
+            "_nu",
+            _guard_norm2(
+                _int_dot(F.col("_qu"), F.col("_qu")),
+                norm_lim,
+                "alignment_filter",
+            ),
         )
-
-    def dot(x: F.Column, y: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda u, v: u * v),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        .withColumn(
+            "_nv",
+            _guard_norm2(
+                _int_dot(F.col("_qv"), F.col("_qv")),
+                norm_lim,
+                "alignment_filter",
+            ),
         )
-
-    def guarded_n2(x: F.Column) -> F.Column:
-        n2 = dot(x, x)
-        return F.when(
-            n2 > F.lit(norm_lim),
-            F.raise_error(
-                F.format_string(
-                    "alignment_filter: quantized norm^2 %d exceeds the "
-                    "exact-int64 gate limit %d — renormalize embeddings "
-                    "or lower SD_SCALE",
-                    n2,
-                    F.lit(norm_lim),
-                )
-            ).cast("long"),
-        ).otherwise(n2)
-
-    with_q = pairs.withColumn("_qu", qz(img_col)).withColumn(
-        "_qv", qz(txt_col)
     )
-    d = dot(F.col("_qu"), F.col("_qv"))
-    nu = guarded_n2(F.col("_qu"))
-    nv = guarded_n2(F.col("_qv"))
+    d, nu, nv = F.col("_d"), F.col("_nu"), F.col("_nv")
     keep = (d > 0) & (
         d * d * F.lit(tau_den * tau_den)
         >= F.lit(tau_num * tau_num) * nu * nv
     )
-    cos9 = F.when(
-        (nu == 0) | (nv == 0), F.lit(0.0)
-    ).otherwise(
+    cos9 = F.when((nu == 0) | (nv == 0), F.lit(0.0)).otherwise(
         F.round(
             d.cast("double")
             / (F.sqrt(nu.cast("double")) * F.sqrt(nv.cast("double"))),
@@ -645,7 +648,7 @@ def alignment_filter(
     return (
         with_q.withColumn("align_keep", keep)
         .withColumn("cos9", cos9)
-        .drop("_qu", "_qv")
+        .drop("_qu", "_qv", "_d", "_nu", "_nv")
     )
 
 

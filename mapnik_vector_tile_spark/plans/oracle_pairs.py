@@ -5494,13 +5494,19 @@ def q_image_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return laplacian_stats(imgs, blur_thr=LAP_BLUR_THR)
 
 
-def _sql_image_blur(n: int = IMG_TH_N, thr: int = LAP_BLUR_THR) -> str:
+def _img_pixel_ctes(n: int) -> str:
+    """The SHARED synthetic-image replay CTE chain (ids → dims → pixel
+    grid → per-pixel r/g/b → captions) used by every image-operator
+    twin below — one source of truth for the pixel formulas, so the
+    blur and curation gates can never drift apart."""
     from mapnik_vector_tile_spark.sources.synth import _WORDS
 
     words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
     nw = len(_WORDS)
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    noise = (
+        f"CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64 AS BIGINT)"
+    )
+    return f"""ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
 dims AS (
   SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
          {splitmix64_sql('i')} AS ph
@@ -5513,34 +5519,10 @@ pix AS (
 ),
 chan AS (
   SELECT i, w, h, y, x,
-         CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64 AS BIGINT)
-           AS noise
+         (((x * 255) // (w - 1) + {noise}) % 256) AS r,
+         (((y * 255) // (h - 1) + {noise}) % 256) AS g,
+         ((((x + y) * 255) // (w + h - 2) + {noise}) % 256) AS b
   FROM pix
-),
-lum AS (
-  SELECT i, w, h, y, x,
-         ((((x * 255) // (w - 1) + noise) % 256) * 77
-          + (((y * 255) // (h - 1) + noise) % 256) * 151
-          + ((((x + y) * 255) // (w + h - 2) + noise) % 256) * 28) // 256
-           AS g
-  FROM chan
-),
-lap AS (
-  SELECT i, w, h, y, x,
-         4 * g
-           - lag(g)  OVER (PARTITION BY i, y ORDER BY x)
-           - lead(g) OVER (PARTITION BY i, y ORDER BY x)
-           - lag(g)  OVER (PARTITION BY i, x ORDER BY y)
-           - lead(g) OVER (PARTITION BY i, x ORDER BY y) AS l
-  FROM lum
-),
-agg AS (
-  SELECT i, COUNT(*) AS n_int,
-         CAST(SUM(l) AS BIGINT) AS sum_l,
-         CAST(SUM(l * l) AS BIGINT) AS sum_l2
-  FROM lap
-  WHERE x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2
-  GROUP BY i
 ),
 caps AS (
   SELECT i,
@@ -5549,6 +5531,37 @@ caps AS (
            || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
            || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption
   FROM dims
+)"""
+
+
+# 8-bit luma + interior 3×3 Laplacian over the chan CTE — shared by
+# the blur twin and the curation twin verbatim
+_IMG_LUM_LAP = """lum AS (
+  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+lap AS (
+  SELECT i, w, h, y, x,
+         4 * g8
+           - lag(g8)  OVER (PARTITION BY i, y ORDER BY x)
+           - lead(g8) OVER (PARTITION BY i, y ORDER BY x)
+           - lag(g8)  OVER (PARTITION BY i, x ORDER BY y)
+           - lead(g8) OVER (PARTITION BY i, x ORDER BY y) AS l
+  FROM lum
+)"""
+
+
+def _sql_image_blur(n: int = IMG_TH_N, thr: int = LAP_BLUR_THR) -> str:
+    return f"""
+WITH {_img_pixel_ctes(n)},
+{_IMG_LUM_LAP},
+agg AS (
+  SELECT i, COUNT(*) AS n_int,
+         CAST(SUM(l) AS BIGINT) AS sum_l,
+         CAST(SUM(l * l) AS BIGINT) AS sum_l2
+  FROM lap
+  WHERE x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2
+  GROUP BY i
 )
 SELECT 'img_' || lpad(CAST(a.i AS VARCHAR), 12, '0') AS image_id,
        n_int, sum_l, sum_l2,
@@ -5599,48 +5612,9 @@ def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_image_curation(n: int = IMG_TH_N, thr: int = LAP_BLUR_THR) -> str:
-    from mapnik_vector_tile_spark.sources.synth import _WORDS
-
-    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
-    nw = len(_WORDS)
     return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-dims AS (
-  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
-         {splitmix64_sql('i')} AS ph
-  FROM ids
-),
-ys AS (SELECT i, w, h, ph, unnest(generate_series(0, h - 1)) AS y FROM dims),
-pix AS (
-  SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x
-  FROM ys
-),
-chan AS (
-  SELECT i, w, h, y, x,
-         (((x * 255) // (w - 1)
-           + CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64
-                  AS BIGINT)) % 256) AS r,
-         (((y * 255) // (h - 1)
-           + CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64
-                  AS BIGINT)) % 256) AS g,
-         ((((x + y) * 255) // (w + h - 2)
-           + CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64
-                  AS BIGINT)) % 256) AS b
-  FROM pix
-),
-lum AS (
-  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan
-),
-lap AS (
-  SELECT i, w, h, y, x,
-         4 * g8
-           - lag(g8)  OVER (PARTITION BY i, y ORDER BY x)
-           - lead(g8) OVER (PARTITION BY i, y ORDER BY x)
-           - lag(g8)  OVER (PARTITION BY i, x ORDER BY y)
-           - lead(g8) OVER (PARTITION BY i, x ORDER BY y) AS l
-  FROM lum
-),
+WITH {_img_pixel_ctes(n)},
+{_IMG_LUM_LAP},
 blur AS (
   SELECT i,
          (COUNT(*) = 0 OR COUNT(*) * SUM(l * l) - SUM(l) * SUM(l)
@@ -5671,14 +5645,6 @@ packed AS (
   SELECT i,
          SUM(CAST(bit AS HUGEINT) << CAST(ty * 8 + tx AS INT)) AS raw
   FROM gbits GROUP BY 1
-),
-caps AS (
-  SELECT i,
-         'caption ' || CAST(i AS VARCHAR) || ': '
-           || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption
-  FROM dims
 ),
 rows_ AS (
   SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,

@@ -497,6 +497,23 @@ def test_haversine_join_antimeridian(spark):
     assert {(r.a_id, r.b_id) for r in rows} == {(1, 10)}
     assert len(rows) == 1  # no duplicate candidates from the wrap
 
+    # TWO-index-step seam case: 360 is not a multiple of 4.8, so a
+    # wrapped (pmod) grid would put 177.5 and -179.9 two columns apart
+    # and silently drop this ~276 km pair; the coordinate-duplication
+    # fix must find it. The reverse direction (a west, b east) too.
+    a2 = spark.createDataFrame(
+        [(2, 177.5, -17.0), (3, -177.5, -17.0)], ["id", "lon", "lat"]
+    )
+    b2 = spark.createDataFrame(
+        [(20, -179.9, -17.0), (21, 179.9, -17.0)], ["id", "lon", "lat"]
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in haversine_radius_join(a2, b2, 300_000.0, 4.8).collect()
+    }
+    # all four cross/near-seam combinations are within 300 km
+    assert got == {(2, 20), (2, 21), (3, 20), (3, 21)}
+
     # Degenerate wrap: cell_deg=120 => 3 lon cells, ring covers the
     # whole globe in lon; the pair is found exactly once.
     rows = haversine_radius_join(a, b, 300_000.0, 120.0).collect()
