@@ -971,6 +971,68 @@ def decode_tiles_to_features(
     return tiles.mapInPandas(gen, schema=schema)
 
 
+def vtquery(
+    tiles: DataFrame,
+    lon: float,
+    lat: float,
+    radius_px: int,
+    z: int,
+    k: int = 10,
+    extent: int = tm.DEFAULT_EXTENT,
+) -> DataFrame:
+    """S7: nearest-feature point query over the ENCODED tile store —
+    mapbox/vtquery parity (the serving-side "what is near this
+    point?" operation): decode ONLY the tiles whose addresses can
+    intersect the query radius (reuses decode_tiles_to_features'
+    literal bbox ranges, so the prune reaches the parquet scan as
+    pushed filters + row-group skipping — two-level, never a full
+    store read), project every decoded vertex onto the GLOBAL integer
+    pixel grid at z (gx = tile_x·extent + px — per-tile quantization
+    commutes with the global grid because the tile offset is an exact
+    integer), keep features whose nearest vertex lies within
+    radius_px (EXACT BIGINT d² compare), collapse buffer duplicates
+    to their min-d² copy, and return the k nearest by (d², id) — a
+    TakeOrderedAndProject top-k, never a full sort. Output:
+    (feature_id, d2, rnk) with rnk 1-based."""
+    mxa, mya = tm.lonlat_to_merc_np(
+        np.array([float(lon)]), np.array([float(lat)])
+    )
+    mx, my = float(mxa[0]), float(mya[0])
+    span = tm.tile_span(z)
+    scale = float(extent) / span
+    qgx = int(tm.round_half_away_np(np.array([(mx + tm.W) * scale]))[0])
+    qgy = int(tm.round_half_away_np(np.array([(tm.W - my) * scale]))[0])
+    r_m = float(radius_px) / scale
+    dec = decode_tiles_to_features(
+        tiles, bbox=(mx - r_m, my - r_m, mx + r_m, my + r_m)
+    ).filter(F.col("z") == z)
+    gx0 = F.col("x") * F.lit(extent)
+    gy0 = F.col("y") * F.lit(extent)
+    d2 = F.array_min(
+        F.zip_with(
+            F.col("pxs"),
+            F.col("pys"),
+            lambda px, py: (gx0 + px - F.lit(qgx))
+            * (gx0 + px - F.lit(qgx))
+            + (gy0 + py - F.lit(qgy)) * (gy0 + py - F.lit(qgy)),
+        )
+    )
+    near = (
+        dec.select("feature_id", d2.alias("d2"))
+        .filter(F.col("d2") <= F.lit(int(radius_px) * int(radius_px)))
+        .groupBy("feature_id")
+        .agg(F.min("d2").alias("d2"))
+        .orderBy("d2", "feature_id")
+        .limit(k)
+    )
+    w = Window.orderBy("d2", "feature_id")
+    return near.select(
+        "feature_id",
+        "d2",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
 def label_grid_top1(
     assigned: DataFrame,
     cell_shift: int = 8,

@@ -263,6 +263,63 @@ def q_engine_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vtquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 mapbox/vtquery parity (tiling.vtquery — nearest features to
+    a point, served FROM THE ENCODED TILES): the engine path encodes
+    order points at z6, prunes tile addresses to the query radius
+    (literal pushed ranges), decodes only those blobs, and ranks by
+    exact BIGINT global-pixel d². The twin never sees a tile: it
+    quantizes every point closed-form (per-tile formula — the global
+    one differs by FP rounding) and replays the same top-k. Gates the
+    full store→decode→distance→TakeOrdered serving chain."""
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(feats, 6, 6, buffer_units=0)
+    tiles = T.fold_tiles(T.encode_layers(assigned))
+    return T.vtquery(tiles, 12.5, 41.9, 8000, 6, k=25)
+
+
+def _sql_vtquery(
+    lon: float = 12.5,
+    lat: float = 41.9,
+    radius_px: int = 8000,
+    z: int = 6,
+    k: int = 25,
+) -> str:
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    # the query point's grid coords come from the operator's own
+    # driver-side derivation — one shared pair of integer literals
+    mxa, mya = tm.lonlat_to_merc_np(
+        np.array([float(lon)]), np.array([float(lat)])
+    )
+    scale = 4096.0 / tm.tile_span(z)
+    qgx = int(
+        tm.round_half_away_np(np.array([(float(mxa[0]) + tm.W) * scale]))[0]
+    )
+    qgy = int(
+        tm.round_half_away_np(np.array([(tm.W - float(mya[0])) * scale]))[0]
+    )
+    tx, ty = S.tile_xy_exprs(z)
+    qx, qy = S.quantize_exprs(z, "tx", "ty")
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
+g AS (SELECT id, tx * 4096 + {qx} AS gx, ty * 4096 + {qy} AS gy FROM t),
+d AS (SELECT id AS feature_id,
+             (gx - {qgx}) * (gx - {qgx}) + (gy - {qgy}) * (gy - {qgy}) AS d2
+      FROM g),
+near AS (SELECT feature_id, d2 FROM d WHERE d2 <= {radius_px * radius_px}
+         ORDER BY d2, feature_id LIMIT {k})
+SELECT feature_id, CAST(d2 AS BIGINT) AS d2,
+       CAST(row_number() OVER (ORDER BY d2, feature_id) AS BIGINT) AS rnk
+FROM near
+"""
+
+
 def _sql_knn(k: int = 3) -> str:
     """kNN oracle as bounded streaming passes, not a materialized
     window: the naive form (row_number over the full cross join) is
@@ -7263,6 +7320,7 @@ FROM feat f JOIN hh h USING (idx)
 
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
+    "q_vtquery": (q_vtquery, _sql_vtquery()),
     "q_engine_pip_broadcast": (q_engine_pip_broadcast, _sql_bbox_rect_join()),
     "q_engine_pip_partitioned": (
         q_engine_pip_partitioned,
@@ -7398,6 +7456,7 @@ _RECORD_FIRST = (
     "q_dissolve",
     "q_image_curation",
     "q_engine_simplify_vw",
+    "q_vtquery",
     "q_engine_attr_join_shuffle",
     "q_count_min",
     "q_hard_negatives",

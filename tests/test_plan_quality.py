@@ -537,3 +537,20 @@ def test_hll_registers_partial_aggregation(spark):
     plan = _plan(hll_registers(df, "v"))
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_vtquery_prunes_store_and_takes_ordered(spark, tiles_parquet):
+    """S7: the serving query must (1) push the radius-derived address
+    ranges to the tile scan (two-level prune, no full store read) and
+    (2) rank via TakeOrderedAndProject, never a full sort of the
+    decoded features."""
+    import re
+
+    # the fixture pyramid lives at z3..5 near the assigned points; a
+    # query at their lon/lat with a small radius prunes to a few tiles
+    q = T.vtquery(spark.read.parquet(tiles_parquet), 12.5, 41.9, 500, 5, k=3)
+    plan = _plan(q)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "EqualTo(z," in pushed and "LessThanOrEqual(x," in pushed
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
