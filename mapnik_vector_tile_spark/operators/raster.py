@@ -73,6 +73,13 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from mapnik_vector_tile_spark.functions import tiff as tiffmod
 
         return tiffmod.decode_tiff(bytes(buf))
+    if fmt == "png8":
+        # REAL indexed PNG (color type 3, functions.png8) — mapnik's
+        # save_to_string(image, "png8") palette path; lossless when
+        # the image has <=256 distinct colors (w/h args ignored)
+        from mapnik_vector_tile_spark.functions import png8 as png8mod
+
+        return png8mod.decode_png8(bytes(buf))
     if fmt == "avif":
         raise NotImplementedError(
             "avif decode requires an image library not present in this "
@@ -110,6 +117,12 @@ def encode_image(rgba: np.ndarray, fmt: str) -> bytes:
         from mapnik_vector_tile_spark.functions import tiff as tiffmod
 
         return tiffmod.encode_tiff(rgba)
+    if fmt == "png8":
+        # median-cut palette quantization to <=256 colors (mapnik
+        # png8); lossless iff the image already fits the palette
+        from mapnik_vector_tile_spark.functions import png8 as png8mod
+
+        return png8mod.encode_png8(rgba)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -4175,6 +4175,108 @@ FROM ids
 """
 
 
+PNG8_N = 240  # q_raster_png8 corpus size
+
+
+def q_raster_png8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 PNG8 palette codec gate with a FULL contract oracle —
+    mapnik's ``save_to_string(image, "png8")`` quantized-palette path
+    (functions.png8: deterministic median cut, color-type-3 PNG with
+    PLTE/tRNS). Two corpus classes: idx%3==0 renders a 6-color pattern
+    (<=256 distinct ⇒ round-trip must be BIT-EXACT — the lossless
+    contract), the rest use the gradient+noise synth pixels (>256
+    distinct ⇒ decode must equal the INDEPENDENTLY computed palette
+    mapping exactly, palette <=256 entries, and integer-exact
+    PSNR >= 30 dB over RGB: sse*1000 <= npix*3*255^2). The DuckDB twin
+    regenerates (image_id, w, h, few) closed-form and asserts the
+    booleans TRUE. sf_dir unused (committed synth recipe). Ref parity:
+    mapnik save_to_string(image, "png8") octree quantizer — same
+    <=256-palette contract, deterministic median cut here; SURVEY
+    §2.8 R2."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import png8 as png8mod
+    from mapnik_vector_tile_spark.operators import raster as R
+
+    def gen(it):
+        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
+
+        pal6 = np.array(
+            [
+                [10, 20, 30, 255],
+                [200, 100, 0, 255],
+                [0, 0, 0, 128],
+                [255, 255, 255, 255],
+                [7, 7, 7, 255],
+                [40, 220, 160, 255],
+            ],
+            np.uint8,
+        )
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            src = gen_images_pdf(
+                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
+            )
+            src = src.assign(idx=np.arange(int(ids.min()), int(ids.max()) + 1))
+            out = {"image_id": [], "w": [], "h": [], "few": [],
+                   "is_png8": [], "exact_ok": [], "psnr_ok": [],
+                   "pal_ok": []}
+            for row in src.itertuples(index=False):
+                w, h = int(row.w), int(row.h)
+                few = int(row.idx) % 3 == 0
+                if few:
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    rgba = pal6[(xx * 3 + yy * 5 + int(row.idx)) % 6]
+                else:
+                    rgba = R.decode_image(row.bytes, row.fmt, w, h)
+                buf = R.encode_image(rgba, "png8")
+                back = R.decode_image(buf, "png8", w, h)
+                palette, idx2 = png8mod.median_cut_palette(rgba)
+                quant = palette[idx2]
+                if few:
+                    exact_ok = bool(np.array_equal(back, rgba))
+                else:
+                    exact_ok = bool(np.array_equal(back, quant))
+                err = rgba[..., :3].astype(np.int64) - back[..., :3].astype(
+                    np.int64
+                )
+                sse = int((err * err).sum())
+                npx = w * h
+                out["image_id"].append(row.image_id)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["few"].append(few)
+                out["is_png8"].append(
+                    buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[25:26] == b"\x03"
+                )
+                out["exact_ok"].append(exact_ok)
+                out["psnr_ok"].append(sse * 1000 <= npx * 3 * 255 * 255)
+                out["pal_ok"].append(len(palette) <= 256)
+            yield pd.DataFrame(out)
+
+    return spark.range(0, PNG8_N, 1, 8).mapInPandas(
+        gen,
+        schema=("image_id string, w int, h int, few boolean, "
+                "is_png8 boolean, exact_ok boolean, psnr_ok boolean, "
+                "pal_ok boolean"),
+    )
+
+
+def _sql_raster_png8(n: int = PNG8_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(16 + (i * 7) % 49 AS INT) AS w,
+       CAST(16 + (i * 11) % 49 AS INT) AS h,
+       (i % 3 = 0) AS few,
+       TRUE AS is_png8, TRUE AS exact_ok, TRUE AS psnr_ok, TRUE AS pal_ok
+FROM ids
+"""
+
+
 WKT_N = 600  # q_wkt_ingest / q_wkb_ingest corpus size
 
 
@@ -7391,6 +7493,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_raster_png": (q_raster_png, _sql_raster_png()),
     "q_raster_webp": (q_raster_webp, _sql_raster_webp()),
     "q_raster_tiff": (q_raster_tiff, _sql_raster_tiff()),
+    "q_raster_png8": (q_raster_png8, _sql_raster_png8()),
     "q_wkt_ingest": (q_wkt_ingest, _sql_wkt_ingest()),
     "q_wkb_ingest": (q_wkb_ingest, _sql_wkt_ingest()),
     "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
@@ -7449,6 +7552,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_raster_png8",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",
