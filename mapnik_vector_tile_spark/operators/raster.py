@@ -924,6 +924,77 @@ def laplacian_stats(images: DataFrame, blur_thr: int = 100) -> DataFrame:
     )
 
 
+OTSU_SCALE_BITS = 56  # see otsu_stats: floor-scaled score == exact argmax
+
+
+def otsu_stats(images: DataFrame) -> DataFrame:
+    """T12g Otsu binarization threshold — the classic global-threshold
+    image statistic (Otsu 1979; `cv2.threshold(..., THRESH_OTSU)`),
+    used in vision curation to split document-like / high-contrast
+    images from flat ones and as a cheap foreground-ratio feature.
+    Rebuilt EXACT so the DuckDB twin replays the argmax bit-for-bit:
+
+    * luma8 = (r·77 + g·151 + b·28) >> 8 (same 8-bit grid as the blur
+      gate, so the twins share one pixel CTE);
+    * threshold candidates are the distinct luma levels v present with
+      a nonempty upper class — the between-class variance
+      (s0·n1 − s1·n0)²/(n0·n1) only changes at present levels;
+    * the score is the FLOOR-SCALED integer
+      ((s0·n1 − s1·n0)² << 56) // (n0·n1), computed in arbitrary-
+      precision Python ints (the numerator overflows int64 at 64×64).
+      Two candidates get equal scaled scores iff their exact fractions
+      are equal: a floor collision bounds |Δ| < 2⁻⁵⁶, while distinct
+      fractions differ by ≥ 1/(n0n1)² ≥ 2⁻⁴⁵ at n ≤ 4096 pixels — so
+      the scaled argmax IS the exact argmax, and DuckDB reproduces it
+      with HUGEINT arithmetic (max term ≈ 2e36 < 2¹²⁷);
+    * ties break to the smallest threshold.
+
+    Foreground = luma > t. One narrow mapInPandas scan, no shuffle;
+    caption rides through per the north-rule row invariant. Output:
+    (image_id, otsu_t, n_fg, fg_sum, caption)."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "otsu_t": [], "n_fg": [],
+                   "fg_sum": [], "caption": []}
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                a = rgba.astype(np.int64)
+                g = (a[..., 0] * 77 + a[..., 1] * 151 + a[..., 2] * 28) >> 8
+                hist = np.bincount(g.ravel(), minlength=256)
+                n = int(hist.sum())
+                s = int((hist * np.arange(256)).sum())
+                best_t, best_sc = 0, -1
+                n0 = s0 = 0
+                for v in range(256):
+                    c = int(hist[v])
+                    if c == 0:
+                        continue
+                    n0 += c
+                    s0 += v * c
+                    n1 = n - n0
+                    if n1 == 0:
+                        break  # upper class empty: not a valid cut
+                    d = s0 * n1 - (s - s0) * n0
+                    sc = (d * d << OTSU_SCALE_BITS) // (n0 * n1)
+                    if sc > best_sc:
+                        best_sc, best_t = sc, v
+                fg = g > best_t
+                out["image_id"].append(r.image_id)
+                out["otsu_t"].append(best_t)
+                out["n_fg"].append(int(fg.sum()))
+                out["fg_sum"].append(int(g[fg].sum()))
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        schema="image_id string, otsu_t int, n_fg long, fg_sum long, "
+        "caption string",
+    )
+
+
 def letterbox(
     rgba: np.ndarray, target: int, fill: tuple[int, int, int, int] = (0, 0, 0, 255)
 ) -> tuple[np.ndarray, int, int, int, int]:

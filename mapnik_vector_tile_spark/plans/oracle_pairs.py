@@ -5731,6 +5731,67 @@ FROM agg a JOIN caps ON a.i = caps.i
 """
 
 
+def q_image_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12g Otsu global threshold (raster.otsu_stats — integer-exact
+    between-class-variance argmax over the 8-bit luma histogram) over
+    the canonical images table with a FULL oracle: DuckDB regenerates
+    every source pixel from the shared CTE chain, folds the per-level
+    histogram, and replays the floor-scaled HUGEINT score argmax
+    ((s0·n1 − s1·n0)²·2⁵⁶ // (n0·n1), smallest-v tiebreak) plus the
+    foreground count/sum at the chosen cut. Scale bound analysis in
+    the operator docstring guarantees scaled argmax == exact argmax."""
+    from mapnik_vector_tile_spark.operators.raster import otsu_stats
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_TH_N)
+    return otsu_stats(imgs)
+
+
+def _sql_image_otsu(n: int = IMG_TH_N) -> str:
+    scale = 1 << 56  # OTSU_SCALE_BITS
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS (
+  SELECT i, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+lev AS (
+  SELECT i, g8 AS v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(g8) AS BIGINT) AS sv
+  FROM lum GROUP BY 1, 2
+),
+tot AS (SELECT i, SUM(c) AS tn, SUM(sv) AS ts FROM lev GROUP BY i),
+cum AS (
+  SELECT i, v,
+         SUM(c)  OVER (PARTITION BY i ORDER BY v) AS n0,
+         SUM(sv) OVER (PARTITION BY i ORDER BY v) AS s0
+  FROM lev
+),
+sc AS (
+  SELECT c.i, c.v,
+         (t.tn - c.n0) AS n1, (t.ts - c.s0) AS s1,
+         (CAST(c.s0 * (t.tn - c.n0) - (t.ts - c.s0) * c.n0 AS HUGEINT)
+          * CAST(c.s0 * (t.tn - c.n0) - (t.ts - c.s0) * c.n0 AS HUGEINT)
+          * {scale}) // CAST(c.n0 * (t.tn - c.n0) AS HUGEINT) AS score
+  FROM cum c JOIN tot t ON c.i = t.i
+  WHERE c.n0 < t.tn
+),
+best AS (
+  SELECT i, v, n1, s1,
+         row_number() OVER (PARTITION BY i ORDER BY score DESC, v ASC)
+           AS rn
+  FROM sc
+)
+SELECT 'img_' || lpad(CAST(b.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(b.v AS INT) AS otsu_t,
+       CAST(b.n1 AS BIGINT) AS n_fg,
+       CAST(b.s1 AS BIGINT) AS fg_sum,
+       caps.caption AS caption
+FROM best b JOIN caps ON b.i = caps.i
+WHERE b.rn = 1
+"""
+
+
 def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12f the IMAGE-side curation pipeline COMPOSED end-to-end (the
     visual twin of q_corpus_filter's text pipeline): blur gate
@@ -7517,6 +7578,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
     "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
     "q_image_blur": (q_image_blur, _sql_image_blur()),
+    "q_image_otsu": (q_image_otsu, _sql_image_otsu()),
     "q_image_curation": (q_image_curation, _sql_image_curation()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
@@ -7553,6 +7615,7 @@ _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
     "q_raster_png8",
+    "q_image_otsu",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

@@ -592,3 +592,78 @@ def test_laplacian_blur_gate(spark):
     assert out["chk"].n_int == 36 and out["chk"].sum_l2 == 36 * (4 * 255) ** 2
     assert out["tiny"].is_blurry and out["tiny"].n_int == 0
     assert out["chk"].caption == "cap chk"
+
+
+def test_otsu_two_level_and_flat(spark):
+    """Otsu picks the valley between two luma populations; a flat
+    image has no valid cut and pins the t=0 convention."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import otsu_stats
+
+    def rgba_of_gray(gmat):
+        a = np.zeros((*gmat.shape, 4), np.uint8)
+        a[..., 0] = a[..., 1] = a[..., 2] = gmat
+        a[..., 3] = 255
+        return a.tobytes()
+
+    # two-level image: gray values 50 (left half) and 200 (right half)
+    g = np.full((8, 8), 50, np.uint8)
+    g[:, 4:] = 200
+    flat = np.full((6, 6), 99, np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("two", rgba_of_gray(g), 8, 8, "raw-rgba8", "cap two"),
+            ("flat", rgba_of_gray(flat), 6, 6, "raw-rgba8", "cap flat"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string",
+    )
+    out = {r.image_id: r for r in otsu_stats(df).collect()}
+    # luma8 of pure gray v = (v*77 + v*151 + v*28) >> 8 = v*256>>8 = v
+    assert out["two"].otsu_t == 50  # cut at the lower level
+    assert out["two"].n_fg == 32 and out["two"].fg_sum == 32 * 200
+    assert out["flat"].otsu_t == 0 and out["flat"].n_fg == 36
+    assert out["two"].caption == "cap two"
+
+
+def test_otsu_matches_float_reference(spark):
+    """The integer floor-scaled argmax equals the classic float Otsu
+    on random images (the scale-bound argument made concrete)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import otsu_stats
+
+    rng = np.random.default_rng(7)
+    rows = []
+    expected = {}
+    for i in range(6):
+        g = rng.integers(0, 256, (17, 13)).astype(np.uint8)
+        a = np.zeros((17, 13, 4), np.uint8)
+        a[..., 0] = a[..., 1] = a[..., 2] = g
+        a[..., 3] = 255
+        rows.append((f"i{i}", a.tobytes(), 13, 17, "raw-rgba8", "c"))
+        # float reference argmax (smallest-t tiebreak)
+        hist = np.bincount(g.ravel(), minlength=256).astype(float)
+        n = hist.sum()
+        s = (hist * np.arange(256)).sum()
+        best_t, best = 0, -1.0
+        n0 = s0 = 0.0
+        for v in range(256):
+            n0 += hist[v]
+            s0 += v * hist[v]
+            n1 = n - n0
+            if n1 == 0:
+                break
+            d = s0 * n1 - (s - s0) * n0
+            sc = d * d / (n0 * n1) if n0 else -1.0
+            if sc > best + 1e-9:
+                best, best_t = sc, v
+        expected[f"i{i}"] = best_t
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string",
+    )
+    out = {r.image_id: r.otsu_t for r in otsu_stats(df).collect()}
+    assert out == expected
