@@ -443,6 +443,146 @@ def kmeans_clusters(
     )
 
 
+def _rha_scalar(x: float) -> int:
+    """std::round parity for driver-side floats (centroid means)."""
+    import math
+
+    ax = abs(x)
+    r = math.floor(ax) + (1 if ax - math.floor(ax) >= 0.5 else 0)
+    return -int(r) if x < 0 else int(r)
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 2,
+    ksub: int = 8,
+    iters: int = 2,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """T27 Product Quantization (Jégou et al. 2011; the FAISS IVF-PQ
+    compression stage) — completes the ANN family beside brute / LSH /
+    IVF: the vector splits into ``m`` subvectors, each subspace trains
+    its own ``ksub``-centroid Lloyd codebook, and a vector compresses
+    to ``m`` small codes (here m·3 bits vs 64·64 bits). Serving uses
+    ASYMMETRIC DISTANCE (ADC): the query's exact distance to every
+    codebook centroid forms an m×ksub lookup table, and a database
+    vector's distance estimate is the sum of m table entries — no
+    original vectors touched at query time.
+
+    Built on the same bit-exact scaffolding as kmeans_clusters:
+
+    * vectors quantize once to the 2^20 integer grid → all subspace
+      distances are exact BIGINT sums (sub·(2·2^20)² ≈ 2^47 « 2^63);
+    * per-subspace init = the ksub lowest-id vectors' subvectors, no
+      RNG; update rounds the exact integer-sum mean back to the grid
+      with the shared round-half-away; empty cells keep the previous
+      centroid; argmin ties break to the lowest code;
+    * training assignment is pure Column math (zip_with/aggregate
+      lambdas against broadcast literal centroids — codegen, no UDF),
+      one m-way partial-agg shuffle per Lloyd round, each collecting
+      only ksub×(dims/m + 1) scalars;
+    * the FINAL encode pass is one narrow zero-shuffle projection —
+      at 100 TB this is the pass that matters, and it's a scan;
+    * ADC is an array-literal lookup per subspace (element_at against
+      a broadcast lut), again pure Column math.
+
+    The ADC column uses the lowest-id vector as the canonical query so
+    the whole pipeline (codebooks, codes, lut, estimate) is oracle-
+    checkable. Returns (id_col, code0..code{m-1} int, adc bigint)."""
+    spark = emb.sparkSession  # noqa: F841 (parity with kmeans_clusters)
+    v = F.col(col)
+    q = F.transform(
+        v,
+        lambda x: _round_half_away_col(
+            x.cast("double") * F.lit(float(KM_SCALE))
+        ).cast("long"),
+    )
+    first = emb.select(col).first()
+    if first is None:
+        raise ValueError("pq_encode: empty embedding table")
+    dims = len(first[0])
+    if dims % m:
+        raise ValueError(f"pq_encode: dims {dims} not divisible by m={m}")
+    sub = dims // m
+    subs = emb.select(
+        F.col(id_col),
+        *[F.slice(q, j * sub + 1, sub).alias(f"sub{j}") for j in range(m)],
+    )
+
+    seed = subs.orderBy(id_col).limit(ksub).collect()
+    if len(seed) < ksub:
+        raise ValueError(f"pq_encode: need >= ksub={ksub} vectors")
+    cents = [
+        [[int(x) for x in r[f"sub{j}"]] for r in seed] for j in range(m)
+    ]
+
+    def code_col(j: int) -> F.Column:
+        structs = []
+        for cid, c in enumerate(cents[j]):
+            carr = F.array(*[F.lit(ci).cast("long") for ci in c])
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col(f"sub{j}"), carr, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+        best = structs[0] if len(structs) == 1 else F.least(*structs)
+        return best["cid"]
+
+    for _ in range(max(1, iters) - 1):
+        for j in range(m):
+            rows = (
+                subs.withColumn("_c", code_col(j))
+                .groupBy("_c")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.col(f"sub{j}")[i]).alias(f"s{i}")
+                        for i in range(sub)
+                    ],
+                )
+                .collect()
+            )
+            by_cid = {int(r["_c"]): r for r in rows}
+            for cid in range(ksub):
+                r = by_cid.get(cid)
+                if r is None:
+                    continue  # empty cell: keep previous centroid
+                n = float(r["n"])
+                cents[j][cid] = [
+                    _rha_scalar(float(r[f"s{i}"]) / n) for i in range(sub)
+                ]
+
+    # canonical query = lowest-id vector; exact BIGINT lut per subspace
+    qrow = subs.orderBy(id_col).limit(1).collect()[0]
+    luts = []
+    for j in range(m):
+        qs = [int(x) for x in qrow[f"sub{j}"]]
+        luts.append(
+            [
+                sum((a - b) * (a - b) for a, b in zip(qs, c))
+                for c in cents[j]
+            ]
+        )
+
+    out = subs
+    for j in range(m):
+        out = out.withColumn(f"code{j}", code_col(j).cast("int"))
+    adc = None
+    for j in range(m):
+        lut = F.array(*[F.lit(int(d)).cast("long") for d in luts[j]])
+        term = F.element_at(lut, F.col(f"code{j}") + 1)
+        adc = term if adc is None else adc + term
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"code{j}") for j in range(m)],
+        adc.cast("bigint").alias("adc"),
+    )
+
+
 SD_SCALE = 1 << 12  # semdedup cosine grid: with unit-norm 64-dim
 # vectors, Σq² ≈ 2^24, so dot²·10⁴ ≤ ~2^61 and τ²-cross-multiplied
 # comparisons stay EXACT in int64 in both engines

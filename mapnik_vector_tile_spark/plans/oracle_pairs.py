@@ -7616,6 +7616,7 @@ _RECORD_FIRST = (
     # the two formerly rows-only keys (now full-oracle) re-record after
     "q_raster_png8",
     "q_image_otsu",
+    "q_pq",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

@@ -1531,6 +1531,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         ),
         "q_embedding_quantize": (q_embedding_quantize, sql_embedding_quantize()),
         "q_kmeans": (q_kmeans, sql_kmeans()),
+        "q_pq": (q_pq, sql_pq()),
         "q_pii_redact": (q_pii_redact, sql_pii_redact()),
         "q_chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
         "q_event_dedup": (q_event_dedup, sql_event_dedup()),
@@ -1639,6 +1640,112 @@ FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
   FROM d2_
 ) WHERE rn = 1
+"""
+
+
+def q_pq(spark, sf_dir):
+    """T27 Product Quantization (similarity.pq_encode — per-subspace
+    Lloyd codebooks on the 2^20 integer grid, m codes per vector, ADC
+    lookup against the lowest-id query) with a FULL oracle: DuckDB
+    unrolls both Lloyd rounds in BOTH subspaces (same seeds, exact
+    BIGINT distances, shared round-half-away centroid update, empty-
+    cell carry, lowest-code tiebreak), rebuilds the query's m×ksub
+    lookup table, and replays every vector's codes + ADC estimate
+    bit-for-bit."""
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    return S.pq_encode(_emb(spark, sf_dir), m=2, ksub=8, iters=2)
+
+
+def sql_pq(m: int = 2, ksub: int = 8, dims: int = 64) -> str:
+    from mapnik_vector_tile_spark.plans.shared_sql import (
+        round_half_up_nonneg as rhu,
+    )
+
+    def rha(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) < 0 THEN -({rhu(f'-({x})')})"
+            f" ELSE {rhu(x)} END"
+        )
+
+    qv = rha(f"CAST(v AS DOUBLE) * {float(1 << 20)!r}")
+    cmean = rha("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")
+    sub = dims // m
+    parts = [
+        f"""q AS (
+  SELECT vec_id, list_transform(embedding, v -> {qv}) AS qv
+  FROM embeddings
+),
+dimj AS (SELECT unnest(range(1, {sub + 1})) AS di),
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {ksub})
+),
+qmin AS (SELECT qv FROM q ORDER BY vec_id LIMIT 1)"""
+    ]
+    for j in range(m):
+        off = j * sub
+        parts.append(f"""c0_{j} AS (
+  SELECT cid, list(qv[{off} + di] ORDER BY di) AS cv
+  FROM seed, dimj GROUP BY cid
+),
+d1_{j} AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.qv[{off} + dimj.di] - c.cv[dimj.di])
+             * (v.qv[{off} + dimj.di] - c.cv[dimj.di])) AS d2
+  FROM q v, c0_{j} c, dimj GROUP BY 1, 2
+),
+a1_{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1_{j}
+  ) WHERE rn = 1
+),
+s1_{j} AS (
+  SELECT a.cid, dimj.di, SUM(v.qv[{off} + dimj.di]) AS s, COUNT(*) AS n
+  FROM a1_{j} a JOIN q v USING (vec_id), dimj GROUP BY 1, 2
+),
+c1new_{j} AS (
+  SELECT cid, list(CAST({cmean} AS BIGINT) ORDER BY di) AS cv
+  FROM s1_{j} GROUP BY cid
+),
+c1_{j} AS (
+  SELECT c0.cid, COALESCE(cn.cv, c0.cv) AS cv
+  FROM c0_{j} c0 LEFT JOIN c1new_{j} cn USING (cid)
+),
+d2_{j} AS (
+  SELECT v.vec_id, c.cid,
+         SUM((v.qv[{off} + dimj.di] - c.cv[dimj.di])
+             * (v.qv[{off} + dimj.di] - c.cv[dimj.di])) AS d2
+  FROM q v, c1_{j} c, dimj GROUP BY 1, 2
+),
+a2_{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d2_{j}
+  ) WHERE rn = 1
+),
+lut_{j} AS (
+  SELECT c.cid,
+         SUM((qmin.qv[{off} + dimj.di] - c.cv[dimj.di])
+             * (qmin.qv[{off} + dimj.di] - c.cv[dimj.di])) AS d2
+  FROM c1_{j} c, qmin, dimj GROUP BY 1
+)""")
+    code_cols = ", ".join(
+        f"CAST(a2_{j}.cid AS INT) AS code{j}" for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN a2_{j} ON a2_{j}.vec_id = v.vec_id "
+        f"JOIN lut_{j} ON lut_{j}.cid = a2_{j}.cid"
+        for j in range(m)
+    )
+    adc = " + ".join(f"lut_{j}.d2" for j in range(m))
+    return f"""
+WITH {", ".join(parts)}
+SELECT v.vec_id, {code_cols}, CAST({adc} AS BIGINT) AS adc
+FROM q v {joins}
 """
 
 

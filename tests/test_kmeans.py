@@ -218,3 +218,49 @@ def test_alignment_filter_gate_and_guard(spark):
     )
     with pytest.raises(Exception, match="exact-int64 gate limit"):
         S.alignment_filter(big).collect()
+
+
+# --- T27 product quantization -------------------------------------------------
+
+
+def test_pq_codes_separate_obvious_clusters(spark):
+    """Two tight blobs per subspace -> codes split them; ADC of a
+    vector identical to the query is the query's own-cell lut entry."""
+    rng = np.random.RandomState(11)
+    lo = rng.randn(10, 8).astype(np.float32) * 0.01
+    hi = lo + 5.0
+    vecs = np.vstack([lo, hi])
+    out = S.pq_encode(_emb_df(spark, vecs), m=2, ksub=2, iters=3).collect()
+    rows = {r["vec_id"]: r for r in out}
+    # blob membership must be consistent per subspace
+    for j in ("code0", "code1"):
+        lo_codes = {rows[i][j] for i in range(10)}
+        hi_codes = {rows[i][j] for i in range(10, 20)}
+        assert len(lo_codes) == 1 and len(hi_codes) == 1
+        assert lo_codes != hi_codes
+    # adc is nonneg and identical for all members of the query's blob
+    adc_lo = {rows[i]["adc"] for i in range(10)}
+    assert len(adc_lo) == 1 and min(adc_lo) >= 0
+
+
+def test_pq_partitioning_invariance(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    a = sorted(map(tuple, S.pq_encode(df, m=2, ksub=4, iters=2).collect()))
+    b = sorted(
+        map(tuple, S.pq_encode(df.repartition(7), m=2, ksub=4, iters=2).collect())
+    )
+    assert a == b
+
+
+def test_pq_rejects_bad_shapes(spark):
+    import pytest
+
+    rng = np.random.RandomState(1)
+    df = _emb_df(spark, rng.randn(6, 7).astype(np.float32))
+    with pytest.raises(ValueError):
+        S.pq_encode(df, m=2, ksub=2)  # 7 dims not divisible by 2
+    df2 = _emb_df(spark, rng.randn(3, 8).astype(np.float32))
+    with pytest.raises(ValueError):
+        S.pq_encode(df2, m=2, ksub=8)  # fewer vectors than ksub
