@@ -4410,6 +4410,60 @@ def q_wkb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ingest_summary(WK.wkb_to_features(corpus, to_merc=False))
 
 
+def q_shp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 Shapefile source+sink gate with a FULL oracle: the same
+    deterministic 6-shape corpus as the WKT/WKB gates is written
+    through the REAL sharded shapefile sink (sources/shapefile.py —
+    per-(partition, shape-type) .shp/.shx/.dbf triplets, executor-
+    side, Point/MultiPoint split per the one-type-per-file spec rule,
+    pinned-date dBASE III attributes) and read back through the REAL
+    file-parallel source (to_merc=False: the subject is the codec),
+    then summarized per feature exactly like q_wkt_ingest — so the
+    writer, the reader, the FID/caption dbf order join, and the
+    part-offset reconstruction are all under one hash. Same
+    closed-form DuckDB twin; shapefile bytes never reach DuckDB. Ref
+    parity: mapnik's shapefile datasource plugin
+    (plugins/input/shape — shape_datasource/shape_featureset);
+    SURVEY §2.1 S1."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.sources.shapefile import (
+        read_shapefile,
+        write_shapefile_shards,
+    )
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {
+                "feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                "part_offsets": [], "caption": [],
+            }
+            for i, g, xs, ys, offs in _wkt_corpus_geoms(ids):
+                rows["feature_id"].append(i)
+                rows["geom_type"].append(int(g))
+                rows["xs"].append(list(xs))
+                rows["ys"].append(list(ys))
+                rows["part_offsets"].append(list(offs))
+                rows["caption"].append(f"c{i}")
+            yield pd.DataFrame(rows)
+
+    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
+
+    corpus = spark.range(0, WKT_N, 1, 8).mapInPandas(
+        gen, schema=FEATURES_SCHEMA
+    )
+    out_dir = f"/tmp/mvt_shp_gate_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_shapefile_shards(corpus, out_dir, num_shards=8)
+    return _ingest_summary(read_shapefile(spark, out_dir, to_merc=False))
+
+
 def _sql_wkt_ingest(n: int = WKT_N) -> str:
     """Closed-form twin of _wkt_corpus_geoms + _ingest_summary."""
     return f"""
@@ -7557,6 +7611,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_raster_png8": (q_raster_png8, _sql_raster_png8()),
     "q_wkt_ingest": (q_wkt_ingest, _sql_wkt_ingest()),
     "q_wkb_ingest": (q_wkb_ingest, _sql_wkt_ingest()),
+    "q_shp_ingest": (q_shp_ingest, _sql_wkt_ingest()),
     "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
     "q_cell_cover_hier": (q_cell_cover_hier, _sql_cell_cover()),
     "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
@@ -7617,6 +7672,7 @@ _RECORD_FIRST = (
     "q_raster_png8",
     "q_image_otsu",
     "q_pq",
+    "q_shp_ingest",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",
