@@ -162,12 +162,65 @@ def _unpack_coords(buf) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return xs, ys, offs
 
 
+THIN_HBITS = 53  # splitmix64(fid) >> 11 coin domain, shared w/ sampling
+
+
+def thin_thresholds(
+    base_z: int,
+    z_min: int = 0,
+    rate_num: int = 5,
+    rate_den: int = 2,
+) -> dict[int, int]:
+    """tippecanoe ``--drop-rate`` keep thresholds: at zoom z below
+    ``base_z`` a point survives iff its 53-bit hash coin is under
+    2^53·(rate_den/rate_num)^(base_z−z) — the default 5/2 halves-ish
+    density 2.5× per zoom-out step, computed in EXACT integer
+    arithmetic (2^53·den^k // num^k) so both engines agree bit-for-bit.
+    Thresholds are monotone in z, so the kept sets are NESTED across
+    zooms (a point visible at z is visible at every deeper zoom) —
+    the visual-consistency invariant tile viewers rely on."""
+    if rate_num <= rate_den or rate_den < 1:
+        raise ValueError("thin rate must be > 1 (num > den >= 1)")
+    out = {}
+    for z in range(z_min, base_z + 1):
+        k = base_z - z
+        out[z] = ((1 << THIN_HBITS) * rate_den**k) // rate_num**k
+    return out
+
+
+def zoom_thin(
+    assigned: DataFrame,
+    base_z: int,
+    rate_num: int = 5,
+    rate_den: int = 2,
+) -> DataFrame:
+    """Post-assign zoom thinning filter over the assigned schema (any
+    schema with feature_id + z): keep rows whose splitmix64 coin
+    clears the z-level threshold. Prefer assign_tiles(thin_base_z=...)
+    which applies the same rule INSIDE the fan-out kernel so dropped
+    rows never materialize — this standalone form serves already-
+    assigned tables. Drops nothing at z >= base_z."""
+    from mapnik_vector_tile_spark.operators.sampling import sample_hash
+
+    thr = thin_thresholds(base_z, 0, rate_num, rate_den)
+    hord = sample_hash(F.col("feature_id"))
+    cond = F.col("z") >= F.lit(base_z)
+    for z in sorted(thr):
+        if z < base_z:
+            cond = cond | (
+                (F.col("z") == F.lit(z)) & (hord < F.lit(thr[z]))
+            )
+    return assigned.filter(cond)
+
+
 def assign_tiles(
     features: DataFrame,
     z_min: int = 0,
     z_max: int = 14,
     buffer_units: int = tm.DEFAULT_BUFFER,
     extent: int = tm.DEFAULT_EXTENT,
+    thin_base_z: int | None = None,
+    thin_rate: tuple[int, int] = (5, 2),
 ) -> DataFrame:
     """1->N covering-tile fan-out (A.2) over the z range — fully
     vectorized (np.repeat cartesian enumeration, no per-feature Python
@@ -196,6 +249,17 @@ def assign_tiles(
     sc = features.sparkSession.sparkContext
     if features.rdd.getNumPartitions() < sc.defaultParallelism:
         features = features.repartition(sc.defaultParallelism * 2)
+
+    # zoom thinning (tippecanoe --drop-rate): per-z keep thresholds on
+    # the 53-bit splitmix coin; applied INSIDE the fan-out by zeroing
+    # the covering count of dropped features, so the dropped rows are
+    # never enumerated (at 10^12 points, z0-z5 would otherwise fan out
+    # 6·10^12 rows that the pyramid cannot render anyway)
+    thin_thr = (
+        thin_thresholds(thin_base_z, z_min, *thin_rate)
+        if thin_base_z is not None
+        else None
+    )
 
     def gen(it):
         for pdf in it:
@@ -228,6 +292,12 @@ def assign_tiles(
             packed = np.empty(n, dtype=object)
             for i in np.flatnonzero(~single):
                 packed[i] = _pack_coords(xs_np[i], ys_np[i], offs_np[i])
+            if thin_thr is not None:
+                from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+                hord = (
+                    splitmix64(fids.astype(np.uint64)) >> np.uint64(11)
+                ).astype(np.int64)
             chunks = []
             for z in range(z_min, z_max + 1):
                 lox, hix, loy, hiy = tm.covering_tiles_np(
@@ -236,6 +306,10 @@ def assign_tiles(
                 nx = hix - lox + 1
                 ny = hiy - loy + 1
                 cnt = nx * ny
+                if thin_thr is not None and z in thin_thr:
+                    t = thin_thr[z]
+                    if t < (1 << THIN_HBITS):
+                        cnt = np.where(hord < t, cnt, 0)
                 rep = np.repeat(np.arange(n), cnt)
                 # within-feature rank 0..cnt-1 -> (dx, dy) cartesian
                 starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))

@@ -699,6 +699,59 @@ def _engine_point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THIN_BASE_Z = 10  # q_zoom_thin base zoom
+
+
+def q_zoom_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 zoom-gated point thinning (tippecanoe --drop-rate 2.5
+    semantics; tiling.thin_thresholds / assign_tiles(thin_base_z=...))
+    with a FULL oracle: order points fan out z0..10 with thinning
+    applied INSIDE the assign kernel (buffer 0, so each point covers
+    exactly one tile per zoom and the per-z row count IS the kept-set
+    size), summarized per zoom as (n_kept, sum of kept feature ids).
+    The DuckDB twin replays the splitmix64 coin and the exact integer
+    thresholds 2^53·2^k//5^k — any drift in the coin, the threshold
+    arithmetic, or the in-kernel mask breaks the hash. The nested-
+    kept-set invariant is pinned in tests/test_pipeline.py."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+    assigned = T.assign_tiles(
+        feats, 0, THIN_BASE_Z, buffer_units=0, thin_base_z=THIN_BASE_Z
+    )
+    return assigned.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("feature_id").cast("long").alias("sum_fid"),
+    )
+
+
+def _sql_zoom_thin(base_z: int = THIN_BASE_Z) -> str:
+    from mapnik_vector_tile_spark.operators.tiling import thin_thresholds
+
+    thr = thin_thresholds(base_z, 0)
+    thr_case = " ".join(
+        f"WHEN {z} THEN {t}" for z, t in sorted(thr.items())
+    )
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+h AS (
+  SELECT id, CAST(({splitmix64_sql('id')}) // 2048 AS BIGINT) AS hord
+  FROM pts
+),
+zs AS (SELECT unnest(generate_series(0, {base_z})) AS z),
+keep AS (
+  SELECT zs.z, h.id
+  FROM h, zs
+  WHERE h.hord < (CASE zs.z {thr_case} ELSE {1 << 53} END)
+)
+SELECT z, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(id) AS BIGINT) AS sum_fid
+FROM keep GROUP BY z
+"""
+
+
 OZ_PARENT_Z = 3
 OZ_BUF = 64
 
@@ -7612,6 +7665,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_wkt_ingest": (q_wkt_ingest, _sql_wkt_ingest()),
     "q_wkb_ingest": (q_wkb_ingest, _sql_wkt_ingest()),
     "q_shp_ingest": (q_shp_ingest, _sql_wkt_ingest()),
+    "q_zoom_thin": (q_zoom_thin, _sql_zoom_thin()),
     "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
     "q_cell_cover_hier": (q_cell_cover_hier, _sql_cell_cover()),
     "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
@@ -7673,6 +7727,7 @@ _RECORD_FIRST = (
     "q_image_otsu",
     "q_pq",
     "q_shp_ingest",
+    "q_zoom_thin",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

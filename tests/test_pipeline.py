@@ -240,3 +240,63 @@ def test_area_threshold_drops_small_rings(spark):
         rings[thr] = len(dec.part_offsets.iloc[0]) - 1
     assert rings[0.0] == 2
     assert rings[25.0] == 1
+
+
+def test_zoom_thin_nested_and_kernel_parity(spark):
+    """P6 thinning: the in-kernel mask equals the standalone post-
+    filter row-for-row, kept sets are NESTED across zooms, and the
+    keep rate tracks (den/num)^k."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    pts = derive_points(orders, "o_orderkey")
+    feats = pts.select(
+        F.col("id").alias("feature_id"),
+        F.lit(1).alias("geom_type"),
+        F.array("mx").alias("xs"),
+        F.array("my").alias("ys"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+        F.lit("c").alias("caption"),
+    )
+    base_z = 8
+    kern = T.assign_tiles(feats, 0, base_z, buffer_units=0,
+                          thin_base_z=base_z)
+    post = T.zoom_thin(
+        T.assign_tiles(feats, 0, base_z, buffer_units=0), base_z
+    )
+    a = sorted(
+        (r.z, r.feature_id, r.x, r.y)
+        for r in kern.select("z", "feature_id", "x", "y").collect()
+    )
+    b = sorted(
+        (r.z, r.feature_id, r.x, r.y)
+        for r in post.select("z", "feature_id", "x", "y").collect()
+    )
+    assert a == b and len(a) > 0
+    by_z = {}
+    for z, fid, _, _ in a:
+        by_z.setdefault(z, set()).add(fid)
+    n_all = len(by_z[base_z])
+    for z in range(base_z):
+        assert by_z[z] <= by_z[z + 1], f"kept set not nested at z{z}"
+        k = base_z - z
+        expect = n_all * (2 / 5) ** k
+        assert abs(len(by_z[z]) - expect) < max(6 * expect**0.5, 8), (
+            z, len(by_z[z]), expect,
+        )
+
+
+def test_thin_thresholds_contract():
+    import pytest
+
+    from mapnik_vector_tile_spark.operators.tiling import thin_thresholds
+
+    thr = thin_thresholds(10, 0)
+    assert thr[10] == 1 << 53  # base zoom keeps everything
+    assert all(thr[z] < thr[z + 1] for z in range(10))  # monotone
+    assert thr[9] == ((1 << 53) * 2) // 5
+    with pytest.raises(ValueError):
+        thin_thresholds(10, 0, rate_num=2, rate_den=2)
