@@ -45,6 +45,14 @@ _T_EXTRA_SAMPLES = 338
 
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
+_TYPE_DOUBLE = 12
+
+# GeoTIFF 1.1 (OGC 19-008r4) georeferencing tags
+_T_PIXEL_SCALE = 33550  # ModelPixelScaleTag, DOUBLE x3
+_T_TIEPOINT = 33922  # ModelTiepointTag, DOUBLE x6
+_T_GEO_KEYS = 34735  # GeoKeyDirectoryTag, SHORT x4n
+# minimal key directory: projected model, PixelIsArea, EPSG:3857
+_GEO_KEYS_3857 = (1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 3857)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8}
@@ -131,11 +139,21 @@ def _packbits_decode(buf: memoryview, expect: int) -> bytes:
 # --- encode --------------------------------------------------------------------
 
 
-def encode_tiff(rgba: np.ndarray, compress: bool = True) -> bytes:
+def encode_tiff(
+    rgba: np.ndarray,
+    compress: bool = True,
+    geo: tuple[float, float, float, float] | None = None,
+) -> bytes:
     """uint8[h,w,4] (or [h,w,3]) -> little-endian baseline TIFF bytes.
 
     PackBits per row (TIFF 6.0 §9 row-restart rule) when ``compress``,
     strips sized to ~8 KiB of raw data as the spec recommends.
+
+    ``geo`` = (minx, miny, maxx, maxy) EPSG:3857 mercator bounds makes
+    the stream a GeoTIFF (OGC 19-008r4): ModelPixelScaleTag +
+    ModelTiepointTag anchor pixel (0,0) at (minx, maxy) with spans
+    divided exactly by w/h, and a minimal GeoKeyDirectory declares the
+    projected CRS — the georeferencing mapnik's gdal datasource reads.
     """
     if (
         not isinstance(rgba, np.ndarray)
@@ -165,15 +183,15 @@ def encode_tiff(rgba: np.ndarray, compress: bool = True) -> bytes:
     extra: list[bytes] = []  # out-of-line values, laid out after the IFD
 
     header = 8
-    n_entries = 10 + (1 if spp == 4 else 0)
+    n_entries = 10 + (1 if spp == 4 else 0) + (3 if geo is not None else 0)
     ifd_size = 2 + 12 * n_entries + 4
     extra_base = header + ifd_size
 
-    def add(tag: int, typ: int, values: list[int]) -> None:
+    def add(tag: int, typ: int, values: list) -> None:
         count = len(values)
         size = _TYPE_SIZE[typ] * count
-        fmt = "<" + ("H" if typ == _TYPE_SHORT else "I") * count
-        packed = struct.pack(fmt, *values)
+        ch = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
+        packed = struct.pack("<" + ch * count, *values)
         if size <= 4:
             entries.append((tag, typ, count, packed.ljust(4, b"\0")))
         else:
@@ -195,6 +213,13 @@ def encode_tiff(rgba: np.ndarray, compress: bool = True) -> bytes:
     add(_T_PLANAR, _TYPE_SHORT, [1])
     if spp == 4:
         add(_T_EXTRA_SAMPLES, _TYPE_SHORT, [2])  # unassociated alpha
+    if geo is not None:
+        minx, miny, maxx, maxy = (float(v) for v in geo)
+        if not (maxx > minx and maxy > miny):
+            raise ValueError(f"encode_tiff: degenerate geo bbox {geo}")
+        add(_T_PIXEL_SCALE, _TYPE_DOUBLE, [(maxx - minx) / w, (maxy - miny) / h, 0.0])
+        add(_T_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, minx, maxy, 0.0])
+        add(_T_GEO_KEYS, _TYPE_SHORT, list(_GEO_KEYS_3857))
 
     data_base = extra_base + sum(len(e) for e in extra)
     offs, cur = [], data_base
@@ -235,6 +260,81 @@ def encode_tiff(rgba: np.ndarray, compress: bool = True) -> bytes:
 
 
 # --- decode --------------------------------------------------------------------
+
+
+def read_geo_bbox(buf: bytes) -> tuple[float, float, float, float] | None:
+    """Parse GeoTIFF georeferencing (ModelPixelScale + ModelTiepoint)
+    from a TIFF stream -> (minx, miny, maxx, maxy), or None when the
+    stream carries no geo tags (a plain TIFF). Both byte orders.
+    Malformed structure raises ValueError like decode_tiff."""
+    try:
+        if len(buf) < 8:
+            raise ValueError("tiff: truncated header")
+        bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+        if bo is None:
+            raise ValueError("tiff: bad byte-order mark")
+        _magic, ifd_off = struct.unpack(bo + "HI", buf[2:8])
+        (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+        dims = {}
+        geo = {}
+        for i in range(n_entries):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, count = struct.unpack(bo + "HHI", buf[off : off + 8])
+            val4 = buf[off + 8 : off + 12]
+            if tag in (_T_WIDTH, _T_LENGTH) and typ in (_TYPE_SHORT, _TYPE_LONG):
+                ch = "H" if typ == _TYPE_SHORT else "I"
+                dims[tag] = struct.unpack(bo + ch, val4[: _TYPE_SIZE[typ]])[0]
+            elif tag in (_T_PIXEL_SCALE, _T_TIEPOINT) and typ == _TYPE_DOUBLE:
+                (doff,) = struct.unpack(bo + "I", val4)
+                total = 8 * count
+                if doff + total > len(buf):
+                    raise ValueError("tiff: geo tag value out of range")
+                geo[tag] = struct.unpack(
+                    bo + "d" * count, buf[doff : doff + total]
+                )
+        if _T_PIXEL_SCALE not in geo or _T_TIEPOINT not in geo:
+            return None
+        if _T_WIDTH not in dims or _T_LENGTH not in dims:
+            raise ValueError("tiff: geo tags without raster dimensions")
+        sx, sy = geo[_T_PIXEL_SCALE][0], geo[_T_PIXEL_SCALE][1]
+        tp = geo[_T_TIEPOINT]
+        if len(tp) < 6 or sx <= 0 or sy <= 0:
+            raise ValueError("tiff: malformed georeferencing")
+        # raster point (tp[0], tp[1]) maps to model (tp[3], tp[4])
+        minx = tp[3] - tp[0] * sx
+        maxy = tp[4] + tp[1] * sy
+        return (minx, maxy - dims[_T_LENGTH] * sy, minx + dims[_T_WIDTH] * sx, maxy)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"tiff: malformed stream ({type(e).__name__})") from e
+
+
+def read_dims(buf: bytes) -> tuple[int, int]:
+    """(w, h) from the IFD alone — header-only, no strip decode (the
+    ingest path reads dimensions without paying for pixel decode)."""
+    try:
+        bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+        if bo is None:
+            raise ValueError("tiff: bad byte-order mark")
+        _magic, ifd_off = struct.unpack(bo + "HI", buf[2:8])
+        (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+        dims = {}
+        for i in range(n_entries):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, _count = struct.unpack(bo + "HHI", buf[off : off + 8])
+            if tag in (_T_WIDTH, _T_LENGTH) and typ in (_TYPE_SHORT, _TYPE_LONG):
+                ch = "H" if typ == _TYPE_SHORT else "I"
+                dims[tag] = struct.unpack(
+                    bo + ch, buf[off + 8 : off + 8 + _TYPE_SIZE[typ]]
+                )[0]
+        if _T_WIDTH not in dims or _T_LENGTH not in dims:
+            raise ValueError("tiff: missing dimension tags")
+        return dims[_T_WIDTH], dims[_T_LENGTH]
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"tiff: malformed stream ({type(e).__name__})") from e
 
 
 def decode_tiff(buf: bytes) -> np.ndarray:

@@ -358,6 +358,64 @@ def rasterize_images(
     )
 
 
+def geotiff_footprints(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "idx",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """R1 GEOREFERENCED raster ingest — the mapnik gdal-datasource
+    shape: the image's merc bbox rides INSIDE the GeoTIFF stream
+    (ModelPixelScale + ModelTiepoint, functions.tiff) instead of in
+    sidecar columns. Extracts (w, h, minx, maxx, miny, maxy) from the
+    IFD header only (no pixel decode on the ingest pass) and emits the
+    footprinted frame rasterize_images consumes. Streams without geo
+    tags are DROPPED (mixed-corpus policy — a plain TIFF has no place
+    on the map); malformed streams raise. One narrow mapInPandas, no
+    shuffle."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import tiff as tiffmod
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {
+                "idx": [], "bytes": [], "w": [], "h": [], "fmt": [],
+                "caption": [], "minx": [], "maxx": [], "miny": [],
+                "maxy": [],
+            }
+            caps = pdf[caption_col] if caption_col in pdf else None
+            for k, (i, buf) in enumerate(zip(pdf[id_col], pdf[bytes_col])):
+                buf = bytes(buf)
+                bbox = tiffmod.read_geo_bbox(buf)
+                if bbox is None:
+                    continue
+                w, h = tiffmod.read_dims(buf)
+                rows["idx"].append(int(i))
+                rows["bytes"].append(buf)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fmt"].append("tiff")
+                rows["caption"].append(
+                    str(caps.iloc[k]) if caps is not None else ""
+                )
+                rows["minx"].append(bbox[0])
+                rows["miny"].append(bbox[1])
+                rows["maxx"].append(bbox[2])
+                rows["maxy"].append(bbox[3])
+            if rows["idx"]:
+                yield pd.DataFrame(rows)
+
+    return images.mapInPandas(
+        gen,
+        schema=(
+            "idx long, bytes binary, w int, h int, fmt string, "
+            "caption string, minx double, maxx double, miny double, "
+            "maxy double"
+        ),
+    )
+
+
 def raster_tiles_to_layer(
     tiles: DataFrame, layer_name: str = "raster", extent: int = 4096
 ) -> DataFrame:

@@ -3342,6 +3342,85 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_geotiff_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 georeferenced-ingest gate with a FULL oracle: the SAME
+    tile-aligned ramp corpus as q_raster_tiles, but each image ships
+    as a real GeoTIFF whose merc bbox lives in the embedded
+    ModelPixelScale/ModelTiepoint tags (functions.tiff geo=...) — no
+    footprint columns exist. The REAL geotiff_footprints ingest parses
+    the IFD header (no pixel decode), rebuilds the footprinted frame,
+    and the full warp/composite/encode path runs as in q_raster_tiles;
+    because the GeoTIFF doubles round-trip bit-exactly and PackBits is
+    lossless, the SAME DuckDB twin (_sql_raster_tiles) must hash-match
+    — so the tag writer, the tag parser, AND the ingest drop policy
+    are all under the hash. Ref parity: mapnik's gdal datasource
+    (plugins/input/gdal) feeding the raster processor path; SURVEY
+    §2.8 R1/S3."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import tiff as tiffmod
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators import raster as R
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    span = tm.tile_span(RT_Z)
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"idx": [], "bytes": [], "caption": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                x0 = h % 13
+                y0 = (h >> 8) % 13
+                k = 1 + ((h >> 16) % 2)
+                phase = h % 251
+                t = np.arange(k * RT_T, dtype=np.int64)
+                v = ((t[:, None] * 3 + t[None, :] * 5 + phase) % 256).astype(
+                    np.uint8
+                )
+                rgba = np.repeat(v[..., None], 4, axis=2)
+                bbox = (
+                    -tm.W + np.float64(x0) * span,
+                    tm.W - np.float64(y0 + k) * span,
+                    -tm.W + np.float64(x0 + k) * span,
+                    tm.W - np.float64(y0) * span,
+                )
+                rows["idx"].append(i)
+                rows["bytes"].append(tiffmod.encode_tiff(rgba, geo=bbox))
+                rows["caption"].append(f"img-{i}")
+            yield pd.DataFrame(rows)
+
+    geotiffs = spark.range(RT_N).mapInPandas(
+        gen, schema="idx long, bytes binary, caption string"
+    )
+    images = R.geotiff_footprints(geotiffs)
+    tiles = R.rasterize_images(
+        images, z=RT_Z, tile_size=RT_T, method="bilinear", out_fmt="png-zlib"
+    )
+
+    def summarize(it):
+        for pdf in it:
+            out: dict[str, list] = {
+                "x": [], "y": [], "n_images": [], "px_sum": [],
+            }
+            for xx, yy, ni, raster in zip(
+                pdf["x"], pdf["y"], pdf["n_images"], pdf["raster"]
+            ):
+                img = R.decode_image(bytes(raster), "png-zlib", RT_T, RT_T)
+                out["x"].append(int(xx))
+                out["y"].append(int(yy))
+                out["n_images"].append(int(ni))
+                out["px_sum"].append(int(img[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(
+        summarize, schema="x long, y long, n_images long, px_sum long"
+    ).select(F.lit(RT_Z).alias("z"), "x", "y", "n_images", "px_sum")
+
+
 def _sql_raster_tiles(n: int = RT_N, z: int = RT_Z, t: int = RT_T) -> str:
     """DuckDB twin of q_raster_tiles. Regenerates per-image placement
     from splitmix64(idx), mirrors the engine's FLOAT tile fan-out
@@ -7641,6 +7720,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_engine_downzoom_band": (q_engine_downzoom_band, _sql_downzoom_band()),
     "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
     "q_raster_tiles": (q_raster_tiles, _sql_raster_tiles()),
+    "q_geotiff_tiles": (q_geotiff_tiles, _sql_raster_tiles()),
     "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
     "q_phash_neardup": (q_phash_neardup, _sql_phash_neardup()),
     "q_engine_v1_decode": (q_engine_v1_decode, _sql_v1_decode()),
@@ -7728,6 +7808,7 @@ _RECORD_FIRST = (
     "q_pq",
     "q_shp_ingest",
     "q_zoom_thin",
+    "q_geotiff_tiles",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

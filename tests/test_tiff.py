@@ -134,3 +134,61 @@ def test_encode_rejects_bad_shapes():
     ):
         with pytest.raises(ValueError):
             T.encode_tiff(bad)
+
+
+# --- GeoTIFF georeferencing ----------------------------------------------------
+
+
+def test_geotiff_tags_roundtrip():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.tiff import (
+        encode_tiff,
+        read_dims,
+        read_geo_bbox,
+    )
+    from mapnik_vector_tile_spark.sources.synth import make_pixels
+
+    img = make_pixels(5, 32, 16)
+    bbox = (-1000.0, -500.0, 3000.0, 1500.0)
+    buf = encode_tiff(img, compress=True, geo=bbox)
+    assert read_dims(buf) == (32, 16)
+    back = read_geo_bbox(buf)
+    # spans divide by power-of-two dims -> exact reconstruction here
+    assert back == bbox
+    # pixel payload untouched by geo tags
+    from mapnik_vector_tile_spark.functions.tiff import decode_tiff
+
+    assert np.array_equal(decode_tiff(buf), img)
+    # plain tiff: no geo
+    assert read_geo_bbox(encode_tiff(img)) is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_tiff(img, geo=(5.0, 0.0, 5.0, 1.0))  # degenerate
+    with pytest.raises(ValueError):
+        read_geo_bbox(b"garbage")
+    with pytest.raises(ValueError):
+        read_dims(b"II*\x00")
+
+
+def test_geotiff_footprints_ingest(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.tiff import encode_tiff
+    from mapnik_vector_tile_spark.operators.raster import geotiff_footprints
+    from mapnik_vector_tile_spark.sources.synth import make_pixels
+
+    img = make_pixels(1, 16, 16)
+    geo = encode_tiff(img, geo=(0.0, 0.0, 1024.0, 1024.0))
+    plain = encode_tiff(img)  # no geo tags -> dropped
+    df = spark.createDataFrame(
+        [(1, geo, "cap a"), (2, plain, "cap b")],
+        "idx long, bytes binary, caption string",
+    )
+    out = geotiff_footprints(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.idx == 1 and r.w == 16 and r.h == 16 and r.fmt == "tiff"
+    assert (r.minx, r.miny, r.maxx, r.maxy) == (0.0, 0.0, 1024.0, 1024.0)
+    assert r.caption == "cap a"
