@@ -4596,6 +4596,61 @@ def q_shp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ingest_summary(read_shapefile(spark, out_dir, to_merc=False))
 
 
+CSV_N = 600  # q_csv_ingest corpus size
+
+
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV datasource gate with a FULL oracle: a deterministic
+    point corpus (dyadic lon/lat so sums are exact) is written as four
+    CSV fixture files — including malformed rows: every id%7==0 line
+    carries a non-numeric lon, id%11==0 an out-of-range latitude —
+    and read back through the REAL read_csv_features path
+    (spark.read.csv explicit-schema scan → vectorized coercion +
+    drop-policy stage, to_merc=False: the subject is the parser). The
+    summary reuses the shared _ingest_summary; the DuckDB twin
+    replays the corpus and BOTH drop rules closed-form — CSV text
+    never reaches DuckDB. Ref parity: mapnik's csv datasource plugin
+    (plugins/input/csv, strict=false drop-and-continue); SURVEY
+    §2.1 S1."""
+    import os
+
+    from mapnik_vector_tile_spark.sources.csvsrc import read_csv_features
+
+    out_dir = f"/tmp/mvt_csv_gate_{os.getpid()}"
+    os.makedirs(out_dir, exist_ok=True)
+    for shard in range(4):
+        lines = ["id,lon,lat,caption"]
+        for i in range(shard, CSV_N, 4):
+            lon: object = -170.0 + (i * 7) % 340 + 0.25
+            lat: object = -80.0 + (i * 11) % 160 + 0.5
+            if i % 7 == 0:
+                lon = "not-a-number"
+            elif i % 11 == 0:
+                lat = 91.5  # out of range -> dropped
+            lines.append(f"{i},{lon},{lat},c{i}")
+        with open(f"{out_dir}/part-{shard}.csv", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    feats = read_csv_features(
+        spark,
+        out_dir,
+        columns=["id", "lon", "lat", "caption"],
+        to_merc=False,
+    )
+    return _ingest_summary(feats)
+
+
+def _sql_csv_ingest(n: int = CSV_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+SELECT i AS feature_id, 1 AS geom_type, 1 AS n_parts, 1 AS n_vertices,
+       CAST(-170 + (i * 7) % 340 AS DOUBLE) + 0.25 AS sum_x,
+       CAST(-80 + (i * 11) % 160 AS DOUBLE) + 0.5 AS sum_y,
+       'c' || CAST(i AS VARCHAR) AS caption
+FROM ids
+WHERE i % 7 <> 0 AND i % 11 <> 0
+"""
+
+
 def _sql_wkt_ingest(n: int = WKT_N) -> str:
     """Closed-form twin of _wkt_corpus_geoms + _ingest_summary."""
     return f"""
@@ -7746,6 +7801,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_wkb_ingest": (q_wkb_ingest, _sql_wkt_ingest()),
     "q_shp_ingest": (q_shp_ingest, _sql_wkt_ingest()),
     "q_zoom_thin": (q_zoom_thin, _sql_zoom_thin()),
+    "q_csv_ingest": (q_csv_ingest, _sql_csv_ingest()),
     "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
     "q_cell_cover_hier": (q_cell_cover_hier, _sql_cell_cover()),
     "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
@@ -7809,6 +7865,7 @@ _RECORD_FIRST = (
     "q_shp_ingest",
     "q_zoom_thin",
     "q_geotiff_tiles",
+    "q_csv_ingest",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",
