@@ -554,3 +554,42 @@ def test_vtquery_prunes_store_and_takes_ordered(spark, tiles_parquet):
     assert "EqualTo(z," in pushed and "LessThanOrEqual(x," in pushed
     assert "TakeOrderedAndProject" in plan, plan
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
+
+
+def test_zoom_thin_filter_is_scan_level(spark):
+    """The standalone zoom_thin post-filter compiles to ONE Filter
+    over the assigned relation — the only Python is the shared
+    splitmix coin pandas UDF (Arrow-batched), no Exchange, no join."""
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    assigned = spark.createDataFrame(
+        [(1, 0, 0, 0), (2, 5, 3, 3)], "feature_id long, z int, x int, y int"
+    )
+    plan = _plan(T.zoom_thin(assigned, base_z=8))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pq_final_encode_zero_shuffle(spark):
+    """T37: after training, the PQ code-assignment + ADC projection
+    must be one narrow Column-math pass — no Exchange, no Python UDF
+    (zip_with/aggregate lambdas stay JVM-side)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    rng = np.random.RandomState(2)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(16)),
+            "embedding": [
+                np.asarray(v, dtype=np.float32) for v in rng.randn(16, 8)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = S.pq_encode(df, m=2, ksub=4, iters=1)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
