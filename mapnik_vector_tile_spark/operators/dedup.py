@@ -440,6 +440,45 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def edit_refine(
+    docs: DataFrame,
+    max_num: int = 1,
+    max_den: int = 5,
+) -> DataFrame:
+    """T4b exact edit-distance VERIFICATION of LSH candidates — the
+    refine stage a production near-dup pipeline runs after banding
+    (MinHash recall is probabilistic and one colliding band admits
+    false positives; Levenshtein is the exact similarity the candidate
+    was a proxy for). Keep rule: edit_dist ≤ (max_num/max_den) ·
+    max(len_a, len_b), decided by integer cross-multiplication
+    (d·den ≤ num·maxlen) so no float ratio ever forms — default 1/5 =
+    at most 20% of the longer text edited.
+
+    Plan at 100 TB: candidates are the tiny relation (banding already
+    collapsed the quadratic), so the two text joins are ordinary
+    equi-joins on doc_id against the corpus scan, and the Levenshtein
+    runs JVM-side (built-in ``levenshtein`` — no Python) on candidate
+    pairs ONLY, never all-pairs. Output keeps BOTH branches:
+    (doc_a, doc_b, edit_dist, max_len, keep)."""
+    pairs = minhash_lsh_pairs(docs)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    j = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    d = F.levenshtein("text_a", "text_b")
+    ml = F.greatest(F.length("text_a"), F.length("text_b"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        d.cast("int").alias("edit_dist"),
+        ml.cast("int").alias("max_len"),
+        (d * F.lit(max_den) <= F.lit(max_num) * ml).alias("keep"),
+    )
+
+
 def with_self_copies(docs: DataFrame, offset: int = 1_000_000) -> DataFrame:
     """Test/demo harness: union the table with an id-shifted copy so
     every doc has one exact duplicate — makes dedup outputs non-trivial

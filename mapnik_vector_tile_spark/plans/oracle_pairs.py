@@ -7866,6 +7866,7 @@ _RECORD_FIRST = (
     "q_zoom_thin",
     "q_geotiff_tiles",
     "q_csv_ingest",
+    "q_edit_refine",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

@@ -115,6 +115,36 @@ SELECT doc_a, doc_b FROM lsh_pairs
 """
 
 
+def q_edit_refine(spark, sf_dir):
+    """T4b exact Levenshtein verification of the LSH candidates
+    (dedup.edit_refine — the refine stage after banding) with a FULL
+    oracle: both engines compute the SAME built-in edit distance
+    (byte == char on the committed ASCII corpus — pinned by the
+    corpus check in tests) over the SAME candidate CTE chain, and the
+    keep gate is integer cross-multiplication, so every pair's
+    distance, max length, and verdict hash bit-exactly. Self-copies
+    make keep=TRUE rows load-bearing (d=0); random band collisions
+    carry the FALSE branch."""
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    return D.edit_refine(D.with_self_copies(_docs(spark, sf_dir)))
+
+
+def sql_edit_refine(max_num: int = 1, max_den: int = 5) -> str:
+    return f"""
+WITH {_lsh_pair_ctes()}
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist,
+       CAST(GREATEST(length(ta.text), length(tb.text)) AS INT) AS max_len,
+       (levenshtein(ta.text, tb.text) * {max_den}
+          <= {max_num} * GREATEST(length(ta.text), length(tb.text)))
+         AS keep
+FROM lsh_pairs p
+JOIN docs2 ta ON ta.doc_id = p.doc_a
+JOIN docs2 tb ON tb.doc_id = p.doc_b
+"""
+
+
 def sql_dedup_clusters() -> str:
     """Clustering oracle: transitive closure of the LSH pair graph via
     a recursive CTE (node reaches r if a neighbor reaches r; UNION
@@ -1515,6 +1545,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_simhash": (q_simhash, sql_simhash()),
         "q_simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
         "q_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard_pairs()),
+        "q_edit_refine": (q_edit_refine, sql_edit_refine()),
         "q_quality_stats": (q_quality_stats, sql_quality_stats()),
         "q_corpus_filter": (q_corpus_filter, sql_corpus_filter()),
         "q_token_counts": (q_token_counts, sql_token_counts()),

@@ -733,3 +733,31 @@ def test_chunk_sliding_windows(spark):
     # short docs: exactly one (possibly short) chunk
     assert out[2] == {0: ("a b", 2)}
     assert out[3] == {0: ("solo", 1)}
+
+
+def test_edit_refine_branches_and_ascii_corpus(spark):
+    """T4b: exact copies keep (d=0), heavy edits drop; the oracle's
+    byte==char assumption is pinned by asserting the corpus is ASCII."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import dedup as D
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # the oracle equates DuckDB's byte-level levenshtein with Spark's
+    # char-level one — only sound while the corpus stays ASCII
+    non_ascii = docs.filter(
+        F.length(F.col("text")) != F.octet_length(F.col("text"))
+    ).count()
+    assert non_ascii == 0
+    out = D.edit_refine(D.with_self_copies(docs)).collect()
+    assert len(out) > 0
+    kept = [r for r in out if r.keep]
+    dropped = [r for r in out if not r.keep]
+    assert kept and dropped  # both branches load-bearing
+    # every self-copy pair is distance 0 and kept
+    copies = [r for r in out if r.doc_b == r.doc_a + 1_000_000]
+    assert copies and all(r.edit_dist == 0 and r.keep for r in copies)
+    # gate arithmetic: d*den <= num*max_len exactly
+    for r in out[:50]:
+        assert r.keep == (r.edit_dist * 5 <= 1 * r.max_len)
