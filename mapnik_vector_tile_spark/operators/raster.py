@@ -982,6 +982,60 @@ def laplacian_stats(images: DataFrame, blur_thr: int = 100) -> DataFrame:
     )
 
 
+def equalize_stats(images: DataFrame) -> DataFrame:
+    """T12h histogram equalization — the classic contrast-normalization
+    preprocessing step (`cv2.equalizeHist`), rebuilt integer-exact over
+    the shared 8-bit luma grid so the DuckDB twin replays the remap
+    bit-for-bit:
+
+    * lut(v) = round(255·(cdf(v) − cdf_min)/(n − cdf_min)) with
+      cdf_min = the smallest nonzero cdf value, computed as the pure
+      integer ((cdf−cdf_min)·510 + (n−cdf_min)) // (2·(n−cdf_min))
+      (round-half-up without floats);
+    * a FLAT image (every pixel one level ⇒ n == cdf_min) keeps the
+      identity map by convention (nothing to equalize) — pinned in
+      tests;
+    * output is the exact equalized-pixel sum + extremes per image, so
+      a single mis-rounded lut entry breaks the hash.
+
+    One narrow mapInPandas scan, no shuffle; caption rides through per
+    the north-rule row invariant. Output: (image_id, eq_sum, eq_min,
+    eq_max, caption)."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "eq_sum": [], "eq_min": [],
+                   "eq_max": [], "caption": []}
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                a = rgba.astype(np.int64)
+                g = (a[..., 0] * 77 + a[..., 1] * 151 + a[..., 2] * 28) >> 8
+                hist = np.bincount(g.ravel(), minlength=256)
+                cdf = np.cumsum(hist)
+                n = int(cdf[-1])
+                nz = np.flatnonzero(hist)
+                cdf_min = int(cdf[nz[0]])
+                if n == cdf_min:  # flat image: identity by convention
+                    lut = np.arange(256, dtype=np.int64)
+                else:
+                    den = n - cdf_min
+                    lut = ((cdf - cdf_min) * 510 + den) // (2 * den)
+                eq = lut[g]
+                out["image_id"].append(r.image_id)
+                out["eq_sum"].append(int(eq.sum()))
+                out["eq_min"].append(int(eq.min()))
+                out["eq_max"].append(int(eq.max()))
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        schema="image_id string, eq_sum long, eq_min int, eq_max int, "
+        "caption string",
+    )
+
+
 OTSU_SCALE_BITS = 56  # see otsu_stats: floor-scaled score == exact argmax
 
 

@@ -6033,6 +6033,61 @@ WHERE b.rn = 1
 """
 
 
+def q_image_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12h histogram equalization (raster.equalize_stats —
+    cv2.equalizeHist made integer-exact: round-half-up lut
+    ((cdf−cdf_min)·510 + den)//(2·den) over the 8-bit luma histogram)
+    with a FULL oracle: DuckDB regenerates every pixel from the shared
+    CTE chain, folds the per-level histogram, computes cdf/cdf_min via
+    windows, rebuilds the lut with the same integer arithmetic, joins
+    it back per level, and replays the equalized sum and extremes."""
+    from mapnik_vector_tile_spark.operators.raster import equalize_stats
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    return equalize_stats(images_df(spark, IMG_TH_N))
+
+
+def _sql_image_equalize(n: int = IMG_TH_N) -> str:
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS (
+  SELECT i, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+lev AS (
+  SELECT i, g8 AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lum GROUP BY 1, 2
+),
+cum AS (
+  SELECT i, v, c,
+         SUM(c) OVER (PARTITION BY i ORDER BY v) AS cdf
+  FROM lev
+),
+stats AS (
+  SELECT i, MAX(cdf) AS n, MIN(CASE WHEN c > 0 THEN cdf END) AS cdf_min
+  FROM cum GROUP BY i
+),
+lut AS (
+  SELECT c.i, c.v, c.c,
+         CASE WHEN s.n = s.cdf_min THEN c.v
+              ELSE ((c.cdf - s.cdf_min) * 510 + (s.n - s.cdf_min))
+                   // (2 * (s.n - s.cdf_min))
+         END AS ev
+  FROM cum c JOIN stats s ON c.i = s.i
+),
+agg AS (
+  SELECT i, SUM(ev * c) AS eq_sum, MIN(ev) AS eq_min, MAX(ev) AS eq_max
+  FROM lut GROUP BY i
+)
+SELECT 'img_' || lpad(CAST(a.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(eq_sum AS BIGINT) AS eq_sum,
+       CAST(eq_min AS INT) AS eq_min,
+       CAST(eq_max AS INT) AS eq_max,
+       caps.caption AS caption
+FROM agg a JOIN caps ON a.i = caps.i
+"""
+
+
 def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12f the IMAGE-side curation pipeline COMPOSED end-to-end (the
     visual twin of q_corpus_filter's text pipeline): blur gate
@@ -7824,6 +7879,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
     "q_image_blur": (q_image_blur, _sql_image_blur()),
     "q_image_otsu": (q_image_otsu, _sql_image_otsu()),
+    "q_image_equalize": (q_image_equalize, _sql_image_equalize()),
     "q_image_curation": (q_image_curation, _sql_image_curation()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
@@ -7867,6 +7923,7 @@ _RECORD_FIRST = (
     "q_geotiff_tiles",
     "q_csv_ingest",
     "q_edit_refine",
+    "q_image_equalize",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

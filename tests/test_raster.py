@@ -667,3 +667,37 @@ def test_otsu_matches_float_reference(spark):
     )
     out = {r.image_id: r.otsu_t for r in otsu_stats(df).collect()}
     assert out == expected
+
+
+def test_equalize_flat_identity_and_stretch(spark):
+    """T12h: a flat image keeps the identity map (pinned convention);
+    a two-level image stretches to the full 0..255 range."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import equalize_stats
+
+    def rgba_of_gray(gmat):
+        a = np.zeros((*gmat.shape, 4), np.uint8)
+        a[..., 0] = a[..., 1] = a[..., 2] = gmat
+        a[..., 3] = 255
+        return a.tobytes()
+
+    flat = np.full((4, 4), 77, np.uint8)
+    two = np.full((4, 4), 100, np.uint8)
+    two[:, 2:] = 120
+    df = spark.createDataFrame(
+        [
+            ("flat", rgba_of_gray(flat), 4, 4, "raw-rgba8", "cf"),
+            ("two", rgba_of_gray(two), 4, 4, "raw-rgba8", "ct"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string",
+    )
+    out = {r.image_id: r for r in equalize_stats(df).collect()}
+    assert out["flat"].eq_min == 77 and out["flat"].eq_max == 77
+    assert out["flat"].eq_sum == 77 * 16
+    # two-level: cdf = {100: 8, 120: 16}, cdf_min=8, den=8 ->
+    # lut(100)=0, lut(120)=255
+    assert out["two"].eq_min == 0 and out["two"].eq_max == 255
+    assert out["two"].eq_sum == 8 * 255
+    assert out["two"].caption == "ct"
