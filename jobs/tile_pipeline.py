@@ -86,6 +86,14 @@ def main() -> None:
                          "rollup build reads it once and each derived "
                          "level costs one bounded-fan-in shuffle over "
                          "the much smaller tile table")
+    ap.add_argument("--thin-base-z", type=int, default=None,
+                    help="tippecanoe-style drop-rate 5/2 point "
+                         "thinning below this zoom (P6): the keep "
+                         "mask applies INSIDE the fan-out so dropped "
+                         "low-zoom rows are never generated — at "
+                         "planetary point counts this is what keeps "
+                         "z0-z5 renderable AND keeps shuffle #1 from "
+                         "carrying un-renderable rows")
     args = ap.parse_args()
     if not 0 <= args.z_min <= args.z_max:
         ap.error(f"need 0 <= z-min <= z-max, got {args.z_min}..{args.z_max}")
@@ -115,7 +123,10 @@ def main() -> None:
 
     feats = T.images_to_features(images)
     base_z_min = args.z_max if args.rollup else args.z_min
-    assigned = T.assign_tiles(feats, base_z_min, args.z_max, args.buffer)
+    assigned = T.assign_tiles(
+        feats, base_z_min, args.z_max, args.buffer,
+        thin_base_z=args.thin_base_z,
+    )
 
     # packed tile key (z:4 | x:30 | y:30 bits) — the deterministic
     # lineage-bucket key; stable across cluster sizes
