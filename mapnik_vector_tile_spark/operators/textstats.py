@@ -444,3 +444,126 @@ def remove_boilerplate(
         .withColumn("n_removed", F.col("_n_total") - F.col("n_kept"))
         .drop("_n_total")
     )
+
+
+# --- T10b WordPiece-style subword tokenizer ---------------------------------
+
+# Committed subword vocabulary (the BPE/WordPiece "model file" — in a
+# production pipeline this is learned offline and shipped as an
+# artifact; here it is pinned so both engines and every run agree).
+# Token id = 1-based position in THIS list. Single characters make the
+# tokenizer total (any [a-z0-9] word segments); multi-char pieces give
+# real greedy-longest-match behavior on the corpus vocabulary.
+WP_VOCAB: tuple[str, ...] = tuple(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)]
+    + [
+        # 2-char pieces
+        "jo", "in", "ha", "sh", "ch", "er", "ge", "le", "ue", "rk",
+        "up", "qu", "et", "ll", "ba",
+        # 3-char pieces
+        "row", "bat", "sca", "cus", "tom", "col", "umn", "fil", "ter",
+        "sma", "slo", "mer", "ord", "vec", "tor", "lin", "dat", "tab",
+        "agg", "val", "key", "str", "eam", "win", "dow", "spa", "gro",
+        "par",
+        # 4-char pieces (exercise the longest-first branch over their
+        # own 2/3-char prefixes above)
+        "hash", "join", "scan", "slow", "fast", "line", "data",
+    ]
+)
+WP_MAX_PIECE = 4
+WP_MAX_WORD = 8  # committed corpus bound; longer words raise (guarded)
+
+
+def _wp_vocab_literal(engine: str) -> str:
+    items = ", ".join(f"'{p}'" for p in WP_VOCAB)
+    return f"array({items})" if engine == "spark" else f"[{items}]"
+
+
+def _wp_pos(engine: str, vocab_ref: str, x: str) -> str:
+    """1-based vocab position of expression x, 0 when absent — the one
+    dialect split (Spark returns 0 for absent, DuckDB returns NULL)."""
+    if engine == "spark":
+        return f"array_position({vocab_ref}, {x})"
+    return f"COALESCE(list_position({vocab_ref}, {x}), 0)"
+
+
+def wp_step_exprs(engine: str, vocab_ref: str, word: str, cur: str) -> dict:
+    """ONE greedy step of longest-match-first WordPiece at cursor
+    ``cur`` (1-based) — the single spec both engines render (same
+    pattern as functions/geohash.py): try piece lengths 4,3,2 gated on
+    enough characters remaining, fall back to the single character
+    (id 0 = unk when even that is out-of-vocab; length still 1 so the
+    scan always advances). Returns SQL strings for (len, tok)."""
+    rem = f"(length({word}) - ({cur}) + 1)"
+    p = {
+        k: _wp_pos(engine, vocab_ref, f"substr({word}, {cur}, {k})")
+        for k in (4, 3, 2, 1)
+    }
+    gate = f"({cur}) <= length({word})"
+    len_e = (
+        f"CASE WHEN NOT ({gate}) THEN 0"
+        f" WHEN {rem} >= 4 AND {p[4]} > 0 THEN 4"
+        f" WHEN {rem} >= 3 AND {p[3]} > 0 THEN 3"
+        f" WHEN {rem} >= 2 AND {p[2]} > 0 THEN 2"
+        f" ELSE 1 END"
+    )
+    tok_e = (
+        f"CASE WHEN NOT ({gate}) THEN 0"
+        f" WHEN {rem} >= 4 AND {p[4]} > 0 THEN {p[4]}"
+        f" WHEN {rem} >= 3 AND {p[3]} > 0 THEN {p[3]}"
+        f" WHEN {rem} >= 2 AND {p[2]} > 0 THEN {p[2]}"
+        f" ELSE {p[1]} END"
+    )
+    return {"len": len_e, "tok": tok_e}
+
+
+def wordpiece_tokens(docs: DataFrame) -> DataFrame:
+    """T10b subword tokenization — the REAL token-counting stage of a
+    training pipeline (T10's regex count approximates it): greedy
+    longest-match-first segmentation against the committed WP_VOCAB
+    (the BERT-WordPiece inference rule; continuation markers elided —
+    documented simplification), unrolled WP_MAX_WORD steps as pure
+    Catalyst CASE/substr/array_position expressions generated from ONE
+    spec (`wp_step_exprs`) shared verbatim with the DuckDB twin — no
+    UDF, no Python, the whole per-word scan is one codegen projection.
+
+    Plan at 100 TB: explode(split) → 8 collapsed projections → ONE
+    map-side-combined hash aggregate per doc. Words longer than the
+    committed WP_MAX_WORD bound would silently truncate, so they are
+    counted and surfaced (`n_overlong` must be 0 on a conforming
+    corpus — the driver corpus maxes at 8).
+
+    Output: (doc_id, n_words, n_subwords, tok_id_sum, n_overlong)."""
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    words = words.withColumn(
+        "V", F.expr(_wp_vocab_literal("spark"))
+    )
+    cur = "CAST(1 AS INT)"
+    lens, toks = [], []
+    for s in range(WP_MAX_WORD):
+        e = wp_step_exprs("spark", "V", "w", cur)
+        words = (
+            words.withColumn(f"_l{s}", F.expr(e["len"]))
+            .withColumn(f"_t{s}", F.expr(e["tok"]))
+            .withColumn(f"_c{s}", F.expr(f"({cur}) + _l{s}"))
+        )
+        cur = f"_c{s}"
+        lens.append(f"_l{s}")
+        toks.append(f"_t{s}")
+    n_sub = " + ".join(f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 END)" for c in lens)
+    tok_sum = " + ".join(toks)
+    per_word = words.selectExpr(
+        "doc_id",
+        f"{n_sub} AS n_sub",
+        f"{tok_sum} AS tok_sum",
+        f"CASE WHEN length(w) > {WP_MAX_WORD} THEN 1 ELSE 0 END AS overlong",
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+        F.sum("tok_sum").cast("long").alias("tok_id_sum"),
+        F.sum("overlong").cast("long").alias("n_overlong"),
+    )

@@ -7924,6 +7924,7 @@ _RECORD_FIRST = (
     "q_csv_ingest",
     "q_edit_refine",
     "q_image_equalize",
+    "q_wordpiece",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

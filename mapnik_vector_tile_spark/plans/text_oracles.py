@@ -145,6 +145,62 @@ JOIN docs2 tb ON tb.doc_id = p.doc_b
 """
 
 
+def q_wordpiece(spark, sf_dir):
+    """T10b WordPiece subword tokenization (textstats.wordpiece_tokens
+    — greedy longest-match-first against the committed WP_VOCAB,
+    unrolled as pure Catalyst expressions) with a FULL oracle: the
+    DuckDB twin renders the SAME per-step spec (wp_step_exprs, one
+    builder for both dialects — the geohash one-spec pattern) as a CTE
+    chain, so any drift in the match order, the remaining-chars gates,
+    the unk fallback, or the cursor arithmetic breaks the hash."""
+    from mapnik_vector_tile_spark.operators.textstats import (
+        wordpiece_tokens,
+    )
+
+    return wordpiece_tokens(_docs(spark, sf_dir))
+
+
+def sql_wordpiece() -> str:
+    from mapnik_vector_tile_spark.operators.textstats import (
+        WP_MAX_WORD,
+        _wp_vocab_literal,
+        wp_step_exprs,
+    )
+
+    ctes = [
+        "w0 AS (SELECT doc_id, w, "
+        f"{_wp_vocab_literal('duckdb')} AS voc "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents) WHERE w != '')"
+    ]
+    cur = "1"
+    for s in range(WP_MAX_WORD):
+        e = wp_step_exprs("duckdb", "voc", "w", cur)
+        prev = "w0" if s == 0 else f"s{s - 1}"
+        ctes.append(
+            f"s{s} AS (SELECT *, {e['len']} AS l{s}, {e['tok']} AS t{s}, "
+            f"({cur}) + ({e['len']}) AS c{s} FROM {prev})"
+        )
+        cur = f"c{s}"
+    n_sub = " + ".join(
+        f"(CASE WHEN l{s} > 0 THEN 1 ELSE 0 END)" for s in range(WP_MAX_WORD)
+    )
+    tok_sum = " + ".join(f"t{s}" for s in range(WP_MAX_WORD))
+    return f"""
+WITH {", ".join(ctes)},
+per_word AS (
+  SELECT doc_id, {n_sub} AS n_sub, {tok_sum} AS tok_sum,
+         CASE WHEN length(w) > {WP_MAX_WORD} THEN 1 ELSE 0 END AS overlong
+  FROM s{WP_MAX_WORD - 1}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       CAST(SUM(tok_sum) AS BIGINT) AS tok_id_sum,
+       CAST(SUM(overlong) AS BIGINT) AS n_overlong
+FROM per_word GROUP BY doc_id
+"""
+
+
 def sql_dedup_clusters() -> str:
     """Clustering oracle: transitive closure of the LSH pair graph via
     a recursive CTE (node reaches r if a neighbor reaches r; UNION
@@ -1546,6 +1602,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
         "q_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard_pairs()),
         "q_edit_refine": (q_edit_refine, sql_edit_refine()),
+        "q_wordpiece": (q_wordpiece, sql_wordpiece()),
         "q_quality_stats": (q_quality_stats, sql_quality_stats()),
         "q_corpus_filter": (q_corpus_filter, sql_corpus_filter()),
         "q_token_counts": (q_token_counts, sql_token_counts()),

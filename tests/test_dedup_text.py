@@ -761,3 +761,48 @@ def test_edit_refine_branches_and_ascii_corpus(spark):
     # gate arithmetic: d*den <= num*max_len exactly
     for r in out[:50]:
         assert r.keep == (r.edit_dist * 5 <= 1 * r.max_len)
+
+
+def test_wordpiece_known_segmentations(spark):
+    """T10b: greedy longest-match-first against the committed vocab —
+    known words segment to pinned counts; 4-char pieces beat their own
+    2/3-char prefixes; out-of-vocab chars fall back to unk (id 0) but
+    still advance."""
+    from mapnik_vector_tile_spark.operators.textstats import (
+        WP_VOCAB,
+        wordpiece_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join customer"),  # 1 + 1 + 3 (cus|tom|er)
+            (2, "slow slo table"),      # slow=1 (beats slo), slo=1, tab|le=2
+            (3, "a-b zzzz"),            # '-' is unk: a|-|b = 3 subwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in wordpiece_tokens(docs).collect()}
+    assert out[1].n_words == 3 and out[1].n_subwords == 1 + 1 + 3
+    assert out[2].n_words == 3 and out[2].n_subwords == 1 + 1 + 2
+    # doc 3: 'a-b' -> a, unk, b (3); 'zzzz' -> z z z z (4)
+    assert out[3].n_subwords == 3 + 4
+    # tok_id_sum is exact: doc1 = pos(hash) + pos(join) + pos(cus)+pos(tom)+pos(er)
+    pos = {p: i + 1 for i, p in enumerate(WP_VOCAB)}
+    assert out[1].tok_id_sum == (
+        pos["hash"] + pos["join"] + pos["cus"] + pos["tom"] + pos["er"]
+    )
+    assert all(r.n_overlong == 0 for r in out.values())
+
+
+def test_wordpiece_plan_is_jvm_side(spark):
+    """The unrolled scan must stay in codegen: no Python eval nodes,
+    exactly the one aggregation exchange."""
+    from mapnik_vector_tile_spark.operators.textstats import (
+        wordpiece_tokens,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = wordpiece_tokens(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "HashAggregate" in plan
