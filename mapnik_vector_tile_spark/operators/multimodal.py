@@ -616,3 +616,49 @@ def silence_trim(
         schema="audio_id string, n_win long, n_silent long, "
         "lead long, trail long",
     )
+
+
+def resample_decimate(audio: DataFrame, factor: int = 6) -> DataFrame:
+    """T13d integer decimation — the audio-pipeline downsample step
+    (e.g. 48 kHz → 8 kHz feature rate before feature extraction):
+    each output sample is the FLOOR-DIVIDED mean of ``factor``
+    consecutive input samples (the box anti-alias filter), kept pure
+    integer so both engines agree bit-for-bit — numpy's ``//`` floors
+    and the SQL twin reproduces floor division with the
+    (sum − pmod(sum, M)) / M construction (plain ``//`` truncates
+    toward zero in both SQL engines on negatives). The tail partial
+    block is dropped by contract (same rule as silence_trim frames).
+    Undecodable codecs are skipped. One narrow mapInPandas scan, no
+    shuffle. Output: (audio_id, n_out, dec_sum, dec_min, dec_max)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"audio_id": [], "n_out": [], "dec_sum": [],
+                   "dec_min": [], "dec_max": []}
+            for r in pdf.itertuples():
+                try:
+                    s = decode_audio(r.bytes, r.codec, int(r.n_samples))
+                except NotImplementedError:
+                    continue
+                n_out = len(s) // factor
+                if n_out == 0:
+                    continue
+                w = (
+                    (s[: n_out * factor] * 32768.0)
+                    .astype(np.int64)
+                    .reshape(n_out, factor)
+                )
+                dec = w.sum(axis=1) // factor  # numpy // floors
+                out["audio_id"].append(r.audio_id)
+                out["n_out"].append(n_out)
+                out["dec_sum"].append(int(dec.sum()))
+                out["dec_min"].append(int(dec.min()))
+                out["dec_max"].append(int(dec.max()))
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(
+        gen,
+        schema="audio_id string, n_out long, dec_sum long, "
+        "dec_min long, dec_max long",
+    )

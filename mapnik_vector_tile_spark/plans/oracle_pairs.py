@@ -2913,6 +2913,66 @@ def q_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silence_trim(planted, window=SIL_W, thr_per_sample=SIL_THR)
 
 
+DEC_N = 200  # q_audio_decimate corpus size
+DEC_M = 6  # decimation factor (non-divisor of most clip lengths)
+
+
+def q_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13d integer decimation (multimodal.resample_decimate — box
+    anti-alias downsample, floor-divided block means) over the pcm16
+    rows of the synthetic audio table with a FULL oracle: the DuckDB
+    twin regenerates every sample closed-form (splitmix64 params, the
+    %-sawtooth), folds ``factor``-sample blocks, reproduces numpy's
+    FLOOR division on signed sums via (sum − pmod(sum, M))/M, and
+    replays the per-clip decimated count/sum/extremes bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.multimodal import (
+        resample_decimate,
+    )
+    from mapnik_vector_tile_spark.sources.multimodal import audio_df
+
+    clips = audio_df(spark, DEC_N).filter(F.col("codec") == "pcm16le")
+    return resample_decimate(clips, factor=DEC_M)
+
+
+def _sql_audio_decimate(n: int = DEC_N, m: int = DEC_M) -> str:
+    pmod = f"((bs % {m}) + {m}) % {m}"
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+raw AS (SELECT i, {splitmix64_sql('i')} AS h FROM ids
+        WHERE i % 7 <> 0 AND i % 21 <> 0),
+dims AS (
+  SELECT i,
+         CAST(2000 + h % 6001 AS BIGINT) AS ns,
+         CAST(6000 + ((h // 65536) % 26000) AS BIGINT) AS amp,
+         CAST(16 + ((h // 1099511627776) % 480) AS BIGINT) AS p,
+         CAST(1 + 2 * ((h // 256) % 128) AS BIGINT) AS a
+  FROM raw
+),
+samp AS (
+  SELECT d.i, amp, p, a,
+         unnest(generate_series(0, (ns // {m}) * {m} - 1)) AS k
+  FROM dims d
+),
+blocks AS (
+  SELECT i, k // {m} AS b,
+         SUM(((k % p) * a) % (2 * amp) - amp) AS bs
+  FROM samp GROUP BY 1, 2
+),
+dec AS (
+  SELECT i, b, (bs - ({pmod})) // {m} AS v
+  FROM blocks
+)
+SELECT 'aud_' || CAST(i AS VARCHAR) AS audio_id,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(v) AS BIGINT) AS dec_sum,
+       CAST(MIN(v) AS BIGINT) AS dec_min,
+       CAST(MAX(v) AS BIGINT) AS dec_max
+FROM dec GROUP BY 1
+"""
+
+
 def _sql_silence_trim(n: int = SIL_N, w: int = SIL_W,
                       thr: int = SIL_THR) -> str:
     return f"""
@@ -7865,6 +7925,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_haversine_join": (q_haversine_join, _sql_haversine_join()),
     "q_scene_cuts": (q_scene_cuts, _sql_scene_cuts()),
     "q_silence_trim": (q_silence_trim, _sql_silence_trim()),
+    "q_audio_decimate": (q_audio_decimate, _sql_audio_decimate()),
     "q_line_cover": (q_line_cover, _sql_line_cover()),
     "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
     "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
@@ -7925,6 +7986,7 @@ _RECORD_FIRST = (
     "q_edit_refine",
     "q_image_equalize",
     "q_wordpiece",
+    "q_audio_decimate",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

@@ -196,3 +196,29 @@ def test_silence_trim_runs_and_codecs(spark):
     # mulaw is lossy but 5000 -> companded value stays >> threshold
     assert got["c"] == (8, 4, 2, 1)
     assert "d" not in got
+
+
+def test_resample_decimate_floor_and_tail(spark):
+    """T13d: floor-divided block means (negatives floor toward -inf,
+    matching the SQL twin's pmod construction), tail partial block
+    dropped, undecodable codecs skipped."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.multimodal import (
+        resample_decimate,
+    )
+
+    s = np.array([1, 2, 3, -1, -2, -2, 7], dtype="<i2")  # 7 samples, M=3
+    df = spark.createDataFrame(
+        [
+            ("a", s.tobytes(), "pcm16le", 7),
+            ("b", b"", "mp3", 100),  # stub codec: skipped
+        ],
+        "audio_id string, bytes binary, codec string, n_samples long",
+    )
+    out = {r.audio_id: r for r in resample_decimate(df, factor=3).collect()}
+    assert set(out) == {"a"}
+    # blocks: (1+2+3)//3 = 2; (-1-2-2)//3 = -5//3 = -2 (floor!); tail [7] dropped
+    assert out["a"].n_out == 2
+    assert out["a"].dec_sum == 2 + (-2)
+    assert out["a"].dec_min == -2 and out["a"].dec_max == 2
