@@ -95,6 +95,13 @@ def main() -> None:
                          "z0-z5 renderable AND keeps shuffle #1 from "
                          "carrying un-renderable rows")
     args = ap.parse_args()
+    if args.thin_base_z is not None and args.rollup:
+        # --rollup encodes ONLY z_max from source and derives the lower
+        # pyramid from committed tiles, so a low-zoom thin mask would
+        # silently never apply — reject rather than no-op
+        ap.error("--thin-base-z is incompatible with --rollup (the "
+                 "rollup derives low zooms from the committed z-max "
+                 "store, so the fan-out mask would never fire)")
     if not 0 <= args.z_min <= args.z_max:
         ap.error(f"need 0 <= z-min <= z-max, got {args.z_min}..{args.z_max}")
     if args.z_max + args.overzoom_dz > 15:

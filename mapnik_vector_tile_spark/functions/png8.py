@@ -63,6 +63,10 @@ def median_cut_palette(
     colors."""
     if rgba.ndim != 3 or rgba.shape[2] != 4:
         raise ValueError("median_cut_palette expects HxWx4 uint8")
+    if not 1 <= max_colors <= 256:
+        # indices are uint8 and PLTE caps at 256 entries per the PNG
+        # spec — a larger budget would silently wrap indices
+        raise ValueError(f"max_colors must be in [1, 256], got {max_colors}")
     h, w, _ = rgba.shape
     flat = rgba.reshape(-1, 4)
     packed = _pack_rgba(flat)

@@ -267,6 +267,15 @@ def read_geo_bbox(buf: bytes) -> tuple[float, float, float, float] | None:
     from a TIFF stream -> (minx, miny, maxx, maxy), or None when the
     stream carries no geo tags (a plain TIFF). Both byte orders.
     Malformed structure raises ValueError like decode_tiff."""
+    return read_geo_info(buf)[2]
+
+
+def read_geo_info(
+    buf: bytes,
+) -> tuple[int, int, tuple[float, float, float, float] | None]:
+    """ONE header-only IFD walk -> (w, h, bbox | None) — the ingest
+    entry (geotiff_footprints) needs both dims and bbox; walking the
+    IFD once instead of read_dims + read_geo_bbox halves the parse."""
     try:
         if len(buf) < 8:
             raise ValueError("tiff: truncated header")
@@ -292,10 +301,11 @@ def read_geo_bbox(buf: bytes) -> tuple[float, float, float, float] | None:
                 geo[tag] = struct.unpack(
                     bo + "d" * count, buf[doff : doff + total]
                 )
-        if _T_PIXEL_SCALE not in geo or _T_TIEPOINT not in geo:
-            return None
         if _T_WIDTH not in dims or _T_LENGTH not in dims:
-            raise ValueError("tiff: geo tags without raster dimensions")
+            raise ValueError("tiff: missing dimension tags")
+        w, h = dims[_T_WIDTH], dims[_T_LENGTH]
+        if _T_PIXEL_SCALE not in geo or _T_TIEPOINT not in geo:
+            return (w, h, None)
         sx, sy = geo[_T_PIXEL_SCALE][0], geo[_T_PIXEL_SCALE][1]
         tp = geo[_T_TIEPOINT]
         if len(tp) < 6 or sx <= 0 or sy <= 0:
@@ -303,7 +313,7 @@ def read_geo_bbox(buf: bytes) -> tuple[float, float, float, float] | None:
         # raster point (tp[0], tp[1]) maps to model (tp[3], tp[4])
         minx = tp[3] - tp[0] * sx
         maxy = tp[4] + tp[1] * sy
-        return (minx, maxy - dims[_T_LENGTH] * sy, minx + dims[_T_WIDTH] * sx, maxy)
+        return (w, h, (minx, maxy - h * sy, minx + w * sx, maxy))
     except ValueError:
         raise
     except Exception as e:

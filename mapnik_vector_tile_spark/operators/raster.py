@@ -387,10 +387,9 @@ def geotiff_footprints(
             caps = pdf[caption_col] if caption_col in pdf else None
             for k, (i, buf) in enumerate(zip(pdf[id_col], pdf[bytes_col])):
                 buf = bytes(buf)
-                bbox = tiffmod.read_geo_bbox(buf)
+                w, h, bbox = tiffmod.read_geo_info(buf)  # ONE IFD walk
                 if bbox is None:
                     continue
-                w, h = tiffmod.read_dims(buf)
                 rows["idx"].append(int(i))
                 rows["bytes"].append(buf)
                 rows["w"].append(w)
@@ -984,9 +983,13 @@ def laplacian_stats(images: DataFrame, blur_thr: int = 100) -> DataFrame:
 
 def equalize_stats(images: DataFrame) -> DataFrame:
     """T12h histogram equalization — the classic contrast-normalization
-    preprocessing step (`cv2.equalizeHist`), rebuilt integer-exact over
-    the shared 8-bit luma grid so the DuckDB twin replays the remap
-    bit-for-bit:
+    preprocessing step (the `cv2.equalizeHist` shape), rebuilt as an
+    exact integer pipeline over the shared 8-bit luma grid so the
+    DuckDB twin replays the remap bit-for-bit. The tie-rounding rule is
+    COMMITTED as round-half-up (OpenCV's cvRound is half-to-even
+    through a float scale; on exact .5 lut ties the two differ by 1 —
+    the pinned convention here trades that corner for cross-engine
+    exactness):
 
     * lut(v) = round(255·(cdf(v) − cdf_min)/(n − cdf_min)) with
       cdf_min = the smallest nonzero cdf value, computed as the pure

@@ -370,8 +370,6 @@ def kmeans_clusters(
     At 100 TB: iters × (one narrow scan + one k-row shuffle) — the
     canonical distributed k-means shape. Returns
     (id_col, cluster int, d2 bigint) for the FINAL assignment."""
-    import math
-
     spark = emb.sparkSession
     v = F.col(col)
     q = F.transform(
@@ -410,10 +408,7 @@ def kmeans_clusters(
             "d2", best["d2"]
         )
 
-    def _rha(x: float) -> int:
-        ax = abs(x)
-        r = math.floor(ax) + (1 if ax - math.floor(ax) >= 0.5 else 0)
-        return -int(r) if x < 0 else int(r)
+    _rha = _rha_scalar  # shared std::round-parity helper (module level)
 
     for _ in range(max(1, iters) - 1):
         sums = (
@@ -445,8 +440,6 @@ def kmeans_clusters(
 
 def _rha_scalar(x: float) -> int:
     """std::round parity for driver-side floats (centroid means)."""
-    import math
-
     ax = abs(x)
     r = math.floor(ax) + (1 if ax - math.floor(ax) >= 0.5 else 0)
     return -int(r) if x < 0 else int(r)
@@ -490,7 +483,6 @@ def pq_encode(
     The ADC column uses the lowest-id vector as the canonical query so
     the whole pipeline (codebooks, codes, lut, estimate) is oracle-
     checkable. Returns (id_col, code0..code{m-1} int, adc bigint)."""
-    spark = emb.sparkSession  # noqa: F841 (parity with kmeans_clusters)
     v = F.col(col)
     q = F.transform(
         v,
@@ -556,8 +548,9 @@ def pq_encode(
                     _rha_scalar(float(r[f"s{i}"]) / n) for i in range(sub)
                 ]
 
-    # canonical query = lowest-id vector; exact BIGINT lut per subspace
-    qrow = subs.orderBy(id_col).limit(1).collect()[0]
+    # canonical query = lowest-id vector — already in hand as seed[0]
+    # (the ksub lowest-id rows in order); no second sort-limit job
+    qrow = seed[0]
     luts = []
     for j in range(m):
         qs = [int(x) for x in qrow[f"sub{j}"]]

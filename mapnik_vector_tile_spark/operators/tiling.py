@@ -195,16 +195,21 @@ def zoom_thin(
     rate_den: int = 2,
 ) -> DataFrame:
     """Post-assign zoom thinning filter over the assigned schema (any
-    schema with feature_id + z): keep rows whose splitmix64 coin
-    clears the z-level threshold. Prefer assign_tiles(thin_base_z=...)
+    schema with feature_id + z; geom_type honored when present): keep
+    rows whose splitmix64 coin clears the z-level threshold. Only
+    POINT features thin (tippecanoe --drop-rate semantics — lines and
+    polygons always render); prefer assign_tiles(thin_base_z=...)
     which applies the same rule INSIDE the fan-out kernel so dropped
     rows never materialize — this standalone form serves already-
     assigned tables. Drops nothing at z >= base_z."""
+    from mapnik_vector_tile_spark.functions import geomcodec as _gc
     from mapnik_vector_tile_spark.operators.sampling import sample_hash
 
     thr = thin_thresholds(base_z, 0, rate_num, rate_den)
     hord = sample_hash(F.col("feature_id"))
     cond = F.col("z") >= F.lit(base_z)
+    if "geom_type" in assigned.columns:
+        cond = cond | (F.col("geom_type") != F.lit(_gc.GEOM_POINT))
     for z in sorted(thr):
         if z < base_z:
             cond = cond | (
@@ -309,7 +314,13 @@ def assign_tiles(
                 if thin_thr is not None and z in thin_thr:
                     t = thin_thr[z]
                     if t < (1 << THIN_HBITS):
-                        cnt = np.where(hord < t, cnt, 0)
+                        # POINT features only (tippecanoe --drop-rate
+                        # semantics): lines/polygons always render —
+                        # dropping a whole footprint from a low zoom is
+                        # not density thinning, it's a missing feature
+                        cnt = np.where(
+                            (hord < t) | (gts != gc.GEOM_POINT), cnt, 0
+                        )
                 rep = np.repeat(np.arange(n), cnt)
                 # within-feature rank 0..cnt-1 -> (dx, dy) cartesian
                 starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))

@@ -56,19 +56,34 @@ def csv_to_features(
                 np.float64
             )
             fid = pd.to_numeric(pdf[id_col], errors="coerce")
+            # integral-id rule without a float64 detour (floats silently
+            # corrupt ids beyond 2^53): non-integral or NaN ids drop
             ok = (
                 np.isfinite(lon)
                 & np.isfinite(lat)
                 & (np.abs(lat) <= 90.0)
                 & (np.abs(lon) <= 180.0)
                 & fid.notna().to_numpy()
+                & (fid % 1 == 0).fillna(False).to_numpy()
             )
             if not ok.any():
                 continue
             lon, lat = lon[ok], lat[ok]
-            fids = fid.to_numpy(np.float64)[ok].astype(np.int64)
+            # re-parse the SURVIVING id strings: all-integral input
+            # gives pandas an exact int64 dtype (no 2^53 rounding)
+            fids = pd.to_numeric(
+                pdf[id_col][ok].astype(str).str.strip(), errors="coerce"
+            )
+            if fids.dtype != np.int64:
+                fids = fids.astype(np.int64)
+            fids = fids.to_numpy()
             if caption_col is not None and caption_col in pdf:
-                caps = pdf[caption_col].astype(str).to_numpy()[ok]
+                caps = (
+                    pdf[caption_col]
+                    .where(pdf[caption_col].notna(), "")
+                    .astype(str)
+                    .to_numpy()[ok]
+                )
             else:
                 caps = np.full(len(fids), "", dtype=object)
             if to_merc:

@@ -154,6 +154,16 @@ def decode_shp(buf: bytes):
     """.shp bytes → list of (gtype, xs list, ys list, part_offsets
     list). Malformed structure raises ValueError; Null records and
     Z/M-typed records are skipped (2D narrowing, drop-the-feature)."""
+    return [g for _, g in decode_shp_indexed(buf)]
+
+
+def decode_shp_indexed(buf: bytes):
+    """Like decode_shp but each geometry carries its 0-based RECORD
+    ordinal (counting skipped Null/Z-M records too) — the join key the
+    spec defines against the .dbf sidecar ("records ... must be in the
+    same order as in the main file"); joining by surviving-geometry
+    position instead would misattribute every feature after a skipped
+    record."""
     try:
         return _decode_shp_inner(buf)
     except (struct.error, IndexError) as e:
@@ -172,12 +182,14 @@ def _decode_shp_inner(buf: bytes):
     out = []
     pos = 100
     end = file_words * 2
+    ordinal = -1
     while pos + 8 <= end:
         _recno, clen_words = struct.unpack(">2i", buf[pos : pos + 8])
         body = buf[pos + 8 : pos + 8 + clen_words * 2]
         if len(body) != clen_words * 2:
             raise ValueError("truncated .shp record")
         pos += 8 + clen_words * 2
+        ordinal += 1
         stype = struct.unpack("<i", body[:4])[0]
         if stype == SHP_NULL:
             continue
@@ -185,7 +197,7 @@ def _decode_shp_inner(buf: bytes):
             continue  # Z/M or unknown: drop the feature, never the task
         if stype == SHP_POINT:
             x, y = struct.unpack("<2d", body[4:20])
-            out.append((gc.GEOM_POINT, [x], [y], [0, 1]))
+            out.append((ordinal, (gc.GEOM_POINT, [x], [y], [0, 1])))
             continue
         if stype == SHP_MULTIPOINT:
             (n,) = struct.unpack("<i", body[36:40])
@@ -193,7 +205,9 @@ def _decode_shp_inner(buf: bytes):
                 n, 2
             )
             out.append(
-                (gc.GEOM_POINT, pts[:, 0].tolist(), pts[:, 1].tolist(), [0, n])
+                (ordinal,
+                 (gc.GEOM_POINT, pts[:, 0].tolist(), pts[:, 1].tolist(),
+                  [0, n]))
             )
             continue
         nparts, npts = struct.unpack("<2i", body[36:44])
@@ -205,12 +219,13 @@ def _decode_shp_inner(buf: bytes):
         if any(offs[i] >= offs[i + 1] for i in range(nparts)):
             raise ValueError("non-monotone part offsets")
         out.append(
-            (
-                _SHP_TO_ENGINE[stype],
-                pts[:, 0].tolist(),
-                pts[:, 1].tolist(),
-                offs,
-            )
+            (ordinal,
+             (
+                 _SHP_TO_ENGINE[stype],
+                 pts[:, 0].tolist(),
+                 pts[:, 1].tolist(),
+                 offs,
+             ))
         )
     return out
 
@@ -244,10 +259,13 @@ def encode_dbf(fids, captions) -> bytes:
     return header + f1 + f2 + b"\x0d" + bytes(body) + b"\x1a"
 
 
-def decode_dbf(buf: bytes):
+def decode_dbf(buf: bytes, keep_slots: bool = False):
     """dBASE III bytes → list of (fid int, caption str). Accepts any
     field layout that carries FID/CAPTION (extra fields are ignored);
-    deleted rows ('*' flag) are skipped."""
+    deleted rows ('*' flag) are skipped — unless ``keep_slots``, which
+    returns one entry PER PHYSICAL ROW with None placeholders for
+    deleted rows, preserving record ordinals for the .shp order join
+    (xBase deleted rows still occupy their slot on disk)."""
     try:
         n, hsize, rsize = struct.unpack_from("<I2H", buf, 4)
         fields = []
@@ -262,6 +280,8 @@ def decode_dbf(buf: bytes):
         for i in range(n):
             rec = buf[hsize + i * rsize : hsize + (i + 1) * rsize]
             if len(rec) < rsize or rec[0:1] == b"*":
+                if keep_slots:
+                    out.append(None)
                 continue
             at = 1
             fid = None
@@ -353,9 +373,12 @@ def read_shapefile(
     """Shapefile source: a single .shp file OR a directory of shards →
     the canonical features schema. One file per task row (the same
     file-parallel shape as the MBTiles source); FID/caption join by
-    record order with the .dbf sidecar per the spec ("records in the
-    dBASE file must be in the same order as in the main file"); a
-    missing sidecar yields fid = record number, caption ''."""
+    RECORD ORDINAL with the .dbf sidecar per the spec ("records in the
+    dBASE file must be in the same order as in the main file") — the
+    ordinal counts skipped Null/Z-M records and deleted dbf slots, so
+    a spec-legal Null filler cannot shift every later feature onto its
+    neighbor's attributes; a missing sidecar (or a missing/deleted
+    slot) yields fid = ordinal + 1, caption ''."""
     if os.path.isdir(path):
         files = sorted(
             os.path.join(path, f)
@@ -374,20 +397,23 @@ def read_shapefile(
         for pdf in batches:
             for p in pdf["path"]:
                 with open(p, "rb") as fh:
-                    geoms = decode_shp(fh.read())
+                    geoms = decode_shp_indexed(fh.read())
                 dbf_path = p[:-4] + ".dbf"
                 attrs = None
                 if os.path.exists(dbf_path):
                     with open(dbf_path, "rb") as fh:
-                        attrs = decode_dbf(fh.read())
+                        attrs = decode_dbf(fh.read(), keep_slots=True)
                 rows = {
                     "feature_id": [], "geom_type": [], "xs": [], "ys": [],
                     "part_offsets": [], "caption": [],
                 }
-                for i, (g, xs, ys, offs) in enumerate(geoms):
-                    fid, cap = (
-                        attrs[i] if attrs and i < len(attrs) else (i + 1, "")
+                for ordinal, (g, xs, ys, offs) in geoms:
+                    a = (
+                        attrs[ordinal]
+                        if attrs and ordinal < len(attrs)
+                        else None
                     )
+                    fid, cap = a if a is not None else (ordinal + 1, "")
                     rows["feature_id"].append(int(fid))
                     rows["geom_type"].append(int(g))
                     rows["xs"].append(xs)

@@ -56,3 +56,17 @@ def test_file_scan(spark, tmp_path):
         spark, str(p), ["id", "lon", "lat", "caption"], to_merc=False
     ).collect()
     assert len(out) == 1 and out[0].feature_id == 1 and out[0].xs == [5.5]
+
+
+def test_large_ids_exact_and_null_caption_empty(spark):
+    """Ids beyond 2^53 must survive exactly (no float64 detour) and a
+    null caption becomes '' — not the string 'None'."""
+    big = 9007199254740993  # 2^53 + 1
+    df = spark.createDataFrame(
+        [(str(big), "1.0", "2.0", None), ("1.5", "0", "0", "frac id drops")],
+        "id string, lon string, lat string, caption string",
+    )
+    out = csv_to_features(df, to_merc=False).collect()
+    assert len(out) == 1
+    assert out[0].feature_id == big
+    assert out[0].caption == ""

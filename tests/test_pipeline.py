@@ -300,3 +300,29 @@ def test_thin_thresholds_contract():
     assert thr[9] == ((1 << 53) * 2) // 5
     with pytest.raises(ValueError):
         thin_thresholds(10, 0, rate_num=2, rate_den=2)
+
+
+def test_zoom_thin_spares_non_points(spark):
+    """Thinning is POINT-only (tippecanoe --drop-rate semantics):
+    polygons/lines must survive every zoom in both the in-kernel and
+    the post-filter paths."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        x0 = -10_000_000.0 + i * 300_000.0
+        rows.append(
+            (i, gc.GEOM_POLYGON,
+             [x0, x0 + 9000.0, x0 + 9000.0, x0, x0],
+             [0.0, 0.0, 9000.0, 9000.0, 0.0], [0, 5], "pg")
+        )
+    feats = spark.createDataFrame(rows, T.FEATURES_SCHEMA)
+    kern = T.assign_tiles(feats, 0, 6, buffer_units=0, thin_base_z=6)
+    per_z = {
+        r["z"]: r["n"]
+        for r in kern.groupBy("z").agg(F.count("*").alias("n")).collect()
+    }
+    # every polygon present at every zoom (1 covering tile each here)
+    assert all(per_z[z] == 40 for z in range(7)), per_z
+    post = T.zoom_thin(T.assign_tiles(feats, 0, 6, buffer_units=0), 6)
+    assert post.count() == kern.count()

@@ -176,3 +176,56 @@ def test_to_merc_transform(spark, tmp_path):
     r = read_shapefile(spark, out, to_merc=True).collect()[0]
     mx, my = tm.lonlat_to_merc_np(np.array([10.0]), np.array([45.0]))
     assert r.xs[0] == mx[0] and r.ys[0] == my[0]
+
+
+def test_ordinal_join_survives_skipped_records(spark, tmp_path):
+    """A spec-legal Null filler record must NOT shift later features
+    onto their neighbor's attributes (ordinal join, not position)."""
+    import struct as st
+
+    shp, _ = encode_shp(
+        [
+            (gc.GEOM_POINT, [1.0], [1.0], [0, 1]),
+            (gc.GEOM_POINT, [2.0], [2.0], [0, 1]),
+        ]
+    )
+    # splice a Null record between the two points
+    null_body = st.pack("<i", 0)
+    hdr, rec1 = shp[:100], shp[100:]
+    r1_len = 8 + st.unpack(">i", rec1[4:8])[0] * 2
+    patched = (
+        hdr
+        + rec1[:r1_len]
+        + st.pack(">2i", 2, len(null_body) // 2)
+        + null_body
+        + rec1[r1_len:]
+    )
+    buf = bytearray(patched)
+    buf[24:28] = st.pack(">i", len(buf) // 2)
+    p = tmp_path / "nulls.shp"
+    p.write_bytes(bytes(buf))
+    # dbf has THREE slots: point A, the null filler, point B
+    (tmp_path / "nulls.dbf").write_bytes(
+        encode_dbf([11, 99, 22], ["a", "filler", "b"])
+    )
+    out = {
+        r.caption: r
+        for r in read_shapefile(spark, str(p), to_merc=False).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert out["a"].feature_id == 11 and out["a"].xs == [1.0]
+    assert out["b"].feature_id == 22 and out["b"].xs == [2.0]
+
+
+def test_deleted_dbf_slot_keeps_alignment():
+    import struct as st
+
+    from mapnik_vector_tile_spark.sources.shapefile import decode_dbf
+
+    dbf = encode_dbf([1, 2, 3], ["x", "y", "z"])
+    hsize = st.unpack_from("<H", dbf, 8)[0]
+    rsize = st.unpack_from("<H", dbf, 10)[0]
+    bad = bytearray(dbf)
+    bad[hsize + rsize] = ord("*")  # delete row 1 (the middle slot)
+    slots = decode_dbf(bytes(bad), keep_slots=True)
+    assert slots == [(1, "x"), None, (3, "z")]
