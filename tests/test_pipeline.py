@@ -320,9 +320,12 @@ def test_zoom_thin_spares_non_points(spark):
     kern = T.assign_tiles(feats, 0, 6, buffer_units=0, thin_base_z=6)
     per_z = {
         r["z"]: r["n"]
-        for r in kern.groupBy("z").agg(F.count("*").alias("n")).collect()
+        for r in kern.groupBy("z")
+        .agg(F.countDistinct("feature_id").alias("n"))
+        .collect()
     }
-    # every polygon present at every zoom (1 covering tile each here)
+    # every polygon present at every zoom (may cover >1 tile when it
+    # straddles a boundary — count FEATURES, not rows)
     assert all(per_z[z] == 40 for z in range(7)), per_z
     post = T.zoom_thin(T.assign_tiles(feats, 0, 6, buffer_units=0), 6)
     assert post.count() == kern.count()
