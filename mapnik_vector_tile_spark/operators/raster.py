@@ -926,6 +926,68 @@ def image_dhash(images: DataFrame) -> DataFrame:
     )
 
 
+PH_GRID = 16  # pHash luma grid (corpus images are >= 16x16)
+PH_CBITS = 14  # fixed-point cosine scale
+
+
+def phash_cos_table() -> "np.ndarray":
+    """Fixed-point DCT-II cosine table C[u][i] =
+    round(cos(pi*(2i+1)*u/32) * 2^14), u in 0..7, i in 0..15 — the
+    committed integer basis that makes the perceptual hash EXACT (the
+    float DCT both imagehash and cv2 use is reproducible only up to
+    libm ulps; this table is computed once per process and inlined
+    into the SQL twin as literals, so both engines multiply identical
+    integers). Pinned by a checksum test."""
+    import math
+
+    u = np.arange(8)[:, None]
+    i = np.arange(PH_GRID)[None, :]
+    c = np.cos(math.pi * (2 * i + 1) * u / (2 * PH_GRID)) * (1 << PH_CBITS)
+    return np.floor(np.abs(c) + 0.5).astype(np.int64) * np.where(c < 0, -1, 1)
+
+
+def phash_dct(images: DataFrame) -> DataFrame:
+    """T21c the REAL perceptual hash — the DCT pHash whose int64 shape
+    the input_hint's ``phash`` column carries (imagehash.phash
+    semantics, made bit-exact): decode → ×1000 integer luma →
+    exact box-average to a 16×16 grid (floor-div means, same partition
+    as gray_grid) → fixed-point 2D DCT-II (two integer matrix
+    multiplies against the committed cosine table; |F| ≤ 2^54, exact
+    in int64) → keep the top-left 8×8 low-frequency block → bit k set
+    iff 2·F_k > (s[31]+s[32]) where s is the sorted block (the exact
+    twice-median compare — no .5 fraction ever forms) → pack row-major
+    MSB-first into a signed int64.
+
+    One narrow mapInPandas scan, no shuffle; pairs-finding composes
+    with the banded Hamming LSH downstream exactly like the synthetic
+    phash column and dHash do. Output: (image_id, phash_dct,
+    caption)."""
+    import pandas as pd
+
+    C = phash_cos_table()
+
+    def gen(it):
+        shifts = (63 - np.arange(64, dtype=np.uint64)).reshape(8, 8)
+        for pdf in it:
+            out = {"image_id": [], "phash_dct": [], "caption": []}
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                g = gray_grid(rgba, PH_GRID, PH_GRID)
+                f = C @ g @ C.T  # int64-exact separable DCT
+                s = np.sort(f.ravel())
+                mm = int(s[31]) + int(s[32])
+                bits = (2 * f > mm).astype(np.uint64)
+                hv = (bits << shifts).sum(dtype=np.uint64)
+                out["image_id"].append(r.image_id)
+                out["phash_dct"].append(int(hv.astype(np.int64)))
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen, schema="image_id string, phash_dct long, caption string"
+    )
+
+
 def laplacian_stats(images: DataFrame, blur_thr: int = 100) -> DataFrame:
     """T12e blur / sharpness gate — variance of the 3×3 Laplacian, the
     standard `cv2.Laplacian(gray).var()` filter vision corpora use to

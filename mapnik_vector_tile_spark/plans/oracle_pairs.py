@@ -6148,6 +6148,87 @@ FROM agg a JOIN caps ON a.i = caps.i
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21c real DCT pHash (raster.phash_dct — the algorithm behind
+    the input_hint's phash column, made bit-exact via the committed
+    fixed-point cosine table) with a FULL oracle: DuckDB regenerates
+    every pixel, replays the 16×16 floor-div luma grid, performs the
+    SAME two integer matrix multiplies against the SAME inlined
+    cosine literals, re-derives the twice-median threshold from order
+    statistics, and repacks all 64 bits MSB-first into the signed
+    int64 — one flipped bit anywhere breaks the hash."""
+    from mapnik_vector_tile_spark.operators.raster import phash_dct
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    return phash_dct(images_df(spark, IMG_TH_N))
+
+
+def _sql_image_phash(n: int = IMG_TH_N) -> str:
+    from mapnik_vector_tile_spark.operators.raster import (
+        PH_GRID,
+        phash_cos_table,
+    )
+
+    C = phash_cos_table()
+    ctab = ", ".join(
+        f"({u}, {i}, {int(C[u, i])})"
+        for u in range(8)
+        for i in range(PH_GRID)
+    )
+    weights = " ".join(
+        f"WHEN {k} THEN CAST({1 << (63 - k)} AS HUGEINT)" for k in range(64)
+    )
+    g = PH_GRID
+    return f"""
+WITH {_img_pixel_ctes(n)},
+ct(u, ci, c) AS (VALUES {ctab}),
+gvals AS (
+  SELECT i,
+         ((((y + 1) * {g}) - 1) // h) AS ty,
+         ((((x + 1) * {g}) - 1) // w) AS tx,
+         r * 299 + g * 587 + b * 114 AS gray
+  FROM chan
+),
+gcells AS (
+  SELECT i, ty, tx, SUM(gray) // COUNT(*) AS cg
+  FROM gvals GROUP BY 1, 2, 3
+),
+rowstage AS (
+  SELECT g.i, g.ty, ct.u, SUM(ct.c * g.cg) AS rv
+  FROM gcells g JOIN ct ON ct.ci = g.tx
+  GROUP BY 1, 2, 3
+),
+colstage AS (
+  SELECT r.i, ct.u AS v, r.u, SUM(ct.c * r.rv) AS f
+  FROM rowstage r JOIN ct ON ct.ci = r.ty
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT i, v, u, f,
+         row_number() OVER (PARTITION BY i ORDER BY f) AS rn
+  FROM colstage
+),
+med AS (
+  SELECT i, SUM(CASE WHEN rn IN (32, 33) THEN f END) AS mm
+  FROM ranked GROUP BY i
+),
+packed AS (
+  SELECT r.i,
+         SUM(CASE WHEN 2 * r.f > m.mm
+             THEN (CASE r.v * 8 + r.u {weights} END)
+             ELSE CAST(0 AS HUGEINT) END) AS hv
+  FROM ranked r JOIN med m ON r.i = m.i
+  GROUP BY r.i
+)
+SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(CASE WHEN hv >= CAST({1 << 63} AS HUGEINT)
+                 THEN hv - CAST({1 << 64} AS HUGEINT) ELSE hv END
+            AS BIGINT) AS phash_dct,
+       caps.caption AS caption
+FROM packed p JOIN caps ON p.i = caps.i
+"""
+
+
 def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12f the IMAGE-side curation pipeline COMPOSED end-to-end (the
     visual twin of q_corpus_filter's text pipeline): blur gate
@@ -7941,6 +8022,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_image_blur": (q_image_blur, _sql_image_blur()),
     "q_image_otsu": (q_image_otsu, _sql_image_otsu()),
     "q_image_equalize": (q_image_equalize, _sql_image_equalize()),
+    "q_image_phash": (q_image_phash, _sql_image_phash()),
     "q_image_curation": (q_image_curation, _sql_image_curation()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
@@ -7987,6 +8069,7 @@ _RECORD_FIRST = (
     "q_image_equalize",
     "q_wordpiece",
     "q_audio_decimate",
+    "q_image_phash",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

@@ -701,3 +701,45 @@ def test_equalize_flat_identity_and_stretch(spark):
     assert out["two"].eq_min == 0 and out["two"].eq_max == 255
     assert out["two"].eq_sum == 8 * 255
     assert out["two"].caption == "ct"
+
+
+def test_phash_dct_properties(spark):
+    """T21c: identical pixels -> identical hash; distinct images ->
+    distinct hashes on this corpus; flat image -> only the DC bit
+    survives the twice-median compare (fixed-point AC residues cancel
+    by cosine symmetry), i.e. hash = -2^63; cosine table pinned."""
+    import hashlib
+
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        phash_cos_table,
+        phash_dct,
+    )
+    from mapnik_vector_tile_spark.sources.synth import make_pixels
+
+    # committed fixed-point basis: pin its exact bytes
+    tab = phash_cos_table()
+    assert tab.shape == (8, 16) and tab[0, 0] == 1 << 14
+    digest = hashlib.sha256(tab.astype("<i8").tobytes()).hexdigest()
+    assert digest == (
+        "a15ef4d2ad1a0b2f9ddd802d4e8fc43913f507509eaea38c4192cd9e939934d5"
+    )
+
+    a = make_pixels(1, 20, 24)
+    flat = np.full((16, 16, 4), 130, np.uint8)
+    rows = [
+        ("a", a.tobytes(), 20, 24, "raw-rgba8", "ca"),
+        ("a2", a.tobytes(), 20, 24, "raw-rgba8", "ca"),
+        ("b", make_pixels(2, 20, 24).tobytes(), 20, 24, "raw-rgba8", "cb"),
+        ("flat", flat.tobytes(), 16, 16, "raw-rgba8", "cf"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string",
+    )
+    out = {r.image_id: r.phash_dct for r in phash_dct(df).collect()}
+    assert out["a"] == out["a2"]
+    assert out["a"] != out["b"]
+    assert out["flat"] == -(1 << 63)
