@@ -6229,6 +6229,68 @@ FROM packed p JOIN caps ON p.i = caps.i
 """
 
 
+MS_THR = 127000  # q_marching_squares iso threshold (x1000 luma mid)
+MS_N = 150  # corpus size (3 grid self-joins in the twin: keep it bounded)
+
+
+def q_marching_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 iso-contour extraction (raster.marching_squares_stats —
+    midpoint marching squares, exact doubled-integer endpoints) with a
+    FULL oracle: DuckDB regenerates every pixel from the shared CTE
+    chain, rebuilds the 2×2 cell corners by three grid self-joins,
+    classifies crossed edges, and replays segment counts and the
+    saddle-invariant endpoint coordinate sums bit-for-bit."""
+    from mapnik_vector_tile_spark.operators.raster import (
+        marching_squares_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    return marching_squares_stats(images_df(spark, MS_N), thr=MS_THR)
+
+
+def _sql_marching_squares(n: int = MS_N, thr: int = MS_THR) -> str:
+    return f"""
+WITH {_img_pixel_ctes(n)},
+bgrid AS (
+  SELECT i, y, x,
+         (r * 299 + g * 587 + b * 114 > {thr}) AS bv
+  FROM chan
+),
+cells AS (
+  SELECT a.i, a.y, a.x,
+         (a.bv <> r.bv) AS e_top, (d.bv <> dr.bv) AS e_bot,
+         (a.bv <> d.bv) AS e_left, (r.bv <> dr.bv) AS e_right
+  FROM bgrid a
+  JOIN bgrid r  ON r.i = a.i AND r.y = a.y AND r.x = a.x + 1
+  JOIN bgrid d  ON d.i = a.i AND d.x = a.x AND d.y = a.y + 1
+  JOIN bgrid dr ON dr.i = a.i AND dr.y = a.y + 1 AND dr.x = a.x + 1
+),
+agg AS (
+  SELECT i, COUNT(*) AS n_cells,
+         SUM(CASE WHEN e_top THEN 1 ELSE 0 END
+             + CASE WHEN e_bot THEN 1 ELSE 0 END
+             + CASE WHEN e_left THEN 1 ELSE 0 END
+             + CASE WHEN e_right THEN 1 ELSE 0 END) AS crossed,
+         SUM(CASE WHEN e_top THEN 2 * x + 1 ELSE 0 END
+             + CASE WHEN e_bot THEN 2 * x + 1 ELSE 0 END
+             + CASE WHEN e_left THEN 2 * x ELSE 0 END
+             + CASE WHEN e_right THEN 2 * x + 2 ELSE 0 END) AS ex_sum,
+         SUM(CASE WHEN e_top THEN 2 * y ELSE 0 END
+             + CASE WHEN e_bot THEN 2 * y + 2 ELSE 0 END
+             + CASE WHEN e_left THEN 2 * y + 1 ELSE 0 END
+             + CASE WHEN e_right THEN 2 * y + 1 ELSE 0 END) AS ey_sum
+  FROM cells GROUP BY i
+)
+SELECT 'img_' || lpad(CAST(a.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(crossed // 2 AS BIGINT) AS n_segments,
+       CAST(ex_sum AS BIGINT) AS ex_sum,
+       CAST(ey_sum AS BIGINT) AS ey_sum,
+       caps.caption AS caption
+FROM agg a JOIN caps ON a.i = caps.i
+"""
+
+
 def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12f the IMAGE-side curation pipeline COMPOSED end-to-end (the
     visual twin of q_corpus_filter's text pipeline): blur gate
@@ -8023,6 +8085,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_image_otsu": (q_image_otsu, _sql_image_otsu()),
     "q_image_equalize": (q_image_equalize, _sql_image_equalize()),
     "q_image_phash": (q_image_phash, _sql_image_phash()),
+    "q_marching_squares": (q_marching_squares, _sql_marching_squares()),
     "q_image_curation": (q_image_curation, _sql_image_curation()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
@@ -8070,6 +8133,7 @@ _RECORD_FIRST = (
     "q_wordpiece",
     "q_audio_decimate",
     "q_image_phash",
+    "q_marching_squares",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

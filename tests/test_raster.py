@@ -743,3 +743,47 @@ def test_phash_dct_properties(spark):
     assert out["a"] == out["a2"]
     assert out["a"] != out["b"]
     assert out["flat"] == -(1 << 63)
+
+
+def test_marching_squares_known_shapes(spark):
+    """R5: a single above-threshold pixel yields the 4-segment diamond
+    around it; a half-plane yields one straight contour; a uniform
+    image yields none. Endpoint sums are saddle-invariant by
+    construction (each crossed edge contributes once)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        marching_squares_stats,
+    )
+
+    def rgba_of_gray(gmat):
+        a = np.zeros((*gmat.shape, 4), np.uint8)
+        a[..., 0] = a[..., 1] = a[..., 2] = gmat
+        a[..., 3] = 255
+        return a.tobytes()
+
+    dot = np.zeros((5, 5), np.uint8)
+    dot[2, 2] = 255  # luma 255000 > thr
+    half = np.zeros((4, 6), np.uint8)
+    half[:, 3:] = 255
+    flat = np.full((4, 4), 9, np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("dot", rgba_of_gray(dot), 5, 5, "raw-rgba8", "cd"),
+            ("half", rgba_of_gray(half), 6, 4, "raw-rgba8", "ch"),
+            ("flat", rgba_of_gray(flat), 4, 4, "raw-rgba8", "cf"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string",
+    )
+    out = {
+        r.image_id: r
+        for r in marching_squares_stats(df, thr=127000).collect()
+    }
+    # the dot's 4 surrounding cells each carry one corner -> 1 segment
+    assert out["dot"].n_segments == 4 and out["dot"].n_cells == 16
+    # vertical boundary between x=2 and x=3 crosses 3 cell rows:
+    # each of the 3 cells at x=2 has top+bottom crossed -> 3 segments
+    assert out["half"].n_segments == 3
+    assert out["flat"].n_segments == 0
+    assert out["flat"].ex_sum == 0 and out["flat"].ey_sum == 0
