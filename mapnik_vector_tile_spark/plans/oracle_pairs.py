@@ -6229,6 +6229,92 @@ FROM packed p JOIN caps ON p.i = caps.i
 """
 
 
+HEAT_Z = 6  # q_heatmap_tiles zoom
+HEAT_RES = 64  # density raster resolution (pixels per tile side)
+
+
+def q_heatmap_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 point-density heatmap tiles (the mapbox heatmap-layer /
+    datashader shape): order points bin into the HEAT_RES×HEAT_RES
+    pixel grid of their covering z6 tile — one narrow projection
+    (pure Column floor math on the shared mercator mix) and ONE
+    map-side-combined aggregate per (tile, pixel), then a per-tile
+    rollup emitting n_points, occupied-pixel count, and the
+    collision-sensitive Σcount² (distinguishes 10 points in one pixel
+    from 10 spread out — a plain count wouldn't). All integers; the
+    DuckDB twin replays the mix, the two-level floor binning, and
+    both moments bit-for-bit. At 10^12 points this is exactly the
+    EP1 fan-out shape with a finer key — no new scaling risk."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tx, ty = S.tile_xy_exprs(HEAT_Z)
+    mxe = (
+        "((((o_orderkey) * 2654435761) % 4294967296) / "
+        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
+    )
+    mye = (
+        "((((o_orderkey) * 1103515245 + 12345) % 4294967296) / "
+        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
+    )
+    span = S.TWO_W / (1 << HEAT_Z)
+    pts = orders.selectExpr(
+        "o_orderkey AS id", f"{mxe} AS mx", f"{mye} AS my"
+    ).selectExpr("id", "mx", "my", f"{tx} AS x", f"{ty} AS y")
+    px = (
+        f"CAST(floor((mx + {S.flit(W)} - x * {S.flit(span)}) / "
+        f"{S.flit(span / HEAT_RES)}) AS BIGINT)"
+    )
+    py = (
+        f"CAST(floor(({S.flit(W)} - y * {S.flit(span)} - my) / "
+        f"{S.flit(span / HEAT_RES)}) AS BIGINT)"
+    )
+    # clamp the boundary ulp (a point exactly on a tile edge can land
+    # at index HEAT_RES): LEAST is mirrored verbatim in the twin
+    binned = pts.selectExpr(
+        "x",
+        "y",
+        f"LEAST({px}, {HEAT_RES - 1}) AS px",
+        f"LEAST({py}, {HEAT_RES - 1}) AS py",
+    )
+    cells = binned.groupBy("x", "y", "px", "py").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return cells.groupBy("x", "y").agg(
+        F.sum("c").cast("long").alias("n_points"),
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+
+
+def _sql_heatmap_tiles(z: int = HEAT_Z, res: int = HEAT_RES) -> str:
+    tx, ty = S.tile_xy_exprs(z)
+    span = S.TWO_W / (1 << z)
+    px = (
+        f"CAST(floor((mx + {S.flit(W)} - x * {S.flit(span)}) / "
+        f"{S.flit(span / res)}) AS BIGINT)"
+    )
+    py = (
+        f"CAST(floor(({S.flit(W)} - y * {S.flit(span)} - my) / "
+        f"{S.flit(span / res)}) AS BIGINT)"
+    )
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, mx, my, {tx} AS x, {ty} AS y FROM pts),
+b AS (
+  SELECT x, y, LEAST({px}, {res - 1}) AS px, LEAST({py}, {res - 1}) AS py
+  FROM t
+),
+cells AS (
+  SELECT x, y, px, py, COUNT(*) AS c FROM b GROUP BY 1, 2, 3, 4
+)
+SELECT x, y, CAST(SUM(c) AS BIGINT) AS n_points,
+       CAST(COUNT(*) AS BIGINT) AS n_occupied,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2
+FROM cells GROUP BY 1, 2
+"""
+
+
 MS_THR = 127000  # q_marching_squares iso threshold (x1000 luma mid)
 MS_N = 150  # corpus size (3 grid self-joins in the twin: keep it bounded)
 
@@ -8086,6 +8172,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_image_equalize": (q_image_equalize, _sql_image_equalize()),
     "q_image_phash": (q_image_phash, _sql_image_phash()),
     "q_marching_squares": (q_marching_squares, _sql_marching_squares()),
+    "q_heatmap_tiles": (q_heatmap_tiles, _sql_heatmap_tiles()),
     "q_image_curation": (q_image_curation, _sql_image_curation()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
@@ -8134,6 +8221,7 @@ _RECORD_FIRST = (
     "q_audio_decimate",
     "q_image_phash",
     "q_marching_squares",
+    "q_heatmap_tiles",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",
