@@ -351,6 +351,70 @@ def radius_join(
     )
 
 
+def idw_interpolate(
+    queries: DataFrame,
+    targets: DataFrame,
+    radius: float,
+    value_col: str = "v",
+    z: int | None = None,
+) -> DataFrame:
+    """J5c inverse-distance-weighted interpolation — the classic
+    spatial estimator (GDAL gdal_grid invdist; power=2): each query
+    point's value is Σ(vᵢ/dᵢ²)/Σ(1/dᵢ²) over targets within
+    ``radius``. Candidates come from the radius_join cell-block plan
+    (one equi-join, no crossJoin); queries with no in-radius target
+    emit no row (estimator undefined — callers outer-join if they
+    need NULLs).
+
+    Cross-engine exactness WITHOUT rounding: every 1/d² and v/d² is
+    one correctly-rounded IEEE division of identically-computed
+    doubles, and both folds run in the SAME order (ascending
+    target_id, the bigram-LM ordered-fold precedent) — so the final
+    division is bit-identical in DuckDB and the hash needs no epsilon.
+    An EXACT HIT (d² == 0, where the weight is infinite) short-
+    circuits to the lowest-id zero-distance target's value — the
+    standard IDW convention, pinned in tests.
+
+    Output: (query_id, n_nbrs, idw)."""
+    pairs = radius_join(queries, targets, radius, z=z)
+    tv = targets.select(
+        F.col("id").alias("target_id"), F.col(value_col).alias("_v")
+    )
+    j = pairs.join(tv, "target_id")
+    # collect_list skips nulls: exact hits (d2 == 0, infinite weight)
+    # stay out of the folds — they resolve through the hit branch, and
+    # a 0-divisor element would NULL-poison the fold in both engines
+    ordered = F.sort_array(
+        F.collect_list(
+            F.when(
+                F.col("d2") > 0.0,
+                F.struct(
+                    F.col("target_id"),
+                    F.col("_v").cast("double").alias("v"),
+                    F.col("d2"),
+                ),
+            )
+        )
+    )
+    g = j.groupBy("query_id").agg(
+        ordered.alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+        F.min(
+            F.when(F.col("d2") == 0.0, F.struct("target_id", F.col("_v")))
+        ).alias("hit"),
+    )
+    num = F.aggregate(
+        F.col("nb"), F.lit(0.0), lambda a, s: a + s["v"] / s["d2"]
+    )
+    den = F.aggregate(
+        F.col("nb"), F.lit(0.0), lambda a, s: a + F.lit(1.0) / s["d2"]
+    )
+    idw = F.when(
+        F.col("hit").isNotNull(), F.col("hit")["_v"].cast("double")
+    ).otherwise(num / den)
+    return g.select("query_id", "n_nbrs", idw.alias("idw"))
+
+
 def knn_auto_z(n_targets: int, k: int, r0: int = 2) -> int:
     """Pick the probe-grid level from target density: aim for ~8k
     expected candidates inside the FIRST (2·r0+1)² probe block, so

@@ -6229,6 +6229,78 @@ FROM packed p JOIN caps ON p.i = caps.i
 """
 
 
+IDW_Z = 4  # q_idw cell grid (span 2.5e6 >= radius)
+IDW_R = 2_000_000.0  # interpolation radius (merc meters)
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5c inverse-distance-weighted interpolation (joins.
+    idw_interpolate — gdal_grid invdist power=2 over the radius_join
+    cell-block plan) with a FULL no-epsilon oracle: order points
+    interpolate customer values (c % 1000 + 1); every 1/d² term is
+    one correctly-rounded division of identically-computed doubles
+    folded in ascending-target order (the bigram-LM precedent), so
+    DuckDB reproduces the final double BIT-exactly. Shared integer
+    keys between orders and customer produce genuine d²=0 exact hits,
+    so the infinite-weight short-circuit (lowest-id zero-distance
+    value) is driver-exercised, not just unit-tested."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.joins import idw_interpolate
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = derive_points(orders, "o_orderkey")
+    t = derive_points(customer, "c_custkey").withColumn(
+        "v", (F.col("id") % 1000 + 1).cast("double")
+    )
+    return idw_interpolate(q, t, IDW_R, value_col="v", z=IDW_Z)
+
+
+def _sql_idw(z: int = IDW_Z, r: float = IDW_R) -> str:
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey', 'id', 'qp')},
+{S.point_cte('customer', 'c_custkey', 'id', 'tp')},
+qc AS (SELECT id AS qid, mx AS qx, my AS qy, {tx} AS ctx, {ty} AS cty
+       FROM qp),
+qb AS (
+  SELECT qid, qx, qy, ctx + d % 3 - 1 AS ctx, cty + d // 3 - 1 AS cty
+  FROM (SELECT qc.*, unnest(generate_series(0, 8)) AS d FROM qc)
+),
+tc AS (SELECT id AS tid, mx AS tx2, my AS ty2, {tx} AS ctx, {ty} AS cty,
+              CAST(id % 1000 + 1 AS DOUBLE) AS v
+       FROM tp),
+pairs AS (
+  SELECT qid, tid, v,
+         (qx - tx2) * (qx - tx2) + (qy - ty2) * (qy - ty2) AS d2
+  FROM qb JOIN tc USING (ctx, cty)
+  WHERE (qx - tx2) * (qx - tx2) + (qy - ty2) * (qy - ty2)
+        <= {S.flit(r * r)}
+),
+zero AS (SELECT qid, MIN(tid) AS htid FROM pairs WHERE d2 = 0 GROUP BY qid),
+agg AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list(v / d2 ORDER BY tid) FILTER (d2 > 0)),
+           (a, b) -> a + b) AS num,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list(CAST(1 AS DOUBLE) / d2 ORDER BY tid)
+                          FILTER (d2 > 0)),
+           (a, b) -> a + b) AS den
+  FROM pairs GROUP BY qid
+)
+SELECT a.qid AS query_id, a.n_nbrs,
+       CASE WHEN z.htid IS NOT NULL
+            THEN CAST(z.htid % 1000 + 1 AS DOUBLE)
+            ELSE num / den END AS idw
+FROM agg a LEFT JOIN zero z ON a.qid = z.qid
+"""
+
+
 HEAT_Z = 6  # q_heatmap_tiles zoom
 HEAT_RES = 64  # density raster resolution (pixels per tile side)
 
@@ -8173,6 +8245,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_image_phash": (q_image_phash, _sql_image_phash()),
     "q_marching_squares": (q_marching_squares, _sql_marching_squares()),
     "q_heatmap_tiles": (q_heatmap_tiles, _sql_heatmap_tiles()),
+    "q_idw": (q_idw, _sql_idw()),
     "q_image_curation": (q_image_curation, _sql_image_curation()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
@@ -8222,6 +8295,7 @@ _RECORD_FIRST = (
     "q_image_phash",
     "q_marching_squares",
     "q_heatmap_tiles",
+    "q_idw",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

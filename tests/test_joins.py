@@ -549,3 +549,32 @@ def test_dissolve_polygons_groups_and_singletons(spark):
         for r in dissolve_polygons(polys, z=10).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_idw_exact_hit_and_hand_computed(spark):
+    """J5c: a zero-distance target short-circuits to its value (lowest
+    id wins among exact hits); otherwise the estimate matches the
+    hand-computed weighted mean."""
+    from mapnik_vector_tile_spark.operators.joins import idw_interpolate
+
+    q = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1000.0, 0.0)], "id long, mx double, my double"
+    )
+    t = spark.createDataFrame(
+        [
+            (10, 0.0, 0.0, 50.0),     # exact hit for query 1
+            (11, 0.0, 0.0, 70.0),     # second exact hit: id 10 wins
+            (12, 1000.0, 100.0, 20.0),  # d2 = 1e4 from query 2
+            (13, 1000.0, 200.0, 80.0),  # d2 = 4e4 from query 2
+        ],
+        "id long, mx double, my double, v double",
+    )
+    out = {
+        r.query_id: r
+        for r in idw_interpolate(q, t, radius=300.0, z=4).collect()
+    }
+    assert out[1].idw == 50.0  # lowest-id exact hit
+    # query 2 sees ONLY targets 12/13 within r=300:
+    # (20/1e4 + 80/4e4) / (1/1e4 + 1/4e4) = 32.0
+    assert abs(out[2].idw - 32.0) < 1e-12
+    assert out[2].n_nbrs == 2
