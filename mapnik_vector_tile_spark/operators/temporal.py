@@ -214,3 +214,41 @@ def incidents_overlap_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
         _event_intervals(spark, sf_dir, "purchase", 17),
         bucket_us=US_PER_DAY,
     )
+
+
+def ewma(
+    events: DataFrame,
+    alpha: float = 0.5,
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """W5 exponentially-weighted moving average per key — the classic
+    sequential smoother (pandas ``ewm(alpha).mean()`` recursion with
+    s0 = v0): s = alpha*v + (1-alpha)*s over events in (ts, event_id)
+    order. EWMA is inherently order-sequential, so it pins the
+    engine's ordered-fold discipline end-to-end: the per-key stream
+    collects ONCE (sort_array over (ts, event_id, value) structs —
+    per-key volume bounded like sessionize's sorted runs), the fold is
+    a single Column aggregate (init = first value, then
+    s*(1-a) + v*a), and because both engines execute the identical
+    IEEE operation sequence the final double is BIT-identical in the
+    DuckDB twin — no epsilon, dyadic or not. Output:
+    (key, n_events, ewma)."""
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("ts"), F.col("event_id"), F.col(value_col))
+        )
+    )
+    g = events.groupBy(key).agg(
+        arr.alias("_a"), F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    vals = F.transform(F.col("_a"), lambda s: s[value_col].cast("double"))
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda s, v: s * F.lit(1.0 - a) + v * F.lit(a),
+    )
+    return g.select(key, "n_events", folded.alias("ewma"))

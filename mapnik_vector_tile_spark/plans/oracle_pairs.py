@@ -6229,6 +6229,34 @@ FROM packed p JOIN caps ON p.i = caps.i
 """
 
 
+EWMA_ALPHA = 0.5  # q_ewma smoothing factor
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 per-user EWMA over the events stream (temporal.ewma — the
+    pandas ewm(alpha).mean() recursion, s0 = v0) with a FULL
+    no-epsilon oracle: both engines fold the SAME values in the SAME
+    (ts, event_id) order through the SAME IEEE operation sequence
+    (s·(1−α) + v·α), so the final smoothed double hashes bit-exactly
+    — the ordered-fold discipline applied to a genuinely sequential
+    operator."""
+    from mapnik_vector_tile_spark.operators.temporal import ewma
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ewma(events, alpha=EWMA_ALPHA)
+
+
+def _sql_ewma(alpha: float = EWMA_ALPHA) -> str:
+    ca = S.flit(alpha)
+    cb = S.flit(1.0 - alpha)
+    return f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (a, b) -> a * {cb} + b * {ca}) AS ewma
+FROM events GROUP BY user_id
+"""
+
+
 IDW_Z = 4  # q_idw cell grid (span 2.5e6 >= radius)
 IDW_R = 2_000_000.0  # interpolation radius (merc meters)
 
@@ -8246,6 +8274,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_marching_squares": (q_marching_squares, _sql_marching_squares()),
     "q_heatmap_tiles": (q_heatmap_tiles, _sql_heatmap_tiles()),
     "q_idw": (q_idw, _sql_idw()),
+    "q_ewma": (q_ewma, _sql_ewma()),
     "q_image_curation": (q_image_curation, _sql_image_curation()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
@@ -8296,6 +8325,7 @@ _RECORD_FIRST = (
     "q_marching_squares",
     "q_heatmap_tiles",
     "q_idw",
+    "q_ewma",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

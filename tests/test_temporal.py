@@ -136,3 +136,32 @@ def test_interval_overlap_matches_bruteforce(spark):
             want[(int(aid), int(bid))] = int(min(ae, be) - max(as_, bs))
     assert got == want
     assert len(got) > 500  # dense fixture: dedup actually has work to do
+
+
+def test_ewma_recursion_and_contract(spark):
+    """W5: s0 = v0, s = a*v + (1-a)*s in (ts, event_id) order; a
+    single event returns itself; invalid alpha raises."""
+    import datetime as dt
+
+    import pytest
+
+    from mapnik_vector_tile_spark.operators.temporal import ewma
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 7, "a", 10.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1), 7, "a", 20.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=2), 7, "a", 40.0, "{}"),
+        (4, t0, 8, "a", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.user_id: r for r in ewma(df, alpha=0.5).collect()}
+    # user 7: s=10 -> (10*0.5+20*0.5)=15 -> (15*0.5+40*0.5)=27.5
+    assert out[7].ewma == 27.5 and out[7].n_events == 3
+    assert out[8].ewma == 5.0 and out[8].n_events == 1
+    with pytest.raises(ValueError):
+        ewma(df, alpha=0.0)
