@@ -364,3 +364,39 @@ def cell_id_sql_expr(xcol: str, ycol: str, z: int) -> str:
         terms.append(f"((({xcol}) % {hi}) - (({xcol}) % {lo})) * {lo}")
         terms.append(f"((({ycol}) % {hi}) - (({ycol}) % {lo})) * {hi}")
     return "(" + " + ".join(terms) + ")"
+
+
+# --- P3: mapnik scale denominators ------------------------------------------
+
+OGC_PIXEL_M = 0.00028  # OGC 06-042 standardized rendering pixel (0.28 mm)
+
+
+def scale_denominator(z: int, tile_size: int = 256) -> float:
+    """mapnik/OGC scale denominator at zoom z: meters-per-pixel of the
+    z-level grid divided by the standardized 0.28 mm pixel
+    (mapnik scale_denominator(); 559082264.0287178 at z0/256px — the
+    number every mapnik style's Min/MaxScaleDenominator compares
+    against). Exact: 2W/2^z is a sequence of exact halvings, /256 is
+    exact, and the single /0.00028 is one correctly-rounded division —
+    so both engines produce the identical double."""
+    return (2.0 * W / (1 << z)) / tile_size / OGC_PIXEL_M
+
+
+def zoom_for_scale(denom: float, tile_size: int = 256, z_max: int = 30) -> int:
+    """Smallest zoom whose scale denominator is <= ``denom`` (the
+    zoom a style rule with MaxScaleDenominator=denom first becomes
+    visible at); z_max when even the deepest level is coarser."""
+    for z in range(z_max + 1):
+        if scale_denominator(z, tile_size) <= denom:
+            return z
+    return z_max
+
+
+def layer_visible(z: int, min_sd: float, max_sd: float,
+                  tile_size: int = 256) -> bool:
+    """The reference's P3 layer gate (vector_tile_processor.ipp layer
+    loop): a layer renders at zoom z iff
+    min_sd <= scale_denominator(z) < max_sd — min is inclusive, max
+    exclusive, matching mapnik's rule evaluation."""
+    sd = scale_denominator(z, tile_size)
+    return min_sd <= sd < max_sd

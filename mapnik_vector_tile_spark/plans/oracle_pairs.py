@@ -6229,6 +6229,67 @@ FROM packed p JOIN caps ON p.i = caps.i
 """
 
 
+SG_RULES = (  # q_scale_gate style rules: (rule_id, min_sd, max_sd)
+    (0, 0.0, 25_000.0),          # street-level only
+    (1, 25_000.0, 1_500_000.0),  # mid zooms
+    (2, 1_500_000.0, 1e18),      # overview
+    (3, 0.0, 1e18),              # always on
+    (4, 500_000.0, 500_001.0),   # knife-edge band (no zoom qualifies
+                                 # unless a denominator lands inside)
+)
+
+
+def q_scale_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 scale-denominator gating (tilemath.scale_denominator /
+    layer_visible — mapnik's Min/MaxScaleDenominator rule, min
+    inclusive / max exclusive, 559082264.0287178 at z0) with a FULL
+    oracle: the z0..22 denominator table crosses a committed rule set
+    and both engines must agree on every visibility bit AND the
+    denominator doubles themselves (exact halvings + one division).
+    sf_dir unused (closed-form)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import (
+        layer_visible,
+        scale_denominator,
+    )
+
+    rows = []
+    for z in range(23):
+        for rid, lo, hi in SG_RULES:
+            rows.append(
+                (
+                    z,
+                    rid,
+                    scale_denominator(z),
+                    bool(layer_visible(z, lo, hi)),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "z int, rule_id int, scale_denom double, visible boolean"
+    ).orderBy("z", "rule_id").select(
+        "z", "rule_id", "scale_denom", "visible"
+    )
+
+
+def _sql_scale_gate() -> str:
+    w2 = S.flit(2.0 * W)
+    rules = ", ".join(
+        f"({rid}, {S.flit(lo)}, {S.flit(hi)})" for rid, lo, hi in SG_RULES
+    )
+    return f"""
+WITH zs AS (SELECT unnest(generate_series(0, 22)) AS z),
+rules(rule_id, lo, hi) AS (VALUES {rules}),
+sd AS (
+  SELECT z, (({w2} / (1 << z)) / 256) / 0.00028e0 AS scale_denom
+  FROM zs
+)
+SELECT sd.z, r.rule_id, sd.scale_denom,
+       (r.lo <= sd.scale_denom AND sd.scale_denom < r.hi) AS visible
+FROM sd, rules r
+"""
+
+
 EWMA_ALPHA = 0.5  # q_ewma smoothing factor
 
 
@@ -8275,6 +8336,7 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_heatmap_tiles": (q_heatmap_tiles, _sql_heatmap_tiles()),
     "q_idw": (q_idw, _sql_idw()),
     "q_ewma": (q_ewma, _sql_ewma()),
+    "q_scale_gate": (q_scale_gate, _sql_scale_gate()),
     "q_image_curation": (q_image_curation, _sql_image_curation()),
     "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
     "q_letterbox": (q_letterbox, _sql_letterbox()),
@@ -8326,6 +8388,7 @@ _RECORD_FIRST = (
     "q_heatmap_tiles",
     "q_idw",
     "q_ewma",
+    "q_scale_gate",
     "q_distinct_hll",
     "q_spatial_block_split",
     "q_alignment_filter",

@@ -232,3 +232,22 @@ def test_round_half_away_scalar_path_extreme_fallback():
     ).astype(np.int64)
     assert np.array_equal(got, want)
     assert tm.round_half_away_np(np.array([2.5, -2.5])).tolist() == [3, -3]
+
+
+def test_scale_denominator_parity():
+    """P3: mapnik's z0/256px denominator, halving per zoom, gate
+    min-inclusive max-exclusive, zoom_for_scale inverse."""
+    from mapnik_vector_tile_spark.functions.tilemath import (
+        layer_visible,
+        scale_denominator,
+        zoom_for_scale,
+    )
+
+    assert repr(scale_denominator(0)) == "559082264.0287178"
+    for z in range(20):
+        assert scale_denominator(z) / scale_denominator(z + 1) == 2.0
+    sd10 = scale_denominator(10)
+    assert layer_visible(10, sd10, sd10 * 2)       # min inclusive
+    assert not layer_visible(10, sd10 / 2, sd10)   # max exclusive
+    assert zoom_for_scale(scale_denominator(7)) == 7
+    assert zoom_for_scale(scale_denominator(7) - 1.0) == 8
