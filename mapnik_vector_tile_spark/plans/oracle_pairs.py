@@ -8227,7 +8227,67 @@ FROM feat f JOIN hh h USING (idx)
 """
 
 
+# q_mapnik_expr: the committed mapnik-filter-expression corpus. One
+# source string per output column; the SAME AST renders to Spark SQL,
+# DuckDB SQL and the tests' pure-Python evaluator (mvtexpr module doc
+# pins the semantics where mapnik C++ and SQL disagree).
+MVT_EXPRS = {
+    # full grammar sweep: arithmetic + % + match + and/or/not + floats
+    "keep": (
+        "(([p_size] + 3) * 7 % 5 < 3 or [p_name].match('small .*')) "
+        "and not ([p_brand] = 'Brand#13' or [p_size] / 4 > 11.5) "
+        "and [p_type].match('.*M.*')"
+    ),
+    # mapnik null semantics against REAL NULLs (NULLIF-derived column):
+    # '= null' is value_null equality (TRUE branch), '> 46' with a null
+    # operand is FALSE (never SQL NULL), and the outer 'or' sees
+    # non-null booleans only
+    "keep_null": "[sz] = null or [sz] > 46 or not [sz] != null",
+    # signed remainder + unary minus + precedence
+    "score": "([p_size] * 13 + 7) % 97 + (-[p_size]) % 5",
+    # int/int true division (SQL rule, exact binary fraction)
+    "ratio": "[p_size] / 4 - 0.5",
+}
+MVT_COLMAP = {"sz": "NULLIF(p_size, 45)"}
+
+
+def _mvt_expr_selects(engine: str) -> list[str]:
+    from mapnik_vector_tile_spark.functions import mvtexpr as X
+
+    outs = []
+    for name, src in MVT_EXPRS.items():
+        if name.startswith("keep"):
+            sql = X.predicate_sql(src, engine, MVT_COLMAP)
+        else:
+            sql = X.to_sql(X.parse(src), engine, MVT_COLMAP)
+        outs.append(f"{sql} AS {name}")
+    return outs
+
+
+def q_mapnik_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 mapnik filter-expression compiler (functions/mvtexpr.py —
+    the style language that decides which features a mapnik-vector-tile
+    processor encodes; reference parity: mapnik expressions_grammar)
+    with a FULL oracle: every committed expression in MVT_EXPRS is
+    parsed ONCE and the one AST renders to both engines, so operator
+    precedence, the null-safe '=', the FALSE-not-NULL ordered
+    comparisons, full-string .match, signed remainder and true
+    division must all agree bit-exactly over every part row (both
+    boolean branches land in the hash because keep is a column, not a
+    WHERE). The compiled predicate is a single Catalyst expression —
+    no UDF, pushdown/codegen-eligible (asserted in tests)."""
+    load_views(spark, sf_dir)
+    cols = ", ".join(_mvt_expr_selects("spark"))
+    return spark.sql(f"SELECT p_partkey AS id, {cols} FROM part")
+
+
+def _sql_mapnik_expr() -> str:
+    cols = ", ".join(_mvt_expr_selects("duckdb"))
+    return f"SELECT p_partkey AS id, {cols} FROM part"
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
     "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
     "q_vtquery": (q_vtquery, _sql_vtquery()),
     "q_engine_pip_broadcast": (q_engine_pip_broadcast, _sql_bbox_rect_join()),
@@ -8372,6 +8432,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_mapnik_expr",
     "q_raster_png8",
     "q_image_otsu",
     "q_pq",
