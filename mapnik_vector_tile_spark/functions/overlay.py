@@ -1,0 +1,437 @@
+"""Constructive polygon boolean union — SURVEY.md F12/U12 (round 2).
+
+Reference parity: the reference repairs and merges polygons through
+mapbox/wagyu (src/vector_tile_geometry_clipper.hpp polygon overloads;
+wagyu is a Vatti-style integer boolean-clipping engine whose union op
+emits the MERGED boundary of overlapping polygons as strictly-simple
+rings). Round 1 shipped the grouping half (`joins.dissolve_polygons`:
+which polygons merge) and per-ring self-intersection repair
+(`functions.repair`); this module closes the remaining narrowing —
+the CONSTRUCTIVE half that computes the merged boundary itself.
+
+Semantics (wagyu union, NONZERO fill over the input ring set):
+
+    union region = { p : total winding number of p over ALL input
+                         rings > 0 }
+
+Callers pass exterior rings counter-clockwise (positive shoelace) and
+hole rings clockwise, exactly wagyu's convention; overlapping inputs,
+duplicated inputs, shared/partial collinear edges, T-junctions and
+corner touches are all legal. Output is a list of strictly-simple
+rings: exteriors CCW (positive signed area), holes CW (negative),
+with collinear runs merged, canonically rotated and ordered, so equal
+regions produce bit-identical outputs.
+
+Algorithm — classic planar overlay, three stages, all numpy:
+
+1. **Node insertion** (`_insert_nodes`): every proper pairwise edge
+   crossing across ALL rings is computed once and the same point
+   object lands in both edges; endpoint-on-edge-interior contacts
+   (T-junctions, collinear overlaps — both cross-ring and self) insert
+   the EXACT endpoint floats, so coincident geometry stays coincident
+   bit-for-bit. Axis-parallel edges propagate their fixed coordinate
+   exactly (a vertical×horizontal crossing is exactly (x_v, y_h), no
+   parametric rounding), which makes the whole pipeline integer-exact
+   on rectilinear integer input — the property the SQL oracle twin
+   leans on. Near-integer intersections of general edges snap within
+   1e-9 so integer-grid diagonals (bowties) key exactly too.
+
+2. **Side classification** (`_classify`): after insertion no segment
+   interior meets any other segment, so each undirected split segment
+   borders exactly two faces; their winding numbers are sampled at
+   midpoint ± 0.25·normal (integer rectilinear input: quarter-integer
+   sample coords can never lie on an integer-coordinate axis-parallel
+   edge, so the crossing-number evaluation is EXACT; general input
+   uses a bbox-scaled epsilon — documented float narrowing).
+   A segment survives iff exactly one side has winding > 0, oriented
+   filled-side-LEFT; coincident duplicates collapse to one copy
+   (the winding sample already accounts for every ring).
+
+3. **Face walk** (`_stitch`): directed survivors are chained start→end
+   vertex; at a multi-way vertex the walk takes the MOST
+   COUNTER-CLOCKWISE turn from the incoming direction. That rule
+   resolves pinch points (two regions meeting at a corner) by
+   SPLITTING the filled side — two diagonally-touching squares emit
+   two simple rings, never a figure-8 — which is the resolution whose
+   ring counts satisfy the subdivision-invariant Euler identity
+
+       n_exterior − n_hole = V − E + F + n_pinch
+
+   on any cell decomposition of the region; the DuckDB oracle twin
+   replays exactly that identity on a compressed-coordinate grid.
+
+Scale: this is a per-GROUP kernel (tile-local / dissolve-cluster
+geometry is small); distribution happens across groups via
+applyInPandas in operators/overlay.py — no shuffle beyond the one
+group-by, no driver collect, cost per group O(E² bbox-prefiltered)
+with E in the hundreds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SNAP_EPS = 1e-9
+
+
+def _rings_to_edges(
+    rings: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, ...]:
+    """Flatten rings to directed edge arrays (ax, ay, bx, by, rid, eid)."""
+    axs, ays, bxs, bys, rid = [], [], [], [], []
+    for r, (xs, ys) in enumerate(rings):
+        n = len(xs)
+        axs.append(xs)
+        ays.append(ys)
+        bxs.append(np.roll(xs, -1))
+        bys.append(np.roll(ys, -1))
+        rid.append(np.full(n, r, dtype=np.int64))
+    ax = np.concatenate(axs)
+    ay = np.concatenate(ays)
+    bx = np.concatenate(bxs)
+    by = np.concatenate(bys)
+    rr = np.concatenate(rid)
+    return ax, ay, bx, by, rr
+
+
+def _snap(v: float) -> float:
+    r = round(v)
+    return float(r) if abs(v - r) < _SNAP_EPS else float(v)
+
+
+def _isect_point(
+    ax1: float, ay1: float, dx1: float, dy1: float, t: float,
+    ax2: float, ay2: float, dx2: float, dy2: float,
+) -> tuple[float, float]:
+    """Crossing coords; axis-parallel edges contribute their fixed
+    coordinate EXACTLY (no parametric rounding)."""
+    if dx1 == 0.0:
+        x = ax1
+    elif dx2 == 0.0:
+        x = ax2
+    else:
+        x = _snap(ax1 + t * dx1)
+    if dy1 == 0.0:
+        y = ay1
+    elif dy2 == 0.0:
+        y = ay2
+    else:
+        y = _snap(ay1 + t * dy1)
+    return x, y
+
+
+def _insert_nodes(
+    rings: list[tuple[np.ndarray, np.ndarray]],
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Split every edge at all crossings / contact points so segment
+    interiors are pairwise disjoint. Returns augmented rings."""
+    ax, ay, bx, by, rr = _rings_to_edges(rings)
+    ne = len(ax)
+    dx, dy = bx - ax, by - ay
+    # per-edge insertion lists: (param t, x, y)
+    ins: list[list[tuple[float, float, float]]] = [[] for _ in range(ne)]
+
+    ii, jj = np.triu_indices(ne, k=1)
+    # bbox prefilter
+    lo_xi = np.minimum(ax, bx)
+    hi_xi = np.maximum(ax, bx)
+    lo_yi = np.minimum(ay, by)
+    hi_yi = np.maximum(ay, by)
+    keep = (
+        (lo_xi[ii] <= hi_xi[jj]) & (lo_xi[jj] <= hi_xi[ii])
+        & (lo_yi[ii] <= hi_yi[jj]) & (lo_yi[jj] <= hi_yi[ii])
+    )
+    ii, jj = ii[keep], jj[keep]
+    if len(ii):
+        d1x, d1y = dx[ii], dy[ii]
+        d2x, d2y = dx[jj], dy[jj]
+        ex, ey = ax[jj] - ax[ii], ay[jj] - ay[ii]
+        den = d1x * d2y - d1y * d2x
+        tnum = ex * d2y - ey * d2x
+        unum = ex * d1y - ey * d1x
+        cross_mask = den != 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(cross_mask, tnum / den, 0.0)
+            u = np.where(cross_mask, unum / den, 0.0)
+        on1 = cross_mask & (t >= 0.0) & (t <= 1.0)
+        on2 = cross_mask & (u >= 0.0) & (u <= 1.0)
+        proper = on1 & on2 & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+        for k in np.flatnonzero(proper):
+            i, j = int(ii[k]), int(jj[k])
+            x, y = _isect_point(
+                ax[i], ay[i], dx[i], dy[i], float(t[k]),
+                ax[j], ay[j], dx[j], dy[j],
+            )
+            ins[i].append((float(t[k]), x, y))
+            ins[j].append((float(u[k]), x, y))
+        # T-junctions: an ENDPOINT of one edge strictly inside the other
+        # (transversal contact, t or u exactly 0/1)
+        end1 = on1 & on2 & ((u == 0.0) | (u == 1.0)) & (t > 0.0) & (t < 1.0)
+        for k in np.flatnonzero(end1):
+            i, j = int(ii[k]), int(jj[k])
+            px = ax[j] if u[k] == 0.0 else bx[j]
+            py = ay[j] if u[k] == 0.0 else by[j]
+            ins[i].append((float(t[k]), float(px), float(py)))
+        end2 = on1 & on2 & ((t == 0.0) | (t == 1.0)) & (u > 0.0) & (u < 1.0)
+        for k in np.flatnonzero(end2):
+            i, j = int(ii[k]), int(jj[k])
+            px = ax[i] if t[k] == 0.0 else bx[i]
+            py = ay[i] if t[k] == 0.0 else by[i]
+            ins[j].append((float(u[k]), float(px), float(py)))
+        # collinear overlap: project each endpoint of one edge onto the
+        # other when exactly collinear (den == 0 and cross(e, d1) == 0)
+        coll = (~cross_mask) & (ex * d1y - ey * d1x == 0.0)
+        for k in np.flatnonzero(coll):
+            i, j = int(ii[k]), int(jj[k])
+            for (px, py), tgt, (ox, oy, odx, ody) in (
+                ((ax[j], ay[j]), i, (ax[i], ay[i], dx[i], dy[i])),
+                ((bx[j], by[j]), i, (ax[i], ay[i], dx[i], dy[i])),
+                ((ax[i], ay[i]), j, (ax[j], ay[j], dx[j], dy[j])),
+                ((bx[i], by[i]), j, (ax[j], ay[j], dx[j], dy[j])),
+            ):
+                L2 = odx * odx + ody * ody
+                if L2 == 0.0:
+                    continue
+                tt = ((px - ox) * odx + (py - oy) * ody) / L2
+                if 0.0 < tt < 1.0:
+                    ins[tgt].append((float(tt), float(px), float(py)))
+
+    # rebuild rings with insertions applied, deduping identical coords
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    e0 = 0
+    for xs, ys in rings:
+        n = len(xs)
+        nx: list[float] = []
+        nyy: list[float] = []
+        for k in range(n):
+            nx.append(float(xs[k]))
+            nyy.append(float(ys[k]))
+            pts = ins[e0 + k]
+            if pts:
+                for _, px, py in sorted(pts, key=lambda p: p[0]):
+                    if (px, py) != (nx[-1], nyy[-1]):
+                        nx.append(px)
+                        nyy.append(py)
+        # closing vertex duplicate of start
+        if len(nx) > 1 and (nx[-1], nyy[-1]) == (nx[0], nyy[0]):
+            nx.pop()
+            nyy.pop()
+        out.append((np.asarray(nx), np.asarray(nyy)))
+        e0 += n
+    return out
+
+
+def winding_numbers(
+    px: np.ndarray,
+    py: np.ndarray,
+    rings: list[tuple[np.ndarray, np.ndarray]],
+) -> np.ndarray:
+    """Nonzero winding number of each query point over all rings,
+    vectorized (points × edges). Half-open y rule: an upward edge
+    contributes on ay <= y < by, downward on by <= y < ay; sample
+    points are chosen off every edge so ties never arise."""
+    ax, ay, bx, by, _ = _rings_to_edges(rings)
+    p_x = np.asarray(px, dtype=np.float64)[:, None]
+    p_y = np.asarray(py, dtype=np.float64)[:, None]
+    up = (ay[None, :] <= p_y) & (p_y < by[None, :])
+    dn = (by[None, :] <= p_y) & (p_y < ay[None, :])
+    # side of point vs directed edge: cross((b-a), (p-a))
+    cr = (bx - ax)[None, :] * (p_y - ay[None, :]) - (by - ay)[None, :] * (
+        p_x - ax[None, :]
+    )
+    w = (up & (cr > 0)).sum(axis=1) - (dn & (cr < 0)).sum(axis=1)
+    return w
+
+
+def _classify(
+    aug: list[tuple[np.ndarray, np.ndarray]],
+    rings: list[tuple[np.ndarray, np.ndarray]],
+    delta: float,
+) -> list[tuple[float, float, float, float]]:
+    """Undirected dedupe + side-winding classification of every split
+    segment. Returns directed kept segments (filled side on the LEFT)."""
+    segs: dict[
+        tuple[float, float, float, float], None
+    ] = {}
+    for xs, ys in aug:
+        n = len(xs)
+        for k in range(n):
+            x1, y1 = float(xs[k]), float(ys[k])
+            x2, y2 = float(xs[(k + 1) % n]), float(ys[(k + 1) % n])
+            if (x1, y1) == (x2, y2):
+                continue
+            key = (
+                (x1, y1, x2, y2) if (x1, y1) < (x2, y2) else (x2, y2, x1, y1)
+            )
+            segs[key] = None
+    if not segs:
+        return []
+    arr = np.asarray(list(segs.keys()), dtype=np.float64)
+    x1, y1, x2, y2 = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+    mx, my = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+    ddx, ddy = x2 - x1, y2 - y1
+    ln = np.hypot(ddx, ddy)
+    nx_, ny_ = -ddy / ln, ddx / ln  # unit left normal of p1->p2
+    wl = winding_numbers(mx + delta * nx_, my + delta * ny_, rings)
+    wr = winding_numbers(mx - delta * nx_, my - delta * ny_, rings)
+    keep = (wl > 0) != (wr > 0)
+    out = []
+    for k in np.flatnonzero(keep):
+        if wl[k] > 0:  # filled already on the left of p1->p2
+            out.append((float(x1[k]), float(y1[k]), float(x2[k]), float(y2[k])))
+        else:
+            out.append((float(x2[k]), float(y2[k]), float(x1[k]), float(y1[k])))
+    return out
+
+
+def _stitch(
+    dsegs: list[tuple[float, float, float, float]],
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Chain directed segments into closed loops. At a multi-way vertex
+    take the MOST counter-clockwise turn from the incoming direction
+    (splits pinch points on the filled side — see module doc)."""
+    from collections import defaultdict
+
+    outgoing: dict[tuple[float, float], list[int]] = defaultdict(list)
+    for idx, (x1, y1, x2, y2) in enumerate(dsegs):
+        outgoing[(x1, y1)].append(idx)
+    used = [False] * len(dsegs)
+    loops: list[tuple[np.ndarray, np.ndarray]] = []
+    for start in range(len(dsegs)):
+        if used[start]:
+            continue
+        path = [start]
+        used[start] = True
+        x1, y1, x2, y2 = dsegs[start]
+        sv = (x1, y1)
+        cur = (x2, y2)
+        din = (x2 - x1, y2 - y1)
+        ok = True
+        while cur != sv:
+            cands = [c for c in outgoing.get(cur, ()) if not used[c]]
+            if not cands:
+                ok = False  # open chain — classification artifact; drop
+                break
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                best, best_ang = None, None
+                for c in cands:
+                    cx1, cy1, cx2, cy2 = dsegs[c]
+                    do = (cx2 - cx1, cy2 - cy1)
+                    ang = np.arctan2(
+                        din[0] * do[1] - din[1] * do[0],
+                        din[0] * do[0] + din[1] * do[1],
+                    )
+                    # most-CCW turn; straight-back (±pi) ranks lowest
+                    if ang <= -np.pi + 1e-12:
+                        ang = -np.pi
+                    if best_ang is None or ang > best_ang:
+                        best, best_ang = c, ang
+                nxt = best
+            used[nxt] = True
+            path.append(nxt)
+            nx1, ny1, nx2, ny2 = dsegs[nxt]
+            din = (nx2 - nx1, ny2 - ny1)
+            cur = (nx2, ny2)
+        if not ok:
+            continue
+        xs = np.asarray([dsegs[p][0] for p in path])
+        ys = np.asarray([dsegs[p][1] for p in path])
+        loops.append((xs, ys))
+    return loops
+
+
+def _merge_collinear(
+    xs: np.ndarray, ys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    n = len(xs)
+    if n < 3:
+        return xs, ys
+    px, py = np.roll(xs, 1), np.roll(ys, 1)
+    nx_, ny_ = np.roll(xs, -1), np.roll(ys, -1)
+    cr = (xs - px) * (ny_ - ys) - (ys - py) * (nx_ - xs)
+    dot = (xs - px) * (nx_ - xs) + (ys - py) * (ny_ - ys)
+    keep = ~((cr == 0.0) & (dot > 0.0))
+    return xs[keep], ys[keep]
+
+
+def ring_area2(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Doubled signed shoelace area (CCW positive)."""
+    return float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+
+
+def _canon_ring(
+    xs: np.ndarray, ys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rotate to start at the lexicographically smallest vertex."""
+    k = np.lexsort((ys, xs))[0]
+    return np.roll(xs, -k), np.roll(ys, -k)
+
+
+def union_rings(
+    rings: list[tuple[np.ndarray, np.ndarray]],
+    delta: float | None = None,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Nonzero-fill boolean union of a ring set → canonical simple
+    rings (exterior CCW / positive area first by position, holes CW)."""
+    rings = [
+        (np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64))
+        for xs, ys in rings
+        if len(xs) >= 3
+    ]
+    if not rings:
+        return []
+    if delta is None:
+        allx = np.concatenate([r[0] for r in rings])
+        ally = np.concatenate([r[1] for r in rings])
+        integral = bool(
+            np.all(allx == np.round(allx)) and np.all(ally == np.round(ally))
+        )
+        if integral:
+            delta = 0.25
+        else:
+            scale = max(
+                allx.max() - allx.min(), ally.max() - ally.min(), 1.0
+            )
+            delta = 1e-6 * scale
+    aug = _insert_nodes(rings)
+    dsegs = _classify(aug, rings, delta)
+    loops = _stitch(dsegs)
+    out = []
+    for xs, ys in loops:
+        xs, ys = _merge_collinear(xs, ys)
+        if len(xs) >= 3 and ring_area2(xs, ys) != 0.0:
+            out.append(_canon_ring(xs, ys))
+    out.sort(key=lambda r: (float(r[0][0]), float(r[1][0]), -ring_area2(*r)))
+    return out
+
+
+def union_stats(
+    rings: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[int, int, int, int, int]:
+    """Integer union summary for rectilinear-integer input:
+    (area2, manhattan perimeter, n_vertices, n_ext − n_hole, vhash).
+    vhash = Σ over output vertices of (x·73856093 + y·19349663) mod 2³¹
+    — a multiset hash the SQL twin reproduces from corner patterns."""
+    out = union_rings(rings)
+    area2 = 0
+    perim = 0
+    n_vert = 0
+    euler = 0
+    vhash = 0
+    for xs, ys in out:
+        a2 = ring_area2(xs, ys)
+        area2 += int(round(a2))
+        euler += 1 if a2 > 0 else -1
+        n_vert += len(xs)
+        perim += int(
+            round(
+                np.sum(np.abs(np.diff(np.append(xs, xs[0]))))
+                + np.sum(np.abs(np.diff(np.append(ys, ys[0]))))
+            )
+        )
+        xi = np.round(xs).astype(np.int64)
+        yi = np.round(ys).astype(np.int64)
+        vhash += int(((xi * 73856093 + yi * 19349663) % (1 << 31)).sum())
+    return area2, perim, n_vert, euler, vhash

@@ -1,0 +1,142 @@
+"""Grouped constructive polygon union — SURVEY.md F12/U12 (round 2).
+
+Reference parity: wagyu's union op inside the reference's polygon
+clipper (src/vector_tile_geometry_clipper.hpp polygon overloads /
+mapbox::geometry::wagyu multi_polygon_union). `joins.dissolve_polygons`
+ships the GROUPING half (which polygons merge); this operator is the
+CONSTRUCTIVE half — the merged boundary itself, per group, via the
+planar-overlay kernel in functions/overlay.py.
+
+Scale shape: ONE groupBy shuffle on the group key, then a pure
+Arrow-batched applyInPandas kernel — per-group geometry is tile-local
+small (the same size regime the encode kernel already handles), and
+parallelism comes from the number of groups, which at 10^12-row scale
+is the tile/cluster count. No driver collect, no cross-group traffic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from mapnik_vector_tile_spark.functions.overlay import (
+    ring_area2,
+    union_rings,
+    union_stats,
+)
+
+_RINGS_SCHEMA = StructType(
+    [
+        StructField("g", LongType()),
+        StructField("ring_idx", LongType()),
+        StructField("role", LongType()),  # 1 = exterior, -1 = hole
+        StructField("area2", DoubleType()),
+        StructField("xs", ArrayType(DoubleType())),
+        StructField("ys", ArrayType(DoubleType())),
+    ]
+)
+
+_STATS_SCHEMA = StructType(
+    [
+        StructField("g", LongType()),
+        StructField("area2", LongType()),
+        StructField("perim", LongType()),
+        StructField("n_vert", LongType()),
+        StructField("euler", LongType()),
+        StructField("vhash", LongType()),
+    ]
+)
+
+
+def _rings_of(pdf: pd.DataFrame) -> list[tuple[np.ndarray, np.ndarray]]:
+    return [
+        (np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64))
+        for xs, ys in zip(pdf["xs"], pdf["ys"])
+    ]
+
+
+def union_polygons(
+    df: DataFrame, group_col: str = "g"
+) -> DataFrame:
+    """Per-group nonzero-fill union. Input rows are RINGS
+    (group_col, xs: array<double>, ys: array<double>) — exteriors CCW,
+    holes CW, wagyu's convention. Output rows are the union's simple
+    boundary rings (exteriors CCW positive area, holes CW negative),
+    canonically ordered so equal regions are bit-identical."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf[group_col].iloc[0])
+        out = union_rings(_rings_of(pdf))
+        return pd.DataFrame(
+            {
+                "g": np.full(len(out), g, dtype=np.int64),
+                "ring_idx": np.arange(len(out), dtype=np.int64),
+                "role": np.asarray(
+                    [1 if ring_area2(*r) > 0 else -1 for r in out],
+                    dtype=np.int64,
+                ),
+                "area2": np.asarray(
+                    [ring_area2(*r) for r in out], dtype=np.float64
+                ),
+                "xs": [list(map(float, r[0])) for r in out],
+                "ys": [list(map(float, r[1])) for r in out],
+            }
+        )
+
+    return (
+        df.select(F.col(group_col).alias(group_col), "xs", "ys")
+        .groupBy(group_col)
+        .applyInPandas(kernel, _RINGS_SCHEMA)
+    )
+
+
+def union_polygon_stats(
+    df: DataFrame, group_col: str = "g"
+) -> DataFrame:
+    """Per-group integer union summary for rectilinear-integer rings:
+    (area2, manhattan perimeter, n_vertices, n_ext − n_hole, vertex
+    multiset hash) — every column exactly replayable by the DuckDB
+    grid twin (see plans/oracle_pairs.q_polygon_union)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf[group_col].iloc[0])
+        area2, perim, n_vert, euler, vhash = union_stats(_rings_of(pdf))
+        return pd.DataFrame(
+            {
+                "g": [g],
+                "area2": [area2],
+                "perim": [perim],
+                "n_vert": [n_vert],
+                "euler": [euler],
+                "vhash": [vhash],
+            }
+        ).astype(np.int64)
+
+    return (
+        df.select(F.col(group_col).alias(group_col), "xs", "ys")
+        .groupBy(group_col)
+        .applyInPandas(kernel, _STATS_SCHEMA)
+    )
+
+
+def rect_rings(df: DataFrame) -> DataFrame:
+    """(g, x0, y0, w, ht) integer rectangles → CCW ring rows
+    (g, xs, ys) — pure Column math, no UDF."""
+    dx = F.col("x0").cast("double")
+    dy = F.col("y0").cast("double")
+    dw = F.col("w").cast("double")
+    dh = F.col("ht").cast("double")
+    return df.select(
+        "g",
+        F.array(dx, dx + dw, dx + dw, dx).alias("xs"),
+        F.array(dy, dy, dy + dh, dy + dh).alias("ys"),
+    )

@@ -8286,7 +8286,267 @@ def _sql_mapnik_expr() -> str:
     return f"SELECT p_partkey AS id, {cols} FROM part"
 
 
+# ---------------------------------------------------------------------------
+# q_polygon_union — F12/U12 constructive boolean union (wagyu parity)
+# ---------------------------------------------------------------------------
+
+UNION_GROUPS = 96
+
+
+def q_polygon_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/U12 constructive polygon union (operators/overlay.py over
+    functions/overlay.py — the merged-boundary half of wagyu's
+    multi_polygon_union; reference parity:
+    src/vector_tile_geometry_clipper.hpp polygon overloads) with a
+    FULL oracle on a rectilinear-integer corpus where the overlay is
+    bit-exact end to end: every group unions ~1/16 of the orders rows
+    as splitmix64-derived random rectangles PLUS four deterministic
+    frame pieces that enclose a hole (so exterior rings, hole rings,
+    pinch points, duplicated rects, shared collinear edges and
+    T-junctions all carry rows). The engine runs the GENERAL planar
+    overlay (node insertion → side-winding classification → pinch-
+    splitting face walk) and emits per-group integers (area2,
+    manhattan perimeter, vertex count, n_ext − n_hole, vertex multiset
+    hash); the DuckDB twin never builds rings at all — it replays the
+    region on a compressed-coordinate grid (covered cells, corner
+    patterns, the subdivision-invariant Euler identity
+    n_ext − n_hole = V − E + F + n_pinch), so the two engines agree
+    only if the constructed boundary is exactly the union region.
+    Scale: one groupBy shuffle, per-group Arrow kernel, parallelism =
+    group count (tile/cluster count at 10^12 rows)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from mapnik_vector_tile_spark.operators.overlay import (
+        rect_rings,
+        union_polygon_stats,
+    )
+
+    rect_t = StructType(
+        [
+            StructField("keep", BooleanType()),
+            StructField("x0", LongType()),
+            StructField("y0", LongType()),
+            StructField("w", LongType()),
+            StructField("ht", LongType()),
+        ]
+    )
+
+    def _rand_rect_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "keep": (h % np.uint64(16) == 0),
+                "x0": ((h >> np.uint64(4)) % np.uint64(40)).astype(np.int64),
+                "y0": ((h >> np.uint64(10)) % np.uint64(40)).astype(np.int64),
+                "w": (1 + (h >> np.uint64(16)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+                "ht": (1 + (h >> np.uint64(22)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    frame_t = StructType(
+        [
+            StructField("fx", LongType()),
+            StructField("fy", LongType()),
+            StructField("fw", LongType()),
+            StructField("fh", LongType()),
+            StructField("t", LongType()),
+        ]
+    )
+
+    def _frame_kernel(g):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(
+            (g.to_numpy(dtype=np.int64) * 1000003 + 7).astype(np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "fx": (2 + h % np.uint64(24)).astype(np.int64),
+                "fy": (2 + (h >> np.uint64(5)) % np.uint64(24)).astype(
+                    np.int64
+                ),
+                "fw": (8 + (h >> np.uint64(10)) % np.uint64(8)).astype(
+                    np.int64
+                ),
+                "fh": (8 + (h >> np.uint64(13)) % np.uint64(8)).astype(
+                    np.int64
+                ),
+                "t": (1 + (h >> np.uint64(16)) % np.uint64(3)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    rand_rect = F.pandas_udf(_rand_rect_kernel, rect_t)
+    frame_params = F.pandas_udf(_frame_kernel, frame_t)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rr = (
+        orders.select(
+            (F.col("o_orderkey") % UNION_GROUPS).alias("g"),
+            rand_rect(F.col("o_orderkey")).alias("r"),
+        )
+        .where(F.col("r.keep"))
+        .select("g", "r.x0", "r.y0", "r.w", "r.ht")
+    )
+    piece = (
+        "array("
+        "struct(f.fx AS x0, f.fy AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy + f.fh - f.t AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy AS y0, f.t AS w, f.fh AS ht), "
+        "struct(f.fx + f.fw - f.t AS x0, f.fy AS y0, f.t AS w, f.fh AS ht))"
+    )
+    fr = (
+        spark.range(UNION_GROUPS)
+        .select(F.col("id").alias("g"), frame_params(F.col("id")).alias("f"))
+        .selectExpr("g", f"explode({piece}) AS r")
+        .select("g", "r.x0", "r.y0", "r.w", "r.ht")
+    )
+    return union_polygon_stats(rect_rings(rr.unionByName(fr)), "g")
+
+
+def _sql_polygon_union() -> str:
+    sm_k = splitmix64_sql("k")
+    sm_g = splitmix64_sql("(g * 1000003 + 7)")
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm_k} AS h FROM ks),
+rr AS (
+  SELECT CAST(k % {UNION_GROUPS} AS BIGINT) AS g,
+         CAST((h // 16) % 40 AS BIGINT) AS x0,
+         CAST((h // 1024) % 40 AS BIGINT) AS y0,
+         CAST(1 + (h // 65536) % 12 AS BIGINT) AS w,
+         CAST(1 + (h // 4194304) % 12 AS BIGINT) AS ht
+  FROM hh WHERE h % 16 = 0),
+gs AS (SELECT CAST(unnest(generate_series(0, {UNION_GROUPS - 1})) AS BIGINT)
+              AS g),
+gh AS (SELECT g, {sm_g} AS h FROM gs),
+fp AS (SELECT g,
+         CAST(2 + h % 24 AS BIGINT) AS fx,
+         CAST(2 + (h // 32) % 24 AS BIGINT) AS fy,
+         CAST(8 + (h // 1024) % 8 AS BIGINT) AS fw,
+         CAST(8 + (h // 8192) % 8 AS BIGINT) AS fh,
+         CAST(1 + (h // 65536) % 3 AS BIGINT) AS t
+       FROM gh),
+fr AS (
+  SELECT g, fx AS x0, fy AS y0, fw AS w, t AS ht FROM fp
+  UNION ALL SELECT g, fx, fy + fh - t, fw, t FROM fp
+  UNION ALL SELECT g, fx, fy, t, fh FROM fp
+  UNION ALL SELECT g, fx + fw - t, fy, t, fh FROM fp),
+rects AS MATERIALIZED (SELECT * FROM rr UNION ALL SELECT * FROM fr),
+xs AS MATERIALIZED (
+  SELECT DISTINCT g, x0 AS x FROM rects
+  UNION SELECT DISTINCT g, x0 + w FROM rects),
+xi AS MATERIALIZED (
+  SELECT g, x, lead(x) OVER (PARTITION BY g ORDER BY x) AS x2 FROM xs),
+ysrc AS MATERIALIZED (
+  SELECT DISTINCT g, y0 AS y FROM rects
+  UNION SELECT DISTINCT g, y0 + ht FROM rects),
+yi AS MATERIALIZED (
+  SELECT g, y, lead(y) OVER (PARTITION BY g ORDER BY y) AS y2
+  FROM ysrc),
+cells AS MATERIALIZED (
+  SELECT c.g, c.x, c.x2, c.y, c.y2, COUNT(r.x0) > 0 AS cv
+  FROM (SELECT xi.g, xi.x, xi.x2, yi.y, yi.y2
+        FROM xi JOIN yi ON xi.g = yi.g
+        WHERE xi.x2 IS NOT NULL AND yi.y2 IS NOT NULL) c
+  LEFT JOIN rects r
+    ON r.g = c.g AND r.x0 <= c.x AND c.x2 <= r.x0 + r.w
+       AND r.y0 <= c.y AND c.y2 <= r.y0 + r.ht
+  GROUP BY c.g, c.x, c.x2, c.y, c.y2),
+pts AS (SELECT xs.g, xs.x AS px, ysrc.y AS py
+        FROM xs JOIN ysrc ON xs.g = ysrc.g),
+corn AS (
+  SELECT p.g, p.px, p.py,
+    COALESCE(sw.cv, FALSE) AS swc, COALESCE(se.cv, FALSE) AS sec_,
+    COALESCE(nw.cv, FALSE) AS nwc, COALESCE(ne.cv, FALSE) AS nec
+  FROM pts p
+  LEFT JOIN cells sw ON sw.g = p.g AND sw.x2 = p.px AND sw.y2 = p.py
+  LEFT JOIN cells se ON se.g = p.g AND se.x  = p.px AND se.y2 = p.py
+  LEFT JOIN cells nw ON nw.g = p.g AND nw.x2 = p.px AND nw.y  = p.py
+  LEFT JOIN cells ne ON ne.g = p.g AND ne.x  = p.px AND ne.y  = p.py),
+vstat AS (
+  SELECT g, px, py,
+    CAST(swc AS INT) + CAST(sec_ AS INT)
+      + CAST(nwc AS INT) + CAST(nec AS INT) AS ncov,
+    CASE WHEN swc = nec AND nwc = sec_ AND swc <> nwc
+         THEN 1 ELSE 0 END AS isdiag
+  FROM corn),
+vagg AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND isdiag = 1 THEN 2
+                  ELSE 0 END) AS BIGINT) AS n_vert,
+    CAST(SUM(CAST(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND isdiag = 1 THEN 2
+                  ELSE 0 END AS BIGINT)
+             * ((px * 73856093 + py * 19349663) % 2147483648))
+         AS BIGINT) AS vhash,
+    CAST(SUM(CASE WHEN ncov = 2 THEN isdiag ELSE 0 END) AS BIGINT)
+      AS ndiag,
+    CAST(SUM(CASE WHEN ncov >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS nv_all
+  FROM vstat GROUP BY g),
+cagg AS (
+  SELECT g,
+    CAST(2 * SUM(CASE WHEN cv THEN (x2 - x) * (y2 - y) ELSE 0 END)
+         AS BIGINT) AS area2,
+    CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS BIGINT) AS nf
+  FROM cells GROUP BY g),
+vedge AS (
+  SELECT xs.g,
+    COALESCE(l.cv, FALSE) AS lcv, COALESCE(r.cv, FALSE) AS rcv,
+    yi.y2 - yi.y AS ln
+  FROM xs JOIN yi ON xs.g = yi.g AND yi.y2 IS NOT NULL
+  LEFT JOIN cells l ON l.g = xs.g AND l.x2 = xs.x AND l.y = yi.y
+  LEFT JOIN cells r ON r.g = xs.g AND r.x  = xs.x AND r.y = yi.y),
+hedge AS (
+  SELECT ysrc.g,
+    COALESCE(b.cv, FALSE) AS bcv, COALESCE(a.cv, FALSE) AS acv,
+    xi.x2 - xi.x AS ln
+  FROM ysrc JOIN xi ON ysrc.g = xi.g AND xi.x2 IS NOT NULL
+  LEFT JOIN cells b ON b.g = ysrc.g AND b.y2 = ysrc.y AND b.x = xi.x
+  LEFT JOIN cells a ON a.g = ysrc.g AND a.y  = ysrc.y AND a.x = xi.x),
+vea AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN lcv <> rcv THEN ln ELSE 0 END) AS BIGINT) AS perim,
+    CAST(SUM(CASE WHEN lcv OR rcv THEN 1 ELSE 0 END) AS BIGINT) AS ne
+  FROM vedge GROUP BY g),
+hea AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN bcv <> acv THEN ln ELSE 0 END) AS BIGINT) AS perim,
+    CAST(SUM(CASE WHEN bcv OR acv THEN 1 ELSE 0 END) AS BIGINT) AS ne
+  FROM hedge GROUP BY g)
+SELECT c.g, c.area2,
+       (v.perim + h.perim) AS perim,
+       k.n_vert,
+       (k.nv_all - (v.ne + h.ne) + c.nf + k.ndiag) AS euler,
+       k.vhash
+FROM cagg c
+JOIN vagg k USING (g)
+JOIN vea v USING (g)
+JOIN hea h USING (g)
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "q_polygon_union": (q_polygon_union, _sql_polygon_union()),
     "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
     "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
     "q_vtquery": (q_vtquery, _sql_vtquery()),
@@ -8432,6 +8692,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_polygon_union",
     "q_mapnik_expr",
     "q_raster_png8",
     "q_image_otsu",

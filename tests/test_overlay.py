@@ -1,0 +1,258 @@
+"""F12/U12 constructive polygon union (functions/overlay.py).
+
+Reference parity: wagyu multi_polygon_union semantics
+(src/vector_tile_geometry_clipper.hpp polygon overloads) — nonzero
+fill, merged simple boundary, pinch points split on the filled side.
+
+Two independent validators:
+* a unit-grid coverage replay (the numpy prototype of the DuckDB
+  oracle twin) that must match every integer stat bit-for-bit on
+  rectilinear corpora, and
+* winding-number sampling: (input winding > 0) must equal even-odd /
+  nonzero membership of the OUTPUT rings at thousands of off-edge
+  sample points, for general (non-rectilinear, float) polygons.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapnik_vector_tile_spark.functions.overlay import (
+    ring_area2,
+    union_rings,
+    union_stats,
+    winding_numbers,
+)
+from mapnik_vector_tile_spark.functions.repair import ring_is_simple
+
+
+def rect(x0, y0, w, h):
+    return (
+        np.array([x0, x0 + w, x0 + w, x0], float),
+        np.array([y0, y0, y0 + h, y0 + h], float),
+    )
+
+
+def grid_twin(rects):
+    """Unit-grid coverage replay of (area2, perim, n_vert, euler,
+    vhash) — the same corner-pattern / Euler-identity computation the
+    DuckDB oracle twin performs on the compressed grid."""
+    X = max(x0 + w for x0, y0, w, h in rects) + 2
+    Y = max(y0 + h for x0, y0, w, h in rects) + 2
+    cov = np.zeros((X, Y), bool)
+    for x0, y0, w, h in rects:
+        cov[x0 : x0 + w, y0 : y0 + h] = True
+    area2 = 2 * int(cov.sum())
+    sw = np.zeros((X + 1, Y + 1), bool)
+    sw[1:, 1:] = cov
+    se = np.zeros((X + 1, Y + 1), bool)
+    se[:-1, 1:] = cov
+    nw = np.zeros((X + 1, Y + 1), bool)
+    nw[1:, :-1] = cov
+    ne = np.zeros((X + 1, Y + 1), bool)
+    ne[:-1, :-1] = cov
+    ncov = sw.astype(int) + se + nw + ne
+    diag = (ncov == 2) & (sw == ne) & (nw == se) & (sw != nw)
+    verts = np.where((ncov == 1) | (ncov == 3), 1, np.where(diag, 2, 0))
+    n_vert = int(verts.sum())
+    ii, jj = np.meshgrid(np.arange(X + 1), np.arange(Y + 1), indexing="ij")
+    vhash = int((verts * ((ii * 73856093 + jj * 19349663) % (1 << 31))).sum())
+    covp = np.zeros((X + 2, Y + 2), bool)
+    covp[1:-1, 1:-1] = cov
+    perim = int(
+        (covp[1:, :] != covp[:-1, :]).sum()
+        + (covp[:, 1:] != covp[:, :-1]).sum()
+    )
+    F = int(cov.sum())
+    V = int((ncov >= 1).sum())
+    E = int(
+        (covp[1:, 1:-1] | covp[:-1, 1:-1]).sum()
+        + (covp[1:-1, 1:] | covp[1:-1, :-1]).sum()
+    )
+    euler = V - E + F + int(diag.sum())
+    return area2, perim, n_vert, euler, vhash
+
+
+def region_equiv(inp, out, n=3000, seed=0):
+    """(input winding > 0) == (output winding > 0) at off-edge samples."""
+    rng = np.random.RandomState(seed)
+    allx = np.concatenate([r[0] for r in inp])
+    ally = np.concatenate([r[1] for r in inp])
+    px = rng.uniform(allx.min() - 1, allx.max() + 1, n)
+    py = rng.uniform(ally.min() - 1, ally.max() + 1, n)
+    win = winding_numbers(px, py, inp) > 0
+    wout = (
+        winding_numbers(px, py, out) > 0
+        if out
+        else np.zeros(n, bool)
+    )
+    mask = np.ones(n, bool)
+    for xs, ys in list(inp) + list(out):
+        ax, ay = xs, ys
+        bx, by = np.roll(xs, -1), np.roll(ys, -1)
+        dx, dy = bx - ax, by - ay
+        L2 = np.where(dx * dx + dy * dy == 0, 1.0, dx * dx + dy * dy)
+        t = np.clip(
+            ((px[:, None] - ax) * dx + (py[:, None] - ay) * dy) / L2, 0, 1
+        )
+        d2 = (px[:, None] - (ax + t * dx)) ** 2 + (
+            py[:, None] - (ay + t * dy)
+        ) ** 2
+        mask &= ~(d2 < 1e-6).any(axis=1)
+    assert mask.sum() > n // 2
+    return bool((win[mask] == wout[mask]).all())
+
+
+class TestRectilinearFixtures:
+    def test_disjoint(self):
+        out = union_rings([rect(0, 0, 1, 1), rect(3, 3, 1, 1)])
+        assert len(out) == 2
+        assert sorted(ring_area2(*r) for r in out) == [2.0, 2.0]
+
+    def test_diagonal_pinch_splits(self):
+        # wagyu resolution: two simple squares, never a figure-8
+        out = union_rings([rect(0, 0, 1, 1), rect(1, 1, 1, 1)])
+        assert len(out) == 2
+        assert all(len(r[0]) == 4 for r in out)
+        assert all(ring_is_simple(*r) for r in out)
+
+    def test_overlap_merges(self):
+        st = union_stats([rect(0, 0, 2, 2), rect(1, 1, 2, 2)])
+        assert st[:4] == (14, 12, 8, 1)  # area 7, L-shaped octagon
+
+    def test_duplicate_rects_collapse(self):
+        out = union_rings([rect(0, 0, 2, 2)] * 3)
+        assert len(out) == 1
+        assert ring_area2(*out[0]) == 8.0
+
+    def test_shared_edges_collinear_merge(self):
+        out = union_rings([rect(i, 0, 1, 1) for i in range(3)])
+        assert len(out) == 1
+        assert len(out[0][0]) == 4  # one 3x1 rectangle, 4 vertices
+
+    def test_frame_makes_hole(self):
+        fr = [
+            rect(0, 0, 10, 2),
+            rect(0, 8, 10, 2),
+            rect(0, 0, 2, 10),
+            rect(8, 0, 2, 10),
+        ]
+        out = union_rings(fr)
+        areas = sorted(ring_area2(*r) for r in out)
+        assert areas == [-72.0, 200.0]  # 6x6 hole, 10x10 exterior
+        assert union_stats(fr) == (128, 64, 8, 0, grid_twin(
+            [(0, 0, 10, 2), (0, 8, 10, 2), (0, 0, 2, 10), (8, 0, 2, 10)]
+        )[4])
+
+    def test_nested_absorbed(self):
+        out = union_rings([rect(0, 0, 10, 10), rect(2, 2, 3, 3)])
+        assert len(out) == 1
+        assert ring_area2(*out[0]) == 200.0
+
+    def test_t_junction(self):
+        st = union_stats([rect(0, 0, 4, 2), rect(1, 2, 2, 2)])
+        assert st[:4] == (24, 16, 8, 1)
+
+    def test_canonical_determinism(self):
+        rs = [rect(0, 0, 3, 3), rect(2, 1, 4, 4), rect(5, 0, 2, 6)]
+        a = union_rings(rs)
+        b = union_rings(list(reversed(rs)))
+        assert len(a) == len(b)
+        for (ax_, ay_), (bx_, by_) in zip(a, b):
+            assert np.array_equal(ax_, bx_) and np.array_equal(ay_, by_)
+
+
+class TestGridTwinProperty:
+    @pytest.mark.parametrize("seed", [7, 21, 99])
+    def test_random_corpora_match_grid_replay(self, seed):
+        rng = np.random.RandomState(seed)
+        for trial in range(60):
+            k = rng.randint(1, 14)
+            rects = [
+                (
+                    int(rng.randint(0, 40)),
+                    int(rng.randint(0, 40)),
+                    int(rng.randint(1, 13)),
+                    int(rng.randint(1, 13)),
+                )
+                for _ in range(k)
+            ]
+            if trial % 3 == 0:
+                fx, fy = rng.randint(0, 24, 2)
+                fw, fh = rng.randint(8, 16, 2)
+                t = rng.randint(1, 4)
+                rects += [
+                    (fx, fy, fw, t),
+                    (fx, fy + fh - t, fw, t),
+                    (fx, fy, t, fh),
+                    (fx + fw - t, fy, t, fh),
+                ]
+            rings = [rect(*r) for r in rects]
+            assert union_stats(rings) == grid_twin(rects), rects
+
+
+class TestGeneralPolygons:
+    def test_triangle_overlap(self):
+        tri1 = (np.array([0.0, 8.0, 4.0]), np.array([0.0, 0.0, 7.0]))
+        tri2 = (np.array([2.0, 10.0, 6.0]), np.array([3.0, 3.0, -4.0]))
+        out = union_rings([tri1, tri2])
+        assert all(ring_is_simple(*r) for r in out)
+        assert region_equiv([tri1, tri2], out)
+
+    def test_bowtie_input_resolved(self):
+        bow = (np.array([0.0, 4.0, 0.0, 4.0]), np.array([0.0, 4.0, 4.0, 0.0]))
+        sq = (np.array([1.0, 6.0, 6.0, 1.0]), np.array([1.0, 1.0, 2.0, 2.0]))
+        out = union_rings([bow, sq])
+        assert all(ring_is_simple(*r) for r in out)
+        assert region_equiv([bow, sq], out)
+
+    def test_rotated_squares_float(self):
+        def rot_sq(cx, cy, r, th):
+            a = th + np.arange(4) * np.pi / 2
+            return (cx + r * np.cos(a), cy + r * np.sin(a))
+
+        inp = [rot_sq(5, 5, 4, 0.2), rot_sq(6, 5, 4, 0.9), rot_sq(5, 6, 4, 1.5)]
+        out = union_rings(inp)
+        assert len(out) == 1 and ring_is_simple(*out[0])
+        assert region_equiv(inp, out)
+
+    def test_hole_ring_with_plug(self):
+        # exterior + CW hole + a square bridging through the hole
+        ext = (np.array([0.0, 12.0, 12.0, 0.0]), np.array([0.0, 0.0, 12.0, 12.0]))
+        hole = (np.array([3.0, 3.0, 9.0, 9.0]), np.array([3.0, 9.0, 9.0, 3.0]))
+        plug = (np.array([5.0, 7.0, 7.0, 5.0]), np.array([2.0, 2.0, 10.0, 10.0]))
+        out = union_rings([ext, hole, plug])
+        assert all(ring_is_simple(*r) for r in out)
+        assert region_equiv([ext, hole, plug], out)
+        roles = sorted(1 if ring_area2(*r) > 0 else -1 for r in out)
+        assert roles == [-1, -1, 1]  # plug splits the hole in two
+
+
+class TestSparkOperator:
+    def test_union_polygons_df(self, spark):
+        import pandas as pd
+
+        from mapnik_vector_tile_spark.operators.overlay import (
+            union_polygons,
+        )
+
+        rows = []
+        for g, rs in enumerate(
+            [
+                [rect(0, 0, 2, 2), rect(1, 1, 2, 2)],
+                [rect(0, 0, 1, 1), rect(1, 1, 1, 1)],
+            ]
+        ):
+            for xs, ys in rs:
+                rows.append((g, [float(v) for v in xs], [float(v) for v in ys]))
+        df = spark.createDataFrame(rows, "g long, xs array<double>, ys array<double>")
+        got = (
+            union_polygons(df, "g")
+            .toPandas()
+            .sort_values(["g", "ring_idx"])
+            .reset_index(drop=True)
+        )
+        assert list(got.groupby("g").size()) == [1, 2]
+        assert got.loc[0, "area2"] == 14.0
+        assert (got["role"] == 1).all()
