@@ -179,8 +179,13 @@ def _insert_nodes(
             py = ay[i] if t[k] == 0.0 else by[i]
             ins[j].append((float(u[k]), float(px), float(py)))
         # collinear overlap: project each endpoint of one edge onto the
-        # other when exactly collinear (den == 0 and cross(e, d1) == 0)
-        coll = (~cross_mask) & (ex * d1y - ey * d1x == 0.0)
+        # other when exactly collinear (den == 0 and cross(e, d1) == 0).
+        # Zero-length edges (degenerate input) are excluded — with
+        # d = (0,0) both tests are vacuously true and the "projection"
+        # would splice an off-edge point into an unrelated edge.
+        nz1 = (d1x != 0.0) | (d1y != 0.0)
+        nz2 = (d2x != 0.0) | (d2y != 0.0)
+        coll = (~cross_mask) & (ex * d1y - ey * d1x == 0.0) & nz1 & nz2
         for k in np.flatnonzero(coll):
             i, j = int(ii[k]), int(jj[k])
             for (px, py), tgt, (ox, oy, odx, ody) in (
@@ -375,11 +380,18 @@ def union_rings(
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Nonzero-fill boolean union of a ring set → canonical simple
     rings (exterior CCW / positive area first by position, holes CW)."""
-    rings = [
-        (np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64))
-        for xs, ys in rings
-        if len(xs) >= 3
-    ]
+    norm = []
+    for xs, ys in rings:
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        # drop consecutive duplicates, including a closed-ring repeat of
+        # the start vertex — zero-length edges are degenerate input
+        keep = (xs != np.roll(xs, 1)) | (ys != np.roll(ys, 1))
+        if not keep.all():
+            xs, ys = xs[keep], ys[keep]
+        if len(xs) >= 3:
+            norm.append((xs, ys))
+    rings = norm
     if not rings:
         return []
     if delta is None:

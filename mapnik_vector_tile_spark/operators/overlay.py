@@ -76,7 +76,7 @@ def union_polygons(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         g = int(pdf[group_col].iloc[0])
         out = union_rings(_rings_of(pdf))
-        return pd.DataFrame(
+        res = pd.DataFrame(
             {
                 "g": np.full(len(out), g, dtype=np.int64),
                 "ring_idx": np.arange(len(out), dtype=np.int64),
@@ -87,10 +87,17 @@ def union_polygons(
                 "area2": np.asarray(
                     [ring_area2(*r) for r in out], dtype=np.float64
                 ),
-                "xs": [list(map(float, r[0])) for r in out],
-                "ys": [list(map(float, r[1])) for r in out],
             }
         )
+        # assign as object Series: an empty [] column otherwise defaults
+        # to float64 dtype, which Arrow can't convert to list<double>
+        res["xs"] = pd.Series(
+            [list(map(float, r[0])) for r in out], dtype=object
+        )
+        res["ys"] = pd.Series(
+            [list(map(float, r[1])) for r in out], dtype=object
+        )
+        return res
 
     return (
         df.select(F.col(group_col).alias(group_col), "xs", "ys")
@@ -126,6 +133,49 @@ def union_polygon_stats(
         .groupBy(group_col)
         .applyInPandas(kernel, _STATS_SCHEMA)
     )
+
+
+def dissolve_boundaries(polys: DataFrame, z: int = 6) -> DataFrame:
+    """U12 COMPLETE dissolve — wagyu multi_polygon_union end-to-end:
+    `joins.dissolve_polygons` finds the transitive merge groups, then
+    this operator unions each group's geometry into its merged simple
+    boundary rings. Input is the regions shape (region_id, xs, ys,
+    ring_offsets — exteriors CCW, holes CW); output is
+    (g = group rep region_id, ring_idx, role, area2, xs, ys).
+
+    Scale shape: the dissolve half is the exact J9 cell-cover
+    self-join + pointer-doubling CC (never all-pairs); the
+    constructive half adds ONE groupBy shuffle of the ring rows and a
+    per-group Arrow kernel — group geometry is cluster-local small."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.joins import dissolve_polygons
+
+    groups = dissolve_polygons(polys, z=z)
+    # explode multi-ring polygons into per-ring rows: slice (xs, ys)
+    # by adjacent ring_offsets pairs — pure Column lambdas, no UDF
+    n_off = F.size("ring_offsets")
+    ring_ix = F.sequence(F.lit(0), n_off - F.lit(2))
+    ringed = (
+        polys.join(groups, "region_id")
+        .withColumn("ri", F.explode(ring_ix))
+        .select(
+            F.col("group").alias("g"),
+            F.slice(
+                "xs",
+                F.element_at("ring_offsets", F.col("ri") + 1) + 1,
+                F.element_at("ring_offsets", F.col("ri") + 2)
+                - F.element_at("ring_offsets", F.col("ri") + 1),
+            ).alias("xs"),
+            F.slice(
+                "ys",
+                F.element_at("ring_offsets", F.col("ri") + 1) + 1,
+                F.element_at("ring_offsets", F.col("ri") + 2)
+                - F.element_at("ring_offsets", F.col("ri") + 1),
+            ).alias("ys"),
+        )
+    )
+    return union_polygons(ringed, "g")
 
 
 def rect_rings(df: DataFrame) -> DataFrame:

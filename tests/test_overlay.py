@@ -34,15 +34,11 @@ def rect(x0, y0, w, h):
     )
 
 
-def grid_twin(rects):
-    """Unit-grid coverage replay of (area2, perim, n_vert, euler,
-    vhash) — the same corner-pattern / Euler-identity computation the
-    DuckDB oracle twin performs on the compressed grid."""
-    X = max(x0 + w for x0, y0, w, h in rects) + 2
-    Y = max(y0 + h for x0, y0, w, h in rects) + 2
-    cov = np.zeros((X, Y), bool)
-    for x0, y0, w, h in rects:
-        cov[x0 : x0 + w, y0 : y0 + h] = True
+def cov_stats(cov):
+    """(area2, perim, n_vert, euler, vhash) from a unit-grid coverage
+    mask — the corner-pattern / Euler-identity computation the DuckDB
+    oracle twin performs on the compressed grid."""
+    X, Y = cov.shape
     area2 = 2 * int(cov.sum())
     sw = np.zeros((X + 1, Y + 1), bool)
     sw[1:, 1:] = cov
@@ -72,6 +68,37 @@ def grid_twin(rects):
     )
     euler = V - E + F + int(diag.sum())
     return area2, perim, n_vert, euler, vhash
+
+
+def grid_twin(rects):
+    """Rect-list form of cov_stats (the q_polygon_union twin shape)."""
+    X = max(x0 + w for x0, y0, w, h in rects) + 2
+    Y = max(y0 + h for x0, y0, w, h in rects) + 2
+    cov = np.zeros((X, Y), bool)
+    for x0, y0, w, h in rects:
+        cov[x0 : x0 + w, y0 : y0 + h] = True
+    return cov_stats(cov)
+
+
+def rasterize_rectilinear(polys, X, Y):
+    """Even-odd fill of rectilinear integer polygons (each a list of
+    rings) onto a unit grid, OR-ed across polygons — an independent
+    scanline-parity replay for concave/holed inputs."""
+    cov = np.zeros((X, Y), bool)
+    for rings in polys:
+        b = np.zeros((X + 1, Y), np.int64)
+        for ring in rings:
+            n = len(ring)
+            for k in range(n):
+                x1, y1 = ring[k]
+                x2, y2 = ring[(k + 1) % n]
+                if x1 == x2 and y1 != y2:  # vertical edge
+                    ylo, yhi = min(y1, y2), max(y1, y2)
+                    b[x1, ylo:yhi] += 1
+        # parity of vertical edges strictly right of each cell center
+        par = (np.cumsum(b[::-1, :], axis=0)[::-1, :][1:, :]) % 2
+        cov |= par.astype(bool)
+    return cov
 
 
 def region_equiv(inp, out, n=3000, seed=0):
@@ -192,6 +219,31 @@ class TestGridTwinProperty:
             assert union_stats(rings) == grid_twin(rects), rects
 
 
+class TestStaircaseCorpus:
+    def test_concave_holed_union_matches_scanline_replay(self):
+        """Non-convex multi-ring integer input: union the R4 staircase
+        corpus (concave outers, CW hole rings) in overlapping groups
+        and match every stat against an independent even-odd scanline
+        rasterization."""
+        from mapnik_vector_tile_spark.sources.synth import gen_raster_polys
+
+        polys = gen_raster_polys(18)
+        for g in range(3):
+            members = [p for p in polys if p["poly_id"] % 3 == g]
+            rings = []
+            plist = []
+            for m in members:
+                plist.append(m["rings"])
+                for ring in m["rings"]:
+                    xs = np.array([v[0] for v in ring], float)
+                    ys = np.array([v[1] for v in ring], float)
+                    rings.append((xs, ys))
+            X = max(x for rs in plist for r in rs for x, _ in r) + 2
+            Y = max(y for rs in plist for r in rs for _, y in r) + 2
+            cov = rasterize_rectilinear(plist, X, Y)
+            assert union_stats(rings) == cov_stats(cov), g
+
+
 class TestGeneralPolygons:
     def test_triangle_overlap(self):
         tri1 = (np.array([0.0, 8.0, 4.0]), np.array([0.0, 0.0, 7.0]))
@@ -227,6 +279,50 @@ class TestGeneralPolygons:
         assert region_equiv([ext, hole, plug], out)
         roles = sorted(1 if ring_area2(*r) > 0 else -1 for r in out)
         assert roles == [-1, -1, 1]  # plug splits the hole in two
+
+
+class TestDissolveBoundaries:
+    def test_merged_boundaries_cover_group_region(self, spark):
+        """U12 end-to-end: dissolve groups + constructive union. Every
+        group's output rings must describe exactly the region covered
+        by its member polygons (winding-sample equivalence, float
+        mercator corpus with convex/concave/holed members)."""
+        from mapnik_vector_tile_spark.operators.overlay import (
+            dissolve_boundaries,
+        )
+        from mapnik_vector_tile_spark.sources.synth import regions_merc_df
+
+        regions = regions_merc_df(spark, 80).select(
+            "region_id", "xs", "ys", "ring_offsets"
+        )
+        out = dissolve_boundaries(regions, z=6).toPandas()
+        src = regions.toPandas().set_index("region_id")
+        from mapnik_vector_tile_spark.operators.joins import (
+            dissolve_polygons,
+        )
+
+        grp = dissolve_polygons(regions, z=6).toPandas()
+        assert set(out["g"]) == set(grp["group"])
+        # validate the 5 largest multi-member groups
+        sizes = grp.groupby("group").size().sort_values(ascending=False)
+        for g in sizes.index[:5]:
+            inp = []
+            for rid in grp[grp["group"] == g]["region_id"]:
+                row = src.loc[rid]
+                offs = list(row["ring_offsets"])
+                for a, b in zip(offs, offs[1:]):
+                    inp.append(
+                        (
+                            np.asarray(row["xs"][a:b], float),
+                            np.asarray(row["ys"][a:b], float),
+                        )
+                    )
+            got = [
+                (np.asarray(r["xs"], float), np.asarray(r["ys"], float))
+                for _, r in out[out["g"] == g].iterrows()
+            ]
+            assert all(ring_is_simple(*r) for r in got)
+            assert region_equiv(inp, got, seed=int(g))
 
 
 class TestSparkOperator:
