@@ -250,11 +250,14 @@ def winding_numbers(
 
 def _classify(
     aug: list[tuple[np.ndarray, np.ndarray]],
-    rings: list[tuple[np.ndarray, np.ndarray]],
+    inside_fn,
     delta: float,
 ) -> list[tuple[float, float, float, float]]:
-    """Undirected dedupe + side-winding classification of every split
-    segment. Returns directed kept segments (filled side on the LEFT)."""
+    """Undirected dedupe + side classification of every split segment
+    against an arbitrary region predicate ``inside_fn(px, py) -> bool
+    array`` (winding-derived for union; a two-set combination for
+    intersection/difference/xor). Returns directed kept segments
+    (region side on the LEFT)."""
     segs: dict[
         tuple[float, float, float, float], None
     ] = {}
@@ -277,16 +280,32 @@ def _classify(
     ddx, ddy = x2 - x1, y2 - y1
     ln = np.hypot(ddx, ddy)
     nx_, ny_ = -ddy / ln, ddx / ln  # unit left normal of p1->p2
-    wl = winding_numbers(mx + delta * nx_, my + delta * ny_, rings)
-    wr = winding_numbers(mx - delta * nx_, my - delta * ny_, rings)
-    keep = (wl > 0) != (wr > 0)
+    wl = inside_fn(mx + delta * nx_, my + delta * ny_)
+    wr = inside_fn(mx - delta * nx_, my - delta * ny_)
+    keep = wl != wr
     out = []
     for k in np.flatnonzero(keep):
-        if wl[k] > 0:  # filled already on the left of p1->p2
+        if wl[k]:  # region already on the left of p1->p2
             out.append((float(x1[k]), float(y1[k]), float(x2[k]), float(y2[k])))
         else:
             out.append((float(x2[k]), float(y2[k]), float(x1[k]), float(y1[k])))
     return out
+
+
+def _turn_ang(
+    din: tuple[float, float], do: tuple[float, float]
+) -> float:
+    """CCW turn angle from incoming direction to outgoing direction;
+    straight-back (±pi) ranks lowest."""
+    ang = float(
+        np.arctan2(
+            din[0] * do[1] - din[1] * do[0],
+            din[0] * do[0] + din[1] * do[1],
+        )
+    )
+    if ang <= -np.pi + 1e-12:
+        ang = -np.pi
+    return ang
 
 
 def _stitch(
@@ -294,7 +313,16 @@ def _stitch(
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Chain directed segments into closed loops. At a multi-way vertex
     take the MOST counter-clockwise turn from the incoming direction
-    (splits pinch points on the filled side — see module doc)."""
+    (splits pinch points on the filled side — see module doc).
+
+    Returning to the start vertex does NOT unconditionally close the
+    loop: closing (i.e. re-taking the start segment's direction) must
+    win the same most-CCW comparison against the still-unused outgoing
+    segments there. Otherwise a walk that happens to START at a pinch
+    vertex whose empty side is pinched (a hole touching the outside
+    diagonally) would close early and emit the hole as a spurious
+    separate CW ring; the merge-empty resolution is one loop passing
+    THROUGH the pinch twice."""
     from collections import defaultdict
 
     outgoing: dict[tuple[float, float], list[int]] = defaultdict(list)
@@ -309,31 +337,30 @@ def _stitch(
         used[start] = True
         x1, y1, x2, y2 = dsegs[start]
         sv = (x1, y1)
+        close_dir = (x2 - x1, y2 - y1)
         cur = (x2, y2)
         din = (x2 - x1, y2 - y1)
         ok = True
-        while cur != sv:
+        while True:
             cands = [c for c in outgoing.get(cur, ()) if not used[c]]
+            at_start = cur == sv
             if not cands:
+                if at_start:
+                    break  # closed loop
                 ok = False  # open chain — classification artifact; drop
                 break
-            if len(cands) == 1:
-                nxt = cands[0]
-            else:
-                best, best_ang = None, None
-                for c in cands:
-                    cx1, cy1, cx2, cy2 = dsegs[c]
-                    do = (cx2 - cx1, cy2 - cy1)
-                    ang = np.arctan2(
-                        din[0] * do[1] - din[1] * do[0],
-                        din[0] * do[0] + din[1] * do[1],
-                    )
-                    # most-CCW turn; straight-back (±pi) ranks lowest
-                    if ang <= -np.pi + 1e-12:
-                        ang = -np.pi
-                    if best_ang is None or ang > best_ang:
-                        best, best_ang = c, ang
-                nxt = best
+            best, best_ang = None, None
+            if at_start:
+                # closing competes with continuing through the vertex
+                best_ang = _turn_ang(din, close_dir)
+            for c in cands:
+                cx1, cy1, cx2, cy2 = dsegs[c]
+                ang = _turn_ang(din, (cx2 - cx1, cy2 - cy1))
+                if best_ang is None or ang > best_ang:
+                    best, best_ang = c, ang
+            if best is None:
+                break  # closing the loop is the most-CCW turn
+            nxt = best
             used[nxt] = True
             path.append(nxt)
             nx1, ny1, nx2, ny2 = dsegs[nxt]
@@ -374,41 +401,48 @@ def _canon_ring(
     return np.roll(xs, -k), np.roll(ys, -k)
 
 
-def union_rings(
+def _normalize_rings(
     rings: list[tuple[np.ndarray, np.ndarray]],
-    delta: float | None = None,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Nonzero-fill boolean union of a ring set → canonical simple
-    rings (exterior CCW / positive area first by position, holes CW)."""
+    """Float64 arrays, consecutive duplicates dropped (including a
+    closed-ring repeat of the start vertex — zero-length edges are
+    degenerate input), sub-triangle rings removed."""
     norm = []
     for xs, ys in rings:
         xs = np.asarray(xs, dtype=np.float64)
         ys = np.asarray(ys, dtype=np.float64)
-        # drop consecutive duplicates, including a closed-ring repeat of
-        # the start vertex — zero-length edges are degenerate input
         keep = (xs != np.roll(xs, 1)) | (ys != np.roll(ys, 1))
         if not keep.all():
             xs, ys = xs[keep], ys[keep]
         if len(xs) >= 3:
             norm.append((xs, ys))
-    rings = norm
-    if not rings:
-        return []
-    if delta is None:
-        allx = np.concatenate([r[0] for r in rings])
-        ally = np.concatenate([r[1] for r in rings])
-        integral = bool(
-            np.all(allx == np.round(allx)) and np.all(ally == np.round(ally))
-        )
-        if integral:
-            delta = 0.25
-        else:
-            scale = max(
-                allx.max() - allx.min(), ally.max() - ally.min(), 1.0
-            )
-            delta = 1e-6 * scale
+    return norm
+
+
+def _auto_delta(rings: list[tuple[np.ndarray, np.ndarray]]) -> float:
+    """Side-sample offset: 0.25 is provably tie-free on integer
+    rectilinear input; general float input gets a bbox-scaled epsilon
+    (documented narrowing)."""
+    allx = np.concatenate([r[0] for r in rings])
+    ally = np.concatenate([r[1] for r in rings])
+    if bool(
+        np.all(allx == np.round(allx)) and np.all(ally == np.round(ally))
+    ):
+        return 0.25
+    scale = max(allx.max() - allx.min(), ally.max() - ally.min(), 1.0)
+    return 1e-6 * scale
+
+
+def _extract(
+    rings: list[tuple[np.ndarray, np.ndarray]],
+    inside_fn,
+    delta: float,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Shared overlay tail: node insertion → side classification
+    against ``inside_fn`` → pinch-splitting face walk → canonical
+    simple rings."""
     aug = _insert_nodes(rings)
-    dsegs = _classify(aug, rings, delta)
+    dsegs = _classify(aug, inside_fn, delta)
     loops = _stitch(dsegs)
     out = []
     for xs, ys in loops:
@@ -419,14 +453,76 @@ def union_rings(
     return out
 
 
-def union_stats(
+def union_rings(
     rings: list[tuple[np.ndarray, np.ndarray]],
+    delta: float | None = None,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Nonzero-fill boolean union of a ring set → canonical simple
+    rings (exterior CCW / positive area first by position, holes CW)."""
+    rings = _normalize_rings(rings)
+    if not rings:
+        return []
+    if delta is None:
+        delta = _auto_delta(rings)
+    return _extract(
+        rings, lambda px, py: winding_numbers(px, py, rings) > 0, delta
+    )
+
+
+# two-set boolean region predicates (wagyu/Clipper op set; A and B are
+# each nonzero-filled first, matching clip_to_box/intersect semantics)
+BOOLEAN_OPS = {
+    "union": lambda a, b: a | b,
+    "intersection": lambda a, b: a & b,
+    "difference": lambda a, b: a & ~b,
+    "xor": lambda a, b: a != b,
+}
+
+
+def boolean_rings(
+    rings_a: list[tuple[np.ndarray, np.ndarray]],
+    rings_b: list[tuple[np.ndarray, np.ndarray]],
+    op: str,
+    delta: float | None = None,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """General two-set boolean op (union/intersection/difference/xor)
+    between nonzero-filled ring sets A and B — the full wagyu/Clipper
+    op family; ``intersection`` is exactly the reference clipper's
+    polygon∩clip-box operation generalized to arbitrary clip shapes.
+    Same output conventions as union_rings."""
+    fn = BOOLEAN_OPS[op]
+    rings_a = _normalize_rings(rings_a)
+    rings_b = _normalize_rings(rings_b)
+    if not rings_a and not rings_b:
+        return []
+    both = rings_a + rings_b
+    if delta is None:
+        delta = _auto_delta(both)
+
+    def inside(px, py):
+        ia = (
+            winding_numbers(px, py, rings_a) > 0
+            if rings_a
+            else np.zeros(len(px), bool)
+        )
+        ib = (
+            winding_numbers(px, py, rings_b) > 0
+            if rings_b
+            else np.zeros(len(px), bool)
+        )
+        return fn(ia, ib)
+
+    return _extract(both, inside, delta)
+
+
+def rings_stats(
+    out: list[tuple[np.ndarray, np.ndarray]],
 ) -> tuple[int, int, int, int, int]:
-    """Integer union summary for rectilinear-integer input:
-    (area2, manhattan perimeter, n_vertices, n_ext − n_hole, vhash).
-    vhash = Σ over output vertices of (x·73856093 + y·19349663) mod 2³¹
-    — a multiset hash the SQL twin reproduces from corner patterns."""
-    out = union_rings(rings)
+    """Integer summary of an overlay result on rectilinear-integer
+    input: (area2, manhattan perimeter, n_vertices, n_ext − n_hole,
+    vhash). vhash = Σ over output vertices of
+    (x·73856093 + y·19349663) mod 2³¹ — a multiset hash the SQL twin
+    reproduces from corner patterns."""
     area2 = 0
     perim = 0
     n_vert = 0
@@ -447,3 +543,17 @@ def union_stats(
         yi = np.round(ys).astype(np.int64)
         vhash += int(((xi * 73856093 + yi * 19349663) % (1 << 31)).sum())
     return area2, perim, n_vert, euler, vhash
+
+
+def union_stats(
+    rings: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[int, int, int, int, int]:
+    return rings_stats(union_rings(rings))
+
+
+def boolean_stats(
+    rings_a: list[tuple[np.ndarray, np.ndarray]],
+    rings_b: list[tuple[np.ndarray, np.ndarray]],
+    op: str,
+) -> tuple[int, int, int, int, int]:
+    return rings_stats(boolean_rings(rings_a, rings_b, op))

@@ -135,6 +135,53 @@ def union_polygon_stats(
     )
 
 
+_BOOL_SCHEMA = StructType(
+    [
+        StructField("g", LongType()),
+        StructField("op", LongType()),  # 0=intersection 1=difference 2=xor
+        StructField("area2", LongType()),
+        StructField("perim", LongType()),
+        StructField("n_vert", LongType()),
+        StructField("euler", LongType()),
+        StructField("vhash", LongType()),
+    ]
+)
+
+BOOL_OP_IDS = {"intersection": 0, "difference": 1, "xor": 2}
+
+
+def boolean_polygon_stats(
+    df: DataFrame, group_col: str = "g", side_col: str = "side"
+) -> DataFrame:
+    """Per-group two-set boolean overlay summary — the full
+    wagyu/Clipper op family beyond union (intersection is the
+    reference clipper's polygon∩clip operation generalized to
+    arbitrary clip shapes). Input rows are RINGS
+    (group_col, side_col ∈ {0=A, 1=B}, xs, ys); output is one row per
+    (group, op) with the same integer stats as union_polygon_stats.
+    Same scale shape: one groupBy shuffle + per-group Arrow kernel."""
+    from mapnik_vector_tile_spark.functions.overlay import boolean_stats
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf[group_col].iloc[0])
+        a = _rings_of(pdf[pdf[side_col] == 0])
+        b = _rings_of(pdf[pdf[side_col] == 1])
+        rows = []
+        for op, op_id in BOOL_OP_IDS.items():
+            area2, perim, n_vert, euler, vhash = boolean_stats(a, b, op)
+            rows.append((g, op_id, area2, perim, n_vert, euler, vhash))
+        return pd.DataFrame(
+            rows,
+            columns=["g", "op", "area2", "perim", "n_vert", "euler", "vhash"],
+        ).astype(np.int64)
+
+    return (
+        df.select(group_col, side_col, "xs", "ys")
+        .groupBy(group_col)
+        .applyInPandas(kernel, _BOOL_SCHEMA)
+    )
+
+
 def dissolve_boundaries(polys: DataFrame, z: int = 6) -> DataFrame:
     """U12 COMPLETE dissolve — wagyu multi_polygon_union end-to-end:
     `joins.dissolve_polygons` finds the transitive merge groups, then
@@ -178,15 +225,16 @@ def dissolve_boundaries(polys: DataFrame, z: int = 6) -> DataFrame:
     return union_polygons(ringed, "g")
 
 
-def rect_rings(df: DataFrame) -> DataFrame:
+def rect_rings(df: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """(g, x0, y0, w, ht) integer rectangles → CCW ring rows
-    (g, xs, ys) — pure Column math, no UDF."""
+    (g, *extra, xs, ys) — pure Column math, no UDF."""
     dx = F.col("x0").cast("double")
     dy = F.col("y0").cast("double")
     dw = F.col("w").cast("double")
     dh = F.col("ht").cast("double")
     return df.select(
         "g",
+        *extra,
         F.array(dx, dx + dw, dx + dw, dx).alias("xs"),
         F.array(dy, dy, dy + dh, dy + dh).alias("ys"),
     )

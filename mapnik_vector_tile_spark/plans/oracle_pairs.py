@@ -8545,8 +8545,324 @@ JOIN hea h USING (g)
 """
 
 
+# ---------------------------------------------------------------------------
+# q_polygon_boolean — full wagyu/Clipper op family (intersection /
+# difference / xor; union is q_polygon_union)
+# ---------------------------------------------------------------------------
+
+
+def q_polygon_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 two-set boolean overlay (operators/overlay.py
+    boolean_polygon_stats over functions/overlay.boolean_rings —
+    intersection is the reference clipper's polygon∩clip op
+    generalized; reference parity: mapbox::geometry::wagyu clip_types)
+    with a FULL oracle: each group carries TWO splitmix64-derived
+    rectangle sets (side A = coin 0 rows + a hole-forming frame, side
+    B = coin 1 rows + a differently-salted frame) and the engine emits
+    the integer grid stats of A∩B, A∖B and A⊕B per group. The DuckDB
+    twin replays all three regions from one compressed-coordinate
+    coverage grid carrying per-side flags — xor is the adversarial
+    case: every proper A×B boundary crossing becomes a pinch point the
+    face walk must split exactly as the Euler identity predicts.
+    Scale: one groupBy shuffle, per-group Arrow kernel."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.overlay import (
+        boolean_polygon_stats,
+        rect_rings,
+    )
+
+    rect_t = StructType(
+        [
+            StructField("sel", LongType()),
+            StructField("x0", LongType()),
+            StructField("y0", LongType()),
+            StructField("w", LongType()),
+            StructField("ht", LongType()),
+        ]
+    )
+
+    def _rect_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "sel": (h % np.uint64(16)).astype(np.int64),
+                "x0": ((h >> np.uint64(4)) % np.uint64(40)).astype(np.int64),
+                "y0": ((h >> np.uint64(10)) % np.uint64(40)).astype(np.int64),
+                "w": (1 + (h >> np.uint64(16)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+                "ht": (1 + (h >> np.uint64(22)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    frame_t = StructType(
+        [
+            StructField("fx", LongType()),
+            StructField("fy", LongType()),
+            StructField("fw", LongType()),
+            StructField("fh", LongType()),
+            StructField("t", LongType()),
+        ]
+    )
+
+    def _frame_factory(salt: int):
+        def _kernel(g):
+            import numpy as np
+
+            from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+            h = splitmix64(
+                (g.to_numpy(dtype=np.int64) * 1000003 + salt).astype(
+                    np.uint64
+                )
+            )
+            return pd.DataFrame(
+                {
+                    "fx": (2 + h % np.uint64(24)).astype(np.int64),
+                    "fy": (2 + (h >> np.uint64(5)) % np.uint64(24)).astype(
+                        np.int64
+                    ),
+                    "fw": (8 + (h >> np.uint64(10)) % np.uint64(8)).astype(
+                        np.int64
+                    ),
+                    "fh": (8 + (h >> np.uint64(13)) % np.uint64(8)).astype(
+                        np.int64
+                    ),
+                    "t": (1 + (h >> np.uint64(16)) % np.uint64(3)).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+        return F.pandas_udf(_kernel, frame_t)
+
+    rect_params = F.pandas_udf(_rect_kernel, rect_t)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rr = (
+        orders.select(
+            (F.col("o_orderkey") % UNION_GROUPS).alias("g"),
+            rect_params(F.col("o_orderkey")).alias("r"),
+        )
+        .where(F.col("r.sel") < 2)
+        .select(
+            "g", F.col("r.sel").alias("side"), "r.x0", "r.y0", "r.w", "r.ht"
+        )
+    )
+    piece = (
+        "array("
+        "struct(f.fx AS x0, f.fy AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy + f.fh - f.t AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy AS y0, f.t AS w, f.fh AS ht), "
+        "struct(f.fx + f.fw - f.t AS x0, f.fy AS y0, f.t AS w, f.fh AS ht))"
+    )
+    frames = []
+    for side, salt in ((0, 7), (1, 11)):
+        frames.append(
+            spark.range(UNION_GROUPS)
+            .select(
+                F.col("id").alias("g"),
+                _frame_factory(salt)(F.col("id")).alias("f"),
+            )
+            .selectExpr("g", f"explode({piece}) AS r")
+            .select(
+                "g",
+                F.lit(side).cast("long").alias("side"),
+                "r.x0",
+                "r.y0",
+                "r.w",
+                "r.ht",
+            )
+        )
+    corpus = rr.unionByName(frames[0]).unionByName(frames[1])
+    return boolean_polygon_stats(
+        rect_rings(corpus, extra=("side",)), "g", "side"
+    )
+
+
+def _sql_polygon_boolean() -> str:
+    sm_k = splitmix64_sql("k")
+    ops = (
+        ("(cva AND cvb)", 0),  # intersection
+        ("(cva AND NOT cvb)", 1),  # difference
+        ("(cva <> cvb)", 2),  # xor
+    )
+
+    def cvq(expr: str, qa: str, qb: str) -> str:
+        return expr.replace("cva", qa).replace("cvb", qb)
+
+    frame_ctes = []
+    for tag, salt in (("a", 7), ("b", 11)):
+        sm_g = splitmix64_sql(f"(g * 1000003 + {salt})")
+        frame_ctes.append(
+            f"""gh_{tag} AS (SELECT g, {sm_g} AS h FROM gs),
+fp_{tag} AS (SELECT g,
+         CAST(2 + h % 24 AS BIGINT) AS fx,
+         CAST(2 + (h // 32) % 24 AS BIGINT) AS fy,
+         CAST(8 + (h // 1024) % 8 AS BIGINT) AS fw,
+         CAST(8 + (h // 8192) % 8 AS BIGINT) AS fh,
+         CAST(1 + (h // 65536) % 3 AS BIGINT) AS t
+       FROM gh_{tag}),
+fr_{tag} AS (
+  SELECT g, fx AS x0, fy AS y0, fw AS w, t AS ht FROM fp_{tag}
+  UNION ALL SELECT g, fx, fy + fh - t, fw, t FROM fp_{tag}
+  UNION ALL SELECT g, fx, fy, t, fh FROM fp_{tag}
+  UNION ALL SELECT g, fx + fw - t, fy, t, fh FROM fp_{tag})"""
+        )
+    op_blocks = []
+    op_selects = []
+    for expr, op_id in ops:
+        s = f"op{op_id}"
+        corner_expr_parts = []
+        for q in ("sw", "se", "nw", "ne"):
+            corner_expr_parts.append(
+                f"{cvq(expr, q + 'a', q + 'b')} AS {q}c_{s}"
+            )
+        op_blocks.append(
+            f"""vstat_{s} AS (
+  SELECT g, px, py,
+    CAST(swc_{s} AS INT) + CAST(sec_{s} AS INT)
+      + CAST(nwc_{s} AS INT) + CAST(nec_{s} AS INT) AS ncov,
+    CASE WHEN swc_{s} = nec_{s} AND nwc_{s} = sec_{s}
+              AND swc_{s} <> nwc_{s} THEN 1 ELSE 0 END AS isdiag
+  FROM (SELECT g, px, py,
+          {cvq(expr, 'swa', 'swb')} AS swc_{s},
+          {cvq(expr, 'sea', 'seb')} AS sec_{s},
+          {cvq(expr, 'nwa', 'nwb')} AS nwc_{s},
+          {cvq(expr, 'nea', 'neb')} AS nec_{s}
+        FROM corn)),
+vagg_{s} AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND isdiag = 1 THEN 2
+                  ELSE 0 END) AS BIGINT) AS n_vert,
+    CAST(SUM(CAST(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND isdiag = 1 THEN 2
+                  ELSE 0 END AS BIGINT)
+             * ((px * 73856093 + py * 19349663) % 2147483648))
+         AS BIGINT) AS vhash,
+    CAST(SUM(CASE WHEN ncov = 2 THEN isdiag ELSE 0 END) AS BIGINT)
+      AS ndiag,
+    CAST(SUM(CASE WHEN ncov >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS nv_all
+  FROM vstat_{s} GROUP BY g),
+cagg_{s} AS (
+  SELECT g,
+    CAST(2 * SUM(CASE WHEN {cvq(expr, 'cva', 'cvb')}
+                 THEN (x2 - x) * (y2 - y) ELSE 0 END) AS BIGINT) AS area2,
+    CAST(SUM(CASE WHEN {cvq(expr, 'cva', 'cvb')} THEN 1 ELSE 0 END)
+         AS BIGINT) AS nf
+  FROM cells GROUP BY g),
+vea_{s} AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN {cvq(expr, 'la', 'lb')}
+                   <> {cvq(expr, 'ra', 'rb')} THEN ln ELSE 0 END)
+         AS BIGINT) AS perim,
+    CAST(SUM(CASE WHEN {cvq(expr, 'la', 'lb')}
+                   OR {cvq(expr, 'ra', 'rb')} THEN 1 ELSE 0 END)
+         AS BIGINT) AS ne
+  FROM vedge GROUP BY g),
+hea_{s} AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN {cvq(expr, 'ba', 'bb')}
+                   <> {cvq(expr, 'aa', 'ab_')} THEN ln ELSE 0 END)
+         AS BIGINT) AS perim,
+    CAST(SUM(CASE WHEN {cvq(expr, 'ba', 'bb')}
+                   OR {cvq(expr, 'aa', 'ab_')} THEN 1 ELSE 0 END)
+         AS BIGINT) AS ne
+  FROM hedge GROUP BY g)"""
+        )
+        op_selects.append(
+            f"""SELECT c.g, CAST({op_id} AS BIGINT) AS op, c.area2,
+       (v.perim + h.perim) AS perim, k.n_vert,
+       (k.nv_all - (v.ne + h.ne) + c.nf + k.ndiag) AS euler, k.vhash
+FROM cagg_{s} c JOIN vagg_{s} k USING (g)
+JOIN vea_{s} v USING (g) JOIN hea_{s} h USING (g)"""
+        )
+    nl = ",\n"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm_k} AS h FROM ks),
+rr AS (
+  SELECT CAST(k % {UNION_GROUPS} AS BIGINT) AS g,
+         CAST(h % 16 AS BIGINT) AS side,
+         CAST((h // 16) % 40 AS BIGINT) AS x0,
+         CAST((h // 1024) % 40 AS BIGINT) AS y0,
+         CAST(1 + (h // 65536) % 12 AS BIGINT) AS w,
+         CAST(1 + (h // 4194304) % 12 AS BIGINT) AS ht
+  FROM hh WHERE h % 16 < 2),
+gs AS (SELECT CAST(unnest(generate_series(0, {UNION_GROUPS - 1})) AS BIGINT)
+              AS g),
+{nl.join(frame_ctes)},
+rects AS MATERIALIZED (
+  SELECT * FROM rr
+  UNION ALL SELECT g, 0 AS side, x0, y0, w, ht FROM fr_a
+  UNION ALL SELECT g, 1 AS side, x0, y0, w, ht FROM fr_b),
+xs AS MATERIALIZED (
+  SELECT DISTINCT g, x0 AS x FROM rects
+  UNION SELECT DISTINCT g, x0 + w FROM rects),
+xi AS MATERIALIZED (
+  SELECT g, x, lead(x) OVER (PARTITION BY g ORDER BY x) AS x2 FROM xs),
+ysrc AS MATERIALIZED (
+  SELECT DISTINCT g, y0 AS y FROM rects
+  UNION SELECT DISTINCT g, y0 + ht FROM rects),
+yi AS MATERIALIZED (
+  SELECT g, y, lead(y) OVER (PARTITION BY g ORDER BY y) AS y2
+  FROM ysrc),
+cells AS MATERIALIZED (
+  SELECT c.g, c.x, c.x2, c.y, c.y2,
+         COUNT(CASE WHEN r.side = 0 THEN 1 END) > 0 AS cva,
+         COUNT(CASE WHEN r.side = 1 THEN 1 END) > 0 AS cvb
+  FROM (SELECT xi.g, xi.x, xi.x2, yi.y, yi.y2
+        FROM xi JOIN yi ON xi.g = yi.g
+        WHERE xi.x2 IS NOT NULL AND yi.y2 IS NOT NULL) c
+  LEFT JOIN rects r
+    ON r.g = c.g AND r.x0 <= c.x AND c.x2 <= r.x0 + r.w
+       AND r.y0 <= c.y AND c.y2 <= r.y0 + r.ht
+  GROUP BY c.g, c.x, c.x2, c.y, c.y2),
+corn AS MATERIALIZED (
+  SELECT p.g, p.px, p.py,
+    COALESCE(sw.cva, FALSE) AS swa, COALESCE(sw.cvb, FALSE) AS swb,
+    COALESCE(se.cva, FALSE) AS sea, COALESCE(se.cvb, FALSE) AS seb,
+    COALESCE(nw.cva, FALSE) AS nwa, COALESCE(nw.cvb, FALSE) AS nwb,
+    COALESCE(ne.cva, FALSE) AS nea, COALESCE(ne.cvb, FALSE) AS neb
+  FROM (SELECT xs.g, xs.x AS px, ysrc.y AS py
+        FROM xs JOIN ysrc ON xs.g = ysrc.g) p
+  LEFT JOIN cells sw ON sw.g = p.g AND sw.x2 = p.px AND sw.y2 = p.py
+  LEFT JOIN cells se ON se.g = p.g AND se.x  = p.px AND se.y2 = p.py
+  LEFT JOIN cells nw ON nw.g = p.g AND nw.x2 = p.px AND nw.y  = p.py
+  LEFT JOIN cells ne ON ne.g = p.g AND ne.x  = p.px AND ne.y  = p.py),
+vedge AS MATERIALIZED (
+  SELECT xs.g,
+    COALESCE(l.cva, FALSE) AS la, COALESCE(l.cvb, FALSE) AS lb,
+    COALESCE(r.cva, FALSE) AS ra, COALESCE(r.cvb, FALSE) AS rb,
+    yi.y2 - yi.y AS ln
+  FROM xs JOIN yi ON xs.g = yi.g AND yi.y2 IS NOT NULL
+  LEFT JOIN cells l ON l.g = xs.g AND l.x2 = xs.x AND l.y = yi.y
+  LEFT JOIN cells r ON r.g = xs.g AND r.x  = xs.x AND r.y = yi.y),
+hedge AS MATERIALIZED (
+  SELECT ysrc.g,
+    COALESCE(b.cva, FALSE) AS ba, COALESCE(b.cvb, FALSE) AS bb,
+    COALESCE(a.cva, FALSE) AS aa, COALESCE(a.cvb, FALSE) AS ab_,
+    xi.x2 - xi.x AS ln
+  FROM ysrc JOIN xi ON ysrc.g = xi.g AND xi.x2 IS NOT NULL
+  LEFT JOIN cells b ON b.g = ysrc.g AND b.y2 = ysrc.y AND b.x = xi.x
+  LEFT JOIN cells a ON a.g = ysrc.g AND a.y  = ysrc.y AND a.x = xi.x),
+{nl.join(op_blocks)}
+{" UNION ALL ".join(op_selects)}
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_polygon_union": (q_polygon_union, _sql_polygon_union()),
+    "q_polygon_boolean": (q_polygon_boolean, _sql_polygon_boolean()),
     "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
     "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
     "q_vtquery": (q_vtquery, _sql_vtquery()),
@@ -8692,6 +9008,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_polygon_boolean",
     "q_polygon_union",
     "q_mapnik_expr",
     "q_raster_png8",
