@@ -8860,7 +8860,99 @@ hedge AS MATERIALIZED (
 """
 
 
+# ---------------------------------------------------------------------------
+# q_str_pack — STR R-tree bulk packing (exact two-pass rank-select cuts)
+# ---------------------------------------------------------------------------
+
+STR_CAP = 64  # q_str_pack leaf capacity
+
+
+def q_str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR R-tree bulk packing (operators/spatial_index.str_pack_points
+    — Leutenegger et al. 1997; reference parity: mapnik's per-layer
+    R-tree datasource index, SURVEY §2.2 S1, rebuilt as the balanced
+    spatial PARTITIONER a cluster needs) with a FULL oracle. Corpus:
+    one point per orders row with per-axis-unique integer coordinates
+    (splitmix64 high bits × 2³² + the unique orderkey low bits — the
+    injection makes value-cut routing ≡ rank chunking, the operator's
+    documented determinism contract). The engine computes slab/leaf
+    cuts by bounded histogram rank-select (NO global sort, driver
+    summaries only); the DuckDB twin replays the same cuts by FULL
+    SORT row_number arithmetic — algorithm-independent: one off-by-one
+    anywhere in the histogram walk breaks the per-leaf hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.spatial_index import (
+        str_pack_points,
+    )
+
+    xy_t = StructType(
+        [StructField("xi", LongType()), StructField("yi", LongType())]
+    )
+
+    def _xy_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        kk = k.to_numpy(dtype=np.uint64)
+        h = splitmix64(kk)
+        xi = (h % np.uint64(1 << 20)) * np.uint64(1 << 32) + kk
+        yi = ((h >> np.uint64(20)) % np.uint64(1 << 20)) * np.uint64(
+            1 << 32
+        ) + kk
+        return pd.DataFrame(
+            {"xi": xi.astype(np.int64), "yi": yi.astype(np.int64)}
+        )
+
+    xy = F.pandas_udf(_xy_kernel, xy_t)
+    pts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("k"), xy(F.col("o_orderkey")).alias("p"))
+        .select("k", "p.xi", "p.yi")
+    )
+    return str_pack_points(pts, "xi", "yi", "k", capacity=STR_CAP)
+
+
+def _sql_str_pack(cap: int = STR_CAP) -> str:
+    sm = splitmix64_sql("k")
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm} AS h FROM ks),
+xy AS (SELECT k,
+         CAST((h % 1048576) * 4294967296 + k AS BIGINT) AS xi,
+         CAST(((h // 1048576) % 1048576) * 4294967296 + k AS BIGINT) AS yi
+       FROM hh),
+p1 AS (SELECT COUNT(*) AS n,
+              (COUNT(*) + {cap} - 1) // {cap} AS p FROM xy),
+p2 AS (SELECT n, p,
+         CASE WHEN fs * fs >= p THEN fs
+              WHEN (fs + 1) * (fs + 1) >= p THEN fs + 1
+              ELSE fs + 2 END AS s
+       FROM (SELECT n, p,
+               CAST(floor(sqrt(CAST(p AS DOUBLE))) AS BIGINT) AS fs
+             FROM p1)),
+p3 AS (SELECT n, p, s, (n + s - 1) // s AS m FROM p2),
+xr AS (SELECT k, xi, yi,
+         row_number() OVER (ORDER BY xi) - 1 AS rx FROM xy),
+sl AS (SELECT k, xi, yi, rx // (SELECT m FROM p3) AS slab FROM xr),
+yr AS (SELECT k, xi, yi, slab,
+         (row_number() OVER (PARTITION BY slab ORDER BY yi) - 1)
+           // {cap} AS leaf
+       FROM sl)
+SELECT CAST(slab AS BIGINT) AS slab, CAST(leaf AS BIGINT) AS leaf,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(xi) AS DOUBLE) AS minx, CAST(MAX(xi) AS DOUBLE) AS maxx,
+  CAST(MIN(yi) AS DOUBLE) AS miny, CAST(MAX(yi) AS DOUBLE) AS maxy,
+  CAST(SUM((k * 2654435761) % 2147483648) AS BIGINT) AS khash
+FROM yr GROUP BY slab, leaf
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "q_str_pack": (q_str_pack, _sql_str_pack()),
     "q_polygon_union": (q_polygon_union, _sql_polygon_union()),
     "q_polygon_boolean": (q_polygon_boolean, _sql_polygon_boolean()),
     "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
@@ -9008,6 +9100,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_str_pack",
     "q_polygon_boolean",
     "q_polygon_union",
     "q_mapnik_expr",
