@@ -557,3 +557,63 @@ def boolean_stats(
     op: str,
 ) -> tuple[int, int, int, int, int]:
     return rings_stats(boolean_rings(rings_a, rings_b, op))
+
+
+def convex_hull(
+    xs: np.ndarray, ys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Convex hull of a point set — Andrew's monotone chain with STRICT
+    turns (collinear boundary points excluded), CCW orientation,
+    starting at the lexicographically smallest vertex. Integer-exact:
+    the only arithmetic is the integer cross product, so the DuckDB
+    gift-wrapping twin (which pins the identical strict-turn /
+    farthest-collinear convention) reproduces the vertex set exactly.
+    Degenerate inputs: 1 point -> 1 vertex, all-collinear -> the two
+    extreme vertices."""
+    pts = sorted(set(zip(xs.tolist(), ys.tolist())))
+    if len(pts) <= 2:
+        hx = np.array([p[0] for p in pts], dtype=np.int64)
+        hy = np.array([p[1] for p in pts], dtype=np.int64)
+        return hx, hy
+
+    def _half(seq):
+        h: list[tuple[int, int]] = []
+        for p in seq:
+            while (
+                len(h) >= 2
+                and (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                <= 0
+            ):
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = _half(pts)
+    upper = _half(reversed(pts))
+    hull = lower[:-1] + upper[:-1]
+    return (
+        np.array([p[0] for p in hull], dtype=np.int64),
+        np.array([p[1] for p in hull], dtype=np.int64),
+    )
+
+
+def hull_stats(
+    xs: np.ndarray, ys: np.ndarray
+) -> tuple[int, int, int, int, int]:
+    """(n_pts_distinct, n_hull, area2, perim_manhattan, vhash) of the
+    convex hull, treating the hull as a CLOSED ring (a 2-vertex hull
+    counts its one edge twice — the same wraparound the SQL twin's
+    (step+1) % n join applies; a 1-vertex hull contributes zero)."""
+    n_pts = len(set(zip(xs.tolist(), ys.tolist())))
+    hx, hy = convex_hull(xs, ys)
+    n_hull = len(hx)
+    nx_, ny_ = np.roll(hx, -1), np.roll(hy, -1)
+    area2 = int((hx * ny_ - nx_ * hy).sum()) if n_hull >= 2 else 0
+    perim = (
+        int((np.abs(nx_ - hx) + np.abs(ny_ - hy)).sum())
+        if n_hull >= 2
+        else 0
+    )
+    vhash = int(((hx * 73856093 + hy * 19349663) % (1 << 31)).sum())
+    return n_pts, n_hull, area2, perim, vhash

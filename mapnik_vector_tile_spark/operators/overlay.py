@@ -238,3 +238,40 @@ def rect_rings(df: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         F.array(dx, dx + dw, dx + dw, dx).alias("xs"),
         F.array(dy, dy, dy + dh, dy + dh).alias("ys"),
     )
+
+
+_HULL_SCHEMA = StructType(
+    [
+        StructField("g", LongType()),
+        StructField("n_pts", LongType()),
+        StructField("n_hull", LongType()),
+        StructField("area2", LongType()),
+        StructField("perim", LongType()),
+        StructField("vhash", LongType()),
+    ]
+)
+
+
+def convex_hull_stats(df: DataFrame, group_col: str = "g") -> DataFrame:
+    """Per-group convex hull summary (functions/overlay.hull_stats —
+    monotone-chain, strict turns, CCW). Input rows are POINTS
+    (group_col, x, y integer). One groupBy shuffle, per-group Arrow
+    kernel; hull-of-cluster is the canonical footprint summary for
+    dissolve groups / dedup clusters of image positions."""
+    from mapnik_vector_tile_spark.functions.overlay import hull_stats
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf[group_col].iloc[0])
+        xs = pdf["x"].to_numpy(dtype=np.int64)
+        ys = pdf["y"].to_numpy(dtype=np.int64)
+        n_pts, n_hull, area2, perim, vhash = hull_stats(xs, ys)
+        return pd.DataFrame(
+            [(g, n_pts, n_hull, area2, perim, vhash)],
+            columns=["g", "n_pts", "n_hull", "area2", "perim", "vhash"],
+        ).astype(np.int64)
+
+    return (
+        df.select(group_col, "x", "y")
+        .groupBy(group_col)
+        .applyInPandas(kernel, _HULL_SCHEMA)
+    )

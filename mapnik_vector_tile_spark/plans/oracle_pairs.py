@@ -8951,8 +8951,125 @@ FROM yr GROUP BY slab, leaf
 """
 
 
+# ---------------------------------------------------------------------------
+# q_convex_hull — per-group convex hull (monotone chain vs gift wrap)
+# ---------------------------------------------------------------------------
+
+HULL_GROUPS = 96
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull (operators/overlay.convex_hull_stats —
+    Andrew's monotone chain, strict turns, CCW; the footprint summary
+    for dissolve groups / image-position clusters) with a FULL oracle.
+    Corpus: splitmix64-derived integer points grouped by orderkey; the
+    DuckDB twin computes the SAME hull by a gift-wrapping RECURSIVE
+    CTE pinned to the identical convention (strictly-convex vertices
+    only, farthest-of-collinear, closed-ring shoelace/perimeter with
+    a 2-vertex hull counting its edge twice) — two entirely different
+    hull algorithms agreeing vertex-for-vertex per group."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.overlay import convex_hull_stats
+
+    pt_t = StructType(
+        [StructField("x", LongType()), StructField("y", LongType())]
+    )
+
+    def _pt_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "x": (h % np.uint64(8192)).astype(np.int64),
+                "y": ((h >> np.uint64(13)) % np.uint64(8192)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    pt = F.pandas_udf(_pt_kernel, pt_t)
+    pts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            (F.col("o_orderkey") % HULL_GROUPS).alias("g"),
+            pt(F.col("o_orderkey")).alias("p"),
+        )
+        .select("g", "p.x", "p.y")
+    )
+    return convex_hull_stats(pts, "g")
+
+
+def _sql_convex_hull() -> str:
+    sm = splitmix64_sql("k")
+    # cross(c->n, c->q) and dot(c->n, c->q) in the gift-wrap selection
+    cross = (
+        "(n.x - w.cx) * (q.y - w.cy) - (n.y - w.cy) * (q.x - w.cx)"
+    )
+    dot_f = (
+        "(q.x - w.cx) * (n.x - w.cx) + (q.y - w.cy) * (n.y - w.cy)"
+    )
+    len2n = "(n.x - w.cx) * (n.x - w.cx) + (n.y - w.cy) * (n.y - w.cy)"
+    return f"""
+WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm} AS h FROM ks),
+raw AS (SELECT CAST(k % {HULL_GROUPS} AS BIGINT) AS g,
+               CAST(h % 8192 AS BIGINT) AS x,
+               CAST((h // 8192) % 8192 AS BIGINT) AS y
+        FROM hh),
+pts AS MATERIALIZED (SELECT DISTINCT g, x, y FROM raw),
+np_ AS (SELECT g, COUNT(*) AS n_pts FROM pts GROUP BY g),
+p0 AS (SELECT g, x, y FROM (
+         SELECT g, x, y,
+                row_number() OVER (PARTITION BY g ORDER BY x, y) AS rn
+         FROM pts) WHERE rn = 1),
+walk(g, step, cx, cy, p0x, p0y) AS (
+  SELECT g, CAST(0 AS BIGINT), x, y, x, y FROM p0
+  UNION ALL
+  SELECT w.g, w.step + 1, n.x, n.y, w.p0x, w.p0y
+  FROM walk w
+  JOIN pts n ON n.g = w.g AND NOT (n.x = w.cx AND n.y = w.cy)
+  WHERE NOT EXISTS (              -- CCW walk: nothing strictly right
+      SELECT 1 FROM pts q
+      WHERE q.g = w.g AND NOT (q.x = w.cx AND q.y = w.cy)
+        AND {cross} < 0)
+    AND NOT EXISTS (              -- farthest of collinear candidates
+      SELECT 1 FROM pts q
+      WHERE q.g = w.g AND {cross} = 0 AND {dot_f} > {len2n})
+    AND NOT (n.x = w.p0x AND n.y = w.p0y)  -- back at start: stop
+),
+hull AS (SELECT g, step, cx AS x, cy AS y FROM walk),
+hn AS (SELECT g, COUNT(*) AS n_hull FROM hull GROUP BY g),
+edges AS (
+  SELECT h1.g, h1.x AS x1, h1.y AS y1, h2.x AS x2, h2.y AS y2
+  FROM hull h1 JOIN hn USING (g)
+  JOIN hull h2 ON h2.g = h1.g AND h2.step = (h1.step + 1) % hn.n_hull),
+est AS (
+  SELECT g,
+    CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) AS area2,
+    CAST(SUM(abs(x2 - x1) + abs(y2 - y1)) AS BIGINT) AS perim
+  FROM edges GROUP BY g),
+vh AS (
+  SELECT g, CAST(SUM((x * 73856093 + y * 19349663) % 2147483648)
+                 AS BIGINT) AS vhash
+  FROM hull GROUP BY g)
+SELECT n.g, CAST(n.n_pts AS BIGINT) AS n_pts,
+       CAST(hn.n_hull AS BIGINT) AS n_hull,
+       CASE WHEN hn.n_hull >= 2 THEN e.area2 ELSE 0 END AS area2,
+       CASE WHEN hn.n_hull >= 2 THEN e.perim ELSE 0 END AS perim,
+       v.vhash
+FROM np_ n JOIN hn USING (g) JOIN est e USING (g) JOIN vh v USING (g)
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_str_pack": (q_str_pack, _sql_str_pack()),
+    "q_convex_hull": (q_convex_hull, _sql_convex_hull()),
     "q_polygon_union": (q_polygon_union, _sql_polygon_union()),
     "q_polygon_boolean": (q_polygon_boolean, _sql_polygon_boolean()),
     "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
@@ -9100,6 +9217,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_convex_hull",
     "q_str_pack",
     "q_polygon_boolean",
     "q_polygon_union",

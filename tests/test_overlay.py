@@ -352,3 +352,54 @@ class TestSparkOperator:
         assert list(got.groupby("g").size()) == [1, 2]
         assert got.loc[0, "area2"] == 14.0
         assert (got["role"] == 1).all()
+
+
+# --- convex hull ----------------------------------------------------------
+
+
+def test_convex_hull_properties():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.overlay import (
+        convex_hull,
+        ring_area2,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(200):
+        n = int(rng.integers(1, 40))
+        xs = rng.integers(0, 30, n).astype(np.int64)
+        ys = rng.integers(0, 30, n).astype(np.int64)
+        hx, hy = convex_hull(xs, ys)
+        m = len(hx)
+        assert 1 <= m <= len(set(zip(xs.tolist(), ys.tolist())))
+        if m >= 3:
+            # CCW and strictly convex at every vertex
+            px, py = np.roll(hx, 1), np.roll(hy, 1)
+            nx, ny = np.roll(hx, -1), np.roll(hy, -1)
+            cr = (hx - px) * (ny - hy) - (hy - py) * (nx - hx)
+            assert (cr > 0).all()
+            assert ring_area2(hx.astype(float), hy.astype(float)) > 0
+        # every input point inside or on the hull: winding/halfplane
+        if m >= 3:
+            for qx, qy in zip(xs.tolist(), ys.tolist()):
+                side = (np.roll(hx, -1) - hx) * (qy - hy) - (
+                    np.roll(hy, -1) - hy
+                ) * (qx - hx)
+                assert (side >= 0).all()
+        elif m == 2:
+            # all points collinear between the two extremes
+            dx, dy = int(hx[1] - hx[0]), int(hy[1] - hy[0])
+            for qx, qy in zip(xs.tolist(), ys.tolist()):
+                assert dx * (qy - int(hy[0])) - dy * (qx - int(hx[0])) == 0
+
+
+def test_convex_hull_starts_lexicographic_min():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.overlay import convex_hull
+
+    xs = np.array([3, 1, 2, 1], dtype=np.int64)
+    ys = np.array([0, 5, 2, 1], dtype=np.int64)
+    hx, hy = convex_hull(xs, ys)
+    assert (int(hx[0]), int(hy[0])) == (1, 1)
