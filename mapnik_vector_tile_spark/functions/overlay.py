@@ -617,3 +617,72 @@ def hull_stats(
     )
     vhash = int(((hx * 73856093 + hy * 19349663) % (1 << 31)).sum())
     return n_pts, n_hull, area2, perim, vhash
+
+
+def line_graph_stats(
+    x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray
+) -> tuple[int, int, int, int, int]:
+    """Line-merge summary of an undirected segment set — JTS
+    LineMerger semantics (merge where exactly two line ends meet;
+    degree-1 tips and degree>=3 junctions break chains):
+
+      (n_segs, n_chains, n_rings, manhattan_len, jhash)
+
+    n_segs counts canonical undirected segments (duplicates and
+    zero-length dropped); n_chains = sum of degrees over deg!=2
+    vertices / 2 (every maximal open chain has exactly two ends, each
+    anchored at a deg!=2 vertex); n_rings = connected components whose
+    every vertex has degree 2 (pure cycles, which LineMerger emits as
+    closed lines); jhash = sum over deg!=2 vertices of
+    deg * ((x*73856093 + y*19349663) mod 2^31) — chain-break positions
+    weighted by how many chains they anchor. Components via vectorized
+    min-label propagation with pointer jumping (numpy, no per-edge
+    Python loop)."""
+    a = np.stack([x1, y1], axis=1).astype(np.int64)
+    b = np.stack([x2, y2], axis=1).astype(np.int64)
+    lo = np.where(
+        (a[:, 0] < b[:, 0])
+        | ((a[:, 0] == b[:, 0]) & (a[:, 1] <= b[:, 1])),
+        True,
+        False,
+    )
+    p = np.where(lo[:, None], a, b)
+    q = np.where(lo[:, None], b, a)
+    segs = np.unique(np.concatenate([p, q], axis=1), axis=0)
+    keep = (segs[:, 0] != segs[:, 2]) | (segs[:, 1] != segs[:, 3])
+    segs = segs[keep]
+    n_segs = len(segs)
+    if n_segs == 0:
+        return 0, 0, 0, 0, 0
+    mlen = int(
+        (
+            np.abs(segs[:, 2] - segs[:, 0]) + np.abs(segs[:, 3] - segs[:, 1])
+        ).sum()
+    )
+    ends = np.concatenate([segs[:, :2], segs[:, 2:]], axis=0)
+    verts, inv = np.unique(ends, axis=0, return_inverse=True)
+    ia, ib = inv[:n_segs], inv[n_segs:]
+    deg = np.bincount(inv, minlength=len(verts))
+    brk = deg != 2
+    n_chains = int(deg[brk].sum()) // 2
+    jhash = int(
+        (
+            deg[brk]
+            * ((verts[brk, 0] * 73856093 + verts[brk, 1] * 19349663)
+               % (1 << 31))
+        ).sum()
+    )
+    lbl = np.arange(len(verts), dtype=np.int64)
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, ia, lbl[ib])
+        np.minimum.at(new, ib, lbl[ia])
+        new = new[new]  # pointer jumping
+        if (new == lbl).all():
+            break
+        lbl = new
+    # a component is a ring iff it contains no chain-break vertex
+    has_break = np.zeros(len(verts), dtype=bool)
+    np.maximum.at(has_break, lbl, brk)
+    n_rings = int(np.unique(lbl[~has_break[lbl]]).size)
+    return n_segs, n_chains, n_rings, mlen, jhash

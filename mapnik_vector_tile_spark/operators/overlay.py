@@ -275,3 +275,43 @@ def convex_hull_stats(df: DataFrame, group_col: str = "g") -> DataFrame:
         .groupBy(group_col)
         .applyInPandas(kernel, _HULL_SCHEMA)
     )
+
+
+_LMERGE_SCHEMA = StructType(
+    [
+        StructField("g", LongType()),
+        StructField("n_segs", LongType()),
+        StructField("n_chains", LongType()),
+        StructField("n_rings", LongType()),
+        StructField("mlen", LongType()),
+        StructField("jhash", LongType()),
+    ]
+)
+
+
+def merge_lines_stats(df: DataFrame, group_col: str = "g") -> DataFrame:
+    """Per-group line merge (functions/overlay.line_graph_stats — JTS
+    LineMerger semantics: stitch segments where exactly two ends meet,
+    break at tips/junctions, count pure-cycle rings). Input rows are
+    SEGMENTS (group_col, x1, y1, x2, y2 integer). One groupBy shuffle,
+    per-group vectorized kernel — road-network merging shape."""
+    from mapnik_vector_tile_spark.functions.overlay import line_graph_stats
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf[group_col].iloc[0])
+        stats = line_graph_stats(
+            pdf["x1"].to_numpy(np.int64),
+            pdf["y1"].to_numpy(np.int64),
+            pdf["x2"].to_numpy(np.int64),
+            pdf["y2"].to_numpy(np.int64),
+        )
+        return pd.DataFrame(
+            [(g, *stats)],
+            columns=["g", "n_segs", "n_chains", "n_rings", "mlen", "jhash"],
+        ).astype(np.int64)
+
+    return (
+        df.select(group_col, "x1", "y1", "x2", "y2")
+        .groupBy(group_col)
+        .applyInPandas(kernel, _LMERGE_SCHEMA)
+    )

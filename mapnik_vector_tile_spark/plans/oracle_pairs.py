@@ -9067,9 +9067,183 @@ FROM np_ n JOIN hn USING (g) JOIN est e USING (g) JOIN vh v USING (g)
 """
 
 
+# ---------------------------------------------------------------------------
+# q_line_merge — per-group line merging (degree math + cycle components)
+# ---------------------------------------------------------------------------
+
+LM_GROUPS = 64
+
+
+def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group line merge (operators/overlay.merge_lines_stats — JTS
+    LineMerger semantics over grid-graph segments: chains break at
+    degree!=2 vertices, pure cycles count as rings) with a FULL
+    oracle. Corpus: splitmix64-derived unit grid edges (12x12 lattice,
+    horizontal/vertical coin) — dense enough that duplicates,
+    junctions, tips and closed squares all occur. The DuckDB twin
+    replays degrees/lengths directly and the ring count by recursive
+    reachability (min-label components over the deduped segment
+    graph), checking the kernel's union-find against an
+    algorithm-independent transitive closure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.overlay import merge_lines_stats
+
+    seg_t = StructType(
+        [
+            StructField("x1", LongType()),
+            StructField("y1", LongType()),
+            StructField("x2", LongType()),
+            StructField("y2", LongType()),
+        ]
+    )
+
+    def _seg_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        cx = (h % np.uint64(12)).astype(np.int64)
+        cy = ((h >> np.uint64(8)) % np.uint64(12)).astype(np.int64)
+        horiz = ((h >> np.uint64(16)) % np.uint64(2)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "x1": cx,
+                "y1": cy,
+                "x2": cx + horiz,
+                "y2": cy + (1 - horiz),
+            }
+        )
+
+    seg = F.pandas_udf(_seg_kernel, seg_t)
+    segs = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            (F.col("o_orderkey") % LM_GROUPS).alias("g"),
+            seg(F.col("o_orderkey")).alias("s"),
+        )
+        .select("g", "s.x1", "s.y1", "s.x2", "s.y2")
+    )
+    # guaranteed pure cycle per group: a unit square in a reserved
+    # coordinate region (x >= 100, disjoint from the 12x12 lattice) so
+    # the ring-component path is exercised in EVERY group, not only
+    # where the lattice happens to close a junction-free square
+    ring_t = StructType(
+        [StructField("rx", LongType()), StructField("ry", LongType())]
+    )
+
+    def _ring_kernel(g):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64((g.to_numpy(dtype=np.int64) * 7919 + 3).astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "rx": (100 + h % np.uint64(20)).astype(np.int64),
+                "ry": ((h >> np.uint64(5)) % np.uint64(20)).astype(np.int64),
+            }
+        )
+
+    ring = F.pandas_udf(_ring_kernel, ring_t)
+    sq = (
+        "array(struct(rx AS x1, ry AS y1, rx + 1L AS x2, ry AS y2), "
+        "struct(rx + 1L AS x1, ry AS y1, rx + 1L AS x2, ry + 1L AS y2), "
+        "struct(rx AS x1, ry + 1L AS y1, rx + 1L AS x2, ry + 1L AS y2), "
+        "struct(rx AS x1, ry AS y1, rx AS x2, ry + 1L AS y2))"
+    )
+    rings = (
+        spark.range(LM_GROUPS)
+        .select(F.col("id").alias("g"), ring(F.col("id")).alias("r"))
+        .selectExpr("g", "r.rx AS rx", "r.ry AS ry")
+        .selectExpr("g", f"explode({sq}) AS s")
+        .select("g", "s.x1", "s.y1", "s.x2", "s.y2")
+    )
+    return merge_lines_stats(segs.unionByName(rings), "g")
+
+
+def _sql_line_merge() -> str:
+    sm = splitmix64_sql("k")
+    return f"""
+WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm} AS h FROM ks),
+raw AS (SELECT CAST(k % {LM_GROUPS} AS BIGINT) AS g,
+               CAST(h % 12 AS BIGINT) AS cx,
+               CAST((h // 256) % 12 AS BIGINT) AS cy,
+               CAST((h // 65536) % 2 AS BIGINT) AS horiz
+        FROM hh),
+gs AS (SELECT CAST(unnest(generate_series(0, {LM_GROUPS - 1})) AS BIGINT)
+              AS g),
+rh AS (SELECT g, {splitmix64_sql('(g * 7919 + 3)')} AS h FROM gs),
+rsq AS (SELECT g, CAST(100 + h % 20 AS BIGINT) AS rx,
+               CAST((h // 32) % 20 AS BIGINT) AS ry
+        FROM rh),
+ringsegs AS (
+  SELECT g, rx AS x1, ry AS y1, rx + 1 AS x2, ry AS y2 FROM rsq
+  UNION ALL SELECT g, rx + 1, ry, rx + 1, ry + 1 FROM rsq
+  UNION ALL SELECT g, rx, ry + 1, rx + 1, ry + 1 FROM rsq
+  UNION ALL SELECT g, rx, ry, rx, ry + 1 FROM rsq),
+segs AS MATERIALIZED (
+  SELECT DISTINCT * FROM (
+    SELECT g, cx AS x1, cy AS y1,
+           cx + horiz AS x2, cy + (1 - horiz) AS y2
+    FROM raw
+    UNION ALL SELECT * FROM ringsegs)),
+-- vertices with degree (each deduped segment contributes one
+-- incidence per end); vkey is injective for coords < 8192
+ends_ AS (
+  SELECT g, x1 AS vx, y1 AS vy FROM segs
+  UNION ALL SELECT g, x2, y2 FROM segs),
+vdeg AS MATERIALIZED (
+  SELECT g, vx, vy, COUNT(*) AS deg, MIN(vx * 8192 + vy) AS vkey
+  FROM ends_ GROUP BY g, vx, vy),
+adj AS MATERIALIZED (
+  SELECT g, x1 AS ax, y1 AS ay, x2 AS bx, y2 AS by_ FROM segs
+  UNION ALL SELECT g, x2, y2, x1, y1 FROM segs),
+reach(g, vx, vy, lbl) AS (
+  SELECT g, vx, vy, vkey FROM vdeg
+  UNION
+  SELECT a.g, a.bx, a.by_, r.lbl
+  FROM reach r JOIN adj a
+    ON a.g = r.g AND a.ax = r.vx AND a.ay = r.vy
+),
+comp AS (
+  SELECT g, vx, vy, MIN(lbl) AS c FROM reach GROUP BY g, vx, vy),
+rings AS (
+  SELECT v.g,
+         CAST(COUNT(DISTINCT CASE WHEN ok THEN c END) AS BIGINT)
+           AS n_rings
+  FROM (
+    SELECT comp.g, comp.c,
+           BOOL_AND(vdeg.deg = 2) AS ok
+    FROM comp JOIN vdeg
+      ON vdeg.g = comp.g AND vdeg.vx = comp.vx AND vdeg.vy = comp.vy
+    GROUP BY comp.g, comp.c) v
+  GROUP BY v.g),
+base AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(SUM(abs(x2 - x1) + abs(y2 - y1)) AS BIGINT) AS mlen
+  FROM segs GROUP BY g),
+chains AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN deg <> 2 THEN deg ELSE 0 END) // 2 AS BIGINT)
+      AS n_chains,
+    CAST(SUM(CASE WHEN deg <> 2
+             THEN deg * ((vx * 73856093 + vy * 19349663) % 2147483648)
+             ELSE 0 END) AS BIGINT) AS jhash
+  FROM vdeg GROUP BY g)
+SELECT b.g, b.n_segs, c.n_chains, r.n_rings, b.mlen, c.jhash
+FROM base b JOIN chains c USING (g) JOIN rings r USING (g)
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_str_pack": (q_str_pack, _sql_str_pack()),
     "q_convex_hull": (q_convex_hull, _sql_convex_hull()),
+    "q_line_merge": (q_line_merge, _sql_line_merge()),
     "q_polygon_union": (q_polygon_union, _sql_polygon_union()),
     "q_polygon_boolean": (q_polygon_boolean, _sql_polygon_boolean()),
     "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
@@ -9217,6 +9391,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_line_merge",
     "q_convex_hull",
     "q_str_pack",
     "q_polygon_boolean",

@@ -403,3 +403,35 @@ def test_convex_hull_starts_lexicographic_min():
     ys = np.array([0, 5, 2, 1], dtype=np.int64)
     hx, hy = convex_hull(xs, ys)
     assert (int(hx[0]), int(hy[0])) == (1, 1)
+
+
+def test_line_graph_stats_shapes():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.overlay import line_graph_stats
+
+    # square ring + diagonal tail off one corner + isolated segment:
+    # junction (1,1) deg3 kills the ring; tips at (2,2),(5,5),(6,5)
+    x1 = np.array([0, 1, 1, 0, 1, 5])
+    y1 = np.array([0, 0, 1, 1, 1, 5])
+    x2 = np.array([1, 1, 0, 0, 2, 6])
+    y2 = np.array([0, 1, 1, 0, 2, 5])
+    n_segs, n_chains, n_rings, mlen, jhash = line_graph_stats(x1, y1, x2, y2)
+    assert (n_segs, n_chains, n_rings, mlen) == (6, 3, 0, 7)
+    # pure square cycle -> one ring, no open chains
+    assert line_graph_stats(
+        np.array([0, 1, 1, 0]), np.array([0, 0, 1, 1]),
+        np.array([1, 1, 0, 0]), np.array([0, 1, 1, 0]),
+    )[:4] == (4, 0, 1, 4)
+    # duplicates and zero-length segments drop
+    assert line_graph_stats(
+        np.array([0, 1, 3]), np.array([0, 0, 3]),
+        np.array([1, 0, 3]), np.array([0, 0, 3]),
+    )[:4] == (1, 1, 0, 1)
+    # two disjoint cycles sharing nothing
+    sq = ([0, 1, 1, 0], [0, 0, 1, 1], [1, 1, 0, 0], [0, 1, 1, 0])
+    x1 = np.array(sq[0] + [v + 10 for v in sq[0]])
+    y1 = np.array(sq[1] + sq[1])
+    x2 = np.array(sq[2] + [v + 10 for v in sq[2]])
+    y2 = np.array(sq[3] + sq[3])
+    assert line_graph_stats(x1, y1, x2, y2)[:4] == (8, 0, 2, 8)
