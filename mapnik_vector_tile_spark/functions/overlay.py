@@ -686,3 +686,81 @@ def line_graph_stats(
     np.maximum.at(has_break, lbl, brk)
     n_rings = int(np.unique(lbl[~has_break[lbl]]).size)
     return n_segs, n_chains, n_rings, mlen, jhash
+
+
+def dilate_rings(
+    rings: list[tuple[np.ndarray, np.ndarray]], r: int
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Chebyshev (square structuring element) dilation of a nonzero-
+    filled RECTILINEAR ring set by integer radius r — the ST_Buffer
+    analog on the integer grid (square caps/joins). Minkowski sum with
+    the square decomposes exactly as region ∪ (edge ⊕ square) per
+    boundary edge, and for an axis-parallel edge the summand is just
+    its bbox inflated by r — so the whole dilation is one union_rings
+    over the original rings plus one rect per edge. Rectilinear-input
+    contract (diagonal edges would over-cover under bbox inflation),
+    consistent with the module's integer-exactness story."""
+    if r <= 0:
+        return union_rings(rings)
+    out = list(rings)
+    for xs, ys in rings:
+        bx, by = np.roll(xs, -1), np.roll(ys, -1)
+        for x1, y1, x2, y2 in zip(xs, ys, bx, by):
+            lo_x, hi_x = min(x1, x2) - r, max(x1, x2) + r
+            lo_y, hi_y = min(y1, y2) - r, max(y1, y2) + r
+            out.append(
+                (
+                    np.array([lo_x, hi_x, hi_x, lo_x], dtype=np.float64),
+                    np.array([lo_y, lo_y, hi_y, hi_y], dtype=np.float64),
+                )
+            )
+    return union_rings(out)
+
+
+def erode_rings(
+    rings: list[tuple[np.ndarray, np.ndarray]], r: int
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Chebyshev erosion by integer radius r via the complement
+    identity erode(A) = F ∖ dilate(F ∖ A), with the frame F = bbox(A)
+    inflated by r+1 so the artificial frame boundary's dilation can
+    never reach A. Complement representation under nonzero fill is
+    free: the frame ring CCW plus A's rings with orientation flipped."""
+    # canonicalize FIRST: the complement trick inflates every ring
+    # edge, so edges must all be genuine region boundary — overlapping
+    # raw inputs have edges buried inside the union whose inflation
+    # would eat into the region from the inside
+    rings = union_rings(rings)
+    if not rings:
+        return []
+    if r <= 0:
+        return rings
+    allx = np.concatenate([xs for xs, _ in rings])
+    ally = np.concatenate([ys for _, ys in rings])
+    lo_x, hi_x = allx.min() - r - 1, allx.max() + r + 1
+    lo_y, hi_y = ally.min() - r - 1, ally.max() + r + 1
+    frame = (
+        np.array([lo_x, hi_x, hi_x, lo_x], dtype=np.float64),
+        np.array([lo_y, lo_y, hi_y, hi_y], dtype=np.float64),
+    )
+    comp = [frame] + [(xs[::-1].copy(), ys[::-1].copy()) for xs, ys in rings]
+    dil_comp = dilate_rings(comp, r)
+    return boolean_rings([frame], dil_comp, "difference")
+
+
+def morphology_stats(
+    rings: list[tuple[np.ndarray, np.ndarray]], r: int, op: str
+) -> tuple[int, int, int, int, int]:
+    """Integer grid stats of dilate/erode/open/close at radius r —
+    open = dilate∘erode (removes slivers thinner than 2r), close =
+    erode∘dilate (fills gaps narrower than 2r)."""
+    if op == "dilate":
+        out = dilate_rings(rings, r)
+    elif op == "erode":
+        out = erode_rings(rings, r)
+    elif op == "open":
+        out = dilate_rings(erode_rings(rings, r), r)
+    elif op == "close":
+        out = erode_rings(dilate_rings(rings, r), r)
+    else:
+        raise ValueError(f"morphology_stats: unknown op {op!r}")
+    return rings_stats(out)

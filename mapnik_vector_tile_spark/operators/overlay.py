@@ -315,3 +315,53 @@ def merge_lines_stats(df: DataFrame, group_col: str = "g") -> DataFrame:
         .groupBy(group_col)
         .applyInPandas(kernel, _LMERGE_SCHEMA)
     )
+
+
+_MORPH_SCHEMA = StructType(
+    [
+        StructField("g", LongType()),
+        StructField("op", LongType()),  # 0=dilate 1=erode 2=open 3=close
+        StructField("area2", LongType()),
+        StructField("perim", LongType()),
+        StructField("n_vert", LongType()),
+        StructField("euler", LongType()),
+        StructField("vhash", LongType()),
+    ]
+)
+
+MORPH_OP_IDS = {"dilate": 0, "erode": 1, "open": 2, "close": 3}
+
+
+def morphology_polygon_stats(
+    df: DataFrame, group_col: str = "g", radius_col: str = "rr"
+) -> DataFrame:
+    """Per-group morphological buffer summary — Chebyshev
+    dilate/erode/open/close at the group's integer radius (the
+    ST_Buffer(+r)/ST_Buffer(-r) analog with square caps/joins, plus
+    the sliver-dropping opening and gap-filling closing built from
+    them). Input rows are RINGS (group_col, radius_col, xs, ys); one
+    row out per (group, op) with the overlay grid stats. Same scale
+    shape as the other overlay ops: one groupBy shuffle, per-group
+    Arrow kernel."""
+    from mapnik_vector_tile_spark.functions.overlay import morphology_stats
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf[group_col].iloc[0])
+        rr = int(pdf[radius_col].iloc[0])
+        rings = _rings_of(pdf)
+        rows = []
+        for op, op_id in MORPH_OP_IDS.items():
+            area2, perim, n_vert, euler, vhash = morphology_stats(
+                rings, rr, op
+            )
+            rows.append((g, op_id, area2, perim, n_vert, euler, vhash))
+        return pd.DataFrame(
+            rows,
+            columns=["g", "op", "area2", "perim", "n_vert", "euler", "vhash"],
+        ).astype(np.int64)
+
+    return (
+        df.select(group_col, radius_col, "xs", "ys")
+        .groupBy(group_col)
+        .applyInPandas(kernel, _MORPH_SCHEMA)
+    )

@@ -9240,10 +9240,258 @@ FROM base b JOIN chains c USING (g) JOIN rings r USING (g)
 """
 
 
+# ---------------------------------------------------------------------------
+# q_morphology — Chebyshev buffer suite (dilate / erode / open / close)
+# ---------------------------------------------------------------------------
+
+
+def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12c morphological buffer suite (operators/overlay.
+    morphology_polygon_stats — Chebyshev dilate/erode/open/close at a
+    per-group integer radius; the ST_Buffer(+r)/ST_Buffer(−r) analog
+    with square caps/joins, erosion via the complement identity
+    F ∖ dilate(F ∖ A) through the planar overlay) with a FULL oracle.
+    Corpus: the union-style random rects plus a hole-forming frame
+    (thin frames vanish under erosion — a load-bearing edge case); the
+    DuckDB twin replays each op as set algebra on COVERED UNIT CELLS
+    (dilate = window-OR explode, erode = window-count, open/close
+    composed) and derives area/perimeter/vertices/Euler from cell
+    counts, shared-edge adjacency and corner patterns — it never
+    builds a ring, so agreement means the constructed boundaries are
+    exactly the morphological regions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.overlay import (
+        morphology_polygon_stats,
+        rect_rings,
+    )
+
+    rect_t = StructType(
+        [
+            StructField("sel", LongType()),
+            StructField("x0", LongType()),
+            StructField("y0", LongType()),
+            StructField("w", LongType()),
+            StructField("ht", LongType()),
+        ]
+    )
+
+    def _rect_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "sel": (h % np.uint64(16)).astype(np.int64),
+                "x0": ((h >> np.uint64(4)) % np.uint64(40)).astype(np.int64),
+                "y0": ((h >> np.uint64(10)) % np.uint64(40)).astype(np.int64),
+                "w": (1 + (h >> np.uint64(16)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+                "ht": (1 + (h >> np.uint64(22)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    meta_t = StructType(
+        [
+            StructField("fx", LongType()),
+            StructField("fy", LongType()),
+            StructField("fw", LongType()),
+            StructField("fh", LongType()),
+            StructField("t", LongType()),
+            StructField("rr", LongType()),
+        ]
+    )
+
+    def _meta_kernel(g):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(
+            (g.to_numpy(dtype=np.int64) * 1000003 + 17).astype(np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "fx": (2 + h % np.uint64(24)).astype(np.int64),
+                "fy": (2 + (h >> np.uint64(5)) % np.uint64(24)).astype(
+                    np.int64
+                ),
+                "fw": (8 + (h >> np.uint64(10)) % np.uint64(8)).astype(
+                    np.int64
+                ),
+                "fh": (8 + (h >> np.uint64(13)) % np.uint64(8)).astype(
+                    np.int64
+                ),
+                "t": (1 + (h >> np.uint64(16)) % np.uint64(3)).astype(
+                    np.int64
+                ),
+                "rr": (1 + (h >> np.uint64(19)) % np.uint64(2)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    rect_params = F.pandas_udf(_rect_kernel, rect_t)
+    meta_params = F.pandas_udf(_meta_kernel, meta_t)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rr_rects = (
+        orders.select(
+            (F.col("o_orderkey") % UNION_GROUPS).alias("g"),
+            rect_params(F.col("o_orderkey")).alias("r"),
+        )
+        .where(F.col("r.sel") == 0)
+        .select("g", "r.x0", "r.y0", "r.w", "r.ht")
+    )
+    meta = spark.range(UNION_GROUPS).select(
+        F.col("id").alias("g"), meta_params(F.col("id")).alias("f")
+    )
+    piece = (
+        "array("
+        "struct(f.fx AS x0, f.fy AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy + f.fh - f.t AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy AS y0, f.t AS w, f.fh AS ht), "
+        "struct(f.fx + f.fw - f.t AS x0, f.fy AS y0, f.t AS w, f.fh AS ht))"
+    )
+    frames = meta.selectExpr("g", f"explode({piece}) AS r").select(
+        "g", "r.x0", "r.y0", "r.w", "r.ht"
+    )
+    corpus = rr_rects.unionByName(frames).join(
+        F.broadcast(meta.select("g", "f.rr")), "g"
+    )
+    return morphology_polygon_stats(
+        rect_rings(corpus, extra=("rr",)), "g", "rr"
+    )
+
+
+def _sql_morphology() -> str:
+    sm_k = splitmix64_sql("k")
+    sm_g = splitmix64_sql("(g * 1000003 + 17)")
+    pmod = "(((px * 73856093 + py * 19349663) % 2147483648) + 2147483648) % 2147483648"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm_k} AS h FROM ks),
+rr_ AS (
+  SELECT CAST(k % {UNION_GROUPS} AS BIGINT) AS g,
+         CAST((h // 16) % 40 AS BIGINT) AS x0,
+         CAST((h // 1024) % 40 AS BIGINT) AS y0,
+         CAST(1 + (h // 65536) % 12 AS BIGINT) AS w,
+         CAST(1 + (h // 4194304) % 12 AS BIGINT) AS ht
+  FROM hh WHERE h % 16 = 0),
+gs AS (SELECT CAST(unnest(generate_series(0, {UNION_GROUPS - 1})) AS BIGINT)
+              AS g),
+gm AS (SELECT g, {sm_g} AS h FROM gs),
+fp AS (SELECT g,
+         CAST(2 + h % 24 AS BIGINT) AS fx,
+         CAST(2 + (h // 32) % 24 AS BIGINT) AS fy,
+         CAST(8 + (h // 1024) % 8 AS BIGINT) AS fw,
+         CAST(8 + (h // 8192) % 8 AS BIGINT) AS fh,
+         CAST(1 + (h // 65536) % 3 AS BIGINT) AS t,
+         CAST(1 + (h // 524288) % 2 AS BIGINT) AS rr
+       FROM gm),
+rects AS MATERIALIZED (
+  SELECT g, x0, y0, w, ht FROM rr_
+  UNION ALL SELECT g, fx, fy, fw, t FROM fp
+  UNION ALL SELECT g, fx, fy + fh - t, fw, t FROM fp
+  UNION ALL SELECT g, fx, fy, t, fh FROM fp
+  UNION ALL SELECT g, fx + fw - t, fy, t, fh FROM fp),
+rx AS (SELECT g, unnest(generate_series(x0, x0 + w - 1)) AS cx, y0, ht
+       FROM rects),
+cov AS MATERIALIZED (
+  SELECT DISTINCT g, cx, unnest(generate_series(y0, y0 + ht - 1)) AS cy
+  FROM rx),
+rad AS (SELECT g, rr FROM fp),
+off AS MATERIALIZED (
+  SELECT r.g, dx.v AS dx, dy.v AS dy, (2 * r.rr + 1) * (2 * r.rr + 1) AS wsz
+  FROM rad r
+  JOIN (SELECT unnest(generate_series(-2, 2)) AS v) dx
+    ON abs(dx.v) <= r.rr
+  JOIN (SELECT unnest(generate_series(-2, 2)) AS v) dy
+    ON abs(dy.v) <= r.rr),
+dil AS MATERIALIZED (
+  SELECT DISTINCT c.g, c.cx + o.dx AS cx, c.cy + o.dy AS cy
+  FROM cov c JOIN off o USING (g)),
+ero AS MATERIALIZED (
+  SELECT e.g, e.cx, e.cy FROM (
+    SELECT c.g, c.cx - o.dx AS cx, c.cy - o.dy AS cy,
+           COUNT(*) AS n, MAX(o.wsz) AS wsz
+    FROM cov c JOIN off o USING (g) GROUP BY 1, 2, 3) e
+  WHERE e.n = e.wsz),
+opn AS MATERIALIZED (
+  SELECT DISTINCT e.g, e.cx + o.dx AS cx, e.cy + o.dy AS cy
+  FROM ero e JOIN off o USING (g)),
+clo AS MATERIALIZED (
+  SELECT e.g, e.cx, e.cy FROM (
+    SELECT d.g, d.cx - o.dx AS cx, d.cy - o.dy AS cy,
+           COUNT(*) AS n, MAX(o.wsz) AS wsz
+    FROM dil d JOIN off o USING (g) GROUP BY 1, 2, 3) e
+  WHERE e.n = e.wsz),
+lay AS MATERIALIZED (
+  SELECT g, CAST(0 AS BIGINT) AS op, cx, cy FROM dil
+  UNION ALL SELECT g, 1, cx, cy FROM ero
+  UNION ALL SELECT g, 2, cx, cy FROM opn
+  UNION ALL SELECT g, 3, cx, cy FROM clo),
+adj AS (
+  SELECT a.g, a.op, COUNT(*) AS n_adj
+  FROM lay a JOIN lay b
+    ON b.g = a.g AND b.op = a.op
+   AND ((b.cx = a.cx + 1 AND b.cy = a.cy)
+        OR (b.cx = a.cx AND b.cy = a.cy + 1))
+  GROUP BY a.g, a.op),
+-- vertex corner patterns: each covered cell is the NE/NW/SE/SW
+-- quadrant of its four corners
+vq AS (
+  SELECT g, op, cx AS px, cy AS py, 3 AS q FROM lay      -- cell NE of v
+  UNION ALL SELECT g, op, cx + 1, cy, 2 FROM lay         -- NW
+  UNION ALL SELECT g, op, cx, cy + 1, 1 FROM lay         -- SE
+  UNION ALL SELECT g, op, cx + 1, cy + 1, 0 FROM lay),   -- SW
+vst AS (
+  SELECT g, op, px, py, COUNT(*) AS ncov,
+         BOOL_OR(q = 0) AS sw, BOOL_OR(q = 1) AS se,
+         BOOL_OR(q = 2) AS nw, BOOL_OR(q = 3) AS ne
+  FROM vq GROUP BY 1, 2, 3, 4),
+vagg AS (
+  SELECT g, op,
+    CAST(SUM(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND sw = ne AND nw = se AND sw <> nw
+                  THEN 2 ELSE 0 END) AS BIGINT) AS n_vert,
+    CAST(SUM(CAST(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND sw = ne AND nw = se AND sw <> nw
+                  THEN 2 ELSE 0 END AS BIGINT) * ({pmod}))
+         AS BIGINT) AS vhash,
+    CAST(SUM(CASE WHEN ncov = 2 AND sw = ne AND nw = se AND sw <> nw
+             THEN 1 ELSE 0 END) AS BIGINT) AS ndiag,
+    CAST(COUNT(*) AS BIGINT) AS nv_all
+  FROM vst GROUP BY g, op),
+cnt AS (SELECT g, op, CAST(COUNT(*) AS BIGINT) AS nf FROM lay GROUP BY g, op),
+ops AS (SELECT g, CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS op FROM gs)
+SELECT o.g, o.op,
+  CAST(COALESCE(2 * c.nf, 0) AS BIGINT) AS area2,
+  CAST(COALESCE(4 * c.nf - 2 * COALESCE(a.n_adj, 0), 0) AS BIGINT) AS perim,
+  COALESCE(v.n_vert, 0) AS n_vert,
+  -- Euler identity on the unit-cell subdivision:
+  -- n_ext − n_hole = V − E + F + n_pinch, E = 4F − adj
+  CAST(COALESCE(v.nv_all - (4 * c.nf - COALESCE(a.n_adj, 0))
+                + c.nf + v.ndiag, 0) AS BIGINT) AS euler,
+  COALESCE(v.vhash, 0) AS vhash
+FROM ops o
+LEFT JOIN cnt c ON c.g = o.g AND c.op = o.op
+LEFT JOIN adj a ON a.g = o.g AND a.op = o.op
+LEFT JOIN vagg v ON v.g = o.g AND v.op = o.op
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_str_pack": (q_str_pack, _sql_str_pack()),
     "q_convex_hull": (q_convex_hull, _sql_convex_hull()),
     "q_line_merge": (q_line_merge, _sql_line_merge()),
+    "q_morphology": (q_morphology, _sql_morphology()),
     "q_polygon_union": (q_polygon_union, _sql_polygon_union()),
     "q_polygon_boolean": (q_polygon_boolean, _sql_polygon_boolean()),
     "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
@@ -9391,6 +9639,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_morphology",
     "q_line_merge",
     "q_convex_hull",
     "q_str_pack",

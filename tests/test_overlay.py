@@ -435,3 +435,92 @@ def test_line_graph_stats_shapes():
     x2 = np.array(sq[2] + [v + 10 for v in sq[2]])
     y2 = np.array(sq[3] + sq[3])
     assert line_graph_stats(x1, y1, x2, y2)[:4] == (8, 0, 2, 8)
+
+
+# --- morphology (Chebyshev buffer suite) -----------------------------------
+
+
+def _brute_morph(rects, r, op):
+    import numpy as np
+
+    cov = np.zeros((64, 64), bool)
+    for x0, y0, w, h in rects:
+        cov[x0 + 4 : x0 + w + 4, y0 + 4 : y0 + h + 4] = True
+
+    def ero(c):
+        o = np.zeros_like(c)
+        for cx in range(r, 64 - r):
+            for cy in range(r, 64 - r):
+                o[cx, cy] = c[cx - r : cx + r + 1, cy - r : cy + r + 1].all()
+        return o
+
+    def dil(c):
+        o = np.zeros_like(c)
+        for cx in range(r, 64 - r):
+            for cy in range(r, 64 - r):
+                o[cx, cy] = c[cx - r : cx + r + 1, cy - r : cy + r + 1].any()
+        return o
+
+    f = {
+        "dilate": dil,
+        "erode": ero,
+        "open": lambda c: dil(ero(c)),
+        "close": lambda c: ero(dil(c)),
+    }[op]
+    return 2 * int(f(cov).sum())
+
+
+def test_morphology_fixtures():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.overlay import (
+        dilate_rings,
+        erode_rings,
+        morphology_stats,
+        ring_area2,
+    )
+
+    sq = rect(0, 0, 4, 4)
+    d = dilate_rings([sq], 1)
+    assert len(d) == 1 and ring_area2(*d[0]) == 72.0  # 6x6
+    e = erode_rings(d, 1)
+    assert len(e) == 1 and np.array_equal(e[0][0], sq[0])
+    assert erode_rings([rect(0, 0, 10, 1)], 1) == []  # sliver dies
+    # close bridges a 2-wide gap at r=1; open keeps 2-wide arms dead
+    two = [rect(0, 0, 2, 4), rect(4, 0, 2, 4)]
+    assert morphology_stats(two, 1, "close")[0] == 48
+    assert morphology_stats(two, 1, "open")[0] == 0
+    # open removes a 1-wide tab from a solid block
+    tab = [rect(0, 0, 6, 4), rect(2, 4, 1, 3)]
+    assert morphology_stats(tab, 1, "open")[0] == 48
+    # erosion canonicalizes overlapping inputs first (buried edges
+    # must not eat the region from the inside) — the regression that
+    # motivated union-before-complement
+    ov = [rect(11, 11, 2, 3), rect(8, 11, 4, 4)]
+    assert morphology_stats(ov, 1, "erode")[0] == 10
+
+
+def test_morphology_random_vs_brute():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.overlay import morphology_stats
+
+    rng = np.random.RandomState(17)
+    for trial in range(40):
+        k = rng.randint(1, 8)
+        rects = [
+            (
+                int(rng.randint(2, 30)),
+                int(rng.randint(2, 30)),
+                int(rng.randint(1, 12)),
+                int(rng.randint(1, 12)),
+            )
+            for _ in range(k)
+        ]
+        r = int(rng.randint(1, 3))
+        rings = [rect(*rc) for rc in rects]
+        for op in ("dilate", "erode", "open", "close"):
+            assert (
+                morphology_stats(rings, r, op)[0]
+                == _brute_morph(rects, r, op)
+            ), (trial, op, r, rects)
