@@ -1369,3 +1369,78 @@ def augment_images(images: DataFrame, epochs: int = 2) -> DataFrame:
         schema="image_id string, epoch int, aug string, out_w int, "
         "out_h int, pixels binary, caption string",
     )
+
+
+def gradient_orientation_stats(images: DataFrame) -> DataFrame:
+    """T12i gradient-orientation histogram (HOG-lite) — the classic
+    8-octant edge-direction descriptor vision pipelines use for
+    orientation-aware filtering/augmentation gating, rebuilt
+    integer-exact: 3×3 Sobel over the shared ITU-601 luma8 grid
+    (|gx|,|gy| ≤ 4·255·... bounded: each ≤ 4·255=1020, mag ≤ 2040,
+    all moments comfortably int64), then the octant of (gx, gy) by a
+    three-step sign/compare fold — NO atan2, so the DuckDB twin
+    replays the binning decision-for-decision:
+
+      step 1: gy < 0 → rotate by π   (s += 4; gx,gy = −gx,−gy)
+      step 2: gx < 0 → rotate by π/2 (s += 2; gx,gy = gy,−gx)
+      step 3: gy >= gx → s += 1      (45° split, ties upward)
+
+    Zero-gradient (flat) pixels get bin −1. Output is one row per
+    (image, bin) for ALL 9 bins — (image_id, bin, cnt, mag, caption)
+    with mag = Σ(|gx|+|gy|) per bin — so a single pixel binned across
+    a tie boundary breaks the hash. One narrow mapInPandas scan, no
+    shuffle; caption rides through per the north-rule row invariant."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            out = {
+                "image_id": [], "bin": [], "cnt": [], "mag": [],
+                "caption": [],
+            }
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                a = rgba.astype(np.int64)
+                g = (a[..., 0] * 77 + a[..., 1] * 151 + a[..., 2] * 28) >> 8
+                cnt = np.zeros(9, dtype=np.int64)
+                mag = np.zeros(9, dtype=np.int64)
+                if g.shape[0] >= 3 and g.shape[1] >= 3:
+                    gx = (
+                        g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]
+                        - g[:-2, :-2] - 2 * g[1:-1, :-2] - g[2:, :-2]
+                    ).ravel()
+                    gy = (
+                        g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+                        - g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:]
+                    ).ravel()
+                    m = np.abs(gx) + np.abs(gy)
+                    flat = (gx == 0) & (gy == 0)
+                    s = np.zeros(len(gx), dtype=np.int64)
+                    neg = gy < 0
+                    s[neg] += 4
+                    gx = np.where(neg, -gx, gx)
+                    gy = np.where(neg, -gy, gy)
+                    neg = gx < 0
+                    s[neg] += 2
+                    gx2 = np.where(neg, gy, gx)
+                    gy2 = np.where(neg, -gx, gy)
+                    s[gy2 >= gx2] += 1
+                    b = np.where(flat, 0, s + 1)  # 0 = flat slot
+                    cnt = np.bincount(b, minlength=9)
+                    mag = np.bincount(
+                        b, weights=m.astype(np.float64), minlength=9
+                    ).astype(np.int64)
+                    mag[0] = 0  # flat pixels carry zero magnitude
+                for k in range(9):
+                    out["image_id"].append(r.image_id)
+                    out["bin"].append(k - 1)
+                    out["cnt"].append(int(cnt[k]))
+                    out["mag"].append(int(mag[k]))
+                    out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        schema="image_id string, bin long, cnt long, mag long, "
+        "caption string",
+    )

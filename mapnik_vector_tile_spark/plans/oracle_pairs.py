@@ -9487,11 +9487,99 @@ LEFT JOIN vagg v ON v.g = o.g AND v.op = o.op
 """
 
 
+# ---------------------------------------------------------------------------
+# q_image_gradients — 8-octant Sobel orientation histogram (HOG-lite)
+# ---------------------------------------------------------------------------
+
+
+def q_image_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12i gradient-orientation histogram
+    (raster.gradient_orientation_stats — 3×3 Sobel over the shared
+    luma8 grid, octant by a three-step sign/compare fold, no atan2)
+    over the canonical images table with a FULL oracle: DuckDB
+    regenerates every pixel from the shared CTE chain, builds the
+    Sobel responses from row-wise lag/lead plus two row joins, and
+    replays the identical fold decision-for-decision — one pixel
+    binned across a tie boundary (exact diagonal or axis gradient)
+    breaks the hash."""
+    from mapnik_vector_tile_spark.operators.raster import (
+        gradient_orientation_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_TH_N)
+    return gradient_orientation_stats(imgs)
+
+
+def _sql_image_gradients(n: int = IMG_TH_N) -> str:
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS (
+  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+tri AS (
+  SELECT i, w, h, y, x,
+         lag(g8)  OVER (PARTITION BY i, y ORDER BY x) AS wv,
+         g8 AS cv,
+         lead(g8) OVER (PARTITION BY i, y ORDER BY x) AS ev
+  FROM lum
+),
+sob AS (
+  SELECT m.i, m.y, m.x,
+         (u.ev + 2 * m.ev + d.ev) - (u.wv + 2 * m.wv + d.wv) AS gx,
+         (d.wv + 2 * d.cv + d.ev) - (u.wv + 2 * u.cv + u.ev) AS gy
+  FROM tri m
+  JOIN tri u ON u.i = m.i AND u.x = m.x AND u.y = m.y - 1
+  JOIN tri d ON d.i = m.i AND d.x = m.x AND d.y = m.y + 1
+  WHERE m.x BETWEEN 1 AND m.w - 2 AND m.y BETWEEN 1 AND m.h - 2
+),
+f1 AS (
+  SELECT i, abs(gx) + abs(gy) AS mag, gx = 0 AND gy = 0 AS flat,
+         CASE WHEN gy < 0 THEN 4 ELSE 0 END AS s1,
+         CASE WHEN gy < 0 THEN -gx ELSE gx END AS gx1,
+         CASE WHEN gy < 0 THEN -gy ELSE gy END AS gy1
+  FROM sob
+),
+f2 AS (
+  SELECT i, mag, flat,
+         s1 + CASE WHEN gx1 < 0 THEN 2 ELSE 0 END AS s2,
+         CASE WHEN gx1 < 0 THEN gy1 ELSE gx1 END AS gx2,
+         CASE WHEN gx1 < 0 THEN -gx1 ELSE gy1 END AS gy2
+  FROM f1
+),
+f3 AS (
+  SELECT i, mag,
+         CASE WHEN flat THEN -1
+              ELSE s2 + CASE WHEN gy2 >= gx2 THEN 1 ELSE 0 END
+         END AS bin
+  FROM f2
+),
+hist AS (
+  SELECT i, bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN bin = -1 THEN 0 ELSE mag END) AS BIGINT)
+           AS mag
+  FROM f3 GROUP BY i, bin
+),
+spine AS (
+  SELECT i, CAST(unnest(generate_series(-1, 7)) AS BIGINT) AS bin
+  FROM ids
+)
+SELECT 'img_' || lpad(CAST(s.i AS VARCHAR), 12, '0') AS image_id,
+       s.bin, COALESCE(h.cnt, 0) AS cnt, COALESCE(h.mag, 0) AS mag,
+       caps.caption AS caption
+FROM spine s
+LEFT JOIN hist h ON h.i = s.i AND h.bin = s.bin
+JOIN caps ON caps.i = s.i
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
     "q_str_pack": (q_str_pack, _sql_str_pack()),
     "q_convex_hull": (q_convex_hull, _sql_convex_hull()),
     "q_line_merge": (q_line_merge, _sql_line_merge()),
     "q_morphology": (q_morphology, _sql_morphology()),
+    "q_image_gradients": (q_image_gradients, _sql_image_gradients()),
     "q_polygon_union": (q_polygon_union, _sql_polygon_union()),
     "q_polygon_boolean": (q_polygon_boolean, _sql_polygon_boolean()),
     "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
@@ -9639,6 +9727,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_image_gradients",
     "q_morphology",
     "q_line_merge",
     "q_convex_hull",

@@ -787,3 +787,46 @@ def test_marching_squares_known_shapes(spark):
     assert out["half"].n_segments == 3
     assert out["flat"].n_segments == 0
     assert out["flat"].ex_sum == 0 and out["flat"].ey_sum == 0
+
+
+def test_gradient_orientation_octants(spark):
+    """Synthetic ramp images: a pure horizontal luma ramp has gx>0,
+    gy=0 everywhere in the interior -> every pixel in octant 0; a pure
+    vertical ramp -> gy>0, gx=0 -> the gy>=gx tie rule puts axis-up in
+    octant 1; a flat image -> all pixels bin -1."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        gradient_orientation_stats,
+    )
+
+    def img(arr):
+        # gray ramp encoded as raw rgba8 with r=g=b
+        h, w = arr.shape
+        rgba = np.zeros((h, w, 4), np.uint8)
+        for c in range(3):
+            rgba[..., c] = arr
+        rgba[..., 3] = 255
+        return bytes(rgba.tobytes())
+
+    h = w = 8
+    ramp_x = np.tile((np.arange(w) * 20).astype(np.uint8), (h, 1))
+    ramp_y = ramp_x.T.copy()
+    flat = np.full((h, w), 77, np.uint8)
+    rows = [
+        ("rx", img(ramp_x), w, h, "raw-rgba8", "cap rx"),
+        ("ry", img(ramp_y), w, h, "raw-rgba8", "cap ry"),
+        ("fl", img(flat), w, h, "raw-rgba8", "cap fl"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string"
+    )
+    out = gradient_orientation_stats(df).collect()
+    by = {(r["image_id"], r["bin"]): r["cnt"] for r in out}
+    n_int = (h - 2) * (w - 2)
+    assert by[("rx", 0)] == n_int
+    assert by[("ry", 1)] == n_int
+    assert by[("fl", -1)] == n_int
+    assert sum(v for (i, b), v in by.items() if i == "rx" and b != 0) == 0
