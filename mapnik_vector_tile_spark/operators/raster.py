@@ -1444,3 +1444,67 @@ def gradient_orientation_stats(images: DataFrame) -> DataFrame:
         schema="image_id string, bin long, cnt long, mag long, "
         "caption string",
     )
+
+
+def template_match_stats(images: DataFrame, tsz: int = 6) -> DataFrame:
+    """T12j template matching — integer SAD (sum of absolute
+    differences) patch search, the classic normalized-free
+    cv2.matchTemplate(TM_SADiff) shape vision dedup/alignment
+    pipelines use. The per-image template is the tsz×tsz luma patch at
+    a hash-derived location, perturbed by +((tx·7 + ty·11) % 43) per
+    cell — sized against the corpus noise so the source location wins
+    only ~40% of the time (a genuinely contested argmin). All integer: luma8 in [0,255],
+    SAD ≤ 255·tsz² ≪ int64. Best offset = lexicographically smallest
+    (by, bx) among minima — a pinned tie rule the DuckDB twin replays.
+    Output: (image_id, bx, by, best_sad, n_best, caption); images
+    smaller than the template emit (-1, -1, -1, 0). One narrow
+    mapInPandas scan, no shuffle."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    def gen(it):
+        for pdf in it:
+            out = {
+                "image_id": [], "bx": [], "by": [], "best_sad": [],
+                "n_best": [], "caption": [],
+            }
+            for idx, r in enumerate(pdf.itertuples()):
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                a = rgba.astype(np.int64)
+                g = (a[..., 0] * 77 + a[..., 1] * 151 + a[..., 2] * 28) >> 8
+                h, w = g.shape
+                if h < tsz or w < tsz:
+                    vals = (-1, -1, -1, 0)
+                else:
+                    i_num = int(r.image_id.split("_")[-1])
+                    ph = int(
+                        splitmix64(np.array([i_num], dtype=np.uint64))[0]
+                    )
+                    t0x = ph % (w - tsz + 1)
+                    t0y = (ph >> 17) % (h - tsz + 1)
+                    ty, tx = np.mgrid[0:tsz, 0:tsz]
+                    tpl = (
+                        g[t0y : t0y + tsz, t0x : t0x + tsz]
+                        + (tx * 7 + ty * 11) % 43
+                    )
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        g, (tsz, tsz)
+                    )
+                    sad = np.abs(win - tpl).sum(axis=(2, 3))
+                    best = int(sad.min())
+                    ys, xs = np.nonzero(sad == best)
+                    vals = (int(xs[0]), int(ys[0]), best, int(len(xs)))
+                out["image_id"].append(r.image_id)
+                out["bx"].append(vals[0])
+                out["by"].append(vals[1])
+                out["best_sad"].append(vals[2])
+                out["n_best"].append(vals[3])
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        schema="image_id string, bx long, by long, best_sad long, "
+        "n_best long, caption string",
+    )

@@ -9574,7 +9574,79 @@ JOIN caps ON caps.i = s.i
 """
 
 
+# ---------------------------------------------------------------------------
+# q_template_match — SAD patch search with pinned argmin tie rule
+# ---------------------------------------------------------------------------
+
+IMG_TM_N = 150  # q_template_match corpus size (36 template cells/pixel)
+
+
+def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12j template matching (raster.template_match_stats — integer
+    SAD sliding-window patch search with a per-image hash-located,
+    perturbed 6×6 luma template) with a FULL oracle: DuckDB
+    regenerates the pixels, rebuilds the template from the same
+    formulas, folds SAD per offset (HAVING 36 cells keeps exactly the
+    full windows) and replays the argmin with the pinned smallest-
+    (by,bx) tie rule plus the tied-minima count."""
+    from mapnik_vector_tile_spark.operators.raster import (
+        template_match_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_TM_N)
+    return template_match_stats(imgs)
+
+
+def _sql_template_match(n: int = IMG_TM_N) -> str:
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS (
+  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+tloc AS (
+  SELECT i, w, h,
+         CAST(ph % (w - 5) AS BIGINT) AS t0x,
+         CAST((ph // 131072) % (h - 5) AS BIGINT) AS t0y
+  FROM dims
+),
+tpl AS (
+  SELECT l.i, l.x - t.t0x AS tx, l.y - t.t0y AS ty,
+         l.g8 + ((l.x - t.t0x) * 7 + (l.y - t.t0y) * 11) % 43 AS tv
+  FROM lum l JOIN tloc t ON t.i = l.i
+  WHERE l.x BETWEEN t.t0x AND t.t0x + 5
+    AND l.y BETWEEN t.t0y AND t.t0y + 5
+),
+sad AS (
+  SELECT p.i, p.x - t.tx AS ox, p.y - t.ty AS oy,
+         CAST(SUM(abs(p.g8 - t.tv)) AS BIGINT) AS s
+  FROM lum p JOIN tpl t ON t.i = p.i
+  GROUP BY p.i, p.x - t.tx, p.y - t.ty
+  HAVING COUNT(*) = 36
+),
+mins AS (SELECT i, MIN(s) AS bs FROM sad GROUP BY i),
+ties AS (
+  SELECT sad.i, CAST(COUNT(*) AS BIGINT) AS n_best
+  FROM sad JOIN mins ON mins.i = sad.i AND sad.s = mins.bs
+  GROUP BY sad.i
+),
+pick AS (
+  SELECT i, ox, oy, s FROM (
+    SELECT sad.i, ox, oy, s,
+           row_number() OVER (PARTITION BY sad.i ORDER BY oy, ox) AS rn
+    FROM sad JOIN mins ON mins.i = sad.i AND sad.s = mins.bs)
+  WHERE rn = 1
+)
+SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
+       p.ox AS bx, p.oy AS by, p.s AS best_sad, t.n_best,
+       caps.caption AS caption
+FROM pick p JOIN ties t ON t.i = p.i JOIN caps ON caps.i = p.i
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "q_template_match": (q_template_match, _sql_template_match()),
     "q_str_pack": (q_str_pack, _sql_str_pack()),
     "q_convex_hull": (q_convex_hull, _sql_convex_hull()),
     "q_line_merge": (q_line_merge, _sql_line_merge()),
@@ -9727,6 +9799,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_template_match",
     "q_image_gradients",
     "q_morphology",
     "q_line_merge",

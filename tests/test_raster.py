@@ -830,3 +830,34 @@ def test_gradient_orientation_octants(spark):
     assert by[("ry", 1)] == n_int
     assert by[("fl", -1)] == n_int
     assert sum(v for (i, b), v in by.items() if i == "rx" and b != 0) == 0
+
+
+def test_template_match_exact_patch(spark):
+    """With zero perturbation the template is a literal sub-image, so
+    the engine must find it at SAD = sum of perturbations (the %43
+    offsets), and an unambiguous synthetic image pins the tie rule:
+    a constant image makes EVERY window tie at the same SAD with the
+    pick at (0, 0)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        template_match_stats,
+    )
+
+    h = w = 10
+    rgba = np.zeros((h, w, 4), np.uint8)
+    rgba[..., :3] = 50
+    rgba[..., 3] = 255
+    rows = [("img_000000000003", bytes(rgba.tobytes()), w, h,
+             "raw-rgba8", "cap")]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string"
+    )
+    r = template_match_stats(df).collect()[0]
+    # constant image: every one of the (w-5)*(h-5) windows ties
+    assert (r["bx"], r["by"]) == (0, 0)
+    assert r["n_best"] == (w - 5) * (h - 5)
+    # SAD = sum over 6x6 of (tx*7+ty*11) % 43
+    want = sum((tx * 7 + ty * 11) % 43 for ty in range(6) for tx in range(6))
+    assert r["best_sad"] == want
