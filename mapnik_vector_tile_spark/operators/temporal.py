@@ -29,6 +29,7 @@ DuckDB side `epoch_us(ts)` — verified equal to the microsecond.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -252,3 +253,78 @@ def ewma(
         lambda s, v: s * F.lit(1.0 - a) + v * F.lit(a),
     )
     return g.select(key, "n_events", folded.alias("ewma"))
+
+
+def staypoints(
+    df: DataFrame,
+    d_cheb: int,
+    t_min_us: int,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """W6 stay-point detection — the GeoLife/Zheng trajectory-mining
+    primitive (Li et al. 2008, "Mining user similarity based on
+    location history"): scan each user's time-ordered points with a
+    greedy anchor; the stay window of anchor i is the maximal prefix
+    i..j with EVERY point within Chebyshev distance ``d_cheb`` of
+    p_i (first exit breaks it); if its duration t_j − t_i ≥
+    ``t_min_us`` the window is a stay and the anchor jumps to j+1,
+    else the anchor advances to i+1. Pinned deterministic semantics:
+    order by (t, event_id), integer Chebyshev distance, closed
+    thresholds as written — the DuckDB twin replays the exact anchor
+    chain through a recursive CTE over precomputed first-exit indexes.
+
+    Input: (user_col, event_id, t, x, y) with t int64 epoch-µs and
+    integer coords. Output one row per stay:
+    (user_id, stay_ord, n_pts, sx, sy, dur_us, t0).
+    Scale: one groupBy shuffle on the user key; the per-user kernel is
+    a bounded sequential scan (trajectories are bounded per user-day;
+    the 100 TB axis is user count, which is the parallel axis)."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"], kind="mergesort")
+        u = pdf[user_col].iloc[0]
+        t = pdf["t"].to_numpy(np.int64)
+        x = pdf["x"].to_numpy(np.int64)
+        y = pdf["y"].to_numpy(np.int64)
+        n = len(t)
+        rows = []
+        i = 0
+        while i < n:
+            inside = (
+                np.maximum(np.abs(x[i:] - x[i]), np.abs(y[i:] - y[i]))
+                <= d_cheb
+            )
+            exits = np.flatnonzero(~inside)
+            j = i + (int(exits[0]) - 1 if len(exits) else n - 1 - i)
+            if t[j] - t[i] >= t_min_us:
+                rows.append(
+                    (
+                        u,
+                        len(rows),
+                        j - i + 1,
+                        int(x[i : j + 1].sum()),
+                        int(y[i : j + 1].sum()),
+                        int(t[j] - t[i]),
+                        int(t[i]),
+                    )
+                )
+                i = j + 1
+            else:
+                i += 1
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "stay_ord", "n_pts", "sx", "sy", "dur_us", "t0",
+            ],
+        )
+
+    schema = (
+        "user_id long, stay_ord long, n_pts long, sx long, sy long, "
+        "dur_us long, t0 long"
+    )
+    return (
+        df.select(user_col, "event_id", "t", "x", "y")
+        .groupBy(user_col)
+        .applyInPandas(kernel, schema)
+    )

@@ -9645,7 +9645,140 @@ FROM pick p JOIN ties t ON t.i = p.i JOIN caps ON caps.i = p.i
 """
 
 
+# ---------------------------------------------------------------------------
+# q_staypoints — trajectory stay-point detection (greedy anchor chain)
+# ---------------------------------------------------------------------------
+
+SP_D = 6  # Chebyshev stay radius
+SP_T_US = 86_400_000_000  # 24h minimum stay duration
+SP_EP_US = 259_200_000_000  # 3-day drifting-center epochs (corpus)
+
+
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 stay-point detection (operators/temporal.staypoints — the
+    GeoLife greedy anchor scan with pinned order/threshold semantics)
+    with a FULL oracle. Corpus: events become trajectory points whose
+    coordinates cluster around a per-(user, 3-day-epoch) drifting
+    center with a 5×5 jitter — within an epoch every pair is within
+    the stay radius, across epochs the center jumps, so real stays,
+    broken stays (epoch straddles) and too-short windows all occur.
+    The DuckDB twin precomputes each index's first-exit and replays
+    the exact greedy anchor CHAIN through a recursive CTE — one
+    mis-advanced anchor desynchronizes every later stay for that
+    user."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.temporal import (
+        _EPOCH_US,
+        staypoints,
+    )
+
+    xy_t = StructType(
+        [StructField("x", LongType()), StructField("y", LongType())]
+    )
+
+    def _xy_kernel(key):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        uid = key["user_id"].to_numpy(np.int64)
+        ev = key["event_id"].to_numpy(np.uint64)
+        ep = key["t"].to_numpy(np.int64) // SP_EP_US
+        hc = splitmix64((uid * 1_000_003 + ep).astype(np.uint64))
+        hp = splitmix64(ev)
+        return pd.DataFrame(
+            {
+                "x": (hc % np.uint64(64)).astype(np.int64)
+                + (hp % np.uint64(5)).astype(np.int64),
+                "y": ((hc >> np.uint64(7)) % np.uint64(64)).astype(np.int64)
+                + ((hp >> np.uint64(5)) % np.uint64(5)).astype(np.int64),
+            }
+        )
+
+    xy = F.pandas_udf(_xy_kernel, xy_t)
+    pts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(_EPOCH_US).cast("long").alias("t"),
+        )
+        .withColumn(
+            "p",
+            xy(F.struct("user_id", "event_id", "t")),
+        )
+        .select("user_id", "event_id", "t", "p.x", "p.y")
+    )
+    return staypoints(pts, SP_D, SP_T_US)
+
+
+def _sql_staypoints() -> str:
+    sm_c = splitmix64_sql("(user_id * 1000003 + (t // {ep}))").replace(
+        "{ep}", str(SP_EP_US)
+    )
+    sm_p = splitmix64_sql("event_id")
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+pts AS MATERIALIZED (
+  SELECT user_id, event_id, t,
+         CAST(({sm_c}) % 64 + ({sm_p}) % 5 AS BIGINT) AS x,
+         CAST((({sm_c}) // 128) % 64 + (({sm_p}) // 32) % 5 AS BIGINT) AS y
+  FROM ev),
+idx AS MATERIALIZED (
+  SELECT user_id AS u, t, x, y,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+           - 1 AS i
+  FROM pts),
+nu AS (SELECT u, COUNT(*) AS n FROM idx GROUP BY u),
+exit_ AS (
+  SELECT a.u, a.i, MIN(b.i) AS ex
+  FROM idx a JOIN idx b
+    ON b.u = a.u AND b.i > a.i
+   AND (abs(b.x - a.x) > {SP_D} OR abs(b.y - a.y) > {SP_D})
+  GROUP BY a.u, a.i),
+jt AS MATERIALIZED (
+  SELECT a.u, a.i, COALESCE(e.ex - 1, nu.n - 1) AS j
+  FROM idx a JOIN nu USING (u)
+  LEFT JOIN exit_ e ON e.u = a.u AND e.i = a.i),
+st AS MATERIALIZED (
+  SELECT jt.u, jt.i, jt.j, tj.t - ti.t >= {SP_T_US} AS stay
+  FROM jt
+  JOIN idx ti ON ti.u = jt.u AND ti.i = jt.i
+  JOIN idx tj ON tj.u = jt.u AND tj.i = jt.j),
+walk(u, a) AS (
+  SELECT u, CAST(0 AS BIGINT) FROM nu
+  UNION
+  SELECT w.u, CASE WHEN s.stay THEN s.j + 1 ELSE w.a + 1 END
+  FROM walk w
+  JOIN st s ON s.u = w.u AND s.i = w.a
+  JOIN nu ON nu.u = w.u
+  WHERE (CASE WHEN s.stay THEN s.j + 1 ELSE w.a + 1 END) < nu.n
+),
+stays AS (
+  SELECT w.u, s.i, s.j,
+         row_number() OVER (PARTITION BY w.u ORDER BY s.i) - 1 AS ord
+  FROM walk w JOIN st s ON s.u = w.u AND s.i = w.a
+  WHERE s.stay),
+mem AS (
+  SELECT s.u, s.ord, s.i, s.j,
+         CAST(COUNT(*) AS BIGINT) AS n_pts,
+         CAST(SUM(m.x) AS BIGINT) AS sx, CAST(SUM(m.y) AS BIGINT) AS sy
+  FROM stays s JOIN idx m ON m.u = s.u AND m.i BETWEEN s.i AND s.j
+  GROUP BY s.u, s.ord, s.i, s.j)
+SELECT mem.u AS user_id, mem.ord AS stay_ord, mem.n_pts, mem.sx, mem.sy,
+       CAST(tj.t - ti.t AS BIGINT) AS dur_us, CAST(ti.t AS BIGINT) AS t0
+FROM mem
+JOIN idx ti ON ti.u = mem.u AND ti.i = mem.i
+JOIN idx tj ON tj.u = mem.u AND tj.i = mem.j
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "q_staypoints": (q_staypoints, _sql_staypoints()),
     "q_template_match": (q_template_match, _sql_template_match()),
     "q_str_pack": (q_str_pack, _sql_str_pack()),
     "q_convex_hull": (q_convex_hull, _sql_convex_hull()),
@@ -9799,6 +9932,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_staypoints",
     "q_template_match",
     "q_image_gradients",
     "q_morphology",

@@ -165,3 +165,39 @@ def test_ewma_recursion_and_contract(spark):
     assert out[8].ewma == 5.0 and out[8].n_events == 1
     with pytest.raises(ValueError):
         ewma(df, alpha=0.0)
+
+
+def test_staypoints_greedy_semantics(spark):
+    """Hand-crafted trajectory pins the greedy anchor rules: a
+    long-enough cluster emits one stay and jumps past it; a
+    too-short cluster advances point-by-point without emitting; the
+    first exit point breaks the window even if later points return."""
+    from mapnik_vector_tile_spark.operators.temporal import staypoints
+
+    T = 100
+    rows = [
+        # user 1: 4 points at origin spanning 300 ticks (stay),
+        # then a jump far away, two quick points (too short), done
+        (1, 10, 0, 0, 0),
+        (1, 11, 100, 1, 1),
+        (1, 12, 200, 0, 1),
+        (1, 13, 300, 1, 0),
+        (1, 14, 310, 50, 50),
+        (1, 15, 320, 51, 51),
+        # user 2: point leaves radius at t=50 then returns — the exit
+        # breaks the window, so no stay despite total span 400
+        (2, 20, 0, 0, 0),
+        (2, 21, 50, 30, 0),
+        (2, 22, 400, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, t long, x long, y long"
+    )
+    out = {
+        (r["user_id"], r["stay_ord"]): r
+        for r in staypoints(df, d_cheb=2, t_min_us=T).collect()
+    }
+    assert set(out) == {(1, 0)}
+    s = out[(1, 0)]
+    assert s["n_pts"] == 4 and s["dur_us"] == 300 and s["t0"] == 0
+    assert (s["sx"], s["sy"]) == (2, 2)
