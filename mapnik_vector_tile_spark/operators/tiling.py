@@ -1154,3 +1154,85 @@ def label_grid_top1(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+UTFGRID_POW31 = [pow(31, i, 1 << 31) for i in range(64)]
+
+
+def utfgrid_rows(
+    points: DataFrame, z: int = 6, cell_bits: int = 6
+) -> DataFrame:
+    """S9 UTFGrid encode — mapnik's interactivity-grid output format
+    (grid_renderer / save_to_string("utf"): a per-tile raster of
+    feature KEYS where each cell stores a key index as a UTF-8
+    codepoint with the JSON-unsafe gaps skipped: cp = idx + 32, then
+    +1 at '\"' (34), +1 at '\\\\' (92)). Rebuilt pure-Catalyst — no
+    UDF anywhere:
+
+    * cell assignment is exact tile math: the (z + cell_bits) tile
+      coordinate minus the z tile origin gives the in-tile cell, so
+      the 2^cell_bits grid inherits the engine's pinned floor
+      arithmetic;
+    * painter's order is pinned as max feature id per cell (last
+      feature wins under ascending-id render order);
+    * the key table is the tile's distinct cell values ranked
+      ascending (dense_rank), index 0 reserved for empty cells;
+    * each grid ROW emits a positional polynomial hash
+      Σ cp·31^cx mod 2³¹ over its nonempty cells (committed power
+      table), so a single cell moving columns or swapping keys breaks
+      the value — empty cells' contribution is implied by n_cells.
+
+    Output: (z, x, y, row_idx, n_cells, rh, n_keys) for nonempty
+    rows. Plan: one shuffle to the cell aggregate; the key-ranking
+    window and row fold reuse the tile partitioning."""
+    from pyspark.sql.window import Window
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+
+    span_z = 2.0 * W / (1 << z)
+    span_f = 2.0 * W / (1 << (z + cell_bits))
+    mx, my = F.col("mx"), F.col("my")
+    tx = F.floor((mx + F.lit(W)) / F.lit(span_z)).cast("long")
+    ty = F.floor((F.lit(W) - my) / F.lit(span_z)).cast("long")
+    fx = F.floor((mx + F.lit(W)) / F.lit(span_f)).cast("long")
+    fy = F.floor((F.lit(W) - my) / F.lit(span_f)).cast("long")
+    cells = (
+        points.select(
+            tx.alias("x"),
+            ty.alias("y"),
+            (fx - tx * F.lit(1 << cell_bits)).alias("cx"),
+            (fy - ty * F.lit(1 << cell_bits)).alias("cy"),
+            F.col("id"),
+        )
+        .groupBy("x", "y", "cx", "cy")
+        .agg(F.max("id").alias("v"))
+    )
+    w_tile = Window.partitionBy("x", "y").orderBy("v")
+    ranked = cells.withColumn("ki", F.dense_rank().over(w_tile))
+    cp0 = F.col("ki").cast("long") + F.lit(32)
+    cp1 = cp0 + F.when(cp0 >= 34, 1).otherwise(0)
+    cp = cp1 + F.when(cp1 >= 92, 1).otherwise(0)
+    pow31 = F.array(*[F.lit(p).cast("long") for p in UTFGRID_POW31])
+    contrib = ranked.withColumn(
+        "h", cp * F.element_at(pow31, F.col("cx").cast("int") + 1)
+    )
+    nk = contrib.groupBy("x", "y").agg(F.max("ki").alias("n_keys"))
+    rows = (
+        contrib.groupBy("x", "y", F.col("cy").alias("row_idx"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            (F.sum("h") % F.lit(1 << 31)).cast("long").alias("rh"),
+        )
+    )
+    return (
+        rows.join(nk, ["x", "y"])
+        .select(
+            F.lit(z).cast("long").alias("z"),
+            "x",
+            "y",
+            "row_idx",
+            "n_cells",
+            "rh",
+            F.col("n_keys").cast("long"),
+        )
+    )

@@ -9777,7 +9777,70 @@ JOIN idx tj ON tj.u = mem.u AND tj.i = mem.j
 """
 
 
+# ---------------------------------------------------------------------------
+# q_utfgrid — mapnik UTFGrid interactivity-grid encode (pure Catalyst)
+# ---------------------------------------------------------------------------
+
+UTF_Z = 6
+
+
+def q_utfgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 UTFGrid encode (operators/tiling.utfgrid_rows — mapnik
+    grid_renderer parity: per-tile 64×64 key raster, codepoint
+    mapping idx+32 with the '\"'/'\\\\' gaps skipped, ascending-id
+    painter's order, dense-rank key table) with a FULL oracle: the
+    DuckDB twin replays the cell math from the shared tile formulas,
+    the max-id cells, the dense_rank key indexes, the gap-skipping
+    codepoint arithmetic and the positional 31-power row hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.tiling import utfgrid_rows
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return utfgrid_rows(derive_points(orders, "o_orderkey"), z=UTF_Z)
+
+
+def _sql_utfgrid(z: int = UTF_Z, cell_bits: int = 6) -> str:
+    from mapnik_vector_tile_spark.operators.tiling import UTFGRID_POW31
+
+    txe, tye = S.tile_xy_exprs(z)
+    fxe, fye = S.tile_xy_exprs(z + cell_bits)
+    pows = "[" + ", ".join(str(p) for p in UTFGRID_POW31) + "]"
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+asgn AS (
+  SELECT id, {txe} AS x, {tye} AS y,
+         {fxe} - {txe} * {1 << cell_bits} AS cx,
+         {fye} - {tye} * {1 << cell_bits} AS cy
+  FROM pts),
+cells AS (
+  SELECT x, y, cx, cy, MAX(id) AS v
+  FROM asgn GROUP BY x, y, cx, cy),
+ranked AS (
+  SELECT x, y, cx, cy,
+         dense_rank() OVER (PARTITION BY x, y ORDER BY v) AS ki
+  FROM cells),
+cps AS (
+  SELECT x, y, cx, cy, ki,
+         cp1 + CASE WHEN cp1 >= 92 THEN 1 ELSE 0 END AS cp
+  FROM (
+    SELECT x, y, cx, cy, ki,
+           (ki + 32) + CASE WHEN ki + 32 >= 34 THEN 1 ELSE 0 END AS cp1
+    FROM ranked)),
+nk AS (SELECT x, y, MAX(ki) AS n_keys FROM cps GROUP BY x, y)
+SELECT CAST({z} AS BIGINT) AS z, c.x, c.y, c.cy AS row_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.cp * {pows}[CAST(c.cx AS INT) + 1]) % 2147483648
+            AS BIGINT) AS rh,
+       CAST(MAX(nk.n_keys) AS BIGINT) AS n_keys
+FROM cps c JOIN nk ON nk.x = c.x AND nk.y = c.y
+GROUP BY c.x, c.y, c.cy
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "q_utfgrid": (q_utfgrid, _sql_utfgrid()),
     "q_staypoints": (q_staypoints, _sql_staypoints()),
     "q_template_match": (q_template_match, _sql_template_match()),
     "q_str_pack": (q_str_pack, _sql_str_pack()),

@@ -329,3 +329,31 @@ def test_zoom_thin_spares_non_points(spark):
     assert all(per_z[z] == 40 for z in range(7)), per_z
     post = T.zoom_thin(T.assign_tiles(feats, 0, 6, buffer_units=0), 6)
     assert post.count() == kern.count()
+
+
+def test_utfgrid_codepoint_and_row_hash(spark):
+    """Hand-computed UTFGrid pin: two points in tile (0,0) row 0 at
+    cells cx=0 (id 20) and cx=1 (id 10). Ascending-id keys give
+    ki(10)=1 -> cp 33, ki(20)=2 -> cp 35 (the '\"' gap at 34 is
+    skipped), so rh = 35*31^0 + 33*31^1 = 1058."""
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.tiling import utfgrid_rows
+
+    span12 = 2.0 * W / (1 << 12)
+
+    def pt(pid, cx, cy):
+        return (
+            pid,
+            -W + (cx + 0.5) * span12,
+            W - (cy + 0.5) * span12,
+        )
+
+    df = spark.createDataFrame(
+        [pt(20, 0, 0), pt(10, 1, 0)], "id long, mx double, my double"
+    )
+    rows = utfgrid_rows(df, z=6).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["z"], r["x"], r["y"], r["row_idx"]) == (6, 0, 0, 0)
+    assert r["n_cells"] == 2 and r["n_keys"] == 2
+    assert r["rh"] == 35 + 33 * 31
