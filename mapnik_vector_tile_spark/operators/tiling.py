@@ -1236,3 +1236,60 @@ def utfgrid_rows(
             F.col("n_keys").cast("long"),
         )
     )
+
+
+def label_place_greedy(cands: DataFrame) -> DataFrame:
+    """W7 greedy label placement with box collision — the mapnik
+    placement_finder shape (placements processed in priority order;
+    a label is placed iff its box overlaps no already-PLACED box;
+    discarded labels do NOT block later ones). Pinned semantics:
+    priority = ascending feature id; boxes are centered integer
+    half-extents; overlap is STRICT on both axes
+    (|dx| < hw_a + hw_b AND |dy| < hh_a + hh_b), so exact edge
+    contact does not collide.
+
+    Input: (x, y, id, cx, cy, hw, hh) — tile keys + box center/half
+    sizes in tile-pixel coords. Output one row per tile:
+    (x, y, n_cands, n_placed, ph) with ph = Σ over placed of
+    (id·2654435761 mod 2³¹). One groupBy shuffle; the per-tile kernel
+    is the O(k²) sequential scan (k = labels per tile, bounded by the
+    tile's visual budget — the 100 TB axis is tile count)."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        cx = pdf["cx"].to_numpy(np.int64)
+        cy = pdf["cy"].to_numpy(np.int64)
+        hw = pdf["hw"].to_numpy(np.int64)
+        hh = pdf["hh"].to_numpy(np.int64)
+        ids = pdf["id"].to_numpy(np.int64)
+        placed = np.zeros(len(ids), dtype=bool)
+        for k in range(len(ids)):
+            p = placed[:k]
+            hit = (
+                (np.abs(cx[:k][p] - cx[k]) < hw[:k][p] + hw[k])
+                & (np.abs(cy[:k][p] - cy[k]) < hh[:k][p] + hh[k])
+            ).any()
+            placed[k] = not hit
+        ph = int(((ids[placed] * 2654435761) % (1 << 31)).sum())
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["x"].iloc[0]),
+                    int(pdf["y"].iloc[0]),
+                    len(ids),
+                    int(placed.sum()),
+                    ph,
+                )
+            ],
+            columns=["x", "y", "n_cands", "n_placed", "ph"],
+        )
+
+    return (
+        cands.select("x", "y", "id", "cx", "cy", "hw", "hh")
+        .groupBy("x", "y")
+        .applyInPandas(
+            kernel,
+            "x long, y long, n_cands long, n_placed long, ph long",
+        )
+    )

@@ -9839,7 +9839,129 @@ GROUP BY c.x, c.y, c.cy
 """
 
 
+# ---------------------------------------------------------------------------
+# q_label_place — greedy box-collision label placement (placement_finder)
+# ---------------------------------------------------------------------------
+
+LP_Z = 3
+
+
+def q_label_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 greedy label placement (operators/tiling.label_place_greedy
+    — the mapnik placement_finder shape: candidates in ascending-id
+    priority order, placed iff the box overlaps no already-placed box,
+    STRICT overlap so edge contact is legal, discards don't block)
+    with a FULL oracle. Corpus: orders points at z3 (~230 candidates
+    per tile, heavy collision pressure) with hash-derived box half
+    sizes; centers are the exact z15-minus-z3-origin tile pixels. The
+    DuckDB twin replays the exact sequential greedy through a
+    recursive CTE carrying the PLACED BOX LISTS — one wrongly placed
+    label cascades into different later decisions, so the per-tile
+    placed-id hash is sequence-sensitive."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.tiling import label_place_greedy
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    box_t = StructType(
+        [StructField("hw", LongType()), StructField("hh", LongType())]
+    )
+
+    def _box_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "hw": (40 + h % np.uint64(120)).astype(np.int64),
+                "hh": (20 + (h >> np.uint64(8)) % np.uint64(40)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    box = F.pandas_udf(_box_kernel, box_t)
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    span_c = 2.0 * W / (1 << LP_Z)
+    span_f = 2.0 * W / (1 << (LP_Z + 12))
+    mx, my = F.col("mx"), F.col("my")
+    tx = F.floor((mx + F.lit(W)) / F.lit(span_c)).cast("long")
+    ty = F.floor((F.lit(W) - my) / F.lit(span_c)).cast("long")
+    fx = F.floor((mx + F.lit(W)) / F.lit(span_f)).cast("long")
+    fy = F.floor((F.lit(W) - my) / F.lit(span_f)).cast("long")
+    cands = pts.select(
+        tx.alias("x"),
+        ty.alias("y"),
+        "id",
+        (fx - tx * F.lit(1 << 12)).alias("cx"),
+        (fy - ty * F.lit(1 << 12)).alias("cy"),
+        box(F.col("id")).alias("b"),
+    ).select("x", "y", "id", "cx", "cy", "b.hw", "b.hh")
+    return label_place_greedy(cands)
+
+
+def _sql_label_place(z: int = LP_Z) -> str:
+    sm = splitmix64_sql("id")
+    txe, tye = S.tile_xy_exprs(z)
+    fxe, fye = S.tile_xy_exprs(z + 12)
+    return f"""
+WITH RECURSIVE {S.point_cte('orders', 'o_orderkey')},
+cand AS (
+  SELECT id, {txe} AS x, {tye} AS y,
+         {fxe} - {txe} * 4096 AS cx,
+         {fye} - {tye} * 4096 AS cy,
+         CAST(40 + ({sm}) % 120 AS BIGINT) AS hw,
+         CAST(20 + (({sm}) // 256) % 40 AS BIGINT) AS hh
+  FROM pts),
+packs AS MATERIALIZED (
+  SELECT x, y, COUNT(*) AS n,
+         list(cx ORDER BY id) AS acx, list(cy ORDER BY id) AS acy,
+         list(hw ORDER BY id) AS ahw, list(hh ORDER BY id) AS ahh,
+         list(id ORDER BY id) AS aid
+  FROM cand GROUP BY x, y),
+walk(x, y, i, pcx, pcy, phw, phh, ph, n_placed) AS (
+  SELECT x, y, 0,
+         CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+         CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM packs
+  UNION ALL
+  SELECT w.x, w.y, w.i + 1,
+         CASE WHEN hit THEN pcx ELSE list_append(pcx, ccx) END,
+         CASE WHEN hit THEN pcy ELSE list_append(pcy, ccy) END,
+         CASE WHEN hit THEN phw ELSE list_append(phw, chw) END,
+         CASE WHEN hit THEN phh ELSE list_append(phh, chh) END,
+         CASE WHEN hit THEN ph
+              ELSE ph + (cid * 2654435761) % 2147483648 END,
+         CASE WHEN hit THEN n_placed ELSE n_placed + 1 END
+  FROM (
+    SELECT w.*, p.n,
+           p.acx[w.i + 1] AS ccx, p.acy[w.i + 1] AS ccy,
+           p.ahw[w.i + 1] AS chw, p.ahh[w.i + 1] AS chh,
+           p.aid[w.i + 1] AS cid,
+           len([j FOR j IN generate_series(1, len(w.pcx))
+                IF abs(w.pcx[j] - p.acx[w.i + 1])
+                     < w.phw[j] + p.ahw[w.i + 1]
+                   AND abs(w.pcy[j] - p.acy[w.i + 1])
+                     < w.phh[j] + p.ahh[w.i + 1]]) > 0 AS hit
+    FROM walk w JOIN packs p ON p.x = w.x AND p.y = w.y
+    WHERE w.i < p.n) w
+)
+SELECT w.x, w.y, CAST(p.n AS BIGINT) AS n_cands, w.n_placed, w.ph
+FROM walk w JOIN packs p ON p.x = w.x AND p.y = w.y
+WHERE w.i = p.n
+"""
+
+
 _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "q_label_place": (q_label_place, _sql_label_place()),
     "q_utfgrid": (q_utfgrid, _sql_utfgrid()),
     "q_staypoints": (q_staypoints, _sql_staypoints()),
     "q_template_match": (q_template_match, _sql_template_match()),
@@ -9995,6 +10117,8 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_label_place",
+    "q_utfgrid",
     "q_staypoints",
     "q_template_match",
     "q_image_gradients",

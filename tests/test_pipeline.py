@@ -357,3 +357,29 @@ def test_utfgrid_codepoint_and_row_hash(spark):
     assert (r["z"], r["x"], r["y"], r["row_idx"]) == (6, 0, 0, 0)
     assert r["n_cells"] == 2 and r["n_keys"] == 2
     assert r["rh"] == 35 + 33 * 31
+
+
+def test_label_place_greedy_semantics(spark):
+    """Hand-crafted candidates pin the greedy rules: priority by id,
+    strict overlap (edge contact legal), and discards-don't-block —
+    candidate 3 overlaps the DISCARDED candidate 2 but not placed 1,
+    so it places."""
+    from mapnik_vector_tile_spark.operators.tiling import label_place_greedy
+
+    rows = [
+        # (x, y, id, cx, cy, hw, hh)
+        (0, 0, 1, 100, 100, 50, 20),   # places
+        (0, 0, 2, 130, 100, 50, 20),   # overlaps 1 -> discarded
+        (0, 0, 3, 210, 100, 30, 20),   # overlaps 2 only -> places
+        (0, 0, 4, 200, 100, 50, 20),   # edge contact w/ 1 (dx=100=hw+hw)
+                                       # but overlaps placed 3 -> discarded
+        (0, 0, 5, 300, 100, 60, 20),   # overlaps 3? dx=90 >= 30+60 -> edge
+                                       # contact, legal -> places
+    ]
+    df = spark.createDataFrame(
+        rows, "x long, y long, id long, cx long, cy long, hw long, hh long"
+    )
+    r = label_place_greedy(df).collect()[0]
+    assert r["n_cands"] == 5 and r["n_placed"] == 3
+    want = sum((i * 2654435761) % (1 << 31) for i in (1, 3, 5))
+    assert r["ph"] == want
