@@ -593,3 +593,46 @@ def test_pq_final_encode_zero_shuffle(spark):
     plan = _plan(out)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_utfgrid_jvm_side_bounded_exchanges(spark):
+    """S9: the UTFGrid encode is pure Column math — no Python eval
+    anywhere in the plan, and only the cell aggregate / tile window /
+    row fold exchanges (every one keyed by the tile address, the
+    partitioning a tile store already has)."""
+    from mapnik_vector_tile_spark.operators.tiling import utfgrid_rows
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    pts = derive_points(spark.range(2000), "id")
+    plan = _plan(utfgrid_rows(pts, z=6))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_str_pack_no_global_sort(spark):
+    """S8: STR packing must never materialize a global sort — the
+    exact cuts come from bounded histogram rank-selects; the final
+    plan (post-cut assignment) is one hash aggregate with map-side
+    partials and broadcast joins only."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.spatial_index import (
+        str_pack_points,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    rows = [
+        (int(i), int(x) * 1000 + int(i), int(y) * 1000 + int(i))
+        for i, (x, y) in enumerate(
+            zip(rng.permutation(n), rng.permutation(n))
+        )
+    ]
+    df = spark.createDataFrame(rows, "k long, xi long, yi long")
+    out = str_pack_points(df, "xi", "yi", "k", capacity=64)
+    plan = _plan(out)
+    # rank-select windows are per-bucket (partitioned); the final plan
+    # must not contain a global (empty-partition) sort-based window
+    assert "Sort [" not in plan or "SortExec" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_" in plan  # map-side combine on the leaf aggregate
