@@ -1,0 +1,100 @@
+"""Detection-box post-processing — the image-ML twin of mapnik's
+label placement.
+
+A 10^12-image curation pipeline that runs any object detector needs
+greedy non-maximum suppression (NMS) as the post-filter before boxes
+become training labels. The greedy shape is exactly the
+placement_finder loop the engine already ships for labels
+(`operators/tiling.label_place_greedy`, ref src/renderer_common/ —
+process in priority order, earlier winners veto later candidates),
+but with two detector-specific twists:
+
+- priority is **score descending** (confidence), not feature id;
+- the veto test is **IoU > threshold** against an already-KEPT box,
+  not mere overlap.
+
+Scale shape: ONE hash shuffle on image_id, then a per-image O(k²)
+kernel where k is the per-image detection count (bounded by the
+detector's top-k, typically ≤ 300) — the 100 TB axis is image count,
+which parallelizes perfectly. No cross-image state exists, so there
+is no skew beyond the per-image k bound.
+
+Exactness: boxes are integer pixel rectangles (half-open, x1 > x0),
+and the IoU gate is evaluated in cross-multiplied integer form —
+suppress iff  inter · (100 + pct) > pct · (areaA + areaB)
+(algebraically identical to inter/union > pct/100 with
+union = areaA + areaB − inter, but division-free) — so Spark and the
+DuckDB recursive-CTE oracle agree bit-for-bit, and the boundary case
+IoU == pct/100 is pinned KEPT (strict >)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+_PH = 2654435761  # Knuth multiplicative hash, matches label_place_greedy
+_PH_MOD = 1 << 31
+
+
+def nms_boxes(dets: DataFrame, iou_pct: int = 50) -> DataFrame:
+    """Greedy per-image NMS.
+
+    Input columns (all long): image_id, det_id, x0, y0, x1, y1, score
+    — half-open integer pixel boxes, x1 > x0 and y1 > y0.
+
+    Order: score DESC, det_id ASC (the deterministic tie-break every
+    serious detector pins, else shard order leaks into the output).
+    A candidate is kept iff NO already-kept box in the same image has
+    integer-IoU strictly above `iou_pct`/100 with it; suppressed
+    candidates do NOT veto later ones (identical to the label rule).
+
+    Output one row per image:
+    (image_id, n_dets, n_kept, kh, ka) with
+    kh = Σ over kept of (det_id·2654435761 mod 2³¹)  — order-free
+    sequence-sensitive witness (one wrong early keep cascades), and
+    ka = Σ over kept of box area — a second, size-sensitive witness.
+    """
+    import pandas as pd
+
+    pct = int(iou_pct)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["score", "det_id"], ascending=[False, True], kind="mergesort"
+        )
+        x0 = pdf["x0"].to_numpy(np.int64)
+        y0 = pdf["y0"].to_numpy(np.int64)
+        x1 = pdf["x1"].to_numpy(np.int64)
+        y1 = pdf["y1"].to_numpy(np.int64)
+        ids = pdf["det_id"].to_numpy(np.int64)
+        area = (x1 - x0) * (y1 - y0)
+        kept = np.zeros(len(ids), dtype=bool)
+        for k in range(len(ids)):
+            p = kept[:k]
+            iw = np.minimum(x1[:k][p], x1[k]) - np.maximum(x0[:k][p], x0[k])
+            ih = np.minimum(y1[:k][p], y1[k]) - np.maximum(y0[:k][p], y0[k])
+            inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+            hit = (inter * (100 + pct) > pct * (area[:k][p] + area[k])).any()
+            kept[k] = not hit
+        kh = int(((ids[kept] * _PH) % _PH_MOD).sum())
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["image_id"].iloc[0]),
+                    len(ids),
+                    int(kept.sum()),
+                    kh,
+                    int(area[kept].sum()),
+                )
+            ],
+            columns=["image_id", "n_dets", "n_kept", "kh", "ka"],
+        )
+
+    return (
+        dets.select("image_id", "det_id", "x0", "y0", "x1", "y1", "score")
+        .groupBy("image_id")
+        .applyInPandas(
+            kernel,
+            "image_id long, n_dets long, n_kept long, kh long, ka long",
+        )
+    )

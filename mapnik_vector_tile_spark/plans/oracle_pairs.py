@@ -10260,12 +10260,16 @@ def sql_pairs() -> tuple[
         queries[name] = fn
         if oracle is not None:
             oracles[name] = S.render(oracle, "duckdb")
+    from mapnik_vector_tile_spark.plans.detect_oracles import (
+        pairs as detect_pairs,
+    )
     from mapnik_vector_tile_spark.plans.text_oracles import pairs as text_pairs
 
-    for name, (fn, oracle) in text_pairs().items():
-        queries[name] = fn
-        if oracle is not None:
-            oracles[name] = oracle
+    for extra in (text_pairs, detect_pairs):
+        for name, (fn, oracle) in extra().items():
+            queries[name] = fn
+            if oracle is not None:
+                oracles[name] = oracle
     order = [k for k in _RECORD_FIRST if k in queries]
     order += [k for k in queries if k not in _RECORD_FIRST]
     queries = {k: queries[k] for k in order}
