@@ -567,3 +567,97 @@ def wordpiece_tokens(docs: DataFrame) -> DataFrame:
         F.sum("tok_sum").cast("long").alias("tok_id_sum"),
         F.sum("overlong").cast("long").alias("n_overlong"),
     )
+
+
+def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
+    """Distributed byte-pair-encoding merge learning (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units") — the tokenizer-training primitive every LLM data pipeline
+    runs before tokenizing a corpus.
+
+    Scale shape: the corpus is touched ONCE, by a map-side-combining
+    word-frequency aggregate (distinct-word table ≪ corpus — the
+    classic BPE trick: pair statistics are word-frequency-weighted, so
+    all R merge rounds run over the vocabulary table, not the text).
+    Per round: one narrow pair-explode + hash aggregate and a global
+    arg-max via TakeOrderedAndProject (top-1, no full sort); the
+    driver receives exactly ONE row per round (the chosen merge — a
+    scalar witness, same pattern as dedup's CC convergence scalar).
+
+    The merge step is a pure-Column string `replace` on the
+    delimiter form "|t1|t2|...|tn|": replacing "|a|b" with "|ab"
+    performs exactly the leftmost non-overlapping adjacent-pair merge
+    BPE specifies (the leading "|" anchors token starts, so a pair
+    can never match across a token boundary or inside a longer
+    token), and `replace` has identical scan semantics in Spark and
+    DuckDB — the cross-engine-exactness hinge.
+
+    Ties in the arg-max are pinned (count DESC, pair lexicographic
+    ASC), else shard order would leak into the learned vocabulary.
+
+    Output: one row per learned merge — (round, p1, p2, cnt)."""
+    spark = docs.sparkSession
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit("|"), F.regexp_replace("w", "(.)", "$1|")
+            ).alias("s"),
+            "cnt",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for r in range(1, rounds + 1):
+        toks = cur.select(
+            F.filter(F.split("s", "\\|"), lambda x: x != "").alias("t"),
+            "cnt",
+        )
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> struct(x AS p1, t[i + 1] AS p2))"
+                )
+            ).alias("p"),
+            "cnt",
+        ).select("p.p1", "p.p2", "cnt")
+        top = (
+            pairs.groupBy("p1", "p2")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "p1", "p2")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        p1, p2, c = top[0]["p1"], top[0]["p2"], int(top[0]["c"])
+        merges.append((r, p1, p2, c))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit("|" + p1 + "|" + p2),
+                F.lit("|" + p1 + p2),
+            ).alias("s"),
+            "cnt",
+        )
+    schema = StructType(
+        [
+            StructField("round", LongType()),
+            StructField("p1", StringType()),
+            StructField("p2", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)

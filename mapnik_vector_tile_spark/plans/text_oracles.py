@@ -1650,6 +1650,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_repetition": (q_repetition, sql_repetition()),
         "q_semdedup": (q_semdedup, sql_semdedup()),
         "q_alignment_filter": (q_alignment_filter, sql_alignment_filter()),
+        "q_bpe_train": (q_bpe_train, sql_bpe_train()),
     }
 
 
@@ -2059,3 +2060,58 @@ SELECT t.vec_id, CAST(t.cluster AS INT) AS cluster,
        dup.vec_id IS NULL AS keep
 FROM t LEFT JOIN dup USING (vec_id)
 """
+
+
+# --- BPE merge learning (operators.textstats.bpe_train) -------------------
+
+BPE_ROUNDS = 8
+
+
+def q_bpe_train(spark, sf_dir):
+    """T31 distributed BPE tokenizer training with a FULL oracle: the
+    corpus is folded to a word-frequency table once, then every merge
+    round is a pair-count aggregate + global arg-max; merging is a
+    pure-Column delimiter-string replace whose leftmost
+    non-overlapping semantics are identical in Spark and DuckDB, so
+    the learned merge table matches row-for-row. One wrong merge in
+    round r changes every later round's pair statistics — the oracle
+    is sequence-sensitive by construction."""
+    from mapnik_vector_tile_spark.operators.textstats import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), rounds=BPE_ROUNDS)
+
+
+def sql_bpe_train(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled DuckDB twin: sR = merge-applied strings after round R,
+    bR = the round-R arg-max (count DESC, pair lexicographic ASC)."""
+    parts = [
+        """WITH s0 AS (
+  SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s,
+         CAST(cnt AS BIGINT) AS cnt
+  FROM (SELECT word, COUNT(*) AS cnt FROM
+          (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY 1))"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""",
+t{r} AS (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS t,
+                cnt FROM {prev}),
+p{r} AS (SELECT t[i] AS a, t[i + 1] AS b, SUM(cnt) AS c
+         FROM (SELECT t, cnt,
+                      unnest(generate_series(1, len(t) - 1)) AS i
+               FROM t{r})
+         GROUP BY 1, 2),
+b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+s{r} AS (SELECT replace(s, '|' || a || '|' || b, '|' || a || b) AS s,
+                cnt
+         FROM {prev}, b{r})"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS p1, b AS p2,"
+        f" CAST(c AS BIGINT) AS cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
