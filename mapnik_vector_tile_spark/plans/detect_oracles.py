@@ -158,4 +158,77 @@ WHERE w.i = p.n
 def pairs() -> dict[str, tuple[Callable, str | None]]:
     return {
         "q_nms": (q_nms, _sql_nms()),
+        "q_image_blobs": (q_image_blobs, _sql_image_blobs()),
     }
+
+
+# ---------------------------------------------------------------------------
+# q_image_blobs — connected-component labeling over the canonical images
+# ---------------------------------------------------------------------------
+
+BLOB_N = 400  # same corpus size as the other full-pixel image oracles
+BLOB_RELAX = 22  # measured max min-label relax distance on this corpus is
+# 19 (tests/test_detect.py pins it ≤ 20); 22 rounds = fixpoint + margin.
+# An insufficient unroll is self-checking: labels would differ from the
+# engine's true fixpoint and the value hash would mismatch.
+
+
+def q_image_blobs(spark, sf_dir: str):
+    """T12j blob labeling (raster.blob_stats) with a FULL oracle: the
+    DuckDB twin regenerates every pixel from the shared CTE chain,
+    builds the 4-adjacency edge list with two equi-joins (pid+1 /
+    pid+w — no quadratic join), and replays min-label propagation as
+    an unrolled MATERIALIZED relax-join chain (materialization is
+    load-bearing: inlining the 36 KB splitmix noise expression into a
+    pushed-down filter is catastrophically slow)."""
+    from mapnik_vector_tile_spark.operators.raster import blob_stats
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    return blob_stats(images_df(spark, BLOB_N))
+
+
+def _sql_image_blobs(n: int = BLOB_N, rounds: int = BLOB_RELAX) -> str:
+    from mapnik_vector_tile_spark.plans.oracle_pairs import _img_pixel_ctes
+
+    relax = []
+    for r in range(1, rounds + 1):
+        relax.append(
+            f""",
+l{r} AS MATERIALIZED (
+  SELECT a.i, a.pid, MIN(LEAST(a.l, COALESCE(b.l, a.l))) AS l
+  FROM l{r - 1} a
+  LEFT JOIN edges e ON e.i = a.i AND e.ap = a.pid
+  LEFT JOIN l{r - 1} b ON b.i = e.i AND b.pid = e.bp
+  GROUP BY a.i, a.pid)"""
+        )
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS MATERIALIZED (
+  SELECT i, w, h, y, x, (r*77 + g*151 + b*28) // 256 AS g8 FROM chan),
+fg AS MATERIALIZED (
+  SELECT i, w, y*w + x AS pid, x, y FROM lum WHERE g8 % 4 = 0),
+e0 AS (
+  SELECT a.i, a.pid AS ap, b.pid AS bp
+  FROM fg a JOIN fg b ON a.i = b.i AND b.pid = a.pid + 1 AND b.y = a.y
+  UNION ALL
+  SELECT a.i, a.pid, b.pid
+  FROM fg a JOIN fg b ON a.i = b.i AND b.pid = a.pid + a.w),
+edges AS MATERIALIZED (
+  SELECT i, ap, bp FROM e0 UNION ALL SELECT i, bp, ap FROM e0),
+l0 AS MATERIALIZED (SELECT i, pid, pid AS l FROM fg)
+{''.join(relax)},
+comp AS (SELECT i, l AS root, COUNT(*) AS sz FROM l{rounds} GROUP BY i, l),
+ag AS (
+  SELECT i, SUM(sz) AS n_fg, COUNT(*) AS n_comps, MAX(sz) AS max_comp,
+         SUM((root * 1000003 + sz) % 2147483647) AS ch
+  FROM comp GROUP BY i)
+SELECT 'img_' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(COALESCE(a.n_fg, 0) AS BIGINT) AS n_fg,
+       CAST(COALESCE(a.n_comps, 0) AS BIGINT) AS n_comps,
+       CAST(COALESCE(a.max_comp, 0) AS BIGINT) AS max_comp,
+       CAST(COALESCE(a.ch, 0) AS BIGINT) AS ch,
+       caps.caption AS caption
+FROM dims d
+LEFT JOIN ag a ON d.i = a.i
+JOIN caps ON d.i = caps.i
+"""

@@ -96,3 +96,99 @@ def test_corpus_nondegenerate(spark):
     assert len(rows) > 0
     assert any(r["n_kept"] < r["n_dets"] for r in rows)
     assert all(1 <= r["n_kept"] <= r["n_dets"] for r in rows)
+
+
+# --- blob labeling (raster.blob_stats) -------------------------------------
+
+
+def _img_row(image_id, gray):
+    """Grayscale uint8 grid -> images-table row. 77+151+28 = 256, so
+    r=g=b=v gives luma8 exactly v: the mask (v % 4 == 0) is directly
+    hand-controllable."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    rgba = np.stack([g, g, g, np.full_like(g, 255)], axis=-1)
+    return (image_id, bytearray(rgba.tobytes()), int(w), int(h),
+            "raw-rgba8", "cap " + image_id)
+
+
+def _blobs(spark, rows):
+    from mapnik_vector_tile_spark.operators.raster import blob_stats
+
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string",
+    )
+    return {r["image_id"]: r for r in blob_stats(df).collect()}
+
+
+def test_blob_hand_image(spark):
+    # 4x4: '4' pixels are mask-on (4%4==0), '1' off. Two components:
+    # an L of size 3 rooted at pid 0, a singleton at pid 15.
+    g = [
+        [4, 1, 1, 1],
+        [4, 4, 1, 1],
+        [1, 1, 1, 1],
+        [1, 1, 1, 4],
+    ]
+    r = _blobs(spark, [_img_row("a", g)])["a"]
+    assert (r["n_fg"], r["n_comps"], r["max_comp"]) == (4, 2, 3)
+    assert r["ch"] == (0 * 1000003 + 3) % 2147483647 + (
+        15 * 1000003 + 1
+    ) % 2147483647
+
+
+def test_blob_diagonal_not_connected(spark):
+    # 4-connectivity: diagonal touch = two components
+    g = [
+        [4, 1],
+        [1, 4],
+    ]
+    r = _blobs(spark, [_img_row("d", g)])["d"]
+    assert (r["n_fg"], r["n_comps"], r["max_comp"]) == (2, 2, 1)
+
+
+def test_blob_empty_mask(spark):
+    g = [[1, 1], [1, 1]]
+    r = _blobs(spark, [_img_row("e", g)])["e"]
+    assert (r["n_fg"], r["n_comps"], r["max_comp"], r["ch"]) == (0, 0, 0, 0)
+
+
+def test_blob_corpus_relax_bound_and_invariants():
+    # pins the BLOB_RELAX=22 unroll: measured fixpoint distance on the
+    # fixed 400-image corpus must stay <= 20
+    import numpy as np
+
+    from mapnik_vector_tile_spark.sources.synth import make_pixels
+
+    INF = np.int64(1) << np.int64(62)
+    worst = 0
+    for i in range(400):
+        w = 16 + (i * 7) % 49
+        h = 16 + (i * 11) % 49
+        a = make_pixels(i, w, h).astype(np.int64)
+        g = (a[..., 0] * 77 + a[..., 1] * 151 + a[..., 2] * 28) >> 8
+        mask = (g % 4) == 0
+        pid = np.arange(h * w, dtype=np.int64).reshape(h, w)
+        lbl = np.where(mask, pid, INF)
+        it = 0
+        while True:
+            up = np.full_like(lbl, INF)
+            up[1:, :] = lbl[:-1, :]
+            dn = np.full_like(lbl, INF)
+            dn[:-1, :] = lbl[1:, :]
+            lf = np.full_like(lbl, INF)
+            lf[:, 1:] = lbl[:, :-1]
+            rt = np.full_like(lbl, INF)
+            rt[:, :-1] = lbl[:, 1:]
+            nb = np.minimum(np.minimum(up, dn), np.minimum(lf, rt))
+            new = np.where(mask, np.minimum(lbl, nb), INF)
+            if (new == lbl).all():
+                break
+            lbl = new
+            it += 1
+        worst = max(worst, it)
+    assert worst <= 20, worst
