@@ -1209,3 +1209,117 @@ def haversine_radius_join(
         # copy's ring can reach the same b cell -> dedupe output pairs
         pairs = pairs.distinct()
     return pairs
+
+
+# --- J10: map-matching snap join (nearest segment within radius) ----------
+
+SNAP_SCALE_BITS = 24
+
+
+def snap_join(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: int = 32,
+    cell_shift: int = 5,
+) -> DataFrame:
+    """J10 map-matching snap join — assign each point to its nearest
+    line segment within `radius` (GPS-trace → road-network matching,
+    the candidate-generation step of every map-matcher; ref: the
+    engine's J5 kNN is point×point, this is point×segment).
+
+    ENTIRELY Catalyst (no Python on any row): candidate generation is
+    a cell-grid equi-join — segments explode to the cells of their
+    radius-expanded bbox (arithmetic >> keeps floor semantics for
+    coordinates that go negative after expansion, identical in both
+    engines), points hash straight to one cell, so every segment
+    within `radius` of a point is guaranteed a candidate. The exact
+    point-to-segment squared distance is the rational
+        (|AP|²·|AB|² − dot²) / |AB|²  for interior projection,
+        |AP|² or |BP|²                for clamped endpoints,
+    kept EXACT by floor-scaling: d2s = (num << 24) // den. Distinct
+    fractions differ by ≥ 1/(den_i·den_j) > 2⁻²⁴ whenever
+    |AB|² < 2¹² (segment length < 64 grid units — corpus-capped), so
+    scaled equality ⟺ exact equality and the min-struct arg-min is
+    the true nearest; ties break to the smallest sid.
+
+    points: (pid, px, py) integer grid coords;
+    segments: (sid, ax, ay, bx, by) integer endpoints.
+    Output (pid, sid, d2s, n_cand) — only points with ≥1 segment in
+    range emit a row (row count is itself a witness).
+
+    Scale: one shuffle on the cell key each side; cells-per-segment is
+    bounded by (len/cell + 2)² ≈ 16, skewed road-dense cells split by
+    AQE exactly like J4."""
+    cell = 1 << cell_shift
+    r2 = radius * radius
+
+    seg_cells = segments.select(
+        "sid", "ax", "ay", "bx", "by",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.least("ax", "bx") - F.lit(radius), cell_shift),
+                F.shiftright(
+                    F.greatest("ax", "bx") + F.lit(radius), cell_shift
+                ),
+            )
+        ).alias("cx"),
+    ).select(
+        "sid", "ax", "ay", "bx", "by", "cx",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.least("ay", "by") - F.lit(radius), cell_shift),
+                F.shiftright(
+                    F.greatest("ay", "by") + F.lit(radius), cell_shift
+                ),
+            )
+        ).alias("cy"),
+    )
+    pts = points.select(
+        "pid", "px", "py",
+        F.shiftright("px", cell_shift).alias("cx"),
+        F.shiftright("py", cell_shift).alias("cy"),
+    )
+    cand = pts.join(seg_cells, ["cx", "cy"])
+    apx = F.col("px") - F.col("ax")
+    apy = F.col("py") - F.col("ay")
+    abx = F.col("bx") - F.col("ax")
+    aby = F.col("by") - F.col("ay")
+    bpx = F.col("px") - F.col("bx")
+    bpy = F.col("py") - F.col("by")
+    dot = apx * abx + apy * aby
+    ab2 = abx * abx + aby * aby
+    ap2 = apx * apx + apy * apy
+    bp2 = bpx * bpx + bpy * bpy
+    num = (
+        F.when((ab2 == 0) | (dot <= 0), ap2)
+        .when(dot >= ab2, bp2)
+        .otherwise(ap2 * ab2 - dot * dot)
+    )
+    den = (
+        F.when((ab2 == 0) | (dot <= 0) | (dot >= ab2), F.lit(1)).otherwise(ab2)
+    )
+    scored = (
+        cand.select(
+            "pid",
+            "sid",
+            num.cast("long").alias("num"),
+            den.cast("long").alias("den"),
+        )
+        .filter(F.col("num") <= F.lit(r2) * F.col("den"))
+        .select(
+            "pid",
+            F.struct(
+                F.expr(f"(num * {1 << SNAP_SCALE_BITS}) div den").alias("d2s"),
+                F.col("sid"),
+            ).alias("sd"),
+        )
+    )
+    return scored.groupBy("pid").agg(
+        F.min("sd").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+    ).select(
+        "pid",
+        F.col("m.sid").alias("sid"),
+        F.col("m.d2s").alias("d2s"),
+        "n_cand",
+    )

@@ -10275,3 +10275,135 @@ def sql_pairs() -> tuple[
     queries = {k: queries[k] for k in order}
     oracles = {k: oracles[k] for k in order if k in oracles}
     return queries, oracles
+
+
+# ---------------------------------------------------------------------------
+# q_snap_road — J10 map-matching snap join (operators/joins.snap_join)
+# ---------------------------------------------------------------------------
+
+SNAP_RADIUS = 32
+
+
+def q_snap_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 nearest-segment-within-radius with a FULL oracle that also
+    validates the candidate generation: the engine prunes via the
+    radius-expanded cell grid, while the DuckDB twin brute-forces the
+    COMPLETE point×segment cross product with the same exact integer
+    rational distance — any segment the cell cover wrongly drops, or
+    any floor-scale arg-min divergence, mismatches the hash. Corpus:
+    road segments from orders (endpoint + capped ±32 direction on a
+    512 grid), GPS points from customer, both splitmix64-derived."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.joins import snap_join
+
+    seg_t = StructType(
+        [
+            StructField("ax", LongType()),
+            StructField("ay", LongType()),
+            StructField("bx", LongType()),
+            StructField("by", LongType()),
+        ]
+    )
+
+    def _seg_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        ax = (h % np.uint64(512)).astype(np.int64)
+        ay = ((h >> np.uint64(9)) % np.uint64(512)).astype(np.int64)
+        dx = ((h >> np.uint64(18)) % np.uint64(65)).astype(np.int64) - 32
+        dy = ((h >> np.uint64(25)) % np.uint64(65)).astype(np.int64) - 32
+        return pd.DataFrame(
+            {"ax": ax, "ay": ay, "bx": ax + dx, "by": ay + dy}
+        )
+
+    pt_t = StructType(
+        [StructField("px", LongType()), StructField("py", LongType())]
+    )
+
+    def _pt_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "px": (h % np.uint64(512)).astype(np.int64),
+                "py": ((h >> np.uint64(9)) % np.uint64(512)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    seg = F.pandas_udf(_seg_kernel, seg_t)
+    pt = F.pandas_udf(_pt_kernel, pt_t)
+    segments = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("sid"))
+        .select("sid", seg(F.col("sid")).alias("s"))
+        .select("sid", "s.ax", "s.ay", "s.bx", "s.by")
+    )
+    points = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("pid"))
+        .select("pid", pt(F.col("pid")).alias("p"))
+        .select("pid", "p.px", "p.py")
+    )
+    return snap_join(points, segments, radius=SNAP_RADIUS, cell_shift=5)
+
+
+def _sql_snap_road(radius: int = SNAP_RADIUS) -> str:
+    hs = splitmix64_sql("o_orderkey")
+    hp = splitmix64_sql("c_custkey")
+    scale = 1 << 24  # SNAP_SCALE_BITS — exact for |AB|^2 < 2^12
+    return f"""
+WITH segs0 AS (
+  SELECT o_orderkey AS sid,
+         CAST(({hs}) % 512 AS BIGINT) AS ax,
+         CAST((({hs}) // 512) % 512 AS BIGINT) AS ay,
+         CAST((({hs}) // 262144) % 65 AS BIGINT) - 32 AS dx,
+         CAST((({hs}) // 33554432) % 65 AS BIGINT) - 32 AS dy
+  FROM orders),
+segs AS (
+  SELECT sid, ax, ay, ax + dx AS bx, ay + dy AS by FROM segs0),
+pts AS (
+  SELECT c_custkey AS pid,
+         CAST(({hp}) % 512 AS BIGINT) AS px,
+         CAST((({hp}) // 512) % 512 AS BIGINT) AS py
+  FROM customer),
+sc AS (
+  SELECT p.pid, s.sid,
+         (p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)
+           AS dot,
+         (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)
+           AS ab2,
+         (p.px - s.ax) * (p.px - s.ax) + (p.py - s.ay) * (p.py - s.ay)
+           AS ap2,
+         (p.px - s.bx) * (p.px - s.bx) + (p.py - s.by) * (p.py - s.by)
+           AS bp2
+  FROM pts p CROSS JOIN segs s),
+fr AS (
+  SELECT pid, sid,
+         CASE WHEN ab2 = 0 OR dot <= 0 THEN ap2
+              WHEN dot >= ab2 THEN bp2
+              ELSE ap2 * ab2 - dot * dot END AS num,
+         CASE WHEN ab2 = 0 OR dot <= 0 OR dot >= ab2 THEN 1
+              ELSE ab2 END AS den
+  FROM sc),
+flt AS (
+  SELECT pid, sid, (num * {scale}) // den AS d2s
+  FROM fr WHERE num <= {radius * radius} * den),
+rk AS (
+  SELECT pid, sid, d2s,
+         row_number() OVER (PARTITION BY pid ORDER BY d2s, sid) AS rn,
+         COUNT(*) OVER (PARTITION BY pid) AS n_cand
+  FROM flt)
+SELECT pid, sid, d2s, CAST(n_cand AS BIGINT) AS n_cand
+FROM rk WHERE rn = 1
+"""
+
+
+_ENGINE_PAIRS["q_snap_road"] = (q_snap_road, _sql_snap_road())

@@ -578,3 +578,62 @@ def test_idw_exact_hit_and_hand_computed(spark):
     # (20/1e4 + 80/4e4) / (1/1e4 + 1/4e4) = 32.0
     assert abs(out[2].idw - 32.0) < 1e-12
     assert out[2].n_nbrs == 2
+
+
+# --- J10 snap join (map matching) ------------------------------------------
+
+
+def _snap(spark, pts, segs, **kw):
+    from mapnik_vector_tile_spark.operators.joins import snap_join
+
+    p = spark.createDataFrame(pts, "pid long, px long, py long")
+    s = spark.createDataFrame(segs, "sid long, ax long, ay long, bx long, by long")
+    return {r["pid"]: r for r in snap_join(p, s, **kw).collect()}
+
+
+def test_snap_interior_projection(spark):
+    # P=(5,3) onto horizontal segment y=0, x in 0..10 → d²=9 exactly:
+    # num=9·100... interior: num = ap2*ab2 - dot² = (25+9)*100 - 50² = 900
+    # den=100 → frac 9, d2s = 9<<24
+    d = _snap(spark, [(1, 5, 3)], [(7, 0, 0, 10, 0)])
+    assert d[1]["sid"] == 7 and d[1]["d2s"] == 9 << 24
+
+
+def test_snap_endpoint_clamp(spark):
+    # P=(-4,3) is before A=(0,0): clamped → d² = 16+9 = 25
+    d = _snap(spark, [(1, -4, 3)], [(7, 0, 0, 10, 0)])
+    assert d[1]["d2s"] == 25 << 24
+
+
+def test_snap_degenerate_segment(spark):
+    # zero-length segment = point distance
+    d = _snap(spark, [(1, 3, 4)], [(9, 0, 0, 0, 0)])
+    assert d[1]["d2s"] == 25 << 24
+
+
+def test_snap_radius_excludes(spark):
+    # nearest segment beyond radius → no row for that point
+    d = _snap(spark, [(1, 0, 0), (2, 500, 500)], [(7, 0, 40, 10, 40)])
+    assert 1 not in d  # d²=1600 > 32²=1024
+    assert 2 not in d
+
+
+def test_snap_picks_nearer_and_tiebreak(spark):
+    segs = [
+        (5, 0, 2, 10, 2),   # d²=4 from P=(5,0)
+        (3, 0, -2, 10, -2), # d²=4 too → tie → smaller sid wins
+        (9, 0, 1, 10, 1),   # d²=1 → actual winner
+    ]
+    d = _snap(spark, [(1, 5, 0)], segs)
+    assert d[1]["sid"] == 9 and d[1]["d2s"] == 1 << 24 and d[1]["n_cand"] == 3
+    # remove sid 9: tie between 3 and 5 at d²=4 → sid 3
+    d = _snap(spark, [(1, 5, 0)], segs[:2])
+    assert d[1]["sid"] == 3 and d[1]["d2s"] == 4 << 24
+
+
+def test_snap_cross_cell_candidates(spark):
+    # point near a cell boundary must still see a segment in the next
+    # cell (radius-expanded bbox guarantees it): P=(63,0) cell (1,0);
+    # segment at x=70..80 lives in cell (2,0) but within radius 32
+    d = _snap(spark, [(1, 63, 0)], [(4, 70, 0, 80, 0)])
+    assert d[1]["sid"] == 4 and d[1]["d2s"] == 49 << 24
