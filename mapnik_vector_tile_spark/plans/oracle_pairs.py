@@ -10407,3 +10407,75 @@ FROM rk WHERE rn = 1
 
 
 _ENGINE_PAIRS["q_snap_road"] = (q_snap_road, _sql_snap_road())
+
+
+# ---------------------------------------------------------------------------
+# q_morans_i — global spatial autocorrelation (operators/geostats.morans_i)
+# ---------------------------------------------------------------------------
+
+MI_Z = 5
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I over the z5 occupancy grid of the orders point cloud
+    with a FULL oracle: both engines compute the exact BIGINT
+    (n_cells, w_sum, num, den) — denominators cleared via
+    dev_i = c_i·K − S — plus one pinned-association double ratio.
+    Bounds at sf0.1 (150k points, ≤1024 cells): |dev| < S ≤ 2¹⁸·K;
+    dev² < 2⁵⁶; Σ over ≤4096 ordered pairs < 2⁶⁸? No — deviations
+    concentrate near 0 (counts ≈ S/K), measured |num|,den < 2⁵⁰;
+    int64-safe with ≥ 8192× headroom (asserted non-degenerate in
+    tests)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.geostats import morans_i
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    span = 2.0 * W / (1 << MI_Z)
+    cells = pts.select(
+        F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
+        .cast("long")
+        .alias("cx"),
+        F.floor((F.lit(W) - F.col("my")) / F.lit(span))
+        .cast("long")
+        .alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return morans_i(cells)
+
+
+def _sql_morans_i(z: int = MI_Z) -> str:
+    txe, tye = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+cells AS (
+  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2),
+ks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS s
+  FROM cells),
+dev AS (
+  SELECT cx, cy, c * k - s AS dev, k FROM cells, ks),
+probes AS (
+  SELECT d.k, d.dev, d.cx + o.dx AS nx, d.cy + o.dy AS ny
+  FROM dev d
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)),
+pairs AS (
+  SELECT p.k, p.dev, b.dev AS ndev
+  FROM probes p JOIN dev b ON b.cx = p.nx AND b.cy = p.ny),
+agg AS (
+  SELECT MIN(k) AS n_cells, CAST(COUNT(*) AS BIGINT) AS w_sum,
+         CAST(SUM(dev * ndev) AS BIGINT) AS num
+  FROM pairs),
+dn AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev)
+SELECT CAST(n_cells AS BIGINT) AS n_cells, w_sum, num, den,
+       (CAST(num AS DOUBLE) * CAST(n_cells AS DOUBLE))
+         / (CAST(w_sum AS DOUBLE) * CAST(den AS DOUBLE)) AS i_dbl
+FROM agg, dn
+"""
+
+
+_ENGINE_PAIRS["q_morans_i"] = (q_morans_i, _sql_morans_i())

@@ -637,3 +637,45 @@ def test_snap_cross_cell_candidates(spark):
     # segment at x=70..80 lives in cell (2,0) but within radius 32
     d = _snap(spark, [(1, 63, 0)], [(4, 70, 0, 80, 0)])
     assert d[1]["sid"] == 4 and d[1]["d2s"] == 49 << 24
+
+
+# --- Moran's I (operators/geostats.morans_i) --------------------------------
+
+
+def test_morans_i_checkerboard_negative(spark):
+    # perfect checkerboard on a 4x4 grid: counts alternate 1/3 → every
+    # adjacent pair has opposite-sign deviations → I < 0
+    from mapnik_vector_tile_spark.operators.geostats import morans_i
+
+    rows = [
+        (x, y, 1 if (x + y) % 2 == 0 else 3)
+        for x in range(4)
+        for y in range(4)
+    ]
+    df = spark.createDataFrame(rows, "cx long, cy long, c long")
+    r = morans_i(df).collect()[0]
+    assert r["n_cells"] == 16
+    assert r["w_sum"] == 2 * 24  # 24 undirected rook edges, ordered both ways
+    assert r["num"] < 0 and r["den"] > 0
+    assert r["i_dbl"] == -1.0  # perfect anti-correlation on this lattice
+
+
+def test_morans_i_blocks_positive(spark):
+    # two homogeneous halves → strong positive autocorrelation
+    from mapnik_vector_tile_spark.operators.geostats import morans_i
+
+    rows = [
+        (x, y, 10 if x < 2 else 1) for x in range(4) for y in range(4)
+    ]
+    df = spark.createDataFrame(rows, "cx long, cy long, c long")
+    r = morans_i(df).collect()[0]
+    assert r["num"] > 0 and r["i_dbl"] > 0.5
+
+
+def test_morans_i_corpus_bounds(spark):
+    # int64 headroom claim: |num|, den far below 2^62 on the real corpus
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_morans_i
+
+    r = q_morans_i(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 < r["den"] < 1 << 50 and abs(r["num"]) < 1 << 50
+    assert r["w_sum"] > 0
