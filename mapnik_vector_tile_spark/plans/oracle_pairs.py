@@ -10479,3 +10479,106 @@ FROM agg, dn
 
 
 _ENGINE_PAIRS["q_morans_i"] = (q_morans_i, _sql_morans_i())
+
+
+# ---------------------------------------------------------------------------
+# q_polyline — Google encoded-polyline trajectory codec
+# ---------------------------------------------------------------------------
+
+PL_TRAJS = 300
+
+
+def q_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline5 encode (functions/polyline.encode_trajectories) with
+    a FULL oracle: both engines derive the same trajectories from
+    orders (tid = key % 300, ~50 vertices each at sf0.01, ±1° at 1e-5
+    precision), apply the spec delta→zigzag→5-bit-chunk encoding, and
+    compare the resulting STRINGS byte-for-byte. Zigzag is shift/xor
+    on the Spark side and the equivalent branch form in SQL; chunk
+    emission is the same 7-level unroll in both. Losslessness is
+    separately pinned by the numpy decoder round-trip test."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.functions.polyline import (
+        encode_trajectories,
+    )
+
+    ll_t = StructType(
+        [StructField("lat5", LongType()), StructField("lng5", LongType())]
+    )
+
+    def _ll_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "lat5": (h % np.uint64(200001)).astype(np.int64) - 100000,
+                "lng5": ((h >> np.uint64(21)) % np.uint64(200001)).astype(
+                    np.int64
+                )
+                - 100000,
+            }
+        )
+
+    ll = F.pandas_udf(_ll_kernel, ll_t)
+    traj = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("seq"))
+        .select(
+            (F.col("seq") % F.lit(PL_TRAJS)).alias("tid"),
+            "seq",
+            ll(F.col("seq")).alias("p"),
+        )
+        .select("tid", "seq", "p.lat5", "p.lng5")
+    )
+    return encode_trajectories(traj)
+
+
+def _sql_polyline(n_trajs: int = PL_TRAJS) -> str:
+    h = splitmix64_sql("o_orderkey")
+
+    def chunks(v: str) -> str:
+        parts = []
+        for k in range(7):
+            five = f"(({v}) // {1 << (5 * k)}) % 32"
+            more = f"({v}) >= {1 << (5 * (k + 1))}"
+            here = "TRUE" if k == 0 else f"({v}) >= {1 << (5 * k)}"
+            parts.append(
+                f"CASE WHEN {more} THEN chr(CAST(({five}) + 95 AS INT))"
+                f" WHEN {here} THEN chr(CAST(({five}) + 63 AS INT))"
+                f" ELSE '' END"
+            )
+        return " || ".join(parts)
+
+    return f"""
+WITH pts0 AS (
+  SELECT o_orderkey % {n_trajs} AS tid, o_orderkey AS seq,
+         CAST(({h}) % 200001 AS BIGINT) - 100000 AS lat5,
+         CAST((({h}) // 2097152) % 200001 AS BIGINT) - 100000 AS lng5
+  FROM orders),
+d AS (
+  SELECT tid, seq,
+         lat5 - COALESCE(lag(lat5) OVER (PARTITION BY tid ORDER BY seq), 0)
+           AS dlat,
+         lng5 - COALESCE(lag(lng5) OVER (PARTITION BY tid ORDER BY seq), 0)
+           AS dlng
+  FROM pts0),
+z AS (
+  SELECT tid, seq,
+         CASE WHEN dlat < 0 THEN -2 * dlat - 1 ELSE 2 * dlat END AS zlat,
+         CASE WHEN dlng < 0 THEN -2 * dlng - 1 ELSE 2 * dlng END AS zlng
+  FROM d),
+frag AS (
+  SELECT tid, seq, ({chunks('zlat')}) || ({chunks('zlng')}) AS s
+  FROM z)
+SELECT tid, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       string_agg(s, '' ORDER BY seq) AS poly
+FROM frag GROUP BY tid
+"""
+
+
+_ENGINE_PAIRS["q_polyline"] = (q_polyline, _sql_polyline())
