@@ -81,3 +81,80 @@ def morans_i(cells: DataFrame) -> DataFrame:
             / (F.col("w_sum").cast("double") * F.col("den").cast("double"))
         ).alias("i_dbl"),
     )
+
+
+def local_spatial_stats(cells: DataFrame) -> DataFrame:
+    """Local indicators — per-cell LISA local Moran numerator and
+    Getis-Ord Gi* ingredients (Anselin 1995; Getis & Ord 1992) — the
+    hot-spot/cold-spot detection pair every spatial-analytics stack
+    ships next to global Moran's I.
+
+    Per occupied cell i (rook neighbors N(i), occupied only):
+      nn      = |N(i)| + 1              (self-inclusive, Gi* form)
+      gi_num  = Σ_{j∈N(i)∪{i}} c_j      (Gi* numerator, raw counts)
+      lag     = Σ_{j∈N(i)} dev_j        (spatial lag of deviations)
+      li_num  = dev_i · lag             (LISA numerator)
+    with dev = c·K − S (K occupied cells, S total count — same
+    denominator-clearing as morans_i, so everything stays BIGINT
+    exact; z-scores are a client-side division away).
+
+    Scale: identical shape to morans_i — one cell aggregate, one
+    offset-explode self-equi-join, two broadcast scalars."""
+    k_s = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    dev = cells.crossJoin(F.broadcast(k_s)).select(
+        "cx",
+        "cy",
+        "c",
+        (F.col("c") * F.col("k") - F.col("s")).alias("dev"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ROOK
+        ]
+    )
+    probes = dev.select(
+        "cx",
+        "cy",
+        F.explode(offs).alias("o"),
+    ).select(
+        "cx",
+        "cy",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = dev.select(
+        F.col("cx").alias("nx"),
+        F.col("cy").alias("ny"),
+        F.col("c").alias("nc"),
+        F.col("dev").alias("ndev"),
+    )
+    neigh = (
+        probes.join(nbr, ["nx", "ny"])
+        .groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("deg"),
+            F.sum("nc").cast("long").alias("nsum"),
+            F.sum("ndev").cast("long").alias("lag"),
+        )
+    )
+    return (
+        dev.join(neigh, ["cx", "cy"], "left")
+        .select(
+            "cx",
+            "cy",
+            "c",
+            "dev",
+            (F.coalesce(F.col("deg"), F.lit(0)) + F.lit(1)).alias("nn"),
+            (F.coalesce(F.col("nsum"), F.lit(0)) + F.col("c")).alias(
+                "gi_num"
+            ),
+            F.coalesce(F.col("lag"), F.lit(0)).alias("lag"),
+            (F.col("dev") * F.coalesce(F.col("lag"), F.lit(0))).alias(
+                "li_num"
+            ),
+        )
+    )

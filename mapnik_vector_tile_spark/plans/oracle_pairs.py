@@ -10582,3 +10582,65 @@ FROM frag GROUP BY tid
 
 
 _ENGINE_PAIRS["q_polyline"] = (q_polyline, _sql_polyline())
+
+
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA local Moran + Gi* ingredients per z5 cell (geostats.
+    local_spatial_stats) with a FULL oracle — per-cell BIGINT-exact
+    rows (a finer-grained witness than the single global Moran row):
+    one wrong neighbor membership shifts that cell's lag/gi_num."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.geostats import (
+        local_spatial_stats,
+    )
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    span = 2.0 * W / (1 << MI_Z)
+    cells = pts.select(
+        F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
+        .cast("long")
+        .alias("cx"),
+        F.floor((F.lit(W) - F.col("my")) / F.lit(span))
+        .cast("long")
+        .alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return local_spatial_stats(cells)
+
+
+def _sql_local_moran(z: int = MI_Z) -> str:
+    txe, tye = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+cells AS (
+  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2),
+ks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS s
+  FROM cells),
+dev AS (
+  SELECT cx, cy, c, c * k - s AS dev FROM cells, ks),
+probes AS (
+  SELECT d.cx, d.cy, d.cx + o.dx AS nx, d.cy + o.dy AS ny
+  FROM dev d
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)),
+neigh AS (
+  SELECT p.cx, p.cy, CAST(COUNT(*) AS BIGINT) AS deg,
+         CAST(SUM(b.c) AS BIGINT) AS nsum,
+         CAST(SUM(b.dev) AS BIGINT) AS lag
+  FROM probes p JOIN dev b ON b.cx = p.nx AND b.cy = p.ny
+  GROUP BY p.cx, p.cy)
+SELECT d.cx, d.cy, d.c, d.dev,
+       COALESCE(n.deg, 0) + 1 AS nn,
+       COALESCE(n.nsum, 0) + d.c AS gi_num,
+       COALESCE(n.lag, 0) AS lag,
+       d.dev * COALESCE(n.lag, 0) AS li_num
+FROM dev d LEFT JOIN neigh n ON n.cx = d.cx AND n.cy = d.cy
+"""
+
+
+_ENGINE_PAIRS["q_local_moran"] = (q_local_moran, _sql_local_moran())

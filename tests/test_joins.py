@@ -679,3 +679,34 @@ def test_morans_i_corpus_bounds(spark):
     r = q_morans_i(spark, "/root/testdata/sf0.001").collect()[0]
     assert 0 < r["den"] < 1 << 50 and abs(r["num"]) < 1 << 50
     assert r["w_sum"] > 0
+
+
+def test_local_stats_hand_grid(spark):
+    # 2x1 grid: cells (0,0,c=1) and (1,0,c=3): K=2, S=4 → dev=-2,+2
+    from mapnik_vector_tile_spark.operators.geostats import (
+        local_spatial_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 3)], "cx long, cy long, c long"
+    )
+    d = {(r["cx"], r["cy"]): r for r in local_spatial_stats(df).collect()}
+    a, b = d[(0, 0)], d[(1, 0)]
+    assert (a["dev"], b["dev"]) == (-2, 2)
+    assert a["nn"] == 2 and b["nn"] == 2
+    assert a["gi_num"] == 4 and b["gi_num"] == 4
+    assert a["lag"] == 2 and b["lag"] == -2
+    assert a["li_num"] == -4 and b["li_num"] == -4
+
+
+def test_local_stats_isolated_cell(spark):
+    from mapnik_vector_tile_spark.operators.geostats import (
+        local_spatial_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0, 5), (10, 10, 7)], "cx long, cy long, c long"
+    )
+    d = {(r["cx"], r["cy"]): r for r in local_spatial_stats(df).collect()}
+    r = d[(0, 0)]
+    assert (r["nn"], r["gi_num"], r["lag"], r["li_num"]) == (1, 5, 0, 0)
