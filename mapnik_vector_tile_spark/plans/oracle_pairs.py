@@ -10644,3 +10644,113 @@ FROM dev d LEFT JOIN neigh n ON n.cx = d.cx AND n.cy = d.cy
 
 
 _ENGINE_PAIRS["q_local_moran"] = (q_local_moran, _sql_local_moran())
+
+
+# ---------------------------------------------------------------------------
+# q_bellman_ford — hop-bounded shortest paths on the road lattice
+# ---------------------------------------------------------------------------
+
+BF_ROUNDS = 12
+
+
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded Bellman-Ford (operators/graph.bellman_ford) with a
+    FULL oracle. Corpus: a road lattice — one undirected edge per
+    orders row between 64-grid node (x,y) = (h%64, (h>>6)%64) and a
+    king-move neighbor, weight 1..9 — giving a well-connected giant
+    component (~avg degree 7 at sf0.01). Sources: every west-edge
+    node (x=0) present in the graph. The DuckDB twin unrolls the SAME
+    12 relaxation rounds as MATERIALIZED CTEs, so both engines compute
+    the identical ≤12-hop cost field; one wrong relaxation anywhere
+    propagates into the value hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.graph import bellman_ford
+
+    e_t = StructType(
+        [
+            StructField("u", LongType()),
+            StructField("v", LongType()),
+            StructField("w", LongType()),
+            StructField("keep", LongType()),
+        ]
+    )
+
+    def _edge_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        x = (h % np.uint64(64)).astype(np.int64)
+        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
+        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
+        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
+        w = (np.uint64(1) + (h >> np.uint64(40)) % np.uint64(9)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "u": x * 256 + y,
+                "v": (x + dx) * 256 + (y + dy),
+                "w": w,
+                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
+            }
+        )
+
+    ek = F.pandas_udf(_edge_kernel, e_t)
+    e1 = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(ek(F.col("o_orderkey")).alias("e"))
+        .select("e.u", "e.v", "e.w", "e.keep")
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+    )
+    edges = e1.unionByName(
+        e1.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    sources = (
+        edges.select(F.col("u").alias("node"))
+        .filter(F.col("node") < 256)
+        .distinct()
+    )
+    return bellman_ford(edges, sources, rounds=BF_ROUNDS)
+
+
+def _sql_bellman_ford(rounds: int = BF_ROUNDS) -> str:
+    h = splitmix64_sql("o_orderkey")
+    relax = []
+    for r in range(1, rounds + 1):
+        relax.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{r - 1}
+    UNION ALL
+    SELECT e.v AS node, a.d + e.w AS d
+    FROM d{r - 1} a JOIN edges e ON e.u = a.node)
+  GROUP BY node)"""
+        )
+    return f"""
+WITH e0 AS (
+  SELECT CAST(({h}) % 64 AS BIGINT) AS x,
+         CAST((({h}) // 64) % 64 AS BIGINT) AS y,
+         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
+         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy,
+         CAST(1 + (({h}) // 1099511627776) % 9 AS BIGINT) AS w
+  FROM orders),
+e1 AS (
+  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v, w
+  FROM e0 WHERE dx <> 0 OR dy <> 0),
+edges AS MATERIALIZED (
+  SELECT u, v, w FROM e1 UNION ALL SELECT v, u, w FROM e1),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS d
+  FROM edges WHERE u < 256)
+{''.join(relax)}
+SELECT node, d FROM d{rounds}
+"""
+
+
+_ENGINE_PAIRS["q_bellman_ford"] = (q_bellman_ford, _sql_bellman_ford())
