@@ -158,3 +158,51 @@ def local_spatial_stats(cells: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def geofence_transitions(
+    located: DataFrame, x0: int, y0: int, x1: int, y1: int
+) -> DataFrame:
+    """Geofence enter/exit detection — the batch twin of the classic
+    streaming geofencing job (did this device cross into the zone?).
+
+    located: (user_id, event_id, ts, cx, cy) — per-user event streams
+    with integer cell positions. The fence is the half-open cell
+    rectangle [x0,x1) × [y0,y1). An event is a transition iff its
+    inside-bit differs from the SAME USER's previous event in
+    (ts, event_id) order; the first event of a user emits 'enter' iff
+    it starts inside (pinned — no phantom exit for users who begin
+    outside).
+
+    One window shuffle on user_id (the same shape as sessionize);
+    whole-stage-codegen Column logic only. Output:
+    (user_id, event_id, kind, cx, cy)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    inside = (
+        (F.col("cx") >= x0)
+        & (F.col("cx") < x1)
+        & (F.col("cy") >= y0)
+        & (F.col("cy") < y1)
+    ).cast("int")
+    marked = located.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cx",
+        "cy",
+        inside.alias("ins"),
+    ).select(
+        "*",
+        F.lag("ins", 1, 0).over(w).alias("prev"),
+    )
+    return marked.filter(F.col("ins") != F.col("prev")).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("ins") == 1, F.lit("enter"))
+        .otherwise(F.lit("exit"))
+        .alias("kind"),
+        "cx",
+        "cy",
+    )

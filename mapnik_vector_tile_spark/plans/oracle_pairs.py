@@ -10754,3 +10754,77 @@ SELECT node, d FROM d{rounds}
 
 
 _ENGINE_PAIRS["q_bellman_ford"] = (q_bellman_ford, _sql_bellman_ford())
+
+
+# ---------------------------------------------------------------------------
+# q_geofence — enter/exit transition detection over per-user event traces
+# ---------------------------------------------------------------------------
+
+GF_RECT = (4, 4, 8, 8)  # half-open cell rectangle on the 16-grid
+
+
+def q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence transitions (geostats.geofence_transitions) with a
+    FULL oracle: positions are splitmix64-derived 16-grid cells per
+    event, the fence is [4,8)², and both engines replay the identical
+    lag-compare over (ts, event_id) per user. Sequence-sensitive: one
+    wrong inside-bit flips every subsequent transition parity for
+    that user."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.geostats import (
+        geofence_transitions,
+    )
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(16)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(16)).astype(np.int64),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts", ck(F.col("event_id")).alias("c")
+    ).select("user_id", "event_id", "ts", "c.cx", "c.cy")
+    return geofence_transitions(ev, *GF_RECT)
+
+
+def _sql_geofence(rect: tuple[int, int, int, int] = GF_RECT) -> str:
+    h = splitmix64_sql("event_id")
+    x0, y0, x1, y1 = rect
+    return f"""
+WITH loc AS (
+  SELECT user_id, event_id, ts,
+         CAST(({h}) % 16 AS BIGINT) AS cx,
+         CAST((({h}) // 256) % 16 AS BIGINT) AS cy
+  FROM events),
+mk AS (
+  SELECT user_id, event_id, cx, cy,
+         CASE WHEN cx >= {x0} AND cx < {x1}
+                   AND cy >= {y0} AND cy < {y1}
+              THEN 1 ELSE 0 END AS ins,
+         COALESCE(lag(CASE WHEN cx >= {x0} AND cx < {x1}
+                                AND cy >= {y0} AND cy < {y1}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  0) AS prev
+  FROM loc)
+SELECT user_id, event_id,
+       CASE WHEN ins = 1 THEN 'enter' ELSE 'exit' END AS kind, cx, cy
+FROM mk WHERE ins <> prev
+"""
+
+
+_ENGINE_PAIRS["q_geofence"] = (q_geofence, _sql_geofence())

@@ -710,3 +710,27 @@ def test_local_stats_isolated_cell(spark):
     d = {(r["cx"], r["cy"]): r for r in local_spatial_stats(df).collect()}
     r = d[(0, 0)]
     assert (r["nn"], r["gi_num"], r["lag"], r["li_num"]) == (1, 5, 0, 0)
+
+
+def test_geofence_transitions(spark):
+    from datetime import datetime
+
+    from mapnik_vector_tile_spark.operators.geostats import (
+        geofence_transitions,
+    )
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        # user 1: out -> in -> in -> out  => enter@2, exit@4
+        (1, 1, t, 0, 0), (1, 2, t, 5, 5), (1, 3, t, 6, 6), (1, 4, t, 9, 9),
+        # user 2: starts inside => enter@1 only
+        (2, 1, t, 4, 4),
+        # user 3: never inside => nothing
+        (3, 1, t, 8, 4),  # cx=8 is OUTSIDE the half-open [4,8)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, cx long, cy long"
+    )
+    out = geofence_transitions(df, 4, 4, 8, 8).collect()
+    got = {(r["user_id"], r["event_id"]): r["kind"] for r in out}
+    assert got == {(1, 2): "enter", (1, 4): "exit", (2, 1): "enter"}
