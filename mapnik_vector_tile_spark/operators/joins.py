@@ -1323,3 +1323,96 @@ def snap_join(
         F.col("m.d2s").alias("d2s"),
         "n_cand",
     )
+
+
+# --- J11: segment-segment intersection join --------------------------------
+
+
+def segment_intersect_join(
+    segments: DataFrame, cell_shift: int = 5
+) -> DataFrame:
+    """J11 exact segment×segment intersection join — road-network
+    intersection discovery (the line×line case the engine's polygon
+    joins don't cover).
+
+    ENTIRELY Catalyst: candidates are unordered pairs sharing a bbox
+    cover cell (sid_a < sid_b, distinct over multi-cell shares); the
+    refine is the classic exact integer orientation predicate
+    (cross-product signs d1..d4, CLRS 33.1): proper crossing iff the
+    endpoint orientations straddle on both segments; touching /
+    collinear-overlap iff some d_i = 0 with the endpoint inside the
+    other's bbox. All int64 (coords < 2¹⁰ → crosses < 2²²).
+
+    Completeness: an intersection point lies in both bboxes, so both
+    segments cover its cell — no candidate is lost.
+
+    Output: (sid_a, sid_b, proper) one row per intersecting pair;
+    proper = 1 for transversal crossings, 0 for touch/collinear."""
+
+    def cells_of(df):
+        return df.select(
+            "sid", "ax", "ay", "bx", "by",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.least("ax", "bx"), cell_shift),
+                    F.shiftright(F.greatest("ax", "bx"), cell_shift),
+                )
+            ).alias("cx"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.least("ay", "by"), cell_shift),
+                    F.shiftright(F.greatest("ay", "by"), cell_shift),
+                )
+            ).alias("cy"),
+        )
+
+    a = cells_of(segments).select(
+        F.col("sid").alias("sa"), F.col("ax").alias("p1x"),
+        F.col("ay").alias("p1y"), F.col("bx").alias("p2x"),
+        F.col("by").alias("p2y"), "cx", "cy",
+    )
+    b = cells_of(segments).select(
+        F.col("sid").alias("sb"), F.col("ax").alias("q1x"),
+        F.col("ay").alias("q1y"), F.col("bx").alias("q2x"),
+        F.col("by").alias("q2y"), "cx", "cy",
+    )
+    cand = a.join(b, ["cx", "cy"]).filter(F.col("sa") < F.col("sb"))
+
+    def cross(ox, oy, axx, ayy, bxx, byy):
+        return (axx - ox) * (byy - oy) - (ayy - oy) * (bxx - ox)
+
+    p1x, p1y = F.col("p1x"), F.col("p1y")
+    p2x, p2y = F.col("p2x"), F.col("p2y")
+    q1x, q1y = F.col("q1x"), F.col("q1y")
+    q2x, q2y = F.col("q2x"), F.col("q2y")
+    d1 = cross(q1x, q1y, q2x, q2y, p1x, p1y)
+    d2 = cross(q1x, q1y, q2x, q2y, p2x, p2y)
+    d3 = cross(p1x, p1y, p2x, p2y, q1x, q1y)
+    d4 = cross(p1x, p1y, p2x, p2y, q2x, q2y)
+
+    def on_seg(axx, ayy, bxx, byy, px, py):
+        return (
+            (px >= F.least(axx, bxx)) & (px <= F.greatest(axx, bxx))
+            & (py >= F.least(ayy, byy)) & (py <= F.greatest(ayy, byy))
+        )
+
+    straddle_p = ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
+    straddle_q = ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    proper = straddle_p & straddle_q
+    touch = (
+        ((d1 == 0) & on_seg(q1x, q1y, q2x, q2y, p1x, p1y))
+        | ((d2 == 0) & on_seg(q1x, q1y, q2x, q2y, p2x, p2y))
+        | ((d3 == 0) & on_seg(p1x, p1y, p2x, p2y, q1x, q1y))
+        | ((d4 == 0) & on_seg(p1x, p1y, p2x, p2y, q2x, q2y))
+    )
+    return (
+        cand.filter(proper | touch)
+        .select(
+            F.col("sa").alias("sid_a"),
+            F.col("sb").alias("sid_b"),
+            proper.cast("long").alias("proper"),
+        )
+        .distinct()
+    )

@@ -10828,3 +10828,113 @@ FROM mk WHERE ins <> prev
 
 
 _ENGINE_PAIRS["q_geofence"] = (q_geofence, _sql_geofence())
+
+
+# ---------------------------------------------------------------------------
+# q_segment_intersect — J11 exact segment×segment intersection join
+# ---------------------------------------------------------------------------
+
+
+def q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (operators/joins.segment_intersect_join) with a FULL
+    brute-force oracle: the engine prunes candidates with the bbox
+    cell cover; DuckDB evaluates the SAME exact integer orientation
+    predicate over the COMPLETE pair cross product (quarter corpus —
+    o_orderkey % 4 = 0 — keeps that at ~7M pairs), so a candidate
+    dropped by the cover or any predicate divergence mismatches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.joins import (
+        segment_intersect_join,
+    )
+
+    seg_t = StructType(
+        [
+            StructField("ax", LongType()),
+            StructField("ay", LongType()),
+            StructField("bx", LongType()),
+            StructField("by", LongType()),
+        ]
+    )
+
+    def _seg_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        ax = (h % np.uint64(512)).astype(np.int64)
+        ay = ((h >> np.uint64(9)) % np.uint64(512)).astype(np.int64)
+        dx = ((h >> np.uint64(18)) % np.uint64(65)).astype(np.int64) - 32
+        dy = ((h >> np.uint64(25)) % np.uint64(65)).astype(np.int64) - 32
+        return pd.DataFrame(
+            {"ax": ax, "ay": ay, "bx": ax + dx, "by": ay + dy}
+        )
+
+    seg = F.pandas_udf(_seg_kernel, seg_t)
+    segments = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("sid"))
+        .filter(F.col("sid") % 4 == 0)
+        .select("sid", seg(F.col("sid")).alias("s"))
+        .select("sid", "s.ax", "s.ay", "s.bx", "s.by")
+    )
+    return segment_intersect_join(segments)
+
+
+def _sql_segment_intersect() -> str:
+    hs = splitmix64_sql("o_orderkey")
+
+    def cr(ox, oy, axx, ayy, bxx, byy):
+        return (
+            f"(({axx}) - ({ox})) * (({byy}) - ({oy}))"
+            f" - (({ayy}) - ({oy})) * (({bxx}) - ({ox}))"
+        )
+
+    d1 = cr("b.ax", "b.ay", "b.bx", "b.by", "a.ax", "a.ay")
+    d2 = cr("b.ax", "b.ay", "b.bx", "b.by", "a.bx", "a.by")
+    d3 = cr("a.ax", "a.ay", "a.bx", "a.by", "b.ax", "b.ay")
+    d4 = cr("a.ax", "a.ay", "a.bx", "a.by", "b.bx", "b.by")
+
+    def on_seg(axx, ayy, bxx, byy, px, py):
+        return (
+            f"({px}) >= least({axx}, {bxx}) AND ({px}) <= greatest({axx}, {bxx})"
+            f" AND ({py}) >= least({ayy}, {byy})"
+            f" AND ({py}) <= greatest({ayy}, {byy})"
+        )
+
+    return f"""
+WITH segs0 AS (
+  SELECT o_orderkey AS sid,
+         CAST(({hs}) % 512 AS BIGINT) AS ax,
+         CAST((({hs}) // 512) % 512 AS BIGINT) AS ay,
+         CAST((({hs}) // 262144) % 65 AS BIGINT) - 32 AS dx,
+         CAST((({hs}) // 33554432) % 65 AS BIGINT) - 32 AS dy
+  FROM orders WHERE o_orderkey % 4 = 0),
+segs AS MATERIALIZED (
+  SELECT sid, ax, ay, ax + dx AS bx, ay + dy AS by FROM segs0),
+pr AS (
+  SELECT a.sid AS sid_a, b.sid AS sid_b,
+         {d1} AS d1, {d2} AS d2, {d3} AS d3, {d4} AS d4,
+         a.ax AS p1x, a.ay AS p1y, a.bx AS p2x, a.by AS p2y,
+         b.ax AS q1x, b.ay AS q1y, b.bx AS q2x, b.by AS q2y
+  FROM segs a JOIN segs b ON a.sid < b.sid)
+SELECT sid_a, sid_b,
+       CAST(((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+            AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) AS BIGINT)
+         AS proper
+FROM pr
+WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+       AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+   OR (d1 = 0 AND {on_seg('q1x','q1y','q2x','q2y','p1x','p1y')})
+   OR (d2 = 0 AND {on_seg('q1x','q1y','q2x','q2y','p2x','p2y')})
+   OR (d3 = 0 AND {on_seg('p1x','p1y','p2x','p2y','q1x','q1y')})
+   OR (d4 = 0 AND {on_seg('p1x','p1y','p2x','p2y','q2x','q2y')})
+"""
+
+
+_ENGINE_PAIRS["q_segment_intersect"] = (
+    q_segment_intersect,
+    _sql_segment_intersect(),
+)

@@ -734,3 +734,33 @@ def test_geofence_transitions(spark):
     out = geofence_transitions(df, 4, 4, 8, 8).collect()
     got = {(r["user_id"], r["event_id"]): r["kind"] for r in out}
     assert got == {(1, 2): "enter", (1, 4): "exit", (2, 1): "enter"}
+
+
+def test_segment_intersect_cases(spark):
+    from mapnik_vector_tile_spark.operators.joins import (
+        segment_intersect_join,
+    )
+
+    segs = [
+        (1, 0, 0, 10, 10),   # diagonal
+        (2, 0, 10, 10, 0),   # crosses 1 properly at (5,5)
+        (3, 10, 10, 20, 10), # touches 1 at endpoint (10,10)
+        (4, 0, 20, 10, 20),  # disjoint from all
+        (5, 2, 2, 6, 6),     # collinear overlap with 1
+        (6, 40, 0, 50, 0),
+        (7, 45, 0, 55, 0),   # collinear overlap with 6 on x-axis
+        (8, 56, 0, 60, 0),   # collinear with 6/7, DISJOINT ranges
+    ]
+    df = spark.createDataFrame(
+        segs, "sid long, ax long, ay long, bx long, by long"
+    )
+    out = {
+        (r["sid_a"], r["sid_b"]): r["proper"]
+        for r in segment_intersect_join(df).collect()
+    }
+    assert out[(1, 2)] == 1          # proper crossing
+    assert out[(1, 3)] == 0          # endpoint touch
+    assert out[(1, 5)] == 0          # collinear overlap
+    assert out[(6, 7)] == 0          # collinear overlap
+    assert (1, 4) not in out and (7, 8) not in out and (6, 8) not in out
+    assert (2, 3) not in out
