@@ -49,3 +49,92 @@ def bellman_ford(
         if (r + 1) % 4 == 0:
             dist = dist.localCheckpoint(eager=False)
     return dist
+
+
+# --- sticky-HMM Viterbi map matching ---------------------------------------
+
+VIT_PH = 2654435761
+VIT_PH_MOD = 1 << 31
+
+
+def _vit_h(sid: int, t: int) -> int:
+    return ((sid + 2) * (t + 1) * VIT_PH) % VIT_PH_MOD
+
+
+def viterbi_match(cands: DataFrame, switch_cost: int) -> DataFrame:
+    """Sticky-HMM Viterbi map matching (Newson & Krumm 2009 shape) —
+    the step after `snap_candidates`: given per-step candidate road
+    segments with exact integer emission costs, pick the single most
+    plausible segment SEQUENCE per trace, preferring to stay on the
+    same segment (transition cost 0) over switching (cost
+    `switch_cost`).
+
+    Input: (tid, t, sid, emis) — every (tid, t) step MUST have ≥1
+    candidate (callers add an off-road sentinel state, sid = -1, with
+    a pinned worst-case emission). All integers.
+
+    DP with pinned determinism (the oracle replays it decision-for-
+    decision): best-prev is arg-min over (cost, sid); at equal cost
+    STAY beats switch; final state is arg-min (cost, sid). Path hash
+    kh = Σ_t ((sid_t+2)·(t+1)·2654435761 mod 2³¹) is position-
+    sensitive — one wrong transition anywhere changes it.
+
+    Scale: candidate generation upstream is the distributed part
+    (cell joins over the full trace corpus); this kernel is one
+    groupBy(tid) shuffle + an O(T·k²)-bounded per-trace DP (T = trace
+    length, k = candidates/step — both bounded by sampling rate and
+    radius, NOT by corpus size).
+
+    Output: (tid, n_steps, total_cost, kh, n_off)."""
+    import numpy as np
+    import pandas as pd
+
+    INF = 1 << 62
+    C = int(switch_cost)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "sid"], kind="mergesort")
+        tid = int(pdf["tid"].iloc[0])
+        prev: dict[int, tuple[int, int, int]] = {}  # sid -> (cost, kh, noff)
+        steps = 0
+        for t, grp in pdf.groupby("t", sort=True):
+            steps += 1
+            if prev:
+                bp_cost, bp_sid = INF, None
+                for s, (c, _, _) in prev.items():
+                    if c < bp_cost or (c == bp_cost and s < bp_sid):
+                        bp_cost, bp_sid = c, s
+                bp_kh, bp_noff = prev[bp_sid][1], prev[bp_sid][2]
+            cur: dict[int, tuple[int, int, int]] = {}
+            for sid, emis in zip(
+                grp["sid"].astype(int), grp["emis"].astype(int)
+            ):
+                if not prev:
+                    base, kh, noff = 0, 0, 0
+                else:
+                    same = prev.get(sid, (INF, 0, 0))
+                    if same[0] <= bp_cost + C:  # stay wins ties
+                        base, kh, noff = same
+                    else:
+                        base, kh, noff = bp_cost + C, bp_kh, bp_noff
+                cur[sid] = (
+                    base + emis,
+                    (kh + _vit_h(sid, int(t))) % VIT_PH_MOD,
+                    noff + (1 if sid == -1 else 0),
+                )
+            prev = cur
+        best_sid = min(prev, key=lambda s: (prev[s][0], s))
+        c, kh, noff = prev[best_sid]
+        return pd.DataFrame(
+            [(tid, steps, c, kh, noff)],
+            columns=["tid", "n_steps", "total_cost", "kh", "n_off"],
+        )
+
+    return (
+        cands.select("tid", "t", "sid", "emis")
+        .groupBy("tid")
+        .applyInPandas(
+            kernel,
+            "tid long, n_steps long, total_cost long, kh long, n_off long",
+        )
+    )

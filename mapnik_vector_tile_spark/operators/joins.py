@@ -1250,7 +1250,29 @@ def snap_join(
     Scale: one shuffle on the cell key each side; cells-per-segment is
     bounded by (len/cell + 2)² ≈ 16, skewed road-dense cells split by
     AQE exactly like J4."""
-    cell = 1 << cell_shift
+    scored = snap_candidates(points, segments, radius, cell_shift)
+    return scored.groupBy("pid").agg(
+        F.min("sd").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+    ).select(
+        "pid",
+        F.col("m.sid").alias("sid"),
+        F.col("m.d2s").alias("d2s"),
+        "n_cand",
+    )
+
+
+def snap_candidates(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: int = 32,
+    cell_shift: int = 5,
+) -> DataFrame:
+    """The candidate stage of `snap_join`, exposed for operators that
+    need ALL within-radius (point, segment) pairs rather than the
+    arg-min — e.g. Viterbi map matching's emission sets. Returns
+    (pid, sd) with sd = struct(d2s, sid), d2s the floor-scaled exact
+    squared distance (see snap_join for the exactness argument)."""
     r2 = radius * radius
 
     seg_cells = segments.select(
@@ -1314,15 +1336,7 @@ def snap_join(
             ).alias("sd"),
         )
     )
-    return scored.groupBy("pid").agg(
-        F.min("sd").alias("m"),
-        F.count(F.lit(1)).cast("long").alias("n_cand"),
-    ).select(
-        "pid",
-        F.col("m.sid").alias("sid"),
-        F.col("m.d2s").alias("d2s"),
-        "n_cand",
-    )
+    return scored
 
 
 # --- J11: segment-segment intersection join --------------------------------

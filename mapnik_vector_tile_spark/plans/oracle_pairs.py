@@ -10938,3 +10938,260 @@ _ENGINE_PAIRS["q_segment_intersect"] = (
     q_segment_intersect,
     _sql_segment_intersect(),
 )
+
+
+# ---------------------------------------------------------------------------
+# q_viterbi_match — sticky-HMM Viterbi map matching over walk traces
+# ---------------------------------------------------------------------------
+
+VIT_TRAJS = 200
+VIT_RADIUS = 32
+VIT_SWITCH = 3 << 24
+VIT_OFF_EMIS = (VIT_RADIUS * VIT_RADIUS + 1) << 24  # worse than any real cand
+
+
+def q_viterbi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM map matching (graph.viterbi_match over joins.snap_candidates)
+    with a FULL oracle. Corpus: 200 random-walk GPS traces (customer
+    rows as steps, ±16 increments from a per-trace base) over the
+    orders road-segment set; emissions are the snap join's exact
+    floor-scaled d²; an off-road sentinel (sid=-1, pinned worst-case
+    emission) keeps every step non-empty. The DuckDB twin brute-forces
+    the emission sets and replays the DP decision-for-decision in a
+    recursive CTE carrying per-state (cost, path-hash, off-count)
+    LISTS — the path hash is position-sensitive, so one wrong
+    stay/switch decision anywhere mismatches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.graph import viterbi_match
+    from mapnik_vector_tile_spark.operators.joins import snap_candidates
+
+    seg_t = StructType(
+        [
+            StructField("ax", LongType()),
+            StructField("ay", LongType()),
+            StructField("bx", LongType()),
+            StructField("by", LongType()),
+        ]
+    )
+
+    def _seg_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        ax = (h % np.uint64(512)).astype(np.int64)
+        ay = ((h >> np.uint64(9)) % np.uint64(512)).astype(np.int64)
+        dx = ((h >> np.uint64(18)) % np.uint64(65)).astype(np.int64) - 32
+        dy = ((h >> np.uint64(25)) % np.uint64(65)).astype(np.int64) - 32
+        return pd.DataFrame(
+            {"ax": ax, "ay": ay, "bx": ax + dx, "by": ay + dy}
+        )
+
+    st_t = StructType(
+        [
+            StructField("dx", LongType()),
+            StructField("dy", LongType()),
+        ]
+    )
+
+    def _step_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "dx": ((h >> np.uint64(32)) % np.uint64(33)).astype(np.int64)
+                - 16,
+                "dy": ((h >> np.uint64(38)) % np.uint64(33)).astype(np.int64)
+                - 16,
+            }
+        )
+
+    b_t = StructType(
+        [StructField("x0", LongType()), StructField("y0", LongType())]
+    )
+
+    def _base_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(
+            (k + np.int64(1000000000)).to_numpy(np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "x0": (h % np.uint64(512)).astype(np.int64),
+                "y0": ((h >> np.uint64(9)) % np.uint64(512)).astype(np.int64),
+            }
+        )
+
+    seg = F.pandas_udf(_seg_kernel, seg_t)
+    stp = F.pandas_udf(_step_kernel, st_t)
+    bse = F.pandas_udf(_base_kernel, b_t)
+
+    segments = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("sid"))
+        .select("sid", seg(F.col("sid")).alias("s"))
+        .select("sid", "s.ax", "s.ay", "s.bx", "s.by")
+    )
+    w = Window.partitionBy("tid").orderBy("key")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    steps = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("key"))
+        .select(
+            "key",
+            (F.col("key") % F.lit(VIT_TRAJS)).alias("tid"),
+            stp(F.col("key")).alias("d"),
+        )
+        .select("key", "tid", "d.dx", "d.dy")
+        .select(
+            "tid",
+            (F.row_number().over(w) - 1).alias("t"),
+            F.sum("dx").over(wc).alias("sx"),
+            F.sum("dy").over(wc).alias("sy"),
+        )
+        .select("tid", "t", bse(F.col("tid")).alias("b"), "sx", "sy")
+        .select(
+            "tid",
+            "t",
+            (F.col("b.x0") + F.col("sx")).alias("px"),
+            (F.col("b.y0") + F.col("sy")).alias("py"),
+        )
+    )
+    pts = steps.select(
+        (F.col("tid") * F.lit(4096) + F.col("t")).alias("pid"), "px", "py"
+    )
+    cands = snap_candidates(
+        pts, segments, radius=VIT_RADIUS, cell_shift=5
+    ).select(
+        F.expr("pid div 4096").alias("tid"),
+        (F.col("pid") % F.lit(4096)).alias("t"),
+        F.col("sd.sid").alias("sid"),
+        F.col("sd.d2s").alias("emis"),
+    )
+    off = steps.select(
+        "tid", "t", F.lit(-1).cast("long").alias("sid"),
+        F.lit(VIT_OFF_EMIS).cast("long").alias("emis"),
+    )
+    return viterbi_match(cands.unionByName(off), VIT_SWITCH)
+
+
+def _sql_viterbi_match() -> str:
+    hs = splitmix64_sql("o_orderkey")
+    hp = splitmix64_sql("c_custkey")
+    hb = splitmix64_sql("(tid + 1000000000)")
+    INF = 1 << 62
+    C = VIT_SWITCH
+    scale = 1 << 24
+    # per-candidate j helpers (inside the walk step)
+    cs = "p.asid[j]"
+    pos = "COALESCE(list_position(w.asid, p.asid[j]), 0)"
+    same = f"CASE WHEN {pos} > 0 THEN w.acost[{pos}] ELSE {INF} END"
+    stay = f"({same}) <= bpc + {C}"
+    base = f"CASE WHEN {stay} THEN {same} ELSE bpc + {C} END"
+    bkh = f"CASE WHEN {stay} THEN w.akh[{pos}] ELSE w.akh[bpi] END"
+    bnf = f"CASE WHEN {stay} THEN w.anoff[{pos}] ELSE w.anoff[bpi] END"
+    hstep = f"((({cs}) + 2) * (p.t + 1) * 2654435761) % 2147483648"
+    return f"""
+WITH RECURSIVE segs0 AS (
+  SELECT o_orderkey AS sid,
+         CAST(({hs}) % 512 AS BIGINT) AS ax,
+         CAST((({hs}) // 512) % 512 AS BIGINT) AS ay,
+         CAST((({hs}) // 262144) % 65 AS BIGINT) - 32 AS dx,
+         CAST((({hs}) // 33554432) % 65 AS BIGINT) - 32 AS dy
+  FROM orders),
+segs AS MATERIALIZED (
+  SELECT sid, ax, ay, ax + dx AS bx, ay + dy AS by FROM segs0),
+st0 AS (
+  SELECT c_custkey AS key, c_custkey % {VIT_TRAJS} AS tid,
+         CAST((({hp}) // 4294967296) % 33 AS BIGINT) - 16 AS dx,
+         CAST((({hp}) // 274877906944) % 33 AS BIGINT) - 16 AS dy
+  FROM customer),
+st1 AS (
+  SELECT tid,
+         row_number() OVER (PARTITION BY tid ORDER BY key) - 1 AS t,
+         SUM(dx) OVER (PARTITION BY tid ORDER BY key
+                       ROWS UNBOUNDED PRECEDING) AS sx,
+         SUM(dy) OVER (PARTITION BY tid ORDER BY key
+                       ROWS UNBOUNDED PRECEDING) AS sy
+  FROM st0),
+pos AS MATERIALIZED (
+  SELECT tid, t,
+         CAST(({hb}) % 512 AS BIGINT) + CAST(sx AS BIGINT) AS px,
+         CAST((({hb}) // 512) % 512 AS BIGINT) + CAST(sy AS BIGINT) AS py
+  FROM st1),
+sc AS (
+  SELECT o.tid, o.t, s.sid,
+         (o.px - s.ax) * (s.bx - s.ax) + (o.py - s.ay) * (s.by - s.ay)
+           AS dot,
+         (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)
+           AS ab2,
+         (o.px - s.ax) * (o.px - s.ax) + (o.py - s.ay) * (o.py - s.ay)
+           AS ap2,
+         (o.px - s.bx) * (o.px - s.bx) + (o.py - s.by) * (o.py - s.by)
+           AS bp2
+  FROM pos o CROSS JOIN segs s),
+fr AS (
+  SELECT tid, t, sid,
+         CASE WHEN ab2 = 0 OR dot <= 0 THEN ap2
+              WHEN dot >= ab2 THEN bp2
+              ELSE ap2 * ab2 - dot * dot END AS num,
+         CASE WHEN ab2 = 0 OR dot <= 0 OR dot >= ab2 THEN 1
+              ELSE ab2 END AS den
+  FROM sc),
+cand AS (
+  SELECT tid, t, sid, (num * {scale}) // den AS emis
+  FROM fr WHERE num <= {VIT_RADIUS * VIT_RADIUS} * den
+  UNION ALL
+  SELECT tid, t, CAST(-1 AS BIGINT), CAST({VIT_OFF_EMIS} AS BIGINT)
+  FROM pos),
+packs AS MATERIALIZED (
+  SELECT tid, t, COUNT(*) AS k,
+         list(sid ORDER BY sid) AS asid,
+         list(emis ORDER BY sid) AS aemis
+  FROM cand GROUP BY tid, t),
+nst AS MATERIALIZED (
+  SELECT tid, MAX(t) AS tmax FROM packs GROUP BY tid),
+walk(tid, t, asid, acost, akh, anoff) AS (
+  SELECT tid, t, asid, aemis,
+         [CAST(((asid[j] + 2) * 2654435761) % 2147483648 AS BIGINT)
+          FOR j IN generate_series(1, len(asid))],
+         [CAST(CASE WHEN asid[j] = -1 THEN 1 ELSE 0 END AS BIGINT)
+          FOR j IN generate_series(1, len(asid))]
+  FROM packs WHERE t = 0
+  UNION ALL
+  SELECT w.tid, p.t, p.asid,
+         [CAST(p.aemis[j] + ({base}) AS BIGINT)
+          FOR j IN generate_series(1, len(p.asid))],
+         [CAST((({bkh}) + ({hstep})) % 2147483648 AS BIGINT)
+          FOR j IN generate_series(1, len(p.asid))],
+         [CAST(({bnf}) + CASE WHEN p.asid[j] = -1 THEN 1 ELSE 0 END
+               AS BIGINT)
+          FOR j IN generate_series(1, len(p.asid))]
+  FROM (
+    SELECT w.*,
+           list_aggregate(w.acost, 'min') AS bpc,
+           COALESCE(
+             list_position(w.acost, list_aggregate(w.acost, 'min')), 0)
+             AS bpi
+    FROM walk w) w
+  JOIN packs p ON p.tid = w.tid AND p.t = w.t + 1
+)
+SELECT w.tid, CAST(n.tmax + 1 AS BIGINT) AS n_steps,
+       w.acost[bi] AS total_cost, w.akh[bi] AS kh, w.anoff[bi] AS n_off
+FROM (
+  SELECT w.*,
+         COALESCE(
+           list_position(w.acost, list_aggregate(w.acost, 'min')), 0)
+           AS bi
+  FROM walk w) w
+JOIN nst n ON n.tid = w.tid AND w.t = n.tmax
+"""
+
+
+_ENGINE_PAIRS["q_viterbi_match"] = (q_viterbi_match, _sql_viterbi_match())

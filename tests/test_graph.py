@@ -47,3 +47,57 @@ def test_corpus_giant_component(spark):
     assert len(d) > 500
     assert any(r["d"] > 0 for r in d)
     assert all(r["d"] >= 0 for r in d)
+
+
+# --- viterbi_match ---------------------------------------------------------
+
+
+def _vit(spark, rows, C=10):
+    from mapnik_vector_tile_spark.operators.graph import viterbi_match
+
+    df = spark.createDataFrame(
+        rows, "tid long, t long, sid long, emis long"
+    )
+    return {r["tid"]: r for r in viterbi_match(df, C).collect()}
+
+
+def test_viterbi_stay_beats_switch_within_penalty(spark):
+    from mapnik_vector_tile_spark.operators.graph import _vit_h
+
+    rows = [
+        (1, 0, 101, 0), (1, 1, 101, 5),   # stay path cost 5
+        (1, 0, 102, 3), (1, 1, 102, 0),   # stay on 102 = 3; switch 101->102 = 10
+    ]
+    r = _vit(spark, rows)[1]
+    assert r["total_cost"] == 3  # [102,102]
+    assert r["kh"] == (_vit_h(102, 0) + _vit_h(102, 1)) % (1 << 31)
+
+
+def test_viterbi_switch_when_worth_it(spark):
+    from mapnik_vector_tile_spark.operators.graph import _vit_h
+
+    rows = [(1, 0, 7, 0), (1, 1, 9, 0)]  # forced switch, penalty 10
+    r = _vit(spark, rows)[1]
+    assert r["total_cost"] == 10
+    assert r["kh"] == (_vit_h(7, 0) + _vit_h(9, 1)) % (1 << 31)
+    assert r["n_off"] == 0
+
+
+def test_viterbi_off_road_counted(spark):
+    rows = [(1, 0, -1, 1000), (1, 1, 5, 0)]
+    r = _vit(spark, rows)[1]
+    assert r["n_off"] == 1 and r["n_steps"] == 2
+    assert r["total_cost"] == 1000 + 10  # off -> switch to 5
+
+
+def test_viterbi_tie_prefers_stay(spark):
+    from mapnik_vector_tile_spark.operators.graph import _vit_h
+
+    # make switch cost exactly equal to stay: stay must win
+    rows = [
+        (1, 0, 5, 0), (1, 0, 6, 10),  # bp = (0, sid 5)
+        (1, 1, 6, 0),                 # stay from 6: 10; switch from 5: 0+10=10
+    ]
+    r = _vit(spark, rows, C=10)[1]
+    assert r["total_cost"] == 10
+    assert r["kh"] == (_vit_h(6, 0) + _vit_h(6, 1)) % (1 << 31)  # stayed
