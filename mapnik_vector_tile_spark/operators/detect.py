@@ -98,3 +98,77 @@ def nms_boxes(dets: DataFrame, iou_pct: int = 50) -> DataFrame:
             "image_id long, n_dets long, n_kept long, kh long, ka long",
         )
     )
+
+
+def reading_order(dets: DataFrame) -> DataFrame:
+    """Document-AI reading order — sort detection/OCR boxes into
+    line-grouped reading order (the layout-analysis step after NMS in
+    every OCR pipeline: Tesseract/LayoutLM-style top-to-bottom lines,
+    left-to-right within a line).
+
+    Line grouping is the TRANSITIVE CLOSURE of pairwise "same line":
+    two boxes share a line iff their vertical overlap is at least half
+    the SHORTER box's height (2·ov ≥ min(h_a, h_b), inclusive —
+    pinned). Components are labeled with min-det-id roots (the
+    engine's standard CC convention); lines order by (min y0 in line,
+    root id), boxes within a line by (x0, det_id).
+
+    Per-image kernel after one image_id shuffle (k = boxes/page is
+    detector-bounded, the 100 TB axis is page count). Output one row
+    per box: (image_id, det_id, line_no, pos) — per-box witness
+    granularity; the DuckDB twin recomputes the closure with a
+    reachability CTE and independent window ranks."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("det_id", kind="mergesort")
+        ids = pdf["det_id"].to_numpy(np.int64)
+        x0 = pdf["x0"].to_numpy(np.int64)
+        y0 = pdf["y0"].to_numpy(np.int64)
+        y1 = pdf["y1"].to_numpy(np.int64)
+        k = len(ids)
+        h = y1 - y0
+        ov = np.minimum.outer(y1, y1) - np.maximum.outer(y0, y0)
+        same = 2 * ov >= np.minimum.outer(h, h)
+        np.fill_diagonal(same, True)
+        lbl = np.arange(k)
+        while True:
+            new = np.where(same, lbl[None, :], k).min(axis=1)
+            new = np.minimum(new, lbl)
+            if (new == lbl).all():
+                break
+            lbl = new
+        # line sort key: (min y0 in comp, root det_id)
+        miny = np.full(k, np.int64(1) << 60)
+        np.minimum.at(miny, lbl, y0)
+        order = sorted(set(lbl), key=lambda r: (miny[r], ids[r]))
+        line_no = {r: i for i, r in enumerate(order)}
+        rows = sorted(
+            range(k), key=lambda i: (line_no[lbl[i]], x0[i], ids[i])
+        )
+        out_line = np.empty(k, np.int64)
+        out_pos = np.empty(k, np.int64)
+        pos = 0
+        prev_line = -1
+        for i in rows:
+            ln = line_no[lbl[i]]
+            pos = pos + 1 if ln == prev_line else 0
+            prev_line = ln
+            out_line[i] = ln
+            out_pos[i] = pos
+        return pd.DataFrame(
+            {
+                "image_id": pdf["image_id"].to_numpy(),
+                "det_id": ids,
+                "line_no": out_line,
+                "pos": out_pos,
+            }
+        )
+
+    return (
+        dets.select("image_id", "det_id", "x0", "y0", "y1")
+        .groupBy("image_id")
+        .applyInPandas(
+            kernel, "image_id long, det_id long, line_no long, pos long"
+        )
+    )

@@ -86,10 +86,28 @@ def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nms_boxes(dets, NMS_PCT)
 
 
-def _sql_nms(n_imgs: int = NMS_IMGS, pct: int = NMS_PCT) -> str:
+def _nms_det_ctes(n_imgs: int = NMS_IMGS) -> str:
+    """The shared detection-corpus CTE fragment (hh → det0 → det) —
+    used by the NMS twin and the reading-order twin."""
     from mapnik_vector_tile_spark.plans.oracle_pairs import splitmix64_sql
 
     sm = splitmix64_sql("id")
+    return f"""hh AS (
+  SELECT o_orderkey AS id, {sm} AS h FROM orders),
+det0 AS (
+  SELECT id % {n_imgs} AS image_id, id AS det_id,
+         CAST(h % 800 AS BIGINT) AS x0,
+         CAST((h // 4096) % 800 AS BIGINT) AS y0,
+         CAST(16 + (h // 16777216) % 200 AS BIGINT) AS bw,
+         CAST(16 + (h // 68719476736) % 200 AS BIGINT) AS bh,
+         CAST((h // 70368744177664) % 1000000 AS BIGINT) AS score
+  FROM hh),
+det AS (
+  SELECT image_id, det_id, x0, y0, x0 + bw AS x1, y0 + bh AS y1, score
+  FROM det0)"""
+
+
+def _sql_nms(n_imgs: int = NMS_IMGS, pct: int = NMS_PCT) -> str:
     # candidate box pulled from the pack arrays at walk position i+1
     cx0, cy0 = "p.ax0[w.i + 1]", "p.ay0[w.i + 1]"
     cx1, cy1 = "p.ax1[w.i + 1]", "p.ay1[w.i + 1]"
@@ -102,19 +120,7 @@ def _sql_nms(n_imgs: int = NMS_IMGS, pct: int = NMS_PCT) -> str:
            > {pct} * ((w.kx1[j] - w.kx0[j]) * (w.ky1[j] - w.ky0[j])
                       + ({cx1} - {cx0}) * ({cy1} - {cy0}))]) > 0"""
     return f"""
-WITH RECURSIVE hh AS (
-  SELECT o_orderkey AS id, {sm} AS h FROM orders),
-det0 AS (
-  SELECT id % {n_imgs} AS image_id, id AS det_id,
-         CAST(h % 800 AS BIGINT) AS x0,
-         CAST((h // 4096) % 800 AS BIGINT) AS y0,
-         CAST(16 + (h // 16777216) % 200 AS BIGINT) AS bw,
-         CAST(16 + (h // 68719476736) % 200 AS BIGINT) AS bh,
-         CAST((h // 70368744177664) % 1000000 AS BIGINT) AS score
-  FROM hh),
-det AS (
-  SELECT image_id, det_id, x0, y0, x0 + bw AS x1, y0 + bh AS y1, score
-  FROM det0),
+WITH RECURSIVE {_nms_det_ctes(n_imgs)},
 packs AS MATERIALIZED (
   SELECT image_id, COUNT(*) AS n,
          list(x0 ORDER BY score DESC, det_id) AS ax0,
@@ -159,6 +165,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
     return {
         "q_nms": (q_nms, _sql_nms()),
         "q_image_blobs": (q_image_blobs, _sql_image_blobs()),
+        "q_reading_order": (q_reading_order, _sql_reading_order()),
     }
 
 
@@ -231,4 +238,100 @@ SELECT 'img_' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id,
 FROM dims d
 LEFT JOIN ag a ON d.i = a.i
 JOIN caps ON d.i = caps.i
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_reading_order — OCR/document layout line grouping + reading order
+# ---------------------------------------------------------------------------
+
+
+def q_reading_order(spark, sf_dir: str) -> DataFrame:
+    """Reading order (operators/detect.reading_order) over the SAME
+    detection corpus as q_nms, with a FULL per-box oracle: the DuckDB
+    twin recomputes the same-line transitive closure with a
+    reachability CTE (smaller-label propagation) and derives
+    line_no/pos with independent window ranks — per-box witness
+    granularity, any wrong closure edge reorders a whole line."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.detect import reading_order
+
+    det_t = StructType(
+        [
+            StructField("x0", LongType()),
+            StructField("y0", LongType()),
+            StructField("x1", LongType()),
+            StructField("y1", LongType()),
+            StructField("score", LongType()),
+        ]
+    )
+
+    def _det_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        x0 = (h % np.uint64(800)).astype(np.int64)
+        y0 = ((h >> np.uint64(12)) % np.uint64(800)).astype(np.int64)
+        w = (np.uint64(16) + (h >> np.uint64(24)) % np.uint64(200)).astype(
+            np.int64
+        )
+        ht = (np.uint64(16) + (h >> np.uint64(36)) % np.uint64(200)).astype(
+            np.int64
+        )
+        score = ((h >> np.uint64(46)) % np.uint64(1000000)).astype(np.int64)
+        return pd.DataFrame(
+            {"x0": x0, "y0": y0, "x1": x0 + w, "y1": y0 + ht, "score": score}
+        )
+
+    det = F.pandas_udf(_det_kernel, det_t)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("id")
+    )
+    dets = orders.select(
+        (F.col("id") % F.lit(NMS_IMGS)).alias("image_id"),
+        F.col("id").alias("det_id"),
+        det(F.col("id")).alias("d"),
+    ).select("image_id", "det_id", "d.x0", "d.y0", "d.x1", "d.y1")
+    return reading_order(dets)
+
+
+def _sql_reading_order(n_imgs: int = NMS_IMGS) -> str:
+    return f"""
+WITH RECURSIVE {_nms_det_ctes(n_imgs)},
+pairs AS MATERIALIZED (
+  SELECT a.image_id, a.det_id AS s, b.det_id AS d
+  FROM det a JOIN det b
+    ON a.image_id = b.image_id AND a.det_id <> b.det_id
+   AND 2 * (least(a.y1, b.y1) - greatest(a.y0, b.y0))
+       >= least(a.y1 - a.y0, b.y1 - b.y0)),
+reach(image_id, node, r) AS (
+  SELECT image_id, det_id, det_id FROM det
+  UNION
+  SELECT p.image_id, p.s, reach.r
+  FROM pairs p JOIN reach
+    ON reach.image_id = p.image_id AND reach.node = p.d
+  WHERE reach.r < p.s),
+labels AS (
+  SELECT image_id, node AS det_id, MIN(r) AS root
+  FROM reach GROUP BY 1, 2),
+lk AS (
+  SELECT l.image_id, l.root, MIN(d.y0) AS miny
+  FROM labels l JOIN det d
+    ON d.image_id = l.image_id AND d.det_id = l.det_id
+  GROUP BY 1, 2),
+ln AS (
+  SELECT image_id, root,
+         row_number() OVER (PARTITION BY image_id ORDER BY miny, root) - 1
+           AS line_no
+  FROM lk)
+SELECT l.image_id, l.det_id, ln.line_no,
+       row_number() OVER (PARTITION BY l.image_id, ln.line_no
+                          ORDER BY d.x0, l.det_id) - 1 AS pos
+FROM labels l
+JOIN det d ON d.image_id = l.image_id AND d.det_id = l.det_id
+JOIN ln ON ln.image_id = l.image_id AND ln.root = l.root
 """

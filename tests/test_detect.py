@@ -192,3 +192,61 @@ def test_blob_corpus_relax_bound_and_invariants():
             it += 1
         worst = max(worst, it)
     assert worst <= 20, worst
+
+
+# --- reading order (detect.reading_order) ----------------------------------
+
+
+def _ro(spark, rows):
+    from mapnik_vector_tile_spark.operators.detect import reading_order
+
+    df = spark.createDataFrame(
+        rows, "image_id long, det_id long, x0 long, y0 long, x1 long, y1 long"
+    )
+    return {
+        (r["image_id"], r["det_id"]): (r["line_no"], r["pos"])
+        for r in reading_order(df).collect()
+    }
+
+
+def test_reading_order_two_lines(spark):
+    # line 1: boxes at y 0..20; line 2: y 100..120. Within-line order
+    # by x0 regardless of det_id.
+    rows = [
+        (1, 10, 500, 0, 560, 20),   # line 0, x=500 → pos 1
+        (1, 11, 100, 2, 160, 22),   # line 0, x=100 → pos 0
+        (1, 12, 300, 100, 360, 120),  # line 1 → pos 0
+    ]
+    d = _ro(spark, rows)
+    assert d[(1, 11)] == (0, 0)
+    assert d[(1, 10)] == (0, 1)
+    assert d[(1, 12)] == (1, 0)
+
+
+def test_reading_order_transitive_chain(spark):
+    # a tall box bridges two small boxes that do NOT overlap each
+    # other: transitivity must put all three on one line
+    rows = [
+        (1, 1, 0, 0, 50, 20),      # top small
+        (1, 2, 60, 30, 110, 50),   # bottom small — no overlap with 1
+        (1, 3, 120, 0, 170, 50),   # tall, ≥50% overlap with both
+    ]
+    d = _ro(spark, rows)
+    lines = {d[k][0] for k in d}
+    assert lines == {0}
+    # order by x0: 1 (x=0), 2 (x=60), 3 (x=120)
+    assert d[(1, 1)] == (0, 0) and d[(1, 2)] == (0, 1) and d[(1, 3)] == (0, 2)
+
+
+def test_reading_order_half_overlap_boundary(spark):
+    # overlap exactly half the shorter box → SAME line (inclusive pin)
+    rows = [
+        (1, 1, 0, 0, 50, 20),    # h=20
+        (1, 2, 60, 10, 110, 40), # overlap = 10 = h1/2 → 2*10 >= 20 ✓
+    ]
+    d = _ro(spark, rows)
+    assert d[(1, 1)][0] == d[(1, 2)][0]
+    # one pixel less overlap → different lines
+    rows[1] = (1, 2, 60, 11, 110, 41)
+    d = _ro(spark, rows)
+    assert d[(1, 1)][0] != d[(1, 2)][0]
