@@ -1584,3 +1584,65 @@ def blob_stats(images: DataFrame, mod: int = 4) -> DataFrame:
         "image_id string, n_fg long, n_comps long, max_comp long, "
         "ch long, caption string",
     )
+
+
+def raster_downzoom(tiles: DataFrame, tile_size: int) -> DataFrame:
+    """R7 raster overview build — the child→parent pyramid rollup for
+    RASTER tiles (GDAL BuildOverviews / mapnik raster pyramid parity;
+    the raster twin of composite.downzoom_layers): four z children
+    collapse into one z−1 parent, each child box-filtered 2×2 (floor
+    mean — pinned) into its quadrant; absent children leave a zero
+    quadrant.
+
+    Input: (z, x, y, raster) with raster = tile_size² luma bytes.
+    One bounded-fan-in shuffle on the parent key (≤4 rows per group —
+    no skew possible by construction). Output per parent:
+    (z, x, y, occ, px_sum, wsum) where occ = bitmask of present
+    children (bit dy·2+dx), px_sum = Σ parent pixels, and wsum =
+    Σ val·(row·T + col + 1) — the POSITIONAL witness: a quadrant
+    composited at the wrong offset changes wsum even when px_sum
+    survives."""
+    import pandas as pd
+
+    T = tile_size
+    H = T // 2
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, px, py = int(key[0]), int(key[1]), int(key[2])
+        parent = np.zeros((T, T), dtype=np.int64)
+        occ = 0
+        for r in pdf.itertuples():
+            child = np.frombuffer(r.raster, dtype=np.uint8).reshape(T, T)
+            q = (
+                child[0::2, 0::2].astype(np.int64)
+                + child[1::2, 0::2]
+                + child[0::2, 1::2]
+                + child[1::2, 1::2]
+            ) // 4
+            dx, dy = int(r.x) & 1, int(r.y) & 1
+            parent[dy * H : dy * H + H, dx * H : dx * H + H] = q
+            occ |= 1 << (dy * 2 + dx)
+        w = np.arange(1, T * T + 1, dtype=np.int64).reshape(T, T)
+        return pd.DataFrame(
+            [
+                (
+                    z - 1,
+                    px,
+                    py,
+                    occ,
+                    int(parent.sum()),
+                    int((parent * w).sum()),
+                )
+            ],
+            columns=["z", "x", "y", "occ", "px_sum", "wsum"],
+        )
+
+    return (
+        tiles.withColumn("px", F.expr("x div 2"))
+        .withColumn("py", F.expr("y div 2"))
+        .groupBy("z", "px", "py")
+        .applyInPandas(
+            kernel,
+            "z long, x long, y long, occ long, px_sum long, wsum long",
+        )
+    )

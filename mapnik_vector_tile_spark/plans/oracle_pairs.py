@@ -11195,3 +11195,97 @@ JOIN nst n ON n.tid = w.tid AND w.t = n.tmax
 
 
 _ENGINE_PAIRS["q_viterbi_match"] = (q_viterbi_match, _sql_viterbi_match())
+
+
+# ---------------------------------------------------------------------------
+# q_raster_downzoom — R7 raster overview pyramid rollup
+# ---------------------------------------------------------------------------
+
+RDZ_Z = 4
+RDZ_T = 16
+
+
+def q_raster_downzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster child→parent rollup (raster.raster_downzoom) with a FULL
+    oracle: 256 candidate z4 luma tiles, ~25% hash-dropped so zero
+    quadrants and partial occupancy masks are exercised; pixels are
+    the closed-form gradient (r·3 + c·5 + phase) % 256 so DuckDB
+    rebuilds every parent pixel as the floor 2×2 mean and replays
+    px_sum, the POSITIONAL wsum, and the occupancy bitmask."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import raster_downzoom
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = RDZ_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                if h % 4 == 0:
+                    continue
+                phase = h % 251
+                r = np.arange(T, dtype=np.int64)
+                val = (
+                    (r[:, None] * 3 + r[None, :] * 5 + phase) % 256
+                ).astype(np.uint8)
+                rows["z"].append(RDZ_Z)
+                rows["x"].append(i % 16)
+                rows["y"].append(i // 16)
+                rows["raster"].append(val.tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(256).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return raster_downzoom(tiles, T)
+
+
+def _sql_raster_downzoom(t: int = RDZ_T) -> str:
+    sm = splitmix64_sql("i")
+    half = t // 2
+
+    def pixv(rr, cc):
+        return f"((({rr}) * 3 + ({cc}) * 5 + phase) % 256)"
+
+    val = (
+        f"({pixv('2*r2.v', '2*c2.v')} + {pixv('2*r2.v + 1', '2*c2.v')}"
+        f" + {pixv('2*r2.v', '2*c2.v + 1')}"
+        f" + {pixv('2*r2.v + 1', '2*c2.v + 1')}) // 4"
+    )
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 255)) AS i),
+hh AS (SELECT i, {sm} AS h FROM ids),
+pres AS (
+  SELECT CAST(i % 16 AS BIGINT) AS x, CAST(i // 16 AS BIGINT) AS y,
+         CAST(h % 251 AS BIGINT) AS phase
+  FROM hh WHERE h % 4 <> 0),
+pq AS (
+  SELECT x // 2 AS px, y // 2 AS py, x % 2 AS dx, y % 2 AS dy,
+         r2.v AS r2, c2.v AS c2, {val} AS val
+  FROM pres
+  CROSS JOIN (SELECT unnest(generate_series(0, {half - 1})) AS v) r2
+  CROSS JOIN (SELECT unnest(generate_series(0, {half - 1})) AS v) c2),
+ag AS (
+  SELECT px, py, CAST(SUM(val) AS BIGINT) AS px_sum,
+         CAST(SUM(val * ((dy * {half} + r2) * {t}
+                         + (dx * {half} + c2) + 1)) AS BIGINT) AS wsum
+  FROM pq GROUP BY px, py),
+oc AS (
+  SELECT x // 2 AS px, y // 2 AS py,
+         CAST(SUM(1 << ((y % 2) * 2 + (x % 2))) AS BIGINT) AS occ
+  FROM pres GROUP BY 1, 2)
+SELECT CAST({RDZ_Z - 1} AS BIGINT) AS z, CAST(o.px AS BIGINT) AS x,
+       CAST(o.py AS BIGINT) AS y, o.occ, a.px_sum, a.wsum
+FROM oc o JOIN ag a ON a.px = o.px AND a.py = o.py
+"""
+
+
+_ENGINE_PAIRS["q_raster_downzoom"] = (
+    q_raster_downzoom,
+    _sql_raster_downzoom(),
+)

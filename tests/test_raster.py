@@ -861,3 +861,54 @@ def test_template_match_exact_patch(spark):
     # SAD = sum over 6x6 of (tx*7+ty*11) % 43
     want = sum((tx * 7 + ty * 11) % 43 for ty in range(6) for tx in range(6))
     assert r["best_sad"] == want
+
+
+# --- R7 raster downzoom ----------------------------------------------------
+
+
+def test_raster_downzoom_quadrants_and_floor_mean(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import raster_downzoom
+
+    T = 4
+    # child (0,0): all 5s -> quarter all 5s in top-left quadrant
+    c00 = np.full((T, T), 5, np.uint8).tobytes()
+    # child (1,0): 2x2 blocks [0,1,2,3] -> floor mean (0+1+2+3)//4 = 1
+    v = np.zeros((T, T), np.uint8)
+    v[0::2, 0::2] = 0
+    v[0::2, 1::2] = 1
+    v[1::2, 0::2] = 2
+    v[1::2, 1::2] = 3
+    c10 = v.tobytes()
+    df = spark.createDataFrame(
+        [(3, 0, 0, bytearray(c00)), (3, 1, 0, bytearray(c10))],
+        "z long, x long, y long, raster binary",
+    )
+    r = raster_downzoom(df, T).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["z"], row["x"], row["y"]) == (2, 0, 0)
+    assert row["occ"] == 0b0011  # children (dx=0,dy=0) and (dx=1,dy=0)
+    # top-left quadrant: 4 pixels of 5; top-right: 4 pixels of 1
+    assert row["px_sum"] == 4 * 5 + 4 * 1
+    # positional weights (T=4): TL cells (r,c) in {0,1}x{0,1} ->
+    # w = r*4+c+1 in {1,2,5,6}; TR cells c in {2,3} -> w in {3,4,7,8}
+    assert row["wsum"] == 5 * (1 + 2 + 5 + 6) + 1 * (3 + 4 + 7 + 8)
+
+
+def test_raster_downzoom_missing_children_zero(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import raster_downzoom
+
+    T = 4
+    only = np.full((T, T), 8, np.uint8).tobytes()
+    df = spark.createDataFrame(
+        [(5, 3, 3, bytearray(only))],  # dx=1, dy=1 -> bottom-right quadrant
+        "z long, x long, y long, raster binary",
+    )
+    row = raster_downzoom(df, T).collect()[0]
+    assert (row["z"], row["x"], row["y"]) == (4, 1, 1)
+    assert row["occ"] == 0b1000
+    assert row["px_sum"] == 4 * 8
