@@ -11289,3 +11289,123 @@ _ENGINE_PAIRS["q_raster_downzoom"] = (
     q_raster_downzoom,
     _sql_raster_downzoom(),
 )
+
+
+# ---------------------------------------------------------------------------
+# q_raster_composite — R8 Porter-Duff OVER raster compositing
+# ---------------------------------------------------------------------------
+
+RCO_Z = 3
+RCO_T = 16
+
+
+def q_raster_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Porter-Duff OVER (raster.raster_composite_over) with a FULL
+    oracle: 64 tiles × 1-3 stacked gradient layers (per-layer luma and
+    alpha phases hash-derived); DuckDB unrolls the non-commutative
+    bottom-up fold with the same pixman div255 rounding per pixel —
+    the positional wsum catches any wrong layer order."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        raster_composite_over,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = RCO_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {
+                "z": [], "x": [], "y": [], "layer_order": [], "raster": [],
+            }
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                n = 1 + h % 3
+                r = np.arange(T, dtype=np.int64)
+                for l in range(n):
+                    pl = (h >> (8 * l)) % 251
+                    pa = (h >> (8 * l + 4)) % 251
+                    lum = (
+                        (r[:, None] * 3 + r[None, :] * 5 + pl) % 256
+                    ).astype(np.uint8)
+                    alp = (
+                        (r[:, None] * 7 + r[None, :] * 11 + pa) % 256
+                    ).astype(np.uint8)
+                    la = np.stack([lum, alp], axis=-1)
+                    rows["z"].append(RCO_Z)
+                    rows["x"].append(i % 8)
+                    rows["y"].append(i // 8)
+                    rows["layer_order"].append(l)
+                    rows["raster"].append(la.tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(64).mapInPandas(
+        gen, "z long, x long, y long, layer_order long, raster binary"
+    )
+    return raster_composite_over(tiles, T)
+
+
+def _sql_raster_composite(t: int = RCO_T) -> str:
+    sm = splitmix64_sql("i")
+
+    def d255(e):
+        return f"((({e}) + 128 + ((({e}) + 128) // 256)) // 256)"
+
+    def lum(l):
+        return f"((r.v * 3 + c.v * 5 + p{l}) % 256)"
+
+    def alp(l):
+        return f"((r.v * 7 + c.v * 11 + q{l}) % 256)"
+
+    # unrolled bottom-up fold over up to 3 layers
+    o1 = d255(f"{lum(0)} * {alp(0)}")
+    a1 = alp(0)
+    o2 = (
+        f"CASE WHEN n > 1 THEN {d255(f'{lum(1)} * {alp(1)}')}"
+        f" + {d255(f'({o1}) * (255 - {alp(1)})')} ELSE {o1} END"
+    )
+    a2 = (
+        f"CASE WHEN n > 1 THEN {alp(1)}"
+        f" + {d255(f'({a1}) * (255 - {alp(1)})')} ELSE {a1} END"
+    )
+    o3 = (
+        f"CASE WHEN n > 2 THEN {d255(f'{lum(2)} * {alp(2)}')}"
+        f" + {d255(f'({o2}) * (255 - {alp(2)})')} ELSE {o2} END"
+    )
+    a3 = (
+        f"CASE WHEN n > 2 THEN {alp(2)}"
+        f" + {d255(f'({a2}) * (255 - {alp(2)})')} ELSE {a2} END"
+    )
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+hh AS (
+  SELECT i, CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y,
+         CAST(1 + ({sm}) % 3 AS BIGINT) AS n,
+         CAST(({sm}) % 251 AS BIGINT) AS p0,
+         CAST((({sm}) // 256) % 251 AS BIGINT) AS p1,
+         CAST((({sm}) // 65536) % 251 AS BIGINT) AS p2,
+         CAST((({sm}) // 16) % 251 AS BIGINT) AS q0,
+         CAST((({sm}) // 4096) % 251 AS BIGINT) AS q1,
+         CAST((({sm}) // 1048576) % 251 AS BIGINT) AS q2
+  FROM ids),
+px AS (
+  SELECT x, y, n, r.v AS rv, c.v AS cv,
+         CAST({o3} AS BIGINT) AS ol, CAST({a3} AS BIGINT) AS oa
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c)
+SELECT CAST({RCO_Z} AS BIGINT) AS z, x, y, n AS n_layers,
+       CAST(SUM(ol) AS BIGINT) AS sum_l,
+       CAST(SUM(oa) AS BIGINT) AS sum_a,
+       CAST(SUM(ol * (rv * {t} + cv + 1)) AS BIGINT) AS wsum
+FROM px GROUP BY x, y, n
+"""
+
+
+_ENGINE_PAIRS["q_raster_composite"] = (
+    q_raster_composite,
+    _sql_raster_composite(),
+)

@@ -912,3 +912,51 @@ def test_raster_downzoom_missing_children_zero(spark):
     assert (row["z"], row["x"], row["y"]) == (4, 1, 1)
     assert row["occ"] == 0b1000
     assert row["px_sum"] == 4 * 8
+
+
+# --- R8 Porter-Duff over compositing ---------------------------------------
+
+
+def _ovr(spark, layers, T=2):
+    """layers: list of (order, luma, alpha) flat constants."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        raster_composite_over,
+    )
+
+    rows = []
+    for order, lum, alp in layers:
+        la = np.stack(
+            [np.full((T, T), lum, np.uint8), np.full((T, T), alp, np.uint8)],
+            axis=-1,
+        )
+        rows.append((0, 0, 0, order, bytearray(la.tobytes())))
+    df = spark.createDataFrame(
+        rows, "z long, x long, y long, layer_order long, raster binary"
+    )
+    return raster_composite_over(df, T).collect()[0]
+
+
+def test_over_opaque_top_wins(spark):
+    # opaque top layer completely hides the bottom
+    r = _ovr(spark, [(0, 200, 255), (1, 40, 255)])
+    # prem(40,255) = round(40*255/255) = 40 per pixel; alpha 255
+    assert r["sum_l"] == 40 * 4 and r["sum_a"] == 255 * 4
+
+
+def test_over_transparent_top_noop(spark):
+    r = _ovr(spark, [(0, 200, 255), (1, 123, 0)])
+    assert r["sum_l"] == 200 * 4 and r["sum_a"] == 255 * 4
+
+
+def test_over_half_alpha_rounding(spark):
+    # single layer, alpha 128: prem = round(100*128/255) = round(50.19) = 50
+    r = _ovr(spark, [(0, 100, 128)])
+    assert r["sum_l"] == 50 * 4 and r["sum_a"] == 128 * 4
+
+
+def test_over_not_commutative(spark):
+    a = _ovr(spark, [(0, 200, 128), (1, 40, 128)])
+    b = _ovr(spark, [(0, 40, 128), (1, 200, 128)])
+    assert a["sum_l"] != b["sum_l"]  # OVER order matters
