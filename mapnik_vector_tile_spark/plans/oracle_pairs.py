@@ -11409,3 +11409,91 @@ _ENGINE_PAIRS["q_raster_composite"] = (
     q_raster_composite,
     _sql_raster_composite(),
 )
+
+
+# ---------------------------------------------------------------------------
+# q_terrain_rgb — R9 Mapbox Terrain-RGB codec + DEM summary
+# ---------------------------------------------------------------------------
+
+TER_Z = 5
+TER_T = 16
+
+
+def q_terrain_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain-RGB (raster.terrain_rgb_encode/decode →
+    terrain_tiles_stats) with a FULL oracle: 100 tiles of the
+    closed-form surface e_dm = ((r·13 + c·7 + phase) % 40001) − 10000
+    are ENCODED to spec RGB bytes, shipped as tile rasters, decoded,
+    and summarized; DuckDB replays the surface directly — the
+    encode∘decode identity (lossless by construction) plus min/max/
+    sum/roughness all sit under one hash."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        terrain_rgb_encode,
+        terrain_tiles_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = TER_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                phase = h % 100003
+                r = np.arange(T, dtype=np.int64)
+                e = ((r[:, None] * 13 + r[None, :] * 7 + phase) % 40001) - 10000
+                rows["z"].append(TER_Z)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(terrain_rgb_encode(e).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return terrain_tiles_stats(tiles, T)
+
+
+def _sql_terrain_rgb(t: int = TER_T) -> str:
+    sm = splitmix64_sql("i")
+    e = "(((r.v * 13 + c.v * 7 + phase) % 40001) - 10000)"
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
+hh AS (
+  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
+         CAST(({sm}) % 100003 AS BIGINT) AS phase
+  FROM ids),
+px AS (
+  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
+dx AS (
+  SELECT a.x, a.y, SUM(ABS(b.e - a.e)) AS rough_x
+  FROM px a JOIN px b
+    ON b.x = a.x AND b.y = a.y AND b.rv = a.rv AND b.cv = a.cv + 1
+  GROUP BY a.x, a.y),
+dy AS (
+  SELECT a.x, a.y, SUM(ABS(b.e - a.e)) AS rough_y
+  FROM px a JOIN px b
+    ON b.x = a.x AND b.y = a.y AND b.cv = a.cv AND b.rv = a.rv + 1
+  GROUP BY a.x, a.y)
+SELECT CAST({TER_Z} AS BIGINT) AS z, p.x, p.y,
+       CAST(MIN(p.e) AS BIGINT) AS min_dm,
+       CAST(MAX(p.e) AS BIGINT) AS max_dm,
+       CAST(SUM(p.e) AS BIGINT) AS sum_dm,
+       CAST(MIN(dx.rough_x) AS BIGINT) AS rough_x,
+       CAST(MIN(dy.rough_y) AS BIGINT) AS rough_y
+FROM px p
+JOIN dx ON dx.x = p.x AND dx.y = p.y
+JOIN dy ON dy.x = p.x AND dy.y = p.y
+GROUP BY p.x, p.y
+"""
+
+
+_ENGINE_PAIRS["q_terrain_rgb"] = (q_terrain_rgb, _sql_terrain_rgb())

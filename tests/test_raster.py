@@ -960,3 +960,35 @@ def test_over_not_commutative(spark):
     a = _ovr(spark, [(0, 200, 128), (1, 40, 128)])
     b = _ovr(spark, [(0, 40, 128), (1, 200, 128)])
     assert a["sum_l"] != b["sum_l"]  # OVER order matters
+
+
+# --- R9 Terrain-RGB --------------------------------------------------------
+
+
+def test_terrain_rgb_spec_values():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        terrain_rgb_decode,
+        terrain_rgb_encode,
+    )
+
+    # spec: elevation = -10000 + value*0.1 → 0 m = value 100000
+    rgb = terrain_rgb_encode(np.array([0]))
+    assert rgb.tolist() == [[1, 134, 160]]  # 100000 = 0x0186A0
+    assert terrain_rgb_decode(rgb).tolist() == [0]
+    # Everest-ish 8848.6 m = 88486 dm; deepest trench -10911 m
+    for dm in (88486, -109110 // 10, -100000, (1 << 24) - 100001):
+        assert terrain_rgb_decode(terrain_rgb_encode(np.array([dm])))[0] == dm
+
+
+def test_terrain_rgb_range_guard():
+    import numpy as np
+    import pytest as _pytest
+
+    from mapnik_vector_tile_spark.operators.raster import terrain_rgb_encode
+
+    with _pytest.raises(ValueError):
+        terrain_rgb_encode(np.array([-100001]))
+    with _pytest.raises(ValueError):
+        terrain_rgb_encode(np.array([1 << 24]))
