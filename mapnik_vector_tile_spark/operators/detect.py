@@ -172,3 +172,85 @@ def reading_order(dets: DataFrame) -> DataFrame:
             kernel, "image_id long, det_id long, line_no long, pos long"
         )
     )
+
+
+EVAL_SCALE_BITS = 34  # floor-scaled IoU argmax key: exact for
+# union <= 2^17 (boxes up to ~360 px on a side) — distinct IoU
+# fractions differ by >= 1/(u_a*u_b) > 2^-34, so scaled-key equality
+# is exact equality (same argument as the snap join / Otsu argmax)
+
+
+def match_detections(
+    preds: DataFrame, gts: DataFrame, iou_pct: int = 50
+) -> DataFrame:
+    """Detection evaluation — greedy IoU matching of predictions to
+    ground truth, the TP-assignment step of VOC/COCO mAP: predictions
+    in score-DESC/id-ASC order each claim the UNMATCHED ground-truth
+    box of highest IoU strictly above `iou_pct`/100 (tie → smallest
+    gt_id); claimed boxes leave the pool.
+
+    Both the threshold test and the arg-max are division-free:
+    threshold as in NMS (inter·(100+pct) > pct·(areaP+areaG)); the
+    arg-max via the floor-scaled key (inter << 34) // union, exact by
+    the min-gap argument above.
+
+    preds: (image_id, det_id, x0, y0, x1, y1, score);
+    gts: (image_id, gt_id, x0, y0, x1, y1).
+    Output per image: (image_id, n_pred, n_gt, tp, mh) with
+    mh = Σ over matches ((det_id·31 + gt_id)·2654435761 mod 2³¹) —
+    pair-sensitive, so a swapped assignment changes it even at equal
+    TP count. One image_id shuffle; O(k_p·k_g) per image, detector-
+    bounded."""
+    import pandas as pd
+
+    pct = int(iou_pct)
+
+    def cokernel(key, pp: pd.DataFrame, gg: pd.DataFrame) -> pd.DataFrame:
+        image_id = int(key[0])
+        pp = pp.sort_values(
+            ["score", "det_id"], ascending=[False, True], kind="mergesort"
+        )
+        gx0 = gg["x0"].to_numpy(np.int64)
+        gy0 = gg["y0"].to_numpy(np.int64)
+        gx1 = gg["x1"].to_numpy(np.int64)
+        gy1 = gg["y1"].to_numpy(np.int64)
+        gid = gg["gt_id"].to_numpy(np.int64)
+        garea = (gx1 - gx0) * (gy1 - gy0)
+        taken = np.zeros(len(gid), dtype=bool)
+        tp = 0
+        mh = 0
+        for r in pp.itertuples():
+            parea = (r.x1 - r.x0) * (r.y1 - r.y0)
+            iw = np.minimum(gx1, r.x1) - np.maximum(gx0, r.x0)
+            ih = np.minimum(gy1, r.y1) - np.maximum(gy0, r.y0)
+            inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+            ok = (
+                (~taken)
+                & (inter * (100 + pct) > pct * (garea + parea))
+            )
+            if not ok.any():
+                continue
+            union = garea + parea - inter
+            key_s = np.where(
+                ok, (inter << EVAL_SCALE_BITS) // np.maximum(union, 1), -1
+            )
+            best = np.lexsort((gid, -key_s))[0]
+            taken[best] = True
+            tp += 1
+            mh = (
+                mh
+                + ((r.det_id * 31 + int(gid[best])) * _PH) % _PH_MOD
+            ) % _PH_MOD
+        return pd.DataFrame(
+            [(image_id, len(pp), len(gg), tp, mh)],
+            columns=["image_id", "n_pred", "n_gt", "tp", "mh"],
+        )
+
+    return (
+        preds.groupBy("image_id")
+        .cogroup(gts.groupBy("image_id"))
+        .applyInPandas(
+            cokernel,
+            "image_id long, n_pred long, n_gt long, tp long, mh long",
+        )
+    )

@@ -250,3 +250,57 @@ def test_reading_order_half_overlap_boundary(spark):
     rows[1] = (1, 2, 60, 11, 110, 41)
     d = _ro(spark, rows)
     assert d[(1, 1)][0] != d[(1, 2)][0]
+
+
+# --- detection evaluation (detect.match_detections) ------------------------
+
+
+def _eval(spark, preds, gts, pct=50):
+    from mapnik_vector_tile_spark.operators.detect import match_detections
+
+    p = spark.createDataFrame(
+        preds,
+        "image_id long, det_id long, x0 long, y0 long, x1 long, y1 long, "
+        "score long",
+    )
+    g = spark.createDataFrame(
+        gts, "image_id long, gt_id long, x0 long, y0 long, x1 long, y1 long"
+    )
+    return {r["image_id"]: r for r in match_detections(p, g, pct).collect()}
+
+
+def test_eval_exact_match_and_double_claim(spark):
+    # two preds both over one GT: only the higher-score one claims it
+    preds = [
+        (1, 1, 0, 0, 100, 100, 900),
+        (1, 2, 0, 0, 100, 100, 800),
+    ]
+    gts = [(1, 7, 0, 0, 100, 100)]
+    r = _eval(spark, preds, gts)[1]
+    assert (r["tp"], r["n_pred"], r["n_gt"]) == (1, 2, 1)
+    assert r["mh"] == ((1 * 31 + 7) * 2654435761) % (1 << 31)
+
+
+def test_eval_picks_highest_iou_gt(spark):
+    preds = [(1, 1, 0, 0, 100, 100, 900)]
+    gts = [
+        (1, 5, 0, 0, 100, 50),    # IoU 0.5
+        (1, 6, 0, 0, 100, 90),    # IoU 0.9 — should be claimed
+    ]
+    r = _eval(spark, preds, gts)[1]
+    assert r["tp"] == 1
+    assert r["mh"] == ((1 * 31 + 6) * 2654435761) % (1 << 31)
+
+
+def test_eval_threshold_strict(spark):
+    # IoU exactly 0.5 is NOT a match (strict >)
+    preds = [(1, 1, 0, 0, 100, 100, 900)]
+    gts = [(1, 5, 0, 0, 100, 50)]
+    r = _eval(spark, preds, gts)[1]
+    assert r["tp"] == 0 and r["mh"] == 0
+
+
+def test_eval_no_gt_image(spark):
+    r = _eval(spark, [(1, 1, 0, 0, 10, 10, 5)], [(2, 9, 0, 0, 10, 10)])
+    assert r[1]["tp"] == 0 and r[1]["n_gt"] == 0
+    assert r[2]["n_pred"] == 0 and r[2]["n_gt"] == 1
