@@ -206,3 +206,97 @@ def geofence_transitions(
         "cx",
         "cy",
     )
+
+
+KING = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
+_DB_M = 1 << 21  # cell-id packing stride (cx·M + cy, coords >= 0)
+
+
+def grid_dbscan(cells: DataFrame, min_pts: int) -> DataFrame:
+    """ST3 grid DBSCAN — the cluster-markers operator every web map
+    ships (supercluster/Leaflet.markercluster shape) and the standard
+    cell-based DBSCAN approximation: a cell is CORE iff its count ≥
+    min_pts; clusters are connected components of king-adjacent core
+    cells; an occupied non-core cell is BORDER iff it touches a core
+    cell (assigned to the minimum adjacent cluster rep — pinned),
+    else NOISE.
+
+    Distribution: the core-cell CC rides the engine's
+    dedup.connected_components (pointer-doubling min-label, O(log d)
+    shuffle rounds); adjacency is the 4-positive-offset equi-join
+    (cid strictly increases along those offsets, giving doc_a <
+    doc_b for free); border assignment is one more equi-join. Cell
+    coords must be ≥ 0 (tile-grid convention).
+
+    Output per occupied cell: (cx, cy, c, role, rep) with role
+    2=core / 1=border / 0=noise and rep = packed min-cell-id of the
+    cluster (−1 for noise)."""
+    from mapnik_vector_tile_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cid = (F.col("cx") * F.lit(_DB_M) + F.col("cy")).alias("cid")
+    core = cells.filter(F.col("c") >= min_pts).select(
+        "cx", "cy", "c", cid
+    )
+    pos_offs = ((1, 0), (0, 1), (1, 1), (1, -1))
+    probes = core.select(
+        F.col("cid").alias("doc_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in pos_offs
+                ]
+            )
+        ).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    ).select("doc_a", "nx", "ny")
+    nbr = core.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("cid").alias("doc_b"),
+    )
+    edges = probes.join(nbr, ["nx", "ny"]).select("doc_a", "doc_b")
+    cc = connected_components(edges).select(
+        F.col("doc_id").alias("cid"), F.col("cluster_rep").alias("rep")
+    )
+    core_lbl = core.join(cc, "cid", "left").select(
+        "cx", "cy", "c",
+        F.coalesce(F.col("rep"), F.col("cid")).alias("rep"),
+        F.lit(2).cast("long").alias("role"),
+    )
+    # border: occupied non-core adjacent (8-neighborhood) to a core cell
+    noncore = cells.filter(F.col("c") < min_pts)
+    nprobe = noncore.select(
+        "cx", "cy", "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in KING
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "cx", "cy", "c",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    core_pos = core_lbl.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("rep").alias("nrep"),
+    )
+    border = (
+        nprobe.join(core_pos, ["nx", "ny"])
+        .groupBy("cx", "cy", "c")
+        .agg(F.min("nrep").alias("rep"))
+        .select("cx", "cy", "c", "rep", F.lit(1).cast("long").alias("role"))
+    )
+    noise = noncore.join(
+        border.select("cx", "cy"), ["cx", "cy"], "left_anti"
+    ).select(
+        "cx", "cy", "c", F.lit(-1).cast("long").alias("rep"),
+        F.lit(0).cast("long").alias("role"),
+    )
+    return core_lbl.unionByName(border).unionByName(noise)

@@ -11497,3 +11497,88 @@ GROUP BY p.x, p.y
 
 
 _ENGINE_PAIRS["q_terrain_rgb"] = (q_terrain_rgb, _sql_terrain_rgb())
+
+
+# ---------------------------------------------------------------------------
+# q_grid_dbscan — ST3 cluster-markers / grid DBSCAN over the z5 grid
+# ---------------------------------------------------------------------------
+
+DB_MINPTS = 4
+_DB_M = 1 << 21
+
+
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN (geostats.grid_dbscan) over the same z5 occupancy
+    grid as Moran's I, min_pts=4, with a FULL per-cell oracle: the
+    DuckDB twin recomputes the core-cell connected components with a
+    reachability CTE (smaller-label propagation over king adjacency)
+    and replays the border min-rep assignment — role and rep per
+    occupied cell."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.geostats import grid_dbscan
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    span = 2.0 * W / (1 << MI_Z)
+    cells = pts.select(
+        F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
+        .cast("long")
+        .alias("cx"),
+        F.floor((F.lit(W) - F.col("my")) / F.lit(span))
+        .cast("long")
+        .alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return grid_dbscan(cells, DB_MINPTS)
+
+
+def _sql_grid_dbscan(z: int = MI_Z, min_pts: int = DB_MINPTS) -> str:
+    txe, tye = S.tile_xy_exprs(z)
+    return f"""
+WITH RECURSIVE {S.point_cte('orders', 'o_orderkey')},
+cells AS (
+  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2),
+core AS (
+  SELECT cx, cy, c, cx * {_DB_M} + cy AS cid
+  FROM cells WHERE c >= {min_pts}),
+edges AS (
+  SELECT a.cid AS s, b.cid AS d
+  FROM core a
+  CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1),
+                     (1,1),(1,-1),(-1,1),(-1,-1)) o(dx, dy)
+  JOIN core b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+reach(node, r) AS (
+  SELECT cid, cid FROM core
+  UNION
+  SELECT e.s, reach.r FROM edges e
+  JOIN reach ON reach.node = e.d
+  WHERE reach.r < e.s),
+lbl AS (SELECT node AS cid, MIN(r) AS rep FROM reach GROUP BY node),
+corel AS (
+  SELECT c.cx, c.cy, c.c, l.rep, CAST(2 AS BIGINT) AS role
+  FROM core c JOIN lbl l ON l.cid = c.cid),
+noncore AS (SELECT cx, cy, c FROM cells WHERE c < {min_pts}),
+border AS (
+  SELECT n.cx, n.cy, n.c, MIN(k.rep) AS rep, CAST(1 AS BIGINT) AS role
+  FROM noncore n
+  CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1),
+                     (1,1),(1,-1),(-1,1),(-1,-1)) o(dx, dy)
+  JOIN corel k ON k.cx = n.cx + o.dx AND k.cy = n.cy + o.dy
+  GROUP BY n.cx, n.cy, n.c),
+noise AS (
+  SELECT n.cx, n.cy, n.c, CAST(-1 AS BIGINT) AS rep,
+         CAST(0 AS BIGINT) AS role
+  FROM noncore n
+  WHERE NOT EXISTS (SELECT 1 FROM border b
+                    WHERE b.cx = n.cx AND b.cy = n.cy))
+SELECT cx, cy, c, rep, role FROM corel
+UNION ALL SELECT cx, cy, c, rep, role FROM border
+UNION ALL SELECT cx, cy, c, rep, role FROM noise
+"""
+
+
+_ENGINE_PAIRS["q_grid_dbscan"] = (q_grid_dbscan, _sql_grid_dbscan())

@@ -764,3 +764,28 @@ def test_segment_intersect_cases(spark):
     assert out[(6, 7)] == 0          # collinear overlap
     assert (1, 4) not in out and (7, 8) not in out and (6, 8) not in out
     assert (2, 3) not in out
+
+
+def test_grid_dbscan_roles(spark):
+    from mapnik_vector_tile_spark.operators.geostats import grid_dbscan
+
+    M = 1 << 21
+    cells = [
+        # core blob: two adjacent dense cells
+        (10, 10, 9), (11, 10, 9),
+        # border: occupied, sparse, touches core diagonally
+        (9, 9, 1),
+        # noise: occupied, sparse, isolated
+        (50, 50, 2),
+        # second isolated core cell -> its own cluster
+        (30, 30, 7),
+    ]
+    df = spark.createDataFrame(cells, "cx long, cy long, c long")
+    out = {(r["cx"], r["cy"]): r for r in grid_dbscan(df, 4).collect()}
+    rep_main = 10 * M + 10
+    assert out[(10, 10)]["role"] == 2 and out[(10, 10)]["rep"] == rep_main
+    assert out[(11, 10)]["role"] == 2 and out[(11, 10)]["rep"] == rep_main
+    assert out[(9, 9)]["role"] == 1 and out[(9, 9)]["rep"] == rep_main
+    assert out[(50, 50)]["role"] == 0 and out[(50, 50)]["rep"] == -1
+    assert out[(30, 30)]["role"] == 2 and out[(30, 30)]["rep"] == 30 * M + 30
+    assert len(out) == 5
