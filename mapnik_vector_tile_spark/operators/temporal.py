@@ -328,3 +328,63 @@ def staypoints(
         .groupBy(user_col)
         .applyInPandas(kernel, schema)
     )
+
+
+def gap_fill(events: DataFrame, interval_s: int = 600) -> DataFrame:
+    """W9 regular-grid gap fill (telemetry resampling): emit one row
+    per `interval_s`-aligned tick inside each user's [min ts, max ts]
+    span, carrying the latest event value at or before the tick
+    (forward fill) — the downsample-to-regular-grid every metrics
+    store performs (`date_bin` + `locf`).
+
+    Exactness pins: timestamps truncate to whole epoch seconds in
+    BOTH engines before anything else; the merged (events ∪ ticks)
+    stream orders by (t, is_tick, event_id) so an event landing
+    exactly ON a tick is included in that tick's fill and same-second
+    events resolve by event id; the fill itself is ONE window pass
+    (struct-last over the merged run — the asof_join pattern), and
+    values pass through untouched (no float arithmetic → doubles
+    hash bit-exactly).
+
+    Scale: the merged stream shuffles once on user_id; ticks are
+    generated by a bounded sequence explode (span/interval rows per
+    user), never driver-side. Output (user_id, tick, value)."""
+    ev = events.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+        F.lit(0).alias("is_tick"),
+    )
+    bounds = events.groupBy("user_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("t0"),
+        F.unix_timestamp(F.max("ts")).alias("t1"),
+    )
+    ticks = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                -F.floor(-F.col("t0") / F.lit(interval_s)).cast("long"),
+                F.floor(F.col("t1") / F.lit(interval_s)).cast("long"),
+            )
+        ).alias("k"),
+    ).select(
+        "user_id",
+        (F.col("k") * F.lit(interval_s)).alias("t"),
+        F.lit(None).cast("long").alias("eid"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_tick"),
+    )
+    merged = ev.unionByName(ticks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_tick", "eid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.select(
+        "user_id", "t", "is_tick",
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+    )
+    return filled.filter(F.col("is_tick") == 1).select(
+        "user_id", F.col("t").alias("tick"), "value"
+    )

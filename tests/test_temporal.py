@@ -201,3 +201,32 @@ def test_staypoints_greedy_semantics(spark):
     s = out[(1, 0)]
     assert s["n_pts"] == 4 and s["dur_us"] == 300 and s["t0"] == 0
     assert (s["sx"], s["sy"]) == (2, 2)
+
+
+def test_gap_fill_ffill_and_on_tick_event(spark):
+    from datetime import datetime
+
+    from mapnik_vector_tile_spark.operators.temporal import gap_fill
+
+    rows = [
+        # user 1: events at 00:05 (v=1.5) and 00:25 (v=7.0)
+        (1, 1, datetime(2024, 1, 1, 0, 5, 0), 1.5),
+        (2, 1, datetime(2024, 1, 1, 0, 25, 0), 7.0),
+        # user 2: single event exactly ON a tick boundary
+        (3, 2, datetime(2024, 1, 1, 0, 10, 0), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        (r["user_id"], r["tick"]): r["value"]
+        for r in gap_fill(df, 600).collect()
+    }
+    base = int(datetime(2024, 1, 1).timestamp())
+    # user 1 ticks: 00:10 and 00:20 (span 00:05..00:25)
+    assert out[(1, base + 600)] == 1.5
+    assert out[(1, base + 1200)] == 1.5
+    assert (1, base + 1800) not in out  # 00:30 past max ts
+    # user 2: tick == event ts -> event included in its own tick
+    assert out[(2, base + 600)] == 9.0
+    assert len(out) == 3
