@@ -300,3 +300,37 @@ def grid_dbscan(cells: DataFrame, min_pts: int) -> DataFrame:
         F.lit(0).cast("long").alias("role"),
     )
     return core_lbl.unionByName(border).unionByName(noise)
+
+
+def cotravel_pairs(located: DataFrame, min_co: int = 3) -> DataFrame:
+    """ST4 co-travel / co-location detection — find user pairs that
+    were in the same spatio-temporal bucket at least `min_co`
+    distinct times (the classic co-occurrence mining shape: contact
+    tracing, ride-sharing detection, account-linking).
+
+    located: (user_id, tb, cx, cy) — time-bucketed cell visits.
+    Distinct-ify first (a user camping in one bucket counts ONCE),
+    then one self-equi-join on the full bucket key with user_a <
+    user_b and a count-filter — exactly the banded-LSH candidate
+    shape, and like the LSH joins the residual risk is a hot bucket
+    (a stadium cell-hour with m users → m² pairs); the same
+    frequent-bucket cap strategy applies at planetary scale.
+
+    Output: (ua, ub, n_co) for pairs with n_co ≥ min_co."""
+    v = located.select("user_id", "tb", "cx", "cy").distinct()
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tb") == F.col("b.tb"))
+            & (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= min_co)
+    )

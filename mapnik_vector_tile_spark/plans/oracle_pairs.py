@@ -11634,3 +11634,72 @@ FROM filled WHERE is_tick = 1
 
 
 _ENGINE_PAIRS["q_gap_fill"] = (q_gap_fill, _sql_gap_fill())
+
+
+# ---------------------------------------------------------------------------
+# q_cotravel — ST4 co-location pair mining over bucketed visits
+# ---------------------------------------------------------------------------
+
+CT_GRID = 4
+CT_MIN = 3
+
+
+def q_cotravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-travel detection (geostats.cotravel_pairs) with a FULL
+    oracle: visits = (user, hour bucket, splitmix 4-grid cell) from
+    events; both engines distinct-ify, self-join on the bucket key
+    and keep pairs with ≥3 distinct co-visits."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.geostats import cotravel_pairs
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(CT_GRID)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(CT_GRID)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(3600.0)).cast("long").alias(
+            "tb"
+        ),
+        ck(F.col("event_id")).alias("c"),
+    ).select("user_id", "tb", "c.cx", "c.cy")
+    return cotravel_pairs(loc, CT_MIN)
+
+
+def _sql_cotravel(grid: int = CT_GRID, min_co: int = CT_MIN) -> str:
+    h = splitmix64_sql("event_id")
+    return f"""
+WITH loc AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / {S.flit(3600.0)}) AS BIGINT) AS tb,
+         CAST(({h}) % {grid} AS BIGINT) AS cx,
+         CAST((({h}) // 256) % {grid} AS BIGINT) AS cy
+  FROM events)
+SELECT a.user_id AS ua, b.user_id AS ub,
+       CAST(COUNT(*) AS BIGINT) AS n_co
+FROM loc a JOIN loc b
+  ON a.tb = b.tb AND a.cx = b.cx AND a.cy = b.cy
+ AND a.user_id < b.user_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_co}
+"""
+
+
+_ENGINE_PAIRS["q_cotravel"] = (q_cotravel, _sql_cotravel())

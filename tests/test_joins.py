@@ -789,3 +789,21 @@ def test_grid_dbscan_roles(spark):
     assert out[(50, 50)]["role"] == 0 and out[(50, 50)]["rep"] == -1
     assert out[(30, 30)]["role"] == 2 and out[(30, 30)]["rep"] == 30 * M + 30
     assert len(out) == 5
+
+
+def test_cotravel_distinct_and_threshold(spark):
+    from mapnik_vector_tile_spark.operators.geostats import cotravel_pairs
+
+    rows = [
+        # users 1,2 co-occur in 3 distinct buckets -> pair (1,2,3)
+        (1, 100, 0, 0), (2, 100, 0, 0),
+        (1, 101, 1, 1), (2, 101, 1, 1),
+        (1, 102, 2, 2), (2, 102, 2, 2),
+        # duplicate visit rows must NOT inflate the count
+        (1, 100, 0, 0), (2, 100, 0, 0),
+        # users 1,3 co-occur only twice -> below threshold
+        (3, 100, 0, 0), (3, 101, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tb long, cx long, cy long")
+    out = {(r["ua"], r["ub"]): r["n_co"] for r in cotravel_pairs(df, 3).collect()}
+    assert out == {(1, 2): 3}
