@@ -1768,3 +1768,67 @@ def terrain_tiles_stats(tiles: DataFrame, tile_size: int) -> DataFrame:
         "z long, x long, y long, min_dm long, max_dm long, sum_dm long, "
         "rough_x long, rough_y long",
     )
+
+
+def exif_normalize_stats(images: DataFrame) -> DataFrame:
+    """T12m EXIF orientation normalization — apply the inverse of the
+    EXIF orientation tag (1..8) so every image is upright (PIL
+    `ImageOps.exif_transpose` / libvips autorotate parity), pinned as
+    the standard index maps:
+
+      1 identity            2 flip-H              3 rotate 180
+      4 flip-V              5 transpose           6 rotate 90 CW
+      7 transverse          8 rotate 90 CCW
+
+    (5-8 swap the output dimensions). Input rows carry an `orient`
+    column; the kernel decodes, transforms the luma plane with pure
+    numpy views (no copies beyond the luma), and emits the
+    dimension-aware summary: px_sum is transform-INVARIANT (a decode
+    bug detector) while wsum = Σ v·(row·W_out + col + 1) is
+    transform-SENSITIVE — the oracle recomputes it by remapping each
+    SOURCE pixel to its destination index, so the two engines agree
+    only if the index maps match exactly. One narrow scan."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "orient": [], "out_w": [], "out_h": [],
+                   "px_sum": [], "wsum": []}
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                a = rgba.astype(np.int64)
+                g = (a[..., 0] * 77 + a[..., 1] * 151 + a[..., 2] * 28) >> 8
+                o = int(r.orient)
+                if o == 2:
+                    u = g[:, ::-1]
+                elif o == 3:
+                    u = g[::-1, ::-1]
+                elif o == 4:
+                    u = g[::-1, :]
+                elif o == 5:
+                    u = g.T
+                elif o == 6:
+                    u = g[::-1, :].T
+                elif o == 7:
+                    u = g[::-1, ::-1].T
+                elif o == 8:
+                    u = g[:, ::-1].T
+                else:
+                    u = g
+                oh, ow = u.shape
+                w = np.arange(1, oh * ow + 1, dtype=np.int64).reshape(
+                    oh, ow
+                )
+                out["image_id"].append(r.image_id)
+                out["orient"].append(o)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["px_sum"].append(int(u.sum()))
+                out["wsum"].append(int((u * w).sum()))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        gen,
+        "image_id string, orient long, out_w long, out_h long, "
+        "px_sum long, wsum long",
+    )

@@ -11703,3 +11703,62 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {min_co}
 
 
 _ENGINE_PAIRS["q_cotravel"] = (q_cotravel, _sql_cotravel())
+
+
+# ---------------------------------------------------------------------------
+# q_exif_orient — T12m EXIF orientation normalization
+# ---------------------------------------------------------------------------
+
+EXIF_N = 200
+
+
+def q_exif_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF normalization (raster.exif_normalize_stats) over the
+    canonical images with orient = (idx % 8) + 1 — all 8 spec cases
+    exercised 25 times each. FULL oracle: DuckDB remaps every SOURCE
+    pixel to its destination index per orientation and folds the same
+    transform-sensitive positional sum."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        exif_normalize_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, EXIF_N).withColumn(
+        "orient",
+        (
+            F.regexp_extract("image_id", r"(\d+)$", 1).cast("long") % 8 + 1
+        ),
+    )
+    return exif_normalize_stats(imgs)
+
+
+def _sql_exif_orient(n: int = EXIF_N) -> str:
+    # destination index of source pixel (y, x) per orientation o
+    rd = """CASE o
+      WHEN 1 THEN y WHEN 2 THEN y WHEN 3 THEN h - 1 - y
+      WHEN 4 THEN h - 1 - y WHEN 5 THEN x WHEN 6 THEN x
+      WHEN 7 THEN w - 1 - x WHEN 8 THEN w - 1 - x END"""
+    cd = """CASE o
+      WHEN 1 THEN x WHEN 2 THEN w - 1 - x WHEN 3 THEN w - 1 - x
+      WHEN 4 THEN x WHEN 5 THEN y WHEN 6 THEN h - 1 - y
+      WHEN 7 THEN h - 1 - y WHEN 8 THEN y END"""
+    wout = "CASE WHEN o <= 4 THEN w ELSE h END"
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS MATERIALIZED (
+  SELECT i, w, h, y, x, i % 8 + 1 AS o,
+         (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(MIN(o) AS BIGINT) AS orient,
+       CAST(MIN({wout}) AS BIGINT) AS out_w,
+       CAST(MIN(CASE WHEN o <= 4 THEN h ELSE w END) AS BIGINT) AS out_h,
+       CAST(SUM(g8) AS BIGINT) AS px_sum,
+       CAST(SUM(g8 * (({rd}) * ({wout}) + ({cd}) + 1)) AS BIGINT) AS wsum
+FROM lum GROUP BY i
+"""
+
+
+_ENGINE_PAIRS["q_exif_orient"] = (q_exif_orient, _sql_exif_orient())

@@ -992,3 +992,50 @@ def test_terrain_rgb_range_guard():
         terrain_rgb_encode(np.array([-100001]))
     with _pytest.raises(ValueError):
         terrain_rgb_encode(np.array([1 << 24]))
+
+
+# --- T12m EXIF orientation -------------------------------------------------
+
+
+def test_exif_normalize_hand_cases(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        exif_normalize_stats,
+    )
+
+    # 1x2 grayscale [10, 20] (r=g=b=v so luma == v exactly)
+    g = np.array([[10, 20]], np.uint8)
+    rgba = np.stack([g, g, g, np.full_like(g, 255)], axis=-1)
+    rows = [
+        (f"i{o}", bytearray(rgba.tobytes()), 2, 1, "raw-rgba8", o)
+        for o in range(1, 9)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "orient long",
+    )
+    out = {r["image_id"]: r for r in exif_normalize_stats(df).collect()}
+    # identity: [[10,20]] -> wsum = 10*1 + 20*2 = 50
+    assert (out["i1"]["out_w"], out["i1"]["out_h"], out["i1"]["wsum"]) == (
+        2, 1, 50,
+    )
+    # flip-H: [[20,10]] -> 20*1 + 10*2 = 40
+    assert out["i2"]["wsum"] == 40
+    # rotate 180 of a 1-row image == flip-H
+    assert out["i3"]["wsum"] == 40
+    # flip-V of 1-row == identity
+    assert out["i4"]["wsum"] == 50
+    # transpose: column [[10],[20]] -> 10*1 + 20*2 = 50, dims swap
+    assert (out["i5"]["out_w"], out["i5"]["out_h"], out["i5"]["wsum"]) == (
+        1, 2, 50,
+    )
+    # rotate 90 CW: [[10],[20]] -> 50
+    assert (out["i6"]["out_w"], out["i6"]["wsum"]) == (1, 50)
+    # rotate 90 CCW: [[20],[10]] -> 20*1 + 10*2 = 40
+    assert (out["i8"]["out_w"], out["i8"]["wsum"]) == (1, 40)
+    # transverse: [[20],[10]] -> 40
+    assert out["i7"]["wsum"] == 40
+    # px_sum invariant across all orientations
+    assert {out[k]["px_sum"] for k in out} == {30}
