@@ -661,3 +661,74 @@ def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
         ]
     )
     return spark.createDataFrame(merges, schema)
+
+
+SPAN_MIX = 1000003  # position-mixing multiplier for the corruption coin
+
+
+def span_corruption_stats(docs: DataFrame, rate_pct: int = 15) -> DataFrame:
+    """T32 T5-style span corruption accounting (Raffel et al. 2020):
+    every word position flips an independent deterministic coin
+    (splitmix64(doc_id·1000003 + pos) % 100 < rate_pct → dropped);
+    consecutive dropped words form ONE sentinel span (the T5 noise
+    target). This operator computes the corruption layout — the
+    pipeline step that sizes encoder/decoder sequences before
+    tokenization:
+
+      n_words, n_dropped, n_spans (= sentinel count), and
+      kh = Σ over KEPT positions (pos+1)·length(word) mod 2³¹ — a
+      position-sensitive witness of exactly which words survive.
+
+    Pure Column + one window lag (span starts) + one map-side-partial
+    aggregate; the per-position coin is the engine's standard
+    vectorized splitmix pandas_udf. One doc_id shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType
+
+    import pandas as pd
+
+    def _coin_kernel(keys):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(keys.to_numpy(np.uint64))
+        return pd.Series((h % np.uint64(100)).astype(np.int64))
+
+    coin = F.pandas_udf(_coin_kernel, LongType())
+
+    w = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+        .withColumn(
+            "dropped",
+            (
+                coin(F.col("doc_id") * F.lit(SPAN_MIX) + F.col("pos"))
+                < F.lit(rate_pct)
+            ).cast("int"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    marked = w.withColumn(
+        "span_start",
+        (
+            (F.col("dropped") == 1)
+            & (F.coalesce(F.lag("dropped").over(win), F.lit(0)) == 0)
+        ).cast("long"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("dropped").cast("long").alias("n_dropped"),
+        F.sum("span_start").cast("long").alias("n_spans"),
+        (
+            F.sum(
+                F.when(
+                    F.col("dropped") == 0,
+                    (F.col("pos") + 1) * F.length("w"),
+                ).otherwise(F.lit(0))
+            )
+            % F.lit(1 << 31)
+        ).cast("long").alias("kh"),
+    )

@@ -1651,6 +1651,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_semdedup": (q_semdedup, sql_semdedup()),
         "q_alignment_filter": (q_alignment_filter, sql_alignment_filter()),
         "q_bpe_train": (q_bpe_train, sql_bpe_train()),
+        "q_span_corrupt": (q_span_corrupt, sql_span_corrupt()),
     }
 
 
@@ -2115,3 +2116,48 @@ s{r} AS (SELECT replace(s, '|' || a || '|' || b, '|' || a || b) AS s,
     )
     parts.append("\n" + sel)
     return "".join(parts)
+
+
+# --- T32 span corruption (operators.textstats.span_corruption_stats) ------
+
+
+def q_span_corrupt(spark, sf_dir):
+    """T32 span-corruption accounting with a FULL oracle: DuckDB
+    replays the positional coin (splitmix64(doc_id·1000003 + pos)),
+    the lag-based span starts, and the kept-position hash."""
+    from mapnik_vector_tile_spark.operators.textstats import (
+        span_corruption_stats,
+    )
+
+    return span_corruption_stats(_docs(spark, sf_dir), rate_pct=15)
+
+
+def sql_span_corrupt(rate_pct: int = 15) -> str:
+    from mapnik_vector_tile_spark.plans.oracle_pairs import splitmix64_sql
+
+    sm = splitmix64_sql("(doc_id * 1000003 + pos)")
+    return f"""
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+wds AS (
+  SELECT doc_id, a[i] AS w, CAST(i - 1 AS BIGINT) AS pos
+  FROM arr, LATERAL unnest(generate_series(1, len(a))) u(i)
+  WHERE a[i] <> ''),
+mk AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN ({sm}) % 100 < {rate_pct} THEN 1 ELSE 0 END AS dropped
+  FROM wds),
+sp AS (
+  SELECT doc_id, w, pos, dropped,
+         CASE WHEN dropped = 1 AND COALESCE(
+                lag(dropped) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS span_start
+  FROM mk)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       CAST(SUM(span_start) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN dropped = 0 THEN (pos + 1) * length(w)
+                     ELSE 0 END) % 2147483648 AS BIGINT) AS kh
+FROM sp GROUP BY doc_id
+"""
