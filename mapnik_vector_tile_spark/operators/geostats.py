@@ -334,3 +334,100 @@ def cotravel_pairs(located: DataFrame, min_co: int = 3) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
         .filter(F.col("n_co") >= min_co)
     )
+
+
+def voronoi_assign(cells: DataFrame, seeds: DataFrame) -> DataFrame:
+    """ST5 discrete Voronoi partition + boundary extraction — label
+    every occupied grid cell with its nearest seed (squared Euclidean
+    on cell centers ≡ on cell indices, exact BIGINT), then mark the
+    cells where the partition changes hands (a rook neighbor carries a
+    different label).  The nearest-facility map every GIS stack ships
+    (PostGIS ST_VoronoiPolygons / QGIS Voronoi), in the discrete-grid
+    form a tiling engine actually renders (one label per cell →
+    polygonize downstream with marching squares / dissolve, both
+    already in this repo).
+
+    cells: (cx, cy) distinct occupied cells.  seeds: (seed_id, sx, sy)
+    — SMALL (a facility/POI dim table), broadcast.  Ties on distance
+    break to the smaller seed_id via struct-min ordering, identically
+    in both engines.
+
+    Scale: the broadcast crossJoin expands |cells|×|seeds| rows INSIDE
+    each map task and the min(struct) partial aggregation collapses
+    them back to |cells| before the exchange — shuffle bytes are one
+    row per cell regardless of seed count.  For seed tables too big to
+    broadcast the cell-ring kNN join (operators/joins.knn_join) is the
+    documented scale path; this operator is the k=1 broadcast fast
+    path.  The border pass is one self-equi-join on the cell key —
+    cell-table sized, not point-table sized.
+
+    Output: (cx, cy, seed_id, d2, n_diff) — n_diff = how many of the
+    cell's occupied rook neighbors belong to a different seed (0 for
+    interior cells; >0 marks the Voronoi boundary as drawn on the
+    occupied set)."""
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    lab = (
+        cells.select("cx", "cy")
+        .crossJoin(F.broadcast(seeds.select("seed_id", "sx", "sy")))
+        .select(
+            "cx",
+            "cy",
+            F.struct(
+                d2.cast("long").alias("d2"), F.col("seed_id").alias("sid")
+            ).alias("cand"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "cx",
+            "cy",
+            F.col("best.sid").alias("seed_id"),
+            F.col("best.d2").alias("d2"),
+        )
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ROOK
+        ]
+    )
+    probes = lab.select(
+        "cx",
+        "cy",
+        "seed_id",
+        F.explode(offs).alias("o"),
+    ).select(
+        "cx",
+        "cy",
+        "seed_id",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = lab.select(
+        F.col("cx").alias("nx"),
+        F.col("cy").alias("ny"),
+        F.col("seed_id").alias("nsid"),
+    )
+    diff = (
+        probes.join(nbr, ["nx", "ny"])
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(
+                (F.col("nsid") != F.col("seed_id")).cast("long")
+            ).alias("n_diff")
+        )
+    )
+    return (
+        lab.join(diff, ["cx", "cy"], "left")
+        .select(
+            "cx",
+            "cy",
+            "seed_id",
+            "d2",
+            F.coalesce(F.col("n_diff"), F.lit(0).cast("long")).alias(
+                "n_diff"
+            ),
+        )
+    )

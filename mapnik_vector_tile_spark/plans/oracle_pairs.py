@@ -10117,6 +10117,27 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_viterbi_match",
+    "q_reading_order",
+    "q_det_eval",
+    "q_raster_downzoom",
+    "q_raster_composite",
+    "q_terrain_rgb",
+    "q_exif_orient",
+    "q_grid_dbscan",
+    "q_cotravel",
+    "q_gap_fill",
+    "q_span_corrupt",
+    "q_nms",
+    "q_image_blobs",
+    "q_bpe_train",
+    "q_snap_road",
+    "q_segment_intersect",
+    "q_morans_i",
+    "q_local_moran",
+    "q_bellman_ford",
+    "q_geofence",
+    "q_polyline",
     "q_label_place",
     "q_utfgrid",
     "q_staypoints",
@@ -11762,3 +11783,97 @@ FROM lum GROUP BY i
 
 
 _ENGINE_PAIRS["q_exif_orient"] = (q_exif_orient, _sql_exif_orient())
+
+
+# ---------------------------------------------------------------------------
+# q_voronoi — ST5 discrete Voronoi partition (geostats.voronoi_assign)
+# ---------------------------------------------------------------------------
+
+
+def q_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Voronoi labels + boundary over the z5 occupancy grid
+    (cells from orders, 25 nation-derived seeds) with a FULL oracle:
+    DuckDB replays the argmin with a (d2, sid)-ordered window and the
+    rook different-label count with the same self-join — label, exact
+    BIGINT d2, and n_diff per occupied cell all sit under one hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.geostats import voronoi_assign
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    span = 2.0 * W / (1 << MI_Z)
+
+    def to_cells(df, key):
+        pts = derive_points(df, key)
+        return pts.select(
+            F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
+            .cast("long")
+            .alias("cx"),
+            F.floor((F.lit(W) - F.col("my")) / F.lit(span))
+            .cast("long")
+            .alias("cy"),
+        )
+
+    cells = to_cells(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    ).distinct()
+    seeds = (
+        derive_points(
+            spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                F.col("n_nationkey").cast("long").alias("n_nationkey")
+            ),
+            "n_nationkey",
+        )
+        .select(
+            F.col("id").cast("long").alias("seed_id"),
+            F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
+            .cast("long")
+            .alias("sx"),
+            F.floor((F.lit(W) - F.col("my")) / F.lit(span))
+            .cast("long")
+            .alias("sy"),
+        )
+    )
+    return voronoi_assign(cells, seeds)
+
+
+def _sql_voronoi(z: int = MI_Z) -> str:
+    txe, tye = S.tile_xy_exprs(z)
+    stxe, stye = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+{S.point_cte('nation', 'CAST(n_nationkey AS BIGINT)', 'sid', 'spts')},
+cells AS (
+  SELECT DISTINCT {txe} AS cx, {tye} AS cy FROM pts),
+seeds AS (
+  SELECT CAST(sid AS BIGINT) AS sid,
+         {stxe.replace('mx', 'spts.mx')} AS sx,
+         {stye.replace('my', 'spts.my')} AS sy
+  FROM spts),
+near AS (
+  SELECT c.cx, c.cy, s.sid,
+         (c.cx - s.sx) * (c.cx - s.sx)
+           + (c.cy - s.sy) * (c.cy - s.sy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cx, c.cy
+           ORDER BY (c.cx - s.sx) * (c.cx - s.sx)
+                      + (c.cy - s.sy) * (c.cy - s.sy), s.sid) AS rn
+  FROM cells c CROSS JOIN seeds s),
+lab AS (
+  SELECT cx, cy, sid, CAST(d2 AS BIGINT) AS d2 FROM near WHERE rn = 1),
+diff AS (
+  SELECT a.cx, a.cy,
+         CAST(SUM(CASE WHEN b.sid <> a.sid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_diff
+  FROM lab a
+  CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1)) o(dx, dy)
+  JOIN lab b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY a.cx, a.cy)
+SELECT l.cx, l.cy, l.sid AS seed_id, l.d2,
+       COALESCE(d.n_diff, CAST(0 AS BIGINT)) AS n_diff
+FROM lab l LEFT JOIN diff d ON d.cx = l.cx AND d.cy = l.cy
+"""
+
+
+_ENGINE_PAIRS["q_voronoi"] = (q_voronoi, _sql_voronoi())

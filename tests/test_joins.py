@@ -807,3 +807,33 @@ def test_cotravel_distinct_and_threshold(spark):
     df = spark.createDataFrame(rows, "user_id long, tb long, cx long, cy long")
     out = {(r["ua"], r["ub"]): r["n_co"] for r in cotravel_pairs(df, 3).collect()}
     assert out == {(1, 2): 3}
+
+
+def test_voronoi_assign_labels_and_border(spark):
+    from mapnik_vector_tile_spark.operators.geostats import voronoi_assign
+
+    # seeds at x=0 and x=10 on y=0; cells along the segment between
+    # them plus one isolated cell equidistant from both (tie -> min id)
+    cells = [(x, 0) for x in range(11)] + [(5, 7)]
+    seeds = [(1, 0, 0), (2, 10, 0)]
+    cdf = spark.createDataFrame(cells, "cx long, cy long")
+    sdf = spark.createDataFrame(seeds, "seed_id long, sx long, sy long")
+    out = {(r["cx"], r["cy"]): r for r in voronoi_assign(cdf, sdf).collect()}
+    assert len(out) == 12
+    # x<=5 -> seed 1 (x=5 is the tie, breaks to smaller id), x>=6 -> 2
+    for x in range(11):
+        want = 1 if x <= 5 else 2
+        assert out[(x, 0)]["seed_id"] == want, (x, out[(x, 0)])
+    assert out[(5, 0)]["d2"] == 25
+    # boundary: exactly the handover cells x=5 (right nbr differs) and
+    # x=6 (left nbr differs); everything else interior
+    assert out[(5, 0)]["n_diff"] == 1
+    assert out[(6, 0)]["n_diff"] == 1
+    assert all(
+        r["n_diff"] == 0
+        for (x, y), r in out.items()
+        if (x, y) not in ((5, 0), (6, 0))
+    )
+    # isolated tie cell: d2 = 5^2+7^2 = 74 from both, label 1, no nbrs
+    assert out[(5, 7)]["seed_id"] == 1 and out[(5, 7)]["d2"] == 74
+    assert out[(5, 7)]["n_diff"] == 0
