@@ -839,3 +839,49 @@ def hard_negatives(
         schema="vec_id long, nbr long, rnk long, nbr_label long",
         out_columns=["vec_id", "nbr", "rnk", "nbr_label"],
     )
+
+
+def embedding_gram(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """T22 exact Gram matrix of the int8-quantized embedding table —
+    the distributed-linear-algebra primitive behind PCA whitening,
+    covariance-shift monitoring, and OPQ rotation training on
+    planet-scale embedding corpora (the X^T X every one of those
+    starts from).
+
+    Quantization first (quantize_embeddings — per-row absmax int8)
+    makes the accumulation EXACT integer arithmetic: |q| <= 127 so a
+    single product is <= 16129 and int64 holds the global sum up to
+    ~5.7e14 rows per dimension pair — beyond the 10^12-row north-rule
+    corpus with three orders of magnitude to spare.
+
+    Execution shape: one mapInPandas pass computes a per-Arrow-batch
+    Q^T Q with ONE numpy matmul (no per-row Python), emits only the
+    d(d+1)/2 upper-triangle entries per PARTITION, and the final
+    groupBy sums partition partials — shuffle volume is
+    n_partitions x 2080 rows for d=64, independent of corpus size.
+    That is the map-side-combine pattern in its purest form: the
+    reduce side never sees row-proportional data.
+
+    Output: (i, j, g) for 0 <= i <= j < d, g = sum over rows of
+    q_i * q_j."""
+    qd = quantize_embeddings(emb, col).select("q")
+
+    def gram(it):
+        acc = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
+             "g": acc[iu, ju]}
+        )
+
+    part = qd.mapInPandas(gram, "i int, j int, g long")
+    return part.groupBy("i", "j").agg(F.sum("g").cast("long").alias("g"))

@@ -10117,6 +10117,8 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # every key the driver has never recorded, newest work first;
     # the two formerly rows-only keys (now full-oracle) re-record after
+    "q_voronoi",
+    "q_embedding_gram",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",

@@ -1618,6 +1618,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
             sql_embedding_neardup(0.45),  # corpus-calibrated, see query doc
         ),
         "q_embedding_quantize": (q_embedding_quantize, sql_embedding_quantize()),
+        "q_embedding_gram": (q_embedding_gram, sql_embedding_gram()),
         "q_kmeans": (q_kmeans, sql_kmeans()),
         "q_pq": (q_pq, sql_pq()),
         "q_pii_redact": (q_pii_redact, sql_pii_redact()),
@@ -2160,4 +2161,46 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN dropped = 0 THEN (pos + 1) * length(w)
                      ELSE 0 END) % 2147483648 AS BIGINT) AS kh
 FROM sp GROUP BY doc_id
+"""
+
+
+def q_embedding_gram(spark, sf_dir):
+    """T22 exact Gram matrix of the int8-quantized embeddings with a
+    FULL oracle: one numpy Q^T Q per Arrow batch, d(d+1)/2 triangle
+    rows per partition, final tiny sum; DuckDB replays the identical
+    quantization chain (the sql_embedding_quantize CTEs) and joins the
+    unnested table with itself on vec_id — every int64 entry of the
+    64x64 upper triangle sits under the hash."""
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    return S.embedding_gram(_emb(spark, sf_dir))
+
+
+def sql_embedding_gram() -> str:
+    def rha(x: str) -> str:
+        from mapnik_vector_tile_spark.plans.shared_sql import (
+            round_half_up_nonneg as rhu,
+        )
+
+        return (
+            f"CASE WHEN ({x}) < 0 THEN -({rhu(f'-({x})')})"
+            f" ELSE {rhu(x)} END"
+        )
+
+    qv = rha("(CAST(v AS DOUBLE) * 127.0e0) / am")
+    return f"""
+WITH u AS (
+  SELECT vec_id, s.i AS i, embedding[s.i] AS v
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS s(i)),
+m AS (SELECT vec_id, MAX(ABS(CAST(v AS DOUBLE))) AS am FROM u GROUP BY 1),
+q AS (
+  SELECT u.vec_id, u.i,
+         CAST(CASE WHEN m.am = 0 THEN 0 ELSE {qv} END AS BIGINT) AS qv
+  FROM u JOIN m ON u.vec_id = m.vec_id
+)
+SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+       CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
+GROUP BY 1, 2
 """

@@ -806,3 +806,34 @@ def test_wordpiece_plan_is_jvm_side(spark):
     plan = wordpiece_tokens(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "HashAggregate" in plan
+
+
+def test_embedding_gram_exact(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.similarity import (
+        embedding_gram,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, -2.0, 3.0]),
+        (2, [0.5, 0.25, -1.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero vector quantizes to zeros
+        (4, [-4.0, 4.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # expected: quantize each row with the operator itself (already
+    # oracle-gated), then dense numpy Q^T Q
+    q = np.array(
+        [
+            r["q"]
+            for r in quantize_embeddings(df).orderBy("vec_id").collect()
+        ],
+        dtype=np.int64,
+    )
+    want = q.T @ q
+    out = {(r["i"], r["j"]): r["g"] for r in embedding_gram(df).collect()}
+    assert len(out) == 6  # 3*(3+1)/2 upper triangle
+    for (i, j), g in out.items():
+        assert i <= j and g == want[i, j], ((i, j), g, want[i, j])
