@@ -365,3 +365,44 @@ def morphology_polygon_stats(
         .groupBy(group_col)
         .applyInPandas(kernel, _MORPH_SCHEMA)
     )
+
+
+def triangulate_stats(polys: DataFrame) -> DataFrame:
+    """U13 polygon tessellation — per-polygon ear-clipping
+    triangulation (functions/earcut.py; the mapbox/earcut step every
+    GPU renderer applies to MVT polygons) reduced to the exact
+    aggregates a value-hash oracle can pin: triangle count, summed
+    triangle area2 (== ring shoelace area2, the tessellation
+    invariant), and an order-sensitive triple hash of the exact clip
+    sequence.
+
+    Input rows are independent simple CCW rings (pid, xs, ys) — so
+    this is a NARROW mapInPandas projection: no grouping, no shuffle,
+    scales linearly with input splits.  The per-ring Python loop is
+    bounded by ring length (tile rings are short post-simplification;
+    same precedent as the label-placement kernel)."""
+    from mapnik_vector_tile_spark.functions.earcut import (
+        triangulation_stats,
+    )
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {"pid": [], "n_pts": [], "n_tris": [], "area2": [],
+                   "trih": []}
+            for pid, xs, ys in zip(pdf["pid"], pdf["xs"], pdf["ys"]):
+                n_tris, area2, trih = triangulation_stats(
+                    [int(v) for v in xs], [int(v) for v in ys]
+                )
+                out["pid"].append(int(pid))
+                out["n_pts"].append(len(xs))
+                out["n_tris"].append(n_tris)
+                out["area2"].append(area2)
+                out["trih"].append(trih)
+            yield pd.DataFrame(out).astype(np.int64)
+
+    return polys.select("pid", "xs", "ys").mapInPandas(
+        kernel,
+        "pid long, n_pts long, n_tris long, area2 long, trih long",
+    )

@@ -10119,6 +10119,7 @@ _RECORD_FIRST = (
     # the two formerly rows-only keys (now full-oracle) re-record after
     "q_voronoi",
     "q_embedding_gram",
+    "q_earcut",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -11879,3 +11880,144 @@ FROM lab l LEFT JOIN diff d ON d.cx = l.cx AND d.cy = l.cy
 
 
 _ENGINE_PAIRS["q_voronoi"] = (q_voronoi, _sql_voronoi())
+
+
+# ---------------------------------------------------------------------------
+# q_earcut — U13 ear-clipping polygon tessellation (overlay.triangulate_stats)
+# ---------------------------------------------------------------------------
+
+EC_NPOLY = 96
+# 16 integer direction vectors in strictly-increasing CCW angular
+# order: star polygons built on them are simple by construction.
+EC_DIRS = (
+    (4, 0), (4, 2), (3, 3), (2, 4), (0, 4), (-2, 4), (-3, 3), (-4, 2),
+    (-4, 0), (-4, -2), (-3, -3), (-2, -4), (0, -4), (2, -4), (3, -3),
+    (4, -2),
+)
+
+
+def q_earcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ear-clipping tessellation (functions/earcut.py via
+    overlay.triangulate_stats — the mapbox/earcut step of MVT
+    rendering) with a FULL oracle: 96 star polygons with
+    splitmix64-derived radii (reflex corners occur naturally) are
+    triangulated by the engine kernel, and DuckDB replays the EXACT
+    clip sequence with a list-carrying recursive CTE — first-ear scan
+    position, degenerate-corner rule, boundary-blocking containment
+    test and all — so triangle count, summed triangle area2 (== ring
+    shoelace area2) and the order-sensitive triple hash match
+    bit-exactly per polygon."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.overlay import (
+        triangulate_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    ux = np.array([d[0] for d in EC_DIRS], dtype=np.int64)
+    uy = np.array([d[1] for d in EC_DIRS], dtype=np.int64)
+
+    def gen(it):
+        for pdf in it:
+            rows = {"pid": [], "xs": [], "ys": []}
+            for pid in pdf["id"]:
+                pid = int(pid)
+                k = np.arange(16, dtype=np.uint64)
+                h = splitmix64(np.uint64(pid * 16) + k)
+                r = 1 + (h % np.uint64(64)).astype(np.int64)
+                rows["pid"].append(pid)
+                rows["xs"].append((r * ux).tolist())
+                rows["ys"].append((r * uy).tolist())
+            yield pd.DataFrame(rows)
+
+    polys = spark.range(EC_NPOLY).mapInPandas(
+        gen, "pid long, xs array<long>, ys array<long>"
+    )
+    return triangulate_stats(polys)
+
+
+def _sql_earcut() -> str:
+    def X(v: str) -> str:
+        return f"xs[({v}) + 1]"
+
+    def Y(v: str) -> str:
+        return f"ys[({v}) + 1]"
+
+    def cr(i: str, j: str, k: str) -> str:
+        return (
+            f"(({X(j)}) - ({X(i)})) * (({Y(k)}) - ({Y(i)}))"
+            f" - (({Y(j)}) - ({Y(i)})) * (({X(k)}) - ({X(i)}))"
+        )
+
+    a = "active[CASE WHEN p = 1 THEN len(active) ELSE p - 1 END]"
+    b = "active[p]"
+    c = "active[CASE WHEN p = len(active) THEN 1 ELSE p + 1 END]"
+    s = cr(a, b, c)
+    blocked = (
+        f"len(list_filter(active, v -> v <> ({a}) AND v <> ({b})"
+        f" AND v <> ({c}) AND ({cr(a, b, 'v')}) >= 0"
+        f" AND ({cr(b, c, 'v')}) >= 0"
+        f" AND ({cr(c, a, 'v')}) >= 0)) > 0"
+    )
+    ear = f"(({s}) = 0) OR ((({s}) > 0) AND NOT ({blocked}))"
+    earpos = f"list_filter(range(1, len(active) + 1), p -> {ear})[1]"
+    sm = splitmix64_sql("(pid * 16 + k)")
+    dirs = ",".join(f"({k},{dx},{dy})" for k, (dx, dy) in enumerate(EC_DIRS))
+    fincr = cr("active[1]", "active[2]", "active[3]")
+    tcr = cr("tri.a", "tri.b", "tri.c")
+    return f"""
+WITH RECURSIVE
+pids AS (SELECT unnest(generate_series(0, {EC_NPOLY - 1})) AS pid),
+dirs(k, ux, uy) AS (VALUES {dirs}),
+verts AS (
+  SELECT pid, k,
+         CAST(1 + ({sm}) % 64 AS BIGINT) * ux AS x,
+         CAST(1 + ({sm}) % 64 AS BIGINT) * uy AS y
+  FROM pids, dirs),
+rings AS (
+  SELECT pid, list(x ORDER BY k) AS xs, list(y ORDER BY k) AS ys
+  FROM verts GROUP BY pid),
+t(pid, xs, ys, active, tris, step) AS (
+  SELECT pid, xs, ys, range(0, len(xs)),
+         CAST([] AS STRUCT(a BIGINT, b BIGINT, c BIGINT)[]),
+         0
+  FROM rings
+  UNION ALL
+  SELECT pid, xs, ys,
+         list_filter(active, (vv, ii) -> ii <> ep) AS active,
+         CASE WHEN {cr('ea', 'eb', 'ec')} > 0
+              THEN list_append(tris, {{'a': ea, 'b': eb, 'c': ec}})
+              ELSE tris END AS tris,
+         step + 1
+  FROM (
+    SELECT s1.*,
+           active[CASE WHEN ep = 1 THEN len(active) ELSE ep - 1 END] AS ea,
+           active[ep] AS eb,
+           active[CASE WHEN ep = len(active) THEN 1 ELSE ep + 1 END] AS ec
+    FROM (
+      SELECT pid, xs, ys, active, tris, step, {earpos} AS ep
+      FROM t WHERE len(active) > 3
+    ) s1
+  ) s2
+),
+fin AS (
+  SELECT pid, xs, ys,
+         CASE WHEN ({fincr}) > 0
+              THEN list_append(tris, {{'a': active[1], 'b': active[2],
+                                       'c': active[3]}})
+              ELSE tris END AS tris
+  FROM t WHERE len(active) = 3),
+ex AS (
+  SELECT pid, xs, ys, g.kk AS kk, tris[g.kk] AS tri
+  FROM fin, unnest(generate_series(1, len(tris))) AS g(kk))
+SELECT f.pid, CAST(len(f.xs) AS BIGINT) AS n_pts,
+       CAST(COALESCE(MAX(e.kk), 0) AS BIGINT) AS n_tris,
+       CAST(COALESCE(SUM({tcr.replace('xs[', 'f.xs[').replace('ys[', 'f.ys[')}), 0) AS BIGINT) AS area2,
+       CAST(COALESCE(SUM(e.kk * (tri.a * 16777216 + tri.b * 4096 + tri.c)), 0) % 2305843009213693952 AS BIGINT) AS trih
+FROM fin f LEFT JOIN ex e ON e.pid = f.pid AND tri IS NOT NULL
+GROUP BY f.pid, f.xs
+"""
+
+
+_ENGINE_PAIRS["q_earcut"] = (q_earcut, _sql_earcut())

@@ -524,3 +524,96 @@ def test_morphology_random_vs_brute():
                 morphology_stats(rings, r, op)[0]
                 == _brute_morph(rects, r, op)
             ), (trial, op, r, rects)
+
+
+def test_earcut_square_and_collinear():
+    from mapnik_vector_tile_spark.functions.earcut import earcut_indices
+
+    # unit square: two triangles, first-ear scan clips at position 0
+    assert earcut_indices([0, 4, 4, 0], [0, 0, 4, 4]) == [
+        (3, 0, 1),
+        (1, 2, 3),
+    ]
+    # ring with collinear edge midpoints still tessellates to full area
+    xs = [0, 2, 4, 4, 4, 2, 0, 0]
+    ys = [0, 0, 0, 2, 4, 4, 4, 2]
+    tris = earcut_indices(xs, ys)
+    area2 = sum(
+        (xs[b] - xs[a]) * (ys[c] - ys[a]) - (ys[b] - ys[a]) * (xs[c] - xs[a])
+        for a, b, c in tris
+    )
+    assert area2 == 32
+
+
+def test_earcut_reflex_star_area_invariant():
+    from mapnik_vector_tile_spark.functions.earcut import (
+        earcut_indices,
+        triangulation_stats,
+    )
+
+    # 8-point star: alternating radius 10/3 -> 4 reflex corners
+    import math
+
+    xs, ys = [], []
+    for k in range(8):
+        r = 10 if k % 2 == 0 else 3
+        ang = math.pi * k / 4
+        xs.append(round(r * math.cos(ang) * 8))
+        ys.append(round(r * math.sin(ang) * 8))
+    tris = earcut_indices(xs, ys)
+    shoelace2 = sum(
+        xs[i] * ys[(i + 1) % 8] - xs[(i + 1) % 8] * ys[i] for i in range(8)
+    )
+    n_tris, area2, trih = triangulation_stats(xs, ys)
+    assert n_tris == len(tris) == 6  # n-2, no degenerate corners
+    assert area2 == shoelace2
+    # every emitted triangle is CCW (positive cross)
+    for a, b, c in tris:
+        cr = (xs[b] - xs[a]) * (ys[c] - ys[a]) - (ys[b] - ys[a]) * (
+            xs[c] - xs[a]
+        )
+        assert cr > 0
+
+
+def test_earcut_nonsimple_raises():
+    import pytest as _pytest
+
+    from mapnik_vector_tile_spark.functions.earcut import earcut_indices
+
+    # CW ring: every corner reflex under the CCW convention, the scan
+    # starves -> ValueError (callers must orient/repair first)
+    with _pytest.raises(ValueError):
+        earcut_indices([0, 0, 4, 4], [0, 4, 4, 0])
+    # bowtie: doesn't starve, but the area invariant flags it — the
+    # tessellated area disagrees with the (zero) shoelace sum
+    from mapnik_vector_tile_spark.functions.earcut import (
+        triangulation_stats,
+    )
+
+    xs, ys = [0, 4, 0, 4], [0, 4, 4, 0]
+    _, area2, _ = triangulation_stats(xs, ys)
+    shoelace2 = sum(
+        xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i] for i in range(4)
+    )
+    assert area2 != shoelace2
+
+
+def test_triangulate_stats_matches_kernel(spark):
+    from mapnik_vector_tile_spark.functions.earcut import (
+        triangulation_stats,
+    )
+    from mapnik_vector_tile_spark.operators.overlay import (
+        triangulate_stats,
+    )
+
+    rows = [
+        (1, [0, 4, 4, 0], [0, 0, 4, 4]),
+        (2, [0, 8, 8, 4, 0], [0, 0, 8, 3, 8]),
+    ]
+    df = spark.createDataFrame(rows, "pid long, xs array<long>, ys array<long>")
+    out = {r["pid"]: r for r in triangulate_stats(df).collect()}
+    for pid, xs, ys in rows:
+        n_tris, area2, trih = triangulation_stats(xs, ys)
+        r = out[pid]
+        assert (r["n_tris"], r["area2"], r["trih"]) == (n_tris, area2, trih)
+        assert r["n_pts"] == len(xs)
