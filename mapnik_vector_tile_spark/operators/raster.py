@@ -1832,3 +1832,80 @@ def exif_normalize_stats(images: DataFrame) -> DataFrame:
         "image_id string, orient long, out_w long, out_h long, "
         "px_sum long, wsum long",
     )
+
+
+# Horn hillshade light vector (integer, unnormalized): azimuth NW,
+# altitude atan(2/sqrt(2)) ~ 54.7 deg. Chosen integer so every shade
+# comparison below is exact rational arithmetic.
+_HS_L = (1, -1, 2)
+
+
+def hillshade_tiles(tiles: DataFrame, tile_size: int) -> DataFrame:
+    """R10 hillshade classification over Terrain-RGB DEM tiles — the
+    gdaldem-hillshade analogue kept EXACT: per interior pixel the Horn
+    3x3 gradient numerators P = (c+2f+i)-(a+2d+g), Q = (g+2h+i)-(a+2b+c)
+    (integer decimeters), unnormalized surface normal n = (-P, -Q, 16)
+    and integer light vector l = (1, -1, 2); the Lambert cosine
+    cos = n.l / (|n||l|) is classified into 4 bands by exact
+    cross-multiplied squares — cos <= 0 (shadow), cos^2 against 1/4,
+    1/2, 3/4 of |n|^2*|l|^2 — so no float ever enters. Output per tile:
+    band histogram + sum(n.l) + sum(|n|^2), a full-strength value hash
+    over the whole shading field.
+
+    One narrow decode+conv pass (numpy slice sums, no per-row Python
+    beyond the tile loop already bounded per Arrow batch), no shuffle:
+    scales like every other raster scan here."""
+    import pandas as pd
+
+    T = tile_size
+    lx, ly, lz = _HS_L
+    l2 = lx * lx + ly * ly + lz * lz
+
+    def gen(it):
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "n_px": [],
+                   "c0": [], "c1": [], "c2": [], "c3": [],
+                   "sum_nl": [], "sum_n2": []}
+            for r in pdf.itertuples():
+                rgb = np.frombuffer(r.raster, dtype=np.uint8).reshape(
+                    T, T, 3
+                )
+                e = terrain_rgb_decode(rgb)
+                # Horn numerators on the interior grid
+                a = e[:-2, :-2]; b = e[:-2, 1:-1]; c = e[:-2, 2:]
+                d = e[1:-1, :-2];                 f = e[1:-1, 2:]
+                g = e[2:, :-2];  h = e[2:, 1:-1]; i = e[2:, 2:]
+                P = (c + 2 * f + i) - (a + 2 * d + g)
+                Q = (g + 2 * h + i) - (a + 2 * b + c)
+                nl = -P * lx - Q * ly + 16 * lz
+                n2 = P * P + Q * Q + 256
+                lhs = 4 * nl * nl          # 4*cos^2 * n2 * l2
+                rhs = n2 * l2
+                band = np.where(
+                    nl <= 0,
+                    0,
+                    1 + (lhs >= rhs).astype(np.int64)
+                    + (lhs >= 2 * rhs).astype(np.int64)
+                    + (lhs >= 3 * rhs).astype(np.int64),
+                )
+                # bands: 0 shadow; 1: cos^2<1/4; 2: [1/4,1/2);
+                # 3: [1/2,3/4); 4: >=3/4 — fold 3,4 upward into c3?
+                # keep 4 counters: c0 = shadow, c1 = band1, c2 = band2,
+                # c3 = bands 3+4 (bright)
+                out["z"].append(int(r.z))
+                out["x"].append(int(r.x))
+                out["y"].append(int(r.y))
+                out["n_px"].append(int(band.size))
+                out["c0"].append(int((band == 0).sum()))
+                out["c1"].append(int((band == 1).sum()))
+                out["c2"].append(int((band == 2).sum()))
+                out["c3"].append(int((band >= 3).sum()))
+                out["sum_nl"].append(int(nl.sum()))
+                out["sum_n2"].append(int(n2.sum()))
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "raster").mapInPandas(
+        gen,
+        "z long, x long, y long, n_px long, c0 long, c1 long, c2 long,"
+        " c3 long, sum_nl long, sum_n2 long",
+    )

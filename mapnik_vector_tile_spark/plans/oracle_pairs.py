@@ -10120,6 +10120,7 @@ _RECORD_FIRST = (
     "q_voronoi",
     "q_embedding_gram",
     "q_earcut",
+    "q_hillshade",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12021,3 +12022,101 @@ GROUP BY f.pid, f.xs
 
 
 _ENGINE_PAIRS["q_earcut"] = (q_earcut, _sql_earcut())
+
+
+# ---------------------------------------------------------------------------
+# q_hillshade — R10 exact Horn hillshade bands over Terrain-RGB tiles
+# ---------------------------------------------------------------------------
+
+
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade classification (raster.hillshade_tiles) over the same
+    closed-form Terrain-RGB corpus as q_terrain_rgb, FULL oracle: the
+    engine decodes spec RGB bytes and classifies every interior pixel
+    by exact cross-multiplied Lambert-cosine squares; DuckDB replays
+    the surface, the Horn 3x3 numerators via an 8-offset weights join,
+    and the same integer band logic — histogram, sum(n.l), sum(|n|^2)
+    all under one hash."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        hillshade_tiles,
+        terrain_rgb_encode,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = TER_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                phase = h % 100003
+                r = np.arange(T, dtype=np.int64)
+                e = ((r[:, None] * 13 + r[None, :] * 7 + phase) % 40001) - 10000
+                rows["z"].append(TER_Z)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(terrain_rgb_encode(e).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return hillshade_tiles(tiles, T)
+
+
+def _sql_hillshade(t: int = TER_T) -> str:
+    sm = splitmix64_sql("i")
+    e = "(((r.v * 13 + c.v * 7 + phase) % 40001) - 10000)"
+    l2 = 6  # |l|^2 for l = (1, -1, 2)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
+hh AS (
+  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
+         CAST(({sm}) % 100003 AS BIGINT) AS phase
+  FROM ids),
+px AS (
+  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
+grad AS (
+  SELECT a.x, a.y, a.rv, a.cv,
+         CAST(SUM(w.wx * b.e) AS BIGINT) AS p,
+         CAST(SUM(w.wy * b.e) AS BIGINT) AS q
+  FROM px a
+  CROSS JOIN (VALUES (-1,-1,-1,-1),(-1,0,0,-2),(-1,1,1,-1),
+                     (0,-1,-2,0),(0,1,2,0),
+                     (1,-1,-1,1),(1,0,0,2),(1,1,1,1)) w(dr, dc, wx, wy)
+  JOIN px b ON b.x = a.x AND b.y = a.y
+           AND b.rv = a.rv + w.dr AND b.cv = a.cv + w.dc
+  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}
+  GROUP BY 1, 2, 3, 4),
+cls AS (
+  SELECT x, y, (-p + q + 32) AS nl, (p * p + q * q + 256) AS n2
+  FROM grad),
+bands AS (
+  SELECT x, y, nl, n2,
+         CASE WHEN nl <= 0 THEN 0
+              ELSE 1 + CASE WHEN 4 * nl * nl >= 1 * n2 * {l2} THEN 1 ELSE 0 END
+                     + CASE WHEN 4 * nl * nl >= 2 * n2 * {l2} THEN 1 ELSE 0 END
+                     + CASE WHEN 4 * nl * nl >= 3 * n2 * {l2} THEN 1 ELSE 0 END
+         END AS band
+  FROM cls)
+SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       CAST(SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       CAST(SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       CAST(SUM(CASE WHEN band >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+       CAST(SUM(nl) AS BIGINT) AS sum_nl,
+       CAST(SUM(n2) AS BIGINT) AS sum_n2
+FROM bands GROUP BY x, y
+"""
+
+
+_ENGINE_PAIRS["q_hillshade"] = (q_hillshade, _sql_hillshade())

@@ -1039,3 +1039,31 @@ def test_exif_normalize_hand_cases(spark):
     assert out["i7"]["wsum"] == 40
     # px_sum invariant across all orientations
     assert {out[k]["px_sum"] for k in out} == {30}
+
+
+def test_hillshade_flat_and_slope(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        hillshade_tiles,
+        terrain_rgb_encode,
+    )
+
+    T = 8
+    flat = np.zeros((T, T), dtype=np.int64)
+    # plane rising toward +x (east): P = 8*slope per pixel, Q = 0
+    ramp = np.tile(np.arange(T, dtype=np.int64) * 10, (T, 1))
+    rows = [
+        (5, 0, 0, terrain_rgb_encode(flat).tobytes()),
+        (5, 1, 0, terrain_rgb_encode(ramp).tobytes()),
+    ]
+    df = spark.createDataFrame(rows, "z long, x long, y long, raster binary")
+    out = {(r["x"], r["y"]): r for r in hillshade_tiles(df, T).collect()}
+    n_in = (T - 2) * (T - 2)
+    f = out[(0, 0)]
+    # flat: P=Q=0 -> nl=32, n2=256, cos^2 = 4096/6144 = 2/3 -> band 3
+    assert f["n_px"] == n_in and f["c3"] == n_in
+    assert f["sum_nl"] == 32 * n_in and f["sum_n2"] == 256 * n_in
+    r = out[(1, 0)]
+    # ramp: P = 80, Q = 0 -> nl = -80+0+32 < 0 -> all shadow
+    assert r["c0"] == n_in and r["sum_nl"] == (-80 + 32) * n_in
