@@ -1909,3 +1909,41 @@ def hillshade_tiles(tiles: DataFrame, tile_size: int) -> DataFrame:
         "z long, x long, y long, n_px long, c0 long, c1 long, c2 long,"
         " c3 long, sum_nl long, sum_n2 long",
     )
+
+
+def sprite_atlas(
+    icons: DataFrame, atlas: int = 256, group_col: str = "g"
+) -> DataFrame:
+    """R11 sprite-atlas packing — shelf-pack every group's icon set
+    into fixed-size sheets (functions/shelfpack.py; the
+    spritezero/shelf-pack step that publishes a sprite sheet next to
+    each style's tiles). One atlas per GROUP: the global-state
+    algorithm is sequential per atlas but atlases are independent, so
+    this is the grouped-kernel shape (repartition on the group key +
+    in-batch group loop via operators/grouped.apply_grouped — no
+    per-group Python-worker round trip).
+
+    icons: (group_col, icon_id, w, h). Output: (g, icon_id, sheet,
+    px, py) — the full placement relation, hashable row-for-row."""
+    from mapnik_vector_tile_spark.functions.shelfpack import shelf_pack
+    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
+
+    def kernel(key, cols, sl):
+        g = int(key[0])
+        ids = cols["icon_id"][sl]
+        ws = cols["w"][sl]
+        hs = cols["h"][sl]
+        placed = shelf_pack(
+            [(int(i), int(w), int(h)) for i, w, h in zip(ids, ws, hs)],
+            atlas,
+        )
+        return [(g, i, s, x, y) for i, s, x, y in placed]
+
+    return apply_grouped(
+        icons.select(group_col, "icon_id", "w", "h"),
+        keys=[group_col],
+        order_by=[group_col, "icon_id"],
+        fn=kernel,
+        schema="g long, icon_id long, sheet long, px long, py long",
+        out_columns=["g", "icon_id", "sheet", "px", "py"],
+    )

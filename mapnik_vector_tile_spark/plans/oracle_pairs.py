@@ -10121,6 +10121,7 @@ _RECORD_FIRST = (
     "q_embedding_gram",
     "q_earcut",
     "q_hillshade",
+    "q_sprite",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12120,3 +12121,116 @@ FROM bands GROUP BY x, y
 
 
 _ENGINE_PAIRS["q_hillshade"] = (q_hillshade, _sql_hillshade())
+
+
+# ---------------------------------------------------------------------------
+# q_sprite — R11 sprite-atlas shelf packing (raster.sprite_atlas)
+# ---------------------------------------------------------------------------
+
+SP_ATLAS = 128
+SP_GROUPS = 24
+
+
+def q_sprite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sprite-atlas shelf packing (functions/shelfpack.py via
+    raster.sprite_atlas) with a FULL oracle: icon dims derive from
+    splitmix64(p_partkey), one atlas per partkey%24 group; DuckDB
+    replays the tallest-first scan with a shelf-state-carrying
+    recursive CTE — first-fit shelf choice, new-shelf rule, sheet
+    rollover — so every (g, icon, sheet, px, py) placement row
+    matches bit-exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.raster import sprite_atlas
+
+    wh_t = StructType(
+        [StructField("w", LongType()), StructField("h", LongType())]
+    )
+
+    def _wh_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "w": (1 + (h % np.uint64(40))).astype(np.int64),
+                "h": (1 + ((h >> np.uint64(6)) % np.uint64(40))).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    wh = F.pandas_udf(_wh_kernel, wh_t)
+    icons = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            F.col("p_partkey").cast("long").alias("icon_id"),
+            (F.col("p_partkey") % SP_GROUPS).cast("long").alias("g"),
+            wh(F.col("p_partkey").cast("long")).alias("wh"),
+        )
+        .select("g", "icon_id", "wh.w", "wh.h")
+    )
+    return sprite_atlas(icons, atlas=SP_ATLAS)
+
+
+def _sql_sprite(a: int = SP_ATLAS) -> str:
+    sm = splitmix64_sql("CAST(p_partkey AS BIGINT)")
+    fp = (
+        "list_filter(range(1, len(shelves) + 1),"
+        " p -> shelves[p].sh >= h AND shelves[p].sx + w <= "
+        f"{a})[1]"
+    )
+    return f"""
+WITH RECURSIVE hh AS (
+  SELECT CAST(p_partkey AS BIGINT) AS icon_id,
+         CAST(p_partkey % {SP_GROUPS} AS BIGINT) AS g,
+         {sm} AS h64
+  FROM part),
+icons AS (
+  SELECT g, icon_id,
+         CAST(1 + h64 % 40 AS BIGINT) AS w,
+         CAST(1 + (h64 // 64) % 40 AS BIGINT) AS h,
+         CAST(row_number() OVER (
+           PARTITION BY g
+           ORDER BY (1 + (h64 // 64) % 40) DESC,
+                    (1 + h64 % 40) DESC, icon_id) AS BIGINT) AS rn
+  FROM hh),
+t(g, rn, sheet, ynext, shelves, picon, px, py) AS (
+  SELECT g, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST([] AS STRUCT(sy BIGINT, sh BIGINT, sx BIGINT)[]),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT g FROM icons)
+  UNION ALL
+  SELECT g, rn,
+         CASE WHEN fp IS NOT NULL OR ynext + h <= {a}
+              THEN sheet ELSE sheet + 1 END,
+         CASE WHEN fp IS NOT NULL THEN ynext
+              WHEN ynext + h <= {a} THEN ynext + h
+              ELSE h END,
+         CASE WHEN fp IS NOT NULL THEN
+                list_transform(shelves, (s, i) -> CASE WHEN i = fp
+                  THEN {{'sy': s.sy, 'sh': s.sh, 'sx': s.sx + w}}
+                  ELSE s END)
+              WHEN ynext + h <= {a} THEN
+                list_append(shelves, {{'sy': ynext, 'sh': h, 'sx': w}})
+              ELSE [{{'sy': CAST(0 AS BIGINT), 'sh': h, 'sx': w}}] END,
+         icon_id,
+         CASE WHEN fp IS NOT NULL THEN shelves[fp].sx ELSE 0 END,
+         CASE WHEN fp IS NOT NULL THEN shelves[fp].sy
+              WHEN ynext + h <= {a} THEN ynext
+              ELSE 0 END
+  FROM (
+    SELECT t.g, i.rn, t.sheet, t.ynext, t.shelves,
+           i.icon_id, i.w, i.h, {fp} AS fp
+    FROM t JOIN icons i ON i.g = t.g AND i.rn = t.rn + 1
+  ) s1
+)
+SELECT g, picon AS icon_id, sheet, px, py
+FROM t WHERE rn >= 1
+"""
+
+
+_ENGINE_PAIRS["q_sprite"] = (q_sprite, _sql_sprite())

@@ -1067,3 +1067,47 @@ def test_hillshade_flat_and_slope(spark):
     r = out[(1, 0)]
     # ramp: P = 80, Q = 0 -> nl = -80+0+32 < 0 -> all shadow
     assert r["c0"] == n_in and r["sum_nl"] == (-80 + 32) * n_in
+
+
+def test_shelf_pack_rules():
+    import pytest as _pytest
+
+    from mapnik_vector_tile_spark.functions.shelfpack import shelf_pack
+
+    # tallest-first order, first-fit shelf, sheet rollover
+    out = shelf_pack([(1, 4, 4), (2, 4, 4), (3, 4, 4), (4, 10, 5), (5, 3, 2)], 10)
+    assert out == [
+        (4, 0, 0, 0),   # 10x5 opens shelf y0
+        (1, 0, 0, 5),   # opens shelf y5
+        (2, 0, 4, 5),   # first-fit on shelf y5
+        (3, 1, 0, 0),   # no room -> new sheet
+        (5, 1, 4, 0),   # fits on sheet 1's first shelf
+    ]
+    with _pytest.raises(ValueError):
+        shelf_pack([(1, 11, 2)], 10)
+
+
+def test_sprite_atlas_no_overlap(spark):
+    from mapnik_vector_tile_spark.operators.raster import sprite_atlas
+
+    rows = [(0, i, 1 + (i * 7) % 20, 1 + (i * 13) % 20) for i in range(40)]
+    df = spark.createDataFrame(rows, "g long, icon_id long, w long, h long")
+    placed = sprite_atlas(df, atlas=64).collect()
+    assert len(placed) == 40
+    dims = {r[1]: (r[2], r[3]) for r in rows}
+    # no two rectangles on the same sheet overlap, all inside the atlas
+    by_sheet: dict = {}
+    for r in placed:
+        w, h = dims[r["icon_id"]]
+        assert 0 <= r["px"] and r["px"] + w <= 64
+        assert 0 <= r["py"] and r["py"] + h <= 64
+        by_sheet.setdefault(r["sheet"], []).append((r["px"], r["py"], w, h))
+    for rects in by_sheet.values():
+        for i in range(len(rects)):
+            for j in range(i + 1, len(rects)):
+                x1, y1, w1, h1 = rects[i]
+                x2, y2, w2, h2 = rects[j]
+                assert (
+                    x1 + w1 <= x2 or x2 + w2 <= x1
+                    or y1 + h1 <= y2 or y2 + h2 <= y1
+                ), (rects[i], rects[j])
