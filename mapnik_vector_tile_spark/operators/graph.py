@@ -138,3 +138,72 @@ def viterbi_match(cands: DataFrame, switch_cost: int) -> DataFrame:
             "tid long, n_steps long, total_cost long, kh long, n_off long",
         )
     )
+
+
+PR_SCALE = 10**12
+PR_D_NUM, PR_D_DEN = 85, 100
+
+
+def pagerank_rounds(
+    edges: DataFrame, rounds: int = 3, scale: int = PR_SCALE
+) -> DataFrame:
+    """Fixed-round PageRank kept EXACT in scaled integers — the
+    centrality field road/POI ranking pipelines run over the
+    symmetrized segment graph (and the canonical iterative-algorithm
+    shape on Spark).  Floats never enter: ranks live at `scale`
+    (default 10^12), the damping split is d = 85/100 applied as
+    integer multiply-then-floor-divide, and per-neighbor contribution
+    is r div deg — so after R rounds both engines hold the IDENTICAL
+    integer field, no convergence-tolerance argument needed (the same
+    fixed-round contract as bellman_ford).
+
+      r_0(v)     = scale div N
+      r_{t+1}(v) = (15·(scale div N)) div 100
+                 + (85·Σ_{u→v} (r_t(u) div deg(u))) div 100
+
+    Overflow headroom: Σ contribs ≤ N·scale; 85·N·scale must stay
+    under 2^63 → N ≤ ~10^5 at the default scale; drop `scale` to 10^9
+    for 10^8-node graphs (documented trade: 9 digits of rank).
+
+    Scale shape: degrees fold once; each round is ONE equi-join on the
+    partitioned edge table + ONE map-side-combining sum + a node-table
+    left join; localCheckpoint every 4 rounds truncates lineage
+    (bellman_ford pattern).  Output: (node, deg, r)."""
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = deg.select(F.col("u").alias("node"), "deg")
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = nodes.crossJoin(F.broadcast(nn)).select(
+        "node",
+        "deg",
+        F.expr(f"{scale} div n").alias("r0"),
+        F.expr(f"({PR_D_DEN - PR_D_NUM} * ({scale} div n)) div {PR_D_DEN}")
+        .alias("b"),
+    )
+    rank = base.select("node", "deg", F.col("r0").alias("r"))
+    e = edges.alias("e")
+    for t in range(rounds):
+        msgs = rank.alias("a").join(
+            e, F.col("a.node") == F.col("e.u")
+        ).select(
+            F.col("e.v").alias("node"),
+            F.expr("a.r div a.deg").alias("c"),
+        )
+        summed = msgs.groupBy("node").agg(
+            F.sum("c").cast("long").alias("s")
+        )
+        rank = (
+            base.join(summed, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.col("b")
+                    + F.expr(
+                        f"({PR_D_NUM} * coalesce(s, 0L)) div {PR_D_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+        if (t + 1) % 4 == 0:
+            rank = rank.localCheckpoint(eager=False)
+    return rank

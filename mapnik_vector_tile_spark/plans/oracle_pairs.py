@@ -10122,6 +10122,7 @@ _RECORD_FIRST = (
     "q_earcut",
     "q_hillshade",
     "q_sprite",
+    "q_pagerank",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12234,3 +12235,104 @@ FROM t WHERE rn >= 1
 
 
 _ENGINE_PAIRS["q_sprite"] = (q_sprite, _sql_sprite())
+
+
+# ---------------------------------------------------------------------------
+# q_pagerank — exact scaled-integer PageRank on the road lattice
+# ---------------------------------------------------------------------------
+
+PR_ROUNDS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round exact-integer PageRank (graph.pagerank_rounds) on
+    the SAME symmetrized road lattice as q_bellman_ford, FULL oracle:
+    the DuckDB twin unrolls the identical 3 rounds of
+    multiply-floor-divide updates as MATERIALIZED CTEs — one wrong
+    div/damping anywhere shifts thousands of BIGINT ranks."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.graph import pagerank_rounds
+
+    e_t = StructType(
+        [
+            StructField("u", LongType()),
+            StructField("v", LongType()),
+            StructField("keep", LongType()),
+        ]
+    )
+
+    def _edge_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        x = (h % np.uint64(64)).astype(np.int64)
+        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
+        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
+        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
+        return pd.DataFrame(
+            {
+                "u": x * 256 + y,
+                "v": (x + dx) * 256 + (y + dy),
+                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
+            }
+        )
+
+    ek = F.pandas_udf(_edge_kernel, e_t)
+    e1 = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(ek(F.col("o_orderkey")).alias("e"))
+        .select("e.u", "e.v", "e.keep")
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+    )
+    edges = e1.unionByName(
+        e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return pagerank_rounds(edges, rounds=PR_ROUNDS)
+
+
+def _sql_pagerank(rounds: int = PR_ROUNDS) -> str:
+    h = splitmix64_sql("o_orderkey")
+    S = 10**12
+    body = []
+    for t in range(1, rounds + 1):
+        body.append(
+            f""",
+r{t} AS MATERIALIZED (
+  SELECT b.node, b.deg, b.b + (85 * COALESCE(m.s, 0)) // 100 AS r
+  FROM base b LEFT JOIN (
+    SELECT e.v AS node, SUM(a.r // a.deg) AS s
+    FROM r{t - 1} a JOIN edges e ON e.u = a.node
+    GROUP BY e.v) m ON m.node = b.node)"""
+        )
+    return f"""
+WITH e0 AS (
+  SELECT CAST(({h}) % 64 AS BIGINT) AS x,
+         CAST((({h}) // 64) % 64 AS BIGINT) AS y,
+         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
+         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy
+  FROM orders),
+e1 AS (
+  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v
+  FROM e0 WHERE dx <> 0 OR dy <> 0),
+edges AS MATERIALIZED (
+  SELECT u, v FROM e1 UNION ALL SELECT v AS u, u AS v FROM e1),
+nodes AS MATERIALIZED (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY u),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+base AS MATERIALIZED (
+  SELECT node, deg,
+         CAST({S} // n AS BIGINT) AS r0,
+         CAST((15 * ({S} // n)) // 100 AS BIGINT) AS b
+  FROM nodes CROSS JOIN nn),
+r0 AS (SELECT node, deg, r0 AS r FROM base){''.join(body)}
+SELECT node, deg, CAST(r AS BIGINT) AS r FROM r{rounds}
+"""
+
+
+_ENGINE_PAIRS["q_pagerank"] = (q_pagerank, _sql_pagerank())

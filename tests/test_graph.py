@@ -101,3 +101,25 @@ def test_viterbi_tie_prefers_stay(spark):
     r = _vit(spark, rows, C=10)[1]
     assert r["total_cost"] == 10
     assert r["kh"] == (_vit_h(6, 0) + _vit_h(6, 1)) % (1 << 31)  # stayed
+
+
+def test_pagerank_exact_star(spark):
+    from mapnik_vector_tile_spark.operators.graph import pagerank_rounds
+
+    # undirected star: hub 0 -- leaves 1..4 (symmetrized edges)
+    e = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(e, "u long, v long")
+    out = {r["node"]: r for r in pagerank_rounds(df, rounds=2).collect()}
+    S = 10**12
+    n = 5
+    r0 = S // n
+    b = (15 * r0) // 100
+    # round 1: hub gets 4 leaf contribs (r0 div 1), leaf gets r0 div 4
+    hub1 = b + (85 * (4 * (r0 // 1))) // 100
+    leaf1 = b + (85 * (r0 // 4)) // 100
+    # round 2
+    hub2 = b + (85 * (4 * (leaf1 // 1))) // 100
+    leaf2 = b + (85 * (hub1 // 4)) // 100
+    assert out[0]["deg"] == 4 and out[0]["r"] == hub2
+    for i in range(1, 5):
+        assert out[i]["deg"] == 1 and out[i]["r"] == leaf2
