@@ -1430,3 +1430,68 @@ def segment_intersect_join(
         )
         .distinct()
     )
+
+
+def assemble_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J11 way assembly — the OSM-planet ETL join: ways carry ordered
+    node-ref arrays, nodes carry coordinates; resolve every ref and
+    fold per-way geometry stats.  This is THE big-data shape of vector
+    ingest (osm2pgsql / osmium / planetiler all start here): at planet
+    scale the node table is ~10^10 rows, so the resolve step is a
+    posexplode + partitioned equi-join on node_id (AQE handles ref
+    skew on motorway junction nodes), then ONE window pass per way
+    reassembles order — no Python anywhere, the whole plan is
+    Catalyst/codegen.
+
+    ways: (way_id, refs array<long>); nodes: (node_id, x, y).
+    Unresolved refs (deleted/out-of-extract nodes — the standard OSM
+    headache) stay as gap rows: they count in n_missing and break the
+    polyline (a segment contributes only when BOTH endpoints
+    resolve).
+
+    Output per way: n_refs, n_missing, mlen (Σ Manhattan segment
+    lengths over resolved consecutive pairs), vhash (order-sensitive
+    Σ (pos+1)·(x·8191+y) over resolved refs)."""
+    from pyspark.sql import Window
+
+    ex = ways.select(
+        "way_id", F.posexplode("refs").alias("pos", "node_id")
+    )
+    j = ex.join(
+        nodes.select("node_id", "x", "y"), "node_id", "left"
+    )
+    w = Window.partitionBy("way_id").orderBy("pos")
+    seg = j.select(
+        "way_id",
+        "pos",
+        "x",
+        "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+    )
+    return seg.groupBy("way_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.sum(F.col("x").isNull().cast("long")).cast("long").alias(
+            "n_missing"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("x").isNotNull() & F.col("px").isNotNull(),
+                    F.abs(F.col("x") - F.col("px"))
+                    + F.abs(F.col("y") - F.col("py")),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("mlen"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("x").isNotNull(),
+                    (F.col("pos") + 1)
+                    * (F.col("x") * 8191 + F.col("y")),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("vhash"),
+    )

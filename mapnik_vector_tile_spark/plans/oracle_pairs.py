@@ -10123,6 +10123,7 @@ _RECORD_FIRST = (
     "q_hillshade",
     "q_sprite",
     "q_pagerank",
+    "q_way_assembly",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12336,3 +12337,124 @@ SELECT node, deg, CAST(r AS BIGINT) AS r FROM r{rounds}
 
 
 _ENGINE_PAIRS["q_pagerank"] = (q_pagerank, _sql_pagerank())
+
+
+# ---------------------------------------------------------------------------
+# q_way_assembly — J11 OSM-style way assembly join (joins.assemble_ways)
+# ---------------------------------------------------------------------------
+
+
+def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way assembly (joins.assemble_ways) with a FULL oracle: nodes
+    are orders-derived grid points keyed by the SPARSE o_orderkey
+    domain, ways are customer-derived ref lists drawn from
+    [1, max(o_orderkey)] — so ~2/3 of refs genuinely miss, exercising
+    the gap semantics.  DuckDB replays the explode+join+window chain
+    verbatim; Manhattan lengths, order-sensitive vertex hashes and
+    missing counts all land under one hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType
+
+    from mapnik_vector_tile_spark.operators.joins import assemble_ways
+
+    def _node_xy(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "x": (h % np.uint64(4096)).astype(np.int64),
+                "y": ((h >> np.uint64(12)) % np.uint64(4096)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    from pyspark.sql.types import StructField, StructType
+
+    xy_t = StructType(
+        [StructField("x", LongType()), StructField("y", LongType())]
+    )
+    xyk = F.pandas_udf(_node_xy, xy_t)
+    nodes = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderkey").cast("long").alias("node_id"),
+            xyk(F.col("o_orderkey").cast("long")).alias("p"),
+        )
+        .select("node_id", "p.x", "p.y")
+    )
+
+    def _refs_kernel(wid):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        k = wid.to_numpy(np.uint64)
+        kk = (splitmix64(k) >> np.uint64(11)) % np.uint64(6) + np.uint64(2)
+        out = []
+        for w, n in zip(k, kk):
+            j = np.arange(int(n), dtype=np.uint64)
+            h = splitmix64(w * np.uint64(131) + j) >> np.uint64(11)
+            out.append(h.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    rk = F.pandas_udf(_refs_kernel, ArrayType(LongType()))
+    mx = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.max("o_orderkey").cast("long").alias("mk"))
+    )
+    ways = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").cast("long").alias("way_id"),
+            rk(F.col("c_custkey").cast("long")).alias("hr"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "way_id",
+            F.transform(
+                F.col("hr"), lambda r: r % F.col("mk") + 1
+            ).alias("refs"),
+        )
+    )
+    return assemble_ways(ways, nodes)
+
+
+def _sql_way_assembly() -> str:
+    hn = splitmix64_sql("o_orderkey")
+    hw = splitmix64_sql("c_custkey")
+    hr = splitmix64_sql("(c_custkey * 131 + j.v)")
+    return f"""
+WITH nodes AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS node_id,
+         CAST(({hn}) % 4096 AS BIGINT) AS x,
+         CAST((({hn}) // 4096) % 4096 AS BIGINT) AS y
+  FROM orders),
+mx AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS mk FROM orders),
+refs AS (
+  SELECT CAST(c_custkey AS BIGINT) AS way_id, j.v AS pos,
+         CAST((({hr}) // 2048) % mk + 1 AS BIGINT) AS node_id
+  FROM customer CROSS JOIN mx,
+       LATERAL unnest(generate_series(
+         0, CAST(2 + (({hw}) // 2048) % 6 AS BIGINT) - 1)) j(v)),
+jn AS (
+  SELECT r.way_id, r.pos, n.x, n.y,
+         lag(n.x) OVER (PARTITION BY r.way_id ORDER BY r.pos) AS px,
+         lag(n.y) OVER (PARTITION BY r.way_id ORDER BY r.pos) AS py
+  FROM refs r LEFT JOIN nodes n ON n.node_id = r.node_id)
+SELECT way_id,
+       CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND px IS NOT NULL
+                  THEN abs(x - px) + abs(y - py) END), 0) AS BIGINT)
+         AS mlen,
+       CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL
+                  THEN (pos + 1) * (x * 8191 + y) END), 0) AS BIGINT)
+         AS vhash
+FROM jn GROUP BY way_id
+"""
+
+
+_ENGINE_PAIRS["q_way_assembly"] = (q_way_assembly, _sql_way_assembly())

@@ -837,3 +837,29 @@ def test_voronoi_assign_labels_and_border(spark):
     # isolated tie cell: d2 = 5^2+7^2 = 74 from both, label 1, no nbrs
     assert out[(5, 7)]["seed_id"] == 1 and out[(5, 7)]["d2"] == 74
     assert out[(5, 7)]["n_diff"] == 0
+
+
+def test_assemble_ways_gaps_and_order(spark):
+    from mapnik_vector_tile_spark.operators.joins import assemble_ways
+
+    nodes = spark.createDataFrame(
+        [(1, 0, 0), (2, 3, 4), (3, 3, 10)], "node_id long, x long, y long"
+    )
+    ways = spark.createDataFrame(
+        [
+            (10, [1, 2, 3]),       # fully resolved chain
+            (11, [1, 99, 3]),      # middle ref missing -> no segments
+            (12, [2]),             # single ref
+        ],
+        "way_id long, refs array<long>",
+    )
+    out = {r["way_id"]: r for r in assemble_ways(ways, nodes).collect()}
+    w = out[10]
+    assert (w["n_refs"], w["n_missing"]) == (3, 0)
+    assert w["mlen"] == (3 + 4) + (0 + 6)
+    assert w["vhash"] == 1 * (0) + 2 * (3 * 8191 + 4) + 3 * (3 * 8191 + 10)
+    g = out[11]
+    assert (g["n_refs"], g["n_missing"], g["mlen"]) == (3, 1, 0)
+    assert g["vhash"] == 1 * 0 + 3 * (3 * 8191 + 10)
+    s = out[12]
+    assert (s["n_refs"], s["n_missing"], s["mlen"]) == (1, 0, 0)
