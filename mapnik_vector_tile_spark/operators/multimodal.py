@@ -662,3 +662,50 @@ def resample_decimate(audio: DataFrame, factor: int = 6) -> DataFrame:
         schema="audio_id string, n_out long, dec_sum long, "
         "dec_min long, dec_max long",
     )
+
+
+def audio_adpcm_stats(clips: DataFrame) -> DataFrame:
+    """T13b IMA-ADPCM round-trip analysis — encode each pcm16 clip
+    with the REAL 4-bit IMA quantizer (functions/adpcm.py), decode it
+    back, and fold the exact error profile: reconstructed sum, integer
+    squared error, max abs error, and the 4:1 payload size.  The
+    whole chain is integer-deterministic, so the DuckDB twin
+    (q_audio_adpcm) replays the predictor recursion bit-for-bit — a
+    lossy codec held to a LOSSLESS oracle standard.
+
+    clips: (clip_id, pcm binary int16-LE, n_samples).  One narrow
+    mapInPandas scan, no shuffle; the sequential predictor loop is
+    per-clip Python bounded by the Arrow batch (the label-placement
+    precedent), vectorizable across fixed-length clips if a corpus
+    ever needs it."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions.adpcm import (
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    def gen(it):
+        for pdf in it:
+            out = {"clip_id": [], "n_samples": [], "n_bytes": [],
+                   "sum_dec": [], "sse": [], "max_err": []}
+            for r in pdf.itertuples():
+                pcm = np.frombuffer(r.pcm, dtype="<i2").astype(np.int64)
+                n = int(r.n_samples)
+                pcm = pcm[:n]
+                enc = adpcm_encode(pcm)
+                dec = adpcm_decode(enc, n).astype(np.int64)
+                err = pcm - dec
+                out["clip_id"].append(int(r.clip_id))
+                out["n_samples"].append(n)
+                out["n_bytes"].append(len(enc))
+                out["sum_dec"].append(int(dec.sum()))
+                out["sse"].append(int((err * err).sum()))
+                out["max_err"].append(int(np.abs(err).max()) if n else 0)
+            yield pd.DataFrame(out)
+
+    return clips.select("clip_id", "pcm", "n_samples").mapInPandas(
+        gen,
+        "clip_id long, n_samples long, n_bytes long, sum_dec long,"
+        " sse long, max_err long",
+    )

@@ -86,3 +86,39 @@ def test_alaw_table_matches_decode():
     assert np.array_equal(
         dec, g711.alaw_decode(np.arange(256, dtype=np.uint8))
     )
+
+
+def test_adpcm_tracks_smooth_signal():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.adpcm import (
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    t = np.arange(512)
+    sm = (1000 * np.sin(t / 20)).astype(np.int16)
+    enc = adpcm_encode(sm)
+    assert len(enc) == 256  # 4:1 vs pcm16
+    dec = adpcm_decode(enc, 512)
+    err = np.abs(sm.astype(np.int64) - dec.astype(np.int64))
+    assert err.max() <= 64  # quantizer tracks a gentle slope closely
+
+
+def test_adpcm_clamps_and_odd_length():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.adpcm import (
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    # full-scale square wave forces predictor clamp at both rails
+    sq = np.tile([32767, -32768], 50).astype(np.int16)
+    dec = adpcm_decode(adpcm_encode(sq), 100)
+    assert dec.max() <= 32767 and dec.min() >= -32768
+    # odd sample count pads the final nibble, decode count is honored
+    odd = np.arange(7, dtype=np.int16) * 100
+    enc = adpcm_encode(odd)
+    assert len(enc) == 4
+    assert adpcm_decode(enc, 7).shape == (7,)
