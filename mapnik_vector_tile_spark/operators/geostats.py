@@ -431,3 +431,46 @@ def voronoi_assign(cells: DataFrame, seeds: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def od_flows(located: DataFrame) -> DataFrame:
+    """ST6 origin–destination flow matrix — the mobility-analytics
+    aggregate every transport/urban stack computes (OD matrices in
+    PostGIS/mobilitydb, Uber Movement): per user, consecutive located
+    pings form a trip leg; legs that change cell aggregate into the
+    directed cell-pair flow table.
+
+    located: (user_id, t, eid, cx, cy) — integer seconds + a tiebreak
+    id so the per-user ordering (t, eid) is total and deterministic.
+
+    Pure Catalyst: ONE window shuffle (partitionBy user) for the lag,
+    ONE map-side-combining aggregate on the OD key. At fleet scale
+    the window partitions by user (millions of small partitions — no
+    skew), and the OD table is cell²-bounded.
+
+    Output: (ocx, ocy, dcx, dcy, n_trips, sum_dur, n_users)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("t", "eid")
+    legs = located.select(
+        "user_id",
+        "t",
+        "cx",
+        "cy",
+        F.lag("cx").over(w).alias("ocx"),
+        F.lag("cy").over(w).alias("ocy"),
+        F.lag("t").over(w).alias("ot"),
+    ).filter(
+        F.col("ocx").isNotNull()
+        & ((F.col("ocx") != F.col("cx")) | (F.col("ocy") != F.col("cy")))
+    )
+    return legs.groupBy(
+        F.col("ocx"),
+        F.col("ocy"),
+        F.col("cx").alias("dcx"),
+        F.col("cy").alias("dcy"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trips"),
+        F.sum(F.col("t") - F.col("ot")).cast("long").alias("sum_dur"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

@@ -10125,6 +10125,7 @@ _RECORD_FIRST = (
     "q_pagerank",
     "q_way_assembly",
     "q_audio_adpcm",
+    "q_od_flows",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12574,3 +12575,78 @@ GROUP BY clip
 
 
 _ENGINE_PAIRS["q_audio_adpcm"] = (q_audio_adpcm, _sql_audio_adpcm())
+
+
+# ---------------------------------------------------------------------------
+# q_od_flows — ST6 origin–destination flow matrix (geostats.od_flows)
+# ---------------------------------------------------------------------------
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OD flow matrix (geostats.od_flows) over the events table with a
+    FULL oracle: pings locate on the same splitmix 4-grid as
+    q_cotravel, order per user by (epoch seconds, event_id), and both
+    engines fold identical directed cell-pair flows — trip counts,
+    exact integer duration sums, distinct-user counts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.geostats import od_flows
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(4)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(4)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        F.col("event_id").cast("long").alias("eid"),
+        ck(F.col("event_id")).alias("c"),
+    ).select("user_id", "t", "eid", "c.cx", "c.cy")
+    return od_flows(loc)
+
+
+def _sql_od_flows() -> str:
+    h = splitmix64_sql("event_id")
+    return f"""
+WITH loc AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(event_id AS BIGINT) AS eid,
+         CAST(({h}) % 4 AS BIGINT) AS cx,
+         CAST((({h}) // 256) % 4 AS BIGINT) AS cy
+  FROM events),
+legs AS (
+  SELECT user_id, t, cx, cy,
+         lag(cx) OVER w AS ocx,
+         lag(cy) OVER w AS ocy,
+         lag(t) OVER w AS ot
+  FROM loc
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, eid))
+SELECT ocx, ocy, cx AS dcx, cy AS dcy,
+       CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(SUM(t - ot) AS BIGINT) AS sum_dur,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM legs
+WHERE ocx IS NOT NULL AND (ocx <> cx OR ocy <> cy)
+GROUP BY ocx, ocy, cx, cy
+"""
+
+
+_ENGINE_PAIRS["q_od_flows"] = (q_od_flows, _sql_od_flows())

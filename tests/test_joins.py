@@ -863,3 +863,32 @@ def test_assemble_ways_gaps_and_order(spark):
     assert g["vhash"] == 1 * 0 + 3 * (3 * 8191 + 10)
     s = out[12]
     assert (s["n_refs"], s["n_missing"], s["mlen"]) == (1, 0, 0)
+
+
+def test_od_flows_legs_and_dedup(spark):
+    from mapnik_vector_tile_spark.operators.geostats import od_flows
+
+    rows = [
+        # user 1: A(0,0)@0 -> B(1,0)@100 -> B(1,0)@150 -> A(0,0)@200
+        (1, 0, 1, 0, 0),
+        (1, 100, 2, 1, 0),
+        (1, 150, 3, 1, 0),   # same cell: not a trip
+        (1, 200, 4, 0, 0),
+        # user 2: A -> B once
+        (2, 10, 5, 0, 0),
+        (2, 40, 6, 1, 0),
+        # tie on t broken by eid: 7 then 8
+        (3, 5, 7, 0, 0),
+        (3, 5, 8, 1, 0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long, eid long, cx long, cy long")
+    out = {
+        (r["ocx"], r["ocy"], r["dcx"], r["dcy"]): r
+        for r in od_flows(df).collect()
+    }
+    ab = out[(0, 0, 1, 0)]
+    assert ab["n_trips"] == 3 and ab["n_users"] == 3
+    assert ab["sum_dur"] == 100 + 30 + 0
+    ba = out[(1, 0, 0, 0)]
+    assert ba["n_trips"] == 1 and ba["sum_dur"] == 50 and ba["n_users"] == 1
+    assert len(out) == 2
