@@ -1947,3 +1947,81 @@ def sprite_atlas(
         schema="g long, icon_id long, sheet long, px long, py long",
         out_columns=["g", "icon_id", "sheet", "px", "py"],
     )
+
+
+HARRIS_THR = 10_000_000  # response floor, exact-integer scale (k=1/16)
+
+
+def harris_corner_stats(images: DataFrame) -> DataFrame:
+    """T12j Harris corner response — the classic interest-point
+    detector (Harris & Stephens '88; every SIFT/ORB-era vision
+    pipeline's first stage) rebuilt integer-exact so the DuckDB twin
+    replays it decision-for-decision:
+
+      gx, gy       : 3x3 Sobel over the shared ITU-601 luma8 grid
+      A, B, C      : gx^2, gy^2, gx*gy per pixel
+      Sa, Sb, Sc   : unweighted 3x3 window sums (the box variant of
+                     the Gaussian structure tensor)
+      R16          : 16*(Sa*Sb - Sc^2) - (Sa+Sb)^2  — Harris with
+                     k = 1/16 cleared of the fraction (fits int64:
+                     |R16| < 1.5e15 at 8-bit depth)
+      corner       : R16 > HARRIS_THR and R16 STRICTLY greater than
+                     all 8 neighbors (plateau ties yield no corner —
+                     pinned, deterministic NMS)
+
+    Output per image: (image_id, n_pos, n_corners, sum_r, max_r,
+    caption) with sum_r over corners only. One narrow mapInPandas
+    scan, no shuffle; caption rides through per the north-rule row
+    invariant."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "n_pos": [], "n_corners": [],
+                   "sum_r": [], "max_r": [], "caption": []}
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                a = rgba.astype(np.int64)
+                g = (a[..., 0] * 77 + a[..., 1] * 151 + a[..., 2] * 28) >> 8
+                gx = (
+                    (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                    - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+                )
+                gy = (
+                    (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                    - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+                )
+                A, B, C = gx * gx, gy * gy, gx * gy
+
+                def box3(m):
+                    return (
+                        m[:-2, :-2] + m[:-2, 1:-1] + m[:-2, 2:]
+                        + m[1:-1, :-2] + m[1:-1, 1:-1] + m[1:-1, 2:]
+                        + m[2:, :-2] + m[2:, 1:-1] + m[2:, 2:]
+                    )
+
+                sa, sb, sc = box3(A), box3(B), box3(C)
+                r16 = 16 * (sa * sb - sc * sc) - (sa + sb) * (sa + sb)
+                # strict 8-neighbor NMS on the response interior
+                ri = r16[1:-1, 1:-1]
+                nmax = np.maximum.reduce([
+                    r16[:-2, :-2], r16[:-2, 1:-1], r16[:-2, 2:],
+                    r16[1:-1, :-2], r16[1:-1, 2:],
+                    r16[2:, :-2], r16[2:, 1:-1], r16[2:, 2:],
+                ])
+                corner = (ri > HARRIS_THR) & (ri > nmax)
+                out["image_id"].append(r.image_id)
+                out["n_pos"].append(int((r16 > 0).sum()))
+                out["n_corners"].append(int(corner.sum()))
+                out["sum_r"].append(int(ri[corner].sum()))
+                out["max_r"].append(int(r16.max()) if r16.size else 0)
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.select(
+        "image_id", "bytes", "fmt", "w", "h", "caption"
+    ).mapInPandas(
+        gen,
+        "image_id string, n_pos long, n_corners long, sum_r long,"
+        " max_r long, caption string",
+    )

@@ -10126,6 +10126,7 @@ _RECORD_FIRST = (
     "q_way_assembly",
     "q_audio_adpcm",
     "q_od_flows",
+    "q_harris",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12650,3 +12651,111 @@ GROUP BY ocx, ocy, cx, cy
 
 
 _ENGINE_PAIRS["q_od_flows"] = (q_od_flows, _sql_od_flows())
+
+
+# ---------------------------------------------------------------------------
+# q_harris — T12j Harris corner response with strict-NMS corners
+# ---------------------------------------------------------------------------
+
+IMG_HC_N = 150
+
+
+def q_harris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harris corners (raster.harris_corner_stats) over the canonical
+    images table with a FULL oracle: DuckDB regenerates the pixels,
+    builds Sobel products, 3x3 structure-tensor box sums (HAVING 9
+    keeps exactly the engine's response interior), the k=1/16
+    fraction-cleared response, and the strict 8-neighbor NMS — corner
+    counts, response sums and maxima all under one hash with captions
+    riding through."""
+    from mapnik_vector_tile_spark.operators.raster import (
+        harris_corner_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_HC_N)
+    return harris_corner_stats(imgs)
+
+
+def _sql_harris(n: int = IMG_HC_N) -> str:
+    from mapnik_vector_tile_spark.operators.raster import HARRIS_THR
+
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS MATERIALIZED (
+  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+tri AS MATERIALIZED (
+  SELECT i, w, h, y, x,
+         lag(g8)  OVER (PARTITION BY i, y ORDER BY x) AS wv,
+         g8 AS cv,
+         lead(g8) OVER (PARTITION BY i, y ORDER BY x) AS ev
+  FROM lum
+),
+sob AS MATERIALIZED (
+  SELECT m.i, m.y, m.x,
+         (u.ev + 2 * m.ev + d.ev) - (u.wv + 2 * m.wv + d.wv) AS gx,
+         (d.wv + 2 * d.cv + d.ev) - (u.wv + 2 * u.cv + u.ev) AS gy
+  FROM tri m
+  JOIN tri u ON u.i = m.i AND u.x = m.x AND u.y = m.y - 1
+  JOIN tri d ON d.i = m.i AND d.x = m.x AND d.y = m.y + 1
+  WHERE m.x BETWEEN 1 AND m.w - 2 AND m.y BETWEEN 1 AND m.h - 2
+),
+prod AS MATERIALIZED (
+  SELECT i, y, x, gx * gx AS a, gy * gy AS b, gx * gy AS c FROM sob
+),
+sums AS MATERIALIZED (
+  SELECT p.i, p.y, p.x,
+         CAST(SUM(q.a) AS BIGINT) AS sa,
+         CAST(SUM(q.b) AS BIGINT) AS sb,
+         CAST(SUM(q.c) AS BIGINT) AS sc
+  FROM prod p
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)) o(dy, dx)
+  JOIN prod q ON q.i = p.i AND q.y = p.y + o.dy AND q.x = p.x + o.dx
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) = 9
+),
+resp AS MATERIALIZED (
+  SELECT i, y, x,
+         16 * (sa * sb - sc * sc) - (sa + sb) * (sa + sb) AS r16
+  FROM sums
+),
+nbr AS MATERIALIZED (
+  SELECT p.i, p.y, p.x, p.r16,
+         MAX(q.r16) AS nmax, COUNT(*) AS nn
+  FROM resp p
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                     (1,-1),(1,0),(1,1)) o(dy, dx)
+  JOIN resp q ON q.i = p.i AND q.y = p.y + o.dy AND q.x = p.x + o.dx
+  GROUP BY 1, 2, 3, 4
+),
+corners AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS n_corners,
+         CAST(SUM(r16) AS BIGINT) AS sum_r
+  FROM nbr
+  WHERE nn = 8 AND r16 > {HARRIS_THR} AND r16 > nmax
+  GROUP BY i
+),
+rstats AS (
+  SELECT i,
+         CAST(SUM(CASE WHEN r16 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(MAX(r16) AS BIGINT) AS max_r
+  FROM resp GROUP BY i
+)
+SELECT 'img_' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id,
+       COALESCE(r.n_pos, 0) AS n_pos,
+       COALESCE(c.n_corners, 0) AS n_corners,
+       COALESCE(c.sum_r, 0) AS sum_r,
+       COALESCE(r.max_r, 0) AS max_r,
+       caps.caption AS caption
+FROM dims d
+LEFT JOIN rstats r ON r.i = d.i
+LEFT JOIN corners c ON c.i = d.i
+JOIN caps ON caps.i = d.i
+"""
+
+
+_ENGINE_PAIRS["q_harris"] = (q_harris, _sql_harris())

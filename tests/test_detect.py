@@ -304,3 +304,41 @@ def test_eval_no_gt_image(spark):
     r = _eval(spark, [(1, 1, 0, 0, 10, 10, 5)], [(2, 9, 0, 0, 10, 10)])
     assert r[1]["tp"] == 0 and r[1]["n_gt"] == 0
     assert r[2]["n_pred"] == 0 and r[2]["n_gt"] == 1
+
+
+def test_harris_synthetic_corner(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        encode_image,
+        harris_corner_stats,
+    )
+
+    # a bright axis-aligned square on black: strong responses at its
+    # 4 corners, edges alone must NOT fire (that's the Harris point)
+    img = np.zeros((24, 24, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    img[6:18, 6:18, :3] = 255
+    rows = [("img_a", encode_image(img, "raw-rgba8"), 24, 24,
+             "raw-rgba8", "cap a")]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string,"
+        " caption string"
+    )
+    out = harris_corner_stats(df).collect()[0]
+    assert out["n_corners"] >= 4
+    assert out["max_r"] > 0
+    assert out["caption"] == "cap a"
+
+    # a pure vertical edge image: no corners anywhere
+    edge = np.zeros((24, 24, 4), dtype=np.uint8)
+    edge[..., 3] = 255
+    edge[:, 12:, :3] = 255
+    df2 = spark.createDataFrame(
+        [("img_b", encode_image(edge, "raw-rgba8"), 24, 24,
+          "raw-rgba8", "cap b")],
+        "image_id string, bytes binary, w int, h int, fmt string,"
+        " caption string",
+    )
+    out2 = harris_corner_stats(df2).collect()[0]
+    assert out2["n_corners"] == 0
