@@ -2025,3 +2025,65 @@ def harris_corner_stats(images: DataFrame) -> DataFrame:
         "image_id string, n_pos long, n_corners long, sum_r long,"
         " max_r long, caption string",
     )
+
+
+def quality_mosaic(scenes: DataFrame, tile_size: int) -> DataFrame:
+    """R12 best-pixel mosaic — the max-value composite (Earth Engine
+    qualityMosaic / MODIS max-NDVI compositing) over overlapping
+    scenes of the same tile: each output pixel comes from the scene
+    whose pixel value is largest, ties to the smaller scene_id.
+    The per-scene provenance (how many pixels each scene won, and
+    their sum) plus a positional wsum of the mosaic pin both the
+    argmax decisions and the composite placement.
+
+    scenes: (z, x, y, scene_id, raster) — raster = tile_size² uint8
+    luma bytes.  Grouped-kernel execution (repartition on the tile
+    key + in-batch group loop): the stack-argmax is one numpy pass
+    per tile, fan-in bounded by scenes-per-tile.
+
+    Output: one row per (z, x, y, scene_id) — pixels_won, sum_won,
+    and the tile-level mosaic_wsum repeated per row (Σ (r·T+c+1)·v
+    over the winning values)."""
+    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
+
+    T = tile_size
+
+    def kernel(key, cols, sl):
+        z, x, y = (int(k) for k in key)
+        sids = cols["scene_id"][sl]
+        rasters = cols["raster"][sl]
+        order = np.argsort(sids, kind="stable")
+        sids = sids[order]
+        stack = np.stack(
+            [
+                np.frombuffer(rasters[i], dtype=np.uint8).reshape(T, T)
+                for i in order
+            ]
+        ).astype(np.int64)
+        win = stack.argmax(axis=0)  # first max = smallest scene_id
+        vals = np.take_along_axis(stack, win[None], axis=0)[0]
+        pos = np.arange(1, T * T + 1, dtype=np.int64).reshape(T, T)
+        wsum = int((pos * vals).sum())
+        rows = []
+        for i, sid in enumerate(sids):
+            mask = win == i
+            rows.append(
+                (
+                    z, x, y, int(sid),
+                    int(mask.sum()), int(vals[mask].sum()), wsum,
+                )
+            )
+        return rows
+
+    return apply_grouped(
+        scenes.select("z", "x", "y", "scene_id", "raster"),
+        keys=["z", "x", "y"],
+        order_by=["z", "x", "y", "scene_id"],
+        fn=kernel,
+        schema="z long, x long, y long, scene_id long, pixels_won long,"
+        " sum_won long, mosaic_wsum long",
+        out_columns=[
+            "z", "x", "y", "scene_id", "pixels_won", "sum_won",
+            "mosaic_wsum",
+        ],
+    )

@@ -10127,6 +10127,7 @@ _RECORD_FIRST = (
     "q_audio_adpcm",
     "q_od_flows",
     "q_harris",
+    "q_quality_mosaic",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12759,3 +12760,100 @@ JOIN caps ON caps.i = d.i
 
 
 _ENGINE_PAIRS["q_harris"] = (q_harris, _sql_harris())
+
+
+# ---------------------------------------------------------------------------
+# q_quality_mosaic — R12 best-pixel mosaic (raster.quality_mosaic)
+# ---------------------------------------------------------------------------
+
+QM_T = 16
+QM_TILES = 25
+
+
+def q_quality_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-value composite (raster.quality_mosaic) with a FULL oracle:
+    25 tiles carry 1-3 overlapping closed-form scenes
+    v = (r·a + c·b + ph) % 251; DuckDB replays the per-pixel argmax
+    with a (v DESC, scene ASC) window rank and folds the identical
+    provenance + positional mosaic witness."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import quality_mosaic
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = QM_T
+
+    def gen(it):
+        for pdf in it:
+            rows = {"z": [], "x": [], "y": [], "scene_id": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                tile = i % QM_TILES
+                # tile t gets scenes i where i % QM_TILES == t; the
+                # range(75) driver below yields 3 scene slots per tile
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                if i >= QM_TILES and h % 3 == 0:
+                    continue  # 1-3 scenes per tile, slot 0 always kept
+                a = 1 + h % 13
+                b = 1 + (h >> 8) % 11
+                ph = (h >> 16) % 997
+                r = np.arange(T, dtype=np.int64)
+                v = (r[:, None] * a + r[None, :] * b + ph) % 251
+                rows["z"].append(5)
+                rows["x"].append(tile % 5)
+                rows["y"].append(tile // 5)
+                rows["scene_id"].append(i)
+                rows["raster"].append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame(rows)
+
+    scenes = spark.range(QM_TILES * 3).mapInPandas(
+        gen, "z long, x long, y long, scene_id long, raster binary"
+    )
+    return quality_mosaic(scenes, T)
+
+
+def _sql_quality_mosaic(t: int = QM_T) -> str:
+    sm = splitmix64_sql("i")
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {QM_TILES * 3 - 1})) AS i),
+sc AS (
+  SELECT i, i % {QM_TILES} AS tile, {sm} AS h FROM ids),
+keep AS (
+  SELECT i, tile,
+         CAST(1 + h % 13 AS BIGINT) AS a,
+         CAST(1 + (h // 256) % 11 AS BIGINT) AS b,
+         CAST((h // 65536) % 997 AS BIGINT) AS ph
+  FROM sc WHERE i < {QM_TILES} OR h % 3 <> 0),
+px AS MATERIALIZED (
+  SELECT k.i AS scene_id, k.tile, r.v AS rv, c.v AS cv,
+         (r.v * k.a + c.v * k.b + k.ph) % 251 AS v
+  FROM keep k
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
+rnk AS MATERIALIZED (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY tile, rv, cv ORDER BY v DESC, scene_id) AS rn
+  FROM px),
+winners AS (SELECT * FROM rnk WHERE rn = 1),
+ws AS (
+  SELECT tile,
+         CAST(SUM((rv * {t} + cv + 1) * v) AS BIGINT) AS mosaic_wsum
+  FROM winners GROUP BY tile),
+prov AS (
+  SELECT k.tile, k.i AS scene_id,
+         CAST(COALESCE(COUNT(w.v), 0) AS BIGINT) AS pixels_won,
+         CAST(COALESCE(SUM(w.v), 0) AS BIGINT) AS sum_won
+  FROM keep k
+  LEFT JOIN winners w ON w.scene_id = k.i
+  GROUP BY k.tile, k.i)
+SELECT CAST(5 AS BIGINT) AS z,
+       CAST(p.tile % 5 AS BIGINT) AS x,
+       CAST(p.tile // 5 AS BIGINT) AS y,
+       p.scene_id, p.pixels_won, p.sum_won, ws.mosaic_wsum
+FROM prov p JOIN ws ON ws.tile = p.tile
+"""
+
+
+_ENGINE_PAIRS["q_quality_mosaic"] = (q_quality_mosaic, _sql_quality_mosaic())

@@ -1111,3 +1111,31 @@ def test_sprite_atlas_no_overlap(spark):
                     x1 + w1 <= x2 or x2 + w2 <= x1
                     or y1 + h1 <= y2 or y2 + h2 <= y1
                 ), (rects[i], rects[j])
+
+
+def test_quality_mosaic_argmax_and_ties(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import quality_mosaic
+
+    T = 4
+    # scene 1: constant 10; scene 2: constant 10 except one brighter px
+    a = np.full((T, T), 10, dtype=np.uint8)
+    b = a.copy()
+    b[2, 3] = 200
+    rows = [
+        (5, 0, 0, 1, a.tobytes()),
+        (5, 0, 0, 2, b.tobytes()),
+    ]
+    df = spark.createDataFrame(
+        rows, "z long, x long, y long, scene_id long, raster binary"
+    )
+    out = {r["scene_id"]: r for r in quality_mosaic(df, T).collect()}
+    # ties -> smaller scene_id wins everywhere except the bright pixel
+    assert out[1]["pixels_won"] == 15 and out[1]["sum_won"] == 150
+    assert out[2]["pixels_won"] == 1 and out[2]["sum_won"] == 200
+    pos = 2 * T + 3 + 1
+    want_wsum = sum(
+        (i + 1) * 10 for i in range(T * T) if i != pos - 1
+    ) + pos * 200
+    assert out[1]["mosaic_wsum"] == out[2]["mosaic_wsum"] == want_wsum
