@@ -10128,6 +10128,7 @@ _RECORD_FIRST = (
     "q_od_flows",
     "q_harris",
     "q_quality_mosaic",
+    "q_hilbert",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12857,3 +12858,37 @@ FROM prov p JOIN ws ON ws.tile = p.tile
 
 
 _ENGINE_PAIRS["q_quality_mosaic"] = (q_quality_mosaic, _sql_quality_mosaic())
+
+
+# ---------------------------------------------------------------------------
+# q_hilbert — S11 Hilbert cell index (functions/hilbertcell.py)
+# ---------------------------------------------------------------------------
+
+HB_Z = 10
+
+
+def _hilbert_query(engine: str) -> str:
+    from mapnik_vector_tile_spark.functions.hilbertcell import hilbert_sql
+
+    txe, tye = S.tile_xy_exprs(HB_Z)
+    src = (
+        f"(WITH {S.point_cte('orders', 'o_orderkey')} "
+        f"SELECT id, {txe} AS cx, {tye} AS cy FROM pts) cells"
+    )
+    return hilbert_sql(HB_Z, src, engine)
+
+
+def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert cell index (functions/hilbertcell.py — the
+    PMTiles/S2-style locality curve, fourth cell scheme beside
+    Morton, S2-style, hex and geohash) with a FULL oracle: ONE
+    generator renders the z-level rotate/flip recurrence to both
+    engines (only integer-division syntax differs), so every id's
+    curve position matches bit-exactly; numpy twin is
+    pmtiles-tileid-parity- and unit-step-pinned in tests. Zero
+    shuffle: one codegen projection."""
+    load_views(spark, sf_dir)
+    return spark.sql(_hilbert_query("spark"))
+
+
+_ENGINE_PAIRS["q_hilbert"] = (q_hilbert, _hilbert_query("duckdb"))

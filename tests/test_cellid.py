@@ -142,3 +142,48 @@ def test_quadkey_known_vectors_and_roundtrip(spark):
     back = df.select("x", "y", px.alias("px"), py.alias("py")).collect()
     for r in back:
         assert (r["px"], r["py"]) == (r["x"], r["y"])
+
+
+def test_hilbert_pmtiles_parity_and_unit_steps():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.hilbertcell import hilbert_d
+    from mapnik_vector_tile_spark.sources.pmtiles import zxy_to_tileid
+
+    z = 5
+    n = 1 << z
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+    d = hilbert_d(z, xs, ys)
+    # bijection onto [0, 4^z)
+    assert sorted(d.tolist()) == list(range(n * n))
+    # identical to the PMTiles spec tile ids (minus the pyramid offset)
+    acc = ((1 << (2 * z)) - 1) // 3
+    ref = np.array(
+        [zxy_to_tileid(z, int(x), int(y)) - acc for x, y in zip(xs, ys)]
+    )
+    assert (d == ref).all()
+    # the defining Hilbert property: consecutive curve positions are
+    # 4-adjacent grid cells (Morton fails this on every 2^k boundary)
+    order = np.argsort(d)
+    steps = np.abs(np.diff(xs[order])) + np.abs(np.diff(ys[order]))
+    assert (steps == 1).all()
+
+
+def test_hilbert_sql_generator_engines_agree():
+    import duckdb
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.hilbertcell import (
+        hilbert_d,
+        hilbert_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE cells AS SELECT (i % 16) AS cx, (i // 16) AS cy,"
+        " i AS id FROM (SELECT unnest(generate_series(0, 255)) AS i)"
+    )
+    out = con.sql(hilbert_sql(4, "cells", "duckdb")).df().sort_values("id")
+    want = hilbert_d(4, out["cx"].to_numpy(), out["cy"].to_numpy())
+    assert (out["hd"].to_numpy() == want).all()
