@@ -10129,6 +10129,7 @@ _RECORD_FIRST = (
     "q_harris",
     "q_quality_mosaic",
     "q_hilbert",
+    "q_trending_tiles",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12892,3 +12893,63 @@ def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ENGINE_PAIRS["q_hilbert"] = (q_hilbert, _hilbert_query("duckdb"))
+
+
+# ---------------------------------------------------------------------------
+# q_trending_tiles — §2.10 trending-tiles leg, batch twin
+# ---------------------------------------------------------------------------
+
+
+def q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming trending-tiles leg
+    (streaming/trending.py: shared plan, watermark only added on the
+    stream side; stream-sink == this twin is pinned in
+    tests/test_streaming.py). FULL oracle: hourly tumbling windows,
+    per-tile counts at z6, serving-side top-3 rank with the pinned
+    (n_events DESC, tx, ty) tie order."""
+    from mapnik_vector_tile_spark.streaming.trending import (
+        batch_trending_topk,
+    )
+
+    return batch_trending_topk(spark, sf_dir)
+
+
+def _sql_trending_tiles() -> str:
+    from mapnik_vector_tile_spark.plans.shared_sql import TWO_W, flit
+    from mapnik_vector_tile_spark.streaming.trending import (
+        TREND_K,
+        TREND_Z,
+    )
+
+    utx, uty = S.tile_xy_exprs(TREND_Z)
+    lim = (1 << TREND_Z) - 1
+    tx = f"GREATEST(0, LEAST({lim}, {utx}))"
+    ty = f"GREATEST(0, LEAST({lim}, {uty}))"
+    mx = (
+        f"((((user_id) * 2654435761) % 4294967296) / {flit(2**32)})"
+        f" * {flit(TWO_W)} - {flit(W)}"
+    )
+    my = (
+        f"((((user_id) * 1103515245 + 12345) % 4294967296) / {flit(2**32)})"
+        f" * {flit(TWO_W)} - {flit(W)}"
+    )
+    return f"""
+WITH p AS (
+  SELECT event_id, ts, {mx} AS mx, {my} AS my FROM events),
+cnt AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart,
+         {tx} AS tx, {ty} AS ty,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MIN(event_id) AS BIGINT) AS min_id
+  FROM p GROUP BY 1, 2, 3),
+rnk AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY wstart ORDER BY n_events DESC, tx, ty) AS BIGINT)
+    AS rnk
+  FROM cnt)
+SELECT wstart, tx, ty, n_events, min_id, rnk
+FROM rnk WHERE rnk <= {TREND_K}
+"""
+
+
+_ENGINE_PAIRS["q_trending_tiles"] = (q_trending_tiles, _sql_trending_tiles())

@@ -562,3 +562,57 @@ def test_incremental_retile_rollup_ancestors(spark, chunked_events, tmp_path):
     # of intermediate batches underneath — consumers take latest)
     assert set(want) == set(got)
     assert all(got[k] == want[k] for k in want)
+
+
+def test_trending_stream_counts_match_batch(spark, tmp_path):
+    """Trending-tiles leg: append-mode window counts emitted by the
+    stream are a subset of the batch twin's count table (only
+    watermark-closed windows emit) with near-full coverage on the
+    30-day corpus; rows that emitted match exactly."""
+    from mapnik_vector_tile_spark.streaming import trending as T
+
+    src = str(tmp_path / "trend_src")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("event_id")
+    pdf = ev.toPandas()
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            f"{src}/chunk{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    T.run_trending_stream_to_memory(
+        spark, src, table_name="trend_t",
+        checkpoint_dir=str(tmp_path / "ckpt_trend"),
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["ws"], r["tx"], r["ty"], r["n_events"], r["min_id"])
+        for r in spark.sql(
+            "SELECT unix_timestamp(win.start) AS ws, tx, ty,"
+            " n_events, min_id FROM trend_t"
+        ).collect()
+    }
+    want = {
+        (r["ws"], r["tx"], r["ty"], r["n_events"], r["min_id"])
+        for r in T.trending_counts(ev)
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("ws"),
+            "tx", "ty", "n_events", "min_id",
+        )
+        .collect()
+    }
+    assert got <= want
+    assert len(got) >= 0.8 * len(want)
+    # the serving-side rank over the sink table is deterministic and
+    # bounded at k per window
+    ranked = T.topk_trending(spark.table("trend_t")).collect()
+    per_w: dict = {}
+    for r in ranked:
+        per_w.setdefault(r["wstart"], []).append(r["rnk"])
+    for rnk_list in per_w.values():
+        assert sorted(rnk_list) == list(range(1, len(rnk_list) + 1))
+        assert len(rnk_list) <= T.TREND_K
