@@ -636,3 +636,96 @@ def test_str_pack_no_global_sort(spark):
     assert "Sort [" not in plan or "SortExec" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "partial_" in plan  # map-side combine on the leaf aggregate
+
+
+def test_voronoi_broadcasts_seeds_and_partial_aggs(spark):
+    """ST5: the seed side must broadcast (never shuffle the cell
+    table against it) and the argmin groupBy must partial-aggregate
+    map-side so shuffle rows are one per cell, not cells x seeds."""
+    from mapnik_vector_tile_spark.operators.geostats import voronoi_assign
+
+    cells = spark.range(100).selectExpr(
+        "id % 10 AS cx", "id DIV 10 AS cy"
+    )
+    seeds = spark.range(5).selectExpr(
+        "id AS seed_id", "id * 2 AS sx", "id * 3 AS sy"
+    )
+    plan = _plan(voronoi_assign(cells, seeds))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_min" in plan or "partial" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_embedding_gram_shuffles_only_triangle_rows(spark):
+    """T38: the only Exchange in the Gram plan carries the per-
+    partition triangle partials (i, j, g) — 3 tiny columns — never
+    the embedding vectors themselves."""
+    from mapnik_vector_tile_spark.operators.similarity import (
+        embedding_gram,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    import re
+
+    plan = _plan(embedding_gram(emb))
+    nodes = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(nodes) == 1
+    args = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning" in ln
+    ]
+    assert args and all("embedding" not in ln for ln in args)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_hilbert_zero_shuffle_projection(spark):
+    """S11: the whole z-level recurrence is one codegen projection —
+    no Exchange, no Python."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import (
+        _hilbert_query,
+        load_views,
+    )
+
+    load_views(spark, SF_DIR)
+    plan = _plan(spark.sql(_hilbert_query("spark")))
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+    # the codegen star on Project marks whole-stage codegen in
+    # formatted explain output
+    assert "* Project" in plan
+
+
+def test_pagerank_round_is_join_plus_partial_agg(spark):
+    """G3: each round = one equi-join on the edge table + a partial
+    sum before the exchange; no cartesian anywhere."""
+    from mapnik_vector_tile_spark.operators.graph import pagerank_rounds
+
+    edges = spark.range(20).selectExpr("id % 5 AS u", "(id + 1) % 5 AS v")
+    plan = _plan(pagerank_rounds(edges, rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_way_assembly_pushes_only_needed_columns(spark, tmp_path):
+    """J12: the node-table scan must read only (node_id, x, y) even
+    when the source carries extra payload columns."""
+    from mapnik_vector_tile_spark.operators.joins import assemble_ways
+
+    p = str(tmp_path / "nodes.parquet")
+    spark.range(50).selectExpr(
+        "id AS node_id", "id AS x", "id AS y",
+        "repeat('p', 10) AS payload", "id AS extra"
+    ).write.parquet(p)
+    nodes = spark.read.parquet(p)
+    ways = spark.createDataFrame(
+        [(1, [1, 2, 3])], "way_id long, refs array<long>"
+    )
+    plan = _plan(assemble_ways(ways, nodes))
+    scan = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "node_id" in ln
+    ]
+    assert scan and "payload" not in scan[0] and "extra" not in scan[0]
