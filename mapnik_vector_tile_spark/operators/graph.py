@@ -207,3 +207,80 @@ def pagerank_rounds(
         if (t + 1) % 4 == 0:
             rank = rank.localCheckpoint(eager=False)
     return rank
+
+
+def isochrone_stats(
+    dist: DataFrame, budget: int, m: int = 256
+) -> DataFrame:
+    """G4 isochrone region analysis — COMPOSED: threshold the
+    bellman_ford cost field at `budget`, unpack node ids to grid
+    cells (node = x·m + y), and fold the reachable region's shape:
+    cell count, exact rook perimeter (4n − 2·adjacent pairs),
+    connected-component count (dedup.connected_components — the same
+    pointer-doubling engine the near-dup clustering uses), cost sum
+    and bbox.  The "cells within N minutes" product every routing
+    stack ships, expressed as three of this repo's primitives chained.
+
+    Scale: threshold+unpack is a narrow projection over the cost
+    field; adjacency is one positive-offset self-equi-join at
+    cell-table size; CC is O(log diameter) shuffle rounds.  Output is
+    ONE row: (n_cells, perim, n_components, sum_d, minx, maxx, miny,
+    maxy)."""
+    from mapnik_vector_tile_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cells = dist.filter(F.col("d") <= budget).select(
+        F.col("node"),
+        F.expr(f"node div {m}").alias("cx"),
+        (F.col("node") % m).alias("cy"),
+        "d",
+    )
+    base = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("d").cast("long").alias("sum_d"),
+        F.min("cx").cast("long").alias("minx"),
+        F.max("cx").cast("long").alias("maxx"),
+        F.min("cy").cast("long").alias("miny"),
+        F.max("cy").cast("long").alias("maxy"),
+    )
+    pos_offs = ((1, 0), (0, 1))
+    probes = cells.select(
+        F.col("node").alias("doc_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in pos_offs
+                ]
+            )
+        ).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    ).select("doc_a", "nx", "ny")
+    nbr = cells.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("node").alias("doc_b"),
+    )
+    pairs = probes.join(nbr, ["nx", "ny"]).select("doc_a", "doc_b")
+    adj = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_adj"))
+    cc = connected_components(pairs)
+    reps = cc.agg(
+        F.countDistinct("cluster_rep").cast("long").alias("n_reps"),
+        F.countDistinct("doc_id").cast("long").alias("n_in_pairs"),
+    )
+    return (
+        base.crossJoin(F.broadcast(adj))
+        .crossJoin(F.broadcast(reps))
+        .select(
+            "n_cells",
+            (F.lit(4) * F.col("n_cells") - F.lit(2) * F.col("n_adj"))
+            .cast("long").alias("perim"),
+            (
+                F.col("n_reps")
+                + (F.col("n_cells") - F.col("n_in_pairs"))
+            ).cast("long").alias("n_components"),
+            "sum_d",
+            "minx", "maxx", "miny", "maxy",
+        )
+    )

@@ -10130,6 +10130,7 @@ _RECORD_FIRST = (
     "q_quality_mosaic",
     "q_hilbert",
     "q_trending_tiles",
+    "q_isochrone",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -12953,3 +12954,114 @@ FROM rnk WHERE rnk <= {TREND_K}
 
 
 _ENGINE_PAIRS["q_trending_tiles"] = (q_trending_tiles, _sql_trending_tiles())
+
+
+# ---------------------------------------------------------------------------
+# q_isochrone — G4 isochrone region stats (graph.isochrone_stats)
+# ---------------------------------------------------------------------------
+
+ISO_BUDGET = 18
+
+
+def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone region (graph.isochrone_stats over the bellman_ford
+    field, budget 18) with a FULL oracle: DuckDB unrolls the same 12
+    relaxation rounds, thresholds, and re-derives perimeter and the
+    component count with a recursive-reachability CC — an
+    algorithm-independent check on the engine's pointer-doubling."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.graph import (
+        bellman_ford,
+        isochrone_stats,
+    )
+
+    e_t = StructType(
+        [
+            StructField("u", LongType()),
+            StructField("v", LongType()),
+            StructField("w", LongType()),
+            StructField("keep", LongType()),
+        ]
+    )
+
+    def _edge_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        x = (h % np.uint64(64)).astype(np.int64)
+        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
+        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
+        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
+        w = (np.uint64(1) + (h >> np.uint64(40)) % np.uint64(9)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "u": x * 256 + y,
+                "v": (x + dx) * 256 + (y + dy),
+                "w": w,
+                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
+            }
+        )
+
+    ek = F.pandas_udf(_edge_kernel, e_t)
+    e1 = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(ek(F.col("o_orderkey")).alias("e"))
+        .select("e.u", "e.v", "e.w", "e.keep")
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+    )
+    edges = e1.unionByName(
+        e1.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    sources = (
+        edges.select(F.col("u").alias("node"))
+        .filter(F.col("node") < 256)
+        .distinct()
+    )
+    dist = bellman_ford(edges, sources, rounds=BF_ROUNDS)
+    return isochrone_stats(dist, ISO_BUDGET)
+
+
+def _sql_isochrone(budget: int = ISO_BUDGET) -> str:
+    base = _sql_bellman_ford()
+    head, tail = base.rsplit("SELECT node, d FROM", 1)
+    dfinal = f"d{BF_ROUNDS}"
+    head = head.replace("WITH e0 AS", "WITH RECURSIVE e0 AS", 1)
+    return f"""{head},
+cells AS MATERIALIZED (
+  SELECT node, node // 256 AS cx, node % 256 AS cy, d
+  FROM {dfinal} WHERE d <= {budget}),
+adj AS MATERIALIZED (
+  SELECT a.node AS s, b.node AS t
+  FROM cells a
+  CROSS JOIN (VALUES (1, 0), (0, 1)) o(dx, dy)
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+sym AS (SELECT s, t FROM adj UNION ALL SELECT t, s FROM adj),
+reach(node, r) AS (
+  SELECT node, node FROM cells
+  UNION
+  SELECT e.s, reach.r FROM sym e
+  JOIN reach ON reach.node = e.t
+  WHERE reach.r < e.s),
+lbl AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(4 * COUNT(*) - 2 * (SELECT COUNT(*) FROM adj) AS BIGINT)
+         AS perim,
+       CAST((SELECT COUNT(DISTINCT rep) FROM lbl) AS BIGINT)
+         AS n_components,
+       CAST(SUM(c.d) AS BIGINT) AS sum_d,
+       CAST(MIN(c.cx) AS BIGINT) AS minx,
+       CAST(MAX(c.cx) AS BIGINT) AS maxx,
+       CAST(MIN(c.cy) AS BIGINT) AS miny,
+       CAST(MAX(c.cy) AS BIGINT) AS maxy
+FROM cells c
+"""
+
+
+_ENGINE_PAIRS["q_isochrone"] = (q_isochrone, _sql_isochrone())

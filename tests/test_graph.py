@@ -123,3 +123,26 @@ def test_pagerank_exact_star(spark):
     assert out[0]["deg"] == 4 and out[0]["r"] == hub2
     for i in range(1, 5):
         assert out[i]["deg"] == 1 and out[i]["r"] == leaf2
+
+
+def test_isochrone_stats_two_islands(spark):
+    from mapnik_vector_tile_spark.operators.graph import isochrone_stats
+
+    m = 256
+    # island A: 2x2 block at (10,10); island B: single cell (50,50);
+    # one cell over budget must drop out
+    rows = [
+        (10 * m + 10, 5), (10 * m + 11, 6), (11 * m + 10, 7),
+        (11 * m + 11, 8),
+        (50 * m + 50, 3),
+        (60 * m + 60, 99),  # over budget
+    ]
+    dist = spark.createDataFrame(rows, "node long, d long")
+    out = isochrone_stats(dist, budget=18, m=m).collect()[0]
+    assert out["n_cells"] == 5
+    # 2x2 block perimeter 8, singleton 4
+    assert out["perim"] == 12
+    assert out["n_components"] == 2
+    assert out["sum_d"] == 5 + 6 + 7 + 8 + 3
+    assert (out["minx"], out["maxx"]) == (10, 50)
+    assert (out["miny"], out["maxy"]) == (10, 50)
