@@ -1901,3 +1901,38 @@ def _dedup_attrs(attrs: DataFrame) -> DataFrame:
         .agg(F.max(F.struct(*[F.col(c) for c in cols[1:]])).alias("_v"))
         .select(cols[0], *[F.col(f"_v.{c}").alias(c) for c in cols[1:]])
     )
+
+
+def make_patch(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U14a: materialize the delta-update artifact the CDN publish
+    step ships — diff_tiles statuses joined with the NEW tile bytes
+    (added/changed carry b's blob; removed carries NULL). Applying it
+    to store A (patch_tiles) reproduces store B byte-for-byte, which
+    q_tile_patch gates end-to-end.
+
+    Same scale shape as diff_tiles (hash before exchange, one shuffle
+    per side) plus one address-key join against b for the payload."""
+    d = diff_tiles(a, b)
+    payload = b.select("z", "x", "y", F.col("tile").alias("new_tile"))
+    return d.join(payload, ["z", "x", "y"], "left").select(
+        "z", "x", "y", "status", F.col("new_tile").alias("tile")
+    )
+
+
+def patch_tiles(a: DataFrame, patch: DataFrame) -> DataFrame:
+    """U14b: apply a make_patch artifact to store A. Every patched
+    address is replaced wholesale (anti-join drops A's rows for ALL
+    patch statuses), then added/changed rows contribute their new
+    bytes — so duplicate-row addresses in A collapse to the patch's
+    canonical content, matching diff_tiles' set-signature semantics.
+
+    The anti-join broadcasts when the patch is small (the common
+    delta-publish case); unpatched tiles stream through untouched."""
+    drop = patch.select("z", "x", "y")
+    kept = a.select("z", "x", "y", "tile").join(
+        drop, ["z", "x", "y"], "left_anti"
+    )
+    adds = patch.filter(F.col("status") != "removed").select(
+        "z", "x", "y", "tile"
+    )
+    return kept.unionByName(adds)

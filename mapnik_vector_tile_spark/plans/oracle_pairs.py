@@ -10131,6 +10131,7 @@ _RECORD_FIRST = (
     "q_hilbert",
     "q_trending_tiles",
     "q_isochrone",
+    "q_tile_patch",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -13065,3 +13066,52 @@ FROM cells c
 
 
 _ENGINE_PAIRS["q_isochrone"] = (q_isochrone, _sql_isochrone())
+
+
+# ---------------------------------------------------------------------------
+# q_tile_patch — U14 delta-update apply (composite.make_patch/patch_tiles)
+# ---------------------------------------------------------------------------
+
+
+def q_tile_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta publish round trip with a FULL oracle: build stores
+    A (key%5!=0) and B (key%7!=0) through the REAL encode pipeline,
+    make the patch from their byte-level diff, apply it to A, and
+    DECODE the patched store — per-tile feature counts must equal the
+    closed-form counts of store B, proving patch∘diff reproduces B's
+    content exactly (spurious or missed patch rows break the hash)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+    from mapnik_vector_tile_spark.operators import tiling as T
+
+    feats = _engine_point_features(spark, sf_dir)
+
+    def store(mod: int):
+        sub = feats.filter(F.col("feature_id") % mod != 0)
+        return T.encode_tiles(
+            T.assign_tiles(sub, DIFF_Z, DIFF_Z, buffer_units=0),
+            buffer_units=0,
+            n_salts=4,
+        )
+
+    a, b = store(5), store(7)
+    patched = comp.patch_tiles(a, comp.make_patch(a, b))
+    dec = T.decode_tiles_to_features(patched)
+    return dec.groupBy("z", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_features")
+    )
+
+
+def _sql_tile_patch(z: int = DIFF_Z) -> str:
+    tx, ty = S.tile_xy_exprs(z)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+t AS (SELECT id, {tx} AS x, {ty} AS y FROM pts WHERE id % 7 <> 0)
+SELECT CAST({z} AS BIGINT) AS z, x, y,
+       CAST(COUNT(*) AS BIGINT) AS n_features
+FROM t GROUP BY 2, 3
+"""
+
+
+_ENGINE_PAIRS["q_tile_patch"] = (q_tile_patch, _sql_tile_patch())

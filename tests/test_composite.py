@@ -1142,3 +1142,36 @@ def test_join_attributes_relational_matches_broadcast(spark):
         join_attributes_relational(layers, fattrs, on="code", how="inner")
     )
     assert a == b and len(a) == 2  # fid 1 (x=0) and fid 4 (x=1) match
+
+
+def test_patch_roundtrip_byte_identical(spark):
+    """patch_tiles(a, make_patch(a, b)) must equal store b
+    byte-for-byte per address (the delta-publish contract)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import composite as comp
+
+    rows_a = [
+        (1, 0, 0, b"AAA"),   # unchanged in b
+        (1, 0, 1, b"OLD"),   # changed
+        (1, 1, 0, b"GONE"),  # removed
+    ]
+    rows_b = [
+        (1, 0, 0, b"AAA"),
+        (1, 0, 1, b"NEW"),
+        (1, 1, 1, b"ADDED"),
+    ]
+    a = spark.createDataFrame(rows_a, "z long, x long, y long, tile binary")
+    b = spark.createDataFrame(rows_b, "z long, x long, y long, tile binary")
+    patch = comp.make_patch(a, b)
+    st = {(r["z"], r["x"], r["y"]): (r["status"], r["tile"]) for r in patch.collect()}
+    assert st[(1, 0, 1)][0] == "changed" and bytes(st[(1, 0, 1)][1]) == b"NEW"
+    assert st[(1, 1, 0)][0] == "removed" and st[(1, 1, 0)][1] is None
+    assert st[(1, 1, 1)][0] == "added" and bytes(st[(1, 1, 1)][1]) == b"ADDED"
+    assert len(st) == 3  # unchanged address emits no patch row
+    got = {
+        (r["z"], r["x"], r["y"]): bytes(r["tile"])
+        for r in comp.patch_tiles(a, patch).collect()
+    }
+    want = {(r[0], r[1], r[2]): r[3] for r in rows_b}
+    assert got == want
