@@ -10132,6 +10132,7 @@ _RECORD_FIRST = (
     "q_trending_tiles",
     "q_isochrone",
     "q_tile_patch",
+    "q_chaikin",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -13115,3 +13116,123 @@ FROM t GROUP BY 2, 3
 
 
 _ENGINE_PAIRS["q_tile_patch"] = (q_tile_patch, _sql_tile_patch())
+
+
+# ---------------------------------------------------------------------------
+# q_chaikin — F19 Chaikin corner-cut smoothing (functions/chaikin.py)
+# ---------------------------------------------------------------------------
+
+CK_GROUPS = 200
+CK_ROUNDS = 2
+
+
+def q_chaikin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin smoothing (functions/chaikin.py — 2 rounds on the
+    4^R-scaled integer grid, endpoints kept) with a FULL oracle: 200
+    trajectories assembled order-stably, both engines run the SAME
+    generated array-lambda round expressions; n_out = 4(n_in−1)−...
+    is structural, while the Manhattan length and full positional
+    hash pin every produced coordinate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.functions.chaikin import (
+        manhattan_expr,
+        round_expr,
+        vhash_expr,
+    )
+
+    p_t = StructType(
+        [StructField("x", LongType()), StructField("y", LongType())]
+    )
+
+    def _pt(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "x": (h % np.uint64(1024)).astype(np.int64),
+                "y": ((h >> np.uint64(10)) % np.uint64(1024)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    pk = F.pandas_udf(_pt, p_t)
+    pts = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.col("o_orderkey") % CK_GROUPS).cast("long").alias("g"),
+        F.col("o_orderkey").cast("long").alias("id"),
+        pk(F.col("o_orderkey").cast("long")).alias("p"),
+    )
+    lines = (
+        pts.groupBy("g")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("id", "p.x", "p.y"))
+            ).alias("pp")
+        )
+        .select(
+            "g",
+            F.size("pp").cast("long").alias("n_in"),
+            F.transform("pp", lambda s: s["x"]).alias("xs"),
+            F.transform("pp", lambda s: s["y"]).alias("ys"),
+        )
+    )
+    df = lines
+    for _ in range(CK_ROUNDS):
+        df = df.selectExpr(
+            "g",
+            "n_in",
+            f"{round_expr('spark', 'xs')} AS xs",
+            f"{round_expr('spark', 'ys')} AS ys",
+        )
+    return df.selectExpr(
+        "g",
+        "n_in",
+        "CAST(size(xs) AS BIGINT) AS n_out",
+        f"CAST({manhattan_expr('spark', 'xs', 'ys')} AS BIGINT) AS mlen",
+        f"CAST({vhash_expr('spark', 'xs', 'ys')} AS BIGINT) AS vhash",
+    )
+
+
+def _sql_chaikin() -> str:
+    from mapnik_vector_tile_spark.functions.chaikin import (
+        manhattan_expr,
+        round_expr,
+        vhash_expr,
+    )
+
+    h = splitmix64_sql("o_orderkey")
+    q = f"""
+WITH raw AS (
+  SELECT CAST(o_orderkey % {CK_GROUPS} AS BIGINT) AS g,
+         CAST(o_orderkey AS BIGINT) AS id,
+         CAST(({h}) % 1024 AS BIGINT) AS x,
+         CAST((({h}) // 1024) % 1024 AS BIGINT) AS y
+  FROM orders),
+lines AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_in,
+         list(x ORDER BY id) AS xs, list(y ORDER BY id) AS ys
+  FROM raw GROUP BY g)"""
+    src = "lines"
+    for r in range(CK_ROUNDS):
+        q += f""",
+r{r + 1} AS (
+  SELECT g, n_in,
+         {round_expr('duckdb', 'xs')} AS xs,
+         {round_expr('duckdb', 'ys')} AS ys
+  FROM {src})"""
+        src = f"r{r + 1}"
+    q += f"""
+SELECT g, n_in, CAST(len(xs) AS BIGINT) AS n_out,
+       {manhattan_expr('duckdb', 'xs', 'ys')} AS mlen,
+       {vhash_expr('duckdb', 'xs', 'ys')} AS vhash
+FROM {src}
+"""
+    return q
+
+
+_ENGINE_PAIRS["q_chaikin"] = (q_chaikin, _sql_chaikin())

@@ -417,3 +417,31 @@ def test_visvalingam_invariants(pts, tol):
         assert a2 >= thr2
     again = visvalingam_whyatt(sx, sy, float(tol))
     assert again.all()
+
+
+def test_chaikin_numpy_properties():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.chaikin import chaikin_np
+
+    xs = np.array([0, 10, 10, 0])
+    ys = np.array([0, 0, 10, 10])
+    x1, y1 = chaikin_np(xs, ys, 1)
+    # one round: n -> 2(n-1) + 2 interior+endpoint points
+    assert len(x1) == 2 * (len(xs) - 1) + 2
+    # endpoints preserved (at scale 4)
+    assert (x1[0], y1[0]) == (0, 0) and (x1[-1], y1[-1]) == (0, 40)
+    # first corner cut: between (0,0) and (10,0): Q=(30,0)/4, R=(10+30=... )
+    assert (x1[1], y1[1]) == (10, 0) and (x1[2], y1[2]) == (30, 0)
+    # smoothing shrinks total Manhattan length (corner cutting) at
+    # equal scale: compare round-1 length/4 vs original
+    def mlen(x, y):
+        return int(np.abs(np.diff(x)).sum() + np.abs(np.diff(y)).sum())
+
+    assert mlen(x1, y1) <= 4 * mlen(xs, ys)
+    # straight line is a fixed point (up to scale)
+    sx = np.array([0, 5, 10])
+    sy = np.array([0, 0, 0])
+    x2, y2 = chaikin_np(sx, sy, 2)
+    assert (np.diff(y2) == 0).all()
+    assert mlen(x2, y2) == 16 * mlen(sx, sy)
