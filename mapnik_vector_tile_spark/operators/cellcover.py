@@ -611,3 +611,52 @@ def cover_polygon_cells_classified(
     return features.mapInPandas(
         gen, schema=COVER_SCHEMA + ", boundary boolean"
     )
+
+
+def areal_interpolate(
+    src_feats: DataFrame,
+    src_vals: DataFrame,
+    tgt_feats: DataFrame,
+    z: int,
+) -> DataFrame:
+    """J13 areal interpolation — reallocate source-polygon values
+    (census population, counts) onto a DIFFERENT target tessellation
+    proportionally to spatial overlap, the standard GIS areal-
+    weighting method (Tobler; PySAL tobler.area_weighted), with cell
+    covers as the overlap measure: both sides run the exact covering
+    kernel, overlap_ij = |cells(S_i) ∩ cells(T_j)|, and the
+    allocation (value_i · overlap_ij) div |cells(S_i)| stays exact
+    integer (deterministic floor, no float weights).
+
+    Scale: two covering passes (narrow), one cell-key equi-join
+    (partitioned on the cell — the J4 shape), two partial-agg
+    group-bys. Output per target: n_src (contributing sources),
+    sum_overlap (cells), alloc (Σ floor allocations)."""
+    sc = cover_polygon_cells(src_feats, z).select(
+        F.col("feature_id").alias("sid"), "cx", "cy"
+    )
+    tc = cover_polygon_cells(tgt_feats, z).select(
+        F.col("feature_id").alias("tid"), "cx", "cy"
+    )
+    n_src = sc.groupBy("sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_s")
+    )
+    ov = (
+        sc.join(tc, ["cx", "cy"])
+        .groupBy("sid", "tid")
+        .agg(F.count(F.lit(1)).cast("long").alias("ov"))
+    )
+    alloc = (
+        ov.join(F.broadcast(n_src), "sid")
+        .join(F.broadcast(src_vals), "sid")
+        .select(
+            "tid",
+            "ov",
+            F.expr("(value * ov) div n_cells_s").alias("a"),
+        )
+    )
+    return alloc.groupBy("tid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("ov").cast("long").alias("sum_overlap"),
+        F.sum("a").cast("long").alias("alloc"),
+    )

@@ -10133,6 +10133,7 @@ _RECORD_FIRST = (
     "q_isochrone",
     "q_tile_patch",
     "q_chaikin",
+    "q_areal_interp",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -13236,3 +13237,127 @@ FROM {src}
 
 
 _ENGINE_PAIRS["q_chaikin"] = (q_chaikin, _sql_chaikin())
+
+
+# ---------------------------------------------------------------------------
+# q_areal_interp — J13 areal interpolation (cellcover.areal_interpolate)
+# ---------------------------------------------------------------------------
+
+AI_NSRC = 60
+AI_NTGT = 40
+
+
+def _ai_rect_feats(spark: SparkSession, n: int, base: int, style: int):
+    """Axis-aligned rect features anchored at cell+span/4 (edges never
+    on cell boundaries) — source (style 0) and target (style 1) use
+    different anchor/extent formulas so tessellations genuinely
+    differ."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    span = tm.tile_span(COVER_Z)
+
+    def gen(it):
+        from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+        for pdf in it:
+            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                    "part_offsets": [], "caption": []}
+            for i in pdf["id"]:
+                i = int(i)
+                if style == 0:
+                    k, m = (i * 7) % 40, (i * 11) % 40
+                    wc, hc = 1 + i % 5, 2 + i % 4
+                else:
+                    k, m = (i * 13) % 40, (i * 17) % 40
+                    wc, hc = 1 + i % 6, 1 + i % 3
+                a = -tm.W + k * span + span / 4
+                c = -tm.W + m * span + span / 4
+                w = wc * span + span / 2
+                h = hc * span + span / 2
+                rows["feature_id"].append(base + i)
+                rows["geom_type"].append(int(gc.GEOM_POLYGON))
+                rows["xs"].append([a, a + w, a + w, a, a])
+                rows["ys"].append([c, c, c + h, c + h, c])
+                rows["part_offsets"].append([0, 5])
+                rows["caption"].append(f"r{base + i}")
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "feature_id long, geom_type int, xs array<double>,"
+        " ys array<double>, part_offsets array<int>, caption string",
+    )
+
+
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (cellcover.areal_interpolate) with a FULL
+    oracle: 60 source rects with splitmix values reallocate onto 40
+    target rects through the REAL covering kernel + cell equi-join;
+    DuckDB never sees a cell — it intersects the closed-form
+    inclusive cell RANGES (max(0, min−max+1) algebra) and replays the
+    exact floor allocations."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        areal_interpolate,
+    )
+
+    src = _ai_rect_feats(spark, AI_NSRC, 0, 0)
+    tgt = _ai_rect_feats(spark, AI_NTGT, 1000, 1)
+
+    def _val(k):
+        import numpy as np
+        import pandas as pd
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.Series((1000 + h % np.uint64(9000)).astype(np.int64))
+
+    from pyspark.sql.types import LongType
+
+    vk = F.pandas_udf(_val, LongType())
+    vals = spark.range(AI_NSRC).select(
+        F.col("id").cast("long").alias("sid"), vk(F.col("id")).alias("value")
+    )
+    return areal_interpolate(src, vals, tgt, COVER_Z)
+
+
+def _sql_areal_interp() -> str:
+    sm = splitmix64_sql("i")
+    return f"""
+WITH si AS (SELECT unnest(generate_series(0, {AI_NSRC - 1})) AS i),
+ti AS (SELECT unnest(generate_series(0, {AI_NTGT - 1})) AS i),
+s AS (
+  SELECT CAST(i AS BIGINT) AS sid,
+         (i * 7) % 40 AS x1, (i * 7) % 40 + 1 + i % 5 AS x2,
+         (i * 11) % 40 AS y1, (i * 11) % 40 + 2 + i % 4 AS y2,
+         CAST(1000 + ({sm}) % 9000 AS BIGINT) AS value
+  FROM si),
+t AS (
+  SELECT CAST(1000 + i AS BIGINT) AS tid,
+         (i * 13) % 40 AS x1, (i * 13) % 40 + 1 + i % 6 AS x2,
+         (i * 17) % 40 AS y1, (i * 17) % 40 + 1 + i % 3 AS y2
+  FROM ti),
+sn AS (SELECT sid, value,
+              (x2 - x1 + 1) * (y2 - y1 + 1) AS n_cells_s,
+              x1, x2, y1, y2
+       FROM s),
+ov AS (
+  SELECT sn.sid, t.tid, sn.value, sn.n_cells_s,
+         GREATEST(0, LEAST(sn.x2, t.x2) - GREATEST(sn.x1, t.x1) + 1)
+           * GREATEST(0, LEAST(sn.y2, t.y2) - GREATEST(sn.y1, t.y1) + 1)
+           AS ov
+  FROM sn CROSS JOIN t),
+pos AS (SELECT * FROM ov WHERE ov > 0)
+SELECT tid,
+       CAST(COUNT(*) AS BIGINT) AS n_src,
+       CAST(SUM(ov) AS BIGINT) AS sum_overlap,
+       CAST(SUM((value * ov) // n_cells_s) AS BIGINT) AS alloc
+FROM pos GROUP BY tid
+"""
+
+
+_ENGINE_PAIRS["q_areal_interp"] = (q_areal_interp, _sql_areal_interp())

@@ -421,3 +421,46 @@ def test_hier_cover_boundary_graze_regression():
         for dz in (2, 4):
             hx, hy = _cover_one_hier(xs, ys, offs, z, dz, 10**7, True)
             assert set(zip(hx.tolist(), hy.tolist())) == flat, (t, dz)
+
+
+def test_areal_interpolate_exact_split(spark):
+    """One source square split across two targets: allocations are
+    the exact floor shares and conserve value up to floor loss."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.cellcover import (
+        areal_interpolate,
+    )
+
+    z = 10
+    span = tm.tile_span(z)
+
+    def rect(fid, k, m, wc, hc):
+        a = -tm.W + k * span + span / 4
+        c = -tm.W + m * span + span / 4
+        w = wc * span + span / 2
+        h = hc * span + span / 2
+        return (
+            fid, int(gc.GEOM_POLYGON),
+            [a, a + w, a + w, a, a], [c, c, c + h, c + h, c],
+            [0, 5], f"r{fid}",
+        )
+
+    schema = (
+        "feature_id long, geom_type int, xs array<double>,"
+        " ys array<double>, part_offsets array<int>, caption string"
+    )
+    # source: cells x in [10,13], y in [10,12] -> 12 cells
+    src = spark.createDataFrame([rect(1, 10, 10, 3, 2)], schema)
+    # target A covers x [10,11] (8 cells of src), B covers x [12,13]
+    tgt = spark.createDataFrame(
+        [rect(100, 10, 10, 1, 2), rect(101, 12, 10, 1, 2)], schema
+    )
+    vals = spark.createDataFrame([(1, 1000)], "sid long, value long")
+    out = {r["tid"]: r for r in areal_interpolate(src, vals, tgt, z).collect()}
+    assert out[100]["sum_overlap"] == 6 and out[101]["sum_overlap"] == 6
+    assert out[100]["alloc"] == (1000 * 6) // 12 == 500
+    assert out[101]["alloc"] == 500
+    assert out[100]["n_src"] == 1
