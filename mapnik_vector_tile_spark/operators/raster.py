@@ -2087,3 +2087,70 @@ def quality_mosaic(scenes: DataFrame, tile_size: int) -> DataFrame:
             "mosaic_wsum",
         ],
     )
+
+
+def convolve_tiles(
+    tiles: DataFrame, kernel: DataFrame, tile_size: int
+) -> DataFrame:
+    """R13 generic integer 2D convolution with the kernel as DATA —
+    the user-supplied-filter primitive (GEE convolve(), rasterio
+    generic_filter, the custom sharpen/emboss/edge kernels GIS users
+    bring): correlation of each tile's uint8 plane with a broadcast
+    (dy, dx, w) weight table, valid-region only (no padding
+    invention), exact int64.
+
+    kernel: small DataFrame (dy, dx, w) — collected once on the
+    driver and broadcast inside the closure (a dim table by
+    construction; at fleet scale it is the same broadcast a
+    Catalyst join would emit, without paying a join against every
+    pixel).  Per tile: Σresp, Σ|resp|, min, max, positional wsum over
+    the valid region.  One narrow decode+accumulate scan (one
+    vectorized slice-multiply per kernel tap), no shuffle."""
+    import pandas as pd
+
+    T = tile_size
+    taps = [
+        (int(r["dy"]), int(r["dx"]), int(r["w"]))
+        for r in kernel.select("dy", "dx", "w").collect()
+    ]
+    if not taps:
+        raise ValueError("convolve_tiles: empty kernel")
+    ry0 = min(t[0] for t in taps)
+    ry1 = max(t[0] for t in taps)
+    rx0 = min(t[1] for t in taps)
+    rx1 = max(t[1] for t in taps)
+    oh = T - (ry1 - ry0)
+    ow = T - (rx1 - rx0)
+    if oh <= 0 or ow <= 0:
+        raise ValueError("convolve_tiles: kernel larger than tile")
+
+    def gen(it):
+        pos = np.arange(1, oh * ow + 1, dtype=np.int64).reshape(oh, ow)
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "n_px": [], "sum_r": [],
+                   "sum_abs": [], "min_r": [], "max_r": [], "wsum": []}
+            for r in pdf.itertuples():
+                g = np.frombuffer(r.raster, dtype=np.uint8).reshape(
+                    T, T
+                ).astype(np.int64)
+                acc = np.zeros((oh, ow), dtype=np.int64)
+                for dy, dx, w in taps:
+                    sy = dy - ry0
+                    sx = dx - rx0
+                    acc += w * g[sy : sy + oh, sx : sx + ow]
+                out["z"].append(int(r.z))
+                out["x"].append(int(r.x))
+                out["y"].append(int(r.y))
+                out["n_px"].append(oh * ow)
+                out["sum_r"].append(int(acc.sum()))
+                out["sum_abs"].append(int(np.abs(acc).sum()))
+                out["min_r"].append(int(acc.min()))
+                out["max_r"].append(int(acc.max()))
+                out["wsum"].append(int((pos * acc).sum()))
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "raster").mapInPandas(
+        gen,
+        "z long, x long, y long, n_px long, sum_r long, sum_abs long,"
+        " min_r long, max_r long, wsum long",
+    )

@@ -10134,6 +10134,7 @@ _RECORD_FIRST = (
     "q_tile_patch",
     "q_chaikin",
     "q_areal_interp",
+    "q_convolve",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -13361,3 +13362,103 @@ FROM pos GROUP BY tid
 
 
 _ENGINE_PAIRS["q_areal_interp"] = (q_areal_interp, _sql_areal_interp())
+
+
+# ---------------------------------------------------------------------------
+# q_convolve — R13 generic kernel convolution (raster.convolve_tiles)
+# ---------------------------------------------------------------------------
+
+CV_T = 16
+# asymmetric 5-tap kernel: any orientation/offset mistake breaks it
+CV_TAPS = ((-1, -1, 2), (0, 0, 1), (1, 1, -2), (0, -1, 3), (-1, 1, -1))
+
+
+def q_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic convolution (raster.convolve_tiles) with a FULL
+    oracle: 100 closed-form uint8 tiles correlate with a broadcast
+    asymmetric 5-tap kernel; DuckDB rebuilds the valid-region
+    response with a weights join and folds the identical sum/abs/
+    min/max/positional witness."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import convolve_tiles
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = CV_T
+
+    def gen(it):
+        for pdf in it:
+            rows = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                a = 1 + h % 13
+                b = 1 + (h >> 8) % 11
+                ph = (h >> 16) % 997
+                r = np.arange(T, dtype=np.int64)
+                v = (r[:, None] * a + r[None, :] * b + ph) % 256
+                rows["z"].append(5)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    kernel = spark.createDataFrame(
+        list(CV_TAPS), "dy long, dx long, w long"
+    )
+    return convolve_tiles(tiles, kernel, T)
+
+
+def _sql_convolve(t: int = CV_T) -> str:
+    sm = splitmix64_sql("i")
+    ry0 = min(tp[0] for tp in CV_TAPS)
+    ry1 = max(tp[0] for tp in CV_TAPS)
+    rx0 = min(tp[1] for tp in CV_TAPS)
+    rx1 = max(tp[1] for tp in CV_TAPS)
+    oh = t - (ry1 - ry0)
+    ow = t - (rx1 - rx0)
+    taps = ",".join(f"({dy},{dx},{w})" for dy, dx, w in CV_TAPS)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
+hh AS (
+  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
+         CAST(1 + ({sm}) % 13 AS BIGINT) AS a,
+         CAST(1 + (({sm}) // 256) % 11 AS BIGINT) AS b,
+         CAST((({sm}) // 65536) % 997 AS BIGINT) AS ph
+  FROM ids),
+px AS MATERIALIZED (
+  SELECT x, y, r.v AS rv, c.v AS cv,
+         (r.v * a + c.v * b + ph) % 256 AS v
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
+og AS (
+  SELECT h.x, h.y, oy.v AS oy, ox.v AS ox
+  FROM (SELECT DISTINCT x, y FROM hh) h
+  CROSS JOIN (SELECT unnest(generate_series(0, {oh - 1})) AS v) oy
+  CROSS JOIN (SELECT unnest(generate_series(0, {ow - 1})) AS v) ox),
+resp AS MATERIALIZED (
+  SELECT o.x, o.y, o.oy, o.ox,
+         CAST(SUM(k.w * p.v) AS BIGINT) AS r
+  FROM og o
+  CROSS JOIN (VALUES {taps}) k(dy, dx, w)
+  JOIN px p ON p.x = o.x AND p.y = o.y
+           AND p.rv = o.oy + k.dy - ({ry0})
+           AND p.cv = o.ox + k.dx - ({rx0})
+  GROUP BY 1, 2, 3, 4)
+SELECT CAST(5 AS BIGINT) AS z, x, y,
+       CAST({oh * ow} AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs,
+       CAST(MIN(r) AS BIGINT) AS min_r,
+       CAST(MAX(r) AS BIGINT) AS max_r,
+       CAST(SUM((oy * {ow} + ox + 1) * r) AS BIGINT) AS wsum
+FROM resp GROUP BY x, y
+"""
+
+
+_ENGINE_PAIRS["q_convolve"] = (q_convolve, _sql_convolve())

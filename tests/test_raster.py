@@ -1139,3 +1139,37 @@ def test_quality_mosaic_argmax_and_ties(spark):
         (i + 1) * 10 for i in range(T * T) if i != pos - 1
     ) + pos * 200
     assert out[1]["mosaic_wsum"] == out[2]["mosaic_wsum"] == want_wsum
+
+
+def test_convolve_identity_and_shift(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from mapnik_vector_tile_spark.operators.raster import convolve_tiles
+
+    T = 8
+    rng = (np.arange(T * T, dtype=np.int64) * 37 % 256).reshape(T, T)
+    tiles = spark.createDataFrame(
+        [(1, 0, 0, rng.astype(np.uint8).tobytes())],
+        "z long, x long, y long, raster binary",
+    )
+    # identity kernel: response == source
+    ident = spark.createDataFrame([(0, 0, 1)], "dy long, dx long, w long")
+    out = convolve_tiles(tiles, ident, T).collect()[0]
+    assert out["n_px"] == T * T and out["sum_r"] == int(rng.sum())
+    assert out["min_r"] == int(rng.min()) and out["max_r"] == int(rng.max())
+    # horizontal difference kernel: valid width shrinks by 1
+    dx = spark.createDataFrame(
+        [(0, 1, 1), (0, 0, -1)], "dy long, dx long, w long"
+    )
+    o2 = convolve_tiles(tiles, dx, T).collect()[0]
+    assert o2["n_px"] == T * (T - 1)
+    want = rng[:, 1:] - rng[:, :-1]
+    assert o2["sum_r"] == int(want.sum())
+    assert o2["sum_abs"] == int(np.abs(want).sum())
+    # kernel wider than tile -> error
+    wide = spark.createDataFrame(
+        [(0, 0, 1), (0, 9, 1)], "dy long, dx long, w long"
+    )
+    with _pytest.raises(ValueError):
+        convolve_tiles(tiles, wide, T)
