@@ -2154,3 +2154,71 @@ def convolve_tiles(
         "z long, x long, y long, n_px long, sum_r long, sum_abs long,"
         " min_r long, max_r long, wsum long",
     )
+
+
+# D8 direction order (pinned tie order = stack order): E, SE, S, SW,
+# W, NW, N, NE; offsets (dy, dx), diag flag
+_D8 = (
+    (0, (0, 1), 0), (1, (1, 1), 1), (2, (1, 0), 0), (3, (1, -1), 1),
+    (4, (0, -1), 0), (5, (-1, -1), 1), (6, (-1, 0), 0), (7, (-1, 1), 1),
+)
+
+
+def flow_direction_tiles(tiles: DataFrame, tile_size: int) -> DataFrame:
+    """R14 D8 flow direction + sink census over Terrain-RGB DEM tiles
+    — the first step of every raster hydrology stack (gdaldem / ESRI
+    FlowDirection / TauDEM D8), made EXACT: steepest descent compares
+    drop/distance across cardinal (dist 1) and diagonal (dist √2)
+    neighbors by cross-multiplied squares — key = 2·drop² cardinal,
+    drop² diagonal, valid only when drop > 0 — so no float ever
+    enters; ties break to the pinned direction order E,SE,S,SW,W,NW,
+    N,NE; cells with no positive drop are sinks (dir −1, the
+    depression set a fill step would process).
+
+    Output: one row per (z, x, y, dir) — n_cells and Σ winning key
+    (the steepness witness). One narrow decode scan, no shuffle."""
+    import pandas as pd
+
+    T = tile_size
+
+    def gen(it):
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "dir": [], "n_cells": [],
+                   "sum_key": []}
+            for r in pdf.itertuples():
+                rgb = np.frombuffer(r.raster, dtype=np.uint8).reshape(
+                    T, T, 3
+                )
+                e = terrain_rgb_decode(rgb)
+                c = e[1:-1, 1:-1]
+                keys = []
+                for _, (dy, dx), diag in _D8:
+                    nb = e[1 + dy : T - 1 + dy, 1 + dx : T - 1 + dx]
+                    drop = c - nb
+                    k = np.where(drop > 0, drop * drop, 0)
+                    if not diag:
+                        k = 2 * k
+                    keys.append(k)
+                stack = np.stack(keys)
+                best = stack.max(axis=0)
+                win = stack.argmax(axis=0)  # first max = pinned order
+                dirs = np.where(best > 0, win, -1)
+                for d in (-1, *range(8)):
+                    mask = dirs == d
+                    n = int(mask.sum())
+                    if n == 0:
+                        continue
+                    out["z"].append(int(r.z))
+                    out["x"].append(int(r.x))
+                    out["y"].append(int(r.y))
+                    out["dir"].append(int(d))
+                    out["n_cells"].append(n)
+                    out["sum_key"].append(
+                        int(best[mask].sum()) if d >= 0 else 0
+                    )
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "raster").mapInPandas(
+        gen,
+        "z long, x long, y long, dir long, n_cells long, sum_key long",
+    )

@@ -10135,6 +10135,7 @@ _RECORD_FIRST = (
     "q_chaikin",
     "q_areal_interp",
     "q_convolve",
+    "q_flow_d8",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -13462,3 +13463,101 @@ FROM resp GROUP BY x, y
 
 
 _ENGINE_PAIRS["q_convolve"] = (q_convolve, _sql_convolve())
+
+
+# ---------------------------------------------------------------------------
+# q_flow_d8 — R14 D8 flow direction (raster.flow_direction_tiles)
+# ---------------------------------------------------------------------------
+
+
+def q_flow_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction (raster.flow_direction_tiles) over the
+    closed-form Terrain-RGB surface, FULL oracle: DuckDB rebuilds per-
+    cell drops with an 8-offset join, applies the identical cross-
+    multiplied steepest-descent keys and pinned tie order, and folds
+    the same per-(tile, dir) census — one mis-ranked neighbor
+    anywhere shifts the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        flow_direction_tiles,
+        terrain_rgb_encode,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = TER_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                phase = h % 100003
+                r = np.arange(T, dtype=np.int64)
+                rr, cc = r[:, None], r[None, :]
+                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
+                rows["z"].append(TER_Z)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(terrain_rgb_encode(e).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return flow_direction_tiles(tiles, T)
+
+
+def _sql_flow_d8(t: int = TER_T) -> str:
+    sm = splitmix64_sql("i")
+    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
+        " % 40001) - 10000)")
+    dirs = ",".join(
+        f"({d},{dy},{dx},{1 if diag else 2})"
+        for d, (dy, dx), diag in (
+            (0, (0, 1), 0), (1, (1, 1), 1), (2, (1, 0), 0),
+            (3, (1, -1), 1), (4, (0, -1), 0), (5, (-1, -1), 1),
+            (6, (-1, 0), 0), (7, (-1, 1), 1),
+        )
+    )
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
+hh AS (
+  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
+         CAST(({sm}) % 100003 AS BIGINT) AS phase
+  FROM ids),
+px AS MATERIALIZED (
+  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
+cand AS MATERIALIZED (
+  SELECT a.x, a.y, a.rv, a.cv, k.d,
+         CASE WHEN a.e - b.e > 0
+              THEN k.mult * (a.e - b.e) * (a.e - b.e)
+              ELSE 0 END AS key
+  FROM px a
+  CROSS JOIN (VALUES {dirs}) k(d, dy, dx, mult)
+  JOIN px b ON b.x = a.x AND b.y = a.y
+           AND b.rv = a.rv + k.dy AND b.cv = a.cv + k.dx
+  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}),
+best AS (
+  SELECT x, y, rv, cv, d, key,
+         row_number() OVER (
+           PARTITION BY x, y, rv, cv ORDER BY key DESC, d) AS rn
+  FROM cand),
+win AS (
+  SELECT x, y,
+         CASE WHEN key > 0 THEN d ELSE -1 END AS dir,
+         CASE WHEN key > 0 THEN key ELSE 0 END AS key
+  FROM best WHERE rn = 1)
+SELECT CAST({TER_Z} AS BIGINT) AS z, x, y, CAST(dir AS BIGINT) AS dir,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(key) AS BIGINT) AS sum_key
+FROM win GROUP BY x, y, dir
+"""
+
+
+_ENGINE_PAIRS["q_flow_d8"] = (q_flow_d8, _sql_flow_d8())

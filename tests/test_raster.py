@@ -1173,3 +1173,42 @@ def test_convolve_identity_and_shift(spark):
     )
     with _pytest.raises(ValueError):
         convolve_tiles(tiles, wide, T)
+
+
+def test_flow_d8_ramp_and_sink(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        flow_direction_tiles,
+        terrain_rgb_encode,
+    )
+
+    T = 6
+    # plane falling toward +x (east): every interior cell flows E (0)
+    ramp = np.tile(np.arange(T, dtype=np.int64) * -10, (T, 1))
+    # bowl: center cell lower than all neighbors -> neighbors flow
+    # toward it, center is a sink
+    bowl = np.full((T, T), 100, dtype=np.int64)
+    bowl[2, 2] = 0
+    rows = [
+        (5, 0, 0, terrain_rgb_encode(ramp).tobytes()),
+        (5, 1, 0, terrain_rgb_encode(bowl).tobytes()),
+    ]
+    df = spark.createDataFrame(rows, "z long, x long, y long, raster binary")
+    out = {}
+    for r in flow_direction_tiles(df, T).collect():
+        out.setdefault((r["x"], r["y"]), {})[r["dir"]] = r
+    n_in = (T - 2) * (T - 2)
+    ramp_dirs = out[(0, 0)]
+    assert set(ramp_dirs) == {0} and ramp_dirs[0]["n_cells"] == n_in
+    assert ramp_dirs[0]["sum_key"] == 2 * 10 * 10 * n_in
+    bowl_dirs = out[(1, 0)]
+    # center is the sink; flat plateau cells are also sinks (no drop)
+    assert -1 in bowl_dirs
+    # the 8 cells around the pit flow toward it with key 2*100^2
+    # (cardinal) or 100^2 (diagonal); all other interior cells flat
+    keyed = sum(
+        r["n_cells"] for d, r in bowl_dirs.items() if d >= 0
+    )
+    assert keyed == 8
+    assert bowl_dirs[-1]["n_cells"] == n_in - 8
