@@ -2222,3 +2222,77 @@ def flow_direction_tiles(tiles: DataFrame, tile_size: int) -> DataFrame:
         gen,
         "z long, x long, y long, dir long, n_cells long, sum_key long",
     )
+
+
+def flow_accumulation_tiles(
+    tiles: DataFrame, tile_size: int, rounds: int = 8
+) -> DataFrame:
+    """R15 hop-bounded D8 flow accumulation — the second hydrology
+    step (ESRI FlowAccumulation / TauDEM AreaD8): every cell drains to
+    its flow_direction_tiles neighbor; acc_R(v) = number of cells
+    whose drainage path reaches v in ≤ R hops (incl. v itself) — the
+    same fixed-round contract as bellman_ford/pagerank, exact for
+    drainage trees of depth ≤ R and bit-identical across engines with
+    no convergence argument.  Per-tile interior drainage (dirs exist
+    only where the 3×3 window is in-tile); the cross-tile variant is
+    the identical Pregel join keyed on the global cell id — the
+    per-tile kernel IS the map-side of that plan.
+
+    Output per tile: n_cells, sum_acc, max_acc, positional wsum."""
+    import pandas as pd
+
+    T = tile_size
+
+    def gen(it):
+        offs = {d: (dy, dx) for d, (dy, dx), _ in _D8}
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "n_cells": [],
+                   "sum_acc": [], "max_acc": [], "wsum": []}
+            for r in pdf.itertuples():
+                rgb = np.frombuffer(r.raster, dtype=np.uint8).reshape(
+                    T, T, 3
+                )
+                e = terrain_rgb_decode(rgb)
+                c = e[1:-1, 1:-1]
+                keys = []
+                for _, (dy, dx), diag in _D8:
+                    nb = e[1 + dy : T - 1 + dy, 1 + dx : T - 1 + dx]
+                    drop = c - nb
+                    k = np.where(drop > 0, drop * drop, 0)
+                    keys.append(k if diag else 2 * k)
+                stack = np.stack(keys)
+                best = stack.max(axis=0)
+                win = stack.argmax(axis=0)
+                oh = T - 2
+                # flatten interior; build edge u -> v for non-sinks
+                # whose receiver is ALSO an interior cell
+                iy, ix = np.nonzero(best > 0)
+                d = win[iy, ix]
+                dy = np.array([offs[k][0] for k in range(8)])[d]
+                dx = np.array([offs[k][1] for k in range(8)])[d]
+                ty, tx = iy + dy, ix + dx
+                ok = (
+                    (ty >= 0) & (ty < oh) & (tx >= 0) & (tx < oh)
+                )
+                src = iy[ok] * oh + ix[ok]
+                dst = ty[ok] * oh + tx[ok]
+                acc = np.ones(oh * oh, dtype=np.int64)
+                for _ in range(rounds):
+                    nxt = np.ones(oh * oh, dtype=np.int64)
+                    np.add.at(nxt, dst, acc[src])
+                    acc = nxt
+                pos = np.arange(1, oh * oh + 1, dtype=np.int64)
+                out["z"].append(int(r.z))
+                out["x"].append(int(r.x))
+                out["y"].append(int(r.y))
+                out["n_cells"].append(oh * oh)
+                out["sum_acc"].append(int(acc.sum()))
+                out["max_acc"].append(int(acc.max()))
+                out["wsum"].append(int((pos * acc).sum()))
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "raster").mapInPandas(
+        gen,
+        "z long, x long, y long, n_cells long, sum_acc long,"
+        " max_acc long, wsum long",
+    )

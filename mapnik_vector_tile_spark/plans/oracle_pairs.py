@@ -10136,6 +10136,7 @@ _RECORD_FIRST = (
     "q_areal_interp",
     "q_convolve",
     "q_flow_d8",
+    "q_flow_accum",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -13561,3 +13562,128 @@ FROM win GROUP BY x, y, dir
 
 
 _ENGINE_PAIRS["q_flow_d8"] = (q_flow_d8, _sql_flow_d8())
+
+
+# ---------------------------------------------------------------------------
+# q_flow_accum — R15 hop-bounded flow accumulation
+# ---------------------------------------------------------------------------
+
+FA_ROUNDS = 8
+
+
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded D8 flow accumulation (raster.flow_accumulation_
+    tiles, 8 rounds) over the same quadratic Terrain-RGB surface as
+    q_flow_d8, FULL oracle: DuckDB re-derives per-cell drainage edges
+    (same window-rank steepest descent) and unrolls the identical 8
+    relaxation rounds as MATERIALIZED CTEs."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        flow_accumulation_tiles,
+        terrain_rgb_encode,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = TER_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                phase = h % 100003
+                r = np.arange(T, dtype=np.int64)
+                rr, cc = r[:, None], r[None, :]
+                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
+                rows["z"].append(TER_Z)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(terrain_rgb_encode(e).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return flow_accumulation_tiles(tiles, T, rounds=FA_ROUNDS)
+
+
+def _sql_flow_accum(t: int = TER_T, rounds: int = FA_ROUNDS) -> str:
+    sm = splitmix64_sql("i")
+    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
+         " % 40001) - 10000)")
+    dirs = ",".join(
+        f"({d},{dy},{dx},{1 if diag else 2})"
+        for d, (dy, dx), diag in (
+            (0, (0, 1), 0), (1, (1, 1), 1), (2, (1, 0), 0),
+            (3, (1, -1), 1), (4, (0, -1), 0), (5, (-1, -1), 1),
+            (6, (-1, 0), 0), (7, (-1, 1), 1),
+        )
+    )
+    oh = t - 2
+    relax = []
+    for rd in range(1, rounds + 1):
+        relax.append(
+            f""",
+a{rd} AS MATERIALIZED (
+  SELECT n.x, n.y, n.cid,
+         1 + COALESCE(m.s, 0) AS acc
+  FROM cells n
+  LEFT JOIN (
+    SELECT e.x, e.y, e.dst AS cid, SUM(a.acc) AS s
+    FROM edges e
+    JOIN a{rd - 1} a ON a.x = e.x AND a.y = e.y AND a.cid = e.src
+    GROUP BY e.x, e.y, e.dst) m
+    ON m.x = n.x AND m.y = n.y AND m.cid = n.cid)"""
+        )
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
+hh AS (
+  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
+         CAST(({sm}) % 100003 AS BIGINT) AS phase
+  FROM ids),
+px AS MATERIALIZED (
+  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
+cand AS MATERIALIZED (
+  SELECT a.x, a.y, a.rv, a.cv, k.d, k.dy, k.dx,
+         CASE WHEN a.e - b.e > 0
+              THEN k.mult * (a.e - b.e) * (a.e - b.e)
+              ELSE 0 END AS key
+  FROM px a
+  CROSS JOIN (VALUES {dirs}) k(d, dy, dx, mult)
+  JOIN px b ON b.x = a.x AND b.y = a.y
+           AND b.rv = a.rv + k.dy AND b.cv = a.cv + k.dx
+  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}),
+best AS MATERIALIZED (
+  SELECT x, y, rv, cv, d, dy, dx, key,
+         row_number() OVER (
+           PARTITION BY x, y, rv, cv ORDER BY key DESC, d) AS rn
+  FROM cand),
+cells AS MATERIALIZED (
+  SELECT x, y, (rv - 1) * {oh} + (cv - 1) AS cid
+  FROM best WHERE rn = 1),
+edges AS MATERIALIZED (
+  SELECT x, y,
+         (rv - 1) * {oh} + (cv - 1) AS src,
+         (rv - 1 + dy) * {oh} + (cv - 1 + dx) AS dst
+  FROM best
+  WHERE rn = 1 AND key > 0
+    AND rv + dy BETWEEN 1 AND {t - 2}
+    AND cv + dx BETWEEN 1 AND {t - 2}),
+a0 AS (SELECT x, y, cid, CAST(1 AS BIGINT) AS acc FROM cells)
+{''.join(relax)}
+SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(acc) AS BIGINT) AS sum_acc,
+       CAST(MAX(acc) AS BIGINT) AS max_acc,
+       CAST(SUM((cid + 1) * acc) AS BIGINT) AS wsum
+FROM a{rounds} GROUP BY x, y
+"""
+
+
+_ENGINE_PAIRS["q_flow_accum"] = (q_flow_accum, _sql_flow_accum())

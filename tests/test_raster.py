@@ -1212,3 +1212,31 @@ def test_flow_d8_ramp_and_sink(spark):
     )
     assert keyed == 8
     assert bowl_dirs[-1]["n_cells"] == n_in - 8
+
+
+def test_flow_accumulation_channel(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        flow_accumulation_tiles,
+        terrain_rgb_encode,
+    )
+
+    T = 8
+    # monotone east-falling ramp: each interior row is a west-to-east
+    # chain; with rounds >= chain length the east cell of each row
+    # accumulates the full row, acc = 1..(T-2) along the row
+    ramp = np.tile(np.arange(T, dtype=np.int64) * -10, (T, 1))
+    df = spark.createDataFrame(
+        [(5, 0, 0, terrain_rgb_encode(ramp).tobytes())],
+        "z long, x long, y long, raster binary",
+    )
+    out = flow_accumulation_tiles(df, T, rounds=8).collect()[0]
+    oh = T - 2
+    # per row: accumulation 1, 2, ..., oh -> sum = oh*(oh+1)/2
+    assert out["n_cells"] == oh * oh
+    assert out["sum_acc"] == oh * (oh * (oh + 1) // 2)
+    assert out["max_acc"] == oh
+    # hop-bounding: with rounds=1 each cell sees at most one upstream
+    out1 = flow_accumulation_tiles(df, T, rounds=1).collect()[0]
+    assert out1["max_acc"] == 2
