@@ -732,3 +732,66 @@ def span_corruption_stats(docs: DataFrame, rate_pct: int = 15) -> DataFrame:
             % F.lit(1 << 31)
         ).cast("long").alias("kh"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+    scale: int = 10**6,
+) -> DataFrame:
+    """T39 collocation mining — PMI-ranked adjacent bigrams (Church &
+    Hanks '89; the phrase-table / tokenizer-merge-candidate signal
+    corpus pipelines compute before multi-word tokenization), kept
+    EXACT: the PMI ordering  p(ab)/(p(a)p(b))  is ranked by the
+    integer score  (c_ab · N · scale) div (c_a · c_b)  — no log, no
+    float, deterministic (score DESC, a, b) top-k.
+
+    Plan at 100 TB: one explode for bigram partial counts, one for
+    unigrams (both map-side combined), two BROADCAST joins against
+    the unigram vocab (vocab-sized, not corpus-sized), a 1-row N
+    broadcast, one TakeOrdered top-k — the corpus is scanned twice
+    and shuffled only as counts."""
+    from pyspark.sql import Window
+
+    w = F.split(F.col(text_col), " ")
+    toks = docs.select(F.explode(w).alias("a"))
+    uni = toks.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("c_a")
+    )
+    nn = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+                f" i -> struct(element_at(split({text_col}, ' '), i) AS a,"
+                f" element_at(split({text_col}, ' '), i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    ).filter(F.col("c_ab") >= min_count)
+    scored = (
+        big.join(F.broadcast(uni), "a")
+        .join(
+            F.broadcast(uni.select(F.col("a").alias("b"),
+                                   F.col("c_a").alias("c_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.expr(f"(c_ab * n * {scale}) div (c_a * c_b)").alias(
+                "score"
+            ),
+        )
+    )
+    rw = Window.orderBy(F.col("score").desc(), "a", "b")
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

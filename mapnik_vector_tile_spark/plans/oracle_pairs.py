@@ -10137,6 +10137,7 @@ _RECORD_FIRST = (
     "q_convolve",
     "q_flow_d8",
     "q_flow_accum",
+    "q_collocations",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",

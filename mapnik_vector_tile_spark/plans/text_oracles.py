@@ -1619,6 +1619,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         ),
         "q_embedding_quantize": (q_embedding_quantize, sql_embedding_quantize()),
         "q_embedding_gram": (q_embedding_gram, sql_embedding_gram()),
+        "q_collocations": (q_collocations, sql_collocations()),
         "q_kmeans": (q_kmeans, sql_kmeans()),
         "q_pq": (q_pq, sql_pq()),
         "q_pii_redact": (q_pii_redact, sql_pii_redact()),
@@ -2203,4 +2204,42 @@ SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
        CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
 FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
 GROUP BY 1, 2
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """T39 PMI collocations with a FULL oracle: exact integer score
+    (c_ab·N·10^6) div (c_a·c_b), min_count 5, deterministic top-50;
+    DuckDB replays the bigram/unigram counting and the rank."""
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    return T.collocations(_docs(spark, sf_dir))
+
+
+def sql_collocations(k: int = 50, min_count: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS a FROM documents),
+uni AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM toks GROUP BY a),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+pairs AS (
+  SELECT w[i] AS a, w[i + 1] AS b
+  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+       LATERAL unnest(generate_series(1, len(w) - 1)) s(i)),
+big AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY a, b HAVING COUNT(*) >= {min_count}),
+scored AS (
+  SELECT big.a, big.b, big.c_ab,
+         CAST((big.c_ab * nn.n * 1000000) // (ua.c_a * ub.c_a)
+              AS BIGINT) AS score
+  FROM big
+  JOIN uni ua ON ua.a = big.a
+  JOIN uni ub ON ub.a = big.b
+  CROSS JOIN nn),
+rnk AS (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY score DESC, a, b) AS BIGINT) AS rnk
+  FROM scored)
+SELECT a, b, c_ab, score, rnk FROM rnk WHERE rnk <= {k}
 """

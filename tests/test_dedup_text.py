@@ -837,3 +837,22 @@ def test_embedding_gram_exact(spark):
     assert len(out) == 6  # 3*(3+1)/2 upper triangle
     for (i, j), g in out.items():
         assert i <= j and g == want[i, j], ((i, j), g, want[i, j])
+
+
+def test_collocations_pmi_ordering(spark):
+    from mapnik_vector_tile_spark.operators.textstats import collocations
+
+    # "strong glue" appears always together; "the" is everywhere so
+    # "the x" pairs rank below despite higher raw counts
+    docs = [
+        (i, "strong glue " + "the filler " * 10) for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = collocations(df, k=5, min_count=5).collect()
+    top = out[0]
+    assert (top["a"], top["b"]) == ("strong", "glue")
+    assert top["c_ab"] == 6 and top["rnk"] == 1
+    # ranks are 1..k and scores non-increasing
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
