@@ -388,3 +388,51 @@ def gap_fill(events: DataFrame, interval_s: int = 600) -> DataFrame:
     return filled.filter(F.col("is_tick") == 1).select(
         "user_id", F.col("t").alias("tick"), "value"
     )
+
+
+def hausdorff_pairs(pts: DataFrame, pairs: DataFrame) -> DataFrame:
+    """W10 symmetric Hausdorff distance between trajectory pairs —
+    the shape-similarity measure trajectory clustering and map-change
+    detection use (PostGIS ST_HausdorffDistance), kept EXACT in
+    squared integer units:  h(A→B) = max_i min_j d²(a_i, b_j),
+    h_sym = max(h(A→B), h(B→A)) — max/min of BIGINTs, no floats.
+
+    pts: (tid, x, y); pairs: (ta, tb) — candidates from an upstream
+    bucket join (same-cell prefilter), never all-pairs.  The plan is
+    pure Catalyst: pair×point equi-joins, one partial-agg min per
+    (pair, anchor point), one max per pair — the exact min/max
+    two-level fold Spark pushes map-side.  Work is Σ|A|·|B| over
+    CANDIDATE pairs only, the same bounded shape as the banded dedup
+    joins."""
+    a = pts.select(F.col("tid").alias("ta"), F.col("x").alias("ax"),
+                   F.col("y").alias("ay"))
+    b = pts.select(F.col("tid").alias("tb"), F.col("x").alias("bx"),
+                   F.col("y").alias("by"))
+
+    def directed(src, dst, sid, did, sx, sy, dx, dy):
+        d2 = (F.col(sx) - F.col(dx)) * (F.col(sx) - F.col(dx)) + (
+            F.col(sy) - F.col(dy)
+        ) * (F.col(sy) - F.col(dy))
+        per_pt = (
+            pairs.join(src, sid)
+            .join(dst, did)
+            .groupBy("ta", "tb", sx, sy)
+            .agg(F.min(d2).cast("long").alias("mind2"))
+        )
+        return per_pt.groupBy("ta", "tb").agg(
+            F.max("mind2").cast("long").alias("h")
+        )
+
+    hab = directed(a, b, "ta", "tb", "ax", "ay", "bx", "by").withColumnRenamed(
+        "h", "h_ab"
+    )
+    hba = directed(b, a, "tb", "ta", "bx", "by", "ax", "ay").withColumnRenamed(
+        "h", "h_ba"
+    )
+    return hab.join(hba, ["ta", "tb"]).select(
+        "ta",
+        "tb",
+        "h_ab",
+        "h_ba",
+        F.greatest("h_ab", "h_ba").alias("h_sym"),
+    )

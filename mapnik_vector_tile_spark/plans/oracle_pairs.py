@@ -10138,6 +10138,7 @@ _RECORD_FIRST = (
     "q_flow_d8",
     "q_flow_accum",
     "q_collocations",
+    "q_hausdorff",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -13688,3 +13689,94 @@ FROM a{rounds} GROUP BY x, y
 
 
 _ENGINE_PAIRS["q_flow_accum"] = (q_flow_accum, _sql_flow_accum())
+
+
+# ---------------------------------------------------------------------------
+# q_hausdorff — W10 symmetric Hausdorff trajectory distance
+# ---------------------------------------------------------------------------
+
+HF_GROUPS = 150
+
+
+def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric Hausdorff (temporal.hausdorff_pairs) with a FULL
+    oracle: 150 order-derived trajectories paired (g, g+75); both
+    engines fold the identical max-of-min squared-integer distances."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.temporal import hausdorff_pairs
+
+    p_t = StructType(
+        [StructField("x", LongType()), StructField("y", LongType())]
+    )
+
+    def _pt(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "x": (h % np.uint64(4096)).astype(np.int64),
+                "y": ((h >> np.uint64(12)) % np.uint64(4096)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    pk = F.pandas_udf(_pt, p_t)
+    pts = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.col("o_orderkey") % HF_GROUPS).cast("long").alias("tid"),
+        pk(F.col("o_orderkey").cast("long")).alias("p"),
+    ).select("tid", "p.x", "p.y")
+    half = HF_GROUPS // 2
+    pairs = spark.range(half).select(
+        F.col("id").cast("long").alias("ta"),
+        (F.col("id") + half).cast("long").alias("tb"),
+    )
+    return hausdorff_pairs(pts, pairs)
+
+
+def _sql_hausdorff() -> str:
+    h = splitmix64_sql("o_orderkey")
+    half = HF_GROUPS // 2
+    return f"""
+WITH pts AS (
+  SELECT CAST(o_orderkey % {HF_GROUPS} AS BIGINT) AS tid,
+         CAST(({h}) % 4096 AS BIGINT) AS x,
+         CAST((({h}) // 4096) % 4096 AS BIGINT) AS y
+  FROM orders),
+pairs AS (
+  SELECT CAST(i AS BIGINT) AS ta, CAST(i + {half} AS BIGINT) AS tb
+  FROM (SELECT unnest(generate_series(0, {half - 1})) AS i)),
+dab AS (
+  SELECT p.ta, p.tb, a.x AS ax, a.y AS ay,
+         MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+           AS mind2
+  FROM pairs p
+  JOIN pts a ON a.tid = p.ta
+  JOIN pts b ON b.tid = p.tb
+  GROUP BY 1, 2, 3, 4),
+hab AS (
+  SELECT ta, tb, CAST(MAX(mind2) AS BIGINT) AS h_ab
+  FROM dab GROUP BY 1, 2),
+dba AS (
+  SELECT p.ta, p.tb, b.x AS bx, b.y AS by,
+         MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+           AS mind2
+  FROM pairs p
+  JOIN pts a ON a.tid = p.ta
+  JOIN pts b ON b.tid = p.tb
+  GROUP BY 1, 2, 3, 4),
+hba AS (
+  SELECT ta, tb, CAST(MAX(mind2) AS BIGINT) AS h_ba
+  FROM dba GROUP BY 1, 2)
+SELECT hab.ta, hab.tb, hab.h_ab, hba.h_ba,
+       GREATEST(hab.h_ab, hba.h_ba) AS h_sym
+FROM hab JOIN hba ON hba.ta = hab.ta AND hba.tb = hab.tb
+"""
+
+
+_ENGINE_PAIRS["q_hausdorff"] = (q_hausdorff, _sql_hausdorff())

@@ -230,3 +230,20 @@ def test_gap_fill_ffill_and_on_tick_event(spark):
     # user 2: tick == event ts -> event included in its own tick
     assert out[(2, base + 600)] == 9.0
     assert len(out) == 3
+
+
+def test_hausdorff_pairs_exact(spark):
+    from mapnik_vector_tile_spark.operators.temporal import hausdorff_pairs
+
+    # A: points along y=0; B: same but one far outlier
+    pts = (
+        [(1, x, 0) for x in (0, 10, 20)]
+        + [(2, 0, 0), (2, 10, 0), (2, 20, 7)]
+    )
+    df = spark.createDataFrame(pts, "tid long, x long, y long")
+    pairs = spark.createDataFrame([(1, 2)], "ta long, tb long")
+    out = hausdorff_pairs(df, pairs).collect()[0]
+    # A->B: every A point has a B twin except (20,0) whose nearest is
+    # (20,7) -> 49; B->A: (20,7) nearest (20,0) -> 49
+    assert out["h_ab"] == 49 and out["h_ba"] == 49
+    assert out["h_sym"] == 49
