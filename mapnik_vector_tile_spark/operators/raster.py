@@ -2296,3 +2296,58 @@ def flow_accumulation_tiles(
         "z long, x long, y long, n_cells long, sum_acc long,"
         " max_acc long, wsum long",
     )
+
+
+HM_REF_DEN = 256 * 257 // 2  # triangular reference: cdf_num(t) = (t+1)(t+2)/2
+
+
+def histogram_match_stats(images: DataFrame) -> DataFrame:
+    """T12q histogram matching (specification) — remap each image's
+    luma distribution onto a FIXED triangular reference (the
+    domain-adaptation preprocessing step; cv2/scikit-image
+    match_histograms with a closed-form target so the oracle needs no
+    second image), kept EXACT: lut[v] = min t with
+    ref_cdf_num(t)·n ≥ cdf[v]·ref_den, all BIGINT cross-products —
+    matching to the UNIFORM reference degenerates to equalization
+    (raster.equalize_stats), which pins the family relationship in
+    tests.
+
+    Output per image: (image_id, n_px, sum_m, max_m, wsum, caption)
+    over the mapped plane — the positional wsum pins every remapped
+    pixel.  One narrow scan, no shuffle."""
+    import pandas as pd
+
+    t = np.arange(256, dtype=np.int64)
+    ref_num = (t + 1) * (t + 2) // 2
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "n_px": [], "sum_m": [], "max_m": [],
+                   "wsum": [], "caption": []}
+            for r in pdf.itertuples():
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                a = rgba.astype(np.int64)
+                g = (a[..., 0] * 77 + a[..., 1] * 151 + a[..., 2] * 28) >> 8
+                n = g.size
+                hist = np.bincount(g.ravel(), minlength=256)
+                cdf = np.cumsum(hist)
+                lut = np.searchsorted(
+                    ref_num * n, cdf * HM_REF_DEN, side="left"
+                )
+                m = lut[g]
+                pos = np.arange(1, n + 1, dtype=np.int64).reshape(g.shape)
+                out["image_id"].append(r.image_id)
+                out["n_px"].append(n)
+                out["sum_m"].append(int(m.sum()))
+                out["max_m"].append(int(m.max()))
+                out["wsum"].append(int((pos * m).sum()))
+                out["caption"].append(r.caption)
+            yield pd.DataFrame(out)
+
+    return images.select(
+        "image_id", "bytes", "fmt", "w", "h", "caption"
+    ).mapInPandas(
+        gen,
+        "image_id string, n_px long, sum_m long, max_m long, wsum long,"
+        " caption string",
+    )

@@ -10139,6 +10139,7 @@ _RECORD_FIRST = (
     "q_flow_accum",
     "q_collocations",
     "q_hausdorff",
+    "q_hist_match",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -13780,3 +13781,72 @@ FROM hab JOIN hba ON hba.ta = hab.ta AND hba.tb = hab.tb
 
 
 _ENGINE_PAIRS["q_hausdorff"] = (q_hausdorff, _sql_hausdorff())
+
+
+# ---------------------------------------------------------------------------
+# q_hist_match — T12q histogram matching (raster.histogram_match_stats)
+# ---------------------------------------------------------------------------
+
+IMG_HM_N = 150
+
+
+def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram matching to the closed-form triangular reference,
+    FULL oracle: DuckDB rebuilds the luma histogram and cdf with
+    windows, derives the lut by the same cross-multiplied min-t rule,
+    and re-walks every pixel through it — positional wsum pins the
+    whole mapped plane."""
+    from mapnik_vector_tile_spark.operators.raster import (
+        histogram_match_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    return histogram_match_stats(images_df(spark, IMG_HM_N))
+
+
+def _sql_hist_match(n: int = IMG_HM_N) -> str:
+    from mapnik_vector_tile_spark.operators.raster import HM_REF_DEN
+
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS MATERIALIZED (
+  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+np_ AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM lum GROUP BY i),
+hist AS (
+  SELECT i, g8 AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lum GROUP BY i, g8),
+cdf AS (
+  SELECT i, v, CAST(SUM(c) OVER (
+    PARTITION BY i ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cdf
+  FROM hist),
+reft AS (
+  SELECT CAST(t AS BIGINT) AS t,
+         CAST((t + 1) * (t + 2) // 2 AS BIGINT) AS num
+  FROM (SELECT unnest(generate_series(0, 255)) AS t)),
+lut AS MATERIALIZED (
+  SELECT c.i, c.v, CAST(MIN(r.t) AS BIGINT) AS m
+  FROM cdf c
+  JOIN np_ ON np_.i = c.i
+  JOIN reft r ON r.num * np_.n >= c.cdf * {HM_REF_DEN}
+  GROUP BY c.i, c.v),
+mapped AS (
+  SELECT l.i, l.w, l.y, l.x, lut.m
+  FROM lum l JOIN lut ON lut.i = l.i AND lut.v = l.g8)
+SELECT 'img_' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id,
+       np_.n AS n_px,
+       CAST(SUM(mp.m) AS BIGINT) AS sum_m,
+       CAST(MAX(mp.m) AS BIGINT) AS max_m,
+       CAST(SUM((mp.y * mp.w + mp.x + 1) * mp.m) AS BIGINT) AS wsum,
+       caps.caption AS caption
+FROM dims d
+JOIN np_ ON np_.i = d.i
+JOIN mapped mp ON mp.i = d.i
+JOIN caps ON caps.i = d.i
+GROUP BY d.i, np_.n, caps.caption
+"""
+
+
+_ENGINE_PAIRS["q_hist_match"] = (q_hist_match, _sql_hist_match())

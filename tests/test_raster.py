@@ -1240,3 +1240,38 @@ def test_flow_accumulation_channel(spark):
     # hop-bounding: with rounds=1 each cell sees at most one upstream
     out1 = flow_accumulation_tiles(df, T, rounds=1).collect()[0]
     assert out1["max_acc"] == 2
+
+
+def test_histogram_match_constant_and_monotone(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        encode_image,
+        histogram_match_stats,
+    )
+
+    # constant image: cdf jumps to n at its single value v0, so
+    # lut[v0] = min t with (t+1)(t+2)/2 >= 32896 -> t = 255
+    flat = np.full((8, 8, 4), 100, dtype=np.uint8)
+    flat[..., 3] = 255
+    df = spark.createDataFrame(
+        [("a", encode_image(flat, "raw-rgba8"), 8, 8, "raw-rgba8", "c")],
+        "image_id string, bytes binary, w int, h int, fmt string,"
+        " caption string",
+    )
+    out = histogram_match_stats(df).collect()[0]
+    assert out["max_m"] == 255 and out["sum_m"] == 255 * 64
+    # two-level image: darker half maps strictly below brighter half
+    two = np.zeros((8, 8, 4), dtype=np.uint8)
+    two[..., 3] = 255
+    two[:, 4:, :3] = 200
+    df2 = spark.createDataFrame(
+        [("b", encode_image(two, "raw-rgba8"), 8, 8, "raw-rgba8", "c")],
+        "image_id string, bytes binary, w int, h int, fmt string,"
+        " caption string",
+    )
+    o2 = histogram_match_stats(df2).collect()[0]
+    # half the pixels at lut(cdf=0.5) = min t with (t+1)(t+2)>=32896
+    # -> t=180; the rest at 255
+    assert o2["max_m"] == 255
+    assert o2["sum_m"] == 32 * 180 + 32 * 255
