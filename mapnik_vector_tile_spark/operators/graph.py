@@ -284,3 +284,41 @@ def isochrone_stats(
             "minx", "maxx", "miny", "maxy",
         )
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """G5 triangle counting — the clustering-coefficient ingredient
+    (Cohen's MapReduce triangle enumeration; GraphX triangleCount):
+    orient every undirected edge low→high, join ordered wedges
+    (a<b<c via a→b, b→c) against the closing edge a→c.  Ordering
+    makes each triangle count EXACTLY once and bounds the wedge join
+    by the degree of the MIDDLE (low-degree-first orientation is the
+    classic skew bound).
+
+    Input: undirected edge list (u, v) in any orientation, duplicates
+    tolerated (distinct-ified).  Output: one row
+    (n_edges, n_wedges, n_triangles) — the global census; per-node
+    counts are the same join with one more groupBy."""
+    e = (
+        edges.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    w = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"),
+        F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    tri = w.alias("w").join(
+        e.alias("e3"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+        "left_semi",
+    )
+    n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_w = w.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+    n_t = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_e.crossJoin(n_w).crossJoin(n_t)

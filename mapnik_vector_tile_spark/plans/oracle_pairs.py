@@ -10140,6 +10140,7 @@ _RECORD_FIRST = (
     "q_collocations",
     "q_hausdorff",
     "q_hist_match",
+    "q_triangles",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -13850,3 +13851,84 @@ GROUP BY d.i, np_.n, caps.caption
 
 
 _ENGINE_PAIRS["q_hist_match"] = (q_hist_match, _sql_hist_match())
+
+
+# ---------------------------------------------------------------------------
+# q_triangles — G5 triangle counting on the road lattice
+# ---------------------------------------------------------------------------
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (graph.triangle_count) on the king-move road
+    lattice (dense in diagonal triangles by construction), FULL
+    oracle: DuckDB replays the oriented wedge+closure joins."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.graph import triangle_count
+
+    e_t = StructType(
+        [
+            StructField("u", LongType()),
+            StructField("v", LongType()),
+            StructField("keep", LongType()),
+        ]
+    )
+
+    def _edge_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        x = (h % np.uint64(64)).astype(np.int64)
+        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
+        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
+        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
+        return pd.DataFrame(
+            {
+                "u": x * 256 + y,
+                "v": (x + dx) * 256 + (y + dy),
+                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
+            }
+        )
+
+    ek = F.pandas_udf(_edge_kernel, e_t)
+    e1 = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(ek(F.col("o_orderkey")).alias("e"))
+        .select("e.u", "e.v", "e.keep")
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+    )
+    return triangle_count(e1)
+
+
+def _sql_triangles() -> str:
+    h = splitmix64_sql("o_orderkey")
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT CAST(({h}) % 64 AS BIGINT) AS x,
+         CAST((({h}) // 64) % 64 AS BIGINT) AS y,
+         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
+         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy
+  FROM orders),
+e1 AS MATERIALIZED (
+  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v
+  FROM e0 WHERE dx <> 0 OR dy <> 0),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+  FROM e1 WHERE u <> v),
+w AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b),
+tri AS (
+  SELECT COUNT(*) AS n FROM w
+  JOIN e e3 ON e3.a = w.a AND e3.b = w.c)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
+_ENGINE_PAIRS["q_triangles"] = (q_triangles, _sql_triangles())

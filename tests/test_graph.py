@@ -146,3 +146,24 @@ def test_isochrone_stats_two_islands(spark):
     assert out["sum_d"] == 5 + 6 + 7 + 8 + 3
     assert (out["minx"], out["maxx"]) == (10, 50)
     assert (out["miny"], out["maxy"]) == (10, 50)
+
+
+def test_triangle_count_fixtures(spark):
+    from mapnik_vector_tile_spark.operators.graph import triangle_count
+
+    # K4: 6 edges, 4 triangles, 12 ordered wedges... compute: wedges
+    # a<b<c with a-b and b-c edges: for K4 nodes 0..3: middle b can be
+    # 1 (a=0,c in {2,3}) or 2 (a in {0,1}, c=3) -> 4 wedges? no:
+    # wedges = pairs of oriented edges (a<b, b<c): edges (0,1),(0,2),
+    # (0,3),(1,2),(1,3),(2,3); b=1: a=0, c in {2,3} -> 2; b=2: a in
+    # {0,1}, c=3 -> 2; total 4 wedges, all close -> 4 triangles
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    df = spark.createDataFrame(k4, "u long, v long")
+    out = triangle_count(df).collect()[0]
+    assert (out["n_edges"], out["n_wedges"], out["n_triangles"]) == (6, 4, 4)
+    # duplicate + reversed edges collapse; path graph has no triangle
+    path = [(0, 1), (1, 0), (1, 2), (1, 2)]
+    o2 = triangle_count(
+        spark.createDataFrame(path, "u long, v long")
+    ).collect()[0]
+    assert (o2["n_edges"], o2["n_wedges"], o2["n_triangles"]) == (2, 1, 0)
