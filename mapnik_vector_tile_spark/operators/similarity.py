@@ -885,3 +885,63 @@ def embedding_gram(emb: DataFrame, col: str = "embedding") -> DataFrame:
 
     part = qd.mapInPandas(gram, "i int, j int, g long")
     return part.groupBy("i", "j").agg(F.sum("g").cast("long").alias("g"))
+
+
+def twostage_topk(
+    emb: DataFrame, k: int = 5, m: int = 20, prefix: int = 16
+) -> DataFrame:
+    """T40 two-stage quantized retrieval — the Matryoshka/ADC serving
+    shape every production vector index runs: LSH buckets bound the
+    candidate set, a CHEAP prefix-dim int8 dot keeps the top-m per
+    query, and only survivors pay the full-dimension scoring.  Both
+    scores are exact BIGINT dots over the oracle-gated int8
+    quantization, so the whole funnel (bucketing, coarse rank with
+    (score DESC, id) ties, rerank) is bit-reproducible — recall vs
+    float brute force is a property, not noise.
+
+    Pure Column algebra: slice/zip_with/aggregate lambdas for both
+    dots (codegen, no UDF), two WindowGroupLimit ranks.  Work is
+    Σ bucket² for stage 1 and m·|queries| for stage 2 — the rerank
+    never sees the corpus."""
+    from pyspark.sql import Window
+
+    qd = with_lsh_bucket(quantize_embeddings(emb)).select(
+        "vec_id", "q", "bucket"
+    )
+    a = qd.alias("a")
+    b = qd.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+
+    def idot(ca: str, cb: str, n: int | None) -> F.Column:
+        xa = f"slice({ca}, 1, {n})" if n else ca
+        xb = f"slice({cb}, 1, {n})" if n else cb
+        return F.expr(
+            f"aggregate(zip_with({xa}, {xb},"
+            f" (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),"
+            f" 0L, (acc, v) -> acc + v)"
+        )
+
+    scored = cand.select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr"),
+        idot("a.q", "b.q", prefix).alias("c_pre"),
+        idot("a.q", "b.q", None).alias("c_full"),
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(
+        F.col("c_pre").desc(), "nbr"
+    )
+    stage1 = scored.withColumn(
+        "r1", F.row_number().over(w1)
+    ).filter(F.col("r1") <= m)
+    w2 = Window.partitionBy("vec_id").orderBy(
+        F.col("c_full").desc(), "nbr"
+    )
+    return (
+        stage1.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "nbr", "c_pre", "c_full", "rnk")
+    )

@@ -10141,6 +10141,7 @@ _RECORD_FIRST = (
     "q_hausdorff",
     "q_hist_match",
     "q_triangles",
+    "q_ann_twostage",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",

@@ -1620,6 +1620,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_embedding_quantize": (q_embedding_quantize, sql_embedding_quantize()),
         "q_embedding_gram": (q_embedding_gram, sql_embedding_gram()),
         "q_collocations": (q_collocations, sql_collocations()),
+        "q_ann_twostage": (q_ann_twostage, sql_ann_twostage()),
         "q_kmeans": (q_kmeans, sql_kmeans()),
         "q_pq": (q_pq, sql_pq()),
         "q_pii_redact": (q_pii_redact, sql_pii_redact()),
@@ -2242,4 +2243,69 @@ rnk AS (
     ORDER BY score DESC, a, b) AS BIGINT) AS rnk
   FROM scored)
 SELECT a, b, c_ab, score, rnk FROM rnk WHERE rnk <= {k}
+"""
+
+
+def q_ann_twostage(spark, sf_dir):
+    """T40 two-stage quantized retrieval with a FULL oracle: LSH
+    buckets -> exact int8 prefix-dot top-20 -> exact full-dot top-5;
+    DuckDB replays the quantize chain, the hyperplane buckets, and
+    both ranked funnels bit-exactly."""
+    from mapnik_vector_tile_spark.operators import similarity as S
+
+    return S.twostage_topk(_emb(spark, sf_dir))
+
+
+def sql_ann_twostage(k: int = 5, m: int = 20, prefix: int = 16) -> str:
+    from mapnik_vector_tile_spark.operators.similarity import N_PLANES
+
+    def rha(x: str) -> str:
+        from mapnik_vector_tile_spark.plans.shared_sql import (
+            round_half_up_nonneg as rhu,
+        )
+
+        return (
+            f"CASE WHEN ({x}) < 0 THEN -({rhu(f'-({x})')})"
+            f" ELSE {rhu(x)} END"
+        )
+
+    qv = rha("(CAST(val AS DOUBLE) * 127.0e0) / am")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ed AS (SELECT vec_id, UNNEST(v) AS val, generate_subscripts(v, 1) AS d FROM e),
+am_ AS (SELECT vec_id, MAX(ABS(val)) AS am FROM ed GROUP BY 1),
+qd AS (
+  SELECT ed.vec_id, ed.d,
+         CAST(CASE WHEN am_.am = 0 THEN 0 ELSE {qv} END AS BIGINT) AS qv
+  FROM ed JOIN am_ ON am_.vec_id = ed.vec_id),
+ql AS MATERIALIZED (
+  SELECT vec_id, list(qv ORDER BY d) AS q FROM qd GROUP BY vec_id),
+pl AS (SELECT p, d,
+         ((((p*64 + d - 1) * 2654435761) % 4294967296) / 4294967296.0) - 0.5 AS w
+       FROM generate_series(0,{N_PLANES - 1}) t(p), generate_series(1,64) s(d)),
+dots AS (SELECT ed.vec_id, pl.p, SUM(ed.val * pl.w) AS dot
+         FROM ed JOIN pl ON pl.d = ed.d GROUP BY 1, 2),
+bk AS (SELECT vec_id,
+              CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       FROM dots GROUP BY 1),
+eb AS MATERIALIZED (
+  SELECT ql.vec_id, ql.q, bk.bucket FROM ql JOIN bk USING (vec_id)),
+cand AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         CAST(list_sum(list_transform(range(1, {prefix} + 1),
+              i -> a.q[i] * b.q[i])) AS BIGINT) AS c_pre,
+         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+              i -> a.q[i] * b.q[i])) AS BIGINT) AS c_full
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+s1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY c_pre DESC, nbr) AS r1
+  FROM cand)
+SELECT vec_id, nbr, c_pre, c_full, rnk FROM (
+  SELECT vec_id, nbr, c_pre, c_full,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id ORDER BY c_full DESC, nbr) AS BIGINT)
+           AS rnk
+  FROM s1 WHERE r1 <= {m}
+) WHERE rnk <= {k}
 """

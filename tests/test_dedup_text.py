@@ -856,3 +856,31 @@ def test_collocations_pmi_ordering(spark):
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)
     assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_twostage_topk_funnel(spark):
+    from mapnik_vector_tile_spark.operators.similarity import twostage_topk
+
+    # 6 vectors engineered into one LSH bucket is fragile; instead run
+    # on a tiny corpus and check the funnel contracts hold wherever
+    # candidates exist
+    import numpy as np
+
+    rng = [
+        (i, [float((i * 7 + d * 3) % 13 - 6) for d in range(64)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    out = twostage_topk(df, k=3, m=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["vec_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) <= 3
+        rows.sort(key=lambda r: r["rnk"])
+        # ranks contiguous from 1, full scores non-increasing
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        fulls = [r["c_full"] for r in rows]
+        assert fulls == sorted(fulls, reverse=True)
+        # no self-match
+        assert all(r["nbr"] != q for r in rows)
