@@ -945,3 +945,94 @@ def twostage_topk(
         .filter(F.col("rnk") <= k)
         .select("vec_id", "nbr", "c_pre", "c_full", "rnk")
     )
+
+
+def mmr_select(
+    cands: DataFrame, sims: DataFrame, k: int = 5
+) -> DataFrame:
+    """T41 Maximal Marginal Relevance (Carbonell & Goldstein '98) —
+    the diversity rerank retrieval/RAG stacks apply after scoring:
+    greedily pick the candidate maximizing  relevance − max-similarity
+    -to-already-picked  (λ = 1/2 cleared of the fraction), ties to the
+    smaller candidate id.  With exact-integer relevance and similarity
+    (the int8-dot scale used across this repo's retrieval family) the
+    greedy chain is deterministic and bit-replayable.
+
+    cands: (qid, cid, rel) — per-query candidate relevances (BIGINT,
+    e.g. c_full from twostage_topk); sims: (qid, ca, cb, sim) —
+    pairwise candidate similarities within each query's candidate set
+    (both orientations or (ca<cb); looked up symmetrically).
+
+    Sequential per query but queries are independent — the grouped-
+    kernel shape (one repartition on qid, per-query loop bounded by
+    the candidate count m, never the corpus).
+
+    Output: (qid, cid, rel, mmr, rnk) for the k selections in pick
+    order; the first pick's mmr equals its relevance."""
+    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
+
+    sim_sym = sims.select("qid", "ca", "cb", "sim").unionByName(
+        sims.select(
+            "qid",
+            F.col("cb").alias("ca"),
+            F.col("ca").alias("cb"),
+            "sim",
+        )
+    )
+    # ship sims alongside candidates through ONE grouped pass: rows
+    # tagged kind 0 = candidate, kind 1 = similarity edge
+    c_rows = cands.select(
+        "qid",
+        F.lit(0).alias("kind"),
+        F.col("cid").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.col("rel").cast("long").alias("v"),
+    )
+    s_rows = sim_sym.select(
+        "qid",
+        F.lit(1).alias("kind"),
+        F.col("ca").alias("a"),
+        F.col("cb").alias("b"),
+        F.col("sim").cast("long").alias("v"),
+    )
+    allr = c_rows.unionByName(s_rows)
+
+    def kernel(key, cols, sl):
+        qid = int(key[0])
+        kind = cols["kind"][sl]
+        a = cols["a"][sl]
+        b = cols["b"][sl]
+        v = cols["v"][sl]
+        rel = {int(x): int(val) for x, val in zip(a[kind == 0], v[kind == 0])}
+        sim = {
+            (int(x), int(y)): int(val)
+            for x, y, val in zip(a[kind == 1], b[kind == 1], v[kind == 1])
+        }
+        picked: list[tuple[int, int, int]] = []
+        remaining = dict(rel)
+        while remaining and len(picked) < k:
+            best = None
+            for cid in sorted(remaining):
+                maxsim = max(
+                    (sim.get((cid, p[0]), 0) for p in picked),
+                    default=0,
+                )
+                score = remaining[cid] - maxsim
+                if best is None or score > best[1]:
+                    best = (cid, score)
+            cid, score = best
+            picked.append((cid, rel[cid], score))
+            del remaining[cid]
+        return [
+            (qid, cid, r, s, i + 1)
+            for i, (cid, r, s) in enumerate(picked)
+        ]
+
+    return apply_grouped(
+        allr,
+        keys=["qid"],
+        order_by=["qid", "kind", "a", "b"],
+        fn=kernel,
+        schema="qid long, cid long, rel long, mmr long, rnk long",
+        out_columns=["qid", "cid", "rel", "mmr", "rnk"],
+    )

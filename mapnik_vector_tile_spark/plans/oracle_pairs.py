@@ -13933,3 +13933,138 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
 
 
 _ENGINE_PAIRS["q_triangles"] = (q_triangles, _sql_triangles())
+
+
+# ---------------------------------------------------------------------------
+# q_mmr — T41 Maximal Marginal Relevance rerank (similarity.mmr_select)
+# ---------------------------------------------------------------------------
+
+MMR_Q = 50
+MMR_M = 12
+MMR_K = 5
+
+
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (similarity.mmr_select) with a FULL
+    oracle: 50 queries x 12 candidates with splitmix integer
+    relevances and pairwise similarities; DuckDB unrolls the 5 greedy
+    picks as chained argmax levels (k-1 similarity lookups per level)
+    — one wrong max-sim-to-picked anywhere reorders the chain."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.similarity import mmr_select
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    def gen_c(it):
+        for pdf in it:
+            rows = {"qid": [], "cid": [], "rel": []}
+            for q in pdf["id"]:
+                q = int(q)
+                j = np.arange(MMR_M, dtype=np.uint64)
+                h = splitmix64(np.uint64(q * 131) + j) >> np.uint64(11)
+                for jj in range(MMR_M):
+                    rows["qid"].append(q)
+                    rows["cid"].append(jj)
+                    rows["rel"].append(int(h[jj] % 100000))
+            yield pd.DataFrame(rows)
+
+    def gen_s(it):
+        for pdf in it:
+            rows = {"qid": [], "ca": [], "cb": [], "sim": []}
+            for q in pdf["id"]:
+                q = int(q)
+                for a in range(MMR_M):
+                    for b in range(a + 1, MMR_M):
+                        h = int(
+                            splitmix64(
+                                np.array(
+                                    [q * 10007 + a * 13 + b],
+                                    dtype=np.uint64,
+                                )
+                            )[0]
+                        ) >> 11
+                        rows["qid"].append(q)
+                        rows["ca"].append(a)
+                        rows["cb"].append(b)
+                        rows["sim"].append(h % 80000)
+            yield pd.DataFrame(rows)
+
+    cands = spark.range(MMR_Q).mapInPandas(
+        gen_c, "qid long, cid long, rel long"
+    )
+    sims = spark.range(MMR_Q).mapInPandas(
+        gen_s, "qid long, ca long, cb long, sim long"
+    )
+    return mmr_select(cands, sims, k=MMR_K)
+
+
+def _sql_mmr(k: int = MMR_K) -> str:
+    hr = splitmix64_sql("(q * 131 + j)")
+    hs = splitmix64_sql("(q * 10007 + a * 13 + b)")
+    # chained greedy levels: level i picks argmax(rel - maxsim vs
+    # p1..p_{i-1}), ties cid ASC
+    levels = []
+    for i in range(1, k + 1):
+        joins = []
+        gle = []
+        for j in range(1, i):
+            joins.append(
+                f"  LEFT JOIN sims s{j} ON s{j}.qid = c.qid"
+                f" AND s{j}.ca = c.cid AND s{j}.cb = p.p{j}"
+            )
+            gle.append(f"COALESCE(s{j}.sim, 0)")
+        maxsim = (
+            "GREATEST(" + ", ".join(gle) + ")" if gle else "0"
+        )
+        notin = " AND ".join(
+            f"c.cid <> p.p{j}" for j in range(1, i)
+        ) or "TRUE"
+        prevcols = ", ".join(f"p.p{j}" for j in range(1, i))
+        carry = (prevcols + ", ") if prevcols else ""
+        levels.append(
+            f""",
+l{i} AS MATERIALIZED (
+  SELECT qid, {carry.replace('p.', '')}cid AS p{i}, rel AS r{i},
+         mmr AS m{i}
+  FROM (
+    SELECT c.qid, {carry}c.cid, c.rel,
+           c.rel - {maxsim} AS mmr,
+           row_number() OVER (
+             PARTITION BY c.qid
+             ORDER BY c.rel - {maxsim} DESC, c.cid) AS rn
+    FROM cand c
+    JOIN p{i - 1} p ON p.qid = c.qid
+{chr(10).join(joins) if joins else ''}
+    WHERE {notin}
+  ) WHERE rn = 1),
+p{i} AS (SELECT * FROM l{i})"""
+        )
+    emits = "\nUNION ALL\n".join(
+        f"SELECT qid, p{i} AS cid, r{i} AS rel, m{i} AS mmr,"
+        f" CAST({i} AS BIGINT) AS rnk FROM l{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH qs AS (SELECT unnest(generate_series(0, {MMR_Q - 1})) AS q),
+js AS (SELECT unnest(generate_series(0, {MMR_M - 1})) AS j),
+cand AS MATERIALIZED (
+  SELECT CAST(q AS BIGINT) AS qid, CAST(j AS BIGINT) AS cid,
+         CAST((({hr}) // 2048) % 100000 AS BIGINT) AS rel
+  FROM qs, js),
+pr AS (SELECT a.j AS a, b.j AS b FROM js a JOIN js b ON b.j > a.j),
+s0 AS (
+  SELECT CAST(q AS BIGINT) AS qid, CAST(a AS BIGINT) AS ca,
+         CAST(b AS BIGINT) AS cb,
+         CAST((({hs}) // 2048) % 80000 AS BIGINT) AS sim
+  FROM qs, pr),
+sims AS MATERIALIZED (
+  SELECT qid, ca, cb, sim FROM s0
+  UNION ALL
+  SELECT qid, cb AS ca, ca AS cb, sim FROM s0),
+p0 AS (SELECT DISTINCT qid FROM cand){''.join(levels)}
+{emits}
+"""
+
+
+_ENGINE_PAIRS["q_mmr"] = (q_mmr, _sql_mmr())
