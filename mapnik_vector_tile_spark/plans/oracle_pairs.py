@@ -10142,6 +10142,7 @@ _RECORD_FIRST = (
     "q_hist_match",
     "q_triangles",
     "q_ann_twostage",
+    "q_mmr",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",

@@ -884,3 +884,25 @@ def test_twostage_topk_funnel(spark):
         assert fulls == sorted(fulls, reverse=True)
         # no self-match
         assert all(r["nbr"] != q for r in rows)
+
+
+def test_mmr_diversity_beats_pure_relevance(spark):
+    from mapnik_vector_tile_spark.operators.similarity import mmr_select
+
+    # candidates: 1 (rel 100), 2 (rel 99, near-dup of 1), 3 (rel 50,
+    # diverse). Pure relevance picks (1, 2); MMR picks (1, 3) because
+    # 2's similarity to 1 crushes its marginal score
+    cands = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 99), (0, 3, 50)],
+        "qid long, cid long, rel long",
+    )
+    sims = spark.createDataFrame(
+        [(0, 1, 2, 95), (0, 1, 3, 5), (0, 2, 3, 5)],
+        "qid long, ca long, cb long, sim long",
+    )
+    out = sorted(
+        mmr_select(cands, sims, k=2).collect(), key=lambda r: r["rnk"]
+    )
+    assert [(r["cid"], r["rnk"]) for r in out] == [(1, 1), (3, 2)]
+    assert out[0]["mmr"] == 100          # first pick = raw relevance
+    assert out[1]["mmr"] == 50 - 5       # rel - maxsim vs picked
