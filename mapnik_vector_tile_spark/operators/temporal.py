@@ -436,3 +436,62 @@ def hausdorff_pairs(pts: DataFrame, pairs: DataFrame) -> DataFrame:
         "h_ba",
         F.greatest("h_ab", "h_ba").alias("h_sym"),
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stages(
+    events: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES
+) -> DataFrame:
+    """W11 ordered funnel analysis — the product-analytics staple
+    (Amplitude/Mixpanel funnels, window-function funnel queries):
+    per user, the earliest stage-1 event, then the earliest stage-2
+    event strictly after it, and so on — each step an exact
+    struct-min (epoch seconds, event_id) so timestamp ties are
+    deterministic.
+
+    Pure Catalyst: one filtered struct-min aggregate per stage plus a
+    user-key join per step (S-1 joins for S stages) — each is a
+    partial-agg + co-partitioned equi-join on user_id, the classic
+    funnel shape that never materializes per-user event arrays.
+
+    Output per user seen in stage 1: (user_id, stage — how deep the
+    user got, 1..S, and dt_k = seconds from step k to k+1 or -1)."""
+    t = F.floor(F.unix_timestamp("ts")).cast("long")
+    base = events.select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.struct(t.alias("t"), F.col("event_id").alias("eid")).alias("k"),
+    )
+    cur = (
+        base.filter(F.col("et") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("k").alias("k1"))
+    )
+    out = cur
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = (
+            base.filter(F.col("et") == st)
+            .join(out.select("user_id", F.col(f"k{i - 1}")), "user_id")
+            .filter(F.col("k") > F.col(f"k{i - 1}"))
+            .groupBy("user_id")
+            .agg(F.min("k").alias(f"k{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    sel = [F.col("user_id")]
+    # stage = deepest non-null step: build ascending so the deepest
+    # step's WHEN ends up outermost
+    stage_col = F.lit(1)
+    for i in range(2, len(stages) + 1):
+        stage_col = F.when(
+            F.col(f"k{i}").isNotNull(), F.lit(i)
+        ).otherwise(stage_col)
+    sel.append(stage_col.cast("long").alias("stage"))
+    for i in range(2, len(stages) + 1):
+        sel.append(
+            F.coalesce(
+                F.col(f"k{i}.t") - F.col(f"k{i - 1}.t"), F.lit(-1)
+            ).cast("long").alias(f"dt{i - 1}")
+        )
+    return out.select(*sel)

@@ -10143,6 +10143,7 @@ _RECORD_FIRST = (
     "q_triangles",
     "q_ann_twostage",
     "q_mmr",
+    "q_funnel",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14069,3 +14070,57 @@ p0 AS (SELECT DISTINCT qid FROM cand){''.join(levels)}
 
 
 _ENGINE_PAIRS["q_mmr"] = (q_mmr, _sql_mmr())
+
+
+# ---------------------------------------------------------------------------
+# q_funnel — W11 ordered funnel analysis (temporal.funnel_stages)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel (temporal.funnel_stages) over the
+    events table with a FULL oracle: DuckDB replays each step's
+    strictly-after struct-min with the identical (epoch, event_id)
+    ordering — stage depth and exact step latencies per user."""
+    from mapnik_vector_tile_spark.operators.temporal import funnel_stages
+
+    return funnel_stages(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _sql_funnel() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_type AS et,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(event_id AS BIGINT) AS eid
+  FROM events),
+k1 AS (
+  SELECT user_id, MIN(struct_pack(t := t, eid := eid)) AS k
+  FROM e WHERE et = 'view' GROUP BY user_id),
+k2 AS (
+  SELECT e.user_id, MIN(struct_pack(t := e.t, eid := e.eid)) AS k
+  FROM e JOIN k1 ON k1.user_id = e.user_id
+  WHERE e.et = 'click'
+    AND struct_pack(t := e.t, eid := e.eid) > k1.k
+  GROUP BY e.user_id),
+k3 AS (
+  SELECT e.user_id, MIN(struct_pack(t := e.t, eid := e.eid)) AS k
+  FROM e JOIN k2 ON k2.user_id = e.user_id
+  WHERE e.et = 'purchase'
+    AND struct_pack(t := e.t, eid := e.eid) > k2.k
+  GROUP BY e.user_id)
+SELECT k1.user_id,
+       CAST(CASE WHEN k3.k IS NOT NULL THEN 3
+                 WHEN k2.k IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS stage,
+       CAST(COALESCE(k2.k.t - k1.k.t, -1) AS BIGINT) AS dt1,
+       CAST(COALESCE(k3.k.t - k2.k.t, -1) AS BIGINT) AS dt2
+FROM k1
+LEFT JOIN k2 ON k2.user_id = k1.user_id
+LEFT JOIN k3 ON k3.user_id = k1.user_id
+"""
+
+
+_ENGINE_PAIRS["q_funnel"] = (q_funnel, _sql_funnel())

@@ -247,3 +247,38 @@ def test_hausdorff_pairs_exact(spark):
     # (20,7) -> 49; B->A: (20,7) nearest (20,0) -> 49
     assert out["h_ab"] == 49 and out["h_ba"] == 49
     assert out["h_sym"] == 49
+
+
+def test_funnel_stages_ordering_and_ties(spark):
+    import datetime as dt
+
+    from mapnik_vector_tile_spark.operators.temporal import funnel_stages
+
+    def ev(eid, t, user, et):
+        return (eid, dt.datetime(2026, 1, 1, 0, 0, t), user, et, 0.0, "{}")
+
+    rows = [
+        # user 1: full funnel, but a click BEFORE the view must not count
+        ev(1, 5, 1, "click"),
+        ev(2, 10, 1, "view"),
+        ev(3, 20, 1, "click"),
+        ev(4, 30, 1, "purchase"),
+        # user 2: view only
+        ev(5, 10, 2, "view"),
+        # user 3: purchase before click -> stops at stage 2
+        ev(6, 10, 3, "view"),
+        ev(7, 15, 3, "purchase"),
+        ev(8, 20, 3, "click"),
+        # user 4: never views -> absent from output
+        ev(9, 10, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["user_id"]: r for r in funnel_stages(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["stage"], out[1]["dt1"], out[1]["dt2"]) == (3, 10, 10)
+    assert (out[2]["stage"], out[2]["dt1"], out[2]["dt2"]) == (1, -1, -1)
+    assert (out[3]["stage"], out[3]["dt1"], out[3]["dt2"]) == (2, 10, -1)
