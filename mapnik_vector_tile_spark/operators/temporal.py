@@ -495,3 +495,40 @@ def funnel_stages(
             ).cast("long").alias(f"dt{i - 1}")
         )
     return out.select(*sel)
+
+
+WEEK_S = 7 * 24 * 3600
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """W12 cohort retention — the second product-analytics staple
+    beside funnels: users cohorted by first-activity week, then the
+    (cohort week, offset k) matrix counts cohort members active k
+    weeks later.  All integer epoch-week arithmetic, no calendars.
+
+    Two map-side-combining aggregates (user×week distinct activity,
+    then per-user min week) + one broadcast-friendly join back — the
+    cohort table is user-sized, the matrix is weeks²-bounded.
+
+    Output: (cohort_w, k, n_active, n_cohort) for every observed
+    (cohort, offset) pair including k=0 (n_active = cohort size
+    there by construction)."""
+    w = F.floor(F.floor(F.unix_timestamp("ts")) / F.lit(WEEK_S)).cast(
+        "long"
+    )
+    uw = events.select("user_id", w.alias("w")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    joined = uw.join(first, "user_id").select(
+        "user_id", F.col("cw").alias("cohort_w"),
+        (F.col("w") - F.col("cw")).alias("k"),
+    )
+    size = first.groupBy(F.col("cw").alias("cohort_w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    act = joined.groupBy("cohort_w", "k").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    return act.join(size, "cohort_w").select(
+        "cohort_w", F.col("k").cast("long").alias("k"), "n_active",
+        "n_cohort",
+    )

@@ -10144,6 +10144,7 @@ _RECORD_FIRST = (
     "q_ann_twostage",
     "q_mmr",
     "q_funnel",
+    "q_retention",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14124,3 +14125,45 @@ LEFT JOIN k3 ON k3.user_id = k1.user_id
 
 
 _ENGINE_PAIRS["q_funnel"] = (q_funnel, _sql_funnel())
+
+
+# ---------------------------------------------------------------------------
+# q_retention — W12 cohort retention matrix (temporal.retention_cohorts)
+# ---------------------------------------------------------------------------
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (temporal.retention_cohorts) over events with
+    a FULL oracle: integer epoch-week cohorting, distinct user-week
+    activity, (cohort, offset) matrix with cohort sizes."""
+    from mapnik_vector_tile_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _sql_retention() -> str:
+    wk = 7 * 24 * 3600
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / {wk}) AS BIGINT) AS w
+  FROM events),
+first_ AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id),
+size_ AS (
+  SELECT cw AS cohort_w, CAST(COUNT(*) AS BIGINT) AS n_cohort
+  FROM first_ GROUP BY cw),
+act AS (
+  SELECT f.cw AS cohort_w, uw.w - f.cw AS k,
+         CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
+  FROM uw JOIN first_ f ON f.user_id = uw.user_id
+  GROUP BY 1, 2)
+SELECT a.cohort_w, CAST(a.k AS BIGINT) AS k, a.n_active, s.n_cohort
+FROM act a JOIN size_ s ON s.cohort_w = a.cohort_w
+"""
+
+
+_ENGINE_PAIRS["q_retention"] = (q_retention, _sql_retention())

@@ -282,3 +282,42 @@ def test_funnel_stages_ordering_and_ties(spark):
     assert (out[1]["stage"], out[1]["dt1"], out[1]["dt2"]) == (3, 10, 10)
     assert (out[2]["stage"], out[2]["dt1"], out[2]["dt2"]) == (1, -1, -1)
     assert (out[3]["stage"], out[3]["dt1"], out[3]["dt2"]) == (2, 10, -1)
+
+
+def test_retention_cohorts_matrix(spark):
+    import datetime as dt
+
+    from mapnik_vector_tile_spark.operators.temporal import (
+        WEEK_S,
+        retention_cohorts,
+    )
+
+    def ev(eid, day, user):
+        return (
+            eid,
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=day),
+            user,
+            "view",
+            0.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 0, 1), ev(2, 7, 1), ev(3, 21, 1),   # cohort w0: wks 0,1,3
+        ev(4, 1, 2), ev(5, 2, 2),                  # cohort w0: wk 0 only
+        ev(6, 8, 3), ev(7, 15, 3),                 # cohort w1: wks 1,2
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["cohort_w"], r["k"]): (r["n_active"], r["n_cohort"])
+        for r in retention_cohorts(df).collect()
+    }
+    assert out[(0, 0)] == (2, 2)
+    assert out[(0, 1)] == (1, 2)
+    assert out[(0, 3)] == (1, 2)
+    assert (0, 2) not in out
+    assert out[(1, 0)] == (1, 1) and out[(1, 1)] == (1, 1)
