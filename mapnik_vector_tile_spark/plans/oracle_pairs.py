@@ -10145,6 +10145,7 @@ _RECORD_FIRST = (
     "q_mmr",
     "q_funnel",
     "q_retention",
+    "q_style_stops",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14167,3 +14168,33 @@ FROM act a JOIN size_ s ON s.cohort_w = a.cohort_w
 
 
 _ENGINE_PAIRS["q_retention"] = (q_retention, _sql_retention())
+
+
+# ---------------------------------------------------------------------------
+# q_style_stops — P7 zoom-dependent style property functions
+# ---------------------------------------------------------------------------
+
+
+def _style_query(engine: str) -> str:
+    from mapnik_vector_tile_spark.functions.stylestops import (
+        style_stops_sql,
+    )
+
+    src = (
+        "(SELECT CAST(o_orderkey AS BIGINT) AS fid,"
+        " CAST(o_orderkey % 16 AS BIGINT) AS z FROM orders) f"
+    )
+    return style_stops_sql(src, engine)
+
+
+def q_style_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Style stops evaluation (functions/stylestops.py — mapbox-gl
+    linear + step property functions, exact floor-div interpolation
+    on pre-scaled integers) with a FULL oracle: one generated SQL
+    text per engine over per-feature zooms 0..15 — clamps, bracket
+    edges and every interpolated value under the hash."""
+    load_views(spark, sf_dir)
+    return spark.sql(_style_query("spark"))
+
+
+_ENGINE_PAIRS["q_style_stops"] = (q_style_stops, _style_query("duckdb"))

@@ -193,3 +193,29 @@ def test_colmap_and_identifier_quoting():
     assert '"weird name"' in sql
     sql = X.predicate_sql("[sz] = null", "duckdb", {"sz": "NULLIF(x, 4)"})
     assert "NULLIF(x, 4)" in sql
+
+
+def test_style_stops_linear_and_step():
+    import duckdb
+
+    from mapnik_vector_tile_spark.functions.stylestops import (
+        style_stops_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE f AS SELECT CAST(i AS BIGINT) AS fid,"
+        " CAST(i AS BIGINT) AS z FROM"
+        " (SELECT unnest(generate_series(0, 15)) AS i)"
+    )
+    rows = con.sql(style_stops_sql("f", "duckdb")).df()
+    w = {r.z: r.v for r in rows[rows.prop == "width"].itertuples()}
+    o = {r.z: r.v for r in rows[rows.prop == "opacity"].itertuples()}
+    # linear: stop anchors exact, midpoints floor-interpolated
+    assert w[0] == 100 and w[5] == 400 and w[10] == 2000 and w[14] == 6000
+    assert w[2] == 100 + (2 * 300) // 5  # 220
+    assert w[7] == 400 + (2 * 1600) // 5  # 1040
+    assert w[15] == 6000  # clamp above last stop
+    # step: greatest stop <= z
+    assert o[0] == 10 and o[7] == 10 and o[8] == 60 and o[12] == 100
+    assert o[15] == 100
