@@ -474,3 +474,70 @@ def od_flows(located: DataFrame) -> DataFrame:
         F.sum(F.col("t") - F.col("ot")).cast("long").alias("sum_dur"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+KING = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
+
+
+def erosion_depth(cells: DataFrame, rounds: int = 4) -> DataFrame:
+    """ST7 hop-bounded erosion depth — the discrete Chebyshev
+    distance-to-boundary transform over an occupancy grid, whose
+    argmax is the grid pole of inaccessibility (mapbox/polylabel's
+    job, on the raster side the erosion count of morphology):
+    depth_{t+1}(c) = 1 + min(depth over the 8 neighbors, 0 for any
+    missing neighbor); after R rounds the value is EXACTLY
+    min(true boundary distance, R+1) — the bellman/pagerank
+    fixed-round contract once more, bit-identical across engines.
+
+    Each round is one offset-explode equi-join + a count-aware min
+    aggregate at cell-table size.  Output: one row per observed depth
+    — (d, n_cells, px, py) with (px, py) the lexicographically
+    smallest cell at that depth (the pole row is the max-d row)."""
+    depth = cells.select("cx", "cy", F.lit(1).cast("long").alias("d"))
+    base = cells.select("cx", "cy")
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in KING
+        ]
+    )
+    for _ in range(rounds):
+        probes = base.select(
+            "cx",
+            "cy",
+            F.explode(offs).alias("o"),
+        ).select(
+            "cx",
+            "cy",
+            (F.col("cx") + F.col("o.dx")).alias("nx"),
+            (F.col("cy") + F.col("o.dy")).alias("ny"),
+        )
+        nbr = depth.select(
+            F.col("cx").alias("nx"),
+            F.col("cy").alias("ny"),
+            F.col("d").alias("nd"),
+        )
+        agg = (
+            probes.join(nbr, ["nx", "ny"], "left")
+            .groupBy("cx", "cy")
+            .agg(
+                F.min("nd").alias("nbrmin"),
+                F.sum(F.col("nd").isNotNull().cast("long")).alias(
+                    "n_found"
+                ),
+            )
+        )
+        depth = agg.select(
+            "cx",
+            "cy",
+            F.when(F.col("n_found") < 8, F.lit(1))
+            .otherwise(F.lit(1) + F.col("nbrmin"))
+            .cast("long")
+            .alias("d"),
+        ).localCheckpoint(eager=False)
+    return depth.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min(F.struct("cx", "cy")).alias("p"),
+    ).select(
+        "d", "n_cells", F.col("p.cx").alias("px"), F.col("p.cy").alias("py")
+    )

@@ -10146,6 +10146,7 @@ _RECORD_FIRST = (
     "q_funnel",
     "q_retention",
     "q_style_stops",
+    "q_erosion_depth",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14198,3 +14199,77 @@ def q_style_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ENGINE_PAIRS["q_style_stops"] = (q_style_stops, _style_query("duckdb"))
+
+
+# ---------------------------------------------------------------------------
+# q_erosion_depth — ST7 hop-bounded Chebyshev boundary distance
+# ---------------------------------------------------------------------------
+
+ED_ROUNDS = 4
+
+
+def q_erosion_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erosion depth (geostats.erosion_depth, 4 rounds) over the z5
+    occupancy grid of order points, FULL oracle: DuckDB unrolls the
+    identical rounds (left-join neighbor min with missing→boundary)
+    as MATERIALIZED CTEs and folds the same per-depth histogram +
+    lexicomin pole cells."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.geostats import erosion_depth
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    z = 5
+    span = 2.0 * W / (1 << z)
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    cells = pts.select(
+        F.floor((F.col("mx") + F.lit(W)) / F.lit(span)).cast("long").alias("cx"),
+        F.floor((F.lit(W) - F.col("my")) / F.lit(span)).cast("long").alias("cy"),
+    ).distinct()
+    return erosion_depth(cells, rounds=ED_ROUNDS)
+
+
+def _sql_erosion_depth(rounds: int = ED_ROUNDS) -> str:
+    txe, tye = S.tile_xy_exprs(5)
+    offs = ",".join(
+        f"({dx},{dy})"
+        for dx, dy in (
+            (1, 0), (-1, 0), (0, 1), (0, -1),
+            (1, 1), (1, -1), (-1, 1), (-1, -1),
+        )
+    )
+    body = []
+    for r in range(1, rounds + 1):
+        body.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT b.cx, b.cy,
+         CASE WHEN m.n_found < 8 THEN 1 ELSE 1 + m.nbrmin END AS d
+  FROM cells b
+  JOIN (
+    SELECT p.cx, p.cy, MIN(n.d) AS nbrmin,
+           SUM(CASE WHEN n.d IS NULL THEN 0 ELSE 1 END) AS n_found
+    FROM cells p
+    CROSS JOIN (VALUES {offs}) o(dx, dy)
+    LEFT JOIN d{r - 1} n
+      ON n.cx = p.cx + o.dx AND n.cy = p.cy + o.dy
+    GROUP BY p.cx, p.cy) m
+    ON m.cx = b.cx AND m.cy = b.cy)"""
+        )
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+cells AS MATERIALIZED (
+  SELECT DISTINCT {txe} AS cx, {tye} AS cy FROM pts),
+d0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS d FROM cells)
+{''.join(body)}
+SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(cx) AS BIGINT) AS px,
+       CAST(MIN(struct_pack(cx := cx, cy := cy)).cy AS BIGINT) AS py
+FROM d{rounds} GROUP BY d
+"""
+
+
+_ENGINE_PAIRS["q_erosion_depth"] = (q_erosion_depth, _sql_erosion_depth())

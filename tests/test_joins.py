@@ -892,3 +892,21 @@ def test_od_flows_legs_and_dedup(spark):
     ba = out[(1, 0, 0, 0)]
     assert ba["n_trips"] == 1 and ba["sum_dur"] == 50 and ba["n_users"] == 1
     assert len(out) == 2
+
+
+def test_erosion_depth_square_island(spark):
+    from mapnik_vector_tile_spark.operators.geostats import erosion_depth
+
+    # 5x5 solid square: depths are Chebyshev distance to outside:
+    # ring 1 (16 cells), ring 2 (8 cells), center 3 (1 cell)
+    cells = [(x, y) for x in range(5) for y in range(5)]
+    df = spark.createDataFrame(cells, "cx long, cy long")
+    out = {r["d"]: r for r in erosion_depth(df, rounds=4).collect()}
+    assert out[1]["n_cells"] == 16
+    assert out[2]["n_cells"] == 8
+    assert out[3]["n_cells"] == 1
+    # the pole is the center, lexicomin at its depth
+    assert (out[3]["px"], out[3]["py"]) == (2, 2)
+    # hop-bounding: rounds=1 caps depth at 2
+    capped = {r["d"]: r["n_cells"] for r in erosion_depth(df, rounds=1).collect()}
+    assert capped == {1: 16, 2: 9}
