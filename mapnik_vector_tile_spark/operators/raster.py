@@ -2351,3 +2351,86 @@ def histogram_match_stats(images: DataFrame) -> DataFrame:
         "image_id string, n_px long, sum_m long, max_m long, wsum long,"
         " caption string",
     )
+
+
+def cutmix_stats(images: DataFrame, pairs: DataFrame) -> DataFrame:
+    """T12r CutMix augmentation accounting (Yun et al. 2019) — the
+    paired-image regularizer vision training runs: a splitmix-located
+    rectangle of image B replaces the same region of image A, and the
+    label mixes by the surviving-area ratio.  Exact: the patch
+    geometry derives from splitmix64(pair_id) over the PAIR'S shared
+    dimension window (mw, mh) = (min widths, min heights), so the
+    pasted region always exists in both sources; the mix ratio is
+    kept as the integer pair (lam_num, lam_den) = (area_A − patch,
+    area_A); the mixed plane is pinned by a positional luma wsum.
+
+    pairs: (pair_id, ida, idb).  One self-join of the image table
+    (broadcastable pair list), then a narrow two-decode kernel per
+    pair — no shuffle beyond the pair join.  Captions concatenate
+    'capA | capB' per the CutMix label-mixing contract and the
+    north-rule caption invariant."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    a = images.select(
+        F.col("image_id").alias("ida"), F.col("bytes").alias("ba"),
+        F.col("fmt").alias("fa"), F.col("w").alias("wa"),
+        F.col("h").alias("ha"), F.col("caption").alias("ca"),
+    )
+    b = images.select(
+        F.col("image_id").alias("idb"), F.col("bytes").alias("bb"),
+        F.col("fmt").alias("fb"), F.col("w").alias("wb"),
+        F.col("h").alias("hb"), F.col("caption").alias("cb"),
+    )
+    j = pairs.join(a, "ida").join(b, "idb")
+
+    def gen(it):
+        for pdf in it:
+            out = {"pair_id": [], "lam_num": [], "lam_den": [],
+                   "patch_area": [], "wsum": [], "caption": []}
+            for r in pdf.itertuples():
+                pa = decode_image(r.ba, r.fa, int(r.wa), int(r.ha))
+                pb = decode_image(r.bb, r.fb, int(r.wb), int(r.hb))
+                ga = (
+                    pa[..., 0].astype(np.int64) * 77
+                    + pa[..., 1].astype(np.int64) * 151
+                    + pa[..., 2].astype(np.int64) * 28
+                ) >> 8
+                gb = (
+                    pb[..., 0].astype(np.int64) * 77
+                    + pb[..., 1].astype(np.int64) * 151
+                    + pb[..., 2].astype(np.int64) * 28
+                ) >> 8
+                mw = min(int(r.wa), int(r.wb))
+                mh = min(int(r.ha), int(r.hb))
+                hh = int(
+                    splitmix64(
+                        np.array([int(r.pair_id)], dtype=np.uint64)
+                    )[0]
+                )
+                pw = 1 + hh % max(1, mw // 2)
+                ph = 1 + (hh >> 8) % max(1, mh // 2)
+                x0 = (hh >> 16) % (mw - pw + 1)
+                y0 = (hh >> 24) % (mh - ph + 1)
+                mixed = ga.copy()
+                mixed[y0 : y0 + ph, x0 : x0 + pw] = gb[
+                    y0 : y0 + ph, x0 : x0 + pw
+                ]
+                n = ga.size
+                pos = np.arange(1, n + 1, dtype=np.int64).reshape(
+                    ga.shape
+                )
+                out["pair_id"].append(int(r.pair_id))
+                out["lam_num"].append(n - pw * ph)
+                out["lam_den"].append(n)
+                out["patch_area"].append(pw * ph)
+                out["wsum"].append(int((pos * mixed).sum()))
+                out["caption"].append(f"{r.ca} | {r.cb}")
+            yield pd.DataFrame(out)
+
+    return j.mapInPandas(
+        gen,
+        "pair_id long, lam_num long, lam_den long, patch_area long,"
+        " wsum long, caption string",
+    )

@@ -10147,6 +10147,7 @@ _RECORD_FIRST = (
     "q_retention",
     "q_style_stops",
     "q_erosion_depth",
+    "q_cutmix",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14273,3 +14274,83 @@ FROM d{rounds} GROUP BY d
 
 
 _ENGINE_PAIRS["q_erosion_depth"] = (q_erosion_depth, _sql_erosion_depth())
+
+
+# ---------------------------------------------------------------------------
+# q_cutmix — T12r CutMix augmentation accounting (raster.cutmix_stats)
+# ---------------------------------------------------------------------------
+
+CM_PAIRS = 60
+
+
+def q_cutmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CutMix (raster.cutmix_stats) over 120 canonical images paired
+    (i, i+60), FULL oracle: DuckDB regenerates both pixel planes,
+    derives the same splitmix patch geometry over the shared
+    dimension window, and replays the paste — mix ratios, patch
+    areas, the positional wsum of every mixed plane, and the
+    concatenated captions all under one hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.raster import cutmix_stats
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, CM_PAIRS * 2)
+    pairs = spark.range(CM_PAIRS).select(
+        F.col("id").cast("long").alias("pair_id"),
+        F.format_string("img_%012d", F.col("id")).alias("ida"),
+        F.format_string("img_%012d", F.col("id") + CM_PAIRS).alias("idb"),
+    )
+    return cutmix_stats(imgs, pairs)
+
+
+def _sql_cutmix(k: int = CM_PAIRS) -> str:
+    sm = splitmix64_sql("pid")
+    return f"""
+WITH {_img_pixel_ctes(k * 2)},
+lum AS MATERIALIZED (
+  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+prs AS (
+  SELECT CAST(p AS BIGINT) AS pid, CAST(p AS BIGINT) AS ia,
+         CAST(p + {k} AS BIGINT) AS ib
+  FROM (SELECT unnest(generate_series(0, {k - 1})) AS p)),
+geo AS MATERIALIZED (
+  SELECT prs.pid, prs.ia, prs.ib,
+         da.w AS wa, da.h AS ha,
+         1 + ({sm}) % GREATEST(1, LEAST(da.w, db.w) // 2) AS pw,
+         1 + (({sm}) // 256) % GREATEST(1, LEAST(da.h, db.h) // 2) AS ph,
+         LEAST(da.w, db.w) AS mw, LEAST(da.h, db.h) AS mh,
+         ({sm}) // 65536 AS h16, ({sm}) // 16777216 AS h24
+  FROM prs
+  JOIN dims da ON da.i = prs.ia
+  JOIN dims db ON db.i = prs.ib),
+geo2 AS MATERIALIZED (
+  SELECT pid, ia, ib, wa, ha, pw, ph,
+         CAST(h16 % (mw - pw + 1) AS BIGINT) AS x0,
+         CAST(h24 % (mh - ph + 1) AS BIGINT) AS y0
+  FROM geo),
+mixed AS (
+  SELECT g.pid, g.wa, la.y, la.x,
+         CASE WHEN la.x >= g.x0 AND la.x < g.x0 + g.pw
+               AND la.y >= g.y0 AND la.y < g.y0 + g.ph
+              THEN lb.g8 ELSE la.g8 END AS m
+  FROM geo2 g
+  JOIN lum la ON la.i = g.ia
+  LEFT JOIN lum lb ON lb.i = g.ib AND lb.y = la.y AND lb.x = la.x)
+SELECT g.pid AS pair_id,
+       CAST(g.wa * g.ha - g.pw * g.ph AS BIGINT) AS lam_num,
+       CAST(g.wa * g.ha AS BIGINT) AS lam_den,
+       CAST(g.pw * g.ph AS BIGINT) AS patch_area,
+       CAST(SUM((mx.y * mx.wa + mx.x + 1) * mx.m) AS BIGINT) AS wsum,
+       ca.caption || ' | ' || cb.caption AS caption
+FROM geo2 g
+JOIN mixed mx ON mx.pid = g.pid
+JOIN caps ca ON ca.i = g.ia
+JOIN caps cb ON cb.i = g.ib
+GROUP BY g.pid, g.wa, g.ha, g.pw, g.ph, ca.caption, cb.caption
+"""
+
+
+_ENGINE_PAIRS["q_cutmix"] = (q_cutmix, _sql_cutmix())

@@ -1275,3 +1275,48 @@ def test_histogram_match_constant_and_monotone(spark):
     # -> t=180; the rest at 255
     assert o2["max_m"] == 255
     assert o2["sum_m"] == 32 * 180 + 32 * 255
+
+
+def test_cutmix_paste_and_ratio(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        cutmix_stats,
+        encode_image,
+    )
+
+    # A all-black, B all-white (same dims): mixed wsum = 255 * sum of
+    # positions inside the patch; lam = 1 - patch/total
+    T = 16
+    blk = np.zeros((T, T, 4), dtype=np.uint8)
+    blk[..., 3] = 255
+    wht = np.full((T, T, 4), 255, dtype=np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            ("a", encode_image(blk, "raw-rgba8"), T, T, "raw-rgba8", "capA"),
+            ("b", encode_image(wht, "raw-rgba8"), T, T, "raw-rgba8", "capB"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string,"
+        " caption string",
+    )
+    pairs = spark.createDataFrame(
+        [(7, "a", "b")], "pair_id long, ida string, idb string"
+    )
+    out = cutmix_stats(imgs, pairs).collect()[0]
+    assert out["lam_den"] == T * T
+    assert out["lam_num"] == T * T - out["patch_area"]
+    assert out["caption"] == "capA | capB"
+    # reproduce the patch geometry with the committed coin
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    hh = int(splitmix64(np.array([7], dtype=np.uint64))[0])
+    pw = 1 + hh % (T // 2)
+    ph = 1 + (hh >> 8) % (T // 2)
+    x0 = (hh >> 16) % (T - pw + 1)
+    y0 = (hh >> 24) % (T - ph + 1)
+    assert out["patch_area"] == pw * ph
+    pos = np.arange(1, T * T + 1, dtype=np.int64).reshape(T, T)
+    # white luma through the ITU-601 fold is (255*77+255*151+255*28)>>8
+    wl = (255 * 77 + 255 * 151 + 255 * 28) >> 8
+    want = int(pos[y0 : y0 + ph, x0 : x0 + pw].sum()) * wl
+    assert out["wsum"] == want
