@@ -532,3 +532,47 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         "cohort_w", F.col("k").cast("long").alias("k"), "n_active",
         "n_cohort",
     )
+
+
+def interval_concurrency(intervals: DataFrame) -> DataFrame:
+    """W13 interval concurrency — the sweep-line occupancy maximum
+    (rooms/sessions/connections "how many are open at once"): +1 at
+    each start, −1 just after each end (closed intervals), running
+    sum in (t, delta DESC, id) order so a start that ties an end
+    counts as overlapping; the answer is the max prefix sum and the
+    EARLIEST instant it is reached (pinned by the same order).
+
+    intervals: (id, s, e) closed, integer time.  One global sort —
+    expressed as a single window running-sum; for fleet scale
+    partition the sweep by a coarse time bucket and merge boundary
+    prefixes (the standard segmented-sweep refinement; the operator
+    keeps the single-window form, its oracle contract).
+
+    Output ONE row: (max_cc, t_at, n_intervals)."""
+    from pyspark.sql import Window
+
+    ev = intervals.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "id"
+    ).unionByName(
+        intervals.select(
+            (F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"), "id"
+        )
+    )
+    w = Window.orderBy(
+        "t", F.col("delta").desc(), "id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = ev.withColumn("cc", F.sum("delta").over(w))
+    best = run.agg(
+        F.max(
+            F.struct(
+                F.col("cc").alias("cc"),
+                (-F.col("t")).alias("negt"),
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n2"),
+    )
+    return best.select(
+        F.col("b.cc").cast("long").alias("max_cc"),
+        (-F.col("b.negt")).cast("long").alias("t_at"),
+        (F.col("n2") / 2).cast("long").alias("n_intervals"),
+    )

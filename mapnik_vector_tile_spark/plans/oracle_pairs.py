@@ -10148,6 +10148,7 @@ _RECORD_FIRST = (
     "q_style_stops",
     "q_erosion_depth",
     "q_cutmix",
+    "q_concurrency",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14354,3 +14355,50 @@ GROUP BY g.pid, g.wa, g.ha, g.pw, g.ph, ca.caption, cb.caption
 
 
 _ENGINE_PAIRS["q_cutmix"] = (q_cutmix, _sql_cutmix())
+
+
+# ---------------------------------------------------------------------------
+# q_concurrency — W13 interval concurrency sweep (temporal.interval_concurrency)
+# ---------------------------------------------------------------------------
+
+
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval concurrency (temporal.interval_concurrency) over the
+    deterministic event intervals (the q_interval_overlap corpus),
+    FULL oracle: DuckDB replays the sweep with the identical
+    (t, delta DESC, id) running sum — max occupancy and the earliest
+    instant it is reached."""
+    from mapnik_vector_tile_spark.operators.temporal import (
+        _event_intervals,
+        interval_concurrency,
+    )
+
+    return interval_concurrency(
+        _event_intervals(spark, sf_dir, "view", 6)
+    )
+
+
+def _sql_concurrency() -> str:
+    return """
+WITH iv AS (
+  SELECT CAST(event_id AS BIGINT) AS id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % 6) * 3600000000 AS e
+  FROM events WHERE event_type = 'view'),
+ev AS (
+  SELECT s AS t, 1 AS delta, id FROM iv
+  UNION ALL
+  SELECT e + 1 AS t, -1 AS delta, id FROM iv),
+run AS (
+  SELECT t, SUM(delta) OVER (
+    ORDER BY t, delta DESC, id ROWS UNBOUNDED PRECEDING) AS cc
+  FROM ev)
+SELECT CAST(MAX(b.cc) AS BIGINT) AS max_cc,
+       CAST(-MAX(struct_pack(cc := b.cc, negt := -b.t)).negt AS BIGINT)
+         AS t_at,
+       CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_intervals
+FROM run b
+"""
+
+
+_ENGINE_PAIRS["q_concurrency"] = (q_concurrency, _sql_concurrency())

@@ -321,3 +321,23 @@ def test_retention_cohorts_matrix(spark):
     assert out[(0, 3)] == (1, 2)
     assert (0, 2) not in out
     assert out[(1, 0)] == (1, 1) and out[(1, 1)] == (1, 1)
+
+
+def test_interval_concurrency_sweep(spark):
+    from mapnik_vector_tile_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    # [0,10],[5,15],[10,20]: at t=10 all three overlap (closed ends);
+    # earliest max instant is 10
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 15), (3, 10, 20)], "id long, s long, e long"
+    )
+    out = interval_concurrency(iv).collect()[0]
+    assert (out["max_cc"], out["t_at"], out["n_intervals"]) == (3, 10, 3)
+    # disjoint pair: max 1 at the first start
+    iv2 = spark.createDataFrame(
+        [(1, 0, 5), (2, 10, 15)], "id long, s long, e long"
+    )
+    o2 = interval_concurrency(iv2).collect()[0]
+    assert (o2["max_cc"], o2["t_at"]) == (1, 0)
