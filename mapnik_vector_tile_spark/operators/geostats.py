@@ -541,3 +541,53 @@ def erosion_depth(cells: DataFrame, rounds: int = 4) -> DataFrame:
     ).select(
         "d", "n_cells", F.col("p.cx").alias("px"), F.col("p.cy").alias("py")
     )
+
+
+def gini_concentration(cells: DataFrame) -> DataFrame:
+    """ST8 Gini concentration of spatial activity — "is traffic
+    spread out or piled on a few hot tiles", the inequality index
+    capacity planners watch.  Kept EXACT as a fraction: with counts
+    x_1 ≤ … ≤ x_n (ties broken by cell order for a total rank),
+
+        G = Σ (2i − n − 1)·x_i  /  (n · Σ x)  =  num / den
+
+    — both BIGINT; the float is derived once with a pinned expression
+    shape.  One window rank over the cell table + one aggregate; at
+    fleet scale the rank is the exact-rank primitive already shipped
+    for STR packing (spatial_index.rank_select) — the single-window
+    form here is the oracle contract.
+
+    cells: (cx, cy, c).  Output ONE row: (n_cells, total, num, den,
+    gini_dbl)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c", "cx", "cy")
+    ranked = cells.select(
+        "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    nn = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    num = (
+        ranked.crossJoin(F.broadcast(nn))
+        .select(
+            ((F.lit(2) * F.col("i") - F.col("n") - 1) * F.col("c")).alias(
+                "t"
+            )
+        )
+        .agg(F.sum("t").cast("long").alias("num"))
+    )
+    return (
+        nn.crossJoin(num)
+        .select(
+            F.col("n").alias("n_cells"),
+            "total",
+            "num",
+            (F.col("n") * F.col("total")).cast("long").alias("den"),
+            (
+                F.col("num").cast("double")
+                / (F.col("n") * F.col("total")).cast("double")
+            ).alias("gini_dbl"),
+        )
+    )

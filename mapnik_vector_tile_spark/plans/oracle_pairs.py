@@ -10149,6 +10149,7 @@ _RECORD_FIRST = (
     "q_erosion_depth",
     "q_cutmix",
     "q_concurrency",
+    "q_gini",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14402,3 +14403,59 @@ FROM run b
 
 
 _ENGINE_PAIRS["q_concurrency"] = (q_concurrency, _sql_concurrency())
+
+
+# ---------------------------------------------------------------------------
+# q_gini — ST8 Gini concentration of tile activity
+# ---------------------------------------------------------------------------
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration (geostats.gini_concentration) over the z6
+    occupancy counts of order points, FULL oracle: rank-weighted
+    integer numerator/denominator replayed exactly; the derived
+    double uses one pinned expression shape."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.geostats import (
+        gini_concentration,
+    )
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    z = 6
+    span = 2.0 * W / (1 << z)
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    cells = pts.select(
+        F.floor((F.col("mx") + F.lit(W)) / F.lit(span)).cast("long").alias("cx"),
+        F.floor((F.lit(W) - F.col("my")) / F.lit(span)).cast("long").alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return gini_concentration(cells)
+
+
+def _sql_gini() -> str:
+    txe, tye = S.tile_xy_exprs(6)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+cells AS (
+  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2),
+rk AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c, cx, cy) AS BIGINT) AS i
+  FROM cells),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(c) AS BIGINT) AS total FROM rk),
+num AS (
+  SELECT CAST(SUM((2 * rk.i - nn.n - 1) * rk.c) AS BIGINT) AS num
+  FROM rk CROSS JOIN nn)
+SELECT nn.n AS n_cells, nn.total, num.num,
+       CAST(nn.n * nn.total AS BIGINT) AS den,
+       CAST(num.num AS DOUBLE) / CAST(nn.n * nn.total AS DOUBLE)
+         AS gini_dbl
+FROM nn CROSS JOIN num
+"""
+
+
+_ENGINE_PAIRS["q_gini"] = (q_gini, _sql_gini())

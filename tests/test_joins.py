@@ -910,3 +910,24 @@ def test_erosion_depth_square_island(spark):
     # hop-bounding: rounds=1 caps depth at 2
     capped = {r["d"]: r["n_cells"] for r in erosion_depth(df, rounds=1).collect()}
     assert capped == {1: 16, 2: 9}
+
+
+def test_gini_concentration_extremes(spark):
+    from mapnik_vector_tile_spark.operators.geostats import (
+        gini_concentration,
+    )
+
+    # perfectly equal counts -> G = 0
+    eq = spark.createDataFrame(
+        [(i, 0, 10) for i in range(4)], "cx long, cy long, c long"
+    )
+    out = gini_concentration(eq).collect()[0]
+    assert out["num"] == 0 and out["gini_dbl"] == 0.0
+    # all mass on one cell of n=4: G = (n-1)/n = 3/4
+    conc = spark.createDataFrame(
+        [(0, 0, 100), (1, 0, 0), (2, 0, 0), (3, 0, 0)],
+        "cx long, cy long, c long",
+    )
+    o2 = gini_concentration(conc).collect()[0]
+    assert o2["num"] * 4 == 3 * o2["den"] // 1 * 1  # num/den == 3/4
+    assert o2["num"] == 300 and o2["den"] == 400
