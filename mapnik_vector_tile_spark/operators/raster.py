@@ -2434,3 +2434,66 @@ def cutmix_stats(images: DataFrame, pairs: DataFrame) -> DataFrame:
         "pair_id long, lam_num long, lam_den long, patch_area long,"
         " wsum long, caption string",
     )
+
+
+QT_TAU = 24
+
+
+def quadtree_stats(
+    tiles: DataFrame, tile_size: int, tau: int = QT_TAU
+) -> DataFrame:
+    """R16 quadtree decomposition — the homogeneous-region split
+    behind quadtree image compression / mipmap early-out / S2-style
+    variable-resolution rasters: a block is a LEAF at the shallowest
+    depth where max−min ≤ tau (single pixels are always homogeneous,
+    so the decomposition is total and exact — Σ leaves·area == tile
+    area, asserted by construction in the oracle).
+
+    Per tile: reshape-based per-depth block max/min (pure numpy, one
+    pass per depth), ancestor mask by upsampling the running OR.
+    Output one row per (z, x, y, depth): n_leaves and an
+    order-sensitive Σ (block_index+1) witness over that depth's
+    leaves.  Narrow scan, no shuffle."""
+    import pandas as pd
+
+    T = tile_size
+    depths = T.bit_length() - 1  # 16 -> 4
+
+    def gen(it):
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "depth": [],
+                   "n_leaves": [], "wsum": []}
+            for r in pdf.itertuples():
+                g = np.frombuffer(r.raster, dtype=np.uint8).reshape(
+                    T, T
+                ).astype(np.int64)
+                anc = np.zeros((1, 1), dtype=bool)
+                for d in range(depths + 1):
+                    nb = 1 << d
+                    bs = T // nb
+                    blocks = g.reshape(nb, bs, nb, bs)
+                    bmax = blocks.max(axis=(1, 3))
+                    bmin = blocks.min(axis=(1, 3))
+                    homog = (bmax - bmin) <= tau
+                    anc_up = np.repeat(
+                        np.repeat(anc, nb // anc.shape[0], axis=0),
+                        nb // anc.shape[1],
+                        axis=1,
+                    )
+                    leaf = homog & ~anc_up
+                    idx = np.arange(nb * nb, dtype=np.int64).reshape(
+                        nb, nb
+                    )
+                    out["z"].append(int(r.z))
+                    out["x"].append(int(r.x))
+                    out["y"].append(int(r.y))
+                    out["depth"].append(d)
+                    out["n_leaves"].append(int(leaf.sum()))
+                    out["wsum"].append(int((idx[leaf] + 1).sum()))
+                    anc = anc_up | homog
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "raster").mapInPandas(
+        gen,
+        "z long, x long, y long, depth long, n_leaves long, wsum long",
+    )

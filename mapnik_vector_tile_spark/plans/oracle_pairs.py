@@ -10150,6 +10150,7 @@ _RECORD_FIRST = (
     "q_cutmix",
     "q_concurrency",
     "q_gini",
+    "q_quadtree",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14459,3 +14460,120 @@ FROM nn CROSS JOIN num
 
 
 _ENGINE_PAIRS["q_gini"] = (q_gini, _sql_gini())
+
+
+# ---------------------------------------------------------------------------
+# q_quadtree — R16 quadtree decomposition (raster.quadtree_stats)
+# ---------------------------------------------------------------------------
+
+
+def q_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadtree decomposition (raster.quadtree_stats, tau=24) over
+    closed-form uint8 tiles mixing smooth gradients with hash noise
+    patches (so splits genuinely vary by depth), FULL oracle: DuckDB
+    rebuilds every depth's block max/min by integer-division grouping
+    and replays the shallowest-homogeneous-ancestor leaf rule."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import quadtree_stats
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = 16
+
+    def gen(it):
+        for pdf in it:
+            rows = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                a = h % 3
+                ph = (h >> 8) % 251
+                r = np.arange(T, dtype=np.int64)
+                # smooth base + a noisy quadrant: (r*a + ph) plus
+                # per-pixel hash noise where (r//8 + c//8) is odd
+                base = (r[:, None] * a + r[None, :] * a + ph) % 256
+                ns = np.arange(T * T, dtype=np.uint64) + np.uint64(
+                    i * 65537
+                )
+                # modulo in uint64 BEFORE the signed cast — int64(h) of
+                # a top-bit-set hash is negative and flips the residue
+                noise = (
+                    (splitmix64(ns) % np.uint64(97))
+                    .astype(np.int64)
+                    .reshape(T, T)
+                )
+                quad = ((r[:, None] // 8 + r[None, :] // 8) % 2) == 1
+                v = np.where(quad, (base + noise) % 256, base)
+                rows["z"].append(5)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return quadtree_stats(tiles, T)
+
+
+def _sql_quadtree(t: int = 16, tau: int = 24) -> str:
+    sm = splitmix64_sql("i")
+    smn = splitmix64_sql("(r.v * 16 + c.v + i * 65537)")
+    # per-depth leaf CTEs: homog(d) from block grouping, anc via
+    # parent-chain joins
+    parts = []
+    for d in range(5):
+        nb = 1 << d
+        bs = t // nb
+        anc_pred = " OR ".join(
+            f"h{dd}.homog" for dd in range(d)
+        ) or "FALSE"
+        joins = "\n".join(
+            f"  JOIN hb{dd} h{dd} ON h{dd}.x = b.x AND h{dd}.y = b.y"
+            f" AND h{dd}.br = b.br // {1 << (d - dd)}"
+            f" AND h{dd}.bc = b.bc // {1 << (d - dd)}"
+            for dd in range(d)
+        )
+        parts.append(
+            f""",
+hb{d} AS MATERIALIZED (
+  SELECT x, y, rv // {bs} AS br, cv // {bs} AS bc,
+         (MAX(v) - MIN(v)) <= {tau} AS homog
+  FROM px GROUP BY 1, 2, 3, 4),
+lv{d} AS (
+  SELECT b.x, b.y, CAST({d} AS BIGINT) AS depth,
+         CAST(COUNT(CASE WHEN b.homog AND NOT ({anc_pred})
+                    THEN 1 END) AS BIGINT) AS n_leaves,
+         CAST(COALESCE(SUM(CASE WHEN b.homog AND NOT ({anc_pred})
+                    THEN b.br * {nb} + b.bc + 1 END), 0) AS BIGINT)
+           AS wsum
+  FROM hb{d} b
+{joins}
+  GROUP BY b.x, b.y)"""
+        )
+    un = "\nUNION ALL\n".join(
+        f"SELECT * FROM lv{d}" for d in range(5)
+    )
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
+hh AS (
+  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
+         CAST(({sm}) % 3 AS BIGINT) AS a,
+         CAST((({sm}) // 256) % 251 AS BIGINT) AS ph
+  FROM ids),
+px AS MATERIALIZED (
+  SELECT x, y, r.v AS rv, c.v AS cv,
+         CASE WHEN (r.v // 8 + c.v // 8) % 2 = 1
+              THEN ((r.v * a + c.v * a + ph) % 256
+                    + ({smn}) % 97) % 256
+              ELSE (r.v * a + c.v * a + ph) % 256 END AS v
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c){''.join(parts)}
+SELECT CAST(5 AS BIGINT) AS z, x, y, depth, n_leaves, wsum
+FROM ({un})
+"""
+
+
+_ENGINE_PAIRS["q_quadtree"] = (q_quadtree, _sql_quadtree())

@@ -245,3 +245,37 @@ def test_rollup_band_matches_direct_assignment(spark):
         .collect()
     }
     assert got == want
+
+
+def test_quadtree_stats_decomposition(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import quadtree_stats
+
+    T = 16
+    # flat tile: one depth-0 leaf, nothing below
+    flat = np.full((T, T), 50, dtype=np.uint8)
+    # half/half tile: top half 0, bottom half 255 -> depth-0 and the
+    # two vertical-split children are NOT homogeneous... depth-1: the
+    # two top blocks are flat (leaves), two bottom blocks flat
+    half = np.zeros((T, T), dtype=np.uint8)
+    half[8:, :] = 255
+    rows = [
+        (5, 0, 0, flat.tobytes()),
+        (5, 1, 0, half.tobytes()),
+    ]
+    df = spark.createDataFrame(rows, "z long, x long, y long, raster binary")
+    out = {}
+    for r in quadtree_stats(df, T).collect():
+        out.setdefault((r["x"], r["y"]), {})[r["depth"]] = r
+    f = out[(0, 0)]
+    assert f[0]["n_leaves"] == 1 and f[0]["wsum"] == 1
+    assert all(f[d]["n_leaves"] == 0 for d in range(1, 5))
+    h = out[(1, 0)]
+    assert h[0]["n_leaves"] == 0
+    assert h[1]["n_leaves"] == 4  # all four 8x8 quadrants are flat
+    # area conservation: sum leaves * block_area == 256
+    total = sum(
+        h[d]["n_leaves"] * (T // (1 << d)) ** 2 for d in range(5)
+    )
+    assert total == T * T
