@@ -2497,3 +2497,72 @@ def quadtree_stats(
         gen,
         "z long, x long, y long, depth long, n_leaves long, wsum long",
     )
+
+
+def watershed_tiles(
+    tiles: DataFrame, tile_size: int, doubling_rounds: int = 4
+) -> DataFrame:
+    """R17 watershed basins — the third hydrology step (ESRI
+    Watershed / TauDEM GageWatershed): every cell labels itself with
+    the terminal cell of its D8 drainage path (a sink, or the cell
+    where the path exits the interior window).  Resolution is
+    POINTER DOUBLING over the drainage forest: root_{t+1}(c) =
+    root_t(root_t(c)) reaches 2^R hops in R rounds — exact for all
+    paths ≤ 2^R long (R=4 covers any simple path on a 14×14
+    interior), the same doubling the dedup CC engine uses.
+
+    Output per (z, x, y): n_basins, max_size, and Σ root_id·size —
+    the basin-partition witness.  Narrow scan, no shuffle; the
+    cross-tile variant is the identical doubling join keyed on global
+    cell ids."""
+    import pandas as pd
+
+    T = tile_size
+
+    def gen(it):
+        offs = {d: (dy, dx) for d, (dy, dx), _ in _D8}
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "n_basins": [],
+                   "max_size": [], "wsum": []}
+            for r in pdf.itertuples():
+                rgb = np.frombuffer(r.raster, dtype=np.uint8).reshape(
+                    T, T, 3
+                )
+                e = terrain_rgb_decode(rgb)
+                c = e[1:-1, 1:-1]
+                keys = []
+                for _, (dy, dx), diag in _D8:
+                    nb = e[1 + dy : T - 1 + dy, 1 + dx : T - 1 + dx]
+                    drop = c - nb
+                    k = np.where(drop > 0, drop * drop, 0)
+                    keys.append(k if diag else 2 * k)
+                stack = np.stack(keys)
+                best = stack.max(axis=0)
+                win = stack.argmax(axis=0)
+                oh = T - 2
+                n = oh * oh
+                nxt = np.arange(n, dtype=np.int64)  # self = terminal
+                iy, ix = np.nonzero(best > 0)
+                d = win[iy, ix]
+                dy = np.array([offs[k][0] for k in range(8)])[d]
+                dx = np.array([offs[k][1] for k in range(8)])[d]
+                ty, tx = iy + dy, ix + dx
+                ok = (ty >= 0) & (ty < oh) & (tx >= 0) & (tx < oh)
+                nxt[iy[ok] * oh + ix[ok]] = ty[ok] * oh + tx[ok]
+                root = nxt.copy()
+                for _ in range(doubling_rounds):
+                    root = root[root]
+                ids, sizes = np.unique(root, return_counts=True)
+                out["z"].append(int(r.z))
+                out["x"].append(int(r.x))
+                out["y"].append(int(r.y))
+                out["n_basins"].append(int(len(ids)))
+                out["max_size"].append(int(sizes.max()))
+                out["wsum"].append(int((ids * sizes).sum()))
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "raster").mapInPandas(
+        gen,
+        "z long, x long, y long, n_basins long, max_size long,"
+        " wsum long",
+    )

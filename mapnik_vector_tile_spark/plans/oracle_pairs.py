@@ -10151,6 +10151,7 @@ _RECORD_FIRST = (
     "q_concurrency",
     "q_gini",
     "q_quadtree",
+    "q_watershed",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14577,3 +14578,118 @@ FROM ({un})
 
 
 _ENGINE_PAIRS["q_quadtree"] = (q_quadtree, _sql_quadtree())
+
+
+# ---------------------------------------------------------------------------
+# q_watershed — R17 watershed basins via pointer doubling
+# ---------------------------------------------------------------------------
+
+WS_DOUBLING = 4
+
+
+def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed basins (raster.watershed_tiles) over the quadratic
+    Terrain-RGB surface, FULL oracle: DuckDB re-derives the D8
+    pointers and unrolls the SAME 4 doubling rounds (root of root)
+    as MATERIALIZED CTEs, then folds the identical basin census."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        terrain_rgb_encode,
+        watershed_tiles,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = TER_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                phase = h % 100003
+                r = np.arange(T, dtype=np.int64)
+                rr, cc = r[:, None], r[None, :]
+                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
+                rows["z"].append(TER_Z)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(terrain_rgb_encode(e).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return watershed_tiles(tiles, T, doubling_rounds=WS_DOUBLING)
+
+
+def _sql_watershed(t: int = TER_T, rounds: int = WS_DOUBLING) -> str:
+    sm = splitmix64_sql("i")
+    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
+         " % 40001) - 10000)")
+    dirs = ",".join(
+        f"({d},{dy},{dx},{1 if diag else 2})"
+        for d, (dy, dx), diag in (
+            (0, (0, 1), 0), (1, (1, 1), 1), (2, (1, 0), 0),
+            (3, (1, -1), 1), (4, (0, -1), 0), (5, (-1, -1), 1),
+            (6, (-1, 0), 0), (7, (-1, 1), 1),
+        )
+    )
+    oh = t - 2
+    body = []
+    for rd in range(1, rounds + 1):
+        body.append(
+            f""",
+rt{rd} AS MATERIALIZED (
+  SELECT a.x, a.y, a.cid, b.root
+  FROM rt{rd - 1} a
+  JOIN rt{rd - 1} b ON b.x = a.x AND b.y = a.y AND b.cid = a.root)"""
+        )
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
+hh AS (
+  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
+         CAST(({sm}) % 100003 AS BIGINT) AS phase
+  FROM ids),
+px AS MATERIALIZED (
+  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
+cand AS MATERIALIZED (
+  SELECT a.x, a.y, a.rv, a.cv, k.d, k.dy, k.dx,
+         CASE WHEN a.e - b.e > 0
+              THEN k.mult * (a.e - b.e) * (a.e - b.e)
+              ELSE 0 END AS key
+  FROM px a
+  CROSS JOIN (VALUES {dirs}) k(d, dy, dx, mult)
+  JOIN px b ON b.x = a.x AND b.y = a.y
+           AND b.rv = a.rv + k.dy AND b.cv = a.cv + k.dx
+  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}),
+best AS MATERIALIZED (
+  SELECT x, y, rv, cv, d, dy, dx, key,
+         row_number() OVER (
+           PARTITION BY x, y, rv, cv ORDER BY key DESC, d) AS rn
+  FROM cand),
+rt0 AS MATERIALIZED (
+  SELECT x, y, (rv - 1) * {oh} + (cv - 1) AS cid,
+         CASE WHEN key > 0
+               AND rv + dy BETWEEN 1 AND {t - 2}
+               AND cv + dx BETWEEN 1 AND {t - 2}
+              THEN (rv - 1 + dy) * {oh} + (cv - 1 + dx)
+              ELSE (rv - 1) * {oh} + (cv - 1) END AS root
+  FROM best WHERE rn = 1){''.join(body)},
+basins AS (
+  SELECT x, y, root, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM rt{rounds} GROUP BY x, y, root)
+SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
+       CAST(COUNT(*) AS BIGINT) AS n_basins,
+       CAST(MAX(sz) AS BIGINT) AS max_size,
+       CAST(SUM(root * sz) AS BIGINT) AS wsum
+FROM basins GROUP BY x, y
+"""
+
+
+_ENGINE_PAIRS["q_watershed"] = (q_watershed, _sql_watershed())

@@ -1320,3 +1320,29 @@ def test_cutmix_paste_and_ratio(spark):
     wl = (255 * 77 + 255 * 151 + 255 * 28) >> 8
     want = int(pos[y0 : y0 + ph, x0 : x0 + pw].sum()) * wl
     assert out["wsum"] == want
+
+
+def test_watershed_two_basins(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        terrain_rgb_encode,
+        watershed_tiles,
+    )
+
+    T = 8
+    # V-shaped valley: elevation = |c - edge| so the left half drains
+    # west, right half drains east -> two basins on the 6x6 interior
+    c = np.arange(T, dtype=np.int64)
+    e = np.tile(np.minimum(c, T - 1 - c) * 100, (T, 1))
+    df = spark.createDataFrame(
+        [(5, 0, 0, terrain_rgb_encode(e).tobytes())],
+        "z long, x long, y long, raster binary",
+    )
+    out = watershed_tiles(df, T).collect()[0]
+    oh = T - 2
+    # each row splits into a west-draining and east-draining run;
+    # terminals are the interior-boundary cells of each row -> one
+    # basin per (row, side) = 2 * oh basins of size oh/2
+    assert out["n_basins"] == 2 * oh
+    assert out["max_size"] == oh // 2
