@@ -591,3 +591,41 @@ def gini_concentration(cells: DataFrame) -> DataFrame:
             ).alias("gini_dbl"),
         )
     )
+
+
+def hourly_profiles(located: DataFrame) -> DataFrame:
+    """ST9 hour-of-week activity profile per cell — the temporal
+    fingerprint behind POI classification (office vs bar vs park:
+    WHEN a place is busy) and anomaly baselines.  located:
+    (cx, cy, t) with integer epoch seconds; hour-of-week =
+    (t div 3600) mod 168 — pure integer, timezone-less by contract.
+
+    One map-side-combining aggregate to (cell, how) counts, one
+    struct-max argmax fold per cell (ties to the EARLIER hour via
+    negated-hour ordering).  Output per cell: n_events, n_hours
+    (distinct active hours), peak_how, peak_n, and the profile
+    witness Σ (how+1)·c."""
+    how = (F.expr("t div 3600") % 168).cast("long")
+    counts = located.select("cx", "cy", how.alias("how")).groupBy(
+        "cx", "cy", "how"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return counts.groupBy("cx", "cy").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.max(
+            F.struct(
+                F.col("c").alias("c"), (-F.col("how")).alias("nh")
+            )
+        ).alias("pk"),
+        F.sum((F.col("how") + 1) * F.col("c")).cast("long").alias(
+            "phash"
+        ),
+    ).select(
+        "cx",
+        "cy",
+        "n_events",
+        "n_hours",
+        (-F.col("pk.nh")).cast("long").alias("peak_how"),
+        F.col("pk.c").cast("long").alias("peak_n"),
+        "phash",
+    )

@@ -10152,6 +10152,7 @@ _RECORD_FIRST = (
     "q_gini",
     "q_quadtree",
     "q_watershed",
+    "q_hourly_profile",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14693,3 +14694,71 @@ FROM basins GROUP BY x, y
 
 
 _ENGINE_PAIRS["q_watershed"] = (q_watershed, _sql_watershed())
+
+
+# ---------------------------------------------------------------------------
+# q_hourly_profile — ST9 hour-of-week profiles (geostats.hourly_profiles)
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week profiles (geostats.hourly_profiles) over events
+    located on the cotravel 4-grid, FULL oracle: identical integer
+    hour-of-week fold, argmax peak with earlier-hour ties, profile
+    witness."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.geostats import hourly_profiles
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(4)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(4)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        ck(F.col("event_id")).alias("c"),
+    ).select("c.cx", "c.cy", "t")
+    return hourly_profiles(loc)
+
+
+def _sql_hourly_profile() -> str:
+    h = splitmix64_sql("event_id")
+    return f"""
+WITH loc AS (
+  SELECT CAST(({h}) % 4 AS BIGINT) AS cx,
+         CAST((({h}) // 256) % 4 AS BIGINT) AS cy,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 168 AS how
+  FROM events),
+cnt AS (
+  SELECT cx, cy, how, CAST(COUNT(*) AS BIGINT) AS c
+  FROM loc GROUP BY 1, 2, 3)
+SELECT cx, cy,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(-MAX(struct_pack(c := c, nh := -how)).nh AS BIGINT)
+         AS peak_how,
+       CAST(MAX(struct_pack(c := c, nh := -how)).c AS BIGINT)
+         AS peak_n,
+       CAST(SUM((how + 1) * c) AS BIGINT) AS phash
+FROM cnt GROUP BY cx, cy
+"""
+
+
+_ENGINE_PAIRS["q_hourly_profile"] = (q_hourly_profile, _sql_hourly_profile())

@@ -931,3 +931,23 @@ def test_gini_concentration_extremes(spark):
     o2 = gini_concentration(conc).collect()[0]
     assert o2["num"] * 4 == 3 * o2["den"] // 1 * 1  # num/den == 3/4
     assert o2["num"] == 300 and o2["den"] == 400
+
+
+def test_hourly_profiles_peak_and_ties(spark):
+    from mapnik_vector_tile_spark.operators.geostats import hourly_profiles
+
+    H = 3600
+    rows = [
+        # cell (0,0): hour 5 twice, hour 9 twice -> tie, earlier wins
+        (0, 0, 5 * H), (0, 0, 5 * H + 10), (0, 0, 9 * H), (0, 0, 9 * H + 1),
+        # cell (1,1): hour-of-week wraps (t = 168h + 3h -> how 3)
+        (1, 1, (168 + 3) * H), (1, 1, 3 * H),
+    ]
+    df = spark.createDataFrame(rows, "cx long, cy long, t long")
+    out = {(r["cx"], r["cy"]): r for r in hourly_profiles(df).collect()}
+    a = out[(0, 0)]
+    assert (a["n_events"], a["n_hours"]) == (4, 2)
+    assert (a["peak_how"], a["peak_n"]) == (5, 2)
+    assert a["phash"] == 6 * 2 + 10 * 2
+    b = out[(1, 1)]
+    assert (b["n_hours"], b["peak_how"], b["peak_n"]) == (1, 3, 2)
