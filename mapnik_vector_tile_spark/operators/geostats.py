@@ -629,3 +629,86 @@ def hourly_profiles(located: DataFrame) -> DataFrame:
         F.col("pk.c").cast("long").alias("peak_n"),
         "phash",
     )
+
+
+def knox_ingredients(
+    located: DataFrame, tau_s: int = 3600
+) -> DataFrame:
+    """ST10 Knox space-time interaction ingredients — the classic
+    epidemiology/crime-analysis test for clustering in space AND time
+    (Knox 1964; disease outbreak and repeat-victimization detection):
+    over all event pairs, count those close in space (same cell — the
+    pinned spatial definition), close in time (|Δt| ≤ tau_s), and
+    close in both; the test statistic compares n_st against
+    n_s·n_t/n_pairs, and this operator emits the four EXACT BIGINTs
+    (the morans_i convention: integers under the hash, the float
+    ratio derived once with a pinned shape).
+
+    Counting never brute-forces the corpus: n_pairs = C(n,2) closed
+    form; n_s = Σ_cells C(n_c,2) from per-cell counts (no join);
+    n_t and n_st via the interval-join bucket trick — equi-join on
+    floor(t/tau) with the +1 bucket, exact |Δt| filter, (t, id)
+    ordering dedup.  Output ONE row: (n_events, n_pairs, n_s, n_t,
+    n_st, knox_dbl)."""
+    ev = located.select(
+        "cx", "cy", F.col("t").cast("long").alias("t"),
+        F.col("eid").cast("long").alias("eid"),
+        F.expr(f"t div {tau_s}").alias("b"),
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_s = (
+        ev.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("n_s")
+        )
+    )
+    a = ev.alias("a")
+
+    def close_pairs(join_cell: bool):
+        b = ev.select(
+            F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+            F.col("t").alias("bt"), F.col("eid").alias("beid"),
+            F.col("b").alias("bb"),
+        ).alias("b")
+        probe = a.select(
+            "a.cx", "a.cy", "a.t", "a.eid",
+            F.explode(
+                F.array(F.col("a.b"), F.col("a.b") + 1)
+            ).alias("pb"),
+        )
+        cond = (F.col("pb") == F.col("bb")) & (
+            F.abs(F.col("t") - F.col("bt")) <= tau_s
+        ) & (
+            (F.col("t") < F.col("bt"))
+            | ((F.col("t") == F.col("bt")) & (F.col("eid") < F.col("beid")))
+        ) & (
+            # count each pair once: in the bucket of the LATER time
+            F.col("pb") == F.expr(f"greatest(t, bt) div {tau_s}")
+        )
+        if join_cell:
+            cond = cond & (F.col("cx") == F.col("bcx")) & (
+                F.col("cy") == F.col("bcy")
+            )
+        name = "n_st" if join_cell else "n_t"
+        return probe.join(b, cond).agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    n_t = close_pairs(False)
+    n_st = close_pairs(True)
+    return (
+        n.crossJoin(n_s).crossJoin(n_t).crossJoin(n_st)
+        .select(
+            F.col("n").alias("n_events"),
+            F.expr("n * (n - 1) div 2").cast("long").alias("n_pairs"),
+            "n_s",
+            "n_t",
+            "n_st",
+            (
+                F.col("n_st").cast("double")
+                * F.expr("n * (n - 1) div 2").cast("double")
+                / (F.col("n_s").cast("double") * F.col("n_t").cast("double"))
+            ).alias("knox_dbl"),
+        )
+    )

@@ -10153,6 +10153,7 @@ _RECORD_FIRST = (
     "q_quadtree",
     "q_watershed",
     "q_hourly_profile",
+    "q_knox",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14762,3 +14763,86 @@ FROM cnt GROUP BY cx, cy
 
 
 _ENGINE_PAIRS["q_hourly_profile"] = (q_hourly_profile, _sql_hourly_profile())
+
+
+# ---------------------------------------------------------------------------
+# q_knox — ST10 Knox space-time interaction (geostats.knox_ingredients)
+# ---------------------------------------------------------------------------
+
+KX_TAU = 3600
+
+
+def q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox ingredients (geostats.knox_ingredients, tau 1h, same-z5-
+    cell spatial closeness) over located events, FULL oracle: DuckDB
+    recomputes C(n,2)/per-cell C(n_c,2) closed-form and the two
+    bucket-join pair counts with the identical later-time dedup."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.geostats import knox_ingredients
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(32)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(32)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        F.col("event_id").cast("long").alias("eid"),
+        ck(F.col("event_id")).alias("c"),
+    ).select("c.cx", "c.cy", "t", "eid")
+    return knox_ingredients(loc, KX_TAU)
+
+
+def _sql_knox(tau: int = KX_TAU) -> str:
+    h = splitmix64_sql("event_id")
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT CAST(({h}) % 32 AS BIGINT) AS cx,
+         CAST((({h}) // 256) % 32 AS BIGINT) AS cy,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(event_id AS BIGINT) AS eid,
+         CAST(floor(epoch(ts)) AS BIGINT) // {tau} AS b
+  FROM events),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+ns AS (
+  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_s
+  FROM (SELECT COUNT(*) AS c FROM ev GROUP BY cx, cy)),
+tp AS MATERIALIZED (
+  SELECT a.cx, a.cy, a.t, a.eid, b.cx AS bcx, b.cy AS bcy
+  FROM ev a
+  CROSS JOIN (VALUES (0), (1)) o(db)
+  JOIN ev b ON b.b = a.b + o.db
+  WHERE ABS(a.t - b.t) <= {tau}
+    AND (a.t < b.t OR (a.t = b.t AND a.eid < b.eid))
+    AND a.b + o.db = GREATEST(a.t, b.t) // {tau}),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_t FROM tp),
+nst AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_st
+  FROM tp WHERE cx = bcx AND cy = bcy)
+SELECT nn.n AS n_events,
+       CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS n_pairs,
+       ns.n_s, nt.n_t, nst.n_st,
+       CAST(nst.n_st AS DOUBLE) * CAST(nn.n * (nn.n - 1) // 2 AS DOUBLE)
+         / (CAST(ns.n_s AS DOUBLE) * CAST(nt.n_t AS DOUBLE)) AS knox_dbl
+FROM nn CROSS JOIN ns CROSS JOIN nt CROSS JOIN nst
+"""
+
+
+_ENGINE_PAIRS["q_knox"] = (q_knox, _sql_knox())

@@ -951,3 +951,25 @@ def test_hourly_profiles_peak_and_ties(spark):
     assert a["phash"] == 6 * 2 + 10 * 2
     b = out[(1, 1)]
     assert (b["n_hours"], b["peak_how"], b["peak_n"]) == (1, 3, 2)
+
+
+def test_knox_ingredients_counts(spark):
+    from mapnik_vector_tile_spark.operators.geostats import knox_ingredients
+
+    # 4 events: two in the same cell 10s apart (space+time close),
+    # one same-cell but 2h later (space only), one far cell 5s from
+    # the first (time only)
+    rows = [
+        (0, 0, 1000, 1),
+        (0, 0, 1010, 2),
+        (0, 0, 9000, 3),
+        (9, 9, 1005, 4),
+    ]
+    df = spark.createDataFrame(rows, "cx long, cy long, t long, eid long")
+    out = knox_ingredients(df, tau_s=3600).collect()[0]
+    assert out["n_events"] == 4 and out["n_pairs"] == 6
+    assert out["n_s"] == 3          # C(3,2) same-cell pairs
+    # time-close pairs: (1,2), (1,4), (2,4) within 1h; 9000 is within
+    # 3600 of nothing... 9000-1010=7990 > 3600 -> 3 pairs
+    assert out["n_t"] == 3
+    assert out["n_st"] == 1         # only (1,2)
