@@ -712,3 +712,72 @@ def knox_ingredients(
             ).alias("knox_dbl"),
         )
     )
+
+
+def mobility_profiles(located: DataFrame) -> DataFrame:
+    """ST11 user mobility profiles — the per-user summary mobility
+    science runs at population scale (González et al. 2008): radius
+    of gyration kept EXACT as integer moments (rog² = rog_num/n² with
+    rog_num = n·Σ(x²+y²) − (Σx)² − (Σy)², all BIGINT), distinct-cell
+    support, and HOME inference = the argmax night-time cell
+    (hour-of-day in [0, 6), ties to the lexicographically smaller
+    cell; users with no night pings emit home (-1, -1)).
+
+    located: (user_id, t, cx, cy).  Two map-side-combining aggregates
+    (moments per user; night cell counts → struct-max) + one user
+    join — user-table sized throughout.
+
+    Output: (user_id, n_pings, n_cells, sx, sy, rog_num, hx, hy,
+    rog_dbl)."""
+    base = located.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pings"),
+        F.countDistinct("cx", "cy").cast("long").alias("n_cells"),
+        F.sum("cx").cast("long").alias("sx"),
+        F.sum("cy").cast("long").alias("sy"),
+        F.sum(
+            F.col("cx") * F.col("cx") + F.col("cy") * F.col("cy")
+        ).cast("long").alias("s2"),
+    ).select(
+        "user_id",
+        "n_pings",
+        "n_cells",
+        "sx",
+        "sy",
+        (
+            F.col("n_pings") * F.col("s2")
+            - F.col("sx") * F.col("sx")
+            - F.col("sy") * F.col("sy")
+        ).cast("long").alias("rog_num"),
+    )
+    night = located.filter(
+        (F.expr("t div 3600") % 24) < 6
+    ).groupBy("user_id", "cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    home = night.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                (-F.col("cx")).alias("nx"),
+                (-F.col("cy")).alias("ny"),
+            )
+        ).alias("h")
+    ).select(
+        "user_id",
+        (-F.col("h.nx")).cast("long").alias("hx"),
+        (-F.col("h.ny")).cast("long").alias("hy"),
+    )
+    return base.join(home, "user_id", "left").select(
+        "user_id",
+        "n_pings",
+        "n_cells",
+        "sx",
+        "sy",
+        "rog_num",
+        F.coalesce("hx", F.lit(-1)).cast("long").alias("hx"),
+        F.coalesce("hy", F.lit(-1)).cast("long").alias("hy"),
+        F.sqrt(
+            F.col("rog_num").cast("double")
+            / (F.col("n_pings") * F.col("n_pings")).cast("double")
+        ).alias("rog_dbl"),
+    )

@@ -10154,6 +10154,7 @@ _RECORD_FIRST = (
     "q_watershed",
     "q_hourly_profile",
     "q_knox",
+    "q_mobility",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14846,3 +14847,87 @@ FROM nn CROSS JOIN ns CROSS JOIN nt CROSS JOIN nst
 
 
 _ENGINE_PAIRS["q_knox"] = (q_knox, _sql_knox())
+
+
+# ---------------------------------------------------------------------------
+# q_mobility — ST11 user mobility profiles (geostats.mobility_profiles)
+# ---------------------------------------------------------------------------
+
+
+def q_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mobility profiles (geostats.mobility_profiles) over events
+    located on a 32-grid, FULL oracle: exact integer gyration
+    moments, distinct-cell support, night-argmax home with lexicomin
+    ties, and one pinned sqrt expression for the display radius."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.geostats import (
+        mobility_profiles,
+    )
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(32)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(32)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        ck(F.col("event_id")).alias("c"),
+    ).select("user_id", "t", "c.cx", "c.cy")
+    return mobility_profiles(loc)
+
+
+def _sql_mobility() -> str:
+    h = splitmix64_sql("event_id")
+    return f"""
+WITH loc AS MATERIALIZED (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(({h}) % 32 AS BIGINT) AS cx,
+         CAST((({h}) // 256) % 32 AS BIGINT) AS cy
+  FROM events),
+base AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pings,
+         CAST(COUNT(DISTINCT (cx, cy)) AS BIGINT) AS n_cells,
+         CAST(SUM(cx) AS BIGINT) AS sx,
+         CAST(SUM(cy) AS BIGINT) AS sy,
+         CAST(SUM(cx * cx + cy * cy) AS BIGINT) AS s2
+  FROM loc GROUP BY user_id),
+night AS (
+  SELECT user_id, cx, cy, COUNT(*) AS c
+  FROM loc WHERE (t // 3600) % 24 < 6
+  GROUP BY user_id, cx, cy),
+home AS (
+  SELECT user_id,
+         MAX(struct_pack(c := c, nx := -cx, ny := -cy)) AS h
+  FROM night GROUP BY user_id)
+SELECT b.user_id, b.n_pings, b.n_cells, b.sx, b.sy,
+       CAST(b.n_pings * b.s2 - b.sx * b.sx - b.sy * b.sy AS BIGINT)
+         AS rog_num,
+       CAST(COALESCE(-home.h.nx, -1) AS BIGINT) AS hx,
+       CAST(COALESCE(-home.h.ny, -1) AS BIGINT) AS hy,
+       sqrt(CAST(b.n_pings * b.s2 - b.sx * b.sx - b.sy * b.sy AS DOUBLE)
+            / CAST(b.n_pings * b.n_pings AS DOUBLE)) AS rog_dbl
+FROM base b LEFT JOIN home ON home.user_id = b.user_id
+"""
+
+
+_ENGINE_PAIRS["q_mobility"] = (q_mobility, _sql_mobility())

@@ -973,3 +973,28 @@ def test_knox_ingredients_counts(spark):
     # 3600 of nothing... 9000-1010=7990 > 3600 -> 3 pairs
     assert out["n_t"] == 3
     assert out["n_st"] == 1         # only (1,2)
+
+
+def test_mobility_profiles_gyration_and_home(spark):
+    from mapnik_vector_tile_spark.operators.geostats import mobility_profiles
+
+    H = 3600
+    rows = [
+        # user 1: day pings at (0,0) and (4,0); night pings at (2,2)
+        (1, 12 * H, 0, 0),
+        (1, 13 * H, 4, 0),
+        (1, 2 * H, 2, 2),
+        (1, 3 * H, 2, 2),
+        # user 2: one day ping only -> home (-1,-1), rog 0
+        (2, 12 * H, 7, 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long, cx long, cy long")
+    out = {r["user_id"]: r for r in mobility_profiles(df).collect()}
+    u1 = out[1]
+    assert (u1["n_pings"], u1["n_cells"]) == (4, 3)
+    assert (u1["hx"], u1["hy"]) == (2, 2)
+    # rog_num = n*S2 - sx^2 - sy^2 with sx=8, sy=4, S2 = 0+16+8+8
+    assert u1["rog_num"] == 4 * 32 - 64 - 16
+    u2 = out[2]
+    assert (u2["hx"], u2["hy"]) == (-1, -1)
+    assert u2["rog_num"] == 0 and u2["rog_dbl"] == 0.0
