@@ -322,3 +322,61 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     n_w = w.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
     n_t = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return n_e.crossJoin(n_w).crossJoin(n_t)
+
+
+def kcore_rounds(
+    edges: DataFrame, k: int = 4, rounds: int = 5
+) -> DataFrame:
+    """G6 hop-bounded k-core peeling — the degeneracy decomposition
+    community/fraud mining runs (GraphX/NetworkX k_core): each round
+    removes every node whose degree among SURVIVORS is < k; after R
+    rounds the survivor set equals the true k-core whenever peeling
+    stabilizes within R (the fixed-round contract yet again — and the
+    per-node drop ROUND is itself the output, so the entire peeling
+    order is under the hash).
+
+    edges: undirected (u, v) any orientation.  One symmetric edge
+    table reused every round; each round = one semi-join degree count
+    + one filter (map-side combining).  Output: (node, deg0,
+    dropped_round) — dropped_round = 1-based round of removal, -1
+    for survivors."""
+    e = (
+        edges.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg0 = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg0")
+    )
+    alive = deg0.select("node")
+    dropped = None
+    for r in range(1, rounds + 1):
+        deg = (
+            sym.join(alive.select(F.col("node").alias("a")), "a")
+            .join(alive.select(F.col("node").alias("b")), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        cur = alive.join(deg, "node", "left").select(
+            "node", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+        out_now = cur.filter(F.col("deg") < k).select(
+            "node", F.lit(r).cast("long").alias("dropped_round")
+        )
+        dropped = (
+            out_now if dropped is None
+            else dropped.unionByName(out_now)
+        )
+        alive = cur.filter(F.col("deg") >= k).select("node")
+        alive = alive.localCheckpoint(eager=False)
+    survivors = alive.select(
+        "node", F.lit(-1).cast("long").alias("dropped_round")
+    )
+    return deg0.join(
+        dropped.unionByName(survivors), "node"
+    ).select("node", "deg0", "dropped_round")

@@ -10155,6 +10155,7 @@ _RECORD_FIRST = (
     "q_hourly_profile",
     "q_knox",
     "q_mobility",
+    "q_kcore",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -14931,3 +14932,112 @@ FROM base b LEFT JOIN home ON home.user_id = b.user_id
 
 
 _ENGINE_PAIRS["q_mobility"] = (q_mobility, _sql_mobility())
+
+
+# ---------------------------------------------------------------------------
+# q_kcore — G6 hop-bounded k-core peeling (graph.kcore_rounds)
+# ---------------------------------------------------------------------------
+
+KC_K = 4
+KC_ROUNDS = 5
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (graph.kcore_rounds, k=4, 5 rounds) on the
+    road lattice, FULL oracle: DuckDB unrolls the identical peeling
+    rounds as MATERIALIZED CTEs — every node's drop round is under
+    the hash, so the entire peeling order must match."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.graph import kcore_rounds
+
+    e_t = StructType(
+        [
+            StructField("u", LongType()),
+            StructField("v", LongType()),
+            StructField("keep", LongType()),
+        ]
+    )
+
+    def _edge_kernel(kk):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(kk.to_numpy(np.uint64))
+        x = (h % np.uint64(64)).astype(np.int64)
+        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
+        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
+        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
+        return pd.DataFrame(
+            {
+                "u": x * 256 + y,
+                "v": (x + dx) * 256 + (y + dy),
+                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
+            }
+        )
+
+    ek = F.pandas_udf(_edge_kernel, e_t)
+    e1 = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(ek(F.col("o_orderkey")).alias("e"))
+        .select("e.u", "e.v", "e.keep")
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+    )
+    return kcore_rounds(e1, k=KC_K, rounds=KC_ROUNDS)
+
+
+def _sql_kcore(k: int = KC_K, rounds: int = KC_ROUNDS) -> str:
+    h = splitmix64_sql("o_orderkey")
+    body = []
+    for r in range(1, rounds + 1):
+        body.append(
+            f""",
+deg{r} AS MATERIALIZED (
+  SELECT s.a AS node, COUNT(*) AS deg
+  FROM sym s
+  JOIN alive{r - 1} x ON x.node = s.a
+  JOIN alive{r - 1} y ON y.node = s.b
+  GROUP BY s.a),
+cur{r} AS MATERIALIZED (
+  SELECT al.node, COALESCE(d.deg, 0) AS deg
+  FROM alive{r - 1} al LEFT JOIN deg{r} d ON d.node = al.node),
+drop{r} AS (
+  SELECT node, CAST({r} AS BIGINT) AS dropped_round
+  FROM cur{r} WHERE deg < {k}),
+alive{r} AS MATERIALIZED (
+  SELECT node FROM cur{r} WHERE deg >= {k})"""
+        )
+    un = "\nUNION ALL\n".join(
+        f"SELECT * FROM drop{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT CAST(({h}) % 64 AS BIGINT) AS x,
+         CAST((({h}) // 64) % 64 AS BIGINT) AS y,
+         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
+         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy
+  FROM orders),
+e1 AS MATERIALIZED (
+  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v
+  FROM e0 WHERE dx <> 0 OR dy <> 0),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+  FROM e1 WHERE u <> v),
+sym AS MATERIALIZED (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg0_ AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg0
+          FROM sym GROUP BY a),
+alive0 AS (SELECT node FROM deg0_){''.join(body)},
+alldrops AS (
+  {un}
+  UNION ALL
+  SELECT node, CAST(-1 AS BIGINT) AS dropped_round FROM alive{rounds})
+SELECT d.node, d.deg0, a.dropped_round
+FROM deg0_ d JOIN alldrops a ON a.node = d.node
+"""
+
+
+_ENGINE_PAIRS["q_kcore"] = (q_kcore, _sql_kcore())

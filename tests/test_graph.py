@@ -167,3 +167,25 @@ def test_triangle_count_fixtures(spark):
         spark.createDataFrame(path, "u long, v long")
     ).collect()[0]
     assert (o2["n_edges"], o2["n_wedges"], o2["n_triangles"]) == (2, 1, 0)
+
+
+def test_kcore_peeling_rounds(spark):
+    from mapnik_vector_tile_spark.operators.graph import kcore_rounds
+
+    # K4 plus a tail path 4-5-6: for k=2 the tail peels in order
+    # (6 first, then 5, then 4... wait 4 is in K4 so deg stays >= 3)
+    edges = (
+        [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        + [(3, 4), (4, 5), (5, 6)]
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = {r["node"]: r for r in kcore_rounds(df, k=2, rounds=4).collect()}
+    # node 6 (deg 1) drops round 1; node 5 drops round 2 (deg fell to
+    # 1); node 4 then has deg 1 (only edge to 3) -> drops round 3
+    assert out[6]["dropped_round"] == 1
+    assert out[5]["dropped_round"] == 2
+    assert out[4]["dropped_round"] == 3
+    # K4 members survive with deg0 counted on the symmetric table
+    for n in range(4):
+        assert out[n]["dropped_round"] == -1
+    assert out[0]["deg0"] == 3 and out[3]["deg0"] == 4
