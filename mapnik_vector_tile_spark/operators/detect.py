@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _PH = 2654435761  # Knuth multiplicative hash, matches label_place_greedy
 _PH_MOD = 1 << 31
@@ -253,4 +254,91 @@ def match_detections(
             cokernel,
             "image_id long, n_pred long, n_gt long, tp long, mh long",
         )
+    )
+
+
+def match_detection_flags(
+    preds: DataFrame, gts: DataFrame, iou_pct: int = 50
+) -> DataFrame:
+    """Per-detection TP flags — match_detections' greedy claim chain
+    emitted row-per-prediction instead of aggregated: the input the
+    PR curve / AP computation needs.  Identical pinned semantics
+    (score-DESC/id-ASC claim order, division-free threshold,
+    floor-scaled IoU arg-max, smallest-gt ties).
+
+    Output: (image_id, det_id, score, hit)."""
+    import pandas as pd
+
+    pct = int(iou_pct)
+
+    def cokernel(key, pp: pd.DataFrame, gg: pd.DataFrame) -> pd.DataFrame:
+        image_id = int(key[0])
+        pp = pp.sort_values(
+            ["score", "det_id"], ascending=[False, True], kind="mergesort"
+        )
+        gx0 = gg["x0"].to_numpy(np.int64)
+        gy0 = gg["y0"].to_numpy(np.int64)
+        gx1 = gg["x1"].to_numpy(np.int64)
+        gy1 = gg["y1"].to_numpy(np.int64)
+        gid = gg["gt_id"].to_numpy(np.int64)
+        garea = (gx1 - gx0) * (gy1 - gy0)
+        taken = np.zeros(len(gid), dtype=bool)
+        rows = []
+        for r in pp.itertuples():
+            parea = (r.x1 - r.x0) * (r.y1 - r.y0)
+            iw = np.minimum(gx1, r.x1) - np.maximum(gx0, r.x0)
+            ih = np.minimum(gy1, r.y1) - np.maximum(gy0, r.y0)
+            inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+            ok = (
+                (~taken)
+                & (inter * (100 + pct) > pct * (garea + parea))
+            )
+            hit = 0
+            if ok.any():
+                union = garea + parea - inter
+                key_s = np.where(
+                    ok,
+                    (inter << EVAL_SCALE_BITS) // np.maximum(union, 1),
+                    -1,
+                )
+                best = np.lexsort((gid, -key_s))[0]
+                taken[best] = True
+                hit = 1
+            rows.append((image_id, int(r.det_id), int(r.score), hit))
+        return pd.DataFrame(
+            rows, columns=["image_id", "det_id", "score", "hit"]
+        )
+
+    return (
+        preds.groupBy("image_id")
+        .cogroup(gts.groupBy("image_id"))
+        .applyInPandas(
+            cokernel,
+            "image_id long, det_id long, score long, hit long",
+        )
+    )
+
+
+def pr_curve(flags: DataFrame) -> DataFrame:
+    """T12s PR-curve points — global (score DESC, image_id, det_id)
+    rank over the per-detection flags with cumulative TP/FP: the
+    exact-integer relation AP/mAP integrates.  One global window (the
+    detector-output table is tiny relative to the corpus; rank_select
+    is the documented fleet-scale exact-rank path).
+
+    Output: (rnk, image_id, det_id, score, hit, n_tp, n_fp)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("score").desc(), "image_id", "det_id"
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return flags.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "image_id",
+        "det_id",
+        "score",
+        "hit",
+        F.sum("hit").over(run).cast("long").alias("n_tp"),
+        F.sum(1 - F.col("hit")).over(run).cast("long").alias("n_fp"),
     )

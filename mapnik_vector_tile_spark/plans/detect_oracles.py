@@ -167,6 +167,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_image_blobs": (q_image_blobs, _sql_image_blobs()),
         "q_reading_order": (q_reading_order, _sql_reading_order()),
         "q_det_eval": (q_det_eval, _sql_det_eval()),
+        "q_pr_curve": (q_pr_curve, _sql_pr_curve()),
     }
 
 
@@ -491,4 +492,154 @@ FROM walk w
 JOIN ppacks p ON p.image_id = w.image_id
 LEFT JOIN gpacks g ON g.image_id = w.image_id
 WHERE w.i = p.n
+"""
+
+
+def q_pr_curve(spark, sf_dir: str):
+    """T12s PR-curve points over the det-eval corpus, FULL oracle:
+    per-detection TP flags from the greedy claim chain (the walk CTE
+    emits its per-step hit instead of aggregating) ranked globally by
+    (score DESC, image_id, det_id) with cumulative TP/FP."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.detect import (
+        match_detection_flags,
+        pr_curve,
+    )
+
+    det_t = StructType(
+        [
+            StructField("x0", LongType()),
+            StructField("y0", LongType()),
+            StructField("x1", LongType()),
+            StructField("y1", LongType()),
+            StructField("score", LongType()),
+        ]
+    )
+
+    def _mk_kernel(offset):
+        def _kernel(k):
+            from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+            h = splitmix64(
+                (k + np.int64(offset)).to_numpy(np.uint64)
+            )
+            x0 = (h % np.uint64(800)).astype(np.int64)
+            y0 = ((h >> np.uint64(12)) % np.uint64(800)).astype(np.int64)
+            w = (
+                np.uint64(16) + (h >> np.uint64(24)) % np.uint64(200)
+            ).astype(np.int64)
+            ht = (
+                np.uint64(16) + (h >> np.uint64(36)) % np.uint64(200)
+            ).astype(np.int64)
+            sc = ((h >> np.uint64(46)) % np.uint64(1000000)).astype(np.int64)
+            return pd.DataFrame(
+                {"x0": x0, "y0": y0, "x1": x0 + w, "y1": y0 + ht,
+                 "score": sc}
+            )
+
+        return _kernel
+
+    pk = F.pandas_udf(_mk_kernel(0), det_t)
+    gk = F.pandas_udf(_mk_kernel(777), det_t)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("id")
+    )
+    preds = orders.select(
+        (F.col("id") % F.lit(NMS_IMGS)).alias("image_id"),
+        F.col("id").alias("det_id"),
+        pk(F.col("id")).alias("d"),
+    ).select("image_id", "det_id", "d.x0", "d.y0", "d.x1", "d.y1", "d.score")
+    gts = (
+        orders.filter(F.col("id") % 3 == 0)
+        .select(
+            (F.col("id") % F.lit(NMS_IMGS)).alias("image_id"),
+            F.col("id").alias("gt_id"),
+            gk(F.col("id")).alias("d"),
+        )
+        .select("image_id", "gt_id", "d.x0", "d.y0", "d.x1", "d.y1")
+    )
+    return pr_curve(match_detection_flags(preds, gts, EVAL_PCT))
+
+
+def _sql_pr_curve(n_imgs: int = NMS_IMGS, pct: int = EVAL_PCT) -> str:
+    from mapnik_vector_tile_spark.plans.oracle_pairs import splitmix64_sql
+
+    smg = splitmix64_sql("(id + 777)")
+    px0, py0 = "p.ax0[w.i + 1]", "p.ay0[w.i + 1]"
+    px1, py1 = "p.ax1[w.i + 1]", "p.ay1[w.i + 1]"
+    parea = f"(({px1}) - ({px0})) * (({py1}) - ({py0}))"
+    inter = (
+        f"greatest(0, least(g.gx1[j], {px1}) - greatest(g.gx0[j], {px0}))"
+        f" * greatest(0, least(g.gy1[j], {py1}) - greatest(g.gy0[j], {py0}))"
+    )
+    garea = "(g.gx1[j] - g.gx0[j]) * (g.gy1[j] - g.gy0[j])"
+    union = f"({garea} + {parea} - ({inter}))"
+    cands = f"""list_sort([struct_pack(
+        k := -((({inter}) << 34) // greatest({union}, 1)),
+        g := g.gid[j])
+      FOR j IN generate_series(1, len(g.gid))
+      IF NOT list_contains(w.tk, g.gid[j])
+         AND ({inter}) * {100 + pct} > {pct} * ({garea} + {parea})])"""
+    return f"""
+WITH RECURSIVE {_nms_det_ctes(n_imgs)},
+gt AS (
+  SELECT id % {n_imgs} AS image_id, id AS gt_id,
+         CAST(({smg}) % 800 AS BIGINT) AS x0,
+         CAST((({smg}) // 4096) % 800 AS BIGINT) AS y0,
+         CAST(({smg}) % 800 + 16 + (({smg}) // 16777216) % 200 AS BIGINT)
+           AS x1,
+         CAST((({smg}) // 4096) % 800 + 16
+              + (({smg}) // 68719476736) % 200 AS BIGINT) AS y1
+  FROM hh WHERE id % 3 = 0),
+ppacks AS MATERIALIZED (
+  SELECT image_id, COUNT(*) AS n,
+         list(x0 ORDER BY score DESC, det_id) AS ax0,
+         list(y0 ORDER BY score DESC, det_id) AS ay0,
+         list(x1 ORDER BY score DESC, det_id) AS ax1,
+         list(y1 ORDER BY score DESC, det_id) AS ay1,
+         list(det_id ORDER BY score DESC, det_id) AS aid,
+         list(score ORDER BY score DESC, det_id) AS asc_
+  FROM det GROUP BY image_id),
+gpacks AS MATERIALIZED (
+  SELECT image_id, COUNT(*) AS ng,
+         list(x0 ORDER BY gt_id) AS gx0, list(y0 ORDER BY gt_id) AS gy0,
+         list(x1 ORDER BY gt_id) AS gx1, list(y1 ORDER BY gt_id) AS gy1,
+         list(gt_id ORDER BY gt_id) AS gid
+  FROM gt GROUP BY image_id),
+walk(image_id, i, tk, lcid, lscore, lhit) AS (
+  SELECT image_id, 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM ppacks
+  UNION ALL
+  SELECT w.image_id, w.i + 1,
+         CASE WHEN hit THEN list_append(tk, bg) ELSE tk END,
+         cid, cscore, CASE WHEN hit THEN 1 ELSE 0 END
+  FROM (
+    SELECT w.*,
+           COALESCE(len(cl) > 0, FALSE) AS hit,
+           CASE WHEN COALESCE(len(cl) > 0, FALSE) THEN cl[1].g
+                ELSE CAST(0 AS BIGINT) END AS bg
+    FROM (
+      SELECT w.*, p.n, p.aid[w.i + 1] AS cid,
+             p.asc_[w.i + 1] AS cscore, {cands} AS cl
+      FROM walk w
+      JOIN ppacks p ON p.image_id = w.image_id
+      LEFT JOIN gpacks g ON g.image_id = w.image_id
+      WHERE w.i < p.n) w) w
+),
+flags AS (
+  SELECT image_id, lcid AS det_id, lscore AS score, lhit AS hit
+  FROM walk WHERE i >= 1)
+SELECT CAST(row_number() OVER w AS BIGINT) AS rnk,
+       image_id, det_id, score, CAST(hit AS BIGINT) AS hit,
+       CAST(SUM(hit) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_tp,
+       CAST(SUM(1 - hit) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_fp
+FROM flags
+WINDOW w AS (ORDER BY score DESC, image_id, det_id)
 """

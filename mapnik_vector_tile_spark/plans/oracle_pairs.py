@@ -10156,6 +10156,7 @@ _RECORD_FIRST = (
     "q_knox",
     "q_mobility",
     "q_kcore",
+    "q_pr_curve",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",

@@ -342,3 +342,36 @@ def test_harris_synthetic_corner(spark):
     )
     out2 = harris_corner_stats(df2).collect()[0]
     assert out2["n_corners"] == 0
+
+
+def test_pr_curve_flags_and_cumulatives(spark):
+    from mapnik_vector_tile_spark.operators.detect import (
+        match_detection_flags,
+        pr_curve,
+    )
+
+    preds = spark.createDataFrame(
+        [
+            # image 0: det 1 (high score, matches gt), det 2 (misses)
+            (0, 1, 0, 0, 10, 10, 900),
+            (0, 2, 50, 50, 60, 60, 800),
+            # image 1: det 3 matches
+            (1, 3, 0, 0, 10, 10, 850),
+        ],
+        "image_id long, det_id long, x0 long, y0 long, x1 long,"
+        " y1 long, score long",
+    )
+    gts = spark.createDataFrame(
+        [(0, 10, 0, 0, 10, 10), (1, 11, 1, 1, 11, 11)],
+        "image_id long, gt_id long, x0 long, y0 long, x1 long, y1 long",
+    )
+    out = sorted(
+        pr_curve(match_detection_flags(preds, gts)).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [(r["det_id"], r["hit"]) for r in out] == [
+        (1, 1), (3, 1), (2, 0)
+    ]
+    assert [(r["n_tp"], r["n_fp"]) for r in out] == [
+        (1, 0), (2, 0), (2, 1)
+    ]
