@@ -2566,3 +2566,78 @@ def watershed_tiles(
         "z long, x long, y long, n_basins long, max_size long,"
         " wsum long",
     )
+
+
+def sniff_image_dims(images: DataFrame) -> DataFrame:
+    """S12 header-only metadata sniff — read (container, width,
+    height) from the first bytes of an encoded image WITHOUT decoding
+    (what `identify`/PIL.Image.open-lazy/every ingest crawler does
+    before deciding to decode): at fleet scale this is the difference
+    between a header read and a full decompress per file.
+
+    Parsers are INDEPENDENT header math (not the repo's decoders —
+    that independence is what the oracle buys): PNG IHDR big-endian
+    dims; JPEG marker walk to SOF0/SOF2; TIFF IFD tags 256/257 in
+    either byte order with SHORT/LONG values; WebP VP8L 14-bit packed
+    dims.  Unknown containers emit ('unknown', -1, -1).
+
+    Output: (image_id, container, w, h) — one narrow scan."""
+    import pandas as pd
+    import struct
+
+    def sniff(buf: bytes) -> tuple[str, int, int]:
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack(">II", buf[16:24])
+            return "png", w, h
+        if buf[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(buf):
+                if buf[i] != 0xFF:
+                    break
+                marker = buf[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
+                    return "jpeg", w, h
+                seg = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+                i += 2 + seg
+            return "jpeg", -1, -1
+        if buf[:4] in (b"II*\x00", b"MM\x00*"):
+            bo = "<" if buf[:2] == b"II" else ">"
+            off = struct.unpack(bo + "I", buf[4:8])[0]
+            n = struct.unpack(bo + "H", buf[off : off + 2])[0]
+            w = h = -1
+            for k in range(n):
+                e = off + 2 + 12 * k
+                tag, typ = struct.unpack(bo + "HH", buf[e : e + 4])
+                if typ == 3:  # SHORT
+                    val = struct.unpack(bo + "H", buf[e + 8 : e + 10])[0]
+                else:  # LONG
+                    val = struct.unpack(bo + "I", buf[e + 8 : e + 12])[0]
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+            return "tiff", w, h
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+            if buf[12:16] == b"VP8L" and buf[20] == 0x2F:
+                bits = struct.unpack("<I", buf[21:25])[0]
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+                return "webp", w, h
+            return "webp", -1, -1
+        return "unknown", -1, -1
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "container": [], "w": [], "h": []}
+            for r in pdf.itertuples():
+                c, w, h = sniff(bytes(r.bytes))
+                out["image_id"].append(r.image_id)
+                out["container"].append(c)
+                out["w"].append(w)
+                out["h"].append(h)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(
+        gen, "image_id string, container string, w long, h long"
+    )

@@ -10157,6 +10157,7 @@ _RECORD_FIRST = (
     "q_mobility",
     "q_kcore",
     "q_pr_curve",
+    "q_sniff_dims",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -15042,3 +15043,60 @@ FROM deg0_ d JOIN alldrops a ON a.node = d.node
 
 
 _ENGINE_PAIRS["q_kcore"] = (q_kcore, _sql_kcore())
+
+
+# ---------------------------------------------------------------------------
+# q_sniff_dims — S12 header-only metadata sniff (raster.sniff_image_dims)
+# ---------------------------------------------------------------------------
+
+SN_N = 80
+
+
+def q_sniff_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header sniffing (raster.sniff_image_dims) gated end-to-end
+    through ALL FOUR real containers: 80 canonical images re-encoded
+    as png/jpeg/tiff/webp by i%4, then sniffed by the INDEPENDENT
+    header parsers; the oracle replays the closed-form dims and the
+    container cycle — a wrong byte order, marker walk, or IFD read
+    breaks it."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        decode_image,
+        encode_image,
+        sniff_image_dims,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    fmts = ("png", "jpeg", "tiff", "webp")
+
+    def reenc(it):
+        for pdf in it:
+            out = {"image_id": [], "bytes": []}
+            for r in pdf.itertuples():
+                i = int(r.image_id.split("_")[1])
+                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                out["image_id"].append(r.image_id)
+                out["bytes"].append(encode_image(rgba, fmts[i % 4]))
+            yield pd.DataFrame(out)
+
+    imgs = images_df(spark, SN_N).mapInPandas(
+        reenc, "image_id string, bytes binary"
+    )
+    return sniff_image_dims(imgs)
+
+
+def _sql_sniff_dims(n: int = SN_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       ['png', 'jpeg', 'tiff', 'webp'][CAST(i % 4 AS INT) + 1]
+         AS container,
+       CAST(16 + (i * 7) % 49 AS BIGINT) AS w,
+       CAST(16 + (i * 11) % 49 AS BIGINT) AS h
+FROM ids
+"""
+
+
+_ENGINE_PAIRS["q_sniff_dims"] = (q_sniff_dims, _sql_sniff_dims())

@@ -1346,3 +1346,25 @@ def test_watershed_two_basins(spark):
     # basin per (row, side) = 2 * oh basins of size oh/2
     assert out["n_basins"] == 2 * oh
     assert out["max_size"] == oh // 2
+
+
+def test_sniff_dims_all_containers(spark):
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        encode_image,
+        sniff_image_dims,
+    )
+
+    rgba = np.zeros((21, 33, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    rows = [
+        (f, encode_image(rgba, f)) for f in ("png", "jpeg", "tiff", "webp")
+    ] + [("raw", b"\x00" * 64)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r["image_id"]: r for r in sniff_image_dims(df).collect()}
+    for f in ("png", "jpeg", "tiff", "webp"):
+        assert out[f]["container"] == f
+        assert (out[f]["w"], out[f]["h"]) == (33, 21), f
+    assert out["raw"]["container"] == "unknown"
+    assert (out["raw"]["w"], out["raw"]["h"]) == (-1, -1)
