@@ -576,3 +576,45 @@ def interval_concurrency(intervals: DataFrame) -> DataFrame:
         (-F.col("b.negt")).cast("long").alias("t_at"),
         (F.col("n2") / 2).cast("long").alias("n_intervals"),
     )
+
+
+def trimmed_sums(
+    grouped: DataFrame, trim_pct: int = 10
+) -> DataFrame:
+    """W14 trimmed (robust) aggregation — the outlier-resistant
+    summary ops dashboards use when sensor glitches poison plain
+    means: per group, drop the lowest and highest `trim_pct` percent
+    of rows by (v, id) rank (count = n·pct div 100 per side, exact
+    floor) and fold the rest.  Values are pre-scaled integers
+    (micro-units), so every sum is order-free BIGINT-exact.
+
+    grouped: (g, id, v).  One window rank per group + one filtered
+    partial-agg — the sessionize shuffle shape.  Output per group:
+    (g, n, n_trim, sum_all, sum_trim, min_kept, max_kept)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("v", "id")
+    nn = Window.partitionBy("g")
+    ranked = grouped.select(
+        "g",
+        "v",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(nn).cast("long").alias("n"),
+    ).withColumn("k", F.expr(f"(n * {trim_pct}) div 100"))
+    kept = ranked.filter(
+        (F.col("i") > F.col("k")) & (F.col("i") <= F.col("n") - F.col("k"))
+    )
+    allsum = grouped.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum_all"),
+    )
+    trimmed = kept.groupBy("g").agg(
+        F.max("k").cast("long").alias("n_trim"),
+        F.sum("v").cast("long").alias("sum_trim"),
+        F.min("v").cast("long").alias("min_kept"),
+        F.max("v").cast("long").alias("max_kept"),
+    )
+    return allsum.join(trimmed, "g").select(
+        "g", "n", "n_trim", "sum_all", "sum_trim", "min_kept",
+        "max_kept",
+    )

@@ -10158,6 +10158,7 @@ _RECORD_FIRST = (
     "q_kcore",
     "q_pr_curve",
     "q_sniff_dims",
+    "q_trimmed",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -15100,3 +15101,58 @@ FROM ids
 
 
 _ENGINE_PAIRS["q_sniff_dims"] = (q_sniff_dims, _sql_sniff_dims())
+
+
+# ---------------------------------------------------------------------------
+# q_trimmed — W14 trimmed robust aggregation (temporal.trimmed_sums)
+# ---------------------------------------------------------------------------
+
+
+def q_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed sums (temporal.trimmed_sums, 10% per side) over event
+    values scaled to exact micro-units, grouped by z5 user cell, FULL
+    oracle: identical rank windows, floor trim counts, BIGINT folds."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.temporal import trimmed_sums
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 32).cast("long").alias("g"),
+        F.col("event_id").cast("long").alias("id"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    return trimmed_sums(ev)
+
+
+def _sql_trimmed(trim_pct: int = 10) -> str:
+    return f"""
+WITH ev AS (
+  SELECT CAST(user_id % 32 AS BIGINT) AS g,
+         CAST(event_id AS BIGINT) AS id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v
+  FROM events),
+rk AS (
+  SELECT g, v,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
+              AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM ev),
+rk2 AS (SELECT *, (n * {trim_pct}) // 100 AS k FROM rk),
+kept AS (SELECT * FROM rk2 WHERE i > k AND i <= n - k),
+alls AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sum_all
+  FROM ev GROUP BY g),
+tr AS (
+  SELECT g, CAST(MAX(k) AS BIGINT) AS n_trim,
+         CAST(SUM(v) AS BIGINT) AS sum_trim,
+         CAST(MIN(v) AS BIGINT) AS min_kept,
+         CAST(MAX(v) AS BIGINT) AS max_kept
+  FROM kept GROUP BY g)
+SELECT a.g, a.n, tr.n_trim, a.sum_all, tr.sum_trim, tr.min_kept,
+       tr.max_kept
+FROM alls a JOIN tr ON tr.g = a.g
+"""
+
+
+_ENGINE_PAIRS["q_trimmed"] = (q_trimmed, _sql_trimmed())

@@ -341,3 +341,16 @@ def test_interval_concurrency_sweep(spark):
     )
     o2 = interval_concurrency(iv2).collect()[0]
     assert (o2["max_cc"], o2["t_at"]) == (1, 0)
+
+
+def test_trimmed_sums_drops_tails(spark):
+    from mapnik_vector_tile_spark.operators.temporal import trimmed_sums
+
+    # 10 values 1..10 with id = value: 10% trim drops 1 and 10
+    rows = [(0, v, v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g long, id long, v long")
+    out = trimmed_sums(df, trim_pct=10).collect()[0]
+    assert (out["n"], out["n_trim"]) == (10, 1)
+    assert out["sum_all"] == 55
+    assert out["sum_trim"] == 55 - 1 - 10
+    assert (out["min_kept"], out["max_kept"]) == (2, 9)
