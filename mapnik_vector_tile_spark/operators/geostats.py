@@ -781,3 +781,39 @@ def mobility_profiles(located: DataFrame) -> DataFrame:
             / (F.col("n_pings") * F.col("n_pings")).cast("double")
         ).alias("rog_dbl"),
     )
+
+
+def occupancy_runs(cells: DataFrame) -> DataFrame:
+    """ST12 occupancy run-length analysis — the gaps-and-islands fold
+    over each grid row (the RLE view a coverage-bitmap/roaring index
+    builds, and the classic SQL islands pattern): consecutive
+    occupied cx cells of one cy row form a run; runs summarize to
+    per-row counts, the longest run, and an order-sensitive
+    Σ (start+1)·len witness.
+
+    One window lag per row (partitionBy cy — row-sized partitions,
+    no skew) + two aggregates.  Output per cy: (cy, n_cells, n_runs,
+    max_run, rhash)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cy").orderBy("cx")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = cells.select("cx", "cy").distinct().select(
+        "cx",
+        "cy",
+        F.when(
+            F.col("cx") - F.lag("cx").over(w) == 1, 0
+        ).otherwise(1).alias("brk"),
+    ).withColumn("run_id", F.sum("brk").over(run))
+    runs = marked.groupBy("cy", "run_id").agg(
+        F.min("cx").alias("start"),
+        F.count(F.lit(1)).cast("long").alias("len"),
+    )
+    return runs.groupBy("cy").agg(
+        F.sum("len").cast("long").alias("n_cells"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("len").cast("long").alias("max_run"),
+        F.sum((F.col("start") + 1) * F.col("len")).cast("long").alias(
+            "rhash"
+        ),
+    )

@@ -10159,6 +10159,7 @@ _RECORD_FIRST = (
     "q_pr_curve",
     "q_sniff_dims",
     "q_trimmed",
+    "q_occupancy_runs",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -15156,3 +15157,59 @@ FROM alls a JOIN tr ON tr.g = a.g
 
 
 _ENGINE_PAIRS["q_trimmed"] = (q_trimmed, _sql_trimmed())
+
+
+# ---------------------------------------------------------------------------
+# q_occupancy_runs — ST12 gaps-and-islands RLE (geostats.occupancy_runs)
+# ---------------------------------------------------------------------------
+
+
+def q_occupancy_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy runs (geostats.occupancy_runs) over the z6 grid of
+    order points, FULL oracle: the identical lag-break/running-sum
+    islands fold replayed in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.geostats import occupancy_runs
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    z = 6
+    span = 2.0 * W / (1 << z)
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    cells = pts.select(
+        F.floor((F.col("mx") + F.lit(W)) / F.lit(span)).cast("long").alias("cx"),
+        F.floor((F.lit(W) - F.col("my")) / F.lit(span)).cast("long").alias("cy"),
+    )
+    return occupancy_runs(cells)
+
+
+def _sql_occupancy_runs() -> str:
+    txe, tye = S.tile_xy_exprs(6)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+cells AS (SELECT DISTINCT {txe} AS cx, {tye} AS cy FROM pts),
+mk AS (
+  SELECT cx, cy,
+         CASE WHEN cx - lag(cx) OVER (PARTITION BY cy ORDER BY cx) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM cells),
+ri AS (
+  SELECT cx, cy, SUM(brk) OVER (
+    PARTITION BY cy ORDER BY cx ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM mk),
+runs AS (
+  SELECT cy, run_id, MIN(cx) AS start,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM ri GROUP BY cy, run_id)
+SELECT cy, CAST(SUM(len) AS BIGINT) AS n_cells,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS max_run,
+       CAST(SUM((start + 1) * len) AS BIGINT) AS rhash
+FROM runs GROUP BY cy
+"""
+
+
+_ENGINE_PAIRS["q_occupancy_runs"] = (q_occupancy_runs, _sql_occupancy_runs())

@@ -998,3 +998,16 @@ def test_mobility_profiles_gyration_and_home(spark):
     u2 = out[2]
     assert (u2["hx"], u2["hy"]) == (-1, -1)
     assert u2["rog_num"] == 0 and u2["rog_dbl"] == 0.0
+
+
+def test_occupancy_runs_islands(spark):
+    from mapnik_vector_tile_spark.operators.geostats import occupancy_runs
+
+    # row 0: cells 1,2,3, 7, 9,10 -> runs (1,3), (7,1), (9,2)
+    cells = [(1, 0), (2, 0), (3, 0), (7, 0), (9, 0), (10, 0), (5, 1)]
+    df = spark.createDataFrame(cells, "cx long, cy long")
+    out = {r["cy"]: r for r in occupancy_runs(df).collect()}
+    a = out[0]
+    assert (a["n_cells"], a["n_runs"], a["max_run"]) == (6, 3, 3)
+    assert a["rhash"] == 2 * 3 + 8 * 1 + 10 * 2
+    assert (out[1]["n_runs"], out[1]["max_run"]) == (1, 1)
