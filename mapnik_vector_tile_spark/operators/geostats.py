@@ -817,3 +817,57 @@ def occupancy_runs(cells: DataFrame) -> DataFrame:
             "rhash"
         ),
     )
+
+
+def cell_anomalies(
+    located: DataFrame, obs_week: int, ratio_pct: int = 200
+) -> DataFrame:
+    """ST13 spatial anomaly flags — "which places are unusually busy
+    THIS week vs their own history", the baseline-vs-observed scan
+    behind event detection and incident triage.  located:
+    (cx, cy, t) integer seconds; week = t div WEEK_S.  Baseline =
+    weeks strictly before `obs_week` (a cell's own history only);
+    observed = counts in `obs_week`.
+
+    The anomaly test stays EXACT by cross-multiplication:
+      flag ⟺ n_obs·n_base_weeks·100 > ratio_pct·sum_base
+    (observed > ratio × the cell's mean weekly baseline; cells with
+    NO baseline flag iff n_obs > 0 — new-activity cells are always
+    notable, pinned).  Two partial aggregates + one full-outer cell
+    join.  Output per cell: (cx, cy, n_obs, sum_base, n_base_weeks,
+    flag)."""
+    wk_abs = F.expr(f"t div {7 * 24 * 3600}")
+    w0 = located.agg(F.min(wk_abs).cast("long").alias("w0"))
+    rel = located.crossJoin(F.broadcast(w0)).select(
+        "cx", "cy", (wk_abs - F.col("w0")).alias("w")
+    )
+    wk = F.col("w")
+    located = rel
+    base = located.filter(wk < obs_week).groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("sum_base"),
+        F.countDistinct("w").cast("long").alias("n_base_weeks"),
+    )
+    obs = located.filter(wk == obs_week).groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    j = obs.join(base, ["cx", "cy"], "full_outer").select(
+        "cx",
+        "cy",
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        F.coalesce("sum_base", F.lit(0)).cast("long").alias("sum_base"),
+        F.coalesce("n_base_weeks", F.lit(0)).cast("long").alias(
+            "n_base_weeks"
+        ),
+    )
+    return j.select(
+        "*",
+        F.when(
+            F.col("n_base_weeks") == 0, F.col("n_obs") > 0
+        )
+        .otherwise(
+            F.col("n_obs") * F.col("n_base_weeks") * 100
+            > ratio_pct * F.col("sum_base")
+        )
+        .cast("long")
+        .alias("flag"),
+    )

@@ -10160,6 +10160,7 @@ _RECORD_FIRST = (
     "q_sniff_dims",
     "q_trimmed",
     "q_occupancy_runs",
+    "q_cell_anomaly",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -15213,3 +15214,78 @@ FROM runs GROUP BY cy
 
 
 _ENGINE_PAIRS["q_occupancy_runs"] = (q_occupancy_runs, _sql_occupancy_runs())
+
+
+# ---------------------------------------------------------------------------
+# q_cell_anomaly — ST13 baseline-vs-observed anomaly flags
+# ---------------------------------------------------------------------------
+
+CA_OBS_WEEK = 4
+
+
+def q_cell_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell anomalies (geostats.cell_anomalies, observed week 4 vs
+    weeks 0-3 baseline, ratio 2x) over events on the cotravel
+    32-grid, FULL oracle: identical cross-multiplied flag rule incl.
+    the no-baseline new-activity pin."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.geostats import cell_anomalies
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(32)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(32)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        ck(F.col("event_id")).alias("c"),
+    ).select("c.cx", "c.cy", "t")
+    return cell_anomalies(loc, CA_OBS_WEEK)
+
+
+def _sql_cell_anomaly(obs_week: int = CA_OBS_WEEK, ratio: int = 200) -> str:
+    h = splitmix64_sql("event_id")
+    wk = f"(CAST(floor(epoch(ts)) AS BIGINT) // {7 * 24 * 3600})"
+    return f"""
+WITH loc AS (
+  SELECT CAST(({h}) % 32 AS BIGINT) AS cx,
+         CAST((({h}) // 256) % 32 AS BIGINT) AS cy,
+         {wk} - (SELECT MIN({wk}) FROM events) AS w
+  FROM events),
+base AS (
+  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS sum_base,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_base_weeks
+  FROM loc WHERE w < {obs_week} GROUP BY cx, cy),
+obs AS (
+  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM loc WHERE w = {obs_week} GROUP BY cx, cy)
+SELECT COALESCE(o.cx, b.cx) AS cx, COALESCE(o.cy, b.cy) AS cy,
+       COALESCE(o.n_obs, 0) AS n_obs,
+       COALESCE(b.sum_base, 0) AS sum_base,
+       COALESCE(b.n_base_weeks, 0) AS n_base_weeks,
+       CAST(CASE WHEN COALESCE(b.n_base_weeks, 0) = 0
+                 THEN COALESCE(o.n_obs, 0) > 0
+                 ELSE COALESCE(o.n_obs, 0) * b.n_base_weeks * 100
+                      > {ratio} * b.sum_base END AS BIGINT) AS flag
+FROM obs o FULL OUTER JOIN base b ON b.cx = o.cx AND b.cy = o.cy
+"""
+
+
+_ENGINE_PAIRS["q_cell_anomaly"] = (q_cell_anomaly, _sql_cell_anomaly())

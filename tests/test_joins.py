@@ -1011,3 +1011,28 @@ def test_occupancy_runs_islands(spark):
     assert (a["n_cells"], a["n_runs"], a["max_run"]) == (6, 3, 3)
     assert a["rhash"] == 2 * 3 + 8 * 1 + 10 * 2
     assert (out[1]["n_runs"], out[1]["max_run"]) == (1, 1)
+
+
+def test_cell_anomalies_flag_rules(spark):
+    from mapnik_vector_tile_spark.operators.geostats import cell_anomalies
+
+    W = 7 * 24 * 3600
+    rows = (
+        # cell (0,0): baseline weeks 0-3 one event each; week 4: 3
+        # events -> 3*4*100 > 200*4 -> flagged
+        [(0, 0, w * W + 100) for w in range(4)]
+        + [(0, 0, 4 * W + i) for i in range(3)]
+        # cell (1,1): steady 1/week incl. week 4 -> not flagged
+        + [(1, 1, w * W + 50) for w in range(5)]
+        # cell (2,2): NO baseline, appears week 4 -> flagged (new)
+        + [(2, 2, 4 * W + 9)]
+    )
+    df = spark.createDataFrame(rows, "cx long, cy long, t long")
+    out = {(r["cx"], r["cy"]): r for r in cell_anomalies(df, 4).collect()}
+    a = out[(0, 0)]
+    assert (a["n_obs"], a["sum_base"], a["n_base_weeks"], a["flag"]) == (
+        3, 4, 4, 1
+    )
+    assert out[(1, 1)]["flag"] == 0
+    n = out[(2, 2)]
+    assert (n["n_base_weeks"], n["flag"]) == (0, 1)
