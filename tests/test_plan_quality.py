@@ -729,3 +729,65 @@ def test_way_assembly_pushes_only_needed_columns(spark, tmp_path):
         if "ReadSchema" in ln and "node_id" in ln
     ]
     assert scan and "payload" not in scan[0] and "extra" not in scan[0]
+
+
+def test_hausdorff_two_level_minmax_partial_aggs(spark):
+    """W10: both directed folds keep the min partial-aggregated
+    map-side (two HashAggregates per direction) with no cartesian."""
+    from mapnik_vector_tile_spark.operators.temporal import hausdorff_pairs
+
+    pts = spark.range(20).selectExpr(
+        "id % 4 AS tid", "id AS x", "id * 2 AS y"
+    )
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "ta long, tb long")
+    plan = _plan(hausdorff_pairs(pts, pairs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "partial_min" in plan or "partial" in plan
+
+
+def test_funnel_struct_min_no_window(spark):
+    """W11: the funnel is struct-min aggregates + user joins — no
+    window operator (a per-user sort would shuffle event arrays),
+    no Python."""
+    from mapnik_vector_tile_spark.operators.temporal import funnel_stages
+
+    ev = spark.range(50).selectExpr(
+        "id AS event_id",
+        "timestamp_seconds(id * 100) AS ts",
+        "id % 5 AS user_id",
+        "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 THEN 'click'"
+        " ELSE 'purchase' END AS event_type",
+        "CAST(0.0 AS DOUBLE) AS value",
+        "'{}' AS props",
+    )
+    plan = _plan(funnel_stages(ev))
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan
+    assert "partial_min" in plan or "partial" in plan
+
+
+def test_collocations_broadcasts_vocab(spark):
+    """T39: both unigram joins broadcast the vocab side; the final
+    top-k never globally sorts the full bigram table (WindowGroupLimit
+    or TakeOrdered bounds it)."""
+    from mapnik_vector_tile_spark.operators.textstats import collocations
+
+    docs = spark.range(30).selectExpr(
+        "id AS doc_id", "'a b c d e f' AS text"
+    )
+    plan = _plan(collocations(docs, k=5, min_count=1))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_erosion_round_is_join_plus_count_aware_min(spark):
+    """ST7: each round = one left equi-join + a partial min/count
+    aggregate; no Python, no cartesian."""
+    from mapnik_vector_tile_spark.operators.geostats import erosion_depth
+
+    cells = spark.range(25).selectExpr("id % 5 AS cx", "id DIV 5 AS cy")
+    plan = _plan(erosion_depth(cells, rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "partial" in plan
