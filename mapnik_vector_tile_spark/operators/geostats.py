@@ -871,3 +871,45 @@ def cell_anomalies(
         .cast("long")
         .alias("flag"),
     )
+
+
+def coverage_knees(cells: DataFrame, deciles: int = 10) -> DataFrame:
+    """ST14 traffic coverage curve — the cache-sizing question every
+    tile CDN answers ("how many hot tiles serve 90% of requests?"):
+    rank cells by (count DESC, cx, cy), take the running coverage
+    sum, and report each decile knee = the MINIMUM number of tiles
+    whose cumulative count first reaches k/deciles of total traffic
+    (exact cross-multiplied compare, no percent floats).
+
+    One window rank + one aggregate per knee via a conditional min —
+    all knees in a single pass (group by the knee index after an
+    explode of thresholds).  Output: (k, n_tiles, cum) for
+    k = 1..deciles."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), "cx", "cy")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cells.select(
+        "c",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("c").over(run).cast("long").alias("cum"),
+    )
+    tot = ranked.agg(F.max("cum").cast("long").alias("total"))
+    ks = ranked.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "cum",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(deciles))
+        ).alias("k"),
+        "total",
+    ).filter(
+        F.col("cum") * deciles >= F.col("k") * F.col("total")
+    )
+    return ks.groupBy("k").agg(
+        F.min("rnk").cast("long").alias("n_tiles"),
+        F.min(F.struct("rnk", "cum")).alias("s"),
+    ).select(
+        F.col("k").cast("long").alias("k"),
+        "n_tiles",
+        F.col("s.cum").cast("long").alias("cum"),
+    )

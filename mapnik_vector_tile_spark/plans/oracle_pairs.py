@@ -10161,6 +10161,7 @@ _RECORD_FIRST = (
     "q_trimmed",
     "q_occupancy_runs",
     "q_cell_anomaly",
+    "q_coverage_knees",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -15289,3 +15290,61 @@ FROM obs o FULL OUTER JOIN base b ON b.cx = o.cx AND b.cy = o.cy
 
 
 _ENGINE_PAIRS["q_cell_anomaly"] = (q_cell_anomaly, _sql_cell_anomaly())
+
+
+# ---------------------------------------------------------------------------
+# q_coverage_knees — ST14 traffic coverage curve (geostats.coverage_knees)
+# ---------------------------------------------------------------------------
+
+
+def q_coverage_knees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage knees (geostats.coverage_knees) over z6 occupancy
+    counts, FULL oracle: identical popularity rank, running sum, and
+    cross-multiplied decile thresholds."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.geostats import coverage_knees
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    z = 6
+    span = 2.0 * W / (1 << z)
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    cells = pts.select(
+        F.floor((F.col("mx") + F.lit(W)) / F.lit(span)).cast("long").alias("cx"),
+        F.floor((F.lit(W) - F.col("my")) / F.lit(span)).cast("long").alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return coverage_knees(cells)
+
+
+def _sql_coverage_knees(deciles: int = 10) -> str:
+    txe, tye = S.tile_xy_exprs(6)
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+cells AS (
+  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2),
+rk AS (
+  SELECT c,
+         CAST(row_number() OVER (ORDER BY c DESC, cx, cy) AS BIGINT)
+           AS rnk,
+         CAST(SUM(c) OVER (ORDER BY c DESC, cx, cy
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM cells),
+tot AS (SELECT MAX(cum) AS total FROM rk),
+ks AS (
+  SELECT rk.rnk, rk.cum, t.k
+  FROM rk CROSS JOIN tot,
+       LATERAL unnest(generate_series(1, {deciles})) t(k)
+  WHERE rk.cum * {deciles} >= t.k * tot.total)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(MIN(rnk) AS BIGINT) AS n_tiles,
+       CAST(MIN(struct_pack(rnk := rnk, cum := cum)).cum AS BIGINT)
+         AS cum
+FROM ks GROUP BY k
+"""
+
+
+_ENGINE_PAIRS["q_coverage_knees"] = (q_coverage_knees, _sql_coverage_knees())

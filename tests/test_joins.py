@@ -1036,3 +1036,19 @@ def test_cell_anomalies_flag_rules(spark):
     assert out[(1, 1)]["flag"] == 0
     n = out[(2, 2)]
     assert (n["n_base_weeks"], n["flag"]) == (0, 1)
+
+
+def test_coverage_knees_exact(spark):
+    from mapnik_vector_tile_spark.operators.geostats import coverage_knees
+
+    # counts 50, 30, 20 (total 100): 10%..50% at 1 tile, 60-80% at 2,
+    # 90-100% at 3
+    cells = [(0, 0, 50), (1, 0, 30), (2, 0, 20)]
+    df = spark.createDataFrame(cells, "cx long, cy long, c long")
+    out = {r["k"]: r for r in coverage_knees(df).collect()}
+    for k in range(1, 6):
+        assert out[k]["n_tiles"] == 1 and out[k]["cum"] == 50
+    for k in (6, 7, 8):
+        assert out[k]["n_tiles"] == 2 and out[k]["cum"] == 80
+    for k in (9, 10):
+        assert out[k]["n_tiles"] == 3 and out[k]["cum"] == 100
