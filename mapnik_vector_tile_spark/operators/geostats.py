@@ -913,3 +913,30 @@ def coverage_knees(cells: DataFrame, deciles: int = 10) -> DataFrame:
         "n_tiles",
         F.col("s.cum").cast("long").alias("cum"),
     )
+
+
+def return_rates(located: DataFrame) -> DataFrame:
+    """ST15 return-visitor rates per cell — the loyalty split POI
+    analytics reports (footfall vendors' "repeat visitor share"):
+    a user is a RETURN visitor of a cell iff they visited on ≥2
+    distinct days (t div 86400).  Exact integer everywhere.
+
+    Two nested map-side-combining aggregates ((cell, user) day
+    counts → cell rollup).  Output per cell: (cx, cy, n_visits,
+    n_users, n_return, n_days)."""
+    day = F.expr("t div 86400")
+    per_user = located.groupBy("cx", "cy", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.countDistinct(day.alias("d")).cast("long").alias("nd"),
+    )
+    days = located.groupBy("cx", "cy").agg(
+        F.countDistinct(day.alias("d")).cast("long").alias("n_days")
+    )
+    agg = per_user.groupBy("cx", "cy").agg(
+        F.sum("v").cast("long").alias("n_visits"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias(
+            "n_return"
+        ),
+    )
+    return agg.join(days, ["cx", "cy"])

@@ -10162,6 +10162,7 @@ _RECORD_FIRST = (
     "q_occupancy_runs",
     "q_cell_anomaly",
     "q_coverage_knees",
+    "q_return_rates",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -15348,3 +15349,75 @@ FROM ks GROUP BY k
 
 
 _ENGINE_PAIRS["q_coverage_knees"] = (q_coverage_knees, _sql_coverage_knees())
+
+
+# ---------------------------------------------------------------------------
+# q_return_rates — ST15 return-visitor rates (geostats.return_rates)
+# ---------------------------------------------------------------------------
+
+
+def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rates (geostats.return_rates) over events on the
+    cotravel 4-grid, FULL oracle: identical distinct-day user
+    classification and cell rollups."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.geostats import return_rates
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(4)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(4)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        ck(F.col("event_id")).alias("c"),
+    ).select("user_id", "t", "c.cx", "c.cy")
+    return return_rates(loc)
+
+
+def _sql_return_rates() -> str:
+    h = splitmix64_sql("event_id")
+    return f"""
+WITH loc AS MATERIALIZED (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         CAST(({h}) % 4 AS BIGINT) AS cx,
+         CAST((({h}) // 256) % 4 AS BIGINT) AS cy
+  FROM events),
+pu AS (
+  SELECT cx, cy, user_id, CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(COUNT(DISTINCT d) AS BIGINT) AS nd
+  FROM loc GROUP BY cx, cy, user_id),
+dd AS (
+  SELECT cx, cy, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
+  FROM loc GROUP BY cx, cy)
+SELECT p.cx, p.cy,
+       CAST(SUM(p.v) AS BIGINT) AS n_visits,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_return,
+       MIN(dd.n_days) AS n_days
+FROM pu p JOIN dd ON dd.cx = p.cx AND dd.cy = p.cy
+GROUP BY p.cx, p.cy
+"""
+
+
+_ENGINE_PAIRS["q_return_rates"] = (q_return_rates, _sql_return_rates())

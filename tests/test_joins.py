@@ -1052,3 +1052,22 @@ def test_coverage_knees_exact(spark):
         assert out[k]["n_tiles"] == 2 and out[k]["cum"] == 80
     for k in (9, 10):
         assert out[k]["n_tiles"] == 3 and out[k]["cum"] == 100
+
+
+def test_return_rates_classification(spark):
+    from mapnik_vector_tile_spark.operators.geostats import return_rates
+
+    D = 86400
+    rows = [
+        # user 1 visits cell (0,0) on two days -> return
+        (1, 0, 0, 0), (1, D + 5, 0, 0),
+        # user 2 visits twice the SAME day -> not a return visitor
+        (2, 10, 0, 0), (2, 20, 0, 0),
+        # user 3 once
+        (3, 2 * D, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long, cx long, cy long")
+    out = return_rates(df).collect()[0]
+    assert (out["n_visits"], out["n_users"]) == (5, 3)
+    assert out["n_return"] == 1
+    assert out["n_days"] == 3
