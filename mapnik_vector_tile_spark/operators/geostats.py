@@ -940,3 +940,41 @@ def return_rates(located: DataFrame) -> DataFrame:
         ),
     )
     return agg.join(days, ["cx", "cy"])
+
+
+def tile_churn(located: DataFrame, week_a: int, week_b: int) -> DataFrame:
+    """ST16 activity churn between two weeks — the content-diff idea
+    (composite.diff_tiles) applied to ACTIVITY: which cells gained,
+    lost, or kept traffic between week_a and week_b (corpus-min-
+    normalized weeks, like cell_anomalies).  The dashboards' "new hot
+    areas vs gone-quiet areas" panel.
+
+    One occupancy aggregate per week + a full-outer cell join →
+    per-status census with a positional witness.  Output: one row per
+    status ('gained'/'lost'/'stable') with n_cells and
+    Σ (cx·8191 + cy) whash."""
+    wk_abs = F.expr(f"t div {7 * 24 * 3600}")
+    w0 = located.agg(F.min(wk_abs).cast("long").alias("w0"))
+    rel = located.crossJoin(F.broadcast(w0)).select(
+        "cx", "cy", (wk_abs - F.col("w0")).alias("w")
+    )
+
+    def occ(w):
+        return rel.filter(F.col("w") == w).select("cx", "cy").distinct()
+
+    a = occ(week_a).withColumn("ina", F.lit(1))
+    b = occ(week_b).withColumn("inb", F.lit(1))
+    j = a.join(b, ["cx", "cy"], "full_outer").select(
+        "cx",
+        "cy",
+        F.when(F.col("ina").isNull(), F.lit("gained"))
+        .when(F.col("inb").isNull(), F.lit("lost"))
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.col("cx") * 8191 + F.col("cy")).cast("long").alias(
+            "whash"
+        ),
+    )

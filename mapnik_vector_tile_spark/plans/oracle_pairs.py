@@ -10163,6 +10163,7 @@ _RECORD_FIRST = (
     "q_cell_anomaly",
     "q_coverage_knees",
     "q_return_rates",
+    "q_tile_churn",
     "q_viterbi_match",
     "q_reading_order",
     "q_det_eval",
@@ -15421,3 +15422,70 @@ GROUP BY p.cx, p.cy
 
 
 _ENGINE_PAIRS["q_return_rates"] = (q_return_rates, _sql_return_rates())
+
+
+# ---------------------------------------------------------------------------
+# q_tile_churn — ST16 week-over-week activity churn (geostats.tile_churn)
+# ---------------------------------------------------------------------------
+
+
+def q_tile_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity churn (geostats.tile_churn, week 3 vs 4) over events
+    on the 32-grid, FULL oracle: identical normalized-week occupancy
+    set algebra."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.geostats import tile_churn
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(32)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(32)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        ck(F.col("event_id")).alias("c"),
+    ).select("c.cx", "c.cy", "t")
+    return tile_churn(loc, 3, 4)
+
+
+def _sql_tile_churn(wa: int = 3, wb: int = 4) -> str:
+    h = splitmix64_sql("event_id")
+    wk = f"(CAST(floor(epoch(ts)) AS BIGINT) // {7 * 24 * 3600})"
+    return f"""
+WITH loc AS MATERIALIZED (
+  SELECT CAST(({h}) % 32 AS BIGINT) AS cx,
+         CAST((({h}) // 256) % 32 AS BIGINT) AS cy,
+         {wk} - (SELECT MIN({wk}) FROM events) AS w
+  FROM events),
+a AS (SELECT DISTINCT cx, cy FROM loc WHERE w = {wa}),
+b AS (SELECT DISTINCT cx, cy FROM loc WHERE w = {wb}),
+j AS (
+  SELECT COALESCE(a.cx, b.cx) AS cx, COALESCE(a.cy, b.cy) AS cy,
+         CASE WHEN a.cx IS NULL THEN 'gained'
+              WHEN b.cx IS NULL THEN 'lost'
+              ELSE 'stable' END AS status
+  FROM a FULL OUTER JOIN b ON b.cx = a.cx AND b.cy = a.cy)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cx * 8191 + cy) AS BIGINT) AS whash
+FROM j GROUP BY status
+"""
+
+
+_ENGINE_PAIRS["q_tile_churn"] = (q_tile_churn, _sql_tile_churn())

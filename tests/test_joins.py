@@ -1071,3 +1071,19 @@ def test_return_rates_classification(spark):
     assert (out["n_visits"], out["n_users"]) == (5, 3)
     assert out["n_return"] == 1
     assert out["n_days"] == 3
+
+
+def test_tile_churn_statuses(spark):
+    from mapnik_vector_tile_spark.operators.geostats import tile_churn
+
+    W = 7 * 24 * 3600
+    rows = [
+        (0, 0, 0 * W),            # week 0 only -> lost (vs week 1)
+        (1, 1, 0 * W), (1, 1, 1 * W + 5),  # both -> stable
+        (2, 2, 1 * W + 9),        # week 1 only -> gained
+    ]
+    df = spark.createDataFrame(rows, "cx long, cy long, t long")
+    out = {r["status"]: r for r in tile_churn(df, 0, 1).collect()}
+    assert out["lost"]["n_cells"] == 1 and out["lost"]["whash"] == 0
+    assert out["stable"]["n_cells"] == 1 and out["stable"]["whash"] == 8192
+    assert out["gained"]["n_cells"] == 1 and out["gained"]["whash"] == 2 * 8191 + 2
