@@ -64,19 +64,26 @@ def morans_i(cells: DataFrame) -> DataFrame:
         F.col("dev").alias("ndev"),
     )
     pairs = probes.join(nbr, ["nx", "ny"])
+    # n_cells comes from the cell aggregate (k_s), NOT from the pair
+    # join: with zero rook-adjacent occupied pairs the pairs relation
+    # is empty and F.first over it would yield NULL.  Empty-pairs agg
+    # still produces one row (count=0, sum=NULL -> coalesced 0).
     agg = pairs.agg(
-        F.first("k").alias("n_cells"),
         F.count(F.lit(1)).cast("long").alias("w_sum"),
-        F.sum(F.col("dev") * F.col("ndev")).cast("long").alias("num"),
+        F.coalesce(F.sum(F.col("dev") * F.col("ndev")), F.lit(0))
+        .cast("long").alias("num"),
     )
     den_df = dev.agg(F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den"))
-    out = agg.crossJoin(den_df)
+    out = k_s.select(F.col("k").alias("n_cells")).crossJoin(agg).crossJoin(den_df)
     return out.select(
         "n_cells",
         "w_sum",
         "num",
         "den",
-        (
+        F.when(
+            (F.col("w_sum") == 0) | (F.col("den") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(
             (F.col("num").cast("double") * F.col("n_cells").cast("double"))
             / (F.col("w_sum").cast("double") * F.col("den").cast("double"))
         ).alias("i_dbl"),

@@ -2500,7 +2500,7 @@ def quadtree_stats(
 
 
 def watershed_tiles(
-    tiles: DataFrame, tile_size: int, doubling_rounds: int = 4
+    tiles: DataFrame, tile_size: int, doubling_rounds: int | None = None
 ) -> DataFrame:
     """R17 watershed basins — the third hydrology step (ESRI
     Watershed / TauDEM GageWatershed): every cell labels itself with
@@ -2508,8 +2508,12 @@ def watershed_tiles(
     where the path exits the interior window).  Resolution is
     POINTER DOUBLING over the drainage forest: root_{t+1}(c) =
     root_t(root_t(c)) reaches 2^R hops in R rounds — exact for all
-    paths ≤ 2^R long (R=4 covers any simple path on a 14×14
-    interior), the same doubling the dedup CC engine uses.
+    paths ≤ 2^R long, the same doubling the dedup CC engine uses.
+    A simple D8 path can snake through every interior cell, so full
+    coverage needs R = ceil(log2((tile_size-2)^2)) — the DEFAULT
+    (8 for 16px tiles, 16 for 256px).  Passing a smaller R is a
+    hop-bounded contract: cells farther than 2^R hops from their
+    terminal keep a mid-path label and n_basins overcounts.
 
     Output per (z, x, y): n_basins, max_size, and Σ root_id·size —
     the basin-partition witness.  Narrow scan, no shuffle; the
@@ -2518,6 +2522,8 @@ def watershed_tiles(
     import pandas as pd
 
     T = tile_size
+    if doubling_rounds is None:
+        doubling_rounds = max(1, ((T - 2) * (T - 2) - 1).bit_length())
 
     def gen(it):
         offs = {d: (dy, dx) for d, (dy, dx), _ in _D8}

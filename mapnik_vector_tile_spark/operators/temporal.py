@@ -538,15 +538,17 @@ def interval_concurrency(intervals: DataFrame) -> DataFrame:
     """W13 interval concurrency — the sweep-line occupancy maximum
     (rooms/sessions/connections "how many are open at once"): +1 at
     each start, −1 just after each end (closed intervals), running
-    sum in (t, delta DESC, id) order so a start that ties an end
-    counts as overlapping; the answer is the max prefix sum and the
-    EARLIEST instant it is reached (pinned by the same order).
+    sum in (t, delta ASC, id) order.  s==e overlap of two closed
+    intervals is already captured by the e+1 shift of the end event;
+    the ASC tie order makes an end at e+1 process BEFORE a start at
+    the same instant, so disjoint closed intervals [0,4],[5,9] count
+    max 1, not 2.  The answer is the max prefix sum and the EARLIEST
+    instant it is reached (pinned by the same order).
 
     intervals: (id, s, e) closed, integer time.  One global sort —
-    expressed as a single window running-sum; for fleet scale
-    partition the sweep by a coarse time bucket and merge boundary
-    prefixes (the standard segmented-sweep refinement; the operator
-    keeps the single-window form, its oracle contract).
+    expressed as a single window running-sum; this form is the exact
+    oracle contract.  For fleet scale use
+    interval_concurrency_segmented (same output, partitioned sweep).
 
     Output ONE row: (max_cc, t_at, n_intervals)."""
     from pyspark.sql import Window
@@ -559,10 +561,69 @@ def interval_concurrency(intervals: DataFrame) -> DataFrame:
         )
     )
     w = Window.orderBy(
-        "t", F.col("delta").desc(), "id"
+        "t", F.col("delta").asc(), "id"
     ).rowsBetween(Window.unboundedPreceding, 0)
     run = ev.withColumn("cc", F.sum("delta").over(w))
     best = run.agg(
+        F.max(
+            F.struct(
+                F.col("cc").alias("cc"),
+                (-F.col("t")).alias("negt"),
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n2"),
+    )
+    return best.select(
+        F.col("b.cc").cast("long").alias("max_cc"),
+        (-F.col("b.negt")).cast("long").alias("t_at"),
+        (F.col("n2") / 2).cast("long").alias("n_intervals"),
+    )
+
+
+def interval_concurrency_segmented(
+    intervals: DataFrame, bucket_width: int = 3_600_000_000
+) -> DataFrame:
+    """W13 at fleet scale — the SEGMENTED sweep.  Same output row as
+    interval_concurrency (its exact oracle), but no global window
+    over the event stream: events are bucketed by coarse time
+    (b = t div bucket_width, trunc division — monotone in t, so the
+    bucket order agrees with the sweep order), the running sum runs
+    PER BUCKET (partitioned window, parallel), and per-bucket delta
+    totals fold into prefix offsets that are broadcast back.
+
+    The only unpartitioned window is over the #buckets relation,
+    whose size is bounded by timespan/bucket_width — a DOMAIN bound
+    (clock time), not a data-volume bound; it does not grow with
+    corpus size.  Do not lift that window onto raw events.
+
+    intervals: (id, s, e) closed, integer time.
+    Output ONE row: (max_cc, t_at, n_intervals)."""
+    from pyspark.sql import Window
+
+    ev = intervals.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "id"
+    ).unionByName(
+        intervals.select(
+            (F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"), "id"
+        )
+    ).withColumn("b", F.expr(f"t div {int(bucket_width)}"))
+    wloc = Window.partitionBy("b").orderBy(
+        "t", F.col("delta").asc(), "id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = ev.withColumn("cc_loc", F.sum("delta").over(wloc))
+    # per-bucket totals -> exclusive prefix offsets (tiny relation)
+    woff = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        ev.groupBy("b").agg(F.sum("delta").alias("s_b"))
+        .withColumn("off", F.coalesce(F.sum("s_b").over(woff), F.lit(0)))
+        .select("b", "off")
+    )
+    glob = run.join(F.broadcast(offs), "b").withColumn(
+        "cc", F.col("cc_loc") + F.col("off")
+    )
+    best = glob.agg(
         F.max(
             F.struct(
                 F.col("cc").alias("cc"),

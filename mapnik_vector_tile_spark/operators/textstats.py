@@ -744,23 +744,57 @@ def collocations(
     """T39 collocation mining — PMI-ranked adjacent bigrams (Church &
     Hanks '89; the phrase-table / tokenizer-merge-candidate signal
     corpus pipelines compute before multi-word tokenization), kept
-    EXACT: the PMI ordering  p(ab)/(p(a)p(b))  is ranked by the
-    integer score  (c_ab · N · scale) div (c_a · c_b)  — no log, no
-    float, deterministic (score DESC, a, b) top-k.
+    integer-exact AND int64-safe: the PMI ordering p(ab)/(p(a)p(b))
+    is ranked by the two-quotient score
+        ((c_ab·√scale) div c_a) · ((N·√scale) div c_b)
+    — floor rounding PER FACTOR (documented; this is the score
+    definition, replayed identically by the DuckDB twin), no log, no
+    float, deterministic (score DESC, a, b) top-k.  Every
+    intermediate is provably < 2^63: the first factor ≤ √scale
+    (c_ab ≤ c_a always), the second ≤ N·√scale/min_count, and an
+    explicit raise_error gate on N (the semdedup norm-gate idiom)
+    rejects corpora where N·scale/min_count would wrap instead of
+    silently corrupting the ranking (the old single-product form
+    c_ab·N·scale wrapped past ~9.2e12·c_ab tokens).
 
     Plan at 100 TB: one explode for bigram partial counts, one for
     unigrams (both map-side combined), two BROADCAST joins against
     the unigram vocab (vocab-sized, not corpus-sized), a 1-row N
     broadcast, one TakeOrdered top-k — the corpus is scanned twice
     and shuffled only as counts."""
+    import math
+
     from pyspark.sql import Window
+
+    hs = math.isqrt(scale)
+    if hs * hs != scale:
+        raise ValueError(
+            f"collocations: scale {scale} must be a perfect square "
+            "(the score splits it as two sqrt(scale) factors)"
+        )
+    if min_count < 1:
+        raise ValueError("collocations: min_count must be >= 1")
+    n_lim = ((1 << 63) - 1) * min_count // (hs * hs)
 
     w = F.split(F.col(text_col), " ")
     toks = docs.select(F.explode(w).alias("a"))
     uni = toks.groupBy("a").agg(
         F.count(F.lit(1)).cast("long").alias("c_a")
     )
-    nn = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nn = toks.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.when(
+            F.col("n") > F.lit(n_lim),
+            F.raise_error(
+                F.format_string(
+                    "collocations: corpus of %d tokens exceeds the "
+                    f"exact-int64 gate {n_lim} for scale {scale} / "
+                    f"min_count {min_count} — raise min_count or "
+                    "lower scale",
+                    F.col("n"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n")).alias("n")
+    )
     pairs = docs.select(
         F.explode(
             F.expr(
@@ -785,9 +819,9 @@ def collocations(
             "a",
             "b",
             "c_ab",
-            F.expr(f"(c_ab * n * {scale}) div (c_a * c_b)").alias(
-                "score"
-            ),
+            F.expr(
+                f"((c_ab * {hs}) div c_a) * ((n * {hs}) div c_b)"
+            ).alias("score"),
         )
     )
     rw = Window.orderBy(F.col("score").desc(), "a", "b")

@@ -10535,14 +10535,16 @@ pairs AS (
   SELECT p.k, p.dev, b.dev AS ndev
   FROM probes p JOIN dev b ON b.cx = p.nx AND b.cy = p.ny),
 agg AS (
-  SELECT MIN(k) AS n_cells, CAST(COUNT(*) AS BIGINT) AS w_sum,
-         CAST(SUM(dev * ndev) AS BIGINT) AS num
+  SELECT CAST(COUNT(*) AS BIGINT) AS w_sum,
+         CAST(COALESCE(SUM(dev * ndev), 0) AS BIGINT) AS num
   FROM pairs),
 dn AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev)
-SELECT CAST(n_cells AS BIGINT) AS n_cells, w_sum, num, den,
-       (CAST(num AS DOUBLE) * CAST(n_cells AS DOUBLE))
-         / (CAST(w_sum AS DOUBLE) * CAST(den AS DOUBLE)) AS i_dbl
-FROM agg, dn
+SELECT CAST(ks.k AS BIGINT) AS n_cells, w_sum, num, den,
+       CASE WHEN w_sum = 0 OR den = 0 THEN NULL
+            ELSE (CAST(num AS DOUBLE) * CAST(ks.k AS DOUBLE))
+                   / (CAST(w_sum AS DOUBLE) * CAST(den AS DOUBLE))
+       END AS i_dbl
+FROM agg, dn, ks
 """
 
 
@@ -14381,8 +14383,10 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval concurrency (temporal.interval_concurrency) over the
     deterministic event intervals (the q_interval_overlap corpus),
     FULL oracle: DuckDB replays the sweep with the identical
-    (t, delta DESC, id) running sum — max occupancy and the earliest
-    instant it is reached."""
+    (t, delta ASC, id) running sum (ends at e+1 fire before starts
+    at the same instant, so touching-but-disjoint closed intervals
+    do not double-count) — max occupancy and the earliest instant
+    it is reached."""
     from mapnik_vector_tile_spark.operators.temporal import (
         _event_intervals,
         interval_concurrency,
@@ -14406,7 +14410,7 @@ ev AS (
   SELECT e + 1 AS t, -1 AS delta, id FROM iv),
 run AS (
   SELECT t, SUM(delta) OVER (
-    ORDER BY t, delta DESC, id ROWS UNBOUNDED PRECEDING) AS cc
+    ORDER BY t, delta ASC, id ROWS UNBOUNDED PRECEDING) AS cc
   FROM ev)
 SELECT CAST(MAX(b.cc) AS BIGINT) AS max_cc,
        CAST(-MAX(struct_pack(cc := b.cc, negt := -b.t)).negt AS BIGINT)
@@ -14417,6 +14421,26 @@ FROM run b
 
 
 _ENGINE_PAIRS["q_concurrency"] = (q_concurrency, _sql_concurrency())
+
+
+def q_concurrency_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented interval-concurrency sweep
+    (temporal.interval_concurrency_segmented) — the fleet-scale form
+    with NO global window over the event stream (per-time-bucket
+    partitioned running sums + broadcast prefix offsets).  FULL
+    oracle: DuckDB replays the exact single-sweep contract, which
+    the segmented form reproduces bit-identically."""
+    from mapnik_vector_tile_spark.operators.temporal import (
+        _event_intervals,
+        interval_concurrency_segmented,
+    )
+
+    return interval_concurrency_segmented(
+        _event_intervals(spark, sf_dir, "view", 6)
+    )
+
+
+_ENGINE_PAIRS["q_concurrency_seg"] = (q_concurrency_seg, _sql_concurrency())
 
 
 # ---------------------------------------------------------------------------
@@ -14596,13 +14620,14 @@ _ENGINE_PAIRS["q_quadtree"] = (q_quadtree, _sql_quadtree())
 # q_watershed — R17 watershed basins via pointer doubling
 # ---------------------------------------------------------------------------
 
-WS_DOUBLING = 4
+WS_DOUBLING = 8  # full coverage: ceil(log2(14*14)) for the 16px corpus
 
 
 def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watershed basins (raster.watershed_tiles) over the quadratic
     Terrain-RGB surface, FULL oracle: DuckDB re-derives the D8
-    pointers and unrolls the SAME 4 doubling rounds (root of root)
+    pointers and unrolls the SAME 8 doubling rounds (root of root —
+    2^8 hops ≥ the 196-cell interior, so every path fully resolves)
     as MATERIALIZED CTEs, then folds the identical basin census."""
     import numpy as np
     import pandas as pd

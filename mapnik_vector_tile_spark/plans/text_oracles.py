@@ -2209,9 +2209,11 @@ GROUP BY 1, 2
 
 
 def q_collocations(spark, sf_dir):
-    """T39 PMI collocations with a FULL oracle: exact integer score
-    (c_ab·N·10^6) div (c_a·c_b), min_count 5, deterministic top-50;
-    DuckDB replays the bigram/unigram counting and the rank."""
+    """T39 PMI collocations with a FULL oracle: the int64-safe
+    two-quotient score ((c_ab·1000) div c_a)·((N·1000) div c_b)
+    (floor per factor, documented rounding), min_count 5,
+    deterministic top-50; DuckDB replays the bigram/unigram counting
+    and the identical two-quotient rank."""
     from mapnik_vector_tile_spark.operators import textstats as T
 
     return T.collocations(_docs(spark, sf_dir))
@@ -2232,7 +2234,7 @@ big AS (
   FROM pairs GROUP BY a, b HAVING COUNT(*) >= {min_count}),
 scored AS (
   SELECT big.a, big.b, big.c_ab,
-         CAST((big.c_ab * nn.n * 1000000) // (ua.c_a * ub.c_a)
+         CAST(((big.c_ab * 1000) // ua.c_a) * ((nn.n * 1000) // ub.c_a)
               AS BIGINT) AS score
   FROM big
   JOIN uni ua ON ua.a = big.a

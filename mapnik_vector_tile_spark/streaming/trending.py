@@ -89,7 +89,10 @@ def run_trending_stream_to_memory(
 ):
     """readStream(parquet chunks) → windowed tile counts → memory
     sink (append mode: rows land when the watermark closes their
-    window). Returns the query handle; callers awaitTermination/stop."""
+    window).  Runs the availableNow trigger to completion (the
+    memory table is fully populated on return) and returns the
+    finished StreamingQuery handle so callers can inspect
+    lastProgress / recentProgress or stop() it."""
     from mapnik_vector_tile_spark.streaming.incremental import (
         EVENTS_SCHEMA,
     )
@@ -110,3 +113,4 @@ def run_trending_stream_to_memory(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.awaitTermination()
+    return q

@@ -341,6 +341,48 @@ def test_interval_concurrency_sweep(spark):
     )
     o2 = interval_concurrency(iv2).collect()[0]
     assert (o2["max_cc"], o2["t_at"]) == (1, 0)
+    # ADVICE r2: adjacent-but-disjoint closed intervals [0,4],[5,9] —
+    # the end event at e+1=5 must process BEFORE the start at 5, so
+    # occupancy never reaches 2
+    iv3 = spark.createDataFrame(
+        [(1, 0, 4), (2, 5, 9)], "id long, s long, e long"
+    )
+    o3 = interval_concurrency(iv3).collect()[0]
+    assert (o3["max_cc"], o3["t_at"]) == (1, 0)
+    # s==e touching (overlap of closed intervals) still counts 2
+    iv4 = spark.createDataFrame(
+        [(1, 0, 5), (2, 5, 9)], "id long, s long, e long"
+    )
+    o4 = interval_concurrency(iv4).collect()[0]
+    assert (o4["max_cc"], o4["t_at"]) == (2, 5)
+
+
+def test_interval_concurrency_segmented_matches_exact(spark):
+    from mapnik_vector_tile_spark.operators.temporal import (
+        interval_concurrency,
+        interval_concurrency_segmented,
+    )
+
+    # deterministic pseudo-random corpus straddling many buckets,
+    # including exact bucket-boundary starts/ends and the
+    # touching-disjoint tie case
+    rows = []
+    for i in range(400):
+        s = (i * 2654435761) % 10_000
+        e = s + (i * 40503) % 500
+        rows.append((i, s, e))
+    rows += [(1000, 0, 99), (1001, 100, 199), (1002, 200, 200)]
+    iv = spark.createDataFrame(rows, "id long, s long, e long")
+    for width in (100, 1, 1 << 40):
+        exact = interval_concurrency(iv).collect()[0]
+        seg = interval_concurrency_segmented(
+            iv, bucket_width=width
+        ).collect()[0]
+        assert (
+            seg["max_cc"], seg["t_at"], seg["n_intervals"]
+        ) == (
+            exact["max_cc"], exact["t_at"], exact["n_intervals"]
+        ), f"width={width}"
 
 
 def test_trimmed_sums_drops_tails(spark):
