@@ -322,23 +322,53 @@ def match_detection_flags(
 def pr_curve(flags: DataFrame) -> DataFrame:
     """T12s PR-curve points — global (score DESC, image_id, det_id)
     rank over the per-detection flags with cumulative TP/FP: the
-    exact-integer relation AP/mAP integrates.  One global window (the
-    detector-output table is tiny relative to the corpus; rank_select
-    is the documented fleet-scale exact-rank path).
+    exact-integer relation AP/mAP integrates.
+
+    TWO-PASS exact rank, no data-proportional global window: scores
+    are quantized integers (a bounded confidence domain), so
+    (1) a map-side-combined per-score aggregate (cnt, Σhit) folds the
+        corpus down to one row per distinct score — DOMAIN-bounded,
+        not detection-bounded;
+    (2) exclusive prefix sums over that tiny relation (the only
+        unpartitioned window — do not lift it onto raw detections)
+        give every score its global rank / TP offset, broadcast back;
+    (3) a PER-SCORE partitioned window orders ties by
+        (image_id, det_id) and adds the offsets.
+    Identical output to the single-window form at any parallelism.
 
     Output: (rnk, image_id, det_id, score, hit, n_tp, n_fp)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(
-        F.col("score").desc(), "image_id", "det_id"
+    per_score = flags.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("hit").cast("long").alias("tp"),
     )
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    return flags.select(
-        F.row_number().over(w).cast("long").alias("rnk"),
+    woff = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per_score.select(
+        "score",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off_n"),
+        F.coalesce(F.sum("tp").over(woff), F.lit(0)).alias("off_tp"),
+    )
+    wloc = Window.partitionBy("score").orderBy("image_id", "det_id")
+    run = wloc.rowsBetween(Window.unboundedPreceding, 0)
+    local = flags.select(
         "image_id",
         "det_id",
         "score",
         "hit",
-        F.sum("hit").over(run).cast("long").alias("n_tp"),
-        F.sum(1 - F.col("hit")).over(run).cast("long").alias("n_fp"),
+        F.row_number().over(wloc).cast("long").alias("lrnk"),
+        F.sum("hit").over(run).cast("long").alias("ltp"),
+    )
+    return local.join(F.broadcast(offs), "score").select(
+        (F.col("off_n") + F.col("lrnk")).cast("long").alias("rnk"),
+        "image_id",
+        "det_id",
+        "score",
+        "hit",
+        (F.col("off_tp") + F.col("ltp")).cast("long").alias("n_tp"),
+        (
+            F.col("off_n") + F.col("lrnk") - F.col("off_tp") - F.col("ltp")
+        ).cast("long").alias("n_fp"),
     )

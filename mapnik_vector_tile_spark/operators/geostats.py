@@ -309,7 +309,11 @@ def grid_dbscan(cells: DataFrame, min_pts: int) -> DataFrame:
     return core_lbl.unionByName(border).unionByName(noise)
 
 
-def cotravel_pairs(located: DataFrame, min_co: int = 3) -> DataFrame:
+def cotravel_pairs(
+    located: DataFrame,
+    min_co: int = 3,
+    hot_bucket_limit: int | None = 4096,
+) -> DataFrame:
     """ST4 co-travel / co-location detection — find user pairs that
     were in the same spatio-temporal bucket at least `min_co`
     distinct times (the classic co-occurrence mining shape: contact
@@ -319,12 +323,30 @@ def cotravel_pairs(located: DataFrame, min_co: int = 3) -> DataFrame:
     Distinct-ify first (a user camping in one bucket counts ONCE),
     then one self-equi-join on the full bucket key with user_a <
     user_b and a count-filter — exactly the banded-LSH candidate
-    shape, and like the LSH joins the residual risk is a hot bucket
-    (a stadium cell-hour with m users → m² pairs); the same
-    frequent-bucket cap strategy applies at planetary scale.
+    shape.  Like the LSH joins the scale killer is a hot bucket
+    (one stadium cell-hour with m users → m² pairs; AQE spreads the
+    shuffle but cannot shrink the pair COUNT), so the dedup-engine
+    `_hot_buckets` guard is ENFORCED here, not just documented:
+    buckets with more than `hot_bucket_limit` distinct occupants are
+    EXCLUDED from pair generation — the crowded-bucket exclusion
+    standard in co-location mining (being one of 50k people in a
+    stadium is no co-travel evidence; a pair that genuinely travels
+    together still accrues n_co from its non-crowded buckets).  The
+    cap is part of the operator contract and is replayed by the
+    DuckDB twin; pass hot_bucket_limit=None for the uncapped join.
 
     Output: (ua, ub, n_co) for pairs with n_co ≥ min_co."""
+    from mapnik_vector_tile_spark.operators.dedup import _hot_buckets
+
     v = located.select("user_id", "tb", "cx", "cy").distinct()
+    keys = ["tb", "cx", "cy"]
+    if hot_bucket_limit is not None:
+        # v feeds three consumers (hot-stats + both self-join sides);
+        # checkpoint so the distinct shuffle runs once, the same
+        # pattern as dedup._banded_pairs.
+        v = v.localCheckpoint(eager=True)
+        hot = _hot_buckets(v, keys, [], hot_bucket_limit)
+        v = v.join(F.broadcast(hot), keys, "left_anti")
     a = v.alias("a")
     b = v.alias("b")
     return (

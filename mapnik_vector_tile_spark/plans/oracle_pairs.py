@@ -11717,8 +11717,10 @@ CT_MIN = 3
 def q_cotravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-travel detection (geostats.cotravel_pairs) with a FULL
     oracle: visits = (user, hour bucket, splitmix 4-grid cell) from
-    events; both engines distinct-ify, self-join on the bucket key
-    and keep pairs with ≥3 distinct co-visits."""
+    events; both engines distinct-ify, EXCLUDE crowded buckets
+    (> hot_bucket_limit distinct occupants — the enforced skew
+    guard, replayed by the twin's HAVING), self-join on the bucket
+    key and keep pairs with ≥3 distinct co-visits."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -11754,15 +11756,23 @@ def q_cotravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cotravel_pairs(loc, CT_MIN)
 
 
-def _sql_cotravel(grid: int = CT_GRID, min_co: int = CT_MIN) -> str:
+def _sql_cotravel(
+    grid: int = CT_GRID, min_co: int = CT_MIN, hot_limit: int = 4096
+) -> str:
     h = splitmix64_sql("event_id")
     return f"""
-WITH loc AS (
+WITH loc0 AS (
   SELECT DISTINCT user_id,
          CAST(floor(floor(epoch(ts)) / {S.flit(3600.0)}) AS BIGINT) AS tb,
          CAST(({h}) % {grid} AS BIGINT) AS cx,
          CAST((({h}) // 256) % {grid} AS BIGINT) AS cy
-  FROM events)
+  FROM events),
+hot AS (
+  SELECT tb, cx, cy FROM loc0
+  GROUP BY tb, cx, cy HAVING COUNT(*) > {hot_limit}),
+loc AS (
+  SELECT l.* FROM loc0 l
+  ANTI JOIN hot h ON h.tb = l.tb AND h.cx = l.cx AND h.cy = l.cy)
 SELECT a.user_id AS ua, b.user_id AS ub,
        CAST(COUNT(*) AS BIGINT) AS n_co
 FROM loc a JOIN loc b

@@ -375,3 +375,31 @@ def test_pr_curve_flags_and_cumulatives(spark):
     assert [(r["n_tp"], r["n_fp"]) for r in out] == [
         (1, 0), (2, 0), (2, 1)
     ]
+
+
+def test_pr_curve_two_pass_matches_single_window(spark):
+    """The bucketed two-pass rank must equal the naive global-window
+    form bit-for-bit, including heavy score ties across images."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.detect import pr_curve
+
+    rows = []
+    for i in range(300):
+        # only 7 distinct scores -> large tie groups spanning images
+        rows.append((i % 13, i, (i * 37) % 7, (i * 2654435761) % 2))
+    flags = spark.createDataFrame(
+        rows, "image_id long, det_id long, score long, hit long"
+    )
+    w = Window.orderBy(F.col("score").desc(), "image_id", "det_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    naive = flags.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "image_id", "det_id", "score", "hit",
+        F.sum("hit").over(run).cast("long").alias("n_tp"),
+        F.sum(1 - F.col("hit")).over(run).cast("long").alias("n_fp"),
+    )
+    got = sorted(map(tuple, pr_curve(flags).collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want

@@ -809,6 +809,34 @@ def test_cotravel_distinct_and_threshold(spark):
     assert out == {(1, 2): 3}
 
 
+def test_cotravel_hot_bucket_exclusion(spark):
+    """Crowded buckets (> hot_bucket_limit occupants) are excluded
+    from pair generation; genuine co-travel in small buckets still
+    accrues, and limit=None restores the uncapped join."""
+    from mapnik_vector_tile_spark.operators.geostats import cotravel_pairs
+
+    rows = []
+    # stadium bucket: 5 users in (tb=0, cell 0,0)
+    for u in range(1, 6):
+        rows.append((u, 0, 0, 0))
+    # users 1,2 also co-occur in 2 small buckets
+    rows += [(1, 1, 1, 1), (2, 1, 1, 1), (1, 2, 2, 2), (2, 2, 2, 2)]
+    df = spark.createDataFrame(rows, "user_id long, tb long, cx long, cy long")
+    capped = {
+        (r["ua"], r["ub"]): r["n_co"]
+        for r in cotravel_pairs(df, 2, hot_bucket_limit=4).collect()
+    }
+    # the stadium visit does not count -> (1,2) has only 2 co-visits
+    assert capped == {(1, 2): 2}
+    uncapped = {
+        (r["ua"], r["ub"]): r["n_co"]
+        for r in cotravel_pairs(df, 1, hot_bucket_limit=None).collect()
+    }
+    assert uncapped[(1, 2)] == 3  # stadium counts again
+    assert uncapped[(3, 4)] == 1  # stadium-only pairs reappear
+    assert len(uncapped) == 10  # C(5,2) stadium clique
+
+
 def test_voronoi_assign_labels_and_border(spark):
     from mapnik_vector_tile_spark.operators.geostats import voronoi_assign
 

@@ -791,3 +791,43 @@ def test_erosion_round_is_join_plus_count_aware_min(spark):
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan
     assert "partial" in plan
+
+
+def test_pr_curve_no_data_proportional_global_window(spark):
+    """T12s two-pass PR rank: the detection-proportional window is
+    hash-partitioned by score; the ONLY SinglePartition exchange
+    feeds the domain-bounded per-score offsets relation, which is
+    then broadcast back."""
+    from mapnik_vector_tile_spark.operators.detect import pr_curve
+
+    flags = spark.range(100).selectExpr(
+        "id % 7 AS image_id", "id AS det_id", "id % 5 AS score",
+        "id % 2 AS hit",
+    )
+    plan = _plan(pr_curve(flags))
+    assert "hashpartitioning(score" in plan
+    assert plan.count("SinglePartition") == 1
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_interval_concurrency_segmented_partitioned_sweep(spark):
+    """W13 segmented sweep: the event-proportional running sum is
+    partitioned by the time bucket; only the tiny per-bucket offsets
+    relation passes through a SinglePartition window, and it comes
+    back as a broadcast."""
+    from mapnik_vector_tile_spark.operators.temporal import (
+        interval_concurrency_segmented,
+    )
+
+    iv = spark.range(100).selectExpr(
+        "id AS id", "id * 13 AS s", "id * 13 + 40 AS e"
+    )
+    plan = _plan(interval_concurrency_segmented(iv, bucket_width=100))
+    assert "hashpartitioning(b" in plan
+    # exactly two SinglePartition exchanges: the per-bucket offsets
+    # window (bucket-count rows) and the final 1-row max/count agg —
+    # neither carries the event stream
+    assert plan.count("SinglePartition") == 2
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan
