@@ -590,6 +590,10 @@ def gini_concentration(cells: DataFrame) -> DataFrame:
     gini_dbl)."""
     from pyspark.sql import Window
 
+    # DOMAIN-bound invariant: this unpartitioned window ranks the
+    # CELL table (≤ 4^z rows at zoom z), never raw events — do not
+    # lift it onto an event-proportional relation; the exact-rank
+    # primitive for that is spatial_index.rank_select.
     w = Window.orderBy("c", "cx", "cy")
     ranked = cells.select(
         "c", F.row_number().over(w).cast("long").alias("i")
@@ -916,6 +920,10 @@ def coverage_knees(cells: DataFrame, deciles: int = 10) -> DataFrame:
     k = 1..deciles."""
     from pyspark.sql import Window
 
+    # DOMAIN-bound invariant: this unpartitioned window ranks the
+    # CELL table (≤ 4^z rows at zoom z), never raw events — do not
+    # lift it onto an event-proportional relation (see
+    # gini_concentration / spatial_index.rank_select).
     w = Window.orderBy(F.col("c").desc(), "cx", "cy")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     ranked = cells.select(

@@ -406,3 +406,49 @@ def triangulate_stats(polys: DataFrame) -> DataFrame:
         kernel,
         "pid long, n_pts long, n_tris long, area2 long, trih long",
     )
+
+
+def triangulate_holed_stats(polys: DataFrame) -> DataFrame:
+    """U13 with holes — the mapbox-earcut eliminateHoles step
+    (functions/earcut.eliminate_holes: rightmost-anchor bridge
+    order, exact-rational ray/sector choice, duplicate-sector
+    disambiguation) followed by the same ear clip, reduced to the
+    hashable aggregates.  area2 lands on shoelace(outer) − Σ holes
+    by construction — the invariant the oracle pins.
+
+    Input: (pid, xs, ys, hxs: array<array<long>>, hys) — outer CCW,
+    holes CW.  Same NARROW mapInPandas shape as triangulate_stats:
+    no shuffle, linear in splits."""
+    from mapnik_vector_tile_spark.functions.earcut import (
+        triangulation_stats_holed,
+    )
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {"pid": [], "n_holes": [], "n_pts": [],
+                   "n_tris": [], "area2": [], "trih": []}
+            for pid, xs, ys, hxs, hys in zip(
+                pdf["pid"], pdf["xs"], pdf["ys"], pdf["hxs"], pdf["hys"]
+            ):
+                holes = [
+                    ([int(v) for v in hx], [int(v) for v in hy])
+                    for hx, hy in zip(hxs, hys)
+                ]
+                n_pts, n_tris, area2, trih = triangulation_stats_holed(
+                    [int(v) for v in xs], [int(v) for v in ys], holes
+                )
+                out["pid"].append(int(pid))
+                out["n_holes"].append(len(holes))
+                out["n_pts"].append(n_pts)
+                out["n_tris"].append(n_tris)
+                out["area2"].append(area2)
+                out["trih"].append(trih)
+            yield pd.DataFrame(out).astype(np.int64)
+
+    return polys.select("pid", "xs", "ys", "hxs", "hys").mapInPandas(
+        kernel,
+        "pid long, n_holes long, n_pts long, n_tris long,"
+        " area2 long, trih long",
+    )

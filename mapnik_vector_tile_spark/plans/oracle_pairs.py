@@ -12010,9 +12010,15 @@ def _sql_earcut() -> str:
     b = "active[p]"
     c = "active[CASE WHEN p = len(active) THEN 1 ELSE p + 1 END]"
     s = cr(a, b, c)
+    coinc = (
+        f"(({X('v')}) = ({X(a)}) AND ({Y('v')}) = ({Y(a)}))"
+        f" OR (({X('v')}) = ({X(b)}) AND ({Y('v')}) = ({Y(b)}))"
+        f" OR (({X('v')}) = ({X(c)}) AND ({Y('v')}) = ({Y(c)}))"
+    )
     blocked = (
         f"len(list_filter(active, v -> v <> ({a}) AND v <> ({b})"
-        f" AND v <> ({c}) AND ({cr(a, b, 'v')}) >= 0"
+        f" AND v <> ({c}) AND NOT ({coinc})"
+        f" AND ({cr(a, b, 'v')}) >= 0"
         f" AND ({cr(b, c, 'v')}) >= 0"
         f" AND ({cr(c, a, 'v')}) >= 0)) > 0"
     )
@@ -12077,6 +12083,339 @@ GROUP BY f.pid, f.xs
 
 
 _ENGINE_PAIRS["q_earcut"] = (q_earcut, _sql_earcut())
+
+
+# ---------------------------------------------------------------------------
+# q_earcut_holes — U13 holed-polygon tessellation: bridge + clip replay
+# ---------------------------------------------------------------------------
+
+EC_H_NPOLY = 60
+
+
+def q_earcut_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U13 WITH HOLES: deterministic octagons carrying two CW diamond
+    holes (disjoint x-bands, splitmix-derived centers/radii) run
+    through eliminate_holes + earcut, and DuckDB replays the ENTIRE
+    pipeline — per-hole anchor argmax, rightmost-first order, the
+    exact-rational +x ray argmin with its tie rules, the Eberly
+    reflex refinement (locally-inside + triangle tests scaled by the
+    ray denominator), the duplicate-sector disambiguation, the
+    splice, and then the same list-carrying recursive clip CTE (with
+    the corner-coincidence exemption the bridge duplicates need) —
+    so n_pts, triangle count, area2 (== outer − holes shoelace by
+    the tessellation invariant) and the order-sensitive triple hash
+    match bit-exactly per polygon."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.overlay import (
+        triangulate_holed_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    def gen(it):
+        for pdf in it:
+            rows = {"pid": [], "xs": [], "ys": [], "hxs": [], "hys": []}
+            for pid in pdf["id"]:
+                pid = int(pid)
+                h = splitmix64(
+                    np.uint64(pid * 8) + np.arange(8, dtype=np.uint64)
+                )
+                r = 150 + int(h[0]) % 150
+                k = (r * 7) // 10
+                rows["pid"].append(pid)
+                rows["xs"].append([r, k, 0, -k, -r, -k, 0, k])
+                rows["ys"].append([0, k, r, k, 0, -k, -r, -k])
+                hxs, hys = [], []
+                for j, base in ((0, -80), (1, 30)):
+                    cx = base + int(h[1 + 3 * j]) % 50
+                    cy = -60 + int(h[2 + 3 * j]) % 121
+                    rad = 3 + int(h[3 + 3 * j]) % 13
+                    hxs.append([cx + rad, cx, cx - rad, cx])
+                    hys.append([cy, cy - rad, cy, cy + rad])
+                rows["hxs"].append(hxs)
+                rows["hys"].append(hys)
+            yield pd.DataFrame(rows)
+
+    polys = spark.range(EC_H_NPOLY).mapInPandas(
+        gen,
+        "pid long, xs array<long>, ys array<long>,"
+        " hxs array<array<long>>, hys array<array<long>>",
+    )
+    return triangulate_holed_stats(polys)
+
+
+def _sql_earcut_holes() -> str:
+    # ---- shared expression builders (all 1-based ring indices) ----
+    def qi(e: str) -> str:
+        return f"(CASE WHEN ({e}) = len(xs) THEN 1 ELSE ({e}) + 1 END)"
+
+    def pi(e: str) -> str:
+        return f"(CASE WHEN ({e}) = 1 THEN len(xs) ELSE ({e}) - 1 END)"
+
+    def lin(v: str) -> str:
+        """locally-inside toward (hx, hy) at ring vertex v."""
+        pv, nv = pi(v), qi(v)
+        s = (
+            f"((xs[({v})] - xs[{pv}]) * (ys[{nv}] - ys[{pv}])"
+            f" - (ys[({v})] - ys[{pv}]) * (xs[{nv}] - xs[{pv}]))"
+        )
+        t1 = (
+            f"((xs[{nv}] - xs[({v})]) * (hy - ys[({v})])"
+            f" - (ys[{nv}] - ys[({v})]) * (hx - xs[({v})]))"
+        )
+        t2 = (
+            f"((hx - xs[({v})]) * (ys[{pv}] - ys[({v})])"
+            f" - (hy - ys[({v})]) * (xs[{pv}] - xs[({v})]))"
+        )
+        return (
+            f"(CASE WHEN {s} > 0 THEN ({t1} >= 0 AND {t2} >= 0)"
+            f" ELSE ({t1} > 0 OR {t2} > 0) END)"
+        )
+
+    def bridge(src: str, out: str, p: str, passthru: str) -> str:
+        """CTEs bridging the hole in (hcx, hcy, mi) of `src` into its
+        (xs, ys); `passthru` columns are carried verbatim."""
+        pt = f", {passthru}" if passthru else ""
+        raw = (
+            f"xs[e] * (ys[{qi('e')}] - ys[e])"
+            f" + (hy - ys[e]) * (xs[{qi('e')}] - xs[e])"
+        )
+        refl = (
+            f"((xs[v] - xs[{pi('v')}]) * (ys[{qi('v')}] - ys[{pi('v')}])"
+            f" - (ys[v] - ys[{pi('v')}]) * (xs[{qi('v')}] - xs[{pi('v')}]))"
+            " < 0"
+        )
+        flp = "(CASE WHEN ys[b0] < hy THEN -1 ELSE 1 END)"
+        t1c = "((nums[eb] - hx * dens[eb]) * (ys[v] - hy))"
+        t2c = (
+            "((xs[b0] * dens[eb] - nums[eb]) * (ys[v] - hy)"
+            " - (ys[b0] - hy) * (xs[v] * dens[eb] - nums[eb]))"
+        )
+        t3c = (
+            "((hx - xs[b0]) * (ys[v] - ys[b0])"
+            " - (hy - ys[b0]) * (xs[v] - xs[b0]))"
+        )
+        good = (
+            f"xs[v] > hx AND v <> b0 AND {refl} AND {lin('v')}"
+            f" AND {flp} * {t1c} >= 0 AND {flp} * {t2c} >= 0"
+            f" AND {flp} * {t3c} >= 0"
+        )
+        better = (
+            "(abs(ys[w] - hy) * (xs[v] - hx)"
+            " < abs(ys[v] - hy) * (xs[w] - hx))"
+            " OR (abs(ys[w] - hy) * (xs[v] - hx)"
+            "     = abs(ys[v] - hy) * (xs[w] - hx)"
+            "     AND (xs[w] < xs[v] OR (xs[w] = xs[v] AND w < v)))"
+        )
+        ebetter = (
+            "(nums[f] * dens[e] < nums[e] * dens[f])"
+            " OR (nums[f] * dens[e] = nums[e] * dens[f] AND f < e)"
+        )
+        return f"""
+{p}0 AS (
+  SELECT pid, xs, ys, hcx, hcy, mi,
+         hcx[mi] AS hx, hcy[mi] AS hy{pt}
+  FROM {src}),
+{p}1 AS (
+  SELECT *,
+         list_transform(range(1, len(xs) + 1),
+           e -> abs(ys[{qi('e')}] - ys[e])) AS dens,
+         list_transform(range(1, len(xs) + 1),
+           e -> CASE WHEN ys[{qi('e')}] - ys[e] < 0
+                     THEN -({raw}) ELSE ({raw}) END) AS nums
+  FROM {p}0),
+{p}2 AS (
+  SELECT *,
+         list_filter(range(1, len(xs) + 1),
+           e -> dens[e] <> 0
+                AND least(ys[e], ys[{qi('e')}]) <= hy
+                AND hy <= greatest(ys[e], ys[{qi('e')}])
+                AND nums[e] >= hx * dens[e]) AS cands
+  FROM {p}1),
+{p}3 AS (
+  SELECT *,
+         list_filter(cands, e -> len(list_filter(cands,
+           f -> {ebetter})) = 0)[1] AS eb
+  FROM {p}2),
+{p}4 AS (
+  SELECT *, {qi('eb')} AS qe FROM {p}3),
+{p}5 AS (
+  SELECT *,
+         CASE WHEN xs[eb] >= xs[qe] THEN eb ELSE qe END AS b0
+  FROM {p}4),
+{p}6 AS (
+  SELECT *,
+         list_filter(range(1, len(xs) + 1), v -> {good}) AS goods
+  FROM {p}5),
+{p}7 AS (
+  SELECT *,
+         CASE WHEN ys[eb] = hy THEN eb
+              WHEN ys[qe] = hy THEN qe
+              WHEN ys[b0] = hy THEN b0
+              ELSE COALESCE(list_filter(goods,
+                     v -> len(list_filter(goods, w -> {better})) = 0
+                   )[1], b0)
+         END AS bi1
+  FROM {p}6),
+{p}8 AS (
+  SELECT *,
+         list_filter(range(1, len(xs) + 1),
+           j -> xs[j] = xs[bi1] AND ys[j] = ys[bi1]) AS dups
+  FROM {p}7),
+{p}9 AS (
+  SELECT *,
+         CASE WHEN len(dups) > 1
+              THEN COALESCE(
+                     list_filter(dups, j -> {lin('j')})[1], bi1)
+              ELSE bi1 END AS bi
+  FROM {p}8),
+{out} AS (
+  SELECT pid,
+         xs[1:bi]
+           || list_transform(range(0, len(hcx)),
+                t -> hcx[((mi - 1 + t) % len(hcx)) + 1])
+           || [hx] || [xs[bi]] || xs[bi + 1:len(xs)] AS xs,
+         ys[1:bi]
+           || list_transform(range(0, len(hcy)),
+                t -> hcy[((mi - 1 + t) % len(hcy)) + 1])
+           || [hy] || [ys[bi]] || ys[bi + 1:len(ys)] AS ys{pt}
+  FROM {p}9)"""
+
+    def mi_of(hx_l: str, hy_l: str) -> str:
+        return (
+            f"list_filter(range(1, len({hx_l}) + 1),"
+            f" t -> len(list_filter(range(1, len({hx_l}) + 1),"
+            f" u -> {hx_l}[u] > {hx_l}[t]"
+            f" OR ({hx_l}[u] = {hx_l}[t] AND ({hy_l}[u] > {hy_l}[t]"
+            f" OR ({hy_l}[u] = {hy_l}[t] AND u < t))))) = 0)[1]"
+        )
+
+    # ---- corpus (replays the Spark generator bit-exactly) ----
+    sms = [splitmix64_sql(f"(pid * 8 + {t})") for t in range(8)]
+
+    # ---- final clip CTE (q_earcut's machinery + coincidence
+    #      exemption; active holds 0-based indices) ----
+    def X(v: str) -> str:
+        return f"xs[({v}) + 1]"
+
+    def Y(v: str) -> str:
+        return f"ys[({v}) + 1]"
+
+    def cr(i: str, j: str, k: str) -> str:
+        return (
+            f"(({X(j)}) - ({X(i)})) * (({Y(k)}) - ({Y(i)}))"
+            f" - (({Y(j)}) - ({Y(i)})) * (({X(k)}) - ({X(i)}))"
+        )
+
+    a = "active[CASE WHEN p = 1 THEN len(active) ELSE p - 1 END]"
+    b = "active[p]"
+    c = "active[CASE WHEN p = len(active) THEN 1 ELSE p + 1 END]"
+    s = cr(a, b, c)
+    coinc = (
+        f"(({X('v')}) = ({X(a)}) AND ({Y('v')}) = ({Y(a)}))"
+        f" OR (({X('v')}) = ({X(b)}) AND ({Y('v')}) = ({Y(b)}))"
+        f" OR (({X('v')}) = ({X(c)}) AND ({Y('v')}) = ({Y(c)}))"
+    )
+    blocked = (
+        f"len(list_filter(active, v -> v <> ({a}) AND v <> ({b})"
+        f" AND v <> ({c}) AND NOT ({coinc})"
+        f" AND ({cr(a, b, 'v')}) >= 0"
+        f" AND ({cr(b, c, 'v')}) >= 0"
+        f" AND ({cr(c, a, 'v')}) >= 0)) > 0"
+    )
+    ear = f"(({s}) = 0) OR ((({s}) > 0) AND NOT ({blocked}))"
+    earpos = f"list_filter(range(1, len(active) + 1), p -> {ear})[1]"
+    fincr = cr("active[1]", "active[2]", "active[3]")
+    tcr = cr("tri.a", "tri.b", "tri.c")
+
+    return f"""
+WITH RECURSIVE
+pids AS (SELECT unnest(generate_series(0, {EC_H_NPOLY - 1})) AS pid),
+hs AS (
+  SELECT pid,
+         CAST(150 + ({sms[0]}) % 150 AS BIGINT) AS r,
+         CAST(-80 + ({sms[1]}) % 50 AS BIGINT) AS cx0,
+         CAST(-60 + ({sms[2]}) % 121 AS BIGINT) AS cy0,
+         CAST(3 + ({sms[3]}) % 13 AS BIGINT) AS rad0,
+         CAST(30 + ({sms[4]}) % 50 AS BIGINT) AS cx1,
+         CAST(-60 + ({sms[5]}) % 121 AS BIGINT) AS cy1,
+         CAST(3 + ({sms[6]}) % 13 AS BIGINT) AS rad1
+  FROM pids),
+holes AS (
+  SELECT pid,
+         [r, (r * 7) // 10, 0, -((r * 7) // 10), -r,
+          -((r * 7) // 10), 0, (r * 7) // 10] AS xs,
+         [CAST(0 AS BIGINT), (r * 7) // 10, r, (r * 7) // 10, 0,
+          -((r * 7) // 10), -r, -((r * 7) // 10)] AS ys,
+         [cx0 + rad0, cx0, cx0 - rad0, cx0] AS h0x,
+         [cy0, cy0 - rad0, cy0, cy0 + rad0] AS h0y,
+         [cx1 + rad1, cx1, cx1 - rad1, cx1] AS h1x,
+         [cy1, cy1 - rad1, cy1, cy1 + rad1] AS h1y
+  FROM hs),
+hm AS (
+  SELECT *, {mi_of('h0x', 'h0y')} AS mi0, {mi_of('h1x', 'h1y')} AS mi1
+  FROM holes),
+ho AS (
+  SELECT pid, xs, ys,
+         CASE WHEN f1 THEN h1x ELSE h0x END AS hcx,
+         CASE WHEN f1 THEN h1y ELSE h0y END AS hcy,
+         CASE WHEN f1 THEN mi1 ELSE mi0 END AS mi,
+         CASE WHEN f1 THEN h0x ELSE h1x END AS hnx,
+         CASE WHEN f1 THEN h0y ELSE h1y END AS hny,
+         CASE WHEN f1 THEN mi0 ELSE mi1 END AS mn
+  FROM (
+    SELECT *,
+           (h1x[mi1] > h0x[mi0]
+            OR (h1x[mi1] = h0x[mi0] AND h1y[mi1] > h0y[mi0])) AS f1
+    FROM hm)),{bridge('ho', 'ringa', 'ba', 'hnx, hny, mn')},
+hb AS (
+  SELECT pid, xs, ys, hnx AS hcx, hny AS hcy, mn AS mi
+  FROM ringa),{bridge('hb', 'rings', 'bb', '')},
+t(pid, xs, ys, active, tris, step) AS (
+  SELECT pid, xs, ys, range(0, len(xs)),
+         CAST([] AS STRUCT(a BIGINT, b BIGINT, c BIGINT)[]),
+         0
+  FROM rings
+  UNION ALL
+  SELECT pid, xs, ys,
+         list_filter(active, (vv, ii) -> ii <> ep) AS active,
+         CASE WHEN {cr('ea', 'eb', 'ec')} > 0
+              THEN list_append(tris, {{'a': ea, 'b': eb, 'c': ec}})
+              ELSE tris END AS tris,
+         step + 1
+  FROM (
+    SELECT s1.*,
+           active[CASE WHEN ep = 1 THEN len(active) ELSE ep - 1 END] AS ea,
+           active[ep] AS eb,
+           active[CASE WHEN ep = len(active) THEN 1 ELSE ep + 1 END] AS ec
+    FROM (
+      SELECT pid, xs, ys, active, tris, step, {earpos} AS ep
+      FROM t WHERE len(active) > 3
+    ) s1
+  ) s2
+),
+fin AS (
+  SELECT pid, xs, ys,
+         CASE WHEN ({fincr}) > 0
+              THEN list_append(tris, {{'a': active[1], 'b': active[2],
+                                       'c': active[3]}})
+              ELSE tris END AS tris
+  FROM t WHERE len(active) = 3),
+ex AS (
+  SELECT pid, xs, ys, g.kk AS kk, tris[g.kk] AS tri
+  FROM fin, unnest(generate_series(1, len(tris))) AS g(kk))
+SELECT f.pid, CAST(2 AS BIGINT) AS n_holes,
+       CAST(len(f.xs) AS BIGINT) AS n_pts,
+       CAST(COALESCE(MAX(e.kk), 0) AS BIGINT) AS n_tris,
+       CAST(COALESCE(SUM({tcr.replace('xs[', 'f.xs[').replace('ys[', 'f.ys[')}), 0) AS BIGINT) AS area2,
+       CAST(COALESCE(SUM(e.kk * (tri.a * 16777216 + tri.b * 4096 + tri.c)), 0) % 2305843009213693952 AS BIGINT) AS trih
+FROM fin f LEFT JOIN ex e ON e.pid = f.pid AND tri IS NOT NULL
+GROUP BY f.pid, f.xs
+"""
+
+
+_ENGINE_PAIRS["q_earcut_holes"] = (q_earcut_holes, _sql_earcut_holes())
 
 
 # ---------------------------------------------------------------------------

@@ -617,3 +617,106 @@ def test_triangulate_stats_matches_kernel(spark):
         r = out[pid]
         assert (r["n_tris"], r["area2"], r["trih"]) == (n_tris, area2, trih)
         assert r["n_pts"] == len(xs)
+
+
+def test_eliminate_holes_area_invariant():
+    """Σ triangle area2 == shoelace(outer) − Σ|shoelace(hole)| over a
+    pseudo-random sweep of octagons with 1-3 diamond holes, including
+    the pinch-regression class (two holes bridging to duplicated
+    vertices) and same-y anchor chains."""
+    import random
+
+    from mapnik_vector_tile_spark.functions.earcut import (
+        _cross,
+        earcut_indices,
+        eliminate_holes,
+        shoelace2,
+    )
+
+    def check(ox, oy, holes):
+        rx, ry = eliminate_holes(ox, oy, holes)
+        tris = earcut_indices(rx, ry)
+        a2 = sum(_cross(rx, ry, a, b, c) for a, b, c in tris)
+        want = shoelace2(ox, oy) + sum(
+            shoelace2(hx, hy) for hx, hy in holes
+        )
+        assert a2 == want, (a2, want)
+        assert len(rx) == len(ox) + sum(len(h[0]) + 2 for h in holes)
+
+    rnd = random.Random(7)
+    for _ in range(400):
+        r = rnd.randint(150, 300)
+        k = (r * 7) // 10
+        ox = [r, k, 0, -k, -r, -k, 0, k]
+        oy = [0, k, r, k, 0, -k, -r, -k]
+        nh = rnd.choice([1, 2, 3])
+        holes = []
+        for lo, hi in [(-95, -45), (-20, 20), (45, 95)][:nh]:
+            cx = rnd.randint(lo + 16, hi - 16)
+            cy = rnd.randint(-60, 60)
+            rad = rnd.randint(3, 15)
+            holes.append(
+                ([cx + rad, cx, cx - rad, cx],
+                 [cy, cy - rad, cy, cy + rad])
+            )
+        check(ox, oy, holes)
+    # regression: both holes bridge to the same outer vertex; the
+    # duplicate-sector rule must attach the second bridge to the
+    # sector-facing copy or the scan starves on a pinched CW loop
+    ox = [232, 162, 0, -162, -232, -162, 0, 162]
+    oy = [0, 162, 232, 162, 0, -162, -232, -162]
+    holes = [
+        ([-19, -30, -41, -30], [-41, -52, -41, -30]),
+        ([77, 71, 65, 71], [-54, -60, -54, -48]),
+    ]
+    check(ox, oy, holes)
+
+
+def test_eliminate_holes_validates_orientation():
+    import pytest as _pytest
+
+    from mapnik_vector_tile_spark.functions.earcut import (
+        eliminate_holes,
+    )
+
+    sq = ([0, 10, 10, 0], [0, 0, 10, 10])
+    ccw_hole = ([4, 6, 5], [4, 4, 6])
+    with _pytest.raises(ValueError, match="CW"):
+        eliminate_holes(sq[0], sq[1], [ccw_hole])
+    with _pytest.raises(ValueError, match="CCW"):
+        eliminate_holes(
+            list(reversed(sq[0])), list(reversed(sq[1])),
+            [([6, 4, 5], [4, 4, 6])],
+        )
+
+
+def test_triangulate_holed_stats_matches_kernel(spark):
+    from mapnik_vector_tile_spark.functions.earcut import (
+        triangulation_stats_holed,
+    )
+    from mapnik_vector_tile_spark.operators.overlay import (
+        triangulate_holed_stats,
+    )
+
+    rows = [
+        (0, [0, 100, 100, 0], [0, 0, 100, 100],
+         [[60, 50, 40, 50]], [[50, 40, 50, 60]]),
+        (1, [0, 100, 100, 0], [0, 0, 100, 100],
+         [[60, 50, 40, 50], [80, 75, 70, 75]],
+         [[50, 40, 50, 60], [20, 15, 20, 25]]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pid long, xs array<long>, ys array<long>,"
+        " hxs array<array<long>>, hys array<array<long>>",
+    )
+    out = {r["pid"]: r for r in triangulate_holed_stats(df).collect()}
+    for pid, xs, ys, hxs, hys in rows:
+        holes = list(zip(hxs, hys))
+        n_pts, n_tris, area2, trih = triangulation_stats_holed(
+            xs, ys, holes
+        )
+        r = out[pid]
+        assert (
+            r["n_holes"], r["n_pts"], r["n_tris"], r["area2"], r["trih"]
+        ) == (len(holes), n_pts, n_tris, area2, trih)
