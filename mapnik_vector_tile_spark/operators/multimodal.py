@@ -7,11 +7,13 @@ tables of sources.multimodal: decode is a per-codec kernel — REAL for
 ``pcm16le``/``rawvid8`` (bare fixed-stride planes), ``mulaw`` (G.711,
 functions.g711), ``dvid8-rle`` (delta+RLE video, functions.dvid8) and
 ``mjpeg`` (lossy intraframe video, functions.mjpeg — per-frame
-grayscale baseline JPEG with random-access frame decode); codecs
-whose decoders genuinely need external libraries absent from this
-container (mp3, h264) remain NotImplementedError stubs — and the
+grayscale baseline JPEG with random-access frame decode) and ``mp1``
+(MPEG-1 Audio Layer I, functions.mpeg1 — spec-exact framing with a
+documented sandbox filterbank window, PSNR-gated); the one remaining
+stub is h264 video, whose decoder genuinely needs external libraries
+absent from this container — its NotImplementedError path and the
 Spark-side plumbing (schema, batch shape, partitioning, 1→N frame
-explode) is fully real and tested.
+explode) are fully real and tested.
 
 Scale posture: per-row decode is embarrassingly parallel — one narrow
 mapInPandas stage, no shuffle; frame sampling is a 1→N fan-out like
@@ -43,8 +45,8 @@ AUDIO_WINDOWS_SCHEMA = (
 
 def decode_audio(buf: bytes, codec: str, n_samples: int) -> np.ndarray:
     """bytes -> float64[n_samples] in [-1, 1). Real: pcm16le, mulaw
-    and alaw (G.711). Stub for codecs with no sandbox decoder (mp3
-    etc.)."""
+    and alaw (G.711), mp1 (MPEG-1 Layer I, functions.mpeg1). Stub
+    for codecs with no sandbox decoder."""
     if codec == "pcm16le":
         return (
             np.frombuffer(buf, dtype="<i2", count=n_samples).astype(np.float64)
@@ -54,6 +56,14 @@ def decode_audio(buf: bytes, codec: str, n_samples: int) -> np.ndarray:
         table = MULAW_TABLE if codec == "mulaw" else ALAW_TABLE
         codes = np.frombuffer(buf, dtype=np.uint8, count=n_samples)
         return table[codes].astype(np.float64) / 32768.0
+    if codec == "mp1":
+        from mapnik_vector_tile_spark.functions.mpeg1 import (
+            mpeg1_l1_decode,
+        )
+
+        return (
+            mpeg1_l1_decode(buf, n_samples).astype(np.float64) / 32768.0
+        )
     raise NotImplementedError(
         f"audio codec {codec!r}: no decoder in this sandbox (stub)"
     )
@@ -113,7 +123,14 @@ def _batch_decode_audio(pdf: pd.DataFrame, skip_undecodable: bool):
     ok_pcm = (codecs == "pcm16le") & (blens >= 2 * ns)
     ok_mu = (codecs == "mulaw") & (blens >= ns)
     ok_al = (codecs == "alaw") & (blens >= ns)
-    ok = ok_pcm | ok_mu | ok_al
+    from mapnik_vector_tile_spark.functions import mpeg1 as _mp1
+
+    ok_m1 = (
+        (codecs == "mp1")
+        & (blens >= _mp1.FRAME_BYTES)
+        & (blens % _mp1.FRAME_BYTES == 0)
+    )
+    ok = ok_pcm | ok_mu | ok_al | ok_m1
     if not ok.all() and not skip_undecodable:
         bad = int(np.nonzero(~ok)[0][0])
         decode_audio(
@@ -155,6 +172,20 @@ def _batch_decode_audio(pdf: pd.DataFrame, skip_undecodable: bool):
         samples[np.repeat(sel, nsv)] = table[
             np.frombuffer(buf_t, dtype=np.uint8)
         ].astype(np.int32)
+    sel_m1 = ok_m1[pos]
+    if sel_m1.any():
+        # mp1 frames need per-clip parsing (variable-width bitfields);
+        # the filterbank inside each decode is vectorized and mp1 is
+        # 1/21 of the corpus, so this loop is not the batch hot path
+        dec = np.concatenate(
+            [
+                _mp1.mpeg1_l1_decode(bcol.iloc[int(i)], int(n)).astype(
+                    np.int32
+                )
+                for i, n in zip(pos[sel_m1], nsv[sel_m1])
+            ]
+        )
+        samples[np.repeat(sel_m1, nsv)] = dec
     offs = np.concatenate([[0], np.cumsum(nsv)])
     return pos, samples, offs, nsv
 

@@ -2824,12 +2824,19 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic doubles, and rms_mean averages 1e-12-quantized
     per-window rms values, so the DuckDB twin (built on the
     q_audio_windows closed-form sample CTE) value-hashes bit-exactly.
-    Clip-level kernel correctness is additionally pinned by
-    tests/test_multimodal.py."""
+    mp1 rows (idx % 21 == 0) decode for real since r3 but are LOSSY,
+    so they are excluded from this exact twin by codec filter (the
+    twin's WHERE idx % 21 <> 0); their decode contract is gated by
+    q_audio_mp1.  Clip-level kernel correctness is additionally
+    pinned by tests/test_multimodal.py."""
+    from pyspark.sql import functions as F
+
     from mapnik_vector_tile_spark.operators import multimodal as mm
     from mapnik_vector_tile_spark.sources.multimodal import audio_df
 
-    return mm.audio_features(audio_df(spark, 500))
+    return mm.audio_features(
+        audio_df(spark, 500).filter(F.col("codec") != "mp1")
+    )
 
 
 def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2838,11 +2845,94 @@ def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every on-wire int16 is pure integer arithmetic from
     splitmix64(clip idx), so the DuckDB twin regenerates the samples
     closed-form (no LAG even — the predecessor sample is the same
-    formula at k−1) and the value-hash is bit-exact."""
+    formula at k−1) and the value-hash is bit-exact.  Lossy mp1 rows
+    are codec-filtered out (mirroring the twin's idx % 21 <> 0); see
+    q_audio_mp1 for their gate."""
+    from pyspark.sql import functions as F
+
     from mapnik_vector_tile_spark.operators import multimodal as mm
     from mapnik_vector_tile_spark.sources.multimodal import audio_df
 
-    return mm.audio_window_features(audio_df(spark, 500))
+    return mm.audio_window_features(
+        audio_df(spark, 500).filter(F.col("codec") != "mp1")
+    )
+
+
+def q_audio_mp1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 MPEG-1 Layer I lossy-codec gate (functions/mpeg1.py — the
+    former mp3 stub row, now a real codec) with a FULL contract
+    oracle in the q_raster_jpeg shape: every mp1 clip of the
+    committed corpus is decoded from its on-wire frames and must
+    satisfy (1) PSNR ≥ 40 dB against the closed-form sawtooth
+    original (full-scale int16 reference — measured worst case
+    ~63 dB), (2) spec-exact 672-byte 448kbps/32kHz-mono Layer I
+    framing (sync/header match, stream length = n_frames·672), with
+    n_frames replayed closed-form by the twin from the granule
+    arithmetic.  DuckDB regenerates (audio_id, n_samples, n_frames)
+    and asserts the booleans TRUE."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import mpeg1 as mp
+    from mapnik_vector_tile_spark.sources.multimodal import audio_df
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    clips = audio_df(spark, 500).filter(F.col("codec") == "mp1")
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {"audio_id": [], "n_samples": [], "n_frames": [],
+                   "psnr_ok": [], "framing_ok": []}
+            for row in pdf.itertuples(index=False):
+                idx = int(row.audio_id.split("_")[1])
+                h = int(splitmix64(np.array([idx], dtype=np.uint64))[0])
+                ns = int(row.n_samples)
+                amp = 6000 + ((h >> 16) % 26000)
+                p = 16 + ((h >> 40) % 480)
+                a = 1 + 2 * ((h >> 8) % 128)
+                k = np.arange(ns, dtype=np.int64)
+                ref = ((k % p) * a) % (2 * amp) - amp
+                buf = bytes(row.bytes)
+                framing = (
+                    len(buf) % mp.FRAME_BYTES == 0
+                    and all(
+                        buf[f : f + 4] == mp.HEADER
+                        for f in range(0, len(buf), mp.FRAME_BYTES)
+                    )
+                )
+                dec = mp.mpeg1_l1_decode(buf, ns).astype(np.float64)
+                mse = float(np.mean((dec - ref) ** 2))
+                psnr = 10.0 * np.log10(32768.0**2 / max(mse, 1e-12))
+                out["audio_id"].append(row.audio_id)
+                out["n_samples"].append(ns)
+                out["n_frames"].append(len(buf) // mp.FRAME_BYTES)
+                out["psnr_ok"].append(bool(psnr >= 40.0))
+                out["framing_ok"].append(bool(framing))
+            yield pd.DataFrame(out)
+
+    return clips.select("audio_id", "n_samples", "bytes").mapInPandas(
+        gen,
+        "audio_id string, n_samples long, n_frames long,"
+        " psnr_ok boolean, framing_ok boolean",
+    )
+
+
+def _sql_audio_mp1(n_clips: int = 500) -> str:
+    sm = splitmix64_sql("idx")
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n_clips - 1})) AS idx
+             ) , mp AS (
+  SELECT idx, {sm} AS h FROM ids WHERE idx % 21 = 0)
+SELECT 'aud_' || CAST(idx AS VARCHAR) AS audio_id,
+       CAST(2000 + h % 6001 AS BIGINT) AS n_samples,
+       CAST(((((2000 + h % 6001) + 1056 + 31) // 32) + 11) // 12
+            AS BIGINT) AS n_frames,
+       TRUE AS psnr_ok, TRUE AS framing_ok
+FROM mp
+"""
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3692,7 +3782,8 @@ def _audio_vals_cte(n_clips: int, window: int) -> str:
     end-to-end. DuckDB's // and % truncate toward zero while numpy
     floors, so the bit shifts are floor(s/4.0) / floor(s/8.0) and
     every other % operand is kept non-negative by construction.
-    idx % 21 == 0 clips are mp3 stubs the engine skips."""
+    idx % 21 == 0 clips are lossy mp1 rows the feature queries
+    codec-filter out (their gate is q_audio_mp1)."""
     ats = _alaw_rt_sql("axs")
     atp = _alaw_rt_sql("axp")
     return f"""
@@ -15863,3 +15954,8 @@ FROM j GROUP BY status
 
 
 _ENGINE_PAIRS["q_tile_churn"] = (q_tile_churn, _sql_tile_churn())
+
+
+# registered here (not at its definition site) because _sql_audio_mp1
+# needs splitmix64_sql, defined later in the module
+_ENGINE_PAIRS["q_audio_mp1"] = (q_audio_mp1, _sql_audio_mp1())

@@ -17,10 +17,12 @@ sources.synth images (FIXTURES.md §1, seed 42). Codecs: ``pcm16le``
 companding variants, functions.g711 — the same waveform compressed
 on the wire),
 ``rawvid8`` (uint8[n_frames,h,w] luma planes, frame-major) and
-``dvid8-rle`` (delta+RLE compressed video, functions.dvid8) are REAL;
-``mp3-stub``/``h264-stub`` rows (1 in 21 / 1 in 27) remain decode
+``dvid8-rle`` (delta+RLE compressed video, functions.dvid8) are REAL,
+as is ``mp1`` (MPEG-1 Audio Layer I frames, functions.mpeg1 — 1 in
+21 audio rows, formerly the mp3 stub; lossy, PSNR-gated by
+q_audio_mp1); only ``h264-stub`` video rows (1 in 27) remain decode
 STUBS (NotImplementedError) with the Spark plumbing fully real,
-because the sandbox genuinely lacks those libraries — they keep the
+because the sandbox genuinely lacks that library — they keep the
 skip/strict policy paths exercised by a mixed-codec corpus.
 """
 
@@ -67,16 +69,18 @@ def gen_audio_pdf(n: int, start: int = 0) -> pd.DataFrame:
     sr = 8000
     n_samples = (2000 + (h % np.uint64(6001))).astype(np.int64)
     # codec mix: 6/7 pcm16le, 1/21 mulaw + 1/21 alaw (both REAL G.711
-    # companding variants), 1/21 mp3-stub (genuinely undecodable —
-    # keeps skip/strict paths exercised). The WAVEFORM is identical
-    # across codecs; only the wire encoding differs, so the DuckDB
-    # twins regenerate samples closed-form and apply encode∘decode
-    # for mulaw/alaw rows.
+    # companding variants), 1/21 mp1 (REAL MPEG-1 Layer I frames via
+    # functions.mpeg1 — replaced the former mp3-stub; lossy, so the
+    # exact-twin feature oracles exclude it and its gate is the
+    # q_audio_mp1 PSNR contract). The WAVEFORM is identical across
+    # codecs; only the wire encoding differs, so the DuckDB twins
+    # regenerate samples closed-form and apply encode∘decode for
+    # mulaw/alaw rows.
     def _codec(i: int) -> str:
         if i % 7:
             return "pcm16le"
         if i % 21 == 0:
-            return "mp3-stub"
+            return "mp1"
         return "alaw" if i % 14 == 0 else "mulaw"
 
     codecs = [_codec(int(i)) for i in idx]
@@ -92,6 +96,12 @@ def gen_audio_pdf(n: int, start: int = 0) -> pd.DataFrame:
             bufs.append(mulaw_encode(s).tobytes())
         elif codecs[i] == "alaw":
             bufs.append(alaw_encode(s).tobytes())
+        elif codecs[i] == "mp1":
+            from mapnik_vector_tile_spark.functions.mpeg1 import (
+                mpeg1_l1_encode,
+            )
+
+            bufs.append(mpeg1_l1_encode(s.astype(np.int16)))
         else:
             bufs.append(s.astype("<i2").tobytes())
     return pd.DataFrame(

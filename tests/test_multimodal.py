@@ -39,10 +39,9 @@ def test_decode_stubs_raise():
 def test_audio_features_distributed(spark):
     df = src.audio_df(spark, 60, slices=4)
     feats = mm.audio_features(df).toPandas()
-    # codec 'mp3-stub' rows (idx % 21 == 0) are skipped by policy;
-    # pcm16le, mulaw AND alaw rows all decode for real
-    expected = sum(1 for i in range(60) if i % 21)
-    assert len(feats) == expected
+    # since r3 EVERY corpus codec decodes (mp1 rows included — the
+    # former mp3 stub is a real MPEG-1 Layer I decoder now)
+    assert len(feats) == 60
     assert (feats["n_windows"] >= 1).all()
     assert feats["rms_mean"].between(0, 1).all()
     # caption preserved bit-exact (input_hint invariant analog)
@@ -73,15 +72,28 @@ def test_frame_sample_fanout(spark):
 
 
 def test_strict_mode_surfaces_stub(spark):
-    df = src.audio_df(spark, 8, slices=2)
+    # every corpus codec decodes since r3, so strict mode is
+    # exercised with an explicit stub-codec row
+    rows = [
+        ("ok", (b"\x00\x01" * 2048), 8000, 2048, "pcm16le", "c"),
+        ("bad", b"\x00" * 64, 8000, 64, "opus-stub", "c"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "audio_id string, bytes binary, sr int, n_samples int, "
+        "codec string, caption string",
+    )
     with pytest.raises(Exception):  # Py4J wraps the NotImplementedError
         mm.audio_features(df, skip_undecodable=False).collect()
+    assert mm.audio_features(df).count() == 1  # skip mode drops it
 
 
 def test_batch_audio_decode_matches_scalar_all_codecs():
     a = src.gen_audio_pdf(63, 0)
     pos, samples, offs, nsv = mm._batch_decode_audio(a, True)
-    assert set(a.iloc[list(pos)]["codec"]) == {"pcm16le", "mulaw", "alaw"}
+    assert set(a.iloc[list(pos)]["codec"]) == {
+        "pcm16le", "mulaw", "alaw", "mp1",
+    }
     for k, i in enumerate(pos):
         row = a.iloc[int(i)]
         ref = mm.decode_audio(
@@ -222,3 +234,85 @@ def test_resample_decimate_floor_and_tail(spark):
     assert out["a"].n_out == 2
     assert out["a"].dec_sum == 2 + (-2)
     assert out["a"].dec_min == -2 and out["a"].dec_max == 2
+
+
+def test_mpeg1_l1_roundtrip_psnr_gate():
+    """Every mp1 corpus clip round-trips through the real Layer I
+    codec at PSNR >= 40 dB (full-scale int16), with spec framing:
+    672-byte frames, fixed 448k/32kHz mono header."""
+    from mapnik_vector_tile_spark.functions import mpeg1 as mp
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    for idx in (0, 21, 42, 462, 483):
+        h = int(splitmix64(np.array([idx], dtype=np.uint64))[0])
+        ns = 2000 + h % 6001
+        amp = 6000 + ((h >> 16) % 26000)
+        p = 16 + ((h >> 40) % 480)
+        a = 1 + 2 * ((h >> 8) % 128)
+        k = np.arange(ns, dtype=np.int64)
+        pcm = (((k % p) * a) % (2 * amp) - amp).astype(np.int16)
+        enc = mp.mpeg1_l1_encode(pcm)
+        assert len(enc) % mp.FRAME_BYTES == 0
+        assert all(
+            enc[f : f + 4] == mp.HEADER
+            for f in range(0, len(enc), mp.FRAME_BYTES)
+        )
+        dec = mp.mpeg1_l1_decode(enc, ns)
+        mse = np.mean((dec.astype(np.float64) - pcm) ** 2)
+        psnr = 10 * np.log10(32768.0**2 / max(mse, 1e-12))
+        assert psnr >= 40.0, (idx, psnr)
+
+
+def test_mpeg1_filterbank_zero_delay_alignment():
+    """Impulse through analysis+synthesis peaks exactly at its input
+    position (the indexing convention _DELAY = 0 documents)."""
+    from mapnik_vector_tile_spark.functions import mpeg1 as mp
+
+    x = np.zeros(4000)
+    x[2000] = 1.0
+    y = mp._synthesis(mp._analysis(x))
+    assert int(np.argmax(np.abs(y))) == mp.TAPS + 2000
+
+
+def test_mpeg1_decode_error_contracts():
+    from mapnik_vector_tile_spark.functions import mpeg1 as mp
+
+    with pytest.raises(ValueError, match="truncated"):
+        mp.mpeg1_l1_decode(b"\x00" * 100, 10)
+    with pytest.raises(ValueError, match="header"):
+        mp.mpeg1_l1_decode(b"\x00" * mp.FRAME_BYTES, 10)
+    # forbidden allocation code 15 in the first band
+    bad = bytearray(mp.HEADER) + bytearray(mp.FRAME_BYTES - 4)
+    bad[4] = 0xF0
+    with pytest.raises(ValueError, match="allocation"):
+        mp.mpeg1_l1_decode(bytes(bad), 10)
+
+
+def test_mpeg1_rows_decode_in_batch_kernel(spark):
+    """mp1 rows flow through the vectorized batch decoder and land in
+    the windowed features with plausible energy (lossy: compare rms
+    against the exact pcm16 rms of the same waveform within 1%)."""
+    pdf = src.gen_audio_pdf(43, 0)
+    mp1 = pdf[pdf["codec"] == "mp1"]
+    assert len(mp1) == 3  # idx 0, 21, 42
+    df = src.audio_df(spark, 43, slices=2)
+    feats = mm.audio_features(df).toPandas().set_index("audio_id")
+    for aid in mp1["audio_id"]:
+        row = pdf[pdf["audio_id"] == aid].iloc[0]
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        idx = int(aid.split("_")[1])
+        h = int(splitmix64(np.array([idx], dtype=np.uint64))[0])
+        ns = int(row["n_samples"])
+        amp = 6000 + ((h >> 16) % 26000)
+        p = 16 + ((h >> 40) % 480)
+        a = 1 + 2 * ((h >> 8) % 128)
+        k = np.arange(ns, dtype=np.int64)
+        pcm = (((k % p) * a) % (2 * amp) - amp) / 32768.0
+        # reference = the same statistic (mean of per-full-window rms)
+        # on the EXACT waveform; the lossy codec must stay within 1%
+        nw = ns // 1024
+        wins = pcm[: nw * 1024].reshape(nw, 1024)
+        rms_ref = float(np.mean(np.sqrt(np.mean(wins**2, axis=1))))
+        got = float(feats.loc[aid, "rms_mean"])
+        assert abs(got - rms_ref) <= 0.01 * max(rms_ref, 1e-9) + 1e-4
