@@ -295,26 +295,100 @@ def decompose_ring(
     return out
 
 
+def _lobe_sign(lx: np.ndarray, ly: np.ndarray) -> int:
+    """Sign of the lobe's shoelace AS TRAVERSED — its winding-number
+    contribution (+1 CCW, −1 CW in world coords)."""
+    a = 0.0
+    n = len(lx)
+    for i in range(n):
+        j = i + 1 if i + 1 < n else 0
+        a += lx[i] * ly[j] - lx[j] * ly[i]
+    return 1 if a > 0 else -1
+
+
+def _interior_probe(lx: np.ndarray, ly: np.ndarray):
+    """A point strictly inside a simple lobe: the vertex centroid if
+    the ray test admits it, else the centroid of the first ear whose
+    own centroid passes — deterministic, no randomness."""
+    from mapnik_vector_tile_spark.functions.pip import points_in_ring
+
+    cx, cy = float(lx.mean()), float(ly.mean())
+    if bool(points_in_ring(np.array([cx]), np.array([cy]), lx, ly)[0]):
+        return cx, cy
+    n = len(lx)
+    for i in range(n):
+        j = (i + 1) % n
+        k = (i + 2) % n
+        ex = (lx[i] + lx[j] + lx[k]) / 3.0
+        ey = (ly[i] + ly[j] + ly[k]) / 3.0
+        if bool(
+            points_in_ring(np.array([ex]), np.array([ey]), lx, ly)[0]
+        ):
+            return ex, ey
+    return cx, cy  # degenerate fallback (zero-area lobes are gone)
+
+
 def repair_rings(
-    xs: np.ndarray, ys: np.ndarray, ring_offsets: np.ndarray
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ring_offsets: np.ndarray,
+    fill_rule: str = "even_odd",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Apply decompose_ring per ring of one polygon; ring order is
     input order then deterministic lobe-extraction order. Winding and
     exterior/hole roles are NOT assigned here — the encode kernel's
     containment-depth normalization downstream handles that for the
-    now-simple rings."""
+    now-simple rings.
+
+    fill_rule (the wagyu option surface; SURVEY F12 flags):
+    - "even_odd" (mapnik default): every decomposed lobe is a filled-
+      region boundary — keep all (the classic bowtie fills BOTH
+      triangles).
+    - "positive": OGC winding semantics.  Each lobe keeps its
+      as-traversed orientation sign; the winding number just inside
+      lobe i is w_in = Σ_j sign_j·[probe_i ∈ lobe_j] and just
+      outside w_out = w_in − sign_i.  A lobe is a boundary of the
+      filled region {w > 0} iff (w_in > 0) ≠ (w_out > 0) — the kept
+      set describes the positive-fill region in even-odd terms, so
+      the downstream normalization stays unchanged.  The bowtie's
+      negatively-wound triangle is DROPPED — the canonical
+      even-odd/positive disagreement, pinned by
+      q_engine_clip_repair_pos."""
+    if fill_rule not in ("even_odd", "positive"):
+        raise ValueError(f"repair_rings: unknown fill_rule {fill_rule!r}")
     ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+    lobes: list[tuple[np.ndarray, np.ndarray]] = []
+    for r in range(len(ring_offsets) - 1):
+        lobes.extend(
+            decompose_ring(
+                xs[ring_offsets[r] : ring_offsets[r + 1]],
+                ys[ring_offsets[r] : ring_offsets[r + 1]],
+            )
+        )
+    if fill_rule == "positive" and lobes:
+        from mapnik_vector_tile_spark.functions.pip import points_in_ring
+
+        signs = [_lobe_sign(lx, ly) for lx, ly in lobes]
+        probes = [_interior_probe(lx, ly) for lx, ly in lobes]
+        kept = []
+        for i, (lx, ly) in enumerate(lobes):
+            w_in = 0
+            pxp = np.array([probes[i][0]])
+            pyp = np.array([probes[i][1]])
+            for j, (jx, jy) in enumerate(lobes):
+                if j == i or bool(points_in_ring(pxp, pyp, jx, jy)[0]):
+                    w_in += signs[j]
+            w_out = w_in - signs[i]
+            if (w_in > 0) != (w_out > 0):
+                kept.append((lx, ly))
+        lobes = kept
     out_x: list[np.ndarray] = []
     out_y: list[np.ndarray] = []
     offs = [0]
-    for r in range(len(ring_offsets) - 1):
-        for lx, ly in decompose_ring(
-            xs[ring_offsets[r] : ring_offsets[r + 1]],
-            ys[ring_offsets[r] : ring_offsets[r + 1]],
-        ):
-            out_x.append(lx)
-            out_y.append(ly)
-            offs.append(offs[-1] + len(lx))
+    for lx, ly in lobes:
+        out_x.append(lx)
+        out_y.append(ly)
+        offs.append(offs[-1] + len(lx))
     if not out_x:
         return np.empty(0), np.empty(0), np.array([0], dtype=np.int64)
     return (

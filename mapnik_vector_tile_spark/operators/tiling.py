@@ -430,6 +430,7 @@ def make_encode_kernel(
     area_threshold: float = 0.0,
     emit_tiles: bool = False,
     repair: bool = False,
+    fill_rule: str = "even_odd",
     simplify_strategy: str = "douglas-peucker",
 ):
     """The per-group encode kernel (prepare, encode_group) used by
@@ -530,7 +531,9 @@ def make_encode_kernel(
                         # (self-crossing / self-touching) rings into
                         # simple lobes BEFORE box clipping — S-H clip
                         # is only sound on simple rings
-                        xs, ys, offs = repairmod.repair_rings(xs, ys, offs)
+                        xs, ys, offs = repairmod.repair_rings(
+                            xs, ys, offs, fill_rule=fill_rule
+                        )
                     fx, fy, roffs = clipmod.clip_polygon(
                         xs, ys, offs, bx0, by0, bx1, by1
                     )
@@ -590,6 +593,7 @@ def encode_layer_partials(
     adaptive_salt_target: int | None = None,
     emit_tiles: bool = False,
     repair: bool = False,
+    fill_rule: str = "even_odd",
     simplify_strategy: str = "douglas-peucker",
 ) -> DataFrame:
     """Per-(z,x,y,salt) fold: quantize (A.3) -> clip in world coords
@@ -619,6 +623,7 @@ def encode_layer_partials(
         area_threshold=area_threshold,
         emit_tiles=emit_tiles,
         repair=repair,
+        fill_rule=fill_rule,
         simplify_strategy=simplify_strategy,
     )
 
@@ -660,6 +665,7 @@ def encode_layers(
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
     repair: bool = False,
+    fill_rule: str = "even_odd",
     simplify_strategy: str = "douglas-peucker",
 ) -> DataFrame:
     """encode_layer_partials + salted-partial merge: one row per
@@ -677,6 +683,7 @@ def encode_layers(
             num_partitions=num_partitions,
             adaptive_salt_target=adaptive_salt_target,
             repair=repair,
+            fill_rule=fill_rule,
             simplify_strategy=simplify_strategy,
         )
     )
@@ -693,6 +700,7 @@ def encode_tiles(
     num_partitions: int | None = None,
     adaptive_salt_target: int | None = None,
     repair: bool = False,
+    fill_rule: str = "even_odd",
     simplify_strategy: str = "douglas-peucker",
 ) -> DataFrame:
     """EP1 fused finish, byte-identical to fold_tiles(encode_layers(...)).
@@ -717,6 +725,7 @@ def encode_tiles(
         n_salts=n_salts,
         num_partitions=num_partitions,
         repair=repair,
+        fill_rule=fill_rule,
         simplify_strategy=simplify_strategy,
     )
     if adaptive_salt_target is not None:

@@ -8086,7 +8086,9 @@ GROUP BY 1, 2
 REPAIR_N = 450  # q_engine_clip_repair corpus size
 
 
-def q_engine_clip_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _clip_repair_query(
+    spark: SparkSession, sf_dir: str, fill_rule: str = "even_odd"
+) -> DataFrame:
     """F12 polygon repair through the REAL encode path with a FULL
     oracle. Corpus: 450 polygons, idx%3 picks the shape — 0: valid
     rectangle (repair no-op pinned), 1: bowtie quad (edges AB×CD cross;
@@ -8163,7 +8165,7 @@ def q_engine_clip_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema=T.FEATURES_SCHEMA
     )
     assigned = T.assign_tiles(feats, 0, 0)
-    tiles = T.encode_tiles(assigned, repair=True)
+    tiles = T.encode_tiles(assigned, repair=True, fill_rule=fill_rule)
     dec = T.decode_tiles_to_features(tiles)
 
     def summarize(it):
@@ -8196,7 +8198,28 @@ def q_engine_clip_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_clip_repair(n: int = REPAIR_N) -> str:
+def q_engine_clip_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wagyu even-odd repair (mapnik default) — see _clip_repair_query."""
+    return _clip_repair_query(spark, sf_dir, "even_odd")
+
+
+def q_engine_clip_repair_pos(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F12 POSITIVE fill rule (the wagyu fill_rule option; OGC
+    winding semantics) over the SAME invalid-polygon corpus — the
+    corpus class where the two rules DISAGREE: the bowtie's lobes
+    carry opposite traversal signs (+wh/2 for (A,X,D), −wh/2 for
+    (X,B,C)), so positive fill keeps only the positively-wound
+    triangle while even-odd fills both; rectangles, spikes and the
+    double-CCW figure-8 are rule-agnostic.  Twin drops the negative
+    lobe closed-form."""
+    return _clip_repair_query(spark, sf_dir, "positive")
+
+
+def _sql_clip_repair(
+    n: int = REPAIR_N, fill_rule: str = "even_odd"
+) -> str:
     """DuckDB twin of q_engine_clip_repair: regenerate the lobes the
     repair kernel produces (closed form — see the query docstring for
     why X is exactly representable), quantize each vertex with the
@@ -8225,10 +8248,12 @@ def _sql_clip_repair(n: int = REPAIR_N) -> str:
     p("cs = 0 AND idx % 6 = 3", 1, 0, "x0", "y0")
     p("cs = 0 AND idx % 6 = 3", 1, 1, f"x0 + {half} * w", "y0")
     p("cs = 0 AND idx % 6 = 3", 1, 2, f"x0 + {half} * w", "y0 + hh")
-    # case 1: bowtie -> lobes (X,B,C) and (A,X,D)
-    p(1, 1, 0, f"x0 + {half} * w", f"y0 + {half} * hh")
-    p(1, 1, 1, "x0 + w", "y0 + hh")
-    p(1, 1, 2, "x0 + w", "y0")
+    # case 1: bowtie -> lobes (X,B,C) [CW, −wh/2] and (A,X,D)
+    # [CCW, +wh/2]; positive fill drops the CW lobe
+    if fill_rule == "even_odd":
+        p(1, 1, 0, f"x0 + {half} * w", f"y0 + {half} * hh")
+        p(1, 1, 1, "x0 + w", "y0 + hh")
+        p(1, 1, 2, "x0 + w", "y0")
     p(1, 2, 0, "x0", "y0")
     p(1, 2, 1, f"x0 + {half} * w", f"y0 + {half} * hh")
     p(1, 2, 2, "x0", "y0 + hh")
@@ -10133,6 +10158,10 @@ _ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
         _sql_simplify_radial(),
     ),
     "q_engine_clip_repair": (q_engine_clip_repair, _sql_clip_repair()),
+    "q_engine_clip_repair_pos": (
+        q_engine_clip_repair_pos,
+        _sql_clip_repair(fill_rule="positive"),
+    ),
     "q_raster_jpeg": (q_raster_jpeg, _sql_raster_jpeg()),
     "q_raster_png": (q_raster_png, _sql_raster_png()),
     "q_raster_webp": (q_raster_webp, _sql_raster_webp()),
@@ -14649,10 +14678,12 @@ def _style_query(engine: str) -> str:
 
 def q_style_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Style stops evaluation (functions/stylestops.py — mapbox-gl
-    linear + step property functions, exact floor-div interpolation
-    on pre-scaled integers) with a FULL oracle: one generated SQL
-    text per engine over per-feature zooms 0..15 — clamps, bracket
-    edges and every interpolated value under the hash."""
+    linear + step + exponential-base-7/4 property functions, exact
+    integer interpolation on pre-scaled values: the exponential
+    curve is the rational-base closed form, no pow() float) with a
+    FULL oracle: one generated SQL text per engine over per-feature
+    zooms 0..15 — clamps, bracket edges and every interpolated value
+    under the hash."""
     load_views(spark, sf_dir)
     return spark.sql(_style_query("spark"))
 

@@ -219,3 +219,14 @@ def test_style_stops_linear_and_step():
     # step: greatest stop <= z
     assert o[0] == 10 and o[7] == 10 and o[8] == 60 and o[12] == 100
     assert o[15] == 100
+    # exponential base 7/4: anchors exact, interior points follow the
+    # integer-exact t = ((p^d - q^d) q^(D-d)) / (p^D - q^D) curve
+    e = {r.z: r.v for r in rows[rows.prop == "width_exp"].itertuples()}
+    assert e[0] == 100 and e[5] == 400 and e[10] == 2000 and e[14] == 6000
+    den = 7**5 - 4**5
+    assert e[1] == 100 + (300 * (7 - 4) * 4**4) // den  # 114
+    assert e[2] == 100 + (300 * (49 - 16) * 4**3) // den  # 140
+    assert e[4] == 100 + (300 * (7**4 - 4**4) * 4) // den  # 263
+    assert e[15] == 6000  # clamp
+    # convexity: the exponential curve lags the linear one mid-bracket
+    assert e[2] < w[2]

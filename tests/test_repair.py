@@ -213,3 +213,34 @@ def test_decompose_random_rings_invariants():
             assert len(lx) >= 3
             assert abs(_area2(lx, ly)) > 0
             assert repair.ring_is_simple(lx, ly), (trial, lx, ly)
+
+
+def test_positive_fill_rule_drops_negative_bowtie_lobe():
+    """fill_rule='positive' (wagyu option, OGC winding): the bowtie's
+    CW lobe is dropped, the CCW lobe kept; even_odd keeps both; the
+    double-CCW figure-8 is rule-agnostic."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions.repair import repair_rings
+
+    # bowtie A(0,0) B(4,4) C(4,0) D(0,4): lobes (X,B,C) CW, (A,X,D) CCW
+    xs = np.array([0.0, 4.0, 4.0, 0.0])
+    ys = np.array([0.0, 4.0, 0.0, 4.0])
+    offs = np.array([0, 4])
+    _, _, o_eo = repair_rings(xs, ys, offs)
+    assert len(o_eo) - 1 == 2
+    px, py, o_pos = repair_rings(xs, ys, offs, fill_rule="positive")
+    assert len(o_pos) - 1 == 1
+    # the kept lobe is the CCW triangle (A, X, D)
+    kept = set(zip(px.tolist(), py.tolist()))
+    assert kept == {(0.0, 0.0), (2.0, 2.0), (0.0, 4.0)}
+    # figure-8, both loops CCW: rule-agnostic
+    xs8 = np.array([0.0, 4.0, 4.0, 0.0, -4.0, -4.0])
+    ys8 = np.array([0.0, 0.0, 4.0, 0.0, 0.0, -4.0])
+    offs8 = np.array([0, 6])
+    _, _, o8 = repair_rings(xs8, ys8, offs8, fill_rule="positive")
+    assert len(o8) - 1 == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fill_rule"):
+        repair_rings(xs, ys, offs, fill_rule="negative")
