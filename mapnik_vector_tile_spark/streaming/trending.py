@@ -114,3 +114,56 @@ def run_trending_stream_to_memory(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def run_trending_topk_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    k: int = TREND_K,
+    watermark: str = "30 minutes",
+    checkpoint_dir: str | None = None,
+):
+    """The END-TO-END serving leg (SURVEY §2.10): readStream →
+    watermarked window counts → a foreachBatch RANKING sink.  Each
+    micro-batch delivers rows of windows the watermark just CLOSED
+    (append mode); the sink appends them to the durable count store
+    (<out_dir>/counts) and republishes the serving artifact
+    (<out_dir>/topk) by re-ranking the store with the SAME
+    topk_trending plan the batch engine uses — so the serving table
+    equals the batch top-k exactly once the stream drains (pinned by
+    tests/test_streaming.py).
+
+    Scale: the store grows one row per (closed window, active tile)
+    — the z6+ tile-count bound per window, not event volume; the
+    re-rank is a window function over that bounded store (partition
+    by window start).  Runs the availableNow trigger to completion
+    and returns the finished StreamingQuery handle."""
+    from mapnik_vector_tile_spark.streaming.incremental import (
+        EVENTS_SCHEMA,
+    )
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    counts = trending_counts(src, watermark=watermark)
+
+    def publish(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_dir}/counts")
+        store = batch_df.sparkSession.read.parquet(f"{out_dir}/counts")
+        topk_trending(store, k).write.mode("overwrite").parquet(
+            f"{out_dir}/topk"
+        )
+
+    writer = (
+        counts.writeStream.foreachBatch(publish)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q

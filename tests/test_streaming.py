@@ -616,3 +616,49 @@ def test_trending_stream_counts_match_batch(spark, tmp_path):
     for rnk_list in per_w.values():
         assert sorted(rnk_list) == list(range(1, len(rnk_list) + 1))
         assert len(rnk_list) <= T.TREND_K
+
+
+def test_trending_topk_foreachbatch_sink_equals_batch(spark, tmp_path):
+    """§2.10 serving leg end-to-end: the foreachBatch ranking sink's
+    published artifact equals the batch top-k EXACTLY.  A far-future
+    sentinel event in the last chunk pushes the watermark past every
+    real window (the 'infinite watermark' condition), so all real
+    windows close and emit; the sentinel's own window never closes
+    and so never pollutes the store."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.streaming import trending as T
+
+    src = str(tmp_path / "topk_src")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("event_id")
+    pdf = ev.toPandas()
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            f"{src}/chunk{i}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    sent = pdf.iloc[[0]].copy()
+    sent["event_id"] = int(pdf["event_id"].max()) + 1
+    sent["ts"] = pdf["ts"].max() + pd.Timedelta(days=30)
+    sent.to_parquet(
+        f"{src}/chunk3.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    out = str(tmp_path / "topk_out")
+    q = T.run_trending_topk_stream(
+        spark, src, out, watermark="0 seconds",
+        checkpoint_dir=str(tmp_path / "ckpt_topk"),
+    )
+    assert q.lastProgress is not None
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{out}/topk").collect())
+    )
+    want = sorted(
+        map(tuple, T.topk_trending(T.trending_counts(ev)).collect())
+    )
+    assert got == want and len(got) > 0
