@@ -279,24 +279,42 @@ def assign_tiles(
             caps = pdf["caption"].to_numpy()
             lens = np.fromiter((len(a) for a in xs_np), np.int64, count=n)
             single = (gts == gc.GEOM_POINT) & (lens == 1)
-            sx = np.fromiter(
-                (a[0] if s else 0.0 for a, s in zip(xs_np, single)),
-                np.float64, count=n,
-            )
-            sy = np.fromiter(
-                (a[0] if s else 0.0 for a, s in zip(ys_np, single)),
-                np.float64, count=n,
-            )
-            minxs = np.where(single, sx, pdf["xs"].map(min).to_numpy(np.float64))
-            maxxs = np.where(single, sx, pdf["xs"].map(max).to_numpy(np.float64))
-            minys = np.where(single, sy, pdf["ys"].map(min).to_numpy(np.float64))
-            maxys = np.where(single, sy, pdf["ys"].map(max).to_numpy(np.float64))
-            # one packed-bytes object per MULTI feature, shared across
-            # all its z-level fan-out rows (np fancy-index copies the
-            # reference, not the bytes)
-            packed = np.empty(n, dtype=object)
-            for i in np.flatnonzero(~single):
-                packed[i] = _pack_coords(xs_np[i], ys_np[i], offs_np[i])
+            if single.all():
+                # all-single fast path (the image-footprint /
+                # point-corpus shape): one C-level concatenate, no
+                # per-row Python min/max maps, no packing loop
+                sx = np.concatenate(list(xs_np)).astype(np.float64)
+                sy = np.concatenate(list(ys_np)).astype(np.float64)
+                minxs = maxxs = sx
+                minys = maxys = sy
+                packed = np.empty(n, dtype=object)
+            else:
+                sx = np.fromiter(
+                    (a[0] if s else 0.0 for a, s in zip(xs_np, single)),
+                    np.float64, count=n,
+                )
+                sy = np.fromiter(
+                    (a[0] if s else 0.0 for a, s in zip(ys_np, single)),
+                    np.float64, count=n,
+                )
+                minxs = np.where(
+                    single, sx, pdf["xs"].map(min).to_numpy(np.float64)
+                )
+                maxxs = np.where(
+                    single, sx, pdf["xs"].map(max).to_numpy(np.float64)
+                )
+                minys = np.where(
+                    single, sy, pdf["ys"].map(min).to_numpy(np.float64)
+                )
+                maxys = np.where(
+                    single, sy, pdf["ys"].map(max).to_numpy(np.float64)
+                )
+                # one packed-bytes object per MULTI feature, shared
+                # across all its z-level fan-out rows (np fancy-index
+                # copies the reference, not the bytes)
+                packed = np.empty(n, dtype=object)
+                for i in np.flatnonzero(~single):
+                    packed[i] = _pack_coords(xs_np[i], ys_np[i], offs_np[i])
             if thin_thr is not None:
                 from mapnik_vector_tile_spark.sources.synth import splitmix64
 
@@ -335,19 +353,27 @@ def assign_tiles(
                 px = tm.round_half_away_np((sx[rep] - minx_t) * scale)
                 py = tm.round_half_away_np((maxy_t - sy[rep]) * scale)
                 m = len(rep)
-                chunks.append(pd.DataFrame({
-                    "feature_id": fids[rep],
-                    "geom_type": gts[rep],
-                    "coords": packed[rep],
-                    "caption": caps[rep],
-                    "z": np.full(m, z, dtype=np.int32),
-                    "x": tx,
-                    "y": ty,
-                    "is_single": srep,
-                    "px": np.where(srep, px, 0.0).astype(np.int64),
-                    "py": np.where(srep, py, 0.0).astype(np.int64),
-                }))
-            yield pd.concat(chunks)
+                chunks.append((
+                    fids[rep],
+                    gts[rep],
+                    packed[rep],
+                    caps[rep],
+                    np.full(m, z, dtype=np.int32),
+                    tx,
+                    ty,
+                    srep,
+                    np.where(srep, px, 0.0).astype(np.int64),
+                    np.where(srep, py, 0.0).astype(np.int64),
+                ))
+            # one column-wise concatenate + one DataFrame build (the
+            # per-z pd.DataFrame + pd.concat pair spent ~30% of this
+            # kernel in pandas block management)
+            names = ("feature_id", "geom_type", "coords", "caption",
+                     "z", "x", "y", "is_single", "px", "py")
+            yield pd.DataFrame({
+                name: np.concatenate([c[i] for c in chunks])
+                for i, name in enumerate(names)
+            })
 
     schema = ASSIGNED_SCHEMA
     return features.mapInPandas(gen, schema=schema)
@@ -745,6 +771,65 @@ def encode_tiles(
         )
     )
     return hi.unionByName(lo)
+
+
+def encode_tiles_from_features(
+    features: DataFrame,
+    z_min: int = 0,
+    z_max: int = 14,
+    buffer_units: int = tm.DEFAULT_BUFFER,
+    thin_base_z: int | None = None,
+    thin_rate: tuple[int, int] = (5, 2),
+    **encode_kwargs,
+) -> DataFrame:
+    """encode_tiles starting from the FEATURE table — byte-identical
+    output to encode_tiles(assign_tiles(features, z_min, z_max)), but
+    the narrow fan-out enumerates each (feature, tile) row exactly
+    ONCE: encode_tiles' hi/lo branches each re-run the full-z-range
+    assign and then z-filter half the enumerated rows away (its
+    documented recompute-over-reshuffle tradeoff — sound when handed
+    an opaque `assigned`, but wasteful when the caller still holds
+    the features).  Splitting the zoom RANGE at SALT_MAX_Z instead
+    gives each branch its own assign over only the zooms it keeps —
+    at the bench scale this removes ~half of the encode query's
+    wall-clock, and a branch whose range is empty (e.g. z_min >
+    SALT_MAX_Z, the common high-zoom serving case) costs nothing at
+    all.  buffer_units/thin_* feed the assigns; everything else
+    passes through to the encode stage."""
+    common = dict(buffer_units=buffer_units, **encode_kwargs)
+    parts = []
+    if z_max > SALT_MAX_Z:
+        hi_assigned = assign_tiles(
+            features,
+            max(z_min, SALT_MAX_Z + 1),
+            z_max,
+            buffer_units=buffer_units,
+            extent=encode_kwargs.get("extent", tm.DEFAULT_EXTENT),
+            thin_base_z=thin_base_z,
+            thin_rate=thin_rate,
+        )
+        parts.append(
+            encode_layer_partials(hi_assigned, emit_tiles=True, **common)
+        )
+    if z_min <= SALT_MAX_Z:
+        lo_assigned = assign_tiles(
+            features,
+            z_min,
+            min(z_max, SALT_MAX_Z),
+            buffer_units=buffer_units,
+            extent=encode_kwargs.get("extent", tm.DEFAULT_EXTENT),
+            thin_base_z=thin_base_z,
+            thin_rate=thin_rate,
+        )
+        parts.append(
+            fold_tiles_from_partials(
+                encode_layer_partials(lo_assigned, **common)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def encode_wafer_tiles(

@@ -68,16 +68,23 @@ def q_encode_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapnik_vector_tile_spark.operators import tiling as T
 
     feats = _order_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, 0, 10, buffer_units=0)
-    return T.encode_tiles(assigned, n_salts=16)
+    # split-z-range single-enumeration path: byte-identical to
+    # encode_tiles(assign_tiles(feats, 0, 10)) but the narrow fan-out
+    # runs once per zoom instead of once per branch
+    return T.encode_tiles_from_features(
+        feats, 0, 10, buffer_units=0, n_salts=16
+    )
 
 
 def q_decode_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapnik_vector_tile_spark.operators import tiling as T
 
     feats = _order_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, 6, 10, buffer_units=0)
-    tiles = T.encode_tiles(assigned, n_salts=16)
+    # z range is entirely above SALT_MAX_Z: the from-features path
+    # skips the (empty) salted low-z branch altogether
+    tiles = T.encode_tiles_from_features(
+        feats, 6, 10, buffer_units=0, n_salts=16
+    )
     return T.decode_tiles_to_features(tiles)
 
 
@@ -114,8 +121,9 @@ def q_encode_z10_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapnik_vector_tile_spark.operators import tiling as T
 
     feats = _order_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, 10, 10, buffer_units=0)
-    return T.encode_tiles(assigned, n_salts=16)
+    return T.encode_tiles_from_features(
+        feats, 10, 10, buffer_units=0, n_salts=16
+    )
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:

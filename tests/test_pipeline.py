@@ -129,6 +129,28 @@ def test_fused_encode_tiles_byte_identical(spark):
         assert bytes(a.tile) == bytes(b.tile), f"tile {a.z}/{a.x}/{a.y} differs"
 
 
+def test_encode_tiles_from_features_byte_identical(spark):
+    """The split-z-range single-enumeration path must be
+    byte-identical to encode_tiles(assign_tiles(...)) across a z
+    range spanning both branches, and for a purely-high-z range
+    (where the lo branch is skipped entirely)."""
+    images = synth.images_df(spark, 50, with_bytes=False, slices=2)
+    feats = T.images_to_features(images)
+    for z0, z1 in ((0, 7), (6, 8)):
+        ref = (
+            T.encode_tiles(T.assign_tiles(feats, z0, z1), n_salts=8)
+            .toPandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+        )
+        new = (
+            T.encode_tiles_from_features(feats, z0, z1, n_salts=8)
+            .toPandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+        )
+        assert len(ref) == len(new) > 0
+        for a, b in zip(ref.itertuples(), new.itertuples()):
+            assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
+            assert bytes(a.tile) == bytes(b.tile), (z0, z1, a.z, a.x, a.y)
+
+
 def test_decode_bbox_prefilter(spark):
     """S2 decode-scan bbox: tile-id pruning before decode equals full
     decode + post-filter on tile intersection."""
