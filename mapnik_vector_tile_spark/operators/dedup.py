@@ -702,6 +702,117 @@ def phash_neardup_pairs(
     return pairs.distinct()
 
 
+def phash_neardup_pairs_mi(
+    imgs: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    bits: int = 64,
+    hot_bucket_limit: int | None = HOT_BUCKET_LIMIT,
+) -> DataFrame:
+    """T21 at fleet density — the MULTI-INDEX Hamming join (HmSearch /
+    multi-index pigeonhole): the sf0.1→sf1.0 spot-run measured the
+    8-bit-band join super-linear (scaling exponent ≈1.8 — every
+    (band, value) bucket holds n/256 images, so candidates grow
+    n²/64: 3.5·10⁸ pairs at just 150k images).  This variant bands
+    the hash into 4×16-bit substrings and EXPANDS one join side with
+    every 1-bit flip of each substring (17 probes per band): by
+    pigeonhole, Hamming ≤ 7 total means SOME band differs by ≤ 1, so
+    the asymmetric plain×probe equi-join is LOSSLESS for the SAME
+    max_hamming ≤ 7 contract while the 65536-value band space cuts
+    uniform-corpus candidates ~15× (n²/964) — and keeps shrinking
+    relative to n² as the value space outgrows the corpus slice per
+    executor.  Output identical to phash_neardup_pairs (both exact);
+    q_phash_mi pins it against the same brute-force twin.
+
+    The degenerate-cluster guard is the same hub-star cap, applied to
+    the plain-side buckets."""
+    if max_hamming > 7:
+        raise ValueError(
+            "multi-index losslessness needs max_hamming <= 7 "
+            "(4 bands x (1-flip probes + 1) - 1)"
+        )
+    if bits != 64:
+        raise ValueError("phash_neardup_pairs_mi: 64-bit hashes only")
+    n_bands, bw = 4, 16
+    mask = (1 << bw) - 1
+    plain_entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftrightunsigned(F.col("h"), c * bw)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for c in range(n_bands)
+        ]
+    )
+    flips = [0] + [1 << j for j in range(bw)]
+    banded = imgs.select(
+        F.col(id_col).alias("img"), F.col(hash_col).alias("h")
+    ).select("img", "h", F.explode(plain_entries).alias("e")).select(
+        "img", "h", F.col("e.band").alias("band"),
+        F.col("e.bval").alias("bval"),
+    )
+    if hot_bucket_limit is None:
+        src = banded
+        hot = None
+    else:
+        banded = banded.localCheckpoint(eager=True)
+        hotstats = _hot_buckets(
+            banded,
+            ["band", "bval"],
+            [
+                F.min("img").alias("_hub"),
+                F.min_by("h", "img").alias("_hub_h"),
+            ],
+            hot_bucket_limit,
+        )
+        tagged = banded.join(
+            F.broadcast(hotstats), on=["band", "bval"], how="left"
+        )
+        src = tagged.filter(F.col("_hub").isNull()).drop("_hub", "_hub_h")
+        hot = (
+            tagged.filter(
+                F.col("_hub").isNotNull() & (F.col("img") != F.col("_hub"))
+            )
+            .select(
+                F.col("_hub").alias("img_a"),
+                F.col("img").alias("img_b"),
+                F.bit_count(
+                    F.col("_hub_h").bitwiseXOR(F.col("h"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    probes = src.select(
+        "img", "h", "band",
+        F.explode(
+            F.array(*[F.col("bval").bitwiseXOR(F.lit(f)) for f in flips])
+        ).alias("bval"),
+    )
+    a, b = src.alias("a"), probes.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.img") < F.col("b.img")),
+        )
+        .select(
+            F.col("a.img").alias("img_a"),
+            F.col("b.img").alias("img_b"),
+            F.bit_count(
+                F.col("a.h").bitwiseXOR(F.col("b.h"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    if hot is not None:
+        pairs = pairs.unionByName(hot)
+    return pairs.distinct()
+
+
 def dup_ngram_spans(
     docs: DataFrame, n: int = 8, min_docs: int = 2
 ) -> DataFrame:

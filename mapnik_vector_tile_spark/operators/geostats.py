@@ -682,7 +682,16 @@ def knox_ingredients(
     n_t and n_st via the interval-join bucket trick — equi-join on
     floor(t/tau) with the +1 bucket, exact |Δt| filter, (t, id)
     ordering dedup.  Output ONE row: (n_events, n_pairs, n_s, n_t,
-    n_st, knox_dbl)."""
+    n_st, knox_dbl).
+
+    Scaling note (sf0.1→sf1.0 spot-run, exponent ≈1.4): the
+    TIME-CLOSE pair relation itself grows with event density squared
+    — n_t ≈ n²·tau/T_span — so the bucket join's work tracks the
+    statistic's own definition, not a plan flaw; no candidate is
+    enumerated that isn't a true time-close pair (plus the ±1
+    adjacent-bucket misses).  At fleet density shrink tau, partition
+    the test per region, or sample pairs — knobs on the STATISTIC,
+    not on this plan."""
     ev = located.select(
         "cx", "cy", F.col("t").cast("long").alias("t"),
         F.col("eid").cast("long").alias("eid"),

@@ -139,11 +139,15 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T21 Hamming-band LSH over clustered 63-bit phashes (the
-    q_phash_neardup corpus at bench scale) — pure JVM band join."""
-    from mapnik_vector_tile_spark.plans.oracle_pairs import q_phash_neardup
+    """T21 image near-dup over clustered 63-bit phashes at bench
+    scale — since r3 the MULTI-INDEX join (4×16-bit bands + 1-flip
+    probes, dedup.phash_neardup_pairs_mi): the sf1.0 spot-run showed
+    the 8-bit-band join going super-linear (exponent ≈1.8, 91 s at
+    sf1.0); the multi-index form keeps the identical exact
+    Hamming ≤ 6 output with ~15× fewer candidates."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_phash_mi
 
-    return q_phash_neardup(spark, sf_dir)
+    return q_phash_mi(spark, sf_dir)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -355,6 +355,46 @@ def test_phash_neardup_lossless_vs_bruteforce(spark):
             if d <= 6:
                 want.add((ids[i], ids[j], d))
     assert got == want and len(want) >= 10
+    # the multi-index form (4x16-bit bands + 1-flip probes) is exact
+    # for the same contract — identical output on the same corpus,
+    # including the negative-hash banding
+    from mapnik_vector_tile_spark.operators.dedup import (
+        phash_neardup_pairs_mi,
+    )
+
+    got_mi = {
+        (r.img_a, r.img_b, r.hamming)
+        for r in phash_neardup_pairs_mi(imgs, max_hamming=6).collect()
+    }
+    assert got_mi == want
+    # Hamming 7 (the pigeonhole edge for both schemes) stays lossless
+    got7 = {
+        (r.img_a, r.img_b)
+        for r in phash_neardup_pairs_mi(imgs, max_hamming=7).collect()
+    }
+    want7 = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin((hs[ids[i]] ^ hs[ids[j]]) & (2**64 - 1)).count("1")
+            if d <= 7:
+                want7.add((ids[i], ids[j]))
+    assert got7 == want7
+
+
+def test_phash_mi_hot_bucket_star(spark):
+    """The multi-index variant keeps the hub-star degenerate guard."""
+    from mapnik_vector_tile_spark.operators.dedup import (
+        phash_neardup_pairs_mi,
+    )
+
+    n = 60
+    imgs = spark.createDataFrame(
+        [(i, 0x0F0F0F0F0F0F0F0F) for i in range(n)],
+        schema="image_id long, phash long",
+    )
+    star = phash_neardup_pairs_mi(imgs, hot_bucket_limit=16).collect()
+    assert len(star) == n - 1
+    assert all(r.img_a == 0 and r.hamming == 0 for r in star)
 
 
 def test_hot_bucket_star_guard_phash(spark):
