@@ -182,12 +182,23 @@ def minhash_lsh_pairs(
     ``hot_bucket_limit`` emit a hub star instead of the O(m²) clique
     (see HOT_BUCKET_LIMIT — connected-component-equivalent for dedup
     clustering; pass None for the unguarded exact clique)."""
-    r = n_hashes // n_bands
-    sig = minhash_signatures(docs, n_hashes, n)
     # single-pass band explode (NOT a 4-way union: a union would clone
     # the whole shingle+agg pipeline per band AND per self-join side —
     # 8 recomputes; this shape computes signatures once and lets the
     # self-join reuse the exchange)
+    bands = _doc_bands(docs, n_hashes, n_bands, n)
+    return _banded_pairs(
+        bands, ["band", "sig"], "doc_id", "doc_a", "doc_b", hot_bucket_limit
+    )
+
+
+def _doc_bands(
+    docs: DataFrame, n_hashes: int, n_bands: int, n: int
+) -> DataFrame:
+    """(doc_id, band, sig) — the banded minhash signature relation
+    (shared by minhash_lsh_pairs and incremental_minhash_pairs)."""
+    r = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes, n)
     entries = F.array(
         *[
             F.struct(
@@ -203,12 +214,85 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = sig.select("doc_id", F.explode(entries).alias("e")).select(
+    return sig.select("doc_id", F.explode(entries).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.sig").alias("sig")
     )
-    return _banded_pairs(
-        bands, ["band", "sig"], "doc_id", "doc_a", "doc_b", hot_bucket_limit
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    n: int = 3,
+    hot_bucket_limit: int | None = HOT_BUCKET_LIMIT,
+) -> DataFrame:
+    """T42 INCREMENTAL corpus dedup — the daily-ingest shape every
+    production pipeline actually runs at 10^12 scale: a (small) new
+    batch is matched against the already-deduplicated INDEX and
+    against itself; the index is NEVER re-paired with itself (that
+    work was done when those docs were ingested).  doc_id spaces
+    must be disjoint (caller contract).
+
+    Plan: band both sides' minhash signatures (the index side is the
+    big scan; its banded relation is exactly what an ingest pipeline
+    persists as its dedup index), then
+      cross  = new×index band equi-join — the probe side is
+               batch-sized, so shuffle ∝ |new| + matched buckets;
+      within = the standard guarded self-join over the new batch.
+    Hot INDEX buckets (> hot_bucket_limit members) would mean the
+    index was never actually deduplicated; rather than emit m pairs
+    per probe, each new doc in such a bucket matches the bucket's
+    MIN-id representative only — for the keep/drop decision one
+    witness is as good as m, the hub-star argument specialized to
+    the asymmetric join.
+
+    Output: (doc_a, doc_b, from_index) — doc_a the new doc, doc_b
+    its match (an index doc, or an earlier new doc), distinct."""
+    bn = _doc_bands(new_docs, n_hashes, n_bands, n).localCheckpoint(
+        eager=True
     )
+    bi = _doc_bands(index_docs, n_hashes, n_bands, n)
+    if hot_bucket_limit is None:
+        src_i = bi
+        hot_pairs = None
+    else:
+        bi = bi.localCheckpoint(eager=True)
+        hotstats = _hot_buckets(
+            bi, ["band", "sig"], [F.min("doc_id").alias("_hub")],
+            hot_bucket_limit,
+        )
+        tagged = bi.join(F.broadcast(hotstats), ["band", "sig"], "left")
+        src_i = tagged.filter(F.col("_hub").isNull()).drop("_hub")
+        hot_pairs = (
+            bn.join(F.broadcast(hotstats), ["band", "sig"])
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_hub").alias("doc_b"),
+                F.lit(True).alias("from_index"),
+            )
+        )
+    cross = (
+        bn.alias("a")
+        .join(
+            src_i.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(True).alias("from_index"),
+        )
+    )
+    within = _banded_pairs(
+        bn, ["band", "sig"], "doc_id", "doc_a", "doc_b",
+        hot_bucket_limit,
+    ).select("doc_a", "doc_b", F.lit(False).alias("from_index"))
+    out = cross.unionByName(within)
+    if hot_pairs is not None:
+        out = out.unionByName(hot_pairs)
+    return out.distinct()
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:

@@ -438,6 +438,105 @@ def hausdorff_pairs(pts: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def frechet_pairs(
+    pts: DataFrame, pairs: DataFrame, max_len: int = 4096
+) -> DataFrame:
+    """W17 discrete Fréchet distance between ORDERED trajectory pairs
+    — the order-aware sibling of hausdorff_pairs (the dog-leash
+    similarity trajectory clustering and map-matching evaluation
+    use; Eiter & Mannila '94), kept EXACT in squared integer units:
+    the classic coupled DP
+        c[i][j] = max(d²(aᵢ, bⱼ), min(c[i-1][j], c[i][j-1],
+                                      c[i-1][j-1]))
+    over int64 coordinates — max/min of BIGINTs, no floats; the
+    DuckDB twin replays the SAME recurrence cell by cell through a
+    list-carrying recursive CTE (a sliding window of the last m+1 DP
+    values), so a single mis-propagated cell breaks the hash.
+
+    pts: (tid, seq, x, y) — seq orders the trajectory; pairs:
+    (ta, tb) — candidates from an upstream bucket join (co-travel /
+    same-cell prefilter), never all-pairs.  Per pair the DP is an
+    O(|A|·|B|) numpy kernel inside ONE mapInPandas over the
+    pair-with-both-arrays rows (trajectories ship as packed arrays,
+    one row per pair — no shuffle beyond the two array joins);
+    trajectories longer than ``max_len`` raise rather than silently
+    absorb quadratic work — simplify upstream first
+    (functions/simplify.py), the same bounded-kernel contract as the
+    brute-force ANN baseline.
+
+    Output: (ta, tb, n_a, n_b, frech2)."""
+    import numpy as np
+    import pandas as pd
+
+    traj = pts.groupBy("tid").agg(
+        F.array_sort(
+            F.collect_list(F.struct("seq", "x", "y"))
+        ).alias("tpts")
+    )
+    j = (
+        pairs.join(
+            traj.select(
+                F.col("tid").alias("ta"), F.col("tpts").alias("pa")
+            ),
+            "ta",
+        )
+        .join(
+            traj.select(
+                F.col("tid").alias("tb"), F.col("tpts").alias("pb")
+            ),
+            "tb",
+        )
+    )
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {"ta": [], "tb": [], "n_a": [], "n_b": [],
+                   "frech2": []}
+            for ta, tb, pa, pb in zip(
+                pdf["ta"], pdf["tb"], pdf["pa"], pdf["pb"]
+            ):
+                ax = np.array([p["x"] for p in pa], dtype=np.int64)
+                ay = np.array([p["y"] for p in pa], dtype=np.int64)
+                bx = np.array([p["x"] for p in pb], dtype=np.int64)
+                by = np.array([p["y"] for p in pb], dtype=np.int64)
+                n, m = len(ax), len(bx)
+                if n == 0 or m == 0:
+                    continue
+                if n > max_len or m > max_len:
+                    raise ValueError(
+                        f"frechet_pairs: trajectory longer than "
+                        f"max_len={max_len} — simplify upstream"
+                    )
+                d2 = (ax[:, None] - bx[None, :]) ** 2 + (
+                    ay[:, None] - by[None, :]
+                ) ** 2
+                prev = np.maximum.accumulate(d2[0]).astype(np.int64)
+                for i in range(1, n):
+                    cur = np.empty(m, dtype=np.int64)
+                    cur[0] = max(prev[0], d2[i, 0])
+                    row = d2[i]
+                    t = np.minimum(prev[1:], prev[:-1])
+                    for jj in range(1, m):
+                        v = t[jj - 1]
+                        if cur[jj - 1] < v:
+                            v = cur[jj - 1]
+                        cur[jj] = row[jj] if row[jj] > v else v
+                    prev = cur
+                out["ta"].append(ta)
+                out["tb"].append(tb)
+                out["n_a"].append(n)
+                out["n_b"].append(m)
+                out["frech2"].append(int(prev[-1]))
+            yield pd.DataFrame(out).astype(np.int64)
+
+    return j.mapInPandas(
+        kernel,
+        "ta long, tb long, n_a long, n_b long, frech2 long",
+    )
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 

@@ -10273,6 +10273,8 @@ _RECORD_FIRST = (
     # covered 100 distinct keys, so round 3 promotes every
     # never-recorded key (new r3 keys first) — cross-round union
     # keeps growing toward full registry coverage
+    "q_frechet",
+    "q_incremental_dedup",
     "q_phash_mi",
     "q_concurrency_seg",
     "q_earcut_holes",
@@ -15979,3 +15981,129 @@ _ENGINE_PAIRS["q_tile_churn"] = (q_tile_churn, _sql_tile_churn())
 # registered here (not at its definition site) because _sql_audio_mp1
 # needs splitmix64_sql, defined later in the module
 _ENGINE_PAIRS["q_audio_mp1"] = (q_audio_mp1, _sql_audio_mp1())
+
+
+# ---------------------------------------------------------------------------
+# q_frechet — W17 discrete Fréchet distance via list-carrying DP replay
+# ---------------------------------------------------------------------------
+
+FR_MAXPTS = 12  # per-trajectory cap (keeps the twin's recursion ~144 deep)
+
+
+def q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 discrete Fréchet distance (temporal.frechet_pairs) with a
+    FULL oracle.  Corpus: each user's first FR_MAXPTS events (by
+    ts, event_id) become an ordered trajectory with splitmix-derived
+    integer coordinates (the staypoints corpus recipe without the
+    epoch drift); pairs are (u, u+1) for even u present on both
+    sides.  The DuckDB twin replays the EXACT coupled DP cell by
+    cell in row-major order through a recursive CTE that carries a
+    sliding window of the last m+1 DP values — c[i-1][j-1], c[i-1][j]
+    and c[i][j-1] are reads at fixed window offsets, so one
+    mis-propagated cell (or a wrong boundary rule at i=0 / j=0)
+    breaks the value hash."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.temporal import frechet_pairs
+
+    xy_t = StructType(
+        [StructField("x", LongType()), StructField("y", LongType())]
+    )
+
+    def _xy(key):
+        import numpy as np
+        import pandas as pd
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        uid = key["user_id"].to_numpy(np.int64)
+        ev = key["event_id"].to_numpy(np.uint64)
+        hc = splitmix64((uid * 1_000_003).astype(np.uint64))
+        hp = splitmix64(ev)
+        return pd.DataFrame(
+            {
+                "x": (hc % np.uint64(64)).astype(np.int64)
+                + (hp % np.uint64(17)).astype(np.int64),
+                "y": ((hc >> np.uint64(7)) % np.uint64(64)).astype(
+                    np.int64
+                )
+                + ((hp >> np.uint64(5)) % np.uint64(17)).astype(np.int64),
+            }
+        )
+
+    xy = F.pandas_udf(_xy, xy_t)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", "ts")
+        .withColumn("seq", F.row_number().over(w).cast("long"))
+        .filter(F.col("seq") <= FR_MAXPTS)
+        .withColumn("p", xy(F.struct("user_id", "event_id")))
+        .select(
+            F.col("user_id").alias("tid"), "seq",
+            F.col("p.x").alias("x"), F.col("p.y").alias("y"),
+        )
+    )
+    users = pts.select("tid").distinct()
+    pairs = (
+        users.filter(F.col("tid") % 2 == 0)
+        .select(F.col("tid").alias("ta"), (F.col("tid") + 1).alias("tb"))
+        .join(users.select(F.col("tid").alias("tb")), "tb")
+    )
+    return frechet_pairs(pts, pairs)
+
+
+def _sql_frechet(maxpts: int = FR_MAXPTS) -> str:
+    sm_c = splitmix64_sql("(u * 1000003)")
+    sm_p = splitmix64_sql("event_id")
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS u, event_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS seq
+  FROM events),
+pts AS MATERIALIZED (
+  SELECT u, seq,
+         CAST(({sm_c}) % 64 + ({sm_p}) % 17 AS BIGINT) AS x,
+         CAST((({sm_c}) // 128) % 64 + (({sm_p}) // 32) % 17
+              AS BIGINT) AS y
+  FROM ev WHERE seq <= {maxpts}),
+tr AS MATERIALIZED (
+  SELECT u, list(x ORDER BY seq) AS xs, list(y ORDER BY seq) AS ys
+  FROM pts GROUP BY u),
+pr AS MATERIALIZED (
+  SELECT a.u AS ta, b.u AS tb,
+         a.xs AS xa, a.ys AS ya, b.xs AS xb, b.ys AS yb,
+         len(a.xs) AS n, len(b.xs) AS m
+  FROM tr a JOIN tr b ON b.u = a.u + 1 AND a.u % 2 = 0),
+dp(ta, tb, xa, ya, xb, yb, n, m, t, win, c) AS (
+  SELECT ta, tb, xa, ya, xb, yb, n, m, 0,
+         list_transform(range(0, m + 1), z -> CAST(0 AS BIGINT)),
+         CAST((xa[1] - xb[1]) * (xa[1] - xb[1])
+              + (ya[1] - yb[1]) * (ya[1] - yb[1]) AS BIGINT)
+  FROM pr
+  UNION ALL
+  SELECT ta, tb, xa, ya, xb, yb, n, m, t + 1,
+         list_append(win[2:m + 1], c),
+         CAST(greatest(
+           (xa[(t + 1) // m + 1] - xb[(t + 1) % m + 1])
+             * (xa[(t + 1) // m + 1] - xb[(t + 1) % m + 1])
+           + (ya[(t + 1) // m + 1] - yb[(t + 1) % m + 1])
+             * (ya[(t + 1) // m + 1] - yb[(t + 1) % m + 1]),
+           CASE
+             WHEN (t + 1) // m = 0 THEN c
+             WHEN (t + 1) % m = 0 THEN list_append(win[2:m + 1], c)[2]
+             ELSE least(list_append(win[2:m + 1], c)[1],
+                        list_append(win[2:m + 1], c)[2],
+                        c)
+           END) AS BIGINT)
+  FROM dp WHERE t + 1 < n * m)
+SELECT ta, tb, CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       c AS frech2
+FROM dp WHERE t = n * m - 1
+"""
+
+
+_ENGINE_PAIRS["q_frechet"] = (q_frechet, _sql_frechet())

@@ -1593,6 +1593,8 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
     (approximate/recall-bounded ops, documented)."""
     return {
         "q_exact_dedup": (q_exact_dedup, sql_exact_dedup()),
+        "q_incremental_dedup": (
+            q_incremental_dedup, sql_incremental_dedup()),
         "q_dup_ngram_spans": (q_dup_ngram_spans, sql_dup_ngram_spans()),
         "q_minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
         "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
@@ -2310,4 +2312,78 @@ SELECT vec_id, nbr, c_pre, c_full, rnk FROM (
            AS rnk
   FROM s1 WHERE r1 <= {m}
 ) WHERE rnk <= {k}
+"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """T42 incremental corpus dedup (dedup.incremental_minhash_pairs)
+    with a FULL oracle.  New batch = exact copies of every doc_id%7==0
+    document (id+10^6 — guaranteed index matches) plus salted
+    variants of doc_id%11==3 documents (id+2·10^6, text || per-doc
+    salt — band collisions only where the shingle overlap survives);
+    index = the whole documents table.  DuckDB replays the shingle →
+    minhash → band chain over the SAME combined corpus and emits the
+    identical (new×index ∪ new×new) pair set; index×index pairs must
+    NOT appear."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 3).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" zz"),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    return D.incremental_minhash_pairs(new, docs)
+
+
+def sql_incremental_dedup() -> str:
+    h = H7_D.format(x="shingle")
+    r = N_HASHES // N_BANDS
+    band_selects = []
+    for b in range(N_BANDS):
+        sig = " || '_' || ".join(
+            f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r)
+        )
+        band_selects.append(
+            f"SELECT doc_id, is_new, {b} AS band, {sig} AS sig FROM mh"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH alldocs AS (
+  SELECT doc_id, text, FALSE AS is_new FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, TRUE FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zz' || CAST(doc_id AS VARCHAR), TRUE
+  FROM documents WHERE doc_id % 11 = 3),
+{_shingle_cte('alldocs')},
+h AS (SELECT doc_id, {h} AS hv FROM sh),
+mh AS (
+  SELECT s.doc_id, d.is_new, {_minhash_aggs()}
+  FROM (SELECT doc_id, hv FROM h) s
+  JOIN (SELECT DISTINCT doc_id, is_new FROM alldocs) d USING (doc_id)
+  GROUP BY s.doc_id, d.is_new),
+bands AS ({bands}),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         TRUE AS from_index
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig
+   AND a.is_new AND NOT b.is_new
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, FALSE
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig
+   AND a.is_new AND b.is_new AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, from_index FROM prs
 """

@@ -946,3 +946,46 @@ def test_mmr_diversity_beats_pure_relevance(spark):
     assert [(r["cid"], r["rnk"]) for r in out] == [(1, 1), (3, 2)]
     assert out[0]["mmr"] == 100          # first pick = raw relevance
     assert out[1]["mmr"] == 50 - 5       # rel - maxsim vs picked
+
+
+def test_incremental_minhash_pairs_semantics(spark):
+    """T42: new docs match the index and each other; index x index
+    pairs never appear; a hot (never-deduped) index bucket yields one
+    representative witness per probe instead of m pairs."""
+    from mapnik_vector_tile_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight"
+    index = spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(101, text), (102, text), (103, "nine ten eleven twelve t13 t14")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.from_index)
+        for r in incremental_minhash_pairs(new, index).collect()
+    }
+    # both identical new docs match both index copies and each other
+    assert (101, 1, True) in got and (101, 2, True) in got
+    assert (102, 1, True) in got and (102, 2, True) in got
+    assert (101, 102, False) in got
+    # the unique new doc matches nothing
+    assert not any(a == 103 for a, _, _ in got)
+    # index x index never appears (1,2 are identical in the index)
+    assert not any(a in (1, 2, 3) for a, _, _ in got)
+    # hot index bucket -> one hub witness per probe
+    hot_index = spark.createDataFrame(
+        [(i, text) for i in range(1, 31)], "doc_id long, text string"
+    )
+    star = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_minhash_pairs(
+            new, hot_index, hot_bucket_limit=8
+        ).collect()
+        if r.from_index
+    }
+    assert star == {(101, 1), (102, 1)}

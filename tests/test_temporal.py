@@ -396,3 +396,67 @@ def test_trimmed_sums_drops_tails(spark):
     assert out["sum_all"] == 55
     assert out["sum_trim"] == 55 - 1 - 10
     assert (out["min_kept"], out["max_kept"]) == (2, 9)
+
+
+def test_frechet_pairs_exact_dp(spark):
+    """W17 discrete Fréchet: identical trajectories are 0, the
+    classic order-sensitivity case beats Hausdorff, and the DP equals
+    a brute-force recursive reference on a mixed corpus."""
+    from functools import lru_cache
+
+    from mapnik_vector_tile_spark.operators.temporal import frechet_pairs
+
+    # trajectories: 0 = straight; 1 = same points reversed; 2 = copy of 0
+    t0 = [(0, i, i, 0) for i in range(6)]
+    t1 = [(1, i, 5 - i, 0) for i in range(6)]
+    t2 = [(2, i, i, 0) for i in range(6)]
+    t3 = [(3, i, [0, 3, 1, 4, 2][i], [2, 0, 5, 1, 3][i]) for i in range(5)]
+    pts = spark.createDataFrame(
+        t0 + t1 + t2 + t3, "tid long, seq long, x long, y long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 3)], "ta long, tb long"
+    )
+    got = {
+        (r.ta, r.tb): (r.n_a, r.n_b, r.frech2)
+        for r in frechet_pairs(pts, pairs).collect()
+    }
+    assert got[(0, 2)] == (6, 6, 0)  # identical -> 0
+    # reversed line: same point SET (Hausdorff 0) but Fréchet must
+    # walk end-to-end against the reversal: leash reaches >= 25
+    assert got[(0, 1)][2] >= 25
+
+    def brute(a, b):
+        @lru_cache(maxsize=None)
+        def c(i, j):
+            d = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+            if i == 0 and j == 0:
+                return d
+            if i == 0:
+                return max(d, c(0, j - 1))
+            if j == 0:
+                return max(d, c(i - 1, 0))
+            return max(d, min(c(i - 1, j), c(i, j - 1), c(i - 1, j - 1)))
+        return c(len(a) - 1, len(b) - 1)
+
+    trajs = {
+        0: [(p[2], p[3]) for p in t0],
+        1: [(p[2], p[3]) for p in t1],
+        2: [(p[2], p[3]) for p in t2],
+        3: [(p[2], p[3]) for p in t3],
+    }
+    for (ta, tb), (_, _, f2) in got.items():
+        assert f2 == brute(tuple(trajs[ta]), tuple(trajs[tb]))
+    # bounded-kernel contract
+    import pytest as _pytest
+
+    long_t = [(9, i, i, 0) for i in range(10)]
+    pts2 = spark.createDataFrame(
+        long_t + t0, "tid long, seq long, x long, y long"
+    )
+    with _pytest.raises(Exception):  # Py4J-wrapped ValueError
+        frechet_pairs(
+            pts2,
+            spark.createDataFrame([(0, 9)], "ta long, tb long"),
+            max_len=4,
+        ).collect()
