@@ -2574,6 +2574,99 @@ def watershed_tiles(
     )
 
 
+def viewshed_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    obs: tuple[int, int] | None = None,
+    obs_height: int = 500,
+) -> DataFrame:
+    """R18 viewshed — line-of-sight visibility from an observer cell
+    over the DEM (the GIS r.viewshed / ESRI Viewshed primitive),
+    computed with the R3 REFERENCE algorithm (the exact brute-force
+    every approximate sweep is validated against): target cell t is
+    visible iff NO corridor cell k — center within half a cell of
+    the o→t segment, strictly between the endpoints — has
+    line-of-sight slope ≥ t's.  Everything is EXACT integer
+    arithmetic: corridor membership is 4·cross² < |t−o|² with
+    0 < (k−o)·(t−o) < |t−o|², and the slope compare
+    (e_k−e_o−h)/d_k ≥ (e_t−e_o−h)/d_t cross-multiplies SQUARES with
+    explicit sign handling (ties block).  R3 is O(cells²) per tile —
+    the accuracy contract; the Van Kreveld sweep is the documented
+    scale refinement and would be oracled AGAINST this.
+
+    Output per (z, x, y): n_visible (observer excluded), vis_hash =
+    Σ (cx·8191 + cy) over visible cells, max_vis_d2."""
+    import pandas as pd
+
+    T = tile_size
+    if obs is None:
+        obs = (T // 2, T // 2)
+    ox, oy = obs
+
+    def gen(it):
+        yy, xx = np.mgrid[0:T, 0:T]
+        dx = xx - ox
+        dy = yy - oy
+        p = (dx * dx + dy * dy).astype(np.int64).ravel()  # |t-o|^2
+        dxf = dx.ravel().astype(np.int64)
+        dyf = dy.ravel().astype(np.int64)
+        n = T * T
+        # corridor predicate per (target, blocker) pair, elevation-free
+        dot = dxf[None, :] * dxf[:, None] + dyf[None, :] * dyf[:, None]
+        # cross of (t-o) x (k-o): t indexes axis 0, k axis 1
+        cross = dxf[:, None] * dyf[None, :] - dyf[:, None] * dxf[None, :]
+        corridor = (
+            (dot.T > 0).T
+            & (dot < p[:, None])
+            & (4 * cross * cross < p[:, None])
+        )
+        np.fill_diagonal(corridor, False)
+        corridor[:, oy * T + ox] = False
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "n_visible": [],
+                   "vis_hash": [], "max_vis_d2": []}
+            for r in pdf.itertuples():
+                rgb = np.frombuffer(r.raster, dtype=np.uint8).reshape(
+                    T, T, 3
+                )
+                e = terrain_rgb_decode(rgb).astype(np.int64).ravel()
+                a = e - (e[oy * T + ox] + obs_height)
+                # s_k >= s_t with sign-aware squared cross-multiply
+                ak = a[None, :]
+                at = a[:, None]
+                ge = np.where(
+                    (ak >= 0) & (at < 0),
+                    True,
+                    np.where(
+                        (ak < 0) & (at >= 0),
+                        False,
+                        np.where(
+                            at >= 0,
+                            ak * ak * p[:, None] >= at * at * p[None, :],
+                            ak * ak * p[:, None] <= at * at * p[None, :],
+                        ),
+                    ),
+                )
+                blocked = (corridor & ge).any(axis=1)
+                vis = ~blocked & (p > 0)
+                cy2, cx2 = np.divmod(np.flatnonzero(vis), T)
+                out["z"].append(int(r.z))
+                out["x"].append(int(r.x))
+                out["y"].append(int(r.y))
+                out["n_visible"].append(int(vis.sum()))
+                out["vis_hash"].append(int((cx2 * 8191 + cy2).sum()))
+                out["max_vis_d2"].append(
+                    int(p[vis].max()) if vis.any() else 0
+                )
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "raster").mapInPandas(
+        gen,
+        "z long, x long, y long, n_visible long, vis_hash long,"
+        " max_vis_d2 long",
+    )
+
+
 def sniff_image_dims(images: DataFrame) -> DataFrame:
     """S12 header-only metadata sniff — read (container, width,
     height) from the first bytes of an encoded image WITHOUT decoding

@@ -10273,6 +10273,7 @@ _RECORD_FIRST = (
     # covered 100 distinct keys, so round 3 promotes every
     # never-recorded key (new r3 keys first) — cross-round union
     # keeps growing toward full registry coverage
+    "q_viewshed",
     "q_frechet",
     "q_incremental_dedup",
     "q_phash_mi",
@@ -16107,3 +16108,106 @@ FROM dp WHERE t = n * m - 1
 
 
 _ENGINE_PAIRS["q_frechet"] = (q_frechet, _sql_frechet())
+
+
+# ---------------------------------------------------------------------------
+# q_viewshed — R18 exact R3 line-of-sight visibility over Terrain-RGB
+# ---------------------------------------------------------------------------
+
+
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18 viewshed (raster.viewshed_tiles — the R3 reference
+    algorithm: half-cell corridor membership + sign-aware squared
+    cross-multiplied slope compare, ties block) over the SAME
+    quadratic Terrain-RGB corpus as q_watershed, FULL oracle: DuckDB
+    re-derives the surface closed-form and replays the exact
+    corridor and slope predicates as one pairwise join per tile —
+    n_visible, the positional visibility hash and the farthest
+    visible distance² all sit under the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        terrain_rgb_encode,
+        viewshed_tiles,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = TER_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                phase = h % 100003
+                r = np.arange(T, dtype=np.int64)
+                rr, cc = r[:, None], r[None, :]
+                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
+                rows["z"].append(TER_Z)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(terrain_rgb_encode(e).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return viewshed_tiles(tiles, T)
+
+
+def _sql_viewshed(t: int = TER_T, obs_h: int = 500) -> str:
+    sm = splitmix64_sql("i")
+    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
+         " % 40001) - 10000)")
+    o = t // 2
+    cmp_ge = (
+        "CASE WHEN k.a >= 0 AND t.a < 0 THEN TRUE "
+        "WHEN k.a < 0 AND t.a >= 0 THEN FALSE "
+        "WHEN t.a >= 0 THEN k.a * k.a * t.p >= t.a * t.a * k.p "
+        "ELSE k.a * k.a * t.p <= t.a * t.a * k.p END"
+    )
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
+hh AS (
+  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
+         CAST(({sm}) % 100003 AS BIGINT) AS phase
+  FROM ids),
+px AS MATERIALIZED (
+  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
+obs AS (SELECT x, y, e AS eo FROM px WHERE rv = {o} AND cv = {o}),
+cells AS MATERIALIZED (
+  SELECT px.x, px.y, rv, cv,
+         cv - {o} AS dx, rv - {o} AS dy,
+         (cv - {o}) * (cv - {o}) + (rv - {o}) * (rv - {o}) AS p,
+         e - (eo + {obs_h}) AS a
+  FROM px JOIN obs USING (x, y)),
+blocked AS (
+  SELECT DISTINCT t.x, t.y, t.rv, t.cv
+  FROM cells t JOIN cells k
+    ON k.x = t.x AND k.y = t.y
+   AND NOT (k.rv = t.rv AND k.cv = t.cv)
+   AND (t.dx * k.dx + t.dy * k.dy) > 0
+   AND (t.dx * k.dx + t.dy * k.dy) < t.p
+   AND 4 * (t.dx * k.dy - t.dy * k.dx) * (t.dx * k.dy - t.dy * k.dx)
+       < t.p
+   AND ({cmp_ge})),
+vis AS (
+  SELECT c.x, c.y, c.rv, c.cv, c.p
+  FROM cells c
+  ANTI JOIN blocked b
+    ON b.x = c.x AND b.y = c.y AND b.rv = c.rv AND b.cv = c.cv
+  WHERE c.p > 0)
+SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
+       CAST(COUNT(*) AS BIGINT) AS n_visible,
+       CAST(SUM(cv * 8191 + rv) AS BIGINT) AS vis_hash,
+       CAST(MAX(p) AS BIGINT) AS max_vis_d2
+FROM vis GROUP BY x, y
+"""
+
+
+_ENGINE_PAIRS["q_viewshed"] = (q_viewshed, _sql_viewshed())

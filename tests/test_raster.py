@@ -1368,3 +1368,72 @@ def test_sniff_dims_all_containers(spark):
         assert (out[f]["w"], out[f]["h"]) == (33, 21), f
     assert out["raw"]["container"] == "unknown"
     assert (out["raw"]["w"], out["raw"]["h"]) == (-1, -1)
+
+
+def test_viewshed_ridge_blocks_behind(spark):
+    """R18: a flat tile sees everything; a ridge wall east of the
+    observer hides the cells behind it but not the wall itself."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        terrain_rgb_encode,
+        viewshed_tiles,
+    )
+
+    T = 16
+    flat = np.zeros((T, T), dtype=np.int64)
+    wall = flat.copy()
+    wall[:, 11] = 100000  # vertical wall east of the (8,8) observer
+    df = spark.createDataFrame(
+        [
+            (5, 0, 0, terrain_rgb_encode(flat).tobytes()),
+            (5, 1, 0, terrain_rgb_encode(wall).tobytes()),
+        ],
+        "z long, x long, y long, raster binary",
+    )
+    out = {(r.x): r for r in viewshed_tiles(df, T).collect()}
+    assert out[0].n_visible == T * T - 1  # flat: all but the observer
+    # wall tile: every cell with cx > 11 on a ray through the wall is
+    # hidden; the wall column itself is visible
+    blocked = out[0].n_visible - out[1].n_visible
+    assert blocked > 0
+    # recompute expected with an independent brute force
+    def brute(e):
+        o = (8, 8)
+        a = e - (e[8, 8] + 500)
+        n_vis = 0
+        for ty in range(T):
+            for tx in range(T):
+                p = (tx - 8) ** 2 + (ty - 8) ** 2
+                if p == 0:
+                    continue
+                vis = True
+                for ky in range(T):
+                    for kx in range(T):
+                        if (kx, ky) in ((tx, ty), (8, 8)):
+                            continue
+                        dot = (tx - 8) * (kx - 8) + (ty - 8) * (ky - 8)
+                        if not (0 < dot < p):
+                            continue
+                        cr = (tx - 8) * (ky - 8) - (ty - 8) * (kx - 8)
+                        if 4 * cr * cr >= p:
+                            continue
+                        ak, at = a[ky, kx], a[ty, tx]
+                        kp = (kx - 8) ** 2 + (ky - 8) ** 2
+                        if ak >= 0 and at < 0:
+                            ge = True
+                        elif ak < 0 and at >= 0:
+                            ge = False
+                        elif at >= 0:
+                            ge = ak * ak * p >= at * at * kp
+                        else:
+                            ge = ak * ak * p <= at * at * kp
+                        if ge:
+                            vis = False
+                            break
+                    if not vis:
+                        break
+                n_vis += vis
+        return n_vis
+
+    assert out[1].n_visible == brute(wall)
