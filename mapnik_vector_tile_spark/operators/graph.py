@@ -51,6 +51,82 @@ def bellman_ford(
     return dist
 
 
+def delta_stepping(
+    edges: DataFrame,
+    sources: DataFrame,
+    delta: int,
+    max_buckets: int = 1 << 20,
+) -> DataFrame:
+    """G1b delta-stepping SSSP (Meyer & Sanders '98) — the WORK-
+    EFFICIENT parallel shortest-path bellman_ford is the hop-bounded
+    oracle for: distances are settled bucket by bucket ([kΔ,(k+1)Δ)),
+    each bucket relaxing only its LIGHT edges (w ≤ Δ) to a fixpoint
+    before one HEAVY pass — every edge is relaxed O(1) times per
+    bucket instead of once per global round, and the buckets expose
+    exactly the parallelism the Δ knob buys.  Requires strictly
+    positive integer weights (validated: a bucket-k improvement via a
+    light edge then lands in [kΔ+1, …), so nothing re-opens a settled
+    bucket).  Output (node, d): EXACT shortest distances from any
+    source — unbounded hops, unlike bellman_ford's ≤rounds contract;
+    q_delta_sssp pins equality against a fully-converged relaxation
+    twin.
+
+    Driver loop depth ∝ (max distance)/Δ buckets × light-chain
+    length within a bucket — the standard trade: big Δ = fewer
+    buckets, longer inner chains.  Each step is one equi-join + one
+    min-merge, localCheckpointed so lineage stays flat."""
+    light = edges.filter(F.col("w") <= delta).localCheckpoint(eager=True)
+    heavy = edges.filter(F.col("w") > delta).localCheckpoint(eager=True)
+    if not edges.filter(F.col("w") <= 0).isEmpty():
+        raise ValueError("delta_stepping: weights must be >= 1")
+
+    def relax(frontier: DataFrame, e: DataFrame) -> DataFrame:
+        return frontier.alias("t").join(
+            e.alias("e"), F.col("t.node") == F.col("e.u")
+        ).select(
+            F.col("e.v").alias("node"),
+            (F.col("t.d") + F.col("e.w")).alias("d"),
+        )
+
+    def merge(dist: DataFrame, cand: DataFrame):
+        """(new dist, improved rows)."""
+        nd = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        imp = nd.alias("n").join(
+            dist.select(
+                "node", F.col("d").alias("d0")
+            ).alias("o"),
+            "node",
+            "left",
+        ).filter(
+            F.col("o.d0").isNull() | (F.col("n.d") < F.col("o.d0"))
+        ).select("node", F.col("n.d").alias("d"))
+        return nd, imp
+
+    dist = sources.select(
+        "node", F.lit(0).cast("long").alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    for k in range(max_buckets):
+        lo, hi = k * delta, (k + 1) * delta
+        if dist.filter(F.col("d") >= lo).isEmpty():
+            return dist
+        frontier = dist.filter(
+            (F.col("d") >= lo) & (F.col("d") < hi)
+        ).localCheckpoint(eager=True)
+        while not frontier.isEmpty():
+            dist, imp = merge(dist, relax(frontier, light))
+            frontier = imp.filter(F.col("d") < hi).localCheckpoint(
+                eager=True
+            )
+        hsrc = dist.filter((F.col("d") >= lo) & (F.col("d") < hi))
+        dist, _ = merge(dist, relax(hsrc, heavy))
+    raise ValueError("delta_stepping: max_buckets exceeded")
+
+
 # --- sticky-HMM Viterbi map matching ---------------------------------------
 
 VIT_PH = 2654435761

@@ -10273,6 +10273,7 @@ _RECORD_FIRST = (
     # covered 100 distinct keys, so round 3 promotes every
     # never-recorded key (new r3 keys first) — cross-round union
     # keeps growing toward full registry coverage
+    "q_delta_sssp",
     "q_viewshed",
     "q_frechet",
     "q_incremental_dedup",
@@ -16211,3 +16212,115 @@ FROM vis GROUP BY x, y
 
 
 _ENGINE_PAIRS["q_viewshed"] = (q_viewshed, _sql_viewshed())
+
+
+# ---------------------------------------------------------------------------
+# q_delta_sssp — G1b delta-stepping SSSP vs fully-converged relaxation
+# ---------------------------------------------------------------------------
+
+DS_ROUNDS = 64  # 8-grid king lattice, w in 1..9: any shortest path has
+#                 weight <= 9*7 = 63, and w >= 1 bounds its hops by 63
+
+
+def q_delta_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-stepping SSSP (graph.delta_stepping, Δ=8) over a DENSE
+    8-grid king lattice (one undirected edge per orders row, weight
+    1..9; sources = the x=0 column), FULL oracle: the twin unrolls
+    64 relaxation rounds — PROVABLY past convergence (any shortest
+    path weighs ≤ 63 and w ≥ 1 bounds hops by 63) — so the bucketed
+    engine must reproduce the exact unbounded shortest-distance
+    field; a bucket opened early, a light/heavy misclassification,
+    or a missed re-relaxation all shift some node's d."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.graph import delta_stepping
+
+    e_t = StructType(
+        [
+            StructField("u", LongType()),
+            StructField("v", LongType()),
+            StructField("w", LongType()),
+            StructField("keep", LongType()),
+        ]
+    )
+
+    def _edge_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        x = (h % np.uint64(8)).astype(np.int64)
+        y = ((h >> np.uint64(6)) % np.uint64(8)).astype(np.int64)
+        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
+        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
+        w = (np.uint64(1) + (h >> np.uint64(40)) % np.uint64(9)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "u": x * 256 + y,
+                "v": (x + dx) * 256 + (y + dy),
+                "w": w,
+                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
+            }
+        )
+
+    ek = F.pandas_udf(_edge_kernel, e_t)
+    e1 = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(ek(F.col("o_orderkey")).alias("e"))
+        .select("e.u", "e.v", "e.w", "e.keep")
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+    )
+    edges = e1.unionByName(
+        e1.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    sources = (
+        edges.select(F.col("u").alias("node"))
+        .filter(F.col("node") < 256)
+        .distinct()
+    )
+    return delta_stepping(edges, sources, delta=8)
+
+
+def _sql_delta_sssp(rounds: int = DS_ROUNDS) -> str:
+    h = splitmix64_sql("o_orderkey")
+    relax = []
+    for r in range(1, rounds + 1):
+        relax.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{r - 1}
+    UNION ALL
+    SELECT e.v AS node, a.d + e.w AS d
+    FROM d{r - 1} a JOIN edges e ON e.u = a.node)
+  GROUP BY node)"""
+        )
+    return f"""
+WITH e0 AS (
+  SELECT CAST(({h}) % 8 AS BIGINT) AS x,
+         CAST((({h}) // 64) % 8 AS BIGINT) AS y,
+         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
+         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy,
+         CAST(1 + (({h}) // 1099511627776) % 9 AS BIGINT) AS w
+  FROM orders),
+e1 AS (
+  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v, w
+  FROM e0 WHERE dx <> 0 OR dy <> 0),
+edges AS MATERIALIZED (
+  SELECT u, v, MIN(w) AS w FROM (
+    SELECT u, v, w FROM e1 UNION ALL SELECT v, u, w FROM e1)
+  GROUP BY u, v),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS d
+  FROM edges WHERE u < 256)
+{''.join(relax)}
+SELECT node, d FROM d{rounds}
+"""
+
+
+_ENGINE_PAIRS["q_delta_sssp"] = (q_delta_sssp, _sql_delta_sssp())

@@ -189,3 +189,50 @@ def test_kcore_peeling_rounds(spark):
     for n in range(4):
         assert out[n]["dropped_round"] == -1
     assert out[0]["deg0"] == 3 and out[3]["deg0"] == 4
+
+
+def test_delta_stepping_equals_converged_bellman_ford(spark):
+    """G1b: for every Δ the bucketed SSSP equals the fully-converged
+    relaxation on random positive-weight graphs (rounds = n nodes is
+    provably past convergence), including unreachable nodes (absent
+    from both) and parallel edges."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.graph import (
+        bellman_ford,
+        delta_stepping,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 30
+        m = 120
+        rows = [
+            (int(rng.integers(0, n)), int(rng.integers(0, n)),
+             int(rng.integers(1, 10)))
+            for _ in range(m)
+        ]
+        rows = [(u, v, w) for u, v, w in rows if u != v]
+        edges = spark.createDataFrame(rows, "u long, v long, w long")
+        sources = spark.createDataFrame([(0,), (1,)], "node long")
+        want = {
+            (r.node, r.d)
+            for r in bellman_ford(edges, sources, rounds=n).collect()
+        }
+        for delta in (1, 3, 8, 100):
+            got = {
+                (r.node, r.d)
+                for r in delta_stepping(edges, sources, delta).collect()
+            }
+            assert got == want, (trial, delta)
+
+
+def test_delta_stepping_rejects_nonpositive_weights(spark):
+    import pytest as _pytest
+
+    from mapnik_vector_tile_spark.operators.graph import delta_stepping
+
+    edges = spark.createDataFrame([(0, 1, 0)], "u long, v long, w long")
+    src = spark.createDataFrame([(0,)], "node long")
+    with _pytest.raises(ValueError, match="weights"):
+        delta_stepping(edges, src, 4)
