@@ -2574,6 +2574,90 @@ def watershed_tiles(
     )
 
 
+def strahler_tiles(
+    tiles: DataFrame, tile_size: int, rounds: int | None = None
+) -> DataFrame:
+    """R19 Strahler stream order — the fourth hydrology step (ESRI
+    StreamOrder / TauDEM): over the D8 drainage forest (the same
+    interior pointers as flow_accumulation/watershed), a cell with no
+    upstream children has order 1; otherwise order = max child order,
+    +1 when two or more children SHARE that max (the classic junction
+    rule).  Iterated bottom-up: R sweeps are exact for drainage trees
+    of height ≤ R, and the DEFAULT R = (tile_size−2)² covers any
+    simple path on the interior (the watershed doubling lesson — a
+    smaller R is a documented hop-bounded contract).
+
+    Output per (z, x, y): max_order, n_sources (order-1 cells),
+    sum_order, and Σ order·(ix·8191+iy) as the positional witness."""
+    import pandas as pd
+
+    T = tile_size
+    if rounds is None:
+        rounds = (T - 2) * (T - 2)
+
+    def gen(it):
+        offs = {d: (dy, dx) for d, (dy, dx), _ in _D8}
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "max_order": [],
+                   "n_sources": [], "sum_order": [], "whash": []}
+            for r in pdf.itertuples():
+                rgb = np.frombuffer(r.raster, dtype=np.uint8).reshape(
+                    T, T, 3
+                )
+                e = terrain_rgb_decode(rgb)
+                c = e[1:-1, 1:-1]
+                keys = []
+                for _, (dy, dx), diag in _D8:
+                    nb = e[1 + dy : T - 1 + dy, 1 + dx : T - 1 + dx]
+                    drop = c - nb
+                    k = np.where(drop > 0, drop * drop, 0)
+                    keys.append(k if diag else 2 * k)
+                stack = np.stack(keys)
+                best = stack.max(axis=0)
+                win = stack.argmax(axis=0)
+                oh = T - 2
+                n = oh * oh
+                iy, ix = np.nonzero(best > 0)
+                d = win[iy, ix]
+                dy = np.array([offs[k][0] for k in range(8)])[d]
+                dx = np.array([offs[k][1] for k in range(8)])[d]
+                ty, tx = iy + dy, ix + dx
+                ok = (ty >= 0) & (ty < oh) & (tx >= 0) & (tx < oh)
+                src = (iy[ok] * oh + ix[ok]).astype(np.int64)
+                dst = (ty[ok] * oh + tx[ok]).astype(np.int64)
+                indeg = np.zeros(n, dtype=np.int64)
+                np.add.at(indeg, dst, 1)
+                order = np.ones(n, dtype=np.int64)
+                for _ in range(rounds):
+                    cm = np.zeros(n, dtype=np.int64)
+                    np.maximum.at(cm, dst, order[src])
+                    cnt = np.zeros(n, dtype=np.int64)
+                    np.add.at(cnt, dst, (order[src] == cm[dst]).astype(
+                        np.int64
+                    ))
+                    new = np.where(
+                        indeg > 0, cm + (cnt >= 2).astype(np.int64), 1
+                    )
+                    if np.array_equal(new, order):
+                        break
+                    order = new
+                gy, gx = np.divmod(np.arange(n), oh)
+                out["z"].append(int(r.z))
+                out["x"].append(int(r.x))
+                out["y"].append(int(r.y))
+                out["max_order"].append(int(order.max()))
+                out["n_sources"].append(int((order == 1).sum()))
+                out["sum_order"].append(int(order.sum()))
+                out["whash"].append(int((order * (gx * 8191 + gy)).sum()))
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "raster").mapInPandas(
+        gen,
+        "z long, x long, y long, max_order long, n_sources long,"
+        " sum_order long, whash long",
+    )
+
+
 def viewshed_tiles(
     tiles: DataFrame,
     tile_size: int,

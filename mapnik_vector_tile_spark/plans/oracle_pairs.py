@@ -10273,6 +10273,7 @@ _RECORD_FIRST = (
     # covered 100 distinct keys, so round 3 promotes every
     # never-recorded key (new r3 keys first) — cross-round union
     # keeps growing toward full registry coverage
+    "q_strahler",
     "q_delta_sssp",
     "q_viewshed",
     "q_frechet",
@@ -16324,3 +16325,145 @@ SELECT node, d FROM d{rounds}
 
 
 _ENGINE_PAIRS["q_delta_sssp"] = (q_delta_sssp, _sql_delta_sssp())
+
+
+# ---------------------------------------------------------------------------
+# q_strahler — R19 Strahler stream order over the D8 drainage forest
+# ---------------------------------------------------------------------------
+
+STR_T = 10  # 8x8 interior: recursion depth 64 covers any simple path
+
+
+def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strahler stream order (raster.strahler_tiles) over the
+    quadratic Terrain-RGB surface at 10px tiles, FULL oracle: DuckDB
+    re-derives the D8 receivers closed-form and iterates the EXACT
+    junction rule (max child order, +1 on a tied max, leaves = 1) as
+    a list-carrying recursive CTE over (tile_size−2)² rounds —
+    provably past convergence (a drainage tree's height is bounded
+    by the interior cell count) — then folds the same order census
+    and positional witness."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        strahler_tiles,
+        terrain_rgb_encode,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = STR_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                phase = h % 100003
+                r = np.arange(T, dtype=np.int64)
+                rr, cc = r[:, None], r[None, :]
+                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
+                rows["z"].append(TER_Z)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(terrain_rgb_encode(e).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return strahler_tiles(tiles, T)
+
+
+def _sql_strahler(t: int = STR_T) -> str:
+    sm = splitmix64_sql("i")
+    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
+         " % 40001) - 10000)")
+    dirs = ",".join(
+        f"({d},{dy},{dx},{1 if diag else 2})"
+        for d, (dy, dx), diag in (
+            (0, (0, 1), 0), (1, (1, 1), 1), (2, (1, 0), 0),
+            (3, (1, -1), 1), (4, (0, -1), 0), (5, (-1, -1), 1),
+            (6, (-1, 0), 0), (7, (-1, 1), 1),
+        )
+    )
+    oh = t - 2
+    n = oh * oh
+    rounds = n
+    return f"""
+WITH RECURSIVE ids AS (SELECT unnest(generate_series(0, 99)) AS i),
+hh AS (
+  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
+         CAST(({sm}) % 100003 AS BIGINT) AS phase
+  FROM ids),
+px AS MATERIALIZED (
+  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
+  FROM hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
+  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
+cand AS MATERIALIZED (
+  SELECT a.x, a.y, a.rv, a.cv, k.d, k.dy, k.dx,
+         CASE WHEN a.e - b.e > 0
+              THEN k.mult * (a.e - b.e) * (a.e - b.e)
+              ELSE 0 END AS key
+  FROM px a
+  CROSS JOIN (VALUES {dirs}) k(d, dy, dx, mult)
+  JOIN px b ON b.x = a.x AND b.y = a.y
+           AND b.rv = a.rv + k.dy AND b.cv = a.cv + k.dx
+  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}),
+best AS MATERIALIZED (
+  SELECT x, y, rv, cv, d, dy, dx, key,
+         row_number() OVER (
+           PARTITION BY x, y, rv, cv ORDER BY key DESC, d) AS rn
+  FROM cand),
+rcv AS MATERIALIZED (
+  SELECT x, y, (rv - 1) * {oh} + (cv - 1) AS cid,
+         CASE WHEN key > 0
+               AND rv + dy BETWEEN 1 AND {t - 2}
+               AND cv + dx BETWEEN 1 AND {t - 2}
+              THEN (rv - 1 + dy) * {oh} + (cv - 1 + dx)
+              ELSE -1 END AS recv
+  FROM best WHERE rn = 1),
+rl AS MATERIALIZED (
+  SELECT x, y, list(recv ORDER BY cid) AS recv FROM rcv GROUP BY x, y),
+st(x, y, recv, ords, r) AS (
+  SELECT x, y, recv,
+         list_transform(range(0, {n}), z9 -> CAST(1 AS BIGINT)), 0
+  FROM rl
+  UNION ALL
+  SELECT x, y, recv,
+         list_transform(range(0, {n}), i -> CASE
+           WHEN len(ko[i + 1]) = 0 THEN CAST(1 AS BIGINT)
+           ELSE list_max(ko[i + 1]) + CASE
+             WHEN len(list_filter(ko[i + 1],
+                                  v -> v = list_max(ko[i + 1]))) >= 2
+             THEN 1 ELSE 0 END
+         END),
+         r + 1
+  FROM (
+    SELECT x, y, recv, r,
+           list_transform(range(0, {n}), i ->
+             list_transform(
+               list_filter(range(0, {n}), j -> recv[j + 1] = i),
+               j -> ords[j + 1])) AS ko
+    FROM st WHERE r < {rounds}
+  ) s1
+),
+fin AS (
+  SELECT x, y, ords FROM st WHERE r = {rounds}),
+ex AS (
+  SELECT x, y, g.i AS cid, ords[g.i + 1] AS o
+  FROM fin, unnest(generate_series(0, {n - 1})) AS g(i))
+SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
+       CAST(MAX(o) AS BIGINT) AS max_order,
+       CAST(SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sources,
+       CAST(SUM(o) AS BIGINT) AS sum_order,
+       CAST(SUM(o * ((cid % {oh}) * 8191 + (cid // {oh}))) AS BIGINT)
+         AS whash
+FROM ex GROUP BY x, y
+"""
+
+
+_ENGINE_PAIRS["q_strahler"] = (q_strahler, _sql_strahler())

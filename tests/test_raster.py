@@ -1437,3 +1437,32 @@ def test_viewshed_ridge_blocks_behind(spark):
         return n_vis
 
     assert out[1].n_visible == brute(wall)
+
+
+def test_strahler_junction_rule(spark):
+    """R19: two order-1 streams meeting promote the junction to 2; a
+    single continuation keeps the max; the census reflects it."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        strahler_tiles,
+        terrain_rgb_encode,
+    )
+
+    T = 10
+    # a V-shaped valley: elevations fall toward the center column and
+    # downward, so the two flanks drain into the center channel
+    col = np.abs(np.arange(T) - 5)
+    e = (col[None, :] * 100 + (T - np.arange(T))[:, None] * 10).astype(
+        np.int64
+    )
+    df = spark.createDataFrame(
+        [(5, 0, 0, terrain_rgb_encode(e).tobytes())],
+        "z long, x long, y long, raster binary",
+    )
+    out = strahler_tiles(df, T).collect()[0]
+    assert out.max_order >= 2  # flanks join the channel
+    assert out.n_sources >= 2
+    assert out.sum_order >= out.n_sources + 2 * (
+        out.max_order >= 2
+    )
