@@ -537,6 +537,73 @@ def frechet_pairs(
     )
 
 
+SCD2_OPEN = 1 << 62  # valid_to sentinel for the open version
+
+
+def scd2_apply(current: DataFrame, changes: DataFrame) -> DataFrame:
+    """W18 SCD2 dimension maintenance (the Kimball type-2 MERGE every
+    warehouse and every training-data snapshot store runs): apply a
+    CDC batch to an effective-dated dimension — each change CLOSES
+    the key's open version at its timestamp and, for an upsert,
+    OPENS a new one valid until the key's next change (or the
+    SCD2_OPEN sentinel).  Deletes close without opening.  An upsert
+    with an unchanged attribute still opens a new version (no value
+    dedup — the lineage IS the product).  Changes to unknown keys
+    start that key's history; a delete with nothing open is a no-op
+    row-wise (it still bounds a preceding upsert in the same batch).
+
+    current: (key, attr, valid_from, valid_to) with valid_to =
+    SCD2_OPEN marking the open version; changes: (key, change_id,
+    ts, op ∈ {'upsert','delete'}, attr).  Deterministic order:
+    (ts, change_id) per key.
+
+    Plan: ONE window over the change batch per key (lead() gives
+    each upsert its closing bound), one aggregate for the first
+    change per key, one broadcast-or-shuffle join to close the open
+    versions — all Catalyst, shuffle keyed on the dimension key; the
+    historical (closed) rows stream through untouched, which is what
+    makes this linear in |changes| + |open|, not |history|, at fleet
+    scale.
+
+    Output: (key, attr, valid_from, valid_to) — historic rows,
+    closed-or-still-open prior versions, and the new versions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("ts", "change_id")
+    ch = changes.select(
+        "key", "change_id", F.col("ts").cast("long").alias("ts"),
+        "op", "attr",
+    ).withColumn(
+        "next_ts",
+        F.coalesce(
+            F.lead("ts").over(w), F.lit(SCD2_OPEN).cast("long")
+        ),
+    )
+    bad = ch.filter(~F.col("op").isin("upsert", "delete"))
+    if not bad.isEmpty():
+        raise ValueError("scd2_apply: op must be 'upsert' or 'delete'")
+    first = ch.groupBy("key").agg(F.min(
+        F.struct("ts", "change_id")
+    ).alias("f")).select("key", F.col("f.ts").alias("first_ts"))
+    hist = current.filter(F.col("valid_to") != SCD2_OPEN)
+    open_cur = current.filter(F.col("valid_to") == SCD2_OPEN)
+    closed_open = open_cur.join(first, "key", "left").select(
+        "key", "attr", "valid_from",
+        F.coalesce("first_ts", F.lit(SCD2_OPEN)).cast("long")
+        .alias("valid_to"),
+    )
+    new_rows = ch.filter(F.col("op") == "upsert").select(
+        "key", "attr",
+        F.col("ts").alias("valid_from"),
+        F.col("next_ts").alias("valid_to"),
+    )
+    return (
+        hist.select("key", "attr", "valid_from", "valid_to")
+        .unionByName(closed_open)
+        .unionByName(new_rows)
+    )
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 

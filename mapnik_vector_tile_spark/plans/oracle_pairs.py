@@ -10273,6 +10273,7 @@ _RECORD_FIRST = (
     # covered 100 distinct keys, so round 3 promotes every
     # never-recorded key (new r3 keys first) — cross-round union
     # keeps growing toward full registry coverage
+    "q_scd2",
     "q_strahler",
     "q_delta_sssp",
     "q_viewshed",
@@ -16467,3 +16468,110 @@ FROM ex GROUP BY x, y
 
 
 _ENGINE_PAIRS["q_strahler"] = (q_strahler, _sql_strahler())
+
+
+# ---------------------------------------------------------------------------
+# q_scd2 — W18 SCD2 dimension maintenance (CDC merge)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (temporal.scd2_apply) with a FULL oracle.  Corpus:
+    the customer table becomes the effective-dated dimension (every
+    key open; every third key also carries a closed history row),
+    the events stream becomes the CDC batch (key folded into twice
+    the customer range so half the changed keys are NEW; 'error'
+    events delete, everything else upserts; integer-cent attrs via
+    the shared floor(x·100 + 0.5) derivation).  DuckDB replays the
+    version chaining — per-key (ts, change_id) lead() bounds, first
+    change closing the open row — and the row sets must match
+    exactly, sentinel SCD2_OPEN included."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.temporal import (
+        SCD2_OPEN,
+        scd2_apply,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_keys = cust.count()
+    attr = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    open_rows = cust.select(
+        F.col("c_custkey").alias("key"),
+        attr.alias("attr"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(500))
+        .otherwise(F.lit(0)).cast("long").alias("valid_from"),
+        F.lit(SCD2_OPEN).cast("long").alias("valid_to"),
+    )
+    hist_rows = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key"),
+        (attr - 7).alias("attr"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(500).cast("long").alias("valid_to"),
+    )
+    current = open_rows.unionByName(hist_rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = ev.select(
+        (F.col("user_id") % (2 * n_keys)).alias("key"),
+        F.col("event_id").alias("change_id"),
+        (F.unix_timestamp("ts") + 1000).cast("long").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("attr"),
+    )
+    return scd2_apply(current, changes)
+
+
+def _sql_scd2() -> str:
+    from mapnik_vector_tile_spark.operators.temporal import SCD2_OPEN
+
+    return f"""
+WITH nk AS (SELECT COUNT(*) AS n FROM customer),
+attr0 AS (
+  SELECT c_custkey AS key,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS attr
+  FROM customer),
+cur AS (
+  SELECT key, attr,
+         CAST(CASE WHEN key % 3 = 0 THEN 500 ELSE 0 END AS BIGINT)
+           AS valid_from,
+         CAST({SCD2_OPEN} AS BIGINT) AS valid_to
+  FROM attr0
+  UNION ALL
+  SELECT key, attr - 7, CAST(0 AS BIGINT), CAST(500 AS BIGINT)
+  FROM attr0 WHERE key % 3 = 0),
+ch AS (
+  SELECT user_id % (2 * nk.n) AS key,
+         event_id AS change_id,
+         CAST(floor(epoch(ts)) + 1000 AS BIGINT) AS ts,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              ELSE 'upsert' END AS op,
+         CAST(floor("value" * 100 + 0.5) AS BIGINT) AS attr
+  FROM events, nk),
+chw AS (
+  SELECT *, COALESCE(lead(ts) OVER (PARTITION BY key
+                                    ORDER BY ts, change_id),
+                     {SCD2_OPEN}) AS next_ts
+  FROM ch),
+first_ AS (
+  SELECT key, MIN(struct_pack(ts := ts, cid := change_id)).ts AS first_ts
+  FROM ch GROUP BY key),
+hist AS (
+  SELECT key, attr, valid_from, valid_to FROM cur
+  WHERE valid_to <> {SCD2_OPEN}),
+closed AS (
+  SELECT c.key, c.attr, c.valid_from,
+         CAST(COALESCE(f.first_ts, {SCD2_OPEN}) AS BIGINT) AS valid_to
+  FROM cur c LEFT JOIN first_ f ON f.key = c.key
+  WHERE c.valid_to = {SCD2_OPEN}),
+newrows AS (
+  SELECT key, attr, ts AS valid_from, CAST(next_ts AS BIGINT)
+           AS valid_to
+  FROM chw WHERE op = 'upsert')
+SELECT key, attr, valid_from, valid_to FROM hist
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM newrows
+"""
+
+
+_ENGINE_PAIRS["q_scd2"] = (q_scd2, _sql_scd2())

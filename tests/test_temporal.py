@@ -460,3 +460,54 @@ def test_frechet_pairs_exact_dp(spark):
             spark.createDataFrame([(0, 9)], "ta long, tb long"),
             max_len=4,
         ).collect()
+
+
+def test_scd2_apply_version_chaining(spark):
+    """W18: changes close the open version and chain new ones; a
+    delete closes without opening; unknown keys start history; an
+    invalid op raises."""
+    import pytest as _pytest
+
+    from mapnik_vector_tile_spark.operators.temporal import (
+        SCD2_OPEN,
+        scd2_apply,
+    )
+
+    current = spark.createDataFrame(
+        [
+            (1, 10, 0, SCD2_OPEN),       # open
+            (1, 9, -100, 0),             # closed history
+            (2, 20, 0, SCD2_OPEN),       # open, will be deleted
+            (3, 30, 0, SCD2_OPEN),       # open, untouched
+        ],
+        "key long, attr long, valid_from long, valid_to long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 100, 50, "upsert", 11),
+            (1, 101, 70, "upsert", 12),
+            (2, 102, 60, "delete", 0),
+            (4, 103, 80, "upsert", 40),  # unknown key
+        ],
+        "key long, change_id long, ts long, op string, attr long",
+    )
+    got = {
+        (r.key, r.attr, r.valid_from, r.valid_to)
+        for r in scd2_apply(current, changes).collect()
+    }
+    want = {
+        (1, 9, -100, 0),          # history untouched
+        (1, 10, 0, 50),           # open closed at first change
+        (1, 11, 50, 70),          # first upsert bounded by second
+        (1, 12, 70, SCD2_OPEN),   # second upsert open
+        (2, 20, 0, 60),           # delete closes, opens nothing
+        (3, 30, 0, SCD2_OPEN),    # untouched key stays open
+        (4, 40, 80, SCD2_OPEN),   # new key history starts
+    }
+    assert got == want
+    bad = spark.createDataFrame(
+        [(1, 1, 1, "merge", 1)],
+        "key long, change_id long, ts long, op string, attr long",
+    )
+    with _pytest.raises(ValueError, match="op"):
+        scd2_apply(current, bad)
