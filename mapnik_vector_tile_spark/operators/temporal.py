@@ -604,6 +604,40 @@ def scd2_apply(current: DataFrame, changes: DataFrame) -> DataFrame:
     )
 
 
+def scd2_lookup(facts: DataFrame, dim: DataFrame) -> DataFrame:
+    """W18b point-in-time (PIT) lookup — join each fact to the
+    dimension version VALID AT its timestamp (valid_from ≤ ts <
+    valid_to), the query every SCD2 table exists to answer and the
+    reproducibility primitive of training-data snapshots ("which
+    label did this example carry when the run started?").
+
+    facts: (fact_id, key, ts); dim: (key, attr, valid_from,
+    valid_to) with non-overlapping version ranges per key (the
+    scd2_apply invariant).  Facts with no valid version (before the
+    first version, or inside a delete gap) carry attr = −1 — a
+    pinned sentinel, not a dropped row, so fact counts are
+    preserved.
+
+    Plan: ONE equi-join on the dimension key with the range
+    predicate as the join residual — Catalyst keeps the hash join
+    keyed on `key` and evaluates the band inline; at fleet scale
+    this shuffles facts once by key, the same shape as any
+    fact-to-dimension join."""
+    j = facts.join(
+        dim,
+        (facts["key"] == dim["key"])
+        & (facts["ts"] >= dim["valid_from"])
+        & (facts["ts"] < dim["valid_to"]),
+        "left",
+    )
+    return j.select(
+        facts["fact_id"],
+        facts["key"],
+        facts["ts"],
+        F.coalesce(dim["attr"], F.lit(-1)).cast("long").alias("attr"),
+    )
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 

@@ -10273,6 +10273,7 @@ _RECORD_FIRST = (
     # covered 100 distinct keys, so round 3 promotes every
     # never-recorded key (new r3 keys first) — cross-round union
     # keeps growing toward full registry coverage
+    "q_scd2_lookup",
     "q_scd2",
     "q_strahler",
     "q_delta_sssp",
@@ -16575,3 +16576,54 @@ UNION ALL SELECT * FROM newrows
 
 
 _ENGINE_PAIRS["q_scd2"] = (q_scd2, _sql_scd2())
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18b point-in-time lookup (temporal.scd2_lookup) COMPOSED over
+    the q_scd2 output: the dimension is the freshly-merged SCD2
+    table (version chains, delete gaps, SCD2_OPEN sentinels all
+    present), facts are orders shifted into the change-window epoch
+    so lookups land before, inside and after version ranges.  FULL
+    oracle: DuckDB rebuilds the merged dimension with the q_scd2 SQL
+    and replays the same range join with the −1 no-version
+    sentinel."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.temporal import scd2_lookup
+
+    dim = q_scd2(spark, sf_dir)
+    n_keys = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    facts = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("fact_id"),
+        (F.col("o_custkey") % (2 * n_keys)).alias("key"),
+        (F.unix_timestamp("o_orderdate") + 710_000_000)
+        .cast("long").alias("ts"),
+    )
+    return scd2_lookup(facts, dim)
+
+
+def _sql_scd2_lookup() -> str:
+    base = _sql_scd2().strip()
+    assert base.startswith("WITH ")
+    inner = base[len("WITH "):]
+    # wrap the q_scd2 SQL as a dim CTE and range-join the facts
+    return f"""
+WITH {inner.rsplit("SELECT key, attr, valid_from, valid_to FROM hist", 1)[0].rstrip()},
+dim AS (
+  SELECT key, attr, valid_from, valid_to FROM hist
+  UNION ALL SELECT * FROM closed
+  UNION ALL SELECT * FROM newrows),
+facts AS (
+  SELECT o_orderkey AS fact_id,
+         o_custkey % (2 * nk.n) AS key,
+         CAST(floor(epoch(o_orderdate)) + 710000000 AS BIGINT) AS ts
+  FROM orders, nk)
+SELECT f.fact_id, f.key, f.ts,
+       CAST(COALESCE(d.attr, -1) AS BIGINT) AS attr
+FROM facts f
+LEFT JOIN dim d
+  ON d.key = f.key AND f.ts >= d.valid_from AND f.ts < d.valid_to
+"""
+
+
+_ENGINE_PAIRS["q_scd2_lookup"] = (q_scd2_lookup, _sql_scd2_lookup())

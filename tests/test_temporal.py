@@ -511,3 +511,33 @@ def test_scd2_apply_version_chaining(spark):
     )
     with _pytest.raises(ValueError, match="op"):
         scd2_apply(current, bad)
+
+
+def test_scd2_lookup_versions_and_gaps(spark):
+    from mapnik_vector_tile_spark.operators.temporal import (
+        SCD2_OPEN,
+        scd2_lookup,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10, 0, 50), (1, 11, 50, 70), (1, 12, 70, SCD2_OPEN),
+            (2, 20, 0, 60),  # deleted at 60: gap after
+        ],
+        "key long, attr long, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, 0),    # first version, inclusive lower bound
+            (101, 1, 49),   # last tick of v1
+            (102, 1, 50),   # exclusive upper: lands in v2
+            (103, 1, 99),   # open version
+            (104, 2, 59),   # still valid
+            (105, 2, 60),   # delete gap -> -1
+            (106, 3, 10),   # unknown key -> -1
+        ],
+        "fact_id long, key long, ts long",
+    )
+    got = {r.fact_id: r.attr for r in scd2_lookup(facts, dim).collect()}
+    assert got == {100: 10, 101: 10, 102: 11, 103: 12, 104: 20,
+                   105: -1, 106: -1}
