@@ -662,3 +662,54 @@ def test_trending_topk_foreachbatch_sink_equals_batch(spark, tmp_path):
         map(tuple, T.topk_trending(T.trending_counts(ev)).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_scd2_stream_equals_batch_merge(spark, tmp_path):
+    """§2.10 streaming SCD2: folding time-split CDC chunks through
+    foreachBatch equals one batch merge exactly (the associativity
+    contract under per-key time order)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.temporal import (
+        SCD2_OPEN,
+        scd2_apply,
+    )
+    from mapnik_vector_tile_spark.streaming import scd2 as S2
+
+    rng = np.random.default_rng(23)
+    n_keys = 40
+    current = spark.createDataFrame(
+        [(k, k * 10, 0, SCD2_OPEN) for k in range(n_keys)],
+        "key long, attr long, valid_from long, valid_to long",
+    )
+    rows = []
+    for cid in range(300):
+        rows.append((
+            int(rng.integers(0, 2 * n_keys)),       # half unknown keys
+            cid,
+            1000 + cid * 7,                          # strictly increasing ts
+            "delete" if rng.random() < 0.15 else "upsert",
+            int(rng.integers(0, 1000)),
+        ))
+    pdf = pd.DataFrame(
+        rows, columns=["key", "change_id", "ts", "op", "attr"]
+    )
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    cuts = [0, 100, 200, 300]
+    for i in range(3):
+        pdf.iloc[cuts[i]:cuts[i + 1]].to_parquet(f"{src}/chunk{i}.parquet")
+    store = str(tmp_path / "scd2_store")
+    S2.run_scd2_stream(
+        spark, current, src, store,
+        checkpoint_dir=str(tmp_path / "ckpt_scd2"),
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{store}/dim").collect())
+    )
+    changes = spark.createDataFrame(
+        pdf, "key long, change_id long, ts long, op string, attr long"
+    )
+    want = sorted(map(tuple, scd2_apply(current, changes).collect()))
+    assert got == want and len(got) > n_keys
