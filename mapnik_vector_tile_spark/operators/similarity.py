@@ -1036,3 +1036,67 @@ def mmr_select(
         schema="qid long, cid long, rel long, mmr long, rnk long",
         out_columns=["qid", "cid", "rel", "mmr", "rnk"],
     )
+
+
+PCA_SCALE = 1 << 14  # power-iteration grid: keeps every intermediate
+# (64·scale²·scale products in the Rayleigh fold) well inside int64
+
+
+def pca_power(
+    emb: DataFrame, col: str = "embedding", iters: int = 24
+) -> DataFrame:
+    """T43 top principal direction by QUANTIZED power iteration over
+    the exact integer Gram matrix (embedding_gram) — the first
+    eigenpair PCA whitening / drift monitoring needs, computed so
+    both engines replay it BIT-EXACTLY: the Gram is rescaled onto
+    the PCA_SCALE integer grid, the iterate is renormalized each
+    step by sign(x)·(|x|·scale div max|w|) (symmetric truncating
+    division — identical in numpy ints and DuckDB //), and every
+    sum is exact BIGINT, so there is no float association anywhere
+    and summation order is irrelevant.  Convergence is the standard
+    power-iteration story quantized to the grid — the CONTRACT is
+    the computation itself, with the Rayleigh pair (num, den)
+    reporting λ̂ = num/den on the rescaled matrix.
+
+    The d×d Gram is a BOUNDED summary (d(d+1)/2 rows, corpus-size
+    independent) — collecting it is the rank_select/sketch driver
+    pattern, not a data collect; the corpus-proportional work all
+    happened inside embedding_gram's map-side combine.
+
+    Output ONE row: (d, iters, lam_num, lam_den, vhash, v_max,
+    v_min)."""
+    rows = embedding_gram(emb, col).collect()
+    d = max(int(r["j"]) for r in rows) + 1
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[int(r["i"])][int(r["j"])] = int(r["g"])
+        G[int(r["j"])][int(r["i"])] = int(r["g"])
+    gmax = max((abs(x) for row in G for x in row), default=0)
+    gdiv = gmax // PCA_SCALE + 1
+    Gn = [
+        [
+            (1 if x >= 0 else -1) * (abs(x) // gdiv)
+            for x in row
+        ]
+        for row in G
+    ]
+    v = [PCA_SCALE] * d
+    for _ in range(iters):
+        w = [sum(Gn[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [
+            (1 if x >= 0 else -1) * ((abs(x) * PCA_SCALE) // m)
+            for x in w
+        ]
+    w = [sum(Gn[i][j] * v[j] for j in range(d)) for i in range(d)]
+    num = sum(v[i] * w[i] for i in range(d))
+    den = sum(x * x for x in v)
+    vhash = sum((i + 1) * v[i] for i in range(d))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(d, iters, num, den, vhash, max(v), min(v))],
+        "d long, iters long, lam_num long, lam_den long, vhash long,"
+        " v_max long, v_min long",
+    )

@@ -1621,6 +1621,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         ),
         "q_embedding_quantize": (q_embedding_quantize, sql_embedding_quantize()),
         "q_embedding_gram": (q_embedding_gram, sql_embedding_gram()),
+        "q_pca_power": (q_pca_power, sql_pca_power()),
         "q_collocations": (q_collocations, sql_collocations()),
         "q_ann_twostage": (q_ann_twostage, sql_ann_twostage()),
         "q_kmeans": (q_kmeans, sql_kmeans()),
@@ -2386,4 +2387,90 @@ prs AS (
     ON a.band = b.band AND a.sig = b.sig
    AND a.is_new AND b.is_new AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, from_index FROM prs
+"""
+
+
+def q_pca_power(spark, sf_dir):
+    """T43 quantized power iteration (similarity.pca_power) with a
+    FULL oracle: DuckDB rebuilds the exact int8 Gram
+    (sql_embedding_gram), rescales it onto the same PCA_SCALE grid,
+    and replays all 24 renormalized iterations as a list-carrying
+    recursive CTE — every operation is BIGINT (symmetric truncating
+    division on absolute values), so the Rayleigh pair, the
+    positional eigenvector hash and the iterate extrema must match
+    bit-for-bit."""
+    from mapnik_vector_tile_spark.operators.similarity import pca_power
+
+    return pca_power(_emb(spark, sf_dir))
+
+
+def sql_pca_power(iters: int = 24) -> str:
+    from mapnik_vector_tile_spark.operators.similarity import PCA_SCALE
+
+    gram = sql_embedding_gram().strip()
+    assert gram.startswith("WITH ")
+    body, tail = gram[len("WITH "):].rsplit("SELECT CAST(a.i - 1", 1)
+    sc = PCA_SCALE
+    sdiv = (
+        "CASE WHEN {x} >= 0 THEN (ABS({x}) * %d) // {m}"
+        " ELSE -((ABS({x}) * %d) // {m}) END" % (sc, sc)
+    )
+    return f"""
+WITH RECURSIVE {body.rstrip().rstrip(',')},
+tri AS (
+  SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+         CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+  FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
+  GROUP BY 1, 2),
+gfull AS (
+  SELECT i, j, g FROM tri
+  UNION ALL SELECT j, i, g FROM tri WHERE i <> j),
+dd AS (SELECT MAX(j) + 1 AS d FROM tri),
+gd AS (SELECT MAX(ABS(g)) // {sc} + 1 AS gdiv FROM gfull),
+gn AS (
+  SELECT i, j,
+         CASE WHEN g >= 0 THEN ABS(g) // gdiv
+              ELSE -(ABS(g) // gdiv) END AS gv
+  FROM gfull, gd),
+gl AS (SELECT list(gv ORDER BY i, j) AS gl FROM gn),
+pi(v, r) AS (
+  SELECT list_transform(range(0, d), z9 -> CAST({sc} AS BIGINT)), 0
+  FROM dd
+  UNION ALL
+  SELECT CASE WHEN m = 0 THEN v
+              ELSE list_transform(w, x -> {sdiv.format(x='x', m='m')})
+         END,
+         r + 1
+  FROM (
+    SELECT v, r, w, list_max(list_transform(w, x -> ABS(x))) AS m
+    FROM (
+      SELECT v, r,
+             list_transform(range(0, d), i ->
+               list_aggregate(
+                 list_transform(range(0, d),
+                                j -> gl[i * d + j + 1] * v[j + 1]),
+                 'sum')) AS w
+      FROM pi, gl, dd WHERE r < {iters}
+    ) s1
+  ) s2),
+fin AS (SELECT v FROM pi WHERE r = {iters}),
+wf AS (
+  SELECT v,
+         list_transform(range(0, d), i ->
+           list_aggregate(
+             list_transform(range(0, d),
+                            j -> gl[i * d + j + 1] * v[j + 1]),
+             'sum')) AS w,
+         d
+  FROM fin, gl, dd)
+SELECT CAST(d AS BIGINT) AS d, CAST({iters} AS BIGINT) AS iters,
+       CAST(list_aggregate(list_transform(range(0, d),
+              i -> v[i + 1] * w[i + 1]), 'sum') AS BIGINT) AS lam_num,
+       CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+            AS BIGINT) AS lam_den,
+       CAST(list_aggregate(list_transform(range(0, d),
+              i -> (i + 1) * v[i + 1]), 'sum') AS BIGINT) AS vhash,
+       CAST(list_max(v) AS BIGINT) AS v_max,
+       CAST(list_min(v) AS BIGINT) AS v_min
+FROM wf
 """

@@ -989,3 +989,67 @@ def test_incremental_minhash_pairs_semantics(spark):
         if r.from_index
     }
     assert star == {(101, 1), (102, 1)}
+
+
+def test_pca_power_matches_float_eigenvector(spark):
+    """T43: the quantized power iterate aligns with numpy's float top
+    eigenvector on a well-conditioned corpus (cosine >= 0.99), and
+    the Rayleigh ratio approximates the top eigenvalue of the
+    rescaled Gram."""
+    from mapnik_vector_tile_spark.operators.similarity import (
+        PCA_SCALE,
+        pca_power,
+    )
+
+    rng = np.random.default_rng(9)
+    d = 16
+    # anisotropic cloud: dominant direction u0
+    u0 = rng.normal(size=d)
+    u0 /= np.linalg.norm(u0)
+    X = rng.normal(size=(300, d)) + 8.0 * np.outer(
+        rng.normal(size=300), u0
+    )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": range(len(X)),
+            "embedding": [r.astype(np.float32).tolist() for r in X],
+        }),
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_power(df).collect()[0]
+    assert out.d == d and out.lam_den > 0
+    # reconstruct v from its pinned hash? no — recompute directly:
+    from mapnik_vector_tile_spark.operators.similarity import (
+        embedding_gram,
+    )
+
+    rows = embedding_gram(df).collect()
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["g"]
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    # replay the integer iteration to get v
+    gmax = np.abs(G).max()
+    gdiv = int(gmax) // PCA_SCALE + 1
+    Gn = np.sign(G) * (np.abs(G).astype(np.int64) // gdiv)
+    v = np.full(d, PCA_SCALE, dtype=object)
+    for _ in range(24):
+        w = Gn @ v
+        m = max(abs(int(x)) for x in w)
+        if m == 0:
+            break
+        v = np.array(
+            [
+                (1 if int(x) >= 0 else -1)
+                * ((abs(int(x)) * PCA_SCALE) // m)
+                for x in w
+            ],
+            dtype=object,
+        )
+    vf = v.astype(np.float64)
+    cos = abs(vf @ top) / (np.linalg.norm(vf) * np.linalg.norm(top))
+    assert cos >= 0.99, cos
+    # the operator's hash equals the replay's
+    assert out.vhash == int(sum((i + 1) * int(v[i]) for i in range(d)))
