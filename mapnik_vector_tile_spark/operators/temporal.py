@@ -537,6 +537,85 @@ def frechet_pairs(
     )
 
 
+TREND_MAX_DX = 29  # Theil-Sen slope keys use lcm(1..TREND_MAX_DX)
+
+
+def trend_stats(series: DataFrame, max_dx: int = TREND_MAX_DX) -> DataFrame:
+    """W19 robust trend statistics per series — the Mann–Kendall S
+    statistic (Σ_{i<j} sign(y_j − y_i), the nonparametric trend test
+    sensor-drift monitoring runs) and the EXACT Theil–Sen slope (the
+    lower median of all pairwise slopes (y_j−y_i)/(x_j−x_i)), both
+    kept integer-exact so the DuckDB twin replays them bit-for-bit:
+    with x gaps bounded by ``max_dx``, every slope maps to the
+    STRICTLY MONOTONE integer key  dy · (lcm(1..max_dx) / dx)  — so
+    sorting rationals needs no floats and no cross-multiplied
+    comparator, and the selected median pair reduces by gcd to a
+    canonical (num, den).  |dy| is gated against the key overflowing
+    int64 (the semdedup idiom).
+
+    series: (g, x, y) integer series, x distinct per g.  Pairwise
+    work is |series|² per GROUP — bounded by the series length (a
+    time window), not the corpus; groups parallelize freely.
+
+    Output per g: (g, n, mk_s, ts_num, ts_den) — ts_num/ts_den the
+    reduced lower-median slope (0/1 for single-point series)."""
+    import math
+
+    import pandas as pd
+
+    lcm = math.lcm(*range(1, max_dx + 1))
+    lim = ((1 << 63) - 1) // lcm
+
+    def kernel(key, pdf):
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        order = np.argsort(xs)
+        xs, ys = xs[order], ys[order]
+        n = len(xs)
+        s = 0
+        keys = []
+        pairs = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                dy = int(ys[j]) - int(ys[i])
+                dx = int(xs[j]) - int(xs[i])
+                if dx > max_dx:
+                    raise ValueError(
+                        f"trend_stats: x gap {dx} exceeds max_dx="
+                        f"{max_dx}"
+                    )
+                if abs(dy) > lim:
+                    raise ValueError(
+                        "trend_stats: |dy| overflows the exact "
+                        "slope key — rescale y"
+                    )
+                s += (dy > 0) - (dy < 0)
+                keys.append(dy * (lcm // dx))
+                pairs.append((dy, dx))
+        if pairs:
+            mid = sorted(range(len(keys)), key=lambda t: keys[t])[
+                (len(keys) - 1) // 2
+            ]
+            dy, dx = pairs[mid]
+            g2 = math.gcd(abs(dy), dx) or 1
+            num, den = dy // g2, dx // g2
+        else:
+            num, den = 0, 1
+        return pd.DataFrame(
+            {
+                "g": [int(key[0])],
+                "n": [n],
+                "mk_s": [s],
+                "ts_num": [num],
+                "ts_den": [den],
+            }
+        )
+
+    return series.groupBy("g").applyInPandas(
+        kernel, "g long, n long, mk_s long, ts_num long, ts_den long"
+    )
+
+
 SCD2_OPEN = 1 << 62  # valid_to sentinel for the open version
 
 

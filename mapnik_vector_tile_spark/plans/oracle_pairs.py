@@ -10273,6 +10273,7 @@ _RECORD_FIRST = (
     # covered 100 distinct keys, so round 3 promotes every
     # never-recorded key (new r3 keys first) — cross-round union
     # keeps growing toward full registry coverage
+    "q_trend",
     "q_pca_power",
     "q_scd2_lookup",
     "q_scd2",
@@ -16628,3 +16629,102 @@ LEFT JOIN dim d
 
 
 _ENGINE_PAIRS["q_scd2_lookup"] = (q_scd2_lookup, _sql_scd2_lookup())
+
+
+# ---------------------------------------------------------------------------
+# q_trend — W19 Mann–Kendall + exact Theil–Sen per activity cell
+# ---------------------------------------------------------------------------
+
+
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend stats (temporal.trend_stats) over per-cell daily
+    event counts (the q_cotravel 4-grid cells, 30-day corpus — max x
+    gap 29 by construction), FULL oracle: DuckDB enumerates the same
+    ordered pairs, folds the Mann–Kendall sign sum, sorts slopes by
+    the identical dy·(lcm/dx) integer key, picks the same lower
+    median and reduces it by gcd."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.temporal import trend_stats
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(CT_GRID)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(CT_GRID)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    series = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.floor(F.unix_timestamp("ts") / F.lit(86400.0))
+            .cast("long").alias("x"),
+            ck(F.col("event_id")).alias("c"),
+        )
+        .select((F.col("c.cx") * 256 + F.col("c.cy")).alias("g"), "x")
+        .groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    return trend_stats(series)
+
+
+def _sql_trend(grid: int = CT_GRID, max_dx: int = 29) -> str:
+    import math
+
+    h = splitmix64_sql("event_id")
+    lcm = math.lcm(*range(1, max_dx + 1))
+    return f"""
+WITH loc AS (
+  SELECT CAST(({h}) % {grid} AS BIGINT) * 256
+         + CAST((({h}) // 256) % {grid} AS BIGINT) AS g,
+         CAST(floor(floor(epoch(ts)) / {S.flit(86400.0)}) AS BIGINT)
+           AS x
+  FROM events),
+ser AS (
+  SELECT g, x, CAST(COUNT(*) AS BIGINT) AS y FROM loc GROUP BY g, x),
+prs AS (
+  SELECT a.g, b.y - a.y AS dy, b.x - a.x AS dx
+  FROM ser a JOIN ser b ON b.g = a.g AND b.x > a.x),
+mk AS (
+  SELECT g,
+         CAST(SUM(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1
+                       ELSE 0 END) AS BIGINT) AS mk_s,
+         COUNT(*) AS m
+  FROM prs GROUP BY g),
+rk AS (
+  SELECT g, dy, dx,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY dy * ({lcm} // dx)) AS rn
+  FROM prs),
+med AS (
+  SELECT r.g, r.dy, r.dx
+  FROM rk r JOIN mk ON mk.g = r.g
+  WHERE r.rn = (mk.m + 1) // 2),
+nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM ser GROUP BY g)
+SELECT nn.g, nn.n,
+       COALESCE(mk.mk_s, 0) AS mk_s,
+       CAST(COALESCE(med.dy // gcd(ABS(med.dy), med.dx), 0) AS BIGINT)
+         AS ts_num,
+       CAST(COALESCE(med.dx // gcd(ABS(med.dy), med.dx), 1) AS BIGINT)
+         AS ts_den
+FROM nn
+LEFT JOIN mk ON mk.g = nn.g
+LEFT JOIN med ON med.g = nn.g
+"""
+
+
+_ENGINE_PAIRS["q_trend"] = (q_trend, _sql_trend())

@@ -541,3 +541,48 @@ def test_scd2_lookup_versions_and_gaps(spark):
     got = {r.fact_id: r.attr for r in scd2_lookup(facts, dim).collect()}
     assert got == {100: 10, 101: 10, 102: 11, 103: 12, 104: 20,
                    105: -1, 106: -1}
+
+
+def test_trend_stats_exact_median_slope(spark):
+    """W19: Mann–Kendall S and the lower-median Theil–Sen slope match
+    a brute Fraction reference, including ties, negative trends,
+    gaps, and the single-point degenerate."""
+    from fractions import Fraction
+
+    from mapnik_vector_tile_spark.operators.temporal import trend_stats
+
+    series = {
+        0: [(0, 10), (1, 12), (2, 11), (4, 18), (5, 17)],   # up
+        1: [(0, 50), (3, 40), (6, 42), (7, 30)],            # down
+        2: [(0, 5), (1, 5), (2, 5)],                         # flat ties
+        3: [(10, 7)],                                        # single
+    }
+    rows = [(g, x, y) for g, pts in series.items() for x, y in pts]
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {
+        r.g: (r.n, r.mk_s, r.ts_num, r.ts_den)
+        for r in trend_stats(df).collect()
+    }
+    for g, pts in series.items():
+        n = len(pts)
+        s = sum(
+            (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+            for i in range(n) for j in range(i + 1, n)
+        )
+        slopes = sorted(
+            Fraction(pts[j][1] - pts[i][1], pts[j][0] - pts[i][0])
+            for i in range(n) for j in range(i + 1, n)
+        )
+        if slopes:
+            med = slopes[(len(slopes) - 1) // 2]
+            want = (n, s, med.numerator, med.denominator)
+        else:
+            want = (n, 0, 0, 1)
+        assert got[g] == want, (g, got[g], want)
+    import pytest as _pytest
+
+    wide = spark.createDataFrame(
+        [(0, 0, 1), (0, 100, 2)], "g long, x long, y long"
+    )
+    with _pytest.raises(Exception):  # x gap beyond max_dx
+        trend_stats(wide).collect()
