@@ -831,3 +831,49 @@ def test_interval_concurrency_segmented_partitioned_sweep(spark):
     assert plan.count("SinglePartition") == 2
     assert "BroadcastExchange" in plan
     assert "PythonUDF" not in plan
+
+
+def test_scd2_apply_single_window_no_python(spark):
+    """W18: the CDC merge is pure Catalyst — one window over the
+    change batch, no Python nodes, no cartesian; history rows stream
+    through a filter."""
+    from mapnik_vector_tile_spark.operators.temporal import (
+        SCD2_OPEN,
+        scd2_apply,
+    )
+
+    cur = spark.range(100).selectExpr(
+        "id AS key", "id AS attr", "CAST(0 AS LONG) AS valid_from",
+        f"CAST({SCD2_OPEN} AS LONG) AS valid_to",
+    )
+    ch = spark.range(50).selectExpr(
+        "id AS key", "id AS change_id", "id + 10 AS ts",
+        "'upsert' AS op", "id AS attr",
+    )
+    plan = _plan(scd2_apply(cur, ch))
+    assert "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") <= 2  # the lead() chain only
+
+
+def test_incremental_dedup_index_side_never_self_joins(spark):
+    """T42: the plan contains the new x index and new x new joins but
+    no index x index pair join; the hot-bucket stats come back as a
+    broadcast."""
+    from mapnik_vector_tile_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    docs = spark.range(40).selectExpr(
+        "id AS doc_id", "'alpha beta gamma delta epsilon' AS text"
+    )
+    new = spark.range(5).selectExpr(
+        "id + 1000 AS doc_id", "'alpha beta gamma delta epsilon' AS text"
+    )
+    plan = _plan(incremental_minhash_pairs(new, docs))
+    assert "BroadcastExchange" in plan  # hot-bucket tag joins
+    assert "CartesianProduct" not in plan
+    # exactly two pair joins survive (new x index, new x new): the
+    # banded relations appear as two checkpoint scans, never a third
+    # index-side self-join input
+    assert plan.count("ExistingRDD") <= 3
