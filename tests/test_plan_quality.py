@@ -873,7 +873,12 @@ def test_incremental_dedup_index_side_never_self_joins(spark):
     plan = _plan(incremental_minhash_pairs(new, docs))
     assert "BroadcastExchange" in plan  # hot-bucket tag joins
     assert "CartesianProduct" not in plan
-    # exactly two pair joins survive (new x index, new x new): the
-    # banded relations appear as two checkpoint scans, never a third
-    # index-side self-join input
-    assert plan.count("ExistingRDD") <= 3
+    # join-node canary: 2 pair joins (new x index, new x new) + the
+    # guard's tag joins on both sides and the hub-star branch = 7
+    # nodes today — an accidental index-side self-join (or a guard
+    # regression re-deriving the banded pipeline per consumer) pushes
+    # the count past the bound
+    import re as _re
+
+    n_joins = len(_re.findall(r"\(\d+\) [A-Za-z]*Join", plan))
+    assert 2 <= n_joins <= 8, n_joins
