@@ -537,6 +537,77 @@ def frechet_pairs(
     )
 
 
+def isotonic_fit(series: DataFrame) -> DataFrame:
+    """W20 isotonic regression by PAVA (pool-adjacent-violators) —
+    the monotone calibration fit every detector/confidence pipeline
+    runs (sklearn IsotonicRegression / Platt's rival), kept EXACT:
+    points pre-pool per x (Σy, n — so equal scores share one fitted
+    value by construction), then adjacent blocks merge while the
+    earlier block's mean exceeds the later's — compared by integer
+    cross-multiplication, no division until the end, when each
+    point's fitted value emits as the gcd-reduced block-mean
+    fraction.  Ties in mean need no rule: merged or not, the
+    per-point output is identical.
+
+    series: (g, x, y) integer observations (y typically 0/1 hit
+    flags).  Per-group kernel is the classic O(n) stack; groups
+    parallelize freely and the in-group size is bounded by the
+    domain (e.g. the quantized score range), not the corpus.  The
+    DuckDB twin replays PAVA as a ONE-ACTION-PER-STEP recursion
+    (consume a point or merge once — ≤ 2n steps), so a single wrong
+    merge desynchronizes every later block boundary.
+
+    Output per (g, x): (g, x, n, fit_num, fit_den) — n the pooled
+    count at x."""
+    import math
+
+    import pandas as pd
+
+    pooled = series.groupBy("g", "x").agg(
+        F.sum("y").cast("long").alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values("x")
+        xs = pdf["x"].to_numpy()
+        sy = pdf["sy"].to_numpy()
+        cn = pdf["n"].to_numpy()
+        sums: list[int] = []
+        cnts: list[int] = []
+        sizes: list[int] = []  # pooled points per block
+        for i in range(len(xs)):
+            sums.append(int(sy[i]))
+            cnts.append(int(cn[i]))
+            sizes.append(1)
+            while (
+                len(sums) >= 2
+                and sums[-2] * cnts[-1] > sums[-1] * cnts[-2]
+            ):
+                sums[-2] += sums[-1]
+                cnts[-2] += cnts[-1]
+                sizes[-2] += sizes[-1]
+                sums.pop()
+                cnts.pop()
+                sizes.pop()
+        out = {"g": [], "x": [], "n": [], "fit_num": [], "fit_den": []}
+        pos = 0
+        for b in range(len(sums)):
+            gd = math.gcd(sums[b], cnts[b]) or 1
+            for _ in range(sizes[b]):
+                out["g"].append(int(key[0]))
+                out["x"].append(int(xs[pos]))
+                out["n"].append(int(cn[pos]))
+                out["fit_num"].append(sums[b] // gd)
+                out["fit_den"].append(cnts[b] // gd)
+                pos += 1
+        return pd.DataFrame(out)
+
+    return pooled.groupBy("g").applyInPandas(
+        kernel, "g long, x long, n long, fit_num long, fit_den long"
+    )
+
+
 TREND_MAX_DX = 29  # Theil-Sen slope keys use lcm(1..TREND_MAX_DX)
 
 

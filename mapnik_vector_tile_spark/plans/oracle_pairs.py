@@ -10273,6 +10273,7 @@ _RECORD_FIRST = (
     # covered 100 distinct keys, so round 3 promotes every
     # never-recorded key (new r3 keys first) — cross-round union
     # keeps growing toward full registry coverage
+    "q_isotonic",
     "q_trend",
     "q_pca_power",
     "q_scd2_lookup",
@@ -16728,3 +16729,119 @@ LEFT JOIN med ON med.g = nn.g
 
 
 _ENGINE_PAIRS["q_trend"] = (q_trend, _sql_trend())
+
+
+# ---------------------------------------------------------------------------
+# q_isotonic — W20 PAVA isotonic regression (exact rational fits)
+# ---------------------------------------------------------------------------
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (temporal.isotonic_fit) with a FULL
+    oracle: per 4-grid cell, fit P(purchase) monotone in the integer
+    event value — the detector-calibration shape.  DuckDB replays
+    PAVA as a one-action-per-step recursion (consume or merge-once)
+    carrying the block stack as lists, then expands blocks to
+    per-point gcd-reduced mean fractions; a single wrong merge
+    shifts every later block boundary and breaks the hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.temporal import isotonic_fit
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(CT_GRID)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(CT_GRID)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    series = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.floor(F.col("value")).cast("long").alias("x"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+            ck(F.col("event_id")).alias("c"),
+        )
+        .select((F.col("c.cx") * 256 + F.col("c.cy")).alias("g"), "x", "y")
+    )
+    return isotonic_fit(series)
+
+
+def _sql_isotonic(grid: int = CT_GRID) -> str:
+    h = splitmix64_sql("event_id")
+    last_s = "ss[len(ss)]"
+    prev_s = "ss[len(ss) - 1]"
+    last_c = "cc[len(cc)]"
+    prev_c = "cc[len(cc) - 1]"
+    viol = (
+        f"(len(ss) >= 2 AND {prev_s} * {last_c} > {last_s} * {prev_c})"
+    )
+    return f"""
+WITH RECURSIVE src AS (
+  SELECT CAST(({h}) % {grid} AS BIGINT) * 256
+         + CAST((({h}) // 256) % {grid} AS BIGINT) AS g,
+         CAST(floor("value") AS BIGINT) AS x,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS y
+  FROM events),
+pooled AS (
+  SELECT g, x, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM src GROUP BY g, x),
+lists AS MATERIALIZED (
+  SELECT g, list(x ORDER BY x) AS px, list(sy ORDER BY x) AS psy,
+         list(n ORDER BY x) AS pn
+  FROM pooled GROUP BY g),
+pava(g, px, psy, pn, idx, ss, cc, zz) AS (
+  SELECT g, px, psy, pn, 1,
+         [psy[1]], [pn[1]], [CAST(1 AS BIGINT)]
+  FROM lists
+  UNION ALL
+  SELECT g, px, psy, pn,
+         CASE WHEN viol THEN idx ELSE idx + 1 END,
+         CASE WHEN viol
+              THEN list_append(ss[1:len(ss) - 2],
+                               {prev_s} + {last_s})
+              ELSE list_append(ss, psy[idx + 1]) END,
+         CASE WHEN viol
+              THEN list_append(cc[1:len(cc) - 2],
+                               {prev_c} + {last_c})
+              ELSE list_append(cc, pn[idx + 1]) END,
+         CASE WHEN viol
+              THEN list_append(zz[1:len(zz) - 2],
+                               zz[len(zz) - 1] + zz[len(zz)])
+              ELSE list_append(zz, CAST(1 AS BIGINT)) END
+  FROM (SELECT *, {viol} AS viol FROM pava) s
+  WHERE viol OR idx < len(px)),
+fin AS (
+  SELECT g, px, pn, ss, cc, zz,
+         list_transform(range(1, len(zz) + 1),
+           b -> list_aggregate(zz[1:b], 'sum')) AS pz
+  FROM pava
+  WHERE idx = len(px) AND NOT {viol}),
+ex AS (
+  SELECT g, px, pn, ss, cc, pz, s.p AS p,
+         1 + len(list_filter(pz, c9 -> c9 < s.p)) AS b
+  FROM fin, unnest(generate_series(1, len(px))) AS s(p))
+SELECT g, CAST(px[p] AS BIGINT) AS x, CAST(pn[p] AS BIGINT) AS n,
+       CAST(ss[b] // gcd(ss[b], cc[b]) AS BIGINT) AS fit_num,
+       CAST(cc[b] // gcd(ss[b], cc[b]) AS BIGINT) AS fit_den
+FROM ex
+"""
+
+
+_ENGINE_PAIRS["q_isotonic"] = (q_isotonic, _sql_isotonic())

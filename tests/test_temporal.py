@@ -586,3 +586,50 @@ def test_trend_stats_exact_median_slope(spark):
     )
     with _pytest.raises(Exception):  # x gap beyond max_dx
         trend_stats(wide).collect()
+
+
+def test_isotonic_fit_pava(spark):
+    """W20: hand-checkable PAVA case + the invariants (fits monotone
+    nondecreasing in x; block means preserve totals; equal x pool)."""
+    from fractions import Fraction
+
+    from mapnik_vector_tile_spark.operators.temporal import isotonic_fit
+
+    rows = [
+        # g=0: y = [1, 0, 0, 1] on x=1..4 -> PAVA pools [1,0,0] -> 1/3
+        (0, 1, 1), (0, 2, 0), (0, 3, 0), (0, 4, 1),
+        # g=1: equal x values pool first: x=5 has y {0,1} -> 1/2
+        (1, 5, 0), (1, 5, 1), (1, 6, 1),
+        # g=2: already monotone stays untouched
+        (2, 1, 0), (2, 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {
+        (r.g, r.x): (r.n, Fraction(r.fit_num, r.fit_den))
+        for r in isotonic_fit(df).collect()
+    }
+    third = Fraction(1, 3)
+    assert got[(0, 1)] == (1, third)
+    assert got[(0, 2)] == (1, third)
+    assert got[(0, 3)] == (1, third)
+    assert got[(0, 4)] == (1, Fraction(1, 1))
+    assert got[(1, 5)] == (2, Fraction(1, 2))
+    assert got[(1, 6)] == (1, Fraction(1, 1))
+    assert got[(2, 1)] == (1, Fraction(0, 1))
+    assert got[(2, 2)] == (1, Fraction(1, 1))
+    # invariants on a pseudo-random series
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    rnd = [(9, int(x), int(rng.integers(0, 2)))
+           for x in rng.integers(0, 40, 200)]
+    df2 = spark.createDataFrame(rnd, "g long, x long, y long")
+    out = sorted(
+        (r.x, Fraction(r.fit_num, r.fit_den), r.n)
+        for r in isotonic_fit(df2).collect()
+    )
+    fits = [f for _, f, _ in out]
+    assert all(a <= b for a, b in zip(fits, fits[1:]))  # monotone
+    total_fit = sum(f * n for _, f, n in out)
+    total_y = sum(y for _, _, y in rnd)
+    assert total_fit == total_y  # block means preserve mass
