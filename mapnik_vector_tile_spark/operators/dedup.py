@@ -524,6 +524,70 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def cluster_modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """T44 modularity of a clustering over its pair graph — the
+    partition-quality score (Newman Q) community detection and dedup
+    QA report, kept EXACT: with m edges, I intra-cluster edges and
+    per-cluster degree sums d_c,
+        Q · 4m²  =  4·m·I − Σ_c d_c²
+    — pure BIGINT (the morans_i denominator-clearing idiom), emitted
+    as (q_num, q_den) with q_den = 4m².  An m big enough to wrap 4m²
+    raises (the collocations gate idiom; m ≤ ~1.5·10⁹ edges).
+
+    pairs: (doc_a, doc_b) distinct undirected edges; labels:
+    (doc_id, cluster_rep) covering every endpoint (the
+    connected_components output).  Plan: two broadcast-or-shuffle
+    label joins, one degree aggregate, one per-cluster fold — all
+    Catalyst, shuffle keyed on cluster_rep.
+
+    Output ONE row: (m, n_clusters, intra, q_num, q_den)."""
+    lab_a = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_rep").alias("ra")
+    )
+    lab_b = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_rep").alias("rb")
+    )
+    e = pairs.join(lab_a, "doc_a").join(lab_b, "doc_b")
+    mI = e.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum((F.col("ra") == F.col("rb")).cast("long"))
+        .cast("long").alias("intra"),
+    ).select(
+        F.when(
+            F.col("m") > F.lit(1_500_000_000),
+            F.raise_error(
+                F.format_string(
+                    "cluster_modularity: %d edges would overflow the "
+                    "exact 4m^2 denominator — sample the graph",
+                    F.col("m"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("m")).alias("m"),
+        "intra",
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dc = deg.join(labels, "doc_id").groupBy("cluster_rep").agg(
+        F.sum("d").cast("long").alias("d_c")
+    )
+    folds = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sum_dc2"),
+    )
+    return mI.crossJoin(folds).select(
+        "m",
+        "n_clusters",
+        "intra",
+        (4 * F.col("m") * F.col("intra") - F.col("sum_dc2"))
+        .cast("long").alias("q_num"),
+        (4 * F.col("m") * F.col("m")).cast("long").alias("q_den"),
+    )
+
+
 def edit_refine(
     docs: DataFrame,
     max_num: int = 1,

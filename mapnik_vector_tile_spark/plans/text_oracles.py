@@ -1599,6 +1599,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
         "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
         "q_dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
+        "q_modularity": (q_modularity, sql_modularity()),
         "q_cluster_canonical": (q_cluster_canonical, sql_cluster_canonical()),
         "q_simhash": (q_simhash, sql_simhash()),
         "q_simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
@@ -2473,4 +2474,65 @@ SELECT CAST(d AS BIGINT) AS d, CAST({iters} AS BIGINT) AS iters,
        CAST(list_max(v) AS BIGINT) AS v_max,
        CAST(list_min(v) AS BIGINT) AS v_min
 FROM wf
+"""
+
+
+def q_modularity(spark, sf_dir):
+    """T44 modularity of the dedup clustering (dedup.cluster_modularity
+    over the exact LSH pair graph and its connected components) with
+    a FULL oracle: DuckDB rebuilds the same pairs and transitive-
+    closure labels, then folds the identical 4mI − Σd_c² numerator —
+    a wrong component or a missed pair shifts the exact Q fraction."""
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    docs = D.with_self_copies(_docs(spark, sf_dir))
+    pairs = D.minhash_lsh_pairs(docs, hot_bucket_limit=None)
+    pairs = pairs.localCheckpoint(eager=True)
+    labels = D.connected_components(pairs).select("doc_id", "cluster_rep")
+    return D.cluster_modularity(pairs, labels)
+
+
+def sql_modularity() -> str:
+    return f"""
+WITH RECURSIVE {_lsh_pair_ctes()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM lsh_pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s AS node, reach.r
+  FROM edges e JOIN reach ON reach.node = e.d
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
+),
+lp AS (
+  SELECT p.doc_a, p.doc_b, la.cluster_rep AS ra, lb.cluster_rep AS rb
+  FROM lsh_pairs p
+  JOIN labels la ON la.doc_id = p.doc_a
+  JOIN labels lb ON lb.doc_id = p.doc_b),
+mi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS intra
+  FROM lp),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT doc_a AS doc_id FROM lsh_pairs
+    UNION ALL SELECT doc_b FROM lsh_pairs) u
+  GROUP BY doc_id),
+dc AS (
+  SELECT l.cluster_rep, CAST(SUM(deg.d) AS BIGINT) AS d_c
+  FROM deg JOIN labels l USING (doc_id) GROUP BY 1),
+fo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(d_c * d_c) AS BIGINT) AS sum_dc2
+  FROM dc)
+SELECT m, n_clusters, intra,
+       CAST(4 * m * intra - sum_dc2 AS BIGINT) AS q_num,
+       CAST(4 * m * m AS BIGINT) AS q_den
+FROM mi, fo
 """

@@ -1053,3 +1053,50 @@ def test_pca_power_matches_float_eigenvector(spark):
     assert cos >= 0.99, cos
     # the operator's hash equals the replay's
     assert out.vhash == int(sum((i + 1) * int(v[i]) for i in range(d)))
+
+
+def test_cluster_modularity_exact(spark):
+    """T44: the exact Q fraction matches a hand computation for two
+    triangles plus a bridge edge under the true-component labels, and
+    perfect clustering of disconnected cliques gives the known
+    closed form Q = 1 - 1/k."""
+    from fractions import Fraction
+
+    from mapnik_vector_tile_spark.operators.dedup import (
+        cluster_modularity,
+    )
+
+    # two triangles {1,2,3}, {4,5,6} joined by bridge (3,4): one
+    # component, so Q for the single-cluster labeling is 0 - ... all
+    # intra: Q = I/m - sum(d_c^2)/4m^2 = 1 - (2m)^2/4m^2 = 0
+    tri = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    pairs = spark.createDataFrame(tri, "doc_a long, doc_b long")
+    labels1 = spark.createDataFrame(
+        [(i, 1) for i in range(1, 7)], "doc_id long, cluster_rep long"
+    )
+    r = cluster_modularity(pairs, labels1).collect()[0]
+    assert (r.m, r.intra) == (7, 7)
+    assert Fraction(r.q_num, r.q_den) == 0
+    # split into the two triangles: I = 6; d_c = 7 each
+    labels2 = spark.createDataFrame(
+        [(i, 1) for i in (1, 2, 3)] + [(i, 4) for i in (4, 5, 6)],
+        "doc_id long, cluster_rep long",
+    )
+    r2 = cluster_modularity(pairs, labels2).collect()[0]
+    want = Fraction(6, 7) - 2 * Fraction(7, 14) ** 2
+    assert Fraction(r2.q_num, r2.q_den) == want
+    # k disconnected cliques, perfect labels: Q = 1 - 1/k
+    k = 4
+    edges = []
+    labs = []
+    for c in range(k):
+        base = 100 * c
+        for a in range(3):
+            for b in range(a + 1, 3):
+                edges.append((base + a, base + b))
+        labs += [(base + i, base) for i in range(3)]
+    r3 = cluster_modularity(
+        spark.createDataFrame(edges, "doc_a long, doc_b long"),
+        spark.createDataFrame(labs, "doc_id long, cluster_rep long"),
+    ).collect()[0]
+    assert Fraction(r3.q_num, r3.q_den) == 1 - Fraction(1, k)
