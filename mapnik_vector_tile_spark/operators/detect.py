@@ -319,6 +319,58 @@ def match_detection_flags(
     )
 
 
+def auc_exact(flags: DataFrame) -> DataFrame:
+    """T12t exact ROC-AUC per group — the Mann–Whitney U form every
+    eval harness reports, kept integer-exact with midrank ties:
+        AUC = (Σ_{pos,neg} [s_p > s_n] + ½[s_p = s_n]) / (P·N)
+    emitted as the BIGINT pair (auc_num, auc_den) = (2U, 2PN), with
+    2U = Σ_scores pos_s · (2·neg_below_s + neg_s) — one
+    map-side-combined per-(group, score) count aggregate and one
+    PER-GROUP window over the quantized score DOMAIN (the pr_curve
+    bound: rows per group ≤ distinct scores, not detections).
+    Degenerate groups (no positives or no negatives) carry a NULL
+    auc_dbl and den = 0 rather than a division blow-up (the morans_i
+    guard idiom).
+
+    flags: (g, score, hit ∈ {0,1}).  Output per g:
+    (g, n_pos, n_neg, auc_num, auc_den, auc_dbl)."""
+    from pyspark.sql import Window
+
+    per_score = flags.groupBy("g", "score").agg(
+        F.sum("hit").cast("long").alias("pos_s"),
+        F.sum(1 - F.col("hit")).cast("long").alias("neg_s"),
+    )
+    w = Window.partitionBy("g").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_s").over(w), F.lit(0))
+    )
+    return ranked.groupBy("g").agg(
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum("neg_s").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_s")
+            * (2 * F.col("neg_below") + F.col("neg_s"))
+        ).cast("long").alias("auc_num"),
+    ).select(
+        "g",
+        "n_pos",
+        "n_neg",
+        "auc_num",
+        (2 * F.col("n_pos") * F.col("n_neg")).cast("long").alias(
+            "auc_den"
+        ),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            F.col("auc_num").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc_dbl"),
+    )
+
+
 def pr_curve(flags: DataFrame) -> DataFrame:
     """T12s PR-curve points — global (score DESC, image_id, det_id)
     rank over the per-detection flags with cumulative TP/FP: the

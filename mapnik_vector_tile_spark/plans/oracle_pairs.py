@@ -10273,6 +10273,7 @@ _RECORD_FIRST = (
     # covered 100 distinct keys, so round 3 promotes every
     # never-recorded key (new r3 keys first) — cross-round union
     # keeps growing toward full registry coverage
+    "q_auc",
     "q_modularity",
     "q_isotonic",
     "q_trend",
@@ -16846,3 +16847,91 @@ FROM ex
 
 
 _ENGINE_PAIRS["q_isotonic"] = (q_isotonic, _sql_isotonic())
+
+
+# ---------------------------------------------------------------------------
+# q_auc — T12t exact ROC-AUC (Mann–Whitney with midrank ties)
+# ---------------------------------------------------------------------------
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-cell ROC-AUC (detect.auc_exact) of the event value
+    as a purchase predictor — the q_isotonic corpus viewed through
+    the ranking-eval lens.  FULL oracle: DuckDB folds the identical
+    per-score counts, exclusive negative prefix and 2U numerator."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.detect import auc_exact
+
+    c_t = StructType(
+        [StructField("cx", LongType()), StructField("cy", LongType())]
+    )
+
+    def _cell_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "cx": (h % np.uint64(CT_GRID)).astype(np.int64),
+                "cy": ((h >> np.uint64(8)) % np.uint64(CT_GRID)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    ck = F.pandas_udf(_cell_kernel, c_t)
+    flags = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.floor(F.col("value")).cast("long").alias("score"),
+            (F.col("event_type") == "purchase").cast("long").alias("hit"),
+            ck(F.col("event_id")).alias("c"),
+        )
+        .select(
+            (F.col("c.cx") * 256 + F.col("c.cy")).alias("g"),
+            "score", "hit",
+        )
+    )
+    return auc_exact(flags)
+
+
+def _sql_auc(grid: int = CT_GRID) -> str:
+    h = splitmix64_sql("event_id")
+    return f"""
+WITH src AS (
+  SELECT CAST(({h}) % {grid} AS BIGINT) * 256
+         + CAST((({h}) // 256) % {grid} AS BIGINT) AS g,
+         CAST(floor("value") AS BIGINT) AS score,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS hit
+  FROM events),
+ps AS (
+  SELECT g, score, CAST(SUM(hit) AS BIGINT) AS pos_s,
+         CAST(SUM(1 - hit) AS BIGINT) AS neg_s
+  FROM src GROUP BY g, score),
+rk AS (
+  SELECT g, pos_s, neg_s,
+         COALESCE(SUM(neg_s) OVER (PARTITION BY g ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS neg_below
+  FROM ps),
+ag AS (
+  SELECT g, CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+         CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+         CAST(SUM(pos_s * (2 * neg_below + neg_s)) AS BIGINT)
+           AS auc_num
+  FROM rk GROUP BY g)
+SELECT g, n_pos, n_neg, auc_num,
+       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE CAST(auc_num AS DOUBLE)
+                   / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc_dbl
+FROM ag
+"""
+
+
+_ENGINE_PAIRS["q_auc"] = (q_auc, _sql_auc())

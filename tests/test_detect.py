@@ -403,3 +403,41 @@ def test_pr_curve_two_pass_matches_single_window(spark):
     got = sorted(map(tuple, pr_curve(flags).collect()))
     want = sorted(map(tuple, naive.collect()))
     assert got == want
+
+
+def test_auc_exact_against_sklearn_free_reference(spark):
+    """T12t: exact AUC equals the brute pairwise U with midrank ties;
+    perfect/inverted/degenerate cases pinned."""
+    from fractions import Fraction
+
+    from mapnik_vector_tile_spark.operators.detect import auc_exact
+
+    cases = {
+        0: [(1, 0), (2, 0), (3, 1), (4, 1)],      # perfect: AUC 1
+        1: [(1, 1), (2, 1), (3, 0), (4, 0)],      # inverted: AUC 0
+        2: [(1, 0), (1, 1), (2, 0), (2, 1)],      # heavy ties
+        3: [(5, 1), (6, 1)],                       # no negatives
+    }
+    rows = [(g, s, h) for g, pts in cases.items() for s, h in pts]
+    df = spark.createDataFrame(rows, "g long, score long, hit long")
+    got = {r.g: r for r in auc_exact(df).collect()}
+    for g, pts in cases.items():
+        pos = [s for s, h in pts if h]
+        neg = [s for s, h in pts if not h]
+        r = got[g]
+        assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+        if pos and neg:
+            two_u = sum(
+                2 * (p > n) + (p == n) for p in pos for n in neg
+            )
+            assert (r.auc_num, r.auc_den) == (
+                two_u, 2 * len(pos) * len(neg)
+            )
+            assert Fraction(r.auc_num, r.auc_den) == Fraction(
+                two_u, 2 * len(pos) * len(neg)
+            )
+        else:
+            assert r.auc_dbl is None and r.auc_den == 0
+    assert Fraction(got[0].auc_num, got[0].auc_den) == 1
+    assert Fraction(got[1].auc_num, got[1].auc_den) == 0
+    assert Fraction(got[2].auc_num, got[2].auc_den) == Fraction(1, 2)
