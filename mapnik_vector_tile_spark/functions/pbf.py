@@ -748,6 +748,17 @@ def _splice_merge_fast(blobs, name: str) -> bytes | None:
             )
         ):
             return None
+        # minimality check: the fast path RE-ENCODES every varint
+        # minimally, while the scalar path splices raw byte spans —
+        # an overlong varint in a foreign/rescaled blob would pass
+        # the span checks above yet merge to different bytes.  Every
+        # varint's actual byte span must equal its minimal length,
+        # else fall back to the scalar path (which preserves the
+        # source bytes verbatim).
+        if not np.array_equal(
+            ends - starts + 1, _varint_len_np(v15.ravel())
+        ):
+            return None
         # after the last record: keys/values/extent section or EOF
         sec_end = feat_start + int(rec_end[-1])
         if sec_end < n and b[sec_end] not in (0x1A, 0x22, 0x28, 0x78):

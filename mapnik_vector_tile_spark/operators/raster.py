@@ -2679,10 +2679,25 @@ def viewshed_tiles(
     scale refinement and would be oracled AGAINST this.
 
     Output per (z, x, y): n_visible (observer excluded), vis_hash =
-    Σ (cx·8191 + cy) over visible cells, max_vis_d2."""
+    Σ (cx·8191 + cy) over visible cells, max_vis_d2.
+
+    ENFORCED BOUND: tile_size ≤ 64.  The precomputed T²×T² pair
+    matrices are ~(T²)²·8 bytes each — 134 MB at T=64 but ~34 GB at
+    the standard 256px tile, and the O(T⁴) pair sweep is equally
+    quartic in time — so larger tiles raise immediately instead of
+    OOMing mid-job.  For production tile sizes use
+    viewshed_sweep_tiles (Van Kreveld O(n² log n)), which is
+    equality-pinned against this reference form on shared corpora."""
     import pandas as pd
 
     T = tile_size
+    if T > 64:
+        raise ValueError(
+            f"viewshed_tiles: tile_size {T} exceeds the R3 brute-force "
+            "bound of 64 — the dense (T²)² pair matrices would need "
+            f"~{(T * T) ** 2 * 8 / 2 ** 30:.0f} GiB each. Use "
+            "viewshed_sweep_tiles for production tile sizes."
+        )
     if obs is None:
         obs = (T // 2, T // 2)
     ox, oy = obs

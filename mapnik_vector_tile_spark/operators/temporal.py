@@ -617,12 +617,18 @@ def trend_stats(series: DataFrame, max_dx: int = TREND_MAX_DX) -> DataFrame:
     sensor-drift monitoring runs) and the EXACT Theil–Sen slope (the
     lower median of all pairwise slopes (y_j−y_i)/(x_j−x_i)), both
     kept integer-exact so the DuckDB twin replays them bit-for-bit:
-    with x gaps bounded by ``max_dx``, every slope maps to the
+    with the per-group x SPAN (max(x) − min(x), NOT just adjacent
+    gaps — Theil–Sen enumerates ALL pairs, so the largest pairwise dx
+    is the span) bounded by ``max_dx``, every slope maps to the
     STRICTLY MONOTONE integer key  dy · (lcm(1..max_dx) / dx)  — so
     sorting rationals needs no floats and no cross-multiplied
     comparator, and the selected median pair reduces by gcd to a
     canonical (num, den).  |dy| is gated against the key overflowing
-    int64 (the semdedup idiom).
+    int64 (the semdedup idiom).  A longer series (e.g. 31 daily
+    points) must rescale/re-index x into the span bound first; the
+    bound cannot simply be raised, because lcm(1..43) already
+    overflows int64 — the lcm-key trick is inherently a
+    bounded-span design.
 
     series: (g, x, y) integer series, x distinct per g.  Pairwise
     work is |series|² per GROUP — bounded by the series length (a
@@ -652,8 +658,10 @@ def trend_stats(series: DataFrame, max_dx: int = TREND_MAX_DX) -> DataFrame:
                 dx = int(xs[j]) - int(xs[i])
                 if dx > max_dx:
                     raise ValueError(
-                        f"trend_stats: x gap {dx} exceeds max_dx="
-                        f"{max_dx}"
+                        f"trend_stats: pairwise dx {dx} exceeds "
+                        f"max_dx={max_dx} — max_dx bounds the "
+                        "per-group x SPAN (all pairs are "
+                        "enumerated); re-index or rescale x"
                     )
                 if abs(dy) > lim:
                     raise ValueError(

@@ -774,7 +774,15 @@ def collocations(
         )
     if min_count < 1:
         raise ValueError("collocations: min_count must be >= 1")
-    n_lim = ((1 << 63) - 1) * min_count // (hs * hs)
+    # Two bounds, both required: the PRODUCT bound
+    # N·scale/min_count < 2^63 keeps the final two-quotient score
+    # exact, and the INTERMEDIATE bound N·√scale < 2^63 keeps the
+    # factors themselves from wrapping (c_ab ≤ N, so c_ab·hs ≤ N·hs
+    # is covered too).  The product bound alone is insufficient when
+    # min_count > √scale: n_lim would then exceed 2^63/hs and N·hs
+    # could wrap before the gate trips.
+    i64 = (1 << 63) - 1
+    n_lim = min(i64 * min_count // (hs * hs), i64 // hs)
 
     w = F.split(F.col(text_col), " ")
     toks = docs.select(F.explode(w).alias("a"))

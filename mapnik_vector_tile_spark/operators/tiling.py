@@ -795,8 +795,28 @@ def encode_tiles_from_features(
     wall-clock, and a branch whose range is empty (e.g. z_min >
     SALT_MAX_Z, the common high-zoom serving case) costs nothing at
     all.  buffer_units/thin_* feed the assigns; everything else
-    passes through to the encode stage."""
+    passes through to the encode stage.
+
+    Adaptive salting (`adaptive_salt_target`) can split a hot group at
+    ANY zoom, so the hi branch's `emit_tiles=True` inline fold would
+    emit each salted partial as a finished tile — duplicate (z,x,y)
+    rows.  Like encode_tiles, adaptive mode therefore routes the whole
+    z range through the single merge+fold path (one assign, no range
+    split); byte-identity with encode_tiles holds in both modes."""
     common = dict(buffer_units=buffer_units, **encode_kwargs)
+    if encode_kwargs.get("adaptive_salt_target") is not None:
+        assigned = assign_tiles(
+            features,
+            z_min,
+            z_max,
+            buffer_units=buffer_units,
+            extent=encode_kwargs.get("extent", tm.DEFAULT_EXTENT),
+            thin_base_z=thin_base_z,
+            thin_rate=thin_rate,
+        )
+        return fold_tiles_from_partials(
+            encode_layer_partials(assigned, **common)
+        )
     parts = []
     if z_max > SALT_MAX_Z:
         hi_assigned = assign_tiles(

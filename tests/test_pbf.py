@@ -168,3 +168,65 @@ def test_splice_merge_rejects_mixed_version_extent():
     c.add_feature(3, gc.GEOM_POINT, stream, {})
     merged = pbf.splice_merge_layers([a.build(), c.build()], "l")
     assert len(pbf.split_layer(merged)["features"]) == 2
+
+
+def _canonical_point_blob(fids, key="k"):
+    """Layer blob in the fast-path canonical shape: every feature a
+    single-prop single-point record."""
+    lb = pbf.LayerBuilder("l", extent=4096)
+    for fid in fids:
+        stream = gc.encode_geometry(
+            gc.GEOM_POINT,
+            np.array([fid + 3], dtype=np.int64),
+            np.array([2 * fid + 1], dtype=np.int64),
+            np.array([0, 1], dtype=np.int64),
+        )
+        lb.add_feature(fid, gc.GEOM_POINT, stream, {key: f"v{fid % 7}"})
+    return lb.build()
+
+
+def test_splice_merge_fast_matches_scalar():
+    """The vectorized fast path must be byte-identical to the scalar
+    splice path on canonical single-point blobs."""
+    a = _canonical_point_blob(range(1, 60, 2))
+    b = _canonical_point_blob(range(2, 60, 2))
+    fast = pbf._splice_merge_fast([a, b], "l")
+    assert fast is not None
+    assert fast == pbf.splice_merge_layers([a, b], "l")
+
+
+def test_splice_merge_fast_rejects_overlong_varints():
+    """The fast path RE-ENCODES varints minimally while the scalar
+    path splices raw geometry bytes — an overlong varint in a
+    foreign blob passes all span checks but would merge to different
+    bytes, so the minimality gate must route it to the scalar path."""
+    a = _canonical_point_blob(range(1, 40))
+    fast = pbf._splice_merge_fast([a], "l")
+    assert fast is not None  # minimal blob: fast path accepts
+
+    # overlong-encode one geometry varint: rebuild the layer with the
+    # first feature's final geometry byte (a 1-byte varint < 0x80)
+    # padded to the two-byte form [v|0x80, 0x00] — same decoded value,
+    # +1 byte; build_layer_merged recomputes all length prefixes, so
+    # the blob stays structurally valid.
+    d = pbf.split_layer(a)
+    bad_geom = None
+    feats = []
+    for fid, gtype, tags, raw_geom, raw_raster in d["features"]:
+        props = [
+            (d["keys"][tags[i]], d["raw_values"][tags[i + 1]])
+            for i in range(0, len(tags), 2)
+        ]
+        if bad_geom is None:
+            assert raw_geom[-1] < 0x80
+            bad_geom = raw_geom[:-1] + bytes([raw_geom[-1] | 0x80, 0x00])
+            raw_geom = bad_geom
+        feats.append((fid, gtype, props, raw_geom, raw_raster))
+    blob = pbf.build_layer_merged("l", 2, 4096, feats)
+    # sanity: still parses to the same decoded features
+    d2 = pbf.split_layer(blob)
+    assert len(d2["features"]) == len(d["features"])
+    assert pbf._splice_merge_fast([blob], "l") is None  # falls back
+    # and the scalar path preserves the overlong geometry bytes
+    merged = pbf.splice_merge_layers([blob], "l")
+    assert bad_geom in merged

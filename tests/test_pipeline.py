@@ -151,6 +151,32 @@ def test_encode_tiles_from_features_byte_identical(spark):
             assert bytes(a.tile) == bytes(b.tile), (z0, z1, a.z, a.x, a.y)
 
 
+def test_encode_tiles_from_features_adaptive_salt(spark):
+    """Adaptive salting can split hot groups at ANY zoom, so the
+    split-z-range fast path (whose hi branch inline-folds with
+    emit_tiles=True) must NOT be taken: each salted partial would be
+    emitted as a finished tile — duplicate (z,x,y) rows.  Adaptive
+    mode must route the whole range through merge+fold and stay
+    byte-identical to encode_tiles."""
+    images = synth.images_df(spark, 120, with_bytes=False, slices=2)
+    feats = T.images_to_features(images)
+    new = (
+        T.encode_tiles_from_features(feats, 0, 7, adaptive_salt_target=5)
+        .toPandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+    )
+    # no duplicate tile keys (the bug symptom)
+    keys = list(map(tuple, new[["z", "x", "y"]].values))
+    assert len(keys) == len(set(keys))
+    ref = (
+        T.encode_tiles(T.assign_tiles(feats, 0, 7), adaptive_salt_target=5)
+        .toPandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+    )
+    assert len(ref) == len(new) > 0
+    for a, b in zip(ref.itertuples(), new.itertuples()):
+        assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
+        assert bytes(a.tile) == bytes(b.tile), (a.z, a.x, a.y)
+
+
 def test_decode_bbox_prefilter(spark):
     """S2 decode-scan bbox: tile-id pruning before decode equals full
     decode + post-filter on tile intersection."""
