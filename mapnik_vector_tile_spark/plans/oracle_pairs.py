@@ -10269,60 +10269,10 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 # dict so round 2 records them first (cross-round union then covers
 # every key even if the driver budget is key-count-based).
 _RECORD_FIRST = (
-    # driver records ~50 keys per round in dict order; r01+r02
-    # covered 100 distinct keys, so round 3 promotes every
-    # never-recorded key (new r3 keys first) — cross-round union
-    # keeps growing toward full registry coverage
-    "q_auc",
-    "q_modularity",
-    "q_isotonic",
-    "q_trend",
-    "q_pca_power",
-    "q_scd2_lookup",
-    "q_scd2",
-    "q_strahler",
-    "q_delta_sssp",
-    "q_viewshed",
-    "q_frechet",
-    "q_incremental_dedup",
-    "q_phash_mi",
-    "q_concurrency_seg",
-    "q_earcut_holes",
-    "q_audio_mp1",
-    "q_engine_clip_repair_pos",
-    "q_raster_downzoom",
-    "q_raster_composite",
-    "q_terrain_rgb",
-    "q_exif_orient",
-    "q_grid_dbscan",
-    "q_cotravel",
-    "q_gap_fill",
-    "q_span_corrupt",
-    "q_nms",
-    "q_image_blobs",
-    "q_bpe_train",
-    "q_snap_road",
-    "q_segment_intersect",
-    "q_morans_i",
-    "q_local_moran",
-    "q_bellman_ford",
-    "q_geofence",
-    "q_polyline",
-    "q_label_place",
-    "q_utfgrid",
-    "q_staypoints",
-    "q_template_match",
-    "q_image_gradients",
-    "q_morphology",
-    "q_line_merge",
-    "q_convex_hull",
-    "q_str_pack",
-    "q_polygon_boolean",
-    "q_polygon_union",
-    "q_mapnik_expr",
-    "q_raster_png8",
-    "q_image_otsu",
-    "q_pq",
+    # driver records ~50 keys per round in dict order; r01+r02+r03
+    # covered 150 distinct keys, so round 4 promotes the 113 keys
+    # never yet in a driver CORRECTNESS file (registry order) —
+    # the cross-round union keeps growing toward full coverage
     "q_shp_ingest",
     "q_zoom_thin",
     "q_geotiff_tiles",
