@@ -7,13 +7,15 @@ tables of sources.multimodal: decode is a per-codec kernel — REAL for
 ``pcm16le``/``rawvid8`` (bare fixed-stride planes), ``mulaw`` (G.711,
 functions.g711), ``dvid8-rle`` (delta+RLE video, functions.dvid8) and
 ``mjpeg`` (lossy intraframe video, functions.mjpeg — per-frame
-grayscale baseline JPEG with random-access frame decode) and ``mp1``
+grayscale baseline JPEG with random-access frame decode), ``mp1``
 (MPEG-1 Audio Layer I, functions.mpeg1 — spec-exact framing with a
-documented sandbox filterbank window, PSNR-gated); the one remaining
-stub is h264 video, whose decoder genuinely needs external libraries
-absent from this container — its NotImplementedError path and the
-Spark-side plumbing (schema, batch shape, partitioning, 1→N frame
-explode) are fully real and tested.
+documented sandbox filterbank window, PSNR-gated) and ``mpeg1v``
+(MPEG-1 VIDEO I-frame streams, functions.mpeg1video — real sequence/
+picture/slice/macroblock syntax with start-code random access,
+PSNR-gated; formerly the h264 stub).  No corpus codec is a stub
+anymore; unknown codecs still raise NotImplementedError, the
+error-contract path the skip/strict policy tests pin with synthetic
+rows.
 
 Scale posture: per-row decode is embarrassingly parallel — one narrow
 mapInPandas stage, no shuffle; frame sampling is a 1→N fan-out like
@@ -73,7 +75,9 @@ def decode_video(
     buf: bytes, codec: str, w: int, h: int, n_frames: int
 ) -> np.ndarray:
     """bytes -> uint8[n_frames, h, w] luma. Real: rawvid8, dvid8-rle
-    (delta+RLE). Stub for codecs with no sandbox decoder (h264 etc.)."""
+    (delta+RLE), mjpeg, mpeg1v (MPEG-1 I-frame streams).  Unknown
+    codecs raise NotImplementedError (the skip/strict policy's
+    error-contract path)."""
     if codec == "rawvid8":
         return np.frombuffer(buf, dtype=np.uint8, count=w * h * n_frames).reshape(
             n_frames, h, w
@@ -82,6 +86,10 @@ def decode_video(
         return dvid8.decode(buf, w, h, n_frames)
     if codec == "mjpeg":
         return mjpeg.decode(buf, w, h, n_frames)
+    if codec == "mpeg1v":
+        from mapnik_vector_tile_spark.functions import mpeg1video
+
+        return mpeg1video.decode(buf, w, h, n_frames)
     raise NotImplementedError(
         f"video codec {codec!r}: no decoder in this sandbox (stub)"
     )
@@ -368,12 +376,13 @@ def frame_sample_batch(
         exp = np.zeros(len(dvi), dtype=np.int64)
         np.add.at(exp, seg, dlens)
         ok[dvi[exp == need[dvi]]] = True
-    # mjpeg rows take their own sub-path (per-frame entropy decode is
-    # inherently sequential within a frame; decode cost there is
-    # proportional to SAMPLED frames) — exclude them from the
-    # fixed-stride predicate/strict scan
+    # mjpeg and mpeg1v rows take their own sub-paths (per-frame
+    # entropy decode is inherently sequential within a frame; decode
+    # cost there is proportional to SAMPLED frames) — exclude them
+    # from the fixed-stride predicate/strict scan
     is_mj = codecs == "mjpeg"
-    unhandled = ~ok & ~is_mj
+    is_m1 = codecs == "mpeg1v"
+    unhandled = ~ok & ~is_mj & ~is_m1
     if unhandled.any() and not skip_undecodable:
         bad = int(np.nonzero(unhandled)[0][0])
         decode_video(
@@ -387,6 +396,14 @@ def frame_sample_batch(
     mj_out = _mjpeg_sample_rows(
         pdf, np.nonzero(is_mj)[0], every, skip_undecodable
     )
+    m1_out = _mpeg1v_sample_rows(
+        pdf, np.nonzero(is_m1)[0], every, skip_undecodable
+    )
+    if m1_out is not None:
+        mj_out = (
+            m1_out if mj_out is None
+            else pd.concat([mj_out, m1_out], ignore_index=True)
+        )
     pos = np.nonzero(ok)[0]
     if not len(pos):
         return mj_out
@@ -518,6 +535,104 @@ def _mjpeg_sample_rows(
                 pos_b += ln
             if pos_b != len(buf):
                 raise ValueError("mjpeg: trailing bytes after final frame")
+        except ValueError:
+            if skip_undecodable:
+                continue
+            raise
+        vid = pdf["video_id"].iloc[i]
+        cap = pdf["caption"].iloc[i]
+        for fi in sorted(planes):
+            pl = planes[fi]
+            rows["video_id"].append(vid)
+            rows["frame_idx"].append(fi)
+            rows["w"].append(W)
+            rows["h"].append(H)
+            rows["mean_luma"].append(
+                float(pl.sum(dtype=np.int64)) / (W * H)
+            )
+            rows["frame"].append(pl.tobytes())
+            rows["caption"].append(cap)
+    if not rows["video_id"]:
+        return None
+    return pd.DataFrame(
+        {
+            "video_id": rows["video_id"],
+            "frame_idx": np.asarray(rows["frame_idx"], dtype=np.int32),
+            "w": np.asarray(rows["w"], dtype=np.int32),
+            "h": np.asarray(rows["h"], dtype=np.int32),
+            "mean_luma": np.asarray(rows["mean_luma"], dtype=np.float64),
+            "frame": rows["frame"],
+            "caption": rows["caption"],
+        }
+    )
+
+
+def _mpeg1v_sample_rows(
+    pdf: pd.DataFrame, m1_pos: np.ndarray, every: int,
+    skip_undecodable: bool,
+) -> pd.DataFrame | None:
+    """MPEG-1 I-frame rows of a frame-sampling batch.  Every picture
+    is intra-coded, so the sampler parses the sequence header once,
+    scans the byte-aligned picture start codes (O(bytes), zero
+    entropy decode), and entropy-decodes ONLY the selected pictures —
+    the same decode-∝-sampled-frames budget as the MJPEG sub-path.
+    Dimensions are sequence-level in MPEG-1, so one header check
+    covers every frame; the picture COUNT is still validated against
+    the typed metadata (a wrong n_frames row folds to ValueError,
+    the skip/strict contract).
+
+    Honors the batch policy contract: a malformed row is skipped
+    under skip_undecodable, else its ValueError propagates."""
+    from mapnik_vector_tile_spark.functions import mpeg1video as m1v
+
+    if not len(m1_pos):
+        return None
+    rows: dict[str, list] = {
+        k: []
+        for k in ("video_id", "frame_idx", "w", "h", "mean_luma",
+                  "frame", "caption")
+    }
+    for i in m1_pos:
+        i = int(i)
+        W = int(pdf["w"].iloc[i])
+        H = int(pdf["h"].iloc[i])
+        NF = int(pdf["n_frames"].iloc[i])
+        buf = bytes(pdf["bytes"].iloc[i])
+        try:
+            if NF <= 0:
+                raise ValueError("mpeg1video: n_frames must be positive")
+            w0, h0, pos_b = m1v._parse_seq_header(buf)
+            if (w0, h0) != (W, H):
+                raise ValueError(
+                    "mpeg1video: stream dims mismatch metadata"
+                )
+            planes: dict[int, np.ndarray] = {}
+            fi = 0
+            while True:
+                nxt = buf.find(m1v._PIC_START, pos_b)
+                if nxt < 0:
+                    break
+                if fi % every == 0:
+                    plane, pos_b = m1v._decode_picture(buf, nxt, W, H)
+                    planes[fi] = plane
+                else:
+                    pos_b = nxt + 4
+                fi += 1
+            if fi != NF:
+                raise ValueError(
+                    f"mpeg1video: stream holds {fi} pictures, "
+                    f"metadata says {NF}"
+                )
+            # container-tail validation at scan cost (the scalar
+            # decode checks the exact byte position; the sampler has
+            # not entropy-decoded unsampled pictures, so it checks
+            # the trailing sequence end code instead — entropy-level
+            # corruption in an unsampled picture stays undetected by
+            # design, the same stance as the MJPEG sub-path)
+            if not buf.endswith(m1v._SEQ_END):
+                raise ValueError(
+                    "mpeg1video: missing sequence end code"
+                )
         except ValueError:
             if skip_undecodable:
                 continue

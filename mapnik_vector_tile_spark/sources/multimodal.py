@@ -20,10 +20,11 @@ on the wire),
 ``dvid8-rle`` (delta+RLE compressed video, functions.dvid8) are REAL,
 as is ``mp1`` (MPEG-1 Audio Layer I frames, functions.mpeg1 — 1 in
 21 audio rows, formerly the mp3 stub; lossy, PSNR-gated by
-q_audio_mp1); only ``h264-stub`` video rows (1 in 27) remain decode
-STUBS (NotImplementedError) with the Spark plumbing fully real,
-because the sandbox genuinely lacks that library — they keep the
-skip/strict policy paths exercised by a mixed-codec corpus.
+q_audio_mp1) and ``mpeg1v`` (MPEG-1 VIDEO I-frame streams,
+functions.mpeg1video — 1 in 27 video rows, formerly the h264 stub;
+lossy, PSNR-gated by q_video_mpeg1).  EVERY corpus codec now
+decodes for real; the skip/strict policy paths are exercised by
+explicit malformed/unknown-codec rows in tests, not by stub rows.
 """
 
 from __future__ import annotations
@@ -128,10 +129,15 @@ def gen_video_pdf(n: int, start: int = 0) -> pd.DataFrame:
     # codec mix: 8/9 rawvid8, ~2/27 dvid8-rle (REAL lossless delta+RLE
     # compression — decoded frames are bit-identical to the raw
     # planes, so the DuckDB twins' closed-form pixel formula covers
-    # both), 1/27 h264-stub (genuinely undecodable).
+    # both), 1/27 mpeg1v (REAL lossy MPEG-1 I-frame streams,
+    # functions.mpeg1video — these decode, but NOT bit-exactly, so
+    # exact-pixel oracles exclude them; their decode contract is
+    # PSNR-gated by q_video_mpeg1 on its own corpus).  The corpus
+    # carries no undecodable codec anymore — the skip/strict policy
+    # paths are exercised by explicit malformed rows in tests.
     codecs = [
         "rawvid8" if int(i) % 9
-        else ("h264-stub" if int(i) % 27 == 0 else "dvid8-rle")
+        else ("mpeg1v" if int(i) % 27 == 0 else "dvid8-rle")
         for i in idx
     ]
     bufs = []
@@ -146,6 +152,10 @@ def gen_video_pdf(n: int, start: int = 0) -> pd.DataFrame:
         planes = frames.astype(np.uint8)
         if codecs[i] == "dvid8-rle":
             bufs.append(dvid8.encode(planes))
+        elif codecs[i] == "mpeg1v":
+            from mapnik_vector_tile_spark.functions import mpeg1video
+
+            bufs.append(mpeg1video.encode(planes))
         else:
             bufs.append(planes.tobytes())
     return pd.DataFrame(
@@ -235,3 +245,50 @@ def video_df(spark, n: int, slices: int | None = None):
 def mjpeg_video_df(spark, n: int, slices: int | None = None):
     """Distributed deterministic MJPEG (lossy) video table."""
     return _range_df(spark, n, gen_mjpeg_video_pdf, VIDEO_SCHEMA, slices)
+
+
+def gen_mpeg1_video_pdf(n: int, start: int = 0) -> pd.DataFrame:
+    """Rows [start, start+n): the MPEG-1 I-frame lossy-video corpus —
+    the gen_mjpeg_video_pdf recipe (same splitmix64 dims/frames/phase
+    slices, same mod-256 moving-gradient luma: the hardest content
+    for a DCT codec) but every row encoded as a real MPEG-1 video
+    elementary stream (functions.mpeg1video, qscale=2).  Frame pixels
+    are closed-form in (idx, x, y, frame): the q_video_mpeg1 oracle
+    regenerates them for the PSNR contract, and its DuckDB twin
+    regenerates the metadata from the same splitmix64 slices."""
+    from mapnik_vector_tile_spark.functions import mpeg1video
+
+    idx = np.arange(start, start + n, dtype=np.uint64)
+    h = splitmix64(idx)
+    w = (40 + (h % np.uint64(3)) * np.uint64(24)).astype(np.int64)
+    ht = (40 + ((h >> np.uint64(4)) % np.uint64(3)) * np.uint64(16)).astype(
+        np.int64
+    )
+    n_frames = (4 + (h >> np.uint64(12)) % np.uint64(5)).astype(np.int64)
+    bufs = []
+    for i in range(n):
+        W, H, NF = int(w[i]), int(ht[i]), int(n_frames[i])
+        fy, fx = np.mgrid[0:H, 0:W]
+        phase = int(h[i] % np.uint64(251))
+        frames = (
+            (fx[None] * 3 + fy[None] * 5)
+            + (np.arange(NF)[:, None, None] * 7 + phase)
+        ) % 256
+        bufs.append(mpeg1video.encode(frames.astype(np.uint8)))
+    return pd.DataFrame(
+        {
+            "video_id": [f"m1v_{int(i)}" for i in idx],
+            "bytes": bufs,
+            "w": w.astype(np.int32),
+            "h": ht.astype(np.int32),
+            "n_frames": n_frames.astype(np.int32),
+            "fps": np.full(n, 10, dtype=np.int32),
+            "codec": ["mpeg1v"] * n,
+            "caption": _caption(h, "video"),
+        }
+    )
+
+
+def mpeg1_video_df(spark, n: int, slices: int | None = None):
+    """Distributed deterministic MPEG-1 I-frame (lossy) video table."""
+    return _range_df(spark, n, gen_mpeg1_video_pdf, VIDEO_SCHEMA, slices)

@@ -136,13 +136,23 @@ def test_batch_sampler_mixed_corpus_policies():
         [gen_mjpeg_video_pdf(6), gen_video_pdf(12)], ignore_index=True
     )
     out = mm.frame_sample_batch(mixed, every=4, skip_undecodable=True)
-    # all three real codecs present, the h264 stub skipped
+    # every corpus codec decodes for real now — mjpeg, the lossless
+    # pair (rawvid8 / dvid8-rle), and the mpeg1v rows that replaced
+    # the former h264 stub must all appear in the sampled output
     assert (out["video_id"].str.startswith("mjv_")).any()
     assert (out["video_id"].str.startswith("vid_")).any()
-    stub_ids = set(
-        mixed.loc[mixed["codec"] == "h264-stub", "video_id"]
+    m1_ids = set(mixed.loc[mixed["codec"] == "mpeg1v", "video_id"])
+    assert m1_ids and m1_ids <= set(out["video_id"])
+    # an unknown codec row is still skipped (the old stub behavior,
+    # now exercised synthetically)
+    unk = mixed.iloc[[0]].copy()
+    unk["video_id"] = ["unk_0"]
+    unk["codec"] = ["h264-stub"]
+    out2 = mm.frame_sample_batch(
+        pd.concat([mixed, unk], ignore_index=True), every=4,
+        skip_undecodable=True,
     )
-    assert not (out["video_id"].isin(stub_ids)).any()
+    assert "unk_0" not in set(out2["video_id"])
     # strict mode: a truncated mjpeg row raises ValueError
     bad = gen_mjpeg_video_pdf(3)
     bad.loc[1, "bytes"] = bad.loc[1, "bytes"][:8]
