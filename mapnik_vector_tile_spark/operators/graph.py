@@ -71,14 +71,40 @@ def delta_stepping(
     q_delta_sssp pins equality against a fully-converged relaxation
     twin.
 
-    Driver loop depth ∝ (max distance)/Δ buckets × light-chain
-    length within a bucket — the standard trade: big Δ = fewer
-    buckets, longer inner chains.  Each step is one equi-join + one
-    min-merge, localCheckpointed so lineage stays flat."""
-    light = edges.filter(F.col("w") <= delta).localCheckpoint(eager=True)
-    heavy = edges.filter(F.col("w") > delta).localCheckpoint(eager=True)
-    if not edges.filter(F.col("w") <= 0).isEmpty():
+    Scale shape (r4 rewrite — driver-loop depth is the cost, at any
+    corpus size):
+
+    - PARALLEL EDGES ARE PRE-AGGREGATED to their min weight
+      (groupBy(u,v).min(w)) before any iteration — SSSP only ever
+      uses the lightest parallel edge, and a corpus-scale multigraph
+      (one edge per fact row) collapses to the distinct-adjacency
+      graph ONCE instead of re-scanning every duplicate edge in
+      every relaxation round.
+    - The within-bucket light fixpoint relaxes ``chain`` hops per
+      MATERIALIZED round (relax∘relax∘… composed lazily, one
+      min-merge per round): candidate distances are genuine path
+      lengths, min-merge keeps them sound, and the driver round
+      count drops by ~chain× (Meyer-Sanders semantics reach the
+      same closure, just fewer synchronization barriers).
+    - Buckets JUMP: after settling bucket k the next k is derived
+      from min(d ≥ hi) in one agg — empty buckets (sparse distance
+      bands) cost zero rounds instead of one isEmpty probe each.
+
+    Each step is equi-joins + one min-merge, localCheckpointed so
+    lineage stays flat."""
+    emin = (
+        edges.groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if not emin.filter(F.col("w") <= 0).isEmpty():
         raise ValueError("delta_stepping: weights must be >= 1")
+    chain = 4
+    light = emin.filter(F.col("w") <= delta).localCheckpoint(eager=True)
+    heavy = emin.filter(F.col("w") > delta).localCheckpoint(eager=True)
+    # one probe up front: when Δ ≥ max weight the heavy pass is
+    # structurally empty — skip its per-bucket relax+merge round
+    has_heavy = not heavy.isEmpty()
 
     def relax(frontier: DataFrame, e: DataFrame) -> DataFrame:
         return frontier.alias("t").join(
@@ -87,6 +113,19 @@ def delta_stepping(
             F.col("e.v").alias("node"),
             (F.col("t.d") + F.col("e.w")).alias("d"),
         )
+
+    def relax_chain(frontier: DataFrame, e: DataFrame) -> DataFrame:
+        """Candidates via 1..chain light hops from the frontier, all
+        in ONE lazy plan (per-hop groupBy-min keeps the fan-out
+        linear in nodes, not exponential in hops)."""
+        hop = relax(frontier, e)
+        cands = hop
+        for _ in range(chain - 1):
+            hop = relax(
+                hop.groupBy("node").agg(F.min("d").alias("d")), e
+            )
+            cands = cands.unionByName(hop)
+        return cands
 
     def merge(dist: DataFrame, cand: DataFrame):
         """(new dist, improved rows)."""
@@ -110,21 +149,29 @@ def delta_stepping(
     dist = sources.select(
         "node", F.lit(0).cast("long").alias("d")
     ).distinct().localCheckpoint(eager=True)
-    for k in range(max_buckets):
+    k = 0
+    n_buckets = 0
+    while True:
+        n_buckets += 1
+        if n_buckets > max_buckets:
+            raise ValueError("delta_stepping: max_buckets exceeded")
         lo, hi = k * delta, (k + 1) * delta
-        if dist.filter(F.col("d") >= lo).isEmpty():
-            return dist
-        frontier = dist.filter(
-            (F.col("d") >= lo) & (F.col("d") < hi)
-        ).localCheckpoint(eager=True)
+        # frontier/imp are cheap narrow derivations of the CHECKPOINTED
+        # dist/nd — recomputing them inside the next job is cheaper
+        # than one localCheckpoint job each per round
+        frontier = dist.filter((F.col("d") >= lo) & (F.col("d") < hi))
         while not frontier.isEmpty():
-            dist, imp = merge(dist, relax(frontier, light))
-            frontier = imp.filter(F.col("d") < hi).localCheckpoint(
-                eager=True
-            )
-        hsrc = dist.filter((F.col("d") >= lo) & (F.col("d") < hi))
-        dist, _ = merge(dist, relax(hsrc, heavy))
-    raise ValueError("delta_stepping: max_buckets exceeded")
+            dist, imp = merge(dist, relax_chain(frontier, light))
+            frontier = imp.filter(F.col("d") < hi)
+        if has_heavy:
+            hsrc = dist.filter((F.col("d") >= lo) & (F.col("d") < hi))
+            dist, _ = merge(dist, relax(hsrc, heavy))
+        nxt = dist.filter(F.col("d") >= hi).agg(
+            F.min("d").alias("m")
+        ).first()[0]
+        if nxt is None:
+            return dist
+        k = int(nxt) // delta
 
 
 # --- sticky-HMM Viterbi map matching ---------------------------------------

@@ -2766,6 +2766,139 @@ def viewshed_tiles(
     )
 
 
+def viewshed_sweep_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    obs: tuple[int, int] | None = None,
+    obs_height: int = 500,
+) -> DataFrame:
+    """R18 viewshed — the SCALE refinement of viewshed_tiles,
+    EQUALITY-PINNED against it (tests + the q_viewshed_sweep oracle
+    reuses q_viewshed's DuckDB twin verbatim): same exact integer
+    predicate — corridor membership 4·cross² < |t−o|² with
+    0 < (k−o)·(t−o) < |t−o|², sign-aware squared slope compare, ties
+    block — but instead of materializing the dense (T²)×(T²) pair
+    matrices (O(T⁴) time AND memory; viewshed_tiles raises above
+    T=64), each target WALKS its corridor: cells within half a cell
+    of the o→t segment lie within ±0.71 of the segment's exact
+    rational minor coordinate at each major-axis step, so 4 candidate
+    cells per step (filtered by the EXACT predicate, which is what
+    makes the pinning sound — false candidates are rejected by the
+    same integers the reference form uses) cover the corridor
+    completely.  O(T³) pairs total, flat arrays, O(T²·const) memory —
+    256px production tiles run in-memory where the reference form
+    would need ~34 GiB per matrix.
+
+    Why not a true Van Kreveld angular sweep: the O(n log n) rotating
+    sweep evaluates visibility against a CONTINUOUS surface model
+    (segments between cell centers), which is a different predicate —
+    it could not be equality-oracled against the R3 reference the way
+    delta-stepping is oracled against converged relaxation.  The
+    corridor walk keeps the R3 predicate bit-for-bit and removes the
+    quartic blowup, which is the part that breaks at scale.
+
+    Output schema identical to viewshed_tiles:
+    (z, x, y, n_visible, vis_hash, max_vis_d2)."""
+    import pandas as pd
+
+    T = tile_size
+    if obs is None:
+        obs = (T // 2, T // 2)
+    ox, oy = obs
+
+    def gen(it):
+        yy, xx = np.mgrid[0:T, 0:T]
+        dxt = (xx - ox).astype(np.int64).ravel()
+        dyt = (yy - oy).astype(np.int64).ravel()
+        p = dxt * dxt + dyt * dyt  # |t-o|^2 per target
+        # major axis per target: x when |dx| >= |dy| (deterministic)
+        adx, ady = np.abs(dxt), np.abs(dyt)
+        xmajor = adx >= ady
+        m = np.where(xmajor, adx, ady)  # steps along major axis
+        # grouped enumeration: one row per (target, s) with s = 0..m
+        counts = m + 1
+        tgt = np.repeat(np.arange(T * T, dtype=np.int64), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        s = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            starts, counts
+        )
+        # exact rational minor coordinate of the segment at step s:
+        # minor = o_minor + s*d_minor/m  ->  floor((s*d_minor)//m)
+        xm = xmajor[tgt]
+        sgn_major = np.sign(np.where(xmajor, dxt, dyt))[tgt]
+        d_minor = np.where(xmajor, dyt, dxt)[tgt]
+        mm = np.maximum(m[tgt], 1)
+        k_major = np.where(xm, ox, oy) + s * sgn_major
+        # fraction along the segment is s/m regardless of direction
+        fl = np.where(xm, oy, ox) + (s * d_minor) // mm
+        # 4 candidate minors cover the ±0.71 band; the exact integer
+        # predicate below rejects the false ones
+        tgt4 = np.repeat(tgt, 4)
+        kmaj4 = np.repeat(k_major, 4)
+        kmin4 = np.repeat(fl, 4) + np.tile(
+            np.array([-1, 0, 1, 2], dtype=np.int64), len(fl)
+        )
+        kx4 = np.repeat(np.where(xm, 1, 0), 4)
+        kxc = np.where(kx4 == 1, kmaj4, kmin4)
+        kyc = np.where(kx4 == 1, kmin4, kmaj4)
+        inb = (kxc >= 0) & (kxc < T) & (kyc >= 0) & (kyc < T)
+        tgt4, kxc, kyc = tgt4[inb], kxc[inb], kyc[inb]
+        dxk = kxc - ox
+        dyk = kyc - oy
+        dot = dxk * dxt[tgt4] + dyk * dyt[tgt4]
+        cross = dxt[tgt4] * dyk - dyt[tgt4] * dxk
+        pt = p[tgt4]
+        corridor = (dot > 0) & (dot < pt) & (4 * cross * cross < pt)
+        tgt4, kxc, kyc = tgt4[corridor], kxc[corridor], kyc[corridor]
+        kidx = kyc * T + kxc
+        pt = p[tgt4]
+        pk = dxk[corridor] * dxk[corridor] + dyk[corridor] * dyk[corridor]
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "n_visible": [],
+                   "vis_hash": [], "max_vis_d2": []}
+            for r in pdf.itertuples():
+                rgb = np.frombuffer(r.raster, dtype=np.uint8).reshape(
+                    T, T, 3
+                )
+                e = terrain_rgb_decode(rgb).astype(np.int64).ravel()
+                a = e - (e[oy * T + ox] + obs_height)
+                ak = a[kidx]
+                at = a[tgt4]
+                # s_k >= s_t, sign-aware squared cross-multiply
+                ge = np.where(
+                    (ak >= 0) & (at < 0),
+                    True,
+                    np.where(
+                        (ak < 0) & (at >= 0),
+                        False,
+                        np.where(
+                            at >= 0,
+                            ak * ak * pt >= at * at * pk,
+                            ak * ak * pt <= at * at * pk,
+                        ),
+                    ),
+                )
+                blocked = np.zeros(T * T, dtype=bool)
+                np.logical_or.at(blocked, tgt4[ge], True)
+                vis = ~blocked & (p > 0)
+                cy2, cx2 = np.divmod(np.flatnonzero(vis), T)
+                out["z"].append(int(r.z))
+                out["x"].append(int(r.x))
+                out["y"].append(int(r.y))
+                out["n_visible"].append(int(vis.sum()))
+                out["vis_hash"].append(int((cx2 * 8191 + cy2).sum()))
+                out["max_vis_d2"].append(
+                    int(p[vis].max()) if vis.any() else 0
+                )
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "raster").mapInPandas(
+        gen,
+        "z long, x long, y long, n_visible long, vis_hash long,"
+        " max_vis_d2 long",
+    )
+
+
 def sniff_image_dims(images: DataFrame) -> DataFrame:
     """S12 header-only metadata sniff — read (container, width,
     height) from the first bytes of an encoded image WITHOUT decoding

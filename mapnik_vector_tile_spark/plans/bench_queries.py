@@ -25,6 +25,9 @@ the engine's hot paths at sf0.1 scale:
   q_interval       — J6 interval-overlap join (grid buckets, ~11.5M pairs)
   q_hex_density    — T18 hex binning + ring-1 disk smoothing (Catalyst)
   q_balanced_sample— T17 exact-k/stratum sample (WindowGroupLimit)
+  q_scd2           — W18 SCD2 CDC merge (r3 family, one-window fold)
+  q_incr_dedup     — incremental MinHash dedup (batch × broadcast index)
+  q_delta_sssp     — G1b delta-stepping SSSP (driver-loop-bounded)
 
 Scale notes: every query here is shuffle-bounded, not driver-bounded;
 row counts grow linearly with sf and the plans contain no collect(),
@@ -243,6 +246,36 @@ def q_kmeans_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_clusters(emb, k=8, iters=2)
 
 
+def q_scd2_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18 SCD2 CDC merge (r3 family): one window + pure Catalyst fold
+    of a CDC batch into an effective-dated dimension — regression
+    canary for the warehouse-maintenance surface."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_scd2
+
+    return q_scd2(spark, sf_dir)
+
+
+def q_incr_dedup_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup (r3 family): batch-vs-index join that
+    must never self-join the index side — the scale-shape plan test
+    pins the plan, this pins the wall-clock round over round."""
+    from mapnik_vector_tile_spark.plans.text_oracles import (
+        q_incremental_dedup,
+    )
+
+    return q_incremental_dedup(spark, sf_dir)
+
+
+def q_delta_sssp_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1b delta-stepping SSSP (r3 family): the driver-loop-bounded
+    iterative operator — its cost is synchronization rounds, not rows,
+    so bench visibility catches round-count regressions that per-key
+    oracle timing would attribute to noise."""
+    from mapnik_vector_tile_spark.plans.oracle_pairs import q_delta_sssp
+
+    return q_delta_sssp(spark, sf_dir)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         "q_pyramid": q_pyramid,
@@ -287,6 +320,19 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out["q_asof"] = q_asof
         out["q_sessionize"] = q_sessionize_b
         out["q_interval"] = q_interval
+        out["q_scd2"] = q_scd2_b
+    except ImportError:
+        pass
+    try:
+        from mapnik_vector_tile_spark.operators import dedup  # noqa: F401
+
+        out["q_incr_dedup"] = q_incr_dedup_b
+    except ImportError:
+        pass
+    try:
+        from mapnik_vector_tile_spark.operators import graph  # noqa: F401
+
+        out["q_delta_sssp"] = q_delta_sssp_b
     except ImportError:
         pass
     out["q_hex_density"] = q_hex_density_b  # pure Catalyst, no extra deps

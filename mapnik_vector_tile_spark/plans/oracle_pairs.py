@@ -3710,13 +3710,29 @@ def _mul64(a: str, c: int) -> str:
 
 def splitmix64_sql(x: str) -> str:
     """The synth corpus's committed mixing function (synth.splitmix64)
-    rendered as DuckDB SQL — verified bit-exact over [0, 300)."""
+    rendered as DuckDB SQL — bit-exact (tests pin [0, 200000)).
+
+    Emitted as a chained SCALAR SUBQUERY, not one flat expression:
+    textually inlining each mixing stage into the next duplicates
+    subexpressions ×2-4 per stage (×~256 for the base hash — a 36 KB
+    expression, ~22 µs/row), while the subquery chain computes each
+    stage ONCE into a column the next stage references (~1 KB, ~10×
+    faster; DuckDB decorrelates it into projections).  Same value,
+    usable in any expression position."""
     z0 = f"((CAST({x} AS HUGEINT) + 11400714819323198485) % {_M64})"
-    z1 = _xor64(z0, f"({z0}) // 1073741824")  # >> 30
-    z2 = _mul64(f"({z1})", 0xBF58476D1CE4E5B9)
-    z3 = _xor64(z2, f"({z2}) // 134217728")  # >> 27
-    z4 = _mul64(f"({z3})", 0x94D049BB133111EB)
-    return _xor64(z4, f"({z4}) // 2147483648")  # >> 31
+    return (
+        "(SELECT "
+        + _xor64("z4", "z4 // 2147483648")  # >> 31
+        + " FROM (SELECT "
+        + _mul64("z3", 0x94D049BB133111EB)
+        + " AS z4 FROM (SELECT "
+        + _xor64("z2", "z2 // 134217728")  # >> 27
+        + " AS z3 FROM (SELECT "
+        + _mul64("z1", 0xBF58476D1CE4E5B9)
+        + " AS z2 FROM (SELECT "
+        + _xor64("z0", "z0 // 1073741824")  # >> 30
+        + f" AS z1 FROM (SELECT {z0} AS z0))))))"
+    )
 
 
 def _sql_video_frames(n_videos: int = 300, every: int = 4) -> str:
@@ -10373,7 +10389,11 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 # dict so round 2 records them first (cross-round union then covers
 # every key even if the driver budget is key-count-based).
 _RECORD_FIRST = (
-    "q_video_mpeg1",  # new r4 key: record first
+    "q_video_mpeg1",  # new r4 keys: record first
+    "q_viewshed_sweep",
+    "q_scd2_stream",
+    "q_stream_window",
+    "q_dirty_stream",
     # driver records ~50 keys per round in dict order; r01+r02+r03
     # covered 150 distinct keys, so round 4 promotes the 113 keys
     # never yet in a driver CORRECTNESS file (registry order) —
@@ -10979,13 +10999,17 @@ d{r} AS MATERIALIZED (
   GROUP BY node)"""
         )
     return f"""
-WITH e0 AS (
-  SELECT CAST(({h}) % 64 AS BIGINT) AS x,
-         CAST((({h}) // 64) % 64 AS BIGINT) AS y,
-         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
-         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy,
-         CAST(1 + (({h}) // 1099511627776) % 9 AS BIGINT) AS w
-  FROM orders),
+WITH h0 AS MATERIALIZED (
+  -- hash ONCE per row (see _sql_delta_sssp: inlining the splitmix64
+  -- HUGEINT expression five times costs ~15s by itself)
+  SELECT ({h}) AS hv FROM orders),
+e0 AS (
+  SELECT CAST(hv % 64 AS BIGINT) AS x,
+         CAST((hv // 64) % 64 AS BIGINT) AS y,
+         CAST((hv // 4096) % 3 AS BIGINT) - 1 AS dx,
+         CAST((hv // 16384) % 3 AS BIGINT) - 1 AS dy,
+         CAST(1 + (hv // 1099511627776) % 9 AS BIGINT) AS w
+  FROM h0),
 e1 AS (
   SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v, w
   FROM e0 WHERE dx <> 0 OR dy <> 0),
@@ -12990,21 +13014,34 @@ def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_way_assembly() -> str:
     hn = splitmix64_sql("o_orderkey")
-    hw = splitmix64_sql("c_custkey")
-    hr = splitmix64_sql("(c_custkey * 131 + j.v)")
+    hr = splitmix64_sql("(way_id * 131 + pos)")
+    # hashes are hoisted into plain-projection CTEs: the subquery-
+    # chain form of splitmix64_sql cannot sit inside a LATERAL/join
+    # condition (DuckDB "expression with depth > 1" internal error)
+    hw_cte = splitmix64_sql("c_custkey")
     return f"""
-WITH nodes AS (
-  SELECT CAST(o_orderkey AS BIGINT) AS node_id,
-         CAST(({hn}) % 4096 AS BIGINT) AS x,
-         CAST((({hn}) // 4096) % 4096 AS BIGINT) AS y
+WITH nodes0 AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS node_id, ({hn}) AS hv
   FROM orders),
+nodes AS (
+  SELECT node_id,
+         CAST(hv % 4096 AS BIGINT) AS x,
+         CAST((hv // 4096) % 4096 AS BIGINT) AS y
+  FROM nodes0),
 mx AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS mk FROM orders),
-refs AS (
-  SELECT CAST(c_custkey AS BIGINT) AS way_id, j.v AS pos,
-         CAST((({hr}) // 2048) % mk + 1 AS BIGINT) AS node_id
-  FROM customer CROSS JOIN mx,
+cust AS (
+  SELECT CAST(c_custkey AS BIGINT) AS way_id, ({hw_cte}) AS hw
+  FROM customer),
+refs0 AS (
+  SELECT way_id, j.v AS pos
+  FROM cust,
        LATERAL unnest(generate_series(
-         0, CAST(2 + (({hw}) // 2048) % 6 AS BIGINT) - 1)) j(v)),
+         0, CAST(2 + (hw // 2048) % 6 AS BIGINT) - 1)) j(v)),
+refs AS (
+  SELECT way_id, pos,
+         CAST((({hr}) // 2048) % (SELECT mk FROM mx) + 1 AS BIGINT)
+           AS node_id
+  FROM refs0),
 jn AS (
   SELECT r.way_id, r.pos, n.x, n.y,
          lag(n.x) OVER (PARTITION BY r.way_id ORDER BY r.pos) AS px,
@@ -13592,7 +13629,10 @@ def _sql_isochrone(budget: int = ISO_BUDGET) -> str:
     base = _sql_bellman_ford()
     head, tail = base.rsplit("SELECT node, d FROM", 1)
     dfinal = f"d{BF_ROUNDS}"
-    head = head.replace("WITH e0 AS", "WITH RECURSIVE e0 AS", 1)
+    head = head.replace(
+        "WITH h0 AS MATERIALIZED", "WITH RECURSIVE h0 AS MATERIALIZED", 1
+    )
+    assert "WITH RECURSIVE" in head  # guards against base-CTE renames
     return f"""{head},
 cells AS MATERIALIZED (
   SELECT node, node // 256 AS cx, node % 256 AS cy, d
@@ -16277,6 +16317,49 @@ FROM vis GROUP BY x, y
 _ENGINE_PAIRS["q_viewshed"] = (q_viewshed, _sql_viewshed())
 
 
+def q_viewshed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18 viewshed SCALE path (raster.viewshed_sweep_tiles — the
+    corridor line-walk, O(T³) pairs / O(T²) memory) over the SAME
+    corpus as q_viewshed, against the SAME DuckDB twin — the
+    delta-stepping-vs-bellman-ford pinning pattern: the refinement
+    must reproduce the reference predicate's output bit-for-bit,
+    independently of the Spark-side reference implementation."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        terrain_rgb_encode,
+        viewshed_sweep_tiles,
+    )
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    T = TER_T
+
+    def gen(it):
+        for pdf in it:
+            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
+            for i in pdf["id"]:
+                i = int(i)
+                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
+                phase = h % 100003
+                r = np.arange(T, dtype=np.int64)
+                rr, cc = r[:, None], r[None, :]
+                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
+                rows["z"].append(TER_Z)
+                rows["x"].append(i % 10)
+                rows["y"].append(i // 10)
+                rows["raster"].append(terrain_rgb_encode(e).tobytes())
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(100).mapInPandas(
+        gen, "z long, x long, y long, raster binary"
+    )
+    return viewshed_sweep_tiles(tiles, T)
+
+
+_ENGINE_PAIRS["q_viewshed_sweep"] = (q_viewshed_sweep, _sql_viewshed())
+
+
 # ---------------------------------------------------------------------------
 # q_delta_sssp — G1b delta-stepping SSSP vs fully-converged relaxation
 # ---------------------------------------------------------------------------
@@ -16364,13 +16447,19 @@ d{r} AS MATERIALIZED (
   GROUP BY node)"""
         )
     return f"""
-WITH e0 AS (
-  SELECT CAST(({h}) % 8 AS BIGINT) AS x,
-         CAST((({h}) // 64) % 8 AS BIGINT) AS y,
-         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
-         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy,
-         CAST(1 + (({h}) // 1099511627776) % 9 AS BIGINT) AS w
-  FROM orders),
+WITH h0 AS MATERIALIZED (
+  -- hash ONCE per row: inlining the splitmix64 HUGEINT expression
+  -- into all five derived columns duplicates its (internally
+  -- self-referencing) subexpressions combinatorially and costs ~15s
+  -- at sf0.01 on the DuckDB side alone
+  SELECT ({h}) AS hv FROM orders),
+e0 AS (
+  SELECT CAST(hv % 8 AS BIGINT) AS x,
+         CAST((hv // 64) % 8 AS BIGINT) AS y,
+         CAST((hv // 4096) % 3 AS BIGINT) - 1 AS dx,
+         CAST((hv // 16384) % 3 AS BIGINT) - 1 AS dy,
+         CAST(1 + (hv // 1099511627776) % 9 AS BIGINT) AS w
+  FROM h0),
 e1 AS (
   SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v, w
   FROM e0 WHERE dx <> 0 OR dy <> 0),
@@ -16687,6 +16776,243 @@ LEFT JOIN dim d
 
 
 _ENGINE_PAIRS["q_scd2_lookup"] = (q_scd2_lookup, _sql_scd2_lookup())
+
+
+# ---------------------------------------------------------------------------
+# Streaming-EXECUTED driver gates (§2.10): the Spark side of each key
+# below actually runs a Structured Streaming query (file source,
+# availableNow trigger, foreachBatch/memory sink) to completion and
+# returns the materialized result — the DuckDB twin is the batch
+# semantics the stream must converge to.  Corpus chunking is part of
+# the key: chunks are written in (ts, change_id) order so the
+# per-key-time-order contract of the incremental folds holds, exactly
+# like production CDC staging.
+# ---------------------------------------------------------------------------
+
+
+def _write_chunk_file(df: DataFrame, src: str, i: int) -> None:
+    """Materialize one micro-batch chunk as a SINGLE parquet FILE
+    directly in ``src`` (the streaming file source ignores
+    non-partition subdirectories) with a pinned mtime so the source
+    processes chunks in order."""
+    import glob
+    import os
+    import shutil
+
+    tmp = os.path.join(src, f"_tmp{i}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    dst = os.path.join(src, f"chunk{i}.parquet")
+    shutil.move(part, dst)
+    shutil.rmtree(tmp)
+    base = 1_700_000_000 + i * 100
+    os.utime(dst, (base, base))
+
+
+def _scd2_stream_corpus(spark: SparkSession, sf_dir: str):
+    """(current, changes) — the q_scd2 corpus, shared verbatim so the
+    streaming key's twin is _sql_scd2() unchanged."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.temporal import SCD2_OPEN
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_keys = cust.count()
+    attr = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    open_rows = cust.select(
+        F.col("c_custkey").alias("key"),
+        attr.alias("attr"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(500))
+        .otherwise(F.lit(0)).cast("long").alias("valid_from"),
+        F.lit(SCD2_OPEN).cast("long").alias("valid_to"),
+    )
+    hist_rows = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key"),
+        (attr - 7).alias("attr"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(500).cast("long").alias("valid_to"),
+    )
+    current = open_rows.unionByName(hist_rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = ev.select(
+        (F.col("user_id") % (2 * n_keys)).alias("key"),
+        F.col("event_id").alias("change_id"),
+        (F.unix_timestamp("ts") + 1000).cast("long").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("attr"),
+    )
+    return current, changes
+
+
+def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18c streaming SCD2 fold, DRIVER-EXECUTED: the q_scd2 CDC
+    corpus is written as three (ts, change_id)-ordered parquet chunks
+    (the single-partition ordering window is corpus PREP for an
+    oracle key, not engine code — production CDC arrives pre-staged
+    in time order), streamed through streaming.scd2.run_scd2_stream
+    (readStream → foreachBatch scd2_apply → availableNow to
+    completion), and the finished dimension store is returned.  The
+    twin is _sql_scd2() VERBATIM — the associativity contract: the
+    chunked fold must equal one batch merge exactly."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.streaming.scd2 import run_scd2_stream
+
+    current, changes = _scd2_stream_corpus(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="scd2_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ranked = changes.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("ts", "change_id")),
+    ).localCheckpoint(eager=True)
+    n = ranked.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        _write_chunk_file(
+            ranked.filter(
+                (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
+            ).drop("rn"),
+            src,
+            i,
+        )
+    store = os.path.join(work, "store")
+    run_scd2_stream(
+        spark, current, src, store,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return spark.read.parquet(os.path.join(store, "dim"))
+
+
+_ENGINE_PAIRS["q_scd2_stream"] = (q_scd2_stream, _sql_scd2())
+
+
+def _events_chunks(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Write the events table as three ts-range parquet chunks with
+    pinned modification times (file-source order), return the dir."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    import datetime
+
+    span = (hi - lo) / 3
+    bounds = [lo + span, lo + 2 * span, hi + datetime.timedelta(seconds=1)]
+    work = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    prev = None
+    for i, b in enumerate(bounds):
+        chunk = ev.filter(F.col("ts") < F.lit(b))
+        if prev is not None:
+            chunk = chunk.filter(F.col("ts") >= F.lit(prev))
+        prev = b
+        _write_chunk_file(chunk, src, i)
+    return src
+
+
+_STREAM_SEQ = [0]
+
+
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 windowed streaming aggregation, DRIVER-EXECUTED: the
+    events table streams as three time-ordered chunks through
+    dirty_tile_counts (watermark + dropDuplicatesWithinWatermark +
+    event-time window groupBy) into a complete-mode memory sink via
+    availableNow; the final table must equal the batch window
+    aggregation — the twin is _sql_events_tile_window() verbatim."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.streaming.incremental import (
+        run_stream_to_memory,
+    )
+
+    src = _events_chunks(spark, sf_dir, "stream_window_")
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_window_{_STREAM_SEQ[0]}"
+    run_stream_to_memory(spark, src, table_name=name, z=8)
+    agg = spark.table(name)
+    return agg.select(
+        F.col("win.start").alias("ws"),
+        "tx",
+        "ty",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("sum_value"), 6).alias("sum_value6"),
+    )
+
+
+_ENGINE_PAIRS["q_stream_window"] = (
+    q_stream_window, _sql_events_tile_window()
+)
+
+
+DIRTY_EVERY = 5
+
+
+def q_dirty_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CUSTOM STATEFUL streaming operator, DRIVER-EXECUTED:
+    dirty_tile_versions (applyInPandasWithState re-render tickets)
+    over the chunked events stream, availableNow to completion,
+    append-mode memory sink.  The emitted ticket set is
+    batching-invariant by construction — {(tx,ty,v) : 1 ≤ v ≤
+    n_tile // dirty_every} — so the DuckDB twin regenerates it
+    closed-form from per-tile deduped event counts with
+    generate_series."""
+    from mapnik_vector_tile_spark.streaming.incremental import (
+        run_stateful_stream_to_memory,
+    )
+
+    src = _events_chunks(spark, sf_dir, "dirty_stream_")
+    _STREAM_SEQ[0] += 1
+    name = f"q_dirty_stream_{_STREAM_SEQ[0]}"
+    run_stateful_stream_to_memory(
+        spark, src, table_name=name, z=8, dirty_every=DIRTY_EVERY
+    )
+    return spark.table(name).select("tx", "ty", "version")
+
+
+def _sql_dirty_stream(dirty_every: int = DIRTY_EVERY) -> str:
+    from mapnik_vector_tile_spark.plans.shared_sql import TWO_W, flit
+
+    utx, uty = S.tile_xy_exprs(8)
+    lim = (1 << 8) - 1
+    tx = f"GREATEST(0, LEAST({lim}, {utx}))"
+    ty = f"GREATEST(0, LEAST({lim}, {uty}))"
+    mx = (
+        f"((((user_id) * 2654435761) % 4294967296) / {flit(2**32)})"
+        f" * {flit(TWO_W)} - {flit(W)}"
+    )
+    my = (
+        f"((((user_id) * 1103515245 + 12345) % 4294967296) / {flit(2**32)})"
+        f" * {flit(TWO_W)} - {flit(W)}"
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, MIN(user_id) AS user_id FROM events GROUP BY event_id
+),
+p AS (SELECT {mx} AS mx, {my} AS my FROM e),
+counts AS (
+  SELECT {tx} AS tx, {ty} AS ty, COUNT(*) AS n
+  FROM p GROUP BY 1, 2
+)
+SELECT tx, ty, unnest(generate_series(1, CAST(n // {dirty_every}
+       AS BIGINT))) AS version
+FROM counts
+WHERE n >= {dirty_every}
+"""
+
+
+_ENGINE_PAIRS["q_dirty_stream"] = (q_dirty_stream, _sql_dirty_stream())
 
 
 # ---------------------------------------------------------------------------

@@ -1466,3 +1466,70 @@ def test_strahler_junction_rule(spark):
     assert out.sum_order >= out.n_sources + 2 * (
         out.max_order >= 2
     )
+
+
+def test_viewshed_sweep_equals_reference(spark):
+    """R18 scale path: viewshed_sweep_tiles (corridor line-walk,
+    O(T³)/O(T²)) must reproduce viewshed_tiles (dense R3 reference,
+    O(T⁴)) EXACTLY — same corridor + slope predicate, enumerated via
+    ±0.71-band candidates instead of all-pairs — across random
+    terrain, multiple observer positions, and a T the reference form
+    still accepts."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        terrain_rgb_encode,
+        viewshed_sweep_tiles,
+        viewshed_tiles,
+    )
+
+    rng = np.random.default_rng(11)
+    for T, obs_list in (
+        (16, [None, (3, 12), (0, 0), (15, 7)]),
+        (48, [None, (5, 40)]),
+    ):
+        rows = [
+            (0, i, 0,
+             terrain_rgb_encode(
+                 rng.integers(-10000, 10000, size=(T, T)).astype(np.int64)
+             ).tobytes())
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(
+            rows, "z long, x long, y long, raster binary"
+        )
+        for obs in obs_list:
+            a = (
+                viewshed_tiles(df, T, obs=obs).toPandas()
+                .sort_values(["z", "x", "y"]).reset_index(drop=True)
+            )
+            b = (
+                viewshed_sweep_tiles(df, T, obs=obs).toPandas()
+                .sort_values(["z", "x", "y"]).reset_index(drop=True)
+            )
+            assert a.equals(b), (T, obs)
+
+
+def test_viewshed_sweep_runs_above_reference_bound(spark):
+    """The whole point of the sweep: production tile sizes that the
+    reference form REJECTS (T > 64, quartic matrices) decode fine —
+    and a flat tile still sees everything."""
+    import numpy as np
+    import pytest
+
+    from mapnik_vector_tile_spark.operators.raster import (
+        terrain_rgb_encode,
+        viewshed_sweep_tiles,
+        viewshed_tiles,
+    )
+
+    T = 128
+    flat = np.zeros((T, T), dtype=np.int64)
+    df = spark.createDataFrame(
+        [(0, 0, 0, terrain_rgb_encode(flat).tobytes())],
+        "z long, x long, y long, raster binary",
+    )
+    with pytest.raises(ValueError, match="brute-force bound"):
+        viewshed_tiles(df, T)
+    r = viewshed_sweep_tiles(df, T).collect()[0]
+    assert r.n_visible == T * T - 1
