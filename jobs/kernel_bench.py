@@ -98,7 +98,7 @@ def main() -> None:
     )
     n = len(pdf)
 
-    prepare, encode_group = T.make_encode_kernel(
+    prepare, encode_group, encode_batch = T.make_encode_kernel(
         "features", 4096, 128, emit_tiles=False
     )
 
@@ -119,7 +119,15 @@ def main() -> None:
         keycols = [cols[k] for k in keys]
         starts = group_starts(keycols, n)
         tot_b = tot_r = 0
+        # production path: vectorized canonical-batch pass first,
+        # scalar encode_group for the unhandled groups (mirrors
+        # apply_grouped — the pin times what the engine runs)
+        brows, handled = encode_batch(keycols, cols, starts)
+        tot_r += len(brows)
+        tot_b += sum(len(row[4]) for row in brows)
         for i in range(len(starts) - 1):
+            if handled[i]:
+                continue
             s = int(starts[i])
             sl = slice(s, int(starts[i + 1]))
             r = encode_group(tuple(c[s] for c in keycols), cols, sl)

@@ -879,6 +879,136 @@ def _splice_merge_fast(blobs, name: str) -> bytes | None:
     return b"".join(parts)
 
 
+def build_singles_layers_batch(
+    name: str,
+    version: int,
+    extent: int,
+    key_name: str,
+    fids: np.ndarray,
+    gts: np.ndarray,
+    zzx: np.ndarray,
+    zzy: np.ndarray,
+    val_encs: np.ndarray,
+    gidx: np.ndarray,
+    n_groups: int,
+    emit_tiles: bool = False,
+) -> list[bytes | None]:
+    """Whole-BATCH assembly of canonical single-point one-prop layers —
+    the emit side of _splice_merge_fast applied to the ENCODE hot path:
+    every feature of every group in the batch is a fixed 15-varint
+    record [0x12 L 0x08 fid 0x12 TL 0 vidx 0x18 gt 0x22 3 9 zzx zzy],
+    so the feature sections of ALL groups are ONE varint array
+    (varint_bytes_np) sliced per group by byte offsets — no per-feature
+    Python, no per-feature dict lookups (callers guarantee one shared
+    key, so the key dictionary is the constant [key_name] and only the
+    VALUE dictionary needs first-appearance order, computed batch-wide
+    with pandas factorize).  Byte-identical to LayerBuilder by
+    construction (pinned by tests + the kernel-bench out_bytes pin +
+    every engine oracle).
+
+    Inputs are OK-row arrays, group-sorted: ``gidx`` maps each row to
+    its group ordinal in 0..n_groups-1; ``val_encs`` holds each row's
+    encoded Value message bytes.  Returns one layer (or Tile when
+    ``emit_tiles``) blob per group; a group with no rows yields None."""
+    import pandas as pd
+
+    m = len(fids)
+    out: list[bytes | None] = [None] * n_groups
+    if m == 0:
+        return out
+    # per-row VALUE dictionary index (first-appearance within group):
+    # factorize (gid, enc) pairs batch-wide, take each pair's first
+    # occurrence, number first occurrences within their group, scatter
+    pc, _ = pd.factorize(
+        pd.MultiIndex.from_arrays([gidx, val_encs]), sort=False
+    )
+    first = np.zeros(m, dtype=bool)
+    first[np.unique(pc, return_index=True)[1]] = True
+    grp_first_rank = np.cumsum(first) - 1  # global rank of first occs
+    # within-group rank: subtract the count of firsts before the group
+    firsts_per_group = np.zeros(n_groups + 1, dtype=np.int64)
+    np.add.at(firsts_per_group, gidx[first] + 1, 1)
+    grp_base = np.cumsum(firsts_per_group)[:-1]
+    vpos = np.empty(pc.max() + 1, dtype=np.int64)
+    vpos[pc[first]] = grp_first_rank[first] - grp_base[gidx[first]]
+    vidx = vpos[pc]
+    # the 15-varint record matrix
+    fids = fids.astype(np.uint64)
+    gts = gts.astype(np.uint64)
+    zzx = zzx.astype(np.uint64)
+    zzy = zzy.astype(np.uint64)
+    vidx_u = vidx.astype(np.uint64)
+    tl = 1 + _varint_len_np(vidx_u)
+    gl = 1 + _varint_len_np(zzx) + _varint_len_np(zzy)
+    big_l = (
+        1 + _varint_len_np(fids)
+        + 1 + _varint_len_np(tl.astype(np.uint64)) + tl
+        + 1 + _varint_len_np(gts)
+        + 1 + _varint_len_np(gl.astype(np.uint64)) + gl
+    )
+    stream = np.empty((m, 15), dtype=np.uint64)
+    stream[:, 0] = 0x12
+    stream[:, 1] = big_l.astype(np.uint64)
+    stream[:, 2] = 0x08
+    stream[:, 3] = fids
+    stream[:, 4] = 0x12
+    stream[:, 5] = tl.astype(np.uint64)
+    stream[:, 6] = 0
+    stream[:, 7] = vidx_u
+    stream[:, 8] = 0x18
+    stream[:, 9] = gts
+    stream[:, 10] = 0x22
+    stream[:, 11] = gl.astype(np.uint64)
+    stream[:, 12] = 9
+    stream[:, 13] = zzx
+    stream[:, 14] = zzy
+    feat_bytes = varint_bytes_np(stream.ravel())
+    # record bytes = tag 0x12 (1) + varint(L) + L-byte payload
+    row_len = 1 + _varint_len_np(big_l.astype(np.uint64)) + big_l
+    row_end = np.cumsum(row_len)
+    grp_counts = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(grp_counts, gidx, 1)
+    grp_row_end = np.cumsum(grp_counts)
+    grp_byte_end = np.where(
+        grp_counts > 0, row_end[np.maximum(grp_row_end - 1, 0)], 0
+    )
+    # group byte start = previous nonempty group's end
+    run_end = np.maximum.accumulate(grp_byte_end)
+    grp_byte_start = np.concatenate(([0], run_end[:-1]))
+    # per-group value sections (first-appearance order = row order of
+    # first occurrences); per-group Python is one slice + one join
+    vo = varint_of
+    nm = name.encode("utf-8")
+    head = bytes([0x78]) + vo(version) + bytes([0x0A]) + vo(len(nm)) + nm
+    kb = key_name.encode("utf-8")
+    keysec = bytes([0x1A]) + vo(len(kb)) + kb
+    tail = bytes([0x28]) + vo(extent)
+    mv = memoryview(feat_bytes)
+    f_rows = np.flatnonzero(first)
+    f_group = gidx[f_rows]
+    f_bounds = np.searchsorted(f_group, np.arange(n_groups + 1))
+    for g in range(n_groups):
+        if grp_counts[g] == 0:
+            continue
+        vparts = []
+        for r in f_rows[f_bounds[g]: f_bounds[g + 1]]:
+            enc = val_encs[r]
+            vparts.append(bytes([0x22]) + vo(len(enc)) + enc)
+        layer = b"".join(
+            (
+                head,
+                mv[int(grp_byte_start[g]): int(grp_byte_end[g])],
+                keysec,
+                *vparts,
+                tail,
+            )
+        )
+        if emit_tiles:
+            layer = bytes([0x1A]) + vo(len(layer)) + layer
+        out[g] = layer
+    return out
+
+
 def splice_merge_layers(blobs, name: str) -> bytes:
     """Merge partial layers of one tile WITHOUT touching geometry
     bytes: re-build the key/value dictionaries first-appearance in

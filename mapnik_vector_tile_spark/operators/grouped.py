@@ -59,6 +59,7 @@ def apply_grouped(
     num_partitions: int | None = None,
     prepare: Callable[[dict[str, np.ndarray], int], dict[str, np.ndarray]]
     | None = None,
+    batch_fn: Callable | None = None,
 ) -> DataFrame:
     """groupBy(keys).apply(fn) semantics at mapInPandas cost.
 
@@ -66,6 +67,14 @@ def apply_grouped(
     and returns derived columns to merge into ``cols`` — the hook for
     whole-batch vectorized kernels (e.g. quantize every point in the
     batch in one numpy pass, then assemble per group).
+
+    ``batch_fn(keycols, cols, starts) -> (rows, handled)`` goes one
+    step further: it may emit output rows for WHOLE GROUPS in one
+    vectorized pass (marking them in the boolean ``handled`` mask, one
+    entry per group); unhandled groups still go through ``fn``.  Batch
+    output rows come first, then per-group rows in group order —
+    callers are keyed downstream, row order within the Arrow batch is
+    not part of the contract.
     """
 
     def run_groups(pdf: pd.DataFrame) -> list[tuple]:
@@ -76,7 +85,13 @@ def apply_grouped(
         keycols = [cols[k] for k in keys]
         starts = group_starts(keycols, n)
         rows: list[tuple] = []
+        handled = None
+        if batch_fn is not None:
+            brows, handled = batch_fn(keycols, cols, starts)
+            rows.extend(brows)
         for i in range(len(starts) - 1):
+            if handled is not None and handled[i]:
+                continue
             s = int(starts[i])
             sl = slice(s, int(starts[i + 1]))
             r = fn(tuple(c[s] for c in keycols), cols, sl)

@@ -604,7 +604,85 @@ def make_encode_kernel(
             ]
         return [(z, x, y, layer_name, lb.build(), len(lb._features), n_pts)]
 
-    return prepare, encode_group
+    def encode_batch(keycols, cols: dict, starts: np.ndarray):
+        """Whole-batch fast path for CANONICAL groups — every row a
+        single-point feature with a non-null caption (the dominant
+        shape of an image-footprint table at serving zooms): the
+        feature sections of ALL such groups are emitted as ONE numpy
+        varint stream (pbf.build_singles_layers_batch, the
+        _splice_merge_fast emit machinery), eliminating the
+        per-feature add_feature/dict work AND most of the per-group
+        Python.  Byte-identical to encode_group by construction
+        (pinned by tests + the kernel-bench out_bytes pin + every
+        engine oracle).  Returns (rows, handled_mask); non-canonical
+        groups fall through to encode_group."""
+        import pandas as pd
+
+        n_g = len(starts) - 1
+        handled = np.zeros(n_g, dtype=bool)
+        singles = cols["_single"]
+        ok = cols["_ok"]
+        caps = cols["caption"]
+        s0 = starts[:-1]
+        counts = np.diff(starts)
+        all_single = (
+            np.add.reduceat(singles.astype(np.int64), s0) == counts
+        )
+        okc = np.add.reduceat(ok.astype(np.int64), s0)
+        has_na = (
+            np.add.reduceat(
+                pd.isna(caps).astype(np.int64), s0
+            ) > 0
+        )
+        cand = all_single & ~has_na
+        handled[:] = cand
+        live = cand & (okc > 0)
+        live_ids = np.flatnonzero(live)
+        if not len(live_ids):
+            return [], handled
+        grp_of_row = np.repeat(np.arange(n_g, dtype=np.int64), counts)
+        rowmask = live[grp_of_row] & ok
+        remap = np.full(n_g, -1, dtype=np.int64)
+        remap[live_ids] = np.arange(len(live_ids))
+        gidx = remap[grp_of_row[rowmask]]
+        ev = pbf.encode_value
+        val_encs = np.array(
+            [ev(c) for c in caps[rowmask]], dtype=object
+        )
+        blobs = pbf.build_singles_layers_batch(
+            layer_name,
+            2,
+            extent,
+            "caption",
+            cols["feature_id"][rowmask],
+            cols["geom_type"][rowmask],
+            cols["_zzx"][rowmask],
+            cols["_zzy"][rowmask],
+            val_encs,
+            gidx,
+            len(live_ids),
+            emit_tiles=emit_tiles,
+        )
+        zs, xs_, ys_ = keycols[0], keycols[1], keycols[2]
+        rows = []
+        for j, g in enumerate(live_ids):
+            b = blobs[j]
+            if b is None:
+                continue
+            s = int(s0[g])
+            nf = int(okc[g])
+            if emit_tiles:
+                rows.append(
+                    (int(zs[s]), int(xs_[s]), int(ys_[s]), b, 1, nf)
+                )
+            else:
+                rows.append(
+                    (int(zs[s]), int(xs_[s]), int(ys_[s]), layer_name,
+                     b, nf, nf)
+                )
+        return rows, handled
+
+    return prepare, encode_group, encode_batch
 
 
 def encode_layer_partials(
@@ -641,7 +719,7 @@ def encode_layer_partials(
     the WHOLE Arrow batch in one numpy pass (`prepare`), so the group
     loop only assembles bytes.
     """
-    prepare, encode_group = make_encode_kernel(
+    prepare, encode_group, encode_batch = make_encode_kernel(
         layer_name,
         extent,
         buffer_units,
@@ -677,6 +755,7 @@ def encode_layer_partials(
         out_columns=out_columns,
         num_partitions=num_partitions,
         prepare=prepare,
+        batch_fn=encode_batch,
     )
 
 

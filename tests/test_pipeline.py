@@ -431,3 +431,87 @@ def test_label_place_greedy_semantics(spark):
     assert r["n_cands"] == 5 and r["n_placed"] == 3
     want = sum((i * 2654435761) % (1 << 31) for i in (1, 3, 5))
     assert r["ph"] == want
+
+
+def test_encode_batch_fast_path_matches_scalar():
+    """The vectorized canonical-batch encoder must be byte-identical
+    to the per-group scalar path on a mixed batch: all-singles groups
+    (the handled set), groups with polygons, groups with null
+    captions, groups whose singles are all out of bounds, and groups
+    mixing ok/not-ok singles."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.operators.grouped import group_starts
+
+    rng = np.random.default_rng(9)
+    rows = []
+    # build a group-sorted synthetic batch over (z=5, x, y, salt=0)
+    for g in range(30):
+        kind = g % 5
+        n = int(rng.integers(1, 6))
+        for i in range(n):
+            fid = g * 100 + i
+            if kind == 3:  # polygon group -> scalar fallback
+                rows.append((5, g, 0, 0, fid, 3, _poly_coords(), "c", False, 0, 0))
+            elif kind == 4 and i == 0:  # null caption in group
+                rows.append((5, g, 0, 0, fid, 1, None, None, True,
+                             int(rng.integers(0, 4096)), int(rng.integers(0, 4096))))
+            else:
+                px = int(rng.integers(-500, 4596))  # some out of bounds
+                py = int(rng.integers(-500, 4596))
+                rows.append((5, g, 0, 0, fid, 1, None, f"cap-{fid % 7}", True, px, py))
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["z", "x", "y", "salt", "feature_id", "geom_type",
+                 "coords", "caption", "is_single", "px", "py"],
+    )
+    keys = ["z", "x", "y", "salt"]
+    prepare, encode_group, encode_batch = T.make_encode_kernel(
+        "features", 4096, 64, emit_tiles=False
+    )
+    cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+    n = len(pdf)
+    cols.update(prepare(cols, n))
+    keycols = [cols[k] for k in keys]
+    starts = group_starts(keycols, n)
+    # scalar reference for every group
+    ref = {}
+    for i in range(len(starts) - 1):
+        s = int(starts[i])
+        sl = slice(s, int(starts[i + 1]))
+        r = encode_group(tuple(c[s] for c in keycols), cols, sl)
+        if r:
+            ref[tuple(r[0][:3])] = r[0]
+    # batch + fallback (the apply_grouped composition)
+    got = {}
+    brows, handled = encode_batch(keycols, cols, starts)
+    assert handled.any() and not handled.all()
+    for r in brows:
+        got[tuple(r[:3])] = r
+    for i in range(len(starts) - 1):
+        if handled[i]:
+            continue
+        s = int(starts[i])
+        sl = slice(s, int(starts[i + 1]))
+        r = encode_group(tuple(c[s] for c in keycols), cols, sl)
+        if r:
+            got[tuple(r[0][:3])] = r[0]
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == ref[k], k
+
+
+def _poly_coords():
+    """Packed coords blob for a small triangle (matches
+    tiling._unpack_coords wire shape)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.tiling import _pack_coords
+
+    xs = np.array([0.0, 30000.0, 0.0])
+    ys = np.array([0.0, 0.0, 30000.0])
+    offs = np.array([0, 3], dtype=np.int64)
+    return _pack_coords(xs, ys, offs)
