@@ -1,17318 +1,32 @@
-"""Registry of (Spark query, DuckDB oracle SQL) pairs — the driver
-correctness contract (__spark_entry__.queries / oracle_sql).
+"""Oracle-pair registry facade.
 
-Every pair shares one SQL template (plans.shared_sql) rendered per
-engine, so arithmetic is bit-identical and the driver's
-order-insensitive value hash matches. Engine-only operators (binary
-encodes, concave PIP, raster) register a query with NO oracle entry →
-driver records a rows-only check, as documented.
-"""
+The former 17k-line monolith now lives in plans/oracle_parts/p1..p5
+(an order-preserving split: importing the parts in sequence executes
+exactly the statements the monolith executed, including every
+_ENGINE_PAIRS registration).  This module preserves the import
+surface: ``from ...oracle_pairs import X`` keeps working for every
+top-level name via PEP 562 module __getattr__ over the parts."""
 
-from __future__ import annotations
+from mapnik_vector_tile_spark.plans.oracle_parts import p1 as _p1
+from mapnik_vector_tile_spark.plans.oracle_parts import p2 as _p2
+from mapnik_vector_tile_spark.plans.oracle_parts import p3 as _p3
+from mapnik_vector_tile_spark.plans.oracle_parts import p4 as _p4
+from mapnik_vector_tile_spark.plans.oracle_parts import p5 as _p5
 
-from collections.abc import Callable
+_MODS = (_p5, _p4, _p3, _p2, _p1)
 
-from pyspark.sql import DataFrame, SparkSession
 
-from mapnik_vector_tile_spark.functions.tilemath import W, cell_id_sql_expr
-from mapnik_vector_tile_spark.plans import shared_sql as S
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-
-def load_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-
-
-# --- template builders (shared between engines) ---------------------------
-
-
-def _sql_tile_assign() -> str:
-    tx, ty = S.tile_xy_exprs(14)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')}
-SELECT id, {tx} AS tx, {ty} AS ty
-FROM pts
-"""
-
-
-def _sql_pyramid_counts_band(z_lo: int, z_hi: int) -> str:
-    """THE pyramid-counts oracle template (single source: the other
-    pyramid variants are z-range specializations of this one)."""
-    tx, ty = S.tile_xy_exprs(14)
-    ax = S.ancestor_expr("tx", "14 - z")
-    ay = S.ancestor_expr("ty", "14 - z")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
-SELECT z, {ax} AS x, {ay} AS y, COUNT(*) AS n_features
-FROM t14 CROSS JOIN {{ZSEQ}} zs
-WHERE z >= {z_lo} AND z <= {z_hi}
-GROUP BY 1, 2, 3
-"""
-
-
-def _sql_pyramid_counts() -> str:
-    return _sql_pyramid_counts_band(0, 14)
-
-
-def _sql_quantize() -> str:
-    tx, ty = S.tile_xy_exprs(14)
-    px, py = S.quantize_exprs(14, "tx", "ty")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t14 AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts)
-SELECT id, tx, ty, {px} AS px, {py} AS py
-FROM t14
-"""
-
-
-def _sql_zigzag() -> str:
-    zz1 = S.zigzag_expr("l_orderkey - 3 * l_partkey")
-    zz2 = S.zigzag_expr("l_suppkey - l_partkey")
-    return f"""
-SELECT l_orderkey AS id, l_linenumber AS ln,
-       {zz1} AS zz_dx, {zz2} AS zz_dy,
-       CAST(1 + 8 * l_linenumber AS BIGINT) AS cmd_move
-FROM lineitem
-"""
-
-
-def _sql_cell_morton() -> str:
-    z = 10
-    tx, ty = S.tile_xy_exprs(z)
-    cell = cell_id_sql_expr("tx", "ty", z)
-    return f"""
-WITH {S.point_cte('customer', 'c_custkey')},
-t AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
-SELECT id, CAST({cell} AS BIGINT) AS cell
-FROM t
-"""
-
-
-def _sql_bbox_rect_join() -> str:
-    """Range join: order points vs broadcast-size rectangle regions —
-    the SQL-expressible shape of J3 (PIP vs rects).
-
-    Boundary semantics: this oracle is closed (<=/>=) while the engine
-    refine's even-odd ray cast is half-open. They can only disagree
-    for a point EXACTLY on a rect edge, which requires
-    (dh/2^32)*2W == hw in exact double arithmetic — the hash-lattice
-    coordinates and the integer-meter hw values share no such point
-    (checked over the fixtures), so the pair is stable; revisit if
-    either generator changes."""
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-{S.rect_regions_cte('nation')}
-SELECT r.region_id, COUNT(*) AS n_pts, MIN(p.id) AS min_id
-FROM pts p
-JOIN rects r
-  ON p.mx >= r.cx - r.hw AND p.mx <= r.cx + r.hw
- AND p.my >= r.cy - r.hw AND p.my <= r.cy + r.hw
-GROUP BY 1
-"""
-
-
-
-
-def _sql_tile_cube(z: int = 5) -> str:
-    """A6 grouping sets via built-ins: per-tile counts with CUBE over
-    (x, y) — subtotal rows tagged by GROUPING() and NULL-coalesced to
-    -1 so the driver's value hash is NULL-free. One ANSI template for
-    both engines."""
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT {tx} AS x, {ty} AS y FROM pts)
-SELECT COALESCE(x, -1) AS x, COALESCE(y, -1) AS y,
-       CAST(GROUPING(x) AS BIGINT) AS gx,
-       CAST(GROUPING(y) AS BIGINT) AS gy,
-       COUNT(*) AS n
-FROM t
-GROUP BY CUBE(x, y)
-"""
-
-
-def _sql_tile_rollup(z: int = 6) -> str:
-    """A6's hierarchical twin of the CUBE query: ROLLUP over
-    (z-ancestor, x, y) — the tile pyramid's natural drill path
-    (level subtotal → column subtotal → grand total). Same
-    GROUPING()-tag + NULL-coalesce discipline, one ANSI template for
-    both engines."""
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, {tx} AS x, {ty} AS y FROM pts)
-SELECT COALESCE(x, -1) AS x, COALESCE(y, -1) AS y,
-       CAST(GROUPING(x) AS BIGINT) AS gx,
-       CAST(GROUPING(y) AS BIGINT) AS gy,
-       COUNT(*) AS n,
-       MIN(id) AS min_id
-FROM t
-GROUP BY ROLLUP(x, y)
-"""
-
-
-def _sql_hex_assign(size: float = W / 64.0) -> str:
-    """T18/H3-analog: axial hex cell assignment of customer points —
-    shared cube-round template (shared_sql.hex_cell_cte), numpy twin
-    in functions/hexcell.py."""
-    return f"""
-WITH {S.point_cte('customer', 'c_custkey')},
-{S.hex_cell_cte(size, src='pts')}
-SELECT id, hq, hr FROM hex
-"""
-
-
-def _sql_hex_density(size: float = W / 64.0) -> str:
-    """Hex-binned density + ring-1 disk smoothing: per-cell count,
-    then each cell's 7-cell neighborhood sum via the axial unit
-    offsets — the H3 kRing/gridDisk aggregation pattern. The neighbor
-    lookup is an equi-join on (hq+dq, hr+dr): broadcast-size offset
-    relation, no range predicate, shuffle only on the final groupBy."""
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-{S.hex_cell_cte(size, src='pts')},
-d AS (SELECT hq, hr, COUNT(*) AS n, MIN(id) AS min_id FROM hex GROUP BY 1, 2),
-{S.HEX_RING1}
-SELECT d.hq AS hq, d.hr AS hr, d.n AS n, d.min_id AS min_id,
-       CAST(SUM(d2.n) AS BIGINT) AS n_disk
-FROM d CROSS JOIN nb
-JOIN d AS d2 ON d2.hq = d.hq + nb.dq AND d2.hr = d.hr + nb.dr
-GROUP BY 1, 2, 3, 4
-"""
-
-
-def _sql_json_props() -> str:
-    """F15 JSON scalar path: extract $.k from the events props JSON
-    string (engine-specific function via the {{JSONK}} token), then an
-    integer-exact fold per k-bucket. The money-ish sum uses
-    FLOOR(value*100) before the BIGINT cast because CAST(double)
-    truncates in Spark but ROUNDS in DuckDB — floor makes them agree."""
-    return """
-WITH ex AS (SELECT event_id, {JSONK} AS k, value FROM events)
-SELECT k % 10 AS kb,
-       COUNT(*) AS n,
-       MIN(event_id) AS min_id,
-       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-FROM ex
-GROUP BY 1
-"""
-
-
-def _sql_tile_setop(op: str, z: int = 8) -> str:
-    """U3 set ops via pure built-ins: the z8 tiles containing an order
-    point EXCEPT/INTERSECT those containing a customer point. One
-    shared ANSI template runs on BOTH engines (Spark EXCEPT ==
-    EXCEPT DISTINCT == DuckDB's)."""
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-{S.point_cte('customer', 'c_custkey', cte='cpts')},
-ot AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM pts),
-ct AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM cpts)
-SELECT x, y FROM ot
-{op}
-SELECT x, y FROM ct
-"""
-
-
-# --- registry ---------------------------------------------------------------
-
-# name -> shared SQL template (rendered per engine by sql_pairs)
-_PAIRS: dict[str, str] = {
-    "q_tile_assign_z14": _sql_tile_assign(),
-    "q_tile_pyramid_counts": _sql_pyramid_counts(),
-    "q_quantize_z14": _sql_quantize(),
-    "q_zigzag_cmd": _sql_zigzag(),
-    "q_cell_morton_z10": _sql_cell_morton(),
-    "q_pip_rect_join": _sql_bbox_rect_join(),
-    "q_tile_except": _sql_tile_setop("EXCEPT"),
-    "q_tile_intersect": _sql_tile_setop("INTERSECT"),
-    "q_tile_cube": _sql_tile_cube(),
-    "q_tile_rollup": _sql_tile_rollup(),
-    "q_hex_assign": _sql_hex_assign(),
-    "q_hex_density": _sql_hex_density(),
-    "q_json_props": _sql_json_props(),
-}
-
-
-def _sql_pyramid_counts_z(z_hi: int) -> str:
-    return _sql_pyramid_counts_band(0, z_hi)
-
-
-def q_engine_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL EP1 pipeline (assign_tiles -> salted applyInPandas
-    encode -> merge) on orders-derived points, z0..8, buffer=0 — its
-    per-tile feature counts must equal the pure-SQL pyramid oracle.
-    This gates the whole Arrow/UDF encode machinery, not just SQL math.
-    """
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, 0, 8, buffer_units=0)
-    layers = T.encode_layers(assigned, n_salts=8)
-    return layers.select(
-        "z", "x", "y", F.col("n_features").cast("bigint").alias("n_features")
-    )
-
-
-def q_vtquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7 mapbox/vtquery parity (tiling.vtquery — nearest features to
-    a point, served FROM THE ENCODED TILES): the engine path encodes
-    order points at z6, prunes tile addresses to the query radius
-    (literal pushed ranges), decodes only those blobs, and ranks by
-    exact BIGINT global-pixel d². The twin never sees a tile: it
-    quantizes every point closed-form (per-tile formula — the global
-    one differs by FP rounding) and replays the same top-k. Gates the
-    full store→decode→distance→TakeOrdered serving chain."""
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, 6, 6, buffer_units=0)
-    tiles = T.fold_tiles(T.encode_layers(assigned))
-    return T.vtquery(tiles, 12.5, 41.9, 8000, 6, k=25)
-
-
-def _sql_vtquery(
-    lon: float = 12.5,
-    lat: float = 41.9,
-    radius_px: int = 8000,
-    z: int = 6,
-    k: int = 25,
-) -> str:
-    import numpy as np
-
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
-    # the query point's grid coords come from the operator's own
-    # driver-side derivation — one shared pair of integer literals
-    mxa, mya = tm.lonlat_to_merc_np(
-        np.array([float(lon)]), np.array([float(lat)])
-    )
-    scale = 4096.0 / tm.tile_span(z)
-    qgx = int(
-        tm.round_half_away_np(np.array([(float(mxa[0]) + tm.W) * scale]))[0]
-    )
-    qgy = int(
-        tm.round_half_away_np(np.array([(tm.W - float(mya[0])) * scale]))[0]
-    )
-    tx, ty = S.tile_xy_exprs(z)
-    qx, qy = S.quantize_exprs(z, "tx", "ty")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
-g AS (SELECT id, tx * 4096 + {qx} AS gx, ty * 4096 + {qy} AS gy FROM t),
-d AS (SELECT id AS feature_id,
-             (gx - {qgx}) * (gx - {qgx}) + (gy - {qgy}) * (gy - {qgy}) AS d2
-      FROM g),
-near AS (SELECT feature_id, d2 FROM d WHERE d2 <= {radius_px * radius_px}
-         ORDER BY d2, feature_id LIMIT {k})
-SELECT feature_id, CAST(d2 AS BIGINT) AS d2,
-       CAST(row_number() OVER (ORDER BY d2, feature_id) AS BIGINT) AS rnk
-FROM near
-"""
-
-
-def _sql_knn(k: int = 3) -> str:
-    """kNN oracle as bounded streaming passes, not a materialized
-    window: the naive form (row_number over the full cross join) is
-    O(|pts|·|tg|) MEMORY — at sf0.1 that is 2.25e9 rows, which blew
-    straight through the sweep's 40 GB DuckDB cap and then the disk
-    spill. Instead: three plain min() passes compute d_i = the i-th
-    smallest DISTINCT squared distance per point (each pass is a
-    streaming hash aggregate — state is one double per point), then
-    only pairs with dist <= d3 are window-ranked. Correctness: the
-    top-k by (dist, id) all have dist <= (k-th smallest distinct
-    distance), so the candidate set is a provable superset; duplicate
-    distances only ENLARGE it. Verified row-identical to the window
-    form at sf0.01; sf0.1 runs in ~210 s inside the 40 GB cap."""
-    assert k == 3, "oracle is written for k=3 (three min passes)"
-    dist = (
-        "(t.mx - p.mx) * (t.mx - p.mx) + (t.my - p.my) * (t.my - p.my)"
-    )
-    return f"""
-WITH {S.point_cte('customer', 'c_custkey')},
-{S.point_cte('orders', 'o_orderkey', cte='tg')},
-d1 AS (SELECT p.id AS id, min({dist}) AS d
-       FROM pts p CROSS JOIN tg t GROUP BY p.id),
-d2 AS (SELECT p.id AS id, min({dist}) AS d
-       FROM pts p JOIN d1 ON d1.id = p.id CROSS JOIN tg t
-       WHERE {dist} > d1.d GROUP BY p.id),
-d3 AS (SELECT p.id AS id, min({dist}) AS d
-       FROM pts p JOIN d2 ON d2.id = p.id CROSS JOIN tg t
-       WHERE {dist} > d2.d GROUP BY p.id),
-cand AS (
-  SELECT p.id AS id, t.id AS nbr, {dist} AS dist
-  FROM pts p JOIN d3 ON d3.id = p.id CROSS JOIN tg t
-  WHERE {dist} <= d3.d)
-SELECT id, nbr, rnk FROM (
-  SELECT id, nbr,
-         CAST(row_number() OVER (
-           PARTITION BY id ORDER BY dist, nbr) AS BIGINT) AS rnk
-  FROM cand) r
-WHERE rnk <= {k}
-"""
-
-
-def q_engine_pip_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 through the REAL engine path (cell cover -> broadcast equi-join
-    -> vectorized ray-cast refine) on the 25 mercator rects — counts
-    must equal the pure range-predicate oracle."""
-    from mapnik_vector_tile_spark.operators import joins as J
-
-    return J.bench_pip_join(spark, sf_dir)
-
-
-def q_engine_pip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: same result via the range-partitioned (PBSM) plan."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import joins as J
-
-    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
-    regions = J.merc_rect_regions(spark, sf_dir)
-    pairs = J.pip_join_partitioned(pts, regions, z=6)
-    return pairs.groupBy("region_id").agg(
-        F.count("*").alias("n_pts"), F.min("point_id").alias("min_id")
-    )
-
-
-def q_engine_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 semi variant: order points inside >=1 mercator rect, once
-    each — engine path is the broadcast PIP join folded to a left_semi
-    on the surviving point ids."""
-    from mapnik_vector_tile_spark.operators import joins as J
-
-    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
-    regions = J.merc_rect_regions(spark, sf_dir)
-    return J.pip_join_semi(pts, regions, z=6).select("id")
-
-
-def q_engine_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 anti variant: order points inside NO mercator rect. The cell
-    prefilter proves most points outside without a geometry test; the
-    left_anti subtracts only the refined hit set."""
-    from mapnik_vector_tile_spark.operators import joins as J
-
-    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
-    regions = J.merc_rect_regions(spark, sf_dir)
-    return J.pip_join_anti(pts, regions, z=6).select("id")
-
-
-def _sql_pip_membership(exists: bool) -> str:
-    """EXISTS / NOT EXISTS twin of the semi/anti PIP joins over the 25
-    rects — same closed-boundary caveat as _sql_bbox_rect_join (no
-    lattice point sits exactly on a rect edge)."""
-    neg = "" if exists else "NOT "
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-{S.rect_regions_cte('nation')}
-SELECT p.id AS id
-FROM pts p
-WHERE {neg}EXISTS (
-  SELECT 1 FROM rects r
-  WHERE p.mx >= r.cx - r.hw AND p.mx <= r.cx + r.hw
-    AND p.my >= r.cy - r.hw AND p.my <= r.cy + r.hw
-)
-"""
-
-
-def q_asof_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 as-of join: per click event, the same user's latest
-    prior-or-equal view — engine path is the union+merge plan (one
-    shuffle, running-last window), oracle the quadratic
-    row_number-over-candidates form."""
-    from mapnik_vector_tile_spark.operators import temporal as T
-
-    return T.clicks_asof_views(spark, sf_dir)
-
-
-def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 interval overlap join: error-event windows x purchase-event
-    windows, engine path = 1-D grid-bucket equi-join with
-    first-common-bucket dedup; oracle a plain range-predicate join."""
-    from mapnik_vector_tile_spark.operators import temporal as T
-
-    return T.incidents_overlap_promos(spark, sf_dir)
-
-
-_SQL_ASOF = """
-WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
-            FROM events),
-c AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'click'),
-v AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'view')
-SELECT click_id, view_id, gap_us FROM (
-  SELECT c.event_id AS click_id,
-         COALESCE(v.event_id, -1) AS view_id,
-         COALESCE(c.t - v.t, -1) AS gap_us,
-         row_number() OVER (PARTITION BY c.event_id
-                            ORDER BY v.t DESC, v.event_id DESC) AS rn
-  FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.t <= c.t
-) ranked
-WHERE rn = 1
-"""
-
-def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the §2.10 stream-stream watermarked join
-    (streaming/joins.py): every same-user (view, click) pair with the
-    click inside the view's 24 h attribution window. The STREAMING
-    execution of this exact plan is asserted equal to this batch result
-    in tests/test_streaming.py."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.streaming.joins import attribution_join
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return attribution_join(
-        ev.filter(F.col("event_type") == "view"),
-        ev.filter(F.col("event_type") == "click"),
-    ).select(
-        "view_id",
-        "click_id",
-        "user_id",
-        F.col("gap_us").cast("bigint").alias("gap_us"),
-    )
-
-
-_SQL_ATTRIBUTION = """
-WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
-            FROM events),
-v AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'view'),
-c AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'click')
-SELECT v.event_id AS view_id, c.event_id AS click_id,
-       v.user_id AS user_id, c.t - v.t AS gap_us
-FROM v JOIN c ON c.user_id = v.user_id
-             AND c.t >= v.t AND c.t <= v.t + 86400000000
-"""
-
-
-_SQL_INTERVAL_OVERLAP = """
-WITH ev AS (SELECT event_id AS id, event_type, epoch_us(ts) AS t
-            FROM events),
-a AS (SELECT id, t AS s, t + (1 + id % 23) * 3600000000 AS e
-      FROM ev WHERE event_type = 'error'),
-b AS (SELECT id, t AS s, t + (1 + id % 17) * 3600000000 AS e
-      FROM ev WHERE event_type = 'purchase')
-SELECT a.id AS a_id, b.id AS b_id,
-       LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
-FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
-"""
-
-
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (4 h rule) per user — lag-compare +
-    running-sum boundary assignment, then a per-session fold."""
-    from mapnik_vector_tile_spark.operators import temporal as T
-
-    return T.user_sessions(spark, sf_dir)
-
-
-_SQL_SESSIONIZE = """
-WITH ev AS (SELECT event_id AS id, user_id, epoch_us(ts) AS t
-            FROM events),
-marked AS (
-  SELECT id, user_id, t,
-         CASE WHEN t - lag(t) OVER w > 14400000000 THEN 1 ELSE 0 END
-           AS is_new
-  FROM ev
-  WINDOW w AS (PARTITION BY user_id ORDER BY t, id)
-),
-sess AS (
-  SELECT id, user_id, t,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, id
-                           ROWS UNBOUNDED PRECEDING) AS session_idx
-  FROM marked
-)
-SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-       COUNT(*) AS n_events,
-       MAX(t) - MIN(t) AS dur_us,
-       MIN(id) AS min_id
-FROM sess
-GROUP BY 1, 2
-"""
-
-
-def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in session_window (batch mode — identical plan to the
-    streaming leg in streaming/sessions.py) must reproduce the custom
-    sessionize oracle row-for-row (minus the session index, which
-    session_window does not expose)."""
-    from mapnik_vector_tile_spark.streaming import sessions as SS
-
-    return SS.batch_session_counts(spark, sf_dir)
-
-
-_SQL_SESSION_WINDOW = """
-WITH ev AS (SELECT event_id AS id, user_id, epoch_us(ts) AS t
-            FROM events),
-marked AS (
-  SELECT id, user_id, t,
-         CASE WHEN t - lag(t) OVER w > 14400000000 THEN 1 ELSE 0 END
-           AS is_new
-  FROM ev
-  WINDOW w AS (PARTITION BY user_id ORDER BY t, id)
-),
-sess AS (
-  SELECT id, user_id, t,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, id
-                           ROWS UNBOUNDED PRECEDING) AS session_idx
-  FROM marked
-)
-SELECT user_id, COUNT(*) AS n_events,
-       MAX(t) - MIN(t) AS dur_us,
-       MIN(id) AS min_id
-FROM sess
-GROUP BY user_id, session_idx
-"""
-
-
-def q_engine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 kNN (k=3) via cell-block expansion; ranks must equal the
-    brute-force cross-join oracle row-for-row.  The probe-grid level
-    comes from knn_auto_z (target density), NOT a pinned constant:
-    the zoom only changes the candidate-generation plan, never the
-    exact output, and the sf1.0 spot-run measured pinned z=6 going
-    super-linear (exponent 1.33 — 37→370 targets/cell as density
-    10×ed) while the density rule keeps the block join ~O(k)/query."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import joins as J
-
-    q = J._order_points(spark, sf_dir, "customer", "c_custkey")
-    t = J._order_points(spark, sf_dir, "orders", "o_orderkey").select(
-        F.col("id").alias("tid"),
-        F.col("mx").alias("tx"),
-        F.col("my").alias("ty"),
-    )
-    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-    out = J.knn_join(q, t, k=3, z=J.knn_auto_z(n, 3))
-    return out.select(
-        "id", "nbr", F.col("rank").cast("long").alias("rnk")
-    )
-
-
-def q_pip_polygon_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 against the synthetic polygon corpus (convex/concave/holed),
-    pre-transformed to merc in numpy (sources.synth.regions_merc_df).
-    FULL oracle: the same vertex doubles are inlined as literals into
-    the DuckDB SQL (_sql_pip_polygon), which replicates the A.7
-    half-open even-odd ray cast edge-by-edge — engine cell-cover
-    prefilter and oracle bbox prefilter are both supersets of the
-    inside set, so the exact refine makes the results identical."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import joins as J
-    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
-
-    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
-    reg_m = regions_merc_df(spark, 200).select(
-        "region_id", "xs", "ys", "ring_offsets"
-    )
-    pairs = J.pip_join_broadcast(pts, reg_m, z=6)
-    return pairs.groupBy("region_id").agg(F.count("*").alias("n_pts"))
-
-
-def _sql_pip_polygon(n_regions: int = 200) -> str:
-    """DuckDB twin of q_pip_polygon_regions: polygon edges inlined as
-    VALUES (bit-identical doubles via shortest-roundtrip repr), then
-    the A.7 crossing test with pip.points_in_ring's exact arithmetic:
-    cond  = (y2 > my) != (y1 > my)            [edge prev=(x1,y1) -> cur=(x2,y2)]
-    xint  = (x1 - x2) * (my - y2) / (y1 - y2) + x2
-    inside = odd crossing count over ALL rings (holes subtract)."""
-    from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
-
-    pdf = gen_regions_merc_pdf(n_regions)
-    rows = []
-    for rid, xs, ys, offs in zip(
-        pdf["region_id"], pdf["xs"], pdf["ys"], pdf["ring_offsets"]
-    ):
-        for r in range(len(offs) - 1):
-            s, e = offs[r], offs[r + 1]
-            for i in range(s + 1, e):
-                # S.flit forces DOUBLE literals (bare decimals parse as
-                # DECIMAL in DuckDB -> wrong arithmetic type)
-                rows.append(
-                    f"({rid},{S.flit(xs[i - 1])},{S.flit(ys[i - 1])},"
-                    f"{S.flit(xs[i])},{S.flit(ys[i])})"
-                )
-    values = ",\n".join(rows)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-edges(region_id, x1, y1, x2, y2) AS (VALUES
-{values}),
-bbox AS (
-  SELECT region_id,
-         MIN(LEAST(x1, x2)) AS xmin, MAX(GREATEST(x1, x2)) AS xmax,
-         MIN(LEAST(y1, y2)) AS ymin, MAX(GREATEST(y1, y2)) AS ymax
-  FROM edges GROUP BY region_id),
-cand AS (
-  SELECT p.id, p.mx, p.my, b.region_id
-  FROM pts p JOIN bbox b
-    ON p.mx >= b.xmin AND p.mx <= b.xmax
-   AND p.my >= b.ymin AND p.my <= b.ymax),
-cr AS (
-  SELECT c.id, c.region_id, COUNT(*) AS ncross
-  FROM cand c JOIN edges e
-    ON e.region_id = c.region_id
-   AND ((e.y2 > c.my) != (e.y1 > c.my))
-   AND c.mx < (e.x1 - e.x2) * (c.my - e.y2) / (e.y1 - e.y2) + e.x2
-  GROUP BY 1, 2)
-SELECT region_id, COUNT(*) AS n_pts
-FROM cr WHERE ncross % 2 = 1
-GROUP BY region_id
-"""
-
-
-def q_engine_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EP1∘EP2: encode z6..8 tiles through the FULL pipeline, decode
-    them back (S2 tile-as-datasource scan), count features per tile —
-    must equal the pure-SQL pyramid oracle. Gates the entire wire
-    format both directions."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, 6, 8, buffer_units=0)
-    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8))
-    decoded = T.decode_tiles_to_features(tiles)
-    return decoded.groupBy("z", "x", "y").agg(
-        F.count("*").cast("bigint").alias("n_features")
-    )
-
-
-def _engine_point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    pts = derive_points(orders, "o_orderkey")
-    return pts.select(
-        F.col("id").alias("feature_id"),
-        F.lit(1).alias("geom_type"),
-        F.array("mx").alias("xs"),
-        F.array("my").alias("ys"),
-        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
-        F.lit("c").alias("caption"),
-    )
-
-
-THIN_BASE_Z = 10  # q_zoom_thin base zoom
-
-
-def q_zoom_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 zoom-gated point thinning (tippecanoe --drop-rate 2.5
-    semantics; tiling.thin_thresholds / assign_tiles(thin_base_z=...))
-    with a FULL oracle: order points fan out z0..10 with thinning
-    applied INSIDE the assign kernel (buffer 0, so each point covers
-    exactly one tile per zoom and the per-z row count IS the kept-set
-    size), summarized per zoom as (n_kept, sum of kept feature ids).
-    The DuckDB twin replays the splitmix64 coin and the exact integer
-    thresholds 2^53·2^k//5^k — any drift in the coin, the threshold
-    arithmetic, or the in-kernel mask breaks the hash. The nested-
-    kept-set invariant is pinned in tests/test_pipeline.py."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(
-        feats, 0, THIN_BASE_Z, buffer_units=0, thin_base_z=THIN_BASE_Z
-    )
-    return assigned.groupBy("z").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("feature_id").cast("long").alias("sum_fid"),
-    )
-
-
-def _sql_zoom_thin(base_z: int = THIN_BASE_Z) -> str:
-    from mapnik_vector_tile_spark.operators.tiling import thin_thresholds
-
-    thr = thin_thresholds(base_z, 0)
-    thr_case = " ".join(
-        f"WHEN {z} THEN {t}" for z, t in sorted(thr.items())
-    )
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-h AS (
-  SELECT id, CAST(({splitmix64_sql('id')}) // 2048 AS BIGINT) AS hord
-  FROM pts
-),
-zs AS (SELECT unnest(generate_series(0, {base_z})) AS z),
-keep AS (
-  SELECT zs.z, h.id
-  FROM h, zs
-  WHERE h.hord < (CASE zs.z {thr_case} ELSE {1 << 53} END)
-)
-SELECT z, CAST(COUNT(*) AS BIGINT) AS n_kept,
-       CAST(SUM(id) AS BIGINT) AS sum_fid
-FROM keep GROUP BY z
-"""
-
-
-OZ_PARENT_Z = 3
-OZ_BUF = 64
-
-
-def q_engine_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EP3 slow path across zoom levels (overzoom) with a FULL
-    bit-exact oracle: encode z3 parent tiles from deterministic order
-    points (buffer 0 so assignment == membership), overzoom every
-    parent layer to its 4 children at z4 with buffer 64 via
-    composite.overzoom_children (integer scale+offset, re-clip,
-    re-encode — src/vector_tile_composite.hpp's re-render path), fold
-    and DECODE the children, and report per-child feature counts plus
-    the sums of tile-local coordinates. Every child coordinate is
-    px*2 - cx*4096 exactly (power-of-two scale on ints), so the DuckDB
-    twin replays assignment, quantization, child membership
-    (closed-interval buffered clip) and local coords with pure integer
-    math — any off-by-one in the clip bounds, the fan-out addressing,
-    or the wire round-trip breaks the hash."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as comp
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, OZ_PARENT_Z, OZ_PARENT_Z, buffer_units=0)
-    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
-    kids = comp.overzoom_layers(layers, 1, buffer_units=OZ_BUF)
-    dec = T.decode_tiles_to_features(T.fold_tiles(kids))
-    return dec.groupBy("z", "x", "y").agg(
-        F.count("*").cast("bigint").alias("n_features"),
-        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
-        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
-    )
-
-
-RSC_Z = 5
-RSC_TO_EXTENT = 512
-
-
-def q_engine_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1 extent-rescale slow path with a FULL oracle: encode z5 point
-    layers at extent 4096 (buffer 0), push them through
-    composite_layers(target_extent=512) — the decode → scale by
-    512/4096 (an exact dyadic multiply) → round-half-away → re-encode
-    kernel (rescale_layer_blob) — fold, decode, and report per-tile
-    counts plus sums of the rescaled local ints. DuckDB replays
-    assignment, the 4096-extent quantize, and round(px * 0.125)
-    closed-form; coordinates are nonnegative (buffer 0) so
-    round-half-away == round-half-up exactly."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as comp
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, RSC_Z, RSC_Z, buffer_units=0)
-    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
-    rescaled = comp.composite_layers([layers], target_extent=RSC_TO_EXTENT)
-    dec = T.decode_tiles_to_features(T.fold_tiles(rescaled))
-    return dec.groupBy("z", "x", "y").agg(
-        F.count("*").cast("bigint").alias("n_features"),
-        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
-        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
-    )
-
-
-def _sql_rescale(z: int = RSC_Z, to_extent: int = RSC_TO_EXTENT) -> str:
-    tx, ty = S.tile_xy_exprs(z)
-    px, py = S.quantize_exprs(z, "tx", "ty")
-    ratio = S.flit(to_extent / 4096.0)
-    rx = S.round_half_up_nonneg(f"CAST(px AS DOUBLE) * {ratio}")
-    ry = S.round_half_up_nonneg(f"CAST(py AS DOUBLE) * {ratio}")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
-q AS (SELECT id, tx, ty, {px} AS px, {py} AS py FROM t),
-r AS (SELECT tx, ty, {rx} AS rpx, {ry} AS rpy FROM q)
-SELECT CAST({z} AS INT) AS z, tx AS x, ty AS y,
-       CAST(COUNT(*) AS BIGINT) AS n_features,
-       CAST(SUM(rpx) AS BIGINT) AS sum_px,
-       CAST(SUM(rpy) AS BIGINT) AS sum_py
-FROM r GROUP BY 1, 2, 3
-"""
-
-
-def q_engine_overzoom_redistribute(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The redistribute overzoom plan (explode (parent, child) pairs,
-    hash-repartition, one child per task — the few-parents/deep-dz
-    skew shape) against the SAME integer-exact oracle as
-    q_engine_overzoom: both paths must produce identical children, so
-    they share one DuckDB twin."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as comp
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, OZ_PARENT_Z, OZ_PARENT_Z, buffer_units=0)
-    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
-    kids = comp.overzoom_layers(
-        layers, 1, buffer_units=OZ_BUF, redistribute=True
-    )
-    dec = T.decode_tiles_to_features(T.fold_tiles(kids))
-    return dec.groupBy("z", "x", "y").agg(
-        F.count("*").cast("bigint").alias("n_features"),
-        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
-        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
-    )
-
-
-def _sql_overzoom(pz: int = OZ_PARENT_Z, buf: int = OZ_BUF) -> str:
-    tx, ty = S.tile_xy_exprs(pz)
-    px, py = S.quantize_exprs(pz, "tx", "ty")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
-q AS (SELECT id, tx, ty, {px} AS px, {py} AS py FROM t),
-c AS (
-  SELECT tx * 2 + cx.v AS x, ty * 2 + cy.v AS y,
-         px * 2 - cx.v * 4096 AS lpx,
-         py * 2 - cy.v * 4096 AS lpy
-  FROM q
-  CROSS JOIN (SELECT 0 AS v UNION ALL SELECT 1) cx
-  CROSS JOIN (SELECT 0 AS v UNION ALL SELECT 1) cy
-  WHERE px * 2 - cx.v * 4096 BETWEEN -{buf} AND {4096 + buf}
-    AND py * 2 - cy.v * 4096 BETWEEN -{buf} AND {4096 + buf}
-)
-SELECT CAST({pz + 1} AS INT) AS z, x, y,
-       CAST(COUNT(*) AS BIGINT) AS n_features,
-       CAST(SUM(lpx) AS BIGINT) AS sum_px,
-       CAST(SUM(lpy) AS BIGINT) AS sum_py
-FROM c GROUP BY 1, 2, 3
-"""
-
-
-DZ_CHILD_Z = 4
-
-
-def q_engine_downzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U5 child->parent pyramid rollup (downzoom — the inverse of
-    overzoom, and the bottom-up build direction: derive z-1 from z
-    without re-scanning source) with a FULL bit-exact oracle: encode
-    z4 point layers from deterministic order points (buffer 0 so
-    assignment == membership and each feature lives in exactly one
-    child), roll the 4 quadrants of every parent into one z3 layer via
-    composite.downzoom_layers (exact integer floor-shift
-    X = (px + cx*4096) >> 1, dictionary re-merge, deterministic
-    (cy, cx) quadrant order), fold, DECODE, and report per-parent
-    feature counts plus sums of parent-local coordinates. The DuckDB
-    twin replays z4 assignment + quantization closed-form and the
-    floor-shift as FLOOR((px + (tx%2)*4096)/2) — any off-by-one in the
-    quadrant addressing, the shift's negative-floor semantics, or the
-    dictionary splice breaks the hash."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as comp
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, DZ_CHILD_Z, DZ_CHILD_Z, buffer_units=0)
-    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
-    parents = comp.downzoom_layers(layers)
-    dec = T.decode_tiles_to_features(T.fold_tiles(parents))
-    return dec.groupBy("z", "x", "y").agg(
-        F.count("*").cast("bigint").alias("n_features"),
-        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
-        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
-    )
-
-
-def _sql_downzoom(cz: int = DZ_CHILD_Z) -> str:
-    tx, ty = S.tile_xy_exprs(cz)
-    px, py = S.quantize_exprs(cz, "tx", "ty")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
-q AS (SELECT id, tx, ty, {px} AS px, {py} AS py FROM t),
-p AS (
-  SELECT tx // 2 AS x, ty // 2 AS y,
-         CAST(FLOOR((px + (tx % 2) * 4096) / 2.0e0) AS BIGINT) AS ppx,
-         CAST(FLOOR((py + (ty % 2) * 4096) / 2.0e0) AS BIGINT) AS ppy
-  FROM q
-)
-SELECT CAST({cz - 1} AS INT) AS z, x, y,
-       CAST(COUNT(*) AS BIGINT) AS n_features,
-       CAST(SUM(ppx) AS BIGINT) AS sum_px,
-       CAST(SUM(ppy) AS BIGINT) AS sum_py
-FROM p GROUP BY 1, 2, 3
-"""
-
-
-def q_engine_downzoom_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The iterated rollup (downzoom_band z4 -> z2: each level derived
-    from the one below, levels persisted so the union costs O(L) not
-    O(L^2) shuffles) against a twin that composes the floor-shift
-    twice — floors do NOT commute with composition unless replayed
-    level-by-level, so this pins the per-level (not shortcut) math."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as comp
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, DZ_CHILD_Z, DZ_CHILD_Z, buffer_units=0)
-    layers = T.encode_layers(assigned, buffer_units=0, n_salts=4)
-    band = comp.downzoom_band(layers, DZ_CHILD_Z - 2)
-    dec = T.decode_tiles_to_features(T.fold_tiles(band))
-    return dec.groupBy("z", "x", "y").agg(
-        F.count("*").cast("bigint").alias("n_features"),
-        F.sum(F.col("pxs")[0]).cast("bigint").alias("sum_px"),
-        F.sum(F.col("pys")[0]).cast("bigint").alias("sum_py"),
-    )
-
-
-def _sql_downzoom_band(cz: int = DZ_CHILD_Z) -> str:
-    tx, ty = S.tile_xy_exprs(cz)
-    px, py = S.quantize_exprs(cz, "tx", "ty")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
-q AS (SELECT id, tx, ty, {px} AS px, {py} AS py FROM t),
-l1 AS (
-  SELECT tx // 2 AS tx, ty // 2 AS ty,
-         CAST(FLOOR((px + (tx % 2) * 4096) / 2.0e0) AS BIGINT) AS px,
-         CAST(FLOOR((py + (ty % 2) * 4096) / 2.0e0) AS BIGINT) AS py
-  FROM q
-),
-l2 AS (
-  SELECT tx // 2 AS tx, ty // 2 AS ty,
-         CAST(FLOOR((px + (tx % 2) * 4096) / 2.0e0) AS BIGINT) AS px,
-         CAST(FLOOR((py + (ty % 2) * 4096) / 2.0e0) AS BIGINT) AS py
-  FROM l1
-),
-u AS (
-  SELECT CAST({cz - 1} AS INT) AS z, tx, ty, px, py FROM l1
-  UNION ALL
-  SELECT CAST({cz - 2} AS INT) AS z, tx, ty, px, py FROM l2
-)
-SELECT z, tx AS x, ty AS y,
-       CAST(COUNT(*) AS BIGINT) AS n_features,
-       CAST(SUM(px) AS BIGINT) AS sum_px,
-       CAST(SUM(py) AS BIGINT) AS sum_py
-FROM u GROUP BY 1, 2, 3
-"""
-
-
-def q_engine_load_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4+S5+P5 through the driver surface: encode z4..6 tiles (fused
-    EP1), compress every tile buffer (alternating gzip/zlib by tile x,
-    exercising BOTH magic-byte codec detections), then LOAD them back —
-    maybe_decompress + tile_is_valid + feature counts read from the
-    decoded wire bytes, i.e. the merge_from_compressed_buffer /
-    add_buffer_to_tile path (vector_tile_load_tile.hpp,
-    vector_tile_compression.hpp). Oracle: per-z distinct-tile and
-    feature counts from pure SQL — only matches if every compressed
-    buffer survives the round trip AND validates."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators import tiling as T
-    from mapnik_vector_tile_spark.operators.composite import tile_is_valid
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, 4, 6, buffer_units=0)
-    tiles = T.encode_tiles(assigned, n_salts=8)
-
-    def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            zs, nt, nf = [], [], []
-            for z, x, tile in zip(pdf["z"], pdf["x"], pdf["tile"]):
-                buf = pbf.compress(bytes(tile), gzip=(int(x) % 2 == 0))
-                ok, _ = tile_is_valid(buf)
-                count = 0
-                if ok:
-                    for lmsg in pbf.decode_tile(pbf.maybe_decompress(buf)):
-                        count += len(pbf.decode_layer(lmsg)["features"])
-                zs.append(int(z))
-                nt.append(1 if ok else 0)
-                nf.append(count)
-            yield pd.DataFrame({"z": zs, "ok": nt, "nf": nf})
-
-    loaded = tiles.mapInPandas(gen, schema="z int, ok int, nf long")
-    return loaded.groupBy("z").agg(
-        F.sum("ok").cast("bigint").alias("n_tiles"),
-        F.sum("nf").cast("bigint").alias("n_features"),
-    )
-
-
-def _sql_load_compressed(z_lo: int = 4, z_hi: int = 6) -> str:
-    tx, ty = S.tile_xy_exprs(14)
-    ax = S.ancestor_expr("tx", "14 - z")
-    ay = S.ancestor_expr("ty", "14 - z")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts),
-per_tile AS (
-  SELECT z, {ax} AS x, {ay} AS y, COUNT(*) AS nf
-  FROM t14 CROSS JOIN {{ZSEQ}} zs
-  WHERE z >= {z_lo} AND z <= {z_hi}
-  GROUP BY 1, 2, 3)
-SELECT z, CAST(COUNT(*) AS BIGINT) AS n_tiles,
-       CAST(SUM(nf) AS BIGINT) AS n_features
-FROM per_tile GROUP BY z
-"""
-
-
-VALIDITY_Z = 6
-
-
-def q_engine_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 at the driver surface: encode z6 tiles (fused EP1), then
-    deterministically corrupt a subset keyed on (x*3+y)%5 —
-    0: whole-tile self-concat (duplicate layer name), 1: append a
-    version-3 layer, 2: append a version-3 AND empty-name layer,
-    3/4: untouched — and run tile_is_valid over everything. Output
-    (x, y, valid, n_reasons). The oracle regenerates the tile set
-    relationally and predicts the verdicts closed-form; it matches
-    only if every engine-encoded tile validates clean AND the
-    validator flags each corruption class with exactly the expected
-    reasons (vector_tile_is_valid.hpp semantics)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators import tiling as T
-    from mapnik_vector_tile_spark.operators.composite import validate_tiles
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, VALIDITY_Z, VALIDITY_Z, buffer_units=0)
-    tiles = T.encode_tiles(assigned, n_salts=8)
-
-    bad_version = pbf.layer_to_tile(pbf.LayerBuilder("v3", version=3).build())
-    bad_both = pbf.layer_to_tile(pbf.LayerBuilder("", version=3).build())
-
-    def corrupt(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out = {"z": [], "x": [], "y": [], "tile": []}
-            for z, x, y, tile in zip(
-                pdf["z"], pdf["x"], pdf["y"], pdf["tile"]
-            ):
-                t = bytes(tile)
-                cls = (int(x) * 3 + int(y)) % 5
-                if cls == 0:
-                    t = t + t
-                elif cls == 1:
-                    t = t + bad_version
-                elif cls == 2:
-                    t = t + bad_both
-                out["z"].append(int(z))
-                out["x"].append(int(x))
-                out["y"].append(int(y))
-                out["tile"].append(t)
-            yield pd.DataFrame(out)
-
-    corrupted = tiles.mapInPandas(
-        corrupt, schema="z int, x long, y long, tile binary"
-    )
-    return validate_tiles(corrupted).select(
-        "x", "y", "valid", F.size("reasons").alias("n_reasons")
-    )
-
-
-def _sql_validity(z: int = VALIDITY_Z) -> str:
-    tx, ty = S.tile_xy_exprs(14)
-    ax = S.ancestor_expr("tx", str(14 - z))
-    ay = S.ancestor_expr("ty", str(14 - z))
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t14 AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts),
-tiles AS (SELECT DISTINCT {ax} AS x, {ay} AS y FROM t14)
-SELECT x, y,
-       ((x * 3 + y) % 5) >= 3 AS valid,
-       CAST(CASE (x * 3 + y) % 5
-            WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0
-            END AS INTEGER) AS n_reasons
-FROM tiles
-"""
-
-
-LABEL_Z = 3
-LABEL_SHIFT = 8  # 256-pixel collision cells (16x16 grid per tile)
-
-
-def q_label_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 label collision placement (tiling.label_grid_top1): assign
-    order-key points at z3 buffer 0 — 64 tiles x 256 cells for
-    15k points, so cells collide constantly and the priority/tiebreak
-    rule decides thousands of discards — then keep the top-priority
-    feature per 256-pixel grid cell (priority = (id·2654435761) mod
-    1000, descending; id ascending tiebreak). The twin replays
-    assignment, the exact quantize, arithmetic-shift cell addressing
-    and the window rule relationally — a wrong pixel, cell boundary,
-    or tiebreak order breaks the hash."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, LABEL_Z, LABEL_Z, buffer_units=0)
-    pr = (F.col("feature_id") * 2654435761) % 1000
-    out = T.label_grid_top1(assigned, cell_shift=LABEL_SHIFT, priority=pr)
-    return out.select(
-        "x", "y", "gx", "gy", "feature_id", "label_priority",
-        F.col("px").cast("bigint").alias("px"),
-        F.col("py").cast("bigint").alias("py"),
-    )
-
-
-def _sql_label_grid(z: int = LABEL_Z) -> str:
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
-q AS (SELECT id, tx, ty,
-             {S.quantize_exprs(z, 'tx', 'ty')[0]} AS px,
-             {S.quantize_exprs(z, 'tx', 'ty')[1]} AS py,
-             (id * 2654435761) % 1000 AS pr
-      FROM t),
-g AS (SELECT id, tx, ty, px, py, pr,
-             px // {1 << LABEL_SHIFT} AS gx,
-             py // {1 << LABEL_SHIFT} AS gy
-      FROM q),
-r AS (SELECT *, row_number() OVER (
-        PARTITION BY tx, ty, gx, gy ORDER BY pr DESC, id) AS rn
-      FROM g)
-SELECT tx AS x, ty AS y, gx, gy, id AS feature_id,
-       CAST(pr AS BIGINT) AS label_priority, px, py
-FROM r WHERE rn = 1
-"""
-
-
-SOLID_Z = 3  # 8x8 grid — one tile per (class x position) combination
-
-
-def q_engine_solid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U9 solid-tile detection (composite.is_solid_extent; ref:
-    src/vector_tile_util.hpp — is_solid_extent, tilelive's solid-blob
-    dedup gate). The corpus is built through the REAL wire encoder
-    (LayerBuilder + encode_geometry) in five deterministic classes on
-    (x*3+y)%5 at z3 — this is a decode-side store operator, so the
-    gate drives blobs directly, like q_engine_validity:
-
-      0: two layers, each one clip-box fill   -> solid T, covers T
-      1: fill + a point feature               -> solid F (non-polygon),
-                                                 covers T
-      2: fill + a small interior polygon      -> solid F (interior
-                                                 vertex), covers T
-      3: corner triangle, vertices beyond the
-         clip box, hypotenuse crossing inside -> solid T, covers F
-         (the reference heuristic's documented false-positive class —
-         the reason both columns exist)
-      4: a named layer with zero features     -> solid F, covers F
-
-    The oracle predicts all four output columns closed-form from the
-    class; the engine must decode the real wire bytes, apply the
-    both-axes strict-interior vertex test and the even-odd corner
-    test, and land exactly on the prediction. sf_dir unused
-    (committed synth recipe)."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import geomcodec as gc
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators.composite import solid_tiles
-
-    n = 1 << SOLID_Z
-
-    def build(batches):
-        fill = gc.encode_geometry(
-            gc.GEOM_POLYGON,
-            np.array([-64, 4160, 4160, -64]),
-            np.array([-64, -64, 4160, 4160]),
-            np.array([0, 4]),
-        )
-        pt = gc.encode_geometry(
-            gc.GEOM_POINT, np.array([2048]), np.array([2048]), np.array([0, 1])
-        )
-        inner = gc.encode_geometry(
-            gc.GEOM_POLYGON,
-            np.array([1000, 1500, 1500, 1000]),
-            np.array([1000, 1000, 1500, 1500]),
-            np.array([0, 4]),
-        )
-        tri = gc.encode_geometry(
-            gc.GEOM_POLYGON,
-            np.array([-64, 6000, -64]),
-            np.array([-64, -64, 6000]),
-            np.array([0, 3]),
-        )
-        for pdf in batches:
-            out = {"z": [], "x": [], "y": [], "tile": []}
-            for i in pdf["id"]:
-                x, y = int(i) // n, int(i) % n
-                cls = (x * 3 + y) % 5
-                lb = pbf.LayerBuilder("water")
-                if cls != 4:
-                    lb.add_feature(1, gc.GEOM_POLYGON, fill if cls != 3 else tri)
-                if cls == 1:
-                    lb.add_feature(2, gc.GEOM_POINT, pt)
-                elif cls == 2:
-                    lb.add_feature(2, gc.GEOM_POLYGON, inner)
-                layers = [lb.build()]
-                if cls == 0:
-                    lb2 = pbf.LayerBuilder("land")
-                    lb2.add_feature(1, gc.GEOM_POLYGON, fill)
-                    layers.append(lb2.build())
-                out["z"].append(SOLID_Z)
-                out["x"].append(x)
-                out["y"].append(y)
-                out["tile"].append(pbf.concat_tile(layers))
-            yield pd.DataFrame(out)
-
-    tiles = spark.range(0, n * n, 1, 8).mapInPandas(
-        build, schema="z int, x long, y long, tile binary"
-    )
-    return solid_tiles(tiles).select(
-        "x", "y", "solid", "covers", "key", "n_features"
-    )
-
-
-def _sql_solid() -> str:
-    n = 1 << SOLID_Z
-    return f"""
-WITH g AS (SELECT CAST(v.generate_series // {n} AS BIGINT) AS x,
-                  CAST(v.generate_series % {n} AS BIGINT) AS y,
-                  (v.generate_series // {n} * 3
-                   + v.generate_series % {n}) % 5 AS cls
-           FROM generate_series(0, {n * n - 1}) v)
-SELECT x, y,
-       cls IN (0, 3) AS solid,
-       cls IN (0, 1, 2) AS covers,
-       CASE WHEN cls = 0 THEN 'water-land' ELSE 'water' END AS key,
-       CAST(CASE cls WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2
-                     WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS n_features
-FROM g
-"""
-
-
-SPRUNE_Z = 4  # 16x16 grid of 2x2 parent quads
-
-
-def q_solid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U9b mask-level pruning gate (composite.prunable_solid_children
-    ∘ solid_tiles): a 16x16 z4 store built through the real wire
-    encoder where entire 2x2 quads are solid iff (bx·3+by)%4==0,
-    scattered extra solids ((x·3+y)%7==0) make PARTIAL quads that must
-    NOT prune, and every fifth solid quad mixes two layer keys inside
-    the quad ('land' on even x) so the same-key rule is load-bearing.
-    The oracle derives the prunable set closed-form: exactly the
-    uniform-key fully-solid quads' children."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import geomcodec as gc
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators.composite import (
-        prunable_solid_children,
-        solid_tiles,
-    )
-
-    n = 1 << SPRUNE_Z
-
-    def build(batches):
-        fill = gc.encode_geometry(
-            gc.GEOM_POLYGON,
-            np.array([-64, 4160, 4160, -64]),
-            np.array([-64, -64, 4160, 4160]),
-            np.array([0, 4]),
-        )
-        pt = gc.encode_geometry(
-            gc.GEOM_POINT, np.array([2048]), np.array([2048]),
-            np.array([0, 1]),
-        )
-        for pdf in batches:
-            out = {"z": [], "x": [], "y": [], "tile": []}
-            for i in pdf["id"]:
-                x, y = int(i) // n, int(i) % n
-                bx, by = x // 2, y // 2
-                block_solid = (bx * 3 + by) % 4 == 0
-                solid = block_solid or (x * 3 + y) % 7 == 0
-                mixed = block_solid and (bx + by) % 5 == 0
-                name = "land" if (mixed and x % 2 == 0) else "water"
-                lb = pbf.LayerBuilder(name)
-                lb.add_feature(1, gc.GEOM_POLYGON, fill)
-                if not solid:
-                    lb.add_feature(2, gc.GEOM_POINT, pt)
-                out["z"].append(SPRUNE_Z)
-                out["x"].append(x)
-                out["y"].append(y)
-                out["tile"].append(pbf.concat_tile([lb.build()]))
-            yield pd.DataFrame(out)
-
-    tiles = spark.range(0, n * n, 1, 8).mapInPandas(
-        build, schema="z int, x long, y long, tile binary"
-    )
-    return prunable_solid_children(solid_tiles(tiles)).select(
-        "x", "y", "parent_x", "parent_y", "key"
-    )
-
-
-def _sql_solid_prune() -> str:
-    n = 1 << SPRUNE_Z
-    return f"""
-WITH g AS (SELECT CAST(v.generate_series // {n} AS BIGINT) AS x,
-                  CAST(v.generate_series % {n} AS BIGINT) AS y
-           FROM generate_series(0, {n * n - 1}) v),
-c AS (SELECT x, y, x // 2 AS px, y // 2 AS py,
-             ((x // 2) * 3 + (y // 2)) % 4 = 0 AS block_solid,
-             ((x // 2) + (y // 2)) % 5 = 0 AS fifth
-      FROM g)
-SELECT x, y, px AS parent_x, py AS parent_y, 'water' AS key
-FROM c
-WHERE block_solid AND NOT (block_solid AND fifth)
-"""
-
-
-def _typed_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared typed-attribute layer fixture (see q_engine_typed_values
-    doc): lineitem rows as z8 point features carrying (int qty, double
-    price, bool rflag) through the value-variant encode; returns
-    (tx, ty, blob)."""
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
-
-    Z = 8
-    span = S.TWO_W / (1 << Z)
-
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-        "l_returnflag",
-    )
-
-    def to_points(batches):
-        import numpy as np
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = (
-                pdf["l_orderkey"].to_numpy().astype(np.int64) * 8
-                + pdf["l_linenumber"].to_numpy().astype(np.int64)
-            )
-            mx = ((ids * 2654435761) % 2**32) / float(2**32) * S.TWO_W - W
-            my = (
-                ((ids * 1103515245 + 12345) % 2**32) / float(2**32)
-            ) * S.TWO_W - W
-            tx = np.floor((mx + W) / span).astype(np.int64)
-            ty = np.floor((W - my) / span).astype(np.int64)
-            yield pd.DataFrame(
-                {
-                    "tx": tx,
-                    "ty": ty,
-                    "id": ids,
-                    "qty": pdf["l_quantity"].to_numpy().astype(np.int64),
-                    "price": pdf["l_extendedprice"].to_numpy(),
-                    "rflag": (pdf["l_returnflag"] == "R").to_numpy(),
-                }
-            )
-
-    pts = li.mapInPandas(
-        to_points,
-        schema="tx long, ty long, id long, qty long, price double, rflag boolean",
-    )
-
-    def encode_group(key, cols, sl):
-        tx, ty = int(key[0]), int(key[1])
-        lb = pbf.LayerBuilder("li", extent=4096)
-        for i in range(sl.start, sl.stop):
-            lb.add_feature(
-                int(cols["id"][i]),
-                1,
-                (9, 0, 0),
-                {
-                    "qty": int(cols["qty"][i]),
-                    "price": float(cols["price"][i]),
-                    "rflag": bool(cols["rflag"][i]),
-                },
-            )
-        return [(tx, ty, lb.build())]
-
-    layers = apply_grouped(
-        pts,
-        keys=["tx", "ty"],
-        order_by=["tx", "ty", "id"],
-        fn=encode_group,
-        schema="tx long, ty long, blob binary",
-        out_columns=["tx", "ty", "blob"],
-    )
-    return layers
-
-
-def q_engine_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F14/A1/A2 at the driver surface: features carry TYPED attributes
-    (int qty, double price, bool rflag from lineitem) through the
-    Layer value-variant encode — dictionaries are type-sensitive and
-    bit-exact — then per-tile stats are read back FROM THE DECODED
-    WIRE BYTES: n_keys/n_values are the dictionary cardinalities,
-    sum/min/max come from the decoded typed values. The SQL oracle
-    recomputes everything relationally; it matches only if the oneof
-    tagging, varint/two's-complement int64, double bits, and
-    first-appearance dedup all round-trip."""
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import pbf
-
-    layers = _typed_layers(spark, sf_dir)
-
-    def decode_stats(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for tx, ty, blob in zip(pdf["tx"], pdf["ty"], pdf["blob"]):
-                layer = pbf.decode_layer(bytes(blob))
-                qtys, prices, nflag = [], [], 0
-                for f in layer["features"]:
-                    props = pbf.feature_props(layer, f)
-                    qtys.append(props["qty"])
-                    prices.append(props["price"])
-                    nflag += 1 if props["rflag"] else 0
-                rows.append(
-                    (
-                        int(tx), int(ty), len(layer["features"]),
-                        len(layer["keys"]), len(layer["values"]),
-                        int(sum(qtys)), nflag,
-                        float(min(prices)), float(max(prices)),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "tx", "ty", "n_features", "n_keys", "n_values",
-                    "sum_qty", "n_rflag", "min_price", "max_price",
-                ],
-            )
-
-    return layers.mapInPandas(
-        decode_stats,
-        schema=(
-            "tx long, ty long, n_features long, n_keys long, n_values long, "
-            "sum_qty long, n_rflag long, min_price double, max_price double"
-        ),
-    )
-
-
-def q_engine_layer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tile-transform at the driver surface (composite.
-    filter_layer_features — the tilelive/tile-join server-side
-    reshape): build the typed-values layer store (int qty, double
-    price, bool rflag through the bit-exact value-variant encode),
-    filter features to qty >= 30 with a property projection to
-    (qty, price) and a layer rename, then read the stats back FROM THE
-    FILTERED WIRE BYTES: per-tile feature count, qty sum, min price,
-    and the projected dictionary cardinality (n_keys == 2 proves the
-    projection rebuilt the dictionaries, not just the tag list). The
-    SQL twin replays the predicate relationally — a wrong typed
-    decode, a mis-projected dictionary, or a dropped/extra feature
-    breaks the hash."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators.composite import (
-        filter_layer_features,
-    )
-
-    layers = _typed_layers(spark, sf_dir).select(
-        F.lit(8).alias("z"),
-        F.col("tx").alias("x"),
-        F.col("ty").alias("y"),
-        F.lit("li").alias("layer"),
-        F.col("blob"),
-        F.lit(0).cast("long").alias("n_features"),
-        F.lit(0).cast("long").alias("n_points"),
-    )
-    filtered = filter_layer_features(
-        layers, key="qty", op=">=", value=30,
-        keep_keys=["qty", "price"], rename="li30",
-    )
-
-    def decode_stats(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for x, y, blob in zip(pdf["x"], pdf["y"], pdf["blob"]):
-                layer = pbf.decode_layer(bytes(blob))
-                qtys, prices = [], []
-                for f in layer["features"]:
-                    props = pbf.feature_props(layer, f)
-                    qtys.append(props["qty"])
-                    prices.append(props["price"])
-                rows.append(
-                    (
-                        int(x), int(y), layer["name"],
-                        len(layer["features"]), len(layer["keys"]),
-                        int(sum(qtys)), float(min(prices)),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "x", "y", "layer", "n_features", "n_keys",
-                    "sum_qty", "min_price",
-                ],
-            )
-
-    return filtered.mapInPandas(
-        decode_stats,
-        schema=(
-            "x long, y long, layer string, n_features long, "
-            "n_keys long, sum_qty long, min_price double"
-        ),
-    )
-
-
-def _sql_layer_filter(z: int = 8) -> str:
-    tx, ty = S.tile_xy_exprs(z)
-    mx = (
-        f"((((id) * 2654435761) % 4294967296) / {S.flit(2**32)})"
-        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
-    )
-    my = (
-        f"((((id) * 1103515245 + 12345) % 4294967296) / {S.flit(2**32)})"
-        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
-    )
-    return f"""
-WITH li AS (
-  SELECT l_orderkey * 8 + l_linenumber AS id,
-         CAST(l_quantity AS BIGINT) AS qty,
-         l_extendedprice AS price
-  FROM lineitem
-),
-pts AS (SELECT id, qty, price, {mx} AS mx, {my} AS my FROM li),
-t AS (SELECT qty, price, {tx} AS tx, {ty} AS ty FROM pts)
-SELECT tx AS x, ty AS y, 'li30' AS layer,
-       CAST(COUNT(*) AS BIGINT) AS n_features,
-       CAST(2 AS BIGINT) AS n_keys,
-       CAST(SUM(qty) AS BIGINT) AS sum_qty,
-       MIN(price) AS min_price
-FROM t WHERE qty >= 30
-GROUP BY 1, 2
-"""
-
-
-def _sql_typed_values(z: int = 8) -> str:
-    # mx/my inlined per ROW (duplicate (orderkey,linenumber) pairs
-    # exist in the synthetic lineitem — a join back on id would fan out)
-    tx, ty = S.tile_xy_exprs(z)
-    mx = (
-        f"((((id) * 2654435761) % 4294967296) / {S.flit(2**32)})"
-        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
-    )
-    my = (
-        f"((((id) * 1103515245 + 12345) % 4294967296) / {S.flit(2**32)})"
-        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
-    )
-    return f"""
-WITH li AS (
-  SELECT l_orderkey * 8 + l_linenumber AS id,
-         CAST(l_quantity AS BIGINT) AS qty,
-         l_extendedprice AS price,
-         (l_returnflag = 'R') AS rflag
-  FROM lineitem
-),
-p AS (SELECT id, qty, price, rflag, {mx} AS mx, {my} AS my FROM li),
-t AS (SELECT id, qty, price, rflag, {tx} AS tx, {ty} AS ty FROM p)
-SELECT tx, ty,
-       CAST(COUNT(*) AS BIGINT) AS n_features,
-       CAST(3 AS BIGINT) AS n_keys,
-       CAST(COUNT(DISTINCT qty) + COUNT(DISTINCT price)
-            + COUNT(DISTINCT rflag) AS BIGINT) AS n_values,
-       CAST(SUM(qty) AS BIGINT) AS sum_qty,
-       CAST(SUM(CASE WHEN rflag THEN 1 ELSE 0 END) AS BIGINT) AS n_rflag,
-       MIN(price) AS min_price, MAX(price) AS max_price
-FROM t GROUP BY 1, 2
-"""
-
-
-def q_engine_attr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U10 attribute-enrichment join (composite.join_attributes — the
-    tippecanoe tile-join CSV semantic over a distributed store): build
-    the typed-values layer store, join a 33-row attribute dimension on
-    the decoded int property ``qty`` (rows exist only for qty%3 != 0,
-    so ~1/3 of features stay unmatched under how='left'), appending
-    (grade string, bonus double) — bonus = qty/4 is exact-dyadic so
-    every float in the gate is order-free exact — then read the stats
-    back FROM THE ENRICHED WIRE BYTES: per-tile feature count, the
-    rebuilt dictionary cardinalities (n_keys = 3 + 2·[any match in
-    tile] proves new keys enter the dictionary only when used;
-    n_values adds the matched grades/bonuses to the typed distincts),
-    match count, exact bonus sum and lexicographic min grade. The SQL
-    twin replays the join relationally; a wrong decoded join key, a
-    value-dictionary dedup miss, or an unmatched feature mutated in
-    any way breaks the hash."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators.composite import join_attributes
-
-    layers = _typed_layers(spark, sf_dir).select(
-        F.lit(8).alias("z"),
-        F.col("tx").alias("x"),
-        F.col("ty").alias("y"),
-        F.lit("li").alias("layer"),
-        F.col("blob"),
-        F.lit(0).cast("long").alias("n_features"),
-        F.lit(0).cast("long").alias("n_points"),
-    )
-    attrs = (
-        spark.range(1, 51)
-        .filter(F.col("id") % 3 != 0)
-        .select(
-            F.col("id").cast("long").alias("qty"),
-            F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias(
-                "grade"
-            ),
-            (F.col("id").cast("double") / 4).alias("bonus"),
-        )
-    )
-    enriched = join_attributes(layers, attrs, on="qty", how="left")
-
-    def decode_stats(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for x, y, blob in zip(pdf["x"], pdf["y"], pdf["blob"]):
-                layer = pbf.decode_layer(bytes(blob))
-                qty_sum, n_match, bonus_sum = 0, 0, 0.0
-                min_grade = None
-                for f in layer["features"]:
-                    props = pbf.feature_props(layer, f)
-                    qty_sum += props["qty"]
-                    if "grade" in props:
-                        n_match += 1
-                        bonus_sum += props["bonus"]
-                        g = props["grade"]
-                        if min_grade is None or g < min_grade:
-                            min_grade = g
-                rows.append(
-                    (
-                        int(x), int(y), len(layer["features"]),
-                        len(layer["keys"]), len(layer["values"]),
-                        qty_sum, n_match, bonus_sum, min_grade,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "x", "y", "n_features", "n_keys", "n_values",
-                    "sum_qty", "n_matched", "sum_bonus", "min_grade",
-                ],
-            )
-
-    return enriched.mapInPandas(
-        decode_stats,
-        schema=(
-            "x long, y long, n_features long, n_keys long, n_values long, "
-            "sum_qty long, n_matched long, sum_bonus double, "
-            "min_grade string"
-        ),
-    )
-
-
-def q_engine_attr_join_shuffle(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """U10b fact-scale attribute join gate
-    (composite.join_attributes_relational): the SAME corpus, join
-    spec, readback and SQL twin as q_engine_attr_join, but through the
-    extract → shuffle equi-join → regroup → rebuild path instead of
-    the broadcast kernel — the hier-cover discipline: both paths must
-    land on the identical enriched wire bytes."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators.composite import (
-        join_attributes_relational,
-    )
-
-    layers = _typed_layers(spark, sf_dir).select(
-        F.lit(8).alias("z"),
-        F.col("tx").alias("x"),
-        F.col("ty").alias("y"),
-        F.lit("li").alias("layer"),
-        F.col("blob"),
-        F.lit(0).cast("long").alias("n_features"),
-        F.lit(0).cast("long").alias("n_points"),
-    )
-    attrs = (
-        spark.range(1, 51)
-        .filter(F.col("id") % 3 != 0)
-        .select(
-            F.col("id").cast("long").alias("qty"),
-            F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias(
-                "grade"
-            ),
-            (F.col("id").cast("double") / 4).alias("bonus"),
-        )
-    )
-    enriched = join_attributes_relational(layers, attrs, on="qty",
-                                          how="left")
-
-    def decode_stats(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for x, y, blob in zip(pdf["x"], pdf["y"], pdf["blob"]):
-                layer = pbf.decode_layer(bytes(blob))
-                qty_sum, n_match, bonus_sum = 0, 0, 0.0
-                min_grade = None
-                for f in layer["features"]:
-                    props = pbf.feature_props(layer, f)
-                    qty_sum += props["qty"]
-                    if "grade" in props:
-                        n_match += 1
-                        bonus_sum += props["bonus"]
-                        g = props["grade"]
-                        if min_grade is None or g < min_grade:
-                            min_grade = g
-                rows.append(
-                    (
-                        int(x), int(y), len(layer["features"]),
-                        len(layer["keys"]), len(layer["values"]),
-                        qty_sum, n_match, bonus_sum, min_grade,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "x", "y", "n_features", "n_keys", "n_values",
-                    "sum_qty", "n_matched", "sum_bonus", "min_grade",
-                ],
-            )
-
-    return enriched.mapInPandas(
-        decode_stats,
-        schema=(
-            "x long, y long, n_features long, n_keys long, n_values long, "
-            "sum_qty long, n_matched long, sum_bonus double, "
-            "min_grade string"
-        ),
-    )
-
-
-def _sql_attr_join(z: int = 8) -> str:
-    tx, ty = S.tile_xy_exprs(z)
-    mx = (
-        f"((((id) * 2654435761) % 4294967296) / {S.flit(2**32)})"
-        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
-    )
-    my = (
-        f"((((id) * 1103515245 + 12345) % 4294967296) / {S.flit(2**32)})"
-        f" * {S.flit(2.0 * W)} - {S.flit(W)}"
-    )
-    return f"""
-WITH li AS (
-  SELECT l_orderkey * 8 + l_linenumber AS id,
-         CAST(l_quantity AS BIGINT) AS qty,
-         l_extendedprice AS price,
-         (l_returnflag = 'R') AS rflag
-  FROM lineitem
-),
-p AS (SELECT id, qty, price, rflag, {mx} AS mx, {my} AS my FROM li),
-t AS (SELECT id, qty, price, rflag, (qty % 3 <> 0) AS m,
-             {tx} AS tx, {ty} AS ty
-      FROM p)
-SELECT tx AS x, ty AS y,
-       CAST(COUNT(*) AS BIGINT) AS n_features,
-       CAST(3 + CASE WHEN SUM(CASE WHEN m THEN 1 ELSE 0 END) > 0
-                THEN 2 ELSE 0 END AS BIGINT) AS n_keys,
-       CAST(COUNT(DISTINCT qty) + COUNT(DISTINCT price)
-            + COUNT(DISTINCT rflag)
-            + COUNT(DISTINCT CASE WHEN m THEN qty % 7 END)
-            + COUNT(DISTINCT CASE WHEN m THEN qty END)
-            AS BIGINT) AS n_values,
-       CAST(SUM(qty) AS BIGINT) AS sum_qty,
-       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-       SUM(CASE WHEN m THEN qty ELSE 0 END) * {S.flit(0.25)} AS sum_bonus,
-       MIN(CASE WHEN m THEN 'g' || CAST(qty % 7 AS VARCHAR) END)
-         AS min_grade
-FROM t GROUP BY 1, 2
-"""
-
-
-def q_geojson_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 GeoJSON source parity: orders keys -> newline-delimited
-    GeoJSON Feature documents (pure-arithmetic lon/lat, repr-exact
-    doubles in the JSON text) -> sources.geojson parse -> lonlat->merc
-    -> EP1 encode at z7 -> per-tile feature counts. Oracle replays the
-    identical arithmetic + the merc trig in DuckDB; libm drift between
-    numpy and DuckDB is ~1 ulp (~1e-9 m), ~14 orders of magnitude
-    below the z7 tile span, so floor() parity holds."""
-    import json as _json
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-    from mapnik_vector_tile_spark.sources.geojson import geojson_to_features
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
-
-    def gen(batches):
-        for pdf in batches:
-            k = pdf["o_orderkey"].to_numpy().astype(np.int64)
-            if not len(k):
-                continue
-            u1 = ((k * 2654435761) % 2**32) / float(2**32)
-            u2 = ((k * 1103515245 + 12345) % 2**32) / float(2**32)
-            lon = u1 * 360.0 - 180.0
-            lat = u2 * 170.0 - 85.0
-            docs = [
-                _json.dumps(
-                    {
-                        "type": "Feature",
-                        "id": int(kk),
-                        "geometry": {
-                            "type": "Point",
-                            "coordinates": [float(lo), float(la)],
-                        },
-                        "properties": {"caption": f"c{int(kk)}"},
-                    },
-                    separators=(",", ":"),
-                )
-                for kk, lo, la in zip(k, lon, lat)
-            ]
-            yield pd.DataFrame({"json": docs})
-
-    docs_df = orders.mapInPandas(gen, schema="json string")
-    feats = geojson_to_features(docs_df)
-    assigned = T.assign_tiles(feats, 7, 7, buffer_units=0)
-    tiles = T.encode_tiles(assigned, n_salts=1)
-    return tiles.select(
-        "z", "x", "y", F.col("n_features").cast("bigint").alias("n_features")
-    )
-
-
-def _sql_geojson_tiles(z: int = 7) -> str:
-    from math import pi
-
-    from mapnik_vector_tile_spark.functions.tilemath import R
-
-    lon = (
-        "((((o_orderkey) * 2654435761) % 4294967296) / "
-        f"{S.flit(2**32)}) * 360e0 - 180e0"
-    )
-    lat = (
-        "((((o_orderkey) * 1103515245 + 12345) % 4294967296) / "
-        f"{S.flit(2**32)}) * 170e0 - 85e0"
-    )
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH ll AS (
-  SELECT o_orderkey AS id, {lon} AS lon, {lat} AS lat FROM orders
-),
-pts AS (
-  SELECT id,
-         {S.flit(R)} * (lon * {S.flit(pi / 180.0)}) AS mx,
-         {S.flit(R)} * ln(tan({S.flit(pi / 4.0)} + (lat * {S.flit(pi / 180.0)}) / 2.0)) AS my
-  FROM ll
-)
-SELECT {z} AS z, {tx} AS x, {ty} AS y,
-       CAST(COUNT(*) AS BIGINT) AS n_features
-FROM pts GROUP BY 2, 3
-"""
-
-
-def q_engine_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EP3 composite: two single-layer tile pyramids (orders points as
-    layer 'orders', customer points as layer 'customer') merged per
-    tile — n_layers per (z,x,y) must equal the SQL union-presence
-    oracle."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as C
-    from mapnik_vector_tile_spark.operators import tiling as T
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    z = 5
-
-    def layer_of(table, key, name):
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        pts = derive_points(df, key)
-        feats = pts.select(
-            F.col("id").alias("feature_id"),
-            F.lit(1).alias("geom_type"),
-            F.array("mx").alias("xs"),
-            F.array("my").alias("ys"),
-            F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
-            F.lit("c").alias("caption"),
-        )
-        assigned = T.assign_tiles(feats, z, z, buffer_units=0)
-        return T.encode_layers(assigned, layer_name=name, n_salts=4)
-
-    lo = layer_of("orders", "o_orderkey", "orders")
-    lc = layer_of("customer", "c_custkey", "customer")
-    tiles = C.composite_tiles([lo, lc])
-    return tiles.select(
-        "z", "x", "y", F.col("n_layers").cast("bigint").alias("n_layers")
-    )
-
-
-def _sql_composite_n_layers(z: int = 5) -> str:
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-{S.point_cte('customer', 'c_custkey', cte='cpts')},
-lo AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM pts),
-lc AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM cpts),
-both_u AS (
-  SELECT x, y, 1 AS has_o, 0 AS has_c FROM lo
-  UNION ALL
-  SELECT x, y, 0 AS has_o, 1 AS has_c FROM lc
-)
-SELECT {z} AS z, x, y,
-       CAST(MAX(has_o) + MAX(has_c) AS BIGINT) AS n_layers
-FROM both_u GROUP BY x, y
-"""
-
-
-def q_events_tile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-twin batch aggregation: per (minute-window, z8 tile)
-    event counts + value sums (the §2.10 plan run as a batch — same
-    code path as the stream)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.streaming import incremental as SI
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    agg = SI.batch_oracle_counts(ev, z=8)
-    return agg.select(
-        F.col("win.start").alias("ws"),
-        "tx",
-        "ty",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.round(F.col("sum_value"), 6).alias("sum_value6"),
-    )
-
-
-def _sql_events_tile_window() -> str:
-    from mapnik_vector_tile_spark.plans.shared_sql import TWO_W, flit
-
-    # clamped to [0, 2^z-1] like streaming.with_tile (shared tilemath
-    # expressions): a point exactly on the -W edge must not address
-    # tile row 2^z
-    utx, uty = S.tile_xy_exprs(8)
-    lim = (1 << 8) - 1
-    tx = f"GREATEST(0, LEAST({lim}, {utx}))"
-    ty = f"GREATEST(0, LEAST({lim}, {uty}))"
-    mx = (
-        f"((((user_id) * 2654435761) % 4294967296) / {flit(2**32)})"
-        f" * {flit(TWO_W)} - {flit(W)}"
-    )
-    my = (
-        f"((((user_id) * 1103515245 + 12345) % 4294967296) / {flit(2**32)})"
-        f" * {flit(TWO_W)} - {flit(W)}"
-    )
-    return f"""
-WITH e AS (
-  -- deterministic dedup (DISTINCT ON picks an arbitrary row): for
-  -- at-least-once replays duplicate ids carry identical payloads, so
-  -- MIN per column equals the replayed row while staying stable if a
-  -- fixture ever contained conflicting duplicates
-  SELECT event_id, MIN(ts) AS ts, MIN(user_id) AS user_id,
-         MIN(value) AS value
-  FROM events GROUP BY event_id
-),
-p AS (SELECT ts, value, {mx} AS mx, {my} AS my FROM e)
-SELECT date_trunc('minute', ts) AS ws,
-       {tx} AS tx,
-       {ty} AS ty,
-       COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value6
-FROM p
-GROUP BY 1, 2, 3
-"""
-
-
-RT_N = 48  # q_raster_tiles oracle corpus size
-RT_Z = 4
-RT_T = 64
-
-
-def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1 raster materialization through the FULL warp path — decode →
-    bilinear resample_to_tile → painter's composite (ascending idx) →
-    quantize → png-zlib encode — with a FULL value-hash oracle since
-    round 2 (the q_raster_overzoom technique applied to the main warp):
-    the corpus is 48 ramp images whose merc bboxes are exactly
-    tile-aligned (k×k whole tiles at z=4, k∈{1,2}, w=h=k·64), so the
-    bilinear warp degenerates to an eps-robust exact pixel copy
-    (|FX−c| ≲ 1e-12 ⇒ quantize(round-half-away) returns the source
-    byte), painter's winner is uniform per tile (max idx among
-    covering images), and DuckDB regenerates per-tile channel-0 pixel
-    sums closed-form. The float tile fan-out (tile_x_col/tile_y_col on
-    the bbox) is mirrored op-for-op in SQL so straggler tiles from
-    boundary ulps agree bit-for-bit; fractional (non-aligned) warps
-    stay pinned by tests/test_raster.py's PSNR + kernel oracles.
-    sf_dir is unused: the subject is the warp kernel, not the scan."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.operators import raster as R
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    span = tm.tile_span(RT_Z)
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {
-                "idx": [], "bytes": [], "w": [], "h": [], "fmt": [],
-                "caption": [], "minx": [], "maxx": [], "miny": [], "maxy": [],
-            }
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                x0 = h % 13
-                y0 = (h >> 8) % 13
-                k = 1 + ((h >> 16) % 2)
-                phase = h % 251
-                t = np.arange(k * RT_T, dtype=np.int64)
-                v = ((t[:, None] * 3 + t[None, :] * 5 + phase) % 256).astype(
-                    np.uint8
-                )
-                rgba = np.repeat(v[..., None], 4, axis=2)
-                rows["idx"].append(i)
-                rows["bytes"].append(R.encode_image(rgba, "raw-rgba8"))
-                rows["w"].append(k * RT_T)
-                rows["h"].append(k * RT_T)
-                rows["fmt"].append("raw-rgba8")
-                rows["caption"].append(f"img-{i}")
-                rows["minx"].append(-tm.W + np.float64(x0) * span)
-                rows["maxx"].append(-tm.W + np.float64(x0 + k) * span)
-                rows["miny"].append(tm.W - np.float64(y0 + k) * span)
-                rows["maxy"].append(tm.W - np.float64(y0) * span)
-            yield pd.DataFrame(rows)
-
-    images = spark.range(RT_N).mapInPandas(
-        gen,
-        schema=(
-            "idx long, bytes binary, w int, h int, fmt string, "
-            "caption string, minx double, maxx double, miny double, "
-            "maxy double"
-        ),
-    )
-    tiles = R.rasterize_images(
-        images, z=RT_Z, tile_size=RT_T, method="bilinear", out_fmt="png-zlib"
-    )
-
-    def summarize(it):
-        for pdf in it:
-            out: dict[str, list] = {
-                "x": [], "y": [], "n_images": [], "px_sum": [],
-            }
-            for xx, yy, ni, raster in zip(
-                pdf["x"], pdf["y"], pdf["n_images"], pdf["raster"]
-            ):
-                img = R.decode_image(bytes(raster), "png-zlib", RT_T, RT_T)
-                out["x"].append(int(xx))
-                out["y"].append(int(yy))
-                out["n_images"].append(int(ni))
-                out["px_sum"].append(int(img[:, :, 0].astype(np.int64).sum()))
-            yield pd.DataFrame(out)
-
-    return tiles.mapInPandas(
-        summarize, schema="x long, y long, n_images long, px_sum long"
-    ).select(F.lit(RT_Z).alias("z"), "x", "y", "n_images", "px_sum")
-
-
-RASTERIZE_SIZE = 64
-RASTERIZE_POLYS = 120
-
-
-def q_rasterize_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4 vector→raster materialization with a FULL oracle: the
-    deterministic concave/holed polygons (integer tile coords,
-    sources.synth.gen_raster_polys) are wire-encoded
-    (encode_geometry → LayerBuilder), decoded back, and scanline-filled
-    at tile_size=64 by raster.fill_polygon_mask; output is the
-    per-scanline filled-pixel count. The DuckDB twin inlines the same
-    integer vertices and replays the fill kernel's exact arithmetic —
-    crossing test (y_cur>yc)!=(y_prev>yc), the xint interpolation in
-    the same operation order over dyadic-exact scaled coords (ints ×
-    2^-6), c0 = ceil(xint − 0.5), per-pixel parity of #(c0 ≤ c) — so
-    every row count matches bit-exactly, not statistically. sf_dir is
-    unused: the subject is the rasterizer kernel, not the scan."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import geomcodec as gc
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators.raster import rasterize_features
-    from mapnik_vector_tile_spark.sources.synth import gen_raster_polys
-
-    size = RASTERIZE_SIZE
-    rows = []
-    for p in gen_raster_polys(RASTERIZE_POLYS):
-        xs: list[int] = []
-        ys: list[int] = []
-        offs = [0]
-        for ring in p["rings"]:
-            xs += [v[0] for v in ring]
-            ys += [v[1] for v in ring]
-            offs.append(len(xs))
-        rows.append((p["poly_id"], xs, ys, offs))
-    src = spark.createDataFrame(
-        rows,
-        schema="poly_id long, xs array<int>, ys array<int>, offs array<int>",
-    ).repartition(8, "poly_id")
-
-    def enc(batches):
-        for b in batches:
-            out = {"z": [], "x": [], "y": [], "blob": []}
-            for pid, pxs, pys, poffs in zip(
-                b["poly_id"], b["xs"], b["ys"], b["offs"]
-            ):
-                stream = gc.encode_geometry(
-                    gc.GEOM_POLYGON,
-                    np.asarray(pxs, dtype=np.int64),
-                    np.asarray(pys, dtype=np.int64),
-                    np.asarray(poffs, dtype=np.int64),
-                )
-                lb = pbf.LayerBuilder("poly", extent=4096)
-                lb.add_feature(int(pid), gc.GEOM_POLYGON, stream, {})
-                out["z"].append(9)
-                out["x"].append(int(pid))
-                out["y"].append(int(pid))
-                out["blob"].append(lb.build())
-            yield pd.DataFrame(out)
-
-    layers = src.mapInPandas(enc, schema="z int, x long, y long, blob binary")
-    bitmaps = rasterize_features(layers, tile_size=size)
-
-    def rowcounts(batches):
-        for b in batches:
-            out = {"poly_id": [], "prow": [], "n_row": []}
-            for x, bm in zip(b["x"], b["bitmap"]):
-                mask = np.unpackbits(
-                    np.frombuffer(bytes(bm), dtype=np.uint8)
-                ).reshape(size, size)
-                out["poly_id"] += [int(x)] * size
-                out["prow"] += list(range(size))
-                out["n_row"] += [int(v) for v in mask.sum(axis=1)]
-            yield pd.DataFrame(out)
-
-    return bitmaps.mapInPandas(
-        rowcounts, schema="poly_id long, prow int, n_row long"
-    )
-
-
-def _sql_rasterize_coverage(
-    n_polys: int = RASTERIZE_POLYS, size: int = RASTERIZE_SIZE
-) -> str:
-    """DuckDB twin of q_rasterize_coverage — see its docstring for the
-    bit-exactness argument. Edges are (prev → cur) with ring wraparound,
-    exactly the fill kernel's j/i iteration."""
-    from mapnik_vector_tile_spark.sources.synth import gen_raster_polys
-
-    rows = []
-    for p in gen_raster_polys(n_polys):
-        pid = p["poly_id"]
-        for ring in p["rings"]:
-            for i in range(len(ring)):
-                x1, y1 = ring[i - 1]  # prev (i=0 wraps to last)
-                x2, y2 = ring[i]  # cur
-                rows.append(f"({pid},{x1},{y1},{x2},{y2})")
-    values = ",\n".join(rows)
-    sc = S.flit(size / 4096.0)  # dyadic: int * sc is exact in f64
-    half = S.flit(0.5)
-    return f"""
-WITH edges(poly_id, x1, y1, x2, y2) AS (VALUES
-{values}),
-se AS (
-  SELECT poly_id, x1 * {sc} AS x1, y1 * {sc} AS y1,
-         x2 * {sc} AS x2, y2 * {sc} AS y2
-  FROM edges),
-rg AS (SELECT unnest(generate_series(0, {size - 1})) AS r),
-cg AS (SELECT unnest(generate_series(0, {size - 1})) AS c),
-cr AS (
-  SELECT e.poly_id, g.r,
-         CAST(ceil((e.x1 - e.x2) * ((g.r + {half}) - e.y2)
-              / (e.y1 - e.y2) + e.x2 - {half}) AS BIGINT) AS c0
-  FROM se e JOIN rg g
-    ON ((e.y2 > g.r + {half}) != (e.y1 > g.r + {half}))),
-pg AS (SELECT DISTINCT poly_id FROM edges),
-grid AS (SELECT p.poly_id, g.r, c.c FROM pg p CROSS JOIN rg g CROSS JOIN cg c),
-cnt AS (
-  SELECT gr.poly_id, gr.r, gr.c, COUNT(cr.c0) AS n
-  FROM grid gr LEFT JOIN cr
-    ON cr.poly_id = gr.poly_id AND cr.r = gr.r AND cr.c0 <= gr.c
-  GROUP BY 1, 2, 3)
-SELECT poly_id, CAST(r AS INTEGER) AS prow,
-       CAST(SUM(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_row
-FROM cnt GROUP BY 1, 2
-"""
-
-
-S2_LEVEL = 10
-
-
-def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2-style spherical cell encoding (functions.cellid): sphere →
-    cube face → quadratic ST → Morton-in-face at level 10, plus the
-    level-5 parent (pure bit shift). Spark side = vectorized numpy
-    pandas UDF; oracle = the same formula chain rendered as DuckDB SQL.
-    numpy's SIMD trig and DuckDB's libm differ by ~1 ulp on a quarter
-    of inputs (measured), so the match is drift-TOLERANT rather than
-    bit-exact: a 1-ulp st perturbation flips the level-10 floor only
-    within ~1e-13 of a cell boundary — ~1e-10 odds across this corpus,
-    vs certainty if the formulas diverged structurally."""
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import cellid as C
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    pts = derive_points(cust, "c_custkey")
-
-    def gen(batches):
-        for pdf in batches:
-            cells = C.s2_cell_np(
-                pdf["mx"].to_numpy(), pdf["my"].to_numpy(), S2_LEVEL
-            )
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "s2_cell": cells,
-                    "s2_parent5": C.s2_parent_np(cells, S2_LEVEL, 5),
-                }
-            )
-
-    return pts.mapInPandas(gen, "id long, s2_cell long, s2_parent5 long")
-
-
-GEOHASH_P = 8
-
-
-def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Base-32 geohash encoding (functions/geohash.py) at precision 8
-    plus the precision-4 prefix — the cell-index family's third member
-    (public standard; prefix = containment). Pure Column algebra: the
-    whole encode is one codegen projection, no shuffle, no Python, and
-    unlike the S2 twin there is NO trig — every step is IEEE-exact in
-    both engines, so this pair is bit-exact, not drift-tolerant.
-
-    lon/lat are derived from the shared deterministic mercator points
-    by exact axis rescale ((mx/W)·180, (my/W)·85 — synthetic world
-    cover; the oracle gates the ENCODE semantics)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import geohash as GH
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    pts = derive_points(cust, "c_custkey")
-    lon = (F.col("mx") / F.lit(W)) * F.lit(180.0)
-    lat = (F.col("my") / F.lit(W)) * F.lit(85.0)
-    coded = pts.select(
-        "id", GH.geohash_code_col(lon, lat, GEOHASH_P).alias("code")
-    )
-    gh8 = GH.geohash_str_col(F.col("code"), GEOHASH_P)
-    return coded.select(
-        "id",
-        "code",
-        gh8.alias("gh8"),
-        F.substring(gh8, 1, 4).alias("gh4"),
-    )
-
-
-def _sql_geohash() -> str:
-    from mapnik_vector_tile_spark.functions import geohash as GH
-
-    ix, iy = GH.lonlat_index_sql("lon", "lat", GEOHASH_P)
-    code = GH.interleave_sql("gx", "gy", GEOHASH_P)
-    gh8 = GH.geohash_sql("code", GEOHASH_P)
-    return f"""
-WITH {S.point_cte('customer', 'c_custkey')},
-ll AS (SELECT id, (mx / {S.flit(W)}) * 180e0 AS lon,
-              (my / {S.flit(W)}) * 85e0 AS lat FROM pts),
-g AS (SELECT id, {ix} AS gx, {iy} AS gy FROM ll),
-c AS (SELECT id, CAST({code} AS BIGINT) AS code FROM g),
-h AS (SELECT id, code, {gh8} AS gh8 FROM c)
-SELECT id, code, gh8, substr(gh8, 1, 4) AS gh4 FROM h
-"""
-
-
-def _sql_s2_cells() -> str:
-    from mapnik_vector_tile_spark.functions import cellid as C
-
-    face, i, j = C.s2_cell_sql("mx", "my", S2_LEVEL)
-    morton = C.morton_sql("ii", "jj", S2_LEVEL)
-    return f"""
-WITH {S.point_cte('customer', 'c_custkey')},
-s AS (SELECT id, {face} AS face, {i} AS ii, {j} AS jj FROM pts),
-c AS (SELECT id,
-             CAST(face AS BIGINT) * {1 << (2 * S2_LEVEL)} + ({morton}) AS s2_cell
-      FROM s)
-SELECT id, s2_cell, (s2_cell >> {2 * (S2_LEVEL - 5)}) AS s2_parent5 FROM c
-"""
-
-
-SIMP_TOL = 256.0  # tile units; z0 extent 4096 -> real thinning
-
-
-def q_engine_simplify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 Douglas-Peucker with a FULL vertex-exact oracle: 16-vertex
-    world-spanning polylines (pure-arithmetic mercator coords from
-    orders keys — no trig anywhere) encoded in the z0 tile (everything
-    inside => no clip splits) with simplify_distance=256, decoded back
-    to the surviving vertex sequence. The DuckDB twin replays the
-    whole chain bit-exactly: the Liang-Barsky interior-vertex rewrite
-    a+(b-a) via lag(), the (d*scale) quantize with the precomputed
-    scale constant, recursive-CTE DP (clamped-projection d2, strict
-    >tol2, first-max tiebreak), F7 consecutive dedup, and the <2-point
-    drop. Output: (feature_id, rnk, px, py) per surviving vertex."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    NV = 16
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
-
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["o_orderkey"].to_numpy().astype(np.int64)
-            if not len(ids):
-                continue
-            vk = (ids[:, None] * NV + np.arange(NV)[None, :]).reshape(-1)
-            mx = ((vk * 2654435761) % 2**32) / float(2**32) * S.TWO_W - W
-            my = (
-                ((vk * 1103515245 + 12345) % 2**32) / float(2**32)
-            ) * S.TWO_W - W
-            mx = mx.reshape(-1, NV)
-            my = my.reshape(-1, NV)
-            yield pd.DataFrame(
-                {
-                    "feature_id": ids,
-                    "geom_type": 2,
-                    "xs": [r.tolist() for r in mx],
-                    "ys": [r.tolist() for r in my],
-                    "part_offsets": [[0, NV]] * len(ids),
-                    "caption": "l",
-                }
-            )
-
-    feats = orders.mapInPandas(gen, schema=T.FEATURES_SCHEMA)
-    assigned = T.assign_tiles(feats, 0, 0)
-    tiles = T.encode_tiles(assigned, simplify_distance=SIMP_TOL)
-    dec = T.decode_tiles_to_features(tiles)
-    z = dec.select(
-        "feature_id",
-        F.posexplode(F.arrays_zip("pxs", "pys")).alias("rnk", "v"),
-    )
-    return z.select(
-        "feature_id",
-        F.col("rnk").cast("bigint").alias("rnk"),
-        F.col("v.pxs").alias("px"),
-        F.col("v.pys").alias("py"),
-    )
-
-
-def _simplify_line_feats(spark: SparkSession, sf_dir: str, nv: int = 16):
-    """The shared simplify-strategy corpus (see q_engine_simplify_radial
-    for the construction rationale): one nv-vertex line per order, even
-    vertices far-apart hash points, odd vertices small deterministic
-    offsets off their even base — distances straddle the radial
-    tolerance AND triangle areas straddle the VW tolerance."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    TU = S.TWO_W / 4096.0  # one z0 tile unit in mercator meters
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey"
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["o_orderkey"].to_numpy().astype(np.int64)
-            if not len(ids):
-                continue
-            vk = (ids[:, None] * nv + np.arange(nv)[None, :]).reshape(-1)
-            vkb = vk - (vk % 2)  # each odd vertex shares its even base
-            fr_x = ((vkb * 2654435761) % 2**32) / float(2**32)
-            fr_y = ((vkb * 1103515245 + 12345) % 2**32) / float(2**32)
-            mx = fr_x * (1.7 * W) - 0.85 * W
-            my = fr_y * (1.7 * W) - 0.85 * W
-            odd = (vk % 2).astype(np.float64)
-            dx = ((vk % 667) - 333) * 0.6 * TU * odd
-            dy = (((vk * 31) % 667) - 333) * 0.6 * TU * odd
-            mx = (mx + dx).reshape(-1, nv)
-            my = (my + dy).reshape(-1, nv)
-            yield pd.DataFrame(
-                {
-                    "feature_id": ids,
-                    "geom_type": 2,
-                    "xs": [r.tolist() for r in mx],
-                    "ys": [r.tolist() for r in my],
-                    "part_offsets": [[0, nv]] * len(ids),
-                    "caption": "l",
-                }
-            )
-
-    return orders.mapInPandas(gen, schema=T.FEATURES_SCHEMA)
-
-
-VW_TOL = 300000.0  # doubled-area threshold 6e5 in z0 tile units² —
-# drops ~50% of the shared corpus's vertices (probed), so keep AND
-# drop branches both carry rows
-
-
-def q_engine_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9c Visvalingam–Whyatt simplification (simplify.
-    visvalingam_whyatt; ref: include/mapnik/simplify_converter.hpp —
-    the reference's third strategy, completing its strategy set next
-    to Douglas-Peucker and radial-distance), vertex-exact on the
-    SHARED simplify corpus: iteratively drop the smallest-effective-
-    area interior vertex while its DOUBLED area < 2·tol, lowest index
-    on ties, neighbors recomputed after each drop — all integer
-    arithmetic on quantized coords. The DuckDB twin replays the exact
-    removal SEQUENCE as a recursive CTE carrying the surviving
-    coordinate LISTS (list_min + list_position = the same
-    first-minimum tie rule as np.argmin). Output: (feature_id, rnk,
-    px, py)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _simplify_line_feats(spark, sf_dir)
-    assigned = T.assign_tiles(feats, 0, 0)
-    tiles = T.encode_tiles(
-        assigned,
-        simplify_distance=VW_TOL,
-        simplify_strategy="visvalingam-whyatt",
-    )
-    dec = T.decode_tiles_to_features(tiles)
-    z = dec.select(
-        "feature_id",
-        F.posexplode(F.arrays_zip("pxs", "pys")).alias("rnk", "v"),
-    )
-    return z.select(
-        "feature_id",
-        F.col("rnk").cast("bigint").alias("rnk"),
-        F.col("v.pxs").alias("px"),
-        F.col("v.pys").alias("py"),
-    )
-
-
-def _sql_simplify_vw(nv: int = 16, tol: float = VW_TOL) -> str:
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
-    scale = 4096.0 / tm.tile_span(0)
-    f32 = S.flit(2**32)
-    fw = S.flit(W)
-    fs = S.flit(scale)
-    f17w = S.flit(1.7 * W)
-    f085w = S.flit(0.85 * W)
-    ftu = S.flit(S.TWO_W / 4096.0)
-    f06 = S.flit(0.6)
-    thr2 = (
-        str(int(2 * tol)) if float(2 * tol).is_integer() else S.flit(2 * tol)
-    )
-    return f"""
-WITH RECURSIVE raw AS (
-  SELECT o_orderkey AS fid, i,
-         o_orderkey * {nv} + i AS vk,
-         o_orderkey * {nv} + i - (o_orderkey * {nv} + i) % 2 AS vkb
-  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {nv - 1})) AS i) s
-),
-world AS (
-  SELECT fid, i,
-         (((vkb * 2654435761) % 4294967296) / {f32}) * {f17w} - {f085w}
-           + ((vk % 667) - 333) * {f06} * {ftu} * (vk % 2) AS mx,
-         (((vkb * 1103515245 + 12345) % 4294967296) / {f32}) * {f17w}
-           - {f085w}
-           + (((vk * 31) % 667) - 333) * {f06} * {ftu} * (vk % 2) AS my
-  FROM raw
-),
-verts AS (
-  SELECT fid, i AS idx,
-         {S.round_half_up_nonneg(f'((mx + {fw}) * {fs})')} AS px,
-         {S.round_half_up_nonneg(f'(({fw} - my) * {fs})')} AS py
-  FROM world
-),
-lines_ AS (
-  SELECT fid, list(px ORDER BY idx) AS xs, list(py ORDER BY idx) AS ys
-  FROM verts GROUP BY fid
-),
-vw(fid, step, xs, ys, done) AS (
-  SELECT fid, 0, xs, ys, len(xs) <= 2 FROM lines_
-  UNION ALL
-  SELECT fid, step + 1,
-         CASE WHEN rm > 0
-              THEN xs[1:rm - 1] || xs[rm + 1:len(xs)] ELSE xs END,
-         CASE WHEN rm > 0
-              THEN ys[1:rm - 1] || ys[rm + 1:len(ys)] ELSE ys END,
-         rm = 0 OR len(xs) - 1 <= 2
-  FROM (
-    SELECT fid, step, xs, ys,
-           CASE WHEN list_min(areas) < {thr2}
-                THEN list_position(areas, list_min(areas)) + 1
-                ELSE 0 END AS rm
-    FROM (
-      SELECT fid, step, xs, ys,
-             list_transform(generate_series(2, len(xs) - 1), i ->
-               abs((xs[i] - xs[i - 1]) * (ys[i + 1] - ys[i - 1])
-                   - (ys[i] - ys[i - 1]) * (xs[i + 1] - xs[i - 1])))
-               AS areas
-      FROM vw WHERE NOT done
-    )
-  )
-),
-fin AS (
-  SELECT fid, xs, ys,
-         row_number() OVER (PARTITION BY fid ORDER BY step DESC) AS rn
-  FROM vw
-),
-seq AS (
-  SELECT fid, unnest(xs) AS px, unnest(ys) AS py,
-         generate_subscripts(xs, 1) AS pos
-  FROM fin WHERE rn = 1
-)
-SELECT fid AS feature_id, CAST(pos - 1 AS BIGINT) AS rnk, px, py
-FROM seq
-"""
-
-
-def q_engine_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9b radial-distance simplification (simplify.radial_distance;
-    ref: include/mapnik/simplify_converter.hpp — the reference's cheap
-    strategy next to Douglas-Peucker), vertex-exact like
-    q_engine_simplify_exact but on a corpus built to be NON-VACUOUS
-    for this strategy: even vertices are far-apart hash points (kept
-    always), each odd vertex is its predecessor plus a small
-    deterministic offset of ±0..283 tile units straddling the 256
-    tolerance — so roughly half the odd vertices drop and half
-    survive, and the forced-emit-last rule (final vertex always
-    output, elided only when byte-identical to the last kept) is
-    exercised on the odd tail vertex. Geometry stays ≥0.05·W inside
-    the world so the clip stage never splits. The DuckDB twin replays
-    quantization then the sequential keep-last-kept chain as a
-    16-step RECURSIVE CTE carrying (last-kept px, py) — exact BIGINT
-    compares throughout. Output: (feature_id, rnk, px, py)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _simplify_line_feats(spark, sf_dir)
-    assigned = T.assign_tiles(feats, 0, 0)
-    tiles = T.encode_tiles(
-        assigned,
-        simplify_distance=SIMP_TOL,
-        simplify_strategy="radial-distance",
-    )
-    dec = T.decode_tiles_to_features(tiles)
-    z = dec.select(
-        "feature_id",
-        F.posexplode(F.arrays_zip("pxs", "pys")).alias("rnk", "v"),
-    )
-    return z.select(
-        "feature_id",
-        F.col("rnk").cast("bigint").alias("rnk"),
-        F.col("v.pxs").alias("px"),
-        F.col("v.pys").alias("py"),
-    )
-
-
-def _sql_simplify_radial(nv: int = 16, tol: float = SIMP_TOL) -> str:
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
-    scale = 4096.0 / tm.tile_span(0)
-    f32 = S.flit(2**32)
-    fw = S.flit(W)
-    fs = S.flit(scale)
-    f17w = S.flit(1.7 * W)
-    f085w = S.flit(0.85 * W)
-    ftu = S.flit(S.TWO_W / 4096.0)
-    f06 = S.flit(0.6)
-    tol2 = (
-        str(int(tol * tol))
-        if float(tol * tol).is_integer()
-        else S.flit(tol * tol)
-    )
-    return f"""
-WITH RECURSIVE raw AS (
-  SELECT o_orderkey AS fid, i,
-         o_orderkey * {nv} + i AS vk,
-         o_orderkey * {nv} + i - (o_orderkey * {nv} + i) % 2 AS vkb
-  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {nv - 1})) AS i) s
-),
-world AS (
-  SELECT fid, i,
-         (((vkb * 2654435761) % 4294967296) / {f32}) * {f17w} - {f085w}
-           + ((vk % 667) - 333) * {f06} * {ftu} * (vk % 2) AS mx,
-         (((vkb * 1103515245 + 12345) % 4294967296) / {f32}) * {f17w}
-           - {f085w}
-           + (((vk * 31) % 667) - 333) * {f06} * {ftu} * (vk % 2) AS my
-  FROM raw
-),
-verts AS (
-  SELECT fid, i AS idx,
-         {S.round_half_up_nonneg(f'((mx + {fw}) * {fs})')} AS px,
-         {S.round_half_up_nonneg(f'(({fw} - my) * {fs})')} AS py
-  FROM world
-),
-rad(fid, idx, lx, ly, kept) AS (
-  SELECT fid, 0, px, py, TRUE FROM verts WHERE idx = 0
-  UNION ALL
-  SELECT v.fid, v.idx,
-         CASE WHEN (v.px - r.lx) * (v.px - r.lx)
-                 + (v.py - r.ly) * (v.py - r.ly) > {tol2}
-              THEN v.px ELSE r.lx END,
-         CASE WHEN (v.px - r.lx) * (v.px - r.lx)
-                 + (v.py - r.ly) * (v.py - r.ly) > {tol2}
-              THEN v.py ELSE r.ly END,
-         (v.px - r.lx) * (v.px - r.lx)
-           + (v.py - r.ly) * (v.py - r.ly) > {tol2}
-  FROM rad r JOIN verts v ON v.fid = r.fid AND v.idx = r.idx + 1
-),
-k0 AS (SELECT fid, idx FROM rad WHERE kept),
-fin AS (
-  SELECT r.fid, v.px, v.py, r.lx, r.ly, r.kept
-  FROM rad r JOIN verts v ON v.fid = r.fid AND v.idx = {nv - 1}
-  WHERE r.idx = {nv - 1}
-),
-extra AS (
-  SELECT fid, {nv - 1} AS idx FROM fin
-  WHERE NOT kept AND (px <> lx OR py <> ly)
-),
-kept_all AS (SELECT * FROM k0 UNION ALL SELECT * FROM extra),
-seq AS (
-  SELECT k.fid, v.px, v.py,
-         row_number() OVER (PARTITION BY k.fid ORDER BY k.idx) AS pos
-  FROM kept_all k JOIN verts v ON v.fid = k.fid AND v.idx = k.idx
-)
-SELECT fid AS feature_id,
-       CAST(pos - 1 AS BIGINT) AS rnk, px, py
-FROM seq
-QUALIFY COUNT(*) OVER (PARTITION BY fid) >= 2
-"""
-
-
-def _sql_simplify_exact(nv: int = 16, tol: float = SIMP_TOL) -> str:
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
-    scale = 4096.0 / tm.tile_span(0)  # the engine's precomputed constant
-    f32 = S.flit(2**32)
-    fw = S.flit(W)
-    f2w = S.flit(2.0 * W)
-    fs = S.flit(scale)
-    # clamped-projection squared distance of v to segment (va, vb) on
-    # BIGINT px/py promoted to DOUBLE — pip/simplify._seg_dist2 verbatim
-    d2 = """
-CASE WHEN (CAST(vb.px - va.px AS DOUBLE) * (vb.px - va.px)
-         + CAST(vb.py - va.py AS DOUBLE) * (vb.py - va.py)) = 0.0
-     THEN CAST(v.px - va.px AS DOUBLE) * (v.px - va.px)
-        + CAST(v.py - va.py AS DOUBLE) * (v.py - va.py)
-     ELSE
-       (v.px - (va.px + LEAST(1.0, GREATEST(0.0,
-          ((v.px - va.px) * CAST(vb.px - va.px AS DOUBLE)
-           + (v.py - va.py) * CAST(vb.py - va.py AS DOUBLE))
-          / (CAST(vb.px - va.px AS DOUBLE) * (vb.px - va.px)
-             + CAST(vb.py - va.py AS DOUBLE) * (vb.py - va.py))
-       )) * CAST(vb.px - va.px AS DOUBLE))) ** 2
-     + (v.py - (va.py + LEAST(1.0, GREATEST(0.0,
-          ((v.px - va.px) * CAST(vb.px - va.px AS DOUBLE)
-           + (v.py - va.py) * CAST(vb.py - va.py AS DOUBLE))
-          / (CAST(vb.px - va.px AS DOUBLE) * (vb.px - va.px)
-             + CAST(vb.py - va.py AS DOUBLE) * (vb.py - va.py))
-       )) * CAST(vb.py - va.py AS DOUBLE))) ** 2
-END"""
-    return f"""
-WITH RECURSIVE raw AS (
-  SELECT o_orderkey AS fid, i,
-         o_orderkey * {nv} + i AS vk
-  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {nv - 1})) AS i) s
-),
-world AS (
-  SELECT fid, i,
-         (((vk * 2654435761) % 4294967296) / {f32}) * {f2w} - {fw} AS mx,
-         (((vk * 1103515245 + 12345) % 4294967296) / {f32}) * {f2w} - {fw} AS my
-  FROM raw
-),
-adj AS (
-  -- Liang-Barsky rewrites every interior vertex as a + 1*(b - a)
-  SELECT fid, i,
-         CASE WHEN i = 0 THEN mx
-              ELSE lag(mx) OVER w + (mx - lag(mx) OVER w) END AS mx2,
-         CASE WHEN i = 0 THEN my
-              ELSE lag(my) OVER w + (my - lag(my) OVER w) END AS my2
-  FROM world WINDOW w AS (PARTITION BY fid ORDER BY i)
-),
-verts AS (
-  SELECT fid, i AS idx,
-         {S.round_half_up_nonneg(f'((mx2 + {fw}) * {fs})')} AS px,
-         {S.round_half_up_nonneg(f'(({fw} - my2) * {fs})')} AS py
-  FROM adj
-),
-splits(fid, a, b) AS (
-  SELECT fid, 0, {nv - 1} FROM (SELECT DISTINCT fid FROM verts) f
-  UNION ALL
-  SELECT s.fid,
-         CASE WHEN ch.side = 0 THEN s.a ELSE s.mid END,
-         CASE WHEN ch.side = 0 THEN s.mid ELSE s.b END
-  FROM (
-    SELECT c.fid, c.a, c.b, c.idx AS mid, c.d2,
-           row_number() OVER (
-             PARTITION BY c.fid, c.a, c.b ORDER BY c.d2 DESC, c.idx
-           ) AS rn
-    FROM (
-      SELECT s.fid, s.a, s.b, v.idx, {d2} AS d2
-      FROM splits s
-      JOIN verts va ON va.fid = s.fid AND va.idx = s.a
-      JOIN verts vb ON vb.fid = s.fid AND vb.idx = s.b
-      JOIN verts v  ON v.fid = s.fid AND v.idx > s.a AND v.idx < s.b
-    ) c
-  ) s
-  CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) ch
-  WHERE s.rn = 1 AND s.d2 > {S.flit(tol * tol)}
-),
-kept AS (
-  SELECT DISTINCT fid, a AS idx FROM splits
-  UNION SELECT DISTINCT fid, b FROM splits
-),
-seq AS (
-  SELECT k.fid, v.px, v.py,
-         row_number() OVER (PARTITION BY k.fid ORDER BY k.idx) AS pos
-  FROM kept k JOIN verts v ON v.fid = k.fid AND v.idx = k.idx
-),
-dedup AS (
-  SELECT fid, px, py, pos,
-         lag(px) OVER wd AS lx, lag(py) OVER wd AS ly
-  FROM seq WINDOW wd AS (PARTITION BY fid ORDER BY pos)
-)
-SELECT fid AS feature_id,
-       CAST(row_number() OVER (PARTITION BY fid ORDER BY pos) - 1
-            AS BIGINT) AS rnk,
-       px, py
-FROM dedup
-WHERE lx IS NULL OR px <> lx OR py <> ly
-QUALIFY COUNT(*) OVER (PARTITION BY fid) >= 2
-"""
-
-
-def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio: clip-level windowed RMS/ZCR summary over the
-    deterministic pcm16 table — FULL oracle since round 2. The clip
-    aggregates are order-free by construction (multimodal.RMS_GRID):
-    zcr_mean is an exact integer ratio, rms_max a max over
-    deterministic doubles, and rms_mean averages 1e-12-quantized
-    per-window rms values, so the DuckDB twin (built on the
-    q_audio_windows closed-form sample CTE) value-hashes bit-exactly.
-    mp1 rows (idx % 21 == 0) decode for real since r3 but are LOSSY,
-    so they are excluded from this exact twin by codec filter (the
-    twin's WHERE idx % 21 <> 0); their decode contract is gated by
-    q_audio_mp1.  Clip-level kernel correctness is additionally
-    pinned by tests/test_multimodal.py."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import multimodal as mm
-    from mapnik_vector_tile_spark.sources.multimodal import audio_df
-
-    return mm.audio_features(
-        audio_df(spark, 500).filter(F.col("codec") != "mp1")
-    )
-
-
-def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio, FULL oracle: per-window integer features
-    (energy Σs², zero-crossing count) over the sawtooth pcm16 corpus.
-    Every on-wire int16 is pure integer arithmetic from
-    splitmix64(clip idx), so the DuckDB twin regenerates the samples
-    closed-form (no LAG even — the predecessor sample is the same
-    formula at k−1) and the value-hash is bit-exact.  Lossy mp1 rows
-    are codec-filtered out (mirroring the twin's idx % 21 <> 0); see
-    q_audio_mp1 for their gate."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import multimodal as mm
-    from mapnik_vector_tile_spark.sources.multimodal import audio_df
-
-    return mm.audio_window_features(
-        audio_df(spark, 500).filter(F.col("codec") != "mp1")
-    )
-
-
-def q_audio_mp1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T13 MPEG-1 Layer I lossy-codec gate (functions/mpeg1.py — the
-    former mp3 stub row, now a real codec) with a FULL contract
-    oracle in the q_raster_jpeg shape: every mp1 clip of the
-    committed corpus is decoded from its on-wire frames and must
-    satisfy (1) PSNR ≥ 40 dB against the closed-form sawtooth
-    original (full-scale int16 reference — measured worst case
-    ~63 dB), (2) spec-exact 672-byte 448kbps/32kHz-mono Layer I
-    framing (sync/header match, stream length = n_frames·672), with
-    n_frames replayed closed-form by the twin from the granule
-    arithmetic.  DuckDB regenerates (audio_id, n_samples, n_frames)
-    and asserts the booleans TRUE."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import mpeg1 as mp
-    from mapnik_vector_tile_spark.sources.multimodal import audio_df
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    clips = audio_df(spark, 500).filter(F.col("codec") == "mp1")
-
-    def gen(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            out = {"audio_id": [], "n_samples": [], "n_frames": [],
-                   "psnr_ok": [], "framing_ok": []}
-            for row in pdf.itertuples(index=False):
-                idx = int(row.audio_id.split("_")[1])
-                h = int(splitmix64(np.array([idx], dtype=np.uint64))[0])
-                ns = int(row.n_samples)
-                amp = 6000 + ((h >> 16) % 26000)
-                p = 16 + ((h >> 40) % 480)
-                a = 1 + 2 * ((h >> 8) % 128)
-                k = np.arange(ns, dtype=np.int64)
-                ref = ((k % p) * a) % (2 * amp) - amp
-                buf = bytes(row.bytes)
-                framing = (
-                    len(buf) % mp.FRAME_BYTES == 0
-                    and all(
-                        buf[f : f + 4] == mp.HEADER
-                        for f in range(0, len(buf), mp.FRAME_BYTES)
-                    )
-                )
-                dec = mp.mpeg1_l1_decode(buf, ns).astype(np.float64)
-                mse = float(np.mean((dec - ref) ** 2))
-                psnr = 10.0 * np.log10(32768.0**2 / max(mse, 1e-12))
-                out["audio_id"].append(row.audio_id)
-                out["n_samples"].append(ns)
-                out["n_frames"].append(len(buf) // mp.FRAME_BYTES)
-                out["psnr_ok"].append(bool(psnr >= 40.0))
-                out["framing_ok"].append(bool(framing))
-            yield pd.DataFrame(out)
-
-    return clips.select("audio_id", "n_samples", "bytes").mapInPandas(
-        gen,
-        "audio_id string, n_samples long, n_frames long,"
-        " psnr_ok boolean, framing_ok boolean",
-    )
-
-
-def _sql_audio_mp1(n_clips: int = 500) -> str:
-    sm = splitmix64_sql("idx")
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n_clips - 1})) AS idx
-             ) , mp AS (
-  SELECT idx, {sm} AS h FROM ids WHERE idx % 21 = 0)
-SELECT 'aud_' || CAST(idx AS VARCHAR) AS audio_id,
-       CAST(2000 + h % 6001 AS BIGINT) AS n_samples,
-       CAST(((((2000 + h % 6001) + 1056 + 31) // 32) + 11) // 12
-            AS BIGINT) AS n_frames,
-       TRUE AS psnr_ok, TRUE AS framing_ok
-FROM mp
-"""
-
-
-def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal video: 1→N frame sampling + mean-luma features —
-    FULL oracle: the synthetic corpus derives every pixel from one
-    splitmix64 of the video index via pure integer arithmetic, and
-    splitmix64 is expressible bit-exactly in DuckDB with HUGEINT
-    32-bit-limb multiplies + BIGINT-half xors (_sql_video_frames), so
-    the decode → frame-sample → mean-luma chain is value-hash-gated
-    end-to-end (means of integers are exact in float64 both sides).
-    The 1-in-27 mpeg1v rows are LOSSY (real MPEG-1 I-frame decode,
-    formerly the h264 stub) — their pixels aren't the closed form, so
-    this exact-pixel key excludes them the way the mjpeg corpus is
-    excluded; their decode contract is PSNR-gated by q_video_mpeg1."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import multimodal as mm
-    from mapnik_vector_tile_spark.sources.multimodal import video_df
-
-    frames = mm.sample_frames(
-        video_df(spark, 300).filter(F.col("codec") != "mpeg1v"), every=4
-    )
-    return frames.select(
-        "video_id",
-        F.col("frame_idx").cast("bigint").alias("frame_idx"),
-        "mean_luma",
-        F.length("frame").cast("bigint").alias("frame_bytes"),
-    )
-
-
-SIL_N = 150  # q_silence_trim corpus size
-SIL_W = 256  # frame size (samples)
-SIL_THR = 10_000  # per-sample energy threshold
-
-
-def q_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T13c silence-trim gate (multimodal.silence_trim): pcm16 rows of
-    the synthetic audio table with SILENCE PLANTED in every third clip
-    (first and last n_samples//5 samples zeroed — re-encoded through
-    the real int16 wire path). The sawtooth corpus's frame energy is
-    ~amp²/3 >= 1.2e7 per sample-window while the threshold is 1e4, so
-    exactly the planted zero spans read silent; the twin regenerates
-    every sample closed-form (splitmix64 params, the %-sawtooth, the
-    conditional zeroing), replays the full-frame partition, the BIGINT
-    energy compare, and the leading/trailing run arithmetic."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.multimodal import silence_trim
-    from mapnik_vector_tile_spark.sources.multimodal import audio_df
-
-    clips = audio_df(spark, SIL_N).filter(F.col("codec") == "pcm16le")
-
-    def plant(batches):
-        for pdf in batches:
-            bufs = []
-            for r in pdf.itertuples():
-                i = int(r.audio_id[4:])
-                buf = bytes(r.bytes)
-                if i % 3 == 0:
-                    s = np.frombuffer(buf, dtype="<i2").copy()
-                    L = int(r.n_samples) // 5
-                    s[:L] = 0
-                    s[len(s) - L :] = 0
-                    buf = s.astype("<i2").tobytes()
-                bufs.append(buf)
-            out = pdf.copy()
-            out["bytes"] = bufs
-            yield out
-
-    planted = clips.mapInPandas(plant, schema=clips.schema)
-    return silence_trim(planted, window=SIL_W, thr_per_sample=SIL_THR)
-
-
-DEC_N = 200  # q_audio_decimate corpus size
-DEC_M = 6  # decimation factor (non-divisor of most clip lengths)
-
-
-def q_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T13d integer decimation (multimodal.resample_decimate — box
-    anti-alias downsample, floor-divided block means) over the pcm16
-    rows of the synthetic audio table with a FULL oracle: the DuckDB
-    twin regenerates every sample closed-form (splitmix64 params, the
-    %-sawtooth), folds ``factor``-sample blocks, reproduces numpy's
-    FLOOR division on signed sums via (sum − pmod(sum, M))/M, and
-    replays the per-clip decimated count/sum/extremes bit-for-bit."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.multimodal import (
-        resample_decimate,
-    )
-    from mapnik_vector_tile_spark.sources.multimodal import audio_df
-
-    clips = audio_df(spark, DEC_N).filter(F.col("codec") == "pcm16le")
-    return resample_decimate(clips, factor=DEC_M)
-
-
-def _sql_audio_decimate(n: int = DEC_N, m: int = DEC_M) -> str:
-    pmod = f"((bs % {m}) + {m}) % {m}"
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-raw AS (SELECT i, {splitmix64_sql('i')} AS h FROM ids
-        WHERE i % 7 <> 0 AND i % 21 <> 0),
-dims AS (
-  SELECT i,
-         CAST(2000 + h % 6001 AS BIGINT) AS ns,
-         CAST(6000 + ((h // 65536) % 26000) AS BIGINT) AS amp,
-         CAST(16 + ((h // 1099511627776) % 480) AS BIGINT) AS p,
-         CAST(1 + 2 * ((h // 256) % 128) AS BIGINT) AS a
-  FROM raw
-),
-samp AS (
-  SELECT d.i, amp, p, a,
-         unnest(generate_series(0, (ns // {m}) * {m} - 1)) AS k
-  FROM dims d
-),
-blocks AS (
-  SELECT i, k // {m} AS b,
-         SUM(((k % p) * a) % (2 * amp) - amp) AS bs
-  FROM samp GROUP BY 1, 2
-),
-dec AS (
-  SELECT i, b, (bs - ({pmod})) // {m} AS v
-  FROM blocks
-)
-SELECT 'aud_' || CAST(i AS VARCHAR) AS audio_id,
-       CAST(COUNT(*) AS BIGINT) AS n_out,
-       CAST(SUM(v) AS BIGINT) AS dec_sum,
-       CAST(MIN(v) AS BIGINT) AS dec_min,
-       CAST(MAX(v) AS BIGINT) AS dec_max
-FROM dec GROUP BY 1
-"""
-
-
-def _sql_silence_trim(n: int = SIL_N, w: int = SIL_W,
-                      thr: int = SIL_THR) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-raw AS (SELECT i, {splitmix64_sql('i')} AS h FROM ids WHERE i % 7 <> 0),
-dims AS (
-  SELECT i,
-         CAST(2000 + h % 6001 AS BIGINT) AS ns,
-         CAST(6000 + ((h // 65536) % 26000) AS BIGINT) AS amp,
-         CAST(16 + ((h // 1099511627776) % 480) AS BIGINT) AS p,
-         CAST(1 + 2 * ((h // 256) % 128) AS BIGINT) AS a
-  FROM raw
-),
-ks AS (
-  SELECT d.*, ns // {w} AS n_win,
-         unnest(generate_series(0, (ns // {w}) * {w} - 1)) AS k
-  FROM dims d
-),
-vals AS (
-  SELECT i, n_win, k // {w} AS win,
-         CASE WHEN i % 3 = 0 AND (k < ns // 5 OR k >= ns - ns // 5)
-              THEN 0
-              ELSE ((k % p) * a) % (2 * amp) - amp END AS s
-  FROM ks
-),
-wins AS (
-  SELECT i, n_win, win,
-         (SUM(s * s) <= {thr} * {w}) AS silent
-  FROM vals GROUP BY 1, 2, 3
-)
-SELECT 'aud_' || CAST(i AS VARCHAR) AS audio_id,
-       CAST(n_win AS BIGINT) AS n_win,
-       CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_silent,
-       CAST(COALESCE(MIN(CASE WHEN NOT silent THEN win END), n_win)
-            AS BIGINT) AS lead,
-       CAST(n_win - 1 - COALESCE(MAX(CASE WHEN NOT silent THEN win END),
-                                 -1) AS BIGINT) AS trail
-FROM wins
-GROUP BY i, n_win
-"""
-
-
-CUT_N = 150  # q_scene_cuts corpus size
-CUT_THR = 40  # per-pixel SAD threshold
-
-
-def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T14b shot-boundary detection gate (multimodal.scene_cuts): the
-    rawvid8 rows of the synthetic video table, with a HARD CUT planted
-    in every third video (luma inverted from frame n_frames//2 on —
-    re-encoded through the real codec path). The base corpus's
-    moving-gradient diffs sit at ~13.6 SAD/pixel, the planted
-    inversion at ~150: threshold 40 must flag EXACTLY the planted
-    boundaries with their exact integer SAD values. The twin
-    regenerates every pixel of every consecutive frame pair
-    closed-form (splitmix64 dims/phase, the %256 gradient, the
-    conditional inversion) and replays the integer threshold."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.multimodal import scene_cuts
-    from mapnik_vector_tile_spark.sources.multimodal import video_df
-
-    vids = video_df(spark, CUT_N).filter(F_col_codec_rawvid())
-
-    def plant(batches):
-        for pdf in batches:
-            bufs = []
-            for r in pdf.itertuples():
-                i = int(r.video_id[4:])
-                buf = bytes(r.bytes)
-                if i % 3 == 0:
-                    fr = (
-                        np.frombuffer(buf, np.uint8)
-                        .reshape(int(r.n_frames), int(r.h), int(r.w))
-                        .copy()
-                    )
-                    half = int(r.n_frames) // 2
-                    fr[half:] = 255 - fr[half:]
-                    buf = fr.tobytes()
-                bufs.append(buf)
-            out = pdf.copy()
-            out["bytes"] = bufs
-            yield out
-
-    planted = vids.mapInPandas(plant, schema=vids.schema)
-    return scene_cuts(planted, thr_per_px=CUT_THR)
-
-
-def F_col_codec_rawvid():
-    from pyspark.sql import functions as F
-
-    return F.col("codec") == "rawvid8"
-
-
-def _sql_scene_cuts(n: int = CUT_N, thr: int = CUT_THR) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-raw AS (SELECT i, {splitmix64_sql('i')} AS h FROM ids
-        WHERE i % 9 <> 0),
-dims AS (
-  SELECT i,
-         CAST(16 + (h % 4) * 8 AS BIGINT) AS w,
-         CAST(16 + ((h // 16) % 4) * 8 AS BIGINT) AS ht,
-         CAST(8 + (h // 4096) % 25 AS BIGINT) AS nf,
-         CAST(h % 251 AS BIGINT) AS phase
-  FROM raw
-),
-fs AS (SELECT d.*, unnest(generate_series(1, nf - 1)) AS f FROM dims d),
-ys AS (SELECT fs.*, unnest(generate_series(0, ht - 1)) AS y FROM fs),
-px AS (SELECT ys.*, unnest(generate_series(0, w - 1)) AS x FROM ys),
-v AS (
-  SELECT i, w, ht, nf, f, x, y,
-         CASE WHEN i % 3 = 0 AND f >= nf // 2
-              THEN 255 - (x * 3 + y * 5 + f * 7 + phase) % 256
-              ELSE (x * 3 + y * 5 + f * 7 + phase) % 256 END AS cur,
-         CASE WHEN i % 3 = 0 AND f - 1 >= nf // 2
-              THEN 255 - (x * 3 + y * 5 + (f - 1) * 7 + phase) % 256
-              ELSE (x * 3 + y * 5 + (f - 1) * 7 + phase) % 256 END
-           AS prev
-  FROM px
-),
-sad AS (
-  SELECT i, w, ht, f, CAST(SUM(ABS(cur - prev)) AS BIGINT) AS sad
-  FROM v GROUP BY 1, 2, 3, 4
-)
-SELECT 'vid_' || CAST(i AS VARCHAR) AS video_id,
-       CAST(f AS BIGINT) AS frame_idx, sad
-FROM sad WHERE sad > {thr} * w * ht
-"""
-
-
-DIFF_Z = 6
-
-
-def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tile-store content diff (delta updates) with a FULL oracle:
-    store A = z6 tiles of order points with key % 5 != 0, store B =
-    key % 7 != 0 — the engine diffs ACTUAL TILE BYTES (xxhash64 over
-    the encoded buffers, composite.diff_tiles), while DuckDB derives
-    added/removed/changed purely from per-tile membership set algebra
-    (a tile changed iff the two key sets differ). The hash only
-    matches if the encode pipeline is byte-deterministic AND injective
-    on feature sets — a nondeterministic dictionary order or a
-    dropped/duplicated feature shows up as a spurious or missing diff
-    row."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as comp
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-
-    def store(mod: int):
-        sub = feats.filter(F.col("feature_id") % mod != 0)
-        return T.encode_tiles(
-            T.assign_tiles(sub, DIFF_Z, DIFF_Z, buffer_units=0),
-            buffer_units=0,
-            n_salts=4,
-        )
-
-    return comp.diff_tiles(store(5), store(7))
-
-
-def _sql_tile_diff(z: int = DIFF_Z) -> str:
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, {tx} AS x, {ty} AS y FROM pts),
-m AS (
-  SELECT x, y,
-         SUM(CASE WHEN id % 5 <> 0 THEN 1 ELSE 0 END) AS na,
-         SUM(CASE WHEN id % 7 <> 0 THEN 1 ELSE 0 END) AS nb,
-         SUM(CASE WHEN (id % 5 <> 0) <> (id % 7 <> 0) THEN 1 ELSE 0 END)
-           AS nsym
-  FROM t GROUP BY 1, 2
-)
-SELECT CAST({z} AS INT) AS z, x, y,
-       CASE WHEN nb = 0 THEN 'removed'
-            WHEN na = 0 THEN 'added'
-            ELSE 'changed' END AS status
-FROM m
-WHERE (na > 0 OR nb > 0) AND (na = 0 OR nb = 0 OR nsym > 0)
-"""
-
-
-def q_engine_v1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 v1-tolerant decode under the driver gate: per order key,
-    build a VERSION-1 layer whose single linestring stream is a valid
-    2-point part followed by a trailing 1-point part (legal v1 wire,
-    rejected by v2 rules). The tolerant decoder must DROP the
-    degenerate trailing part and keep the valid one — the decode scan
-    returns exactly 2 vertices per feature, whose deterministic
-    integer coordinates DuckDB regenerates closed-form. A decoder that
-    errors (strict-v2 regression) loses the row; one that keeps the
-    1-point part breaks the sums."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import geomcodec as gc
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
-
-    def zz(v: int) -> int:
-        return (v << 1) ^ (v >> 63)
-
-    def gen(it):
-        for pdf in it:
-            rows = {"z": [], "x": [], "y": [], "tile": []}
-            for k in pdf["o_orderkey"]:
-                k = int(k)
-                p = [
-                    (
-                        (k * (i + 1) * 2654435761) % 4096,
-                        (k * (i + 3) * 1103515245 + 12345) % 4096,
-                    )
-                    for i in range(3)
-                ]
-                stream = [
-                    9, zz(p[0][0]), zz(p[0][1]),
-                    10, zz(p[1][0] - p[0][0]), zz(p[1][1] - p[0][1]),
-                    9, zz(p[2][0] - p[1][0]), zz(p[2][1] - p[1][1]),
-                ]
-                lb = pbf.LayerBuilder("features", extent=4096, version=1)
-                lb.add_feature(
-                    k, gc.GEOM_LINESTRING,
-                    np.array(stream, dtype=np.int64), {"caption": "v1"},
-                )
-                rows["z"].append(9)
-                rows["x"].append(k % 512)
-                rows["y"].append((k * 7) % 512)
-                rows["tile"].append(pbf.concat_tile([lb.build()]))
-            yield pd.DataFrame(rows)
-
-    tiles = orders.mapInPandas(gen, schema="z int, x long, y long, tile binary")
-    dec = T.decode_tiles_to_features(tiles)
-    return dec.select(
-        F.col("feature_id"),
-        F.size("pxs").cast("bigint").alias("n_pts"),
-        F.aggregate(
-            "pxs", F.lit(0).cast("long"), lambda a, v: a + v
-        ).alias("sum_px"),
-        F.aggregate(
-            "pys", F.lit(0).cast("long"), lambda a, v: a + v
-        ).alias("sum_py"),
-    )
-
-
-def _sql_v1_decode() -> str:
-    def px(i: int) -> str:
-        return f"((k * {i + 1} * 2654435761) % 4096)"
-
-    def py(i: int) -> str:
-        return f"((k * {i + 3} * 1103515245 + 12345) % 4096)"
-
-    return f"""
-SELECT o_orderkey AS feature_id,
-       CAST(2 AS BIGINT) AS n_pts,
-       CAST({px(0)} + {px(1)} AS BIGINT) AS sum_px,
-       CAST({py(0)} + {py(1)} AS BIGINT) AS sum_py
-FROM (SELECT o_orderkey, o_orderkey AS k FROM orders) t
-"""
-
-
-def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic clustered 63-bit phashes from customer keys
-    (clusters of 3 — base splitmix64, one-bit flip, two-bit flip);
-    shared by q_phash_neardup and q_phash_mi."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
-
-    def gen(it):
-        for pdf in it:
-            k = pdf["c_custkey"].to_numpy().astype(np.int64)
-            if not len(k):
-                continue
-            cl = k // 3
-            m = k % 3
-            base = (
-                splitmix64((cl * 1000003).astype(np.uint64))
-                >> np.uint64(1)
-            ).astype(np.int64)
-            one = np.int64(1)
-            f1 = base ^ (one << (cl % 63))
-            f2 = (
-                base
-                ^ (one << ((cl * 7 + 13) % 63))
-                ^ (one << ((cl * 11 + 29) % 63))
-            )
-            h = np.where(m == 1, f1, np.where(m == 2, f2, base))
-            yield pd.DataFrame({"image_id": k, "phash": h})
-
-    return cust.mapInPandas(gen, schema="image_id long, phash long")
-
-
-def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T21 perceptual-hash image near-dup with a FULL independent
-    oracle: deterministic clustered 63-bit phashes (_phash_corpus),
-    the ENGINE finds pairs via the lossless 8-band Hamming-LSH
-    self-join (dedup.phash_neardup_pairs, pigeonhole guarantee for
-    Hamming<=6), and DuckDB finds the same pairs by BRUTE-FORCE
-    all-pairs bit_count(xor) — algorithm-independent, so a banding
-    bug (lossy candidate set) or a refine bug both break the hash."""
-    from mapnik_vector_tile_spark.operators import dedup as D
-
-    imgs = _phash_corpus(spark, sf_dir)
-    # exact clique path: the brute-force oracle enumerates all pairs
-    # (star-guard behavior is pytest-gated, not oracle-gated)
-    pairs = D.phash_neardup_pairs(imgs, max_hamming=6, hot_bucket_limit=None)
-    from pyspark.sql import functions as F
-
-    return pairs.select(
-        "img_a", "img_b", F.col("hamming").cast("int").alias("hamming")
-    )
-
-
-def q_phash_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T21 multi-index Hamming join (dedup.phash_neardup_pairs_mi —
-    the sub-quadratic 4×16-bit-band + 1-flip-probe form the sf1.0
-    spot-run motivated) over the SAME clustered-phash corpus as
-    q_phash_neardup, against the SAME brute-force all-pairs twin:
-    both algorithms are exact for Hamming ≤ 6, so the value hashes
-    must agree — a lost probe, a wrong flip mask, or a broken
-    pigeonhole bound all break it."""
-    from mapnik_vector_tile_spark.operators import dedup as D
-    from pyspark.sql import functions as F
-
-    imgs = _phash_corpus(spark, sf_dir)
-    pairs = D.phash_neardup_pairs_mi(
-        imgs, max_hamming=6, hot_bucket_limit=None
-    )
-    return pairs.select(
-        "img_a", "img_b", F.col("hamming").cast("int").alias("hamming")
-    )
-
-
-def _sql_phash_neardup() -> str:
-    base = f"CAST(({splitmix64_sql('cl * 1000003')}) // 2 AS BIGINT)"
-    return f"""
-WITH ks AS (SELECT c_custkey AS k, c_custkey // 3 AS cl, c_custkey % 3 AS m
-            FROM customer),
-hb AS (SELECT k, cl, m, {base} AS base FROM ks),
-ph AS (SELECT k AS img,
-              CASE WHEN m = 1
-                   THEN xor(base, CAST(1 AS BIGINT) << (cl % 63))
-                   WHEN m = 2
-                   THEN xor(xor(base,
-                                CAST(1 AS BIGINT) << ((cl * 7 + 13) % 63)),
-                            CAST(1 AS BIGINT) << ((cl * 11 + 29) % 63))
-                   ELSE base END AS h
-       FROM hb)
-SELECT a.img AS img_a, b.img AS img_b,
-       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
-FROM ph a JOIN ph b ON a.img < b.img
-WHERE bit_count(xor(a.h, b.h)) <= 6
-"""
-
-
-RZO_N = 24  # raster-overzoom oracle corpus: parent tiles
-RZO_T = 64  # and their pixel grid
-
-
-def q_raster_overzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1 overzoom (child raster tiles served from stored parents) with
-    a FULL integer-exact oracle: 24 synthetic z6 parent tiles whose
-    pixels are the ramp (r*3 + c*5 + phase) % 256 with
-    phase = splitmix64(idx) % 251, overzoomed dz=1 with
-    method='nearest' (raw-rgba8, lossless). Nearest at dz=1 is exact
-    pixel replication child[r,c] = parent[(cy*T+r)//2, (cx*T+c)//2],
-    so the per-child channel-0 pixel sums are pure integer arithmetic
-    DuckDB regenerates closed-form — gating the decode → A.9 resample
-    → quantize → codec round trip and the fan-out addressing."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators import raster as R
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    ids = spark.range(RZO_N)
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {
-                "z": [], "x": [], "y": [], "raster": [],
-                "n_images": [], "captions": [],
-            }
-            for i in pdf["id"]:
-                i = int(i)
-                phase = int(splitmix64(np.array([i], dtype=np.uint64))[0]
-                            % np.uint64(251))
-                r = np.arange(RZO_T, dtype=np.int64)
-                v = ((r[:, None] * 3 + r[None, :] * 5 + phase) % 256).astype(
-                    np.uint8
-                )
-                rgba = np.repeat(v[..., None], 4, axis=2)
-                rows["z"].append(6)
-                rows["x"].append(i * 2)
-                rows["y"].append(i)
-                rows["raster"].append(R.encode_image(rgba, "raw-rgba8"))
-                rows["n_images"].append(1)
-                rows["captions"].append(["cap"])
-            yield pd.DataFrame(rows)
-
-    parents = ids.mapInPandas(
-        gen,
-        schema=(
-            "z int, x long, y long, raster binary, n_images long, "
-            "captions array<string>"
-        ),
-    )
-    kids = R.overzoom_raster_tiles(
-        parents, 1, tile_size=RZO_T, method="nearest", fmt="raw-rgba8"
-    )
-
-    def summarize(it):
-        for pdf in it:
-            out: dict[str, list] = {"x": [], "y": [], "px_sum": []}
-            for xx, yy, raster in zip(pdf["x"], pdf["y"], pdf["raster"]):
-                img = R.decode_image(bytes(raster), "raw-rgba8", RZO_T, RZO_T)
-                out["x"].append(int(xx))
-                out["y"].append(int(yy))
-                out["px_sum"].append(int(img[:, :, 0].astype(np.int64).sum()))
-            yield pd.DataFrame(out)
-
-    return kids.mapInPandas(summarize, schema="x long, y long, px_sum long")
-
-
-def _sql_raster_overzoom(n: int = RZO_N, t: int = RZO_T) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
-hh AS (SELECT idx, ({splitmix64_sql('idx')}) % 251 AS phase FROM ids),
-cells AS (SELECT 0 AS v UNION ALL SELECT 1),
-px AS (
-  SELECT h.idx, h.phase, cx.v AS cx, cy.v AS cy, g1.r, g2.c,
-         (((cy.v * {t} + g1.r) // 2) * 3
-          + ((cx.v * {t} + g2.c) // 2) * 5 + h.phase) % 256 AS val
-  FROM hh h
-  CROSS JOIN cells cx CROSS JOIN cells cy
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS r) g1
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS c) g2
-)
-SELECT CAST(idx * 4 + cx AS BIGINT) AS x,
-       CAST(idx * 2 + cy AS BIGINT) AS y,
-       CAST(SUM(val) AS BIGINT) AS px_sum
-FROM px GROUP BY 1, 2
-"""
-
-
-def q_geotiff_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1 georeferenced-ingest gate with a FULL oracle: the SAME
-    tile-aligned ramp corpus as q_raster_tiles, but each image ships
-    as a real GeoTIFF whose merc bbox lives in the embedded
-    ModelPixelScale/ModelTiepoint tags (functions.tiff geo=...) — no
-    footprint columns exist. The REAL geotiff_footprints ingest parses
-    the IFD header (no pixel decode), rebuilds the footprinted frame,
-    and the full warp/composite/encode path runs as in q_raster_tiles;
-    because the GeoTIFF doubles round-trip bit-exactly and PackBits is
-    lossless, the SAME DuckDB twin (_sql_raster_tiles) must hash-match
-    — so the tag writer, the tag parser, AND the ingest drop policy
-    are all under the hash. Ref parity: mapnik's gdal datasource
-    (plugins/input/gdal) feeding the raster processor path; SURVEY
-    §2.8 R1/S3."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import tiff as tiffmod
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.operators import raster as R
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    span = tm.tile_span(RT_Z)
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"idx": [], "bytes": [], "caption": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                x0 = h % 13
-                y0 = (h >> 8) % 13
-                k = 1 + ((h >> 16) % 2)
-                phase = h % 251
-                t = np.arange(k * RT_T, dtype=np.int64)
-                v = ((t[:, None] * 3 + t[None, :] * 5 + phase) % 256).astype(
-                    np.uint8
-                )
-                rgba = np.repeat(v[..., None], 4, axis=2)
-                bbox = (
-                    -tm.W + np.float64(x0) * span,
-                    tm.W - np.float64(y0 + k) * span,
-                    -tm.W + np.float64(x0 + k) * span,
-                    tm.W - np.float64(y0) * span,
-                )
-                rows["idx"].append(i)
-                rows["bytes"].append(tiffmod.encode_tiff(rgba, geo=bbox))
-                rows["caption"].append(f"img-{i}")
-            yield pd.DataFrame(rows)
-
-    geotiffs = spark.range(RT_N).mapInPandas(
-        gen, schema="idx long, bytes binary, caption string"
-    )
-    images = R.geotiff_footprints(geotiffs)
-    tiles = R.rasterize_images(
-        images, z=RT_Z, tile_size=RT_T, method="bilinear", out_fmt="png-zlib"
-    )
-
-    def summarize(it):
-        for pdf in it:
-            out: dict[str, list] = {
-                "x": [], "y": [], "n_images": [], "px_sum": [],
-            }
-            for xx, yy, ni, raster in zip(
-                pdf["x"], pdf["y"], pdf["n_images"], pdf["raster"]
-            ):
-                img = R.decode_image(bytes(raster), "png-zlib", RT_T, RT_T)
-                out["x"].append(int(xx))
-                out["y"].append(int(yy))
-                out["n_images"].append(int(ni))
-                out["px_sum"].append(int(img[:, :, 0].astype(np.int64).sum()))
-            yield pd.DataFrame(out)
-
-    return tiles.mapInPandas(
-        summarize, schema="x long, y long, n_images long, px_sum long"
-    ).select(F.lit(RT_Z).alias("z"), "x", "y", "n_images", "px_sum")
-
-
-def _sql_raster_tiles(n: int = RT_N, z: int = RT_Z, t: int = RT_T) -> str:
-    """DuckDB twin of q_raster_tiles. Regenerates per-image placement
-    from splitmix64(idx), mirrors the engine's FLOAT tile fan-out
-    op-for-op (same IEEE doubles ⇒ same straggler tiles ⇒ same
-    n_images), picks the painter's winner per tile (max idx among
-    integer-covering images — coverage is all-or-nothing because the
-    bboxes are tile-aligned), and sums the ramp pixels closed-form.
-    Tiles with fan-out rows but no covering painter are dropped, like
-    the engine's not-painted guard."""
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
-    w = repr(tm.W)
-    span = repr(tm.tile_span(z))
-    nmax = (1 << z) - 1
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
-hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids),
-imgs AS (
-  SELECT idx,
-         CAST(h % 13 AS BIGINT) AS x0,
-         CAST((h // 256) % 13 AS BIGINT) AS y0,
-         CAST(1 + (h // 65536) % 2 AS BIGINT) AS k,
-         CAST(h % 251 AS BIGINT) AS phase
-  FROM hh),
-fb AS (
-  SELECT idx, x0, y0, k, phase,
-         (-{w}) + CAST(x0 AS DOUBLE) * {span} AS minx,
-         (-{w}) + CAST(x0 + k AS DOUBLE) * {span} AS maxx,
-         {w} - CAST(y0 + k AS DOUBLE) * {span} AS miny,
-         {w} - CAST(y0 AS DOUBLE) * {span} AS maxy
-  FROM imgs),
-rng AS (
-  SELECT idx, x0, y0, k, phase,
-         LEAST({nmax}, GREATEST(0,
-           CAST(floor((minx + {w}) / {span}) AS BIGINT))) AS lox,
-         LEAST({nmax}, GREATEST(0,
-           CAST(floor((maxx + {w}) / {span}) AS BIGINT))) AS hix,
-         LEAST({nmax}, GREATEST(0,
-           CAST(floor(({w} - maxy) / {span}) AS BIGINT))) AS loy,
-         LEAST({nmax}, GREATEST(0,
-           CAST(floor(({w} - miny) / {span}) AS BIGINT))) AS hiy
-  FROM fb),
-fx AS (
-  SELECT idx, x0, y0, k, phase, loy, hiy,
-         unnest(generate_series(lox, hix)) AS x
-  FROM rng),
-fan AS (
-  SELECT idx, x0, y0, k, phase, x,
-         unnest(generate_series(loy, hiy)) AS y
-  FROM fx),
-counts AS (SELECT x, y, COUNT(*) AS n_images FROM fan GROUP BY 1, 2),
-win AS (
-  SELECT x, y, idx, x0, y0, phase,
-         row_number() OVER (PARTITION BY x, y ORDER BY idx DESC) AS rn
-  FROM fan
-  WHERE x >= x0 AND x < x0 + k AND y >= y0 AND y < y0 + k),
-px AS (
-  SELECT w1.x, w1.y,
-         ((((w1.y - w1.y0) * {t} + g1.r) * 3
-           + ((w1.x - w1.x0) * {t} + g2.c) * 5 + w1.phase) % 256) AS val
-  FROM (SELECT * FROM win WHERE rn = 1) w1
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS r) g1
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS c) g2),
-sums AS (SELECT x, y, SUM(val) AS px_sum FROM px GROUP BY 1, 2)
-SELECT CAST({z} AS INT) AS z,
-       CAST(c.x AS BIGINT) AS x,
-       CAST(c.y AS BIGINT) AS y,
-       CAST(c.n_images AS BIGINT) AS n_images,
-       CAST(s.px_sum AS BIGINT) AS px_sum
-FROM counts c JOIN sums s ON c.x = s.x AND c.y = s.y
-"""
-
-
-_M64 = "18446744073709551616"  # 2^64
-_M32 = "4294967296"
-
-
-def _xor64(a: str, b: str) -> str:
-    """XOR of two HUGEINT values < 2^64 via BIGINT halves."""
-    return (
-        f"(CAST(xor(CAST(({a}) // {_M32} AS BIGINT),"
-        f" CAST(({b}) // {_M32} AS BIGINT)) AS HUGEINT) * {_M32}"
-        f" + xor(CAST(({a}) % {_M32} AS BIGINT),"
-        f" CAST(({b}) % {_M32} AS BIGINT)))"
-    )
-
-
-def _mul64(a: str, c: int) -> str:
-    """(a * c) mod 2^64 for HUGEINT a < 2^64, constant c — 32-bit limb
-    split keeps every intermediate < 2^96 (inside HUGEINT)."""
-    cl = c % 2**32
-    ch = c >> 32
-    return (
-        f"((({a}) * {cl} + (((({a}) % {_M32}) * {ch}) % {_M32})"
-        f" * {_M32}) % {_M64})"
-    )
-
-
-def splitmix64_sql(x: str) -> str:
-    """The synth corpus's committed mixing function (synth.splitmix64)
-    rendered as DuckDB SQL — bit-exact (tests pin [0, 200000)).
-
-    Emitted as a chained SCALAR SUBQUERY, not one flat expression:
-    textually inlining each mixing stage into the next duplicates
-    subexpressions ×2-4 per stage (×~256 for the base hash — a 36 KB
-    expression, ~22 µs/row), while the subquery chain computes each
-    stage ONCE into a column the next stage references (~1 KB, ~10×
-    faster; DuckDB decorrelates it into projections).  Same value,
-    usable in any expression position."""
-    z0 = f"((CAST({x} AS HUGEINT) + 11400714819323198485) % {_M64})"
-    return (
-        "(SELECT "
-        + _xor64("z4", "z4 // 2147483648")  # >> 31
-        + " FROM (SELECT "
-        + _mul64("z3", 0x94D049BB133111EB)
-        + " AS z4 FROM (SELECT "
-        + _xor64("z2", "z2 // 134217728")  # >> 27
-        + " AS z3 FROM (SELECT "
-        + _mul64("z1", 0xBF58476D1CE4E5B9)
-        + " AS z2 FROM (SELECT "
-        + _xor64("z0", "z0 // 1073741824")  # >> 30
-        + f" AS z1 FROM (SELECT {z0} AS z0))))))"
-    )
-
-
-def _sql_video_frames(n_videos: int = 300, every: int = 4) -> str:
-    """DuckDB twin of q_video_frames: regenerate per-video params from
-    splitmix64(idx), enumerate sampled frames and the pixel grid, and
-    average the moving-gradient pixel formula
-    ((x*3 + y*5) + (frame*7 + phase)) % 256 — all integer arithmetic,
-    means exact in float64. dvid8-rle rows decode losslessly to the
-    same planes, so one pixel formula covers both lossless codecs;
-    idx % 27 == 0 mpeg1v videos are excluded (lossy — PSNR-gated by
-    q_video_mpeg1 instead)."""
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n_videos - 1})) AS idx),
-hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids
-       WHERE idx % 27 <> 0),
-params AS (
-  SELECT idx,
-         16 + (h % 4) * 8 AS w,
-         16 + ((h // 16) % 4) * 8 AS ht,
-         8 + ((h // 4096) % 25) AS nf,
-         h % 251 AS phase
-  FROM hh),
-fr AS (
-  SELECT idx, w, ht, phase,
-         unnest(generate_series(0, CAST(nf AS BIGINT) - 1, {every})) AS fi
-  FROM params),
-fx AS (
-  SELECT idx, fi, w, ht, phase,
-         unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
-  FROM fr),
-fxy AS (
-  SELECT idx, fi, w, ht, phase, x,
-         unnest(generate_series(0, CAST(ht AS BIGINT) - 1)) AS y
-  FROM fx)
-SELECT 'vid_' || CAST(idx AS VARCHAR) AS video_id,
-       CAST(fi AS BIGINT) AS frame_idx,
-       AVG(CAST((x * 3 + y * 5 + fi * 7 + phase) % 256 AS DOUBLE)) AS mean_luma,
-       CAST(w * ht AS BIGINT) AS frame_bytes
-FROM fxy
-GROUP BY 1, 2, 4
-"""
-
-
-def _mulaw_seg_sql(v: str) -> str:
-    """G.711 segment index (0-7) of a biased magnitude column — the
-    vectorized comparison-sum twin of functions.g711.mulaw_encode."""
-    return (
-        f"(CAST({v} > 63 AS INT) + CAST({v} > 127 AS INT) + "
-        f"CAST({v} > 255 AS INT) + CAST({v} > 511 AS INT) + "
-        f"CAST({v} > 1023 AS INT) + CAST({v} > 2047 AS INT) + "
-        f"CAST({v} > 4095 AS INT))"
-    )
-
-
-def _pow2_case_sql(g: str, plus: int) -> str:
-    """CASE mapping segment g to 2**(g+plus) — branch-free shifts are
-    numpy-only, so the SQL twin spells the 8 segment scales out."""
-    arms = " ".join(
-        f"WHEN {k} THEN {2 ** (k + plus)}" for k in range(8)
-    )
-    return f"(CASE {g} {arms} END)"
-
-
-def _alaw_seg_sql(v: str) -> str:
-    """G.711 A-law segment index (0-7) of a 13-bit magnitude column —
-    the vectorized comparison-sum twin of functions.g711.alaw_encode
-    (thresholds 0x1F..0x7FF; no bias, unlike mu-law)."""
-    return (
-        f"(CAST({v} > 31 AS INT) + CAST({v} > 63 AS INT) + "
-        f"CAST({v} > 127 AS INT) + CAST({v} > 255 AS INT) + "
-        f"CAST({v} > 511 AS INT) + CAST({v} > 1023 AS INT) + "
-        f"CAST({v} > 2047 AS INT))"
-    )
-
-
-def _alaw_mant_div_sql(g: str) -> str:
-    """A-law mantissa shift divisor 2^max(g, 1) as a CASE (segments
-    0 and 1 both shift by 1 in the reference encoder)."""
-    arms = " ".join(
-        f"WHEN {k} THEN {2 ** max(k, 1)}" for k in range(8)
-    )
-    return f"(CASE {g} {arms} END)"
-
-
-def _alaw_rt_sql(x: str) -> str:
-    """A-law encode∘decode of a 13-bit column {x} = floor(s/8), as one
-    closed-form SQL expression (functions.g711 alaw_encode then
-    alaw_decode, magnitude part — caller applies the sign)."""
-    v = f"(CASE WHEN {x} < 0 THEN -({x}) - 1 ELSE {x} END)"
-    g = _alaw_seg_sql(v)
-    mant = f"(({v} // {_alaw_mant_div_sql(g)}) % 16)"
-    return (
-        f"(CASE WHEN {g} = 0 THEN {mant} * 16 + 8 "
-        f"ELSE ({mant} * 16 + 264) * {_pow2_case_sql(f'({g} - 1)', 0)} END)"
-    )
-
-
-def _audio_vals_cte(n_clips: int, window: int) -> str:
-    """Shared CTE prefix for the audio twins: regenerate the sawtooth
-    samples closed-form, then replay functions.g711 encode-then-decode
-    IN SQL for mulaw rows (idx % 7 == 0, % 14 != 0, % 21 != 0) and
-    alaw rows (idx % 14 == 0, % 21 != 0) — exact integer arithmetic
-    end-to-end. DuckDB's // and % truncate toward zero while numpy
-    floors, so the bit shifts are floor(s/4.0) / floor(s/8.0) and
-    every other % operand is kept non-negative by construction.
-    idx % 21 == 0 clips are lossy mp1 rows the feature queries
-    codec-filter out (their gate is q_audio_mp1)."""
-    ats = _alaw_rt_sql("axs")
-    atp = _alaw_rt_sql("axp")
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n_clips - 1})) AS idx),
-hh AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids
-       WHERE idx % 21 <> 0),
-params AS (
-  SELECT idx, h, (idx % 7 = 0 AND idx % 14 <> 0) AS is_mu,
-         (idx % 14 = 0) AS is_al,
-         CAST(2000 + (h % 6001) AS BIGINT) AS ns,
-         CAST(6000 + ((h // 65536) % 26000) AS BIGINT) AS amp,
-         CAST(16 + ((h // 1099511627776) % 480) AS BIGINT) AS p,
-         CAST(1 + 2 * ((h // 256) % 128) AS BIGINT) AS a
-  FROM hh),
-samp AS (
-  SELECT idx, amp, p, a, is_mu, is_al,
-         unnest(generate_series(0, (ns // {window}) * {window} - 1)) AS k
-  FROM params),
-vals0 AS (
-  SELECT idx, k // {window} AS win, k % {window} AS kin, is_mu, is_al,
-         ((k % p) * a) % (2 * amp) - amp AS s0,
-         (((k - 1) % p) * a) % (2 * amp) - amp AS sp0
-  FROM samp),
-mux AS (
-  SELECT *, CAST(floor(s0 / 4.0) AS BIGINT) AS xs,
-            CAST(floor(sp0 / 4.0) AS BIGINT) AS xp,
-            CAST(floor(s0 / 8.0) AS BIGINT) AS axs,
-            CAST(floor(sp0 / 8.0) AS BIGINT) AS axp
-  FROM vals0),
-muv AS (
-  SELECT *, LEAST(CASE WHEN xs < 0 THEN -xs ELSE xs END + 33, 8191) AS vs,
-            LEAST(CASE WHEN xp < 0 THEN -xp ELSE xp END + 33, 8191) AS vp
-  FROM mux),
-mug AS (
-  SELECT *, {_mulaw_seg_sql('vs')} AS gs, {_mulaw_seg_sql('vp')} AS gp
-  FROM muv),
-mut AS (
-  SELECT *,
-    ((vs // {_pow2_case_sql('gs', 1)}) % 16 * 8 + 132)
-      * {_pow2_case_sql('gs', 0)} AS ts,
-    ((vp // {_pow2_case_sql('gp', 1)}) % 16 * 8 + 132)
-      * {_pow2_case_sql('gp', 0)} AS tp,
-    {ats} AS ats,
-    {atp} AS atp
-  FROM mug),
-vals AS (
-  SELECT idx, win, kin,
-    CASE WHEN is_mu THEN (CASE WHEN xs < 0 THEN 132 - ts ELSE ts - 132 END)
-         WHEN is_al THEN (CASE WHEN axs < 0 THEN -ats ELSE ats END)
-         ELSE s0 END AS s,
-    CASE WHEN is_mu THEN (CASE WHEN xp < 0 THEN 132 - tp ELSE tp - 132 END)
-         WHEN is_al THEN (CASE WHEN axp < 0 THEN -atp ELSE atp END)
-         ELSE sp0 END AS sp
-  FROM mut)"""
-
-
-def _sql_audio_windows(n_clips: int = 500, window: int = 1024) -> str:
-    """DuckDB twin of q_audio_windows: regenerate per-clip samples
-    closed-form (s(k) = ((k mod p)·a) mod 2·amp − amp, predecessor by
-    the same formula at k−1 — no window function), replay the G.711
-    mulaw encode∘decode in exact integer SQL for mulaw rows
-    (_audio_vals_cte), and aggregate Σs² and the (s<0) sign-transition
-    count; kin=0 rows are excluded from the transition count exactly
-    like the numpy kernel's within-window diff."""
-    return f"""{_audio_vals_cte(n_clips, window)}
-SELECT 'aud_' || CAST(idx AS VARCHAR) AS audio_id,
-       CAST(win AS BIGINT) AS win,
-       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
-       CAST(SUM(CASE WHEN kin > 0 AND ((s < 0) <> (sp < 0))
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
-FROM vals
-GROUP BY 1, 2
-"""
-
-
-def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T-class cardinality sketch with a FULL oracle: KMV (bottom-k)
-    distinct estimate of events.event_id (operators.sketch). The
-    md5-prefix hash, the k-smallest set, and the single float division
-    are all cross-engine exact, so the DuckDB twin value-hashes the
-    estimate itself — a sketch whose approximation is deterministic
-    and auditable, unlike approx_count_distinct's private HLL layout.
-    Estimator quality (≈6% @ k=256) is pinned by tests/test_sketch.py."""
-    from mapnik_vector_tile_spark.operators.sketch import kmv_distinct
-
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return kmv_distinct(events, "event_id", k=256)
-
-
-def _sql_distinct_kmv(k: int = 256) -> str:
-    space = "72057594037927936e0"  # 2^56 as a DOUBLE literal
-    return f"""
-WITH h AS (
-  SELECT DISTINCT
-    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 14) AS BIGINT)
-      AS hv
-  FROM events),
-kk AS (SELECT hv FROM h ORDER BY hv LIMIT {k}),
-m AS (SELECT MAX(hv) AS kth, COUNT(*) AS n_used FROM kk)
-SELECT CAST({k} AS INT) AS k,
-       CAST(n_used AS BIGINT) AS n_used,
-       kth,
-       CAST(floor((n_used - 1) * {space} / kth) AS BIGINT) AS est_distinct
-FROM m
-"""
-
-
-def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T-class cardinality sketch #2, completing the sketch family
-    (KMV bottom-k, Count-Min heavy hitters, HLL): HyperLogLog distinct
-    estimate of events.event_id (operators.sketch.hll_distinct). The
-    bucket/rho register math is pure integer bit algebra on the shared
-    md5-prefix hash, the harmonic-mean denominator is an EXACT BIGINT
-    (2^(w+1)-scaled), and the single float divide uses one shared
-    literal — so the DuckDB twin value-hashes the raw estimate itself.
-    Estimator quality (≈3.25% @ m=1024) pinned by tests/test_sketch.py."""
-    from mapnik_vector_tile_spark.operators.sketch import hll_distinct
-
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return hll_distinct(events, "event_id", p=10)
-
-
-def _sql_distinct_hll(p: int = 10) -> str:
-    from mapnik_vector_tile_spark.operators.sketch import hll_scale_const
-
-    m = 1 << p
-    w = 56 - p
-    mask = (1 << w) - 1
-    scale = S.flit(hll_scale_const(p))
-    return f"""
-WITH h AS (
-  SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 14)
-              AS BIGINT) AS hv
-  FROM events),
-br AS (
-  SELECT hv >> {w} AS b,
-         CASE WHEN (hv & {mask}) = 0 THEN {w + 1}
-              ELSE {w + 1} - length(bin(hv & {mask})) END AS r
-  FROM h),
-regs AS (SELECT b, MAX(r) AS reg FROM br GROUP BY b),
-agg AS (SELECT COUNT(*) AS n_present,
-               COALESCE(SUM(CAST(1 AS BIGINT) << ({w + 1} - reg)), 0)
-                 AS s_present
-        FROM regs)
-SELECT CAST({m} AS INT) AS m,
-       CAST({m} - n_present AS BIGINT) AS v_zero,
-       CAST(s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {w + 1})
-            AS BIGINT) AS s_scaled,
-       CAST(floor({scale} /
-            CAST(s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {w + 1})
-                 AS DOUBLE))
-            AS BIGINT) AS est_raw
-FROM agg
-"""
-
-
-def q_spatial_block_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T-class × spatial: leakage-safe geographic train/val/test split
-    (operators.sampling.spatial_block_split — block cross-validation:
-    whole z6 tile cells assigned to one side by the committed
-    splitmix64 cell coin, so spatial autocorrelation cannot leak
-    between train and test). Full oracle: the twin recomputes tile
-    cells, Morton blocks, the 64-bit mix, and the 80/10/10 threshold
-    walk in pure SQL; n_blocks per split certifies block-level (not
-    row-level) assignment."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import joins as J
-    from mapnik_vector_tile_spark.operators import sampling as SMP
-
-    pts = J._order_points(spark, sf_dir, "orders", "o_orderkey")
-    out = SMP.spatial_block_split(pts, z=6)
-    return out.groupBy("split").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("block").cast("bigint").alias("n_blocks"),
-        F.sum("id").cast("bigint").alias("sum_id"),
-        F.min("id").cast("bigint").alias("min_id"),
-    )
-
-
-def _sql_spatial_block_split(z: int = 6) -> str:
-    from mapnik_vector_tile_spark.functions.tilemath import cell_id_sql_expr
-    from mapnik_vector_tile_spark.operators.sampling import (
-        BUCKETS,
-        SPLIT_TRAIN,
-        SPLIT_VAL,
-        _HSHIFT,
-    )
-
-    tx, ty = S.tile_xy_exprs(z)
-    cell = cell_id_sql_expr("tx", "ty", z)
-    sm = splitmix64_sql("block")
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts),
-bl AS (SELECT id, {cell} AS block FROM t),
-h AS (SELECT id, block,
-             CAST((({sm}) // {1 << _HSHIFT}) % {BUCKETS} AS BIGINT) AS bkt
-      FROM bl),
-s AS (SELECT id, block,
-             CASE WHEN bkt < {SPLIT_TRAIN} THEN 'train'
-                  WHEN bkt < {SPLIT_VAL} THEN 'val'
-                  ELSE 'test' END AS split
-      FROM h)
-SELECT split,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks,
-       CAST(SUM(id) AS BIGINT) AS sum_id,
-       CAST(MIN(id) AS BIGINT) AS min_id
-FROM s GROUP BY 1
-"""
-
-
-JPEG_N = 300  # q_raster_jpeg corpus size
-
-
-def q_raster_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2 lossy codec gate with a FULL contract oracle: every image of
-    the committed synthetic corpus (gradient+noise — mod-256 sawtooth
-    wraps, the hardest JPEG content) is round-tripped through the real
-    pure-numpy baseline JPEG codec (functions.jpeg via the raster
-    codec registry) and must satisfy the input_hint invariants:
-    PSNR ≥ 40 dB on RGB, opaque alpha, non-empty stream. The DuckDB
-    twin regenerates (image_id, w, h) closed-form and asserts the
-    booleans TRUE — a hash mismatch means the engine failed the lossy
-    contract on some image. Pixel-level JPEG behavior is additionally
-    pinned by tests/test_raster.py. sf_dir is unused: the corpus is
-    the committed synth recipe (no images table exists in testdata)."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators import raster as R
-
-    def gen(it):
-        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
-
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            src = gen_images_pdf(
-                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
-            )
-            out = {"image_id": [], "w": [], "h": [], "jpeg_ok": [],
-                   "alpha_ok": [], "nonempty": []}
-            for row in src.itertuples(index=False):
-                rgba = R.decode_image(
-                    row.bytes, row.fmt, int(row.w), int(row.h)
-                )
-                buf = R.encode_image(rgba, "jpeg")
-                back = R.decode_image(buf, "jpeg", int(row.w), int(row.h))
-                a = rgba[..., :3].astype(np.float64)
-                b = back[..., :3].astype(np.float64)
-                mse = float(np.mean((a - b) ** 2))
-                p = 10.0 * np.log10(255.0**2 / mse) if mse else np.inf
-                out["image_id"].append(row.image_id)
-                out["w"].append(int(row.w))
-                out["h"].append(int(row.h))
-                out["jpeg_ok"].append(bool(p >= 40.0))
-                out["alpha_ok"].append(bool((back[..., 3] == 255).all()))
-                out["nonempty"].append(len(buf) > 0)
-            yield pd.DataFrame(out)
-
-    return spark.range(0, JPEG_N, 1, 8).mapInPandas(
-        gen,
-        schema=("image_id string, w int, h int, jpeg_ok boolean, "
-                "alpha_ok boolean, nonempty boolean"),
-    )
-
-
-def _sql_raster_jpeg(n: int = JPEG_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       CAST(16 + (i * 7) % 49 AS INT) AS w,
-       CAST(16 + (i * 11) % 49 AS INT) AS h,
-       TRUE AS jpeg_ok, TRUE AS alpha_ok, TRUE AS nonempty
-FROM ids
-"""
-
-
-def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT global quantiles by the two-pass histogram+rank-select
-    strategy (operators.sketch.global_quantiles — no global sort; the
-    driver only ever receives a bounded histogram summary). The DuckDB
-    twin computes the SAME rank-selection definition by a full sort —
-    an algorithm-independent oracle: if bucket routing, cumulative
-    offsets, or the within-bucket ranking were off by one row, the
-    hash breaks."""
-    from mapnik_vector_tile_spark.operators.sketch import global_quantiles
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return global_quantiles(
-        orders, "o_totalprice", qs=(0.5, 0.95, 0.99),
-        names=("p50", "p95", "p99"),
-    )
-
-
-def _sql_global_quantiles() -> str:
-    return """
-WITH r AS (SELECT o_totalprice AS v,
-                  row_number() OVER (ORDER BY o_totalprice) - 1 AS rn,
-                  COUNT(*) OVER () AS n
-           FROM orders)
-SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
-       MAX(CASE WHEN rn = CAST(floor((n - 1) * 5e-1) AS BIGINT)
-                THEN v END) AS p50,
-       MAX(CASE WHEN rn = CAST(floor((n - 1) * 95e-2) AS BIGINT)
-                THEN v END) AS p95,
-       MAX(CASE WHEN rn = CAST(floor((n - 1) * 99e-2) AS BIGINT)
-                THEN v END) AS p99
-FROM r
-"""
-
-
-WAFER_Z, WAFER_K = 8, 3  # q_engine_wafer: z8 tiles rendered as z5 wafers
-
-
-def q_engine_wafer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wafer rendering (the mapycz fork's multi-tile render strategy,
-    SURVEY §0) through the REAL pipeline with a FULL oracle: orders
-    points are encoded as 2^k×2^k tile BLOCKS — one wafer tile at z−k
-    with extent 4096·2^k (the exact z-level grid) — then split into
-    children by pure integer translation (overzoom_children with
-    child_extent=4096, coordinate factor f=1). The DuckDB twin replays
-    the whole chain closed-form: wafer assignment, the wafer-anchored
-    quantize (round-half-away on (mx−minx_w)·scale_w, op-for-op), the
-    inclusive [0, extent] bounds check, and the child-range floor
-    division — INCLUDING the duplication of points that quantize onto
-    an internal child boundary (px ≡ 0 mod 4096), which buffer-0 wafer
-    splitting shares with every buffered-tile semantic.
-    Ref parity: mapycz wafer rendering (merc wafer blocks); SURVEY §0
-    fork-specific table."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    tiles = T.encode_wafer_tiles(
-        feats, z=WAFER_Z, k=WAFER_K, buffer_units=0, n_salts=8
-    )
-    return tiles.select(
-        "z", "x", "y", F.col("n_features").cast("bigint").alias("n_features")
-    )
-
-
-def _sql_wafer(z: int = WAFER_Z, k: int = WAFER_K) -> str:
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
-    zw = z - k
-    s = 1 << k
-    ce = 4096
-    wext = ce << k
-    span_w = (2.0 * tm.W) / float(1 << zw)
-    scale_w = float(wext) / span_w
-    txw, tyw = S.tile_xy_exprs(zw)
-    rawx = f"((mx - (-{S.flit(tm.W)} + txw * {S.flit(span_w)})) * {S.flit(scale_w)})"
-    rawy = f"((({S.flit(tm.W)} - tyw * {S.flit(span_w)}) - my) * {S.flit(scale_w)})"
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-w AS (SELECT id, mx, my, {txw} AS txw, {tyw} AS tyw FROM pts),
-q AS (SELECT id, txw, tyw,
-             {S.round_half_up_nonneg(rawx)} AS px,
-             {S.round_half_up_nonneg(rawy)} AS py
-      FROM w),
-m AS (SELECT * FROM q
-      WHERE px BETWEEN 0 AND {wext} AND py BETWEEN 0 AND {wext}),
-cx AS (SELECT *, unnest(generate_series(
-         GREATEST(0, -CAST(floor(({ce} - px) / {S.flit(ce)}) AS BIGINT)),
-         LEAST({s - 1}, CAST(floor(px / {S.flit(ce)}) AS BIGINT)))) AS cxi
-       FROM m),
-cxy AS (SELECT *, unnest(generate_series(
-          GREATEST(0, -CAST(floor(({ce} - py) / {S.flit(ce)}) AS BIGINT)),
-          LEAST({s - 1}, CAST(floor(py / {S.flit(ce)}) AS BIGINT)))) AS cyi
-        FROM cx)
-SELECT CAST({z} AS INT) AS z,
-       txw * {s} + cxi AS x,
-       tyw * {s} + cyi AS y,
-       COUNT(*) AS n_features
-FROM cxy GROUP BY 1, 2, 3
-"""
-
-
-MJPEG_N = 120  # q_video_mjpeg corpus size
-
-
-def q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T14 LOSSY video codec gate with a FULL contract oracle: the
-    MJPEG corpus (sources.multimodal.gen_mjpeg_video_pdf — the same
-    mod-256 moving-gradient luma recipe as the lossless corpus, the
-    hardest content for a DCT codec) flows through the REAL engine
-    path ``sample_frames`` (operators.multimodal's mjpeg branch:
-    container walk + per-sampled-frame grayscale JPEG decode), and
-    each clip must satisfy the input_hint lossy invariant PSNR ≥ 40 dB
-    plus actual compression (bytes < raw planes). The PSNR gate is a
-    PURE-INTEGER comparison — PSNR ≥ 40 ⇔ sse·10⁴ ≤ 255²·n_pix with
-    sse an exact int64 sum of squared pixel deltas vs the closed-form
-    reference — so the booleans are deterministic, not float-fragile.
-    The DuckDB twin regenerates (w, h, n_sampled) from the committed
-    splitmix64 recipe and asserts the contract booleans TRUE.
-    sf_dir is unused: the corpus is the committed synth recipe.
-    Ref parity: per-frame intraframe coding is the random-access
-    property RFC 2435-style MJPEG exists for; SURVEY §2.11 T14."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import multimodal as mm
-    from mapnik_vector_tile_spark.sources.multimodal import mjpeg_video_df
-
-    vids = mjpeg_video_df(spark, MJPEG_N)
-    smaller = vids.select(
-        "video_id",
-        (
-            F.length("bytes")
-            < F.col("w").cast("long") * F.col("h") * F.col("n_frames")
-        ).alias("smaller"),
-    )
-    sampled = mm.sample_frames(vids, every=2)
-
-    def check(it):
-        import numpy as np
-        import pandas as pd
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        for pdf in it:
-            if not len(pdf):
-                continue
-            idx = pdf["video_id"].str.slice(4).astype(np.int64).to_numpy()
-            hh = splitmix64(idx.astype(np.uint64))
-            phase = (hh % np.uint64(251)).astype(np.int64)
-            sse = np.empty(len(pdf), np.int64)
-            for j, r in enumerate(pdf.itertuples(index=False)):
-                fy, fx = np.mgrid[0 : int(r.h), 0 : int(r.w)]
-                ref = (
-                    fx * 3 + fy * 5 + int(r.frame_idx) * 7 + int(phase[j])
-                ) % 256
-                got = (
-                    np.frombuffer(r.frame, dtype=np.uint8)
-                    .reshape(int(r.h), int(r.w))
-                    .astype(np.int64)
-                )
-                d = got - ref
-                sse[j] = int((d * d).sum())
-            yield pd.DataFrame(
-                {
-                    "video_id": pdf["video_id"],
-                    "w": pdf["w"].astype("int32"),
-                    "h": pdf["h"].astype("int32"),
-                    "sse": sse,
-                    "n_pix": (
-                        pdf["w"].astype("int64") * pdf["h"].astype("int64")
-                    ),
-                }
-            )
-
-    per_frame = sampled.mapInPandas(
-        check, schema="video_id string, w int, h int, sse bigint, n_pix bigint"
-    )
-    agg = per_frame.groupBy("video_id", "w", "h").agg(
-        F.count("*").cast("int").alias("n_sampled"),
-        (
-            F.sum("sse") * F.lit(10000) <= F.sum("n_pix") * F.lit(255 * 255)
-        ).alias("psnr_ok"),
-    )
-    return agg.join(smaller, "video_id").select(
-        "video_id", "w", "h", "n_sampled", "psnr_ok", "smaller"
-    )
-
-
-def _sql_video_mjpeg(n: int = MJPEG_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
-hh AS (SELECT idx, {splitmix64_sql('idx')} AS hv FROM ids)
-SELECT 'mjv_' || CAST(idx AS VARCHAR) AS video_id,
-       CAST(40 + (hv % 3) * 24 AS INT) AS w,
-       CAST(40 + ((hv // 16) % 3) * 16 AS INT) AS h,
-       CAST((4 + (hv // 4096) % 5 + 1) // 2 AS INT) AS n_sampled,
-       TRUE AS psnr_ok, TRUE AS smaller
-FROM hh
-"""
-
-
-MPEG1V_N = 120  # q_video_mpeg1 corpus size
-
-
-def q_video_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T14 MPEG-1 VIDEO I-frame codec gate (functions.mpeg1video —
-    the real-syntax replacement for the former h264 stub, the video
-    analogue of q_audio_mp1): the corpus
-    (sources.multimodal.gen_mpeg1_video_pdf — the gen_mjpeg recipe,
-    mpeg1v-encoded) flows through the REAL engine path
-    ``sample_frames`` (operators.multimodal's mpeg1v branch: sequence
-    header parse + picture start-code scan + per-sampled-picture
-    entropy decode), and each clip must satisfy the input_hint lossy
-    invariant PSNR ≥ 40 dB plus actual compression.  The PSNR gate is
-    the same PURE-INTEGER comparison as q_video_mjpeg (sse·10⁴ ≤
-    255²·n_pix, exact int64), and the DuckDB twin regenerates
-    (w, h, n_sampled) from the committed splitmix64 recipe.
-    sf_dir unused (committed synth recipe).  SURVEY §2.11 T14."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import multimodal as mm
-    from mapnik_vector_tile_spark.sources.multimodal import mpeg1_video_df
-
-    vids = mpeg1_video_df(spark, MPEG1V_N)
-    smaller = vids.select(
-        "video_id",
-        (
-            F.length("bytes")
-            < F.col("w").cast("long") * F.col("h") * F.col("n_frames")
-        ).alias("smaller"),
-    )
-    sampled = mm.sample_frames(vids, every=2)
-
-    def check(it):
-        import numpy as np
-        import pandas as pd
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        for pdf in it:
-            if not len(pdf):
-                continue
-            idx = pdf["video_id"].str.slice(4).astype(np.int64).to_numpy()
-            hh = splitmix64(idx.astype(np.uint64))
-            phase = (hh % np.uint64(251)).astype(np.int64)
-            sse = np.empty(len(pdf), np.int64)
-            for j, r in enumerate(pdf.itertuples(index=False)):
-                fy, fx = np.mgrid[0 : int(r.h), 0 : int(r.w)]
-                ref = (
-                    fx * 3 + fy * 5 + int(r.frame_idx) * 7 + int(phase[j])
-                ) % 256
-                got = (
-                    np.frombuffer(r.frame, dtype=np.uint8)
-                    .reshape(int(r.h), int(r.w))
-                    .astype(np.int64)
-                )
-                d = got - ref
-                sse[j] = int((d * d).sum())
-            yield pd.DataFrame(
-                {
-                    "video_id": pdf["video_id"],
-                    "w": pdf["w"].astype("int32"),
-                    "h": pdf["h"].astype("int32"),
-                    "sse": sse,
-                    "n_pix": (
-                        pdf["w"].astype("int64") * pdf["h"].astype("int64")
-                    ),
-                }
-            )
-
-    per_frame = sampled.mapInPandas(
-        check, schema="video_id string, w int, h int, sse bigint, n_pix bigint"
-    )
-    agg = per_frame.groupBy("video_id", "w", "h").agg(
-        F.count("*").cast("int").alias("n_sampled"),
-        (
-            F.sum("sse") * F.lit(10000) <= F.sum("n_pix") * F.lit(255 * 255)
-        ).alias("psnr_ok"),
-    )
-    return agg.join(smaller, "video_id").select(
-        "video_id", "w", "h", "n_sampled", "psnr_ok", "smaller"
-    )
-
-
-def _sql_video_mpeg1(n: int = MPEG1V_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
-hh AS (SELECT idx, {splitmix64_sql('idx')} AS hv FROM ids)
-SELECT 'm1v_' || CAST(idx AS VARCHAR) AS video_id,
-       CAST(40 + (hv % 3) * 24 AS INT) AS w,
-       CAST(40 + ((hv // 16) % 3) * 16 AS INT) AS h,
-       CAST((4 + (hv // 4096) % 5 + 1) // 2 AS INT) AS n_sampled,
-       TRUE AS psnr_ok, TRUE AS smaller
-FROM hh
-"""
-
-
-PNG_N = 300  # q_raster_png corpus size
-
-
-def q_raster_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2 LOSSLESS codec gate with a FULL contract oracle: every image
-    of the committed synthetic corpus round-trips through the REAL PNG
-    codec (functions.png — signature/IHDR/IDAT/IEND with CRCs, all 5
-    scanline filters, min-SAD heuristic) and must come back BIT-EXACT
-    (stronger than the JPEG path's PSNR gate), carry the real PNG
-    signature, and compress the gradient+noise corpus below raw size.
-    The DuckDB twin regenerates (image_id, w, h) closed-form and
-    asserts the contract booleans TRUE. sf_dir unused (committed synth
-    recipe). Ref parity: mapnik save_to_string(image, "png");
-    SURVEY §2.8 R2."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators import raster as R
-
-    def gen(it):
-        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
-
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            src = gen_images_pdf(
-                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
-            )
-            out = {"image_id": [], "w": [], "h": [], "exact": [],
-                   "is_png": [], "smaller": []}
-            for row in src.itertuples(index=False):
-                rgba = R.decode_image(
-                    row.bytes, row.fmt, int(row.w), int(row.h)
-                )
-                buf = R.encode_image(rgba, "png")
-                back = R.decode_image(buf, "png", int(row.w), int(row.h))
-                out["image_id"].append(row.image_id)
-                out["w"].append(int(row.w))
-                out["h"].append(int(row.h))
-                out["exact"].append(bool(np.array_equal(back, rgba)))
-                out["is_png"].append(buf[:8] == b"\x89PNG\r\n\x1a\n")
-                out["smaller"].append(len(buf) < rgba.size)
-            yield pd.DataFrame(out)
-
-    return spark.range(0, PNG_N, 1, 8).mapInPandas(
-        gen,
-        schema=("image_id string, w int, h int, exact boolean, "
-                "is_png boolean, smaller boolean"),
-    )
-
-
-def _sql_raster_png(n: int = PNG_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       CAST(16 + (i * 7) % 49 AS INT) AS w,
-       CAST(16 + (i * 11) % 49 AS INT) AS h,
-       TRUE AS exact, TRUE AS is_png, TRUE AS smaller
-FROM ids
-"""
-
-
-WEBP_N = 200  # q_raster_webp corpus size
-
-
-def q_raster_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2 WebP-lossless codec gate with a FULL contract oracle: the
-    synthetic corpus round-trips through the REAL VP8L codec
-    (functions.webp — RIFF/WEBP/VP8L container, canonical prefix codes
-    via the 19-symbol code-length code, SUBTRACT_GREEN transform) and
-    must come back BIT-EXACT with a real RIFF/VP8L header. The DuckDB
-    twin regenerates (image_id, w, h) closed-form and asserts the
-    booleans TRUE. sf_dir unused (committed synth recipe). Ref parity:
-    mapnik save_to_string(image, "webp"); SURVEY §2.8 R2."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators import raster as R
-
-    def gen(it):
-        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
-
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            src = gen_images_pdf(
-                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
-            )
-            out = {"image_id": [], "w": [], "h": [], "exact": [],
-                   "is_webp": [], "nonempty": []}
-            for row in src.itertuples(index=False):
-                rgba = R.decode_image(
-                    row.bytes, row.fmt, int(row.w), int(row.h)
-                )
-                buf = R.encode_image(rgba, "webp")
-                back = R.decode_image(buf, "webp", int(row.w), int(row.h))
-                out["image_id"].append(row.image_id)
-                out["w"].append(int(row.w))
-                out["h"].append(int(row.h))
-                out["exact"].append(bool(np.array_equal(back, rgba)))
-                out["is_webp"].append(
-                    buf[:4] == b"RIFF" and buf[8:16] == b"WEBPVP8L"
-                )
-                out["nonempty"].append(len(buf) > 0)
-            yield pd.DataFrame(out)
-
-    return spark.range(0, WEBP_N, 1, 8).mapInPandas(
-        gen,
-        schema=("image_id string, w int, h int, exact boolean, "
-                "is_webp boolean, nonempty boolean"),
-    )
-
-
-def _sql_raster_webp(n: int = WEBP_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       CAST(16 + (i * 7) % 49 AS INT) AS w,
-       CAST(16 + (i * 11) % 49 AS INT) AS h,
-       TRUE AS exact, TRUE AS is_webp, TRUE AS nonempty
-FROM ids
-"""
-
-
-TIFF_N = 240  # q_raster_tiff corpus size
-
-
-def q_raster_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2 TIFF codec gate with a FULL contract oracle: the synthetic
-    corpus round-trips through the REAL baseline TIFF 6.0 codec
-    (functions.tiff — little-endian IFD, PackBits strips with the §9
-    per-row restart rule, plus the uncompressed variant) and must come
-    back BIT-EXACT on BOTH compressions with a real ``II*\\0`` header.
-    With png/jpeg/webp this completes the reference's mapnik raster
-    format surface (only avif stays a stub). The DuckDB twin
-    regenerates (image_id, w, h) closed-form and asserts the contract
-    booleans TRUE. sf_dir unused (committed synth recipe). Ref parity:
-    mapnik save_to_string(image, "tiff"); SURVEY §2.8 R2."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import tiff as tiffmod
-    from mapnik_vector_tile_spark.operators import raster as R
-
-    def gen(it):
-        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
-
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            src = gen_images_pdf(
-                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
-            )
-            out = {"image_id": [], "w": [], "h": [], "exact": [],
-                   "exact_raw": [], "is_tiff": []}
-            for row in src.itertuples(index=False):
-                rgba = R.decode_image(
-                    row.bytes, row.fmt, int(row.w), int(row.h)
-                )
-                buf = R.encode_image(rgba, "tiff")
-                back = R.decode_image(buf, "tiff", int(row.w), int(row.h))
-                raw = tiffmod.encode_tiff(rgba, compress=False)
-                back_raw = tiffmod.decode_tiff(raw)
-                out["image_id"].append(row.image_id)
-                out["w"].append(int(row.w))
-                out["h"].append(int(row.h))
-                out["exact"].append(bool(np.array_equal(back, rgba)))
-                out["exact_raw"].append(bool(np.array_equal(back_raw, rgba)))
-                out["is_tiff"].append(buf[:4] == b"II*\x00")
-            yield pd.DataFrame(out)
-
-    return spark.range(0, TIFF_N, 1, 8).mapInPandas(
-        gen,
-        schema=("image_id string, w int, h int, exact boolean, "
-                "exact_raw boolean, is_tiff boolean"),
-    )
-
-
-def _sql_raster_tiff(n: int = TIFF_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       CAST(16 + (i * 7) % 49 AS INT) AS w,
-       CAST(16 + (i * 11) % 49 AS INT) AS h,
-       TRUE AS exact, TRUE AS exact_raw, TRUE AS is_tiff
-FROM ids
-"""
-
-
-PNG8_N = 240  # q_raster_png8 corpus size
-
-
-def q_raster_png8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2 PNG8 palette codec gate with a FULL contract oracle —
-    mapnik's ``save_to_string(image, "png8")`` quantized-palette path
-    (functions.png8: deterministic median cut, color-type-3 PNG with
-    PLTE/tRNS). Two corpus classes: idx%3==0 renders a 6-color pattern
-    (<=256 distinct ⇒ round-trip must be BIT-EXACT — the lossless
-    contract), the rest use the gradient+noise synth pixels (>256
-    distinct ⇒ decode must equal the INDEPENDENTLY computed palette
-    mapping exactly, palette <=256 entries, and integer-exact
-    PSNR >= 30 dB over RGB: sse*1000 <= npix*3*255^2). The DuckDB twin
-    regenerates (image_id, w, h, few) closed-form and asserts the
-    booleans TRUE. sf_dir unused (committed synth recipe). Ref parity:
-    mapnik save_to_string(image, "png8") octree quantizer — same
-    <=256-palette contract, deterministic median cut here; SURVEY
-    §2.8 R2."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import png8 as png8mod
-    from mapnik_vector_tile_spark.operators import raster as R
-
-    def gen(it):
-        from mapnik_vector_tile_spark.sources.synth import gen_images_pdf
-
-        pal6 = np.array(
-            [
-                [10, 20, 30, 255],
-                [200, 100, 0, 255],
-                [0, 0, 0, 128],
-                [255, 255, 255, 255],
-                [7, 7, 7, 255],
-                [40, 220, 160, 255],
-            ],
-            np.uint8,
-        )
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            src = gen_images_pdf(
-                int(ids.max()) - int(ids.min()) + 1, start=int(ids.min())
-            )
-            src = src.assign(idx=np.arange(int(ids.min()), int(ids.max()) + 1))
-            out = {"image_id": [], "w": [], "h": [], "few": [],
-                   "is_png8": [], "exact_ok": [], "psnr_ok": [],
-                   "pal_ok": []}
-            for row in src.itertuples(index=False):
-                w, h = int(row.w), int(row.h)
-                few = int(row.idx) % 3 == 0
-                if few:
-                    yy, xx = np.mgrid[0:h, 0:w]
-                    rgba = pal6[(xx * 3 + yy * 5 + int(row.idx)) % 6]
-                else:
-                    rgba = R.decode_image(row.bytes, row.fmt, w, h)
-                buf = R.encode_image(rgba, "png8")
-                back = R.decode_image(buf, "png8", w, h)
-                palette, idx2 = png8mod.median_cut_palette(rgba)
-                quant = palette[idx2]
-                if few:
-                    exact_ok = bool(np.array_equal(back, rgba))
-                else:
-                    exact_ok = bool(np.array_equal(back, quant))
-                err = rgba[..., :3].astype(np.int64) - back[..., :3].astype(
-                    np.int64
-                )
-                sse = int((err * err).sum())
-                npx = w * h
-                out["image_id"].append(row.image_id)
-                out["w"].append(w)
-                out["h"].append(h)
-                out["few"].append(few)
-                out["is_png8"].append(
-                    buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[25:26] == b"\x03"
-                )
-                out["exact_ok"].append(exact_ok)
-                out["psnr_ok"].append(sse * 1000 <= npx * 3 * 255 * 255)
-                out["pal_ok"].append(len(palette) <= 256)
-            yield pd.DataFrame(out)
-
-    return spark.range(0, PNG8_N, 1, 8).mapInPandas(
-        gen,
-        schema=("image_id string, w int, h int, few boolean, "
-                "is_png8 boolean, exact_ok boolean, psnr_ok boolean, "
-                "pal_ok boolean"),
-    )
-
-
-def _sql_raster_png8(n: int = PNG8_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       CAST(16 + (i * 7) % 49 AS INT) AS w,
-       CAST(16 + (i * 11) % 49 AS INT) AS h,
-       (i % 3 = 0) AS few,
-       TRUE AS is_png8, TRUE AS exact_ok, TRUE AS psnr_ok, TRUE AS pal_ok
-FROM ids
-"""
-
-
-WKT_N = 600  # q_wkt_ingest / q_wkb_ingest corpus size
-
-
-def _wkt_corpus_geoms(ids) -> list[tuple[int, int, list, list, list]]:
-    """Deterministic 6-shape ingest corpus, closed-form per id so the
-    DuckDB twin replays it without parsing: i%6 picks POINT /
-    LINESTRING / POLYGON / MULTIPOINT / MULTILINESTRING(2 parts) /
-    MULTIPOLYGON(2 rects). All coordinates are dyadic (.25/.5 offsets,
-    integer steps, |v| < 2^12) so every vertex sum is exact in float64
-    regardless of summation order. Returns (id, gtype, xs, ys, offs)."""
-    from mapnik_vector_tile_spark.functions import geomcodec as gc
-
-    out = []
-    for i in ids:
-        i = int(i)
-        x0 = -170.0 + (i * 7) % 340 + 0.25
-        y0 = -80.0 + (i * 11) % 160 + 0.5
-        m = i % 6
-        if m == 0:
-            g, xs, ys, offs = gc.GEOM_POINT, [x0], [y0], [0, 1]
-        elif m == 1:
-            k = 3 + i % 5
-            xs = [x0 + 3.0 * j for j in range(k)]
-            ys = [y0 - 2.0 * j for j in range(k)]
-            g, offs = gc.GEOM_LINESTRING, [0, k]
-        elif m == 2:
-            w, h = 1.0 + i % 9, 2.0 + i % 7
-            xs = [x0, x0 + w, x0 + w, x0, x0]
-            ys = [y0, y0, y0 + h, y0 + h, y0]
-            g, offs = gc.GEOM_POLYGON, [0, 5]
-        elif m == 3:
-            k = 2 + i % 4
-            xs = [x0 + 5.0 * j for j in range(k)]
-            ys = [y0 + 4.0 * j for j in range(k)]
-            g, offs = gc.GEOM_POINT, [0, k]
-        elif m == 4:
-            xs, ys = [], []
-            for p in range(2):
-                xs += [x0 + 10.0 * p + j for j in range(3)]
-                ys += [y0 - 10.0 * p + 2.0 * j for j in range(3)]
-            g, offs = gc.GEOM_LINESTRING, [0, 3, 6]
-        else:
-            xs, ys = [], []
-            for r in range(2):
-                rx = x0 + 20.0 * r
-                xs += [rx, rx + 2.0, rx + 2.0, rx, rx]
-                ys += [y0, y0, y0 + 3.0, y0 + 3.0, y0]
-            g, offs = gc.GEOM_POLYGON, [0, 5, 10]
-        out.append((i, g, xs, ys, offs))
-    return out
-
-
-def _ingest_summary(parsed: DataFrame) -> DataFrame:
-    """Shared tail of the WKT/WKB ingest gates: per-feature structural
-    summary over the canonical features schema."""
-    from pyspark.sql import functions as F
-
-    return parsed.select(
-        F.col("feature_id"),
-        F.col("geom_type"),
-        (F.size("part_offsets") - F.lit(1)).alias("n_parts"),
-        F.size("xs").alias("n_vertices"),
-        F.aggregate("xs", F.lit(0.0), lambda a, x: a + x).alias("sum_x"),
-        F.aggregate("ys", F.lit(0.0), lambda a, x: a + x).alias("sum_y"),
-        F.col("caption"),
-    )
-
-
-def q_wkt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 WKT source gate with a FULL oracle: the deterministic
-    6-shape corpus is rendered to WKT TEXT (via the engine's
-    geometry_to_wkt writer — so the writer is under the same gate),
-    parsed back through the REAL wkt_to_features ingest stage
-    (sources/wkt.py, to_merc=False: the subject is the parser), and
-    summarized per feature (type, part/vertex counts, coordinate
-    sums — all dyadic-exact). The DuckDB twin replays the corpus
-    closed-form, no WKT involved. sf_dir unused (committed synth
-    recipe). Ref parity: mapnik::from_wkt / util::to_wkt
-    (include/mapnik/wkt/wkt_factory.hpp) feeding the reference's
-    processor; SURVEY §2.1 S1."""
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.sources import wkt as WK
-
-    def gen(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"feature_id": [], "wkt": [], "caption": []}
-            for i, g, xs, ys, offs in _wkt_corpus_geoms(ids):
-                rows["feature_id"].append(i)
-                rows["wkt"].append(WK.geometry_to_wkt(g, xs, ys, offs))
-                rows["caption"].append(f"c{i}")
-            yield pd.DataFrame(rows)
-
-    corpus = spark.range(0, WKT_N, 1, 8).mapInPandas(
-        gen, schema="feature_id long, wkt string, caption string"
-    )
-    return _ingest_summary(WK.wkt_to_features(corpus, to_merc=False))
-
-
-def q_wkb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 WKB source gate with a FULL oracle: same corpus as
-    q_wkt_ingest but serialized to WKB BYTES (geometry_to_wkb,
-    alternating little/big endian by id so both byte orders stay
-    gated) and parsed through the REAL wkb_to_features stage
-    (np.frombuffer coordinate decode). Same closed-form DuckDB twin.
-    Ref parity: mapnik geometry_utils::from_wkb; SURVEY §2.1 S1."""
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.sources import wkt as WK
-
-    def gen(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"feature_id": [], "wkb": [], "caption": []}
-            for i, g, xs, ys, offs in _wkt_corpus_geoms(ids):
-                rows["feature_id"].append(i)
-                rows["wkb"].append(
-                    WK.geometry_to_wkb(g, xs, ys, offs, little=bool(i % 2))
-                )
-                rows["caption"].append(f"c{i}")
-            yield pd.DataFrame(rows)
-
-    corpus = spark.range(0, WKT_N, 1, 8).mapInPandas(
-        gen, schema="feature_id long, wkb binary, caption string"
-    )
-    return _ingest_summary(WK.wkb_to_features(corpus, to_merc=False))
-
-
-def q_shp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 Shapefile source+sink gate with a FULL oracle: the same
-    deterministic 6-shape corpus as the WKT/WKB gates is written
-    through the REAL sharded shapefile sink (sources/shapefile.py —
-    per-(partition, shape-type) .shp/.shx/.dbf triplets, executor-
-    side, Point/MultiPoint split per the one-type-per-file spec rule,
-    pinned-date dBASE III attributes) and read back through the REAL
-    file-parallel source (to_merc=False: the subject is the codec),
-    then summarized per feature exactly like q_wkt_ingest — so the
-    writer, the reader, the FID/caption dbf order join, and the
-    part-offset reconstruction are all under one hash. Same
-    closed-form DuckDB twin; shapefile bytes never reach DuckDB. Ref
-    parity: mapnik's shapefile datasource plugin
-    (plugins/input/shape — shape_datasource/shape_featureset);
-    SURVEY §2.1 S1."""
-    import os
-    import shutil
-
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.sources.shapefile import (
-        read_shapefile,
-        write_shapefile_shards,
-    )
-
-    def gen(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {
-                "feature_id": [], "geom_type": [], "xs": [], "ys": [],
-                "part_offsets": [], "caption": [],
-            }
-            for i, g, xs, ys, offs in _wkt_corpus_geoms(ids):
-                rows["feature_id"].append(i)
-                rows["geom_type"].append(int(g))
-                rows["xs"].append(list(xs))
-                rows["ys"].append(list(ys))
-                rows["part_offsets"].append(list(offs))
-                rows["caption"].append(f"c{i}")
-            yield pd.DataFrame(rows)
-
-    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
-
-    corpus = spark.range(0, WKT_N, 1, 8).mapInPandas(
-        gen, schema=FEATURES_SCHEMA
-    )
-    out_dir = f"/tmp/mvt_shp_gate_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    write_shapefile_shards(corpus, out_dir, num_shards=8)
-    return _ingest_summary(read_shapefile(spark, out_dir, to_merc=False))
-
-
-CSV_N = 600  # q_csv_ingest corpus size
-
-
-def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 CSV datasource gate with a FULL oracle: a deterministic
-    point corpus (dyadic lon/lat so sums are exact) is written as four
-    CSV fixture files — including malformed rows: every id%7==0 line
-    carries a non-numeric lon, id%11==0 an out-of-range latitude —
-    and read back through the REAL read_csv_features path
-    (spark.read.csv explicit-schema scan → vectorized coercion +
-    drop-policy stage, to_merc=False: the subject is the parser). The
-    summary reuses the shared _ingest_summary; the DuckDB twin
-    replays the corpus and BOTH drop rules closed-form — CSV text
-    never reaches DuckDB. Ref parity: mapnik's csv datasource plugin
-    (plugins/input/csv, strict=false drop-and-continue); SURVEY
-    §2.1 S1."""
-    import os
-
-    from mapnik_vector_tile_spark.sources.csvsrc import read_csv_features
-
-    out_dir = f"/tmp/mvt_csv_gate_{os.getpid()}"
-    os.makedirs(out_dir, exist_ok=True)
-    for shard in range(4):
-        lines = ["id,lon,lat,caption"]
-        for i in range(shard, CSV_N, 4):
-            lon: object = -170.0 + (i * 7) % 340 + 0.25
-            lat: object = -80.0 + (i * 11) % 160 + 0.5
-            if i % 7 == 0:
-                lon = "not-a-number"
-            elif i % 11 == 0:
-                lat = 91.5  # out of range -> dropped
-            lines.append(f"{i},{lon},{lat},c{i}")
-        with open(f"{out_dir}/part-{shard}.csv", "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-    feats = read_csv_features(
-        spark,
-        out_dir,
-        columns=["id", "lon", "lat", "caption"],
-        to_merc=False,
-    )
-    return _ingest_summary(feats)
-
-
-def _sql_csv_ingest(n: int = CSV_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
-SELECT i AS feature_id, 1 AS geom_type, 1 AS n_parts, 1 AS n_vertices,
-       CAST(-170 + (i * 7) % 340 AS DOUBLE) + 0.25 AS sum_x,
-       CAST(-80 + (i * 11) % 160 AS DOUBLE) + 0.5 AS sum_y,
-       'c' || CAST(i AS VARCHAR) AS caption
-FROM ids
-WHERE i % 7 <> 0 AND i % 11 <> 0
-"""
-
-
-def _sql_wkt_ingest(n: int = WKT_N) -> str:
-    """Closed-form twin of _wkt_corpus_geoms + _ingest_summary."""
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-base AS (
-  SELECT i,
-         CAST(-170 + (i * 7) % 340 AS DOUBLE) + 0.25 AS x0,
-         CAST(-80 + (i * 11) % 160 AS DOUBLE) + 0.5 AS y0,
-         i % 6 AS m,
-         3 + i % 5 AS lk,          -- LINESTRING vertex count
-         2 + i % 4 AS pk,          -- MULTIPOINT count
-         CAST(1 + i % 9 AS DOUBLE) AS w,
-         CAST(2 + i % 7 AS DOUBLE) AS h
-  FROM ids
-)
-SELECT i AS feature_id,
-       CASE m WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
-              WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 3 END AS geom_type,
-       CASE m WHEN 4 THEN 2 WHEN 5 THEN 2 ELSE 1 END AS n_parts,
-       CASE m WHEN 0 THEN 1 WHEN 1 THEN lk WHEN 2 THEN 5
-              WHEN 3 THEN pk WHEN 4 THEN 6 ELSE 10 END AS n_vertices,
-       CASE m WHEN 0 THEN x0
-              WHEN 1 THEN lk * x0 + 3.0 * (lk * (lk - 1) / 2)
-              WHEN 2 THEN 5 * x0 + 2 * w
-              WHEN 3 THEN pk * x0 + 5.0 * (pk * (pk - 1) / 2)
-              WHEN 4 THEN 6 * x0 + 36.0
-              ELSE 10 * x0 + 108.0 END AS sum_x,
-       CASE m WHEN 0 THEN y0
-              WHEN 1 THEN lk * y0 - 2.0 * (lk * (lk - 1) / 2)
-              WHEN 2 THEN 5 * y0 + 2 * h
-              WHEN 3 THEN pk * y0 + 4.0 * (pk * (pk - 1) / 2)
-              WHEN 4 THEN 6 * y0 - 18.0
-              ELSE 10 * y0 + 12.0 END AS sum_y,
-       'c' || CAST(i AS VARCHAR) AS caption
-FROM base
-"""
-
-
-COVER_N = 400  # q_cell_cover corpus size
-COVER_Z = 10
-
-
-def q_cell_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T15-family polygon→cell covering ("polyfill") with a FULL
-    oracle. Corpus: 400 polygons at z=10, i%2 picks the shape —
-    0: axis-aligned rectangle (w,h = cell-multiples + span/2, anchored
-    at cell-fraction +0.25 so no edge ever lies ON a cell boundary),
-    1: right triangle with axis-aligned legs (hypotenuse x+y = T with
-    T at cell-corner-sum + span/2, so no corner ever lies ON it) —
-    the triangle exercises the edge-crossing + center-PIP paths, not
-    just bbox ranges. The engine runs the real vectorized kernel
-    (operators/cellcover.py: vertex binning, Liang–Barsky edge×cell
-    pairs, even-odd center PIP); the DuckDB twin enumerates cells by
-    INTEGER arithmetic only (lateral generate_series + the halfplane
-    inequality reduced to ints), a fully independent derivation.
-    Output is the raw covering relation (feature_id, z, cx, cy).
-    sf_dir unused (committed synth recipe). Ref parity: the
-    processor's per-zoom tile loop over the layer envelope
-    (tile-intersects-geometry decisions); S2 RegionCoverer semantics
-    at fixed level; SURVEY §2 T15."""
-    from mapnik_vector_tile_spark.operators.cellcover import cover_polygon_cells
-
-    return cover_polygon_cells(_cell_cover_corpus(spark), COVER_Z)
-
-
-def _cell_cover_corpus(spark: SparkSession) -> DataFrame:
-    """The q_cell_cover rect/right-triangle corpus (shared with
-    q_cell_cover_hier so both kernels are gated on identical input)."""
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
-    span = tm.tile_span(COVER_Z)
-
-    def gen(it):
-        from mapnik_vector_tile_spark.functions import geomcodec as gc
-
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
-                    "part_offsets": [], "caption": []}
-            for i in ids:
-                i = int(i)
-                k = (i * 7) % 900
-                m = (i * 11) % 900
-                a = -tm.W + k * span + span / 4
-                c = -tm.W + m * span + span / 4
-                if i % 2 == 0:
-                    w = (1 + i % 5) * span + span / 2
-                    h = (2 + i % 4) * span + span / 2
-                    xs = [a, a + w, a + w, a, a]
-                    ys = [c, c, c + h, c + h, c]
-                else:
-                    L = (2 + i % 5) * span
-                    xs = [a, a + L, a, a]
-                    ys = [c, c, c + L, c]
-                rows["feature_id"].append(i)
-                rows["geom_type"].append(int(gc.GEOM_POLYGON))
-                rows["xs"].append(xs)
-                rows["ys"].append(ys)
-                rows["part_offsets"].append([0, len(xs)])
-                rows["caption"].append("")
-            yield pd.DataFrame(rows)
-
-    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
-
-    return spark.range(0, COVER_N, 1, 8).mapInPandas(
-        gen, schema=FEATURES_SCHEMA
-    )
-
-
-def q_cell_cover_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical covering gate (cellcover.cover_polygon_cells_hier —
-    the S2-RegionCoverer-style scale path: coarse cover at z−3,
-    interior coarse cells expand to all children directly, boundary
-    coarse cells refine through the exact kernel inside their child
-    window). Same corpus and same SQL twin as q_cell_cover, so the
-    gate proves the hierarchical path emits the IDENTICAL relation to
-    the flat kernel while doing O(boundary·4^dz) work instead of
-    O(bbox·4^dz). SURVEY §2 T15."""
-    from mapnik_vector_tile_spark.operators.cellcover import (
-        cover_polygon_cells_hier,
-    )
-
-    corpus = _cell_cover_corpus(spark)
-    return cover_polygon_cells_hier(corpus, COVER_Z, coarse_dz=3)
-
-
-def _sql_cell_cover(n: int = COVER_N) -> str:
-    """Integer-only twin of q_cell_cover: rect covers the closed
-    floor-ranges; the triangle adds the halfplane cut reduced to
-    cx - cy <= k + m + tl - 1023 (derivation in the query docstring's
-    design: T sits at corner-sum + span/2, so the float inequality is
-    equivalent to this integer one)."""
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-base AS (
-  SELECT i, (i * 7) % 900 AS k, (i * 11) % 900 AS m, i % 2 AS kind,
-         1 + i % 5 AS rw, 2 + i % 4 AS rh, 2 + i % 5 AS tl
-  FROM ids
-),
-rect AS (
-  SELECT b.i AS feature_id, gx.cx AS cx, gy.cy AS cy
-  FROM base b,
-       LATERAL (SELECT unnest(generate_series(b.k, b.k + b.rw)) AS cx) gx,
-       LATERAL (SELECT unnest(generate_series(1023 - b.m - b.rh, 1023 - b.m)) AS cy) gy
-  WHERE b.kind = 0
-),
-tri AS (
-  SELECT b.i AS feature_id, gx.cx AS cx, gy.cy AS cy
-  FROM base b,
-       LATERAL (SELECT unnest(generate_series(b.k, b.k + b.tl)) AS cx) gx,
-       LATERAL (SELECT unnest(generate_series(1023 - b.m - b.tl, 1023 - b.m)) AS cy) gy
-  WHERE b.kind = 1 AND gx.cx - gy.cy <= b.k + b.m + b.tl - 1023
-)
-SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM rect
-UNION ALL
-SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM tri
-"""
-
-
-MBT_Z_LO, MBT_Z_HI = 3, 6  # q_mbtiles_roundtrip pyramid band
-
-
-def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6-companion MBTiles sink/source gate with a FULL oracle: the
-    real pipeline encodes the orders-point pyramid z3..z6, writes it
-    through the SHARDED MBTiles sink (sources/mbtiles.py — one
-    spec-compliant SQLite file per partition, executor-side, TMS row
-    flip per the MBTiles 1.3 spec), reads the shards back through the
-    source, and FULL-joins against the pre-write tiles: per zoom the
-    output carries tile count, coordinate sums, and a blobs_match
-    boolean that is TRUE only if every tile came back BYTE-IDENTICAL
-    with no extras/missing (full join turns any asymmetry into a
-    null → false). The DuckDB twin replays painted-tile counts/sums
-    closed-form from the point corpus — it never sees SQLite. Ref
-    parity: the mapnik/tilelive ecosystem's standard serving artifact
-    (MBTiles 1.3); SURVEY §2.1 S6."""
-    import os
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-    from mapnik_vector_tile_spark.sources.mbtiles import (
-        read_mbtiles,
-        write_mbtiles_shards,
-    )
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
-    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8)).select(
-        "z", "x", "y", "tile"
-    )
-    # pid-suffixed dir: concurrent sweeps/benches on one host must not
-    # rmtree each other's shards mid-read (within one process, repeat
-    # executions re-read the same still-present shards)
-    out_dir = f"/tmp/mvt_mbtiles_gate_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    write_mbtiles_shards(
-        tiles, out_dir, metadata={"name": "mbtiles-gate"}, num_shards=8
-    )
-    back = read_mbtiles(spark, out_dir).withColumnRenamed("tile", "rt")
-    j = tiles.withColumnRenamed("tile", "orig").join(
-        back, ["z", "x", "y"], "full"
-    )
-    return j.groupBy("z").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tiles"),
-        F.sum("x").cast("long").alias("sum_x"),
-        F.sum("y").cast("long").alias("sum_y"),
-        F.min(
-            F.coalesce(F.col("orig") == F.col("rt"), F.lit(False))
-        ).alias("blobs_match"),
-    )
-
-
-def _sql_mbtiles(z_lo: int = MBT_Z_LO, z_hi: int = MBT_Z_HI) -> str:
-    tx, ty = S.tile_xy_exprs(z_hi)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-base AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM pts),
-zs AS (SELECT unnest(generate_series({z_lo}, {z_hi})) AS z),
-lv AS (
-  SELECT DISTINCT zz.z AS z,
-         b.tx >> ({z_hi} - zz.z) AS x,
-         b.ty >> ({z_hi} - zz.z) AS y
-  FROM base b, zs zz
-)
-SELECT CAST(z AS INT) AS z,
-       CAST(COUNT(*) AS BIGINT) AS n_tiles,
-       CAST(SUM(x) AS BIGINT) AS sum_x,
-       CAST(SUM(y) AS BIGINT) AS sum_y,
-       TRUE AS blobs_match
-FROM lv GROUP BY z
-"""
-
-
-def q_store_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6-companion z-partitioned parquet store gate (sources/store.py
-    — the cluster-native layout next to MBTiles/PMTiles): same
-    corpus and contract as q_mbtiles_roundtrip (full-join byte
-    round-trip per zoom, same twin), through
-    write_tile_store/read_tile_store. Partition pruning on z and
-    row-group pruning on the sorted (x, y) are asserted separately in
-    tests/test_plan_quality.py — this gate proves the LAYOUT loses no
-    bytes; z must survive the partition-column round-trip as a
-    readable int."""
-    import os
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-    from mapnik_vector_tile_spark.sources.store import (
-        read_tile_store,
-        write_tile_store,
-    )
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
-    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8)).select(
-        "z", "x", "y", "tile"
-    )
-    out_dir = f"/tmp/mvt_store_gate_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    write_tile_store(tiles, out_dir)
-    back = (
-        read_tile_store(spark, out_dir)
-        .select(
-            F.col("z").cast("int").alias("z"), "x", "y",
-            F.col("tile").alias("rt"),
-        )
-    )
-    j = tiles.withColumnRenamed("tile", "orig").join(
-        back, ["z", "x", "y"], "full"
-    )
-    return j.groupBy("z").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tiles"),
-        F.sum("x").cast("long").alias("sum_x"),
-        F.sum("y").cast("long").alias("sum_y"),
-        F.min(
-            F.coalesce(F.col("orig") == F.col("rt"), F.lit(False))
-        ).alias("blobs_match"),
-    )
-
-
-def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6-companion PMTiles v3 sink/source gate with a FULL oracle —
-    same contract as q_mbtiles_roundtrip but through the modern
-    cloud-native archive (sources/pmtiles.py: 127-byte header, gzip'd
-    Hilbert-ordered varint directories, content-deduplicated data
-    section, one valid archive per partition): encode the orders-point
-    pyramid z3..z6, write sharded, read back, full-join against the
-    pre-write tiles; blobs_match is TRUE only if every tile returned
-    BYTE-IDENTICAL with no extras/missing. The DuckDB twin replays
-    painted-tile counts/sums closed-form and never sees the archive.
-    A small max_root_entries forces the LEAF-directory path in the
-    same gate."""
-    import os
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import tiling as T
-    from mapnik_vector_tile_spark.sources.pmtiles import (
-        read_pmtiles,
-        write_pmtiles_shards,
-    )
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
-    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8)).select(
-        "z", "x", "y", "tile"
-    )
-    out_dir = f"/tmp/mvt_pmtiles_gate_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    write_pmtiles_shards(
-        tiles,
-        out_dir,
-        metadata={"name": "pmtiles-gate"},
-        num_shards=8,
-        max_root_entries=64,  # exercise leaf directories in the gate
-    )
-    back = read_pmtiles(spark, out_dir).withColumnRenamed("tile", "rt")
-    j = tiles.withColumnRenamed("tile", "orig").join(
-        back, ["z", "x", "y"], "full"
-    )
-    return j.groupBy("z").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tiles"),
-        F.sum("x").cast("long").alias("sum_x"),
-        F.sum("y").cast("long").alias("sum_y"),
-        F.min(
-            F.coalesce(F.col("orig") == F.col("rt"), F.lit(False))
-        ).alias("blobs_match"),
-    )
-
-
-def q_tilejson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TileJSON 3.0 vector_layers summary with a FULL oracle: split
-    the orders points into two real layers by id parity, encode the
-    z3..z6 pyramid per layer (buffer 0), and run
-    composite.tilejson_layers — per-layer zoom range, tile/feature
-    counts, and the EXACT dyadic mercator bounds of painted max-zoom
-    tiles. DuckDB replays assignment, per-zoom distinct-tile sets, the
-    arg-max extent selection and the (x·2W)/2^z − W bounds math
-    closed-form; any drift in the pyramid, the painted set, or the
-    double expression order breaks the hash."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as comp
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    parts = []
-    for name, par in (("even", 0), ("odd", 1)):
-        sub = feats.filter(F.col("feature_id") % 2 == par)
-        assigned = T.assign_tiles(sub, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
-        parts.append(
-            T.encode_layers(assigned, layer_name=name, n_salts=4)
-        )
-    layers = parts[0].unionByName(parts[1])
-    return comp.tilejson_layers(layers)
-
-
-def _sql_tilejson(z_lo: int = MBT_Z_LO, z_hi: int = MBT_Z_HI) -> str:
-    from mapnik_vector_tile_spark.functions.tilemath import W
-
-    tx, ty = S.tile_xy_exprs(z_hi)
-    two_w = S.flit(2.0 * W)
-    w = S.flit(W)
-    p2 = S.flit(float(1 << z_hi))
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id % 2 AS par, {tx} AS tx, {ty} AS ty FROM pts),
-zs AS (SELECT unnest(generate_series({z_lo}, {z_hi})) AS z),
-lv AS (
-  SELECT par, zz.z AS z, tx >> ({z_hi} - zz.z) AS x,
-         ty >> ({z_hi} - zz.z) AS y, COUNT(*) AS nf
-  FROM t, zs zz GROUP BY 1, 2, 3, 4
-),
-perz AS (
-  SELECT par, z, COUNT(*) AS nt, SUM(nf) AS nf,
-         MIN(x) AS xmin, MAX(x) AS xmax,
-         MIN(y) AS ymin, MAX(y) AS ymax
-  FROM lv GROUP BY 1, 2
-),
-agg AS (
-  SELECT par, MIN(z) AS minzoom, MAX(z) AS maxzoom,
-         SUM(nt) AS n_tiles, SUM(nf) AS n_features,
-         arg_max(xmin, z) AS bxmin, arg_max(xmax, z) AS bxmax,
-         arg_max(ymin, z) AS bymin, arg_max(ymax, z) AS bymax
-  FROM perz GROUP BY par
-)
-SELECT CASE par WHEN 0 THEN 'even' ELSE 'odd' END AS layer,
-       CAST(minzoom AS INT) AS minzoom, CAST(maxzoom AS INT) AS maxzoom,
-       CAST(n_tiles AS BIGINT) AS n_tiles,
-       CAST(n_features AS BIGINT) AS n_features,
-       (CAST(bxmin AS DOUBLE) * {two_w}) / {p2} - {w} AS west_merc,
-       {w} - (CAST(bymax + 1 AS DOUBLE) * {two_w}) / {p2} AS south_merc,
-       (CAST(bxmax + 1 AS DOUBLE) * {two_w}) / {p2} - {w} AS east_merc,
-       {w} - (CAST(bymin AS DOUBLE) * {two_w}) / {p2} AS north_merc
-FROM agg
-"""
-
-
-LI_T = 0.35  # q_line_interpolate fraction
-
-
-def q_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Along-line point placement (measures.line_interpolate — mapnik
-    markers_placement line mode) with a FULL oracle on the staircase
-    polylines of the measures corpus: every vertex/segment value is
-    dyadic-exact, axis-aligned segment lengths come out of sqrt
-    bit-exact (sqrt of an exact square), and the twin replays the
-    engine's exact expression tree — rem = t·total − m(r+u), then
-    x0m + (rem/len)·len on the hit segment — via the closed-form
-    segment index m = floor(target/(r+u)) and the rem ≤ r
-    horizontal/vertical branch. Identical doubles in, identical
-    doubles out; hash-exact."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import geomcodec as gc
-    from mapnik_vector_tile_spark.functions import measures as M
-
-    corpus = _measures_corpus(spark).filter(
-        F.col("geom_type") == gc.GEOM_LINESTRING
-    )
-    px, py = M.line_interpolate(LI_T)
-    return corpus.select(
-        "feature_id",
-        px.alias("px"),
-        py.alias("py"),
-        M.boundary_length().alias("length"),
-    )
-
-
-def _sql_line_interpolate(n: int = 500, t: float = LI_T) -> str:
-    from mapnik_vector_tile_spark.plans.shared_sql import flit
-
-    # engine-exact replay (see q_line_interpolate): target/rem/frac use
-    # the same operations on the same exact doubles; m stays < k for
-    # any t < 1 because target < total strictly
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-base AS (
-  SELECT i,
-         {flit(-200.0)} + (i * 3) % 400 + {flit(0.125)} AS x0,
-         {flit(-100.0)} + (i * 7) % 200 + {flit(0.0625)} AS y0,
-         1 + i % 5 + {flit(0.5)} AS r,
-         2 + i % 3 + {flit(0.25)} AS u,
-         2 + i % 4 AS k
-  FROM ids WHERE i % 2 = 1
-),
-tgt AS (
-  SELECT *, {flit(t)} * (k * (r + u)) AS target FROM base
-),
-seg AS (
-  SELECT *, CAST(FLOOR(target / (r + u)) AS BIGINT) AS m,
-         target - CAST(FLOOR(target / (r + u)) AS BIGINT) * (r + u) AS rem
-  FROM tgt
-)
-SELECT i AS feature_id,
-       CASE WHEN rem <= r
-            THEN (x0 + m * r) + (rem / r) * r
-            ELSE x0 + (m + 1) * r END AS px,
-       CASE WHEN rem <= r
-            THEN y0 + m * u
-            ELSE (y0 + m * u) + ((rem - r) / u) * u END AS py,
-       k * (r + u) AS length
-FROM seg
-"""
-
-
-def q_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True area-weighted centroid (measures.area_centroid — mapnik
-    util::centroid, NOT the vertex mean) with a FULL oracle on the
-    rectangle half of the measures corpus plus a holed variant: for a
-    CCW rectangle the exact fold lands on x0 + w/2 bit-for-bit (all
-    intermediates dyadic-exact); a second output row class punches a
-    concentric half-size hole (CW ring appended as a second part) —
-    the hole's negative cross sums shift nothing for the concentric
-    case, pinning the holes-subtract path against the SAME closed
-    form."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import geomcodec as gc
-    from mapnik_vector_tile_spark.functions import measures as M
-
-    def gen(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
-                    "part_offsets": [], "caption": []}
-            for i in ids:
-                i = int(i)
-                x0 = -200.0 + (i * 3) % 400 + 0.125
-                y0 = -100.0 + (i * 7) % 200 + 0.0625
-                w = 1 + i % 9 + 0.25
-                h = 2 + i % 7 + 0.5
-                xs = [x0, x0 + w, x0 + w, x0, x0]
-                ys = [y0, y0, y0 + h, y0 + h, y0]
-                offs = [0, 5]
-                if i % 2 == 1:
-                    # concentric CW hole at half size (quarter margins)
-                    hx0, hy0 = x0 + w / 4.0, y0 + h / 4.0
-                    hw, hh = w / 2.0, h / 2.0
-                    xs += [hx0, hx0, hx0 + hw, hx0 + hw, hx0]
-                    ys += [hy0, hy0 + hh, hy0 + hh, hy0, hy0]
-                    offs.append(10)
-                rows["feature_id"].append(i)
-                rows["geom_type"].append(int(gc.GEOM_POLYGON))
-                rows["xs"].append(xs)
-                rows["ys"].append(ys)
-                rows["part_offsets"].append(offs)
-                rows["caption"].append("")
-            yield pd.DataFrame(rows)
-
-    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
-
-    corpus = spark.range(0, MEASURES_N, 1, 8).mapInPandas(
-        gen, schema=FEATURES_SCHEMA
-    )
-    cx, cy = M.area_centroid()
-    return corpus.select(
-        "feature_id",
-        cx.alias("cx"),
-        cy.alias("cy"),
-        M.signed_area2().alias("a2"),
-    )
-
-
-def _sql_area_centroid(n: int = 500) -> str:
-    from mapnik_vector_tile_spark.plans.shared_sql import flit
-
-    # outer 2wh minus (for odd i) the CW half-size hole's 2*(w/2)(h/2)
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-base AS (
-  SELECT i,
-         {flit(-200.0)} + (i * 3) % 400 + {flit(0.125)} AS x0,
-         {flit(-100.0)} + (i * 7) % 200 + {flit(0.0625)} AS y0,
-         1 + i % 9 + {flit(0.25)} AS w,
-         2 + i % 7 + {flit(0.5)} AS h
-  FROM ids
-)
-SELECT i AS feature_id,
-       x0 + w / {flit(2.0)} AS cx,
-       y0 + h / {flit(2.0)} AS cy,
-       CASE WHEN i % 2 = 0 THEN {flit(2.0)} * w * h
-            ELSE {flit(2.0)} * w * h
-                 - {flit(2.0)} * (w / {flit(2.0)}) * (h / {flit(2.0)})
-       END AS a2
-FROM base
-"""
-
-
-def q_pyramid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-integrity audit (composite.pyramid_orphans) with a FULL
-    oracle: build the z3..z6 painted pyramid from orders points, DROP
-    a deterministic subset of z5 tiles ((x + y) % 7 == 0 — a partial
-    build failure), and report every z6 tile whose parent vanished.
-    The twin replays the painted sets and the anti-join closed-form;
-    an audit that misses an orphan (or invents one) hash-mismatches.
-    Address-only plan: tile bytes never enter it."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as comp
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-    assigned = T.assign_tiles(feats, MBT_Z_LO, MBT_Z_HI, buffer_units=0)
-    tiles = T.fold_tiles(T.encode_layers(assigned, n_salts=8))
-    broken = tiles.filter(
-        ~((F.col("z") == 5) & ((F.col("x") + F.col("y")) % 7 == 0))
-    )
-    return comp.pyramid_orphans(broken)
-
-
-def _sql_pyramid_audit(z_lo: int = MBT_Z_LO, z_hi: int = MBT_Z_HI) -> str:
-    tx, ty = S.tile_xy_exprs(z_hi)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-base AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty FROM pts),
-zs AS (SELECT unnest(generate_series({z_lo}, {z_hi})) AS z),
-lv AS (
-  SELECT DISTINCT zz.z AS z,
-         b.tx >> ({z_hi} - zz.z) AS x,
-         b.ty >> ({z_hi} - zz.z) AS y
-  FROM base b, zs zz
-),
-kept AS (
-  SELECT * FROM lv WHERE NOT (z = 5 AND (x + y) % 7 = 0)
-)
-SELECT CAST(k.z AS INT) AS z, k.x, k.y,
-       k.x >> 1 AS parent_x, k.y >> 1 AS parent_y
-FROM kept k
-WHERE k.z > {z_lo}
-  AND NOT EXISTS (
-    SELECT 1 FROM kept p
-    WHERE p.z = k.z - 1 AND p.x = k.x >> 1 AND p.y = k.y >> 1
-  )
-"""
-
-
-def q_tilestats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mapbox-tilestats attribute statistics (composite.
-    layer_attribute_stats) over the typed-values layer store, FULL
-    oracle: per attribute — type class, feature count, EXACT distinct
-    count (identity = raw Value encoding bits, so doubles never need a
-    cross-engine repr), numeric min/max, and the most frequent
-    discrete value (count-desc, repr-asc). The DuckDB twin recomputes
-    all of it relationally from lineitem; a wrong dictionary decode,
-    a collapsed double, or a nondeterministic top-value tiebreak
-    breaks the hash."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.composite import (
-        layer_attribute_stats,
-    )
-
-    layers = _typed_layers(spark, sf_dir).select(
-        F.lit(8).alias("z"),
-        F.col("tx").alias("x"),
-        F.col("ty").alias("y"),
-        F.lit("li").alias("layer"),
-        F.col("blob"),
-        F.lit(0).cast("long").alias("n_features"),
-        F.lit(0).cast("long").alias("n_points"),
-    )
-    return layer_attribute_stats(layers)
-
-
-def _sql_tilestats() -> str:
-    return """
-WITH li AS (
-  SELECT CAST(l_quantity AS BIGINT) AS qty,
-         l_extendedprice AS price,
-         (l_returnflag = 'R') AS rflag
-  FROM lineitem
-),
-qty_top AS (
-  SELECT CAST(qty AS VARCHAR) AS r, COUNT(*) AS c FROM li GROUP BY 1
-),
-rflag_top AS (
-  SELECT CASE WHEN rflag THEN 'true' ELSE 'false' END AS r,
-         COUNT(*) AS c
-  FROM li GROUP BY 1
-)
-SELECT 'li' AS layer, 'qty' AS attr, 'number' AS vtype,
-       CAST(COUNT(*) AS BIGINT) AS n_features,
-       CAST(COUNT(DISTINCT qty) AS BIGINT) AS n_distinct,
-       CAST(MIN(qty) AS DOUBLE) AS min_num,
-       CAST(MAX(qty) AS DOUBLE) AS max_num,
-       (SELECT r FROM qty_top ORDER BY c DESC, r ASC LIMIT 1)
-         AS top_value
-FROM li
-UNION ALL
-SELECT 'li', 'price', 'number',
-       CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(DISTINCT price) AS BIGINT),
-       MIN(price), MAX(price), NULL
-FROM li
-UNION ALL
-SELECT 'li', 'rflag', 'boolean',
-       CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(DISTINCT rflag) AS BIGINT),
-       NULL, NULL,
-       (SELECT r FROM rflag_top ORDER BY c DESC, r ASC LIMIT 1)
-FROM li
-"""
-
-
-PRJ_N_RECTS = 64  # q_polygon_rect_join rect corpus size
-
-
-def _rect_exprs() -> tuple[str, str, str, str]:
-    """(x0, y0, x1, y1) SQL expressions over a rect id column ``i`` —
-    the house point mix for the top-left corner plus dyadic sizes;
-    rendered identically into Spark SQL and DuckDB so every rect bound
-    is the same double in both engines."""
-    cx = (
-        "((((i) * 2654435761) % 4294967296) / "
-        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
-    )
-    cy = (
-        "((((i) * 1103515245 + 12345) % 4294967296) / "
-        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
-    )
-    wexp = f"((i % 7) + 1) * {S.flit(2.0 * W / 256)}"
-    hexp = f"((i % 5) + 1) * {S.flit(2.0 * W / 256)}"
-    return (
-        f"({cx})",
-        f"(({cy}) - ({hexp}))",
-        f"(({cx}) + ({wexp}))",
-        f"({cy})",
-    )
-
-
-def q_polygon_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 polygon x rectangle INTERSECTS overlay join
-    (joins.polygon_rect_join) with a FULL oracle: 64 deterministic
-    mercator rectangles against the 200-region corpus
-    (convex/concave/holed). Engine candidates come from the EXACT
-    polygon cell cover ⋈ rect envelope range (closed covers both
-    sides — provably no false negatives); the refine is the
-    three-clause closed-set test (vertex-in-rect, corner-in-polygon
-    via the house even-odd ray cast, segment-vs-AABB separating-axis).
-    The DuckDB twin computes the SAME three clauses over inlined
-    vertex/edge VALUES — identical double expressions, identical
-    boundary semantics — with NO cell machinery, so candidates and
-    refine are both gated."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import joins as J
-    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
-
-    x0, y0, x1, y1 = _rect_exprs()
-    rects = (
-        spark.range(PRJ_N_RECTS)
-        .selectExpr("id AS i")
-        .selectExpr(
-            "i AS rect_id",
-            f"{x0} AS x0",
-            f"{y0} AS y0",
-            f"{x1} AS x1",
-            f"{y1} AS y1",
-        )
-    )
-    regions = regions_merc_df(spark, 200).select(
-        "region_id", "xs", "ys", "ring_offsets"
-    )
-    return J.polygon_rect_join(rects, regions, z=6)
-
-
-def _sql_polygon_rect_join(n_regions: int = 200) -> str:
-    from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
-
-    pdf = gen_regions_merc_pdf(n_regions)
-    vrows, erows = [], []
-    for rid, xs, ys, offs in zip(
-        pdf["region_id"], pdf["xs"], pdf["ys"], pdf["ring_offsets"]
-    ):
-        for r in range(len(offs) - 1):
-            s, e = offs[r], offs[r + 1]
-            for i in range(s, e):
-                vrows.append(f"({rid},{S.flit(xs[i])},{S.flit(ys[i])})")
-            for i in range(s + 1, e):
-                erows.append(
-                    f"({rid},{S.flit(xs[i - 1])},{S.flit(ys[i - 1])},"
-                    f"{S.flit(xs[i])},{S.flit(ys[i])})"
-                )
-    x0, y0, x1, y1 = _rect_exprs()
-    cross = "(e.x2e - e.x1e) * ({cy} - e.y1e) - (e.y2e - e.y1e) * ({cx} - e.x1e)"
-    dot = "(e.x2e - e.x1e) * ({cx} - e.x1e) + (e.y2e - e.y1e) * ({cy} - e.y1e)"
-    corners = [
-        ("r.x0", "r.y0"), ("r.x1", "r.y0"), ("r.x1", "r.y1"), ("r.x0", "r.y1")
-    ]
-    crs = [cross.format(cx=cx, cy=cy) for cx, cy in corners]
-    dts = [dot.format(cx=cx, cy=cy) for cx, cy in corners]
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {PRJ_N_RECTS - 1})) AS i),
-rects AS (
-  SELECT i AS rect_id, {x0} AS x0, {y0} AS y0, {x1} AS x1, {y1} AS y1
-  FROM ids
-),
-verts(region_id, vx, vy) AS (VALUES
-{",".join(vrows)}),
-edges(region_id, x1e, y1e, x2e, y2e) AS (VALUES
-{",".join(erows)}),
-a AS (
-  SELECT DISTINCT r.rect_id, v.region_id
-  FROM rects r JOIN verts v
-    ON v.vx >= r.x0 AND v.vx <= r.x1
-   AND v.vy >= r.y0 AND v.vy <= r.y1
-),
-corners AS (
-  SELECT rect_id, x0 AS px, y0 AS py FROM rects
-  UNION ALL SELECT rect_id, x1, y0 FROM rects
-  UNION ALL SELECT rect_id, x1, y1 FROM rects
-  UNION ALL SELECT rect_id, x0, y1 FROM rects
-),
-cr AS (
-  SELECT c.rect_id, e.region_id, c.px, c.py, COUNT(*) AS ncross
-  FROM corners c JOIN edges e
-    ON ((e.y2e > c.py) != (e.y1e > c.py))
-   AND c.px < (e.x1e - e.x2e) * (c.py - e.y2e) / (e.y1e - e.y2e) + e.x2e
-  GROUP BY 1, 2, 3, 4
-),
-b AS (
-  SELECT DISTINCT rect_id, region_id FROM cr WHERE ncross % 2 = 1
-),
-sat AS (
-  SELECT DISTINCT r.rect_id, e.region_id
-  FROM rects r JOIN edges e
-    ON GREATEST(e.x1e, e.x2e) >= r.x0 AND LEAST(e.x1e, e.x2e) <= r.x1
-   AND GREATEST(e.y1e, e.y2e) >= r.y0 AND LEAST(e.y1e, e.y2e) <= r.y1
-   AND LEAST({crs[0]}, {crs[1]}, {crs[2]}, {crs[3]}) <= 0.0e0
-   AND GREATEST({crs[0]}, {crs[1]}, {crs[2]}, {crs[3]}) >= 0.0e0
-   AND GREATEST({dts[0]}, {dts[1]}, {dts[2]}, {dts[3]}) >= 0.0e0
-   AND LEAST({dts[0]}, {dts[1]}, {dts[2]}, {dts[3]})
-       <= (e.x2e - e.x1e) * (e.x2e - e.x1e)
-        + (e.y2e - e.y1e) * (e.y2e - e.y1e)
-)
-SELECT rect_id, region_id FROM a
-UNION
-SELECT rect_id, region_id FROM b
-UNION
-SELECT rect_id, region_id FROM sat
-"""
-
-
-def q_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 polygon x polygon INTERSECTS overlay join
-    (joins.polygon_polygon_join — the general GIS overlay) with a FULL
-    oracle: regions 0..99 of the 200-region corpus against regions
-    100..199 (disjoint id ranges, distinct shapes, convex/concave/
-    holed on both sides). Engine candidates come from the exact cell
-    covers of BOTH sides; the refine is vertex-in-B ∪ vertex-in-A
-    (house even-odd) ∪ edge-meets-edge (orientation products with the
-    all-collinear 1D-bbox fallback). The twin replays all three
-    clauses over inlined VALUES with no cell machinery — identical
-    double expressions — gating candidates and refine."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import joins as J
-    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
-
-    regions = regions_merc_df(spark, 200).select(
-        "region_id", "xs", "ys", "ring_offsets"
-    )
-    a = regions.filter(F.col("region_id") < 100)
-    b = regions.filter(F.col("region_id") >= 100)
-    return J.polygon_polygon_join(a, b, z=6)
-
-
-def q_polygon_polygon_ri(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9b Raster-Intervals variant (joins.polygon_polygon_join_ri —
-    SIGMOD 2023 full/partial cell classification): SAME corpus, SAME
-    expected relation and SAME twin as q_polygon_polygon_join, so the
-    gate proves the FULL-cell shortcut decides pairs without ever
-    disagreeing with the exact kernel — the decided ∪ refined union
-    must land on the identical (a_id, b_id) set."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import joins as J
-    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
-
-    regions = regions_merc_df(spark, 200).select(
-        "region_id", "xs", "ys", "ring_offsets"
-    )
-    a = regions.filter(F.col("region_id") < 100)
-    b = regions.filter(F.col("region_id") >= 100)
-    return J.polygon_polygon_join_ri(a, b, z=6)
-
-
-def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U12 dissolve (joins.dissolve_polygons — transitive merge of
-    touching/overlapping polygons, the grouping half of wagyu's
-    multi_polygon_union) with a FULL oracle: the 200-region corpus
-    self-joined through the exact J9 overlay (129 groups, clusters up
-    to 7 members, 94 singletons — every code path carries rows). The
-    twin replays the intersects clauses over inlined VALUES, takes the
-    transitive closure by recursive CTE (a different algorithm than
-    the engine's pointer-doubling min-label), and coalesces
-    singletons; per-group member/vertex counts hash the grouping."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import joins as J
-    from mapnik_vector_tile_spark.sources.synth import regions_merc_df
-
-    regions = regions_merc_df(spark, 200).select(
-        "region_id", "xs", "ys", "ring_offsets"
-    )
-    out = J.dissolve_polygons(regions, z=6)
-    nv = regions.select("region_id", F.size("xs").alias("nv"))
-    return (
-        out.join(nv, "region_id")
-        .groupBy("group")
-        .agg(
-            F.count("*").cast("bigint").alias("n_members"),
-            F.sum("nv").cast("bigint").alias("sum_vertices"),
-            F.max("region_id").cast("bigint").alias("max_id"),
-        )
-    )
-
-
-def _sql_dissolve(n_regions: int = 200) -> str:
-    from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
-
-    pdf = gen_regions_merc_pdf(n_regions)
-    vv, ee, nvs = [], [], []
-    for rid, xs, ys, offs in zip(
-        pdf["region_id"], pdf["xs"], pdf["ys"], pdf["ring_offsets"]
-    ):
-        nvs.append(f"({rid},{len(xs)})")
-        for r in range(len(offs) - 1):
-            s_, e_ = offs[r], offs[r + 1]
-            for i in range(s_, e_):
-                vv.append(f"({rid},{S.flit(xs[i])},{S.flit(ys[i])})")
-            for i in range(s_ + 1, e_):
-                ee.append(
-                    f"({rid},{S.flit(xs[i - 1])},{S.flit(ys[i - 1])},"
-                    f"{S.flit(xs[i])},{S.flit(ys[i])})"
-                )
-    return f"""
-WITH RECURSIVE vv(region_id, vx, vy) AS (VALUES
-{",".join(vv)}),
-ee(region_id, px, py, qx, qy) AS (VALUES
-{",".join(ee)}),
-nv(region_id, n) AS (VALUES
-{",".join(nvs)}),
-cr AS (
-  SELECT v.region_id AS a_id, e.region_id AS b_id, v.vx, v.vy,
-         COUNT(*) AS ncross
-  FROM vv v JOIN ee e
-    ON v.region_id <> e.region_id
-   AND ((e.qy > v.vy) != (e.py > v.vy))
-   AND v.vx < (e.px - e.qx) * (v.vy - e.qy) / (e.py - e.qy) + e.qx
-  GROUP BY 1, 2, 3, 4
-),
-cl AS (SELECT DISTINCT a_id, b_id FROM cr WHERE ncross % 2 = 1),
-e2 AS (
-  SELECT region_id, px, py, qx, qy,
-         GREATEST(px, qx) AS bxmax, LEAST(px, qx) AS bxmin,
-         GREATEST(py, qy) AS bymax, LEAST(py, qy) AS bymin
-  FROM ee
-),
-segp AS (
-  SELECT ea.region_id AS a_id, eb.region_id AS b_id,
-         ((ea.qx - ea.px) * (eb.py - ea.py) - (ea.qy - ea.py) * (eb.px - ea.px)) AS o1,
-         ((ea.qx - ea.px) * (eb.qy - ea.py) - (ea.qy - ea.py) * (eb.qx - ea.px)) AS o2,
-         ((eb.qx - eb.px) * (ea.py - eb.py) - (eb.qy - eb.py) * (ea.px - eb.px)) AS o3,
-         ((eb.qx - eb.px) * (ea.qy - eb.py) - (eb.qy - eb.py) * (ea.qx - eb.px)) AS o4
-  FROM e2 ea JOIN e2 eb
-    ON ea.region_id < eb.region_id
-   AND ea.bxmax >= eb.bxmin AND ea.bxmin <= eb.bxmax
-   AND ea.bymax >= eb.bymin AND ea.bymin <= eb.bymax
-),
-seg AS (
-  SELECT DISTINCT a_id, b_id FROM segp
-  WHERE (o1 * o2 <= 0.0e0 AND o3 * o4 <= 0.0e0
-         AND NOT (o1 = 0.0e0 AND o2 = 0.0e0
-              AND o3 = 0.0e0 AND o4 = 0.0e0))
-     OR (o1 = 0.0e0 AND o2 = 0.0e0 AND o3 = 0.0e0 AND o4 = 0.0e0)
-),
-pr AS (
-  SELECT DISTINCT LEAST(a_id, b_id) AS a_id, GREATEST(a_id, b_id) AS b_id
-  FROM (SELECT a_id, b_id FROM cl
-        UNION ALL SELECT a_id, b_id FROM seg)
-),
-edges AS (
-  SELECT a_id AS s, b_id AS d FROM pr
-  UNION ALL
-  SELECT b_id AS s, a_id AS d FROM pr
-),
-reach(node, r) AS (
-  SELECT DISTINCT s AS node, s AS r FROM edges
-  UNION
-  SELECT e.s AS node, reach.r
-  FROM edges e JOIN reach ON reach.node = e.d
-),
-labels AS (SELECT node AS region_id, MIN(r) AS grp FROM reach GROUP BY node),
-assign AS (
-  SELECT nv.region_id, COALESCE(l.grp, nv.region_id) AS grp, nv.n
-  FROM nv LEFT JOIN labels l USING (region_id)
-)
-SELECT grp AS "group",
-       CAST(COUNT(*) AS BIGINT) AS n_members,
-       CAST(SUM(n) AS BIGINT) AS sum_vertices,
-       CAST(MAX(region_id) AS BIGINT) AS max_id
-FROM assign GROUP BY 1
-"""
-
-
-def _sql_polygon_polygon_join(n_regions: int = 200) -> str:
-    from mapnik_vector_tile_spark.sources.synth import gen_regions_merc_pdf
-
-    pdf = gen_regions_merc_pdf(n_regions)
-    va, vb, ea, eb = [], [], [], []
-    for rid, xs, ys, offs in zip(
-        pdf["region_id"], pdf["xs"], pdf["ys"], pdf["ring_offsets"]
-    ):
-        vt = va if rid < 100 else vb
-        et = ea if rid < 100 else eb
-        for r in range(len(offs) - 1):
-            s_, e_ = offs[r], offs[r + 1]
-            for i in range(s_, e_):
-                vt.append(f"({rid},{S.flit(xs[i])},{S.flit(ys[i])})")
-            for i in range(s_ + 1, e_):
-                et.append(
-                    f"({rid},{S.flit(xs[i - 1])},{S.flit(ys[i - 1])},"
-                    f"{S.flit(xs[i])},{S.flit(ys[i])})"
-                )
-    o1 = "(ea.qx - ea.px) * (eb.py - ea.py) - (ea.qy - ea.py) * (eb.px - ea.px)"
-    o2 = "(ea.qx - ea.px) * (eb.qy - ea.py) - (ea.qy - ea.py) * (eb.qx - ea.px)"
-    o3 = "(eb.qx - eb.px) * (ea.py - eb.py) - (eb.qy - eb.py) * (ea.px - eb.px)"
-    o4 = "(eb.qx - eb.px) * (ea.qy - eb.py) - (eb.qy - eb.py) * (ea.qx - eb.px)"
-    return f"""
-WITH va(region_id, vx, vy) AS (VALUES
-{",".join(va)}),
-vb(region_id, vx, vy) AS (VALUES
-{",".join(vb)}),
-ea(region_id, px, py, qx, qy) AS (VALUES
-{",".join(ea)}),
-eb(region_id, px, py, qx, qy) AS (VALUES
-{",".join(eb)}),
-cr_ab AS (
-  SELECT v.region_id AS a_id, e.region_id AS b_id, v.vx, v.vy,
-         COUNT(*) AS ncross
-  FROM va v JOIN eb e
-    ON ((e.qy > v.vy) != (e.py > v.vy))
-   AND v.vx < (e.px - e.qx) * (v.vy - e.qy) / (e.py - e.qy) + e.qx
-  GROUP BY 1, 2, 3, 4
-),
-cl_a AS (SELECT DISTINCT a_id, b_id FROM cr_ab WHERE ncross % 2 = 1),
-cr_ba AS (
-  SELECT e.region_id AS a_id, v.region_id AS b_id, v.vx, v.vy,
-         COUNT(*) AS ncross
-  FROM vb v JOIN ea e
-    ON ((e.qy > v.vy) != (e.py > v.vy))
-   AND v.vx < (e.px - e.qx) * (v.vy - e.qy) / (e.py - e.qy) + e.qx
-  GROUP BY 1, 2, 3, 4
-),
-cl_b AS (SELECT DISTINCT a_id, b_id FROM cr_ba WHERE ncross % 2 = 1),
-ea2 AS (
-  SELECT region_id, px, py, qx, qy,
-         GREATEST(px, qx) AS bxmax, LEAST(px, qx) AS bxmin,
-         GREATEST(py, qy) AS bymax, LEAST(py, qy) AS bymin
-  FROM ea
-),
-eb2 AS (
-  SELECT region_id, px, py, qx, qy,
-         GREATEST(px, qx) AS bxmax, LEAST(px, qx) AS bxmin,
-         GREATEST(py, qy) AS bymax, LEAST(py, qy) AS bymin
-  FROM eb
-),
-segp AS (
-  SELECT ea.region_id AS a_id, eb.region_id AS b_id,
-         ((ea.qx - ea.px) * (eb.py - ea.py) - (ea.qy - ea.py) * (eb.px - ea.px)) AS o1,
-         ((ea.qx - ea.px) * (eb.qy - ea.py) - (ea.qy - ea.py) * (eb.qx - ea.px)) AS o2,
-         ((eb.qx - eb.px) * (ea.py - eb.py) - (eb.qy - eb.py) * (ea.px - eb.px)) AS o3,
-         ((eb.qx - eb.px) * (ea.qy - eb.py) - (eb.qy - eb.py) * (ea.qx - eb.px)) AS o4
-  FROM ea2 ea JOIN eb2 eb
-    ON ea.bxmax >= eb.bxmin AND ea.bxmin <= eb.bxmax
-   AND ea.bymax >= eb.bymin AND ea.bymin <= eb.bymax
-),
-seg AS (
-  SELECT DISTINCT a_id, b_id FROM segp
-  WHERE (o1 * o2 <= 0.0e0 AND o3 * o4 <= 0.0e0
-         AND NOT (o1 = 0.0e0 AND o2 = 0.0e0
-              AND o3 = 0.0e0 AND o4 = 0.0e0))
-     OR (o1 = 0.0e0 AND o2 = 0.0e0 AND o3 = 0.0e0 AND o4 = 0.0e0)
-)
-SELECT a_id, b_id FROM cl_a
-UNION
-SELECT a_id, b_id FROM cl_b
-UNION
-SELECT a_id, b_id FROM seg
-"""
-
-
-QK_Z = 12  # q_quadkey zoom
-
-
-def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bing/Azure quadkey strings (functions/cellid.quadkey_col — the
-    third standard tile addressing beside XYZ/TMS, used by every
-    Bing-schema tile store) with a FULL oracle: assign orders points
-    at z12, emit the quadkey, and PARSE IT BACK with
-    quadkey_parse_cols — the output carries the parsed (px, py), and
-    the twin emits the assigned (tx, ty) in those columns, so any
-    encode/parse asymmetry hash-mismatches. Pure Column bit math both
-    ways; zero shuffle beyond the scan."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.cellid import (
-        quadkey_col,
-        quadkey_parse_cols,
-    )
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    tx, ty = S.tile_xy_exprs(QK_Z)
-    # the point_cte mercator mix, rendered as Spark SQL (dialect-
-    # common subset: %, /, CAST, floor)
-    mxe = (
-        "((((o_orderkey) * 2654435761) % 4294967296) / "
-        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
-    )
-    mye = (
-        "((((o_orderkey) * 1103515245 + 12345) % 4294967296) / "
-        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
-    )
-    pts = orders.selectExpr(
-        "o_orderkey AS id", f"{mxe} AS mx", f"{mye} AS my"
-    ).selectExpr("id", f"{tx} AS x", f"{ty} AS y")
-    qk = pts.withColumn("quadkey", quadkey_col(QK_Z))
-    px, py = quadkey_parse_cols("quadkey", QK_Z)
-    return qk.select(
-        "id", "quadkey", px.alias("px"), py.alias("py")
-    )
-
-
-def _sql_quadkey(z: int = QK_Z) -> str:
-    from mapnik_vector_tile_spark.functions.cellid import quadkey_sql
-
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, {tx} AS tx, {ty} AS ty FROM pts)
-SELECT id, {quadkey_sql('tx', 'ty', z)} AS quadkey,
-       tx AS px, ty AS py
-FROM t
-"""
-
-
-IMG_TH_N = 400  # q_image_thumbs corpus size
-IMG_TH_S = 8  # thumbnail size
-
-
-def q_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vision-pipeline thumbnailing (raster.image_thumbnails) over the
-    canonical images table with a FULL oracle: decode (raw-rgba8 AND
-    png-zlib rows), exact integer box-average to 8x8 (prefix-sum box
-    sums, floor-divided — zero float accumulation), caption preserved
-    per the north rule's per-row invariant. The result hashes the
-    per-image channel sums OF THE EMITTED THUMB BYTES plus the caption
-    string; DuckDB regenerates every source pixel (gradient + wrapped
-    splitmix64 noise), replays the cell partition via the closed-form
-    inverse ((y+1)·s − 1)//h, the floor-divided cell means, and the
-    caption words from the phash bits."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import image_thumbnails
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, IMG_TH_N)
-    th = image_thumbnails(imgs, size=IMG_TH_S)
-
-    def gen(it):
-        for pdf in it:
-            out = {"image_id": [], "caption": [], "sum_r": [],
-                   "sum_g": [], "sum_b": []}
-            for r in pdf.itertuples():
-                a = (
-                    np.frombuffer(r.thumb, np.uint8)
-                    .reshape(IMG_TH_S, IMG_TH_S, 4)
-                    .astype(np.int64)
-                )
-                out["image_id"].append(r.image_id)
-                out["caption"].append(r.caption)
-                out["sum_r"].append(int(a[..., 0].sum()))
-                out["sum_g"].append(int(a[..., 1].sum()))
-                out["sum_b"].append(int(a[..., 2].sum()))
-            yield pd.DataFrame(out)
-
-    return th.mapInPandas(
-        gen,
-        schema="image_id string, caption string, sum_r long, "
-        "sum_g long, sum_b long",
-    )
-
-
-def _sql_image_thumbs(n: int = IMG_TH_N, s: int = IMG_TH_S) -> str:
-    from mapnik_vector_tile_spark.sources.synth import _WORDS
-
-    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
-    nw = len(_WORDS)
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-dims AS (
-  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
-         {splitmix64_sql('i')} AS ph
-  FROM ids
-),
-ys AS (SELECT i, w, h, ph, unnest(generate_series(0, h - 1)) AS y FROM dims),
-pix AS (
-  SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x
-  FROM ys
-),
-chan AS (
-  SELECT i, w, h, y, x,
-         CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64 AS BIGINT)
-           AS noise
-  FROM pix
-),
-vals AS (
-  SELECT i,
-         ((((y + 1) * {s}) - 1) // h) AS ty,
-         ((((x + 1) * {s}) - 1) // w) AS tx,
-         ((x * 255) // (w - 1) + noise) % 256 AS r,
-         ((y * 255) // (h - 1) + noise) % 256 AS g,
-         (((x + y) * 255) // (w + h - 2) + noise) % 256 AS b
-  FROM chan
-),
-cells AS (
-  SELECT i, ty, tx,
-         SUM(r) // COUNT(*) AS cr,
-         SUM(g) // COUNT(*) AS cg,
-         SUM(b) // COUNT(*) AS cb
-  FROM vals GROUP BY 1, 2, 3
-),
-caps AS (
-  SELECT i,
-         'caption ' || CAST(i AS VARCHAR) || ': '
-           || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption
-  FROM dims
-)
-SELECT 'img_' || lpad(CAST(c.i AS VARCHAR), 12, '0') AS image_id,
-       caps.caption AS caption,
-       CAST(SUM(cr) AS BIGINT) AS sum_r,
-       CAST(SUM(cg) AS BIGINT) AS sum_g,
-       CAST(SUM(cb) AS BIGINT) AS sum_b
-FROM cells c JOIN caps ON c.i = caps.i
-GROUP BY 1, 2
-"""
-
-
-LAP_BLUR_THR = 23000  # splits the synth corpus's 17k-29k variance spread
-
-
-def q_image_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12e blur gate (raster.laplacian_stats — cv2 variance-of-
-    Laplacian semantics, integer-exact) over the canonical images
-    table with a FULL oracle: DuckDB regenerates every source pixel,
-    replays the 8-bit luma, the interior 3×3 Laplacian via lag/lead
-    windows, and the cross-multiplied variance decision. thr=23000
-    sits mid-distribution so BOTH branches of is_blurry carry rows
-    (the OpenCV-convention default 100 stays on the operator)."""
-    from mapnik_vector_tile_spark.operators.raster import laplacian_stats
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, IMG_TH_N)
-    return laplacian_stats(imgs, blur_thr=LAP_BLUR_THR)
-
-
-def _img_pixel_ctes(n: int) -> str:
-    """The SHARED synthetic-image replay CTE chain (ids → dims → pixel
-    grid → per-pixel r/g/b → captions) used by every image-operator
-    twin below — one source of truth for the pixel formulas, so the
-    blur and curation gates can never drift apart."""
-    from mapnik_vector_tile_spark.sources.synth import _WORDS
-
-    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
-    nw = len(_WORDS)
-    noise = (
-        f"CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64 AS BIGINT)"
-    )
-    return f"""ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-dims AS (
-  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
-         {splitmix64_sql('i')} AS ph
-  FROM ids
-),
-ys AS (SELECT i, w, h, ph, unnest(generate_series(0, h - 1)) AS y FROM dims),
-pix AS (
-  SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x
-  FROM ys
-),
-chan AS (
-  SELECT i, w, h, y, x,
-         (((x * 255) // (w - 1) + {noise}) % 256) AS r,
-         (((y * 255) // (h - 1) + {noise}) % 256) AS g,
-         ((((x + y) * 255) // (w + h - 2) + {noise}) % 256) AS b
-  FROM pix
-),
-caps AS (
-  SELECT i,
-         'caption ' || CAST(i AS VARCHAR) || ': '
-           || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption
-  FROM dims
-)"""
-
-
-# 8-bit luma + interior 3×3 Laplacian over the chan CTE — shared by
-# the blur twin and the curation twin verbatim
-_IMG_LUM_LAP = """lum AS (
-  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan
-),
-lap AS (
-  SELECT i, w, h, y, x,
-         4 * g8
-           - lag(g8)  OVER (PARTITION BY i, y ORDER BY x)
-           - lead(g8) OVER (PARTITION BY i, y ORDER BY x)
-           - lag(g8)  OVER (PARTITION BY i, x ORDER BY y)
-           - lead(g8) OVER (PARTITION BY i, x ORDER BY y) AS l
-  FROM lum
-)"""
-
-
-def _sql_image_blur(n: int = IMG_TH_N, thr: int = LAP_BLUR_THR) -> str:
-    return f"""
-WITH {_img_pixel_ctes(n)},
-{_IMG_LUM_LAP},
-agg AS (
-  SELECT i, COUNT(*) AS n_int,
-         CAST(SUM(l) AS BIGINT) AS sum_l,
-         CAST(SUM(l * l) AS BIGINT) AS sum_l2
-  FROM lap
-  WHERE x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2
-  GROUP BY i
-)
-SELECT 'img_' || lpad(CAST(a.i AS VARCHAR), 12, '0') AS image_id,
-       n_int, sum_l, sum_l2,
-       (n_int = 0 OR n_int * sum_l2 - sum_l * sum_l < {thr} * n_int * n_int)
-         AS is_blurry,
-       caps.caption AS caption
-FROM agg a JOIN caps ON a.i = caps.i
-"""
-
-
-def q_image_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12g Otsu global threshold (raster.otsu_stats — integer-exact
-    between-class-variance argmax over the 8-bit luma histogram) over
-    the canonical images table with a FULL oracle: DuckDB regenerates
-    every source pixel from the shared CTE chain, folds the per-level
-    histogram, and replays the floor-scaled HUGEINT score argmax
-    ((s0·n1 − s1·n0)²·2⁵⁶ // (n0·n1), smallest-v tiebreak) plus the
-    foreground count/sum at the chosen cut. Scale bound analysis in
-    the operator docstring guarantees scaled argmax == exact argmax."""
-    from mapnik_vector_tile_spark.operators.raster import otsu_stats
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, IMG_TH_N)
-    return otsu_stats(imgs)
-
-
-def _sql_image_otsu(n: int = IMG_TH_N) -> str:
-    scale = 1 << 56  # OTSU_SCALE_BITS
-    return f"""
-WITH {_img_pixel_ctes(n)},
-lum AS (
-  SELECT i, (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan
-),
-lev AS (
-  SELECT i, g8 AS v, CAST(COUNT(*) AS BIGINT) AS c,
-         CAST(SUM(g8) AS BIGINT) AS sv
-  FROM lum GROUP BY 1, 2
-),
-tot AS (SELECT i, SUM(c) AS tn, SUM(sv) AS ts FROM lev GROUP BY i),
-cum AS (
-  SELECT i, v,
-         SUM(c)  OVER (PARTITION BY i ORDER BY v) AS n0,
-         SUM(sv) OVER (PARTITION BY i ORDER BY v) AS s0
-  FROM lev
-),
-sc AS (
-  SELECT c.i, c.v,
-         (t.tn - c.n0) AS n1, (t.ts - c.s0) AS s1,
-         (CAST(c.s0 * (t.tn - c.n0) - (t.ts - c.s0) * c.n0 AS HUGEINT)
-          * CAST(c.s0 * (t.tn - c.n0) - (t.ts - c.s0) * c.n0 AS HUGEINT)
-          * {scale}) // CAST(c.n0 * (t.tn - c.n0) AS HUGEINT) AS score
-  FROM cum c JOIN tot t ON c.i = t.i
-  WHERE c.n0 < t.tn
-),
-best AS (
-  SELECT i, v, n1, s1,
-         row_number() OVER (PARTITION BY i ORDER BY score DESC, v ASC)
-           AS rn
-  FROM sc
-)
-SELECT 'img_' || lpad(CAST(b.i AS VARCHAR), 12, '0') AS image_id,
-       CAST(b.v AS INT) AS otsu_t,
-       CAST(b.n1 AS BIGINT) AS n_fg,
-       CAST(b.s1 AS BIGINT) AS fg_sum,
-       caps.caption AS caption
-FROM best b JOIN caps ON b.i = caps.i
-WHERE b.rn = 1
-"""
-
-
-def q_image_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12h histogram equalization (raster.equalize_stats —
-    cv2.equalizeHist made integer-exact: round-half-up lut
-    ((cdf−cdf_min)·510 + den)//(2·den) over the 8-bit luma histogram)
-    with a FULL oracle: DuckDB regenerates every pixel from the shared
-    CTE chain, folds the per-level histogram, computes cdf/cdf_min via
-    windows, rebuilds the lut with the same integer arithmetic, joins
-    it back per level, and replays the equalized sum and extremes."""
-    from mapnik_vector_tile_spark.operators.raster import equalize_stats
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    return equalize_stats(images_df(spark, IMG_TH_N))
-
-
-def _sql_image_equalize(n: int = IMG_TH_N) -> str:
-    return f"""
-WITH {_img_pixel_ctes(n)},
-lum AS (
-  SELECT i, (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan
-),
-lev AS (
-  SELECT i, g8 AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM lum GROUP BY 1, 2
-),
-cum AS (
-  SELECT i, v, c,
-         SUM(c) OVER (PARTITION BY i ORDER BY v) AS cdf
-  FROM lev
-),
-stats AS (
-  SELECT i, MAX(cdf) AS n, MIN(CASE WHEN c > 0 THEN cdf END) AS cdf_min
-  FROM cum GROUP BY i
-),
-lut AS (
-  SELECT c.i, c.v, c.c,
-         CASE WHEN s.n = s.cdf_min THEN c.v
-              ELSE ((c.cdf - s.cdf_min) * 510 + (s.n - s.cdf_min))
-                   // (2 * (s.n - s.cdf_min))
-         END AS ev
-  FROM cum c JOIN stats s ON c.i = s.i
-),
-agg AS (
-  SELECT i, SUM(ev * c) AS eq_sum, MIN(ev) AS eq_min, MAX(ev) AS eq_max
-  FROM lut GROUP BY i
-)
-SELECT 'img_' || lpad(CAST(a.i AS VARCHAR), 12, '0') AS image_id,
-       CAST(eq_sum AS BIGINT) AS eq_sum,
-       CAST(eq_min AS INT) AS eq_min,
-       CAST(eq_max AS INT) AS eq_max,
-       caps.caption AS caption
-FROM agg a JOIN caps ON a.i = caps.i
-"""
-
-
-def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T21c real DCT pHash (raster.phash_dct — the algorithm behind
-    the input_hint's phash column, made bit-exact via the committed
-    fixed-point cosine table) with a FULL oracle: DuckDB regenerates
-    every pixel, replays the 16×16 floor-div luma grid, performs the
-    SAME two integer matrix multiplies against the SAME inlined
-    cosine literals, re-derives the twice-median threshold from order
-    statistics, and repacks all 64 bits MSB-first into the signed
-    int64 — one flipped bit anywhere breaks the hash."""
-    from mapnik_vector_tile_spark.operators.raster import phash_dct
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    return phash_dct(images_df(spark, IMG_TH_N))
-
-
-def _sql_image_phash(n: int = IMG_TH_N) -> str:
-    from mapnik_vector_tile_spark.operators.raster import (
-        PH_GRID,
-        phash_cos_table,
-    )
-
-    C = phash_cos_table()
-    ctab = ", ".join(
-        f"({u}, {i}, {int(C[u, i])})"
-        for u in range(8)
-        for i in range(PH_GRID)
-    )
-    weights = " ".join(
-        f"WHEN {k} THEN CAST({1 << (63 - k)} AS HUGEINT)" for k in range(64)
-    )
-    g = PH_GRID
-    return f"""
-WITH {_img_pixel_ctes(n)},
-ct(u, ci, c) AS (VALUES {ctab}),
-gvals AS (
-  SELECT i,
-         ((((y + 1) * {g}) - 1) // h) AS ty,
-         ((((x + 1) * {g}) - 1) // w) AS tx,
-         r * 299 + g * 587 + b * 114 AS gray
-  FROM chan
-),
-gcells AS (
-  SELECT i, ty, tx, SUM(gray) // COUNT(*) AS cg
-  FROM gvals GROUP BY 1, 2, 3
-),
-rowstage AS (
-  SELECT g.i, g.ty, ct.u, SUM(ct.c * g.cg) AS rv
-  FROM gcells g JOIN ct ON ct.ci = g.tx
-  GROUP BY 1, 2, 3
-),
-colstage AS (
-  SELECT r.i, ct.u AS v, r.u, SUM(ct.c * r.rv) AS f
-  FROM rowstage r JOIN ct ON ct.ci = r.ty
-  GROUP BY 1, 2, 3
-),
-ranked AS (
-  SELECT i, v, u, f,
-         row_number() OVER (PARTITION BY i ORDER BY f) AS rn
-  FROM colstage
-),
-med AS (
-  SELECT i, SUM(CASE WHEN rn IN (32, 33) THEN f END) AS mm
-  FROM ranked GROUP BY i
-),
-packed AS (
-  SELECT r.i,
-         SUM(CASE WHEN 2 * r.f > m.mm
-             THEN (CASE r.v * 8 + r.u {weights} END)
-             ELSE CAST(0 AS HUGEINT) END) AS hv
-  FROM ranked r JOIN med m ON r.i = m.i
-  GROUP BY r.i
-)
-SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
-       CAST(CASE WHEN hv >= CAST({1 << 63} AS HUGEINT)
-                 THEN hv - CAST({1 << 64} AS HUGEINT) ELSE hv END
-            AS BIGINT) AS phash_dct,
-       caps.caption AS caption
-FROM packed p JOIN caps ON p.i = caps.i
-"""
-
-
-SG_RULES = (  # q_scale_gate style rules: (rule_id, min_sd, max_sd)
-    (0, 0.0, 25_000.0),          # street-level only
-    (1, 25_000.0, 1_500_000.0),  # mid zooms
-    (2, 1_500_000.0, 1e18),      # overview
-    (3, 0.0, 1e18),              # always on
-    (4, 500_000.0, 500_001.0),   # knife-edge band (no zoom qualifies
-                                 # unless a denominator lands inside)
-)
-
-
-def q_scale_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 scale-denominator gating (tilemath.scale_denominator /
-    layer_visible — mapnik's Min/MaxScaleDenominator rule, min
-    inclusive / max exclusive, 559082264.0287178 at z0) with a FULL
-    oracle: the z0..22 denominator table crosses a committed rule set
-    and both engines must agree on every visibility bit AND the
-    denominator doubles themselves (exact halvings + one division).
-    sf_dir unused (closed-form)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.tilemath import (
-        layer_visible,
-        scale_denominator,
-    )
-
-    rows = []
-    for z in range(23):
-        for rid, lo, hi in SG_RULES:
-            rows.append(
-                (
-                    z,
-                    rid,
-                    scale_denominator(z),
-                    bool(layer_visible(z, lo, hi)),
-                )
-            )
-    return spark.createDataFrame(
-        rows, "z int, rule_id int, scale_denom double, visible boolean"
-    ).orderBy("z", "rule_id").select(
-        "z", "rule_id", "scale_denom", "visible"
-    )
-
-
-def _sql_scale_gate() -> str:
-    w2 = S.flit(2.0 * W)
-    rules = ", ".join(
-        f"({rid}, {S.flit(lo)}, {S.flit(hi)})" for rid, lo, hi in SG_RULES
-    )
-    return f"""
-WITH zs AS (SELECT unnest(generate_series(0, 22)) AS z),
-rules(rule_id, lo, hi) AS (VALUES {rules}),
-sd AS (
-  SELECT z, (({w2} / (1 << z)) / 256) / 0.00028e0 AS scale_denom
-  FROM zs
-)
-SELECT sd.z, r.rule_id, sd.scale_denom,
-       (r.lo <= sd.scale_denom AND sd.scale_denom < r.hi) AS visible
-FROM sd, rules r
-"""
-
-
-EWMA_ALPHA = 0.5  # q_ewma smoothing factor
-
-
-def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5 per-user EWMA over the events stream (temporal.ewma — the
-    pandas ewm(alpha).mean() recursion, s0 = v0) with a FULL
-    no-epsilon oracle: both engines fold the SAME values in the SAME
-    (ts, event_id) order through the SAME IEEE operation sequence
-    (s·(1−α) + v·α), so the final smoothed double hashes bit-exactly
-    — the ordered-fold discipline applied to a genuinely sequential
-    operator."""
-    from mapnik_vector_tile_spark.operators.temporal import ewma
-
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ewma(events, alpha=EWMA_ALPHA)
-
-
-def _sql_ewma(alpha: float = EWMA_ALPHA) -> str:
-    ca = S.flit(alpha)
-    cb = S.flit(1.0 - alpha)
-    return f"""
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       list_reduce(list(value ORDER BY ts, event_id),
-                   (a, b) -> a * {cb} + b * {ca}) AS ewma
-FROM events GROUP BY user_id
-"""
-
-
-IDW_Z = 4  # q_idw cell grid (span 2.5e6 >= radius)
-IDW_R = 2_000_000.0  # interpolation radius (merc meters)
-
-
-def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5c inverse-distance-weighted interpolation (joins.
-    idw_interpolate — gdal_grid invdist power=2 over the radius_join
-    cell-block plan) with a FULL no-epsilon oracle: order points
-    interpolate customer values (c % 1000 + 1); every 1/d² term is
-    one correctly-rounded division of identically-computed doubles
-    folded in ascending-target order (the bigram-LM precedent), so
-    DuckDB reproduces the final double BIT-exactly. Shared integer
-    keys between orders and customer produce genuine d²=0 exact hits,
-    so the infinite-weight short-circuit (lowest-id zero-distance
-    value) is driver-exercised, not just unit-tested."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.joins import idw_interpolate
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    q = derive_points(orders, "o_orderkey")
-    t = derive_points(customer, "c_custkey").withColumn(
-        "v", (F.col("id") % 1000 + 1).cast("double")
-    )
-    return idw_interpolate(q, t, IDW_R, value_col="v", z=IDW_Z)
-
-
-def _sql_idw(z: int = IDW_Z, r: float = IDW_R) -> str:
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey', 'id', 'qp')},
-{S.point_cte('customer', 'c_custkey', 'id', 'tp')},
-qc AS (SELECT id AS qid, mx AS qx, my AS qy, {tx} AS ctx, {ty} AS cty
-       FROM qp),
-qb AS (
-  SELECT qid, qx, qy, ctx + d % 3 - 1 AS ctx, cty + d // 3 - 1 AS cty
-  FROM (SELECT qc.*, unnest(generate_series(0, 8)) AS d FROM qc)
-),
-tc AS (SELECT id AS tid, mx AS tx2, my AS ty2, {tx} AS ctx, {ty} AS cty,
-              CAST(id % 1000 + 1 AS DOUBLE) AS v
-       FROM tp),
-pairs AS (
-  SELECT qid, tid, v,
-         (qx - tx2) * (qx - tx2) + (qy - ty2) * (qy - ty2) AS d2
-  FROM qb JOIN tc USING (ctx, cty)
-  WHERE (qx - tx2) * (qx - tx2) + (qy - ty2) * (qy - ty2)
-        <= {S.flit(r * r)}
-),
-zero AS (SELECT qid, MIN(tid) AS htid FROM pairs WHERE d2 = 0 GROUP BY qid),
-agg AS (
-  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
-         list_reduce(
-           list_prepend(CAST(0 AS DOUBLE),
-                        list(v / d2 ORDER BY tid) FILTER (d2 > 0)),
-           (a, b) -> a + b) AS num,
-         list_reduce(
-           list_prepend(CAST(0 AS DOUBLE),
-                        list(CAST(1 AS DOUBLE) / d2 ORDER BY tid)
-                          FILTER (d2 > 0)),
-           (a, b) -> a + b) AS den
-  FROM pairs GROUP BY qid
-)
-SELECT a.qid AS query_id, a.n_nbrs,
-       CASE WHEN z.htid IS NOT NULL
-            THEN CAST(z.htid % 1000 + 1 AS DOUBLE)
-            ELSE num / den END AS idw
-FROM agg a LEFT JOIN zero z ON a.qid = z.qid
-"""
-
-
-HEAT_Z = 6  # q_heatmap_tiles zoom
-HEAT_RES = 64  # density raster resolution (pixels per tile side)
-
-
-def q_heatmap_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6 point-density heatmap tiles (the mapbox heatmap-layer /
-    datashader shape): order points bin into the HEAT_RES×HEAT_RES
-    pixel grid of their covering z6 tile — one narrow projection
-    (pure Column floor math on the shared mercator mix) and ONE
-    map-side-combined aggregate per (tile, pixel), then a per-tile
-    rollup emitting n_points, occupied-pixel count, and the
-    collision-sensitive Σcount² (distinguishes 10 points in one pixel
-    from 10 spread out — a plain count wouldn't). All integers; the
-    DuckDB twin replays the mix, the two-level floor binning, and
-    both moments bit-for-bit. At 10^12 points this is exactly the
-    EP1 fan-out shape with a finer key — no new scaling risk."""
-    from pyspark.sql import functions as F
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    tx, ty = S.tile_xy_exprs(HEAT_Z)
-    mxe = (
-        "((((o_orderkey) * 2654435761) % 4294967296) / "
-        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
-    )
-    mye = (
-        "((((o_orderkey) * 1103515245 + 12345) % 4294967296) / "
-        f"{S.flit(2**32)}) * {S.flit(S.TWO_W)} - {S.flit(W)}"
-    )
-    span = S.TWO_W / (1 << HEAT_Z)
-    pts = orders.selectExpr(
-        "o_orderkey AS id", f"{mxe} AS mx", f"{mye} AS my"
-    ).selectExpr("id", "mx", "my", f"{tx} AS x", f"{ty} AS y")
-    px = (
-        f"CAST(floor((mx + {S.flit(W)} - x * {S.flit(span)}) / "
-        f"{S.flit(span / HEAT_RES)}) AS BIGINT)"
-    )
-    py = (
-        f"CAST(floor(({S.flit(W)} - y * {S.flit(span)} - my) / "
-        f"{S.flit(span / HEAT_RES)}) AS BIGINT)"
-    )
-    # clamp the boundary ulp (a point exactly on a tile edge can land
-    # at index HEAT_RES): LEAST is mirrored verbatim in the twin
-    binned = pts.selectExpr(
-        "x",
-        "y",
-        f"LEAST({px}, {HEAT_RES - 1}) AS px",
-        f"LEAST({py}, {HEAT_RES - 1}) AS py",
-    )
-    cells = binned.groupBy("x", "y", "px", "py").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return cells.groupBy("x", "y").agg(
-        F.sum("c").cast("long").alias("n_points"),
-        F.count(F.lit(1)).cast("long").alias("n_occupied"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
-    )
-
-
-def _sql_heatmap_tiles(z: int = HEAT_Z, res: int = HEAT_RES) -> str:
-    tx, ty = S.tile_xy_exprs(z)
-    span = S.TWO_W / (1 << z)
-    px = (
-        f"CAST(floor((mx + {S.flit(W)} - x * {S.flit(span)}) / "
-        f"{S.flit(span / res)}) AS BIGINT)"
-    )
-    py = (
-        f"CAST(floor(({S.flit(W)} - y * {S.flit(span)} - my) / "
-        f"{S.flit(span / res)}) AS BIGINT)"
-    )
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, mx, my, {tx} AS x, {ty} AS y FROM pts),
-b AS (
-  SELECT x, y, LEAST({px}, {res - 1}) AS px, LEAST({py}, {res - 1}) AS py
-  FROM t
-),
-cells AS (
-  SELECT x, y, px, py, COUNT(*) AS c FROM b GROUP BY 1, 2, 3, 4
-)
-SELECT x, y, CAST(SUM(c) AS BIGINT) AS n_points,
-       CAST(COUNT(*) AS BIGINT) AS n_occupied,
-       CAST(SUM(c * c) AS BIGINT) AS sum_c2
-FROM cells GROUP BY 1, 2
-"""
-
-
-MS_THR = 127000  # q_marching_squares iso threshold (x1000 luma mid)
-MS_N = 150  # corpus size (3 grid self-joins in the twin: keep it bounded)
-
-
-def q_marching_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R5 iso-contour extraction (raster.marching_squares_stats —
-    midpoint marching squares, exact doubled-integer endpoints) with a
-    FULL oracle: DuckDB regenerates every pixel from the shared CTE
-    chain, rebuilds the 2×2 cell corners by three grid self-joins,
-    classifies crossed edges, and replays segment counts and the
-    saddle-invariant endpoint coordinate sums bit-for-bit."""
-    from mapnik_vector_tile_spark.operators.raster import (
-        marching_squares_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    return marching_squares_stats(images_df(spark, MS_N), thr=MS_THR)
-
-
-def _sql_marching_squares(n: int = MS_N, thr: int = MS_THR) -> str:
-    return f"""
-WITH {_img_pixel_ctes(n)},
-bgrid AS (
-  SELECT i, y, x,
-         (r * 299 + g * 587 + b * 114 > {thr}) AS bv
-  FROM chan
-),
-cells AS (
-  SELECT a.i, a.y, a.x,
-         (a.bv <> r.bv) AS e_top, (d.bv <> dr.bv) AS e_bot,
-         (a.bv <> d.bv) AS e_left, (r.bv <> dr.bv) AS e_right
-  FROM bgrid a
-  JOIN bgrid r  ON r.i = a.i AND r.y = a.y AND r.x = a.x + 1
-  JOIN bgrid d  ON d.i = a.i AND d.x = a.x AND d.y = a.y + 1
-  JOIN bgrid dr ON dr.i = a.i AND dr.y = a.y + 1 AND dr.x = a.x + 1
-),
-agg AS (
-  SELECT i, COUNT(*) AS n_cells,
-         SUM(CASE WHEN e_top THEN 1 ELSE 0 END
-             + CASE WHEN e_bot THEN 1 ELSE 0 END
-             + CASE WHEN e_left THEN 1 ELSE 0 END
-             + CASE WHEN e_right THEN 1 ELSE 0 END) AS crossed,
-         SUM(CASE WHEN e_top THEN 2 * x + 1 ELSE 0 END
-             + CASE WHEN e_bot THEN 2 * x + 1 ELSE 0 END
-             + CASE WHEN e_left THEN 2 * x ELSE 0 END
-             + CASE WHEN e_right THEN 2 * x + 2 ELSE 0 END) AS ex_sum,
-         SUM(CASE WHEN e_top THEN 2 * y ELSE 0 END
-             + CASE WHEN e_bot THEN 2 * y + 2 ELSE 0 END
-             + CASE WHEN e_left THEN 2 * y + 1 ELSE 0 END
-             + CASE WHEN e_right THEN 2 * y + 1 ELSE 0 END) AS ey_sum
-  FROM cells GROUP BY i
-)
-SELECT 'img_' || lpad(CAST(a.i AS VARCHAR), 12, '0') AS image_id,
-       CAST(n_cells AS BIGINT) AS n_cells,
-       CAST(crossed // 2 AS BIGINT) AS n_segments,
-       CAST(ex_sum AS BIGINT) AS ex_sum,
-       CAST(ey_sum AS BIGINT) AS ey_sum,
-       caps.caption AS caption
-FROM agg a JOIN caps ON a.i = caps.i
-"""
-
-
-def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12f the IMAGE-side curation pipeline COMPOSED end-to-end (the
-    visual twin of q_corpus_filter's text pipeline): blur gate
-    (laplacian_stats, thr=23000) → perceptual exact-dedup
-    (image_dhash first-occurrence keep among the sharp survivors — the
-    synthetic corpus has 7 colliding dhash values, so the dup branch
-    carries rows) → per-image stage ∈ {{blurry, dup, kept}}. Captions
-    ride through per the north-rule invariant. FULL oracle: DuckDB
-    regenerates both pixel pipelines (8-bit luma Laplacian AND the
-    ×1000 ITU-601 9×8 dHash grid) from one shared pixel CTE and
-    replays the stage decision."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        image_dhash,
-        laplacian_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, IMG_TH_N)
-    bl = laplacian_stats(imgs, blur_thr=LAP_BLUR_THR).select(
-        "image_id", "is_blurry"
-    )
-    dh = image_dhash(imgs).select("image_id", "dhash", "caption")
-    j = dh.join(bl, "image_id")
-    # first sharp occurrence per dhash (ids are zero-padded: lexical
-    # MIN == numeric MIN in both engines)
-    first_sharp = F.min(
-        F.when(~F.col("is_blurry"), F.col("image_id"))
-    ).over(Window.partitionBy("dhash"))
-    stage = (
-        F.when(F.col("is_blurry"), F.lit("blurry"))
-        .when(F.col("image_id") != first_sharp, F.lit("dup"))
-        .otherwise(F.lit("kept"))
-    )
-    return j.select("image_id", stage.alias("stage"), "caption")
-
-
-def _sql_image_curation(n: int = IMG_TH_N, thr: int = LAP_BLUR_THR) -> str:
-    return f"""
-WITH {_img_pixel_ctes(n)},
-{_IMG_LUM_LAP},
-blur AS (
-  SELECT i,
-         (COUNT(*) = 0 OR COUNT(*) * SUM(l * l) - SUM(l) * SUM(l)
-            < {thr} * COUNT(*) * COUNT(*)) AS is_blurry
-  FROM lap
-  WHERE x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2
-  GROUP BY i
-),
-gvals AS (
-  SELECT i,
-         ((((y + 1) * 8) - 1) // h) AS ty,
-         ((((x + 1) * 9) - 1) // w) AS tx,
-         r * 299 + g * 587 + b * 114 AS gray
-  FROM chan
-),
-gcells AS (
-  SELECT i, ty, tx, SUM(gray) // COUNT(*) AS cg
-  FROM gvals GROUP BY 1, 2, 3
-),
-gbits AS (
-  SELECT a.i, a.ty, a.tx,
-         CASE WHEN a.cg > b.cg THEN 1 ELSE 0 END AS bit
-  FROM gcells a JOIN gcells b
-    ON a.i = b.i AND a.ty = b.ty AND b.tx = a.tx + 1
-  WHERE a.tx < 8
-),
-packed AS (
-  SELECT i,
-         SUM(CAST(bit AS HUGEINT) << CAST(ty * 8 + tx AS INT)) AS raw
-  FROM gbits GROUP BY 1
-),
-rows_ AS (
-  SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
-         p.raw AS dhash, b.is_blurry, caps.caption
-  FROM packed p JOIN blur b ON p.i = b.i JOIN caps ON p.i = caps.i
-),
-staged AS (
-  SELECT image_id, caption, is_blurry,
-         MIN(CASE WHEN NOT is_blurry THEN image_id END)
-           OVER (PARTITION BY dhash) AS first_sharp
-  FROM rows_
-)
-SELECT image_id,
-       CASE WHEN is_blurry THEN 'blurry'
-            WHEN image_id <> first_sharp THEN 'dup'
-            ELSE 'kept' END AS stage,
-       caption
-FROM staged
-"""
-
-
-def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T21b dHash fingerprinting (raster.image_dhash — imagehash.dhash
-    semantics) over the canonical images table, bit-exact: decode
-    (raw-rgba8 AND png-zlib rows), integer ITU-601 luma, exact 9x8
-    box-average, horizontal-gradient sign bits packed row-major into a
-    signed int64. The DuckDB twin regenerates every pixel
-    closed-form, replays the luma, the floor-div cell means, the
-    neighbor compares and the HUGEINT bit packing with a signed wrap —
-    a single wrong pixel, cell boundary, or bit position breaks the
-    hash. sf_dir unused (committed synth recipe)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.raster import image_dhash
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, IMG_TH_N)
-    return image_dhash(imgs).select(
-        "image_id", "dhash", F.length("caption").cast("long").alias("cap_len")
-    )
-
-
-def _sql_image_dhash(n: int = IMG_TH_N) -> str:
-    from mapnik_vector_tile_spark.sources.synth import _WORDS
-
-    nw = len(_WORDS)
-    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-dims AS (
-  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
-         {splitmix64_sql('i')} AS ph
-  FROM ids
-),
-ys AS (SELECT i, w, h, ph, unnest(generate_series(0, h - 1)) AS y FROM dims),
-pix AS (
-  SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x
-  FROM ys
-),
-chan AS (
-  SELECT i, w, h, y, x,
-         CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64 AS BIGINT)
-           AS noise
-  FROM pix
-),
-vals AS (
-  SELECT i,
-         ((((y + 1) * 8) - 1) // h) AS ty,
-         ((((x + 1) * 9) - 1) // w) AS tx,
-         (((x * 255) // (w - 1) + noise) % 256) * 299
-           + (((y * 255) // (h - 1) + noise) % 256) * 587
-           + ((((x + y) * 255) // (w + h - 2) + noise) % 256) * 114
-           AS gray
-  FROM chan
-),
-cells AS (
-  SELECT i, ty, tx, SUM(gray) // COUNT(*) AS cg
-  FROM vals GROUP BY 1, 2, 3
-),
-bits AS (
-  SELECT a.i, a.ty, a.tx,
-         CASE WHEN a.cg > b.cg THEN 1 ELSE 0 END AS bit
-  FROM cells a JOIN cells b
-    ON a.i = b.i AND a.ty = b.ty AND b.tx = a.tx + 1
-  WHERE a.tx < 8
-),
-packed AS (
-  -- HUGEINT shifts, never ** (that returns DOUBLE and loses bits >53)
-  SELECT i,
-         SUM(CAST(bit AS HUGEINT) << CAST(ty * 8 + tx AS INT)) AS raw
-  FROM bits GROUP BY 1
-),
-caps AS (
-  SELECT i,
-         'caption ' || CAST(i AS VARCHAR) || ': '
-           || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption
-  FROM dims
-)
-SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
-       CAST(CASE WHEN raw >= (CAST(1 AS HUGEINT) << 63)
-                 THEN raw - (CAST(1 AS HUGEINT) << 64)
-                 ELSE raw END AS BIGINT) AS dhash,
-       CAST(length(caps.caption) AS BIGINT) AS cap_len
-FROM packed p JOIN caps ON p.i = caps.i
-"""
-
-
-LBOX_N = 200  # q_letterbox corpus size (twin regenerates 200*64*64 px)
-LBOX_T = 64  # q_letterbox canvas side
-LBOX_FILL = (7, 9, 11, 255)  # non-zero so the twin pins the padding too
-
-
-def q_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12c letterbox preprocessing (raster.letterbox_images): decode,
-    aspect-fit nearest-neighbor resample to the long side, center-pad
-    to 64x64 with a NON-ZERO fill. The gate hashes position-weighted
-    channel sums of the EMITTED canvas bytes (weight = ty·64+tx+1), so
-    a wrong source index, a one-pixel paste offset, or any stray
-    padding byte breaks the hash; the twin regenerates every source
-    pixel and replays the floor-mapped resample + centered paste +
-    fill closed-form. sf_dir unused (committed synth recipe)."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import letterbox_images
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    lb = letterbox_images(images_df(spark, LBOX_N), target=LBOX_T,
-                          fill=LBOX_FILL)
-
-    def gen(it):
-        wgt = (np.arange(LBOX_T * LBOX_T, dtype=np.int64) + 1).reshape(
-            LBOX_T, LBOX_T
-        )
-        for pdf in it:
-            out = {"image_id": [], "ox": [], "oy": [], "nw": [], "nh": [],
-                   "wr": [], "wg": [], "wb": [], "caption": []}
-            for r in pdf.itertuples():
-                a = (
-                    np.frombuffer(r.canvas, np.uint8)
-                    .reshape(LBOX_T, LBOX_T, 4)
-                    .astype(np.int64)
-                )
-                out["image_id"].append(r.image_id)
-                out["ox"].append(int(r.ox))
-                out["oy"].append(int(r.oy))
-                out["nw"].append(int(r.nw))
-                out["nh"].append(int(r.nh))
-                out["wr"].append(int((wgt * a[..., 0]).sum()))
-                out["wg"].append(int((wgt * a[..., 1]).sum()))
-                out["wb"].append(int((wgt * a[..., 2]).sum()))
-                out["caption"].append(r.caption)
-            yield pd.DataFrame(out)
-
-    return lb.mapInPandas(
-        gen,
-        schema="image_id string, ox int, oy int, nw int, nh int, "
-        "wr long, wg long, wb long, caption string",
-    )
-
-
-def _sql_letterbox(n: int = LBOX_N, t: int = LBOX_T) -> str:
-    from mapnik_vector_tile_spark.sources.synth import _WORDS
-
-    nw_words = len(_WORDS)
-    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
-    s_all = t * t * (t * t + 1) // 2  # sum of all weights
-    fr, fg, fb = LBOX_FILL[0], LBOX_FILL[1], LBOX_FILL[2]
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-dims AS (
-  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
-         {splitmix64_sql('i')} AS ph
-  FROM ids
-),
-fit AS (
-  SELECT i, w, h, ph,
-         CASE WHEN w >= h THEN {t} ELSE GREATEST(1, (w * {t}) // h) END
-           AS nw,
-         CASE WHEN w >= h THEN GREATEST(1, (h * {t}) // w) ELSE {t} END
-           AS nh
-  FROM dims
-),
-off AS (
-  SELECT *, ({t} - nw) // 2 AS ox, ({t} - nh) // 2 AS oy FROM fit
-),
-tys AS (SELECT o.*, unnest(generate_series(o.oy, o.oy + o.nh - 1)) AS ty
-        FROM off o),
-tpix AS (
-  SELECT i, w, h, nw, nh, ox, oy, ty,
-         unnest(generate_series(ox, ox + nw - 1)) AS tx
-  FROM tys
-),
-src AS (
-  SELECT i, w, h, ty, tx,
-         ((ty - oy) * h) // nh AS sy,
-         ((tx - ox) * w) // nw AS sx
-  FROM tpix
-),
-chan AS (
-  SELECT i, ty, tx, sx, sy, w, h,
-         CAST(({splitmix64_sql('(sy * w + sx + i * 65537)')}) % 64
-              AS BIGINT) AS noise
-  FROM src
-),
-vals AS (
-  SELECT i, (ty * {t} + tx + 1) AS wgt,
-         ((sx * 255) // (w - 1) + noise) % 256 AS r,
-         ((sy * 255) // (h - 1) + noise) % 256 AS g,
-         (((sx + sy) * 255) // (w + h - 2) + noise) % 256 AS b
-  FROM chan
-),
-inner_w AS (
-  SELECT i,
-         CAST(SUM(wgt * r) AS BIGINT) AS ir,
-         CAST(SUM(wgt * g) AS BIGINT) AS ig,
-         CAST(SUM(wgt * b) AS BIGINT) AS ib,
-         CAST(SUM(wgt) AS BIGINT) AS iw
-  FROM vals GROUP BY 1
-),
-caps AS (
-  SELECT i,
-         'caption ' || CAST(i AS VARCHAR) || ': '
-           || {words}[CAST(ph % {nw_words} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 64) % {nw_words} AS INT) + 1] || ' '
-           || {words}[CAST((ph // 4096) % {nw_words} AS INT) + 1]
-           AS caption
-  FROM dims
-)
-SELECT 'img_' || lpad(CAST(o.i AS VARCHAR), 12, '0') AS image_id,
-       CAST(o.ox AS INT) AS ox, CAST(o.oy AS INT) AS oy,
-       CAST(o.nw AS INT) AS nw, CAST(o.nh AS INT) AS nh,
-       iw0.ir + {fr} * ({s_all} - iw0.iw) AS wr,
-       iw0.ig + {fg} * ({s_all} - iw0.iw) AS wg,
-       iw0.ib + {fb} * ({s_all} - iw0.iw) AS wb,
-       caps.caption AS caption
-FROM off o JOIN inner_w iw0 ON o.i = iw0.i JOIN caps ON o.i = caps.i
-"""
-
-
-AUG_N = 120  # q_augment corpus size
-AUG_EPOCHS = 2
-
-
-def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12d deterministic augmentation gate (raster.augment_images):
-    decode, hash-assign one of six flip/rotate ops per (image, epoch),
-    and hash position-weighted channel sums of the EMITTED transformed
-    bytes — the weights make orientation load-bearing, so a wrong
-    rotation direction, a flipped axis, or a dims swap breaks the
-    hash. The twin regenerates source pixels closed-form and maps
-    each to its destination index per the assigned op (inverse-free:
-    weight computed at the mapped position)."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import augment_images
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    aug = augment_images(images_df(spark, AUG_N), epochs=AUG_EPOCHS)
-
-    def gen(it):
-        for pdf in it:
-            out = {"image_id": [], "epoch": [], "aug": [], "out_w": [],
-                   "out_h": [], "wr": [], "wg": [], "wb": []}
-            for r in pdf.itertuples():
-                a = (
-                    np.frombuffer(r.pixels, np.uint8)
-                    .reshape(int(r.out_h), int(r.out_w), 4)
-                    .astype(np.int64)
-                )
-                wgt = (
-                    np.arange(int(r.out_h) * int(r.out_w), dtype=np.int64)
-                    + 1
-                ).reshape(int(r.out_h), int(r.out_w))
-                out["image_id"].append(r.image_id)
-                out["epoch"].append(int(r.epoch))
-                out["aug"].append(r.aug)
-                out["out_w"].append(int(r.out_w))
-                out["out_h"].append(int(r.out_h))
-                out["wr"].append(int((wgt * a[..., 0]).sum()))
-                out["wg"].append(int((wgt * a[..., 1]).sum()))
-                out["wb"].append(int((wgt * a[..., 2]).sum()))
-            yield pd.DataFrame(out)
-
-    return aug.mapInPandas(
-        gen,
-        schema="image_id string, epoch int, aug string, out_w int, "
-        "out_h int, wr long, wg long, wb long",
-    )
-
-
-def _sql_augment(n: int = AUG_N, epochs: int = AUG_EPOCHS) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-eps AS (SELECT i, unnest(generate_series(0, {epochs - 1})) AS ep FROM ids),
-pick AS (
-  SELECT i, ep,
-         CAST(({splitmix64_sql('(i + ep * 4294967296)')}) % 6 AS BIGINT)
-           AS a
-  FROM eps
-),
-dims AS (
-  SELECT p.i, p.ep, p.a,
-         16 + (p.i * 7) % 49 AS w, 16 + (p.i * 11) % 49 AS h
-  FROM pick p
-),
-ys AS (SELECT d.*, unnest(generate_series(0, h - 1)) AS y FROM dims d),
-pix AS (SELECT ys.*, unnest(generate_series(0, w - 1)) AS x FROM ys),
-chan AS (
-  SELECT i, ep, a, w, h, x, y,
-         CAST(({splitmix64_sql('(y * w + x + i * 65537)')}) % 64
-              AS BIGINT) AS noise
-  FROM pix
-),
-mapped AS (
-  SELECT i, ep, a, w, h,
-         CASE a WHEN 0 THEN x WHEN 1 THEN w - 1 - x WHEN 2 THEN x
-                WHEN 3 THEN h - 1 - y WHEN 4 THEN w - 1 - x
-                ELSE y END AS tx,
-         CASE a WHEN 0 THEN y WHEN 1 THEN y WHEN 2 THEN h - 1 - y
-                WHEN 3 THEN x WHEN 4 THEN h - 1 - y
-                ELSE w - 1 - x END AS ty,
-         CASE WHEN a IN (3, 5) THEN h ELSE w END AS ow,
-         ((x * 255) // (w - 1) + noise) % 256 AS r,
-         ((y * 255) // (h - 1) + noise) % 256 AS g,
-         (((x + y) * 255) // (w + h - 2) + noise) % 256 AS b
-  FROM chan
-)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       CAST(ep AS INT) AS epoch,
-       CASE a WHEN 0 THEN 'identity' WHEN 1 THEN 'flip_h'
-              WHEN 2 THEN 'flip_v' WHEN 3 THEN 'rot90'
-              WHEN 4 THEN 'rot180' ELSE 'rot270' END AS aug,
-       CAST(ANY_VALUE(ow) AS INT) AS out_w,
-       CAST(CASE WHEN ANY_VALUE(a) IN (3, 5) THEN ANY_VALUE(w)
-                 ELSE ANY_VALUE(h) END AS INT) AS out_h,
-       CAST(SUM((ty * ow + tx + 1) * r) AS BIGINT) AS wr,
-       CAST(SUM((ty * ow + tx + 1) * g) AS BIGINT) AS wg,
-       CAST(SUM((ty * ow + tx + 1) * b) AS BIGINT) AS wb
-FROM mapped
-GROUP BY i, ep, a
-"""
-
-
-WDS_N = 400  # q_wds_roundtrip corpus size
-
-
-def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WebDataset tar shard sink/source gate with a FULL oracle — the
-    training-corpus interchange leg of the north rule: the
-    input_hint-shaped images table (image_id, bytes, w, h, fmt,
-    caption, phash) is written through the SHARDED tar sink
-    (sources/wds.py — one POSIX tar per partition, executor-side,
-    pinned headers, {key}.{fmt}/{key}.json/{key}.txt members per the
-    webdataset basename-grouping convention), read back through the
-    source, and FULL-joined against the pre-write rows. Per image the
-    output carries the read-back metadata (w, h, fmt, phash) and
-    caption plus roundtrip_ok, TRUE only if payload bytes, caption,
-    and every metadata field came back IDENTICAL with no
-    extras/missing (full join turns asymmetry into nulls → false).
-    The DuckDB twin replays dims, fmt, phash (signed), and the caption
-    words closed-form from the synth corpus — it never sees a tar."""
-    import os
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.sources.synth import images_df
-    from mapnik_vector_tile_spark.sources.wds import (
-        read_wds,
-        write_wds_shards,
-    )
-
-    imgs = images_df(spark, WDS_N)
-    out_dir = f"/tmp/mvt_wds_gate_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    write_wds_shards(imgs, out_dir, num_shards=8)
-    back = read_wds(spark, out_dir)
-    orig = imgs.select(
-        "image_id",
-        F.col("bytes").alias("o_bytes"),
-        F.col("w").alias("o_w"),
-        F.col("h").alias("o_h"),
-        F.col("fmt").alias("o_fmt"),
-        F.col("caption").alias("o_caption"),
-        F.col("phash").alias("o_phash"),
-    )
-    j = orig.join(back, ["image_id"], "full")
-    ok = (
-        (F.col("bytes") == F.col("o_bytes"))
-        & (F.col("caption") == F.col("o_caption"))
-        & (F.col("w") == F.col("o_w"))
-        & (F.col("h") == F.col("o_h"))
-        & (F.col("fmt") == F.col("o_fmt"))
-        & (F.col("phash") == F.col("o_phash"))
-    )
-    return j.select(
-        "image_id",
-        "caption",
-        "w",
-        "h",
-        "fmt",
-        "phash",
-        F.coalesce(ok, F.lit(False)).alias("roundtrip_ok"),
-    )
-
-
-def _sql_wds_roundtrip(n: int = WDS_N) -> str:
-    from mapnik_vector_tile_spark.sources.synth import _WORDS
-
-    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
-    nw = len(_WORDS)
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-dims AS (
-  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
-         {splitmix64_sql('i')} AS ph
-  FROM ids
-)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       'caption ' || CAST(i AS VARCHAR) || ': '
-         || {words}[CAST(ph % {nw} AS INT) + 1] || ' '
-         || {words}[CAST((ph // 64) % {nw} AS INT) + 1] || ' '
-         || {words}[CAST((ph // 4096) % {nw} AS INT) + 1] AS caption,
-       CAST(w AS INT) AS w,
-       CAST(h AS INT) AS h,
-       CASE WHEN i % 10 = 9 THEN 'png-zlib' ELSE 'raw-rgba8' END AS fmt,
-       CAST(CASE WHEN ph >= 9223372036854775808
-                 THEN ph - 18446744073709551616 ELSE ph END
-            AS BIGINT) AS phash,
-       TRUE AS roundtrip_ok
-FROM dims
-"""
-
-
-AR_N = 600  # q_ar_bucket_batches corpus size
-
-
-def q_ar_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-ratio bucketing + fixed-size batch packing
-    (sampling.ar_bucket_batches) over the input_hint images table with
-    a FULL oracle — the batch former of image-model training
-    (same-AR batches from a variable-AR corpus). Nearest-bucket choice
-    is exact integer cross-multiplication (|w·d−h·n|·lcm/d, tie → the
-    smaller index) so both engines bit-agree; packing ranks within
-    (bucket, pmod(phash, shards)) so no single bucket ever serializes
-    onto one task. The DuckDB twin replays dims and phash closed-form,
-    re-derives the argmin over a VALUES bucket table, and repacks with
-    the same window."""
-    from mapnik_vector_tile_spark.operators.sampling import (
-        ar_bucket_batches,
-    )
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    return ar_bucket_batches(
-        images_df(spark, AR_N, with_bytes=False),
-        batch_size=8,
-        n_shards=4,
-    )
-
-
-def _sql_ar_bucket_batches(n: int = AR_N, b: int = 8) -> str:
-    from mapnik_vector_tile_spark.operators.sampling import (
-        AR_BUCKETS,
-        _ar_lcm_den,
-    )
-
-    lcm = _ar_lcm_den()
-    vals = ", ".join(
-        f"({i}, {num}, {den}, {lcm // den})"
-        for i, (num, den) in enumerate(AR_BUCKETS)
-    )
-    # n_shards = 4 divides 2^64, so pmod(signed phash, 4) equals the
-    # UNSIGNED hash mod 4 — no signed reinterpretation needed here
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-dims AS (
-  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 49 AS h,
-         {splitmix64_sql('i')} AS ph
-  FROM ids
-),
-bk(idx, num, den, k) AS (VALUES {vals}),
-scored AS (
-  SELECT i, w, h, ph, idx, num, den,
-         row_number() OVER (
-           PARTITION BY i
-           ORDER BY abs(w * den - h * num) * k, idx
-         ) AS rk
-  FROM dims CROSS JOIN bk
-),
-assigned AS (
-  SELECT i, w, h, idx, num, den,
-         CAST(ph % 4 AS INT) AS shard
-  FROM scored WHERE rk = 1
-),
-packed AS (
-  SELECT i, w, h, idx, num, den, shard,
-         (row_number() OVER (
-            PARTITION BY idx, shard
-            ORDER BY i
-          ) - 1) // {b} AS batch_id,
-         COUNT(*) OVER (PARTITION BY idx, shard) // {b} AS n_full
-  FROM assigned
-)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
-       CAST(idx AS INT) AS bucket,
-       CAST(num AS INT) AS ratio_n, CAST(den AS INT) AS ratio_d,
-       shard,
-       CAST(batch_id AS BIGINT) AS batch_id,
-       batch_id < n_full AS is_full
-FROM packed
-"""
-
-
-MEASURES_N = 500  # q_geom_measures corpus size
-
-
-def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 geometry measures as PURE Column algebra with a FULL
-    oracle (functions/measures.py — shoelace signed area, boundary
-    length, vertex centroid; transform/zip_with/aggregate only, no
-    UDF, no shuffle). Corpus: i%2 picks — 0: closed CCW rectangle
-    (a2 = 2wh, length = 2(w+h)), 1: axis-aligned staircase polyline of
-    k (right r, up u) steps (a2 = k·r·u via the wrap edge, length =
-    k·(r+u), vertex means = x0 + rk(k+1)/(2k+1), y0 + uk²/(2k+1)).
-    Every coordinate/dimension is dyadic and small, so every product
-    and partial sum is EXACT in float64 — the engine's fold order and
-    the twin's closed forms land on identical doubles, and the final
-    divisions see identical operands. Ref parity: mapnik
-    util::area/length/centroid over geometry<double>; SURVEY §2.9."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import measures as M
-
-    corpus = _measures_corpus(spark)
-    return corpus.select(
-        "feature_id",
-        M.signed_area2().alias("a2"),
-        M.boundary_length().alias("length"),
-        M.vertex_mean("xs").alias("vx"),
-        M.vertex_mean("ys").alias("vy"),
-    )
-
-
-def _measures_corpus(spark: SparkSession, n: int = None) -> DataFrame:
-    """The shared dyadic-exact measures corpus (see q_geom_measures
-    doc): even i -> closed CCW rectangle, odd i -> axis-aligned
-    staircase polyline; every coordinate exact in float64."""
-    import pandas as pd
-
-    if n is None:
-        n = MEASURES_N
-
-    def gen(it):
-        from mapnik_vector_tile_spark.functions import geomcodec as gc
-
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
-                    "part_offsets": [], "caption": []}
-            for i in ids:
-                i = int(i)
-                x0 = -200.0 + (i * 3) % 400 + 0.125
-                y0 = -100.0 + (i * 7) % 200 + 0.0625
-                if i % 2 == 0:
-                    w = 1 + i % 9 + 0.25
-                    h = 2 + i % 7 + 0.5
-                    xs = [x0, x0 + w, x0 + w, x0, x0]
-                    ys = [y0, y0, y0 + h, y0 + h, y0]
-                    gt = gc.GEOM_POLYGON
-                else:
-                    r = 1 + i % 5 + 0.5
-                    u = 2 + i % 3 + 0.25
-                    k = 2 + i % 4
-                    xs, ys = [x0], [y0]
-                    for j in range(1, k + 1):
-                        xs.append(x0 + j * r); ys.append(y0 + (j - 1) * u)
-                        xs.append(x0 + j * r); ys.append(y0 + j * u)
-                    gt = gc.GEOM_LINESTRING
-                rows["feature_id"].append(i)
-                rows["geom_type"].append(int(gt))
-                rows["xs"].append(xs)
-                rows["ys"].append(ys)
-                rows["part_offsets"].append([0, len(xs)])
-                rows["caption"].append("")
-            yield pd.DataFrame(rows)
-
-    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
-
-    return spark.range(0, n, 1, 8).mapInPandas(gen, schema=FEATURES_SCHEMA)
-
-
-def _sql_geom_measures(n: int = MEASURES_N) -> str:
-    from mapnik_vector_tile_spark.plans.shared_sql import flit
-
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-base AS (
-  SELECT i,
-         {flit(-200.0)} + (i * 3) % 400 + {flit(0.125)} AS x0,
-         {flit(-100.0)} + (i * 7) % 200 + {flit(0.0625)} AS y0,
-         1 + i % 9 + {flit(0.25)} AS w,
-         2 + i % 7 + {flit(0.5)} AS h,
-         1 + i % 5 + {flit(0.5)} AS r,
-         2 + i % 3 + {flit(0.25)} AS u,
-         2 + i % 4 AS k
-  FROM ids
-)
-SELECT i AS feature_id,
-       CASE WHEN i % 2 = 0 THEN {flit(2.0)} * w * h
-            ELSE k * r * u END AS a2,
-       CASE WHEN i % 2 = 0 THEN {flit(2.0)} * (w + h)
-            ELSE k * (r + u) END AS length,
-       CASE WHEN i % 2 = 0 THEN ({flit(5.0)} * x0 + {flit(2.0)} * w) / {flit(5.0)}
-            ELSE ((2 * k + 1) * x0 + r * k * (k + 1))
-                 / CAST(2 * k + 1 AS DOUBLE) END AS vx,
-       CASE WHEN i % 2 = 0 THEN ({flit(5.0)} * y0 + {flit(2.0)} * h) / {flit(5.0)}
-            ELSE ((2 * k + 1) * y0 + u * k * k)
-                 / CAST(2 * k + 1 AS DOUBLE) END AS vy
-FROM base
-"""
-
-
-RADIUS_N = 2000  # q_radius_join per-side corpus size
-RADIUS_K = 64  # r² in u² units (integer → no exact-r ties possible)
-
-
-def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5-companion fixed-radius distance join with a FULL oracle
-    (joins.radius_join): 2000 query × 2000 target points on a dyadic
-    u-grid (u = span(z10)/8; targets offset +u/4 in both axes so every
-    achievable squared distance has fractional part 1/8 or 5/8 of u² —
-    an INTEGER r² = 64u² can never tie). The engine picks z=10 — the
-    finest level whose span (= 8u) still covers r exactly — explodes
-    the 3×3 block, equi-joins on the cell,
-    and filters on exact squared distance in Column algebra; the
-    DuckDB twin is a direct cross join with the identical coordinate
-    expressions and the identical Python-computed r² literal — it
-    never sees cells. Output (query_id, target_id, d2). sf_dir unused
-    (committed synth recipe). Ref parity: fixed-distance spatial probe
-    (the bounded form of the reference's kNN/cell-ring machinery);
-    SURVEY §2.3 J5."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.operators.joins import radius_join
-
-    u = tm.tile_span(10) / 8.0
-    radius = 8.0 * u  # sqrt(RADIUS_K) * u
-    x0 = -tm.W + 1000.0 * u
-    queries = spark.range(0, RADIUS_N, 1, 8).select(
-        F.col("id"),
-        (F.lit(x0) + ((F.col("id") * 13) % 400) * F.lit(u)).alias("mx"),
-        (F.lit(x0) + ((F.col("id") * 17) % 400) * F.lit(u)).alias("my"),
-    )
-    targets = spark.range(0, RADIUS_N, 1, 8).select(
-        F.col("id"),
-        (F.lit(x0) + ((F.col("id") * 7) % 400) * F.lit(u)
-         + F.lit(u / 4.0)).alias("mx"),
-        (F.lit(x0) + ((F.col("id") * 11) % 400) * F.lit(u)
-         + F.lit(u / 4.0)).alias("my"),
-    )
-    return radius_join(queries, targets, radius)
-
-
-def _sql_radius_join(n: int = RADIUS_N) -> str:
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.plans.shared_sql import flit
-
-    u = tm.tile_span(10) / 8.0
-    radius = 8.0 * u
-    r2 = float(radius) * float(radius)  # same Python product the engine uses
-    x0 = -tm.W + 1000.0 * u
-    # flit throughout: a bare decimal literal parses as DECIMAL in
-    # DuckDB (different rounding than DOUBLE — the §gotcha the other
-    # shared oracles already guard against)
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-q AS (
-  SELECT i, {flit(x0)} + ((i * 13) % 400) * {flit(u)} AS qx,
-         {flit(x0)} + ((i * 17) % 400) * {flit(u)} AS qy
-  FROM ids
-),
-t AS (
-  SELECT i, {flit(x0)} + ((i * 7) % 400) * {flit(u)} + {flit(u / 4.0)} AS tx,
-         {flit(x0)} + ((i * 11) % 400) * {flit(u)} + {flit(u / 4.0)} AS ty
-  FROM ids
-)
-SELECT q.i AS query_id, t.i AS target_id,
-       (q.qx - t.tx) * (q.qx - t.tx) + (q.qy - t.ty) * (q.qy - t.ty) AS d2
-FROM q, t
-WHERE (q.qx - t.tx) * (q.qx - t.tx) + (q.qy - t.ty) * (q.qy - t.ty) <= {flit(r2)}
-"""
-
-
-COMPACT_N = 600  # q_cell_compact corpus size
-
-
-def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T15 cell-union normalization gate with a FULL oracle
-    (cellcover.compact_cells — the S2 CellUnion::Normalize analogue):
-    three closed-form shapes at z=10, i%3 picks — 0: a 4×4 block
-    aligned to a 4-grid (must CASCADE two rounds to one z=8 cell),
-    1: an aligned 2×2 (one z=9 cell), 2: a 3×3 at an even corner (one
-    z=9 cell + exactly 5 z=10 leaves). Input cells are generated with
-    pure Column algebra (sequence/explode — no Python anywhere in the
-    query); the engine runs the real per-round count-aggregate +
-    anti-join plan; the DuckDB twin emits the minimal covers directly
-    from the shape parameters. The uncompact inverse is pinned by
-    round-trip unit tests. sf_dir unused (committed synth recipe).
-    Ref parity: quadtree pyramid normalization (the tile-tree algebra
-    under the reference's overzoom/composite); SURVEY §2 T15."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.cellcover import compact_cells
-
-    base = spark.range(0, COMPACT_N, 1, 8).select(
-        F.col("id").alias("feature_id"),
-        (F.col("id") % 3).alias("kind"),
-        ((F.col("id") * 3) % 250).alias("k4"),
-        ((F.col("id") * 5) % 250).alias("m4"),
-        ((F.col("id") * 3) % 500).alias("p"),
-        ((F.col("id") * 5) % 500).alias("q"),
-    )
-    k0 = (
-        base.filter(F.col("kind") == 0)
-        .select(
-            "feature_id", "k4", "m4",
-            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("t"),
-        )
-        .select(
-            "feature_id",
-            F.lit(10).alias("z"),
-            (F.col("k4") * 4 + F.col("t") % 4).cast("long").alias("cx"),
-            (F.col("m4") * 4 + F.floor(F.col("t") / 4)).cast("long").alias("cy"),
-        )
-    )
-    k1 = (
-        base.filter(F.col("kind") == 1)
-        .select(
-            "feature_id", "p", "q",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("t"),
-        )
-        .select(
-            "feature_id",
-            F.lit(10).alias("z"),
-            (F.col("p") * 2 + F.col("t") % 2).cast("long").alias("cx"),
-            (F.col("q") * 2 + F.floor(F.col("t") / 2)).cast("long").alias("cy"),
-        )
-    )
-    k2 = (
-        base.filter(F.col("kind") == 2)
-        .select(
-            "feature_id", "p", "q",
-            F.explode(F.sequence(F.lit(0), F.lit(8))).alias("t"),
-        )
-        .select(
-            "feature_id",
-            F.lit(10).alias("z"),
-            (F.col("p") * 2 + F.col("t") % 3).cast("long").alias("cx"),
-            (F.col("q") * 2 + F.floor(F.col("t") / 3)).cast("long").alias("cy"),
-        )
-    )
-    return compact_cells(k0.unionByName(k1).unionByName(k2), levels=3)
-
-
-def _sql_cell_compact(n: int = COMPACT_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-base AS (
-  SELECT i, i % 3 AS kind, (i * 3) % 250 AS k4, (i * 5) % 250 AS m4,
-         (i * 3) % 500 AS p, (i * 5) % 500 AS q
-  FROM ids
-),
-k0 AS (  -- aligned 4x4 cascades to one z=8 cell
-  SELECT i AS feature_id, 8 AS z, k4 AS cx, m4 AS cy FROM base WHERE kind = 0
-),
-k1 AS (  -- aligned 2x2 -> one z=9 cell
-  SELECT i AS feature_id, 9 AS z, p AS cx, q AS cy FROM base WHERE kind = 1
-),
-k2p AS (  -- 3x3 at even corner -> one z=9 cell ...
-  SELECT i AS feature_id, 9 AS z, p AS cx, q AS cy FROM base WHERE kind = 2
-),
-k2l AS (  -- ... plus the 5 uncovered z=10 leaves
-  SELECT b.i AS feature_id, 10 AS z,
-         CASE WHEN l.t < 3 THEN b.p * 2 + 2 ELSE b.p * 2 + (l.t - 3) END AS cx,
-         CASE WHEN l.t < 3 THEN b.q * 2 + l.t ELSE b.q * 2 + 2 END AS cy
-  FROM base b, LATERAL (SELECT unnest(generate_series(0, 4)) AS t) l
-  WHERE b.kind = 2
-)
-SELECT * FROM k0 UNION ALL SELECT * FROM k1
-UNION ALL SELECT * FROM k2p UNION ALL SELECT * FROM k2l
-"""
-
-
-ZONAL_N = 120  # q_zonal_stats zones
-ZONAL_Z = 4  # 16×16 tile grid
-ZONAL_T = 32  # pixels per tile side
-
-
-def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4-companion zonal statistics with a FULL integer oracle:
-    120 rectangular zones (anchored at pixel-fraction +1/4 with
-    half-pixel widths, so pixel CENTERS are never on a zone edge) over
-    a full 16×16 z=4 raster tile grid whose channel-0 pixels are the
-    closed-form ramp v = (3·row + 5·col + (tx·37+ty·91)%251) % 256.
-    The engine runs the real pipeline — exact zone covering → cell
-    equi-join against the tile table → decode → even-odd center mask →
-    partial+final integer aggregation (operators/raster.zonal_stats);
-    the DuckDB twin enumerates zone pixels in GLOBAL pixel coordinates
-    and sums the same ramp, integers only, never touching tiles or
-    rasters. Output (region_id, n_px, sum_px) — integer-exact, order-
-    free. sf_dir unused (committed synth recipe). Ref parity: raster
-    band statistics under vector masks (the raster analogue of the
-    reference's per-tile spatial aggregation); SURVEY §2.8 R4."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.operators.raster import zonal_stats
-
-    span = tm.tile_span(ZONAL_Z)
-    pspan = span / ZONAL_T
-
-    def gen_tiles(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"z": [], "x": [], "y": [], "raster": [], "fmt": []}
-            rr, cc = np.mgrid[0:ZONAL_T, 0:ZONAL_T]
-            for t in ids:
-                t = int(t)
-                tx, ty = t % 16, t // 16
-                phase = (tx * 37 + ty * 91) % 251
-                v = ((3 * rr + 5 * cc + phase) % 256).astype(np.uint8)
-                rgba = np.repeat(v[..., None], 4, axis=2)
-                rgba[..., 3] = 255
-                rows["z"].append(ZONAL_Z)
-                rows["x"].append(tx)
-                rows["y"].append(ty)
-                rows["raster"].append(rgba.tobytes())
-                rows["fmt"].append("raw-rgba8")
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(0, 256, 1, 8).mapInPandas(
-        gen_tiles, schema="z int, x long, y long, raster binary, fmt string"
-    )
-
-    def gen_zones(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"region_id": [], "xs": [], "ys": [], "ring_offsets": []}
-            for i in ids:
-                i = int(i)
-                gx, gy = (i * 3) % 12, (i * 5) % 12
-                px0, py0 = (i * 13) % 28, (i * 17) % 28
-                wpx, hpx = 10 + (i * 7) % 45, 8 + (i * 11) % 40
-                zx0 = -tm.W + (gx * ZONAL_T + px0 + 0.25) * pspan
-                zx1 = zx0 + (wpx + 0.5) * pspan
-                ztop = tm.W - (gy * ZONAL_T + py0 + 0.25) * pspan
-                zbot = tm.W - (gy * ZONAL_T + py0 + hpx + 0.75) * pspan
-                rows["region_id"].append(i)
-                rows["xs"].append([zx0, zx1, zx1, zx0, zx0])
-                rows["ys"].append([zbot, zbot, ztop, ztop, zbot])
-                rows["ring_offsets"].append([0, 5])
-            yield pd.DataFrame(rows)
-
-    zones = spark.range(0, ZONAL_N, 1, 4).mapInPandas(
-        gen_zones,
-        schema=("region_id long, xs array<double>, ys array<double>, "
-                "ring_offsets array<int>"),
-    )
-    return zonal_stats(tiles, zones, z=ZONAL_Z, tile_size=ZONAL_T)
-
-
-def _sql_zonal_stats(n: int = ZONAL_N, t: int = ZONAL_T) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-zn AS (
-  SELECT i, (i * 3) % 12 AS gx, (i * 5) % 12 AS gy,
-         (i * 13) % 28 AS px0, (i * 17) % 28 AS py0,
-         10 + (i * 7) % 45 AS wpx, 8 + (i * 11) % 40 AS hpx
-  FROM ids
-),
-px AS (
-  SELECT z.i, gp.p, gq.q
-  FROM zn z,
-       LATERAL (SELECT unnest(generate_series(
-           z.gx * {t} + z.px0, z.gx * {t} + z.px0 + z.wpx)) AS p) gp,
-       LATERAL (SELECT unnest(generate_series(
-           z.gy * {t} + z.py0, z.gy * {t} + z.py0 + z.hpx)) AS q) gq
-)
-SELECT i AS region_id,
-       COUNT(*) AS n_px,
-       CAST(SUM((3 * (q % {t}) + 5 * (p % {t})
-                 + ((p // {t}) * 37 + (q // {t}) * 91) % 251) % 256)
-            AS BIGINT) AS sum_px
-FROM px
-GROUP BY i
-"""
-
-
-LINE_COVER_N = 300  # q_line_cover corpus size
-
-
-def q_line_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T15 trajectory covering gate with a FULL oracle: the SAME
-    covering kernel (cover_polygon_cells degenerates correctly for
-    lines — vertex binning + edge crossing; the zero-area center-PIP
-    stage never fires) over 45° diagonal segments, the adversarial
-    case for cell walks. Each segment starts at cell fractions
-    (+3/8, +5/8) with integer cell length l = 1 + i%6, so it crosses
-    vertical boundaries at u = 5/8+j and horizontal ones at u = 3/8+j
-    — never a corner, and the exact staircase is closed-form:
-    {(k+i, cy0−i)} ∪ {(k+i, cy0−i−1)} = 2l+1 cells. The DuckDB twin
-    enumerates exactly that, integers only. sf_dir unused. Ref parity:
-    line features through the reference's per-tile spatial filter;
-    SURVEY §2 T15."""
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.operators.cellcover import cover_polygon_cells
-
-    span = tm.tile_span(COVER_Z)
-
-    def gen(it):
-        from mapnik_vector_tile_spark.functions import geomcodec as gc
-
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
-                    "part_offsets": [], "caption": []}
-            for i in ids:
-                i = int(i)
-                k = (i * 7) % 900
-                m = (i * 11) % 900
-                a = -tm.W + k * span + 0.375 * span
-                c = -tm.W + m * span + 0.625 * span
-                L = (1 + i % 6) * span
-                rows["feature_id"].append(i)
-                rows["geom_type"].append(int(gc.GEOM_LINESTRING))
-                rows["xs"].append([a, a + L])
-                rows["ys"].append([c, c + L])
-                rows["part_offsets"].append([0, 2])
-                rows["caption"].append("")
-            yield pd.DataFrame(rows)
-
-    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
-
-    corpus = spark.range(0, LINE_COVER_N, 1, 8).mapInPandas(
-        gen, schema=FEATURES_SCHEMA
-    )
-    return cover_polygon_cells(corpus, COVER_Z)
-
-
-def _sql_line_cover(n: int = LINE_COVER_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
-base AS (
-  SELECT i, (i * 7) % 900 AS k, (i * 11) % 900 AS m, 1 + i % 6 AS l
-  FROM ids
-),
-diag AS (  -- the (k+t, cy0-t) cells, t = 0..l
-  SELECT b.i AS feature_id, b.k + g.t AS cx, 1023 - b.m - g.t AS cy
-  FROM base b, LATERAL (SELECT unnest(generate_series(0, b.l)) AS t) g
-),
-steps AS (  -- the (k+t, cy0-t-1) step cells, t = 0..l-1
-  SELECT b.i AS feature_id, b.k + g.t AS cx, 1023 - b.m - g.t - 1 AS cy
-  FROM base b, LATERAL (SELECT unnest(generate_series(0, b.l - 1)) AS t) g
-)
-SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM diag
-UNION ALL
-SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM steps
-"""
-
-
-COVER_JOIN_NR = 150  # q_pip_cover_join regions
-COVER_JOIN_NP = 4000  # q_pip_cover_join points
-COVER_JOIN_Z = 8
-
-
-def q_pip_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4-upgrade gate with a FULL oracle: partitioned PIP join whose
-    candidates come from the EXACT polygon covering
-    (joins.pip_join_cover ∘ cellcover.cover_polygon_cells) instead of
-    the envelope range. Corpus: 150 regions (rect/right-triangle mix,
-    anchored at cell-fraction +1/4 so edges never lie ON cell
-    boundaries) × 4000 points (at cell-fractions +3/8, +5/8 — margins
-    ≥ span/8 from every region edge and from the hypotenuse, so both
-    engines' float comparisons agree despite different expression
-    trees). The DuckDB twin is a direct cross-join with closed-form
-    containment (BETWEEN + one halfplane inequality) — it never sees
-    cells, so the covering+equi-join+refine pipeline is gated end to
-    end against pure geometry. Output (point_id, region_id).
-    sf_dir unused (committed synth recipe). Ref parity: the spatial
-    probe the reference runs per tile, re-expressed as the PBSM
-    shuffle join; SURVEY §2.3 J4 + T15."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.operators.joins import pip_join_cover
-
-    span = tm.tile_span(COVER_JOIN_Z)
-
-    def gen_regions(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"region_id": [], "xs": [], "ys": [], "ring_offsets": []}
-            for i in ids:
-                i = int(i)
-                a = -tm.W + ((i * 7) % 240) * span + span / 4
-                c = -tm.W + ((i * 11) % 240) * span + span / 4
-                if i % 2 == 0:
-                    w = (1 + i % 4) * span + span / 2
-                    h = (2 + i % 3) * span + span / 2
-                    xs = [a, a + w, a + w, a, a]
-                    ys = [c, c, c + h, c + h, c]
-                else:
-                    L = (2 + i % 4) * span
-                    xs = [a, a + L, a, a]
-                    ys = [c, c, c + L, c]
-                rows["region_id"].append(i)
-                rows["xs"].append(xs)
-                rows["ys"].append(ys)
-                rows["ring_offsets"].append([0, len(xs)])
-            yield pd.DataFrame(rows)
-
-    regions = spark.range(0, COVER_JOIN_NR, 1, 4).mapInPandas(
-        gen_regions,
-        schema=("region_id long, xs array<double>, ys array<double>, "
-                "ring_offsets array<int>"),
-    )
-    points = spark.range(0, COVER_JOIN_NP, 1, 8).select(
-        F.col("id"),
-        (F.lit(-tm.W) + ((F.col("id") * 13) % 250) * F.lit(span)
-         + F.lit(0.375 * span)).alias("mx"),
-        (F.lit(-tm.W) + ((F.col("id") * 17) % 250) * F.lit(span)
-         + F.lit(0.625 * span)).alias("my"),
-    )
-    return pip_join_cover(points, regions, z=COVER_JOIN_Z)
-
-
-def _sql_pip_cover_join(
-    nr: int = COVER_JOIN_NR, np_: int = COVER_JOIN_NP
-) -> str:
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.plans.shared_sql import flit
-
-    span = tm.tile_span(COVER_JOIN_Z)
-    return f"""
-WITH rids AS (SELECT unnest(generate_series(0, {nr - 1})) AS i),
-pids AS (SELECT unnest(generate_series(0, {np_ - 1})) AS j),
-regions AS (
-  SELECT i,
-         {flit(-tm.W)} + ((i * 7) % 240) * {flit(span)} + {flit(span / 4)} AS a,
-         {flit(-tm.W)} + ((i * 11) % 240) * {flit(span)} + {flit(span / 4)} AS c,
-         i % 2 AS kind,
-         (1 + i % 4) * {flit(span)} + {flit(span / 2)} AS w,
-         (2 + i % 3) * {flit(span)} + {flit(span / 2)} AS h,
-         (2 + i % 4) * {flit(span)} AS L
-  FROM rids
-),
-points AS (
-  SELECT j,
-         {flit(-tm.W)} + ((j * 13) % 250) * {flit(span)} + {flit(0.375 * span)} AS px,
-         {flit(-tm.W)} + ((j * 17) % 250) * {flit(span)} + {flit(0.625 * span)} AS py
-  FROM pids
-)
-SELECT p.j AS point_id, r.i AS region_id
-FROM points p, regions r
-WHERE (r.kind = 0 AND p.px BETWEEN r.a AND r.a + r.w
-                  AND p.py BETWEEN r.c AND r.c + r.h)
-   OR (r.kind = 1 AND p.px >= r.a AND p.py >= r.c
-                  AND p.px + p.py <= r.a + r.c + r.L)
-"""
-
-
-HAV_R_M = 300_000.0  # q_haversine_join radius (300 km)
-HAV_CELL = 4.8  # grid degrees: >= 300km in lon-degrees at |lat|<=55
-HAV_NA, HAV_NB = 3000, 150
-
-
-def q_haversine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5b geodesic radius join gate (joins.haversine_radius_join):
-    3000 hash-scattered points x 150 stations, |lat| <= 55°, pairs
-    within 300 great-circle km. The twin is a direct cross join with
-    the identical haversine-term predicate (no grid), so the
-    cell-ring candidate generation is gated against pure geometry.
-    Engine refine is Column-only trig (no Python); margin audited at
-    corpus build (min |h-τ| across all cross pairs ~1e-6 >> the ~1ulp
-    JVM/DuckDB libm drift)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.joins import (
-        haversine_radius_join,
-    )
-
-    def pts(n, base):
-        k = F.col("id") + base
-        return spark.range(0, n).select(
-            F.col("id"),
-            ((((k * 2654435761) % 4294967296) / F.lit(float(2**32)))
-             * 340.0 - 170.0).alias("lon"),
-            ((((k * 1103515245 + 12345) % 4294967296)
-              / F.lit(float(2**32))) * 110.0 - 55.0).alias("lat"),
-        )
-
-    a = pts(HAV_NA, 0)
-    b = pts(HAV_NB, 7_000_000)
-    return haversine_radius_join(a, b, HAV_R_M, HAV_CELL)
-
-
-def _sql_haversine_join() -> str:
-    import numpy as np
-
-    from mapnik_vector_tile_spark.operators.joins import EARTH_R_M
-
-    tau = float(np.sin(HAV_R_M / (2.0 * EARTH_R_M)) ** 2)
-    rad = float(np.pi / 180.0)
-    f32 = S.flit(2**32)
-
-    def pts(n, base, name):
-        return f"""
-{name} AS (
-  SELECT i AS id,
-         ((((i + {base}) * 2654435761) % 4294967296) / {f32})
-           * {S.flit(340.0)} - {S.flit(170.0)} AS lon,
-         ((((i + {base}) * 1103515245 + 12345) % 4294967296) / {f32})
-           * {S.flit(110.0)} - {S.flit(55.0)} AS lat
-  FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)
-)"""
-
-    return f"""
-WITH {pts(HAV_NA, 0, 'pa')},
-{pts(HAV_NB, 7_000_000, 'pb')}
-SELECT pa.id AS a_id, pb.id AS b_id
-FROM pa, pb
-WHERE pow(sin((pb.lat - pa.lat) * {S.flit(rad)} / 2), 2)
-      + cos(pa.lat * {S.flit(rad)}) * cos(pb.lat * {S.flit(rad)})
-        * pow(sin((pb.lon - pa.lon) * {S.flit(rad)} / 2), 2)
-      <= {S.flit(tau)}
-"""
-
-
-PIP_SAMPLE_BP = 2500  # q_pip_join_sampled keep rate (25% per 10k)
-
-
-def q_pip_join_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4c sample-pushdown gate (joins.pip_join_sampled): SAME corpus
-    as q_pip_cover_join; the twin is the full cross-join PIP relation
-    with the identical pair coin applied AFTER the join — the engine
-    applies it BEFORE the refine, and the oracle proves the two are
-    the same exact row set (the coin commutes with the geometry
-    predicate because it is a pure function of the pair key)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-    from mapnik_vector_tile_spark.operators.joins import pip_join_sampled
-
-    span = tm.tile_span(COVER_JOIN_Z)
-    import pandas as pd
-
-    def gen_regions(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            rows = {"region_id": [], "xs": [], "ys": [], "ring_offsets": []}
-            for i in ids:
-                i = int(i)
-                a = -tm.W + ((i * 7) % 240) * span + span / 4
-                c = -tm.W + ((i * 11) % 240) * span + span / 4
-                if i % 2 == 0:
-                    w = (1 + i % 4) * span + span / 2
-                    h = (2 + i % 3) * span + span / 2
-                    xs = [a, a + w, a + w, a, a]
-                    ys = [c, c, c + h, c + h, c]
-                else:
-                    L = (2 + i % 4) * span
-                    xs = [a, a + L, a, a]
-                    ys = [c, c, c + L, c]
-                rows["region_id"].append(i)
-                rows["xs"].append(xs)
-                rows["ys"].append(ys)
-                rows["ring_offsets"].append([0, len(xs)])
-            yield pd.DataFrame(rows)
-
-    regions = spark.range(0, COVER_JOIN_NR, 1, 4).mapInPandas(
-        gen_regions,
-        schema=("region_id long, xs array<double>, ys array<double>, "
-                "ring_offsets array<int>"),
-    )
-    points = spark.range(0, COVER_JOIN_NP, 1, 8).select(
-        F.col("id"),
-        (F.lit(-tm.W) + ((F.col("id") * 13) % 250) * F.lit(span)
-         + F.lit(0.375 * span)).alias("mx"),
-        (F.lit(-tm.W) + ((F.col("id") * 17) % 250) * F.lit(span)
-         + F.lit(0.625 * span)).alias("my"),
-    )
-    return pip_join_sampled(
-        points, regions, rate_bp=PIP_SAMPLE_BP, z=COVER_JOIN_Z
-    )
-
-
-def _sql_pip_join_sampled() -> str:
-    coin = splitmix64_sql("(point_id * 1000003 + region_id)")
-    # MATERIALIZED fence: without it DuckDB pushes the (expensive
-    # per-row HUGEINT) coin below the PIP predicate and evaluates it
-    # on the full 600k-row cross join (measured 53 s vs <2 s fenced)
-    return f"""
-WITH j AS MATERIALIZED ({_sql_pip_cover_join()})
-SELECT point_id, region_id FROM j
-WHERE (({coin}) // 2048) % 10000 < {PIP_SAMPLE_BP}
-"""
-
-
-BUDGET_Z = 5
-BUDGET_BYTES = 200  # trims most z5 tiles (~60 features) to ~14
-
-
-def q_tile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U11 tile byte-budget enforcement (composite.trim_tile_to_budget
-    — the tippecanoe tile-size contract): encode lineitem-keyed
-    prop-less point layers at z5 (~60 features/tile, id-ordered), trim
-    each layer to a 200-byte feature stream, and read the SURVIVOR ids
-    back from the trimmed wire bytes. The twin recomputes every
-    feature's exact wire footprint with closed-form varint-length
-    arithmetic (8 + vs(id) + vs(2·px) + vs(2·py)) and the running-sum
-    prefix rule — any drift in the codec's byte accounting, the
-    zigzag, or the prefix cut breaks the hash."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import pbf
-    from mapnik_vector_tile_spark.operators.composite import (
-        trim_tile_to_budget,
-    )
-    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
-
-    span = S.TWO_W / (1 << BUDGET_Z)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber"
-    )
-
-    def to_points(batches):
-        import numpy as np
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = (
-                pdf["l_orderkey"].to_numpy().astype(np.int64) * 8
-                + pdf["l_linenumber"].to_numpy().astype(np.int64)
-            )
-            mx = ((ids * 2654435761) % 2**32) / float(2**32) * S.TWO_W - W
-            my = (
-                ((ids * 1103515245 + 12345) % 2**32) / float(2**32)
-            ) * S.TWO_W - W
-            tx = np.floor((mx + W) / span).astype(np.int64)
-            ty = np.floor((W - my) / span).astype(np.int64)
-            yield pd.DataFrame(
-                {"tx": tx, "ty": ty, "id": ids, "mx": mx, "my": my}
-            )
-
-    pts = li.mapInPandas(
-        to_points, schema="tx long, ty long, id long, mx double, my double"
-    )
-
-    def encode_group(key, cols, sl):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.functions import tilemath as tm
-
-        tx, ty = int(key[0]), int(key[1])
-        lb = pbf.LayerBuilder("pts", extent=4096)
-        ox = -tm.W + tx * span
-        oy = tm.W - ty * span
-        for i in range(sl.start, sl.stop):
-            px = tm.round_half_away_np(
-                np.array([(cols["mx"][i] - ox) * 4096.0 / span])
-            )[0]
-            py = tm.round_half_away_np(
-                np.array([(oy - cols["my"][i]) * 4096.0 / span])
-            )[0]
-            lb.add_feature(
-                int(cols["id"][i]), 1,
-                np.array([9, int(px) * 2, int(py) * 2]), {},
-            )
-        return [(tx, ty, lb.build())]
-
-    layers = apply_grouped(
-        pts,
-        keys=["tx", "ty"],
-        order_by=["tx", "ty", "id"],
-        fn=encode_group,
-        schema="tx long, ty long, blob binary",
-        out_columns=["tx", "ty", "blob"],
-    ).select(
-        F.lit(BUDGET_Z).alias("z"),
-        F.col("tx").alias("x"),
-        F.col("ty").alias("y"),
-        F.lit("pts").alias("layer"),
-        F.col("blob"),
-        F.lit(0).cast("long").alias("n_features"),
-        F.lit(0).cast("long").alias("n_points"),
-    )
-    trimmed = trim_tile_to_budget(layers, BUDGET_BYTES)
-
-    def readback(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for x, y, blob in zip(pdf["x"], pdf["y"], pdf["blob"]):
-                layer = pbf.decode_layer(bytes(blob))
-                ids = [f["id"] for f in layer["features"]]
-                rows.append(
-                    (int(x), int(y), len(ids), int(sum(ids)), int(max(ids)))
-                )
-            yield pd.DataFrame(
-                rows, columns=["x", "y", "n_kept", "sum_id", "max_id"]
-            )
-
-    return trimmed.mapInPandas(
-        readback,
-        schema="x long, y long, n_kept long, sum_id long, max_id long",
-    )
-
-
-def _sql_tile_budget() -> str:
-    tx, ty = S.tile_xy_exprs(BUDGET_Z)
-    qx, qy = S.quantize_exprs(BUDGET_Z, "tx", "ty")
-
-    def vs(e: str) -> str:
-        return (
-            f"CASE WHEN {e} < 128 THEN 1 WHEN {e} < 16384 THEN 2"
-            f" WHEN {e} < 2097152 THEN 3 WHEN {e} < 268435456 THEN 4"
-            f" ELSE 5 END"
-        )
-
-    return f"""
-WITH li AS (
-  SELECT l_orderkey * 8 + l_linenumber AS id FROM lineitem
-),
-{S.point_cte('li', 'id')},
-t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
-q AS (SELECT id, tx, ty, {qx} AS px, {qy} AS py FROM t),
-sz AS (
-  SELECT id, tx, ty,
-         8 + {vs('id')} + {vs('(px * 2)')} + {vs('(py * 2)')} AS sz
-  FROM q
-),
-run AS (
-  SELECT id, tx, ty,
-         SUM(sz) OVER (PARTITION BY tx, ty ORDER BY id
-                       ROWS UNBOUNDED PRECEDING) AS cum
-  FROM sz
-)
-SELECT tx AS x, ty AS y,
-       CAST(COUNT(*) AS BIGINT) AS n_kept,
-       CAST(SUM(id) AS BIGINT) AS sum_id,
-       CAST(MAX(id) AS BIGINT) AS max_id
-FROM run WHERE cum <= {BUDGET_BYTES}
-GROUP BY 1, 2
-"""
-
-
-REPAIR_N = 450  # q_engine_clip_repair corpus size
-
-
-def _clip_repair_query(
-    spark: SparkSession, sf_dir: str, fill_rule: str = "even_odd"
-) -> DataFrame:
-    """F12 polygon repair through the REAL encode path with a FULL
-    oracle. Corpus: 450 polygons, idx%3 picks the shape — 0: valid
-    rectangle (repair no-op pinned), 1: bowtie quad (edges AB×CD cross;
-    repair splits it into triangles (X,B,C)+(A,X,D)), 2: figure-8
-    touching at a shared vertex (splits there directly). Geometry
-    params are exact integers in mercator meters and the crossing
-    point X = (x0+w/2, y0+h/2) is exactly representable, so the repair
-    kernel's parametric solve and the closed-form both yield identical
-    doubles regardless of op order. The chain is assign(z0) →
-    encode_tiles(repair=True) → decode; output is ORDER-FREE per
-    feature (ring/vertex counts, coordinate sums, Σ|2A|), so winding
-    normalization and lobe extraction order need no pinning. The
-    DuckDB twin regenerates the lobes closed-form and replays the
-    quantize (round-half-away at z0 scale) op-for-op.
-    sf_dir is unused: the subject is the repair kernel, not the scan.
-    Ref parity: src/vector_tile_geometry_clipper.hpp polygon overloads
-    (wagyu even-odd repair), SURVEY §2.7 F12."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions import geomcodec as gc
-    from mapnik_vector_tile_spark.operators import tiling as T
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    def gen(it):
-        for pdf in it:
-            ids = pdf["id"].to_numpy()
-            if not len(ids):
-                continue
-            h = splitmix64(ids.astype(np.uint64))
-            x0 = (h % np.uint64(3000001)).astype(np.float64) * 10.0 - 1.5e7
-            y0 = ((h >> np.uint64(8)) % np.uint64(3000001)).astype(
-                np.float64
-            ) * 10.0 - 1.5e7
-            w = 300000.0 + ((h >> np.uint64(16)) % np.uint64(1000001)).astype(
-                np.float64
-            )
-            hh = 300000.0 + ((h >> np.uint64(32)) % np.uint64(1000001)).astype(
-                np.float64
-            )
-            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
-                    "part_offsets": [], "caption": []}
-            for i, fid in enumerate(ids):
-                cs = int(fid) % 3
-                a, b = float(x0[i]), float(y0[i])
-                ww, hhh = float(w[i]), float(hh[i])
-                if cs == 0 and int(fid) % 6 == 3:
-                    # spike quad: edge B->M doubles back COLLINEARLY
-                    # over A->B (the former residual narrowing);
-                    # repair drops the zero-area spike, leaving the
-                    # triangle (A, M, C). M = a + w/2 is exactly
-                    # representable (w has 0.5 granularity, |a| ~1.5e7)
-                    xs = [a, a + ww, a + 0.5 * ww, a + 0.5 * ww]
-                    ys = [b, b, b, b + hhh]
-                elif cs == 0:  # valid rectangle
-                    xs = [a, a + ww, a + ww, a]
-                    ys = [b, b, b + hhh, b + hhh]
-                elif cs == 1:  # bowtie: edges AB and CD cross
-                    xs = [a, a + ww, a + ww, a]
-                    ys = [b, b + hhh, b, b + hhh]
-                else:  # figure-8 sharing vertex P
-                    xs = [a, a + ww, a + ww, a, a - ww, a - ww]
-                    ys = [b, b, b + hhh, b, b, b - hhh]
-                rows["feature_id"].append(int(fid))
-                rows["geom_type"].append(3)
-                rows["xs"].append(xs)
-                rows["ys"].append(ys)
-                rows["part_offsets"].append([0, len(xs)])
-                rows["caption"].append("p")
-            yield pd.DataFrame(rows)
-
-    feats = spark.range(0, REPAIR_N, 1, 8).mapInPandas(
-        gen, schema=T.FEATURES_SCHEMA
-    )
-    assigned = T.assign_tiles(feats, 0, 0)
-    tiles = T.encode_tiles(assigned, repair=True, fill_rule=fill_rule)
-    dec = T.decode_tiles_to_features(tiles)
-
-    def summarize(it):
-        for pdf in it:
-            out = {"feature_id": [], "n_rings": [], "n_vertices": [],
-                   "sum_px": [], "sum_py": [], "sum_abs_area2": []}
-            for fid, pxs, pys, offs in zip(
-                pdf["feature_id"], pdf["pxs"], pdf["pys"],
-                pdf["part_offsets"],
-            ):
-                px = np.asarray(pxs, dtype=np.int64)
-                py = np.asarray(pys, dtype=np.int64)
-                offs = np.asarray(offs, dtype=np.int64)
-                sa = 0
-                for r in range(len(offs) - 1):
-                    sa += abs(gc.signed_area2(px[offs[r]:offs[r + 1]],
-                                              py[offs[r]:offs[r + 1]]))
-                out["feature_id"].append(int(fid))
-                out["n_rings"].append(len(offs) - 1)
-                out["n_vertices"].append(len(px))
-                out["sum_px"].append(int(px.sum()))
-                out["sum_py"].append(int(py.sum()))
-                out["sum_abs_area2"].append(int(sa))
-            yield pd.DataFrame(out)
-
-    return dec.mapInPandas(
-        summarize,
-        schema=("feature_id long, n_rings int, n_vertices int, "
-                "sum_px long, sum_py long, sum_abs_area2 long"),
-    )
-
-
-def q_engine_clip_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wagyu even-odd repair (mapnik default) — see _clip_repair_query."""
-    return _clip_repair_query(spark, sf_dir, "even_odd")
-
-
-def q_engine_clip_repair_pos(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """F12 POSITIVE fill rule (the wagyu fill_rule option; OGC
-    winding semantics) over the SAME invalid-polygon corpus — the
-    corpus class where the two rules DISAGREE: the bowtie's lobes
-    carry opposite traversal signs (+wh/2 for (A,X,D), −wh/2 for
-    (X,B,C)), so positive fill keeps only the positively-wound
-    triangle while even-odd fills both; rectangles, spikes and the
-    double-CCW figure-8 are rule-agnostic.  Twin drops the negative
-    lobe closed-form."""
-    return _clip_repair_query(spark, sf_dir, "positive")
-
-
-def _sql_clip_repair(
-    n: int = REPAIR_N, fill_rule: str = "even_odd"
-) -> str:
-    """DuckDB twin of q_engine_clip_repair: regenerate the lobes the
-    repair kernel produces (closed form — see the query docstring for
-    why X is exactly representable), quantize each vertex with the
-    engine's round-half-away at the z0 scale, and aggregate the same
-    order-free per-feature stats (shoelace via lead() per ring)."""
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
-    w = repr(tm.W)
-    scale = repr(4096.0 / tm.tile_span(0))
-    half = "5e-1"
-    pts = []
-
-    def p(cs, ring: int, order: int, mx: str, my: str) -> None:
-        cond = cs if isinstance(cs, str) else f"cs = {cs}"
-        pts.append(
-            f"SELECT idx, {ring} AS ring, {order} AS o, {mx} AS mx, "
-            f"{my} AS my FROM par WHERE {cond}"
-        )
-
-    # case 0a: valid rectangle, 1 ring
-    p("cs = 0 AND idx % 6 = 0", 1, 0, "x0", "y0")
-    p("cs = 0 AND idx % 6 = 0", 1, 1, "x0 + w", "y0")
-    p("cs = 0 AND idx % 6 = 0", 1, 2, "x0 + w", "y0 + hh")
-    p("cs = 0 AND idx % 6 = 0", 1, 3, "x0", "y0 + hh")
-    # case 0b: collinear spike quad -> spike dropped, triangle (A,M,C)
-    p("cs = 0 AND idx % 6 = 3", 1, 0, "x0", "y0")
-    p("cs = 0 AND idx % 6 = 3", 1, 1, f"x0 + {half} * w", "y0")
-    p("cs = 0 AND idx % 6 = 3", 1, 2, f"x0 + {half} * w", "y0 + hh")
-    # case 1: bowtie -> lobes (X,B,C) [CW, −wh/2] and (A,X,D)
-    # [CCW, +wh/2]; positive fill drops the CW lobe
-    if fill_rule == "even_odd":
-        p(1, 1, 0, f"x0 + {half} * w", f"y0 + {half} * hh")
-        p(1, 1, 1, "x0 + w", "y0 + hh")
-        p(1, 1, 2, "x0 + w", "y0")
-    p(1, 2, 0, "x0", "y0")
-    p(1, 2, 1, f"x0 + {half} * w", f"y0 + {half} * hh")
-    p(1, 2, 2, "x0", "y0 + hh")
-    # case 2: figure-8 -> lobes (P,Q,R) and (P,S,T)
-    p(2, 1, 0, "x0", "y0")
-    p(2, 1, 1, "x0 + w", "y0")
-    p(2, 1, 2, "x0 + w", "y0 + hh")
-    p(2, 2, 0, "x0", "y0")
-    p(2, 2, 1, "x0 - w", "y0")
-    p(2, 2, 2, "x0 - w", "y0 - hh")
-    union = "\n  UNION ALL ".join(pts)
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
-hsrc AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids),
-par AS (
-  SELECT idx, idx % 3 AS cs,
-         CAST(h % 3000001 AS DOUBLE) * 1e1 - 1.5e7 AS x0,
-         CAST((h // 256) % 3000001 AS DOUBLE) * 1e1 - 1.5e7 AS y0,
-         3e5 + CAST((h // 65536) % 1000001 AS DOUBLE) AS w,
-         3e5 + CAST((h // 4294967296) % 1000001 AS DOUBLE) AS hh
-  FROM hsrc),
-pw AS (
-  {union}
-),
-q AS (
-  SELECT idx, ring, o,
-         CAST(floor((mx + {w}) * {scale} + {half}) AS BIGINT) AS px,
-         CAST(floor(({w} - my) * {scale} + {half}) AS BIGINT) AS py
-  FROM pw),
-sh AS (
-  SELECT idx, ring, px, py,
-         COALESCE(lead(px) OVER wo, first_value(px) OVER wo) AS nx,
-         COALESCE(lead(py) OVER wo, first_value(py) OVER wo) AS ny
-  FROM q
-  WINDOW wo AS (PARTITION BY idx, ring ORDER BY o)),
-ra AS (
-  SELECT idx, ring, ABS(SUM(px * ny - nx * py)) AS a2,
-         COUNT(*) AS nv, SUM(px) AS spx, SUM(py) AS spy
-  FROM sh GROUP BY 1, 2)
-SELECT CAST(idx AS BIGINT) AS feature_id,
-       CAST(COUNT(*) AS INT) AS n_rings,
-       CAST(SUM(nv) AS INT) AS n_vertices,
-       CAST(SUM(spx) AS BIGINT) AS sum_px,
-       CAST(SUM(spy) AS BIGINT) AS sum_py,
-       CAST(SUM(a2) AS BIGINT) AS sum_abs_area2
-FROM ra GROUP BY 1
-"""
-
-
-def _sql_audio_features(n_clips: int = 500, window: int = 1024) -> str:
-    """DuckDB twin of q_audio_features (clip-level). Regenerates the
-    per-window integer aggregates exactly like _sql_audio_windows,
-    then applies the engine's order-free clip aggregation: per-window
-    rms = sqrt(sum_sq / (window·2^30)) is bit-exact (exact int64
-    numerator, power-of-two divisor, IEEE sqrt), rms_mean sums the
-    1e-12-grid quantized rms (multimodal.RMS_GRID) so summation order
-    cannot flip a ulp, and zcr_mean / caption are exact integer /
-    string derivations from splitmix64(idx)."""
-    from mapnik_vector_tile_spark.sources.synth import _WORDS
-
-    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
-    nw = len(_WORDS)
-    denom = float(window) * 32768.0 * 32768.0
-    return f"""{_audio_vals_cte(n_clips, window)},
-wins AS (
-  SELECT idx, win,
-         sqrt(CAST(SUM(s * s) AS DOUBLE) / {denom!r}) AS rms,
-         SUM(CASE WHEN kin > 0 AND ((s < 0) <> (sp < 0))
-                  THEN 1 ELSE 0 END) AS n_zc
-  FROM vals GROUP BY 1, 2),
-feat AS (
-  SELECT idx,
-         COUNT(*) AS n_w,
-         SUM(CAST(floor(rms * 1e12 + 0.5) AS BIGINT)) AS rms_q,
-         MAX(rms) AS rms_max,
-         SUM(n_zc) AS zc
-  FROM wins GROUP BY 1)
-SELECT 'aud_' || CAST(f.idx AS VARCHAR) AS audio_id,
-       CAST(f.n_w AS INT) AS n_windows,
-       CAST(f.rms_q AS DOUBLE) / (f.n_w * 1e12) AS rms_mean,
-       f.rms_max AS rms_max,
-       CAST(f.zc AS DOUBLE) / (f.n_w * {float(window - 1)!r}) AS zcr_mean,
-       'audio ' || ({words})[CAST(h.h % {nw} AS BIGINT) + 1]
-         || ' ' || ({words})[CAST((h.h // 65536) % {nw} AS BIGINT) + 1]
-         AS caption
-FROM feat f JOIN hh h USING (idx)
-"""
-
-
-# q_mapnik_expr: the committed mapnik-filter-expression corpus. One
-# source string per output column; the SAME AST renders to Spark SQL,
-# DuckDB SQL and the tests' pure-Python evaluator (mvtexpr module doc
-# pins the semantics where mapnik C++ and SQL disagree).
-MVT_EXPRS = {
-    # full grammar sweep: arithmetic + % + match + and/or/not + floats
-    "keep": (
-        "(([p_size] + 3) * 7 % 5 < 3 or [p_name].match('small .*')) "
-        "and not ([p_brand] = 'Brand#13' or [p_size] / 4 > 11.5) "
-        "and [p_type].match('.*M.*')"
-    ),
-    # mapnik null semantics against REAL NULLs (NULLIF-derived column):
-    # '= null' is value_null equality (TRUE branch), '> 46' with a null
-    # operand is FALSE (never SQL NULL), and the outer 'or' sees
-    # non-null booleans only
-    "keep_null": "[sz] = null or [sz] > 46 or not [sz] != null",
-    # signed remainder + unary minus + precedence
-    "score": "([p_size] * 13 + 7) % 97 + (-[p_size]) % 5",
-    # int/int true division (SQL rule, exact binary fraction)
-    "ratio": "[p_size] / 4 - 0.5",
-}
-MVT_COLMAP = {"sz": "NULLIF(p_size, 45)"}
-
-
-def _mvt_expr_selects(engine: str) -> list[str]:
-    from mapnik_vector_tile_spark.functions import mvtexpr as X
-
-    outs = []
-    for name, src in MVT_EXPRS.items():
-        if name.startswith("keep"):
-            sql = X.predicate_sql(src, engine, MVT_COLMAP)
-        else:
-            sql = X.to_sql(X.parse(src), engine, MVT_COLMAP)
-        outs.append(f"{sql} AS {name}")
-    return outs
-
-
-def q_mapnik_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 mapnik filter-expression compiler (functions/mvtexpr.py —
-    the style language that decides which features a mapnik-vector-tile
-    processor encodes; reference parity: mapnik expressions_grammar)
-    with a FULL oracle: every committed expression in MVT_EXPRS is
-    parsed ONCE and the one AST renders to both engines, so operator
-    precedence, the null-safe '=', the FALSE-not-NULL ordered
-    comparisons, full-string .match, signed remainder and true
-    division must all agree bit-exactly over every part row (both
-    boolean branches land in the hash because keep is a column, not a
-    WHERE). The compiled predicate is a single Catalyst expression —
-    no UDF, pushdown/codegen-eligible (asserted in tests)."""
-    load_views(spark, sf_dir)
-    cols = ", ".join(_mvt_expr_selects("spark"))
-    return spark.sql(f"SELECT p_partkey AS id, {cols} FROM part")
-
-
-def _sql_mapnik_expr() -> str:
-    cols = ", ".join(_mvt_expr_selects("duckdb"))
-    return f"SELECT p_partkey AS id, {cols} FROM part"
-
-
-# ---------------------------------------------------------------------------
-# q_polygon_union — F12/U12 constructive boolean union (wagyu parity)
-# ---------------------------------------------------------------------------
-
-UNION_GROUPS = 96
-
-
-def q_polygon_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12/U12 constructive polygon union (operators/overlay.py over
-    functions/overlay.py — the merged-boundary half of wagyu's
-    multi_polygon_union; reference parity:
-    src/vector_tile_geometry_clipper.hpp polygon overloads) with a
-    FULL oracle on a rectilinear-integer corpus where the overlay is
-    bit-exact end to end: every group unions ~1/16 of the orders rows
-    as splitmix64-derived random rectangles PLUS four deterministic
-    frame pieces that enclose a hole (so exterior rings, hole rings,
-    pinch points, duplicated rects, shared collinear edges and
-    T-junctions all carry rows). The engine runs the GENERAL planar
-    overlay (node insertion → side-winding classification → pinch-
-    splitting face walk) and emits per-group integers (area2,
-    manhattan perimeter, vertex count, n_ext − n_hole, vertex multiset
-    hash); the DuckDB twin never builds rings at all — it replays the
-    region on a compressed-coordinate grid (covered cells, corner
-    patterns, the subdivision-invariant Euler identity
-    n_ext − n_hole = V − E + F + n_pinch), so the two engines agree
-    only if the constructed boundary is exactly the union region.
-    Scale: one groupBy shuffle, per-group Arrow kernel, parallelism =
-    group count (tile/cluster count at 10^12 rows)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import (
-        BooleanType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    from mapnik_vector_tile_spark.operators.overlay import (
-        rect_rings,
-        union_polygon_stats,
-    )
-
-    rect_t = StructType(
-        [
-            StructField("keep", BooleanType()),
-            StructField("x0", LongType()),
-            StructField("y0", LongType()),
-            StructField("w", LongType()),
-            StructField("ht", LongType()),
-        ]
-    )
-
-    def _rand_rect_kernel(k):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(dtype=np.uint64))
-        return pd.DataFrame(
-            {
-                "keep": (h % np.uint64(16) == 0),
-                "x0": ((h >> np.uint64(4)) % np.uint64(40)).astype(np.int64),
-                "y0": ((h >> np.uint64(10)) % np.uint64(40)).astype(np.int64),
-                "w": (1 + (h >> np.uint64(16)) % np.uint64(12)).astype(
-                    np.int64
-                ),
-                "ht": (1 + (h >> np.uint64(22)) % np.uint64(12)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    frame_t = StructType(
-        [
-            StructField("fx", LongType()),
-            StructField("fy", LongType()),
-            StructField("fw", LongType()),
-            StructField("fh", LongType()),
-            StructField("t", LongType()),
-        ]
-    )
-
-    def _frame_kernel(g):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(
-            (g.to_numpy(dtype=np.int64) * 1000003 + 7).astype(np.uint64)
-        )
-        return pd.DataFrame(
-            {
-                "fx": (2 + h % np.uint64(24)).astype(np.int64),
-                "fy": (2 + (h >> np.uint64(5)) % np.uint64(24)).astype(
-                    np.int64
-                ),
-                "fw": (8 + (h >> np.uint64(10)) % np.uint64(8)).astype(
-                    np.int64
-                ),
-                "fh": (8 + (h >> np.uint64(13)) % np.uint64(8)).astype(
-                    np.int64
-                ),
-                "t": (1 + (h >> np.uint64(16)) % np.uint64(3)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    rand_rect = F.pandas_udf(_rand_rect_kernel, rect_t)
-    frame_params = F.pandas_udf(_frame_kernel, frame_t)
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    rr = (
-        orders.select(
-            (F.col("o_orderkey") % UNION_GROUPS).alias("g"),
-            rand_rect(F.col("o_orderkey")).alias("r"),
-        )
-        .where(F.col("r.keep"))
-        .select("g", "r.x0", "r.y0", "r.w", "r.ht")
-    )
-    piece = (
-        "array("
-        "struct(f.fx AS x0, f.fy AS y0, f.fw AS w, f.t AS ht), "
-        "struct(f.fx AS x0, f.fy + f.fh - f.t AS y0, f.fw AS w, f.t AS ht), "
-        "struct(f.fx AS x0, f.fy AS y0, f.t AS w, f.fh AS ht), "
-        "struct(f.fx + f.fw - f.t AS x0, f.fy AS y0, f.t AS w, f.fh AS ht))"
-    )
-    fr = (
-        spark.range(UNION_GROUPS)
-        .select(F.col("id").alias("g"), frame_params(F.col("id")).alias("f"))
-        .selectExpr("g", f"explode({piece}) AS r")
-        .select("g", "r.x0", "r.y0", "r.w", "r.ht")
-    )
-    return union_polygon_stats(rect_rings(rr.unionByName(fr)), "g")
-
-
-def _sql_polygon_union() -> str:
-    sm_k = splitmix64_sql("k")
-    sm_g = splitmix64_sql("(g * 1000003 + 7)")
-    return f"""
-WITH ks AS (SELECT o_orderkey AS k FROM orders),
-hh AS (SELECT k, {sm_k} AS h FROM ks),
-rr AS (
-  SELECT CAST(k % {UNION_GROUPS} AS BIGINT) AS g,
-         CAST((h // 16) % 40 AS BIGINT) AS x0,
-         CAST((h // 1024) % 40 AS BIGINT) AS y0,
-         CAST(1 + (h // 65536) % 12 AS BIGINT) AS w,
-         CAST(1 + (h // 4194304) % 12 AS BIGINT) AS ht
-  FROM hh WHERE h % 16 = 0),
-gs AS (SELECT CAST(unnest(generate_series(0, {UNION_GROUPS - 1})) AS BIGINT)
-              AS g),
-gh AS (SELECT g, {sm_g} AS h FROM gs),
-fp AS (SELECT g,
-         CAST(2 + h % 24 AS BIGINT) AS fx,
-         CAST(2 + (h // 32) % 24 AS BIGINT) AS fy,
-         CAST(8 + (h // 1024) % 8 AS BIGINT) AS fw,
-         CAST(8 + (h // 8192) % 8 AS BIGINT) AS fh,
-         CAST(1 + (h // 65536) % 3 AS BIGINT) AS t
-       FROM gh),
-fr AS (
-  SELECT g, fx AS x0, fy AS y0, fw AS w, t AS ht FROM fp
-  UNION ALL SELECT g, fx, fy + fh - t, fw, t FROM fp
-  UNION ALL SELECT g, fx, fy, t, fh FROM fp
-  UNION ALL SELECT g, fx + fw - t, fy, t, fh FROM fp),
-rects AS MATERIALIZED (SELECT * FROM rr UNION ALL SELECT * FROM fr),
-xs AS MATERIALIZED (
-  SELECT DISTINCT g, x0 AS x FROM rects
-  UNION SELECT DISTINCT g, x0 + w FROM rects),
-xi AS MATERIALIZED (
-  SELECT g, x, lead(x) OVER (PARTITION BY g ORDER BY x) AS x2 FROM xs),
-ysrc AS MATERIALIZED (
-  SELECT DISTINCT g, y0 AS y FROM rects
-  UNION SELECT DISTINCT g, y0 + ht FROM rects),
-yi AS MATERIALIZED (
-  SELECT g, y, lead(y) OVER (PARTITION BY g ORDER BY y) AS y2
-  FROM ysrc),
-cells AS MATERIALIZED (
-  SELECT c.g, c.x, c.x2, c.y, c.y2, COUNT(r.x0) > 0 AS cv
-  FROM (SELECT xi.g, xi.x, xi.x2, yi.y, yi.y2
-        FROM xi JOIN yi ON xi.g = yi.g
-        WHERE xi.x2 IS NOT NULL AND yi.y2 IS NOT NULL) c
-  LEFT JOIN rects r
-    ON r.g = c.g AND r.x0 <= c.x AND c.x2 <= r.x0 + r.w
-       AND r.y0 <= c.y AND c.y2 <= r.y0 + r.ht
-  GROUP BY c.g, c.x, c.x2, c.y, c.y2),
-pts AS (SELECT xs.g, xs.x AS px, ysrc.y AS py
-        FROM xs JOIN ysrc ON xs.g = ysrc.g),
-corn AS (
-  SELECT p.g, p.px, p.py,
-    COALESCE(sw.cv, FALSE) AS swc, COALESCE(se.cv, FALSE) AS sec_,
-    COALESCE(nw.cv, FALSE) AS nwc, COALESCE(ne.cv, FALSE) AS nec
-  FROM pts p
-  LEFT JOIN cells sw ON sw.g = p.g AND sw.x2 = p.px AND sw.y2 = p.py
-  LEFT JOIN cells se ON se.g = p.g AND se.x  = p.px AND se.y2 = p.py
-  LEFT JOIN cells nw ON nw.g = p.g AND nw.x2 = p.px AND nw.y  = p.py
-  LEFT JOIN cells ne ON ne.g = p.g AND ne.x  = p.px AND ne.y  = p.py),
-vstat AS (
-  SELECT g, px, py,
-    CAST(swc AS INT) + CAST(sec_ AS INT)
-      + CAST(nwc AS INT) + CAST(nec AS INT) AS ncov,
-    CASE WHEN swc = nec AND nwc = sec_ AND swc <> nwc
-         THEN 1 ELSE 0 END AS isdiag
-  FROM corn),
-vagg AS (
-  SELECT g,
-    CAST(SUM(CASE WHEN ncov IN (1, 3) THEN 1
-                  WHEN ncov = 2 AND isdiag = 1 THEN 2
-                  ELSE 0 END) AS BIGINT) AS n_vert,
-    CAST(SUM(CAST(CASE WHEN ncov IN (1, 3) THEN 1
-                  WHEN ncov = 2 AND isdiag = 1 THEN 2
-                  ELSE 0 END AS BIGINT)
-             * ((px * 73856093 + py * 19349663) % 2147483648))
-         AS BIGINT) AS vhash,
-    CAST(SUM(CASE WHEN ncov = 2 THEN isdiag ELSE 0 END) AS BIGINT)
-      AS ndiag,
-    CAST(SUM(CASE WHEN ncov >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS nv_all
-  FROM vstat GROUP BY g),
-cagg AS (
-  SELECT g,
-    CAST(2 * SUM(CASE WHEN cv THEN (x2 - x) * (y2 - y) ELSE 0 END)
-         AS BIGINT) AS area2,
-    CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS BIGINT) AS nf
-  FROM cells GROUP BY g),
-vedge AS (
-  SELECT xs.g,
-    COALESCE(l.cv, FALSE) AS lcv, COALESCE(r.cv, FALSE) AS rcv,
-    yi.y2 - yi.y AS ln
-  FROM xs JOIN yi ON xs.g = yi.g AND yi.y2 IS NOT NULL
-  LEFT JOIN cells l ON l.g = xs.g AND l.x2 = xs.x AND l.y = yi.y
-  LEFT JOIN cells r ON r.g = xs.g AND r.x  = xs.x AND r.y = yi.y),
-hedge AS (
-  SELECT ysrc.g,
-    COALESCE(b.cv, FALSE) AS bcv, COALESCE(a.cv, FALSE) AS acv,
-    xi.x2 - xi.x AS ln
-  FROM ysrc JOIN xi ON ysrc.g = xi.g AND xi.x2 IS NOT NULL
-  LEFT JOIN cells b ON b.g = ysrc.g AND b.y2 = ysrc.y AND b.x = xi.x
-  LEFT JOIN cells a ON a.g = ysrc.g AND a.y  = ysrc.y AND a.x = xi.x),
-vea AS (
-  SELECT g,
-    CAST(SUM(CASE WHEN lcv <> rcv THEN ln ELSE 0 END) AS BIGINT) AS perim,
-    CAST(SUM(CASE WHEN lcv OR rcv THEN 1 ELSE 0 END) AS BIGINT) AS ne
-  FROM vedge GROUP BY g),
-hea AS (
-  SELECT g,
-    CAST(SUM(CASE WHEN bcv <> acv THEN ln ELSE 0 END) AS BIGINT) AS perim,
-    CAST(SUM(CASE WHEN bcv OR acv THEN 1 ELSE 0 END) AS BIGINT) AS ne
-  FROM hedge GROUP BY g)
-SELECT c.g, c.area2,
-       (v.perim + h.perim) AS perim,
-       k.n_vert,
-       (k.nv_all - (v.ne + h.ne) + c.nf + k.ndiag) AS euler,
-       k.vhash
-FROM cagg c
-JOIN vagg k USING (g)
-JOIN vea v USING (g)
-JOIN hea h USING (g)
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_polygon_boolean — full wagyu/Clipper op family (intersection /
-# difference / xor; union is q_polygon_union)
-# ---------------------------------------------------------------------------
-
-
-def q_polygon_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12 two-set boolean overlay (operators/overlay.py
-    boolean_polygon_stats over functions/overlay.boolean_rings —
-    intersection is the reference clipper's polygon∩clip op
-    generalized; reference parity: mapbox::geometry::wagyu clip_types)
-    with a FULL oracle: each group carries TWO splitmix64-derived
-    rectangle sets (side A = coin 0 rows + a hole-forming frame, side
-    B = coin 1 rows + a differently-salted frame) and the engine emits
-    the integer grid stats of A∩B, A∖B and A⊕B per group. The DuckDB
-    twin replays all three regions from one compressed-coordinate
-    coverage grid carrying per-side flags — xor is the adversarial
-    case: every proper A×B boundary crossing becomes a pinch point the
-    face walk must split exactly as the Euler identity predicts.
-    Scale: one groupBy shuffle, per-group Arrow kernel."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.overlay import (
-        boolean_polygon_stats,
-        rect_rings,
-    )
-
-    rect_t = StructType(
-        [
-            StructField("sel", LongType()),
-            StructField("x0", LongType()),
-            StructField("y0", LongType()),
-            StructField("w", LongType()),
-            StructField("ht", LongType()),
-        ]
-    )
-
-    def _rect_kernel(k):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(dtype=np.uint64))
-        return pd.DataFrame(
-            {
-                "sel": (h % np.uint64(16)).astype(np.int64),
-                "x0": ((h >> np.uint64(4)) % np.uint64(40)).astype(np.int64),
-                "y0": ((h >> np.uint64(10)) % np.uint64(40)).astype(np.int64),
-                "w": (1 + (h >> np.uint64(16)) % np.uint64(12)).astype(
-                    np.int64
-                ),
-                "ht": (1 + (h >> np.uint64(22)) % np.uint64(12)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    frame_t = StructType(
-        [
-            StructField("fx", LongType()),
-            StructField("fy", LongType()),
-            StructField("fw", LongType()),
-            StructField("fh", LongType()),
-            StructField("t", LongType()),
-        ]
-    )
-
-    def _frame_factory(salt: int):
-        def _kernel(g):
-            import numpy as np
-
-            from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-            h = splitmix64(
-                (g.to_numpy(dtype=np.int64) * 1000003 + salt).astype(
-                    np.uint64
-                )
-            )
-            return pd.DataFrame(
-                {
-                    "fx": (2 + h % np.uint64(24)).astype(np.int64),
-                    "fy": (2 + (h >> np.uint64(5)) % np.uint64(24)).astype(
-                        np.int64
-                    ),
-                    "fw": (8 + (h >> np.uint64(10)) % np.uint64(8)).astype(
-                        np.int64
-                    ),
-                    "fh": (8 + (h >> np.uint64(13)) % np.uint64(8)).astype(
-                        np.int64
-                    ),
-                    "t": (1 + (h >> np.uint64(16)) % np.uint64(3)).astype(
-                        np.int64
-                    ),
-                }
-            )
-
-        return F.pandas_udf(_kernel, frame_t)
-
-    rect_params = F.pandas_udf(_rect_kernel, rect_t)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    rr = (
-        orders.select(
-            (F.col("o_orderkey") % UNION_GROUPS).alias("g"),
-            rect_params(F.col("o_orderkey")).alias("r"),
-        )
-        .where(F.col("r.sel") < 2)
-        .select(
-            "g", F.col("r.sel").alias("side"), "r.x0", "r.y0", "r.w", "r.ht"
-        )
-    )
-    piece = (
-        "array("
-        "struct(f.fx AS x0, f.fy AS y0, f.fw AS w, f.t AS ht), "
-        "struct(f.fx AS x0, f.fy + f.fh - f.t AS y0, f.fw AS w, f.t AS ht), "
-        "struct(f.fx AS x0, f.fy AS y0, f.t AS w, f.fh AS ht), "
-        "struct(f.fx + f.fw - f.t AS x0, f.fy AS y0, f.t AS w, f.fh AS ht))"
-    )
-    frames = []
-    for side, salt in ((0, 7), (1, 11)):
-        frames.append(
-            spark.range(UNION_GROUPS)
-            .select(
-                F.col("id").alias("g"),
-                _frame_factory(salt)(F.col("id")).alias("f"),
-            )
-            .selectExpr("g", f"explode({piece}) AS r")
-            .select(
-                "g",
-                F.lit(side).cast("long").alias("side"),
-                "r.x0",
-                "r.y0",
-                "r.w",
-                "r.ht",
-            )
-        )
-    corpus = rr.unionByName(frames[0]).unionByName(frames[1])
-    return boolean_polygon_stats(
-        rect_rings(corpus, extra=("side",)), "g", "side"
-    )
-
-
-def _sql_polygon_boolean() -> str:
-    sm_k = splitmix64_sql("k")
-    ops = (
-        ("(cva AND cvb)", 0),  # intersection
-        ("(cva AND NOT cvb)", 1),  # difference
-        ("(cva <> cvb)", 2),  # xor
-    )
-
-    def cvq(expr: str, qa: str, qb: str) -> str:
-        return expr.replace("cva", qa).replace("cvb", qb)
-
-    frame_ctes = []
-    for tag, salt in (("a", 7), ("b", 11)):
-        sm_g = splitmix64_sql(f"(g * 1000003 + {salt})")
-        frame_ctes.append(
-            f"""gh_{tag} AS (SELECT g, {sm_g} AS h FROM gs),
-fp_{tag} AS (SELECT g,
-         CAST(2 + h % 24 AS BIGINT) AS fx,
-         CAST(2 + (h // 32) % 24 AS BIGINT) AS fy,
-         CAST(8 + (h // 1024) % 8 AS BIGINT) AS fw,
-         CAST(8 + (h // 8192) % 8 AS BIGINT) AS fh,
-         CAST(1 + (h // 65536) % 3 AS BIGINT) AS t
-       FROM gh_{tag}),
-fr_{tag} AS (
-  SELECT g, fx AS x0, fy AS y0, fw AS w, t AS ht FROM fp_{tag}
-  UNION ALL SELECT g, fx, fy + fh - t, fw, t FROM fp_{tag}
-  UNION ALL SELECT g, fx, fy, t, fh FROM fp_{tag}
-  UNION ALL SELECT g, fx + fw - t, fy, t, fh FROM fp_{tag})"""
-        )
-    op_blocks = []
-    op_selects = []
-    for expr, op_id in ops:
-        s = f"op{op_id}"
-        corner_expr_parts = []
-        for q in ("sw", "se", "nw", "ne"):
-            corner_expr_parts.append(
-                f"{cvq(expr, q + 'a', q + 'b')} AS {q}c_{s}"
-            )
-        op_blocks.append(
-            f"""vstat_{s} AS (
-  SELECT g, px, py,
-    CAST(swc_{s} AS INT) + CAST(sec_{s} AS INT)
-      + CAST(nwc_{s} AS INT) + CAST(nec_{s} AS INT) AS ncov,
-    CASE WHEN swc_{s} = nec_{s} AND nwc_{s} = sec_{s}
-              AND swc_{s} <> nwc_{s} THEN 1 ELSE 0 END AS isdiag
-  FROM (SELECT g, px, py,
-          {cvq(expr, 'swa', 'swb')} AS swc_{s},
-          {cvq(expr, 'sea', 'seb')} AS sec_{s},
-          {cvq(expr, 'nwa', 'nwb')} AS nwc_{s},
-          {cvq(expr, 'nea', 'neb')} AS nec_{s}
-        FROM corn)),
-vagg_{s} AS (
-  SELECT g,
-    CAST(SUM(CASE WHEN ncov IN (1, 3) THEN 1
-                  WHEN ncov = 2 AND isdiag = 1 THEN 2
-                  ELSE 0 END) AS BIGINT) AS n_vert,
-    CAST(SUM(CAST(CASE WHEN ncov IN (1, 3) THEN 1
-                  WHEN ncov = 2 AND isdiag = 1 THEN 2
-                  ELSE 0 END AS BIGINT)
-             * ((px * 73856093 + py * 19349663) % 2147483648))
-         AS BIGINT) AS vhash,
-    CAST(SUM(CASE WHEN ncov = 2 THEN isdiag ELSE 0 END) AS BIGINT)
-      AS ndiag,
-    CAST(SUM(CASE WHEN ncov >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS nv_all
-  FROM vstat_{s} GROUP BY g),
-cagg_{s} AS (
-  SELECT g,
-    CAST(2 * SUM(CASE WHEN {cvq(expr, 'cva', 'cvb')}
-                 THEN (x2 - x) * (y2 - y) ELSE 0 END) AS BIGINT) AS area2,
-    CAST(SUM(CASE WHEN {cvq(expr, 'cva', 'cvb')} THEN 1 ELSE 0 END)
-         AS BIGINT) AS nf
-  FROM cells GROUP BY g),
-vea_{s} AS (
-  SELECT g,
-    CAST(SUM(CASE WHEN {cvq(expr, 'la', 'lb')}
-                   <> {cvq(expr, 'ra', 'rb')} THEN ln ELSE 0 END)
-         AS BIGINT) AS perim,
-    CAST(SUM(CASE WHEN {cvq(expr, 'la', 'lb')}
-                   OR {cvq(expr, 'ra', 'rb')} THEN 1 ELSE 0 END)
-         AS BIGINT) AS ne
-  FROM vedge GROUP BY g),
-hea_{s} AS (
-  SELECT g,
-    CAST(SUM(CASE WHEN {cvq(expr, 'ba', 'bb')}
-                   <> {cvq(expr, 'aa', 'ab_')} THEN ln ELSE 0 END)
-         AS BIGINT) AS perim,
-    CAST(SUM(CASE WHEN {cvq(expr, 'ba', 'bb')}
-                   OR {cvq(expr, 'aa', 'ab_')} THEN 1 ELSE 0 END)
-         AS BIGINT) AS ne
-  FROM hedge GROUP BY g)"""
-        )
-        op_selects.append(
-            f"""SELECT c.g, CAST({op_id} AS BIGINT) AS op, c.area2,
-       (v.perim + h.perim) AS perim, k.n_vert,
-       (k.nv_all - (v.ne + h.ne) + c.nf + k.ndiag) AS euler, k.vhash
-FROM cagg_{s} c JOIN vagg_{s} k USING (g)
-JOIN vea_{s} v USING (g) JOIN hea_{s} h USING (g)"""
-        )
-    nl = ",\n"
-    return f"""
-WITH ks AS (SELECT o_orderkey AS k FROM orders),
-hh AS (SELECT k, {sm_k} AS h FROM ks),
-rr AS (
-  SELECT CAST(k % {UNION_GROUPS} AS BIGINT) AS g,
-         CAST(h % 16 AS BIGINT) AS side,
-         CAST((h // 16) % 40 AS BIGINT) AS x0,
-         CAST((h // 1024) % 40 AS BIGINT) AS y0,
-         CAST(1 + (h // 65536) % 12 AS BIGINT) AS w,
-         CAST(1 + (h // 4194304) % 12 AS BIGINT) AS ht
-  FROM hh WHERE h % 16 < 2),
-gs AS (SELECT CAST(unnest(generate_series(0, {UNION_GROUPS - 1})) AS BIGINT)
-              AS g),
-{nl.join(frame_ctes)},
-rects AS MATERIALIZED (
-  SELECT * FROM rr
-  UNION ALL SELECT g, 0 AS side, x0, y0, w, ht FROM fr_a
-  UNION ALL SELECT g, 1 AS side, x0, y0, w, ht FROM fr_b),
-xs AS MATERIALIZED (
-  SELECT DISTINCT g, x0 AS x FROM rects
-  UNION SELECT DISTINCT g, x0 + w FROM rects),
-xi AS MATERIALIZED (
-  SELECT g, x, lead(x) OVER (PARTITION BY g ORDER BY x) AS x2 FROM xs),
-ysrc AS MATERIALIZED (
-  SELECT DISTINCT g, y0 AS y FROM rects
-  UNION SELECT DISTINCT g, y0 + ht FROM rects),
-yi AS MATERIALIZED (
-  SELECT g, y, lead(y) OVER (PARTITION BY g ORDER BY y) AS y2
-  FROM ysrc),
-cells AS MATERIALIZED (
-  SELECT c.g, c.x, c.x2, c.y, c.y2,
-         COUNT(CASE WHEN r.side = 0 THEN 1 END) > 0 AS cva,
-         COUNT(CASE WHEN r.side = 1 THEN 1 END) > 0 AS cvb
-  FROM (SELECT xi.g, xi.x, xi.x2, yi.y, yi.y2
-        FROM xi JOIN yi ON xi.g = yi.g
-        WHERE xi.x2 IS NOT NULL AND yi.y2 IS NOT NULL) c
-  LEFT JOIN rects r
-    ON r.g = c.g AND r.x0 <= c.x AND c.x2 <= r.x0 + r.w
-       AND r.y0 <= c.y AND c.y2 <= r.y0 + r.ht
-  GROUP BY c.g, c.x, c.x2, c.y, c.y2),
-corn AS MATERIALIZED (
-  SELECT p.g, p.px, p.py,
-    COALESCE(sw.cva, FALSE) AS swa, COALESCE(sw.cvb, FALSE) AS swb,
-    COALESCE(se.cva, FALSE) AS sea, COALESCE(se.cvb, FALSE) AS seb,
-    COALESCE(nw.cva, FALSE) AS nwa, COALESCE(nw.cvb, FALSE) AS nwb,
-    COALESCE(ne.cva, FALSE) AS nea, COALESCE(ne.cvb, FALSE) AS neb
-  FROM (SELECT xs.g, xs.x AS px, ysrc.y AS py
-        FROM xs JOIN ysrc ON xs.g = ysrc.g) p
-  LEFT JOIN cells sw ON sw.g = p.g AND sw.x2 = p.px AND sw.y2 = p.py
-  LEFT JOIN cells se ON se.g = p.g AND se.x  = p.px AND se.y2 = p.py
-  LEFT JOIN cells nw ON nw.g = p.g AND nw.x2 = p.px AND nw.y  = p.py
-  LEFT JOIN cells ne ON ne.g = p.g AND ne.x  = p.px AND ne.y  = p.py),
-vedge AS MATERIALIZED (
-  SELECT xs.g,
-    COALESCE(l.cva, FALSE) AS la, COALESCE(l.cvb, FALSE) AS lb,
-    COALESCE(r.cva, FALSE) AS ra, COALESCE(r.cvb, FALSE) AS rb,
-    yi.y2 - yi.y AS ln
-  FROM xs JOIN yi ON xs.g = yi.g AND yi.y2 IS NOT NULL
-  LEFT JOIN cells l ON l.g = xs.g AND l.x2 = xs.x AND l.y = yi.y
-  LEFT JOIN cells r ON r.g = xs.g AND r.x  = xs.x AND r.y = yi.y),
-hedge AS MATERIALIZED (
-  SELECT ysrc.g,
-    COALESCE(b.cva, FALSE) AS ba, COALESCE(b.cvb, FALSE) AS bb,
-    COALESCE(a.cva, FALSE) AS aa, COALESCE(a.cvb, FALSE) AS ab_,
-    xi.x2 - xi.x AS ln
-  FROM ysrc JOIN xi ON ysrc.g = xi.g AND xi.x2 IS NOT NULL
-  LEFT JOIN cells b ON b.g = ysrc.g AND b.y2 = ysrc.y AND b.x = xi.x
-  LEFT JOIN cells a ON a.g = ysrc.g AND a.y  = ysrc.y AND a.x = xi.x),
-{nl.join(op_blocks)}
-{" UNION ALL ".join(op_selects)}
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_str_pack — STR R-tree bulk packing (exact two-pass rank-select cuts)
-# ---------------------------------------------------------------------------
-
-STR_CAP = 64  # q_str_pack leaf capacity
-
-
-def q_str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STR R-tree bulk packing (operators/spatial_index.str_pack_points
-    — Leutenegger et al. 1997; reference parity: mapnik's per-layer
-    R-tree datasource index, SURVEY §2.2 S1, rebuilt as the balanced
-    spatial PARTITIONER a cluster needs) with a FULL oracle. Corpus:
-    one point per orders row with per-axis-unique integer coordinates
-    (splitmix64 high bits × 2³² + the unique orderkey low bits — the
-    injection makes value-cut routing ≡ rank chunking, the operator's
-    documented determinism contract). The engine computes slab/leaf
-    cuts by bounded histogram rank-select (NO global sort, driver
-    summaries only); the DuckDB twin replays the same cuts by FULL
-    SORT row_number arithmetic — algorithm-independent: one off-by-one
-    anywhere in the histogram walk breaks the per-leaf hash."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.spatial_index import (
-        str_pack_points,
-    )
-
-    xy_t = StructType(
-        [StructField("xi", LongType()), StructField("yi", LongType())]
-    )
-
-    def _xy_kernel(k):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        kk = k.to_numpy(dtype=np.uint64)
-        h = splitmix64(kk)
-        xi = (h % np.uint64(1 << 20)) * np.uint64(1 << 32) + kk
-        yi = ((h >> np.uint64(20)) % np.uint64(1 << 20)) * np.uint64(
-            1 << 32
-        ) + kk
-        return pd.DataFrame(
-            {"xi": xi.astype(np.int64), "yi": yi.astype(np.int64)}
-        )
-
-    xy = F.pandas_udf(_xy_kernel, xy_t)
-    pts = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(F.col("o_orderkey").alias("k"), xy(F.col("o_orderkey")).alias("p"))
-        .select("k", "p.xi", "p.yi")
-    )
-    return str_pack_points(pts, "xi", "yi", "k", capacity=STR_CAP)
-
-
-def _sql_str_pack(cap: int = STR_CAP) -> str:
-    sm = splitmix64_sql("k")
-    return f"""
-WITH ks AS (SELECT o_orderkey AS k FROM orders),
-hh AS (SELECT k, {sm} AS h FROM ks),
-xy AS (SELECT k,
-         CAST((h % 1048576) * 4294967296 + k AS BIGINT) AS xi,
-         CAST(((h // 1048576) % 1048576) * 4294967296 + k AS BIGINT) AS yi
-       FROM hh),
-p1 AS (SELECT COUNT(*) AS n,
-              (COUNT(*) + {cap} - 1) // {cap} AS p FROM xy),
-p2 AS (SELECT n, p,
-         CASE WHEN fs * fs >= p THEN fs
-              WHEN (fs + 1) * (fs + 1) >= p THEN fs + 1
-              ELSE fs + 2 END AS s
-       FROM (SELECT n, p,
-               CAST(floor(sqrt(CAST(p AS DOUBLE))) AS BIGINT) AS fs
-             FROM p1)),
-p3 AS (SELECT n, p, s, (n + s - 1) // s AS m FROM p2),
-xr AS (SELECT k, xi, yi,
-         row_number() OVER (ORDER BY xi) - 1 AS rx FROM xy),
-sl AS (SELECT k, xi, yi, rx // (SELECT m FROM p3) AS slab FROM xr),
-yr AS (SELECT k, xi, yi, slab,
-         (row_number() OVER (PARTITION BY slab ORDER BY yi) - 1)
-           // {cap} AS leaf
-       FROM sl)
-SELECT CAST(slab AS BIGINT) AS slab, CAST(leaf AS BIGINT) AS leaf,
-  CAST(COUNT(*) AS BIGINT) AS n,
-  CAST(MIN(xi) AS DOUBLE) AS minx, CAST(MAX(xi) AS DOUBLE) AS maxx,
-  CAST(MIN(yi) AS DOUBLE) AS miny, CAST(MAX(yi) AS DOUBLE) AS maxy,
-  CAST(SUM((k * 2654435761) % 2147483648) AS BIGINT) AS khash
-FROM yr GROUP BY slab, leaf
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_convex_hull — per-group convex hull (monotone chain vs gift wrap)
-# ---------------------------------------------------------------------------
-
-HULL_GROUPS = 96
-
-
-def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group convex hull (operators/overlay.convex_hull_stats —
-    Andrew's monotone chain, strict turns, CCW; the footprint summary
-    for dissolve groups / image-position clusters) with a FULL oracle.
-    Corpus: splitmix64-derived integer points grouped by orderkey; the
-    DuckDB twin computes the SAME hull by a gift-wrapping RECURSIVE
-    CTE pinned to the identical convention (strictly-convex vertices
-    only, farthest-of-collinear, closed-ring shoelace/perimeter with
-    a 2-vertex hull counting its edge twice) — two entirely different
-    hull algorithms agreeing vertex-for-vertex per group."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.overlay import convex_hull_stats
-
-    pt_t = StructType(
-        [StructField("x", LongType()), StructField("y", LongType())]
-    )
-
-    def _pt_kernel(k):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(dtype=np.uint64))
-        return pd.DataFrame(
-            {
-                "x": (h % np.uint64(8192)).astype(np.int64),
-                "y": ((h >> np.uint64(13)) % np.uint64(8192)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    pt = F.pandas_udf(_pt_kernel, pt_t)
-    pts = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(
-            (F.col("o_orderkey") % HULL_GROUPS).alias("g"),
-            pt(F.col("o_orderkey")).alias("p"),
-        )
-        .select("g", "p.x", "p.y")
-    )
-    return convex_hull_stats(pts, "g")
-
-
-def _sql_convex_hull() -> str:
-    sm = splitmix64_sql("k")
-    # cross(c->n, c->q) and dot(c->n, c->q) in the gift-wrap selection
-    cross = (
-        "(n.x - w.cx) * (q.y - w.cy) - (n.y - w.cy) * (q.x - w.cx)"
-    )
-    dot_f = (
-        "(q.x - w.cx) * (n.x - w.cx) + (q.y - w.cy) * (n.y - w.cy)"
-    )
-    len2n = "(n.x - w.cx) * (n.x - w.cx) + (n.y - w.cy) * (n.y - w.cy)"
-    return f"""
-WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders),
-hh AS (SELECT k, {sm} AS h FROM ks),
-raw AS (SELECT CAST(k % {HULL_GROUPS} AS BIGINT) AS g,
-               CAST(h % 8192 AS BIGINT) AS x,
-               CAST((h // 8192) % 8192 AS BIGINT) AS y
-        FROM hh),
-pts AS MATERIALIZED (SELECT DISTINCT g, x, y FROM raw),
-np_ AS (SELECT g, COUNT(*) AS n_pts FROM pts GROUP BY g),
-p0 AS (SELECT g, x, y FROM (
-         SELECT g, x, y,
-                row_number() OVER (PARTITION BY g ORDER BY x, y) AS rn
-         FROM pts) WHERE rn = 1),
-walk(g, step, cx, cy, p0x, p0y) AS (
-  SELECT g, CAST(0 AS BIGINT), x, y, x, y FROM p0
-  UNION ALL
-  SELECT w.g, w.step + 1, n.x, n.y, w.p0x, w.p0y
-  FROM walk w
-  JOIN pts n ON n.g = w.g AND NOT (n.x = w.cx AND n.y = w.cy)
-  WHERE NOT EXISTS (              -- CCW walk: nothing strictly right
-      SELECT 1 FROM pts q
-      WHERE q.g = w.g AND NOT (q.x = w.cx AND q.y = w.cy)
-        AND {cross} < 0)
-    AND NOT EXISTS (              -- farthest of collinear candidates
-      SELECT 1 FROM pts q
-      WHERE q.g = w.g AND {cross} = 0 AND {dot_f} > {len2n})
-    AND NOT (n.x = w.p0x AND n.y = w.p0y)  -- back at start: stop
-),
-hull AS (SELECT g, step, cx AS x, cy AS y FROM walk),
-hn AS (SELECT g, COUNT(*) AS n_hull FROM hull GROUP BY g),
-edges AS (
-  SELECT h1.g, h1.x AS x1, h1.y AS y1, h2.x AS x2, h2.y AS y2
-  FROM hull h1 JOIN hn USING (g)
-  JOIN hull h2 ON h2.g = h1.g AND h2.step = (h1.step + 1) % hn.n_hull),
-est AS (
-  SELECT g,
-    CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) AS area2,
-    CAST(SUM(abs(x2 - x1) + abs(y2 - y1)) AS BIGINT) AS perim
-  FROM edges GROUP BY g),
-vh AS (
-  SELECT g, CAST(SUM((x * 73856093 + y * 19349663) % 2147483648)
-                 AS BIGINT) AS vhash
-  FROM hull GROUP BY g)
-SELECT n.g, CAST(n.n_pts AS BIGINT) AS n_pts,
-       CAST(hn.n_hull AS BIGINT) AS n_hull,
-       CASE WHEN hn.n_hull >= 2 THEN e.area2 ELSE 0 END AS area2,
-       CASE WHEN hn.n_hull >= 2 THEN e.perim ELSE 0 END AS perim,
-       v.vhash
-FROM np_ n JOIN hn USING (g) JOIN est e USING (g) JOIN vh v USING (g)
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_line_merge — per-group line merging (degree math + cycle components)
-# ---------------------------------------------------------------------------
-
-LM_GROUPS = 64
-
-
-def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group line merge (operators/overlay.merge_lines_stats — JTS
-    LineMerger semantics over grid-graph segments: chains break at
-    degree!=2 vertices, pure cycles count as rings) with a FULL
-    oracle. Corpus: splitmix64-derived unit grid edges (12x12 lattice,
-    horizontal/vertical coin) — dense enough that duplicates,
-    junctions, tips and closed squares all occur. The DuckDB twin
-    replays degrees/lengths directly and the ring count by recursive
-    reachability (min-label components over the deduped segment
-    graph), checking the kernel's union-find against an
-    algorithm-independent transitive closure."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.overlay import merge_lines_stats
-
-    seg_t = StructType(
-        [
-            StructField("x1", LongType()),
-            StructField("y1", LongType()),
-            StructField("x2", LongType()),
-            StructField("y2", LongType()),
-        ]
-    )
-
-    def _seg_kernel(k):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(dtype=np.uint64))
-        cx = (h % np.uint64(12)).astype(np.int64)
-        cy = ((h >> np.uint64(8)) % np.uint64(12)).astype(np.int64)
-        horiz = ((h >> np.uint64(16)) % np.uint64(2)).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "x1": cx,
-                "y1": cy,
-                "x2": cx + horiz,
-                "y2": cy + (1 - horiz),
-            }
-        )
-
-    seg = F.pandas_udf(_seg_kernel, seg_t)
-    segs = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(
-            (F.col("o_orderkey") % LM_GROUPS).alias("g"),
-            seg(F.col("o_orderkey")).alias("s"),
-        )
-        .select("g", "s.x1", "s.y1", "s.x2", "s.y2")
-    )
-    # guaranteed pure cycle per group: a unit square in a reserved
-    # coordinate region (x >= 100, disjoint from the 12x12 lattice) so
-    # the ring-component path is exercised in EVERY group, not only
-    # where the lattice happens to close a junction-free square
-    ring_t = StructType(
-        [StructField("rx", LongType()), StructField("ry", LongType())]
-    )
-
-    def _ring_kernel(g):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64((g.to_numpy(dtype=np.int64) * 7919 + 3).astype(np.uint64))
-        return pd.DataFrame(
-            {
-                "rx": (100 + h % np.uint64(20)).astype(np.int64),
-                "ry": ((h >> np.uint64(5)) % np.uint64(20)).astype(np.int64),
-            }
-        )
-
-    ring = F.pandas_udf(_ring_kernel, ring_t)
-    sq = (
-        "array(struct(rx AS x1, ry AS y1, rx + 1L AS x2, ry AS y2), "
-        "struct(rx + 1L AS x1, ry AS y1, rx + 1L AS x2, ry + 1L AS y2), "
-        "struct(rx AS x1, ry + 1L AS y1, rx + 1L AS x2, ry + 1L AS y2), "
-        "struct(rx AS x1, ry AS y1, rx AS x2, ry + 1L AS y2))"
-    )
-    rings = (
-        spark.range(LM_GROUPS)
-        .select(F.col("id").alias("g"), ring(F.col("id")).alias("r"))
-        .selectExpr("g", "r.rx AS rx", "r.ry AS ry")
-        .selectExpr("g", f"explode({sq}) AS s")
-        .select("g", "s.x1", "s.y1", "s.x2", "s.y2")
-    )
-    return merge_lines_stats(segs.unionByName(rings), "g")
-
-
-def _sql_line_merge() -> str:
-    sm = splitmix64_sql("k")
-    return f"""
-WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders),
-hh AS (SELECT k, {sm} AS h FROM ks),
-raw AS (SELECT CAST(k % {LM_GROUPS} AS BIGINT) AS g,
-               CAST(h % 12 AS BIGINT) AS cx,
-               CAST((h // 256) % 12 AS BIGINT) AS cy,
-               CAST((h // 65536) % 2 AS BIGINT) AS horiz
-        FROM hh),
-gs AS (SELECT CAST(unnest(generate_series(0, {LM_GROUPS - 1})) AS BIGINT)
-              AS g),
-rh AS (SELECT g, {splitmix64_sql('(g * 7919 + 3)')} AS h FROM gs),
-rsq AS (SELECT g, CAST(100 + h % 20 AS BIGINT) AS rx,
-               CAST((h // 32) % 20 AS BIGINT) AS ry
-        FROM rh),
-ringsegs AS (
-  SELECT g, rx AS x1, ry AS y1, rx + 1 AS x2, ry AS y2 FROM rsq
-  UNION ALL SELECT g, rx + 1, ry, rx + 1, ry + 1 FROM rsq
-  UNION ALL SELECT g, rx, ry + 1, rx + 1, ry + 1 FROM rsq
-  UNION ALL SELECT g, rx, ry, rx, ry + 1 FROM rsq),
-segs AS MATERIALIZED (
-  SELECT DISTINCT * FROM (
-    SELECT g, cx AS x1, cy AS y1,
-           cx + horiz AS x2, cy + (1 - horiz) AS y2
-    FROM raw
-    UNION ALL SELECT * FROM ringsegs)),
--- vertices with degree (each deduped segment contributes one
--- incidence per end); vkey is injective for coords < 8192
-ends_ AS (
-  SELECT g, x1 AS vx, y1 AS vy FROM segs
-  UNION ALL SELECT g, x2, y2 FROM segs),
-vdeg AS MATERIALIZED (
-  SELECT g, vx, vy, COUNT(*) AS deg, MIN(vx * 8192 + vy) AS vkey
-  FROM ends_ GROUP BY g, vx, vy),
-adj AS MATERIALIZED (
-  SELECT g, x1 AS ax, y1 AS ay, x2 AS bx, y2 AS by_ FROM segs
-  UNION ALL SELECT g, x2, y2, x1, y1 FROM segs),
-reach(g, vx, vy, lbl) AS (
-  SELECT g, vx, vy, vkey FROM vdeg
-  UNION
-  SELECT a.g, a.bx, a.by_, r.lbl
-  FROM reach r JOIN adj a
-    ON a.g = r.g AND a.ax = r.vx AND a.ay = r.vy
-),
-comp AS (
-  SELECT g, vx, vy, MIN(lbl) AS c FROM reach GROUP BY g, vx, vy),
-rings AS (
-  SELECT v.g,
-         CAST(COUNT(DISTINCT CASE WHEN ok THEN c END) AS BIGINT)
-           AS n_rings
-  FROM (
-    SELECT comp.g, comp.c,
-           BOOL_AND(vdeg.deg = 2) AS ok
-    FROM comp JOIN vdeg
-      ON vdeg.g = comp.g AND vdeg.vx = comp.vx AND vdeg.vy = comp.vy
-    GROUP BY comp.g, comp.c) v
-  GROUP BY v.g),
-base AS (
-  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_segs,
-         CAST(SUM(abs(x2 - x1) + abs(y2 - y1)) AS BIGINT) AS mlen
-  FROM segs GROUP BY g),
-chains AS (
-  SELECT g,
-    CAST(SUM(CASE WHEN deg <> 2 THEN deg ELSE 0 END) // 2 AS BIGINT)
-      AS n_chains,
-    CAST(SUM(CASE WHEN deg <> 2
-             THEN deg * ((vx * 73856093 + vy * 19349663) % 2147483648)
-             ELSE 0 END) AS BIGINT) AS jhash
-  FROM vdeg GROUP BY g)
-SELECT b.g, b.n_segs, c.n_chains, r.n_rings, b.mlen, c.jhash
-FROM base b JOIN chains c USING (g) JOIN rings r USING (g)
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_morphology — Chebyshev buffer suite (dilate / erode / open / close)
-# ---------------------------------------------------------------------------
-
-
-def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12c morphological buffer suite (operators/overlay.
-    morphology_polygon_stats — Chebyshev dilate/erode/open/close at a
-    per-group integer radius; the ST_Buffer(+r)/ST_Buffer(−r) analog
-    with square caps/joins, erosion via the complement identity
-    F ∖ dilate(F ∖ A) through the planar overlay) with a FULL oracle.
-    Corpus: the union-style random rects plus a hole-forming frame
-    (thin frames vanish under erosion — a load-bearing edge case); the
-    DuckDB twin replays each op as set algebra on COVERED UNIT CELLS
-    (dilate = window-OR explode, erode = window-count, open/close
-    composed) and derives area/perimeter/vertices/Euler from cell
-    counts, shared-edge adjacency and corner patterns — it never
-    builds a ring, so agreement means the constructed boundaries are
-    exactly the morphological regions."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.overlay import (
-        morphology_polygon_stats,
-        rect_rings,
-    )
-
-    rect_t = StructType(
-        [
-            StructField("sel", LongType()),
-            StructField("x0", LongType()),
-            StructField("y0", LongType()),
-            StructField("w", LongType()),
-            StructField("ht", LongType()),
-        ]
-    )
-
-    def _rect_kernel(k):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(dtype=np.uint64))
-        return pd.DataFrame(
-            {
-                "sel": (h % np.uint64(16)).astype(np.int64),
-                "x0": ((h >> np.uint64(4)) % np.uint64(40)).astype(np.int64),
-                "y0": ((h >> np.uint64(10)) % np.uint64(40)).astype(np.int64),
-                "w": (1 + (h >> np.uint64(16)) % np.uint64(12)).astype(
-                    np.int64
-                ),
-                "ht": (1 + (h >> np.uint64(22)) % np.uint64(12)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    meta_t = StructType(
-        [
-            StructField("fx", LongType()),
-            StructField("fy", LongType()),
-            StructField("fw", LongType()),
-            StructField("fh", LongType()),
-            StructField("t", LongType()),
-            StructField("rr", LongType()),
-        ]
-    )
-
-    def _meta_kernel(g):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(
-            (g.to_numpy(dtype=np.int64) * 1000003 + 17).astype(np.uint64)
-        )
-        return pd.DataFrame(
-            {
-                "fx": (2 + h % np.uint64(24)).astype(np.int64),
-                "fy": (2 + (h >> np.uint64(5)) % np.uint64(24)).astype(
-                    np.int64
-                ),
-                "fw": (8 + (h >> np.uint64(10)) % np.uint64(8)).astype(
-                    np.int64
-                ),
-                "fh": (8 + (h >> np.uint64(13)) % np.uint64(8)).astype(
-                    np.int64
-                ),
-                "t": (1 + (h >> np.uint64(16)) % np.uint64(3)).astype(
-                    np.int64
-                ),
-                "rr": (1 + (h >> np.uint64(19)) % np.uint64(2)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    rect_params = F.pandas_udf(_rect_kernel, rect_t)
-    meta_params = F.pandas_udf(_meta_kernel, meta_t)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    rr_rects = (
-        orders.select(
-            (F.col("o_orderkey") % UNION_GROUPS).alias("g"),
-            rect_params(F.col("o_orderkey")).alias("r"),
-        )
-        .where(F.col("r.sel") == 0)
-        .select("g", "r.x0", "r.y0", "r.w", "r.ht")
-    )
-    meta = spark.range(UNION_GROUPS).select(
-        F.col("id").alias("g"), meta_params(F.col("id")).alias("f")
-    )
-    piece = (
-        "array("
-        "struct(f.fx AS x0, f.fy AS y0, f.fw AS w, f.t AS ht), "
-        "struct(f.fx AS x0, f.fy + f.fh - f.t AS y0, f.fw AS w, f.t AS ht), "
-        "struct(f.fx AS x0, f.fy AS y0, f.t AS w, f.fh AS ht), "
-        "struct(f.fx + f.fw - f.t AS x0, f.fy AS y0, f.t AS w, f.fh AS ht))"
-    )
-    frames = meta.selectExpr("g", f"explode({piece}) AS r").select(
-        "g", "r.x0", "r.y0", "r.w", "r.ht"
-    )
-    corpus = rr_rects.unionByName(frames).join(
-        F.broadcast(meta.select("g", "f.rr")), "g"
-    )
-    return morphology_polygon_stats(
-        rect_rings(corpus, extra=("rr",)), "g", "rr"
-    )
-
-
-def _sql_morphology() -> str:
-    sm_k = splitmix64_sql("k")
-    sm_g = splitmix64_sql("(g * 1000003 + 17)")
-    pmod = "(((px * 73856093 + py * 19349663) % 2147483648) + 2147483648) % 2147483648"
-    return f"""
-WITH ks AS (SELECT o_orderkey AS k FROM orders),
-hh AS (SELECT k, {sm_k} AS h FROM ks),
-rr_ AS (
-  SELECT CAST(k % {UNION_GROUPS} AS BIGINT) AS g,
-         CAST((h // 16) % 40 AS BIGINT) AS x0,
-         CAST((h // 1024) % 40 AS BIGINT) AS y0,
-         CAST(1 + (h // 65536) % 12 AS BIGINT) AS w,
-         CAST(1 + (h // 4194304) % 12 AS BIGINT) AS ht
-  FROM hh WHERE h % 16 = 0),
-gs AS (SELECT CAST(unnest(generate_series(0, {UNION_GROUPS - 1})) AS BIGINT)
-              AS g),
-gm AS (SELECT g, {sm_g} AS h FROM gs),
-fp AS (SELECT g,
-         CAST(2 + h % 24 AS BIGINT) AS fx,
-         CAST(2 + (h // 32) % 24 AS BIGINT) AS fy,
-         CAST(8 + (h // 1024) % 8 AS BIGINT) AS fw,
-         CAST(8 + (h // 8192) % 8 AS BIGINT) AS fh,
-         CAST(1 + (h // 65536) % 3 AS BIGINT) AS t,
-         CAST(1 + (h // 524288) % 2 AS BIGINT) AS rr
-       FROM gm),
-rects AS MATERIALIZED (
-  SELECT g, x0, y0, w, ht FROM rr_
-  UNION ALL SELECT g, fx, fy, fw, t FROM fp
-  UNION ALL SELECT g, fx, fy + fh - t, fw, t FROM fp
-  UNION ALL SELECT g, fx, fy, t, fh FROM fp
-  UNION ALL SELECT g, fx + fw - t, fy, t, fh FROM fp),
-rx AS (SELECT g, unnest(generate_series(x0, x0 + w - 1)) AS cx, y0, ht
-       FROM rects),
-cov AS MATERIALIZED (
-  SELECT DISTINCT g, cx, unnest(generate_series(y0, y0 + ht - 1)) AS cy
-  FROM rx),
-rad AS (SELECT g, rr FROM fp),
-off AS MATERIALIZED (
-  SELECT r.g, dx.v AS dx, dy.v AS dy, (2 * r.rr + 1) * (2 * r.rr + 1) AS wsz
-  FROM rad r
-  JOIN (SELECT unnest(generate_series(-2, 2)) AS v) dx
-    ON abs(dx.v) <= r.rr
-  JOIN (SELECT unnest(generate_series(-2, 2)) AS v) dy
-    ON abs(dy.v) <= r.rr),
-dil AS MATERIALIZED (
-  SELECT DISTINCT c.g, c.cx + o.dx AS cx, c.cy + o.dy AS cy
-  FROM cov c JOIN off o USING (g)),
-ero AS MATERIALIZED (
-  SELECT e.g, e.cx, e.cy FROM (
-    SELECT c.g, c.cx - o.dx AS cx, c.cy - o.dy AS cy,
-           COUNT(*) AS n, MAX(o.wsz) AS wsz
-    FROM cov c JOIN off o USING (g) GROUP BY 1, 2, 3) e
-  WHERE e.n = e.wsz),
-opn AS MATERIALIZED (
-  SELECT DISTINCT e.g, e.cx + o.dx AS cx, e.cy + o.dy AS cy
-  FROM ero e JOIN off o USING (g)),
-clo AS MATERIALIZED (
-  SELECT e.g, e.cx, e.cy FROM (
-    SELECT d.g, d.cx - o.dx AS cx, d.cy - o.dy AS cy,
-           COUNT(*) AS n, MAX(o.wsz) AS wsz
-    FROM dil d JOIN off o USING (g) GROUP BY 1, 2, 3) e
-  WHERE e.n = e.wsz),
-lay AS MATERIALIZED (
-  SELECT g, CAST(0 AS BIGINT) AS op, cx, cy FROM dil
-  UNION ALL SELECT g, 1, cx, cy FROM ero
-  UNION ALL SELECT g, 2, cx, cy FROM opn
-  UNION ALL SELECT g, 3, cx, cy FROM clo),
-adj AS (
-  SELECT a.g, a.op, COUNT(*) AS n_adj
-  FROM lay a JOIN lay b
-    ON b.g = a.g AND b.op = a.op
-   AND ((b.cx = a.cx + 1 AND b.cy = a.cy)
-        OR (b.cx = a.cx AND b.cy = a.cy + 1))
-  GROUP BY a.g, a.op),
--- vertex corner patterns: each covered cell is the NE/NW/SE/SW
--- quadrant of its four corners
-vq AS (
-  SELECT g, op, cx AS px, cy AS py, 3 AS q FROM lay      -- cell NE of v
-  UNION ALL SELECT g, op, cx + 1, cy, 2 FROM lay         -- NW
-  UNION ALL SELECT g, op, cx, cy + 1, 1 FROM lay         -- SE
-  UNION ALL SELECT g, op, cx + 1, cy + 1, 0 FROM lay),   -- SW
-vst AS (
-  SELECT g, op, px, py, COUNT(*) AS ncov,
-         BOOL_OR(q = 0) AS sw, BOOL_OR(q = 1) AS se,
-         BOOL_OR(q = 2) AS nw, BOOL_OR(q = 3) AS ne
-  FROM vq GROUP BY 1, 2, 3, 4),
-vagg AS (
-  SELECT g, op,
-    CAST(SUM(CASE WHEN ncov IN (1, 3) THEN 1
-                  WHEN ncov = 2 AND sw = ne AND nw = se AND sw <> nw
-                  THEN 2 ELSE 0 END) AS BIGINT) AS n_vert,
-    CAST(SUM(CAST(CASE WHEN ncov IN (1, 3) THEN 1
-                  WHEN ncov = 2 AND sw = ne AND nw = se AND sw <> nw
-                  THEN 2 ELSE 0 END AS BIGINT) * ({pmod}))
-         AS BIGINT) AS vhash,
-    CAST(SUM(CASE WHEN ncov = 2 AND sw = ne AND nw = se AND sw <> nw
-             THEN 1 ELSE 0 END) AS BIGINT) AS ndiag,
-    CAST(COUNT(*) AS BIGINT) AS nv_all
-  FROM vst GROUP BY g, op),
-cnt AS (SELECT g, op, CAST(COUNT(*) AS BIGINT) AS nf FROM lay GROUP BY g, op),
-ops AS (SELECT g, CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS op FROM gs)
-SELECT o.g, o.op,
-  CAST(COALESCE(2 * c.nf, 0) AS BIGINT) AS area2,
-  CAST(COALESCE(4 * c.nf - 2 * COALESCE(a.n_adj, 0), 0) AS BIGINT) AS perim,
-  COALESCE(v.n_vert, 0) AS n_vert,
-  -- Euler identity on the unit-cell subdivision:
-  -- n_ext − n_hole = V − E + F + n_pinch, E = 4F − adj
-  CAST(COALESCE(v.nv_all - (4 * c.nf - COALESCE(a.n_adj, 0))
-                + c.nf + v.ndiag, 0) AS BIGINT) AS euler,
-  COALESCE(v.vhash, 0) AS vhash
-FROM ops o
-LEFT JOIN cnt c ON c.g = o.g AND c.op = o.op
-LEFT JOIN adj a ON a.g = o.g AND a.op = o.op
-LEFT JOIN vagg v ON v.g = o.g AND v.op = o.op
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_image_gradients — 8-octant Sobel orientation histogram (HOG-lite)
-# ---------------------------------------------------------------------------
-
-
-def q_image_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12i gradient-orientation histogram
-    (raster.gradient_orientation_stats — 3×3 Sobel over the shared
-    luma8 grid, octant by a three-step sign/compare fold, no atan2)
-    over the canonical images table with a FULL oracle: DuckDB
-    regenerates every pixel from the shared CTE chain, builds the
-    Sobel responses from row-wise lag/lead plus two row joins, and
-    replays the identical fold decision-for-decision — one pixel
-    binned across a tie boundary (exact diagonal or axis gradient)
-    breaks the hash."""
-    from mapnik_vector_tile_spark.operators.raster import (
-        gradient_orientation_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, IMG_TH_N)
-    return gradient_orientation_stats(imgs)
-
-
-def _sql_image_gradients(n: int = IMG_TH_N) -> str:
-    return f"""
-WITH {_img_pixel_ctes(n)},
-lum AS (
-  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan
-),
-tri AS (
-  SELECT i, w, h, y, x,
-         lag(g8)  OVER (PARTITION BY i, y ORDER BY x) AS wv,
-         g8 AS cv,
-         lead(g8) OVER (PARTITION BY i, y ORDER BY x) AS ev
-  FROM lum
-),
-sob AS (
-  SELECT m.i, m.y, m.x,
-         (u.ev + 2 * m.ev + d.ev) - (u.wv + 2 * m.wv + d.wv) AS gx,
-         (d.wv + 2 * d.cv + d.ev) - (u.wv + 2 * u.cv + u.ev) AS gy
-  FROM tri m
-  JOIN tri u ON u.i = m.i AND u.x = m.x AND u.y = m.y - 1
-  JOIN tri d ON d.i = m.i AND d.x = m.x AND d.y = m.y + 1
-  WHERE m.x BETWEEN 1 AND m.w - 2 AND m.y BETWEEN 1 AND m.h - 2
-),
-f1 AS (
-  SELECT i, abs(gx) + abs(gy) AS mag, gx = 0 AND gy = 0 AS flat,
-         CASE WHEN gy < 0 THEN 4 ELSE 0 END AS s1,
-         CASE WHEN gy < 0 THEN -gx ELSE gx END AS gx1,
-         CASE WHEN gy < 0 THEN -gy ELSE gy END AS gy1
-  FROM sob
-),
-f2 AS (
-  SELECT i, mag, flat,
-         s1 + CASE WHEN gx1 < 0 THEN 2 ELSE 0 END AS s2,
-         CASE WHEN gx1 < 0 THEN gy1 ELSE gx1 END AS gx2,
-         CASE WHEN gx1 < 0 THEN -gx1 ELSE gy1 END AS gy2
-  FROM f1
-),
-f3 AS (
-  SELECT i, mag,
-         CASE WHEN flat THEN -1
-              ELSE s2 + CASE WHEN gy2 >= gx2 THEN 1 ELSE 0 END
-         END AS bin
-  FROM f2
-),
-hist AS (
-  SELECT i, bin, CAST(COUNT(*) AS BIGINT) AS cnt,
-         CAST(SUM(CASE WHEN bin = -1 THEN 0 ELSE mag END) AS BIGINT)
-           AS mag
-  FROM f3 GROUP BY i, bin
-),
-spine AS (
-  SELECT i, CAST(unnest(generate_series(-1, 7)) AS BIGINT) AS bin
-  FROM ids
-)
-SELECT 'img_' || lpad(CAST(s.i AS VARCHAR), 12, '0') AS image_id,
-       s.bin, COALESCE(h.cnt, 0) AS cnt, COALESCE(h.mag, 0) AS mag,
-       caps.caption AS caption
-FROM spine s
-LEFT JOIN hist h ON h.i = s.i AND h.bin = s.bin
-JOIN caps ON caps.i = s.i
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_template_match — SAD patch search with pinned argmin tie rule
-# ---------------------------------------------------------------------------
-
-IMG_TM_N = 150  # q_template_match corpus size (36 template cells/pixel)
-
-
-def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12j template matching (raster.template_match_stats — integer
-    SAD sliding-window patch search with a per-image hash-located,
-    perturbed 6×6 luma template) with a FULL oracle: DuckDB
-    regenerates the pixels, rebuilds the template from the same
-    formulas, folds SAD per offset (HAVING 36 cells keeps exactly the
-    full windows) and replays the argmin with the pinned smallest-
-    (by,bx) tie rule plus the tied-minima count."""
-    from mapnik_vector_tile_spark.operators.raster import (
-        template_match_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, IMG_TM_N)
-    return template_match_stats(imgs)
-
-
-def _sql_template_match(n: int = IMG_TM_N) -> str:
-    return f"""
-WITH {_img_pixel_ctes(n)},
-lum AS (
-  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan
-),
-tloc AS (
-  SELECT i, w, h,
-         CAST(ph % (w - 5) AS BIGINT) AS t0x,
-         CAST((ph // 131072) % (h - 5) AS BIGINT) AS t0y
-  FROM dims
-),
-tpl AS (
-  SELECT l.i, l.x - t.t0x AS tx, l.y - t.t0y AS ty,
-         l.g8 + ((l.x - t.t0x) * 7 + (l.y - t.t0y) * 11) % 43 AS tv
-  FROM lum l JOIN tloc t ON t.i = l.i
-  WHERE l.x BETWEEN t.t0x AND t.t0x + 5
-    AND l.y BETWEEN t.t0y AND t.t0y + 5
-),
-sad AS (
-  SELECT p.i, p.x - t.tx AS ox, p.y - t.ty AS oy,
-         CAST(SUM(abs(p.g8 - t.tv)) AS BIGINT) AS s
-  FROM lum p JOIN tpl t ON t.i = p.i
-  GROUP BY p.i, p.x - t.tx, p.y - t.ty
-  HAVING COUNT(*) = 36
-),
-mins AS (SELECT i, MIN(s) AS bs FROM sad GROUP BY i),
-ties AS (
-  SELECT sad.i, CAST(COUNT(*) AS BIGINT) AS n_best
-  FROM sad JOIN mins ON mins.i = sad.i AND sad.s = mins.bs
-  GROUP BY sad.i
-),
-pick AS (
-  SELECT i, ox, oy, s FROM (
-    SELECT sad.i, ox, oy, s,
-           row_number() OVER (PARTITION BY sad.i ORDER BY oy, ox) AS rn
-    FROM sad JOIN mins ON mins.i = sad.i AND sad.s = mins.bs)
-  WHERE rn = 1
-)
-SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
-       p.ox AS bx, p.oy AS by, p.s AS best_sad, t.n_best,
-       caps.caption AS caption
-FROM pick p JOIN ties t ON t.i = p.i JOIN caps ON caps.i = p.i
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_staypoints — trajectory stay-point detection (greedy anchor chain)
-# ---------------------------------------------------------------------------
-
-SP_D = 6  # Chebyshev stay radius
-SP_T_US = 86_400_000_000  # 24h minimum stay duration
-SP_EP_US = 259_200_000_000  # 3-day drifting-center epochs (corpus)
-
-
-def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6 stay-point detection (operators/temporal.staypoints — the
-    GeoLife greedy anchor scan with pinned order/threshold semantics)
-    with a FULL oracle. Corpus: events become trajectory points whose
-    coordinates cluster around a per-(user, 3-day-epoch) drifting
-    center with a 5×5 jitter — within an epoch every pair is within
-    the stay radius, across epochs the center jumps, so real stays,
-    broken stays (epoch straddles) and too-short windows all occur.
-    The DuckDB twin precomputes each index's first-exit and replays
-    the exact greedy anchor CHAIN through a recursive CTE — one
-    mis-advanced anchor desynchronizes every later stay for that
-    user."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.temporal import (
-        _EPOCH_US,
-        staypoints,
-    )
-
-    xy_t = StructType(
-        [StructField("x", LongType()), StructField("y", LongType())]
-    )
-
-    def _xy_kernel(key):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        uid = key["user_id"].to_numpy(np.int64)
-        ev = key["event_id"].to_numpy(np.uint64)
-        ep = key["t"].to_numpy(np.int64) // SP_EP_US
-        hc = splitmix64((uid * 1_000_003 + ep).astype(np.uint64))
-        hp = splitmix64(ev)
-        return pd.DataFrame(
-            {
-                "x": (hc % np.uint64(64)).astype(np.int64)
-                + (hp % np.uint64(5)).astype(np.int64),
-                "y": ((hc >> np.uint64(7)) % np.uint64(64)).astype(np.int64)
-                + ((hp >> np.uint64(5)) % np.uint64(5)).astype(np.int64),
-            }
-        )
-
-    xy = F.pandas_udf(_xy_kernel, xy_t)
-    pts = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
-            "user_id",
-            "event_id",
-            F.expr(_EPOCH_US).cast("long").alias("t"),
-        )
-        .withColumn(
-            "p",
-            xy(F.struct("user_id", "event_id", "t")),
-        )
-        .select("user_id", "event_id", "t", "p.x", "p.y")
-    )
-    return staypoints(pts, SP_D, SP_T_US)
-
-
-def _sql_staypoints() -> str:
-    sm_c = splitmix64_sql("(user_id * 1000003 + (t // {ep}))").replace(
-        "{ep}", str(SP_EP_US)
-    )
-    sm_p = splitmix64_sql("event_id")
-    return f"""
-WITH RECURSIVE ev AS (
-  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
-pts AS MATERIALIZED (
-  SELECT user_id, event_id, t,
-         CAST(({sm_c}) % 64 + ({sm_p}) % 5 AS BIGINT) AS x,
-         CAST((({sm_c}) // 128) % 64 + (({sm_p}) // 32) % 5 AS BIGINT) AS y
-  FROM ev),
-idx AS MATERIALIZED (
-  SELECT user_id AS u, t, x, y,
-         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
-           - 1 AS i
-  FROM pts),
-nu AS (SELECT u, COUNT(*) AS n FROM idx GROUP BY u),
-exit_ AS (
-  SELECT a.u, a.i, MIN(b.i) AS ex
-  FROM idx a JOIN idx b
-    ON b.u = a.u AND b.i > a.i
-   AND (abs(b.x - a.x) > {SP_D} OR abs(b.y - a.y) > {SP_D})
-  GROUP BY a.u, a.i),
-jt AS MATERIALIZED (
-  SELECT a.u, a.i, COALESCE(e.ex - 1, nu.n - 1) AS j
-  FROM idx a JOIN nu USING (u)
-  LEFT JOIN exit_ e ON e.u = a.u AND e.i = a.i),
-st AS MATERIALIZED (
-  SELECT jt.u, jt.i, jt.j, tj.t - ti.t >= {SP_T_US} AS stay
-  FROM jt
-  JOIN idx ti ON ti.u = jt.u AND ti.i = jt.i
-  JOIN idx tj ON tj.u = jt.u AND tj.i = jt.j),
-walk(u, a) AS (
-  SELECT u, CAST(0 AS BIGINT) FROM nu
-  UNION
-  SELECT w.u, CASE WHEN s.stay THEN s.j + 1 ELSE w.a + 1 END
-  FROM walk w
-  JOIN st s ON s.u = w.u AND s.i = w.a
-  JOIN nu ON nu.u = w.u
-  WHERE (CASE WHEN s.stay THEN s.j + 1 ELSE w.a + 1 END) < nu.n
-),
-stays AS (
-  SELECT w.u, s.i, s.j,
-         row_number() OVER (PARTITION BY w.u ORDER BY s.i) - 1 AS ord
-  FROM walk w JOIN st s ON s.u = w.u AND s.i = w.a
-  WHERE s.stay),
-mem AS (
-  SELECT s.u, s.ord, s.i, s.j,
-         CAST(COUNT(*) AS BIGINT) AS n_pts,
-         CAST(SUM(m.x) AS BIGINT) AS sx, CAST(SUM(m.y) AS BIGINT) AS sy
-  FROM stays s JOIN idx m ON m.u = s.u AND m.i BETWEEN s.i AND s.j
-  GROUP BY s.u, s.ord, s.i, s.j)
-SELECT mem.u AS user_id, mem.ord AS stay_ord, mem.n_pts, mem.sx, mem.sy,
-       CAST(tj.t - ti.t AS BIGINT) AS dur_us, CAST(ti.t AS BIGINT) AS t0
-FROM mem
-JOIN idx ti ON ti.u = mem.u AND ti.i = mem.i
-JOIN idx tj ON tj.u = mem.u AND tj.i = mem.j
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_utfgrid — mapnik UTFGrid interactivity-grid encode (pure Catalyst)
-# ---------------------------------------------------------------------------
-
-UTF_Z = 6
-
-
-def q_utfgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9 UTFGrid encode (operators/tiling.utfgrid_rows — mapnik
-    grid_renderer parity: per-tile 64×64 key raster, codepoint
-    mapping idx+32 with the '\"'/'\\\\' gaps skipped, ascending-id
-    painter's order, dense-rank key table) with a FULL oracle: the
-    DuckDB twin replays the cell math from the shared tile formulas,
-    the max-id cells, the dense_rank key indexes, the gap-skipping
-    codepoint arithmetic and the positional 31-power row hash."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.tiling import utfgrid_rows
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return utfgrid_rows(derive_points(orders, "o_orderkey"), z=UTF_Z)
-
-
-def _sql_utfgrid(z: int = UTF_Z, cell_bits: int = 6) -> str:
-    from mapnik_vector_tile_spark.operators.tiling import UTFGRID_POW31
-
-    txe, tye = S.tile_xy_exprs(z)
-    fxe, fye = S.tile_xy_exprs(z + cell_bits)
-    pows = "[" + ", ".join(str(p) for p in UTFGRID_POW31) + "]"
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-asgn AS (
-  SELECT id, {txe} AS x, {tye} AS y,
-         {fxe} - {txe} * {1 << cell_bits} AS cx,
-         {fye} - {tye} * {1 << cell_bits} AS cy
-  FROM pts),
-cells AS (
-  SELECT x, y, cx, cy, MAX(id) AS v
-  FROM asgn GROUP BY x, y, cx, cy),
-ranked AS (
-  SELECT x, y, cx, cy,
-         dense_rank() OVER (PARTITION BY x, y ORDER BY v) AS ki
-  FROM cells),
-cps AS (
-  SELECT x, y, cx, cy, ki,
-         cp1 + CASE WHEN cp1 >= 92 THEN 1 ELSE 0 END AS cp
-  FROM (
-    SELECT x, y, cx, cy, ki,
-           (ki + 32) + CASE WHEN ki + 32 >= 34 THEN 1 ELSE 0 END AS cp1
-    FROM ranked)),
-nk AS (SELECT x, y, MAX(ki) AS n_keys FROM cps GROUP BY x, y)
-SELECT CAST({z} AS BIGINT) AS z, c.x, c.y, c.cy AS row_idx,
-       CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST(SUM(c.cp * {pows}[CAST(c.cx AS INT) + 1]) % 2147483648
-            AS BIGINT) AS rh,
-       CAST(MAX(nk.n_keys) AS BIGINT) AS n_keys
-FROM cps c JOIN nk ON nk.x = c.x AND nk.y = c.y
-GROUP BY c.x, c.y, c.cy
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_label_place — greedy box-collision label placement (placement_finder)
-# ---------------------------------------------------------------------------
-
-LP_Z = 3
-
-
-def q_label_place(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7 greedy label placement (operators/tiling.label_place_greedy
-    — the mapnik placement_finder shape: candidates in ascending-id
-    priority order, placed iff the box overlaps no already-placed box,
-    STRICT overlap so edge contact is legal, discards don't block)
-    with a FULL oracle. Corpus: orders points at z3 (~230 candidates
-    per tile, heavy collision pressure) with hash-derived box half
-    sizes; centers are the exact z15-minus-z3-origin tile pixels. The
-    DuckDB twin replays the exact sequential greedy through a
-    recursive CTE carrying the PLACED BOX LISTS — one wrongly placed
-    label cascades into different later decisions, so the per-tile
-    placed-id hash is sequence-sensitive."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.functions.tilemath import W
-    from mapnik_vector_tile_spark.operators.tiling import label_place_greedy
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    box_t = StructType(
-        [StructField("hw", LongType()), StructField("hh", LongType())]
-    )
-
-    def _box_kernel(k):
-        import numpy as np
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(dtype=np.uint64))
-        return pd.DataFrame(
-            {
-                "hw": (40 + h % np.uint64(120)).astype(np.int64),
-                "hh": (20 + (h >> np.uint64(8)) % np.uint64(40)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    box = F.pandas_udf(_box_kernel, box_t)
-    pts = derive_points(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
-    )
-    span_c = 2.0 * W / (1 << LP_Z)
-    span_f = 2.0 * W / (1 << (LP_Z + 12))
-    mx, my = F.col("mx"), F.col("my")
-    tx = F.floor((mx + F.lit(W)) / F.lit(span_c)).cast("long")
-    ty = F.floor((F.lit(W) - my) / F.lit(span_c)).cast("long")
-    fx = F.floor((mx + F.lit(W)) / F.lit(span_f)).cast("long")
-    fy = F.floor((F.lit(W) - my) / F.lit(span_f)).cast("long")
-    cands = pts.select(
-        tx.alias("x"),
-        ty.alias("y"),
-        "id",
-        (fx - tx * F.lit(1 << 12)).alias("cx"),
-        (fy - ty * F.lit(1 << 12)).alias("cy"),
-        box(F.col("id")).alias("b"),
-    ).select("x", "y", "id", "cx", "cy", "b.hw", "b.hh")
-    return label_place_greedy(cands)
-
-
-def _sql_label_place(z: int = LP_Z) -> str:
-    sm = splitmix64_sql("id")
-    txe, tye = S.tile_xy_exprs(z)
-    fxe, fye = S.tile_xy_exprs(z + 12)
-    return f"""
-WITH RECURSIVE {S.point_cte('orders', 'o_orderkey')},
-cand AS (
-  SELECT id, {txe} AS x, {tye} AS y,
-         {fxe} - {txe} * 4096 AS cx,
-         {fye} - {tye} * 4096 AS cy,
-         CAST(40 + ({sm}) % 120 AS BIGINT) AS hw,
-         CAST(20 + (({sm}) // 256) % 40 AS BIGINT) AS hh
-  FROM pts),
-packs AS MATERIALIZED (
-  SELECT x, y, COUNT(*) AS n,
-         list(cx ORDER BY id) AS acx, list(cy ORDER BY id) AS acy,
-         list(hw ORDER BY id) AS ahw, list(hh ORDER BY id) AS ahh,
-         list(id ORDER BY id) AS aid
-  FROM cand GROUP BY x, y),
-walk(x, y, i, pcx, pcy, phw, phh, ph, n_placed) AS (
-  SELECT x, y, 0,
-         CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
-         CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
-         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-  FROM packs
-  UNION ALL
-  SELECT w.x, w.y, w.i + 1,
-         CASE WHEN hit THEN pcx ELSE list_append(pcx, ccx) END,
-         CASE WHEN hit THEN pcy ELSE list_append(pcy, ccy) END,
-         CASE WHEN hit THEN phw ELSE list_append(phw, chw) END,
-         CASE WHEN hit THEN phh ELSE list_append(phh, chh) END,
-         CASE WHEN hit THEN ph
-              ELSE ph + (cid * 2654435761) % 2147483648 END,
-         CASE WHEN hit THEN n_placed ELSE n_placed + 1 END
-  FROM (
-    SELECT w.*, p.n,
-           p.acx[w.i + 1] AS ccx, p.acy[w.i + 1] AS ccy,
-           p.ahw[w.i + 1] AS chw, p.ahh[w.i + 1] AS chh,
-           p.aid[w.i + 1] AS cid,
-           len([j FOR j IN generate_series(1, len(w.pcx))
-                IF abs(w.pcx[j] - p.acx[w.i + 1])
-                     < w.phw[j] + p.ahw[w.i + 1]
-                   AND abs(w.pcy[j] - p.acy[w.i + 1])
-                     < w.phh[j] + p.ahh[w.i + 1]]) > 0 AS hit
-    FROM walk w JOIN packs p ON p.x = w.x AND p.y = w.y
-    WHERE w.i < p.n) w
-)
-SELECT w.x, w.y, CAST(p.n AS BIGINT) AS n_cands, w.n_placed, w.ph
-FROM walk w JOIN packs p ON p.x = w.x AND p.y = w.y
-WHERE w.i = p.n
-"""
-
-
-_ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
-    "q_label_place": (q_label_place, _sql_label_place()),
-    "q_utfgrid": (q_utfgrid, _sql_utfgrid()),
-    "q_staypoints": (q_staypoints, _sql_staypoints()),
-    "q_template_match": (q_template_match, _sql_template_match()),
-    "q_str_pack": (q_str_pack, _sql_str_pack()),
-    "q_convex_hull": (q_convex_hull, _sql_convex_hull()),
-    "q_line_merge": (q_line_merge, _sql_line_merge()),
-    "q_morphology": (q_morphology, _sql_morphology()),
-    "q_image_gradients": (q_image_gradients, _sql_image_gradients()),
-    "q_polygon_union": (q_polygon_union, _sql_polygon_union()),
-    "q_polygon_boolean": (q_polygon_boolean, _sql_polygon_boolean()),
-    "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
-    "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
-    "q_vtquery": (q_vtquery, _sql_vtquery()),
-    "q_engine_pip_broadcast": (q_engine_pip_broadcast, _sql_bbox_rect_join()),
-    "q_engine_pip_partitioned": (
-        q_engine_pip_partitioned,
-        _sql_bbox_rect_join(),
-    ),
-    "q_engine_pip_semi": (q_engine_pip_semi, _sql_pip_membership(True)),
-    "q_engine_pip_anti": (q_engine_pip_anti, _sql_pip_membership(False)),
-    "q_engine_knn": (q_engine_knn, _sql_knn(3)),
-    "q_asof_clicks_views": (q_asof_clicks_views, _SQL_ASOF),
-    "q_click_attribution": (q_click_attribution, _SQL_ATTRIBUTION),
-    "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
-    "q_session_window": (q_session_window, _SQL_SESSION_WINDOW),
-    "q_interval_overlap": (q_interval_overlap, _SQL_INTERVAL_OVERLAP),
-    "q_pip_polygon_regions": (q_pip_polygon_regions, _sql_pip_polygon(200)),
-    "q_engine_decode_roundtrip": (
-        q_engine_decode_roundtrip,
-        _sql_pyramid_counts_band(6, 8),
-    ),
-    "q_engine_load_compressed": (
-        q_engine_load_compressed,
-        _sql_load_compressed(4, 6),
-    ),
-    "q_geojson_tiles": (q_geojson_tiles, _sql_geojson_tiles(7)),
-    "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
-    "q_engine_layer_filter": (q_engine_layer_filter, _sql_layer_filter()),
-    "q_engine_attr_join": (q_engine_attr_join, _sql_attr_join()),
-    "q_engine_attr_join_shuffle": (
-        q_engine_attr_join_shuffle,
-        _sql_attr_join(),
-    ),
-    "q_quadkey": (q_quadkey, _sql_quadkey()),
-    "q_pyramid_audit": (q_pyramid_audit, _sql_pyramid_audit()),
-    "q_tilestats": (q_tilestats, _sql_tilestats()),
-    "q_polygon_rect_join": (q_polygon_rect_join, _sql_polygon_rect_join()),
-    "q_polygon_polygon_join": (q_polygon_polygon_join, _sql_polygon_polygon_join()),
-    "q_dissolve": (q_dissolve, _sql_dissolve()),
-    "q_engine_simplify_vw": (q_engine_simplify_vw, _sql_simplify_vw()),
-    "q_polygon_polygon_ri": (q_polygon_polygon_ri, _sql_polygon_polygon_join()),
-    "q_engine_validity": (q_engine_validity, _sql_validity()),
-    "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
-    "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
-    "q_engine_overzoom_redistribute": (
-        q_engine_overzoom_redistribute,
-        _sql_overzoom(),
-    ),
-    "q_engine_rescale": (q_engine_rescale, _sql_rescale()),
-    "q_engine_downzoom": (q_engine_downzoom, _sql_downzoom()),
-    "q_engine_downzoom_band": (q_engine_downzoom_band, _sql_downzoom_band()),
-    "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
-    "q_raster_tiles": (q_raster_tiles, _sql_raster_tiles()),
-    "q_geotiff_tiles": (q_geotiff_tiles, _sql_raster_tiles()),
-    "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
-    "q_phash_neardup": (q_phash_neardup, _sql_phash_neardup()),
-    "q_phash_mi": (q_phash_mi, _sql_phash_neardup()),
-    "q_engine_v1_decode": (q_engine_v1_decode, _sql_v1_decode()),
-    "q_engine_solid": (q_engine_solid, _sql_solid()),
-    "q_label_grid": (q_label_grid, _sql_label_grid()),
-    "q_solid_prune": (q_solid_prune, _sql_solid_prune()),
-    "q_tile_diff": (q_tile_diff, _sql_tile_diff()),
-    "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
-    "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
-    "q_geohash": (q_geohash, _sql_geohash()),
-    "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
-    "q_engine_simplify_radial": (
-        q_engine_simplify_radial,
-        _sql_simplify_radial(),
-    ),
-    "q_engine_clip_repair": (q_engine_clip_repair, _sql_clip_repair()),
-    "q_engine_clip_repair_pos": (
-        q_engine_clip_repair_pos,
-        _sql_clip_repair(fill_rule="positive"),
-    ),
-    "q_raster_jpeg": (q_raster_jpeg, _sql_raster_jpeg()),
-    "q_raster_png": (q_raster_png, _sql_raster_png()),
-    "q_raster_webp": (q_raster_webp, _sql_raster_webp()),
-    "q_raster_tiff": (q_raster_tiff, _sql_raster_tiff()),
-    "q_raster_png8": (q_raster_png8, _sql_raster_png8()),
-    "q_wkt_ingest": (q_wkt_ingest, _sql_wkt_ingest()),
-    "q_wkb_ingest": (q_wkb_ingest, _sql_wkt_ingest()),
-    "q_shp_ingest": (q_shp_ingest, _sql_wkt_ingest()),
-    "q_zoom_thin": (q_zoom_thin, _sql_zoom_thin()),
-    "q_csv_ingest": (q_csv_ingest, _sql_csv_ingest()),
-    "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
-    "q_cell_cover_hier": (q_cell_cover_hier, _sql_cell_cover()),
-    "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
-    "q_pip_join_sampled": (q_pip_join_sampled, _sql_pip_join_sampled()),
-    "q_tile_budget": (q_tile_budget, _sql_tile_budget()),
-    "q_haversine_join": (q_haversine_join, _sql_haversine_join()),
-    "q_scene_cuts": (q_scene_cuts, _sql_scene_cuts()),
-    "q_silence_trim": (q_silence_trim, _sql_silence_trim()),
-    "q_audio_decimate": (q_audio_decimate, _sql_audio_decimate()),
-    "q_line_cover": (q_line_cover, _sql_line_cover()),
-    "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
-    "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
-    "q_radius_join": (q_radius_join, _sql_radius_join()),
-    "q_geom_measures": (q_geom_measures, _sql_geom_measures()),
-    "q_mbtiles_roundtrip": (q_mbtiles_roundtrip, _sql_mbtiles()),
-    "q_pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mbtiles()),
-    "q_store_partitioned": (q_store_partitioned, _sql_mbtiles()),
-    "q_tilejson": (q_tilejson, _sql_tilejson()),
-    "q_line_interpolate": (q_line_interpolate, _sql_line_interpolate()),
-    "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
-    "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
-    "q_image_blur": (q_image_blur, _sql_image_blur()),
-    "q_image_otsu": (q_image_otsu, _sql_image_otsu()),
-    "q_image_equalize": (q_image_equalize, _sql_image_equalize()),
-    "q_image_phash": (q_image_phash, _sql_image_phash()),
-    "q_marching_squares": (q_marching_squares, _sql_marching_squares()),
-    "q_heatmap_tiles": (q_heatmap_tiles, _sql_heatmap_tiles()),
-    "q_idw": (q_idw, _sql_idw()),
-    "q_ewma": (q_ewma, _sql_ewma()),
-    "q_scale_gate": (q_scale_gate, _sql_scale_gate()),
-    "q_image_curation": (q_image_curation, _sql_image_curation()),
-    "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
-    "q_letterbox": (q_letterbox, _sql_letterbox()),
-    "q_augment": (q_augment, _sql_augment()),
-    "q_wds_roundtrip": (q_wds_roundtrip, _sql_wds_roundtrip()),
-    "q_ar_bucket_batches": (q_ar_bucket_batches, _sql_ar_bucket_batches()),
-    "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
-    "q_distinct_hll": (q_distinct_hll, _sql_distinct_hll()),
-    "q_spatial_block_split": (q_spatial_block_split, _sql_spatial_block_split()),
-    "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
-    "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
-    "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
-    "q_video_mjpeg": (q_video_mjpeg, _sql_video_mjpeg()),
-    "q_video_mpeg1": (q_video_mpeg1, _sql_video_mpeg1()),
-    "q_engine_wafer": (q_engine_wafer, _sql_wafer()),
-    "q_global_quantiles": (q_global_quantiles, _sql_global_quantiles()),
-}
-
-
-def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        load_views(spark, sf_dir)
-        return spark.sql(S.render(template, "spark"))
-
-    return fn
-
-
-# The driver's per-round correctness sweep records queries in dict
-# order and round 1 stopped after the first 50 keys, so the 19
-# text/similarity/sampling keys that were registered last never got a
-# driver-visible row.  Promote exactly those keys to the front of the
-# dict so round 2 records them first (cross-round union then covers
-# every key even if the driver budget is key-count-based).
-_RECORD_FIRST = (
-    "q_video_mpeg1",  # new r4 keys: record first
-    "q_viewshed_sweep",
-    "q_scd2_stream",
-    "q_stream_window",
-    "q_dirty_stream",
-    # driver records ~50 keys per round in dict order; r01+r02+r03
-    # covered 150 distinct keys, so round 4 promotes the 113 keys
-    # never yet in a driver CORRECTNESS file (registry order) —
-    # the cross-round union keeps growing toward full coverage
-    "q_shp_ingest",
-    "q_zoom_thin",
-    "q_geotiff_tiles",
-    "q_csv_ingest",
-    "q_edit_refine",
-    "q_image_equalize",
-    "q_wordpiece",
-    "q_audio_decimate",
-    "q_image_phash",
-    "q_marching_squares",
-    "q_heatmap_tiles",
-    "q_idw",
-    "q_ewma",
-    "q_scale_gate",
-    "q_distinct_hll",
-    "q_spatial_block_split",
-    "q_alignment_filter",
-    "q_image_blur",
-    "q_dissolve",
-    "q_image_curation",
-    "q_engine_simplify_vw",
-    "q_vtquery",
-    "q_engine_attr_join_shuffle",
-    "q_count_min",
-    "q_hard_negatives",
-    "q_store_partitioned",
-    "q_chunk_sliding",
-    "q_solid_prune",
-    "q_augment",
-    "q_silence_trim",
-    "q_scene_cuts",
-    "q_haversine_join",
-    "q_tile_budget",
-    "q_pip_join_sampled",
-    "q_polygon_polygon_ri",
-    "q_letterbox",
-    "q_label_grid",
-    "q_boilerplate",
-    "q_unimax_resample",
-    "q_image_dhash",
-    "q_engine_simplify_radial",
-    "q_engine_attr_join",
-    "q_bigram_lm",
-    "q_engine_solid",
-    "q_temperature_resample",
-    "q_wds_roundtrip",
-    "q_ar_bucket_batches",
-    "q_semdedup",
-    "q_engine_downzoom",
-    "q_engine_downzoom_band",
-    "q_kmeans",
-    "q_pii_redact",
-    "q_chunk_dedup",
-    "q_pmtiles_roundtrip",
-    "q_tilejson",
-    "q_line_interpolate",
-    "q_area_centroid",
-    "q_image_thumbs",
-    "q_event_dedup",
-    "q_engine_layer_filter",
-    "q_quadkey",
-    "q_pyramid_audit",
-    "q_tilestats",
-    "q_polygon_rect_join",
-    "q_polygon_polygon_join",
-    "q_raster_tiff",
-    "q_wkt_ingest",
-    "q_wkb_ingest",
-    "q_cell_cover",
-    "q_cell_cover_hier",
-    "q_pip_cover_join",
-    "q_line_cover",
-    "q_zonal_stats",
-    "q_cell_compact",
-    "q_radius_join",
-    "q_geom_measures",
-    "q_cluster_canonical",
-    "q_mbtiles_roundtrip",
-    "q_video_mjpeg",
-    "q_engine_wafer",
-    "q_global_quantiles",
-    "q_corpus_filter_rep",
-    "q_raster_png",
-    "q_raster_webp",
-    "q_bloom_decontaminate",
-    "q_token_quantiles",
-    "q_repetition",
-    "q_dup_ngram_spans",
-    "q_engine_clip_repair",
-    "q_raster_jpeg",
-    "q_distinct_kmv",
-    "q_topk_tokens",
-    "q_dedup_clusters",
-    "q_simhash",
-    "q_simhash_pairs",
-    "q_ngram_jaccard",
-    "q_quality_stats",
-    "q_corpus_filter",
-    "q_token_counts",
-    "q_langid",
-    "q_fingerprints",
-    "q_ann_topk",
-    "q_ann_lsh_bucketed",
-    "q_ann_ivf",
-    "q_embedding_neardup",
-    "q_embedding_quantize",
-    "q_train_split",
-    "q_stratified_sample",
-    "q_balanced_sample",
-    "q_seq_packing",
-    "q_decontaminate",
-    "q_geohash",
-    "q_bm25",
-)
-
-
-def sql_pairs() -> tuple[
-    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
-]:
-    """(queries, oracles) for the SQL-expressible operator set."""
-    queries = {name: _make_spark_fn(t) for name, t in _PAIRS.items()}
-    oracles = {name: S.render(t, "duckdb") for name, t in _PAIRS.items()}
-    for name, (fn, oracle) in _ENGINE_PAIRS.items():
-        queries[name] = fn
-        if oracle is not None:
-            oracles[name] = S.render(oracle, "duckdb")
-    from mapnik_vector_tile_spark.plans.detect_oracles import (
-        pairs as detect_pairs,
-    )
-    from mapnik_vector_tile_spark.plans.text_oracles import pairs as text_pairs
-
-    for extra in (text_pairs, detect_pairs):
-        for name, (fn, oracle) in extra().items():
-            queries[name] = fn
-            if oracle is not None:
-                oracles[name] = oracle
-    order = [k for k in _RECORD_FIRST if k in queries]
-    order += [k for k in queries if k not in _RECORD_FIRST]
-    queries = {k: queries[k] for k in order}
-    oracles = {k: oracles[k] for k in order if k in oracles}
-    return queries, oracles
-
-
-# ---------------------------------------------------------------------------
-# q_snap_road — J10 map-matching snap join (operators/joins.snap_join)
-# ---------------------------------------------------------------------------
-
-SNAP_RADIUS = 32
-
-
-def q_snap_road(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J10 nearest-segment-within-radius with a FULL oracle that also
-    validates the candidate generation: the engine prunes via the
-    radius-expanded cell grid, while the DuckDB twin brute-forces the
-    COMPLETE point×segment cross product with the same exact integer
-    rational distance — any segment the cell cover wrongly drops, or
-    any floor-scale arg-min divergence, mismatches the hash. Corpus:
-    road segments from orders (endpoint + capped ±32 direction on a
-    512 grid), GPS points from customer, both splitmix64-derived."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.joins import snap_join
-
-    seg_t = StructType(
-        [
-            StructField("ax", LongType()),
-            StructField("ay", LongType()),
-            StructField("bx", LongType()),
-            StructField("by", LongType()),
-        ]
-    )
-
-    def _seg_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        ax = (h % np.uint64(512)).astype(np.int64)
-        ay = ((h >> np.uint64(9)) % np.uint64(512)).astype(np.int64)
-        dx = ((h >> np.uint64(18)) % np.uint64(65)).astype(np.int64) - 32
-        dy = ((h >> np.uint64(25)) % np.uint64(65)).astype(np.int64) - 32
-        return pd.DataFrame(
-            {"ax": ax, "ay": ay, "bx": ax + dx, "by": ay + dy}
-        )
-
-    pt_t = StructType(
-        [StructField("px", LongType()), StructField("py", LongType())]
-    )
-
-    def _pt_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "px": (h % np.uint64(512)).astype(np.int64),
-                "py": ((h >> np.uint64(9)) % np.uint64(512)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    seg = F.pandas_udf(_seg_kernel, seg_t)
-    pt = F.pandas_udf(_pt_kernel, pt_t)
-    segments = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(F.col("o_orderkey").alias("sid"))
-        .select("sid", seg(F.col("sid")).alias("s"))
-        .select("sid", "s.ax", "s.ay", "s.bx", "s.by")
-    )
-    points = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .select(F.col("c_custkey").alias("pid"))
-        .select("pid", pt(F.col("pid")).alias("p"))
-        .select("pid", "p.px", "p.py")
-    )
-    return snap_join(points, segments, radius=SNAP_RADIUS, cell_shift=5)
-
-
-def _sql_snap_road(radius: int = SNAP_RADIUS) -> str:
-    hs = splitmix64_sql("o_orderkey")
-    hp = splitmix64_sql("c_custkey")
-    scale = 1 << 24  # SNAP_SCALE_BITS — exact for |AB|^2 < 2^12
-    return f"""
-WITH segs0 AS (
-  SELECT o_orderkey AS sid,
-         CAST(({hs}) % 512 AS BIGINT) AS ax,
-         CAST((({hs}) // 512) % 512 AS BIGINT) AS ay,
-         CAST((({hs}) // 262144) % 65 AS BIGINT) - 32 AS dx,
-         CAST((({hs}) // 33554432) % 65 AS BIGINT) - 32 AS dy
-  FROM orders),
-segs AS (
-  SELECT sid, ax, ay, ax + dx AS bx, ay + dy AS by FROM segs0),
-pts AS (
-  SELECT c_custkey AS pid,
-         CAST(({hp}) % 512 AS BIGINT) AS px,
-         CAST((({hp}) // 512) % 512 AS BIGINT) AS py
-  FROM customer),
-sc AS (
-  SELECT p.pid, s.sid,
-         (p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)
-           AS dot,
-         (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)
-           AS ab2,
-         (p.px - s.ax) * (p.px - s.ax) + (p.py - s.ay) * (p.py - s.ay)
-           AS ap2,
-         (p.px - s.bx) * (p.px - s.bx) + (p.py - s.by) * (p.py - s.by)
-           AS bp2
-  FROM pts p CROSS JOIN segs s),
-fr AS (
-  SELECT pid, sid,
-         CASE WHEN ab2 = 0 OR dot <= 0 THEN ap2
-              WHEN dot >= ab2 THEN bp2
-              ELSE ap2 * ab2 - dot * dot END AS num,
-         CASE WHEN ab2 = 0 OR dot <= 0 OR dot >= ab2 THEN 1
-              ELSE ab2 END AS den
-  FROM sc),
-flt AS (
-  SELECT pid, sid, (num * {scale}) // den AS d2s
-  FROM fr WHERE num <= {radius * radius} * den),
-rk AS (
-  SELECT pid, sid, d2s,
-         row_number() OVER (PARTITION BY pid ORDER BY d2s, sid) AS rn,
-         COUNT(*) OVER (PARTITION BY pid) AS n_cand
-  FROM flt)
-SELECT pid, sid, d2s, CAST(n_cand AS BIGINT) AS n_cand
-FROM rk WHERE rn = 1
-"""
-
-
-_ENGINE_PAIRS["q_snap_road"] = (q_snap_road, _sql_snap_road())
-
-
-# ---------------------------------------------------------------------------
-# q_morans_i — global spatial autocorrelation (operators/geostats.morans_i)
-# ---------------------------------------------------------------------------
-
-MI_Z = 5
-
-
-def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moran's I over the z5 occupancy grid of the orders point cloud
-    with a FULL oracle: both engines compute the exact BIGINT
-    (n_cells, w_sum, num, den) — denominators cleared via
-    dev_i = c_i·K − S — plus one pinned-association double ratio.
-    Bounds at sf0.1 (150k points, ≤1024 cells): |dev| < S ≤ 2¹⁸·K;
-    dev² < 2⁵⁶; Σ over ≤4096 ordered pairs < 2⁶⁸? No — deviations
-    concentrate near 0 (counts ≈ S/K), measured |num|,den < 2⁵⁰;
-    int64-safe with ≥ 8192× headroom (asserted non-degenerate in
-    tests)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.tilemath import W
-    from mapnik_vector_tile_spark.operators.geostats import morans_i
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    pts = derive_points(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
-    )
-    span = 2.0 * W / (1 << MI_Z)
-    cells = pts.select(
-        F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
-        .cast("long")
-        .alias("cx"),
-        F.floor((F.lit(W) - F.col("my")) / F.lit(span))
-        .cast("long")
-        .alias("cy"),
-    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    return morans_i(cells)
-
-
-def _sql_morans_i(z: int = MI_Z) -> str:
-    txe, tye = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-cells AS (
-  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
-  FROM pts GROUP BY 1, 2),
-ks AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS s
-  FROM cells),
-dev AS (
-  SELECT cx, cy, c * k - s AS dev, k FROM cells, ks),
-probes AS (
-  SELECT d.k, d.dev, d.cx + o.dx AS nx, d.cy + o.dy AS ny
-  FROM dev d
-  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)),
-pairs AS (
-  SELECT p.k, p.dev, b.dev AS ndev
-  FROM probes p JOIN dev b ON b.cx = p.nx AND b.cy = p.ny),
-agg AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS w_sum,
-         CAST(COALESCE(SUM(dev * ndev), 0) AS BIGINT) AS num
-  FROM pairs),
-dn AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev)
-SELECT CAST(ks.k AS BIGINT) AS n_cells, w_sum, num, den,
-       CASE WHEN w_sum = 0 OR den = 0 THEN NULL
-            ELSE (CAST(num AS DOUBLE) * CAST(ks.k AS DOUBLE))
-                   / (CAST(w_sum AS DOUBLE) * CAST(den AS DOUBLE))
-       END AS i_dbl
-FROM agg, dn, ks
-"""
-
-
-_ENGINE_PAIRS["q_morans_i"] = (q_morans_i, _sql_morans_i())
-
-
-# ---------------------------------------------------------------------------
-# q_polyline — Google encoded-polyline trajectory codec
-# ---------------------------------------------------------------------------
-
-PL_TRAJS = 300
-
-
-def q_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polyline5 encode (functions/polyline.encode_trajectories) with
-    a FULL oracle: both engines derive the same trajectories from
-    orders (tid = key % 300, ~50 vertices each at sf0.01, ±1° at 1e-5
-    precision), apply the spec delta→zigzag→5-bit-chunk encoding, and
-    compare the resulting STRINGS byte-for-byte. Zigzag is shift/xor
-    on the Spark side and the equivalent branch form in SQL; chunk
-    emission is the same 7-level unroll in both. Losslessness is
-    separately pinned by the numpy decoder round-trip test."""
-    import pandas as pd
-    import numpy as np
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.functions.polyline import (
-        encode_trajectories,
-    )
-
-    ll_t = StructType(
-        [StructField("lat5", LongType()), StructField("lng5", LongType())]
-    )
-
-    def _ll_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "lat5": (h % np.uint64(200001)).astype(np.int64) - 100000,
-                "lng5": ((h >> np.uint64(21)) % np.uint64(200001)).astype(
-                    np.int64
-                )
-                - 100000,
-            }
-        )
-
-    ll = F.pandas_udf(_ll_kernel, ll_t)
-    traj = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(F.col("o_orderkey").alias("seq"))
-        .select(
-            (F.col("seq") % F.lit(PL_TRAJS)).alias("tid"),
-            "seq",
-            ll(F.col("seq")).alias("p"),
-        )
-        .select("tid", "seq", "p.lat5", "p.lng5")
-    )
-    return encode_trajectories(traj)
-
-
-def _sql_polyline(n_trajs: int = PL_TRAJS) -> str:
-    h = splitmix64_sql("o_orderkey")
-
-    def chunks(v: str) -> str:
-        parts = []
-        for k in range(7):
-            five = f"(({v}) // {1 << (5 * k)}) % 32"
-            more = f"({v}) >= {1 << (5 * (k + 1))}"
-            here = "TRUE" if k == 0 else f"({v}) >= {1 << (5 * k)}"
-            parts.append(
-                f"CASE WHEN {more} THEN chr(CAST(({five}) + 95 AS INT))"
-                f" WHEN {here} THEN chr(CAST(({five}) + 63 AS INT))"
-                f" ELSE '' END"
-            )
-        return " || ".join(parts)
-
-    return f"""
-WITH pts0 AS (
-  SELECT o_orderkey % {n_trajs} AS tid, o_orderkey AS seq,
-         CAST(({h}) % 200001 AS BIGINT) - 100000 AS lat5,
-         CAST((({h}) // 2097152) % 200001 AS BIGINT) - 100000 AS lng5
-  FROM orders),
-d AS (
-  SELECT tid, seq,
-         lat5 - COALESCE(lag(lat5) OVER (PARTITION BY tid ORDER BY seq), 0)
-           AS dlat,
-         lng5 - COALESCE(lag(lng5) OVER (PARTITION BY tid ORDER BY seq), 0)
-           AS dlng
-  FROM pts0),
-z AS (
-  SELECT tid, seq,
-         CASE WHEN dlat < 0 THEN -2 * dlat - 1 ELSE 2 * dlat END AS zlat,
-         CASE WHEN dlng < 0 THEN -2 * dlng - 1 ELSE 2 * dlng END AS zlng
-  FROM d),
-frag AS (
-  SELECT tid, seq, ({chunks('zlat')}) || ({chunks('zlng')}) AS s
-  FROM z)
-SELECT tid, CAST(COUNT(*) AS BIGINT) AS n_pts,
-       string_agg(s, '' ORDER BY seq) AS poly
-FROM frag GROUP BY tid
-"""
-
-
-_ENGINE_PAIRS["q_polyline"] = (q_polyline, _sql_polyline())
-
-
-def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LISA local Moran + Gi* ingredients per z5 cell (geostats.
-    local_spatial_stats) with a FULL oracle — per-cell BIGINT-exact
-    rows (a finer-grained witness than the single global Moran row):
-    one wrong neighbor membership shifts that cell's lag/gi_num."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.tilemath import W
-    from mapnik_vector_tile_spark.operators.geostats import (
-        local_spatial_stats,
-    )
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    pts = derive_points(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
-    )
-    span = 2.0 * W / (1 << MI_Z)
-    cells = pts.select(
-        F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
-        .cast("long")
-        .alias("cx"),
-        F.floor((F.lit(W) - F.col("my")) / F.lit(span))
-        .cast("long")
-        .alias("cy"),
-    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    return local_spatial_stats(cells)
-
-
-def _sql_local_moran(z: int = MI_Z) -> str:
-    txe, tye = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-cells AS (
-  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
-  FROM pts GROUP BY 1, 2),
-ks AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS s
-  FROM cells),
-dev AS (
-  SELECT cx, cy, c, c * k - s AS dev FROM cells, ks),
-probes AS (
-  SELECT d.cx, d.cy, d.cx + o.dx AS nx, d.cy + o.dy AS ny
-  FROM dev d
-  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)),
-neigh AS (
-  SELECT p.cx, p.cy, CAST(COUNT(*) AS BIGINT) AS deg,
-         CAST(SUM(b.c) AS BIGINT) AS nsum,
-         CAST(SUM(b.dev) AS BIGINT) AS lag
-  FROM probes p JOIN dev b ON b.cx = p.nx AND b.cy = p.ny
-  GROUP BY p.cx, p.cy)
-SELECT d.cx, d.cy, d.c, d.dev,
-       COALESCE(n.deg, 0) + 1 AS nn,
-       COALESCE(n.nsum, 0) + d.c AS gi_num,
-       COALESCE(n.lag, 0) AS lag,
-       d.dev * COALESCE(n.lag, 0) AS li_num
-FROM dev d LEFT JOIN neigh n ON n.cx = d.cx AND n.cy = d.cy
-"""
-
-
-_ENGINE_PAIRS["q_local_moran"] = (q_local_moran, _sql_local_moran())
-
-
-# ---------------------------------------------------------------------------
-# q_bellman_ford — hop-bounded shortest paths on the road lattice
-# ---------------------------------------------------------------------------
-
-BF_ROUNDS = 12
-
-
-def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hop-bounded Bellman-Ford (operators/graph.bellman_ford) with a
-    FULL oracle. Corpus: a road lattice — one undirected edge per
-    orders row between 64-grid node (x,y) = (h%64, (h>>6)%64) and a
-    king-move neighbor, weight 1..9 — giving a well-connected giant
-    component (~avg degree 7 at sf0.01). Sources: every west-edge
-    node (x=0) present in the graph. The DuckDB twin unrolls the SAME
-    12 relaxation rounds as MATERIALIZED CTEs, so both engines compute
-    the identical ≤12-hop cost field; one wrong relaxation anywhere
-    propagates into the value hash."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.graph import bellman_ford
-
-    e_t = StructType(
-        [
-            StructField("u", LongType()),
-            StructField("v", LongType()),
-            StructField("w", LongType()),
-            StructField("keep", LongType()),
-        ]
-    )
-
-    def _edge_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        x = (h % np.uint64(64)).astype(np.int64)
-        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
-        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
-        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
-        w = (np.uint64(1) + (h >> np.uint64(40)) % np.uint64(9)).astype(
-            np.int64
-        )
-        return pd.DataFrame(
-            {
-                "u": x * 256 + y,
-                "v": (x + dx) * 256 + (y + dy),
-                "w": w,
-                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
-            }
-        )
-
-    ek = F.pandas_udf(_edge_kernel, e_t)
-    e1 = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(ek(F.col("o_orderkey")).alias("e"))
-        .select("e.u", "e.v", "e.w", "e.keep")
-        .filter(F.col("keep") == 1)
-        .drop("keep")
-    )
-    edges = e1.unionByName(
-        e1.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
-    sources = (
-        edges.select(F.col("u").alias("node"))
-        .filter(F.col("node") < 256)
-        .distinct()
-    )
-    return bellman_ford(edges, sources, rounds=BF_ROUNDS)
-
-
-def _sql_bellman_ford(rounds: int = BF_ROUNDS) -> str:
-    h = splitmix64_sql("o_orderkey")
-    relax = []
-    for r in range(1, rounds + 1):
-        relax.append(
-            f""",
-d{r} AS MATERIALIZED (
-  SELECT node, MIN(d) AS d FROM (
-    SELECT node, d FROM d{r - 1}
-    UNION ALL
-    SELECT e.v AS node, a.d + e.w AS d
-    FROM d{r - 1} a JOIN edges e ON e.u = a.node)
-  GROUP BY node)"""
-        )
-    return f"""
-WITH h0 AS MATERIALIZED (
-  -- hash ONCE per row (see _sql_delta_sssp: inlining the splitmix64
-  -- HUGEINT expression five times costs ~15s by itself)
-  SELECT ({h}) AS hv FROM orders),
-e0 AS (
-  SELECT CAST(hv % 64 AS BIGINT) AS x,
-         CAST((hv // 64) % 64 AS BIGINT) AS y,
-         CAST((hv // 4096) % 3 AS BIGINT) - 1 AS dx,
-         CAST((hv // 16384) % 3 AS BIGINT) - 1 AS dy,
-         CAST(1 + (hv // 1099511627776) % 9 AS BIGINT) AS w
-  FROM h0),
-e1 AS (
-  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v, w
-  FROM e0 WHERE dx <> 0 OR dy <> 0),
-edges AS MATERIALIZED (
-  SELECT u, v, w FROM e1 UNION ALL SELECT v, u, w FROM e1),
-d0 AS MATERIALIZED (
-  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS d
-  FROM edges WHERE u < 256)
-{''.join(relax)}
-SELECT node, d FROM d{rounds}
-"""
-
-
-_ENGINE_PAIRS["q_bellman_ford"] = (q_bellman_ford, _sql_bellman_ford())
-
-
-# ---------------------------------------------------------------------------
-# q_geofence — enter/exit transition detection over per-user event traces
-# ---------------------------------------------------------------------------
-
-GF_RECT = (4, 4, 8, 8)  # half-open cell rectangle on the 16-grid
-
-
-def q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geofence transitions (geostats.geofence_transitions) with a
-    FULL oracle: positions are splitmix64-derived 16-grid cells per
-    event, the fence is [4,8)², and both engines replay the identical
-    lag-compare over (ts, event_id) per user. Sequence-sensitive: one
-    wrong inside-bit flips every subsequent transition parity for
-    that user."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.geostats import (
-        geofence_transitions,
-    )
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(16)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(16)).astype(np.int64),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_id", "ts", ck(F.col("event_id")).alias("c")
-    ).select("user_id", "event_id", "ts", "c.cx", "c.cy")
-    return geofence_transitions(ev, *GF_RECT)
-
-
-def _sql_geofence(rect: tuple[int, int, int, int] = GF_RECT) -> str:
-    h = splitmix64_sql("event_id")
-    x0, y0, x1, y1 = rect
-    return f"""
-WITH loc AS (
-  SELECT user_id, event_id, ts,
-         CAST(({h}) % 16 AS BIGINT) AS cx,
-         CAST((({h}) // 256) % 16 AS BIGINT) AS cy
-  FROM events),
-mk AS (
-  SELECT user_id, event_id, cx, cy,
-         CASE WHEN cx >= {x0} AND cx < {x1}
-                   AND cy >= {y0} AND cy < {y1}
-              THEN 1 ELSE 0 END AS ins,
-         COALESCE(lag(CASE WHEN cx >= {x0} AND cx < {x1}
-                                AND cy >= {y0} AND cy < {y1}
-                           THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                  0) AS prev
-  FROM loc)
-SELECT user_id, event_id,
-       CASE WHEN ins = 1 THEN 'enter' ELSE 'exit' END AS kind, cx, cy
-FROM mk WHERE ins <> prev
-"""
-
-
-_ENGINE_PAIRS["q_geofence"] = (q_geofence, _sql_geofence())
-
-
-# ---------------------------------------------------------------------------
-# q_segment_intersect — J11 exact segment×segment intersection join
-# ---------------------------------------------------------------------------
-
-
-def q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J11 (operators/joins.segment_intersect_join) with a FULL
-    brute-force oracle: the engine prunes candidates with the bbox
-    cell cover; DuckDB evaluates the SAME exact integer orientation
-    predicate over the COMPLETE pair cross product (quarter corpus —
-    o_orderkey % 4 = 0 — keeps that at ~7M pairs), so a candidate
-    dropped by the cover or any predicate divergence mismatches."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.joins import (
-        segment_intersect_join,
-    )
-
-    seg_t = StructType(
-        [
-            StructField("ax", LongType()),
-            StructField("ay", LongType()),
-            StructField("bx", LongType()),
-            StructField("by", LongType()),
-        ]
-    )
-
-    def _seg_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        ax = (h % np.uint64(512)).astype(np.int64)
-        ay = ((h >> np.uint64(9)) % np.uint64(512)).astype(np.int64)
-        dx = ((h >> np.uint64(18)) % np.uint64(65)).astype(np.int64) - 32
-        dy = ((h >> np.uint64(25)) % np.uint64(65)).astype(np.int64) - 32
-        return pd.DataFrame(
-            {"ax": ax, "ay": ay, "bx": ax + dx, "by": ay + dy}
-        )
-
-    seg = F.pandas_udf(_seg_kernel, seg_t)
-    segments = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(F.col("o_orderkey").alias("sid"))
-        .filter(F.col("sid") % 4 == 0)
-        .select("sid", seg(F.col("sid")).alias("s"))
-        .select("sid", "s.ax", "s.ay", "s.bx", "s.by")
-    )
-    return segment_intersect_join(segments)
-
-
-def _sql_segment_intersect() -> str:
-    hs = splitmix64_sql("o_orderkey")
-
-    def cr(ox, oy, axx, ayy, bxx, byy):
-        return (
-            f"(({axx}) - ({ox})) * (({byy}) - ({oy}))"
-            f" - (({ayy}) - ({oy})) * (({bxx}) - ({ox}))"
-        )
-
-    d1 = cr("b.ax", "b.ay", "b.bx", "b.by", "a.ax", "a.ay")
-    d2 = cr("b.ax", "b.ay", "b.bx", "b.by", "a.bx", "a.by")
-    d3 = cr("a.ax", "a.ay", "a.bx", "a.by", "b.ax", "b.ay")
-    d4 = cr("a.ax", "a.ay", "a.bx", "a.by", "b.bx", "b.by")
-
-    def on_seg(axx, ayy, bxx, byy, px, py):
-        return (
-            f"({px}) >= least({axx}, {bxx}) AND ({px}) <= greatest({axx}, {bxx})"
-            f" AND ({py}) >= least({ayy}, {byy})"
-            f" AND ({py}) <= greatest({ayy}, {byy})"
-        )
-
-    return f"""
-WITH segs0 AS (
-  SELECT o_orderkey AS sid,
-         CAST(({hs}) % 512 AS BIGINT) AS ax,
-         CAST((({hs}) // 512) % 512 AS BIGINT) AS ay,
-         CAST((({hs}) // 262144) % 65 AS BIGINT) - 32 AS dx,
-         CAST((({hs}) // 33554432) % 65 AS BIGINT) - 32 AS dy
-  FROM orders WHERE o_orderkey % 4 = 0),
-segs AS MATERIALIZED (
-  SELECT sid, ax, ay, ax + dx AS bx, ay + dy AS by FROM segs0),
-pr AS (
-  SELECT a.sid AS sid_a, b.sid AS sid_b,
-         {d1} AS d1, {d2} AS d2, {d3} AS d3, {d4} AS d4,
-         a.ax AS p1x, a.ay AS p1y, a.bx AS p2x, a.by AS p2y,
-         b.ax AS q1x, b.ay AS q1y, b.bx AS q2x, b.by AS q2y
-  FROM segs a JOIN segs b ON a.sid < b.sid)
-SELECT sid_a, sid_b,
-       CAST(((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
-            AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) AS BIGINT)
-         AS proper
-FROM pr
-WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
-       AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
-   OR (d1 = 0 AND {on_seg('q1x','q1y','q2x','q2y','p1x','p1y')})
-   OR (d2 = 0 AND {on_seg('q1x','q1y','q2x','q2y','p2x','p2y')})
-   OR (d3 = 0 AND {on_seg('p1x','p1y','p2x','p2y','q1x','q1y')})
-   OR (d4 = 0 AND {on_seg('p1x','p1y','p2x','p2y','q2x','q2y')})
-"""
-
-
-_ENGINE_PAIRS["q_segment_intersect"] = (
-    q_segment_intersect,
-    _sql_segment_intersect(),
-)
-
-
-# ---------------------------------------------------------------------------
-# q_viterbi_match — sticky-HMM Viterbi map matching over walk traces
-# ---------------------------------------------------------------------------
-
-VIT_TRAJS = 200
-VIT_RADIUS = 32
-VIT_SWITCH = 3 << 24
-VIT_OFF_EMIS = (VIT_RADIUS * VIT_RADIUS + 1) << 24  # worse than any real cand
-
-
-def q_viterbi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HMM map matching (graph.viterbi_match over joins.snap_candidates)
-    with a FULL oracle. Corpus: 200 random-walk GPS traces (customer
-    rows as steps, ±16 increments from a per-trace base) over the
-    orders road-segment set; emissions are the snap join's exact
-    floor-scaled d²; an off-road sentinel (sid=-1, pinned worst-case
-    emission) keeps every step non-empty. The DuckDB twin brute-forces
-    the emission sets and replays the DP decision-for-decision in a
-    recursive CTE carrying per-state (cost, path-hash, off-count)
-    LISTS — the path hash is position-sensitive, so one wrong
-    stay/switch decision anywhere mismatches."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.graph import viterbi_match
-    from mapnik_vector_tile_spark.operators.joins import snap_candidates
-
-    seg_t = StructType(
-        [
-            StructField("ax", LongType()),
-            StructField("ay", LongType()),
-            StructField("bx", LongType()),
-            StructField("by", LongType()),
-        ]
-    )
-
-    def _seg_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        ax = (h % np.uint64(512)).astype(np.int64)
-        ay = ((h >> np.uint64(9)) % np.uint64(512)).astype(np.int64)
-        dx = ((h >> np.uint64(18)) % np.uint64(65)).astype(np.int64) - 32
-        dy = ((h >> np.uint64(25)) % np.uint64(65)).astype(np.int64) - 32
-        return pd.DataFrame(
-            {"ax": ax, "ay": ay, "bx": ax + dx, "by": ay + dy}
-        )
-
-    st_t = StructType(
-        [
-            StructField("dx", LongType()),
-            StructField("dy", LongType()),
-        ]
-    )
-
-    def _step_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "dx": ((h >> np.uint64(32)) % np.uint64(33)).astype(np.int64)
-                - 16,
-                "dy": ((h >> np.uint64(38)) % np.uint64(33)).astype(np.int64)
-                - 16,
-            }
-        )
-
-    b_t = StructType(
-        [StructField("x0", LongType()), StructField("y0", LongType())]
-    )
-
-    def _base_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(
-            (k + np.int64(1000000000)).to_numpy(np.uint64)
-        )
-        return pd.DataFrame(
-            {
-                "x0": (h % np.uint64(512)).astype(np.int64),
-                "y0": ((h >> np.uint64(9)) % np.uint64(512)).astype(np.int64),
-            }
-        )
-
-    seg = F.pandas_udf(_seg_kernel, seg_t)
-    stp = F.pandas_udf(_step_kernel, st_t)
-    bse = F.pandas_udf(_base_kernel, b_t)
-
-    segments = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(F.col("o_orderkey").alias("sid"))
-        .select("sid", seg(F.col("sid")).alias("s"))
-        .select("sid", "s.ax", "s.ay", "s.bx", "s.by")
-    )
-    w = Window.partitionBy("tid").orderBy("key")
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    steps = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .select(F.col("c_custkey").alias("key"))
-        .select(
-            "key",
-            (F.col("key") % F.lit(VIT_TRAJS)).alias("tid"),
-            stp(F.col("key")).alias("d"),
-        )
-        .select("key", "tid", "d.dx", "d.dy")
-        .select(
-            "tid",
-            (F.row_number().over(w) - 1).alias("t"),
-            F.sum("dx").over(wc).alias("sx"),
-            F.sum("dy").over(wc).alias("sy"),
-        )
-        .select("tid", "t", bse(F.col("tid")).alias("b"), "sx", "sy")
-        .select(
-            "tid",
-            "t",
-            (F.col("b.x0") + F.col("sx")).alias("px"),
-            (F.col("b.y0") + F.col("sy")).alias("py"),
-        )
-    )
-    pts = steps.select(
-        (F.col("tid") * F.lit(4096) + F.col("t")).alias("pid"), "px", "py"
-    )
-    cands = snap_candidates(
-        pts, segments, radius=VIT_RADIUS, cell_shift=5
-    ).select(
-        F.expr("pid div 4096").alias("tid"),
-        (F.col("pid") % F.lit(4096)).alias("t"),
-        F.col("sd.sid").alias("sid"),
-        F.col("sd.d2s").alias("emis"),
-    )
-    off = steps.select(
-        "tid", "t", F.lit(-1).cast("long").alias("sid"),
-        F.lit(VIT_OFF_EMIS).cast("long").alias("emis"),
-    )
-    return viterbi_match(cands.unionByName(off), VIT_SWITCH)
-
-
-def _sql_viterbi_match() -> str:
-    hs = splitmix64_sql("o_orderkey")
-    hp = splitmix64_sql("c_custkey")
-    hb = splitmix64_sql("(tid + 1000000000)")
-    INF = 1 << 62
-    C = VIT_SWITCH
-    scale = 1 << 24
-    # per-candidate j helpers (inside the walk step)
-    cs = "p.asid[j]"
-    pos = "COALESCE(list_position(w.asid, p.asid[j]), 0)"
-    same = f"CASE WHEN {pos} > 0 THEN w.acost[{pos}] ELSE {INF} END"
-    stay = f"({same}) <= bpc + {C}"
-    base = f"CASE WHEN {stay} THEN {same} ELSE bpc + {C} END"
-    bkh = f"CASE WHEN {stay} THEN w.akh[{pos}] ELSE w.akh[bpi] END"
-    bnf = f"CASE WHEN {stay} THEN w.anoff[{pos}] ELSE w.anoff[bpi] END"
-    hstep = f"((({cs}) + 2) * (p.t + 1) * 2654435761) % 2147483648"
-    return f"""
-WITH RECURSIVE segs0 AS (
-  SELECT o_orderkey AS sid,
-         CAST(({hs}) % 512 AS BIGINT) AS ax,
-         CAST((({hs}) // 512) % 512 AS BIGINT) AS ay,
-         CAST((({hs}) // 262144) % 65 AS BIGINT) - 32 AS dx,
-         CAST((({hs}) // 33554432) % 65 AS BIGINT) - 32 AS dy
-  FROM orders),
-segs AS MATERIALIZED (
-  SELECT sid, ax, ay, ax + dx AS bx, ay + dy AS by FROM segs0),
-st0 AS (
-  SELECT c_custkey AS key, c_custkey % {VIT_TRAJS} AS tid,
-         CAST((({hp}) // 4294967296) % 33 AS BIGINT) - 16 AS dx,
-         CAST((({hp}) // 274877906944) % 33 AS BIGINT) - 16 AS dy
-  FROM customer),
-st1 AS (
-  SELECT tid,
-         row_number() OVER (PARTITION BY tid ORDER BY key) - 1 AS t,
-         SUM(dx) OVER (PARTITION BY tid ORDER BY key
-                       ROWS UNBOUNDED PRECEDING) AS sx,
-         SUM(dy) OVER (PARTITION BY tid ORDER BY key
-                       ROWS UNBOUNDED PRECEDING) AS sy
-  FROM st0),
-pos AS MATERIALIZED (
-  SELECT tid, t,
-         CAST(({hb}) % 512 AS BIGINT) + CAST(sx AS BIGINT) AS px,
-         CAST((({hb}) // 512) % 512 AS BIGINT) + CAST(sy AS BIGINT) AS py
-  FROM st1),
-sc AS (
-  SELECT o.tid, o.t, s.sid,
-         (o.px - s.ax) * (s.bx - s.ax) + (o.py - s.ay) * (s.by - s.ay)
-           AS dot,
-         (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)
-           AS ab2,
-         (o.px - s.ax) * (o.px - s.ax) + (o.py - s.ay) * (o.py - s.ay)
-           AS ap2,
-         (o.px - s.bx) * (o.px - s.bx) + (o.py - s.by) * (o.py - s.by)
-           AS bp2
-  FROM pos o CROSS JOIN segs s),
-fr AS (
-  SELECT tid, t, sid,
-         CASE WHEN ab2 = 0 OR dot <= 0 THEN ap2
-              WHEN dot >= ab2 THEN bp2
-              ELSE ap2 * ab2 - dot * dot END AS num,
-         CASE WHEN ab2 = 0 OR dot <= 0 OR dot >= ab2 THEN 1
-              ELSE ab2 END AS den
-  FROM sc),
-cand AS (
-  SELECT tid, t, sid, (num * {scale}) // den AS emis
-  FROM fr WHERE num <= {VIT_RADIUS * VIT_RADIUS} * den
-  UNION ALL
-  SELECT tid, t, CAST(-1 AS BIGINT), CAST({VIT_OFF_EMIS} AS BIGINT)
-  FROM pos),
-packs AS MATERIALIZED (
-  SELECT tid, t, COUNT(*) AS k,
-         list(sid ORDER BY sid) AS asid,
-         list(emis ORDER BY sid) AS aemis
-  FROM cand GROUP BY tid, t),
-nst AS MATERIALIZED (
-  SELECT tid, MAX(t) AS tmax FROM packs GROUP BY tid),
-walk(tid, t, asid, acost, akh, anoff) AS (
-  SELECT tid, t, asid, aemis,
-         [CAST(((asid[j] + 2) * 2654435761) % 2147483648 AS BIGINT)
-          FOR j IN generate_series(1, len(asid))],
-         [CAST(CASE WHEN asid[j] = -1 THEN 1 ELSE 0 END AS BIGINT)
-          FOR j IN generate_series(1, len(asid))]
-  FROM packs WHERE t = 0
-  UNION ALL
-  SELECT w.tid, p.t, p.asid,
-         [CAST(p.aemis[j] + ({base}) AS BIGINT)
-          FOR j IN generate_series(1, len(p.asid))],
-         [CAST((({bkh}) + ({hstep})) % 2147483648 AS BIGINT)
-          FOR j IN generate_series(1, len(p.asid))],
-         [CAST(({bnf}) + CASE WHEN p.asid[j] = -1 THEN 1 ELSE 0 END
-               AS BIGINT)
-          FOR j IN generate_series(1, len(p.asid))]
-  FROM (
-    SELECT w.*,
-           list_aggregate(w.acost, 'min') AS bpc,
-           COALESCE(
-             list_position(w.acost, list_aggregate(w.acost, 'min')), 0)
-             AS bpi
-    FROM walk w) w
-  JOIN packs p ON p.tid = w.tid AND p.t = w.t + 1
-)
-SELECT w.tid, CAST(n.tmax + 1 AS BIGINT) AS n_steps,
-       w.acost[bi] AS total_cost, w.akh[bi] AS kh, w.anoff[bi] AS n_off
-FROM (
-  SELECT w.*,
-         COALESCE(
-           list_position(w.acost, list_aggregate(w.acost, 'min')), 0)
-           AS bi
-  FROM walk w) w
-JOIN nst n ON n.tid = w.tid AND w.t = n.tmax
-"""
-
-
-_ENGINE_PAIRS["q_viterbi_match"] = (q_viterbi_match, _sql_viterbi_match())
-
-
-# ---------------------------------------------------------------------------
-# q_raster_downzoom — R7 raster overview pyramid rollup
-# ---------------------------------------------------------------------------
-
-RDZ_Z = 4
-RDZ_T = 16
-
-
-def q_raster_downzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster child→parent rollup (raster.raster_downzoom) with a FULL
-    oracle: 256 candidate z4 luma tiles, ~25% hash-dropped so zero
-    quadrants and partial occupancy masks are exercised; pixels are
-    the closed-form gradient (r·3 + c·5 + phase) % 256 so DuckDB
-    rebuilds every parent pixel as the floor 2×2 mean and replays
-    px_sum, the POSITIONAL wsum, and the occupancy bitmask."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import raster_downzoom
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = RDZ_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                if h % 4 == 0:
-                    continue
-                phase = h % 251
-                r = np.arange(T, dtype=np.int64)
-                val = (
-                    (r[:, None] * 3 + r[None, :] * 5 + phase) % 256
-                ).astype(np.uint8)
-                rows["z"].append(RDZ_Z)
-                rows["x"].append(i % 16)
-                rows["y"].append(i // 16)
-                rows["raster"].append(val.tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(256).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return raster_downzoom(tiles, T)
-
-
-def _sql_raster_downzoom(t: int = RDZ_T) -> str:
-    sm = splitmix64_sql("i")
-    half = t // 2
-
-    def pixv(rr, cc):
-        return f"((({rr}) * 3 + ({cc}) * 5 + phase) % 256)"
-
-    val = (
-        f"({pixv('2*r2.v', '2*c2.v')} + {pixv('2*r2.v + 1', '2*c2.v')}"
-        f" + {pixv('2*r2.v', '2*c2.v + 1')}"
-        f" + {pixv('2*r2.v + 1', '2*c2.v + 1')}) // 4"
-    )
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 255)) AS i),
-hh AS (SELECT i, {sm} AS h FROM ids),
-pres AS (
-  SELECT CAST(i % 16 AS BIGINT) AS x, CAST(i // 16 AS BIGINT) AS y,
-         CAST(h % 251 AS BIGINT) AS phase
-  FROM hh WHERE h % 4 <> 0),
-pq AS (
-  SELECT x // 2 AS px, y // 2 AS py, x % 2 AS dx, y % 2 AS dy,
-         r2.v AS r2, c2.v AS c2, {val} AS val
-  FROM pres
-  CROSS JOIN (SELECT unnest(generate_series(0, {half - 1})) AS v) r2
-  CROSS JOIN (SELECT unnest(generate_series(0, {half - 1})) AS v) c2),
-ag AS (
-  SELECT px, py, CAST(SUM(val) AS BIGINT) AS px_sum,
-         CAST(SUM(val * ((dy * {half} + r2) * {t}
-                         + (dx * {half} + c2) + 1)) AS BIGINT) AS wsum
-  FROM pq GROUP BY px, py),
-oc AS (
-  SELECT x // 2 AS px, y // 2 AS py,
-         CAST(SUM(1 << ((y % 2) * 2 + (x % 2))) AS BIGINT) AS occ
-  FROM pres GROUP BY 1, 2)
-SELECT CAST({RDZ_Z - 1} AS BIGINT) AS z, CAST(o.px AS BIGINT) AS x,
-       CAST(o.py AS BIGINT) AS y, o.occ, a.px_sum, a.wsum
-FROM oc o JOIN ag a ON a.px = o.px AND a.py = o.py
-"""
-
-
-_ENGINE_PAIRS["q_raster_downzoom"] = (
-    q_raster_downzoom,
-    _sql_raster_downzoom(),
-)
-
-
-# ---------------------------------------------------------------------------
-# q_raster_composite — R8 Porter-Duff OVER raster compositing
-# ---------------------------------------------------------------------------
-
-RCO_Z = 3
-RCO_T = 16
-
-
-def q_raster_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Porter-Duff OVER (raster.raster_composite_over) with a FULL
-    oracle: 64 tiles × 1-3 stacked gradient layers (per-layer luma and
-    alpha phases hash-derived); DuckDB unrolls the non-commutative
-    bottom-up fold with the same pixman div255 rounding per pixel —
-    the positional wsum catches any wrong layer order."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        raster_composite_over,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = RCO_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {
-                "z": [], "x": [], "y": [], "layer_order": [], "raster": [],
-            }
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                n = 1 + h % 3
-                r = np.arange(T, dtype=np.int64)
-                for l in range(n):
-                    pl = (h >> (8 * l)) % 251
-                    pa = (h >> (8 * l + 4)) % 251
-                    lum = (
-                        (r[:, None] * 3 + r[None, :] * 5 + pl) % 256
-                    ).astype(np.uint8)
-                    alp = (
-                        (r[:, None] * 7 + r[None, :] * 11 + pa) % 256
-                    ).astype(np.uint8)
-                    la = np.stack([lum, alp], axis=-1)
-                    rows["z"].append(RCO_Z)
-                    rows["x"].append(i % 8)
-                    rows["y"].append(i // 8)
-                    rows["layer_order"].append(l)
-                    rows["raster"].append(la.tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(64).mapInPandas(
-        gen, "z long, x long, y long, layer_order long, raster binary"
-    )
-    return raster_composite_over(tiles, T)
-
-
-def _sql_raster_composite(t: int = RCO_T) -> str:
-    sm = splitmix64_sql("i")
-
-    def d255(e):
-        return f"((({e}) + 128 + ((({e}) + 128) // 256)) // 256)"
-
-    def lum(l):
-        return f"((r.v * 3 + c.v * 5 + p{l}) % 256)"
-
-    def alp(l):
-        return f"((r.v * 7 + c.v * 11 + q{l}) % 256)"
-
-    # unrolled bottom-up fold over up to 3 layers
-    o1 = d255(f"{lum(0)} * {alp(0)}")
-    a1 = alp(0)
-    o2 = (
-        f"CASE WHEN n > 1 THEN {d255(f'{lum(1)} * {alp(1)}')}"
-        f" + {d255(f'({o1}) * (255 - {alp(1)})')} ELSE {o1} END"
-    )
-    a2 = (
-        f"CASE WHEN n > 1 THEN {alp(1)}"
-        f" + {d255(f'({a1}) * (255 - {alp(1)})')} ELSE {a1} END"
-    )
-    o3 = (
-        f"CASE WHEN n > 2 THEN {d255(f'{lum(2)} * {alp(2)}')}"
-        f" + {d255(f'({o2}) * (255 - {alp(2)})')} ELSE {o2} END"
-    )
-    a3 = (
-        f"CASE WHEN n > 2 THEN {alp(2)}"
-        f" + {d255(f'({a2}) * (255 - {alp(2)})')} ELSE {a2} END"
-    )
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
-hh AS (
-  SELECT i, CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y,
-         CAST(1 + ({sm}) % 3 AS BIGINT) AS n,
-         CAST(({sm}) % 251 AS BIGINT) AS p0,
-         CAST((({sm}) // 256) % 251 AS BIGINT) AS p1,
-         CAST((({sm}) // 65536) % 251 AS BIGINT) AS p2,
-         CAST((({sm}) // 16) % 251 AS BIGINT) AS q0,
-         CAST((({sm}) // 4096) % 251 AS BIGINT) AS q1,
-         CAST((({sm}) // 1048576) % 251 AS BIGINT) AS q2
-  FROM ids),
-px AS (
-  SELECT x, y, n, r.v AS rv, c.v AS cv,
-         CAST({o3} AS BIGINT) AS ol, CAST({a3} AS BIGINT) AS oa
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c)
-SELECT CAST({RCO_Z} AS BIGINT) AS z, x, y, n AS n_layers,
-       CAST(SUM(ol) AS BIGINT) AS sum_l,
-       CAST(SUM(oa) AS BIGINT) AS sum_a,
-       CAST(SUM(ol * (rv * {t} + cv + 1)) AS BIGINT) AS wsum
-FROM px GROUP BY x, y, n
-"""
-
-
-_ENGINE_PAIRS["q_raster_composite"] = (
-    q_raster_composite,
-    _sql_raster_composite(),
-)
-
-
-# ---------------------------------------------------------------------------
-# q_terrain_rgb — R9 Mapbox Terrain-RGB codec + DEM summary
-# ---------------------------------------------------------------------------
-
-TER_Z = 5
-TER_T = 16
-
-
-def q_terrain_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Terrain-RGB (raster.terrain_rgb_encode/decode →
-    terrain_tiles_stats) with a FULL oracle: 100 tiles of the
-    closed-form surface e_dm = ((r·13 + c·7 + phase) % 40001) − 10000
-    are ENCODED to spec RGB bytes, shipped as tile rasters, decoded,
-    and summarized; DuckDB replays the surface directly — the
-    encode∘decode identity (lossless by construction) plus min/max/
-    sum/roughness all sit under one hash."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        terrain_rgb_encode,
-        terrain_tiles_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = TER_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                phase = h % 100003
-                r = np.arange(T, dtype=np.int64)
-                e = ((r[:, None] * 13 + r[None, :] * 7 + phase) % 40001) - 10000
-                rows["z"].append(TER_Z)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(terrain_rgb_encode(e).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return terrain_tiles_stats(tiles, T)
-
-
-def _sql_terrain_rgb(t: int = TER_T) -> str:
-    sm = splitmix64_sql("i")
-    e = "(((r.v * 13 + c.v * 7 + phase) % 40001) - 10000)"
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
-hh AS (
-  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
-         CAST(({sm}) % 100003 AS BIGINT) AS phase
-  FROM ids),
-px AS (
-  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
-dx AS (
-  SELECT a.x, a.y, SUM(ABS(b.e - a.e)) AS rough_x
-  FROM px a JOIN px b
-    ON b.x = a.x AND b.y = a.y AND b.rv = a.rv AND b.cv = a.cv + 1
-  GROUP BY a.x, a.y),
-dy AS (
-  SELECT a.x, a.y, SUM(ABS(b.e - a.e)) AS rough_y
-  FROM px a JOIN px b
-    ON b.x = a.x AND b.y = a.y AND b.cv = a.cv AND b.rv = a.rv + 1
-  GROUP BY a.x, a.y)
-SELECT CAST({TER_Z} AS BIGINT) AS z, p.x, p.y,
-       CAST(MIN(p.e) AS BIGINT) AS min_dm,
-       CAST(MAX(p.e) AS BIGINT) AS max_dm,
-       CAST(SUM(p.e) AS BIGINT) AS sum_dm,
-       CAST(MIN(dx.rough_x) AS BIGINT) AS rough_x,
-       CAST(MIN(dy.rough_y) AS BIGINT) AS rough_y
-FROM px p
-JOIN dx ON dx.x = p.x AND dx.y = p.y
-JOIN dy ON dy.x = p.x AND dy.y = p.y
-GROUP BY p.x, p.y
-"""
-
-
-_ENGINE_PAIRS["q_terrain_rgb"] = (q_terrain_rgb, _sql_terrain_rgb())
-
-
-# ---------------------------------------------------------------------------
-# q_grid_dbscan — ST3 cluster-markers / grid DBSCAN over the z5 grid
-# ---------------------------------------------------------------------------
-
-DB_MINPTS = 4
-_DB_M = 1 << 21
-
-
-def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid DBSCAN (geostats.grid_dbscan) over the same z5 occupancy
-    grid as Moran's I, min_pts=4, with a FULL per-cell oracle: the
-    DuckDB twin recomputes the core-cell connected components with a
-    reachability CTE (smaller-label propagation over king adjacency)
-    and replays the border min-rep assignment — role and rep per
-    occupied cell."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.tilemath import W
-    from mapnik_vector_tile_spark.operators.geostats import grid_dbscan
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    pts = derive_points(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
-    )
-    span = 2.0 * W / (1 << MI_Z)
-    cells = pts.select(
-        F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
-        .cast("long")
-        .alias("cx"),
-        F.floor((F.lit(W) - F.col("my")) / F.lit(span))
-        .cast("long")
-        .alias("cy"),
-    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    return grid_dbscan(cells, DB_MINPTS)
-
-
-def _sql_grid_dbscan(z: int = MI_Z, min_pts: int = DB_MINPTS) -> str:
-    txe, tye = S.tile_xy_exprs(z)
-    return f"""
-WITH RECURSIVE {S.point_cte('orders', 'o_orderkey')},
-cells AS (
-  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
-  FROM pts GROUP BY 1, 2),
-core AS (
-  SELECT cx, cy, c, cx * {_DB_M} + cy AS cid
-  FROM cells WHERE c >= {min_pts}),
-edges AS (
-  SELECT a.cid AS s, b.cid AS d
-  FROM core a
-  CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1),
-                     (1,1),(1,-1),(-1,1),(-1,-1)) o(dx, dy)
-  JOIN core b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
-reach(node, r) AS (
-  SELECT cid, cid FROM core
-  UNION
-  SELECT e.s, reach.r FROM edges e
-  JOIN reach ON reach.node = e.d
-  WHERE reach.r < e.s),
-lbl AS (SELECT node AS cid, MIN(r) AS rep FROM reach GROUP BY node),
-corel AS (
-  SELECT c.cx, c.cy, c.c, l.rep, CAST(2 AS BIGINT) AS role
-  FROM core c JOIN lbl l ON l.cid = c.cid),
-noncore AS (SELECT cx, cy, c FROM cells WHERE c < {min_pts}),
-border AS (
-  SELECT n.cx, n.cy, n.c, MIN(k.rep) AS rep, CAST(1 AS BIGINT) AS role
-  FROM noncore n
-  CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1),
-                     (1,1),(1,-1),(-1,1),(-1,-1)) o(dx, dy)
-  JOIN corel k ON k.cx = n.cx + o.dx AND k.cy = n.cy + o.dy
-  GROUP BY n.cx, n.cy, n.c),
-noise AS (
-  SELECT n.cx, n.cy, n.c, CAST(-1 AS BIGINT) AS rep,
-         CAST(0 AS BIGINT) AS role
-  FROM noncore n
-  WHERE NOT EXISTS (SELECT 1 FROM border b
-                    WHERE b.cx = n.cx AND b.cy = n.cy))
-SELECT cx, cy, c, rep, role FROM corel
-UNION ALL SELECT cx, cy, c, rep, role FROM border
-UNION ALL SELECT cx, cy, c, rep, role FROM noise
-"""
-
-
-_ENGINE_PAIRS["q_grid_dbscan"] = (q_grid_dbscan, _sql_grid_dbscan())
-
-
-# ---------------------------------------------------------------------------
-# q_gap_fill — W9 regular-grid forward-fill resampling of event streams
-# ---------------------------------------------------------------------------
-
-GF_INTERVAL = 600
-
-
-def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap fill (temporal.gap_fill) over the events table with a FULL
-    oracle: DuckDB builds the same aligned tick grid per user and
-    fills with last_value IGNORE NULLS over the identically-ordered
-    merged stream; values pass through untouched so the double column
-    hashes bit-exactly."""
-    from mapnik_vector_tile_spark.operators.temporal import gap_fill
-
-    return gap_fill(
-        spark.read.parquet(f"{sf_dir}/events.parquet"), GF_INTERVAL
-    )
-
-
-def _sql_gap_fill(interval_s: int = GF_INTERVAL) -> str:
-    return f"""
-WITH ev AS (
-  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
-         event_id AS eid, value AS v, 0 AS is_tick
-  FROM events),
-bounds AS (
-  SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM ev GROUP BY user_id),
-ticks AS (
-  SELECT user_id, CAST(k * {interval_s} AS BIGINT) AS t,
-         CAST(NULL AS BIGINT) AS eid, CAST(NULL AS DOUBLE) AS v,
-         1 AS is_tick
-  FROM bounds,
-       LATERAL unnest(generate_series(
-         CAST(ceil(t0 / {S.flit(float(interval_s))}) AS BIGINT),
-         CAST(floor(t1 / {S.flit(float(interval_s))}) AS BIGINT))) u(k)),
-merged AS (
-  SELECT * FROM ev UNION ALL SELECT * FROM ticks),
-filled AS (
-  SELECT user_id, t, is_tick,
-         last_value(v IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY t, is_tick, eid
-           ROWS UNBOUNDED PRECEDING) AS value
-  FROM merged)
-SELECT user_id, t AS tick, value
-FROM filled WHERE is_tick = 1
-"""
-
-
-_ENGINE_PAIRS["q_gap_fill"] = (q_gap_fill, _sql_gap_fill())
-
-
-# ---------------------------------------------------------------------------
-# q_cotravel — ST4 co-location pair mining over bucketed visits
-# ---------------------------------------------------------------------------
-
-CT_GRID = 4
-CT_MIN = 3
-
-
-def q_cotravel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-travel detection (geostats.cotravel_pairs) with a FULL
-    oracle: visits = (user, hour bucket, splitmix 4-grid cell) from
-    events; both engines distinct-ify, EXCLUDE crowded buckets
-    (> hot_bucket_limit distinct occupants — the enforced skew
-    guard, replayed by the twin's HAVING), self-join on the bucket
-    key and keep pairs with ≥3 distinct co-visits."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.geostats import cotravel_pairs
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(CT_GRID)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(CT_GRID)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts") / F.lit(3600.0)).cast("long").alias(
-            "tb"
-        ),
-        ck(F.col("event_id")).alias("c"),
-    ).select("user_id", "tb", "c.cx", "c.cy")
-    return cotravel_pairs(loc, CT_MIN)
-
-
-def _sql_cotravel(
-    grid: int = CT_GRID, min_co: int = CT_MIN, hot_limit: int = 4096
-) -> str:
-    h = splitmix64_sql("event_id")
-    return f"""
-WITH loc0 AS (
-  SELECT DISTINCT user_id,
-         CAST(floor(floor(epoch(ts)) / {S.flit(3600.0)}) AS BIGINT) AS tb,
-         CAST(({h}) % {grid} AS BIGINT) AS cx,
-         CAST((({h}) // 256) % {grid} AS BIGINT) AS cy
-  FROM events),
-hot AS (
-  SELECT tb, cx, cy FROM loc0
-  GROUP BY tb, cx, cy HAVING COUNT(*) > {hot_limit}),
-loc AS (
-  SELECT l.* FROM loc0 l
-  ANTI JOIN hot h ON h.tb = l.tb AND h.cx = l.cx AND h.cy = l.cy)
-SELECT a.user_id AS ua, b.user_id AS ub,
-       CAST(COUNT(*) AS BIGINT) AS n_co
-FROM loc a JOIN loc b
-  ON a.tb = b.tb AND a.cx = b.cx AND a.cy = b.cy
- AND a.user_id < b.user_id
-GROUP BY 1, 2 HAVING COUNT(*) >= {min_co}
-"""
-
-
-_ENGINE_PAIRS["q_cotravel"] = (q_cotravel, _sql_cotravel())
-
-
-# ---------------------------------------------------------------------------
-# q_exif_orient — T12m EXIF orientation normalization
-# ---------------------------------------------------------------------------
-
-EXIF_N = 200
-
-
-def q_exif_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXIF normalization (raster.exif_normalize_stats) over the
-    canonical images with orient = (idx % 8) + 1 — all 8 spec cases
-    exercised 25 times each. FULL oracle: DuckDB remaps every SOURCE
-    pixel to its destination index per orientation and folds the same
-    transform-sensitive positional sum."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        exif_normalize_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, EXIF_N).withColumn(
-        "orient",
-        (
-            F.regexp_extract("image_id", r"(\d+)$", 1).cast("long") % 8 + 1
-        ),
-    )
-    return exif_normalize_stats(imgs)
-
-
-def _sql_exif_orient(n: int = EXIF_N) -> str:
-    # destination index of source pixel (y, x) per orientation o
-    rd = """CASE o
-      WHEN 1 THEN y WHEN 2 THEN y WHEN 3 THEN h - 1 - y
-      WHEN 4 THEN h - 1 - y WHEN 5 THEN x WHEN 6 THEN x
-      WHEN 7 THEN w - 1 - x WHEN 8 THEN w - 1 - x END"""
-    cd = """CASE o
-      WHEN 1 THEN x WHEN 2 THEN w - 1 - x WHEN 3 THEN w - 1 - x
-      WHEN 4 THEN x WHEN 5 THEN y WHEN 6 THEN h - 1 - y
-      WHEN 7 THEN h - 1 - y WHEN 8 THEN y END"""
-    wout = "CASE WHEN o <= 4 THEN w ELSE h END"
-    return f"""
-WITH {_img_pixel_ctes(n)},
-lum AS MATERIALIZED (
-  SELECT i, w, h, y, x, i % 8 + 1 AS o,
-         (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       CAST(MIN(o) AS BIGINT) AS orient,
-       CAST(MIN({wout}) AS BIGINT) AS out_w,
-       CAST(MIN(CASE WHEN o <= 4 THEN h ELSE w END) AS BIGINT) AS out_h,
-       CAST(SUM(g8) AS BIGINT) AS px_sum,
-       CAST(SUM(g8 * (({rd}) * ({wout}) + ({cd}) + 1)) AS BIGINT) AS wsum
-FROM lum GROUP BY i
-"""
-
-
-_ENGINE_PAIRS["q_exif_orient"] = (q_exif_orient, _sql_exif_orient())
-
-
-# ---------------------------------------------------------------------------
-# q_voronoi — ST5 discrete Voronoi partition (geostats.voronoi_assign)
-# ---------------------------------------------------------------------------
-
-
-def q_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete Voronoi labels + boundary over the z5 occupancy grid
-    (cells from orders, 25 nation-derived seeds) with a FULL oracle:
-    DuckDB replays the argmin with a (d2, sid)-ordered window and the
-    rook different-label count with the same self-join — label, exact
-    BIGINT d2, and n_diff per occupied cell all sit under one hash."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.tilemath import W
-    from mapnik_vector_tile_spark.operators.geostats import voronoi_assign
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    span = 2.0 * W / (1 << MI_Z)
-
-    def to_cells(df, key):
-        pts = derive_points(df, key)
-        return pts.select(
-            F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
-            .cast("long")
-            .alias("cx"),
-            F.floor((F.lit(W) - F.col("my")) / F.lit(span))
-            .cast("long")
-            .alias("cy"),
-        )
-
-    cells = to_cells(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
-    ).distinct()
-    seeds = (
-        derive_points(
-            spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-                F.col("n_nationkey").cast("long").alias("n_nationkey")
-            ),
-            "n_nationkey",
-        )
-        .select(
-            F.col("id").cast("long").alias("seed_id"),
-            F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
-            .cast("long")
-            .alias("sx"),
-            F.floor((F.lit(W) - F.col("my")) / F.lit(span))
-            .cast("long")
-            .alias("sy"),
-        )
-    )
-    return voronoi_assign(cells, seeds)
-
-
-def _sql_voronoi(z: int = MI_Z) -> str:
-    txe, tye = S.tile_xy_exprs(z)
-    stxe, stye = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-{S.point_cte('nation', 'CAST(n_nationkey AS BIGINT)', 'sid', 'spts')},
-cells AS (
-  SELECT DISTINCT {txe} AS cx, {tye} AS cy FROM pts),
-seeds AS (
-  SELECT CAST(sid AS BIGINT) AS sid,
-         {stxe.replace('mx', 'spts.mx')} AS sx,
-         {stye.replace('my', 'spts.my')} AS sy
-  FROM spts),
-near AS (
-  SELECT c.cx, c.cy, s.sid,
-         (c.cx - s.sx) * (c.cx - s.sx)
-           + (c.cy - s.sy) * (c.cy - s.sy) AS d2,
-         ROW_NUMBER() OVER (
-           PARTITION BY c.cx, c.cy
-           ORDER BY (c.cx - s.sx) * (c.cx - s.sx)
-                      + (c.cy - s.sy) * (c.cy - s.sy), s.sid) AS rn
-  FROM cells c CROSS JOIN seeds s),
-lab AS (
-  SELECT cx, cy, sid, CAST(d2 AS BIGINT) AS d2 FROM near WHERE rn = 1),
-diff AS (
-  SELECT a.cx, a.cy,
-         CAST(SUM(CASE WHEN b.sid <> a.sid THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_diff
-  FROM lab a
-  CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1)) o(dx, dy)
-  JOIN lab b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
-  GROUP BY a.cx, a.cy)
-SELECT l.cx, l.cy, l.sid AS seed_id, l.d2,
-       COALESCE(d.n_diff, CAST(0 AS BIGINT)) AS n_diff
-FROM lab l LEFT JOIN diff d ON d.cx = l.cx AND d.cy = l.cy
-"""
-
-
-_ENGINE_PAIRS["q_voronoi"] = (q_voronoi, _sql_voronoi())
-
-
-# ---------------------------------------------------------------------------
-# q_earcut — U13 ear-clipping polygon tessellation (overlay.triangulate_stats)
-# ---------------------------------------------------------------------------
-
-EC_NPOLY = 96
-# 16 integer direction vectors in strictly-increasing CCW angular
-# order: star polygons built on them are simple by construction.
-EC_DIRS = (
-    (4, 0), (4, 2), (3, 3), (2, 4), (0, 4), (-2, 4), (-3, 3), (-4, 2),
-    (-4, 0), (-4, -2), (-3, -3), (-2, -4), (0, -4), (2, -4), (3, -3),
-    (4, -2),
-)
-
-
-def q_earcut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ear-clipping tessellation (functions/earcut.py via
-    overlay.triangulate_stats — the mapbox/earcut step of MVT
-    rendering) with a FULL oracle: 96 star polygons with
-    splitmix64-derived radii (reflex corners occur naturally) are
-    triangulated by the engine kernel, and DuckDB replays the EXACT
-    clip sequence with a list-carrying recursive CTE — first-ear scan
-    position, degenerate-corner rule, boundary-blocking containment
-    test and all — so triangle count, summed triangle area2 (== ring
-    shoelace area2) and the order-sensitive triple hash match
-    bit-exactly per polygon."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.overlay import (
-        triangulate_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    ux = np.array([d[0] for d in EC_DIRS], dtype=np.int64)
-    uy = np.array([d[1] for d in EC_DIRS], dtype=np.int64)
-
-    def gen(it):
-        for pdf in it:
-            rows = {"pid": [], "xs": [], "ys": []}
-            for pid in pdf["id"]:
-                pid = int(pid)
-                k = np.arange(16, dtype=np.uint64)
-                h = splitmix64(np.uint64(pid * 16) + k)
-                r = 1 + (h % np.uint64(64)).astype(np.int64)
-                rows["pid"].append(pid)
-                rows["xs"].append((r * ux).tolist())
-                rows["ys"].append((r * uy).tolist())
-            yield pd.DataFrame(rows)
-
-    polys = spark.range(EC_NPOLY).mapInPandas(
-        gen, "pid long, xs array<long>, ys array<long>"
-    )
-    return triangulate_stats(polys)
-
-
-def _sql_earcut() -> str:
-    def X(v: str) -> str:
-        return f"xs[({v}) + 1]"
-
-    def Y(v: str) -> str:
-        return f"ys[({v}) + 1]"
-
-    def cr(i: str, j: str, k: str) -> str:
-        return (
-            f"(({X(j)}) - ({X(i)})) * (({Y(k)}) - ({Y(i)}))"
-            f" - (({Y(j)}) - ({Y(i)})) * (({X(k)}) - ({X(i)}))"
-        )
-
-    a = "active[CASE WHEN p = 1 THEN len(active) ELSE p - 1 END]"
-    b = "active[p]"
-    c = "active[CASE WHEN p = len(active) THEN 1 ELSE p + 1 END]"
-    s = cr(a, b, c)
-    coinc = (
-        f"(({X('v')}) = ({X(a)}) AND ({Y('v')}) = ({Y(a)}))"
-        f" OR (({X('v')}) = ({X(b)}) AND ({Y('v')}) = ({Y(b)}))"
-        f" OR (({X('v')}) = ({X(c)}) AND ({Y('v')}) = ({Y(c)}))"
-    )
-    blocked = (
-        f"len(list_filter(active, v -> v <> ({a}) AND v <> ({b})"
-        f" AND v <> ({c}) AND NOT ({coinc})"
-        f" AND ({cr(a, b, 'v')}) >= 0"
-        f" AND ({cr(b, c, 'v')}) >= 0"
-        f" AND ({cr(c, a, 'v')}) >= 0)) > 0"
-    )
-    ear = f"(({s}) = 0) OR ((({s}) > 0) AND NOT ({blocked}))"
-    earpos = f"list_filter(range(1, len(active) + 1), p -> {ear})[1]"
-    sm = splitmix64_sql("(pid * 16 + k)")
-    dirs = ",".join(f"({k},{dx},{dy})" for k, (dx, dy) in enumerate(EC_DIRS))
-    fincr = cr("active[1]", "active[2]", "active[3]")
-    tcr = cr("tri.a", "tri.b", "tri.c")
-    return f"""
-WITH RECURSIVE
-pids AS (SELECT unnest(generate_series(0, {EC_NPOLY - 1})) AS pid),
-dirs(k, ux, uy) AS (VALUES {dirs}),
-verts AS (
-  SELECT pid, k,
-         CAST(1 + ({sm}) % 64 AS BIGINT) * ux AS x,
-         CAST(1 + ({sm}) % 64 AS BIGINT) * uy AS y
-  FROM pids, dirs),
-rings AS (
-  SELECT pid, list(x ORDER BY k) AS xs, list(y ORDER BY k) AS ys
-  FROM verts GROUP BY pid),
-t(pid, xs, ys, active, tris, step) AS (
-  SELECT pid, xs, ys, range(0, len(xs)),
-         CAST([] AS STRUCT(a BIGINT, b BIGINT, c BIGINT)[]),
-         0
-  FROM rings
-  UNION ALL
-  SELECT pid, xs, ys,
-         list_filter(active, (vv, ii) -> ii <> ep) AS active,
-         CASE WHEN {cr('ea', 'eb', 'ec')} > 0
-              THEN list_append(tris, {{'a': ea, 'b': eb, 'c': ec}})
-              ELSE tris END AS tris,
-         step + 1
-  FROM (
-    SELECT s1.*,
-           active[CASE WHEN ep = 1 THEN len(active) ELSE ep - 1 END] AS ea,
-           active[ep] AS eb,
-           active[CASE WHEN ep = len(active) THEN 1 ELSE ep + 1 END] AS ec
-    FROM (
-      SELECT pid, xs, ys, active, tris, step, {earpos} AS ep
-      FROM t WHERE len(active) > 3
-    ) s1
-  ) s2
-),
-fin AS (
-  SELECT pid, xs, ys,
-         CASE WHEN ({fincr}) > 0
-              THEN list_append(tris, {{'a': active[1], 'b': active[2],
-                                       'c': active[3]}})
-              ELSE tris END AS tris
-  FROM t WHERE len(active) = 3),
-ex AS (
-  SELECT pid, xs, ys, g.kk AS kk, tris[g.kk] AS tri
-  FROM fin, unnest(generate_series(1, len(tris))) AS g(kk))
-SELECT f.pid, CAST(len(f.xs) AS BIGINT) AS n_pts,
-       CAST(COALESCE(MAX(e.kk), 0) AS BIGINT) AS n_tris,
-       CAST(COALESCE(SUM({tcr.replace('xs[', 'f.xs[').replace('ys[', 'f.ys[')}), 0) AS BIGINT) AS area2,
-       CAST(COALESCE(SUM(e.kk * (tri.a * 16777216 + tri.b * 4096 + tri.c)), 0) % 2305843009213693952 AS BIGINT) AS trih
-FROM fin f LEFT JOIN ex e ON e.pid = f.pid AND tri IS NOT NULL
-GROUP BY f.pid, f.xs
-"""
-
-
-_ENGINE_PAIRS["q_earcut"] = (q_earcut, _sql_earcut())
-
-
-# ---------------------------------------------------------------------------
-# q_earcut_holes — U13 holed-polygon tessellation: bridge + clip replay
-# ---------------------------------------------------------------------------
-
-EC_H_NPOLY = 60
-
-
-def q_earcut_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U13 WITH HOLES: deterministic octagons carrying two CW diamond
-    holes (disjoint x-bands, splitmix-derived centers/radii) run
-    through eliminate_holes + earcut, and DuckDB replays the ENTIRE
-    pipeline — per-hole anchor argmax, rightmost-first order, the
-    exact-rational +x ray argmin with its tie rules, the Eberly
-    reflex refinement (locally-inside + triangle tests scaled by the
-    ray denominator), the duplicate-sector disambiguation, the
-    splice, and then the same list-carrying recursive clip CTE (with
-    the corner-coincidence exemption the bridge duplicates need) —
-    so n_pts, triangle count, area2 (== outer − holes shoelace by
-    the tessellation invariant) and the order-sensitive triple hash
-    match bit-exactly per polygon."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.overlay import (
-        triangulate_holed_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    def gen(it):
-        for pdf in it:
-            rows = {"pid": [], "xs": [], "ys": [], "hxs": [], "hys": []}
-            for pid in pdf["id"]:
-                pid = int(pid)
-                h = splitmix64(
-                    np.uint64(pid * 8) + np.arange(8, dtype=np.uint64)
-                )
-                r = 150 + int(h[0]) % 150
-                k = (r * 7) // 10
-                rows["pid"].append(pid)
-                rows["xs"].append([r, k, 0, -k, -r, -k, 0, k])
-                rows["ys"].append([0, k, r, k, 0, -k, -r, -k])
-                hxs, hys = [], []
-                for j, base in ((0, -80), (1, 30)):
-                    cx = base + int(h[1 + 3 * j]) % 50
-                    cy = -60 + int(h[2 + 3 * j]) % 121
-                    rad = 3 + int(h[3 + 3 * j]) % 13
-                    hxs.append([cx + rad, cx, cx - rad, cx])
-                    hys.append([cy, cy - rad, cy, cy + rad])
-                rows["hxs"].append(hxs)
-                rows["hys"].append(hys)
-            yield pd.DataFrame(rows)
-
-    polys = spark.range(EC_H_NPOLY).mapInPandas(
-        gen,
-        "pid long, xs array<long>, ys array<long>,"
-        " hxs array<array<long>>, hys array<array<long>>",
-    )
-    return triangulate_holed_stats(polys)
-
-
-def _sql_earcut_holes() -> str:
-    # ---- shared expression builders (all 1-based ring indices) ----
-    def qi(e: str) -> str:
-        return f"(CASE WHEN ({e}) = len(xs) THEN 1 ELSE ({e}) + 1 END)"
-
-    def pi(e: str) -> str:
-        return f"(CASE WHEN ({e}) = 1 THEN len(xs) ELSE ({e}) - 1 END)"
-
-    def lin(v: str) -> str:
-        """locally-inside toward (hx, hy) at ring vertex v."""
-        pv, nv = pi(v), qi(v)
-        s = (
-            f"((xs[({v})] - xs[{pv}]) * (ys[{nv}] - ys[{pv}])"
-            f" - (ys[({v})] - ys[{pv}]) * (xs[{nv}] - xs[{pv}]))"
-        )
-        t1 = (
-            f"((xs[{nv}] - xs[({v})]) * (hy - ys[({v})])"
-            f" - (ys[{nv}] - ys[({v})]) * (hx - xs[({v})]))"
-        )
-        t2 = (
-            f"((hx - xs[({v})]) * (ys[{pv}] - ys[({v})])"
-            f" - (hy - ys[({v})]) * (xs[{pv}] - xs[({v})]))"
-        )
-        return (
-            f"(CASE WHEN {s} > 0 THEN ({t1} >= 0 AND {t2} >= 0)"
-            f" ELSE ({t1} > 0 OR {t2} > 0) END)"
-        )
-
-    def bridge(src: str, out: str, p: str, passthru: str) -> str:
-        """CTEs bridging the hole in (hcx, hcy, mi) of `src` into its
-        (xs, ys); `passthru` columns are carried verbatim."""
-        pt = f", {passthru}" if passthru else ""
-        raw = (
-            f"xs[e] * (ys[{qi('e')}] - ys[e])"
-            f" + (hy - ys[e]) * (xs[{qi('e')}] - xs[e])"
-        )
-        refl = (
-            f"((xs[v] - xs[{pi('v')}]) * (ys[{qi('v')}] - ys[{pi('v')}])"
-            f" - (ys[v] - ys[{pi('v')}]) * (xs[{qi('v')}] - xs[{pi('v')}]))"
-            " < 0"
-        )
-        flp = "(CASE WHEN ys[b0] < hy THEN -1 ELSE 1 END)"
-        t1c = "((nums[eb] - hx * dens[eb]) * (ys[v] - hy))"
-        t2c = (
-            "((xs[b0] * dens[eb] - nums[eb]) * (ys[v] - hy)"
-            " - (ys[b0] - hy) * (xs[v] * dens[eb] - nums[eb]))"
-        )
-        t3c = (
-            "((hx - xs[b0]) * (ys[v] - ys[b0])"
-            " - (hy - ys[b0]) * (xs[v] - xs[b0]))"
-        )
-        good = (
-            f"xs[v] > hx AND v <> b0 AND {refl} AND {lin('v')}"
-            f" AND {flp} * {t1c} >= 0 AND {flp} * {t2c} >= 0"
-            f" AND {flp} * {t3c} >= 0"
-        )
-        better = (
-            "(abs(ys[w] - hy) * (xs[v] - hx)"
-            " < abs(ys[v] - hy) * (xs[w] - hx))"
-            " OR (abs(ys[w] - hy) * (xs[v] - hx)"
-            "     = abs(ys[v] - hy) * (xs[w] - hx)"
-            "     AND (xs[w] < xs[v] OR (xs[w] = xs[v] AND w < v)))"
-        )
-        ebetter = (
-            "(nums[f] * dens[e] < nums[e] * dens[f])"
-            " OR (nums[f] * dens[e] = nums[e] * dens[f] AND f < e)"
-        )
-        return f"""
-{p}0 AS (
-  SELECT pid, xs, ys, hcx, hcy, mi,
-         hcx[mi] AS hx, hcy[mi] AS hy{pt}
-  FROM {src}),
-{p}1 AS (
-  SELECT *,
-         list_transform(range(1, len(xs) + 1),
-           e -> abs(ys[{qi('e')}] - ys[e])) AS dens,
-         list_transform(range(1, len(xs) + 1),
-           e -> CASE WHEN ys[{qi('e')}] - ys[e] < 0
-                     THEN -({raw}) ELSE ({raw}) END) AS nums
-  FROM {p}0),
-{p}2 AS (
-  SELECT *,
-         list_filter(range(1, len(xs) + 1),
-           e -> dens[e] <> 0
-                AND least(ys[e], ys[{qi('e')}]) <= hy
-                AND hy <= greatest(ys[e], ys[{qi('e')}])
-                AND nums[e] >= hx * dens[e]) AS cands
-  FROM {p}1),
-{p}3 AS (
-  SELECT *,
-         list_filter(cands, e -> len(list_filter(cands,
-           f -> {ebetter})) = 0)[1] AS eb
-  FROM {p}2),
-{p}4 AS (
-  SELECT *, {qi('eb')} AS qe FROM {p}3),
-{p}5 AS (
-  SELECT *,
-         CASE WHEN xs[eb] >= xs[qe] THEN eb ELSE qe END AS b0
-  FROM {p}4),
-{p}6 AS (
-  SELECT *,
-         list_filter(range(1, len(xs) + 1), v -> {good}) AS goods
-  FROM {p}5),
-{p}7 AS (
-  SELECT *,
-         CASE WHEN ys[eb] = hy THEN eb
-              WHEN ys[qe] = hy THEN qe
-              WHEN ys[b0] = hy THEN b0
-              ELSE COALESCE(list_filter(goods,
-                     v -> len(list_filter(goods, w -> {better})) = 0
-                   )[1], b0)
-         END AS bi1
-  FROM {p}6),
-{p}8 AS (
-  SELECT *,
-         list_filter(range(1, len(xs) + 1),
-           j -> xs[j] = xs[bi1] AND ys[j] = ys[bi1]) AS dups
-  FROM {p}7),
-{p}9 AS (
-  SELECT *,
-         CASE WHEN len(dups) > 1
-              THEN COALESCE(
-                     list_filter(dups, j -> {lin('j')})[1], bi1)
-              ELSE bi1 END AS bi
-  FROM {p}8),
-{out} AS (
-  SELECT pid,
-         xs[1:bi]
-           || list_transform(range(0, len(hcx)),
-                t -> hcx[((mi - 1 + t) % len(hcx)) + 1])
-           || [hx] || [xs[bi]] || xs[bi + 1:len(xs)] AS xs,
-         ys[1:bi]
-           || list_transform(range(0, len(hcy)),
-                t -> hcy[((mi - 1 + t) % len(hcy)) + 1])
-           || [hy] || [ys[bi]] || ys[bi + 1:len(ys)] AS ys{pt}
-  FROM {p}9)"""
-
-    def mi_of(hx_l: str, hy_l: str) -> str:
-        return (
-            f"list_filter(range(1, len({hx_l}) + 1),"
-            f" t -> len(list_filter(range(1, len({hx_l}) + 1),"
-            f" u -> {hx_l}[u] > {hx_l}[t]"
-            f" OR ({hx_l}[u] = {hx_l}[t] AND ({hy_l}[u] > {hy_l}[t]"
-            f" OR ({hy_l}[u] = {hy_l}[t] AND u < t))))) = 0)[1]"
-        )
-
-    # ---- corpus (replays the Spark generator bit-exactly) ----
-    sms = [splitmix64_sql(f"(pid * 8 + {t})") for t in range(8)]
-
-    # ---- final clip CTE (q_earcut's machinery + coincidence
-    #      exemption; active holds 0-based indices) ----
-    def X(v: str) -> str:
-        return f"xs[({v}) + 1]"
-
-    def Y(v: str) -> str:
-        return f"ys[({v}) + 1]"
-
-    def cr(i: str, j: str, k: str) -> str:
-        return (
-            f"(({X(j)}) - ({X(i)})) * (({Y(k)}) - ({Y(i)}))"
-            f" - (({Y(j)}) - ({Y(i)})) * (({X(k)}) - ({X(i)}))"
-        )
-
-    a = "active[CASE WHEN p = 1 THEN len(active) ELSE p - 1 END]"
-    b = "active[p]"
-    c = "active[CASE WHEN p = len(active) THEN 1 ELSE p + 1 END]"
-    s = cr(a, b, c)
-    coinc = (
-        f"(({X('v')}) = ({X(a)}) AND ({Y('v')}) = ({Y(a)}))"
-        f" OR (({X('v')}) = ({X(b)}) AND ({Y('v')}) = ({Y(b)}))"
-        f" OR (({X('v')}) = ({X(c)}) AND ({Y('v')}) = ({Y(c)}))"
-    )
-    blocked = (
-        f"len(list_filter(active, v -> v <> ({a}) AND v <> ({b})"
-        f" AND v <> ({c}) AND NOT ({coinc})"
-        f" AND ({cr(a, b, 'v')}) >= 0"
-        f" AND ({cr(b, c, 'v')}) >= 0"
-        f" AND ({cr(c, a, 'v')}) >= 0)) > 0"
-    )
-    ear = f"(({s}) = 0) OR ((({s}) > 0) AND NOT ({blocked}))"
-    earpos = f"list_filter(range(1, len(active) + 1), p -> {ear})[1]"
-    fincr = cr("active[1]", "active[2]", "active[3]")
-    tcr = cr("tri.a", "tri.b", "tri.c")
-
-    return f"""
-WITH RECURSIVE
-pids AS (SELECT unnest(generate_series(0, {EC_H_NPOLY - 1})) AS pid),
-hs AS (
-  SELECT pid,
-         CAST(150 + ({sms[0]}) % 150 AS BIGINT) AS r,
-         CAST(-80 + ({sms[1]}) % 50 AS BIGINT) AS cx0,
-         CAST(-60 + ({sms[2]}) % 121 AS BIGINT) AS cy0,
-         CAST(3 + ({sms[3]}) % 13 AS BIGINT) AS rad0,
-         CAST(30 + ({sms[4]}) % 50 AS BIGINT) AS cx1,
-         CAST(-60 + ({sms[5]}) % 121 AS BIGINT) AS cy1,
-         CAST(3 + ({sms[6]}) % 13 AS BIGINT) AS rad1
-  FROM pids),
-holes AS (
-  SELECT pid,
-         [r, (r * 7) // 10, 0, -((r * 7) // 10), -r,
-          -((r * 7) // 10), 0, (r * 7) // 10] AS xs,
-         [CAST(0 AS BIGINT), (r * 7) // 10, r, (r * 7) // 10, 0,
-          -((r * 7) // 10), -r, -((r * 7) // 10)] AS ys,
-         [cx0 + rad0, cx0, cx0 - rad0, cx0] AS h0x,
-         [cy0, cy0 - rad0, cy0, cy0 + rad0] AS h0y,
-         [cx1 + rad1, cx1, cx1 - rad1, cx1] AS h1x,
-         [cy1, cy1 - rad1, cy1, cy1 + rad1] AS h1y
-  FROM hs),
-hm AS (
-  SELECT *, {mi_of('h0x', 'h0y')} AS mi0, {mi_of('h1x', 'h1y')} AS mi1
-  FROM holes),
-ho AS (
-  SELECT pid, xs, ys,
-         CASE WHEN f1 THEN h1x ELSE h0x END AS hcx,
-         CASE WHEN f1 THEN h1y ELSE h0y END AS hcy,
-         CASE WHEN f1 THEN mi1 ELSE mi0 END AS mi,
-         CASE WHEN f1 THEN h0x ELSE h1x END AS hnx,
-         CASE WHEN f1 THEN h0y ELSE h1y END AS hny,
-         CASE WHEN f1 THEN mi0 ELSE mi1 END AS mn
-  FROM (
-    SELECT *,
-           (h1x[mi1] > h0x[mi0]
-            OR (h1x[mi1] = h0x[mi0] AND h1y[mi1] > h0y[mi0])) AS f1
-    FROM hm)),{bridge('ho', 'ringa', 'ba', 'hnx, hny, mn')},
-hb AS (
-  SELECT pid, xs, ys, hnx AS hcx, hny AS hcy, mn AS mi
-  FROM ringa),{bridge('hb', 'rings', 'bb', '')},
-t(pid, xs, ys, active, tris, step) AS (
-  SELECT pid, xs, ys, range(0, len(xs)),
-         CAST([] AS STRUCT(a BIGINT, b BIGINT, c BIGINT)[]),
-         0
-  FROM rings
-  UNION ALL
-  SELECT pid, xs, ys,
-         list_filter(active, (vv, ii) -> ii <> ep) AS active,
-         CASE WHEN {cr('ea', 'eb', 'ec')} > 0
-              THEN list_append(tris, {{'a': ea, 'b': eb, 'c': ec}})
-              ELSE tris END AS tris,
-         step + 1
-  FROM (
-    SELECT s1.*,
-           active[CASE WHEN ep = 1 THEN len(active) ELSE ep - 1 END] AS ea,
-           active[ep] AS eb,
-           active[CASE WHEN ep = len(active) THEN 1 ELSE ep + 1 END] AS ec
-    FROM (
-      SELECT pid, xs, ys, active, tris, step, {earpos} AS ep
-      FROM t WHERE len(active) > 3
-    ) s1
-  ) s2
-),
-fin AS (
-  SELECT pid, xs, ys,
-         CASE WHEN ({fincr}) > 0
-              THEN list_append(tris, {{'a': active[1], 'b': active[2],
-                                       'c': active[3]}})
-              ELSE tris END AS tris
-  FROM t WHERE len(active) = 3),
-ex AS (
-  SELECT pid, xs, ys, g.kk AS kk, tris[g.kk] AS tri
-  FROM fin, unnest(generate_series(1, len(tris))) AS g(kk))
-SELECT f.pid, CAST(2 AS BIGINT) AS n_holes,
-       CAST(len(f.xs) AS BIGINT) AS n_pts,
-       CAST(COALESCE(MAX(e.kk), 0) AS BIGINT) AS n_tris,
-       CAST(COALESCE(SUM({tcr.replace('xs[', 'f.xs[').replace('ys[', 'f.ys[')}), 0) AS BIGINT) AS area2,
-       CAST(COALESCE(SUM(e.kk * (tri.a * 16777216 + tri.b * 4096 + tri.c)), 0) % 2305843009213693952 AS BIGINT) AS trih
-FROM fin f LEFT JOIN ex e ON e.pid = f.pid AND tri IS NOT NULL
-GROUP BY f.pid, f.xs
-"""
-
-
-_ENGINE_PAIRS["q_earcut_holes"] = (q_earcut_holes, _sql_earcut_holes())
-
-
-# ---------------------------------------------------------------------------
-# q_hillshade — R10 exact Horn hillshade bands over Terrain-RGB tiles
-# ---------------------------------------------------------------------------
-
-
-def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hillshade classification (raster.hillshade_tiles) over the same
-    closed-form Terrain-RGB corpus as q_terrain_rgb, FULL oracle: the
-    engine decodes spec RGB bytes and classifies every interior pixel
-    by exact cross-multiplied Lambert-cosine squares; DuckDB replays
-    the surface, the Horn 3x3 numerators via an 8-offset weights join,
-    and the same integer band logic — histogram, sum(n.l), sum(|n|^2)
-    all under one hash."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        hillshade_tiles,
-        terrain_rgb_encode,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = TER_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                phase = h % 100003
-                r = np.arange(T, dtype=np.int64)
-                e = ((r[:, None] * 13 + r[None, :] * 7 + phase) % 40001) - 10000
-                rows["z"].append(TER_Z)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(terrain_rgb_encode(e).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return hillshade_tiles(tiles, T)
-
-
-def _sql_hillshade(t: int = TER_T) -> str:
-    sm = splitmix64_sql("i")
-    e = "(((r.v * 13 + c.v * 7 + phase) % 40001) - 10000)"
-    l2 = 6  # |l|^2 for l = (1, -1, 2)
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
-hh AS (
-  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
-         CAST(({sm}) % 100003 AS BIGINT) AS phase
-  FROM ids),
-px AS (
-  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
-grad AS (
-  SELECT a.x, a.y, a.rv, a.cv,
-         CAST(SUM(w.wx * b.e) AS BIGINT) AS p,
-         CAST(SUM(w.wy * b.e) AS BIGINT) AS q
-  FROM px a
-  CROSS JOIN (VALUES (-1,-1,-1,-1),(-1,0,0,-2),(-1,1,1,-1),
-                     (0,-1,-2,0),(0,1,2,0),
-                     (1,-1,-1,1),(1,0,0,2),(1,1,1,1)) w(dr, dc, wx, wy)
-  JOIN px b ON b.x = a.x AND b.y = a.y
-           AND b.rv = a.rv + w.dr AND b.cv = a.cv + w.dc
-  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}
-  GROUP BY 1, 2, 3, 4),
-cls AS (
-  SELECT x, y, (-p + q + 32) AS nl, (p * p + q * q + 256) AS n2
-  FROM grad),
-bands AS (
-  SELECT x, y, nl, n2,
-         CASE WHEN nl <= 0 THEN 0
-              ELSE 1 + CASE WHEN 4 * nl * nl >= 1 * n2 * {l2} THEN 1 ELSE 0 END
-                     + CASE WHEN 4 * nl * nl >= 2 * n2 * {l2} THEN 1 ELSE 0 END
-                     + CASE WHEN 4 * nl * nl >= 3 * n2 * {l2} THEN 1 ELSE 0 END
-         END AS band
-  FROM cls)
-SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
-       CAST(COUNT(*) AS BIGINT) AS n_px,
-       CAST(SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-       CAST(SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-       CAST(SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
-       CAST(SUM(CASE WHEN band >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
-       CAST(SUM(nl) AS BIGINT) AS sum_nl,
-       CAST(SUM(n2) AS BIGINT) AS sum_n2
-FROM bands GROUP BY x, y
-"""
-
-
-_ENGINE_PAIRS["q_hillshade"] = (q_hillshade, _sql_hillshade())
-
-
-# ---------------------------------------------------------------------------
-# q_sprite — R11 sprite-atlas shelf packing (raster.sprite_atlas)
-# ---------------------------------------------------------------------------
-
-SP_ATLAS = 128
-SP_GROUPS = 24
-
-
-def q_sprite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sprite-atlas shelf packing (functions/shelfpack.py via
-    raster.sprite_atlas) with a FULL oracle: icon dims derive from
-    splitmix64(p_partkey), one atlas per partkey%24 group; DuckDB
-    replays the tallest-first scan with a shelf-state-carrying
-    recursive CTE — first-fit shelf choice, new-shelf rule, sheet
-    rollover — so every (g, icon, sheet, px, py) placement row
-    matches bit-exactly."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.raster import sprite_atlas
-
-    wh_t = StructType(
-        [StructField("w", LongType()), StructField("h", LongType())]
-    )
-
-    def _wh_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(dtype=np.uint64))
-        return pd.DataFrame(
-            {
-                "w": (1 + (h % np.uint64(40))).astype(np.int64),
-                "h": (1 + ((h >> np.uint64(6)) % np.uint64(40))).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    wh = F.pandas_udf(_wh_kernel, wh_t)
-    icons = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
-        .select(
-            F.col("p_partkey").cast("long").alias("icon_id"),
-            (F.col("p_partkey") % SP_GROUPS).cast("long").alias("g"),
-            wh(F.col("p_partkey").cast("long")).alias("wh"),
-        )
-        .select("g", "icon_id", "wh.w", "wh.h")
-    )
-    return sprite_atlas(icons, atlas=SP_ATLAS)
-
-
-def _sql_sprite(a: int = SP_ATLAS) -> str:
-    sm = splitmix64_sql("CAST(p_partkey AS BIGINT)")
-    fp = (
-        "list_filter(range(1, len(shelves) + 1),"
-        " p -> shelves[p].sh >= h AND shelves[p].sx + w <= "
-        f"{a})[1]"
-    )
-    return f"""
-WITH RECURSIVE hh AS (
-  SELECT CAST(p_partkey AS BIGINT) AS icon_id,
-         CAST(p_partkey % {SP_GROUPS} AS BIGINT) AS g,
-         {sm} AS h64
-  FROM part),
-icons AS (
-  SELECT g, icon_id,
-         CAST(1 + h64 % 40 AS BIGINT) AS w,
-         CAST(1 + (h64 // 64) % 40 AS BIGINT) AS h,
-         CAST(row_number() OVER (
-           PARTITION BY g
-           ORDER BY (1 + (h64 // 64) % 40) DESC,
-                    (1 + h64 % 40) DESC, icon_id) AS BIGINT) AS rn
-  FROM hh),
-t(g, rn, sheet, ynext, shelves, picon, px, py) AS (
-  SELECT g, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-         CAST([] AS STRUCT(sy BIGINT, sh BIGINT, sx BIGINT)[]),
-         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-  FROM (SELECT DISTINCT g FROM icons)
-  UNION ALL
-  SELECT g, rn,
-         CASE WHEN fp IS NOT NULL OR ynext + h <= {a}
-              THEN sheet ELSE sheet + 1 END,
-         CASE WHEN fp IS NOT NULL THEN ynext
-              WHEN ynext + h <= {a} THEN ynext + h
-              ELSE h END,
-         CASE WHEN fp IS NOT NULL THEN
-                list_transform(shelves, (s, i) -> CASE WHEN i = fp
-                  THEN {{'sy': s.sy, 'sh': s.sh, 'sx': s.sx + w}}
-                  ELSE s END)
-              WHEN ynext + h <= {a} THEN
-                list_append(shelves, {{'sy': ynext, 'sh': h, 'sx': w}})
-              ELSE [{{'sy': CAST(0 AS BIGINT), 'sh': h, 'sx': w}}] END,
-         icon_id,
-         CASE WHEN fp IS NOT NULL THEN shelves[fp].sx ELSE 0 END,
-         CASE WHEN fp IS NOT NULL THEN shelves[fp].sy
-              WHEN ynext + h <= {a} THEN ynext
-              ELSE 0 END
-  FROM (
-    SELECT t.g, i.rn, t.sheet, t.ynext, t.shelves,
-           i.icon_id, i.w, i.h, {fp} AS fp
-    FROM t JOIN icons i ON i.g = t.g AND i.rn = t.rn + 1
-  ) s1
-)
-SELECT g, picon AS icon_id, sheet, px, py
-FROM t WHERE rn >= 1
-"""
-
-
-_ENGINE_PAIRS["q_sprite"] = (q_sprite, _sql_sprite())
-
-
-# ---------------------------------------------------------------------------
-# q_pagerank — exact scaled-integer PageRank on the road lattice
-# ---------------------------------------------------------------------------
-
-PR_ROUNDS = 3
-
-
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-round exact-integer PageRank (graph.pagerank_rounds) on
-    the SAME symmetrized road lattice as q_bellman_ford, FULL oracle:
-    the DuckDB twin unrolls the identical 3 rounds of
-    multiply-floor-divide updates as MATERIALIZED CTEs — one wrong
-    div/damping anywhere shifts thousands of BIGINT ranks."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.graph import pagerank_rounds
-
-    e_t = StructType(
-        [
-            StructField("u", LongType()),
-            StructField("v", LongType()),
-            StructField("keep", LongType()),
-        ]
-    )
-
-    def _edge_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        x = (h % np.uint64(64)).astype(np.int64)
-        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
-        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
-        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
-        return pd.DataFrame(
-            {
-                "u": x * 256 + y,
-                "v": (x + dx) * 256 + (y + dy),
-                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
-            }
-        )
-
-    ek = F.pandas_udf(_edge_kernel, e_t)
-    e1 = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(ek(F.col("o_orderkey")).alias("e"))
-        .select("e.u", "e.v", "e.keep")
-        .filter(F.col("keep") == 1)
-        .drop("keep")
-    )
-    edges = e1.unionByName(
-        e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    return pagerank_rounds(edges, rounds=PR_ROUNDS)
-
-
-def _sql_pagerank(rounds: int = PR_ROUNDS) -> str:
-    h = splitmix64_sql("o_orderkey")
-    S = 10**12
-    body = []
-    for t in range(1, rounds + 1):
-        body.append(
-            f""",
-r{t} AS MATERIALIZED (
-  SELECT b.node, b.deg, b.b + (85 * COALESCE(m.s, 0)) // 100 AS r
-  FROM base b LEFT JOIN (
-    SELECT e.v AS node, SUM(a.r // a.deg) AS s
-    FROM r{t - 1} a JOIN edges e ON e.u = a.node
-    GROUP BY e.v) m ON m.node = b.node)"""
-        )
-    return f"""
-WITH e0 AS (
-  SELECT CAST(({h}) % 64 AS BIGINT) AS x,
-         CAST((({h}) // 64) % 64 AS BIGINT) AS y,
-         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
-         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy
-  FROM orders),
-e1 AS (
-  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v
-  FROM e0 WHERE dx <> 0 OR dy <> 0),
-edges AS MATERIALIZED (
-  SELECT u, v FROM e1 UNION ALL SELECT v AS u, u AS v FROM e1),
-nodes AS MATERIALIZED (
-  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
-  FROM edges GROUP BY u),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-base AS MATERIALIZED (
-  SELECT node, deg,
-         CAST({S} // n AS BIGINT) AS r0,
-         CAST((15 * ({S} // n)) // 100 AS BIGINT) AS b
-  FROM nodes CROSS JOIN nn),
-r0 AS (SELECT node, deg, r0 AS r FROM base){''.join(body)}
-SELECT node, deg, CAST(r AS BIGINT) AS r FROM r{rounds}
-"""
-
-
-_ENGINE_PAIRS["q_pagerank"] = (q_pagerank, _sql_pagerank())
-
-
-# ---------------------------------------------------------------------------
-# q_way_assembly — J11 OSM-style way assembly join (joins.assemble_ways)
-# ---------------------------------------------------------------------------
-
-
-def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Way assembly (joins.assemble_ways) with a FULL oracle: nodes
-    are orders-derived grid points keyed by the SPARSE o_orderkey
-    domain, ways are customer-derived ref lists drawn from
-    [1, max(o_orderkey)] — so ~2/3 of refs genuinely miss, exercising
-    the gap semantics.  DuckDB replays the explode+join+window chain
-    verbatim; Manhattan lengths, order-sensitive vertex hashes and
-    missing counts all land under one hash."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, LongType
-
-    from mapnik_vector_tile_spark.operators.joins import assemble_ways
-
-    def _node_xy(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "x": (h % np.uint64(4096)).astype(np.int64),
-                "y": ((h >> np.uint64(12)) % np.uint64(4096)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    from pyspark.sql.types import StructField, StructType
-
-    xy_t = StructType(
-        [StructField("x", LongType()), StructField("y", LongType())]
-    )
-    xyk = F.pandas_udf(_node_xy, xy_t)
-    nodes = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(
-            F.col("o_orderkey").cast("long").alias("node_id"),
-            xyk(F.col("o_orderkey").cast("long")).alias("p"),
-        )
-        .select("node_id", "p.x", "p.y")
-    )
-
-    def _refs_kernel(wid):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        k = wid.to_numpy(np.uint64)
-        kk = (splitmix64(k) >> np.uint64(11)) % np.uint64(6) + np.uint64(2)
-        out = []
-        for w, n in zip(k, kk):
-            j = np.arange(int(n), dtype=np.uint64)
-            h = splitmix64(w * np.uint64(131) + j) >> np.uint64(11)
-            out.append(h.astype(np.int64).tolist())
-        return pd.Series(out)
-
-    rk = F.pandas_udf(_refs_kernel, ArrayType(LongType()))
-    mx = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .agg(F.max("o_orderkey").cast("long").alias("mk"))
-    )
-    ways = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .select(
-            F.col("c_custkey").cast("long").alias("way_id"),
-            rk(F.col("c_custkey").cast("long")).alias("hr"),
-        )
-        .crossJoin(F.broadcast(mx))
-        .select(
-            "way_id",
-            F.transform(
-                F.col("hr"), lambda r: r % F.col("mk") + 1
-            ).alias("refs"),
-        )
-    )
-    return assemble_ways(ways, nodes)
-
-
-def _sql_way_assembly() -> str:
-    hn = splitmix64_sql("o_orderkey")
-    hr = splitmix64_sql("(way_id * 131 + pos)")
-    # hashes are hoisted into plain-projection CTEs: the subquery-
-    # chain form of splitmix64_sql cannot sit inside a LATERAL/join
-    # condition (DuckDB "expression with depth > 1" internal error)
-    hw_cte = splitmix64_sql("c_custkey")
-    return f"""
-WITH nodes0 AS (
-  SELECT CAST(o_orderkey AS BIGINT) AS node_id, ({hn}) AS hv
-  FROM orders),
-nodes AS (
-  SELECT node_id,
-         CAST(hv % 4096 AS BIGINT) AS x,
-         CAST((hv // 4096) % 4096 AS BIGINT) AS y
-  FROM nodes0),
-mx AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS mk FROM orders),
-cust AS (
-  SELECT CAST(c_custkey AS BIGINT) AS way_id, ({hw_cte}) AS hw
-  FROM customer),
-refs0 AS (
-  SELECT way_id, j.v AS pos
-  FROM cust,
-       LATERAL unnest(generate_series(
-         0, CAST(2 + (hw // 2048) % 6 AS BIGINT) - 1)) j(v)),
-refs AS (
-  SELECT way_id, pos,
-         CAST((({hr}) // 2048) % (SELECT mk FROM mx) + 1 AS BIGINT)
-           AS node_id
-  FROM refs0),
-jn AS (
-  SELECT r.way_id, r.pos, n.x, n.y,
-         lag(n.x) OVER (PARTITION BY r.way_id ORDER BY r.pos) AS px,
-         lag(n.y) OVER (PARTITION BY r.way_id ORDER BY r.pos) AS py
-  FROM refs r LEFT JOIN nodes n ON n.node_id = r.node_id)
-SELECT way_id,
-       CAST(COUNT(*) AS BIGINT) AS n_refs,
-       CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_missing,
-       CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND px IS NOT NULL
-                  THEN abs(x - px) + abs(y - py) END), 0) AS BIGINT)
-         AS mlen,
-       CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL
-                  THEN (pos + 1) * (x * 8191 + y) END), 0) AS BIGINT)
-         AS vhash
-FROM jn GROUP BY way_id
-"""
-
-
-_ENGINE_PAIRS["q_way_assembly"] = (q_way_assembly, _sql_way_assembly())
-
-
-# ---------------------------------------------------------------------------
-# q_audio_adpcm — T13b IMA-ADPCM round-trip (multimodal.audio_adpcm_stats)
-# ---------------------------------------------------------------------------
-
-AD_N = 256
-AD_CLIPS = 100
-
-
-def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMA-ADPCM encode∘decode (functions/adpcm.py via
-    multimodal.audio_adpcm_stats) with a FULL oracle: 100 sawtooth
-    clips (period 8192, step 97 — trackable slope with occasional
-    wrap jumps, the shape ADPCM was built for); DuckDB replays the
-    quantizer recursion — step table, bit-test quantizer, >>3
-    reconstruction, both clamps — so reconstructed sums, integer SSE
-    and max errors match bit-exactly."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.multimodal import (
-        audio_adpcm_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    def gen(it):
-        for pdf in it:
-            rows = {"clip_id": [], "pcm": [], "n_samples": []}
-            for i in pdf["id"]:
-                i = int(i)
-                # int() BEFORE the modulo: np.uint64 % python-int
-                # silently promotes to float64 and loses low bits
-                phase = int(
-                    splitmix64(np.array([i], dtype=np.uint64))[0]
-                ) % 50021
-                t = np.arange(AD_N, dtype=np.int64)
-                s = ((t * 97 + phase) % 8192) - 4096
-                rows["clip_id"].append(i)
-                rows["pcm"].append(s.astype("<i2").tobytes())
-                rows["n_samples"].append(AD_N)
-            yield pd.DataFrame(rows)
-
-    clips = spark.range(AD_CLIPS).mapInPandas(
-        gen, "clip_id long, pcm binary, n_samples long"
-    )
-    return audio_adpcm_stats(clips)
-
-
-def _sql_audio_adpcm() -> str:
-    from mapnik_vector_tile_spark.functions.adpcm import STEP_TABLE
-
-    sm = splitmix64_sql("clip")
-    steps = "[" + ",".join(str(v) for v in STEP_TABLE) + "]"
-    samp = "((((tt - 1) * 97 + phase) % 8192) - 4096)"
-    return f"""
-WITH RECURSIVE clips AS (
-  SELECT CAST(i AS BIGINT) AS clip,
-         CAST(({sm.replace('clip', 'i')}) % 50021 AS BIGINT) AS phase
-  FROM (SELECT unnest(generate_series(0, {AD_CLIPS - 1})) AS i)),
-st(clip, phase, tt, pred, idx) AS (
-  SELECT clip, phase, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-         CAST(0 AS BIGINT)
-  FROM clips
-  UNION ALL
-  SELECT clip, phase, tt,
-         GREATEST(-32768, LEAST(32767,
-           pred + CASE WHEN sign = 1 THEN -diffq ELSE diffq END)),
-         GREATEST(0, LEAST(88,
-           idx + CASE WHEN c7 >= 4 THEN 2 * (c7 - 3) ELSE -1 END))
-  FROM (
-    SELECT clip, phase, tt, pred, idx, sign,
-           stp // 8 + b4 * stp + b2 * (stp // 2) + b1 * (stp // 4)
-             AS diffq,
-           b4 * 4 + b2 * 2 + b1 AS c7
-    FROM (
-      SELECT *,
-             CASE WHEN ad - b4 * stp - b2 * (stp // 2) >= stp // 4
-                  THEN 1 ELSE 0 END AS b1
-      FROM (
-        SELECT *,
-               CASE WHEN ad - b4 * stp >= stp // 2 THEN 1 ELSE 0 END
-                 AS b2
-        FROM (
-          SELECT *, CASE WHEN ad >= stp THEN 1 ELSE 0 END AS b4
-          FROM (
-            SELECT clip, phase, tt, pred, idx, stp,
-                   CASE WHEN df < 0 THEN 1 ELSE 0 END AS sign,
-                   abs(df) AS ad
-            FROM (
-              SELECT clip, phase, t + 1 AS tt, pred, idx,
-                     CAST({steps}[idx + 1] AS BIGINT) AS stp,
-                     CAST((((t) * 97 + phase) % 8192) - 4096 AS BIGINT)
-                       - pred AS df
-              FROM (SELECT clip, phase, tt AS t, pred, idx FROM st
-                    WHERE tt < {AD_N}) s0
-            ) s1
-          ) s2
-        ) s3
-      ) s4
-    ) s5
-  ) s6
-)
-SELECT clip AS clip_id,
-       CAST({AD_N} AS BIGINT) AS n_samples,
-       CAST({AD_N // 2} AS BIGINT) AS n_bytes,
-       CAST(SUM(pred) AS BIGINT) AS sum_dec,
-       CAST(SUM(({samp} - pred) * ({samp} - pred)) AS BIGINT) AS sse,
-       CAST(MAX(ABS({samp} - pred)) AS BIGINT) AS max_err
-FROM st WHERE tt >= 1
-GROUP BY clip
-"""
-
-
-_ENGINE_PAIRS["q_audio_adpcm"] = (q_audio_adpcm, _sql_audio_adpcm())
-
-
-# ---------------------------------------------------------------------------
-# q_od_flows — ST6 origin–destination flow matrix (geostats.od_flows)
-# ---------------------------------------------------------------------------
-
-
-def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OD flow matrix (geostats.od_flows) over the events table with a
-    FULL oracle: pings locate on the same splitmix 4-grid as
-    q_cotravel, order per user by (epoch seconds, event_id), and both
-    engines fold identical directed cell-pair flows — trip counts,
-    exact integer duration sums, distinct-user counts."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.geostats import od_flows
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(4)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(4)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
-        F.col("event_id").cast("long").alias("eid"),
-        ck(F.col("event_id")).alias("c"),
-    ).select("user_id", "t", "eid", "c.cx", "c.cy")
-    return od_flows(loc)
-
-
-def _sql_od_flows() -> str:
-    h = splitmix64_sql("event_id")
-    return f"""
-WITH loc AS (
-  SELECT user_id,
-         CAST(floor(epoch(ts)) AS BIGINT) AS t,
-         CAST(event_id AS BIGINT) AS eid,
-         CAST(({h}) % 4 AS BIGINT) AS cx,
-         CAST((({h}) // 256) % 4 AS BIGINT) AS cy
-  FROM events),
-legs AS (
-  SELECT user_id, t, cx, cy,
-         lag(cx) OVER w AS ocx,
-         lag(cy) OVER w AS ocy,
-         lag(t) OVER w AS ot
-  FROM loc
-  WINDOW w AS (PARTITION BY user_id ORDER BY t, eid))
-SELECT ocx, ocy, cx AS dcx, cy AS dcy,
-       CAST(COUNT(*) AS BIGINT) AS n_trips,
-       CAST(SUM(t - ot) AS BIGINT) AS sum_dur,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-FROM legs
-WHERE ocx IS NOT NULL AND (ocx <> cx OR ocy <> cy)
-GROUP BY ocx, ocy, cx, cy
-"""
-
-
-_ENGINE_PAIRS["q_od_flows"] = (q_od_flows, _sql_od_flows())
-
-
-# ---------------------------------------------------------------------------
-# q_harris — T12j Harris corner response with strict-NMS corners
-# ---------------------------------------------------------------------------
-
-IMG_HC_N = 150
-
-
-def q_harris(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Harris corners (raster.harris_corner_stats) over the canonical
-    images table with a FULL oracle: DuckDB regenerates the pixels,
-    builds Sobel products, 3x3 structure-tensor box sums (HAVING 9
-    keeps exactly the engine's response interior), the k=1/16
-    fraction-cleared response, and the strict 8-neighbor NMS — corner
-    counts, response sums and maxima all under one hash with captions
-    riding through."""
-    from mapnik_vector_tile_spark.operators.raster import (
-        harris_corner_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, IMG_HC_N)
-    return harris_corner_stats(imgs)
-
-
-def _sql_harris(n: int = IMG_HC_N) -> str:
-    from mapnik_vector_tile_spark.operators.raster import HARRIS_THR
-
-    return f"""
-WITH {_img_pixel_ctes(n)},
-lum AS MATERIALIZED (
-  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan
-),
-tri AS MATERIALIZED (
-  SELECT i, w, h, y, x,
-         lag(g8)  OVER (PARTITION BY i, y ORDER BY x) AS wv,
-         g8 AS cv,
-         lead(g8) OVER (PARTITION BY i, y ORDER BY x) AS ev
-  FROM lum
-),
-sob AS MATERIALIZED (
-  SELECT m.i, m.y, m.x,
-         (u.ev + 2 * m.ev + d.ev) - (u.wv + 2 * m.wv + d.wv) AS gx,
-         (d.wv + 2 * d.cv + d.ev) - (u.wv + 2 * u.cv + u.ev) AS gy
-  FROM tri m
-  JOIN tri u ON u.i = m.i AND u.x = m.x AND u.y = m.y - 1
-  JOIN tri d ON d.i = m.i AND d.x = m.x AND d.y = m.y + 1
-  WHERE m.x BETWEEN 1 AND m.w - 2 AND m.y BETWEEN 1 AND m.h - 2
-),
-prod AS MATERIALIZED (
-  SELECT i, y, x, gx * gx AS a, gy * gy AS b, gx * gy AS c FROM sob
-),
-sums AS MATERIALIZED (
-  SELECT p.i, p.y, p.x,
-         CAST(SUM(q.a) AS BIGINT) AS sa,
-         CAST(SUM(q.b) AS BIGINT) AS sb,
-         CAST(SUM(q.c) AS BIGINT) AS sc
-  FROM prod p
-  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
-                     (1,-1),(1,0),(1,1)) o(dy, dx)
-  JOIN prod q ON q.i = p.i AND q.y = p.y + o.dy AND q.x = p.x + o.dx
-  GROUP BY 1, 2, 3
-  HAVING COUNT(*) = 9
-),
-resp AS MATERIALIZED (
-  SELECT i, y, x,
-         16 * (sa * sb - sc * sc) - (sa + sb) * (sa + sb) AS r16
-  FROM sums
-),
-nbr AS MATERIALIZED (
-  SELECT p.i, p.y, p.x, p.r16,
-         MAX(q.r16) AS nmax, COUNT(*) AS nn
-  FROM resp p
-  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
-                     (1,-1),(1,0),(1,1)) o(dy, dx)
-  JOIN resp q ON q.i = p.i AND q.y = p.y + o.dy AND q.x = p.x + o.dx
-  GROUP BY 1, 2, 3, 4
-),
-corners AS (
-  SELECT i, CAST(COUNT(*) AS BIGINT) AS n_corners,
-         CAST(SUM(r16) AS BIGINT) AS sum_r
-  FROM nbr
-  WHERE nn = 8 AND r16 > {HARRIS_THR} AND r16 > nmax
-  GROUP BY i
-),
-rstats AS (
-  SELECT i,
-         CAST(SUM(CASE WHEN r16 > 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_pos,
-         CAST(MAX(r16) AS BIGINT) AS max_r
-  FROM resp GROUP BY i
-)
-SELECT 'img_' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id,
-       COALESCE(r.n_pos, 0) AS n_pos,
-       COALESCE(c.n_corners, 0) AS n_corners,
-       COALESCE(c.sum_r, 0) AS sum_r,
-       COALESCE(r.max_r, 0) AS max_r,
-       caps.caption AS caption
-FROM dims d
-LEFT JOIN rstats r ON r.i = d.i
-LEFT JOIN corners c ON c.i = d.i
-JOIN caps ON caps.i = d.i
-"""
-
-
-_ENGINE_PAIRS["q_harris"] = (q_harris, _sql_harris())
-
-
-# ---------------------------------------------------------------------------
-# q_quality_mosaic — R12 best-pixel mosaic (raster.quality_mosaic)
-# ---------------------------------------------------------------------------
-
-QM_T = 16
-QM_TILES = 25
-
-
-def q_quality_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Max-value composite (raster.quality_mosaic) with a FULL oracle:
-    25 tiles carry 1-3 overlapping closed-form scenes
-    v = (r·a + c·b + ph) % 251; DuckDB replays the per-pixel argmax
-    with a (v DESC, scene ASC) window rank and folds the identical
-    provenance + positional mosaic witness."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import quality_mosaic
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = QM_T
-
-    def gen(it):
-        for pdf in it:
-            rows = {"z": [], "x": [], "y": [], "scene_id": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                tile = i % QM_TILES
-                # tile t gets scenes i where i % QM_TILES == t; the
-                # range(75) driver below yields 3 scene slots per tile
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                if i >= QM_TILES and h % 3 == 0:
-                    continue  # 1-3 scenes per tile, slot 0 always kept
-                a = 1 + h % 13
-                b = 1 + (h >> 8) % 11
-                ph = (h >> 16) % 997
-                r = np.arange(T, dtype=np.int64)
-                v = (r[:, None] * a + r[None, :] * b + ph) % 251
-                rows["z"].append(5)
-                rows["x"].append(tile % 5)
-                rows["y"].append(tile // 5)
-                rows["scene_id"].append(i)
-                rows["raster"].append(v.astype(np.uint8).tobytes())
-            yield pd.DataFrame(rows)
-
-    scenes = spark.range(QM_TILES * 3).mapInPandas(
-        gen, "z long, x long, y long, scene_id long, raster binary"
-    )
-    return quality_mosaic(scenes, T)
-
-
-def _sql_quality_mosaic(t: int = QM_T) -> str:
-    sm = splitmix64_sql("i")
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {QM_TILES * 3 - 1})) AS i),
-sc AS (
-  SELECT i, i % {QM_TILES} AS tile, {sm} AS h FROM ids),
-keep AS (
-  SELECT i, tile,
-         CAST(1 + h % 13 AS BIGINT) AS a,
-         CAST(1 + (h // 256) % 11 AS BIGINT) AS b,
-         CAST((h // 65536) % 997 AS BIGINT) AS ph
-  FROM sc WHERE i < {QM_TILES} OR h % 3 <> 0),
-px AS MATERIALIZED (
-  SELECT k.i AS scene_id, k.tile, r.v AS rv, c.v AS cv,
-         (r.v * k.a + c.v * k.b + k.ph) % 251 AS v
-  FROM keep k
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
-rnk AS MATERIALIZED (
-  SELECT *,
-         row_number() OVER (
-           PARTITION BY tile, rv, cv ORDER BY v DESC, scene_id) AS rn
-  FROM px),
-winners AS (SELECT * FROM rnk WHERE rn = 1),
-ws AS (
-  SELECT tile,
-         CAST(SUM((rv * {t} + cv + 1) * v) AS BIGINT) AS mosaic_wsum
-  FROM winners GROUP BY tile),
-prov AS (
-  SELECT k.tile, k.i AS scene_id,
-         CAST(COALESCE(COUNT(w.v), 0) AS BIGINT) AS pixels_won,
-         CAST(COALESCE(SUM(w.v), 0) AS BIGINT) AS sum_won
-  FROM keep k
-  LEFT JOIN winners w ON w.scene_id = k.i
-  GROUP BY k.tile, k.i)
-SELECT CAST(5 AS BIGINT) AS z,
-       CAST(p.tile % 5 AS BIGINT) AS x,
-       CAST(p.tile // 5 AS BIGINT) AS y,
-       p.scene_id, p.pixels_won, p.sum_won, ws.mosaic_wsum
-FROM prov p JOIN ws ON ws.tile = p.tile
-"""
-
-
-_ENGINE_PAIRS["q_quality_mosaic"] = (q_quality_mosaic, _sql_quality_mosaic())
-
-
-# ---------------------------------------------------------------------------
-# q_hilbert — S11 Hilbert cell index (functions/hilbertcell.py)
-# ---------------------------------------------------------------------------
-
-HB_Z = 10
-
-
-def _hilbert_query(engine: str) -> str:
-    from mapnik_vector_tile_spark.functions.hilbertcell import hilbert_sql
-
-    txe, tye = S.tile_xy_exprs(HB_Z)
-    src = (
-        f"(WITH {S.point_cte('orders', 'o_orderkey')} "
-        f"SELECT id, {txe} AS cx, {tye} AS cy FROM pts) cells"
-    )
-    return hilbert_sql(HB_Z, src, engine)
-
-
-def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hilbert cell index (functions/hilbertcell.py — the
-    PMTiles/S2-style locality curve, fourth cell scheme beside
-    Morton, S2-style, hex and geohash) with a FULL oracle: ONE
-    generator renders the z-level rotate/flip recurrence to both
-    engines (only integer-division syntax differs), so every id's
-    curve position matches bit-exactly; numpy twin is
-    pmtiles-tileid-parity- and unit-step-pinned in tests. Zero
-    shuffle: one codegen projection."""
-    load_views(spark, sf_dir)
-    return spark.sql(_hilbert_query("spark"))
-
-
-_ENGINE_PAIRS["q_hilbert"] = (q_hilbert, _hilbert_query("duckdb"))
-
-
-# ---------------------------------------------------------------------------
-# q_trending_tiles — §2.10 trending-tiles leg, batch twin
-# ---------------------------------------------------------------------------
-
-
-def q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the streaming trending-tiles leg
-    (streaming/trending.py: shared plan, watermark only added on the
-    stream side; stream-sink == this twin is pinned in
-    tests/test_streaming.py). FULL oracle: hourly tumbling windows,
-    per-tile counts at z6, serving-side top-3 rank with the pinned
-    (n_events DESC, tx, ty) tie order."""
-    from mapnik_vector_tile_spark.streaming.trending import (
-        batch_trending_topk,
-    )
-
-    return batch_trending_topk(spark, sf_dir)
-
-
-def _sql_trending_tiles() -> str:
-    from mapnik_vector_tile_spark.plans.shared_sql import TWO_W, flit
-    from mapnik_vector_tile_spark.streaming.trending import (
-        TREND_K,
-        TREND_Z,
-    )
-
-    utx, uty = S.tile_xy_exprs(TREND_Z)
-    lim = (1 << TREND_Z) - 1
-    tx = f"GREATEST(0, LEAST({lim}, {utx}))"
-    ty = f"GREATEST(0, LEAST({lim}, {uty}))"
-    mx = (
-        f"((((user_id) * 2654435761) % 4294967296) / {flit(2**32)})"
-        f" * {flit(TWO_W)} - {flit(W)}"
-    )
-    my = (
-        f"((((user_id) * 1103515245 + 12345) % 4294967296) / {flit(2**32)})"
-        f" * {flit(TWO_W)} - {flit(W)}"
-    )
-    return f"""
-WITH p AS (
-  SELECT event_id, ts, {mx} AS mx, {my} AS my FROM events),
-cnt AS (
-  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart,
-         {tx} AS tx, {ty} AS ty,
-         CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(MIN(event_id) AS BIGINT) AS min_id
-  FROM p GROUP BY 1, 2, 3),
-rnk AS (
-  SELECT *, CAST(row_number() OVER (
-    PARTITION BY wstart ORDER BY n_events DESC, tx, ty) AS BIGINT)
-    AS rnk
-  FROM cnt)
-SELECT wstart, tx, ty, n_events, min_id, rnk
-FROM rnk WHERE rnk <= {TREND_K}
-"""
-
-
-_ENGINE_PAIRS["q_trending_tiles"] = (q_trending_tiles, _sql_trending_tiles())
-
-
-# ---------------------------------------------------------------------------
-# q_isochrone — G4 isochrone region stats (graph.isochrone_stats)
-# ---------------------------------------------------------------------------
-
-ISO_BUDGET = 18
-
-
-def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Isochrone region (graph.isochrone_stats over the bellman_ford
-    field, budget 18) with a FULL oracle: DuckDB unrolls the same 12
-    relaxation rounds, thresholds, and re-derives perimeter and the
-    component count with a recursive-reachability CC — an
-    algorithm-independent check on the engine's pointer-doubling."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.graph import (
-        bellman_ford,
-        isochrone_stats,
-    )
-
-    e_t = StructType(
-        [
-            StructField("u", LongType()),
-            StructField("v", LongType()),
-            StructField("w", LongType()),
-            StructField("keep", LongType()),
-        ]
-    )
-
-    def _edge_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        x = (h % np.uint64(64)).astype(np.int64)
-        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
-        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
-        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
-        w = (np.uint64(1) + (h >> np.uint64(40)) % np.uint64(9)).astype(
-            np.int64
-        )
-        return pd.DataFrame(
-            {
-                "u": x * 256 + y,
-                "v": (x + dx) * 256 + (y + dy),
-                "w": w,
-                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
-            }
-        )
-
-    ek = F.pandas_udf(_edge_kernel, e_t)
-    e1 = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(ek(F.col("o_orderkey")).alias("e"))
-        .select("e.u", "e.v", "e.w", "e.keep")
-        .filter(F.col("keep") == 1)
-        .drop("keep")
-    )
-    edges = e1.unionByName(
-        e1.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
-    sources = (
-        edges.select(F.col("u").alias("node"))
-        .filter(F.col("node") < 256)
-        .distinct()
-    )
-    dist = bellman_ford(edges, sources, rounds=BF_ROUNDS)
-    return isochrone_stats(dist, ISO_BUDGET)
-
-
-def _sql_isochrone(budget: int = ISO_BUDGET) -> str:
-    base = _sql_bellman_ford()
-    head, tail = base.rsplit("SELECT node, d FROM", 1)
-    dfinal = f"d{BF_ROUNDS}"
-    head = head.replace(
-        "WITH h0 AS MATERIALIZED", "WITH RECURSIVE h0 AS MATERIALIZED", 1
-    )
-    assert "WITH RECURSIVE" in head  # guards against base-CTE renames
-    return f"""{head},
-cells AS MATERIALIZED (
-  SELECT node, node // 256 AS cx, node % 256 AS cy, d
-  FROM {dfinal} WHERE d <= {budget}),
-adj AS MATERIALIZED (
-  SELECT a.node AS s, b.node AS t
-  FROM cells a
-  CROSS JOIN (VALUES (1, 0), (0, 1)) o(dx, dy)
-  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
-sym AS (SELECT s, t FROM adj UNION ALL SELECT t, s FROM adj),
-reach(node, r) AS (
-  SELECT node, node FROM cells
-  UNION
-  SELECT e.s, reach.r FROM sym e
-  JOIN reach ON reach.node = e.t
-  WHERE reach.r < e.s),
-lbl AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST(4 * COUNT(*) - 2 * (SELECT COUNT(*) FROM adj) AS BIGINT)
-         AS perim,
-       CAST((SELECT COUNT(DISTINCT rep) FROM lbl) AS BIGINT)
-         AS n_components,
-       CAST(SUM(c.d) AS BIGINT) AS sum_d,
-       CAST(MIN(c.cx) AS BIGINT) AS minx,
-       CAST(MAX(c.cx) AS BIGINT) AS maxx,
-       CAST(MIN(c.cy) AS BIGINT) AS miny,
-       CAST(MAX(c.cy) AS BIGINT) AS maxy
-FROM cells c
-"""
-
-
-_ENGINE_PAIRS["q_isochrone"] = (q_isochrone, _sql_isochrone())
-
-
-# ---------------------------------------------------------------------------
-# q_tile_patch — U14 delta-update apply (composite.make_patch/patch_tiles)
-# ---------------------------------------------------------------------------
-
-
-def q_tile_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta publish round trip with a FULL oracle: build stores
-    A (key%5!=0) and B (key%7!=0) through the REAL encode pipeline,
-    make the patch from their byte-level diff, apply it to A, and
-    DECODE the patched store — per-tile feature counts must equal the
-    closed-form counts of store B, proving patch∘diff reproduces B's
-    content exactly (spurious or missed patch rows break the hash)."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators import composite as comp
-    from mapnik_vector_tile_spark.operators import tiling as T
-
-    feats = _engine_point_features(spark, sf_dir)
-
-    def store(mod: int):
-        sub = feats.filter(F.col("feature_id") % mod != 0)
-        return T.encode_tiles(
-            T.assign_tiles(sub, DIFF_Z, DIFF_Z, buffer_units=0),
-            buffer_units=0,
-            n_salts=4,
-        )
-
-    a, b = store(5), store(7)
-    patched = comp.patch_tiles(a, comp.make_patch(a, b))
-    dec = T.decode_tiles_to_features(patched)
-    return dec.groupBy("z", "x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("n_features")
-    )
-
-
-def _sql_tile_patch(z: int = DIFF_Z) -> str:
-    tx, ty = S.tile_xy_exprs(z)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-t AS (SELECT id, {tx} AS x, {ty} AS y FROM pts WHERE id % 7 <> 0)
-SELECT CAST({z} AS BIGINT) AS z, x, y,
-       CAST(COUNT(*) AS BIGINT) AS n_features
-FROM t GROUP BY 2, 3
-"""
-
-
-_ENGINE_PAIRS["q_tile_patch"] = (q_tile_patch, _sql_tile_patch())
-
-
-# ---------------------------------------------------------------------------
-# q_chaikin — F19 Chaikin corner-cut smoothing (functions/chaikin.py)
-# ---------------------------------------------------------------------------
-
-CK_GROUPS = 200
-CK_ROUNDS = 2
-
-
-def q_chaikin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chaikin smoothing (functions/chaikin.py — 2 rounds on the
-    4^R-scaled integer grid, endpoints kept) with a FULL oracle: 200
-    trajectories assembled order-stably, both engines run the SAME
-    generated array-lambda round expressions; n_out = 4(n_in−1)−...
-    is structural, while the Manhattan length and full positional
-    hash pin every produced coordinate."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.functions.chaikin import (
-        manhattan_expr,
-        round_expr,
-        vhash_expr,
-    )
-
-    p_t = StructType(
-        [StructField("x", LongType()), StructField("y", LongType())]
-    )
-
-    def _pt(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "x": (h % np.uint64(1024)).astype(np.int64),
-                "y": ((h >> np.uint64(10)) % np.uint64(1024)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    pk = F.pandas_udf(_pt, p_t)
-    pts = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        (F.col("o_orderkey") % CK_GROUPS).cast("long").alias("g"),
-        F.col("o_orderkey").cast("long").alias("id"),
-        pk(F.col("o_orderkey").cast("long")).alias("p"),
-    )
-    lines = (
-        pts.groupBy("g")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("id", "p.x", "p.y"))
-            ).alias("pp")
-        )
-        .select(
-            "g",
-            F.size("pp").cast("long").alias("n_in"),
-            F.transform("pp", lambda s: s["x"]).alias("xs"),
-            F.transform("pp", lambda s: s["y"]).alias("ys"),
-        )
-    )
-    df = lines
-    for _ in range(CK_ROUNDS):
-        df = df.selectExpr(
-            "g",
-            "n_in",
-            f"{round_expr('spark', 'xs')} AS xs",
-            f"{round_expr('spark', 'ys')} AS ys",
-        )
-    return df.selectExpr(
-        "g",
-        "n_in",
-        "CAST(size(xs) AS BIGINT) AS n_out",
-        f"CAST({manhattan_expr('spark', 'xs', 'ys')} AS BIGINT) AS mlen",
-        f"CAST({vhash_expr('spark', 'xs', 'ys')} AS BIGINT) AS vhash",
-    )
-
-
-def _sql_chaikin() -> str:
-    from mapnik_vector_tile_spark.functions.chaikin import (
-        manhattan_expr,
-        round_expr,
-        vhash_expr,
-    )
-
-    h = splitmix64_sql("o_orderkey")
-    q = f"""
-WITH raw AS (
-  SELECT CAST(o_orderkey % {CK_GROUPS} AS BIGINT) AS g,
-         CAST(o_orderkey AS BIGINT) AS id,
-         CAST(({h}) % 1024 AS BIGINT) AS x,
-         CAST((({h}) // 1024) % 1024 AS BIGINT) AS y
-  FROM orders),
-lines AS (
-  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_in,
-         list(x ORDER BY id) AS xs, list(y ORDER BY id) AS ys
-  FROM raw GROUP BY g)"""
-    src = "lines"
-    for r in range(CK_ROUNDS):
-        q += f""",
-r{r + 1} AS (
-  SELECT g, n_in,
-         {round_expr('duckdb', 'xs')} AS xs,
-         {round_expr('duckdb', 'ys')} AS ys
-  FROM {src})"""
-        src = f"r{r + 1}"
-    q += f"""
-SELECT g, n_in, CAST(len(xs) AS BIGINT) AS n_out,
-       {manhattan_expr('duckdb', 'xs', 'ys')} AS mlen,
-       {vhash_expr('duckdb', 'xs', 'ys')} AS vhash
-FROM {src}
-"""
-    return q
-
-
-_ENGINE_PAIRS["q_chaikin"] = (q_chaikin, _sql_chaikin())
-
-
-# ---------------------------------------------------------------------------
-# q_areal_interp — J13 areal interpolation (cellcover.areal_interpolate)
-# ---------------------------------------------------------------------------
-
-AI_NSRC = 60
-AI_NTGT = 40
-
-
-def _ai_rect_feats(spark: SparkSession, n: int, base: int, style: int):
-    """Axis-aligned rect features anchored at cell+span/4 (edges never
-    on cell boundaries) — source (style 0) and target (style 1) use
-    different anchor/extent formulas so tessellations genuinely
-    differ."""
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.functions import tilemath as tm
-
-    span = tm.tile_span(COVER_Z)
-
-    def gen(it):
-        from mapnik_vector_tile_spark.functions import geomcodec as gc
-
-        for pdf in it:
-            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
-                    "part_offsets": [], "caption": []}
-            for i in pdf["id"]:
-                i = int(i)
-                if style == 0:
-                    k, m = (i * 7) % 40, (i * 11) % 40
-                    wc, hc = 1 + i % 5, 2 + i % 4
-                else:
-                    k, m = (i * 13) % 40, (i * 17) % 40
-                    wc, hc = 1 + i % 6, 1 + i % 3
-                a = -tm.W + k * span + span / 4
-                c = -tm.W + m * span + span / 4
-                w = wc * span + span / 2
-                h = hc * span + span / 2
-                rows["feature_id"].append(base + i)
-                rows["geom_type"].append(int(gc.GEOM_POLYGON))
-                rows["xs"].append([a, a + w, a + w, a, a])
-                rows["ys"].append([c, c, c + h, c + h, c])
-                rows["part_offsets"].append([0, 5])
-                rows["caption"].append(f"r{base + i}")
-            yield pd.DataFrame(rows)
-
-    return spark.range(n).mapInPandas(
-        gen,
-        "feature_id long, geom_type int, xs array<double>,"
-        " ys array<double>, part_offsets array<int>, caption string",
-    )
-
-
-def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Areal interpolation (cellcover.areal_interpolate) with a FULL
-    oracle: 60 source rects with splitmix values reallocate onto 40
-    target rects through the REAL covering kernel + cell equi-join;
-    DuckDB never sees a cell — it intersects the closed-form
-    inclusive cell RANGES (max(0, min−max+1) algebra) and replays the
-    exact floor allocations."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.cellcover import (
-        areal_interpolate,
-    )
-
-    src = _ai_rect_feats(spark, AI_NSRC, 0, 0)
-    tgt = _ai_rect_feats(spark, AI_NTGT, 1000, 1)
-
-    def _val(k):
-        import numpy as np
-        import pandas as pd
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.Series((1000 + h % np.uint64(9000)).astype(np.int64))
-
-    from pyspark.sql.types import LongType
-
-    vk = F.pandas_udf(_val, LongType())
-    vals = spark.range(AI_NSRC).select(
-        F.col("id").cast("long").alias("sid"), vk(F.col("id")).alias("value")
-    )
-    return areal_interpolate(src, vals, tgt, COVER_Z)
-
-
-def _sql_areal_interp() -> str:
-    sm = splitmix64_sql("i")
-    return f"""
-WITH si AS (SELECT unnest(generate_series(0, {AI_NSRC - 1})) AS i),
-ti AS (SELECT unnest(generate_series(0, {AI_NTGT - 1})) AS i),
-s AS (
-  SELECT CAST(i AS BIGINT) AS sid,
-         (i * 7) % 40 AS x1, (i * 7) % 40 + 1 + i % 5 AS x2,
-         (i * 11) % 40 AS y1, (i * 11) % 40 + 2 + i % 4 AS y2,
-         CAST(1000 + ({sm}) % 9000 AS BIGINT) AS value
-  FROM si),
-t AS (
-  SELECT CAST(1000 + i AS BIGINT) AS tid,
-         (i * 13) % 40 AS x1, (i * 13) % 40 + 1 + i % 6 AS x2,
-         (i * 17) % 40 AS y1, (i * 17) % 40 + 1 + i % 3 AS y2
-  FROM ti),
-sn AS (SELECT sid, value,
-              (x2 - x1 + 1) * (y2 - y1 + 1) AS n_cells_s,
-              x1, x2, y1, y2
-       FROM s),
-ov AS (
-  SELECT sn.sid, t.tid, sn.value, sn.n_cells_s,
-         GREATEST(0, LEAST(sn.x2, t.x2) - GREATEST(sn.x1, t.x1) + 1)
-           * GREATEST(0, LEAST(sn.y2, t.y2) - GREATEST(sn.y1, t.y1) + 1)
-           AS ov
-  FROM sn CROSS JOIN t),
-pos AS (SELECT * FROM ov WHERE ov > 0)
-SELECT tid,
-       CAST(COUNT(*) AS BIGINT) AS n_src,
-       CAST(SUM(ov) AS BIGINT) AS sum_overlap,
-       CAST(SUM((value * ov) // n_cells_s) AS BIGINT) AS alloc
-FROM pos GROUP BY tid
-"""
-
-
-_ENGINE_PAIRS["q_areal_interp"] = (q_areal_interp, _sql_areal_interp())
-
-
-# ---------------------------------------------------------------------------
-# q_convolve — R13 generic kernel convolution (raster.convolve_tiles)
-# ---------------------------------------------------------------------------
-
-CV_T = 16
-# asymmetric 5-tap kernel: any orientation/offset mistake breaks it
-CV_TAPS = ((-1, -1, 2), (0, 0, 1), (1, 1, -2), (0, -1, 3), (-1, 1, -1))
-
-
-def q_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generic convolution (raster.convolve_tiles) with a FULL
-    oracle: 100 closed-form uint8 tiles correlate with a broadcast
-    asymmetric 5-tap kernel; DuckDB rebuilds the valid-region
-    response with a weights join and folds the identical sum/abs/
-    min/max/positional witness."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import convolve_tiles
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = CV_T
-
-    def gen(it):
-        for pdf in it:
-            rows = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                a = 1 + h % 13
-                b = 1 + (h >> 8) % 11
-                ph = (h >> 16) % 997
-                r = np.arange(T, dtype=np.int64)
-                v = (r[:, None] * a + r[None, :] * b + ph) % 256
-                rows["z"].append(5)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(v.astype(np.uint8).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    kernel = spark.createDataFrame(
-        list(CV_TAPS), "dy long, dx long, w long"
-    )
-    return convolve_tiles(tiles, kernel, T)
-
-
-def _sql_convolve(t: int = CV_T) -> str:
-    sm = splitmix64_sql("i")
-    ry0 = min(tp[0] for tp in CV_TAPS)
-    ry1 = max(tp[0] for tp in CV_TAPS)
-    rx0 = min(tp[1] for tp in CV_TAPS)
-    rx1 = max(tp[1] for tp in CV_TAPS)
-    oh = t - (ry1 - ry0)
-    ow = t - (rx1 - rx0)
-    taps = ",".join(f"({dy},{dx},{w})" for dy, dx, w in CV_TAPS)
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
-hh AS (
-  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
-         CAST(1 + ({sm}) % 13 AS BIGINT) AS a,
-         CAST(1 + (({sm}) // 256) % 11 AS BIGINT) AS b,
-         CAST((({sm}) // 65536) % 997 AS BIGINT) AS ph
-  FROM ids),
-px AS MATERIALIZED (
-  SELECT x, y, r.v AS rv, c.v AS cv,
-         (r.v * a + c.v * b + ph) % 256 AS v
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
-og AS (
-  SELECT h.x, h.y, oy.v AS oy, ox.v AS ox
-  FROM (SELECT DISTINCT x, y FROM hh) h
-  CROSS JOIN (SELECT unnest(generate_series(0, {oh - 1})) AS v) oy
-  CROSS JOIN (SELECT unnest(generate_series(0, {ow - 1})) AS v) ox),
-resp AS MATERIALIZED (
-  SELECT o.x, o.y, o.oy, o.ox,
-         CAST(SUM(k.w * p.v) AS BIGINT) AS r
-  FROM og o
-  CROSS JOIN (VALUES {taps}) k(dy, dx, w)
-  JOIN px p ON p.x = o.x AND p.y = o.y
-           AND p.rv = o.oy + k.dy - ({ry0})
-           AND p.cv = o.ox + k.dx - ({rx0})
-  GROUP BY 1, 2, 3, 4)
-SELECT CAST(5 AS BIGINT) AS z, x, y,
-       CAST({oh * ow} AS BIGINT) AS n_px,
-       CAST(SUM(r) AS BIGINT) AS sum_r,
-       CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs,
-       CAST(MIN(r) AS BIGINT) AS min_r,
-       CAST(MAX(r) AS BIGINT) AS max_r,
-       CAST(SUM((oy * {ow} + ox + 1) * r) AS BIGINT) AS wsum
-FROM resp GROUP BY x, y
-"""
-
-
-_ENGINE_PAIRS["q_convolve"] = (q_convolve, _sql_convolve())
-
-
-# ---------------------------------------------------------------------------
-# q_flow_d8 — R14 D8 flow direction (raster.flow_direction_tiles)
-# ---------------------------------------------------------------------------
-
-
-def q_flow_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D8 flow direction (raster.flow_direction_tiles) over the
-    closed-form Terrain-RGB surface, FULL oracle: DuckDB rebuilds per-
-    cell drops with an 8-offset join, applies the identical cross-
-    multiplied steepest-descent keys and pinned tie order, and folds
-    the same per-(tile, dir) census — one mis-ranked neighbor
-    anywhere shifts the hash."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        flow_direction_tiles,
-        terrain_rgb_encode,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = TER_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                phase = h % 100003
-                r = np.arange(T, dtype=np.int64)
-                rr, cc = r[:, None], r[None, :]
-                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
-                rows["z"].append(TER_Z)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(terrain_rgb_encode(e).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return flow_direction_tiles(tiles, T)
-
-
-def _sql_flow_d8(t: int = TER_T) -> str:
-    sm = splitmix64_sql("i")
-    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
-        " % 40001) - 10000)")
-    dirs = ",".join(
-        f"({d},{dy},{dx},{1 if diag else 2})"
-        for d, (dy, dx), diag in (
-            (0, (0, 1), 0), (1, (1, 1), 1), (2, (1, 0), 0),
-            (3, (1, -1), 1), (4, (0, -1), 0), (5, (-1, -1), 1),
-            (6, (-1, 0), 0), (7, (-1, 1), 1),
-        )
-    )
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
-hh AS (
-  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
-         CAST(({sm}) % 100003 AS BIGINT) AS phase
-  FROM ids),
-px AS MATERIALIZED (
-  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
-cand AS MATERIALIZED (
-  SELECT a.x, a.y, a.rv, a.cv, k.d,
-         CASE WHEN a.e - b.e > 0
-              THEN k.mult * (a.e - b.e) * (a.e - b.e)
-              ELSE 0 END AS key
-  FROM px a
-  CROSS JOIN (VALUES {dirs}) k(d, dy, dx, mult)
-  JOIN px b ON b.x = a.x AND b.y = a.y
-           AND b.rv = a.rv + k.dy AND b.cv = a.cv + k.dx
-  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}),
-best AS (
-  SELECT x, y, rv, cv, d, key,
-         row_number() OVER (
-           PARTITION BY x, y, rv, cv ORDER BY key DESC, d) AS rn
-  FROM cand),
-win AS (
-  SELECT x, y,
-         CASE WHEN key > 0 THEN d ELSE -1 END AS dir,
-         CASE WHEN key > 0 THEN key ELSE 0 END AS key
-  FROM best WHERE rn = 1)
-SELECT CAST({TER_Z} AS BIGINT) AS z, x, y, CAST(dir AS BIGINT) AS dir,
-       CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST(SUM(key) AS BIGINT) AS sum_key
-FROM win GROUP BY x, y, dir
-"""
-
-
-_ENGINE_PAIRS["q_flow_d8"] = (q_flow_d8, _sql_flow_d8())
-
-
-# ---------------------------------------------------------------------------
-# q_flow_accum — R15 hop-bounded flow accumulation
-# ---------------------------------------------------------------------------
-
-FA_ROUNDS = 8
-
-
-def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hop-bounded D8 flow accumulation (raster.flow_accumulation_
-    tiles, 8 rounds) over the same quadratic Terrain-RGB surface as
-    q_flow_d8, FULL oracle: DuckDB re-derives per-cell drainage edges
-    (same window-rank steepest descent) and unrolls the identical 8
-    relaxation rounds as MATERIALIZED CTEs."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        flow_accumulation_tiles,
-        terrain_rgb_encode,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = TER_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                phase = h % 100003
-                r = np.arange(T, dtype=np.int64)
-                rr, cc = r[:, None], r[None, :]
-                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
-                rows["z"].append(TER_Z)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(terrain_rgb_encode(e).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return flow_accumulation_tiles(tiles, T, rounds=FA_ROUNDS)
-
-
-def _sql_flow_accum(t: int = TER_T, rounds: int = FA_ROUNDS) -> str:
-    sm = splitmix64_sql("i")
-    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
-         " % 40001) - 10000)")
-    dirs = ",".join(
-        f"({d},{dy},{dx},{1 if diag else 2})"
-        for d, (dy, dx), diag in (
-            (0, (0, 1), 0), (1, (1, 1), 1), (2, (1, 0), 0),
-            (3, (1, -1), 1), (4, (0, -1), 0), (5, (-1, -1), 1),
-            (6, (-1, 0), 0), (7, (-1, 1), 1),
-        )
-    )
-    oh = t - 2
-    relax = []
-    for rd in range(1, rounds + 1):
-        relax.append(
-            f""",
-a{rd} AS MATERIALIZED (
-  SELECT n.x, n.y, n.cid,
-         1 + COALESCE(m.s, 0) AS acc
-  FROM cells n
-  LEFT JOIN (
-    SELECT e.x, e.y, e.dst AS cid, SUM(a.acc) AS s
-    FROM edges e
-    JOIN a{rd - 1} a ON a.x = e.x AND a.y = e.y AND a.cid = e.src
-    GROUP BY e.x, e.y, e.dst) m
-    ON m.x = n.x AND m.y = n.y AND m.cid = n.cid)"""
-        )
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
-hh AS (
-  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
-         CAST(({sm}) % 100003 AS BIGINT) AS phase
-  FROM ids),
-px AS MATERIALIZED (
-  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
-cand AS MATERIALIZED (
-  SELECT a.x, a.y, a.rv, a.cv, k.d, k.dy, k.dx,
-         CASE WHEN a.e - b.e > 0
-              THEN k.mult * (a.e - b.e) * (a.e - b.e)
-              ELSE 0 END AS key
-  FROM px a
-  CROSS JOIN (VALUES {dirs}) k(d, dy, dx, mult)
-  JOIN px b ON b.x = a.x AND b.y = a.y
-           AND b.rv = a.rv + k.dy AND b.cv = a.cv + k.dx
-  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}),
-best AS MATERIALIZED (
-  SELECT x, y, rv, cv, d, dy, dx, key,
-         row_number() OVER (
-           PARTITION BY x, y, rv, cv ORDER BY key DESC, d) AS rn
-  FROM cand),
-cells AS MATERIALIZED (
-  SELECT x, y, (rv - 1) * {oh} + (cv - 1) AS cid
-  FROM best WHERE rn = 1),
-edges AS MATERIALIZED (
-  SELECT x, y,
-         (rv - 1) * {oh} + (cv - 1) AS src,
-         (rv - 1 + dy) * {oh} + (cv - 1 + dx) AS dst
-  FROM best
-  WHERE rn = 1 AND key > 0
-    AND rv + dy BETWEEN 1 AND {t - 2}
-    AND cv + dx BETWEEN 1 AND {t - 2}),
-a0 AS (SELECT x, y, cid, CAST(1 AS BIGINT) AS acc FROM cells)
-{''.join(relax)}
-SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
-       CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST(SUM(acc) AS BIGINT) AS sum_acc,
-       CAST(MAX(acc) AS BIGINT) AS max_acc,
-       CAST(SUM((cid + 1) * acc) AS BIGINT) AS wsum
-FROM a{rounds} GROUP BY x, y
-"""
-
-
-_ENGINE_PAIRS["q_flow_accum"] = (q_flow_accum, _sql_flow_accum())
-
-
-# ---------------------------------------------------------------------------
-# q_hausdorff — W10 symmetric Hausdorff trajectory distance
-# ---------------------------------------------------------------------------
-
-HF_GROUPS = 150
-
-
-def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric Hausdorff (temporal.hausdorff_pairs) with a FULL
-    oracle: 150 order-derived trajectories paired (g, g+75); both
-    engines fold the identical max-of-min squared-integer distances."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.temporal import hausdorff_pairs
-
-    p_t = StructType(
-        [StructField("x", LongType()), StructField("y", LongType())]
-    )
-
-    def _pt(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "x": (h % np.uint64(4096)).astype(np.int64),
-                "y": ((h >> np.uint64(12)) % np.uint64(4096)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    pk = F.pandas_udf(_pt, p_t)
-    pts = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        (F.col("o_orderkey") % HF_GROUPS).cast("long").alias("tid"),
-        pk(F.col("o_orderkey").cast("long")).alias("p"),
-    ).select("tid", "p.x", "p.y")
-    half = HF_GROUPS // 2
-    pairs = spark.range(half).select(
-        F.col("id").cast("long").alias("ta"),
-        (F.col("id") + half).cast("long").alias("tb"),
-    )
-    return hausdorff_pairs(pts, pairs)
-
-
-def _sql_hausdorff() -> str:
-    h = splitmix64_sql("o_orderkey")
-    half = HF_GROUPS // 2
-    return f"""
-WITH pts AS (
-  SELECT CAST(o_orderkey % {HF_GROUPS} AS BIGINT) AS tid,
-         CAST(({h}) % 4096 AS BIGINT) AS x,
-         CAST((({h}) // 4096) % 4096 AS BIGINT) AS y
-  FROM orders),
-pairs AS (
-  SELECT CAST(i AS BIGINT) AS ta, CAST(i + {half} AS BIGINT) AS tb
-  FROM (SELECT unnest(generate_series(0, {half - 1})) AS i)),
-dab AS (
-  SELECT p.ta, p.tb, a.x AS ax, a.y AS ay,
-         MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
-           AS mind2
-  FROM pairs p
-  JOIN pts a ON a.tid = p.ta
-  JOIN pts b ON b.tid = p.tb
-  GROUP BY 1, 2, 3, 4),
-hab AS (
-  SELECT ta, tb, CAST(MAX(mind2) AS BIGINT) AS h_ab
-  FROM dab GROUP BY 1, 2),
-dba AS (
-  SELECT p.ta, p.tb, b.x AS bx, b.y AS by,
-         MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
-           AS mind2
-  FROM pairs p
-  JOIN pts a ON a.tid = p.ta
-  JOIN pts b ON b.tid = p.tb
-  GROUP BY 1, 2, 3, 4),
-hba AS (
-  SELECT ta, tb, CAST(MAX(mind2) AS BIGINT) AS h_ba
-  FROM dba GROUP BY 1, 2)
-SELECT hab.ta, hab.tb, hab.h_ab, hba.h_ba,
-       GREATEST(hab.h_ab, hba.h_ba) AS h_sym
-FROM hab JOIN hba ON hba.ta = hab.ta AND hba.tb = hab.tb
-"""
-
-
-_ENGINE_PAIRS["q_hausdorff"] = (q_hausdorff, _sql_hausdorff())
-
-
-# ---------------------------------------------------------------------------
-# q_hist_match — T12q histogram matching (raster.histogram_match_stats)
-# ---------------------------------------------------------------------------
-
-IMG_HM_N = 150
-
-
-def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Histogram matching to the closed-form triangular reference,
-    FULL oracle: DuckDB rebuilds the luma histogram and cdf with
-    windows, derives the lut by the same cross-multiplied min-t rule,
-    and re-walks every pixel through it — positional wsum pins the
-    whole mapped plane."""
-    from mapnik_vector_tile_spark.operators.raster import (
-        histogram_match_stats,
-    )
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    return histogram_match_stats(images_df(spark, IMG_HM_N))
-
-
-def _sql_hist_match(n: int = IMG_HM_N) -> str:
-    from mapnik_vector_tile_spark.operators.raster import HM_REF_DEN
-
-    return f"""
-WITH {_img_pixel_ctes(n)},
-lum AS MATERIALIZED (
-  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan
-),
-np_ AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM lum GROUP BY i),
-hist AS (
-  SELECT i, g8 AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM lum GROUP BY i, g8),
-cdf AS (
-  SELECT i, v, CAST(SUM(c) OVER (
-    PARTITION BY i ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
-    AS cdf
-  FROM hist),
-reft AS (
-  SELECT CAST(t AS BIGINT) AS t,
-         CAST((t + 1) * (t + 2) // 2 AS BIGINT) AS num
-  FROM (SELECT unnest(generate_series(0, 255)) AS t)),
-lut AS MATERIALIZED (
-  SELECT c.i, c.v, CAST(MIN(r.t) AS BIGINT) AS m
-  FROM cdf c
-  JOIN np_ ON np_.i = c.i
-  JOIN reft r ON r.num * np_.n >= c.cdf * {HM_REF_DEN}
-  GROUP BY c.i, c.v),
-mapped AS (
-  SELECT l.i, l.w, l.y, l.x, lut.m
-  FROM lum l JOIN lut ON lut.i = l.i AND lut.v = l.g8)
-SELECT 'img_' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id,
-       np_.n AS n_px,
-       CAST(SUM(mp.m) AS BIGINT) AS sum_m,
-       CAST(MAX(mp.m) AS BIGINT) AS max_m,
-       CAST(SUM((mp.y * mp.w + mp.x + 1) * mp.m) AS BIGINT) AS wsum,
-       caps.caption AS caption
-FROM dims d
-JOIN np_ ON np_.i = d.i
-JOIN mapped mp ON mp.i = d.i
-JOIN caps ON caps.i = d.i
-GROUP BY d.i, np_.n, caps.caption
-"""
-
-
-_ENGINE_PAIRS["q_hist_match"] = (q_hist_match, _sql_hist_match())
-
-
-# ---------------------------------------------------------------------------
-# q_triangles — G5 triangle counting on the road lattice
-# ---------------------------------------------------------------------------
-
-
-def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting (graph.triangle_count) on the king-move road
-    lattice (dense in diagonal triangles by construction), FULL
-    oracle: DuckDB replays the oriented wedge+closure joins."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.graph import triangle_count
-
-    e_t = StructType(
-        [
-            StructField("u", LongType()),
-            StructField("v", LongType()),
-            StructField("keep", LongType()),
-        ]
-    )
-
-    def _edge_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        x = (h % np.uint64(64)).astype(np.int64)
-        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
-        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
-        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
-        return pd.DataFrame(
-            {
-                "u": x * 256 + y,
-                "v": (x + dx) * 256 + (y + dy),
-                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
-            }
-        )
-
-    ek = F.pandas_udf(_edge_kernel, e_t)
-    e1 = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(ek(F.col("o_orderkey")).alias("e"))
-        .select("e.u", "e.v", "e.keep")
-        .filter(F.col("keep") == 1)
-        .drop("keep")
-    )
-    return triangle_count(e1)
-
-
-def _sql_triangles() -> str:
-    h = splitmix64_sql("o_orderkey")
-    return f"""
-WITH e0 AS MATERIALIZED (
-  SELECT CAST(({h}) % 64 AS BIGINT) AS x,
-         CAST((({h}) // 64) % 64 AS BIGINT) AS y,
-         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
-         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy
-  FROM orders),
-e1 AS MATERIALIZED (
-  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v
-  FROM e0 WHERE dx <> 0 OR dy <> 0),
-e AS MATERIALIZED (
-  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
-  FROM e1 WHERE u <> v),
-w AS MATERIALIZED (
-  SELECT e1.a, e1.b, e2.b AS c
-  FROM e e1 JOIN e e2 ON e2.a = e1.b),
-tri AS (
-  SELECT COUNT(*) AS n FROM w
-  JOIN e e3 ON e3.a = w.a AND e3.b = w.c)
-SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-       CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
-       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
-"""
-
-
-_ENGINE_PAIRS["q_triangles"] = (q_triangles, _sql_triangles())
-
-
-# ---------------------------------------------------------------------------
-# q_mmr — T41 Maximal Marginal Relevance rerank (similarity.mmr_select)
-# ---------------------------------------------------------------------------
-
-MMR_Q = 50
-MMR_M = 12
-MMR_K = 5
-
-
-def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity rerank (similarity.mmr_select) with a FULL
-    oracle: 50 queries x 12 candidates with splitmix integer
-    relevances and pairwise similarities; DuckDB unrolls the 5 greedy
-    picks as chained argmax levels (k-1 similarity lookups per level)
-    — one wrong max-sim-to-picked anywhere reorders the chain."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.similarity import mmr_select
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    def gen_c(it):
-        for pdf in it:
-            rows = {"qid": [], "cid": [], "rel": []}
-            for q in pdf["id"]:
-                q = int(q)
-                j = np.arange(MMR_M, dtype=np.uint64)
-                h = splitmix64(np.uint64(q * 131) + j) >> np.uint64(11)
-                for jj in range(MMR_M):
-                    rows["qid"].append(q)
-                    rows["cid"].append(jj)
-                    rows["rel"].append(int(h[jj] % 100000))
-            yield pd.DataFrame(rows)
-
-    def gen_s(it):
-        for pdf in it:
-            rows = {"qid": [], "ca": [], "cb": [], "sim": []}
-            for q in pdf["id"]:
-                q = int(q)
-                for a in range(MMR_M):
-                    for b in range(a + 1, MMR_M):
-                        h = int(
-                            splitmix64(
-                                np.array(
-                                    [q * 10007 + a * 13 + b],
-                                    dtype=np.uint64,
-                                )
-                            )[0]
-                        ) >> 11
-                        rows["qid"].append(q)
-                        rows["ca"].append(a)
-                        rows["cb"].append(b)
-                        rows["sim"].append(h % 80000)
-            yield pd.DataFrame(rows)
-
-    cands = spark.range(MMR_Q).mapInPandas(
-        gen_c, "qid long, cid long, rel long"
-    )
-    sims = spark.range(MMR_Q).mapInPandas(
-        gen_s, "qid long, ca long, cb long, sim long"
-    )
-    return mmr_select(cands, sims, k=MMR_K)
-
-
-def _sql_mmr(k: int = MMR_K) -> str:
-    hr = splitmix64_sql("(q * 131 + j)")
-    hs = splitmix64_sql("(q * 10007 + a * 13 + b)")
-    # chained greedy levels: level i picks argmax(rel - maxsim vs
-    # p1..p_{i-1}), ties cid ASC
-    levels = []
-    for i in range(1, k + 1):
-        joins = []
-        gle = []
-        for j in range(1, i):
-            joins.append(
-                f"  LEFT JOIN sims s{j} ON s{j}.qid = c.qid"
-                f" AND s{j}.ca = c.cid AND s{j}.cb = p.p{j}"
-            )
-            gle.append(f"COALESCE(s{j}.sim, 0)")
-        maxsim = (
-            "GREATEST(" + ", ".join(gle) + ")" if gle else "0"
-        )
-        notin = " AND ".join(
-            f"c.cid <> p.p{j}" for j in range(1, i)
-        ) or "TRUE"
-        prevcols = ", ".join(f"p.p{j}" for j in range(1, i))
-        carry = (prevcols + ", ") if prevcols else ""
-        levels.append(
-            f""",
-l{i} AS MATERIALIZED (
-  SELECT qid, {carry.replace('p.', '')}cid AS p{i}, rel AS r{i},
-         mmr AS m{i}
-  FROM (
-    SELECT c.qid, {carry}c.cid, c.rel,
-           c.rel - {maxsim} AS mmr,
-           row_number() OVER (
-             PARTITION BY c.qid
-             ORDER BY c.rel - {maxsim} DESC, c.cid) AS rn
-    FROM cand c
-    JOIN p{i - 1} p ON p.qid = c.qid
-{chr(10).join(joins) if joins else ''}
-    WHERE {notin}
-  ) WHERE rn = 1),
-p{i} AS (SELECT * FROM l{i})"""
-        )
-    emits = "\nUNION ALL\n".join(
-        f"SELECT qid, p{i} AS cid, r{i} AS rel, m{i} AS mmr,"
-        f" CAST({i} AS BIGINT) AS rnk FROM l{i}"
-        for i in range(1, k + 1)
-    )
-    return f"""
-WITH qs AS (SELECT unnest(generate_series(0, {MMR_Q - 1})) AS q),
-js AS (SELECT unnest(generate_series(0, {MMR_M - 1})) AS j),
-cand AS MATERIALIZED (
-  SELECT CAST(q AS BIGINT) AS qid, CAST(j AS BIGINT) AS cid,
-         CAST((({hr}) // 2048) % 100000 AS BIGINT) AS rel
-  FROM qs, js),
-pr AS (SELECT a.j AS a, b.j AS b FROM js a JOIN js b ON b.j > a.j),
-s0 AS (
-  SELECT CAST(q AS BIGINT) AS qid, CAST(a AS BIGINT) AS ca,
-         CAST(b AS BIGINT) AS cb,
-         CAST((({hs}) // 2048) % 80000 AS BIGINT) AS sim
-  FROM qs, pr),
-sims AS MATERIALIZED (
-  SELECT qid, ca, cb, sim FROM s0
-  UNION ALL
-  SELECT qid, cb AS ca, ca AS cb, sim FROM s0),
-p0 AS (SELECT DISTINCT qid FROM cand){''.join(levels)}
-{emits}
-"""
-
-
-_ENGINE_PAIRS["q_mmr"] = (q_mmr, _sql_mmr())
-
-
-# ---------------------------------------------------------------------------
-# q_funnel — W11 ordered funnel analysis (temporal.funnel_stages)
-# ---------------------------------------------------------------------------
-
-
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view→click→purchase funnel (temporal.funnel_stages) over the
-    events table with a FULL oracle: DuckDB replays each step's
-    strictly-after struct-min with the identical (epoch, event_id)
-    ordering — stage depth and exact step latencies per user."""
-    from mapnik_vector_tile_spark.operators.temporal import funnel_stages
-
-    return funnel_stages(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-    )
-
-
-def _sql_funnel() -> str:
-    return """
-WITH e AS (
-  SELECT user_id, event_type AS et,
-         CAST(floor(epoch(ts)) AS BIGINT) AS t,
-         CAST(event_id AS BIGINT) AS eid
-  FROM events),
-k1 AS (
-  SELECT user_id, MIN(struct_pack(t := t, eid := eid)) AS k
-  FROM e WHERE et = 'view' GROUP BY user_id),
-k2 AS (
-  SELECT e.user_id, MIN(struct_pack(t := e.t, eid := e.eid)) AS k
-  FROM e JOIN k1 ON k1.user_id = e.user_id
-  WHERE e.et = 'click'
-    AND struct_pack(t := e.t, eid := e.eid) > k1.k
-  GROUP BY e.user_id),
-k3 AS (
-  SELECT e.user_id, MIN(struct_pack(t := e.t, eid := e.eid)) AS k
-  FROM e JOIN k2 ON k2.user_id = e.user_id
-  WHERE e.et = 'purchase'
-    AND struct_pack(t := e.t, eid := e.eid) > k2.k
-  GROUP BY e.user_id)
-SELECT k1.user_id,
-       CAST(CASE WHEN k3.k IS NOT NULL THEN 3
-                 WHEN k2.k IS NOT NULL THEN 2
-                 ELSE 1 END AS BIGINT) AS stage,
-       CAST(COALESCE(k2.k.t - k1.k.t, -1) AS BIGINT) AS dt1,
-       CAST(COALESCE(k3.k.t - k2.k.t, -1) AS BIGINT) AS dt2
-FROM k1
-LEFT JOIN k2 ON k2.user_id = k1.user_id
-LEFT JOIN k3 ON k3.user_id = k1.user_id
-"""
-
-
-_ENGINE_PAIRS["q_funnel"] = (q_funnel, _sql_funnel())
-
-
-# ---------------------------------------------------------------------------
-# q_retention — W12 cohort retention matrix (temporal.retention_cohorts)
-# ---------------------------------------------------------------------------
-
-
-def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention (temporal.retention_cohorts) over events with
-    a FULL oracle: integer epoch-week cohorting, distinct user-week
-    activity, (cohort, offset) matrix with cohort sizes."""
-    from mapnik_vector_tile_spark.operators.temporal import (
-        retention_cohorts,
-    )
-
-    return retention_cohorts(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-    )
-
-
-def _sql_retention() -> str:
-    wk = 7 * 24 * 3600
-    return f"""
-WITH uw AS (
-  SELECT DISTINCT user_id,
-         CAST(floor(floor(epoch(ts)) / {wk}) AS BIGINT) AS w
-  FROM events),
-first_ AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id),
-size_ AS (
-  SELECT cw AS cohort_w, CAST(COUNT(*) AS BIGINT) AS n_cohort
-  FROM first_ GROUP BY cw),
-act AS (
-  SELECT f.cw AS cohort_w, uw.w - f.cw AS k,
-         CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
-  FROM uw JOIN first_ f ON f.user_id = uw.user_id
-  GROUP BY 1, 2)
-SELECT a.cohort_w, CAST(a.k AS BIGINT) AS k, a.n_active, s.n_cohort
-FROM act a JOIN size_ s ON s.cohort_w = a.cohort_w
-"""
-
-
-_ENGINE_PAIRS["q_retention"] = (q_retention, _sql_retention())
-
-
-# ---------------------------------------------------------------------------
-# q_style_stops — P7 zoom-dependent style property functions
-# ---------------------------------------------------------------------------
-
-
-def _style_query(engine: str) -> str:
-    from mapnik_vector_tile_spark.functions.stylestops import (
-        style_stops_sql,
-    )
-
-    src = (
-        "(SELECT CAST(o_orderkey AS BIGINT) AS fid,"
-        " CAST(o_orderkey % 16 AS BIGINT) AS z FROM orders) f"
-    )
-    return style_stops_sql(src, engine)
-
-
-def q_style_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Style stops evaluation (functions/stylestops.py — mapbox-gl
-    linear + step + exponential-base-7/4 property functions, exact
-    integer interpolation on pre-scaled values: the exponential
-    curve is the rational-base closed form, no pow() float) with a
-    FULL oracle: one generated SQL text per engine over per-feature
-    zooms 0..15 — clamps, bracket edges and every interpolated value
-    under the hash."""
-    load_views(spark, sf_dir)
-    return spark.sql(_style_query("spark"))
-
-
-_ENGINE_PAIRS["q_style_stops"] = (q_style_stops, _style_query("duckdb"))
-
-
-# ---------------------------------------------------------------------------
-# q_erosion_depth — ST7 hop-bounded Chebyshev boundary distance
-# ---------------------------------------------------------------------------
-
-ED_ROUNDS = 4
-
-
-def q_erosion_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Erosion depth (geostats.erosion_depth, 4 rounds) over the z5
-    occupancy grid of order points, FULL oracle: DuckDB unrolls the
-    identical rounds (left-join neighbor min with missing→boundary)
-    as MATERIALIZED CTEs and folds the same per-depth histogram +
-    lexicomin pole cells."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.tilemath import W
-    from mapnik_vector_tile_spark.operators.geostats import erosion_depth
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    z = 5
-    span = 2.0 * W / (1 << z)
-    pts = derive_points(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
-    )
-    cells = pts.select(
-        F.floor((F.col("mx") + F.lit(W)) / F.lit(span)).cast("long").alias("cx"),
-        F.floor((F.lit(W) - F.col("my")) / F.lit(span)).cast("long").alias("cy"),
-    ).distinct()
-    return erosion_depth(cells, rounds=ED_ROUNDS)
-
-
-def _sql_erosion_depth(rounds: int = ED_ROUNDS) -> str:
-    txe, tye = S.tile_xy_exprs(5)
-    offs = ",".join(
-        f"({dx},{dy})"
-        for dx, dy in (
-            (1, 0), (-1, 0), (0, 1), (0, -1),
-            (1, 1), (1, -1), (-1, 1), (-1, -1),
-        )
-    )
-    body = []
-    for r in range(1, rounds + 1):
-        body.append(
-            f""",
-d{r} AS MATERIALIZED (
-  SELECT b.cx, b.cy,
-         CASE WHEN m.n_found < 8 THEN 1 ELSE 1 + m.nbrmin END AS d
-  FROM cells b
-  JOIN (
-    SELECT p.cx, p.cy, MIN(n.d) AS nbrmin,
-           SUM(CASE WHEN n.d IS NULL THEN 0 ELSE 1 END) AS n_found
-    FROM cells p
-    CROSS JOIN (VALUES {offs}) o(dx, dy)
-    LEFT JOIN d{r - 1} n
-      ON n.cx = p.cx + o.dx AND n.cy = p.cy + o.dy
-    GROUP BY p.cx, p.cy) m
-    ON m.cx = b.cx AND m.cy = b.cy)"""
-        )
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-cells AS MATERIALIZED (
-  SELECT DISTINCT {txe} AS cx, {tye} AS cy FROM pts),
-d0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS d FROM cells)
-{''.join(body)}
-SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST(MIN(cx) AS BIGINT) AS px,
-       CAST(MIN(struct_pack(cx := cx, cy := cy)).cy AS BIGINT) AS py
-FROM d{rounds} GROUP BY d
-"""
-
-
-_ENGINE_PAIRS["q_erosion_depth"] = (q_erosion_depth, _sql_erosion_depth())
-
-
-# ---------------------------------------------------------------------------
-# q_cutmix — T12r CutMix augmentation accounting (raster.cutmix_stats)
-# ---------------------------------------------------------------------------
-
-CM_PAIRS = 60
-
-
-def q_cutmix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CutMix (raster.cutmix_stats) over 120 canonical images paired
-    (i, i+60), FULL oracle: DuckDB regenerates both pixel planes,
-    derives the same splitmix patch geometry over the shared
-    dimension window, and replays the paste — mix ratios, patch
-    areas, the positional wsum of every mixed plane, and the
-    concatenated captions all under one hash."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.raster import cutmix_stats
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    imgs = images_df(spark, CM_PAIRS * 2)
-    pairs = spark.range(CM_PAIRS).select(
-        F.col("id").cast("long").alias("pair_id"),
-        F.format_string("img_%012d", F.col("id")).alias("ida"),
-        F.format_string("img_%012d", F.col("id") + CM_PAIRS).alias("idb"),
-    )
-    return cutmix_stats(imgs, pairs)
-
-
-def _sql_cutmix(k: int = CM_PAIRS) -> str:
-    sm = splitmix64_sql("pid")
-    return f"""
-WITH {_img_pixel_ctes(k * 2)},
-lum AS MATERIALIZED (
-  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
-  FROM chan
-),
-prs AS (
-  SELECT CAST(p AS BIGINT) AS pid, CAST(p AS BIGINT) AS ia,
-         CAST(p + {k} AS BIGINT) AS ib
-  FROM (SELECT unnest(generate_series(0, {k - 1})) AS p)),
-geo AS MATERIALIZED (
-  SELECT prs.pid, prs.ia, prs.ib,
-         da.w AS wa, da.h AS ha,
-         1 + ({sm}) % GREATEST(1, LEAST(da.w, db.w) // 2) AS pw,
-         1 + (({sm}) // 256) % GREATEST(1, LEAST(da.h, db.h) // 2) AS ph,
-         LEAST(da.w, db.w) AS mw, LEAST(da.h, db.h) AS mh,
-         ({sm}) // 65536 AS h16, ({sm}) // 16777216 AS h24
-  FROM prs
-  JOIN dims da ON da.i = prs.ia
-  JOIN dims db ON db.i = prs.ib),
-geo2 AS MATERIALIZED (
-  SELECT pid, ia, ib, wa, ha, pw, ph,
-         CAST(h16 % (mw - pw + 1) AS BIGINT) AS x0,
-         CAST(h24 % (mh - ph + 1) AS BIGINT) AS y0
-  FROM geo),
-mixed AS (
-  SELECT g.pid, g.wa, la.y, la.x,
-         CASE WHEN la.x >= g.x0 AND la.x < g.x0 + g.pw
-               AND la.y >= g.y0 AND la.y < g.y0 + g.ph
-              THEN lb.g8 ELSE la.g8 END AS m
-  FROM geo2 g
-  JOIN lum la ON la.i = g.ia
-  LEFT JOIN lum lb ON lb.i = g.ib AND lb.y = la.y AND lb.x = la.x)
-SELECT g.pid AS pair_id,
-       CAST(g.wa * g.ha - g.pw * g.ph AS BIGINT) AS lam_num,
-       CAST(g.wa * g.ha AS BIGINT) AS lam_den,
-       CAST(g.pw * g.ph AS BIGINT) AS patch_area,
-       CAST(SUM((mx.y * mx.wa + mx.x + 1) * mx.m) AS BIGINT) AS wsum,
-       ca.caption || ' | ' || cb.caption AS caption
-FROM geo2 g
-JOIN mixed mx ON mx.pid = g.pid
-JOIN caps ca ON ca.i = g.ia
-JOIN caps cb ON cb.i = g.ib
-GROUP BY g.pid, g.wa, g.ha, g.pw, g.ph, ca.caption, cb.caption
-"""
-
-
-_ENGINE_PAIRS["q_cutmix"] = (q_cutmix, _sql_cutmix())
-
-
-# ---------------------------------------------------------------------------
-# q_concurrency — W13 interval concurrency sweep (temporal.interval_concurrency)
-# ---------------------------------------------------------------------------
-
-
-def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval concurrency (temporal.interval_concurrency) over the
-    deterministic event intervals (the q_interval_overlap corpus),
-    FULL oracle: DuckDB replays the sweep with the identical
-    (t, delta ASC, id) running sum (ends at e+1 fire before starts
-    at the same instant, so touching-but-disjoint closed intervals
-    do not double-count) — max occupancy and the earliest instant
-    it is reached."""
-    from mapnik_vector_tile_spark.operators.temporal import (
-        _event_intervals,
-        interval_concurrency,
-    )
-
-    return interval_concurrency(
-        _event_intervals(spark, sf_dir, "view", 6)
-    )
-
-
-def _sql_concurrency() -> str:
-    return """
-WITH iv AS (
-  SELECT CAST(event_id AS BIGINT) AS id,
-         epoch_us(ts) AS s,
-         epoch_us(ts) + (1 + event_id % 6) * 3600000000 AS e
-  FROM events WHERE event_type = 'view'),
-ev AS (
-  SELECT s AS t, 1 AS delta, id FROM iv
-  UNION ALL
-  SELECT e + 1 AS t, -1 AS delta, id FROM iv),
-run AS (
-  SELECT t, SUM(delta) OVER (
-    ORDER BY t, delta ASC, id ROWS UNBOUNDED PRECEDING) AS cc
-  FROM ev)
-SELECT CAST(MAX(b.cc) AS BIGINT) AS max_cc,
-       CAST(-MAX(struct_pack(cc := b.cc, negt := -b.t)).negt AS BIGINT)
-         AS t_at,
-       CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_intervals
-FROM run b
-"""
-
-
-_ENGINE_PAIRS["q_concurrency"] = (q_concurrency, _sql_concurrency())
-
-
-def q_concurrency_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segmented interval-concurrency sweep
-    (temporal.interval_concurrency_segmented) — the fleet-scale form
-    with NO global window over the event stream (per-time-bucket
-    partitioned running sums + broadcast prefix offsets).  FULL
-    oracle: DuckDB replays the exact single-sweep contract, which
-    the segmented form reproduces bit-identically."""
-    from mapnik_vector_tile_spark.operators.temporal import (
-        _event_intervals,
-        interval_concurrency_segmented,
-    )
-
-    return interval_concurrency_segmented(
-        _event_intervals(spark, sf_dir, "view", 6)
-    )
-
-
-_ENGINE_PAIRS["q_concurrency_seg"] = (q_concurrency_seg, _sql_concurrency())
-
-
-# ---------------------------------------------------------------------------
-# q_gini — ST8 Gini concentration of tile activity
-# ---------------------------------------------------------------------------
-
-
-def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini concentration (geostats.gini_concentration) over the z6
-    occupancy counts of order points, FULL oracle: rank-weighted
-    integer numerator/denominator replayed exactly; the derived
-    double uses one pinned expression shape."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.tilemath import W
-    from mapnik_vector_tile_spark.operators.geostats import (
-        gini_concentration,
-    )
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    z = 6
-    span = 2.0 * W / (1 << z)
-    pts = derive_points(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
-    )
-    cells = pts.select(
-        F.floor((F.col("mx") + F.lit(W)) / F.lit(span)).cast("long").alias("cx"),
-        F.floor((F.lit(W) - F.col("my")) / F.lit(span)).cast("long").alias("cy"),
-    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    return gini_concentration(cells)
-
-
-def _sql_gini() -> str:
-    txe, tye = S.tile_xy_exprs(6)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-cells AS (
-  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
-  FROM pts GROUP BY 1, 2),
-rk AS (
-  SELECT c, CAST(row_number() OVER (ORDER BY c, cx, cy) AS BIGINT) AS i
-  FROM cells),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(c) AS BIGINT) AS total FROM rk),
-num AS (
-  SELECT CAST(SUM((2 * rk.i - nn.n - 1) * rk.c) AS BIGINT) AS num
-  FROM rk CROSS JOIN nn)
-SELECT nn.n AS n_cells, nn.total, num.num,
-       CAST(nn.n * nn.total AS BIGINT) AS den,
-       CAST(num.num AS DOUBLE) / CAST(nn.n * nn.total AS DOUBLE)
-         AS gini_dbl
-FROM nn CROSS JOIN num
-"""
-
-
-_ENGINE_PAIRS["q_gini"] = (q_gini, _sql_gini())
-
-
-# ---------------------------------------------------------------------------
-# q_quadtree — R16 quadtree decomposition (raster.quadtree_stats)
-# ---------------------------------------------------------------------------
-
-
-def q_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quadtree decomposition (raster.quadtree_stats, tau=24) over
-    closed-form uint8 tiles mixing smooth gradients with hash noise
-    patches (so splits genuinely vary by depth), FULL oracle: DuckDB
-    rebuilds every depth's block max/min by integer-division grouping
-    and replays the shallowest-homogeneous-ancestor leaf rule."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import quadtree_stats
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = 16
-
-    def gen(it):
-        for pdf in it:
-            rows = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                a = h % 3
-                ph = (h >> 8) % 251
-                r = np.arange(T, dtype=np.int64)
-                # smooth base + a noisy quadrant: (r*a + ph) plus
-                # per-pixel hash noise where (r//8 + c//8) is odd
-                base = (r[:, None] * a + r[None, :] * a + ph) % 256
-                ns = np.arange(T * T, dtype=np.uint64) + np.uint64(
-                    i * 65537
-                )
-                # modulo in uint64 BEFORE the signed cast — int64(h) of
-                # a top-bit-set hash is negative and flips the residue
-                noise = (
-                    (splitmix64(ns) % np.uint64(97))
-                    .astype(np.int64)
-                    .reshape(T, T)
-                )
-                quad = ((r[:, None] // 8 + r[None, :] // 8) % 2) == 1
-                v = np.where(quad, (base + noise) % 256, base)
-                rows["z"].append(5)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(v.astype(np.uint8).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return quadtree_stats(tiles, T)
-
-
-def _sql_quadtree(t: int = 16, tau: int = 24) -> str:
-    sm = splitmix64_sql("i")
-    smn = splitmix64_sql("(r.v * 16 + c.v + i * 65537)")
-    # per-depth leaf CTEs: homog(d) from block grouping, anc via
-    # parent-chain joins
-    parts = []
-    for d in range(5):
-        nb = 1 << d
-        bs = t // nb
-        anc_pred = " OR ".join(
-            f"h{dd}.homog" for dd in range(d)
-        ) or "FALSE"
-        joins = "\n".join(
-            f"  JOIN hb{dd} h{dd} ON h{dd}.x = b.x AND h{dd}.y = b.y"
-            f" AND h{dd}.br = b.br // {1 << (d - dd)}"
-            f" AND h{dd}.bc = b.bc // {1 << (d - dd)}"
-            for dd in range(d)
-        )
-        parts.append(
-            f""",
-hb{d} AS MATERIALIZED (
-  SELECT x, y, rv // {bs} AS br, cv // {bs} AS bc,
-         (MAX(v) - MIN(v)) <= {tau} AS homog
-  FROM px GROUP BY 1, 2, 3, 4),
-lv{d} AS (
-  SELECT b.x, b.y, CAST({d} AS BIGINT) AS depth,
-         CAST(COUNT(CASE WHEN b.homog AND NOT ({anc_pred})
-                    THEN 1 END) AS BIGINT) AS n_leaves,
-         CAST(COALESCE(SUM(CASE WHEN b.homog AND NOT ({anc_pred})
-                    THEN b.br * {nb} + b.bc + 1 END), 0) AS BIGINT)
-           AS wsum
-  FROM hb{d} b
-{joins}
-  GROUP BY b.x, b.y)"""
-        )
-    un = "\nUNION ALL\n".join(
-        f"SELECT * FROM lv{d}" for d in range(5)
-    )
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
-hh AS (
-  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
-         CAST(({sm}) % 3 AS BIGINT) AS a,
-         CAST((({sm}) // 256) % 251 AS BIGINT) AS ph
-  FROM ids),
-px AS MATERIALIZED (
-  SELECT x, y, r.v AS rv, c.v AS cv,
-         CASE WHEN (r.v // 8 + c.v // 8) % 2 = 1
-              THEN ((r.v * a + c.v * a + ph) % 256
-                    + ({smn}) % 97) % 256
-              ELSE (r.v * a + c.v * a + ph) % 256 END AS v
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c){''.join(parts)}
-SELECT CAST(5 AS BIGINT) AS z, x, y, depth, n_leaves, wsum
-FROM ({un})
-"""
-
-
-_ENGINE_PAIRS["q_quadtree"] = (q_quadtree, _sql_quadtree())
-
-
-# ---------------------------------------------------------------------------
-# q_watershed — R17 watershed basins via pointer doubling
-# ---------------------------------------------------------------------------
-
-WS_DOUBLING = 8  # full coverage: ceil(log2(14*14)) for the 16px corpus
-
-
-def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watershed basins (raster.watershed_tiles) over the quadratic
-    Terrain-RGB surface, FULL oracle: DuckDB re-derives the D8
-    pointers and unrolls the SAME 8 doubling rounds (root of root —
-    2^8 hops ≥ the 196-cell interior, so every path fully resolves)
-    as MATERIALIZED CTEs, then folds the identical basin census."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        terrain_rgb_encode,
-        watershed_tiles,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = TER_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                phase = h % 100003
-                r = np.arange(T, dtype=np.int64)
-                rr, cc = r[:, None], r[None, :]
-                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
-                rows["z"].append(TER_Z)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(terrain_rgb_encode(e).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return watershed_tiles(tiles, T, doubling_rounds=WS_DOUBLING)
-
-
-def _sql_watershed(t: int = TER_T, rounds: int = WS_DOUBLING) -> str:
-    sm = splitmix64_sql("i")
-    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
-         " % 40001) - 10000)")
-    dirs = ",".join(
-        f"({d},{dy},{dx},{1 if diag else 2})"
-        for d, (dy, dx), diag in (
-            (0, (0, 1), 0), (1, (1, 1), 1), (2, (1, 0), 0),
-            (3, (1, -1), 1), (4, (0, -1), 0), (5, (-1, -1), 1),
-            (6, (-1, 0), 0), (7, (-1, 1), 1),
-        )
-    )
-    oh = t - 2
-    body = []
-    for rd in range(1, rounds + 1):
-        body.append(
-            f""",
-rt{rd} AS MATERIALIZED (
-  SELECT a.x, a.y, a.cid, b.root
-  FROM rt{rd - 1} a
-  JOIN rt{rd - 1} b ON b.x = a.x AND b.y = a.y AND b.cid = a.root)"""
-        )
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
-hh AS (
-  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
-         CAST(({sm}) % 100003 AS BIGINT) AS phase
-  FROM ids),
-px AS MATERIALIZED (
-  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
-cand AS MATERIALIZED (
-  SELECT a.x, a.y, a.rv, a.cv, k.d, k.dy, k.dx,
-         CASE WHEN a.e - b.e > 0
-              THEN k.mult * (a.e - b.e) * (a.e - b.e)
-              ELSE 0 END AS key
-  FROM px a
-  CROSS JOIN (VALUES {dirs}) k(d, dy, dx, mult)
-  JOIN px b ON b.x = a.x AND b.y = a.y
-           AND b.rv = a.rv + k.dy AND b.cv = a.cv + k.dx
-  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}),
-best AS MATERIALIZED (
-  SELECT x, y, rv, cv, d, dy, dx, key,
-         row_number() OVER (
-           PARTITION BY x, y, rv, cv ORDER BY key DESC, d) AS rn
-  FROM cand),
-rt0 AS MATERIALIZED (
-  SELECT x, y, (rv - 1) * {oh} + (cv - 1) AS cid,
-         CASE WHEN key > 0
-               AND rv + dy BETWEEN 1 AND {t - 2}
-               AND cv + dx BETWEEN 1 AND {t - 2}
-              THEN (rv - 1 + dy) * {oh} + (cv - 1 + dx)
-              ELSE (rv - 1) * {oh} + (cv - 1) END AS root
-  FROM best WHERE rn = 1){''.join(body)},
-basins AS (
-  SELECT x, y, root, CAST(COUNT(*) AS BIGINT) AS sz
-  FROM rt{rounds} GROUP BY x, y, root)
-SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
-       CAST(COUNT(*) AS BIGINT) AS n_basins,
-       CAST(MAX(sz) AS BIGINT) AS max_size,
-       CAST(SUM(root * sz) AS BIGINT) AS wsum
-FROM basins GROUP BY x, y
-"""
-
-
-_ENGINE_PAIRS["q_watershed"] = (q_watershed, _sql_watershed())
-
-
-# ---------------------------------------------------------------------------
-# q_hourly_profile — ST9 hour-of-week profiles (geostats.hourly_profiles)
-# ---------------------------------------------------------------------------
-
-
-def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-week profiles (geostats.hourly_profiles) over events
-    located on the cotravel 4-grid, FULL oracle: identical integer
-    hour-of-week fold, argmax peak with earlier-hour ties, profile
-    witness."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.geostats import hourly_profiles
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(4)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(4)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
-        ck(F.col("event_id")).alias("c"),
-    ).select("c.cx", "c.cy", "t")
-    return hourly_profiles(loc)
-
-
-def _sql_hourly_profile() -> str:
-    h = splitmix64_sql("event_id")
-    return f"""
-WITH loc AS (
-  SELECT CAST(({h}) % 4 AS BIGINT) AS cx,
-         CAST((({h}) // 256) % 4 AS BIGINT) AS cy,
-         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 168 AS how
-  FROM events),
-cnt AS (
-  SELECT cx, cy, how, CAST(COUNT(*) AS BIGINT) AS c
-  FROM loc GROUP BY 1, 2, 3)
-SELECT cx, cy,
-       CAST(SUM(c) AS BIGINT) AS n_events,
-       CAST(COUNT(*) AS BIGINT) AS n_hours,
-       CAST(-MAX(struct_pack(c := c, nh := -how)).nh AS BIGINT)
-         AS peak_how,
-       CAST(MAX(struct_pack(c := c, nh := -how)).c AS BIGINT)
-         AS peak_n,
-       CAST(SUM((how + 1) * c) AS BIGINT) AS phash
-FROM cnt GROUP BY cx, cy
-"""
-
-
-_ENGINE_PAIRS["q_hourly_profile"] = (q_hourly_profile, _sql_hourly_profile())
-
-
-# ---------------------------------------------------------------------------
-# q_knox — ST10 Knox space-time interaction (geostats.knox_ingredients)
-# ---------------------------------------------------------------------------
-
-KX_TAU = 3600
-
-
-def q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Knox ingredients (geostats.knox_ingredients, tau 1h, same-z5-
-    cell spatial closeness) over located events, FULL oracle: DuckDB
-    recomputes C(n,2)/per-cell C(n_c,2) closed-form and the two
-    bucket-join pair counts with the identical later-time dedup."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.geostats import knox_ingredients
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(32)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(32)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
-        F.col("event_id").cast("long").alias("eid"),
-        ck(F.col("event_id")).alias("c"),
-    ).select("c.cx", "c.cy", "t", "eid")
-    return knox_ingredients(loc, KX_TAU)
-
-
-def _sql_knox(tau: int = KX_TAU) -> str:
-    h = splitmix64_sql("event_id")
-    return f"""
-WITH ev AS MATERIALIZED (
-  SELECT CAST(({h}) % 32 AS BIGINT) AS cx,
-         CAST((({h}) // 256) % 32 AS BIGINT) AS cy,
-         CAST(floor(epoch(ts)) AS BIGINT) AS t,
-         CAST(event_id AS BIGINT) AS eid,
-         CAST(floor(epoch(ts)) AS BIGINT) // {tau} AS b
-  FROM events),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
-ns AS (
-  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_s
-  FROM (SELECT COUNT(*) AS c FROM ev GROUP BY cx, cy)),
-tp AS MATERIALIZED (
-  SELECT a.cx, a.cy, a.t, a.eid, b.cx AS bcx, b.cy AS bcy
-  FROM ev a
-  CROSS JOIN (VALUES (0), (1)) o(db)
-  JOIN ev b ON b.b = a.b + o.db
-  WHERE ABS(a.t - b.t) <= {tau}
-    AND (a.t < b.t OR (a.t = b.t AND a.eid < b.eid))
-    AND a.b + o.db = GREATEST(a.t, b.t) // {tau}),
-nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_t FROM tp),
-nst AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_st
-  FROM tp WHERE cx = bcx AND cy = bcy)
-SELECT nn.n AS n_events,
-       CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS n_pairs,
-       ns.n_s, nt.n_t, nst.n_st,
-       CAST(nst.n_st AS DOUBLE) * CAST(nn.n * (nn.n - 1) // 2 AS DOUBLE)
-         / (CAST(ns.n_s AS DOUBLE) * CAST(nt.n_t AS DOUBLE)) AS knox_dbl
-FROM nn CROSS JOIN ns CROSS JOIN nt CROSS JOIN nst
-"""
-
-
-_ENGINE_PAIRS["q_knox"] = (q_knox, _sql_knox())
-
-
-# ---------------------------------------------------------------------------
-# q_mobility — ST11 user mobility profiles (geostats.mobility_profiles)
-# ---------------------------------------------------------------------------
-
-
-def q_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mobility profiles (geostats.mobility_profiles) over events
-    located on a 32-grid, FULL oracle: exact integer gyration
-    moments, distinct-cell support, night-argmax home with lexicomin
-    ties, and one pinned sqrt expression for the display radius."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.geostats import (
-        mobility_profiles,
-    )
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(32)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(32)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
-        ck(F.col("event_id")).alias("c"),
-    ).select("user_id", "t", "c.cx", "c.cy")
-    return mobility_profiles(loc)
-
-
-def _sql_mobility() -> str:
-    h = splitmix64_sql("event_id")
-    return f"""
-WITH loc AS MATERIALIZED (
-  SELECT user_id,
-         CAST(floor(epoch(ts)) AS BIGINT) AS t,
-         CAST(({h}) % 32 AS BIGINT) AS cx,
-         CAST((({h}) // 256) % 32 AS BIGINT) AS cy
-  FROM events),
-base AS (
-  SELECT user_id,
-         CAST(COUNT(*) AS BIGINT) AS n_pings,
-         CAST(COUNT(DISTINCT (cx, cy)) AS BIGINT) AS n_cells,
-         CAST(SUM(cx) AS BIGINT) AS sx,
-         CAST(SUM(cy) AS BIGINT) AS sy,
-         CAST(SUM(cx * cx + cy * cy) AS BIGINT) AS s2
-  FROM loc GROUP BY user_id),
-night AS (
-  SELECT user_id, cx, cy, COUNT(*) AS c
-  FROM loc WHERE (t // 3600) % 24 < 6
-  GROUP BY user_id, cx, cy),
-home AS (
-  SELECT user_id,
-         MAX(struct_pack(c := c, nx := -cx, ny := -cy)) AS h
-  FROM night GROUP BY user_id)
-SELECT b.user_id, b.n_pings, b.n_cells, b.sx, b.sy,
-       CAST(b.n_pings * b.s2 - b.sx * b.sx - b.sy * b.sy AS BIGINT)
-         AS rog_num,
-       CAST(COALESCE(-home.h.nx, -1) AS BIGINT) AS hx,
-       CAST(COALESCE(-home.h.ny, -1) AS BIGINT) AS hy,
-       sqrt(CAST(b.n_pings * b.s2 - b.sx * b.sx - b.sy * b.sy AS DOUBLE)
-            / CAST(b.n_pings * b.n_pings AS DOUBLE)) AS rog_dbl
-FROM base b LEFT JOIN home ON home.user_id = b.user_id
-"""
-
-
-_ENGINE_PAIRS["q_mobility"] = (q_mobility, _sql_mobility())
-
-
-# ---------------------------------------------------------------------------
-# q_kcore — G6 hop-bounded k-core peeling (graph.kcore_rounds)
-# ---------------------------------------------------------------------------
-
-KC_K = 4
-KC_ROUNDS = 5
-
-
-def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core peeling (graph.kcore_rounds, k=4, 5 rounds) on the
-    road lattice, FULL oracle: DuckDB unrolls the identical peeling
-    rounds as MATERIALIZED CTEs — every node's drop round is under
-    the hash, so the entire peeling order must match."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.graph import kcore_rounds
-
-    e_t = StructType(
-        [
-            StructField("u", LongType()),
-            StructField("v", LongType()),
-            StructField("keep", LongType()),
-        ]
-    )
-
-    def _edge_kernel(kk):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(kk.to_numpy(np.uint64))
-        x = (h % np.uint64(64)).astype(np.int64)
-        y = ((h >> np.uint64(6)) % np.uint64(64)).astype(np.int64)
-        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
-        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
-        return pd.DataFrame(
-            {
-                "u": x * 256 + y,
-                "v": (x + dx) * 256 + (y + dy),
-                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
-            }
-        )
-
-    ek = F.pandas_udf(_edge_kernel, e_t)
-    e1 = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(ek(F.col("o_orderkey")).alias("e"))
-        .select("e.u", "e.v", "e.keep")
-        .filter(F.col("keep") == 1)
-        .drop("keep")
-    )
-    return kcore_rounds(e1, k=KC_K, rounds=KC_ROUNDS)
-
-
-def _sql_kcore(k: int = KC_K, rounds: int = KC_ROUNDS) -> str:
-    h = splitmix64_sql("o_orderkey")
-    body = []
-    for r in range(1, rounds + 1):
-        body.append(
-            f""",
-deg{r} AS MATERIALIZED (
-  SELECT s.a AS node, COUNT(*) AS deg
-  FROM sym s
-  JOIN alive{r - 1} x ON x.node = s.a
-  JOIN alive{r - 1} y ON y.node = s.b
-  GROUP BY s.a),
-cur{r} AS MATERIALIZED (
-  SELECT al.node, COALESCE(d.deg, 0) AS deg
-  FROM alive{r - 1} al LEFT JOIN deg{r} d ON d.node = al.node),
-drop{r} AS (
-  SELECT node, CAST({r} AS BIGINT) AS dropped_round
-  FROM cur{r} WHERE deg < {k}),
-alive{r} AS MATERIALIZED (
-  SELECT node FROM cur{r} WHERE deg >= {k})"""
-        )
-    un = "\nUNION ALL\n".join(
-        f"SELECT * FROM drop{r}" for r in range(1, rounds + 1)
-    )
-    return f"""
-WITH e0 AS MATERIALIZED (
-  SELECT CAST(({h}) % 64 AS BIGINT) AS x,
-         CAST((({h}) // 64) % 64 AS BIGINT) AS y,
-         CAST((({h}) // 4096) % 3 AS BIGINT) - 1 AS dx,
-         CAST((({h}) // 16384) % 3 AS BIGINT) - 1 AS dy
-  FROM orders),
-e1 AS MATERIALIZED (
-  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v
-  FROM e0 WHERE dx <> 0 OR dy <> 0),
-e AS MATERIALIZED (
-  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
-  FROM e1 WHERE u <> v),
-sym AS MATERIALIZED (
-  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-deg0_ AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg0
-          FROM sym GROUP BY a),
-alive0 AS (SELECT node FROM deg0_){''.join(body)},
-alldrops AS (
-  {un}
-  UNION ALL
-  SELECT node, CAST(-1 AS BIGINT) AS dropped_round FROM alive{rounds})
-SELECT d.node, d.deg0, a.dropped_round
-FROM deg0_ d JOIN alldrops a ON a.node = d.node
-"""
-
-
-_ENGINE_PAIRS["q_kcore"] = (q_kcore, _sql_kcore())
-
-
-# ---------------------------------------------------------------------------
-# q_sniff_dims — S12 header-only metadata sniff (raster.sniff_image_dims)
-# ---------------------------------------------------------------------------
-
-SN_N = 80
-
-
-def q_sniff_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Header sniffing (raster.sniff_image_dims) gated end-to-end
-    through ALL FOUR real containers: 80 canonical images re-encoded
-    as png/jpeg/tiff/webp by i%4, then sniffed by the INDEPENDENT
-    header parsers; the oracle replays the closed-form dims and the
-    container cycle — a wrong byte order, marker walk, or IFD read
-    breaks it."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        decode_image,
-        encode_image,
-        sniff_image_dims,
-    )
-    from mapnik_vector_tile_spark.sources.synth import images_df
-
-    fmts = ("png", "jpeg", "tiff", "webp")
-
-    def reenc(it):
-        for pdf in it:
-            out = {"image_id": [], "bytes": []}
-            for r in pdf.itertuples():
-                i = int(r.image_id.split("_")[1])
-                rgba = decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
-                out["image_id"].append(r.image_id)
-                out["bytes"].append(encode_image(rgba, fmts[i % 4]))
-            yield pd.DataFrame(out)
-
-    imgs = images_df(spark, SN_N).mapInPandas(
-        reenc, "image_id string, bytes binary"
-    )
-    return sniff_image_dims(imgs)
-
-
-def _sql_sniff_dims(n: int = SN_N) -> str:
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
-SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
-       ['png', 'jpeg', 'tiff', 'webp'][CAST(i % 4 AS INT) + 1]
-         AS container,
-       CAST(16 + (i * 7) % 49 AS BIGINT) AS w,
-       CAST(16 + (i * 11) % 49 AS BIGINT) AS h
-FROM ids
-"""
-
-
-_ENGINE_PAIRS["q_sniff_dims"] = (q_sniff_dims, _sql_sniff_dims())
-
-
-# ---------------------------------------------------------------------------
-# q_trimmed — W14 trimmed robust aggregation (temporal.trimmed_sums)
-# ---------------------------------------------------------------------------
-
-
-def q_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trimmed sums (temporal.trimmed_sums, 10% per side) over event
-    values scaled to exact micro-units, grouped by z5 user cell, FULL
-    oracle: identical rank windows, floor trim counts, BIGINT folds."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.temporal import trimmed_sums
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        (F.col("user_id") % 32).cast("long").alias("g"),
-        F.col("event_id").cast("long").alias("id"),
-        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
-    )
-    return trimmed_sums(ev)
-
-
-def _sql_trimmed(trim_pct: int = 10) -> str:
-    return f"""
-WITH ev AS (
-  SELECT CAST(user_id % 32 AS BIGINT) AS g,
-         CAST(event_id AS BIGINT) AS id,
-         CAST(floor(value * 1000000) AS BIGINT) AS v
-  FROM events),
-rk AS (
-  SELECT g, v,
-         CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
-              AS BIGINT) AS i,
-         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
-  FROM ev),
-rk2 AS (SELECT *, (n * {trim_pct}) // 100 AS k FROM rk),
-kept AS (SELECT * FROM rk2 WHERE i > k AND i <= n - k),
-alls AS (
-  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(v) AS BIGINT) AS sum_all
-  FROM ev GROUP BY g),
-tr AS (
-  SELECT g, CAST(MAX(k) AS BIGINT) AS n_trim,
-         CAST(SUM(v) AS BIGINT) AS sum_trim,
-         CAST(MIN(v) AS BIGINT) AS min_kept,
-         CAST(MAX(v) AS BIGINT) AS max_kept
-  FROM kept GROUP BY g)
-SELECT a.g, a.n, tr.n_trim, a.sum_all, tr.sum_trim, tr.min_kept,
-       tr.max_kept
-FROM alls a JOIN tr ON tr.g = a.g
-"""
-
-
-_ENGINE_PAIRS["q_trimmed"] = (q_trimmed, _sql_trimmed())
-
-
-# ---------------------------------------------------------------------------
-# q_occupancy_runs — ST12 gaps-and-islands RLE (geostats.occupancy_runs)
-# ---------------------------------------------------------------------------
-
-
-def q_occupancy_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Occupancy runs (geostats.occupancy_runs) over the z6 grid of
-    order points, FULL oracle: the identical lag-break/running-sum
-    islands fold replayed in DuckDB."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.tilemath import W
-    from mapnik_vector_tile_spark.operators.geostats import occupancy_runs
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    z = 6
-    span = 2.0 * W / (1 << z)
-    pts = derive_points(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
-    )
-    cells = pts.select(
-        F.floor((F.col("mx") + F.lit(W)) / F.lit(span)).cast("long").alias("cx"),
-        F.floor((F.lit(W) - F.col("my")) / F.lit(span)).cast("long").alias("cy"),
-    )
-    return occupancy_runs(cells)
-
-
-def _sql_occupancy_runs() -> str:
-    txe, tye = S.tile_xy_exprs(6)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-cells AS (SELECT DISTINCT {txe} AS cx, {tye} AS cy FROM pts),
-mk AS (
-  SELECT cx, cy,
-         CASE WHEN cx - lag(cx) OVER (PARTITION BY cy ORDER BY cx) = 1
-              THEN 0 ELSE 1 END AS brk
-  FROM cells),
-ri AS (
-  SELECT cx, cy, SUM(brk) OVER (
-    PARTITION BY cy ORDER BY cx ROWS UNBOUNDED PRECEDING) AS run_id
-  FROM mk),
-runs AS (
-  SELECT cy, run_id, MIN(cx) AS start,
-         CAST(COUNT(*) AS BIGINT) AS len
-  FROM ri GROUP BY cy, run_id)
-SELECT cy, CAST(SUM(len) AS BIGINT) AS n_cells,
-       CAST(COUNT(*) AS BIGINT) AS n_runs,
-       CAST(MAX(len) AS BIGINT) AS max_run,
-       CAST(SUM((start + 1) * len) AS BIGINT) AS rhash
-FROM runs GROUP BY cy
-"""
-
-
-_ENGINE_PAIRS["q_occupancy_runs"] = (q_occupancy_runs, _sql_occupancy_runs())
-
-
-# ---------------------------------------------------------------------------
-# q_cell_anomaly — ST13 baseline-vs-observed anomaly flags
-# ---------------------------------------------------------------------------
-
-CA_OBS_WEEK = 4
-
-
-def q_cell_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell anomalies (geostats.cell_anomalies, observed week 4 vs
-    weeks 0-3 baseline, ratio 2x) over events on the cotravel
-    32-grid, FULL oracle: identical cross-multiplied flag rule incl.
-    the no-baseline new-activity pin."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.geostats import cell_anomalies
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(32)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(32)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
-        ck(F.col("event_id")).alias("c"),
-    ).select("c.cx", "c.cy", "t")
-    return cell_anomalies(loc, CA_OBS_WEEK)
-
-
-def _sql_cell_anomaly(obs_week: int = CA_OBS_WEEK, ratio: int = 200) -> str:
-    h = splitmix64_sql("event_id")
-    wk = f"(CAST(floor(epoch(ts)) AS BIGINT) // {7 * 24 * 3600})"
-    return f"""
-WITH loc AS (
-  SELECT CAST(({h}) % 32 AS BIGINT) AS cx,
-         CAST((({h}) // 256) % 32 AS BIGINT) AS cy,
-         {wk} - (SELECT MIN({wk}) FROM events) AS w
-  FROM events),
-base AS (
-  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS sum_base,
-         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_base_weeks
-  FROM loc WHERE w < {obs_week} GROUP BY cx, cy),
-obs AS (
-  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_obs
-  FROM loc WHERE w = {obs_week} GROUP BY cx, cy)
-SELECT COALESCE(o.cx, b.cx) AS cx, COALESCE(o.cy, b.cy) AS cy,
-       COALESCE(o.n_obs, 0) AS n_obs,
-       COALESCE(b.sum_base, 0) AS sum_base,
-       COALESCE(b.n_base_weeks, 0) AS n_base_weeks,
-       CAST(CASE WHEN COALESCE(b.n_base_weeks, 0) = 0
-                 THEN COALESCE(o.n_obs, 0) > 0
-                 ELSE COALESCE(o.n_obs, 0) * b.n_base_weeks * 100
-                      > {ratio} * b.sum_base END AS BIGINT) AS flag
-FROM obs o FULL OUTER JOIN base b ON b.cx = o.cx AND b.cy = o.cy
-"""
-
-
-_ENGINE_PAIRS["q_cell_anomaly"] = (q_cell_anomaly, _sql_cell_anomaly())
-
-
-# ---------------------------------------------------------------------------
-# q_coverage_knees — ST14 traffic coverage curve (geostats.coverage_knees)
-# ---------------------------------------------------------------------------
-
-
-def q_coverage_knees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coverage knees (geostats.coverage_knees) over z6 occupancy
-    counts, FULL oracle: identical popularity rank, running sum, and
-    cross-multiplied decile thresholds."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.functions.tilemath import W
-    from mapnik_vector_tile_spark.operators.geostats import coverage_knees
-    from mapnik_vector_tile_spark.plans.flagship import derive_points
-
-    z = 6
-    span = 2.0 * W / (1 << z)
-    pts = derive_points(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
-    )
-    cells = pts.select(
-        F.floor((F.col("mx") + F.lit(W)) / F.lit(span)).cast("long").alias("cx"),
-        F.floor((F.lit(W) - F.col("my")) / F.lit(span)).cast("long").alias("cy"),
-    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    return coverage_knees(cells)
-
-
-def _sql_coverage_knees(deciles: int = 10) -> str:
-    txe, tye = S.tile_xy_exprs(6)
-    return f"""
-WITH {S.point_cte('orders', 'o_orderkey')},
-cells AS (
-  SELECT {txe} AS cx, {tye} AS cy, CAST(COUNT(*) AS BIGINT) AS c
-  FROM pts GROUP BY 1, 2),
-rk AS (
-  SELECT c,
-         CAST(row_number() OVER (ORDER BY c DESC, cx, cy) AS BIGINT)
-           AS rnk,
-         CAST(SUM(c) OVER (ORDER BY c DESC, cx, cy
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-  FROM cells),
-tot AS (SELECT MAX(cum) AS total FROM rk),
-ks AS (
-  SELECT rk.rnk, rk.cum, t.k
-  FROM rk CROSS JOIN tot,
-       LATERAL unnest(generate_series(1, {deciles})) t(k)
-  WHERE rk.cum * {deciles} >= t.k * tot.total)
-SELECT CAST(k AS BIGINT) AS k,
-       CAST(MIN(rnk) AS BIGINT) AS n_tiles,
-       CAST(MIN(struct_pack(rnk := rnk, cum := cum)).cum AS BIGINT)
-         AS cum
-FROM ks GROUP BY k
-"""
-
-
-_ENGINE_PAIRS["q_coverage_knees"] = (q_coverage_knees, _sql_coverage_knees())
-
-
-# ---------------------------------------------------------------------------
-# q_return_rates — ST15 return-visitor rates (geostats.return_rates)
-# ---------------------------------------------------------------------------
-
-
-def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Return rates (geostats.return_rates) over events on the
-    cotravel 4-grid, FULL oracle: identical distinct-day user
-    classification and cell rollups."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.geostats import return_rates
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(4)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(4)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
-        ck(F.col("event_id")).alias("c"),
-    ).select("user_id", "t", "c.cx", "c.cy")
-    return return_rates(loc)
-
-
-def _sql_return_rates() -> str:
-    h = splitmix64_sql("event_id")
-    return f"""
-WITH loc AS MATERIALIZED (
-  SELECT user_id,
-         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
-         CAST(({h}) % 4 AS BIGINT) AS cx,
-         CAST((({h}) // 256) % 4 AS BIGINT) AS cy
-  FROM events),
-pu AS (
-  SELECT cx, cy, user_id, CAST(COUNT(*) AS BIGINT) AS v,
-         CAST(COUNT(DISTINCT d) AS BIGINT) AS nd
-  FROM loc GROUP BY cx, cy, user_id),
-dd AS (
-  SELECT cx, cy, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
-  FROM loc GROUP BY cx, cy)
-SELECT p.cx, p.cy,
-       CAST(SUM(p.v) AS BIGINT) AS n_visits,
-       CAST(COUNT(*) AS BIGINT) AS n_users,
-       CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_return,
-       MIN(dd.n_days) AS n_days
-FROM pu p JOIN dd ON dd.cx = p.cx AND dd.cy = p.cy
-GROUP BY p.cx, p.cy
-"""
-
-
-_ENGINE_PAIRS["q_return_rates"] = (q_return_rates, _sql_return_rates())
-
-
-# ---------------------------------------------------------------------------
-# q_tile_churn — ST16 week-over-week activity churn (geostats.tile_churn)
-# ---------------------------------------------------------------------------
-
-
-def q_tile_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Activity churn (geostats.tile_churn, week 3 vs 4) over events
-    on the 32-grid, FULL oracle: identical normalized-week occupancy
-    set algebra."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.geostats import tile_churn
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(32)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(32)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    loc = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
-        ck(F.col("event_id")).alias("c"),
-    ).select("c.cx", "c.cy", "t")
-    return tile_churn(loc, 3, 4)
-
-
-def _sql_tile_churn(wa: int = 3, wb: int = 4) -> str:
-    h = splitmix64_sql("event_id")
-    wk = f"(CAST(floor(epoch(ts)) AS BIGINT) // {7 * 24 * 3600})"
-    return f"""
-WITH loc AS MATERIALIZED (
-  SELECT CAST(({h}) % 32 AS BIGINT) AS cx,
-         CAST((({h}) // 256) % 32 AS BIGINT) AS cy,
-         {wk} - (SELECT MIN({wk}) FROM events) AS w
-  FROM events),
-a AS (SELECT DISTINCT cx, cy FROM loc WHERE w = {wa}),
-b AS (SELECT DISTINCT cx, cy FROM loc WHERE w = {wb}),
-j AS (
-  SELECT COALESCE(a.cx, b.cx) AS cx, COALESCE(a.cy, b.cy) AS cy,
-         CASE WHEN a.cx IS NULL THEN 'gained'
-              WHEN b.cx IS NULL THEN 'lost'
-              ELSE 'stable' END AS status
-  FROM a FULL OUTER JOIN b ON b.cx = a.cx AND b.cy = a.cy)
-SELECT status, CAST(COUNT(*) AS BIGINT) AS n_cells,
-       CAST(SUM(cx * 8191 + cy) AS BIGINT) AS whash
-FROM j GROUP BY status
-"""
-
-
-_ENGINE_PAIRS["q_tile_churn"] = (q_tile_churn, _sql_tile_churn())
-
-
-# registered here (not at its definition site) because _sql_audio_mp1
-# needs splitmix64_sql, defined later in the module
-_ENGINE_PAIRS["q_audio_mp1"] = (q_audio_mp1, _sql_audio_mp1())
-
-
-# ---------------------------------------------------------------------------
-# q_frechet — W17 discrete Fréchet distance via list-carrying DP replay
-# ---------------------------------------------------------------------------
-
-FR_MAXPTS = 12  # per-trajectory cap (keeps the twin's recursion ~144 deep)
-
-
-def q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W17 discrete Fréchet distance (temporal.frechet_pairs) with a
-    FULL oracle.  Corpus: each user's first FR_MAXPTS events (by
-    ts, event_id) become an ordered trajectory with splitmix-derived
-    integer coordinates (the staypoints corpus recipe without the
-    epoch drift); pairs are (u, u+1) for even u present on both
-    sides.  The DuckDB twin replays the EXACT coupled DP cell by
-    cell in row-major order through a recursive CTE that carries a
-    sliding window of the last m+1 DP values — c[i-1][j-1], c[i-1][j]
-    and c[i][j-1] are reads at fixed window offsets, so one
-    mis-propagated cell (or a wrong boundary rule at i=0 / j=0)
-    breaks the value hash."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.temporal import frechet_pairs
-
-    xy_t = StructType(
-        [StructField("x", LongType()), StructField("y", LongType())]
-    )
-
-    def _xy(key):
-        import numpy as np
-        import pandas as pd
-
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        uid = key["user_id"].to_numpy(np.int64)
-        ev = key["event_id"].to_numpy(np.uint64)
-        hc = splitmix64((uid * 1_000_003).astype(np.uint64))
-        hp = splitmix64(ev)
-        return pd.DataFrame(
-            {
-                "x": (hc % np.uint64(64)).astype(np.int64)
-                + (hp % np.uint64(17)).astype(np.int64),
-                "y": ((hc >> np.uint64(7)) % np.uint64(64)).astype(
-                    np.int64
-                )
-                + ((hp >> np.uint64(5)) % np.uint64(17)).astype(np.int64),
-            }
-        )
-
-    xy = F.pandas_udf(_xy, xy_t)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pts = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("user_id", "event_id", "ts")
-        .withColumn("seq", F.row_number().over(w).cast("long"))
-        .filter(F.col("seq") <= FR_MAXPTS)
-        .withColumn("p", xy(F.struct("user_id", "event_id")))
-        .select(
-            F.col("user_id").alias("tid"), "seq",
-            F.col("p.x").alias("x"), F.col("p.y").alias("y"),
-        )
-    )
-    users = pts.select("tid").distinct()
-    pairs = (
-        users.filter(F.col("tid") % 2 == 0)
-        .select(F.col("tid").alias("ta"), (F.col("tid") + 1).alias("tb"))
-        .join(users.select(F.col("tid").alias("tb")), "tb")
-    )
-    return frechet_pairs(pts, pairs)
-
-
-def _sql_frechet(maxpts: int = FR_MAXPTS) -> str:
-    sm_c = splitmix64_sql("(u * 1000003)")
-    sm_p = splitmix64_sql("event_id")
-    return f"""
-WITH RECURSIVE ev AS (
-  SELECT user_id AS u, event_id, ts,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS seq
-  FROM events),
-pts AS MATERIALIZED (
-  SELECT u, seq,
-         CAST(({sm_c}) % 64 + ({sm_p}) % 17 AS BIGINT) AS x,
-         CAST((({sm_c}) // 128) % 64 + (({sm_p}) // 32) % 17
-              AS BIGINT) AS y
-  FROM ev WHERE seq <= {maxpts}),
-tr AS MATERIALIZED (
-  SELECT u, list(x ORDER BY seq) AS xs, list(y ORDER BY seq) AS ys
-  FROM pts GROUP BY u),
-pr AS MATERIALIZED (
-  SELECT a.u AS ta, b.u AS tb,
-         a.xs AS xa, a.ys AS ya, b.xs AS xb, b.ys AS yb,
-         len(a.xs) AS n, len(b.xs) AS m
-  FROM tr a JOIN tr b ON b.u = a.u + 1 AND a.u % 2 = 0),
-dp(ta, tb, xa, ya, xb, yb, n, m, t, win, c) AS (
-  SELECT ta, tb, xa, ya, xb, yb, n, m, 0,
-         list_transform(range(0, m + 1), z -> CAST(0 AS BIGINT)),
-         CAST((xa[1] - xb[1]) * (xa[1] - xb[1])
-              + (ya[1] - yb[1]) * (ya[1] - yb[1]) AS BIGINT)
-  FROM pr
-  UNION ALL
-  SELECT ta, tb, xa, ya, xb, yb, n, m, t + 1,
-         list_append(win[2:m + 1], c),
-         CAST(greatest(
-           (xa[(t + 1) // m + 1] - xb[(t + 1) % m + 1])
-             * (xa[(t + 1) // m + 1] - xb[(t + 1) % m + 1])
-           + (ya[(t + 1) // m + 1] - yb[(t + 1) % m + 1])
-             * (ya[(t + 1) // m + 1] - yb[(t + 1) % m + 1]),
-           CASE
-             WHEN (t + 1) // m = 0 THEN c
-             WHEN (t + 1) % m = 0 THEN list_append(win[2:m + 1], c)[2]
-             ELSE least(list_append(win[2:m + 1], c)[1],
-                        list_append(win[2:m + 1], c)[2],
-                        c)
-           END) AS BIGINT)
-  FROM dp WHERE t + 1 < n * m)
-SELECT ta, tb, CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
-       c AS frech2
-FROM dp WHERE t = n * m - 1
-"""
-
-
-_ENGINE_PAIRS["q_frechet"] = (q_frechet, _sql_frechet())
-
-
-# ---------------------------------------------------------------------------
-# q_viewshed — R18 exact R3 line-of-sight visibility over Terrain-RGB
-# ---------------------------------------------------------------------------
-
-
-def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R18 viewshed (raster.viewshed_tiles — the R3 reference
-    algorithm: half-cell corridor membership + sign-aware squared
-    cross-multiplied slope compare, ties block) over the SAME
-    quadratic Terrain-RGB corpus as q_watershed, FULL oracle: DuckDB
-    re-derives the surface closed-form and replays the exact
-    corridor and slope predicates as one pairwise join per tile —
-    n_visible, the positional visibility hash and the farthest
-    visible distance² all sit under the value hash."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        terrain_rgb_encode,
-        viewshed_tiles,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = TER_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                phase = h % 100003
-                r = np.arange(T, dtype=np.int64)
-                rr, cc = r[:, None], r[None, :]
-                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
-                rows["z"].append(TER_Z)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(terrain_rgb_encode(e).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return viewshed_tiles(tiles, T)
-
-
-def _sql_viewshed(t: int = TER_T, obs_h: int = 500) -> str:
-    sm = splitmix64_sql("i")
-    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
-         " % 40001) - 10000)")
-    o = t // 2
-    cmp_ge = (
-        "CASE WHEN k.a >= 0 AND t.a < 0 THEN TRUE "
-        "WHEN k.a < 0 AND t.a >= 0 THEN FALSE "
-        "WHEN t.a >= 0 THEN k.a * k.a * t.p >= t.a * t.a * k.p "
-        "ELSE k.a * k.a * t.p <= t.a * t.a * k.p END"
-    )
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, 99)) AS i),
-hh AS (
-  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
-         CAST(({sm}) % 100003 AS BIGINT) AS phase
-  FROM ids),
-px AS MATERIALIZED (
-  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
-obs AS (SELECT x, y, e AS eo FROM px WHERE rv = {o} AND cv = {o}),
-cells AS MATERIALIZED (
-  SELECT px.x, px.y, rv, cv,
-         cv - {o} AS dx, rv - {o} AS dy,
-         (cv - {o}) * (cv - {o}) + (rv - {o}) * (rv - {o}) AS p,
-         e - (eo + {obs_h}) AS a
-  FROM px JOIN obs USING (x, y)),
-blocked AS (
-  SELECT DISTINCT t.x, t.y, t.rv, t.cv
-  FROM cells t JOIN cells k
-    ON k.x = t.x AND k.y = t.y
-   AND NOT (k.rv = t.rv AND k.cv = t.cv)
-   AND (t.dx * k.dx + t.dy * k.dy) > 0
-   AND (t.dx * k.dx + t.dy * k.dy) < t.p
-   AND 4 * (t.dx * k.dy - t.dy * k.dx) * (t.dx * k.dy - t.dy * k.dx)
-       < t.p
-   AND ({cmp_ge})),
-vis AS (
-  SELECT c.x, c.y, c.rv, c.cv, c.p
-  FROM cells c
-  ANTI JOIN blocked b
-    ON b.x = c.x AND b.y = c.y AND b.rv = c.rv AND b.cv = c.cv
-  WHERE c.p > 0)
-SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
-       CAST(COUNT(*) AS BIGINT) AS n_visible,
-       CAST(SUM(cv * 8191 + rv) AS BIGINT) AS vis_hash,
-       CAST(MAX(p) AS BIGINT) AS max_vis_d2
-FROM vis GROUP BY x, y
-"""
-
-
-_ENGINE_PAIRS["q_viewshed"] = (q_viewshed, _sql_viewshed())
-
-
-def q_viewshed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R18 viewshed SCALE path (raster.viewshed_sweep_tiles — the
-    corridor line-walk, O(T³) pairs / O(T²) memory) over the SAME
-    corpus as q_viewshed, against the SAME DuckDB twin — the
-    delta-stepping-vs-bellman-ford pinning pattern: the refinement
-    must reproduce the reference predicate's output bit-for-bit,
-    independently of the Spark-side reference implementation."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        terrain_rgb_encode,
-        viewshed_sweep_tiles,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = TER_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                phase = h % 100003
-                r = np.arange(T, dtype=np.int64)
-                rr, cc = r[:, None], r[None, :]
-                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
-                rows["z"].append(TER_Z)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(terrain_rgb_encode(e).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return viewshed_sweep_tiles(tiles, T)
-
-
-_ENGINE_PAIRS["q_viewshed_sweep"] = (q_viewshed_sweep, _sql_viewshed())
-
-
-# ---------------------------------------------------------------------------
-# q_delta_sssp — G1b delta-stepping SSSP vs fully-converged relaxation
-# ---------------------------------------------------------------------------
-
-DS_ROUNDS = 64  # 8-grid king lattice, w in 1..9: any shortest path has
-#                 weight <= 9*7 = 63, and w >= 1 bounds its hops by 63
-
-
-def q_delta_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta-stepping SSSP (graph.delta_stepping, Δ=8) over a DENSE
-    8-grid king lattice (one undirected edge per orders row, weight
-    1..9; sources = the x=0 column), FULL oracle: the twin unrolls
-    64 relaxation rounds — PROVABLY past convergence (any shortest
-    path weighs ≤ 63 and w ≥ 1 bounds hops by 63) — so the bucketed
-    engine must reproduce the exact unbounded shortest-distance
-    field; a bucket opened early, a light/heavy misclassification,
-    or a missed re-relaxation all shift some node's d."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.graph import delta_stepping
-
-    e_t = StructType(
-        [
-            StructField("u", LongType()),
-            StructField("v", LongType()),
-            StructField("w", LongType()),
-            StructField("keep", LongType()),
-        ]
-    )
-
-    def _edge_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        x = (h % np.uint64(8)).astype(np.int64)
-        y = ((h >> np.uint64(6)) % np.uint64(8)).astype(np.int64)
-        dx = ((h >> np.uint64(12)) % np.uint64(3)).astype(np.int64) - 1
-        dy = ((h >> np.uint64(14)) % np.uint64(3)).astype(np.int64) - 1
-        w = (np.uint64(1) + (h >> np.uint64(40)) % np.uint64(9)).astype(
-            np.int64
-        )
-        return pd.DataFrame(
-            {
-                "u": x * 256 + y,
-                "v": (x + dx) * 256 + (y + dy),
-                "w": w,
-                "keep": ((dx != 0) | (dy != 0)).astype(np.int64),
-            }
-        )
-
-    ek = F.pandas_udf(_edge_kernel, e_t)
-    e1 = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(ek(F.col("o_orderkey")).alias("e"))
-        .select("e.u", "e.v", "e.w", "e.keep")
-        .filter(F.col("keep") == 1)
-        .drop("keep")
-    )
-    edges = e1.unionByName(
-        e1.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
-    sources = (
-        edges.select(F.col("u").alias("node"))
-        .filter(F.col("node") < 256)
-        .distinct()
-    )
-    return delta_stepping(edges, sources, delta=8)
-
-
-def _sql_delta_sssp(rounds: int = DS_ROUNDS) -> str:
-    h = splitmix64_sql("o_orderkey")
-    relax = []
-    for r in range(1, rounds + 1):
-        relax.append(
-            f""",
-d{r} AS MATERIALIZED (
-  SELECT node, MIN(d) AS d FROM (
-    SELECT node, d FROM d{r - 1}
-    UNION ALL
-    SELECT e.v AS node, a.d + e.w AS d
-    FROM d{r - 1} a JOIN edges e ON e.u = a.node)
-  GROUP BY node)"""
-        )
-    return f"""
-WITH h0 AS MATERIALIZED (
-  -- hash ONCE per row: inlining the splitmix64 HUGEINT expression
-  -- into all five derived columns duplicates its (internally
-  -- self-referencing) subexpressions combinatorially and costs ~15s
-  -- at sf0.01 on the DuckDB side alone
-  SELECT ({h}) AS hv FROM orders),
-e0 AS (
-  SELECT CAST(hv % 8 AS BIGINT) AS x,
-         CAST((hv // 64) % 8 AS BIGINT) AS y,
-         CAST((hv // 4096) % 3 AS BIGINT) - 1 AS dx,
-         CAST((hv // 16384) % 3 AS BIGINT) - 1 AS dy,
-         CAST(1 + (hv // 1099511627776) % 9 AS BIGINT) AS w
-  FROM h0),
-e1 AS (
-  SELECT x * 256 + y AS u, (x + dx) * 256 + (y + dy) AS v, w
-  FROM e0 WHERE dx <> 0 OR dy <> 0),
-edges AS MATERIALIZED (
-  SELECT u, v, MIN(w) AS w FROM (
-    SELECT u, v, w FROM e1 UNION ALL SELECT v, u, w FROM e1)
-  GROUP BY u, v),
-d0 AS MATERIALIZED (
-  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS d
-  FROM edges WHERE u < 256)
-{''.join(relax)}
-SELECT node, d FROM d{rounds}
-"""
-
-
-_ENGINE_PAIRS["q_delta_sssp"] = (q_delta_sssp, _sql_delta_sssp())
-
-
-# ---------------------------------------------------------------------------
-# q_strahler — R19 Strahler stream order over the D8 drainage forest
-# ---------------------------------------------------------------------------
-
-STR_T = 10  # 8x8 interior: recursion depth 64 covers any simple path
-
-
-def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strahler stream order (raster.strahler_tiles) over the
-    quadratic Terrain-RGB surface at 10px tiles, FULL oracle: DuckDB
-    re-derives the D8 receivers closed-form and iterates the EXACT
-    junction rule (max child order, +1 on a tied max, leaves = 1) as
-    a list-carrying recursive CTE over (tile_size−2)² rounds —
-    provably past convergence (a drainage tree's height is bounded
-    by the interior cell count) — then folds the same order census
-    and positional witness."""
-    import numpy as np
-    import pandas as pd
-
-    from mapnik_vector_tile_spark.operators.raster import (
-        strahler_tiles,
-        terrain_rgb_encode,
-    )
-    from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-    T = STR_T
-
-    def gen(it):
-        for pdf in it:
-            rows: dict[str, list] = {"z": [], "x": [], "y": [], "raster": []}
-            for i in pdf["id"]:
-                i = int(i)
-                h = int(splitmix64(np.array([i], dtype=np.uint64))[0])
-                phase = h % 100003
-                r = np.arange(T, dtype=np.int64)
-                rr, cc = r[:, None], r[None, :]
-                e = ((rr * rr * 5 + cc * cc * 3 + rr * cc * 2 + phase) % 40001) - 10000
-                rows["z"].append(TER_Z)
-                rows["x"].append(i % 10)
-                rows["y"].append(i // 10)
-                rows["raster"].append(terrain_rgb_encode(e).tobytes())
-            yield pd.DataFrame(rows)
-
-    tiles = spark.range(100).mapInPandas(
-        gen, "z long, x long, y long, raster binary"
-    )
-    return strahler_tiles(tiles, T)
-
-
-def _sql_strahler(t: int = STR_T) -> str:
-    sm = splitmix64_sql("i")
-    e = ("(((r.v * r.v * 5 + c.v * c.v * 3 + r.v * c.v * 2 + phase)"
-         " % 40001) - 10000)")
-    dirs = ",".join(
-        f"({d},{dy},{dx},{1 if diag else 2})"
-        for d, (dy, dx), diag in (
-            (0, (0, 1), 0), (1, (1, 1), 1), (2, (1, 0), 0),
-            (3, (1, -1), 1), (4, (0, -1), 0), (5, (-1, -1), 1),
-            (6, (-1, 0), 0), (7, (-1, 1), 1),
-        )
-    )
-    oh = t - 2
-    n = oh * oh
-    rounds = n
-    return f"""
-WITH RECURSIVE ids AS (SELECT unnest(generate_series(0, 99)) AS i),
-hh AS (
-  SELECT i, CAST(i % 10 AS BIGINT) AS x, CAST(i // 10 AS BIGINT) AS y,
-         CAST(({sm}) % 100003 AS BIGINT) AS phase
-  FROM ids),
-px AS MATERIALIZED (
-  SELECT x, y, r.v AS rv, c.v AS cv, {e} AS e
-  FROM hh
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) r
-  CROSS JOIN (SELECT unnest(generate_series(0, {t - 1})) AS v) c),
-cand AS MATERIALIZED (
-  SELECT a.x, a.y, a.rv, a.cv, k.d, k.dy, k.dx,
-         CASE WHEN a.e - b.e > 0
-              THEN k.mult * (a.e - b.e) * (a.e - b.e)
-              ELSE 0 END AS key
-  FROM px a
-  CROSS JOIN (VALUES {dirs}) k(d, dy, dx, mult)
-  JOIN px b ON b.x = a.x AND b.y = a.y
-           AND b.rv = a.rv + k.dy AND b.cv = a.cv + k.dx
-  WHERE a.rv BETWEEN 1 AND {t - 2} AND a.cv BETWEEN 1 AND {t - 2}),
-best AS MATERIALIZED (
-  SELECT x, y, rv, cv, d, dy, dx, key,
-         row_number() OVER (
-           PARTITION BY x, y, rv, cv ORDER BY key DESC, d) AS rn
-  FROM cand),
-rcv AS MATERIALIZED (
-  SELECT x, y, (rv - 1) * {oh} + (cv - 1) AS cid,
-         CASE WHEN key > 0
-               AND rv + dy BETWEEN 1 AND {t - 2}
-               AND cv + dx BETWEEN 1 AND {t - 2}
-              THEN (rv - 1 + dy) * {oh} + (cv - 1 + dx)
-              ELSE -1 END AS recv
-  FROM best WHERE rn = 1),
-rl AS MATERIALIZED (
-  SELECT x, y, list(recv ORDER BY cid) AS recv FROM rcv GROUP BY x, y),
-st(x, y, recv, ords, r) AS (
-  SELECT x, y, recv,
-         list_transform(range(0, {n}), z9 -> CAST(1 AS BIGINT)), 0
-  FROM rl
-  UNION ALL
-  SELECT x, y, recv,
-         list_transform(range(0, {n}), i -> CASE
-           WHEN len(ko[i + 1]) = 0 THEN CAST(1 AS BIGINT)
-           ELSE list_max(ko[i + 1]) + CASE
-             WHEN len(list_filter(ko[i + 1],
-                                  v -> v = list_max(ko[i + 1]))) >= 2
-             THEN 1 ELSE 0 END
-         END),
-         r + 1
-  FROM (
-    SELECT x, y, recv, r,
-           list_transform(range(0, {n}), i ->
-             list_transform(
-               list_filter(range(0, {n}), j -> recv[j + 1] = i),
-               j -> ords[j + 1])) AS ko
-    FROM st WHERE r < {rounds}
-  ) s1
-),
-fin AS (
-  SELECT x, y, ords FROM st WHERE r = {rounds}),
-ex AS (
-  SELECT x, y, g.i AS cid, ords[g.i + 1] AS o
-  FROM fin, unnest(generate_series(0, {n - 1})) AS g(i))
-SELECT CAST({TER_Z} AS BIGINT) AS z, x, y,
-       CAST(MAX(o) AS BIGINT) AS max_order,
-       CAST(SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_sources,
-       CAST(SUM(o) AS BIGINT) AS sum_order,
-       CAST(SUM(o * ((cid % {oh}) * 8191 + (cid // {oh}))) AS BIGINT)
-         AS whash
-FROM ex GROUP BY x, y
-"""
-
-
-_ENGINE_PAIRS["q_strahler"] = (q_strahler, _sql_strahler())
-
-
-# ---------------------------------------------------------------------------
-# q_scd2 — W18 SCD2 dimension maintenance (CDC merge)
-# ---------------------------------------------------------------------------
-
-
-def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 merge (temporal.scd2_apply) with a FULL oracle.  Corpus:
-    the customer table becomes the effective-dated dimension (every
-    key open; every third key also carries a closed history row),
-    the events stream becomes the CDC batch (key folded into twice
-    the customer range so half the changed keys are NEW; 'error'
-    events delete, everything else upserts; integer-cent attrs via
-    the shared floor(x·100 + 0.5) derivation).  DuckDB replays the
-    version chaining — per-key (ts, change_id) lead() bounds, first
-    change closing the open row — and the row sets must match
-    exactly, sentinel SCD2_OPEN included."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.temporal import (
-        SCD2_OPEN,
-        scd2_apply,
-    )
-
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n_keys = cust.count()
-    attr = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
-    open_rows = cust.select(
-        F.col("c_custkey").alias("key"),
-        attr.alias("attr"),
-        F.when(F.col("c_custkey") % 3 == 0, F.lit(500))
-        .otherwise(F.lit(0)).cast("long").alias("valid_from"),
-        F.lit(SCD2_OPEN).cast("long").alias("valid_to"),
-    )
-    hist_rows = cust.filter(F.col("c_custkey") % 3 == 0).select(
-        F.col("c_custkey").alias("key"),
-        (attr - 7).alias("attr"),
-        F.lit(0).cast("long").alias("valid_from"),
-        F.lit(500).cast("long").alias("valid_to"),
-    )
-    current = open_rows.unionByName(hist_rows)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    changes = ev.select(
-        (F.col("user_id") % (2 * n_keys)).alias("key"),
-        F.col("event_id").alias("change_id"),
-        (F.unix_timestamp("ts") + 1000).cast("long").alias("ts"),
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("upsert")).alias("op"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("attr"),
-    )
-    return scd2_apply(current, changes)
-
-
-def _sql_scd2() -> str:
-    from mapnik_vector_tile_spark.operators.temporal import SCD2_OPEN
-
-    return f"""
-WITH nk AS (SELECT COUNT(*) AS n FROM customer),
-attr0 AS (
-  SELECT c_custkey AS key,
-         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS attr
-  FROM customer),
-cur AS (
-  SELECT key, attr,
-         CAST(CASE WHEN key % 3 = 0 THEN 500 ELSE 0 END AS BIGINT)
-           AS valid_from,
-         CAST({SCD2_OPEN} AS BIGINT) AS valid_to
-  FROM attr0
-  UNION ALL
-  SELECT key, attr - 7, CAST(0 AS BIGINT), CAST(500 AS BIGINT)
-  FROM attr0 WHERE key % 3 = 0),
-ch AS (
-  SELECT user_id % (2 * nk.n) AS key,
-         event_id AS change_id,
-         CAST(floor(epoch(ts)) + 1000 AS BIGINT) AS ts,
-         CASE WHEN event_type = 'error' THEN 'delete'
-              ELSE 'upsert' END AS op,
-         CAST(floor("value" * 100 + 0.5) AS BIGINT) AS attr
-  FROM events, nk),
-chw AS (
-  SELECT *, COALESCE(lead(ts) OVER (PARTITION BY key
-                                    ORDER BY ts, change_id),
-                     {SCD2_OPEN}) AS next_ts
-  FROM ch),
-first_ AS (
-  SELECT key, MIN(struct_pack(ts := ts, cid := change_id)).ts AS first_ts
-  FROM ch GROUP BY key),
-hist AS (
-  SELECT key, attr, valid_from, valid_to FROM cur
-  WHERE valid_to <> {SCD2_OPEN}),
-closed AS (
-  SELECT c.key, c.attr, c.valid_from,
-         CAST(COALESCE(f.first_ts, {SCD2_OPEN}) AS BIGINT) AS valid_to
-  FROM cur c LEFT JOIN first_ f ON f.key = c.key
-  WHERE c.valid_to = {SCD2_OPEN}),
-newrows AS (
-  SELECT key, attr, ts AS valid_from, CAST(next_ts AS BIGINT)
-           AS valid_to
-  FROM chw WHERE op = 'upsert')
-SELECT key, attr, valid_from, valid_to FROM hist
-UNION ALL SELECT * FROM closed
-UNION ALL SELECT * FROM newrows
-"""
-
-
-_ENGINE_PAIRS["q_scd2"] = (q_scd2, _sql_scd2())
-
-
-def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W18b point-in-time lookup (temporal.scd2_lookup) COMPOSED over
-    the q_scd2 output: the dimension is the freshly-merged SCD2
-    table (version chains, delete gaps, SCD2_OPEN sentinels all
-    present), facts are orders shifted into the change-window epoch
-    so lookups land before, inside and after version ranges.  FULL
-    oracle: DuckDB rebuilds the merged dimension with the q_scd2 SQL
-    and replays the same range join with the −1 no-version
-    sentinel."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.temporal import scd2_lookup
-
-    dim = q_scd2(spark, sf_dir)
-    n_keys = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
-    facts = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.col("o_orderkey").alias("fact_id"),
-        (F.col("o_custkey") % (2 * n_keys)).alias("key"),
-        (F.unix_timestamp("o_orderdate") + 710_000_000)
-        .cast("long").alias("ts"),
-    )
-    return scd2_lookup(facts, dim)
-
-
-def _sql_scd2_lookup() -> str:
-    base = _sql_scd2().strip()
-    assert base.startswith("WITH ")
-    inner = base[len("WITH "):]
-    # wrap the q_scd2 SQL as a dim CTE and range-join the facts
-    return f"""
-WITH {inner.rsplit("SELECT key, attr, valid_from, valid_to FROM hist", 1)[0].rstrip()},
-dim AS (
-  SELECT key, attr, valid_from, valid_to FROM hist
-  UNION ALL SELECT * FROM closed
-  UNION ALL SELECT * FROM newrows),
-facts AS (
-  SELECT o_orderkey AS fact_id,
-         o_custkey % (2 * nk.n) AS key,
-         CAST(floor(epoch(o_orderdate)) + 710000000 AS BIGINT) AS ts
-  FROM orders, nk)
-SELECT f.fact_id, f.key, f.ts,
-       CAST(COALESCE(d.attr, -1) AS BIGINT) AS attr
-FROM facts f
-LEFT JOIN dim d
-  ON d.key = f.key AND f.ts >= d.valid_from AND f.ts < d.valid_to
-"""
-
-
-_ENGINE_PAIRS["q_scd2_lookup"] = (q_scd2_lookup, _sql_scd2_lookup())
-
-
-# ---------------------------------------------------------------------------
-# Streaming-EXECUTED driver gates (§2.10): the Spark side of each key
-# below actually runs a Structured Streaming query (file source,
-# availableNow trigger, foreachBatch/memory sink) to completion and
-# returns the materialized result — the DuckDB twin is the batch
-# semantics the stream must converge to.  Corpus chunking is part of
-# the key: chunks are written in (ts, change_id) order so the
-# per-key-time-order contract of the incremental folds holds, exactly
-# like production CDC staging.
-# ---------------------------------------------------------------------------
-
-
-def _write_chunk_file(df: DataFrame, src: str, i: int) -> None:
-    """Materialize one micro-batch chunk as a SINGLE parquet FILE
-    directly in ``src`` (the streaming file source ignores
-    non-partition subdirectories) with a pinned mtime so the source
-    processes chunks in order."""
-    import glob
-    import os
-    import shutil
-
-    tmp = os.path.join(src, f"_tmp{i}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-    dst = os.path.join(src, f"chunk{i}.parquet")
-    shutil.move(part, dst)
-    shutil.rmtree(tmp)
-    base = 1_700_000_000 + i * 100
-    os.utime(dst, (base, base))
-
-
-def _scd2_stream_corpus(spark: SparkSession, sf_dir: str):
-    """(current, changes) — the q_scd2 corpus, shared verbatim so the
-    streaming key's twin is _sql_scd2() unchanged."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.operators.temporal import SCD2_OPEN
-
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n_keys = cust.count()
-    attr = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
-    open_rows = cust.select(
-        F.col("c_custkey").alias("key"),
-        attr.alias("attr"),
-        F.when(F.col("c_custkey") % 3 == 0, F.lit(500))
-        .otherwise(F.lit(0)).cast("long").alias("valid_from"),
-        F.lit(SCD2_OPEN).cast("long").alias("valid_to"),
-    )
-    hist_rows = cust.filter(F.col("c_custkey") % 3 == 0).select(
-        F.col("c_custkey").alias("key"),
-        (attr - 7).alias("attr"),
-        F.lit(0).cast("long").alias("valid_from"),
-        F.lit(500).cast("long").alias("valid_to"),
-    )
-    current = open_rows.unionByName(hist_rows)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    changes = ev.select(
-        (F.col("user_id") % (2 * n_keys)).alias("key"),
-        F.col("event_id").alias("change_id"),
-        (F.unix_timestamp("ts") + 1000).cast("long").alias("ts"),
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("upsert")).alias("op"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("attr"),
-    )
-    return current, changes
-
-
-def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W18c streaming SCD2 fold, DRIVER-EXECUTED: the q_scd2 CDC
-    corpus is written as three (ts, change_id)-ordered parquet chunks
-    (the single-partition ordering window is corpus PREP for an
-    oracle key, not engine code — production CDC arrives pre-staged
-    in time order), streamed through streaming.scd2.run_scd2_stream
-    (readStream → foreachBatch scd2_apply → availableNow to
-    completion), and the finished dimension store is returned.  The
-    twin is _sql_scd2() VERBATIM — the associativity contract: the
-    chunked fold must equal one batch merge exactly."""
-    import os
-    import tempfile
-
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.streaming.scd2 import run_scd2_stream
-
-    current, changes = _scd2_stream_corpus(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="scd2_stream_")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    ranked = changes.withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy("ts", "change_id")),
-    ).localCheckpoint(eager=True)
-    n = ranked.count()
-    cuts = [0, n // 3, 2 * n // 3, n]
-    for i in range(3):
-        _write_chunk_file(
-            ranked.filter(
-                (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
-            ).drop("rn"),
-            src,
-            i,
-        )
-    store = os.path.join(work, "store")
-    run_scd2_stream(
-        spark, current, src, store,
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    return spark.read.parquet(os.path.join(store, "dim"))
-
-
-_ENGINE_PAIRS["q_scd2_stream"] = (q_scd2_stream, _sql_scd2())
-
-
-def _events_chunks(spark: SparkSession, sf_dir: str, prefix: str) -> str:
-    """Write the events table as three ts-range parquet chunks with
-    pinned modification times (file-source order), return the dir."""
-    import os
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    lo, hi = ev.agg(
-        F.min("ts").alias("a"), F.max("ts").alias("b")
-    ).first()
-    import datetime
-
-    span = (hi - lo) / 3
-    bounds = [lo + span, lo + 2 * span, hi + datetime.timedelta(seconds=1)]
-    work = tempfile.mkdtemp(prefix=prefix)
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    prev = None
-    for i, b in enumerate(bounds):
-        chunk = ev.filter(F.col("ts") < F.lit(b))
-        if prev is not None:
-            chunk = chunk.filter(F.col("ts") >= F.lit(prev))
-        prev = b
-        _write_chunk_file(chunk, src, i)
-    return src
-
-
-_STREAM_SEQ = [0]
-
-
-def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 windowed streaming aggregation, DRIVER-EXECUTED: the
-    events table streams as three time-ordered chunks through
-    dirty_tile_counts (watermark + dropDuplicatesWithinWatermark +
-    event-time window groupBy) into a complete-mode memory sink via
-    availableNow; the final table must equal the batch window
-    aggregation — the twin is _sql_events_tile_window() verbatim."""
-    from pyspark.sql import functions as F
-
-    from mapnik_vector_tile_spark.streaming.incremental import (
-        run_stream_to_memory,
-    )
-
-    src = _events_chunks(spark, sf_dir, "stream_window_")
-    _STREAM_SEQ[0] += 1
-    name = f"q_stream_window_{_STREAM_SEQ[0]}"
-    run_stream_to_memory(spark, src, table_name=name, z=8)
-    agg = spark.table(name)
-    return agg.select(
-        F.col("win.start").alias("ws"),
-        "tx",
-        "ty",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.round(F.col("sum_value"), 6).alias("sum_value6"),
-    )
-
-
-_ENGINE_PAIRS["q_stream_window"] = (
-    q_stream_window, _sql_events_tile_window()
-)
-
-
-DIRTY_EVERY = 5
-
-
-def q_dirty_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 CUSTOM STATEFUL streaming operator, DRIVER-EXECUTED:
-    dirty_tile_versions (applyInPandasWithState re-render tickets)
-    over the chunked events stream, availableNow to completion,
-    append-mode memory sink.  The emitted ticket set is
-    batching-invariant by construction — {(tx,ty,v) : 1 ≤ v ≤
-    n_tile // dirty_every} — so the DuckDB twin regenerates it
-    closed-form from per-tile deduped event counts with
-    generate_series."""
-    from mapnik_vector_tile_spark.streaming.incremental import (
-        run_stateful_stream_to_memory,
-    )
-
-    src = _events_chunks(spark, sf_dir, "dirty_stream_")
-    _STREAM_SEQ[0] += 1
-    name = f"q_dirty_stream_{_STREAM_SEQ[0]}"
-    run_stateful_stream_to_memory(
-        spark, src, table_name=name, z=8, dirty_every=DIRTY_EVERY
-    )
-    return spark.table(name).select("tx", "ty", "version")
-
-
-def _sql_dirty_stream(dirty_every: int = DIRTY_EVERY) -> str:
-    from mapnik_vector_tile_spark.plans.shared_sql import TWO_W, flit
-
-    utx, uty = S.tile_xy_exprs(8)
-    lim = (1 << 8) - 1
-    tx = f"GREATEST(0, LEAST({lim}, {utx}))"
-    ty = f"GREATEST(0, LEAST({lim}, {uty}))"
-    mx = (
-        f"((((user_id) * 2654435761) % 4294967296) / {flit(2**32)})"
-        f" * {flit(TWO_W)} - {flit(W)}"
-    )
-    my = (
-        f"((((user_id) * 1103515245 + 12345) % 4294967296) / {flit(2**32)})"
-        f" * {flit(TWO_W)} - {flit(W)}"
-    )
-    return f"""
-WITH e AS (
-  SELECT event_id, MIN(user_id) AS user_id FROM events GROUP BY event_id
-),
-p AS (SELECT {mx} AS mx, {my} AS my FROM e),
-counts AS (
-  SELECT {tx} AS tx, {ty} AS ty, COUNT(*) AS n
-  FROM p GROUP BY 1, 2
-)
-SELECT tx, ty, unnest(generate_series(1, CAST(n // {dirty_every}
-       AS BIGINT))) AS version
-FROM counts
-WHERE n >= {dirty_every}
-"""
-
-
-_ENGINE_PAIRS["q_dirty_stream"] = (q_dirty_stream, _sql_dirty_stream())
-
-
-# ---------------------------------------------------------------------------
-# q_trend — W19 Mann–Kendall + exact Theil–Sen per activity cell
-# ---------------------------------------------------------------------------
-
-
-def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust trend stats (temporal.trend_stats) over per-cell daily
-    event counts (the q_cotravel 4-grid cells, 30-day corpus — max x
-    gap 29 by construction), FULL oracle: DuckDB enumerates the same
-    ordered pairs, folds the Mann–Kendall sign sum, sorts slopes by
-    the identical dy·(lcm/dx) integer key, picks the same lower
-    median and reduces it by gcd."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.temporal import trend_stats
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(CT_GRID)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(CT_GRID)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    series = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
-            F.floor(F.unix_timestamp("ts") / F.lit(86400.0))
-            .cast("long").alias("x"),
-            ck(F.col("event_id")).alias("c"),
-        )
-        .select((F.col("c.cx") * 256 + F.col("c.cy")).alias("g"), "x")
-        .groupBy("g", "x")
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
-    )
-    return trend_stats(series)
-
-
-def _sql_trend(grid: int = CT_GRID, max_dx: int = 29) -> str:
-    import math
-
-    h = splitmix64_sql("event_id")
-    lcm = math.lcm(*range(1, max_dx + 1))
-    return f"""
-WITH loc AS (
-  SELECT CAST(({h}) % {grid} AS BIGINT) * 256
-         + CAST((({h}) // 256) % {grid} AS BIGINT) AS g,
-         CAST(floor(floor(epoch(ts)) / {S.flit(86400.0)}) AS BIGINT)
-           AS x
-  FROM events),
-ser AS (
-  SELECT g, x, CAST(COUNT(*) AS BIGINT) AS y FROM loc GROUP BY g, x),
-prs AS (
-  SELECT a.g, b.y - a.y AS dy, b.x - a.x AS dx
-  FROM ser a JOIN ser b ON b.g = a.g AND b.x > a.x),
-mk AS (
-  SELECT g,
-         CAST(SUM(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1
-                       ELSE 0 END) AS BIGINT) AS mk_s,
-         COUNT(*) AS m
-  FROM prs GROUP BY g),
-rk AS (
-  SELECT g, dy, dx,
-         row_number() OVER (PARTITION BY g
-                            ORDER BY dy * ({lcm} // dx)) AS rn
-  FROM prs),
-med AS (
-  SELECT r.g, r.dy, r.dx
-  FROM rk r JOIN mk ON mk.g = r.g
-  WHERE r.rn = (mk.m + 1) // 2),
-nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM ser GROUP BY g)
-SELECT nn.g, nn.n,
-       COALESCE(mk.mk_s, 0) AS mk_s,
-       CAST(COALESCE(med.dy // gcd(ABS(med.dy), med.dx), 0) AS BIGINT)
-         AS ts_num,
-       CAST(COALESCE(med.dx // gcd(ABS(med.dy), med.dx), 1) AS BIGINT)
-         AS ts_den
-FROM nn
-LEFT JOIN mk ON mk.g = nn.g
-LEFT JOIN med ON med.g = nn.g
-"""
-
-
-_ENGINE_PAIRS["q_trend"] = (q_trend, _sql_trend())
-
-
-# ---------------------------------------------------------------------------
-# q_isotonic — W20 PAVA isotonic regression (exact rational fits)
-# ---------------------------------------------------------------------------
-
-
-def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Isotonic calibration (temporal.isotonic_fit) with a FULL
-    oracle: per 4-grid cell, fit P(purchase) monotone in the integer
-    event value — the detector-calibration shape.  DuckDB replays
-    PAVA as a one-action-per-step recursion (consume or merge-once)
-    carrying the block stack as lists, then expands blocks to
-    per-point gcd-reduced mean fractions; a single wrong merge
-    shifts every later block boundary and breaks the hash."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.temporal import isotonic_fit
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(CT_GRID)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(CT_GRID)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    series = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
-            F.floor(F.col("value")).cast("long").alias("x"),
-            (F.col("event_type") == "purchase").cast("long").alias("y"),
-            ck(F.col("event_id")).alias("c"),
-        )
-        .select((F.col("c.cx") * 256 + F.col("c.cy")).alias("g"), "x", "y")
-    )
-    return isotonic_fit(series)
-
-
-def _sql_isotonic(grid: int = CT_GRID) -> str:
-    h = splitmix64_sql("event_id")
-    last_s = "ss[len(ss)]"
-    prev_s = "ss[len(ss) - 1]"
-    last_c = "cc[len(cc)]"
-    prev_c = "cc[len(cc) - 1]"
-    viol = (
-        f"(len(ss) >= 2 AND {prev_s} * {last_c} > {last_s} * {prev_c})"
-    )
-    return f"""
-WITH RECURSIVE src AS (
-  SELECT CAST(({h}) % {grid} AS BIGINT) * 256
-         + CAST((({h}) // 256) % {grid} AS BIGINT) AS g,
-         CAST(floor("value") AS BIGINT) AS x,
-         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-              AS BIGINT) AS y
-  FROM events),
-pooled AS (
-  SELECT g, x, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM src GROUP BY g, x),
-lists AS MATERIALIZED (
-  SELECT g, list(x ORDER BY x) AS px, list(sy ORDER BY x) AS psy,
-         list(n ORDER BY x) AS pn
-  FROM pooled GROUP BY g),
-pava(g, px, psy, pn, idx, ss, cc, zz) AS (
-  SELECT g, px, psy, pn, 1,
-         [psy[1]], [pn[1]], [CAST(1 AS BIGINT)]
-  FROM lists
-  UNION ALL
-  SELECT g, px, psy, pn,
-         CASE WHEN viol THEN idx ELSE idx + 1 END,
-         CASE WHEN viol
-              THEN list_append(ss[1:len(ss) - 2],
-                               {prev_s} + {last_s})
-              ELSE list_append(ss, psy[idx + 1]) END,
-         CASE WHEN viol
-              THEN list_append(cc[1:len(cc) - 2],
-                               {prev_c} + {last_c})
-              ELSE list_append(cc, pn[idx + 1]) END,
-         CASE WHEN viol
-              THEN list_append(zz[1:len(zz) - 2],
-                               zz[len(zz) - 1] + zz[len(zz)])
-              ELSE list_append(zz, CAST(1 AS BIGINT)) END
-  FROM (SELECT *, {viol} AS viol FROM pava) s
-  WHERE viol OR idx < len(px)),
-fin AS (
-  SELECT g, px, pn, ss, cc, zz,
-         list_transform(range(1, len(zz) + 1),
-           b -> list_aggregate(zz[1:b], 'sum')) AS pz
-  FROM pava
-  WHERE idx = len(px) AND NOT {viol}),
-ex AS (
-  SELECT g, px, pn, ss, cc, pz, s.p AS p,
-         1 + len(list_filter(pz, c9 -> c9 < s.p)) AS b
-  FROM fin, unnest(generate_series(1, len(px))) AS s(p))
-SELECT g, CAST(px[p] AS BIGINT) AS x, CAST(pn[p] AS BIGINT) AS n,
-       CAST(ss[b] // gcd(ss[b], cc[b]) AS BIGINT) AS fit_num,
-       CAST(cc[b] // gcd(ss[b], cc[b]) AS BIGINT) AS fit_den
-FROM ex
-"""
-
-
-_ENGINE_PAIRS["q_isotonic"] = (q_isotonic, _sql_isotonic())
-
-
-# ---------------------------------------------------------------------------
-# q_auc — T12t exact ROC-AUC (Mann–Whitney with midrank ties)
-# ---------------------------------------------------------------------------
-
-
-def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-cell ROC-AUC (detect.auc_exact) of the event value
-    as a purchase predictor — the q_isotonic corpus viewed through
-    the ranking-eval lens.  FULL oracle: DuckDB folds the identical
-    per-score counts, exclusive negative prefix and 2U numerator."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from mapnik_vector_tile_spark.operators.detect import auc_exact
-
-    c_t = StructType(
-        [StructField("cx", LongType()), StructField("cy", LongType())]
-    )
-
-    def _cell_kernel(k):
-        from mapnik_vector_tile_spark.sources.synth import splitmix64
-
-        h = splitmix64(k.to_numpy(np.uint64))
-        return pd.DataFrame(
-            {
-                "cx": (h % np.uint64(CT_GRID)).astype(np.int64),
-                "cy": ((h >> np.uint64(8)) % np.uint64(CT_GRID)).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    ck = F.pandas_udf(_cell_kernel, c_t)
-    flags = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
-            F.floor(F.col("value")).cast("long").alias("score"),
-            (F.col("event_type") == "purchase").cast("long").alias("hit"),
-            ck(F.col("event_id")).alias("c"),
-        )
-        .select(
-            (F.col("c.cx") * 256 + F.col("c.cy")).alias("g"),
-            "score", "hit",
-        )
+def __getattr__(name):
+    for _m in _MODS:
+        if hasattr(_m, name):
+            return getattr(_m, name)
+    raise AttributeError(
+        f"module 'oracle_pairs' has no attribute {name!r}"
     )
-    return auc_exact(flags)
-
-
-def _sql_auc(grid: int = CT_GRID) -> str:
-    h = splitmix64_sql("event_id")
-    return f"""
-WITH src AS (
-  SELECT CAST(({h}) % {grid} AS BIGINT) * 256
-         + CAST((({h}) // 256) % {grid} AS BIGINT) AS g,
-         CAST(floor("value") AS BIGINT) AS score,
-         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-              AS BIGINT) AS hit
-  FROM events),
-ps AS (
-  SELECT g, score, CAST(SUM(hit) AS BIGINT) AS pos_s,
-         CAST(SUM(1 - hit) AS BIGINT) AS neg_s
-  FROM src GROUP BY g, score),
-rk AS (
-  SELECT g, pos_s, neg_s,
-         COALESCE(SUM(neg_s) OVER (PARTITION BY g ORDER BY score
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS neg_below
-  FROM ps),
-ag AS (
-  SELECT g, CAST(SUM(pos_s) AS BIGINT) AS n_pos,
-         CAST(SUM(neg_s) AS BIGINT) AS n_neg,
-         CAST(SUM(pos_s * (2 * neg_below + neg_s)) AS BIGINT)
-           AS auc_num
-  FROM rk GROUP BY g)
-SELECT g, n_pos, n_neg, auc_num,
-       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
-       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-            ELSE CAST(auc_num AS DOUBLE)
-                   / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc_dbl
-FROM ag
-"""
 
 
-_ENGINE_PAIRS["q_auc"] = (q_auc, _sql_auc())
+def __dir__():
+    out = set()
+    for _m in _MODS:
+        out.update(vars(_m))
+    return sorted(out)

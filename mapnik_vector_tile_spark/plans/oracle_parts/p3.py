@@ -1,0 +1,3158 @@
+"""Part 3 of the oracle-pair registry (mechanical order-preserving split of the former monolithic oracle_pairs.py; the facade module re-exports everything).  Cross-part names are imported explicitly below — generated, do not hand-edit the import block.
+
+Original module docstring:
+Registry of (Spark query, DuckDB oracle SQL) pairs — the driver
+correctness contract (__spark_entry__.queries / oracle_sql).
+
+Every pair shares one SQL template (plans.shared_sql) rendered per
+engine, so arithmetic is bit-identical and the driver's
+order-insensitive value hash matches. Engine-only operators (binary
+encodes, concave PIP, raster) register a query with NO oracle entry →
+driver records a rows-only check, as documented.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapnik_vector_tile_spark.functions.tilemath import W, cell_id_sql_expr
+from mapnik_vector_tile_spark.plans import shared_sql as S
+
+from mapnik_vector_tile_spark.plans.oracle_parts.p1 import (  # noqa: F401
+    _PAIRS,
+    _SQL_ASOF, _SQL_ATTRIBUTION, _SQL_INTERVAL_OVERLAP, _SQL_SESSIONIZE, _SQL_SESSION_WINDOW, _audio_vals_cte, _sql_attr_join, _sql_audio_decimate, _sql_audio_windows, _sql_bbox_rect_join, _sql_composite_n_layers, _sql_distinct_hll, _sql_distinct_kmv, _sql_downzoom, _sql_downzoom_band, _sql_events_tile_window, _sql_geohash, _sql_geojson_tiles, _sql_global_quantiles, _sql_knn, _sql_label_grid, _sql_layer_filter, _sql_load_compressed, _sql_overzoom, _sql_phash_neardup, _sql_pip_membership, _sql_pip_polygon, _sql_pyramid_counts_band, _sql_pyramid_counts_z, _sql_raster_jpeg, _sql_raster_overzoom, _sql_raster_tiles, _sql_rasterize_coverage, _sql_rescale, _sql_s2_cells, _sql_scene_cuts, _sql_silence_trim, _sql_simplify_exact, _sql_simplify_radial, _sql_simplify_vw, _sql_solid, _sql_solid_prune, _sql_spatial_block_split, _sql_tile_diff, _sql_typed_values, _sql_v1_decode, _sql_validity, _sql_video_frames, _sql_vtquery, _sql_wafer, _sql_zoom_thin, load_views, q_asof_clicks_views, q_audio_decimate, q_audio_features, q_audio_windows, q_click_attribution, q_distinct_hll, q_distinct_kmv, q_engine_attr_join, q_engine_attr_join_shuffle, q_engine_composite, q_engine_decode_roundtrip, q_engine_downzoom, q_engine_downzoom_band, q_engine_knn, q_engine_layer_filter, q_engine_load_compressed, q_engine_overzoom, q_engine_overzoom_redistribute, q_engine_pip_anti, q_engine_pip_broadcast, q_engine_pip_partitioned, q_engine_pip_semi, q_engine_rescale, q_engine_simplify_exact, q_engine_simplify_radial, q_engine_simplify_vw, q_engine_solid, q_engine_tile_counts, q_engine_typed_values, q_engine_v1_decode, q_engine_validity, q_engine_wafer, q_events_tile_window, q_geohash, q_geojson_tiles, q_geotiff_tiles, q_global_quantiles, q_interval_overlap, q_label_grid, q_phash_mi, q_phash_neardup, q_pip_polygon_regions, q_raster_jpeg, q_raster_overzoom, q_raster_tiles, q_rasterize_coverage, q_s2_cells, q_scene_cuts, q_session_window, q_sessionize, q_silence_trim, q_solid_prune, q_spatial_block_split, q_tile_diff, q_video_frames, q_video_mjpeg, q_vtquery, q_zoom_thin, splitmix64_sql,
+)
+from mapnik_vector_tile_spark.plans.oracle_parts.p2 import (  # noqa: F401
+    COVER_Z, IMG_TH_N, MEASURES_N, _img_pixel_ctes, _sql_ar_bucket_batches, _sql_area_centroid, _sql_augment, _sql_cell_cover, _sql_csv_ingest, _sql_dissolve, _sql_ewma, _sql_heatmap_tiles, _sql_idw, _sql_image_blur, _sql_image_curation, _sql_image_dhash, _sql_image_equalize, _sql_image_otsu, _sql_image_phash, _sql_image_thumbs, _sql_letterbox, _sql_line_interpolate, _sql_marching_squares, _sql_mbtiles, _sql_polygon_polygon_join, _sql_polygon_rect_join, _sql_pyramid_audit, _sql_quadkey, _sql_raster_png, _sql_raster_png8, _sql_raster_tiff, _sql_raster_webp, _sql_scale_gate, _sql_tilejson, _sql_tilestats, _sql_video_mjpeg, _sql_video_mpeg1, _sql_wds_roundtrip, _sql_wkt_ingest, q_ar_bucket_batches, q_area_centroid, q_augment, q_cell_cover, q_cell_cover_hier, q_csv_ingest, q_dissolve, q_ewma, q_geom_measures, q_heatmap_tiles, q_idw, q_image_blur, q_image_curation, q_image_dhash, q_image_equalize, q_image_otsu, q_image_phash, q_image_thumbs, q_letterbox, q_line_interpolate, q_marching_squares, q_mbtiles_roundtrip, q_pmtiles_roundtrip, q_polygon_polygon_join, q_polygon_polygon_ri, q_polygon_rect_join, q_pyramid_audit, q_quadkey, q_raster_png, q_raster_png8, q_raster_tiff, q_raster_webp, q_scale_gate, q_shp_ingest, q_store_partitioned, q_tilejson, q_tilestats, q_video_mpeg1, q_wds_roundtrip, q_wkb_ingest, q_wkt_ingest,
+)
+
+def _sql_geom_measures(n: int = MEASURES_N) -> str:
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i,
+         {flit(-200.0)} + (i * 3) % 400 + {flit(0.125)} AS x0,
+         {flit(-100.0)} + (i * 7) % 200 + {flit(0.0625)} AS y0,
+         1 + i % 9 + {flit(0.25)} AS w,
+         2 + i % 7 + {flit(0.5)} AS h,
+         1 + i % 5 + {flit(0.5)} AS r,
+         2 + i % 3 + {flit(0.25)} AS u,
+         2 + i % 4 AS k
+  FROM ids
+)
+SELECT i AS feature_id,
+       CASE WHEN i % 2 = 0 THEN {flit(2.0)} * w * h
+            ELSE k * r * u END AS a2,
+       CASE WHEN i % 2 = 0 THEN {flit(2.0)} * (w + h)
+            ELSE k * (r + u) END AS length,
+       CASE WHEN i % 2 = 0 THEN ({flit(5.0)} * x0 + {flit(2.0)} * w) / {flit(5.0)}
+            ELSE ((2 * k + 1) * x0 + r * k * (k + 1))
+                 / CAST(2 * k + 1 AS DOUBLE) END AS vx,
+       CASE WHEN i % 2 = 0 THEN ({flit(5.0)} * y0 + {flit(2.0)} * h) / {flit(5.0)}
+            ELSE ((2 * k + 1) * y0 + u * k * k)
+                 / CAST(2 * k + 1 AS DOUBLE) END AS vy
+FROM base
+"""
+
+RADIUS_N = 2000  # q_radius_join per-side corpus size
+
+RADIUS_K = 64  # r² in u² units (integer → no exact-r ties possible)
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5-companion fixed-radius distance join with a FULL oracle
+    (joins.radius_join): 2000 query × 2000 target points on a dyadic
+    u-grid (u = span(z10)/8; targets offset +u/4 in both axes so every
+    achievable squared distance has fractional part 1/8 or 5/8 of u² —
+    an INTEGER r² = 64u² can never tie). The engine picks z=10 — the
+    finest level whose span (= 8u) still covers r exactly — explodes
+    the 3×3 block, equi-joins on the cell,
+    and filters on exact squared distance in Column algebra; the
+    DuckDB twin is a direct cross join with the identical coordinate
+    expressions and the identical Python-computed r² literal — it
+    never sees cells. Output (query_id, target_id, d2). sf_dir unused
+    (committed synth recipe). Ref parity: fixed-distance spatial probe
+    (the bounded form of the reference's kNN/cell-ring machinery);
+    SURVEY §2.3 J5."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.joins import radius_join
+
+    u = tm.tile_span(10) / 8.0
+    radius = 8.0 * u  # sqrt(RADIUS_K) * u
+    x0 = -tm.W + 1000.0 * u
+    queries = spark.range(0, RADIUS_N, 1, 8).select(
+        F.col("id"),
+        (F.lit(x0) + ((F.col("id") * 13) % 400) * F.lit(u)).alias("mx"),
+        (F.lit(x0) + ((F.col("id") * 17) % 400) * F.lit(u)).alias("my"),
+    )
+    targets = spark.range(0, RADIUS_N, 1, 8).select(
+        F.col("id"),
+        (F.lit(x0) + ((F.col("id") * 7) % 400) * F.lit(u)
+         + F.lit(u / 4.0)).alias("mx"),
+        (F.lit(x0) + ((F.col("id") * 11) % 400) * F.lit(u)
+         + F.lit(u / 4.0)).alias("my"),
+    )
+    return radius_join(queries, targets, radius)
+
+def _sql_radius_join(n: int = RADIUS_N) -> str:
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    u = tm.tile_span(10) / 8.0
+    radius = 8.0 * u
+    r2 = float(radius) * float(radius)  # same Python product the engine uses
+    x0 = -tm.W + 1000.0 * u
+    # flit throughout: a bare decimal literal parses as DECIMAL in
+    # DuckDB (different rounding than DOUBLE — the §gotcha the other
+    # shared oracles already guard against)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+q AS (
+  SELECT i, {flit(x0)} + ((i * 13) % 400) * {flit(u)} AS qx,
+         {flit(x0)} + ((i * 17) % 400) * {flit(u)} AS qy
+  FROM ids
+),
+t AS (
+  SELECT i, {flit(x0)} + ((i * 7) % 400) * {flit(u)} + {flit(u / 4.0)} AS tx,
+         {flit(x0)} + ((i * 11) % 400) * {flit(u)} + {flit(u / 4.0)} AS ty
+  FROM ids
+)
+SELECT q.i AS query_id, t.i AS target_id,
+       (q.qx - t.tx) * (q.qx - t.tx) + (q.qy - t.ty) * (q.qy - t.ty) AS d2
+FROM q, t
+WHERE (q.qx - t.tx) * (q.qx - t.tx) + (q.qy - t.ty) * (q.qy - t.ty) <= {flit(r2)}
+"""
+
+COMPACT_N = 600  # q_cell_compact corpus size
+
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 cell-union normalization gate with a FULL oracle
+    (cellcover.compact_cells — the S2 CellUnion::Normalize analogue):
+    three closed-form shapes at z=10, i%3 picks — 0: a 4×4 block
+    aligned to a 4-grid (must CASCADE two rounds to one z=8 cell),
+    1: an aligned 2×2 (one z=9 cell), 2: a 3×3 at an even corner (one
+    z=9 cell + exactly 5 z=10 leaves). Input cells are generated with
+    pure Column algebra (sequence/explode — no Python anywhere in the
+    query); the engine runs the real per-round count-aggregate +
+    anti-join plan; the DuckDB twin emits the minimal covers directly
+    from the shape parameters. The uncompact inverse is pinned by
+    round-trip unit tests. sf_dir unused (committed synth recipe).
+    Ref parity: quadtree pyramid normalization (the tile-tree algebra
+    under the reference's overzoom/composite); SURVEY §2 T15."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.cellcover import compact_cells
+
+    base = spark.range(0, COMPACT_N, 1, 8).select(
+        F.col("id").alias("feature_id"),
+        (F.col("id") % 3).alias("kind"),
+        ((F.col("id") * 3) % 250).alias("k4"),
+        ((F.col("id") * 5) % 250).alias("m4"),
+        ((F.col("id") * 3) % 500).alias("p"),
+        ((F.col("id") * 5) % 500).alias("q"),
+    )
+    k0 = (
+        base.filter(F.col("kind") == 0)
+        .select(
+            "feature_id", "k4", "m4",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("t"),
+        )
+        .select(
+            "feature_id",
+            F.lit(10).alias("z"),
+            (F.col("k4") * 4 + F.col("t") % 4).cast("long").alias("cx"),
+            (F.col("m4") * 4 + F.floor(F.col("t") / 4)).cast("long").alias("cy"),
+        )
+    )
+    k1 = (
+        base.filter(F.col("kind") == 1)
+        .select(
+            "feature_id", "p", "q",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("t"),
+        )
+        .select(
+            "feature_id",
+            F.lit(10).alias("z"),
+            (F.col("p") * 2 + F.col("t") % 2).cast("long").alias("cx"),
+            (F.col("q") * 2 + F.floor(F.col("t") / 2)).cast("long").alias("cy"),
+        )
+    )
+    k2 = (
+        base.filter(F.col("kind") == 2)
+        .select(
+            "feature_id", "p", "q",
+            F.explode(F.sequence(F.lit(0), F.lit(8))).alias("t"),
+        )
+        .select(
+            "feature_id",
+            F.lit(10).alias("z"),
+            (F.col("p") * 2 + F.col("t") % 3).cast("long").alias("cx"),
+            (F.col("q") * 2 + F.floor(F.col("t") / 3)).cast("long").alias("cy"),
+        )
+    )
+    return compact_cells(k0.unionByName(k1).unionByName(k2), levels=3)
+
+def _sql_cell_compact(n: int = COMPACT_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i, i % 3 AS kind, (i * 3) % 250 AS k4, (i * 5) % 250 AS m4,
+         (i * 3) % 500 AS p, (i * 5) % 500 AS q
+  FROM ids
+),
+k0 AS (  -- aligned 4x4 cascades to one z=8 cell
+  SELECT i AS feature_id, 8 AS z, k4 AS cx, m4 AS cy FROM base WHERE kind = 0
+),
+k1 AS (  -- aligned 2x2 -> one z=9 cell
+  SELECT i AS feature_id, 9 AS z, p AS cx, q AS cy FROM base WHERE kind = 1
+),
+k2p AS (  -- 3x3 at even corner -> one z=9 cell ...
+  SELECT i AS feature_id, 9 AS z, p AS cx, q AS cy FROM base WHERE kind = 2
+),
+k2l AS (  -- ... plus the 5 uncovered z=10 leaves
+  SELECT b.i AS feature_id, 10 AS z,
+         CASE WHEN l.t < 3 THEN b.p * 2 + 2 ELSE b.p * 2 + (l.t - 3) END AS cx,
+         CASE WHEN l.t < 3 THEN b.q * 2 + l.t ELSE b.q * 2 + 2 END AS cy
+  FROM base b, LATERAL (SELECT unnest(generate_series(0, 4)) AS t) l
+  WHERE b.kind = 2
+)
+SELECT * FROM k0 UNION ALL SELECT * FROM k1
+UNION ALL SELECT * FROM k2p UNION ALL SELECT * FROM k2l
+"""
+
+ZONAL_N = 120  # q_zonal_stats zones
+
+ZONAL_Z = 4  # 16×16 tile grid
+
+ZONAL_T = 32  # pixels per tile side
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4-companion zonal statistics with a FULL integer oracle:
+    120 rectangular zones (anchored at pixel-fraction +1/4 with
+    half-pixel widths, so pixel CENTERS are never on a zone edge) over
+    a full 16×16 z=4 raster tile grid whose channel-0 pixels are the
+    closed-form ramp v = (3·row + 5·col + (tx·37+ty·91)%251) % 256.
+    The engine runs the real pipeline — exact zone covering → cell
+    equi-join against the tile table → decode → even-odd center mask →
+    partial+final integer aggregation (operators/raster.zonal_stats);
+    the DuckDB twin enumerates zone pixels in GLOBAL pixel coordinates
+    and sums the same ramp, integers only, never touching tiles or
+    rasters. Output (region_id, n_px, sum_px) — integer-exact, order-
+    free. sf_dir unused (committed synth recipe). Ref parity: raster
+    band statistics under vector masks (the raster analogue of the
+    reference's per-tile spatial aggregation); SURVEY §2.8 R4."""
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.raster import zonal_stats
+
+    span = tm.tile_span(ZONAL_Z)
+    pspan = span / ZONAL_T
+
+    def gen_tiles(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"z": [], "x": [], "y": [], "raster": [], "fmt": []}
+            rr, cc = np.mgrid[0:ZONAL_T, 0:ZONAL_T]
+            for t in ids:
+                t = int(t)
+                tx, ty = t % 16, t // 16
+                phase = (tx * 37 + ty * 91) % 251
+                v = ((3 * rr + 5 * cc + phase) % 256).astype(np.uint8)
+                rgba = np.repeat(v[..., None], 4, axis=2)
+                rgba[..., 3] = 255
+                rows["z"].append(ZONAL_Z)
+                rows["x"].append(tx)
+                rows["y"].append(ty)
+                rows["raster"].append(rgba.tobytes())
+                rows["fmt"].append("raw-rgba8")
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(0, 256, 1, 8).mapInPandas(
+        gen_tiles, schema="z int, x long, y long, raster binary, fmt string"
+    )
+
+    def gen_zones(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"region_id": [], "xs": [], "ys": [], "ring_offsets": []}
+            for i in ids:
+                i = int(i)
+                gx, gy = (i * 3) % 12, (i * 5) % 12
+                px0, py0 = (i * 13) % 28, (i * 17) % 28
+                wpx, hpx = 10 + (i * 7) % 45, 8 + (i * 11) % 40
+                zx0 = -tm.W + (gx * ZONAL_T + px0 + 0.25) * pspan
+                zx1 = zx0 + (wpx + 0.5) * pspan
+                ztop = tm.W - (gy * ZONAL_T + py0 + 0.25) * pspan
+                zbot = tm.W - (gy * ZONAL_T + py0 + hpx + 0.75) * pspan
+                rows["region_id"].append(i)
+                rows["xs"].append([zx0, zx1, zx1, zx0, zx0])
+                rows["ys"].append([zbot, zbot, ztop, ztop, zbot])
+                rows["ring_offsets"].append([0, 5])
+            yield pd.DataFrame(rows)
+
+    zones = spark.range(0, ZONAL_N, 1, 4).mapInPandas(
+        gen_zones,
+        schema=("region_id long, xs array<double>, ys array<double>, "
+                "ring_offsets array<int>"),
+    )
+    return zonal_stats(tiles, zones, z=ZONAL_Z, tile_size=ZONAL_T)
+
+def _sql_zonal_stats(n: int = ZONAL_N, t: int = ZONAL_T) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+zn AS (
+  SELECT i, (i * 3) % 12 AS gx, (i * 5) % 12 AS gy,
+         (i * 13) % 28 AS px0, (i * 17) % 28 AS py0,
+         10 + (i * 7) % 45 AS wpx, 8 + (i * 11) % 40 AS hpx
+  FROM ids
+),
+px AS (
+  SELECT z.i, gp.p, gq.q
+  FROM zn z,
+       LATERAL (SELECT unnest(generate_series(
+           z.gx * {t} + z.px0, z.gx * {t} + z.px0 + z.wpx)) AS p) gp,
+       LATERAL (SELECT unnest(generate_series(
+           z.gy * {t} + z.py0, z.gy * {t} + z.py0 + z.hpx)) AS q) gq
+)
+SELECT i AS region_id,
+       COUNT(*) AS n_px,
+       CAST(SUM((3 * (q % {t}) + 5 * (p % {t})
+                 + ((p // {t}) * 37 + (q // {t}) * 91) % 251) % 256)
+            AS BIGINT) AS sum_px
+FROM px
+GROUP BY i
+"""
+
+LINE_COVER_N = 300  # q_line_cover corpus size
+
+def q_line_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 trajectory covering gate with a FULL oracle: the SAME
+    covering kernel (cover_polygon_cells degenerates correctly for
+    lines — vertex binning + edge crossing; the zero-area center-PIP
+    stage never fires) over 45° diagonal segments, the adversarial
+    case for cell walks. Each segment starts at cell fractions
+    (+3/8, +5/8) with integer cell length l = 1 + i%6, so it crosses
+    vertical boundaries at u = 5/8+j and horizontal ones at u = 3/8+j
+    — never a corner, and the exact staircase is closed-form:
+    {(k+i, cy0−i)} ∪ {(k+i, cy0−i−1)} = 2l+1 cells. The DuckDB twin
+    enumerates exactly that, integers only. sf_dir unused. Ref parity:
+    line features through the reference's per-tile spatial filter;
+    SURVEY §2 T15."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.cellcover import cover_polygon_cells
+
+    span = tm.tile_span(COVER_Z)
+
+    def gen(it):
+        from mapnik_vector_tile_spark.functions import geomcodec as gc
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                    "part_offsets": [], "caption": []}
+            for i in ids:
+                i = int(i)
+                k = (i * 7) % 900
+                m = (i * 11) % 900
+                a = -tm.W + k * span + 0.375 * span
+                c = -tm.W + m * span + 0.625 * span
+                L = (1 + i % 6) * span
+                rows["feature_id"].append(i)
+                rows["geom_type"].append(int(gc.GEOM_LINESTRING))
+                rows["xs"].append([a, a + L])
+                rows["ys"].append([c, c + L])
+                rows["part_offsets"].append([0, 2])
+                rows["caption"].append("")
+            yield pd.DataFrame(rows)
+
+    from mapnik_vector_tile_spark.operators.tiling import FEATURES_SCHEMA
+
+    corpus = spark.range(0, LINE_COVER_N, 1, 8).mapInPandas(
+        gen, schema=FEATURES_SCHEMA
+    )
+    return cover_polygon_cells(corpus, COVER_Z)
+
+def _sql_line_cover(n: int = LINE_COVER_N) -> str:
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+base AS (
+  SELECT i, (i * 7) % 900 AS k, (i * 11) % 900 AS m, 1 + i % 6 AS l
+  FROM ids
+),
+diag AS (  -- the (k+t, cy0-t) cells, t = 0..l
+  SELECT b.i AS feature_id, b.k + g.t AS cx, 1023 - b.m - g.t AS cy
+  FROM base b, LATERAL (SELECT unnest(generate_series(0, b.l)) AS t) g
+),
+steps AS (  -- the (k+t, cy0-t-1) step cells, t = 0..l-1
+  SELECT b.i AS feature_id, b.k + g.t AS cx, 1023 - b.m - g.t - 1 AS cy
+  FROM base b, LATERAL (SELECT unnest(generate_series(0, b.l - 1)) AS t) g
+)
+SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM diag
+UNION ALL
+SELECT feature_id, CAST({COVER_Z} AS INT) AS z, cx, cy FROM steps
+"""
+
+COVER_JOIN_NR = 150  # q_pip_cover_join regions
+
+COVER_JOIN_NP = 4000  # q_pip_cover_join points
+
+COVER_JOIN_Z = 8
+
+def q_pip_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4-upgrade gate with a FULL oracle: partitioned PIP join whose
+    candidates come from the EXACT polygon covering
+    (joins.pip_join_cover ∘ cellcover.cover_polygon_cells) instead of
+    the envelope range. Corpus: 150 regions (rect/right-triangle mix,
+    anchored at cell-fraction +1/4 so edges never lie ON cell
+    boundaries) × 4000 points (at cell-fractions +3/8, +5/8 — margins
+    ≥ span/8 from every region edge and from the hypotenuse, so both
+    engines' float comparisons agree despite different expression
+    trees). The DuckDB twin is a direct cross-join with closed-form
+    containment (BETWEEN + one halfplane inequality) — it never sees
+    cells, so the covering+equi-join+refine pipeline is gated end to
+    end against pure geometry. Output (point_id, region_id).
+    sf_dir unused (committed synth recipe). Ref parity: the spatial
+    probe the reference runs per tile, re-expressed as the PBSM
+    shuffle join; SURVEY §2.3 J4 + T15."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.joins import pip_join_cover
+
+    span = tm.tile_span(COVER_JOIN_Z)
+
+    def gen_regions(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"region_id": [], "xs": [], "ys": [], "ring_offsets": []}
+            for i in ids:
+                i = int(i)
+                a = -tm.W + ((i * 7) % 240) * span + span / 4
+                c = -tm.W + ((i * 11) % 240) * span + span / 4
+                if i % 2 == 0:
+                    w = (1 + i % 4) * span + span / 2
+                    h = (2 + i % 3) * span + span / 2
+                    xs = [a, a + w, a + w, a, a]
+                    ys = [c, c, c + h, c + h, c]
+                else:
+                    L = (2 + i % 4) * span
+                    xs = [a, a + L, a, a]
+                    ys = [c, c, c + L, c]
+                rows["region_id"].append(i)
+                rows["xs"].append(xs)
+                rows["ys"].append(ys)
+                rows["ring_offsets"].append([0, len(xs)])
+            yield pd.DataFrame(rows)
+
+    regions = spark.range(0, COVER_JOIN_NR, 1, 4).mapInPandas(
+        gen_regions,
+        schema=("region_id long, xs array<double>, ys array<double>, "
+                "ring_offsets array<int>"),
+    )
+    points = spark.range(0, COVER_JOIN_NP, 1, 8).select(
+        F.col("id"),
+        (F.lit(-tm.W) + ((F.col("id") * 13) % 250) * F.lit(span)
+         + F.lit(0.375 * span)).alias("mx"),
+        (F.lit(-tm.W) + ((F.col("id") * 17) % 250) * F.lit(span)
+         + F.lit(0.625 * span)).alias("my"),
+    )
+    return pip_join_cover(points, regions, z=COVER_JOIN_Z)
+
+def _sql_pip_cover_join(
+    nr: int = COVER_JOIN_NR, np_: int = COVER_JOIN_NP
+) -> str:
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.plans.shared_sql import flit
+
+    span = tm.tile_span(COVER_JOIN_Z)
+    return f"""
+WITH rids AS (SELECT unnest(generate_series(0, {nr - 1})) AS i),
+pids AS (SELECT unnest(generate_series(0, {np_ - 1})) AS j),
+regions AS (
+  SELECT i,
+         {flit(-tm.W)} + ((i * 7) % 240) * {flit(span)} + {flit(span / 4)} AS a,
+         {flit(-tm.W)} + ((i * 11) % 240) * {flit(span)} + {flit(span / 4)} AS c,
+         i % 2 AS kind,
+         (1 + i % 4) * {flit(span)} + {flit(span / 2)} AS w,
+         (2 + i % 3) * {flit(span)} + {flit(span / 2)} AS h,
+         (2 + i % 4) * {flit(span)} AS L
+  FROM rids
+),
+points AS (
+  SELECT j,
+         {flit(-tm.W)} + ((j * 13) % 250) * {flit(span)} + {flit(0.375 * span)} AS px,
+         {flit(-tm.W)} + ((j * 17) % 250) * {flit(span)} + {flit(0.625 * span)} AS py
+  FROM pids
+)
+SELECT p.j AS point_id, r.i AS region_id
+FROM points p, regions r
+WHERE (r.kind = 0 AND p.px BETWEEN r.a AND r.a + r.w
+                  AND p.py BETWEEN r.c AND r.c + r.h)
+   OR (r.kind = 1 AND p.px >= r.a AND p.py >= r.c
+                  AND p.px + p.py <= r.a + r.c + r.L)
+"""
+
+HAV_R_M = 300_000.0  # q_haversine_join radius (300 km)
+
+HAV_CELL = 4.8  # grid degrees: >= 300km in lon-degrees at |lat|<=55
+
+HAV_NA, HAV_NB = 3000, 150
+
+def q_haversine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5b geodesic radius join gate (joins.haversine_radius_join):
+    3000 hash-scattered points x 150 stations, |lat| <= 55°, pairs
+    within 300 great-circle km. The twin is a direct cross join with
+    the identical haversine-term predicate (no grid), so the
+    cell-ring candidate generation is gated against pure geometry.
+    Engine refine is Column-only trig (no Python); margin audited at
+    corpus build (min |h-τ| across all cross pairs ~1e-6 >> the ~1ulp
+    JVM/DuckDB libm drift)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.joins import (
+        haversine_radius_join,
+    )
+
+    def pts(n, base):
+        k = F.col("id") + base
+        return spark.range(0, n).select(
+            F.col("id"),
+            ((((k * 2654435761) % 4294967296) / F.lit(float(2**32)))
+             * 340.0 - 170.0).alias("lon"),
+            ((((k * 1103515245 + 12345) % 4294967296)
+              / F.lit(float(2**32))) * 110.0 - 55.0).alias("lat"),
+        )
+
+    a = pts(HAV_NA, 0)
+    b = pts(HAV_NB, 7_000_000)
+    return haversine_radius_join(a, b, HAV_R_M, HAV_CELL)
+
+def _sql_haversine_join() -> str:
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators.joins import EARTH_R_M
+
+    tau = float(np.sin(HAV_R_M / (2.0 * EARTH_R_M)) ** 2)
+    rad = float(np.pi / 180.0)
+    f32 = S.flit(2**32)
+
+    def pts(n, base, name):
+        return f"""
+{name} AS (
+  SELECT i AS id,
+         ((((i + {base}) * 2654435761) % 4294967296) / {f32})
+           * {S.flit(340.0)} - {S.flit(170.0)} AS lon,
+         ((((i + {base}) * 1103515245 + 12345) % 4294967296) / {f32})
+           * {S.flit(110.0)} - {S.flit(55.0)} AS lat
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)
+)"""
+
+    return f"""
+WITH {pts(HAV_NA, 0, 'pa')},
+{pts(HAV_NB, 7_000_000, 'pb')}
+SELECT pa.id AS a_id, pb.id AS b_id
+FROM pa, pb
+WHERE pow(sin((pb.lat - pa.lat) * {S.flit(rad)} / 2), 2)
+      + cos(pa.lat * {S.flit(rad)}) * cos(pb.lat * {S.flit(rad)})
+        * pow(sin((pb.lon - pa.lon) * {S.flit(rad)} / 2), 2)
+      <= {S.flit(tau)}
+"""
+
+PIP_SAMPLE_BP = 2500  # q_pip_join_sampled keep rate (25% per 10k)
+
+def q_pip_join_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4c sample-pushdown gate (joins.pip_join_sampled): SAME corpus
+    as q_pip_cover_join; the twin is the full cross-join PIP relation
+    with the identical pair coin applied AFTER the join — the engine
+    applies it BEFORE the refine, and the oracle proves the two are
+    the same exact row set (the coin commutes with the geometry
+    predicate because it is a pure function of the pair key)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+    from mapnik_vector_tile_spark.operators.joins import pip_join_sampled
+
+    span = tm.tile_span(COVER_JOIN_Z)
+    import pandas as pd
+
+    def gen_regions(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            rows = {"region_id": [], "xs": [], "ys": [], "ring_offsets": []}
+            for i in ids:
+                i = int(i)
+                a = -tm.W + ((i * 7) % 240) * span + span / 4
+                c = -tm.W + ((i * 11) % 240) * span + span / 4
+                if i % 2 == 0:
+                    w = (1 + i % 4) * span + span / 2
+                    h = (2 + i % 3) * span + span / 2
+                    xs = [a, a + w, a + w, a, a]
+                    ys = [c, c, c + h, c + h, c]
+                else:
+                    L = (2 + i % 4) * span
+                    xs = [a, a + L, a, a]
+                    ys = [c, c, c + L, c]
+                rows["region_id"].append(i)
+                rows["xs"].append(xs)
+                rows["ys"].append(ys)
+                rows["ring_offsets"].append([0, len(xs)])
+            yield pd.DataFrame(rows)
+
+    regions = spark.range(0, COVER_JOIN_NR, 1, 4).mapInPandas(
+        gen_regions,
+        schema=("region_id long, xs array<double>, ys array<double>, "
+                "ring_offsets array<int>"),
+    )
+    points = spark.range(0, COVER_JOIN_NP, 1, 8).select(
+        F.col("id"),
+        (F.lit(-tm.W) + ((F.col("id") * 13) % 250) * F.lit(span)
+         + F.lit(0.375 * span)).alias("mx"),
+        (F.lit(-tm.W) + ((F.col("id") * 17) % 250) * F.lit(span)
+         + F.lit(0.625 * span)).alias("my"),
+    )
+    return pip_join_sampled(
+        points, regions, rate_bp=PIP_SAMPLE_BP, z=COVER_JOIN_Z
+    )
+
+def _sql_pip_join_sampled() -> str:
+    coin = splitmix64_sql("(point_id * 1000003 + region_id)")
+    # MATERIALIZED fence: without it DuckDB pushes the (expensive
+    # per-row HUGEINT) coin below the PIP predicate and evaluates it
+    # on the full 600k-row cross join (measured 53 s vs <2 s fenced)
+    return f"""
+WITH j AS MATERIALIZED ({_sql_pip_cover_join()})
+SELECT point_id, region_id FROM j
+WHERE (({coin}) // 2048) % 10000 < {PIP_SAMPLE_BP}
+"""
+
+BUDGET_Z = 5
+
+BUDGET_BYTES = 200  # trims most z5 tiles (~60 features) to ~14
+
+def q_tile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U11 tile byte-budget enforcement (composite.trim_tile_to_budget
+    — the tippecanoe tile-size contract): encode lineitem-keyed
+    prop-less point layers at z5 (~60 features/tile, id-ordered), trim
+    each layer to a 200-byte feature stream, and read the SURVIVOR ids
+    back from the trimmed wire bytes. The twin recomputes every
+    feature's exact wire footprint with closed-form varint-length
+    arithmetic (8 + vs(id) + vs(2·px) + vs(2·py)) and the running-sum
+    prefix rule — any drift in the codec's byte accounting, the
+    zigzag, or the prefix cut breaks the hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import pbf
+    from mapnik_vector_tile_spark.operators.composite import (
+        trim_tile_to_budget,
+    )
+    from mapnik_vector_tile_spark.operators.grouped import apply_grouped
+
+    span = S.TWO_W / (1 << BUDGET_Z)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+    def to_points(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = (
+                pdf["l_orderkey"].to_numpy().astype(np.int64) * 8
+                + pdf["l_linenumber"].to_numpy().astype(np.int64)
+            )
+            mx = ((ids * 2654435761) % 2**32) / float(2**32) * S.TWO_W - W
+            my = (
+                ((ids * 1103515245 + 12345) % 2**32) / float(2**32)
+            ) * S.TWO_W - W
+            tx = np.floor((mx + W) / span).astype(np.int64)
+            ty = np.floor((W - my) / span).astype(np.int64)
+            yield pd.DataFrame(
+                {"tx": tx, "ty": ty, "id": ids, "mx": mx, "my": my}
+            )
+
+    pts = li.mapInPandas(
+        to_points, schema="tx long, ty long, id long, mx double, my double"
+    )
+
+    def encode_group(key, cols, sl):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.functions import tilemath as tm
+
+        tx, ty = int(key[0]), int(key[1])
+        lb = pbf.LayerBuilder("pts", extent=4096)
+        ox = -tm.W + tx * span
+        oy = tm.W - ty * span
+        for i in range(sl.start, sl.stop):
+            px = tm.round_half_away_np(
+                np.array([(cols["mx"][i] - ox) * 4096.0 / span])
+            )[0]
+            py = tm.round_half_away_np(
+                np.array([(oy - cols["my"][i]) * 4096.0 / span])
+            )[0]
+            lb.add_feature(
+                int(cols["id"][i]), 1,
+                np.array([9, int(px) * 2, int(py) * 2]), {},
+            )
+        return [(tx, ty, lb.build())]
+
+    layers = apply_grouped(
+        pts,
+        keys=["tx", "ty"],
+        order_by=["tx", "ty", "id"],
+        fn=encode_group,
+        schema="tx long, ty long, blob binary",
+        out_columns=["tx", "ty", "blob"],
+    ).select(
+        F.lit(BUDGET_Z).alias("z"),
+        F.col("tx").alias("x"),
+        F.col("ty").alias("y"),
+        F.lit("pts").alias("layer"),
+        F.col("blob"),
+        F.lit(0).cast("long").alias("n_features"),
+        F.lit(0).cast("long").alias("n_points"),
+    )
+    trimmed = trim_tile_to_budget(layers, BUDGET_BYTES)
+
+    def readback(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf["blob"]):
+                layer = pbf.decode_layer(bytes(blob))
+                ids = [f["id"] for f in layer["features"]]
+                rows.append(
+                    (int(x), int(y), len(ids), int(sum(ids)), int(max(ids)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["x", "y", "n_kept", "sum_id", "max_id"]
+            )
+
+    return trimmed.mapInPandas(
+        readback,
+        schema="x long, y long, n_kept long, sum_id long, max_id long",
+    )
+
+def _sql_tile_budget() -> str:
+    tx, ty = S.tile_xy_exprs(BUDGET_Z)
+    qx, qy = S.quantize_exprs(BUDGET_Z, "tx", "ty")
+
+    def vs(e: str) -> str:
+        return (
+            f"CASE WHEN {e} < 128 THEN 1 WHEN {e} < 16384 THEN 2"
+            f" WHEN {e} < 2097152 THEN 3 WHEN {e} < 268435456 THEN 4"
+            f" ELSE 5 END"
+        )
+
+    return f"""
+WITH li AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id FROM lineitem
+),
+{S.point_cte('li', 'id')},
+t AS (SELECT id, mx, my, {tx} AS tx, {ty} AS ty FROM pts),
+q AS (SELECT id, tx, ty, {qx} AS px, {qy} AS py FROM t),
+sz AS (
+  SELECT id, tx, ty,
+         8 + {vs('id')} + {vs('(px * 2)')} + {vs('(py * 2)')} AS sz
+  FROM q
+),
+run AS (
+  SELECT id, tx, ty,
+         SUM(sz) OVER (PARTITION BY tx, ty ORDER BY id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sz
+)
+SELECT tx AS x, ty AS y,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(id) AS BIGINT) AS sum_id,
+       CAST(MAX(id) AS BIGINT) AS max_id
+FROM run WHERE cum <= {BUDGET_BYTES}
+GROUP BY 1, 2
+"""
+
+REPAIR_N = 450  # q_engine_clip_repair corpus size
+
+def _clip_repair_query(
+    spark: SparkSession, sf_dir: str, fill_rule: str = "even_odd"
+) -> DataFrame:
+    """F12 polygon repair through the REAL encode path with a FULL
+    oracle. Corpus: 450 polygons, idx%3 picks the shape — 0: valid
+    rectangle (repair no-op pinned), 1: bowtie quad (edges AB×CD cross;
+    repair splits it into triangles (X,B,C)+(A,X,D)), 2: figure-8
+    touching at a shared vertex (splits there directly). Geometry
+    params are exact integers in mercator meters and the crossing
+    point X = (x0+w/2, y0+h/2) is exactly representable, so the repair
+    kernel's parametric solve and the closed-form both yield identical
+    doubles regardless of op order. The chain is assign(z0) →
+    encode_tiles(repair=True) → decode; output is ORDER-FREE per
+    feature (ring/vertex counts, coordinate sums, Σ|2A|), so winding
+    normalization and lobe extraction order need no pinning. The
+    DuckDB twin regenerates the lobes closed-form and replays the
+    quantize (round-half-away at z0 scale) op-for-op.
+    sf_dir is unused: the subject is the repair kernel, not the scan.
+    Ref parity: src/vector_tile_geometry_clipper.hpp polygon overloads
+    (wagyu even-odd repair), SURVEY §2.7 F12."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions import geomcodec as gc
+    from mapnik_vector_tile_spark.operators import tiling as T
+    from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            h = splitmix64(ids.astype(np.uint64))
+            x0 = (h % np.uint64(3000001)).astype(np.float64) * 10.0 - 1.5e7
+            y0 = ((h >> np.uint64(8)) % np.uint64(3000001)).astype(
+                np.float64
+            ) * 10.0 - 1.5e7
+            w = 300000.0 + ((h >> np.uint64(16)) % np.uint64(1000001)).astype(
+                np.float64
+            )
+            hh = 300000.0 + ((h >> np.uint64(32)) % np.uint64(1000001)).astype(
+                np.float64
+            )
+            rows = {"feature_id": [], "geom_type": [], "xs": [], "ys": [],
+                    "part_offsets": [], "caption": []}
+            for i, fid in enumerate(ids):
+                cs = int(fid) % 3
+                a, b = float(x0[i]), float(y0[i])
+                ww, hhh = float(w[i]), float(hh[i])
+                if cs == 0 and int(fid) % 6 == 3:
+                    # spike quad: edge B->M doubles back COLLINEARLY
+                    # over A->B (the former residual narrowing);
+                    # repair drops the zero-area spike, leaving the
+                    # triangle (A, M, C). M = a + w/2 is exactly
+                    # representable (w has 0.5 granularity, |a| ~1.5e7)
+                    xs = [a, a + ww, a + 0.5 * ww, a + 0.5 * ww]
+                    ys = [b, b, b, b + hhh]
+                elif cs == 0:  # valid rectangle
+                    xs = [a, a + ww, a + ww, a]
+                    ys = [b, b, b + hhh, b + hhh]
+                elif cs == 1:  # bowtie: edges AB and CD cross
+                    xs = [a, a + ww, a + ww, a]
+                    ys = [b, b + hhh, b, b + hhh]
+                else:  # figure-8 sharing vertex P
+                    xs = [a, a + ww, a + ww, a, a - ww, a - ww]
+                    ys = [b, b, b + hhh, b, b, b - hhh]
+                rows["feature_id"].append(int(fid))
+                rows["geom_type"].append(3)
+                rows["xs"].append(xs)
+                rows["ys"].append(ys)
+                rows["part_offsets"].append([0, len(xs)])
+                rows["caption"].append("p")
+            yield pd.DataFrame(rows)
+
+    feats = spark.range(0, REPAIR_N, 1, 8).mapInPandas(
+        gen, schema=T.FEATURES_SCHEMA
+    )
+    assigned = T.assign_tiles(feats, 0, 0)
+    tiles = T.encode_tiles(assigned, repair=True, fill_rule=fill_rule)
+    dec = T.decode_tiles_to_features(tiles)
+
+    def summarize(it):
+        for pdf in it:
+            out = {"feature_id": [], "n_rings": [], "n_vertices": [],
+                   "sum_px": [], "sum_py": [], "sum_abs_area2": []}
+            for fid, pxs, pys, offs in zip(
+                pdf["feature_id"], pdf["pxs"], pdf["pys"],
+                pdf["part_offsets"],
+            ):
+                px = np.asarray(pxs, dtype=np.int64)
+                py = np.asarray(pys, dtype=np.int64)
+                offs = np.asarray(offs, dtype=np.int64)
+                sa = 0
+                for r in range(len(offs) - 1):
+                    sa += abs(gc.signed_area2(px[offs[r]:offs[r + 1]],
+                                              py[offs[r]:offs[r + 1]]))
+                out["feature_id"].append(int(fid))
+                out["n_rings"].append(len(offs) - 1)
+                out["n_vertices"].append(len(px))
+                out["sum_px"].append(int(px.sum()))
+                out["sum_py"].append(int(py.sum()))
+                out["sum_abs_area2"].append(int(sa))
+            yield pd.DataFrame(out)
+
+    return dec.mapInPandas(
+        summarize,
+        schema=("feature_id long, n_rings int, n_vertices int, "
+                "sum_px long, sum_py long, sum_abs_area2 long"),
+    )
+
+def q_engine_clip_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wagyu even-odd repair (mapnik default) — see _clip_repair_query."""
+    return _clip_repair_query(spark, sf_dir, "even_odd")
+
+def q_engine_clip_repair_pos(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F12 POSITIVE fill rule (the wagyu fill_rule option; OGC
+    winding semantics) over the SAME invalid-polygon corpus — the
+    corpus class where the two rules DISAGREE: the bowtie's lobes
+    carry opposite traversal signs (+wh/2 for (A,X,D), −wh/2 for
+    (X,B,C)), so positive fill keeps only the positively-wound
+    triangle while even-odd fills both; rectangles, spikes and the
+    double-CCW figure-8 are rule-agnostic.  Twin drops the negative
+    lobe closed-form."""
+    return _clip_repair_query(spark, sf_dir, "positive")
+
+def _sql_clip_repair(
+    n: int = REPAIR_N, fill_rule: str = "even_odd"
+) -> str:
+    """DuckDB twin of q_engine_clip_repair: regenerate the lobes the
+    repair kernel produces (closed form — see the query docstring for
+    why X is exactly representable), quantize each vertex with the
+    engine's round-half-away at the z0 scale, and aggregate the same
+    order-free per-feature stats (shoelace via lead() per ring)."""
+    from mapnik_vector_tile_spark.functions import tilemath as tm
+
+    w = repr(tm.W)
+    scale = repr(4096.0 / tm.tile_span(0))
+    half = "5e-1"
+    pts = []
+
+    def p(cs, ring: int, order: int, mx: str, my: str) -> None:
+        cond = cs if isinstance(cs, str) else f"cs = {cs}"
+        pts.append(
+            f"SELECT idx, {ring} AS ring, {order} AS o, {mx} AS mx, "
+            f"{my} AS my FROM par WHERE {cond}"
+        )
+
+    # case 0a: valid rectangle, 1 ring
+    p("cs = 0 AND idx % 6 = 0", 1, 0, "x0", "y0")
+    p("cs = 0 AND idx % 6 = 0", 1, 1, "x0 + w", "y0")
+    p("cs = 0 AND idx % 6 = 0", 1, 2, "x0 + w", "y0 + hh")
+    p("cs = 0 AND idx % 6 = 0", 1, 3, "x0", "y0 + hh")
+    # case 0b: collinear spike quad -> spike dropped, triangle (A,M,C)
+    p("cs = 0 AND idx % 6 = 3", 1, 0, "x0", "y0")
+    p("cs = 0 AND idx % 6 = 3", 1, 1, f"x0 + {half} * w", "y0")
+    p("cs = 0 AND idx % 6 = 3", 1, 2, f"x0 + {half} * w", "y0 + hh")
+    # case 1: bowtie -> lobes (X,B,C) [CW, −wh/2] and (A,X,D)
+    # [CCW, +wh/2]; positive fill drops the CW lobe
+    if fill_rule == "even_odd":
+        p(1, 1, 0, f"x0 + {half} * w", f"y0 + {half} * hh")
+        p(1, 1, 1, "x0 + w", "y0 + hh")
+        p(1, 1, 2, "x0 + w", "y0")
+    p(1, 2, 0, "x0", "y0")
+    p(1, 2, 1, f"x0 + {half} * w", f"y0 + {half} * hh")
+    p(1, 2, 2, "x0", "y0 + hh")
+    # case 2: figure-8 -> lobes (P,Q,R) and (P,S,T)
+    p(2, 1, 0, "x0", "y0")
+    p(2, 1, 1, "x0 + w", "y0")
+    p(2, 1, 2, "x0 + w", "y0 + hh")
+    p(2, 2, 0, "x0", "y0")
+    p(2, 2, 1, "x0 - w", "y0")
+    p(2, 2, 2, "x0 - w", "y0 - hh")
+    union = "\n  UNION ALL ".join(pts)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS idx),
+hsrc AS (SELECT idx, {splitmix64_sql('idx')} AS h FROM ids),
+par AS (
+  SELECT idx, idx % 3 AS cs,
+         CAST(h % 3000001 AS DOUBLE) * 1e1 - 1.5e7 AS x0,
+         CAST((h // 256) % 3000001 AS DOUBLE) * 1e1 - 1.5e7 AS y0,
+         3e5 + CAST((h // 65536) % 1000001 AS DOUBLE) AS w,
+         3e5 + CAST((h // 4294967296) % 1000001 AS DOUBLE) AS hh
+  FROM hsrc),
+pw AS (
+  {union}
+),
+q AS (
+  SELECT idx, ring, o,
+         CAST(floor((mx + {w}) * {scale} + {half}) AS BIGINT) AS px,
+         CAST(floor(({w} - my) * {scale} + {half}) AS BIGINT) AS py
+  FROM pw),
+sh AS (
+  SELECT idx, ring, px, py,
+         COALESCE(lead(px) OVER wo, first_value(px) OVER wo) AS nx,
+         COALESCE(lead(py) OVER wo, first_value(py) OVER wo) AS ny
+  FROM q
+  WINDOW wo AS (PARTITION BY idx, ring ORDER BY o)),
+ra AS (
+  SELECT idx, ring, ABS(SUM(px * ny - nx * py)) AS a2,
+         COUNT(*) AS nv, SUM(px) AS spx, SUM(py) AS spy
+  FROM sh GROUP BY 1, 2)
+SELECT CAST(idx AS BIGINT) AS feature_id,
+       CAST(COUNT(*) AS INT) AS n_rings,
+       CAST(SUM(nv) AS INT) AS n_vertices,
+       CAST(SUM(spx) AS BIGINT) AS sum_px,
+       CAST(SUM(spy) AS BIGINT) AS sum_py,
+       CAST(SUM(a2) AS BIGINT) AS sum_abs_area2
+FROM ra GROUP BY 1
+"""
+
+def _sql_audio_features(n_clips: int = 500, window: int = 1024) -> str:
+    """DuckDB twin of q_audio_features (clip-level). Regenerates the
+    per-window integer aggregates exactly like _sql_audio_windows,
+    then applies the engine's order-free clip aggregation: per-window
+    rms = sqrt(sum_sq / (window·2^30)) is bit-exact (exact int64
+    numerator, power-of-two divisor, IEEE sqrt), rms_mean sums the
+    1e-12-grid quantized rms (multimodal.RMS_GRID) so summation order
+    cannot flip a ulp, and zcr_mean / caption are exact integer /
+    string derivations from splitmix64(idx)."""
+    from mapnik_vector_tile_spark.sources.synth import _WORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    nw = len(_WORDS)
+    denom = float(window) * 32768.0 * 32768.0
+    return f"""{_audio_vals_cte(n_clips, window)},
+wins AS (
+  SELECT idx, win,
+         sqrt(CAST(SUM(s * s) AS DOUBLE) / {denom!r}) AS rms,
+         SUM(CASE WHEN kin > 0 AND ((s < 0) <> (sp < 0))
+                  THEN 1 ELSE 0 END) AS n_zc
+  FROM vals GROUP BY 1, 2),
+feat AS (
+  SELECT idx,
+         COUNT(*) AS n_w,
+         SUM(CAST(floor(rms * 1e12 + 0.5) AS BIGINT)) AS rms_q,
+         MAX(rms) AS rms_max,
+         SUM(n_zc) AS zc
+  FROM wins GROUP BY 1)
+SELECT 'aud_' || CAST(f.idx AS VARCHAR) AS audio_id,
+       CAST(f.n_w AS INT) AS n_windows,
+       CAST(f.rms_q AS DOUBLE) / (f.n_w * 1e12) AS rms_mean,
+       f.rms_max AS rms_max,
+       CAST(f.zc AS DOUBLE) / (f.n_w * {float(window - 1)!r}) AS zcr_mean,
+       'audio ' || ({words})[CAST(h.h % {nw} AS BIGINT) + 1]
+         || ' ' || ({words})[CAST((h.h // 65536) % {nw} AS BIGINT) + 1]
+         AS caption
+FROM feat f JOIN hh h USING (idx)
+"""
+
+MVT_EXPRS = {
+    # full grammar sweep: arithmetic + % + match + and/or/not + floats
+    "keep": (
+        "(([p_size] + 3) * 7 % 5 < 3 or [p_name].match('small .*')) "
+        "and not ([p_brand] = 'Brand#13' or [p_size] / 4 > 11.5) "
+        "and [p_type].match('.*M.*')"
+    ),
+    # mapnik null semantics against REAL NULLs (NULLIF-derived column):
+    # '= null' is value_null equality (TRUE branch), '> 46' with a null
+    # operand is FALSE (never SQL NULL), and the outer 'or' sees
+    # non-null booleans only
+    "keep_null": "[sz] = null or [sz] > 46 or not [sz] != null",
+    # signed remainder + unary minus + precedence
+    "score": "([p_size] * 13 + 7) % 97 + (-[p_size]) % 5",
+    # int/int true division (SQL rule, exact binary fraction)
+    "ratio": "[p_size] / 4 - 0.5",
+}
+
+MVT_COLMAP = {"sz": "NULLIF(p_size, 45)"}
+
+def _mvt_expr_selects(engine: str) -> list[str]:
+    from mapnik_vector_tile_spark.functions import mvtexpr as X
+
+    outs = []
+    for name, src in MVT_EXPRS.items():
+        if name.startswith("keep"):
+            sql = X.predicate_sql(src, engine, MVT_COLMAP)
+        else:
+            sql = X.to_sql(X.parse(src), engine, MVT_COLMAP)
+        outs.append(f"{sql} AS {name}")
+    return outs
+
+def q_mapnik_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 mapnik filter-expression compiler (functions/mvtexpr.py —
+    the style language that decides which features a mapnik-vector-tile
+    processor encodes; reference parity: mapnik expressions_grammar)
+    with a FULL oracle: every committed expression in MVT_EXPRS is
+    parsed ONCE and the one AST renders to both engines, so operator
+    precedence, the null-safe '=', the FALSE-not-NULL ordered
+    comparisons, full-string .match, signed remainder and true
+    division must all agree bit-exactly over every part row (both
+    boolean branches land in the hash because keep is a column, not a
+    WHERE). The compiled predicate is a single Catalyst expression —
+    no UDF, pushdown/codegen-eligible (asserted in tests)."""
+    load_views(spark, sf_dir)
+    cols = ", ".join(_mvt_expr_selects("spark"))
+    return spark.sql(f"SELECT p_partkey AS id, {cols} FROM part")
+
+def _sql_mapnik_expr() -> str:
+    cols = ", ".join(_mvt_expr_selects("duckdb"))
+    return f"SELECT p_partkey AS id, {cols} FROM part"
+
+UNION_GROUPS = 96
+
+def q_polygon_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/U12 constructive polygon union (operators/overlay.py over
+    functions/overlay.py — the merged-boundary half of wagyu's
+    multi_polygon_union; reference parity:
+    src/vector_tile_geometry_clipper.hpp polygon overloads) with a
+    FULL oracle on a rectilinear-integer corpus where the overlay is
+    bit-exact end to end: every group unions ~1/16 of the orders rows
+    as splitmix64-derived random rectangles PLUS four deterministic
+    frame pieces that enclose a hole (so exterior rings, hole rings,
+    pinch points, duplicated rects, shared collinear edges and
+    T-junctions all carry rows). The engine runs the GENERAL planar
+    overlay (node insertion → side-winding classification → pinch-
+    splitting face walk) and emits per-group integers (area2,
+    manhattan perimeter, vertex count, n_ext − n_hole, vertex multiset
+    hash); the DuckDB twin never builds rings at all — it replays the
+    region on a compressed-coordinate grid (covered cells, corner
+    patterns, the subdivision-invariant Euler identity
+    n_ext − n_hole = V − E + F + n_pinch), so the two engines agree
+    only if the constructed boundary is exactly the union region.
+    Scale: one groupBy shuffle, per-group Arrow kernel, parallelism =
+    group count (tile/cluster count at 10^12 rows)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from mapnik_vector_tile_spark.operators.overlay import (
+        rect_rings,
+        union_polygon_stats,
+    )
+
+    rect_t = StructType(
+        [
+            StructField("keep", BooleanType()),
+            StructField("x0", LongType()),
+            StructField("y0", LongType()),
+            StructField("w", LongType()),
+            StructField("ht", LongType()),
+        ]
+    )
+
+    def _rand_rect_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "keep": (h % np.uint64(16) == 0),
+                "x0": ((h >> np.uint64(4)) % np.uint64(40)).astype(np.int64),
+                "y0": ((h >> np.uint64(10)) % np.uint64(40)).astype(np.int64),
+                "w": (1 + (h >> np.uint64(16)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+                "ht": (1 + (h >> np.uint64(22)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    frame_t = StructType(
+        [
+            StructField("fx", LongType()),
+            StructField("fy", LongType()),
+            StructField("fw", LongType()),
+            StructField("fh", LongType()),
+            StructField("t", LongType()),
+        ]
+    )
+
+    def _frame_kernel(g):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(
+            (g.to_numpy(dtype=np.int64) * 1000003 + 7).astype(np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "fx": (2 + h % np.uint64(24)).astype(np.int64),
+                "fy": (2 + (h >> np.uint64(5)) % np.uint64(24)).astype(
+                    np.int64
+                ),
+                "fw": (8 + (h >> np.uint64(10)) % np.uint64(8)).astype(
+                    np.int64
+                ),
+                "fh": (8 + (h >> np.uint64(13)) % np.uint64(8)).astype(
+                    np.int64
+                ),
+                "t": (1 + (h >> np.uint64(16)) % np.uint64(3)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    rand_rect = F.pandas_udf(_rand_rect_kernel, rect_t)
+    frame_params = F.pandas_udf(_frame_kernel, frame_t)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rr = (
+        orders.select(
+            (F.col("o_orderkey") % UNION_GROUPS).alias("g"),
+            rand_rect(F.col("o_orderkey")).alias("r"),
+        )
+        .where(F.col("r.keep"))
+        .select("g", "r.x0", "r.y0", "r.w", "r.ht")
+    )
+    piece = (
+        "array("
+        "struct(f.fx AS x0, f.fy AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy + f.fh - f.t AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy AS y0, f.t AS w, f.fh AS ht), "
+        "struct(f.fx + f.fw - f.t AS x0, f.fy AS y0, f.t AS w, f.fh AS ht))"
+    )
+    fr = (
+        spark.range(UNION_GROUPS)
+        .select(F.col("id").alias("g"), frame_params(F.col("id")).alias("f"))
+        .selectExpr("g", f"explode({piece}) AS r")
+        .select("g", "r.x0", "r.y0", "r.w", "r.ht")
+    )
+    return union_polygon_stats(rect_rings(rr.unionByName(fr)), "g")
+
+def _sql_polygon_union() -> str:
+    sm_k = splitmix64_sql("k")
+    sm_g = splitmix64_sql("(g * 1000003 + 7)")
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm_k} AS h FROM ks),
+rr AS (
+  SELECT CAST(k % {UNION_GROUPS} AS BIGINT) AS g,
+         CAST((h // 16) % 40 AS BIGINT) AS x0,
+         CAST((h // 1024) % 40 AS BIGINT) AS y0,
+         CAST(1 + (h // 65536) % 12 AS BIGINT) AS w,
+         CAST(1 + (h // 4194304) % 12 AS BIGINT) AS ht
+  FROM hh WHERE h % 16 = 0),
+gs AS (SELECT CAST(unnest(generate_series(0, {UNION_GROUPS - 1})) AS BIGINT)
+              AS g),
+gh AS (SELECT g, {sm_g} AS h FROM gs),
+fp AS (SELECT g,
+         CAST(2 + h % 24 AS BIGINT) AS fx,
+         CAST(2 + (h // 32) % 24 AS BIGINT) AS fy,
+         CAST(8 + (h // 1024) % 8 AS BIGINT) AS fw,
+         CAST(8 + (h // 8192) % 8 AS BIGINT) AS fh,
+         CAST(1 + (h // 65536) % 3 AS BIGINT) AS t
+       FROM gh),
+fr AS (
+  SELECT g, fx AS x0, fy AS y0, fw AS w, t AS ht FROM fp
+  UNION ALL SELECT g, fx, fy + fh - t, fw, t FROM fp
+  UNION ALL SELECT g, fx, fy, t, fh FROM fp
+  UNION ALL SELECT g, fx + fw - t, fy, t, fh FROM fp),
+rects AS MATERIALIZED (SELECT * FROM rr UNION ALL SELECT * FROM fr),
+xs AS MATERIALIZED (
+  SELECT DISTINCT g, x0 AS x FROM rects
+  UNION SELECT DISTINCT g, x0 + w FROM rects),
+xi AS MATERIALIZED (
+  SELECT g, x, lead(x) OVER (PARTITION BY g ORDER BY x) AS x2 FROM xs),
+ysrc AS MATERIALIZED (
+  SELECT DISTINCT g, y0 AS y FROM rects
+  UNION SELECT DISTINCT g, y0 + ht FROM rects),
+yi AS MATERIALIZED (
+  SELECT g, y, lead(y) OVER (PARTITION BY g ORDER BY y) AS y2
+  FROM ysrc),
+cells AS MATERIALIZED (
+  SELECT c.g, c.x, c.x2, c.y, c.y2, COUNT(r.x0) > 0 AS cv
+  FROM (SELECT xi.g, xi.x, xi.x2, yi.y, yi.y2
+        FROM xi JOIN yi ON xi.g = yi.g
+        WHERE xi.x2 IS NOT NULL AND yi.y2 IS NOT NULL) c
+  LEFT JOIN rects r
+    ON r.g = c.g AND r.x0 <= c.x AND c.x2 <= r.x0 + r.w
+       AND r.y0 <= c.y AND c.y2 <= r.y0 + r.ht
+  GROUP BY c.g, c.x, c.x2, c.y, c.y2),
+pts AS (SELECT xs.g, xs.x AS px, ysrc.y AS py
+        FROM xs JOIN ysrc ON xs.g = ysrc.g),
+corn AS (
+  SELECT p.g, p.px, p.py,
+    COALESCE(sw.cv, FALSE) AS swc, COALESCE(se.cv, FALSE) AS sec_,
+    COALESCE(nw.cv, FALSE) AS nwc, COALESCE(ne.cv, FALSE) AS nec
+  FROM pts p
+  LEFT JOIN cells sw ON sw.g = p.g AND sw.x2 = p.px AND sw.y2 = p.py
+  LEFT JOIN cells se ON se.g = p.g AND se.x  = p.px AND se.y2 = p.py
+  LEFT JOIN cells nw ON nw.g = p.g AND nw.x2 = p.px AND nw.y  = p.py
+  LEFT JOIN cells ne ON ne.g = p.g AND ne.x  = p.px AND ne.y  = p.py),
+vstat AS (
+  SELECT g, px, py,
+    CAST(swc AS INT) + CAST(sec_ AS INT)
+      + CAST(nwc AS INT) + CAST(nec AS INT) AS ncov,
+    CASE WHEN swc = nec AND nwc = sec_ AND swc <> nwc
+         THEN 1 ELSE 0 END AS isdiag
+  FROM corn),
+vagg AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND isdiag = 1 THEN 2
+                  ELSE 0 END) AS BIGINT) AS n_vert,
+    CAST(SUM(CAST(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND isdiag = 1 THEN 2
+                  ELSE 0 END AS BIGINT)
+             * ((px * 73856093 + py * 19349663) % 2147483648))
+         AS BIGINT) AS vhash,
+    CAST(SUM(CASE WHEN ncov = 2 THEN isdiag ELSE 0 END) AS BIGINT)
+      AS ndiag,
+    CAST(SUM(CASE WHEN ncov >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS nv_all
+  FROM vstat GROUP BY g),
+cagg AS (
+  SELECT g,
+    CAST(2 * SUM(CASE WHEN cv THEN (x2 - x) * (y2 - y) ELSE 0 END)
+         AS BIGINT) AS area2,
+    CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS BIGINT) AS nf
+  FROM cells GROUP BY g),
+vedge AS (
+  SELECT xs.g,
+    COALESCE(l.cv, FALSE) AS lcv, COALESCE(r.cv, FALSE) AS rcv,
+    yi.y2 - yi.y AS ln
+  FROM xs JOIN yi ON xs.g = yi.g AND yi.y2 IS NOT NULL
+  LEFT JOIN cells l ON l.g = xs.g AND l.x2 = xs.x AND l.y = yi.y
+  LEFT JOIN cells r ON r.g = xs.g AND r.x  = xs.x AND r.y = yi.y),
+hedge AS (
+  SELECT ysrc.g,
+    COALESCE(b.cv, FALSE) AS bcv, COALESCE(a.cv, FALSE) AS acv,
+    xi.x2 - xi.x AS ln
+  FROM ysrc JOIN xi ON ysrc.g = xi.g AND xi.x2 IS NOT NULL
+  LEFT JOIN cells b ON b.g = ysrc.g AND b.y2 = ysrc.y AND b.x = xi.x
+  LEFT JOIN cells a ON a.g = ysrc.g AND a.y  = ysrc.y AND a.x = xi.x),
+vea AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN lcv <> rcv THEN ln ELSE 0 END) AS BIGINT) AS perim,
+    CAST(SUM(CASE WHEN lcv OR rcv THEN 1 ELSE 0 END) AS BIGINT) AS ne
+  FROM vedge GROUP BY g),
+hea AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN bcv <> acv THEN ln ELSE 0 END) AS BIGINT) AS perim,
+    CAST(SUM(CASE WHEN bcv OR acv THEN 1 ELSE 0 END) AS BIGINT) AS ne
+  FROM hedge GROUP BY g)
+SELECT c.g, c.area2,
+       (v.perim + h.perim) AS perim,
+       k.n_vert,
+       (k.nv_all - (v.ne + h.ne) + c.nf + k.ndiag) AS euler,
+       k.vhash
+FROM cagg c
+JOIN vagg k USING (g)
+JOIN vea v USING (g)
+JOIN hea h USING (g)
+"""
+
+def q_polygon_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 two-set boolean overlay (operators/overlay.py
+    boolean_polygon_stats over functions/overlay.boolean_rings —
+    intersection is the reference clipper's polygon∩clip op
+    generalized; reference parity: mapbox::geometry::wagyu clip_types)
+    with a FULL oracle: each group carries TWO splitmix64-derived
+    rectangle sets (side A = coin 0 rows + a hole-forming frame, side
+    B = coin 1 rows + a differently-salted frame) and the engine emits
+    the integer grid stats of A∩B, A∖B and A⊕B per group. The DuckDB
+    twin replays all three regions from one compressed-coordinate
+    coverage grid carrying per-side flags — xor is the adversarial
+    case: every proper A×B boundary crossing becomes a pinch point the
+    face walk must split exactly as the Euler identity predicts.
+    Scale: one groupBy shuffle, per-group Arrow kernel."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.overlay import (
+        boolean_polygon_stats,
+        rect_rings,
+    )
+
+    rect_t = StructType(
+        [
+            StructField("sel", LongType()),
+            StructField("x0", LongType()),
+            StructField("y0", LongType()),
+            StructField("w", LongType()),
+            StructField("ht", LongType()),
+        ]
+    )
+
+    def _rect_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "sel": (h % np.uint64(16)).astype(np.int64),
+                "x0": ((h >> np.uint64(4)) % np.uint64(40)).astype(np.int64),
+                "y0": ((h >> np.uint64(10)) % np.uint64(40)).astype(np.int64),
+                "w": (1 + (h >> np.uint64(16)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+                "ht": (1 + (h >> np.uint64(22)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    frame_t = StructType(
+        [
+            StructField("fx", LongType()),
+            StructField("fy", LongType()),
+            StructField("fw", LongType()),
+            StructField("fh", LongType()),
+            StructField("t", LongType()),
+        ]
+    )
+
+    def _frame_factory(salt: int):
+        def _kernel(g):
+            import numpy as np
+
+            from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+            h = splitmix64(
+                (g.to_numpy(dtype=np.int64) * 1000003 + salt).astype(
+                    np.uint64
+                )
+            )
+            return pd.DataFrame(
+                {
+                    "fx": (2 + h % np.uint64(24)).astype(np.int64),
+                    "fy": (2 + (h >> np.uint64(5)) % np.uint64(24)).astype(
+                        np.int64
+                    ),
+                    "fw": (8 + (h >> np.uint64(10)) % np.uint64(8)).astype(
+                        np.int64
+                    ),
+                    "fh": (8 + (h >> np.uint64(13)) % np.uint64(8)).astype(
+                        np.int64
+                    ),
+                    "t": (1 + (h >> np.uint64(16)) % np.uint64(3)).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+        return F.pandas_udf(_kernel, frame_t)
+
+    rect_params = F.pandas_udf(_rect_kernel, rect_t)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rr = (
+        orders.select(
+            (F.col("o_orderkey") % UNION_GROUPS).alias("g"),
+            rect_params(F.col("o_orderkey")).alias("r"),
+        )
+        .where(F.col("r.sel") < 2)
+        .select(
+            "g", F.col("r.sel").alias("side"), "r.x0", "r.y0", "r.w", "r.ht"
+        )
+    )
+    piece = (
+        "array("
+        "struct(f.fx AS x0, f.fy AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy + f.fh - f.t AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy AS y0, f.t AS w, f.fh AS ht), "
+        "struct(f.fx + f.fw - f.t AS x0, f.fy AS y0, f.t AS w, f.fh AS ht))"
+    )
+    frames = []
+    for side, salt in ((0, 7), (1, 11)):
+        frames.append(
+            spark.range(UNION_GROUPS)
+            .select(
+                F.col("id").alias("g"),
+                _frame_factory(salt)(F.col("id")).alias("f"),
+            )
+            .selectExpr("g", f"explode({piece}) AS r")
+            .select(
+                "g",
+                F.lit(side).cast("long").alias("side"),
+                "r.x0",
+                "r.y0",
+                "r.w",
+                "r.ht",
+            )
+        )
+    corpus = rr.unionByName(frames[0]).unionByName(frames[1])
+    return boolean_polygon_stats(
+        rect_rings(corpus, extra=("side",)), "g", "side"
+    )
+
+def _sql_polygon_boolean() -> str:
+    sm_k = splitmix64_sql("k")
+    ops = (
+        ("(cva AND cvb)", 0),  # intersection
+        ("(cva AND NOT cvb)", 1),  # difference
+        ("(cva <> cvb)", 2),  # xor
+    )
+
+    def cvq(expr: str, qa: str, qb: str) -> str:
+        return expr.replace("cva", qa).replace("cvb", qb)
+
+    frame_ctes = []
+    for tag, salt in (("a", 7), ("b", 11)):
+        sm_g = splitmix64_sql(f"(g * 1000003 + {salt})")
+        frame_ctes.append(
+            f"""gh_{tag} AS (SELECT g, {sm_g} AS h FROM gs),
+fp_{tag} AS (SELECT g,
+         CAST(2 + h % 24 AS BIGINT) AS fx,
+         CAST(2 + (h // 32) % 24 AS BIGINT) AS fy,
+         CAST(8 + (h // 1024) % 8 AS BIGINT) AS fw,
+         CAST(8 + (h // 8192) % 8 AS BIGINT) AS fh,
+         CAST(1 + (h // 65536) % 3 AS BIGINT) AS t
+       FROM gh_{tag}),
+fr_{tag} AS (
+  SELECT g, fx AS x0, fy AS y0, fw AS w, t AS ht FROM fp_{tag}
+  UNION ALL SELECT g, fx, fy + fh - t, fw, t FROM fp_{tag}
+  UNION ALL SELECT g, fx, fy, t, fh FROM fp_{tag}
+  UNION ALL SELECT g, fx + fw - t, fy, t, fh FROM fp_{tag})"""
+        )
+    op_blocks = []
+    op_selects = []
+    for expr, op_id in ops:
+        s = f"op{op_id}"
+        corner_expr_parts = []
+        for q in ("sw", "se", "nw", "ne"):
+            corner_expr_parts.append(
+                f"{cvq(expr, q + 'a', q + 'b')} AS {q}c_{s}"
+            )
+        op_blocks.append(
+            f"""vstat_{s} AS (
+  SELECT g, px, py,
+    CAST(swc_{s} AS INT) + CAST(sec_{s} AS INT)
+      + CAST(nwc_{s} AS INT) + CAST(nec_{s} AS INT) AS ncov,
+    CASE WHEN swc_{s} = nec_{s} AND nwc_{s} = sec_{s}
+              AND swc_{s} <> nwc_{s} THEN 1 ELSE 0 END AS isdiag
+  FROM (SELECT g, px, py,
+          {cvq(expr, 'swa', 'swb')} AS swc_{s},
+          {cvq(expr, 'sea', 'seb')} AS sec_{s},
+          {cvq(expr, 'nwa', 'nwb')} AS nwc_{s},
+          {cvq(expr, 'nea', 'neb')} AS nec_{s}
+        FROM corn)),
+vagg_{s} AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND isdiag = 1 THEN 2
+                  ELSE 0 END) AS BIGINT) AS n_vert,
+    CAST(SUM(CAST(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND isdiag = 1 THEN 2
+                  ELSE 0 END AS BIGINT)
+             * ((px * 73856093 + py * 19349663) % 2147483648))
+         AS BIGINT) AS vhash,
+    CAST(SUM(CASE WHEN ncov = 2 THEN isdiag ELSE 0 END) AS BIGINT)
+      AS ndiag,
+    CAST(SUM(CASE WHEN ncov >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS nv_all
+  FROM vstat_{s} GROUP BY g),
+cagg_{s} AS (
+  SELECT g,
+    CAST(2 * SUM(CASE WHEN {cvq(expr, 'cva', 'cvb')}
+                 THEN (x2 - x) * (y2 - y) ELSE 0 END) AS BIGINT) AS area2,
+    CAST(SUM(CASE WHEN {cvq(expr, 'cva', 'cvb')} THEN 1 ELSE 0 END)
+         AS BIGINT) AS nf
+  FROM cells GROUP BY g),
+vea_{s} AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN {cvq(expr, 'la', 'lb')}
+                   <> {cvq(expr, 'ra', 'rb')} THEN ln ELSE 0 END)
+         AS BIGINT) AS perim,
+    CAST(SUM(CASE WHEN {cvq(expr, 'la', 'lb')}
+                   OR {cvq(expr, 'ra', 'rb')} THEN 1 ELSE 0 END)
+         AS BIGINT) AS ne
+  FROM vedge GROUP BY g),
+hea_{s} AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN {cvq(expr, 'ba', 'bb')}
+                   <> {cvq(expr, 'aa', 'ab_')} THEN ln ELSE 0 END)
+         AS BIGINT) AS perim,
+    CAST(SUM(CASE WHEN {cvq(expr, 'ba', 'bb')}
+                   OR {cvq(expr, 'aa', 'ab_')} THEN 1 ELSE 0 END)
+         AS BIGINT) AS ne
+  FROM hedge GROUP BY g)"""
+        )
+        op_selects.append(
+            f"""SELECT c.g, CAST({op_id} AS BIGINT) AS op, c.area2,
+       (v.perim + h.perim) AS perim, k.n_vert,
+       (k.nv_all - (v.ne + h.ne) + c.nf + k.ndiag) AS euler, k.vhash
+FROM cagg_{s} c JOIN vagg_{s} k USING (g)
+JOIN vea_{s} v USING (g) JOIN hea_{s} h USING (g)"""
+        )
+    nl = ",\n"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm_k} AS h FROM ks),
+rr AS (
+  SELECT CAST(k % {UNION_GROUPS} AS BIGINT) AS g,
+         CAST(h % 16 AS BIGINT) AS side,
+         CAST((h // 16) % 40 AS BIGINT) AS x0,
+         CAST((h // 1024) % 40 AS BIGINT) AS y0,
+         CAST(1 + (h // 65536) % 12 AS BIGINT) AS w,
+         CAST(1 + (h // 4194304) % 12 AS BIGINT) AS ht
+  FROM hh WHERE h % 16 < 2),
+gs AS (SELECT CAST(unnest(generate_series(0, {UNION_GROUPS - 1})) AS BIGINT)
+              AS g),
+{nl.join(frame_ctes)},
+rects AS MATERIALIZED (
+  SELECT * FROM rr
+  UNION ALL SELECT g, 0 AS side, x0, y0, w, ht FROM fr_a
+  UNION ALL SELECT g, 1 AS side, x0, y0, w, ht FROM fr_b),
+xs AS MATERIALIZED (
+  SELECT DISTINCT g, x0 AS x FROM rects
+  UNION SELECT DISTINCT g, x0 + w FROM rects),
+xi AS MATERIALIZED (
+  SELECT g, x, lead(x) OVER (PARTITION BY g ORDER BY x) AS x2 FROM xs),
+ysrc AS MATERIALIZED (
+  SELECT DISTINCT g, y0 AS y FROM rects
+  UNION SELECT DISTINCT g, y0 + ht FROM rects),
+yi AS MATERIALIZED (
+  SELECT g, y, lead(y) OVER (PARTITION BY g ORDER BY y) AS y2
+  FROM ysrc),
+cells AS MATERIALIZED (
+  SELECT c.g, c.x, c.x2, c.y, c.y2,
+         COUNT(CASE WHEN r.side = 0 THEN 1 END) > 0 AS cva,
+         COUNT(CASE WHEN r.side = 1 THEN 1 END) > 0 AS cvb
+  FROM (SELECT xi.g, xi.x, xi.x2, yi.y, yi.y2
+        FROM xi JOIN yi ON xi.g = yi.g
+        WHERE xi.x2 IS NOT NULL AND yi.y2 IS NOT NULL) c
+  LEFT JOIN rects r
+    ON r.g = c.g AND r.x0 <= c.x AND c.x2 <= r.x0 + r.w
+       AND r.y0 <= c.y AND c.y2 <= r.y0 + r.ht
+  GROUP BY c.g, c.x, c.x2, c.y, c.y2),
+corn AS MATERIALIZED (
+  SELECT p.g, p.px, p.py,
+    COALESCE(sw.cva, FALSE) AS swa, COALESCE(sw.cvb, FALSE) AS swb,
+    COALESCE(se.cva, FALSE) AS sea, COALESCE(se.cvb, FALSE) AS seb,
+    COALESCE(nw.cva, FALSE) AS nwa, COALESCE(nw.cvb, FALSE) AS nwb,
+    COALESCE(ne.cva, FALSE) AS nea, COALESCE(ne.cvb, FALSE) AS neb
+  FROM (SELECT xs.g, xs.x AS px, ysrc.y AS py
+        FROM xs JOIN ysrc ON xs.g = ysrc.g) p
+  LEFT JOIN cells sw ON sw.g = p.g AND sw.x2 = p.px AND sw.y2 = p.py
+  LEFT JOIN cells se ON se.g = p.g AND se.x  = p.px AND se.y2 = p.py
+  LEFT JOIN cells nw ON nw.g = p.g AND nw.x2 = p.px AND nw.y  = p.py
+  LEFT JOIN cells ne ON ne.g = p.g AND ne.x  = p.px AND ne.y  = p.py),
+vedge AS MATERIALIZED (
+  SELECT xs.g,
+    COALESCE(l.cva, FALSE) AS la, COALESCE(l.cvb, FALSE) AS lb,
+    COALESCE(r.cva, FALSE) AS ra, COALESCE(r.cvb, FALSE) AS rb,
+    yi.y2 - yi.y AS ln
+  FROM xs JOIN yi ON xs.g = yi.g AND yi.y2 IS NOT NULL
+  LEFT JOIN cells l ON l.g = xs.g AND l.x2 = xs.x AND l.y = yi.y
+  LEFT JOIN cells r ON r.g = xs.g AND r.x  = xs.x AND r.y = yi.y),
+hedge AS MATERIALIZED (
+  SELECT ysrc.g,
+    COALESCE(b.cva, FALSE) AS ba, COALESCE(b.cvb, FALSE) AS bb,
+    COALESCE(a.cva, FALSE) AS aa, COALESCE(a.cvb, FALSE) AS ab_,
+    xi.x2 - xi.x AS ln
+  FROM ysrc JOIN xi ON ysrc.g = xi.g AND xi.x2 IS NOT NULL
+  LEFT JOIN cells b ON b.g = ysrc.g AND b.y2 = ysrc.y AND b.x = xi.x
+  LEFT JOIN cells a ON a.g = ysrc.g AND a.y  = ysrc.y AND a.x = xi.x),
+{nl.join(op_blocks)}
+{" UNION ALL ".join(op_selects)}
+"""
+
+STR_CAP = 64  # q_str_pack leaf capacity
+
+def q_str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR R-tree bulk packing (operators/spatial_index.str_pack_points
+    — Leutenegger et al. 1997; reference parity: mapnik's per-layer
+    R-tree datasource index, SURVEY §2.2 S1, rebuilt as the balanced
+    spatial PARTITIONER a cluster needs) with a FULL oracle. Corpus:
+    one point per orders row with per-axis-unique integer coordinates
+    (splitmix64 high bits × 2³² + the unique orderkey low bits — the
+    injection makes value-cut routing ≡ rank chunking, the operator's
+    documented determinism contract). The engine computes slab/leaf
+    cuts by bounded histogram rank-select (NO global sort, driver
+    summaries only); the DuckDB twin replays the same cuts by FULL
+    SORT row_number arithmetic — algorithm-independent: one off-by-one
+    anywhere in the histogram walk breaks the per-leaf hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.spatial_index import (
+        str_pack_points,
+    )
+
+    xy_t = StructType(
+        [StructField("xi", LongType()), StructField("yi", LongType())]
+    )
+
+    def _xy_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        kk = k.to_numpy(dtype=np.uint64)
+        h = splitmix64(kk)
+        xi = (h % np.uint64(1 << 20)) * np.uint64(1 << 32) + kk
+        yi = ((h >> np.uint64(20)) % np.uint64(1 << 20)) * np.uint64(
+            1 << 32
+        ) + kk
+        return pd.DataFrame(
+            {"xi": xi.astype(np.int64), "yi": yi.astype(np.int64)}
+        )
+
+    xy = F.pandas_udf(_xy_kernel, xy_t)
+    pts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("k"), xy(F.col("o_orderkey")).alias("p"))
+        .select("k", "p.xi", "p.yi")
+    )
+    return str_pack_points(pts, "xi", "yi", "k", capacity=STR_CAP)
+
+def _sql_str_pack(cap: int = STR_CAP) -> str:
+    sm = splitmix64_sql("k")
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm} AS h FROM ks),
+xy AS (SELECT k,
+         CAST((h % 1048576) * 4294967296 + k AS BIGINT) AS xi,
+         CAST(((h // 1048576) % 1048576) * 4294967296 + k AS BIGINT) AS yi
+       FROM hh),
+p1 AS (SELECT COUNT(*) AS n,
+              (COUNT(*) + {cap} - 1) // {cap} AS p FROM xy),
+p2 AS (SELECT n, p,
+         CASE WHEN fs * fs >= p THEN fs
+              WHEN (fs + 1) * (fs + 1) >= p THEN fs + 1
+              ELSE fs + 2 END AS s
+       FROM (SELECT n, p,
+               CAST(floor(sqrt(CAST(p AS DOUBLE))) AS BIGINT) AS fs
+             FROM p1)),
+p3 AS (SELECT n, p, s, (n + s - 1) // s AS m FROM p2),
+xr AS (SELECT k, xi, yi,
+         row_number() OVER (ORDER BY xi) - 1 AS rx FROM xy),
+sl AS (SELECT k, xi, yi, rx // (SELECT m FROM p3) AS slab FROM xr),
+yr AS (SELECT k, xi, yi, slab,
+         (row_number() OVER (PARTITION BY slab ORDER BY yi) - 1)
+           // {cap} AS leaf
+       FROM sl)
+SELECT CAST(slab AS BIGINT) AS slab, CAST(leaf AS BIGINT) AS leaf,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(xi) AS DOUBLE) AS minx, CAST(MAX(xi) AS DOUBLE) AS maxx,
+  CAST(MIN(yi) AS DOUBLE) AS miny, CAST(MAX(yi) AS DOUBLE) AS maxy,
+  CAST(SUM((k * 2654435761) % 2147483648) AS BIGINT) AS khash
+FROM yr GROUP BY slab, leaf
+"""
+
+HULL_GROUPS = 96
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull (operators/overlay.convex_hull_stats —
+    Andrew's monotone chain, strict turns, CCW; the footprint summary
+    for dissolve groups / image-position clusters) with a FULL oracle.
+    Corpus: splitmix64-derived integer points grouped by orderkey; the
+    DuckDB twin computes the SAME hull by a gift-wrapping RECURSIVE
+    CTE pinned to the identical convention (strictly-convex vertices
+    only, farthest-of-collinear, closed-ring shoelace/perimeter with
+    a 2-vertex hull counting its edge twice) — two entirely different
+    hull algorithms agreeing vertex-for-vertex per group."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.overlay import convex_hull_stats
+
+    pt_t = StructType(
+        [StructField("x", LongType()), StructField("y", LongType())]
+    )
+
+    def _pt_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "x": (h % np.uint64(8192)).astype(np.int64),
+                "y": ((h >> np.uint64(13)) % np.uint64(8192)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    pt = F.pandas_udf(_pt_kernel, pt_t)
+    pts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            (F.col("o_orderkey") % HULL_GROUPS).alias("g"),
+            pt(F.col("o_orderkey")).alias("p"),
+        )
+        .select("g", "p.x", "p.y")
+    )
+    return convex_hull_stats(pts, "g")
+
+def _sql_convex_hull() -> str:
+    sm = splitmix64_sql("k")
+    # cross(c->n, c->q) and dot(c->n, c->q) in the gift-wrap selection
+    cross = (
+        "(n.x - w.cx) * (q.y - w.cy) - (n.y - w.cy) * (q.x - w.cx)"
+    )
+    dot_f = (
+        "(q.x - w.cx) * (n.x - w.cx) + (q.y - w.cy) * (n.y - w.cy)"
+    )
+    len2n = "(n.x - w.cx) * (n.x - w.cx) + (n.y - w.cy) * (n.y - w.cy)"
+    return f"""
+WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm} AS h FROM ks),
+raw AS (SELECT CAST(k % {HULL_GROUPS} AS BIGINT) AS g,
+               CAST(h % 8192 AS BIGINT) AS x,
+               CAST((h // 8192) % 8192 AS BIGINT) AS y
+        FROM hh),
+pts AS MATERIALIZED (SELECT DISTINCT g, x, y FROM raw),
+np_ AS (SELECT g, COUNT(*) AS n_pts FROM pts GROUP BY g),
+p0 AS (SELECT g, x, y FROM (
+         SELECT g, x, y,
+                row_number() OVER (PARTITION BY g ORDER BY x, y) AS rn
+         FROM pts) WHERE rn = 1),
+walk(g, step, cx, cy, p0x, p0y) AS (
+  SELECT g, CAST(0 AS BIGINT), x, y, x, y FROM p0
+  UNION ALL
+  SELECT w.g, w.step + 1, n.x, n.y, w.p0x, w.p0y
+  FROM walk w
+  JOIN pts n ON n.g = w.g AND NOT (n.x = w.cx AND n.y = w.cy)
+  WHERE NOT EXISTS (              -- CCW walk: nothing strictly right
+      SELECT 1 FROM pts q
+      WHERE q.g = w.g AND NOT (q.x = w.cx AND q.y = w.cy)
+        AND {cross} < 0)
+    AND NOT EXISTS (              -- farthest of collinear candidates
+      SELECT 1 FROM pts q
+      WHERE q.g = w.g AND {cross} = 0 AND {dot_f} > {len2n})
+    AND NOT (n.x = w.p0x AND n.y = w.p0y)  -- back at start: stop
+),
+hull AS (SELECT g, step, cx AS x, cy AS y FROM walk),
+hn AS (SELECT g, COUNT(*) AS n_hull FROM hull GROUP BY g),
+edges AS (
+  SELECT h1.g, h1.x AS x1, h1.y AS y1, h2.x AS x2, h2.y AS y2
+  FROM hull h1 JOIN hn USING (g)
+  JOIN hull h2 ON h2.g = h1.g AND h2.step = (h1.step + 1) % hn.n_hull),
+est AS (
+  SELECT g,
+    CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) AS area2,
+    CAST(SUM(abs(x2 - x1) + abs(y2 - y1)) AS BIGINT) AS perim
+  FROM edges GROUP BY g),
+vh AS (
+  SELECT g, CAST(SUM((x * 73856093 + y * 19349663) % 2147483648)
+                 AS BIGINT) AS vhash
+  FROM hull GROUP BY g)
+SELECT n.g, CAST(n.n_pts AS BIGINT) AS n_pts,
+       CAST(hn.n_hull AS BIGINT) AS n_hull,
+       CASE WHEN hn.n_hull >= 2 THEN e.area2 ELSE 0 END AS area2,
+       CASE WHEN hn.n_hull >= 2 THEN e.perim ELSE 0 END AS perim,
+       v.vhash
+FROM np_ n JOIN hn USING (g) JOIN est e USING (g) JOIN vh v USING (g)
+"""
+
+LM_GROUPS = 64
+
+def q_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group line merge (operators/overlay.merge_lines_stats — JTS
+    LineMerger semantics over grid-graph segments: chains break at
+    degree!=2 vertices, pure cycles count as rings) with a FULL
+    oracle. Corpus: splitmix64-derived unit grid edges (12x12 lattice,
+    horizontal/vertical coin) — dense enough that duplicates,
+    junctions, tips and closed squares all occur. The DuckDB twin
+    replays degrees/lengths directly and the ring count by recursive
+    reachability (min-label components over the deduped segment
+    graph), checking the kernel's union-find against an
+    algorithm-independent transitive closure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.overlay import merge_lines_stats
+
+    seg_t = StructType(
+        [
+            StructField("x1", LongType()),
+            StructField("y1", LongType()),
+            StructField("x2", LongType()),
+            StructField("y2", LongType()),
+        ]
+    )
+
+    def _seg_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        cx = (h % np.uint64(12)).astype(np.int64)
+        cy = ((h >> np.uint64(8)) % np.uint64(12)).astype(np.int64)
+        horiz = ((h >> np.uint64(16)) % np.uint64(2)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "x1": cx,
+                "y1": cy,
+                "x2": cx + horiz,
+                "y2": cy + (1 - horiz),
+            }
+        )
+
+    seg = F.pandas_udf(_seg_kernel, seg_t)
+    segs = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            (F.col("o_orderkey") % LM_GROUPS).alias("g"),
+            seg(F.col("o_orderkey")).alias("s"),
+        )
+        .select("g", "s.x1", "s.y1", "s.x2", "s.y2")
+    )
+    # guaranteed pure cycle per group: a unit square in a reserved
+    # coordinate region (x >= 100, disjoint from the 12x12 lattice) so
+    # the ring-component path is exercised in EVERY group, not only
+    # where the lattice happens to close a junction-free square
+    ring_t = StructType(
+        [StructField("rx", LongType()), StructField("ry", LongType())]
+    )
+
+    def _ring_kernel(g):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64((g.to_numpy(dtype=np.int64) * 7919 + 3).astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "rx": (100 + h % np.uint64(20)).astype(np.int64),
+                "ry": ((h >> np.uint64(5)) % np.uint64(20)).astype(np.int64),
+            }
+        )
+
+    ring = F.pandas_udf(_ring_kernel, ring_t)
+    sq = (
+        "array(struct(rx AS x1, ry AS y1, rx + 1L AS x2, ry AS y2), "
+        "struct(rx + 1L AS x1, ry AS y1, rx + 1L AS x2, ry + 1L AS y2), "
+        "struct(rx AS x1, ry + 1L AS y1, rx + 1L AS x2, ry + 1L AS y2), "
+        "struct(rx AS x1, ry AS y1, rx AS x2, ry + 1L AS y2))"
+    )
+    rings = (
+        spark.range(LM_GROUPS)
+        .select(F.col("id").alias("g"), ring(F.col("id")).alias("r"))
+        .selectExpr("g", "r.rx AS rx", "r.ry AS ry")
+        .selectExpr("g", f"explode({sq}) AS s")
+        .select("g", "s.x1", "s.y1", "s.x2", "s.y2")
+    )
+    return merge_lines_stats(segs.unionByName(rings), "g")
+
+def _sql_line_merge() -> str:
+    sm = splitmix64_sql("k")
+    return f"""
+WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm} AS h FROM ks),
+raw AS (SELECT CAST(k % {LM_GROUPS} AS BIGINT) AS g,
+               CAST(h % 12 AS BIGINT) AS cx,
+               CAST((h // 256) % 12 AS BIGINT) AS cy,
+               CAST((h // 65536) % 2 AS BIGINT) AS horiz
+        FROM hh),
+gs AS (SELECT CAST(unnest(generate_series(0, {LM_GROUPS - 1})) AS BIGINT)
+              AS g),
+rh AS (SELECT g, {splitmix64_sql('(g * 7919 + 3)')} AS h FROM gs),
+rsq AS (SELECT g, CAST(100 + h % 20 AS BIGINT) AS rx,
+               CAST((h // 32) % 20 AS BIGINT) AS ry
+        FROM rh),
+ringsegs AS (
+  SELECT g, rx AS x1, ry AS y1, rx + 1 AS x2, ry AS y2 FROM rsq
+  UNION ALL SELECT g, rx + 1, ry, rx + 1, ry + 1 FROM rsq
+  UNION ALL SELECT g, rx, ry + 1, rx + 1, ry + 1 FROM rsq
+  UNION ALL SELECT g, rx, ry, rx, ry + 1 FROM rsq),
+segs AS MATERIALIZED (
+  SELECT DISTINCT * FROM (
+    SELECT g, cx AS x1, cy AS y1,
+           cx + horiz AS x2, cy + (1 - horiz) AS y2
+    FROM raw
+    UNION ALL SELECT * FROM ringsegs)),
+-- vertices with degree (each deduped segment contributes one
+-- incidence per end); vkey is injective for coords < 8192
+ends_ AS (
+  SELECT g, x1 AS vx, y1 AS vy FROM segs
+  UNION ALL SELECT g, x2, y2 FROM segs),
+vdeg AS MATERIALIZED (
+  SELECT g, vx, vy, COUNT(*) AS deg, MIN(vx * 8192 + vy) AS vkey
+  FROM ends_ GROUP BY g, vx, vy),
+adj AS MATERIALIZED (
+  SELECT g, x1 AS ax, y1 AS ay, x2 AS bx, y2 AS by_ FROM segs
+  UNION ALL SELECT g, x2, y2, x1, y1 FROM segs),
+reach(g, vx, vy, lbl) AS (
+  SELECT g, vx, vy, vkey FROM vdeg
+  UNION
+  SELECT a.g, a.bx, a.by_, r.lbl
+  FROM reach r JOIN adj a
+    ON a.g = r.g AND a.ax = r.vx AND a.ay = r.vy
+),
+comp AS (
+  SELECT g, vx, vy, MIN(lbl) AS c FROM reach GROUP BY g, vx, vy),
+rings AS (
+  SELECT v.g,
+         CAST(COUNT(DISTINCT CASE WHEN ok THEN c END) AS BIGINT)
+           AS n_rings
+  FROM (
+    SELECT comp.g, comp.c,
+           BOOL_AND(vdeg.deg = 2) AS ok
+    FROM comp JOIN vdeg
+      ON vdeg.g = comp.g AND vdeg.vx = comp.vx AND vdeg.vy = comp.vy
+    GROUP BY comp.g, comp.c) v
+  GROUP BY v.g),
+base AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(SUM(abs(x2 - x1) + abs(y2 - y1)) AS BIGINT) AS mlen
+  FROM segs GROUP BY g),
+chains AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN deg <> 2 THEN deg ELSE 0 END) // 2 AS BIGINT)
+      AS n_chains,
+    CAST(SUM(CASE WHEN deg <> 2
+             THEN deg * ((vx * 73856093 + vy * 19349663) % 2147483648)
+             ELSE 0 END) AS BIGINT) AS jhash
+  FROM vdeg GROUP BY g)
+SELECT b.g, b.n_segs, c.n_chains, r.n_rings, b.mlen, c.jhash
+FROM base b JOIN chains c USING (g) JOIN rings r USING (g)
+"""
+
+def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12c morphological buffer suite (operators/overlay.
+    morphology_polygon_stats — Chebyshev dilate/erode/open/close at a
+    per-group integer radius; the ST_Buffer(+r)/ST_Buffer(−r) analog
+    with square caps/joins, erosion via the complement identity
+    F ∖ dilate(F ∖ A) through the planar overlay) with a FULL oracle.
+    Corpus: the union-style random rects plus a hole-forming frame
+    (thin frames vanish under erosion — a load-bearing edge case); the
+    DuckDB twin replays each op as set algebra on COVERED UNIT CELLS
+    (dilate = window-OR explode, erode = window-count, open/close
+    composed) and derives area/perimeter/vertices/Euler from cell
+    counts, shared-edge adjacency and corner patterns — it never
+    builds a ring, so agreement means the constructed boundaries are
+    exactly the morphological regions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.overlay import (
+        morphology_polygon_stats,
+        rect_rings,
+    )
+
+    rect_t = StructType(
+        [
+            StructField("sel", LongType()),
+            StructField("x0", LongType()),
+            StructField("y0", LongType()),
+            StructField("w", LongType()),
+            StructField("ht", LongType()),
+        ]
+    )
+
+    def _rect_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "sel": (h % np.uint64(16)).astype(np.int64),
+                "x0": ((h >> np.uint64(4)) % np.uint64(40)).astype(np.int64),
+                "y0": ((h >> np.uint64(10)) % np.uint64(40)).astype(np.int64),
+                "w": (1 + (h >> np.uint64(16)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+                "ht": (1 + (h >> np.uint64(22)) % np.uint64(12)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    meta_t = StructType(
+        [
+            StructField("fx", LongType()),
+            StructField("fy", LongType()),
+            StructField("fw", LongType()),
+            StructField("fh", LongType()),
+            StructField("t", LongType()),
+            StructField("rr", LongType()),
+        ]
+    )
+
+    def _meta_kernel(g):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(
+            (g.to_numpy(dtype=np.int64) * 1000003 + 17).astype(np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "fx": (2 + h % np.uint64(24)).astype(np.int64),
+                "fy": (2 + (h >> np.uint64(5)) % np.uint64(24)).astype(
+                    np.int64
+                ),
+                "fw": (8 + (h >> np.uint64(10)) % np.uint64(8)).astype(
+                    np.int64
+                ),
+                "fh": (8 + (h >> np.uint64(13)) % np.uint64(8)).astype(
+                    np.int64
+                ),
+                "t": (1 + (h >> np.uint64(16)) % np.uint64(3)).astype(
+                    np.int64
+                ),
+                "rr": (1 + (h >> np.uint64(19)) % np.uint64(2)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    rect_params = F.pandas_udf(_rect_kernel, rect_t)
+    meta_params = F.pandas_udf(_meta_kernel, meta_t)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rr_rects = (
+        orders.select(
+            (F.col("o_orderkey") % UNION_GROUPS).alias("g"),
+            rect_params(F.col("o_orderkey")).alias("r"),
+        )
+        .where(F.col("r.sel") == 0)
+        .select("g", "r.x0", "r.y0", "r.w", "r.ht")
+    )
+    meta = spark.range(UNION_GROUPS).select(
+        F.col("id").alias("g"), meta_params(F.col("id")).alias("f")
+    )
+    piece = (
+        "array("
+        "struct(f.fx AS x0, f.fy AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy + f.fh - f.t AS y0, f.fw AS w, f.t AS ht), "
+        "struct(f.fx AS x0, f.fy AS y0, f.t AS w, f.fh AS ht), "
+        "struct(f.fx + f.fw - f.t AS x0, f.fy AS y0, f.t AS w, f.fh AS ht))"
+    )
+    frames = meta.selectExpr("g", f"explode({piece}) AS r").select(
+        "g", "r.x0", "r.y0", "r.w", "r.ht"
+    )
+    corpus = rr_rects.unionByName(frames).join(
+        F.broadcast(meta.select("g", "f.rr")), "g"
+    )
+    return morphology_polygon_stats(
+        rect_rings(corpus, extra=("rr",)), "g", "rr"
+    )
+
+def _sql_morphology() -> str:
+    sm_k = splitmix64_sql("k")
+    sm_g = splitmix64_sql("(g * 1000003 + 17)")
+    pmod = "(((px * 73856093 + py * 19349663) % 2147483648) + 2147483648) % 2147483648"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders),
+hh AS (SELECT k, {sm_k} AS h FROM ks),
+rr_ AS (
+  SELECT CAST(k % {UNION_GROUPS} AS BIGINT) AS g,
+         CAST((h // 16) % 40 AS BIGINT) AS x0,
+         CAST((h // 1024) % 40 AS BIGINT) AS y0,
+         CAST(1 + (h // 65536) % 12 AS BIGINT) AS w,
+         CAST(1 + (h // 4194304) % 12 AS BIGINT) AS ht
+  FROM hh WHERE h % 16 = 0),
+gs AS (SELECT CAST(unnest(generate_series(0, {UNION_GROUPS - 1})) AS BIGINT)
+              AS g),
+gm AS (SELECT g, {sm_g} AS h FROM gs),
+fp AS (SELECT g,
+         CAST(2 + h % 24 AS BIGINT) AS fx,
+         CAST(2 + (h // 32) % 24 AS BIGINT) AS fy,
+         CAST(8 + (h // 1024) % 8 AS BIGINT) AS fw,
+         CAST(8 + (h // 8192) % 8 AS BIGINT) AS fh,
+         CAST(1 + (h // 65536) % 3 AS BIGINT) AS t,
+         CAST(1 + (h // 524288) % 2 AS BIGINT) AS rr
+       FROM gm),
+rects AS MATERIALIZED (
+  SELECT g, x0, y0, w, ht FROM rr_
+  UNION ALL SELECT g, fx, fy, fw, t FROM fp
+  UNION ALL SELECT g, fx, fy + fh - t, fw, t FROM fp
+  UNION ALL SELECT g, fx, fy, t, fh FROM fp
+  UNION ALL SELECT g, fx + fw - t, fy, t, fh FROM fp),
+rx AS (SELECT g, unnest(generate_series(x0, x0 + w - 1)) AS cx, y0, ht
+       FROM rects),
+cov AS MATERIALIZED (
+  SELECT DISTINCT g, cx, unnest(generate_series(y0, y0 + ht - 1)) AS cy
+  FROM rx),
+rad AS (SELECT g, rr FROM fp),
+off AS MATERIALIZED (
+  SELECT r.g, dx.v AS dx, dy.v AS dy, (2 * r.rr + 1) * (2 * r.rr + 1) AS wsz
+  FROM rad r
+  JOIN (SELECT unnest(generate_series(-2, 2)) AS v) dx
+    ON abs(dx.v) <= r.rr
+  JOIN (SELECT unnest(generate_series(-2, 2)) AS v) dy
+    ON abs(dy.v) <= r.rr),
+dil AS MATERIALIZED (
+  SELECT DISTINCT c.g, c.cx + o.dx AS cx, c.cy + o.dy AS cy
+  FROM cov c JOIN off o USING (g)),
+ero AS MATERIALIZED (
+  SELECT e.g, e.cx, e.cy FROM (
+    SELECT c.g, c.cx - o.dx AS cx, c.cy - o.dy AS cy,
+           COUNT(*) AS n, MAX(o.wsz) AS wsz
+    FROM cov c JOIN off o USING (g) GROUP BY 1, 2, 3) e
+  WHERE e.n = e.wsz),
+opn AS MATERIALIZED (
+  SELECT DISTINCT e.g, e.cx + o.dx AS cx, e.cy + o.dy AS cy
+  FROM ero e JOIN off o USING (g)),
+clo AS MATERIALIZED (
+  SELECT e.g, e.cx, e.cy FROM (
+    SELECT d.g, d.cx - o.dx AS cx, d.cy - o.dy AS cy,
+           COUNT(*) AS n, MAX(o.wsz) AS wsz
+    FROM dil d JOIN off o USING (g) GROUP BY 1, 2, 3) e
+  WHERE e.n = e.wsz),
+lay AS MATERIALIZED (
+  SELECT g, CAST(0 AS BIGINT) AS op, cx, cy FROM dil
+  UNION ALL SELECT g, 1, cx, cy FROM ero
+  UNION ALL SELECT g, 2, cx, cy FROM opn
+  UNION ALL SELECT g, 3, cx, cy FROM clo),
+adj AS (
+  SELECT a.g, a.op, COUNT(*) AS n_adj
+  FROM lay a JOIN lay b
+    ON b.g = a.g AND b.op = a.op
+   AND ((b.cx = a.cx + 1 AND b.cy = a.cy)
+        OR (b.cx = a.cx AND b.cy = a.cy + 1))
+  GROUP BY a.g, a.op),
+-- vertex corner patterns: each covered cell is the NE/NW/SE/SW
+-- quadrant of its four corners
+vq AS (
+  SELECT g, op, cx AS px, cy AS py, 3 AS q FROM lay      -- cell NE of v
+  UNION ALL SELECT g, op, cx + 1, cy, 2 FROM lay         -- NW
+  UNION ALL SELECT g, op, cx, cy + 1, 1 FROM lay         -- SE
+  UNION ALL SELECT g, op, cx + 1, cy + 1, 0 FROM lay),   -- SW
+vst AS (
+  SELECT g, op, px, py, COUNT(*) AS ncov,
+         BOOL_OR(q = 0) AS sw, BOOL_OR(q = 1) AS se,
+         BOOL_OR(q = 2) AS nw, BOOL_OR(q = 3) AS ne
+  FROM vq GROUP BY 1, 2, 3, 4),
+vagg AS (
+  SELECT g, op,
+    CAST(SUM(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND sw = ne AND nw = se AND sw <> nw
+                  THEN 2 ELSE 0 END) AS BIGINT) AS n_vert,
+    CAST(SUM(CAST(CASE WHEN ncov IN (1, 3) THEN 1
+                  WHEN ncov = 2 AND sw = ne AND nw = se AND sw <> nw
+                  THEN 2 ELSE 0 END AS BIGINT) * ({pmod}))
+         AS BIGINT) AS vhash,
+    CAST(SUM(CASE WHEN ncov = 2 AND sw = ne AND nw = se AND sw <> nw
+             THEN 1 ELSE 0 END) AS BIGINT) AS ndiag,
+    CAST(COUNT(*) AS BIGINT) AS nv_all
+  FROM vst GROUP BY g, op),
+cnt AS (SELECT g, op, CAST(COUNT(*) AS BIGINT) AS nf FROM lay GROUP BY g, op),
+ops AS (SELECT g, CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS op FROM gs)
+SELECT o.g, o.op,
+  CAST(COALESCE(2 * c.nf, 0) AS BIGINT) AS area2,
+  CAST(COALESCE(4 * c.nf - 2 * COALESCE(a.n_adj, 0), 0) AS BIGINT) AS perim,
+  COALESCE(v.n_vert, 0) AS n_vert,
+  -- Euler identity on the unit-cell subdivision:
+  -- n_ext − n_hole = V − E + F + n_pinch, E = 4F − adj
+  CAST(COALESCE(v.nv_all - (4 * c.nf - COALESCE(a.n_adj, 0))
+                + c.nf + v.ndiag, 0) AS BIGINT) AS euler,
+  COALESCE(v.vhash, 0) AS vhash
+FROM ops o
+LEFT JOIN cnt c ON c.g = o.g AND c.op = o.op
+LEFT JOIN adj a ON a.g = o.g AND a.op = o.op
+LEFT JOIN vagg v ON v.g = o.g AND v.op = o.op
+"""
+
+def q_image_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12i gradient-orientation histogram
+    (raster.gradient_orientation_stats — 3×3 Sobel over the shared
+    luma8 grid, octant by a three-step sign/compare fold, no atan2)
+    over the canonical images table with a FULL oracle: DuckDB
+    regenerates every pixel from the shared CTE chain, builds the
+    Sobel responses from row-wise lag/lead plus two row joins, and
+    replays the identical fold decision-for-decision — one pixel
+    binned across a tie boundary (exact diagonal or axis gradient)
+    breaks the hash."""
+    from mapnik_vector_tile_spark.operators.raster import (
+        gradient_orientation_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_TH_N)
+    return gradient_orientation_stats(imgs)
+
+def _sql_image_gradients(n: int = IMG_TH_N) -> str:
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS (
+  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+tri AS (
+  SELECT i, w, h, y, x,
+         lag(g8)  OVER (PARTITION BY i, y ORDER BY x) AS wv,
+         g8 AS cv,
+         lead(g8) OVER (PARTITION BY i, y ORDER BY x) AS ev
+  FROM lum
+),
+sob AS (
+  SELECT m.i, m.y, m.x,
+         (u.ev + 2 * m.ev + d.ev) - (u.wv + 2 * m.wv + d.wv) AS gx,
+         (d.wv + 2 * d.cv + d.ev) - (u.wv + 2 * u.cv + u.ev) AS gy
+  FROM tri m
+  JOIN tri u ON u.i = m.i AND u.x = m.x AND u.y = m.y - 1
+  JOIN tri d ON d.i = m.i AND d.x = m.x AND d.y = m.y + 1
+  WHERE m.x BETWEEN 1 AND m.w - 2 AND m.y BETWEEN 1 AND m.h - 2
+),
+f1 AS (
+  SELECT i, abs(gx) + abs(gy) AS mag, gx = 0 AND gy = 0 AS flat,
+         CASE WHEN gy < 0 THEN 4 ELSE 0 END AS s1,
+         CASE WHEN gy < 0 THEN -gx ELSE gx END AS gx1,
+         CASE WHEN gy < 0 THEN -gy ELSE gy END AS gy1
+  FROM sob
+),
+f2 AS (
+  SELECT i, mag, flat,
+         s1 + CASE WHEN gx1 < 0 THEN 2 ELSE 0 END AS s2,
+         CASE WHEN gx1 < 0 THEN gy1 ELSE gx1 END AS gx2,
+         CASE WHEN gx1 < 0 THEN -gx1 ELSE gy1 END AS gy2
+  FROM f1
+),
+f3 AS (
+  SELECT i, mag,
+         CASE WHEN flat THEN -1
+              ELSE s2 + CASE WHEN gy2 >= gx2 THEN 1 ELSE 0 END
+         END AS bin
+  FROM f2
+),
+hist AS (
+  SELECT i, bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN bin = -1 THEN 0 ELSE mag END) AS BIGINT)
+           AS mag
+  FROM f3 GROUP BY i, bin
+),
+spine AS (
+  SELECT i, CAST(unnest(generate_series(-1, 7)) AS BIGINT) AS bin
+  FROM ids
+)
+SELECT 'img_' || lpad(CAST(s.i AS VARCHAR), 12, '0') AS image_id,
+       s.bin, COALESCE(h.cnt, 0) AS cnt, COALESCE(h.mag, 0) AS mag,
+       caps.caption AS caption
+FROM spine s
+LEFT JOIN hist h ON h.i = s.i AND h.bin = s.bin
+JOIN caps ON caps.i = s.i
+"""
+
+IMG_TM_N = 150  # q_template_match corpus size (36 template cells/pixel)
+
+def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12j template matching (raster.template_match_stats — integer
+    SAD sliding-window patch search with a per-image hash-located,
+    perturbed 6×6 luma template) with a FULL oracle: DuckDB
+    regenerates the pixels, rebuilds the template from the same
+    formulas, folds SAD per offset (HAVING 36 cells keeps exactly the
+    full windows) and replays the argmin with the pinned smallest-
+    (by,bx) tie rule plus the tied-minima count."""
+    from mapnik_vector_tile_spark.operators.raster import (
+        template_match_stats,
+    )
+    from mapnik_vector_tile_spark.sources.synth import images_df
+
+    imgs = images_df(spark, IMG_TM_N)
+    return template_match_stats(imgs)
+
+def _sql_template_match(n: int = IMG_TM_N) -> str:
+    return f"""
+WITH {_img_pixel_ctes(n)},
+lum AS (
+  SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
+  FROM chan
+),
+tloc AS (
+  SELECT i, w, h,
+         CAST(ph % (w - 5) AS BIGINT) AS t0x,
+         CAST((ph // 131072) % (h - 5) AS BIGINT) AS t0y
+  FROM dims
+),
+tpl AS (
+  SELECT l.i, l.x - t.t0x AS tx, l.y - t.t0y AS ty,
+         l.g8 + ((l.x - t.t0x) * 7 + (l.y - t.t0y) * 11) % 43 AS tv
+  FROM lum l JOIN tloc t ON t.i = l.i
+  WHERE l.x BETWEEN t.t0x AND t.t0x + 5
+    AND l.y BETWEEN t.t0y AND t.t0y + 5
+),
+sad AS (
+  SELECT p.i, p.x - t.tx AS ox, p.y - t.ty AS oy,
+         CAST(SUM(abs(p.g8 - t.tv)) AS BIGINT) AS s
+  FROM lum p JOIN tpl t ON t.i = p.i
+  GROUP BY p.i, p.x - t.tx, p.y - t.ty
+  HAVING COUNT(*) = 36
+),
+mins AS (SELECT i, MIN(s) AS bs FROM sad GROUP BY i),
+ties AS (
+  SELECT sad.i, CAST(COUNT(*) AS BIGINT) AS n_best
+  FROM sad JOIN mins ON mins.i = sad.i AND sad.s = mins.bs
+  GROUP BY sad.i
+),
+pick AS (
+  SELECT i, ox, oy, s FROM (
+    SELECT sad.i, ox, oy, s,
+           row_number() OVER (PARTITION BY sad.i ORDER BY oy, ox) AS rn
+    FROM sad JOIN mins ON mins.i = sad.i AND sad.s = mins.bs)
+  WHERE rn = 1
+)
+SELECT 'img_' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
+       p.ox AS bx, p.oy AS by, p.s AS best_sad, t.n_best,
+       caps.caption AS caption
+FROM pick p JOIN ties t ON t.i = p.i JOIN caps ON caps.i = p.i
+"""
+
+SP_D = 6  # Chebyshev stay radius
+
+SP_T_US = 86_400_000_000  # 24h minimum stay duration
+
+SP_EP_US = 259_200_000_000  # 3-day drifting-center epochs (corpus)
+
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 stay-point detection (operators/temporal.staypoints — the
+    GeoLife greedy anchor scan with pinned order/threshold semantics)
+    with a FULL oracle. Corpus: events become trajectory points whose
+    coordinates cluster around a per-(user, 3-day-epoch) drifting
+    center with a 5×5 jitter — within an epoch every pair is within
+    the stay radius, across epochs the center jumps, so real stays,
+    broken stays (epoch straddles) and too-short windows all occur.
+    The DuckDB twin precomputes each index's first-exit and replays
+    the exact greedy anchor CHAIN through a recursive CTE — one
+    mis-advanced anchor desynchronizes every later stay for that
+    user."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.temporal import (
+        _EPOCH_US,
+        staypoints,
+    )
+
+    xy_t = StructType(
+        [StructField("x", LongType()), StructField("y", LongType())]
+    )
+
+    def _xy_kernel(key):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        uid = key["user_id"].to_numpy(np.int64)
+        ev = key["event_id"].to_numpy(np.uint64)
+        ep = key["t"].to_numpy(np.int64) // SP_EP_US
+        hc = splitmix64((uid * 1_000_003 + ep).astype(np.uint64))
+        hp = splitmix64(ev)
+        return pd.DataFrame(
+            {
+                "x": (hc % np.uint64(64)).astype(np.int64)
+                + (hp % np.uint64(5)).astype(np.int64),
+                "y": ((hc >> np.uint64(7)) % np.uint64(64)).astype(np.int64)
+                + ((hp >> np.uint64(5)) % np.uint64(5)).astype(np.int64),
+            }
+        )
+
+    xy = F.pandas_udf(_xy_kernel, xy_t)
+    pts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(_EPOCH_US).cast("long").alias("t"),
+        )
+        .withColumn(
+            "p",
+            xy(F.struct("user_id", "event_id", "t")),
+        )
+        .select("user_id", "event_id", "t", "p.x", "p.y")
+    )
+    return staypoints(pts, SP_D, SP_T_US)
+
+def _sql_staypoints() -> str:
+    sm_c = splitmix64_sql("(user_id * 1000003 + (t // {ep}))").replace(
+        "{ep}", str(SP_EP_US)
+    )
+    sm_p = splitmix64_sql("event_id")
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+pts AS MATERIALIZED (
+  SELECT user_id, event_id, t,
+         CAST(({sm_c}) % 64 + ({sm_p}) % 5 AS BIGINT) AS x,
+         CAST((({sm_c}) // 128) % 64 + (({sm_p}) // 32) % 5 AS BIGINT) AS y
+  FROM ev),
+idx AS MATERIALIZED (
+  SELECT user_id AS u, t, x, y,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+           - 1 AS i
+  FROM pts),
+nu AS (SELECT u, COUNT(*) AS n FROM idx GROUP BY u),
+exit_ AS (
+  SELECT a.u, a.i, MIN(b.i) AS ex
+  FROM idx a JOIN idx b
+    ON b.u = a.u AND b.i > a.i
+   AND (abs(b.x - a.x) > {SP_D} OR abs(b.y - a.y) > {SP_D})
+  GROUP BY a.u, a.i),
+jt AS MATERIALIZED (
+  SELECT a.u, a.i, COALESCE(e.ex - 1, nu.n - 1) AS j
+  FROM idx a JOIN nu USING (u)
+  LEFT JOIN exit_ e ON e.u = a.u AND e.i = a.i),
+st AS MATERIALIZED (
+  SELECT jt.u, jt.i, jt.j, tj.t - ti.t >= {SP_T_US} AS stay
+  FROM jt
+  JOIN idx ti ON ti.u = jt.u AND ti.i = jt.i
+  JOIN idx tj ON tj.u = jt.u AND tj.i = jt.j),
+walk(u, a) AS (
+  SELECT u, CAST(0 AS BIGINT) FROM nu
+  UNION
+  SELECT w.u, CASE WHEN s.stay THEN s.j + 1 ELSE w.a + 1 END
+  FROM walk w
+  JOIN st s ON s.u = w.u AND s.i = w.a
+  JOIN nu ON nu.u = w.u
+  WHERE (CASE WHEN s.stay THEN s.j + 1 ELSE w.a + 1 END) < nu.n
+),
+stays AS (
+  SELECT w.u, s.i, s.j,
+         row_number() OVER (PARTITION BY w.u ORDER BY s.i) - 1 AS ord
+  FROM walk w JOIN st s ON s.u = w.u AND s.i = w.a
+  WHERE s.stay),
+mem AS (
+  SELECT s.u, s.ord, s.i, s.j,
+         CAST(COUNT(*) AS BIGINT) AS n_pts,
+         CAST(SUM(m.x) AS BIGINT) AS sx, CAST(SUM(m.y) AS BIGINT) AS sy
+  FROM stays s JOIN idx m ON m.u = s.u AND m.i BETWEEN s.i AND s.j
+  GROUP BY s.u, s.ord, s.i, s.j)
+SELECT mem.u AS user_id, mem.ord AS stay_ord, mem.n_pts, mem.sx, mem.sy,
+       CAST(tj.t - ti.t AS BIGINT) AS dur_us, CAST(ti.t AS BIGINT) AS t0
+FROM mem
+JOIN idx ti ON ti.u = mem.u AND ti.i = mem.i
+JOIN idx tj ON tj.u = mem.u AND tj.i = mem.j
+"""
+
+UTF_Z = 6
+
+def q_utfgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 UTFGrid encode (operators/tiling.utfgrid_rows — mapnik
+    grid_renderer parity: per-tile 64×64 key raster, codepoint
+    mapping idx+32 with the '\"'/'\\\\' gaps skipped, ascending-id
+    painter's order, dense-rank key table) with a FULL oracle: the
+    DuckDB twin replays the cell math from the shared tile formulas,
+    the max-id cells, the dense_rank key indexes, the gap-skipping
+    codepoint arithmetic and the positional 31-power row hash."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.tiling import utfgrid_rows
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return utfgrid_rows(derive_points(orders, "o_orderkey"), z=UTF_Z)
+
+def _sql_utfgrid(z: int = UTF_Z, cell_bits: int = 6) -> str:
+    from mapnik_vector_tile_spark.operators.tiling import UTFGRID_POW31
+
+    txe, tye = S.tile_xy_exprs(z)
+    fxe, fye = S.tile_xy_exprs(z + cell_bits)
+    pows = "[" + ", ".join(str(p) for p in UTFGRID_POW31) + "]"
+    return f"""
+WITH {S.point_cte('orders', 'o_orderkey')},
+asgn AS (
+  SELECT id, {txe} AS x, {tye} AS y,
+         {fxe} - {txe} * {1 << cell_bits} AS cx,
+         {fye} - {tye} * {1 << cell_bits} AS cy
+  FROM pts),
+cells AS (
+  SELECT x, y, cx, cy, MAX(id) AS v
+  FROM asgn GROUP BY x, y, cx, cy),
+ranked AS (
+  SELECT x, y, cx, cy,
+         dense_rank() OVER (PARTITION BY x, y ORDER BY v) AS ki
+  FROM cells),
+cps AS (
+  SELECT x, y, cx, cy, ki,
+         cp1 + CASE WHEN cp1 >= 92 THEN 1 ELSE 0 END AS cp
+  FROM (
+    SELECT x, y, cx, cy, ki,
+           (ki + 32) + CASE WHEN ki + 32 >= 34 THEN 1 ELSE 0 END AS cp1
+    FROM ranked)),
+nk AS (SELECT x, y, MAX(ki) AS n_keys FROM cps GROUP BY x, y)
+SELECT CAST({z} AS BIGINT) AS z, c.x, c.y, c.cy AS row_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.cp * {pows}[CAST(c.cx AS INT) + 1]) % 2147483648
+            AS BIGINT) AS rh,
+       CAST(MAX(nk.n_keys) AS BIGINT) AS n_keys
+FROM cps c JOIN nk ON nk.x = c.x AND nk.y = c.y
+GROUP BY c.x, c.y, c.cy
+"""
+
+LP_Z = 3
+
+def q_label_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 greedy label placement (operators/tiling.label_place_greedy
+    — the mapnik placement_finder shape: candidates in ascending-id
+    priority order, placed iff the box overlaps no already-placed box,
+    STRICT overlap so edge contact is legal, discards don't block)
+    with a FULL oracle. Corpus: orders points at z3 (~230 candidates
+    per tile, heavy collision pressure) with hash-derived box half
+    sizes; centers are the exact z15-minus-z3-origin tile pixels. The
+    DuckDB twin replays the exact sequential greedy through a
+    recursive CTE carrying the PLACED BOX LISTS — one wrongly placed
+    label cascades into different later decisions, so the per-tile
+    placed-id hash is sequence-sensitive."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.tiling import label_place_greedy
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    box_t = StructType(
+        [StructField("hw", LongType()), StructField("hh", LongType())]
+    )
+
+    def _box_kernel(k):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "hw": (40 + h % np.uint64(120)).astype(np.int64),
+                "hh": (20 + (h >> np.uint64(8)) % np.uint64(40)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    box = F.pandas_udf(_box_kernel, box_t)
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    span_c = 2.0 * W / (1 << LP_Z)
+    span_f = 2.0 * W / (1 << (LP_Z + 12))
+    mx, my = F.col("mx"), F.col("my")
+    tx = F.floor((mx + F.lit(W)) / F.lit(span_c)).cast("long")
+    ty = F.floor((F.lit(W) - my) / F.lit(span_c)).cast("long")
+    fx = F.floor((mx + F.lit(W)) / F.lit(span_f)).cast("long")
+    fy = F.floor((F.lit(W) - my) / F.lit(span_f)).cast("long")
+    cands = pts.select(
+        tx.alias("x"),
+        ty.alias("y"),
+        "id",
+        (fx - tx * F.lit(1 << 12)).alias("cx"),
+        (fy - ty * F.lit(1 << 12)).alias("cy"),
+        box(F.col("id")).alias("b"),
+    ).select("x", "y", "id", "cx", "cy", "b.hw", "b.hh")
+    return label_place_greedy(cands)
+
+def _sql_label_place(z: int = LP_Z) -> str:
+    sm = splitmix64_sql("id")
+    txe, tye = S.tile_xy_exprs(z)
+    fxe, fye = S.tile_xy_exprs(z + 12)
+    return f"""
+WITH RECURSIVE {S.point_cte('orders', 'o_orderkey')},
+cand AS (
+  SELECT id, {txe} AS x, {tye} AS y,
+         {fxe} - {txe} * 4096 AS cx,
+         {fye} - {tye} * 4096 AS cy,
+         CAST(40 + ({sm}) % 120 AS BIGINT) AS hw,
+         CAST(20 + (({sm}) // 256) % 40 AS BIGINT) AS hh
+  FROM pts),
+packs AS MATERIALIZED (
+  SELECT x, y, COUNT(*) AS n,
+         list(cx ORDER BY id) AS acx, list(cy ORDER BY id) AS acy,
+         list(hw ORDER BY id) AS ahw, list(hh ORDER BY id) AS ahh,
+         list(id ORDER BY id) AS aid
+  FROM cand GROUP BY x, y),
+walk(x, y, i, pcx, pcy, phw, phh, ph, n_placed) AS (
+  SELECT x, y, 0,
+         CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+         CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM packs
+  UNION ALL
+  SELECT w.x, w.y, w.i + 1,
+         CASE WHEN hit THEN pcx ELSE list_append(pcx, ccx) END,
+         CASE WHEN hit THEN pcy ELSE list_append(pcy, ccy) END,
+         CASE WHEN hit THEN phw ELSE list_append(phw, chw) END,
+         CASE WHEN hit THEN phh ELSE list_append(phh, chh) END,
+         CASE WHEN hit THEN ph
+              ELSE ph + (cid * 2654435761) % 2147483648 END,
+         CASE WHEN hit THEN n_placed ELSE n_placed + 1 END
+  FROM (
+    SELECT w.*, p.n,
+           p.acx[w.i + 1] AS ccx, p.acy[w.i + 1] AS ccy,
+           p.ahw[w.i + 1] AS chw, p.ahh[w.i + 1] AS chh,
+           p.aid[w.i + 1] AS cid,
+           len([j FOR j IN generate_series(1, len(w.pcx))
+                IF abs(w.pcx[j] - p.acx[w.i + 1])
+                     < w.phw[j] + p.ahw[w.i + 1]
+                   AND abs(w.pcy[j] - p.acy[w.i + 1])
+                     < w.phh[j] + p.ahh[w.i + 1]]) > 0 AS hit
+    FROM walk w JOIN packs p ON p.x = w.x AND p.y = w.y
+    WHERE w.i < p.n) w
+)
+SELECT w.x, w.y, CAST(p.n AS BIGINT) AS n_cands, w.n_placed, w.ph
+FROM walk w JOIN packs p ON p.x = w.x AND p.y = w.y
+WHERE w.i = p.n
+"""
+
+_ENGINE_PAIRS: dict[str, tuple[Callable, str | None]] = {
+    "q_label_place": (q_label_place, _sql_label_place()),
+    "q_utfgrid": (q_utfgrid, _sql_utfgrid()),
+    "q_staypoints": (q_staypoints, _sql_staypoints()),
+    "q_template_match": (q_template_match, _sql_template_match()),
+    "q_str_pack": (q_str_pack, _sql_str_pack()),
+    "q_convex_hull": (q_convex_hull, _sql_convex_hull()),
+    "q_line_merge": (q_line_merge, _sql_line_merge()),
+    "q_morphology": (q_morphology, _sql_morphology()),
+    "q_image_gradients": (q_image_gradients, _sql_image_gradients()),
+    "q_polygon_union": (q_polygon_union, _sql_polygon_union()),
+    "q_polygon_boolean": (q_polygon_boolean, _sql_polygon_boolean()),
+    "q_mapnik_expr": (q_mapnik_expr, _sql_mapnik_expr()),
+    "q_engine_tile_counts": (q_engine_tile_counts, _sql_pyramid_counts_z(8)),
+    "q_vtquery": (q_vtquery, _sql_vtquery()),
+    "q_engine_pip_broadcast": (q_engine_pip_broadcast, _sql_bbox_rect_join()),
+    "q_engine_pip_partitioned": (
+        q_engine_pip_partitioned,
+        _sql_bbox_rect_join(),
+    ),
+    "q_engine_pip_semi": (q_engine_pip_semi, _sql_pip_membership(True)),
+    "q_engine_pip_anti": (q_engine_pip_anti, _sql_pip_membership(False)),
+    "q_engine_knn": (q_engine_knn, _sql_knn(3)),
+    "q_asof_clicks_views": (q_asof_clicks_views, _SQL_ASOF),
+    "q_click_attribution": (q_click_attribution, _SQL_ATTRIBUTION),
+    "q_sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "q_session_window": (q_session_window, _SQL_SESSION_WINDOW),
+    "q_interval_overlap": (q_interval_overlap, _SQL_INTERVAL_OVERLAP),
+    "q_pip_polygon_regions": (q_pip_polygon_regions, _sql_pip_polygon(200)),
+    "q_engine_decode_roundtrip": (
+        q_engine_decode_roundtrip,
+        _sql_pyramid_counts_band(6, 8),
+    ),
+    "q_engine_load_compressed": (
+        q_engine_load_compressed,
+        _sql_load_compressed(4, 6),
+    ),
+    "q_geojson_tiles": (q_geojson_tiles, _sql_geojson_tiles(7)),
+    "q_engine_typed_values": (q_engine_typed_values, _sql_typed_values(8)),
+    "q_engine_layer_filter": (q_engine_layer_filter, _sql_layer_filter()),
+    "q_engine_attr_join": (q_engine_attr_join, _sql_attr_join()),
+    "q_engine_attr_join_shuffle": (
+        q_engine_attr_join_shuffle,
+        _sql_attr_join(),
+    ),
+    "q_quadkey": (q_quadkey, _sql_quadkey()),
+    "q_pyramid_audit": (q_pyramid_audit, _sql_pyramid_audit()),
+    "q_tilestats": (q_tilestats, _sql_tilestats()),
+    "q_polygon_rect_join": (q_polygon_rect_join, _sql_polygon_rect_join()),
+    "q_polygon_polygon_join": (q_polygon_polygon_join, _sql_polygon_polygon_join()),
+    "q_dissolve": (q_dissolve, _sql_dissolve()),
+    "q_engine_simplify_vw": (q_engine_simplify_vw, _sql_simplify_vw()),
+    "q_polygon_polygon_ri": (q_polygon_polygon_ri, _sql_polygon_polygon_join()),
+    "q_engine_validity": (q_engine_validity, _sql_validity()),
+    "q_engine_composite": (q_engine_composite, _sql_composite_n_layers(5)),
+    "q_engine_overzoom": (q_engine_overzoom, _sql_overzoom()),
+    "q_engine_overzoom_redistribute": (
+        q_engine_overzoom_redistribute,
+        _sql_overzoom(),
+    ),
+    "q_engine_rescale": (q_engine_rescale, _sql_rescale()),
+    "q_engine_downzoom": (q_engine_downzoom, _sql_downzoom()),
+    "q_engine_downzoom_band": (q_engine_downzoom_band, _sql_downzoom_band()),
+    "q_events_tile_window": (q_events_tile_window, _sql_events_tile_window()),
+    "q_raster_tiles": (q_raster_tiles, _sql_raster_tiles()),
+    "q_geotiff_tiles": (q_geotiff_tiles, _sql_raster_tiles()),
+    "q_raster_overzoom": (q_raster_overzoom, _sql_raster_overzoom()),
+    "q_phash_neardup": (q_phash_neardup, _sql_phash_neardup()),
+    "q_phash_mi": (q_phash_mi, _sql_phash_neardup()),
+    "q_engine_v1_decode": (q_engine_v1_decode, _sql_v1_decode()),
+    "q_engine_solid": (q_engine_solid, _sql_solid()),
+    "q_label_grid": (q_label_grid, _sql_label_grid()),
+    "q_solid_prune": (q_solid_prune, _sql_solid_prune()),
+    "q_tile_diff": (q_tile_diff, _sql_tile_diff()),
+    "q_rasterize_coverage": (q_rasterize_coverage, _sql_rasterize_coverage()),
+    "q_s2_cells": (q_s2_cells, _sql_s2_cells()),
+    "q_geohash": (q_geohash, _sql_geohash()),
+    "q_engine_simplify_exact": (q_engine_simplify_exact, _sql_simplify_exact()),
+    "q_engine_simplify_radial": (
+        q_engine_simplify_radial,
+        _sql_simplify_radial(),
+    ),
+    "q_engine_clip_repair": (q_engine_clip_repair, _sql_clip_repair()),
+    "q_engine_clip_repair_pos": (
+        q_engine_clip_repair_pos,
+        _sql_clip_repair(fill_rule="positive"),
+    ),
+    "q_raster_jpeg": (q_raster_jpeg, _sql_raster_jpeg()),
+    "q_raster_png": (q_raster_png, _sql_raster_png()),
+    "q_raster_webp": (q_raster_webp, _sql_raster_webp()),
+    "q_raster_tiff": (q_raster_tiff, _sql_raster_tiff()),
+    "q_raster_png8": (q_raster_png8, _sql_raster_png8()),
+    "q_wkt_ingest": (q_wkt_ingest, _sql_wkt_ingest()),
+    "q_wkb_ingest": (q_wkb_ingest, _sql_wkt_ingest()),
+    "q_shp_ingest": (q_shp_ingest, _sql_wkt_ingest()),
+    "q_zoom_thin": (q_zoom_thin, _sql_zoom_thin()),
+    "q_csv_ingest": (q_csv_ingest, _sql_csv_ingest()),
+    "q_cell_cover": (q_cell_cover, _sql_cell_cover()),
+    "q_cell_cover_hier": (q_cell_cover_hier, _sql_cell_cover()),
+    "q_pip_cover_join": (q_pip_cover_join, _sql_pip_cover_join()),
+    "q_pip_join_sampled": (q_pip_join_sampled, _sql_pip_join_sampled()),
+    "q_tile_budget": (q_tile_budget, _sql_tile_budget()),
+    "q_haversine_join": (q_haversine_join, _sql_haversine_join()),
+    "q_scene_cuts": (q_scene_cuts, _sql_scene_cuts()),
+    "q_silence_trim": (q_silence_trim, _sql_silence_trim()),
+    "q_audio_decimate": (q_audio_decimate, _sql_audio_decimate()),
+    "q_line_cover": (q_line_cover, _sql_line_cover()),
+    "q_zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
+    "q_cell_compact": (q_cell_compact, _sql_cell_compact()),
+    "q_radius_join": (q_radius_join, _sql_radius_join()),
+    "q_geom_measures": (q_geom_measures, _sql_geom_measures()),
+    "q_mbtiles_roundtrip": (q_mbtiles_roundtrip, _sql_mbtiles()),
+    "q_pmtiles_roundtrip": (q_pmtiles_roundtrip, _sql_mbtiles()),
+    "q_store_partitioned": (q_store_partitioned, _sql_mbtiles()),
+    "q_tilejson": (q_tilejson, _sql_tilejson()),
+    "q_line_interpolate": (q_line_interpolate, _sql_line_interpolate()),
+    "q_area_centroid": (q_area_centroid, _sql_area_centroid()),
+    "q_image_thumbs": (q_image_thumbs, _sql_image_thumbs()),
+    "q_image_blur": (q_image_blur, _sql_image_blur()),
+    "q_image_otsu": (q_image_otsu, _sql_image_otsu()),
+    "q_image_equalize": (q_image_equalize, _sql_image_equalize()),
+    "q_image_phash": (q_image_phash, _sql_image_phash()),
+    "q_marching_squares": (q_marching_squares, _sql_marching_squares()),
+    "q_heatmap_tiles": (q_heatmap_tiles, _sql_heatmap_tiles()),
+    "q_idw": (q_idw, _sql_idw()),
+    "q_ewma": (q_ewma, _sql_ewma()),
+    "q_scale_gate": (q_scale_gate, _sql_scale_gate()),
+    "q_image_curation": (q_image_curation, _sql_image_curation()),
+    "q_image_dhash": (q_image_dhash, _sql_image_dhash()),
+    "q_letterbox": (q_letterbox, _sql_letterbox()),
+    "q_augment": (q_augment, _sql_augment()),
+    "q_wds_roundtrip": (q_wds_roundtrip, _sql_wds_roundtrip()),
+    "q_ar_bucket_batches": (q_ar_bucket_batches, _sql_ar_bucket_batches()),
+    "q_distinct_kmv": (q_distinct_kmv, _sql_distinct_kmv()),
+    "q_distinct_hll": (q_distinct_hll, _sql_distinct_hll()),
+    "q_spatial_block_split": (q_spatial_block_split, _sql_spatial_block_split()),
+    "q_audio_features": (q_audio_features, _sql_audio_features(500, 1024)),
+    "q_audio_windows": (q_audio_windows, _sql_audio_windows(500, 1024)),
+    "q_video_frames": (q_video_frames, _sql_video_frames(300, 4)),
+    "q_video_mjpeg": (q_video_mjpeg, _sql_video_mjpeg()),
+    "q_video_mpeg1": (q_video_mpeg1, _sql_video_mpeg1()),
+    "q_engine_wafer": (q_engine_wafer, _sql_wafer()),
+    "q_global_quantiles": (q_global_quantiles, _sql_global_quantiles()),
+}
+
+def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(S.render(template, "spark"))
+
+    return fn
+
+_RECORD_FIRST = (
+    "q_video_mpeg1",  # new r4 keys: record first
+    "q_viewshed_sweep",
+    "q_scd2_stream",
+    "q_stream_window",
+    "q_dirty_stream",
+    # driver records ~50 keys per round in dict order; r01+r02+r03
+    # covered 150 distinct keys, so round 4 promotes the 113 keys
+    # never yet in a driver CORRECTNESS file (registry order) —
+    # the cross-round union keeps growing toward full coverage
+    "q_shp_ingest",
+    "q_zoom_thin",
+    "q_geotiff_tiles",
+    "q_csv_ingest",
+    "q_edit_refine",
+    "q_image_equalize",
+    "q_wordpiece",
+    "q_audio_decimate",
+    "q_image_phash",
+    "q_marching_squares",
+    "q_heatmap_tiles",
+    "q_idw",
+    "q_ewma",
+    "q_scale_gate",
+    "q_distinct_hll",
+    "q_spatial_block_split",
+    "q_alignment_filter",
+    "q_image_blur",
+    "q_dissolve",
+    "q_image_curation",
+    "q_engine_simplify_vw",
+    "q_vtquery",
+    "q_engine_attr_join_shuffle",
+    "q_count_min",
+    "q_hard_negatives",
+    "q_store_partitioned",
+    "q_chunk_sliding",
+    "q_solid_prune",
+    "q_augment",
+    "q_silence_trim",
+    "q_scene_cuts",
+    "q_haversine_join",
+    "q_tile_budget",
+    "q_pip_join_sampled",
+    "q_polygon_polygon_ri",
+    "q_letterbox",
+    "q_label_grid",
+    "q_boilerplate",
+    "q_unimax_resample",
+    "q_image_dhash",
+    "q_engine_simplify_radial",
+    "q_engine_attr_join",
+    "q_bigram_lm",
+    "q_engine_solid",
+    "q_temperature_resample",
+    "q_wds_roundtrip",
+    "q_ar_bucket_batches",
+    "q_semdedup",
+    "q_engine_downzoom",
+    "q_engine_downzoom_band",
+    "q_kmeans",
+    "q_pii_redact",
+    "q_chunk_dedup",
+    "q_pmtiles_roundtrip",
+    "q_tilejson",
+    "q_line_interpolate",
+    "q_area_centroid",
+    "q_image_thumbs",
+    "q_event_dedup",
+    "q_engine_layer_filter",
+    "q_quadkey",
+    "q_pyramid_audit",
+    "q_tilestats",
+    "q_polygon_rect_join",
+    "q_polygon_polygon_join",
+    "q_raster_tiff",
+    "q_wkt_ingest",
+    "q_wkb_ingest",
+    "q_cell_cover",
+    "q_cell_cover_hier",
+    "q_pip_cover_join",
+    "q_line_cover",
+    "q_zonal_stats",
+    "q_cell_compact",
+    "q_radius_join",
+    "q_geom_measures",
+    "q_cluster_canonical",
+    "q_mbtiles_roundtrip",
+    "q_video_mjpeg",
+    "q_engine_wafer",
+    "q_global_quantiles",
+    "q_corpus_filter_rep",
+    "q_raster_png",
+    "q_raster_webp",
+    "q_bloom_decontaminate",
+    "q_token_quantiles",
+    "q_repetition",
+    "q_dup_ngram_spans",
+    "q_engine_clip_repair",
+    "q_raster_jpeg",
+    "q_distinct_kmv",
+    "q_topk_tokens",
+    "q_dedup_clusters",
+    "q_simhash",
+    "q_simhash_pairs",
+    "q_ngram_jaccard",
+    "q_quality_stats",
+    "q_corpus_filter",
+    "q_token_counts",
+    "q_langid",
+    "q_fingerprints",
+    "q_ann_topk",
+    "q_ann_lsh_bucketed",
+    "q_ann_ivf",
+    "q_embedding_neardup",
+    "q_embedding_quantize",
+    "q_train_split",
+    "q_stratified_sample",
+    "q_balanced_sample",
+    "q_seq_packing",
+    "q_decontaminate",
+    "q_geohash",
+    "q_bm25",
+)
+
+def sql_pairs() -> tuple[
+    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
+]:
+    """(queries, oracles) for the SQL-expressible operator set."""
+    queries = {name: _make_spark_fn(t) for name, t in _PAIRS.items()}
+    oracles = {name: S.render(t, "duckdb") for name, t in _PAIRS.items()}
+    for name, (fn, oracle) in _ENGINE_PAIRS.items():
+        queries[name] = fn
+        if oracle is not None:
+            oracles[name] = S.render(oracle, "duckdb")
+    from mapnik_vector_tile_spark.plans.detect_oracles import (
+        pairs as detect_pairs,
+    )
+    from mapnik_vector_tile_spark.plans.text_oracles import pairs as text_pairs
+
+    for extra in (text_pairs, detect_pairs):
+        for name, (fn, oracle) in extra().items():
+            queries[name] = fn
+            if oracle is not None:
+                oracles[name] = oracle
+    order = [k for k in _RECORD_FIRST if k in queries]
+    order += [k for k in queries if k not in _RECORD_FIRST]
+    queries = {k: queries[k] for k in order}
+    oracles = {k: oracles[k] for k in order if k in oracles}
+    return queries, oracles
+
+SNAP_RADIUS = 32
+
+def q_snap_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 nearest-segment-within-radius with a FULL oracle that also
+    validates the candidate generation: the engine prunes via the
+    radius-expanded cell grid, while the DuckDB twin brute-forces the
+    COMPLETE point×segment cross product with the same exact integer
+    rational distance — any segment the cell cover wrongly drops, or
+    any floor-scale arg-min divergence, mismatches the hash. Corpus:
+    road segments from orders (endpoint + capped ±32 direction on a
+    512 grid), GPS points from customer, both splitmix64-derived."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mapnik_vector_tile_spark.operators.joins import snap_join
+
+    seg_t = StructType(
+        [
+            StructField("ax", LongType()),
+            StructField("ay", LongType()),
+            StructField("bx", LongType()),
+            StructField("by", LongType()),
+        ]
+    )
+
+    def _seg_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        ax = (h % np.uint64(512)).astype(np.int64)
+        ay = ((h >> np.uint64(9)) % np.uint64(512)).astype(np.int64)
+        dx = ((h >> np.uint64(18)) % np.uint64(65)).astype(np.int64) - 32
+        dy = ((h >> np.uint64(25)) % np.uint64(65)).astype(np.int64) - 32
+        return pd.DataFrame(
+            {"ax": ax, "ay": ay, "bx": ax + dx, "by": ay + dy}
+        )
+
+    pt_t = StructType(
+        [StructField("px", LongType()), StructField("py", LongType())]
+    )
+
+    def _pt_kernel(k):
+        from mapnik_vector_tile_spark.sources.synth import splitmix64
+
+        h = splitmix64(k.to_numpy(np.uint64))
+        return pd.DataFrame(
+            {
+                "px": (h % np.uint64(512)).astype(np.int64),
+                "py": ((h >> np.uint64(9)) % np.uint64(512)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    seg = F.pandas_udf(_seg_kernel, seg_t)
+    pt = F.pandas_udf(_pt_kernel, pt_t)
+    segments = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("sid"))
+        .select("sid", seg(F.col("sid")).alias("s"))
+        .select("sid", "s.ax", "s.ay", "s.bx", "s.by")
+    )
+    points = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("pid"))
+        .select("pid", pt(F.col("pid")).alias("p"))
+        .select("pid", "p.px", "p.py")
+    )
+    return snap_join(points, segments, radius=SNAP_RADIUS, cell_shift=5)
+
+def _sql_snap_road(radius: int = SNAP_RADIUS) -> str:
+    hs = splitmix64_sql("o_orderkey")
+    hp = splitmix64_sql("c_custkey")
+    scale = 1 << 24  # SNAP_SCALE_BITS — exact for |AB|^2 < 2^12
+    return f"""
+WITH segs0 AS (
+  SELECT o_orderkey AS sid,
+         CAST(({hs}) % 512 AS BIGINT) AS ax,
+         CAST((({hs}) // 512) % 512 AS BIGINT) AS ay,
+         CAST((({hs}) // 262144) % 65 AS BIGINT) - 32 AS dx,
+         CAST((({hs}) // 33554432) % 65 AS BIGINT) - 32 AS dy
+  FROM orders),
+segs AS (
+  SELECT sid, ax, ay, ax + dx AS bx, ay + dy AS by FROM segs0),
+pts AS (
+  SELECT c_custkey AS pid,
+         CAST(({hp}) % 512 AS BIGINT) AS px,
+         CAST((({hp}) // 512) % 512 AS BIGINT) AS py
+  FROM customer),
+sc AS (
+  SELECT p.pid, s.sid,
+         (p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)
+           AS dot,
+         (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)
+           AS ab2,
+         (p.px - s.ax) * (p.px - s.ax) + (p.py - s.ay) * (p.py - s.ay)
+           AS ap2,
+         (p.px - s.bx) * (p.px - s.bx) + (p.py - s.by) * (p.py - s.by)
+           AS bp2
+  FROM pts p CROSS JOIN segs s),
+fr AS (
+  SELECT pid, sid,
+         CASE WHEN ab2 = 0 OR dot <= 0 THEN ap2
+              WHEN dot >= ab2 THEN bp2
+              ELSE ap2 * ab2 - dot * dot END AS num,
+         CASE WHEN ab2 = 0 OR dot <= 0 OR dot >= ab2 THEN 1
+              ELSE ab2 END AS den
+  FROM sc),
+flt AS (
+  SELECT pid, sid, (num * {scale}) // den AS d2s
+  FROM fr WHERE num <= {radius * radius} * den),
+rk AS (
+  SELECT pid, sid, d2s,
+         row_number() OVER (PARTITION BY pid ORDER BY d2s, sid) AS rn,
+         COUNT(*) OVER (PARTITION BY pid) AS n_cand
+  FROM flt)
+SELECT pid, sid, d2s, CAST(n_cand AS BIGINT) AS n_cand
+FROM rk WHERE rn = 1
+"""
+
+_ENGINE_PAIRS["q_snap_road"] = (q_snap_road, _sql_snap_road())
+
+MI_Z = 5
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I over the z5 occupancy grid of the orders point cloud
+    with a FULL oracle: both engines compute the exact BIGINT
+    (n_cells, w_sum, num, den) — denominators cleared via
+    dev_i = c_i·K − S — plus one pinned-association double ratio.
+    Bounds at sf0.1 (150k points, ≤1024 cells): |dev| < S ≤ 2¹⁸·K;
+    dev² < 2⁵⁶; Σ over ≤4096 ordered pairs < 2⁶⁸? No — deviations
+    concentrate near 0 (counts ≈ S/K), measured |num|,den < 2⁵⁰;
+    int64-safe with ≥ 8192× headroom (asserted non-degenerate in
+    tests)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.functions.tilemath import W
+    from mapnik_vector_tile_spark.operators.geostats import morans_i
+    from mapnik_vector_tile_spark.plans.flagship import derive_points
+
+    pts = derive_points(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    span = 2.0 * W / (1 << MI_Z)
+    cells = pts.select(
+        F.floor((F.col("mx") + F.lit(W)) / F.lit(span))
+        .cast("long")
+        .alias("cx"),
+        F.floor((F.lit(W) - F.col("my")) / F.lit(span))
+        .cast("long")
+        .alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return morans_i(cells)
