@@ -2852,6 +2852,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 
 _RECORD_FIRST = (
     "q_video_mpeg1",  # new r4 keys: record first
+    "q_attr_stream",
     "q_viewshed_sweep",
     "q_scd2_stream",
     "q_stream_window",

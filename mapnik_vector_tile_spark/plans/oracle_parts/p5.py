@@ -3036,3 +3036,38 @@ FROM ag
 """
 
 _ENGINE_PAIRS["q_auc"] = (q_auc, _sql_auc())
+
+
+def q_attr_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 STREAM-STREAM watermarked join, DRIVER-EXECUTED (the
+    fourth streaming-executed gate): the events table streams as
+    three time-ordered chunks through
+    streaming.joins.run_attribution_stream — a symmetric-hash
+    stream-stream join between the view and click sides of ONE
+    watermarked stream, availableNow to completion, append-mode
+    memory sink.  With the effectively-infinite default watermark a
+    bounded replay emits EXACTLY the batch join, so the twin is
+    q_click_attribution's _SQL_ATTRIBUTION verbatim."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.streaming.joins import (
+        run_attribution_stream,
+    )
+
+    src = _events_chunks(spark, sf_dir, "attr_stream_")
+    _STREAM_SEQ[0] += 1
+    name = f"q_attr_stream_{_STREAM_SEQ[0]}"
+    run_attribution_stream(spark, src, table_name=name)
+    return spark.table(name).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.col("gap_us").cast("bigint").alias("gap_us"),
+    )
+
+
+from mapnik_vector_tile_spark.plans.oracle_parts.p1 import (  # noqa: E402
+    _SQL_ATTRIBUTION,
+)
+
+_ENGINE_PAIRS["q_attr_stream"] = (q_attr_stream, _SQL_ATTRIBUTION)
