@@ -1009,6 +1009,291 @@ def build_singles_layers_batch(
     return out
 
 
+_TAIL_4096 = bytes([0x28, 0x80, 0x20])  # extent field 5 = 4096
+
+
+def scan_singles_tile(buf: bytes):
+    """Lean O(layers + features) scan of a decompressed Tile blob —
+    the DECODE twin of ``build_singles_layers_batch``'s emit layout.
+
+    Returns a list of per-layer descriptors
+    ``(name_bytes, key_bytes, feat_start, feat_end, n_features,
+    val_start, val_end)`` with byte offsets into ``buf`` when EVERY
+    layer matches the canonical singles layout the batch encoder (and
+    the splice merger) emit: head ``[0x78 v>=2][0x0A name]``,
+    contiguous ``0x12``-framed feature records, exactly ONE key, a
+    value section, tail ``[0x28 4096]``. Returns None on ANY deviation
+    — the caller must fall back to the general ``decode_layer`` path
+    (v1 tiles, multi-key layers, rasters, foreign encoders). The scan
+    only SKIPS feature records here (two byte reads each); all value
+    parsing and validation is vectorized in ``decode_singles_batch``."""
+    n = len(buf)
+    p = 0
+    out = []
+    while p < n:
+        if buf[p] != 0x1A:
+            return None
+        b0 = buf[p + 1] if p + 1 < n else 0x80
+        if b0 < 0x80:
+            lay_len = b0
+            p += 2
+        else:
+            if p + 3 > n:
+                return None
+            b1 = buf[p + 2]
+            if b1 < 0x80:
+                lay_len = (b0 & 0x7F) | (b1 << 7)
+                p += 3
+            else:
+                b2 = buf[p + 3] if p + 3 < n else 0x80
+                if b2 >= 0x80:
+                    return None
+                lay_len = (b0 & 0x7F) | ((b1 & 0x7F) << 7) | (b2 << 14)
+                p += 4
+        ls, le = p, p + lay_len
+        if le > n:
+            return None
+        p = le
+        q = ls
+        if le - q < 4 or buf[q] != 0x78:
+            return None
+        ver = buf[q + 1]
+        if ver >= 0x80 or ver < 2:
+            return None
+        q += 2
+        if buf[q] != 0x0A:
+            return None
+        nlen = buf[q + 1]
+        if nlen >= 0x80:
+            return None
+        q += 2
+        name = buf[q:q + nlen]
+        q += nlen
+        fs = q
+        nfeat = 0
+        while q < le and buf[q] == 0x12:
+            b0 = buf[q + 1] if q + 1 < le else 0x80
+            if b0 < 0x80:
+                fl = b0
+                q += 2
+            else:
+                b1 = buf[q + 2] if q + 2 < le else 0x80
+                if b1 >= 0x80:
+                    return None
+                fl = (b0 & 0x7F) | (b1 << 7)
+                q += 3
+            q += fl
+            nfeat += 1
+        fe = q
+        if q > le or nfeat == 0:
+            return None
+        if q >= le or buf[q] != 0x1A:
+            return None
+        klen = buf[q + 1] if q + 1 < le else 0x80
+        if klen >= 0x80:
+            return None
+        key = buf[q + 2:q + 2 + klen]
+        q += 2 + klen
+        if buf[le - 3:le] != _TAIL_4096 or q > le - 3:
+            return None
+        out.append((name, key, fs, fe, nfeat, q, le - 3))
+    return out if out else None
+
+
+def decode_singles_batch(descs, blobs, tile_idx):
+    """Whole-BATCH decode of canonical single-point one-prop layers —
+    the inverse of ``build_singles_layers_batch``: the feature sections
+    of ALL scanned layers are ONE concatenated buffer whose varints
+    decode in one vectorized pass (15 varints per record), and the
+    value sections decode by a vectorized frontier scan (one numpy step
+    per value ORDINAL, not per value). No per-feature Python.
+
+    Every structural byte is validated against the canonical record
+    shape — constants at fixed positions AND every embedded length
+    field against the ACTUAL byte span of its payload (no minimal-
+    encoding assumption), plus per-layer varint-count/byte-boundary
+    alignment — so a false positive would need a byte stream that is
+    simultaneously a valid foreign layer and a bit-exact canonical one.
+    Returns None on any mismatch (caller falls back to decode_layer).
+
+    ``descs``/``tile_idx``: flat per-layer descriptors from
+    ``scan_singles_tile`` and the tile index each came from; ``blobs``:
+    per-tile decompressed bytes. Returns a dict of flat numpy/arrow
+    columns over all features in layer order: lay_of_feat, nfeat (per
+    layer), fid, gt, px, py, caption (arrow StringArray, null where the
+    layer key is not 'caption'), layer_name (object ndarray per layer
+    index -> use lay_of_feat)."""
+    import pyarrow as pa
+
+    nL = len(descs)
+    names = [d[0] for d in descs]
+    keys = [d[1] for d in descs]
+    nfeat = np.array([d[4] for d in descs], dtype=np.int64)
+    nf_tot = int(nfeat.sum())
+
+    feat_buf = b"".join(
+        memoryview(blobs[tile_idx[i]])[descs[i][2]:descs[i][3]]
+        for i in range(nL)
+    )
+    arr = np.frombuffer(feat_buf, dtype=np.uint8)
+    ends = np.nonzero((arr & 0x80) == 0)[0]
+    if len(ends) != 15 * nf_tot:
+        return None
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    sec_len = np.array([d[3] - d[2] for d in descs], dtype=np.int64)
+    bnd = np.cumsum(sec_len)
+    cnt = np.cumsum(15 * nfeat)
+    if not np.array_equal(ends[cnt - 1] + 1, bnd):
+        return None
+    values = np.zeros(len(ends), dtype=np.uint64)
+    # same >=10-byte wrap contract as varint_decode_np
+    maxlen = int((ends - starts).max()) + 1
+    for b in range(min(maxlen, 10)):
+        idx = starts + b
+        valid = idx <= ends
+        chunk = np.zeros(len(ends), dtype=np.uint64)
+        chunk[valid] = arr[idx[valid]].astype(np.uint64) & np.uint64(0x7F)
+        values |= chunk << np.uint64(7 * b)
+    V = values.reshape(nf_tot, 15)
+    E = ends.reshape(nf_tot, 15)
+    S = starts.reshape(nf_tot, 15)
+    if not (
+        np.all(V[:, 0] == 0x12) and np.all(V[:, 2] == 0x08)
+        and np.all(V[:, 4] == 0x12) and np.all(V[:, 6] == 0)
+        and np.all(V[:, 8] == 0x18) and np.all(V[:, 10] == 0x22)
+        and np.all(V[:, 12] == 9) and np.all(V[:, 9] == 1)
+    ):
+        return None
+    tl_act = (E[:, 7] - S[:, 6] + 1).astype(np.uint64)
+    gl_act = (E[:, 14] - S[:, 12] + 1).astype(np.uint64)
+    bl_act = (E[:, 14] - S[:, 2] + 1).astype(np.uint64)
+    if not (
+        np.array_equal(V[:, 5], tl_act)
+        and np.array_equal(V[:, 11], gl_act)
+        and np.array_equal(V[:, 1], bl_act)
+    ):
+        return None
+
+    val_buf = b"".join(
+        memoryview(blobs[tile_idx[i]])[descs[i][5]:descs[i][6]]
+        for i in range(nL)
+    )
+    varr = np.frombuffer(val_buf, dtype=np.uint8)
+    vlen_sec = np.array([d[6] - d[5] for d in descs], dtype=np.int64)
+    endp = np.cumsum(vlen_sec)
+    cursors = endp - vlen_sec
+    nvals = np.zeros(nL, dtype=np.int64)
+    r_lay, r_ps, r_len, r_k = [], [], [], []
+    k = 0
+    active = np.flatnonzero(cursors < endp)
+    nb = len(varr)
+    while len(active):
+        c = cursors[active]
+        if np.any(c + 1 >= nb) or not np.all(varr[c] == 0x22):
+            return None
+        b0 = varr[c + 1].astype(np.int64)
+        one = b0 < 0x80
+        hdr = np.where(one, 2, 3)
+        vL = np.where(one, b0, 0)
+        if not np.all(one):
+            c2 = c[~one] + 2
+            if np.any(c2 >= nb):
+                return None
+            b1 = varr[c2].astype(np.int64)
+            if np.any(b1 >= 0x80):
+                return None
+            vL[~one] = (b0[~one] & 0x7F) | (b1 << 7)
+        ps = c + hdr
+        pe = ps + vL
+        if np.any(pe > endp[active]):
+            return None
+        r_lay.append(active)
+        r_ps.append(ps)
+        r_len.append(vL)
+        r_k.append(np.full(len(active), k, dtype=np.int64))
+        nvals[active] += 1
+        cursors[active] = pe
+        active = active[pe < endp[active]]
+        k += 1
+    if not np.array_equal(cursors, endp):
+        return None
+    v_lay = np.concatenate(r_lay) if r_lay else np.empty(0, np.int64)
+    v_ps = np.concatenate(r_ps) if r_ps else np.empty(0, np.int64)
+    v_L = np.concatenate(r_len) if r_len else np.empty(0, np.int64)
+    v_k = np.concatenate(r_k) if r_k else np.empty(0, np.int64)
+    nv_tot = len(v_lay)
+    if nv_tot:
+        if not np.all(varr[v_ps] == 0x0A):
+            return None
+        sb0 = varr[v_ps + 1].astype(np.int64)
+        sone = sb0 < 0x80
+        shdr = np.where(sone, 2, 3)
+        slen = np.where(sone, sb0, 0)
+        if not np.all(sone):
+            sb1 = varr[v_ps[~sone] + 2].astype(np.int64)
+            if np.any(sb1 >= 0x80):
+                return None
+            slen[~sone] = (sb0[~sone] & 0x7F) | (sb1 << 7)
+        if not np.array_equal(shdr + slen, v_L):
+            return None
+        s_start = v_ps + shdr
+    else:
+        s_start = slen = np.empty(0, np.int64)
+
+    # pack string bytes contiguously in (layer, value-ordinal) order
+    vbase = np.concatenate(([0], np.cumsum(nvals)))
+    gid = vbase[v_lay] + v_k
+    order = np.argsort(gid, kind="stable")
+    s_start = s_start[order]
+    slen = slen[order]
+    out_off = np.zeros(nv_tot + 1, dtype=np.int64)
+    np.cumsum(slen, out=out_off[1:])
+    total = int(out_off[-1])
+    gather = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_off[:-1], slen)
+        + np.repeat(s_start, slen)
+    )
+    packed = varr[gather] if total else np.empty(0, np.uint8)
+    str_arr = pa.StringArray.from_buffers(
+        nv_tot,
+        pa.py_buffer(out_off.astype(np.int32).tobytes()),
+        pa.py_buffer(packed.tobytes()),
+    )
+
+    lay_of_feat = np.repeat(np.arange(nL), nfeat)
+    fids = V[:, 3].view(np.int64)
+    gts = V[:, 9].astype(np.int32)
+    u = V[:, 13]
+    px = ((u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))).view(np.int64)
+    u = V[:, 14]
+    py = ((u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))).view(np.int64)
+    vidx = V[:, 7].view(np.int64)
+    if np.any(vidx >= nvals[lay_of_feat]) or np.any(vidx < 0):
+        return None
+    cap_gid = vbase[lay_of_feat] + vidx
+    is_cap = np.array([kk == b"caption" for kk in keys], dtype=bool)[
+        lay_of_feat
+    ]
+    cap_idx = pa.array(
+        np.where(is_cap, cap_gid, -1), type=pa.int64(), mask=~is_cap
+    )
+    captions = str_arr.take(cap_idx)
+    lay_names = np.array([nm.decode("utf-8") for nm in names], dtype=object)
+    return {
+        "lay_of_feat": lay_of_feat,
+        "nfeat": nfeat,
+        "fid": fids,
+        "gt": gts,
+        "px": px,
+        "py": py,
+        "caption": captions,
+        "layer_name": lay_names,
+    }
+
+
 def splice_merge_layers(blobs, name: str) -> bytes:
     """Merge partial layers of one tile WITHOUT touching geometry
     bytes: re-build the key/value dictionaries first-appearance in

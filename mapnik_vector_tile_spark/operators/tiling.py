@@ -1204,49 +1204,125 @@ def decode_tiles_to_features(
             disjuncts if disjuncts is not None else F.lit(False)
         )
 
-    def gen(it):
-        for pdf in it:
-            rows = {
-                "z": [],
-                "x": [],
-                "y": [],
-                "layer": [],
-                "feature_id": [],
-                "geom_type": [],
-                "pxs": [],
-                "pys": [],
-                "part_offsets": [],
-                "caption": [],
-            }
-            for z, x, y, tile in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile"]):
-                for lmsg in pbf.decode_tile(pbf.maybe_decompress(bytes(tile))):
-                    layer = pbf.decode_layer(lmsg)
-                    for f in layer["features"]:
-                        xs, ys, offs = gc.decode_geometry(
-                            int(f["type"]),
-                            f["geometry"].astype(np.int64),
-                            version=int(layer["version"]),
-                        )
-                        if not len(xs):
-                            continue  # v1 feature degenerated entirely
-                        props = pbf.feature_props(layer, f)
-                        rows["z"].append(int(z))
-                        rows["x"].append(int(x))
-                        rows["y"].append(int(y))
-                        rows["layer"].append(layer["name"])
-                        rows["feature_id"].append(int(f["id"]))
-                        rows["geom_type"].append(int(f["type"]))
-                        rows["pxs"].append(xs.tolist())
-                        rows["pys"].append(ys.tolist())
-                        rows["part_offsets"].append(offs.tolist())
-                        rows["caption"].append(props.get("caption"))
-            yield pd.DataFrame(rows)
-
     schema = (
         "z int, x long, y long, layer string, feature_id long, geom_type int, "
         "pxs array<long>, pys array<long>, part_offsets array<long>, caption string"
     )
-    return tiles.mapInPandas(gen, schema=schema)
+
+    def _slow_rows(zs, xs_t, ys_t, blobs, which):
+        """General per-feature decode (v1 tolerance, multi-key props,
+        arbitrary geometry) for tiles the canonical-singles scan
+        rejected — the original decode path, bit-for-bit."""
+        rows = {k: [] for k in (
+            "z", "x", "y", "layer", "feature_id", "geom_type",
+            "pxs", "pys", "part_offsets", "caption",
+        )}
+        for i in which:
+            z, x, y = int(zs[i]), int(xs_t[i]), int(ys_t[i])
+            for lmsg in pbf.decode_tile(blobs[i]):
+                layer = pbf.decode_layer(lmsg)
+                for f in layer["features"]:
+                    gxs, gys, offs = gc.decode_geometry(
+                        int(f["type"]),
+                        f["geometry"].astype(np.int64),
+                        version=int(layer["version"]),
+                    )
+                    if not len(gxs):
+                        continue  # v1 feature degenerated entirely
+                    props = pbf.feature_props(layer, f)
+                    rows["z"].append(z)
+                    rows["x"].append(x)
+                    rows["y"].append(y)
+                    rows["layer"].append(layer["name"])
+                    rows["feature_id"].append(int(f["id"]))
+                    rows["geom_type"].append(int(f["type"]))
+                    rows["pxs"].append(gxs.tolist())
+                    rows["pys"].append(gys.tolist())
+                    rows["part_offsets"].append(offs.tolist())
+                    rows["caption"].append(props.get("caption"))
+        return rows
+
+    def gen(it):
+        import pyarrow as pa
+
+        pa_schema = pa.schema([
+            ("z", pa.int32()), ("x", pa.int64()), ("y", pa.int64()),
+            ("layer", pa.string()), ("feature_id", pa.int64()),
+            ("geom_type", pa.int32()), ("pxs", pa.list_(pa.int64())),
+            ("pys", pa.list_(pa.int64())),
+            ("part_offsets", pa.list_(pa.int64())),
+            ("caption", pa.string()),
+        ])
+        for rb in it:
+            zs = rb.column("z").to_numpy(zero_copy_only=False)
+            xs_t = rb.column("x").to_numpy(zero_copy_only=False)
+            ys_t = rb.column("y").to_numpy(zero_copy_only=False)
+            blobs = [
+                pbf.maybe_decompress(t) for t in rb.column("tile").to_pylist()
+            ]
+            # canonical-singles fast path: scan every tile (cheap skip
+            # scan), batch-decode all conforming layers in one
+            # vectorized pass; anything non-conforming falls back to
+            # the general per-feature decoder below
+            descs, tix, fallback = [], [], []
+            for i, b in enumerate(blobs):
+                d = pbf.scan_singles_tile(b)
+                if d is None:
+                    fallback.append(i)
+                else:
+                    for lay in d:
+                        descs.append(lay)
+                        tix.append(i)
+            res = (
+                pbf.decode_singles_batch(descs, blobs, tix)
+                if descs else None
+            )
+            if res is None and descs:
+                # batch-level validation refused the whole batch (a
+                # structurally-canonical scan with non-canonical bytes
+                # — foreign encoder); decode everything the slow way
+                fallback = list(range(len(blobs)))
+            if res is not None:
+                nf = len(res["fid"])
+                t_of_lay = np.asarray(tix, dtype=np.int64)
+                t_of_feat = np.repeat(t_of_lay, res["nfeat"])
+                off1 = np.arange(nf + 1, dtype=np.int32)
+                pxs = pa.ListArray.from_arrays(
+                    pa.array(off1), pa.array(res["px"], type=pa.int64())
+                )
+                pys = pa.ListArray.from_arrays(
+                    pa.array(off1), pa.array(res["py"], type=pa.int64())
+                )
+                po = pa.ListArray.from_arrays(
+                    pa.array(off1 * 2),
+                    pa.array(
+                        np.tile(np.array([0, 1], dtype=np.int64), nf)
+                    ),
+                )
+                lay_name_feat = res["layer_name"][res["lay_of_feat"]]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(zs[t_of_feat].astype(np.int32)),
+                        pa.array(xs_t[t_of_feat].astype(np.int64)),
+                        pa.array(ys_t[t_of_feat].astype(np.int64)),
+                        pa.array(lay_name_feat, type=pa.string()),
+                        pa.array(res["fid"]),
+                        pa.array(res["gt"]),
+                        pxs,
+                        pys,
+                        po,
+                        res["caption"],
+                    ],
+                    schema=pa_schema,
+                )
+            if fallback:
+                rows = _slow_rows(zs, xs_t, ys_t, blobs, fallback)
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(rows), schema=pa_schema,
+                    preserve_index=False,
+                )
+
+    return tiles.mapInArrow(gen, schema=schema)
 
 
 def vtquery(
