@@ -1100,7 +1100,7 @@ def scan_singles_tile(buf: bytes):
     return out if out else None
 
 
-def decode_singles_batch(descs, blobs, tile_idx):
+def decode_singles_batch(descs, blobs, tile_idx, n_tiles=None):
     """Whole-BATCH decode of canonical single-point one-prop layers —
     the inverse of ``build_singles_layers_batch``: the feature sections
     of ALL scanned layers are ONE concatenated buffer whose varints
@@ -1114,101 +1114,146 @@ def decode_singles_batch(descs, blobs, tile_idx):
     encoding assumption), plus per-layer varint-count/byte-boundary
     alignment — so a false positive would need a byte stream that is
     simultaneously a valid foreign layer and a bit-exact canonical one.
-    Returns None on any mismatch (caller falls back to decode_layer).
+
+    Fallback is TILE-granular, not batch-granular: a mixed corpus
+    (point features sharing batches — or layers — with polygons, v1
+    content, multi-prop features) only demotes the offending TILES to
+    the caller's general decoder; every pure-singles tile in the batch
+    keeps the vectorized path.  Returns ``(res, bad)`` where ``bad``
+    is a sorted int list of tile indices to decode the slow way and
+    ``res`` covers all remaining layers (None when nothing survives).
 
     ``descs``/``tile_idx``: flat per-layer descriptors from
     ``scan_singles_tile`` and the tile index each came from; ``blobs``:
-    per-tile decompressed bytes. Returns a dict of flat numpy/arrow
-    columns over all features in layer order: lay_of_feat, nfeat (per
-    layer), fid, gt, px, py, caption (arrow StringArray, null where the
-    layer key is not 'caption'), layer_name (object ndarray per layer
-    index -> use lay_of_feat)."""
+    per-tile decompressed bytes. ``res`` is a dict of flat
+    numpy/arrow columns over surviving features in layer order:
+    lay_idx (surviving layer ordinal -> original desc index), nfeat
+    (per surviving layer), lay_of_feat, fid, gt, px, py, caption
+    (arrow StringArray, null where the layer key is not 'caption'),
+    layer_name (object ndarray per surviving layer)."""
     import pyarrow as pa
 
     nL = len(descs)
-    names = [d[0] for d in descs]
-    keys = [d[1] for d in descs]
-    nfeat = np.array([d[4] for d in descs], dtype=np.int64)
-    nf_tot = int(nfeat.sum())
+    tile_idx = np.asarray(tile_idx, dtype=np.int64)
+    if n_tiles is None:
+        n_tiles = int(tile_idx.max()) + 1 if nL else 0
+    bad_tile = np.zeros(n_tiles, dtype=bool)
+    nfeat0 = np.array([d[4] for d in descs], dtype=np.int64)
 
+    # ---- stage A: per-layer varint count + boundary alignment ----
     feat_buf = b"".join(
         memoryview(blobs[tile_idx[i]])[descs[i][2]:descs[i][3]]
         for i in range(nL)
     )
     arr = np.frombuffer(feat_buf, dtype=np.uint8)
     ends = np.nonzero((arr & 0x80) == 0)[0]
-    if len(ends) != 15 * nf_tot:
-        return None
     starts = np.empty_like(ends)
-    starts[0] = 0
-    starts[1:] = ends[:-1] + 1
+    if len(ends):
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
     sec_len = np.array([d[3] - d[2] for d in descs], dtype=np.int64)
     bnd = np.cumsum(sec_len)
-    cnt = np.cumsum(15 * nfeat)
-    if not np.array_equal(ends[cnt - 1] + 1, bnd):
-        return None
+    nv_cum = np.searchsorted(ends, bnd, side="left")
+    nv_lay = np.diff(np.concatenate(([0], nv_cum)))
+    ok_a = nv_lay == 15 * nfeat0
+    has = ok_a & (nv_lay > 0)
+    last_end = np.full(nL, -1, dtype=np.int64)
+    first_start = np.full(nL, -1, dtype=np.int64)
+    last_end[has] = ends[nv_cum[has] - 1]
+    sv0 = np.concatenate(([0], nv_cum))[:-1]
+    first_start[has] = starts[sv0[has]]
+    prev_bnd = np.concatenate(([0], bnd[:-1]))
+    ok_a &= (last_end == bnd - 1) & (first_start == prev_bnd)
+    bad_tile[tile_idx[~ok_a]] = True
+
+    # decode ALL varints once (same >=10-byte wrap contract as
+    # varint_decode_np), then gather the blocks of surviving layers
     values = np.zeros(len(ends), dtype=np.uint64)
-    # same >=10-byte wrap contract as varint_decode_np
-    maxlen = int((ends - starts).max()) + 1
+    maxlen = int((ends - starts).max()) + 1 if len(ends) else 0
     for b in range(min(maxlen, 10)):
         idx = starts + b
         valid = idx <= ends
         chunk = np.zeros(len(ends), dtype=np.uint64)
         chunk[valid] = arr[idx[valid]].astype(np.uint64) & np.uint64(0x7F)
         values |= chunk << np.uint64(7 * b)
-    V = values.reshape(nf_tot, 15)
-    E = ends.reshape(nf_tot, 15)
-    S = starts.reshape(nf_tot, 15)
-    if not (
-        np.all(V[:, 0] == 0x12) and np.all(V[:, 2] == 0x08)
-        and np.all(V[:, 4] == 0x12) and np.all(V[:, 6] == 0)
-        and np.all(V[:, 8] == 0x18) and np.all(V[:, 10] == 0x22)
-        and np.all(V[:, 12] == 9) and np.all(V[:, 9] == 1)
-    ):
-        return None
-    tl_act = (E[:, 7] - S[:, 6] + 1).astype(np.uint64)
-    gl_act = (E[:, 14] - S[:, 12] + 1).astype(np.uint64)
-    bl_act = (E[:, 14] - S[:, 2] + 1).astype(np.uint64)
-    if not (
-        np.array_equal(V[:, 5], tl_act)
-        and np.array_equal(V[:, 11], gl_act)
-        and np.array_equal(V[:, 1], bl_act)
-    ):
-        return None
 
+    def _alive():
+        return np.flatnonzero(~bad_tile[tile_idx] & ok_a)
+
+    keep = _alive()
+    if not len(keep):
+        return None, sorted(set(tile_idx.tolist()))
+    blk_len = 15 * nfeat0[keep]
+    blk_off = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(blk_len, out=blk_off[1:])
+    gather = (
+        np.arange(int(blk_off[-1]), dtype=np.int64)
+        - np.repeat(blk_off[:-1], blk_len)
+        + np.repeat(sv0[keep], blk_len)
+    )
+    nf_k = int(blk_off[-1]) // 15
+    V = values[gather].reshape(nf_k, 15)
+    E = ends[gather].reshape(nf_k, 15)
+    S = starts[gather].reshape(nf_k, 15)
+
+    # ---- stage B: per-record structural + length-span checks ----
+    ok_rec = (
+        (V[:, 0] == 0x12) & (V[:, 2] == 0x08)
+        & (V[:, 4] == 0x12) & (V[:, 6] == 0)
+        & (V[:, 8] == 0x18) & (V[:, 10] == 0x22)
+        & (V[:, 12] == 9) & (V[:, 9] == 1)
+        & (V[:, 5] == (E[:, 7] - S[:, 6] + 1).astype(np.uint64))
+        & (V[:, 11] == (E[:, 14] - S[:, 12] + 1).astype(np.uint64))
+        & (V[:, 1] == (E[:, 14] - S[:, 2] + 1).astype(np.uint64))
+    )
+    lay_of_rec = np.repeat(keep, nfeat0[keep])
+    if not np.all(ok_rec):
+        bad_tile[tile_idx[lay_of_rec[~ok_rec]]] = True
+
+    # ---- stage C: value sections of still-alive layers ----
+    keep_c = _alive()
+    if not len(keep_c):
+        return None, sorted(set(tile_idx.tolist()))
     val_buf = b"".join(
         memoryview(blobs[tile_idx[i]])[descs[i][5]:descs[i][6]]
-        for i in range(nL)
+        for i in keep_c
     )
     varr = np.frombuffer(val_buf, dtype=np.uint8)
-    vlen_sec = np.array([d[6] - d[5] for d in descs], dtype=np.int64)
+    vlen_sec = np.array(
+        [descs[i][6] - descs[i][5] for i in keep_c], dtype=np.int64
+    )
     endp = np.cumsum(vlen_sec)
     cursors = endp - vlen_sec
-    nvals = np.zeros(nL, dtype=np.int64)
+    nvals = np.zeros(len(keep_c), dtype=np.int64)
     r_lay, r_ps, r_len, r_k = [], [], [], []
     k = 0
     active = np.flatnonzero(cursors < endp)
     nb = len(varr)
     while len(active):
         c = cursors[active]
-        if np.any(c + 1 >= nb) or not np.all(varr[c] == 0x22):
-            return None
-        b0 = varr[c + 1].astype(np.int64)
+        die = (c + 1 >= nb) | (varr[np.minimum(c, nb - 1)] != 0x22)
+        b0 = varr[np.minimum(c + 1, nb - 1)].astype(np.int64)
         one = b0 < 0x80
         hdr = np.where(one, 2, 3)
         vL = np.where(one, b0, 0)
-        if not np.all(one):
-            c2 = c[~one] + 2
-            if np.any(c2 >= nb):
-                return None
+        multi = ~one & ~die
+        if np.any(multi):
+            c2 = np.minimum(c + 2, nb - 1)
             b1 = varr[c2].astype(np.int64)
-            if np.any(b1 >= 0x80):
-                return None
-            vL[~one] = (b0[~one] & 0x7F) | (b1 << 7)
+            die |= multi & ((c + 2 >= nb) | (b1 >= 0x80))
+            vL = np.where(multi & ~die, (b0 & 0x7F) | (b1 << 7), vL)
         ps = c + hdr
         pe = ps + vL
-        if np.any(pe > endp[active]):
-            return None
+        die |= pe > endp[active]
+        if np.any(die):
+            bad_tile[tile_idx[keep_c[active[die]]]] = True
+            alive = ~die
+            active, c, hdr, vL, ps, pe = (
+                active[alive], c[alive], hdr[alive], vL[alive],
+                ps[alive], pe[alive],
+            )
+            if not len(active):
+                break
         r_lay.append(active)
         r_ps.append(ps)
         r_len.append(vL)
@@ -1217,74 +1262,118 @@ def decode_singles_batch(descs, blobs, tile_idx):
         cursors[active] = pe
         active = active[pe < endp[active]]
         k += 1
-    if not np.array_equal(cursors, endp):
-        return None
+    short = (cursors != endp) & ~bad_tile[tile_idx[keep_c]]
+    bad_tile[tile_idx[keep_c[short]]] = True
+
     v_lay = np.concatenate(r_lay) if r_lay else np.empty(0, np.int64)
     v_ps = np.concatenate(r_ps) if r_ps else np.empty(0, np.int64)
     v_L = np.concatenate(r_len) if r_len else np.empty(0, np.int64)
     v_k = np.concatenate(r_k) if r_k else np.empty(0, np.int64)
-    nv_tot = len(v_lay)
-    if nv_tot:
-        if not np.all(varr[v_ps] == 0x0A):
-            return None
-        sb0 = varr[v_ps + 1].astype(np.int64)
+    # every surviving value must be Value{string_value}: [0x0A slen utf8]
+    if len(v_lay):
+        sb0 = varr[np.minimum(v_ps + 1, nb - 1)].astype(np.int64)
         sone = sb0 < 0x80
         shdr = np.where(sone, 2, 3)
         slen = np.where(sone, sb0, 0)
-        if not np.all(sone):
-            sb1 = varr[v_ps[~sone] + 2].astype(np.int64)
-            if np.any(sb1 >= 0x80):
-                return None
-            slen[~sone] = (sb0[~sone] & 0x7F) | (sb1 << 7)
-        if not np.array_equal(shdr + slen, v_L):
-            return None
-        s_start = v_ps + shdr
+        if np.any(~sone):
+            sb1 = varr[np.minimum(v_ps[~sone] + 2, nb - 1)].astype(
+                np.int64
+            )
+            bad_ext = sb1 >= 0x80
+            slen[~sone] = np.where(
+                bad_ext, -1, (sb0[~sone] & 0x7F) | (sb1 << 7)
+            )
+        vdie = (
+            (v_L < 2)
+            | (slen < 0)
+            | (varr[np.minimum(v_ps, nb - 1)] != 0x0A)
+            | (shdr + slen != v_L)
+        )
+        if np.any(vdie):
+            bad_tile[tile_idx[keep_c[v_lay[vdie]]]] = True
     else:
-        s_start = slen = np.empty(0, np.int64)
+        shdr = slen = np.empty(0, np.int64)
 
-    # pack string bytes contiguously in (layer, value-ordinal) order
-    vbase = np.concatenate(([0], np.cumsum(nvals)))
-    gid = vbase[v_lay] + v_k
+    # dangling dictionary index (vidx beyond the layer's value count)
+    # demotes its tile like any other structural failure — checked
+    # BEFORE consolidation so one pass settles the good set
+    nvals_by_lay = np.zeros(nL, dtype=np.int64)
+    nvals_by_lay[keep_c] = nvals
+    vidx_all = V[:, 7].view(np.int64)
+    oob = (
+        (vidx_all >= nvals_by_lay[lay_of_rec]) | (vidx_all < 0)
+    ) & ~bad_tile[tile_idx[lay_of_rec]]
+    if np.any(oob):
+        bad_tile[tile_idx[lay_of_rec[oob]]] = True
+
+    # ---- final consolidation over still-good tiles ----
+    good_c = ~bad_tile[tile_idx[keep_c]]
+    if not np.any(good_c):
+        return None, sorted(set(tile_idx.tolist()))
+    # records: stage-B keep array is aligned to `keep`; re-filter to C
+    rec_alive = ~bad_tile[tile_idx[lay_of_rec]]
+    Vf = V[rec_alive]
+    lay_f = lay_of_rec[rec_alive]
+    # surviving layer ordinals (original desc indices, in order)
+    surv = keep_c[good_c]
+    pos_of = np.full(nL, -1, dtype=np.int64)
+    pos_of[surv] = np.arange(len(surv))
+    nvals_f = nvals[good_c]
+    vbase = np.concatenate(([0], np.cumsum(nvals_f)))
+    # values: filter to surviving layers, renumber gid
+    vgood = good_c[v_lay]
+    v_lay_f = pos_of[keep_c[v_lay[vgood]]]
+    v_k_f = v_k[vgood]
+    s_start = (v_ps + shdr)[vgood]
+    slen_f = slen[vgood]
+    nv_tot = len(v_lay_f)
+    gid = vbase[v_lay_f] + v_k_f
     order = np.argsort(gid, kind="stable")
     s_start = s_start[order]
-    slen = slen[order]
+    slen_f = slen_f[order]
     out_off = np.zeros(nv_tot + 1, dtype=np.int64)
-    np.cumsum(slen, out=out_off[1:])
+    np.cumsum(slen_f, out=out_off[1:])
     total = int(out_off[-1])
-    gather = (
+    sgather = (
         np.arange(total, dtype=np.int64)
-        - np.repeat(out_off[:-1], slen)
-        + np.repeat(s_start, slen)
+        - np.repeat(out_off[:-1], slen_f)
+        + np.repeat(s_start, slen_f)
     )
-    packed = varr[gather] if total else np.empty(0, np.uint8)
+    packed = varr[sgather] if total else np.empty(0, np.uint8)
     str_arr = pa.StringArray.from_buffers(
         nv_tot,
         pa.py_buffer(out_off.astype(np.int32).tobytes()),
         pa.py_buffer(packed.tobytes()),
     )
 
-    lay_of_feat = np.repeat(np.arange(nL), nfeat)
-    fids = V[:, 3].view(np.int64)
-    gts = V[:, 9].astype(np.int32)
-    u = V[:, 13]
-    px = ((u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))).view(np.int64)
-    u = V[:, 14]
-    py = ((u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))).view(np.int64)
-    vidx = V[:, 7].view(np.int64)
-    if np.any(vidx >= nvals[lay_of_feat]) or np.any(vidx < 0):
-        return None
+    lay_of_feat = pos_of[lay_f]
+    nfeat_f = nfeat0[surv]
+    fids = Vf[:, 3].view(np.int64)
+    gts = Vf[:, 9].astype(np.int32)
+    u = Vf[:, 13]
+    px = (
+        (u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))
+    ).view(np.int64)
+    u = Vf[:, 14]
+    py = (
+        (u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))
+    ).view(np.int64)
+    vidx = Vf[:, 7].view(np.int64)
     cap_gid = vbase[lay_of_feat] + vidx
-    is_cap = np.array([kk == b"caption" for kk in keys], dtype=bool)[
-        lay_of_feat
-    ]
+    is_cap = np.array(
+        [descs[i][1] == b"caption" for i in surv], dtype=bool
+    )[lay_of_feat]
     cap_idx = pa.array(
         np.where(is_cap, cap_gid, -1), type=pa.int64(), mask=~is_cap
     )
     captions = str_arr.take(cap_idx)
-    lay_names = np.array([nm.decode("utf-8") for nm in names], dtype=object)
-    return {
+    lay_names = np.array(
+        [descs[i][0].decode("utf-8") for i in surv], dtype=object
+    )
+    res = {
+        "lay_idx": surv,
         "lay_of_feat": lay_of_feat,
-        "nfeat": nfeat,
+        "nfeat": nfeat_f,
         "fid": fids,
         "gt": gts,
         "px": px,
@@ -1292,6 +1381,8 @@ def decode_singles_batch(descs, blobs, tile_idx):
         "caption": captions,
         "layer_name": lay_names,
     }
+    bad = sorted(set(tile_idx[bad_tile[tile_idx]].tolist()))
+    return res, bad
 
 
 def splice_merge_layers(blobs, name: str) -> bytes:

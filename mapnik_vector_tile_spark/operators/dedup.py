@@ -995,6 +995,85 @@ def dup_ngram_spans(
     )
 
 
+def substring_dup_spans(
+    docs: DataFrame, min_len: int = 12, min_occ: int = 2
+) -> DataFrame:
+    """T45: exact VARIABLE-LENGTH substring dedup — the ExactSubstr
+    operator of Lee et al. 2022 (arXiv:2107.06499, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed
+    Spark-first instead of via a monolithic suffix array: every MAXIMAL
+    token run of length >= min_len whose text appears (as a contiguous
+    token sequence) at least min_occ times across the corpus.
+
+    Equivalence to the suffix-array formulation: a duplicated run of
+    length M >= L contains exactly M-L+1 duplicated L-grams at
+    consecutive start positions, and conversely every duplicated
+    L-gram lies inside some duplicated run >= L — so the token
+    positions covered by >= min_occ-frequent L-grams are EXACTLY the
+    positions covered by duplicated runs >= L.  Seeding with
+    positional L-grams and merging each document's overlapping seed
+    intervals [pos, pos+L) therefore reproduces the suffix-array
+    output without ever materializing one (or joining the corpus to
+    itself).
+
+    Plan shape (100 TB): positional L-gram fan-out is a narrow
+    in-partition generate; the corpus-frequency gate is ONE window
+    count over partition(gram) — a single hash shuffle on the gram,
+    no gram->positions join; span merging is a per-document
+    gaps-and-islands window (doc-bounded state).  Never all-pairs,
+    never a self-join — pinned by tests/test_plan_quality_r5.py.  A
+    pathologically hot gram (stop-phrase boilerplate) is an AQE skew
+    key on the first shuffle; swap the partition key for h14(gram)
+    when approximate gram identity is acceptable (kept exact-string
+    here because the oracle gates exactness).
+
+    Output: (doc_id, span_start, span_end, span_len) per maximal
+    duplicated span, token-indexed [start, end), span_len >= min_len
+    by construction."""
+    L = int(min_len)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(shingle_array_col(L)).alias("pos", "gram"),
+    )
+    w_gram = Window.partitionBy("gram")
+    seeds = (
+        grams.withColumn("occ", F.count("*").over(w_gram))
+        .filter(F.col("occ") >= min_occ)
+        .select("doc_id", "pos")
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    islands = seeds.withColumn(
+        "prev_max_end", F.max(F.col("pos") + L).over(w_doc)
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_end").isNull()
+            | (F.col("pos") > F.col("prev_max_end")),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+    )
+
+
 def cluster_canonical(docs: DataFrame) -> DataFrame:
     """Keep-one-per-cluster — the step a training pipeline runs AFTER
     near-dup clustering: retain the highest-quality member of each

@@ -1273,18 +1273,22 @@ def decode_tiles_to_features(
                     for lay in d:
                         descs.append(lay)
                         tix.append(i)
-            res = (
-                pbf.decode_singles_batch(descs, blobs, tix)
-                if descs else None
-            )
-            if res is None and descs:
-                # batch-level validation refused the whole batch (a
-                # structurally-canonical scan with non-canonical bytes
-                # — foreign encoder); decode everything the slow way
-                fallback = list(range(len(blobs)))
+            if descs:
+                # tile-granular: res covers pure-singles tiles, bad
+                # lists scan-accepted tiles the validator demoted
+                # (mixed geometry, foreign encoder) — those join the
+                # per-feature fallback below
+                res, bad = pbf.decode_singles_batch(
+                    descs, blobs, tix, n_tiles=len(blobs)
+                )
+                fallback.extend(bad)
+            else:
+                res = None
             if res is not None:
                 nf = len(res["fid"])
-                t_of_lay = np.asarray(tix, dtype=np.int64)
+                t_of_lay = np.asarray(tix, dtype=np.int64)[
+                    res["lay_idx"]
+                ]
                 t_of_feat = np.repeat(t_of_lay, res["nfeat"])
                 off1 = np.arange(nf + 1, dtype=np.int32)
                 pxs = pa.ListArray.from_arrays(

@@ -1525,6 +1525,155 @@ def q_corpus_filter_rep(spark, sf_dir):
     )
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact variable-length substring dedup (Lee et al. 2022
+    ExactSubstr) over documents ∪ a full copy of every 5th doc ∪ a
+    60%-prefix copy of every 7th doc — the prefix copies make span
+    BOUNDARIES land mid-document, so the variable-length merge (not
+    just whole-doc duplication) is load-bearing.  Full oracle: the
+    DuckDB twin replays the positional 12-gram seed + corpus
+    frequency gate + per-doc gaps-and-islands merge."""
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    full = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    w = F.split(F.col("text"), " ")
+    keep = F.floor(F.size(w) * 3 / 5).cast("int")
+    pref = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.array_join(F.slice(w, 1, keep), " ").alias("text"),
+    )
+    return D.substring_dup_spans(
+        docs.unionByName(full).unionByName(pref), min_len=12, min_occ=2
+    )
+
+
+def sql_substring_dedup(L: int = 12) -> str:
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(
+           words[1:CAST(floor(len(words) * 3 / 5) AS INT)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  WHERE doc_id % 7 = 0
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs2),
+ng AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(words) - {L - 1}, 0)),
+           i -> struct_pack(
+             pos := i - 1,
+             gram := array_to_string(words[i:i + {L - 1}], ' ')))) AS u
+  FROM t
+),
+pos_g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM ng),
+seeds AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS occ
+    FROM pos_g
+  ) WHERE occ >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           MAX(pos + {L}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max_end
+    FROM seeds)
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {L} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {L} - MIN(pos) AS BIGINT) AS span_len
+FROM isl
+GROUP BY doc_id, island
+"""
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023), deterministic
+    top-k form: target model from sources src0/src1, raw corpus =
+    the rest, hashed unigram+bigram buckets, integer fixed-point
+    log2 LLR (see operators.sampling.dsir_topk).  Full oracle."""
+    from mapnik_vector_tile_spark.operators import sampling as SMP
+
+    return SMP.dsir_topk(_docs(spark, sf_dir))
+
+
+def sql_dsir_resample(
+    k: int = 120, n_buckets: int = 4096
+) -> str:
+    h7g = H7_D.format(x="gram")
+    return f"""
+WITH tgt AS (
+  SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')
+),
+raw AS (
+  SELECT doc_id, text, lang, source FROM documents
+  WHERE source NOT IN ('src0', 'src1')
+),
+tg AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           words,
+           list_transform(
+             generate_series(1, greatest(len(words) - 1, 0)),
+             i -> array_to_string(words[i:i + 1], ' ')))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM tgt)
+),
+rg AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           words,
+           list_transform(
+             generate_series(1, greatest(len(words) - 1, 0)),
+             i -> array_to_string(words[i:i + 1], ' ')))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM raw)
+),
+tb AS (SELECT doc_id, {h7g} % {n_buckets} AS bucket FROM tg),
+rb AS (SELECT doc_id, {h7g} % {n_buckets} AS bucket FROM rg),
+cp AS (SELECT bucket, COUNT(*) AS cp FROM tb GROUP BY 1),
+cq AS (SELECT bucket, COUNT(*) AS cq FROM rb GROUP BY 1),
+score_tbl AS (
+  SELECT cq.bucket,
+         CAST(length(bin(
+           (COALESCE(cp.cp, 0) + 1) * 1048576 // (cq.cq + 1)
+         )) - 1 AS BIGINT) AS s
+  FROM cq LEFT JOIN cp ON cq.bucket = cp.bucket
+),
+scored AS (
+  SELECT rb.doc_id,
+         SUM(st.s) - 20 * COUNT(*) AS score,
+         COUNT(*) AS n_grams
+  FROM rb JOIN score_tbl st ON rb.bucket = st.bucket
+  GROUP BY rb.doc_id
+),
+topk AS (
+  SELECT doc_id, score, n_grams FROM scored
+  ORDER BY score DESC, doc_id
+  LIMIT {k}
+)
+SELECT r.doc_id, r.lang, r.source,
+       CAST(t.score AS BIGINT) AS score,
+       CAST(t.n_grams AS BIGINT) AS n_grams
+FROM topk t JOIN raw r ON t.doc_id = r.doc_id
+ORDER BY score DESC, r.doc_id
+"""
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import dedup as D
 
@@ -1596,6 +1745,8 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_incremental_dedup": (
             q_incremental_dedup, sql_incremental_dedup()),
         "q_dup_ngram_spans": (q_dup_ngram_spans, sql_dup_ngram_spans()),
+        "q_substring_dedup": (q_substring_dedup, sql_substring_dedup()),
+        "q_dsir_resample": (q_dsir_resample, sql_dsir_resample()),
         "q_minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
         "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
         "q_dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
