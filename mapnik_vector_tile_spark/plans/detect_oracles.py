@@ -176,10 +176,8 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
 # ---------------------------------------------------------------------------
 
 BLOB_N = 400  # same corpus size as the other full-pixel image oracles
-BLOB_RELAX = 22  # measured max min-label relax distance on this corpus is
-# 19 (tests/test_detect.py pins it ≤ 20); 22 rounds = fixpoint + margin.
-# An insufficient unroll is self-checking: labels would differ from the
-# engine's true fixpoint and the value hash would mismatch.
+# (the former BLOB_RELAX=22 unroll is gone — see _sql_image_blobs: the
+# recursive-CTE twin iterates to the exact fixpoint, no margin to keep)
 
 
 def q_image_blobs(spark, sf_dir: str):
@@ -187,31 +185,32 @@ def q_image_blobs(spark, sf_dir: str):
     DuckDB twin regenerates every pixel from the shared CTE chain,
     builds the 4-adjacency edge list with two equi-joins (pid+1 /
     pid+w — no quadratic join), and replays min-label propagation as
-    an unrolled MATERIALIZED relax-join chain (materialization is
-    load-bearing: inlining the 36 KB splitmix noise expression into a
-    pushed-down filter is catastrophically slow)."""
+    a RECURSIVE CTE to the exact fixpoint (r5; see _sql_image_blobs'
+    docstring for the planner cliff that killed the old unroll)."""
     from mapnik_vector_tile_spark.operators.raster import blob_stats
     from mapnik_vector_tile_spark.sources.synth import images_df
 
     return blob_stats(images_df(spark, BLOB_N))
 
 
-def _sql_image_blobs(n: int = BLOB_N, rounds: int = BLOB_RELAX) -> str:
+def _sql_image_blobs(n: int = BLOB_N) -> str:
+    """r5 rewrite of the min-label replay: the former 22-round unrolled
+    relax-join chain tripped a DuckDB planner cliff past ~4 CTE levels
+    (the whole query went ~5 s -> ~40 s from PLANNING, not data — the
+    pixel chain re-evaluated and pipelines serialized), so propagation
+    is now a RECURSIVE CTE: seed (pid, pid), step emits a neighbor's
+    label when it is smaller than the target pid, UNION dedups, and
+    MIN(l) per pid after the fixpoint IS the component min-label — the
+    engine's exact answer with no unroll margin to maintain.  Row
+    bound: a label reaches only members of its own component, so the
+    working set is <= sum(component size^2) — max_comp on this corpus
+    is 27 px (pinned <= 20 relax distance in tests/test_detect.py), a
+    few-million-row recursion.  Measured 43 s -> 6 s at sf0.01,
+    bit-identical output."""
     from mapnik_vector_tile_spark.plans.oracle_pairs import _img_pixel_ctes
 
-    relax = []
-    for r in range(1, rounds + 1):
-        relax.append(
-            f""",
-l{r} AS MATERIALIZED (
-  SELECT a.i, a.pid, MIN(LEAST(a.l, COALESCE(b.l, a.l))) AS l
-  FROM l{r - 1} a
-  LEFT JOIN edges e ON e.i = a.i AND e.ap = a.pid
-  LEFT JOIN l{r - 1} b ON b.i = e.i AND b.pid = e.bp
-  GROUP BY a.i, a.pid)"""
-        )
     return f"""
-WITH {_img_pixel_ctes(n)},
+WITH RECURSIVE {_img_pixel_ctes(n)},
 lum AS MATERIALIZED (
   SELECT i, w, h, y, x, (r*77 + g*151 + b*28) // 256 AS g8 FROM chan),
 fg AS MATERIALIZED (
@@ -224,9 +223,15 @@ e0 AS (
   FROM fg a JOIN fg b ON a.i = b.i AND b.pid = a.pid + a.w),
 edges AS MATERIALIZED (
   SELECT i, ap, bp FROM e0 UNION ALL SELECT i, bp, ap FROM e0),
-l0 AS MATERIALIZED (SELECT i, pid, pid AS l FROM fg)
-{''.join(relax)},
-comp AS (SELECT i, l AS root, COUNT(*) AS sz FROM l{rounds} GROUP BY i, l),
+lab AS (
+  SELECT i, pid, pid AS l FROM fg
+  UNION
+  SELECT e.i, e.ap AS pid, lb.l
+  FROM lab lb JOIN edges e ON e.i = lb.i AND e.bp = lb.pid
+  WHERE lb.l < e.ap
+),
+fin AS (SELECT i, pid, MIN(l) AS l FROM lab GROUP BY i, pid),
+comp AS (SELECT i, l AS root, COUNT(*) AS sz FROM fin GROUP BY i, l),
 ag AS (
   SELECT i, SUM(sz) AS n_fg, COUNT(*) AS n_comps, MAX(sz) AS max_comp,
          SUM((root * 1000003 + sz) % 2147483647) AS ch

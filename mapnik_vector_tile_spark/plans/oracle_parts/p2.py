@@ -2450,9 +2450,13 @@ def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("image_id", stage.alias("stage"), "caption")
 
 def _sql_image_curation(n: int = IMG_TH_N, thr: int = LAP_BLUR_THR) -> str:
+    # chan is referenced TWICE here (lap chain + gvals) — materialize
+    # it once so the splitmix pixel chain isn't evaluated twice (r5
+    # sweep-cost trim; measured ~8 s -> ~5.5 s, identical output)
     return f"""
 WITH {_img_pixel_ctes(n)},
-{_IMG_LUM_LAP},
+chanm AS MATERIALIZED (SELECT * FROM chan),
+{_IMG_LUM_LAP.replace("FROM chan", "FROM chanm")},
 blur AS (
   SELECT i,
          (COUNT(*) = 0 OR COUNT(*) * SUM(l * l) - SUM(l) * SUM(l)
@@ -2466,7 +2470,7 @@ gvals AS (
          ((((y + 1) * 8) - 1) // h) AS ty,
          ((((x + 1) * 9) - 1) // w) AS tx,
          r * 299 + g * 587 + b * 114 AS gray
-  FROM chan
+  FROM chanm
 ),
 gcells AS (
   SELECT i, ty, tx, SUM(gray) // COUNT(*) AS cg

@@ -2279,11 +2279,11 @@ def q_image_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_image_gradients(n: int = IMG_TH_N) -> str:
     return f"""
 WITH {_img_pixel_ctes(n)},
-lum AS (
+lum AS MATERIALIZED (
   SELECT i, w, h, y, x, (r * 77 + g * 151 + b * 28) // 256 AS g8
   FROM chan
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT i, w, h, y, x,
          lag(g8)  OVER (PARTITION BY i, y ORDER BY x) AS wv,
          g8 AS cv,

@@ -158,8 +158,10 @@ def test_blob_empty_mask(spark):
 
 
 def test_blob_corpus_relax_bound_and_invariants():
-    # pins the BLOB_RELAX=22 unroll: measured fixpoint distance on the
-    # fixed 400-image corpus must stay <= 20
+    # corpus-shape invariant: measured min-label fixpoint distance on
+    # the fixed 400-image corpus must stay <= 20 (the r5 recursive-CTE
+    # twin no longer needs an unroll margin — this now pins that the
+    # recursion's working set stays component-bounded and small)
     import numpy as np
 
     from mapnik_vector_tile_spark.sources.synth import make_pixels
