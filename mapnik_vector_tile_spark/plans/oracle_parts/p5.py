@@ -2638,6 +2638,7 @@ def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_scd2_stream(
         spark, current, src, store,
         checkpoint_dir=os.path.join(work, "ckpt"),
+        state_partitions=8,  # corpus-sized state width (r5 gate trim)
     )
     return spark.read.parquet(os.path.join(store, "dim"))
 
@@ -2689,7 +2690,9 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_chunks(spark, sf_dir, "stream_window_")
     _STREAM_SEQ[0] += 1
     name = f"q_stream_window_{_STREAM_SEQ[0]}"
-    run_stream_to_memory(spark, src, table_name=name, z=8)
+    run_stream_to_memory(
+        spark, src, table_name=name, z=8, state_partitions=8
+    )
     agg = spark.table(name)
     return agg.select(
         F.col("win.start").alias("ws"),
@@ -2722,7 +2725,8 @@ def q_dirty_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_SEQ[0] += 1
     name = f"q_dirty_stream_{_STREAM_SEQ[0]}"
     run_stateful_stream_to_memory(
-        spark, src, table_name=name, z=8, dirty_every=DIRTY_EVERY
+        spark, src, table_name=name, z=8, dirty_every=DIRTY_EVERY,
+        state_partitions=8,
     )
     return spark.table(name).select("tx", "ty", "version")
 
@@ -3057,7 +3061,9 @@ def q_attr_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_chunks(spark, sf_dir, "attr_stream_")
     _STREAM_SEQ[0] += 1
     name = f"q_attr_stream_{_STREAM_SEQ[0]}"
-    run_attribution_stream(spark, src, table_name=name)
+    run_attribution_stream(
+        spark, src, table_name=name, state_partitions=8
+    )
     return spark.table(name).select(
         "view_id",
         "click_id",

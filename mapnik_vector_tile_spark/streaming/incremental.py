@@ -168,13 +168,17 @@ def run_stateful_stream_to_memory(
     dirty_every: int = 5,
     checkpoint_dir: str | None = None,
     dedupe_watermark: str | None = "10 minutes",
+    state_partitions: int | None = None,
 ) -> None:
     """Drive dirty_tile_versions over a chunked file source, one file
     per micro-batch, append-mode memory sink. ``dedupe_watermark``
     chains dropDuplicatesWithinWatermark BEFORE the stateful counter
     (Spark 4 supports the two-stateful-operator chain — verified), so
     at-least-once replays cannot inflate version tickets; pass None to
-    count raw deliveries."""
+    count raw deliveries.  ``state_partitions`` pins the query's
+    state-store count (streaming/util.py); None inherits the session."""
+    from mapnik_vector_tile_spark.streaming.util import shuffle_partitions
+
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -193,8 +197,9 @@ def run_stateful_stream_to_memory(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    with shuffle_partitions(spark, state_partitions):
+        q = writer.start()
+        q.awaitTermination()
 
 
 def run_stream_to_memory(
@@ -203,11 +208,16 @@ def run_stream_to_memory(
     table_name: str = "dirty_tiles",
     z: int = 8,
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> None:
     """Drive the stream over a parquet file source with availableNow
     (process everything, then stop) into a complete-mode memory sink —
     the in-sandbox harness for the streaming path; swap the source for
-    Kafka and the sink for foreachBatch(EP1 encode) in production."""
+    Kafka and the sink for foreachBatch(EP1 encode) in production.
+    ``state_partitions`` pins the query's state-store count
+    (streaming/util.py); None inherits the session."""
+    from mapnik_vector_tile_spark.streaming.util import shuffle_partitions
+
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -222,8 +232,9 @@ def run_stream_to_memory(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    with shuffle_partitions(spark, state_partitions):
+        q = writer.start()
+        q.awaitTermination()
 
 
 def run_incremental_retile(

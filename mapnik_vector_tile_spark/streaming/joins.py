@@ -83,6 +83,7 @@ def run_attribution_stream(
     watermark: str = "36500 days",
     checkpoint_dir: str | None = None,
     how: str = "inner",
+    state_partitions: int | None = None,
 ) -> None:
     """Drive the stream-stream join over a chunked parquet source with
     availableNow into an append-mode memory sink (the in-sandbox
@@ -91,7 +92,13 @@ def run_attribution_stream(
     The default watermark is effectively infinite so a bounded replay
     emits EXACTLY the batch join (asserted in tests/test_streaming.py);
     production sets it to the real lateness bound, trading late-pair
-    completeness for bounded state."""
+    completeness for bounded state.
+
+    ``state_partitions`` pins spark.sql.shuffle.partitions for this
+    query's lifetime (state-store count per micro-batch — see
+    streaming/util.py); None inherits the session setting."""
+    from mapnik_vector_tile_spark.streaming.util import shuffle_partitions
+
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -112,5 +119,6 @@ def run_attribution_stream(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    with shuffle_partitions(spark, state_partitions):
+        q = writer.start()
+        q.awaitTermination()

@@ -38,12 +38,16 @@ def run_scd2_stream(
     src_dir: str,
     store_dir: str,
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = None,
 ):
     """readStream(CDC parquet chunks) → foreachBatch scd2_apply fold
     into <store_dir>/dim.  Seeds the store with `current`, runs the
     availableNow trigger to completion, returns the finished query
-    handle; read <store_dir>/dim for the merged dimension."""
+    handle; read <store_dir>/dim for the merged dimension.
+    ``state_partitions`` pins the per-batch fold's shuffle width
+    (streaming/util.py); None inherits the session."""
     from mapnik_vector_tile_spark.operators.temporal import scd2_apply
+    from mapnik_vector_tile_spark.streaming.util import shuffle_partitions
 
     dim_dir = os.path.join(store_dir, "dim")
     current.write.mode("overwrite").parquet(dim_dir)
@@ -66,6 +70,7 @@ def run_scd2_stream(
     )
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    with shuffle_partitions(spark, state_partitions):
+        q = writer.start()
+        q.awaitTermination()
     return q
