@@ -622,6 +622,53 @@ def _guard_norm2(n2: F.Column, norm_lim: int, op: str) -> F.Column:
     ).otherwise(n2)
 
 
+def prototype_prune(
+    emb: DataFrame,
+    cap: int = 40,
+    k: int = 8,
+    iters: int = 2,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """T47: prototypicality-based data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486, "Beyond neural scaling laws") with per-cluster
+    capping: k-means cluster the embedding space, rank each cluster's
+    members by prototypicality (distance to their centroid — the
+    paper's self-supervised metric), and keep the ``cap`` HARDEST
+    examples per cluster (largest d2 first; easy/prototypical examples
+    are the ones worth dropping in the abundant-data regime).  The
+    constant per-cluster cap is the cluster-balancing variant the
+    DataComp-style pipelines use — no cluster can dominate the kept
+    set.
+
+    Determinism: clustering is kmeans_clusters (bit-exact integer
+    grid), ordering is (d2 DESC, id) — a total order both engines
+    replay exactly; ties in d2 are broken by id.
+
+    Scale shape (100 TB, k clusters): the rank filter is
+    ``row_number() <= cap`` with a CONSTANT cap, which Catalyst
+    rewrites to a map-side WindowGroupLimit (plan-pinned in
+    tests/test_plan_quality_r5.py) — each upstream partition forwards
+    at most cap rows per cluster, so the cluster-partitioned shuffle
+    carries <= cap·partitions rows per cluster instead of the whole
+    corpus (the k-partition skew a naive per-cluster global sort
+    would hit).  Output: (id, cluster, d2, rnk) for the kept rows."""
+    asg = kmeans_clusters(emb, k=k, iters=iters, col=col, id_col=id_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("d2").desc(), F.col(id_col)
+    )
+    return (
+        asg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= cap)
+        .select(
+            id_col,
+            "cluster",
+            "d2",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,

@@ -2854,6 +2854,7 @@ _RECORD_FIRST = (
     # new r5 keys: record first
     "q_substring_dedup",
     "q_dsir_resample",
+    "q_proto_prune",
     # Round-5 rotation: the 69 keys never yet in a driver
     # CORRECTNESS_r0{1..4} file (all pass the local 268-key sweep).
     # The driver samples ~50 keys per round in dict order, so

@@ -1747,6 +1747,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_dup_ngram_spans": (q_dup_ngram_spans, sql_dup_ngram_spans()),
         "q_substring_dedup": (q_substring_dedup, sql_substring_dedup()),
         "q_dsir_resample": (q_dsir_resample, sql_dsir_resample()),
+        "q_proto_prune": (q_proto_prune, sql_proto_prune()),
         "q_minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
         "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
         "q_dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
@@ -2177,6 +2178,32 @@ def q_semdedup(spark, sf_dir):
     from mapnik_vector_tile_spark.operators import similarity as S
 
     return S.semdedup(_emb(spark, sf_dir), k=8, iters=2, tau_num=40)
+
+
+def q_proto_prune(spark, sf_dir):
+    """T47 prototypicality pruning (similarity.prototype_prune —
+    Sorscher et al. keep-the-hardest with a constant per-cluster cap)
+    over the embeddings table.  Full oracle: the DuckDB twin reuses
+    the q_kmeans assignment replay verbatim, then applies the same
+    (d2 DESC, vec_id) rank-cap."""
+    from mapnik_vector_tile_spark.operators.similarity import (
+        prototype_prune,
+    )
+
+    return prototype_prune(_emb(spark, sf_dir))
+
+
+def sql_proto_prune(cap: int = 40) -> str:
+    return f"""
+WITH asg AS ({sql_kmeans()}),
+rk AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY d2 DESC, vec_id) AS rnk
+  FROM asg)
+SELECT vec_id, cluster, d2, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= {cap}
+"""
 
 
 def sql_semdedup(dims: int = 64, tau_num: int = 40, tau_den: int = 100) -> str:
