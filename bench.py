@@ -93,7 +93,7 @@ def _scaling_evidence() -> dict:
     single-invocation suite numbers."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "bench_results", "scaling_1v4_r4.json",
+        "bench_results", "scaling_1v4_r5.json",
     )
     try:
         with open(path) as f:
