@@ -378,6 +378,91 @@ def bigram_lm_score(
     ).withColumn("mean_prob", F.col("sum_prob") / F.col("n_bigrams"))
 
 
+def ccnet_buckets(
+    docs: DataFrame,
+    k_sample: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """T48: CCNet quality-bucket corpus partitioning (Wenzek et al.
+    2020, arXiv:1911.00359): score every document under a corpus
+    bigram LM, estimate per-LANGUAGE score terciles on a bounded
+    deterministic sample (CCNet itself computes its perplexity
+    quantiles on a sample, not the full corpus), and split each
+    language into head / middle / tail.
+
+    Signal note (documented narrowing): CCNet buckets by LM
+    perplexity ascending; this operator buckets by bigram_lm_score's
+    mean-probability DESCENDING — the same construction with the
+    repo's hash-gateable, transcendental-free score standing in for
+    exp/log perplexity (Σ log p and Σ p order differently in general;
+    the bucket machinery, per-language quantile estimation, and
+    three-way split are the paper's).
+
+    Determinism: the sample is the K lowest splitmix64-hash docs per
+    language (ties by id); thresholds are the ceil(n/3)- and
+    ceil(2n/3)-th ascending order statistics of the sampled scores;
+    bucketing compares IEEE doubles both engines computed
+    identically (the q_bigram_lm oracle pins that).
+
+    Scale shape (100 TB): scoring is bigram_lm_score's shape; the
+    per-language sample is ``row_number() <= K`` over the hash order
+    with CONSTANT K (map-side WindowGroupLimit); thresholds are
+    <= 2·|languages| scalars collected driver-side (the
+    bounded-summary pattern) and re-entered as broadcast CASE
+    literals; bucket assignment is map-side. Docs with < 2 tokens
+    carry no bigrams and are absent (CCNet drops unscorable docs)."""
+    from pyspark.sql import Window
+
+    from mapnik_vector_tile_spark.operators.sampling import (
+        with_sample_hash,
+    )
+
+    scored = bigram_lm_score(docs, text_col=text_col, id_col=id_col)
+    sc = scored.join(docs.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy("hord", id_col)
+    samp = (
+        with_sample_hash(sc, id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_sample)
+        .select(lang_col, "mean_prob")
+    )
+    by_lang: dict[str, list[float]] = {}
+    for r in samp.collect():
+        by_lang.setdefault(r[0], []).append(float(r[1]))
+    expr_lo = None
+    expr_hi = None
+    for lang in sorted(by_lang):
+        vals = sorted(by_lang[lang])
+        n = len(vals)
+        t_lo = vals[(n + 2) // 3 - 1]
+        t_hi = vals[(2 * n + 2) // 3 - 1]
+        cond = F.col(lang_col) == lang
+        expr_lo = (
+            F.when(cond, F.lit(t_lo))
+            if expr_lo is None
+            else expr_lo.when(cond, F.lit(t_lo))
+        )
+        expr_hi = (
+            F.when(cond, F.lit(t_hi))
+            if expr_hi is None
+            else expr_hi.when(cond, F.lit(t_hi))
+        )
+    if expr_lo is None:
+        raise ValueError("ccnet_buckets: empty scorable corpus")
+    return sc.select(
+        id_col,
+        lang_col,
+        F.when(F.col("mean_prob") <= expr_lo, F.lit("tail"))
+        .when(F.col("mean_prob") > expr_hi, F.lit("head"))
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+        "n_bigrams",
+        "mean_prob",
+    )
+
+
 # --- T32: boilerplate line removal (CCNet paragraph dedup) -------------------
 
 

@@ -2855,6 +2855,7 @@ _RECORD_FIRST = (
     "q_substring_dedup",
     "q_dsir_resample",
     "q_proto_prune",
+    "q_ccnet_buckets",
     # Round-5 rotation: the 69 keys never yet in a driver
     # CORRECTNESS_r0{1..4} file (all pass the local 268-key sweep).
     # The driver samples ~50 keys per round in dict order, so

@@ -1383,6 +1383,49 @@ def q_bigram_lm(spark, sf_dir):
     return T.bigram_lm_score(_docs(spark, sf_dir))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """T48 CCNet quality buckets (textstats.ccnet_buckets — per-lang
+    sampled terciles over the bigram-LM score, head/middle/tail).
+    Full oracle: the twin reuses sql_bigram_lm verbatim, replays the
+    splitmix hash sample, the order-statistic thresholds, and the
+    same double compares."""
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    return T.ccnet_buckets(_docs(spark, sf_dir))
+
+
+def sql_ccnet_buckets(k_sample: int = 60) -> str:
+    from mapnik_vector_tile_spark.plans.oracle_pairs import splitmix64_sql
+
+    return f"""
+WITH lm AS ({sql_bigram_lm()}),
+sc AS (
+  SELECT lm.*, d.lang FROM lm JOIN documents d USING (doc_id)),
+hh AS (
+  SELECT doc_id, lang, mean_prob,
+         CAST(({splitmix64_sql('doc_id')}) // 2048 AS BIGINT) AS hord
+  FROM sc),
+samp AS (
+  SELECT lang, mean_prob FROM (
+    SELECT lang, mean_prob,
+           row_number() OVER (
+             PARTITION BY lang ORDER BY hord, doc_id) AS rn
+    FROM hh) WHERE rn <= {k_sample}),
+thr AS (
+  SELECT lang,
+         arr[(len(arr) + 2) // 3] AS t_lo,
+         arr[(2 * len(arr) + 2) // 3] AS t_hi
+  FROM (SELECT lang, list(mean_prob ORDER BY mean_prob) AS arr
+        FROM samp GROUP BY 1))
+SELECT s.doc_id, s.lang,
+       CASE WHEN s.mean_prob <= t.t_lo THEN 'tail'
+            WHEN s.mean_prob > t.t_hi THEN 'head'
+            ELSE 'middle' END AS bucket,
+       s.n_bigrams, s.mean_prob
+FROM sc s JOIN thr t USING (lang)
+"""
+
+
 def sql_decontaminate(bench_mod: int = 50, n: int = 4) -> str:
     return f"""
 WITH {_shingle_cte('documents', n)},
@@ -1748,6 +1791,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
         "q_substring_dedup": (q_substring_dedup, sql_substring_dedup()),
         "q_dsir_resample": (q_dsir_resample, sql_dsir_resample()),
         "q_proto_prune": (q_proto_prune, sql_proto_prune()),
+        "q_ccnet_buckets": (q_ccnet_buckets, sql_ccnet_buckets()),
         "q_minhash_signatures": (q_minhash_signatures, sql_minhash_signatures()),
         "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
         "q_dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),

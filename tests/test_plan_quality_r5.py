@@ -258,6 +258,66 @@ def test_prototype_prune_uses_window_group_limit(spark):
     )
 
 
+def test_ccnet_buckets_sample_and_split(spark):
+    """ccnet_buckets' scale contracts: the per-language quantile
+    sample is a constant-K rank (map-side WindowGroupLimit — the
+    corpus never funnels through |langs| partitions), and the
+    three-way split covers every scorable doc with per-language
+    thresholds actually separating the buckets."""
+    from mapnik_vector_tile_spark.operators import textstats as T
+
+    # score spread: doc i mixes (i%10) common filler bigrams with
+    # doc-unique rare words, so mean_prob varies smoothly per doc
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    ["the of"] * (1 + i % 10)
+                    + [f"rare{i}x{j}" for j in range(1 + (i // 10) % 5)]
+                ),
+                "en" if i % 2 else "de",
+            )
+            for i in range(80)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    scored = T.bigram_lm_score(docs)
+    samp_plan = scored.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    df = T.ccnet_buckets(docs, k_sample=15)
+    got = df.collect()
+    assert len(got) == 80  # every scorable doc bucketed exactly once
+    per = {}
+    for r in got:
+        per.setdefault((r.lang, r.bucket), 0)
+        per[(r.lang, r.bucket)] += 1
+    langs = {lang for lang, _ in per}
+    assert langs == {"en", "de"}
+    for lang in langs:
+        # all three buckets are populated for each language
+        assert {(lang, b) in per for b in ("head", "middle", "tail")} == {
+            True
+        }, per
+    # WindowGroupLimit on the constant-K sample rank
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators.sampling import (
+        with_sample_hash,
+    )
+
+    w = Window.partitionBy("lang").orderBy("hord", "doc_id")
+    samp = (
+        with_sample_hash(samp_plan)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+    )
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_decode_singles_scan_rejects_non_canonical():
     """Fallback safety: v1 layers, multi-key layers, and non-point
     geometry must be REJECTED by the scan (routed to the general
