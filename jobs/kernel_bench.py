@@ -316,11 +316,53 @@ def _decode_bench(pdf, keys, prepare, encode_group, args) -> None:
                     ck += int(xs.sum()) + int(ys.sum())
         best = min(best, time.monotonic() - t0)
         n_feats, checksum = nf, ck
+    # r5 batched canonical-singles path (tiling.decode_tiles_to_features'
+    # fast lane): same tiles, same checksum contract — the pin asserts
+    # the vectorized kernel decodes bit-identical coordinates
+    best_b = float("inf")
+    n_feats_b = checksum_b = 0
+    for _ in range(max(1, args.repeat)):
+        t0 = time.monotonic()
+        descs, tix, fb = [], [], []
+        for i, t in enumerate(tiles):
+            d = pbf.scan_singles_tile(t)
+            if d is None:
+                fb.append(i)
+            else:
+                for lay in d:
+                    descs.append(lay)
+                    tix.append(i)
+        res, bad = (
+            pbf.decode_singles_batch(descs, tiles, tix, n_tiles=len(tiles))
+            if descs
+            else (None, [])
+        )
+        nf = ck = 0
+        if res is not None:
+            nf = len(res["fid"])
+            ck = int(res["px"].sum()) + int(res["py"].sum())
+        for i in sorted(set(fb) | set(bad)):
+            for lmsg in pbf.decode_tile(tiles[i]):
+                layer = pbf.decode_layer(lmsg)
+                for f in layer["features"]:
+                    xs, ys, _ = gc.decode_geometry(
+                        int(f["type"]), f["geometry"].astype(np.int64)
+                    )
+                    nf += 1
+                    ck += int(xs.sum()) + int(ys.sum())
+        best_b = min(best_b, time.monotonic() - t0)
+        n_feats_b, checksum_b = nf, ck
+    if (n_feats_b, checksum_b) != (n_feats, checksum):
+        raise SystemExit(
+            f"batched decode determinism pin FAILED: "
+            f"{(n_feats_b, checksum_b)} != {(n_feats, checksum)}"
+        )
     print(
         json.dumps(
             {
                 "metric": "decode_kernel_fixed_batch_seconds",
                 "value": round(best, 3),
+                "batched_value": round(best_b, 3),
                 "unit": "sec",
                 "tiles": len(tiles),
                 "features": n_feats,

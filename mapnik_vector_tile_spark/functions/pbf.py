@@ -1166,17 +1166,6 @@ def decode_singles_batch(descs, blobs, tile_idx, n_tiles=None):
     ok_a &= (last_end == bnd - 1) & (first_start == prev_bnd)
     bad_tile[tile_idx[~ok_a]] = True
 
-    # decode ALL varints once (same >=10-byte wrap contract as
-    # varint_decode_np), then gather the blocks of surviving layers
-    values = np.zeros(len(ends), dtype=np.uint64)
-    maxlen = int((ends - starts).max()) + 1 if len(ends) else 0
-    for b in range(min(maxlen, 10)):
-        idx = starts + b
-        valid = idx <= ends
-        chunk = np.zeros(len(ends), dtype=np.uint64)
-        chunk[valid] = arr[idx[valid]].astype(np.uint64) & np.uint64(0x7F)
-        values |= chunk << np.uint64(7 * b)
-
     def _alive():
         return np.flatnonzero(~bad_tile[tile_idx] & ok_a)
 
@@ -1192,9 +1181,23 @@ def decode_singles_batch(descs, blobs, tile_idx, n_tiles=None):
         + np.repeat(sv0[keep], blk_len)
     )
     nf_k = int(blk_off[-1]) // 15
-    V = values[gather].reshape(nf_k, 15)
-    E = ends[gather].reshape(nf_k, 15)
-    S = starts[gather].reshape(nf_k, 15)
+    # decode only the SURVIVING layers' varints (same >=10-byte wrap
+    # contract as varint_decode_np) — a mostly-demoted batch (foreign
+    # or polygon-heavy corpus) pays only the scan + counts, not a
+    # full-buffer value pass
+    Eg = ends[gather]
+    Sg = starts[gather]
+    values = np.zeros(len(Eg), dtype=np.uint64)
+    maxlen = int((Eg - Sg).max()) + 1 if len(Eg) else 0
+    for b in range(min(maxlen, 10)):
+        idx = Sg + b
+        valid = idx <= Eg
+        chunk = np.zeros(len(Eg), dtype=np.uint64)
+        chunk[valid] = arr[idx[valid]].astype(np.uint64) & np.uint64(0x7F)
+        values |= chunk << np.uint64(7 * b)
+    V = values.reshape(nf_k, 15)
+    E = Eg.reshape(nf_k, 15)
+    S = Sg.reshape(nf_k, 15)
 
     # ---- stage B: per-record structural + length-span checks ----
     ok_rec = (
