@@ -1337,6 +1337,13 @@ def decode_singles_batch(descs, blobs, tile_idx, n_tiles=None):
     out_off = np.zeros(nv_tot + 1, dtype=np.int64)
     np.cumsum(slen_f, out=out_off[1:])
     total = int(out_off[-1])
+    if total > 2**31 - 1:
+        # StringArray offsets are int32 — a >2 GiB packed value
+        # section in ONE Arrow batch would wrap them silently; demote
+        # the whole batch to the general decoder instead (unreachable
+        # for realistic batch sizes, guarded because the failure mode
+        # is corrupt captions, not an error)
+        return None, sorted(set(tile_idx.tolist()))
     sgather = (
         np.arange(total, dtype=np.int64)
         - np.repeat(out_off[:-1], slen_f)
