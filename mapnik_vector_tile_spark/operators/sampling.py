@@ -334,6 +334,13 @@ def dsir_topk(
     engines.  The normalizing constants log Z drop out of a top-k on
     a fixed corpus, as in the paper.
 
+    Arithmetic bound: the fixed-point numerator (cp_b + 1)·2^20 stays
+    inside int64 while every TARGET bucket count cp_b < 2^42 (~4·10^12
+    occurrences in one of 4096 buckets) — the target corpus is the
+    small curated side of DSIR by construction, so the bound holds
+    with orders of magnitude to spare; raise n_buckets if a target
+    ever approaches it.
+
     Scale shape (100 TB raw corpus): the gram fan-out is narrow; the
     bucket-count aggregates partial-combine map-side down to
     ≤ n_buckets rows each; the score table (≤ n_buckets rows) re-enters
