@@ -1074,6 +1074,75 @@ def substring_dup_spans(
     )
 
 
+def strip_dup_spans(
+    docs: DataFrame, min_len: int = 12, min_occ: int = 2
+) -> DataFrame:
+    """T45b: the CUT step of Lee et al. 2022 ExactSubstr dedup —
+    substring_dup_spans finds the duplicated runs; this removes them
+    and rebuilds each document's cleaned text (the deployed pipeline
+    deletes every token that lies inside some >= min_len run whose
+    text occurs >= min_occ times corpus-wide — all copies, the
+    paper's aggressive default; training keeps the remainder).
+
+    Construction: positional L-gram seeds pass the same single
+    window-count frequency gate as substring_dup_spans; a token at
+    position p is covered iff SOME seed starts in [p-L+1, p], which
+    is a running MAX of the seed flag over the last L rows of the
+    doc's token sequence — a second doc-bounded window, still no
+    join against the corpus and no span materialization.  Rebuild is
+    a per-doc ordered array_join of the surviving tokens.
+
+    Scale shape (100 TB): gram fan-out narrow; ONE hash shuffle on
+    the gram for the frequency gate; ONE shuffle on doc_id whose
+    per-doc window state is doc-length-bounded; output carries one
+    row per input doc.  Output: (doc_id, n_tokens, n_removed,
+    clean_text) — clean_text is '' when every token was duplicated
+    (CCNet/Lee drop such husks downstream)."""
+    L = int(min_len)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(shingle_array_col(L)).alias("pos", "gram"),
+    )
+    w_gram = Window.partitionBy("gram")
+    seeds = (
+        grams.withColumn("occ", F.count("*").over(w_gram))
+        .filter(F.col("occ") >= min_occ)
+        .select("doc_id", "pos", F.lit(1).alias("seed"))
+    )
+    w_cov = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(L - 1), 0)
+    )
+    marked = (
+        toks.join(seeds, ["doc_id", "pos"], "left")
+        .withColumn(
+            "covered",
+            F.max(F.coalesce(F.col("seed"), F.lit(0))).over(w_cov) == 1,
+        )
+    )
+    # collect_list drops the NULLs the when() leaves for covered
+    # tokens; array_sort on (pos, tok) structs restores text order
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("covered"), F.struct("pos", "tok"))
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("covered").cast("long"))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("tok")), " "
+        ).alias("clean_text"),
+    )
+
+
 def cluster_canonical(docs: DataFrame) -> DataFrame:
     """Keep-one-per-cluster — the step a training pipeline runs AFTER
     near-dup clustering: retain the highest-quality member of each

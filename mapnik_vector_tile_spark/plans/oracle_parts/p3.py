@@ -2853,6 +2853,7 @@ def _make_spark_fn(template: str) -> Callable[[SparkSession, str], DataFrame]:
 _RECORD_FIRST = (
     # new r5 keys: record first
     "q_substring_dedup",
+    "q_strip_dup_spans",
     "q_dsir_resample",
     "q_proto_prune",
     "q_ccnet_buckets",

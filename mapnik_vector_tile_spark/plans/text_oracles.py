@@ -1646,6 +1646,88 @@ GROUP BY doc_id, island
 """
 
 
+def q_strip_dup_spans(spark, sf_dir):
+    """T45b ExactSubstr CUT step (dedup.strip_dup_spans) over the
+    SAME augmented corpus as q_substring_dedup (docs ∪ full copies ∪
+    60%-prefix copies) — the rebuilt clean_text of every document is
+    under the value hash, so one mis-covered token anywhere breaks
+    the gate."""
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    full = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    w = F.split(F.col("text"), " ")
+    keep = F.floor(F.size(w) * 3 / 5).cast("int")
+    pref = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.array_join(F.slice(w, 1, keep), " ").alias("text"),
+    )
+    return D.strip_dup_spans(
+        docs.unionByName(full).unionByName(pref), min_len=12, min_occ=2
+    )
+
+
+def sql_strip_dup_spans(L: int = 12) -> str:
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(
+           words[1:CAST(floor(len(words) * 3 / 5) AS INT)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  WHERE doc_id % 7 = 0
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs2),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(words)),
+           i -> struct_pack(pos := i - 1, tok := words[i]))) AS u
+  FROM t
+),
+tok2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM toks),
+ng AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(words) - {L - 1}, 0)),
+           i -> struct_pack(
+             pos := i - 1,
+             gram := array_to_string(words[i:i + {L - 1}], ' ')))) AS u
+  FROM t
+),
+pos_g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM ng),
+seeds AS (
+  SELECT doc_id, pos, 1 AS seed FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS occ
+    FROM pos_g
+  ) WHERE occ >= 2
+),
+marked AS (
+  SELECT k.doc_id, k.pos, k.tok,
+         MAX(COALESCE(s.seed, 0)) OVER (
+           PARTITION BY k.doc_id ORDER BY k.pos
+           ROWS BETWEEN {L - 1} PRECEDING AND CURRENT ROW
+         ) = 1 AS covered
+  FROM tok2 k LEFT JOIN seeds s
+    ON s.doc_id = k.doc_id AND s.pos = k.pos
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                  FILTER (WHERE NOT covered), '') AS clean_text
+FROM marked
+GROUP BY doc_id
+"""
+
+
 def q_dsir_resample(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023), deterministic
     top-k form: target model from sources src0/src1, raw corpus =
@@ -1789,6 +1871,7 @@ def pairs() -> dict[str, tuple[Callable, str | None]]:
             q_incremental_dedup, sql_incremental_dedup()),
         "q_dup_ngram_spans": (q_dup_ngram_spans, sql_dup_ngram_spans()),
         "q_substring_dedup": (q_substring_dedup, sql_substring_dedup()),
+        "q_strip_dup_spans": (q_strip_dup_spans, sql_strip_dup_spans()),
         "q_dsir_resample": (q_dsir_resample, sql_dsir_resample()),
         "q_proto_prune": (q_proto_prune, sql_proto_prune()),
         "q_ccnet_buckets": (q_ccnet_buckets, sql_ccnet_buckets()),

@@ -54,6 +54,45 @@ def test_substring_short_docs_produce_no_spans(spark):
     assert D.substring_dup_spans(docs, min_len=12).count() == 0
 
 
+def test_strip_matches_span_coverage(spark):
+    """find/cut consistency: per doc, strip_dup_spans' n_removed must
+    equal the total token coverage of substring_dup_spans' maximal
+    spans (same seeds, same merge — two independent formulations of
+    the covered set), and clean_text must be exactly the uncovered
+    tokens in order."""
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (0, shared + " u0 u1 u2 u3 u4"),
+            (1, "v0 v1 " + shared + " v2"),
+            (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+        ],
+    )
+    spans = D.substring_dup_spans(docs, min_len=12).collect()
+    cov = {}
+    for r in spans:
+        cov[r.doc_id] = cov.get(r.doc_id, 0) + r.span_len
+    got = {r.doc_id: r for r in D.strip_dup_spans(docs, min_len=12).collect()}
+    for d in (0, 1, 2):
+        assert got[d].n_removed == cov.get(d, 0)
+    assert got[0].clean_text == "u0 u1 u2 u3 u4"
+    assert got[1].clean_text == "v0 v1 v2"
+    assert got[2].n_removed == 0
+
+
+def test_strip_fully_duplicated_doc_empties(spark):
+    from mapnik_vector_tile_spark.operators import dedup as D
+
+    run = " ".join(f"d{i}" for i in range(15))
+    docs = _docs(spark, [(0, run), (1, run)])
+    got = {r.doc_id: r for r in D.strip_dup_spans(docs, min_len=12).collect()}
+    assert got[0].clean_text == "" and got[0].n_removed == 15
+    assert got[1].clean_text == ""
+
+
 # --- T46 dsir_topk -----------------------------------------------------------
 
 
